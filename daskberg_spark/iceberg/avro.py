@@ -1,0 +1,334 @@
+"""Minimal Apache Avro object-container-file reader (and writer), pure Python.
+
+Implements exactly the subset of the Avro 1.x spec that Iceberg v1
+manifest-list and manifest files use: records, unions, arrays, maps, and
+the primitive types, with ``null`` or ``deflate`` block codecs.  The
+reference reads these files with fastavro
+(``/root/reference/daskberg/ice.py:148-151,186-188``); that dependency is
+not available here, and the format is simple enough that a from-scratch
+decoder is ~200 lines.
+
+Container layout (Avro spec "Object Container Files"):
+
+    magic 'Obj\\x01'
+    file-metadata map<string, bytes>   (avro.schema JSON, avro.codec)
+    16-byte sync marker
+    repeat: <count: long> <size: long> <block bytes> <sync marker>
+
+All integers are zigzag varints.  ``deflate`` blocks are raw-DEFLATE
+(zlib with no header, wbits=-15).
+
+The writer exists to generate our own partitioned test fixtures (the
+reference ships none — SURVEY.md §5) and to support catalog-free table
+writes; it emits the same subset.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, BinaryIO
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# primitive decode
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint decode."""
+    shift = 0
+    accum = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        accum |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (accum >> 1) ^ -(accum & 1)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+def _skip_to_named(schema: Any, names: dict[str, Any]) -> Any:
+    """Resolve a named-type reference string to its definition."""
+    if isinstance(schema, str) and schema in names:
+        return names[schema]
+    return schema
+
+
+def _register_names(schema: Any, names: dict[str, Any]) -> None:
+    """Walk a parsed schema registering record/enum/fixed names."""
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed") and "name" in schema:
+            names[schema["name"]] = schema
+        if t == "record":
+            for field in schema.get("fields", []):
+                _register_names(field["type"], names)
+        elif t == "array":
+            _register_names(schema.get("items"), names)
+        elif t == "map":
+            _register_names(schema.get("values"), names)
+    elif isinstance(schema, list):
+        for s in schema:
+            _register_names(s, names)
+
+
+def _decode(schema: Any, buf: io.BytesIO, names: dict[str, Any]) -> Any:
+    schema = _skip_to_named(schema, names)
+    if isinstance(schema, list):  # union: zigzag branch index then value
+        idx = _read_long(buf)
+        return _decode(schema[idx], buf, names)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: _decode(f["type"], buf, names) for f in schema["fields"]
+            }
+        if t == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    break
+                if n < 0:  # block with byte-size prefix
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    out.append(_decode(schema["items"], buf, names))
+            return out
+        if t == "map":
+            out_map: dict[str, Any] = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    break
+                if n < 0:
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    key = _read_bytes(buf).decode("utf-8")
+                    out_map[key] = _decode(schema["values"], buf, names)
+            return out_map
+        if t == "fixed":
+            return buf.read(schema["size"])
+        if t == "enum":
+            return schema["symbols"][_read_long(buf)]
+        # {"type": "string", ...} wrapper around a primitive
+        return _decode(t, buf, names)
+    # primitive
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        return buf.read(1) == b"\x01"
+    if schema in ("int", "long"):
+        return _read_long(buf)
+    if schema == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if schema == "bytes":
+        return _read_bytes(buf)
+    if schema == "string":
+        return _read_bytes(buf).decode("utf-8")
+    raise NotImplementedError(f"avro type {schema!r}")
+
+
+def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
+    """Decode an Avro object-container file → (file metadata, records)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            key = _read_bytes(buf).decode("utf-8")
+            meta[key] = _read_bytes(buf)
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    names: dict[str, Any] = {}
+    _register_names(schema, names)
+
+    records: list[dict[str, Any]] = []
+    while True:
+        try:
+            count = _read_long(buf)
+        except EOFError:
+            break
+        size = _read_long(buf)
+        block = buf.read(size)
+        if len(block) != size:
+            raise EOFError("truncated block")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec}")
+        bbuf = io.BytesIO(block)
+        for _ in range(count):
+            records.append(_decode(schema, bbuf, names))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return meta, records
+
+
+def read_avro_file(path: str) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
+    with open(path, "rb") as f:
+        return read_avro(f.read())
+
+
+# ---------------------------------------------------------------------------
+# encode (for fixture generation / table writes)
+
+
+def _write_long(out: bytearray, value: int) -> None:
+    value = (value << 1) ^ (value >> 63)  # zigzag
+    value &= (1 << 64) - 1
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
+def _write_bytes(out: bytearray, data: bytes) -> None:
+    _write_long(out, len(data))
+    out.extend(data)
+
+
+def _encode(schema: Any, value: Any, out: bytearray, names: dict[str, Any]) -> None:
+    schema = _skip_to_named(schema, names)
+    if isinstance(schema, list):  # union: pick the branch matching the value
+        idx = _union_branch(schema, value, names)
+        _write_long(out, idx)
+        _encode(schema[idx], value, out, names)
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], value[f["name"]], out, names)
+            return
+        if t == "array":
+            if value:
+                _write_long(out, len(value))
+                for item in value:
+                    _encode(schema["items"], item, out, names)
+            _write_long(out, 0)
+            return
+        if t == "map":
+            if value:
+                _write_long(out, len(value))
+                for k, v in value.items():
+                    _write_bytes(out, k.encode("utf-8"))
+                    _encode(schema["values"], v, out, names)
+            _write_long(out, 0)
+            return
+        if t == "fixed":
+            out.extend(value)
+            return
+        if t == "enum":
+            _write_long(out, schema["symbols"].index(value))
+            return
+        _encode(t, value, out, names)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.append(1 if value else 0)
+    elif schema in ("int", "long"):
+        _write_long(out, value)
+    elif schema == "float":
+        out.extend(struct.pack("<f", value))
+    elif schema == "double":
+        out.extend(struct.pack("<d", value))
+    elif schema == "bytes":
+        _write_bytes(out, value)
+    elif schema == "string":
+        _write_bytes(out, value.encode("utf-8"))
+    else:
+        raise NotImplementedError(f"avro type {schema!r}")
+
+
+def _union_branch(schemas: list[Any], value: Any, names: dict[str, Any]) -> int:
+    for i, s in enumerate(schemas):
+        s = _skip_to_named(s, names)
+        t = s["type"] if isinstance(s, dict) else s
+        if value is None and t == "null":
+            return i
+        if value is not None and t != "null":
+            return i
+    raise ValueError(f"no union branch for {value!r} in {schemas!r}")
+
+
+def write_avro(
+    schema: dict[str, Any],
+    records: list[dict[str, Any]],
+    fh: BinaryIO,
+    metadata: dict[str, bytes] | None = None,
+    codec: str = "deflate",
+) -> None:
+    """Encode records into an Avro object container file."""
+    names: dict[str, Any] = {}
+    _register_names(schema, names)
+    sync = b"daskbergsparksyn"  # fixed 16-byte marker: deterministic output
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    if metadata:
+        meta.update(metadata)
+
+    head = bytearray()
+    head.extend(MAGIC)
+    _write_long(head, len(meta))
+    for k, v in meta.items():
+        _write_bytes(head, k.encode())
+        _write_bytes(head, v)
+    _write_long(head, 0)
+    head.extend(sync)
+
+    body = bytearray()
+    for rec in records:
+        _encode(schema, rec, body, names)
+    payload = bytes(body)
+    if codec == "deflate":
+        compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = compressor.compress(payload) + compressor.flush()
+
+    block = bytearray()
+    _write_long(block, len(records))
+    _write_long(block, len(payload))
+    block.extend(payload)
+    block.extend(sync)
+
+    fh.write(bytes(head))
+    fh.write(bytes(block))
+
+
+def write_avro_file(
+    path: str,
+    schema: dict[str, Any],
+    records: list[dict[str, Any]],
+    metadata: dict[str, bytes] | None = None,
+) -> None:
+    with open(path, "wb") as f:
+        write_avro(schema, records, f, metadata=metadata)

@@ -1,0 +1,180 @@
+"""Iceberg type mapping and single-value (bound bytes) serialization.
+
+Reference counterpart: ``/root/reference/daskberg/conversions.py`` (pandas
+dtype maps + bound decoding).  This module follows the **Iceberg spec**
+("Binary single-value serialization", Appendix D) rather than the
+reference, which decodes decimals little-endian where the spec mandates
+big-endian two's-complement (SURVEY.md §1.3 ⚠); ints/longs/floats/doubles
+and timestamps are little-endian per spec, as validated against the
+Spark-written golden table (age 56 → ``b'8\\x00\\x00\\x00'``).
+
+Wrong bound decoding can only weaken pruning, never correctness — the scan
+re-applies the full predicate in Spark — but spec-correct decoding is what
+makes pruning actually fire on real tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import struct
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import types as T
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+_DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+_FIXED_RE = re.compile(r"fixed\[\s*(\d+)\s*\]")
+
+
+def iceberg_to_spark_type(type_str: str) -> T.DataType:
+    """Iceberg primitive type string → Spark DataType (SURVEY §1.3 table)."""
+    m = _DECIMAL_RE.fullmatch(type_str)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if _FIXED_RE.fullmatch(type_str):
+        return T.BinaryType()
+    try:
+        return {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "date": T.DateType(),
+            "time": T.LongType(),  # µs since midnight; Spark has no TimeType
+            "timestamp": T.TimestampNTZType(),
+            "timestamptz": T.TimestampType(),
+            "timestampz": T.TimestampType(),  # reference's spelling
+            "string": T.StringType(),
+            "uuid": T.StringType(),
+            "binary": T.BinaryType(),
+        }[type_str]
+    except KeyError:
+        raise NotImplementedError(f"iceberg type {type_str!r}") from None
+
+
+def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
+    """Iceberg schema JSON (v1 ``fields`` list) → Spark StructType.
+
+    Nested struct/list/map are supported (the reference raises
+    NotImplementedError for them, ``conversions.py:46``).
+    """
+
+    def conv(t: Any) -> T.DataType:
+        if isinstance(t, str):
+            return iceberg_to_spark_type(t)
+        kind = t["type"]
+        if kind == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], conv(f["type"]), not f.get("required"))
+                    for f in t["fields"]
+                ]
+            )
+        if kind == "list":
+            return T.ArrayType(conv(t["element"]), not t.get("element-required"))
+        if kind == "map":
+            return T.MapType(conv(t["key"]), conv(t["value"]), not t.get("value-required"))
+        raise NotImplementedError(f"iceberg type {t!r}")
+
+    return T.StructType(
+        [
+            T.StructField(f["name"], conv(f["type"]), not f.get("required"))
+            for f in schema["fields"]
+        ]
+    )
+
+
+def decode_bound(value: bytes | None, type_str: str) -> Any:
+    """Iceberg single-value binary → Python value (spec Appendix D).
+
+    Used for ``lower_bounds`` / ``upper_bounds`` in manifests and the
+    partition-field summaries in the manifest list.
+    """
+    if value is None:
+        return None
+    m = _DECIMAL_RE.fullmatch(type_str)
+    if m:
+        scale = int(m.group(2))
+        unscaled = int.from_bytes(value, "big", signed=True)  # spec: big-endian
+        return Decimal(unscaled).scaleb(-scale)
+    if type_str == "boolean":
+        return value != b"\x00"
+    if type_str == "int":
+        return int.from_bytes(value, "little", signed=True)
+    if type_str == "long":
+        return int.from_bytes(value, "little", signed=True)
+    if type_str == "float":
+        return struct.unpack("<f", value)[0]
+    if type_str == "double":
+        return struct.unpack("<d", value)[0]
+    if type_str == "date":
+        days = int.from_bytes(value, "little", signed=True)
+        return _EPOCH_DATE + datetime.timedelta(days=days)
+    if type_str == "time":
+        return int.from_bytes(value, "little", signed=True)
+    if type_str in ("timestamp", "timestamptz", "timestampz"):
+        micros = int.from_bytes(value, "little", signed=True)
+        return _EPOCH_DT + datetime.timedelta(microseconds=micros)
+    if type_str in ("string", "uuid"):
+        return value.decode("utf-8", errors="replace")
+    return value  # binary / fixed: raw
+
+
+def encode_bound(value: Any, type_str: str) -> bytes | None:
+    """Python value → Iceberg single-value binary (writer/fixture side)."""
+    if value is None:
+        return None
+    m = _DECIMAL_RE.fullmatch(type_str)
+    if m:
+        scale = int(m.group(2))
+        unscaled = int(Decimal(value).scaleb(scale))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    if type_str == "boolean":
+        return b"\x01" if value else b"\x00"
+    if type_str == "int":
+        return int(value).to_bytes(4, "little", signed=True)
+    if type_str == "long":
+        return int(value).to_bytes(8, "little", signed=True)
+    if type_str == "float":
+        return struct.pack("<f", value)
+    if type_str == "double":
+        return struct.pack("<d", value)
+    if type_str == "date":
+        if isinstance(value, datetime.date):
+            value = (value - _EPOCH_DATE).days
+        return int(value).to_bytes(4, "little", signed=True)
+    if type_str == "time":
+        return int(value).to_bytes(8, "little", signed=True)
+    if type_str in ("timestamp", "timestamptz", "timestampz"):
+        if isinstance(value, datetime.datetime):
+            value = round((value - _EPOCH_DT).total_seconds() * 1_000_000)
+        return int(value).to_bytes(8, "little", signed=True)
+    if type_str in ("string", "uuid"):
+        return str(value).encode("utf-8")
+    if isinstance(value, bytes):
+        return value
+    raise NotImplementedError(f"cannot encode {value!r} as {type_str}")
+
+
+def partition_value_to_python(value: Any, type_str: str) -> Any:
+    """Normalize a partition value from the manifest Avro to a Python value.
+
+    In manifest ``partition`` structs, dates arrive as int days and
+    timestamps as int micros (Avro logical types we decode as plain ints).
+    """
+    if value is None:
+        return None
+    if type_str == "date" and isinstance(value, int):
+        return _EPOCH_DATE + datetime.timedelta(days=value)
+    if type_str in ("timestamp", "timestamptz", "timestampz") and isinstance(value, int):
+        return _EPOCH_DT + datetime.timedelta(microseconds=value)
+    m = _DECIMAL_RE.fullmatch(type_str)
+    if m and isinstance(value, bytes):
+        return decode_bound(value, type_str)
+    return value

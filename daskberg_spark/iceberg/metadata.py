@@ -1,0 +1,313 @@
+"""Iceberg v1 table metadata model: versions, snapshots, schemas, manifests.
+
+Spark-free (driver-side Python only) so it unit-tests without a JVM.
+Reference semantics: ``/root/reference/daskberg/ice.py:18-218`` — version
+hint / explicit version / direct-JSON-URL loading, snapshot selection
+(absolute or relative via the parent-snapshot chain), per-snapshot schema
+pinning, manifest-list + manifest Avro decoding with a cross-scan cache,
+ADDED/EXISTING/DELETED reconciliation, and path relocation.
+
+Deviations (deliberate, documented):
+- Manifest fetches are parallelized with a thread pool (the reference is
+  sequential with a "TODO: do concurrently" at ``ice.py:185``).
+- Bound bytes decode per Iceberg spec, not the reference's endianness
+  (see conversions.py docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+from daskberg_spark.iceberg.avro import read_avro_file
+from daskberg_spark.iceberg.planner import FieldInfo, apply_filters, check_summaries
+
+STATUS_EXISTING = 0
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+_VERSION_FILE_RE = re.compile(r"v(\d+)\.metadata\.json$")
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return path
+
+
+class IcebergTable:
+    """An Iceberg v1 table opened from a directory or a metadata JSON path.
+
+    Parameters mirror the reference's ``IcebergDataset`` (``ice.py:18-49``):
+
+    url
+        Table root directory (containing ``metadata/``) or a direct
+        ``*.metadata.json`` path.
+    original_url
+        If given, every absolute path embedded in metadata/manifests has
+        this prefix rewritten to the table's actual location (fixture
+        relocation, ``ice.py:40``).
+    version
+        Explicit metadata version; default resolves
+        ``metadata/version-hint.text`` then falls back to the highest
+        ``v*.metadata.json`` present.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        original_url: str | None = None,
+        version: int | None = None,
+    ) -> None:
+        url = _strip_scheme(url).rstrip("/")
+        if url.endswith(".json"):
+            self.url = os.path.dirname(os.path.dirname(url))
+            self._direct_meta = url
+        else:
+            self.url = url
+            self._direct_meta = None
+        self.original_url = (original_url or "").rstrip("/")
+        self.manifest_cache: dict[str, list[dict[str, Any]]] = {}
+        self._version: int | None = None
+        self._metadata: dict[str, Any] | None = None
+        self._current_snapshot: dict[str, Any] | None = None
+        self._manifest_list: list[dict[str, Any]] | None = None
+        self.set_version(version)
+
+    # -- path handling ------------------------------------------------------
+
+    def _relocate(self, path: str) -> str:
+        path = _strip_scheme(path)
+        if self.original_url and path.startswith(self.original_url):
+            path = self.url + path[len(self.original_url) :]
+        return path
+
+    # -- version / metadata -------------------------------------------------
+
+    @property
+    def version(self) -> int | None:
+        return self._version
+
+    @version.setter
+    def version(self, value: int) -> None:
+        self.set_version(value)
+
+    def set_version(self, version: int | None = None) -> None:
+        """Load ``v{N}.metadata.json`` (or the direct JSON URL)."""
+        if self._direct_meta is not None and version is None:
+            meta_path = self._direct_meta
+        else:
+            if version is None:
+                version = self._latest_version()
+            meta_path = os.path.join(self.url, "metadata", f"v{version}.metadata.json")
+        with open(meta_path) as f:
+            self._metadata = json.load(f)
+        self._version = version
+        self._current_snapshot = None
+        self._manifest_list = None
+
+    def _latest_version(self) -> int:
+        hint = os.path.join(self.url, "metadata", "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                return int(f.read().strip())
+        versions = [
+            int(m.group(1))
+            for name in os.listdir(os.path.join(self.url, "metadata"))
+            if (m := _VERSION_FILE_RE.search(name))
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no metadata versions under {self.url}")
+        return max(versions)
+
+    @property
+    def metadata(self) -> dict[str, Any]:
+        assert self._metadata is not None
+        return self._metadata
+
+    # -- snapshots ----------------------------------------------------------
+
+    @property
+    def snapshots(self) -> dict[int, dict[str, Any]]:
+        return {s["snapshot-id"]: s for s in self.metadata.get("snapshots", [])}
+
+    @property
+    def latest_snapshot(self) -> dict[str, Any]:
+        snap_id = self.metadata.get("current-snapshot-id")
+        if snap_id is None or snap_id == -1 or snap_id not in self.snapshots:
+            raise ValueError("table has no current snapshot")
+        return self.snapshots[snap_id]
+
+    @property
+    def current_snapshot(self) -> dict[str, Any]:
+        if self._current_snapshot is None:
+            self.open_snapshot()
+        assert self._current_snapshot is not None
+        return self._current_snapshot
+
+    @property
+    def summary(self) -> dict[str, Any]:
+        return self.current_snapshot.get("summary", {})
+
+    def open_snapshot(
+        self, rel: int | None = None, snapshot_id: int | None = None
+    ) -> None:
+        """Select a snapshot absolutely or relatively (``ice.py:118-151``).
+
+        ``rel=-N`` walks N steps back along ``parent-snapshot-id`` from the
+        latest snapshot; ``snapshot_id`` selects absolutely.
+        """
+        if rel is not None and snapshot_id is not None:
+            raise ValueError("pass only one of rel= and snapshot_id=")
+        if snapshot_id is not None:
+            if snapshot_id not in self.snapshots:
+                raise ValueError(f"snapshot {snapshot_id} not in table")
+            snap = self.snapshots[snapshot_id]
+        else:
+            snap = self.latest_snapshot
+            if rel is not None:
+                if rel > 0:
+                    raise ValueError("rel must be <= 0")
+                for _ in range(-rel):
+                    parent = snap.get("parent-snapshot-id")
+                    if parent is None or parent not in self.snapshots:
+                        raise ValueError("walked past the first snapshot")
+                    snap = self.snapshots[parent]
+        self._current_snapshot = snap
+        ml_path = self._relocate(snap["manifest-list"])
+        _, self._manifest_list = read_avro_file(ml_path)
+
+    @property
+    def manifest_list(self) -> list[dict[str, Any]]:
+        if self._manifest_list is None:
+            self.open_snapshot()
+        assert self._manifest_list is not None
+        return self._manifest_list
+
+    # -- schema -------------------------------------------------------------
+
+    @property
+    def schema(self) -> dict[str, Any]:
+        """Schema pinned by the current snapshot (``ice.py:157-163``)."""
+        meta = self.metadata
+        schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+        if not schemas and "schema" in meta:  # minimal v1 tables
+            return meta["schema"]
+        snap = self.current_snapshot
+        schema_id = snap.get("schema-id", meta.get("current-schema-id", 0))
+        return schemas[schema_id]
+
+    # -- partition spec -----------------------------------------------------
+
+    @property
+    def partition_spec(self) -> list[dict[str, Any]]:
+        """Fields of the current default partition spec."""
+        meta = self.metadata
+        specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+        if specs:
+            return specs[meta.get("default-spec-id", min(specs))].get("fields", [])
+        return meta.get("partition-spec", [])
+
+    def _spec_fields(self, spec_id: int) -> list[dict[str, Any]]:
+        specs = {s["spec-id"]: s for s in self.metadata.get("partition-specs", [])}
+        if spec_id in specs:
+            return specs[spec_id].get("fields", [])
+        return self.partition_spec
+
+    @property
+    def fields(self) -> dict[str, FieldInfo]:
+        """Source-column name → FieldInfo(id, type, transform) (``ice.py:206-218``)."""
+        by_id = {f.get("id", f.get("field-id")): f for f in self.schema["fields"]}
+        spec_by_source = {f["source-id"]: f for f in self.partition_spec}
+        out: dict[str, FieldInfo] = {}
+        for fid, fld in by_id.items():
+            spec = spec_by_source.get(fid)
+            out[fld["name"]] = FieldInfo(
+                field_id=fid,
+                type=fld["type"] if isinstance(fld["type"], str) else "struct",
+                transform=spec["transform"] if spec else None,
+                partition_name=spec["name"] if spec else None,
+            )
+        return out
+
+    # -- manifest scan ------------------------------------------------------
+
+    def _load_manifest(self, path: str) -> list[dict[str, Any]]:
+        if path not in self.manifest_cache:
+            _, entries = read_avro_file(path)
+            self.manifest_cache[path] = entries
+        return self.manifest_cache[path]
+
+    def scan_manifests(self, filters: Any = None) -> dict[str, dict[str, Any]]:
+        """Manifest-level prune → load (parallel) → status reconcile.
+
+        Returns live ``{data-file path: data_file record}`` after applying
+        DELETED entries last across all manifests (``ice.py:165-204``).
+        """
+        fields = self.fields
+        surviving: list[tuple[str, int]] = []
+        for mf in self.manifest_list:
+            spec_fields = self._spec_fields(mf.get("partition_spec_id", 0))
+            summaries = mf.get("partitions") or []
+            if filters and summaries and not check_summaries(
+                summaries, spec_fields, fields, filters
+            ):
+                continue  # provably no matching rows in this whole manifest
+            surviving.append(
+                (self._relocate(mf["manifest_path"]), mf.get("partition_spec_id", 0))
+            )
+
+        # Parallel manifest IO (reference TODO at ice.py:185).
+        paths = [p for p, _ in surviving]
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
+            loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
+
+        allfiles: dict[str, dict[str, Any]] = {}
+        deleted: set[str] = set()
+        for path, spec_id in surviving:
+            for entry in loaded[path]:
+                data_file = entry["data_file"]
+                fmt = data_file.get("file_format", "PARQUET")
+                if fmt.upper() != "PARQUET":
+                    raise NotImplementedError(f"file format {fmt}")
+                fpath = self._relocate(data_file["file_path"])
+                data_file = dict(data_file, file_path=fpath, _spec_id=spec_id)
+                if entry["status"] == STATUS_DELETED:
+                    deleted.add(fpath)
+                else:
+                    allfiles[fpath] = data_file
+        for fpath in deleted:
+            allfiles.pop(fpath, None)
+        return allfiles
+
+    def plan_files(self, filters: Any = None) -> list[dict[str, Any]]:
+        """Full scan plan: manifest prune + file-level partition/stat prune.
+
+        Returns surviving ``data_file`` records (with relocated paths),
+        deterministically ordered by path.
+        """
+        allfiles = self.scan_manifests(filters)
+        files = list(allfiles.values())
+        if filters:
+            files = apply_filters(files, filters, self.fields)
+        return sorted(files, key=lambda f: f["file_path"])
+
+    # -- metadata-only introspection ---------------------------------------
+
+    def unique_partitions(self, field: str | None = None) -> Any:
+        """Distinct partition values, metadata-only (``ice.py:266-282``)."""
+        names = [f["name"] for f in self.partition_spec]
+        values = set()
+        for data_file in self.scan_manifests().values():
+            part = data_file.get("partition") or {}
+            values.add(tuple(part.get(n) for n in names))
+        if field is not None:
+            idx = names.index(field)
+            return sorted({v[idx] for v in values}, key=lambda x: (x is None, x))
+        return sorted(values, key=lambda t: tuple((v is None, v) for v in t))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"IcebergTable({self.url!r}, version={self._version})"

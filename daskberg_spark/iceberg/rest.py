@@ -1,0 +1,126 @@
+"""Iceberg REST catalog client.
+
+Reference counterpart: ``/root/reference/daskberg/rest_client.py`` —
+namespace/table CRUD against the Iceberg REST catalog OpenAPI, plus the
+``metadata-location`` hand-off that opens a table directly from its
+metadata JSON (``tests/test_rest.py:74-79``).
+
+Uses stdlib ``urllib`` (no ``requests`` dependency needed); tested against
+an in-process ``http.server`` stub since this environment has no Docker or
+network (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from typing import Any
+
+
+class IceRestClient:
+    """Minimal Iceberg REST catalog client (v1 endpoints)."""
+
+    def __init__(self, endpoint: str, namespace: str | None = None, prefix: str = "") -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self.namespace = namespace
+        self.prefix = prefix.strip("/")
+
+    # -- http ---------------------------------------------------------------
+
+    def _url(self, path: str) -> str:
+        base = f"{self.endpoint}/v1"
+        if self.prefix:
+            base = f"{base}/{self.prefix}"
+        return f"{base}/{path.lstrip('/')}"
+
+    def _call(self, method: str, path: str, body: dict[str, Any] | None = None) -> Any:
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            self._url(path),
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                payload = resp.read()
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(f"REST catalog {method} {path}: {e.code} {e.reason}") from e
+        return json.loads(payload) if payload else None
+
+    # -- namespaces (rest_client.py:27-44) -----------------------------------
+
+    def list_namespaces(self) -> list[str]:
+        out = self._call("GET", "namespaces")
+        return [".".join(ns) for ns in out.get("namespaces", [])]
+
+    def get_namespace(self, namespace: str | None = None) -> dict[str, Any]:
+        ns = namespace or self.namespace
+        return self._call("GET", f"namespaces/{ns}")
+
+    def create_namespace(self, namespace: str | None = None) -> dict[str, Any]:
+        ns = namespace or self.namespace
+        return self._call("POST", "namespaces", {"namespace": [ns], "properties": {}})
+
+    def delete_namespace(self, namespace: str | None = None) -> bool:
+        ns = namespace or self.namespace
+        self._call("DELETE", f"namespaces/{ns}")
+        return True
+
+    # -- tables (rest_client.py:46-95) ---------------------------------------
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        ns = namespace or self.namespace
+        out = self._call("GET", f"namespaces/{ns}/tables")
+        return [t["name"] for t in out.get("identifiers", [])]
+
+    def create_table(
+        self,
+        name: str,
+        schema: dict[str, str] | list[dict[str, Any]],
+        namespace: str | None = None,
+        stage: bool = False,
+    ) -> dict[str, Any]:
+        """Create a table; ``schema`` may be a simple {name: iceberg-type}
+        dict (auto field ids) or a full Iceberg field list
+        (rest_client.py:51-82)."""
+        ns = namespace or self.namespace
+        if isinstance(schema, dict):
+            fields = [
+                {"id": i + 1, "name": k, "required": False, "type": v}
+                for i, (k, v) in enumerate(schema.items())
+            ]
+        else:
+            fields = schema
+        body = {
+            "name": name,
+            "schema": {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": fields,
+            },
+            "stage-create": stage,
+        }
+        return self._call("POST", f"namespaces/{ns}/tables", body)
+
+    def get_table(self, name: str, namespace: str | None = None) -> dict[str, Any]:
+        ns = namespace or self.namespace
+        return self._call("GET", f"namespaces/{ns}/tables/{name}")
+
+    def delete_table(self, name: str, namespace: str | None = None, purge: bool = True) -> bool:
+        ns = namespace or self.namespace
+        self._call("DELETE", f"namespaces/{ns}/tables/{name}?purgeRequested={str(purge).lower()}")
+        return True
+
+    # -- hand-off ------------------------------------------------------------
+
+    def open_table(self, name: str, namespace: str | None = None) -> "Any":
+        """get_table → metadata-location → IcebergTable (tests/test_rest.py:74-79)."""
+        from daskberg_spark.iceberg.metadata import IcebergTable
+
+        info = self.get_table(name, namespace)
+        location = info.get("metadata-location") or info.get("metadata_location")
+        if not location:
+            raise ValueError(f"table {name} has no metadata-location")
+        return IcebergTable(location)

@@ -1,0 +1,110 @@
+"""Iceberg table → Spark DataFrame: the compute hand-off.
+
+Reference counterpart: ``/root/reference/daskberg/ice.py:220-264`` (hand-off
+to ``dask.dataframe.read_parquet``).  Here the pruned file list feeds
+``spark.read.schema(st).parquet(*files)``:
+
+- The explicit snapshot-pinned schema makes schema evolution work: older
+  files missing newer columns resolve by name and null-fill (reference
+  forces dtypes into fastparquet, ``ice.py:252-254``).
+- The *full* predicate is always re-applied as a Spark ``filter`` so
+  metadata pruning is pure IO-elision — correctness never depends on
+  stats (SURVEY.md §4 delta 2).  Catalyst then pushes the residual down
+  to parquet row-group skipping for free.
+- Empty survivor set → empty DataFrame with the right schema (the
+  reference raises ValueError, ``ice.py:248-249``; Spark semantics favor
+  the empty relation — SURVEY.md §4 delta 1).
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daskberg_spark.iceberg.conversions import schema_to_struct
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.planner import is_dnf
+
+
+def _lit(value: Any) -> Column:
+    if isinstance(value, (datetime.datetime, datetime.date, Decimal)):
+        return F.lit(value)
+    return F.lit(value)
+
+
+def filters_to_column(filters: Any) -> Column | None:
+    """DNF filter tuples → a single Spark boolean Column."""
+    if not filters:
+        return None
+
+    def pred(p: tuple[str, str, Any]) -> Column:
+        col, op, val = p
+        c = F.col(col)
+        if op in ("==", "="):
+            return c == _lit(val)
+        if op == "!=":
+            return c != _lit(val)
+        if op == "<":
+            return c < _lit(val)
+        if op == "<=":
+            return c <= _lit(val)
+        if op == ">":
+            return c > _lit(val)
+        if op == ">=":
+            return c >= _lit(val)
+        if op == "in":
+            return c.isin(list(val))
+        raise ValueError(f"unknown op {op!r}")
+
+    def conj(preds: list[tuple[str, str, Any]]) -> Column:
+        out = pred(preds[0])
+        for p in preds[1:]:
+            out = out & pred(p)
+        return out
+
+    if is_dnf(filters):
+        out = conj(filters[0])
+        for c in filters[1:]:
+            out = out | conj(c)
+        return out
+    return conj(filters)
+
+
+def to_df(
+    table: IcebergTable,
+    spark: SparkSession,
+    filters: Any = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Materialize the table's current snapshot as a (lazy) DataFrame."""
+    struct = schema_to_struct(table.schema)
+    files = table.plan_files(filters)
+    if not files:
+        df = spark.createDataFrame([], struct)
+    else:
+        reader = spark.read.schema(struct)
+        df = reader.parquet(*[f["file_path"] for f in files])
+    residual = filters_to_column(filters)
+    if residual is not None:
+        df = df.filter(residual)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+# Convenience: method-style API mirroring the reference's read()
+def read(
+    table: IcebergTable,
+    spark: SparkSession,
+    filters: Any = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    return to_df(table, spark, filters=filters, columns=columns)
+
+
+IcebergTable.to_df = to_df  # type: ignore[attr-defined]
+IcebergTable.read = read  # type: ignore[attr-defined]

@@ -1,0 +1,197 @@
+"""Iceberg partition transforms, spec-correct and pure Python.
+
+Reference counterpart: ``/root/reference/daskberg/conversions.py:48-87``
+(identity/bucket/truncate/day/void via the ``mmh3`` package).  ``mmh3`` is
+not available here, so ``murmur3_x86_32`` is implemented from the public
+MurmurHash3 reference algorithm and validated against the test vectors in
+the Iceberg spec (Appendix B) — this matters because Spark's builtin
+``hash()`` uses a different seed/encoding and must NOT be reused for
+Iceberg bucket values (SURVEY.md §2 A7b).
+
+Order-preserving transforms (identity, truncate, year/month/day/hour) admit
+range-predicate pruning; bucket is not order-preserving, so the planner
+only prunes ``==`` / ``in`` / ``!=`` through it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import struct
+import uuid as _uuid
+from decimal import Decimal
+from typing import Any, Callable
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+_BUCKET_RE = re.compile(r"bucket\[\s*(\d+)\s*\]")
+_TRUNCATE_RE = re.compile(r"truncate\[\s*(\d+)\s*\]")
+
+_MASK32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _MASK32
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit MurmurHash3 (x86 variant), returns a signed int32."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _MASK32
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        (k,) = struct.unpack_from("<I", data, i * 4)
+        k = (k * c1) & _MASK32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _MASK32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _MASK32
+    # tail
+    k = 0
+    tail = data[nblocks * 4 :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _MASK32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _MASK32
+        h ^= k
+    # finalize
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_hash_bytes(value: Any) -> bytes:
+    """Iceberg bucket-hash byte encoding of a value (spec Appendix B).
+
+    int/long/date/time/timestamp all hash as 8-byte little-endian longs
+    (so ``bucket(34 as int) == bucket(34L)``); float/double as the 8-byte
+    little-endian double bits; string as UTF-8; decimal as minimal
+    big-endian unscaled bytes; uuid as 16 big-endian bytes.
+    """
+    if isinstance(value, bool):
+        raise NotImplementedError("bucket[boolean] is not defined by the spec")
+    if isinstance(value, int):
+        return value.to_bytes(8, "little", signed=True)
+    if isinstance(value, float):
+        if value == 0.0:
+            value = 0.0  # -0.0 → +0.0 per spec
+        return struct.pack("<d", value)
+    if isinstance(value, Decimal):
+        unscaled = int(value.scaleb(-value.as_tuple().exponent))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    if isinstance(value, str):
+        try:
+            return _uuid.UUID(value).bytes if len(value) == 36 and value.count("-") == 4 else value.encode("utf-8")
+        except ValueError:
+            return value.encode("utf-8")
+    if isinstance(value, _uuid.UUID):
+        return value.bytes
+    if isinstance(value, datetime.datetime):
+        micros = round((value - _EPOCH_DT).total_seconds() * 1_000_000)
+        return micros.to_bytes(8, "little", signed=True)
+    if isinstance(value, datetime.date):
+        days = (value - _EPOCH_DATE).days
+        return days.to_bytes(8, "little", signed=True)
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise NotImplementedError(f"bucket hash for {type(value)}")
+
+
+def bucket(value: Any, n: int) -> int | None:
+    if value is None:
+        return None
+    h = murmur3_x86_32(_bucket_hash_bytes(value))
+    return (h & 0x7FFFFFFF) % n
+
+
+def truncate(value: Any, width: int) -> Any:
+    if value is None:
+        return None
+    if isinstance(value, int):
+        return value - (value % width)  # Python % is floored: correct for negatives
+    if isinstance(value, Decimal):
+        scale = -value.as_tuple().exponent
+        unscaled = int(value.scaleb(scale))
+        return Decimal(unscaled - (unscaled % width)).scaleb(-scale)
+    if isinstance(value, (str, bytes)):
+        return value[:width]
+    raise NotImplementedError(f"truncate for {type(value)}")
+
+
+def _to_datetime(value: Any) -> datetime.datetime:
+    if isinstance(value, datetime.datetime):
+        return value
+    if isinstance(value, datetime.date):
+        return datetime.datetime(value.year, value.month, value.day)
+    if isinstance(value, str):
+        return datetime.datetime.fromisoformat(value)
+    raise NotImplementedError(f"temporal transform for {type(value)}")
+
+
+def year(value: Any) -> int | None:
+    if value is None:
+        return None
+    return _to_datetime(value).year - 1970
+
+
+def month(value: Any) -> int | None:
+    if value is None:
+        return None
+    dt = _to_datetime(value)
+    return (dt.year - 1970) * 12 + dt.month - 1
+
+
+def day(value: Any) -> int | None:
+    """datetime/date → epoch days (ordered; the manifest stores int days)."""
+    if value is None:
+        return None
+    dt = _to_datetime(value)
+    return (dt.date() - _EPOCH_DATE).days
+
+
+def hour(value: Any) -> int | None:
+    if value is None:
+        return None
+    dt = _to_datetime(value)
+    return int((dt - _EPOCH_DT).total_seconds() // 3600)
+
+
+def get_transform(name: str) -> tuple[Callable[[Any], Any], bool]:
+    """transform spec string → (fn, order_preserving).
+
+    ``order_preserving=False`` (bucket, void) restricts pruning to
+    equality-shaped predicates.
+    """
+    if name == "identity":
+        return (lambda v: v), True
+    if name == "void":
+        return (lambda v: None), False
+    if name == "year":
+        return year, True
+    if name == "month":
+        return month, True
+    if name == "day":
+        return day, True
+    if name == "hour":
+        return hour, True
+    m = _BUCKET_RE.fullmatch(name)
+    if m:
+        n = int(m.group(1))
+        return (lambda v, n=n: bucket(v, n)), False
+    m = _TRUNCATE_RE.fullmatch(name)
+    if m:
+        w = int(m.group(1))
+        return (lambda v, w=w: truncate(v, w)), True
+    raise NotImplementedError(f"partition transform {name!r}")

@@ -1,0 +1,45 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` in one JVM; the configs below are chosen so
+the same code runs unchanged on a multi-executor cluster: AQE for runtime
+re-planning (partition coalescing, skew-join splitting), Arrow for every
+Python<->JVM crossing, and shuffle partitions sized to the local core count
+(on a real cluster AQE coalesces from a higher initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "daskberg_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join handling — the main
+        # lever that lets one static config serve sf0.001 and 100 TB alike.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle width ~= cores locally; a cluster deployment would raise
+        # this (or rely on AQE's initialPartitionNum) — never the 200 default.
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        # Arrow batches for pandas_udf / applyInPandas / toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
