@@ -1,0 +1,100 @@
+"""Registration + shared helpers for the query/operator inventory.
+
+The driver compares each registered query against its DuckDB oracle by
+row-count, schema, and order-insensitive value hash.  Two conventions keep
+the comparison deterministic:
+
+- **Exact aggregation of doubles.**  ``SUM(double)`` is order-dependent in
+  the last ulp (Spark sums per-partition, DuckDB sequentially).  Both
+  sides therefore cast the (identically-computed, bit-exact) per-row
+  double to ``DECIMAL(25,6)``, aggregate exactly, and cast the result
+  back to double: same bits on both engines regardless of execution
+  order.  See ``dsum``/``davg`` and the matching SQL shapes.
+- **Explicit result types.**  DuckDB widens integer sums to HUGEINT and
+  ``year()`` to BIGINT; every oracle aggregate is wrapped in a CAST so
+  both sides agree (long for counts/sums, double for money).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+DEC = "decimal(25,6)"
+
+
+def query(name: str, oracle: str | None = None) -> Callable:
+    """Register a query implementation and (optionally) its DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture: its ``ts`` is parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright.  Read nanos as longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs-precision
+    TIMESTAMP_NTZ column — distributed, no driver materialization."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        micros = (F.col("ts") / F.lit(1000)).cast("long")
+        df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
+    return df
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent exact sum of a double expression → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-sum average: cast-to-decimal sum / count, division in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def iceberg_golden_table() -> Any:
+    """The reference's checked-in golden table, relocated."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    return IcebergTable(
+        "/root/reference/test-data/my_table",
+        original_url="/Users/mdurant/temp/warehouse/db/my_table",
+    )

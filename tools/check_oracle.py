@@ -1,0 +1,131 @@
+"""Local replica of the driver's DuckDB-oracle correctness harness.
+
+Runs every registered query through Spark AND its oracle SQL through
+DuckDB on the same parquet fixtures, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows sorted
+by all columns).  Floats must match bit-exactly — the query conventions
+(decimal-exact aggregation, see registry.py) are designed to make that
+hold.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            first = df[c].dropna()
+            if len(first) and isinstance(first.iloc[0], (list, np.ndarray, tuple)):
+                df[c] = df[c].map(
+                    lambda v: None if v is None else tuple(np.asarray(v).tolist())
+                )
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rows: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    scols, ocols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if scols != ocols:
+        problems.append(f"cols: spark={scols} oracle={ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
+            eq = (sv.isna() & ov.isna()) | (sv == ov)
+            if not eq.all():
+                bad = (~eq).sum()
+                with np.errstate(all="ignore"):
+                    maxdiff = float(np.nanmax(np.abs(sv - ov)))
+                problems.append(f"col {c}: {bad} float mismatches, maxdiff={maxdiff:.3e}")
+        else:
+            sv2 = sv.astype(object).where(~pd.isna(sv), None)
+            ov2 = ov.astype(object).where(~pd.isna(ov), None)
+            neq = [
+                i for i, (a, b) in enumerate(zip(sv2, ov2))
+                if a != b and not (a is None and b is None)
+            ]
+            if neq:
+                i = neq[0]
+                problems.append(
+                    f"col {c}: {len(neq)} mismatches, first@{i}: "
+                    f"spark={sv2[i]!r} oracle={ov2[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from daskberg_spark.session import get_spark
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    spark = get_spark("oracle-check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_noracle = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: no oracle (rows={len(spark_pdf)})")
+            n_noracle += 1
+            continue
+        try:
+            oracle_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {name} ({len(spark_pdf)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_noracle} weak (no oracle)")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
