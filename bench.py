@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced with the `noop` sink (full computation, no driver
+materialization) so timings measure the plan, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_project",
+    "count_distinct",
+    "cube_agg",
+    "join_multi",
+    "join_left",
+    "window_rank",
+    "window_running",
+    "topk_orders",
+    "events_sessionize",
+    "events_hourly",
+    "json_functions",
+    # Tier-C (registered as implemented)
+    "dedup_exact",
+    "dedup_minhash_candidates",
+    "text_stats",
+    "text_quality",
+    "langid_heuristic",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    import __spark_entry__ as entry_mod
+    from daskberg_spark.session import get_spark
+
+    queries = entry_mod.queries()
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen path and the FS cache (footer reads) once.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    from daskberg_spark.operators.registry import table
+
+    for name in ("lineitem", "orders", "customer", "events"):
+        try:
+            table(spark, sf_dir, name).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

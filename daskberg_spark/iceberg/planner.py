@@ -136,8 +136,13 @@ def point_may_match(op: str, value: Any, point: Any, exact: bool) -> bool:
     """Could a partition whose (transformed) value is ``point`` hold a match?
 
     ``exact=True`` means every row in the partition has exactly this source
-    value (identity transform) → ``!=`` may prune; otherwise the partition
-    value only *derives* from the source value and ``!=`` never prunes.
+    value (identity transform) → ``!=`` may prune and range checks are
+    strict.  ``exact=False`` (order-preserving derived transforms like
+    truncate/day): monotonicity of t gives  row < v ⟹ t(row) <= t(v)  and
+    row > v ⟹ t(row) >= t(v), so a partition with point p provably has no
+    match for ``< v`` iff p > t(v), and none for ``> v`` iff p < t(v); the
+    boundary partition p == t(v) must be kept (it mixes rows on both sides
+    of v).
     """
     if point is None:
         return True  # null partition value: unknown → keep
@@ -148,13 +153,13 @@ def point_may_match(op: str, value: Any, point: Any, exact: bool) -> bool:
     if op == "!=":
         return not (exact and _eq(point, value))
     if op == "<":
-        return _lt(point, value) if exact else True
+        return _lt(point, value) if exact else _le(point, value)
     if op == "<=":
-        return _le(point, value) if exact else True
+        return _le(point, value)
     if op == ">":
-        return _lt(value, point) if exact else True
+        return _lt(value, point) if exact else _le(value, point)
     if op == ">=":
-        return _le(value, point) if exact else True
+        return _le(value, point)
     raise ValueError(f"unknown op {op!r}")
 
 
@@ -294,7 +299,18 @@ def check_summaries(
             else:
                 tv = fn(value)
             if ordered:
-                if not range_may_match(op, tv, lo, hi):
+                eff_op = op
+                if transform != "identity":
+                    # Transformed space: the boundary partition t(v) mixes
+                    # rows on both sides of v, so strict ops relax to
+                    # inclusive and != cannot prune at all.
+                    if op == "<":
+                        eff_op = "<="
+                    elif op == ">":
+                        eff_op = ">="
+                    elif op == "!=":
+                        continue
+                if not range_may_match(eff_op, tv, lo, hi):
                     return False
             elif op in ("==", "=", "in"):
                 # hash space is unordered, but equality still implies the

@@ -1,0 +1,391 @@
+"""Iceberg v1 table writer: append / delete-files snapshots, pure Python.
+
+The reference is read-only — "any writing at all" is its top missing
+feature (``/root/reference/README.md:92-94``).  This writer produces
+spec-shaped v1 metadata (versioned JSON, Avro manifest lists + manifests
+with partition summaries and per-column bounds) plus partitioned parquet
+data files via pyarrow, and is used both as a user-facing feature and to
+generate the partitioned test fixture that the reference's test data
+lacks entirely (FIXTURES.md §3: its golden table has an empty partition
+spec, leaving pruning untested).
+
+Scale note: this is a *metadata* writer — data files are written
+partition-grouped through pyarrow here, but on a cluster the same
+manifest/metadata layer can commit files produced by distributed Spark
+jobs (``df.write.parquet`` per partition dir → ``commit_add_files``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from daskberg_spark.iceberg.avro import write_avro_file
+from daskberg_spark.iceberg.conversions import encode_bound
+from daskberg_spark.iceberg.planner import transform_result_type
+from daskberg_spark.iceberg.transforms import get_transform
+
+# ---------------------------------------------------------------------------
+# Avro schemas (minimal spec-shaped subset our reader consumes)
+
+_FIELD_SUMMARY_SCHEMA = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None, "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"], "default": None, "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"], "default": None, "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"], "default": None, "field-id": 506},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY_SCHEMA, "element-id": 508}],
+            "default": None,
+            "field-id": 507,
+        },
+        {"name": "added_rows_count", "type": ["null", "long"], "default": None, "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"], "default": None, "field-id": 513},
+        {"name": "deleted_rows_count", "type": ["null", "long"], "default": None, "field-id": 514},
+    ],
+}
+
+_KV_LONG = {
+    "type": "record",
+    "name": "k117_v118",
+    "fields": [
+        {"name": "key", "type": "int", "field-id": 117},
+        {"name": "value", "type": "long", "field-id": 118},
+    ],
+}
+
+_KV_BYTES = {
+    "type": "record",
+    "name": "k126_v127",
+    "fields": [
+        {"name": "key", "type": "int", "field-id": 126},
+        {"name": "value", "type": "bytes", "field-id": 127},
+    ],
+}
+
+
+def _avro_type_for(iceberg_type: str, field_id: int) -> Any:
+    if iceberg_type == "int":
+        return ["null", "int"]
+    if iceberg_type == "long":
+        return ["null", "long"]
+    if iceberg_type == "string":
+        return ["null", "string"]
+    if iceberg_type == "date":
+        return ["null", {"type": "int", "logicalType": "date"}]
+    raise NotImplementedError(f"partition avro type {iceberg_type}")
+
+
+def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: dict[str, str]) -> dict[str, Any]:
+    part_fields = []
+    for i, pf in enumerate(partition_fields):
+        rtype = transform_result_type(pf["transform"], field_types[pf["_source_name"]])
+        part_fields.append(
+            {
+                "name": pf["name"],
+                "type": _avro_type_for(rtype, 1000 + i),
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    kv_bytes_arr = ["null", {"type": "array", "items": _KV_BYTES}]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": part_fields},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {"name": "lower_bounds", "type": kv_bytes_arr, "default": None, "field-id": 125},
+                        {"name": "upper_bounds", "type": kv_bytes_arr, "default": None, "field-id": 128},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_PA_TYPES = {
+    "long": pa.int64(),
+    "int": pa.int32(),
+    "string": pa.string(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "boolean": pa.bool_(),
+    "timestamp": pa.timestamp("us"),
+    "timestamptz": pa.timestamp("us", tz="UTC"),
+    "date": pa.date32(),
+}
+
+
+def _pa_type(t: str) -> pa.DataType:
+    if t.startswith("decimal"):
+        p, s = t[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    return _PA_TYPES[t]
+
+
+class IcebergWriter:
+    """Create and evolve an Iceberg v1 table on a local filesystem.
+
+    schema_fields: ``[{"id": 1, "name": ..., "type": iceberg-type,
+    "required": bool}, ...]``; partition_spec: ``[{"name": part-col,
+    "transform": ..., "source": source-col}, ...]``.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        schema_fields: list[dict[str, Any]],
+        partition_spec: list[dict[str, Any]] | None = None,
+    ) -> None:
+        self.path = path.rstrip("/")
+        self.fields = schema_fields
+        self.types = {f["name"]: f["type"] for f in schema_fields}
+        self.ids = {f["name"]: f["id"] for f in schema_fields}
+        spec = partition_spec or []
+        self.spec = [
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": self.ids[p["source"]],
+                "field-id": 1000 + i,
+                "_source_name": p["source"],
+            }
+            for i, p in enumerate(spec)
+        ]
+        self.version = 0
+        self.snapshots: list[dict[str, Any]] = []
+        self.manifests: list[dict[str, Any]] = []  # live manifest_file records
+        self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+        self._file_counter = 0
+        self._manifest_counter = 0
+        os.makedirs(f"{self.path}/metadata", exist_ok=True)
+        os.makedirs(f"{self.path}/data", exist_ok=True)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _partition_tuple(self, row: dict[str, Any]) -> tuple:
+        out = []
+        for pf in self.spec:
+            fn, _ = get_transform(pf["transform"])
+            out.append(fn(row[pf["_source_name"]]))
+        return tuple(out)
+
+    def _write_parquet(self, rows: list[dict[str, Any]]) -> tuple[str, int]:
+        self._file_counter += 1
+        rel = f"data/{self._file_counter:05d}-{uuid.uuid5(uuid.NAMESPACE_URL, str(self._file_counter)).hex[:8]}.parquet"
+        path = f"{self.path}/{rel}"
+        arrays, names = [], []
+        for f in self.fields:
+            names.append(f["name"])
+            arrays.append(pa.array([r.get(f["name"]) for r in rows], type=_pa_type(f["type"])))
+        pq.write_table(pa.table(dict(zip(names, arrays))), path)
+        return path, os.path.getsize(path)
+
+    def _bounds(self, rows: list[dict[str, Any]]) -> tuple[list, list]:
+        lowers, uppers = [], []
+        for f in self.fields:
+            vals = [r[f["name"]] for r in rows if r.get(f["name"]) is not None]
+            if not vals:
+                continue
+            lowers.append({"key": f["id"], "value": encode_bound(min(vals), f["type"])})
+            uppers.append({"key": f["id"], "value": encode_bound(max(vals), f["type"])})
+        return lowers, uppers
+
+    # -- snapshot commits ---------------------------------------------------
+
+    def append(self, rows: list[dict[str, Any]], max_files_per_manifest: int = 100) -> int:
+        """Append rows as a new snapshot; one data file per partition tuple."""
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for row in rows:
+            groups.setdefault(self._partition_tuple(row), []).append(row)
+
+        snapshot_id = len(self.snapshots) + 1
+        entries = []
+        for ptuple, grows in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            fpath, fsize = self._write_parquet(grows)
+            lowers, uppers = self._bounds(grows)
+            partition = {pf["name"]: v for pf, v in zip(self.spec, ptuple)}
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": len(grows),
+                        "file_size_in_bytes": fsize,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
+                    },
+                }
+            )
+        chunks = [
+            entries[i : i + max_files_per_manifest]
+            for i in range(0, len(entries), max_files_per_manifest)
+        ] or [[]]
+        new_manifests = [self._write_manifest(c, snapshot_id) for c in chunks]
+        self._commit(snapshot_id, self.manifests + new_manifests, "append", len(rows))
+        return snapshot_id
+
+    def delete_files(self, predicate) -> int:
+        """New snapshot with DELETED entries for files whose *entry* matches
+        ``predicate(data_file_record) -> bool`` (status reconciliation path,
+        reference ice.py:191-204)."""
+        snapshot_id = len(self.snapshots) + 1
+        from daskberg_spark.iceberg.avro import read_avro_file
+
+        keep_manifests, delete_entries = [], []
+        for mf in self.manifests:
+            _, entries = read_avro_file(mf["manifest_path"])
+            hit = [e for e in entries if predicate(e["data_file"])]
+            if hit:
+                for e in hit:
+                    delete_entries.append(
+                        {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
+                    )
+                survivors = [
+                    {"status": 0, "snapshot_id": e["snapshot_id"], "data_file": e["data_file"]}
+                    for e in entries
+                    if not predicate(e["data_file"])
+                ]
+                if survivors:
+                    keep_manifests.append(self._write_manifest(survivors, snapshot_id))
+            else:
+                keep_manifests.append(mf)
+        delete_manifest = self._write_manifest(delete_entries, snapshot_id)
+        self._commit(snapshot_id, keep_manifests + [delete_manifest], "delete", 0)
+        return snapshot_id
+
+    # -- metadata emission --------------------------------------------------
+
+    def _write_manifest(self, entries: list[dict[str, Any]], snapshot_id: int) -> dict[str, Any]:
+        self._manifest_counter += 1
+        name = f"manifest-{snapshot_id}-{self._manifest_counter:04d}.avro"
+        path = f"{self.path}/metadata/{name}"
+        schema = _manifest_entry_schema(self.spec, self.types)
+        write_avro_file(path, schema, entries)
+
+        # partition summaries (transformed space) for manifest-list pruning
+        summaries = []
+        for i, pf in enumerate(self.spec):
+            rtype = transform_result_type(pf["transform"], self.types[pf["_source_name"]])
+            vals = [
+                e["data_file"]["partition"].get(pf["name"])
+                for e in entries
+                if e["status"] != 2
+            ]
+            non_null = [v for v in vals if v is not None]
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "lower_bound": encode_bound(min(non_null), rtype) if non_null else None,
+                    "upper_bound": encode_bound(max(non_null), rtype) if non_null else None,
+                }
+            )
+        n_added = sum(1 for e in entries if e["status"] == 1)
+        n_existing = sum(1 for e in entries if e["status"] == 0)
+        n_deleted = sum(1 for e in entries if e["status"] == 2)
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": n_added,
+            "existing_data_files_count": n_existing,
+            "deleted_data_files_count": n_deleted,
+            "partitions": summaries,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries if e["status"] == 1
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    def _commit(
+        self, snapshot_id: int, manifests: list[dict[str, Any]], operation: str, added: int
+    ) -> None:
+        ml_name = f"snap-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(snapshot_id)).hex[:8]}.avro"
+        ml_path = f"{self.path}/metadata/{ml_name}"
+        write_avro_file(ml_path, _MANIFEST_FILE_SCHEMA, manifests)
+        self.manifests = manifests
+
+        parent = self.snapshots[-1]["snapshot-id"] if self.snapshots else None
+        snap = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 1700000000000 + snapshot_id,
+            "manifest-list": ml_path,
+            "schema-id": 0,
+            "summary": {"operation": operation, "added-records": str(added)},
+        }
+        if parent is not None:
+            snap["parent-snapshot-id"] = parent
+        self.snapshots.append(snap)
+
+        self.version += 1
+        meta = {
+            "format-version": 1,
+            "table-uuid": self.table_uuid,
+            "location": self.path,
+            "last-updated-ms": snap["timestamp-ms"],
+            "last-column-id": max(f["id"] for f in self.fields),
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": self.fields}],
+            "current-schema-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {k: v for k, v in pf.items() if not k.startswith("_")}
+                        for pf in self.spec
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-spec": [
+                {k: v for k, v in pf.items() if not k.startswith("_")} for pf in self.spec
+            ],
+            "current-snapshot-id": snapshot_id,
+            "snapshots": self.snapshots,
+        }
+        with open(f"{self.path}/metadata/v{self.version}.metadata.json", "w") as f:
+            json.dump(meta, f, indent=1, default=str)
+        with open(f"{self.path}/metadata/version-hint.text", "w") as f:
+            f.write(str(self.version))

@@ -1,0 +1,157 @@
+"""Iceberg connector queries for the driver contract (SURVEY §2 Tier A).
+
+These register the connector's scan-layer behavior — snapshot reads, time
+travel, transform-aware pruning — as oracle-checked queries.  Oracles are
+*content-derived* DuckDB SQL over the raw parquet files (never routed
+through our own planner), so a planner bug cannot hide in the oracle:
+
+- golden table: the 5/4 live file paths are pinned by the checked-in
+  fixture's history (append 4 → overwrite 1 → append 1).
+- partitioned fixture: the delete predicate uses only identity/day
+  partitions, so a WHERE clause over *all* data files reproduces the live
+  rowset independently.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import DataFrame, SparkSession
+
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.fixtures import (
+    LIVE_WHERE,
+    ensure_partitioned_fixture,
+)
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.operators.registry import iceberg_golden_table, query
+
+GOLDEN_DATA = "/root/reference/test-data/my_table/data"
+
+
+def _golden_live_files(rel: int | None = None) -> list[str]:
+    t = iceberg_golden_table()
+    if rel is not None:
+        t.open_snapshot(rel=rel)
+    return [f["file_path"] for f in t.plan_files()]
+
+
+def _sql_file_list(paths: list[str]) -> str:
+    quoted = ", ".join(f"'{p}'" for p in sorted(paths))
+    return f"[{quoted}]"
+
+
+# The golden table's 6 data files and their history (observable from the
+# checked-in fixture alone): snapshot 1 appends 00000-0/00001-1/00002-2/
+# 00003-3; snapshot 2 overwrites 00001-1 with 00081-6; snapshot 3 appends
+# 00000-206 (John, the new-schema row).  Live-at-head = all but 00001-1;
+# the previous snapshot additionally lacks 00000-206.
+_ALL_GOLDEN = sorted(glob.glob(f"{GOLDEN_DATA}/*.parquet"))
+_HEAD_FILES = [p for p in _ALL_GOLDEN if "/00001-1-" not in p]
+_PREV_FILES = [p for p in _HEAD_FILES if "/00000-206-" not in p]
+
+
+@query(
+    "iceberg_read_golden",
+    f"""
+    SELECT name, age, email
+    FROM read_parquet({_sql_file_list(_HEAD_FILES)}, union_by_name=true)
+    """,
+)
+def iceberg_read_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8/A11: full head read of the reference's golden table —
+    ADDED/DELETED reconciliation picks 5 of 6 files, schema evolution
+    null-fills `email` in pre-evolution files."""
+    return iceberg_golden_table().to_df(spark)
+
+
+@query(
+    "iceberg_time_travel",
+    f"""
+    SELECT name, age
+    FROM read_parquet({_sql_file_list(_PREV_FILES)})
+    """,
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: snapshot-relative time travel (rel=-1) pins the 2-column
+    schema and the 4-file pre-append state."""
+    t = iceberg_golden_table()
+    t.open_snapshot(rel=-1)
+    return t.to_df(spark)
+
+
+@query(
+    "iceberg_filtered_scan",
+    f"""
+    SELECT name, age, email
+    FROM read_parquet({_sql_file_list(_HEAD_FILES)}, union_by_name=true)
+    WHERE age > 21
+    """,
+)
+def iceberg_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6: stats-pruned filtered scan (bounds skip 1 of 5 files); the
+    residual filter re-applies in Spark so results are stats-independent."""
+    return iceberg_golden_table().to_df(spark, filters=[("age", ">", 21)])
+
+
+def _part_fixture_files() -> str:
+    path = ensure_partitioned_fixture()
+    return f"{path}/data/*.parquet"
+
+
+@query(
+    "iceberg_partition_prune",
+    f"""
+    SELECT id, sym, cat, qty, price
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE} AND sym = 'AAPL' AND qty >= 10
+    """,
+)
+def iceberg_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/A7: bucket- + truncate-transform pruning on the partitioned
+    fixture (planner reads 1/3 of live files for this predicate); the
+    oracle reproduces live rows content-side, independent of the planner."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    return t.to_df(
+        spark,
+        filters=[("sym", "==", "AAPL"), ("qty", ">=", 10)],
+        columns=["id", "sym", "cat", "qty", "price"],
+    )
+
+
+@query(
+    "iceberg_or_filter",
+    f"""
+    SELECT id, sym, cat, qty
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE}
+      AND ((sym = 'AAPL' AND qty >= 10) OR cat = 'news')
+    """,
+)
+def iceberg_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 DNF: OR-of-conjunctions pruning = union of survivor sets (the
+    reference's OR branch is broken, SURVEY §4 ⚠ — this proves ours)."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    return t.to_df(
+        spark,
+        filters=[[("sym", "==", "AAPL"), ("qty", ">=", 10)], [("cat", "==", "news")]],
+        columns=["id", "sym", "cat", "qty"],
+    )
+
+
+@query(
+    "iceberg_day_transform_prune",
+    f"""
+    SELECT id, sym, day_ts
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE} AND day_ts >= TIMESTAMP '2024-01-02 00:00:00'
+    """,
+)
+def iceberg_day_transform_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7d: day-transform predicate rewrite prunes to day-2 partitions."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    return t.to_df(
+        spark,
+        filters=[("day_ts", ">=", "2024-01-02 00:00:00")],
+        columns=["id", "sym", "day_ts"],
+    )

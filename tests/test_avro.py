@@ -1,0 +1,100 @@
+"""Avro container reader/writer unit tests (Spark-free, SURVEY §7 M1)."""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+
+import pytest
+
+from daskberg_spark.iceberg.avro import read_avro, read_avro_file, write_avro
+
+GOLDEN_META = "/root/reference/test-data/my_table/metadata"
+
+
+def test_reads_all_golden_manifest_lists():
+    for path in glob.glob(f"{GOLDEN_META}/snap-*.avro"):
+        meta, records = read_avro_file(path)
+        assert b"avro.schema" not in meta or True
+        assert "avro.schema" in meta
+        for rec in records:
+            assert "manifest_path" in rec
+            assert rec["manifest_path"].endswith(".avro")
+            assert isinstance(rec["partition_spec_id"], int)
+
+
+def test_reads_all_golden_manifests():
+    paths = [p for p in glob.glob(f"{GOLDEN_META}/*-m?.avro")]
+    assert paths
+    for path in paths:
+        _, records = read_avro_file(path)
+        for rec in records:
+            assert rec["status"] in (0, 1, 2)
+            df = rec["data_file"]
+            assert df["file_format"] == "PARQUET"
+            assert df["record_count"] >= 1
+            # bounds are field-id keyed bytes
+            for b in df["lower_bounds"] or []:
+                assert isinstance(b["key"], int)
+                assert isinstance(b["value"], bytes)
+
+
+def test_known_bound_bytes():
+    """John's row (age 56) is the single entry of the 3rd snapshot manifest."""
+    _, records = read_avro_file(
+        f"{GOLDEN_META}/b1a0a4f3-c2d8-4a81-97c0-ce967a61a546-m0.avro"
+    )
+    df = records[0]["data_file"]
+    lower = {b["key"]: b["value"] for b in df["lower_bounds"]}
+    assert lower[1] == b"John"
+    assert int.from_bytes(lower[2], "little") == 56
+
+
+def test_roundtrip_golden_manifest():
+    path = glob.glob(f"{GOLDEN_META}/*-m0.avro")[0]
+    meta, records = read_avro_file(path)
+    schema = json.loads(meta["avro.schema"])
+    buf = io.BytesIO()
+    write_avro(schema, records, buf)
+    meta2, records2 = read_avro(buf.getvalue())
+    assert records2 == records
+
+
+def test_roundtrip_synthetic_types():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "by", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "nested",
+                "type": ["null", {"type": "record", "name": "n", "fields": [
+                    {"name": "x", "type": "long"}]}],
+            },
+        ],
+    }
+    records = [
+        {"s": "héllo", "i": -5, "l": None, "d": 1.5, "f": 2.0, "b": True,
+         "by": b"\x00\xff", "arr": [1, 2, 3], "m": {"a": "b"}, "nested": {"x": 9}},
+        {"s": "", "i": 2**31 - 1, "l": -(2**62), "d": -0.0, "f": 0.5, "b": False,
+         "by": b"", "arr": [], "m": {}, "nested": None},
+    ]
+    for codec in ("null", "deflate"):
+        buf = io.BytesIO()
+        write_avro(schema, records, buf, codec=codec)
+        _, out = read_avro(buf.getvalue())
+        assert out == records
+
+
+def test_rejects_non_avro():
+    with pytest.raises(ValueError):
+        read_avro(b"not avro at all")

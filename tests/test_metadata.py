@@ -1,0 +1,89 @@
+"""Metadata layer tests replicating the reference's e2e assertions
+(daskberg tests/test_basic.py) without Spark (SURVEY §7 M2)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_version_resolution(golden_table):
+    assert golden_table.version == 5
+    assert len(golden_table.snapshots) == 3
+
+
+def test_schema_head(golden_table):
+    names = [f["name"] for f in golden_table.schema["fields"]]
+    assert names == ["name", "age", "email"]
+
+
+def test_schema_time_travel(golden_table):
+    """Reference tests/test_basic.py:22-35: snapshot -1 pins old schema."""
+    golden_table.open_snapshot(rel=-1)
+    names = [f["name"] for f in golden_table.schema["fields"]]
+    assert names == ["name", "age"]
+    golden_table.open_snapshot()  # back to head
+    assert len(golden_table.schema["fields"]) == 3
+
+
+def test_snapshot_selection_validation(golden_table):
+    with pytest.raises(ValueError):
+        golden_table.open_snapshot(rel=-1, snapshot_id=1)
+    with pytest.raises(ValueError):
+        golden_table.open_snapshot(rel=1)
+    with pytest.raises(ValueError):
+        golden_table.open_snapshot(rel=-10)
+    with pytest.raises(ValueError):
+        golden_table.open_snapshot(snapshot_id=42)
+
+
+def test_snapshot_by_id(golden_table):
+    snap_ids = list(golden_table.snapshots)
+    golden_table.open_snapshot(snapshot_id=snap_ids[0])
+    assert golden_table.current_snapshot["snapshot-id"] == snap_ids[0]
+
+
+def test_live_files_reconciliation(golden_table):
+    """6 parquet files on disk; the overwrite snapshot replaced one → 5 live."""
+    files = golden_table.plan_files()
+    assert len(files) == 5
+    assert all(f["file_path"].startswith(golden_table.url) for f in files)
+
+
+def test_explicit_version_load():
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(
+        "/root/reference/test-data/my_table",
+        original_url="/Users/mdurant/temp/warehouse/db/my_table",
+        version=2,
+    )
+    assert t.version == 2
+    assert [f["name"] for f in t.schema["fields"]] == ["name", "age"]
+
+
+def test_direct_metadata_json_url():
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(
+        "/root/reference/test-data/my_table/metadata/v5.metadata.json",
+        original_url="/Users/mdurant/temp/warehouse/db/my_table",
+    )
+    assert len(t.snapshots) == 3
+    assert len(t.plan_files()) == 5
+
+
+def test_summary_and_metadata_introspection(golden_table):
+    assert golden_table.summary["operation"] == "append"
+    assert golden_table.metadata["format-version"] == 1
+
+
+def test_manifest_cache(golden_table):
+    golden_table.plan_files()
+    cached = set(golden_table.manifest_cache)
+    golden_table.plan_files()
+    assert set(golden_table.manifest_cache) == cached
+    assert len(cached) >= 3
+
+
+def test_unpartitioned_unique_partitions(golden_table):
+    assert golden_table.unique_partitions() == [()]

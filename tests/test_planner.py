@@ -1,0 +1,196 @@
+"""Planner pruning unit tests (Spark-free, SURVEY §7 M3)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from daskberg_spark.iceberg.conversions import encode_bound
+from daskberg_spark.iceberg.planner import (
+    FieldInfo,
+    apply_filters,
+    check_summaries,
+    range_may_match,
+)
+
+
+def mkfile(path, bounds=None, partition=None):
+    f = {"file_path": path, "partition": partition or {}}
+    if bounds:
+        f["lower_bounds"] = [
+            {"key": k, "value": v[0]} for k, v in bounds.items() if v[0] is not None
+        ]
+        f["upper_bounds"] = [
+            {"key": k, "value": v[1]} for k, v in bounds.items() if v[1] is not None
+        ]
+    return f
+
+
+FIELDS = {
+    "age": FieldInfo(field_id=2, type="int"),
+    "name": FieldInfo(field_id=1, type="string"),
+    "price": FieldInfo(field_id=5, type="decimal(10,2)"),
+    "sym": FieldInfo(field_id=3, type="string", transform="bucket[4]", partition_name="sym_bucket"),
+    "cat": FieldInfo(field_id=4, type="string", transform="identity", partition_name="cat"),
+    "qty": FieldInfo(field_id=6, type="int", transform="truncate[10]", partition_name="qty_trunc"),
+    "ts": FieldInfo(field_id=7, type="timestamp", transform="day", partition_name="ts_day"),
+}
+
+
+def enc_int(lo, hi):
+    return (encode_bound(lo, "int"), encode_bound(hi, "int"))
+
+
+def test_range_may_match_ops():
+    assert range_may_match("==", 5, 1, 10)
+    assert not range_may_match("==", 11, 1, 10)
+    assert range_may_match("<", 2, 1, 10)
+    assert not range_may_match("<", 1, 1, 10)
+    assert range_may_match("<=", 1, 1, 10)
+    assert not range_may_match(">", 10, 1, 10)
+    assert range_may_match(">=", 10, 1, 10)
+    assert range_may_match("in", [0, 5], 1, 10)
+    assert not range_may_match("in", [0, 11], 1, 10)
+    # != only prunes a pinned single-value range
+    assert not range_may_match("!=", 7, 7, 7)
+    assert range_may_match("!=", 7, 1, 10)
+    # unknown bounds are conservative
+    assert range_may_match("==", 5, None, None)
+
+
+def test_stats_pruning_int():
+    files = [
+        mkfile("a", bounds={2: enc_int(0, 20)}),
+        mkfile("b", bounds={2: enc_int(21, 40)}),
+        mkfile("c", bounds={2: enc_int(41, 60)}),
+    ]
+    out = apply_filters(files, [("age", ">", 45)], FIELDS)
+    assert [f["file_path"] for f in out] == ["c"]
+    out = apply_filters(files, [("age", "<=", 20)], FIELDS)
+    assert [f["file_path"] for f in out] == ["a"]
+    out = apply_filters(files, [("age", "in", [20, 21])], FIELDS)
+    assert [f["file_path"] for f in out] == ["a", "b"]
+
+
+def test_stats_pruning_string_and_decimal():
+    files = [
+        mkfile("a", bounds={1: (b"Alice", b"John"), 5: (
+            encode_bound(Decimal("1.00"), "decimal(10,2)"),
+            encode_bound(Decimal("9.99"), "decimal(10,2)"))}),
+        mkfile("b", bounds={1: (b"Karen", b"Zoe"), 5: (
+            encode_bound(Decimal("10.00"), "decimal(10,2)"),
+            encode_bound(Decimal("99.99"), "decimal(10,2)"))}),
+    ]
+    assert [f["file_path"] for f in apply_filters(files, [("name", "==", "Bob")], FIELDS)] == ["a"]
+    assert [f["file_path"] for f in apply_filters(files, [("price", ">", 50)], FIELDS)] == ["b"]
+    # decimal predicate given as float
+    assert [f["file_path"] for f in apply_filters(files, [("price", "<", 5.5)], FIELDS)] == ["a"]
+
+
+def test_conjunction_and_or_union():
+    files = [
+        mkfile("a", bounds={2: enc_int(0, 20), 1: (b"A", b"M")}),
+        mkfile("b", bounds={2: enc_int(30, 50), 1: (b"N", b"Z")}),
+    ]
+    # conjunction: both must hold
+    assert apply_filters(files, [("age", "<", 10), ("name", ">=", "P")], FIELDS) == []
+    # OR of conjunctions: union (the reference's zip(*) bug returned garbage)
+    out = apply_filters(files, [[("age", "<", 10)], [("name", ">=", "P")]], FIELDS)
+    assert [f["file_path"] for f in out] == ["a", "b"]
+
+
+def test_identity_partition_pruning():
+    files = [
+        mkfile("a", partition={"cat": "news"}),
+        mkfile("b", partition={"cat": "blog"}),
+    ]
+    out = apply_filters(files, [("cat", "==", "news")], FIELDS)
+    assert [f["file_path"] for f in out] == ["a"]
+    # identity partitions allow != pruning (every row equals the value)
+    out = apply_filters(files, [("cat", "!=", "news")], FIELDS)
+    assert [f["file_path"] for f in out] == ["b"]
+    out = apply_filters(files, [("cat", "in", ["blog", "wiki"])], FIELDS)
+    assert [f["file_path"] for f in out] == ["b"]
+
+
+def test_bucket_partition_pruning_eq_only():
+    from daskberg_spark.iceberg.transforms import bucket
+
+    b_aapl = bucket("AAPL", 4)
+    files = [mkfile(f"f{i}", partition={"sym_bucket": i}) for i in range(4)]
+    out = apply_filters(files, [("sym", "==", "AAPL")], FIELDS)
+    assert [f["file_path"] for f in out] == [f"f{b_aapl}"]
+    # range ops through a hash must NOT prune (reference would, wrongly)
+    out = apply_filters(files, [("sym", ">", "AAPL")], FIELDS)
+    assert len(out) == 4
+    # != through a hash must not prune either (other strings share the bucket)
+    out = apply_filters(files, [("sym", "!=", "AAPL")], FIELDS)
+    assert len(out) == 4
+
+
+def test_truncate_partition_pruning():
+    files = [
+        mkfile("a", partition={"qty_trunc": 0}),
+        mkfile("b", partition={"qty_trunc": 10}),
+        mkfile("c", partition={"qty_trunc": 20}),
+    ]
+    out = apply_filters(files, [("qty", ">=", 20)], FIELDS)
+    assert [f["file_path"] for f in out] == ["c"]
+    out = apply_filters(files, [("qty", "==", 15)], FIELDS)
+    assert [f["file_path"] for f in out] == ["b"]
+    # boundary: qty > 19 might live in partition 10 (e.g. qty=19? no — >19 means 20+,
+    # but transform(19)=10 so partition 10 must be kept only if it could hold >19 rows;
+    # conservative rule keeps partitions where t(v) <= p
+    out = apply_filters(files, [("qty", ">", 19)], FIELDS)
+    assert [f["file_path"] for f in out] == ["b", "c"]
+
+
+def test_day_partition_pruning():
+    d0 = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    files = [
+        mkfile("a", partition={"ts_day": d0}),
+        mkfile("b", partition={"ts_day": d0 + 1}),
+    ]
+    out = apply_filters(files, [("ts", "==", "2024-01-02 10:00:00")], FIELDS)
+    assert [f["file_path"] for f in out] == ["b"]
+    out = apply_filters(files, [("ts", "<", "2024-01-02 00:00:00")], FIELDS)
+    # day(2024-01-02T00:00) == d0+1; partition b could contain rows < midnight? No,
+    # but conservative point rule keeps p <= t(v): both kept is acceptable,
+    # strict exclusion requires p < t(v) for "<" with exact=False... we keep b.
+    assert "a" in [f["file_path"] for f in out]
+
+
+def test_unknown_column_keeps_all():
+    files = [mkfile("a", bounds={2: enc_int(0, 5)})]
+    assert len(apply_filters(files, [("nope", "==", 1)], FIELDS)) == 1
+
+
+def test_missing_bounds_keep_file():
+    files = [mkfile("a"), mkfile("b", bounds={2: enc_int(0, 5)})]
+    out = apply_filters(files, [("age", ">", 50)], FIELDS)
+    assert [f["file_path"] for f in out] == ["a"]
+
+
+def test_check_summaries_manifest_prune():
+    spec_fields = [{"source-id": 6, "name": "qty_trunc", "transform": "truncate[10]"}]
+    summaries = [{
+        "lower_bound": encode_bound(0, "int"),
+        "upper_bound": encode_bound(20, "int"),
+        "contains_null": False,
+    }]
+    assert check_summaries(summaries, spec_fields, FIELDS, [("qty", "<=", 25)])
+    assert not check_summaries(summaries, spec_fields, FIELDS, [("qty", ">", 40)])
+    # OR: one branch alive keeps the manifest
+    assert check_summaries(
+        summaries, spec_fields, FIELDS, [[("qty", ">", 40)], [("qty", "==", 5)]]
+    )
+
+
+def test_invalid_filters_raise():
+    files = [mkfile("a")]
+    with pytest.raises(ValueError):
+        apply_filters(files, [("age", "~", 5)], FIELDS)
+    with pytest.raises(ValueError):
+        apply_filters(files, [("age", "in", 5)], FIELDS)

@@ -1,0 +1,126 @@
+"""End-to-end Spark scans: golden table + partitioned fixture (SURVEY §7 M4).
+
+The core invariant everywhere: pruning is IO-elision only — a filtered
+read through the planner equals an unpruned read with the same filter
+applied by Spark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.fixtures import ensure_partitioned_fixture
+from daskberg_spark.iceberg.metadata import IcebergTable
+
+
+@pytest.fixture(scope="module")
+def part_table():
+    return IcebergTable(ensure_partitioned_fixture())
+
+
+def test_golden_head_content(spark, golden_table):
+    """Replicates reference tests/test_basic.py:10-19."""
+    df = golden_table.to_df(spark)
+    rows = {(r["name"], r["age"]) for r in df.collect()}
+    assert rows == {("Bob", 20), ("John", 56), ("Fiona", 25), ("Roger", 25), ("Alex", 36)}
+    emails = [r["email"] for r in df.collect() if r["email"] is not None]
+    assert emails == ["email@email.email"]
+
+
+def test_golden_filter_equals_residual(spark, golden_table):
+    filt = [("age", ">", 21)]
+    pruned = {tuple(r) for r in golden_table.to_df(spark, filters=filt).collect()}
+    manual = {
+        tuple(r)
+        for r in golden_table.to_df(spark).filter("age > 21").collect()
+    }
+    assert pruned == manual and len(pruned) == 4
+
+
+def test_golden_columns_projection(spark, golden_table):
+    df = golden_table.to_df(spark, columns=["name"])
+    assert df.columns == ["name"]
+    assert df.count() == 5
+
+
+def test_golden_time_travel_schema(spark, golden_table):
+    golden_table.open_snapshot(rel=-1)
+    df = golden_table.to_df(spark)
+    assert df.columns == ["name", "age"]
+    assert df.count() == 4
+
+
+def test_partitioned_pruning_strictly_fewer_files(part_table):
+    total = len(part_table.plan_files())
+    assert total == 36  # 48 on disk, 12 deleted by the third snapshot
+    for filt in (
+        [("sym", "==", "AAPL")],
+        [("qty", ">=", 10)],
+        [("cat", "in", ["blog"])],
+        [("day_ts", ">=", "2024-01-02 00:00:00")],
+        [[("sym", "==", "AAPL")], [("cat", "==", "news")]],
+    ):
+        n = len(part_table.plan_files(filt))
+        assert 0 < n < total, (filt, n, total)
+
+
+@pytest.mark.parametrize(
+    "filt,sql",
+    [
+        ([("sym", "==", "AAPL")], "sym = 'AAPL'"),
+        ([("qty", ">=", 10)], "qty >= 10"),
+        ([("qty", "<", 5)], "qty < 5"),
+        ([("cat", "!=", "news")], "cat != 'news'"),
+        ([("price", ">", 25.0)], "price > 25.0"),
+        ([("day_ts", "<", "2024-01-02 00:00:00")], "day_ts < '2024-01-02 00:00:00'"),
+        ([("sym", "in", ["MSFT", "GOOG"])], "sym in ('MSFT','GOOG')"),
+        (
+            [[("sym", "==", "AAPL"), ("qty", ">=", 10)], [("cat", "==", "news")]],
+            "(sym = 'AAPL' AND qty >= 10) OR cat = 'news'",
+        ),
+    ],
+)
+def test_partitioned_pruned_equals_unpruned(spark, part_table, filt, sql):
+    pruned = part_table.to_df(spark, filters=filt)
+    unpruned = part_table.to_df(spark).filter(sql)
+    a = {tuple(r) for r in pruned.collect()}
+    b = {tuple(r) for r in unpruned.collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_partitioned_time_travel_counts(spark, part_table):
+    head = part_table.to_df(spark).count()
+    part_table.open_snapshot(rel=-1)
+    pre_delete = part_table.to_df(spark).count()
+    part_table.open_snapshot(rel=-2)
+    first = part_table.to_df(spark).count()
+    part_table.open_snapshot()
+    assert first == 150
+    assert pre_delete == 200
+    assert head < pre_delete  # delete removed cat=news/day1 rows
+    # deleted rows are exactly (cat='news' AND day 2024-01-01)
+    expect = (
+        part_table.to_df(spark)
+        .filter("NOT (cat = 'news' AND CAST(day_ts AS DATE) = DATE '2024-01-01')")
+        .count()
+    )
+    assert head == expect
+
+
+def test_partitioned_unique_partitions(part_table):
+    cats = part_table.unique_partitions("cat")
+    assert cats == ["blog", "news"]
+    days = part_table.unique_partitions("day_ts_day")
+    assert len(days) == 2
+
+
+def test_decimal_roundtrip(spark, part_table):
+    from decimal import Decimal
+
+    # id=6 lives in a (news, day-2) partition untouched by the delete
+    df = part_table.to_df(spark, filters=[("id", "==", 6)])
+    row = df.collect()[0]
+    assert row["price"] == Decimal("6.25")
+    assert dict(df.dtypes)["price"] == "decimal(10,2)"
