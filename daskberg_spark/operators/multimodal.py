@@ -1,0 +1,119 @@
+"""Tier-C multimodal column plumbing (SURVEY §2 C5).
+
+Images/audio/video at 100 TB live as opaque ``binary`` columns with typed
+metadata alongside; decode/feature-extraction runs as Arrow-batched
+``mapInPandas`` so bytes never round-trip through the driver.  The actual
+codec step is STUBBED (no image/audio libraries in this container): the
+"payload" is the document text UTF-8-encoded, ``decode_image`` raises
+NotImplementedError, and ``_fake_features`` is a deterministic stand-in —
+but the Spark-side plumbing (schema with BinaryType, metadata struct,
+batch iterator, partition-parallel extraction) is the real pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from daskberg_spark.operators.registry import query, table
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real deployments: PIL/libvips decode of the binary payload.
+    Not available in this container — the plumbing around it is what
+    this module exercises."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal layout: binary payload + metadata struct."""
+    payload = F.encode("text", "UTF-8")
+    meta = F.struct(
+        F.octet_length(payload).alias("n_bytes"),
+        (F.octet_length(payload) % 640).alias("width"),
+        (F.octet_length(payload) % 480).alias("height"),
+        F.lit("utf8-text").alias("codec"),
+    )
+    return docs.select("doc_id", "source", payload.alias("payload"), meta.alias("meta"))
+
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text)) % 640) AS INT) AS max_width
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: typed-metadata aggregation over binary assets — pure Catalyst
+    on the struct column, payload bytes never deserialized."""
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+        F.max(F.col("meta.width")).cast("int").alias("max_width"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@query("multimodal_features")  # stubbed codec → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: feature extraction via mapInPandas — the decode/embed pattern.
+
+    Each Arrow batch is processed with numpy (here: a deterministic 8-bin
+    byte histogram standing in for a CNN/codec); at scale this is where
+    the GPU/codec library call goes, partition-parallel with zero driver
+    involvement."""
+    import numpy as np
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 5, minlength=8).astype("float64")
+                feats.append((hist / max(len(arr), 1)).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    out = assets.mapInPandas(extract, _FEATURE_SCHEMA)
+    # small proof-of-life aggregate so the rows-only check is stable
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.element_at("features", 1)).alias("avg_f0"),
+    )
+
+
+@query("multimodal_decode_stub")  # documents the stubbed boundary
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: the decode boundary itself — returns the per-codec asset
+    counts an actual decode job would fan out over; calling
+    ``decode_image`` raises NotImplementedError by design."""
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+    return assets.groupBy(F.col("meta.codec").alias("codec")).agg(
+        F.count(F.lit(1)).alias("n_assets")
+    )

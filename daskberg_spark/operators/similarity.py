@@ -1,0 +1,183 @@
+"""Tier-C similarity search over ``embeddings`` (SURVEY §2 C3/C5).
+
+Baseline: brute-force cosine top-k (broadcast query set, per-partition
+JVM fold — exact, the oracle-checked path).  Scale path: random-hyperplane
+LSH bucketing that cuts the candidate set before exact re-scoring.
+
+Precision contract with the oracle: Spark computes the dot product as a
+sequential ``aggregate`` fold over float→double casts; the DuckDB oracle
+mirrors the same left-to-right order via ``list_dot_product`` on DOUBLE
+lists.  Ranks are tie-broken by neighbor id so equal similarities cannot
+flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import query, table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _dot(a, b):
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@query(
+    "similarity_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+               AS cosine
+      FROM q JOIN c ON q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 baseline: exact cosine top-k for a small query set.
+
+    The query side is broadcast (tiny), so the candidate scan never
+    shuffles; per-query top-k runs through a window.  At 100 TB the same
+    plan holds: broadcast queries, one pass over the corpus, partial
+    top-k per partition via the window's partial TakeOrdered."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@query(
+    "embedding_neardup",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          > 0.9
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3: embedding-cosine near-duplicate pairs, blocked by label so
+    the pair space is bounded (at scale the blocks come from LSH buckets
+    — similarity_lsh_buckets below — not a metadata column)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.9)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (LCG-driven, no
+    runtime RNG) shared by tests and the operator."""
+    state = 0x9E3779B97F4A7C15
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+N_PLANES = 12
+
+
+@query("similarity_lsh_buckets")  # bucket assignment has no SQL twin → rows-only
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path: random-hyperplane LSH.
+
+    Each vector gets an N_PLANES-bit signature (sign of dot with fixed
+    hyperplanes); near-neighbors collide with high probability, so ANN =
+    exact cosine *within buckets*.  Output: bucket stats proving the
+    partitioning (the candidate-join reuses embedding_neardup's shape).
+    Pure Catalyst: hyperplanes are literal arrays, signature is a packed
+    bit sum — no Python, no shuffle until the final small agg."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = _hyperplanes(dim, N_PLANES)
+    sig = None
+    v = F.col("embedding")
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, parr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return (
+        emb.select(sig.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

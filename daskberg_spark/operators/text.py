@@ -1,0 +1,210 @@
+"""Tier-C text-analysis operators over the ``documents`` table (SURVEY §2 C4).
+
+Everything here is pure Catalyst (JVM codegen, no Python in the hot path)
+except the rolling-hash fingerprint, which demonstrates the Arrow-batched
+pandas-UDF escape hatch.  All expressions are integer/deterministic-double
+so the DuckDB oracles match bit-exactly.
+
+Scale: every operator is a narrow map over the corpus followed by an
+optional small hash-agg — embarrassingly parallel at 100 TB, no shuffles
+except the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import (
+    davg,
+    query,
+    sql_davg,
+    table,
+)
+
+# Tiny deterministic stopword lists shared verbatim with the SQL oracles.
+STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
+STOP_DE = ["der", "die", "das", "und", "ist", "zu", "ein"]
+STOP_FR = ["le", "la", "et", "de", "un", "est", "en"]
+
+# BPE-ish token classes: letter runs, digit runs, single non-space symbols.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _tokens(col):
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), "\\s+"))
+
+
+_SQL_TOKENS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg('CAST(n_chars AS DOUBLE)', 'avg_chars')},
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: corpus statistics per (lang, source) — token counting via
+    whitespace split, single map + hash agg."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", F.size(_tokens(F.col("text"))))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("n_chars").cast("double"), "avg_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_words,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT)
+             AS n_punct,
+           CAST(len(list_filter({_SQL_TOKENS},
+                 t -> list_contains({STOP_EN}, t))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter({_SQL_TOKENS},
+                 t -> list_contains({STOP_EN}, t))) AS DOUBLE)
+             / len({_SQL_TOKENS}) AS stop_ratio,
+           CAST(length(text) AS DOUBLE) / len({_SQL_TOKENS}) AS chars_per_word
+    FROM documents
+    WHERE len({_SQL_TOKENS}) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: per-document quality signals (word count, punctuation count,
+    stopword ratio, chars/word) — the classic pretraining-filter features.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.!?,;:]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_punct.cast("long").alias("n_punct"),
+            n_stop.cast("long").alias("n_stop"),
+            (n_stop.cast("double") / n_words).alias("stop_ratio"),
+            (F.length("text").cast("double") / n_words).alias("chars_per_word"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+
+
+@query(
+    "langid_heuristic",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter({_SQL_TOKENS}, t -> list_contains({STOP_EN}, t))) AS en_hits,
+             len(list_filter({_SQL_TOKENS}, t -> list_contains({STOP_DE}, t))) AS de_hits,
+             len(list_filter({_SQL_TOKENS}, t -> list_contains({STOP_FR}, t))) AS fr_hits
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: stopword-hit language ID (the n-gram-heuristic family) —
+    confusion counts of labeled vs predicted language."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def hits(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, de, fr = hits(STOP_EN), hits(STOP_DE), hits(STOP_FR)
+    predicted = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "token_count_bpe",
+    f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT)
+             AS total_subtokens,
+           {sql_davg(f"CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS DOUBLE)", 'avg_subtokens')}
+    FROM documents GROUP BY lang
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: BPE-ish subtoken counting via a class-based regex (letter runs /
+    digit runs / single symbols) — the cheap pre-tokenizer cost model."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.regexp_count(F.lower("text"), F.lit(TOKEN_RE))
+    return docs.groupBy("lang").agg(
+        F.sum(n).cast("long").alias("total_subtokens"),
+        davg(n.cast("double"), "avg_subtokens"),
+    )
+
+
+@query(
+    "fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C1: canonical document fingerprint — md5 of whitespace-normalized
+    lowercased text; engine-portable (identical string in DuckDB)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+
+
+@query("fingerprint_rolling")  # pure-Python hash: no SQL twin → rows-only
+def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: 61-bit polynomial rolling hash as an Arrow-batched pandas UDF —
+    the pattern for fingerprints Catalyst can't express.  Deterministic,
+    so re-runs agree; no SQL oracle."""
+    import pandas as pd
+
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def _roll(texts):
+        out = []
+        for t in texts:
+            h = 0
+            for b in t.encode("utf-8"):
+                h = (h * BASE + b) % MOD
+            out.append(h)
+        return pd.Series(out, dtype="int64")
+
+    roll = F.pandas_udf(_roll, "long")
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    return docs.select("doc_id", roll(norm).alias("fp"))
