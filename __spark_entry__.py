@@ -25,6 +25,7 @@ def _load_registry():
     import daskberg_spark.operators.relational  # noqa: F401
 
     for optional in (
+        "daskberg_spark.operators.advanced",
         "daskberg_spark.operators.dedup",
         "daskberg_spark.operators.similarity",
         "daskberg_spark.operators.text",

@@ -1,0 +1,292 @@
+"""Advanced / composite operators (SURVEY §2 B8-B12 extensions).
+
+Operators Spark has no single primitive for, each expressed as a
+composition that keeps the 100 TB cost model sane:
+
+- as-of join: union-tag + running ``last(ignorenulls)`` window — one
+  shuffle on the key, O(n log n), no pairwise inequality join at all.
+- merge/SCD2 upsert: union + row_number latest-wins — the MERGE INTO
+  emulation when no lakehouse ACID layer is present.
+- band join: bucketize-the-range-key trick that turns an interval join
+  into an equi-join.
+- explicit-moment statistics: variance/correlation from decimal-exact
+  power sums (bit-reproducible across engines, unlike streaming Welford).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import (
+    DEC,
+    query,
+    register_views,
+    sql_dsum,
+    table,
+)
+
+
+@query(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent view at or
+    before it.
+
+    Implementation is the scale-safe union trick: tag both sides, sort
+    within user by time, carry the last view timestamp forward with
+    ``last(ignorenulls)`` — a single shuffle on user_id, no range join.
+    DuckDB's native ASOF JOIN is the oracle."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    tagged = purchases.select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp_ntz").alias("vts"),
+        F.lit(1).alias("is_p"),
+    ).unionByName(
+        views.select(
+            "event_id", "user_id", "ts", F.col("ts").alias("vts"), F.lit(0).alias("is_p")
+        )
+    )
+    # views sort before purchases at identical ts (is_p ascending) so a
+    # same-instant view is visible to the purchase, matching ASOF `<=`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("view_ts", F.last("vts", ignorenulls=True).over(w))
+    return carried.filter(F.col("is_p") == 1).select(
+        "event_id", "user_id", "ts", "view_ts"
+    )
+
+
+@query(
+    "merge_upsert",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS src
+      FROM orders WHERE o_orderkey % 10 < 8          -- "current" snapshot
+      UNION ALL
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 1.1, 2 AS src
+      FROM orders WHERE o_orderkey % 10 >= 5          -- "updates" batch
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+      FROM unioned) t
+    WHERE rn = 1
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (no Delta/Iceberg-ACID jar in this env):
+    union current + updates, latest-wins via row_number — the SCD1 upsert
+    at one shuffle.  Updates win on key collision; unmatched keys insert.
+    """
+    orders = table(spark, sf_dir, "orders")
+    current = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("src")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 >= 5).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("src"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    return (
+        current.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "band_join",
+    f"""
+    SELECT CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 1
+    """,
+)
+def band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval→equi-join: compute the band key with a broadcast-free
+    expression instead of a BETWEEN join against a bands table — the
+    standard rewrite that keeps range semantics shuffle-free."""
+    ev = table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 25, "low")
+        .when(F.col("value") < 75, "mid")
+        .otherwise("high")
+    )
+    from daskberg_spark.operators.registry import dsum
+
+    return ev.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+
+
+@query(
+    "explode_tokens",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents) t
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: explode (generator) + count — the inverted-index/vocabulary
+    shape; partial agg keeps the shuffle at vocabulary size."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "unpivot_stack",
+    f"""
+    WITH pivoted AS (
+      SELECT l_returnflag,
+             {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')},
+             {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, status, qty FROM (
+      SELECT l_returnflag, 'F' AS status, F AS qty FROM pivoted
+      UNION ALL
+      SELECT l_returnflag, 'O' AS status, O AS qty FROM pivoted) u
+    WHERE qty IS NOT NULL
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: unpivot via stack() — wide→long without a join."""
+    pivoted = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return pivoted.selectExpr(
+        "l_returnflag", "stack(2, 'F', F, 'O', O) AS (status, qty)"
+    ).filter("qty IS NOT NULL")
+
+
+@query(
+    "stats_moments",
+    f"""
+    WITH s AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           sx / n AS mean_bal,
+           CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS var_bal
+    FROM s
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: variance from decimal-exact power sums — bit-reproducible
+    across engines (built-in stddev uses streaming updates whose float
+    error depends on partitioning; fine in practice, unverifiable
+    bit-exactly)."""
+    cust = table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return agg.select(
+        "c_nationkey",
+        "n",
+        (sx / n).alias("mean_bal"),
+        F.when(n > 1, (sxx - sx * sx / n) / (n - 1)).alias("var_bal"),
+    )
+
+
+@query(
+    "correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution, unlike the naive reading).
+    """
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "in_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: IN subquery → left-semi join after decorrelation."""
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@query("sampled_agg")  # engine-specific sampling → rows-only determinism check
+def sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: seeded Bernoulli sample + aggregate — the profile-a-subset
+    pattern; sampling is engine-specific so the check is rows-only."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("approx_quantiles")  # sketch internals differ per engine → rows-only
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: approx_percentile sketch — the 100 TB quantile path."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
+            "price_quantiles"
+        )
+    )

@@ -55,7 +55,9 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
-        micros = (F.col("ts") / F.lit(1000)).cast("long")
+        # integer DIV, not `/`: ns epochs exceed double's 2^53 mantissa and
+        # float division lands ±1µs off DuckDB's truncation
+        micros = F.expr("ts DIV 1000")
         df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
     return df
 

@@ -48,10 +48,10 @@ def _event_stream(spark: SparkSession, sf_dir: str):
         .parquet(link_dir)
     )
     if dict(stream.dtypes)["ts"] == "bigint":
-        micros = (F.col("ts") / F.lit(1000)).cast("long")
-        # event-time ops (window/watermark) require TimestampType — with the
-        # session pinned to UTC the values match the NTZ batch reads.
-        stream = stream.withColumn("ts", F.timestamp_micros(micros))
+        # integer DIV (see registry.events_table); event-time ops require
+        # TimestampType — with the session pinned to UTC the values match
+        # the NTZ batch reads.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream
 
 

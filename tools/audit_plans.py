@@ -1,0 +1,78 @@
+"""Physical-plan audit: assert the plans we'd want at 100 TB.
+
+For each audited query: does the parquet scan carry PushedFilters?  Is the
+ReadSchema pruned to the referenced columns?  Did small dims broadcast?
+How many shuffles (Exchange) does the plan contain?  Prints a compact
+report; run after changing any operator.
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+AUDIT = {
+    # query: (max_exchanges, expect_pushed_filter, expect_broadcast, max_read_cols)
+    "q1_pricing_summary": (1, True, False, 7),
+    "filter_project": (0, True, False, 5),
+    "distinct_values": (1, False, False, 2),  # no predicate → nothing to push
+    "group_count": (1, False, False, 1),
+    "join_multi": (6, True, True, None),
+    "join_left": (3, False, False, 3),
+    "topk_orders": (1, False, False, 3),
+    "window_rank": (1, False, False, 3),
+    "events_sessionize": (1, False, False, 3),
+    "dedup_exact": (1, False, False, 2),
+    "similarity_topk": (2, True, True, 2),
+    "text_stats": (1, False, False, 4),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from daskberg_spark.session import get_spark
+
+    queries = entry_mod.queries()
+    spark = get_spark("plan-audit", cpus=8)
+    failures = 0
+    for name, (max_ex, want_push, want_bcast, max_cols) in AUDIT.items():
+        if only and name not in only:
+            continue
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        pushed = bool(re.search(r"PushedFilters: \[[^\]]*Is|PushedFilters: \[[^\]]*(Greater|Less|Equal|In)", plan))
+        bcast = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        read_cols = None
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        if m:
+            read_cols = len([c for c in m.group(1).split(",") if c])
+        problems = []
+        if n_exchange > max_ex:
+            problems.append(f"exchanges {n_exchange} > {max_ex}")
+        if want_push and not pushed:
+            problems.append("no PushedFilters on scan")
+        if want_bcast and not bcast:
+            problems.append("expected broadcast join")
+        if max_cols is not None and read_cols is not None and read_cols > max_cols:
+            problems.append(f"reads {read_cols} cols (want <= {max_cols})")
+        status = "FAIL" if problems else "ok  "
+        failures += bool(problems)
+        print(
+            f"{status}  {name}: exchanges={n_exchange} pushed={pushed} "
+            f"broadcast={bcast} read_cols={read_cols}"
+            + ("  [" + "; ".join(problems) + "]" if problems else "")
+        )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
