@@ -195,42 +195,63 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: exact 3-gram Jaccard over (lang, source)-blocked pairs — the
-    verification stage behind MinHash candidates.  Blocking bounds the
-    pair count; at scale blocks come from LSH buckets instead."""
+    verification stage behind MinHash candidates.
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    the shingle itself, count shared shingles per pair, derive Jaccard
+    from per-doc set sizes.  Pairs sharing zero shingles are never
+    materialized, so cost scales with shingle-collision counts, not
+    block-size² of a nested array scan (which was ~6× slower at sf0.1).
+    Same blocking keys as the oracle; at 100 TB blocks come from LSH
+    buckets instead of metadata columns."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - SHINGLE_K + 1, F.lit(1)))
-    shingle = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_K)]
+    # materialize the token array in its own projection first: inlining
+    # the split() into every element_at recomputes it ~3·shingles times
+    # per row (5× slower measured at sf0.1)
+    with_toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks"),
     )
-    sh = docs.select(
+    tc = F.col("toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tc) - SHINGLE_K + 1, F.lit(1)))
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(tc, i + k) for k in range(SHINGLE_K)]
+    )
+    sh = with_toks.select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.transform(idx, shingle)).alias("shingles"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(
-        F.filter(
-            F.col("a.shingles"),
-            lambda s: F.array_contains(F.col("b.shingles"), s),
-        )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select(
+        "doc_id", "lang", "source", F.explode("shingles").alias("sh")
     )
-    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
-    jac = inter.cast("double") / union
-    return (
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
 
