@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
 from daskberg_spark.iceberg.fixtures import (
@@ -24,7 +25,7 @@ from daskberg_spark.iceberg.fixtures import (
     ensure_partitioned_fixture,
 )
 from daskberg_spark.iceberg.metadata import IcebergTable
-from daskberg_spark.operators.registry import iceberg_golden_table, query
+from daskberg_spark.operators.registry import iceberg_golden_table, query, table
 
 GOLDEN_DATA = "/root/reference/test-data/my_table/data"
 
@@ -154,4 +155,101 @@ def iceberg_day_transform_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         filters=[("day_ts", ">=", "2024-01-02 00:00:00")],
         columns=["id", "sym", "day_ts"],
+    )
+
+
+@query(
+    "iceberg_unique_partitions",
+    f"""
+    SELECT DISTINCT cat,
+           CAST(CAST(day_ts AS DATE) - DATE '1970-01-01' AS INT) AS day_ts_day,
+           CAST(qty - qty % 10 AS INT) AS qty_trunc
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE}
+    """,
+)
+def iceberg_unique_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: metadata-only distinct partition values — zero data IO (the
+    oracle derives the same tuples from row content for the SQL-expressible
+    transforms; bucket is excluded since murmur3 has no SQL twin)."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    tuples = {
+        (p[2], p[1], p[3])  # (cat, day_ts_day, qty_trunc)
+        for p in t.unique_partitions()
+    }
+    return spark.createDataFrame(
+        sorted(tuples), "cat string, day_ts_day int, qty_trunc int"
+    )
+
+
+@query(
+    "iceberg_write_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer⇄reader end-to-end: write an orders subset into a fresh
+    Iceberg table (identity-partitioned by status, two snapshots), read it
+    back through the connector, aggregate; the oracle hits the *source*
+    parquet — so metadata, bounds, partition values, and snapshot
+    reconciliation all have to round-trip correctly to match."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    rows = [
+        {
+            "o_orderkey": r["o_orderkey"],
+            "o_orderstatus": r["o_orderstatus"],
+            "o_totalprice": r["o_totalprice"],
+        }
+        # bounded driver materialization: this is a fixture-build path, not
+        # an operator (a cluster deployment commits distributed job output
+        # via the same metadata layer)
+        for r in table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 7 = 0")
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="iceberg_rt_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+        [{"name": "o_orderstatus", "transform": "identity", "source": "o_orderstatus"}],
+    )
+    mid = len(rows) // 2
+    writer.append(rows[:mid])
+    writer.append(rows[mid:])
+    t = IcebergTable(path)
+    df = t.to_df(spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@query("iceberg_snapshot_log")  # metadata-only, no SQL twin → rows-only
+def iceberg_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: snapshot history introspection as a queryable DataFrame
+    (operation + record counts per snapshot, zero data IO)."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    rows = [
+        (
+            s["snapshot-id"],
+            s.get("parent-snapshot-id"),
+            s["summary"].get("operation", ""),
+            int(s["summary"].get("added-records", 0)),
+        )
+        for s in t.metadata.get("snapshots", [])
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id long, parent_id long, operation string, added_records long"
     )
