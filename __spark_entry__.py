@@ -27,6 +27,7 @@ def _load_registry():
     for optional in (
         "daskberg_spark.operators.advanced",
         "daskberg_spark.operators.relational2",
+        "daskberg_spark.operators.tpch",
         "daskberg_spark.operators.dedup",
         "daskberg_spark.operators.similarity",
         "daskberg_spark.operators.text",

@@ -181,3 +181,86 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+N_TABLES = 4
+BITS_PER_TABLE = 6
+
+
+@query("similarity_lsh_recall")  # quality metric of our own ANN → rows-only
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: ANN quality measurement — recall@TOP_K of multi-table-LSH
+    search vs exact brute force, per query vector.
+
+    Standard L-tables layout (N_TABLES independent BITS_PER_TABLE-bit
+    signatures); a candidate is any vector colliding with the query in
+    ≥1 table, re-scored with exact cosine.  Deterministic planes →
+    deterministic recall; no SQL twin for the bucketing.
+
+    NB the synthetic embeddings fixture is isotropic random (best
+    neighbor cosine ≈0.37, no cluster structure), which is the
+    worst case for LSH — measured recall here is a floor, not typical;
+    clustered real embeddings collide far more often.  The value of this
+    operator is the measurement harness: it quantifies the
+    recall/candidate-count trade-off for any (tables, bits) setting."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = _hyperplanes(dim, N_TABLES * BITS_PER_TABLE)
+    v = F.col("embedding")
+
+    def table_sig(t: int):
+        sig = None
+        for i in range(BITS_PER_TABLE):
+            plane = planes[t * BITS_PER_TABLE + i]
+            parr = F.array(*[F.lit(x) for x in plane])
+            d = F.aggregate(
+                F.zip_with(v, parr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        # disjoint bucket spaces per table: prefix with the table id
+        return (sig + F.lit(t << BITS_PER_TABLE)).cast("long")
+
+    with_b = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[table_sig(t) for t in range(N_TABLES)])).alias("bucket"),
+    )
+    q = with_b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    cand = F.broadcast(q).join(
+        c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id"))
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    cos = (
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    ann = (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = ann.intersect(exact).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""TPC-H-shaped composite queries + distribution-strategy demos.
+
+The TPC-H shapes prove multi-operator composition end-to-end; the salted
+and bucketed joins demonstrate the two standard answers to shuffle
+pathology at 100 TB — both verified against plain-join oracles (the
+distribution trick must never change results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import (
+    dsum,
+    query,
+    sql_dsum,
+    table,
+)
+
+N_SALT = 8
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT o_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two fact joins → agg →
+    top-10.  Filters sit on each scan (pushdown), the limit runs as
+    TakeOrdered after partial aggregation."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg, the pushdown litmus test —
+    every predicate reaches the parquet reader, single global agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@query(
+    "salted_join",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation join: explode the (hypothetically hot) build side
+    over N_SALT replicas and salt the probe side with a deterministic
+    pmod(hash) — distribution changes, results provably don't (the oracle
+    is the plain join).  AQE handles moderate skew automatically; explicit
+    salting is the escape hatch for extreme single-key skew."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_linenumber"), F.lit(N_SALT))
+    )
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+@query(
+    "bucketed_join",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity > 45
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join: both sides written bucketBy(8, key) →
+    sort-merge join reads co-located buckets with NO shuffle exchange —
+    the pre-partitioning strategy for repeatedly-joined 100 TB tables.
+    Results verified against the plain-join oracle."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="daskberg_buckets_")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    orders = table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/lineitem")
+        .saveAsTable("b_lineitem")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{out}/orders")
+        .saveAsTable("b_orders")
+    )
+    bli, bord = spark.table("b_lineitem"), spark.table("b_orders")
+    # MERGE hint: at this test scale AQE would broadcast the small side,
+    # hiding the point — at 100 TB neither side broadcasts and the
+    # bucket-aligned sort-merge join (zero Exchange) is the plan.
+    return (
+        bli.hint("merge").join(bord, bli.l_orderkey == bord.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )

@@ -130,3 +130,88 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users")
     )
     return out.select("event_type", "n").join(batch, "event_type")
+
+
+@query(
+    "streaming_stateful_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    ``applyInPandasWithState`` — arbitrary per-key state (last event time,
+    open-session count) carried across micro-batches.
+
+    The state function is order-robust (sorts each batch, merges with the
+    carried watermark-free state), so draining the fixture produces
+    exactly the batch lag/gap sessionization the oracle computes.  At
+    scale this is the template for any custom accumulating operator
+    Catalyst lacks (CDC folding, per-entity ML feature state, ...)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _event_stream(spark, sf_dir)
+
+    def sessionize(key, pdfs, state: GroupState):
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            epoch = ts.value // 1_000_000_000  # pandas ns → seconds
+            if last_ts is None or epoch - last_ts > 1800:
+                n_sessions += 1
+            last_ts = epoch
+            n_events += 1
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="n_sessions long, n_events long, last_ts long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory_update(agg, spark)
+    # update mode emits one row per key per batch; keep the final state
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+
+
+def _run_to_memory_update(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

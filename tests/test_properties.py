@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) for the codec and planner layers."""
+
+from __future__ import annotations
+
+import datetime
+import io
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from daskberg_spark.iceberg.avro import read_avro, write_avro
+from daskberg_spark.iceberg.conversions import decode_bound, encode_bound
+from daskberg_spark.iceberg.planner import FieldInfo, apply_filters, range_may_match
+from daskberg_spark.iceberg.transforms import bucket, day, truncate
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": ["null", "long"]},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+record_st = st.fixed_dictionaries(
+    {
+        "s": st.text(max_size=50),
+        "i": st.integers(-(2**31), 2**31 - 1),
+        "l": st.none() | st.integers(-(2**63), 2**63 - 1),
+        "d": st.floats(allow_nan=False),
+        "b": st.binary(max_size=30),
+        "arr": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=5),
+    }
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(record_st, max_size=20), st.sampled_from(["null", "deflate"]))
+def test_avro_roundtrip_property(records, codec):
+    buf = io.BytesIO()
+    write_avro(SCHEMA, records, buf, codec=codec)
+    _, out = read_avro(buf.getvalue())
+    assert out == records
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-(2**31), 2**31 - 1))
+def test_int_bound_roundtrip(v):
+    assert decode_bound(encode_bound(v, "int"), "int") == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.decimals(
+        min_value=Decimal("-99999999.99"),
+        max_value=Decimal("99999999.99"),
+        places=2,
+    )
+)
+def test_decimal_bound_roundtrip(v):
+    assert decode_bound(encode_bound(v, "decimal(10,2)"), "decimal(10,2)") == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.datetimes(min_value=datetime.datetime(1900, 1, 1), max_value=datetime.datetime(2200, 1, 1)))
+def test_timestamp_bound_roundtrip(v):
+    decoded = decode_bound(encode_bound(v, "timestamp"), "timestamp")
+    assert abs((decoded - v).total_seconds()) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-(2**40), 2**40), st.integers(1, 1000))
+def test_truncate_properties(v, w):
+    t = truncate(v, w)
+    assert t <= v < t + w  # t is the floor multiple
+    assert t % w == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=30) | st.integers(-(2**62), 2**62), st.integers(1, 64))
+def test_bucket_range_property(v, n):
+    b = bucket(v, n)
+    assert 0 <= b < n
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.datetimes(min_value=datetime.datetime(1970, 1, 2), max_value=datetime.datetime(2100, 1, 1)))
+def test_day_monotonic(ts):
+    earlier = ts - datetime.timedelta(days=1)
+    assert day(earlier) < day(ts)
+
+
+FIELDS = {"x": FieldInfo(field_id=1, type="long")}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(0, 50)), min_size=1, max_size=10
+    ),
+    st.sampled_from(["==", "<", "<=", ">", ">=", "!="]),
+    st.integers(-120, 120),
+)
+def test_pruning_never_loses_matches(ranges, op, value):
+    """Soundness: a file whose [lo, hi] range contains a matching value
+    must survive pruning (completeness of the conservative rules)."""
+    files = []
+    contents = {}
+    for idx, (lo, width) in enumerate(ranges):
+        hi = lo + width
+        path = f"f{idx}"
+        files.append(
+            {
+                "file_path": path,
+                "partition": {},
+                "lower_bounds": [{"key": 1, "value": encode_bound(lo, "long")}],
+                "upper_bounds": [{"key": 1, "value": encode_bound(hi, "long")}],
+            }
+        )
+        contents[path] = list(range(lo, hi + 1))
+    survivors = {f["file_path"] for f in apply_filters(files, [("x", op, value)], FIELDS)}
+    ops = {
+        "==": lambda a: a == value,
+        "<": lambda a: a < value,
+        "<=": lambda a: a <= value,
+        ">": lambda a: a > value,
+        ">=": lambda a: a >= value,
+        "!=": lambda a: a != value,
+    }
+    for path, rows in contents.items():
+        if any(ops[op](r) for r in rows):
+            assert path in survivors, (path, op, value)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-50, 50), st.integers(-50, 50), st.integers(-60, 60))
+def test_range_may_match_equiv_bruteforce(lo, hi, value):
+    if lo > hi:
+        lo, hi = hi, lo
+    domain = range(lo, hi + 1)
+    for op, fn in [
+        ("==", lambda a: a == value),
+        ("<", lambda a: a < value),
+        ("<=", lambda a: a <= value),
+        (">", lambda a: a > value),
+        (">=", lambda a: a >= value),
+    ]:
+        truth = any(fn(a) for a in domain)
+        got = range_may_match(op, value, lo, hi)
+        # conservative: may keep extra, must never drop a match
+        assert not (truth and not got), (op, lo, hi, value)
