@@ -30,6 +30,11 @@ HEADLINE = [
     "events_sessionize",
     "events_hourly",
     "json_functions",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "asof_join",
+    "iceberg_lineitem_month_prune",
+    "iceberg_lineitem_stats_prune",
     # Tier-C (registered as implemented)
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -65,9 +70,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # min of 2: first run pays codegen, second is steady-state
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

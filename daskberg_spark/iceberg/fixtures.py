@@ -87,3 +87,61 @@ def ensure_partitioned_fixture(path: str = FIXTURE_DIR) -> str:
 LIVE_WHERE = (
     "NOT (cat = 'news' AND CAST(day_ts AS DATE) = DATE '2024-01-01')"
 )
+
+
+LINEITEM_FIELDS = [
+    {"id": 1, "name": "l_orderkey", "type": "long", "required": False},
+    {"id": 2, "name": "l_quantity", "type": "double", "required": False},
+    {"id": 3, "name": "l_extendedprice", "type": "double", "required": False},
+    {"id": 4, "name": "l_discount", "type": "double", "required": False},
+    {"id": 5, "name": "l_returnflag", "type": "string", "required": False},
+    {"id": 6, "name": "l_shipdate", "type": "timestamp", "required": False},
+    {"id": 7, "name": "l_shipmonth", "type": "int", "required": False},
+]
+
+
+def ensure_lineitem_iceberg(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) an Iceberg table over the full lineitem
+    fixture, identity-partitioned by ship month: Spark writes the
+    hive-partitioned parquet in parallel, then ``commit_spark_output``
+    lifts footers into Iceberg metadata — the distributed-write path.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(os.path.dirname(FIXTURE_DIR), f"lineitem_ice_{tag}")
+    hint = os.path.join(base, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return base
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    month = (F.year("l_shipdate") - F.lit(1970)) * 12 + F.month("l_shipdate") - 1
+    # partitionBy drops its column from file contents, so partition on a
+    # duplicate (`part_month`) and keep l_shipmonth in the data proper —
+    # Iceberg data files always carry their partition source columns.
+    out = (
+        li.select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_shipdate",
+            month.cast("int").alias("l_shipmonth"),
+            month.cast("int").alias("part_month"),
+        )
+    )
+    data_dir = os.path.join(base, "data")
+    out.write.mode("overwrite").partitionBy("part_month").parquet(data_dir)
+    writer = IcebergWriter(
+        base,
+        LINEITEM_FIELDS,
+        [{"name": "l_shipmonth", "transform": "identity", "source": "l_shipmonth"}],
+    )
+    commit_spark_output(
+        writer, data_dir, partition_col="l_shipmonth", path_col="part_month"
+    )
+    return base

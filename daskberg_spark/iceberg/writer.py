@@ -389,3 +389,93 @@ class IcebergWriter:
             json.dump(meta, f, indent=1, default=str)
         with open(f"{self.path}/metadata/version-hint.text", "w") as f:
             f.write(str(self.version))
+
+
+def commit_spark_output(
+    writer: "IcebergWriter",
+    data_dir: str,
+    partition_col: str | None = None,
+    path_col: str | None = None,
+) -> int:
+    """Commit a directory of (optionally hive-partitioned) parquet files —
+    e.g. the output of a distributed ``df.write.partitionBy(...).parquet``
+    job — as one Iceberg append snapshot.
+
+    This is the cluster-scale write path: executors produce the data
+    files in parallel; only the metadata commit (one manifest per 100
+    files, bounds lifted from parquet footers, no data IO) runs on the
+    driver.  ``partition_col`` must be an identity-partition source column
+    whose values appear as hive ``col=value`` path segments.
+    """
+    import glob as _glob
+    import urllib.parse
+
+    entries = []
+    snapshot_id = len(writer.snapshots) + 1
+    paths = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    for path in paths:
+        pf = pq.ParquetFile(path)
+        meta = pf.metadata
+        # per-column min/max across row groups, from footer statistics
+        lowers: dict[str, Any] = {}
+        uppers: dict[str, Any] = {}
+        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                stats = col.statistics
+                if stats is None or not stats.has_min_max:
+                    continue
+                name = schema_names[ci]
+                if name not in writer.types:
+                    continue
+                lo, hi = stats.min, stats.max
+                if name not in lowers or lo < lowers[name]:
+                    lowers[name] = lo
+                if name not in uppers or hi > uppers[name]:
+                    uppers[name] = hi
+        partition: dict[str, Any] = {}
+        if partition_col is not None:
+            # `path_col` is the hive directory name (Spark's partitionBy drops
+            # that column from file contents, so callers partition on a
+            # *duplicate* column and keep the real one in the data).
+            seg_name = path_col or partition_col
+            for seg in path.split(os.sep):
+                if seg.startswith(seg_name + "="):
+                    raw = urllib.parse.unquote(seg.split("=", 1)[1])
+                    t = writer.types[partition_col]
+                    partition[partition_col] = (
+                        int(raw) if t in ("int", "long") else raw
+                    )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "lower_bounds": [
+                        {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
+                        for n, v in lowers.items()
+                    ],
+                    "upper_bounds": [
+                        {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
+                        for n, v in uppers.items()
+                    ],
+                },
+            }
+        )
+    chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)] or [[]]
+    new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
+    writer._commit(
+        snapshot_id,
+        writer.manifests + new_manifests,
+        "append",
+        sum(e["data_file"]["record_count"] for e in entries),
+    )
+    return snapshot_id

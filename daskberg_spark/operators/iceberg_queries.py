@@ -253,3 +253,59 @@ def iceberg_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "snapshot_id long, parent_id long, operation string, added_records long"
     )
+
+
+@query(
+    "iceberg_lineitem_month_prune",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1
+          BETWEEN 330 AND 341
+    GROUP BY l_returnflag
+    """,
+)
+def iceberg_lineitem_month_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partition pruning at table scale: the full lineitem
+    fixture as an Iceberg table partitioned by ship month (written by a
+    distributed Spark job, committed via footer-lifting); a 12-month
+    predicate reads only those partitions.  Oracle recomputes from the
+    source parquet with the equivalent month arithmetic."""
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+
+    t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
+    df = t.to_df(
+        spark,
+        filters=[("l_shipmonth", ">=", 330), ("l_shipmonth", "<=", 341)],
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rev.cast("decimal(25,6)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "iceberg_lineitem_stats_prune",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-09-01 00:00:00'
+    """,
+)
+def iceberg_lineitem_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max skipping from parquet-footer-derived bounds: a
+    late-date predicate provably excludes every earlier month's files
+    without touching partition values."""
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+
+    t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
+    df = t.to_df(spark, filters=[("l_shipdate", ">=", "2001-09-01 00:00:00")])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sum_qty"),
+    )

@@ -29,6 +29,11 @@ AUDIT = {
     "dedup_exact": (1, False, False, 2),
     "similarity_topk": (2, True, True, 2),
     "text_stats": (1, False, False, 4),
+    "q3_shipping_priority": (5, True, False, None),
+    "q6_forecast_revenue": (1, True, False, 4),
+    "asof_join": (1, True, False, 4),
+    "merge_upsert": (2, True, False, 4),
+    "dedup_ngram_jaccard": (6, False, False, 4),
 }
 
 
