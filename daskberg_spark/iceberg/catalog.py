@@ -1,0 +1,53 @@
+"""Thin table catalog: name → IcebergTable, resolved into Spark SQL.
+
+SURVEY §1.6: the reference's catalog model is a flat namespace→table
+registry (REST client) resolving to a metadata location.  Spark-side, a
+registered table becomes a temp view, so the full SQL surface (joins
+across Iceberg tables, views over snapshots) works against connector
+scans — with pruning still applied at registration time via optional
+filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.rest import IceRestClient
+
+
+class Catalog:
+    """Local name → IcebergTable registry with Spark view resolution."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.tables: dict[str, IcebergTable] = {}
+
+    def register(self, name: str, table: IcebergTable) -> None:
+        self.tables[name] = table
+        table.to_df(self.spark).createOrReplaceTempView(name)
+
+    def register_path(self, name: str, url: str, **kwargs) -> IcebergTable:
+        table = IcebergTable(url, **kwargs)
+        self.register(name, table)
+        return table
+
+    def register_rest(
+        self, client: IceRestClient, name: str, namespace: str | None = None
+    ) -> IcebergTable:
+        """Resolve through a REST catalog (metadata-location handoff)."""
+        table = client.open_table(name, namespace)
+        self.register(name, table)
+        return table
+
+    def refresh(self, name: str) -> None:
+        """Re-pin the view to the table's current snapshot state."""
+        self.register(name, self.tables[name])
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def drop(self, name: str) -> None:
+        self.tables.pop(name, None)
+        self.spark.catalog.dropTempView(name)

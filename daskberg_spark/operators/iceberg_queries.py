@@ -309,3 +309,40 @@ def iceberg_lineitem_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "iceberg_sql_over_catalog",
+    f"""
+    WITH g AS (
+      SELECT name, age
+      FROM read_parquet({_sql_file_list(_HEAD_FILES)}, union_by_name=true)
+    ),
+    p AS (
+      SELECT sym, cat, qty
+      FROM read_parquet('{_part_fixture_files()}')
+      WHERE {LIVE_WHERE}
+    )
+    SELECT g.name,
+           CAST(COUNT(p.sym) AS BIGINT) AS n_sym_rows
+    FROM g LEFT JOIN p ON length(p.sym) = length(g.name)
+    GROUP BY g.name
+    """,
+)
+def iceberg_sql_over_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.6 catalog: two Iceberg tables registered as views, joined with
+    plain Spark SQL — name resolution + connector scans under the SQL
+    surface (the reference's catalog is namespace→metadata-location; here
+    resolution ends in Catalyst)."""
+    from daskberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("golden", iceberg_golden_table())
+    cat.register_path("part_table", ensure_partitioned_fixture())
+    return cat.sql(
+        """
+        SELECT g.name, CAST(COUNT(p.sym) AS BIGINT) AS n_sym_rows
+        FROM golden g LEFT JOIN part_table p ON length(p.sym) = length(g.name)
+        GROUP BY g.name
+        """
+    )

@@ -1,0 +1,65 @@
+"""Catalog resolution + table-scale pruning invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_catalog_register_and_sql(spark, golden_table):
+    from daskberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("golden_t", golden_table)
+    assert cat.sql("SELECT COUNT(*) AS n FROM golden_t").collect()[0]["n"] == 5
+    cat.drop("golden_t")
+    with pytest.raises(Exception):
+        spark.table("golden_t")
+
+
+def test_catalog_refresh_follows_snapshot(spark, golden_table):
+    from daskberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("g2", golden_table)
+    golden_table.open_snapshot(rel=-1)
+    cat.refresh("g2")
+    assert cat.sql("SELECT COUNT(*) AS n FROM g2").collect()[0]["n"] == 4
+    assert cat.sql("SELECT * FROM g2").columns == ["name", "age"]
+    cat.drop("g2")
+
+
+@pytest.fixture(scope="module")
+def lineitem_ice(spark):
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    return IcebergTable(ensure_lineitem_iceberg(spark, "/root/testdata/sf0.001"))
+
+
+def test_lineitem_table_counts(spark, lineitem_ice):
+    source = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert lineitem_ice.to_df(spark).count() == source.count()
+
+
+def test_lineitem_pruning_invariant(spark, lineitem_ice):
+    """Pruned read == unpruned read + filter, and strictly fewer files."""
+    filt = [("l_shipdate", ">=", "2001-01-01 00:00:00")]
+    total = len(lineitem_ice.plan_files())
+    pruned_files = len(lineitem_ice.plan_files(filt))
+    assert 0 < pruned_files < total
+    a = lineitem_ice.to_df(spark, filters=filt).count()
+    b = (
+        lineitem_ice.to_df(spark)
+        .filter("l_shipdate >= '2001-01-01 00:00:00'")
+        .count()
+    )
+    assert a == b > 0
+
+
+def test_lineitem_footer_bounds_present(lineitem_ice):
+    """commit_spark_output lifts real footer stats into the manifests."""
+    f = lineitem_ice.plan_files()[0]
+    keys = {b["key"] for b in f["lower_bounds"]}
+    assert {1, 6} <= keys  # l_orderkey and l_shipdate have bounds
+    assert f["partition"].get("l_shipmonth") is not None
+    assert f["record_count"] > 0
