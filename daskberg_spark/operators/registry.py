@@ -56,9 +56,17 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         # integer DIV, not `/`: ns epochs exceed double's 2^53 mantissa and
-        # float division lands ±1µs off DuckDB's truncation
-        micros = F.expr("ts DIV 1000")
-        df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
+        # float division lands ±1µs off DuckDB's truncation.  NTZ built by
+        # pure arithmetic from the epoch (timestampadd on an NTZ base) so
+        # the result is identical under ANY session timezone — a
+        # timestamp_micros→cast route would shift off-UTC sessions.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -710,9 +710,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming session_window)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = table(spark, sf_dir, "events")
-    # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP
-    # (session TZ pinned to UTC, so the epoch value is preserved).
-    secs = F.col("ts").cast("timestamp").cast("long")
+    # epoch seconds via pure NTZ arithmetic — independent of the session
+    # timezone (a TIMESTAMP-cast route shifts across DST under non-UTC
+    # sessions)
+    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     gap = secs - F.lag(secs).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (

@@ -73,7 +73,10 @@ def grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: RANGE frame — trailing-30-day revenue per customer, keyed on
     epoch seconds (Spark rangeBetween needs a numeric ordering key)."""
-    secs = F.col("o_orderdate").cast("timestamp").cast("long")
+    # tz-independent epoch seconds (see events_sessionize note)
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(secs)

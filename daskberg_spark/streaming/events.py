@@ -30,6 +30,11 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     """readStream over events.parquet with the ns-timestamp workaround
     (same rebuild as registry.events_table, streaming flavor)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # event-time windows group on instants whose wall-clock rendering (and
+    # the memory-sink→pandas conversion) depends on the session timezone;
+    # pin UTC so results match the naive-timestamp oracle under any driver
+    # session configuration.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file streaming source insists on a directory; the fixture is a
     # single file.  Expose it through a per-sf_dir symlink directory
