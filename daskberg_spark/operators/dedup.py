@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from daskberg_spark.operators.registry import query, table
+from daskberg_spark.operators.registry import ORACLES, query, table
 
 N_HASHES = 32
 N_BANDS = 8  # 4 rows per band
@@ -314,3 +314,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _jaccard_pairs_sql() -> str:
+    """The dedup_ngram_jaccard oracle's pair set, reused as CC edges."""
+    from daskberg_spark.operators.registry import ORACLES
+
+    return ORACLES["dedup_ngram_jaccard"]
+
+
+@query(
+    "dedup_connected_components",
+    "WITH RECURSIVE pairs AS ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + """),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 final stage: connected components over near-dup edges → cluster
+    labels (component = min doc_id reachable), the grouping that picks one
+    survivor per duplicate cluster.
+
+    Iterative min-label propagation via joins: each round every node takes
+    min(own label, neighbors' labels); converges in O(component diameter)
+    rounds.  Each iteration localCheckpoints to truncate lineage — without
+    it the plan doubles per round and the job dies at scale.  The oracle
+    is a DuckDB recursive CTE over the same (oracle-expressible) edge set.
+    """
+    edges_ab = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = edges_ab.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        edges_ab.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; tiny components converge fast
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))

@@ -130,3 +130,25 @@ def test_langid_mostly_english(spark):
     n_en = sum(r["n"] for r in res if r["predicted"] == "en")
     total = sum(r["n"] for r in res)
     assert n_en / total > 0.5  # fixture text is English-ish word salad
+
+
+def test_connected_components_transitive_chain(spark, tmp_path):
+    """A~B and B~C (but A≁C directly) must land in one component."""
+    base = " ".join(f"w{i}" for i in range(30))
+    b = base.replace("w0", "x0")          # ~97% shingles shared with base
+    c = b.replace("w29", "x29")           # chained edit: close to b, farther from base
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, b, "en", "s", 1), (3, c, "en", "s", 1),
+         (4, other, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from daskberg_spark.operators.dedup import dedup_connected_components
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup_connected_components(spark, str(tmp_path)).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert 4 not in comp  # isolated doc has no near-dup edge
