@@ -108,3 +108,35 @@ def read(
 
 IcebergTable.to_df = to_df  # type: ignore[attr-defined]
 IcebergTable.read = read  # type: ignore[attr-defined]
+
+
+def diff_df(
+    table: IcebergTable,
+    spark: SparkSession,
+    from_rel: int = -1,
+    filters: Any = None,
+) -> DataFrame:
+    """Incremental read: rows in data files that are live in the current
+    snapshot but were not live ``from_rel`` snapshots ago (append-only
+    changelog; reference's snapshot log is exactly this history,
+    SURVEY §1.5).  File-level diff — Iceberg appends are whole files, so
+    added rows == rows of added files; pruning filters apply on top."""
+    current = table.current_snapshot
+    files_now = {f["file_path"] for f in table.plan_files(filters)}
+    table.open_snapshot(rel=from_rel)
+    files_then = {f["file_path"] for f in table.plan_files()}
+    # restore the caller-visible snapshot
+    table.open_snapshot(snapshot_id=current["snapshot-id"])
+    added = sorted(files_now - files_then)
+    struct = schema_to_struct(table.schema)
+    if not added:
+        df = spark.createDataFrame([], struct)
+    else:
+        df = spark.read.schema(struct).parquet(*added)
+    residual = filters_to_column(filters)
+    if residual is not None:
+        df = df.filter(residual)
+    return df
+
+
+IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]

@@ -346,3 +346,20 @@ def iceberg_sql_over_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY g.name
         """
     )
+
+
+@query(
+    "iceberg_incremental_read",
+    f"""
+    SELECT id, sym, cat, qty
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE id >= 150 AND {LIVE_WHERE}
+    """,
+)
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-diff read: files live at head but not at
+    snapshot -2 (first append) = the second append's rows minus those the
+    later delete removed (it hit (news, day-1) files from BOTH appends).
+    The oracle derives the same rowset from content."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    return t.diff_df(spark, from_rel=-2).select("id", "sym", "cat", "qty")

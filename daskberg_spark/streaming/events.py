@@ -220,3 +220,38 @@ def _run_to_memory_update(agg: DataFrame, spark: SparkSession) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "streaming_foreach_batch_sink",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink via foreachBatch: each micro-batch
+    overwrites an epoch-keyed parquet directory, so replays after failure
+    are idempotent (epoch N rewrites epoch N, never duplicates).  The
+    drained sink re-read + aggregate matches the batch oracle, proving no
+    loss and no duplication across micro-batches."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"daskberg_fb_sink_{uuid.uuid4().hex[:8]}"
+    )
+    stream = _event_stream(spark, sf_dir)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = stream.writeStream.foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(out_dir)
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )

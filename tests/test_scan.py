@@ -124,3 +124,22 @@ def test_decimal_roundtrip(spark, part_table):
     row = df.collect()[0]
     assert row["price"] == Decimal("6.25")
     assert dict(df.dtypes)["price"] == "decimal(10,2)"
+
+
+def test_incremental_diff_read(spark, part_table):
+    """diff vs snapshot -2 = second append minus later-deleted files; the
+    current snapshot is restored afterwards."""
+    head_before = part_table.current_snapshot["snapshot-id"]
+    import daskberg_spark.iceberg.scan  # noqa: F401
+
+    diff = part_table.diff_df(spark, from_rel=-2)
+    rows = diff.select("id").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert all(i >= 150 for i in ids)
+    expect = (
+        part_table.to_df(spark).filter("id >= 150").count()
+    )
+    assert len(ids) == expect
+    assert part_table.current_snapshot["snapshot-id"] == head_before
+    # diff vs immediate parent (the delete snapshot) adds nothing
+    assert part_table.diff_df(spark, from_rel=-1).count() == 0
