@@ -228,7 +228,11 @@ def _encode(schema: Any, value: Any, out: bytearray, names: dict[str, Any]) -> N
         t = schema["type"]
         if t == "record":
             for f in schema["fields"]:
-                _encode(f["type"], value[f["name"]], out, names)
+                if f["name"] in value:
+                    field_val = value[f["name"]]
+                else:
+                    field_val = f["default"]  # KeyError if absent: schema demands it
+                _encode(f["type"], field_val, out, names)
             return
         if t == "array":
             if value:

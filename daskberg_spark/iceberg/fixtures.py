@@ -145,3 +145,40 @@ def ensure_lineitem_iceberg(spark, sf_dir: str) -> str:
         writer, data_dir, partition_col="l_shipmonth", path_col="part_month"
     )
     return base
+
+
+DELETES_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "deletes_table")
+
+# deleted on read by the v2 delete files below (content-derived, so DuckDB
+# oracles can reproduce the live rowset without understanding Iceberg):
+EQ_DELETED_IDS = [5, 17, 61]        # equality delete on id
+POS_DELETED_IDS = [0, 1, 2]         # rows 0-2 of the first data file
+
+
+def ensure_deletes_fixture(path: str = DELETES_FIXTURE_DIR) -> str:
+    """v2 row-level-delete table: 100 rows in two appends, one equality
+    delete (3 ids) and one position delete (first 3 rows of file 1)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    rows = [{"id": i, "grp": "abc"[i % 3], "val": i * 1.5} for i in range(100)]
+    writer.append(rows[:60])   # file holds positions 0..59 = ids 0..59
+    writer.append(rows[60:])
+    writer.delete_rows_equality([{"id": i} for i in EQ_DELETED_IDS])
+    first_file = sorted(
+        p for p in os.listdir(os.path.join(path, "data")) if p[0] == "0"
+    )[0]
+    writer.delete_rows_position(
+        [(os.path.join(path, "data", first_file), p) for p in range(3)]
+    )
+    return path

@@ -242,10 +242,20 @@ class IcebergTable:
         return self.manifest_cache[path]
 
     def scan_manifests(self, filters: Any = None) -> dict[str, dict[str, Any]]:
+        """Live data files only (see scan_all for v2 delete files)."""
+        data, _ = self.scan_all(filters)
+        return data
+
+    def scan_all(
+        self, filters: Any = None
+    ) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, Any]]]:
         """Manifest-level prune → load (parallel) → status reconcile.
 
-        Returns live ``{data-file path: data_file record}`` after applying
-        DELETED entries last across all manifests (``ice.py:165-204``).
+        Returns ``(data_files, delete_files)`` — both ``{path: record}``
+        maps, live after applying DELETED entries last across all
+        manifests (``ice.py:165-204``).  ``delete_files`` holds v2
+        position/equality delete files (``content`` 1/2); the reference
+        is v1-only and has no counterpart.
         """
         fields = self.fields
         surviving: list[tuple[str, int]] = []
@@ -266,6 +276,7 @@ class IcebergTable:
             loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
 
         allfiles: dict[str, dict[str, Any]] = {}
+        delete_files: dict[str, dict[str, Any]] = {}
         deleted: set[str] = set()
         for path, spec_id in surviving:
             for entry in loaded[path]:
@@ -277,11 +288,19 @@ class IcebergTable:
                 data_file = dict(data_file, file_path=fpath, _spec_id=spec_id)
                 if entry["status"] == STATUS_DELETED:
                     deleted.add(fpath)
+                elif data_file.get("content", 0) in (1, 2):
+                    delete_files[fpath] = data_file
                 else:
                     allfiles[fpath] = data_file
         for fpath in deleted:
             allfiles.pop(fpath, None)
-        return allfiles
+            delete_files.pop(fpath, None)
+        return allfiles, delete_files
+
+    def plan_deletes(self) -> list[dict[str, Any]]:
+        """Live v2 delete files (position/equality), path-ordered."""
+        _, deletes = self.scan_all()
+        return sorted(deletes.values(), key=lambda f: f["file_path"])
 
     def plan_files(self, filters: Any = None) -> list[dict[str, Any]]:
         """Full scan plan: manifest prune + file-level partition/stat prune.

@@ -88,11 +88,79 @@ def to_df(
     else:
         reader = spark.read.schema(struct)
         df = reader.parquet(*[f["file_path"] for f in files])
+        df = _apply_delete_files(table, spark, df)
     residual = filters_to_column(filters)
     if residual is not None:
         df = df.filter(residual)
     if columns:
         df = df.select(*columns)
+    return df
+
+
+def _apply_delete_files(
+    table: IcebergTable, spark: SparkSession, df: DataFrame
+) -> DataFrame:
+    """Apply v2 position/equality delete files as anti-joins.
+
+    - equality deletes: left-anti join on the delete file's key columns
+      (grouped by equality-id set so one join serves many files);
+    - position deletes: tag rows with ``_metadata`` file path + row
+      index, anti-join against the (file_path, pos) set.
+
+    Delete sets are small relative to data (broadcast hint); simplified
+    v2 applicability (no sequence-number ordering — deletes apply to all
+    live data files), documented in writer.delete_rows_equality.
+    """
+    deletes = table.plan_deletes()
+    if not deletes:
+        return df
+    id_to_name = {
+        f.field_id: name for name, f in table.fields.items()
+    }
+    # group equality deletes by their key-column set
+    eq_groups: dict[tuple[str, ...], list[str]] = {}
+    pos_paths: list[str] = []
+    for d in deletes:
+        if d.get("content") == 2:
+            cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
+            eq_groups.setdefault(cols, []).append(d["file_path"])
+        else:
+            pos_paths.append(d["file_path"])
+
+    if pos_paths:
+        # `_metadata` resolves only on the scan relation itself — capture
+        # file/row identity BEFORE any join touches the plan.
+        df = df.withColumns(
+            {
+                "__file": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    for cols, paths in sorted(eq_groups.items()):
+        keys = spark.read.parquet(*paths).select(*cols).distinct()
+        df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
+
+    if pos_paths:
+        pos = (
+            spark.read.parquet(*pos_paths)
+            .select(
+                F.regexp_replace("file_path", "^file:/*", "/").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
+            )
+            .distinct()
+        )
+        df = (
+            df.join(
+                F.broadcast(pos),
+                (df["__file"] == pos["__del_file"])
+                & (df["__pos"] == pos["__del_pos"]),
+                "left_anti",
+            )
+            .drop("__file", "__pos")
+        )
     return df
 
 

@@ -123,6 +123,8 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
                     "type": "record",
                     "name": "r2",
                     "fields": [
+                        # v2: 0=data, 1=position deletes, 2=equality deletes
+                        {"name": "content", "type": "int", "default": 0, "field-id": 134},
                         {"name": "file_path", "type": "string", "field-id": 100},
                         {"name": "file_format", "type": "string", "field-id": 101},
                         {
@@ -134,6 +136,12 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                         {"name": "lower_bounds", "type": kv_bytes_arr, "default": None, "field-id": 125},
                         {"name": "upper_bounds", "type": kv_bytes_arr, "default": None, "field-id": 128},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -264,6 +272,85 @@ class IcebergWriter:
         ] or [[]]
         new_manifests = [self._write_manifest(c, snapshot_id) for c in chunks]
         self._commit(snapshot_id, self.manifests + new_manifests, "append", len(rows))
+        return snapshot_id
+
+    def delete_rows_equality(self, keys: list[dict[str, Any]]) -> int:
+        """v2 equality-delete snapshot: rows matching ANY of the key dicts
+        (all dicts over the same column subset) are deleted on read.
+
+        Simplified v2 semantics: the delete applies to every live data
+        file (no sequence-number ordering) — valid for the common
+        delete-after-write pattern; full sequence numbers are future work.
+        """
+        if not keys:
+            raise ValueError("no delete keys")
+        cols = sorted(keys[0])
+        if any(sorted(k) != cols for k in keys):
+            raise ValueError("all key dicts must share the same columns")
+        self._file_counter += 1
+        rel = f"data/eq-delete-{self._file_counter:05d}.parquet"
+        path = f"{self.path}/{rel}"
+        arrays = {
+            c: pa.array([k[c] for k in keys], type=_pa_type(self.types[c]))
+            for c in cols
+        }
+        pq.write_table(pa.table(arrays), path)
+        snapshot_id = len(self.snapshots) + 1
+        entry = {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 2,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(keys),
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": [self.ids[c] for c in cols],
+            },
+        }
+        manifest = self._write_manifest([entry], snapshot_id)
+        self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
+        return snapshot_id
+
+    def delete_rows_position(self, deletes: list[tuple[str, int]]) -> int:
+        """v2 position-delete snapshot: (data file path, row ordinal)
+        pairs removed on read.  Same simplified applicability as
+        ``delete_rows_equality``."""
+        if not deletes:
+            raise ValueError("no position deletes")
+        self._file_counter += 1
+        rel = f"data/pos-delete-{self._file_counter:05d}.parquet"
+        path = f"{self.path}/{rel}"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([d[0] for d in deletes], pa.string()),
+                    "pos": pa.array([d[1] for d in deletes], pa.int64()),
+                }
+            ),
+            path,
+        )
+        snapshot_id = len(self.snapshots) + 1
+        entry = {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(deletes),
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+            },
+        }
+        manifest = self._write_manifest([entry], snapshot_id)
+        self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
         return snapshot_id
 
     def delete_files(self, predicate) -> int:

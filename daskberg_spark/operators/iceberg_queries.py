@@ -363,3 +363,28 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle derives the same rowset from content."""
     t = IcebergTable(ensure_partitioned_fixture())
     return t.diff_df(spark, from_rel=-2).select("id", "sym", "cat", "qty")
+
+
+@query(
+    "iceberg_v2_row_deletes",
+    f"""
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS sum_val
+    FROM read_parquet('/root/repo/.fixtures/deletes_table/data/0*.parquet')
+    WHERE id NOT IN (5, 17, 61, 0, 1, 2)
+    GROUP BY grp
+    """,
+)
+def iceberg_v2_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 row-level deletes (beyond the v1-only reference): equality
+    deletes anti-join on key columns, position deletes anti-join on
+    (_metadata.file_path, row_index).  The oracle reads the raw data
+    files and excludes the known-deleted ids by content."""
+    from daskberg_spark.iceberg.fixtures import ensure_deletes_fixture
+
+    t = IcebergTable(ensure_deletes_fixture())
+    return t.to_df(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
+    )

@@ -143,3 +143,29 @@ def test_incremental_diff_read(spark, part_table):
     assert part_table.current_snapshot["snapshot-id"] == head_before
     # diff vs immediate parent (the delete snapshot) adds nothing
     assert part_table.diff_df(spark, from_rel=-1).count() == 0
+
+
+def test_v2_row_level_deletes(spark):
+    """Equality + position delete files apply on read; time travel walks
+    back through the delete snapshots."""
+    from daskberg_spark.iceberg.fixtures import (
+        EQ_DELETED_IDS,
+        POS_DELETED_IDS,
+        ensure_deletes_fixture,
+    )
+
+    t = IcebergTable(ensure_deletes_fixture())
+    ids = sorted(r["id"] for r in t.to_df(spark).select("id").collect())
+    gone = set(EQ_DELETED_IDS) | set(POS_DELETED_IDS)
+    assert set(range(100)) - set(ids) == gone
+    assert len(t.plan_deletes()) == 2
+    # filters compose with delete application
+    n_a = t.to_df(spark, filters=[("grp", "==", "a")]).count()
+    expect = len([i for i in range(100) if i % 3 == 0 and i not in gone])
+    assert n_a == expect
+    # pre-delete snapshots still see everything
+    t.open_snapshot(rel=-2)
+    assert t.to_df(spark).count() == 100
+    t.open_snapshot(rel=-1)
+    ids_mid = sorted(r["id"] for r in t.to_df(spark).select("id").collect())
+    assert set(range(100)) - set(ids_mid) == set(EQ_DELETED_IDS)
