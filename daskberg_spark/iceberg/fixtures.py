@@ -182,3 +182,31 @@ def ensure_deletes_fixture(path: str = DELETES_FIXTURE_DIR) -> str:
         [(os.path.join(path, "data", first_file), p) for p in range(3)]
     )
     return path
+
+
+EVOLVED_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "evolved_table")
+
+
+def ensure_evolved_fixture(path: str = EVOLVED_FIXTURE_DIR) -> str:
+    """Schema-evolution table: append under (id, amount) → rename
+    amount→total → append → add note → append."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    writer.append([{"id": i, "amount": i * 10.0} for i in range(1, 21)])
+    writer.rename_column("amount", "total")
+    writer.append([{"id": i, "total": i * 10.0} for i in range(21, 31)])
+    writer.add_column("note", "string")
+    writer.append(
+        [{"id": i, "total": i * 10.0, "note": f"n{i}"} for i in range(31, 41)]
+    )
+    return path

@@ -285,7 +285,14 @@ class IcebergTable:
                 if fmt.upper() != "PARQUET":
                     raise NotImplementedError(f"file format {fmt}")
                 fpath = self._relocate(data_file["file_path"])
-                data_file = dict(data_file, file_path=fpath, _spec_id=spec_id)
+                data_file = dict(
+                    data_file,
+                    file_path=fpath,
+                    _spec_id=spec_id,
+                    # adding snapshot → pins the schema the file was written
+                    # under (column renames resolve by field id, §1.4)
+                    _snapshot_id=entry.get("snapshot_id"),
+                )
                 if entry["status"] == STATUS_DELETED:
                     deleted.add(fpath)
                 elif data_file.get("content", 0) in (1, 2):
@@ -296,6 +303,16 @@ class IcebergTable:
             allfiles.pop(fpath, None)
             delete_files.pop(fpath, None)
         return allfiles, delete_files
+
+    def schema_for_snapshot(self, snapshot_id: int | None) -> dict[str, Any]:
+        """Schema pinned by a snapshot id (falls back to the current
+        snapshot's schema when the id is unknown)."""
+        schemas = {s["schema-id"]: s for s in self.metadata.get("schemas", [])}
+        if snapshot_id is not None and snapshot_id in self.snapshots:
+            sid = self.snapshots[snapshot_id].get("schema-id")
+            if sid in schemas:
+                return schemas[sid]
+        return self.schema
 
     def plan_deletes(self) -> list[dict[str, Any]]:
         """Live v2 delete files (position/equality), path-ordered."""

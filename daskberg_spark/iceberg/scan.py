@@ -86,8 +86,7 @@ def to_df(
     if not files:
         df = spark.createDataFrame([], struct)
     else:
-        reader = spark.read.schema(struct)
-        df = reader.parquet(*[f["file_path"] for f in files])
+        df = _read_file_groups(table, spark, files, struct)
         df = _apply_delete_files(table, spark, df)
     residual = filters_to_column(filters)
     if residual is not None:
@@ -95,6 +94,64 @@ def to_df(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def _read_file_groups(
+    table: IcebergTable,
+    spark: SparkSession,
+    files: list[dict[str, Any]],
+    struct,
+) -> DataFrame:
+    """Read data files grouped by the schema they were written under,
+    resolving columns by **field id** (SURVEY §1.4): a renamed column's
+    old files read under the old name, then rename to the current one —
+    naive by-name reading would silently null-fill renamed columns.
+
+    The common case (every file on the current schema) stays a single
+    multi-path scan.
+    """
+    current_fields = table.schema["fields"]
+    current_ids = {f.get("id", f.get("field-id")): f["name"] for f in current_fields}
+
+    def schema_key(f: dict[str, Any]):
+        s = table.schema_for_snapshot(f.get("_snapshot_id"))
+        return s.get("schema-id", 0), s
+
+    groups: dict[int, tuple[dict[str, Any], list[str]]] = {}
+    for f in files:
+        sid, schema = schema_key(f)
+        groups.setdefault(sid, (schema, []))[1].append(f["file_path"])
+
+    current_sid = table.schema.get("schema-id", 0)
+    if set(groups) <= {current_sid}:
+        return spark.read.schema(struct).parquet(*[f["file_path"] for f in files])
+
+    parts = []
+    for sid, (schema, paths) in sorted(groups.items()):
+        gstruct = schema_to_struct(schema)
+        gdf = spark.read.schema(gstruct).parquet(*paths)
+        renames = {}
+        for fld in schema["fields"]:
+            fid = fld.get("id", fld.get("field-id"))
+            if fid in current_ids and current_ids[fid] != fld["name"]:
+                renames[fld["name"]] = current_ids[fid]
+            elif fid not in current_ids:
+                gdf = gdf.drop(fld["name"])  # column dropped since
+        if renames:
+            gdf = gdf.withColumnsRenamed(renames)
+        parts.append(gdf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # columns added after a file was written surface as nulls; project to
+    # the current schema's order
+    for fld in current_fields:
+        if fld["name"] not in out.columns:
+            out = out.withColumn(
+                fld["name"],
+                F.lit(None).cast(schema_to_struct({"fields": [fld]})[0].dataType),
+            )
+    return out.select(*[f["name"] for f in current_fields])
 
 
 def _apply_delete_files(

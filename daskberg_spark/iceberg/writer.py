@@ -199,6 +199,8 @@ class IcebergWriter:
             for i, p in enumerate(spec)
         ]
         self.version = 0
+        self.schemas: list[list[dict[str, Any]]] = [list(schema_fields)]
+        self.current_schema_id = 0
         self.snapshots: list[dict[str, Any]] = []
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
@@ -273,6 +275,37 @@ class IcebergWriter:
         new_manifests = [self._write_manifest(c, snapshot_id) for c in chunks]
         self._commit(snapshot_id, self.manifests + new_manifests, "append", len(rows))
         return snapshot_id
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution: rename a column, keeping its field id —
+        Iceberg resolves columns by id, so files written under the old
+        name stay readable (SURVEY §1.4); takes effect with the next
+        snapshot commit."""
+        fields = [dict(f) for f in self.schemas[self.current_schema_id]]
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+                break
+        else:
+            raise ValueError(f"no column {old!r}")
+        self.schemas.append(fields)
+        self.current_schema_id = len(self.schemas) - 1
+        self.fields = fields
+        self.types = {f["name"]: f["type"] for f in fields}
+        self.ids = {f["name"]: f["id"] for f in fields}
+
+    def add_column(self, name: str, type_str: str) -> None:
+        """Schema evolution: add a nullable column with a fresh id."""
+        fields = [dict(f) for f in self.schemas[self.current_schema_id]]
+        fields.append(
+            {"id": max(f["id"] for f in fields) + 1, "name": name,
+             "type": type_str, "required": False}
+        )
+        self.schemas.append(fields)
+        self.current_schema_id = len(self.schemas) - 1
+        self.fields = fields
+        self.types = {f["name"]: f["type"] for f in fields}
+        self.ids = {f["name"]: f["id"] for f in fields}
 
     def delete_rows_equality(self, keys: list[dict[str, Any]]) -> int:
         """v2 equality-delete snapshot: rows matching ANY of the key dicts
@@ -440,7 +473,7 @@ class IcebergWriter:
             "snapshot-id": snapshot_id,
             "timestamp-ms": 1700000000000 + snapshot_id,
             "manifest-list": ml_path,
-            "schema-id": 0,
+            "schema-id": self.current_schema_id,
             "summary": {"operation": operation, "added-records": str(added)},
         }
         if parent is not None:
@@ -454,8 +487,11 @@ class IcebergWriter:
             "location": self.path,
             "last-updated-ms": snap["timestamp-ms"],
             "last-column-id": max(f["id"] for f in self.fields),
-            "schemas": [{"type": "struct", "schema-id": 0, "fields": self.fields}],
-            "current-schema-id": 0,
+            "schemas": [
+                {"type": "struct", "schema-id": i, "fields": fields}
+                for i, fields in enumerate(self.schemas)
+            ],
+            "current-schema-id": self.current_schema_id,
             "partition-specs": [
                 {
                     "spec-id": 0,

@@ -388,3 +388,22 @@ def iceberg_v2_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
     )
+
+
+@query(
+    "iceberg_schema_evolution",
+    """
+    SELECT id, COALESCE(total, amount) AS total, note
+    FROM read_parquet('/root/repo/.fixtures/evolved_table/data/0*.parquet', union_by_name=true)
+    """,
+)
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/§1.4 beyond the reference: column rename resolved by field id
+    — files written before the rename read under their own schema and
+    surface the data under the current name (naive by-name reading
+    silently null-fills); a column added later null-fills older files.
+    The oracle reconstructs the same view with union_by_name+COALESCE."""
+    from daskberg_spark.iceberg.fixtures import ensure_evolved_fixture
+
+    t = IcebergTable(ensure_evolved_fixture())
+    return t.to_df(spark)

@@ -169,3 +169,20 @@ def test_v2_row_level_deletes(spark):
     t.open_snapshot(rel=-1)
     ids_mid = sorted(r["id"] for r in t.to_df(spark).select("id").collect())
     assert set(range(100)) - set(ids_mid) == set(EQ_DELETED_IDS)
+
+
+def test_schema_evolution_rename_by_field_id(spark):
+    from daskberg_spark.iceberg.fixtures import ensure_evolved_fixture
+
+    t = IcebergTable(ensure_evolved_fixture())
+    df = t.to_df(spark)
+    assert df.columns == ["id", "total", "note"]
+    rows = {r["id"]: (r["total"], r["note"]) for r in df.collect()}
+    assert rows[1] == (10.0, None)    # pre-rename file: value under new name
+    assert rows[25] == (250.0, None)  # post-rename, pre-add file
+    assert rows[35] == (350.0, "n35")
+    assert len(rows) == 40
+    # time travel before the rename restores the old column name
+    t.open_snapshot(rel=-2)
+    assert t.to_df(spark).columns == ["id", "amount"]
+    assert t.to_df(spark).count() == 20
