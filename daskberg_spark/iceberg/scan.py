@@ -86,8 +86,7 @@ def to_df(
     if not files:
         df = spark.createDataFrame([], struct)
     else:
-        df = _read_file_groups(table, spark, files, struct)
-        df = _apply_delete_files(table, spark, df)
+        df = _read_with_deletes(table, spark, files, struct)
     residual = filters_to_column(filters)
     if residual is not None:
         df = df.filter(residual)
@@ -96,11 +95,89 @@ def to_df(
     return df
 
 
+def _read_with_deletes(
+    table: IcebergTable,
+    spark: SparkSession,
+    files: list[dict[str, Any]],
+    struct,
+) -> DataFrame:
+    """Read data files and apply v2 delete files with sequence-correct
+    applicability.
+
+    Snapshot ids are monotonically increasing here, so "sequence number"
+    ordering reduces to snapshot-id comparison: an equality delete
+    applies only to data files added by an *earlier* snapshot (a row
+    re-inserted after the delete stays live).  Position deletes name
+    their target file explicitly, so they are inherently
+    sequence-correct.  Data files are classed by which equality deletes
+    apply (≤ #deletes+1 classes), each class read + anti-joined, then
+    unioned.
+    """
+    deletes = table.plan_deletes()
+    id_to_name = {f.field_id: name for name, f in table.fields.items()}
+    eq_deletes = []  # (delete_snapshot_id, key_cols, file_path)
+    pos_paths: list[str] = []
+    for d in deletes:
+        if d.get("content") == 2:
+            cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
+            eq_deletes.append((d.get("_snapshot_id") or 0, cols, d["file_path"]))
+        elif d.get("content") == 1:
+            pos_paths.append(d["file_path"])
+    tag_position = bool(pos_paths)
+
+    if not eq_deletes:
+        df = _read_file_groups(table, spark, files, struct, tag_position)
+    else:
+        # class = which equality deletes apply, keyed by the count of
+        # delete snapshots after the file's adding snapshot
+        eq_deletes.sort()
+        classes: dict[int, list[dict[str, Any]]] = {}
+        for f in files:
+            fsnap = f.get("_snapshot_id") or 0
+            n_applicable = sum(1 for snap, _, _ in eq_deletes if snap > fsnap)
+            classes.setdefault(n_applicable, []).append(f)
+        parts = []
+        for n_applicable, class_files in sorted(classes.items()):
+            part = _read_file_groups(table, spark, class_files, struct, tag_position)
+            applicable = eq_deletes[-n_applicable:] if n_applicable else []
+            by_cols: dict[tuple[str, ...], list[str]] = {}
+            for _, cols, path in applicable:
+                by_cols.setdefault(cols, []).append(path)
+            for cols, paths in sorted(by_cols.items()):
+                keys = spark.read.parquet(*paths).select(*cols).distinct()
+                part = part.join(F.broadcast(keys), on=list(cols), how="left_anti")
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+    if pos_paths:
+        pos = (
+            spark.read.parquet(*pos_paths)
+            .select(
+                F.regexp_replace("file_path", "^file:/*", "/").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
+            )
+            .distinct()
+        )
+        df = (
+            df.join(
+                F.broadcast(pos),
+                (df["__file"] == pos["__del_file"])
+                & (df["__pos"] == pos["__del_pos"]),
+                "left_anti",
+            )
+            .drop("__file", "__pos")
+        )
+    return df
+
+
 def _read_file_groups(
     table: IcebergTable,
     spark: SparkSession,
     files: list[dict[str, Any]],
     struct,
+    tag_position: bool = False,
 ) -> DataFrame:
     """Read data files grouped by the schema they were written under,
     resolving columns by **field id** (SURVEY §1.4): a renamed column's
@@ -117,6 +194,20 @@ def _read_file_groups(
         s = table.schema_for_snapshot(f.get("_snapshot_id"))
         return s.get("schema-id", 0), s
 
+    def tag(df: DataFrame) -> DataFrame:
+        # `_metadata` resolves only on the scan relation itself — capture
+        # file/row identity for position deletes BEFORE any other operator.
+        if not tag_position:
+            return df
+        return df.withColumns(
+            {
+                "__file": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+
     groups: dict[int, tuple[dict[str, Any], list[str]]] = {}
     for f in files:
         sid, schema = schema_key(f)
@@ -124,12 +215,14 @@ def _read_file_groups(
 
     current_sid = table.schema.get("schema-id", 0)
     if set(groups) <= {current_sid}:
-        return spark.read.schema(struct).parquet(*[f["file_path"] for f in files])
+        return tag(
+            spark.read.schema(struct).parquet(*[f["file_path"] for f in files])
+        )
 
     parts = []
     for sid, (schema, paths) in sorted(groups.items()):
         gstruct = schema_to_struct(schema)
-        gdf = spark.read.schema(gstruct).parquet(*paths)
+        gdf = tag(spark.read.schema(gstruct).parquet(*paths))
         renames = {}
         for fld in schema["fields"]:
             fid = fld.get("id", fld.get("field-id"))
@@ -151,74 +244,10 @@ def _read_file_groups(
                 fld["name"],
                 F.lit(None).cast(schema_to_struct({"fields": [fld]})[0].dataType),
             )
-    return out.select(*[f["name"] for f in current_fields])
-
-
-def _apply_delete_files(
-    table: IcebergTable, spark: SparkSession, df: DataFrame
-) -> DataFrame:
-    """Apply v2 position/equality delete files as anti-joins.
-
-    - equality deletes: left-anti join on the delete file's key columns
-      (grouped by equality-id set so one join serves many files);
-    - position deletes: tag rows with ``_metadata`` file path + row
-      index, anti-join against the (file_path, pos) set.
-
-    Delete sets are small relative to data (broadcast hint); simplified
-    v2 applicability (no sequence-number ordering — deletes apply to all
-    live data files), documented in writer.delete_rows_equality.
-    """
-    deletes = table.plan_deletes()
-    if not deletes:
-        return df
-    id_to_name = {
-        f.field_id: name for name, f in table.fields.items()
-    }
-    # group equality deletes by their key-column set
-    eq_groups: dict[tuple[str, ...], list[str]] = {}
-    pos_paths: list[str] = []
-    for d in deletes:
-        if d.get("content") == 2:
-            cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
-            eq_groups.setdefault(cols, []).append(d["file_path"])
-        else:
-            pos_paths.append(d["file_path"])
-
-    if pos_paths:
-        # `_metadata` resolves only on the scan relation itself — capture
-        # file/row identity BEFORE any join touches the plan.
-        df = df.withColumns(
-            {
-                "__file": F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
-
-    for cols, paths in sorted(eq_groups.items()):
-        keys = spark.read.parquet(*paths).select(*cols).distinct()
-        df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
-
-    if pos_paths:
-        pos = (
-            spark.read.parquet(*pos_paths)
-            .select(
-                F.regexp_replace("file_path", "^file:/*", "/").alias("__del_file"),
-                F.col("pos").alias("__del_pos"),
-            )
-            .distinct()
-        )
-        df = (
-            df.join(
-                F.broadcast(pos),
-                (df["__file"] == pos["__del_file"])
-                & (df["__pos"] == pos["__del_pos"]),
-                "left_anti",
-            )
-            .drop("__file", "__pos")
-        )
-    return df
+    keep = [f["name"] for f in current_fields]
+    if tag_position:
+        keep += ["__file", "__pos"]
+    return out.select(*keep)
 
 
 # Convenience: method-style API mirroring the reference's read()

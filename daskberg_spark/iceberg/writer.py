@@ -311,9 +311,9 @@ class IcebergWriter:
         """v2 equality-delete snapshot: rows matching ANY of the key dicts
         (all dicts over the same column subset) are deleted on read.
 
-        Simplified v2 semantics: the delete applies to every live data
-        file (no sequence-number ordering) — valid for the common
-        delete-after-write pattern; full sequence numbers are future work.
+        Sequence-correct applicability: on read, the delete applies only
+        to data files added by earlier snapshots — a matching row
+        re-inserted later stays live (scan._read_with_deletes).
         """
         if not keys:
             raise ValueError("no delete keys")
@@ -350,8 +350,8 @@ class IcebergWriter:
 
     def delete_rows_position(self, deletes: list[tuple[str, int]]) -> int:
         """v2 position-delete snapshot: (data file path, row ordinal)
-        pairs removed on read.  Same simplified applicability as
-        ``delete_rows_equality``."""
+        pairs removed on read; inherently sequence-correct since the
+        target file is named explicitly."""
         if not deletes:
             raise ValueError("no position deletes")
         self._file_counter += 1

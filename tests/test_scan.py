@@ -186,3 +186,27 @@ def test_schema_evolution_rename_by_field_id(spark):
     t.open_snapshot(rel=-2)
     assert t.to_df(spark).columns == ["id", "amount"]
     assert t.to_df(spark).count() == 20
+
+
+def test_v2_delete_sequence_semantics(spark, tmp_path):
+    """An equality delete must not affect rows appended after it."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": 1, "v": "old"}, {"id": 2, "v": "keep"}])
+    w.delete_rows_equality([{"id": 1}])
+    w.append([{"id": 1, "v": "new"}])  # re-insert after the delete
+    t = IcebergTable(w.path)
+    rows = sorted(map(tuple, t.to_df(spark).collect()))
+    assert rows == [(1, "new"), (2, "keep")]
+    # position delete on the re-inserted file composes with the above
+    f3 = [f for f in t.plan_files() if f["_snapshot_id"] == 3][0]["file_path"]
+    w.delete_rows_position([(f3, 0)])
+    t = IcebergTable(w.path)
+    assert sorted(map(tuple, t.to_df(spark).collect())) == [(2, "keep")]
