@@ -392,3 +392,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+@query(
+    "pipeline_dedup_corpus",
+    "WITH RECURSIVE pairs AS ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + """),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    components AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ),
+    dropped AS (
+      SELECT doc_id FROM components WHERE doc_id != component
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    """,
+)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end fuzzy-dedup pipeline as one plan: near-dup edges →
+    connected components → keep the min-id survivor per cluster → corpus
+    statistics of what remains.
+
+    This is the composition a 100 TB pretraining pipeline runs nightly;
+    every stage is the shuffle-bounded operator proven above
+    (inverted-index Jaccard, checkpointed label propagation), and the
+    whole thing is verified against a recursive-CTE oracle."""
+    cc = dedup_connected_components(spark, sf_dir)
+    dropped = cc.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

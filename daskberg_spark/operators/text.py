@@ -208,3 +208,56 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace("text", "\\s+", " "))
     return docs.select("doc_id", roll(norm).alias("fp"))
+
+
+@query(
+    "pipeline_quality_filter",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKENS}) AS n_words,
+             CASE WHEN len({_SQL_TOKENS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({_SQL_TOKENS},
+                       t -> list_contains({STOP_EN}, t))) AS DOUBLE)
+                       / len({_SQL_TOKENS}) END AS stop_ratio,
+             CASE WHEN len({_SQL_TOKENS}) = 0 THEN 0.0
+                  ELSE CAST(length(text) AS DOUBLE) / len({_SQL_TOKENS}) END
+               AS chars_per_word
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_words < 20 THEN 'too_short'
+                WHEN stop_ratio > 0.5 THEN 'too_stoppy'
+                WHEN chars_per_word < 3 OR chars_per_word > 12 THEN 'weird_words'
+                ELSE 'keep' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sig GROUP BY 1, 2
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 pipeline: the keep/drop quality gate of a pretraining corpus —
+    per-doc signals → first-failing-rule verdict → survival census per
+    language.  Pure Catalyst; at 100 TB this is a single map + small agg,
+    and the verdict column is what downstream sampling joins against."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n_words == 0, 0.0).otherwise(
+        n_stop.cast("double") / n_words
+    )
+    cpw = F.when(n_words == 0, 0.0).otherwise(
+        F.length("text").cast("double") / n_words
+    )
+    verdict = (
+        F.when(n_words < 20, "too_short")
+        .when(stop_ratio > 0.5, "too_stoppy")
+        .when((cpw < 3) | (cpw > 12), "weird_words")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
