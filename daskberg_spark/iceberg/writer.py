@@ -602,3 +602,81 @@ def commit_spark_output(
         sum(e["data_file"]["record_count"] for e in entries),
     )
     return snapshot_id
+
+
+def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
+    """Maintenance: drop all but the last ``keep_last`` snapshots from the
+    table metadata (time travel to expired snapshots stops working; data
+    files stay until ``remove_orphan_files``).  Returns expired ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    expired = [s["snapshot-id"] for s in writer.snapshots[:-keep_last]]
+    writer.snapshots = writer.snapshots[-keep_last:]
+    # detach the parent pointer of the new oldest snapshot
+    if writer.snapshots:
+        writer.snapshots[0] = {
+            k: v for k, v in writer.snapshots[0].items() if k != "parent-snapshot-id"
+        }
+    writer.version += 1
+    # re-emit metadata for the surviving history
+    last = writer.snapshots[-1]
+    meta = {
+        "format-version": 2,
+        "table-uuid": writer.table_uuid,
+        "location": writer.path,
+        "last-updated-ms": last["timestamp-ms"],
+        "last-column-id": max(f["id"] for f in writer.fields),
+        "schemas": [
+            {"type": "struct", "schema-id": i, "fields": fields}
+            for i, fields in enumerate(writer.schemas)
+        ],
+        "current-schema-id": writer.current_schema_id,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {k: v for k, v in pf.items() if not k.startswith("_")}
+                    for pf in writer.spec
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-spec": [
+            {k: v for k, v in pf.items() if not k.startswith("_")} for pf in writer.spec
+        ],
+        "current-snapshot-id": last["snapshot-id"],
+        "snapshots": writer.snapshots,
+    }
+    with open(f"{writer.path}/metadata/v{writer.version}.metadata.json", "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    with open(f"{writer.path}/metadata/version-hint.text", "w") as f:
+        f.write(str(writer.version))
+    return expired
+
+
+def remove_orphan_files(table_path: str) -> list[str]:
+    """Maintenance: delete data files not referenced by any manifest of
+    any snapshot in the *current* metadata version (run after
+    expire_snapshots).  Returns the removed paths."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    table = IcebergTable(table_path)
+    referenced: set[str] = set()
+    for snap in table.snapshots.values():
+        _, manifests = read_avro_file(table._relocate(snap["manifest-list"]))
+        for mf in manifests:
+            _, entries = read_avro_file(table._relocate(mf["manifest_path"]))
+            for e in entries:
+                # DELETED entries are tombstones, not references — a file
+                # only they mention is reclaimable
+                if e["status"] != 2:
+                    referenced.add(table._relocate(e["data_file"]["file_path"]))
+    removed = []
+    data_dir = os.path.join(table_path, "data")
+    for name in sorted(os.listdir(data_dir)):
+        path = os.path.join(data_dir, name)
+        if path not in referenced and name.endswith(".parquet"):
+            os.remove(path)
+            removed.append(path)
+    return removed

@@ -210,3 +210,35 @@ def test_v2_delete_sequence_semantics(spark, tmp_path):
     w.delete_rows_position([(f3, 0)])
     t = IcebergTable(w.path)
     assert sorted(map(tuple, t.to_df(spark).collect())) == [(2, "keep")]
+
+
+def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path):
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}])
+    w.append([{"x": 2}])
+    w.delete_files(lambda df: False)  # no-op snapshot just for history
+    expired = expire_snapshots(w, keep_last=1)
+    assert len(expired) == 2
+    t = IcebergTable(w.path)
+    assert len(t.snapshots) == 1
+    assert t.to_df(spark).count() == 2  # head content unaffected
+    with pytest.raises(ValueError):
+        t.open_snapshot(rel=-1)  # expired history is gone
+    # orphan cleanup removes nothing (all files still referenced)
+    assert remove_orphan_files(w.path) == []
+    # now delete one file's rows and expire: the old file becomes orphaned
+    w.delete_files(lambda df: True)
+    expire_snapshots(w, keep_last=1)
+    removed = remove_orphan_files(w.path)
+    assert len(removed) == 2
+    t = IcebergTable(w.path)
+    assert t.to_df(spark).count() == 0
