@@ -267,18 +267,22 @@ class IcebergTable:
             ):
                 continue  # provably no matching rows in this whole manifest
             surviving.append(
-                (self._relocate(mf["manifest_path"]), mf.get("partition_spec_id", 0))
+                (
+                    self._relocate(mf["manifest_path"]),
+                    mf.get("partition_spec_id", 0),
+                    mf.get("added_snapshot_id"),
+                )
             )
 
         # Parallel manifest IO (reference TODO at ice.py:185).
-        paths = [p for p, _ in surviving]
+        paths = [p for p, _, _ in surviving]
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
             loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
 
         allfiles: dict[str, dict[str, Any]] = {}
         delete_files: dict[str, dict[str, Any]] = {}
         deleted: set[str] = set()
-        for path, spec_id in surviving:
+        for path, spec_id, manifest_snapshot in surviving:
             for entry in loaded[path]:
                 data_file = entry["data_file"]
                 fmt = data_file.get("file_format", "PARQUET")
@@ -290,8 +294,14 @@ class IcebergTable:
                     file_path=fpath,
                     _spec_id=spec_id,
                     # adding snapshot → pins the schema the file was written
-                    # under (column renames resolve by field id, §1.4)
-                    _snapshot_id=entry.get("snapshot_id"),
+                    # under (column renames resolve by field id, §1.4);
+                    # null entry ids inherit from the manifest (Iceberg
+                    # snapshot-id inheritance)
+                    _snapshot_id=(
+                        entry.get("snapshot_id")
+                        if entry.get("snapshot_id") is not None
+                        else manifest_snapshot
+                    ),
                 )
                 if entry["status"] == STATUS_DELETED:
                     deleted.add(fpath)

@@ -77,6 +77,10 @@ def normalize_value(value: Any, type_str: str) -> Any:
         return value.date()
     if type_str.startswith("decimal") and isinstance(value, (int, float, str)):
         return Decimal(str(value))
+    if type_str == "uuid" and isinstance(value, str):
+        import uuid as _uuid
+
+        return _uuid.UUID(value)
     return value
 
 

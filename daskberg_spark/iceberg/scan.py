@@ -144,7 +144,20 @@ def _read_with_deletes(
             for _, cols, path in applicable:
                 by_cols.setdefault(cols, []).append(path)
             for cols, paths in sorted(by_cols.items()):
-                keys = spark.read.parquet(*paths).select(*cols).distinct()
+                keys = spark.read.parquet(*paths)
+                # a delete file's columns carry the names current at write
+                # time; map them to today's names positionally — the writer
+                # emits both the columns and equality_ids in sorted order,
+                # so sorted(file columns)[i] ↔ cols[i] (same field id)
+                old_sorted = sorted(keys.columns)
+                if tuple(old_sorted) != cols:
+                    keys = keys.select(
+                        *[
+                            F.col(old).alias(new)
+                            for old, new in zip(old_sorted, cols)
+                        ]
+                    )
+                keys = keys.select(*cols).distinct()
                 part = part.join(F.broadcast(keys), on=list(cols), how="left_anti")
             parts.append(part)
         df = parts[0]

@@ -92,10 +92,11 @@ def _bucket_hash_bytes(value: Any) -> bytes:
         length = max(1, (unscaled.bit_length() + 8) // 8)
         return unscaled.to_bytes(length, "big", signed=True)
     if isinstance(value, str):
-        try:
-            return _uuid.UUID(value).bytes if len(value) == 36 and value.count("-") == 4 else value.encode("utf-8")
-        except ValueError:
-            return value.encode("utf-8")
+        # strings ALWAYS hash as UTF-8 (spec); uuid-typed columns must be
+        # normalized to uuid.UUID before reaching here — guessing UUID-ness
+        # from string shape would mis-bucket string columns holding
+        # UUID-formatted text
+        return value.encode("utf-8")
     if isinstance(value, _uuid.UUID):
         return value.bytes
     if isinstance(value, datetime.datetime):

@@ -162,6 +162,18 @@ _PA_TYPES = {
 }
 
 
+def _avro_partition_value(value: Any) -> Any:
+    """Transformed partition value → avro-encodable primitive (dates as
+    epoch days, timestamps as epoch micros)."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return round((value - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    return value
+
+
 def _pa_type(t: str) -> pa.DataType:
     if t.startswith("decimal"):
         p, s = t[len("decimal(") : -1].split(",")
@@ -202,6 +214,8 @@ class IcebergWriter:
         self.schemas: list[list[dict[str, Any]]] = [list(schema_fields)]
         self.current_schema_id = 0
         self.snapshots: list[dict[str, Any]] = []
+        self._next_snapshot_id = 1
+        self._format_version = 1  # upgraded to 2 by row-level deletes
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         self._file_counter = 0
@@ -215,7 +229,7 @@ class IcebergWriter:
         out = []
         for pf in self.spec:
             fn, _ = get_transform(pf["transform"])
-            out.append(fn(row[pf["_source_name"]]))
+            out.append(_avro_partition_value(fn(row[pf["_source_name"]])))
         return tuple(out)
 
     def _write_parquet(self, rows: list[dict[str, Any]]) -> tuple[str, int]:
@@ -247,7 +261,7 @@ class IcebergWriter:
         for row in rows:
             groups.setdefault(self._partition_tuple(row), []).append(row)
 
-        snapshot_id = len(self.snapshots) + 1
+        snapshot_id = self._next_snapshot_id
         entries = []
         for ptuple, grows in sorted(groups.items(), key=lambda kv: str(kv[0])):
             fpath, fsize = self._write_parquet(grows)
@@ -293,6 +307,9 @@ class IcebergWriter:
         self.fields = fields
         self.types = {f["name"]: f["type"] for f in fields}
         self.ids = {f["name"]: f["id"] for f in fields}
+        for pf in self.spec:
+            if pf["_source_name"] == old:
+                pf["_source_name"] = new
 
     def add_column(self, name: str, type_str: str) -> None:
         """Schema evolution: add a nullable column with a fresh id."""
@@ -328,7 +345,8 @@ class IcebergWriter:
             for c in cols
         }
         pq.write_table(pa.table(arrays), path)
-        snapshot_id = len(self.snapshots) + 1
+        self._format_version = 2
+        snapshot_id = self._next_snapshot_id
         entry = {
             "status": 1,
             "snapshot_id": snapshot_id,
@@ -366,7 +384,8 @@ class IcebergWriter:
             ),
             path,
         )
-        snapshot_id = len(self.snapshots) + 1
+        self._format_version = 2
+        snapshot_id = self._next_snapshot_id
         entry = {
             "status": 1,
             "snapshot_id": snapshot_id,
@@ -390,7 +409,7 @@ class IcebergWriter:
         """New snapshot with DELETED entries for files whose *entry* matches
         ``predicate(data_file_record) -> bool`` (status reconciliation path,
         reference ice.py:191-204)."""
-        snapshot_id = len(self.snapshots) + 1
+        snapshot_id = self._next_snapshot_id
         from daskberg_spark.iceberg.avro import read_avro_file
 
         keep_manifests, delete_entries = [], []
@@ -468,6 +487,7 @@ class IcebergWriter:
         write_avro_file(ml_path, _MANIFEST_FILE_SCHEMA, manifests)
         self.manifests = manifests
 
+        self._next_snapshot_id = snapshot_id + 1
         parent = self.snapshots[-1]["snapshot-id"] if self.snapshots else None
         snap = {
             "snapshot-id": snapshot_id,
@@ -481,11 +501,19 @@ class IcebergWriter:
         self.snapshots.append(snap)
 
         self.version += 1
+        self._write_metadata()
+
+    def _write_metadata(self) -> None:
+        """Emit v{N}.metadata.json + version hint for the current state
+        (single emission path shared by commits and snapshot expiry)."""
+        last = self.snapshots[-1]
         meta = {
-            "format-version": 1,
+            # format-version 2 only once row-level delete files exist; the
+            # plain append/delete-files subset stays a valid v1 table
+            "format-version": self._format_version,
             "table-uuid": self.table_uuid,
             "location": self.path,
-            "last-updated-ms": snap["timestamp-ms"],
+            "last-updated-ms": last["timestamp-ms"],
             "last-column-id": max(f["id"] for f in self.fields),
             "schemas": [
                 {"type": "struct", "schema-id": i, "fields": fields}
@@ -505,7 +533,7 @@ class IcebergWriter:
             "partition-spec": [
                 {k: v for k, v in pf.items() if not k.startswith("_")} for pf in self.spec
             ],
-            "current-snapshot-id": snapshot_id,
+            "current-snapshot-id": last["snapshot-id"],
             "snapshots": self.snapshots,
         }
         with open(f"{self.path}/metadata/v{self.version}.metadata.json", "w") as f:
@@ -618,39 +646,7 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
             k: v for k, v in writer.snapshots[0].items() if k != "parent-snapshot-id"
         }
     writer.version += 1
-    # re-emit metadata for the surviving history
-    last = writer.snapshots[-1]
-    meta = {
-        "format-version": 2,
-        "table-uuid": writer.table_uuid,
-        "location": writer.path,
-        "last-updated-ms": last["timestamp-ms"],
-        "last-column-id": max(f["id"] for f in writer.fields),
-        "schemas": [
-            {"type": "struct", "schema-id": i, "fields": fields}
-            for i, fields in enumerate(writer.schemas)
-        ],
-        "current-schema-id": writer.current_schema_id,
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {k: v for k, v in pf.items() if not k.startswith("_")}
-                    for pf in writer.spec
-                ],
-            }
-        ],
-        "default-spec-id": 0,
-        "partition-spec": [
-            {k: v for k, v in pf.items() if not k.startswith("_")} for pf in writer.spec
-        ],
-        "current-snapshot-id": last["snapshot-id"],
-        "snapshots": writer.snapshots,
-    }
-    with open(f"{writer.path}/metadata/v{writer.version}.metadata.json", "w") as f:
-        json.dump(meta, f, indent=1, default=str)
-    with open(f"{writer.path}/metadata/version-hint.text", "w") as f:
-        f.write(str(writer.version))
+    writer._write_metadata()
     return expired
 
 
@@ -661,6 +657,7 @@ def remove_orphan_files(table_path: str) -> list[str]:
     from daskberg_spark.iceberg.avro import read_avro_file
     from daskberg_spark.iceberg.metadata import IcebergTable
 
+    table_path = os.path.realpath(table_path)
     table = IcebergTable(table_path)
     referenced: set[str] = set()
     for snap in table.snapshots.values():
@@ -671,11 +668,13 @@ def remove_orphan_files(table_path: str) -> list[str]:
                 # DELETED entries are tombstones, not references — a file
                 # only they mention is reclaimable
                 if e["status"] != 2:
-                    referenced.add(table._relocate(e["data_file"]["file_path"]))
+                    referenced.add(
+                        os.path.realpath(table._relocate(e["data_file"]["file_path"]))
+                    )
     removed = []
     data_dir = os.path.join(table_path, "data")
     for name in sorted(os.listdir(data_dir)):
-        path = os.path.join(data_dir, name)
+        path = os.path.realpath(os.path.join(data_dir, name))
         if path not in referenced and name.endswith(".parquet"):
             os.remove(path)
             removed.append(path)

@@ -365,7 +365,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(20):  # diameter bound; tiny components converge fast
+    converged = False
+    for _ in range(256):  # safety bound far above any real diameter
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy("a")
@@ -390,7 +391,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "connected components did not converge within 256 rounds"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

@@ -547,7 +547,9 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = table(spark, sf_dir, "customer").select("c_custkey")
     b = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return a.exceptAll(b).distinct()
+    # subtract == SQL EXCEPT (distinct; removes a key entirely when present
+    # on the right) — exceptAll().distinct() would keep left-heavy keys
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------

@@ -242,3 +242,91 @@ def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path):
     assert len(removed) == 2
     t = IcebergTable(w.path)
     assert t.to_df(spark).count() == 0
+
+
+def test_eq_delete_survives_column_rename(spark, tmp_path):
+    """Fix regression: equality-delete files written under an old column
+    name must still apply after rename_column."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": f"x{i}"} for i in range(5)])
+    w.delete_rows_equality([{"id": 2}])
+    w.rename_column("id", "doc_id")
+    w.append([{"doc_id": 10, "v": "y"}])
+    t = IcebergTable(w.path)
+    ids = sorted(r["doc_id"] for r in t.to_df(spark).collect())
+    assert ids == [0, 1, 3, 4, 10]
+
+
+def test_date_identity_partition_write(spark, tmp_path):
+    """Fix regression: identity partitioning on a date column encodes
+    epoch days into the manifest instead of crashing."""
+    import datetime
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "d", "type": "date", "required": False},
+        ],
+        [{"name": "d", "transform": "identity", "source": "d"}],
+    )
+    w.append(
+        [
+            {"id": 1, "d": datetime.date(2024, 1, 1)},
+            {"id": 2, "d": datetime.date(2024, 1, 2)},
+        ]
+    )
+    t = IcebergTable(w.path)
+    assert t.to_df(spark).count() == 2
+    assert len(t.plan_files([("d", "==", "2024-01-02")])) == 1
+
+
+def test_snapshot_ids_unique_after_expiry(spark, tmp_path):
+    """Fix regression: commits after expire_snapshots must not reuse ids."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, expire_snapshots
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}])
+    w.append([{"x": 2}])
+    w.append([{"x": 3}])
+    expire_snapshots(w, keep_last=2)
+    w.append([{"x": 4}])
+    t = IcebergTable(w.path)
+    ids = [s["snapshot-id"] for s in t.metadata["snapshots"]]
+    assert len(ids) == len(set(ids)) == 3
+    assert t.to_df(spark).count() == 4
+    t.open_snapshot(rel=-1)  # walks to a real distinct parent
+    assert t.to_df(spark).count() == 3
+
+
+def test_bucket_string_uuid_shape_utf8(spark, tmp_path):
+    """Fix regression: UUID-formatted strings in a string column hash as
+    UTF-8 (not as UUID bytes) for bucket pruning."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    u = "123e4567-e89b-12d3-a456-426614174000"
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "s", "type": "string", "required": False},
+        ],
+        [{"name": "s_bucket", "transform": "bucket[4]", "source": "s"}],
+    )
+    w.append([{"id": 1, "s": u}, {"id": 2, "s": "other"}])
+    t = IcebergTable(w.path)
+    rows = t.to_df(spark, filters=[("s", "==", u)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
