@@ -71,6 +71,7 @@ class IcebergTable:
             self._direct_meta = None
         self.original_url = (original_url or "").rstrip("/")
         self.manifest_cache: dict[str, list[dict[str, Any]]] = {}
+        self._scan_cache: dict[tuple, tuple] = {}
         self._version: int | None = None
         self._metadata: dict[str, Any] | None = None
         self._current_snapshot: dict[str, Any] | None = None
@@ -108,6 +109,7 @@ class IcebergTable:
         self._version = version
         self._current_snapshot = None
         self._manifest_list = None
+        self._scan_cache = {}
 
     def _latest_version(self) -> int:
         hint = os.path.join(self.url, "metadata", "version-hint.text")
@@ -177,6 +179,7 @@ class IcebergTable:
                         raise ValueError("walked past the first snapshot")
                     snap = self.snapshots[parent]
         self._current_snapshot = snap
+        self._scan_cache = {}
         ml_path = self._relocate(snap["manifest-list"])
         _, self._manifest_list = read_avro_file(ml_path)
 
@@ -255,8 +258,14 @@ class IcebergTable:
         maps, live after applying DELETED entries last across all
         manifests (``ice.py:165-204``).  ``delete_files`` holds v2
         position/equality delete files (``content`` 1/2); the reference
-        is v1-only and has no counterpart.
+        is v1-only and has no counterpart.  Results are memoized per
+        (snapshot, filters) — to_df plans data files and delete files in
+        the same read, so without the cache every query would reconcile
+        all manifests twice.
         """
+        cache_key = (self.current_snapshot["snapshot-id"], repr(filters))
+        if cache_key in self._scan_cache:
+            return self._scan_cache[cache_key]
         fields = self.fields
         surviving: list[tuple[str, int]] = []
         for mf in self.manifest_list:
@@ -312,6 +321,7 @@ class IcebergTable:
         for fpath in deleted:
             allfiles.pop(fpath, None)
             delete_files.pop(fpath, None)
+        self._scan_cache[cache_key] = (allfiles, delete_files)
         return allfiles, delete_files
 
     def schema_for_snapshot(self, snapshot_id: int | None) -> dict[str, Any]:

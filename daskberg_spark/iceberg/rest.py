@@ -14,8 +14,15 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Any
+
+
+def _ns_path(namespace: str) -> str:
+    """Dotted namespace → REST path segment (levels joined by the
+    unit separator, percent-encoded, per the Iceberg REST spec)."""
+    return urllib.parse.quote("\x1f".join(namespace.split(".")), safe="")
 
 
 class IceRestClient:
@@ -57,22 +64,24 @@ class IceRestClient:
 
     def get_namespace(self, namespace: str | None = None) -> dict[str, Any]:
         ns = namespace or self.namespace
-        return self._call("GET", f"namespaces/{ns}")
+        return self._call("GET", f"namespaces/{_ns_path(ns)}")
 
     def create_namespace(self, namespace: str | None = None) -> dict[str, Any]:
         ns = namespace or self.namespace
-        return self._call("POST", "namespaces", {"namespace": [ns], "properties": {}})
+        return self._call(
+            "POST", "namespaces", {"namespace": ns.split("."), "properties": {}}
+        )
 
     def delete_namespace(self, namespace: str | None = None) -> bool:
         ns = namespace or self.namespace
-        self._call("DELETE", f"namespaces/{ns}")
+        self._call("DELETE", f"namespaces/{_ns_path(ns)}")
         return True
 
     # -- tables (rest_client.py:46-95) ---------------------------------------
 
     def list_tables(self, namespace: str | None = None) -> list[str]:
         ns = namespace or self.namespace
-        out = self._call("GET", f"namespaces/{ns}/tables")
+        out = self._call("GET", f"namespaces/{_ns_path(ns)}/tables")
         return [t["name"] for t in out.get("identifiers", [])]
 
     def create_table(
@@ -102,15 +111,18 @@ class IceRestClient:
             },
             "stage-create": stage,
         }
-        return self._call("POST", f"namespaces/{ns}/tables", body)
+        return self._call("POST", f"namespaces/{_ns_path(ns)}/tables", body)
 
     def get_table(self, name: str, namespace: str | None = None) -> dict[str, Any]:
         ns = namespace or self.namespace
-        return self._call("GET", f"namespaces/{ns}/tables/{name}")
+        return self._call("GET", f"namespaces/{_ns_path(ns)}/tables/{name}")
 
     def delete_table(self, name: str, namespace: str | None = None, purge: bool = True) -> bool:
         ns = namespace or self.namespace
-        self._call("DELETE", f"namespaces/{ns}/tables/{name}?purgeRequested={str(purge).lower()}")
+        self._call(
+            "DELETE",
+            f"namespaces/{_ns_path(ns)}/tables/{name}?purgeRequested={str(purge).lower()}",
+        )
         return True
 
     # -- hand-off ------------------------------------------------------------

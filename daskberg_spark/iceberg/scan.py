@@ -18,8 +18,6 @@ to ``dask.dataframe.read_parquet``).  Here the pruned file list feeds
 
 from __future__ import annotations
 
-import datetime
-from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -28,12 +26,6 @@ from pyspark.sql import functions as F
 from daskberg_spark.iceberg.conversions import schema_to_struct
 from daskberg_spark.iceberg.metadata import IcebergTable
 from daskberg_spark.iceberg.planner import is_dnf
-
-
-def _lit(value: Any) -> Column:
-    if isinstance(value, (datetime.datetime, datetime.date, Decimal)):
-        return F.lit(value)
-    return F.lit(value)
 
 
 def filters_to_column(filters: Any) -> Column | None:
@@ -45,17 +37,17 @@ def filters_to_column(filters: Any) -> Column | None:
         col, op, val = p
         c = F.col(col)
         if op in ("==", "="):
-            return c == _lit(val)
+            return c == F.lit(val)
         if op == "!=":
-            return c != _lit(val)
+            return c != F.lit(val)
         if op == "<":
-            return c < _lit(val)
+            return c < F.lit(val)
         if op == "<=":
-            return c <= _lit(val)
+            return c <= F.lit(val)
         if op == ">":
-            return c > _lit(val)
+            return c > F.lit(val)
         if op == ">=":
-            return c >= _lit(val)
+            return c >= F.lit(val)
         if op == "in":
             return c.isin(list(val))
         raise ValueError(f"unknown op {op!r}")
@@ -115,7 +107,7 @@ def _read_with_deletes(
     """
     deletes = table.plan_deletes()
     id_to_name = {f.field_id: name for name, f in table.fields.items()}
-    eq_deletes = []  # (delete_snapshot_id, key_cols, file_path)
+    eq_deletes = []  # (delete_snapshot_id, current_key_cols, file_path)
     pos_paths: list[str] = []
     for d in deletes:
         if d.get("content") == 2:
@@ -123,6 +115,22 @@ def _read_with_deletes(
             eq_deletes.append((d.get("_snapshot_id") or 0, cols, d["file_path"]))
         elif d.get("content") == 1:
             pos_paths.append(d["file_path"])
+
+    def read_delete_keys(snap: int, cols: tuple, paths: list):
+        """Delete-file columns carry the names current at *delete time*;
+        resolve them to today's names by field id via the delete
+        snapshot's pinned schema (positional guessing breaks when a
+        rename reorders the sorted names)."""
+        del_schema = table.schema_for_snapshot(snap)
+        then_by_id = {
+            f.get("id", f.get("field-id")): f["name"] for f in del_schema["fields"]
+        }
+        now_by_name = {name: f.field_id for name, f in table.fields.items()}
+        keys = spark.read.parquet(*paths)
+        select = [
+            F.col(then_by_id[now_by_name[c]]).alias(c) for c in cols
+        ]
+        return keys.select(*select).distinct()
     tag_position = bool(pos_paths)
 
     if not eq_deletes:
@@ -140,25 +148,18 @@ def _read_with_deletes(
         for n_applicable, class_files in sorted(classes.items()):
             part = _read_file_groups(table, spark, class_files, struct, tag_position)
             applicable = eq_deletes[-n_applicable:] if n_applicable else []
-            by_cols: dict[tuple[str, ...], list[str]] = {}
-            for _, cols, path in applicable:
-                by_cols.setdefault(cols, []).append(path)
-            for cols, paths in sorted(by_cols.items()):
-                keys = spark.read.parquet(*paths)
-                # a delete file's columns carry the names current at write
-                # time; map them to today's names positionally — the writer
-                # emits both the columns and equality_ids in sorted order,
-                # so sorted(file columns)[i] ↔ cols[i] (same field id)
-                old_sorted = sorted(keys.columns)
-                if tuple(old_sorted) != cols:
-                    keys = keys.select(
-                        *[
-                            F.col(old).alias(new)
-                            for old, new in zip(old_sorted, cols)
-                        ]
-                    )
-                keys = keys.select(*cols).distinct()
-                part = part.join(F.broadcast(keys), on=list(cols), how="left_anti")
+            by_snap: dict[tuple, list[str]] = {}
+            for snap, cols, path in applicable:
+                by_snap.setdefault((snap, cols), []).append(path)
+            for (snap, cols), paths in sorted(by_snap.items()):
+                keys = read_delete_keys(snap, cols, paths).alias("__dk")
+                # null-safe equality: an Iceberg equality delete with a NULL
+                # key matches rows where the column IS NULL
+                cond = None
+                for c in cols:
+                    term = part[c].eqNullSafe(F.col(f"__dk.{c}"))
+                    cond = term if cond is None else (cond & term)
+                part = part.join(F.broadcast(keys), cond, "left_anti")
             parts.append(part)
         df = parts[0]
         for p in parts[1:]:
@@ -290,7 +291,15 @@ def diff_df(
     added rows == rows of added files; pruning filters apply on top."""
     current = table.current_snapshot
     files_now = {f["file_path"] for f in table.plan_files(filters)}
-    table.open_snapshot(rel=from_rel)
+    # walk parents from the PINNED snapshot (open_snapshot(rel=...) would
+    # restart the walk from the table's latest snapshot)
+    base = current
+    for _ in range(-from_rel):
+        parent = base.get("parent-snapshot-id")
+        if parent is None or parent not in table.snapshots:
+            raise ValueError("walked past the first snapshot")
+        base = table.snapshots[parent]
+    table.open_snapshot(snapshot_id=base["snapshot-id"])
     files_then = {f["file_path"] for f in table.plan_files()}
     # restore the caller-visible snapshot
     table.open_snapshot(snapshot_id=current["snapshot-id"])

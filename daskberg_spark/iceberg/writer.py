@@ -562,7 +562,7 @@ def commit_spark_output(
     import urllib.parse
 
     entries = []
-    snapshot_id = len(writer.snapshots) + 1
+    snapshot_id = writer._next_snapshot_id
     paths = sorted(
         _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
@@ -638,6 +638,8 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
     files stay until ``remove_orphan_files``).  Returns expired ids."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots to expire")
     expired = [s["snapshot-id"] for s in writer.snapshots[:-keep_last]]
     writer.snapshots = writer.snapshots[-keep_last:]
     # detach the parent pointer of the new oldest snapshot

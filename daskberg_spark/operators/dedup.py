@@ -316,13 +316,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_sql() -> str:
-    """The dedup_ngram_jaccard oracle's pair set, reused as CC edges."""
-    from daskberg_spark.operators.registry import ORACLES
-
-    return ORACLES["dedup_ngram_jaccard"]
-
-
 @query(
     "dedup_connected_components",
     "WITH RECURSIVE pairs AS ("

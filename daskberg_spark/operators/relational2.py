@@ -44,9 +44,12 @@ def grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
         mn, mx = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
-        scaled = (
-            (pdf["c_acctbal"] - mn) / (mx - mn) if mx != mn else pdf["c_acctbal"] * 0.0
-        )
+        if mx != mn:
+            scaled = (pdf["c_acctbal"] - mn) / (mx - mn)
+        else:
+            # literal zeros: multiplying negative balances by 0.0 yields
+            # -0.0, which bit-mismatches the oracle's CASE 0.0
+            scaled = pd.Series(0.0, index=pdf.index)
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],

@@ -330,3 +330,52 @@ def test_bucket_string_uuid_shape_utf8(spark, tmp_path):
     t = IcebergTable(w.path)
     rows = t.to_df(spark, filters=[("s", "==", u)]).collect()
     assert len(rows) == 1 and rows[0]["id"] == 1
+
+
+def test_multicolumn_eq_delete_survives_reordering_rename(spark, tmp_path):
+    """Fix regression: a 2-column delete key must map by field id, not by
+    sorted-name position, when a rename reorders the names."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "a", "type": "long", "required": False},
+            {"id": 2, "name": "b", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"a": 1, "b": 2}, {"a": 3, "b": 4}, {"a": 2, "b": 1}])
+    w.delete_rows_equality([{"a": 1, "b": 2}])
+    w.rename_column("a", "z")  # sorted order flips: (a,b) -> (b,z)
+    w.append([{"z": 9, "b": 9}])  # rename lands with the next commit
+    t = IcebergTable(w.path)
+    rows = sorted((r["z"], r["b"]) for r in t.to_df(spark).collect())
+    # (1,2) gone; (2,1) must NOT be deleted (positional mapping would
+    # swap the key columns and delete it)
+    assert rows == [(2, 1), (3, 4), (9, 9)]
+
+
+def test_eq_delete_null_key_matches_null_rows(spark, tmp_path):
+    """Fix regression: equality-delete NULL keys match IS NULL rows."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": 1, "grp": None}, {"id": 2, "grp": "x"}])
+    w.delete_rows_equality([{"grp": None}])
+    t = IcebergTable(w.path)
+    assert [r["id"] for r in t.to_df(spark).collect()] == [2]
+
+
+def test_diff_df_from_pinned_snapshot(spark, part_table):
+    """Fix regression: diff_df baselines from the pinned snapshot, not
+    the table head."""
+    part_table.open_snapshot(rel=-1)  # pin the pre-delete snapshot
+    diff = part_table.diff_df(spark, from_rel=-1)  # vs the first append
+    assert diff.count() == 50  # exactly the second append
+    part_table.open_snapshot()
