@@ -37,7 +37,9 @@ def _load_registry():
     ):
         try:
             __import__(optional)
-        except ImportError:
+        except Exception:
+            # an optional module must never take the whole registry down
+            # (fixture-build IO errors included)
             pass
     from daskberg_spark.operators.registry import ORACLES, QUERIES
 
@@ -57,4 +59,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     _, o = _load_registry()
+    try:
+        # oracles over local Iceberg fixtures need them on disk
+        from daskberg_spark.operators.iceberg_queries import prepare_fixtures
+
+        prepare_fixtures()
+    except Exception:
+        pass
     return dict(o)

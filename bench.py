@@ -47,7 +47,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
 
     import __spark_entry__ as entry_mod
     from daskberg_spark.session import get_spark

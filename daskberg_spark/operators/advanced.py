@@ -232,8 +232,10 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
-    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
-                              WHERE o2.o_custkey = o.o_custkey)
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,8 +247,10 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
-        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
-                                  WHERE o2.o_custkey = o.o_custkey)
+        WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
 

@@ -216,8 +216,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = F.col("toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(tc) - SHINGLE_K + 1, F.lit(1)))
+    # try_element_at: out-of-range -> NULL (skipped by concat_ws), matching
+    # DuckDB list-index semantics for sub-SHINGLE_K docs; plain element_at
+    # throws under Spark 4's default ANSI mode
     shingle = lambda i: F.concat_ws(
-        " ", *[F.element_at(tc, i + k) for k in range(SHINGLE_K)]
+        " ", *[F.try_element_at(tc, i + k) for k in range(SHINGLE_K)]
     )
     sh = with_toks.select(
         "doc_id",

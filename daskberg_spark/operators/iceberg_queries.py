@@ -30,13 +30,6 @@ from daskberg_spark.operators.registry import iceberg_golden_table, query, table
 GOLDEN_DATA = "/root/reference/test-data/my_table/data"
 
 
-def _golden_live_files(rel: int | None = None) -> list[str]:
-    t = iceberg_golden_table()
-    if rel is not None:
-        t.open_snapshot(rel=rel)
-    return [f["file_path"] for f in t.plan_files()]
-
-
 def _sql_file_list(paths: list[str]) -> str:
     quoted = ", ".join(f"'{p}'" for p in sorted(paths))
     return f"[{quoted}]"
@@ -96,8 +89,24 @@ def iceberg_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _part_fixture_files() -> str:
-    path = ensure_partitioned_fixture()
-    return f"{path}/data/*.parquet"
+    # path only — building the fixture at import time would turn a disk
+    # hiccup into a whole-registry load failure; query functions call
+    # ensure_partitioned_fixture() when they actually run
+    from daskberg_spark.iceberg.fixtures import FIXTURE_DIR
+
+    return f"{FIXTURE_DIR}/data/*.parquet"
+
+
+def prepare_fixtures() -> None:
+    """Build every local Iceberg fixture the oracles read (idempotent)."""
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_deletes_fixture,
+        ensure_evolved_fixture,
+    )
+
+    ensure_partitioned_fixture()
+    ensure_deletes_fixture()
+    ensure_evolved_fixture()
 
 
 @query(

@@ -565,7 +565,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS mo,
            round(o_totalprice, 0) AS price_rounded,
            concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
-           length(o_orderpriority) AS prio_len
+           CAST(length(o_orderpriority) AS INT) AS prio_len
     FROM orders
     """,
 )
@@ -696,7 +696,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -712,12 +712,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming session_window)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = table(spark, sf_dir, "events")
-    # epoch seconds via pure NTZ arithmetic — independent of the session
-    # timezone (a TIMESTAMP-cast route shifts across DST under non-UTC
-    # sessions)
-    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # epoch MICROseconds via pure NTZ arithmetic — tz-independent, and
+    # exact integers on both engines (whole-second truncation vs DuckDB's
+    # fractional epoch() disagrees for gaps inside (1800, 1801))
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         ev.withColumn("is_new", is_new)
         .groupBy("user_id")

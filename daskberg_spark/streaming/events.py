@@ -45,8 +45,14 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    # lexists: a stale/broken symlink must be replaced, not tripped over
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -60,10 +66,12 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     return stream
 
 
-def _run_to_memory(agg: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    agg: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -143,7 +151,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -175,10 +183,11 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for ts in rows["ts"]:
-            epoch = ts.value // 1_000_000_000  # pandas ns → seconds
-            if last_ts is None or epoch - last_ts > 1800:
+            micros = ts.value // 1_000  # pandas ns → exact µs (no flooring
+            # to seconds: fractional gaps just over 30min must still split)
+            if last_ts is None or micros - last_ts > 1800 * 1_000_000:
                 n_sessions += 1
-            last_ts = epoch
+            last_ts = micros
             n_events += 1
         state.update((n_sessions, n_events, last_ts))
         yield pd.DataFrame(
@@ -196,7 +205,7 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_memory_update(agg, spark)
+    out = _run_to_memory(agg, spark, output_mode="update")
     # update mode emits one row per key per batch; keep the final state
     return (
         out.groupBy("user_id")
@@ -206,20 +215,6 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-def _run_to_memory_update(agg: DataFrame, spark: SparkSession) -> DataFrame:
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 @query(

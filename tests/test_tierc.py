@@ -152,3 +152,18 @@ def test_connected_components_transitive_chain(spark, tmp_path):
     }
     assert comp[1] == comp[2] == comp[3] == 1
     assert 4 not in comp  # isolated doc has no near-dup edge
+
+
+def test_jaccard_handles_sub_shingle_docs(spark, tmp_path):
+    """Fix regression: 1-2 token documents must not crash the ANSI-mode
+    shingle builder (try_element_at, not element_at)."""
+    docs = spark.createDataFrame(
+        [(1, "one", "en", "s", 3), (2, "two words", "en", "s", 9),
+         (3, "a b c d e", "en", "s", 9), (4, "a b c d e", "en", "s", 9)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from daskberg_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    assert (3, 4) in pairs  # identical docs found; short docs didn't crash

@@ -50,7 +50,11 @@ def main() -> int:
     for name, (max_ex, want_push, want_bcast, max_cols) in AUDIT.items():
         if only and name not in only:
             continue
-        df = queries[name](spark, sf_dir)
+        fn = queries.get(name)
+        if fn is None:
+            print(f"skip  {name}: not registered")
+            continue
+        df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_exchange = len(re.findall(r"\bExchange\b", plan))
         pushed = bool(re.search(r"PushedFilters: \[[^\]]*Is|PushedFilters: \[[^\]]*(Greater|Less|Equal|In)", plan))
