@@ -287,10 +287,24 @@ def sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_quantiles")  # sketch internals differ per engine → rows-only
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5: approx_percentile sketch — the 100 TB quantile path."""
+    """B5: approx_percentile sketch — the 100 TB quantile path.
+
+    Result is flattened to scalar double columns (p50/p90/p99) rather than
+    one array column: the driver's pandas canonicalizer cannot hash
+    list-valued cells (CORRECTNESS_r01 ``unhashable type: 'list'``).
+    """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
-            "price_quantiles"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p50"),
+            F.col("qs")[1].alias("p90"),
+            F.col("qs")[2].alias("p99"),
         )
     )

@@ -147,17 +147,21 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations
+           array_to_string(list_sort(list(n_name)), '|') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12: collect_list + array_sort — deterministic array aggregation
     (unsorted collect_list is partition-order-dependent and unverifiable).
+
+    The sorted array is serialized with ``concat_ws('|')`` to one scalar
+    string column (mirrored as ``array_to_string`` in the oracle): the
+    driver's pandas canonicalizer cannot hash list-valued cells.
     """
     nation = table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations")
     )
 
 
