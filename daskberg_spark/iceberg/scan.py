@@ -107,14 +107,14 @@ def _read_with_deletes(
     """
     deletes = table.plan_deletes()
     id_to_name = {f.field_id: name for name, f in table.fields.items()}
-    eq_deletes = []  # (delete_snapshot_id, current_key_cols, file_path)
-    pos_paths: list[str] = []
+    eq_deletes = []  # (delete_snapshot_id, current_key_cols, data_file entry)
+    pos_files: list[dict[str, Any]] = []
     for d in deletes:
         if d.get("content") == 2:
             cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
-            eq_deletes.append((d.get("_snapshot_id") or 0, cols, d["file_path"]))
+            eq_deletes.append((d.get("_snapshot_id") or 0, cols, d))
         elif d.get("content") == 1:
-            pos_paths.append(d["file_path"])
+            pos_files.append(d)
 
     def read_delete_keys(snap: int, cols: tuple, paths: list):
         """Delete-file columns carry the names current at *delete time*;
@@ -131,14 +131,14 @@ def _read_with_deletes(
             F.col(then_by_id[now_by_name[c]]).alias(c) for c in cols
         ]
         return keys.select(*select).distinct()
-    tag_position = bool(pos_paths)
+    tag_position = bool(pos_files)
 
     if not eq_deletes:
         df = _read_file_groups(table, spark, files, struct, tag_position)
     else:
         # class = which equality deletes apply, keyed by the count of
         # delete snapshots after the file's adding snapshot
-        eq_deletes.sort()
+        eq_deletes.sort(key=lambda t: (t[0], t[1], t[2]["file_path"]))
         classes: dict[int, list[dict[str, Any]]] = {}
         for f in files:
             fsnap = f.get("_snapshot_id") or 0
@@ -148,35 +148,50 @@ def _read_with_deletes(
         for n_applicable, class_files in sorted(classes.items()):
             part = _read_file_groups(table, spark, class_files, struct, tag_position)
             applicable = eq_deletes[-n_applicable:] if n_applicable else []
-            by_snap: dict[tuple, list[str]] = {}
-            for snap, cols, path in applicable:
-                by_snap.setdefault((snap, cols), []).append(path)
-            for (snap, cols), paths in sorted(by_snap.items()):
-                keys = read_delete_keys(snap, cols, paths).alias("__dk")
+            by_snap: dict[tuple, list[dict[str, Any]]] = {}
+            for snap, cols, entry in applicable:
+                by_snap.setdefault((snap, cols), []).append(entry)
+            for (snap, cols), entries in sorted(by_snap.items()):
+                paths = [e["file_path"] for e in entries]
+                keys = _maybe_broadcast(
+                    read_delete_keys(snap, cols, paths).alias("__dk"), entries
+                )
                 # null-safe equality: an Iceberg equality delete with a NULL
                 # key matches rows where the column IS NULL
                 cond = None
                 for c in cols:
                     term = part[c].eqNullSafe(F.col(f"__dk.{c}"))
                     cond = term if cond is None else (cond & term)
-                part = part.join(F.broadcast(keys), cond, "left_anti")
+                part = part.join(keys, cond, "left_anti")
             parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
 
-    if pos_paths:
+    if pos_files:
+        # Delete files store target paths as written at delete time; on a
+        # relocated table (original_url) those reference the ORIGINAL
+        # location while __file carries the actual on-disk path — apply
+        # the same prefix rewrite as IcebergTable._relocate or the
+        # anti-join matches nothing and deleted rows reappear.
+        delf: Column = F.regexp_replace("file_path", "^file:/*", "/")
+        if table.original_url:
+            olen = len(table.original_url)
+            delf = F.when(
+                F.substring(delf, 1, olen) == F.lit(table.original_url),
+                F.concat(F.lit(table.url), F.substring(delf, olen + 1, 1 << 30)),
+            ).otherwise(delf)
         pos = (
-            spark.read.parquet(*pos_paths)
+            spark.read.parquet(*[e["file_path"] for e in pos_files])
             .select(
-                F.regexp_replace("file_path", "^file:/*", "/").alias("__del_file"),
+                delf.alias("__del_file"),
                 F.col("pos").alias("__del_pos"),
             )
             .distinct()
         )
         df = (
             df.join(
-                F.broadcast(pos),
+                _maybe_broadcast(pos, pos_files),
                 (df["__file"] == pos["__del_file"])
                 & (df["__pos"] == pos["__del_pos"]),
                 "left_anti",
@@ -184,6 +199,21 @@ def _read_with_deletes(
             .drop("__file", "__pos")
         )
     return df
+
+
+# Compressed-parquet size above which delete-key frames are NOT hint-forced
+# to broadcast: a 100 TB table can carry multi-GB delete files, and a forced
+# broadcast of those OOMs the driver.  Below the threshold the hint saves a
+# shuffle deterministically; above it the join is left unhinted so AQE picks
+# broadcast vs shuffle from runtime sizes.
+BROADCAST_DELETE_MAX_BYTES = 32 << 20
+
+
+def _maybe_broadcast(keys: DataFrame, entries: list[dict[str, Any]]) -> DataFrame:
+    sizes = [e.get("file_size_in_bytes") for e in entries]
+    if all(s is not None for s in sizes) and sum(sizes) <= BROADCAST_DELETE_MAX_BYTES:
+        return F.broadcast(keys)
+    return keys
 
 
 def _read_file_groups(

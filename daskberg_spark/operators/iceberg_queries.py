@@ -206,24 +206,29 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iceberg table (identity-partitioned by status, two snapshots), read it
     back through the connector, aggregate; the oracle hits the *source*
     parquet — so metadata, bounds, partition values, and snapshot
-    reconciliation all have to round-trip correctly to match."""
+    reconciliation all have to round-trip correctly to match.
+
+    Collect-free (round-1 verdict item 4): executors write the
+    hive-partitioned parquet in parallel; only the footer→metadata lift
+    (``commit_spark_output``) runs on the driver — the identical pattern a
+    1000-executor job uses, where a ``collect()`` would OOM the driver."""
+    import os
     import tempfile
 
-    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
 
-    rows = [
-        {
-            "o_orderkey": r["o_orderkey"],
-            "o_orderstatus": r["o_orderstatus"],
-            "o_totalprice": r["o_totalprice"],
-        }
-        # bounded driver materialization: this is a fixture-build path, not
-        # an operator (a cluster deployment commits distributed job output
-        # via the same metadata layer)
-        for r in table(spark, sf_dir, "orders")
+    src = (
+        table(spark, sf_dir, "orders")
         .filter("o_orderkey % 7 = 0")
-        .collect()
-    ]
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            # partitionBy drops its column from file contents; partition on
+            # a duplicate and keep the real column in the data proper
+            F.col("o_orderstatus").alias("part_status"),
+        )
+    )
     path = tempfile.mkdtemp(prefix="iceberg_rt_")
     writer = IcebergWriter(
         path,
@@ -234,9 +239,14 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         [{"name": "o_orderstatus", "transform": "identity", "source": "o_orderstatus"}],
     )
-    mid = len(rows) // 2
-    writer.append(rows[:mid])
-    writer.append(rows[mid:])
+    for i, half in enumerate(
+        (src.filter("o_orderkey % 14 = 0"), src.filter("o_orderkey % 14 <> 0"))
+    ):
+        data_dir = os.path.join(path, f"data-{i}")
+        half.write.mode("overwrite").partitionBy("part_status").parquet(data_dir)
+        commit_spark_output(
+            writer, data_dir, partition_col="o_orderstatus", path_col="part_status"
+        )
     t = IcebergTable(path)
     df = t.to_df(spark)
     return df.groupBy("o_orderstatus").agg(

@@ -212,6 +212,51 @@ def test_v2_delete_sequence_semantics(spark, tmp_path):
     assert sorted(map(tuple, t.to_df(spark).collect())) == [(2, "keep")]
 
 
+def test_v2_deletes_relocated_table(spark, tmp_path):
+    """Delete-file target paths are rewritten under original_url relocation:
+    a moved table's position deletes must still anti-join (stored paths
+    reference the ORIGINAL location) — round-1 ADVICE scan.py:172."""
+    import os
+    import shutil
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    orig = str(tmp_path / "orig" / "t")
+    w = IcebergWriter(
+        orig,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": f"v{i}"} for i in range(10)])
+    f = IcebergTable(orig).plan_files()[0]["file_path"]
+    w.delete_rows_position([(f, 0), (f, 3)])
+    w.delete_rows_equality([{"id": 7}])
+    moved = str(tmp_path / "moved" / "t")
+    os.makedirs(os.path.dirname(moved), exist_ok=True)
+    shutil.move(orig, moved)
+    t = IcebergTable(moved, original_url=orig)
+    ids = sorted(r["id"] for r in t.to_df(spark).select("id").collect())
+    assert ids == [1, 2, 4, 5, 6, 8, 9]
+
+
+def test_large_delete_set_unhinted(spark, monkeypatch):
+    """Above BROADCAST_DELETE_MAX_BYTES the delete anti-joins carry no
+    forced broadcast hint (AQE picks the strategy); results unchanged."""
+    from daskberg_spark.iceberg import scan as scan_mod
+    from daskberg_spark.iceberg.fixtures import ensure_deletes_fixture
+
+    t = IcebergTable(ensure_deletes_fixture())
+    hinted_df = t.to_df(spark)
+    assert "ResolvedHint" in hinted_df._jdf.queryExecution().analyzed().toString()
+    hinted = sorted(r["id"] for r in hinted_df.select("id").collect())
+    monkeypatch.setattr(scan_mod, "BROADCAST_DELETE_MAX_BYTES", -1)
+    unhinted_df = t.to_df(spark)
+    assert "ResolvedHint" not in unhinted_df._jdf.queryExecution().analyzed().toString()
+    assert sorted(r["id"] for r in unhinted_df.select("id").collect()) == hinted
+
+
 def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path):
     from daskberg_spark.iceberg.writer import (
         IcebergWriter,
