@@ -125,6 +125,21 @@ def decode_bound(value: bytes | None, type_str: str) -> Any:
     return value  # binary / fixed: raw
 
 
+def min_signed_bytes(n: int) -> bytes:
+    """Minimal-length big-endian two's-complement encoding (Iceberg spec).
+
+    ``(bit_length+8)//8`` over-allocates exactly when n == -2^(8k-1)
+    (e.g. -128 → 2 bytes ``ff80`` instead of the spec's 1-byte ``80``),
+    which changes the murmur3 bucket hash and breaks equality pruning
+    against spec-compliant writers — round-1 ADVICE transforms.py:92.
+    """
+    length = max(1, (n.bit_length() + 7) // 8)
+    try:
+        return n.to_bytes(length, "big", signed=True)
+    except OverflowError:  # positive value needing a sign byte, e.g. 128
+        return n.to_bytes(length + 1, "big", signed=True)
+
+
 def encode_bound(value: Any, type_str: str) -> bytes | None:
     """Python value → Iceberg single-value binary (writer/fixture side)."""
     if value is None:
@@ -133,8 +148,7 @@ def encode_bound(value: Any, type_str: str) -> bytes | None:
     if m:
         scale = int(m.group(2))
         unscaled = int(Decimal(value).scaleb(scale))
-        length = max(1, (unscaled.bit_length() + 8) // 8)
-        return unscaled.to_bytes(length, "big", signed=True)
+        return min_signed_bytes(unscaled)
     if type_str == "boolean":
         return b"\x01" if value else b"\x00"
     if type_str == "int":

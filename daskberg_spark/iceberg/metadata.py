@@ -348,7 +348,7 @@ class IcebergTable:
         allfiles = self.scan_manifests(filters)
         files = list(allfiles.values())
         if filters:
-            files = apply_filters(files, filters, self.fields)
+            files = apply_filters(files, filters, self.fields, self._spec_fields)
         return sorted(files, key=lambda f: f["file_path"])
 
     # -- metadata-only introspection ---------------------------------------

@@ -186,6 +186,7 @@ def _file_passes_conjunction(
     data_file: dict[str, Any],
     conj: Iterable[tuple[str, str, Any]],
     fields: dict[str, FieldInfo],
+    spec_by_source: dict[int, dict[str, Any]] | None = None,
 ) -> bool:
     for pred in conj:
         _validate(pred)
@@ -197,18 +198,29 @@ def _file_passes_conjunction(
         if op == "in":
             value = [normalize_value(v, info.type) for v in raw_value]
 
-        # (a) partition-value check through the transform (ice.py:296-318)
-        if info.transform and info.transform != "void":
+        # (a) partition-value check through the transform (ice.py:296-318).
+        # The transform is resolved from THIS file's partition spec when
+        # given (``spec_by_source``): on a spec-evolved table an older spec
+        # may reuse a field name with a different transform (e.g. changed
+        # bucket width), and checking through the default spec's transform
+        # would prune with the wrong function → silently missing rows.
+        if spec_by_source is not None:
+            spec = spec_by_source.get(info.field_id)
+            transform = spec["transform"] if spec else None
+            partition_name = spec["name"] if spec else None
+        else:
+            transform, partition_name = info.transform, info.partition_name
+        if transform and transform != "void":
             part = data_file.get("partition") or {}
-            if info.partition_name in part:
-                fn, ordered = get_transform(info.transform)
+            if partition_name in part:
+                fn, ordered = get_transform(transform)
                 pval = partition_value_to_python(
-                    part[info.partition_name],
-                    transform_result_type(info.transform, info.type),
+                    part[partition_name],
+                    transform_result_type(transform, info.type),
                 )
-                if info.transform == "day" and pval is not None and not isinstance(pval, int):
+                if transform == "day" and pval is not None and not isinstance(pval, int):
                     pval = (pval - datetime.date(1970, 1, 1)).days
-                exact = info.transform == "identity"
+                exact = transform == "identity"
                 if ordered:
                     tv = [fn(v) for v in value] if op == "in" else fn(value)
                     if not point_may_match(op, tv, pval, exact):
@@ -243,19 +255,37 @@ def apply_filters(
     files: list[dict[str, Any]],
     filters: Any,
     fields: dict[str, FieldInfo],
+    spec_fields_for: Any = None,
 ) -> list[dict[str, Any]]:
     """Return the subset of data files that may contain matching rows.
 
     OR-of-conjunctions → union of survivor sets (reference bug fixed).
+    ``spec_fields_for(spec_id)`` (e.g. ``IcebergTable._spec_fields``)
+    resolves each file's own partition spec so transform checks follow
+    the spec the file was written under, not the table default.
     """
     if not filters:
         return files
     conjunctions = filters if is_dnf(filters) else [filters]
+    spec_cache: dict[int, dict[int, dict[str, Any]]] = {}
+
+    def spec_map(f: dict[str, Any]) -> dict[int, dict[str, Any]] | None:
+        if spec_fields_for is None:
+            return None
+        sid = f.get("_spec_id", 0)
+        if sid not in spec_cache:
+            spec_cache[sid] = {
+                sf["source-id"]: sf for sf in spec_fields_for(sid)
+            }
+        return spec_cache[sid]
+
     out: dict[str, dict[str, Any]] = {}
     for conj in conjunctions:
         for data_file in files:
             path = data_file["file_path"]
-            if path not in out and _file_passes_conjunction(data_file, conj, fields):
+            if path not in out and _file_passes_conjunction(
+                data_file, conj, fields, spec_map(data_file)
+            ):
                 out[path] = data_file
     return [f for f in files if f["file_path"] in out]
 

@@ -88,9 +88,10 @@ def _bucket_hash_bytes(value: Any) -> bytes:
             value = 0.0  # -0.0 → +0.0 per spec
         return struct.pack("<d", value)
     if isinstance(value, Decimal):
+        from daskberg_spark.iceberg.conversions import min_signed_bytes
+
         unscaled = int(value.scaleb(-value.as_tuple().exponent))
-        length = max(1, (unscaled.bit_length() + 8) // 8)
-        return unscaled.to_bytes(length, "big", signed=True)
+        return min_signed_bytes(unscaled)
     if isinstance(value, str):
         # strings ALWAYS hash as UTF-8 (spec); uuid-typed columns must be
         # normalized to uuid.UUID before reaching here — guessing UUID-ness
@@ -100,7 +101,7 @@ def _bucket_hash_bytes(value: Any) -> bytes:
     if isinstance(value, _uuid.UUID):
         return value.bytes
     if isinstance(value, datetime.datetime):
-        micros = round((value - _EPOCH_DT).total_seconds() * 1_000_000)
+        micros = round((_naive_utc(value) - _EPOCH_DT).total_seconds() * 1_000_000)
         return micros.to_bytes(8, "little", signed=True)
     if isinstance(value, datetime.date):
         days = (value - _EPOCH_DATE).days
@@ -131,13 +132,22 @@ def truncate(value: Any, width: int) -> Any:
     raise NotImplementedError(f"truncate for {type(value)}")
 
 
+def _naive_utc(dt: datetime.datetime) -> datetime.datetime:
+    """tz-aware → naive UTC; epoch arithmetic against the naive _EPOCH_DT
+    would otherwise raise TypeError (e.g. a timestamptz ISO string parsed
+    with an offset) instead of transforming — round-1 ADVICE."""
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def _to_datetime(value: Any) -> datetime.datetime:
     if isinstance(value, datetime.datetime):
-        return value
+        return _naive_utc(value)
     if isinstance(value, datetime.date):
         return datetime.datetime(value.year, value.month, value.day)
     if isinstance(value, str):
-        return datetime.datetime.fromisoformat(value)
+        return _naive_utc(datetime.datetime.fromisoformat(value))
     raise NotImplementedError(f"temporal transform for {type(value)}")
 
 

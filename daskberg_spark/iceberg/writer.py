@@ -482,6 +482,18 @@ class IcebergWriter:
     def _commit(
         self, snapshot_id: int, manifests: list[dict[str, Any]], operation: str, added: int
     ) -> None:
+        # Drop DELETED-tombstone-only manifests created by PRIOR snapshots:
+        # real Iceberg keeps delete tombstones for exactly one snapshot
+        # (incremental consumers read them there), after which they are
+        # stale — carrying them forward makes every scan reprocess them
+        # and would wrongly tombstone a re-added file path.
+        manifests = [
+            m
+            for m in manifests
+            if m.get("added_snapshot_id") == snapshot_id
+            or m.get("added_data_files_count", 0) > 0
+            or m.get("existing_data_files_count", 0) > 0
+        ]
         ml_name = f"snap-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(snapshot_id)).hex[:8]}.avro"
         ml_path = f"{self.path}/metadata/{ml_name}"
         write_avro_file(ml_path, _MANIFEST_FILE_SCHEMA, manifests)

@@ -194,3 +194,36 @@ def test_invalid_filters_raise():
         apply_filters(files, [("age", "~", 5)], FIELDS)
     with pytest.raises(ValueError):
         apply_filters(files, [("age", "in", 5)], FIELDS)
+
+
+def test_spec_evolution_per_file_transform():
+    """Files are pruned through THEIR OWN spec's transform, not the table
+    default: an older spec reusing a partition field name with a different
+    bucket width must not mis-prune (round-1 ADVICE planner.py:201)."""
+    from daskberg_spark.iceberg.transforms import bucket
+
+    specs = {
+        0: [{"source-id": 3, "name": "sym_bucket", "transform": "bucket[2]"}],
+        1: [{"source-id": 3, "name": "sym_bucket", "transform": "bucket[4]"}],
+    }
+    # default (current) spec is bucket[4]; FIELDS declares that too
+    old = mkfile("old.parquet", partition={"sym_bucket": bucket("abc", 2)})
+    old["_spec_id"] = 0
+    new = mkfile("new.parquet", partition={"sym_bucket": bucket("abc", 4)})
+    new["_spec_id"] = 1
+    files = [old, new]
+    filt = [("sym", "==", "abc")]
+    # with per-file resolution both files survive regardless of whether
+    # bucket widths disagree for this value
+    kept = apply_filters(files, filt, FIELDS, lambda sid: specs[sid])
+    assert {f["file_path"] for f in kept} == {"old.parquet", "new.parquet"}
+    # sanity: the widths genuinely disagree for some probe value, and a
+    # default-spec-only check would then drop the old file
+    probe = next(
+        v for v in ("abc", "xyz", "q", "zz", "k2", "m3", "p7")
+        if bucket(v, 2) != bucket(v, 4) % 2 or bucket(v, 4) != bucket(v, 2)
+    )
+    old2 = mkfile("old2.parquet", partition={"sym_bucket": bucket(probe, 2)})
+    old2["_spec_id"] = 0
+    kept2 = apply_filters([old2], [("sym", "==", probe)], FIELDS, lambda sid: specs[sid])
+    assert kept2  # correct transform keeps it

@@ -424,3 +424,34 @@ def test_diff_df_from_pinned_snapshot(spark, part_table):
     diff = part_table.diff_df(spark, from_rel=-1)  # vs the first append
     assert diff.count() == 50  # exactly the second append
     part_table.open_snapshot()
+
+
+def test_delete_tombstones_dropped_after_one_snapshot(spark, tmp_path):
+    """DELETED-tombstone manifests live for exactly one snapshot (Iceberg
+    semantics): the next commit drops them from its manifest list, so scans
+    stop reprocessing stale delete manifests (round-1 ADVICE writer.py:433)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}, {"x": 2}])
+    w.delete_files(lambda df: True)  # tombstones the first file
+    w.append([{"x": 3}])
+
+    def tombstone_only(mf):
+        return (
+            mf.get("deleted_data_files_count", 0) > 0
+            and mf.get("added_data_files_count", 0) == 0
+            and mf.get("existing_data_files_count", 0) == 0
+        )
+
+    t = IcebergTable(w.path)
+    assert not any(tombstone_only(mf) for mf in t.manifest_list)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == [3]
+    # the delete snapshot itself still carries its tombstone (incremental
+    # consumers read deletes there)
+    t.open_snapshot(rel=-1)
+    assert any(tombstone_only(mf) for mf in t.manifest_list)
+    assert t.to_df(spark).count() == 0

@@ -79,3 +79,35 @@ def test_get_transform_dispatch():
     assert not ordered and fn(123) is None
     with pytest.raises(NotImplementedError):
         get_transform("zorder[2]")
+
+
+def test_decimal_bucket_minimal_twos_complement():
+    """-2^(8k-1) unscaled values must encode minimally (spec): -128 is one
+    byte 0x80, not two bytes 0xff80 — a non-minimal encoding changes the
+    murmur3 bucket and silently breaks equality pruning against
+    spec-compliant external writers (round-1 ADVICE transforms.py:92)."""
+    from daskberg_spark.iceberg.conversions import min_signed_bytes
+    from daskberg_spark.iceberg.transforms import _bucket_hash_bytes
+
+    assert _bucket_hash_bytes(Decimal("-1.28")) == b"\x80"
+    assert _bucket_hash_bytes(Decimal("1.28")) == b"\x00\x80"  # sign byte
+    assert min_signed_bytes(0) == b"\x00"
+    assert min_signed_bytes(127) == b"\x7f"
+    assert min_signed_bytes(-32768) == b"\x80\x00"
+    # spec worked example is unaffected
+    assert _bucket_hash_bytes(Decimal("14.20")) == b"\x05\x8c"
+
+
+def test_tz_aware_datetime_transforms():
+    """Aware datetimes normalize to naive UTC instead of raising TypeError
+    on naive-epoch arithmetic (round-1 ADVICE transforms.py:103)."""
+    aware = datetime.datetime(
+        2020, 6, 1, 5, 30, tzinfo=datetime.timezone(datetime.timedelta(hours=2))
+    )
+    naive_utc = datetime.datetime(2020, 6, 1, 3, 30)
+    assert hour(aware) == hour(naive_utc)
+    assert day(aware) == day(naive_utc)
+    assert month(aware) == month(naive_utc)
+    assert bucket(aware, 16) == bucket(naive_utc, 16)
+    # ISO string with offset (normalize_value output for timestamptz)
+    assert hour("2020-06-01T05:30:00+02:00") == hour(naive_utc)
