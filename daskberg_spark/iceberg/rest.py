@@ -125,6 +125,29 @@ class IceRestClient:
         )
         return True
 
+    # -- commit (beyond reference: closes the write loop) --------------------
+
+    def commit_table(
+        self, name: str, metadata_location: str, namespace: str | None = None
+    ) -> dict[str, Any]:
+        """Publish a new metadata location for ``name`` via
+        ``POST .../tables/{name}`` (CommitTableRequest shape).
+
+        This pairs ``IcebergWriter`` with the catalog: the writer emits
+        ``v{N}.metadata.json`` locally (data files written by executors),
+        then this call points the catalog at it — after which
+        ``open_table`` readers see the new snapshot.  The reference has
+        no commit path (``create_table(stage=True)`` staging only)."""
+        ns = namespace or self.namespace
+        body = {
+            "identifier": {"namespace": ns.split("."), "name": name},
+            "requirements": [],
+            "updates": [
+                {"action": "set-metadata-location", "location": metadata_location}
+            ],
+        }
+        return self._call("POST", f"namespaces/{_ns_path(ns)}/tables/{name}", body)
+
     # -- hand-off ------------------------------------------------------------
 
     def open_table(self, name: str, namespace: str | None = None) -> "Any":
@@ -136,3 +159,47 @@ class IceRestClient:
         if not location:
             raise ValueError(f"table {name} has no metadata-location")
         return IcebergTable(location)
+
+
+# -- OpenAPI introspection (A26; reference rest_client.py:103-132) -----------
+
+OPENAPI_URL = (
+    "https://raw.githubusercontent.com/apache/iceberg/main/"
+    "open-api/rest-catalog-open-api.yaml"
+)
+
+
+def fetch_openapi(url: str = OPENAPI_URL) -> dict[str, Any]:
+    """Fetch + parse the published REST catalog OpenAPI document
+    (JSON or YAML)."""
+    with urllib.request.urlopen(url) as resp:
+        text = resp.read().decode()
+    try:
+        return json.loads(text)
+    except ValueError:
+        import yaml
+
+        return yaml.safe_load(text)
+
+
+def get_def(api: dict[str, Any], ref: str) -> Any:
+    """Walk a ``#/components/schemas/X`` reference path into the document
+    (reference ``_get_def``, rest_client.py:117-132)."""
+    out: Any = api
+    for part in ref.strip("#").strip("/").split("/"):
+        out = out[part]
+    return out
+
+
+def resolve_refs(api: dict[str, Any], node: Any, max_depth: int = 10) -> Any:
+    """Recursively inline ``$ref`` nodes (depth-bounded: the spec's schema
+    graph is cyclic — e.g. Expression → and/or → Expression)."""
+    if max_depth <= 0:
+        return node
+    if isinstance(node, dict):
+        if set(node) == {"$ref"}:
+            return resolve_refs(api, get_def(api, node["$ref"]), max_depth - 1)
+        return {k: resolve_refs(api, v, max_depth) for k, v in node.items()}
+    if isinstance(node, list):
+        return [resolve_refs(api, v, max_depth) for v in node]
+    return node

@@ -18,6 +18,36 @@ from daskberg_spark.iceberg.rest import IceRestClient
 
 STATE: dict = {"namespaces": {}, "tables": {}}
 
+OPENAPI_DOC = {
+    "openapi": "3.0.3",
+    "paths": {"/v1/namespaces": {"get": {"operationId": "listNamespaces"}}},
+    "components": {
+        "schemas": {
+            "BaseUpdate": {
+                "type": "object",
+                "required": ["action"],
+                "properties": {"action": {"type": "string"}},
+            },
+            "AddSnapshotUpdate": {
+                "allOf": [
+                    {"$ref": "#/components/schemas/BaseUpdate"},
+                    {
+                        "type": "object",
+                        "required": ["snapshot"],
+                        "properties": {
+                            "snapshot": {"$ref": "#/components/schemas/Snapshot"}
+                        },
+                    },
+                ]
+            },
+            "Snapshot": {
+                "type": "object",
+                "properties": {"snapshot-id": {"type": "integer"}},
+            },
+        }
+    },
+}
+
 
 class Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence
@@ -34,7 +64,10 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         parts = self.path.strip("/").split("/")
         # /v1/namespaces | /v1/namespaces/{ns} | /v1/namespaces/{ns}/tables[/t]
-        if parts == ["v1", "namespaces"]:
+        if parts == ["openapi.yaml"]:
+            # JSON is a YAML subset; serves fetch_openapi either way
+            self._send(OPENAPI_DOC)
+        elif parts == ["v1", "namespaces"]:
             self._send({"namespaces": [[ns] for ns in STATE["namespaces"]]})
         elif len(parts) == 3 and parts[1] == "namespaces":
             ns = parts[2]
@@ -80,6 +113,16 @@ class Handler(BaseHTTPRequestHandler):
             }
             STATE["tables"][(ns, name)] = info
             self._send(info)
+        elif len(parts) == 5 and parts[3] == "tables":
+            # CommitTableRequest: apply set-metadata-location updates
+            key = (parts[2], parts[4])
+            if key not in STATE["tables"]:
+                self._send({"error": "no such table"}, 404)
+                return
+            for upd in body.get("updates", []):
+                if upd.get("action") == "set-metadata-location":
+                    STATE["tables"][key]["metadata-location"] = upd["location"]
+            self._send(STATE["tables"][key])
         else:
             self._send({"error": "bad path"}, 400)
 
@@ -148,3 +191,47 @@ def test_missing_table_raises(rest_endpoint):
     client = IceRestClient(rest_endpoint, namespace="db")
     with pytest.raises(RuntimeError, match="404"):
         client.get_table("nope")
+
+
+def test_openapi_introspect(rest_endpoint):
+    """A26: fetch the published OpenAPI doc, walk $ref paths, inline refs
+    (reference rest_client.py:103-132)."""
+    from daskberg_spark.iceberg.rest import fetch_openapi, get_def, resolve_refs
+
+    api = fetch_openapi(f"{rest_endpoint}/openapi.yaml")
+    assert api["openapi"].startswith("3.")
+    d = get_def(api, "#/components/schemas/AddSnapshotUpdate")
+    assert d["allOf"][0] == {"$ref": "#/components/schemas/BaseUpdate"}
+    inlined = resolve_refs(api, d)
+    assert inlined["allOf"][0]["properties"]["action"] == {"type": "string"}
+    assert (
+        inlined["allOf"][1]["properties"]["snapshot"]["properties"]["snapshot-id"]
+        == {"type": "integer"}
+    )
+
+
+def test_rest_commit_write_loop(rest_endpoint, tmp_path):
+    """Writer -> commit_table -> open_table round-trip: the catalog hands
+    readers each newly committed snapshot (closes the write loop the
+    reference leaves open at create_table(stage=True))."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    client = IceRestClient(rest_endpoint, namespace="db")
+    client.create_namespace()
+    client.create_table("kv", {"x": "long"}, stage=True)
+    w = IcebergWriter(
+        str(tmp_path / "kv"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}, {"x": 2}])
+    client.commit_table("kv", f"{w.path}/metadata/v1.metadata.json")
+    t = client.open_table("kv")
+    assert len(t.plan_files()) == 1
+    w.append([{"x": 3}])
+    client.commit_table("kv", f"{w.path}/metadata/v2.metadata.json")
+    t2 = client.open_table("kv")
+    assert len(t2.snapshots) == 2
+    assert len(t2.plan_files()) == 2
+    # un-committed local state is invisible through the catalog
+    w.append([{"x": 4}])
+    assert len(client.open_table("kv").plan_files()) == 2
