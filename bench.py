@@ -42,6 +42,10 @@ HEADLINE = [
     "text_quality",
     "langid_heuristic",
     "similarity_topk",
+    # expensive Tier-C compositions + v2 delete read (round-1 verdict 7)
+    "pipeline_dedup_corpus",
+    "dedup_connected_components",
+    "iceberg_v2_row_deletes",
 ]
 
 

@@ -313,12 +313,19 @@ def diff_df(
     spark: SparkSession,
     from_rel: int = -1,
     filters: Any = None,
+    changelog: bool = False,
 ) -> DataFrame:
     """Incremental read: rows in data files that are live in the current
-    snapshot but were not live ``from_rel`` snapshots ago (append-only
-    changelog; reference's snapshot log is exactly this history,
-    SURVEY §1.5).  File-level diff — Iceberg appends are whole files, so
-    added rows == rows of added files; pruning filters apply on top."""
+    snapshot but were not live ``from_rel`` snapshots ago (reference's
+    snapshot log is exactly this history, SURVEY §1.5).  File-level diff —
+    Iceberg appends are whole files, so added rows == rows of added files;
+    pruning filters apply on top.
+
+    ``changelog=True`` additionally emits the delete side for
+    overwrite/delete snapshots: rows of files live at the base but not at
+    the head, tagged by a ``_change_type`` column (``insert``/``delete``).
+    File-level granularity — a row-level (v2 delete-file) diff would tag
+    individual positions; file rewrites appear as delete+insert pairs."""
     current = table.current_snapshot
     files_now = {f["file_path"] for f in table.plan_files(filters)}
     # walk parents from the PINNED snapshot (open_snapshot(rel=...) would
@@ -330,19 +337,27 @@ def diff_df(
             raise ValueError("walked past the first snapshot")
         base = table.snapshots[parent]
     table.open_snapshot(snapshot_id=base["snapshot-id"])
-    files_then = {f["file_path"] for f in table.plan_files()}
+    files_then = {f["file_path"] for f in table.plan_files(filters if changelog else None)}
     # restore the caller-visible snapshot
     table.open_snapshot(snapshot_id=current["snapshot-id"])
     added = sorted(files_now - files_then)
     struct = schema_to_struct(table.schema)
-    if not added:
-        df = spark.createDataFrame([], struct)
-    else:
-        df = spark.read.schema(struct).parquet(*added)
-    residual = filters_to_column(filters)
-    if residual is not None:
-        df = df.filter(residual)
-    return df
+
+    def read_side(paths: list[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], struct)
+        df = spark.read.schema(struct).parquet(*paths)
+        residual = filters_to_column(filters)
+        return df.filter(residual) if residual is not None else df
+
+    if not changelog:
+        return read_side(added)
+    removed = sorted(files_then - files_now)
+    return read_side(added).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        read_side(removed).withColumn("_change_type", F.lit("delete"))
+    )
 
 
 IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]

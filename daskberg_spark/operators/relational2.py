@@ -112,8 +112,39 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: a single unpartitioned window is a one-reducer sort; at
     100 TB this shape needs a partition key or a two-pass quantile
-    approach (see approx_quantiles)."""
+    approach — ``window_distribution_partitioned`` is the registered
+    scale-safe sibling (and see approx_quantiles)."""
     w = Window.orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "window_distribution_partitioned",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: the scale-safe sibling of ``window_distribution`` — identical
+    distribution functions but PARTITIONED BY order month, so the sort
+    shards across reducers instead of collapsing to one (a global
+    ``Window.orderBy`` is a single-reducer sort; this shape survives
+    100 TB as long as the partition key bounds per-group row counts).
+    Deterministic tiebreak on the unique key as before."""
+    w = Window.partitionBy(F.date_trunc("month", "o_orderdate")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
     return table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),

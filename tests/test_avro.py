@@ -98,3 +98,61 @@ def test_roundtrip_synthetic_types():
 def test_rejects_non_avro():
     with pytest.raises(ValueError):
         read_avro(b"not avro at all")
+
+
+# -- property-based writer<->reader roundtrip (round-1 verdict item 10) ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PRIMITIVES = {
+    "string": st.text(max_size=30),
+    "int": st.integers(-(2**31), 2**31 - 1),
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "double": st.floats(allow_nan=False),
+    "float": st.floats(width=32, allow_nan=False),
+    "boolean": st.booleans(),
+    "bytes": st.binary(max_size=20),
+}
+
+
+@st.composite
+def _schema_and_records(draw):
+    names = list(_PRIMITIVES)
+    fields, val_strats = [], {}
+    for i in range(draw(st.integers(1, 6))):
+        name = f"f{i}"
+        kind = draw(st.sampled_from(names + ["nullable", "array", "map"]))
+        if kind == "nullable":
+            inner = draw(st.sampled_from(names))
+            fields.append({"name": name, "type": ["null", inner]})
+            val_strats[name] = st.none() | _PRIMITIVES[inner]
+        elif kind == "array":
+            inner = draw(st.sampled_from(names))
+            fields.append({"name": name, "type": {"type": "array", "items": inner}})
+            val_strats[name] = st.lists(_PRIMITIVES[inner], max_size=5)
+        elif kind == "map":
+            inner = draw(st.sampled_from(names))
+            fields.append({"name": name, "type": {"type": "map", "values": inner}})
+            val_strats[name] = st.dictionaries(
+                st.text(max_size=8), _PRIMITIVES[inner], max_size=4
+            )
+        else:
+            fields.append({"name": name, "type": kind})
+            val_strats[name] = _PRIMITIVES[kind]
+    schema = {"type": "record", "name": "r", "fields": fields}
+    records = draw(st.lists(st.fixed_dictionaries(val_strats), max_size=8))
+    return schema, records
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schema_and_records(), st.sampled_from(["null", "deflate"]))
+def test_property_roundtrip_random_schemas(sr, codec):
+    """Any write_avro output must read back value-identical through
+    read_avro, across random flat/nullable/array/map schemas and codecs
+    (beyond the manifest shapes the connector itself exercises)."""
+    schema, records = sr
+    buf = io.BytesIO()
+    write_avro(schema, records, buf, codec=codec)
+    _, out = read_avro(buf.getvalue())
+    assert out == records

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
 from daskberg_spark.iceberg.fixtures import ensure_partitioned_fixture
 from daskberg_spark.iceberg.metadata import IcebergTable
@@ -455,3 +457,30 @@ def test_delete_tombstones_dropped_after_one_snapshot(spark, tmp_path):
     t.open_snapshot(rel=-1)
     assert any(tombstone_only(mf) for mf in t.manifest_list)
     assert t.to_df(spark).count() == 0
+
+
+def test_changelog_diff_emits_delete_side(spark, part_table):
+    """changelog=True tags file-level inserts and deletes with
+    _change_type; the fixture's head snapshot deleted cat=news/day-1
+    files, so diff vs the pre-delete snapshot is all deletes."""
+    head = part_table.current_snapshot["snapshot-id"]
+    cl = part_table.diff_df(spark, from_rel=-1, changelog=True)
+    assert "_change_type" in cl.columns
+    counts = {r["_change_type"]: r["n"] for r in
+              cl.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("insert") is None
+    pre = part_table.to_df(spark)
+    part_table.open_snapshot(rel=-1)
+    expect_deleted = part_table.to_df(spark).count() - pre.count()
+    part_table.open_snapshot()
+    assert counts["delete"] == expect_deleted > 0
+    # deleted rows are exactly the news/day-1 partition content
+    assert cl.filter("_change_type = 'delete'").filter(
+        "NOT (cat = 'news' AND CAST(day_ts AS DATE) = DATE '2024-01-01')"
+    ).count() == 0
+    # filters prune both sides
+    some = part_table.diff_df(
+        spark, from_rel=-1, filters=[("sym", "==", "AAPL")], changelog=True
+    )
+    assert 0 < some.count() < counts["delete"]
+    assert part_table.current_snapshot["snapshot-id"] == head
