@@ -264,3 +264,146 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias("recall"),
         )
     )
+
+
+# -- IVF (inverted-file) ANN: the cell-probed scale path ---------------------
+
+N_CELLS = 16
+N_PROBE = 4
+KMEANS_ROUNDS = 3
+
+
+def _sq_dist(v, cent: list[float]):
+    """Squared L2 distance to a literal centroid, per-row JVM fold."""
+    carr = F.array(*[F.lit(x) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_of(v, centroids: list[list[float]]):
+    """argmin cell id over literal centroids — one expression, no shuffle.
+    array_min over struct<d,cell> is lexicographic: min distance, ties to
+    the lower cell id."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cell"]
+
+
+def ivf_centroids(
+    emb: DataFrame, n_cells: int = N_CELLS, rounds: int = KMEANS_ROUNDS
+) -> list[list[float]]:
+    """Distributed mini-kmeans coarse quantizer.
+
+    Deterministic init (the first ``n_cells`` vec_ids); each round assigns
+    every vector to its nearest centroid via a literal-expression argmin
+    (zero shuffles over the corpus) and recomputes means with
+    posexplode → groupBy(cell, dim).  Only the centroid table itself —
+    ``n_cells × dim`` doubles, metadata-scale — ever reaches the driver,
+    the same contract as MLlib's KMeans driver loop."""
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = dim_row["d"]
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    v = F.col("embedding")
+    for _ in range(rounds):
+        assigned = emb.select(_cell_of(v, centroids).alias("cell"), "embedding")
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        # empty cells keep their previous centroid
+        centroids = [by_cell.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids
+
+
+@query("similarity_ivf_recall")  # kmeans cells have no SQL twin → rows-only
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path #2: IVF (inverted-file) ANN — kmeans-partition the
+    corpus into N_CELLS cells, search only each query's N_PROBE nearest
+    cells, exact cosine re-score, then measure recall@TOP_K vs brute
+    force (same harness as similarity_lsh_recall).
+
+    The 100 TB shape: cell assignment is a per-row expression (no
+    shuffle); the probed join keys on cell id, so each query touches
+    ~N_PROBE/N_CELLS of the corpus.  Output adds the measured candidate
+    fraction so the recall/cost trade-off is visible per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb)
+    v = F.col("embedding")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _cell_of(v, centroids).alias("cell"),
+    )
+    # per-query probe cells: N_PROBE smallest distances (array_sort of
+    # struct<d,cell> is lexicographic)
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("cell"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probes).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cell").alias("qcell"))
+    )
+    cand = F.broadcast(q).join(
+        corpus,
+        (F.col("qcell") == corpus["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).drop("qcell", "cell")
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    ann = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    n_cand = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    total = emb.count()
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = ann.intersect(exact).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias("recall"),
+            (F.coalesce(F.col("n_cand"), F.lit(0)) / F.lit(float(total))).alias(
+                "candidate_fraction"
+            ),
+        )
+    )

@@ -167,3 +167,47 @@ def test_jaccard_handles_sub_shingle_docs(spark, tmp_path):
 
     pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
     assert (3, 4) in pairs  # identical docs found; short docs didn't crash
+
+
+def test_ivf_recall_and_candidate_bound(spark):
+    """IVF ANN: probing N_PROBE of N_CELLS cells must search a bounded
+    corpus fraction while keeping recall well above the random floor."""
+    from daskberg_spark.operators import similarity as S
+
+    rows = S.similarity_ivf_recall(spark, SF).collect()
+    assert len(rows) == S.N_QUERIES
+    import statistics
+
+    mean_recall = statistics.mean(r["recall"] for r in rows)
+    # brute force would be 1.0; random K-of-N would be ~K/N (~0.01);
+    # probing 1/4 of the cells must land far above the random floor
+    assert mean_recall >= 0.5
+    for r in rows:
+        assert r["candidate_fraction"] <= 2.5 * S.N_PROBE / S.N_CELLS
+
+
+def test_ivf_centroids_deterministic_and_separating(spark, tmp_path):
+    """Two well-separated point clouds end up in different cells, and the
+    quantizer is run-to-run deterministic (no runtime RNG)."""
+    rows = [(i, [10.0 + (i % 3) * 0.01] * 8, 0) for i in range(10)]
+    rows += [(10 + i, [-10.0 - (i % 3) * 0.01] * 8, 1) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    from daskberg_spark.operators.similarity import _cell_of, ivf_centroids
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    c1 = ivf_centroids(e, n_cells=2, rounds=3)
+    c2 = ivf_centroids(e, n_cells=2, rounds=3)
+    assert c1 == c2
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in e.select(
+            "vec_id", _cell_of(F.col("embedding"), c1).alias("cell")
+        ).collect()
+    }
+    pos_cells = {cells[i] for i in range(10)}
+    neg_cells = {cells[10 + i] for i in range(10)}
+    assert len(pos_cells) == 1 and len(neg_cells) == 1
+    assert pos_cells != neg_cells
