@@ -250,3 +250,73 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "streaming_dedup",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_first_events
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on (user_id,
+    event_type) keeps each user's FIRST event of every type across
+    micro-batches (keyed state), then a running count per type.  The
+    surviving-row count per type equals the batch COUNT(DISTINCT user_id)
+    oracle exactly, whatever the micro-batch slicing.
+
+    At scale the dedup state is bounded with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` (suppressing
+    replays within the lateness bound instead of forever); the unbounded
+    variant here matches the whole-fixture oracle."""
+    stream = _event_stream(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_first_events")
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select("event_type", "n_first_events")
+
+
+@query(
+    "streaming_stream_join",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    attribute each purchase to clicks by the same user within the
+    preceding 30 minutes.  Both sides carry watermarks so the join state
+    is provably bounded (Spark derives the state retention from the
+    time-range predicate); the drained result equals the batch range-join
+    oracle.  This is the canonical funnel/attribution shape a 100 TB
+    event pipeline runs continuously."""
+    stream = _event_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _run_to_memory(joined, spark, output_mode="append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed")
+    )

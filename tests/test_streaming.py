@@ -1,0 +1,56 @@
+"""Structured Streaming queries drained on the batch fixture must equal
+their batch formulations exactly (micro-batch slicing must not matter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    from daskberg_spark.operators.registry import table
+    from daskberg_spark.streaming.events import streaming_dedup
+
+    got = {
+        r["event_type"]: r["n_first_events"]
+        for r in streaming_dedup(spark, SF).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_stream_join_equals_batch_range_join(spark):
+    from daskberg_spark.operators.registry import table
+    from daskberg_spark.streaming.events import streaming_stream_join
+
+    got = {
+        r["user_id"]: r["n_attributed"]
+        for r in streaming_stream_join(spark, SF).collect()
+    }
+    ev = table(spark, SF, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        r["u"]: r["n"]
+        for r in c.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
