@@ -117,3 +117,98 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.groupBy(F.col("meta.codec").alias("codec")).agg(
         F.count(F.lit(1)).alias("n_assets")
     )
+
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id,
+           CAST(idx * {FRAME_BYTES} AS BIGINT) AS frame_offset,
+           CAST(least({FRAME_BYTES},
+                      octet_length(encode(text)) - idx * {FRAME_BYTES}) AS BIGINT)
+             AS frame_bytes
+    FROM documents,
+         LATERAL unnest(range(0,
+             CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT),
+             {FRAME_STRIDE})) AS t(idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: video frame sampling — the 1-row→N-rows mapInPandas shape.
+
+    The payload is chopped into FRAME_BYTES "frames" and every
+    FRAME_STRIDE-th frame is emitted as its own row (a real video job
+    decodes keyframes here; the slicing, batch fan-out, and schema are
+    identical).  The oracle reproduces the sampled offsets/lengths
+    arithmetically from the payload size, so the driver verifies the
+    Python slicing exactly."""
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, offs, sizes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for start in range(
+                    0, len(payload), FRAME_BYTES * FRAME_STRIDE
+                ):
+                    frame = payload[start : start + FRAME_BYTES]
+                    ids.append(doc_id)
+                    offs.append(start)
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_offset": offs, "frame_bytes": sizes}
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id long, frame_offset long, frame_bytes long"
+    )
+
+
+RESIZE_STRIDE = 4
+
+
+@query(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(ceil(octet_length(encode(text)) / {RESIZE_STRIDE}.0) AS BIGINT)
+             AS resized_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: image resize plumbing — numpy stride-downsampling of the raw
+    payload inside mapInPandas (a real job calls PIL/libvips here).  The
+    resized byte counts are verified against the arithmetic oracle; the
+    actual resampled bytes stay executor-side, as they would at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def resize(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            orig, resized = [], []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                out = arr[::RESIZE_STRIDE]  # nearest-neighbor downsample
+                orig.append(len(arr))
+                resized.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": orig,
+                    "resized_bytes": resized,
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, orig_bytes long, resized_bytes long"
+    )
