@@ -34,6 +34,13 @@ AUDIT = {
     "asof_join": (1, True, False, 4),
     "merge_upsert": (2, True, False, 4),
     "dedup_ngram_jaccard": (6, False, False, 4),
+    "q4_order_priority": (3, False, False, 3),
+    "q10_returned_items": (6, True, True, None),
+    "q14_promo_effect": (1, False, True, 4),
+    "q18_large_volume": (6, False, False, None),
+    "window_distribution_partitioned": (1, False, False, 3),
+    # eq-delete anti-join + pos-delete anti-join + final agg exchange
+    "iceberg_v2_row_deletes": (3, False, True, None),
 }
 
 
