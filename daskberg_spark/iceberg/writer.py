@@ -434,6 +434,116 @@ class IcebergWriter:
         self._commit(snapshot_id, keep_manifests + [delete_manifest], "delete", 0)
         return snapshot_id
 
+    def merge_rows(
+        self, updates: list[dict[str, Any]], key_cols: list[str]
+    ) -> int:
+        """Copy-on-write MERGE (upsert) as ONE ``overwrite`` snapshot:
+        data files containing a matching key are rewritten with the update
+        applied ({**row, **update} — unnamed columns keep their values),
+        their originals tombstoned; update rows matching no existing key
+        are appended.  Untouched files carry forward unchanged, so write
+        amplification is bounded by the matched-file set — the
+        copy-on-write trade (zero read-time overhead) vs the merge-on-read
+        alternative already provided by ``delete_rows_equality`` +
+        ``append``.
+
+        Rewritten rows are regrouped by partition tuple, so an update that
+        moves a row across partitions lands in the right partition with
+        correct metadata.  The driver-side rewrite is the test-scale path;
+        a cluster runs the same rewrite as a Spark job over exactly the
+        matched files and commits through this metadata layer
+        (``commit_spark_output`` analogue)."""
+        if not updates:
+            raise ValueError("no update rows")
+        for c in key_cols:
+            if c not in self.types:
+                raise ValueError(f"unknown key column {c!r}")
+        ups_by_key = {tuple(u[c] for c in key_cols): u for u in updates}
+        if len(ups_by_key) != len(updates):
+            raise ValueError("duplicate keys in updates")
+        from daskberg_spark.iceberg.avro import read_avro_file
+
+        snapshot_id = self._next_snapshot_id
+        keep_manifests, delete_entries, new_rows_by_part = [], [], {}
+        matched: set[tuple] = set()
+        for mf in self.manifests:
+            _, entries = read_avro_file(mf["manifest_path"])
+            touched, survivors = [], []
+            for e in entries:
+                df_rec = e["data_file"]
+                if e["status"] == 2 or df_rec.get("content", 0) in (1, 2):
+                    survivors.append(e)
+                    continue
+                rows = pq.read_table(df_rec["file_path"]).to_pylist()
+                hits = [
+                    r for r in rows if tuple(r[c] for c in key_cols) in ups_by_key
+                ]
+                if not hits:
+                    survivors.append(e)
+                    continue
+                touched.append(e)
+                delete_entries.append(
+                    {"status": 2, "snapshot_id": snapshot_id, "data_file": df_rec}
+                )
+                for r in rows:
+                    k = tuple(r[c] for c in key_cols)
+                    if k in ups_by_key:
+                        matched.add(k)
+                        r = {**r, **ups_by_key[k]}
+                    new_rows_by_part.setdefault(
+                        self._partition_tuple(r), []
+                    ).append(r)
+            if touched:
+                existing = [
+                    {"status": 0, "snapshot_id": e["snapshot_id"], "data_file": e["data_file"]}
+                    for e in survivors
+                ]
+                if existing:
+                    keep_manifests.append(
+                        self._write_manifest(existing, snapshot_id)
+                    )
+            else:
+                keep_manifests.append(mf)
+        # unmatched updates are inserts
+        n_inserted = 0
+        for k, u in ups_by_key.items():
+            if k not in matched:
+                missing = [c for c in self.types if c not in u]
+                row = {**{c: None for c in missing}, **u}
+                new_rows_by_part.setdefault(self._partition_tuple(row), []).append(row)
+                n_inserted += 1
+        add_entries = []
+        for ptuple, grows in sorted(new_rows_by_part.items(), key=lambda kv: str(kv[0])):
+            fpath, fsize = self._write_parquet(grows)
+            lowers, uppers = self._bounds(grows)
+            add_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            pf["name"]: v for pf, v in zip(self.spec, ptuple)
+                        },
+                        "record_count": len(grows),
+                        "file_size_in_bytes": fsize,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
+                    },
+                }
+            )
+        new_manifests = [self._write_manifest(add_entries, snapshot_id)]
+        if delete_entries:
+            new_manifests.append(self._write_manifest(delete_entries, snapshot_id))
+        self._commit(
+            snapshot_id,
+            keep_manifests + new_manifests,
+            "overwrite",
+            n_inserted,
+        )
+        return snapshot_id
+
     # -- metadata emission --------------------------------------------------
 
     def _write_manifest(self, entries: list[dict[str, Any]], snapshot_id: int) -> dict[str, Any]:

@@ -426,3 +426,87 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = IcebergTable(ensure_evolved_fixture())
     return t.to_df(spark)
+
+
+@query(
+    "iceberg_merge_cow",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    k(o_orderkey, o_orderstatus, o_totalprice) AS (
+      VALUES (11, 'X', -1.0), (22, 'X', -2.0), (33, 'X', -3.0),
+             (-1, 'NEW', 123.45)
+    ),
+    updated AS (
+      SELECT s.o_orderkey,
+             COALESCE(k.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+             COALESCE(k.o_totalprice, s.o_totalprice) AS o_totalprice
+      FROM src s LEFT JOIN k ON s.o_orderkey = k.o_orderkey
+    ),
+    inserted AS (
+      SELECT * FROM k
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE end-to-end: distributed write of an orders
+    subset (identity-partitioned by status), then ``merge_rows`` applies
+    three literal updates (which also MOVE the rows into partition 'X')
+    plus one insert in a single overwrite snapshot; the read-back
+    aggregate must match an oracle that recomputes the merge relationally
+    from the source parquet — so file rewrite, partition regrouping,
+    tombstoning, and bounds all have to be right."""
+    import os
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 11 = 0")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderstatus").alias("part_status"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_merge_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+        [{"name": "o_orderstatus", "transform": "identity", "source": "o_orderstatus"}],
+    )
+    data_dir = os.path.join(path, "data-0")
+    src.write.mode("overwrite").partitionBy("part_status").parquet(data_dir)
+    commit_spark_output(
+        writer, data_dir, partition_col="o_orderstatus", path_col="part_status"
+    )
+    writer.merge_rows(
+        [
+            {"o_orderkey": 11, "o_orderstatus": "X", "o_totalprice": -1.0},
+            {"o_orderkey": 22, "o_orderstatus": "X", "o_totalprice": -2.0},
+            {"o_orderkey": 33, "o_orderstatus": "X", "o_totalprice": -3.0},
+            {"o_orderkey": -1, "o_orderstatus": "NEW", "o_totalprice": 123.45},
+        ],
+        ["o_orderkey"],
+    )
+    t = IcebergTable(path)
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

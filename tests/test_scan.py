@@ -484,3 +484,49 @@ def test_changelog_diff_emits_delete_side(spark, part_table):
     )
     assert 0 < some.count() < counts["delete"]
     assert part_table.current_snapshot["snapshot-id"] == head
+
+
+def test_merge_rows_copy_on_write(spark, tmp_path):
+    """merge_rows rewrites only matched files in one overwrite snapshot:
+    updates apply ({**row,**update}), cross-partition moves land in the
+    right partition, unmatched keys insert, untouched files carry
+    forward, and time travel still sees the pre-merge state."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"k": 1, "grp": "a", "v": 1.0}, {"k": 2, "grp": "b", "v": 2.0}])
+    w.append([{"k": 3, "grp": "c", "v": 3.0}])
+    t0 = IcebergTable(w.path)
+    untouched = {
+        f["file_path"] for f in t0.plan_files() if f["partition"]["grp"] == "c"
+    }
+    w.merge_rows(
+        [
+            {"k": 1, "v": 10.0},                 # in-place update
+            {"k": 2, "grp": "a", "v": 20.0},     # moves partition b -> a
+            {"k": 9, "grp": "z", "v": 9.0},      # insert
+        ],
+        ["k"],
+    )
+    t = IcebergTable(w.path)
+    rows = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("a", 20.0), 3: ("c", 3.0), 9: ("z", 9.0)}
+    # untouched partition's file survived un-rewritten
+    now = {f["file_path"] for f in t.plan_files()}
+    assert untouched <= now
+    # partition metadata followed the moved row (prunable by grp='a')
+    a_files = t.plan_files([("grp", "==", "a")])
+    assert {r["k"] for f in a_files for r in __import__("pyarrow.parquet", fromlist=["x"]).read_table(f["file_path"]).to_pylist()} == {1, 2}
+    # one overwrite snapshot; parent state intact via time travel
+    assert t.current_snapshot["summary"]["operation"] == "overwrite"
+    t.open_snapshot(rel=-1)
+    old = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    assert old == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("c", 3.0)}
