@@ -155,15 +155,28 @@ class IcebergTable:
         return self.current_snapshot.get("summary", {})
 
     def open_snapshot(
-        self, rel: int | None = None, snapshot_id: int | None = None
+        self,
+        rel: int | None = None,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> None:
-        """Select a snapshot absolutely or relatively (``ice.py:118-151``).
+        """Select a snapshot absolutely, relatively, or by named ref
+        (``ice.py:118-151``; refs are beyond-reference, per the Iceberg v2
+        ``refs`` metadata map).
 
         ``rel=-N`` walks N steps back along ``parent-snapshot-id`` from the
-        latest snapshot; ``snapshot_id`` selects absolutely.
+        latest snapshot; ``snapshot_id`` selects absolutely; ``ref``
+        resolves a branch/tag name recorded in the metadata.
         """
-        if rel is not None and snapshot_id is not None:
-            raise ValueError("pass only one of rel= and snapshot_id=")
+        if sum(x is not None for x in (rel, snapshot_id, ref)) > 1:
+            raise ValueError("pass only one of rel=, snapshot_id=, ref=")
+        if ref is not None:
+            refs = self.metadata.get("refs") or {}
+            if ref not in refs:
+                raise ValueError(
+                    f"no such ref {ref!r}; known: {sorted(refs)}"
+                )
+            snapshot_id = refs[ref]["snapshot-id"]
         if snapshot_id is not None:
             if snapshot_id not in self.snapshots:
                 raise ValueError(f"snapshot {snapshot_id} not in table")

@@ -218,6 +218,7 @@ class IcebergWriter:
         self._format_version = 1  # upgraded to 2 by row-level deletes
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+        self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
         self._file_counter = 0
         self._manifest_counter = 0
         os.makedirs(f"{self.path}/metadata", exist_ok=True)
@@ -544,6 +545,38 @@ class IcebergWriter:
         )
         return snapshot_id
 
+    def set_ref(
+        self,
+        name: str,
+        ref_type: str = "tag",
+        snapshot_id: int | None = None,
+    ) -> None:
+        """Create/update a named ref (branch or tag) pointing at
+        ``snapshot_id`` (default: current head).  Tags pin a snapshot for
+        retention ("the corpus release we trained on"); branches are
+        movable heads.  Readers resolve via
+        ``IcebergTable.open_snapshot(ref=...)``."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError("ref_type must be 'tag' or 'branch'")
+        if name == "main":
+            raise ValueError("'main' is managed automatically")
+        if not self.snapshots:
+            raise ValueError("no snapshot to reference")
+        if snapshot_id is None:
+            snapshot_id = self.snapshots[-1]["snapshot-id"]
+        elif snapshot_id not in {s["snapshot-id"] for s in self.snapshots}:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        self.refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+        self.version += 1
+        self._write_metadata()
+
+    def drop_ref(self, name: str) -> None:
+        if name not in self.refs:
+            raise ValueError(f"no such ref {name!r}")
+        del self.refs[name]
+        self.version += 1
+        self._write_metadata()
+
     # -- metadata emission --------------------------------------------------
 
     def _write_manifest(self, entries: list[dict[str, Any]], snapshot_id: int) -> dict[str, Any]:
@@ -657,6 +690,12 @@ class IcebergWriter:
             ],
             "current-snapshot-id": last["snapshot-id"],
             "snapshots": self.snapshots,
+            # Iceberg refs map: named branches/tags plus the implicit main
+            # branch tracking the head (spec v2 §Table Metadata "refs")
+            "refs": {
+                **self.refs,
+                "main": {"snapshot-id": last["snapshot-id"], "type": "branch"},
+            },
         }
         with open(f"{self.path}/metadata/v{self.version}.metadata.json", "w") as f:
             json.dump(meta, f, indent=1, default=str)

@@ -87,3 +87,35 @@ def test_manifest_cache(golden_table):
 
 def test_unpartitioned_unique_partitions(golden_table):
     assert golden_table.unique_partitions() == [()]
+
+
+def test_refs_tags_and_branches(spark, tmp_path):
+    """Writer-recorded refs resolve through open_snapshot(ref=...): a tag
+    pins its snapshot across later appends; main tracks the head."""
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}, {"x": 2}])
+    w.set_ref("v1-release", "tag")
+    w.append([{"x": 3}])
+    w.set_ref("dev", "branch")
+    t = IcebergTable(w.path)
+    assert t.to_df(spark).count() == 3
+    t.open_snapshot(ref="v1-release")
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == [1, 2]
+    t.open_snapshot(ref="main")
+    assert t.to_df(spark).count() == 3
+    t.open_snapshot(ref="dev")
+    assert t.to_df(spark).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such ref"):
+        t.open_snapshot(ref="nope")
+    w.drop_ref("dev")
+    assert "dev" not in IcebergTable(w.path).metadata["refs"]
+    assert "v1-release" in IcebergTable(w.path).metadata["refs"]
