@@ -716,8 +716,12 @@ def commit_spark_output(
     This is the cluster-scale write path: executors produce the data
     files in parallel; only the metadata commit (one manifest per 100
     files, bounds lifted from parquet footers, no data IO) runs on the
-    driver.  ``partition_col`` must be an identity-partition source column
-    whose values appear as hive ``col=value`` path segments.
+    driver.  ``partition_col`` names a partition SOURCE column of the
+    writer's spec; the hive ``col=value`` path segments must carry the
+    TRANSFORMED value (identity: the value itself; bucket[n]: the bucket
+    int — compute it Spark-side with ``spark_partition_value``), which
+    lands in the manifest under the spec field's name so transform-aware
+    pruning works on the result.
     """
     import glob as _glob
     import urllib.parse
@@ -753,13 +757,29 @@ def commit_spark_output(
             # `path_col` is the hive directory name (Spark's partitionBy drops
             # that column from file contents, so callers partition on a
             # *duplicate* column and keep the real one in the data).
+            spec_field = next(
+                (
+                    pf
+                    for pf in writer.spec
+                    if pf["_source_name"] == partition_col
+                ),
+                None,
+            )
+            if spec_field is None:
+                raise ValueError(
+                    f"{partition_col!r} is not a partition source column"
+                )
+            rtype = transform_result_type(
+                spec_field["transform"], writer.types[partition_col]
+            )
             seg_name = path_col or partition_col
             for seg in path.split(os.sep):
                 if seg.startswith(seg_name + "="):
                     raw = urllib.parse.unquote(seg.split("=", 1)[1])
-                    t = writer.types[partition_col]
-                    partition[partition_col] = (
-                        int(raw) if t in ("int", "long") else raw
+                    # key by the SPEC FIELD name (what the planner checks),
+                    # typed by the transform's result
+                    partition[spec_field["name"]] = (
+                        int(raw) if rtype in ("int", "long") else raw
                     )
         entries.append(
             {
@@ -842,3 +862,31 @@ def remove_orphan_files(table_path: str) -> list[str]:
             os.remove(path)
             removed.append(path)
     return removed
+
+
+def spark_partition_value(col: Any, transform: str, result_type: str = "int") -> Any:
+    """Spark Column computing an Iceberg partition transform of ``col``,
+    for the duplicate hive-partition column of a distributed write.
+
+    identity passes through; every other transform routes through the
+    spec-exact Python implementation as a vectorized pandas UDF — bucket
+    MUST use Iceberg murmur3 (``transforms.bucket``), never Spark's
+    builtin ``hash()``/``F.bucket`` which disagree with the spec's hash
+    and would mis-prune every external reader (SURVEY §2 A7b)."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.transforms import get_transform
+
+    c = F.col(col) if isinstance(col, str) else col
+    if transform == "identity":
+        return c
+    fn, _ = get_transform(transform)
+
+    def _apply(s):
+        return s.map(
+            lambda v: None
+            if v is None
+            else fn(v.item() if hasattr(v, "item") else v)
+        )
+
+    return F.pandas_udf(_apply, result_type)(c)

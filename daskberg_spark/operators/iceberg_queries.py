@@ -510,3 +510,58 @@ def iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "iceberg_bucket_write_prune",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey IN (7, 311)
+    """,
+)
+def iceberg_bucket_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-partitioned DISTRIBUTED write → transform-aware pruned read:
+    executors hive-partition orders by the Iceberg murmur3 bucket of
+    o_custkey (``spark_partition_value``), the metadata commit lifts the
+    bucket ints into spec-keyed partition values, and the planner then
+    prunes an equality predicate through bucket[8] — proving write-side
+    bucket parity with external spec-compliant readers, not just the
+    pure-Python fixture path.  Oracle hits the source parquet."""
+    import os
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        spark_partition_value,
+    )
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        spark_partition_value("o_custkey", "bucket[8]").alias("pb"),
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_bucket_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_custkey", "type": "long", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+        [{"name": "ck_bucket", "transform": "bucket[8]", "source": "o_custkey"}],
+    )
+    data_dir = os.path.join(path, "data-0")
+    src.write.mode("overwrite").partitionBy("pb").parquet(data_dir)
+    commit_spark_output(writer, data_dir, partition_col="o_custkey", path_col="pb")
+    t = IcebergTable(path)
+    total = len(t.plan_files())
+    pruned = t.plan_files([("o_custkey", "in", [7, 311])])
+    # the whole point: the bucket transform must actually prune file groups
+    assert 0 < len(pruned) < total, (len(pruned), total)
+    return t.to_df(
+        spark,
+        filters=[("o_custkey", "in", [7, 311])],
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
