@@ -78,8 +78,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from daskberg_spark.session import get_spark
@@ -95,6 +100,7 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_noracle = 0
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -103,26 +109,48 @@ def main() -> int:
             spark_pdf = sdf.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "spark error"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"weak  {name}: no oracle (rows={len(spark_pdf)})")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             n_noracle += 1
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "oracle error"}
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, oracle_pdf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"ok    {name} ({len(spark_pdf)} rows)")
+            results[name] = {"status": "ok", "rows": len(spark_pdf)}
             n_pass += 1
     print(f"\n{n_pass} ok, {n_fail} fail, {n_noracle} weak (no oracle)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {
+                        "ok": n_pass,
+                        "fail": n_fail,
+                        "rows_only": n_noracle,
+                    },
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
     return 1 if n_fail else 0
 
