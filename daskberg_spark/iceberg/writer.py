@@ -199,17 +199,9 @@ class IcebergWriter:
         self.fields = schema_fields
         self.types = {f["name"]: f["type"] for f in schema_fields}
         self.ids = {f["name"]: f["id"] for f in schema_fields}
-        spec = partition_spec or []
-        self.spec = [
-            {
-                "name": p["name"],
-                "transform": p["transform"],
-                "source-id": self.ids[p["source"]],
-                "field-id": 1000 + i,
-                "_source_name": p["source"],
-            }
-            for i, p in enumerate(spec)
-        ]
+        self.spec = self._build_spec(partition_spec or [], 1000)
+        self.specs: list[list[dict[str, Any]]] = [self.spec]
+        self.current_spec_id = 0
         self.version = 0
         self.schemas: list[list[dict[str, Any]]] = [list(schema_fields)]
         self.current_schema_id = 0
@@ -225,6 +217,36 @@ class IcebergWriter:
         os.makedirs(f"{self.path}/data", exist_ok=True)
 
     # -- helpers ------------------------------------------------------------
+
+    def _build_spec(
+        self, partition_spec: list[dict[str, Any]], first_field_id: int
+    ) -> list[dict[str, Any]]:
+        return [
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": self.ids[p["source"]],
+                # partition field ids are unique across ALL of a table's
+                # specs (Iceberg spec): later specs continue the sequence
+                "field-id": first_field_id + i,
+                "_source_name": p["source"],
+            }
+            for i, p in enumerate(partition_spec)
+        ]
+
+    def update_partition_spec(self, partition_spec: list[dict[str, Any]]) -> int:
+        """Partition evolution: future snapshots write under the new spec;
+        existing files keep their original spec id, and the reader prunes
+        each file through ITS OWN spec's transforms
+        (planner ``spec_fields_for`` resolution)."""
+        next_fid = 1000 + sum(len(s) for s in self.specs)
+        self.spec = self._build_spec(partition_spec, next_fid)
+        self.specs.append(self.spec)
+        self.current_spec_id = len(self.specs) - 1
+        self.version += 1
+        if self.snapshots:
+            self._write_metadata()
+        return self.current_spec_id
 
     def _partition_tuple(self, row: dict[str, Any]) -> tuple:
         out = []
@@ -413,13 +435,15 @@ class IcebergWriter:
         snapshot_id = self._next_snapshot_id
         from daskberg_spark.iceberg.avro import read_avro_file
 
-        keep_manifests, delete_entries = [], []
+        keep_manifests = []
+        delete_by_spec: dict[int, list[dict[str, Any]]] = {}
         for mf in self.manifests:
+            mf_spec = mf.get("partition_spec_id", 0)
             _, entries = read_avro_file(mf["manifest_path"])
             hit = [e for e in entries if predicate(e["data_file"])]
             if hit:
                 for e in hit:
-                    delete_entries.append(
+                    delete_by_spec.setdefault(mf_spec, []).append(
                         {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
                     )
                 survivors = [
@@ -428,11 +452,18 @@ class IcebergWriter:
                     if not predicate(e["data_file"])
                 ]
                 if survivors:
-                    keep_manifests.append(self._write_manifest(survivors, snapshot_id))
+                    keep_manifests.append(
+                        self._write_manifest(survivors, snapshot_id, spec_id=mf_spec)
+                    )
             else:
                 keep_manifests.append(mf)
-        delete_manifest = self._write_manifest(delete_entries, snapshot_id)
-        self._commit(snapshot_id, keep_manifests + [delete_manifest], "delete", 0)
+        # one tombstone manifest per origin spec: partition records must
+        # decode under the spec they were written with
+        delete_manifests = [
+            self._write_manifest(entries, snapshot_id, spec_id=sid)
+            for sid, entries in sorted(delete_by_spec.items())
+        ] or [self._write_manifest([], snapshot_id)]
+        self._commit(snapshot_id, keep_manifests + delete_manifests, "delete", 0)
         return snapshot_id
 
     def merge_rows(
@@ -465,9 +496,11 @@ class IcebergWriter:
         from daskberg_spark.iceberg.avro import read_avro_file
 
         snapshot_id = self._next_snapshot_id
-        keep_manifests, delete_entries, new_rows_by_part = [], [], {}
+        keep_manifests, new_rows_by_part = [], {}
+        delete_by_spec: dict[int, list[dict[str, Any]]] = {}
         matched: set[tuple] = set()
         for mf in self.manifests:
+            mf_spec = mf.get("partition_spec_id", 0)
             _, entries = read_avro_file(mf["manifest_path"])
             touched, survivors = [], []
             for e in entries:
@@ -483,7 +516,7 @@ class IcebergWriter:
                     survivors.append(e)
                     continue
                 touched.append(e)
-                delete_entries.append(
+                delete_by_spec.setdefault(mf_spec, []).append(
                     {"status": 2, "snapshot_id": snapshot_id, "data_file": df_rec}
                 )
                 for r in rows:
@@ -501,7 +534,7 @@ class IcebergWriter:
                 ]
                 if existing:
                     keep_manifests.append(
-                        self._write_manifest(existing, snapshot_id)
+                        self._write_manifest(existing, snapshot_id, spec_id=mf_spec)
                     )
             else:
                 keep_manifests.append(mf)
@@ -535,8 +568,10 @@ class IcebergWriter:
                 }
             )
         new_manifests = [self._write_manifest(add_entries, snapshot_id)]
-        if delete_entries:
-            new_manifests.append(self._write_manifest(delete_entries, snapshot_id))
+        for sid, entries in sorted(delete_by_spec.items()):
+            new_manifests.append(
+                self._write_manifest(entries, snapshot_id, spec_id=sid)
+            )
         self._commit(
             snapshot_id,
             keep_manifests + new_manifests,
@@ -579,16 +614,28 @@ class IcebergWriter:
 
     # -- metadata emission --------------------------------------------------
 
-    def _write_manifest(self, entries: list[dict[str, Any]], snapshot_id: int) -> dict[str, Any]:
+    def _write_manifest(
+        self,
+        entries: list[dict[str, Any]],
+        snapshot_id: int,
+        spec_id: int | None = None,
+    ) -> dict[str, Any]:
+        """``spec_id`` selects which partition spec the entries' partition
+        records follow — rewrites of pre-evolution manifests (delete_files
+        / merge survivors) must keep their ORIGINAL spec, not the current
+        one, or partition values decode under the wrong fields."""
+        if spec_id is None:
+            spec_id = self.current_spec_id
+        spec = self.specs[spec_id]
         self._manifest_counter += 1
         name = f"manifest-{snapshot_id}-{self._manifest_counter:04d}.avro"
         path = f"{self.path}/metadata/{name}"
-        schema = _manifest_entry_schema(self.spec, self.types)
+        schema = _manifest_entry_schema(spec, self.types)
         write_avro_file(path, schema, entries)
 
         # partition summaries (transformed space) for manifest-list pruning
         summaries = []
-        for i, pf in enumerate(self.spec):
+        for i, pf in enumerate(spec):
             rtype = transform_result_type(pf["transform"], self.types[pf["_source_name"]])
             vals = [
                 e["data_file"]["partition"].get(pf["name"])
@@ -609,7 +656,7 @@ class IcebergWriter:
         return {
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": n_added,
             "existing_data_files_count": n_existing,
@@ -677,14 +724,15 @@ class IcebergWriter:
             "current-schema-id": self.current_schema_id,
             "partition-specs": [
                 {
-                    "spec-id": 0,
+                    "spec-id": i,
                     "fields": [
                         {k: v for k, v in pf.items() if not k.startswith("_")}
-                        for pf in self.spec
+                        for pf in spec
                     ],
                 }
+                for i, spec in enumerate(self.specs)
             ],
-            "default-spec-id": 0,
+            "default-spec-id": self.current_spec_id,
             "partition-spec": [
                 {k: v for k, v in pf.items() if not k.startswith("_")} for pf in self.spec
             ],

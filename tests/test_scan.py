@@ -530,3 +530,50 @@ def test_merge_rows_copy_on_write(spark, tmp_path):
     t.open_snapshot(rel=-1)
     old = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
     assert old == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("c", 3.0)}
+
+
+def test_partition_spec_evolution_end_to_end(spark, tmp_path):
+    """Writer-side partition evolution: files written under bucket[2]
+    coexist with bucket[4] files; the planner prunes each through its own
+    spec (round-1 ADVICE planner.py:201 made end-to-end), results always
+    equal unpruned + residual filter; rewrites preserve origin specs."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "sym", "type": "string", "required": False},
+        ],
+        [{"name": "sym_bucket", "transform": "bucket[2]", "source": "sym"}],
+    )
+    syms = ["AAPL", "MSFT", "GOOG", "TSLA", "AMZN"]
+    w.append([{"id": i, "sym": syms[i % 5]} for i in range(50)])
+    new_spec_id = w.update_partition_spec(
+        [{"name": "sym_bucket", "transform": "bucket[4]", "source": "sym"}]
+    )
+    assert new_spec_id == 1
+    w.append([{"id": 100 + i, "sym": syms[i % 5]} for i in range(50)])
+    t = IcebergTable(w.path)
+    assert t.metadata["default-spec-id"] == 1
+    assert len(t.metadata["partition-specs"]) == 2
+    specs_used = {mf.get("partition_spec_id") for mf in t.manifest_list}
+    assert specs_used == {0, 1}
+    total = len(t.plan_files())
+    for sym in syms:
+        filt = [("sym", "==", sym)]
+        pruned_files = t.plan_files(filt)
+        assert 0 < len(pruned_files) < total, (sym, len(pruned_files), total)
+        got = sorted(r["id"] for r in t.to_df(spark, filters=filt).collect())
+        want = sorted(
+            r["id"] for r in t.to_df(spark).filter(F.col("sym") == sym).collect()
+        )
+        assert got == want and len(got) == 20
+    # a delete rewrite after evolution keeps origin specs intact
+    w.delete_files(lambda df: df["partition"].get("sym_bucket") == 0)
+    t2 = IcebergTable(w.path)
+    n = t2.to_df(spark).count()
+    assert 0 < n < 100
+    got = sorted(r["id"] for r in t2.to_df(spark, filters=[("sym", "==", "AAPL")]).collect())
+    want = sorted(r["id"] for r in t2.to_df(spark).filter("sym = 'AAPL'").collect())
+    assert got == want
