@@ -938,3 +938,151 @@ def spark_partition_value(col: Any, transform: str, result_type: str = "int") ->
         )
 
     return F.pandas_udf(_apply, result_type)(c)
+
+
+def compact_files(
+    writer: "IcebergWriter", min_file_bytes: int = 32 << 20
+) -> int | None:
+    """Maintenance: bin-pack small data files (< ``min_file_bytes``)
+    within each (spec, partition) group into one consolidated file — the
+    ``rewrite_data_files`` analogue that keeps file counts O(data/target)
+    instead of O(commits) on a frequently-appended 100 TB table.
+
+    Live v2 deletes are APPLIED to the rows being rewritten (position
+    deletes by (path, pos); equality deletes only where the delete
+    snapshot is newer than the file's adding snapshot, preserving
+    sequence semantics) — the rewritten file starts delete-free, while
+    untouched files keep relying on the carried delete files.  One
+    ``replace`` snapshot; returns its id, or None if nothing to compact.
+
+    Driver-side rewrite at test scale; a cluster runs the same per-group
+    rewrite as Spark jobs committing through this metadata layer."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    snapshot_id = writer._next_snapshot_id
+    current_names = [f["name"] for f in writer.fields]
+    # pass 1: reconcile live entries across all manifests
+    deleted_paths: set[str] = set()
+    raw: list[tuple[int, dict[str, Any]]] = []  # (spec_id, entry)
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                deleted_paths.add(e["data_file"]["file_path"])
+            else:
+                raw.append((mf.get("partition_spec_id", 0), e))
+    data_entries, eq_deletes, pos_pairs = [], [], set()
+    delete_file_entries: list[tuple[int, dict[str, Any]]] = []
+    id_to_name = {f["id"]: f["name"] for f in writer.fields}
+    for spec_id, e in raw:
+        rec = e["data_file"]
+        if rec["file_path"] in deleted_paths:
+            continue
+        content = rec.get("content", 0)
+        if content == 1:
+            for r in pq.read_table(rec["file_path"]).to_pylist():
+                pos_pairs.add((r["file_path"], r["pos"]))
+            delete_file_entries.append((spec_id, e))
+        elif content == 2:
+            cols = [id_to_name[i] for i in rec["equality_ids"]]
+            keys = {
+                tuple(r[c] for c in cols)
+                for r in pq.read_table(rec["file_path"]).to_pylist()
+            }
+            eq_deletes.append((e.get("snapshot_id") or 0, cols, keys))
+            delete_file_entries.append((spec_id, e))
+        else:
+            data_entries.append((spec_id, e))
+
+    def live_rows(entry: dict[str, Any]) -> list[dict[str, Any]] | None:
+        rec = entry["data_file"]
+        tbl = pq.read_table(rec["file_path"])
+        if set(tbl.column_names) == set(current_names):
+            tbl = tbl.select(current_names)
+        elif tbl.num_columns == len(current_names):
+            # pre-rename file: this writer emits columns in field order,
+            # so a positional rename restores current names
+            tbl = tbl.rename_columns(current_names)
+        else:
+            return None  # schema drift (added/dropped columns): skip
+        rows = tbl.to_pylist()
+        fsnap = entry.get("snapshot_id") or 0
+        out = []
+        for i, r in enumerate(rows):
+            if (rec["file_path"], i) in pos_pairs:
+                continue
+            dead = any(
+                dsnap > fsnap and tuple(r[c] for c in cols) in keys
+                for dsnap, cols, keys in eq_deletes
+            )
+            if not dead:
+                out.append(r)
+        return out
+
+    # pass 2: group small files per (spec, partition)
+    groups: dict[tuple[int, tuple], list[dict[str, Any]]] = {}
+    for spec_id, e in data_entries:
+        rec = e["data_file"]
+        if rec.get("file_size_in_bytes", 0) >= min_file_bytes:
+            continue
+        pkey = tuple(sorted((rec.get("partition") or {}).items()))
+        groups.setdefault((spec_id, pkey), []).append(e)
+
+    compacted_paths: set[str] = set()
+    new_entries_by_spec: dict[int, list[dict[str, Any]]] = {}
+    tombstones_by_spec: dict[int, list[dict[str, Any]]] = {}
+    for (spec_id, _pkey), es in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        if len(es) < 2:
+            continue
+        rows_parts = [live_rows(e) for e in es]
+        if any(p is None for p in rows_parts):
+            continue  # schema-drifted member: leave the group alone
+        merged = [r for part in rows_parts for r in part]
+        fpath, fsize = writer._write_parquet(merged)
+        lowers, uppers = writer._bounds(merged)
+        partition = dict(es[0]["data_file"].get("partition") or {})
+        new_entries_by_spec.setdefault(spec_id, []).append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": len(merged),
+                    "file_size_in_bytes": fsize,
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                },
+            }
+        )
+        for e in es:
+            compacted_paths.add(e["data_file"]["file_path"])
+            tombstones_by_spec.setdefault(spec_id, []).append(
+                {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
+            )
+    if not compacted_paths:
+        return None
+
+    # pass 3: rebuild the manifest list — survivors as EXISTING, grouped
+    # by origin spec so partition records decode correctly
+    survivors_by_spec: dict[int, list[dict[str, Any]]] = {}
+    for spec_id, e in data_entries + delete_file_entries:
+        if e["data_file"]["file_path"] in compacted_paths:
+            continue
+        survivors_by_spec.setdefault(spec_id, []).append(
+            {"status": 0, "snapshot_id": e.get("snapshot_id"), "data_file": e["data_file"]}
+        )
+    manifests = []
+    for sid in sorted(
+        set(survivors_by_spec) | set(new_entries_by_spec) | set(tombstones_by_spec)
+    ):
+        entries = survivors_by_spec.get(sid, []) + new_entries_by_spec.get(sid, [])
+        if entries:
+            manifests.append(writer._write_manifest(entries, snapshot_id, spec_id=sid))
+        if tombstones_by_spec.get(sid):
+            manifests.append(
+                writer._write_manifest(tombstones_by_spec[sid], snapshot_id, spec_id=sid)
+            )
+    writer._commit(snapshot_id, manifests, "replace", 0)
+    return snapshot_id

@@ -577,3 +577,44 @@ def test_partition_spec_evolution_end_to_end(spark, tmp_path):
     got = sorted(r["id"] for r in t2.to_df(spark, filters=[("sym", "==", "AAPL")]).collect())
     want = sorted(r["id"] for r in t2.to_df(spark).filter("sym = 'AAPL'").collect())
     assert got == want
+
+
+def test_compact_files_maintenance(spark, tmp_path):
+    """Compaction bin-packs small files per partition, APPLIES live v2
+    deletes to rewritten rows (sequence-correct), and must not change the
+    table's visible content; pre-compaction snapshots stay intact."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    for batch in range(4):  # 4 small files per partition
+        w.append(
+            [{"id": batch * 10 + i, "grp": "ab"[i % 2]} for i in range(10)]
+        )
+    f0 = IcebergTable(w.path).plan_files()[0]["file_path"]
+    w.delete_rows_position([(f0, 0)])
+    w.delete_rows_equality([{"id": 11}])
+    before = sorted(
+        map(tuple, IcebergTable(w.path).to_df(spark).collect())
+    )
+    n_files_before = len(IcebergTable(w.path).plan_files())
+    snap = compact_files(w, min_file_bytes=32 << 20)
+    assert snap is not None
+    t = IcebergTable(w.path)
+    assert t.current_snapshot["summary"]["operation"] == "replace"
+    after = sorted(map(tuple, t.to_df(spark).collect()))
+    assert after == before
+    n_files_after = len(t.plan_files())
+    assert n_files_after < n_files_before
+    assert n_files_after == 2  # one consolidated file per partition
+    # re-running is a no-op (nothing left to pack)
+    assert compact_files(w, min_file_bytes=32 << 20) is None
+    # pre-compaction snapshot unchanged
+    t.open_snapshot(rel=-1)
+    assert sorted(map(tuple, t.to_df(spark).collect())) == before
