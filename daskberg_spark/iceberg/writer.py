@@ -181,6 +181,11 @@ def _pa_type(t: str) -> pa.DataType:
     return _PA_TYPES[t]
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this metadata version first — reload the
+    table state and retry (Iceberg optimistic concurrency)."""
+
+
 class IcebergWriter:
     """Create and evolve an Iceberg v1 table on a local filesystem.
 
@@ -745,7 +750,20 @@ class IcebergWriter:
                 "main": {"snapshot-id": last["snapshot-id"], "type": "branch"},
             },
         }
-        with open(f"{self.path}/metadata/v{self.version}.metadata.json", "w") as f:
+        # Optimistic concurrency (Iceberg commit protocol): each metadata
+        # version is written exactly once; losing a race to v{N} means a
+        # concurrent writer committed first — surface it instead of
+        # silently clobbering their snapshot.  O_EXCL makes the existence
+        # check and the create one atomic filesystem operation.
+        target = f"{self.path}/metadata/v{self.version}.metadata.json"
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"metadata version v{self.version} already committed by a "
+                "concurrent writer; reload and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(meta, f, indent=1, default=str)
         with open(f"{self.path}/metadata/version-hint.text", "w") as f:
             f.write(str(self.version))

@@ -618,3 +618,23 @@ def test_compact_files_maintenance(spark, tmp_path):
     # pre-compaction snapshot unchanged
     t.open_snapshot(rel=-1)
     assert sorted(map(tuple, t.to_df(spark).collect())) == before
+
+
+def test_commit_conflict_detection(tmp_path):
+    """Two writers racing on one table: the second commit of the same
+    metadata version raises CommitConflictError instead of clobbering
+    (O_EXCL create = Iceberg optimistic concurrency)."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import CommitConflictError, IcebergWriter
+
+    fields = [{"id": 1, "name": "x", "type": "long", "required": False}]
+    a = IcebergWriter(str(tmp_path / "t"), fields)
+    b = IcebergWriter(str(tmp_path / "t"), fields)
+    a.append([{"x": 1}])
+    with _pytest.raises(CommitConflictError, match="v1 already committed"):
+        b.append([{"x": 2}])
+    # winner's state is intact and can keep committing
+    a.append([{"x": 3}])
+    t = IcebergTable(a.path)
+    assert len(t.snapshots) == 2
