@@ -501,6 +501,11 @@ class IcebergWriter:
         from daskberg_spark.iceberg.avro import read_avro_file
 
         snapshot_id = self._next_snapshot_id
+        # Live v2 deletes must be APPLIED to any file being rewritten —
+        # the rewritten file commits under the NEW snapshot, after which
+        # older equality deletes stop applying to it on read; without
+        # this, merging a file holding deleted rows resurrects them.
+        eq_deletes, pos_pairs = _live_deletes(self)
         keep_manifests, new_rows_by_part = [], {}
         delete_by_spec: dict[int, list[dict[str, Any]]] = {}
         matched: set[tuple] = set()
@@ -513,7 +518,7 @@ class IcebergWriter:
                 if e["status"] == 2 or df_rec.get("content", 0) in (1, 2):
                     survivors.append(e)
                     continue
-                rows = pq.read_table(df_rec["file_path"]).to_pylist()
+                rows = _live_file_rows(e, eq_deletes, pos_pairs)
                 hits = [
                     r for r in rows if tuple(r[c] for c in key_cols) in ups_by_key
                 ]
@@ -958,6 +963,67 @@ def spark_partition_value(col: Any, transform: str, result_type: str = "int") ->
     return F.pandas_udf(_apply, result_type)(c)
 
 
+def _live_deletes(
+    writer: "IcebergWriter",
+) -> tuple[list[tuple[int, list[str], set]], set[tuple[str, int]]]:
+    """Collect the table's live v2 deletes for rewrite-time application:
+    (equality deletes as (snapshot, key_cols, key set), position deletes
+    as a (path, pos) set).  Tombstoned delete files are excluded."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    id_to_name = {f["id"]: f["name"] for f in writer.fields}
+    deleted_paths: set[str] = set()
+    live: list[dict[str, Any]] = []
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                deleted_paths.add(e["data_file"]["file_path"])
+            else:
+                live.append(e)
+    eq_deletes, pos_pairs = [], set()
+    for e in live:
+        rec = e["data_file"]
+        if rec["file_path"] in deleted_paths:
+            continue
+        content = rec.get("content", 0)
+        if content == 1:
+            for r in pq.read_table(rec["file_path"]).to_pylist():
+                pos_pairs.add((r["file_path"], r["pos"]))
+        elif content == 2:
+            cols = [id_to_name[i] for i in rec["equality_ids"]]
+            keys = {
+                tuple(r[c] for c in cols)
+                for r in pq.read_table(rec["file_path"]).to_pylist()
+            }
+            eq_deletes.append((e.get("snapshot_id") or 0, cols, keys))
+    return eq_deletes, pos_pairs
+
+
+def _live_file_rows(
+    entry: dict[str, Any],
+    eq_deletes: list[tuple[int, list[str], set]],
+    pos_pairs: set[tuple[str, int]],
+) -> list[dict[str, Any]]:
+    """Rows of one data file with live v2 deletes applied
+    (sequence-correct: an equality delete hits only files whose adding
+    snapshot precedes it)."""
+    rec = entry["data_file"]
+    rows = pq.read_table(rec["file_path"]).to_pylist()
+    fsnap = entry.get("snapshot_id") or 0
+    out = []
+    for i, r in enumerate(rows):
+        if (rec["file_path"], i) in pos_pairs:
+            continue
+        dead = any(
+            dsnap > fsnap and tuple(r[c] for c in cols) in keys
+            for dsnap, cols, keys in eq_deletes
+        )
+        if not dead:
+            out.append(r)
+    return out
+
+
 def compact_files(
     writer: "IcebergWriter", min_file_bytes: int = 32 << 20
 ) -> int | None:
@@ -989,25 +1055,14 @@ def compact_files(
                 deleted_paths.add(e["data_file"]["file_path"])
             else:
                 raw.append((mf.get("partition_spec_id", 0), e))
-    data_entries, eq_deletes, pos_pairs = [], [], set()
+    eq_deletes, pos_pairs = _live_deletes(writer)
+    data_entries = []
     delete_file_entries: list[tuple[int, dict[str, Any]]] = []
-    id_to_name = {f["id"]: f["name"] for f in writer.fields}
     for spec_id, e in raw:
         rec = e["data_file"]
         if rec["file_path"] in deleted_paths:
             continue
-        content = rec.get("content", 0)
-        if content == 1:
-            for r in pq.read_table(rec["file_path"]).to_pylist():
-                pos_pairs.add((r["file_path"], r["pos"]))
-            delete_file_entries.append((spec_id, e))
-        elif content == 2:
-            cols = [id_to_name[i] for i in rec["equality_ids"]]
-            keys = {
-                tuple(r[c] for c in cols)
-                for r in pq.read_table(rec["file_path"]).to_pylist()
-            }
-            eq_deletes.append((e.get("snapshot_id") or 0, cols, keys))
+        if rec.get("content", 0) in (1, 2):
             delete_file_entries.append((spec_id, e))
         else:
             data_entries.append((spec_id, e))
@@ -1016,26 +1071,19 @@ def compact_files(
         rec = entry["data_file"]
         tbl = pq.read_table(rec["file_path"])
         if set(tbl.column_names) == set(current_names):
-            tbl = tbl.select(current_names)
+            pass
         elif tbl.num_columns == len(current_names):
             # pre-rename file: this writer emits columns in field order,
             # so a positional rename restores current names
-            tbl = tbl.rename_columns(current_names)
+            pass
         else:
             return None  # schema drift (added/dropped columns): skip
-        rows = tbl.to_pylist()
-        fsnap = entry.get("snapshot_id") or 0
-        out = []
-        for i, r in enumerate(rows):
-            if (rec["file_path"], i) in pos_pairs:
-                continue
-            dead = any(
-                dsnap > fsnap and tuple(r[c] for c in cols) in keys
-                for dsnap, cols, keys in eq_deletes
-            )
-            if not dead:
-                out.append(r)
-        return out
+        rows = _live_file_rows(entry, eq_deletes, pos_pairs)
+        if set(tbl.column_names) != set(current_names):
+            # positional rename of dict keys (pre-rename files)
+            name_map = dict(zip(tbl.column_names, current_names))
+            rows = [{name_map[k]: v for k, v in r.items()} for r in rows]
+        return rows
 
     # pass 2: group small files per (spec, partition)
     groups: dict[tuple[int, tuple], list[dict[str, Any]]] = {}

@@ -638,3 +638,30 @@ def test_commit_conflict_detection(tmp_path):
     a.append([{"x": 3}])
     t = IcebergTable(a.path)
     assert len(t.snapshots) == 2
+
+
+def test_merge_rows_applies_live_deletes(spark, tmp_path):
+    """Merging a file that carries v2-deleted rows must not resurrect
+    them: live position/equality deletes are applied to the rewrite
+    (sequence-correct), and a deleted key matched by an update becomes an
+    INSERT of the update row, not an update of a dead row."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": f"v{i}"} for i in range(6)])
+    f0 = IcebergTable(w.path).plan_files()[0]["file_path"]
+    w.delete_rows_position([(f0, 0)])     # kills k=0
+    w.delete_rows_equality([{"k": 5}])    # kills k=5
+    before = {r["k"] for r in IcebergTable(w.path).to_df(spark).collect()}
+    assert before == {1, 2, 3, 4}
+    w.merge_rows([{"k": 1, "v": "NEW"}, {"k": 5, "v": "BACK"}], ["k"])
+    t = IcebergTable(w.path)
+    rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    # k=0 stays dead; k=1 updated; k=5 was dead -> re-inserted as update row
+    assert rows == {1: "NEW", 2: "v2", 3: "v3", 4: "v4", 5: "BACK"}
