@@ -154,3 +154,58 @@ def test_range_may_match_equiv_bruteforce(lo, hi, value):
         got = range_may_match(op, value, lo, hi)
         # conservative: may keep extra, must never drop a match
         assert not (truth and not got), (op, lo, hi, value)
+
+
+# -- partition pruning across evolved specs (round-2) ------------------------
+
+_EVO_SPECS = {
+    0: [{"source-id": 1, "name": "pb", "transform": "bucket[2]"}],
+    1: [{"source-id": 1, "name": "pb", "transform": "bucket[4]"}],
+    2: [{"source-id": 1, "name": "pb", "transform": "truncate[10]"}],
+}
+_EVO_FIELDS = {
+    "x": FieldInfo(field_id=1, type="int", transform="bucket[4]", partition_name="pb"),
+}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["==", "!=", "in"]),
+    st.integers(-100, 100),
+)
+def test_spec_evolved_pruning_never_loses_matches(files_desc, op, value):
+    """Across ANY mix of per-file specs (two bucket widths + truncate),
+    a file whose actual value satisfies the predicate must survive
+    pruning when resolved through its own spec."""
+    from daskberg_spark.iceberg.transforms import get_transform
+
+    val = [value, value + 3] if op == "in" else value
+    files, truths = [], []
+    for i, (spec_id, x) in enumerate(files_desc):
+        fn, _ = get_transform(_EVO_SPECS[spec_id][0]["transform"])
+        f = {
+            "file_path": f"f{i}.parquet",
+            "partition": {"pb": fn(x)},
+            "_spec_id": spec_id,
+        }
+        files.append(f)
+        if op == "==":
+            truths.append(x == value)
+        elif op == "!=":
+            truths.append(x != value)
+        else:
+            truths.append(x in val)
+    kept = {
+        f["file_path"]
+        for f in apply_filters(
+            files, [("x", op, val)], _EVO_FIELDS, lambda sid: _EVO_SPECS[sid]
+        )
+    }
+    for f, has_match in zip(files, truths):
+        if has_match:
+            assert f["file_path"] in kept, (f, op, val)
