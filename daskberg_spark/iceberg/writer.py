@@ -518,9 +518,18 @@ class IcebergWriter:
                 if e["status"] == 2 or df_rec.get("content", 0) in (1, 2):
                     survivors.append(e)
                     continue
-                rows = _live_file_rows(e, eq_deletes, pos_pairs)
+                rows = _live_file_rows(
+                    e, eq_deletes, pos_pairs, [f["name"] for f in self.fields]
+                )
+                if rows is None:
+                    raise NotImplementedError(
+                        "cannot merge a schema-drifted data file "
+                        f"({df_rec['file_path']})"
+                    )
                 hits = [
-                    r for r in rows if tuple(r[c] for c in key_cols) in ups_by_key
+                    r
+                    for r in rows
+                    if tuple(r.get(c) for c in key_cols) in ups_by_key
                 ]
                 if not hits:
                     survivors.append(e)
@@ -530,7 +539,7 @@ class IcebergWriter:
                     {"status": 2, "snapshot_id": snapshot_id, "data_file": df_rec}
                 )
                 for r in rows:
-                    k = tuple(r[c] for c in key_cols)
+                    k = tuple(r.get(c) for c in key_cols)
                     if k in ups_by_key:
                         matched.add(k)
                         r = {**r, **ups_by_key[k]}
@@ -991,11 +1000,14 @@ def _live_deletes(
             for r in pq.read_table(rec["file_path"]).to_pylist():
                 pos_pairs.add((r["file_path"], r["pos"]))
         elif content == 2:
+            # current key-column names come from the stable field ids; the
+            # delete parquet's columns align POSITIONALLY with
+            # equality_ids (delete_rows_equality emits them in that
+            # order), so key extraction survives post-delete renames
             cols = [id_to_name[i] for i in rec["equality_ids"]]
-            keys = {
-                tuple(r[c] for c in cols)
-                for r in pq.read_table(rec["file_path"]).to_pylist()
-            }
+            tbl = pq.read_table(rec["file_path"])
+            arrs = [tbl.column(i).to_pylist() for i in range(len(cols))]
+            keys = set(zip(*arrs)) if arrs else set()
             eq_deletes.append((e.get("snapshot_id") or 0, cols, keys))
     return eq_deletes, pos_pairs
 
@@ -1004,17 +1016,35 @@ def _live_file_rows(
     entry: dict[str, Any],
     eq_deletes: list[tuple[int, list[str], set]],
     pos_pairs: set[tuple[str, int]],
-) -> list[dict[str, Any]]:
+    current_names: list[str] | None = None,
+) -> list[dict[str, Any]] | None:
     """Rows of one data file with live v2 deletes applied
     (sequence-correct: an equality delete hits only files whose adding
-    snapshot precedes it)."""
+    snapshot precedes it).
+
+    With ``current_names``, pre-rename files (same column count, old
+    names) are positionally renamed to the current schema — this writer
+    emits columns in field order, and renames preserve position.  Returns
+    None on real schema drift (added/dropped columns) so callers can skip
+    the file instead of silently losing data."""
     rec = entry["data_file"]
-    rows = pq.read_table(rec["file_path"]).to_pylist()
+    tbl = pq.read_table(rec["file_path"])
+    name_map = None
+    if current_names is not None and set(tbl.column_names) != set(current_names):
+        if set(tbl.column_names) <= set(current_names):
+            pass  # older file missing later-added columns: keys are valid
+        elif tbl.num_columns == len(current_names):
+            name_map = dict(zip(tbl.column_names, current_names))
+        else:
+            return None
+    rows = tbl.to_pylist()
     fsnap = entry.get("snapshot_id") or 0
     out = []
     for i, r in enumerate(rows):
         if (rec["file_path"], i) in pos_pairs:
             continue
+        if name_map is not None:
+            r = {name_map[k]: v for k, v in r.items()}
         dead = any(
             dsnap > fsnap and tuple(r[c] for c in cols) in keys
             for dsnap, cols, keys in eq_deletes
@@ -1068,22 +1098,7 @@ def compact_files(
             data_entries.append((spec_id, e))
 
     def live_rows(entry: dict[str, Any]) -> list[dict[str, Any]] | None:
-        rec = entry["data_file"]
-        tbl = pq.read_table(rec["file_path"])
-        if set(tbl.column_names) == set(current_names):
-            pass
-        elif tbl.num_columns == len(current_names):
-            # pre-rename file: this writer emits columns in field order,
-            # so a positional rename restores current names
-            pass
-        else:
-            return None  # schema drift (added/dropped columns): skip
-        rows = _live_file_rows(entry, eq_deletes, pos_pairs)
-        if set(tbl.column_names) != set(current_names):
-            # positional rename of dict keys (pre-rename files)
-            name_map = dict(zip(tbl.column_names, current_names))
-            rows = [{name_map[k]: v for k, v in r.items()} for r in rows]
-        return rows
+        return _live_file_rows(entry, eq_deletes, pos_pairs, current_names)
 
     # pass 2: group small files per (spec, partition)
     groups: dict[tuple[int, tuple], list[dict[str, Any]]] = {}

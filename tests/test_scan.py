@@ -665,3 +665,27 @@ def test_merge_rows_applies_live_deletes(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
     # k=0 stays dead; k=1 updated; k=5 was dead -> re-inserted as update row
     assert rows == {1: "NEW", 2: "v2", 3: "v3", 4: "v4", 5: "BACK"}
+
+
+def test_merge_rows_after_rename(spark, tmp_path):
+    """Merge on a rename-evolved table: pre-rename data files are
+    positionally renamed to the current schema, and pre-rename equality
+    deletes resolve keys via stable field ids — no resurrection, no
+    KeyError."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": f"v{i}"} for i in range(4)])
+    w.delete_rows_equality([{"k": 3}])  # delete file carries old name "k"
+    w.rename_column("k", "key")
+    w.append([{"key": 10, "v": "v10"}])
+    w.merge_rows([{"key": 1, "v": "NEW"}], ["key"])
+    t = IcebergTable(w.path)
+    rows = {r["key"]: r["v"] for r in t.to_df(spark).collect()}
+    assert rows == {0: "v0", 1: "NEW", 2: "v2", 10: "v10"}
