@@ -378,5 +378,67 @@ class IcebergTable:
             return sorted({v[idx] for v in values}, key=lambda x: (x is None, x))
         return sorted(values, key=lambda t: tuple((v is None, v) for v in t))
 
+    def metadata_rows(self, kind: str) -> list[dict[str, Any]]:
+        """Iceberg metadata-table rows (``SELECT * FROM tbl.files`` etc. in
+        real Iceberg; beyond-reference).  Kinds: ``snapshots``, ``files``,
+        ``manifests``, ``partitions``.  Metadata-only — zero data IO."""
+        import json as _json
+
+        if kind == "snapshots":
+            return [
+                {
+                    "snapshot_id": s["snapshot-id"],
+                    "parent_id": s.get("parent-snapshot-id"),
+                    "operation": s.get("summary", {}).get("operation", ""),
+                    "added_records": int(
+                        s.get("summary", {}).get("added-records", 0)
+                    ),
+                }
+                for s in self.metadata.get("snapshots", [])
+            ]
+        if kind == "manifests":
+            return [
+                {
+                    "path": self._relocate(mf["manifest_path"]),
+                    "length": mf.get("manifest_length"),
+                    "partition_spec_id": mf.get("partition_spec_id", 0),
+                    "added_snapshot_id": mf.get("added_snapshot_id"),
+                    "added_data_files_count": mf.get("added_data_files_count"),
+                    "existing_data_files_count": mf.get(
+                        "existing_data_files_count"
+                    ),
+                    "deleted_data_files_count": mf.get(
+                        "deleted_data_files_count"
+                    ),
+                }
+                for mf in self.manifest_list
+            ]
+        if kind == "files":
+            return [
+                {
+                    "file_path": f["file_path"],
+                    "record_count": f.get("record_count"),
+                    "file_size_in_bytes": f.get("file_size_in_bytes"),
+                    "spec_id": f.get("_spec_id", 0),
+                    "partition": _json.dumps(
+                        f.get("partition") or {}, sort_keys=True, default=str
+                    ),
+                }
+                for f in self.plan_files()
+            ]
+        if kind == "partitions":
+            agg: dict[str, dict[str, int]] = {}
+            for f in self.plan_files():
+                key = _json.dumps(
+                    f.get("partition") or {}, sort_keys=True, default=str
+                )
+                slot = agg.setdefault(key, {"record_count": 0, "file_count": 0})
+                slot["record_count"] += f.get("record_count") or 0
+                slot["file_count"] += 1
+            return [
+                {"partition": k, **v} for k, v in sorted(agg.items())
+            ]
+        raise ValueError(f"unknown metadata table {kind!r}")
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"IcebergTable({self.url!r}, version={self._version})"

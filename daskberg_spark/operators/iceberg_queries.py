@@ -565,3 +565,45 @@ def iceberg_bucket_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         filters=[("o_custkey", "in", [7, 311])],
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
+
+
+@query(
+    "iceberg_partitions_metadata",
+    f"""
+    SELECT cat,
+           CAST(CAST(day_ts AS DATE) - DATE '1970-01-01' AS INT) AS day_ts_day,
+           CAST(qty - qty % 10 AS INT) AS qty_trunc,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE}
+    GROUP BY 1, 2, 3
+    """,
+)
+def iceberg_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``partitions`` metadata table (beyond reference): per-
+    partition record/file counts computed from manifests alone — ZERO
+    data IO — then aggregated over the bucket dimension so the oracle
+    can recompute the record counts from row content (murmur3 buckets
+    have no SQL twin).  Metadata-claimed counts must equal content-true
+    counts exactly, which pins manifest record_count, partition values,
+    and delete reconciliation all at once."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    rows = t.metadata_rows("partitions")
+    df = spark.createDataFrame(
+        [(r["partition"], r["record_count"]) for r in rows],
+        "partition string, record_count long",
+    )
+    return (
+        df.select(
+            F.get_json_object("partition", "$.cat").alias("cat"),
+            F.get_json_object("partition", "$.day_ts_day")
+            .cast("int")
+            .alias("day_ts_day"),
+            F.get_json_object("partition", "$.qty_trunc")
+            .cast("int")
+            .alias("qty_trunc"),
+            "record_count",
+        )
+        .groupBy("cat", "day_ts_day", "qty_trunc")
+        .agg(F.sum("record_count").cast("long").alias("record_count"))
+    )

@@ -119,3 +119,28 @@ def test_refs_tags_and_branches(spark, tmp_path):
     w.drop_ref("dev")
     assert "dev" not in IcebergTable(w.path).metadata["refs"]
     assert "v1-release" in IcebergTable(w.path).metadata["refs"]
+
+
+def test_metadata_tables(tmp_path):
+    """snapshots/files/manifests/partitions metadata tables are
+    metadata-only and mutually consistent."""
+    from daskberg_spark.iceberg.fixtures import ensure_partitioned_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(ensure_partitioned_fixture())
+    snaps = t.metadata_rows("snapshots")
+    assert len(snaps) == len(t.snapshots)
+    assert {s["operation"] for s in snaps} == {"append", "delete"}
+    files = t.metadata_rows("files")
+    assert len(files) == len(t.plan_files())
+    parts = t.metadata_rows("partitions")
+    assert sum(p["record_count"] for p in parts) == sum(
+        f["record_count"] for f in files
+    )
+    assert sum(p["file_count"] for p in parts) == len(files)
+    mfs = t.metadata_rows("manifests")
+    assert all(m["path"].endswith(".avro") for m in mfs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_rows("nope")
