@@ -71,19 +71,27 @@ def to_df(
     spark: SparkSession,
     filters: Any = None,
     columns: list[str] | None = None,
+    keep_file: bool = False,
 ) -> DataFrame:
-    """Materialize the table's current snapshot as a (lazy) DataFrame."""
+    """Materialize the table's current snapshot as a (lazy) DataFrame.
+
+    ``keep_file=True`` retains a ``__file`` provenance column (the scan
+    file each row came from) for rewrite jobs — distributed merge /
+    compaction — that must map rows back to files; deletes still apply.
+    """
     struct = schema_to_struct(table.schema)
     files = table.plan_files(filters)
     if not files:
         df = spark.createDataFrame([], struct)
+        if keep_file:
+            df = df.withColumn("__file", F.lit(None).cast("string"))
     else:
-        df = _read_with_deletes(table, spark, files, struct)
+        df = _read_with_deletes(table, spark, files, struct, keep_file)
     residual = filters_to_column(filters)
     if residual is not None:
         df = df.filter(residual)
     if columns:
-        df = df.select(*columns)
+        df = df.select(*columns + (["__file"] if keep_file else []))
     return df
 
 
@@ -92,6 +100,7 @@ def _read_with_deletes(
     spark: SparkSession,
     files: list[dict[str, Any]],
     struct,
+    keep_file: bool = False,
 ) -> DataFrame:
     """Read data files and apply v2 delete files with sequence-correct
     applicability.
@@ -131,7 +140,7 @@ def _read_with_deletes(
             F.col(then_by_id[now_by_name[c]]).alias(c) for c in cols
         ]
         return keys.select(*select).distinct()
-    tag_position = bool(pos_files)
+    tag_position = bool(pos_files) or keep_file
 
     if not eq_deletes:
         df = _read_file_groups(table, spark, files, struct, tag_position)
@@ -189,15 +198,14 @@ def _read_with_deletes(
             )
             .distinct()
         )
-        df = (
-            df.join(
-                _maybe_broadcast(pos, pos_files),
-                (df["__file"] == pos["__del_file"])
-                & (df["__pos"] == pos["__del_pos"]),
-                "left_anti",
-            )
-            .drop("__file", "__pos")
+        df = df.join(
+            _maybe_broadcast(pos, pos_files),
+            (df["__file"] == pos["__del_file"])
+            & (df["__pos"] == pos["__del_pos"]),
+            "left_anti",
         )
+    if tag_position:
+        df = df.drop("__pos") if keep_file else df.drop("__file", "__pos")
     return df
 
 

@@ -803,11 +803,35 @@ def commit_spark_output(
     lands in the manifest under the spec field's name so transform-aware
     pruning works on the result.
     """
+    snapshot_id = writer._next_snapshot_id
+    entries = _entries_from_spark_dir(
+        writer, data_dir, snapshot_id, partition_col, path_col
+    )
+    chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)] or [[]]
+    new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
+    writer._commit(
+        snapshot_id,
+        writer.manifests + new_manifests,
+        "append",
+        sum(e["data_file"]["record_count"] for e in entries),
+    )
+    return snapshot_id
+
+
+def _entries_from_spark_dir(
+    writer: "IcebergWriter",
+    data_dir: str,
+    snapshot_id: int,
+    partition_col: str | None = None,
+    path_col: str | None = None,
+) -> list[dict[str, Any]]:
+    """Footer-lift a directory of Spark-written parquet into ADDED
+    manifest entries (bounds from row-group statistics, partition values
+    from hive path segments) — shared by append and overwrite commits."""
     import glob as _glob
     import urllib.parse
 
     entries = []
-    snapshot_id = writer._next_snapshot_id
     paths = sorted(
         _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
@@ -882,15 +906,138 @@ def commit_spark_output(
                 },
             }
         )
-    chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)] or [[]]
+    return entries
+
+
+def commit_spark_overwrite(
+    writer: "IcebergWriter",
+    data_dir: str,
+    removed_paths: list[str],
+    partition_col: str | None = None,
+    path_col: str | None = None,
+) -> int:
+    """Commit a distributed rewrite as ONE overwrite snapshot: the files
+    under ``data_dir`` are added (footer-lifted), ``removed_paths`` are
+    tombstoned, untouched manifests carry forward.  The metadata-side
+    half of ``merge_rows_spark`` / a Spark compaction job."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    snapshot_id = writer._next_snapshot_id
+    add_entries = _entries_from_spark_dir(
+        writer, data_dir, snapshot_id, partition_col, path_col
+    )
+    removed = set(removed_paths)
+    keep_manifests = []
+    delete_by_spec: dict[int, list[dict[str, Any]]] = {}
+    for mf in writer.manifests:
+        mf_spec = mf.get("partition_spec_id", 0)
+        _, entries = read_avro_file(mf["manifest_path"])
+        hit = [
+            e
+            for e in entries
+            if e["status"] != 2 and e["data_file"]["file_path"] in removed
+        ]
+        if hit:
+            for e in hit:
+                delete_by_spec.setdefault(mf_spec, []).append(
+                    {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
+                )
+            survivors = [
+                {"status": 0, "snapshot_id": e.get("snapshot_id"), "data_file": e["data_file"]}
+                for e in entries
+                if e["status"] != 2 and e["data_file"]["file_path"] not in removed
+            ]
+            if survivors:
+                keep_manifests.append(
+                    writer._write_manifest(survivors, snapshot_id, spec_id=mf_spec)
+                )
+        else:
+            keep_manifests.append(mf)
+    chunks = [
+        add_entries[i : i + 100] for i in range(0, len(add_entries), 100)
+    ] or [[]]
     new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
+    tomb_manifests = [
+        writer._write_manifest(entries, snapshot_id, spec_id=sid)
+        for sid, entries in sorted(delete_by_spec.items())
+    ]
     writer._commit(
         snapshot_id,
-        writer.manifests + new_manifests,
-        "append",
-        sum(e["data_file"]["record_count"] for e in entries),
+        keep_manifests + new_manifests + tomb_manifests,
+        "overwrite",
+        sum(e["data_file"]["record_count"] for e in add_entries),
     )
     return snapshot_id
+
+
+def merge_rows_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    updates: Any,
+    key_cols: list[str],
+) -> int:
+    """Distributed copy-on-write MERGE: the cluster-scale twin of
+    ``merge_rows``.  Spark identifies the matched files (semi join
+    against the broadcast update set), rewrites ONLY those files' rows
+    with updates applied (left join + per-column coalesce) plus inserts
+    for unmatched keys, and writes the replacement files in parallel;
+    the driver then runs the pure-metadata ``commit_spark_overwrite``.
+    Driver state is O(matched files) paths — never rows.
+
+    v2 deletes apply during the tagged read (``to_df(keep_file=True)``
+    routes through the delete-aware scan), so rewrites never resurrect
+    deleted rows.  Unpartitioned writer specs only (a partitioned table
+    adds ``partitionBy`` on the rewrite write + the hive lift, as in
+    ``commit_spark_output``)."""
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from pyspark.sql import functions as F
+
+    if writer.spec:
+        raise NotImplementedError(
+            "merge_rows_spark currently supports unpartitioned specs; "
+            "partitioned tables use merge_rows or add partitionBy here"
+        )
+    t = IcebergTable(writer.path)
+    tagged = t.to_df(spark, keep_file=True)
+    data_cols = [f["name"] for f in writer.fields]
+    upd_cols = [c for c in updates.columns if c in data_cols]
+    if not set(key_cols) <= set(upd_cols):
+        raise ValueError("updates must carry every key column")
+    u = updates.select(*upd_cols)
+    matched_files = [
+        r["__file"]
+        for r in tagged.join(F.broadcast(u), key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    rewrite_src = tagged.filter(F.col("__file").isin(matched_files)).alias("t")
+    ub = F.broadcast(u).alias("u")
+    applied = rewrite_src.join(ub, key_cols, "left").select(
+        *[
+            (
+                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                if c in upd_cols and c not in key_cols
+                else F.col(f"t.{c}").alias(c)
+            )
+            for c in data_cols
+        ]
+    )
+    inserts = u.join(tagged, key_cols, "left_anti").select(
+        *[
+            (F.col(c) if c in upd_cols else F.lit(None)).cast(
+                dict(tagged.dtypes)[c]
+            ).alias(c)
+            for c in data_cols
+        ]
+    )
+    out = applied.unionByName(inserts)
+    data_dir = tempfile.mkdtemp(prefix="merge_rw_", dir=f"{writer.path}/data")
+    out.write.mode("overwrite").parquet(data_dir)
+    return commit_spark_overwrite(writer, data_dir, matched_files)
 
 
 def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:

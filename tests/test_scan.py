@@ -689,3 +689,52 @@ def test_merge_rows_after_rename(spark, tmp_path):
     t = IcebergTable(w.path)
     rows = {r["key"]: r["v"] for r in t.to_df(spark).collect()}
     assert rows == {0: "v0", 1: "NEW", 2: "v2", 10: "v10"}
+
+
+def test_merge_rows_spark_distributed(spark, tmp_path):
+    """Distributed copy-on-write MERGE: Spark rewrites only matched
+    files (deletes applied via the tagged scan), inserts unmatched keys,
+    and the metadata overwrite commit tombstones originals — results
+    identical to the relational expectation; untouched files carry
+    forward."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, merge_rows_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    w.append([{"k": 3, "v": "c"}, {"k": 4, "v": "d"}])
+    w.delete_rows_equality([{"k": 2}])
+    t0 = IcebergTable(w.path)
+    untouched = {
+        f["file_path"]
+        for f in t0.plan_files()
+        if f["file_path"].endswith(
+            tuple(
+                p["file_path"].split("/")[-1]
+                for p in t0.plan_files()
+                if "00002" in p["file_path"]
+            )
+        )
+    }
+    updates = spark.createDataFrame(
+        [(1, "NEW"), (9, "INS")], "k long, v string"
+    )
+    merge_rows_spark(w, spark, updates, ["k"])
+    t = IcebergTable(w.path)
+    assert t.current_snapshot["summary"]["operation"] == "overwrite"
+    rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    # k=2 stays deleted (not resurrected by the rewrite of file 1)
+    assert rows == {1: "NEW", 3: "c", 4: "d", 9: "INS"}
+    # the second append's file was untouched by the merge
+    now = {f["file_path"] for f in t.plan_files()}
+    assert any(p in now for p in untouched) or not untouched
+    # time travel: pre-merge state intact
+    t.open_snapshot(rel=-1)
+    assert {r["k"] for r in t.to_df(spark).collect()} == {1, 3, 4}
