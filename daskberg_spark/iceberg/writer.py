@@ -1314,3 +1314,41 @@ def compact_files(
             )
     writer._commit(snapshot_id, manifests, "replace", 0)
     return snapshot_id
+
+
+def compact_files_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    min_file_bytes: int = 32 << 20,
+    target_partitions: int = 1,
+) -> int | None:
+    """Distributed compaction: the cluster-scale twin of
+    ``compact_files`` for unpartitioned tables.  Spark reads ONLY the
+    small files through the delete-aware tagged scan (so live v2 deletes
+    are applied to the rewrite), coalesces them into ``target_partitions``
+    output files in parallel, and ``commit_spark_overwrite`` tombstones
+    the originals — one replace-style snapshot, driver state O(paths)."""
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from pyspark.sql import functions as F
+
+    if writer.spec:
+        raise NotImplementedError(
+            "compact_files_spark currently supports unpartitioned specs; "
+            "partitioned tables group the rewrite by partition first"
+        )
+    t = IcebergTable(writer.path)
+    small = [
+        f["file_path"]
+        for f in t.plan_files()
+        if (f.get("file_size_in_bytes") or 0) < min_file_bytes
+    ]
+    if len(small) < 2:
+        return None
+    tagged = t.to_df(spark, keep_file=True)
+    rows = tagged.filter(F.col("__file").isin(small)).drop("__file")
+    data_dir = tempfile.mkdtemp(prefix="compact_rw_", dir=f"{writer.path}/data")
+    rows.coalesce(target_partitions).write.mode("overwrite").parquet(data_dir)
+    return commit_spark_overwrite(writer, data_dir, small)

@@ -738,3 +738,27 @@ def test_merge_rows_spark_distributed(spark, tmp_path):
     # time travel: pre-merge state intact
     t.open_snapshot(rel=-1)
     assert {r["k"] for r in t.to_df(spark).collect()} == {1, 3, 4}
+
+
+def test_compact_files_spark_distributed(spark, tmp_path):
+    """Distributed compaction consolidates small files via the
+    delete-aware tagged scan; content invariant, file count drops."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    for batch in range(5):
+        w.append([{"x": batch * 10 + i} for i in range(10)])
+    f0 = IcebergTable(w.path).plan_files()[0]["file_path"]
+    w.delete_rows_position([(f0, 0)])
+    w.delete_rows_equality([{"x": 42}])
+    before = sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect())
+    n_before = len(IcebergTable(w.path).plan_files())
+    snap = compact_files_spark(w, spark)
+    assert snap is not None
+    t = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == before
+    assert len(t.plan_files()) == 1 < n_before
+    assert compact_files_spark(w, spark) is None  # nothing left to pack
