@@ -273,3 +273,41 @@ def partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "array_functions",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> len(t) > 4)) AS INT) AS n_long_tokens,
+           CAST(list_aggregate(list_transform(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> len(t)), 'sum') AS BIGINT) AS total_len,
+           array_to_string(list_sort(list_distinct(list_transform(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t[1:1]))), '') AS initials
+    FROM documents
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 depth: higher-order array functions — filter / transform /
+    aggregate / array_distinct / array_sort — all JVM-side lambdas inside
+    whole-stage codegen (zero Python), mirrored by DuckDB list lambdas."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.array_distinct(F.transform(toks, lambda t: F.substring(t, 1, 1)))
+            ),
+        ).alias("initials"),
+    )
