@@ -365,3 +365,63 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.start").alias("session_start"),
         "n_events",
     )
+
+
+@query(
+    "streaming_iceberg_sink",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the Iceberg layer: each micro-batch is
+    written by executors as parquet, then ``commit_spark_output`` lifts
+    it into one append snapshot — the continuous-ingestion pattern that
+    pairs Structured Streaming with the table format.  The drained table,
+    read back through the connector (snapshot reconciliation over one
+    snapshot per micro-batch), must match the batch oracle exactly: no
+    loss, no duplication.
+
+    Exactly-once note: micro-batch epoch ids key the data directories, so
+    a replayed epoch overwrites its own files; a production sink also
+    records the epoch in the snapshot summary and skips the metadata
+    commit for an already-committed epoch."""
+    import shutil
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_stream_sink_{uuid.uuid4().hex[:8]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+            {"id": 3, "name": "value", "type": "double", "required": False},
+        ],
+    )
+    stream = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        data_dir = os.path.join(path, "data", f"epoch-{epoch_id}")
+        batch_df.write.mode("overwrite").parquet(data_dir)
+        commit_spark_output(writer, data_dir)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = IcebergTable(path)
+    import daskberg_spark.iceberg.scan  # noqa: F401
+
+    return t.to_df(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
