@@ -689,7 +689,12 @@ class IcebergWriter:
         }
 
     def _commit(
-        self, snapshot_id: int, manifests: list[dict[str, Any]], operation: str, added: int
+        self,
+        snapshot_id: int,
+        manifests: list[dict[str, Any]],
+        operation: str,
+        added: int,
+        extra_summary: dict[str, str] | None = None,
     ) -> None:
         # Drop DELETED-tombstone-only manifests created by PRIOR snapshots:
         # real Iceberg keeps delete tombstones for exactly one snapshot
@@ -715,7 +720,11 @@ class IcebergWriter:
             "timestamp-ms": 1700000000000 + snapshot_id,
             "manifest-list": ml_path,
             "schema-id": self.current_schema_id,
-            "summary": {"operation": operation, "added-records": str(added)},
+            "summary": {
+                "operation": operation,
+                "added-records": str(added),
+                **(extra_summary or {}),
+            },
         }
         if parent is not None:
             snap["parent-snapshot-id"] = parent
@@ -788,6 +797,7 @@ def commit_spark_output(
     data_dir: str,
     partition_col: str | None = None,
     path_col: str | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> int:
     """Commit a directory of (optionally hive-partitioned) parquet files —
     e.g. the output of a distributed ``df.write.partitionBy(...).parquet``
@@ -814,6 +824,7 @@ def commit_spark_output(
         writer.manifests + new_manifests,
         "append",
         sum(e["data_file"]["record_count"] for e in entries),
+        extra_summary=extra_summary,
     )
     return snapshot_id
 
@@ -995,10 +1006,10 @@ def merge_rows_spark(
     from daskberg_spark.iceberg.metadata import IcebergTable
     from pyspark.sql import functions as F
 
-    if writer.spec:
+    if len(writer.spec) > 1:
         raise NotImplementedError(
-            "merge_rows_spark currently supports unpartitioned specs; "
-            "partitioned tables use merge_rows or add partitionBy here"
+            "merge_rows_spark supports at most one partition field; "
+            "multi-field specs use merge_rows or extend the hive lift"
         )
     t = IcebergTable(writer.path)
     tagged = t.to_df(spark, keep_file=True)
@@ -1036,6 +1047,27 @@ def merge_rows_spark(
     )
     out = applied.unionByName(inserts)
     data_dir = tempfile.mkdtemp(prefix="merge_rw_", dir=f"{writer.path}/data")
+    if writer.spec:
+        # hive-partition the rewrite on the transformed value (identity
+        # passes through, bucket via spec-exact murmur3) so the commit's
+        # footer lift records prunable partition values — updates that
+        # move rows across partitions land correctly because the dup
+        # column is computed from the FINAL row values
+        pf = writer.spec[0]
+        src_col = pf["_source_name"]
+        rtype = transform_result_type(pf["transform"], writer.types[src_col])
+        out = out.withColumn(
+            "__part",
+            spark_partition_value(src_col, pf["transform"], rtype),
+        )
+        out.write.mode("overwrite").partitionBy("__part").parquet(data_dir)
+        return commit_spark_overwrite(
+            writer,
+            data_dir,
+            matched_files,
+            partition_col=src_col,
+            path_col="__part",
+        )
     out.write.mode("overwrite").parquet(data_dir)
     return commit_spark_overwrite(writer, data_dir, matched_files)
 

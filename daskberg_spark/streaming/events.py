@@ -385,10 +385,11 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot per micro-batch), must match the batch oracle exactly: no
     loss, no duplication.
 
-    Exactly-once note: micro-batch epoch ids key the data directories, so
-    a replayed epoch overwrites its own files; a production sink also
-    records the epoch in the snapshot summary and skips the metadata
-    commit for an already-committed epoch."""
+    Exactly-once: micro-batch epoch ids key the data directories (a
+    replayed epoch overwrites its own files), AND each commit records its
+    epoch in the snapshot summary — a replayed epoch whose snapshot
+    already exists skips the metadata commit entirely, so failure/retry
+    can neither lose nor duplicate a batch."""
     import shutil
 
     from daskberg_spark.iceberg.metadata import IcebergTable
@@ -409,9 +410,16 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if any(
+            s["summary"].get("epoch-id") == str(epoch_id)
+            for s in writer.snapshots
+        ):
+            return  # epoch already committed: replay is a no-op
         data_dir = os.path.join(path, "data", f"epoch-{epoch_id}")
         batch_df.write.mode("overwrite").parquet(data_dir)
-        commit_spark_output(writer, data_dir)
+        commit_spark_output(
+            writer, data_dir, extra_summary={"epoch-id": str(epoch_id)}
+        )
 
     q = stream.writeStream.foreachBatch(sink).start()
     try:

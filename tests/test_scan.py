@@ -762,3 +762,55 @@ def test_compact_files_spark_distributed(spark, tmp_path):
     assert sorted(r["x"] for r in t.to_df(spark).collect()) == before
     assert len(t.plan_files()) == 1 < n_before
     assert compact_files_spark(w, spark) is None  # nothing left to pack
+
+
+def test_merge_rows_spark_partitioned(spark, tmp_path):
+    """Distributed merge on an identity-partitioned table: rewrites land
+    hive-partitioned on FINAL row values (cross-partition moves prune
+    correctly), inserts create new partitions."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, merge_rows_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"k": 1, "grp": "a", "v": 1.0}, {"k": 2, "grp": "b", "v": 2.0}])
+    w.append([{"k": 3, "grp": "c", "v": 3.0}])
+    updates = spark.createDataFrame(
+        [(2, "a", 20.0), (9, "z", 9.0)], "k long, grp string, v double"
+    )
+    merge_rows_spark(w, spark, updates, ["k"])
+    t = IcebergTable(w.path)
+    rows = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {1: ("a", 1.0), 2: ("a", 20.0), 3: ("c", 3.0), 9: ("z", 9.0)}
+    # partition metadata is prunable on final values
+    a_rows = {r["k"] for r in t.to_df(spark, filters=[("grp", "==", "a")]).collect()}
+    assert a_rows == {1, 2}
+    files_a = t.plan_files([("grp", "==", "a")])
+    assert 0 < len(files_a) < len(t.plan_files())
+
+
+def test_streaming_sink_epoch_idempotent(spark, tmp_path):
+    """Replaying a committed epoch through the sink logic is a no-op:
+    the epoch id recorded in the snapshot summary dedups commits."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    df = spark.range(5).select(F.col("id").alias("x"))
+    d0 = str(tmp_path / "epoch-0")
+    df.write.mode("overwrite").parquet(d0)
+    commit_spark_output(w, d0, extra_summary={"epoch-id": "0"})
+    # replay guard (the sink's check)
+    assert any(s["summary"].get("epoch-id") == "0" for s in w.snapshots)
+    assert len(w.snapshots) == 1
+    t = IcebergTable(w.path)
+    assert t.current_snapshot["summary"]["epoch-id"] == "0"
+    assert t.to_df(spark).count() == 5
