@@ -41,6 +41,9 @@ AUDIT = {
     "window_distribution_partitioned": (1, False, False, 3),
     # eq-delete anti-join + pos-delete anti-join + final agg exchange
     "iceberg_v2_row_deletes": (3, False, True, None),
+    "q19_disjunctive_filter": (1, True, True, None),
+    "array_functions": (0, False, False, 2),
+    "events_funnel": (2, True, False, 3),
 }
 
 
