@@ -261,3 +261,41 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "verdict")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "profile_table",
+    """
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS max_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT),
+           CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null counts, distinct counts,
+    and length bounds — the pre-ingestion quality census every pipeline
+    runs before training-data acceptance.  One pass per profiled column
+    group via conditional aggregation; at 100 TB distinct counts swap to
+    approx_count_distinct (exact here for the oracle)."""
+    orders = table(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return orders.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(F.length(col)).cast("long").alias("min_len"),
+            F.max(F.length(col)).cast("long").alias("max_len"),
+        )
+
+    return prof("o_orderstatus").unionByName(prof("o_orderpriority"))
