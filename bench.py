@@ -66,7 +66,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     from daskberg_spark.operators.registry import table
 
-    for name in ("lineitem", "orders", "customer", "events"):
+    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         try:
             table(spark, sf_dir, name).count()
         except Exception:
