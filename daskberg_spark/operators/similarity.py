@@ -407,3 +407,59 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               AS scale
+      FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> round(127.0 * x / scale) * scale / 127.0)
+               AS vq
+      FROM q
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_aggregate(list_transform(range(1, len(v) + 1),
+                  i -> (v[i] - vq[i]) * (v[i] - vq[i])), 'sum')
+                / len(v) AS DOUBLE) AS mse
+    FROM dq
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 memory-scaling path: symmetric int8 quantization of embeddings
+    (per-vector max-abs scale → round to 127 levels), reporting the
+    per-vector reconstruction MSE.  4× smaller vectors let an ANN index
+    hold 4× the corpus per executor; re-scoring the top candidates in
+    float restores exactness.  Entirely JVM-side array lambdas; the
+    oracle mirrors the same quantize→dequantize→error arithmetic in
+    DuckDB list lambdas (identical IEEE ops → bit-exact MSE)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_scale = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("scale"),
+    )
+    vq = F.transform(
+        F.col("v"),
+        lambda x: F.round(F.lit(127.0) * x / F.col("scale"))
+        * F.col("scale")
+        / F.lit(127.0),
+    )
+    dq = with_scale.select("vec_id", "v", "scale", vq.alias("vq"))
+    sq_err = F.zip_with(
+        F.col("v"), F.col("vq"), lambda a, b: (a - b) * (a - b)
+    )
+    mse = (
+        F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size("v")
+    ).alias("mse")
+    return dq.select("vec_id", "scale", mse)

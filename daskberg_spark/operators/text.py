@@ -299,3 +299,81 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("o_orderstatus").unionByName(prof("o_orderpriority"))
+
+
+BPE_MERGES = 10
+
+
+@query("bpe_train_merges")  # iterative algorithm → no SQL twin, rows-only
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: distributed BPE tokenizer training — learn the top BPE_MERGES
+    merge rules from the corpus, the way a 100 TB pipeline trains its
+    tokenizer.
+
+    Scale shape: the corpus collapses FIRST to the (word, count)
+    vocabulary (one shuffle, output is vocabulary-sized — thousands of
+    rows per million docs, not corpus-sized); every iteration then runs
+    on the vocabulary alone: explode weighted adjacent symbol pairs →
+    top-1 count (one tiny agg per round; only the single winning pair
+    reaches the driver) → apply the merge with a vectorized pandas UDF
+    and localCheckpoint to truncate lineage, exactly the checkpointed
+    iterative pattern of connected components.  Ties break
+    lexicographically so the learned merges are deterministic."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(BPE_MERGES):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws("\x00", a, b),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split("\x00")
+        merges.append((step, a, b, int(top[0]["cnt"])))
+
+        def apply_merge(batches, a=a, b=b):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"syms": out, "n": pdf["n"]})
+
+        vocab = vocab.mapInPandas(
+            apply_merge, "syms array<string>, n long"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )

@@ -211,3 +211,29 @@ def test_ivf_centroids_deterministic_and_separating(spark, tmp_path):
     neg_cells = {cells[10 + i] for i in range(10)}
     assert len(pos_cells) == 1 and len(neg_cells) == 1
     assert pos_cells != neg_cells
+
+
+def test_bpe_train_merges_deterministic_and_correct(spark, tmp_path):
+    """BPE training on a tiny controlled corpus: merge order follows
+    weighted pair frequencies with lexicographic tie-breaks, merges
+    stack (later rules reference earlier merged symbols), and reruns are
+    identical."""
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest", "en", "s", 30),
+         (2, "newest newest widest low", "en", "s", 24)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = str(tmp_path / "d")
+    docs.write.parquet(out + "/documents.parquet")
+    from daskberg_spark.operators.text import bpe_train_merges
+
+    a = [(r["step"], r["left"], r["right"], r["pair_count"])
+         for r in bpe_train_merges(spark, out).collect()]
+    b = [(r["step"], r["left"], r["right"], r["pair_count"])
+         for r in bpe_train_merges(spark, out).collect()]
+    assert a == b and len(a) > 3
+    # 'l'+'o' then 'lo'+'w' first: l,o adjacent in low(4) + lower(2)
+    assert (0, "l", "o", 6) == a[0]
+    assert a[1][:3] == (1, "lo", "w")
+    counts = [r[3] for r in a]
+    assert counts == sorted(counts, reverse=True) or len(set(counts)) < len(counts)
