@@ -68,7 +68,11 @@ _PRIORITY = [
     "iceberg_or_filter",
     "iceberg_day_transform_prune",
     "iceberg_unique_partitions",
-    "iceberg_snapshot_log",
+    # A12 metadata introspection: the oracle-checkable partitions metadata
+    # table takes the window slot; iceberg_snapshot_log (rows-only by
+    # nature — snapshot ids/timestamps have no DuckDB twin) registers
+    # after the window and stays covered by tools/check_oracle.py.
+    "iceberg_partitions_metadata",
     "iceberg_schema_evolution",
     "iceberg_write_roundtrip",
     "iceberg_lineitem_month_prune",
@@ -112,7 +116,10 @@ _PRIORITY = [
     "salted_join",
     "bucketed_join",
     "partitioned_write",
-    "approx_quantiles",
+    # B5 quantiles: the exact-quantile family is oracle-checkable;
+    # approx_quantiles (per-engine sketches, rows-only by design)
+    # registers after the window.
+    "median_quantile",
     "agg_collect_sorted",
 ]
 

