@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Any
 
@@ -833,8 +834,8 @@ def _entries_from_spark_dir(
     writer: "IcebergWriter",
     data_dir: str,
     snapshot_id: int,
-    partition_col: str | None = None,
-    path_col: str | None = None,
+    partition_col: str | list[str] | None = None,
+    path_col: str | list[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Footer-lift a directory of Spark-written parquet into ADDED
     manifest entries (bounds from row-group statistics, partition values
@@ -871,31 +872,45 @@ def _entries_from_spark_dir(
         if partition_col is not None:
             # `path_col` is the hive directory name (Spark's partitionBy drops
             # that column from file contents, so callers partition on a
-            # *duplicate* column and keep the real one in the data).
-            spec_field = next(
-                (
-                    pf
-                    for pf in writer.spec
-                    if pf["_source_name"] == partition_col
-                ),
-                None,
+            # *duplicate* column and keep the real one in the data).  Multi-
+            # field specs pass parallel lists — one hive level per field.
+            pcols = (
+                [partition_col]
+                if isinstance(partition_col, str)
+                else list(partition_col)
             )
-            if spec_field is None:
-                raise ValueError(
-                    f"{partition_col!r} is not a partition source column"
+            if path_col is None:
+                segcols = list(pcols)
+            elif isinstance(path_col, str):
+                segcols = [path_col]
+            else:
+                segcols = list(path_col)
+            if len(segcols) != len(pcols):
+                raise ValueError("path_col must parallel partition_col")
+            for pcol, seg_name in zip(pcols, segcols):
+                spec_field = next(
+                    (
+                        pf
+                        for pf in writer.spec
+                        if pf["_source_name"] == pcol
+                    ),
+                    None,
                 )
-            rtype = transform_result_type(
-                spec_field["transform"], writer.types[partition_col]
-            )
-            seg_name = path_col or partition_col
-            for seg in path.split(os.sep):
-                if seg.startswith(seg_name + "="):
-                    raw = urllib.parse.unquote(seg.split("=", 1)[1])
-                    # key by the SPEC FIELD name (what the planner checks),
-                    # typed by the transform's result
-                    partition[spec_field["name"]] = (
-                        int(raw) if rtype in ("int", "long") else raw
+                if spec_field is None:
+                    raise ValueError(
+                        f"{pcol!r} is not a partition source column"
                     )
+                rtype = transform_result_type(
+                    spec_field["transform"], writer.types[pcol]
+                )
+                for seg in path.split(os.sep):
+                    if seg.startswith(seg_name + "="):
+                        raw = urllib.parse.unquote(seg.split("=", 1)[1])
+                        # key by the SPEC FIELD name (what the planner
+                        # checks), typed by the transform's result
+                        partition[spec_field["name"]] = (
+                            int(raw) if rtype in ("int", "long") else raw
+                        )
         entries.append(
             {
                 "status": 1,
@@ -920,24 +935,38 @@ def _entries_from_spark_dir(
     return entries
 
 
+def _norm_data_path(p: str) -> str:
+    """Canonical form for comparing data-file paths across the Spark scan
+    (``_metadata.file_path``, ``file:``-prefixed) and manifest entries
+    (writer-relative or scheme-prefixed): strip the file: scheme, resolve
+    symlinks/relative segments."""
+    return os.path.realpath(re.sub(r"^file:/+", "/", p))
+
+
 def commit_spark_overwrite(
     writer: "IcebergWriter",
     data_dir: str,
     removed_paths: list[str],
-    partition_col: str | None = None,
-    path_col: str | None = None,
+    partition_col: str | list[str] | None = None,
+    path_col: str | list[str] | None = None,
 ) -> int:
     """Commit a distributed rewrite as ONE overwrite snapshot: the files
     under ``data_dir`` are added (footer-lifted), ``removed_paths`` are
     tombstoned, untouched manifests carry forward.  The metadata-side
-    half of ``merge_rows_spark`` / a Spark compaction job."""
+    half of ``merge_rows_spark`` / a Spark compaction job.
+
+    Paths are compared scheme-stripped + realpath'd on both sides, and a
+    removed path matching no manifest entry raises — a silent no-match
+    would leave the "removed" file live alongside its rewrite,
+    duplicating rows."""
     from daskberg_spark.iceberg.avro import read_avro_file
 
     snapshot_id = writer._next_snapshot_id
     add_entries = _entries_from_spark_dir(
         writer, data_dir, snapshot_id, partition_col, path_col
     )
-    removed = set(removed_paths)
+    removed = {_norm_data_path(p) for p in removed_paths}
+    found: set[str] = set()
     keep_manifests = []
     delete_by_spec: dict[int, list[dict[str, Any]]] = {}
     for mf in writer.manifests:
@@ -946,17 +975,20 @@ def commit_spark_overwrite(
         hit = [
             e
             for e in entries
-            if e["status"] != 2 and e["data_file"]["file_path"] in removed
+            if e["status"] != 2
+            and _norm_data_path(e["data_file"]["file_path"]) in removed
         ]
         if hit:
             for e in hit:
+                found.add(_norm_data_path(e["data_file"]["file_path"]))
                 delete_by_spec.setdefault(mf_spec, []).append(
                     {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
                 )
             survivors = [
                 {"status": 0, "snapshot_id": e.get("snapshot_id"), "data_file": e["data_file"]}
                 for e in entries
-                if e["status"] != 2 and e["data_file"]["file_path"] not in removed
+                if e["status"] != 2
+                and _norm_data_path(e["data_file"]["file_path"]) not in removed
             ]
             if survivors:
                 keep_manifests.append(
@@ -964,6 +996,13 @@ def commit_spark_overwrite(
                 )
         else:
             keep_manifests.append(mf)
+    missing = removed - found
+    if missing:
+        raise ValueError(
+            f"{len(missing)} removed path(s) matched no live manifest entry "
+            f"(first: {sorted(missing)[0]!r}); refusing a commit that would "
+            "leave rewritten files' originals live"
+        )
     chunks = [
         add_entries[i : i + 100] for i in range(0, len(add_entries), 100)
     ] or [[]]
@@ -981,6 +1020,45 @@ def commit_spark_overwrite(
     return snapshot_id
 
 
+# Catalyst size estimate above which the update side of a distributed
+# MERGE is NOT hint-forced to broadcast (same rationale as
+# scan.BROADCAST_DELETE_MAX_BYTES: a real MERGE can carry a multi-GB
+# update set, and a forced broadcast of it OOMs the driver).  Below the
+# threshold the hint saves a shuffle deterministically; above — or when
+# no estimate is available — the join is left unhinted so AQE decides
+# from runtime sizes.
+BROADCAST_UPDATES_MAX_BYTES = 32 << 20
+
+
+def _maybe_broadcast_updates(u: Any) -> Any:
+    from pyspark.sql import functions as F
+
+    try:
+        est = int(
+            u._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return u
+    return F.broadcast(u) if est <= BROADCAST_UPDATES_MAX_BYTES else u
+
+
+def _with_partition_columns(writer: "IcebergWriter", out: Any) -> tuple[Any, list[str], list[str]]:
+    """Attach one hive dup-column per spec field (transformed value —
+    identity passes through, bucket via spec-exact murmur3) so the
+    commit's footer lift records prunable partition values.  Returns
+    (df, source column names, dup column names)."""
+    src_cols, dup_cols = [], []
+    for i, pf in enumerate(writer.spec):
+        src = pf["_source_name"]
+        rtype = transform_result_type(pf["transform"], writer.types[src])
+        out = out.withColumn(
+            f"__part{i}", spark_partition_value(src, pf["transform"], rtype)
+        )
+        src_cols.append(src)
+        dup_cols.append(f"__part{i}")
+    return out, src_cols, dup_cols
+
+
 def merge_rows_spark(
     writer: "IcebergWriter",
     spark: Any,
@@ -989,28 +1067,34 @@ def merge_rows_spark(
 ) -> int:
     """Distributed copy-on-write MERGE: the cluster-scale twin of
     ``merge_rows``.  Spark identifies the matched files (semi join
-    against the broadcast update set), rewrites ONLY those files' rows
-    with updates applied (left join + per-column coalesce) plus inserts
-    for unmatched keys, and writes the replacement files in parallel;
-    the driver then runs the pure-metadata ``commit_spark_overwrite``.
-    Driver state is O(matched files) paths — never rows.
+    against the update set — broadcast only when its Catalyst size
+    estimate is small, otherwise AQE decides), rewrites ONLY those
+    files' rows with updates applied plus inserts for unmatched keys,
+    and writes the replacement files in parallel; the driver then runs
+    the pure-metadata ``commit_spark_overwrite``.  Driver state is
+    O(matched files) paths — never rows.  The matched-file filter is a
+    semi-join against the file-list DataFrame, not an ``isin`` literal,
+    so the plan stays O(1) in the file count.
+
+    Update semantics mirror ``merge_rows``' ``{**row, **update}``: a
+    matched row takes the update's value for every update column —
+    including explicit NULLs (presence-marker join, not coalesce).
+    Duplicate keys in ``updates`` raise, as in ``merge_rows`` — a
+    duplicate would fan out the rewrite join and silently duplicate
+    matched rows.
 
     v2 deletes apply during the tagged read (``to_df(keep_file=True)``
     routes through the delete-aware scan), so rewrites never resurrect
-    deleted rows.  Unpartitioned writer specs only (a partitioned table
-    adds ``partitionBy`` on the rewrite write + the hive lift, as in
-    ``commit_spark_output``)."""
+    deleted rows.  Partitioned tables (any number of spec fields) hive-
+    partition the rewrite on the transformed values; updates that move
+    rows across partitions land correctly because the dup columns are
+    computed from the FINAL row values."""
     import tempfile
 
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
     from pyspark.sql import functions as F
 
-    if len(writer.spec) > 1:
-        raise NotImplementedError(
-            "merge_rows_spark supports at most one partition field; "
-            "multi-field specs use merge_rows or extend the hive lift"
-        )
     t = IcebergTable(writer.path)
     tagged = t.to_df(spark, keep_file=True)
     data_cols = [f["name"] for f in writer.fields]
@@ -1018,19 +1102,35 @@ def merge_rows_spark(
     if not set(key_cols) <= set(upd_cols):
         raise ValueError("updates must carry every key column")
     u = updates.select(*upd_cols)
-    matched_files = [
-        r["__file"]
-        for r in tagged.join(F.broadcast(u), key_cols, "left_semi")
+    if (
+        u.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError("duplicate keys in updates")
+    ug = _maybe_broadcast_updates(u)
+    matched_files_df = (
+        tagged.join(ug, key_cols, "left_semi")
         .select("__file")
         .distinct()
-        .collect()
-    ]
-    rewrite_src = tagged.filter(F.col("__file").isin(matched_files)).alias("t")
-    ub = F.broadcast(u).alias("u")
+        .localCheckpoint()
+    )
+    # the metadata commit needs the paths on the driver (metadata-scale:
+    # file names, not rows); the rewrite plan reuses the DataFrame via a
+    # semi-join so no O(files) literal ever enters a plan
+    matched_files = [r["__file"] for r in matched_files_df.collect()]
+    rewrite_src = tagged.join(matched_files_df, "__file", "left_semi").alias("t")
+    ub = _maybe_broadcast_updates(
+        u.withColumn("__matched", F.lit(True))
+    ).alias("u")
     applied = rewrite_src.join(ub, key_cols, "left").select(
         *[
             (
-                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                F.when(F.col("u.__matched"), F.col(f"u.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
                 if c in upd_cols and c not in key_cols
                 else F.col(f"t.{c}").alias(c)
             )
@@ -1048,25 +1148,14 @@ def merge_rows_spark(
     out = applied.unionByName(inserts)
     data_dir = tempfile.mkdtemp(prefix="merge_rw_", dir=f"{writer.path}/data")
     if writer.spec:
-        # hive-partition the rewrite on the transformed value (identity
-        # passes through, bucket via spec-exact murmur3) so the commit's
-        # footer lift records prunable partition values — updates that
-        # move rows across partitions land correctly because the dup
-        # column is computed from the FINAL row values
-        pf = writer.spec[0]
-        src_col = pf["_source_name"]
-        rtype = transform_result_type(pf["transform"], writer.types[src_col])
-        out = out.withColumn(
-            "__part",
-            spark_partition_value(src_col, pf["transform"], rtype),
-        )
-        out.write.mode("overwrite").partitionBy("__part").parquet(data_dir)
+        out, src_cols, dup_cols = _with_partition_columns(writer, out)
+        out.write.mode("overwrite").partitionBy(*dup_cols).parquet(data_dir)
         return commit_spark_overwrite(
             writer,
             data_dir,
             matched_files,
-            partition_col=src_col,
-            path_col="__part",
+            partition_col=src_cols,
+            path_col=dup_cols,
         )
     out.write.mode("overwrite").parquet(data_dir)
     return commit_spark_overwrite(writer, data_dir, matched_files)
@@ -1075,21 +1164,39 @@ def merge_rows_spark(
 def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
     """Maintenance: drop all but the last ``keep_last`` snapshots from the
     table metadata (time travel to expired snapshots stops working; data
-    files stay until ``remove_orphan_files``).  Returns expired ids."""
+    files stay until ``remove_orphan_files``).  Returns expired ids.
+
+    Snapshots pinned by a named branch/tag ref are RETAINED even when
+    older than the keep window (Iceberg's ref-reachability rule):
+    dropping them while ``_write_metadata`` still emits the ref would
+    break ``open_snapshot(ref=...)`` and let ``remove_orphan_files``
+    delete the tagged snapshot's data files."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if not writer.snapshots:
         raise ValueError("table has no snapshots to expire")
-    expired = [s["snapshot-id"] for s in writer.snapshots[:-keep_last]]
-    writer.snapshots = writer.snapshots[-keep_last:]
-    # detach the parent pointer of the new oldest snapshot
-    if writer.snapshots:
-        writer.snapshots[0] = {
-            k: v for k, v in writer.snapshots[0].items() if k != "parent-snapshot-id"
-        }
+    ref_pinned = {
+        r["snapshot-id"] for r in writer.refs.values() if "snapshot-id" in r
+    }
+    keep_tail = {s["snapshot-id"] for s in writer.snapshots[-keep_last:]}
+    expired_set = {
+        s["snapshot-id"]
+        for s in writer.snapshots
+        if s["snapshot-id"] not in keep_tail and s["snapshot-id"] not in ref_pinned
+    }
+    if not expired_set:
+        return []
+    survivors = [
+        s for s in writer.snapshots if s["snapshot-id"] not in expired_set
+    ]
+    # detach any parent pointer that now refers to an expired snapshot
+    writer.snapshots = [
+        {k: v for k, v in s.items() if not (k == "parent-snapshot-id" and v in expired_set)}
+        for s in survivors
+    ]
     writer.version += 1
     writer._write_metadata()
-    return expired
+    return sorted(expired_set)
 
 
 def remove_orphan_files(table_path: str) -> list[str]:
@@ -1176,8 +1283,11 @@ def _live_deletes(
             continue
         content = rec.get("content", 0)
         if content == 1:
+            # normalize the referenced paths the same way the scan layer
+            # does (scheme strip + realpath): scheme-prefixed position
+            # deletes must keep applying during driver-side rewrites
             for r in pq.read_table(rec["file_path"]).to_pylist():
-                pos_pairs.add((r["file_path"], r["pos"]))
+                pos_pairs.add((_norm_data_path(r["file_path"]), r["pos"]))
         elif content == 2:
             # current key-column names come from the stable field ids; the
             # delete parquet's columns align POSITIONALLY with
@@ -1218,9 +1328,10 @@ def _live_file_rows(
             return None
     rows = tbl.to_pylist()
     fsnap = entry.get("snapshot_id") or 0
+    norm_path = _norm_data_path(rec["file_path"])
     out = []
     for i, r in enumerate(rows):
-        if (rec["file_path"], i) in pos_pairs:
+        if (norm_path, i) in pos_pairs:
             continue
         if name_map is not None:
             r = {name_map[k]: v for k, v in r.items()}
@@ -1354,33 +1465,50 @@ def compact_files_spark(
     min_file_bytes: int = 32 << 20,
     target_partitions: int = 1,
 ) -> int | None:
-    """Distributed compaction: the cluster-scale twin of
-    ``compact_files`` for unpartitioned tables.  Spark reads ONLY the
-    small files through the delete-aware tagged scan (so live v2 deletes
-    are applied to the rewrite), coalesces them into ``target_partitions``
-    output files in parallel, and ``commit_spark_overwrite`` tombstones
-    the originals — one replace-style snapshot, driver state O(paths)."""
+    """Distributed compaction: the cluster-scale twin of ``compact_files``.
+    Spark reads ONLY the small files through the delete-aware tagged scan
+    (so live v2 deletes are applied to the rewrite), coalesces them into
+    ``target_partitions`` output tasks in parallel, and
+    ``commit_spark_overwrite`` tombstones the originals — one
+    replace-style snapshot, driver state O(paths).
+
+    Partitioned tables compact per partition tuple: only partitions
+    holding >= 2 small files are rewritten, and the rewrite is hive-
+    partitioned on the spec's transformed values (any number of fields),
+    so each output task writes one consolidated file per partition and
+    the footer lift records prunable partition values.  The small-file
+    filter is a semi-join against a file-list DataFrame (metadata-scale),
+    never an O(files) ``isin`` literal in the plan."""
     import tempfile
 
     import daskberg_spark.iceberg.scan  # noqa: F401
     from daskberg_spark.iceberg.metadata import IcebergTable
-    from pyspark.sql import functions as F
 
-    if writer.spec:
-        raise NotImplementedError(
-            "compact_files_spark currently supports unpartitioned specs; "
-            "partitioned tables group the rewrite by partition first"
-        )
     t = IcebergTable(writer.path)
+    by_part: dict[tuple, list[str]] = {}
+    for f in t.plan_files():
+        if (f.get("file_size_in_bytes") or 0) < min_file_bytes:
+            pkey = tuple(sorted((f.get("partition") or {}).items()))
+            by_part.setdefault(pkey, []).append(f["file_path"])
     small = [
-        f["file_path"]
-        for f in t.plan_files()
-        if (f.get("file_size_in_bytes") or 0) < min_file_bytes
+        re.sub(r"^file:/+", "/", p)
+        for paths in by_part.values()
+        if len(paths) >= 2
+        for p in paths
     ]
-    if len(small) < 2:
+    if not small:
         return None
     tagged = t.to_df(spark, keep_file=True)
-    rows = tagged.filter(F.col("__file").isin(small)).drop("__file")
+    # __file carries the scan's scheme-stripped path; match it the same way
+    small_df = spark.createDataFrame([(p,) for p in small], "__file string")
+    rows = tagged.join(small_df, "__file", "left_semi").drop("__file")
+    rows = rows.coalesce(target_partitions)
     data_dir = tempfile.mkdtemp(prefix="compact_rw_", dir=f"{writer.path}/data")
-    rows.coalesce(target_partitions).write.mode("overwrite").parquet(data_dir)
+    if writer.spec:
+        rows, src_cols, dup_cols = _with_partition_columns(writer, rows)
+        rows.write.mode("overwrite").partitionBy(*dup_cols).parquet(data_dir)
+        return commit_spark_overwrite(
+            writer, data_dir, small, partition_col=src_cols, path_col=dup_cols
+        )
+    rows.write.mode("overwrite").parquet(data_dir)
     return commit_spark_overwrite(writer, data_dir, small)

@@ -814,3 +814,219 @@ def test_streaming_sink_epoch_idempotent(spark, tmp_path):
     t = IcebergTable(w.path)
     assert t.current_snapshot["summary"]["epoch-id"] == "0"
     assert t.to_df(spark).count() == 5
+
+
+def test_merge_rows_spark_multifield_partitioned(spark, tmp_path):
+    """Distributed merge on a TWO-field spec (identity + bucket): the
+    hive lift records both transformed values, so pruning works on
+    either field after the rewrite."""
+    from daskberg_spark.iceberg.transforms import bucket
+    from daskberg_spark.iceberg.writer import IcebergWriter, merge_rows_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        [
+            {"name": "grp", "transform": "identity", "source": "grp"},
+            {"name": "k_bucket", "transform": "bucket[4]", "source": "k"},
+        ],
+    )
+    w.append([{"k": 1, "grp": "a", "v": 1.0}, {"k": 2, "grp": "b", "v": 2.0}])
+    w.append([{"k": 3, "grp": "c", "v": 3.0}])
+    updates = spark.createDataFrame(
+        [(2, "a", 20.0), (9, "z", 9.0)], "k long, grp string, v double"
+    )
+    merge_rows_spark(w, spark, updates, ["k"])
+    t = IcebergTable(w.path)
+    rows = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {1: ("a", 1.0), 2: ("a", 20.0), 3: ("c", 3.0), 9: ("z", 9.0)}
+    # prunable on the identity field
+    assert {r["k"] for r in t.to_df(spark, filters=[("grp", "==", "a")]).collect()} == {1, 2}
+    assert 0 < len(t.plan_files([("grp", "==", "a")])) < len(t.plan_files())
+    # prunable on the bucket field (spec-exact murmur3)
+    files_k9 = t.plan_files([("k", "==", 9)])
+    assert 0 < len(files_k9) < len(t.plan_files())
+    bfield = [f["partition"].get("k_bucket") for f in files_k9]
+    assert bucket(9, 4) in bfield
+
+
+def test_merge_rows_spark_duplicate_keys_raise(spark, tmp_path):
+    """A duplicate key in updates would fan out the rewrite join and
+    silently duplicate matched rows — it must raise, as in merge_rows."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, merge_rows_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "v": "a"}])
+    updates = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_rows_spark(w, spark, updates, ["k"])
+
+
+def test_merge_rows_spark_null_update_writes_null(spark, tmp_path):
+    """SQL MERGE ... SET v = NULL semantics: an explicit NULL in the
+    update REPLACES the old value (presence-marker join, not coalesce),
+    matching merge_rows' {**row, **update}."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, merge_rows_spark
+
+    fields = [
+        {"id": 1, "name": "k", "type": "long", "required": False},
+        {"id": 2, "name": "v", "type": "string", "required": False},
+    ]
+    # distributed path
+    w = IcebergWriter(str(tmp_path / "t1"), fields)
+    w.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    updates = spark.createDataFrame([(1, None)], "k long, v string")
+    merge_rows_spark(w, spark, updates, ["k"])
+    rows = {r["k"]: r["v"] for r in IcebergTable(w.path).to_df(spark).collect()}
+    assert rows == {1: None, 2: "b"}
+    # driver path agrees (twin-parity)
+    w2 = IcebergWriter(str(tmp_path / "t2"), fields)
+    w2.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    w2.merge_rows([{"k": 1, "v": None}], ["k"])
+    rows2 = {r["k"]: r["v"] for r in IcebergTable(w2.path).to_df(spark).collect()}
+    assert rows2 == rows
+
+
+def test_merge_rows_spark_unhinted_above_size_gate(spark, tmp_path, monkeypatch):
+    """Above the size gate the update join must carry no forced broadcast
+    hint (AQE decides); the merge still produces the correct table."""
+    import daskberg_spark.iceberg.writer as wr
+
+    monkeypatch.setattr(wr, "BROADCAST_UPDATES_MAX_BYTES", 0)
+    w = wr.IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    updates = spark.createDataFrame([(1, "NEW")], "k long, v string")
+    # direct check: the gate refuses the hint for this "large" frame
+    hinted = wr._maybe_broadcast_updates(updates)
+    assert "ResolvedHint" not in hinted._jdf.queryExecution().logical().toString()
+    wr.merge_rows_spark(w, spark, updates, ["k"])
+    rows = {r["k"]: r["v"] for r in IcebergTable(w.path).to_df(spark).collect()}
+    assert rows == {1: "NEW", 2: "b"}
+
+
+def test_expire_snapshots_retains_ref_pinned(spark, tmp_path):
+    """A tag/branch ref pins its snapshot through expiration (Iceberg
+    ref-reachability): open_snapshot(ref=...) keeps working and
+    remove_orphan_files keeps the pinned snapshot's data."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}])
+    pinned_snap = w.snapshots[-1]["snapshot-id"]
+    w.set_ref("release-1", "tag", pinned_snap)
+    w.append([{"x": 2}])
+    w.append([{"x": 3}])
+    expired = expire_snapshots(w, keep_last=1)
+    # middle snapshot expired; pinned + head retained
+    kept = {s["snapshot-id"] for s in w.snapshots}
+    assert pinned_snap in kept and len(expired) == 1
+    removed = remove_orphan_files(w.path)
+    t = IcebergTable(w.path)
+    t.open_snapshot(ref="release-1")
+    assert {r["x"] for r in t.to_df(spark).collect()} == {1}
+    t2 = IcebergTable(w.path)
+    assert {r["x"] for r in t2.to_df(spark).collect()} == {1, 2, 3}
+    assert removed == []  # nothing reachable was deleted
+
+
+def test_compact_files_spark_partitioned(spark, tmp_path):
+    """Distributed compaction on a partitioned table with live v2
+    deletes: per-partition consolidation, content invariant, pruning
+    still works, partitions with a single small file left alone."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "x", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    for batch in range(3):
+        w.append([{"x": batch * 10 + i, "grp": "a"} for i in range(5)])
+        w.append([{"x": 100 + batch * 10 + i, "grp": "b"} for i in range(5)])
+    w.append([{"x": 999, "grp": "solo"}])
+    f0 = next(
+        f["file_path"]
+        for f in IcebergTable(w.path).plan_files()
+        if f["partition"].get("grp") == "a"
+    )
+    w.delete_rows_position([(f0, 0)])
+    w.delete_rows_equality([{"x": 101}])
+    before = sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect())
+    snap = compact_files_spark(w, spark)
+    assert snap is not None
+    t = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == before
+    files = t.plan_files()
+    by_grp: dict[str, int] = {}
+    for f in files:
+        g = f["partition"].get("grp")
+        by_grp[g] = by_grp.get(g, 0) + 1
+    # a and b consolidated to 1 data file each; solo untouched
+    data_files = {
+        g: n for g, n in by_grp.items() if g in ("a", "b", "solo")
+    }
+    assert data_files["a"] == 1 and data_files["b"] == 1 and data_files["solo"] == 1
+    assert {r["x"] for r in t.to_df(spark, filters=[("grp", "==", "solo")]).collect()} == {999}
+
+
+def test_commit_spark_overwrite_unmatched_removed_raises(spark, tmp_path):
+    """A removed path that matches no live manifest entry must raise —
+    silently skipping it would leave the original live next to its
+    rewrite (duplicated rows)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_overwrite
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}])
+    d = str(tmp_path / "out")
+    spark.range(1).select(F.col("id").alias("x")).write.mode("overwrite").parquet(d)
+    with pytest.raises(ValueError, match="matched no live manifest entry"):
+        commit_spark_overwrite(w, d, [str(tmp_path / "t/data/nope.parquet")])
+
+
+def test_scheme_prefixed_position_deletes_apply(spark, tmp_path):
+    """Position deletes referencing file:-prefixed paths still apply
+    during driver-side rewrites (path normalization parity with the
+    scan layer)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}, {"x": 2}])
+    f0 = IcebergTable(w.path).plan_files()[0]["file_path"]
+    w.delete_rows_position([("file://" + f0, 0)])
+    w.merge_rows([{"x": 2, }], ["x"])  # rewrite the file; delete must hold
+    t = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == [2]
