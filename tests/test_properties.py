@@ -209,3 +209,86 @@ def test_spec_evolved_pruning_never_loses_matches(files_desc, op, value):
     for f, has_match in zip(files, truths):
         if has_match:
             assert f["file_path"] in kept, (f, op, val)
+
+
+# -- writer-stack interaction matrix -----------------------------------------
+# Random interleavings of partition-spec evolution and appends, followed by
+# a distributed MERGE and a distributed compaction: content must always
+# equal the Python model, and partition pruning must stay correct across
+# files written under DIFFERENT historical specs (the three newest writer
+# features touching the same manifests — spec evolution, distributed
+# write, compaction).
+
+_SPEC_CHOICES = [
+    [],
+    [{"name": "grp", "transform": "identity", "source": "grp"}],
+    [{"name": "k_bucket", "transform": "bucket[4]", "source": "k"}],
+    [
+        {"name": "grp", "transform": "identity", "source": "grp"},
+        {"name": "k_bucket", "transform": "bucket[4]", "source": "k"},
+    ],
+]
+
+_row_data = st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100))
+_ops_st = st.lists(
+    st.one_of(
+        st.lists(_row_data, min_size=1, max_size=4).map(lambda rs: ("append", rs)),
+        st.sampled_from(_SPEC_CHOICES).map(lambda s: ("evolve", s)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_ops_st)
+def test_spec_evolution_write_compact_matrix(spark, ops):
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+        merge_rows_spark,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="specmatrix_")
+    w = IcebergWriter(
+        f"{tdir}/t",
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    model: dict[int, tuple[str, int]] = {}
+    k = 0
+    for op, arg in ops:
+        if op == "append":
+            rows = []
+            for grp, v in arg:
+                rows.append({"k": k, "grp": grp, "v": v})
+                model[k] = (grp, v)
+                k += 1
+            w.append(rows)
+        else:
+            w.update_partition_spec(arg)
+    if not model:
+        w.append([{"k": 0, "grp": "a", "v": 0}])
+        model[0] = ("a", 0)
+        k = 1
+    updates = spark.createDataFrame(
+        [(0, "c", 999), (k, "b", 111)], "k long, grp string, v long"
+    )
+    merge_rows_spark(w, spark, updates, ["k"])
+    model[0] = ("c", 999)
+    model[k] = ("b", 111)
+    compact_files_spark(w, spark)
+    t = IcebergTable(w.path)
+    got = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    assert got == model
+    pruned = {
+        r["k"] for r in t.to_df(spark, filters=[("grp", "==", "a")]).collect()
+    }
+    assert pruned == {kk for kk, (g, _) in model.items() if g == "a"}
