@@ -367,6 +367,31 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_epoch_sink(writer):
+    """foreachBatch callable committing each micro-batch to an Iceberg
+    table exactly once: the epoch id keys the data directory (a replayed
+    epoch overwrites its own files) and is recorded in the snapshot
+    summary, so a replay whose snapshot already exists skips the
+    metadata commit entirely — restart/retry can neither lose nor
+    duplicate a batch.  Module-level so restart-time replay is testable
+    outside a live query."""
+    from daskberg_spark.iceberg.writer import commit_spark_output
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if any(
+            s["summary"].get("epoch-id") == str(epoch_id)
+            for s in writer.snapshots
+        ):
+            return  # epoch already committed: replay is a no-op
+        data_dir = os.path.join(writer.path, "data", f"epoch-{epoch_id}")
+        batch_df.write.mode("overwrite").parquet(data_dir)
+        commit_spark_output(
+            writer, data_dir, extra_summary={"epoch-id": str(epoch_id)}
+        )
+
+    return sink
+
+
 @query(
     "streaming_iceberg_sink",
     """
@@ -393,7 +418,7 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from daskberg_spark.iceberg.metadata import IcebergTable
-    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+    from daskberg_spark.iceberg.writer import IcebergWriter
 
     path = os.path.join(
         tempfile.gettempdir(), f"daskberg_stream_sink_{uuid.uuid4().hex[:8]}"
@@ -408,20 +433,7 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     stream = _event_stream(spark, sf_dir).select("event_id", "event_type", "value")
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if any(
-            s["summary"].get("epoch-id") == str(epoch_id)
-            for s in writer.snapshots
-        ):
-            return  # epoch already committed: replay is a no-op
-        data_dir = os.path.join(path, "data", f"epoch-{epoch_id}")
-        batch_df.write.mode("overwrite").parquet(data_dir)
-        commit_spark_output(
-            writer, data_dir, extra_summary={"epoch-id": str(epoch_id)}
-        )
-
-    q = stream.writeStream.foreachBatch(sink).start()
+    q = stream.writeStream.foreachBatch(iceberg_epoch_sink(writer)).start()
     try:
         q.processAllAvailable()
     finally:

@@ -796,24 +796,33 @@ def test_merge_rows_spark_partitioned(spark, tmp_path):
 
 
 def test_streaming_sink_epoch_idempotent(spark, tmp_path):
-    """Replaying a committed epoch through the sink logic is a no-op:
-    the epoch id recorded in the snapshot summary dedups commits."""
-    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+    """Restart-time replay through the ACTUAL sink callable is a no-op:
+    the epoch id recorded in the snapshot summary dedups commits, so a
+    replayed micro-batch commits no duplicate snapshot and no duplicate
+    rows."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.events import iceberg_epoch_sink
 
     w = IcebergWriter(
         str(tmp_path / "t"),
         [{"id": 1, "name": "x", "type": "long", "required": False}],
     )
+    sink = iceberg_epoch_sink(w)
     df = spark.range(5).select(F.col("id").alias("x"))
-    d0 = str(tmp_path / "epoch-0")
-    df.write.mode("overwrite").parquet(d0)
-    commit_spark_output(w, d0, extra_summary={"epoch-id": "0"})
-    # replay guard (the sink's check)
-    assert any(s["summary"].get("epoch-id") == "0" for s in w.snapshots)
+    sink(df, 0)
     assert len(w.snapshots) == 1
-    t = IcebergTable(w.path)
-    assert t.current_snapshot["summary"]["epoch-id"] == "0"
-    assert t.to_df(spark).count() == 5
+    # simulated restart: the stream replays epoch 0, then advances
+    sink(df, 0)
+    assert len(w.snapshots) == 1  # replay committed nothing
+    sink(spark.range(5, 8).select(F.col("id").alias("x")), 1)
+    t_mid = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t_mid.to_df(spark).collect()) == list(range(8))
+    # epoch ids are durably recorded in the snapshot summaries
+    assert [s["summary"].get("epoch-id") for s in w.snapshots] == ["0", "1"]
+    assert len(w.snapshots) == 2
+    # a replay arriving AFTER later epochs is still a no-op
+    sink(df, 0)
+    assert len(w.snapshots) == 2
 
 
 def test_merge_rows_spark_multifield_partitioned(spark, tmp_path):
