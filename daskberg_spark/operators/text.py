@@ -323,24 +323,34 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof("o_orderstatus").unionByName(prof("o_orderpriority"))
 
 
-BPE_MERGES = 10
+BPE_MERGES = 40
+BPE_BATCH = 8  # merges learned per driver round-trip
 
 
-@query("bpe_train_merges")  # iterative algorithm → no SQL twin, rows-only
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: distributed BPE tokenizer training — learn the top BPE_MERGES
-    merge rules from the corpus, the way a 100 TB pipeline trains its
-    tokenizer.
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    batch_size: int = BPE_BATCH,
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn ``n_merges`` merge rules
+    from the corpus, ``batch_size`` per driver round-trip.
 
     Scale shape: the corpus collapses FIRST to the (word, count)
     vocabulary (one shuffle, output is vocabulary-sized — thousands of
     rows per million docs, not corpus-sized); every iteration then runs
     on the vocabulary alone: explode weighted adjacent symbol pairs →
-    top-1 count (one tiny agg per round; only the single winning pair
-    reaches the driver) → apply the merge with a vectorized pandas UDF
-    and localCheckpoint to truncate lineage, exactly the checkpointed
-    iterative pattern of connected components.  Ties break
-    lexicographically so the learned merges are deterministic."""
+    ranked counts → greedily take the top ``batch_size`` pairwise
+    symbol-disjoint pairs (the standard batched-BPE trick — disjoint
+    merges are independent, so one vectorized pandas pass applies them
+    all) → localCheckpoint to truncate lineage.  A 32k–100k-merge
+    tokenizer therefore costs n_merges/batch_size driver round-trips,
+    not n_merges.  ``batch_size=1`` reduces exactly to classic
+    sequential BPE (top-1 by count, lexicographic ties), which the
+    equivalence test pins.  Reported pair_count is the count at
+    selection time (before the batch's other merges apply), matching
+    sequential BPE for the batch head and approximating it for the
+    rest."""
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
@@ -354,8 +364,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("w", "").alias("syms"), "n")
         .localCheckpoint()
     )
-    merges = []
-    for step in range(BPE_MERGES):
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
         pairs = vocab.select(
             "n",
             F.explode(
@@ -366,26 +376,41 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pair"),
         )
-        top = (
+        want = min(batch_size, n_merges - len(merges))
+        # over-fetch so overlap skips can still fill the batch
+        ranked = (
             pairs.groupBy("pair")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
-            .limit(1)
+            .limit(max(want * 4, want))
             .collect()
         )
-        if not top:
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in ranked:
+            a, b = row["pair"].split("\x00")
+            # symbol-disjointness guarantees simultaneous == sequential
+            # application; overlapping candidates wait for a later round
+            if a in used or b in used:
+                continue
+            batch.append((a, b, int(row["cnt"])))
+            used.update((a, b))
+            if len(batch) >= want:
+                break
+        if not batch:
             break
-        a, b = top[0]["pair"].split("\x00")
-        merges.append((step, a, b, int(top[0]["cnt"])))
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, cnt))
+        merge_set = {(a, b) for a, b, _ in batch}
 
-        def apply_merge(batches, a=a, b=b):
+        def apply_merges(batches, merge_set=merge_set):
             for pdf in batches:
                 out = []
                 for syms in pdf["syms"]:
                     merged, i = [], 0
                     while i < len(syms):
-                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                            merged.append(a + b)
+                        if i + 1 < len(syms) and (syms[i], syms[i + 1]) in merge_set:
+                            merged.append(syms[i] + syms[i + 1])
                             i += 2
                         else:
                             merged.append(syms[i])
@@ -394,8 +419,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({"syms": out, "n": pdf["n"]})
 
         vocab = vocab.mapInPandas(
-            apply_merge, "syms array<string>, n long"
+            apply_merges, "syms array<string>, n long"
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )
+
+
+@query("bpe_train_merges")  # iterative algorithm → no SQL twin, rows-only
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: distributed BPE tokenizer training (see ``bpe_train``) —
+    BPE_MERGES rules at BPE_BATCH per driver round-trip."""
+    return bpe_train(spark, sf_dir)

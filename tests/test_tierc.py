@@ -225,15 +225,102 @@ def test_bpe_train_merges_deterministic_and_correct(spark, tmp_path):
     )
     out = str(tmp_path / "d")
     docs.write.parquet(out + "/documents.parquet")
-    from daskberg_spark.operators.text import bpe_train_merges
+    from daskberg_spark.operators.text import bpe_train
 
     a = [(r["step"], r["left"], r["right"], r["pair_count"])
-         for r in bpe_train_merges(spark, out).collect()]
+         for r in bpe_train(spark, out, n_merges=10, batch_size=1).collect()]
     b = [(r["step"], r["left"], r["right"], r["pair_count"])
-         for r in bpe_train_merges(spark, out).collect()]
+         for r in bpe_train(spark, out, n_merges=10, batch_size=1).collect()]
     assert a == b and len(a) > 3
     # 'l'+'o' then 'lo'+'w' first: l,o adjacent in low(4) + lower(2)
     assert (0, "l", "o", 6) == a[0]
     assert a[1][:3] == (1, "lo", "w")
     counts = [r[3] for r in a]
     assert counts == sorted(counts, reverse=True) or len(set(counts)) < len(counts)
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-Python sequential BPE (top-1 by count, ties by the \\x00-joined
+    pair string ascending) — the classic algorithm the batch_size=1 path
+    must reproduce exactly."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                words[w] += 1
+    vocab = [(list(w), c) for w, c in words.items()]
+    merges = []
+    for step in range(n_merges):
+        counts = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x00" + kv[0][1])
+        )
+        (a, b), cnt = best
+        merges.append((step, a, b, cnt))
+        new_vocab = []
+        for syms, c in vocab:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab.append((merged, c))
+        vocab = new_vocab
+    return merges
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_bpe_batch1_equals_sequential_reference(spark, tmp_path):
+    from daskberg_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the hat",
+        "a hat on a mat",
+        "cats eat hats",
+    ]
+    _write_docs(spark, tmp_path, texts)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(spark, str(tmp_path), n_merges=8, batch_size=1)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == _ref_bpe(texts, 8)
+
+
+def test_bpe_batched_deterministic_and_head_consistent(spark, tmp_path):
+    """Batched training is deterministic, learns the requested merge
+    count, and each round's head merge equals sequential BPE's choice
+    (the batch tail is the standard batched approximation)."""
+    from daskberg_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the hat",
+        "a hat on a mat",
+        "cats eat hats",
+    ]
+    _write_docs(spark, tmp_path, texts)
+    a = [tuple(r) for r in bpe_train(spark, str(tmp_path), 8, 4).orderBy("step").collect()]
+    b = [tuple(r) for r in bpe_train(spark, str(tmp_path), 8, 4).orderBy("step").collect()]
+    assert a == b and len(a) == 8
+    seq = _ref_bpe(texts, 1)
+    assert (a[0][1], a[0][2], a[0][3]) == (seq[0][1], seq[0][2], seq[0][3])
