@@ -179,7 +179,9 @@ def verify_pairs_jaccard(
 
     Verification cost scales with the candidate count (sparse after
     LSH/SimHash blocking), not with n² — each surviving pair does one
-    array_intersect over the two shingle sets."""
+    array_intersect over the two shingle sets.  The shingle index is
+    checkpointed so the two join sides share one computation."""
+    sh = sh.localCheckpoint()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     scored = (
@@ -321,13 +323,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same blocking keys as the oracle; at 100 TB blocks come from LSH
     buckets instead of metadata columns."""
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_arrays(docs)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # One shingle pass total: the index is checkpointed so both sides of
+    # the self-join read the materialized arrays, and each doc's set size
+    # rides ALONG the inverted index into the pair aggregation (min of a
+    # per-doc constant) — the former sizes joins re-derived the shingle
+    # arrays twice more, tripling the dominant cost of every downstream
+    # dedup stage.
+    sh = shingle_arrays(docs).localCheckpoint()
     inv = sh.select(
-        "doc_id", "lang", "source", F.explode("shingles").alias("sh")
+        "doc_id",
+        "lang",
+        "source",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
     )
     a, b = inv.alias("a"), inv.alias("b")
-    inter = (
+    pair = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -338,18 +349,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
+    return pair.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.1
     )
 
 
@@ -453,10 +463,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation via joins: each round every node takes
     min(own label, neighbors' labels); converges in O(component diameter)
     rounds.  Each iteration localCheckpoints to truncate lineage — without
-    it the plan doubles per round and the job dies at scale.  The oracle
-    is a DuckDB recursive CTE over the same (oracle-expressible) edge set.
-    """
+    it the plan doubles per round and the job dies at scale.  Convergence
+    is detected by the exact decimal sum of labels: min-propagation only
+    ever decreases labels, so an unchanged sum IS convergence — one tiny
+    aggregate over the just-checkpointed frame instead of a full
+    old-vs-new join per round (decimal(38,0) so the sum stays exact at
+    any node count).  The oracle is a DuckDB recursive CTE over the same
+    (oracle-expressible) edge set."""
     edges_ab = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = min_label_propagation(edges_ab)
+    return labels
+
+
+def min_label_propagation(edges_ab: DataFrame) -> tuple[DataFrame, int]:
+    """Checkpointed min-label propagation over (doc_a, doc_b) edges →
+    (labels DataFrame [doc_id, component], rounds run including the
+    confirming round)."""
     edges = edges_ab.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(
@@ -468,14 +490,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = label_sum(labels)
     converged = False
+    rounds = 0
     for _ in range(256):  # safety bound far above any real diameter
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
             .select(
                 "doc_id",
@@ -485,22 +516,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             "connected components did not converge within 256 rounds"
         )
-    return labels.select("doc_id", F.col("label").alias("component"))
+    return labels.select("doc_id", F.col("label").alias("component")), rounds
 
 
 @query(

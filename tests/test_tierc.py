@@ -324,3 +324,22 @@ def test_bpe_batched_deterministic_and_head_consistent(spark, tmp_path):
     assert a == b and len(a) == 8
     seq = _ref_bpe(texts, 1)
     assert (a[0][1], a[0][2], a[0][3]) == (seq[0][1], seq[0][2], seq[0][3])
+
+
+def test_min_label_propagation_round_count(spark):
+    """Label propagation converges in diameter+1 rounds (the +1 is the
+    confirming round): a 4-node path graph (diameter 3 from the min-id
+    end) needs exactly 4; the fixtures' pair clusters need 2."""
+    from daskberg_spark.operators.dedup import min_label_propagation
+
+    path_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    labels, rounds = min_label_propagation(path_edges)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert rounds <= 4
+    pair_edges = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    labels2, rounds2 = min_label_propagation(pair_edges)
+    assert {r["component"] for r in labels2.collect()} == {7}
+    assert rounds2 == 2
