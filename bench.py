@@ -78,11 +78,37 @@ def main() -> None:
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):  # min of 2: first run pays codegen, second is steady-state
+        for _ in range(3):  # min of 3: first run pays codegen, rest steady-state
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+
+    # round-over-round deltas vs the latest BENCH_r*.json, to stderr so
+    # stdout stays the single JSON line the driver parses
+    import glob as _glob
+
+    prior_files = sorted(_glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as f:
+                prior_doc = json.load(f)
+            # driver artifacts wrap the bench line under "parsed"
+            prior = (prior_doc.get("parsed") or prior_doc).get("queries", {})
+            shared = [n for n in timings if n in prior]
+            print(f"-- deltas vs {os.path.basename(prior_files[-1])} --", file=sys.stderr)
+            for n in shared:
+                r = timings[n] / prior[n] if prior[n] else float("inf")
+                print(f"  {n:35s} {prior[n]:7.3f}s -> {timings[n]:7.3f}s  ({r:.2f}x)", file=sys.stderr)
+            tot_prior = sum(prior[n] for n in shared)
+            tot_now = sum(timings[n] for n in shared)
+            print(
+                f"  shared-subset total {tot_prior:.2f}s -> {tot_now:.2f}s "
+                f"({tot_now / tot_prior if tot_prior else 0:.2f}x)",
+                file=sys.stderr,
+            )
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 4)
     print(
