@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from daskberg_spark.operators.registry import query, table
+from daskberg_spark.operators.registry import DEC, query, table
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -73,7 +73,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; per-query top-k runs through a window.  At 100 TB the same
     plan holds: broadcast queries, one pass over the corpus, partial
     top-k per partition via the window's partial TakeOrdered."""
-    emb = table(spark, sf_dir, "embeddings")
+    return exact_topk(table(spark, sf_dir, "embeddings"))
+
+
+def exact_topk(emb: DataFrame) -> DataFrame:
+    """Brute-force cosine top-TOP_K of vec_id < N_QUERIES over any
+    (vec_id, embedding) frame — the ground-truth half of every ANN
+    recall harness here."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -388,26 +394,49 @@ def _cell_of(v, centroids: list[list[float]]):
 
 
 def ivf_centroids(
-    emb: DataFrame, n_cells: int = N_CELLS, rounds: int = KMEANS_ROUNDS
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    rounds: int = KMEANS_ROUNDS,
+    init: str = "first",
 ) -> list[list[float]]:
     """Distributed mini-kmeans coarse quantizer.
 
-    Deterministic init (the first ``n_cells`` vec_ids); each round assigns
-    every vector to its nearest centroid via a literal-expression argmin
-    (zero shuffles over the corpus) and recomputes means with
-    posexplode → groupBy(cell, dim).  Only the centroid table itself —
-    ``n_cells × dim`` doubles, metadata-scale — ever reaches the driver,
-    the same contract as MLlib's KMeans driver loop."""
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    dim = dim_row["d"]
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(n_cells)
-        .select("embedding")
-        .collect()
-    )
-    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    Two deterministic inits:
+    - ``first`` (default): the first ``n_cells`` vec_ids — cheap, and on
+      structureless/isotropic data as good as anything;
+    - ``greedy``: farthest-point / k-center (each next seed maximizes
+      its distance to the chosen set, ties to the lower vec_id) — on
+      clustered corpora this lands one seed per natural cluster before
+      subdividing, which Lloyd rounds alone cannot fix from a bad
+      start.  Costs one bounded argmax job per seed (on a 100 TB corpus
+      run the init on a deterministic sample); on isotropic data it
+      chases outliers, so it is opt-in.
+
+    Each Lloyd round assigns every vector to its nearest centroid via a
+    literal-expression argmin (zero shuffles over the corpus) and
+    recomputes means with posexplode → groupBy(cell, dim).  Only the
+    centroid table itself — ``n_cells × dim`` doubles, metadata-scale —
+    ever reaches the driver, the same contract as MLlib's KMeans driver
+    loop."""
     v = F.col("embedding")
+    if init == "greedy":
+        first = emb.orderBy("vec_id").limit(1).select("embedding").collect()[0]
+        centroids = [[float(x) for x in first["embedding"]]]
+        while len(centroids) < n_cells:
+            dmin = F.least(*[_sq_dist(v, c) for c in centroids]) if len(
+                centroids
+            ) > 1 else _sq_dist(v, centroids[0])
+            far = (
+                emb.select("vec_id", "embedding", dmin.alias("d"))
+                .orderBy(F.col("d").desc(), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            centroids.append([float(x) for x in far["embedding"]])
+    else:
+        seeds = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+        centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+    dim = len(centroids[0])
     for _ in range(rounds):
         assigned = emb.select(_cell_of(v, centroids).alias("cell"), "embedding")
         means = (
@@ -434,9 +463,20 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB shape: cell assignment is a per-row expression (no
     shuffle); the probed join keys on cell id, so each query touches
     ~N_PROBE/N_CELLS of the corpus.  Output adds the measured candidate
-    fraction so the recall/cost trade-off is visible per query."""
-    emb = table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb)
+    fraction so the recall/cost trade-off is visible per query.
+
+    NB the raw embeddings fixture is isotropic (worst case for any
+    partitioned ANN); ``similarity_ivf_clustered_recall`` measures the
+    realistic clustered regime."""
+    return _ivf_recall(table(spark, sf_dir, "embeddings"), N_PROBE)
+
+
+def _ivf_recall(emb: DataFrame, n_probe: int, init: str = "first") -> DataFrame:
+    """IVF ANN + exact re-ranking recall harness over any (vec_id,
+    embedding) frame: kmeans cells, probe ``n_probe`` nearest, exact
+    cosine re-score of ONLY the probed candidates, recall@TOP_K vs the
+    brute-force ground truth plus the scanned corpus fraction."""
+    centroids = ivf_centroids(emb, init=init)
     v = F.col("embedding")
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -455,7 +495,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         1,
-        N_PROBE,
+        n_probe,
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -480,7 +520,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cand = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
     total = emb.count()
-    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = exact_topk(emb).select("query_id", "neighbor_id")
     hits = ann.intersect(exact).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -553,3 +593,54 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size("v")
     ).alias("mse")
     return dq.select("vec_id", "scale", mse)
+
+
+# -- clustered-regime ANN measurement ----------------------------------------
+
+CLUSTER_ALPHA = 0.1  # residual deviation kept around the label mean
+N_PROBE_CLUSTERED = 2
+
+
+def clustered_embeddings(emb: DataFrame) -> DataFrame:
+    """Clustered variant of the embeddings fixture, derived
+    deterministically from the fixture itself: every vector shrinks
+    toward its label's per-dimension mean, v' = m + ALPHA*(v - m), with
+    the means computed decimal-exactly (order-independent, so DuckDB can
+    re-derive bit-identical vectors for ground-truth verification).
+    The raw fixture is isotropic — the worst case for partitioned ANN;
+    real embedding corpora cluster, and this is that regime."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    by_dim = emb.select("label", F.posexplode(v).alias("pos", "x"))
+    means = by_dim.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x")).alias("m")
+    )
+    marr = (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("mean"))
+    )
+    shrunk = F.zip_with(
+        v,
+        F.col("mean"),
+        lambda x, m: m + F.lit(CLUSTER_ALPHA) * (x - m),
+    )
+    return (
+        emb.select("vec_id", "label", v.alias("embedding"))
+        .join(F.broadcast(marr), "label")
+        .select("vec_id", shrunk.alias("embedding"), "label")
+        .localCheckpoint()
+    )
+
+
+@query("similarity_ivf_clustered_recall")  # kmeans cells: rows-only; truth
+# set oracle-verified in tests/test_tierc.py via DuckDB re-derivation
+def similarity_ivf_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: IVF ANN measured in the clustered regime — the fixture's
+    vectors shrunk toward their label means (see clustered_embeddings),
+    probing only N_PROBE_CLUSTERED of N_CELLS cells with exact re-ranking
+    of the probed candidates.  Cells align with the natural clusters, so
+    the harness demonstrates the production trade-off: recall >= 0.95@5
+    while scanning <= 15% of the corpus (asserted in tests against a
+    DuckDB-re-derived ground truth)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return _ivf_recall(clustered_embeddings(emb), N_PROBE_CLUSTERED, init="greedy")

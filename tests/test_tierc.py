@@ -343,3 +343,63 @@ def test_min_label_propagation_round_count(spark):
     labels2, rounds2 = min_label_propagation(pair_edges)
     assert {r["component"] for r in labels2.collect()} == {7}
     assert rounds2 == 2
+
+
+def test_ivf_clustered_recall_with_oracle_truth(spark):
+    """Clustered-regime IVF: recall >= 0.95@5 while scanning <= 15% of
+    the corpus, with the brute-force ground truth ORACLE-VERIFIED — DuckDB
+    re-derives the clustered vectors (decimal-exact label means, same
+    shrink arithmetic) and its list_cosine_similarity top-5 must equal
+    Spark's exact_topk on the same vectors."""
+    import statistics
+
+    import duckdb
+
+    from daskberg_spark.operators import similarity as S
+    from daskberg_spark.operators.registry import table
+
+    sf = SF
+    emb = table(spark, sf, "embeddings")
+    clustered = S.clustered_embeddings(emb)
+    spark_truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.exact_topk(clustered).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    duck_truth = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT label, i AS pos,
+                     CAST(SUM(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+              FROM e, range(1, 65) t(i) GROUP BY label, i),
+        m AS (SELECT label, list(m ORDER BY pos) AS mean FROM d GROUP BY label),
+        c AS (SELECT vec_id, e.label,
+                     list_transform(range(1, 65),
+                       i -> mean[i] + {S.CLUSTER_ALPHA} * (v[i] - mean[i])) AS cv
+              FROM e JOIN m ON e.label = m.label),
+        scored AS (
+          SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 list_dot_product(q.cv, t.cv)
+                   / (sqrt(list_dot_product(q.cv, q.cv))
+                      * sqrt(list_dot_product(t.cv, t.cv))) AS cosine
+          FROM c q JOIN c t ON q.vec_id < {S.N_QUERIES} AND q.vec_id <> t.vec_id)
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS r
+          FROM scored) WHERE r <= {S.TOP_K}
+        """
+            ).fetchall(),
+        )
+    )
+    assert spark_truth == duck_truth  # ground truth is oracle-verified
+    rows = S.similarity_ivf_clustered_recall(spark, sf).collect()
+    assert statistics.mean(r["recall"] for r in rows) >= 0.95
+    assert statistics.mean(r["candidate_fraction"] for r in rows) <= 0.15
