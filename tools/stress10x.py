@@ -87,6 +87,76 @@ def main() -> None:
                 fn(frame).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[f"{name}_{label}"] = round(best, 3)
+
+    # -- skewed-key shuffle join: AQE skew-split vs off vs manual salting --
+    # 90% of the 10x fact lands on ONE join key; the dim side is forced
+    # off the broadcast path so the join actually shuffles (at 100 TB the
+    # dim may not be broadcastable).  AQE's skew thresholds are scaled
+    # down to match the scaled-down fixture (the production defaults are
+    # 256 MB — proportionally identical).
+    fact = times10(li).select(
+        F.when(F.col("l_orderkey") % 10 < 9, 0)
+        .otherwise(F.col("l_orderkey") % 10000)
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+
+    def skew_join(f, d):
+        return (
+            f.join(d, "k")
+            .groupBy("grp")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("s"))
+        )
+
+    SALT = 8
+    fact_salted = fact.withColumn("salt", (F.col("k") + F.col("l_quantity").cast("long")) % SALT)
+    dim_salted = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+
+    conf_pairs = [
+        ("skew_join_no_split", {"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        ("skew_join_aqe_split", {"spark.sql.adaptive.skewJoin.enabled": "true"}),
+    ]
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+    for name, confs in conf_pairs:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            skew_join(fact, dim).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            fact_salted.join(dim_salted, ["k", "salt"])
+            .groupBy("grp")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("s"))
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    results["skew_join_salted"] = round(best, 3)
+    for k, v in old.items():
+        if v is not None:
+            spark.conf.set(k, v)
+
     print(json.dumps(results))
     spark.stop()
 
