@@ -44,6 +44,18 @@ AUDIT = {
     "q19_disjunctive_filter": (1, True, True, None),
     "array_functions": (0, False, False, 2),
     "events_funnel": (2, True, False, 3),
+    # round 3: the remaining TPC-H shapes (counts are fixture-scale —
+    # small sides auto-broadcast; at 100 TB AQE re-decides those)
+    "q2_min_cost_supplier": (3, True, True, None),
+    "q9_product_type_profit": (1, True, True, None),
+    "q11_value_concentration": (2, True, True, None),
+    "q12_priority_by_returnflag": (1, True, True, 4),
+    "q13_customer_order_distribution": (2, False, True, 3),
+    "q15_top_supplier": (3, True, True, None),
+    "q16_supplier_count_by_part": (2, True, True, None),
+    "q17_small_quantity_revenue": (2, True, True, None),
+    "q20_excess_stock_suppliers": (2, True, True, None),
+    "q21_waiting_supplier": (1, True, True, None),
 }
 
 
