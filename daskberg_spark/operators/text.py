@@ -431,3 +431,161 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: distributed BPE tokenizer training (see ``bpe_train``) —
     BPE_MERGES rules at BPE_BATCH per driver round-trip."""
     return bpe_train(spark, sf_dir)
+
+
+SAMPLE_MOD = 10  # keep fp % SAMPLE_MOD == 0 → deterministic ~10% sample
+
+_SQL_ROLL = f"""
+    CASE WHEN length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) = 0
+         THEN CAST(0 AS BIGINT)
+         ELSE list_reduce(
+           list_transform(
+             string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ''),
+             c -> CAST(ascii(c) AS BIGINT)),
+           (acc, x) -> (acc * {ROLL_BASE} + x) % {ROLL_MOD})
+    END"""
+
+
+@query(
+    "sample_deterministic",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           {sql_davg('CAST(n_chars AS DOUBLE)', 'avg_chars')}
+    FROM documents
+    WHERE ({_SQL_ROLL}) % {SAMPLE_MOD} = 0
+    GROUP BY lang
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash deterministic sampling — the reproducible alternative
+    to rand()-based sampling for training-data pipelines: membership
+    depends only on the document text (same sample across engines, runs,
+    and partitionings; survives repartition and re-ingestion, and a
+    changed document changes cohort atomically).  Keep-set = rolling
+    hash % SAMPLE_MOD == 0 (~10%), mirrored exactly by the DuckDB
+    list_reduce twin, so the sample itself is oracle-verified — unlike
+    `sampled_agg` (engine-specific RNG, rows-only)."""
+    import pandas as pd
+
+    def _roll(texts):
+        out = []
+        for t in texts:
+            h = 0
+            for ch in t:
+                h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+            out.append(h)
+        return pd.Series(out, dtype="int64")
+
+    roll = F.pandas_udf(_roll, "long")
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    return (
+        docs.withColumn("fp", roll(norm))
+        .filter(F.col("fp") % SAMPLE_MOD == 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            davg(F.col("n_chars").cast("double"), "avg_chars"),
+        )
+    )
+
+
+# PII-ish patterns sharing semantics between Java regex (Spark) and RE2
+# (DuckDB): email-like tokens and long digit runs (phone/SSN stand-ins).
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_DIGITS = "[0-9]{6,}"
+
+
+@query(
+    "pii_redaction_stats",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{PII_EMAIL}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_DIGITS}'))) AS BIGINT)
+             AS n_digit_runs,
+           CAST(SUM(length(text)
+                    - length(regexp_replace(regexp_replace(lower(text),
+                        '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_DIGITS}', '<NUM>', 'g'))) AS BIGINT)
+             AS chars_removed
+    FROM documents GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing accounting — the redaction pass every
+    training-corpus pipeline runs before release: count email-like and
+    long-digit-run matches per source and the net character delta of
+    replacing them with placeholder tokens.  Pure Catalyst regex
+    (patterns chosen for identical Java-regex/RE2 semantics), one map +
+    small agg; the redacted TEXT itself stays executor-side at scale,
+    only the audit numbers aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(lower, PII_EMAIL, "<EMAIL>"), PII_DIGITS, "<NUM>"
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count(lower, F.lit(PII_EMAIL))).cast("long").alias("n_emails"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(PII_DIGITS)))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.sum(F.length("text") - F.length(redacted))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+BENCHMARK_DOCS = 20  # doc_id < 20 act as the held-out benchmark set
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(t) - 2, 1) + 1),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+      FROM toks
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_shared_shingles
+    FROM inv c JOIN inv b ON c.s = b.s
+    WHERE c.doc_id >= {BENCHMARK_DOCS} AND b.doc_id < {BENCHMARK_DOCS}
+    GROUP BY c.doc_id
+    HAVING COUNT(DISTINCT c.s) >= 3
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing >= 3
+    distinct word-3-grams with the held-out set (doc_id < BENCHMARK_DOCS
+    stands in for an eval benchmark).  The benchmark inverted index is
+    tiny and broadcast, so the corpus is scanned once with no shuffle
+    before the per-doc count — the exact shape of an eval-contamination
+    sweep over a 100 TB pretraining corpus.  Oracle: the same
+    inverted-index join in DuckDB."""
+    from daskberg_spark.operators.dedup import shingle_arrays
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_arrays(docs)
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bench = (
+        inv.filter(F.col("doc_id") < BENCHMARK_DOCS)
+        .select(F.col("s").alias("bs"))
+        .distinct()
+    )
+    corpus = inv.filter(F.col("doc_id") >= BENCHMARK_DOCS)
+    return (
+        corpus.join(F.broadcast(bench), corpus.s == bench.bs, "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 3)
+    )
