@@ -1464,6 +1464,7 @@ def compact_files_spark(
     spark: Any,
     min_file_bytes: int = 32 << 20,
     target_partitions: int = 1,
+    sort_by: list[str] | None = None,
 ) -> int | None:
     """Distributed compaction: the cluster-scale twin of ``compact_files``.
     Spark reads ONLY the small files through the delete-aware tagged scan
@@ -1478,7 +1479,15 @@ def compact_files_spark(
     so each output task writes one consolidated file per partition and
     the footer lift records prunable partition values.  The small-file
     filter is a semi-join against a file-list DataFrame (metadata-scale),
-    never an O(files) ``isin`` literal in the plan."""
+    never an O(files) ``isin`` literal in the plan.
+
+    ``sort_by`` range-clusters the rewrite on the given columns
+    (repartitionByRange + sortWithinPartitions): output files then cover
+    DISJOINT value ranges, so the footer min/max bounds the commit lifts
+    become selective and stats pruning skips whole files — the
+    sort-order / Z-order data-clustering lever.  Without it, files
+    written from interleaved appends all span the full value range and
+    a point predicate prunes nothing."""
     import tempfile
 
     import daskberg_spark.iceberg.scan  # noqa: F401
@@ -1502,7 +1511,11 @@ def compact_files_spark(
     # __file carries the scan's scheme-stripped path; match it the same way
     small_df = spark.createDataFrame([(p,) for p in small], "__file string")
     rows = tagged.join(small_df, "__file", "left_semi").drop("__file")
-    rows = rows.coalesce(target_partitions)
+    if sort_by:
+        rows = rows.repartitionByRange(target_partitions, *sort_by)
+        rows = rows.sortWithinPartitions(*sort_by)
+    else:
+        rows = rows.coalesce(target_partitions)
     data_dir = tempfile.mkdtemp(prefix="compact_rw_", dir=f"{writer.path}/data")
     if writer.spec:
         rows, src_cols, dup_cols = _with_partition_columns(writer, rows)

@@ -1039,3 +1039,34 @@ def test_scheme_prefixed_position_deletes_apply(spark, tmp_path):
     w.merge_rows([{"x": 2, }], ["x"])  # rewrite the file; delete must hold
     t = IcebergTable(w.path)
     assert sorted(r["x"] for r in t.to_df(spark).collect()) == [2]
+
+
+def test_compact_files_spark_sorted_clustering(spark, tmp_path):
+    """Sorted compaction makes stats pruning effective: interleaved
+    appends produce files whose footer bounds all span the full value
+    range (a point predicate prunes nothing); a range-clustered rewrite
+    yields files with disjoint bounds, so the same predicate reads a
+    strict subset."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    # every append spans the whole domain → overlapping bounds everywhere
+    for batch in range(4):
+        w.append([{"x": v} for v in range(batch, 100 + batch, 4)])
+    t0 = IcebergTable(w.path)
+    n_files_before = len(t0.plan_files())
+    assert len(t0.plan_files([("x", "==", 5)])) == n_files_before  # no pruning
+    before = sorted(r["x"] for r in t0.to_df(spark).collect())
+
+    snap = compact_files_spark(w, spark, target_partitions=4, sort_by=["x"])
+    assert snap is not None
+    t = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == before
+    files = t.plan_files()
+    assert len(files) == 4
+    hit = t.plan_files([("x", "==", 5)])
+    assert len(hit) == 1  # disjoint ranges: point lookup reads ONE file
+    assert {r["x"] for r in t.to_df(spark, filters=[("x", "==", 5)]).collect()} == {5}
