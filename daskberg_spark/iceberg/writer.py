@@ -217,6 +217,10 @@ class IcebergWriter:
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
+        # WAP staging: when set, the main ref / current-snapshot-id stay
+        # pinned at this snapshot while staged commits append behind a
+        # branch ref (see stage_append/publish_branch/abort_stage)
+        self.main_pin: int | None = None
         self._file_counter = 0
         self._manifest_counter = 0
         os.makedirs(f"{self.path}/metadata", exist_ok=True)
@@ -765,13 +769,23 @@ class IcebergWriter:
             "partition-spec": [
                 {k: v for k, v in pf.items() if not k.startswith("_")} for pf in self.spec
             ],
-            "current-snapshot-id": last["snapshot-id"],
+            "current-snapshot-id": (
+                self.main_pin if self.main_pin is not None else last["snapshot-id"]
+            ),
             "snapshots": self.snapshots,
             # Iceberg refs map: named branches/tags plus the implicit main
-            # branch tracking the head (spec v2 §Table Metadata "refs")
+            # branch tracking the head (spec v2 §Table Metadata "refs") —
+            # or the WAP pin while commits are staged
             "refs": {
                 **self.refs,
-                "main": {"snapshot-id": last["snapshot-id"], "type": "branch"},
+                "main": {
+                    "snapshot-id": (
+                        self.main_pin
+                        if self.main_pin is not None
+                        else last["snapshot-id"]
+                    ),
+                    "type": "branch",
+                },
             },
         }
         # Optimistic concurrency (Iceberg commit protocol): each metadata
@@ -1159,6 +1173,71 @@ def merge_rows_spark(
         )
     out.write.mode("overwrite").parquet(data_dir)
     return commit_spark_overwrite(writer, data_dir, matched_files)
+
+
+# -- write-audit-publish (WAP) staging ---------------------------------------
+
+
+def stage_append(
+    writer: "IcebergWriter", rows: list[dict[str, Any]], branch: str
+) -> int:
+    """WAP step 1 (write): append ``rows`` as a snapshot visible ONLY via
+    ``branch`` — plain readers (current-snapshot-id / main) keep seeing
+    the pre-stage table.  Repeated staged appends chain on the branch.
+    Audit with ``IcebergTable.open_snapshot(ref=branch)``, then
+    ``publish_branch`` (fast-forward main) or ``abort_stage`` (discard).
+    The pattern every production ingestion pipeline runs: validate the
+    batch on the real table before anyone can read it."""
+    if not writer.snapshots:
+        raise ValueError("stage_append requires a published snapshot to pin")
+    if writer.main_pin is None:
+        writer.main_pin = writer.snapshots[-1]["snapshot-id"]
+    staged_id = writer._next_snapshot_id
+    writer.refs[branch] = {"snapshot-id": staged_id, "type": "branch"}
+    writer.append(rows)
+    return staged_id
+
+
+def publish_branch(writer: "IcebergWriter", branch: str) -> int:
+    """WAP step 3 (publish): fast-forward main to the branch head — a
+    pure-metadata commit; the audited files become visible atomically."""
+    if branch not in writer.refs:
+        raise ValueError(f"no such branch {branch!r}")
+    head = writer.refs[branch]["snapshot-id"]
+    last = writer.snapshots[-1]["snapshot-id"]
+    writer.main_pin = None if head == last else head
+    del writer.refs[branch]
+    writer.version += 1
+    writer._write_metadata()
+    return head
+
+
+def abort_stage(writer: "IcebergWriter", branch: str) -> list[int]:
+    """WAP abort: drop the staged snapshots (everything after the pin)
+    and restore the writer's live-manifest state to the published head.
+    The staged data files become unreferenced (reclaimed by
+    ``remove_orphan_files``).  Requires the stage being aborted to be
+    the only in-flight stage (staged commits chain linearly)."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    if branch not in writer.refs:
+        raise ValueError(f"no such branch {branch!r}")
+    if writer.main_pin is None:
+        raise ValueError("no stage is pinned")
+    pin = writer.main_pin
+    dropped = [
+        s["snapshot-id"] for s in writer.snapshots if s["snapshot-id"] > pin
+    ]
+    writer.snapshots = [
+        s for s in writer.snapshots if s["snapshot-id"] <= pin
+    ]
+    published = writer.snapshots[-1]
+    _, writer.manifests = read_avro_file(published["manifest-list"])
+    del writer.refs[branch]
+    writer.main_pin = None
+    writer.version += 1
+    writer._write_metadata()
+    return dropped
 
 
 def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:

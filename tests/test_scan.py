@@ -1070,3 +1070,43 @@ def test_compact_files_spark_sorted_clustering(spark, tmp_path):
     hit = t.plan_files([("x", "==", 5)])
     assert len(hit) == 1  # disjoint ranges: point lookup reads ONE file
     assert {r["x"] for r in t.to_df(spark, filters=[("x", "==", 5)]).collect()} == {5}
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish via branch refs: staged commits are invisible
+    to plain readers until publish; audit reads see them via the branch;
+    abort discards them and the table keeps working."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        abort_stage,
+        publish_branch,
+        stage_append,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}, {"x": 2}])
+
+    stage_append(w, [{"x": 3}], "wap")
+    # plain readers: pre-stage state
+    assert sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect()) == [1, 2]
+    # audit read via the branch sees the staged batch
+    ta = IcebergTable(w.path)
+    ta.open_snapshot(ref="wap")
+    assert sorted(r["x"] for r in ta.to_df(spark).collect()) == [1, 2, 3]
+
+    publish_branch(w, "wap")
+    assert sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect()) == [1, 2, 3]
+
+    # abort path: a bad batch never becomes visible and leaves no snapshots
+    n_snaps = len(w.snapshots)
+    stage_append(w, [{"x": 99}], "wap2")
+    assert sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect()) == [1, 2, 3]
+    dropped = abort_stage(w, "wap2")
+    assert len(dropped) == 1 and len(w.snapshots) == n_snaps
+    assert sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect()) == [1, 2, 3]
+    # normal commits still work after an abort
+    w.append([{"x": 4}])
+    assert sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect()) == [1, 2, 3, 4]
