@@ -46,6 +46,11 @@ HEADLINE = [
     "pipeline_dedup_corpus",
     "dedup_connected_components",
     "iceberg_v2_row_deletes",
+    # round 3: five-way star join, benchmark decontamination sweep,
+    # deterministic sampling
+    "q9_product_type_profit",
+    "decontaminate_ngram_overlap",
+    "sample_deterministic",
 ]
 
 

@@ -589,3 +589,55 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("s").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 3)
     )
+
+
+@query(
+    "corpus_mixing_weights",
+    f"""
+    WITH grp AS (
+      SELECT lang, source,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS group_tokens
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM grp
+    )
+    SELECT lang, source, group_tokens,
+           CAST(group_tokens AS DOUBLE) / total_tokens AS actual_share,
+           (CAST(total_tokens AS DOUBLE) / n_groups) / group_tokens
+             AS sample_weight
+    FROM grp, tot
+    """,
+)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights — the reweighting step of training-data
+    curation: per (lang, source) token counts, each group's share of the
+    corpus, and the per-document sampling weight that would equalize the
+    mixture (uniform target; any target vector is the same arithmetic).
+    One corpus pass + a 1-row broadcast total, so the plan is the Q11/Q22
+    scalar-subquery shape; downstream samplers join these weights by
+    (lang, source)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    grp = (
+        docs.withColumn("n_tokens", F.size(toks))
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tokens").cast("long").alias("group_tokens"))
+    )
+    tot = grp.agg(
+        F.sum("group_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "group_tokens",
+        (F.col("group_tokens").cast("double") / F.col("total_tokens")).alias(
+            "actual_share"
+        ),
+        (
+            (F.col("total_tokens").cast("double") / F.col("n_groups"))
+            / F.col("group_tokens")
+        ).alias("sample_weight"),
+    )
