@@ -1110,3 +1110,37 @@ def test_wap_stage_audit_publish(spark, tmp_path):
     # normal commits still work after an abort
     w.append([{"x": 4}])
     assert sorted(r["x"] for r in IcebergTable(w.path).to_df(spark).collect()) == [1, 2, 3, 4]
+
+
+def test_incremental_aggregate_refresh(spark, tmp_path):
+    """Incremental view maintenance: a materialized per-key aggregate
+    refreshed from the changelog equals a full recompute — across an
+    append AND a copy-on-write merge (tombstone + rewrite), touching
+    only changed files."""
+    from daskberg_spark.iceberg.scan import materialize_aggregate, refresh_aggregate
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": "a", "v": 1.0}, {"k": "b", "v": 2.0}])
+    w.append([{"k": "a", "v": 3.0}])
+    t = IcebergTable(w.path)
+    base = materialize_aggregate(
+        t.to_df(spark), ["k"], {"sv": "v"}
+    ).localCheckpoint()
+
+    # two more snapshots: an append and a CoW merge rewriting file 1
+    w.append([{"k": "c", "v": 10.0}])
+    w.merge_rows([{"k": "b", "v": 20.0}], ["k"])
+
+    t2 = IcebergTable(w.path)
+    refreshed = refresh_aggregate(t2, spark, base, ["k"], {"sv": "v"}, from_rel=-2)
+    full = materialize_aggregate(t2.to_df(spark), ["k"], {"sv": "v"})
+    got = {r["k"]: (r["n"], float(r["sv"])) for r in refreshed.collect()}
+    want = {r["k"]: (r["n"], float(r["sv"])) for r in full.collect()}
+    assert got == want == {"a": (2, 4.0), "b": (1, 20.0), "c": (1, 10.0)}

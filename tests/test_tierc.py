@@ -403,3 +403,20 @@ def test_ivf_clustered_recall_with_oracle_truth(spark):
     rows = S.similarity_ivf_clustered_recall(spark, sf).collect()
     assert statistics.mean(r["recall"] for r in rows) >= 0.95
     assert statistics.mean(r["candidate_fraction"] for r in rows) <= 0.15
+
+
+def test_deterministic_sample_partition_invariant(spark, tmp_path):
+    """Content-hash sampling must not depend on physical layout: the
+    same documents written as 1 file or 7 shuffled partitions produce
+    the identical sample census."""
+    from daskberg_spark.operators.text import sample_deterministic
+
+    rows = [(i, f"doc number {i} with words " + "x " * (i % 17), "en", "s", 30)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d1, d2 = str(tmp_path / "one"), str(tmp_path / "many")
+    docs.coalesce(1).write.parquet(d1 + "/documents.parquet")
+    docs.repartition(7).write.parquet(d2 + "/documents.parquet")
+    a = sorted(map(tuple, sample_deterministic(spark, d1).collect()))
+    b = sorted(map(tuple, sample_deterministic(spark, d2).collect()))
+    assert a == b and len(a) >= 1
