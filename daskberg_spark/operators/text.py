@@ -575,6 +575,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daskberg_spark.operators.dedup import shingle_arrays
 
     docs = table(spark, sf_dir, "documents")
+    # measured: NOT checkpointing wins here — the benchmark branch
+    # re-derives shingles for only BENCHMARK_DOCS rows after pushdown,
+    # cheaper than materializing the whole corpus index
     sh = shingle_arrays(docs)
     inv = sh.select("doc_id", F.explode("shingles").alias("s"))
     bench = (

@@ -56,6 +56,12 @@ AUDIT = {
     "q17_small_quantity_revenue": (2, True, True, None),
     "q20_excess_stock_suppliers": (2, True, True, None),
     "q21_waiting_supplier": (1, True, True, None),
+    # round 3: pipeline operators (narrow maps + small aggs; the
+    # decontamination sweep broadcasts the benchmark inverted index)
+    "sample_deterministic": (1, False, False, 3),
+    "pii_redaction_stats": (1, False, False, 2),
+    "decontaminate_ngram_overlap": (3, True, True, 2),
+    "corpus_mixing_weights": (3, False, True, 3),
 }
 
 
