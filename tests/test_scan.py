@@ -1144,3 +1144,50 @@ def test_incremental_aggregate_refresh(spark, tmp_path):
     got = {r["k"]: (r["n"], float(r["sv"])) for r in refreshed.collect()}
     want = {r["k"]: (r["n"], float(r["sv"])) for r in full.collect()}
     assert got == want == {"a": (2, 4.0), "b": (1, 20.0), "c": (1, 10.0)}
+
+
+def test_wap_quality_gate_pipeline(spark, tmp_path):
+    """End-to-end WAP ingestion: stage a batch, audit it on the branch
+    with a quality gate, abort the failing batch and publish the passing
+    one — the full validate-before-visible loop."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        abort_stage,
+        publish_branch,
+        stage_append,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "doc_id", "type": "long", "required": False},
+            {"id": 2, "name": "text", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"doc_id": 1, "text": "a perfectly reasonable document " * 4}])
+
+    def audit_fails(branch: str) -> bool:
+        """Gate: reject the batch if any staged doc is under 10 words."""
+        ta = IcebergTable(w.path)
+        ta.open_snapshot(ref=branch)
+        df = ta.to_df(spark)
+        short = df.filter(
+            F.size(F.split(F.trim("text"), "\\s+")) < 10
+        ).limit(1).count()
+        return short > 0
+
+    # bad batch: one-word garbage doc → gate rejects → abort
+    stage_append(w, [{"doc_id": 2, "text": "junk"}], "ingest")
+    assert audit_fails("ingest")
+    abort_stage(w, "ingest")
+    assert IcebergTable(w.path).to_df(spark).count() == 1
+
+    # good batch: passes the gate → publish
+    stage_append(
+        w, [{"doc_id": 3, "text": "another long and entirely valid document " * 3}], "ingest"
+    )
+    assert not audit_fails("ingest")
+    publish_branch(w, "ingest")
+    assert sorted(
+        r["doc_id"] for r in IcebergTable(w.path).to_df(spark).collect()
+    ) == [1, 3]
