@@ -644,3 +644,70 @@ def similarity_ivf_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFra
     DuckDB-re-derived ground truth)."""
     emb = table(spark, sf_dir, "embeddings")
     return _ivf_recall(clustered_embeddings(emb), N_PROBE_CLUSTERED, init="greedy")
+
+
+class IvfIndex:
+    """Reusable IVF ANN index: build once (kmeans centroids + checkpointed
+    cell assignment of the corpus), search many times.  The build is the
+    expensive pass; each search touches only the probed cells' rows —
+    the serving shape, vs the one-shot measurement harness above.  At
+    100 TB the assignment frame is written as a parquet/Iceberg table
+    partitioned by cell instead of checkpointed."""
+
+    def __init__(self, centroids: list[list[float]], assigned: DataFrame):
+        self.centroids = centroids
+        self.assigned = assigned
+
+    @classmethod
+    def build(
+        cls,
+        emb: DataFrame,
+        n_cells: int = N_CELLS,
+        rounds: int = KMEANS_ROUNDS,
+        init: str = "first",
+    ) -> "IvfIndex":
+        centroids = ivf_centroids(emb, n_cells, rounds, init)
+        assigned = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _cell_of(F.col("embedding"), centroids).alias("cell"),
+        ).localCheckpoint()
+        return cls(centroids, assigned)
+
+    def search(
+        self, queries: DataFrame, k: int = TOP_K, n_probe: int = N_PROBE
+    ) -> DataFrame:
+        """queries: (query_id, qv array) → (query_id, neighbor_id, rank,
+        cosine) over the probed cells, exact-re-ranked."""
+        v = F.col("qv")
+        probes = F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("cell"))
+                        for i, c in enumerate(self.centroids)
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        )
+        q = queries.select(
+            "query_id", "qv", F.explode(probes).alias("p")
+        ).select("query_id", "qv", F.col("p.cell").alias("qcell"))
+        cand = F.broadcast(q).join(
+            self.assigned,
+            (F.col("qcell") == self.assigned["cell"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        cos = _dot(F.col("qv"), F.col("cv")) / (
+            _norm(F.col("qv")) * _norm(F.col("cv"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "neighbor_id"
+        )
+        return (
+            cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

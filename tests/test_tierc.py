@@ -420,3 +420,29 @@ def test_deterministic_sample_partition_invariant(spark, tmp_path):
     a = sorted(map(tuple, sample_deterministic(spark, d1).collect()))
     b = sorted(map(tuple, sample_deterministic(spark, d2).collect()))
     assert a == b and len(a) >= 1
+
+
+def test_ivf_index_build_once_search_many(spark):
+    """IvfIndex: one build serves repeated searches; on the clustered
+    corpus with greedy init its results equal brute force for every
+    query batch."""
+    from daskberg_spark.operators import similarity as S
+    from daskberg_spark.operators.registry import table
+
+    emb = S.clustered_embeddings(table(spark, SF, "embeddings"))
+    idx = S.IvfIndex.build(emb, init="greedy")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.exact_topk(emb).collect()
+    }
+    q_all = emb.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # two separate search calls against the same built index
+    first = idx.search(q_all.filter(F.col("query_id") < 5), n_probe=2)
+    second = idx.search(q_all.filter(F.col("query_id") >= 5), n_probe=2)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in first.collect() + second.collect()
+    }
+    assert got == truth
