@@ -369,3 +369,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c").alias("n_clicked_after_view"),
         F.count("p").alias("n_purchased_after_click"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix — the classic product-analytics composite:
+    users bucketed by first-seen day, counted on each subsequent active
+    day offset.  Two aggregations + one equi-join on user_id; at 100 TB
+    the firsts frame is user-cardinality (shuffle-bounded), the activity
+    frame is distinct (user, day) pairs — both partial-aggregated before
+    their shuffles."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
