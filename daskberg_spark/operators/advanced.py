@@ -410,3 +410,64 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_user_value_buckets",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    thr AS (
+      SELECT quantile_cont(total, 0.25) AS q1,
+             quantile_cont(total, 0.50) AS q2,
+             quantile_cont(total, 0.75) AS q3
+      FROM per_user
+    )
+    SELECT CASE WHEN total <= q1 THEN 'p00_25'
+                WHEN total <= q2 THEN 'p25_50'
+                WHEN total <= q3 THEN 'p50_75'
+                ELSE 'p75_100' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(total AS DECIMAL(25,6))) AS DOUBLE) AS bucket_value
+    FROM per_user, thr
+    GROUP BY 1
+    """,
+)
+def events_user_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile segmentation at scale: per-user purchase totals bucketed
+    by exact quartile thresholds.  The naive formulation — a GLOBAL
+    ntile()/percent_rank() window — funnels the whole frame through ONE
+    partition (the classic window-at-scale hazard); instead the three
+    thresholds are computed on the already-aggregated user frame and
+    broadcast, so bucketing is a per-row expression.  Threshold
+    comparisons are engine-stable: an interpolated quantile lies strictly
+    between two user totals, so last-ulp interpolation differences can
+    never flip a bucket."""
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("total"))
+    )
+    thr = per_user.agg(
+        F.expr("percentile(total, 0.25D)").alias("q1"),
+        F.expr("percentile(total, 0.50D)").alias("q2"),
+        F.expr("percentile(total, 0.75D)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("total") <= F.col("q1"), "p00_25")
+        .when(F.col("total") <= F.col("q2"), "p25_50")
+        .when(F.col("total") <= F.col("q3"), "p50_75")
+        .otherwise("p75_100")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thr))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("total").cast(DEC)).cast("double").alias("bucket_value"),
+        )
+    )
