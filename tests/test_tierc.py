@@ -446,3 +446,42 @@ def test_ivf_index_build_once_search_many(spark):
         for r in first.collect() + second.collect()
     }
     assert got == truth
+
+
+def test_stratified_sample_partition_invariant(spark, tmp_path):
+    """Cohort membership is content-determined: the sampled counts must
+    survive arbitrary repartitioning of the input (df.sample would not)."""
+    from daskberg_spark.operators.corpus import stratified_sample
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "d")
+    src.repartition(7).write.parquet(out + "/documents.parquet")
+    a = {r["lang"]: r["n_sampled"] for r in stratified_sample(spark, SF).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in stratified_sample(spark, out).collect()}
+    assert a == b
+    # stratified: en keeps ~12.5%, fr ~50% — rates must differ by stratum
+    n = {r["lang"]: (r["n_sampled"], r["n_docs"]) for r in
+         stratified_sample(spark, SF).collect()}
+    assert n["fr"][0] / n["fr"][1] > n["en"][0] / n["en"][1]
+
+
+def test_frequent_ngrams_deterministic_boundary(spark):
+    """Tie-break at the top-k boundary is lexicographic, so repeated runs
+    return an identical set even with equal counts at rank k."""
+    from daskberg_spark.operators.corpus import frequent_ngrams
+
+    a = [(r["bigram"], r["n"]) for r in frequent_ngrams(spark, SF).collect()]
+    b = [(r["bigram"], r["n"]) for r in frequent_ngrams(spark, SF).collect()]
+    assert a == b and len(a) == 20
+    assert all(x[1] >= y[1] for x, y in zip(a, a[1:]))
+
+
+def test_bpe_encode_compresses_and_is_deterministic(spark):
+    from daskberg_spark.operators.corpus import bpe_encode_corpus
+
+    rows = {r["source"]: r for r in bpe_encode_corpus(spark, SF).collect()}
+    again = {r["source"]: r for r in bpe_encode_corpus(spark, SF).collect()}
+    for src, r in rows.items():
+        # merges can only shrink the symbol stream, never grow it
+        assert 0 < r["total_tokens"] <= r["total_syms"]
+        assert r["compression"] == again[src]["compression"]

@@ -62,6 +62,17 @@ AUDIT = {
     "pii_redaction_stats": (1, False, False, 2),
     "decontaminate_ngram_overlap": (3, True, True, 2),
     "corpus_mixing_weights": (3, False, True, 3),
+    # round 3b: corpus-curation extensions.  frequent_ngrams must use
+    # TakeOrderedAndProject (per-partition top-k), never a global sort;
+    # tfidf joins vocabulary stats (fixture-scale → broadcast, AQE
+    # re-decides at 100 TB); histogram/stratified are one-exchange aggs.
+    "frequent_ngrams": (1, False, False, 1),
+    "stratified_sample": (1, False, False, 2),
+    # tfidf: the (doc,term) matrix is checkpointed (df must be global →
+    # no pushdown by design; final plan reads the materialized tf, so no
+    # parquet scan appears)
+    "tfidf_top_terms": (3, False, True, None),
+    "events_value_histogram": (1, False, False, 2),
 }
 
 
