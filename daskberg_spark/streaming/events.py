@@ -367,6 +367,53 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_sliding_window",
+    f"""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                     time_bucket(INTERVAL 30 MINUTES, ts)
+                       - INTERVAL 30 MINUTES]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM w GROUP BY win_start, event_type
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation: 1-hour windows advancing
+    every 30 minutes, so each event lands in exactly two overlapping
+    windows (size/slide = 2).  The batch oracle materializes that fan-out
+    explicitly — every event contributes to the 30-minute bucket it falls
+    in and the one before it.
+
+    Scale: Spark expands each row into size/slide window assignments
+    before the stateful hash agg, so state is O(active_windows × types)
+    and the watermark expires windows older than the lateness bound —
+    the standard sliding-window cost model, not per-event state."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, spark)
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def iceberg_epoch_sink(writer):
     """foreachBatch callable committing each micro-batch to an Iceberg
     table exactly once: the epoch id keys the data directory (a replayed
