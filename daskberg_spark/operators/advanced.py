@@ -471,3 +471,81 @@ def events_user_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("total").cast(DEC)).cast("double").alias("bucket_value"),
         )
     )
+
+
+RESAMPLE_USERS = 20
+
+
+@query(
+    "resample_gapfill",
+    f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             {sql_dsum('value', 'hour_value')}
+      FROM events WHERE user_id < {RESAMPLE_USERS}
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+               AS hour
+      FROM bounds
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(last_value(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS filled_value,
+           CAST(CASE WHEN h.hour_value IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_gap
+    FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    """,
+)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (the hypertable/"gap fill"
+    operator): aggregate events to an hourly grid per user, materialize
+    the *complete* hour range between each user's first and last event,
+    and carry the last observed value across empty hours (leading gaps
+    fill with 0.0).  ``is_gap`` marks synthesized rows.
+
+    Scale: the hourly rollup is one shuffle with partial aggregation;
+    the dense grid is generated per user key (sequence + explode — a
+    narrow 1→N fan-out, never a driver loop); the fill is a running
+    ``last(ignorenulls)`` window per user.  Grid size is
+    users × span_hours — linear in keys, independent of event count, so
+    a 100 TB event table resamples to a grid sized by its key space."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id") < RESAMPLE_USERS
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("hour_value")
+        )
+        .localCheckpoint()  # feeds both the bounds agg and the grid join
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(
+            F.last("hour_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+        F.col("hour_value").isNull().cast("int").alias("is_gap"),
+    )

@@ -302,3 +302,76 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokens_after").cast("double") / F.sum("syms_before")
         ).alias("compression"),
     )
+
+
+VOCAB_SIZE = 100
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH lt AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT lang,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                     AS term
+            FROM documents)
+      GROUP BY lang, term
+    ), tot AS (
+      SELECT term, CAST(SUM(n) AS BIGINT) AS total FROM lt GROUP BY term
+    ), vocab AS (
+      SELECT term FROM tot ORDER BY total DESC, term LIMIT {VOCAB_SIZE}
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NOT NULL THEN n ELSE 0 END)
+                AS BIGINT) AS in_vocab,
+           1.0 - CAST(SUM(CASE WHEN v.term IS NOT NULL THEN n ELSE 0 END)
+                      AS DOUBLE) / SUM(n) AS oov_rate
+    FROM lt LEFT JOIN vocab v USING (term)
+    GROUP BY lang
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-VOCAB_SIZE term
+    vocabulary (count desc, term asc — deterministic boundary) and
+    report per-language token counts and out-of-vocabulary rate — the
+    metric that decides whether a tokenizer needs retraining for a new
+    corpus mix.
+
+    Scale: ONE corpus pass collapses text to per-(lang, term) counts
+    (`lt`, checkpointed — it feeds both the vocabulary build and the
+    coverage join and is vocabulary×languages-sized, not corpus-sized).
+    The vocabulary itself is VOCAB_SIZE rows → explicit broadcast join;
+    the OOV census never re-reads the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    lt = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim("text")), "\\s+")
+            ).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    vocab = (
+        lt.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("total"))
+        .orderBy(F.col("total").desc(), "term")
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    joined = lt.join(F.broadcast(vocab), "term", "left")
+    in_vocab = F.sum(
+        F.when(F.col("__in_vocab").isNotNull(), F.col("n")).otherwise(0)
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        in_vocab.cast("long").alias("in_vocab"),
+        (
+            F.lit(1.0)
+            - in_vocab.cast("double") / F.sum("n")
+        ).alias("oov_rate"),
+    )

@@ -574,3 +574,51 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+               ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY lang
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 canonical selection: exact-duplicate groups keep the *best*
+    copy (longest n_chars, then lowest doc_id) rather than the arbitrary
+    first — the policy real pipelines use so boilerplate-stripped
+    variants lose to fuller originals.  Reports per-language totals,
+    survivors, and surviving characters.
+
+    Scale: identical cost model to ``dedup_exact`` — one shuffle on the
+    normalized hash; the per-group rank is a window over hash groups
+    (bounded by duplicate-cluster size, not corpus size), then a
+    languages-sized hash agg."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    w = Window.partitionBy(
+        F.md5(F.encode(norm, "UTF-8"))
+    ).orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "lang", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    kept = (F.col("rk") == 1).cast("int")
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.col("n_chars") * kept).cast("long").alias("kept_chars"),
+    )

@@ -110,3 +110,60 @@ def test_sliding_window_double_counts_events(spark):
     total = out.agg(F.sum("n")).first()[0]
     n_events = table(spark, SF, "events").count()
     assert total == 2 * n_events
+
+
+def test_dedup_keep_best_bounds(spark):
+    """Canonical selection keeps at most one doc per duplicate group and
+    never more than the stratum size; every doc is counted once."""
+    from daskberg_spark.operators.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(spark, SF).collect()
+    docs = table(spark, SF, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 1 <= r["n_kept"] <= r["n_docs"]
+        assert r["kept_chars"] > 0
+
+
+def test_vocab_coverage_rates(spark):
+    """OOV rate is a true fraction and token totals equal the tokenized
+    corpus size."""
+    from daskberg_spark.operators.corpus import vocab_coverage
+
+    rows = vocab_coverage(spark, SF).collect()
+    total_tokens = (
+        table(spark, SF, "documents")
+        .select(
+            F.size(F.split(F.lower(F.trim("text")), "\\s+")).alias("n")
+        )
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    for r in rows:
+        assert 0 <= r["in_vocab"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_resample_gapfill_grid(spark):
+    """The resampled grid is dense (contiguous hours per user), gap rows
+    carry the previous observed value forward, and non-gap rows equal
+    the hourly aggregate."""
+    from daskberg_spark.operators.advanced import resample_gapfill
+
+    rows = resample_gapfill(spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user  # fixture has users under the cap
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour"])
+        hours = [r["hour"] for r in rs]
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600  # dense, no holes
+        assert rs[0]["is_gap"] == 0  # grid starts at first observation
+        prev = None
+        for r in rs:
+            if r["is_gap"]:
+                assert r["filled_value"] == prev
+            prev = r["filled_value"]
