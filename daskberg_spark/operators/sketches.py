@@ -1,0 +1,221 @@
+"""Deterministic sketch / sampling / statistics operators (Tier B5/B12+).
+
+The engine-native sketches (``approx_count_distinct`` = HLL++,
+``approx_quantiles`` = Greenwald-Khanna) are rows-only by design: their
+internals differ per engine.  This module adds the *deterministic*
+counterparts a cross-engine pipeline actually wants — sketches whose
+output is a pure function of the data, so they are oracle-exact AND
+restart/replay-stable at 100 TB:
+
+- ``distinct_kmv_estimate``: K-Minimum-Values distinct-count sketch
+  (Bar-Yossef et al. 2002).  Both engines hash rows with the same
+  md5-prefix→48-bit integer map, so the k-th minimum — and therefore the
+  estimate — is bit-identical.
+- ``sampled_agg_deterministic``: Bernoulli sampling by content hash
+  (md5 first hex digit), the replayable twin of ``TABLESAMPLE``.
+- ``events_corr_matrix``: grouped Pearson correlation assembled from
+  decimal-exact moment sums (the same trick as ``stats_moments``),
+  with the final formula evaluated in IEEE double identically on both
+  engines (sqrt and / are correctly-rounded, so same inputs → same bits).
+
+Reference parity note: the reference delegates aggregation to Dask
+(`/root/reference/daskberg/core.py` hands back a dataframe); these are
+beyond-parity analytics staples re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import (
+    DEC,
+    query,
+    sql_dsum,
+    table,
+)
+
+KMV_K = 64
+HASH_BITS = 48
+HASH_SPACE = 1 << HASH_BITS  # 2^48; (k-1)*2^48 and every hash fit a BIGINT
+_HEX = "0123456789abcdef"
+
+# DuckDB has no base-conversion builtin; fold the 12 hex chars through a
+# transform+reduce (list_reduce's first-element seeding == the zero-seeded
+# fold because acc*16+x with acc=0 is x).  Spark uses conv() — both parse
+# the identical md5 prefix, so the 48-bit values agree bit-for-bit.
+_SQL_H48 = """list_reduce(
+      list_transform(range(1,13),
+        i -> CAST(strpos('{hex}', substr(md5(CAST({col} AS VARCHAR)),i,1))-1
+             AS BIGINT)),
+      (acc,x) -> acc*16 + x)"""
+
+
+def _h48_spark(col: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def _sql_h48(col: str) -> str:
+    return _SQL_H48.format(hex=_HEX, col=col)
+
+
+@query(
+    "distinct_kmv_estimate",
+    f"""
+    WITH hashes AS (
+      SELECT DISTINCT {_sql_h48('o_custkey')} AS h
+      FROM orders
+    ), mins AS (
+      SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}
+    ), sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_seen,
+             CAST(MAX(h) AS BIGINT) AS kth_min
+      FROM mins
+    )
+    SELECT k_seen, kth_min,
+           CASE WHEN k_seen < {KMV_K} THEN CAST(k_seen AS DOUBLE)
+                ELSE CAST(({KMV_K} - 1) * {HASH_SPACE} AS DOUBLE)
+                     / CAST(kth_min AS DOUBLE) END AS est_distinct,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+             AS exact_distinct
+    FROM sk
+    """,
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+: K-Minimum-Values distinct sketch, deterministic across engines.
+
+    Keep the ``k`` smallest *distinct* 48-bit hashes; the k-th minimum
+    ``m`` estimates cardinality as ``(k-1) * 2^48 / m`` (the classic KMV
+    unbiased estimator).  Unlike HLL the result is a pure function of the
+    data — mergeable (union of min-k sets), replay-stable, and
+    oracle-checkable.
+
+    Scale: the hash is a narrow map; ``distinct`` is one shuffle of an
+    8-byte column; the min-k is TakeOrderedAndProject (per-partition
+    top-k, k-row driver merge) — no full sort, no sketch state bigger
+    than k*8 bytes anywhere.  The exact count (for the error column) is
+    the same shuffle's byproduct."""
+    orders = table(spark, sf_dir, "orders")
+    h = orders.select(_h48_spark("o_custkey").alias("h")).distinct()
+    mins = h.orderBy("h").limit(KMV_K)
+    sk = mins.agg(
+        F.count("*").alias("k_seen"), F.max("h").alias("kth_min")
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(
+        F.lit(float((KMV_K - 1) * HASH_SPACE)) / F.col("kth_min").cast("double")
+    )
+    return sk.crossJoin(exact).select(
+        "k_seen", "kth_min", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
+@query(
+    "sampled_agg_deterministic",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           {sql_dsum('o_totalprice', 'sample_revenue')},
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) * 8
+                AS DECIMAL(25,6)) AS DOUBLE) AS est_total_revenue
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY o_orderstatus
+    """,
+)
+def sampled_agg_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12+: content-hash Bernoulli sampling (p = 2/16) + scaled estimate —
+    the deterministic twin of the engine-native ``sampled_agg``
+    (TABLESAMPLE), which stays registered as rows-only.
+
+    Hash-gating on md5(key) makes the sample replayable across engines,
+    retries, and partitionings — the property TABLESAMPLE loses the
+    moment a task is re-executed on different splits.  Scale: the gate is
+    a pushed-down narrow filter (no shuffle added); the estimate is the
+    exact decimal sum scaled by 1/p."""
+    orders = table(spark, sf_dir, "orders")
+    gate = F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 1
+    ).isin("0", "1")
+    dec = F.sum(F.col("o_totalprice").cast(DEC))
+    return (
+        orders.where(gate)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            dec.cast("double").alias("sample_revenue"),
+            (dec * 8).cast(DEC).cast("double").alias("est_total_revenue"),
+        )
+    )
+
+
+# Pearson correlation from exact moment sums.  Per-row terms are rounded
+# to DECIMAL(25,6) (deterministic), summed exactly, and the closed-form
+# correlation is evaluated in double with the same operation order on
+# both engines — sqrt and / are IEEE-correctly-rounded, so the doubles
+# match bit-for-bit.
+_CORR_NUM = "(n * sxy - sx * sy)"
+_CORR_DEN = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+
+
+@query(
+    "events_corr_matrix",
+    f"""
+    WITH terms AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(25,6)) AS DOUBLE) AS x,
+             CAST(hour(ts) AS DOUBLE) AS y
+      FROM events
+    ), moments AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           {_CORR_NUM} / {_CORR_DEN} AS corr_value_hour
+    FROM moments
+    ORDER BY event_type
+    """,
+)
+def events_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+: grouped Pearson correlation (value vs hour-of-day) assembled
+    from one pass of exact decimal moment sums — no second pass, no
+    ``corr()`` builtin (whose summation order differs per engine).
+
+    Scale: single partial-agg shuffle keyed by group; six numbers of
+    state per group.  This is the moment-sketch pattern every
+    distributed stats library uses (mergeable across partitions)."""
+    ev = table(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC).cast("double")
+    y = F.hour("ts").cast("double")
+    terms = ev.select("event_type", x.alias("x"), y.alias("y"))
+
+    def dsum_term(c: F.Column, alias: str) -> F.Column:
+        return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+    moments = terms.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum_term(F.col("x"), "sx"),
+        dsum_term(F.col("y"), "sy"),
+        dsum_term(F.col("x") * F.col("x"), "sxx"),
+        dsum_term(F.col("y") * F.col("y"), "syy"),
+        dsum_term(F.col("x") * F.col("y"), "sxy"),
+    )
+    corr = F.expr(f"{_CORR_NUM} / {_CORR_DEN}")
+    return moments.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        corr.alias("corr_value_hour"),
+    ).orderBy("event_type")

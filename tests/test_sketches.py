@@ -1,0 +1,58 @@
+"""Deterministic sketch operators: KMV distinct, hash sampling, corr."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMALL
+
+SF = SF_SMALL
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from daskberg_spark.operators.sketches import KMV_K
+
+    row = _q("distinct_kmv_estimate")(spark, SF).first()
+    assert row.k_seen <= KMV_K
+    if row.k_seen < KMV_K:
+        # fewer distincts than k → sketch degenerates to the exact count
+        assert row.est_distinct == float(row.exact_distinct)
+    else:
+        # KMV standard error ~ 1/sqrt(k-2); allow 5 sigma
+        rel = abs(row.est_distinct - row.exact_distinct) / row.exact_distinct
+        assert rel < 5.0 / math.sqrt(KMV_K - 2)
+
+
+def test_kmv_partition_invariant(spark):
+    a = _q("distinct_kmv_estimate")(spark, SF).first()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").repartition(17)
+    orders.createOrReplaceTempView("_kmv_orders")
+    # same computation over a different physical layout
+    from daskberg_spark.operators.sketches import _h48_spark
+
+    h = orders.select(_h48_spark("o_custkey").alias("h")).distinct()
+    kth = h.orderBy("h").limit(64).agg({"h": "max"}).first()[0]
+    assert kth == a.kth_min
+
+
+def test_sampled_agg_deterministic_is_replayable(spark):
+    df1 = _q("sampled_agg_deterministic")(spark, SF)
+    df2 = _q("sampled_agg_deterministic")(spark, SF)
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
+    # the sample is a fixed subset: est = sample_revenue * 8 exactly
+    for r in df1.collect():
+        assert abs(r.est_total_revenue - r.sample_revenue * 8) < 1e-6
+
+
+def test_corr_matrix_bounds_and_groups(spark):
+    rows = _q("events_corr_matrix")(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.n > 0
+        assert math.isnan(r.corr_value_hour) or -1.0 <= r.corr_value_hour <= 1.0
