@@ -33,6 +33,7 @@ def _load_registry():
         "daskberg_spark.operators.text",
         "daskberg_spark.operators.corpus",
         "daskberg_spark.operators.sketches",
+        "daskberg_spark.operators.curation",
         "daskberg_spark.operators.packing",
         "daskberg_spark.operators.multimodal",
         "daskberg_spark.operators.iceberg_queries",

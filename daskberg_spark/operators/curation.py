@@ -1,0 +1,221 @@
+"""Web-corpus curation operators (Tier C1/C4 extensions, round 3).
+
+Three staples of a pretraining-data curation pipeline that the earlier
+Tier-C modules don't cover:
+
+- ``domain_cap_sample``: cap documents per domain (source) with a
+  deterministic content-hash ranking — the anti-overrepresentation rule
+  every web corpus applies to mega-domains.
+- ``quality_unigram_meanprob``: corpus-trained unigram language model →
+  per-document mean token probability; the low end is boilerplate/junk
+  with out-of-vocabulary gibberish.  The log-free formulation keeps the
+  score a ratio of exact integer sums, so it is oracle-exact (logprob
+  variants differ per engine's libm).
+- ``dedup_chunks_exact``: block-level exact duplication census —
+  non-overlapping W-word chunks hashed and counted across documents; the
+  scalable first-order approximation of suffix-array substring dedup
+  (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  Better" motivates the operator; the implementation here is plain
+  hash-partitioned SQL, no suffix arrays).
+
+All three are pure Catalyst with DuckDB twins; registry conventions
+(BIGINT casts, identical double expression order) apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daskberg_spark.operators.registry import query, table
+
+DOMAIN_CAP = 8
+CHUNK_W = 8
+TOP_DUP_DOCS = 20
+
+_SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "domain_cap_sample",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+: per-domain document cap with deterministic hash ranking.
+
+    Documents are ranked inside each domain by md5(doc_id) (doc_id
+    tie-break) and only the first DOMAIN_CAP survive — a replayable,
+    partitioning-invariant uniform pick, unlike rand()-based sampling.
+
+    Scale: one shuffle keyed by domain.  The rank is a running
+    row_number, so a mega-domain is a single window partition — at
+    100 TB pair this with AQE skew handling, or pre-reduce with a
+    per-task top-CAP (each task keeps its CAP smallest hashes per
+    domain; the global top-CAP is a subset of the union) before the
+    shuffle.  Output is a domain-level census, driver-tiny."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    kept = F.col("rk") <= DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "quality_unigram_meanprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+    ), vocab AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(v.c) AS BIGINT) AS s
+      FROM tok JOIN vocab v ON tok.t = v.t
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE))
+             AS mean_tok_prob
+    FROM per_doc, tot
+    ORDER BY mean_tok_prob ASC, doc_id LIMIT 10
+    """,
+)
+def quality_unigram_meanprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+: unigram-LM quality score — train token frequencies on the
+    corpus itself (one agg), score each document by its mean token
+    probability, and surface the 10 rarest-vocabulary documents (the
+    junk tail a perplexity filter would cut).
+
+    Log-free on purpose: score = Σ count(tᵢ) / (n_tokens · total) is a
+    ratio of exact integer sums, bit-identical across engines, where a
+    mean logprob would inherit libm differences.  Monotonicity vs the
+    geometric mean differs, but ranking junk is what the filter needs.
+
+    Scale: explode → vocabulary agg (partial-agg shuffle), then a join
+    keyed by token that AQE broadcast-converts when the vocabulary is
+    small; the corpus-total is a 1-row broadcast.  No driver state."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("t"),
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    per_doc = (
+        tok.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("s"))
+    )
+    score = F.col("s").cast("double") / (
+        F.col("n_tokens").cast("double") * F.col("total").cast("double")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select("doc_id", "n_tokens", score.alias("mean_tok_prob"))
+        .orderBy(F.asc("mean_tok_prob"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "dedup_chunks_exact",
+    f"""
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, len({_SQL_TOKS}) // {CHUNK_W}),
+               i -> md5(array_to_string(
+                      list_slice({_SQL_TOKS},
+                                 i*{CHUNK_W}+1, i*{CHUNK_W}+{CHUNK_W}),
+                      ' ')))) AS h
+      FROM documents
+    ), freq AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+      FROM ch GROUP BY h
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN freq.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN freq.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM ch JOIN freq ON ch.h = freq.h
+    GROUP BY ch.doc_id
+    ORDER BY dup_frac DESC, doc_id ASC LIMIT {TOP_DUP_DOCS}
+    """,
+)
+def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+: block-level exact duplication census — the scalable stand-in
+    for suffix-array substring dedup.  Text is cut into non-overlapping
+    CHUNK_W-word blocks; a block seen in ≥2 distinct documents is
+    duplicated; per-document dup fraction ranks boilerplate carriers.
+
+    Scale: chunks are hashed to 16-byte md5 immediately (no raw-text
+    shuffle); the frequency table is one partial-agg shuffle keyed by
+    hash; the join back is hash-keyed and AQE-managed.  The exploded
+    chunk index is localCheckpointed so its two consumers (frequency
+    agg, join probe) share one computation — Catalyst otherwise
+    re-inlines the explode on both sides of the self-join."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    nch = (F.size(toks) / CHUNK_W).cast("int")
+    chunks = F.when(
+        nch > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i * CHUNK_W + 1, CHUNK_W), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = docs.select(
+        "doc_id", F.explode(chunks).alias("h")
+    ).localCheckpoint()
+    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("docs"))
+    dup = F.when(F.col("docs") >= 2, 1).otherwise(0)
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).alias("n_dup"),
+            (
+                F.sum(dup).cast("double") / F.count("*").cast("double")
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
+        .limit(TOP_DUP_DOCS)
+    )
