@@ -1538,12 +1538,52 @@ def compact_files(
     return snapshot_id
 
 
+ZORDER_BITS = 16
+
+
+def zorder_value(rows: Any, cols: list[str], bits: int = ZORDER_BITS) -> Any:
+    """Z-order (Morton) curve value over ``cols`` as a JVM-side Column.
+
+    Each column is min-max normalized to ``bits`` bits (the min/max pair
+    per column is one tiny driver-side agg — metadata-scale, like the
+    file-list collects), then the bit planes are interleaved:
+    bit b of column c lands at position ``b*len(cols)+c``.  Rows close
+    in z-value are close in EVERY input dimension, so range-partitioning
+    by z yields files whose footer min/max are selective on all the
+    z-order columns at once — multi-dimensional stats pruning, where a
+    lexicographic sort only serves its leading column.
+
+    Pure integer Catalyst expressions (shiftright/and/shiftleft) inside
+    whole-stage codegen; no UDF, no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    stats = rows.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    for ci, c in enumerate(cols):
+        mn = float(stats[f"mn_{c}"])
+        mx = float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        v = ((F.col(c).cast("double") - F.lit(mn)) * (top / span)).cast(
+            "long"
+        )
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + ci))
+    return z
+
+
 def compact_files_spark(
     writer: "IcebergWriter",
     spark: Any,
     min_file_bytes: int = 32 << 20,
     target_partitions: int = 1,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """Distributed compaction: the cluster-scale twin of ``compact_files``.
     Spark reads ONLY the small files through the delete-aware tagged scan
@@ -1566,7 +1606,12 @@ def compact_files_spark(
     become selective and stats pruning skips whole files — the
     sort-order / Z-order data-clustering lever.  Without it, files
     written from interleaved appends all span the full value range and
-    a point predicate prunes nothing."""
+    a point predicate prunes nothing.
+
+    ``zorder_by`` clusters on the Morton curve over SEVERAL columns
+    (see ``zorder_value``): output files get selective footer bounds on
+    every listed column simultaneously, where ``sort_by`` only serves
+    its leading column.  Mutually exclusive with ``sort_by``."""
     import tempfile
 
     import daskberg_spark.iceberg.scan  # noqa: F401
@@ -1590,7 +1635,16 @@ def compact_files_spark(
     # __file carries the scan's scheme-stripped path; match it the same way
     small_df = spark.createDataFrame([(p,) for p in small], "__file string")
     rows = tagged.join(small_df, "__file", "left_semi").drop("__file")
-    if sort_by:
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        rows = rows.withColumn("__z", zorder_value(rows, zorder_by))
+        rows = (
+            rows.repartitionByRange(target_partitions, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by:
         rows = rows.repartitionByRange(target_partitions, *sort_by)
         rows = rows.sortWithinPartitions(*sort_by)
     else:

@@ -219,3 +219,77 @@ def events_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         corr.alias("corr_value_hour"),
     ).orderBy("event_type")
+
+
+# --- Z-order (Morton) curve locality -------------------------------------
+# 8 bits per dimension over (l_partkey % 256, l_suppkey % 256); bit b of
+# dim c lands at position 2b+c.  Non-overlapping bit positions mean the
+# interleave is a plain sum — exact integer arithmetic on both engines.
+ZQ_BITS = 8
+
+
+def _sql_zvalue(p: str, s: str) -> str:
+    terms = []
+    for b in range(ZQ_BITS):
+        terms.append(f"((({p} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({s} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return " + ".join(terms)
+
+
+def _spark_zvalue(p: F.Column, s: F.Column) -> F.Column:
+    z = F.lit(0).cast("long")
+    for b in range(ZQ_BITS):
+        z = z + F.shiftright(p, b).bitwiseAND(F.lit(1)).cast("long") * (
+            1 << (2 * b)
+        )
+        z = z + F.shiftright(s, b).bitwiseAND(F.lit(1)).cast("long") * (
+            1 << (2 * b + 1)
+        )
+    return z
+
+
+@query(
+    "zorder_cluster_stats",
+    f"""
+    WITH d AS (
+      SELECT CAST(l_partkey % 256 AS BIGINT) AS p,
+             CAST(l_suppkey % 256 AS BIGINT) AS s
+      FROM lineitem
+    ), z AS (
+      SELECT p, s, CAST({_sql_zvalue('p', 's')} AS BIGINT) AS zval FROM d
+    )
+    SELECT CAST(zval >> 12 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(p) AS BIGINT) AS p_min, CAST(MAX(p) AS BIGINT) AS p_max,
+           CAST(MIN(s) AS BIGINT) AS s_min, CAST(MAX(s) AS BIGINT) AS s_max
+    FROM z GROUP BY tile ORDER BY tile
+    """,
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14+/A6+: Z-order curve locality census — the math behind
+    ``compact_files_spark(zorder_by=...)`` (writer.py) made
+    oracle-checkable.  Interleaves 8-bit (partkey, suppkey) planes into a
+    Morton value and aggregates per top-4-bit tile: every tile's min/max
+    shows BOTH dimensions bounded to a 64-wide band — exactly why
+    z-clustered files get selective footer bounds on every z column,
+    where a lexicographic sort serves only its leading column.
+
+    Scale: narrow integer map (whole-stage codegen, no UDF) + one
+    partial-agg shuffle over 16 tiles."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_partkey") % 256).cast("long").alias("p"),
+        (F.col("l_suppkey") % 256).cast("long").alias("s"),
+    )
+    z = d.withColumn("zval", _spark_zvalue(F.col("p"), F.col("s")))
+    return (
+        z.groupBy(F.shiftright("zval", 12).cast("long").alias("tile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p").alias("p_min"),
+            F.max("p").alias("p_max"),
+            F.min("s").alias("s_min"),
+            F.max("s").alias("s_max"),
+        )
+        .orderBy("tile")
+    )

@@ -1191,3 +1191,45 @@ def test_wap_quality_gate_pipeline(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in IcebergTable(w.path).to_df(spark).collect()
     ) == [1, 3]
+
+
+def test_compact_files_spark_zorder_clustering(spark, tmp_path):
+    """Z-order compaction bounds EVERY z column per file: after rewrite,
+    a point predicate on x OR on y each prunes to half the files — a
+    lexicographic x-sort would leave y unprunable (every file spans the
+    full y range)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "x", "type": "long", "required": False},
+            {"id": 2, "name": "y", "type": "long", "required": False},
+        ],
+    )
+    # interleaved appends over the full 32x32 grid: no bounds anywhere
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    for batch in range(4):
+        w.append([{"x": x, "y": y} for (x, y) in grid[batch::4]])
+    t0 = IcebergTable(w.path)
+    assert len(t0.plan_files([("x", "==", 5)])) == len(t0.plan_files())
+    before = sorted((r["x"], r["y"]) for r in t0.to_df(spark).collect())
+
+    snap = compact_files_spark(
+        w, spark, target_partitions=4, zorder_by=["x", "y"]
+    )
+    assert snap is not None
+    t = IcebergTable(w.path)
+    assert sorted((r["x"], r["y"]) for r in t.to_df(spark).collect()) == before
+    files = t.plan_files()
+    assert len(files) == 4
+    # quadrant clustering: each single-dim point predicate reads half
+    assert len(t.plan_files([("x", "==", 5)])) == 2
+    assert len(t.plan_files([("y", "==", 30)])) == 2
+    # both dims together: exactly one quadrant file
+    assert len(t.plan_files([("x", "==", 5), ("y", "==", 30)])) == 1
+    got = {
+        (r["x"], r["y"])
+        for r in t.to_df(spark, filters=[("x", "==", 5), ("y", "==", 30)]).collect()
+    }
+    assert got == {(5, 30)}
