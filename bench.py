@@ -51,6 +51,11 @@ HEADLINE = [
     "q9_product_type_profit",
     "decontaminate_ngram_overlap",
     "sample_deterministic",
+    # round 3 (late): block-level dedup census, unigram-LM quality
+    # scoring, z-curve integer map (whole-stage-codegen throughput probe)
+    "dedup_chunks_exact",
+    "quality_unigram_meanprob",
+    "zorder_cluster_stats",
 ]
 
 

