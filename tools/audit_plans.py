@@ -73,6 +73,22 @@ AUDIT = {
     # parquet scan appears)
     "tfidf_top_terms": (3, False, True, None),
     "events_value_histogram": (1, False, False, 2),
+    # round 3c: deterministic sketches + curation.  KMV = distinct
+    # shuffle + TakeOrdered + 1-row crossJoin broadcast; corr/dim-stats
+    # are one partial-agg shuffle plus the output sort's range exchange;
+    # winsorized joins the broadcast per-group quantile table back; the
+    # unigram scorer shuffles (tokens, vocab) and broadcasts the 1-row
+    # total; chunk dedup reads its localCheckpointed chunk index (no
+    # parquet scan in the final plan, like tfidf).
+    "distinct_kmv_estimate": (3, False, True, 1),
+    "sampled_agg_deterministic": (1, False, False, 3),
+    "events_corr_matrix": (2, False, False, 3),
+    "zorder_cluster_stats": (2, False, False, 2),
+    "winsorized_stats": (3, True, True, 2),
+    "embedding_dim_stats": (2, True, False, 1),
+    "domain_cap_sample": (2, False, False, 3),
+    "quality_unigram_meanprob": (4, False, True, 2),
+    "dedup_chunks_exact": (3, False, True, None),
 }
 
 
