@@ -337,3 +337,98 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- deterministic HyperLogLog ---------------------------------------------
+# 256 registers over the shared 48-bit md5 hash: top 8 bits pick the
+# register, the low 40 bits feed the leading-zero rank.  The harmonic sum
+# is kept as the INTEGER T = Σⱼ 2^(41-Mⱼ)  (Mⱼ=0 for empty registers), so
+# the only floating-point step is the final alpha·m²·2⁴¹/T — identical
+# IEEE ops on both engines.  The small-range linear-counting correction
+# (m·ln(m/V)) is deliberately left to the caller: ln() is libm-specific
+# and would break bit-exactness; n_empty is emitted for it.
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256
+HLL_REM_BITS = HASH_BITS - HLL_P  # 40
+HLL_ALPHA = 0.7182725932495458  # 0.7213/(1+1.079/256), shared literal
+
+
+def _sql_rho(rem: str) -> str:
+    """CASE computing 1 + leading-zeros of the 40-bit value (integer-only,
+    no log2) — the identical text runs on Spark SQL and DuckDB."""
+    whens = [
+        f"WHEN {rem} >= {1 << (HLL_REM_BITS - 1 - z)} THEN {z + 1}"
+        for z in range(HLL_REM_BITS)
+    ]
+    return f"CASE {' '.join(whens)} ELSE {HLL_REM_BITS + 1} END"
+
+
+@query(
+    "approx_distinct_hll",
+    f"""
+    WITH parts AS (
+      SELECT {_sql_h48('o_custkey')} >> {HLL_REM_BITS} AS idx,
+             {_sql_h48('o_custkey')} & {(1 << HLL_REM_BITS) - 1} AS rem
+      FROM orders
+    ), regs AS (
+      SELECT idx, MAX({_sql_rho('rem')}) AS r FROM parts GROUP BY idx
+    ), sk AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_REM_BITS + 1} - r))
+                  AS BIGINT) AS t_present,
+             CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM regs
+    )
+    SELECT CAST({HLL_M} - n_present AS BIGINT) AS n_empty,
+           CAST(t_present + ({HLL_M} - n_present) * {1 << (HLL_REM_BITS + 1)}
+                AS BIGINT) AS t_sum,
+           CAST({HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << (HLL_REM_BITS + 1))!r}
+                AS DOUBLE)
+             / CAST(t_present + ({HLL_M} - n_present) * {1 << (HLL_REM_BITS + 1)}
+                    AS DOUBLE) AS est_distinct,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+             AS exact_distinct
+    FROM sk
+    """,
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+: HyperLogLog (Flajolet et al. 2007) built from scratch with an
+    integer-exact harmonic sum — the deterministic, oracle-checkable twin
+    of ``approx_count_distinct`` (whose HLL++ internals are per-engine).
+
+    Scale: one narrow hash map, one 256-group partial-agg shuffle (the
+    per-partition MAX combine IS the HLL merge — registers are the only
+    state, 256 bytes), and a single-row finish.  This is the sketch shape
+    that lets 1000 executors count distincts with no re-shuffle of data.
+    KMV (``distinct_kmv_estimate``) needs a distinct-shuffle; HLL does
+    not — that is the 100 TB difference between them."""
+    orders = table(spark, sf_dir, "orders")
+    h = _h48_spark("o_custkey")
+    parts = orders.select(
+        F.shiftright(h, HLL_REM_BITS).alias("idx"),
+        h.bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1)).alias("rem"),
+    )
+    regs = parts.groupBy("idx").agg(
+        F.max(F.expr(_sql_rho("rem"))).alias("r")
+    )
+    sk = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - r)"))
+        .cast("long")
+        .alias("t_present"),
+        F.count("*").alias("n_present"),
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    t_sum = F.col("t_present") + (HLL_M - F.col("n_present")) * (
+        1 << (HLL_REM_BITS + 1)
+    )
+    est = (
+        F.lit(HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << (HLL_REM_BITS + 1)))
+        / t_sum.cast("double")
+    )
+    return sk.crossJoin(exact).select(
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_empty"),
+        t_sum.cast("long").alias("t_sum"),
+        est.alias("est_distinct"),
+        "exact_distinct",
+    )

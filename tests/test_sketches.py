@@ -73,3 +73,53 @@ def test_winsorized_mean_is_tighter_than_raw(spark):
         assert r.n > 0
         lo_effect = abs(r.sum_winsor) <= abs(r.sum_raw) * 1.5 + 1e9
         assert lo_effect
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    from daskberg_spark.operators.sketches import HLL_M
+
+    row = _q("approx_distinct_hll")(spark, SF).first()
+    assert 0 <= row.n_empty <= HLL_M
+    # caller-side small-range correction (ln is libm-specific, so the
+    # query emits n_empty instead of applying it — see docstring)
+    est = row.est_distinct
+    if est <= 2.5 * HLL_M and row.n_empty > 0:
+        est = HLL_M * math.log(HLL_M / row.n_empty)
+    # HLL standard error = 1.04/sqrt(m) = 6.5% at m=256; allow 4 sigma
+    rel = abs(est - row.exact_distinct) / row.exact_distinct
+    assert rel < 4 * 1.04 / (HLL_M ** 0.5)
+    # replay-stable: a second run returns the identical sketch
+    again = _q("approx_distinct_hll")(spark, SF).first()
+    assert (row.t_sum, row.est_distinct) == (again.t_sum, again.est_distinct)
+
+
+def test_hll_register_merge_is_partition_invariant(spark):
+    # the per-partition MAX combine IS the HLL merge: a different
+    # physical layout must produce the same registers, hence same t_sum
+    from daskberg_spark.operators.sketches import (
+        HLL_REM_BITS,
+        _h48_spark,
+        _sql_rho,
+    )
+    from pyspark.sql import functions as F
+
+    base = _q("approx_distinct_hll")(spark, SF).first()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").repartition(23)
+    h = _h48_spark("o_custkey")
+    parts = orders.select(
+        F.shiftright(h, HLL_REM_BITS).alias("idx"),
+        h.bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1)).alias("rem"),
+    )
+    t = (
+        parts.groupBy("idx")
+        .agg(F.max(F.expr(_sql_rho("rem"))).alias("r"))
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - r)")
+            ).alias("t"),
+            F.count("*").alias("np"),
+        )
+        .first()
+    )
+    t_sum = t.t + (256 - t.np) * (1 << (HLL_REM_BITS + 1))
+    assert t_sum == base.t_sum
