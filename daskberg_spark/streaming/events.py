@@ -492,3 +492,101 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
     )
+
+
+def _hll_sql_over_events() -> str:
+    from daskberg_spark.operators.sketches import (
+        HLL_M,
+        HLL_REM_BITS,
+        _sql_h48,
+        _sql_rho,
+    )
+    from daskberg_spark.operators.sketches import HLL_ALPHA
+
+    big = 1 << (HLL_REM_BITS + 1)
+    c = HLL_ALPHA * float(HLL_M * HLL_M) * float(big)
+    return f"""
+    WITH parts AS (
+      SELECT {_sql_h48('user_id')} >> {HLL_REM_BITS} AS idx,
+             {_sql_h48('user_id')} & {(1 << HLL_REM_BITS) - 1} AS rem
+      FROM events
+    ), regs AS (
+      SELECT idx, MAX({_sql_rho('rem')}) AS r FROM parts GROUP BY idx
+    ), sk AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_REM_BITS + 1} - r))
+                  AS BIGINT) AS t_present,
+             CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM regs
+    )
+    SELECT CAST({HLL_M} - n_present AS BIGINT) AS n_empty,
+           CAST(t_present + ({HLL_M} - n_present) * {big} AS BIGINT) AS t_sum,
+           CAST({c!r} AS DOUBLE)
+             / CAST(t_present + ({HLL_M} - n_present) * {big} AS DOUBLE)
+             AS est_distinct,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_distinct
+    FROM sk
+    """
+
+
+@query("streaming_distinct_hll", None)
+def streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: distinct users counted across micro-batches
+    with 256 registers as the ONLY streaming state.
+
+    The register update (groupBy idx, MAX(rho)) runs as a stateful
+    streaming aggregation — MAX is the HLL merge, so state size is fixed
+    at 256 rows regardless of stream length; the finish (harmonic sum →
+    estimate) is a batch reduction over the drained register table.
+    Because the sketch is deterministic (sketches.approx_distinct_hll),
+    the streaming result equals the batch query bit-for-bit — the
+    replayable-sketch property that makes restart/retry safe at scale.
+
+    Oracle registered lazily below: identical HLL SQL over the batch
+    events view."""
+    from daskberg_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_REM_BITS,
+        _h48_spark,
+        _sql_rho,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    h = _h48_spark("user_id")
+    parts = stream.select(
+        F.shiftright(h, HLL_REM_BITS).alias("idx"),
+        h.bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1)).alias("rem"),
+    )
+    agg = parts.groupBy("idx").agg(F.max(F.expr(_sql_rho("rem"))).alias("r"))
+    regs = _run_to_memory(agg, spark, "complete")
+    sk = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - r)"))
+        .cast("long")
+        .alias("t_present"),
+        F.count("*").alias("n_present"),
+    )
+    from daskberg_spark.operators.registry import table as _table
+
+    exact = _table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    big = 1 << (HLL_REM_BITS + 1)
+    t_sum = F.col("t_present") + (HLL_M - F.col("n_present")) * big
+    est = (
+        F.lit(HLL_ALPHA * float(HLL_M * HLL_M) * float(big))
+        / t_sum.cast("double")
+    )
+    return sk.crossJoin(exact).select(
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_empty"),
+        t_sum.cast("long").alias("t_sum"),
+        est.alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+# oracle needs the sketch constants; register after the function body so
+# the import graph stays acyclic
+from daskberg_spark.operators.registry import ORACLES as _ORACLES
+
+_ORACLES["streaming_distinct_hll"] = _hll_sql_over_events()

@@ -54,3 +54,40 @@ def test_streaming_stream_join_equals_batch_range_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_hll_equals_batch_sketch(spark):
+    """The streaming register table must equal the batch sketch exactly —
+    MAX-merge determinism is what makes restart/replay safe."""
+    import __spark_entry__ as e
+
+    row = e.queries()["streaming_distinct_hll"](spark, SF).first()
+    # batch twin over the same fixture, same hash/rho machinery
+    from daskberg_spark.operators.registry import table
+    from daskberg_spark.operators.sketches import (
+        HLL_M,
+        HLL_REM_BITS,
+        _h48_spark,
+        _sql_rho,
+    )
+    from pyspark.sql import functions as F
+
+    ev = table(spark, SF, "events")
+    h = _h48_spark("user_id")
+    t = (
+        ev.select(
+            F.shiftright(h, HLL_REM_BITS).alias("idx"),
+            h.bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1)).alias("rem"),
+        )
+        .groupBy("idx")
+        .agg(F.max(F.expr(_sql_rho("rem"))).alias("r"))
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - r)")
+            ).alias("t"),
+            F.count("*").alias("np"),
+        )
+        .first()
+    )
+    assert row.t_sum == t.t + (HLL_M - t.np) * (1 << (HLL_REM_BITS + 1))
+    assert row.n_empty == HLL_M - t.np
