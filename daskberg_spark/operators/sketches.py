@@ -432,3 +432,116 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_distinct"),
         "exact_distinct",
     )
+
+
+# --- deterministic histogram quantile sketch -------------------------------
+HIST_BINS = 1024
+_HQ = [0.5, 0.9, 0.99]
+
+
+@query(
+    "approx_quantiles_histogram",
+    f"""
+    WITH st AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+    ), binned AS (
+      SELECT LEAST({HIST_BINS - 1},
+                   CAST(floor((l_extendedprice - st.mn)
+                              / (st.mx - st.mn) * {HIST_BINS}) AS BIGINT))
+               AS bin
+      FROM lineitem, st
+    ), hist AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM hist
+    ), qs AS (
+      SELECT unnest(range(1, {len(_HQ) + 1})) AS qi
+    ), est AS (
+      SELECT qs.qi,
+             MIN(cum.bin) AS bin
+      FROM qs JOIN cum
+        ON CAST(cum.cum AS DOUBLE) >=
+           (CASE qs.qi {' '.join(f'WHEN {i + 1} THEN CAST({q!r} AS DOUBLE)' for i, q in enumerate(_HQ))} END)
+           * (SELECT CAST(n AS DOUBLE) FROM st)
+      GROUP BY qs.qi
+    )
+    SELECT CAST(est.qi AS INTEGER) AS qi,
+           (CASE est.qi {' '.join(f'WHEN {i + 1} THEN CAST({q!r} AS DOUBLE)' for i, q in enumerate(_HQ))} END) AS q,
+           st.mn + CAST(est.bin AS DOUBLE) * (st.mx - st.mn) / {HIST_BINS}
+             AS est_value,
+           (CASE est.qi {' '.join(f'WHEN {i + 1} THEN quantile_cont(lineitem.l_extendedprice, {q!r})' for i, q in enumerate(_HQ))} END)
+             AS exact_value
+    FROM est, st, lineitem
+    GROUP BY est.qi, est.bin, st.mn, st.mx
+    ORDER BY qi
+    """,
+)
+def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+: deterministic quantile sketch — fixed 1024-bin histogram with
+    lower-edge readout, the oracle-checkable sibling of
+    ``approx_quantiles`` (whose Greenwald-Khanna internals are
+    per-engine).  Error is bounded by one bin width (range/1024);
+    ``exact_value`` (interpolated percentile) rides along to show it.
+
+    Scale: pass 1 is a 3-number min/max/count agg; pass 2 is one
+    partial-agg shuffle with ≤1024 groups — bin counts are the mergeable
+    state, so this sketch distributes/streams exactly like the HLL
+    registers.  No sort of the data anywhere (the cumsum window runs
+    over 1024 bins)."""
+    li = table(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = li.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * HIST_BINS
+            ).cast("long"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    )
+    qs = spark.createDataFrame(
+        [(i + 1, q) for i, q in enumerate(_HQ)], "qi int, q double"
+    )
+    est = (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(st.select(F.col("n").alias("n_total"))))
+        .where(
+            F.col("cum").cast("double")
+            >= F.col("q") * F.col("n_total").cast("double")
+        )
+        .groupBy("qi", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    exact = li.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(repr(q) for q in _HQ)}))"
+        ).alias("ex")
+    ).select(F.posexplode("ex").alias("pos", "exact_value")).select(
+        (F.col("pos") + 1).alias("qi"), "exact_value"
+    )
+    return (
+        est.crossJoin(F.broadcast(st))
+        .select(
+            "qi",
+            "q",
+            (
+                F.col("mn")
+                + F.col("bin").cast("double") * (F.col("mx") - F.col("mn")) / HIST_BINS
+            ).alias("est_value"),
+        )
+        .join(exact, "qi")
+        .orderBy("qi")
+    )

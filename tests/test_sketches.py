@@ -123,3 +123,16 @@ def test_hll_register_merge_is_partition_invariant(spark):
     )
     t_sum = t.t + (256 - t.np) * (1 << (HLL_REM_BITS + 1))
     assert t_sum == base.t_sum
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    from daskberg_spark.operators.sketches import HIST_BINS
+
+    rows = _q("approx_quantiles_histogram")(spark, SF).collect()
+    assert [r.qi for r in rows] == [1, 2, 3]
+    lo = min(r.est_value for r in rows)
+    hi = max(r.exact_value for r in rows)
+    assert hi > lo > 0
+    # readout is the bin's lower edge: est <= exact < est + width
+    for r in rows:
+        assert r.est_value <= r.exact_value
