@@ -56,6 +56,9 @@ HEADLINE = [
     "dedup_chunks_exact",
     "quality_unigram_meanprob",
     "zorder_cluster_stats",
+    # deterministic sketches: HLL's 256-group shuffle vs exact distinct
+    "approx_distinct_hll",
+    "approx_quantiles_histogram",
 ]
 
 

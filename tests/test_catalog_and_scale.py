@@ -63,3 +63,59 @@ def test_lineitem_footer_bounds_present(lineitem_ice):
     assert {1, 6} <= keys  # l_orderkey and l_shipdate have bounds
     assert f["partition"].get("l_shipmonth") is not None
     assert f["record_count"] > 0
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's runtime bloom-filter injection: a selective dim predicate
+    materializes a bloom filter that pre-filters the fact side BEFORE the
+    join shuffle — the semi-join reduction that matters when the fact is
+    100 TB and the dim filter keeps 1%.  Results must be unchanged."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower() or "mightContain" in plan
+        filtered = {(r.o_orderstatus, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/orders.parquet").filter(
+                F.col("o_totalprice") > 400000
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert filtered == {(r.o_orderstatus, r.n) for r in plain.collect()}

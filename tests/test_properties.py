@@ -292,3 +292,38 @@ def test_spec_evolution_write_compact_matrix(spark, ops):
         r["k"] for r in t.to_df(spark, filters=[("grp", "==", "a")]).collect()
     }
     assert pruned == {kk for kk, (g, _) in model.items() if g == "a"}
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None)
+def test_h48_matches_python_md5_prefix(spark, keys):
+    """The shared 48-bit sketch hash (Spark conv(md5) / DuckDB hex fold)
+    must equal Python's int(md5_prefix, 16) — the three-way anchor that
+    makes KMV/HLL estimates engine-independent."""
+    import hashlib
+
+    from daskberg_spark.operators.sketches import _h48_spark
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.h for r in df.select("k", _h48_spark("k").alias("h")).collect()}
+    for k in keys:
+        want = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        assert got[k] == want
+
+
+@given(st.integers(min_value=0, max_value=(1 << 40) - 1))
+@settings(max_examples=30, deadline=None)
+def test_hll_rho_case_equals_python(spark, rem):
+    """The generated leading-zero CASE (integer-only, no log2) must equal
+    the arithmetic definition on the full 40-bit domain."""
+    from daskberg_spark.operators.sketches import HLL_REM_BITS, _sql_rho
+    from pyspark.sql import functions as F
+
+    want = HLL_REM_BITS + 1 if rem == 0 else HLL_REM_BITS - rem.bit_length() + 1
+    got = (
+        spark.range(1)
+        .select(F.expr(_sql_rho(str(rem))).alias("r"))
+        .first()
+        .r
+    )
+    assert got == want
