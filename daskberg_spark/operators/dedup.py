@@ -73,9 +73,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + ``sig``: array<long> of N_HASHES min-hashes over word
-    SHINGLE_K-shingles.
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """doc_id + ``sig``: array<long> of N_HASHES min-hashes over a
+    precomputed ``shingles`` array column (see :func:`shingle_arrays`).
 
     Implemented as an Arrow-batched pandas UDF with a numpy broadcast for
     the affine hash family.  A pure-Catalyst formulation (32 ×
@@ -83,7 +83,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Catalyst duplicates the shared shingle/hash subexpressions into every
     one of the 32 branches (~90× slower at sf0.1).  One vectorized Python
     pass per document is the right cost model here, and it stays
-    partition-parallel with no driver involvement."""
+    partition-parallel with no driver involvement.
+
+    Taking the shingle arrays (not raw text) lets the LSH candidate stage
+    and the exact-Jaccard verify stage share ONE materialized shingle
+    index — previously each re-derived shingles from text, doubling the
+    dominant cost of the fuzzy-dedup path."""
     import zlib
 
     import numpy as np
@@ -92,17 +97,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     params = np.array(_hash_params(), dtype=np.uint64)
     A, B = params[:, 0], params[:, 1]
 
-    def _sig(texts):
+    def _sig(shingle_lists):
         out = []
-        for t in texts:
-            toks = t.lower().split()
-            if len(toks) < SHINGLE_K:
-                shingles = {" ".join(toks)}
-            else:
-                shingles = {
-                    " ".join(toks[i : i + SHINGLE_K])
-                    for i in range(len(toks) - SHINGLE_K + 1)
-                }
+        for shingles in shingle_lists:
+            if shingles is None or len(shingles) == 0:
+                shingles = [""]
             h = np.fromiter(
                 (zlib.crc32(s.encode("utf-8")) for s in shingles),
                 dtype=np.uint64,
@@ -114,7 +113,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     sig_udf = F.pandas_udf(_sig, "array<long>")
-    return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
+    return sh.select("doc_id", sig_udf(F.col("shingles")).alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + ``sig`` from raw documents (shingling included) — thin
+    wrapper kept for direct use in tests/ad-hoc pipelines; production
+    paths checkpoint :func:`shingle_arrays` once and call
+    :func:`minhash_signatures_from_shingles`."""
+    return minhash_signatures_from_shingles(shingle_arrays(docs))
 
 
 # Verified-pair threshold: the LSH/SimHash stages *generate* candidates,
@@ -173,15 +180,21 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
 
 
 def verify_pairs_jaccard(
-    pairs: DataFrame, sh: DataFrame, tau: float = JACCARD_TAU
+    pairs: DataFrame,
+    sh: DataFrame,
+    tau: float = JACCARD_TAU,
+    checkpointed: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
 
     Verification cost scales with the candidate count (sparse after
     LSH/SimHash blocking), not with n² — each surviving pair does one
     array_intersect over the two shingle sets.  The shingle index is
-    checkpointed so the two join sides share one computation."""
-    sh = sh.localCheckpoint()
+    checkpointed so the two join sides share one computation; pass
+    ``checkpointed=True`` when the caller already materialized it (e.g.
+    to share it with the candidate stage)."""
+    if not checkpointed:
+        sh = sh.localCheckpoint()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     scored = (
@@ -244,7 +257,10 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the exact all-pairs answer; see JACCARD_TAU for why the
     two agree deterministically."""
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # ONE shingle pass for the whole query: the checkpointed index feeds
+    # the MinHash signatures AND the exact-Jaccard verify stage.
+    sh = shingle_arrays(docs).localCheckpoint()
+    sigs = minhash_signatures_from_shingles(sh)
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -281,7 +297,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return verify_pairs_jaccard(pairs, shingle_arrays(docs))
+    return verify_pairs_jaccard(pairs, sh, checkpointed=True)
 
 
 @query(

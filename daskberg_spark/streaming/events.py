@@ -63,6 +63,13 @@ def _event_stream(spark: SparkSession, sf_dir: str):
         # TimestampType — with the session pinned to UTC the values match
         # the NTZ batch reads.
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        # Watermarks/event-time windows require TimestampType
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ).  The session TZ is
+        # pinned UTC above, so NTZ→TIMESTAMP preserves the instant and the
+        # naive-timestamp oracle still matches; window bounds are cast back
+        # to NTZ at each query's output for schema parity with batch reads.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -108,7 +115,7 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, spark)
     return out.select(
-        F.col("window.start").alias("hour_start"),
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
         "n",
         "sum_value",
@@ -362,7 +369,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(agg, spark, output_mode="complete")
     return out.select(
         "user_id",
-        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
         "n_events",
     )
 
@@ -407,7 +414,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, spark)
     return out.select(
-        F.col("window.start").alias("win_start"),
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
         "event_type",
         "n",
         "sum_value",
