@@ -339,32 +339,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first purchase AFTER that click, per user (strict event-time order,
     not mere per-type presence).
 
-    ONE grouped pass: per user, collect the (bounded) click/purchase
-    timestamp arrays alongside the min view time, then derive each stage
-    with array conditional-mins — 2 exchanges and one scan, vs 8
-    exchanges / 3 scans for the staged join-per-stage formulation this
-    replaced.  Skew bound: arrays scale with per-user activity, not
-    corpus size."""
+    ONE shuffle on user_id: three chained whole-partition windows derive
+    each stage's conditional min (click > first view, purchase > first
+    click) with plain min aggregates — WindowExec buffers a partition and
+    spills to disk under pressure, unlike a collect_list agg state (the
+    formulation this replaced), which grows per-group memory with user
+    activity and cannot spill mid-group.  The per-user groupBy after the
+    windows reuses the same partitioning, so no further data shuffle."""
+    from pyspark.sql import Window
+
     ev = table(spark, sf_dir, "events")
     typ = F.col("event_type")
     # only the three funnel stages matter: the IN filter pushes to the
     # scan and skips every other event type's IO
-    ev = ev.filter(typ.isin("view", "click", "purchase"))
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(typ == "view", F.col("ts"))).alias("v"),
-        F.collect_list(F.when(typ == "click", F.col("ts"))).alias("cl"),
-        F.collect_list(F.when(typ == "purchase", F.col("ts"))).alias("pl"),
+    ev = ev.filter(typ.isin("view", "click", "purchase")).select(
+        "user_id", "event_type", "ts"
     )
-    stages = per_user.select(
-        "v",
-        "pl",
-        F.array_min(F.filter("cl", lambda t: t > F.col("v"))).alias("c"),
-    ).select(
-        "v",
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn("v", F.min(F.when(typ == "view", F.col("ts"))).over(w))
+    d = d.withColumn(
         "c",
-        F.array_min(F.filter("pl", lambda t: t > F.col("c"))).alias("p"),
+        F.min(
+            F.when((typ == "click") & (F.col("ts") > F.col("v")), F.col("ts"))
+        ).over(w),
     )
-    return stages.agg(
+    d = d.withColumn(
+        "p",
+        F.min(
+            F.when((typ == "purchase") & (F.col("ts") > F.col("c")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("v").alias("v"), F.max("c").alias("c"), F.max("p").alias("p")
+    )
+    return per_user.agg(
         F.count("v").alias("n_viewed"),
         F.count("c").alias("n_clicked_after_view"),
         F.count("p").alias("n_purchased_after_click"),

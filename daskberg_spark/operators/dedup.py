@@ -152,11 +152,14 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
     references the token array a constant number of times per row.
     A slice past the end is shorter; arrays_zip null-pads and concat_ws
     skips nulls, which reproduces DuckDB's list-index semantics for
-    sub-SHINGLE_K documents."""
+    sub-SHINGLE_K documents.
+
+    lang/source ride along when present (the documents fixture has them;
+    ad-hoc frames may not)."""
+    extra = [c for c in ("lang", "source") if c in docs.columns]
     with_toks = docs.select(
         "doc_id",
-        "lang",
-        "source",
+        *extra,
         F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks"),
     )
     tc = F.col("toks")
@@ -166,8 +169,7 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
     )
     return with_toks.select(
         "doc_id",
-        "lang",
-        "source",
+        *extra,
         F.array_distinct(
             F.transform(
                 zipped,

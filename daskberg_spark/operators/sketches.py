@@ -317,14 +317,37 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact [p05, p95] before summing, the robust-mean treatment for
     heavy-tailed metrics (a single 1e9 outlier otherwise owns the mean).
 
-    Scale: pass 1 computes per-group quantiles (at 100 TB:
-    approx_percentile — same plan shape); the group→(lo,hi) table is
-    group-cardinality-sized and broadcast into pass 2's clip+sum, so the
-    data is read twice but never shuffled beyond the two partial aggs."""
+    Scale: pass 1 computes per-group EXACT quantiles with a distributed
+    sort-rank formulation — row_number within group, pick the two rows
+    bracketing q·(n-1), linear-interpolate — replacing the percentile()
+    aggregate, whose state buffers every group value (fails the
+    no-unbounded-aggs plan contract; sort shuffles spill, agg buffers
+    don't).  The group→(lo,hi) table is group-cardinality-sized and
+    broadcast into pass 2's clip+sum, so the data is read twice but never
+    shuffled beyond the sort and the two partial aggs."""
+    from pyspark.sql import Window as W
+
     ev = table(spark, sf_dir, "events")
-    q = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    wrank = W.partitionBy("event_type").orderBy("value")
+    wall = W.partitionBy("event_type")
+    ranked = ev.select("event_type", "value").select(
+        "event_type",
+        "value",
+        (F.row_number().over(wrank) - 1).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+
+    def _exact_q(qv: float, name: str):
+        # Spark percentile()/DuckDB quantile_cont both read position
+        # q·(n-1) with linear interpolation: lo + frac·(hi - lo)
+        pos = F.lit(qv) * (F.col("n") - 1).cast("double")
+        lo_v = F.max(F.when(F.col("rn") == F.floor(pos), F.col("value")))
+        hi_v = F.max(F.when(F.col("rn") == F.ceil(pos), F.col("value")))
+        frac = F.max(pos - F.floor(pos).cast("double"))
+        return (lo_v + frac * (hi_v - lo_v)).alias(name)
+
+    q = ranked.groupBy("event_type").agg(
+        _exact_q(0.05, "lo"), _exact_q(0.95, "hi")
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
@@ -455,26 +478,28 @@ _HQ = [0.5, 0.9, 0.99]
     ), hist AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY bin
     ), cum AS (
-      SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM hist
+      SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum FROM hist
     ), qs AS (
-      SELECT unnest(range(1, {len(_HQ) + 1})) AS qi
+      SELECT qi, q FROM (VALUES
+        {', '.join(f'({i + 1}, CAST({q!r} AS DOUBLE))' for i, q in enumerate(_HQ))}
+      ) AS t(qi, q)
     ), est AS (
-      SELECT qs.qi,
-             MIN(cum.bin) AS bin
+      SELECT qs.qi, qs.q, MIN(cum.bin) AS bin
       FROM qs JOIN cum
         ON CAST(cum.cum AS DOUBLE) >=
-           (CASE qs.qi {' '.join(f'WHEN {i + 1} THEN CAST({q!r} AS DOUBLE)' for i, q in enumerate(_HQ))} END)
-           * (SELECT CAST(n AS DOUBLE) FROM st)
-      GROUP BY qs.qi
+           qs.q * (SELECT CAST(n AS DOUBLE) FROM st)
+      GROUP BY qs.qi, qs.q
     )
-    SELECT CAST(est.qi AS INTEGER) AS qi,
-           (CASE est.qi {' '.join(f'WHEN {i + 1} THEN CAST({q!r} AS DOUBLE)' for i, q in enumerate(_HQ))} END) AS q,
+    SELECT CAST(est.qi AS INTEGER) AS qi, est.q AS q,
            st.mn + CAST(est.bin AS DOUBLE) * (st.mx - st.mn) / {HIST_BINS}
              AS est_value,
-           (CASE est.qi {' '.join(f'WHEN {i + 1} THEN quantile_cont(lineitem.l_extendedprice, {q!r})' for i, q in enumerate(_HQ))} END)
-             AS exact_value
-    FROM est, st, lineitem
-    GROUP BY est.qi, est.bin, st.mn, st.mx
+           st.mn + (CAST(est.bin AS DOUBLE)
+                    + (est.q * CAST(st.n AS DOUBLE)
+                       - CAST(cum.cum - cum.c AS DOUBLE))
+                      / CAST(cum.c AS DOUBLE))
+                 * (st.mx - st.mn) / {HIST_BINS}
+             AS interp_value
+    FROM est JOIN cum ON cum.bin = est.bin, st
     ORDER BY qi
     """,
 )
@@ -483,19 +508,28 @@ def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-edge readout, the oracle-checkable sibling of
     ``approx_quantiles`` (whose Greenwald-Khanna internals are
     per-engine).  Error is bounded by one bin width (range/1024);
-    ``exact_value`` (interpolated percentile) rides along to show it.
+    ``interp_value`` refines the readout by linear interpolation INSIDE
+    the selected bin — derived from the same 1024-bin state, so there is
+    no second pass over the data.  (An earlier version computed an exact
+    ``percentile()`` rider, which buffers every value of the column in a
+    single aggregation state — a driver-sized-memory scale-killer;
+    removed.)
 
     Scale: pass 1 is a 3-number min/max/count agg; pass 2 is one
     partial-agg shuffle with ≤1024 groups — bin counts are the mergeable
     state, so this sketch distributes/streams exactly like the HLL
     registers.  No sort of the data anywhere (the cumsum window runs
-    over 1024 bins)."""
+    over 1024 bins), and no per-group state exceeds the fixed bin
+    count."""
     li = table(spark, sf_dir, "lineitem")
+    # 1-row stats frame, checkpointed: it feeds the binning pass, the
+    # readout threshold, AND the final value reconstruction — without the
+    # checkpoint Catalyst re-derives it per use (3 extra scans/exchanges)
     st = li.agg(
         F.min("l_extendedprice").alias("mn"),
         F.max("l_extendedprice").alias("mx"),
         F.count("*").alias("n"),
-    )
+    ).localCheckpoint()
     binned = li.crossJoin(F.broadcast(st)).select(
         F.least(
             F.lit(HIST_BINS - 1),
@@ -515,23 +549,25 @@ def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = spark.createDataFrame(
         [(i + 1, q) for i, q in enumerate(_HQ)], "qi int, q double"
     )
+    # min of (bin, c, cum) structs == the qualifying row with the smallest
+    # bin, carrying its count and cumulative alongside — no join back to
+    # the histogram, so `cum` is computed exactly once in the plan.
     est = (
-        qs.crossJoin(cum)
+        qs.crossJoin(F.broadcast(cum))
         .crossJoin(F.broadcast(st.select(F.col("n").alias("n_total"))))
         .where(
             F.col("cum").cast("double")
             >= F.col("q") * F.col("n_total").cast("double")
         )
         .groupBy("qi", "q")
-        .agg(F.min("bin").alias("bin"))
+        .agg(F.min(F.struct("bin", "c", "cum")).alias("s"))
+        .select("qi", "q", "s.bin", "s.c", "s.cum")
     )
-    exact = li.agg(
-        F.expr(
-            f"percentile(l_extendedprice, array({', '.join(repr(q) for q in _HQ)}))"
-        ).alias("ex")
-    ).select(F.posexplode("ex").alias("pos", "exact_value")).select(
-        (F.col("pos") + 1).alias("qi"), "exact_value"
-    )
+    width = (F.col("mx") - F.col("mn"))
+    interp_pos = F.col("bin").cast("double") + (
+        F.col("q") * F.col("n").cast("double")
+        - (F.col("cum") - F.col("c")).cast("double")
+    ) / F.col("c").cast("double")
     return (
         est.crossJoin(F.broadcast(st))
         .select(
@@ -539,9 +575,9 @@ def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q",
             (
                 F.col("mn")
-                + F.col("bin").cast("double") * (F.col("mx") - F.col("mn")) / HIST_BINS
+                + F.col("bin").cast("double") * width / HIST_BINS
             ).alias("est_value"),
+            (F.col("mn") + interp_pos * width / HIST_BINS).alias("interp_value"),
         )
-        .join(exact, "qi")
         .orderBy("qi")
     )

@@ -89,7 +89,20 @@ AUDIT = {
     "domain_cap_sample": (2, False, False, 3),
     "quality_unigram_meanprob": (4, False, True, 2),
     "dedup_chunks_exact": (3, False, True, None),
+    # round 4: histogram quantile sketch — two data passes (stats agg +
+    # bin agg), tiny broadcasted joins for the readout; must contain NO
+    # exact-percentile aggregate (see NO_UNBOUNDED_AGGS below)
+    "approx_quantiles_histogram": (4, False, True, 2),
 }
+
+# Aggregates whose per-group state grows with the data (they buffer every
+# value) — a scale-killer at 100 TB.  No audited plan may contain them.
+# (percentile_approx / approx_percentile are bounded sketches and allowed;
+# the regex requires "(" directly after the name so they don't match.)
+NO_UNBOUNDED_AGGS = re.compile(
+    r"(?:^|[^a-z])(?:partial_|merge_|final_)?"
+    r"(percentile|median|mode|collect_list|collect_set)\("
+)
 
 
 def main() -> int:
@@ -127,6 +140,11 @@ def main() -> int:
             problems.append("expected broadcast join")
         if max_cols is not None and read_cols is not None and read_cols > max_cols:
             problems.append(f"reads {read_cols} cols (want <= {max_cols})")
+        m_unbounded = NO_UNBOUNDED_AGGS.search(plan)
+        if m_unbounded:
+            problems.append(
+                f"unbounded-state aggregate {m_unbounded.group(1)}() in plan"
+            )
         status = "FAIL" if problems else "ok  "
         failures += bool(problems)
         print(
