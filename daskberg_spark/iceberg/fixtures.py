@@ -210,3 +210,85 @@ def ensure_evolved_fixture(path: str = EVOLVED_FIXTURE_DIR) -> str:
         [{"id": i, "total": i * 10.0, "note": f"n{i}"} for i in range(31, 41)]
     )
     return path
+
+
+NESTED_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "nested_table")
+
+NESTED_FIELDS = [
+    {"id": 1, "name": "id", "type": "long", "required": True},
+    {
+        "id": 2,
+        "name": "meta",
+        "type": {
+            "type": "struct",
+            "fields": [
+                {"id": 5, "name": "author", "type": "string", "required": False},
+                {"id": 6, "name": "score", "type": "double", "required": False},
+            ],
+        },
+        "required": False,
+    },
+    {
+        "id": 3,
+        "name": "tags",
+        "type": {
+            "type": "list",
+            "element-id": 7,
+            "element": "string",
+            "element-required": False,
+        },
+        "required": False,
+    },
+    {
+        "id": 4,
+        "name": "counts",
+        "type": {
+            "type": "map",
+            "key-id": 8,
+            "key": "string",
+            "value-id": 9,
+            "value": "long",
+            "value-required": False,
+        },
+        "required": False,
+    },
+]
+
+_NESTED_AUTHORS = ["ada", "bob", "cleo"]
+_NESTED_TAGS = ["red", "green", "blue", "hot"]
+
+
+def make_nested_rows(n: int, start: int = 0) -> list[dict]:
+    """Deterministic rows exercising struct access, list membership/length,
+    and map extraction (plus null struct fields and empty lists)."""
+    rows = []
+    for i in range(start, start + n):
+        rows.append(
+            {
+                "id": i,
+                "meta": {
+                    "author": _NESTED_AUTHORS[i % 3] if i % 7 else None,
+                    "score": round((i % 11) * 0.5, 1),
+                },
+                "tags": [_NESTED_TAGS[j % 4] for j in range(i % 4)],
+                "counts": [("views", (i * 13) % 97), ("likes", i % 5)],
+            }
+        )
+    return rows
+
+
+def ensure_nested_fixture(path: str = NESTED_FIXTURE_DIR) -> str:
+    """Nested-type table (struct/list/map columns): the one capability the
+    reference hard-refuses (``/root/reference/daskberg/conversions.py:46``
+    raises NotImplementedError).  Two appends so snapshot reconciliation
+    runs over nested files too; unpartitioned (partition transforms over
+    nested sources are not a thing in Iceberg v1)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(path, NESTED_FIELDS)
+    writer.append(make_nested_rows(30, 0))
+    writer.append(make_nested_rows(10, 30))
+    return path

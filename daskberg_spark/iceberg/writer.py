@@ -175,7 +175,25 @@ def _avro_partition_value(value: Any) -> Any:
     return value
 
 
-def _pa_type(t: str) -> pa.DataType:
+def _pa_type(t: Any) -> pa.DataType:
+    if isinstance(t, dict):
+        # nested Iceberg type JSON (struct/list/map); the reference raises
+        # NotImplementedError for all of these (conversions.py:46)
+        kind = t["type"]
+        if kind == "struct":
+            return pa.struct(
+                [
+                    pa.field(
+                        f["name"], _pa_type(f["type"]), nullable=not f.get("required")
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if kind == "list":
+            return pa.list_(_pa_type(t["element"]))
+        if kind == "map":
+            return pa.map_(_pa_type(t["key"]), _pa_type(t["value"]))
+        raise NotImplementedError(f"iceberg type {t!r}")
     if t.startswith("decimal"):
         p, s = t[len("decimal(") : -1].split(",")
         return pa.decimal128(int(p), int(s))
@@ -279,6 +297,11 @@ class IcebergWriter:
     def _bounds(self, rows: list[dict[str, Any]]) -> tuple[list, list]:
         lowers, uppers = [], []
         for f in self.fields:
+            if not isinstance(f["type"], str):
+                # nested struct/list/map: Iceberg tracks bounds per LEAF
+                # field id; we skip them (pruning stays conservative — the
+                # residual filter re-applies in Spark regardless)
+                continue
             vals = [r[f["name"]] for r in rows if r.get(f["name"]) is not None]
             if not vals:
                 continue

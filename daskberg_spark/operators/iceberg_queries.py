@@ -102,11 +102,13 @@ def prepare_fixtures() -> None:
     from daskberg_spark.iceberg.fixtures import (
         ensure_deletes_fixture,
         ensure_evolved_fixture,
+        ensure_nested_fixture,
     )
 
     ensure_partitioned_fixture()
     ensure_deletes_fixture()
     ensure_evolved_fixture()
+    ensure_nested_fixture()
 
 
 @query(
@@ -426,6 +428,40 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = IcebergTable(ensure_evolved_fixture())
     return t.to_df(spark)
+
+
+@query(
+    "iceberg_nested_read",
+    """
+    SELECT id, meta.author AS author, meta.score AS score,
+           CAST(len(tags) AS INT) AS n_tags,
+           list_contains(tags, 'hot') AS has_hot,
+           counts['views'][1] AS views
+    FROM read_parquet('/root/repo/.fixtures/nested_table/data/*.parquet')
+    """,
+)
+def iceberg_nested_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types (struct/list/map) through the connector — the one
+    capability gap the reference hard-refuses
+    (``/root/reference/daskberg/conversions.py:46`` raises
+    NotImplementedError on nested).  The Iceberg schema JSON maps
+    recursively to StructType/ArrayType/MapType
+    (``iceberg/conversions.py schema_to_struct``); bounds are tracked per
+    leaf field in real Iceberg and skipped by our writer, so file pruning
+    on nested columns stays conservative while top-level stats pruning is
+    unaffected.  Output is projected to scalars (struct access, list
+    length/membership, map extraction) so the driver can hash it."""
+    from daskberg_spark.iceberg.fixtures import ensure_nested_fixture
+
+    t = IcebergTable(ensure_nested_fixture())
+    return t.to_df(spark).select(
+        "id",
+        F.col("meta.author").alias("author"),
+        F.col("meta.score").alias("score"),
+        F.size("tags").alias("n_tags"),
+        F.array_contains("tags", "hot").alias("has_hot"),
+        F.element_at("counts", "views").alias("views"),
+    )
 
 
 @query(

@@ -1233,3 +1233,38 @@ def test_compact_files_spark_zorder_clustering(spark, tmp_path):
         for r in t.to_df(spark, filters=[("x", "==", 5), ("y", "==", 30)]).collect()
     }
     assert got == {(5, 30)}
+
+
+def test_nested_types_roundtrip(spark):
+    """struct/list/map columns through writer → metadata → scan; the
+    reference raises NotImplementedError on any nested type
+    (/root/reference/daskberg/conversions.py:46)."""
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_nested_fixture,
+        make_nested_rows,
+    )
+
+    t = IcebergTable(ensure_nested_fixture())
+    df = t.to_df(spark)
+    kinds = dict(df.dtypes)
+    assert kinds["meta"].startswith("struct")
+    assert kinds["tags"].startswith("array")
+    assert kinds["counts"].startswith("map")
+    rows = {r["id"]: r for r in df.collect()}
+    expect = {r["id"]: r for r in make_nested_rows(30, 0) + make_nested_rows(10, 30)}
+    assert len(rows) == 40
+    for i in (0, 7, 13, 35):
+        e = expect[i]
+        got = rows[i]
+        assert got["meta"]["author"] == e["meta"]["author"]
+        assert got["meta"]["score"] == e["meta"]["score"]
+        assert list(got["tags"]) == e["tags"]
+        assert got["counts"] == dict(e["counts"])
+    # stats pruning on the top-level primitive still fires with nested
+    # columns present (bounds for nested fields are skipped, not broken)
+    assert len(t.plan_files([("id", ">=", 30)])) < len(t.plan_files())
+    pruned = t.to_df(spark, filters=[("id", ">=", 30)])
+    assert pruned.count() == 10
+    # filters naming a nested column cannot prune (conservative) but must
+    # not crash the planner
+    assert len(t.plan_files([("meta", "==", "x")])) == len(t.plan_files())
