@@ -59,6 +59,10 @@ HEADLINE = [
     # deterministic sketches: HLL's 256-group shuffle vs exact distinct
     "approx_distinct_hll",
     "approx_quantiles_histogram",
+    # round 4: BPE serving path (rank-dict + word-memo encode; the cost
+    # left is the 20-round training loop) and the nested-type read
+    "bpe_encode_corpus",
+    "iceberg_nested_read",
 ]
 
 

@@ -251,7 +251,15 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — embarrassingly parallel, no shuffle before the final small
     agg.  Deterministic (merges applied in learned order) but iterative
     per-token, hence rows-only: no SQL engine can express the greedy
-    merge loop."""
+    merge loop.
+
+    Encoding applies the LOWEST-RANK pair present each round (merge-rank
+    dict, the GPT-2 pattern) instead of scanning the full rule list per
+    word — cost scales with merges actually applied, not tokenizer size —
+    and memoizes token counts per distinct word (a natural-language
+    corpus repeats its vocabulary; the cache is vocabulary-sized, not
+    corpus-sized).  Equivalent to sequential rule application because a
+    trained rule's symbols are products of strictly earlier rules."""
     import pandas as pd
 
     from daskberg_spark.operators.text import bpe_train
@@ -264,28 +272,43 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def encode(batches, merges=merges):
+        rank = {p: i for i, p in enumerate(merges)}
+        cache: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            n = cache.get(word)
+            if n is not None:
+                return n
+            syms = list(word)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = merges[best]
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n = len(syms)
+            cache[word] = n
+            return n
+
         for pdf in batches:
             rows = []
             for src, text in zip(pdf["source"], pdf["text"]):
                 before = after = 0
                 for word in text.lower().split():
-                    syms = list(word)
-                    before += len(syms)
-                    for a, b in merges:
-                        i, out = 0, []
-                        while i < len(syms):
-                            if (
-                                i + 1 < len(syms)
-                                and syms[i] == a
-                                and syms[i + 1] == b
-                            ):
-                                out.append(a + b)
-                                i += 2
-                            else:
-                                out.append(syms[i])
-                                i += 1
-                        syms = out
-                    after += len(syms)
+                    before += len(word)
+                    after += n_tokens(word)
                 rows.append((src, before, after))
             yield pd.DataFrame(
                 rows, columns=["source", "syms_before", "tokens_after"]
