@@ -180,6 +180,13 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
             raise EOFError("truncated block")
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # Avro spec: snappy block = compressed data + 4-byte
+            # big-endian CRC32 of the UNCOMPRESSED data
+            crc = int.from_bytes(block[-4:], "big")
+            block = _snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("snappy block CRC mismatch")
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec}")
         bbuf = io.BytesIO(block)
@@ -193,6 +200,93 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
 def read_avro_file(path: str) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
     with open(path, "rb") as f:
         return read_avro(f.read())
+
+
+# ---------------------------------------------------------------------------
+# snappy codec (pure Python).  Raw-snappy format, public spec
+# (google/snappy format_description.txt): uvarint uncompressed length, then
+# tagged elements — literals and back-references with 1/2/4-byte offsets.
+# Needed because manifests written by other engines (Java Iceberg defaults
+# to gzip/deflate, but snappy is common) must still open; env has no
+# python-snappy.
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    pos, shift, n = 0, 0, 0
+    while True:  # uvarint preamble: uncompressed length
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset (len 4-11, offset < 2048)
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte little-endian offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte little-endian offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: invalid copy offset")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy: byte-at-a-time (RLE-style repetition)
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError(f"snappy: expected {n} bytes, got {len(out)}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Literal-only snappy encoding — valid per the format spec (backrefs
+    are optional), enough for writing snappy-codec manifests and for
+    roundtrip tests; foreign readers decode it with any snappy library."""
+    out = bytearray()
+    n = len(data)
+    while True:  # uvarint preamble
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < (1 << 8):
+            out.append(60 << 2)
+            out += ln.to_bytes(1, "little")
+        else:
+            out.append(61 << 2)
+            out += ln.to_bytes(2, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +411,12 @@ def write_avro(
     if codec == "deflate":
         compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
         payload = compressor.compress(payload) + compressor.flush()
+    elif codec == "snappy":
+        payload = _snappy_compress(payload) + (
+            zlib.crc32(payload) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+    elif codec != "null":
+        raise NotImplementedError(f"avro codec {codec}")
 
     block = bytearray()
     _write_long(block, len(records))

@@ -146,7 +146,7 @@ def _schema_and_records(draw):
 
 
 @settings(max_examples=60, deadline=None)
-@given(_schema_and_records(), st.sampled_from(["null", "deflate"]))
+@given(_schema_and_records(), st.sampled_from(["null", "deflate", "snappy"]))
 def test_property_roundtrip_random_schemas(sr, codec):
     """Any write_avro output must read back value-identical through
     read_avro, across random flat/nullable/array/map schemas and codecs
@@ -156,3 +156,52 @@ def test_property_roundtrip_random_schemas(sr, codec):
     write_avro(schema, records, buf, codec=codec)
     _, out = read_avro(buf.getvalue())
     assert out == records
+
+
+def test_snappy_golden_manifest_reencode():
+    """Re-encode a golden manifest under the snappy codec and read it
+    back — the foreign-writer scenario (e.g. a Java engine whose
+    write.avro.compression-codec is snappy)."""
+    path = glob.glob(f"{GOLDEN_META}/*-m0.avro")[0]
+    meta, records = read_avro_file(path)
+    schema = json.loads(meta["avro.schema"])
+    buf = io.BytesIO()
+    write_avro(schema, records, buf, codec="snappy")
+    meta2, out = read_avro(buf.getvalue())
+    assert meta2["avro.codec"] == b"snappy"
+    assert out == records
+
+
+def test_snappy_copy_elements_decode():
+    """Hand-crafted raw-snappy streams exercising the back-reference
+    element kinds a real compressor emits (our literal-only encoder never
+    does): 1-byte-offset copy, 2-byte-offset copy, and the overlapping
+    (RLE) case."""
+    from daskberg_spark.iceberg.avro import _snappy_decompress
+
+    # literal "abcab" then copy(offset=3, len=5) → overlapping repetition
+    lit = bytes([ (5 - 1) << 2 ]) + b"abcab"
+    copy1 = bytes([ (0 << 5) | ((5 - 4) << 2) | 1, 3 ])   # kind-1: len 5, off 3
+    stream = bytes([10]) + lit + copy1                      # preamble: 10 bytes
+    assert _snappy_decompress(stream) == b"abcabcabca"
+    # same expansion via a kind-2 (2-byte offset) copy
+    copy2 = bytes([ (5 - 1) << 2 | 2 ]) + (3).to_bytes(2, "little")
+    stream2 = bytes([10]) + lit + copy2
+    assert _snappy_decompress(stream2) == b"abcabcabca"
+    # non-overlapping fast path: "abcd" + copy(off=4, len=4)
+    stream3 = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([(4 - 4) << 2 | 1, 4])
+    assert _snappy_decompress(stream3) == b"abcdabcd"
+    with pytest.raises(ValueError):  # offset beyond output start
+        _snappy_decompress(bytes([4, (1 - 1) << 2]) + b"a" + bytes([(4 - 4) << 2 | 1, 9]))
+
+
+def test_snappy_crc_mismatch_rejected():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    buf = io.BytesIO()
+    write_avro(schema, [{"x": 1}, {"x": 2}], buf, codec="snappy")
+    raw = bytearray(buf.getvalue())
+    # block tail = [4-byte CRC][16-byte sync]: flip a CRC byte
+    raw[-17] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        read_avro(bytes(raw))
