@@ -59,6 +59,16 @@ def _load_registry():
 # TPC-H, and one representative per Tier-B family.  The remaining Tier-B
 # variants follow (each was already driver-green in CORRECTNESS_r01) and
 # are continuously re-verified by tools/check_oracle.py.
+#
+# SLOT ROTATION (round-3 verdict item 8): each round, 2-4 slots whose
+# queries have been driver-green for 2+ rounds rotate out (they stay
+# oracle-verified locally) so queries that never had a driver row
+# accumulate driver evidence.  §2 flagships never rotate.
+#   r4 out: salted_join, bucketed_join, agg_collect_sorted,
+#           median_quantile (driver-green r01+r03)
+#   r4 in:  iceberg_nested_read (new nested-type capability),
+#           approx_quantiles_histogram, winsorized_stats, events_funnel
+#           (all rewritten this round — unbounded-agg elimination)
 _PRIORITY = [
     # flagship + TPC-H (B4/B9/B7 at scale)
     "q1_pricing_summary",
@@ -84,6 +94,7 @@ _PRIORITY = [
     "iceberg_sql_over_catalog",
     "iceberg_incremental_read",
     "iceberg_v2_row_deletes",
+    "iceberg_nested_read",
     # Tier C — dedup (C1/C2)
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -117,14 +128,14 @@ _PRIORITY = [
     "filter_project",
     "join_multi",
     "window_rank",
-    "salted_join",
-    "bucketed_join",
     "partitioned_write",
-    # B5 quantiles: the exact-quantile family is oracle-checkable;
-    # approx_quantiles (per-engine sketches, rows-only by design)
-    # registers after the window.
-    "median_quantile",
-    "agg_collect_sorted",
+    # B5 quantiles: approx_quantiles_histogram is the oracle-checkable
+    # deterministic sketch (approx_quantiles, per-engine internals, stays
+    # rows-only after the window); winsorized_stats carries the exact
+    # per-group sort-rank quantile path.
+    "approx_quantiles_histogram",
+    "winsorized_stats",
+    "events_funnel",
 ]
 
 

@@ -119,3 +119,19 @@ def test_runtime_bloom_filter_join_pruning(spark):
         .agg(F.count("*").alias("n"))
     )
     assert filtered == {(r.o_orderstatus, r.n) for r in plain.collect()}
+
+
+def test_driver_window_invariants():
+    """The driver records only the first 50 registry entries: the priority
+    list must fill the window exactly, reference every name it promises,
+    and every windowed query must carry an oracle (rows-only families
+    register after the window by design)."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    window = list(q)[:50]
+    assert len(e._PRIORITY) == 50
+    assert window == e._PRIORITY  # no unregistered priority names
+    missing_oracle = [n for n in window if n not in o]
+    assert missing_oracle == []

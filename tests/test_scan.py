@@ -1268,3 +1268,16 @@ def test_nested_types_roundtrip(spark):
     # filters naming a nested column cannot prune (conservative) but must
     # not crash the planner
     assert len(t.plan_files([("meta", "==", "x")])) == len(t.plan_files())
+
+
+def test_nested_field_residual_filter(spark):
+    """Filters naming nested fields (dotted paths) evaluate as residual
+    Spark predicates: no file pruning (planner sees an unknown column,
+    stays conservative), exact results."""
+    from daskberg_spark.iceberg.fixtures import ensure_nested_fixture
+
+    t = IcebergTable(ensure_nested_fixture())
+    got = t.to_df(spark, filters=[("meta.score", ">", 3.0)])
+    manual = t.to_df(spark).filter(F.col("meta.score") > 3.0)
+    assert got.count() == manual.count() > 0
+    assert len(t.plan_files([("meta.score", ">", 3.0)])) == len(t.plan_files())

@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
@@ -77,6 +78,27 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+def fixture_fingerprints(sf_dir: str) -> dict[str, str]:
+    """Schema+rowcount hash per fixture table, embedded in the artifact so
+    a result recorded against one fixture generation cannot silently pass
+    for another (round-3 postmortem: the events ``ts`` column changed to
+    TIMESTAMP_NTZ under a committed artifact whose streaming rows still
+    said ok)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for t in TABLES:
+        try:
+            f = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+            key = f"{f.schema_arrow}|rows={f.metadata.num_rows}"
+            out[t] = hashlib.md5(key.encode()).hexdigest()[:12]
+        except Exception:
+            out[t] = "absent"
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = next(
@@ -85,6 +107,26 @@ def main() -> int:
     )
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+
+    prints = fixture_fingerprints(sf_dir)
+    if json_out and os.path.exists(json_out):
+        # loud staleness check: a prior artifact for this path recorded
+        # against different fixtures is about to be silently shadowed
+        import json as _json
+
+        try:
+            with open(json_out) as f:
+                prior = _json.load(f).get("fixture_fingerprints", {})
+        except Exception:
+            prior = {}
+        changed = [t for t in prints if prior.get(t) not in (None, prints[t])]
+        if changed:
+            print(
+                f"WARNING: fixture schema/rowcount changed since the prior "
+                f"artifact for: {', '.join(sorted(changed))} — prior rows "
+                f"were stale",
+                file=sys.stderr,
+            )
 
     import __spark_entry__ as entry_mod
     from daskberg_spark.session import get_spark
@@ -141,6 +183,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "fixture_fingerprints": prints,
                     "summary": {
                         "ok": n_pass,
                         "fail": n_fail,
