@@ -26,12 +26,28 @@ def _ns_path(namespace: str) -> str:
 
 
 class IceRestClient:
-    """Minimal Iceberg REST catalog client (v1 endpoints)."""
+    """Minimal Iceberg REST catalog client (v1 endpoints).
 
-    def __init__(self, endpoint: str, namespace: str | None = None, prefix: str = "") -> None:
+    ``token`` sends ``Authorization: Bearer <token>`` on every request
+    (the REST spec's OAuth2 bearer flow once a token is in hand);
+    ``credential`` (``client_id:client_secret``) exchanges itself for a
+    token at ``v1/oauth/tokens`` (client_credentials grant) on first use.
+    The reference ships no auth at all (its README lists auth as
+    missing)."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        namespace: str | None = None,
+        prefix: str = "",
+        token: str | None = None,
+        credential: str | None = None,
+    ) -> None:
         self.endpoint = endpoint.rstrip("/")
         self.namespace = namespace
         self.prefix = prefix.strip("/")
+        self.token = token
+        self._credential = credential
 
     # -- http ---------------------------------------------------------------
 
@@ -41,13 +57,37 @@ class IceRestClient:
             base = f"{base}/{self.prefix}"
         return f"{base}/{path.lstrip('/')}"
 
+    def _ensure_token(self) -> None:
+        if self.token or not self._credential:
+            return
+        client_id, _, client_secret = self._credential.partition(":")
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": client_secret,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.endpoint}/v1/oauth/tokens",
+            data=form,
+            method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            self.token = json.loads(resp.read())["access_token"]
+
     def _call(self, method: str, path: str, body: dict[str, Any] | None = None) -> Any:
+        self._ensure_token()
+        headers = {"Content-Type": "application/json"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(
             self._url(path),
             data=data,
             method=method,
-            headers={"Content-Type": "application/json"},
+            headers=headers,
         )
         try:
             with urllib.request.urlopen(req) as resp:

@@ -147,6 +147,58 @@ def rest_endpoint():
     server.shutdown()
 
 
+AUTH_TOKEN = "sekrit-token"
+
+
+class AuthHandler(Handler):
+    """Same catalog stub, but every /v1 call must carry the bearer token;
+    POST /v1/oauth/tokens exchanges client credentials for it."""
+
+    def do_POST(self):
+        if self.path.strip("/") == "v1/oauth/tokens":
+            n = int(self.headers.get("Content-Length", 0))
+            import urllib.parse as up
+
+            form = dict(up.parse_qsl(self.rfile.read(n).decode()))
+            if (
+                form.get("grant_type") == "client_credentials"
+                and form.get("client_id") == "svc"
+                and form.get("client_secret") == "pw"
+            ):
+                self._send({"access_token": AUTH_TOKEN, "token_type": "bearer"})
+            else:
+                self._send({"error": "invalid_client"}, 401)
+            return
+        if not self._authed():
+            return
+        super().do_POST()
+
+    def do_GET(self):
+        if not self._authed():
+            return
+        super().do_GET()
+
+    def do_DELETE(self):
+        if not self._authed():
+            return
+        super().do_DELETE()
+
+    def _authed(self) -> bool:
+        if self.headers.get("Authorization") == f"Bearer {AUTH_TOKEN}":
+            return True
+        self._send({"error": "unauthorized"}, 401)
+        return False
+
+
+@pytest.fixture(scope="module")
+def auth_endpoint():
+    server = HTTPServer(("127.0.0.1", 0), AuthHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
 def test_namespace_crud(rest_endpoint):
     client = IceRestClient(rest_endpoint, namespace="db")
     assert client.list_namespaces() == []
@@ -235,3 +287,24 @@ def test_rest_commit_write_loop(rest_endpoint, tmp_path):
     # un-committed local state is invisible through the catalog
     w.append([{"x": 4}])
     assert len(client.open_table("kv").plan_files()) == 2
+
+
+def test_auth_bearer_token_sent(auth_endpoint):
+    client = IceRestClient(auth_endpoint, namespace="db", token=AUTH_TOKEN)
+    client.create_namespace("db")
+    assert "db" in client.list_namespaces()
+
+
+def test_auth_missing_token_rejected(auth_endpoint):
+    client = IceRestClient(auth_endpoint, namespace="db")
+    with pytest.raises(RuntimeError, match="401"):
+        client.list_namespaces()
+
+
+def test_auth_credential_exchange(auth_endpoint):
+    """client_id:client_secret → token via POST /v1/oauth/tokens
+    (client_credentials grant), then authorized calls proceed."""
+    client = IceRestClient(auth_endpoint, namespace="db", credential="svc:pw")
+    client.create_namespace("db2")
+    assert client.token == AUTH_TOKEN
+    assert "db2" in client.list_namespaces()
