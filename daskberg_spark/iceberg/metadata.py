@@ -235,18 +235,44 @@ class IcebergTable:
 
     @property
     def fields(self) -> dict[str, FieldInfo]:
-        """Source-column name → FieldInfo(id, type, transform) (``ice.py:206-218``)."""
+        """Source-column name → FieldInfo(id, type, transform) (``ice.py:206-218``).
+
+        Struct members also register under their dotted path
+        (``meta.score``) with the LEAF field id — Iceberg keys
+        lower/upper bounds by leaf id, so dotted-path predicates can
+        stats-prune files; the struct column itself stays type="struct"
+        (conservative for predicates naming the whole struct).  List/map
+        contents are not registered (no usable bounds)."""
         by_id = {f.get("id", f.get("field-id")): f for f in self.schema["fields"]}
         spec_by_source = {f["source-id"]: f for f in self.partition_spec}
         out: dict[str, FieldInfo] = {}
-        for fid, fld in by_id.items():
+
+        def add(name: str, fid: int, type_str: str) -> None:
             spec = spec_by_source.get(fid)
-            out[fld["name"]] = FieldInfo(
+            out[name] = FieldInfo(
                 field_id=fid,
-                type=fld["type"] if isinstance(fld["type"], str) else "struct",
+                type=type_str,
                 transform=spec["transform"] if spec else None,
                 partition_name=spec["name"] if spec else None,
             )
+
+        def walk_struct(prefix: str, t: dict) -> None:
+            for sub in t["fields"]:
+                sid = sub.get("id", sub.get("field-id"))
+                path = f"{prefix}.{sub['name']}"
+                if isinstance(sub["type"], str):
+                    add(path, sid, sub["type"])
+                elif sub["type"]["type"] == "struct":
+                    add(path, sid, "struct")
+                    walk_struct(path, sub["type"])
+
+        for fid, fld in by_id.items():
+            if isinstance(fld["type"], str):
+                add(fld["name"], fid, fld["type"])
+            else:
+                add(fld["name"], fid, "struct")
+                if fld["type"]["type"] == "struct":
+                    walk_struct(fld["name"], fld["type"])
         return out
 
     # -- manifest scan ------------------------------------------------------

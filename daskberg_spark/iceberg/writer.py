@@ -296,17 +296,34 @@ class IcebergWriter:
 
     def _bounds(self, rows: list[dict[str, Any]]) -> tuple[list, list]:
         lowers, uppers = [], []
-        for f in self.fields:
-            if not isinstance(f["type"], str):
-                # nested struct/list/map: Iceberg tracks bounds per LEAF
-                # field id; we skip them (pruning stays conservative — the
-                # residual filter re-applies in Spark regardless)
-                continue
-            vals = [r[f["name"]] for r in rows if r.get(f["name"]) is not None]
+
+        def emit(fid: int, type_str: str, vals: list) -> None:
+            vals = [v for v in vals if v is not None]
             if not vals:
-                continue
-            lowers.append({"key": f["id"], "value": encode_bound(min(vals), f["type"])})
-            uppers.append({"key": f["id"], "value": encode_bound(max(vals), f["type"])})
+                return
+            lowers.append({"key": fid, "value": encode_bound(min(vals), type_str)})
+            uppers.append({"key": fid, "value": encode_bound(max(vals), type_str)})
+
+        def walk(field: dict[str, Any], vals: list) -> None:
+            t = field["type"]
+            if isinstance(t, str):
+                emit(field["id"], t, vals)
+            elif t["type"] == "struct":
+                # Iceberg keys bounds by LEAF field id: recurse into
+                # struct members (list/map contents carry no usable
+                # min/max for pruning — skipped, conservative)
+                for sub in t["fields"]:
+                    walk(
+                        sub,
+                        [
+                            v.get(sub["name"]) if isinstance(v, dict) else None
+                            for v in vals
+                            if v is not None
+                        ],
+                    )
+
+        for f in self.fields:
+            walk(f, [r.get(f["name"]) for r in rows])
         return lowers, uppers
 
     # -- snapshot commits ---------------------------------------------------

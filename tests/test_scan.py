@@ -1271,13 +1271,62 @@ def test_nested_types_roundtrip(spark):
 
 
 def test_nested_field_residual_filter(spark):
-    """Filters naming nested fields (dotted paths) evaluate as residual
-    Spark predicates: no file pruning (planner sees an unknown column,
-    stays conservative), exact results."""
+    """Filters on struct-leaf dotted paths evaluate as residual Spark
+    predicates with exact results (leaf-id bounds may additionally prune
+    files — see test_nested_leaf_bounds_pruning); predicates naming the
+    whole struct stay conservative (no pruning, no crash)."""
     from daskberg_spark.iceberg.fixtures import ensure_nested_fixture
 
     t = IcebergTable(ensure_nested_fixture())
     got = t.to_df(spark, filters=[("meta.score", ">", 3.0)])
     manual = t.to_df(spark).filter(F.col("meta.score") > 3.0)
     assert got.count() == manual.count() > 0
-    assert len(t.plan_files([("meta.score", ">", 3.0)])) == len(t.plan_files())
+    assert len(t.plan_files([("meta", "==", "x")])) == len(t.plan_files())
+
+
+def test_nested_leaf_bounds_pruning(spark, tmp_path):
+    """Bounds are keyed by LEAF field id (Iceberg spec), so a dotted-path
+    predicate on a struct member can skip whole files: two appends with
+    disjoint meta.score ranges → the range predicate reads one file."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fields = [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {
+            "id": 2,
+            "name": "meta",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 3, "name": "score", "type": "double", "required": False},
+                ],
+            },
+            "required": False,
+        },
+    ]
+    w = IcebergWriter(str(tmp_path / "t"), fields)
+    w.append([{"id": i, "meta": {"score": float(i)}} for i in range(10)])
+    w.append([{"id": i, "meta": {"score": float(i)}} for i in range(100, 110)])
+    t = IcebergTable(w.path)
+    assert len(t.plan_files()) == 2
+    assert len(t.plan_files([("meta.score", ">=", 100.0)])) == 1
+    got = t.to_df(spark, filters=[("meta.score", ">=", 100.0)])
+    assert sorted(r["id"] for r in got.collect()) == list(range(100, 110))
+
+
+def test_nested_schema_pruning_reaches_scan(spark):
+    """Selecting one struct field must prune the parquet ReadSchema to
+    that leaf (Catalyst nestedSchemaPruning) — at scale a wide metadata
+    struct would otherwise be fully deserialized for a single-field
+    projection."""
+    import re
+
+    from daskberg_spark.iceberg.fixtures import ensure_nested_fixture
+
+    t = IcebergTable(ensure_nested_fixture())
+    df = t.to_df(spark).select(F.col("meta.author").alias("author"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n,]*(?:<[^\n]*?>)?)", plan)
+    assert m and "author" in m.group(1)
+    for dropped in ("score", "tags", "counts"):
+        assert dropped not in m.group(1)
