@@ -234,6 +234,7 @@ class IcebergWriter:
         self._format_version = 1  # upgraded to 2 by row-level deletes
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+        self._metadata_log: list[dict[str, Any]] = []
         self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
         # WAP staging: when set, the main ref / current-snapshot-id stay
         # pinned at this snapshot while staged commits append behind a
@@ -809,6 +810,22 @@ class IcebergWriter:
             "partition-spec": [
                 {k: v for k, v in pf.items() if not k.startswith("_")} for pf in self.spec
             ],
+            # spec-shape completeness (real Spark-written tables carry
+            # these; see the golden v5.metadata.json): highest assigned
+            # partition field id, the (unsorted) sort order, and the
+            # history logs — snapshot-log derived from live snapshots so
+            # expiry drops its entries per spec
+            "last-partition-id": max(
+                (pf["field-id"] for spec in self.specs for pf in spec),
+                default=999,
+            ),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "snapshot-log": [
+                {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+                for s in self.snapshots
+            ],
+            "metadata-log": self._metadata_log,
             "current-snapshot-id": (
                 self.main_pin if self.main_pin is not None else last["snapshot-id"]
             ),
@@ -845,6 +862,9 @@ class IcebergWriter:
             json.dump(meta, f, indent=1, default=str)
         with open(f"{self.path}/metadata/version-hint.text", "w") as f:
             f.write(str(self.version))
+        self._metadata_log.append(
+            {"metadata-file": target, "timestamp-ms": last["timestamp-ms"]}
+        )
 
 
 def commit_spark_output(

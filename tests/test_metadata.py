@@ -144,3 +144,27 @@ def test_metadata_tables(tmp_path):
 
     with _pytest.raises(ValueError, match="unknown metadata table"):
         t.metadata_rows("nope")
+
+
+def test_written_metadata_spec_completeness(tmp_path):
+    """Written metadata carries the spec fields real engines emit:
+    sort-orders/default-sort-order-id, last-partition-id, snapshot-log
+    (one entry per live snapshot), metadata-log (prior metadata files)."""
+    import json
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+        [{"name": "x_p", "transform": "identity", "source": "x"}],
+    )
+    w.append([{"x": 1}])
+    w.append([{"x": 2}])
+    meta = json.load(open(f"{w.path}/metadata/v{w.version}.metadata.json"))
+    assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
+    assert meta["default-sort-order-id"] == 0
+    assert meta["last-partition-id"] == 1000
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [1, 2]
+    # the current file is v2; the log lists its predecessor v1
+    assert any("v1.metadata.json" in e["metadata-file"] for e in meta["metadata-log"])
