@@ -175,6 +175,28 @@ def _avro_partition_value(value: Any) -> Any:
     return value
 
 
+def _max_field_id(fields: list[dict[str, Any]]) -> int:
+    """Highest field id across the schema INCLUDING nested struct/list/map
+    member ids (top-level max alone under-counts on nested schemas)."""
+    best = 0
+    for f in fields:
+        best = max(best, f.get("id", f.get("field-id", 0)))
+        t = f.get("type")
+        if isinstance(t, dict):
+            kind = t["type"]
+            if kind == "struct":
+                best = max(best, _max_field_id(t["fields"]))
+            elif kind == "list":
+                best = max(best, t.get("element-id", 0))
+                if isinstance(t.get("element"), dict) and t["element"].get("type") == "struct":
+                    best = max(best, _max_field_id(t["element"]["fields"]))
+            elif kind == "map":
+                best = max(best, t.get("key-id", 0), t.get("value-id", 0))
+                if isinstance(t.get("value"), dict) and t["value"].get("type") == "struct":
+                    best = max(best, _max_field_id(t["value"]["fields"]))
+    return best
+
+
 def _pa_type(t: Any) -> pa.DataType:
     if isinstance(t, dict):
         # nested Iceberg type JSON (struct/list/map); the reference raises
@@ -386,12 +408,37 @@ class IcebergWriter:
                 pf["_source_name"] = new
 
     def add_column(self, name: str, type_str: str) -> None:
-        """Schema evolution: add a nullable column with a fresh id."""
-        fields = [dict(f) for f in self.schemas[self.current_schema_id]]
-        fields.append(
-            {"id": max(f["id"] for f in fields) + 1, "name": name,
-             "type": type_str, "required": False}
-        )
+        """Schema evolution: add a nullable column with a fresh id.
+
+        A dotted name (``meta.rating``) adds a member INSIDE an existing
+        struct column (in-struct evolution per the Iceberg spec); older
+        files null-fill the new member on read.  Fresh ids come from the
+        max over ALL field ids including nested leaves — top-level max
+        alone would collide with struct-member ids."""
+        import copy
+
+        fields = copy.deepcopy(self.schemas[self.current_schema_id])
+        new_id = _max_field_id(fields) + 1
+        if "." in name:
+            parent_path, leaf = name.rsplit(".", 1)
+            node = {"fields": fields}
+            for seg in parent_path.split("."):
+                match = [
+                    f for f in node["fields"]
+                    if f["name"] == seg
+                    and isinstance(f["type"], dict)
+                    and f["type"]["type"] == "struct"
+                ]
+                if not match:
+                    raise ValueError(f"no struct column {parent_path!r}")
+                node = match[0]["type"]
+            node["fields"].append(
+                {"id": new_id, "name": leaf, "type": type_str, "required": False}
+            )
+        else:
+            fields.append(
+                {"id": new_id, "name": name, "type": type_str, "required": False}
+            )
         self.schemas.append(fields)
         self.current_schema_id = len(self.schemas) - 1
         self.fields = fields
@@ -790,7 +837,7 @@ class IcebergWriter:
             "table-uuid": self.table_uuid,
             "location": self.path,
             "last-updated-ms": last["timestamp-ms"],
-            "last-column-id": max(f["id"] for f in self.fields),
+            "last-column-id": _max_field_id(self.fields),
             "schemas": [
                 {"type": "struct", "schema-id": i, "fields": fields}
                 for i, fields in enumerate(self.schemas)

@@ -1330,3 +1330,44 @@ def test_nested_schema_pruning_reaches_scan(spark):
     assert m and "author" in m.group(1)
     for dropped in ("score", "tags", "counts"):
         assert dropped not in m.group(1)
+
+
+def test_nested_add_column_in_struct(spark, tmp_path):
+    """In-struct schema evolution: add_column("meta.rating") appends a
+    member to the struct with a fresh id drawn from the max over ALL ids
+    (nested leaves included — top-level max would collide); files written
+    before the evolution null-fill the new member on read."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fields = [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {
+            "id": 2,
+            "name": "meta",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 7, "name": "author", "type": "string", "required": False},
+                ],
+            },
+            "required": False,
+        },
+    ]
+    w = IcebergWriter(str(tmp_path / "t"), fields)
+    w.append([{"id": 1, "meta": {"author": "ada"}}])
+    w.add_column("meta.rating", "double")
+    new_ids = [
+        f["id"]
+        for f in w.fields[1]["type"]["fields"]
+        if f["name"] == "rating"
+    ]
+    assert new_ids == [8]  # fresh id past the nested max, not max(1,2)+1=3
+    w.append([{"id": 2, "meta": {"author": "bob", "rating": 4.5}}])
+    t = IcebergTable(w.path)
+    rows = {r["id"]: r["meta"] for r in t.to_df(spark).collect()}
+    assert rows[1]["rating"] is None and rows[1]["author"] == "ada"
+    assert rows[2]["rating"] == 4.5
+    import json
+
+    meta = json.load(open(f"{w.path}/metadata/v{w.version}.metadata.json"))
+    assert meta["last-column-id"] == 8
