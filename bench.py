@@ -60,9 +60,11 @@ HEADLINE = [
     "approx_distinct_hll",
     "approx_quantiles_histogram",
     # round 4: BPE serving path (rank-dict + word-memo encode; the cost
-    # left is the 20-round training loop) and the nested-type read
+    # left is the 20-round training loop), the nested-type read, and the
+    # count-min heavy-hitter sketch
     "bpe_encode_corpus",
     "iceberg_nested_read",
+    "approx_topk_countmin",
 ]
 
 

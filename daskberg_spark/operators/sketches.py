@@ -581,3 +581,123 @@ def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qi")
     )
+
+
+# --- deterministic count-min heavy hitters ---------------------------------
+# DEPTH salted rows of WIDTH counters over the shared 48-bit md5 hash:
+# est(term) = min_d sketch[d][h_d(term) % WIDTH] >= true count, with the
+# overestimate bounded by collisions in the narrowest row.  The sketch is
+# DEPTH*WIDTH mergeable integer state — the heavy-hitter analogue of the
+# HLL registers, and the same deterministic-hash construction makes it
+# oracle-exact across engines (engine-native frequent-item sketches are
+# not comparable bit-for-bit).
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_TOPK = 20
+
+
+def _cm_salted(col_sql: str, d: int) -> str:
+    return f"({col_sql} || '#' || {d})"
+
+
+@query(
+    "approx_topk_countmin",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    sketch AS (
+      SELECT ds.d,
+             CASE ds.d
+               {' '.join(f"WHEN {d} THEN {_sql_h48(_cm_salted('term', d))} % {CM_WIDTH}" for d in range(CM_DEPTH))}
+             END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS d) ds
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY term
+      ORDER BY exact_n DESC, term LIMIT {CM_TOPK}
+    ),
+    probes AS (
+      SELECT top.term, top.exact_n, ds.d,
+             CASE ds.d
+               {' '.join(f"WHEN {d} THEN {_sql_h48(_cm_salted('top.term', d))} % {CM_WIDTH}" for d in range(CM_DEPTH))}
+             END AS bucket
+      FROM top CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS d) ds
+    )
+    SELECT p.term, p.exact_n, CAST(MIN(s.c) AS BIGINT) AS est_n
+    FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY p.term, p.exact_n
+    ORDER BY p.exact_n DESC, p.term
+    """,
+)
+def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+/C4: heavy hitters via a deterministic count-min sketch —
+    DEPTH×WIDTH mergeable counters, probed for the exact top-K terms so
+    the driver can check both the sketch arithmetic and the guarantee
+    est ≥ exact.
+
+    Scale: the sketch build is one explode (terms × DEPTH salted hashes)
+    into a ≤DEPTH·WIDTH-group partial-agg shuffle — fixed-size state that
+    merges/streams like the HLL registers; the exact top-K pass is a
+    term-cardinality shuffle + TakeOrdered (already required by any
+    exact-verification harness) and the probe join broadcasts the
+    4096-row sketch."""
+
+    def h48_expr(col: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+        ).cast("long")
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
+    )
+    salted = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (
+                h48_expr(F.concat(F.col("term"), F.lit(f"#{d}")))
+                % CM_WIDTH
+            ).alias("bucket"),
+        )
+        for d in range(CM_DEPTH)
+    ]
+    sketch = (
+        toks.select(F.explode(F.array(*salted)).alias("s"))
+        .groupBy(F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "term")
+        .limit(CM_TOPK)
+    )
+    probes = top.select(
+        "term",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            h48_expr(F.concat(F.col("term"), F.lit(f"#{d}")))
+                            % CM_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "exact_n", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").cast("long").alias("est_n"))
+        .orderBy(F.col("exact_n").desc(), "term")
+    )

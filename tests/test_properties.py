@@ -327,3 +327,55 @@ def test_hll_rho_case_equals_python(spark, rem):
         .r
     )
     assert got == want
+
+
+NESTED_FIELDS_MAP = {
+    "meta": FieldInfo(field_id=2, type="struct"),
+    "meta.x": FieldInfo(field_id=3, type="long"),
+}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(0, 50)), min_size=1, max_size=10
+    ),
+    st.sampled_from(["==", "<", "<=", ">", ">=", "!="]),
+    st.integers(-120, 120),
+)
+def test_nested_leaf_pruning_never_loses_matches(ranges, op, value):
+    """Same soundness property through a struct-leaf dotted path: bounds
+    keyed by the LEAF field id must never prune a file whose range holds
+    a match, and predicates on the struct column itself prune nothing."""
+    files = []
+    contents = {}
+    for idx, (lo, width) in enumerate(ranges):
+        hi = lo + width
+        path = f"f{idx}"
+        files.append(
+            {
+                "file_path": path,
+                "partition": {},
+                "lower_bounds": [{"key": 3, "value": encode_bound(lo, "long")}],
+                "upper_bounds": [{"key": 3, "value": encode_bound(hi, "long")}],
+            }
+        )
+        contents[path] = list(range(lo, hi + 1))
+    survivors = {
+        f["file_path"]
+        for f in apply_filters(files, [("meta.x", op, value)], NESTED_FIELDS_MAP)
+    }
+    ops = {
+        "==": lambda a: a == value,
+        "<": lambda a: a < value,
+        "<=": lambda a: a <= value,
+        ">": lambda a: a > value,
+        ">=": lambda a: a >= value,
+        "!=": lambda a: a != value,
+    }
+    for path, rows in contents.items():
+        if any(ops[op](r) for r in rows):
+            assert path in survivors, (path, op, value)
+    # whole-struct predicate: conservative, keeps everything
+    kept = apply_filters(files, [("meta", "==", 1)], NESTED_FIELDS_MAP)
+    assert len(kept) == len(files)

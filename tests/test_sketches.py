@@ -144,3 +144,16 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark):
     width = (mn_mx.mx - mn_mx.mn) / HIST_BINS
     for r in rows:
         assert r.est_value <= r.interp_value <= r.est_value + width + 1e-9
+
+
+def test_countmin_overestimates_and_ranks(spark):
+    """Count-min guarantee: est >= exact for every probed term; the top-K
+    list is exact-count ranked and deterministic."""
+    rows = _q("approx_topk_countmin")(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.est_n >= r.exact_n > 0
+    counts = [r.exact_n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    again = [(r.term, r.est_n) for r in _q("approx_topk_countmin")(spark, SF).collect()]
+    assert again == [(r.term, r.est_n) for r in rows]

@@ -93,6 +93,9 @@ AUDIT = {
     # bin agg), tiny broadcasted joins for the readout; must contain NO
     # exact-percentile aggregate (see NO_UNBOUNDED_AGGS below)
     "approx_quantiles_histogram": (4, False, True, 2),
+    # count-min heavy hitters: sketch agg (DEPTH·WIDTH groups) + exact
+    # top-K term agg + broadcast probe join + output sort
+    "approx_topk_countmin": (4, False, True, 1),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
