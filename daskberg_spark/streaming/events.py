@@ -592,8 +592,125 @@ def streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# oracle needs the sketch constants; register after the function body so
+@query("streaming_topk_countmin", None)
+def streaming_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min heavy hitters: the DEPTH×WIDTH counter grid is
+    the ONLY streaming state (complete-mode grouped count — per-batch SUM
+    is the count-min merge), drained and probed for the exact top-K
+    users.  Like ``streaming_distinct_hll``, the sketch is a
+    deterministic pure function of the data, so the streamed counters
+    equal the batch sketch bit-for-bit whatever the micro-batch slicing —
+    the replayable-sketch property that makes restart/retry safe.
+
+    Oracle (registered below): the identical count-min construction in
+    SQL over the batch events view."""
+    from daskberg_spark.operators.sketches import CM_DEPTH, CM_WIDTH
+
+    def h48_expr(col: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+        ).cast("long")
+
+    stream = _event_stream(spark, sf_dir)
+    salted = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (
+                h48_expr(
+                    F.concat(F.col("user_id").cast("string"), F.lit(f"#{d}"))
+                )
+                % CM_WIDTH
+            ).alias("bucket"),
+        )
+        for d in range(CM_DEPTH)
+    ]
+    parts = stream.select(F.explode(F.array(*salted)).alias("s")).select(
+        F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket")
+    )
+    agg = parts.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    sketch = _run_to_memory(agg, spark, "complete")
+
+    from daskberg_spark.operators.registry import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            h48_expr(
+                                F.concat(
+                                    F.col("user_id").cast("string"),
+                                    F.lit(f"#{d}"),
+                                )
+                            )
+                            % CM_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("long").alias("est_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )
+
+
+def _countmin_sql_over_events() -> str:
+    from daskberg_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _cm_salted,
+        _sql_h48,
+    )
+
+    user = "CAST(user_id AS VARCHAR)"
+    bucket_case = " ".join(
+        f"WHEN {d} THEN {_sql_h48(_cm_salted(user, d))} % {CM_WIDTH}"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+    WITH sketch AS (
+      SELECT ds.d,
+             CASE ds.d {bucket_case} END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS d) ds
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+      SELECT top.user_id, top.exact_n, ds.d,
+             CASE ds.d {bucket_case} END AS bucket
+      FROM top CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS d) ds
+    )
+    SELECT p.user_id, p.exact_n, CAST(MIN(s.c) AS BIGINT) AS est_n
+    FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    ORDER BY p.exact_n DESC, p.user_id
+    """
+
+
+# oracles need the sketch constants; register after the function bodies so
 # the import graph stays acyclic
 from daskberg_spark.operators.registry import ORACLES as _ORACLES
 
 _ORACLES["streaming_distinct_hll"] = _hll_sql_over_events()
+_ORACLES["streaming_topk_countmin"] = _countmin_sql_over_events()

@@ -91,3 +91,19 @@ def test_streaming_hll_equals_batch_sketch(spark):
     )
     assert row.t_sum == t.t + (HLL_M - t.np) * (1 << (HLL_REM_BITS + 1))
     assert row.n_empty == HLL_M - t.np
+
+
+def test_streaming_countmin_overestimates_and_is_deterministic(spark):
+    """The streamed count-min grid is a pure function of the data: est >=
+    exact for every probed user, and a re-run (different micro-batch
+    interleavings) returns identical estimates."""
+    from daskberg_spark.streaming.events import streaming_topk_countmin
+
+    rows = streaming_topk_countmin(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_n >= r.exact_n > 0
+    again = streaming_topk_countmin(spark, SF).collect()
+    assert [(r.user_id, r.est_n) for r in rows] == [
+        (r.user_id, r.est_n) for r in again
+    ]
