@@ -205,3 +205,29 @@ def test_snappy_crc_mismatch_rejected():
     raw[-17] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         read_avro(bytes(raw))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_truncated_avro_never_silently_wrong(data):
+    """Any strict prefix of a valid container either raises or yields a
+    strict prefix of the true records — never altered values (the
+    failure mode that would corrupt snapshot reconciliation silently)."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    records = [{"a": i, "b": None if i % 3 else f"s{i}"} for i in range(20)]
+    buf = io.BytesIO()
+    write_avro(schema, records, buf, codec="deflate")
+    full = buf.getvalue()
+    cut = data.draw(st.integers(min_value=0, max_value=len(full) - 1))
+    try:
+        _, out = read_avro(full[:cut])
+    except Exception:
+        return  # loud failure is correct
+    assert out == records[: len(out)]
