@@ -433,6 +433,7 @@ def write_avro_file(
     schema: dict[str, Any],
     records: list[dict[str, Any]],
     metadata: dict[str, bytes] | None = None,
+    codec: str = "deflate",
 ) -> None:
     with open(path, "wb") as f:
-        write_avro(schema, records, f, metadata=metadata)
+        write_avro(schema, records, f, metadata=metadata, codec=codec)

@@ -277,6 +277,144 @@ def make_nested_rows(n: int, start: int = 0) -> list[dict]:
     return rows
 
 
+def _rewrite_table_avro(path: str, edit, codec: str | None = None) -> None:
+    """Re-encode every metadata Avro file through ``edit(records) -> bool``
+    (return True to rewrite); ``codec`` optionally recompresses."""
+    import glob as _glob
+    import json as _json
+
+    from daskberg_spark.iceberg.avro import read_avro_file, write_avro_file
+
+    for av in sorted(_glob.glob(os.path.join(path, "metadata", "*.avro"))):
+        hdr, records = read_avro_file(av)
+        schema = _json.loads(hdr["avro.schema"])
+        changed = edit(records)
+        if changed or codec is not None:
+            write_avro_file(av, schema, records, codec=codec or "deflate")
+
+
+def remap_snapshot_ids(path: str, remap: dict[int, int]) -> None:
+    """Forge a table's snapshot ids into the spec-general shape: the
+    Iceberg spec allows snapshot ids to be RANDOM longs, so commit order
+    must never be inferred from them.  Rewrites the metadata JSON,
+    manifest-list ``added_snapshot_id`` and manifest-entry ``snapshot_id``
+    consistently while leaving data sequence numbers untouched — readers
+    keyed on sequence numbers are unaffected; readers keyed on snapshot-id
+    order break (that asymmetry is exactly what the forged tests check)."""
+    import glob as _glob
+    import json as _json
+
+    def m(s):
+        return remap.get(s, s) if s is not None else None
+
+    for jf in _glob.glob(os.path.join(path, "metadata", "v*.metadata.json")):
+        with open(jf) as f:
+            meta = _json.load(f)
+        for s in meta.get("snapshots", []):
+            s["snapshot-id"] = m(s["snapshot-id"])
+            if "parent-snapshot-id" in s:
+                s["parent-snapshot-id"] = m(s["parent-snapshot-id"])
+        if meta.get("current-snapshot-id") is not None:
+            meta["current-snapshot-id"] = m(meta["current-snapshot-id"])
+        for e in meta.get("snapshot-log", []):
+            e["snapshot-id"] = m(e["snapshot-id"])
+        for ref in meta.get("refs", {}).values():
+            ref["snapshot-id"] = m(ref["snapshot-id"])
+        with open(jf, "w") as f:
+            _json.dump(meta, f, indent=1, default=str)
+
+    def edit(records: list[dict]) -> bool:
+        changed = False
+        for r in records:
+            if r.get("added_snapshot_id") is not None:
+                r["added_snapshot_id"] = m(r["added_snapshot_id"])
+                changed = True
+            if r.get("snapshot_id") is not None:
+                r["snapshot_id"] = m(r["snapshot_id"])
+                changed = True
+        return changed
+
+    _rewrite_table_avro(path, edit)
+
+
+def strip_sequence_numbers(path: str) -> None:
+    """Forge a table back to the pre-sequence-number metadata shape
+    (sequence fields nulled everywhere) — models v1-era metadata so tests
+    can demonstrate what the snapshot-id fallback canNOT order correctly."""
+
+    def edit(records: list[dict]) -> bool:
+        changed = False
+        for r in records:
+            for k in ("sequence_number", "min_sequence_number", "file_sequence_number"):
+                if r.get(k) is not None:
+                    r[k] = None
+                    changed = True
+        return changed
+
+    _rewrite_table_avro(path, edit)
+
+
+FOREIGN_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "foreign_v2_table")
+
+# Non-monotonic snapshot ids for the foreign table: commit order is
+# 1 → 2 → 3 → 4, forged ids deliberately REVERSE-sorted vs commit order.
+FOREIGN_ID_REMAP = {1: 9_111_222_333, 2: 777_000_111, 3: 55_444, 4: 7}
+
+
+def ensure_foreign_fixture(path: str = FOREIGN_FIXTURE_DIR) -> str:
+    """A v2 table shaped like a FOREIGN engine wrote it — every property a
+    roundtrip through this repo's own writer would never produce:
+
+    - **random (non-monotonic) snapshot ids**: the spec makes them opaque
+      longs; only data sequence numbers order commits.  Forged so the
+      newest commit has the SMALLEST id.
+    - **snappy-codec manifests**: Java Iceberg commonly emits snappy Avro;
+      own writer emits deflate.
+    - **multi-spec live files**: append under spec 0 (unpartitioned), then
+      partition-spec evolution to identity(cat), then append under spec 1.
+    - **inherited-sequence manifest entries**: ADDED entries carry null
+      sequence_number and inherit the manifest-list's (spec v2
+      inheritance) — readers that ignore inheritance mis-order every file.
+    - an equality delete (ids 5, 35) followed by a RE-INSERT of id 5
+      (val -1.0): correct sequence ordering keeps the reborn row; any
+      snapshot-id-ordered reader drops it (id 7 < delete id 55444).
+
+    Live rows = ids 0..49 minus {5, 35} plus reborn 5 → content-derived
+    oracle: ``WHERE id NOT IN (5,35) OR val = -1.0`` over the data files.
+    """
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "cat", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    rows = [
+        {"id": i, "cat": "xyz"[i % 3], "val": float(i)} for i in range(50)
+    ]
+    writer.append(rows[:30])  # snapshot 1, seq 1, spec 0 (unpartitioned)
+    writer.update_partition_spec(
+        [{"name": "cat", "transform": "identity", "source": "cat"}]
+    )
+    writer.append(rows[30:])  # snapshot 2, seq 2, spec 1 (identity(cat))
+    writer.delete_rows_equality([{"id": 5}, {"id": 35}])  # snapshot 3, seq 3
+    writer.append([{"id": 5, "cat": "x", "val": -1.0}])  # snapshot 4, seq 4
+    remap_snapshot_ids(path, FOREIGN_ID_REMAP)
+    # recompress every metadata Avro as snappy (no record edits)
+    _rewrite_table_avro(path, lambda records: False, codec="snappy")
+    return path
+
+
+# Content-derived live-rowset predicate for the foreign table's oracles.
+FOREIGN_LIVE_WHERE = "(id NOT IN (5, 35) OR val = -1.0)"
+
+
 def ensure_nested_fixture(path: str = NESTED_FIXTURE_DIR) -> str:
     """Nested-type table (struct/list/map columns): the one capability the
     reference hard-refuses (``/root/reference/daskberg/conversions.py:46``

@@ -319,18 +319,19 @@ class IcebergTable:
                     self._relocate(mf["manifest_path"]),
                     mf.get("partition_spec_id", 0),
                     mf.get("added_snapshot_id"),
+                    mf.get("sequence_number"),
                 )
             )
 
         # Parallel manifest IO (reference TODO at ice.py:185).
-        paths = [p for p, _, _ in surviving]
+        paths = [p for p, _, _, _ in surviving]
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
             loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
 
         allfiles: dict[str, dict[str, Any]] = {}
         delete_files: dict[str, dict[str, Any]] = {}
         deleted: set[str] = set()
-        for path, spec_id, manifest_snapshot in surviving:
+        for path, spec_id, manifest_snapshot, manifest_seq in surviving:
             for entry in loaded[path]:
                 data_file = entry["data_file"]
                 fmt = data_file.get("file_format", "PARQUET")
@@ -349,6 +350,16 @@ class IcebergTable:
                         entry.get("snapshot_id")
                         if entry.get("snapshot_id") is not None
                         else manifest_snapshot
+                    ),
+                    # v2 data sequence number, entry-explicit or inherited
+                    # from the manifest-list record (Iceberg sequence-number
+                    # inheritance); None on v1/pre-sequence metadata.  This,
+                    # not snapshot-id order, keys delete applicability —
+                    # the spec allows snapshot ids to be random longs.
+                    _sequence_number=(
+                        entry.get("sequence_number")
+                        if entry.get("sequence_number") is not None
+                        else manifest_seq
                     ),
                 )
                 if entry["status"] == STATUS_DELETED:

@@ -105,23 +105,35 @@ def _read_with_deletes(
     """Read data files and apply v2 delete files with sequence-correct
     applicability.
 
-    Snapshot ids are monotonically increasing here, so "sequence number"
-    ordering reduces to snapshot-id comparison: an equality delete
-    applies only to data files added by an *earlier* snapshot (a row
-    re-inserted after the delete stays live).  Position deletes name
-    their target file explicitly, so they are inherently
-    sequence-correct.  Data files are classed by which equality deletes
-    apply (≤ #deletes+1 classes), each class read + anti-joined, then
-    unioned.
+    Applicability keys on real Iceberg **data sequence numbers** (v2
+    manifest-list ``sequence_number`` inherited into entries when null):
+    an equality delete applies only to data files whose sequence number
+    is *strictly lower* (a row re-inserted after the delete stays live).
+    Snapshot ids are NOT usable for this in general — the spec allows
+    them to be random longs — so only pre-sequence-number (v1-era)
+    metadata, which cannot have been written by a spec v2 writer, falls
+    back to snapshot-id order.  Position deletes name their target file
+    explicitly, so they are inherently sequence-correct.  Data files are
+    classed by which equality deletes apply (≤ #deletes+1 classes), each
+    class read + anti-joined, then unioned.
     """
     deletes = table.plan_deletes()
     id_to_name = {f.field_id: name for name, f in table.fields.items()}
-    eq_deletes = []  # (delete_snapshot_id, current_key_cols, data_file entry)
+    use_seq = all(
+        d.get("_sequence_number") is not None for d in deletes
+    ) and all(f.get("_sequence_number") is not None for f in files)
+
+    def okey(rec: dict[str, Any]) -> int:
+        if use_seq:
+            return rec["_sequence_number"]
+        return rec.get("_snapshot_id") or 0
+
+    eq_deletes = []  # (order_key, delete_snapshot_id, current_key_cols, entry)
     pos_files: list[dict[str, Any]] = []
     for d in deletes:
         if d.get("content") == 2:
             cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
-            eq_deletes.append((d.get("_snapshot_id") or 0, cols, d))
+            eq_deletes.append((okey(d), d.get("_snapshot_id") or 0, cols, d))
         elif d.get("content") == 1:
             pos_files.append(d)
 
@@ -146,21 +158,23 @@ def _read_with_deletes(
         df = _read_file_groups(table, spark, files, struct, tag_position)
     else:
         # class = which equality deletes apply, keyed by the count of
-        # delete snapshots after the file's adding snapshot
-        eq_deletes.sort(key=lambda t: (t[0], t[1], t[2]["file_path"]))
+        # delete sequence numbers after the file's own sequence number
+        eq_deletes.sort(key=lambda t: (t[0], t[2], t[3]["file_path"]))
         classes: dict[int, list[dict[str, Any]]] = {}
         for f in files:
-            fsnap = f.get("_snapshot_id") or 0
-            n_applicable = sum(1 for snap, _, _ in eq_deletes if snap > fsnap)
+            fkey = okey(f)
+            n_applicable = sum(1 for k, _, _, _ in eq_deletes if k > fkey)
             classes.setdefault(n_applicable, []).append(f)
         parts = []
         for n_applicable, class_files in sorted(classes.items()):
             part = _read_file_groups(table, spark, class_files, struct, tag_position)
             applicable = eq_deletes[-n_applicable:] if n_applicable else []
+            # delete-time snapshot id still resolves the delete file's
+            # column-name schema; the order key only decides applicability
             by_snap: dict[tuple, list[dict[str, Any]]] = {}
-            for snap, cols, entry in applicable:
-                by_snap.setdefault((snap, cols), []).append(entry)
-            for (snap, cols), entries in sorted(by_snap.items()):
+            for k, snap, cols, entry in applicable:
+                by_snap.setdefault((k, snap, cols), []).append(entry)
+            for (k, snap, cols), entries in sorted(by_snap.items()):
                 paths = [e["file_path"] for e in entries]
                 keys = _maybe_broadcast(
                     read_delete_keys(snap, cols, paths).alias("__dk"), entries

@@ -51,6 +51,12 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        # v2 data sequence numbers (spec field ids 515/516): the manifest's
+        # own commit sequence, and the minimum across its entries (EXISTING
+        # entries carried forward keep their original, older, sequence).
+        # Nullable so the same schema still reads/writes v1-era lists.
+        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 515},
+        {"name": "min_sequence_number", "type": ["null", "long"], "default": None, "field-id": 516},
         {"name": "added_snapshot_id", "type": ["null", "long"], "default": None, "field-id": 503},
         {"name": "added_data_files_count", "type": ["null", "int"], "default": None, "field-id": 504},
         {"name": "existing_data_files_count", "type": ["null", "int"], "default": None, "field-id": 505},
@@ -117,6 +123,12 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
         "fields": [
             {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            # v2 per-entry data/file sequence numbers (spec field ids 3/4).
+            # Null on ADDED entries = inherit the manifest's sequence_number
+            # at read time; EXISTING/DELETED entries must carry theirs
+            # explicitly (Iceberg v2 inheritance rules).
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
             {
                 "name": "data_file",
                 "field-id": 2,
@@ -222,6 +234,14 @@ def _pa_type(t: Any) -> pa.DataType:
     return _PA_TYPES[t]
 
 
+def _entry_seq(entry: dict[str, Any], manifest: dict[str, Any]) -> int | None:
+    """Resolve a manifest entry's data sequence number: explicit value if
+    present, else inherited from the manifest that carries it (Iceberg v2
+    inheritance).  None only for pre-sequence-number (v1-era) metadata."""
+    s = entry.get("sequence_number")
+    return s if s is not None else manifest.get("sequence_number")
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this metadata version first — reload the
     table state and retry (Iceberg optimistic concurrency)."""
@@ -253,6 +273,11 @@ class IcebergWriter:
         self.current_schema_id = 0
         self.snapshots: list[dict[str, Any]] = []
         self._next_snapshot_id = 1
+        # v2 data sequence numbers: one per commit, strictly increasing.
+        # Unlike snapshot ids (which the Iceberg spec allows to be RANDOM
+        # longs), sequence numbers are the spec's ordering primitive —
+        # equality-delete applicability keys on them, never on snapshot ids.
+        self._last_sequence_number = 0
         self._format_version = 1  # upgraded to 2 by row-level deletes
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
@@ -542,10 +567,20 @@ class IcebergWriter:
             if hit:
                 for e in hit:
                     delete_by_spec.setdefault(mf_spec, []).append(
-                        {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
+                        {
+                            "status": 2,
+                            "snapshot_id": snapshot_id,
+                            "sequence_number": _entry_seq(e, mf),
+                            "data_file": e["data_file"],
+                        }
                     )
                 survivors = [
-                    {"status": 0, "snapshot_id": e["snapshot_id"], "data_file": e["data_file"]}
+                    {
+                        "status": 0,
+                        "snapshot_id": e["snapshot_id"],
+                        "sequence_number": _entry_seq(e, mf),
+                        "data_file": e["data_file"],
+                    }
                     for e in entries
                     if not predicate(e["data_file"])
                 ]
@@ -612,7 +647,11 @@ class IcebergWriter:
                     survivors.append(e)
                     continue
                 rows = _live_file_rows(
-                    e, eq_deletes, pos_pairs, [f["name"] for f in self.fields]
+                    e,
+                    eq_deletes,
+                    pos_pairs,
+                    [f["name"] for f in self.fields],
+                    file_key=_order_key(e, mf),
                 )
                 if rows is None:
                     raise NotImplementedError(
@@ -629,7 +668,12 @@ class IcebergWriter:
                     continue
                 touched.append(e)
                 delete_by_spec.setdefault(mf_spec, []).append(
-                    {"status": 2, "snapshot_id": snapshot_id, "data_file": df_rec}
+                    {
+                        "status": 2,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": _entry_seq(e, mf),
+                        "data_file": df_rec,
+                    }
                 )
                 for r in rows:
                     k = tuple(r.get(c) for c in key_cols)
@@ -641,7 +685,12 @@ class IcebergWriter:
                     ).append(r)
             if touched:
                 existing = [
-                    {"status": 0, "snapshot_id": e["snapshot_id"], "data_file": e["data_file"]}
+                    {
+                        "status": 0,
+                        "snapshot_id": e["snapshot_id"],
+                        "sequence_number": _entry_seq(e, mf),
+                        "data_file": e["data_file"],
+                    }
                     for e in survivors
                 ]
                 if existing:
@@ -769,6 +818,18 @@ class IcebergWriter:
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": spec_id,
+            # sequence_number is allocated by _commit (one per commit);
+            # min_sequence_number starts from the oldest EXISTING entry
+            # carried in, and _commit folds the new commit's sequence in.
+            "sequence_number": None,
+            "min_sequence_number": min(
+                (
+                    e["sequence_number"]
+                    for e in entries
+                    if e.get("sequence_number") is not None
+                ),
+                default=None,
+            ),
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": n_added,
             "existing_data_files_count": n_existing,
@@ -801,6 +862,16 @@ class IcebergWriter:
             or m.get("added_data_files_count", 0) > 0
             or m.get("existing_data_files_count", 0) > 0
         ]
+        # Allocate this commit's data sequence number and stamp the
+        # manifests written by it (sequence_number still None); carried
+        # manifests keep the sequence of the commit that wrote them.
+        seq = self._last_sequence_number + 1
+        for m in manifests:
+            if m.get("sequence_number") is None:
+                mmin = m.get("min_sequence_number")
+                m["sequence_number"] = seq
+                m["min_sequence_number"] = seq if mmin is None else min(mmin, seq)
+        self._last_sequence_number = seq
         ml_name = f"snap-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(snapshot_id)).hex[:8]}.avro"
         ml_path = f"{self.path}/metadata/{ml_name}"
         write_avro_file(ml_path, _MANIFEST_FILE_SCHEMA, manifests)
@@ -810,6 +881,7 @@ class IcebergWriter:
         parent = self.snapshots[-1]["snapshot-id"] if self.snapshots else None
         snap = {
             "snapshot-id": snapshot_id,
+            "sequence-number": seq,
             "timestamp-ms": 1700000000000 + snapshot_id,
             "manifest-list": ml_path,
             "schema-id": self.current_schema_id,
@@ -836,6 +908,7 @@ class IcebergWriter:
             "format-version": self._format_version,
             "table-uuid": self.table_uuid,
             "location": self.path,
+            "last-sequence-number": self._last_sequence_number,
             "last-updated-ms": last["timestamp-ms"],
             "last-column-id": _max_field_id(self.fields),
             "schemas": [
@@ -909,8 +982,14 @@ class IcebergWriter:
             json.dump(meta, f, indent=1, default=str)
         with open(f"{self.path}/metadata/version-hint.text", "w") as f:
             f.write(str(self.version))
+        # Stamp the log entry with the metadata WRITE time, not the last
+        # snapshot's commit time: operations that emit metadata without a
+        # snapshot (schema/spec evolution) must still advance the log
+        # clock, as real engines do.  Derived from the version counter so
+        # fixture builds stay byte-deterministic; version increments on
+        # every metadata write, so entries are distinct and monotonic.
         self._metadata_log.append(
-            {"metadata-file": target, "timestamp-ms": last["timestamp-ms"]}
+            {"metadata-file": target, "timestamp-ms": 1700000000000 + self.version}
         )
 
 
@@ -1103,10 +1182,20 @@ def commit_spark_overwrite(
             for e in hit:
                 found.add(_norm_data_path(e["data_file"]["file_path"]))
                 delete_by_spec.setdefault(mf_spec, []).append(
-                    {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
+                    {
+                        "status": 2,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": _entry_seq(e, mf),
+                        "data_file": e["data_file"],
+                    }
                 )
             survivors = [
-                {"status": 0, "snapshot_id": e.get("snapshot_id"), "data_file": e["data_file"]}
+                {
+                    "status": 0,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": _entry_seq(e, mf),
+                    "data_file": e["data_file"],
+                }
                 for e in entries
                 if e["status"] != 2
                 and _norm_data_path(e["data_file"]["file_path"]) not in removed
@@ -1448,22 +1537,26 @@ def _live_deletes(
     writer: "IcebergWriter",
 ) -> tuple[list[tuple[int, list[str], set]], set[tuple[str, int]]]:
     """Collect the table's live v2 deletes for rewrite-time application:
-    (equality deletes as (snapshot, key_cols, key set), position deletes
-    as a (path, pos) set).  Tombstoned delete files are excluded."""
+    (equality deletes as (order_key, key_cols, key set), position deletes
+    as a (path, pos) set).  Tombstoned delete files are excluded.
+
+    ``order_key`` is the delete file's data sequence number (explicit or
+    manifest-inherited); pre-sequence-number metadata falls back to the
+    adding snapshot id, which this writer allocates monotonically."""
     from daskberg_spark.iceberg.avro import read_avro_file
 
     id_to_name = {f["id"]: f["name"] for f in writer.fields}
     deleted_paths: set[str] = set()
-    live: list[dict[str, Any]] = []
+    live: list[tuple[dict[str, Any], dict[str, Any]]] = []  # (entry, manifest)
     for mf in writer.manifests:
         _, entries = read_avro_file(mf["manifest_path"])
         for e in entries:
             if e["status"] == 2:
                 deleted_paths.add(e["data_file"]["file_path"])
             else:
-                live.append(e)
+                live.append((e, mf))
     eq_deletes, pos_pairs = [], set()
-    for e in live:
+    for e, mf in live:
         rec = e["data_file"]
         if rec["file_path"] in deleted_paths:
             continue
@@ -1483,8 +1576,16 @@ def _live_deletes(
             tbl = pq.read_table(rec["file_path"])
             arrs = [tbl.column(i).to_pylist() for i in range(len(cols))]
             keys = set(zip(*arrs)) if arrs else set()
-            eq_deletes.append((e.get("snapshot_id") or 0, cols, keys))
+            eq_deletes.append((_order_key(e, mf), cols, keys))
     return eq_deletes, pos_pairs
+
+
+def _order_key(entry: dict[str, Any], manifest: dict[str, Any]) -> int:
+    """Applicability ordering key for rewrite-time delete application:
+    real data sequence number when the metadata carries one, else the
+    adding snapshot id (legacy pre-sequence metadata, monotonic here)."""
+    seq = _entry_seq(entry, manifest)
+    return seq if seq is not None else (entry.get("snapshot_id") or 0)
 
 
 def _live_file_rows(
@@ -1492,10 +1593,12 @@ def _live_file_rows(
     eq_deletes: list[tuple[int, list[str], set]],
     pos_pairs: set[tuple[str, int]],
     current_names: list[str] | None = None,
+    file_key: int | None = None,
 ) -> list[dict[str, Any]] | None:
     """Rows of one data file with live v2 deletes applied
-    (sequence-correct: an equality delete hits only files whose adding
-    snapshot precedes it).
+    (sequence-correct: an equality delete hits only files whose data
+    sequence number — ``file_key``, from ``_order_key`` — precedes the
+    delete's; falls back to adding-snapshot order on legacy metadata).
 
     With ``current_names``, pre-rename files (same column count, old
     names) are positionally renamed to the current schema — this writer
@@ -1513,7 +1616,7 @@ def _live_file_rows(
         else:
             return None
     rows = tbl.to_pylist()
-    fsnap = entry.get("snapshot_id") or 0
+    fsnap = file_key if file_key is not None else (entry.get("snapshot_id") or 0)
     norm_path = _norm_data_path(rec["file_path"])
     out = []
     for i, r in enumerate(rows):
@@ -1539,8 +1642,8 @@ def compact_files(
     instead of O(commits) on a frequently-appended 100 TB table.
 
     Live v2 deletes are APPLIED to the rows being rewritten (position
-    deletes by (path, pos); equality deletes only where the delete
-    snapshot is newer than the file's adding snapshot, preserving
+    deletes by (path, pos); equality deletes only where the delete's data
+    sequence number is newer than the file's, preserving
     sequence semantics) — the rewritten file starts delete-free, while
     untouched files keep relying on the carried delete files.  One
     ``replace`` snapshot; returns its id, or None if nothing to compact.
@@ -1560,30 +1663,38 @@ def compact_files(
             if e["status"] == 2:
                 deleted_paths.add(e["data_file"]["file_path"])
             else:
-                raw.append((mf.get("partition_spec_id", 0), e))
+                raw.append((mf.get("partition_spec_id", 0), e, mf))
     eq_deletes, pos_pairs = _live_deletes(writer)
     data_entries = []
-    delete_file_entries: list[tuple[int, dict[str, Any]]] = []
-    for spec_id, e in raw:
+    delete_file_entries: list[tuple[int, dict[str, Any], dict[str, Any]]] = []
+    for spec_id, e, mf in raw:
         rec = e["data_file"]
         if rec["file_path"] in deleted_paths:
             continue
         if rec.get("content", 0) in (1, 2):
-            delete_file_entries.append((spec_id, e))
+            delete_file_entries.append((spec_id, e, mf))
         else:
-            data_entries.append((spec_id, e))
+            data_entries.append((spec_id, e, mf))
 
-    def live_rows(entry: dict[str, Any]) -> list[dict[str, Any]] | None:
-        return _live_file_rows(entry, eq_deletes, pos_pairs, current_names)
+    def live_rows(
+        entry: dict[str, Any], manifest: dict[str, Any]
+    ) -> list[dict[str, Any]] | None:
+        return _live_file_rows(
+            entry,
+            eq_deletes,
+            pos_pairs,
+            current_names,
+            file_key=_order_key(entry, manifest),
+        )
 
     # pass 2: group small files per (spec, partition)
     groups: dict[tuple[int, tuple], list[dict[str, Any]]] = {}
-    for spec_id, e in data_entries:
+    for spec_id, e, mf in data_entries:
         rec = e["data_file"]
         if rec.get("file_size_in_bytes", 0) >= min_file_bytes:
             continue
         pkey = tuple(sorted((rec.get("partition") or {}).items()))
-        groups.setdefault((spec_id, pkey), []).append(e)
+        groups.setdefault((spec_id, pkey), []).append((e, mf))
 
     compacted_paths: set[str] = set()
     new_entries_by_spec: dict[int, list[dict[str, Any]]] = {}
@@ -1591,13 +1702,13 @@ def compact_files(
     for (spec_id, _pkey), es in sorted(groups.items(), key=lambda kv: str(kv[0])):
         if len(es) < 2:
             continue
-        rows_parts = [live_rows(e) for e in es]
+        rows_parts = [live_rows(e, mf) for e, mf in es]
         if any(p is None for p in rows_parts):
             continue  # schema-drifted member: leave the group alone
         merged = [r for part in rows_parts for r in part]
         fpath, fsize = writer._write_parquet(merged)
         lowers, uppers = writer._bounds(merged)
-        partition = dict(es[0]["data_file"].get("partition") or {})
+        partition = dict(es[0][0]["data_file"].get("partition") or {})
         new_entries_by_spec.setdefault(spec_id, []).append(
             {
                 "status": 1,
@@ -1613,10 +1724,15 @@ def compact_files(
                 },
             }
         )
-        for e in es:
+        for e, mf in es:
             compacted_paths.add(e["data_file"]["file_path"])
             tombstones_by_spec.setdefault(spec_id, []).append(
-                {"status": 2, "snapshot_id": snapshot_id, "data_file": e["data_file"]}
+                {
+                    "status": 2,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": _entry_seq(e, mf),
+                    "data_file": e["data_file"],
+                }
             )
     if not compacted_paths:
         return None
@@ -1624,11 +1740,16 @@ def compact_files(
     # pass 3: rebuild the manifest list — survivors as EXISTING, grouped
     # by origin spec so partition records decode correctly
     survivors_by_spec: dict[int, list[dict[str, Any]]] = {}
-    for spec_id, e in data_entries + delete_file_entries:
+    for spec_id, e, mf in data_entries + delete_file_entries:
         if e["data_file"]["file_path"] in compacted_paths:
             continue
         survivors_by_spec.setdefault(spec_id, []).append(
-            {"status": 0, "snapshot_id": e.get("snapshot_id"), "data_file": e["data_file"]}
+            {
+                "status": 0,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": _entry_seq(e, mf),
+                "data_file": e["data_file"],
+            }
         )
     manifests = []
     for sid in sorted(

@@ -102,6 +102,7 @@ def prepare_fixtures() -> None:
     from daskberg_spark.iceberg.fixtures import (
         ensure_deletes_fixture,
         ensure_evolved_fixture,
+        ensure_foreign_fixture,
         ensure_nested_fixture,
     )
 
@@ -109,6 +110,7 @@ def prepare_fixtures() -> None:
     ensure_deletes_fixture()
     ensure_evolved_fixture()
     ensure_nested_fixture()
+    ensure_foreign_fixture()
 
 
 @query(
@@ -408,6 +410,38 @@ def iceberg_v2_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df(spark).groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
+    )
+
+
+@query(
+    "iceberg_foreign_read",
+    """
+    SELECT cat,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS sum_val,
+           CAST(MIN(val) AS DOUBLE) AS min_val
+    FROM read_parquet('/root/repo/.fixtures/foreign_v2_table/data/0*.parquet')
+    WHERE (id NOT IN (5, 35) OR val = -1.0)
+    GROUP BY cat
+    """,
+)
+def iceberg_foreign_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-written v2 table read: snappy-codec manifests, RANDOM
+    (non-monotonic) snapshot ids, live files under two partition specs,
+    and inherited sequence numbers — none of which this repo's own writer
+    round-trip would produce, so reader bugs cannot hide behind writer
+    symmetry.  Correctness hinges on keying equality-delete applicability
+    on data sequence numbers: the reborn id-5 row (val -1.0) was appended
+    by the snapshot with the SMALLEST forged id, and a snapshot-id-ordered
+    reader would wrongly drop it.  The oracle reproduces the live rowset
+    from raw data-file content alone."""
+    from daskberg_spark.iceberg.fixtures import ensure_foreign_fixture
+
+    t = IcebergTable(ensure_foreign_fixture())
+    return t.to_df(spark).groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
+        F.min("val").cast("double").alias("min_val"),
     )
 
 

@@ -214,6 +214,66 @@ def test_v2_delete_sequence_semantics(spark, tmp_path):
     assert sorted(map(tuple, t.to_df(spark).collect())) == [(2, "keep")]
 
 
+def test_v2_delete_nonmonotonic_snapshot_ids(spark, tmp_path):
+    """Equality-delete applicability must key on data sequence numbers,
+    never snapshot-id order: the Iceberg spec allows snapshot ids to be
+    RANDOM longs.  Forge a table whose re-insert snapshot has a SMALLER
+    id than the delete snapshot and check the reborn row survives; then
+    strip the sequence numbers (legacy metadata shape) and demonstrate
+    the snapshot-id fallback mis-orders — exactly the failure the
+    sequence-number path exists to prevent."""
+    from daskberg_spark.iceberg.fixtures import (
+        remap_snapshot_ids,
+        strip_sequence_numbers,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": 1, "v": "old"}, {"id": 2, "v": "keep"}])  # seq 1
+    w.delete_rows_equality([{"id": 1}])                         # seq 2
+    w.append([{"id": 1, "v": "reborn"}])                        # seq 3
+    # forged ids: newest commit gets the SMALLEST id, delete the largest
+    remap_snapshot_ids(w.path, {1: 9_000_000_001, 2: 9_999_999_999, 3: 17})
+    t = IcebergTable(w.path)
+    assert sorted(map(tuple, t.to_df(spark).collect())) == [
+        (1, "reborn"),
+        (2, "keep"),
+    ]
+    # sharpness: same forged ids WITHOUT sequence numbers loses the row
+    strip_sequence_numbers(w.path)
+    t2 = IcebergTable(w.path)
+    assert sorted(map(tuple, t2.to_df(spark).collect())) == [(2, "keep")]
+
+
+def test_foreign_written_v2_table(spark):
+    """The foreign-style fixture (snappy manifests, random snapshot ids,
+    multi-spec live files, inherited sequence numbers) reads correctly:
+    50 rows - 2 eq-deleted + 1 reborn, and spec-aware partition pruning
+    still works on the spec-1 files."""
+    from daskberg_spark.iceberg.fixtures import (
+        FOREIGN_ID_REMAP,
+        ensure_foreign_fixture,
+    )
+
+    t = IcebergTable(ensure_foreign_fixture())
+    df = t.to_df(spark)
+    rows = {(r["id"], r["val"]) for r in df.collect()}
+    expect = {(i, float(i)) for i in range(50) if i not in (5, 35)} | {(5, -1.0)}
+    assert rows == expect
+    # forged snapshot ids really are live in the metadata
+    assert set(t.snapshots) == set(FOREIGN_ID_REMAP.values())
+    # sequence inheritance: every data file resolved a sequence number
+    assert all(f.get("_sequence_number") is not None for f in t.plan_files())
+    # both specs hold live files
+    assert {f["_spec_id"] for f in t.plan_files()} == {0, 1}
+
+
 def test_v2_deletes_relocated_table(spark, tmp_path):
     """Delete-file target paths are rewritten under original_url relocation:
     a moved table's position deletes must still anti-join (stored paths
