@@ -330,11 +330,18 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     wrank = W.partitionBy("event_type").orderBy("value")
     wall = W.partitionBy("event_type")
-    ranked = ev.select("event_type", "value").select(
-        "event_type",
-        "value",
-        (F.row_number().over(wrank) - 1).alias("rn"),
-        F.count("*").over(wall).alias("n"),
+    # NULL values must not enter the rank: row_number orders NULLs first
+    # and count('*') would count them, shifting every quantile position,
+    # while quantile_cont/percentile skip NULLs — filter to match.
+    ranked = (
+        ev.select("event_type", "value")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.row_number().over(wrank) - 1).alias("rn"),
+            F.count("*").over(wall).alias("n"),
+        )
     )
 
     def _exact_q(qv: float, name: str):

@@ -100,10 +100,13 @@ AUDIT = {
 
 # Aggregates whose per-group state grows with the data (they buffer every
 # value) — a scale-killer at 100 TB.  No audited plan may contain them.
-# (percentile_approx / approx_percentile are bounded sketches and allowed;
-# the regex requires "(" directly after the name so they don't match.)
+# (percentile_approx / approx_percentile are bounded sketches and allowed:
+# the name must start at a word boundary that excludes '_', so
+# "approx_percentile(" cannot match via its trailing "_percentile(" —
+# only the explicitly allowed partial_/merge_/final_ codegen prefixes may
+# precede an underscore.)
 NO_UNBOUNDED_AGGS = re.compile(
-    r"(?:^|[^a-z])(?:partial_|merge_|final_)?"
+    r"(?:^|[^a-z_])(?:partial_|merge_|final_)?"
     r"(percentile|median|mode|collect_list|collect_set)\("
 )
 
