@@ -415,6 +415,45 @@ def ensure_foreign_fixture(path: str = FOREIGN_FIXTURE_DIR) -> str:
 FOREIGN_LIVE_WHERE = "(id NOT IN (5, 35) OR val = -1.0)"
 
 
+SPEC_EVO_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "spec_evo_table")
+
+
+def ensure_spec_evo_fixture(path: str = SPEC_EVO_FIXTURE_DIR) -> str:
+    """Partition-spec-evolution table whose LIVE files span two specs and
+    the SAME partition field name changes bucket width across them:
+
+    - spec 0: ``id_bucket = bucket[2](id)`` — append ids 0..39 (2 files)
+    - spec 1: ``id_bucket = bucket[4](id)`` — append ids 0..39 again
+      (4 files)
+
+    A point predicate (e.g. ``id = 7``: bucket[2]→1, bucket[4]→3) prunes
+    to exactly ONE file per spec only if each file's partition value is
+    checked through ITS OWN spec's transform; resolving through the
+    table-default spec would hash spec-0 partition values with the wrong
+    bucket width and silently drop rows.  Both appends carry the same id
+    range, so min/max stats cannot prune the wrong-bucket files — the
+    file-count assertion isolates transform pruning specifically."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "tag", "type": "string", "required": False},
+        ],
+        [{"name": "id_bucket", "transform": "bucket[2]", "source": "id"}],
+    )
+    writer.append([{"id": i, "tag": "first"} for i in range(40)])
+    writer.update_partition_spec(
+        [{"name": "id_bucket", "transform": "bucket[4]", "source": "id"}]
+    )
+    writer.append([{"id": i, "tag": "second"} for i in range(40)])
+    return path
+
+
 def ensure_nested_fixture(path: str = NESTED_FIXTURE_DIR) -> str:
     """Nested-type table (struct/list/map columns): the one capability the
     reference hard-refuses (``/root/reference/daskberg/conversions.py:46``

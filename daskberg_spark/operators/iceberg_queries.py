@@ -104,6 +104,7 @@ def prepare_fixtures() -> None:
         ensure_evolved_fixture,
         ensure_foreign_fixture,
         ensure_nested_fixture,
+        ensure_spec_evo_fixture,
     )
 
     ensure_partitioned_fixture()
@@ -111,6 +112,7 @@ def prepare_fixtures() -> None:
     ensure_evolved_fixture()
     ensure_nested_fixture()
     ensure_foreign_fixture()
+    ensure_spec_evo_fixture()
 
 
 @query(
@@ -443,6 +445,27 @@ def iceberg_foreign_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
         F.min("val").cast("double").alias("min_val"),
     )
+
+
+@query(
+    "iceberg_spec_evolution_prune",
+    """
+    SELECT id, tag
+    FROM read_parquet('/root/repo/.fixtures/spec_evo_table/data/0*.parquet')
+    WHERE id = 7
+    """,
+)
+def iceberg_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution read: live files span bucket[2] and
+    bucket[4] specs over the SAME field name, and a point predicate keeps
+    exactly one file per spec only when each file's partition value is
+    checked through its own spec's transform (planner ``spec_by_source``
+    per ``_spec_id``).  The oracle reads the raw data files — any
+    wrong-spec pruning drops one of the two id=7 rows."""
+    from daskberg_spark.iceberg.fixtures import ensure_spec_evo_fixture
+
+    t = IcebergTable(ensure_spec_evo_fixture())
+    return t.to_df(spark, filters=[("id", "==", 7)]).select("id", "tag")
 
 
 @query(

@@ -274,6 +274,30 @@ def test_foreign_written_v2_table(spark):
     assert {f["_spec_id"] for f in t.plan_files()} == {0, 1}
 
 
+def test_spec_evolution_per_file_pruning(spark):
+    """Live files under two specs where the same partition field name has
+    DIFFERENT bucket widths: pruning must consult each file's own spec.
+    id=7 hashes to bucket 1 under bucket[2] and bucket 3 under bucket[4];
+    both appends span the same id range so stats cannot prune the
+    wrong-bucket files — only per-spec transform resolution can."""
+    from daskberg_spark.iceberg.fixtures import ensure_spec_evo_fixture
+
+    t = IcebergTable(ensure_spec_evo_fixture())
+    files = t.plan_files()
+    assert len(files) == 6
+    assert {f["_spec_id"] for f in files} == {0, 1}
+    pruned = t.plan_files([("id", "==", 7)])
+    by_spec: dict[int, list] = {}
+    for f in pruned:
+        by_spec.setdefault(f["_spec_id"], []).append(f)
+    assert len(by_spec[0]) == 1, "spec-0 must keep exactly its bucket[2]=1 file"
+    assert len(by_spec[1]) == 1, "spec-1 must keep exactly its bucket[4]=3 file"
+    assert by_spec[0][0]["partition"]["id_bucket"] == 1
+    assert by_spec[1][0]["partition"]["id_bucket"] == 3
+    rows = t.to_df(spark, filters=[("id", "==", 7)]).collect()
+    assert sorted(r["tag"] for r in rows) == ["first", "second"]
+
+
 def test_v2_deletes_relocated_table(spark, tmp_path):
     """Delete-file target paths are rewritten under original_url relocation:
     a moved table's position deletes must still anti-join (stored paths

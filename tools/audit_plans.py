@@ -41,6 +41,12 @@ AUDIT = {
     "window_distribution_partitioned": (1, False, False, 3),
     # eq-delete anti-join + pos-delete anti-join + final agg exchange
     "iceberg_v2_row_deletes": (3, False, True, None),
+    # foreign-written v2: sequence-classed eq-delete anti-joins (broadcast
+    # delete keys) + group agg; no residual predicate to push
+    "iceberg_foreign_read": (3, False, True, None),
+    # spec-evolved point read: metadata pruned to 2 files, residual id=7
+    # pushed to the parquet scan, 2-column ReadSchema, no shuffle
+    "iceberg_spec_evolution_prune": (0, True, False, 2),
     "q19_disjunctive_filter": (1, True, True, None),
     "array_functions": (0, False, False, 2),
     "events_funnel": (2, True, False, 3),
