@@ -26,6 +26,162 @@ def test_streaming_dedup_equals_batch_distinct(spark):
     assert got == want and len(got) > 0
 
 
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop the stateful sessionization mid-stream and resume a NEW query
+    from its checkpoint: run 1 sees only the first third of the events,
+    the remaining thirds arrive while the query is down, and run 2
+    recovers per-user state from the checkpoint.  Final session/event
+    counts must equal the batch lag/gap oracle exactly — state recovered,
+    no events lost, none double-counted — and run 2's epochs must
+    CONTINUE the checkpointed batch numbering, not restart at 0."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id")
+    )
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    parts = [pdf[: n // 3], pdf[n // 3 : 2 * n // 3], pdf[2 * n // 3 :]]
+    pq.write_table(pa.Table.from_pandas(parts[0]), str(src / "part1.parquet"))
+
+    def sessionize(key, pdfs, state: GroupState):
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            micros = ts.value // 1_000
+            if last_ts is None or micros - last_ts > 1800 * 1_000_000:
+                n_sessions += 1
+            last_ts = micros
+            n_events += 1
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        if dict(stream.dtypes)["ts"] == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = stream.groupBy("user_id").applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="n_sessions long, n_events long, last_ts long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def write_epoch(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+        return (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_epoch)
+            .start()
+        )
+
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    run1_epochs = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(f"{sink}/epoch=*")
+    }
+    assert run1_epochs, "run 1 must have committed at least one epoch"
+
+    # the query is DOWN while the rest of the stream arrives
+    pq.write_table(pa.Table.from_pandas(parts[1]), str(src / "part2.parquet"))
+    pq.write_table(pa.Table.from_pandas(parts[2]), str(src / "part3.parquet"))
+
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    all_epochs = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(f"{sink}/epoch=*")
+    }
+    run2_epochs = all_epochs - run1_epochs
+    assert run2_epochs and min(run2_epochs) > max(run1_epochs), (
+        "restart must continue the checkpoint's batch numbering",
+        run1_epochs,
+        all_epochs,
+    )
+
+    # per-user final state = the emission from that user's latest epoch
+    emitted = spark.read.parquet(sink)
+    latest = (
+        emitted.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("epoch").desc())
+            ),
+        )
+        .where("rk = 1")
+        .select("user_id", "n_sessions", "n_events")
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"]) for r in latest.collect()
+    }
+
+    # batch oracle: lag/gap sessionization over the WHOLE fixture
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(wlag).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(wlag).cast("timestamp"))
+                > 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in flagged.groupBy("user_id")
+        .agg(
+            F.sum("is_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_stream_join_equals_batch_range_join(spark):
     from daskberg_spark.operators.registry import table
     from daskberg_spark.streaming.events import streaming_stream_join
