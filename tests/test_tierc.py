@@ -345,6 +345,21 @@ def test_min_label_propagation_round_count(spark):
     assert rounds2 == 2
 
 
+def test_min_label_propagation_long_chain_logarithmic(spark):
+    """Adversarial chain component: pointer jumping (from round 3) makes
+    convergence logarithmic in the diameter — a 500-node path converges
+    in ~2 + log2(500) + 1 rounds, where 1-hop-only propagation needs
+    ~500 and would blow any fixed round bound at corpus scale."""
+    from daskberg_spark.operators.dedup import min_label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(499)], "doc_a long, doc_b long"
+    )
+    labels, rounds = min_label_propagation(edges)
+    assert {r["component"] for r in labels.collect()} == {0}
+    assert rounds <= 16, rounds
+
+
 def test_ivf_clustered_recall_with_oracle_truth(spark):
     """Clustered-regime IVF: recall >= 0.95@5 while scanning <= 15% of
     the corpus, with the brute-force ground truth ORACLE-VERIFIED — DuckDB

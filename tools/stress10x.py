@@ -157,6 +157,187 @@ def main() -> None:
         if v is not None:
             spark.conf.set(k, v)
 
+    # -- C2: minhash-LSH candidate generation at 10× corpus ----------------
+    # Each extra copy gets a per-copy token prefix, so copies are NOT
+    # near-dups of each other (distinct shingles) and the corpus is
+    # genuinely 10× larger with the SAME per-copy duplicate density —
+    # candidate pairs should scale ~linearly, wall with bucket sizes,
+    # never n².
+    from daskberg_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        min_label_propagation,
+        minhash_signatures_from_shingles,
+        shingle_arrays,
+    )
+
+    def docs_distinct_10x():
+        out = docs
+        for i in range(1, 10):
+            out = out.unionByName(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                ).withColumn(
+                    "text", F.regexp_replace("text", "(^|\\s)", f"$1c{i}")
+                )
+            )
+        return out
+
+    def lsh_candidates(frame):
+        sh = shingle_arrays(frame).localCheckpoint()
+        sigs = minhash_signatures_from_shingles(sh)
+        rows_per_band = N_HASHES // N_BANDS
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at(
+                                            "sig", i * rows_per_band + j + 1
+                                        )
+                                        for j in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bh"),
+                        )
+                        for i in range(N_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band", "b.bh")
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    for label, frame in (("1x", docs), ("10x", docs_distinct_10x())):
+        best = float("inf")
+        n_pairs = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pairs = lsh_candidates(frame).count()
+            best = min(best, time.perf_counter() - t0)
+        results[f"lsh_candidates_{label}"] = round(best, 3)
+        results[f"lsh_candidates_{label}_pairs"] = n_pairs
+
+    # -- C2: CC rounds on an adversarial chain (pointer jumping) -----------
+    # A path graph is the worst case for 1-hop label propagation
+    # (rounds = diameter).  With path halving, rounds grow ~log2: 10×
+    # the chain should add ~3-4 rounds, not 10× the rounds.
+    for label, n in (("1x", 1_000), ("10x", 10_000)):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        t0 = time.perf_counter()
+        labels, rounds = min_label_propagation(edges)
+        assert labels.where("component <> 0").count() == 0
+        results[f"cc_chain_{label}"] = round(time.perf_counter() - t0, 3)
+        results[f"cc_chain_{label}_rounds"] = rounds
+
+    # -- C3: IVF probe cost at 10× corpus ----------------------------------
+    # Same N_QUERIES query vectors (copy 0), corpus 10×: the probed join
+    # still touches ~N_PROBE/N_CELLS of the corpus, so per-query scanned
+    # fraction stays flat and wall tracks the probed rows, not all-pairs.
+    # (The recall harness's brute-force truth pass is deliberately NOT
+    # timed here — this measures the serving path alone.)
+    from pyspark.sql import Window as W
+
+    from daskberg_spark.operators.registry import table as _table
+    from daskberg_spark.operators.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        _cell_of,
+        _dot,
+        _norm,
+        _sq_dist,
+        ivf_centroids,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+
+    def emb_10x():
+        out = emb
+        for i in range(1, 10):
+            out = out.unionByName(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            )
+        return out
+
+    def ivf_probe(frame):
+        centroids = ivf_centroids(frame)
+        v = F.col("embedding")
+        corpus = frame.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            _cell_of(v, centroids).alias("cell"),
+        )
+        probes = F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("cell"))
+                        for i, c in enumerate(centroids)
+                    ]
+                )
+            ),
+            1,
+            N_PROBE,
+        )
+        q = (
+            frame.filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.explode(probes).alias("p"),
+            )
+            .select("query_id", "qv", F.col("p.cell").alias("qcell"))
+        )
+        cand = F.broadcast(q).join(
+            corpus,
+            (F.col("qcell") == corpus["cell"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        cos = _dot(F.col("qv"), F.col("cv")) / (
+            _norm(F.col("qv")) * _norm(F.col("cv"))
+        )
+        scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+        topk = scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= TOP_K
+        )
+        return topk, scored
+
+    for label, frame in (("1x", emb), ("10x", emb_10x())):
+        total = frame.count()
+        best, frac = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            topk, scored = ivf_probe(frame)
+            n_topk = topk.count()
+            best = min(best, time.perf_counter() - t0)
+            n_scanned = scored.count()
+            frac = round(n_scanned / (N_QUERIES * total), 4)
+            assert n_topk == N_QUERIES * TOP_K
+        results[f"ivf_probe_{label}"] = round(best, 3)
+        results[f"ivf_probe_{label}_scan_frac"] = frac
+
     print(json.dumps(results))
     spark.stop()
 
