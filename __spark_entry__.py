@@ -60,7 +60,7 @@ def _load_registry():
 # variants follow (each was already driver-green in CORRECTNESS_r01) and
 # are continuously re-verified by tools/check_oracle.py.
 #
-# SLOT ROTATION (round-3 verdict item 8): each round, 2-4 slots whose
+# SLOT ROTATION (round-3 verdict item 8): each round, slots whose
 # queries have been driver-green for 2+ rounds rotate out (they stay
 # oracle-verified locally) so queries that never had a driver row
 # accumulate driver evidence.  §2 flagships never rotate.
@@ -69,72 +69,85 @@ def _load_registry():
 #   r4 in:  iceberg_nested_read (new nested-type capability),
 #           approx_quantiles_histogram, winsorized_stats, events_funnel
 #           (all rewritten this round — unbounded-agg elimination)
+#   r5 out (all driver-green r1-r4, family coverage retained in-window):
+#           q3_shipping_priority, q6_forecast_revenue,
+#           iceberg_filtered_scan, iceberg_unique_partitions,
+#           iceberg_partitions_metadata, iceberg_sql_over_catalog,
+#           iceberg_write_roundtrip, dedup_simhash, text_quality,
+#           langid_heuristic, streaming_event_counts, multimodal_features
+#   r5 in (12 FIRST-TIME driver rows — none ever appeared in a
+#           CORRECTNESS_r* before):
+#           iceberg_foreign_read (r5 lead: sequence-number deletes on a
+#           foreign-style fixture), iceberg_spec_evolution_prune (r5
+#           item 5: per-file spec resolution), iceberg_merge_cow
+#           (copy-on-write MERGE), q2_min_cost_supplier,
+#           q10_returned_items, q18_large_volume, q21_waiting_supplier
+#           (TPC-H tail), approx_distinct_hll, approx_topk_countmin
+#           (deterministic sketches), window_distribution_partitioned
+#           (scale-safe distribution window), dedup_keep_best (C1
+#           survivor policy), decontaminate_ngram_overlap (curation)
 _PRIORITY = [
-    # flagship + TPC-H (B4/B9/B7 at scale)
+    # flagship + TPC-H (B4 at scale; q3/q6 rotated out r5, tail rotated in)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
+    "q2_min_cost_supplier",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_supplier",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
     "iceberg_time_travel",
-    "iceberg_filtered_scan",
     "iceberg_partition_prune",
     "iceberg_or_filter",
     "iceberg_day_transform_prune",
-    "iceberg_unique_partitions",
-    # A12 metadata introspection: the oracle-checkable partitions metadata
-    # table takes the window slot; iceberg_snapshot_log (rows-only by
-    # nature — snapshot ids/timestamps have no DuckDB twin) registers
-    # after the window and stays covered by tools/check_oracle.py.
-    "iceberg_partitions_metadata",
     "iceberg_schema_evolution",
-    "iceberg_write_roundtrip",
     "iceberg_lineitem_month_prune",
     "iceberg_lineitem_stats_prune",
-    "iceberg_sql_over_catalog",
     "iceberg_incremental_read",
     "iceberg_v2_row_deletes",
     "iceberg_nested_read",
+    # r5: sequence-number-correct deletes on a foreign-style table,
+    # per-file spec resolution, copy-on-write MERGE
+    "iceberg_foreign_read",
+    "iceberg_spec_evolution_prune",
+    "iceberg_merge_cow",
     # Tier C — dedup (C1/C2)
     "dedup_exact",
     "dedup_minhash_candidates",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_connected_components",
     "pipeline_dedup_corpus",
+    "dedup_keep_best",
     # Tier C — similarity (C3)
     "similarity_topk",
     "embedding_neardup",
     "similarity_lsh_buckets",
     "similarity_lsh_recall",
-    # Tier C — text (C4)
+    # Tier C — text/curation (C4)
     "text_stats",
-    "text_quality",
-    "langid_heuristic",
     "token_count_bpe",
     "fingerprint_md5",
     "fingerprint_rolling",
     "pipeline_quality_filter",
+    "decontaminate_ngram_overlap",
     # Tier C — multimodal (C5)
     "multimodal_metadata",
-    "multimodal_features",
     "multimodal_decode_stub",
     # streaming extension
     "streaming_hourly_window",
-    "streaming_event_counts",
     "streaming_stateful_sessions",
     "streaming_foreach_batch_sink",
     # Tier B representatives + scale patterns
     "filter_project",
     "join_multi",
     "window_rank",
+    "window_distribution_partitioned",
     "partitioned_write",
-    # B5 quantiles: approx_quantiles_histogram is the oracle-checkable
-    # deterministic sketch (approx_quantiles, per-engine internals, stays
-    # rows-only after the window); winsorized_stats carries the exact
-    # per-group sort-rank quantile path.
+    # B5 quantiles/sketches: deterministic, oracle-checkable formulations
+    # (per-engine sketch internals stay rows-only after the window)
     "approx_quantiles_histogram",
     "winsorized_stats",
+    "approx_distinct_hll",
+    "approx_topk_countmin",
     "events_funnel",
 ]
 
