@@ -65,6 +65,12 @@ HEADLINE = [
     "bpe_encode_corpus",
     "iceberg_nested_read",
     "approx_topk_countmin",
+    # round 5: sequence-classed delete read on the foreign-style fixture,
+    # and the two heaviest TPC-H tail shapes rotated into the driver
+    # window this round
+    "iceberg_foreign_read",
+    "q10_returned_items",
+    "q18_large_volume",
 ]
 
 
