@@ -292,6 +292,115 @@ class IcebergWriter:
         os.makedirs(f"{self.path}/metadata", exist_ok=True)
         os.makedirs(f"{self.path}/data", exist_ok=True)
 
+    @classmethod
+    def load(cls, path: str) -> "IcebergWriter":
+        """Reopen an EXISTING table for continued commits — the state the
+        constructor builds in memory is reconstructed from the current
+        metadata JSON + manifest list, so a table written by another
+        process (or another engine, e.g. the foreign-style fixtures with
+        random snapshot ids and snappy manifests) can keep evolving:
+
+        - ``last-sequence-number`` resumes the data-sequence clock, so
+          equality-delete applicability stays correct across processes;
+        - snapshot-id allocation continues above the existing maximum
+          (safe against foreign random ids);
+        - schemas / partition specs / refs / WAP pin are restored, with
+          spec source column names re-resolved by field id.
+        """
+        from daskberg_spark.iceberg.avro import read_avro_file
+
+        path = path.rstrip("/")
+        hint = f"{path}/metadata/version-hint.text"
+        with open(hint) as f:
+            version = int(f.read().strip())
+        with open(f"{path}/metadata/v{version}.metadata.json") as f:
+            meta = json.load(f)
+
+        schemas_by_id = {
+            s["schema-id"]: s["fields"] for s in meta.get("schemas", [])
+        }
+        if sorted(schemas_by_id) != list(range(len(schemas_by_id))):
+            raise NotImplementedError(
+                "cannot load a table with non-contiguous schema ids"
+            )
+        specs_by_id = {
+            s["spec-id"]: s["fields"] for s in meta.get("partition-specs", [])
+        }
+        if sorted(specs_by_id) != list(range(len(specs_by_id))):
+            raise NotImplementedError(
+                "cannot load a table with non-contiguous spec ids"
+            )
+        current_schema_id = meta.get("current-schema-id", 0)
+        fields = schemas_by_id[current_schema_id]
+
+        w = cls.__new__(cls)
+        w.path = path
+        w.fields = fields
+        w.types = {f["name"]: f["type"] for f in fields}
+        w.ids = {f["name"]: f["id"] for f in fields}
+        w.schemas = [schemas_by_id[i] for i in range(len(schemas_by_id))]
+        w.current_schema_id = current_schema_id
+        by_id = {f["id"]: f["name"] for f in fields}
+        w.specs = [
+            [
+                dict(pf, _source_name=by_id[pf["source-id"]])
+                for pf in specs_by_id[i]
+            ]
+            for i in range(len(specs_by_id))
+        ]
+        w.current_spec_id = meta.get("default-spec-id", 0)
+        w.spec = w.specs[w.current_spec_id]
+        w.version = version
+        w.snapshots = list(meta.get("snapshots", []))
+        w._next_snapshot_id = (
+            max((s["snapshot-id"] for s in w.snapshots), default=0) + 1
+        )
+        w._last_sequence_number = meta.get(
+            "last-sequence-number",
+            max(
+                (s.get("sequence-number", 0) for s in w.snapshots), default=0
+            ),
+        )
+        w._format_version = meta.get("format-version", 1)
+        w.table_uuid = meta.get(
+            "table-uuid", str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+        )
+        # metadata-log in the CURRENT file excludes itself (spec); the
+        # in-memory log must include it so the next write lists it.
+        w._metadata_log = list(meta.get("metadata-log", [])) + [
+            {
+                "metadata-file": f"{path}/metadata/v{version}.metadata.json",
+                "timestamp-ms": meta.get("last-updated-ms", 0),
+            }
+        ]
+        w.refs = {
+            k: dict(v) for k, v in meta.get("refs", {}).items() if k != "main"
+        }
+        cur = meta.get("current-snapshot-id")
+        last = w.snapshots[-1]["snapshot-id"] if w.snapshots else None
+        w.main_pin = cur if (cur is not None and cur != last) else None
+        if w.snapshots:
+            _, w.manifests = (
+                (None, [])
+                if "manifest-list" not in w.snapshots[-1]
+                else read_avro_file(w.snapshots[-1]["manifest-list"])
+            )
+        else:
+            w.manifests = []
+        # resume the file/manifest counters above anything on disk so new
+        # names cannot collide with existing ones
+        w._file_counter = 0
+        for name in os.listdir(f"{path}/data") if os.path.isdir(f"{path}/data") else []:
+            m = re.match(r"^(?:eq-delete-|pos-delete-)?(\d+)", name)
+            if m:
+                w._file_counter = max(w._file_counter, int(m.group(1)))
+        w._manifest_counter = 0
+        for name in os.listdir(f"{path}/metadata"):
+            m = re.match(r"^manifest-.*-(\d+)\.avro$", name)
+            if m:
+                w._manifest_counter = max(w._manifest_counter, int(m.group(1)))
+        return w
+
     # -- helpers ------------------------------------------------------------
 
     def _build_spec(

@@ -1455,3 +1455,70 @@ def test_nested_add_column_in_struct(spark, tmp_path):
 
     meta = json.load(open(f"{w.path}/metadata/v{w.version}.metadata.json"))
     assert meta["last-column-id"] == 8
+
+
+def test_writer_load_continues_table(spark, tmp_path):
+    """IcebergWriter.load reopens an existing table: the sequence clock,
+    snapshot-id allocation, schemas/specs and manifest list all resume,
+    so cross-process commits keep equality-delete applicability correct."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    w.delete_rows_equality([{"id": 1}])
+    del w
+
+    w2 = IcebergWriter.load(p)
+    assert w2._last_sequence_number == 2
+    assert w2._next_snapshot_id == 3
+    # a post-load re-insert must survive the pre-load delete (sequence 3 > 2)
+    w2.append([{"id": 1, "v": "reborn"}])
+    t = IcebergTable(p)
+    assert sorted(map(tuple, t.to_df(spark).collect())) == [
+        (1, "reborn"),
+        (2, "b"),
+    ]
+    # metadata-log grew and lists the pre-load metadata files
+    logged = {e["metadata-file"] for e in t.metadata["metadata-log"]}
+    assert any("v2.metadata.json" in f for f in logged)
+
+
+def test_writer_load_foreign_table_appends(spark, tmp_path):
+    """Loading the FOREIGN-style fixture (random snapshot ids, snappy
+    manifests, two live specs) and committing on top of it: the new
+    snapshot id allocates above the forged maximum, the sequence clock
+    continues, and the appended rows land under the evolved spec."""
+    import shutil
+
+    from daskberg_spark.iceberg.fixtures import (
+        FOREIGN_ID_REMAP,
+        ensure_foreign_fixture,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "foreign")
+    shutil.copytree(ensure_foreign_fixture(), p)
+    w = IcebergWriter.load(p)
+    assert w._last_sequence_number == 4
+    assert w._next_snapshot_id == max(FOREIGN_ID_REMAP.values()) + 1
+    assert len(w.specs) == 2 and w.current_spec_id == 1
+    w.append([{"id": 100, "cat": "z", "val": 100.0}])
+    t = IcebergTable(p)
+    rows = {(r["id"], r["val"]) for r in t.to_df(spark).collect()}
+    expect = (
+        {(i, float(i)) for i in range(50) if i not in (5, 35)}
+        | {(5, -1.0), (100, 100.0)}
+    )
+    assert rows == expect
+    # the reborn row still survives: applicability stayed sequence-keyed
+    pruned = t.to_df(spark, filters=[("cat", "==", "z")])
+    assert {r["id"] for r in pruned.collect()} == {
+        i for i in range(50) if i % 3 == 2 and i not in (5, 35)
+    } | {100}
