@@ -1522,3 +1522,45 @@ def test_writer_load_foreign_table_appends(spark, tmp_path):
     assert {r["id"] for r in pruned.collect()} == {
         i for i in range(50) if i % 3 == 2 and i not in (5, 35)
     } | {100}
+
+
+def test_v2_delete_applicability_fuzz_forged_ids(spark, tmp_path):
+    """Randomized append/eq-delete interleavings vs a Python model of the
+    Iceberg sequence rules (a delete removes exactly the live rows whose
+    data sequence number precedes it), then snapshot ids forged to random
+    longs before reading — five seeded scenarios, each read once."""
+    import random
+
+    from daskberg_spark.iceberg.fixtures import remap_snapshot_ids
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"t{seed}")
+        w = IcebergWriter(
+            p,
+            [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "v", "type": "string", "required": False},
+            ],
+        )
+        live: list[tuple[int, str]] = []  # model: (key, value) multiset
+        n_ops = rng.randint(4, 7)
+        did_delete = False
+        for op_i in range(n_ops):
+            if did_delete is False or rng.random() < 0.6 or not live:
+                keys = [rng.randint(1, 6) for _ in range(rng.randint(1, 3))]
+                rows = [{"id": k, "v": f"v{op_i}_{k}"} for k in keys]
+                w.append(rows)
+                live.extend((k, f"v{op_i}_{k}") for k in keys)
+            else:
+                ks = {rng.randint(1, 6) for _ in range(rng.randint(1, 2))}
+                w.delete_rows_equality([{"id": k} for k in sorted(ks)])
+                live = [(k, v) for k, v in live if k not in ks]
+            did_delete = True
+        n_snaps = len(w.snapshots)
+        forged = rng.sample(range(10_000, 1 << 40), n_snaps)
+        remap_snapshot_ids(p, {i + 1: f for i, f in enumerate(forged)})
+        t = IcebergTable(p)
+        got = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
+        assert got == sorted(live), (seed, got, sorted(live))
