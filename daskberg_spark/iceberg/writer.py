@@ -283,6 +283,7 @@ class IcebergWriter:
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         self._metadata_log: list[dict[str, Any]] = []
         self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
+        self.properties: dict[str, str] = {}  # table properties (spec map)
         # WAP staging: when set, the main ref / current-snapshot-id stay
         # pinned at this snapshot while staged commits append behind a
         # branch ref (see stage_append/publish_branch/abort_stage)
@@ -376,6 +377,7 @@ class IcebergWriter:
         w.refs = {
             k: dict(v) for k, v in meta.get("refs", {}).items() if k != "main"
         }
+        w.properties = dict(meta.get("properties", {}))
         cur = meta.get("current-snapshot-id")
         last = w.snapshots[-1]["snapshot-id"] if w.snapshots else None
         w.main_pin = cur if (cur is not None and cur != last) else None
@@ -850,6 +852,16 @@ class IcebergWriter:
         )
         return snapshot_id
 
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Set/overwrite table properties (Iceberg metadata ``properties``
+        map — write configs, retention policies, engine hints).  Emits a
+        new metadata version immediately when the table has snapshots;
+        otherwise the properties ride out with the first commit."""
+        self.properties.update({str(k): str(v) for k, v in props.items()})
+        if self.snapshots:
+            self.version += 1
+            self._write_metadata()
+
     def set_ref(
         self,
         name: str,
@@ -1018,6 +1030,7 @@ class IcebergWriter:
             "table-uuid": self.table_uuid,
             "location": self.path,
             "last-sequence-number": self._last_sequence_number,
+            "properties": self.properties,
             "last-updated-ms": last["timestamp-ms"],
             "last-column-id": _max_field_id(self.fields),
             "schemas": [
@@ -1543,6 +1556,70 @@ def abort_stage(writer: "IcebergWriter", branch: str) -> list[int]:
     writer.version += 1
     writer._write_metadata()
     return dropped
+
+
+def rewrite_manifests(
+    writer: "IcebergWriter", max_entries_per_manifest: int = 100
+) -> int | None:
+    """Maintenance: consolidate the manifest LIST — reconcile DELETED
+    tombstones, then rewrite every live entry as EXISTING into one
+    manifest per (spec, ≤max_entries chunk).  A frequently-committed
+    table accumulates O(commits) manifests and every scan plans across
+    all of them; after rewrite, planning reads O(files/chunk) manifests.
+    (The real-Iceberg ``rewrite_manifests`` action; metadata-only — zero
+    data IO.)
+
+    Sequence correctness is load-bearing here: each rewritten entry
+    carries its EXPLICIT data sequence number (``_entry_seq``), so
+    equality-delete applicability — data seq < delete seq — survives
+    even though every entry now lives in a manifest committed later
+    than all of them.  One ``replace`` snapshot; returns its id, or
+    None when consolidation would not reduce the manifest count."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    snapshot_id = writer._next_snapshot_id
+    deleted: set[str] = set()
+    loaded: list[tuple[int, list[dict[str, Any]], dict[str, Any]]] = []
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        loaded.append((mf.get("partition_spec_id", 0), entries, mf))
+        for e in entries:
+            if e["status"] == 2:
+                deleted.add(e["data_file"]["file_path"])
+    live_by_spec: dict[int, list[dict[str, Any]]] = {}
+    for spec_id, entries, mf in loaded:
+        for e in entries:
+            if e["status"] == 2 or e["data_file"]["file_path"] in deleted:
+                continue
+            live_by_spec.setdefault(spec_id, []).append(
+                {
+                    "status": 0,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": _entry_seq(e, mf),
+                    "data_file": e["data_file"],
+                }
+            )
+    n_target = sum(
+        max(1, -(-len(v) // max_entries_per_manifest))
+        for v in live_by_spec.values()
+    ) or 1
+    if n_target >= len(writer.manifests):
+        return None
+    manifests = []
+    for sid in sorted(live_by_spec):
+        entries = sorted(
+            live_by_spec[sid], key=lambda e: e["data_file"]["file_path"]
+        )
+        for i in range(0, len(entries), max_entries_per_manifest):
+            manifests.append(
+                writer._write_manifest(
+                    entries[i : i + max_entries_per_manifest],
+                    snapshot_id,
+                    spec_id=sid,
+                )
+            )
+    writer._commit(snapshot_id, manifests or [writer._write_manifest([], snapshot_id)], "replace", 0)
+    return snapshot_id
 
 
 def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:

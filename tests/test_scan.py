@@ -1564,3 +1564,58 @@ def test_v2_delete_applicability_fuzz_forged_ids(spark, tmp_path):
         t = IcebergTable(p)
         got = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
         assert got == sorted(live), (seed, got, sorted(live))
+
+
+def test_rewrite_manifests_preserves_sequence_applicability(spark, tmp_path):
+    """Manifest consolidation is metadata-only and sequence-preserving:
+    after collapsing O(commits) manifests into one, the same rows come
+    back AND a pre-rewrite equality delete still applies only to the
+    data files that preceded it — the rewritten EXISTING entries carry
+    their explicit data sequence numbers."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, rewrite_manifests
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    for i in range(5):
+        w.append([{"id": 10 * i + j, "v": f"v{i}"} for j in range(3)])
+    w.delete_rows_equality([{"id": 0}, {"id": 10}])
+    w.append([{"id": 0, "v": "reborn"}])  # survives: seq 7 > delete seq 6
+    before = sorted(map(tuple, IcebergTable(p).to_df(spark).collect()))
+    n_before = len(w.manifests)
+    sid = rewrite_manifests(w)
+    assert sid is not None and len(w.manifests) == 1 < n_before
+    t = IcebergTable(p)
+    after = sorted(map(tuple, t.to_df(spark).collect()))
+    assert after == before
+    assert (0, "reborn") in after and (10, "v1") not in after
+    # idempotent: already consolidated → no-op
+    assert rewrite_manifests(w) is None
+
+
+def test_table_properties_roundtrip(tmp_path):
+    """set_properties emits the spec ``properties`` map and load restores
+    it across processes."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.set_properties({"write.target-file-size-bytes": 134217728})
+    w.append([{"id": 1}])
+    w.set_properties({"owner": "pipeline"})
+    t = IcebergTable(p)
+    assert t.metadata["properties"] == {
+        "write.target-file-size-bytes": "134217728",
+        "owner": "pipeline",
+    }
+    w2 = IcebergWriter.load(p)
+    assert w2.properties["owner"] == "pipeline"
+    w2.append([{"id": 2}])
+    assert IcebergTable(p).metadata["properties"]["owner"] == "pipeline"
