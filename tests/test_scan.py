@@ -1619,3 +1619,28 @@ def test_table_properties_roundtrip(tmp_path):
     assert w2.properties["owner"] == "pipeline"
     w2.append([{"id": 2}])
     assert IcebergTable(p).metadata["properties"]["owner"] == "pipeline"
+
+
+def test_eq_delete_null_key(spark, tmp_path):
+    """An equality delete with a NULL key matches rows where the column
+    IS NULL (Iceberg null-safe equality), composes with sequence
+    applicability, and leaves non-null rows alone."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": None, "v": "ghost"}, {"id": 1, "v": "keep"}])
+    w.delete_rows_equality([{"id": None}])
+    w.append([{"id": None, "v": "reborn-null"}])  # post-delete: stays
+    t = IcebergTable(p)
+    rows = sorted(
+        ((r["id"], r["v"]) for r in t.to_df(spark).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert rows == [(1, "keep"), (None, "reborn-null")]
