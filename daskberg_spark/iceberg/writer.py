@@ -1660,20 +1660,31 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
     return sorted(expired_set)
 
 
-def remove_orphan_files(table_path: str) -> list[str]:
+def remove_orphan_files(
+    table_path: str, include_metadata: bool = True
+) -> list[str]:
     """Maintenance: delete data files not referenced by any manifest of
     any snapshot in the *current* metadata version (run after
-    expire_snapshots).  Returns the removed paths."""
+    expire_snapshots).  With ``include_metadata`` (default), unreferenced
+    metadata Avro (manifest lists / manifests left behind by
+    expire_snapshots or rewrite_manifests) is reclaimed too — versioned
+    ``*.metadata.json`` and the version hint always stay.  Returns the
+    removed paths."""
     from daskberg_spark.iceberg.avro import read_avro_file
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     table_path = os.path.realpath(table_path)
     table = IcebergTable(table_path)
     referenced: set[str] = set()
+    referenced_meta: set[str] = set()
     for snap in table.snapshots.values():
-        _, manifests = read_avro_file(table._relocate(snap["manifest-list"]))
+        ml = table._relocate(snap["manifest-list"])
+        referenced_meta.add(os.path.realpath(ml))
+        _, manifests = read_avro_file(ml)
         for mf in manifests:
-            _, entries = read_avro_file(table._relocate(mf["manifest_path"]))
+            mpath = table._relocate(mf["manifest_path"])
+            referenced_meta.add(os.path.realpath(mpath))
+            _, entries = read_avro_file(mpath)
             for e in entries:
                 # DELETED entries are tombstones, not references — a file
                 # only they mention is reclaimable
@@ -1688,6 +1699,15 @@ def remove_orphan_files(table_path: str) -> list[str]:
         if path not in referenced and name.endswith(".parquet"):
             os.remove(path)
             removed.append(path)
+    if include_metadata:
+        meta_dir = os.path.join(table_path, "metadata")
+        for name in sorted(os.listdir(meta_dir)):
+            if not name.endswith(".avro"):
+                continue  # metadata JSONs and the version hint always stay
+            path = os.path.realpath(os.path.join(meta_dir, name))
+            if path not in referenced_meta:
+                os.remove(path)
+                removed.append(path)
     return removed
 
 

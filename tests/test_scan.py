@@ -364,13 +364,17 @@ def test_expire_snapshots_and_orphan_cleanup(spark, tmp_path):
     assert t.to_df(spark).count() == 2  # head content unaffected
     with pytest.raises(ValueError):
         t.open_snapshot(rel=-1)  # expired history is gone
-    # orphan cleanup removes nothing (all files still referenced)
-    assert remove_orphan_files(w.path) == []
+    # orphan cleanup removes no DATA (all files still referenced); the
+    # expired snapshots' manifest lists are metadata orphans and go
+    removed = remove_orphan_files(w.path)
+    assert [p for p in removed if p.endswith(".parquet")] == []
+    assert all(p.endswith(".avro") for p in removed)
+    assert IcebergTable(w.path).to_df(spark).count() == 2  # reads intact
     # now delete one file's rows and expire: the old file becomes orphaned
     w.delete_files(lambda df: True)
     expire_snapshots(w, keep_last=1)
     removed = remove_orphan_files(w.path)
-    assert len(removed) == 2
+    assert len([p for p in removed if p.endswith(".parquet")]) == 2
     t = IcebergTable(w.path)
     assert t.to_df(spark).count() == 0
 
@@ -1044,7 +1048,9 @@ def test_expire_snapshots_retains_ref_pinned(spark, tmp_path):
     assert {r["x"] for r in t.to_df(spark).collect()} == {1}
     t2 = IcebergTable(w.path)
     assert {r["x"] for r in t2.to_df(spark).collect()} == {1, 2, 3}
-    assert removed == []  # nothing reachable was deleted
+    # nothing reachable was deleted: no data files, only the expired
+    # middle snapshot's metadata avro
+    assert [p for p in removed if p.endswith(".parquet")] == []
 
 
 def test_compact_files_spark_partitioned(spark, tmp_path):
@@ -1644,3 +1650,36 @@ def test_eq_delete_null_key(spark, tmp_path):
         key=lambda x: (x[0] is None, x),
     )
     assert rows == [(1, "keep"), (None, "reborn-null")]
+
+
+def test_rewrite_manifests_then_orphan_cleanup(spark, tmp_path):
+    """Manifest consolidation + snapshot expiry leaves the superseded
+    manifest Avro unreferenced; remove_orphan_files reclaims exactly that
+    metadata (no data files — every row is still live) and reads are
+    unchanged.  Without expiry the old manifests stay: prior snapshots
+    still reference them for time travel, and cleanup must keep them."""
+    import glob
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        expire_snapshots,
+        remove_orphan_files,
+        rewrite_manifests,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "x", "type": "long", "required": False}]
+    )
+    for i in range(6):
+        w.append([{"x": i}])
+    assert rewrite_manifests(w) is not None
+    before = sorted(r["x"] for r in IcebergTable(p).to_df(spark).collect())
+    # prior snapshots still reference the old manifests → nothing orphaned
+    assert remove_orphan_files(p) == []
+    expire_snapshots(w, keep_last=1)
+    n_avro_before = len(glob.glob(f"{p}/metadata/*.avro"))
+    removed = remove_orphan_files(p)
+    assert removed and all(r.endswith(".avro") for r in removed)
+    assert len(glob.glob(f"{p}/metadata/*.avro")) < n_avro_before
+    assert sorted(r["x"] for r in IcebergTable(p).to_df(spark).collect()) == before
