@@ -284,6 +284,12 @@ class IcebergWriter:
         self._metadata_log: list[dict[str, Any]] = []
         self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
         self.properties: dict[str, str] = {}  # table properties (spec map)
+        # sort orders (spec): order 0 is the unsorted default; a data
+        # clustering rewrite (compact_files_spark sort_by=) registers the
+        # order it produced so readers know which columns carry selective
+        # footer bounds
+        self.sort_orders: list[dict[str, Any]] = [{"order-id": 0, "fields": []}]
+        self.default_sort_order_id = 0
         # WAP staging: when set, the main ref / current-snapshot-id stay
         # pinned at this snapshot while staged commits append behind a
         # branch ref (see stage_append/publish_branch/abort_stage)
@@ -378,6 +384,10 @@ class IcebergWriter:
             k: dict(v) for k, v in meta.get("refs", {}).items() if k != "main"
         }
         w.properties = dict(meta.get("properties", {}))
+        w.sort_orders = list(
+            meta.get("sort-orders", [{"order-id": 0, "fields": []}])
+        )
+        w.default_sort_order_id = meta.get("default-sort-order-id", 0)
         cur = meta.get("current-snapshot-id")
         last = w.snapshots[-1]["snapshot-id"] if w.snapshots else None
         w.main_pin = cur if (cur is not None and cur != last) else None
@@ -852,6 +862,34 @@ class IcebergWriter:
         )
         return snapshot_id
 
+    def set_sort_order(self, cols: list[str | tuple[str, str]]) -> int:
+        """Register a sort order over ``cols`` (name, or (name, "asc"/
+        "desc")) and make it the default for future metadata.  Spec
+        shape: identity transform, nulls-first for asc / nulls-last for
+        desc (Iceberg defaults).  Returns the new order id."""
+        fields = []
+        for c in cols:
+            name, direction = (c, "asc") if isinstance(c, str) else c
+            if name not in self.ids:
+                raise ValueError(f"unknown sort column {name!r}")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"bad direction {direction!r}")
+            fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": self.ids[name],
+                    "direction": direction,
+                    "null-order": "nulls-first" if direction == "asc" else "nulls-last",
+                }
+            )
+        order_id = max(o["order-id"] for o in self.sort_orders) + 1
+        self.sort_orders.append({"order-id": order_id, "fields": fields})
+        self.default_sort_order_id = order_id
+        if self.snapshots:
+            self.version += 1
+            self._write_metadata()
+        return order_id
+
     def set_properties(self, props: dict[str, str]) -> None:
         """Set/overwrite table properties (Iceberg metadata ``properties``
         map — write configs, retention policies, engine hints).  Emits a
@@ -1061,8 +1099,8 @@ class IcebergWriter:
                 (pf["field-id"] for spec in self.specs for pf in spec),
                 default=999,
             ),
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
+            "sort-orders": self.sort_orders,
+            "default-sort-order-id": self.default_sort_order_id,
             "snapshot-log": [
                 {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
                 for s in self.snapshots
@@ -2081,6 +2119,10 @@ def compact_files_spark(
     elif sort_by:
         rows = rows.repartitionByRange(target_partitions, *sort_by)
         rows = rows.sortWithinPartitions(*sort_by)
+        # record the produced clustering as the table's default sort
+        # order (spec metadata) so readers know which columns now carry
+        # selective footer bounds
+        writer.set_sort_order(list(sort_by))
     else:
         rows = rows.coalesce(target_partitions)
     data_dir = tempfile.mkdtemp(prefix="compact_rw_", dir=f"{writer.path}/data")

@@ -1683,3 +1683,43 @@ def test_rewrite_manifests_then_orphan_cleanup(spark, tmp_path):
     assert removed and all(r.endswith(".avro") for r in removed)
     assert len(glob.glob(f"{p}/metadata/*.avro")) < n_avro_before
     assert sorted(r["x"] for r in IcebergTable(p).to_df(spark).collect()) == before
+
+
+def test_sort_order_metadata(spark, tmp_path):
+    """set_sort_order emits spec-shaped sort-orders metadata; a sort_by
+    compaction registers its clustering automatically; load restores."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "x", "type": "long", "required": False},
+            {"id": 2, "name": "y", "type": "long", "required": False},
+        ],
+    )
+    for i in range(3):
+        w.append([{"x": 10 * i + j, "y": j} for j in range(20)])
+    oid = w.set_sort_order([("x", "desc")])
+    meta = IcebergTable(p).metadata
+    assert meta["default-sort-order-id"] == oid
+    assert meta["sort-orders"][oid]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": 1,
+            "direction": "desc",
+            "null-order": "nulls-last",
+        }
+    ]
+    # sort_by compaction registers its clustering as the new default
+    sid = compact_files_spark(w, spark, sort_by=["y"])
+    assert sid is not None
+    meta2 = IcebergTable(p).metadata
+    new_oid = meta2["default-sort-order-id"]
+    assert new_oid > oid
+    assert meta2["sort-orders"][new_oid]["fields"][0]["source-id"] == 2
+    w2 = IcebergWriter.load(p)
+    assert w2.default_sort_order_id == new_oid
