@@ -72,26 +72,34 @@ def to_df(
     filters: Any = None,
     columns: list[str] | None = None,
     keep_file: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Materialize the table's current snapshot as a (lazy) DataFrame.
 
     ``keep_file=True`` retains a ``__file`` provenance column (the scan
     file each row came from) for rewrite jobs — distributed merge /
     compaction — that must map rows back to files; deletes still apply.
+    ``keep_pos=True`` (implies file tagging) additionally retains the
+    row's ordinal ``__pos`` within its file — the identity a
+    position-delete writer needs.
     """
+    keep_file = keep_file or keep_pos
     struct = schema_to_struct(table.schema)
     files = table.plan_files(filters)
     if not files:
         df = spark.createDataFrame([], struct)
         if keep_file:
             df = df.withColumn("__file", F.lit(None).cast("string"))
+        if keep_pos:
+            df = df.withColumn("__pos", F.lit(None).cast("bigint"))
     else:
-        df = _read_with_deletes(table, spark, files, struct, keep_file)
+        df = _read_with_deletes(table, spark, files, struct, keep_file, keep_pos)
     residual = filters_to_column(filters)
     if residual is not None:
         df = df.filter(residual)
     if columns:
-        df = df.select(*columns + (["__file"] if keep_file else []))
+        extra = (["__file"] if keep_file else []) + (["__pos"] if keep_pos else [])
+        df = df.select(*columns + extra)
     return df
 
 
@@ -101,6 +109,7 @@ def _read_with_deletes(
     files: list[dict[str, Any]],
     struct,
     keep_file: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Read data files and apply v2 delete files with sequence-correct
     applicability.
@@ -219,7 +228,13 @@ def _read_with_deletes(
             "left_anti",
         )
     if tag_position:
-        df = df.drop("__pos") if keep_file else df.drop("__file", "__pos")
+        drop = []
+        if not keep_pos:
+            drop.append("__pos")
+        if not keep_file:
+            drop.append("__file")
+        if drop:
+            df = df.drop(*drop)
     return df
 
 

@@ -1596,6 +1596,70 @@ def abort_stage(writer: "IcebergWriter", branch: str) -> list[int]:
     return dropped
 
 
+def delete_where_spark(
+    writer: "IcebergWriter", spark: Any, predicate: Any
+) -> int | None:
+    """Distributed merge-on-read DELETE: executors scan the table through
+    the delete-aware tagged read (``keep_pos``), find the rows matching
+    ``predicate`` (a SQL string or Column), and write their (file, pos)
+    identities as v2 position-delete parquet — one file per write task,
+    footer-lifted into a single ``delete`` snapshot.  The row data is
+    never rewritten (contrast ``merge_rows``' copy-on-write): the cost is
+    O(matches) + metadata, the read-time cost one anti-join — the
+    standard trade for frequent small deletes on a 100 TB table, with
+    ``compact_files`` folding the deletes in later.  Driver state is
+    O(delete files), never O(rows).  Returns the snapshot id, or None
+    when nothing matches."""
+    import glob as _glob
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(writer.path)
+    tagged = t.to_df(spark, keep_pos=True)
+    hits = tagged.filter(predicate).select(
+        F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+    )
+    out_dir = tempfile.mkdtemp(prefix="pos_del_", dir=f"{writer.path}/data")
+    # spec recommends position deletes sorted by (file_path, pos); sorting
+    # within tasks keeps the write fully parallel
+    hits.sortWithinPartitions("file_path", "pos").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    entries = []
+    snapshot_id = writer._next_snapshot_id
+    for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))):
+        meta = pq.ParquetFile(p).metadata
+        if meta.num_rows == 0:
+            os.remove(p)
+            continue
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                },
+            }
+        )
+    if not entries:
+        return None
+    writer._format_version = 2
+    manifest = writer._write_manifest(entries, snapshot_id)
+    writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    return snapshot_id
+
+
 def rewrite_manifests(
     writer: "IcebergWriter", max_entries_per_manifest: int = 100
 ) -> int | None:

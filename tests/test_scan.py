@@ -1723,3 +1723,37 @@ def test_sort_order_metadata(spark, tmp_path):
     assert meta2["sort-orders"][new_oid]["fields"][0]["source-id"] == 2
     w2 = IcebergWriter.load(p)
     assert w2.default_sort_order_id == new_oid
+
+
+def test_delete_where_spark_merge_on_read(spark, tmp_path):
+    """Distributed merge-on-read DELETE: executors write position-delete
+    files for predicate matches; rows disappear on read without any data
+    rewrite, compose with later appends (the same key re-inserted later
+    stays), and a no-match predicate is a no-op."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, delete_where_spark
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20)])
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20, 30)])
+    orig_files = {f["file_path"] for f in IcebergTable(p).plan_files()}
+    sid = delete_where_spark(w, spark, "grp = 'a' AND id < 10")
+    assert sid is not None
+    t = IcebergTable(p)
+    ids = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert ids == sorted(i for i in range(30) if not (i % 2 == 0 and i < 10))
+    # merge-on-read: the original data files were NOT rewritten
+    assert {f["file_path"] for f in t.plan_files()} == orig_files
+    # a later re-insert of a deleted id stays (position deletes pin files)
+    w.append([{"id": 0, "grp": "a"}])
+    assert sorted(
+        r["id"] for r in IcebergTable(p).to_df(spark).collect()
+    ).count(0) == 1
+    # no-match predicate → no snapshot
+    assert delete_where_spark(w, spark, "id > 999") is None
