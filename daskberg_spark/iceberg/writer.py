@@ -1660,6 +1660,63 @@ def delete_where_spark(
     return snapshot_id
 
 
+def delete_keys_spark(
+    writer: "IcebergWriter", spark: Any, keys_df: Any
+) -> int | None:
+    """Distributed merge-on-read DELETE by key set: ``keys_df``'s columns
+    name the equality-delete key (every column must be a table column),
+    and its rows — typically a CDC batch's deleted keys, any size — are
+    written as v2 equality-delete parquet by the executors, one file per
+    write task, committed as one ``delete`` snapshot.
+
+    Sequence semantics make this safe for CDC ordering: the delete's data
+    sequence number exceeds every prior commit's, so it hits all earlier
+    versions of the keys while rows (re-)inserted by LATER commits stay
+    live.  Contrast ``delete_rows_equality`` (driver-side key list) and
+    ``delete_where_spark`` (predicate → position deletes): this is the
+    path when the key set itself is data-sized.  Returns the snapshot id,
+    or None for an empty key frame."""
+    import glob as _glob
+    import tempfile
+
+    cols = sorted(keys_df.columns)
+    for c in cols:
+        if c not in writer.types:
+            raise ValueError(f"unknown key column {c!r}")
+    out_dir = tempfile.mkdtemp(prefix="eq_del_", dir=f"{writer.path}/data")
+    keys_df.select(*cols).distinct().write.mode("overwrite").parquet(out_dir)
+    entries = []
+    snapshot_id = writer._next_snapshot_id
+    for p in sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))):
+        meta = pq.ParquetFile(p).metadata
+        if meta.num_rows == 0:
+            os.remove(p)
+            continue
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": [writer.ids[c] for c in cols],
+                },
+            }
+        )
+    if not entries:
+        return None
+    writer._format_version = 2
+    manifest = writer._write_manifest(entries, snapshot_id)
+    writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    return snapshot_id
+
+
 def rewrite_manifests(
     writer: "IcebergWriter", max_entries_per_manifest: int = 100
 ) -> int | None:

@@ -1757,3 +1757,33 @@ def test_delete_where_spark_merge_on_read(spark, tmp_path):
     ).count(0) == 1
     # no-match predicate → no snapshot
     assert delete_where_spark(w, spark, "id > 999") is None
+
+
+def test_delete_keys_spark_cdc_batch(spark, tmp_path):
+    """Distributed equality-delete from a key DataFrame (the CDC batch
+    shape): all earlier versions of the keys die, a later re-insert
+    lives, and the keys parquet is executor-written."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, delete_keys_spark
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": "old"} for i in range(10)])
+    w.append([{"id": 3, "v": "old2"}])  # second version of key 3
+    keys = spark.createDataFrame([(3,), (7,), (99,)], "id long")
+    sid = delete_keys_spark(w, spark, keys)
+    assert sid is not None
+    w.append([{"id": 7, "v": "reborn"}])
+    t = IcebergTable(p)
+    rows = sorted((r["id"], r["v"]) for r in t.to_df(spark).collect())
+    expect = sorted(
+        [(i, "old") for i in range(10) if i not in (3, 7)] + [(7, "reborn")]
+    )
+    assert rows == expect
+    # empty key frame is a no-op
+    assert delete_keys_spark(w, spark, keys.where("id < 0")) is None
