@@ -415,6 +415,48 @@ def ensure_foreign_fixture(path: str = FOREIGN_FIXTURE_DIR) -> str:
 FOREIGN_LIVE_WHERE = "(id NOT IN (5, 35) OR val = -1.0)"
 
 
+MOR_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "mor_table")
+
+
+def ensure_mor_fixture(spark, path: str = MOR_FIXTURE_DIR) -> str:
+    """Merge-on-read delete table built through the DISTRIBUTED delete
+    writers: two appends (ids 0..99), a predicate position-delete
+    (``delete_where_spark``: grp='a' AND id<10), a CDC-style equality
+    delete from a key DataFrame (``delete_keys_spark``: ids 50, 51), and
+    a re-insert of id 50 (v='reborn') that must survive the equality
+    delete by sequence order.  All deletes are content-derivable, so a
+    DuckDB oracle over the raw data files reproduces the live rowset:
+
+        (NOT (grp = 'a' AND id < 10)) AND (id NOT IN (50, 51) OR v = 'reborn')
+    """
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_keys_spark,
+        delete_where_spark,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "string", "required": False},
+        ],
+    )
+    rows = [{"id": i, "grp": "ab"[i % 2], "v": f"v{i}"} for i in range(100)]
+    writer.append(rows[:60])
+    writer.append(rows[60:])
+    delete_where_spark(writer, spark, "grp = 'a' AND id < 10")
+    delete_keys_spark(
+        writer, spark, spark.createDataFrame([(50,), (51,)], "id long")
+    )
+    writer.append([{"id": 50, "grp": "a", "v": "reborn"}])
+    return path
+
+
 SPEC_EVO_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "spec_evo_table")
 
 

@@ -469,6 +469,35 @@ def iceberg_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_mor_delete_read",
+    """
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM read_parquet('/root/repo/.fixtures/mor_table/data/0*.parquet')
+    WHERE (NOT (grp = 'a' AND id < 10))
+      AND (id NOT IN (50, 51) OR v = 'reborn')
+    GROUP BY grp
+    """,
+)
+def iceberg_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes written DISTRIBUTED: executor-produced
+    position deletes (delete_where_spark, predicate) and equality deletes
+    (delete_keys_spark, CDC key frame), plus a sequence-ordered re-insert
+    that survives the older equality delete.  The oracle derives the live
+    rowset from raw data-file content alone."""
+    from daskberg_spark.iceberg.fixtures import ensure_mor_fixture
+
+    t = IcebergTable(ensure_mor_fixture(spark))
+    return t.to_df(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+@query(
     "iceberg_schema_evolution",
     """
     SELECT id, COALESCE(total, amount) AS total, note
