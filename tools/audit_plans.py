@@ -44,6 +44,10 @@ AUDIT = {
     # foreign-written v2: sequence-classed eq-delete anti-joins (broadcast
     # delete keys) + group agg; no residual predicate to push
     "iceberg_foreign_read": (3, False, True, None),
+    # distributed merge-on-read deletes: distinct for the position-delete
+    # pairs and the equality keys, sequence-classed anti-joins (broadcast
+    # delete keys), final group agg
+    "iceberg_mor_delete_read": (4, False, True, None),
     # spec-evolved point read: metadata pruned to 2 files, residual id=7
     # pushed to the parquet scan, 2-column ReadSchema, no shuffle
     "iceberg_spec_evolution_prune": (0, True, False, 2),
