@@ -128,13 +128,18 @@ def _read_with_deletes(
     """
     deletes = table.plan_deletes()
     id_to_name = {f.field_id: name for name, f in table.fields.items()}
-    use_seq = all(
-        d.get("_sequence_number") is not None for d in deletes
-    ) and all(f.get("_sequence_number") is not None for f in files)
+    # Sequence ordering is authoritative on format-version >= 2 metadata;
+    # a file or delete missing its sequence number there is v1-era
+    # (pre-upgrade) content, which the spec reads at sequence 0 — NOT a
+    # reason to revert the whole read to snapshot-id ordering, which the
+    # spec makes random.  Only genuine v1 metadata (which cannot contain
+    # delete files at all) orders by adding-snapshot id.
+    use_seq = table.metadata.get("format-version", 1) >= 2
 
     def okey(rec: dict[str, Any]) -> int:
         if use_seq:
-            return rec["_sequence_number"]
+            seq = rec.get("_sequence_number")
+            return 0 if seq is None else seq
         return rec.get("_snapshot_id") or 0
 
     eq_deletes = []  # (order_key, delete_snapshot_id, current_key_cols, entry)
@@ -160,45 +165,71 @@ def _read_with_deletes(
         select = [
             F.col(then_by_id[now_by_name[c]]).alias(c) for c in cols
         ]
-        return keys.select(*select).distinct()
-    tag_position = bool(pos_files) or keep_file
+        # no per-frame distinct: the caller's single groupBy-max over the
+        # UNION of all frames dedups with ONE shuffle, not one per commit
+        return keys.select(*select)
+    tag_position = bool(pos_files) or keep_file or bool(eq_deletes)
 
     if not eq_deletes:
         df = _read_file_groups(table, spark, files, struct, tag_position)
     else:
-        # class = which equality deletes apply, keyed by the count of
-        # delete sequence numbers after the file's own sequence number
-        eq_deletes.sort(key=lambda t: (t[0], t[2], t[3]["file_path"]))
-        classes: dict[int, list[dict[str, Any]]] = {}
-        for f in files:
-            fkey = okey(f)
-            n_applicable = sum(1 for k, _, _, _ in eq_deletes if k > fkey)
-            classes.setdefault(n_applicable, []).append(f)
-        parts = []
-        for n_applicable, class_files in sorted(classes.items()):
-            part = _read_file_groups(table, spark, class_files, struct, tag_position)
-            applicable = eq_deletes[-n_applicable:] if n_applicable else []
-            # delete-time snapshot id still resolves the delete file's
-            # column-name schema; the order key only decides applicability
-            by_snap: dict[tuple, list[dict[str, Any]]] = {}
-            for k, snap, cols, entry in applicable:
-                by_snap.setdefault((k, snap, cols), []).append(entry)
-            for (k, snap, cols), entries in sorted(by_snap.items()):
-                paths = [e["file_path"] for e in entries]
-                keys = _maybe_broadcast(
-                    read_delete_keys(snap, cols, paths).alias("__dk"), entries
+        # ONE tagged scan anti-joined against delete keys carrying their
+        # sequence numbers — plan size stays FLAT in #delete-commits.
+        # (The previous shape classed data files by which deletes apply
+        # and unioned one scan + anti-join chain per class: class count
+        # is O(#delete-commits), so a CDC table taking a delete commit
+        # per minute for a day yields ~1.4k union legs — a plan-size
+        # explosion.)  Each row carries its file's order key (__seq) via
+        # a broadcast file→sequence map — O(#files) driver state, the
+        # same order the scan plan itself already holds — and each
+        # delete key carries the MAX order key over the commits that
+        # deleted it (a row is dead iff SOME applicable delete is newer
+        # ⟺ the newest matching delete is newer).  One anti-join per
+        # distinct equality key-column set (bounded by the schema, not
+        # by commit count) applies `key-equal AND delete_seq > file_seq`.
+        df = _read_file_groups(table, spark, files, struct, True)
+        seq_map = F.broadcast(
+            spark.createDataFrame(
+                [(f["file_path"], okey(f)) for f in files],
+                "__seq_file string, __seq bigint",
+            )
+        )
+        df = df.join(
+            seq_map, df["__file"] == seq_map["__seq_file"], "left"
+        ).drop("__seq_file")
+        by_cols: dict[tuple, list[tuple[int, int, dict[str, Any]]]] = {}
+        for k, snap, cols, entry in eq_deletes:
+            by_cols.setdefault(cols, []).append((k, snap, entry))
+        for cols, items in sorted(by_cols.items()):
+            # delete-time snapshot id resolves each delete file's
+            # column-name schema; group per (order key, snapshot) so one
+            # scan covers all of a commit's delete files
+            by_snap: dict[tuple[int, int], list[dict[str, Any]]] = {}
+            for k, snap, entry in items:
+                by_snap.setdefault((k, snap), []).append(entry)
+            frames = []
+            for (k, snap), entries in sorted(by_snap.items()):
+                frames.append(
+                    read_delete_keys(
+                        snap, cols, [e["file_path"] for e in entries]
+                    ).withColumn("__del_seq", F.lit(k).cast("bigint"))
                 )
-                # null-safe equality: an Iceberg equality delete with a NULL
-                # key matches rows where the column IS NULL
-                cond = None
-                for c in cols:
-                    term = part[c].eqNullSafe(F.col(f"__dk.{c}"))
-                    cond = term if cond is None else (cond & term)
-                part = part.join(keys, cond, "left_anti")
-            parts.append(part)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+            keys = frames[0]
+            for fr in frames[1:]:
+                keys = keys.unionByName(fr)
+            keys = keys.groupBy(*cols).agg(
+                F.max("__del_seq").alias("__del_seq")
+            )
+            keys = _maybe_broadcast(
+                keys.alias("__dk"), [e for _, _, e in items]
+            )
+            # null-safe equality: an Iceberg equality delete with a NULL
+            # key matches rows where the column IS NULL
+            cond = F.col("__dk.__del_seq") > df["__seq"]
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(F.col(f"__dk.{c}"))
+            df = df.join(keys, cond, "left_anti")
+        df = df.drop("__seq")
 
     if pos_files:
         # Delete files store target paths as written at delete time; on a

@@ -399,6 +399,38 @@ class IcebergWriter:
             )
         else:
             w.manifests = []
+        # Sequence-less carried manifests are v1-era (pre-sequence)
+        # metadata; leaving them None would let _commit stamp them with
+        # the NEXT commit's sequence, tying an old equality delete to the
+        # data it was meant to delete (strictly-lower applicability then
+        # stops applying it and deleted rows resurrect).  Assign the
+        # sequence of the snapshot that ADDED each manifest when the
+        # metadata JSON still records one; otherwise reconstruct commit
+        # order from snapshot-list position (this writer and typical
+        # engines append snapshots chronologically) — unless SOME
+        # snapshot carries a real sequence number, in which case the
+        # sequence-less ones are pre-upgrade and read at 0 per the
+        # Iceberg v1→v2 upgrade rule (any v2 sequence is >= 1, so 0
+        # orders them strictly before every upgraded commit; v1 tables
+        # cannot contain delete files, so ties at 0 are unobservable).
+        any_snap_seq = any("sequence-number" in s for s in w.snapshots)
+        seq_by_snap = {
+            s["snapshot-id"]: s.get(
+                "sequence-number", 0 if any_snap_seq else i
+            )
+            for i, s in enumerate(w.snapshots)
+        }
+        for mf in w.manifests:
+            if mf.get("sequence_number") is None:
+                mf["sequence_number"] = seq_by_snap.get(
+                    mf.get("added_snapshot_id"), 0
+                )
+                if mf.get("min_sequence_number") is None:
+                    mf["min_sequence_number"] = mf["sequence_number"]
+        w._last_sequence_number = max(
+            w._last_sequence_number,
+            max((m["sequence_number"] for m in w.manifests), default=0),
+        )
         # resume the file/manifest counters above anything on disk so new
         # names cannot collide with existing ones
         w._file_counter = 0
@@ -1027,9 +1059,20 @@ class IcebergWriter:
         seq = self._last_sequence_number + 1
         for m in manifests:
             if m.get("sequence_number") is None:
-                mmin = m.get("min_sequence_number")
-                m["sequence_number"] = seq
-                m["min_sequence_number"] = seq if mmin is None else min(mmin, seq)
+                if m.get("added_snapshot_id") == snapshot_id:
+                    mmin = m.get("min_sequence_number")
+                    m["sequence_number"] = seq
+                    m["min_sequence_number"] = (
+                        seq if mmin is None else min(mmin, seq)
+                    )
+                else:
+                    # carried sequence-less manifest: v1-era metadata that
+                    # bypassed load()'s assignment — the upgrade rule reads
+                    # it at 0, never at THIS commit's sequence (which would
+                    # tie an old delete to its older target data files)
+                    m["sequence_number"] = 0
+                    if m.get("min_sequence_number") is None:
+                        m["min_sequence_number"] = 0
         self._last_sequence_number = seq
         ml_name = f"snap-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(snapshot_id)).hex[:8]}.avro"
         ml_path = f"{self.path}/metadata/{ml_name}"
@@ -1853,11 +1896,22 @@ def remove_orphan_files(
                     )
     removed = []
     data_dir = os.path.join(table_path, "data")
-    for name in sorted(os.listdir(data_dir)):
-        path = os.path.realpath(os.path.join(data_dir, name))
-        if path not in referenced and name.endswith(".parquet"):
-            os.remove(path)
-            removed.append(path)
+    # walk RECURSIVELY: delete_where_spark / delete_keys_spark /
+    # compact_files_spark stage parquet under pos_del_*/eq_del_*/
+    # compact_rw_* subdirectories — files orphaned there (after
+    # expire_snapshots, or abandoned on CommitConflictError) must be
+    # reclaimable too, and emptied temp subdirectories pruned
+    for dirpath, _dirnames, filenames in sorted(os.walk(data_dir)):
+        for name in sorted(filenames):
+            path = os.path.realpath(os.path.join(dirpath, name))
+            if path not in referenced and name.endswith(".parquet"):
+                os.remove(path)
+                removed.append(path)
+    # bottom-up (NOT sorted — that would put parents first) + re-listing
+    # so a parent emptied by its children's removal prunes in one pass
+    for dirpath, _dirnames, _filenames in os.walk(data_dir, topdown=False):
+        if dirpath != data_dir and not os.listdir(dirpath):
+            os.rmdir(dirpath)
     if include_metadata:
         meta_dir = os.path.join(table_path, "metadata")
         for name in sorted(os.listdir(meta_dir)):

@@ -245,10 +245,20 @@ def test_v2_delete_nonmonotonic_snapshot_ids(spark, tmp_path):
         (1, "reborn"),
         (2, "keep"),
     ]
-    # sharpness: same forged ids WITHOUT sequence numbers loses the row
+    # sharpness: stripping the sequence numbers leaves format-version 2
+    # metadata whose files all read at sequence 0 (the spec's v1→v2
+    # upgrade rule) — the equality delete, also at 0, applies to nothing
+    # (strictly-lower rule), so BOTH the old and reborn rows surface.
+    # Never snapshot-id order: these forged ids would delete the reborn
+    # row.  (A real v1 table cannot contain delete files, so this forged
+    # hybrid state is unreachable by spec-conforming writers.)
     strip_sequence_numbers(w.path)
     t2 = IcebergTable(w.path)
-    assert sorted(map(tuple, t2.to_df(spark).collect())) == [(2, "keep")]
+    assert sorted(map(tuple, t2.to_df(spark).collect())) == [
+        (1, "old"),
+        (1, "reborn"),
+        (2, "keep"),
+    ]
 
 
 def test_foreign_written_v2_table(spark):
@@ -333,13 +343,22 @@ def test_large_delete_set_unhinted(spark, monkeypatch):
     from daskberg_spark.iceberg import scan as scan_mod
     from daskberg_spark.iceberg.fixtures import ensure_deletes_fixture
 
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
     t = IcebergTable(ensure_deletes_fixture())
     hinted_df = t.to_df(spark)
-    assert "ResolvedHint" in hinted_df._jdf.queryExecution().analyzed().toString()
+    # delete-key frames hint-forced under the gate, plus the always-safe
+    # file→sequence map broadcast (planning-state-sized)
+    assert hints(hinted_df) >= 2
     hinted = sorted(r["id"] for r in hinted_df.select("id").collect())
     monkeypatch.setattr(scan_mod, "BROADCAST_DELETE_MAX_BYTES", -1)
     unhinted_df = t.to_df(spark)
-    assert "ResolvedHint" not in unhinted_df._jdf.queryExecution().analyzed().toString()
+    # only the file→sequence map stays hinted; every delete-key join is
+    # left to AQE
+    assert hints(unhinted_df) == 1
     assert sorted(r["id"] for r in unhinted_df.select("id").collect()) == hinted
 
 
@@ -1530,6 +1549,80 @@ def test_writer_load_foreign_table_appends(spark, tmp_path):
     } | {100}
 
 
+def test_writer_load_legacy_then_commit(spark, tmp_path):
+    """Loading a table whose manifests lost their sequence numbers
+    (v1-era metadata shape) and committing on top must NOT stamp the
+    carried manifests with the new commit's sequence — that would tie an
+    old equality delete to its older target data files (the strictly-
+    lower applicability rule then stops applying it) and resurrect the
+    deleted row.  load() reassigns each carried manifest the sequence of
+    the snapshot that added it (or commit-order ordinals when the whole
+    table is pre-sequence), so the delete keeps applying and a post-load
+    re-insert still beats it."""
+    import json
+
+    from daskberg_spark.iceberg.fixtures import strip_sequence_numbers
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    def build(p):
+        w = IcebergWriter(
+            p,
+            [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "v", "type": "string", "required": False},
+            ],
+        )
+        w.append([{"id": 1, "v": "old"}, {"id": 2, "v": "keep"}])
+        w.delete_rows_equality([{"id": 1}])
+        strip_sequence_numbers(p)
+
+    # variant 1: Avro sequences stripped, metadata JSON still records the
+    # snapshots' sequence numbers — load() restores per-snapshot sequences
+    p1 = str(tmp_path / "legacy1")
+    build(p1)
+    w = IcebergWriter.load(p1)
+    by_added = {
+        m["added_snapshot_id"]: m["sequence_number"] for m in w.manifests
+    }
+    assert by_added == {1: 1, 2: 2}
+    w.append([{"id": 3, "v": "new"}])
+    assert sorted(map(tuple, IcebergTable(p1).to_df(spark).collect())) == [
+        (2, "keep"),
+        (3, "new"),  # id=1 stays deleted: carried manifests kept seq 1/2
+    ]
+    w.append([{"id": 1, "v": "reborn"}])
+    assert sorted(map(tuple, IcebergTable(p1).to_df(spark).collect())) == [
+        (1, "reborn"),
+        (2, "keep"),
+        (3, "new"),
+    ]
+
+    # variant 2: snapshot sequence numbers stripped from the metadata
+    # JSON too — commit order is reconstructed from snapshot-list
+    # position, so the delete still orders after its target data
+    p2 = str(tmp_path / "legacy2")
+    build(p2)
+    version = int(open(f"{p2}/metadata/version-hint.text").read().strip())
+    mpath = f"{p2}/metadata/v{version}.metadata.json"
+    with open(mpath) as f:
+        meta = json.load(f)
+    meta.pop("last-sequence-number", None)
+    for s in meta["snapshots"]:
+        s.pop("sequence-number", None)
+    with open(mpath, "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+    w = IcebergWriter.load(p2)
+    by_added = {
+        m["added_snapshot_id"]: m["sequence_number"] for m in w.manifests
+    }
+    assert by_added[2] > by_added[1]
+    w.append([{"id": 1, "v": "reborn"}])
+    assert sorted(map(tuple, IcebergTable(p2).to_df(spark).collect())) == [
+        (1, "reborn"),
+        (2, "keep"),
+    ]
+
+
 def test_v2_delete_applicability_fuzz_forged_ids(spark, tmp_path):
     """Randomized append/eq-delete interleavings vs a Python model of the
     Iceberg sequence rules (a delete removes exactly the live rows whose
@@ -1787,3 +1880,73 @@ def test_delete_keys_spark_cdc_batch(spark, tmp_path):
     assert rows == expect
     # empty key frame is a no-op
     assert delete_keys_spark(w, spark, keys.where("id < 0")) is None
+
+
+def test_mor_maintenance_interaction(spark, tmp_path):
+    """Maintenance on a merge-on-read table with LIVE position AND
+    equality delete files: expire_snapshots + remove_orphan_files must
+    never reclaim referenced delete parquet (they live in pos_del_*/
+    eq_del_* subdirectories, which the orphan walk now descends into),
+    abandoned temp-dir parquet IS reclaimed and its emptied directory
+    pruned, and compact_files folding the deletes then expiring the
+    pre-compaction snapshots reads the same rows throughout."""
+    import os
+    import shutil
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        delete_keys_spark,
+        delete_where_spark,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20)])
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20, 30)])
+    delete_where_spark(w, spark, "id < 5")  # position deletes (content 1)
+    delete_keys_spark(
+        w, spark, spark.createDataFrame([(7,), (25,)], "id long")
+    )  # equality deletes (content 2)
+
+    def ids():
+        return sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+
+    expect = sorted(i for i in range(30) if i >= 5 and i not in (7, 25))
+    assert ids() == expect
+    t = IcebergTable(p)
+    assert {d["content"] for d in t.plan_deletes()} == {1, 2}
+
+    # plant an abandoned temp-dir parquet (the CommitConflictError /
+    # post-expiry leftover shape remove_orphan_files used to miss)
+    orphan_dir = f"{p}/data/pos_del_abandoned00"
+    os.makedirs(orphan_dir)
+    a_delete = sorted(d["file_path"] for d in t.plan_deletes())[0]
+    shutil.copy(a_delete, f"{orphan_dir}/part-orphan.parquet")
+
+    expire_snapshots(w, keep_last=1)
+    removed = remove_orphan_files(p)
+    assert any("pos_del_abandoned00" in r for r in removed)
+    assert not os.path.exists(orphan_dir)  # emptied temp dir pruned
+    # every still-referenced delete parquet survived the orphan sweep
+    surviving = IcebergTable(p).plan_deletes()
+    assert {d["content"] for d in surviving} == {1, 2}
+    for d in surviving:
+        assert os.path.exists(d["file_path"])
+    assert ids() == expect
+
+    # compaction folds the live deletes into rewritten delete-free files;
+    # expiring the pre-compaction snapshot afterwards changes nothing
+    assert compact_files(w) is not None
+    assert ids() == expect
+    expire_snapshots(w, keep_last=1)
+    remove_orphan_files(p)
+    assert ids() == expect

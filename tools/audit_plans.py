@@ -39,15 +39,18 @@ AUDIT = {
     "q14_promo_effect": (1, False, True, 4),
     "q18_large_volume": (6, False, False, None),
     "window_distribution_partitioned": (1, False, False, 3),
-    # eq-delete anti-join + pos-delete anti-join + final agg exchange
+    # round 6 single-anti-join MOR shape: ONE tagged scan, broadcast
+    # file→sequence map, one sequence-keyed eq-delete anti-join per
+    # distinct key-column set (delete keys groupBy-max = 1 exchange) +
+    # pos-delete anti-join + final agg exchange.  Plan size is FLAT in
+    # #delete-commits (was one union leg per applicability class).
     "iceberg_v2_row_deletes": (3, False, True, None),
-    # foreign-written v2: sequence-classed eq-delete anti-joins (broadcast
-    # delete keys) + group agg; no residual predicate to push
-    "iceberg_foreign_read": (3, False, True, None),
-    # distributed merge-on-read deletes: distinct for the position-delete
-    # pairs and the equality keys, sequence-classed anti-joins (broadcast
-    # delete keys), final group agg
-    "iceberg_mor_delete_read": (4, False, True, None),
+    # foreign-written v2: same single-anti-join shape; no residual
+    # predicate to push
+    "iceberg_foreign_read": (2, False, True, None),
+    # distributed merge-on-read deletes: delete-key groupBy-max, distinct
+    # for the position-delete pairs, broadcast anti-joins, final group agg
+    "iceberg_mor_delete_read": (3, False, True, None),
     # spec-evolved point read: metadata pruned to 2 files, residual id=7
     # pushed to the parquet scan, 2-column ReadSchema, no shuffle
     "iceberg_spec_evolution_prune": (0, True, False, 2),
