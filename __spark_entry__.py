@@ -86,12 +86,41 @@ def _load_registry():
 #           (deterministic sketches), window_distribution_partitioned
 #           (scale-safe distribution window), dedup_keep_best (C1
 #           survivor policy), decontaminate_ngram_overlap (curation)
+#   r6 out (all driver-green 2+ rounds — r4 AND r5 hash-exact — and each
+#           family keeps >=1 in-window representative):
+#           iceberg_lineitem_month_prune (A7 stays via
+#           iceberg_day_transform_prune + spec_evolution_prune),
+#           iceberg_incremental_read, iceberg_nested_read,
+#           iceberg_v2_row_deletes (delete family now covered in-window
+#           by iceberg_mor_delete_read + iceberg_foreign_read),
+#           dedup_ngram_jaccard, pipeline_dedup_corpus (C2 stays via
+#           minhash_candidates + connected_components), embedding_neardup,
+#           similarity_lsh_buckets (C3 stays via topk + lsh_recall),
+#           fingerprint_md5 (hash fingerprinting stays via dedup_exact +
+#           fingerprint_rolling), streaming_hourly_window,
+#           streaming_stateful_sessions, streaming_foreach_batch_sink
+#           (streaming slots handed to 4 never-checked entries below)
+#   r6 in (12 FIRST-TIME driver rows, none in any CORRECTNESS_r*;
+#           all oracle-exact in CORRECTNESS_LOCAL_r05):
+#           iceberg_mor_delete_read (r6 flagship: the single-anti-join
+#           merge-on-read delete read), iceberg_bucket_write_prune,
+#           streaming_dedup, streaming_stream_join,
+#           streaming_session_window, streaming_iceberg_sink,
+#           q4_order_priority, q7_volume_shipping, q8_market_share,
+#           q9_product_type_profit, q14_promo_effect,
+#           q19_disjunctive_filter (TPC-H tail)
 _PRIORITY = [
-    # flagship + TPC-H (B4 at scale; q3/q6 rotated out r5, tail rotated in)
+    # flagship + TPC-H (B4 at scale; tail q4/q7/q8/q9/q14/q19 rotated in r6)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q14_promo_effect",
     "q18_large_volume",
+    "q19_disjunctive_filter",
     "q21_waiting_supplier",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
@@ -100,42 +129,37 @@ _PRIORITY = [
     "iceberg_or_filter",
     "iceberg_day_transform_prune",
     "iceberg_schema_evolution",
-    "iceberg_lineitem_month_prune",
     "iceberg_lineitem_stats_prune",
-    "iceberg_incremental_read",
-    "iceberg_v2_row_deletes",
-    "iceberg_nested_read",
-    # r5: sequence-number-correct deletes on a foreign-style table,
-    # per-file spec resolution, copy-on-write MERGE
+    # r5/r6: sequence-number-correct deletes on a foreign-style table,
+    # per-file spec resolution, copy-on-write MERGE, and the r6 flagship
+    # single-anti-join merge-on-read delete read + bucket-prune write
     "iceberg_foreign_read",
     "iceberg_spec_evolution_prune",
     "iceberg_merge_cow",
+    "iceberg_mor_delete_read",
+    "iceberg_bucket_write_prune",
     # Tier C — dedup (C1/C2)
     "dedup_exact",
     "dedup_minhash_candidates",
-    "dedup_ngram_jaccard",
     "dedup_connected_components",
-    "pipeline_dedup_corpus",
     "dedup_keep_best",
     # Tier C — similarity (C3)
     "similarity_topk",
-    "embedding_neardup",
-    "similarity_lsh_buckets",
     "similarity_lsh_recall",
     # Tier C — text/curation (C4)
     "text_stats",
     "token_count_bpe",
-    "fingerprint_md5",
     "fingerprint_rolling",
     "pipeline_quality_filter",
     "decontaminate_ngram_overlap",
     # Tier C — multimodal (C5)
     "multimodal_metadata",
     "multimodal_decode_stub",
-    # streaming extension
-    "streaming_hourly_window",
-    "streaming_stateful_sessions",
-    "streaming_foreach_batch_sink",
+    # streaming extension (all four r6 first-timers)
+    "streaming_dedup",
+    "streaming_stream_join",
+    "streaming_session_window",
+    "streaming_iceberg_sink",
     # Tier B representatives + scale patterns
     "filter_project",
     "join_multi",

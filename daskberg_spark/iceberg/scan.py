@@ -151,23 +151,6 @@ def _read_with_deletes(
         elif d.get("content") == 1:
             pos_files.append(d)
 
-    def read_delete_keys(snap: int, cols: tuple, paths: list):
-        """Delete-file columns carry the names current at *delete time*;
-        resolve them to today's names by field id via the delete
-        snapshot's pinned schema (positional guessing breaks when a
-        rename reorders the sorted names)."""
-        del_schema = table.schema_for_snapshot(snap)
-        then_by_id = {
-            f.get("id", f.get("field-id")): f["name"] for f in del_schema["fields"]
-        }
-        now_by_name = {name: f.field_id for name, f in table.fields.items()}
-        keys = spark.read.parquet(*paths)
-        select = [
-            F.col(then_by_id[now_by_name[c]]).alias(c) for c in cols
-        ]
-        # no per-frame distinct: the caller's single groupBy-max over the
-        # UNION of all frames dedups with ONE shuffle, not one per commit
-        return keys.select(*select)
     tag_position = bool(pos_files) or keep_file or bool(eq_deletes)
 
     if not eq_deletes:
@@ -197,22 +180,57 @@ def _read_with_deletes(
         df = df.join(
             seq_map, df["__file"] == seq_map["__seq_file"], "left"
         ).drop("__seq_file")
-        by_cols: dict[tuple, list[tuple[int, int, dict[str, Any]]]] = {}
+        # Delete-file columns carry the names current at *delete time*;
+        # resolve to today's names by field id via the delete snapshot's
+        # pinned schema (positional guessing breaks when a rename
+        # reorders the sorted names).  Delete files sharing a resolution
+        # — (key set, delete-time names), almost always exactly one per
+        # key set — read in ONE multi-path scan with their per-file
+        # sequences attached via a broadcast path→sequence map, so scan
+        # leaves are O(#delete schemas), never O(#delete commits).
+        now_by_name = {name: f.field_id for name, f in table.fields.items()}
+        by_resolution: dict[tuple, list[tuple[int, dict[str, Any]]]] = {}
         for k, snap, cols, entry in eq_deletes:
-            by_cols.setdefault(cols, []).append((k, snap, entry))
-        for cols, items in sorted(by_cols.items()):
-            # delete-time snapshot id resolves each delete file's
-            # column-name schema; group per (order key, snapshot) so one
-            # scan covers all of a commit's delete files
-            by_snap: dict[tuple[int, int], list[dict[str, Any]]] = {}
-            for k, snap, entry in items:
-                by_snap.setdefault((k, snap), []).append(entry)
-            frames = []
-            for (k, snap), entries in sorted(by_snap.items()):
+            del_schema = table.schema_for_snapshot(snap)
+            then_by_id = {
+                f.get("id", f.get("field-id")): f["name"]
+                for f in del_schema["fields"]
+            }
+            then_names = tuple(then_by_id[now_by_name[c]] for c in cols)
+            by_resolution.setdefault((cols, then_names), []).append((k, entry))
+        by_cols: dict[tuple, list[tuple[tuple, list]]] = {}
+        for (cols, then_names), items in by_resolution.items():
+            by_cols.setdefault(cols, []).append((then_names, items))
+        for cols, resolutions in sorted(by_cols.items()):
+            frames, gate_entries = [], []
+            for then_names, items in sorted(
+                resolutions, key=lambda t: t[0]
+            ):
+                gate_entries += [e for _, e in items]
+                dmap = F.broadcast(
+                    spark.createDataFrame(
+                        [(e["file_path"], k) for k, e in items],
+                        "__del_file string, __del_seq bigint",
+                    )
+                )
+                dscan = spark.read.parquet(
+                    *[e["file_path"] for _, e in items]
+                ).withColumn(
+                    "__dfile",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ),
+                )
                 frames.append(
-                    read_delete_keys(
-                        snap, cols, [e["file_path"] for e in entries]
-                    ).withColumn("__del_seq", F.lit(k).cast("bigint"))
+                    dscan.join(
+                        dmap, dscan["__dfile"] == dmap["__del_file"], "left"
+                    ).select(
+                        *[
+                            F.col(tn).alias(c)
+                            for tn, c in zip(then_names, cols)
+                        ],
+                        "__del_seq",
+                    )
                 )
             keys = frames[0]
             for fr in frames[1:]:
@@ -220,9 +238,7 @@ def _read_with_deletes(
             keys = keys.groupBy(*cols).agg(
                 F.max("__del_seq").alias("__del_seq")
             )
-            keys = _maybe_broadcast(
-                keys.alias("__dk"), [e for _, _, e in items]
-            )
+            keys = _maybe_broadcast(keys.alias("__dk"), gate_entries)
             # null-safe equality: an Iceberg equality delete with a NULL
             # key matches rows where the column IS NULL
             cond = F.col("__dk.__del_seq") > df["__seq"]

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
 from daskberg_spark.iceberg.fixtures import (
+    FIXTURE_DIR,
     LIVE_WHERE,
     ensure_partitioned_fixture,
 )
@@ -261,10 +262,34 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("iceberg_snapshot_log")  # metadata-only, no SQL twin → rows-only
+@query(
+    "iceberg_snapshot_log",
+    # independent parse of the same table state: DuckDB's JSON reader
+    # unnests the CURRENT metadata version's snapshot list — our Python
+    # metadata layer vs a second engine's parser, field by field
+    rf"""
+    WITH meta AS (
+      SELECT snapshots,
+             CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) AS v
+      FROM read_json_auto(
+        '{FIXTURE_DIR}/metadata/v*.metadata.json',
+        filename=true)
+    ), cur AS (SELECT snapshots FROM meta ORDER BY v DESC LIMIT 1),
+    snaps AS (SELECT unnest(snapshots) AS s FROM cur)
+    SELECT CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
+           CAST(s."parent-snapshot-id" AS BIGINT) AS parent_id,
+           CAST(s.summary.operation AS VARCHAR) AS operation,
+           COALESCE(CAST(s.summary."added-records" AS BIGINT), 0)
+             AS added_records
+    FROM snaps
+    """,
+)
 def iceberg_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: snapshot history introspection as a queryable DataFrame
-    (operation + record counts per snapshot, zero data IO)."""
+    (operation + record counts per snapshot, zero data IO).  Oracle-exact
+    since r6: DuckDB re-parses the metadata JSON itself (read_json_auto +
+    unnest), so snapshot ids, parent links, operations, and record counts
+    are cross-checked by an independent JSON engine."""
     t = IcebergTable(ensure_partitioned_fixture())
     rows = [
         (

@@ -356,9 +356,9 @@ def test_large_delete_set_unhinted(spark, monkeypatch):
     hinted = sorted(r["id"] for r in hinted_df.select("id").collect())
     monkeypatch.setattr(scan_mod, "BROADCAST_DELETE_MAX_BYTES", -1)
     unhinted_df = t.to_df(spark)
-    # only the file→sequence map stays hinted; every delete-key join is
-    # left to AQE
-    assert hints(unhinted_df) == 1
+    # only the two path→sequence maps (data side + delete-key side) stay
+    # hinted; every delete-KEY join is left to AQE
+    assert hints(unhinted_df) == 2
     assert sorted(r["id"] for r in unhinted_df.select("id").collect()) == hinted
 
 

@@ -338,6 +338,64 @@ def main() -> None:
         results[f"ivf_probe_{label}"] = round(best, 3)
         results[f"ivf_probe_{label}_scan_frac"] = frac
 
+    # -- round 6: merge-on-read delete path ---------------------------------
+    # (a) plan size vs #delete-commits: the delete-aware read is ONE
+    #     tagged scan + one sequence-keyed anti-join per key set, with
+    #     ALL delete keys in one multi-path scan — 10× the delete
+    #     commits must leave the plan flat (the pre-r6 shape grew one
+    #     union leg per applicability class).
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter, delete_where_spark
+
+    mor_base = tempfile.mkdtemp(prefix="stress_mor_")
+    schema = [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "v", "type": "double", "required": False},
+    ]
+    for label, n_commits in (("10c", 10), ("100c", 100)):
+        p = f"{mor_base}/t{label}"
+        w = IcebergWriter(p, schema)
+        w.append([{"id": i, "v": float(i)} for i in range(4000)])
+        killed = set()
+        for c in range(n_commits):
+            ids = [30 * c + j for j in range(10)]
+            w.delete_rows_equality([{"id": i} for i in ids])
+            killed.update(ids)
+        t = IcebergTable(p)
+        t0 = time.perf_counter()
+        df = t.to_df(spark)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n_rows = df.count()
+        assert n_rows == 4000 - len(killed), (n_rows, len(killed))
+        results[f"mor_read_{label}_wall"] = round(time.perf_counter() - t0, 3)
+        results[f"mor_read_{label}_plan_lines"] = len(plan.splitlines())
+
+    # (b) delete_where_spark at 10× data with proportional matches:
+    #     executor cost is O(scan)+O(matches), driver state is the
+    #     delete-file entry list only (#write tasks), never O(rows).
+    for label, n in (("1x", 30_000), ("10x", 300_000)):
+        p = f"{mor_base}/dw{label}"
+        w = IcebergWriter(p, schema)
+        w.append([{"id": i, "v": float(i)} for i in range(n)])
+        t0 = time.perf_counter()
+        delete_where_spark(w, spark, "id % 100 = 0")  # 1% of rows
+        results[f"mor_delete_where_{label}_wall"] = round(
+            time.perf_counter() - t0, 3
+        )
+        results[f"mor_delete_where_{label}_delete_files"] = sum(
+            1
+            for d in IcebergTable(p).plan_deletes()
+        )
+        t0 = time.perf_counter()
+        n_live = IcebergTable(p).to_df(spark).count()
+        assert n_live == n - n // 100, (n_live, n)
+        results[f"mor_deleteaware_read_{label}_wall"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     print(json.dumps(results))
     spark.stop()
 
