@@ -71,7 +71,36 @@ HEADLINE = [
     "iceberg_foreign_read",
     "q10_returned_items",
     "q18_large_volume",
+    # round 6: the flattened merge-on-read delete read (one tagged scan +
+    # one sequence-keyed anti-join per key set, flat in #delete-commits)
+    "iceberg_mor_delete_read",
 ]
+
+
+def time_rewrite_manifests() -> float:
+    """Time the rewrite_manifests ACTION (not just the planning delta it
+    buys, which SCALING.md already measures): consolidate an 80-commit
+    manifest list to O(1) manifests.  Metadata-only — zero data IO — so
+    this is pure Avro read/rewrite + one commit; min-of-3 over fresh
+    tables (the action is one-shot per table)."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, rewrite_manifests
+
+    schema = [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "v", "type": "double", "required": False},
+    ]
+    best = float("inf")
+    for _ in range(3):
+        path = tempfile.mkdtemp(prefix="bench_rw_manifests_")
+        w = IcebergWriter(path, schema)
+        for c in range(80):
+            w.append([{"id": c, "v": float(c)}])
+        t0 = time.perf_counter()
+        assert rewrite_manifests(w) is not None
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -108,6 +137,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+
+    timings["maint_rewrite_manifests"] = round(time_rewrite_manifests(), 4)
 
     # round-over-round deltas vs the latest BENCH_r*.json, to stderr so
     # stdout stays the single JSON line the driver parses

@@ -122,9 +122,11 @@ def _read_with_deletes(
     them to be random longs — so only pre-sequence-number (v1-era)
     metadata, which cannot have been written by a spec v2 writer, falls
     back to snapshot-id order.  Position deletes name their target file
-    explicitly, so they are inherently sequence-correct.  Data files are
-    classed by which equality deletes apply (≤ #deletes+1 classes), each
-    class read + anti-joined, then unioned.
+    explicitly, so they are inherently sequence-correct.  Equality
+    deletes apply through ONE tagged scan anti-joined against delete
+    keys carrying their sequence numbers (`key-equal AND delete_seq >
+    file_seq`) — one anti-join per distinct key-column set, so plan size
+    is flat in #delete-commits.
     """
     deletes = table.plan_deletes()
     id_to_name = {f.field_id: name for name, f in table.fields.items()}
