@@ -173,15 +173,9 @@ def _read_with_deletes(
         # distinct equality key-column set (bounded by the schema, not
         # by commit count) applies `key-equal AND delete_seq > file_seq`.
         df = _read_file_groups(table, spark, files, struct, True)
-        seq_map = F.broadcast(
-            spark.createDataFrame(
-                [(f["file_path"], okey(f)) for f in files],
-                "__seq_file string, __seq bigint",
-            )
+        df = _attach_path_value(
+            df, spark, "__file", "__seq", [(f["file_path"], okey(f)) for f in files]
         )
-        df = df.join(
-            seq_map, df["__file"] == seq_map["__seq_file"], "left"
-        ).drop("__seq_file")
         # Delete-file columns carry the names current at *delete time*;
         # resolve to today's names by field id via the delete snapshot's
         # pinned schema (positional guessing breaks when a rename
@@ -209,24 +203,29 @@ def _read_with_deletes(
                 resolutions, key=lambda t: t[0]
             ):
                 gate_entries += [e for _, e in items]
-                dmap = F.broadcast(
-                    spark.createDataFrame(
-                        [(e["file_path"], k) for k, e in items],
-                        "__del_file string, __del_seq bigint",
+                dscan = spark.read.parquet(*[e["file_path"] for _, e in items])
+                if len(items) == 1:
+                    # one delete file: its sequence is a constant — no
+                    # metadata tagging, no lookup
+                    dscan = dscan.withColumn(
+                        "__del_seq", F.lit(items[0][0]).cast("bigint")
                     )
-                )
-                dscan = spark.read.parquet(
-                    *[e["file_path"] for _, e in items]
-                ).withColumn(
-                    "__dfile",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/*", "/"
-                    ),
-                )
+                else:
+                    dscan = dscan.withColumn(
+                        "__dfile",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/*", "/"
+                        ),
+                    )
+                    dscan = _attach_path_value(
+                        dscan,
+                        spark,
+                        "__dfile",
+                        "__del_seq",
+                        [(e["file_path"], k) for k, e in items],
+                    )
                 frames.append(
-                    dscan.join(
-                        dmap, dscan["__dfile"] == dmap["__del_file"], "left"
-                    ).select(
+                    dscan.select(
                         *[
                             F.col(tn).alias(c)
                             for tn, c in zip(then_names, cols)
@@ -237,9 +236,16 @@ def _read_with_deletes(
             keys = frames[0]
             for fr in frames[1:]:
                 keys = keys.unionByName(fr)
-            keys = keys.groupBy(*cols).agg(
-                F.max("__del_seq").alias("__del_seq")
-            )
+            if len(gate_entries) > 1:
+                # Dedup hot keys across delete commits so a key deleted
+                # by many commits doesn't multiply the anti-join's build
+                # side; max(seq) preserves semantics (a row is dead iff
+                # the NEWEST matching delete is newer).  With a single
+                # delete file the anti-join's exists-semantics make
+                # dedup unnecessary — skip the shuffle.
+                keys = keys.groupBy(*cols).agg(
+                    F.max("__del_seq").alias("__del_seq")
+                )
             keys = _maybe_broadcast(keys.alias("__dk"), gate_entries)
             # null-safe equality: an Iceberg equality delete with a NULL
             # key matches rows where the column IS NULL
@@ -293,6 +299,43 @@ def _read_with_deletes(
 # shuffle deterministically; above it the join is left unhinted so AQE picks
 # broadcast vs shuffle from runtime sizes.
 BROADCAST_DELETE_MAX_BYTES = 32 << 20
+
+
+# Path→sequence lookups above this entry count fall back to a broadcast
+# join; at or below it they are a foldable map LITERAL (element_at on a
+# create_map of literals) — zero exchanges and, critically, zero Python:
+# spark.createDataFrame from a driver list builds an RDD through Python
+# workers (applySchemaToPythonRDD), a fixed ~0.5 s per query that
+# dominated the small-table delete read.  The bound keeps the literal
+# expression codegen-safe; a 100 TB table with >8k live files in one
+# snapshot-scan takes the join path, whose build side is O(#files) —
+# the same order the scan plan itself already holds.
+_MAP_LITERAL_MAX_ENTRIES = 8192
+
+
+def _attach_path_value(
+    df: DataFrame,
+    spark: SparkSession,
+    path_col: str,
+    out_col: str,
+    pairs: list[tuple[str, int]],
+) -> DataFrame:
+    """Attach ``out_col`` = value for ``path_col`` from a path→int map,
+    as a map literal when small, else a broadcast left join.  Missing
+    paths yield NULL in both variants."""
+    if not pairs:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    if len(pairs) <= _MAP_LITERAL_MAX_ENTRIES:
+        m = F.create_map(*[x for p, v in pairs for x in (F.lit(p), F.lit(v))])
+        return df.withColumn(
+            out_col, F.element_at(m, F.col(path_col)).cast("bigint")
+        )
+    lookup = F.broadcast(
+        spark.createDataFrame(pairs, f"__pv_path string, {out_col} bigint")
+    )
+    return df.join(
+        lookup, df[path_col] == lookup["__pv_path"], "left"
+    ).drop("__pv_path")
 
 
 def _maybe_broadcast(keys: DataFrame, entries: list[dict[str, Any]]) -> DataFrame:

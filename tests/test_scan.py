@@ -350,15 +350,14 @@ def test_large_delete_set_unhinted(spark, monkeypatch):
 
     t = IcebergTable(ensure_deletes_fixture())
     hinted_df = t.to_df(spark)
-    # delete-key frames hint-forced under the gate, plus the always-safe
-    # file→sequence map broadcast (planning-state-sized)
-    assert hints(hinted_df) >= 2
+    # delete-key frames hint-forced under the gate (the path→sequence
+    # maps are join-free literal lookups, so they contribute no hints)
+    assert hints(hinted_df) >= 1
     hinted = sorted(r["id"] for r in hinted_df.select("id").collect())
     monkeypatch.setattr(scan_mod, "BROADCAST_DELETE_MAX_BYTES", -1)
     unhinted_df = t.to_df(spark)
-    # only the two path→sequence maps (data side + delete-key side) stay
-    # hinted; every delete-KEY join is left to AQE
-    assert hints(unhinted_df) == 2
+    # every delete-KEY join is left to AQE; no forced hints remain
+    assert hints(unhinted_df) == 0
     assert sorted(r["id"] for r in unhinted_df.select("id").collect()) == hinted
 
 
