@@ -26,7 +26,12 @@ from daskberg_spark.iceberg.fixtures import (
     ensure_partitioned_fixture,
 )
 from daskberg_spark.iceberg.metadata import IcebergTable
-from daskberg_spark.operators.registry import iceberg_golden_table, query, table
+from daskberg_spark.operators.registry import (
+    iceberg_golden_table,
+    literal_df,
+    query,
+    table,
+)
 
 GOLDEN_DATA = "/root/reference/test-data/my_table/data"
 
@@ -193,8 +198,8 @@ def iceberg_unique_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p[2], p[1], p[3])  # (cat, day_ts_day, qty_trunc)
         for p in t.unique_partitions()
     }
-    return spark.createDataFrame(
-        sorted(tuples), "cat string, day_ts_day int, qty_trunc int"
+    return literal_df(
+        spark, sorted(tuples), "cat string, day_ts_day int, qty_trunc int"
     )
 
 
@@ -300,8 +305,8 @@ def iceberg_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in t.metadata.get("snapshots", [])
     ]
-    return spark.createDataFrame(
-        rows, "snapshot_id long, parent_id long, operation string, added_records long"
+    return literal_df(
+        spark, rows, "snapshot_id long, parent_id long, operation string, added_records long"
     )
 
 
@@ -736,7 +741,8 @@ def iceberg_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     and delete reconciliation all at once."""
     t = IcebergTable(ensure_partitioned_fixture())
     rows = t.metadata_rows("partitions")
-    df = spark.createDataFrame(
+    df = literal_df(
+        spark,
         [(r["partition"], r["record_count"]) for r in rows],
         "partition string, record_count long",
     )

@@ -41,6 +41,35 @@ def query(name: str, oracle: str | None = None) -> Callable:
     return deco
 
 
+def literal_df(
+    spark: SparkSession, rows: list[tuple], schema: str
+) -> DataFrame:
+    """Small constant DataFrame as a pure-Catalyst literal relation:
+    ``inline(array(struct(...)))`` over ``spark.range(1)``.  Unlike
+    ``spark.createDataFrame`` on a driver list — which builds its RDD
+    through Python workers (applySchemaToPythonRDD, a fixed ~0.3-0.5 s
+    per query) — this stays JVM-side and folds at plan time.  Meant for
+    planning-state-sized frames (quantile targets, seed tables); large
+    lists should use createDataFrame, whose cost amortizes."""
+    import re
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cols = re.split(r",(?![^(]*\))", schema)  # not inside decimal(p,s) etc.
+    names = [c.split()[0] for c in cols]
+    structs = [
+        F.struct(*[F.lit(v).alias(n) for v, n in zip(r, names)]) for r in rows
+    ]
+    out = spark.range(1).select(F.inline(F.array(*structs)))
+    # apply declared types (lit() infers e.g. int where long is declared)
+    return out.select(
+        *[
+            F.col(c.split()[0]).cast(" ".join(c.split()[1:])).alias(c.split()[0])
+            for c in cols
+        ]
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events_table(spark, sf_dir)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from daskberg_spark.operators.registry import (
     DEC,
+    literal_df,
     query,
     sql_dsum,
     table,
@@ -553,8 +554,8 @@ def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.withColumn(
         "cum", F.sum("c").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
     )
-    qs = spark.createDataFrame(
-        [(i + 1, q) for i, q in enumerate(_HQ)], "qi int, q double"
+    qs = literal_df(
+        spark, [(i + 1, q) for i, q in enumerate(_HQ)], "qi int, q double"
     )
     # min of (bin, c, cum) structs == the qualifying row with the smallest
     # bin, carrying its count and cumulative alongside — no join back to

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from daskberg_spark.operators.registry import (
     davg,
+    literal_df,
     query,
     sql_davg,
     table,
@@ -421,8 +422,8 @@ def bpe_train(
         vocab = vocab.mapInPandas(
             apply_merges, "syms array<string>, n long"
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, pair_count long"
+    return literal_df(
+        spark, merges, "step int, left string, right string, pair_count long"
     )
 
 
