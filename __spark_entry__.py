@@ -127,16 +127,21 @@ _PRIORITY = [
     "iceberg_time_travel",
     "iceberg_partition_prune",
     "iceberg_or_filter",
-    "iceberg_day_transform_prune",
     "iceberg_schema_evolution",
     "iceberg_lineitem_stats_prune",
     # r5/r6: sequence-number-correct deletes on a foreign-style table,
     # per-file spec resolution, copy-on-write MERGE, and the r6 flagship
-    # single-anti-join merge-on-read delete read + bucket-prune write
+    # single-anti-join merge-on-read delete read + bucket-prune write.
+    # Late r6: iceberg_dv_delete_read (v3 deletion vectors — roaring
+    # bitmaps in puffin, built this round) takes the slot of
+    # iceberg_day_transform_prune (driver-green r1-r5; A7 transform
+    # coverage stays in-window via iceberg_spec_evolution_prune) — a
+    # 13th first-time driver row.
     "iceberg_foreign_read",
     "iceberg_spec_evolution_prune",
     "iceberg_merge_cow",
     "iceberg_mor_delete_read",
+    "iceberg_dv_delete_read",
     "iceberg_bucket_write_prune",
     # Tier C — dedup (C1/C2)
     "dedup_exact",

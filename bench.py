@@ -73,7 +73,9 @@ HEADLINE = [
     "q18_large_volume",
     # round 6: the flattened merge-on-read delete read (one tagged scan +
     # one sequence-keyed anti-join per key set, flat in #delete-commits)
+    # and the v3 deletion-vector read (executor-side puffin decode)
     "iceberg_mor_delete_read",
+    "iceberg_dv_delete_read",
 ]
 
 

@@ -511,3 +511,47 @@ def ensure_nested_fixture(path: str = NESTED_FIXTURE_DIR) -> str:
     writer.append(make_nested_rows(30, 0))
     writer.append(make_nested_rows(10, 30))
     return path
+
+
+DV_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "dv_table")
+
+
+def ensure_dv_fixture(spark, path: str = DV_FIXTURE_DIR) -> str:
+    """Iceberg v3 deletion-vector table: two appends (ids 0..99), a
+    distributed predicate DV commit (``delete_where_dv_spark``:
+    id % 7 = 0 — one roaring-bitmap blob per touched file, single puffin
+    container), a driver-side DV on the first file's positions 1 and 3
+    (= ids 1 and 3; this writer preserves append order), and a re-insert
+    of id 7 (val = -1.0) that must survive because DVs target a named
+    file, never later files.  All deletions are content-derivable, so a
+    DuckDB oracle over the raw data parquet reproduces the live rowset:
+
+        (id % 7 <> 0 OR val = -1.0) AND id NOT IN (1, 3)
+    """
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    rows = [
+        {"id": i, "grp": "xyz"[i % 3], "val": float(i)} for i in range(100)
+    ]
+    writer.append(rows[:70])
+    writer.append(rows[70:])
+    delete_where_dv_spark(writer, spark, "id % 7 = 0")
+    first = IcebergTable(path).plan_files()[0]["file_path"]
+    writer.delete_positions_dv({first: [1, 3]})
+    writer.append([{"id": 7, "grp": "x", "val": -1.0}])
+    return path

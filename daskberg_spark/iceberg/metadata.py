@@ -293,8 +293,10 @@ class IcebergTable:
     ) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, Any]]]:
         """Manifest-level prune → load (parallel) → status reconcile.
 
-        Returns ``(data_files, delete_files)`` — both ``{path: record}``
-        maps, live after applying DELETED entries last across all
+        Returns ``(data_files, delete_files)`` — ``{path: record}`` and
+        ``{(path, blob_offset): record}`` maps (a v3 puffin file carries
+        several DV blobs under one path), live after applying DELETED
+        entries last across all
         manifests (``ice.py:165-204``).  ``delete_files`` holds v2
         position/equality delete files (``content`` 1/2); the reference
         is v1-only and has no counterpart.  Results are memoized per
@@ -335,9 +337,24 @@ class IcebergTable:
             for entry in loaded[path]:
                 data_file = entry["data_file"]
                 fmt = data_file.get("file_format", "PARQUET")
-                if fmt.upper() != "PARQUET":
+                is_dv = (
+                    fmt.upper() == "PUFFIN"
+                    and data_file.get("content", 0) == 1
+                    and data_file.get("referenced_data_file") is not None
+                )
+                if fmt.upper() != "PARQUET" and not is_dv:
                     raise NotImplementedError(f"file format {fmt}")
                 fpath = self._relocate(data_file["file_path"])
+                if is_dv:
+                    # the target path must match the scan's relocated
+                    # __file tag or the DV anti-join silently matches
+                    # nothing (same rule as position-delete file_path)
+                    data_file = dict(
+                        data_file,
+                        referenced_data_file=self._relocate(
+                            data_file["referenced_data_file"]
+                        ),
+                    )
                 data_file = dict(
                     data_file,
                     file_path=fpath,
@@ -365,12 +382,18 @@ class IcebergTable:
                 if entry["status"] == STATUS_DELETED:
                     deleted.add(fpath)
                 elif data_file.get("content", 0) in (1, 2):
-                    delete_files[fpath] = data_file
+                    # keyed by (path, blob offset): a v3 puffin file packs
+                    # one DV blob PER target data file at distinct offsets
+                    # under one file_path — path alone would collapse them
+                    delete_files[
+                        (fpath, data_file.get("content_offset") or 0)
+                    ] = data_file
                 else:
                     allfiles[fpath] = data_file
         for fpath in deleted:
             allfiles.pop(fpath, None)
-            delete_files.pop(fpath, None)
+            for k in [k for k in delete_files if k[0] == fpath]:
+                delete_files.pop(k)
         self._scan_cache[cache_key] = (allfiles, delete_files)
         return allfiles, delete_files
 
@@ -385,9 +408,13 @@ class IcebergTable:
         return self.schema
 
     def plan_deletes(self) -> list[dict[str, Any]]:
-        """Live v2 delete files (position/equality), path-ordered."""
+        """Live v2/v3 delete files (position/equality/DV), ordered by
+        (path, blob offset)."""
         _, deletes = self.scan_all()
-        return sorted(deletes.values(), key=lambda f: f["file_path"])
+        return sorted(
+            deletes.values(),
+            key=lambda f: (f["file_path"], f.get("content_offset") or 0),
+        )
 
     def plan_files(self, filters: Any = None) -> list[dict[str, Any]]:
         """Full scan plan: manifest prune + file-level partition/stat prune.

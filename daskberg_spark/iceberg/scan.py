@@ -146,14 +146,20 @@ def _read_with_deletes(
 
     eq_deletes = []  # (order_key, delete_snapshot_id, current_key_cols, entry)
     pos_files: list[dict[str, Any]] = []
+    dv_files: list[dict[str, Any]] = []  # v3 deletion vectors (puffin)
     for d in deletes:
         if d.get("content") == 2:
             cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
             eq_deletes.append((okey(d), d.get("_snapshot_id") or 0, cols, d))
         elif d.get("content") == 1:
-            pos_files.append(d)
+            if d.get("referenced_data_file"):
+                dv_files.append(d)
+            else:
+                pos_files.append(d)
 
-    tag_position = bool(pos_files) or keep_file or bool(eq_deletes)
+    tag_position = (
+        bool(pos_files) or bool(dv_files) or keep_file or bool(eq_deletes)
+    )
 
     if not eq_deletes:
         df = _read_file_groups(table, spark, files, struct, tag_position)
@@ -255,6 +261,7 @@ def _read_with_deletes(
             df = df.join(keys, cond, "left_anti")
         df = df.drop("__seq")
 
+    pos_frames = []
     if pos_files:
         # Delete files store target paths as written at delete time; on a
         # relocated table (original_url) those reference the ORIGINAL
@@ -268,7 +275,7 @@ def _read_with_deletes(
                 F.substring(delf, 1, olen) == F.lit(table.original_url),
                 F.concat(F.lit(table.url), F.substring(delf, olen + 1, 1 << 30)),
             ).otherwise(delf)
-        pos = (
+        pos_frames.append(
             spark.read.parquet(*[e["file_path"] for e in pos_files])
             .select(
                 delf.alias("__del_file"),
@@ -276,8 +283,53 @@ def _read_with_deletes(
             )
             .distinct()
         )
+    if dv_files:
+        # v3 deletion vectors: decode each puffin blob EXECUTOR-side
+        # (mapInPandas over one row per DV) so position lists
+        # materialize as Arrow batches on the workers, never as driver
+        # rows — the driver holds only (path, offset, length) triples.
+        # referenced_data_file was relocated by scan_all to match __file.
+        src = spark.createDataFrame(
+            [
+                (
+                    d["referenced_data_file"],
+                    d["file_path"],
+                    int(d["content_offset"]),
+                    int(d["content_size_in_bytes"]),
+                )
+                for d in dv_files
+            ],
+            "__t string, __p string, __o long, __l long",
+        )
+
+        def _decode_dvs(batches):
+            import pandas as pd
+
+            from daskberg_spark.iceberg.puffin import dv_decode_file
+
+            for pdf in batches:
+                for t_, p_, o_, l_ in pdf.itertuples(index=False):
+                    yield pd.DataFrame(
+                        {
+                            "__del_file": t_,
+                            "__del_pos": pd.Series(
+                                dv_decode_file(p_, int(o_), int(l_)),
+                                dtype="int64",
+                            ),
+                        }
+                    )
+
+        pos_frames.append(
+            src.repartition(min(len(dv_files), 32)).mapInPandas(
+                _decode_dvs, "__del_file string, __del_pos long"
+            )
+        )
+    if pos_frames:
+        pos = pos_frames[0]
+        for fr in pos_frames[1:]:
+            pos = pos.unionByName(fr)
         df = df.join(
-            _maybe_broadcast(pos, pos_files),
+            _maybe_broadcast(pos, pos_files + dv_files),
             (df["__file"] == pos["__del_file"])
             & (df["__pos"] == pos["__del_pos"]),
             "left_anti",

@@ -155,6 +155,14 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
                             "default": None,
                             "field-id": 135,
                         },
+                        # v3 deletion vectors (spec field ids 143-145):
+                        # a DV entry is content=1 with file_format PUFFIN,
+                        # naming its target data file and the blob's byte
+                        # range inside the puffin container.  Null on all
+                        # v1/v2 entries.
+                        {"name": "referenced_data_file", "type": ["null", "string"], "default": None, "field-id": 143},
+                        {"name": "content_offset", "type": ["null", "long"], "default": None, "field-id": 144},
+                        {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None, "field-id": 145},
                     ],
                 },
             },
@@ -701,6 +709,69 @@ class IcebergWriter:
             },
         }
         manifest = self._write_manifest([entry], snapshot_id)
+        self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
+        return snapshot_id
+
+    def delete_positions_dv(self, positions_by_file: dict[str, list[int]]) -> int:
+        """v3 deletion-vector snapshot: one Puffin file holding a
+        ``deletion-vector-v1`` roaring-bitmap blob per target data file,
+        committed as content=1 delete entries carrying
+        ``referenced_data_file`` + the blob's byte range (spec field ids
+        143-145).  The v3 replacement for position-delete parquet: at
+        most one DV per data file, O(1) blobs to open per scan instead
+        of O(delete-commits) files, and bitmap bytes (~2 bytes/row dense)
+        instead of (path, pos) rows.  Upgrades the table to
+        format-version 3."""
+        from daskberg_spark.iceberg.puffin import dv_blob, write_puffin
+
+        if not positions_by_file:
+            raise ValueError("no deletion vectors")
+        self._file_counter += 1
+        path = f"{self.path}/data/dv-{self._file_counter:05d}.puffin"
+        snapshot_id = self._next_snapshot_id
+        blobs = []
+        for target in sorted(positions_by_file):
+            positions = sorted(set(positions_by_file[target]))
+            blobs.append(
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": self._last_sequence_number + 1,
+                    "properties": {
+                        "referenced-data-file": target,
+                        "cardinality": str(len(positions)),
+                    },
+                    "data": dv_blob(positions),
+                }
+            )
+        metas = write_puffin(path, blobs)
+        self._format_version = 3
+        file_size = os.path.getsize(path)
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": path,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": int(m["properties"]["cardinality"]),
+                    "file_size_in_bytes": file_size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                    "referenced_data_file": m["properties"][
+                        "referenced-data-file"
+                    ],
+                    "content_offset": m["offset"],
+                    "content_size_in_bytes": m["length"],
+                },
+            }
+            for m in metas
+        ]
+        manifest = self._write_manifest(entries, snapshot_id)
         self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
         return snapshot_id
 
@@ -1703,6 +1774,96 @@ def delete_where_spark(
     return snapshot_id
 
 
+def delete_where_dv_spark(
+    writer: "IcebergWriter", spark: Any, predicate: Any
+) -> int | None:
+    """Distributed v3 deletion-vector DELETE: executors scan the table
+    through the delete-aware tagged read, filter to ``predicate``'s
+    matches, and build one serialized roaring bitmap per target data
+    file (``applyInPandas`` keyed on ``__file`` — position lists never
+    leave the executors as rows).  The driver collects only the
+    FINISHED bitmap blobs (~2 bytes per dense deleted row, one blob per
+    touched file) and packs them into a single Puffin file committed as
+    one ``delete`` snapshot, so driver state is O(touched files ×
+    compressed bitmap), never O(rows).  The v3 counterpart of
+    ``delete_where_spark``; returns the snapshot id or None when
+    nothing matches."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import dv_blob, write_puffin
+
+    t = IcebergTable(writer.path)
+    tagged = t.to_df(spark, keep_pos=True)
+    hits = tagged.filter(predicate).select("__file", "__pos")
+
+    def make_dv(key, pdf):
+        import pandas as pd
+
+        positions = sorted(set(int(p) for p in pdf["__pos"]))
+        return pd.DataFrame(
+            {
+                "file": [key[0]],
+                "blob": [dv_blob(positions)],
+                "cardinality": [len(positions)],
+            }
+        )
+
+    rows = (
+        hits.groupBy("__file")
+        .applyInPandas(make_dv, "file string, blob binary, cardinality long")
+        .collect()
+    )
+    if not rows:
+        return None
+    writer._file_counter += 1
+    path = f"{writer.path}/data/dv-{writer._file_counter:05d}.puffin"
+    snapshot_id = writer._next_snapshot_id
+    metas = write_puffin(
+        path,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": writer._last_sequence_number + 1,
+                "properties": {
+                    "referenced-data-file": r["file"],
+                    "cardinality": str(r["cardinality"]),
+                },
+                "data": bytes(r["blob"]),
+            }
+            for r in sorted(rows, key=lambda r: r["file"])
+        ],
+    )
+    writer._format_version = 3
+    file_size = os.path.getsize(path)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,
+                "file_path": path,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(m["properties"]["cardinality"]),
+                "file_size_in_bytes": file_size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": m["properties"]["referenced-data-file"],
+                "content_offset": m["offset"],
+                "content_size_in_bytes": m["length"],
+            },
+        }
+        for m in metas
+    ]
+    manifest = writer._write_manifest(entries, snapshot_id)
+    writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    return snapshot_id
+
+
 def delete_keys_spark(
     writer: "IcebergWriter", spark: Any, keys_df: Any
 ) -> int | None:
@@ -1904,7 +2065,9 @@ def remove_orphan_files(
     for dirpath, _dirnames, filenames in sorted(os.walk(data_dir)):
         for name in sorted(filenames):
             path = os.path.realpath(os.path.join(dirpath, name))
-            if path not in referenced and name.endswith(".parquet"):
+            if path not in referenced and name.endswith(
+                (".parquet", ".puffin")
+            ):
                 os.remove(path)
                 removed.append(path)
     # bottom-up (NOT sorted — that would put parents first) + re-listing
@@ -1981,6 +2144,20 @@ def _live_deletes(
             continue
         content = rec.get("content", 0)
         if content == 1:
+            if rec.get("referenced_data_file"):
+                # v3 deletion vector: decode the puffin blob to its
+                # (target, pos) pairs so compaction folds DVs exactly
+                # like position-delete parquet
+                from daskberg_spark.iceberg.puffin import dv_decode_file
+
+                target = _norm_data_path(rec["referenced_data_file"])
+                for p in dv_decode_file(
+                    rec["file_path"],
+                    int(rec["content_offset"]),
+                    int(rec["content_size_in_bytes"]),
+                ):
+                    pos_pairs.add((target, p))
+                continue
             # normalize the referenced paths the same way the scan layer
             # does (scheme strip + realpath): scheme-prefixed position
             # deletes must keep applying during driver-side rewrites

@@ -528,6 +528,36 @@ def iceberg_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_dv_delete_read",
+    """
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(id AS DECIMAL(25,6))) AS DOUBLE) AS sum_id,
+           CAST(MIN(val) AS DOUBLE) AS min_val
+    FROM read_parquet('/root/repo/.fixtures/dv_table/data/0*.parquet')
+    WHERE (id % 7 <> 0 OR val = -1.0) AND id NOT IN (1, 3)
+    GROUP BY grp
+    """,
+)
+def iceberg_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 deletion-vector read (beyond the v1-only reference):
+    roaring-bitmap DVs in a Puffin container, one blob per target data
+    file (spec field ids 143-145), decoded EXECUTOR-side (mapInPandas)
+    and applied through the same single position anti-join as v2
+    position-delete parquet.  A re-inserted id-7 row (val = -1.0)
+    survives because DVs name their target file.  The oracle reproduces
+    the live rowset from raw data-file content alone."""
+    from daskberg_spark.iceberg.fixtures import ensure_dv_fixture
+
+    t = IcebergTable(ensure_dv_fixture(spark))
+    return t.to_df(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id").cast("decimal(25,6)")).cast("double").alias("sum_id"),
+        F.min("val").cast("double").alias("min_val"),
+    )
+
+
+@query(
     "iceberg_schema_evolution",
     """
     SELECT id, COALESCE(total, amount) AS total, note

@@ -1949,3 +1949,105 @@ def test_mor_maintenance_interaction(spark, tmp_path):
     expire_snapshots(w, keep_last=1)
     remove_orphan_files(p)
     assert ids() == expect
+
+
+def test_deletion_vectors_end_to_end(spark, tmp_path):
+    """Iceberg v3 deletion vectors: driver-side DV commit
+    (delete_positions_dv), distributed predicate DV
+    (delete_where_dv_spark, executor-built bitmaps), multi-blob puffin
+    planning (one blob per target at distinct offsets under ONE path),
+    sequence-correct reads, and format-version 3 stamping."""
+    from daskberg_spark.iceberg.puffin import read_puffin_footer
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(100)])
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(100, 120)])
+
+    t = IcebergTable(p)
+    first = t.plan_files()[0]["file_path"]
+    w.delete_positions_dv({first: [0, 1, 2]})
+    t = IcebergTable(p)
+    assert t.metadata["format-version"] == 3
+
+    def ids():
+        return sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+
+    assert ids() == [i for i in range(120) if i > 2]
+
+    # distributed: one puffin, one blob per touched data file
+    sid = delete_where_dv_spark(w, spark, "id % 10 = 5")
+    assert sid is not None
+    expect = [i for i in range(120) if i > 2 and i % 10 != 5]
+    assert ids() == expect
+
+    dvs = [
+        d
+        for d in IcebergTable(p).plan_deletes()
+        if d.get("referenced_data_file")
+    ]
+    assert len(dvs) == 3  # first commit's blob + one per file from the second
+    multi = [d for d in dvs if "dv-00004" in d["file_path"]]
+    assert len(multi) == 2
+    assert len({d["content_offset"] for d in multi}) == 2  # distinct blobs
+    foot = read_puffin_footer(multi[0]["file_path"])
+    assert {b["properties"]["referenced-data-file"] for b in foot["blobs"]} == {
+        d["referenced_data_file"] for d in multi
+    }
+    # cardinality lands in record_count (10 ids %10==5 in file 1: 5..95)
+    assert sorted(d["record_count"] for d in multi) == [2, 10]
+
+    # empty predicate match -> no commit
+    assert delete_where_dv_spark(w, spark, "id = -1") is None
+
+
+def test_deletion_vectors_maintenance_and_compaction(spark, tmp_path):
+    """DVs through the maintenance suite: expire+orphan never reclaim a
+    referenced puffin, compact_files folds DV positions into the rewrite
+    (same rows before/after), and once compaction supersedes the DVs the
+    orphan sweep reclaims orphaned puffin bytes like any parquet."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        delete_where_dv_spark,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [{"id": 1, "name": "id", "type": "long", "required": False}],
+    )
+    w.append([{"id": i} for i in range(50)])
+    w.append([{"id": i} for i in range(50, 60)])
+    delete_where_dv_spark(w, spark, "id < 5")
+    expect = list(range(5, 60))
+
+    def ids():
+        return sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+
+    assert ids() == expect
+    expire_snapshots(w, keep_last=1)
+    removed = remove_orphan_files(p)
+    assert not any(r.endswith(".puffin") for r in removed)
+    assert ids() == expect
+
+    assert compact_files(w) is not None
+    assert ids() == expect
+    # post-compaction the rewritten files are delete-free; expiring the
+    # pre-compaction snapshots makes the old puffin reclaimable only
+    # once nothing references it
+    expire_snapshots(w, keep_last=1)
+    remove_orphan_files(p)
+    assert ids() == expect

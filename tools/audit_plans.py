@@ -51,6 +51,10 @@ AUDIT = {
     # distributed merge-on-read deletes: delete-key groupBy-max, distinct
     # for the position-delete pairs, broadcast anti-joins, final group agg
     "iceberg_mor_delete_read": (3, False, True, None),
+    # v3 deletion-vector read: executor-side puffin decode (mapInPandas
+    # over one row per DV, 1 repartition exchange) feeding the SAME
+    # single position anti-join as v2 pos-delete parquet, + final agg
+    "iceberg_dv_delete_read": (3, False, True, None),
     # spec-evolved point read: metadata pruned to 2 files, residual id=7
     # pushed to the parquet scan, 2-column ReadSchema, no shuffle
     "iceberg_spec_evolution_prune": (0, True, False, 2),
