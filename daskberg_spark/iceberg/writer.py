@@ -1322,26 +1322,6 @@ def _entries_from_spark_dir(
         _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
     for path in paths:
-        pf = pq.ParquetFile(path)
-        meta = pf.metadata
-        # per-column min/max across row groups, from footer statistics
-        lowers: dict[str, Any] = {}
-        uppers: dict[str, Any] = {}
-        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
-        for rg in range(meta.num_row_groups):
-            for ci in range(meta.num_columns):
-                col = meta.row_group(rg).column(ci)
-                stats = col.statistics
-                if stats is None or not stats.has_min_max:
-                    continue
-                name = schema_names[ci]
-                if name not in writer.types:
-                    continue
-                lo, hi = stats.min, stats.max
-                if name not in lowers or lo < lowers[name]:
-                    lowers[name] = lo
-                if name not in uppers or hi > uppers[name]:
-                    uppers[name] = hi
         partition: dict[str, Any] = {}
         if partition_col is not None:
             # `path_col` is the hive directory name (Spark's partitionBy drops
@@ -1385,28 +1365,118 @@ def _entries_from_spark_dir(
                         partition[spec_field["name"]] = (
                             int(raw) if rtype in ("int", "long") else raw
                         )
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": path,
-                    "file_format": "PARQUET",
-                    "partition": partition,
-                    "record_count": meta.num_rows,
-                    "file_size_in_bytes": os.path.getsize(path),
-                    "lower_bounds": [
-                        {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
-                        for n, v in lowers.items()
-                    ],
-                    "upper_bounds": [
-                        {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
-                        for n, v in uppers.items()
-                    ],
-                },
-            }
-        )
+        entries.append(_footer_entry(writer, path, snapshot_id, partition))
     return entries
+
+
+def _footer_entry(
+    writer: "IcebergWriter",
+    path: str,
+    snapshot_id: int,
+    partition: dict[str, Any],
+) -> dict[str, Any]:
+    """ADDED manifest entry for one existing parquet file: record count
+    and per-column bounds lifted from footer row-group statistics —
+    zero data IO."""
+    meta = pq.ParquetFile(path).metadata
+    lowers: dict[str, Any] = {}
+    uppers: dict[str, Any] = {}
+    schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            name = schema_names[ci]
+            if name not in writer.types:
+                continue
+            lo, hi = stats.min, stats.max
+            if name not in lowers or lo < lowers[name]:
+                lowers[name] = lo
+            if name not in uppers or hi > uppers[name]:
+                uppers[name] = hi
+    return {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "data_file": {
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": partition,
+            "record_count": meta.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+            "lower_bounds": [
+                {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
+                for n, v in lowers.items()
+            ],
+            "upper_bounds": [
+                {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
+                for n, v in uppers.items()
+            ],
+        },
+    }
+
+
+def add_files(
+    writer: "IcebergWriter",
+    paths: list[str],
+    partition_values: dict[str, dict[str, Any]] | None = None,
+) -> int:
+    """Register EXISTING parquet files in place as one Iceberg append
+    snapshot — the real-Iceberg ``add_files`` migration action: no data
+    is copied or rewritten, record counts and column bounds are lifted
+    from the parquet footers, so a hive-style directory (or any external
+    parquet set) becomes queryable table content at metadata cost only.
+    ``partition_values`` optionally maps file path → {spec field name:
+    transformed value} for partitioned specs.  Files may live outside
+    the table directory (they are referenced, not owned; the orphan
+    sweep only walks the table's own data/).  Returns the snapshot id.
+    """
+    if not paths:
+        raise ValueError("no files to add")
+    snapshot_id = writer._next_snapshot_id
+    entries = []
+    for p in sorted(paths):
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        part = (partition_values or {}).get(p, {})
+        entries.append(_footer_entry(writer, p, snapshot_id, part))
+    chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)]
+    new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
+    writer._commit(
+        snapshot_id,
+        writer.manifests + new_manifests,
+        "append",
+        sum(e["data_file"]["record_count"] for e in entries),
+    )
+    return snapshot_id
+
+
+def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:
+    """Metadata-only rollback (the real-Iceberg ``rollback_to_snapshot``
+    management op): make an earlier snapshot current again by emitting a
+    new metadata version whose ``current-snapshot-id`` points at it.  No
+    snapshots are deleted — the rolled-past commits stay time-travelable
+    until ``expire_snapshots`` — and the writer's working state (manifest
+    list, next parent) is restored to the target so subsequent commits
+    build on it.  Sequence numbers stay monotonic per spec: a rollback
+    never rewinds the sequence clock."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    snaps = {s["snapshot-id"]: s for s in writer.snapshots}
+    if snapshot_id not in snaps:
+        raise KeyError(f"unknown snapshot {snapshot_id}")
+    target = snaps[snapshot_id]
+    _, manifests = read_avro_file(target["manifest-list"])
+    writer.manifests = manifests
+    # the head is snapshots[-1] throughout this writer (parent linkage,
+    # expire keep_last, current-snapshot-id): reposition the target there;
+    # its original parent link is untouched, so lineage stays correct
+    writer.snapshots = [
+        s for s in writer.snapshots if s["snapshot-id"] != snapshot_id
+    ] + [target]
+    writer.version += 1
+    writer._write_metadata()
 
 
 def _norm_data_path(p: str) -> str:

@@ -2051,3 +2051,77 @@ def test_deletion_vectors_maintenance_and_compaction(spark, tmp_path):
     expire_snapshots(w, keep_last=1)
     remove_orphan_files(p)
     assert ids() == expect
+
+
+def test_add_files_registers_external_parquet(spark, tmp_path):
+    """add_files (real-Iceberg migration action): existing parquet
+    registered in place — no copy/rewrite — with footer-lifted record
+    counts and bounds, so stats pruning works on the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    ext = tmp_path / "external"
+    ext.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                    "v": pa.array([float(x) for x in range(i * 10, i * 10 + 10)]),
+                }
+            ),
+            str(ext / f"chunk{i}.parquet"),
+        )
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    sid = add_files(w, [str(ext / f"chunk{i}.parquet") for i in range(3)])
+    assert sid is not None
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == list(range(30))
+    # footer-lifted bounds drive stats pruning: id>25 matches one file
+    assert len(t.plan_files(filters=[("id", ">", 25)])) == 1
+    # files are referenced, not owned — they stay outside data/
+    assert all(
+        f["file_path"].startswith(str(ext))
+        for f in t.plan_files()
+    )
+    with pytest.raises(ValueError):
+        add_files(w, [])
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to: metadata-only, keeps rolled-past snapshots
+    time-travelable, and the next commit builds on the target."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, rollback_to
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    s2 = None
+    w.append([{"id": 2}])
+    s2 = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": 3}])
+    s3 = w.snapshots[-1]["snapshot-id"]
+    rollback_to(w, s2)
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2]
+    assert len(t.metadata["snapshots"]) == 3  # nothing deleted
+    t.open_snapshot(snapshot_id=s3)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2, 3]
+    # next commit parents on the rollback target, not the rolled-past head
+    w.append([{"id": 4}])
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2, 4]
+    assert t.current_snapshot["parent-snapshot-id"] == s2
+    with pytest.raises(KeyError):
+        rollback_to(w, 999999)
