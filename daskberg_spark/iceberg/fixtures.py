@@ -555,3 +555,82 @@ def ensure_dv_fixture(spark, path: str = DV_FIXTURE_DIR) -> str:
     writer.delete_positions_dv({first: [1, 3]})
     writer.append([{"id": 7, "grp": "x", "val": -1.0}])
     return path
+
+
+ADDFILES_EXT_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "addfiles_ext")
+ADDFILES_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "addfiles_table"
+)
+
+
+def ensure_addfiles_fixture(path: str = ADDFILES_FIXTURE_DIR) -> str:
+    """add_files migration table: three EXTERNAL parquet chunks (ids
+    0..29, written outside the table directory) registered in place —
+    no copy, footer-lifted bounds — plus one native append (ids
+    100..104).  Oracle reads the external chunks and the table's own
+    data files directly."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    os.makedirs(ADDFILES_EXT_DIR, exist_ok=True)
+    ext_paths = []
+    for i in range(3):
+        p = os.path.join(ADDFILES_EXT_DIR, f"chunk{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                    "val": pa.array(
+                        [x * 1.5 for x in range(i * 10, i * 10 + 10)]
+                    ),
+                }
+            ),
+            p,
+        )
+        ext_paths.append(p)
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    add_files(writer, ext_paths)
+    writer.append([{"id": i, "val": float(i)} for i in range(100, 105)])
+    return path
+
+
+ROLLBACK_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "rollback_table"
+)
+
+
+def ensure_rollback_fixture(path: str = ROLLBACK_FIXTURE_DIR) -> str:
+    """Snapshot-rollback table: append ids 0..49 → append ids 50..59 →
+    ``rollback_to`` the first snapshot → append ids 100..109.  The
+    rolled-past file (ids 50..59) remains on disk and time-travelable
+    but is NOT in the current state, so the content-derived live set is
+    ``id < 50 OR id >= 100``."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter, rollback_to
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    writer.append([{"id": i, "val": float(i)} for i in range(50)])
+    s1 = writer.snapshots[-1]["snapshot-id"]
+    writer.append([{"id": i, "val": float(i)} for i in range(50, 60)])
+    rollback_to(writer, s1)
+    writer.append([{"id": i, "val": float(i)} for i in range(100, 110)])
+    return path

@@ -106,10 +106,12 @@ def _part_fixture_files() -> str:
 def prepare_fixtures() -> None:
     """Build every local Iceberg fixture the oracles read (idempotent)."""
     from daskberg_spark.iceberg.fixtures import (
+        ensure_addfiles_fixture,
         ensure_deletes_fixture,
         ensure_evolved_fixture,
         ensure_foreign_fixture,
         ensure_nested_fixture,
+        ensure_rollback_fixture,
         ensure_spec_evo_fixture,
     )
 
@@ -119,6 +121,8 @@ def prepare_fixtures() -> None:
     ensure_nested_fixture()
     ensure_foreign_fixture()
     ensure_spec_evo_fixture()
+    ensure_addfiles_fixture()
+    ensure_rollback_fixture()
 
 
 @query(
@@ -554,6 +558,60 @@ def iceberg_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("id").cast("decimal(25,6)")).cast("double").alias("sum_id"),
         F.min("val").cast("double").alias("min_val"),
+    )
+
+
+@query(
+    "iceberg_add_files_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(id AS DECIMAL(25,6))) AS DOUBLE) AS sum_id,
+           CAST(MAX(val) AS DOUBLE) AS max_val
+    FROM read_parquet(['/root/repo/.fixtures/addfiles_ext/*.parquet',
+                       '/root/repo/.fixtures/addfiles_table/data/0*.parquet'])
+    WHERE id > 5
+    """,
+)
+def iceberg_add_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files migration read (real-Iceberg ``add_files`` action,
+    beyond the reference): external parquet registered IN PLACE — no
+    copy/rewrite, footer-lifted bounds — read alongside a native append,
+    with the filter planned through the lifted stats.  The oracle reads
+    the same external chunks + table data files directly."""
+    from daskberg_spark.iceberg.fixtures import ensure_addfiles_fixture
+
+    t = IcebergTable(ensure_addfiles_fixture())
+    return t.to_df(spark, filters=[("id", ">", 5)]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id").cast("decimal(25,6)")).cast("double").alias("sum_id"),
+        F.max("val").cast("double").alias("max_val"),
+    )
+
+
+@query(
+    "iceberg_rollback_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS sum_val
+    FROM read_parquet('/root/repo/.fixtures/rollback_table/data/0*.parquet')
+    WHERE id < 50 OR id >= 100
+    """,
+)
+def iceberg_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-rollback read (``rollback_to``, beyond the reference):
+    the current state excludes a rolled-past append whose file is still
+    on disk and time-travelable — the oracle derives the live set from
+    raw data-file content (``id < 50 OR id >= 100``)."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return t.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
     )
 
 
