@@ -396,6 +396,32 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
 
+    # (c) v3 deletion vectors vs v2 position-delete parquet at the same
+    #     10% delete density: read wall and on-disk delete bytes.  The
+    #     DV read pays a mapInPandas decode (Python workers) where the
+    #     parquet path stays JVM-side; the DV's wins are byte density
+    #     (~2 B/row dense vs (path,pos) parquet rows) and O(blobs)
+    #     planning — both reported here.
+    from daskberg_spark.iceberg.writer import delete_where_dv_spark
+
+    for label, fn in (("posdel", delete_where_spark), ("dv", delete_where_dv_spark)):
+        p = f"{mor_base}/cmp_{label}"
+        w = IcebergWriter(p, schema)
+        w.append([{"id": i, "v": float(i)} for i in range(100_000)])
+        fn(w, spark, "id % 10 = 0")
+        t = IcebergTable(p)
+        results[f"cmp_{label}_delete_bytes"] = sum(
+            d.get("content_size_in_bytes") or d["file_size_in_bytes"]
+            for d in t.plan_deletes()
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = t.to_df(spark).count()
+            best = min(best, time.perf_counter() - t0)
+        assert n == 90_000, n
+        results[f"cmp_{label}_read_wall"] = round(best, 3)
+
     print(json.dumps(results))
     spark.stop()
 
