@@ -2403,11 +2403,67 @@ def compact_files(
     if not compacted_paths:
         return None
 
+    # pass 2b: delete files fully SUPERSEDED by the rewrite are
+    # tombstoned — the compacted output replays their effect, so carrying
+    # them costs every future scan an anti-join input for nothing.
+    # Position deletes/DVs are dead when every referenced target was
+    # rewritten; an equality delete is dead when no SURVIVING data file
+    # has a strictly lower sequence (new compacted entries take this
+    # commit's higher sequence, so they never re-qualify).  A puffin
+    # path tombstones only when ALL its blobs are superseded — DELETED
+    # reconciliation is per path, and one tombstone kills every blob.
+    norm_compacted = {_norm_data_path(p) for p in compacted_paths}
+    survivor_data_keys = [
+        _order_key(e, mf)
+        for _sid, e, mf in data_entries
+        if e["data_file"]["file_path"] not in compacted_paths
+    ]
+    superseded: set[tuple[str, int]] = set()  # (path, blob offset)
+    by_path: dict[str, list[tuple[int, dict[str, Any], dict[str, Any]]]] = {}
+    for spec_id, e, mf in delete_file_entries:
+        by_path.setdefault(e["data_file"]["file_path"], []).append(
+            (spec_id, e, mf)
+        )
+
+    def _delete_entry_dead(e: dict[str, Any], mf: dict[str, Any]) -> bool:
+        rec = e["data_file"]
+        if rec.get("content", 0) == 1 and rec.get("referenced_data_file"):
+            return _norm_data_path(rec["referenced_data_file"]) in norm_compacted
+        if rec.get("content", 0) == 1:
+            targets = {
+                _norm_data_path(r["file_path"])
+                for r in pq.read_table(
+                    rec["file_path"], columns=["file_path"]
+                ).to_pylist()
+            }
+            return bool(targets) and targets <= norm_compacted
+        dkey = _order_key(e, mf)
+        return all(k >= dkey for k in survivor_data_keys)
+
+    for path, items in by_path.items():
+        if all(_delete_entry_dead(e, mf) for _sid, e, mf in items):
+            for _sid, e, mf in items:
+                superseded.add(
+                    (path, e["data_file"].get("content_offset") or 0)
+                )
+            sid0, e0, mf0 = items[0]
+            tombstones_by_spec.setdefault(sid0, []).append(
+                {
+                    "status": 2,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": _entry_seq(e0, mf0),
+                    "data_file": e0["data_file"],
+                }
+            )
+
     # pass 3: rebuild the manifest list — survivors as EXISTING, grouped
     # by origin spec so partition records decode correctly
     survivors_by_spec: dict[int, list[dict[str, Any]]] = {}
     for spec_id, e, mf in data_entries + delete_file_entries:
-        if e["data_file"]["file_path"] in compacted_paths:
+        rec = e["data_file"]
+        if rec["file_path"] in compacted_paths:
+            continue
+        if (rec["file_path"], rec.get("content_offset") or 0) in superseded:
             continue
         survivors_by_spec.setdefault(spec_id, []).append(
             {

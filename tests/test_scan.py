@@ -2125,3 +2125,42 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert t.current_snapshot["parent-snapshot-id"] == s2
     with pytest.raises(KeyError):
         rollback_to(w, 999999)
+
+
+def test_compact_tombstones_superseded_deletes(spark, tmp_path):
+    """compact_files drops delete files its rewrite fully supersedes:
+    DVs/position deletes whose every target was rewritten and equality
+    deletes with no surviving lower-sequence data file are tombstoned,
+    so future scans carry zero stale anti-join inputs and the orphan
+    sweep can reclaim the bytes."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        delete_keys_spark,
+        delete_where_dv_spark,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(50)])
+    w.append([{"id": i} for i in range(50, 60)])
+    delete_where_dv_spark(w, spark, "id < 5")
+    delete_keys_spark(w, spark, spark.createDataFrame([(30,)], "id long"))
+    expect = [i for i in range(5, 60) if i != 30]
+
+    def ids():
+        return sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+
+    assert ids() == expect
+    assert len(IcebergTable(p).plan_deletes()) == 2
+    assert compact_files(w) is not None
+    assert ids() == expect
+    assert IcebergTable(p).plan_deletes() == []  # all superseded
+    expire_snapshots(w, keep_last=1)
+    removed = remove_orphan_files(p)
+    assert any(r.endswith(".puffin") for r in removed)
+    assert ids() == expect
