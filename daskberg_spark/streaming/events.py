@@ -501,6 +501,80 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_iceberg_source",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM the Iceberg layer (the sink's missing half):
+    ``spark.readStream.format("daskberg_iceberg")`` tails snapshots via
+    the PySpark 4 Python Data Source API — offsets are snapshot ids,
+    each micro-batch is the live-file diff, files read executor-side as
+    Arrow batches.  Two appends land before the stream starts (initial
+    backfill) and one MID-STREAM (incremental tail); the drained memory
+    sink must equal the batch oracle over the same events exactly — no
+    loss, no duplication across the backfill/tail boundary."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_stream_src_{uuid.uuid4().hex[:8]}"
+    )
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+            {"id": 3, "name": "value", "type": "double", "required": False},
+        ],
+    )
+    from daskberg_spark.iceberg.writer import commit_spark_output
+    from daskberg_spark.operators.registry import table as _table
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    # three deterministic slices, written DISTRIBUTED (executors produce
+    # the parquet, commit_spark_output lifts footers): two pre-stream
+    # appends, one mid-stream
+    def commit_slice(k: int) -> None:
+        d = os.path.join(path, "data", f"slice-{k}")
+        ev.filter(F.col("event_id") % 3 == k).write.mode(
+            "overwrite"
+        ).parquet(d)
+        commit_spark_output(writer, d)
+
+    commit_slice(0)
+    commit_slice(1)
+    register(spark)
+    name = f"ice_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # backfill: slices 0+1
+        commit_slice(2)  # mid-stream append
+        q.processAllAvailable()  # incremental tail
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def _hll_sql_over_events() -> str:
     from daskberg_spark.operators.sketches import (
         HLL_M,

@@ -1,0 +1,207 @@
+"""Structured Streaming SOURCE over the Iceberg connector — snapshot
+tailing via the PySpark 4 Python Data Source API.
+
+``spark.readStream.format("daskberg_iceberg").option("path", p).load()``
+emits every committed append exactly once: offsets are snapshot ids,
+``partitions(start, end)`` is the live-file diff between the two
+snapshots (file-level — Iceberg appends are whole files), and each file
+reads on an EXECUTOR as Arrow record batches.  This completes the
+streaming pair with the epoch-keyed sink (``events.py::
+iceberg_epoch_sink``): Iceberg table → stream → transform → Iceberg
+table, all exactly-once.
+
+Design notes for scale (and why a Python data source HERE, when the
+batch path deliberately is not one — see README "Why metadata-planner +
+native scan"): a streaming source must own offset bookkeeping, and
+Spark's only extension hook for that from Python is this API.  The
+driver-side work per micro-batch is a metadata diff (O(manifests));
+row bytes move through Arrow batches on executors, one partition per
+added file, so a micro-batch's parallelism is its file count.  Tailing
+CDC-scale appends this is the right cost; full-history backfills
+should batch-read ``to_df`` instead (JVM scan, pushdown) and start the
+stream from the current snapshot.
+
+Semantics: append snapshots only, like real Iceberg streaming reads —
+a delete/overwrite/replace snapshot in the tailed range raises unless
+``skip-non-append-snapshots`` is set (then their file changes are
+ignored: rewritten files would re-emit rows the stream already
+delivered).  The reference repo is read-only/batch-only and has no
+counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+FORMAT_NAME = "daskberg_iceberg"
+
+
+class IcebergFilePartition(InputPartition):
+    """One added data file: path + (rename map, target column order) so
+    executors resolve columns by FIELD ID exactly like the batch scan
+    (`_read_file_groups`) — a renamed column's old files read under
+    their write-time name."""
+
+    def __init__(
+        self,
+        path: str,
+        renames: dict[str, str],
+        columns: list[str],
+    ) -> None:
+        super().__init__(path)
+        self.path = path
+        self.renames = renames
+        self.columns = columns
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("option 'path' (table location) is required")
+        self.skip_non_append = str(
+            options.get("skip-non-append-snapshots", "false")
+        ).lower() in ("true", "1")
+        self.from_beginning = str(
+            options.get("from-beginning", "true")
+        ).lower() in ("true", "1")
+
+    # -- driver-side metadata ------------------------------------------------
+
+    def _table(self):
+        from daskberg_spark.iceberg.metadata import IcebergTable
+
+        return IcebergTable(self.path)
+
+    def initialOffset(self) -> dict:
+        if self.from_beginning:
+            return {"snapshot_id": None}  # pre-table-history: emit all
+        return {"snapshot_id": self._table().current_snapshot["snapshot-id"]}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": self._table().current_snapshot["snapshot-id"]}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        t = self._table()
+        end_id = end["snapshot_id"]
+        start_id = start.get("snapshot_id")
+        if end_id == start_id:
+            return []
+        t.open_snapshot(snapshot_id=end_id)
+        files_end = {f["file_path"]: f for f in t.plan_files()}
+        if start_id is None:
+            added = files_end
+        else:
+            t.open_snapshot(snapshot_id=start_id)
+            files_start = set(f["file_path"] for f in t.plan_files())
+            t.open_snapshot(snapshot_id=end_id)
+            added = {
+                p: f for p, f in files_end.items() if p not in files_start
+            }
+        # appends-only guard: walk the snapshot range's operations
+        bad = self._non_append_snapshots(t, start_id, end_id)
+        if bad and not self.skip_non_append:
+            raise ValueError(
+                f"non-append snapshots {sorted(bad)} in streamed range; "
+                "set skip-non-append-snapshots=true to ignore their file "
+                "changes (rewritten files would re-emit delivered rows)"
+            )
+        if bad:
+            added = {
+                p: f
+                for p, f in added.items()
+                if f.get("_snapshot_id") not in bad
+            }
+        current_names = [f["name"] for f in t.schema["fields"]]
+        current_ids = {fld.field_id: n for n, fld in t.fields.items()}
+        parts: list[InputPartition] = []
+        for p in sorted(added):
+            f = added[p]
+            schema = t.schema_for_snapshot(f.get("_snapshot_id"))
+            renames = {}
+            for fld in schema["fields"]:
+                fid = fld.get("id", fld.get("field-id"))
+                then = fld["name"]
+                if fid in current_ids and current_ids[fid] != then:
+                    renames[then] = current_ids[fid]
+            parts.append(IcebergFilePartition(p, renames, current_names))
+        return parts
+
+    def _non_append_snapshots(
+        self, t, start_id: int | None, end_id: int
+    ) -> set[int]:
+        bad: set[int] = set()
+        snap = t.snapshots.get(end_id)
+        while snap is not None and snap["snapshot-id"] != start_id:
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op != "append":
+                bad.add(snap["snapshot-id"])
+            parent = snap.get("parent-snapshot-id")
+            if parent is None or (start_id is None and parent not in t.snapshots):
+                break
+            snap = t.snapshots.get(parent)
+        return bad
+
+    # -- executor-side read --------------------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        assert isinstance(partition, IcebergFilePartition)
+        tbl = pq.read_table(partition.path)
+        if partition.renames:
+            tbl = tbl.rename_columns(
+                [partition.renames.get(n, n) for n in tbl.column_names]
+            )
+        # project to the current schema's order; columns added after the
+        # file was written null-fill
+        arrays = []
+        for name in partition.columns:
+            if name in tbl.column_names:
+                arrays.append(tbl.column(name))
+            else:
+                arrays.append(pa.nulls(len(tbl)))
+        out = pa.table(dict(zip(partition.columns, arrays)))
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing to ack
+
+    def stop(self) -> None:
+        pass
+
+
+class IcebergStreamDataSource(DataSource):
+    """``spark.dataSource.register(IcebergStreamDataSource)`` then
+    ``spark.readStream.format("daskberg_iceberg")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> Any:
+        from daskberg_spark.iceberg.conversions import schema_to_struct
+        from daskberg_spark.iceberg.metadata import IcebergTable
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("option 'path' (table location) is required")
+        return schema_to_struct(IcebergTable(path).schema)
+
+    def streamReader(self, schema) -> IcebergStreamReader:
+        return IcebergStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the streaming source with a session."""
+    spark.dataSource.register(IcebergStreamDataSource)

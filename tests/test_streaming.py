@@ -263,3 +263,96 @@ def test_streaming_countmin_overestimates_and_is_deterministic(spark):
     assert [(r.user_id, r.est_n) for r in rows] == [
         (r.user_id, r.est_n) for r in again
     ]
+
+
+def test_streaming_iceberg_source_tails_snapshots(spark, tmp_path):
+    """The Python-DataSource streaming SOURCE: initial backfill emits the
+    full table, a mid-stream append arrives exactly once (no loss, no
+    duplication), and a non-append snapshot in the tailed range fails
+    the strict stream with an actionable error."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_spark,
+    )
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20)])
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20, 30)])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg").option("path", p).load()
+    )
+    assert stream.schema.simpleString() == "struct<id:bigint,grp:string>"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.table("ice_tail").collect())
+        assert got == list(range(30))
+        w.append([{"id": i, "grp": "c"} for i in range(100, 105)])
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.table("ice_tail").collect())
+        assert got == list(range(30)) + list(range(100, 105))
+        delete_where_spark(w, spark, "id = 0")
+        w.append([{"id": 200, "grp": "d"}])
+        with _pytest.raises(Exception, match="non-append"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_iceberg_source_skip_non_append(spark, tmp_path):
+    """With skip-non-append-snapshots=true a compaction/delete commit in
+    the range is ignored (its file changes would re-emit delivered rows)
+    while genuine appends keep flowing."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_spark,
+    )
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(10)])
+    delete_where_spark(w, spark, "id = 3")  # delete snapshot BEFORE start
+    w.append([{"id": 100}])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("skip-non-append-snapshots", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_skip")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.table("ice_skip").collect())
+        # file-level semantics: the appends' files, row deletes unapplied
+        assert got == list(range(10)) + [100]
+        w.append([{"id": 101}])
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.table("ice_skip").collect())
+        assert got == list(range(10)) + [100, 101]
+    finally:
+        q.stop()
