@@ -18,6 +18,8 @@ to ``dask.dataframe.read_parquet``).  Here the pruned file list feeds
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -292,7 +294,7 @@ def _read_with_deletes(
         src = spark.createDataFrame(
             [
                 (
-                    d["referenced_data_file"],
+                    _norm_scan_path(d["referenced_data_file"]),
                     d["file_path"],
                     int(d["content_offset"]),
                     int(d["content_size_in_bytes"]),
@@ -365,6 +367,16 @@ BROADCAST_DELETE_MAX_BYTES = 32 << 20
 _MAP_LITERAL_MAX_ENTRIES = 8192
 
 
+def _norm_scan_path(p: str) -> str:
+    """Normalize a manifest path to match the ``__file`` tag: scheme
+    strip (as the column's regexp does) PLUS ``normpath`` — Spark
+    reports ``_metadata.file_path`` as a normalized URI, so a manifest
+    path carrying ``//`` or ``.``/``..`` segments must canonicalize the
+    same way or the sequence-map lookup silently misses (NULL ``__seq``
+    keeps every row an equality delete should kill)."""
+    return os.path.normpath(re.sub("^file:/*", "/", p))
+
+
 def _attach_path_value(
     df: DataFrame,
     spark: SparkSession,
@@ -373,8 +385,10 @@ def _attach_path_value(
     pairs: list[tuple[str, int]],
 ) -> DataFrame:
     """Attach ``out_col`` = value for ``path_col`` from a path→int map,
-    as a map literal when small, else a broadcast left join.  Missing
-    paths yield NULL in both variants."""
+    as a map literal when small, else a broadcast left join.  Keys are
+    normalized via ``_norm_scan_path``; missing paths yield NULL in
+    both variants."""
+    pairs = [(_norm_scan_path(p), v) for p, v in pairs]
     if not pairs:
         return df.withColumn(out_col, F.lit(None).cast("bigint"))
     if len(pairs) <= _MAP_LITERAL_MAX_ENTRIES:
@@ -391,7 +405,13 @@ def _attach_path_value(
 
 
 def _maybe_broadcast(keys: DataFrame, entries: list[dict[str, Any]]) -> DataFrame:
-    sizes = [e.get("file_size_in_bytes") for e in entries]
+    # a DV entry's cost is its BLOB (content_size_in_bytes): counting the
+    # whole multi-blob puffin once per blob would overcount a 100-file
+    # delete commit 100x and wrongly skip the broadcast hint
+    sizes = [
+        e.get("content_size_in_bytes") or e.get("file_size_in_bytes")
+        for e in entries
+    ]
     if all(s is not None for s in sizes) and sum(sizes) <= BROADCAST_DELETE_MAX_BYTES:
         return F.broadcast(keys)
     return keys

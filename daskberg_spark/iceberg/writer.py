@@ -443,7 +443,12 @@ class IcebergWriter:
         # names cannot collide with existing ones
         w._file_counter = 0
         for name in os.listdir(f"{path}/data") if os.path.isdir(f"{path}/data") else []:
-            m = re.match(r"^(?:eq-delete-|pos-delete-)?(\d+)", name)
+            # every counter-named family must be covered here: a prefix
+            # this regex misses (as dv- once was) resumes the counter too
+            # low and a later commit OVERWRITES a live file in place —
+            # e.g. a still-referenced puffin whose old delete entries
+            # then decode foreign bytes at their recorded offsets
+            m = re.match(r"^(?:eq-delete-|pos-delete-|dv-)?(\d+)", name)
             if m:
                 w._file_counter = max(w._file_counter, int(m.group(1)))
         w._manifest_counter = 0

@@ -51,14 +51,35 @@ def literal_df(
     per query) — this stays JVM-side and folds at plan time.  Meant for
     planning-state-sized frames (quantile targets, seed tables); large
     lists should use createDataFrame, whose cost amortizes."""
-    import re
-
     if not rows:
         return spark.createDataFrame([], schema)
-    cols = re.split(r",(?![^(]*\))", schema)  # not inside decimal(p,s) etc.
+    # split on top-level commas only: both decimal(p,s) parens and
+    # map<string,int>/struct<...> angle brackets nest commas
+    cols, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
     names = [c.split()[0] for c in cols]
+
+    def _lit(v):
+        # F.lit covers scalars and (Spark 4) flat lists; dict values
+        # need an explicit map constructor
+        if isinstance(v, dict):
+            return F.create_map(
+                *[x for k, u in v.items() for x in (F.lit(k), _lit(u))]
+            )
+        return F.lit(v)
+
     structs = [
-        F.struct(*[F.lit(v).alias(n) for v, n in zip(r, names)]) for r in rows
+        F.struct(*[_lit(v).alias(n) for v, n in zip(r, names)]) for r in rows
     ]
     out = spark.range(1).select(F.inline(F.array(*structs)))
     # apply declared types (lit() infers e.g. int where long is declared)

@@ -91,65 +91,83 @@ class IcebergStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._table().current_snapshot["snapshot-id"]}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        """One partition per file ADDED by each APPEND snapshot in
+        (start, end] — read from each snapshot's OWN manifests, never a
+        live-set diff: a compaction committed after an undelivered
+        append must not hide it (the rewrite removes the append's files
+        from the live set, but its rows were never emitted — a live-diff
+        would silently lose them).  The appended files stay on disk
+        until ``remove_orphan_files``, so the only delivery hazard is
+        running the orphan sweep ahead of a badly lagging stream."""
         t = self._table()
         end_id = end["snapshot_id"]
         start_id = start.get("snapshot_id")
         if end_id == start_id:
             return []
-        t.open_snapshot(snapshot_id=end_id)
-        files_end = {f["file_path"]: f for f in t.plan_files()}
-        if start_id is None:
-            added = files_end
-        else:
-            t.open_snapshot(snapshot_id=start_id)
-            files_start = set(f["file_path"] for f in t.plan_files())
-            t.open_snapshot(snapshot_id=end_id)
-            added = {
-                p: f for p, f in files_end.items() if p not in files_start
-            }
-        # appends-only guard: walk the snapshot range's operations
-        bad = self._non_append_snapshots(t, start_id, end_id)
+        chain = []  # (start, end], oldest first after reverse
+        snap = t.snapshots.get(end_id)
+        while snap is not None and snap["snapshot-id"] != start_id:
+            chain.append(snap)
+            parent = snap.get("parent-snapshot-id")
+            if parent is None:
+                if start_id is not None:
+                    raise ValueError(
+                        f"offset snapshot {start_id} is not an ancestor of "
+                        f"{end_id} (rollback or expire moved the lineage); "
+                        "restart the stream from a fresh checkpoint"
+                    )
+                break
+            snap = t.snapshots.get(parent)
+        chain.reverse()
+        bad = {
+            s["snapshot-id"]
+            for s in chain
+            if (s.get("summary") or {}).get("operation", "append") != "append"
+        }
         if bad and not self.skip_non_append:
             raise ValueError(
                 f"non-append snapshots {sorted(bad)} in streamed range; "
                 "set skip-non-append-snapshots=true to ignore their file "
                 "changes (rewritten files would re-emit delivered rows)"
             )
-        if bad:
-            added = {
-                p: f
-                for p, f in added.items()
-                if f.get("_snapshot_id") not in bad
-            }
         current_names = [f["name"] for f in t.schema["fields"]]
         current_ids = {fld.field_id: n for n, fld in t.fields.items()}
         parts: list[InputPartition] = []
-        for p in sorted(added):
-            f = added[p]
-            schema = t.schema_for_snapshot(f.get("_snapshot_id"))
+        for s in chain:
+            sid = s["snapshot-id"]
+            if sid in bad:
+                continue
+            t.open_snapshot(snapshot_id=sid)
+            schema = t.schema_for_snapshot(sid)
             renames = {}
             for fld in schema["fields"]:
                 fid = fld.get("id", fld.get("field-id"))
                 then = fld["name"]
                 if fid in current_ids and current_ids[fid] != then:
                     renames[then] = current_ids[fid]
-            parts.append(IcebergFilePartition(p, renames, current_names))
+            for mf in t.manifest_list:
+                if mf.get("added_snapshot_id") != sid:
+                    continue
+                for e in t._load_manifest(t._relocate(mf["manifest_path"])):
+                    rec = e["data_file"]
+                    entry_snap = (
+                        e.get("snapshot_id")
+                        if e.get("snapshot_id") is not None
+                        else sid
+                    )
+                    if (
+                        e["status"] == 1
+                        and rec.get("content", 0) == 0
+                        and entry_snap == sid
+                    ):
+                        parts.append(
+                            IcebergFilePartition(
+                                t._relocate(rec["file_path"]),
+                                renames,
+                                current_names,
+                            )
+                        )
         return parts
-
-    def _non_append_snapshots(
-        self, t, start_id: int | None, end_id: int
-    ) -> set[int]:
-        bad: set[int] = set()
-        snap = t.snapshots.get(end_id)
-        while snap is not None and snap["snapshot-id"] != start_id:
-            op = (snap.get("summary") or {}).get("operation", "append")
-            if op != "append":
-                bad.add(snap["snapshot-id"])
-            parent = snap.get("parent-snapshot-id")
-            if parent is None or (start_id is None and parent not in t.snapshots):
-                break
-            snap = t.snapshots.get(parent)
-        return bad
 
     # -- executor-side read --------------------------------------------------
 

@@ -2164,3 +2164,61 @@ def test_compact_tombstones_superseded_deletes(spark, tmp_path):
     removed = remove_orphan_files(p)
     assert any(r.endswith(".puffin") for r in removed)
     assert ids() == expect
+
+
+def test_dv_counter_resumes_after_load(spark, tmp_path):
+    """Regression (review r6): IcebergWriter.load's counter scan must
+    count dv-NNNNN.puffin names — resuming too low made the next DV
+    commit overwrite a live puffin in place, and the old delete entries
+    then decoded foreign bytes at their recorded offsets (deleted rows
+    resurrected with no error)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(10)])
+    first = IcebergTable(p).plan_files()[0]["file_path"]
+    w.delete_positions_dv({first: [0, 1]})
+    assert sorted(
+        r["id"] for r in IcebergTable(p).to_df(spark).collect()
+    ) == list(range(2, 10))
+
+    w2 = IcebergWriter.load(p)
+    assert w2._file_counter >= 2  # dv-00002.puffin counted
+    w2.delete_positions_dv({first: [2]})
+    assert sorted(
+        r["id"] for r in IcebergTable(p).to_df(spark).collect()
+    ) == list(range(3, 10))
+
+
+def test_norm_scan_path_canonicalizes():
+    from daskberg_spark.iceberg.scan import _norm_scan_path
+
+    assert _norm_scan_path("file:///a//b/./c.parquet") == "/a/b/c.parquet"
+    assert _norm_scan_path("/a/x/../b.parquet") == "/a/b.parquet"
+    assert _norm_scan_path("/a/b.parquet") == "/a/b.parquet"
+
+
+def test_eq_delete_applies_with_noncanonical_manifest_paths(spark, tmp_path):
+    """Regression (review r6): the sequence-map keys must canonicalize
+    like Spark's _metadata.file_path — a manifest path carrying '//'
+    segments otherwise looks up NULL __seq and the equality delete is
+    silently unapplied (every deleted row survives)."""
+    import json
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(10)])
+    w.delete_rows_equality([{"id": 3}])
+    # forge non-canonical '//' into the table location used at read time
+    doubled = p.replace(str(tmp_path), str(tmp_path) + "//")
+    t = IcebergTable(doubled)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [
+        i for i in range(10) if i != 3
+    ]

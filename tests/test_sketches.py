@@ -157,3 +157,19 @@ def test_countmin_overestimates_and_ranks(spark):
     assert counts == sorted(counts, reverse=True)
     again = [(r.term, r.est_n) for r in _q("approx_topk_countmin")(spark, SF).collect()]
     assert again == [(r.term, r.est_n) for r in rows]
+
+
+def test_literal_df_generic_types_and_nulls(spark):
+    """literal_df must split schemas on TOP-LEVEL commas only (decimal
+    parens and map/struct angle brackets nest commas) and coerce NULL
+    fields across struct literals."""
+    from daskberg_spark.operators.registry import literal_df
+
+    df = literal_df(
+        spark,
+        [(1, {"a": 2}, None), (2, {"b": 3}, 0.5)],
+        "k long, m map<string,int>, q double",
+    )
+    rows = {r["k"]: (r["m"], r["q"]) for r in df.collect()}
+    assert rows == {1: ({"a": 2}, None), 2: ({"b": 3}, 0.5)}
+    assert dict(df.dtypes) == {"k": "bigint", "m": "map<string,int>", "q": "double"}

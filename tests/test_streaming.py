@@ -356,3 +356,43 @@ def test_streaming_iceberg_source_skip_non_append(spark, tmp_path):
         assert got == list(range(10)) + [100, 101]
     finally:
         q.stop()
+
+
+def test_streaming_iceberg_source_append_survives_compaction(spark, tmp_path):
+    """Regression (review r6): an append committed and then REWRITTEN by
+    a compaction before the next micro-batch must still deliver its rows
+    — partitions() reads each append snapshot's own manifests, never a
+    live-set diff that a later rewrite would erase."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(10)])
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("skip-non-append-snapshots", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_compact_race")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # two appends land, then compaction rewrites them BEFORE the
+        # stream's next micro-batch
+        w.append([{"id": 100}])
+        w.append([{"id": 101}])
+        assert compact_files(w, min_file_bytes=10**9) is not None
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.table("ice_compact_race").collect())
+        # the un-delivered appends arrive exactly once; the compaction's
+        # rewritten file is skipped (it would duplicate ids 0..9)
+        assert got == list(range(10)) + [100, 101]
+    finally:
+        q.stop()
