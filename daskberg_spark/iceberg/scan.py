@@ -286,46 +286,80 @@ def _read_with_deletes(
             .distinct()
         )
     if dv_files:
-        # v3 deletion vectors: decode each puffin blob EXECUTOR-side
-        # (mapInPandas over one row per DV) so position lists
-        # materialize as Arrow batches on the workers, never as driver
-        # rows — the driver holds only (path, offset, length) triples.
+        # v3 deletion vectors.  Small DV sets (total blob bytes under
+        # the gate) decode ON THE DRIVER into one Arrow-backed local
+        # relation — a pure-JVM LocalTableScan at execution, no Python
+        # workers (measured 0.15 s vs ~2 s for the mapInPandas shape on
+        # a 10k-position fixture).  Driver cost is bounded by the gate:
+        # roaring bitmaps are ~2 bytes per dense deleted row, so 4 MB
+        # of blobs is ~2M positions (~32 MB frame), metadata-scale.
+        # Larger DV sets decode EXECUTOR-side (mapInPandas over one row
+        # per DV) so position lists materialize as Arrow batches on the
+        # workers, never as driver rows.
         # referenced_data_file was relocated by scan_all to match __file.
-        src = spark.createDataFrame(
-            [
-                (
-                    _norm_scan_path(d["referenced_data_file"]),
-                    d["file_path"],
-                    int(d["content_offset"]),
-                    int(d["content_size_in_bytes"]),
-                )
-                for d in dv_files
-            ],
-            "__t string, __p string, __o long, __l long",
-        )
-
-        def _decode_dvs(batches):
+        total_blob = sum(int(d["content_size_in_bytes"]) for d in dv_files)
+        if total_blob <= DV_DRIVER_DECODE_MAX_BYTES:
             import pandas as pd
 
             from daskberg_spark.iceberg.puffin import dv_decode_file
 
-            for pdf in batches:
-                for t_, p_, o_, l_ in pdf.itertuples(index=False):
-                    yield pd.DataFrame(
+            pdf = pd.concat(
+                [
+                    pd.DataFrame(
                         {
-                            "__del_file": t_,
+                            "__del_file": _norm_scan_path(
+                                d["referenced_data_file"]
+                            ),
                             "__del_pos": pd.Series(
-                                dv_decode_file(p_, int(o_), int(l_)),
+                                dv_decode_file(
+                                    d["file_path"],
+                                    int(d["content_offset"]),
+                                    int(d["content_size_in_bytes"]),
+                                ),
                                 dtype="int64",
                             ),
                         }
                     )
-
-        pos_frames.append(
-            src.repartition(min(len(dv_files), 32)).mapInPandas(
-                _decode_dvs, "__del_file string, __del_pos long"
+                    for d in dv_files
+                ]
             )
-        )
+            pos_frames.append(spark.createDataFrame(pdf))
+        else:
+            src = spark.createDataFrame(
+                [
+                    (
+                        _norm_scan_path(d["referenced_data_file"]),
+                        d["file_path"],
+                        int(d["content_offset"]),
+                        int(d["content_size_in_bytes"]),
+                    )
+                    for d in dv_files
+                ],
+                "__t string, __p string, __o long, __l long",
+            )
+
+            def _decode_dvs(batches):
+                import pandas as pd
+
+                from daskberg_spark.iceberg.puffin import dv_decode_file
+
+                for pdf in batches:
+                    for t_, p_, o_, l_ in pdf.itertuples(index=False):
+                        yield pd.DataFrame(
+                            {
+                                "__del_file": t_,
+                                "__del_pos": pd.Series(
+                                    dv_decode_file(p_, int(o_), int(l_)),
+                                    dtype="int64",
+                                ),
+                            }
+                        )
+
+            pos_frames.append(
+                src.repartition(min(len(dv_files), 32)).mapInPandas(
+                    _decode_dvs, "__del_file string, __del_pos long"
+                )
+            )
     if pos_frames:
         pos = pos_frames[0]
         for fr in pos_frames[1:]:
@@ -353,6 +387,12 @@ def _read_with_deletes(
 # shuffle deterministically; above it the join is left unhinted so AQE picks
 # broadcast vs shuffle from runtime sizes.
 BROADCAST_DELETE_MAX_BYTES = 32 << 20
+
+# Total DV blob bytes at or under which deletion vectors decode on the
+# DRIVER into one Arrow local relation (pure-JVM LocalTableScan, no
+# Python workers) instead of the executor-side mapInPandas decode.
+# ~2 bytes/dense-deleted-row → 4 MB ≈ 2M positions.
+DV_DRIVER_DECODE_MAX_BYTES = 4 << 20
 
 
 # Path→sequence lookups above this entry count fall back to a broadcast

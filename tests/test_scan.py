@@ -2222,3 +2222,29 @@ def test_eq_delete_applies_with_noncanonical_manifest_paths(spark, tmp_path):
     assert sorted(r["id"] for r in t.to_df(spark).collect()) == [
         i for i in range(10) if i != 3
     ]
+
+
+def test_dv_decode_paths_agree(spark, tmp_path, monkeypatch):
+    """Both DV decode strategies — driver-side Arrow local relation
+    (small blobs) and executor-side mapInPandas (large) — produce
+    identical live rows."""
+    from daskberg_spark.iceberg import scan as scan_mod
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(1000)])
+    delete_where_dv_spark(w, spark, "id % 7 = 0")
+    expect = [i for i in range(1000) if i % 7 != 0]
+    t = IcebergTable(p)
+    got_driver = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert got_driver == expect
+    monkeypatch.setattr(scan_mod, "DV_DRIVER_DECODE_MAX_BYTES", -1)
+    t2 = IcebergTable(p)
+    got_exec = sorted(r["id"] for r in t2.to_df(spark).collect())
+    assert got_exec == expect
