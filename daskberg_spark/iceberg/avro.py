@@ -2,7 +2,9 @@
 
 Implements exactly the subset of the Avro 1.x spec that Iceberg v1
 manifest-list and manifest files use: records, unions, arrays, maps, and
-the primitive types, with ``null`` or ``deflate`` block codecs.  The
+the primitive types, with ``null``, ``deflate``, ``snappy`` (pure-Python
+raw codec + CRC) and ``zstd`` (via the Spark JVM's bundled zstd-jni —
+no Python zstd exists in this env) block codecs.  The
 reference reads these files with fastavro
 (``/root/reference/daskberg/ice.py:148-151,186-188``); that dependency is
 not available here, and the format is simple enough that a from-scratch
@@ -187,6 +189,8 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
             block = _snappy_decompress(block[:-4])
             if zlib.crc32(block) & 0xFFFFFFFF != crc:
                 raise ValueError("snappy block CRC mismatch")
+        elif codec == "zstd":
+            block = _zstd_decompress(block)
         elif codec != "null":
             raise NotImplementedError(f"avro codec {codec}")
         bbuf = io.BytesIO(block)
@@ -209,6 +213,60 @@ def read_avro_file(path: str) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
 # Needed because manifests written by other engines (Java Iceberg defaults
 # to gzip/deflate, but snappy is common) must still open; env has no
 # python-snappy.
+
+
+def _zstd_jvm():
+    """The zstd-jni class Spark bundles, via the ACTIVE session's JVM —
+    this Python env has no zstd module (no stdlib zstd before 3.14, no
+    zstandard wheel), but every Spark deployment ships
+    ``com.github.luben.zstd`` for shuffle/parquet codecs.  Manifests are
+    metadata-scale, so the py4j byte-array hop is a non-issue."""
+    from pyspark.sql import SparkSession
+
+    # getActiveSession is thread-local; fall back to the JVM-backed
+    # singleton so worker threads (pytest, schedulers) still find it
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if spark is None:
+        raise NotImplementedError(
+            "avro codec zstd needs the 'zstandard' package or a live "
+            "SparkSession (whose JVM bundles zstd-jni)"
+        )
+    return spark
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    try:  # pragma: no cover - zstandard absent in this env
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(data)
+    except ImportError:
+        pass
+    spark = _zstd_jvm()
+    jvm = spark._jvm
+    Zstd = jvm.com.github.luben.zstd.Zstd
+    size = int(Zstd.getFrameContentSize(data))
+    if size > 0:
+        return bytes(Zstd.decompress(data, size))
+    # streamed frame without a recorded content size (what Java Avro's
+    # ZstdOutputStream emits): stream-decode through ZstdInputStream
+    zis = jvm.com.github.luben.zstd.ZstdInputStream(
+        jvm.java.io.ByteArrayInputStream(data)
+    )
+    try:
+        return bytes(zis.readAllBytes())
+    finally:
+        zis.close()
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    try:  # pragma: no cover - zstandard absent in this env
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(data)
+    except ImportError:
+        pass
+    spark = _zstd_jvm()
+    return bytes(spark._jvm.com.github.luben.zstd.Zstd.compress(data, 3))
 
 
 def _snappy_decompress(data: bytes) -> bytes:
@@ -415,6 +473,8 @@ def write_avro(
         payload = _snappy_compress(payload) + (
             zlib.crc32(payload) & 0xFFFFFFFF
         ).to_bytes(4, "big")
+    elif codec == "zstd":
+        payload = _zstd_compress(payload)
     elif codec != "null":
         raise NotImplementedError(f"avro codec {codec}")
 

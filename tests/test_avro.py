@@ -231,3 +231,67 @@ def test_truncated_avro_never_silently_wrong(data):
     except Exception:
         return  # loud failure is correct
     assert out == records[: len(out)]
+
+
+def test_zstd_golden_manifest_reencode(spark):
+    """Re-encode a golden manifest under the zstd codec and read it back
+    — the modern-foreign-writer scenario (zstd is the default
+    write.avro.compression-codec of current Java engines).  No zstd
+    module exists in this Python env; the codec rides the active
+    session's JVM (zstd-jni, bundled with every Spark)."""
+    path = glob.glob(f"{GOLDEN_META}/*-m0.avro")[0]
+    meta, records = read_avro_file(path)
+    schema = json.loads(meta["avro.schema"])
+    buf = io.BytesIO()
+    write_avro(schema, records, buf, codec="zstd")
+    meta2, out = read_avro(buf.getvalue())
+    assert meta2["avro.codec"] == b"zstd"
+    assert out == records
+
+
+def test_zstd_streamed_frame_without_content_size(spark):
+    """Java Avro's ZstdOutputStream emits frames WITHOUT a recorded
+    content size (getFrameContentSize = -1); the reader must stream-
+    decode those, not just sized frames."""
+    from daskberg_spark.iceberg.avro import _zstd_decompress
+
+    jvm = spark._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    zos = jvm.com.github.luben.zstd.ZstdOutputStream(bos)
+    payload = b"streamed avro block " * 500
+    zos.write(payload)
+    zos.close()
+    frame = bytes(bos.toByteArray())
+    assert int(jvm.com.github.luben.zstd.Zstd.getFrameContentSize(frame)) == -1
+    assert _zstd_decompress(frame) == payload
+
+
+def test_zstd_table_end_to_end(spark, tmp_path):
+    """A table whose manifest list AND manifests are zstd-encoded (the
+    foreign-writer metadata shape) opens and reads identically."""
+    import os
+
+    from daskberg_spark.iceberg.avro import write_avro_file
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(20)])
+    w.append([{"id": i} for i in range(20, 30)])
+    import daskberg_spark.iceberg.scan  # noqa: F401
+
+    before = sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+    # re-encode every metadata avro as zstd in place
+    for name in os.listdir(f"{p}/metadata"):
+        if not name.endswith(".avro"):
+            continue
+        fp = f"{p}/metadata/{name}"
+        meta, records = read_avro_file(fp)
+        write_avro_file(
+            fp, json.loads(meta["avro.schema"]), records, codec="zstd"
+        )
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == before
