@@ -74,6 +74,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.from_beginning = str(
             options.get("from-beginning", "true")
         ).lower() in ("true", "1")
+        mft = options.get("max-files-per-trigger")
+        self.max_files_per_trigger = int(mft) if mft is not None else None
+        self._rate_end: int | None = None  # last rate-limited latestOffset
 
     # -- driver-side metadata ------------------------------------------------
 
@@ -88,7 +91,50 @@ class IcebergStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._table().current_snapshot["snapshot-id"]}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": self._table().current_snapshot["snapshot-id"]}
+        """Head snapshot — or, under ``max-files-per-trigger``, the
+        furthest ancestor whose cumulative added-file count (manifest
+        list ``added_data_files_count``, metadata-only) stays within the
+        budget, so a 100k-file backfill becomes bounded micro-batches
+        instead of one giant one (the knob real Iceberg streaming calls
+        ``max-files-per-micro-batch``).  At least one snapshot always
+        advances.  The cursor is in-memory; after a checkpoint restart
+        it re-advances from the start and ``partitions`` returns empty
+        batches until it passes the checkpointed offset — slow for a few
+        triggers, never duplicating."""
+        t = self._table()
+        head = t.current_snapshot["snapshot-id"]
+        if self.max_files_per_trigger is None:
+            return {"snapshot_id": head}
+        base = self._rate_end
+        if base is None:
+            base = self.initialOffset()["snapshot_id"]
+        if base == head:
+            return {"snapshot_id": head}
+        chain = []
+        snap = t.snapshots.get(head)
+        while snap is not None and snap["snapshot-id"] != base:
+            chain.append(snap)
+            parent = snap.get("parent-snapshot-id")
+            snap = t.snapshots.get(parent) if parent is not None else None
+        chain.reverse()
+        remaining = self.max_files_per_trigger
+        chosen = base
+        for s in chain:
+            sid = s["snapshot-id"]
+            t.open_snapshot(snapshot_id=sid)
+            n = sum(
+                mf.get("added_data_files_count") or 0
+                for mf in t.manifest_list
+                if mf.get("added_snapshot_id") == sid
+            )
+            if chosen != base and n > remaining:
+                break
+            remaining -= n
+            chosen = sid
+            if remaining <= 0:
+                break
+        self._rate_end = chosen
+        return {"snapshot_id": chosen}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         """One partition per file ADDED by each APPEND snapshot in
@@ -111,6 +157,15 @@ class IcebergStreamReader(DataSourceStreamReader):
             parent = snap.get("parent-snapshot-id")
             if parent is None:
                 if start_id is not None:
+                    # a rate-limited cursor re-advancing after restart can
+                    # hand us an END that is an ANCESTOR of start — an
+                    # empty batch, not an error
+                    walk = t.snapshots.get(start_id)
+                    while walk is not None:
+                        if walk["snapshot-id"] == end_id:
+                            return []
+                        wp = walk.get("parent-snapshot-id")
+                        walk = t.snapshots.get(wp) if wp is not None else None
                     raise ValueError(
                         f"offset snapshot {start_id} is not an ancestor of "
                         f"{end_id} (rollback or expire moved the lineage); "

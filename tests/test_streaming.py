@@ -396,3 +396,40 @@ def test_streaming_iceberg_source_append_survives_compaction(spark, tmp_path):
         assert got == list(range(10)) + [100, 101]
     finally:
         q.stop()
+
+
+def test_streaming_iceberg_source_rate_limit(spark, tmp_path):
+    """max-files-per-trigger bounds each micro-batch: five single-file
+    appends with a 2-file budget drain in >=3 micro-batches, every row
+    delivered exactly once."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    for k in range(5):
+        w.append([{"id": k * 10 + j} for j in range(3)])
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("max-files-per-trigger", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["id"] for r in spark.table("ice_rate").collect())
+        assert got == sorted(k * 10 + j for k in range(5) for j in range(3))
+        batches = [
+            pr for pr in q.recentProgress if pr["numInputRows"] > 0
+        ]
+        assert len(batches) >= 3  # 5 files under a 2-file budget
+        assert max(pr["numInputRows"] for pr in batches) <= 6  # 2 files x 3
+    finally:
+        q.stop()
