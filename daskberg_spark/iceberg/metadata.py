@@ -115,7 +115,12 @@ class IcebergTable:
         hint = os.path.join(self.url, "metadata", "version-hint.text")
         if os.path.exists(hint):
             with open(hint) as f:
-                return int(f.read().strip())
+                raw = f.read().strip()
+            if raw:
+                return int(raw)
+            # defensive: pre-atomic-rename writers could be caught
+            # mid-truncate by a concurrent poll; fall through to the
+            # directory scan rather than crash the reader
         versions = [
             int(m.group(1))
             for name in os.listdir(os.path.join(self.url, "metadata"))

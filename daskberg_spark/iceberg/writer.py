@@ -1249,18 +1249,32 @@ class IcebergWriter:
         # concurrent writer committed first — surface it instead of
         # silently clobbering their snapshot.  O_EXCL makes the existence
         # check and the create one atomic filesystem operation.
+        # Write-complete-then-link: the JSON is fully written to a temp
+        # name first, and os.link both publishes it ATOMICALLY (no reader
+        # can observe a half-written metadata file via the directory
+        # scan) and keeps the exclusive-create conflict check — link
+        # fails with FileExistsError if a concurrent writer committed
+        # this version first.
         target = f"{self.path}/metadata/v{self.version}.metadata.json"
+        tmp = f"{self.path}/metadata/.v{self.version}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, default=str)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            os.link(tmp, target)
         except FileExistsError:
             raise CommitConflictError(
                 f"metadata version v{self.version} already committed by a "
                 "concurrent writer; reload and retry"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=1, default=str)
-        with open(f"{self.path}/metadata/version-hint.text", "w") as f:
+        finally:
+            os.unlink(tmp)
+        # atomic replace: a concurrent reader (e.g. the streaming
+        # source's latestOffset poll) must never observe a truncated or
+        # empty hint mid-write
+        hint_tmp = f"{self.path}/metadata/.version-hint.{self.version}.tmp"
+        with open(hint_tmp, "w") as f:
             f.write(str(self.version))
+        os.replace(hint_tmp, f"{self.path}/metadata/version-hint.text")
         # Stamp the log entry with the metadata WRITE time, not the last
         # snapshot's commit time: operations that emit metadata without a
         # snapshot (schema/spec evolution) must still advance the log
