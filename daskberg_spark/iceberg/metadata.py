@@ -164,17 +164,39 @@ class IcebergTable:
         rel: int | None = None,
         snapshot_id: int | None = None,
         ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> None:
-        """Select a snapshot absolutely, relatively, or by named ref
+        """Select a snapshot absolutely, relatively, by named ref
         (``ice.py:118-151``; refs are beyond-reference, per the Iceberg v2
-        ``refs`` metadata map).
+        ``refs`` metadata map), or by timestamp.
 
         ``rel=-N`` walks N steps back along ``parent-snapshot-id`` from the
         latest snapshot; ``snapshot_id`` selects absolutely; ``ref``
-        resolves a branch/tag name recorded in the metadata.
+        resolves a branch/tag name recorded in the metadata; ``as_of_ms``
+        picks the newest snapshot whose commit timestamp is <= the given
+        epoch-millis (SQL ``FOR TIMESTAMP AS OF`` semantics, resolved
+        through the snapshot log).
         """
-        if sum(x is not None for x in (rel, snapshot_id, ref)) > 1:
-            raise ValueError("pass only one of rel=, snapshot_id=, ref=")
+        if sum(x is not None for x in (rel, snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError(
+                "pass only one of rel=, snapshot_id=, ref=, as_of_ms="
+            )
+        if as_of_ms is not None:
+            log = self.metadata.get("snapshot-log") or [
+                {
+                    "snapshot-id": s["snapshot-id"],
+                    "timestamp-ms": s["timestamp-ms"],
+                }
+                for s in self.metadata.get("snapshots", [])
+            ]
+            eligible = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot at or before timestamp {as_of_ms}"
+                )
+            snapshot_id = max(eligible, key=lambda e: e["timestamp-ms"])[
+                "snapshot-id"
+            ]
         if ref is not None:
             refs = self.metadata.get("refs") or {}
             if ref not in refs:

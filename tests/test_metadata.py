@@ -168,3 +168,35 @@ def test_written_metadata_spec_completeness(tmp_path):
     assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [1, 2]
     # the current file is v2; the log lists its predecessor v1
     assert any("v1.metadata.json" in e["metadata-file"] for e in meta["metadata-log"])
+
+
+def test_open_snapshot_as_of_timestamp(spark, tmp_path):
+    """FOR TIMESTAMP AS OF semantics: as_of_ms resolves through the
+    snapshot log to the newest snapshot committed at or before the
+    timestamp; earlier-than-history raises."""
+    import pytest as _pytest
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    w.append([{"id": 2}])
+    w.append([{"id": 3}])
+    t = IcebergTable(p)
+    snaps = sorted(
+        t.metadata["snapshots"], key=lambda s: s["timestamp-ms"]
+    )
+    mid_ts = snaps[1]["timestamp-ms"]
+    t.open_snapshot(as_of_ms=mid_ts)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2]
+    t.open_snapshot(as_of_ms=mid_ts + 10_000)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2, 3]
+    with _pytest.raises(ValueError, match="no snapshot"):
+        t.open_snapshot(as_of_ms=snaps[0]["timestamp-ms"] - 1)
+    with _pytest.raises(ValueError, match="only one of"):
+        t.open_snapshot(rel=-1, as_of_ms=mid_ts)
