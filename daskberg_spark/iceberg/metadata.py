@@ -110,6 +110,7 @@ class IcebergTable:
         self._current_snapshot = None
         self._manifest_list = None
         self._scan_cache = {}
+        self._ml_cache: dict[str, list[dict[str, Any]]] = {}
 
     def _latest_version(self) -> int:
         hint = os.path.join(self.url, "metadata", "version-hint.text")
@@ -221,7 +222,12 @@ class IcebergTable:
         self._current_snapshot = snap
         self._scan_cache = {}
         ml_path = self._relocate(snap["manifest-list"])
-        _, self._manifest_list = read_avro_file(ml_path)
+        # manifest lists are immutable once committed — cache per path so
+        # snapshot-walking callers (streaming partitions(), time-travel
+        # sweeps) plan O(snapshots) instead of re-reading every list
+        if ml_path not in self._ml_cache:
+            _, self._ml_cache[ml_path] = read_avro_file(ml_path)
+        self._manifest_list = self._ml_cache[ml_path]
 
     @property
     def manifest_list(self) -> list[dict[str, Any]]:
