@@ -2248,3 +2248,78 @@ def test_dv_decode_paths_agree(spark, tmp_path, monkeypatch):
     t2 = IcebergTable(p)
     got_exec = sorted(r["id"] for r in t2.to_df(spark).collect())
     assert got_exec == expect
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_delete_surface_interaction_fuzz(spark, tmp_path, seed):
+    """Model-based fuzz over the whole row-level-delete surface: random
+    interleavings of appends (with id re-insertion), equality deletes,
+    predicate position deletes, predicate DELETION VECTORS, compaction,
+    and expire+orphan maintenance must always read back exactly the
+    model's live multiset.  Semantics modeled: an equality delete kills
+    matching rows appended BEFORE it (re-inserts after it survive);
+    position-based deletes (parquet or DV) kill currently-live matching
+    rows; compaction and maintenance never change the live set."""
+    import random
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        delete_where_dv_spark,
+        delete_where_spark,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    rng = random.Random(seed)
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    live: list[tuple[int, int]] = []  # (id, v) multiset
+    next_v = 0
+
+    def do_append():
+        nonlocal next_v
+        n = rng.randint(1, 12)
+        ids = [rng.randint(0, 30) for _ in range(n)]
+        rows = []
+        for i in ids:
+            rows.append({"id": i, "v": next_v})
+            live.append((i, next_v))
+            next_v += 1
+        w.append(rows)
+
+    def do_eq_delete():
+        if not live:
+            return
+        targets = sorted({i for i, _ in rng.sample(live, min(3, len(live)))})
+        w.delete_rows_equality([{"id": i} for i in targets])
+        live[:] = [(i, v) for i, v in live if i not in targets]
+
+    def do_where(fn):
+        k, r = rng.choice([(2, 0), (3, 1), (5, 2)])
+        if fn(w, spark, f"v % {k} = {r}") is not None:
+            live[:] = [(i, v) for i, v in live if v % k != r]
+
+    ops = [
+        do_append,
+        do_append,  # appends twice as likely
+        do_eq_delete,
+        lambda: do_where(delete_where_spark),
+        lambda: do_where(delete_where_dv_spark),
+        lambda: compact_files(w),
+        lambda: (expire_snapshots(w, keep_last=2), remove_orphan_files(p)),
+    ]
+    do_append()  # never start empty
+    for step in range(9):
+        rng.choice(ops)()
+        got = sorted(
+            (r["id"], r["v"])
+            for r in IcebergTable(p).to_df(spark).collect()
+        )
+        assert got == sorted(live), f"seed={seed} step={step}"
