@@ -2323,3 +2323,39 @@ def test_delete_surface_interaction_fuzz(spark, tmp_path, seed):
             for r in IcebergTable(p).to_df(spark).collect()
         )
         assert got == sorted(live), f"seed={seed} step={step}"
+
+
+def test_rollback_across_delete_history(spark, tmp_path):
+    """rollback_to a snapshot whose state already included live delete
+    files (position + equality + DV): the restored read must equal the
+    historical live set, and post-rollback commits build on it."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        delete_where_spark,
+        rollback_to,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(20)])
+    delete_where_spark(w, spark, "id < 3")
+    w.delete_rows_equality([{"id": 10}])
+    mid = w.snapshots[-1]["snapshot-id"]
+    mid_live = [i for i in range(20) if i >= 3 and i != 10]
+    delete_where_dv_spark(w, spark, "id >= 15")
+    w.append([{"id": 100}])
+
+    def ids():
+        return sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+
+    assert ids() == [i for i in mid_live if i < 15] + [100]
+    rollback_to(w, mid)
+    assert ids() == mid_live  # DV + later append rolled past
+    # a fresh equality delete applies to the restored state; a re-insert
+    # after it survives by sequence order
+    w.delete_rows_equality([{"id": 5}])
+    w.append([{"id": 5}])
+    assert ids() == sorted([i for i in mid_live if i != 5] + [5])
