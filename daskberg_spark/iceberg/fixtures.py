@@ -634,3 +634,43 @@ def ensure_rollback_fixture(path: str = ROLLBACK_FIXTURE_DIR) -> str:
     rollback_to(writer, s1)
     writer.append([{"id": i, "val": float(i)} for i in range(100, 110)])
     return path
+
+
+STATS_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "stats_table")
+
+
+def ensure_stats_fixture(spark, path: str = STATS_FIXTURE_DIR) -> str:
+    """Table-statistics fixture: two appends of typed rows, then a
+    ``write_table_statistics(exact=True)`` pass — per-column NDVs are
+    content-derivable, so a DuckDB oracle recomputes them with exact
+    COUNT(DISTINCT ...) over the raw data files."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    writer.append(
+        [
+            {"id": i, "grp": "abc"[i % 3], "val": float(i % 17)}
+            for i in range(60)
+        ]
+    )
+    writer.append(
+        [
+            {"id": i, "grp": "abcd"[i % 4], "val": float(i % 17)}
+            for i in range(60, 90)
+        ]
+    )
+    write_table_statistics(writer, spark, exact=True)
+    return path

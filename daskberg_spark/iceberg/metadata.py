@@ -440,6 +440,29 @@ class IcebergTable:
                 return schemas[sid]
         return self.schema
 
+    def table_statistics(self) -> list[dict[str, Any]]:
+        """The metadata ``statistics`` list (Iceberg spec "Table
+        statistics"): per-snapshot Puffin stats files with blob
+        metadata.  Zero data IO."""
+        return self.metadata.get("statistics", [])
+
+    def column_ndv(self, name: str) -> int | None:
+        """NDV for a column from the CURRENT snapshot's statistics file
+        (the ``ndv`` blob property, which is the part engines consume
+        from stats blobs without decoding sketch payloads), or None when
+        no statistics cover the snapshot/column."""
+        fid = self.fields[name].field_id
+        cur = self.current_snapshot["snapshot-id"]
+        for e in self.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("fields") == [fid] and "ndv" in b.get(
+                    "properties", {}
+                ):
+                    return int(b["properties"]["ndv"])
+        return None
+
     def plan_deletes(self) -> list[dict[str, Any]]:
         """Live v2/v3 delete files (position/equality/DV), ordered by
         (path, blob offset)."""

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 import uuid
 from typing import Any
 
@@ -292,6 +293,7 @@ class IcebergWriter:
         self._metadata_log: list[dict[str, Any]] = []
         self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
         self.properties: dict[str, str] = {}  # table properties (spec map)
+        self.statistics: list[dict[str, Any]] = []  # spec "statistics" list
         # sort orders (spec): order 0 is the unsorted default; a data
         # clustering rewrite (compact_files_spark sort_by=) registers the
         # order it produced so readers know which columns carry selective
@@ -377,6 +379,7 @@ class IcebergWriter:
             ),
         )
         w._format_version = meta.get("format-version", 1)
+        w.statistics = list(meta.get("statistics", []))
         w.table_uuid = meta.get(
             "table-uuid", str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         )
@@ -1225,6 +1228,7 @@ class IcebergWriter:
                 for s in self.snapshots
             ],
             "metadata-log": self._metadata_log,
+            "statistics": self.statistics,
             "current-snapshot-id": (
                 self.main_pin if self.main_pin is not None else last["snapshot-id"]
             ),
@@ -1496,6 +1500,73 @@ def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:
     ] + [target]
     writer.version += 1
     writer._write_metadata()
+
+
+def write_table_statistics(
+    writer: "IcebergWriter", spark: Any, exact: bool = False
+) -> str:
+    """Table-statistics file (Iceberg spec "Table statistics"): one
+    Puffin blob per column carrying its NDV for the CURRENT snapshot,
+    registered in the metadata ``statistics`` list — what engines feed
+    cost-based join ordering.  NDVs come from one distributed pass over
+    the delete-aware read (``approx_count_distinct`` — HLL++, JVM-side;
+    ``exact=True`` runs exact multi-column distinct counts instead,
+    affordable on fixtures and small dimensions).
+
+    Blob type is ``daskberg-ndv-v1``: the standard-looking part is the
+    ``ndv`` blob property, which is where real engines read the number;
+    the payload is this engine's own 8-byte encoding, and foreign
+    readers skip unknown blob types per the Puffin spec.  Re-running for
+    a snapshot replaces that snapshot's entry (idempotent content);
+    ``expire_snapshots`` drops entries with their snapshots.  Returns
+    the statistics file path."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    snapshot_id = writer.snapshots[-1]["snapshot-id"]
+    t = IcebergTable(writer.path)
+    df = t.to_df(spark)
+    cols = [f["name"] for f in writer.fields]
+    agg = [
+        (
+            F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        ).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*agg).collect()[0]
+    seq = writer._last_sequence_number
+    blobs = [
+        {
+            "type": "daskberg-ndv-v1",
+            "fields": [writer.ids[c]],
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "properties": {"ndv": str(int(row[c]))},
+            "data": struct.pack("<q", int(row[c])),
+        }
+        for c in cols
+    ]
+    name = f"stats-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, f'stats{snapshot_id}').hex[:8]}.puffin"
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    writer.statistics = [
+        e for e in writer.statistics if e["snapshot-id"] != snapshot_id
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return path
 
 
 def _norm_data_path(p: str) -> str:
@@ -2107,6 +2178,11 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
         {k: v for k, v in s.items() if not (k == "parent-snapshot-id" and v in expired_set)}
         for s in survivors
     ]
+    # statistics files of expired snapshots drop with them (spec rule);
+    # their puffin bytes become orphan-reclaimable
+    writer.statistics = [
+        e for e in writer.statistics if e["snapshot-id"] not in expired_set
+    ]
     writer.version += 1
     writer._write_metadata()
     return sorted(expired_set)
@@ -2165,9 +2241,15 @@ def remove_orphan_files(
         if dirpath != data_dir and not os.listdir(dirpath):
             os.rmdir(dirpath)
     if include_metadata:
+        # statistics puffin files referenced by the CURRENT metadata stay;
+        # ones left behind by expire_snapshots are reclaimable
+        for e in table.metadata.get("statistics", []):
+            referenced_meta.add(
+                os.path.realpath(table._relocate(e["statistics-path"]))
+            )
         meta_dir = os.path.join(table_path, "metadata")
         for name in sorted(os.listdir(meta_dir)):
-            if not name.endswith(".avro"):
+            if not name.endswith((".avro", ".puffin")):
                 continue  # metadata JSONs and the version hint always stay
             path = os.path.realpath(os.path.join(meta_dir, name))
             if path not in referenced_meta:

@@ -589,6 +589,37 @@ def iceberg_add_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_table_statistics",
+    """
+    SELECT 'grp' AS col, CAST(COUNT(DISTINCT grp) AS BIGINT) AS ndv
+    FROM read_parquet('/root/repo/.fixtures/stats_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'id', CAST(COUNT(DISTINCT id) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/stats_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'val', CAST(COUNT(DISTINCT val) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/stats_table/data/0*.parquet')
+    """,
+)
+def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-statistics read (Iceberg spec "Table statistics", beyond
+    the reference): per-column NDV blobs in a Puffin stats file
+    registered under the metadata ``statistics`` list — the input to
+    cost-based join ordering.  The fixture's stats were computed with
+    one exact distributed pass; the oracle recomputes each NDV with
+    COUNT(DISTINCT) over the raw data files, so a wrong sketch, a
+    mis-keyed blob (field ids), or stale statistics all hash-mismatch."""
+    from daskberg_spark.iceberg.fixtures import ensure_stats_fixture
+    from daskberg_spark.operators.registry import literal_df
+
+    t = IcebergTable(ensure_stats_fixture(spark))
+    rows = sorted(
+        (name, t.column_ndv(name)) for name in ("grp", "id", "val")
+    )
+    return literal_df(spark, rows, "col string, ndv long")
+
+
+@query(
     "iceberg_rollback_read",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,

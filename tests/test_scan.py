@@ -2359,3 +2359,63 @@ def test_rollback_across_delete_history(spark, tmp_path):
     w.delete_rows_equality([{"id": 5}])
     w.append([{"id": 5}])
     assert ids() == sorted([i for i in mid_live if i != 5] + [5])
+
+
+def test_table_statistics_lifecycle(spark, tmp_path):
+    """Table-statistics files (spec 'statistics' list): exact NDVs per
+    column, carried by IcebergWriter.load, replaced idempotently per
+    snapshot, dropped by expire_snapshots with their snapshot, and the
+    stale puffin reclaimed by the metadata orphan sweep."""
+    import os
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        expire_snapshots,
+        remove_orphan_files,
+        write_table_statistics,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(40)])
+    path1 = write_table_statistics(w, spark, exact=True)
+    t = IcebergTable(p)
+    assert t.column_ndv("id") == 40
+    assert t.column_ndv("grp") == 2
+    assert len(t.table_statistics()) == 1
+    # approx variant lands in a sane range on a tiny table
+    write_table_statistics(w, spark)  # replaces the same snapshot's entry
+    t = IcebergTable(p)
+    assert len(t.table_statistics()) == 1
+    approx = t.column_ndv("id")
+    assert 30 <= approx <= 50
+
+    # new snapshot: old stats stay keyed to their snapshot; current has none
+    w.append([{"id": 100 + i, "grp": "c"} for i in range(5)])
+    t = IcebergTable(p)
+    assert t.column_ndv("id") is None  # no stats for the head snapshot
+    path2 = write_table_statistics(w, spark, exact=True)
+    t = IcebergTable(p)
+    assert t.column_ndv("id") == 45
+    assert t.column_ndv("grp") == 3
+    assert len(t.table_statistics()) == 2
+
+    # load() carries the statistics list
+    w2 = IcebergWriter.load(p)
+    assert len(w2.statistics) == 2
+
+    # expire drops the old snapshot's stats entry; its puffin becomes
+    # orphan-reclaimable while the live one survives
+    expire_snapshots(w2, keep_last=1)
+    removed = remove_orphan_files(p)
+    assert any(r.endswith(os.path.basename(path1)) for r in removed)
+    assert os.path.exists(path2)
+    t = IcebergTable(p)
+    assert len(t.table_statistics()) == 1
+    assert t.column_ndv("id") == 45
