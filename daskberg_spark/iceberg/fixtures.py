@@ -674,3 +674,33 @@ def ensure_stats_fixture(spark, path: str = STATS_FIXTURE_DIR) -> str:
     )
     write_table_statistics(writer, spark, exact=True)
     return path
+
+
+PSTATS_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "pstats_table")
+
+
+def ensure_pstats_fixture(path: str = PSTATS_FIXTURE_DIR) -> str:
+    """Partition-statistics fixture: identity-partitioned table (grp),
+    two appends, then ``write_partition_statistics``.  Per-partition
+    record AND file counts are content-derivable: DuckDB recomputes them
+    from the raw data files with ``filename=true``."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_partition_statistics,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    writer.append([{"id": i, "grp": "abc"[i % 3]} for i in range(60)])
+    writer.append([{"id": i, "grp": "ab"[i % 2]} for i in range(60, 80)])
+    write_partition_statistics(writer)
+    return path

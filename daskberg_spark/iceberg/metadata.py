@@ -463,6 +463,19 @@ class IcebergTable:
                     return int(b["properties"]["ndv"])
         return None
 
+    def partition_statistics(self) -> list[dict[str, Any]]:
+        """Rows of the CURRENT snapshot's partition-statistics parquet
+        (spec "Partition statistics"), or [] when none cover it."""
+        import pyarrow.parquet as _pq
+
+        cur = self.current_snapshot["snapshot-id"]
+        for e in self.metadata.get("partition-statistics", []):
+            if e["snapshot-id"] == cur:
+                return _pq.read_table(
+                    self._relocate(e["statistics-path"])
+                ).to_pylist()
+        return []
+
     def plan_deletes(self) -> list[dict[str, Any]]:
         """Live v2/v3 delete files (position/equality/DV), ordered by
         (path, blob offset)."""

@@ -294,6 +294,7 @@ class IcebergWriter:
         self.refs: dict[str, dict[str, Any]] = {}  # branch/tag name → ref
         self.properties: dict[str, str] = {}  # table properties (spec map)
         self.statistics: list[dict[str, Any]] = []  # spec "statistics" list
+        self.partition_statistics: list[dict[str, Any]] = []  # spec list
         # sort orders (spec): order 0 is the unsorted default; a data
         # clustering rewrite (compact_files_spark sort_by=) registers the
         # order it produced so readers know which columns carry selective
@@ -380,6 +381,7 @@ class IcebergWriter:
         )
         w._format_version = meta.get("format-version", 1)
         w.statistics = list(meta.get("statistics", []))
+        w.partition_statistics = list(meta.get("partition-statistics", []))
         w.table_uuid = meta.get(
             "table-uuid", str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         )
@@ -1229,6 +1231,7 @@ class IcebergWriter:
             ],
             "metadata-log": self._metadata_log,
             "statistics": self.statistics,
+            "partition-statistics": self.partition_statistics,
             "current-snapshot-id": (
                 self.main_pin if self.main_pin is not None else last["snapshot-id"]
             ),
@@ -1563,6 +1566,104 @@ def write_table_statistics(
     }
     writer.statistics = [
         e for e in writer.statistics if e["snapshot-id"] != snapshot_id
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return path
+
+
+def write_partition_statistics(writer: "IcebergWriter") -> str:
+    """Partition-statistics file (Iceberg spec "Partition statistics"):
+    one spec-shaped parquet row per (spec_id, partition tuple) with data
+    record/file counts, byte totals, and delete-file counts, registered
+    under the metadata ``partition-statistics`` list.  METADATA-ONLY —
+    derived from manifests, zero data IO — which is the point: engines
+    answer per-partition row counts and plan partition-grained
+    maintenance from this file instead of scanning manifests each time.
+    Replaces the current snapshot's entry idempotently; returns the
+    file path."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.planner import transform_result_type
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    snapshot_id = writer.snapshots[-1]["snapshot-id"]
+    t = IcebergTable(writer.path)
+    # unified partition tuple: the union of all specs' fields, nullable
+    part_fields: list[tuple[str, Any]] = []
+    seen = set()
+    for spec in writer.specs:
+        for pf in spec:
+            if pf["name"] in seen:
+                continue
+            seen.add(pf["name"])
+            rtype = transform_result_type(
+                pf["transform"], writer.types[pf["_source_name"]]
+            )
+            part_fields.append(
+                (pf["name"], _PA_TYPES.get(rtype, pa.string()))
+            )
+    groups: dict[tuple, dict[str, int]] = {}
+
+    def slot(spec_id: int, partition: dict[str, Any]) -> dict[str, int]:
+        key = (spec_id, tuple(sorted((partition or {}).items())))
+        return groups.setdefault(
+            key,
+            {
+                "data_record_count": 0,
+                "data_file_count": 0,
+                "total_data_file_size_in_bytes": 0,
+                "position_delete_record_count": 0,
+                "position_delete_file_count": 0,
+                "equality_delete_record_count": 0,
+                "equality_delete_file_count": 0,
+            },
+        )
+
+    for f in t.plan_files():
+        s = slot(f.get("_spec_id", 0), f.get("partition"))
+        s["data_record_count"] += f.get("record_count") or 0
+        s["data_file_count"] += 1
+        s["total_data_file_size_in_bytes"] += f.get("file_size_in_bytes") or 0
+    for d in t.plan_deletes():
+        s = slot(d.get("_spec_id", 0), d.get("partition"))
+        if d.get("content") == 2:
+            s["equality_delete_record_count"] += d.get("record_count") or 0
+            s["equality_delete_file_count"] += 1
+        else:
+            s["position_delete_record_count"] += d.get("record_count") or 0
+            s["position_delete_file_count"] += 1
+    keys = sorted(groups, key=lambda k: (k[0], str(k[1])))
+    arrays: dict[str, Any] = {}
+    arrays["partition"] = pa.array(
+        [dict(k[1]) for k in keys],
+        type=pa.struct([pa.field(n, typ) for n, typ in part_fields]),
+    ) if part_fields else pa.array(
+        [{}] * len(keys), type=pa.struct([pa.field("__unpartitioned", pa.bool_())])
+    )
+    arrays["spec_id"] = pa.array([k[0] for k in keys], pa.int32())
+    for col, typ in (
+        ("data_record_count", pa.int64()),
+        ("data_file_count", pa.int32()),
+        ("total_data_file_size_in_bytes", pa.int64()),
+        ("position_delete_record_count", pa.int64()),
+        ("position_delete_file_count", pa.int32()),
+        ("equality_delete_record_count", pa.int64()),
+        ("equality_delete_file_count", pa.int32()),
+    ):
+        arrays[col] = pa.array([groups[k][col] for k in keys], typ)
+    name = f"partition-stats-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, f'pstats{snapshot_id}').hex[:8]}.parquet"
+    path = f"{writer.path}/metadata/{name}"
+    pq.write_table(pa.table(arrays), path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+    }
+    writer.partition_statistics = [
+        e
+        for e in writer.partition_statistics
+        if e["snapshot-id"] != snapshot_id
     ] + [entry]
     writer.version += 1
     writer._write_metadata()
@@ -2183,6 +2284,11 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
     writer.statistics = [
         e for e in writer.statistics if e["snapshot-id"] not in expired_set
     ]
+    writer.partition_statistics = [
+        e
+        for e in writer.partition_statistics
+        if e["snapshot-id"] not in expired_set
+    ]
     writer.version += 1
     writer._write_metadata()
     return sorted(expired_set)
@@ -2243,13 +2349,15 @@ def remove_orphan_files(
     if include_metadata:
         # statistics puffin files referenced by the CURRENT metadata stay;
         # ones left behind by expire_snapshots are reclaimable
-        for e in table.metadata.get("statistics", []):
+        for e in table.metadata.get("statistics", []) + table.metadata.get(
+            "partition-statistics", []
+        ):
             referenced_meta.add(
                 os.path.realpath(table._relocate(e["statistics-path"]))
             )
         meta_dir = os.path.join(table_path, "metadata")
         for name in sorted(os.listdir(meta_dir)):
-            if not name.endswith((".avro", ".puffin")):
+            if not name.endswith((".avro", ".puffin", ".parquet")):
                 continue  # metadata JSONs and the version hint always stay
             path = os.path.realpath(os.path.join(meta_dir, name))
             if path not in referenced_meta:

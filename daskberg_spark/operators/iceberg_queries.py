@@ -620,6 +620,39 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_partition_stats_file",
+    """
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS data_record_count,
+           CAST(COUNT(DISTINCT filename) AS INT) AS data_file_count
+    FROM read_parquet('/root/repo/.fixtures/pstats_table/data/**/*.parquet',
+                      filename=true)
+    GROUP BY grp
+    """,
+)
+def iceberg_partition_stats_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-statistics FILE read (Iceberg spec "Partition
+    statistics", beyond the reference): per-partition record/file counts
+    derived from manifests only — zero data IO at write time — stored as
+    the spec-shaped parquet and here read back DISTRIBUTED through
+    ``spark.read.parquet``.  The oracle recomputes both counts from the
+    raw data files (``filename=true``), so wrong aggregation, spec
+    grouping, or a stale file all hash-mismatch."""
+    from daskberg_spark.iceberg.fixtures import ensure_pstats_fixture
+
+    t = IcebergTable(ensure_pstats_fixture())
+    entry = t.metadata["partition-statistics"][-1]
+    return (
+        spark.read.parquet(entry["statistics-path"])
+        .select(
+            F.col("partition.grp").alias("grp"),
+            F.col("data_record_count"),
+            F.col("data_file_count"),
+        )
+    )
+
+
+@query(
     "iceberg_rollback_read",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,

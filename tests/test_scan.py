@@ -2419,3 +2419,50 @@ def test_table_statistics_lifecycle(spark, tmp_path):
     t = IcebergTable(p)
     assert len(t.table_statistics()) == 1
     assert t.column_ndv("id") == 45
+
+
+def test_partition_statistics_lifecycle(spark, tmp_path):
+    """Partition-statistics files: spec-shaped parquet derived from
+    manifests only (delete-file counts included), carried by load,
+    dropped by expire, stale file orphan-reclaimed."""
+    import os
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        expire_snapshots,
+        remove_orphan_files,
+        write_partition_statistics,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(20)])
+    delete_where_dv_spark(w, spark, "id < 4")
+    path1 = write_partition_statistics(w)
+    t = IcebergTable(p)
+    rows = {r["partition"]["grp"]: r for r in t.partition_statistics() if r["partition"]["grp"]}
+    assert rows["a"]["data_record_count"] == 10  # counts are pre-delete file stats
+    assert rows["a"]["data_file_count"] == 1
+    # the DV entry lands under its own (empty) partition row
+    dv_rows = [r for r in t.partition_statistics() if r["position_delete_file_count"]]
+    assert sum(r["position_delete_record_count"] for r in dv_rows) == 4
+
+    w.append([{"id": 100, "grp": "a"}])
+    path2 = write_partition_statistics(w)
+    w2 = IcebergWriter.load(p)
+    assert len(w2.partition_statistics) == 2
+    expire_snapshots(w2, keep_last=1)
+    removed = remove_orphan_files(p)
+    assert any(r.endswith(os.path.basename(path1)) for r in removed)
+    assert os.path.exists(path2)
+    t = IcebergTable(p)
+    assert len(t.metadata["partition-statistics"]) == 1
+    assert t.partition_statistics()
