@@ -732,58 +732,15 @@ class IcebergWriter:
         of O(delete-commits) files, and bitmap bytes (~2 bytes/row dense)
         instead of (path, pos) rows.  Upgrades the table to
         format-version 3."""
-        from daskberg_spark.iceberg.puffin import dv_blob, write_puffin
+        from daskberg_spark.iceberg.puffin import dv_blob
 
         if not positions_by_file:
             raise ValueError("no deletion vectors")
-        self._file_counter += 1
-        path = f"{self.path}/data/dv-{self._file_counter:05d}.puffin"
-        snapshot_id = self._next_snapshot_id
-        blobs = []
+        dvs = []
         for target in sorted(positions_by_file):
             positions = sorted(set(positions_by_file[target]))
-            blobs.append(
-                {
-                    "type": "deletion-vector-v1",
-                    "fields": [],
-                    "snapshot-id": snapshot_id,
-                    "sequence-number": self._last_sequence_number + 1,
-                    "properties": {
-                        "referenced-data-file": target,
-                        "cardinality": str(len(positions)),
-                    },
-                    "data": dv_blob(positions),
-                }
-            )
-        metas = write_puffin(path, blobs)
-        self._format_version = 3
-        file_size = os.path.getsize(path)
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "content": 1,
-                    "file_path": path,
-                    "file_format": "PUFFIN",
-                    "partition": {},
-                    "record_count": int(m["properties"]["cardinality"]),
-                    "file_size_in_bytes": file_size,
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                    "equality_ids": None,
-                    "referenced_data_file": m["properties"][
-                        "referenced-data-file"
-                    ],
-                    "content_offset": m["offset"],
-                    "content_size_in_bytes": m["length"],
-                },
-            }
-            for m in metas
-        ]
-        manifest = self._write_manifest(entries, snapshot_id)
-        self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
-        return snapshot_id
+            dvs.append((target, dv_blob(positions), len(positions)))
+        return _commit_dv_snapshot(self, dvs)
 
     def delete_files(self, predicate) -> int:
         """New snapshot with DELETED entries for files whose *entry* matches
@@ -1254,14 +1211,13 @@ class IcebergWriter:
         # Optimistic concurrency (Iceberg commit protocol): each metadata
         # version is written exactly once; losing a race to v{N} means a
         # concurrent writer committed first — surface it instead of
-        # silently clobbering their snapshot.  O_EXCL makes the existence
-        # check and the create one atomic filesystem operation.
-        # Write-complete-then-link: the JSON is fully written to a temp
-        # name first, and os.link both publishes it ATOMICALLY (no reader
-        # can observe a half-written metadata file via the directory
-        # scan) and keeps the exclusive-create conflict check — link
-        # fails with FileExistsError if a concurrent writer committed
-        # this version first.
+        # silently clobbering their snapshot.  Write-complete-then-link:
+        # the JSON is fully written to a temp name first, and os.link
+        # both publishes it ATOMICALLY (no reader can observe a
+        # half-written metadata file via the directory scan) and keeps
+        # the exclusive-create conflict check — link fails with
+        # FileExistsError if a concurrent writer committed this version
+        # first.
         target = f"{self.path}/metadata/v{self.version}.metadata.json"
         tmp = f"{self.path}/metadata/.v{self.version}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
@@ -2052,7 +2008,7 @@ def delete_where_dv_spark(
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from pyspark.sql import functions as F
     from daskberg_spark.iceberg.metadata import IcebergTable
-    from daskberg_spark.iceberg.puffin import dv_blob, write_puffin
+    from daskberg_spark.iceberg.puffin import dv_blob
 
     t = IcebergTable(writer.path)
     tagged = t.to_df(spark, keep_pos=True)
@@ -2077,6 +2033,23 @@ def delete_where_dv_spark(
     )
     if not rows:
         return None
+    return _commit_dv_snapshot(
+        writer,
+        [
+            (r["file"], bytes(r["blob"]), int(r["cardinality"]))
+            for r in sorted(rows, key=lambda r: r["file"])
+        ],
+    )
+
+
+def _commit_dv_snapshot(
+    writer: "IcebergWriter", dvs: list[tuple[str, bytes, int]]
+) -> int:
+    """Pack finished ``(target, blob bytes, cardinality)`` deletion
+    vectors into ONE puffin file and commit them as a v3 ``delete``
+    snapshot — shared by the driver-side and distributed DV writers."""
+    from daskberg_spark.iceberg.puffin import write_puffin
+
     writer._file_counter += 1
     path = f"{writer.path}/data/dv-{writer._file_counter:05d}.puffin"
     snapshot_id = writer._next_snapshot_id
@@ -2089,12 +2062,12 @@ def delete_where_dv_spark(
                 "snapshot-id": snapshot_id,
                 "sequence-number": writer._last_sequence_number + 1,
                 "properties": {
-                    "referenced-data-file": r["file"],
-                    "cardinality": str(r["cardinality"]),
+                    "referenced-data-file": target,
+                    "cardinality": str(cardinality),
                 },
-                "data": bytes(r["blob"]),
+                "data": blob,
             }
-            for r in sorted(rows, key=lambda r: r["file"])
+            for target, blob, cardinality in dvs
         ],
     )
     writer._format_version = 3
