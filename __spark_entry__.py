@@ -109,6 +109,22 @@ def _load_registry():
 #           q4_order_priority, q7_volume_shipping, q8_market_share,
 #           q9_product_type_profit, q14_promo_effect,
 #           q19_disjunctive_filter (TPC-H tail)
+#   r6 second swap (6 MORE first-timers — the round's late additions,
+#           all oracle-exact in CORRECTNESS_LOCAL_r06 — for 6 slots
+#           driver-green 2+ rounds with family coverage retained):
+#     out:  iceberg_day_transform_prune (green r1-r5; A7 stays via
+#           spec_evolution_prune), iceberg_or_filter (green r2-r5; DNF
+#           semantics stay under every filtered scan + local),
+#           token_count_bpe (green r2-r5; C4 keeps 4 in-window reps),
+#           multimodal_decode_stub (green r3-r5; C5 keeps metadata),
+#           partitioned_write (green r2-r5; write family stays via
+#           iceberg_bucket_write_prune), events_funnel (green r4-r5)
+#     in:   iceberg_dv_delete_read (v3 deletion vectors),
+#           iceberg_table_statistics, iceberg_partition_stats_file
+#           (spec statistics files), iceberg_add_files_read (migration),
+#           iceberg_rollback_read (snapshot management),
+#           streaming_iceberg_source (snapshot-tailing source)
+#   → 18 first-time driver rows total this round
 _PRIORITY = [
     # flagship + TPC-H (B4 at scale; tail q4/q7/q8/q9/q14/q19 rotated in r6)
     "q1_pricing_summary",
@@ -126,23 +142,25 @@ _PRIORITY = [
     "iceberg_read_golden",
     "iceberg_time_travel",
     "iceberg_partition_prune",
-    "iceberg_or_filter",
     "iceberg_schema_evolution",
     "iceberg_lineitem_stats_prune",
     # r5/r6: sequence-number-correct deletes on a foreign-style table,
-    # per-file spec resolution, copy-on-write MERGE, and the r6 flagship
-    # single-anti-join merge-on-read delete read + bucket-prune write.
-    # Late r6: iceberg_dv_delete_read (v3 deletion vectors — roaring
-    # bitmaps in puffin, built this round) takes the slot of
-    # iceberg_day_transform_prune (driver-green r1-r5; A7 transform
-    # coverage stays in-window via iceberg_spec_evolution_prune) — a
-    # 13th first-time driver row.
+    # per-file spec resolution, copy-on-write MERGE, the r6 flagship
+    # single-anti-join merge-on-read delete read + bucket-prune write,
+    # and the late-r6 additions (see the second-swap note above)
     "iceberg_foreign_read",
     "iceberg_spec_evolution_prune",
     "iceberg_merge_cow",
     "iceberg_mor_delete_read",
     "iceberg_dv_delete_read",
     "iceberg_bucket_write_prune",
+    # late r6 (second swap): the round's management/statistics additions
+    # and the snapshot-tailing streaming source — 5 more first-timers
+    "iceberg_table_statistics",
+    "iceberg_partition_stats_file",
+    "iceberg_add_files_read",
+    "iceberg_rollback_read",
+    "streaming_iceberg_source",
     # Tier C — dedup (C1/C2)
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -153,13 +171,11 @@ _PRIORITY = [
     "similarity_lsh_recall",
     # Tier C — text/curation (C4)
     "text_stats",
-    "token_count_bpe",
     "fingerprint_rolling",
     "pipeline_quality_filter",
     "decontaminate_ngram_overlap",
     # Tier C — multimodal (C5)
     "multimodal_metadata",
-    "multimodal_decode_stub",
     # streaming extension (all four r6 first-timers)
     "streaming_dedup",
     "streaming_stream_join",
@@ -170,14 +186,12 @@ _PRIORITY = [
     "join_multi",
     "window_rank",
     "window_distribution_partitioned",
-    "partitioned_write",
     # B5 quantiles/sketches: deterministic, oracle-checkable formulations
     # (per-engine sketch internals stay rows-only after the window)
     "approx_quantiles_histogram",
     "winsorized_stats",
     "approx_distinct_hll",
     "approx_topk_countmin",
-    "events_funnel",
 ]
 
 
