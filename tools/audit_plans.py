@@ -51,10 +51,16 @@ AUDIT = {
     # distributed merge-on-read deletes: delete-key groupBy-max, distinct
     # for the position-delete pairs, broadcast anti-joins, final group agg
     "iceberg_mor_delete_read": (3, False, True, None),
-    # v3 deletion-vector read: executor-side puffin decode (mapInPandas
-    # over one row per DV, 1 repartition exchange) feeding the SAME
-    # single position anti-join as v2 pos-delete parquet, + final agg
+    # v3 deletion-vector read: small DV sets decode driver-side into an
+    # Arrow local relation (LocalTableScan — no exchange, no Python);
+    # the bound leaves room for the executor-decode path's repartition
     "iceberg_dv_delete_read": (3, False, True, None),
+    # late-r6 window additions: the statistics/management reads are
+    # metadata- or stats-file-backed — tiny plans by design
+    "iceberg_table_statistics": (0, False, False, None),
+    "iceberg_partition_stats_file": (0, False, False, 3),
+    "iceberg_add_files_read": (1, True, False, 2),
+    "iceberg_rollback_read": (1, False, False, 2),
     # spec-evolved point read: metadata pruned to 2 files, residual id=7
     # pushed to the parquet scan, 2-column ReadSchema, no shuffle
     "iceberg_spec_evolution_prune": (0, True, False, 2),
