@@ -704,3 +704,46 @@ def ensure_pstats_fixture(path: str = PSTATS_FIXTURE_DIR) -> str:
     writer.append([{"id": i, "grp": "ab"[i % 2]} for i in range(60, 80)])
     write_partition_statistics(writer)
     return path
+
+
+DPO_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "dpo_table")
+
+
+def ensure_dpo_fixture(spark, path: str = DPO_FIXTURE_DIR) -> str:
+    """Dynamic-partition-overwrite fixture: identity-partitioned by grp,
+    one append (ids 0..29 across a/b/c, val = id), then
+    ``overwrite_partitions_spark`` replaces partition 'a' with five
+    fresh rows (val = -1).  Old partition-a parquet stays on disk
+    (tombstoned), so the content-derivable live set is
+
+        grp <> 'a' OR val = -1
+    """
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        overwrite_partitions_spark,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "long", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    writer.append(
+        [{"id": i, "grp": "abc"[i % 3], "val": i} for i in range(30)]
+    )
+    new = spark.createDataFrame(
+        [(100 + j, "a", -1) for j in range(5)], "id long, grp string, val long"
+    )
+    overwrite_partitions_spark(
+        writer, spark, new.withColumn("part_grp", F.col("grp")), "grp", "part_grp"
+    )
+    return path

@@ -1760,6 +1760,51 @@ def _with_partition_columns(writer: "IcebergWriter", out: Any) -> tuple[Any, lis
     return out, src_cols, dup_cols
 
 
+def overwrite_partitions_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    df: Any,
+    partition_col: str | list[str],
+    path_col: str | list[str] | None = None,
+) -> int | None:
+    """Dynamic partition overwrite (``INSERT OVERWRITE`` semantics):
+    replace ALL existing files of exactly the partitions present in
+    ``df`` — untouched partitions carry forward — as ONE overwrite
+    snapshot.  Executors write the replacement files in parallel
+    (``partitionBy``); the driver derives the replaced partition tuples
+    from the written output's hive segments and runs the pure-metadata
+    ``commit_spark_overwrite``, so driver cost is O(files-in-replaced-
+    partitions), never O(rows).  ``partition_col``/``path_col`` follow
+    ``commit_spark_output``'s convention (the hive segment carries the
+    TRANSFORMED value under a duplicate column).  Partition identity is
+    compared on the spec fields ``partition_col`` names — pass every
+    partition source of the spec for full-tuple replacement.  Returns
+    the snapshot id, or None for an empty frame."""
+    import tempfile
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    pcols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    seg = path_col or partition_col
+    segs = [seg] if isinstance(seg, str) else list(seg)
+    stage = tempfile.mkdtemp(prefix="dpo_", dir=f"{writer.path}/data")
+    df.write.mode("overwrite").partitionBy(*segs).parquet(stage)
+    probe = _entries_from_spark_dir(writer, stage, 0, pcols, segs)
+    if not probe:
+        return None
+    keys = sorted({k for e in probe for k in e["data_file"]["partition"]})
+    new_parts = {
+        tuple(e["data_file"]["partition"].get(k) for k in keys) for e in probe
+    }
+    t = IcebergTable(writer.path)
+    removed = [
+        f["file_path"]
+        for f in t.plan_files()
+        if tuple((f.get("partition") or {}).get(k) for k in keys) in new_parts
+    ]
+    return commit_spark_overwrite(writer, stage, removed, pcols, segs)
+
+
 def merge_rows_spark(
     writer: "IcebergWriter",
     spark: Any,

@@ -653,6 +653,35 @@ def iceberg_partition_stats_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_dynamic_overwrite",
+    """
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM read_parquet('/root/repo/.fixtures/dpo_table/data/**/*.parquet')
+    WHERE grp <> 'a' OR val = -1
+    GROUP BY grp
+    """,
+)
+def iceberg_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE semantics, beyond
+    the reference): ``overwrite_partitions_spark`` replaced exactly the
+    partitions present in the new frame — executors wrote the files,
+    the driver tombstoned the old partition's files in one overwrite
+    snapshot.  The tombstoned parquet stays on disk, so the oracle
+    derives the live set from content alone (grp <> 'a' OR val = -1)."""
+    from daskberg_spark.iceberg.fixtures import ensure_dpo_fixture
+
+    t = IcebergTable(ensure_dpo_fixture(spark))
+    return t.to_df(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+@query(
     "iceberg_rollback_read",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,

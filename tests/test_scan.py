@@ -2466,3 +2466,53 @@ def test_partition_statistics_lifecycle(spark, tmp_path):
     t = IcebergTable(p)
     assert len(t.metadata["partition-statistics"]) == 1
     assert t.partition_statistics()
+
+
+def test_overwrite_partitions_spark(spark, tmp_path):
+    """Dynamic partition overwrite: replaces exactly the partitions
+    present in the frame, leaves others untouched (pruning intact),
+    no-ops on an empty frame, and delete files targeting the replaced
+    files die with them."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        overwrite_partitions_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "long", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"id": i, "grp": "abc"[i % 3], "val": i} for i in range(30)])
+    delete_where_dv_spark(w, spark, "grp = 'a' AND id < 3")  # DV on old files
+
+    new = spark.createDataFrame(
+        [(100 + j, "a", -1) for j in range(5)], "id long, grp string, val long"
+    ).withColumn("part_grp", F.col("grp"))
+    sid = overwrite_partitions_spark(w, spark, new, "grp", "part_grp")
+    assert sid is not None
+
+    t = IcebergTable(p)
+    rows = sorted((r["grp"], r["id"]) for r in t.to_df(spark).collect())
+    expect = sorted(
+        [("abc"[i % 3], i) for i in range(30) if i % 3 != 0]
+        + [("a", 100 + j) for j in range(5)]
+    )
+    assert rows == expect
+    assert t.current_snapshot["summary"]["operation"] == "overwrite"
+    # untouched partitions prune as before
+    pruned = t.plan_files(filters=[("grp", "==", "b")])
+    assert pruned and all(f["partition"]["grp"] == "b" for f in pruned)
+    # empty frame no-ops
+    empty = spark.createDataFrame(
+        [], "id long, grp string, val long, part_grp string"
+    )
+    assert overwrite_partitions_spark(w, spark, empty, "grp", "part_grp") is None
