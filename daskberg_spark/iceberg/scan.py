@@ -391,8 +391,13 @@ BROADCAST_DELETE_MAX_BYTES = 32 << 20
 # Total DV blob bytes at or under which deletion vectors decode on the
 # DRIVER into one Arrow local relation (pure-JVM LocalTableScan, no
 # Python workers) instead of the executor-side mapInPandas decode.
-# ~2 bytes/dense-deleted-row → 4 MB ≈ 2M positions.
-DV_DRIVER_DECODE_MAX_BYTES = 4 << 20
+# MEASURED crossover (local[16], min-of-3): 15 KB blobs (10k positions)
+# driver 5x faster; ~52 KB (100k positions) even; 131 KB (250k) executor
+# 1.5x faster — the driver decode + Arrow ship stops paying around
+# ~64 KB, and on a real cluster the executor path also parallelizes
+# across workers while driver decode cannot.  ~2 bytes/dense-deleted
+# row → 64 KB ≈ 32k positions.
+DV_DRIVER_DECODE_MAX_BYTES = 64 << 10
 
 
 # Path→sequence lookups above this entry count fall back to a broadcast

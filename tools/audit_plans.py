@@ -61,6 +61,9 @@ AUDIT = {
     "iceberg_partition_stats_file": (0, False, False, 3),
     "iceberg_add_files_read": (1, True, False, 2),
     "iceberg_rollback_read": (1, False, False, 2),
+    # dynamic partition overwrite read: plain partitioned scan + one agg
+    # exchange — the overwrite left plan shape untouched
+    "iceberg_dynamic_overwrite": (1, False, False, 3),
     # spec-evolved point read: metadata pruned to 2 files, residual id=7
     # pushed to the parquet scan, 2-column ReadSchema, no shuffle
     "iceberg_spec_evolution_prune": (0, True, False, 2),
