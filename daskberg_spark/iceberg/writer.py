@@ -1461,6 +1461,64 @@ def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:
     writer._write_metadata()
 
 
+def cherrypick_snapshot(writer: "IcebergWriter", snapshot_id: int) -> int:
+    """Cherry-pick (the real-Iceberg ``cherrypick_snapshot`` action, the
+    publish half of write-audit-publish): re-commit the data files ADDED
+    by a non-ancestor snapshot — typically one staged on a WAP branch or
+    stranded by a rollback — onto the CURRENT head as a fresh append
+    snapshot.  Metadata-only: the data files are referenced, not
+    rewritten, and get the new commit's sequence number (so equality
+    deletes between staging and publish apply correctly).  Only append
+    snapshots cherry-pick; anything else raises."""
+    snaps = {s["snapshot-id"]: s for s in writer.snapshots}
+    if snapshot_id not in snaps:
+        raise KeyError(f"unknown snapshot {snapshot_id}")
+    src = snaps[snapshot_id]
+    op = (src.get("summary") or {}).get("operation", "append")
+    if op != "append":
+        raise ValueError(
+            f"cherrypick supports append snapshots only (got {op!r}): "
+            "replaying deletes/overwrites against a moved base is not "
+            "well-defined"
+        )
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    _, src_manifests = read_avro_file(src["manifest-list"])
+    new_id = writer._next_snapshot_id
+    entries = []
+    for mf in src_manifests:
+        if mf.get("added_snapshot_id") != snapshot_id:
+            continue
+        _, mf_entries = read_avro_file(mf["manifest_path"])
+        for e in mf_entries:
+            entry_snap = (
+                e.get("snapshot_id")
+                if e.get("snapshot_id") is not None
+                else snapshot_id
+            )
+            if e["status"] == 1 and entry_snap == snapshot_id:
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": new_id,
+                        # sequence_number None → inherit the NEW commit's
+                        "data_file": e["data_file"],
+                    }
+                )
+    if not entries:
+        raise ValueError(f"snapshot {snapshot_id} added no data files")
+    added = sum(e["data_file"]["record_count"] for e in entries)
+    manifest = writer._write_manifest(entries, new_id)
+    writer._commit(
+        new_id,
+        writer.manifests + [manifest],
+        "append",
+        added,
+        extra_summary={"cherry-picked-snapshot-id": str(snapshot_id)},
+    )
+    return new_id
+
+
 def write_table_statistics(
     writer: "IcebergWriter", spark: Any, exact: bool = False
 ) -> str:

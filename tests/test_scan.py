@@ -2516,3 +2516,51 @@ def test_overwrite_partitions_spark(spark, tmp_path):
         [], "id long, grp string, val long, part_grp string"
     )
     assert overwrite_partitions_spark(w, spark, empty, "grp", "part_grp") is None
+
+
+def test_cherrypick_snapshot(spark, tmp_path):
+    """Cherry-pick: a rollback-stranded append re-publishes onto the
+    current head as a fresh append (metadata-only, files referenced not
+    rewritten); sequence semantics give the republished rows the NEW
+    commit's sequence, so an equality delete issued between staging and
+    publish does not kill them; non-append snapshots refuse."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        cherrypick_snapshot,
+        rollback_to,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    base = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": 2}])
+    staged = w.snapshots[-1]["snapshot-id"]
+    rollback_to(w, base)  # strand the id=2 append
+    w.append([{"id": 3}])
+    w.delete_rows_equality([{"id": 2}])  # issued BEFORE the publish
+
+    def ids():
+        return sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+
+    assert ids() == [1, 3]
+    new_id = cherrypick_snapshot(w, staged)
+    assert ids() == [1, 2, 3]  # republished row survives the older delete
+    t = IcebergTable(p)
+    assert (
+        t.current_snapshot["summary"]["cherry-picked-snapshot-id"]
+        == str(staged)
+    )
+    assert new_id != staged
+    # non-append refuses
+    delete_snap = [
+        s
+        for s in w.snapshots
+        if (s.get("summary") or {}).get("operation") == "delete"
+    ][0]["snapshot-id"]
+    with _pytest.raises(ValueError, match="append snapshots only"):
+        cherrypick_snapshot(w, delete_snap)
