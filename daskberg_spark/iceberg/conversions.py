@@ -57,6 +57,60 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
         raise NotImplementedError(f"iceberg type {type_str!r}") from None
 
 
+def iceberg_to_arrow_type(t: Any) -> Any:
+    """Iceberg type (string or nested JSON dict) → pyarrow DataType —
+    what the streaming source needs to null-fill columns added after a
+    file was written: the Python Data Source worker hands yielded Arrow
+    batches to Spark under the DECLARED source schema, so an untyped
+    ``pa.nulls`` (null-type array) where the schema says e.g. double
+    fails at read time."""
+    import pyarrow as pa
+
+    if isinstance(t, str):
+        m = _DECIMAL_RE.fullmatch(t)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        if _FIXED_RE.fullmatch(t):
+            return pa.binary()
+        try:
+            return {
+                "boolean": pa.bool_(),
+                "int": pa.int32(),
+                "long": pa.int64(),
+                "float": pa.float32(),
+                "double": pa.float64(),
+                "date": pa.date32(),
+                "time": pa.int64(),  # µs since midnight (Spark LongType)
+                "timestamp": pa.timestamp("us"),
+                "timestamptz": pa.timestamp("us", tz="UTC"),
+                "timestampz": pa.timestamp("us", tz="UTC"),
+                "string": pa.string(),
+                "uuid": pa.string(),
+                "binary": pa.binary(),
+            }[t]
+        except KeyError:
+            raise NotImplementedError(f"iceberg type {t!r}") from None
+    kind = t["type"]
+    if kind == "struct":
+        return pa.struct(
+            [
+                pa.field(
+                    f["name"],
+                    iceberg_to_arrow_type(f["type"]),
+                    nullable=not f.get("required"),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return pa.list_(iceberg_to_arrow_type(t["element"]))
+    if kind == "map":
+        return pa.map_(
+            iceberg_to_arrow_type(t["key"]), iceberg_to_arrow_type(t["value"])
+        )
+    raise NotImplementedError(f"iceberg type {t!r}")
+
+
 def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
     """Iceberg schema JSON (v1 ``fields`` list) → Spark StructType.
 

@@ -366,6 +366,14 @@ class IcebergTable:
         allfiles: dict[str, dict[str, Any]] = {}
         delete_files: dict[str, dict[str, Any]] = {}
         deleted: set[str] = set()
+        # DELETED delete-entries are keyed by (path, content_offset): a
+        # multi-blob puffin file holds one DV per target data file under
+        # ONE path, and a foreign v3 writer may supersede a single blob
+        # (same file_path, one content_offset) while the siblings stay
+        # live.  Path-wide removal is only the fallback for DELETED
+        # entries that carry no content_offset (v2 delete parquet).
+        deleted_delete_keys: set[tuple[str, int]] = set()
+        deleted_delete_paths: set[str] = set()
         for path, spec_id, manifest_snapshot, manifest_seq in surviving:
             for entry in loaded[path]:
                 data_file = entry["data_file"]
@@ -413,7 +421,14 @@ class IcebergTable:
                     ),
                 )
                 if entry["status"] == STATUS_DELETED:
-                    deleted.add(fpath)
+                    if data_file.get("content", 0) in (1, 2):
+                        off = data_file.get("content_offset")
+                        if off is not None:
+                            deleted_delete_keys.add((fpath, off))
+                        else:
+                            deleted_delete_paths.add(fpath)
+                    else:
+                        deleted.add(fpath)
                 elif data_file.get("content", 0) in (1, 2):
                     # keyed by (path, blob offset): a v3 puffin file packs
                     # one DV blob PER target data file at distinct offsets
@@ -425,6 +440,9 @@ class IcebergTable:
                     allfiles[fpath] = data_file
         for fpath in deleted:
             allfiles.pop(fpath, None)
+        for key in deleted_delete_keys:
+            delete_files.pop(key, None)
+        for fpath in deleted_delete_paths:
             for k in [k for k in delete_files if k[0] == fpath]:
                 delete_files.pop(k)
         self._scan_cache[cache_key] = (allfiles, delete_files)

@@ -305,6 +305,13 @@ class IcebergWriter:
         # pinned at this snapshot while staged commits append behind a
         # branch ref (see stage_append/publish_branch/abort_stage)
         self.main_pin: int | None = None
+        # Current head (the snapshot the next commit parents on and that
+        # current-snapshot-id points at, absent a WAP pin).  None means
+        # "newest commit" (snapshots[-1]); rollback_to repoints it at an
+        # EARLIER snapshot while the snapshots list stays in commit
+        # order, so the snapshot-log can be truncated to the head's
+        # lineage the way reference Iceberg does.
+        self.head_id: int | None = None
         self._file_counter = 0
         self._manifest_counter = 0
         os.makedirs(f"{self.path}/metadata", exist_ok=True)
@@ -403,12 +410,40 @@ class IcebergWriter:
         w.default_sort_order_id = meta.get("default-sort-order-id", 0)
         cur = meta.get("current-snapshot-id")
         last = w.snapshots[-1]["snapshot-id"] if w.snapshots else None
-        w.main_pin = cur if (cur is not None and cur != last) else None
-        if w.snapshots:
+        w.main_pin = None
+        w.head_id = None
+        if cur is not None and last is not None and cur != last:
+            # current != newest commit is either a WAP pin (staged
+            # commits chain BEYOND the pin behind a branch ref) or a
+            # rollback repoint (head moved BACK, no staging ref).  A
+            # staging branch ref descending from cur marks the former;
+            # otherwise future commits must parent on cur.
+            by_id = {s["snapshot-id"]: s for s in w.snapshots}
+
+            def _descends(frm: int | None, anc: int) -> bool:
+                sid = frm
+                while sid is not None:
+                    if sid == anc:
+                        return True
+                    sid = by_id.get(sid, {}).get("parent-snapshot-id")
+                return False
+
+            staged = any(
+                r.get("type") == "branch"
+                and r.get("snapshot-id") != cur
+                and _descends(r.get("snapshot-id"), cur)
+                for r in w.refs.values()
+            )
+            if staged:
+                w.main_pin = cur
+            else:
+                w.head_id = cur
+        head = w.head_snapshot
+        if head is not None:
             _, w.manifests = (
                 (None, [])
-                if "manifest-list" not in w.snapshots[-1]
-                else read_avro_file(w.snapshots[-1]["manifest-list"])
+                if "manifest-list" not in head
+                else read_avro_file(head["manifest-list"])
             )
         else:
             w.manifests = []
@@ -988,7 +1023,7 @@ class IcebergWriter:
         if not self.snapshots:
             raise ValueError("no snapshot to reference")
         if snapshot_id is None:
-            snapshot_id = self.snapshots[-1]["snapshot-id"]
+            snapshot_id = self.head_snapshot["snapshot-id"]
         elif snapshot_id not in {s["snapshot-id"] for s in self.snapshots}:
             raise ValueError(f"unknown snapshot {snapshot_id}")
         self.refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
@@ -1071,6 +1106,16 @@ class IcebergWriter:
             "deleted_rows_count": 0,
         }
 
+    @property
+    def head_snapshot(self) -> dict[str, Any] | None:
+        """The current-head snapshot record: ``head_id`` when a rollback
+        repointed it, else the newest commit."""
+        if self.head_id is not None:
+            for s in self.snapshots:
+                if s["snapshot-id"] == self.head_id:
+                    return s
+        return self.snapshots[-1] if self.snapshots else None
+
     def _commit(
         self,
         snapshot_id: int,
@@ -1118,7 +1163,8 @@ class IcebergWriter:
         self.manifests = manifests
 
         self._next_snapshot_id = snapshot_id + 1
-        parent = self.snapshots[-1]["snapshot-id"] if self.snapshots else None
+        head = self.head_snapshot
+        parent = head["snapshot-id"] if head else None
         snap = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
@@ -1134,6 +1180,9 @@ class IcebergWriter:
         if parent is not None:
             snap["parent-snapshot-id"] = parent
         self.snapshots.append(snap)
+        # the new commit becomes the head (clears any rollback repoint);
+        # a WAP pin, if set, keeps current-snapshot-id at the pin
+        self.head_id = None
 
         self.version += 1
         self._write_metadata()
@@ -1141,7 +1190,19 @@ class IcebergWriter:
     def _write_metadata(self) -> None:
         """Emit v{N}.metadata.json + version hint for the current state
         (single emission path shared by commits and snapshot expiry)."""
-        last = self.snapshots[-1]
+        last = self.head_snapshot
+        # snapshot-log holds only the HEAD's lineage (reference Iceberg
+        # truncates entries that leave the current branch on rollback, so
+        # FOR TIMESTAMP AS OF never resolves to a rolled-past snapshot);
+        # stranded snapshots stay in ``snapshots`` — time-travelable by
+        # id until expiry — just not in the log.
+        by_id = {s["snapshot-id"]: s for s in self.snapshots}
+        lineage: list[dict[str, Any]] = []
+        cur: dict[str, Any] | None = last
+        while cur is not None:
+            lineage.append(cur)
+            cur = by_id.get(cur.get("parent-snapshot-id"))
+        lineage.reverse()
         meta = {
             # format-version 2 only once row-level delete files exist; the
             # plain append/delete-files subset stays a valid v1 table
@@ -1184,7 +1245,7 @@ class IcebergWriter:
             "default-sort-order-id": self.default_sort_order_id,
             "snapshot-log": [
                 {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
-                for s in self.snapshots
+                for s in lineage
             ],
             "metadata-log": self._metadata_log,
             "statistics": self.statistics,
@@ -1451,12 +1512,18 @@ def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:
     target = snaps[snapshot_id]
     _, manifests = read_avro_file(target["manifest-list"])
     writer.manifests = manifests
-    # the head is snapshots[-1] throughout this writer (parent linkage,
-    # expire keep_last, current-snapshot-id): reposition the target there;
-    # its original parent link is untouched, so lineage stays correct
-    writer.snapshots = [
-        s for s in writer.snapshots if s["snapshot-id"] != snapshot_id
-    ] + [target]
+    # Keep the snapshots list in COMMIT order and repoint the head
+    # explicitly: the next commit parents on the target, and
+    # _write_metadata truncates the snapshot-log to the head's lineage
+    # (reference Iceberg drops log entries that leave the current branch
+    # on rollback, so FOR TIMESTAMP AS OF cannot resolve to a
+    # rolled-past snapshot).  Rolled-past snapshots stay in ``snapshots``
+    # — time-travelable by id until expire_snapshots.
+    writer.head_id = (
+        None
+        if writer.snapshots[-1]["snapshot-id"] == snapshot_id
+        else snapshot_id
+    )
     writer.version += 1
     writer._write_metadata()
 
@@ -1544,7 +1611,7 @@ def write_table_statistics(
 
     if not writer.snapshots:
         raise ValueError("table has no snapshots")
-    snapshot_id = writer.snapshots[-1]["snapshot-id"]
+    snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
     df = t.to_df(spark)
     cols = [f["name"] for f in writer.fields]
@@ -1601,7 +1668,7 @@ def write_partition_statistics(writer: "IcebergWriter") -> str:
 
     if not writer.snapshots:
         raise ValueError("table has no snapshots")
-    snapshot_id = writer.snapshots[-1]["snapshot-id"]
+    snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
     # unified partition tuple: the union of all specs' fields, nullable
     part_fields: list[tuple[str, Any]] = []
@@ -2025,6 +2092,7 @@ def abort_stage(writer: "IcebergWriter", branch: str) -> list[int]:
     _, writer.manifests = read_avro_file(published["manifest-list"])
     del writer.refs[branch]
     writer.main_pin = None
+    writer.head_id = None
     writer.version += 1
     writer._write_metadata()
     return dropped
@@ -2150,8 +2218,52 @@ def _commit_dv_snapshot(
 ) -> int:
     """Pack finished ``(target, blob bytes, cardinality)`` deletion
     vectors into ONE puffin file and commit them as a v3 ``delete``
-    snapshot — shared by the driver-side and distributed DV writers."""
-    from daskberg_spark.iceberg.puffin import write_puffin
+    snapshot — shared by the driver-side and distributed DV writers.
+
+    Maintains the v3 invariant of AT MOST ONE deletion vector per data
+    file: when a target already carries a live DV, its positions are
+    merged into the new blob and the superseded DV entry is tombstoned
+    in the same commit — a spec-conformant foreign reader that applies
+    only the newest DV per file then sees every deleted position."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import (
+        dv_blob,
+        dv_decode,
+        dv_decode_file,
+        write_puffin,
+    )
+
+    # live DVs by target data file (path-relocation is identity here:
+    # the writer operates on the table's own location)
+    live_dvs: dict[str, dict[str, Any]] = {}
+    if writer.snapshots:
+        _, deletes = IcebergTable(writer.path).scan_all()
+        for rec in deletes.values():
+            if (
+                rec.get("file_format", "").upper() == "PUFFIN"
+                and rec.get("content") == 1
+                and rec.get("referenced_data_file")
+            ):
+                live_dvs[rec["referenced_data_file"]] = rec
+    superseded: list[dict[str, Any]] = []
+    merged: list[tuple[str, bytes, int]] = []
+    for target, blob, cardinality in dvs:
+        old = live_dvs.get(target)
+        if old is not None:
+            positions = sorted(
+                set(dv_decode(blob))
+                | set(
+                    dv_decode_file(
+                        old["file_path"],
+                        old["content_offset"],
+                        old["content_size_in_bytes"],
+                    )
+                )
+            )
+            blob, cardinality = dv_blob(positions), len(positions)
+            superseded.append(old)
+        merged.append((target, blob, cardinality))
+    dvs = merged
 
     writer._file_counter += 1
     path = f"{writer.path}/data/dv-{writer._file_counter:05d}.puffin"
@@ -2195,6 +2307,19 @@ def _commit_dv_snapshot(
             },
         }
         for m in metas
+    ]
+    # tombstone superseded DVs (their positions now live in the merged
+    # blob above) so only one DV per data file survives reconciliation
+    entries += [
+        {
+            "status": 2,
+            "snapshot_id": snapshot_id,
+            "sequence_number": old.get("_sequence_number"),
+            "data_file": {
+                k: v for k, v in old.items() if not k.startswith("_")
+            },
+        }
+        for old in superseded
     ]
     manifest = writer._write_manifest(entries, snapshot_id)
     writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
@@ -2339,6 +2464,12 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
     ref_pinned = {
         r["snapshot-id"] for r in writer.refs.values() if "snapshot-id" in r
     }
+    # the current head (rollback repoint) and a WAP pin are refs too —
+    # expiring either would orphan current-snapshot-id
+    if writer.head_id is not None:
+        ref_pinned.add(writer.head_id)
+    if writer.main_pin is not None:
+        ref_pinned.add(writer.main_pin)
     keep_tail = {s["snapshot-id"] for s in writer.snapshots[-keep_last:]}
     expired_set = {
         s["snapshot-id"]

@@ -46,21 +46,26 @@ FORMAT_NAME = "daskberg_iceberg"
 
 
 class IcebergFilePartition(InputPartition):
-    """One added data file: path + (rename map, target column order) so
-    executors resolve columns by FIELD ID exactly like the batch scan
-    (`_read_file_groups`) — a renamed column's old files read under
-    their write-time name."""
+    """One added data file: path + (rename map, target column order,
+    per-column Arrow type) so executors resolve columns by FIELD ID
+    exactly like the batch scan (`_read_file_groups`) — a renamed
+    column's old files read under their write-time name, and columns
+    ADDED after the file was written null-fill with the declared Arrow
+    type (an untyped null array would mismatch the source schema the
+    data-source worker enforces)."""
 
     def __init__(
         self,
         path: str,
         renames: dict[str, str],
         columns: list[str],
+        arrow_types: dict[str, Any],
     ) -> None:
         super().__init__(path)
         self.path = path
         self.renames = renames
         self.columns = columns
+        self.arrow_types = arrow_types
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -187,6 +192,12 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         current_names = [f["name"] for f in t.schema["fields"]]
         current_ids = {fld.field_id: n for n, fld in t.fields.items()}
+        from daskberg_spark.iceberg.conversions import iceberg_to_arrow_type
+
+        arrow_types = {
+            f["name"]: iceberg_to_arrow_type(f["type"])
+            for f in t.schema["fields"]
+        }
         parts: list[InputPartition] = []
         for s in chain:
             sid = s["snapshot-id"]
@@ -220,6 +231,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                                 t._relocate(rec["file_path"]),
                                 renames,
                                 current_names,
+                                arrow_types,
                             )
                         )
         return parts
@@ -237,13 +249,20 @@ class IcebergStreamReader(DataSourceStreamReader):
                 [partition.renames.get(n, n) for n in tbl.column_names]
             )
         # project to the current schema's order; columns added after the
-        # file was written null-fill
+        # file was written null-fill with the DECLARED Arrow type, and
+        # written-as-narrower columns (legal promotion, e.g. int→long)
+        # cast up to it — the data-source worker enforces the source
+        # schema on yielded batches
         arrays = []
         for name in partition.columns:
+            expected = partition.arrow_types[name]
             if name in tbl.column_names:
-                arrays.append(tbl.column(name))
+                col = tbl.column(name)
+                if col.type != expected:
+                    col = col.cast(expected)
+                arrays.append(col)
             else:
-                arrays.append(pa.nulls(len(tbl)))
+                arrays.append(pa.nulls(len(tbl), type=expected))
         out = pa.table(dict(zip(partition.columns, arrays)))
         yield from out.to_batches()
 

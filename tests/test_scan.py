@@ -1996,19 +1996,71 @@ def test_deletion_vectors_end_to_end(spark, tmp_path):
         for d in IcebergTable(p).plan_deletes()
         if d.get("referenced_data_file")
     ]
-    assert len(dvs) == 3  # first commit's blob + one per file from the second
+    # v3 invariant: at most ONE live DV per data file — the second
+    # commit merged the first file's existing positions (0,1,2) into its
+    # new blob and tombstoned the superseded blob in the same commit
+    assert len(dvs) == 2
+    assert len({d["referenced_data_file"] for d in dvs}) == 2
     multi = [d for d in dvs if "dv-00004" in d["file_path"]]
-    assert len(multi) == 2
+    assert len(multi) == 2  # both live blobs sit in the NEW puffin
     assert len({d["content_offset"] for d in multi}) == 2  # distinct blobs
     foot = read_puffin_footer(multi[0]["file_path"])
-    assert {b["properties"]["referenced-data-file"] for b in foot["blobs"]} == {
-        d["referenced_data_file"] for d in multi
-    }
-    # cardinality lands in record_count (10 ids %10==5 in file 1: 5..95)
-    assert sorted(d["record_count"] for d in multi) == [2, 10]
+    assert {
+        b["properties"]["referenced-data-file"]
+        for b in foot["blobs"]
+        if b["type"] == "deletion-vector-v1"
+    } >= {d["referenced_data_file"] for d in multi}
+    # merged cardinality lands in record_count: file 1 carries 3 merged
+    # + 10 new positions (5..95), file 2 carries 2 (105, 115)
+    assert sorted(d["record_count"] for d in multi) == [2, 13]
+    # a spec-conformant reader applying only the newest DV per file sees
+    # every deleted position: the merged blob holds the union
+    from daskberg_spark.iceberg.puffin import dv_decode_file
+
+    merged = next(d for d in multi if d["referenced_data_file"] == first)
+    pos = dv_decode_file(
+        merged["file_path"],
+        merged["content_offset"],
+        merged["content_size_in_bytes"],
+    )
+    assert set(pos) == {0, 1, 2} | {i for i in range(5, 100, 10)}
 
     # empty predicate match -> no commit
     assert delete_where_dv_spark(w, spark, "id = -1") is None
+
+
+def test_dv_single_blob_supersede_keeps_siblings(spark, tmp_path):
+    """DELETED reconciliation is (path, content_offset)-keyed: when one
+    DV blob of a multi-blob puffin file is superseded (the shape a
+    foreign v3 writer produces replacing a single DV entry), the
+    still-live sibling blobs for OTHER target files must keep applying —
+    path-wide removal would resurrect their deleted rows."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(50)])
+    w.append([{"id": i} for i in range(50, 100)])
+    # multi-blob puffin: one DV per data file under ONE path
+    delete_where_dv_spark(w, spark, "id IN (3, 53)")
+    t = IcebergTable(p)
+    dvs = t.plan_deletes()
+    assert len({d["file_path"] for d in dvs}) == 1 and len(dvs) == 2
+    # supersede ONLY file 1's blob (merge commit tombstones just that
+    # (path, content_offset)); file 2's sibling blob stays live
+    delete_where_dv_spark(w, spark, "id = 7")
+    t = IcebergTable(p)
+    got = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert got == [i for i in range(100) if i not in (3, 7, 53)]
+    # and exactly one live DV per data file (v3 invariant)
+    live = t.plan_deletes()
+    assert len(live) == 2
+    assert len({d["referenced_data_file"] for d in live}) == 2
 
 
 def test_deletion_vectors_maintenance_and_compaction(spark, tmp_path):
@@ -2125,6 +2177,50 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert t.current_snapshot["parent-snapshot-id"] == s2
     with pytest.raises(KeyError):
         rollback_to(w, 999999)
+
+
+def test_rollback_truncates_snapshot_log(spark, tmp_path):
+    """Rollback drops rolled-past snapshots from the snapshot-log (the
+    reference-Iceberg rule), so FOR TIMESTAMP AS OF after a rollback
+    never resolves to a snapshot off the current lineage, the snapshots
+    list stays in commit order, and a reloaded writer keeps building on
+    the rollback target."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, rollback_to
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    w.append([{"id": 2}])
+    s2 = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": 3}])
+    s3 = w.snapshots[-1]["snapshot-id"]
+    s3_ts = w.snapshots[-1]["timestamp-ms"]
+    rollback_to(w, s2)
+
+    t = IcebergTable(p)
+    log_ids = [e["snapshot-id"] for e in t.metadata["snapshot-log"]]
+    assert s3 not in log_ids and log_ids[-1] == s2
+    # commit order preserved — snapshots list is NOT reshuffled
+    assert [s["snapshot-id"] for s in t.metadata["snapshots"]] == sorted(
+        s["snapshot-id"] for s in t.metadata["snapshots"]
+    )
+    # AS OF a time at/after the rolled-past commit resolves to the head,
+    # not the stranded snapshot (upstream behavior)
+    t.open_snapshot(as_of_ms=s3_ts)
+    assert t.current_snapshot["snapshot-id"] == s2
+
+    # a writer RELOADED from disk keeps the rollback repoint
+    w2 = IcebergWriter.load(p)
+    assert w2.head_id == s2 and w2.main_pin is None
+    w2.append([{"id": 4}])
+    t2 = IcebergTable(p)
+    assert sorted(r["id"] for r in t2.to_df(spark).collect()) == [1, 2, 4]
+    assert t2.current_snapshot["parent-snapshot-id"] == s2
+    # post-commit log: lineage only (s3 still absent), chronological
+    log_ids = [e["snapshot-id"] for e in t2.metadata["snapshot-log"]]
+    assert s3 not in log_ids and s2 in log_ids
 
 
 def test_compact_tombstones_superseded_deletes(spark, tmp_path):

@@ -315,6 +315,43 @@ def test_streaming_iceberg_source_tails_snapshots(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_iceberg_source_schema_evolution(spark, tmp_path):
+    """Streaming an evolved table: files written BEFORE a column was
+    added null-fill it with the declared type (typed Arrow nulls — an
+    untyped null array fails the data-source worker's schema check),
+    and a renamed column's old files still stream under the new name."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}, {"id": 2}])
+    w.add_column("score", "double")
+    w.rename_column("id", "ident")
+    w.append([{"ident": 3, "score": 0.5}])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg").option("path", p).load()
+    )
+    assert stream.schema.simpleString() == "struct<ident:bigint,score:double>"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_evolved")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["ident"]: r["score"] for r in spark.table("ice_evolved").collect()
+        }
+        assert rows == {1: None, 2: None, 3: 0.5}
+    finally:
+        q.stop()
+
+
 def test_streaming_iceberg_source_skip_non_append(spark, tmp_path):
     """With skip-non-append-snapshots=true a compaction/delete commit in
     the range is ignored (its file changes would re-emit delivered rows)
