@@ -125,73 +125,102 @@ def _load_registry():
 #           iceberg_rollback_read (snapshot management),
 #           streaming_iceberg_source (snapshot-tailing source)
 #   → 18 first-time driver rows total this round
+#   r7 rotation (17 out / 17 in — the r6 verdict's top item: 43 queries
+#           still had no driver row EVER; this swap clears 15 of them
+#           plus seats the two NEW r7 queries):
+#     out (every one driver-green 2+ consecutive rounds, hash-exact, and
+#           each family keeps >=1 in-window representative):
+#           q2_min_cost_supplier, q10_returned_items, q18_large_volume,
+#           q21_waiting_supplier (green r5+r6; TPC-H keeps q1 + the six
+#           r6 tail shapes), iceberg_foreign_read,
+#           iceberg_spec_evolution_prune (green r5+r6; Tier A keeps 10
+#           in-window reps), iceberg_merge_cow (green r5+r6; MERGE now
+#           repped by the NEW iceberg_merge_mor), dedup_keep_best,
+#           dedup_connected_components (C2 keeps minhash_candidates),
+#           similarity_lsh_recall (C3 keeps topk),
+#           decontaminate_ngram_overlap, fingerprint_rolling,
+#           pipeline_quality_filter (C4 keeps text_stats + the three
+#           curation first-timers below), window_distribution_partitioned
+#           (B10 keeps window_rank), approx_distinct_hll,
+#           approx_topk_countmin, winsorized_stats (B5 keeps
+#           approx_quantiles_histogram)
+#     in (15 FIRST-TIME driver rows — none in any CORRECTNESS_r* —
+#           + 2 new r7 queries):
+#           q11_value_concentration, q12_priority_by_returnflag,
+#           q13_customer_order_distribution, q15_top_supplier,
+#           q16_supplier_count_by_part, q17_small_quantity_revenue,
+#           q20_excess_stock_suppliers, q22_global_sales_opportunity
+#           (the full remaining TPC-H tail), domain_cap_sample,
+#           stratified_sample, tfidf_top_terms (curation),
+#           streaming_sliding_window, streaming_distinct_hll,
+#           streaming_topk_countmin (streaming batch twins),
+#           iceberg_dynamic_overwrite (r6 addition, judge-re-verified),
+#           iceberg_merge_mor (NEW r7: DV-based merge-on-read MERGE),
+#           iceberg_name_mapping_read (NEW r7: name-mapping for
+#           field-id-less imports)
 _PRIORITY = [
-    # flagship + TPC-H (B4 at scale; tail q4/q7/q8/q9/q14/q19 rotated in r6)
+    # flagship + TPC-H (B4 at scale; the full tail is now driver-covered:
+    # q4..q19 seated in r6, q11..q22 seated in r7)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    "q10_returned_items",
+    "q11_value_concentration",
+    "q12_priority_by_returnflag",
+    "q13_customer_order_distribution",
     "q14_promo_effect",
-    "q18_large_volume",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
     "q19_disjunctive_filter",
-    "q21_waiting_supplier",
+    "q20_excess_stock_suppliers",
+    "q22_global_sales_opportunity",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
     "iceberg_time_travel",
     "iceberg_partition_prune",
     "iceberg_schema_evolution",
     "iceberg_lineitem_stats_prune",
-    # r5/r6: sequence-number-correct deletes on a foreign-style table,
-    # per-file spec resolution, copy-on-write MERGE, the r6 flagship
-    # single-anti-join merge-on-read delete read + bucket-prune write,
-    # and the late-r6 additions (see the second-swap note above)
-    "iceberg_foreign_read",
-    "iceberg_spec_evolution_prune",
-    "iceberg_merge_cow",
     "iceberg_mor_delete_read",
     "iceberg_dv_delete_read",
     "iceberg_bucket_write_prune",
-    # late r6 (second swap): the round's management/statistics additions
-    # and the snapshot-tailing streaming source — 5 more first-timers
     "iceberg_table_statistics",
     "iceberg_partition_stats_file",
     "iceberg_add_files_read",
     "iceberg_rollback_read",
+    # r7 additions: dynamic partition overwrite (r6, first driver row),
+    # DV-based merge-on-read MERGE, name-mapping reads of field-id-less
+    # imported parquet
+    "iceberg_dynamic_overwrite",
+    "iceberg_merge_mor",
+    "iceberg_name_mapping_read",
     "streaming_iceberg_source",
     # Tier C — dedup (C1/C2)
     "dedup_exact",
     "dedup_minhash_candidates",
-    "dedup_connected_components",
-    "dedup_keep_best",
     # Tier C — similarity (C3)
     "similarity_topk",
-    "similarity_lsh_recall",
-    # Tier C — text/curation (C4)
+    # Tier C — text/curation (C4; curation first-timers seated in r7)
     "text_stats",
-    "fingerprint_rolling",
-    "pipeline_quality_filter",
-    "decontaminate_ngram_overlap",
+    "domain_cap_sample",
+    "stratified_sample",
+    "tfidf_top_terms",
     # Tier C — multimodal (C5)
     "multimodal_metadata",
-    # streaming extension (all four r6 first-timers)
+    # streaming extension (r6 first-timers + r7 batch twins)
     "streaming_dedup",
     "streaming_stream_join",
     "streaming_session_window",
     "streaming_iceberg_sink",
+    "streaming_sliding_window",
+    "streaming_distinct_hll",
+    "streaming_topk_countmin",
     # Tier B representatives + scale patterns
     "filter_project",
     "join_multi",
     "window_rank",
-    "window_distribution_partitioned",
-    # B5 quantiles/sketches: deterministic, oracle-checkable formulations
-    # (per-engine sketch internals stay rows-only after the window)
     "approx_quantiles_histogram",
-    "winsorized_stats",
-    "approx_distinct_hll",
-    "approx_topk_countmin",
 ]
 
 
