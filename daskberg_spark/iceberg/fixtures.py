@@ -605,6 +605,76 @@ def ensure_addfiles_fixture(path: str = ADDFILES_FIXTURE_DIR) -> str:
     return path
 
 
+def strip_schema_ids(path: str) -> None:
+    """Forge metadata to the shape of writers that don't pin a schema per
+    snapshot (v1-era/foreign engines): drop every snapshot's
+    ``schema-id``.  Readers then cannot resolve a file's write-time
+    schema by snapshot — the scan must fall back to the
+    ``schema.name-mapping.default`` property for field-id-less files."""
+    import glob as _glob
+    import json as _json
+
+    for jf in _glob.glob(os.path.join(path, "metadata", "v*.metadata.json")):
+        with open(jf) as f:
+            meta = _json.load(f)
+        for s in meta.get("snapshots", []):
+            s.pop("schema-id", None)
+        with open(jf, "w") as f:
+            _json.dump(meta, f, indent=1, default=str)
+
+
+NAME_MAPPING_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "name_mapping_table"
+)
+NAME_MAPPING_EXT_DIR = os.path.join(NAME_MAPPING_FIXTURE_DIR, "ext")
+
+
+def ensure_name_mapping_fixture(path: str = NAME_MAPPING_FIXTURE_DIR) -> str:
+    """Name-mapping table: two EXTERNAL parquet chunks with physical
+    columns (id, val) registered via ``add_files`` (which records
+    ``schema.name-mapping.default``), then ``val`` renamed to ``value``,
+    then the per-snapshot schema pinning FORGED AWAY
+    (``strip_schema_ids``) — the foreign/v1-era metadata shape where
+    only the name mapping can resolve the field-id-less files.  A naive
+    by-current-name reader silently null-fills ``value``; the
+    content-derived oracle reads the chunks under their physical name."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    os.makedirs(NAME_MAPPING_EXT_DIR, exist_ok=True)
+    ext_paths = []
+    for i in range(2):
+        p = os.path.join(NAME_MAPPING_EXT_DIR, f"chunk{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(i * 20, i * 20 + 20), pa.int64()),
+                    "val": pa.array(
+                        [x * 0.5 for x in range(i * 20, i * 20 + 20)]
+                    ),
+                }
+            ),
+            p,
+        )
+        ext_paths.append(p)
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    add_files(writer, ext_paths)
+    writer.rename_column("val", "value")
+    strip_schema_ids(path)
+    return path
+
+
 ROLLBACK_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "rollback_table"
 )

@@ -476,12 +476,67 @@ def _read_file_groups(
 
     The common case (every file on the current schema) stays a single
     multi-path scan.
+
+    Files whose adding snapshot carries NO schema pinning (foreign/v1-era
+    metadata without per-snapshot ``schema-id``) are resolved through the
+    spec's ``schema.name-mapping.default`` table property when present:
+    the mapping assigns each physical column name a field id, the id
+    resolves to the current name — without it, a renamed column in such
+    files would silently null-fill (``add_files`` writes the property at
+    import time for exactly this reason).  One group per mapping; a group
+    mixing files imported under DIFFERENT physical names for the same
+    field reads under the mapping's first recorded name (per-file footer
+    inspection would cost O(files) driver IO at 100k-file scale).
     """
+    import json as _json
+
     current_fields = table.schema["fields"]
     current_ids = {f.get("id", f.get("field-id")): f["name"] for f in current_fields}
 
+    map_name_by_id: dict[int, str] = {}
+    raw_mapping = (table.metadata.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if raw_mapping:
+        try:
+            for e in _json.loads(raw_mapping):
+                if e.get("names"):
+                    map_name_by_id[e["field-id"]] = e["names"][0]
+        except (ValueError, TypeError, KeyError):
+            map_name_by_id = {}
+    known_schema_ids = {
+        s.get("schema-id") for s in table.metadata.get("schemas", [])
+    }
+    mapped_schema = None
+    if map_name_by_id and any(
+        map_name_by_id.get(f.get("id", f.get("field-id")), f["name"])
+        != f["name"]
+        for f in current_fields
+    ):
+        mapped_schema = {
+            "schema-id": -1,
+            "fields": [
+                dict(
+                    f,
+                    name=map_name_by_id.get(
+                        f.get("id", f.get("field-id")), f["name"]
+                    ),
+                )
+                for f in current_fields
+            ],
+        }
+
     def schema_key(f: dict[str, Any]):
-        s = table.schema_for_snapshot(f.get("_snapshot_id"))
+        sid_snap = f.get("_snapshot_id")
+        if mapped_schema is not None:
+            snap = (
+                table.snapshots.get(sid_snap) if sid_snap is not None else None
+            )
+            if snap is None or snap.get("schema-id") not in known_schema_ids:
+                # unpinned file + active name mapping → read under the
+                # mapping's physical names, rename to current by field id
+                return -1, mapped_schema
+        s = table.schema_for_snapshot(sid_snap)
         return s.get("schema-id", 0), s
 
     def tag(df: DataFrame) -> DataFrame:

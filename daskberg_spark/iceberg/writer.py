@@ -620,8 +620,9 @@ class IcebergWriter:
     def rename_column(self, old: str, new: str) -> None:
         """Schema evolution: rename a column, keeping its field id —
         Iceberg resolves columns by id, so files written under the old
-        name stay readable (SURVEY §1.4); takes effect with the next
-        snapshot commit."""
+        name stay readable (SURVEY §1.4).  Emits a metadata version
+        immediately when the table has snapshots (real-Iceberg
+        ``updateSchema().commit()`` semantics)."""
         fields = [dict(f) for f in self.schemas[self.current_schema_id]]
         for f in fields:
             if f["name"] == old:
@@ -637,6 +638,12 @@ class IcebergWriter:
         for pf in self.spec:
             if pf["_source_name"] == old:
                 pf["_source_name"] = new
+        if self.snapshots:
+            # schema updates emit a metadata version immediately (real
+            # Iceberg updateSchema().commit() semantics): readers between
+            # the rename and the next data commit see the new names
+            self.version += 1
+            self._write_metadata()
 
     def add_column(self, name: str, type_str: str) -> None:
         """Schema evolution: add a nullable column with a fresh id.
@@ -675,6 +682,9 @@ class IcebergWriter:
         self.fields = fields
         self.types = {f["name"]: f["type"] for f in fields}
         self.ids = {f["name"]: f["id"] for f in fields}
+        if self.snapshots:
+            self.version += 1
+            self._write_metadata()
 
     def delete_rows_equality(self, keys: list[dict[str, Any]]) -> int:
         """v2 equality-delete snapshot: rows matching ANY of the key dicts
@@ -1477,6 +1487,28 @@ def add_files(
     """
     if not paths:
         raise ValueError("no files to add")
+    # Spec ``schema.name-mapping.default``: imported parquet carries no
+    # Iceberg field ids, so record the physical-name → field-id
+    # assignment at import time.  Any reader (this engine's scan on
+    # unpinned metadata, or a foreign engine) can then resolve
+    # post-import column renames instead of silently null-filling.
+    # Repeated imports after a rename APPEND the new physical name to
+    # the field's names list (the spec allows several names per field).
+    try:
+        mapping = json.loads(
+            writer.properties.get("schema.name-mapping.default", "[]")
+        )
+    except ValueError:
+        mapping = []
+    by_id = {e.get("field-id"): e for e in mapping if isinstance(e, dict)}
+    for f in writer.fields:
+        e = by_id.get(f["id"])
+        if e is None:
+            mapping.append({"field-id": f["id"], "names": [f["name"]]})
+            by_id[f["id"]] = mapping[-1]
+        elif f["name"] not in e.get("names", []):
+            e.setdefault("names", []).append(f["name"])
+    writer.properties["schema.name-mapping.default"] = json.dumps(mapping)
     snapshot_id = writer._next_snapshot_id
     entries = []
     for p in sorted(paths):
@@ -2213,17 +2245,20 @@ def delete_where_dv_spark(
     )
 
 
-def _commit_dv_snapshot(
-    writer: "IcebergWriter", dvs: list[tuple[str, bytes, int]]
-) -> int:
+def _dv_manifest_entries(
+    writer: "IcebergWriter",
+    dvs: list[tuple[str, bytes, int]],
+    snapshot_id: int,
+) -> list[dict[str, Any]]:
     """Pack finished ``(target, blob bytes, cardinality)`` deletion
-    vectors into ONE puffin file and commit them as a v3 ``delete``
-    snapshot — shared by the driver-side and distributed DV writers.
+    vectors into ONE puffin file and return the manifest entries for a
+    committing snapshot — shared by the DV DELETE writers and the
+    merge-on-read MERGE.
 
     Maintains the v3 invariant of AT MOST ONE deletion vector per data
     file: when a target already carries a live DV, its positions are
     merged into the new blob and the superseded DV entry is tombstoned
-    in the same commit — a spec-conformant foreign reader that applies
+    in the same batch — a spec-conformant foreign reader that applies
     only the newest DV per file then sees every deleted position."""
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.puffin import (
@@ -2267,7 +2302,6 @@ def _commit_dv_snapshot(
 
     writer._file_counter += 1
     path = f"{writer.path}/data/dv-{writer._file_counter:05d}.puffin"
-    snapshot_id = writer._next_snapshot_id
     metas = write_puffin(
         path,
         [
@@ -2321,8 +2355,159 @@ def _commit_dv_snapshot(
         }
         for old in superseded
     ]
+    return entries
+
+
+def _commit_dv_snapshot(
+    writer: "IcebergWriter", dvs: list[tuple[str, bytes, int]]
+) -> int:
+    """Commit ``(target, blob, cardinality)`` DVs as one v3 ``delete``
+    snapshot — shared by the driver-side and distributed DV writers."""
+    snapshot_id = writer._next_snapshot_id
+    entries = _dv_manifest_entries(writer, dvs, snapshot_id)
     manifest = writer._write_manifest(entries, snapshot_id)
     writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    return snapshot_id
+
+
+def merge_rows_mor_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    updates: Any,
+    key_cols: list[str],
+) -> int:
+    """Distributed MERGE-ON-READ MERGE: matched rows become v3
+    deletion-vector tombstones on their (file, position) identity and
+    their UPDATED values are appended as new data files, together with
+    inserts for unmatched keys, all in ONE ``overwrite`` commit.
+
+    This is the 100 TB merge path the copy-on-write twin
+    (``merge_rows_spark``) cannot be: CoW rewrites EVERY file containing
+    a matched row — a wide low-selectivity merge rewrites most of the
+    table — while here write amplification is O(matched rows), not
+    O(rows in matched files).  Executors build one roaring bitmap per
+    touched file (``applyInPandas`` keyed on ``__file``; position lists
+    never leave the executors as rows) and write the replacement rows in
+    parallel; the driver holds finished bitmap blobs and parquet footer
+    stats only.  The plan is FLAT in the matched-file count — no
+    per-file union legs, no file-path literals.
+
+    Update semantics mirror ``merge_rows_spark``: a matched row takes
+    the update's value for every update column including explicit NULLs;
+    duplicate update keys raise.  Reads reconcile by sequence number:
+    the DV (this commit's sequence) suppresses the old row versions, the
+    appended files carry the same sequence and stay live.  Readers that
+    apply only the newest DV per file stay correct — existing DV
+    positions merge into the new blobs (v3 single-DV invariant).
+    Returns the snapshot id.  Reference has no writing at all
+    (``README.md:92-94``); real Iceberg calls this
+    ``merge-on-read`` / ``write.merge.mode=merge-on-read``."""
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import dv_blob
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(writer.path)
+    tagged = t.to_df(spark, keep_pos=True)
+    data_cols = [f["name"] for f in writer.fields]
+    upd_cols = [c for c in updates.columns if c in data_cols]
+    if not set(key_cols) <= set(upd_cols):
+        raise ValueError("updates must carry every key column")
+    u = updates.select(*upd_cols)
+    if (
+        u.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError("duplicate keys in updates")
+    ub = _maybe_broadcast_updates(u).alias("u")
+    matched = tagged.alias("t").join(ub, key_cols, "inner")
+
+    # (a) DV bitmaps for the matched row identities — executor-built,
+    # one blob per touched file, driver receives finished blobs only
+    def make_dv(key, pdf):
+        import pandas as pd
+
+        positions = sorted(set(int(p) for p in pdf["__pos"]))
+        return pd.DataFrame(
+            {
+                "file": [key[0]],
+                "blob": [dv_blob(positions)],
+                "cardinality": [len(positions)],
+            }
+        )
+
+    dv_rows = (
+        matched.select("__file", "__pos")
+        .groupBy("__file")
+        .applyInPandas(make_dv, "file string, blob binary, cardinality long")
+        .collect()
+    )
+
+    # (b) replacement rows: matched rows with updates applied, plus
+    # inserts for unmatched update keys (same semantics as the CoW twin)
+    applied = matched.select(
+        *[
+            (
+                F.col(f"u.{c}").alias(c)
+                if c in upd_cols and c not in key_cols
+                else F.col(f"t.{c}").alias(c)
+            )
+            for c in data_cols
+        ]
+    )
+    inserts = u.join(tagged, key_cols, "left_anti").select(
+        *[
+            (F.col(c) if c in upd_cols else F.lit(None))
+            .cast(dict(tagged.dtypes)[c])
+            .alias(c)
+            for c in data_cols
+        ]
+    )
+    out = applied.unionByName(inserts)
+    stage = tempfile.mkdtemp(prefix="merge_mor_", dir=f"{writer.path}/data")
+    if writer.spec:
+        out, src_cols, dup_cols = _with_partition_columns(writer, out)
+        out.write.mode("overwrite").partitionBy(*dup_cols).parquet(stage)
+        pcols, segs = src_cols, dup_cols
+    else:
+        out.write.mode("overwrite").parquet(stage)
+        pcols = segs = None
+
+    # (c) ONE commit: appended data files + DV entries (+ superseded-DV
+    # tombstones) under the same sequence number
+    snapshot_id = writer._next_snapshot_id
+    data_entries = _entries_from_spark_dir(
+        writer, stage, snapshot_id, pcols, segs
+    )
+    dv_entries = (
+        _dv_manifest_entries(
+            writer,
+            [
+                (r["file"], bytes(r["blob"]), int(r["cardinality"]))
+                for r in sorted(dv_rows, key=lambda r: r["file"])
+            ],
+            snapshot_id,
+        )
+        if dv_rows
+        else []
+    )
+    chunks = [
+        data_entries[i : i + 100] for i in range(0, len(data_entries), 100)
+    ] or [[]]
+    new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
+    if dv_entries:
+        new_manifests.append(writer._write_manifest(dv_entries, snapshot_id))
+    writer._commit(
+        snapshot_id,
+        writer.manifests + new_manifests,
+        "overwrite",
+        sum(e["data_file"]["record_count"] for e in data_entries),
+    )
     return snapshot_id
 
 

@@ -110,6 +110,7 @@ def prepare_fixtures() -> None:
         ensure_deletes_fixture,
         ensure_evolved_fixture,
         ensure_foreign_fixture,
+        ensure_name_mapping_fixture,
         ensure_nested_fixture,
         ensure_rollback_fixture,
         ensure_spec_evo_fixture,
@@ -123,6 +124,7 @@ def prepare_fixtures() -> None:
     ensure_spec_evo_fixture()
     ensure_addfiles_fixture()
     ensure_rollback_fixture()
+    ensure_name_mapping_fixture()
 
 
 @query(
@@ -589,6 +591,27 @@ def iceberg_add_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_name_mapping_read",
+    """
+    SELECT id, val AS value
+    FROM read_parquet('/root/repo/.fixtures/name_mapping_table/ext/*.parquet')
+    """,
+)
+def iceberg_name_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec ``schema.name-mapping.default`` read: field-id-less imported
+    parquet (physical column ``val``) under metadata whose snapshots
+    carry NO schema pinning (forged foreign/v1-era shape), after the
+    column was renamed to ``value`` — only the name mapping recorded by
+    ``add_files`` lets the scan resolve physical name → field id →
+    current name; a naive by-current-name reader silently null-fills the
+    renamed column.  Oracle reads the chunks under their physical name."""
+    from daskberg_spark.iceberg.fixtures import ensure_name_mapping_fixture
+
+    t = IcebergTable(ensure_name_mapping_fixture())
+    return t.to_df(spark)
+
+
+@query(
     "iceberg_table_statistics",
     """
     SELECT 'grp' AS col, CAST(COUNT(DISTINCT grp) AS BIGINT) AS ndv
@@ -836,6 +859,93 @@ def iceberg_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["o_orderkey"],
     )
+    t = IcebergTable(path)
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "iceberg_merge_mor",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    u AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 33 = 0
+      UNION ALL SELECT -5, 'NEW', 50.0
+    ),
+    merged AS (
+      SELECT s.o_orderkey,
+             COALESCE(u.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, s.o_totalprice) AS o_totalprice
+      FROM src s LEFT JOIN u ON s.o_orderkey = u.o_orderkey
+      UNION ALL
+      SELECT * FROM u WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE end-to-end (``merge_rows_mor_spark``): a
+    distributed update set (every 33rd order, values doubled, moved to
+    status 'M') plus one insert lands as DV tombstones on the matched
+    (file, position) identities + appended replacement rows in ONE
+    overwrite commit — write amplification O(matched rows), unlike the
+    copy-on-write twin that rewrites whole matched files.  The read-back
+    aggregate reconciles DVs by sequence number; the oracle recomputes
+    the merge relationally from the source parquet."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        merge_rows_mor_spark,
+    )
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 11 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_merge_mor_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+    )
+    stage = f"{path}/data-0"
+    src.write.mode("overwrite").parquet(stage)
+    commit_spark_output(writer, stage)
+    updates = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 33 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            literal_df(
+                spark,
+                [(-5, "NEW", 50.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    merge_rows_mor_spark(writer, spark, updates, ["o_orderkey"])
     t = IcebergTable(path)
     return t.to_df(spark).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),

@@ -846,6 +846,70 @@ def test_merge_rows_spark_distributed(spark, tmp_path):
     assert {r["k"] for r in t.to_df(spark).collect()} == {1, 3, 4}
 
 
+def test_merge_rows_mor_spark(spark, tmp_path):
+    """Merge-on-read MERGE: matched rows tombstone via deletion vectors
+    (no data file rewritten), updates + inserts append in the SAME
+    overwrite commit, repeat merges keep the one-DV-per-file invariant,
+    and partitioned tables land cross-partition moves prunably."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        merge_rows_mor_spark,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"k": 1, "grp": "a", "v": 1.0}, {"k": 2, "grp": "b", "v": 2.0}])
+    w.append([{"k": 3, "grp": "c", "v": 3.0}])
+    pre_files = {f["file_path"] for f in IcebergTable(w.path).plan_files()}
+    updates = spark.createDataFrame(
+        [(2, "a", 20.0), (9, "z", 9.0)], "k long, grp string, v double"
+    )
+    merge_rows_mor_spark(w, spark, updates, ["k"])
+    t = IcebergTable(w.path)
+    assert t.current_snapshot["summary"]["operation"] == "overwrite"
+    rows = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {1: ("a", 1.0), 2: ("a", 20.0), 3: ("c", 3.0), 9: ("z", 9.0)}
+    # merge-on-read: every pre-merge data file is still live (no rewrite)
+    now = {f["file_path"] for f in t.plan_files()}
+    assert pre_files <= now
+    # the matched row is suppressed by a DV, not a rewrite
+    dvs = [d for d in t.plan_deletes() if d.get("referenced_data_file")]
+    assert len(dvs) == 1 and dvs[0]["record_count"] == 1
+    # cross-partition move pruned on FINAL values
+    a_rows = {
+        r["k"] for r in t.to_df(spark, filters=[("grp", "==", "a")]).collect()
+    }
+    assert a_rows == {1, 2}
+    # second merge touching an already-DV'd file: positions merge, one
+    # DV per target file survives (v3 invariant)
+    merge_rows_mor_spark(
+        w,
+        spark,
+        spark.createDataFrame([(1, "a", 100.0)], "k long, grp string, v double"),
+        ["k"],
+    )
+    t = IcebergTable(w.path)
+    rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    assert rows == {1: 100.0, 2: 20.0, 3: 3.0, 9: 9.0}
+    by_target: dict[str, int] = {}
+    for d in t.plan_deletes():
+        if d.get("referenced_data_file"):
+            by_target[d["referenced_data_file"]] = (
+                by_target.get(d["referenced_data_file"], 0) + 1
+            )
+    assert by_target and all(n == 1 for n in by_target.values())
+    # time travel: pre-merge state intact
+    t.open_snapshot(rel=-2)
+    assert {r["k"] for r in t.to_df(spark).collect()} == {1, 2, 3}
+
+
 def test_compact_files_spark_distributed(spark, tmp_path):
     """Distributed compaction consolidates small files via the
     delete-aware tagged scan; content invariant, file count drops."""
@@ -2147,6 +2211,58 @@ def test_add_files_registers_external_parquet(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         add_files(w, [])
+
+
+def test_name_mapping_read(spark, tmp_path):
+    """schema.name-mapping.default: add_files records physical-name →
+    field-id assignments; after a rename AND with per-snapshot schema
+    pinning forged away (foreign/v1-era shape), the scan still resolves
+    the field-id-less files through the mapping instead of silently
+    null-filling the renamed column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.fixtures import strip_schema_ids
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "val": [1.5, 2.5]}), ext
+    )
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    add_files(w, [ext])
+    import json as _json
+
+    mapping = _json.loads(w.properties["schema.name-mapping.default"])
+    assert {e["field-id"]: e["names"] for e in mapping} == {
+        1: ["id"],
+        2: ["val"],
+    }
+    w.rename_column("val", "value")
+    strip_schema_ids(p)
+    t = IcebergTable(p)
+    assert [f["name"] for f in t.schema["fields"]] == ["id", "value"]
+    rows = {r["id"]: r["value"] for r in t.to_df(spark).collect()}
+    assert rows == {1: 1.5, 2: 2.5}  # null-filled would be {1: None, ...}
+    # a second import AFTER the rename appends the new physical name to
+    # the field's names list (spec: several names per field)
+    ext2 = str(tmp_path / "ext2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()), "value": [3.5]}), ext2
+    )
+    add_files(w, [ext2])
+    mapping = _json.loads(w.properties["schema.name-mapping.default"])
+    assert {e["field-id"]: e["names"] for e in mapping} == {
+        1: ["id"],
+        2: ["val", "value"],
+    }
 
 
 def test_rollback_to_snapshot(spark, tmp_path):
