@@ -12,10 +12,12 @@ Writer emits the no-run-container 32-bit serialization (always valid);
 the reader additionally decodes run containers and the run-bitset
 cookie, so bitmaps produced by real RoaringBitmap implementations with
 run optimization read correctly.  Round-trip (write→read) is
-property-tested across array/bitmap container densities; byte-level
-interop with foreign engines is untested here (no network fixtures in
-this environment) — the constants live at the top of this file so a
-mismatch against a real file is a one-line fix.
+property-tested across array/bitmap container densities, and the
+encodings are pinned by KNOWN-ANSWER byte vectors hand-assembled from
+the published spec layouts (array/bitset/run containers, multi-bucket
+64-bit, the DV blob framing, the Puffin container —
+``tests/test_puffin.py`` "known-answer" section), so a self-consistent
+writer+reader drift cannot pass the suite.
 """
 
 from __future__ import annotations
