@@ -76,6 +76,9 @@ HEADLINE = [
     # and the v3 deletion-vector read (executor-side puffin decode)
     "iceberg_mor_delete_read",
     "iceberg_dv_delete_read",
+    # round 7: merge-on-read MERGE (DV tombstones + appended updates in
+    # one commit — O(matched rows) write amplification)
+    "iceberg_merge_mor",
 ]
 
 
@@ -103,6 +106,75 @@ def time_rewrite_manifests() -> float:
         assert rewrite_manifests(w) is not None
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def run_prior_control(sf_dir: str) -> dict | None:
+    """Same-session drift control (round-6 verdict item 2): re-time the
+    PRIOR round's code — a git worktree at the commit that recorded the
+    latest BENCH_r*.json — on this host, right now.  Host drift made a
+    recorded r5→r6 "1.16× regression" out of code that was actually 10%
+    faster at equal conditions; carrying the control in the artifact
+    means round-over-round ratios never need relitigating.  The control
+    subprocess runs with SPARK_GRAFT_NO_CONTROL=1 so it cannot recurse.
+    Returns {"commit", "source", "queries"} or None (no prior bench, git
+    trouble, or control run failure — all non-fatal)."""
+    if os.environ.get("SPARK_GRAFT_NO_CONTROL"):
+        return None
+    import glob as _glob
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(_glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if not benches:
+        return None
+    latest = os.path.basename(benches[-1])
+    wt = os.path.join(repo, ".bench_control_wt")
+    try:
+        commit = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", latest],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not commit:
+            return None
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+        r = subprocess.run(
+            ["git", "worktree", "add", "--force", wt, commit],
+            cwd=repo, capture_output=True, text=True, timeout=60,
+        )
+        if r.returncode:
+            return None
+        try:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_NO_CONTROL="1",
+                SPARK_GRAFT_SF_DIR=sf_dir,
+            )
+            out = subprocess.run(
+                [sys.executable, "bench.py"],
+                cwd=wt, env=env, capture_output=True, text=True, timeout=900,
+            )
+            lines = out.stdout.strip().splitlines()
+            doc = json.loads(lines[-1]) if lines else {}
+            if not doc.get("queries"):
+                return None
+            return {
+                "commit": commit,
+                "source": latest,
+                "queries": doc["queries"],
+            }
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo, capture_output=True,
+            )
+            shutil.rmtree(wt, ignore_errors=True)
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -168,19 +240,41 @@ def main() -> None:
         except Exception:
             pass
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    spark.stop()
+
+    doc = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    control = run_prior_control(sf_dir)
+    if control:
+        shared = [n for n in timings if n in control["queries"]]
+        ctrl_total = sum(control["queries"][n] for n in shared)
+        cur_total = sum(timings[n] for n in shared)
+        doc.update(
             {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+                "control_commit": control["commit"][:12],
+                "control_source": control["source"],
+                "control_prior_round_sec": round(ctrl_total, 4),
+                "control_shared_current_sec": round(cur_total, 4),
+                "bench_vs_control_ratio": (
+                    round(cur_total / ctrl_total, 4) if ctrl_total else None
+                ),
             }
         )
-    )
-    spark.stop()
+        print(
+            f"-- same-session control: prior code ({control['source']} @ "
+            f"{control['commit'][:12]}) {ctrl_total:.2f}s vs current "
+            f"{cur_total:.2f}s on {len(shared)} shared queries "
+            f"(ratio {cur_total / ctrl_total:.3f}) --"
+            if ctrl_total
+            else "-- control produced no shared timings --",
+            file=sys.stderr,
+        )
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
