@@ -314,6 +314,13 @@ class IcebergWriter:
         self.head_id: int | None = None
         self._file_counter = 0
         self._manifest_counter = 0
+        # Per-writer-instance token baked into every generated file name:
+        # two writers loaded at the same table state allocate the same
+        # counters, and without the token the optimistic-concurrency
+        # LOSER's already-written data/manifest files would silently
+        # overwrite the winner's live ones (the metadata link race only
+        # protects the metadata JSON itself).
+        self._instance = uuid.uuid4().hex[:8]
         os.makedirs(f"{self.path}/metadata", exist_ok=True)
         os.makedirs(f"{self.path}/data", exist_ok=True)
 
@@ -493,9 +500,10 @@ class IcebergWriter:
                 w._file_counter = max(w._file_counter, int(m.group(1)))
         w._manifest_counter = 0
         for name in os.listdir(f"{path}/metadata"):
-            m = re.match(r"^manifest-.*-(\d+)\.avro$", name)
+            m = re.match(r"^manifest-.*?-(\d+)(?:-[0-9a-f]{8})?\.avro$", name)
             if m:
                 w._manifest_counter = max(w._manifest_counter, int(m.group(1)))
+        w._instance = uuid.uuid4().hex[:8]
         return w
 
     # -- helpers ------------------------------------------------------------
@@ -539,7 +547,7 @@ class IcebergWriter:
 
     def _write_parquet(self, rows: list[dict[str, Any]]) -> tuple[str, int]:
         self._file_counter += 1
-        rel = f"data/{self._file_counter:05d}-{uuid.uuid5(uuid.NAMESPACE_URL, str(self._file_counter)).hex[:8]}.parquet"
+        rel = f"data/{self._file_counter:05d}-{self._instance}.parquet"
         path = f"{self.path}/{rel}"
         arrays, names = [], []
         for f in self.fields:
@@ -700,7 +708,7 @@ class IcebergWriter:
         if any(sorted(k) != cols for k in keys):
             raise ValueError("all key dicts must share the same columns")
         self._file_counter += 1
-        rel = f"data/eq-delete-{self._file_counter:05d}.parquet"
+        rel = f"data/eq-delete-{self._file_counter:05d}-{self._instance}.parquet"
         path = f"{self.path}/{rel}"
         arrays = {
             c: pa.array([k[c] for k in keys], type=_pa_type(self.types[c]))
@@ -735,7 +743,7 @@ class IcebergWriter:
         if not deletes:
             raise ValueError("no position deletes")
         self._file_counter += 1
-        rel = f"data/pos-delete-{self._file_counter:05d}.parquet"
+        rel = f"data/pos-delete-{self._file_counter:05d}-{self._instance}.parquet"
         path = f"{self.path}/{rel}"
         pq.write_table(
             pa.table(
@@ -1063,7 +1071,7 @@ class IcebergWriter:
             spec_id = self.current_spec_id
         spec = self.specs[spec_id]
         self._manifest_counter += 1
-        name = f"manifest-{snapshot_id}-{self._manifest_counter:04d}.avro"
+        name = f"manifest-{snapshot_id}-{self._manifest_counter:04d}-{self._instance}.avro"
         path = f"{self.path}/metadata/{name}"
         schema = _manifest_entry_schema(spec, self.types)
         write_avro_file(path, schema, entries)
@@ -1167,7 +1175,7 @@ class IcebergWriter:
                     if m.get("min_sequence_number") is None:
                         m["min_sequence_number"] = 0
         self._last_sequence_number = seq
-        ml_name = f"snap-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(snapshot_id)).hex[:8]}.avro"
+        ml_name = f"snap-{snapshot_id}-{self._instance}-{self.version + 1}.avro"
         ml_path = f"{self.path}/metadata/{ml_name}"
         write_avro_file(ml_path, _MANIFEST_FILE_SCHEMA, manifests)
         self.manifests = manifests
@@ -2064,6 +2072,57 @@ def merge_rows_spark(
     return commit_spark_overwrite(writer, data_dir, matched_files)
 
 
+def commit_with_retries(
+    path: str,
+    attempt: Any,
+    removes: Any = None,
+    max_retries: int = 5,
+) -> Any:
+    """Iceberg optimistic-concurrency retry loop with CONFLICT SCOPING —
+    what every caller of ``CommitConflictError`` otherwise hand-rolls.
+
+    ``attempt(writer)`` runs the operation against a freshly loaded
+    writer and returns its result (typically a snapshot id).  Losing the
+    metadata-version race raises ``CommitConflictError``; this reloads
+    and re-validates instead of failing outright:
+
+    - **append-vs-anything always merges** (``removes=None``): appends
+      compose with any concurrent commit, so the attempt simply re-runs
+      on the new head — real Iceberg's fastAppend retry semantics.
+    - **overwrites re-validate**: ``removes(writer)`` declares the data
+      files the operation rewrites/removes.  The retry only proceeds
+      when the concurrent commit left ALL of them live; if it removed or
+      rewrote any (compaction, a competing overwrite), the lost update
+      is real and the conflict re-raises — matching real Iceberg's
+      ``validateNoConflicting*`` serializable checks at file
+      granularity (partition-scoped overwrites pass the replaced files).
+
+    Data files staged by a failed attempt become unreferenced and are
+    reclaimed by ``remove_orphan_files``.  Bounded at ``max_retries``
+    re-attempts; the final conflict re-raises."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    for i in range(max_retries + 1):
+        w = IcebergWriter.load(path)
+        ours = set(removes(w)) if removes is not None else set()
+        try:
+            return attempt(w)
+        except CommitConflictError:
+            if i == max_retries:
+                raise
+            post_live = {
+                f["file_path"] for f in IcebergTable(path).plan_files()
+            }
+            gone = ours - post_live
+            if gone:
+                raise CommitConflictError(
+                    "concurrent commit removed/rewrote files this overwrite "
+                    f"targets ({sorted(gone)[:3]}...); retrying would lose "
+                    "its update"
+                ) from None
+    raise AssertionError("unreachable")
+
+
 # -- write-audit-publish (WAP) staging ---------------------------------------
 
 
@@ -2301,7 +2360,7 @@ def _dv_manifest_entries(
     dvs = merged
 
     writer._file_counter += 1
-    path = f"{writer.path}/data/dv-{writer._file_counter:05d}.puffin"
+    path = f"{writer.path}/data/dv-{writer._file_counter:05d}-{writer._instance}.puffin"
     metas = write_puffin(
         path,
         [

@@ -2213,6 +2213,94 @@ def test_add_files_registers_external_parquet(spark, tmp_path):
         add_files(w, [])
 
 
+def test_commit_with_retries_interleaved_appends(spark, tmp_path):
+    """Two interleaved appends both land: the second writer loses the
+    metadata-version race, commit_with_retries reloads and re-runs the
+    append on the new head (append-vs-append always merges)."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_with_retries,
+    )
+
+    p = str(tmp_path / "t")
+    w0 = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w0.append([{"id": 0}])
+
+    interloper = IcebergWriter.load(p)
+    raced = {"done": False}
+
+    def attempt(w):
+        if not raced["done"]:
+            raced["done"] = True
+            interloper.append([{"id": 100}])  # wins the race mid-attempt
+        return w.append([{"id": 1}])
+
+    commit_with_retries(p, attempt)
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [0, 1, 100]
+    # both concurrent commits are distinct snapshots in one lineage
+    assert len(t.metadata["snapshots"]) == 3
+
+
+def test_commit_with_retries_conflicting_overwrite_fails(spark, tmp_path):
+    """An overwrite whose target files a concurrent commit rewrote must
+    NOT retry its way into losing that update: the re-validation sees
+    the declared removes are no longer live and re-raises."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import (
+        CommitConflictError,
+        IcebergWriter,
+        commit_with_retries,
+        compact_files,
+    )
+
+    p = str(tmp_path / "t")
+    w0 = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w0.append([{"id": 0}])
+    w0.append([{"id": 1}])
+    target = IcebergTable(p).plan_files()[0]["file_path"]
+
+    interloper = IcebergWriter.load(p)
+    raced = {"done": False}
+
+    def attempt(w):
+        if not raced["done"]:
+            raced["done"] = True
+            compact_files(interloper)  # rewrites EVERY file incl. target
+        return w.delete_files(lambda rec: rec["file_path"] == target)
+
+    with _pytest.raises(CommitConflictError, match="removed/rewrote"):
+        commit_with_retries(
+            p, attempt, removes=lambda w: {target}, max_retries=3
+        )
+    # the table still reflects the compaction, not a lost update
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [0, 1]
+
+    # the same remove against a file the concurrent commit does NOT
+    # touch retries cleanly
+    live = t.plan_files()[0]["file_path"]
+    interloper2 = IcebergWriter.load(p)
+    raced2 = {"done": False}
+
+    def attempt2(w):
+        if not raced2["done"]:
+            raced2["done"] = True
+            interloper2.append([{"id": 200}])  # non-overlapping commit
+        return w.delete_files(lambda rec: rec["file_path"] == live)
+
+    commit_with_retries(p, attempt2, removes=lambda w: {live})
+    got = sorted(
+        r["id"] for r in IcebergTable(p).to_df(spark).collect()
+    )
+    assert got == [200]
+
+
 def test_name_mapping_read(spark, tmp_path):
     """schema.name-mapping.default: add_files records physical-name →
     field-id assignments; after a rename AND with per-snapshot schema
