@@ -1495,13 +1495,25 @@ def add_files(
     """
     if not paths:
         raise ValueError("no files to add")
-    # Spec ``schema.name-mapping.default``: imported parquet carries no
-    # Iceberg field ids, so record the physical-name → field-id
-    # assignment at import time.  Any reader (this engine's scan on
-    # unpinned metadata, or a foreign engine) can then resolve
-    # post-import column renames instead of silently null-filling.
-    # Repeated imports after a rename APPEND the new physical name to
-    # the field's names list (the spec allows several names per field).
+    _record_name_mapping(writer)
+    snapshot_id = writer._next_snapshot_id
+    entries = []
+    for p in sorted(paths):
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        part = (partition_values or {}).get(p, {})
+        entries.append(_footer_entry(writer, p, snapshot_id, part))
+    return _commit_added_entries(writer, snapshot_id, entries)
+
+
+def _record_name_mapping(writer: "IcebergWriter") -> None:
+    """Spec ``schema.name-mapping.default``: imported parquet carries no
+    Iceberg field ids, so record the physical-name → field-id assignment
+    at import time.  Any reader (this engine's scan on unpinned
+    metadata, or a foreign engine) can then resolve post-import column
+    renames instead of silently null-filling.  Repeated imports after a
+    rename APPEND the new physical name to the field's names list (the
+    spec allows several names per field)."""
     try:
         mapping = json.loads(
             writer.properties.get("schema.name-mapping.default", "[]")
@@ -1517,13 +1529,11 @@ def add_files(
         elif f["name"] not in e.get("names", []):
             e.setdefault("names", []).append(f["name"])
     writer.properties["schema.name-mapping.default"] = json.dumps(mapping)
-    snapshot_id = writer._next_snapshot_id
-    entries = []
-    for p in sorted(paths):
-        if not os.path.exists(p):
-            raise FileNotFoundError(p)
-        part = (partition_values or {}).get(p, {})
-        entries.append(_footer_entry(writer, p, snapshot_id, part))
+
+
+def _commit_added_entries(
+    writer: "IcebergWriter", snapshot_id: int, entries: list[dict[str, Any]]
+) -> int:
     chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)]
     new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
     writer._commit(
@@ -1533,6 +1543,131 @@ def add_files(
         sum(e["data_file"]["record_count"] for e in entries),
     )
     return snapshot_id
+
+
+def add_files_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    paths: list[str],
+    partition_values: dict[str, dict[str, Any]] | None = None,
+) -> int:
+    """Distributed ``add_files``: the cluster-scale twin of the driver
+    loop above.  A 100k-file hive migration must not read 100k parquet
+    footers sequentially on the driver — here the path list fans out as
+    a DataFrame, EXECUTORS open the footers (record count, file size,
+    per-column min/max already spec-encoded as bound bytes via
+    ``encode_bound``), and the driver receives one slim stats ROW per
+    file from which it builds manifest entries.  Driver memory is
+    O(files × schema width) metadata — the same order the manifests it
+    writes already are — and footer IO parallelism is the cluster's.
+    Same commit shape and name-mapping recording as ``add_files``."""
+    import base64
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if not paths:
+        raise ValueError("no files to add")
+    _record_name_mapping(writer)
+    types = dict(writer.types)  # plain dict → closure-pickled to executors
+
+    def lift(batches):
+        import base64 as _b64
+        import json as _json
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from daskberg_spark.iceberg.conversions import encode_bound
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                meta = _pq.ParquetFile(path).metadata
+                names = [
+                    meta.schema.column(i).name
+                    for i in range(meta.num_columns)
+                ]
+                lowers: dict[str, Any] = {}
+                uppers: dict[str, Any] = {}
+                for rg in range(meta.num_row_groups):
+                    for ci in range(meta.num_columns):
+                        stats = meta.row_group(rg).column(ci).statistics
+                        if stats is None or not stats.has_min_max:
+                            continue
+                        name = names[ci]
+                        if name not in types:
+                            continue
+                        lo, hi = stats.min, stats.max
+                        if name not in lowers or lo < lowers[name]:
+                            lowers[name] = lo
+                        if name not in uppers or hi > uppers[name]:
+                            uppers[name] = hi
+                bounds = {
+                    n: [
+                        _b64.b64encode(
+                            encode_bound(lowers[n], types[n])
+                        ).decode(),
+                        _b64.b64encode(
+                            encode_bound(uppers[n], types[n])
+                        ).decode(),
+                    ]
+                    for n in lowers
+                }
+                rows.append(
+                    (
+                        path,
+                        meta.num_rows,
+                        _os.path.getsize(path),
+                        _json.dumps(bounds),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["path", "num_rows", "size", "bounds"]
+            )
+
+    df = spark.createDataFrame([(p,) for p in sorted(paths)], "path string")
+    n_part = max(1, min(len(paths) // 32 + 1, 256))
+    stats_rows = (
+        df.repartition(n_part)
+        .mapInPandas(
+            lift, "path string, num_rows long, size long, bounds string"
+        )
+        .collect()
+    )
+    snapshot_id = writer._next_snapshot_id
+    entries = []
+    for r in sorted(stats_rows, key=lambda r: r["path"]):
+        bounds = json.loads(r["bounds"])
+        part = (partition_values or {}).get(r["path"], {})
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": r["path"],
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": int(r["num_rows"]),
+                    "file_size_in_bytes": int(r["size"]),
+                    "lower_bounds": [
+                        {
+                            "key": writer.ids[n],
+                            "value": base64.b64decode(v[0]),
+                        }
+                        for n, v in bounds.items()
+                    ],
+                    "upper_bounds": [
+                        {
+                            "key": writer.ids[n],
+                            "value": base64.b64decode(v[1]),
+                        }
+                        for n, v in bounds.items()
+                    ],
+                },
+            }
+        )
+    return _commit_added_entries(writer, snapshot_id, entries)
 
 
 def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:

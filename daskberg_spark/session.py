@@ -21,6 +21,19 @@ def get_spark(app_name: str = "daskberg_spark", cpus: int | None = None) -> Spar
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Executor Python workers resolve imports from PYTHONPATH, not the
+    # driver's in-process sys.path: without this, any executor-side UDF
+    # importing daskberg_spark (DV bitmap builders, footer lifting)
+    # fails with ModuleNotFoundError whenever the driver was launched
+    # from outside the repo root.  Set it before the JVM starts (local
+    # workers inherit the driver env) and mirror it to executorEnv for
+    # cluster deployments.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -51,6 +64,7 @@ def get_spark(app_name: str = "daskberg_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2213,6 +2213,74 @@ def test_add_files_registers_external_parquet(spark, tmp_path):
         add_files(w, [])
 
 
+def test_add_files_spark_distributed(spark, tmp_path):
+    """Distributed add_files: executors lift the parquet footers and the
+    driver receives stats rows only — entries (bounds bytes, counts,
+    sizes) must be IDENTICAL to the sequential driver path, and stats
+    pruning must fire on the lifted bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        add_files,
+        add_files_spark,
+    )
+
+    ext = tmp_path / "ext"
+    ext.mkdir()
+    paths = []
+    for i in range(12):
+        p = str(ext / f"chunk{i:02d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+                    "name": [f"n{x}" for x in range(i * 10, i * 10 + 10)],
+                    "val": [x * 0.25 for x in range(i * 10, i * 10 + 10)],
+                }
+            ),
+            p,
+        )
+        paths.append(p)
+    schema = [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "name", "type": "string", "required": False},
+        {"id": 3, "name": "val", "type": "double", "required": False},
+    ]
+    w_seq = IcebergWriter(str(tmp_path / "seq"), schema)
+    add_files(w_seq, paths)
+    w_dist = IcebergWriter(str(tmp_path / "dist"), schema)
+    add_files_spark(w_dist, spark, paths)
+
+    def norm(t):
+        out = []
+        for f in sorted(t.plan_files(), key=lambda f: f["file_path"]):
+            out.append(
+                {
+                    "path": f["file_path"],
+                    "n": f["record_count"],
+                    "size": f["file_size_in_bytes"],
+                    "lo": sorted(
+                        (b["key"], b["value"]) for b in f["lower_bounds"]
+                    ),
+                    "hi": sorted(
+                        (b["key"], b["value"]) for b in f["upper_bounds"]
+                    ),
+                }
+            )
+        return out
+
+    assert norm(IcebergTable(w_seq.path)) == norm(IcebergTable(w_dist.path))
+    t = IcebergTable(w_dist.path)
+    rows = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert rows == list(range(120))
+    # lifted bounds drive file pruning: a tight id predicate plans 1 file
+    assert len(t.plan_files([("id", "==", 57)])) == 1
+    # name mapping recorded for the import (foreign-reader resolvable)
+    assert "schema.name-mapping.default" in w_dist.properties
+
+
 def test_commit_with_retries_interleaved_appends(spark, tmp_path):
     """Two interleaved appends both land: the second writer loses the
     metadata-version race, commit_with_retries reloads and re-runs the
