@@ -68,6 +68,33 @@ class IcebergFilePartition(InputPartition):
         self.arrow_types = arrow_types
 
 
+def _added_manifests_by_snapshot(t, end_id: int) -> dict:
+    """ONE manifest-list read (the end snapshot's) grouped by
+    ``added_snapshot_id`` — the carried-manifest invariant makes this
+    cover every ancestor's additions, turning backfill planning linear
+    in history length."""
+    t.open_snapshot(snapshot_id=end_id)
+    by: dict = {}
+    for mf in t.manifest_list:
+        by.setdefault(mf.get("added_snapshot_id"), []).append(mf)
+    return by
+
+
+def _snapshot_added_manifests(t, sid: int, by_adder: dict) -> list:
+    """Manifests ADDED by ``sid`` — from the end-list grouping when they
+    survived to the end snapshot, else (a later rewrite consolidated
+    them away) from the snapshot's own manifest list."""
+    mfs = by_adder.get(sid)
+    if mfs is not None:
+        return mfs
+    t.open_snapshot(snapshot_id=sid)
+    return [
+        mf
+        for mf in t.manifest_list
+        if mf.get("added_snapshot_id") == sid
+    ]
+
+
 class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
@@ -122,15 +149,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             parent = snap.get("parent-snapshot-id")
             snap = t.snapshots.get(parent) if parent is not None else None
         chain.reverse()
+        by_adder = _added_manifests_by_snapshot(t, head)
         remaining = self.max_files_per_trigger
         chosen = base
         for s in chain:
             sid = s["snapshot-id"]
-            t.open_snapshot(snapshot_id=sid)
             n = sum(
                 mf.get("added_data_files_count") or 0
-                for mf in t.manifest_list
-                if mf.get("added_snapshot_id") == sid
+                for mf in _snapshot_added_manifests(t, sid, by_adder)
             )
             if chosen != base and n > remaining:
                 break
@@ -198,12 +224,19 @@ class IcebergStreamReader(DataSourceStreamReader):
             f["name"]: iceberg_to_arrow_type(f["type"])
             for f in t.schema["fields"]
         }
+        # LINEAR backfill planning: manifests are carried forward across
+        # commits with their added_snapshot_id intact, so ONE read of the
+        # END snapshot's manifest list yields every chain snapshot's
+        # added manifests — walking each snapshot's own list is
+        # O(history²) in manifest records (snapshot k's list carries k
+        # entries).  Per-snapshot fallback only when a later rewrite
+        # (compaction) dropped a snapshot's manifests from the end list.
+        by_adder = _added_manifests_by_snapshot(t, end_id)
         parts: list[InputPartition] = []
         for s in chain:
             sid = s["snapshot-id"]
             if sid in bad:
                 continue
-            t.open_snapshot(snapshot_id=sid)
             schema = t.schema_for_snapshot(sid)
             renames = {}
             for fld in schema["fields"]:
@@ -211,9 +244,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                 then = fld["name"]
                 if fid in current_ids and current_ids[fid] != then:
                     renames[then] = current_ids[fid]
-            for mf in t.manifest_list:
-                if mf.get("added_snapshot_id") != sid:
-                    continue
+            for mf in _snapshot_added_manifests(t, sid, by_adder):
                 for e in t._load_manifest(t._relocate(mf["manifest_path"])):
                     rec = e["data_file"]
                     entry_snap = (
