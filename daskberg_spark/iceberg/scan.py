@@ -290,9 +290,11 @@ def _read_with_deletes(
         # the gate) decode ON THE DRIVER into one Arrow-backed local
         # relation — a pure-JVM LocalTableScan at execution, no Python
         # workers (measured 0.15 s vs ~2 s for the mapInPandas shape on
-        # a 10k-position fixture).  Driver cost is bounded by the gate:
-        # roaring bitmaps are ~2 bytes per dense deleted row, so 4 MB
-        # of blobs is ~2M positions (~32 MB frame), metadata-scale.
+        # a 10k-position fixture).  Driver cost is bounded by the gate —
+        # 64 KB of blob bytes, set from the measured crossover (driver
+        # decode 5x faster at 15 KB, even at ~52 KB, executor 1.5x
+        # faster at 131 KB); roaring bitmaps are ~2 bytes per dense
+        # deleted row, so the gate admits ~32k positions, metadata-scale.
         # Larger DV sets decode EXECUTOR-side (mapInPandas over one row
         # per DV) so position lists materialize as Arrow batches on the
         # workers, never as driver rows.

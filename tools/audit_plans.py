@@ -55,6 +55,12 @@ AUDIT = {
     # Arrow local relation (LocalTableScan — no exchange, no Python);
     # the bound leaves room for the executor-decode path's repartition
     "iceberg_dv_delete_read": (3, False, True, None),
+    # round 7: merge-on-read MERGE read-back — broadcast DV anti-join +
+    # one agg exchange, 11 plan lines FLAT in matched-file count (no
+    # per-file legs, no path literals); name-mapping read is a bare
+    # renamed scan — zero exchanges, two read columns
+    "iceberg_merge_mor": (2, False, True, None),
+    "iceberg_name_mapping_read": (0, False, False, 2),
     # late-r6 window additions: the statistics/management reads are
     # metadata- or stats-file-backed — tiny plans by design
     "iceberg_table_statistics": (0, False, False, None),
