@@ -2596,11 +2596,8 @@ def merge_rows_mor_spark(
     Returns the snapshot id.  Reference has no writing at all
     (``README.md:92-94``); real Iceberg calls this
     ``merge-on-read`` / ``write.merge.mode=merge-on-read``."""
-    import tempfile
-
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
-    from daskberg_spark.iceberg.puffin import dv_blob
     from pyspark.sql import functions as F
 
     t = IcebergTable(writer.path)
@@ -2621,29 +2618,8 @@ def merge_rows_mor_spark(
     ub = _maybe_broadcast_updates(u).alias("u")
     matched = tagged.alias("t").join(ub, key_cols, "inner")
 
-    # (a) DV bitmaps for the matched row identities — executor-built,
-    # one blob per touched file, driver receives finished blobs only
-    def make_dv(key, pdf):
-        import pandas as pd
-
-        positions = sorted(set(int(p) for p in pdf["__pos"]))
-        return pd.DataFrame(
-            {
-                "file": [key[0]],
-                "blob": [dv_blob(positions)],
-                "cardinality": [len(positions)],
-            }
-        )
-
-    dv_rows = (
-        matched.select("__file", "__pos")
-        .groupBy("__file")
-        .applyInPandas(make_dv, "file string, blob binary, cardinality long")
-        .collect()
-    )
-
-    # (b) replacement rows: matched rows with updates applied, plus
-    # inserts for unmatched update keys (same semantics as the CoW twin)
+    # replacement rows: matched rows with updates applied, plus inserts
+    # for unmatched update keys (same semantics as the CoW twin)
     applied = matched.select(
         *[
             (
@@ -2662,8 +2638,103 @@ def merge_rows_mor_spark(
             for c in data_cols
         ]
     )
-    out = applied.unionByName(inserts)
-    stage = tempfile.mkdtemp(prefix="merge_mor_", dir=f"{writer.path}/data")
+    return _commit_mor_changes(
+        writer,
+        matched.select("__file", "__pos"),
+        applied.unionByName(inserts),
+        stage_prefix="merge_mor_",
+    )
+
+
+def update_where_mor_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    predicate: Any,
+    assignments: dict[str, Any],
+) -> int | None:
+    """Distributed merge-on-read UPDATE (``UPDATE t SET ... WHERE ...``
+    under ``write.update.mode=merge-on-read``): rows matching
+    ``predicate`` become DV tombstones on their (file, position)
+    identity, and their values with ``assignments`` applied (column →
+    SQL expression string or Column, evaluated against the current row)
+    append as new files — one ``overwrite`` commit, write amplification
+    O(matched rows).  The UPDATE specialization of
+    ``merge_rows_mor_spark`` for when the new values are EXPRESSIONS of
+    the old rather than a supplied key-value set.  Returns the snapshot
+    id, or None when nothing matches."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    data_cols = [f["name"] for f in writer.fields]
+    for c in assignments:
+        if c not in data_cols:
+            raise ValueError(f"unknown column {c!r} in assignments")
+    t = IcebergTable(writer.path)
+    tagged = t.to_df(spark, keep_pos=True)
+    matched = tagged.filter(predicate)
+    if matched.limit(1).count() == 0:
+        return None
+    dtypes = dict(tagged.dtypes)
+    out = matched.select(
+        *[
+            (
+                (
+                    assignments[c]
+                    if isinstance(assignments[c], Column)
+                    else F.expr(assignments[c])
+                )
+                .cast(dtypes[c])
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in data_cols
+        ]
+    )
+    return _commit_mor_changes(
+        writer,
+        matched.select("__file", "__pos"),
+        out,
+        stage_prefix="update_mor_",
+    )
+
+
+def _commit_mor_changes(
+    writer: "IcebergWriter",
+    matched_pos: Any,
+    out: Any,
+    stage_prefix: str,
+) -> int:
+    """Shared merge-on-read commit: DV-tombstone the (__file, __pos)
+    identities in ``matched_pos`` (executor-built roaring bitmaps, one
+    blob per touched file — position lists never reach the driver as
+    rows) and append ``out``'s rows written in parallel, all in ONE
+    ``overwrite`` snapshot under one sequence number."""
+    import tempfile
+
+    from daskberg_spark.iceberg.puffin import dv_blob
+
+    def make_dv(key, pdf):
+        import pandas as pd
+
+        positions = sorted(set(int(p) for p in pdf["__pos"]))
+        return pd.DataFrame(
+            {
+                "file": [key[0]],
+                "blob": [dv_blob(positions)],
+                "cardinality": [len(positions)],
+            }
+        )
+
+    dv_rows = (
+        matched_pos.groupBy("__file")
+        .applyInPandas(make_dv, "file string, blob binary, cardinality long")
+        .collect()
+    )
+
+    stage = tempfile.mkdtemp(prefix=stage_prefix, dir=f"{writer.path}/data")
     if writer.spec:
         out, src_cols, dup_cols = _with_partition_columns(writer, out)
         out.write.mode("overwrite").partitionBy(*dup_cols).parquet(stage)
@@ -2672,8 +2743,6 @@ def merge_rows_mor_spark(
         out.write.mode("overwrite").parquet(stage)
         pcols = segs = None
 
-    # (c) ONE commit: appended data files + DV entries (+ superseded-DV
-    # tombstones) under the same sequence number
     snapshot_id = writer._next_snapshot_id
     data_entries = _entries_from_spark_dir(
         writer, stage, snapshot_id, pcols, segs

@@ -956,6 +956,77 @@ def iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_update_mor",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 150000 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_totalprice > 150000
+                  THEN o_totalprice * CAST(0.9 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM src
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM updated GROUP BY o_orderstatus
+    """,
+)
+def iceberg_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE end-to-end (``update_where_mor_spark``):
+    ``UPDATE ... SET status='U', price=price*0.9 WHERE price>150000``
+    lands as DV tombstones + appended recomputed rows in one overwrite
+    commit — the expression-assignment specialization of the MOR MERGE.
+    Oracle recomputes the update relationally from the source parquet."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        update_where_mor_spark,
+    )
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 13 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_update_mor_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+    )
+    stage = f"{path}/data-0"
+    src.write.mode("overwrite").parquet(stage)
+    commit_spark_output(writer, stage)
+    update_where_mor_spark(
+        writer,
+        spark,
+        "o_totalprice > 150000",
+        {
+            "o_orderstatus": "'U'",
+            "o_totalprice": "o_totalprice * CAST(0.9 AS DOUBLE)",
+        },
+    )
+    t = IcebergTable(path)
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "iceberg_bucket_write_prune",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

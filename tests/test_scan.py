@@ -910,6 +910,50 @@ def test_merge_rows_mor_spark(spark, tmp_path):
     assert {r["k"] for r in t.to_df(spark).collect()} == {1, 2, 3}
 
 
+def test_update_where_mor_spark(spark, tmp_path):
+    """Merge-on-read UPDATE: predicate rows DV-tombstone and re-append
+    with expression assignments applied; no-match returns None without a
+    commit; partitioned tables land moved rows prunably."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        update_where_mor_spark,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"k": i, "grp": "ab"[i % 2], "v": float(i)} for i in range(10)])
+    n_snapshots = len(w.snapshots)
+    assert update_where_mor_spark(w, spark, "k > 99", {"v": "0.0"}) is None
+    assert len(w.snapshots) == n_snapshots  # no empty commit
+
+    sid = update_where_mor_spark(
+        w, spark, "k >= 6", {"grp": "'z'", "v": "v * 10"}
+    )
+    assert sid is not None
+    t = IcebergTable(w.path)
+    rows = {r["k"]: (r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    expect = {
+        i: ("z" if i >= 6 else "ab"[i % 2], float(i) * (10 if i >= 6 else 1))
+        for i in range(10)
+    }
+    assert rows == expect
+    # moved rows pruned on final partition value
+    z = {r["k"] for r in t.to_df(spark, filters=[("grp", "==", "z")]).collect()}
+    assert z == {6, 7, 8, 9}
+    # pre-update data files still live (no rewrite), matched rows DV'd
+    dvs = [d for d in t.plan_deletes() if d.get("referenced_data_file")]
+    assert dvs and all(d["record_count"] >= 1 for d in dvs)
+    t.open_snapshot(rel=-1)
+    assert {r["v"] for r in t.to_df(spark).collect()} == {float(i) for i in range(10)}
+
+
 def test_compact_files_spark_distributed(spark, tmp_path):
     """Distributed compaction consolidates small files via the
     delete-aware tagged scan; content invariant, file count drops."""

@@ -60,6 +60,7 @@ AUDIT = {
     # per-file legs, no path literals); name-mapping read is a bare
     # renamed scan — zero exchanges, two read columns
     "iceberg_merge_mor": (2, False, True, None),
+    "iceberg_update_mor": (2, False, True, None),
     "iceberg_name_mapping_read": (0, False, False, 2),
     # late-r6 window additions: the statistics/management reads are
     # metadata- or stats-file-backed — tiny plans by design
