@@ -494,6 +494,110 @@ class IcebergTable:
                 ).to_pylist()
         return []
 
+    def files_df(self, spark: Any):
+        """``table.files`` metadata table (real Iceberg's inspect
+        surface): one row per LIVE data file with content/format/row
+        count/size/partition tuple/lineage columns, as a DataFrame.
+        Metadata-sized — O(live files) rows built from the already-
+        reconciled scan plan, zero data IO; at 100 TB that is ~10⁵ rows,
+        the same order the manifests themselves are."""
+        rows = [
+            (
+                int(f.get("content", 0) or 0),
+                f["file_path"],
+                f.get("file_format", "PARQUET"),
+                int(f["record_count"]),
+                int(f["file_size_in_bytes"]),
+                {k: str(v) for k, v in (f.get("partition") or {}).items() if v is not None},
+                f.get("_spec_id"),
+                f.get("_snapshot_id"),
+                f.get("_sequence_number"),
+            )
+            for f in self.plan_files()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, "
+            "partition map<string,string>, spec_id int, snapshot_id long, "
+            "sequence_number long",
+        )
+
+    def delete_files_df(self, spark: Any):
+        """``table.delete_files`` metadata table: one row per live
+        delete file / DV blob (content 1=position or DV, 2=equality)."""
+        rows = [
+            (
+                int(f.get("content", 0) or 0),
+                f["file_path"],
+                f.get("file_format", "PARQUET"),
+                int(f["record_count"]),
+                f.get("referenced_data_file"),
+                f.get("content_offset"),
+                f.get("content_size_in_bytes"),
+                f.get("_sequence_number"),
+            )
+            for f in self.plan_deletes()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, "
+            "record_count long, referenced_data_file string, "
+            "content_offset long, content_size_in_bytes long, "
+            "sequence_number long",
+        )
+
+    def manifests_df(self, spark: Any):
+        """``table.manifests`` metadata table: the current snapshot's
+        manifest-list records."""
+        rows = [
+            (
+                mf["manifest_path"],
+                mf.get("manifest_length"),
+                mf.get("partition_spec_id", 0),
+                mf.get("added_snapshot_id"),
+                mf.get("sequence_number"),
+                mf.get("added_data_files_count"),
+                mf.get("existing_data_files_count"),
+                mf.get("deleted_data_files_count"),
+            )
+            for mf in self.manifest_list
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "added_snapshot_id long, sequence_number long, "
+            "added_data_files_count int, existing_data_files_count int, "
+            "deleted_data_files_count int",
+        )
+
+    def history_df(self, spark: Any):
+        """``table.history`` metadata table: the snapshot-log (current
+        lineage only — rollback truncates it per spec), with
+        ``is_current_ancestor`` computed against the head's parent
+        chain."""
+        ancestors = set()
+        by_id = self.snapshots
+        cur: dict[str, Any] | None = self.current_snapshot
+        while cur is not None:
+            ancestors.add(cur["snapshot-id"])
+            parent = cur.get("parent-snapshot-id")
+            cur = by_id.get(parent) if parent is not None else None
+        rows = [
+            (
+                int(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in ancestors,
+            )
+            for e in self.metadata.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
     def plan_deletes(self) -> list[dict[str, Any]]:
         """Live v2/v3 delete files (position/equality/DV), ordered by
         (path, blob offset)."""

@@ -956,6 +956,74 @@ def iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_files_metadata",
+    """
+    SELECT filename AS file_path, CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM read_parquet(['/root/repo/.fixtures/addfiles_ext/*.parquet',
+                       '/root/repo/.fixtures/addfiles_table/data/0*.parquet'],
+                      filename=true)
+    GROUP BY filename
+    """,
+)
+def iceberg_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.files`` metadata table (real Iceberg inspect surface):
+    one row per live data file from the reconciled plan — zero data IO
+    on the Spark side.  The oracle independently re-derives per-file row
+    counts by actually scanning every file with DuckDB's
+    ``filename=true``, cross-checking the footer-lifted record counts
+    the manifests carry (including the add_files-imported chunks)."""
+    from daskberg_spark.iceberg.fixtures import ensure_addfiles_fixture
+
+    t = IcebergTable(ensure_addfiles_fixture())
+    return t.files_df(spark).select("file_path", "record_count")
+
+
+@query(
+    "iceberg_history_metadata",
+    rf"""
+    WITH RECURSIVE meta AS (
+      SELECT "snapshot-log" AS slog, snapshots,
+             "current-snapshot-id" AS cur,
+             CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) AS v
+      FROM read_json_auto(
+        '/root/repo/.fixtures/rollback_table/metadata/v*.metadata.json',
+        filename=true)
+      ORDER BY v DESC LIMIT 1
+    ),
+    parents AS (
+      SELECT CAST(s."snapshot-id" AS BIGINT) AS sid,
+             CAST(s."parent-snapshot-id" AS BIGINT) AS pid
+      FROM (SELECT unnest(snapshots) AS s FROM meta)
+    ),
+    anc AS (
+      SELECT CAST(cur AS BIGINT) AS sid FROM meta
+      UNION ALL
+      SELECT p.pid FROM anc a JOIN parents p ON p.sid = a.sid
+      WHERE p.pid IS NOT NULL
+    ),
+    logent AS (SELECT unnest(slog) AS e FROM meta)
+    SELECT CAST(e."timestamp-ms" AS BIGINT) AS made_current_at,
+           CAST(e."snapshot-id" AS BIGINT) AS snapshot_id,
+           p.pid AS parent_id,
+           CAST(e."snapshot-id" AS BIGINT) IN (SELECT sid FROM anc)
+             AS is_current_ancestor
+    FROM logent LEFT JOIN parents p
+      ON p.sid = CAST(e."snapshot-id" AS BIGINT)
+    """,
+)
+def iceberg_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.history`` metadata table over the ROLLBACK fixture: the
+    snapshot-log is lineage-only after a rollback (rolled-past commits
+    truncate out per the reference-Iceberg rule), and
+    ``is_current_ancestor`` is cross-checked by the oracle's OWN
+    recursive parent-chain walk through DuckDB's JSON parser."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return t.history_df(spark)
+
+
+@query(
     "iceberg_update_mor",
     """
     WITH src AS (

@@ -910,6 +910,47 @@ def test_merge_rows_mor_spark(spark, tmp_path):
     assert {r["k"] for r in t.to_df(spark).collect()} == {1, 2, 3}
 
 
+def test_metadata_tables(spark, tmp_path):
+    """Inspect surface (files / delete_files / manifests / history
+    DataFrames): counts and lineage flags reflect the reconciled state,
+    including DVs and a rollback-truncated history."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        rollback_to,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(10)])
+    s1 = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": i} for i in range(10, 20)])
+    delete_where_dv_spark(w, spark, "id = 3")
+    t = IcebergTable(p)
+
+    files = t.files_df(spark).collect()
+    assert len(files) == 2
+    assert sum(r["record_count"] for r in files) == 20
+    assert all(r["file_format"] == "PARQUET" and r["content"] == 0 for r in files)
+
+    dels = t.delete_files_df(spark).collect()
+    assert len(dels) == 1
+    assert dels[0]["file_format"] == "PUFFIN" and dels[0]["record_count"] == 1
+    assert dels[0]["referenced_data_file"] in {r["file_path"] for r in files}
+
+    mans = t.manifests_df(spark).collect()
+    assert len(mans) == len(t.manifest_list)
+
+    rollback_to(w, s1)
+    t = IcebergTable(p)
+    hist = t.history_df(spark).collect()
+    assert [r["snapshot_id"] for r in hist] == [s1]
+    assert all(r["is_current_ancestor"] for r in hist)
+    assert len(t.files_df(spark).collect()) == 1  # rolled back to one file
+
+
 def test_update_where_mor_spark(spark, tmp_path):
     """Merge-on-read UPDATE: predicate rows DV-tombstone and re-append
     with expression assignments applied; no-match returns None without a
