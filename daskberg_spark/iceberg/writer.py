@@ -2895,10 +2895,22 @@ def rewrite_manifests(
     return snapshot_id
 
 
-def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
-    """Maintenance: drop all but the last ``keep_last`` snapshots from the
-    table metadata (time travel to expired snapshots stops working; data
-    files stay until ``remove_orphan_files``).  Returns expired ids.
+def expire_snapshots(
+    writer: "IcebergWriter",
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> list[int]:
+    """Maintenance: drop expired snapshots from the table metadata (time
+    travel to them stops working; data files stay until
+    ``remove_orphan_files``).  Returns expired ids.
+
+    Retention follows real Iceberg's ``expireSnapshots`` semantics: a
+    snapshot expires only when it is BOTH outside the last ``keep_last``
+    commits AND (when ``older_than_ms`` is given) committed strictly
+    before that timestamp — ``retain_last`` and ``expire_older_than``
+    compose as a conjunction, so a burst of recent commits inside the
+    age window always survives and old history is kept while fewer than
+    ``keep_last`` snapshots exist.
 
     Snapshots pinned by a named branch/tag ref are RETAINED even when
     older than the keep window (Iceberg's ref-reachability rule):
@@ -2922,7 +2934,9 @@ def expire_snapshots(writer: "IcebergWriter", keep_last: int = 1) -> list[int]:
     expired_set = {
         s["snapshot-id"]
         for s in writer.snapshots
-        if s["snapshot-id"] not in keep_tail and s["snapshot-id"] not in ref_pinned
+        if s["snapshot-id"] not in keep_tail
+        and s["snapshot-id"] not in ref_pinned
+        and (older_than_ms is None or s["timestamp-ms"] < older_than_ms)
     }
     if not expired_set:
         return []

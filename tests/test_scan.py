@@ -1220,6 +1220,36 @@ def test_expire_snapshots_retains_ref_pinned(spark, tmp_path):
     assert [p for p in removed if p.endswith(".parquet")] == []
 
 
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Timestamp retention composes with keep_last as a conjunction
+    (real expireSnapshots semantics): only snapshots both outside the
+    keep window AND older than the cutoff expire."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, expire_snapshots
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    for i in range(4):
+        w.append([{"x": i}])
+    ts = [s["timestamp-ms"] for s in w.snapshots]
+    sids = [s["snapshot-id"] for s in w.snapshots]
+    # cutoff between snapshots 2 and 3: snapshots 1-2 are "old"
+    cutoff = ts[2]
+    # keep_last=3 protects snapshots 2,3,4 even though 2 is old
+    expired = expire_snapshots(w, keep_last=3, older_than_ms=cutoff)
+    assert expired == [sids[0]]
+    kept = {s["snapshot-id"] for s in w.snapshots}
+    assert kept == set(sids[1:])
+    # with keep_last=1, age now governs: snapshot 2 expires, 3-4 inside
+    # the cutoff survive
+    expired = expire_snapshots(w, keep_last=1, older_than_ms=cutoff)
+    assert expired == [sids[1]]
+    assert {s["snapshot-id"] for s in w.snapshots} == set(sids[2:])
+    t = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == [0, 1, 2, 3]
+
+
 def test_compact_files_spark_partitioned(spark, tmp_path):
     """Distributed compaction on a partitioned table with live v2
     deletes: per-partition consolidation, content invariant, pruning
