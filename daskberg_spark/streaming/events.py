@@ -421,14 +421,21 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def iceberg_epoch_sink(writer):
+def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
     """foreachBatch callable committing each micro-batch to an Iceberg
     table exactly once: the epoch id keys the data directory (a replayed
     epoch overwrites its own files) and is recorded in the snapshot
     summary, so a replay whose snapshot already exists skips the
     metadata commit entirely — restart/retry can neither lose nor
     duplicate a batch.  Module-level so restart-time replay is testable
-    outside a live query."""
+    outside a live query.
+
+    ``partition_col``/``path_col`` follow ``commit_spark_output``'s
+    convention for PARTITIONED tables: each micro-batch hive-partitions
+    on ``path_col`` (a duplicate column carrying the TRANSFORMED value;
+    Spark's partitionBy drops it from file contents) and the commit
+    lifts the values under the spec field named by ``partition_col`` —
+    so a streamed table prunes exactly like a batch-written one."""
     from daskberg_spark.iceberg.writer import commit_spark_output
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -438,9 +445,17 @@ def iceberg_epoch_sink(writer):
         ):
             return  # epoch already committed: replay is a no-op
         data_dir = os.path.join(writer.path, "data", f"epoch-{epoch_id}")
-        batch_df.write.mode("overwrite").parquet(data_dir)
+        w = batch_df.write.mode("overwrite")
+        if path_col is not None:
+            segs = [path_col] if isinstance(path_col, str) else list(path_col)
+            w = w.partitionBy(*segs)
+        w.parquet(data_dir)
         commit_spark_output(
-            writer, data_dir, extra_summary={"epoch-id": str(epoch_id)}
+            writer,
+            data_dir,
+            partition_col=partition_col,
+            path_col=path_col,
+            extra_summary={"epoch-id": str(epoch_id)},
         )
 
     return sink

@@ -1080,6 +1080,47 @@ def test_streaming_sink_epoch_idempotent(spark, tmp_path):
     assert len(w.snapshots) == 2
 
 
+def test_streaming_sink_epoch_partitioned(spark, tmp_path):
+    """Partitioned epoch sink: each micro-batch hive-partitions on the
+    dup column, the commit lifts spec-keyed partition values, and the
+    streamed table prunes exactly like a batch-written one; replay
+    stays a no-op."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.events import iceberg_epoch_sink
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "x", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    sink = iceberg_epoch_sink(w, partition_col="grp", path_col="pgrp")
+    df0 = spark.range(6).select(
+        F.col("id").alias("x"),
+        F.expr("CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END").alias("grp"),
+        F.expr("CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END").alias("pgrp"),
+    )
+    sink(df0, 0)
+    sink(df0, 0)  # replay: no-op
+    assert len(w.snapshots) == 1
+    sink(
+        spark.range(6, 9).select(
+            F.col("id").alias("x"),
+            F.lit("c").alias("grp"),
+            F.lit("c").alias("pgrp"),
+        ),
+        1,
+    )
+    t = IcebergTable(w.path)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == list(range(9))
+    # spec-keyed partition values drive pruning
+    files_a = t.plan_files([("grp", "==", "a")])
+    assert 0 < len(files_a) < len(t.plan_files())
+    assert {r["x"] for r in t.to_df(spark, filters=[("grp", "==", "c")]).collect()} == {6, 7, 8}
+
+
 def test_merge_rows_spark_multifield_partitioned(spark, tmp_path):
     """Distributed merge on a TWO-field spec (identity + bucket): the
     hive lift records both transformed values, so pruning works on
