@@ -2,16 +2,23 @@
 
 Images/audio/video at 100 TB live as opaque ``binary`` columns with typed
 metadata alongside; decode/feature-extraction runs as Arrow-batched
-``mapInPandas`` so bytes never round-trip through the driver.  The actual
-codec step is STUBBED (no image/audio libraries in this container): the
-"payload" is the document text UTF-8-encoded, ``decode_image`` raises
-NotImplementedError, and ``_fake_features`` is a deterministic stand-in —
-but the Spark-side plumbing (schema with BinaryType, metadata struct,
-batch iterator, partition-parallel extraction) is the real pattern.
+``mapInPandas`` so bytes never round-trip through the driver.
+
+Codec status: COMPRESSED formats (JPEG/PNG/H.264) would need external
+libraries this container lacks, so ``decode_image`` on those raises —
+but the UNCOMPRESSED containers are implemented from scratch here per
+their public format specs: 24-bit BMP (BITMAPINFOHEADER, bottom-up
+padded rows) and PCM WAV (RIFF/fmt/data chunks), encode AND decode, so
+the decode path in ``multimodal_image_decode``/``multimodal_audio_decode``
+is a REAL byte-level codec, not a stand-in.  Feature extraction
+(``multimodal_features``) is a deterministic byte histogram where a real
+deployment would call its CNN/codec — that boundary is the pattern being
+exercised.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,11 +28,107 @@ from pyspark.sql import types as T
 from daskberg_spark.operators.registry import davg, query, table
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real deployments: PIL/libvips decode of the binary payload.
-    Not available in this container — the plumbing around it is what
-    this module exercises."""
-    raise NotImplementedError("image codecs not available in this environment")
+# -- from-scratch uncompressed codecs (public format specs) ------------------
+
+
+def encode_bmp(pixel_bytes: bytes, width: int = 16) -> bytes:
+    """24-bit BMP encoder (BITMAPFILEHEADER + BITMAPINFOHEADER): pack
+    ``pixel_bytes`` as BGR triples, ``width`` pixels per row, rows
+    bottom-up and zero-padded — both to the 4-byte row boundary the spec
+    requires and in the final partial row."""
+    row_data = width * 3
+    row_size = (row_data + 3) & ~3
+    height = max(1, -(-len(pixel_bytes) // row_data))
+    padded = pixel_bytes + b"\x00" * (height * row_data - len(pixel_bytes))
+    rows = [
+        padded[r * row_data : (r + 1) * row_data].ljust(row_size, b"\x00")
+        for r in range(height)
+    ]
+    pixel_array = b"".join(reversed(rows))  # bottom-up storage
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_array),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_array), 0, 0, 14 + 40
+    )
+    return header + info + pixel_array
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """24-bit BMP decoder: returns (width, height, top-down pixel bytes
+    without row padding).  Validates magic, header size, bpp, and
+    compression; anything else is not a BMP this codec handles."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP payload (magic {magic!r})")
+    hsize, width, height, planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hsize < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"unsupported BMP variant (header {hsize}, {bpp}bpp, comp {comp})"
+        )
+    row_data = width * 3
+    row_size = (row_data + 3) & ~3
+    rows = [
+        payload[offset + r * row_size : offset + r * row_size + row_data]
+        for r in range(abs(height))
+    ]
+    if height > 0:
+        rows.reverse()  # bottom-up file → top-down pixels
+    return width, abs(height), b"".join(rows)
+
+
+def encode_wav(frames: bytes, sample_rate: int = 16000) -> bytes:
+    """PCM16 mono WAV encoder (RIFF/fmt/data chunks); ``frames`` is raw
+    little-endian s16 sample data (truncated to whole samples)."""
+    frames = frames[: len(frames) - (len(frames) % 2)]
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = struct.pack("<4sI", b"data", len(frames)) + frames
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+        + fmt
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """PCM WAV decoder: walks the RIFF chunk list, returns (sample_rate,
+    n_samples, frame bytes).  Rejects non-RIFF payloads and non-PCM
+    encodings loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, frames = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or frames is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, len(frames) // ((bits // 8) * channels), frames
+
+
+def decode_image(payload: bytes):
+    """Decode a binary image payload.  Uncompressed 24-bit BMP decodes
+    via the from-scratch codec above; compressed formats (JPEG/PNG)
+    would need external libraries this container lacks and raise."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only uncompressed BMP decodes in this environment "
+        "(compressed codecs need external libraries)"
+    )
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -132,12 +235,111 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5: the decode boundary itself — returns the per-codec asset
-    counts an actual decode job would fan out over; calling
-    ``decode_image`` raises NotImplementedError by design."""
+    """C5: the decode-dispatch boundary — per-codec asset counts an
+    actual decode job fans out over.  ``decode_image`` really decodes
+    uncompressed BMP (see ``multimodal_image_decode``); compressed
+    codecs raise NotImplementedError, which is the documented boundary
+    in this container."""
     assets = with_binary_payload(table(spark, sf_dir, "documents"))
     return assets.groupBy(F.col("meta.codec").alias("codec")).agg(
         F.count(F.lit(1)).alias("n_assets")
+    )
+
+
+@query(
+    "multimodal_image_decode",
+    """
+    SELECT doc_id, 16 AS width,
+           GREATEST(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS INT))
+             AS height,
+           CAST(54 + GREATEST(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                AS INT)) * 48 AS BIGINT) AS bmp_bytes,
+           TRUE AS payload_ok
+    FROM documents
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: REAL image encode→decode round-trip per asset, executor-side.
+    Each payload packs into a 24-bit BMP (width 16, bottom-up padded
+    rows per the format spec) and decodes back through the from-scratch
+    codec; ``payload_ok`` asserts the decoded pixel bytes equal the
+    source bytes — a byte-level codec proof, not a stand-in.  The
+    oracle reproduces the container geometry (height, file size)
+    arithmetically from the payload length."""
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, ws, hs, sizes, oks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                bmp = encode_bmp(payload, width=16)
+                w, h, px = decode_image(bmp)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                sizes.append(len(bmp))
+                oks.append(
+                    px[: len(payload)] == payload
+                    and set(px[len(payload) :]) <= {0}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "bmp_bytes": sizes,
+                    "payload_ok": oks,
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, width int, height int, bmp_bytes long, payload_ok boolean"
+    )
+
+
+@query(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id, 16000 AS sample_rate,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+           TRUE AS frames_ok
+    FROM documents
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: REAL audio encode→decode round-trip — payload bytes become a
+    PCM16 mono WAV (RIFF/fmt/data per spec) and decode back through the
+    from-scratch chunk walker; ``frames_ok`` asserts frame-byte
+    equality, the oracle reproduces the sample count arithmetically."""
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, rates, ns, oks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                wav = encode_wav(payload, 16000)
+                rate, n, frames = decode_wav(wav)
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(n)
+                oks.append(frames == payload[: len(payload) - (len(payload) % 2)])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "frames_ok": oks,
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, sample_rate int, n_samples long, frames_ok boolean"
     )
 
 

@@ -500,3 +500,72 @@ def test_bpe_encode_compresses_and_is_deterministic(spark):
         # merges can only shrink the symbol stream, never grow it
         assert 0 < r["total_tokens"] <= r["total_syms"]
         assert r["compression"] == again[src]["compression"]
+
+
+def test_bmp_codec_roundtrip_and_variants():
+    """From-scratch 24-bit BMP codec: row padding, bottom-up flip,
+    partial-row zero fill, top-down (negative height) decode, and loud
+    rejection of unsupported variants."""
+    import struct
+
+    import pytest
+
+    from daskberg_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # width 5 → row_data 15, row_size 16 (padding exercised)
+    data = bytes(range(40))
+    bmp = encode_bmp(data, width=5)
+    w, h, px = decode_bmp(bmp)
+    assert (w, h) == (5, 3)  # ceil(40/15) = 3 rows
+    assert px[:40] == data and set(px[40:]) <= {0}
+    assert decode_image(bmp) == (w, h, px)
+
+    # top-down file (negative height) decodes without the flip
+    neg = bytearray(bmp)
+    struct.pack_into("<i", neg, 14 + 8, -h)
+    w2, h2, px2 = decode_bmp(bytes(neg))
+    rows = [px[r * 15 : (r + 1) * 15] for r in range(h)]
+    assert (w2, h2) == (w, h) and px2 == b"".join(reversed(rows))
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + bmp[2:])
+    bad = bytearray(bmp)
+    struct.pack_into("<H", bad, 14 + 14, 8)  # 8bpp
+    with pytest.raises(NotImplementedError, match="unsupported BMP"):
+        decode_bmp(bytes(bad))
+    with pytest.raises(NotImplementedError, match="compressed"):
+        decode_image(b"\x89PNG....")
+
+
+def test_wav_codec_roundtrip_and_variants():
+    """From-scratch PCM WAV codec: odd-length truncation, chunk-list
+    walk past extra word-aligned chunks, non-PCM rejection."""
+    import struct
+
+    import pytest
+
+    from daskberg_spark.operators.multimodal import decode_wav, encode_wav
+
+    frames = bytes(range(101))  # odd → truncated to 100
+    wav = encode_wav(frames, 8000)
+    rate, n, got = decode_wav(wav)
+    assert (rate, n) == (8000, 50) and got == frames[:100]
+
+    # an extra odd-sized chunk before fmt/data must be skipped with
+    # word alignment
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    padded = wav[:12] + extra + wav[12:]
+    riff_size = struct.unpack_from("<I", padded, 4)[0] + len(extra)
+    padded = padded[:4] + struct.pack("<I", riff_size) + padded[8:]
+    assert decode_wav(padded) == (8000, 50, frames[:100])
+
+    bad = bytearray(wav)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE float format
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
