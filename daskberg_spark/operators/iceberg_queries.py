@@ -1024,6 +1024,51 @@ def iceberg_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_changelog_rows",
+    """
+    SELECT 'delete' AS _change_type, o_orderkey
+    FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 51 = 0
+    UNION ALL
+    SELECT 'insert', -7
+    """,
+)
+def iceberg_changelog_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-level changelog (``changelog_rows_df``): a deletion-vector
+    commit changes no data files, so the file-level changelog sees
+    nothing — the row-level diff reads both snapshot states through the
+    delete-aware scan and anti-joins on (file, position) identity,
+    surfacing exactly the DV-deleted rows plus the later insert.  Oracle
+    reconstructs the change set relationally from the source parquet."""
+    import tempfile
+
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        delete_where_dv_spark,
+    )
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 17 = 0")
+        .select("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_changelog_")
+    writer = IcebergWriter(
+        path, [{"id": 1, "name": "o_orderkey", "type": "long", "required": False}]
+    )
+    stage = f"{path}/data-0"
+    src.write.mode("overwrite").parquet(stage)
+    commit_spark_output(writer, stage)
+    delete_where_dv_spark(writer, spark, "o_orderkey % 51 = 0")
+    writer.append([{"o_orderkey": -7}])
+    t = IcebergTable(path)
+    return changelog_rows_df(t, spark, from_rel=-2).select(
+        "_change_type", "o_orderkey"
+    )
+
+
+@query(
     "iceberg_update_mor",
     """
     WITH src AS (

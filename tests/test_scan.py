@@ -910,6 +910,44 @@ def test_merge_rows_mor_spark(spark, tmp_path):
     assert {r["k"] for r in t.to_df(spark).collect()} == {1, 2, 3}
 
 
+def test_changelog_rows_df(spark, tmp_path):
+    """Row-level changelog vs every delete flavor: DV and equality
+    deletes (invisible to the file-level diff) surface as 'delete' rows;
+    appends and re-inserts surface as 'insert'; the base snapshot state
+    is restored afterwards."""
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": i} for i in range(10)])
+    delete_where_dv_spark(w, spark, "k IN (2, 5)")
+    w.delete_rows_equality([{"k": 7}])
+    w.append([{"k": 7}, {"k": 100}])  # re-insert 7 + a fresh row
+    t = IcebergTable(p)
+    changes = changelog_rows_df(t, spark, from_rel=-3).collect()
+    got = {(r["_change_type"], r["k"]) for r in changes}
+    assert got == {
+        ("delete", 2),
+        ("delete", 5),
+        ("delete", 7),
+        ("insert", 7),
+        ("insert", 100),
+    }
+    # current snapshot restored
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [
+        0, 1, 3, 4, 6, 7, 8, 9, 100,
+    ]
+    # file-level changelog misses the DV/equality deletes entirely
+    filelevel = t.diff_df(spark, from_rel=-3, changelog=True).collect()
+    assert {r["_change_type"] for r in filelevel} == {"insert"}
+
+
 def test_metadata_tables(spark, tmp_path):
     """Inspect surface (files / delete_files / manifests / history
     DataFrames): counts and lineage flags reflect the reconciled state,
