@@ -158,6 +158,10 @@ def _load_registry():
 #           iceberg_merge_mor (NEW r7: DV-based merge-on-read MERGE),
 #           iceberg_name_mapping_read (NEW r7: name-mapping for
 #           field-id-less imports)
+#   r7 second swap: multimodal_metadata (driver-green r3-r6, 4 rounds)
+#           steps out for multimodal_image_decode — the NEW from-scratch
+#           BMP codec round-trip, a stronger C5 representative (C5 keeps
+#           one in-window rep; metadata stays oracle-verified locally)
 _PRIORITY = [
     # flagship + TPC-H (B4 at scale; the full tail is now driver-covered:
     # q4..q19 seated in r6, q11..q22 seated in r7)
@@ -206,8 +210,8 @@ _PRIORITY = [
     "domain_cap_sample",
     "stratified_sample",
     "tfidf_top_terms",
-    # Tier C — multimodal (C5)
-    "multimodal_metadata",
+    # Tier C — multimodal (C5): the real-codec round-trip (r7)
+    "multimodal_image_decode",
     # streaming extension (r6 first-timers + r7 batch twins)
     "streaming_dedup",
     "streaming_stream_join",
