@@ -379,3 +379,108 @@ def test_nested_leaf_pruning_never_loses_matches(ranges, op, value):
     # whole-struct predicate: conservative, keeps everything
     kept = apply_filters(files, [("meta", "==", 1)], NESTED_FIELDS_MAP)
     assert len(kept) == len(files)
+
+
+# -- MOR-surface interaction matrix (round 7) --------------------------------
+# Random interleavings of appends, predicate DV deletes, merge-on-read
+# expression UPDATEs, and metadata rollbacks: table content must always
+# equal the Python model, the v3 one-DV-per-file invariant must hold
+# after every commit, and rollback must land exactly on the modeled
+# earlier state (lineage-truncated history).
+
+_mor_ops_st = st.lists(
+    st.one_of(
+        st.lists(st.integers(0, 48), min_size=1, max_size=4).map(
+            lambda vs: ("append", vs)
+        ),
+        st.integers(0, 6).map(lambda m: ("dv_delete", m)),
+        st.tuples(st.integers(0, 6), st.integers(100, 900)).map(
+            lambda t: ("mor_update", t)
+        ),
+        st.just(("rollback", None)),
+    ),
+    min_size=3,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_mor_ops_st)
+def test_mor_surface_matrix(spark, ops):
+    import tempfile
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        rollback_to,
+        update_where_mor_spark,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="mormatrix_")
+    w = IcebergWriter(
+        f"{tdir}/t",
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"k": 0, "v": 7}])
+    model: dict[int, int] = {0: 7}
+    next_k = 1
+    history = [dict(model)]
+    snap_ids = [w.snapshots[-1]["snapshot-id"]]
+
+    def committed():
+        history.append(dict(model))
+        snap_ids.append(w.head_snapshot["snapshot-id"])
+
+    def check_dv_invariant():
+        per_target: dict[str, int] = {}
+        for d in IcebergTable(w.path).plan_deletes():
+            tgt = d.get("referenced_data_file")
+            if tgt:
+                per_target[tgt] = per_target.get(tgt, 0) + 1
+        assert all(n == 1 for n in per_target.values()), per_target
+
+    for op, arg in ops:
+        if op == "append":
+            rows = []
+            for v in arg:
+                rows.append({"k": next_k, "v": v})
+                model[next_k] = v
+                next_k += 1
+            w.append(rows)
+            committed()
+        elif op == "dv_delete":
+            hit = [k for k, v in model.items() if v % 7 == arg]
+            sid = delete_where_dv_spark(w, spark, f"v % 7 = {arg}")
+            assert (sid is not None) == bool(hit)
+            if hit:
+                for k in hit:
+                    del model[k]
+                committed()
+        elif op == "mor_update":
+            m, add = arg
+            hit = [k for k, v in model.items() if v % 7 == m]
+            sid = update_where_mor_spark(
+                w, spark, f"v % 7 = {m}", {"v": f"v + {add}"}
+            )
+            assert (sid is not None) == bool(hit)
+            if hit:
+                for k in hit:
+                    model[k] += add
+                committed()
+        else:  # rollback one committed state
+            if len(snap_ids) >= 2:
+                rollback_to(w, snap_ids[-2])
+                model = dict(history[-2])
+                history.append(dict(model))
+                snap_ids.append(snap_ids[-2])
+        check_dv_invariant()
+        got = {
+            r["k"]: r["v"]
+            for r in IcebergTable(w.path).to_df(spark).collect()
+        }
+        assert got == model, (op, arg)
