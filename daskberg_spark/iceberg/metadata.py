@@ -240,13 +240,21 @@ class IcebergTable:
 
     @property
     def schema(self) -> dict[str, Any]:
-        """Schema pinned by the current snapshot (``ice.py:157-163``)."""
+        """Schema for the selected snapshot (``ice.py:157-163``).
+
+        At the HEAD snapshot the table's ``current-schema-id`` governs —
+        metadata-only evolution (rename/add/drop with no data commit
+        yet) must surface immediately, as in real Iceberg.  A
+        time-traveled snapshot reads under ITS pinned ``schema-id``."""
         meta = self.metadata
         schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
         if not schemas and "schema" in meta:  # minimal v1 tables
             return meta["schema"]
         snap = self.current_snapshot
-        schema_id = snap.get("schema-id", meta.get("current-schema-id", 0))
+        if snap.get("snapshot-id") == meta.get("current-snapshot-id"):
+            schema_id = meta.get("current-schema-id", snap.get("schema-id", 0))
+        else:
+            schema_id = snap.get("schema-id", meta.get("current-schema-id", 0))
         return schemas[schema_id]
 
     # -- partition spec -----------------------------------------------------

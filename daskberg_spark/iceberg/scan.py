@@ -566,11 +566,21 @@ def _read_file_groups(
             spark.read.schema(struct).parquet(*[f["file_path"] for f in files])
         )
 
+    def _fill_value(fld: dict[str, Any]):
+        # Iceberg v3 initial-default: files written BEFORE the column
+        # existed read the default instead of null (zero-IO backfill)
+        default = fld.get("initial-default")
+        dtype = schema_to_struct({"fields": [fld]})[0].dataType
+        return F.lit(default).cast(dtype)
+
     parts = []
     for sid, (schema, paths) in sorted(groups.items()):
         gstruct = schema_to_struct(schema)
         gdf = tag(spark.read.schema(gstruct).parquet(*paths))
         renames = {}
+        group_ids = {
+            fld.get("id", fld.get("field-id")) for fld in schema["fields"]
+        }
         for fld in schema["fields"]:
             fid = fld.get("id", fld.get("field-id"))
             if fid in current_ids and current_ids[fid] != fld["name"]:
@@ -579,18 +589,25 @@ def _read_file_groups(
                 gdf = gdf.drop(fld["name"])  # column dropped since
         if renames:
             gdf = gdf.withColumnsRenamed(renames)
+        # per-group default fill: unionByName would null-fill a column
+        # this group predates even when another group carries it
+        for fld in current_fields:
+            fid = fld.get("id", fld.get("field-id"))
+            if (
+                fid not in group_ids
+                and fld.get("initial-default") is not None
+                and fld["name"] not in gdf.columns
+            ):
+                gdf = gdf.withColumn(fld["name"], _fill_value(fld))
         parts.append(gdf)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    # columns added after a file was written surface as nulls; project to
-    # the current schema's order
+    # columns added after a file was written surface as nulls (or their
+    # v3 initial-default); project to the current schema's order
     for fld in current_fields:
         if fld["name"] not in out.columns:
-            out = out.withColumn(
-                fld["name"],
-                F.lit(None).cast(schema_to_struct({"fields": [fld]})[0].dataType),
-            )
+            out = out.withColumn(fld["name"], _fill_value(fld))
     keep = [f["name"] for f in current_fields]
     if tag_position:
         keep += ["__file", "__pos"]

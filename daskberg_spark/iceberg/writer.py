@@ -552,7 +552,15 @@ class IcebergWriter:
         arrays, names = [], []
         for f in self.fields:
             names.append(f["name"])
-            arrays.append(pa.array([r.get(f["name"]) for r in rows], type=_pa_type(f["type"])))
+            # v3 write-default fills values the row omits (spec: the
+            # writer, not the reader, applies write-defaults)
+            wd = f.get("write-default")
+            arrays.append(
+                pa.array(
+                    [r.get(f["name"], wd) for r in rows],
+                    type=_pa_type(f["type"]),
+                )
+            )
         pq.write_table(pa.table(dict(zip(names, arrays))), path)
         return path, os.path.getsize(path)
 
@@ -653,19 +661,35 @@ class IcebergWriter:
             self.version += 1
             self._write_metadata()
 
-    def add_column(self, name: str, type_str: str) -> None:
+    def add_column(
+        self, name: str, type_str: str, default: Any = None
+    ) -> None:
         """Schema evolution: add a nullable column with a fresh id.
 
         A dotted name (``meta.rating``) adds a member INSIDE an existing
         struct column (in-struct evolution per the Iceberg spec); older
         files null-fill the new member on read.  Fresh ids come from the
         max over ALL field ids including nested leaves — top-level max
-        alone would collide with struct-member ids."""
+        alone would collide with struct-member ids.
+
+        ``default`` sets the Iceberg v3 ``initial-default`` /
+        ``write-default`` (JSON single-value serialization): files
+        written BEFORE the column existed read the default instead of
+        null — the spec's mechanism for adding a column with a
+        backfilled value at zero data IO.  Top-level columns only."""
         import copy
 
         fields = copy.deepcopy(self.schemas[self.current_schema_id])
-        new_id = _max_field_id(fields) + 1
+        # fresh ids come from the max over ALL historical schemas, not
+        # just the current one: after drop_column the dropped id is
+        # absent from the current schema but must NEVER be reused (old
+        # files' bytes would resurrect under the recycled id)
+        new_id = max(_max_field_id(s) for s in self.schemas) + 1
         if "." in name:
+            if default is not None:
+                raise ValueError(
+                    "initial-default supports top-level columns only"
+                )
             parent_path, leaf = name.rsplit(".", 1)
             node = {"fields": fields}
             for seg in parent_path.split("."):
@@ -682,9 +706,44 @@ class IcebergWriter:
                 {"id": new_id, "name": leaf, "type": type_str, "required": False}
             )
         else:
-            fields.append(
-                {"id": new_id, "name": name, "type": type_str, "required": False}
+            fld = {
+                "id": new_id,
+                "name": name,
+                "type": type_str,
+                "required": False,
+            }
+            if default is not None:
+                fld["initial-default"] = default
+                fld["write-default"] = default
+            fields.append(fld)
+        self.schemas.append(fields)
+        self.current_schema_id = len(self.schemas) - 1
+        self.fields = fields
+        self.types = {f["name"]: f["type"] for f in fields}
+        self.ids = {f["name"]: f["id"] for f in fields}
+        if self.snapshots:
+            self.version += 1
+            self._write_metadata()
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: drop a top-level column (new schema id; the
+        field id is never reused, per spec).  Files written with the
+        column keep their bytes — the scan projects it away; dropping a
+        partition-spec source column is refused (the spec would dangle)."""
+        if name not in self.types:
+            raise ValueError(f"no column {name!r}")
+        if any(
+            pf["_source_name"] == name for spec in self.specs for pf in spec
+        ):
+            raise ValueError(
+                f"{name!r} is a partition-spec source column; evolve the "
+                "spec away from it first"
             )
+        fields = [
+            dict(f)
+            for f in self.schemas[self.current_schema_id]
+            if f["name"] != name
+        ]
         self.schemas.append(fields)
         self.current_schema_id = len(self.schemas) - 1
         self.fields = fields
@@ -1230,7 +1289,9 @@ class IcebergWriter:
             "last-sequence-number": self._last_sequence_number,
             "properties": self.properties,
             "last-updated-ms": last["timestamp-ms"],
-            "last-column-id": _max_field_id(self.fields),
+            # max over ALL schemas: last-column-id never decreases (spec),
+            # and a dropped column's id stays retired
+            "last-column-id": max(_max_field_id(s) for s in self.schemas),
             "schemas": [
                 {"type": "struct", "schema-id": i, "fields": fields}
                 for i, fields in enumerate(self.schemas)

@@ -60,12 +60,14 @@ class IcebergFilePartition(InputPartition):
         renames: dict[str, str],
         columns: list[str],
         arrow_types: dict[str, Any],
+        defaults: dict[str, Any] | None = None,
     ) -> None:
         super().__init__(path)
         self.path = path
         self.renames = renames
         self.columns = columns
         self.arrow_types = arrow_types
+        self.defaults = defaults or {}
 
 
 def _added_manifests_by_snapshot(t, end_id: int) -> dict:
@@ -224,6 +226,11 @@ class IcebergStreamReader(DataSourceStreamReader):
             f["name"]: iceberg_to_arrow_type(f["type"])
             for f in t.schema["fields"]
         }
+        defaults = {
+            f["name"]: f["initial-default"]
+            for f in t.schema["fields"]
+            if f.get("initial-default") is not None
+        }
         # LINEAR backfill planning: manifests are carried forward across
         # commits with their added_snapshot_id intact, so ONE read of the
         # END snapshot's manifest list yields every chain snapshot's
@@ -263,6 +270,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                                 renames,
                                 current_names,
                                 arrow_types,
+                                defaults,
                             )
                         )
         return parts
@@ -292,6 +300,13 @@ class IcebergStreamReader(DataSourceStreamReader):
                 if col.type != expected:
                     col = col.cast(expected)
                 arrays.append(col)
+            elif name in partition.defaults:
+                # v3 initial-default: pre-column files read the default
+                arrays.append(
+                    pa.array(
+                        [partition.defaults[name]] * len(tbl)
+                    ).cast(expected)
+                )
             else:
                 arrays.append(pa.nulls(len(tbl), type=expected))
         out = pa.table(dict(zip(partition.columns, arrays)))

@@ -910,6 +910,89 @@ def test_merge_rows_mor_spark(spark, tmp_path):
     assert {r["k"] for r in t.to_df(spark).collect()} == {1, 2, 3}
 
 
+def test_drop_column_and_reuse_name(spark, tmp_path):
+    """drop_column: projected away for old files, refused for partition
+    sources, and a LATER column reusing the dropped name gets a fresh
+    field id — old data must not resurrect under it."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"id": 1, "val": 10.0}, {"id": 2, "val": 20.0}])
+    w.drop_column("val")
+    t = IcebergTable(w.path)
+    assert [f.name for f in t.to_df(spark).schema.fields] == ["id"]
+    # fresh column under the recycled NAME: fresh id → old bytes stay dead
+    w.add_column("val", "double")
+    w.append([{"id": 3, "val": 99.0}])
+    t = IcebergTable(w.path)
+    rows = {r["id"]: r["val"] for r in t.to_df(spark).collect()}
+    assert rows == {1: None, 2: None, 3: 99.0}
+    # partition sources cannot be dropped
+    wp = IcebergWriter(
+        str(tmp_path / "p"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    with _pytest.raises(ValueError, match="partition-spec source"):
+        wp.drop_column("grp")
+
+
+def test_initial_default_column(spark, tmp_path):
+    """v3 initial-default: files written before the column existed read
+    the default (zero-IO backfill) in batch AND streaming; the writer
+    applies write-default for rows that omit the column."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}, {"id": 2}])
+    w.add_column("score", "double", default=1.5)
+    w.append([{"id": 3, "score": 9.0}, {"id": 4}])  # 4 omits → write-default
+    t = IcebergTable(p)
+    rows = {r["id"]: r["score"] for r in t.to_df(spark).collect()}
+    assert rows == {1: 1.5, 2: 1.5, 3: 9.0, 4: 1.5}
+    # explicit None stays NULL (write-default fills only omitted keys)
+    w.append([{"id": 5, "score": None}])
+    rows = {
+        r["id"]: r["score"] for r in IcebergTable(p).to_df(spark).collect()
+    }
+    assert rows[5] is None
+
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_defaults")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        srows = {
+            r["id"]: r["score"]
+            for r in spark.table("ice_defaults").collect()
+        }
+        assert srows == {1: 1.5, 2: 1.5, 3: 9.0, 4: 1.5, 5: None}
+    finally:
+        q.stop()
+
+
 def test_changelog_rows_df(spark, tmp_path):
     """Row-level changelog vs every delete flavor: DV and equality
     deletes (invisible to the file-level diff) surface as 'delete' rows;
