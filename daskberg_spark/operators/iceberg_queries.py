@@ -1024,6 +1024,45 @@ def iceberg_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_default_backfill",
+    """
+    SELECT o_orderkey, CAST(1.5 AS DOUBLE) AS boost
+    FROM orders WHERE o_orderkey % 19 = 0
+    UNION ALL SELECT -3, 9.0
+    """,
+)
+def iceberg_default_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 initial-default backfill: a column added with a default AFTER
+    the first commit reads that default for every pre-existing row —
+    zero data IO, the spec's answer to "add a backfilled column at
+    100 TB".  A post-evolution append carries its own value.  Oracle
+    reconstructs the backfilled view relationally."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+    )
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 19 = 0")
+        .select("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_defaults_")
+    writer = IcebergWriter(
+        path, [{"id": 1, "name": "o_orderkey", "type": "long", "required": False}]
+    )
+    stage = f"{path}/data-0"
+    src.write.mode("overwrite").parquet(stage)
+    commit_spark_output(writer, stage)
+    writer.add_column("boost", "double", default=1.5)
+    writer.append([{"o_orderkey": -3, "boost": 9.0}])
+    t = IcebergTable(path)
+    return t.to_df(spark)
+
+
+@query(
     "iceberg_changelog_rows",
     """
     SELECT 'delete' AS _change_type, o_orderkey
