@@ -57,6 +57,40 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
         raise NotImplementedError(f"iceberg type {type_str!r}") from None
 
 
+def lift_footer_stats(
+    path: str, types: dict[str, str]
+) -> tuple[int, int, dict[str, Any], dict[str, Any]]:
+    """(num_rows, file_size, lowers, uppers) lifted from one parquet
+    FOOTER — zero data IO.  Per-row-group min/max accumulate across the
+    file for every column present in ``types`` (the table schema);
+    values are raw Python (encode with ``encode_bound``).  The ONE
+    implementation behind both the driver-side ``_footer_entry`` loop
+    and ``add_files_spark``'s executor lift, so the two registration
+    paths can never diverge in pruning bounds."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    lowers: dict[str, Any] = {}
+    uppers: dict[str, Any] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            stats = meta.row_group(rg).column(ci).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            name = names[ci]
+            if name not in types:
+                continue
+            lo, hi = stats.min, stats.max
+            if name not in lowers or lo < lowers[name]:
+                lowers[name] = lo
+            if name not in uppers or hi > uppers[name]:
+                uppers[name] = hi
+    return meta.num_rows, os.path.getsize(path), lowers, uppers
+
+
 def iceberg_to_arrow_type(t: Any) -> Any:
     """Iceberg type (string or nested JSON dict) → pyarrow DataType —
     what the streaming source needs to null-fill columns added after a

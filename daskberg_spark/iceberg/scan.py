@@ -646,6 +646,11 @@ def diff_df(
     the head, tagged by a ``_change_type`` column (``insert``/``delete``).
     File-level granularity — a row-level (v2 delete-file) diff would tag
     individual positions; file rewrites appear as delete+insert pairs."""
+    if from_rel >= 0:
+        raise ValueError(
+            f"from_rel must be negative (snapshots back from head); "
+            f"got {from_rel}"
+        )
     current = table.current_snapshot
     files_now = {f["file_path"] for f in table.plan_files(filters)}
     # walk parents from the PINNED snapshot (open_snapshot(rel=...) would
@@ -705,9 +710,21 @@ def changelog_rows_df(
     surface as delete+insert pairs, as in real Iceberg's changelog with
     its net-changes option off.  Shuffle cost is one sort-merge
     anti-join per side on (file, pos) — row-proportional, which is the
-    price of row-level CDC."""
+    price of row-level CDC.
+
+    Schema evolution inside the window is handled by FIELD-ID alignment:
+    the base snapshot reads under its pinned schema, then its columns
+    rename to the head's names, since-dropped columns project away, and
+    since-added columns fill with their v3 initial-default (or null) —
+    so both change sides surface under the CURRENT schema."""
+    if from_rel >= 0:
+        raise ValueError(
+            f"from_rel must be negative (snapshots back from head); "
+            f"got {from_rel}"
+        )
     current = table.current_snapshot
     head = to_df(table, spark, filters=filters, keep_pos=True)
+    head_schema = table.schema
     base_snap = current
     for _ in range(-from_rel):
         parent = base_snap.get("parent-snapshot-id")
@@ -716,7 +733,34 @@ def changelog_rows_df(
         base_snap = table.snapshots[parent]
     table.open_snapshot(snapshot_id=base_snap["snapshot-id"])
     base = to_df(table, spark, filters=filters, keep_pos=True)
+    base_schema = table.schema
     table.open_snapshot(snapshot_id=current["snapshot-id"])
+    # align the base side to the head schema by field id
+    head_ids = {
+        f.get("id", f.get("field-id")): f["name"]
+        for f in head_schema["fields"]
+    }
+    renames, drops = {}, []
+    base_ids = set()
+    for f in base_schema["fields"]:
+        fid = f.get("id", f.get("field-id"))
+        base_ids.add(fid)
+        if fid in head_ids and head_ids[fid] != f["name"]:
+            renames[f["name"]] = head_ids[fid]
+        elif fid not in head_ids:
+            drops.append(f["name"])
+    if drops:
+        base = base.drop(*drops)
+    if renames:
+        base = base.withColumnsRenamed(renames)
+    for f in head_schema["fields"]:
+        if f.get("id", f.get("field-id")) not in base_ids:
+            base = base.withColumn(
+                f["name"],
+                F.lit(f.get("initial-default")).cast(
+                    schema_to_struct({"fields": [f]})[0].dataType
+                ),
+            )
     key = ["__file", "__pos"]
     inserts = head.join(base.select(*key), key, "left_anti").withColumn(
         "_change_type", F.lit("insert")

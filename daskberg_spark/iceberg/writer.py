@@ -419,29 +419,17 @@ class IcebergWriter:
         last = w.snapshots[-1]["snapshot-id"] if w.snapshots else None
         w.main_pin = None
         w.head_id = None
+        # current != newest commit is either a WAP pin (staged commits
+        # chain BEYOND the pin behind a branch ref) or a rollback
+        # repoint (head moved BACK).  The distinction is recorded
+        # EXPLICITLY by _write_metadata as the internal property
+        # daskberg.wap-pin — a descends-from heuristic over branch refs
+        # cannot tell a staging branch from an ordinary user branch
+        # created before a rollback, and misreading a rollback as a pin
+        # silently undoes it on the next commit.
+        wap_marker = w.properties.pop("daskberg.wap-pin", None)
         if cur is not None and last is not None and cur != last:
-            # current != newest commit is either a WAP pin (staged
-            # commits chain BEYOND the pin behind a branch ref) or a
-            # rollback repoint (head moved BACK, no staging ref).  A
-            # staging branch ref descending from cur marks the former;
-            # otherwise future commits must parent on cur.
-            by_id = {s["snapshot-id"]: s for s in w.snapshots}
-
-            def _descends(frm: int | None, anc: int) -> bool:
-                sid = frm
-                while sid is not None:
-                    if sid == anc:
-                        return True
-                    sid = by_id.get(sid, {}).get("parent-snapshot-id")
-                return False
-
-            staged = any(
-                r.get("type") == "branch"
-                and r.get("snapshot-id") != cur
-                and _descends(r.get("snapshot-id"), cur)
-                for r in w.refs.values()
-            )
-            if staged:
+            if wap_marker is not None and int(wap_marker) == cur:
                 w.main_pin = cur
             else:
                 w.head_id = cur
@@ -1287,7 +1275,15 @@ class IcebergWriter:
             "table-uuid": self.table_uuid,
             "location": self.path,
             "last-sequence-number": self._last_sequence_number,
-            "properties": self.properties,
+            # the internal WAP marker lets load() distinguish a staging
+            # pin from a rollback repoint (both park current-snapshot-id
+            # behind the newest commit); foreign readers ignore unknown
+            # properties per spec
+            "properties": (
+                {**self.properties, "daskberg.wap-pin": str(self.main_pin)}
+                if self.main_pin is not None
+                else self.properties
+            ),
             "last-updated-ms": last["timestamp-ms"],
             # max over ALL schemas: last-column-id never decreases (spec),
             # and a dropped column's id stays retired
@@ -1499,25 +1495,13 @@ def _footer_entry(
 ) -> dict[str, Any]:
     """ADDED manifest entry for one existing parquet file: record count
     and per-column bounds lifted from footer row-group statistics —
-    zero data IO."""
-    meta = pq.ParquetFile(path).metadata
-    lowers: dict[str, Any] = {}
-    uppers: dict[str, Any] = {}
-    schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
-    for rg in range(meta.num_row_groups):
-        for ci in range(meta.num_columns):
-            col = meta.row_group(rg).column(ci)
-            stats = col.statistics
-            if stats is None or not stats.has_min_max:
-                continue
-            name = schema_names[ci]
-            if name not in writer.types:
-                continue
-            lo, hi = stats.min, stats.max
-            if name not in lowers or lo < lowers[name]:
-                lowers[name] = lo
-            if name not in uppers or hi > uppers[name]:
-                uppers[name] = hi
+    zero data IO.  Stat lifting is shared with ``add_files_spark``'s
+    executor path (``conversions.lift_footer_stats``)."""
+    from daskberg_spark.iceberg.conversions import lift_footer_stats
+
+    num_rows, file_size, lowers, uppers = lift_footer_stats(
+        path, writer.types
+    )
     return {
         "status": 1,
         "snapshot_id": snapshot_id,
@@ -1525,8 +1509,8 @@ def _footer_entry(
             "file_path": path,
             "file_format": "PARQUET",
             "partition": partition,
-            "record_count": meta.num_rows,
-            "file_size_in_bytes": os.path.getsize(path),
+            "record_count": num_rows,
+            "file_size_in_bytes": file_size,
             "lower_bounds": [
                 {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
                 for n, v in lowers.items()
@@ -1634,36 +1618,20 @@ def add_files_spark(
     def lift(batches):
         import base64 as _b64
         import json as _json
-        import os as _os
 
         import pandas as _pd
-        import pyarrow.parquet as _pq
 
-        from daskberg_spark.iceberg.conversions import encode_bound
+        from daskberg_spark.iceberg.conversions import (
+            encode_bound,
+            lift_footer_stats,
+        )
 
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                meta = _pq.ParquetFile(path).metadata
-                names = [
-                    meta.schema.column(i).name
-                    for i in range(meta.num_columns)
-                ]
-                lowers: dict[str, Any] = {}
-                uppers: dict[str, Any] = {}
-                for rg in range(meta.num_row_groups):
-                    for ci in range(meta.num_columns):
-                        stats = meta.row_group(rg).column(ci).statistics
-                        if stats is None or not stats.has_min_max:
-                            continue
-                        name = names[ci]
-                        if name not in types:
-                            continue
-                        lo, hi = stats.min, stats.max
-                        if name not in lowers or lo < lowers[name]:
-                            lowers[name] = lo
-                        if name not in uppers or hi > uppers[name]:
-                            uppers[name] = hi
+                num_rows, file_size, lowers, uppers = lift_footer_stats(
+                    path, types
+                )
                 bounds = {
                     n: [
                         _b64.b64encode(
@@ -1675,14 +1643,7 @@ def add_files_spark(
                     ]
                     for n in lowers
                 }
-                rows.append(
-                    (
-                        path,
-                        meta.num_rows,
-                        _os.path.getsize(path),
-                        _json.dumps(bounds),
-                    )
-                )
+                rows.append((path, num_rows, file_size, _json.dumps(bounds)))
             yield _pd.DataFrame(
                 rows, columns=["path", "num_rows", "size", "bounds"]
             )
@@ -2991,7 +2952,17 @@ def expire_snapshots(
         ref_pinned.add(writer.head_id)
     if writer.main_pin is not None:
         ref_pinned.add(writer.main_pin)
-    keep_tail = {s["snapshot-id"] for s in writer.snapshots[-keep_last:]}
+    # the keep window follows the HEAD'S LINEAGE (real retain-last
+    # counts ancestors of the current snapshot): after a rollback the
+    # head's recent ancestors stay protected, while stranded rolled-past
+    # commits are retained only when a ref pins them
+    by_id = {s["snapshot-id"]: s for s in writer.snapshots}
+    keep_tail: set[int] = set()
+    cur = writer.head_snapshot
+    while cur is not None and len(keep_tail) < keep_last:
+        keep_tail.add(cur["snapshot-id"])
+        parent = cur.get("parent-snapshot-id")
+        cur = by_id.get(parent) if parent is not None else None
     expired_set = {
         s["snapshot-id"]
         for s in writer.snapshots

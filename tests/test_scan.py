@@ -1031,6 +1031,50 @@ def test_changelog_rows_df(spark, tmp_path):
     assert {r["_change_type"] for r in filelevel} == {"insert"}
 
 
+def test_changelog_rows_across_schema_evolution(spark, tmp_path):
+    """Row-level changelog spanning add/rename/drop evolution: both
+    change sides surface under the CURRENT schema (field-id alignment —
+    renamed columns under new names, added columns default/null-filled,
+    dropped columns absent), and a non-negative from_rel errors instead
+    of silently returning an empty changelog."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "old", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "old": "x"}, {"k": 2, "old": "y"}])
+    w.rename_column("old", "label")
+    w.add_column("boost", "double", default=2.5)
+    w.drop_column("boost")  # exercise drop inside the window too
+    w.add_column("score", "double", default=1.0)
+    delete_where_dv_spark(w, spark, "k = 1")
+    w.append([{"k": 3, "label": "z", "score": 7.0}])
+    t = IcebergTable(p)
+    changes = {
+        (r["_change_type"], r["k"], r["label"], r["score"])
+        for r in changelog_rows_df(t, spark, from_rel=-2).collect()
+    }
+    assert changes == {
+        ("delete", 1, "x", 1.0),  # base row under CURRENT names + default
+        ("insert", 3, "z", 7.0),
+    }
+    with _pytest.raises(ValueError, match="negative"):
+        changelog_rows_df(t, spark, from_rel=1)
+    with _pytest.raises(ValueError, match="negative"):
+        t.diff_df(spark, from_rel=0)
+
+
 def test_metadata_tables(spark, tmp_path):
     """Inspect surface (files / delete_files / manifests / history
     DataFrames): counts and lineage flags reflect the reconciled state,
@@ -2726,6 +2770,101 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert t.current_snapshot["parent-snapshot-id"] == s2
     with pytest.raises(KeyError):
         rollback_to(w, 999999)
+
+
+def test_rollback_load_with_user_branch_ref(spark, tmp_path):
+    """A reloaded writer must keep a rollback repoint even when an
+    ordinary user branch ref points at the rolled-past head — the WAP
+    pin is recorded explicitly in metadata, never inferred from ref
+    ancestry (a heuristic there silently undid the rollback on the next
+    commit)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, rollback_to
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    s1 = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": 2}])
+    w.append([{"id": 3}])
+    s3 = w.snapshots[-1]["snapshot-id"]
+    w.set_ref("dev", "branch", s3)  # user branch at the future rolled-past head
+    rollback_to(w, s1)
+
+    w2 = IcebergWriter.load(p)
+    assert w2.head_id == s1 and w2.main_pin is None
+    w2.append([{"id": 10}])
+    t = IcebergTable(p)
+    # the commit is VISIBLE and parents on the rollback target
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 10]
+    assert t.current_snapshot["parent-snapshot-id"] == s1
+    # the user branch still reaches the rolled-past state
+    t.open_snapshot(ref="dev")
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2, 3]
+
+
+def test_wap_pin_survives_reload(spark, tmp_path):
+    """The explicit WAP marker: a staged (pinned) table reloaded from
+    disk keeps the pin — readers see the published head while the
+    reloaded writer's staged chain continues."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        publish_branch,
+        stage_append,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    pin = w.snapshots[-1]["snapshot-id"]
+    stage_append(w, [{"id": 2}], "audit")
+
+    w2 = IcebergWriter.load(p)
+    assert w2.main_pin == pin and w2.head_id is None
+    # plain readers still see the pre-stage table
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1]
+    # the marker is internal: it does not leak into reloaded properties
+    assert "daskberg.wap-pin" not in w2.properties
+    publish_branch(w2, "audit")
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2]
+    assert "daskberg.wap-pin" not in t.metadata.get("properties", {})
+
+
+def test_expire_after_rollback_keeps_head_lineage(spark, tmp_path):
+    """retain-last counts ancestors of the CURRENT head (real Iceberg):
+    after a rollback, keep_last protects the head's recent ancestors and
+    the stranded rolled-past snapshot expires instead."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        expire_snapshots,
+        rollback_to,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}])
+    s1 = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": 2}])
+    s2 = w.snapshots[-1]["snapshot-id"]
+    w.append([{"id": 3}])
+    s3 = w.snapshots[-1]["snapshot-id"]
+    rollback_to(w, s2)
+    expired = expire_snapshots(w, keep_last=2)
+    # head lineage (s2, s1) protected; stranded s3 expired
+    assert expired == [s3]
+    kept = {s["snapshot-id"] for s in w.snapshots}
+    assert kept == {s1, s2}
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2]
+    t.open_snapshot(snapshot_id=s1)  # the head's parent is still travelable
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1]
 
 
 def test_rollback_truncates_snapshot_log(spark, tmp_path):
