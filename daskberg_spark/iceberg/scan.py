@@ -24,6 +24,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from daskberg_spark.iceberg.conversions import schema_to_struct
 from daskberg_spark.iceberg.metadata import IcebergTable
@@ -464,6 +465,38 @@ def _maybe_broadcast(keys: DataFrame, entries: list[dict[str, Any]]) -> DataFram
     return keys
 
 
+def schema_alignment(
+    from_schema: dict[str, Any], to_schema: dict[str, Any]
+) -> tuple[dict[str, str], list[str], list[dict[str, Any]]]:
+    """Field-id diff between two Iceberg schemas: ``(renames, drops,
+    missing)`` to take a relation FROM one schema TO the other —
+    renamed columns map old→new name, since-dropped columns list for
+    removal, and ``missing`` holds the to-schema fields absent from the
+    from-schema (fill with their v3 ``initial-default`` or null).  The
+    ONE statement of the evolution rules shared by the row-level
+    changelog and the streaming source (the batch scan's per-group loop
+    applies the same rules with group-local conditions)."""
+    to_ids = {
+        f.get("id", f.get("field-id")): f["name"] for f in to_schema["fields"]
+    }
+    renames: dict[str, str] = {}
+    drops: list[str] = []
+    from_ids = set()
+    for f in from_schema["fields"]:
+        fid = f.get("id", f.get("field-id"))
+        from_ids.add(fid)
+        if fid in to_ids and to_ids[fid] != f["name"]:
+            renames[f["name"]] = to_ids[fid]
+        elif fid not in to_ids:
+            drops.append(f["name"])
+    missing = [
+        f
+        for f in to_schema["fields"]
+        if f.get("id", f.get("field-id")) not in from_ids
+    ]
+    return renames, drops, missing
+
+
 def _read_file_groups(
     table: IcebergTable,
     spark: SparkSession,
@@ -575,6 +608,33 @@ def _read_file_groups(
 
     parts = []
     for sid, (schema, paths) in sorted(groups.items()):
+        if sid == -1:
+            # name-mapping group (unpinned files): a group can MIX files
+            # written under the mapping's physical names (imports) with
+            # files written under current names whose adding snapshot
+            # merely EXPIRED — so read under BOTH names and coalesce,
+            # preferring the current name.  Reading only the mapped old
+            # names would silently null-fill the latter.
+            cur_struct = schema_to_struct({"fields": current_fields})
+            pairs = [
+                (f["name"], mapped["name"])
+                for f, mapped in zip(current_fields, schema["fields"])
+                if f["name"] != mapped["name"]
+            ]
+            both = T.StructType(
+                list(cur_struct.fields)
+                + [
+                    T.StructField(old, cur_struct[cur].dataType, True)
+                    for cur, old in pairs
+                ]
+            )
+            gdf = tag(spark.read.schema(both).parquet(*paths))
+            for cur, old in pairs:
+                gdf = gdf.withColumn(
+                    cur, F.coalesce(F.col(cur), F.col(old))
+                ).drop(old)
+            parts.append(gdf)
+            continue
         gstruct = schema_to_struct(schema)
         gdf = tag(spark.read.schema(gstruct).parquet(*paths))
         renames = {}
@@ -736,31 +796,18 @@ def changelog_rows_df(
     base_schema = table.schema
     table.open_snapshot(snapshot_id=current["snapshot-id"])
     # align the base side to the head schema by field id
-    head_ids = {
-        f.get("id", f.get("field-id")): f["name"]
-        for f in head_schema["fields"]
-    }
-    renames, drops = {}, []
-    base_ids = set()
-    for f in base_schema["fields"]:
-        fid = f.get("id", f.get("field-id"))
-        base_ids.add(fid)
-        if fid in head_ids and head_ids[fid] != f["name"]:
-            renames[f["name"]] = head_ids[fid]
-        elif fid not in head_ids:
-            drops.append(f["name"])
+    renames, drops, missing = schema_alignment(base_schema, head_schema)
     if drops:
         base = base.drop(*drops)
     if renames:
         base = base.withColumnsRenamed(renames)
-    for f in head_schema["fields"]:
-        if f.get("id", f.get("field-id")) not in base_ids:
-            base = base.withColumn(
-                f["name"],
-                F.lit(f.get("initial-default")).cast(
-                    schema_to_struct({"fields": [f]})[0].dataType
-                ),
-            )
+    for f in missing:
+        base = base.withColumn(
+            f["name"],
+            F.lit(f.get("initial-default")).cast(
+                schema_to_struct({"fields": [f]})[0].dataType
+            ),
+        )
     key = ["__file", "__pos"]
     inserts = head.join(base.select(*key), key, "left_anti").withColumn(
         "_change_type", F.lit("insert")

@@ -427,6 +427,12 @@ class IcebergWriter:
         # cannot tell a staging branch from an ordinary user branch
         # created before a rollback, and misreading a rollback as a pin
         # silently undoes it on the next commit.
+        # Compat note: metadata written by pre-marker builds of this
+        # writer with an in-flight WAP stage has no marker and loads as
+        # a rollback repoint (readers keep seeing the pin; the staged
+        # chain is reachable via its branch ref and can be re-staged).
+        # Guessing WAP from branch-ref ancestry instead would silently
+        # UNDO genuine rollbacks — the strictly worse failure.
         wap_marker = w.properties.pop("daskberg.wap-pin", None)
         if cur is not None and last is not None and cur != last:
             if wap_marker is not None and int(wap_marker) == cur:
@@ -639,9 +645,14 @@ class IcebergWriter:
         self.fields = fields
         self.types = {f["name"]: f["type"] for f in fields}
         self.ids = {f["name"]: f["id"] for f in fields}
-        for pf in self.spec:
-            if pf["_source_name"] == old:
-                pf["_source_name"] = new
+        # ALL specs, not just the current one: drop_column's
+        # partition-source guard scans every spec by _source_name, and a
+        # stale old name there would let it drop a column an OLD spec
+        # still sources (the table then fails to load)
+        for spec in self.specs:
+            for pf in spec:
+                if pf["_source_name"] == old:
+                    pf["_source_name"] = new
         if self.snapshots:
             # schema updates emit a metadata version immediately (real
             # Iceberg updateSchema().commit() semantics): readers between
@@ -2296,7 +2307,10 @@ def stage_append(
     if not writer.snapshots:
         raise ValueError("stage_append requires a published snapshot to pin")
     if writer.main_pin is None:
-        writer.main_pin = writer.snapshots[-1]["snapshot-id"]
+        # pin the CURRENT HEAD (head_snapshot), not the newest commit:
+        # after a rollback those differ, and pinning snapshots[-1] would
+        # republish the rolled-past state for the whole stage window
+        writer.main_pin = writer.head_snapshot["snapshot-id"]
     staged_id = writer._next_snapshot_id
     writer.refs[branch] = {"snapshot-id": staged_id, "type": "branch"}
     writer.append(rows)
@@ -2330,17 +2344,30 @@ def abort_stage(writer: "IcebergWriter", branch: str) -> list[int]:
     if writer.main_pin is None:
         raise ValueError("no stage is pinned")
     pin = writer.main_pin
-    dropped = [
-        s["snapshot-id"] for s in writer.snapshots if s["snapshot-id"] > pin
-    ]
+    # the staged chain is exactly the branch tip's parent walk down to
+    # the pin — NOT "ids greater than the pin", which after a rollback
+    # would also sweep away unrelated rolled-past snapshots
+    by_id = {s["snapshot-id"]: s for s in writer.snapshots}
+    dropped: list[int] = []
+    cur = by_id.get(writer.refs[branch]["snapshot-id"])
+    while cur is not None and cur["snapshot-id"] != pin:
+        dropped.append(cur["snapshot-id"])
+        parent = cur.get("parent-snapshot-id")
+        cur = by_id.get(parent) if parent is not None else None
+    if cur is None:
+        raise ValueError(f"branch {branch!r} does not descend from the pin")
     writer.snapshots = [
-        s for s in writer.snapshots if s["snapshot-id"] <= pin
+        s for s in writer.snapshots if s["snapshot-id"] not in set(dropped)
     ]
-    published = writer.snapshots[-1]
+    published = by_id[pin]
     _, writer.manifests = read_avro_file(published["manifest-list"])
     del writer.refs[branch]
     writer.main_pin = None
-    writer.head_id = None
+    writer.head_id = (
+        None
+        if writer.snapshots[-1]["snapshot-id"] == pin
+        else pin
+    )
     writer.version += 1
     writer._write_metadata()
     return dropped

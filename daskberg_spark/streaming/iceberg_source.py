@@ -219,7 +219,6 @@ class IcebergStreamReader(DataSourceStreamReader):
                 "changes (rewritten files would re-emit delivered rows)"
             )
         current_names = [f["name"] for f in t.schema["fields"]]
-        current_ids = {fld.field_id: n for n, fld in t.fields.items()}
         from daskberg_spark.iceberg.conversions import iceberg_to_arrow_type
 
         arrow_types = {
@@ -236,21 +235,33 @@ class IcebergStreamReader(DataSourceStreamReader):
         # END snapshot's manifest list yields every chain snapshot's
         # added manifests — walking each snapshot's own list is
         # O(history²) in manifest records (snapshot k's list carries k
-        # entries).  Per-snapshot fallback only when a later rewrite
-        # (compaction) dropped a snapshot's manifests from the end list.
+        # entries).  A non-append snapshot LATER in the range may have
+        # rewritten an append's manifests only PARTIALLY (a CoW merge
+        # rewrites the manifest containing the matched file; sibling
+        # manifests carry forward), so any snapshot with a rewrite after
+        # it takes the per-snapshot fallback — the grouped end list
+        # cannot prove completeness for it.  Append-only histories stay
+        # fully linear.
         by_adder = _added_manifests_by_snapshot(t, end_id)
+        rewritten_after: set[int] = set()
+        seen_rewrite = False
+        for s in reversed(chain):
+            if seen_rewrite:
+                rewritten_after.add(s["snapshot-id"])
+            if (s.get("summary") or {}).get("operation", "append") != "append":
+                seen_rewrite = True
         parts: list[InputPartition] = []
         for s in chain:
             sid = s["snapshot-id"]
             if sid in bad:
                 continue
-            schema = t.schema_for_snapshot(sid)
-            renames = {}
-            for fld in schema["fields"]:
-                fid = fld.get("id", fld.get("field-id"))
-                then = fld["name"]
-                if fid in current_ids and current_ids[fid] != then:
-                    renames[then] = current_ids[fid]
+            if sid in rewritten_after:
+                by_adder.pop(sid, None)  # force the own-list fallback
+            from daskberg_spark.iceberg.scan import schema_alignment
+
+            renames, _drops, _missing = schema_alignment(
+                t.schema_for_snapshot(sid), t.schema
+            )
             for mf in _snapshot_added_manifests(t, sid, by_adder):
                 for e in t._load_manifest(t._relocate(mf["manifest_path"])):
                     rec = e["data_file"]

@@ -2740,6 +2740,14 @@ def test_name_mapping_read(spark, tmp_path):
         1: ["id"],
         2: ["val", "value"],
     }
+    # MIXED unpinned group: a writer-appended file (physical name
+    # 'value') whose pinning is also forged away must NOT null-fill —
+    # the mapped read coalesces over both physical names
+    w.append([{"id": 4, "value": 4.5}])
+    strip_schema_ids(p)
+    t = IcebergTable(p)
+    rows = {r["id"]: r["value"] for r in t.to_df(spark).collect()}
+    assert rows == {1: 1.5, 2: 2.5, 3: 3.5, 4: 4.5}
 
 
 def test_rollback_to_snapshot(spark, tmp_path):

@@ -352,6 +352,69 @@ def test_streaming_iceberg_source_schema_evolution(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_iceberg_source_partial_manifest_rewrite(spark, tmp_path):
+    """A later rewrite that consolidates only SOME of an append's
+    manifests must not lose the survivors' rows: planning falls back to
+    the append's own manifest list whenever a non-append snapshot
+    follows it in the streamed range (the grouped end-list cannot prove
+    completeness there)."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        merge_rows_spark,
+    )
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    # one append spanning >100 files → multiple manifests (100/chunk)
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartition(150)
+    stage = f"{p}/data-0"
+    df.write.mode("overwrite").parquet(stage)
+    commit_spark_output(w, stage)
+    import glob as _glob
+
+    n_files = len(_glob.glob(f"{stage}/*.parquet"))
+    assert n_files > 100, n_files  # must span two manifests
+    # CoW merge matching ONE row rewrites only the manifests holding the
+    # matched file; sibling manifests carry forward
+    merge_rows_spark(
+        w,
+        spark,
+        spark.createDataFrame([(7, -1.0)], "k long, v double"),
+        ["k"],
+    )
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("skip-non-append-snapshots", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_partial")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["k"] for r in spark.table("ice_partial").collect())
+        # every appended row delivered exactly once (pre-merge values:
+        # the append's own files are the source of record for its rows)
+        assert got == list(range(400))
+    finally:
+        q.stop()
+
+
 def test_streaming_iceberg_source_skip_non_append(spark, tmp_path):
     """With skip-non-append-snapshots=true a compaction/delete commit in
     the range is ignored (its file changes would re-emit delivered rows)
