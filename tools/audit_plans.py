@@ -61,7 +61,10 @@ AUDIT = {
     # renamed scan — zero exchanges, two read columns
     "iceberg_merge_mor": (2, False, True, None),
     "iceberg_update_mor": (2, False, True, None),
-    "iceberg_name_mapping_read": (0, False, False, 2),
+    # the mapped group reads each renamed field under BOTH physical
+    # names and coalesces (mixed unpinned groups), so ReadSchema carries
+    # one extra column per renamed field — still zero exchanges
+    "iceberg_name_mapping_read": (0, False, False, 3),
     # late-r6 window additions: the statistics/management reads are
     # metadata- or stats-file-backed — tiny plans by design
     "iceberg_table_statistics": (0, False, False, None),
