@@ -3023,7 +3023,9 @@ def expire_snapshots(
 
 
 def remove_orphan_files(
-    table_path: str, include_metadata: bool = True
+    table_path: str,
+    include_metadata: bool = True,
+    older_than_ms: int | None = None,
 ) -> list[str]:
     """Maintenance: delete data files not referenced by any manifest of
     any snapshot in the *current* metadata version (run after
@@ -3031,7 +3033,15 @@ def remove_orphan_files(
     metadata Avro (manifest lists / manifests left behind by
     expire_snapshots or rewrite_manifests) is reclaimed too — versioned
     ``*.metadata.json`` and the version hint always stay.  Returns the
-    removed paths."""
+    removed paths.
+
+    ``older_than_ms`` (epoch millis) skips files whose mtime is at or
+    after the cutoff — real Iceberg's ``older_than`` guard (default 3
+    days there) against reclaiming a CONCURRENT writer's
+    staged-but-uncommitted files, which are unreferenced by definition
+    until their commit lands.  Pass it whenever other writers may be
+    in flight; None sweeps everything unreferenced (safe only on a
+    quiesced table)."""
     from daskberg_spark.iceberg.avro import read_avro_file
     from daskberg_spark.iceberg.metadata import IcebergTable
 
@@ -3067,6 +3077,11 @@ def remove_orphan_files(
             if path not in referenced and name.endswith(
                 (".parquet", ".puffin")
             ):
+                if (
+                    older_than_ms is not None
+                    and os.path.getmtime(path) * 1000 >= older_than_ms
+                ):
+                    continue  # possibly a concurrent writer's staging
                 os.remove(path)
                 removed.append(path)
     # bottom-up (NOT sorted — that would put parents first) + re-listing

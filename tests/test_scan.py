@@ -1426,6 +1426,40 @@ def test_expire_snapshots_retains_ref_pinned(spark, tmp_path):
     assert [p for p in removed if p.endswith(".parquet")] == []
 
 
+def test_orphan_sweep_age_guard(spark, tmp_path):
+    """remove_orphan_files(older_than_ms=): recent unreferenced files
+    (a concurrent writer's staging) survive the sweep; old orphans and
+    referenced files behave as before."""
+    import os as _os
+    import time as _time
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        remove_orphan_files,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "x", "type": "long", "required": False}]
+    )
+    w.append([{"x": 1}])
+    old_orphan = f"{p}/data/zz-old-orphan.parquet"
+    fresh_stage = f"{p}/data/zz-fresh-stage.parquet"
+    for f in (old_orphan, fresh_stage):
+        with open(f, "wb") as fh:
+            fh.write(b"not really parquet")
+    cutoff = int(_time.time() * 1000) + 60_000
+    _os.utime(old_orphan, (0, 0))  # epoch mtime → well before any cutoff
+    removed = remove_orphan_files(p, older_than_ms=cutoff - 120_000)
+    assert old_orphan in removed and fresh_stage not in removed
+    assert _os.path.exists(fresh_stage)
+    # without the guard the fresh staging file is swept too
+    removed = remove_orphan_files(p)
+    assert fresh_stage in removed
+    t = IcebergTable(p)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == [1]
+
+
 def test_expire_snapshots_older_than(spark, tmp_path):
     """Timestamp retention composes with keep_last as a conjunction
     (real expireSnapshots semantics): only snapshots both outside the
