@@ -199,6 +199,10 @@ def decode_bound(value: bytes | None, type_str: str) -> Any:
     if type_str == "float":
         return struct.unpack("<f", value)[0]
     if type_str == "double":
+        if len(value) == 4:
+            # bounds written before a float→double promotion stay 4-byte
+            # (int→long needs no case: int.from_bytes is width-agnostic)
+            return struct.unpack("<f", value)[0]
         return struct.unpack("<d", value)[0]
     if type_str == "date":
         days = int.from_bytes(value, "little", signed=True)

@@ -659,6 +659,29 @@ def _read_file_groups(
                 and fld["name"] not in gdf.columns
             ):
                 gdf = gdf.withColumn(fld["name"], _fill_value(fld))
+        # type promotion (int→long, float→double, decimal widening):
+        # files written under the narrower type read under it, then
+        # cast up to the current type so the union is type-uniform
+        group_types = {
+            fld.get("id", fld.get("field-id")): fld["type"]
+            for fld in schema["fields"]
+        }
+        for fld in current_fields:
+            fid = fld.get("id", fld.get("field-id"))
+            gt = group_types.get(fid)
+            if (
+                gt is not None
+                and isinstance(gt, str)
+                and isinstance(fld["type"], str)
+                and gt != fld["type"]
+                and fld["name"] in gdf.columns
+            ):
+                gdf = gdf.withColumn(
+                    fld["name"],
+                    F.col(fld["name"]).cast(
+                        schema_to_struct({"fields": [fld]})[0].dataType
+                    ),
+                )
         parts.append(gdf)
     out = parts[0]
     for p in parts[1:]:

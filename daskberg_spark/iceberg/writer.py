@@ -724,6 +724,45 @@ class IcebergWriter:
             self.version += 1
             self._write_metadata()
 
+    def update_column_type(self, name: str, new_type: str) -> None:
+        """Schema evolution: widen a column's type — the spec's legal
+        promotions only (``int``→``long``, ``float``→``double``, and
+        decimal precision widening at the same scale).  Files written
+        under the narrower type keep their bytes; the scan casts each
+        file group up to the current type, and bound decoding tolerates
+        the narrower stat bytes (pruning stays correct)."""
+        import re as _re
+
+        old = self.types.get(name)
+        if old is None:
+            raise ValueError(f"no column {name!r}")
+        dec = _re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+        mo, mn = dec.fullmatch(old or ""), dec.fullmatch(new_type)
+        legal = (old, new_type) in {("int", "long"), ("float", "double")} or (
+            mo
+            and mn
+            and mo.group(2) == mn.group(2)
+            and int(mn.group(1)) >= int(mo.group(1))
+        )
+        if not legal:
+            raise ValueError(
+                f"illegal type promotion {old!r} -> {new_type!r} (spec "
+                "allows int->long, float->double, decimal precision "
+                "widening at the same scale)"
+            )
+        fields = [dict(f) for f in self.schemas[self.current_schema_id]]
+        for f in fields:
+            if f["name"] == name:
+                f["type"] = new_type
+        self.schemas.append(fields)
+        self.current_schema_id = len(self.schemas) - 1
+        self.fields = fields
+        self.types = {f["name"]: f["type"] for f in fields}
+        self.ids = {f["name"]: f["id"] for f in fields}
+        if self.snapshots:
+            self.version += 1
+            self._write_metadata()
+
     def drop_column(self, name: str) -> None:
         """Schema evolution: drop a top-level column (new schema id; the
         field id is never reused, per spec).  Files written with the

@@ -948,6 +948,42 @@ def test_drop_column_and_reuse_name(spark, tmp_path):
         wp.drop_column("grp")
 
 
+def test_type_promotion(spark, tmp_path):
+    """Spec type promotion: int→long and float→double widen in place —
+    narrow-typed old files cast up on read, stats pruning still fires
+    through the narrower bound bytes, and illegal promotions raise."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "int", "required": False},
+            {"id": 2, "name": "v", "type": "float", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "v": 1.5}, {"k": 2, "v": 2.5}])
+    w.update_column_type("k", "long")
+    w.update_column_type("v", "double")
+    big = 2**40
+    w.append([{"k": big, "v": 1e300}])  # values only the wide types hold
+    t = IcebergTable(p)
+    df = t.to_df(spark)
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    rows = {r["k"]: r["v"] for r in df.collect()}
+    assert rows[big] == 1e300 and abs(rows[1] - 1.5) < 1e-6
+    # pruning through the pre-promotion 4-byte bounds still fires: only
+    # the new file can hold k = 2^40
+    assert len(t.plan_files([("k", "==", big)])) == 1
+    assert {r["k"] for r in t.to_df(spark, filters=[("k", "<=", 2)]).collect()} == {1, 2}
+    with _pytest.raises(ValueError, match="illegal type promotion"):
+        w.update_column_type("k", "int")
+    with _pytest.raises(ValueError, match="illegal type promotion"):
+        w.update_column_type("v", "string")
+
+
 def test_initial_default_column(spark, tmp_path):
     """v3 initial-default: files written before the column existed read
     the default (zero-IO backfill) in batch AND streaming; the writer
