@@ -528,7 +528,7 @@ def _read_file_groups(
     current_fields = table.schema["fields"]
     current_ids = {f.get("id", f.get("field-id")): f["name"] for f in current_fields}
 
-    map_name_by_id: dict[int, str] = {}
+    map_names_by_id: dict[int, list[str]] = {}
     raw_mapping = (table.metadata.get("properties") or {}).get(
         "schema.name-mapping.default"
     )
@@ -536,17 +536,25 @@ def _read_file_groups(
         try:
             for e in _json.loads(raw_mapping):
                 if e.get("names"):
-                    map_name_by_id[e["field-id"]] = e["names"][0]
+                    map_names_by_id[e["field-id"]] = [
+                        str(n) for n in e["names"]
+                    ]
         except (ValueError, TypeError, KeyError):
-            map_name_by_id = {}
+            map_names_by_id = {}
+    # first recorded spelling keys the group schema; ALL spellings feed
+    # the coalesce read below (the spec allows several physical names per
+    # field — a foreign import may mix files using different ones)
+    map_name_by_id = {fid: ns[0] for fid, ns in map_names_by_id.items()}
     known_schema_ids = {
         s.get("schema-id") for s in table.metadata.get("schemas", [])
     }
     mapped_schema = None
-    if map_name_by_id and any(
-        map_name_by_id.get(f.get("id", f.get("field-id")), f["name"])
-        != f["name"]
+    if map_names_by_id and any(
+        n != f["name"]
         for f in current_fields
+        for n in map_names_by_id.get(
+            f.get("id", f.get("field-id")), [f["name"]]
+        )
     ):
         mapped_schema = {
             "schema-id": -1,
@@ -610,29 +618,70 @@ def _read_file_groups(
     for sid, (schema, paths) in sorted(groups.items()):
         if sid == -1:
             # name-mapping group (unpinned files): a group can MIX files
-            # written under the mapping's physical names (imports) with
-            # files written under current names whose adding snapshot
-            # merely EXPIRED — so read under BOTH names and coalesce,
-            # preferring the current name.  Reading only the mapped old
-            # names would silently null-fill the latter.
+            # written under ANY of the mapping's physical spellings
+            # (imports — the spec's ``names`` is a LIST) with files
+            # written under current names whose adding snapshot merely
+            # EXPIRED — so read under ALL names and coalesce, preferring
+            # the current name.  Reading only the current (or only the
+            # first mapped) name would silently null-fill the rest.
             cur_struct = schema_to_struct({"fields": current_fields})
-            pairs = [
-                (f["name"], mapped["name"])
-                for f, mapped in zip(current_fields, schema["fields"])
-                if f["name"] != mapped["name"]
-            ]
+            current_names = {f["name"] for f in current_fields}
+            pairs = []  # (current name, [alias spellings to coalesce])
+            seen_alias: set[str] = set()
+            for f in current_fields:
+                fid = f.get("id", f.get("field-id"))
+                aliases = [
+                    n
+                    for n in map_names_by_id.get(fid, [])
+                    # an alias equal to ANY current column name already
+                    # reads as that column — adding it would duplicate a
+                    # struct field; cross-field collisions are invalid
+                    # mappings and are skipped rather than guessed at
+                    if n != f["name"]
+                    and n not in current_names
+                    and n not in seen_alias
+                ]
+                if aliases:
+                    seen_alias.update(aliases)
+                    pairs.append((f["name"], aliases))
             both = T.StructType(
                 list(cur_struct.fields)
                 + [
-                    T.StructField(old, cur_struct[cur].dataType, True)
-                    for cur, old in pairs
+                    T.StructField(a, cur_struct[cur].dataType, True)
+                    for cur, aliases in pairs
+                    for a in aliases
                 ]
             )
             gdf = tag(spark.read.schema(both).parquet(*paths))
-            for cur, old in pairs:
+            for cur, aliases in pairs:
                 gdf = gdf.withColumn(
-                    cur, F.coalesce(F.col(cur), F.col(old))
-                ).drop(old)
+                    cur,
+                    F.coalesce(F.col(cur), *[F.col(a) for a in aliases]),
+                ).drop(*aliases)
+            # v3 initial-default for mapped files: a field ABSENT from the
+            # name mapping predates the mapping (and therefore every file
+            # imported under it), so per the spec an unresolvable field
+            # reads its initial-default, not null.  Fields IN the mapping
+            # exist physically in imported files — their nulls are real
+            # data and stay null.  (Residual approximation: an
+            # expired-snapshot native file that carries the column with
+            # explicit nulls coalesces to the default; exactness would
+            # need per-file footer IO, rejected at 100k-file scale.)
+            for fld in current_fields:
+                fid = fld.get("id", fld.get("field-id"))
+                if (
+                    fid not in map_name_by_id
+                    and fld.get("initial-default") is not None
+                ):
+                    gdf = gdf.withColumn(
+                        fld["name"],
+                        F.coalesce(F.col(fld["name"]), _fill_value(fld)),
+                    )
+            # type promotion needs no post-read cast here: the group reads
+            # under the CURRENT (wide) struct, and Spark 4's parquet
+            # reader widens int32→long / float→double / decimal-scale
+            # matches natively (covered by
+            # test_name_mapping_read_promoted_type)
             parts.append(gdf)
             continue
         gstruct = schema_to_struct(schema)

@@ -2542,7 +2542,6 @@ def _dv_manifest_entries(
     merged into the new blob and the superseded DV entry is tombstoned
     in the same batch — a spec-conformant foreign reader that applies
     only the newest DV per file then sees every deleted position."""
-    from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.puffin import (
         dv_blob,
         dv_decode,
@@ -2550,18 +2549,42 @@ def _dv_manifest_entries(
         write_puffin,
     )
 
-    # live DVs by target data file (path-relocation is identity here:
-    # the writer operates on the table's own location)
+    # live DVs by target data file, planned from the WRITER's in-memory
+    # manifest chain — not IcebergTable(...).scan_all(), which resolves
+    # current-snapshot-id: while a WAP stage is pinned that is the PINNED
+    # snapshot, not the staged head this writer commits onto, so a DV
+    # committed earlier in the staged chain would be missed and a second
+    # live DV for the same data file committed (breaking the
+    # one-DV-per-file invariant for newest-DV-only readers).
+    # (path-relocation is identity here: the writer operates on the
+    # table's own location)
+    from daskberg_spark.iceberg.avro import read_avro_file
+
     live_dvs: dict[str, dict[str, Any]] = {}
-    if writer.snapshots:
-        _, deletes = IcebergTable(writer.path).scan_all()
-        for rec in deletes.values():
-            if (
-                rec.get("file_format", "").upper() == "PUFFIN"
+    deleted_dv_keys: set[tuple[str, Any]] = set()
+    candidates: list[tuple[int | None, dict[str, Any]]] = []
+    for mf in writer.manifests:
+        _, mf_entries = read_avro_file(mf["manifest_path"])
+        for e in mf_entries:
+            rec = e["data_file"]
+            if not (
+                (rec.get("file_format") or "").upper() == "PUFFIN"
                 and rec.get("content") == 1
                 and rec.get("referenced_data_file")
             ):
-                live_dvs[rec["referenced_data_file"]] = rec
+                continue
+            if e["status"] == 2:
+                deleted_dv_keys.add(
+                    (rec["file_path"], rec.get("content_offset"))
+                )
+            else:
+                candidates.append((_entry_seq(e, mf), rec))
+    for seq, rec in candidates:
+        if (rec["file_path"], rec.get("content_offset")) in deleted_dv_keys:
+            continue
+        live_dvs[rec["referenced_data_file"]] = dict(
+            rec, _sequence_number=seq
+        )
     superseded: list[dict[str, Any]] = []
     merged: list[tuple[str, bytes, int]] = []
     for target, blob, cardinality in dvs:
@@ -3143,6 +3166,16 @@ def remove_orphan_files(
                 continue  # metadata JSONs and the version hint always stay
             path = os.path.realpath(os.path.join(meta_dir, name))
             if path not in referenced_meta:
+                # same age guard as the data sweep: a concurrent writer
+                # writes manifests + manifest list BEFORE linking the
+                # metadata JSON, so a fresh unreferenced avro may be an
+                # in-flight commit's — deleting it would leave the winning
+                # metadata pointing at missing manifests
+                if (
+                    older_than_ms is not None
+                    and os.path.getmtime(path) * 1000 >= older_than_ms
+                ):
+                    continue
                 os.remove(path)
                 removed.append(path)
     return removed

@@ -98,10 +98,15 @@ def _snapshot_added_manifests(t, sid: int, by_adder: dict) -> list:
 
 
 class IcebergStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, declared_struct: Any = None) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("option 'path' (table location) is required")
+        # the schema Spark resolved for the stream (fixed at query start)
+        # — every emitted batch must conform to it, so it is the ONE
+        # alignment target for renames/projection/types/defaults
+        self._declared_struct = declared_struct
+        self._target_schema: dict | None = None
         self.skip_non_append = str(
             options.get("skip-non-append-snapshots", "false")
         ).lower() in ("true", "1")
@@ -118,6 +123,28 @@ class IcebergStreamReader(DataSourceStreamReader):
         from daskberg_spark.iceberg.metadata import IcebergTable
 
         return IcebergTable(self.path)
+
+    def _resolve_target_schema(self, t) -> dict:
+        """The Iceberg schema matching the stream's DECLARED struct —
+        resolved once and cached for the query's lifetime.  The declared
+        struct is fixed at query start, so a rename landing mid-stream
+        (or an older end snapshot under ``max-files-per-trigger``) must
+        still align every file to the DECLARED names by field id; using
+        the head/end snapshot's schema instead would emit batches whose
+        column names mismatch the schema the data-source worker
+        enforces."""
+        if self._target_schema is not None:
+            return self._target_schema
+        sch = t.schema
+        if self._declared_struct is not None:
+            declared = [f.name for f in self._declared_struct.fields]
+            if [f["name"] for f in sch["fields"]] != declared:
+                for s in t.metadata.get("schemas", []):
+                    if [f["name"] for f in s["fields"]] == declared:
+                        sch = s
+                        break
+        self._target_schema = sch
+        return sch
 
     def initialOffset(self) -> dict:
         if self.from_beginning:
@@ -179,6 +206,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         until ``remove_orphan_files``, so the only delivery hazard is
         running the orphan sweep ahead of a badly lagging stream."""
         t = self._table()
+        target_schema = self._resolve_target_schema(t)
         end_id = end["snapshot_id"]
         start_id = start.get("snapshot_id")
         if end_id == start_id:
@@ -218,18 +246,6 @@ class IcebergStreamReader(DataSourceStreamReader):
                 "set skip-non-append-snapshots=true to ignore their file "
                 "changes (rewritten files would re-emit delivered rows)"
             )
-        current_names = [f["name"] for f in t.schema["fields"]]
-        from daskberg_spark.iceberg.conversions import iceberg_to_arrow_type
-
-        arrow_types = {
-            f["name"]: iceberg_to_arrow_type(f["type"])
-            for f in t.schema["fields"]
-        }
-        defaults = {
-            f["name"]: f["initial-default"]
-            for f in t.schema["fields"]
-            if f.get("initial-default") is not None
-        }
         # LINEAR backfill planning: manifests are carried forward across
         # commits with their added_snapshot_id intact, so ONE read of the
         # END snapshot's manifest list yields every chain snapshot's
@@ -243,6 +259,24 @@ class IcebergStreamReader(DataSourceStreamReader):
         # cannot prove completeness for it.  Append-only histories stay
         # fully linear.
         by_adder = _added_manifests_by_snapshot(t, end_id)
+        # ONE schema governs the whole batch: the DECLARED one, resolved
+        # above BEFORE any open_snapshot — t.schema is stateful, and the
+        # own-list fallback below re-opens OLDER snapshots, so reading
+        # t.schema inside the loop would align later files against a
+        # stale schema (a rename then silently null-fills the renamed
+        # column for every row of those files).
+        current_names = [f["name"] for f in target_schema["fields"]]
+        from daskberg_spark.iceberg.conversions import iceberg_to_arrow_type
+
+        arrow_types = {
+            f["name"]: iceberg_to_arrow_type(f["type"])
+            for f in target_schema["fields"]
+        }
+        defaults = {
+            f["name"]: f["initial-default"]
+            for f in target_schema["fields"]
+            if f.get("initial-default") is not None
+        }
         rewritten_after: set[int] = set()
         seen_rewrite = False
         for s in reversed(chain):
@@ -260,7 +294,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             from daskberg_spark.iceberg.scan import schema_alignment
 
             renames, _drops, _missing = schema_alignment(
-                t.schema_for_snapshot(sid), t.schema
+                t.schema_for_snapshot(sid), target_schema
             )
             for mf in _snapshot_added_manifests(t, sid, by_adder):
                 for e in t._load_manifest(t._relocate(mf["manifest_path"])):
@@ -348,7 +382,7 @@ class IcebergStreamDataSource(DataSource):
         return schema_to_struct(IcebergTable(path).schema)
 
     def streamReader(self, schema) -> IcebergStreamReader:
-        return IcebergStreamReader(dict(self.options))
+        return IcebergStreamReader(dict(self.options), schema)
 
 
 def register(spark) -> None:

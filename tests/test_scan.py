@@ -1496,6 +1496,82 @@ def test_orphan_sweep_age_guard(spark, tmp_path):
     assert sorted(r["x"] for r in t.to_df(spark).collect()) == [1]
 
 
+def test_orphan_sweep_age_guard_metadata(spark, tmp_path):
+    """Regression (r8 advice): the include_metadata sweep must honor the
+    same older_than_ms age guard as the data sweep — a concurrent writer
+    writes manifests and the manifest list BEFORE linking the metadata
+    JSON, so deleting a fresh unreferenced avro can break an in-flight
+    commit."""
+    import os as _os
+    import time as _time
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        remove_orphan_files,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "x", "type": "long", "required": False}]
+    )
+    w.append([{"x": 1}])
+    old_avro = f"{p}/metadata/zz-old-orphan.avro"
+    fresh_avro = f"{p}/metadata/zz-inflight-commit.avro"
+    for f in (old_avro, fresh_avro):
+        with open(f, "wb") as fh:
+            fh.write(b"not really avro")
+    cutoff = int(_time.time() * 1000) + 60_000
+    _os.utime(old_avro, (0, 0))
+    removed = remove_orphan_files(
+        p, older_than_ms=cutoff - 120_000, include_metadata=True
+    )
+    assert old_avro in removed and fresh_avro not in removed
+    assert _os.path.exists(fresh_avro)
+    # without the guard the fresh avro is reclaimable as before
+    removed = remove_orphan_files(p, include_metadata=True)
+    assert fresh_avro in removed
+    t = IcebergTable(p)
+    assert sorted(r["x"] for r in t.to_df(spark).collect()) == [1]
+
+
+def test_dv_one_per_file_invariant_under_wap_pin(spark, tmp_path):
+    """Regression (r8 advice): live-DV discovery for the one-DV-per-file
+    invariant must plan from the WRITER's manifest chain, not the
+    metadata's current-snapshot-id — while a WAP stage pins main, the
+    latter is the PINNED snapshot, so a DV committed earlier in the
+    staged chain went unmerged and a second live DV for the same data
+    file was committed."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        stage_append,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(20)])  # published, one data file
+    stage_append(w, [{"id": 100}], "audit")  # pins main behind the stage
+    delete_where_dv_spark(w, spark, "id = 3")  # DV1, staged chain
+    delete_where_dv_spark(w, spark, "id = 5")  # must merge+tombstone DV1
+    t = IcebergTable(p)
+    # plain readers still see the pinned pre-stage table
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == list(range(20))
+    # at the staged head: exactly ONE live DV per data file, holding the
+    # union of both deletes (a newest-DV-only reader must see position 3)
+    t.open_snapshot(snapshot_id=w.snapshots[-1]["snapshot-id"])
+    live = t.plan_deletes()
+    per_file: dict[str, int] = {}
+    for d in live:
+        per_file[d["referenced_data_file"]] = (
+            per_file.get(d["referenced_data_file"], 0) + 1
+        )
+    assert per_file and max(per_file.values()) == 1, per_file
+    got = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert got == [i for i in range(20) if i not in (3, 5)] + [100]
+
+
 def test_expire_snapshots_older_than(spark, tmp_path):
     """Timestamp retention composes with keep_last as a conjunction
     (real expireSnapshots semantics): only snapshots both outside the
@@ -2818,6 +2894,127 @@ def test_name_mapping_read(spark, tmp_path):
     t = IcebergTable(p)
     rows = {r["id"]: r["value"] for r in t.to_df(spark).collect()}
     assert rows == {1: 1.5, 2: 2.5, 3: 3.5, 4: 4.5}
+
+
+def test_name_mapping_multi_alias_read(spark, tmp_path):
+    """Regression (r8): a name-mapping field's ``names`` LIST can carry
+    SEVERAL physical spellings (imports before and after a rename), none
+    of them the current name.  The mapped read must coalesce over every
+    alias — the names[0]-only read silently null-filled files written
+    under the later spellings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.fixtures import strip_schema_ids
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    ext1 = str(tmp_path / "ext1.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "val": [1.5]}), ext1
+    )
+    add_files(w, [ext1])  # physical spelling #1: val
+    w.rename_column("val", "wert")
+    ext2 = str(tmp_path / "ext2.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64()), "wert": [2.5]}), ext2
+    )
+    add_files(w, [ext2])  # physical spelling #2: wert
+    import json as _json
+
+    mapping = _json.loads(w.properties["schema.name-mapping.default"])
+    assert {e["field-id"]: e["names"] for e in mapping}[2] == ["val", "wert"]
+    w.rename_column("wert", "value")  # current name matches NO spelling
+    strip_schema_ids(p)
+    t = IcebergTable(p)
+    rows = {r["id"]: r["value"] for r in t.to_df(spark).collect()}
+    assert rows == {1: 1.5, 2: 2.5}  # names[0]-only read gives {2: None}
+
+
+def test_name_mapping_read_initial_default(spark, tmp_path):
+    """Regression (r8 advice): the mapped (unpinned-file) group must
+    apply v3 initial-defaults like every other group — a field ABSENT
+    from the mapping predates every imported file, so those files read
+    the default, not null; files that DO carry the column keep their
+    values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.fixtures import strip_schema_ids
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "val": [1.5]}), ext
+    )
+    add_files(w, [ext])
+    w.rename_column("val", "value")  # activates the mapped read path
+    w.add_column("score", "long", default=7)  # AFTER the mapping
+    w.append([{"id": 2, "value": 2.5, "score": 9}])
+    strip_schema_ids(p)
+    t = IcebergTable(p)
+    rows = {r["id"]: (r["value"], r["score"]) for r in t.to_df(spark).collect()}
+    # the imported file predates 'score' → initial-default 7, not null;
+    # the post-add file keeps its written value through the same group
+    assert rows == {1: (1.5, 7), 2: (2.5, 9)}
+
+
+def test_name_mapping_read_promoted_type(spark, tmp_path):
+    """Regression (r8 advice): mapped-group files written under a
+    narrower promoted type (int32 before int→long) must read under the
+    wide current type — Spark 4's parquet reader widens natively, and the
+    group must not error or truncate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.fixtures import strip_schema_ids
+    from daskberg_spark.iceberg.writer import IcebergWriter, add_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "int", "required": False},
+            {"id": 2, "name": "v", "type": "float", "required": False},
+        ],
+    )
+    ext = str(tmp_path / "ext.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int32()),
+                "v": pa.array([1.5, 2.5], pa.float32()),
+            }
+        ),
+        ext,
+    )
+    add_files(w, [ext])
+    w.rename_column("k", "key")  # activates the mapped read path
+    w.update_column_type("key", "long")
+    w.update_column_type("v", "double")
+    big = 2**40
+    w.append([{"key": big, "v": 1e300}])
+    strip_schema_ids(p)
+    t = IcebergTable(p)
+    df = t.to_df(spark)
+    assert dict(df.dtypes) == {"key": "bigint", "v": "double"}
+    rows = {r["key"]: r["v"] for r in df.collect()}
+    assert rows[big] == 1e300 and abs(rows[1] - 1.5) < 1e-6 and 2 in rows
 
 
 def test_rollback_to_snapshot(spark, tmp_path):

@@ -533,3 +533,97 @@ def test_streaming_iceberg_source_rate_limit(spark, tmp_path):
         assert max(pr["numInputRows"] for pr in batches) <= 6  # 2 files x 3
     finally:
         q.stop()
+
+
+def test_streaming_iceberg_source_rename_after_skipped_rewrite(spark, tmp_path):
+    """Regression (r8 advice, high): with skip-non-append-snapshots=true,
+    an append committed AFTER a non-append snapshot plus a column rename
+    streamed the renamed column as nulls — the per-snapshot own-list
+    fallback re-opened an OLDER snapshot, mutating the stateful t.schema,
+    so later files aligned their renames against the stale schema.  The
+    fix aligns every file to the DECLARED schema, captured once."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_spark,
+    )
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "x", "type": "long", "required": False}]
+    )
+    w.append([{"x": 1}])
+    delete_where_spark(w, spark, "x = 1")  # non-append inside the range
+    w.rename_column("x", "y")
+    w.append([{"y": 2}])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("skip-non-append-snapshots", "true")
+        .load()
+    )
+    assert stream.schema.simpleString() == "struct<y:bigint>"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_rename_skip")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r["y"] for r in spark.table("ice_rename_skip").collect())
+        # file-level semantics: the delete's file changes are skipped;
+        # BOTH appended rows stream under the declared (renamed) column —
+        # the stale-schema bug null-filled the post-rename file's rows
+        assert got == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_streaming_iceberg_source_rate_limit_spanning_rename(spark, tmp_path):
+    """Regression (r8 advice, medium): under max-files-per-trigger the
+    end snapshot lags head; with a rename between them, projection
+    columns came from the HEAD schema while renames targeted the END
+    schema, null-filling the column for the lagging micro-batches.  All
+    alignment now derives from the one DECLARED schema."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "x", "type": "long", "required": False}]
+    )
+    w.append([{"x": 1}])
+    w.append([{"x": 2}])
+    w.rename_column("x", "y")
+    w.append([{"y": 3}])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("max-files-per-trigger", "1")
+        .load()
+    )
+    assert stream.schema.simpleString() == "struct<y:bigint>"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_rate_rename")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("ice_rate_rename").collect()
+        # pre-rename files (delivered in rate-limited micro-batches whose
+        # END precedes the rename) must carry their values under the
+        # declared name, not nulls
+        assert sorted(r["y"] for r in rows) == [1, 2, 3]
+        batches = [
+            pr
+            for pr in q.recentProgress
+            if pr["numInputRows"] > 0
+        ]
+        assert len(batches) >= 3  # 3 files under a 1-file budget
+    finally:
+        q.stop()
