@@ -820,11 +820,93 @@ def diff_df(
 IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]
 
 
+def _changelog_plan(
+    table: IcebergTable, from_rel: int, filters: Any
+) -> tuple[list[dict], list[dict], dict, dict]:
+    """Metadata-delta planning for ``changelog_rows_df``: the data files
+    each side must READ — never the whole table.  Returns
+    ``(head_subset, base_subset, head_schema, base_schema)`` with the
+    table restored to the caller's snapshot.
+
+    Changed-file derivation (pure metadata except one delta-sized read):
+    files live only at head are inserts wholesale; files live only at
+    base are deletes wholesale; a SHARED file can contribute rows only
+    if its delete state changed — i.e. some delete entry (keyed by
+    (path, blob offset), like snapshot reconciliation) was added or
+    removed in the window AND targets it.  DV targets come from manifest
+    metadata (``referenced_data_file``); position-delete parquet names
+    its targets in its ``file_path`` column (delta-sized driver read);
+    an equality delete applies by VALUE, so any in-window equality
+    delete conservatively marks every shared file changed."""
+    current = table.current_snapshot
+    head_schema = table.schema
+    head_files = {f["file_path"]: f for f in table.plan_files(filters)}
+    head_dels = {
+        (d["file_path"], d.get("content_offset")): d
+        for d in table.plan_deletes()
+    }
+    base_snap = current
+    for _ in range(-from_rel):
+        parent = base_snap.get("parent-snapshot-id")
+        if parent is None or parent not in table.snapshots:
+            raise ValueError("walked past the first snapshot")
+        base_snap = table.snapshots[parent]
+    table.open_snapshot(snapshot_id=base_snap["snapshot-id"])
+    base_schema = table.schema
+    base_files = {f["file_path"]: f for f in table.plan_files(filters)}
+    base_dels = {
+        (d["file_path"], d.get("content_offset")): d
+        for d in table.plan_deletes()
+    }
+    table.open_snapshot(snapshot_id=current["snapshot-id"])
+
+    shared = {
+        _norm_scan_path(p): p for p in set(head_files) & set(base_files)
+    }
+    delta_dels = [
+        head_dels[k] for k in head_dels.keys() - base_dels.keys()
+    ] + [base_dels[k] for k in base_dels.keys() - head_dels.keys()]
+    changed_norm: set[str] = set()
+    for d in delta_dels:
+        if not shared or changed_norm == set(shared):
+            break
+        if d.get("content") == 2:
+            changed_norm = set(shared)
+            break
+        if d.get("referenced_data_file"):
+            changed_norm.add(_norm_scan_path(d["referenced_data_file"]))
+        else:
+            import pyarrow.parquet as _pq
+
+            for raw in (
+                _pq.read_table(d["file_path"], columns=["file_path"])
+                .column("file_path")
+                .unique()
+                .to_pylist()
+            ):
+                changed_norm.add(
+                    _norm_scan_path(table._relocate(str(raw)))
+                )
+    changed = {shared[n] for n in changed_norm & set(shared)}
+    head_subset = [
+        f
+        for p, f in sorted(head_files.items())
+        if p not in base_files or p in changed
+    ]
+    base_subset = [
+        f
+        for p, f in sorted(base_files.items())
+        if p not in head_files or p in changed
+    ]
+    return head_subset, base_subset, head_schema, base_schema
+
+
 def changelog_rows_df(
     table: IcebergTable,
     spark: SparkSession,
     from_rel: int = -1,
     filters: Any = None,
+    net_changes: bool = False,
 ) -> DataFrame:
     """ROW-level changelog between a base snapshot and the head — the
     granularity ``diff_df(changelog=True)`` (file-level) cannot see:
@@ -832,17 +914,26 @@ def changelog_rows_df(
     vectors) change no data files, so a file diff reports nothing while
     rows actually disappeared.
 
-    Both snapshot states read through the full delete-aware scan with
-    (file, position) row identity, and the change set is the identity
-    anti-join each way: rows live at head but not at base →
-    ``_change_type='insert'``; live at base but not at head →
-    ``'delete'``.  Sequence-correct delete semantics come for free from
-    the underlying reads, so this is exact for every delete flavor this
-    engine writes.  File rewrites (compaction) re-key row identity and
-    surface as delete+insert pairs, as in real Iceberg's changelog with
-    its net-changes option off.  Shuffle cost is one sort-merge
-    anti-join per side on (file, pos) — row-proportional, which is the
-    price of row-level CDC.
+    Planning is METADATA-DELTA-DRIVEN (``_changelog_plan``): only files
+    added, removed, or with changed delete state in the window are read —
+    an adjacent-snapshot changelog on a 100 TB table scans the commit's
+    delta, not the table twice.  Within that subset each side reads
+    through the full delete-aware scan with (file, position) row
+    identity, and the change set is the identity anti-join each way:
+    rows live at head but not at base → ``_change_type='insert'``; live
+    at base but not at head → ``'delete'``.  Unchanged (file,
+    delete-state) pairs cannot contribute: their (file, pos) sets are
+    identical on both sides, so skipping them equals the full anti-join.
+    Sequence-correct delete semantics come from the underlying reads, so
+    this is exact for every delete flavor this engine writes.
+
+    File rewrites (compaction) re-key row identity and surface as
+    delete+insert pairs, as in real Iceberg's changelog with net-changes
+    off.  ``net_changes=True`` applies Iceberg's carry-over elimination
+    ON CONTENT: delete/insert pairs with identical row values cancel
+    multiset-style (a row deleted and re-inserted inside the window —
+    including compaction churn — nets out; requires group-able column
+    types, i.e. no map columns).
 
     Schema evolution inside the window is handled by FIELD-ID alignment:
     the base snapshot reads under its pinned schema, then its columns
@@ -855,17 +946,29 @@ def changelog_rows_df(
             f"got {from_rel}"
         )
     current = table.current_snapshot
-    head = to_df(table, spark, filters=filters, keep_pos=True)
-    head_schema = table.schema
+    head_subset, base_subset, head_schema, base_schema = _changelog_plan(
+        table, from_rel, filters
+    )
+    residual = filters_to_column(filters)
+
+    def read_side(files: list[dict], struct) -> DataFrame:
+        if not files:
+            df = spark.createDataFrame([], struct)
+            df = df.withColumn("__file", F.lit(None).cast("string"))
+            return df.withColumn("__pos", F.lit(None).cast("bigint"))
+        df = _read_with_deletes(
+            table, spark, files, struct, keep_file=True, keep_pos=True
+        )
+        return df.filter(residual) if residual is not None else df
+
+    head = read_side(head_subset, schema_to_struct(head_schema))
+    # the base side must PLAN under the base snapshot (its delete set),
+    # so re-open it for DataFrame construction, then restore
     base_snap = current
     for _ in range(-from_rel):
-        parent = base_snap.get("parent-snapshot-id")
-        if parent is None or parent not in table.snapshots:
-            raise ValueError("walked past the first snapshot")
-        base_snap = table.snapshots[parent]
+        base_snap = table.snapshots[base_snap["parent-snapshot-id"]]
     table.open_snapshot(snapshot_id=base_snap["snapshot-id"])
-    base = to_df(table, spark, filters=filters, keep_pos=True)
-    base_schema = table.schema
+    base = read_side(base_subset, schema_to_struct(base_schema))
     table.open_snapshot(snapshot_id=current["snapshot-id"])
     # align the base side to the head schema by field id
     renames, drops, missing = schema_alignment(base_schema, head_schema)
@@ -887,7 +990,30 @@ def changelog_rows_df(
     deletes = base.join(head.select(*key), key, "left_anti").withColumn(
         "_change_type", F.lit("delete")
     )
-    return inserts.unionByName(deletes).drop(*key)
+    out = inserts.unionByName(deletes).drop(*key)
+    if not net_changes:
+        return out
+    data_cols = [f["name"] for f in head_schema["fields"]]
+    net = out.groupBy(*data_cols).agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("__net")
+    )
+    return (
+        net.filter(F.col("__net") != 0)
+        .withColumn(
+            "_change_type",
+            F.when(F.col("__net") > 0, F.lit("insert")).otherwise(
+                F.lit("delete")
+            ),
+        )
+        # |net| copies restore multiset semantics (two identical rows
+        # deleted net to two 'delete' rows, as in real Iceberg)
+        .withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__net"))))
+        )
+        .select(*data_cols, "_change_type")
+    )
 
 
 IcebergTable.changelog_rows_df = changelog_rows_df  # type: ignore[attr-defined]

@@ -1108,6 +1108,57 @@ def iceberg_changelog_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_changelog_net",
+    """
+    SELECT 'delete' AS _change_type, o_orderkey
+    FROM orders WHERE o_orderkey % 23 = 0 AND o_orderkey % 69 = 0
+                  AND o_orderkey % 46 <> 0
+    UNION ALL
+    SELECT 'insert', -11
+    """,
+)
+def iceberg_changelog_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``changelog_rows_df(net_changes=True)`` — Iceberg's carry-over
+    elimination over a 3-commit window: a DV delete hits the %69 rows,
+    the %46 subset of them is RE-INSERTED in the next commit (so those
+    net out), and a fresh row (-11) is appended.  The oracle is the net
+    effect computed relationally: deletes = %69 minus the re-inserted
+    %46, inserts = only the genuinely new row."""
+    import tempfile
+
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        delete_where_dv_spark,
+    )
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 23 = 0")
+        .select("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_changelog_net_")
+    writer = IcebergWriter(
+        path, [{"id": 1, "name": "o_orderkey", "type": "long", "required": False}]
+    )
+    stage = f"{path}/data-0"
+    src.write.mode("overwrite").parquet(stage)
+    commit_spark_output(writer, stage)
+    delete_where_dv_spark(writer, spark, "o_orderkey % 69 = 0")
+    reinsert = [
+        {"o_orderkey": r["o_orderkey"]}
+        for r in src.filter("o_orderkey % 46 = 0 AND o_orderkey % 69 = 0")
+        .collect()
+    ]
+    writer.append(reinsert + [{"o_orderkey": -11}])
+    t = IcebergTable(path)
+    return changelog_rows_df(t, spark, from_rel=-2, net_changes=True).select(
+        "_change_type", "o_orderkey"
+    )
+
+
+@query(
     "iceberg_update_mor",
     """
     WITH src AS (

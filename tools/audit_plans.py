@@ -132,6 +132,13 @@ AUDIT = {
     # count-min heavy hitters: sketch agg (DEPTH·WIDTH groups) + exact
     # top-K term agg + broadcast probe join + output sort
     "approx_topk_countmin": (4, False, True, 1),
+    # round 8: metadata-delta changelog — each side scans ONLY the
+    # window's delta files (pruning witnessed by
+    # test_changelog_rows_metadata_delta_pruning via inputFiles);
+    # (file,pos) identity anti-joins broadcast at fixture scale.  The
+    # net variant adds the carry-over groupBy (one more exchange).
+    "iceberg_changelog_rows": (4, False, True, None),
+    "iceberg_changelog_net": (5, False, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
