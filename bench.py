@@ -254,6 +254,15 @@ def main() -> None:
         shared = [n for n in timings if n in control["queries"]]
         ctrl_total = sum(control["queries"][n] for n in shared)
         cur_total = sum(timings[n] for n in shared)
+        # per-query control timings + current/control ratios (r7 verdict
+        # item 2): totals alone could not LOCALIZE a same-session drift —
+        # with these in the artifact, any suite-wide regression names its
+        # queries instead of hiding in the sum
+        ratios = {
+            n: round(timings[n] / control["queries"][n], 4)
+            for n in shared
+            if control["queries"][n]
+        }
         doc.update(
             {
                 "control_commit": control["commit"][:12],
@@ -263,6 +272,8 @@ def main() -> None:
                 "bench_vs_control_ratio": (
                     round(cur_total / ctrl_total, 4) if ctrl_total else None
                 ),
+                "control_queries": control["queries"],
+                "control_ratios": ratios,
             }
         )
         print(
@@ -274,6 +285,15 @@ def main() -> None:
             else "-- control produced no shared timings --",
             file=sys.stderr,
         )
+        hot = {n: r for n, r in ratios.items() if r >= 1.15}
+        if hot:
+            print("-- control ratios >= 1.15x --", file=sys.stderr)
+            for n, r in sorted(hot.items(), key=lambda kv: -kv[1]):
+                print(
+                    f"  {n:35s} {control['queries'][n]:7.3f}s -> "
+                    f"{timings[n]:7.3f}s  ({r:.2f}x)",
+                    file=sys.stderr,
+                )
     print(json.dumps(doc))
 
 
