@@ -193,6 +193,13 @@ def _load_registry():
 #           sample_deterministic, zorder_cluster_stats,
 #           quality_unigram_meanprob, dedup_chunks_exact,
 #           embedding_dim_stats, pii_redaction_stats, frequent_ngrams
+#   r8 second swap: iceberg_time_travel + similarity_topk (both
+#           driver-green r1-r7, 7 consecutive rounds; A10 keeps local +
+#           snapshot-walking coverage via the changelog queries, C3
+#           keeps embedding_dim_stats in-window) step out for the two
+#           NEW r8 row-lineage queries: iceberg_row_lineage (identity
+#           through compact + MOR update) and iceberg_changelog_pairs
+#           (identity='row' changelog: update pairs, zero rewrite churn)
 _PRIORITY = [
     # flagship + TPC-H (B4 at scale; tail seated r6-r7, five long-green
     # shapes rotated out in r8)
@@ -208,7 +215,6 @@ _PRIORITY = [
     "q22_global_sales_opportunity",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
-    "iceberg_time_travel",
     "iceberg_partition_prune",
     "iceberg_schema_evolution",
     "iceberg_lineitem_stats_prune",
@@ -225,12 +231,13 @@ _PRIORITY = [
     "iceberg_default_backfill",
     "iceberg_changelog_rows",
     "iceberg_changelog_net",
+    "iceberg_row_lineage",
+    "iceberg_changelog_pairs",
     "streaming_iceberg_source",
     # Tier C — dedup (C1/C2)
     "dedup_minhash_candidates",
     "dedup_chunks_exact",
     # Tier C — similarity (C3)
-    "similarity_topk",
     "embedding_dim_stats",
     # Tier C — text/curation (C4)
     "domain_cap_sample",

@@ -69,6 +69,9 @@ def filters_to_column(filters: Any) -> Column | None:
     return conj(filters)
 
 
+LINEAGE_COLS = ["_row_id", "_last_updated_sequence_number"]
+
+
 def to_df(
     table: IcebergTable,
     spark: SparkSession,
@@ -76,6 +79,7 @@ def to_df(
     columns: list[str] | None = None,
     keep_file: bool = False,
     keep_pos: bool = False,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Materialize the table's current snapshot as a (lazy) DataFrame.
 
@@ -85,9 +89,26 @@ def to_df(
     ``keep_pos=True`` (implies file tagging) additionally retains the
     row's ordinal ``__pos`` within its file — the identity a
     position-delete writer needs.
+
+    ``row_lineage=True`` adds the v3 row-lineage columns ``_row_id`` and
+    ``_last_updated_sequence_number``: a file MATERIALIZING them (rewrites
+    and MOR replacement files do) supplies the stored values, and null /
+    absent values inherit ``first_row_id + position`` and the file's data
+    sequence number, per the v3 spec.  Files committed before lineage was
+    enabled (no ``first_row_id``) read NULL — identity was never assigned.
+    Delta vs spec: manifest-level first_row_id inheritance is not
+    consumed; this engine writes explicit per-entry values.
     """
+    want_file, want_pos = keep_file or keep_pos, keep_pos
+    keep_pos = keep_pos or row_lineage
     keep_file = keep_file or keep_pos
     struct = schema_to_struct(table.schema)
+    extra_fields = None
+    if row_lineage:
+        extra_fields = [
+            T.StructField(c, T.LongType(), True) for c in LINEAGE_COLS
+        ]
+        struct = T.StructType(list(struct.fields) + extra_fields)
     files = table.plan_files(filters)
     if not files:
         df = spark.createDataFrame([], struct)
@@ -96,12 +117,58 @@ def to_df(
         if keep_pos:
             df = df.withColumn("__pos", F.lit(None).cast("bigint"))
     else:
-        df = _read_with_deletes(table, spark, files, struct, keep_file, keep_pos)
+        df = _read_with_deletes(
+            table,
+            spark,
+            files,
+            struct,
+            keep_file,
+            keep_pos,
+            extra_cols=LINEAGE_COLS if row_lineage else None,
+        )
+    if row_lineage:
+        df = _attach_path_value(
+            df,
+            spark,
+            "__file",
+            "__frid",
+            [(f["file_path"], f.get("first_row_id")) for f in files],
+        )
+        df = _attach_path_value(
+            df,
+            spark,
+            "__file",
+            "__fseq",
+            [(f["file_path"], f.get("_sequence_number")) for f in files],
+        )
+        df = (
+            df.withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("__frid") + F.col("__pos")
+                ),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"), F.col("__fseq")
+                ),
+            )
+            .drop("__frid", "__fseq")
+        )
+        if not want_pos:
+            df = df.drop("__pos")
+        if not want_file:
+            df = df.drop("__file")
     residual = filters_to_column(filters)
     if residual is not None:
         df = df.filter(residual)
     if columns:
-        extra = (["__file"] if keep_file else []) + (["__pos"] if keep_pos else [])
+        extra = (["__file"] if want_file else []) + (
+            ["__pos"] if want_pos else []
+        )
+        if row_lineage:
+            extra += LINEAGE_COLS
         df = df.select(*columns + extra)
     return df
 
@@ -113,6 +180,7 @@ def _read_with_deletes(
     struct,
     keep_file: bool = False,
     keep_pos: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Read data files and apply v2 delete files with sequence-correct
     applicability.
@@ -165,7 +233,9 @@ def _read_with_deletes(
     )
 
     if not eq_deletes:
-        df = _read_file_groups(table, spark, files, struct, tag_position)
+        df = _read_file_groups(
+            table, spark, files, struct, tag_position, extra_cols=extra_cols
+        )
     else:
         # ONE tagged scan anti-joined against delete keys carrying their
         # sequence numbers — plan size stays FLAT in #delete-commits.
@@ -181,7 +251,9 @@ def _read_with_deletes(
         # ⟺ the newest matching delete is newer).  One anti-join per
         # distinct equality key-column set (bounded by the schema, not
         # by commit count) applies `key-equal AND delete_seq > file_seq`.
-        df = _read_file_groups(table, spark, files, struct, True)
+        df = _read_file_groups(
+            table, spark, files, struct, True, extra_cols=extra_cols
+        )
         df = _attach_path_value(
             df, spark, "__file", "__seq", [(f["file_path"], okey(f)) for f in files]
         )
@@ -503,6 +575,7 @@ def _read_file_groups(
     files: list[dict[str, Any]],
     struct,
     tag_position: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Read data files grouped by the schema they were written under,
     resolving columns by **field id** (SURVEY §1.4): a renamed column's
@@ -601,6 +674,13 @@ def _read_file_groups(
         sid, schema = schema_key(f)
         groups.setdefault(sid, (schema, []))[1].append(f["file_path"])
 
+    # extra (non-schema) columns — e.g. materialized v3 lineage columns —
+    # read as nullable longs in every group so files lacking them
+    # null-fill; the caller resolves inheritance afterwards
+    extra_struct = [
+        T.StructField(c, T.LongType(), True) for c in (extra_cols or [])
+    ]
+
     current_sid = table.schema.get("schema-id", 0)
     if set(groups) <= {current_sid}:
         return tag(
@@ -651,6 +731,7 @@ def _read_file_groups(
                     for cur, aliases in pairs
                     for a in aliases
                 ]
+                + extra_struct
             )
             gdf = tag(spark.read.schema(both).parquet(*paths))
             for cur, aliases in pairs:
@@ -684,7 +765,9 @@ def _read_file_groups(
             # test_name_mapping_read_promoted_type)
             parts.append(gdf)
             continue
-        gstruct = schema_to_struct(schema)
+        gstruct = T.StructType(
+            list(schema_to_struct(schema).fields) + extra_struct
+        )
         gdf = tag(spark.read.schema(gstruct).parquet(*paths))
         renames = {}
         group_ids = {
@@ -740,7 +823,7 @@ def _read_file_groups(
     for fld in current_fields:
         if fld["name"] not in out.columns:
             out = out.withColumn(fld["name"], _fill_value(fld))
-    keep = [f["name"] for f in current_fields]
+    keep = [f["name"] for f in current_fields] + list(extra_cols or [])
     if tag_position:
         keep += ["__file", "__pos"]
     return out.select(*keep)
@@ -907,6 +990,7 @@ def changelog_rows_df(
     from_rel: int = -1,
     filters: Any = None,
     net_changes: bool = False,
+    identity: str = "position",
 ) -> DataFrame:
     """ROW-level changelog between a base snapshot and the head — the
     granularity ``diff_df(changelog=True)`` (file-level) cannot see:
@@ -939,26 +1023,71 @@ def changelog_rows_df(
     the base snapshot reads under its pinned schema, then its columns
     rename to the head's names, since-dropped columns project away, and
     since-added columns fill with their v3 initial-default (or null) —
-    so both change sides surface under the CURRENT schema."""
+    so both change sides surface under the CURRENT schema.
+
+    ``identity='row'`` keys the diff on the v3 row-lineage ``_row_id``
+    instead of (file, pos): a MOR UPDATE then surfaces as an
+    ``update_before``/``update_after`` PAIR (same ``_row_id``, changed
+    values), and compaction churn (same ``_row_id``, same values under a
+    new (file, pos)) vanishes without the content-grouping pass.  Rows
+    with NULL ``_row_id`` (files committed before lineage) fall back to
+    presence-based insert/delete.  Requires the window's files to carry
+    lineage; mutually exclusive with ``net_changes``."""
     if from_rel >= 0:
         raise ValueError(
             f"from_rel must be negative (snapshots back from head); "
             f"got {from_rel}"
+        )
+    if identity not in ("position", "row"):
+        raise ValueError(f"identity must be 'position' or 'row', got {identity!r}")
+    if identity == "row" and net_changes:
+        raise ValueError(
+            "net_changes applies to identity='position' only — row "
+            "identity already nets carry-overs and emits update pairs"
         )
     current = table.current_snapshot
     head_subset, base_subset, head_schema, base_schema = _changelog_plan(
         table, from_rel, filters
     )
     residual = filters_to_column(filters)
+    lineage = identity == "row"
 
     def read_side(files: list[dict], struct) -> DataFrame:
+        if lineage:
+            struct = T.StructType(
+                list(struct.fields)
+                + [T.StructField(c, T.LongType(), True) for c in LINEAGE_COLS]
+            )
         if not files:
             df = spark.createDataFrame([], struct)
             df = df.withColumn("__file", F.lit(None).cast("string"))
             return df.withColumn("__pos", F.lit(None).cast("bigint"))
         df = _read_with_deletes(
-            table, spark, files, struct, keep_file=True, keep_pos=True
+            table,
+            spark,
+            files,
+            struct,
+            keep_file=True,
+            keep_pos=True,
+            extra_cols=LINEAGE_COLS if lineage else None,
         )
+        if lineage:
+            df = _attach_path_value(
+                df,
+                spark,
+                "__file",
+                "__frid",
+                [(f["file_path"], f.get("first_row_id")) for f in files],
+            )
+            df = (
+                df.withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"), F.col("__frid") + F.col("__pos")
+                    ),
+                )
+                .drop("__frid", "_last_updated_sequence_number")
+            )
         return df.filter(residual) if residual is not None else df
 
     head = read_side(head_subset, schema_to_struct(head_schema))
@@ -983,6 +1112,37 @@ def changelog_rows_df(
                 schema_to_struct({"fields": [f]})[0].dataType
             ),
         )
+    data_cols = [f["name"] for f in head_schema["fields"]]
+    if identity == "row":
+        # full-outer on _row_id over the DELTA subsets: matched rows with
+        # identical content are compaction carry-overs (drop); changed
+        # content is an update pair; unmatched (incl. NULL-lineage rows,
+        # which never join) fall back to presence-based insert/delete
+        h = head.drop("__file", "__pos").withColumn("__h1", F.lit(1)).alias("h")
+        b = base.drop("__file", "__pos").withColumn("__b1", F.lit(1)).alias("b")
+        j = h.join(b, h["_row_id"] == b["_row_id"], "full_outer")
+        same = None
+        for c in data_cols:
+            eq = h[c].eqNullSafe(b[c])
+            same = eq if same is None else (same & eq)
+
+        def side(df_j, frame, tag):
+            return df_j.select(
+                *[frame[c].alias(c) for c in data_cols],
+                frame["_row_id"].alias("_row_id"),
+                F.lit(tag).alias("_change_type"),
+            )
+
+        inserts = side(j.filter(b["__b1"].isNull()), h, "insert")
+        deletes = side(j.filter(h["__h1"].isNull()), b, "delete")
+        changed = j.filter(
+            h["__h1"].isNotNull() & b["__b1"].isNotNull() & ~same
+        )
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(side(changed, b, "update_before"))
+            .unionByName(side(changed, h, "update_after"))
+        )
     key = ["__file", "__pos"]
     inserts = head.join(base.select(*key), key, "left_anti").withColumn(
         "_change_type", F.lit("insert")
@@ -993,7 +1153,6 @@ def changelog_rows_df(
     out = inserts.unionByName(deletes).drop(*key)
     if not net_changes:
         return out
-    data_cols = [f["name"] for f in head_schema["fields"]]
     net = out.groupBy(*data_cols).agg(
         F.sum(
             F.when(F.col("_change_type") == "insert", 1).otherwise(-1)

@@ -164,6 +164,12 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
                         {"name": "referenced_data_file", "type": ["null", "string"], "default": None, "field-id": 143},
                         {"name": "content_offset", "type": ["null", "long"], "default": None, "field-id": 144},
                         {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None, "field-id": 145},
+                        # v3 row lineage (spec field id 142): the _row_id
+                        # assigned to the file's first row; rows inherit
+                        # first_row_id + position unless the file
+                        # materializes an explicit _row_id column (rewrites
+                        # do, to keep identity stable across compaction)
+                        {"name": "first_row_id", "type": ["null", "long"], "default": None, "field-id": 142},
                     ],
                 },
             },
@@ -312,6 +318,10 @@ class IcebergWriter:
         # order, so the snapshot-log can be truncated to the head's
         # lineage the way reference Iceberg does.
         self.head_id: int | None = None
+        # v3 row lineage: the next _row_id to assign; every ADDED data
+        # file claims a [_next_row_id, +record_count) block at manifest
+        # write time (explicit per-entry first_row_id)
+        self._next_row_id = 0
         self._file_counter = 0
         self._manifest_counter = 0
         # Per-writer-instance token baked into every generated file name:
@@ -394,6 +404,7 @@ class IcebergWriter:
             ),
         )
         w._format_version = meta.get("format-version", 1)
+        w._next_row_id = meta.get("next-row-id", 0)
         w.statistics = list(meta.get("statistics", []))
         w.partition_statistics = list(meta.get("partition-statistics", []))
         w.table_uuid = meta.get(
@@ -555,6 +566,16 @@ class IcebergWriter:
                     type=_pa_type(f["type"]),
                 )
             )
+        # v3 lineage: rewritten rows carry explicit _row_id /
+        # _last_updated_sequence_number keys — materialize them so
+        # identity survives the rewrite (readers prefer materialized
+        # values over first_row_id inheritance)
+        for extra in LINEAGE_COLS:
+            if any(extra in r for r in rows):
+                names.append(extra)
+                arrays.append(
+                    pa.array([r.get(extra) for r in rows], type=pa.int64())
+                )
         pq.write_table(pa.table(dict(zip(names, arrays))), path)
         return path, os.path.getsize(path)
 
@@ -1167,6 +1188,19 @@ class IcebergWriter:
         if spec_id is None:
             spec_id = self.current_spec_id
         spec = self.specs[spec_id]
+        # v3 row lineage: every ADDED data file claims the next
+        # [_next_row_id, +record_count) id block.  EXISTING/DELETED
+        # entries (and entries re-serialized from loaded manifests) keep
+        # whatever they already carry; delete files never get one.
+        for e in entries:
+            rec = e["data_file"]
+            if (
+                e["status"] == 1
+                and rec.get("content", 0) == 0
+                and rec.get("first_row_id") is None
+            ):
+                rec["first_row_id"] = self._next_row_id
+                self._next_row_id += int(rec.get("record_count") or 0)
         self._manifest_counter += 1
         name = f"manifest-{snapshot_id}-{self._manifest_counter:04d}-{self._instance}.avro"
         path = f"{self.path}/metadata/{name}"
@@ -1325,6 +1359,9 @@ class IcebergWriter:
             "table-uuid": self.table_uuid,
             "location": self.path,
             "last-sequence-number": self._last_sequence_number,
+            # v3 row lineage: next _row_id to allocate (readers on lower
+            # format versions ignore unknown keys per spec)
+            "next-row-id": self._next_row_id,
             # the internal WAP marker lets load() distinguish a staging
             # pin from a rollback repoint (both park current-snapshot-id
             # behind the newest commit); foreign readers ignore unknown
@@ -2491,73 +2528,31 @@ def delete_where_dv_spark(
     ``delete_where_spark``; returns the snapshot id or None when
     nothing matches."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
-    from pyspark.sql import functions as F
     from daskberg_spark.iceberg.metadata import IcebergTable
-    from daskberg_spark.iceberg.puffin import dv_blob
 
     t = IcebergTable(writer.path)
     tagged = t.to_df(spark, keep_pos=True)
     hits = tagged.filter(predicate).select("__file", "__pos")
-
-    def make_dv(key, pdf):
-        import pandas as pd
-
-        positions = sorted(set(int(p) for p in pdf["__pos"]))
-        return pd.DataFrame(
-            {
-                "file": [key[0]],
-                "blob": [dv_blob(positions)],
-                "cardinality": [len(positions)],
-            }
-        )
-
-    rows = (
-        hits.groupBy("__file")
-        .applyInPandas(make_dv, "file string, blob binary, cardinality long")
-        .collect()
-    )
-    if not rows:
+    snapshot_id = writer._next_snapshot_id
+    entries = _dv_manifest_entries_spark(writer, spark, hits, snapshot_id)
+    if not entries:
         return None
-    return _commit_dv_snapshot(
-        writer,
-        [
-            (r["file"], bytes(r["blob"]), int(r["cardinality"]))
-            for r in sorted(rows, key=lambda r: r["file"])
-        ],
-    )
+    manifest = writer._write_manifest(entries, snapshot_id)
+    writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    return snapshot_id
 
 
-def _dv_manifest_entries(
-    writer: "IcebergWriter",
-    dvs: list[tuple[str, bytes, int]],
-    snapshot_id: int,
-) -> list[dict[str, Any]]:
-    """Pack finished ``(target, blob bytes, cardinality)`` deletion
-    vectors into ONE puffin file and return the manifest entries for a
-    committing snapshot — shared by the DV DELETE writers and the
-    merge-on-read MERGE.
-
-    Maintains the v3 invariant of AT MOST ONE deletion vector per data
-    file: when a target already carries a live DV, its positions are
-    merged into the new blob and the superseded DV entry is tombstoned
-    in the same batch — a spec-conformant foreign reader that applies
-    only the newest DV per file then sees every deleted position."""
-    from daskberg_spark.iceberg.puffin import (
-        dv_blob,
-        dv_decode,
-        dv_decode_file,
-        write_puffin,
-    )
-
-    # live DVs by target data file, planned from the WRITER's in-memory
-    # manifest chain — not IcebergTable(...).scan_all(), which resolves
-    # current-snapshot-id: while a WAP stage is pinned that is the PINNED
-    # snapshot, not the staged head this writer commits onto, so a DV
-    # committed earlier in the staged chain would be missed and a second
-    # live DV for the same data file committed (breaking the
-    # one-DV-per-file invariant for newest-DV-only readers).
-    # (path-relocation is identity here: the writer operates on the
-    # table's own location)
+def _live_dv_records(writer: "IcebergWriter") -> dict[str, dict[str, Any]]:
+    """Live deletion vectors by target data file, planned from the
+    WRITER's in-memory manifest chain — not
+    ``IcebergTable(...).scan_all()``, which resolves
+    current-snapshot-id: while a WAP stage is pinned that is the PINNED
+    snapshot, not the staged head this writer commits onto, so a DV
+    committed earlier in the staged chain would be missed and a second
+    live DV for the same data file committed (breaking the
+    one-DV-per-file invariant for newest-DV-only readers).
+    (path-relocation is identity here: the writer operates on the
+    table's own location)"""
     from daskberg_spark.iceberg.avro import read_avro_file
 
     live_dvs: dict[str, dict[str, Any]] = {}
@@ -2585,6 +2580,84 @@ def _dv_manifest_entries(
         live_dvs[rec["referenced_data_file"]] = dict(
             rec, _sequence_number=seq
         )
+    return live_dvs
+
+
+def _dv_added_entry(
+    snapshot_id: int,
+    target: str,
+    path: str,
+    file_size: int,
+    offset: int,
+    length: int,
+    cardinality: int,
+) -> dict[str, Any]:
+    """One ADDED manifest entry for a deletion-vector blob."""
+    return {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "data_file": {
+            "content": 1,
+            "file_path": path,
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": cardinality,
+            "file_size_in_bytes": file_size,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+            "referenced_data_file": target,
+            "content_offset": offset,
+            "content_size_in_bytes": length,
+        },
+    }
+
+
+def _dv_superseded_entries(
+    live_dvs: dict[str, dict[str, Any]],
+    targets: list[str],
+    snapshot_id: int,
+) -> list[dict[str, Any]]:
+    """DELETED entries tombstoning the prior DV of every target that got
+    a new (merged) blob — keeps one live DV per data file."""
+    return [
+        {
+            "status": 2,
+            "snapshot_id": snapshot_id,
+            "sequence_number": old.get("_sequence_number"),
+            "data_file": {
+                k: v for k, v in old.items() if not k.startswith("_")
+            },
+        }
+        for old in (live_dvs.get(t) for t in targets)
+        if old is not None
+    ]
+
+
+def _dv_manifest_entries(
+    writer: "IcebergWriter",
+    dvs: list[tuple[str, bytes, int]],
+    snapshot_id: int,
+) -> list[dict[str, Any]]:
+    """Pack finished ``(target, blob bytes, cardinality)`` deletion
+    vectors into ONE puffin file and return the manifest entries for a
+    committing snapshot — the driver-side path (small DV sets and the
+    driver key-list API); the distributed writers route through
+    ``_dv_manifest_entries_spark``.
+
+    Maintains the v3 invariant of AT MOST ONE deletion vector per data
+    file: when a target already carries a live DV, its positions are
+    merged into the new blob and the superseded DV entry is tombstoned
+    in the same batch — a spec-conformant foreign reader that applies
+    only the newest DV per file then sees every deleted position."""
+    from daskberg_spark.iceberg.puffin import (
+        dv_blob,
+        dv_decode,
+        dv_decode_file,
+        write_puffin,
+    )
+
+    live_dvs = _live_dv_records(writer)
     superseded: list[dict[str, Any]] = []
     merged: list[tuple[str, bytes, int]] = []
     for target, blob, cardinality in dvs:
@@ -2627,39 +2700,218 @@ def _dv_manifest_entries(
     writer._format_version = 3
     file_size = os.path.getsize(path)
     entries = [
-        {
-            "status": 1,
-            "snapshot_id": snapshot_id,
-            "data_file": {
-                "content": 1,
-                "file_path": path,
-                "file_format": "PUFFIN",
-                "partition": {},
-                "record_count": int(m["properties"]["cardinality"]),
-                "file_size_in_bytes": file_size,
-                "lower_bounds": None,
-                "upper_bounds": None,
-                "equality_ids": None,
-                "referenced_data_file": m["properties"]["referenced-data-file"],
-                "content_offset": m["offset"],
-                "content_size_in_bytes": m["length"],
-            },
-        }
+        _dv_added_entry(
+            snapshot_id,
+            m["properties"]["referenced-data-file"],
+            path,
+            file_size,
+            m["offset"],
+            m["length"],
+            int(m["properties"]["cardinality"]),
+        )
         for m in metas
     ]
     # tombstone superseded DVs (their positions now live in the merged
     # blob above) so only one DV per data file survives reconciliation
-    entries += [
-        {
-            "status": 2,
-            "snapshot_id": snapshot_id,
-            "sequence_number": old.get("_sequence_number"),
-            "data_file": {
-                k: v for k, v in old.items() if not k.startswith("_")
-            },
-        }
-        for old in superseded
-    ]
+    entries += _dv_superseded_entries(
+        live_dvs, [t for t, _, _ in dvs if live_dvs.get(t)], snapshot_id
+    )
+    return entries
+
+
+# Distributed-DV commit shape: at or below the gate the finished blobs
+# collect to the driver and pack into ONE puffin (typical blobs are
+# ~40 B-2 KB, so 1000 files is well under a MB of driver heap); above it
+# the blobs NEVER leave the executors — each shard task writes its own
+# puffin and ships only slim (target, path, offset, length, cardinality)
+# rows, keeping driver heap flat in touched-file count (a merge touching
+# millions of files otherwise puts the sum of all bitmaps on the driver).
+DV_SHARD_FILE_GATE = int(os.environ.get("SPARK_GRAFT_DV_SHARD_GATE", "1000"))
+DV_BLOBS_PER_SHARD = int(
+    os.environ.get("SPARK_GRAFT_DV_BLOBS_PER_SHARD", "1000")
+)
+
+
+def _dv_manifest_entries_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    matched_pos: Any,
+    snapshot_id: int,
+) -> list[dict[str, Any]]:
+    """Build DV manifest entries from a ``(__file, __pos)`` DataFrame —
+    the distributed twin of ``_dv_manifest_entries``.
+
+    Stage 1 (executors): per target file, positions → one roaring blob,
+    MERGED with the file's prior live DV (decoded executor-side from a
+    broadcast ``{target: (path, offset, length)}`` map) so the v3
+    one-DV-per-file invariant holds with zero driver decode.  Commits at
+    or below ``DV_SHARD_FILE_GATE`` touched files collect the blobs and
+    write one driver-side puffin; larger commits add stage 2: the blob
+    rows shuffle into ``ceil(files / DV_BLOBS_PER_SHARD)`` partitions
+    and each task writes its own puffin SHARD, shipping only blob
+    METADATA rows to the driver.  Returns [] when nothing matched."""
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    live_dvs = _live_dv_records(writer)
+    prior = {
+        t: (
+            r["file_path"],
+            int(r["content_offset"]),
+            int(r["content_size_in_bytes"]),
+        )
+        for t, r in live_dvs.items()
+    }
+    prior_bc = spark.sparkContext.broadcast(prior)
+
+    def make_dv(key, pdf):
+        import pandas as pd
+
+        from daskberg_spark.iceberg.puffin import dv_blob, dv_decode_file
+
+        target = key[0]
+        positions = set(int(p) for p in pdf["__pos"])
+        old = prior_bc.value.get(target)
+        if old is not None:
+            positions |= set(dv_decode_file(*old))
+        ordered = sorted(positions)
+        return pd.DataFrame(
+            {
+                "file": [target],
+                "blob": [dv_blob(ordered)],
+                "cardinality": [len(ordered)],
+            }
+        )
+
+    blobs = matched_pos.groupBy("__file").applyInPandas(
+        make_dv, "file string, blob binary, cardinality long"
+    )
+    blobs = blobs.persist()
+    try:
+        n_files = blobs.count()
+        if n_files == 0:
+            return []
+        seq = writer._last_sequence_number + 1
+        if n_files <= DV_SHARD_FILE_GATE:
+            rows = sorted(blobs.collect(), key=lambda r: r["file"])
+            writer._file_counter += 1
+            path = (
+                f"{writer.path}/data/"
+                f"dv-{writer._file_counter:05d}-{writer._instance}.puffin"
+            )
+            metas = write_puffin(
+                path,
+                [
+                    {
+                        "type": "deletion-vector-v1",
+                        "fields": [],
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": r["file"],
+                            "cardinality": str(int(r["cardinality"])),
+                        },
+                        "data": bytes(r["blob"]),
+                    }
+                    for r in rows
+                ],
+            )
+            file_size = os.path.getsize(path)
+            added = [
+                (
+                    m["properties"]["referenced-data-file"],
+                    path,
+                    file_size,
+                    m["offset"],
+                    m["length"],
+                    int(m["properties"]["cardinality"]),
+                )
+                for m in metas
+            ]
+        else:
+            table_path, instance = writer.path, writer._instance
+            n_shards = max(1, -(-n_files // DV_BLOBS_PER_SHARD))
+
+            def write_shard(batches):
+                import os as _os
+                import uuid as _uuid
+
+                import pandas as pd
+
+                from daskberg_spark.iceberg.puffin import write_puffin
+
+                items = []
+                for pdf in batches:
+                    for f_, b_, c_ in pdf.itertuples(index=False):
+                        items.append((str(f_), bytes(b_), int(c_)))
+                if not items:
+                    return
+                items.sort(key=lambda t: t[0])
+                shard = (
+                    f"{table_path}/data/"
+                    f"dv-{_uuid.uuid4().hex}-{instance}-shard.puffin"
+                )
+                metas = write_puffin(
+                    shard,
+                    [
+                        {
+                            "type": "deletion-vector-v1",
+                            "fields": [],
+                            "snapshot-id": snapshot_id,
+                            "sequence-number": seq,
+                            "properties": {
+                                "referenced-data-file": t_,
+                                "cardinality": str(c_),
+                            },
+                            "data": b_,
+                        }
+                        for t_, b_, c_ in items
+                    ],
+                )
+                size = _os.path.getsize(shard)
+                yield pd.DataFrame(
+                    {
+                        "file": [
+                            m["properties"]["referenced-data-file"]
+                            for m in metas
+                        ],
+                        "path": shard,
+                        "size": size,
+                        "offset": [m["offset"] for m in metas],
+                        "length": [m["length"] for m in metas],
+                        "cardinality": [
+                            int(m["properties"]["cardinality"])
+                            for m in metas
+                        ],
+                    }
+                )
+
+            meta_rows = (
+                blobs.repartition(n_shards)
+                .mapInPandas(
+                    write_shard,
+                    "file string, path string, size long, offset long, "
+                    "length long, cardinality long",
+                )
+                .collect()
+            )
+            added = [
+                (
+                    r["file"],
+                    r["path"],
+                    int(r["size"]),
+                    int(r["offset"]),
+                    int(r["length"]),
+                    int(r["cardinality"]),
+                )
+                for r in sorted(meta_rows, key=lambda r: r["file"])
+            ]
+    finally:
+        blobs.unpersist()
+    writer._format_version = 3
+    entries = [_dv_added_entry(snapshot_id, *a) for a in added]
+    entries += _dv_superseded_entries(
+        live_dvs, [a[0] for a in added], snapshot_id
+    )
     return entries
 
 
@@ -2712,7 +2964,11 @@ def merge_rows_mor_spark(
     from pyspark.sql import functions as F
 
     t = IcebergTable(writer.path)
-    tagged = t.to_df(spark, keep_pos=True)
+    # row_lineage: the replacement rows MATERIALIZE their source row's
+    # v3 _row_id, so an update keeps stable row identity (the spec's
+    # "engines should carry row ids through updates"); inserted rows
+    # write NULL and inherit fresh ids from the new file's first_row_id
+    tagged = t.to_df(spark, keep_pos=True, row_lineage=True)
     data_cols = [f["name"] for f in writer.fields]
     upd_cols = [c for c in updates.columns if c in data_cols]
     if not set(key_cols) <= set(upd_cols):
@@ -2739,7 +2995,8 @@ def merge_rows_mor_spark(
                 else F.col(f"t.{c}").alias(c)
             )
             for c in data_cols
-        ]
+        ],
+        F.col("t._row_id").alias("_row_id"),
     )
     inserts = u.join(tagged, key_cols, "left_anti").select(
         *[
@@ -2747,7 +3004,8 @@ def merge_rows_mor_spark(
             .cast(dict(tagged.dtypes)[c])
             .alias(c)
             for c in data_cols
-        ]
+        ],
+        F.lit(None).cast("long").alias("_row_id"),
     )
     return _commit_mor_changes(
         writer,
@@ -2783,7 +3041,9 @@ def update_where_mor_spark(
         if c not in data_cols:
             raise ValueError(f"unknown column {c!r} in assignments")
     t = IcebergTable(writer.path)
-    tagged = t.to_df(spark, keep_pos=True)
+    # carry each updated row's v3 _row_id into its replacement (stable
+    # identity across the update; see merge_rows_mor_spark)
+    tagged = t.to_df(spark, keep_pos=True, row_lineage=True)
     matched = tagged.filter(predicate)
     if matched.limit(1).count() == 0:
         return None
@@ -2802,7 +3062,8 @@ def update_where_mor_spark(
                 else F.col(c)
             )
             for c in data_cols
-        ]
+        ],
+        F.col("_row_id"),
     )
     return _commit_mor_changes(
         writer,
@@ -2825,26 +3086,6 @@ def _commit_mor_changes(
     ``overwrite`` snapshot under one sequence number."""
     import tempfile
 
-    from daskberg_spark.iceberg.puffin import dv_blob
-
-    def make_dv(key, pdf):
-        import pandas as pd
-
-        positions = sorted(set(int(p) for p in pdf["__pos"]))
-        return pd.DataFrame(
-            {
-                "file": [key[0]],
-                "blob": [dv_blob(positions)],
-                "cardinality": [len(positions)],
-            }
-        )
-
-    dv_rows = (
-        matched_pos.groupBy("__file")
-        .applyInPandas(make_dv, "file string, blob binary, cardinality long")
-        .collect()
-    )
-
     stage = tempfile.mkdtemp(prefix=stage_prefix, dir=f"{writer.path}/data")
     if writer.spec:
         out, src_cols, dup_cols = _with_partition_columns(writer, out)
@@ -2858,17 +3099,8 @@ def _commit_mor_changes(
     data_entries = _entries_from_spark_dir(
         writer, stage, snapshot_id, pcols, segs
     )
-    dv_entries = (
-        _dv_manifest_entries(
-            writer,
-            [
-                (r["file"], bytes(r["blob"]), int(r["cardinality"]))
-                for r in sorted(dv_rows, key=lambda r: r["file"])
-            ],
-            snapshot_id,
-        )
-        if dv_rows
-        else []
+    dv_entries = _dv_manifest_entries_spark(
+        writer, matched_pos.sparkSession, matched_pos, snapshot_id
     )
     chunks = [
         data_entries[i : i + 100] for i in range(0, len(data_entries), 100)
@@ -3278,12 +3510,17 @@ def _order_key(entry: dict[str, Any], manifest: dict[str, Any]) -> int:
     return seq if seq is not None else (entry.get("snapshot_id") or 0)
 
 
+LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
+
+
 def _live_file_rows(
     entry: dict[str, Any],
     eq_deletes: list[tuple[int, list[str], set]],
     pos_pairs: set[tuple[str, int]],
     current_names: list[str] | None = None,
     file_key: int | None = None,
+    carry_lineage: bool = False,
+    file_seq: int | None = None,
 ) -> list[dict[str, Any]] | None:
     """Rows of one data file with live v2 deletes applied
     (sequence-correct: an equality delete hits only files whose data
@@ -3294,9 +3531,22 @@ def _live_file_rows(
     names) are positionally renamed to the current schema — this writer
     emits columns in field order, and renames preserve position.  Returns
     None on real schema drift (added/dropped columns) so callers can skip
-    the file instead of silently losing data."""
+    the file instead of silently losing data.
+
+    ``carry_lineage=True`` resolves each surviving row's v3 lineage
+    (materialized ``_row_id``/``_last_updated_sequence_number`` columns
+    win; null/absent inherit ``first_row_id + position`` and the file's
+    data sequence number) into explicit row keys, so a REWRITE of the
+    file preserves row identity across compaction."""
     rec = entry["data_file"]
     tbl = pq.read_table(rec["file_path"])
+    # materialized lineage columns are metadata, not schema: pull them
+    # aside before the drift check or every rewritten file looks drifted
+    mat: dict[str, list] = {}
+    present = [c for c in LINEAGE_COLS if c in tbl.column_names]
+    if present:
+        mat = {c: tbl.column(c).to_pylist() for c in present}
+        tbl = tbl.drop_columns(present)
     name_map = None
     if current_names is not None and set(tbl.column_names) != set(current_names):
         if set(tbl.column_names) <= set(current_names):
@@ -3307,6 +3557,7 @@ def _live_file_rows(
             return None
     rows = tbl.to_pylist()
     fsnap = file_key if file_key is not None else (entry.get("snapshot_id") or 0)
+    first_row_id = rec.get("first_row_id")
     norm_path = _norm_data_path(rec["file_path"])
     out = []
     for i, r in enumerate(rows):
@@ -3318,8 +3569,20 @@ def _live_file_rows(
             dsnap > fsnap and tuple(r[c] for c in cols) in keys
             for dsnap, cols, keys in eq_deletes
         )
-        if not dead:
-            out.append(r)
+        if dead:
+            continue
+        if carry_lineage:
+            rid = mat.get("_row_id", [None] * len(rows))[i]
+            if rid is None and first_row_id is not None:
+                rid = first_row_id + i
+            seq = mat.get("_last_updated_sequence_number", [None] * len(rows))[i]
+            if seq is None:
+                seq = file_seq
+            if rid is not None:
+                r = dict(r, _row_id=rid)
+            if seq is not None:
+                r = dict(r, _last_updated_sequence_number=seq)
+        out.append(r)
     return out
 
 
@@ -3375,6 +3638,10 @@ def compact_files(
             pos_pairs,
             current_names,
             file_key=_order_key(entry, manifest),
+            # rewrites must not re-key row identity: materialize each
+            # surviving row's lineage into the consolidated file
+            carry_lineage=True,
+            file_seq=_entry_seq(entry, manifest),
         )
 
     # pass 2: group small files per (spec, partition)

@@ -1158,6 +1158,124 @@ def iceberg_changelog_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineage_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two sorted appends → compact → MOR update, the r7-verdict lineage
+    sequence.  Append order is deterministic (sorted key, driver-side
+    single file per append), so _row_id = batch offset + rank — exactly
+    reconstructable relationally.  Sequences: append1=1, append2=2,
+    compact=3, update=4."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        update_where_mor_spark,
+    )
+
+    keys = [
+        r["o_orderkey"]
+        for r in table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 29 = 0")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .collect()
+    ]
+    b1 = [k for k in keys if k % 58 == 0]
+    b2 = [k for k in keys if k % 58 != 0]
+    path = tempfile.mkdtemp(prefix="iceberg_lineage_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    writer.append([{"o_orderkey": k, "val": float(k)} for k in b1])
+    writer.append([{"o_orderkey": k, "val": float(k)} for k in b2])
+    assert compact_files(writer) is not None  # 2 files → 1, re-keys (file,pos)
+    update_where_mor_spark(
+        writer, spark, "o_orderkey % 58 = 0", {"val": "-1.0"}
+    )
+    return path
+
+
+_LINEAGE_ORACLE_IDS = """
+    WITH b1 AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 58 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey,
+             (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 29 = 0 AND o_orderkey % 58 <> 0
+    )
+"""
+
+
+@query(
+    "iceberg_row_lineage",
+    _LINEAGE_ORACLE_IDS
+    + """
+    SELECT o_orderkey, CAST(rid AS BIGINT) AS _row_id,
+           CAST(4 AS BIGINT) AS _last_updated_sequence_number,
+           CAST(-1 AS DOUBLE) AS val
+    FROM b1
+    UNION ALL
+    SELECT o_orderkey, CAST(rid AS BIGINT),
+           CAST(2 AS BIGINT), CAST(o_orderkey AS DOUBLE)
+    FROM b2
+    """,
+)
+def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 row lineage through compact + MOR update (r7 verdict item 6):
+    _row_id = first_row_id + position at commit, compaction MATERIALIZES
+    ids into its rewritten file (identity survives the (file, pos)
+    re-key) while preserving each row's original
+    _last_updated_sequence_number, and the MOR UPDATE's replacements
+    keep their source _row_id with the update's sequence.  The oracle
+    reconstructs ids from the two sorted appends' ranks and the expected
+    final sequences: updated (batch-1) rows carry the update commit's
+    sequence 4, untouched batch-2 rows keep their append's sequence 2."""
+    path = _lineage_fixture(spark, sf_dir)
+    t = IcebergTable(path)
+    return t.to_df(spark, row_lineage=True).select(
+        "o_orderkey", "_row_id", "_last_updated_sequence_number", "val"
+    )
+
+
+@query(
+    "iceberg_changelog_pairs",
+    _LINEAGE_ORACLE_IDS
+    + """
+    SELECT 'update_before' AS _change_type, o_orderkey,
+           CAST(o_orderkey AS DOUBLE) AS val, CAST(rid AS BIGINT) AS _row_id
+    FROM b1
+    UNION ALL
+    SELECT 'update_after', o_orderkey, CAST(-1 AS DOUBLE),
+           CAST(rid AS BIGINT)
+    FROM b1
+    """,
+)
+def iceberg_changelog_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-identity changelog (``identity='row'``) over a window holding
+    a COMPACTION and a MOR UPDATE: the compaction's rewrite churn (same
+    _row_id, same values) nets to nothing, and the update surfaces as
+    one update_before/update_after PAIR per touched row — real Iceberg's
+    changelog-with-lineage semantics, vs the position-identity changelog
+    which reports the same window as unpaired delete+insert noise for
+    every rewritten row."""
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+
+    path = _lineage_fixture(spark, sf_dir)
+    t = IcebergTable(path)
+    # window: [after append2] → head (covers compact + update)
+    return changelog_rows_df(t, spark, from_rel=-2, identity="row").select(
+        "_change_type", "o_orderkey", "val", "_row_id"
+    )
+
+
 @query(
     "iceberg_update_mor",
     """

@@ -139,6 +139,11 @@ AUDIT = {
     # net variant adds the carry-over groupBy (one more exchange).
     "iceberg_changelog_rows": (4, False, True, None),
     "iceberg_changelog_net": (5, False, True, None),
+    # round 8: v3 row lineage — the lineage read is the plain scan plus
+    # a map-literal lookup (no extra exchange); the row-identity
+    # changelog adds one full-outer join over the DELTA subsets
+    "iceberg_row_lineage": (1, False, False, None),
+    "iceberg_changelog_pairs": (5, False, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
