@@ -2732,6 +2732,59 @@ DV_BLOBS_PER_SHARD = int(
 )
 
 
+def _dv_entries_from_rows(
+    writer: "IcebergWriter",
+    rows: list,
+    snapshot_id: int,
+    live_dvs: dict[str, dict[str, Any]],
+) -> list[dict[str, Any]]:
+    """Driver-side puffin write from collected, already-prior-merged
+    ``(file, blob, cardinality)`` rows — the small-commit tail shared by
+    both gates of ``_dv_manifest_entries_spark``."""
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    writer._file_counter += 1
+    path = (
+        f"{writer.path}/data/"
+        f"dv-{writer._file_counter:05d}-{writer._instance}.puffin"
+    )
+    metas = write_puffin(
+        path,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": writer._last_sequence_number + 1,
+                "properties": {
+                    "referenced-data-file": r["file"],
+                    "cardinality": str(int(r["cardinality"])),
+                },
+                "data": bytes(r["blob"]),
+            }
+            for r in rows
+        ],
+    )
+    writer._format_version = 3
+    file_size = os.path.getsize(path)
+    added = [
+        (
+            m["properties"]["referenced-data-file"],
+            path,
+            file_size,
+            m["offset"],
+            m["length"],
+            int(m["properties"]["cardinality"]),
+        )
+        for m in metas
+    ]
+    entries = [_dv_added_entry(snapshot_id, *a) for a in added]
+    entries += _dv_superseded_entries(
+        live_dvs, [a[0] for a in added], snapshot_id
+    )
+    return entries
+
+
 def _dv_manifest_entries_spark(
     writer: "IcebergWriter",
     spark: Any,
@@ -2750,8 +2803,6 @@ def _dv_manifest_entries_spark(
     rows shuffle into ``ceil(files / DV_BLOBS_PER_SHARD)`` partitions
     and each task writes its own puffin SHARD, shipping only blob
     METADATA rows to the driver.  Returns [] when nothing matched."""
-    from daskberg_spark.iceberg.puffin import write_puffin
-
     live_dvs = _live_dv_records(writer)
     prior = {
         t: (
@@ -2785,6 +2836,20 @@ def _dv_manifest_entries_spark(
     blobs = matched_pos.groupBy("__file").applyInPandas(
         make_dv, "file string, blob binary, cardinality long"
     )
+    # upper bound on touched files from the manifest list alone: when the
+    # TABLE holds fewer files than the gate the commit cannot exceed it,
+    # so skip the persist+count pre-pass and collect in one action (the
+    # hot small-commit path pays zero extra Spark jobs)
+    table_files = sum(
+        (mf.get("added_data_files_count") or 0)
+        + (mf.get("existing_data_files_count") or 0)
+        for mf in writer.manifests
+    )
+    if table_files <= DV_SHARD_FILE_GATE:
+        rows = sorted(blobs.collect(), key=lambda r: r["file"])
+        if not rows:
+            return []
+        return _dv_entries_from_rows(writer, rows, snapshot_id, live_dvs)
     blobs = blobs.persist()
     try:
         n_files = blobs.count()
@@ -2793,40 +2858,7 @@ def _dv_manifest_entries_spark(
         seq = writer._last_sequence_number + 1
         if n_files <= DV_SHARD_FILE_GATE:
             rows = sorted(blobs.collect(), key=lambda r: r["file"])
-            writer._file_counter += 1
-            path = (
-                f"{writer.path}/data/"
-                f"dv-{writer._file_counter:05d}-{writer._instance}.puffin"
-            )
-            metas = write_puffin(
-                path,
-                [
-                    {
-                        "type": "deletion-vector-v1",
-                        "fields": [],
-                        "snapshot-id": snapshot_id,
-                        "sequence-number": seq,
-                        "properties": {
-                            "referenced-data-file": r["file"],
-                            "cardinality": str(int(r["cardinality"])),
-                        },
-                        "data": bytes(r["blob"]),
-                    }
-                    for r in rows
-                ],
-            )
-            file_size = os.path.getsize(path)
-            added = [
-                (
-                    m["properties"]["referenced-data-file"],
-                    path,
-                    file_size,
-                    m["offset"],
-                    m["length"],
-                    int(m["properties"]["cardinality"]),
-                )
-                for m in metas
-            ]
+            return _dv_entries_from_rows(writer, rows, snapshot_id, live_dvs)
         else:
             table_path, instance = writer.path, writer._instance
             n_shards = max(1, -(-n_files // DV_BLOBS_PER_SHARD))
