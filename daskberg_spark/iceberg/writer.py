@@ -2251,7 +2251,11 @@ def merge_rows_spark(
     from pyspark.sql import functions as F
 
     t = IcebergTable(writer.path)
-    tagged = t.to_df(spark, keep_file=True)
+    # row_lineage: a CoW merge rewrites EVERY row of the matched files —
+    # carried-over and updated rows alike keep their _row_id (updated
+    # rows drop _last_updated_sequence_number so it re-inherits the new
+    # commit's sequence; carried rows keep their original)
+    tagged = t.to_df(spark, keep_file=True, row_lineage=True)
     data_cols = [f["name"] for f in writer.fields]
     upd_cols = [c for c in updates.columns if c in data_cols]
     if not set(key_cols) <= set(upd_cols):
@@ -2290,7 +2294,12 @@ def merge_rows_spark(
                 else F.col(f"t.{c}").alias(c)
             )
             for c in data_cols
-        ]
+        ],
+        F.col("t._row_id").alias("_row_id"),
+        F.when(
+            F.col("u.__matched").isNull(),
+            F.col("t._last_updated_sequence_number"),
+        ).alias("_last_updated_sequence_number"),
     )
     inserts = u.join(tagged, key_cols, "left_anti").select(
         *[
@@ -2298,7 +2307,9 @@ def merge_rows_spark(
                 dict(tagged.dtypes)[c]
             ).alias(c)
             for c in data_cols
-        ]
+        ],
+        F.lit(None).cast("long").alias("_row_id"),
+        F.lit(None).cast("long").alias("_last_updated_sequence_number"),
     )
     out = applied.unionByName(inserts)
     data_dir = tempfile.mkdtemp(prefix="merge_rw_", dir=f"{writer.path}/data")
@@ -3904,7 +3915,12 @@ def compact_files_spark(
     ]
     if not small:
         return None
-    tagged = t.to_df(spark, keep_file=True)
+    # row_lineage: like the driver-side compaction, the rewrite
+    # MATERIALIZES each surviving row's _row_id /
+    # _last_updated_sequence_number into the output so identity survives
+    # the (file, pos) re-key (the columns ride through the sort/zorder
+    # and the hive write; the footer lift ignores them)
+    tagged = t.to_df(spark, keep_file=True, row_lineage=True)
     # __file carries the scan's scheme-stripped path; match it the same way
     small_df = spark.createDataFrame([(p,) for p in small], "__file string")
     rows = tagged.join(small_df, "__file", "left_semi").drop("__file")

@@ -3965,3 +3965,54 @@ def test_changelog_row_identity_update_pairs(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="net_changes"):
         changelog_rows_df(t, spark, identity="row", net_changes=True)
+
+
+def test_row_lineage_survives_distributed_rewrites(spark, tmp_path):
+    """Lineage through the DISTRIBUTED rewrite paths: compact_files_spark
+    and the CoW merge both materialize _row_id into their output, so
+    identity is stable regardless of which compaction/merge twin ran."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+        merge_rows_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": 0, "v": 0.0}, {"k": 1, "v": 1.0}])
+    w.append([{"k": 2, "v": 2.0}])
+    t = IcebergTable(p)
+    before = {r["k"]: r["_row_id"] for r in t.to_df(spark, row_lineage=True).collect()}
+    assert before == {0: 0, 1: 1, 2: 2}
+    assert compact_files_spark(w, spark) is not None
+    t = IcebergTable(p)
+    after = {r["k"]: r["_row_id"] for r in t.to_df(spark, row_lineage=True).collect()}
+    assert after == before
+    # CoW merge: update k=1, insert k=9 — carried + updated rows keep
+    # ids, the insert inherits a fresh one; carried rows keep their
+    # ORIGINAL _last_updated_sequence_number, the updated row advances
+    seqs_before = {
+        r["k"]: r["_last_updated_sequence_number"]
+        for r in t.to_df(spark, row_lineage=True).collect()
+    }
+    merge_rows_spark(
+        w,
+        spark,
+        spark.createDataFrame([(1, -1.0), (9, 9.0)], "k long, v double"),
+        ["k"],
+    )
+    t = IcebergTable(p)
+    rows = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"], r["v"])
+        for r in t.to_df(spark, row_lineage=True).collect()
+    }
+    assert {k: rid for k, (rid, _, _) in rows.items() if k != 9} == before
+    assert rows[1][2] == -1.0 and rows[1][1] > seqs_before[1]
+    assert rows[0][1] == seqs_before[0]  # carried row keeps its sequence
+    assert rows[9][0] is not None and len({r[0] for r in rows.values()}) == 4
