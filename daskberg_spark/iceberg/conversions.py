@@ -30,6 +30,13 @@ _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
 _FIXED_RE = re.compile(r"fixed\[\s*(\d+)\s*\]")
 
 
+# v3 row-lineage column names — the ONE contract shared by the scan's
+# inheritance read (scan.py) and the writer's rewrite materialization
+# (writer.py); renaming or extending lineage must change both through
+# this tuple.
+LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
+
+
 def iceberg_to_spark_type(type_str: str) -> T.DataType:
     """Iceberg primitive type string → Spark DataType (SURVEY §1.3 table)."""
     m = _DECIMAL_RE.fullmatch(type_str)

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from daskberg_spark.iceberg.conversions import schema_to_struct
+from daskberg_spark.iceberg.conversions import LINEAGE_COLS, schema_to_struct
 from daskberg_spark.iceberg.metadata import IcebergTable
 from daskberg_spark.iceberg.planner import is_dnf
 
@@ -67,9 +67,6 @@ def filters_to_column(filters: Any) -> Column | None:
             out = out | conj(c)
         return out
     return conj(filters)
-
-
-LINEAGE_COLS = ["_row_id", "_last_updated_sequence_number"]
 
 
 def to_df(
@@ -739,21 +736,19 @@ def _read_file_groups(
                     cur,
                     F.coalesce(F.col(cur), *[F.col(a) for a in aliases]),
                 ).drop(*aliases)
-            # v3 initial-default for mapped files: a field ABSENT from the
-            # name mapping predates the mapping (and therefore every file
-            # imported under it), so per the spec an unresolvable field
-            # reads its initial-default, not null.  Fields IN the mapping
-            # exist physically in imported files — their nulls are real
-            # data and stay null.  (Residual approximation: an
-            # expired-snapshot native file that carries the column with
-            # explicit nulls coalesces to the default; exactness would
-            # need per-file footer IO, rejected at 100k-file scale.)
+            # v3 initial-default for mapped files: per the spec a field
+            # the file cannot resolve reads its initial-default, not
+            # null.  Mapping membership proves NOTHING about per-file
+            # presence — _record_name_mapping adds every CURRENT field
+            # at each import, so a column added between two imports is
+            # in the mapping while the earlier import's files lack it —
+            # so every defaulted field coalesces.  (Residual
+            # approximation: a file that DOES carry the column with
+            # explicit nulls coalesces them to the default; exactness
+            # would need per-file footer IO, rejected at 100k-file
+            # scale.)
             for fld in current_fields:
-                fid = fld.get("id", fld.get("field-id"))
-                if (
-                    fid not in map_name_by_id
-                    and fld.get("initial-default") is not None
-                ):
+                if fld.get("initial-default") is not None:
                     gdf = gdf.withColumn(
                         fld["name"],
                         F.coalesce(F.col(fld["name"]), _fill_value(fld)),
@@ -905,11 +900,12 @@ IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]
 
 def _changelog_plan(
     table: IcebergTable, from_rel: int, filters: Any
-) -> tuple[list[dict], list[dict], dict, dict]:
+) -> tuple[list[dict], list[dict], dict, dict, int]:
     """Metadata-delta planning for ``changelog_rows_df``: the data files
     each side must READ — never the whole table.  Returns
-    ``(head_subset, base_subset, head_schema, base_schema)`` with the
-    table restored to the caller's snapshot.
+    ``(head_subset, base_subset, head_schema, base_schema,
+    base_snapshot_id)`` with the table restored to the caller's
+    snapshot.
 
     Changed-file derivation (pure metadata except one delta-sized read):
     files live only at head are inserts wholesale; files live only at
@@ -981,7 +977,13 @@ def _changelog_plan(
         for p, f in sorted(base_files.items())
         if p not in head_files or p in changed
     ]
-    return head_subset, base_subset, head_schema, base_schema
+    return (
+        head_subset,
+        base_subset,
+        head_schema,
+        base_schema,
+        base_snap["snapshot-id"],
+    )
 
 
 def changelog_rows_df(
@@ -1030,9 +1032,10 @@ def changelog_rows_df(
     ``update_before``/``update_after`` PAIR (same ``_row_id``, changed
     values), and compaction churn (same ``_row_id``, same values under a
     new (file, pos)) vanishes without the content-grouping pass.  Rows
-    with NULL ``_row_id`` (files committed before lineage) fall back to
-    presence-based insert/delete.  Requires the window's files to carry
-    lineage; mutually exclusive with ``net_changes``."""
+    with NULL ``_row_id`` (files committed before lineage) key on
+    (file, pos) instead, so unchanged pre-lineage rows still cancel and
+    only genuinely rewritten ones degrade to unpaired delete+insert.
+    Mutually exclusive with ``net_changes``."""
     if from_rel >= 0:
         raise ValueError(
             f"from_rel must be negative (snapshots back from head); "
@@ -1046,8 +1049,8 @@ def changelog_rows_df(
             "identity already nets carry-overs and emits update pairs"
         )
     current = table.current_snapshot
-    head_subset, base_subset, head_schema, base_schema = _changelog_plan(
-        table, from_rel, filters
+    head_subset, base_subset, head_schema, base_schema, base_sid = (
+        _changelog_plan(table, from_rel, filters)
     )
     residual = filters_to_column(filters)
     lineage = identity == "row"
@@ -1093,10 +1096,7 @@ def changelog_rows_df(
     head = read_side(head_subset, schema_to_struct(head_schema))
     # the base side must PLAN under the base snapshot (its delete set),
     # so re-open it for DataFrame construction, then restore
-    base_snap = current
-    for _ in range(-from_rel):
-        base_snap = table.snapshots[base_snap["parent-snapshot-id"]]
-    table.open_snapshot(snapshot_id=base_snap["snapshot-id"])
+    table.open_snapshot(snapshot_id=base_sid)
     base = read_side(base_subset, schema_to_struct(base_schema))
     table.open_snapshot(snapshot_id=current["snapshot-id"])
     # align the base side to the head schema by field id
@@ -1114,13 +1114,25 @@ def changelog_rows_df(
         )
     data_cols = [f["name"] for f in head_schema["fields"]]
     if identity == "row":
-        # full-outer on _row_id over the DELTA subsets: matched rows with
-        # identical content are compaction carry-overs (drop); changed
-        # content is an update pair; unmatched (incl. NULL-lineage rows,
-        # which never join) fall back to presence-based insert/delete
-        h = head.drop("__file", "__pos").withColumn("__h1", F.lit(1)).alias("h")
-        b = base.drop("__file", "__pos").withColumn("__b1", F.lit(1)).alias("b")
-        j = h.join(b, h["_row_id"] == b["_row_id"], "full_outer")
+        # full-outer on row identity over the DELTA subsets: matched rows
+        # with identical content are carry-overs (drop); changed content
+        # is an update pair; unmatched rows are plain insert/delete.
+        # NULL-lineage rows (pre-lineage files) key on (file, pos)
+        # instead — unchanged rows of a shared file then still cancel,
+        # and only genuinely rewritten pre-lineage rows fall back to
+        # unpaired delete+insert.
+        def with_key(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "__rk",
+                F.coalesce(
+                    F.col("_row_id").cast("string"),
+                    F.concat_ws("#", F.col("__file"), F.col("__pos")),
+                ),
+            ).drop("__file", "__pos")
+
+        h = with_key(head).withColumn("__h1", F.lit(1)).alias("h")
+        b = with_key(base).withColumn("__b1", F.lit(1)).alias("b")
+        j = h.join(b, h["__rk"] == b["__rk"], "full_outer")
         same = None
         for c in data_cols:
             eq = h[c].eqNullSafe(b[c])

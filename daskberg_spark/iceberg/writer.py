@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from daskberg_spark.iceberg.avro import write_avro_file
-from daskberg_spark.iceberg.conversions import encode_bound
+from daskberg_spark.iceberg.conversions import LINEAGE_COLS, encode_bound
 from daskberg_spark.iceberg.planner import transform_result_type
 from daskberg_spark.iceberg.transforms import get_transform
 
@@ -2669,7 +2669,6 @@ def _dv_manifest_entries(
     )
 
     live_dvs = _live_dv_records(writer)
-    superseded: list[dict[str, Any]] = []
     merged: list[tuple[str, bytes, int]] = []
     for target, blob, cardinality in dvs:
         old = live_dvs.get(target)
@@ -2685,7 +2684,6 @@ def _dv_manifest_entries(
                 )
             )
             blob, cardinality = dv_blob(positions), len(positions)
-            superseded.append(old)
         merged.append((target, blob, cardinality))
     dvs = merged
 
@@ -3551,9 +3549,6 @@ def _order_key(entry: dict[str, Any], manifest: dict[str, Any]) -> int:
     adding snapshot id (legacy pre-sequence metadata, monotonic here)."""
     seq = _entry_seq(entry, manifest)
     return seq if seq is not None else (entry.get("snapshot_id") or 0)
-
-
-LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
 
 
 def _live_file_rows(

@@ -139,7 +139,12 @@ class IcebergStreamReader(DataSourceStreamReader):
         if self._declared_struct is not None:
             declared = [f.name for f in self._declared_struct.fields]
             if [f["name"] for f in sch["fields"]] != declared:
-                for s in t.metadata.get("schemas", []):
+                # NEWEST matching schema wins: a type promotion produces
+                # two schemas with identical name lists, and the declared
+                # struct (resolved at stream start, i.e. from the newest)
+                # carries the WIDE types — matching the oldest would hand
+                # the worker narrow Arrow arrays it rejects
+                for s in reversed(t.metadata.get("schemas", [])):
                     if [f["name"] for f in s["fields"]] == declared:
                         sch = s
                         break

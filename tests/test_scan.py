@@ -3156,6 +3156,22 @@ def test_name_mapping_read_initial_default(spark, tmp_path):
     # the imported file predates 'score' → initial-default 7, not null;
     # the post-add file keeps its written value through the same group
     assert rows == {1: (1.5, 7), 2: (2.5, 9)}
+    # review r8: a SECOND import after the add puts 'score' in the name
+    # mapping — mapping membership proves nothing about per-file
+    # presence, so a mapped file lacking the column must STILL read 7
+    ext3 = str(tmp_path / "ext3.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()), "value": [3.5]}), ext3
+    )
+    add_files(w, [ext3])
+    import json as _json
+
+    mapping = _json.loads(w.properties["schema.name-mapping.default"])
+    assert any(e["names"] == ["score"] for e in mapping)  # now mapped
+    strip_schema_ids(p)
+    t = IcebergTable(p)
+    rows = {r["id"]: (r["value"], r["score"]) for r in t.to_df(spark).collect()}
+    assert rows == {1: (1.5, 7), 2: (2.5, 9), 3: (3.5, 7)}
 
 
 def test_name_mapping_read_promoted_type(spark, tmp_path):
@@ -4016,3 +4032,46 @@ def test_row_lineage_survives_distributed_rewrites(spark, tmp_path):
     assert rows[1][2] == -1.0 and rows[1][1] > seqs_before[1]
     assert rows[0][1] == seqs_before[0]  # carried row keeps its sequence
     assert rows[9][0] is not None and len({r[0] for r in rows.values()}) == 4
+
+
+def test_changelog_row_identity_pre_lineage_fallback(spark, tmp_path):
+    """Review r8: NULL-lineage rows (pre-lineage files) key on (file, pos)
+    in the row-identity changelog — unchanged rows of a shared file must
+    CANCEL, not surface as spurious delete+insert pairs."""
+    import glob as _glob
+
+    from daskberg_spark.iceberg.avro import read_avro_file, write_avro_file
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": i} for i in range(5)])
+    # forge pre-lineage metadata: null every first_row_id
+    import json as _json
+
+    for mp in _glob.glob(f"{p}/metadata/manifest-*.avro"):
+        header, entries = read_avro_file(mp)  # header: avro metadata map
+        schema = _json.loads(header["avro.schema"])
+        for e in entries:
+            e["data_file"]["first_row_id"] = None
+        write_avro_file(mp, schema, entries)
+    t = IcebergTable(p)
+    assert all(
+        r["_row_id"] is None
+        for r in t.to_df(spark, row_lineage=True).collect()
+    )
+    delete_where_dv_spark(w, spark, "k = 3")
+    t = IcebergTable(p)
+    changes = [
+        (r["_change_type"], r["k"])
+        for r in changelog_rows_df(t, spark, from_rel=-1, identity="row").collect()
+    ]
+    # exactly the deleted row — the 4 unchanged NULL-lineage rows cancel
+    # on their (file, pos) fallback key
+    assert changes == [("delete", 3)]

@@ -627,3 +627,31 @@ def test_streaming_iceberg_source_rate_limit_spanning_rename(spark, tmp_path):
         assert len(batches) >= 3  # 3 files under a 1-file budget
     finally:
         q.stop()
+
+
+def test_stream_reader_target_schema_prefers_newest_match(spark, tmp_path):
+    """Review r8: a type promotion produces two schemas with identical
+    name lists; the declared struct (resolved at stream start from the
+    NEWEST) must resolve to the wide schema, or batches would carry
+    narrow Arrow arrays the data-source worker rejects."""
+    from pyspark.sql import types as T
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import IcebergStreamReader
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "x", "type": "int", "required": False}]
+    )
+    w.append([{"x": 1}])
+    w.update_column_type("x", "long")
+    w.append([{"x": 2}])
+    # force the name-match path: declared names differ from a LATER head
+    # rename, so the reader must search the schema list
+    w.rename_column("x", "y")
+    declared = T.StructType([T.StructField("x", T.LongType(), True)])
+    r = IcebergStreamReader({"path": p}, declared)
+    sch = r._resolve_target_schema(IcebergTable(p))
+    assert [f["name"] for f in sch["fields"]] == ["x"]
+    assert sch["fields"][0]["type"] == "long"  # newest match, not the int one
