@@ -706,6 +706,40 @@ def ensure_rollback_fixture(path: str = ROLLBACK_FIXTURE_DIR) -> str:
     return path
 
 
+REFS_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "refs_table")
+
+
+def ensure_refs_fixture(path: str = REFS_FIXTURE_DIR) -> str:
+    """Branch/tag refs table: append ids 0..39 → tag ``release-v1`` at
+    that snapshot (with ``max-ref-age-ms``) → append ids 40..59 → branch
+    ``audit`` there (with both branch retention knobs) → append ids
+    60..79 (head).  Ref targets are content-derivable: the tag reads
+    ids < 40, the branch ids < 60, main everything."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    writer.append([{"id": i, "val": float(i)} for i in range(40)])
+    writer.set_ref("release-v1", "tag", max_ref_age_ms=86_400_000)
+    writer.append([{"id": i, "val": float(i)} for i in range(40, 60)])
+    writer.set_ref(
+        "audit",
+        "branch",
+        min_snapshots_to_keep=2,
+        max_snapshot_age_ms=604_800_000,
+    )
+    writer.append([{"id": i, "val": float(i)} for i in range(60, 80)])
+    return path
+
+
 STATS_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "stats_table")
 
 

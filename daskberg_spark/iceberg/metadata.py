@@ -606,6 +606,188 @@ class IcebergTable:
             "is_current_ancestor boolean",
         )
 
+    def refs_df(self, spark: Any):
+        """``table.refs`` metadata table (real Iceberg inspect surface;
+        beyond-reference — ``ice.py`` reads only the main lineage): one
+        row per named branch/tag from the metadata ``refs`` map,
+        including the implicit ``main`` branch, with the spec's three
+        retention knobs.  Metadata-only — O(refs) rows."""
+        refs = dict(self.metadata.get("refs") or {})
+        head = self.metadata.get("current-snapshot-id")
+        if "main" not in refs and head is not None and head != -1:
+            refs["main"] = {"snapshot-id": head, "type": "branch"}
+        rows = [
+            (
+                name,
+                r.get("type", "branch").upper(),
+                int(r["snapshot-id"]),
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
+            for name, r in sorted(refs.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+            "max_snapshot_age_in_ms long",
+        )
+
+    def entries_df(self, spark: Any):
+        """``table.entries`` metadata table: the RAW manifest entries of
+        the current snapshot's manifests, pre-reconciliation — DELETED
+        (status 2) tombstones surface here, unlike ``files`` which
+        resolves them away.  Entry-absent snapshot ids / sequence
+        numbers inherit from the manifest-list record (Iceberg
+        inheritance), matching what the scan itself plans with."""
+        rows = []
+        for mf in self.manifest_list:
+            man_path = self._relocate(mf["manifest_path"])
+            m_snap = mf.get("added_snapshot_id")
+            m_seq = mf.get("sequence_number")
+            for e in self._load_manifest(man_path):
+                d = e["data_file"]
+                rows.append(
+                    (
+                        int(e["status"]),
+                        (
+                            int(e["snapshot_id"])
+                            if e.get("snapshot_id") is not None
+                            else m_snap
+                        ),
+                        (
+                            int(e["sequence_number"])
+                            if e.get("sequence_number") is not None
+                            else m_seq
+                        ),
+                        self._relocate(d["file_path"]),
+                        int(d.get("content", 0) or 0),
+                        int(d["record_count"]),
+                        int(d["file_size_in_bytes"]),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "file_path string, content int, record_count long, "
+            "file_size_in_bytes long",
+        )
+
+    def all_manifests_df(self, spark: Any):
+        """``table.all_manifests`` metadata table: the union of every
+        valid snapshot's manifest-list records, one row per (manifest,
+        referencing snapshot).  O(snapshots × manifests) metadata rows;
+        manifest lists are immutable so each is read once via the
+        per-path cache."""
+        rows = []
+        for sid in sorted(self.snapshots):
+            snap = self.snapshots[sid]
+            ml_path = self._relocate(snap["manifest-list"])
+            if ml_path not in self._ml_cache:
+                _, self._ml_cache[ml_path] = read_avro_file(ml_path)
+            for mf in self._ml_cache[ml_path]:
+                rows.append(
+                    (
+                        self._relocate(mf["manifest_path"]),
+                        mf.get("manifest_length"),
+                        mf.get("partition_spec_id", 0),
+                        mf.get("added_snapshot_id"),
+                        mf.get("added_data_files_count"),
+                        mf.get("existing_data_files_count"),
+                        mf.get("deleted_data_files_count"),
+                        sid,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "reference_snapshot_id long",
+        )
+
+    def all_data_files_df(self, spark: Any):
+        """``table.all_data_files`` metadata table: every data file that
+        is LIVE in at least one valid snapshot, deduped by path, with
+        the earliest referencing snapshot.  Walks each snapshot's
+        reconciled plan through the scan cache (manifest Avro is read
+        once per path); the selected snapshot is restored afterwards."""
+        prior = self.current_snapshot["snapshot-id"]
+        seen: dict[str, tuple] = {}
+        try:
+            for sid in sorted(
+                self.snapshots,
+                key=lambda s: self.snapshots[s]["timestamp-ms"],
+            ):
+                self.open_snapshot(snapshot_id=sid)
+                for f in self.scan_manifests().values():
+                    path = f["file_path"]
+                    if path not in seen:
+                        seen[path] = (
+                            int(f.get("content", 0) or 0),
+                            path,
+                            f.get("file_format", "PARQUET"),
+                            int(f["record_count"]),
+                            int(f["file_size_in_bytes"]),
+                            f.get("_spec_id"),
+                            f.get("_snapshot_id"),
+                        )
+        finally:
+            self.open_snapshot(snapshot_id=prior)
+        return spark.createDataFrame(
+            sorted(seen.values(), key=lambda r: r[1]),
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, spec_id int, "
+            "snapshot_id long",
+        )
+
+    def metadata_log_entries_df(self, spark: Any):
+        """``table.metadata_log_entries`` metadata table: one row per
+        metadata-log entry plus the current metadata file.  The
+        latest-snapshot/schema columns re-open each listed JSON (local,
+        O(versions) driver reads — the same files the log points at)."""
+        entries = list(self.metadata.get("metadata-log", []))
+        if self._direct_meta is not None and self._version is None:
+            cur_file = self._direct_meta
+        else:
+            cur_file = os.path.join(
+                self.url, "metadata", f"v{self._version}.metadata.json"
+            )
+        entries.append(
+            {
+                "timestamp-ms": self.metadata.get("last-updated-ms"),
+                "metadata-file": cur_file,
+            }
+        )
+        rows = []
+        for e in entries:
+            path = self._relocate(e["metadata-file"])
+            latest_snap = None
+            latest_schema = None
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+                latest_snap = m.get("current-snapshot-id")
+                if latest_snap == -1:
+                    latest_snap = None
+                latest_schema = m.get("current-schema-id")
+            except FileNotFoundError:
+                pass  # expired metadata versions may be swept
+            rows.append(
+                (
+                    int(e["timestamp-ms"]),
+                    path,
+                    latest_snap,
+                    latest_schema,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "timestamp long, file string, latest_snapshot_id long, "
+            "latest_schema_id int",
+        )
+
     def plan_deletes(self) -> list[dict[str, Any]]:
         """Live v2/v3 delete files (position/equality/DV), ordered by
         (path, blob offset)."""

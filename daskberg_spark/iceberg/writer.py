@@ -1146,23 +1146,45 @@ class IcebergWriter:
         name: str,
         ref_type: str = "tag",
         snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
     ) -> None:
         """Create/update a named ref (branch or tag) pointing at
         ``snapshot_id`` (default: current head).  Tags pin a snapshot for
         retention ("the corpus release we trained on"); branches are
         movable heads.  Readers resolve via
-        ``IcebergTable.open_snapshot(ref=...)``."""
+        ``IcebergTable.open_snapshot(ref=...)``.
+
+        The three optional knobs are the spec's per-ref retention fields
+        (``max-ref-age-ms`` on either kind; ``min-snapshots-to-keep`` /
+        ``max-snapshot-age-ms`` on branches only), persisted verbatim in
+        the metadata ``refs`` map and surfaced by ``refs_df``."""
         if ref_type not in ("tag", "branch"):
             raise ValueError("ref_type must be 'tag' or 'branch'")
         if name == "main":
             raise ValueError("'main' is managed automatically")
+        if ref_type == "tag" and (
+            min_snapshots_to_keep is not None or max_snapshot_age_ms is not None
+        ):
+            raise ValueError(
+                "min_snapshots_to_keep / max_snapshot_age_ms apply to "
+                "branches only (Iceberg spec refs map)"
+            )
         if not self.snapshots:
             raise ValueError("no snapshot to reference")
         if snapshot_id is None:
             snapshot_id = self.head_snapshot["snapshot-id"]
         elif snapshot_id not in {s["snapshot-id"] for s in self.snapshots}:
             raise ValueError(f"unknown snapshot {snapshot_id}")
-        self.refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+        ref: dict[str, Any] = {"snapshot-id": snapshot_id, "type": ref_type}
+        if max_ref_age_ms is not None:
+            ref["max-ref-age-ms"] = int(max_ref_age_ms)
+        if min_snapshots_to_keep is not None:
+            ref["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            ref["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+        self.refs[name] = ref
         self.version += 1
         self._write_metadata()
 

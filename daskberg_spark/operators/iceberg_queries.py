@@ -1443,3 +1443,191 @@ def iceberg_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cat", "day_ts_day", "qty_trunc")
         .agg(F.sum("record_count").cast("long").alias("record_count"))
     )
+
+
+@query(
+    "iceberg_refs_metadata",
+    r"""
+    WITH meta AS (
+      SELECT content
+      FROM read_text('/root/repo/.fixtures/refs_table/metadata/v*.metadata.json')
+      ORDER BY CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) DESC
+      LIMIT 1
+    ),
+    names AS (
+      SELECT unnest(json_keys(content, '$.refs')) AS name, content FROM meta
+    )
+    SELECT name,
+           upper(json_extract_string(content, '$.refs."' || name || '".type'))
+             AS type,
+           CAST(json_extract(content, '$.refs."' || name || '"."snapshot-id"')
+             AS BIGINT) AS snapshot_id,
+           CAST(json_extract(content, '$.refs."' || name || '"."max-ref-age-ms"')
+             AS BIGINT) AS max_reference_age_in_ms,
+           CAST(json_extract(content,
+                '$.refs."' || name || '"."min-snapshots-to-keep"')
+             AS INT) AS min_snapshots_to_keep,
+           CAST(json_extract(content,
+                '$.refs."' || name || '"."max-snapshot-age-ms"')
+             AS BIGINT) AS max_snapshot_age_in_ms
+    FROM names
+    """,
+)
+def iceberg_refs_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.refs`` metadata table (real Iceberg inspect surface;
+    beyond-reference — ``ice.py`` has no ref concept): every named
+    branch/tag with the spec's three retention knobs, plus the implicit
+    ``main`` head.  The oracle re-parses the refs map straight out of
+    the newest metadata JSON with DuckDB's JSON functions — our Avro/
+    metadata model is not in its loop."""
+    from daskberg_spark.iceberg.fixtures import ensure_refs_fixture
+
+    t = IcebergTable(ensure_refs_fixture())
+    return t.refs_df(spark)
+
+
+@query(
+    "iceberg_entries_metadata",
+    f"""
+    SELECT filename AS file_path, CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM read_parquet('{_part_fixture_files()}', filename=true)
+    GROUP BY filename
+    HAVING NOT bool_and(cat = 'news' AND CAST(day_ts AS DATE) = DATE '2024-01-01')
+    """,
+)
+def iceberg_entries_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.entries`` metadata table: RAW manifest entries of the
+    current snapshot, pre-reconciliation — DELETED tombstones surface
+    with status 2 (asserted in tests/test_metadata.py).  The oracle
+    reconstructs the live entry set content-only: a file is live iff not
+    every row matches the fixture's partition-delete predicate, so
+    status codes, inherited snapshot ids, and per-entry record counts
+    are all cross-checked against raw parquet."""
+    t = IcebergTable(ensure_partitioned_fixture())
+    return (
+        t.entries_df(spark)
+        .filter("status != 2 AND content = 0")
+        .select("file_path", "record_count")
+    )
+
+
+@query(
+    "iceberg_all_data_files",
+    """
+    SELECT filename AS file_path, CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM read_parquet('/root/repo/.fixtures/rollback_table/data/0*.parquet',
+                      filename=true)
+    GROUP BY filename
+    """,
+)
+def iceberg_all_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.all_data_files`` metadata table over the ROLLBACK fixture:
+    the rolled-past file (ids 50..59) is absent from the HEAD state but
+    still live in a retained snapshot, so it must appear here — the
+    exact file a plain ``files`` read would hide.  Oracle re-derives
+    per-file row counts by scanning every data file on disk."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return t.all_data_files_df(spark).select("file_path", "record_count")
+
+
+@query("iceberg_all_manifests")
+def iceberg_all_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.all_manifests`` metadata table: manifest-list records of
+    EVERY valid snapshot keyed by ``reference_snapshot_id``.  Rows-only
+    in the driver (manifest lists are Avro — DuckDB cannot re-read them
+    independently); the per-manifest file counts and snapshot linkage
+    are pinned by ``tests/test_metadata.py`` invariants instead."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return t.all_manifests_df(spark).select(
+        "path", "partition_spec_id", "added_snapshot_id",
+        "added_data_files_count", "reference_snapshot_id",
+    )
+
+
+@query(
+    "iceberg_metadata_log",
+    r"""
+    WITH files AS (
+      SELECT CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) AS v,
+             filename AS file,
+             CAST("current-snapshot-id" AS BIGINT) AS cs,
+             CAST("current-schema-id" AS INT) AS csi,
+             CAST("last-updated-ms" AS BIGINT) AS lu
+      FROM read_json_auto(
+        '/root/repo/.fixtures/rollback_table/metadata/v*.metadata.json',
+        filename=true)
+    )
+    SELECT CASE WHEN v = (SELECT MAX(v) FROM files) THEN lu
+                ELSE 1700000000000 + v END AS timestamp,
+           file,
+           CASE WHEN cs = -1 THEN NULL ELSE cs END AS latest_snapshot_id,
+           csi AS latest_schema_id
+    FROM files
+    """,
+)
+def iceberg_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.metadata_log_entries`` metadata table: one row per
+    superseded metadata version plus the current one, each with the
+    snapshot/schema that version considered current.  The oracle
+    re-reads every ``v*.metadata.json`` independently (the writer's
+    deterministic log clock is ``1700000000000 + version``; the current
+    row carries ``last-updated-ms`` per the spec)."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return t.metadata_log_entries_df(spark)
+
+
+@query(
+    "iceberg_position_deletes",
+    """
+    SELECT regexp_replace(file_path, '^file:/*', '/') AS file_path,
+           CAST(pos AS BIGINT) AS pos
+    FROM read_parquet(
+      '/root/repo/.fixtures/mor_table/data/pos_del_*/part-*.parquet')
+    """,
+)
+def iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.position_deletes`` metadata table (v2 parquet form): the
+    live deleted positions, delete-sized IO — never a table scan.  The
+    oracle reads the position-delete parquet directly, so target-path
+    normalization and the pos column survive an independent decode."""
+    from daskberg_spark.iceberg.fixtures import ensure_mor_fixture
+    from daskberg_spark.iceberg.scan import position_deletes_df
+
+    t = IcebergTable(ensure_mor_fixture(spark))
+    return position_deletes_df(t, spark).select("file_path", "pos")
+
+
+@query(
+    "iceberg_position_deletes_dv",
+    """
+    WITH r AS (
+      SELECT filename, file_row_number AS pos, id,
+             COUNT(*) OVER (PARTITION BY filename) AS n,
+             MIN(id) OVER (PARTITION BY filename) AS mn
+      FROM read_parquet('/root/repo/.fixtures/dv_table/data/0*.parquet',
+                        filename=true, file_row_number=true)
+    )
+    SELECT filename AS file_path, CAST(pos AS BIGINT) AS pos
+    FROM r
+    WHERE n > 1 AND (id % 7 = 0 OR (mn = 0 AND pos IN (1, 3)))
+    """,
+)
+def iceberg_position_deletes_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``position_deletes`` over v3 DELETION VECTORS: puffin blobs expand
+    through the scan's own gated roaring decode, and the oracle derives
+    the expected position set from raw row content alone (predicate
+    positions via ``file_row_number`` + the driver-written DV on the
+    first file, which the one-DV-per-file merge must have absorbed) —
+    an end-to-end independent check of the bitmap encode/merge/decode
+    chain."""
+    from daskberg_spark.iceberg.fixtures import ensure_dv_fixture
+    from daskberg_spark.iceberg.scan import position_deletes_df
+
+    t = IcebergTable(ensure_dv_fixture(spark))
+    return position_deletes_df(t, spark).select("file_path", "pos")

@@ -200,3 +200,92 @@ def test_open_snapshot_as_of_timestamp(spark, tmp_path):
         t.open_snapshot(as_of_ms=snaps[0]["timestamp-ms"] - 1)
     with _pytest.raises(ValueError, match="only one of"):
         t.open_snapshot(rel=-1, as_of_ms=mid_ts)
+
+
+def test_inspect_tables_extended(spark):
+    """entries/refs/all_manifests/all_data_files/metadata_log_entries
+    invariants over the deterministic fixtures: tombstones surface in
+    entries, refs carry retention knobs, the all_* tables see past the
+    head, and the metadata log covers every version."""
+    import re
+
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_partitioned_fixture,
+        ensure_refs_fixture,
+        ensure_rollback_fixture,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    # entries: DELETED tombstones surface; the live subset equals files
+    t = IcebergTable(ensure_partitioned_fixture())
+    entries = t.entries_df(spark).collect()
+    assert 2 in {e["status"] for e in entries}
+    live = {e["file_path"] for e in entries if e["status"] != 2}
+    files = {f["file_path"] for f in t.files_df(spark).collect()}
+    assert live == files
+    dead = {e["file_path"] for e in entries if e["status"] == 2}
+    assert dead and dead.isdisjoint(files)
+    assert all(e["snapshot_id"] is not None for e in entries)
+
+    # refs: implicit main + tag + branch, spec retention fields
+    rt = IcebergTable(ensure_refs_fixture())
+    refs = {r["name"]: r for r in rt.refs_df(spark).collect()}
+    assert set(refs) == {"main", "release-v1", "audit"}
+    assert refs["main"]["type"] == "BRANCH"
+    assert refs["release-v1"]["type"] == "TAG"
+    assert refs["release-v1"]["max_reference_age_in_ms"] == 86_400_000
+    assert refs["audit"]["min_snapshots_to_keep"] == 2
+    assert refs["audit"]["max_snapshot_age_in_ms"] == 604_800_000
+    first = min(rt.snapshots, key=lambda s: rt.snapshots[s]["timestamp-ms"])
+    assert refs["release-v1"]["snapshot_id"] == first
+    assert refs["main"]["snapshot_id"] == rt.metadata["current-snapshot-id"]
+
+    # all_manifests / all_data_files / metadata_log over the rollback
+    # fixture: the rolled-past snapshot's artifacts stay visible
+    rb = IcebergTable(ensure_rollback_fixture())
+    am = rb.all_manifests_df(spark).collect()
+    assert {r["reference_snapshot_id"] for r in am} == set(rb.snapshots)
+    head_id = rb.metadata["current-snapshot-id"]
+    head_paths = {m["path"] for m in rb.manifests_df(spark).collect()}
+    assert {
+        r["path"] for r in am if r["reference_snapshot_id"] == head_id
+    } == head_paths
+    adf = rb.all_data_files_df(spark).collect()
+    assert len(adf) == 3  # head's two files + the rolled-past file
+    head_files = {f["file_path"] for f in rb.files_df(spark).collect()}
+    assert head_files < {r["file_path"] for r in adf}
+    # the selected snapshot must be restored after the walk
+    assert rb.current_snapshot["snapshot-id"] == head_id
+    ml = rb.metadata_log_entries_df(spark).collect()
+    vs = sorted(
+        int(re.search(r"v(\d+)\.metadata", r["file"]).group(1)) for r in ml
+    )
+    assert vs == [1, 2, 3, 4]
+    (cur,) = [r for r in ml if r["file"].endswith("v4.metadata.json")]
+    assert cur["latest_snapshot_id"] == head_id
+
+    # position_deletes on a deleteless table: empty, typed
+    from daskberg_spark.iceberg.scan import position_deletes_df
+
+    pd_df = position_deletes_df(rb, spark)
+    assert pd_df.count() == 0
+    assert [f.name for f in pd_df.schema.fields] == [
+        "file_path", "pos", "delete_file_path",
+    ]
+
+
+def test_set_ref_validation(tmp_path):
+    """Branch-only retention knobs are refused on tags (spec refs map)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w.append([{"x": 1}])
+    with pytest.raises(ValueError, match="branches only"):
+        w.set_ref("r", "tag", min_snapshots_to_keep=3)
+    w.set_ref("r", "tag", max_ref_age_ms=1000)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    assert IcebergTable(w.path).metadata["refs"]["r"]["max-ref-age-ms"] == 1000
