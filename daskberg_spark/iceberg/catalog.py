@@ -41,6 +41,19 @@ class Catalog:
         self.register(name, table)
         return table
 
+    def register_view(self, name: str, url: str, version_id: int | None = None):
+        """Register an Iceberg VIEW (view spec v1, ``views.py``) under a
+        SQL name: the stored SQL resolves late against the tables this
+        catalog has already registered — per spec, a view version pins
+        the QUERY TEXT, not table snapshots."""
+        from daskberg_spark.iceberg.views import IcebergView
+
+        view = IcebergView(url)
+        if version_id is not None:
+            view.open_version(version_id)
+        view.to_df(self.spark).createOrReplaceTempView(name)
+        return view
+
     def refresh(self, name: str) -> None:
         """Re-pin the view to the table's current snapshot state."""
         self.register(name, self.tables[name])

@@ -740,6 +740,47 @@ def ensure_refs_fixture(path: str = REFS_FIXTURE_DIR) -> str:
     return path
 
 
+VIEW_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "view_sales")
+
+
+def ensure_view_fixture(spark, path: str = VIEW_FIXTURE_DIR) -> str:
+    """Versioned Iceberg VIEW over the partitioned fixture: version 1
+    aggregates by category, version 2 (CREATE OR REPLACE) by
+    (category, symbol).  Both versions stay readable — the view spec's
+    definition-time-travel guarantee.  Resolution needs the referenced
+    table registered as ``part_live`` (see ``register_part_live``)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.views import create_view
+
+    register_part_live(spark)
+    create_view(
+        path,
+        "SELECT cat, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS sum_qty "
+        "FROM part_live GROUP BY cat",
+        spark,
+    )
+    create_view(
+        path,
+        "SELECT cat, sym, COUNT(*) AS n FROM part_live GROUP BY cat, sym",
+        spark,
+        replace=True,
+    )
+    return path
+
+
+def register_part_live(spark) -> None:
+    """Register the partitioned fixture's live state as the ``part_live``
+    temp view the view fixture's SQL references."""
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    IcebergTable(ensure_partitioned_fixture()).to_df(
+        spark
+    ).createOrReplaceTempView("part_live")
+
+
 STATS_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "stats_table")
 
 

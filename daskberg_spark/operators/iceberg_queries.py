@@ -1631,3 +1631,58 @@ def iceberg_position_deletes_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = IcebergTable(ensure_dv_fixture(spark))
     return position_deletes_df(t, spark).select("file_path", "pos")
+
+
+@query(
+    "iceberg_view_read",
+    f"""
+    SELECT cat, sym, CAST(COUNT(*) AS BIGINT) AS n
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE}
+    GROUP BY cat, sym
+    """,
+)
+def iceberg_view_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg VIEW (view spec v1; beyond-reference): the stored SQL of
+    the CURRENT view version resolves late against the catalog — the
+    oracle runs the equivalent aggregation directly over raw parquet
+    with the fixture's content-derived live predicate, so view metadata,
+    version selection, and late binding are all in the checked path."""
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_view_fixture,
+        register_part_live,
+    )
+    from daskberg_spark.iceberg.views import IcebergView
+
+    path = ensure_view_fixture(spark)
+    register_part_live(spark)
+    return IcebergView(path).to_df(spark)
+
+
+@query(
+    "iceberg_view_time_travel",
+    f"""
+    SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty
+    FROM read_parquet('{_part_fixture_files()}')
+    WHERE {LIVE_WHERE}
+    GROUP BY cat
+    """,
+)
+def iceberg_view_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View DEFINITION time travel: after CREATE OR REPLACE, version 1's
+    SQL (the by-category rollup) must still resolve exactly — the view
+    spec keeps every version in the metadata's ``versions`` list, and
+    per spec the old definition reads CURRENT table state (which the
+    content-derived oracle reproduces)."""
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_view_fixture,
+        register_part_live,
+    )
+    from daskberg_spark.iceberg.views import IcebergView
+
+    path = ensure_view_fixture(spark)
+    register_part_live(spark)
+    v = IcebergView(path)
+    v.open_version(1)
+    return v.to_df(spark)
