@@ -766,3 +766,104 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("variance"),
     ).orderBy("dim")
+
+
+# -- semantic dedup (SemDeDup-style) ----------------------------------------
+
+SEMDEDUP_BITS = 6  # 2^6 sign-bit clusters for the oracle-twin variant
+SEMDEDUP_TAU = 0.35  # the synthetic fixture is isotropic (no true near-dups);
+# 0.35 sits in its similarity tail so the drop path actually executes.
+# A production corpus would run ~0.95 (SemDeDup paper's regime).
+
+
+def _signature_col(v, planes):
+    """Packed sign-bit signature of vector column ``v`` over literal
+    hyperplanes — the same pure-Catalyst fold similarity_lsh_buckets
+    uses, factored for reuse."""
+    sig = None
+    for i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, parr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def semantic_dedup(emb: DataFrame, cluster, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus, then
+    within each cluster drop every vector that has an EARLIER (lower
+    vec_id) cluster-mate with cosine >= ``tau``.
+
+    ``emb`` needs (vec_id, v); ``cluster`` is any deterministic Column
+    over ``v`` (sign-bit signature for the SQL-twin variant, kmeans
+    ``_cell_of`` for the SemDeDup-paper variant — tested in
+    test_tierc.py).  The greedy earliest-survivor rule is the standard
+    one-pass approximation of per-group representative selection: it is
+    order-deterministic, needs no iteration, and guarantees at least one
+    survivor per near-dup group.
+
+    100 TB shape: cluster assignment is a per-row expression (no
+    shuffle); the only shuffle is the within-cluster self-join, whose
+    cost is Σ cluster² — bounded by construction (more bits / more
+    centroids at larger corpora), never the all-pairs O(n²).  A pair
+    straddling two clusters is not considered — the recall/cost knob
+    every production semantic dedup exposes."""
+    assigned = emb.withColumn("cluster", cluster)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("__dropped").isNull().alias("kept"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    bucket = _bucket_sql(_hyperplanes(_DIM, SEMDEDUP_BITS), SEMDEDUP_BITS)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {bucket} AS cluster FROM e),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}
+    )
+    SELECT c.vec_id, c.cluster,
+           c.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM c
+    """
+
+
+@query("semdedup_prune", _semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3: SemDeDup (cluster-then-prune) semantic deduplication over
+    the embeddings corpus — the cheap-at-scale alternative to all-pairs
+    near-dup: cosine comparisons happen ONLY within sign-bit clusters.
+    Output is the full per-vector verdict (cluster + kept flag); the
+    oracle replays identical plane literals, fold order, and the greedy
+    earliest-survivor rule in DuckDB, so every drop decision is checked
+    bit-exactly."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    planes = _hyperplanes(_DIM, SEMDEDUP_BITS)
+    return semantic_dedup(emb, _signature_col(F.col("v"), planes))

@@ -569,3 +569,74 @@ def test_wav_codec_roundtrip_and_variants():
         decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"nope")
+
+
+def test_semantic_dedup_kmeans_invariants(spark):
+    """SemDeDup with kmeans clusters (the paper's variant): planted
+    near-dup groups collapse to one survivor each; every cluster keeps
+    at least one vector; the verdict is deterministic across runs."""
+    import math
+
+    from daskberg_spark.operators.similarity import (
+        _cell_of,
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    # 3 well-separated base directions + near-copies of each (tiny
+    # deterministic perturbation keeps cosine ~0.999), plus loners
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for g, vec in base.items():
+        for j in range(3):  # original + 2 near-dups
+            pert = [x + 0.001 * ((vid + d) % 5) for d, x in enumerate(vec)]
+            rows.append((vid, g, pert))
+            vid += 1
+    rows.append((vid, 9, [0.5, 0.5, 0.5, 0.5]))  # loner
+    emb = spark.createDataFrame(
+        rows, "vec_id long, grp long, embedding array<double>"
+    ).select("vec_id", "grp", F.col("embedding").alias("v"))
+
+    cents = ivf_centroids(
+        emb.select("vec_id", F.col("v").alias("embedding")),
+        n_cells=3,
+        rounds=2,
+    )
+    out = semantic_dedup(emb, _cell_of(F.col("v"), cents), tau=0.99)
+    verdict = {r["vec_id"]: (r["cluster"], r["kept"]) for r in out.collect()}
+    assert len(verdict) == 10
+    # each planted group keeps exactly its FIRST member
+    for g in range(3):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        kept = [i for i in ids if verdict[i][1]]
+        assert kept == [ids[0]], (g, kept)
+    # the loner survives
+    assert verdict[9][1]
+    # determinism
+    out2 = semantic_dedup(emb, _cell_of(F.col("v"), cents), tau=0.99)
+    assert {r["vec_id"]: (r["cluster"], r["kept"]) for r in out2.collect()} == verdict
+
+
+def test_semdedup_prune_drops_and_keeps_representative(spark):
+    """The registered sign-bit variant on the real fixture: drops occur,
+    and for every dropped vector an earlier kept cluster-mate exists."""
+    from daskberg_spark.operators.similarity import semdedup_prune
+
+    out = semdedup_prune(spark, "/root/testdata/sf0.01").collect()
+    dropped = [r for r in out if not r["kept"]]
+    assert dropped  # tau is calibrated to the fixture's similarity tail
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for r in dropped:
+        earlier_kept = [
+            x
+            for x in by_cluster[r["cluster"]]
+            if x["vec_id"] < r["vec_id"]
+        ]
+        assert earlier_kept, r  # greedy rule: someone earlier shares the cluster

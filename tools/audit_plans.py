@@ -144,6 +144,17 @@ AUDIT = {
     # changelog adds one full-outer join over the DELTA subsets
     "iceberg_row_lineage": (1, False, False, None),
     "iceberg_changelog_pairs": (5, False, True, None),
+    # round 8b: SemDeDup — cluster assignment is a per-row expression,
+    # so the only exchanges are the within-cluster candidate join's
+    # dedup + the kept-flag join; 2-column ReadSchema (vec_id, embedding)
+    "semdedup_prune": (3, False, True, 2),
+    # round 8b: Iceberg views — reading through a view must cost exactly
+    # the underlying query: one agg exchange, column-pruned scan
+    "iceberg_view_read": (1, False, False, 3),
+    "iceberg_view_time_travel": (1, False, False, 3),
+    # round 8b: position_deletes metadata table — delete-sized scan of
+    # the delete parquet only, zero exchanges, never a data-file read
+    "iceberg_position_deletes": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
