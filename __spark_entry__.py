@@ -200,29 +200,52 @@ def _load_registry():
 #           NEW r8 row-lineage queries: iceberg_row_lineage (identity
 #           through compact + MOR update) and iceberg_changelog_pairs
 #           (identity='row' changelog: update pairs, zero rewrite churn)
+#   r8 third swap (9 out / 9 in — seats the round's NEW capabilities,
+#           all oracle-exact in CORRECTNESS_LOCAL_r08):
+#     out (each already owns >=1 driver CORRECTNESS row; family keeps
+#           >=1 in-window representative):
+#           q19_disjunctive_filter, iceberg_mor_delete_read,
+#           iceberg_dv_delete_read (green r6+r7; DV decode is now
+#           checked MORE directly by iceberg_position_deletes_dv, and
+#           the delete family keeps merge_mor/update_mor in-window),
+#           q11_value_concentration, q22_global_sales_opportunity (r7
+#           rows; TPC-H keeps q1 + six tail shapes),
+#           streaming_topk_countmin (r7; streaming keeps 3 in-window),
+#           tfidf_top_terms, domain_cap_sample (r7; C4 keeps 4),
+#           iceberg_dynamic_overwrite (r7; write family keeps the MOR
+#           pair + changelog)
+#     in:   iceberg_refs_metadata, iceberg_entries_metadata,
+#           iceberg_all_data_files, iceberg_metadata_log,
+#           iceberg_position_deletes, iceberg_position_deletes_dv
+#           (inspect-table completion), iceberg_view_read,
+#           iceberg_view_time_travel (view spec v1), semdedup_prune
+#           (SemDeDup semantic dedup — C2/C3)
 _PRIORITY = [
     # flagship + TPC-H (B4 at scale; tail seated r6-r7, five long-green
     # shapes rotated out in r8)
     "q1_pricing_summary",
-    "q11_value_concentration",
     "q12_priority_by_returnflag",
     "q13_customer_order_distribution",
     "q15_top_supplier",
     "q16_supplier_count_by_part",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_filter",
     "q20_excess_stock_suppliers",
-    "q22_global_sales_opportunity",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
     "iceberg_partition_prune",
     "iceberg_schema_evolution",
     "iceberg_lineitem_stats_prune",
-    "iceberg_mor_delete_read",
-    "iceberg_dv_delete_read",
-    "iceberg_dynamic_overwrite",
     "iceberg_merge_mor",
     "iceberg_name_mapping_read",
+    # r8 third swap: inspect-table completion + views + position deletes
+    "iceberg_refs_metadata",
+    "iceberg_entries_metadata",
+    "iceberg_all_data_files",
+    "iceberg_metadata_log",
+    "iceberg_position_deletes",
+    "iceberg_position_deletes_dv",
+    "iceberg_view_read",
+    "iceberg_view_time_travel",
     # r8 first-timers: MOR UPDATE, inspect metadata tables, v3 default
     # backfill, and the metadata-delta row-level changelog (raw + net)
     "iceberg_update_mor",
@@ -237,12 +260,11 @@ _PRIORITY = [
     # Tier C — dedup (C1/C2)
     "dedup_minhash_candidates",
     "dedup_chunks_exact",
-    # Tier C — similarity (C3)
+    # Tier C — similarity / semantic dedup (C2/C3)
     "embedding_dim_stats",
+    "semdedup_prune",
     # Tier C — text/curation (C4)
-    "domain_cap_sample",
     "stratified_sample",
-    "tfidf_top_terms",
     "pii_redaction_stats",
     "frequent_ngrams",
     "quality_unigram_meanprob",
@@ -252,7 +274,6 @@ _PRIORITY = [
     # streaming extension (r7 batch twins)
     "streaming_sliding_window",
     "streaming_distinct_hll",
-    "streaming_topk_countmin",
     # Tier B representatives + scale patterns
     "join_multi",
     "window_rank",

@@ -3305,6 +3305,7 @@ def expire_snapshots(
     writer: "IcebergWriter",
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    now_ms: int | None = None,
 ) -> list[int]:
     """Maintenance: drop expired snapshots from the table metadata (time
     travel to them stops working; data files stay until
@@ -3322,14 +3323,65 @@ def expire_snapshots(
     older than the keep window (Iceberg's ref-reachability rule):
     dropping them while ``_write_metadata`` still emits the ref would
     break ``open_snapshot(ref=...)`` and let ``remove_orphan_files``
-    delete the tagged snapshot's data files."""
+    delete the tagged snapshot's data files.
+
+    Per-ref retention (upstream ``RemoveSnapshots`` semantics; knobs
+    recorded by ``set_ref``) activates when ``now_ms`` is passed (an
+    explicit clock keeps maintenance deterministic and testable):
+
+    - a non-main ref whose referenced snapshot is older than its
+      ``max-ref-age-ms`` is DROPPED first, releasing its pins;
+    - a retained BRANCH protects its ancestor lineage: an ancestor
+      survives while it is within the branch's
+      ``min-snapshots-to-keep`` newest ancestors (default 1 — the head
+      alone, matching prior behavior) OR newer than the branch's
+      ``max-snapshot-age-ms`` cutoff;
+    - a retained TAG protects exactly its referenced snapshot."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if not writer.snapshots:
         raise ValueError("table has no snapshots to expire")
+    snap_by_id = {s["snapshot-id"]: s for s in writer.snapshots}
+    refs_dropped = False
+    if now_ms is not None:
+        for name, r in list(writer.refs.items()):
+            max_age = r.get("max-ref-age-ms")
+            snap = snap_by_id.get(r.get("snapshot-id"))
+            if (
+                max_age is not None
+                and snap is not None
+                and now_ms - snap["timestamp-ms"] > max_age
+            ):
+                del writer.refs[name]
+                refs_dropped = True
     ref_pinned = {
         r["snapshot-id"] for r in writer.refs.values() if "snapshot-id" in r
     }
+    # branch lineage retention: walk each surviving branch's ancestor
+    # chain, protecting the newest min-snapshots-to-keep ancestors and
+    # (given a clock) everything newer than its max-snapshot-age-ms
+    for r in writer.refs.values():
+        if r.get("type") != "branch":
+            continue
+        min_keep = r.get("min-snapshots-to-keep", 1)
+        max_snap_age = r.get("max-snapshot-age-ms")
+        cutoff = (
+            now_ms - max_snap_age
+            if (max_snap_age is not None and now_ms is not None)
+            else None
+        )
+        cur = snap_by_id.get(r.get("snapshot-id"))
+        kept = 0
+        while cur is not None:
+            protected = kept < min_keep or (
+                cutoff is not None and cur["timestamp-ms"] >= cutoff
+            )
+            if not protected:
+                break
+            ref_pinned.add(cur["snapshot-id"])
+            kept += 1
+            parent = cur.get("parent-snapshot-id")
+            cur = snap_by_id.get(parent) if parent is not None else None
     # the current head (rollback repoint) and a WAP pin are refs too —
     # expiring either would orphan current-snapshot-id
     if writer.head_id is not None:
@@ -3355,6 +3407,11 @@ def expire_snapshots(
         and (older_than_ms is None or s["timestamp-ms"] < older_than_ms)
     }
     if not expired_set:
+        if refs_dropped:
+            # the ref sweep changed metadata even though no snapshot
+            # expired — persist it or the drop silently evaporates
+            writer.version += 1
+            writer._write_metadata()
         return []
     survivors = [
         s for s in writer.snapshots if s["snapshot-id"] not in expired_set

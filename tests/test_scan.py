@@ -4075,3 +4075,60 @@ def test_changelog_row_identity_pre_lineage_fallback(spark, tmp_path):
     # exactly the deleted row — the 4 unchanged NULL-lineage rows cancel
     # on their (file, pos) fallback key
     assert changes == [("delete", 3)]
+
+
+def test_expire_snapshots_per_ref_retention(spark, tmp_path):
+    """Per-ref retention knobs (set_ref → expire_snapshots(now_ms=)):
+    a tag past max-ref-age-ms drops and releases its pin; a branch
+    protects min-snapshots-to-keep newest ancestors plus everything
+    inside max-snapshot-age-ms; the rest expires as before."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, expire_snapshots
+
+    E = 1700000000000  # writer's deterministic clock base
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    for i in range(1, 6):
+        w.append([{"x": i}])
+    sids = [s["snapshot-id"] for s in w.snapshots]  # ts = E + sid
+    w.set_ref("old-tag", "tag", sids[0], max_ref_age_ms=2)
+    w.set_ref(
+        "audit",
+        "branch",
+        sids[3],
+        min_snapshots_to_keep=2,
+        max_snapshot_age_ms=3,
+    )
+    now = E + 10
+    expired = expire_snapshots(w, keep_last=1, now_ms=now)
+    # tag aged out (age 9 > 2) → s1 released; branch protects s4 + s3
+    # (min_keep=2; cutoff E+7 protects nothing extra); head s5 kept
+    assert expired == sorted([sids[0], sids[1]])
+    assert "old-tag" not in w.refs and "audit" in w.refs
+    t = IcebergTable(w.path)
+    assert set(t.snapshots) == {sids[2], sids[3], sids[4]}
+    t.open_snapshot(ref="audit")
+    assert {r["x"] for r in t.to_df(spark).collect()} == {1, 2, 3, 4}
+
+    # ref sweep with zero snapshot expiry still persists the drop
+    w2 = IcebergWriter(
+        str(tmp_path / "t2"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w2.append([{"x": 1}])
+    head = w2.snapshots[-1]["snapshot-id"]
+    w2.set_ref("ephemeral", "tag", head, max_ref_age_ms=1)
+    assert expire_snapshots(w2, keep_last=1, now_ms=E + 100) == []
+    assert "ephemeral" not in IcebergTable(w2.path).metadata["refs"]
+
+    # without a clock, retention knobs are inert (deterministic default)
+    w3 = IcebergWriter(
+        str(tmp_path / "t3"),
+        [{"id": 1, "name": "x", "type": "long", "required": False}],
+    )
+    w3.append([{"x": 1}])
+    w3.set_ref("keep", "tag", w3.snapshots[-1]["snapshot-id"], max_ref_age_ms=1)
+    w3.append([{"x": 2}])
+    expire_snapshots(w3, keep_last=1)
+    assert "keep" in IcebergTable(w3.path).metadata["refs"]
