@@ -220,6 +220,10 @@ def _load_registry():
 #           (inspect-table completion), iceberg_view_read,
 #           iceberg_view_time_travel (view spec v1), semdedup_prune
 #           (SemDeDup semantic dedup — C2/C3)
+#   r8 fourth swap: streaming_sliding_window (r7 driver row) steps out
+#           for streaming_cdc_source — the NEW mode=cdc streaming read
+#           (row-level deletes from DV commits, beyond real Iceberg's
+#           append-only streaming); streaming keeps 3 in-window reps
 _PRIORITY = [
     # flagship + TPC-H (B4 at scale; tail seated r6-r7, five long-green
     # shapes rotated out in r8)
@@ -272,8 +276,8 @@ _PRIORITY = [
     "multimodal_image_decode",
     "multimodal_audio_decode",
     # streaming extension (r7 batch twins)
-    "streaming_sliding_window",
     "streaming_distinct_hll",
+    "streaming_cdc_source",
     # Tier B representatives + scale patterns
     "join_multi",
     "window_rank",

@@ -590,6 +590,82 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_cdc_source",
+    """
+    SELECT event_type, _change_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT event_type, 'insert' AS _change_type FROM events
+      UNION ALL
+      SELECT event_type, 'delete' FROM events
+      WHERE event_id % 3 IN (0, 1) AND event_id % 5 = 0
+    ) GROUP BY event_type, _change_type
+    """,
+)
+def streaming_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC STREAMING from the Iceberg layer (``mode=cdc`` — beyond real
+    Iceberg, whose streaming read is append-only): two distributed
+    appends backfill as inserts, a mid-stream DELETION-VECTOR commit
+    (``delete_where_dv_spark``) streams exactly the newly-dead rows as
+    deletes (executor-side blob decode, new-minus-prior positions), and
+    a post-delete append keeps streaming as inserts.  The drained memory
+    sink, grouped by (event_type, _change_type), must equal the oracle's
+    relational reconstruction of the same history — the deletes are the
+    rows of the FIRST TWO slices matching the predicate, because the DV
+    commit can only target files that existed when it ran."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        delete_where_dv_spark,
+    )
+    from daskberg_spark.operators.registry import table as _table
+    from daskberg_spark.streaming.iceberg_source import register
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_cdc_src_{uuid.uuid4().hex[:8]}"
+    )
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+        ],
+    )
+    ev = _table(spark, sf_dir, "events").select("event_id", "event_type")
+
+    def commit_slice(k: int) -> None:
+        d = os.path.join(path, "data", f"slice-{k}")
+        ev.filter(F.col("event_id") % 3 == k).write.mode(
+            "overwrite"
+        ).parquet(d)
+        commit_spark_output(writer, d)
+
+    commit_slice(0)
+    commit_slice(1)
+    register(spark)
+    name = f"ice_cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", path)
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # backfill inserts
+        delete_where_dv_spark(writer, spark, "event_id % 5 = 0")
+        q.processAllAvailable()  # DV deletes
+        commit_slice(2)  # post-delete append
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("event_type", "_change_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def _hll_sql_over_events() -> str:
     from daskberg_spark.operators.sketches import (
         HLL_M,

@@ -27,6 +27,17 @@ a delete/overwrite/replace snapshot in the tailed range raises unless
 ignored: rewritten files would re-emit rows the stream already
 delivered).  The reference repo is read-only/batch-only and has no
 counterpart.
+
+``mode=cdc`` (BEYOND real Iceberg, whose streaming read is
+append-only) turns non-append snapshots into row-level change batches:
+every row carries ``_change_type`` ("insert"/"delete") and
+``_commit_snapshot_id``.  Scope is the v3 write path — whole-file
+removals and deletion-vector commits stream exactly (the
+one-DV-per-file invariant makes each file's prior dead set ONE blob,
+so executors compute new-minus-prior locally from two slim blob refs);
+compaction (``replace``) emits nothing per the upstream changelog-scan
+rule; v2 position-parquet/equality deletes raise toward the batch
+changelog.  MOR UPDATE/MERGE arrive as delete+insert pairs.
 """
 
 from __future__ import annotations
@@ -44,6 +55,20 @@ if TYPE_CHECKING:  # pragma: no cover
 
 FORMAT_NAME = "daskberg_iceberg"
 
+# synthetic columns CDC mode appends to the table schema
+CDC_COLS = ("_change_type", "_commit_snapshot_id")
+
+
+def _dv_ref(d: dict | None) -> tuple[str, int, int] | None:
+    """Slim (path, offset, length) executor reference to a DV blob."""
+    if d is None:
+        return None
+    return (
+        d["file_path"],
+        int(d["content_offset"]),
+        int(d["content_size_in_bytes"]),
+    )
+
 
 class IcebergFilePartition(InputPartition):
     """One added data file: path + (rename map, target column order,
@@ -52,7 +77,19 @@ class IcebergFilePartition(InputPartition):
     column's old files read under their write-time name, and columns
     ADDED after the file was written null-fill with the declared Arrow
     type (an untyped null array would mismatch the source schema the
-    data-source worker enforces)."""
+    data-source worker enforces).
+
+    CDC mode adds: ``change_type`` (None = plain append stream;
+    "insert"/"delete" = emit the row-change columns), the committing
+    snapshot id, and the DV blob references the executor needs to
+    compute WHICH rows changed — ``kind`` selects the position set:
+
+    - ``insert``: every row of the file;
+    - ``delete_file``: every row still live at the parent snapshot
+      (all positions minus the parent's DV blob for this file);
+    - ``dv_delta``: positions in the commit's DV blob that are NOT in
+      the parent's blob (the one-DV-per-file invariant makes the delta
+      exactly new-minus-old)."""
 
     def __init__(
         self,
@@ -61,6 +98,11 @@ class IcebergFilePartition(InputPartition):
         columns: list[str],
         arrow_types: dict[str, Any],
         defaults: dict[str, Any] | None = None,
+        change_type: str | None = None,
+        snapshot_id: int | None = None,
+        kind: str = "insert",
+        new_dv: tuple[str, int, int] | None = None,
+        prior_dv: tuple[str, int, int] | None = None,
     ) -> None:
         super().__init__(path)
         self.path = path
@@ -68,6 +110,11 @@ class IcebergFilePartition(InputPartition):
         self.columns = columns
         self.arrow_types = arrow_types
         self.defaults = defaults or {}
+        self.change_type = change_type
+        self.snapshot_id = snapshot_id
+        self.kind = kind
+        self.new_dv = new_dv
+        self.prior_dv = prior_dv
 
 
 def _added_manifests_by_snapshot(t, end_id: int) -> dict:
@@ -110,6 +157,13 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.skip_non_append = str(
             options.get("skip-non-append-snapshots", "false")
         ).lower() in ("true", "1")
+        # CDC/changelog mode: non-append snapshots become row-level
+        # change batches instead of errors; every row carries
+        # _change_type + _commit_snapshot_id
+        self.cdc = str(options.get("mode", "")).lower() in (
+            "cdc",
+            "changelog",
+        )
         self.from_beginning = str(
             options.get("from-beginning", "true")
         ).lower() in ("true", "1")
@@ -138,6 +192,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         sch = t.schema
         if self._declared_struct is not None:
             declared = [f.name for f in self._declared_struct.fields]
+            # CDC mode appends synthetic change columns to the declared
+            # struct; the Iceberg-schema match is on the data columns
+            declared = [n for n in declared if n not in CDC_COLS]
             if [f["name"] for f in sch["fields"]] != declared:
                 # NEWEST matching schema wins: a type promotion produces
                 # two schemas with identical name lists, and the declared
@@ -245,11 +302,12 @@ class IcebergStreamReader(DataSourceStreamReader):
             for s in chain
             if (s.get("summary") or {}).get("operation", "append") != "append"
         }
-        if bad and not self.skip_non_append:
+        if bad and not self.skip_non_append and not self.cdc:
             raise ValueError(
                 f"non-append snapshots {sorted(bad)} in streamed range; "
                 "set skip-non-append-snapshots=true to ignore their file "
-                "changes (rewritten files would re-emit delivered rows)"
+                "changes (rewritten files would re-emit delivered rows), or "
+                "mode=cdc to stream them as row-level changes"
             )
         # LINEAR backfill planning: manifests are carried forward across
         # commits with their added_snapshot_id intact, so ONE read of the
@@ -293,6 +351,13 @@ class IcebergStreamReader(DataSourceStreamReader):
         for s in chain:
             sid = s["snapshot-id"]
             if sid in bad:
+                if self.cdc:
+                    parts.extend(
+                        self._cdc_partitions(
+                            t, s, target_schema, current_names,
+                            arrow_types, defaults,
+                        )
+                    )
                 continue
             if sid in rewritten_after:
                 by_adder.pop(sid, None)  # force the own-list fallback
@@ -321,8 +386,137 @@ class IcebergStreamReader(DataSourceStreamReader):
                                 current_names,
                                 arrow_types,
                                 defaults,
+                                change_type="insert" if self.cdc else None,
+                                snapshot_id=sid if self.cdc else None,
                             )
                         )
+        return parts
+
+    def _cdc_partitions(
+        self,
+        t,
+        s: dict,
+        target_schema: dict,
+        current_names: list[str],
+        arrow_types: dict,
+        defaults: dict,
+    ) -> list[InputPartition]:
+        """Row-level change partitions for one NON-APPEND snapshot.
+
+        Scope: the v3 write path — whole-file removals (CoW merge,
+        delete_files, dynamic overwrite) and deletion-vector commits
+        (MOR delete/merge/update).  A snapshot adding a v2
+        position-delete parquet or an equality delete raises with a
+        pointer to the batch changelog; a ``replace`` (compaction)
+        emits NOTHING, the upstream changelog-scan rule — rewritten
+        bytes are not logical changes.
+
+        Correctness against prior deletes rides the one-DV-per-file
+        invariant the writer maintains: the parent's dead set for a
+        file IS its single DV blob, so a removed file emits
+        all-minus-prior-blob and a DV commit emits new-minus-prior-blob
+        — both computed executor-side from two slim blob references."""
+        from daskberg_spark.iceberg.scan import schema_alignment
+
+        sid = s["snapshot-id"]
+        if (s.get("summary") or {}).get("operation") == "replace":
+            return []
+        pid = s.get("parent-snapshot-id")
+        if pid is not None and pid in t.snapshots:
+            t.open_snapshot(snapshot_id=pid)
+            p_data, p_del = t.scan_all()
+        else:
+            p_data, p_del = {}, {}
+        t.open_snapshot(snapshot_id=sid)
+        c_data, c_del = t.scan_all()
+
+        def is_dv(d: dict) -> bool:
+            return bool(
+                d.get("content") == 1 and d.get("referenced_data_file")
+            )
+
+        for key, d in c_del.items():
+            if key in p_del:
+                continue
+            if not is_dv(d):
+                kind = (
+                    "an equality-delete"
+                    if d.get("content") == 2
+                    else "a position-delete parquet"
+                )
+                raise NotImplementedError(
+                    f"CDC streaming covers v3 deletion vectors; snapshot "
+                    f"{sid} adds {kind} file — read this window with the "
+                    "batch changelog (changelog_rows_df) or compact first"
+                )
+        p_dv = {
+            d["referenced_data_file"]: d for d in p_del.values() if is_dv(d)
+        }
+        c_dv = {
+            d["referenced_data_file"]: d for d in c_del.values() if is_dv(d)
+        }
+
+        rename_cache: dict[int | None, dict[str, str]] = {}
+
+        def renames_for(fsnap: int | None) -> dict[str, str]:
+            if fsnap not in rename_cache:
+                r, _drops, _missing = schema_alignment(
+                    t.schema_for_snapshot(fsnap), target_schema
+                )
+                rename_cache[fsnap] = r
+            return rename_cache[fsnap]
+
+        parts: list[InputPartition] = []
+        removed = sorted(f for f in p_data if f not in c_data)
+        added = sorted(f for f in c_data if f not in p_data)
+        for f in removed:
+            parts.append(
+                IcebergFilePartition(
+                    f,
+                    renames_for(p_data[f].get("_snapshot_id")),
+                    current_names,
+                    arrow_types,
+                    defaults,
+                    change_type="delete",
+                    snapshot_id=sid,
+                    kind="delete_file",
+                    prior_dv=_dv_ref(p_dv.get(f)),
+                )
+            )
+        for f in added:
+            parts.append(
+                IcebergFilePartition(
+                    f,
+                    renames_for(c_data[f].get("_snapshot_id")),
+                    current_names,
+                    arrow_types,
+                    defaults,
+                    change_type="insert",
+                    snapshot_id=sid,
+                    kind="insert",
+                )
+            )
+        for f in sorted(c_dv):
+            if f not in c_data or f not in p_data:
+                continue  # target added this commit or already removed
+            new_ref = _dv_ref(c_dv[f])
+            prior_ref = _dv_ref(p_dv.get(f))
+            if new_ref == prior_ref:
+                continue  # blob carried forward unchanged
+            parts.append(
+                IcebergFilePartition(
+                    f,
+                    renames_for(c_data[f].get("_snapshot_id")),
+                    current_names,
+                    arrow_types,
+                    defaults,
+                    change_type="delete",
+                    snapshot_id=sid,
+                    kind="dv_delta",
+                    new_dv=new_ref,
+                    prior_dv=prior_ref,
+                )
+            )
         return parts
 
     # -- executor-side read --------------------------------------------------
@@ -333,6 +527,22 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         assert isinstance(partition, IcebergFilePartition)
         tbl = pq.read_table(partition.path)
+        if partition.kind != "insert":
+            # CDC delete partitions: select WHICH positions changed from
+            # at most two slim DV blob references — decode happens here
+            # on the executor, never on the driver
+            from daskberg_spark.iceberg.puffin import dv_decode_file
+
+            prior: set[int] = set()
+            if partition.prior_dv is not None:
+                prior = set(dv_decode_file(*partition.prior_dv))
+            if partition.kind == "dv_delta":
+                assert partition.new_dv is not None
+                new = set(dv_decode_file(*partition.new_dv))
+                positions = sorted(new - prior)
+            else:  # delete_file: rows still live at the parent snapshot
+                positions = [i for i in range(len(tbl)) if i not in prior]
+            tbl = tbl.take(positions)
         if partition.renames:
             tbl = tbl.rename_columns(
                 [partition.renames.get(n, n) for n in tbl.column_names]
@@ -360,6 +570,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             else:
                 arrays.append(pa.nulls(len(tbl), type=expected))
         out = pa.table(dict(zip(partition.columns, arrays)))
+        if partition.change_type is not None:
+            out = out.append_column(
+                "_change_type",
+                pa.array([partition.change_type] * len(out), type=pa.string()),
+            ).append_column(
+                "_commit_snapshot_id",
+                pa.array([partition.snapshot_id] * len(out), type=pa.int64()),
+            )
         yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -378,13 +596,24 @@ class IcebergStreamDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> Any:
+        from pyspark.sql import types as T
+
         from daskberg_spark.iceberg.conversions import schema_to_struct
         from daskberg_spark.iceberg.metadata import IcebergTable
 
         path = self.options.get("path")
         if not path:
             raise ValueError("option 'path' (table location) is required")
-        return schema_to_struct(IcebergTable(path).schema)
+        struct = schema_to_struct(IcebergTable(path).schema)
+        if str(self.options.get("mode", "")).lower() in ("cdc", "changelog"):
+            struct = T.StructType(
+                list(struct.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_snapshot_id", T.LongType(), False),
+                ]
+            )
+        return struct
 
     def streamReader(self, schema) -> IcebergStreamReader:
         return IcebergStreamReader(dict(self.options), schema)

@@ -655,3 +655,144 @@ def test_stream_reader_target_schema_prefers_newest_match(spark, tmp_path):
     sch = r._resolve_target_schema(IcebergTable(p))
     assert [f["name"] for f in sch["fields"]] == ["x"]
     assert sch["fields"][0]["type"] == "long"  # newest match, not the int one
+
+
+def test_streaming_iceberg_source_cdc_mode(spark, tmp_path):
+    """mode=cdc: appends stream as inserts; DV commits stream the NEW
+    positions only (prior-blob delta); a whole-file removal streams the
+    rows still live at the parent; compaction emits nothing; every row
+    carries _change_type + _commit_snapshot_id."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        delete_where_dv_spark,
+    )
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"id": i, "grp": "ab"[i % 2]} for i in range(10)])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .load()
+    )
+    assert stream.schema.simpleString() == (
+        "struct<id:bigint,grp:string,_change_type:string,"
+        "_commit_snapshot_id:bigint>"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_cdc")
+        .outputMode("append")
+        .start()
+    )
+
+    def rows():
+        return [
+            (r["id"], r["_change_type"], r["_commit_snapshot_id"])
+            for r in spark.table("ice_cdc").collect()
+        ]
+
+    try:
+        q.processAllAvailable()
+        s1 = w.snapshots[0]["snapshot-id"]
+        assert sorted(rows()) == [(i, "insert", s1) for i in range(10)]
+
+        # DV commit: positions of id % 3 == 0 become deletes
+        delete_where_dv_spark(w, spark, "id % 3 = 0")
+        s2 = w.snapshots[-1]["snapshot-id"]
+        q.processAllAvailable()
+        assert sorted(x for x in rows() if x[1] == "delete") == [
+            (i, "delete", s2) for i in (0, 3, 6, 9)
+        ]
+
+        # second DV on the same file: stream ONLY the new position
+        # (the writer merged it into one blob — the delta must subtract
+        # the prior blob, not re-emit it)
+        first = IcebergTable(p).plan_files()[0]["file_path"]
+        w.delete_positions_dv({first: [1]})
+        s3 = w.snapshots[-1]["snapshot-id"]
+        q.processAllAvailable()
+        new_deletes = [x for x in rows() if x[2] == s3]
+        assert new_deletes == [(1, "delete", s3)]
+
+        # append keeps streaming as inserts alongside
+        w.append([{"id": 100, "grp": "z"}])
+        s4 = w.snapshots[-1]["snapshot-id"]
+        q.processAllAvailable()
+        assert [x for x in rows() if x[2] == s4] == [(100, "insert", s4)]
+
+        # whole-file removal: only rows still live at the parent emit
+        # (0,1,3,6,9 are already dead via DVs)
+        w.delete_files(lambda df: df["file_path"] == first)
+        s5 = w.snapshots[-1]["snapshot-id"]
+        q.processAllAvailable()
+        assert sorted(x for x in rows() if x[2] == s5) == [
+            (i, "delete", s5) for i in (2, 4, 5, 7, 8)
+        ]
+
+        # compaction is not a logical change: nothing streams
+        w.append([{"id": 101, "grp": "z"}])
+        q.processAllAvailable()
+        before = sorted(rows())
+        assert compact_files(w, min_file_bytes=1 << 30) is not None
+        q.processAllAvailable()
+        assert sorted(rows()) == before
+
+        # CDC net state == batch read of the final table
+        net = {}
+        for vid, ct, sid in sorted(rows(), key=lambda x: x[2]):
+            if ct == "insert":
+                net[vid] = net.get(vid, 0) + 1
+            else:
+                net[vid] = net.get(vid, 0) - 1
+        alive = {vid for vid, n in net.items() if n > 0}
+        t = IcebergTable(p)
+        assert alive == {r["id"] for r in t.to_df(spark).collect()}
+    finally:
+        q.stop()
+
+
+def test_streaming_cdc_rejects_v2_deletes(spark, tmp_path):
+    """CDC scope is the v3 write path: an equality-delete commit in the
+    tailed range fails with a pointer to the batch changelog."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, delete_keys_spark
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(5)])
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_cdc_rej")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        delete_keys_spark(
+            w, spark, spark.createDataFrame([(2,)], "id long")
+        )
+        with _pytest.raises(Exception, match="batch changelog"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
