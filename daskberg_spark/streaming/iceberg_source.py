@@ -435,20 +435,28 @@ class IcebergStreamReader(DataSourceStreamReader):
                 d.get("content") == 1 and d.get("referenced_data_file")
             )
 
-        for key, d in c_del.items():
-            if key in p_del:
-                continue
-            if not is_dv(d):
-                kind = (
-                    "an equality-delete"
-                    if d.get("content") == 2
-                    else "a position-delete parquet"
-                )
-                raise NotImplementedError(
-                    f"CDC streaming covers v3 deletion vectors; snapshot "
-                    f"{sid} adds {kind} file — read this window with the "
-                    "batch changelog (changelog_rows_df) or compact first"
-                )
+        # v2 position-parquet/equality deletes break the position math in
+        # BOTH directions: one newly added in this commit is an unreadable
+        # change, and one merely LIVE at the parent falsifies the
+        # "parent's dead set == its DV blob" premise behind delete_file
+        # (all-minus-prior-DV would re-emit rows already dead under the
+        # v2 delete) and dv_delta partitions — so a live non-DV delete
+        # file ANYWHERE in the pair of states raises, not just an added
+        # one.
+        for which, state in (("adds", c_del), ("carries", p_del)):
+            for key, d in state.items():
+                if not is_dv(d):
+                    kind = (
+                        "an equality-delete"
+                        if d.get("content") == 2
+                        else "a position-delete parquet"
+                    )
+                    raise NotImplementedError(
+                        f"CDC streaming covers v3 deletion vectors; snapshot "
+                        f"{sid} {which} {kind} file — read this window with "
+                        "the batch changelog (changelog_rows_df) or compact "
+                        "first"
+                    )
         p_dv = {
             d["referenced_data_file"]: d for d in p_del.values() if is_dv(d)
         }

@@ -796,3 +796,45 @@ def test_streaming_cdc_rejects_v2_deletes(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_cdc_rejects_preexisting_v2_deletes(spark, tmp_path):
+    """A v2 position-delete that is merely LIVE at the parent snapshot
+    (committed before the stream started) must also fail: the
+    delete_file / dv_delta position math assumes the parent's dead set
+    for a file is exactly its one DV blob, so an older position-delete
+    parquet would make a whole-file removal re-emit rows that were
+    already dead when the stream began."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": i} for i in range(5)])
+    target = next(iter(IcebergTable(p).scan_all()[0]))
+    w.delete_rows_position([(target, 1)])  # BEFORE the stream starts
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .option("from-beginning", "false")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_cdc_rej_pre")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # empty: stream tails from the head
+        # whole-file removal whose parent state carries the v2 delete
+        w.delete_files(lambda d: d["file_path"].endswith(target.rsplit("/", 1)[1]))
+        with _pytest.raises(Exception, match="batch changelog"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
