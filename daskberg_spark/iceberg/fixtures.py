@@ -557,6 +557,55 @@ def ensure_dv_fixture(spark, path: str = DV_FIXTURE_DIR) -> str:
     return path
 
 
+REWRITE_POS_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "rewrite_pos_table"
+)
+
+
+def ensure_rewrite_pos_fixture(path: str = REWRITE_POS_FIXTURE_DIR) -> str:
+    """v2→v3 delete-file migration fixture: 100 rows in two appends
+    (file1 = ids 0..59 by position, file2 = ids 60..99), a driver DV on
+    file2 (pos 0,1 → ids 60,61), two position-delete parquet commits
+    (file1 pos 0..2 → ids 0..2; file2 pos 2 → id 62), then
+    ``rewrite_position_deletes`` — the final state carries ONE merged DV
+    per touched file and zero live position parquet.  All deletions are
+    content-derivable: the oracle over the raw data parquet is
+
+        id NOT IN (0, 1, 2, 60, 61, 62)
+    """
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        rewrite_position_deletes,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    rows = [{"id": i, "grp": "abc"[i % 3], "val": i * 1.5} for i in range(100)]
+    writer.append(rows[:60])
+    writer.append(rows[60:])
+    f1, f2 = [
+        os.path.join(path, "data", p)
+        for p in sorted(
+            p for p in os.listdir(os.path.join(path, "data")) if p[0] == "0"
+        )
+    ]
+    writer.delete_positions_dv({f2: [0, 1]})
+    writer.delete_rows_position([(f1, p) for p in range(3)])
+    writer.delete_rows_position([(f2, 2)])
+    converted = rewrite_position_deletes(writer)
+    assert converted is not None
+    return path
+
+
 ADDFILES_EXT_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "addfiles_ext")
 ADDFILES_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "addfiles_table"

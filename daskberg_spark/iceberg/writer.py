@@ -3237,6 +3237,82 @@ def delete_keys_spark(
     return snapshot_id
 
 
+def rewrite_position_deletes(writer: "IcebergWriter") -> int | None:
+    """Maintenance: convert every live v2 position-delete parquet into
+    v3 deletion vectors — upstream ``rewrite_position_delete_files`` in
+    its convert-to-DV form, the delete-file half of the v2→v3 migration
+    path (beyond the read-only reference, README.md:92-94).
+
+    Reads each live position-delete parquet (delete-sized IO, never a
+    table scan), groups its (file, pos) pairs by live target data file,
+    merges them with the target's existing live DV
+    (``_dv_manifest_entries`` maintains the one-DV-per-file invariant),
+    and commits ONE ``replace`` snapshot adding the merged blobs and
+    tombstoning the consumed parquet files.  A representation rewrite
+    with zero logical row change — the CDC/changelog paths treat it
+    like compaction (emits nothing).  After it runs, pre-v3 histories
+    stream cleanly through ``mode=cdc`` (which rejects live v2
+    deletes) and a scan opens at most one delete blob per data file
+    instead of O(delete-commits) parquet files.
+
+    Position pairs whose target file is no longer live are dropped
+    (dead weight).  Equality deletes are untouched: their keys are
+    value-identified, not position-identified — compaction folds them.
+    Returns the new snapshot id, or None when no live position-delete
+    parquet exists."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+    from daskberg_spark.iceberg.puffin import dv_blob
+
+    deleted_paths: set[str] = set()
+    live_entries: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                deleted_paths.add(e["data_file"]["file_path"])
+            else:
+                live_entries.append((e, mf))
+    pos_parquet: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    live_data: dict[str, str] = {}  # normalized → recorded path
+    for e, mf in live_entries:
+        rec = e["data_file"]
+        if rec["file_path"] in deleted_paths:
+            continue
+        content = rec.get("content", 0)
+        if content == 0:
+            live_data[_norm_data_path(rec["file_path"])] = rec["file_path"]
+        elif content == 1 and not rec.get("referenced_data_file"):
+            pos_parquet.append((e, mf))
+    if not pos_parquet:
+        return None
+    by_target: dict[str, set[int]] = {}
+    for e, _mf in pos_parquet:
+        for r in pq.read_table(e["data_file"]["file_path"]).to_pylist():
+            norm = _norm_data_path(r["file_path"])
+            if norm in live_data:
+                by_target.setdefault(live_data[norm], set()).add(r["pos"])
+    dvs = [
+        (target, dv_blob(sorted(ps)), len(ps))
+        for target, ps in sorted(by_target.items())
+    ]
+    snapshot_id = writer._next_snapshot_id
+    entries = _dv_manifest_entries(writer, dvs, snapshot_id) if dvs else []
+    # tombstone the consumed parquet files in the same commit
+    entries += [
+        {
+            "status": 2,
+            "snapshot_id": snapshot_id,
+            "sequence_number": _entry_seq(e, mf),
+            "data_file": e["data_file"],
+        }
+        for e, mf in pos_parquet
+    ]
+    writer._format_version = 3
+    manifest = writer._write_manifest(entries, snapshot_id)
+    writer._commit(snapshot_id, writer.manifests + [manifest], "replace", 0)
+    return snapshot_id
+
+
 def rewrite_manifests(
     writer: "IcebergWriter", max_entries_per_manifest: int = 100
 ) -> int | None:

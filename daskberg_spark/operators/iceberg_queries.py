@@ -564,6 +564,34 @@ def iceberg_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_rewrite_pos_deletes",
+    """
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS sum_val
+    FROM read_parquet('/root/repo/.fixtures/rewrite_pos_table/data/0*.parquet')
+    WHERE id NOT IN (0, 1, 2, 60, 61, 62)
+    GROUP BY grp
+    """,
+)
+def iceberg_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2→v3 delete-file migration (``rewrite_position_deletes`` —
+    upstream ``rewrite_position_delete_files`` in convert-to-DV form):
+    the fixture's two position-delete parquet commits and a pre-existing
+    DV are merged into ONE deletion vector per touched file in a single
+    ``replace`` snapshot, the parquet tombstoned.  The read after
+    conversion must reproduce exactly the pre-conversion live rowset,
+    which the oracle derives from raw data-file content alone."""
+    from daskberg_spark.iceberg.fixtures import ensure_rewrite_pos_fixture
+
+    t = IcebergTable(ensure_rewrite_pos_fixture())
+    return t.to_df(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
+    )
+
+
+@query(
     "iceberg_add_files_read",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,

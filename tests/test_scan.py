@@ -4132,3 +4132,56 @@ def test_expire_snapshots_per_ref_retention(spark, tmp_path):
     w3.append([{"x": 2}])
     expire_snapshots(w3, keep_last=1)
     assert "keep" in IcebergTable(w3.path).metadata["refs"]
+
+
+def test_rewrite_position_deletes(spark, tmp_path):
+    """v2→v3 conversion: position-delete parquet (two commits, one
+    overlapping a pre-existing DV) becomes one merged DV per touched
+    file in a single replace snapshot; the read is unchanged, no live
+    non-DV delete file remains, and the consumed parquet is tombstoned."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        rewrite_position_deletes,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": float(i)} for i in range(20)])
+    w.append([{"id": i, "v": float(i)} for i in range(20, 30)])
+    t = IcebergTable(p)
+    f1, f2 = sorted(t.scan_all()[0])
+    w.delete_positions_dv({f2: [0, 1]})          # ids 20, 21
+    w.delete_rows_position([(f1, 0), (f1, 5)])   # ids 0, 5
+    w.delete_rows_position([(f2, 2), (f1, 5)])   # id 22 (+ dup of 5)
+    before = sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+    assert before == sorted(set(range(30)) - {0, 5, 20, 21, 22})
+
+    sid = rewrite_position_deletes(w)
+    assert sid is not None
+    t = IcebergTable(p)
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == before
+    # replace snapshot, v3 metadata
+    assert t.snapshots[sid]["summary"]["operation"] == "replace"
+    assert t.metadata["format-version"] == 3
+    # only DVs survive, exactly one per touched file, merged positions
+    deletes = t.plan_deletes()
+    assert deletes and all(d.get("referenced_data_file") for d in deletes)
+    by_target = {d["referenced_data_file"]: d for d in deletes}
+    assert len(by_target) == len(deletes) == 2
+    from daskberg_spark.iceberg.puffin import dv_decode_file
+
+    decode = lambda d: sorted(
+        dv_decode_file(
+            d["file_path"], d["content_offset"], d["content_size_in_bytes"]
+        )
+    )
+    assert decode(by_target[f1]) == [0, 5]
+    assert decode(by_target[f2]) == [0, 1, 2]
+    # idempotent: nothing left to convert
+    assert rewrite_position_deletes(w) is None
