@@ -278,9 +278,11 @@ _PRIORITY = [
     # streaming extension (r7 batch twins)
     "streaming_distinct_hll",
     "streaming_cdc_source",
+    # r8 fourth swap: the v2→v3 delete migration + snapshots inspect
+    # table seat in place of join_multi / window_rank (driver-green r7)
+    "iceberg_rewrite_pos_deletes",
+    "iceberg_snapshots_metadata",
     # Tier B representatives + scale patterns
-    "join_multi",
-    "window_rank",
     "array_functions",
     "distinct_kmv_estimate",
     "sample_deterministic",

@@ -606,6 +606,32 @@ class IcebergTable:
             "is_current_ancestor boolean",
         )
 
+    def snapshots_df(self, spark: Any):
+        """``table.snapshots`` metadata table (real Iceberg inspect
+        surface): one row per snapshot in the metadata — including ones
+        a rollback stranded off the current lineage, which ``history``
+        (snapshot-log) no longer shows.  Metadata-only, O(snapshots)
+        rows; the ``summary`` operation surfaces so maintenance jobs can
+        census appends vs deletes vs replaces without opening a single
+        manifest."""
+        rows = [
+            (
+                int(s["timestamp-ms"]),
+                int(s["snapshot-id"]),
+                s.get("parent-snapshot-id"),
+                (s.get("summary") or {}).get("operation", "append"),
+                self._relocate(s["manifest-list"])
+                if s.get("manifest-list")
+                else None,
+            )
+            for s in self.metadata.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at long, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string",
+        )
+
     def refs_df(self, spark: Any):
         """``table.refs`` metadata table (real Iceberg inspect surface;
         beyond-reference — ``ice.py`` reads only the main lineage): one

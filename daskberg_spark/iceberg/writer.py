@@ -3237,6 +3237,33 @@ def delete_keys_spark(
     return snapshot_id
 
 
+def upgrade_format_version(writer: "IcebergWriter", to_version: int) -> None:
+    """Explicit table format-version upgrade — upstream
+    ``ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')``.
+
+    The writer already bumps implicitly when a feature demands it
+    (row-level deletes → 2, deletion vectors → 3); this is the explicit
+    migration entry point so a table can opt into a higher version
+    before the first feature use, and the one place the spec's one-way
+    rule is enforced (downgrades are illegal — older readers would
+    misread sequence numbers and delete files).  Metadata-only: emits a
+    new metadata version immediately when the table has snapshots
+    (otherwise the first commit carries the bump)."""
+    if to_version not in (1, 2, 3):
+        raise ValueError(f"unknown format version {to_version}")
+    if to_version < writer._format_version:
+        raise ValueError(
+            f"cannot downgrade format version {writer._format_version} -> "
+            f"{to_version} (the spec allows upgrades only)"
+        )
+    if to_version == writer._format_version:
+        return
+    writer._format_version = to_version
+    if writer.snapshots:
+        writer.version += 1
+        writer._write_metadata()
+
+
 def rewrite_position_deletes(writer: "IcebergWriter") -> int | None:
     """Maintenance: convert every live v2 position-delete parquet into
     v3 deletion vectors — upstream ``rewrite_position_delete_files`` in

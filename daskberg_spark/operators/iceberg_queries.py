@@ -1052,6 +1052,35 @@ def iceberg_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_snapshots_metadata",
+    r"""
+    SELECT CAST(s."timestamp-ms" AS BIGINT) AS committed_at,
+           CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
+           CAST(s."parent-snapshot-id" AS BIGINT) AS parent_id,
+           COALESCE(s.summary.operation, 'append') AS operation,
+           s."manifest-list" AS manifest_list
+    FROM (SELECT unnest(snapshots) AS s FROM (
+      SELECT snapshots,
+             CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) AS v
+      FROM read_json_auto(
+        '/root/repo/.fixtures/rollback_table/metadata/v*.metadata.json',
+        filename=true)
+      ORDER BY v DESC LIMIT 1))
+    """,
+)
+def iceberg_snapshots_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.snapshots`` metadata table over the rollback fixture:
+    unlike ``history`` (lineage-only snapshot-log), EVERY metadata
+    snapshot surfaces — including the one the rollback stranded off the
+    current lineage — with its commit operation and manifest-list path.
+    The oracle re-parses the raw metadata JSON through DuckDB."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return t.snapshots_df(spark)
+
+
+@query(
     "iceberg_default_backfill",
     """
     SELECT o_orderkey, CAST(1.5 AS DOUBLE) AS boost

@@ -4185,3 +4185,34 @@ def test_rewrite_position_deletes(spark, tmp_path):
     assert decode(by_target[f2]) == [0, 1, 2]
     # idempotent: nothing left to convert
     assert rewrite_position_deletes(w) is None
+
+
+def test_upgrade_format_version(spark, tmp_path):
+    """Explicit one-way format upgrade: v1 → 3 emits a metadata version
+    immediately; downgrade raises; re-upgrade is a no-op; a v3 table
+    written by the implicit bump (DV commit) refuses a downgrade too."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        upgrade_format_version,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}, {"id": 2}])
+    assert IcebergTable(p).metadata["format-version"] == 1
+    v_before = w.version
+    upgrade_format_version(w, 3)
+    t = IcebergTable(p)
+    assert t.metadata["format-version"] == 3
+    assert w.version == v_before + 1
+    assert sorted(r["id"] for r in t.to_df(spark).collect()) == [1, 2]
+    upgrade_format_version(w, 3)  # no-op, no extra metadata version
+    assert w.version == v_before + 1
+    with _pytest.raises(ValueError, match="downgrade"):
+        upgrade_format_version(w, 2)
+    with _pytest.raises(ValueError, match="unknown"):
+        upgrade_format_version(w, 4)
