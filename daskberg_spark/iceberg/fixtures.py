@@ -606,6 +606,47 @@ def ensure_rewrite_pos_fixture(path: str = REWRITE_POS_FIXTURE_DIR) -> str:
     return path
 
 
+MERGE_SYNC_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "merge_sync_table"
+)
+
+
+def ensure_merge_sync_fixture(spark, path: str = MERGE_SYNC_FIXTURE_DIR) -> str:
+    """Full-sync MERGE fixture (WHEN NOT MATCHED BY SOURCE THEN DELETE,
+    merge-on-read): 20 rows in two appends, then one MOR merge whose
+    source is {2→99.5, 5→0.25, 100→42.0} with the clause on — the final
+    live rowset IS the source: matched ids keep their target ``grp``,
+    the insert's is NULL, every other target row is DV-dead.  All
+    content-derivable: the oracle selects ids 2 and 5 from the raw data
+    parquet with the updated vals CASEd in, plus the insert literal."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        merge_rows_mor_spark,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    rows = [{"id": i, "grp": "abc"[i % 3], "val": i * 1.5} for i in range(20)]
+    writer.append(rows[:12])
+    writer.append(rows[12:])
+    src = spark.createDataFrame(
+        [(2, 99.5), (5, 0.25), (100, 42.0)], "id long, val double"
+    )
+    merge_rows_mor_spark(
+        writer, spark, src, ["id"], not_matched_by_source_delete=True
+    )
+    return path
+
+
 ADDFILES_EXT_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "addfiles_ext")
 ADDFILES_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "addfiles_table"

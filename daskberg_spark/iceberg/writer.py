@@ -294,6 +294,10 @@ class IcebergWriter:
         # equality-delete applicability keys on them, never on snapshot ids.
         self._last_sequence_number = 0
         self._format_version = 1  # upgraded to 2 by row-level deletes
+        # spec `identifier-field-ids`: the schema's declared row
+        # identity (SQL PRIMARY KEY analogue); set_identifier_fields
+        # records it, upsert_spark consumes it as the default merge key
+        self.identifier_field_ids: list[int] = []
         self.manifests: list[dict[str, Any]] = []  # live manifest_file records
         self.table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         self._metadata_log: list[dict[str, Any]] = []
@@ -405,6 +409,16 @@ class IcebergWriter:
         )
         w._format_version = meta.get("format-version", 1)
         w._next_row_id = meta.get("next-row-id", 0)
+        w.identifier_field_ids = list(
+            next(
+                (
+                    s.get("identifier-field-ids") or []
+                    for s in meta.get("schemas", [])
+                    if s["schema-id"] == current_schema_id
+                ),
+                [],
+            )
+        )
         w.statistics = list(meta.get("statistics", []))
         w.partition_statistics = list(meta.get("partition-statistics", []))
         w.table_uuid = meta.get(
@@ -1103,6 +1117,44 @@ class IcebergWriter:
         )
         return snapshot_id
 
+    def set_identifier_fields(self, cols: list[str]) -> None:
+        """Declare the schema's ``identifier-field-ids`` (Iceberg spec
+        "Identifier Field IDs" — the SQL PRIMARY KEY analogue): the
+        columns that identify a row across updates.  ``upsert_spark``
+        uses them as its default merge key.
+
+        Spec validation: every field must exist, be ``required``, and
+        not be float/double (NaN makes identity undefined).  Emits a
+        metadata version immediately when the table has snapshots, like
+        the other schema updates."""
+        if not cols:
+            raise ValueError("no identifier columns")
+        ids = []
+        for c in cols:
+            f = next((f for f in self.fields if f["name"] == c), None)
+            if f is None:
+                raise ValueError(f"unknown identifier column {c!r}")
+            t = f["type"]
+            if isinstance(t, str) and t in ("float", "double"):
+                raise ValueError(
+                    f"identifier field {c!r} cannot be {t} (spec: NaN "
+                    "makes row identity undefined)"
+                )
+            if not isinstance(t, str):
+                raise ValueError(
+                    f"identifier field {c!r} must be a primitive type"
+                )
+            if not f.get("required"):
+                raise ValueError(
+                    f"identifier field {c!r} must be required (spec rule; "
+                    "re-create the column as required)"
+                )
+            ids.append(f["id"])
+        self.identifier_field_ids = ids
+        if self.snapshots:
+            self.version += 1
+            self._write_metadata()
+
     def set_sort_order(self, cols: list[str | tuple[str, str]]) -> int:
         """Register a sort order over ``cols`` (name, or (name, "asc"/
         "desc")) and make it the default for future metadata.  Spec
@@ -1398,7 +1450,20 @@ class IcebergWriter:
             # and a dropped column's id stays retired
             "last-column-id": max(_max_field_id(s) for s in self.schemas),
             "schemas": [
-                {"type": "struct", "schema-id": i, "fields": fields}
+                {
+                    "type": "struct",
+                    "schema-id": i,
+                    "fields": fields,
+                    # identity declaration rides the CURRENT schema (the
+                    # one it was validated against); older schemas may
+                    # predate the identified columns
+                    **(
+                        {"identifier-field-ids": self.identifier_field_ids}
+                        if self.identifier_field_ids
+                        and i == self.current_schema_id
+                        else {}
+                    ),
+                }
                 for i, fields in enumerate(self.schemas)
             ],
             "current-schema-id": self.current_schema_id,
@@ -2995,6 +3060,7 @@ def merge_rows_mor_spark(
     spark: Any,
     updates: Any,
     key_cols: list[str],
+    not_matched_by_source_delete: bool = False,
 ) -> int:
     """Distributed MERGE-ON-READ MERGE: matched rows become v3
     deletion-vector tombstones on their (file, position) identity and
@@ -3021,7 +3087,16 @@ def merge_rows_mor_spark(
     positions merge into the new blobs (v3 single-DV invariant).
     Returns the snapshot id.  Reference has no writing at all
     (``README.md:92-94``); real Iceberg calls this
-    ``merge-on-read`` / ``write.merge.mode=merge-on-read``."""
+    ``merge-on-read`` / ``write.merge.mode=merge-on-read``.
+
+    ``not_matched_by_source_delete=True`` adds SQL MERGE's ``WHEN NOT
+    MATCHED BY SOURCE THEN DELETE`` clause (the full-sync shape: the
+    source IS the desired table state): target rows whose key has no
+    source row are DV-tombstoned in the same commit.  Merge-on-read is
+    the only sane physical plan for this clause at scale — under CoW it
+    degenerates to rewriting every file holding any unmatched row,
+    i.e. normally the whole table — which is why only this twin grows
+    the option."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
     from pyspark.sql import functions as F
@@ -3070,12 +3145,51 @@ def merge_rows_mor_spark(
         ],
         F.lit(None).cast("long").alias("_row_id"),
     )
+    dead = matched.select("__file", "__pos")
+    if not_matched_by_source_delete:
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE: target rows with no
+        # source key join DV-tombstone alongside the matched rows — an
+        # anti-join against the (broadcastable) update keys, positions
+        # still never leaving the executors
+        dead = dead.unionByName(
+            tagged.join(_maybe_broadcast_updates(u), key_cols, "left_anti")
+            .select("__file", "__pos")
+        )
     return _commit_mor_changes(
         writer,
-        matched.select("__file", "__pos"),
+        dead,
         applied.unionByName(inserts),
         stage_prefix="merge_mor_",
     )
+
+
+def upsert_spark(
+    writer: "IcebergWriter",
+    spark: Any,
+    rows: Any,
+    on: list[str] | None = None,
+) -> int:
+    """UPSERT by declared row identity: merge ``rows`` into the table
+    keyed on the schema's ``identifier-field-ids``
+    (``set_identifier_fields``) — the engine-level counterpart of
+    writing to a table with a PRIMARY KEY.  ``on=`` overrides the key
+    explicitly; without it, a table that never declared identifier
+    fields raises rather than guessing.
+
+    Physically a merge-on-read MERGE (``merge_rows_mor_spark``):
+    matched rows DV-tombstone and re-append with the new values, new
+    keys insert — write amplification O(upserted rows), the CDC-apply
+    shape at 100 TB.  Returns the snapshot id."""
+    key = on
+    if key is None:
+        by_id = {f["id"]: f["name"] for f in writer.fields}
+        key = [by_id[i] for i in writer.identifier_field_ids if i in by_id]
+    if not key:
+        raise ValueError(
+            "table declares no identifier fields; pass on=[...] or call "
+            "set_identifier_fields first"
+        )
+    return merge_rows_mor_spark(writer, spark, rows, key)
 
 
 def update_where_mor_spark(

@@ -564,6 +564,32 @@ def iceberg_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_merge_full_sync",
+    """
+    SELECT id, grp,
+           CAST(CASE id WHEN 2 THEN 99.5 WHEN 5 THEN 0.25 END AS DOUBLE)
+             AS val
+    FROM read_parquet('/root/repo/.fixtures/merge_sync_table/data/0*.parquet')
+    WHERE id IN (2, 5)
+    UNION ALL
+    SELECT CAST(100 AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS grp,
+           CAST(42.0 AS DOUBLE) AS val
+    """,
+)
+def iceberg_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE's ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` under
+    merge-on-read (the full-sync shape: the source IS the desired table
+    state): matched rows update via DV + replacement, source-only keys
+    insert, and target-only rows DV-tombstone — one commit.  The oracle
+    reconstructs the expected final state from raw data-file content
+    plus the known source literals."""
+    from daskberg_spark.iceberg.fixtures import ensure_merge_sync_fixture
+
+    t = IcebergTable(ensure_merge_sync_fixture(spark))
+    return t.to_df(spark).select("id", "grp", "val")
+
+
+@query(
     "iceberg_rewrite_pos_deletes",
     """
     SELECT grp,

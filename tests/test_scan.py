@@ -4216,3 +4216,93 @@ def test_upgrade_format_version(spark, tmp_path):
         upgrade_format_version(w, 2)
     with _pytest.raises(ValueError, match="unknown"):
         upgrade_format_version(w, 4)
+
+
+def test_merge_mor_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE under merge-on-read: the
+    source becomes the exact table state — matched rows update in place
+    (keeping their v3 _row_id), source-only keys insert, and target-only
+    rows DV-tombstone in the SAME commit."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        merge_rows_mor_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": float(i)} for i in range(6)])
+    w.append([{"id": i, "v": float(i)} for i in range(6, 10)])
+    t = IcebergTable(p)
+    rid_of_2 = {
+        r["id"]: r["_row_id"]
+        for r in t.to_df(spark, row_lineage=True).collect()
+    }[2]
+    src = spark.createDataFrame([(2, 99.5), (7, -1.0), (100, 42.0)], "id long, v double")
+    merge_rows_mor_spark(w, spark, src, ["id"], not_matched_by_source_delete=True)
+    t = IcebergTable(p)
+    got = {
+        r["id"]: (r["v"], r["_row_id"])
+        for r in t.to_df(spark, row_lineage=True).collect()
+    }
+    assert sorted(got) == [2, 7, 100]
+    assert got[2][0] == 99.5 and got[7][0] == -1.0 and got[100][0] == 42.0
+    # updated row keeps its stable row identity
+    assert got[2][1] == rid_of_2
+    # exactly one commit past the two appends
+    assert len(t.metadata["snapshots"]) == 3
+
+
+def test_identifier_fields_and_upsert(spark, tmp_path):
+    """identifier-field-ids round-trip through metadata (and load());
+    upsert_spark keys on them; spec validation rejects missing,
+    non-required, and float identifier columns."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, upsert_spark
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+            {"id": 3, "name": "s", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i), "s": None} for i in range(5)])
+    with _pytest.raises(ValueError, match="unknown identifier"):
+        w.set_identifier_fields(["nope"])
+    with _pytest.raises(ValueError, match="cannot be double"):
+        w.set_identifier_fields(["v"])
+    with _pytest.raises(ValueError, match="required"):
+        w.set_identifier_fields(["s"])
+    w.set_identifier_fields(["k"])
+    # persisted on the current schema, restored by load()
+    t = IcebergTable(p)
+    cur = next(
+        s
+        for s in t.metadata["schemas"]
+        if s["schema-id"] == t.metadata["current-schema-id"]
+    )
+    assert cur["identifier-field-ids"] == [1]
+    w2 = IcebergWriter.load(p)
+    assert w2.identifier_field_ids == [1]
+    upsert_spark(
+        w2, spark, spark.createDataFrame([(3, -1.0), (9, 9.0)], "k long, v double")
+    )
+    got = {r["k"]: r["v"] for r in IcebergTable(p).to_df(spark).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: -1.0, 4: 4.0, 9: 9.0}
+    # no identifier fields and no on= → refuse to guess
+    w3 = IcebergWriter(
+        str(tmp_path / "t2"),
+        [{"id": 1, "name": "k", "type": "long", "required": True}],
+    )
+    w3.append([{"k": 1}])
+    with _pytest.raises(ValueError, match="identifier fields"):
+        upsert_spark(w3, spark, spark.createDataFrame([(1,)], "k long"))
