@@ -237,7 +237,9 @@ _PRIORITY = [
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
     "iceberg_partition_prune",
-    "iceberg_schema_evolution",
+    # r8 sixth swap: full delete consolidation seats in place of
+    # iceberg_schema_evolution (driver-green r2-r7)
+    "iceberg_convert_deletes",
     "iceberg_lineitem_stats_prune",
     "iceberg_merge_mor",
     "iceberg_name_mapping_read",
@@ -261,8 +263,11 @@ _PRIORITY = [
     "iceberg_row_lineage",
     "iceberg_changelog_pairs",
     "streaming_iceberg_source",
+    # r8 fifth swap: full-sync MERGE seats in place of
+    # dedup_minhash_candidates (driver-green r2-r7; C2 keeps
+    # dedup_chunks_exact + semdedup_prune in-window)
+    "iceberg_merge_full_sync",
     # Tier C — dedup (C1/C2)
-    "dedup_minhash_candidates",
     "dedup_chunks_exact",
     # Tier C — similarity / semantic dedup (C2/C3)
     "embedding_dim_stats",

@@ -606,6 +606,47 @@ def ensure_rewrite_pos_fixture(path: str = REWRITE_POS_FIXTURE_DIR) -> str:
     return path
 
 
+CONVERT_DEL_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "convert_del_table"
+)
+
+
+def ensure_convert_del_fixture(spark, path: str = CONVERT_DEL_FIXTURE_DIR) -> str:
+    """Full delete-consolidation fixture: the deletes-table history
+    (100 rows, equality delete of ids 5/17/61, position delete of file1
+    pos 0..2 = ids 0..2) followed by ``convert_deletes_to_dvs`` — the
+    final state serves the identical rowset from deletion vectors alone.
+    Content-derivable: id NOT IN (5, 17, 61, 0, 1, 2)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        convert_deletes_to_dvs,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    rows = [{"id": i, "grp": "abc"[i % 3], "val": i * 1.5} for i in range(100)]
+    writer.append(rows[:60])
+    writer.append(rows[60:])
+    writer.delete_rows_equality([{"id": i} for i in EQ_DELETED_IDS])
+    first_file = sorted(
+        p for p in os.listdir(os.path.join(path, "data")) if p[0] == "0"
+    )[0]
+    writer.delete_rows_position(
+        [(os.path.join(path, "data", first_file), p) for p in range(3)]
+    )
+    assert convert_deletes_to_dvs(writer, spark) is not None
+    return path
+
+
 MERGE_SYNC_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "merge_sync_table"
 )

@@ -3454,6 +3454,82 @@ def rewrite_position_deletes(writer: "IcebergWriter") -> int | None:
     return snapshot_id
 
 
+def convert_deletes_to_dvs(writer: "IcebergWriter", spark: Any) -> int | None:
+    """Full v3 delete consolidation: replace EVERY live non-DV delete
+    file — equality deletes included, which ``rewrite_position_deletes``
+    cannot touch because their keys identify rows by VALUE — with
+    deletion vectors, in one ``replace`` snapshot.
+
+    The dead-position set is computed distributively as a difference of
+    two tagged reads: the raw (file, pos) universe (``_read_file_groups``
+    with no delete application) anti-joined against the delete-aware
+    live set.  That set is exactly every currently-dead row whatever
+    killed it (equality key, position parquet, existing DV), so the
+    per-file blobs built from it — via the same sharded executor path as
+    every DV commit, positions never reaching the driver — subsume and
+    supersede the table's whole delete state; the consumed equality and
+    position files tombstone in the same commit.  Sequence semantics
+    survive because a DV applies to its named file unconditionally while
+    the rows it covers were dead under the old sequence rules at
+    conversion time — and rows appended AFTER this commit live in new
+    files no converted blob references.
+
+    A full-table maintenance scan (two reads, no shuffle beyond the
+    anti-join and the DV aggregation), like upstream's rewrite
+    procedures — run it once to migrate a v2 delete history, after which
+    scans open at most one blob per file and ``mode=cdc`` streaming
+    works.  Returns the snapshot id, or None when the table has no live
+    non-DV delete files."""
+    import daskberg_spark.iceberg.scan as _scan
+    from daskberg_spark.iceberg.avro import read_avro_file
+    from daskberg_spark.iceberg.conversions import schema_to_struct
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    deleted_paths: set[str] = set()
+    live_entries: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                deleted_paths.add(e["data_file"]["file_path"])
+            else:
+                live_entries.append((e, mf))
+    consumed = [
+        (e, mf)
+        for e, mf in live_entries
+        if e["data_file"]["file_path"] not in deleted_paths
+        and e["data_file"].get("content", 0) in (1, 2)
+        and not e["data_file"].get("referenced_data_file")
+    ]
+    if not consumed:
+        return None
+    t = IcebergTable(writer.path)
+    files = t.plan_files()
+    snapshot_id = writer._next_snapshot_id
+    entries: list[dict[str, Any]] = []
+    if files:
+        struct = schema_to_struct(t.schema)
+        raw = _scan._read_file_groups(
+            t, spark, files, struct, tag_position=True
+        ).select("__file", "__pos")
+        live = t.to_df(spark, keep_pos=True).select("__file", "__pos")
+        dead = raw.join(live, ["__file", "__pos"], "left_anti")
+        entries = _dv_manifest_entries_spark(writer, spark, dead, snapshot_id)
+    entries += [
+        {
+            "status": 2,
+            "snapshot_id": snapshot_id,
+            "sequence_number": _entry_seq(e, mf),
+            "data_file": e["data_file"],
+        }
+        for e, mf in consumed
+    ]
+    writer._format_version = 3
+    manifest = writer._write_manifest(entries, snapshot_id)
+    writer._commit(snapshot_id, writer.manifests + [manifest], "replace", 0)
+    return snapshot_id
+
+
 def rewrite_manifests(
     writer: "IcebergWriter", max_entries_per_manifest: int = 100
 ) -> int | None:

@@ -564,6 +564,34 @@ def iceberg_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_convert_deletes",
+    f"""
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS sum_val
+    FROM read_parquet('/root/repo/.fixtures/convert_del_table/data/0*.parquet')
+    WHERE id NOT IN (5, 17, 61, 0, 1, 2)
+    GROUP BY grp
+    """,
+)
+def iceberg_convert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full v3 delete consolidation (``convert_deletes_to_dvs``):
+    equality deletes — value-identified, beyond
+    ``rewrite_position_deletes``' reach — and position parquet both fold
+    into one deletion vector per touched file via a distributed
+    raw-minus-live position diff; the read after conversion serves the
+    identical rowset from DVs alone, which the oracle re-derives from
+    raw data-file content."""
+    from daskberg_spark.iceberg.fixtures import ensure_convert_del_fixture
+
+    t = IcebergTable(ensure_convert_del_fixture(spark))
+    return t.to_df(spark).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("sum_val"),
+    )
+
+
+@query(
     "iceberg_merge_full_sync",
     """
     SELECT id, grp,

@@ -4306,3 +4306,96 @@ def test_identifier_fields_and_upsert(spark, tmp_path):
     w3.append([{"k": 1}])
     with _pytest.raises(ValueError, match="identifier fields"):
         upsert_spark(w3, spark, spark.createDataFrame([(1,)], "k long"))
+
+
+def test_changelog_silent_across_pos_delete_rewrite(spark, tmp_path):
+    """rewrite_position_deletes is a pure representation change, and the
+    metadata-delta changelog proves it: the window spanning only the
+    conversion emits ZERO rows (the consumed parquet's targets are
+    re-checked on both sides and their live (file, pos) sets agree),
+    while a window that also spans the original delete still reports it."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        rewrite_position_deletes,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": float(i)} for i in range(10)])
+    f = next(iter(IcebergTable(p).scan_all()[0]))
+    w.delete_rows_position([(f, 2), (f, 4)])
+    assert rewrite_position_deletes(w) is not None
+    t = IcebergTable(p)
+    # conversion-only window: silent
+    assert t.changelog_rows_df(spark, from_rel=-1).count() == 0
+    # window including the delete commit: exactly the two dead rows
+    rows = t.changelog_rows_df(spark, from_rel=-2).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in rows) == [
+        (2, "delete"),
+        (4, "delete"),
+    ]
+
+
+def test_convert_deletes_to_dvs(spark, tmp_path):
+    """Full delete consolidation: equality deletes (value-identified,
+    out of rewrite_position_deletes' reach), position parquet, and an
+    existing DV all fold into one DV per touched file; the read is
+    unchanged, every non-DV delete file tombstones, sequence semantics
+    survive (a row re-inserted AFTER an equality delete stays live and
+    gets no DV), and the metadata-delta changelog is silent across the
+    conversion."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        convert_deletes_to_dvs,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"id": i, "v": float(i)} for i in range(10)])
+    w.delete_rows_equality([{"id": 3}, {"id": 7}])
+    w.append([{"id": 7, "v": -7.0}])          # re-insert AFTER the delete
+    f1 = sorted(IcebergTable(p).scan_all()[0])[0]
+    w.delete_rows_position([(f1, 0)])          # id 0
+    w.delete_positions_dv({f1: [1]})           # id 1 via existing DV
+    before = sorted(
+        (r["id"], r["v"]) for r in IcebergTable(p).to_df(spark).collect()
+    )
+    assert before == sorted(
+        [(i, float(i)) for i in range(10) if i not in (0, 1, 3, 7)]
+        + [(7, -7.0)]
+    )
+    sid = convert_deletes_to_dvs(w, spark)
+    assert sid is not None
+    t = IcebergTable(p)
+    assert sorted(
+        (r["id"], r["v"]) for r in t.to_df(spark).collect()
+    ) == before
+    deletes = t.plan_deletes()
+    assert deletes and all(d.get("referenced_data_file") for d in deletes)
+    # one DV per touched file; the re-inserted file carries none
+    targets = [d["referenced_data_file"] for d in deletes]
+    assert len(set(targets)) == len(targets)
+    from daskberg_spark.iceberg.puffin import dv_decode_file
+
+    by_target = {d["referenced_data_file"]: d for d in deletes}
+    assert sorted(
+        dv_decode_file(
+            by_target[f1]["file_path"],
+            by_target[f1]["content_offset"],
+            by_target[f1]["content_size_in_bytes"],
+        )
+    ) == [0, 1, 3, 7]  # merged: pos parquet + DV + both eq-dead rows
+    assert t.changelog_rows_df(spark, from_rel=-1).count() == 0
+    assert convert_deletes_to_dvs(w, spark) is None  # idempotent

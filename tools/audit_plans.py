@@ -58,6 +58,7 @@ AUDIT = {
     # post-conversion read after rewrite_position_deletes: same DV-read
     # shape — merged blobs decode like any other deletion vector
     "iceberg_rewrite_pos_deletes": (3, False, True, None),
+    "iceberg_convert_deletes": (3, False, True, None),
     # round 7: merge-on-read MERGE read-back — broadcast DV anti-join +
     # one agg exchange, 11 plan lines FLAT in matched-file count (no
     # per-file legs, no path literals); name-mapping read is a bare
