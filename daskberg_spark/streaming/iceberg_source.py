@@ -167,6 +167,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.from_beginning = str(
             options.get("from-beginning", "true")
         ).lower() in ("true", "1")
+        # tail a named branch instead of main (real Iceberg's streaming
+        # `branch` read option): offsets resolve against the ref's head,
+        # so a WAP-staged branch streams its staged commits while main
+        # stays pinned
+        self.branch = options.get("branch")
         mft = options.get("max-files-per-trigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
         self._rate_end: int | None = None  # last rate-limited latestOffset
@@ -208,10 +213,23 @@ class IcebergStreamReader(DataSourceStreamReader):
         self._target_schema = sch
         return sch
 
+    def _head_id(self, t) -> int:
+        """The tailed head: a named branch's referenced snapshot when
+        the ``branch`` option is set, else the table head."""
+        if self.branch is None:
+            return t.current_snapshot["snapshot-id"]
+        refs = t.metadata.get("refs") or {}
+        if self.branch not in refs:
+            raise ValueError(
+                f"no ref {self.branch!r} in table metadata "
+                f"(refs: {sorted(refs)})"
+            )
+        return refs[self.branch]["snapshot-id"]
+
     def initialOffset(self) -> dict:
         if self.from_beginning:
             return {"snapshot_id": None}  # pre-table-history: emit all
-        return {"snapshot_id": self._table().current_snapshot["snapshot-id"]}
+        return {"snapshot_id": self._head_id(self._table())}
 
     def latestOffset(self) -> dict:
         """Head snapshot — or, under ``max-files-per-trigger``, the
@@ -225,7 +243,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         batches until it passes the checkpointed offset — slow for a few
         triggers, never duplicating."""
         t = self._table()
-        head = t.current_snapshot["snapshot-id"]
+        head = self._head_id(t)
         if self.max_files_per_trigger is None:
             return {"snapshot_id": head}
         base = self._rate_end
@@ -612,7 +630,12 @@ class IcebergStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("option 'path' (table location) is required")
-        struct = schema_to_struct(IcebergTable(path).schema)
+        t = IcebergTable(path)
+        if self.options.get("branch"):
+            # the stream's declared schema is the BRANCH head's (a
+            # staged schema change must govern its own stream)
+            t.open_snapshot(ref=self.options["branch"])
+        struct = schema_to_struct(t.schema)
         if str(self.options.get("mode", "")).lower() in ("cdc", "changelog"):
             struct = T.StructType(
                 list(struct.fields)

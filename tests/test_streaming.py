@@ -838,3 +838,45 @@ def test_streaming_cdc_rejects_preexisting_v2_deletes(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_source_branch_option(spark, tmp_path):
+    """option("branch", ...) tails a named branch's head: a WAP-staged
+    commit streams through the branch while a main-tailing stream sees
+    nothing until publish."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, stage_append
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 1}, {"id": 2}])
+    stage_append(w, [{"id": 3}], "audit")   # staged: main stays pinned
+    register(spark)
+
+    def drain(name, **opts):
+        reader = (
+            spark.readStream.format("daskberg_iceberg").option("path", p)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return sorted(r["id"] for r in spark.table(name).collect())
+        finally:
+            q.stop()
+
+    assert drain("br_main") == [1, 2]                       # pinned main
+    assert drain("br_audit", branch="audit") == [1, 2, 3]   # staged head
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no (such )?ref"):
+        drain("br_nope", branch="nope")
