@@ -768,6 +768,44 @@ class IcebergTable:
             "snapshot_id long",
         )
 
+    def all_delete_files_df(self, spark: Any):
+        """``table.all_delete_files`` metadata table: every delete file
+        (position/equality parquet and DV blob) live in at least one
+        valid snapshot, deduped by (path, blob offset) with the earliest
+        referencing snapshot — the remaining half of ``all_data_files``.
+        Same metadata-only walk through the scan cache; the selected
+        snapshot is restored afterwards."""
+        prior = self.current_snapshot["snapshot-id"]
+        seen: dict[tuple, tuple] = {}
+        try:
+            for sid in sorted(
+                self.snapshots,
+                key=lambda s: self.snapshots[s]["timestamp-ms"],
+            ):
+                self.open_snapshot(snapshot_id=sid)
+                for key, d in self.scan_all()[1].items():
+                    if key not in seen:
+                        seen[key] = (
+                            int(d.get("content", 0) or 0),
+                            d["file_path"],
+                            d.get("file_format", "PARQUET"),
+                            int(d["record_count"]),
+                            int(d.get("file_size_in_bytes") or 0),
+                            d.get("referenced_data_file"),
+                            d.get("content_offset"),
+                            d.get("content_size_in_bytes"),
+                            d.get("_snapshot_id"),
+                        )
+        finally:
+            self.open_snapshot(snapshot_id=prior)
+        return spark.createDataFrame(
+            sorted(seen.values(), key=lambda r: (r[1], r[6] or 0)),
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, "
+            "referenced_data_file string, content_offset long, "
+            "content_size_in_bytes long, snapshot_id long",
+        )
+
     def metadata_log_entries_df(self, spark: Any):
         """``table.metadata_log_entries`` metadata table: one row per
         metadata-log entry plus the current metadata file.  The

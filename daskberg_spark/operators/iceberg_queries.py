@@ -564,6 +564,32 @@ def iceberg_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_all_delete_files",
+    """
+    SELECT CASE WHEN filename LIKE '%pos-delete-%' THEN 1 ELSE 2 END AS content,
+           filename AS file_path,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM read_parquet(
+        ['/root/repo/.fixtures/deletes_table/data/pos-delete-*.parquet',
+         '/root/repo/.fixtures/deletes_table/data/eq-delete-*.parquet'],
+        filename=true, union_by_name=true)
+    GROUP BY filename
+    """,
+)
+def iceberg_all_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.all_delete_files`` metadata table over the v2-deletes
+    fixture: both delete flavors surface with their content codes and
+    record counts, which the oracle re-derives by reading the raw delete
+    parquet files themselves (metadata must agree with the bytes)."""
+    from daskberg_spark.iceberg.fixtures import ensure_deletes_fixture
+
+    t = IcebergTable(ensure_deletes_fixture())
+    return t.all_delete_files_df(spark).select(
+        "content", "file_path", "record_count"
+    )
+
+
+@query(
     "iceberg_convert_deletes",
     f"""
     SELECT grp,
