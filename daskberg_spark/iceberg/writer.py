@@ -627,13 +627,15 @@ class IcebergWriter:
 
     # -- snapshot commits ---------------------------------------------------
 
-    def append(self, rows: list[dict[str, Any]], max_files_per_manifest: int = 100) -> int:
-        """Append rows as a new snapshot; one data file per partition tuple."""
+    def _build_data_entries(
+        self, rows: list[dict[str, Any]], snapshot_id: int
+    ) -> list[dict[str, Any]]:
+        """Write ``rows`` as parquet data files (one per partition tuple)
+        and return their ADDED manifest entries — the shared half of
+        ``append`` and ``upsert_rows_equality``."""
         groups: dict[tuple, list[dict[str, Any]]] = {}
         for row in rows:
             groups.setdefault(self._partition_tuple(row), []).append(row)
-
-        snapshot_id = self._next_snapshot_id
         entries = []
         for ptuple, grows in sorted(groups.items(), key=lambda kv: str(kv[0])):
             fpath, fsize = self._write_parquet(grows)
@@ -654,6 +656,12 @@ class IcebergWriter:
                     },
                 }
             )
+        return entries
+
+    def append(self, rows: list[dict[str, Any]], max_files_per_manifest: int = 100) -> int:
+        """Append rows as a new snapshot; one data file per partition tuple."""
+        snapshot_id = self._next_snapshot_id
+        entries = self._build_data_entries(rows, snapshot_id)
         chunks = [
             entries[i : i + max_files_per_manifest]
             for i in range(0, len(entries), max_files_per_manifest)
@@ -834,6 +842,18 @@ class IcebergWriter:
         to data files added by earlier snapshots — a matching row
         re-inserted later stays live (scan._read_with_deletes).
         """
+        snapshot_id = self._next_snapshot_id
+        entry = self._build_eq_delete_entry(keys, snapshot_id)
+        manifest = self._write_manifest([entry], snapshot_id)
+        self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
+        return snapshot_id
+
+    def _build_eq_delete_entry(
+        self, keys: list[dict[str, Any]], snapshot_id: int
+    ) -> dict[str, Any]:
+        """Write an equality-delete parquet for ``keys`` and return its
+        ADDED (content=2) manifest entry — shared by
+        ``delete_rows_equality`` and ``upsert_rows_equality``."""
         if not keys:
             raise ValueError("no delete keys")
         cols = sorted(keys[0])
@@ -847,9 +867,8 @@ class IcebergWriter:
             for c in cols
         }
         pq.write_table(pa.table(arrays), path)
-        self._format_version = 2
-        snapshot_id = self._next_snapshot_id
-        entry = {
+        self._format_version = max(self._format_version, 2)
+        return {
             "status": 1,
             "snapshot_id": snapshot_id,
             "data_file": {
@@ -864,8 +883,76 @@ class IcebergWriter:
                 "equality_ids": [self.ids[c] for c in cols],
             },
         }
-        manifest = self._write_manifest([entry], snapshot_id)
-        self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
+
+    def upsert_rows_equality(
+        self,
+        rows: list[dict[str, Any]],
+        on: list[str] | None = None,
+        max_files_per_manifest: int = 100,
+    ) -> int:
+        """Blind equality-delete UPSERT — the Flink-CDC write shape
+        (one ``overwrite`` snapshot carrying an equality-delete file on
+        the row identity PLUS the batch's data files; real Iceberg's
+        streaming-upsert writers commit exactly this pair per
+        checkpoint).  Beyond the reference (read-only, ``README.md:94``).
+
+        Unlike ``upsert_spark`` (merge-on-read via DVs, which must SCAN
+        the target to locate matched row positions), this path never
+        reads the table: matched old rows die by the equality delete —
+        which applies only to data files with strictly OLDER data
+        sequence numbers, so the same commit's data files survive — and
+        new keys simply insert.  Write cost is O(batch) regardless of
+        table size, the property a CDC stream needs at 100 TB; the
+        read-side merge cost accrues until ``convert_deletes_to_dvs`` /
+        compaction folds the deletes down.
+
+        The key is ``on`` or the schema's declared identifier fields
+        (``set_identifier_fields``); no key → raise, never guess.
+        Duplicate keys inside one batch collapse to the LAST occurrence
+        (changelog order); a null key value raises.  Returns the
+        snapshot id."""
+        if not rows:
+            raise ValueError("no upsert rows")
+        key = on
+        if key is None:
+            by_id = {f["id"]: f["name"] for f in self.fields}
+            key = [by_id[i] for i in self.identifier_field_ids if i in by_id]
+        if not key:
+            raise ValueError(
+                "no merge key: pass on=[...] or declare identifier fields "
+                "(set_identifier_fields)"
+            )
+        for c in key:
+            if c not in self.types:
+                raise ValueError(f"unknown key column {c!r}")
+        deduped: dict[tuple, dict[str, Any]] = {}
+        for r in rows:
+            k = tuple(r.get(c) for c in key)
+            if any(v is None for v in k):
+                raise ValueError(f"null key value in upsert row: {r!r}")
+            deduped[k] = r  # last occurrence wins (changelog order)
+        snapshot_id = self._next_snapshot_id
+        delete_entry = self._build_eq_delete_entry(
+            [dict(zip(key, k)) for k in sorted(deduped, key=str)],
+            snapshot_id,
+        )
+        data_entries = self._build_data_entries(
+            list(deduped.values()), snapshot_id
+        )
+        chunks = [
+            data_entries[i : i + max_files_per_manifest]
+            for i in range(0, len(data_entries), max_files_per_manifest)
+        ] or [[]]
+        new_manifests = [self._write_manifest([delete_entry], snapshot_id)] + [
+            self._write_manifest(c, snapshot_id) for c in chunks
+        ]
+        self._commit(
+            snapshot_id,
+            self.manifests + new_manifests,
+            "overwrite",
+            len(deduped),
+            extra_summary={"upsert-keys": ",".join(key)},
+        )
         return snapshot_id
 
     def delete_rows_position(self, deletes: list[tuple[str, int]]) -> int:
@@ -1592,6 +1679,105 @@ def commit_spark_output(
         "append",
         sum(e["data_file"]["record_count"] for e in entries),
         extra_summary=extra_summary,
+    )
+    return snapshot_id
+
+
+def upsert_spark_output(
+    writer: "IcebergWriter",
+    spark: Any,
+    batch_df: Any,
+    on: list[str] | None = None,
+    dir_token: str | None = None,
+    extra_summary: dict[str, str] | None = None,
+) -> int:
+    """Distributed blind equality-delete UPSERT — ``upsert_rows_equality``
+    at cluster scale: EXECUTORS write both halves of the commit (the
+    batch's data files via a parquet job, and the equality-delete files
+    as a key-column projection — a valid eq-delete file IS just a
+    parquet of key columns), the driver only footer-lifts O(files)
+    metadata and commits once.  No target read, no row ever touches the
+    driver: the write cost of applying a CDC batch is O(batch) whether
+    the table is 1 GB or 100 TB.  This is the shape Flink's Iceberg
+    upsert writer commits per checkpoint.
+
+    ``dir_token`` keys the output directories (callers pass the epoch id
+    so a replayed micro-batch overwrites its own files — exactly-once
+    with the snapshot-summary guard in ``iceberg_upsert_sink``).
+    Duplicate keys within one batch collapse via ``dropDuplicates``
+    (which survivor is unspecified — feed changelog-ordered batches
+    through ``upsert_rows_equality`` if in-batch order matters).
+    Unpartitioned target specs only for now (the eq-delete is a global
+    delete either way; the data side would need partition lifting)."""
+    if writer.spec:
+        raise NotImplementedError(
+            "upsert_spark_output supports unpartitioned tables; "
+            "partitioned data output needs partition_col lifting"
+        )
+    key = on
+    if key is None:
+        by_id = {f["id"]: f["name"] for f in writer.fields}
+        key = [by_id[i] for i in writer.identifier_field_ids if i in by_id]
+    if not key:
+        raise ValueError(
+            "no merge key: pass on=[...] or declare identifier fields "
+            "(set_identifier_fields)"
+        )
+    for c in key:
+        if c not in writer.types:
+            raise ValueError(f"unknown key column {c!r}")
+    if dir_token is None:
+        writer._file_counter += 1
+        dir_token = f"{writer._file_counter:05d}-{writer._instance}"
+    deduped = batch_df.dropDuplicates(key)
+    data_dir = os.path.join(writer.path, "data", f"upsert-{dir_token}")
+    deduped.write.mode("overwrite").parquet(data_dir)
+    del_dir = os.path.join(writer.path, "data", f"upsert-del-{dir_token}")
+    deduped.select(*key).write.mode("overwrite").parquet(del_dir)
+
+    import glob as _glob
+
+    snapshot_id = writer._next_snapshot_id
+    data_entries = _entries_from_spark_dir(writer, data_dir, snapshot_id)
+    eq_ids = [writer.ids[c] for c in key]
+    delete_entries = []
+    for path in sorted(
+        _glob.glob(os.path.join(del_dir, "**", "*.parquet"), recursive=True)
+    ):
+        meta = pq.read_metadata(path)
+        if meta.num_rows == 0:
+            continue
+        delete_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    writer._format_version = max(writer._format_version, 2)
+    new_manifests = []
+    if delete_entries:
+        new_manifests.append(writer._write_manifest(delete_entries, snapshot_id))
+    chunks = [
+        data_entries[i : i + 100] for i in range(0, len(data_entries), 100)
+    ] or [[]]
+    new_manifests += [writer._write_manifest(c, snapshot_id) for c in chunks]
+    writer._commit(
+        snapshot_id,
+        writer.manifests + new_manifests,
+        "overwrite",
+        sum(e["data_file"]["record_count"] for e in data_entries),
+        extra_summary={"upsert-keys": ",".join(key), **(extra_summary or {})},
     )
     return snapshot_id
 

@@ -461,6 +461,123 @@ def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
     return sink
 
 
+def iceberg_upsert_sink(writer, on=None):
+    """foreachBatch callable UPSERTING each micro-batch into an Iceberg
+    table exactly once — the CDC-apply sink: every batch becomes one
+    blind equality-delete + data ``overwrite`` commit
+    (``upsert_spark_output``; executors write both halves, the driver
+    never sees a row), keyed on ``on`` or the table's declared
+    identifier fields.  Epoch idempotence mirrors ``iceberg_epoch_sink``:
+    the epoch id keys the output directories (a replayed epoch
+    overwrites its own files) and is recorded in the snapshot summary,
+    so a replayed epoch whose snapshot already exists skips the commit
+    entirely."""
+    from daskberg_spark.iceberg.writer import upsert_spark_output
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if any(
+            s["summary"].get("epoch-id") == str(epoch_id)
+            for s in writer.snapshots
+        ):
+            return  # epoch already committed: replay is a no-op
+        if batch_df.isEmpty():
+            return
+        upsert_spark_output(
+            writer,
+            batch_df.sparkSession,
+            batch_df,
+            on=on,
+            dir_token=f"epoch-{epoch_id}",
+            extra_summary={"epoch-id": str(epoch_id)},
+        )
+
+    return sink
+
+
+@query(
+    "streaming_upsert_sink",
+    """
+    WITH final AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN value + 2000
+                  WHEN event_id % 3 = 0 THEN value + 1000
+                  ELSE value END AS value
+      FROM events
+      WHERE event_id % 2 = 0 OR event_id % 3 = 0 OR event_id % 5 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM final GROUP BY event_type
+    """,
+)
+def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT into the Iceberg layer (Flink-CDC shape): an
+    upstream Iceberg table streams through the snapshot-tailing source
+    into ``iceberg_upsert_sink``, which applies each micro-batch as ONE
+    blind equality-delete + data commit on ``event_id`` — no target
+    read, executors write both halves.  Three overlapping slices
+    (ids divisible by 2, then by 3 with +1000, then by 5 with +2000)
+    land as separate micro-batches; for every key the LAST slice
+    containing it must win, which the oracle reconstructs with a
+    priority CASE — exactness proves both the upsert semantics
+    (strictly-older-sequence applicability) and exactly-once delivery
+    across the stream."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+    from daskberg_spark.operators.registry import table as _table
+    from daskberg_spark.streaming.iceberg_source import register
+
+    src_path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_upsert_src_{uuid.uuid4().hex[:8]}"
+    )
+    dst_path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_upsert_dst_{uuid.uuid4().hex[:8]}"
+    )
+    fields = [
+        {"id": 1, "name": "event_id", "type": "long", "required": False},
+        {"id": 2, "name": "event_type", "type": "string", "required": False},
+        {"id": 3, "name": "value", "type": "double", "required": False},
+    ]
+    src_writer = IcebergWriter(src_path, fields)
+    dst_writer = IcebergWriter(dst_path, fields)
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def commit_slice(k: int, mod: int, bump: float) -> None:
+        d = os.path.join(src_path, "data", f"slice-{k}")
+        ev.filter(F.col("event_id") % mod == 0).withColumn(
+            "value", F.col("value") + F.lit(bump)
+        ).write.mode("overwrite").parquet(d)
+        commit_spark_output(src_writer, d)
+
+    commit_slice(0, 2, 0.0)
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", src_path)
+        .load()
+        .writeStream.foreachBatch(
+            iceberg_upsert_sink(dst_writer, on=["event_id"])
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: ids % 2
+        commit_slice(1, 3, 1000.0)
+        q.processAllAvailable()  # batch 2: ids % 3 overwrite
+        commit_slice(2, 5, 2000.0)
+        q.processAllAvailable()  # batch 3: ids % 5 overwrite
+    finally:
+        q.stop()
+    t = IcebergTable(dst_path)
+    return t.to_df(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
+
+
 @query(
     "streaming_iceberg_sink",
     """

@@ -4399,3 +4399,63 @@ def test_convert_deletes_to_dvs(spark, tmp_path):
     ) == [0, 1, 3, 7]  # merged: pos parquet + DV + both eq-dead rows
     assert t.changelog_rows_df(spark, from_rel=-1).count() == 0
     assert convert_deletes_to_dvs(w, spark) is None  # idempotent
+
+
+def test_upsert_rows_equality_blind(spark, tmp_path):
+    """Blind equality-delete UPSERT: one overwrite commit per batch, no
+    target read; matched keys take the new values (the eq-delete applies
+    only to strictly-older sequence numbers, so the same commit's data
+    survives), duplicate in-batch keys collapse to the last occurrence,
+    and a later plain append of a dead key stays live."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(5)])
+    w.set_identifier_fields(["k"])
+    w2 = IcebergWriter.load(p)
+    # duplicate key 3 in one batch: last occurrence wins
+    sid = w2.upsert_rows_equality(
+        [{"k": 3, "v": -3.0}, {"k": 9, "v": 9.0}, {"k": 3, "v": -33.0}]
+    )
+    t = IcebergTable(p)
+    snap = next(
+        s for s in t.metadata["snapshots"] if s["snapshot-id"] == sid
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["upsert-keys"] == "k"
+    got = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: -33.0, 4: 4.0, 9: 9.0}
+    # ONE commit past the append: delete + data share a snapshot
+    assert len(t.metadata["snapshots"]) == 2
+    # the upsert wrote an eq-delete file and read nothing: original data
+    # files all still live (no rewrite)
+    files = {f["file_path"] for f in t.plan_files()}
+    assert len(files) == 2  # original append file + upsert data file
+    # a second upsert only touches its own keys
+    w2.upsert_rows_equality([{"k": 0, "v": 100.0}])
+    got = {r["k"]: r["v"] for r in IcebergTable(p).to_df(spark).collect()}
+    assert got == {0: 100.0, 1: 1.0, 2: 2.0, 3: -33.0, 4: 4.0, 9: 9.0}
+    # a plain append AFTER the upsert re-inserts a dead value and stays
+    # (sequence-correct applicability)
+    w2.append([{"k": 3, "v": 3.5}])
+    vals = sorted(
+        r["v"] for r in IcebergTable(p).to_df(spark).collect() if r["k"] == 3
+    )
+    assert vals == [-33.0, 3.5]
+    # guard rails
+    with _pytest.raises(ValueError, match="null key"):
+        w2.upsert_rows_equality([{"k": None, "v": 1.0}])
+    with _pytest.raises(ValueError, match="no merge key"):
+        IcebergWriter(
+            str(tmp_path / "t2"),
+            [{"id": 1, "name": "k", "type": "long", "required": True}],
+        ).upsert_rows_equality([{"k": 1}])

@@ -880,3 +880,45 @@ def test_streaming_source_branch_option(spark, tmp_path):
 
     with _pytest.raises(Exception, match="no (such )?ref"):
         drain("br_nope", branch="nope")
+
+
+def test_upsert_sink_distributed_and_replay(spark, tmp_path):
+    """upsert_spark_output applies a batch as ONE eq-delete + data
+    overwrite commit (executor-written halves, no target read); the
+    foreachBatch wrapper is exactly-once — a replayed epoch whose
+    snapshot exists skips the commit entirely."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (binds to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.events import iceberg_upsert_sink
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    sink = iceberg_upsert_sink(w, on=["k"])
+    sink(spark.createDataFrame([(i, float(i)) for i in range(6)], "k long, v double"), 0)
+    sink(spark.createDataFrame([(2, -2.0), (9, 9.0)], "k long, v double"), 1)
+    t = IcebergTable(p)
+    got = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: -2.0, 3: 3.0, 4: 4.0, 5: 5.0, 9: 9.0}
+    snaps = t.metadata["snapshots"]
+    assert len(snaps) == 2  # one commit per epoch
+    assert all(s["summary"]["operation"] == "overwrite" for s in snaps)
+    assert snaps[1]["summary"]["upsert-keys"] == "k"
+    # delete half committed as content=2 entries with the key's field id
+    dels = t.plan_deletes()
+    assert dels and all(d["content"] == 2 for d in dels)
+    assert all(d["equality_ids"] == [1] for d in dels)
+    # replayed epoch: snapshot exists -> no new commit, no state change
+    sink(spark.createDataFrame([(2, 777.0)], "k long, v double"), 1)
+    t2 = IcebergTable(p)
+    assert len(t2.metadata["snapshots"]) == 2
+    assert {r["k"]: r["v"] for r in t2.to_df(spark).collect()} == got
+    # empty batch: no commit
+    sink(spark.createDataFrame([], "k long, v double"), 2)
+    assert len(IcebergTable(p).metadata["snapshots"]) == 2
