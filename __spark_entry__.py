@@ -236,7 +236,9 @@ _PRIORITY = [
     "q20_excess_stock_suppliers",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     "iceberg_read_golden",
-    "iceberg_partition_prune",
+    # r8 seventh swap: sort-order clustering prune seats in place of
+    # iceberg_partition_prune (driver-green r1-r7; same prune family)
+    "iceberg_sorted_write_prune",
     # r8 sixth swap: full delete consolidation seats in place of
     # iceberg_schema_evolution (driver-green r2-r7)
     "iceberg_convert_deletes",
@@ -262,7 +264,9 @@ _PRIORITY = [
     "iceberg_changelog_net",
     "iceberg_row_lineage",
     "iceberg_changelog_pairs",
-    "streaming_iceberg_source",
+    # r8 eighth swap: the streaming CDC-apply upsert sink seats in place
+    # of streaming_iceberg_source (driver-green r6-r7; same family)
+    "streaming_upsert_sink",
     # r8 fifth swap: full-sync MERGE seats in place of
     # dedup_minhash_candidates (driver-green r2-r7; C2 keeps
     # dedup_chunks_exact + semdedup_prune in-window)

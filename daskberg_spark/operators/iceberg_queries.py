@@ -1540,6 +1540,62 @@ def iceberg_bucket_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_sorted_write_prune",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_totalprice >= 400000
+    """,
+)
+def iceberg_sorted_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order clustering → stats-pruned read: three interleaved
+    distributed appends leave every file spanning the full
+    o_totalprice range (a range predicate prunes nothing), then
+    ``compact_files_spark(sort_by=...)`` range-clusters the rewrite so
+    output files cover DISJOINT value ranges, registers the clustering
+    as the table's default sort order (spec ``sort-orders`` /
+    ``default-sort-order-id``), and the same predicate now skips whole
+    files on footer bounds alone.  The file-count assertions prove the
+    pruning; the oracle proves the rewrite lost nothing."""
+    import os as _os
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        compact_files_spark,
+    )
+
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="iceberg_sorted_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+    )
+    for k in range(3):
+        d = _os.path.join(path, f"data-{k}")
+        src.filter(F.col("o_orderkey") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        commit_spark_output(writer, d)
+    pred = [("o_totalprice", ">=", 400000.0)]
+    t0 = IcebergTable(path)
+    before_total = len(t0.plan_files())
+    before_pruned = len(t0.plan_files(pred))
+    assert before_pruned == before_total  # interleaved: nothing prunes
+    sid = compact_files_spark(writer, spark, sort_by=["o_totalprice"], target_partitions=4)
+    assert sid is not None
+    t = IcebergTable(path)
+    assert t.metadata["default-sort-order-id"] > 0  # clustering registered
+    total = len(t.plan_files())
+    pruned = len(t.plan_files(pred))
+    assert 0 < pruned < total, (pruned, total)  # disjoint ranges prune
+    return t.to_df(spark, filters=pred)
+
+
+@query(
     "iceberg_partitions_metadata",
     f"""
     SELECT cat,

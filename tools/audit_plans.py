@@ -81,6 +81,9 @@ AUDIT = {
     # spec-evolved point read: metadata pruned to 2 files, residual id=7
     # pushed to the parquet scan, 2-column ReadSchema, no shuffle
     "iceberg_spec_evolution_prune": (0, True, False, 2),
+    # sort-order-clustered read: metadata prunes to the range-matching
+    # files, predicate pushed to the parquet scan, no shuffle
+    "iceberg_sorted_write_prune": (0, True, False, 2),
     "q19_disjunctive_filter": (1, True, True, None),
     "array_functions": (0, False, False, 2),
     "events_funnel": (2, True, False, 3),
