@@ -700,6 +700,55 @@ class IcebergTable:
             "file_size_in_bytes long",
         )
 
+    def all_entries_df(self, spark: Any):
+        """``table.all_entries`` metadata table: the raw manifest
+        entries of EVERY valid snapshot's manifests, one row per
+        (entry, referencing snapshot) — ``entries`` widened across
+        history, the audit view for "which commit referenced this file
+        in which state".  O(snapshots × entries) metadata rows; each
+        manifest list and manifest Avro is read once via the per-path
+        caches (manifests are immutable, so a manifest carried across
+        k snapshots costs one read, k row-group emissions)."""
+        prior = self.current_snapshot["snapshot-id"]
+        rows = []
+        try:
+            for ref_sid in sorted(self.snapshots):
+                self.open_snapshot(snapshot_id=ref_sid)
+                for mf in self.manifest_list:
+                    man_path = self._relocate(mf["manifest_path"])
+                    m_snap = mf.get("added_snapshot_id")
+                    m_seq = mf.get("sequence_number")
+                    for e in self._load_manifest(man_path):
+                        d = e["data_file"]
+                        rows.append(
+                            (
+                                int(e["status"]),
+                                (
+                                    int(e["snapshot_id"])
+                                    if e.get("snapshot_id") is not None
+                                    else m_snap
+                                ),
+                                (
+                                    int(e["sequence_number"])
+                                    if e.get("sequence_number") is not None
+                                    else m_seq
+                                ),
+                                self._relocate(d["file_path"]),
+                                int(d.get("content", 0) or 0),
+                                int(d["record_count"]),
+                                int(d["file_size_in_bytes"]),
+                                ref_sid,
+                            )
+                        )
+        finally:
+            self.open_snapshot(snapshot_id=prior)
+        return spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "file_path string, content int, record_count long, "
+            "file_size_in_bytes long, reference_snapshot_id long",
+        )
+
     def all_manifests_df(self, spark: Any):
         """``table.all_manifests`` metadata table: the union of every
         valid snapshot's manifest-list records, one row per (manifest,

@@ -1725,6 +1725,75 @@ def iceberg_all_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.all_data_files_df(spark).select("file_path", "record_count")
 
 
+@query(
+    "iceberg_all_entries",
+    r"""
+    WITH RECURSIVE meta AS (
+      SELECT snapshots
+      FROM read_json_auto(
+        '/root/repo/.fixtures/rollback_table/metadata/v*.metadata.json',
+        filename=true)
+      ORDER BY CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT)
+        DESC LIMIT 1
+    ),
+    snaps AS (
+      SELECT CAST(s."snapshot-id" AS BIGINT) AS sid,
+             CAST(s."parent-snapshot-id" AS BIGINT) AS pid
+      FROM (SELECT unnest(snapshots) AS s FROM meta)
+    ),
+    anc AS (
+      SELECT sid AS ref, sid AS anc FROM snaps
+      UNION ALL
+      SELECT a.ref, s.pid FROM anc a JOIN snaps s ON s.sid = a.anc
+      WHERE s.pid IS NOT NULL
+    ),
+    files AS (
+      SELECT filename AS file_path, MIN(id) AS mn,
+             CAST(COUNT(*) AS BIGINT) AS record_count
+      FROM read_parquet(
+        '/root/repo/.fixtures/rollback_table/data/0*.parquet',
+        filename=true)
+      GROUP BY filename
+    ),
+    ranked_snaps AS (
+      SELECT sid, ROW_NUMBER() OVER (ORDER BY sid) AS rn FROM snaps
+    ),
+    ranked_files AS (
+      SELECT file_path, record_count,
+             ROW_NUMBER() OVER (ORDER BY mn) AS rn FROM files
+    ),
+    adds AS (
+      SELECT f.file_path, f.record_count, s.sid AS snapshot_id
+      FROM ranked_files f JOIN ranked_snaps s ON s.rn = f.rn
+    )
+    SELECT a.file_path, a.snapshot_id,
+           anc.ref AS reference_snapshot_id, a.record_count
+    FROM adds a JOIN anc ON anc.anc = a.snapshot_id
+    """,
+)
+def iceberg_all_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.all_entries`` metadata table over the ROLLBACK fixture:
+    every (manifest entry, referencing snapshot) pair across ALL valid
+    snapshots — the rolled-past file appears exactly once (only its own
+    stranded snapshot references it) while the first file appears under
+    all three.  The oracle independently reconstructs the reference
+    sets from the raw metadata JSON's parent chain (a file is
+    referenced by its adding snapshot and every valid descendant —
+    append-only history, so nothing un-references) with files mapped to
+    adding snapshots by their disk-content id ranges."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollback_fixture
+
+    t = IcebergTable(ensure_rollback_fixture())
+    return (
+        t.all_entries_df(spark)
+        .filter("status != 2 AND content = 0")
+        .select(
+            "file_path", "snapshot_id", "reference_snapshot_id",
+            "record_count",
+        )
+    )
+
+
 @query("iceberg_all_manifests")
 def iceberg_all_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``table.all_manifests`` metadata table: manifest-list records of

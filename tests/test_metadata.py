@@ -264,6 +264,29 @@ def test_inspect_tables_extended(spark):
     (cur,) = [r for r in ml if r["file"].endswith("v4.metadata.json")]
     assert cur["latest_snapshot_id"] == head_id
 
+    # all_entries: head slice == entries; the rolled-past file appears
+    # only under its own stranded snapshot; walk restores the head
+    ae = rb.all_entries_df(spark).collect()
+    assert rb.current_snapshot["snapshot-id"] == head_id
+    head_slice = {
+        (r["file_path"], r["record_count"])
+        for r in ae
+        if r["reference_snapshot_id"] == head_id
+    }
+    assert head_slice == {
+        (e["file_path"], e["record_count"])
+        for e in rb.entries_df(spark).collect()
+    }
+    stranded_file = next(
+        r["file_path"] for r in adf if r["file_path"] not in head_files
+    )
+    refs_of_stranded = {
+        r["reference_snapshot_id"]
+        for r in ae
+        if r["file_path"] == stranded_file
+    }
+    assert len(refs_of_stranded) == 1 and head_id not in refs_of_stranded
+
     # position_deletes on a deleteless table: empty, typed
     from daskberg_spark.iceberg.scan import position_deletes_df
 
