@@ -579,6 +579,102 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdc_upsert",
+    """
+    WITH changes AS (
+      SELECT event_type, 'insert' AS ct, value AS v
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, 'insert', value + 1000
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT event_type, 'insert', value + 2000
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_type, 'delete', value
+      FROM events WHERE event_id % 2 = 0 AND event_id % 3 = 0
+      UNION ALL
+      SELECT event_type, 'delete',
+             CASE WHEN event_id % 3 = 0 THEN value + 1000 ELSE value END
+      FROM events
+      WHERE event_id % 5 = 0 AND (event_id % 2 = 0 OR event_id % 3 = 0)
+    )
+    SELECT event_type, ct AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM changes GROUP BY event_type, ct
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC STREAMING over blind equality-delete upserts — the two new
+    surfaces composed: ``upsert_spark_output`` commits land on the
+    upstream table (eq-delete + data, one snapshot each) and
+    ``mode=cdc`` streams every commit as row-level changes, with
+    executors re-deriving which parent-live rows each upsert killed
+    (sequence-correct, prior-delete-aware).  The oracle reconstructs
+    the exact change set relationally: the second upsert must delete
+    the FIRST upsert's value for re-touched keys (value+1000), the
+    original value for untouched-even keys, and nothing for keys
+    already dead — any double-emission or missed carry-over breaks the
+    per-type sums."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        upsert_spark_output,
+    )
+    from daskberg_spark.operators.registry import table as _table
+    from daskberg_spark.streaming.iceberg_source import register
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_cdc_up_{uuid.uuid4().hex[:8]}"
+    )
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+            {"id": 3, "name": "value", "type": "double", "required": False},
+        ],
+    )
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d0 = os.path.join(path, "data", "slice-0")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(d0)
+    commit_spark_output(writer, d0)
+    register(spark)
+    name = f"ice_cdc_up_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", path)
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # backfill inserts
+        for mod, bump in ((3, 1000.0), (5, 2000.0)):
+            upsert_spark_output(
+                writer,
+                spark,
+                ev.filter(F.col("event_id") % mod == 0).withColumn(
+                    "value", F.col("value") + F.lit(bump)
+                ),
+                on=["event_id"],
+            )
+            q.processAllAvailable()  # upsert streams as delete+insert
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("event_type", "_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "streaming_iceberg_sink",
     """
     SELECT event_type,

@@ -31,13 +31,18 @@ counterpart.
 ``mode=cdc`` (BEYOND real Iceberg, whose streaming read is
 append-only) turns non-append snapshots into row-level change batches:
 every row carries ``_change_type`` ("insert"/"delete") and
-``_commit_snapshot_id``.  Scope is the v3 write path — whole-file
-removals and deletion-vector commits stream exactly (the
-one-DV-per-file invariant makes each file's prior dead set ONE blob,
-so executors compute new-minus-prior locally from two slim blob refs);
-compaction (``replace``) emits nothing per the upstream changelog-scan
-rule; v2 position-parquet/equality deletes raise toward the batch
-changelog.  MOR UPDATE/MERGE arrive as delete+insert pairs.
+``_commit_snapshot_id``.  Scope is the v3 write path plus equality
+deletes — whole-file removals and deletion-vector commits stream
+exactly (the one-DV-per-file invariant makes each file's prior dead
+set ONE blob, so executors compute new-minus-prior locally from two
+slim blob refs); EQUALITY-delete commits (the blind upsert / CDC-apply
+shape) stream as ``eq_delta`` partitions — executors re-derive which
+parent-live rows match the added keys, with sequence-correct
+applicability, so an upsert's own inserts never match their own
+delete; compaction (``replace``) emits nothing per the upstream
+changelog-scan rule; v2 position-delete parquet still raises toward
+the batch changelog (``rewrite_position_deletes`` converts it).  MOR
+UPDATE/MERGE arrive as delete+insert pairs.
 """
 
 from __future__ import annotations
@@ -89,7 +94,19 @@ class IcebergFilePartition(InputPartition):
       (all positions minus the parent's DV blob for this file);
     - ``dv_delta``: positions in the commit's DV blob that are NOT in
       the parent's blob (the one-DV-per-file invariant makes the delta
-      exactly new-minus-old)."""
+      exactly new-minus-old);
+    - ``eq_delta``: rows matching the commit's ADDED equality-delete
+      keys (``new_eq``) that were still live at the parent — the blind
+      upsert/CDC-apply write shape.
+
+    ``prior_eq`` / ``new_eq`` are slim references
+    ``(eq_parquet_path, then_names, current_names)``: the key columns
+    under the names the delete file was WRITTEN with (resolved by field
+    id through the delete snapshot's pinned schema, like the batch
+    scan) and under today's names.  ``prior_eq`` lists the
+    parent-live equality deletes applicable to this file (delete seq >
+    file seq) — they extend the parent's dead set beyond the DV blob,
+    so every delete-kind partition subtracts their matches too."""
 
     def __init__(
         self,
@@ -103,6 +120,8 @@ class IcebergFilePartition(InputPartition):
         kind: str = "insert",
         new_dv: tuple[str, int, int] | None = None,
         prior_dv: tuple[str, int, int] | None = None,
+        new_eq: list[tuple] | None = None,
+        prior_eq: list[tuple] | None = None,
     ) -> None:
         super().__init__(path)
         self.path = path
@@ -115,6 +134,8 @@ class IcebergFilePartition(InputPartition):
         self.kind = kind
         self.new_dv = new_dv
         self.prior_dv = prior_dv
+        self.new_eq = new_eq or []
+        self.prior_eq = prior_eq or []
 
 
 def _added_manifests_by_snapshot(t, end_id: int) -> dict:
@@ -421,19 +442,23 @@ class IcebergStreamReader(DataSourceStreamReader):
     ) -> list[InputPartition]:
         """Row-level change partitions for one NON-APPEND snapshot.
 
-        Scope: the v3 write path — whole-file removals (CoW merge,
-        delete_files, dynamic overwrite) and deletion-vector commits
-        (MOR delete/merge/update).  A snapshot adding a v2
-        position-delete parquet or an equality delete raises with a
-        pointer to the batch changelog; a ``replace`` (compaction)
-        emits NOTHING, the upstream changelog-scan rule — rewritten
-        bytes are not logical changes.
+        Scope: the v3 write path plus equality deletes — whole-file
+        removals (CoW merge, delete_files, dynamic overwrite),
+        deletion-vector commits (MOR delete/merge/update), and
+        EQUALITY-delete commits (blind upsert / CDC apply: added keys
+        stream as ``eq_delta`` partitions against each parent-live file
+        they apply to).  A snapshot touching a v2 position-delete
+        parquet raises with a pointer to the batch changelog
+        (``rewrite_position_deletes`` converts it); a ``replace``
+        (compaction) emits NOTHING, the upstream changelog-scan rule —
+        rewritten bytes are not logical changes.
 
-        Correctness against prior deletes rides the one-DV-per-file
-        invariant the writer maintains: the parent's dead set for a
-        file IS its single DV blob, so a removed file emits
-        all-minus-prior-blob and a DV commit emits new-minus-prior-blob
-        — both computed executor-side from two slim blob references."""
+        Correctness against prior deletes: the parent's dead set for a
+        file is its single DV blob (the one-DV-per-file invariant the
+        writer maintains) UNION the matches of parent-live equality
+        deletes applicable to it (``prior_eq``, sequence-gated) — every
+        delete-kind partition subtracts both, computed executor-side
+        from slim references only."""
         from daskberg_spark.iceberg.scan import schema_alignment
 
         sid = s["snapshot-id"]
@@ -453,27 +478,22 @@ class IcebergStreamReader(DataSourceStreamReader):
                 d.get("content") == 1 and d.get("referenced_data_file")
             )
 
-        # v2 position-parquet/equality deletes break the position math in
-        # BOTH directions: one newly added in this commit is an unreadable
-        # change, and one merely LIVE at the parent falsifies the
-        # "parent's dead set == its DV blob" premise behind delete_file
-        # (all-minus-prior-DV would re-emit rows already dead under the
-        # v2 delete) and dv_delta partitions — so a live non-DV delete
-        # file ANYWHERE in the pair of states raises, not just an added
-        # one.
+        # v2 position-delete PARQUET still breaks the position math in
+        # both directions (its dead set is per-file row ordinals the slim
+        # partition refs don't carry): one anywhere in the pair of
+        # states raises toward the batch changelog.  EQUALITY deletes
+        # are handled: ones ADDED by this commit stream as ``eq_delta``
+        # partitions (the blind-upsert shape), and parent-live ones
+        # extend each file's prior dead set via ``prior_eq`` refs.
         for which, state in (("adds", c_del), ("carries", p_del)):
             for key, d in state.items():
-                if not is_dv(d):
-                    kind = (
-                        "an equality-delete"
-                        if d.get("content") == 2
-                        else "a position-delete parquet"
-                    )
+                if d.get("content") == 1 and not d.get("referenced_data_file"):
                     raise NotImplementedError(
-                        f"CDC streaming covers v3 deletion vectors; snapshot "
-                        f"{sid} {which} {kind} file — read this window with "
-                        "the batch changelog (changelog_rows_df) or compact "
-                        "first"
+                        f"CDC streaming covers v3 deletion vectors and "
+                        f"equality deletes; snapshot {sid} {which} a "
+                        "position-delete parquet — read this window with "
+                        "the batch changelog (changelog_rows_df) or run "
+                        "rewrite_position_deletes first"
                     )
         p_dv = {
             d["referenced_data_file"]: d for d in p_del.values() if is_dv(d)
@@ -481,6 +501,46 @@ class IcebergStreamReader(DataSourceStreamReader):
         c_dv = {
             d["referenced_data_file"]: d for d in c_del.values() if is_dv(d)
         }
+
+        # equality-delete refs: (path, then_names, current_names), with
+        # then_names resolved by FIELD ID through the delete snapshot's
+        # pinned schema (rename-safe, like the batch scan's resolution)
+        # and current_names in the stream's declared-schema space.
+        now_by_id = {
+            f.get("id", f.get("field-id")): f["name"]
+            for f in target_schema["fields"]
+        }
+        use_seq = t.metadata.get("format-version", 1) >= 2
+
+        def _seq(rec: dict) -> int:
+            if use_seq:
+                s_ = rec.get("_sequence_number")
+                return 0 if s_ is None else int(s_)
+            return int(rec.get("_snapshot_id") or 0)
+
+        def _eq_ref(d: dict) -> tuple:
+            then_schema = t.schema_for_snapshot(d.get("_snapshot_id"))
+            then_by_id = {
+                f.get("id", f.get("field-id")): f["name"]
+                for f in then_schema["fields"]
+            }
+            ids = d["equality_ids"]
+            return (
+                t._relocate(d["file_path"]),
+                tuple(then_by_id[i] for i in ids),
+                tuple(now_by_id[i] for i in ids),
+            )
+
+        p_eq = [d for d in p_del.values() if d.get("content") == 2]
+        new_eq = [
+            d
+            for k, d in c_del.items()
+            if d.get("content") == 2 and k not in p_del
+        ]
+
+        def prior_eq_for(file_rec: dict) -> list[tuple]:
+            fseq = _seq(file_rec)
+            return [_eq_ref(d) for d in p_eq if _seq(d) > fseq]
 
         rename_cache: dict[int | None, dict[str, str]] = {}
 
@@ -507,6 +567,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     snapshot_id=sid,
                     kind="delete_file",
                     prior_dv=_dv_ref(p_dv.get(f)),
+                    prior_eq=prior_eq_for(p_data[f]),
                 )
             )
         for f in added:
@@ -522,6 +583,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     kind="insert",
                 )
             )
+        dv_changed: set[str] = set()
         for f in sorted(c_dv):
             if f not in c_data or f not in p_data:
                 continue  # target added this commit or already removed
@@ -529,6 +591,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             prior_ref = _dv_ref(p_dv.get(f))
             if new_ref == prior_ref:
                 continue  # blob carried forward unchanged
+            dv_changed.add(f)
             parts.append(
                 IcebergFilePartition(
                     f,
@@ -541,8 +604,46 @@ class IcebergStreamReader(DataSourceStreamReader):
                     kind="dv_delta",
                     new_dv=new_ref,
                     prior_dv=prior_ref,
+                    prior_eq=prior_eq_for(c_data[f]),
                 )
             )
+        if new_eq:
+            # ADDED equality deletes (blind upsert / CDC apply): one
+            # eq_delta partition per parent-live file the deletes apply
+            # to (delete seq > file seq — same-commit data files are
+            # excluded by construction, so an upsert's own inserts
+            # never match their own delete).  Executors compute
+            # matches(new keys) − parent dead set from the slim refs.
+            added_set = set(added)
+            for f in sorted(c_data):
+                if f in added_set or f not in p_data:
+                    continue
+                fseq = _seq(c_data[f])
+                refs = [_eq_ref(d) for d in new_eq if _seq(d) > fseq]
+                if not refs:
+                    continue
+                if f in dv_changed:
+                    raise NotImplementedError(
+                        f"snapshot {sid} adds BOTH a deletion vector and "
+                        f"equality deletes applicable to {f}; their newly-"
+                        "dead sets may overlap — read this window with the "
+                        "batch changelog (changelog_rows_df)"
+                    )
+                parts.append(
+                    IcebergFilePartition(
+                        f,
+                        renames_for(c_data[f].get("_snapshot_id")),
+                        current_names,
+                        arrow_types,
+                        defaults,
+                        change_type="delete",
+                        snapshot_id=sid,
+                        kind="eq_delta",
+                        prior_dv=_dv_ref(p_dv.get(f)),
+                        new_eq=refs,
+                        prior_eq=prior_eq_for(c_data[f]),
+                    )
+                )
         return parts
 
     # -- executor-side read --------------------------------------------------
@@ -555,20 +656,53 @@ class IcebergStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(partition.path)
         if partition.kind != "insert":
             # CDC delete partitions: select WHICH positions changed from
-            # at most two slim DV blob references — decode happens here
-            # on the executor, never on the driver
+            # slim references only — DV blobs decode and equality-delete
+            # key parquet reads happen here on the executor, never on
+            # the driver
             from daskberg_spark.iceberg.puffin import dv_decode_file
+
+            def eq_matches(refs: list[tuple]) -> set[int]:
+                """Positions of rows matching ANY key in the referenced
+                equality-delete files.  Null-safe (a NULL key matches
+                NULL values, per spec); data columns resolve through the
+                file's write-time names, with v3 initial-defaults for
+                columns the file predates."""
+                dead: set[int] = set()
+                inv = {v: k for k, v in partition.renames.items()}
+                for path, then_names, cur_names in refs:
+                    ktbl = pq.read_table(path, columns=list(then_names))
+                    key_set = set(
+                        zip(*(ktbl.column(n).to_pylist() for n in then_names))
+                    )
+                    cols = []
+                    for c in cur_names:
+                        fc = inv.get(c, c)
+                        if fc in tbl.column_names:
+                            cols.append(tbl.column(fc).to_pylist())
+                        else:
+                            fill = partition.defaults.get(c)
+                            cols.append([fill] * len(tbl))
+                    for i, row in enumerate(zip(*cols)):
+                        if row in key_set:
+                            dead.add(i)
+                return dead
 
             prior: set[int] = set()
             if partition.prior_dv is not None:
                 prior = set(dv_decode_file(*partition.prior_dv))
+            if partition.prior_eq:
+                prior |= eq_matches(partition.prior_eq)
             if partition.kind == "dv_delta":
                 assert partition.new_dv is not None
                 new = set(dv_decode_file(*partition.new_dv))
                 positions = sorted(new - prior)
+            elif partition.kind == "eq_delta":
+                positions = sorted(eq_matches(partition.new_eq) - prior)
             else:  # delete_file: rows still live at the parent snapshot
                 positions = [i for i in range(len(tbl)) if i not in prior]
-            tbl = tbl.take(positions)
+            # explicit index type: an EMPTY delta otherwise infers a
+            # null-typed indices array pyarrow's take has no kernel for
+            tbl = tbl.take(pa.array(positions, type=pa.int64()))
         if partition.renames:
             tbl = tbl.rename_columns(
                 [partition.renames.get(n, n) for n in tbl.column_names]

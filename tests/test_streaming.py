@@ -763,11 +763,10 @@ def test_streaming_iceberg_source_cdc_mode(spark, tmp_path):
         q.stop()
 
 
-def test_streaming_cdc_rejects_v2_deletes(spark, tmp_path):
-    """CDC scope is the v3 write path: an equality-delete commit in the
-    tailed range fails with a pointer to the batch changelog."""
-    import pytest as _pytest
-
+def test_streaming_cdc_equality_delete_commit(spark, tmp_path):
+    """A pure equality-delete commit (no data half) streams as exactly
+    the matching live rows — eq-deletes graduated from rejection to
+    ``eq_delta`` partitions when the blind-upsert path landed."""
     from daskberg_spark.iceberg.writer import IcebergWriter, delete_keys_spark
     from daskberg_spark.streaming.iceberg_source import register
 
@@ -783,17 +782,22 @@ def test_streaming_cdc_rejects_v2_deletes(spark, tmp_path):
         .option("mode", "cdc")
         .load()
         .writeStream.format("memory")
-        .queryName("ice_cdc_rej")
+        .queryName("ice_cdc_eqdel")
         .outputMode("append")
         .start()
     )
     try:
         q.processAllAvailable()
-        delete_keys_spark(
-            w, spark, spark.createDataFrame([(2,)], "id long")
+        sid = delete_keys_spark(
+            w, spark, spark.createDataFrame([(2,), (4,)], "id long")
         )
-        with _pytest.raises(Exception, match="batch changelog"):
-            q.processAllAvailable()
+        q.processAllAvailable()
+        got = sorted(
+            (r["id"], r["_change_type"], r["_commit_snapshot_id"])
+            for r in spark.table("ice_cdc_eqdel").collect()
+            if r["_change_type"] == "delete"
+        )
+        assert got == [(2, "delete", sid), (4, "delete", sid)]
     finally:
         q.stop()
 
@@ -922,3 +926,95 @@ def test_upsert_sink_distributed_and_replay(spark, tmp_path):
     # empty batch: no commit
     sink(spark.createDataFrame([], "k long, v double"), 2)
     assert len(IcebergTable(p).metadata["snapshots"]) == 2
+
+
+def test_streaming_cdc_equality_upsert(spark, tmp_path):
+    """mode=cdc over blind equality-delete upserts: each upsert commit
+    streams deletes for exactly the parent-live rows matching its keys
+    (sequence-correct: the upsert's own inserts never match their own
+    delete) plus inserts for the new values; a SECOND upsert re-touching
+    a key deletes the FIRST upsert's row, never re-emits rows already
+    dead under the carried equality delete; the drained change stream
+    nets to the final table state."""
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(10)])
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_equp")
+        .outputMode("append")
+        .start()
+    )
+
+    def rows():
+        return [
+            (r["k"], r["v"], r["_change_type"], r["_commit_snapshot_id"])
+            for r in spark.table("ice_equp").collect()
+        ]
+
+    try:
+        q.processAllAvailable()
+        assert len(rows()) == 10  # backfill inserts
+
+        # upsert 1: keys 5..12 — deletes for live 5..9 (OLD values),
+        # inserts for 5..12 (new values); 10..12 are pure inserts
+        s1 = w.upsert_rows_equality(
+            [{"k": k, "v": k + 100.0} for k in range(5, 13)], on=["k"]
+        )
+        q.processAllAvailable()
+        c1 = sorted(x for x in rows() if x[3] == s1)
+        assert [x for x in c1 if x[2] == "delete"] == [
+            (k, float(k), "delete", s1) for k in range(5, 10)
+        ]
+        assert [x for x in c1 if x[2] == "insert"] == [
+            (k, k + 100.0, "insert", s1) for k in range(5, 13)
+        ]
+
+        # upsert 2: keys 7, 8, 25 — deletes must target upsert 1's rows
+        # (v = k+100), NOT the original rows (already dead under the
+        # carried eq-delete: prior_eq subtraction) and NOT emit k=25
+        s2 = w.upsert_rows_equality(
+            [{"k": k, "v": k + 200.0} for k in (7, 8, 25)], on=["k"]
+        )
+        q.processAllAvailable()
+        c2 = sorted(x for x in rows() if x[3] == s2)
+        assert [x for x in c2 if x[2] == "delete"] == [
+            (7, 107.0, "delete", s2),
+            (8, 108.0, "delete", s2),
+        ]
+        assert [x for x in c2 if x[2] == "insert"] == [
+            (7, 207.0, "insert", s2),
+            (8, 208.0, "insert", s2),
+            (25, 225.0, "insert", s2),
+        ]
+
+        # net state: inserts minus deletes == the table read back
+        net: dict = {}
+        for k, v, ct, _ in sorted(rows(), key=lambda x: x[3]):
+            if ct == "insert":
+                net[(k, v)] = net.get((k, v), 0) + 1
+            else:
+                net[(k, v)] -= 1
+        streamed = sorted(kv for kv, n in net.items() if n)
+        table_state = sorted(
+            (r["k"], r["v"]) for r in IcebergTable(p).to_df(spark).collect()
+        )
+        assert streamed == table_state
+    finally:
+        q.stop()
