@@ -1690,6 +1690,8 @@ def upsert_spark_output(
     on: list[str] | None = None,
     dir_token: str | None = None,
     extra_summary: dict[str, str] | None = None,
+    partition_col: str | list[str] | None = None,
+    path_col: str | list[str] | None = None,
 ) -> int:
     """Distributed blind equality-delete UPSERT — ``upsert_rows_equality``
     at cluster scale: EXECUTORS write both halves of the commit (the
@@ -1707,12 +1709,16 @@ def upsert_spark_output(
     Duplicate keys within one batch collapse via ``dropDuplicates``
     (which survivor is unspecified — feed changelog-ordered batches
     through ``upsert_rows_equality`` if in-batch order matters).
-    Unpartitioned target specs only for now (the eq-delete is a global
-    delete either way; the data side would need partition lifting)."""
-    if writer.spec:
-        raise NotImplementedError(
-            "upsert_spark_output supports unpartitioned tables; "
-            "partitioned data output needs partition_col lifting"
+    Partitioned targets follow ``commit_spark_output``'s convention:
+    ``partition_col``/``path_col`` hive-partition the DATA half and the
+    commit lifts the transformed values; the eq-delete half stays a
+    GLOBAL delete (empty partition tuple — spec-legal, applies
+    everywhere), so the key need not determine the partition."""
+    if writer.spec and partition_col is None:
+        raise ValueError(
+            "partitioned table: pass partition_col/path_col (the "
+            "commit_spark_output convention) so the data half lands "
+            "with prunable partition values"
         )
     key = on
     if key is None:
@@ -1731,14 +1737,20 @@ def upsert_spark_output(
         dir_token = f"{writer._file_counter:05d}-{writer._instance}"
     deduped = batch_df.dropDuplicates(key)
     data_dir = os.path.join(writer.path, "data", f"upsert-{dir_token}")
-    deduped.write.mode("overwrite").parquet(data_dir)
+    dw = deduped.write.mode("overwrite")
+    if path_col is not None:
+        segs = [path_col] if isinstance(path_col, str) else list(path_col)
+        dw = dw.partitionBy(*segs)
+    dw.parquet(data_dir)
     del_dir = os.path.join(writer.path, "data", f"upsert-del-{dir_token}")
     deduped.select(*key).write.mode("overwrite").parquet(del_dir)
 
     import glob as _glob
 
     snapshot_id = writer._next_snapshot_id
-    data_entries = _entries_from_spark_dir(writer, data_dir, snapshot_id)
+    data_entries = _entries_from_spark_dir(
+        writer, data_dir, snapshot_id, partition_col, path_col
+    )
     eq_ids = [writer.ids[c] for c in key]
     delete_entries = []
     for path in sorted(

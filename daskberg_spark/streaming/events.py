@@ -461,7 +461,7 @@ def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
     return sink
 
 
-def iceberg_upsert_sink(writer, on=None):
+def iceberg_upsert_sink(writer, on=None, partition_col=None, path_col=None):
     """foreachBatch callable UPSERTING each micro-batch into an Iceberg
     table exactly once — the CDC-apply sink: every batch becomes one
     blind equality-delete + data ``overwrite`` commit
@@ -489,6 +489,8 @@ def iceberg_upsert_sink(writer, on=None):
             on=on,
             dir_token=f"epoch-{epoch_id}",
             extra_summary={"epoch-id": str(epoch_id)},
+            partition_col=partition_col,
+            path_col=path_col,
         )
 
     return sink

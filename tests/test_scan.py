@@ -4459,3 +4459,53 @@ def test_upsert_rows_equality_blind(spark, tmp_path):
             str(tmp_path / "t2"),
             [{"id": 1, "name": "k", "type": "long", "required": True}],
         ).upsert_rows_equality([{"k": 1}])
+
+
+def test_upsert_spark_output_partitioned(spark, tmp_path):
+    """Distributed blind upsert into a PARTITIONED table: the data half
+    hive-partitions on the duplicate path column and the commit lifts
+    prunable partition values; the eq-delete half is a GLOBAL delete
+    (empty partition tuple) so it kills matched keys in every
+    partition — including rows whose partition CHANGED in the update."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, upsert_spark_output
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append(
+        [{"k": i, "grp": "ab"[i % 2], "v": float(i)} for i in range(10)]
+    )
+    # partition_col required on a partitioned table
+    with _pytest.raises(ValueError, match="partition_col"):
+        upsert_spark_output(
+            w, spark, spark.createDataFrame([(1, "a", 0.0)], "k long, grp string, v double"),
+            on=["k"],
+        )
+    # k=3 moves from grp 'b' to 'a'; k=4 updates in place; k=20 inserts
+    batch = spark.createDataFrame(
+        [(3, "a", -3.0), (4, "a", -4.0), (20, "b", 20.0)],
+        "k long, grp string, v double",
+    ).withColumn("pgrp", F.col("grp"))
+    upsert_spark_output(
+        w, spark, batch, on=["k"], partition_col="grp", path_col="pgrp"
+    )
+    t = IcebergTable(p)
+    got = {(r["k"], r["grp"], r["v"]) for r in t.to_df(spark).collect()}
+    want = {
+        (i, "ab"[i % 2], float(i)) for i in range(10) if i not in (3, 4)
+    } | {(3, "a", -3.0), (4, "a", -4.0), (20, "b", 20.0)}
+    assert got == want
+    # lifted partition values prune: grp='b' read skips the 'a' files
+    total = len(t.plan_files())
+    pruned = len(t.plan_files([("grp", "==", "b")]))
+    assert 0 < pruned < total
