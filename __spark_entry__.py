@@ -242,7 +242,10 @@ _PRIORITY = [
     # r8 sixth swap: full delete consolidation seats in place of
     # iceberg_schema_evolution (driver-green r2-r7)
     "iceberg_convert_deletes",
-    "iceberg_lineitem_stats_prune",
+    # r8 ninth swap: CDC streaming over blind upserts seats in place of
+    # iceberg_lineitem_stats_prune (driver-green r1-r7; stats pruning
+    # stays covered by iceberg_sorted_write_prune in-window)
+    "streaming_cdc_upsert",
     "iceberg_merge_mor",
     "iceberg_name_mapping_read",
     # r8 third swap: inspect-table completion + views + position deletes
