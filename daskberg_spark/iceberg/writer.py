@@ -3652,6 +3652,105 @@ def rewrite_position_deletes(writer: "IcebergWriter") -> int | None:
     return snapshot_id
 
 
+def remove_dangling_deletes(writer: "IcebergWriter") -> int | None:
+    """Maintenance: drop delete files that can no longer apply to ANY
+    live data file — upstream ``RemoveDanglingDeletes`` (folded into
+    ``rewriteDataFiles`` there; standalone here).  Beyond the read-only
+    reference.
+
+    Dangling tests, per delete flavor:
+
+    - **DV / position entry with ``referenced_data_file``**: the target
+      data file is no longer live (compacted or deleted away);
+    - **equality delete**: applies only to data files with strictly
+      LOWER data sequence — dangling iff no live data file's sequence
+      is below the delete's (after enough compaction/churn every old
+      eq-delete ends up here, which is exactly the cleanup a blind-
+      upsert table needs: the read-side applicability checks melt away
+      without the full-scan ``convert_deletes_to_dvs``);
+    - **position-delete parquet**: every target path it names is dead
+      (delete-sized parquet read — the only non-metadata IO here).
+
+    Pure metadata plus that one delta-sized read; ONE ``delete``
+    snapshot tombstoning the dangling files.  Zero logical row change
+    (a dangling delete by definition kills nothing), so the changelog
+    across it is silent.  Returns the snapshot id, or None if nothing
+    dangles."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    deleted_keys: set[tuple] = set()
+    live: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            rec = e["data_file"]
+            if e["status"] == 2:
+                deleted_keys.add((rec["file_path"], rec.get("content_offset")))
+            else:
+                live.append((e, mf))
+    live = [
+        (e, mf)
+        for e, mf in live
+        if (
+            e["data_file"]["file_path"],
+            e["data_file"].get("content_offset"),
+        )
+        not in deleted_keys
+    ]
+    live_data_norm: set[str] = set()
+    live_data_seqs: list[int] = []
+    delete_entries: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    for e, mf in live:
+        rec = e["data_file"]
+        if rec.get("content", 0) == 0:
+            live_data_norm.add(_norm_data_path(rec["file_path"]))
+            live_data_seqs.append(_order_key(e, mf))
+        else:
+            delete_entries.append((e, mf))
+    min_live_seq = min(live_data_seqs) if live_data_seqs else None
+    dangling: list[tuple[dict[str, Any], dict[str, Any]]] = []
+    for e, mf in delete_entries:
+        rec = e["data_file"]
+        if rec.get("referenced_data_file"):
+            if _norm_data_path(rec["referenced_data_file"]) not in live_data_norm:
+                dangling.append((e, mf))
+        elif rec.get("content") == 2:
+            if min_live_seq is None or min_live_seq >= _order_key(e, mf):
+                dangling.append((e, mf))
+        else:  # position-delete parquet: read its target paths
+            targets = (
+                pq.read_table(rec["file_path"], columns=["file_path"])
+                .column("file_path")
+                .unique()
+                .to_pylist()
+            )
+            if all(
+                _norm_data_path(str(p)) not in live_data_norm for p in targets
+            ):
+                dangling.append((e, mf))
+    if not dangling:
+        return None
+    snapshot_id = writer._next_snapshot_id
+    tombstones = [
+        {
+            "status": 2,
+            "snapshot_id": snapshot_id,
+            "sequence_number": _entry_seq(e, mf),
+            "data_file": e["data_file"],
+        }
+        for e, mf in dangling
+    ]
+    manifest = writer._write_manifest(tombstones, snapshot_id)
+    writer._commit(
+        snapshot_id,
+        writer.manifests + [manifest],
+        "delete",
+        0,
+        extra_summary={"removed-delete-files": str(len(dangling))},
+    )
+    return snapshot_id
+
+
 def convert_deletes_to_dvs(writer: "IcebergWriter", spark: Any) -> int | None:
     """Full v3 delete consolidation: replace EVERY live non-DV delete
     file — equality deletes included, which ``rewrite_position_deletes``

@@ -644,6 +644,65 @@ def iceberg_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_remove_dangling",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+    """,
+)
+def iceberg_remove_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-delete cleanup end-to-end (upstream
+    ``RemoveDanglingDeletes``): a distributed blind upsert leaves an
+    equality delete on the table; compaction rewrites every file under
+    a newer sequence, making it dead weight; ``remove_dangling_deletes``
+    then drops it by pure sequence metadata — the query asserts the
+    delete set really empties and the oracle proves the read stayed
+    exact through upsert → compact → cleanup (last-write-wins per
+    key)."""
+    import os as _os
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        compact_files_spark,
+        remove_dangling_deletes,
+        upsert_spark_output,
+    )
+
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="iceberg_dangling_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+    )
+    d0 = _os.path.join(path, "data-0")
+    src.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(d0)
+    commit_spark_output(writer, d0)
+    upsert_spark_output(
+        writer,
+        spark,
+        src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        ),
+        on=["o_orderkey"],
+    )
+    assert len(IcebergTable(path).plan_deletes()) > 0  # live eq-delete
+    assert remove_dangling_deletes(writer) is None  # still applicable
+    assert compact_files_spark(writer, spark) is not None
+    assert remove_dangling_deletes(writer) is not None  # now dangling
+    t = IcebergTable(path)
+    assert t.plan_deletes() == []  # read path is delete-free again
+    return t.to_df(spark)
+
+
+@query(
     "iceberg_rewrite_pos_deletes",
     """
     SELECT grp,

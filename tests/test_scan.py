@@ -4509,3 +4509,48 @@ def test_upsert_spark_output_partitioned(spark, tmp_path):
     total = len(t.plan_files())
     pruned = len(t.plan_files([("grp", "==", "b")]))
     assert 0 < pruned < total
+
+
+def test_remove_dangling_deletes(spark, tmp_path):
+    """remove_dangling_deletes drops delete files that cannot apply to
+    any live data file: equality deletes dangle once compaction has
+    rewritten every older file (rewrites commit under a NEWER sequence);
+    live-target DVs and still-applicable eq-deletes stay; the operation
+    changes no rows and the changelog across it is silent."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+        remove_dangling_deletes,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(10)])
+    w.upsert_rows_equality([{"k": 3, "v": -3.0}, {"k": 20, "v": 20.0}], on=["k"])
+    t0 = IcebergTable(p)
+    before = sorted((r["k"], r["v"]) for r in t0.to_df(spark).collect())
+    assert len(t0.plan_deletes()) == 1  # the upsert's eq-delete, live
+    # still applicable (the first append's file has a lower sequence):
+    # NOT dangling yet
+    assert remove_dangling_deletes(w) is None
+    # compaction rewrites every data file under a newer sequence and
+    # applies the eq-delete to the rewrite -> the delete now dangles
+    assert compact_files_spark(w, spark) is not None
+    assert len(IcebergTable(p).plan_deletes()) == 1  # carried, useless
+    sid = remove_dangling_deletes(w)
+    assert sid is not None
+    t = IcebergTable(p)
+    assert t.plan_deletes() == []
+    assert sorted((r["k"], r["v"]) for r in t.to_df(spark).collect()) == before
+    snap = next(s for s in t.metadata["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["summary"]["removed-delete-files"] == "1"
+    # zero logical change: the changelog across the cleanup is empty
+    assert t.changelog_rows_df(spark, from_rel=-1).count() == 0
+    # idempotent
+    assert remove_dangling_deletes(w) is None
