@@ -254,6 +254,52 @@ def _read_with_deletes(
         df = _attach_path_value(
             df, spark, "__file", "__seq", [(f["file_path"], okey(f)) for f in files]
         )
+        # Partition-scoped equality deletes (what Flink's upsert writer
+        # emits on partitioned tables): a delete carrying a partition
+        # tuple applies ONLY to data files in that (spec, partition) —
+        # applying it globally would kill same-keyed rows in other
+        # partitions.  Only built when some eq delete is scoped; global
+        # deletes (empty tuple, this writer's own shape) skip the extra
+        # broadcast entirely.
+        def _part_key(rec: dict[str, Any]) -> tuple | None:
+            """(spec id, partition tuple) scope, or None for global.
+            Global iff the entry's spec is unpartitioned, or its tuple
+            is all-None — the manifest Avro schema materializes every
+            spec field, so a global delete written through a
+            partitioned-spec manifest (this engine's own pre-scoping
+            shape) reads back as an all-None record, not as {}."""
+            part = rec.get("partition") or {}
+            spec_id = rec.get("_spec_id", 0)
+            if not table._spec_fields(spec_id):
+                return None
+            if all(v is None for v in part.values()):
+                return None
+            return (
+                spec_id,
+                tuple(sorted((k, str(v)) for k, v in part.items())),
+            )
+
+        part_scoped = any(
+            _part_key(d) is not None for _, _, _, d in eq_deletes
+        )
+        part_ids: dict[tuple, int] = {}
+
+        def _part_id(rec: dict[str, Any]) -> int:
+            key = _part_key(rec)
+            if key is None:
+                return -1
+            if key not in part_ids:
+                part_ids[key] = len(part_ids)
+            return part_ids[key]
+
+        if part_scoped:
+            df = _attach_path_value(
+                df,
+                spark,
+                "__file",
+                "__part",
+                [(f["file_path"], _part_id(f)) for f in files],
+            )
         # Delete-file columns carry the names current at *delete time*;
         # resolve to today's names by field id via the delete snapshot's
         # pinned schema (positional guessing breaks when a rename
@@ -288,6 +334,11 @@ def _read_with_deletes(
                     dscan = dscan.withColumn(
                         "__del_seq", F.lit(items[0][0]).cast("bigint")
                     )
+                    if part_scoped:
+                        dscan = dscan.withColumn(
+                            "__del_part",
+                            F.lit(_part_id(items[0][1])).cast("int"),
+                        )
                 else:
                     dscan = dscan.withColumn(
                         "__dfile",
@@ -302,6 +353,14 @@ def _read_with_deletes(
                         "__del_seq",
                         [(e["file_path"], k) for k, e in items],
                     )
+                    if part_scoped:
+                        dscan = _attach_path_value(
+                            dscan,
+                            spark,
+                            "__dfile",
+                            "__del_part",
+                            [(e["file_path"], _part_id(e)) for _, e in items],
+                        )
                 frames.append(
                     dscan.select(
                         *[
@@ -309,6 +368,7 @@ def _read_with_deletes(
                             for tn, c in zip(then_names, cols)
                         ],
                         "__del_seq",
+                        *(["__del_part"] if part_scoped else []),
                     )
                 )
             keys = frames[0]
@@ -320,18 +380,27 @@ def _read_with_deletes(
                 # side; max(seq) preserves semantics (a row is dead iff
                 # the NEWEST matching delete is newer).  With a single
                 # delete file the anti-join's exists-semantics make
-                # dedup unnecessary — skip the shuffle.
-                keys = keys.groupBy(*cols).agg(
-                    F.max("__del_seq").alias("__del_seq")
-                )
+                # dedup unnecessary — skip the shuffle.  Partition-
+                # scoped deletes dedup within their scope (a key's
+                # deletes in different partitions are independent).
+                keys = keys.groupBy(
+                    *cols, *(["__del_part"] if part_scoped else [])
+                ).agg(F.max("__del_seq").alias("__del_seq"))
             keys = _maybe_broadcast(keys.alias("__dk"), gate_entries)
             # null-safe equality: an Iceberg equality delete with a NULL
             # key matches rows where the column IS NULL
             cond = F.col("__dk.__del_seq") > df["__seq"]
+            if part_scoped:
+                cond = cond & (
+                    (F.col("__dk.__del_part") == F.lit(-1))
+                    | (F.col("__dk.__del_part") == df["__part"])
+                )
             for c in cols:
                 cond = cond & df[c].eqNullSafe(F.col(f"__dk.{c}"))
             df = df.join(keys, cond, "left_anti")
         df = df.drop("__seq")
+        if part_scoped:
+            df = df.drop("__part")
 
     pos_frames = []
     if pos_files:

@@ -834,26 +834,63 @@ class IcebergWriter:
             self.version += 1
             self._write_metadata()
 
-    def delete_rows_equality(self, keys: list[dict[str, Any]]) -> int:
+    def delete_rows_equality(
+        self,
+        keys: list[dict[str, Any]],
+        partition: dict[str, Any] | None = None,
+    ) -> int:
         """v2 equality-delete snapshot: rows matching ANY of the key dicts
         (all dicts over the same column subset) are deleted on read.
 
         Sequence-correct applicability: on read, the delete applies only
         to data files added by earlier snapshots — a matching row
         re-inserted later stays live (scan._read_with_deletes).
-        """
+
+        ``partition`` (spec-field-name → transformed value) writes a
+        PARTITION-SCOPED delete — what Flink's upsert writer emits on
+        partitioned tables: it applies only to data files in that
+        partition, so a same-keyed row in another partition survives.
+        Default (None/empty) stays a global delete."""
         snapshot_id = self._next_snapshot_id
-        entry = self._build_eq_delete_entry(keys, snapshot_id)
-        manifest = self._write_manifest([entry], snapshot_id)
+        entry = self._build_eq_delete_entry(keys, snapshot_id, partition)
+        manifest = self._write_manifest(
+            [entry],
+            snapshot_id,
+            spec_id=(
+                self.current_spec_id
+                if partition
+                else self._global_delete_spec_id()
+            ),
+        )
         self._commit(snapshot_id, self.manifests + [manifest], "delete", 0)
         return snapshot_id
 
+    def _global_delete_spec_id(self) -> int:
+        """Spec id for GLOBAL delete manifests: per the Iceberg spec a
+        delete under a partitioned spec is scoped to its partition, so a
+        global equality delete must be written through an UNPARTITIONED
+        spec — registered on first use (spec-compliant foreign readers
+        then apply it globally; the scan's all-None back-compat rule
+        keeps tables written before this change reading correctly)."""
+        if not self.spec:
+            return self.current_spec_id
+        for i, sp in enumerate(self.specs):
+            if not sp:
+                return i
+        self.specs.append([])
+        return len(self.specs) - 1
+
     def _build_eq_delete_entry(
-        self, keys: list[dict[str, Any]], snapshot_id: int
+        self,
+        keys: list[dict[str, Any]],
+        snapshot_id: int,
+        partition: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Write an equality-delete parquet for ``keys`` and return its
         ADDED (content=2) manifest entry — shared by
-        ``delete_rows_equality`` and ``upsert_rows_equality``."""
+        ``delete_rows_equality`` and ``upsert_rows_equality``.
+        ``partition`` (spec-field-name → transformed value) scopes the
+        delete to one partition; empty/None is a global delete."""
         if not keys:
             raise ValueError("no delete keys")
         cols = sorted(keys[0])
@@ -875,7 +912,7 @@ class IcebergWriter:
                 "content": 2,
                 "file_path": path,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": dict(partition or {}),
                 "record_count": len(keys),
                 "file_size_in_bytes": os.path.getsize(path),
                 "lower_bounds": None,
@@ -943,7 +980,12 @@ class IcebergWriter:
             data_entries[i : i + max_files_per_manifest]
             for i in range(0, len(data_entries), max_files_per_manifest)
         ] or [[]]
-        new_manifests = [self._write_manifest([delete_entry], snapshot_id)] + [
+        new_manifests = [
+            self._write_manifest(
+                [delete_entry], snapshot_id,
+                spec_id=self._global_delete_spec_id(),
+            )
+        ] + [
             self._write_manifest(c, snapshot_id) for c in chunks
         ]
         self._commit(
@@ -1115,6 +1157,7 @@ class IcebergWriter:
                     pos_pairs,
                     [f["name"] for f in self.fields],
                     file_key=_order_key(e, mf),
+                    file_part=_part_scope_key(df_rec, mf, self.specs),
                 )
                 if rows is None:
                     raise NotImplementedError(
@@ -1779,7 +1822,12 @@ def upsert_spark_output(
     writer._format_version = max(writer._format_version, 2)
     new_manifests = []
     if delete_entries:
-        new_manifests.append(writer._write_manifest(delete_entries, snapshot_id))
+        new_manifests.append(
+            writer._write_manifest(
+                delete_entries, snapshot_id,
+                spec_id=writer._global_delete_spec_id(),
+            )
+        )
     chunks = [
         data_entries[i : i + 100] for i in range(0, len(data_entries), 100)
     ] or [[]]
@@ -4208,8 +4256,33 @@ def _live_deletes(
             tbl = pq.read_table(rec["file_path"])
             arrs = [tbl.column(i).to_pylist() for i in range(len(cols))]
             keys = set(zip(*arrs)) if arrs else set()
-            eq_deletes.append((_order_key(e, mf), cols, keys))
+            eq_deletes.append(
+                (_order_key(e, mf), cols, keys, _part_scope_key(rec, mf, writer.specs))
+            )
     return eq_deletes, pos_pairs
+
+
+def _part_scope_key(
+    rec: dict[str, Any], mf: dict[str, Any], specs: list[list] | None = None
+) -> tuple | None:
+    """Partition-scope identity of an entry for rewrite-time equality-
+    delete gating: (spec id, sorted partition items) for a partitioned
+    entry, None for a global one — matching the scan layer's rule:
+    global iff the entry's spec is unpartitioned OR its tuple is
+    all-None (a global delete written through a partitioned-spec
+    manifest materializes as an all-None record)."""
+    part = rec.get("partition") or {}
+    spec_id = mf.get("partition_spec_id", 0)
+    if specs is not None and (
+        spec_id >= len(specs) or not specs[spec_id]
+    ):
+        return None
+    if all(v is None for v in part.values()) or not part:
+        return None
+    return (
+        spec_id,
+        tuple(sorted((k, str(v)) for k, v in part.items())),
+    )
 
 
 def _order_key(entry: dict[str, Any], manifest: dict[str, Any]) -> int:
@@ -4222,12 +4295,13 @@ def _order_key(entry: dict[str, Any], manifest: dict[str, Any]) -> int:
 
 def _live_file_rows(
     entry: dict[str, Any],
-    eq_deletes: list[tuple[int, list[str], set]],
+    eq_deletes: list[tuple[int, list[str], set, tuple | None]],
     pos_pairs: set[tuple[str, int]],
     current_names: list[str] | None = None,
     file_key: int | None = None,
     carry_lineage: bool = False,
     file_seq: int | None = None,
+    file_part: tuple | None = None,
 ) -> list[dict[str, Any]] | None:
     """Rows of one data file with live v2 deletes applied
     (sequence-correct: an equality delete hits only files whose data
@@ -4273,8 +4347,10 @@ def _live_file_rows(
         if name_map is not None:
             r = {name_map[k]: v for k, v in r.items()}
         dead = any(
-            dsnap > fsnap and tuple(r[c] for c in cols) in keys
-            for dsnap, cols, keys in eq_deletes
+            (dpart is None or dpart == file_part)
+            and dsnap > fsnap
+            and tuple(r[c] for c in cols) in keys
+            for dsnap, cols, keys, dpart in eq_deletes
         )
         if dead:
             continue
@@ -4349,6 +4425,7 @@ def compact_files(
             # surviving row's lineage into the consolidated file
             carry_lineage=True,
             file_seq=_entry_seq(entry, manifest),
+            file_part=_part_scope_key(entry["data_file"], manifest, writer.specs),
         )
 
     # pass 2: group small files per (spec, partition)

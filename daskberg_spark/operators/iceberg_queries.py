@@ -644,6 +644,59 @@ def iceberg_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_partition_scoped_eq",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE NOT (o_custkey IN (7, 311) AND o_orderpriority = '1-URGENT')
+    """,
+)
+def iceberg_partition_scoped_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped equality delete (the shape Flink's upsert
+    writer emits on partitioned tables): orders partitioned by
+    identity(o_orderpriority), then an equality delete on o_custkey
+    scoped to the '1-URGENT' partition — the same customers' orders in
+    every OTHER priority must survive, which a global application of
+    the delete (the engine's previous behavior) would wrongly kill.
+    The oracle applies the delete relationally with the partition
+    predicate conjoined."""
+    import os as _os
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+    )
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_orderpriority").alias("pprio"),
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_scoped_eq_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_custkey", "type": "long", "required": False},
+            {"id": 3, "name": "o_orderpriority", "type": "string", "required": False},
+        ],
+        [{"name": "o_orderpriority", "transform": "identity",
+          "source": "o_orderpriority"}],
+    )
+    data_dir = _os.path.join(path, "data-0")
+    src.write.mode("overwrite").partitionBy("pprio").parquet(data_dir)
+    commit_spark_output(
+        writer, data_dir, partition_col="o_orderpriority", path_col="pprio"
+    )
+    writer.delete_rows_equality(
+        [{"o_custkey": 7}, {"o_custkey": 311}],
+        partition={"o_orderpriority": "1-URGENT"},
+    )
+    t = IcebergTable(path)
+    return t.to_df(spark)
+
+
+@query(
     "iceberg_remove_dangling",
     """
     SELECT o_orderkey,

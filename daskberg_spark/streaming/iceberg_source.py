@@ -519,6 +519,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             return int(rec.get("_snapshot_id") or 0)
 
         def _eq_ref(d: dict) -> tuple:
+            if d.get("partition"):
+                # partition-scoped eq delete (foreign Flink-style writer
+                # on a partitioned table): the slim refs here apply keys
+                # globally, which would over-delete other partitions —
+                # defer to the batch changelog, which partition-gates
+                raise NotImplementedError(
+                    "CDC streaming applies equality deletes globally; "
+                    f"snapshot {sid} touches a PARTITION-SCOPED equality "
+                    "delete — read this window with the batch changelog "
+                    "(changelog_rows_df)"
+                )
             then_schema = t.schema_for_snapshot(d.get("_snapshot_id"))
             then_by_id = {
                 f.get("id", f.get("field-id")): f["name"]

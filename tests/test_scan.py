@@ -4554,3 +4554,45 @@ def test_remove_dangling_deletes(spark, tmp_path):
     assert t.changelog_rows_df(spark, from_rel=-1).count() == 0
     # idempotent
     assert remove_dangling_deletes(w) is None
+
+
+def test_partition_scoped_equality_delete(spark, tmp_path):
+    """A partition-scoped equality delete (Flink's shape on partitioned
+    tables) applies ONLY to data files in its (spec, partition): the
+    same key in another partition survives — on the direct read, AND
+    through a compaction rewrite (which must not over-apply the delete
+    while folding it).  A later global delete still kills everywhere."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    # same keys in both partitions, two small files per partition
+    w.append([{"k": i, "grp": "a"} for i in range(5)])
+    w.append([{"k": i, "grp": "b"} for i in range(5)])
+    w.append([{"k": i, "grp": "a"} for i in range(5, 8)])
+    w.append([{"k": i, "grp": "b"} for i in range(5, 8)])
+    # scoped delete: k in (1, 6) in partition grp='a' ONLY
+    w.delete_rows_equality([{"k": 1}, {"k": 6}], partition={"grp": "a"})
+    t = IcebergTable(p)
+    got = sorted((r["grp"], r["k"]) for r in t.to_df(spark).collect())
+    want = sorted(
+        [("a", k) for k in range(8) if k not in (1, 6)]
+        + [("b", k) for k in range(8)]
+    )
+    assert got == want
+    # compaction folds the scoped delete into partition 'a' only and
+    # must not over-apply it to partition 'b'
+    assert compact_files(w, min_file_bytes=32 << 20) is not None
+    t2 = IcebergTable(p)
+    assert sorted((r["grp"], r["k"]) for r in t2.to_df(spark).collect()) == want
+    # a later GLOBAL delete kills the key in every partition
+    w.delete_rows_equality([{"k": 3}])
+    got3 = sorted((r["grp"], r["k"]) for r in IcebergTable(p).to_df(spark).collect())
+    assert got3 == sorted(x for x in want if x[1] != 3)
