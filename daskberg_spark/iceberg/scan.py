@@ -262,22 +262,7 @@ def _read_with_deletes(
         # deletes (empty tuple, this writer's own shape) skip the extra
         # broadcast entirely.
         def _part_key(rec: dict[str, Any]) -> tuple | None:
-            """(spec id, partition tuple) scope, or None for global.
-            Global iff the entry's spec is unpartitioned, or its tuple
-            is all-None — the manifest Avro schema materializes every
-            spec field, so a global delete written through a
-            partitioned-spec manifest (this engine's own pre-scoping
-            shape) reads back as an all-None record, not as {}."""
-            part = rec.get("partition") or {}
-            spec_id = rec.get("_spec_id", 0)
-            if not table._spec_fields(spec_id):
-                return None
-            if all(v is None for v in part.values()):
-                return None
-            return (
-                spec_id,
-                tuple(sorted((k, str(v)) for k, v in part.items())),
-            )
+            return _scope_tuple(table, rec)
 
         part_scoped = any(
             _part_key(d) is not None for _, _, _, d in eq_deletes
@@ -967,6 +952,101 @@ def diff_df(
 IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]
 
 
+def _scope_tuple(table: IcebergTable, rec: dict[str, Any]) -> tuple | None:
+    """(spec id, partition tuple) scope of an entry, or None for
+    global.  Global iff the entry's spec is unpartitioned, or its tuple
+    is all-None — the manifest Avro schema materializes every spec
+    field, so a global delete written through a partitioned-spec
+    manifest (this engine's own pre-scoping shape) reads back as an
+    all-None record, not as {}."""
+    part = rec.get("partition") or {}
+    spec_id = rec.get("_spec_id", 0)
+    if not table._spec_fields(spec_id):
+        return None
+    if all(v is None for v in part.values()):
+        return None
+    return (
+        spec_id,
+        tuple(sorted((k, str(v)) for k, v in part.items())),
+    )
+
+
+def _eq_delta_files(
+    table: IcebergTable,
+    d: dict[str, Any],
+    candidates: list[dict[str, Any]],
+) -> list[dict[str, Any]] | None:
+    """The subset of ``candidates`` (data-file records) an in-window
+    equality delete could possibly change — changelog planning's
+    eq-delete prune.  Three gates, all metadata except one delete-sized
+    parquet read:
+
+    1. sequence: the delete applies only to files with strictly lower
+       data sequence;
+    2. partition: a scoped delete (non-global ``_scope_tuple``) touches
+       only its own (spec, partition);
+    3. stats: a file whose footer min/max on EVERY key column misses
+       the delete keys' value range cannot lose a row.
+
+    Returns None to signal "cannot bound" (missing equality_ids —
+    conservative callers then mark everything)."""
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.planner import _bound_lookup
+
+    ids = d.get("equality_ids")
+    if not ids:
+        return None
+    id_info = {f.field_id: (name, f.type) for name, f in table.fields.items()}
+    if any(i not in id_info for i in ids):
+        return None
+    try:
+        ktbl = pq.read_table(d["file_path"])
+    except Exception:
+        return None
+    # delete parquet columns align POSITIONALLY with equality_ids (both
+    # this writer's convention and the spec's recommended layout)
+    kranges: list[tuple[int, str, Any, Any, bool]] = []
+    for pos, fid in enumerate(ids):
+        _, type_str = id_info[fid]
+        vals = ktbl.column(pos).to_pylist()
+        non_null = [v for v in vals if v is not None]
+        kranges.append(
+            (
+                fid,
+                type_str,
+                min(non_null) if non_null else None,
+                max(non_null) if non_null else None,
+                len(non_null) < len(vals),
+            )
+        )
+    dseq = d.get("_sequence_number") or 0
+    dscope = _scope_tuple(table, d)
+    out = []
+    for f in candidates:
+        if (f.get("_sequence_number") or 0) >= dseq:
+            continue
+        if dscope is not None and _scope_tuple(table, f) != dscope:
+            continue
+        overlaps = True
+        for fid, type_str, kmin, kmax, has_null in kranges:
+            if has_null:
+                continue  # a NULL key can match anywhere bounds miss
+            if kmin is None:
+                overlaps = False  # all-null key column, nothing bounded
+                break
+            lo = _bound_lookup(f.get("lower_bounds"), fid, type_str)
+            hi = _bound_lookup(f.get("upper_bounds"), fid, type_str)
+            if lo is None or hi is None:
+                continue  # no stats: stay conservative for this column
+            if hi < kmin or lo > kmax:
+                overlaps = False
+                break
+        if overlaps:
+            out.append(f)
+    return out
+
+
 def _changelog_plan(
     table: IcebergTable, from_rel: int, filters: Any
 ) -> tuple[list[dict], list[dict], dict, dict, int]:
@@ -984,8 +1064,10 @@ def _changelog_plan(
     removed in the window AND targets it.  DV targets come from manifest
     metadata (``referenced_data_file``); position-delete parquet names
     its targets in its ``file_path`` column (delta-sized driver read);
-    an equality delete applies by VALUE, so any in-window equality
-    delete conservatively marks every shared file changed."""
+    an equality delete applies by VALUE, so it marks the shared files
+    that pass its sequence/partition-scope/key-range-stats gates
+    (``_eq_delta_files`` — one delete-sized read), falling back to all
+    shared files only when it cannot be bounded."""
     current = table.current_snapshot
     head_schema = table.schema
     head_files = {f["file_path"]: f for f in table.plan_files(filters)}
@@ -1019,8 +1101,20 @@ def _changelog_plan(
         if not shared or changed_norm == set(shared):
             break
         if d.get("content") == 2:
-            changed_norm = set(shared)
-            break
+            # equality delete: applies by VALUE, but sequence, partition
+            # scope, and footer key-range stats still bound which shared
+            # files could lose a row (one delete-sized parquet read) —
+            # an upsert commit's changelog then scans only the files
+            # whose stats overlap the upserted keys, not every shared
+            # file.  None = cannot bound → conservative full marking.
+            hit = _eq_delta_files(
+                table, d, [head_files[p] for p in shared.values()]
+            )
+            if hit is None:
+                changed_norm = set(shared)
+                break
+            changed_norm |= {_norm_scan_path(f["file_path"]) for f in hit}
+            continue
         if d.get("referenced_data_file"):
             changed_norm.add(_norm_scan_path(d["referenced_data_file"]))
         else:
