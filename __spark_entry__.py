@@ -235,7 +235,10 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q20_excess_stock_suppliers",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
-    "iceberg_read_golden",
+    # r8 tenth swap: partition-scoped equality deletes (the Flink-
+    # written shape; a global application would silently over-delete)
+    # seat in place of iceberg_read_golden (driver-green r2-r7)
+    "iceberg_partition_scoped_eq",
     # r8 seventh swap: sort-order clustering prune seats in place of
     # iceberg_partition_prune (driver-green r1-r7; same prune family)
     "iceberg_sorted_write_prune",

@@ -79,6 +79,11 @@ HEADLINE = [
     # round 7: merge-on-read MERGE (DV tombstones + appended updates in
     # one commit — O(matched rows) write amplification)
     "iceberg_merge_mor",
+    # round 8: the blind-upsert lifecycle (eq-delete upsert → compaction
+    # → dangling-delete cleanup, the CDC-apply maintenance loop) and the
+    # cluster-then-prune semantic dedup over embeddings
+    "iceberg_remove_dangling",
+    "semdedup_prune",
 ]
 
 
