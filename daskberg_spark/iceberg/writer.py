@@ -311,6 +311,15 @@ class IcebergWriter:
         # footer bounds
         self.sort_orders: list[dict[str, Any]] = [{"order-id": 0, "fields": []}]
         self.default_sort_order_id = 0
+        # running table totals for SnapshotSummary parity (total-records
+        # etc.); None = invalidated (rollback, or a loaded table whose
+        # head summary lacks them) — then only per-commit deltas emit
+        self._totals: dict[str, int] | None = {
+            "total-data-files": 0,
+            "total-delete-files": 0,
+            "total-records": 0,
+            "total-files-size": 0,
+        }
         # WAP staging: when set, the main ref / current-snapshot-id stay
         # pinned at this snapshot while staged commits append behind a
         # branch ref (see stage_append/publish_branch/abort_stage)
@@ -473,6 +482,19 @@ class IcebergWriter:
             )
         else:
             w.manifests = []
+        # resume running totals from the head snapshot's summary when it
+        # carries them; otherwise stop emitting totals (deltas continue)
+        total_keys = (
+            "total-data-files", "total-delete-files",
+            "total-records", "total-files-size",
+        )
+        head_summary = (head or {}).get("summary") or {}
+        if head is None:
+            w._totals = dict.fromkeys(total_keys, 0)
+        elif all(k in head_summary for k in total_keys):
+            w._totals = {k: int(head_summary[k]) for k in total_keys}
+        else:
+            w._totals = None
         # Sequence-less carried manifests are v1-era (pre-sequence)
         # metadata; leaving them None would let _commit stamp them with
         # the NEXT commit's sequence, tying an old equality delete to the
@@ -1431,7 +1453,46 @@ class IcebergWriter:
         n_added = sum(1 for e in entries if e["status"] == 1)
         n_existing = sum(1 for e in entries if e["status"] == 0)
         n_deleted = sum(1 for e in entries if e["status"] == 2)
+
+        def _this_commit(e: dict[str, Any]) -> bool:
+            # survivor entries re-serialized into a rewrite's manifest
+            # keep their ORIGINAL adding snapshot id — only entries of
+            # THIS snapshot are commit deltas
+            return e.get("snapshot_id") in (None, snapshot_id)
+
+        def _agg(status: int, contents: tuple, field: str) -> int:
+            return sum(
+                int(e["data_file"].get(field) or 0)
+                for e in entries
+                if e["status"] == status
+                and _this_commit(e)
+                and e["data_file"].get("content", 0) in contents
+            )
+
+        def _cnt(status: int, contents: tuple) -> int:
+            return sum(
+                1
+                for e in entries
+                if e["status"] == status
+                and _this_commit(e)
+                and e["data_file"].get("content", 0) in contents
+            )
+
+        # per-content commit deltas for the snapshot summary (real
+        # Iceberg's SnapshotSummary fields) — private keys, never
+        # serialized (the Avro writer emits schema fields only)
+        summary_delta = {
+            "added-data-files": _cnt(1, (0,)),
+            "added-delete-files": _cnt(1, (1, 2)),
+            "deleted-data-files": _cnt(2, (0,)),
+            "removed-delete-files": _cnt(2, (1, 2)),
+            "added-records": _agg(1, (0,), "record_count"),
+            "deleted-records": _agg(2, (0,), "record_count"),
+            "added-files-size": _agg(1, (0, 1, 2), "file_size_in_bytes"),
+            "removed-files-size": _agg(2, (0, 1, 2), "file_size_in_bytes"),
+        }
         return {
+            "_summary": summary_delta,
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": spec_id,
@@ -1518,6 +1579,37 @@ class IcebergWriter:
         self._next_snapshot_id = snapshot_id + 1
         head = self.head_snapshot
         parent = head["snapshot-id"] if head else None
+        # SnapshotSummary parity: exact per-content commit deltas from
+        # this commit's freshly-written manifests (annotated by
+        # _write_manifest), plus running table totals — real engines
+        # read these for costless stats.  Totals stop being emitted if
+        # the running state was ever invalidated (rollback, or loading
+        # a table whose head summary lacks them).
+        commit_summary: dict[str, str] = {}
+        deltas = [
+            m["_summary"]
+            for m in manifests
+            if m.get("added_snapshot_id") == snapshot_id and "_summary" in m
+        ]
+        if deltas:
+            agg = {k: sum(d[k] for d in deltas) for k in deltas[0]}
+            commit_summary = {k: str(v) for k, v in agg.items()}
+            if self._totals is not None:
+                self._totals["total-data-files"] += (
+                    agg["added-data-files"] - agg["deleted-data-files"]
+                )
+                self._totals["total-delete-files"] += (
+                    agg["added-delete-files"] - agg["removed-delete-files"]
+                )
+                self._totals["total-records"] += (
+                    agg["added-records"] - agg["deleted-records"]
+                )
+                self._totals["total-files-size"] += (
+                    agg["added-files-size"] - agg["removed-files-size"]
+                )
+                commit_summary.update(
+                    {k: str(v) for k, v in self._totals.items()}
+                )
         snap = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
@@ -1527,6 +1619,7 @@ class IcebergWriter:
             "summary": {
                 "operation": operation,
                 "added-records": str(added),
+                **commit_summary,
                 **(extra_summary or {}),
             },
         }
@@ -2129,6 +2222,19 @@ def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:
     target = snaps[snapshot_id]
     _, manifests = read_avro_file(target["manifest-list"])
     writer.manifests = manifests
+    # running summary totals no longer describe the repointed head —
+    # resume from the target's summary when it carries them, else stop
+    # emitting totals (per-commit deltas continue either way)
+    total_keys = (
+        "total-data-files", "total-delete-files",
+        "total-records", "total-files-size",
+    )
+    tsum = target.get("summary") or {}
+    writer._totals = (
+        {k: int(tsum[k]) for k in total_keys}
+        if all(k in tsum for k in total_keys)
+        else None
+    )
     # Keep the snapshots list in COMMIT order and repoint the head
     # explicitly: the next commit parents on the target, and
     # _write_metadata truncates the snapshot-log to the head's lineage

@@ -4598,3 +4598,60 @@ def test_partition_scoped_equality_delete(spark, tmp_path):
     w.delete_rows_equality([{"k": 3}])
     got3 = sorted((r["grp"], r["k"]) for r in IcebergTable(p).to_df(spark).collect())
     assert got3 == sorted(x for x in want if x[1] != 3)
+
+
+def test_snapshot_summary_parity(spark, tmp_path):
+    """Snapshot summaries carry real-Iceberg SnapshotSummary fields:
+    exact per-commit deltas (added/deleted files, records, byte sizes,
+    delete-file counts) and running table totals — through append,
+    blind upsert, compaction (survivor entries must NOT recount), and
+    load() resume; rollback resumes totals from the target summary."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        rollback_to,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(10)])
+    s1 = IcebergTable(p).metadata["snapshots"][-1]["summary"]
+    assert s1["added-data-files"] == "1"
+    assert s1["added-records"] == "10"
+    assert s1["total-data-files"] == "1"
+    assert s1["total-records"] == "10"
+    assert int(s1["total-files-size"]) > 0
+    # blind upsert: 1 data file + 1 eq-delete file, one commit
+    w2 = IcebergWriter.load(p)  # totals resume across processes
+    w2.upsert_rows_equality([{"k": 3, "v": -3.0}, {"k": 20, "v": 20.0}], on=["k"])
+    s2 = IcebergTable(p).metadata["snapshots"][-1]["summary"]
+    assert s2["added-data-files"] == "1"
+    assert s2["added-delete-files"] == "1"
+    assert s2["added-records"] == "2"
+    assert s2["total-data-files"] == "2"
+    assert s2["total-delete-files"] == "1"
+    assert s2["total-records"] == "12"
+    # compaction: rewrite adds the consolidated file, tombstones the two
+    # originals, folds the eq-delete's kill of k=3 — and the SURVIVOR
+    # re-serialization must not inflate added counts
+    assert compact_files(w2, min_file_bytes=32 << 20) is not None
+    s3 = IcebergTable(p).metadata["snapshots"][-1]["summary"]
+    assert s3["operation"] == "replace"
+    assert s3["added-data-files"] == "1"
+    assert s3["deleted-data-files"] == "2"
+    assert s3["total-data-files"] == "1"
+    # 11 live rows: 10 + 2 upserted - 1 dead k=3 original
+    assert s3["total-records"] == "11"
+    # rollback: totals resume from the target snapshot's own summary
+    first = IcebergTable(p).metadata["snapshots"][0]["snapshot-id"]
+    rollback_to(w2, first)
+    w2.append([{"k": 100, "v": 1.0}])
+    s4 = IcebergTable(p).metadata["snapshots"][-1]["summary"]
+    assert s4["total-records"] == "11"  # 10 at the target + 1 appended
+    assert s4["total-data-files"] == "2"
