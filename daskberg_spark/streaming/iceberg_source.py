@@ -31,18 +31,21 @@ counterpart.
 ``mode=cdc`` (BEYOND real Iceberg, whose streaming read is
 append-only) turns non-append snapshots into row-level change batches:
 every row carries ``_change_type`` ("insert"/"delete") and
-``_commit_snapshot_id``.  Scope is the v3 write path plus equality
-deletes — whole-file removals and deletion-vector commits stream
+``_commit_snapshot_id``.  EVERY delete flavor this engine reads also
+streams: whole-file removals and deletion-vector commits stream
 exactly (the one-DV-per-file invariant makes each file's prior dead
 set ONE blob, so executors compute new-minus-prior locally from two
 slim blob refs); EQUALITY-delete commits (the blind upsert / CDC-apply
 shape) stream as ``eq_delta`` partitions — executors re-derive which
 parent-live rows match the added keys, with sequence-correct
 applicability, so an upsert's own inserts never match their own
-delete; compaction (``replace``) emits nothing per the upstream
-changelog-scan rule; v2 position-delete parquet still raises toward
-the batch changelog (``rewrite_position_deletes`` converts it).  MOR
-UPDATE/MERGE arrive as delete+insert pairs.
+delete; v2 POSITION-delete parquet streams as ``pos_delta``
+partitions (executors filter the (file_path, pos) rows to their own
+file, write-time paths relocated like the table layer); compaction
+(``replace``) emits nothing per the upstream changelog-scan rule.
+MOR UPDATE/MERGE arrive as delete+insert pairs.  A single commit
+mixing delete flavors on ONE file raises toward the batch changelog
+(overlapping newly-dead sets).
 """
 
 from __future__ import annotations
@@ -122,6 +125,9 @@ class IcebergFilePartition(InputPartition):
         prior_dv: tuple[str, int, int] | None = None,
         new_eq: list[tuple] | None = None,
         prior_eq: list[tuple] | None = None,
+        new_pos: list[str] | None = None,
+        prior_pos: list[str] | None = None,
+        reloc: tuple[str, str] | None = None,
     ) -> None:
         super().__init__(path)
         self.path = path
@@ -136,6 +142,13 @@ class IcebergFilePartition(InputPartition):
         self.prior_dv = prior_dv
         self.new_eq = new_eq or []
         self.prior_eq = prior_eq or []
+        # v2 position-delete parquet references: paths whose (file_path,
+        # pos) rows the executor filters down to THIS data file —
+        # ``reloc`` carries (original_url, actual_url) so write-time
+        # target paths relocate the same way the table layer does
+        self.new_pos = new_pos or []
+        self.prior_pos = prior_pos or []
+        self.reloc = reloc
 
 
 def _added_manifests_by_snapshot(t, end_id: int) -> dict:
@@ -442,16 +455,17 @@ class IcebergStreamReader(DataSourceStreamReader):
     ) -> list[InputPartition]:
         """Row-level change partitions for one NON-APPEND snapshot.
 
-        Scope: the v3 write path plus equality deletes — whole-file
+        Scope: every delete flavor the engine reads — whole-file
         removals (CoW merge, delete_files, dynamic overwrite),
-        deletion-vector commits (MOR delete/merge/update), and
+        deletion-vector commits (MOR delete/merge/update),
         EQUALITY-delete commits (blind upsert / CDC apply: added keys
         stream as ``eq_delta`` partitions against each parent-live file
-        they apply to).  A snapshot touching a v2 position-delete
-        parquet raises with a pointer to the batch changelog
-        (``rewrite_position_deletes`` converts it); a ``replace``
-        (compaction) emits NOTHING, the upstream changelog-scan rule —
-        rewritten bytes are not logical changes.
+        they apply to), and v2 POSITION-delete parquet (``pos_delta``
+        partitions; targets from a column-pruned delta-sized driver
+        read).  A ``replace`` (compaction) emits NOTHING, the upstream
+        changelog-scan rule — rewritten bytes are not logical changes;
+        a commit mixing delete flavors on one file raises toward the
+        batch changelog.
 
         Correctness against prior deletes: the parent's dead set for a
         file is its single DV blob (the one-DV-per-file invariant the
@@ -478,23 +492,25 @@ class IcebergStreamReader(DataSourceStreamReader):
                 d.get("content") == 1 and d.get("referenced_data_file")
             )
 
-        # v2 position-delete PARQUET still breaks the position math in
-        # both directions (its dead set is per-file row ordinals the slim
-        # partition refs don't carry): one anywhere in the pair of
-        # states raises toward the batch changelog.  EQUALITY deletes
-        # are handled: ones ADDED by this commit stream as ``eq_delta``
-        # partitions (the blind-upsert shape), and parent-live ones
-        # extend each file's prior dead set via ``prior_eq`` refs.
-        for which, state in (("adds", c_del), ("carries", p_del)):
-            for key, d in state.items():
-                if d.get("content") == 1 and not d.get("referenced_data_file"):
-                    raise NotImplementedError(
-                        f"CDC streaming covers v3 deletion vectors and "
-                        f"equality deletes; snapshot {sid} {which} a "
-                        "position-delete parquet — read this window with "
-                        "the batch changelog (changelog_rows_df) or run "
-                        "rewrite_position_deletes first"
-                    )
+        # every delete flavor this engine reads also streams: DV commits
+        # as blob deltas, EQUALITY deletes as ``eq_delta`` partitions
+        # (added keys) / ``prior_eq`` refs (parent-live), and v2
+        # POSITION-delete parquet as ``pos_delta`` partitions (added) /
+        # ``prior_pos`` refs (parent-live) — executors filter the
+        # (file_path, pos) rows down to their own file, relocating
+        # write-time target paths like the table layer does.
+        def is_pos(d: dict) -> bool:
+            return bool(
+                d.get("content") == 1 and not d.get("referenced_data_file")
+            )
+
+        prior_pos_paths = sorted(
+            d["file_path"] for d in p_del.values() if is_pos(d)
+        )
+        new_pos_files = [
+            d for k, d in c_del.items() if is_pos(d) and k not in p_del
+        ]
+        reloc = (t.original_url, t.url)
         p_dv = {
             d["referenced_data_file"]: d for d in p_del.values() if is_dv(d)
         }
@@ -579,6 +595,8 @@ class IcebergStreamReader(DataSourceStreamReader):
                     kind="delete_file",
                     prior_dv=_dv_ref(p_dv.get(f)),
                     prior_eq=prior_eq_for(p_data[f]),
+                    prior_pos=prior_pos_paths,
+                    reloc=reloc,
                 )
             )
         for f in added:
@@ -616,8 +634,57 @@ class IcebergStreamReader(DataSourceStreamReader):
                     new_dv=new_ref,
                     prior_dv=prior_ref,
                     prior_eq=prior_eq_for(c_data[f]),
+                    prior_pos=prior_pos_paths,
+                    reloc=reloc,
                 )
             )
+        pos_changed: set[str] = set()
+        if new_pos_files:
+            # ADDED position-delete parquet: one pos_delta partition per
+            # parent-live target (targets from a column-pruned driver
+            # read of each delete parquet — delta-sized, the same read
+            # the batch changelog plans with); executors re-read the
+            # pairs and keep their own file's new-minus-prior positions.
+            import pyarrow.parquet as pq
+
+            new_pos_paths = sorted(d["file_path"] for d in new_pos_files)
+            targets: set[str] = set()
+            for path_ in new_pos_paths:
+                for raw in (
+                    pq.read_table(path_, columns=["file_path"])
+                    .column("file_path")
+                    .unique()
+                    .to_pylist()
+                ):
+                    targets.add(t._relocate(str(raw)))
+            for f in sorted(targets):
+                if f not in c_data or f not in p_data:
+                    continue  # target gone, or added this same commit
+                if f in dv_changed:
+                    raise NotImplementedError(
+                        f"snapshot {sid} adds BOTH a deletion vector and "
+                        f"position deletes for {f}; their newly-dead sets "
+                        "may overlap — read this window with the batch "
+                        "changelog (changelog_rows_df)"
+                    )
+                pos_changed.add(f)
+                parts.append(
+                    IcebergFilePartition(
+                        f,
+                        renames_for(c_data[f].get("_snapshot_id")),
+                        current_names,
+                        arrow_types,
+                        defaults,
+                        change_type="delete",
+                        snapshot_id=sid,
+                        kind="pos_delta",
+                        prior_dv=_dv_ref(p_dv.get(f)),
+                        prior_eq=prior_eq_for(c_data[f]),
+                        new_pos=new_pos_paths,
+                        prior_pos=prior_pos_paths,
+                        reloc=reloc,
+                    )
+                )
         if new_eq:
             # ADDED equality deletes (blind upsert / CDC apply): one
             # eq_delta partition per parent-live file the deletes apply
@@ -633,12 +700,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                 refs = [_eq_ref(d) for d in new_eq if _seq(d) > fseq]
                 if not refs:
                     continue
-                if f in dv_changed:
+                if f in dv_changed or f in pos_changed:
                     raise NotImplementedError(
-                        f"snapshot {sid} adds BOTH a deletion vector and "
-                        f"equality deletes applicable to {f}; their newly-"
-                        "dead sets may overlap — read this window with the "
-                        "batch changelog (changelog_rows_df)"
+                        f"snapshot {sid} adds BOTH equality deletes and "
+                        f"another delete flavor applicable to {f}; their "
+                        "newly-dead sets may overlap — read this window "
+                        "with the batch changelog (changelog_rows_df)"
                     )
                 parts.append(
                     IcebergFilePartition(
@@ -653,6 +720,8 @@ class IcebergStreamReader(DataSourceStreamReader):
                         prior_dv=_dv_ref(p_dv.get(f)),
                         new_eq=refs,
                         prior_eq=prior_eq_for(c_data[f]),
+                        prior_pos=prior_pos_paths,
+                        reloc=reloc,
                     )
                 )
         return parts
@@ -698,17 +767,44 @@ class IcebergStreamReader(DataSourceStreamReader):
                             dead.add(i)
                 return dead
 
+            def pos_matches(paths: list[str]) -> set[int]:
+                """Positions this data file loses to the referenced
+                position-delete parquet: filter each file's (file_path,
+                pos) rows to OUR path, relocating write-time targets
+                the way the table layer does (scheme strip + original →
+                actual prefix)."""
+                from daskberg_spark.iceberg.metadata import _strip_scheme
+
+                orig, actual = partition.reloc or ("", "")
+                dead: set[int] = set()
+                for p_ in paths:
+                    ptbl = pq.read_table(p_, columns=["file_path", "pos"])
+                    for fp, po in zip(
+                        ptbl.column("file_path").to_pylist(),
+                        ptbl.column("pos").to_pylist(),
+                    ):
+                        fp = _strip_scheme(str(fp))
+                        if orig and fp.startswith(orig):
+                            fp = actual + fp[len(orig):]
+                        if fp == partition.path:
+                            dead.add(int(po))
+                return dead
+
             prior: set[int] = set()
             if partition.prior_dv is not None:
                 prior = set(dv_decode_file(*partition.prior_dv))
             if partition.prior_eq:
                 prior |= eq_matches(partition.prior_eq)
+            if partition.prior_pos:
+                prior |= pos_matches(partition.prior_pos)
             if partition.kind == "dv_delta":
                 assert partition.new_dv is not None
                 new = set(dv_decode_file(*partition.new_dv))
                 positions = sorted(new - prior)
             elif partition.kind == "eq_delta":
                 positions = sorted(eq_matches(partition.new_eq) - prior)
+            elif partition.kind == "pos_delta":
+                positions = sorted(pos_matches(partition.new_pos) - prior)
             else:  # delete_file: rows still live at the parent snapshot
                 positions = [i for i in range(len(tbl)) if i not in prior]
             # explicit index type: an EMPTY delta otherwise infers a

@@ -802,15 +802,12 @@ def test_streaming_cdc_equality_delete_commit(spark, tmp_path):
         q.stop()
 
 
-def test_streaming_cdc_rejects_preexisting_v2_deletes(spark, tmp_path):
-    """A v2 position-delete that is merely LIVE at the parent snapshot
-    (committed before the stream started) must also fail: the
-    delete_file / dv_delta position math assumes the parent's dead set
-    for a file is exactly its one DV blob, so an older position-delete
-    parquet would make a whole-file removal re-emit rows that were
-    already dead when the stream began."""
-    import pytest as _pytest
-
+def test_streaming_cdc_position_delete_parquet(spark, tmp_path):
+    """v2 position-delete parquet streams in BOTH roles (late r8 —
+    previously a raise): a new position-delete commit emits exactly its
+    newly-dead rows (pos_delta), and a pre-existing one joins the
+    parent dead set so a later whole-file removal does NOT re-emit the
+    rows it already killed."""
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.writer import IcebergWriter
     from daskberg_spark.streaming.iceberg_source import register
@@ -830,16 +827,34 @@ def test_streaming_cdc_rejects_preexisting_v2_deletes(spark, tmp_path):
         .option("from-beginning", "false")
         .load()
         .writeStream.format("memory")
-        .queryName("ice_cdc_rej_pre")
+        .queryName("ice_cdc_posdel")
         .outputMode("append")
         .start()
     )
+
+    def rows():
+        return sorted(
+            (r["id"], r["_change_type"])
+            for r in spark.table("ice_cdc_posdel").collect()
+        )
+
     try:
         q.processAllAvailable()  # empty: stream tails from the head
-        # whole-file removal whose parent state carries the v2 delete
-        w.delete_files(lambda d: d["file_path"].endswith(target.rsplit("/", 1)[1]))
-        with _pytest.raises(Exception, match="batch changelog"):
-            q.processAllAvailable()
+        assert rows() == []
+        # NEW position-delete commit: only its newly-dead row streams
+        # (pos 1 is already dead under the pre-stream delete)
+        w.delete_rows_position([(target, 1), (target, 3)])
+        q.processAllAvailable()
+        assert rows() == [(3, "delete")]
+        # whole-file removal: rows 1 and 3 are dead at the parent under
+        # the v2 deletes — only the still-live rows emit
+        w.delete_files(
+            lambda d: d["file_path"].endswith(target.rsplit("/", 1)[1])
+        )
+        q.processAllAvailable()
+        assert rows() == [
+            (0, "delete"), (2, "delete"), (3, "delete"), (4, "delete")
+        ]
     finally:
         q.stop()
 
