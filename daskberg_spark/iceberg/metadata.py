@@ -623,13 +623,18 @@ class IcebergTable:
                 self._relocate(s["manifest-list"])
                 if s.get("manifest-list")
                 else None,
+                (
+                    int((s.get("summary") or {})["total-records"])
+                    if "total-records" in (s.get("summary") or {})
+                    else None
+                ),
             )
             for s in self.metadata.get("snapshots", [])
         ]
         return spark.createDataFrame(
             rows,
             "committed_at long, snapshot_id long, parent_id long, "
-            "operation string, manifest_list string",
+            "operation string, manifest_list string, total_records long",
         )
 
     def refs_df(self, spark: Any):

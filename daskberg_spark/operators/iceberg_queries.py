@@ -1250,7 +1250,9 @@ def iceberg_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
            CAST(s."parent-snapshot-id" AS BIGINT) AS parent_id,
            COALESCE(s.summary.operation, 'append') AS operation,
-           s."manifest-list" AS manifest_list
+           s."manifest-list" AS manifest_list,
+           CAST(json_extract_string(to_json(s.summary), '$."total-records"')
+                AS BIGINT) AS total_records
     FROM (SELECT unnest(snapshots) AS s FROM (
       SELECT snapshots,
              CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) AS v
