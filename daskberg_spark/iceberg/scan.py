@@ -1004,12 +1004,25 @@ def _eq_delta_files(
         ktbl = pq.read_table(d["file_path"])
     except Exception:
         return None
-    # delete parquet columns align POSITIONALLY with equality_ids (both
-    # this writer's convention and the spec's recommended layout)
+    # resolve key columns by their WRITE-TIME names through the delete
+    # snapshot's pinned schema (the batch anti-join's rule — a foreign
+    # delete file may order or pad columns differently); fall back to
+    # positional alignment only when the name is absent (legacy shape)
+    then_schema = table.schema_for_snapshot(d.get("_snapshot_id"))
+    then_by_id = {
+        f.get("id", f.get("field-id")): f["name"]
+        for f in then_schema["fields"]
+    }
     kranges: list[tuple[int, str, Any, Any, bool]] = []
     for pos, fid in enumerate(ids):
         _, type_str = id_info[fid]
-        vals = ktbl.column(pos).to_pylist()
+        then_name = then_by_id.get(fid)
+        if then_name in ktbl.column_names:
+            vals = ktbl.column(then_name).to_pylist()
+        elif pos < ktbl.num_columns:
+            vals = ktbl.column(pos).to_pylist()
+        else:
+            return None  # cannot bound: conservative full marking
         non_null = [v for v in vals if v is not None]
         kranges.append(
             (

@@ -915,6 +915,22 @@ class IcebergWriter:
         delete to one partition; empty/None is a global delete."""
         if not keys:
             raise ValueError("no delete keys")
+        if partition:
+            # a misnamed key would serialize as all-None and silently
+            # turn the scoped delete GLOBAL (cross-partition data loss)
+            spec_names = {pf["name"] for pf in self.spec}
+            bad = set(partition) - spec_names
+            if bad:
+                raise ValueError(
+                    f"unknown partition field(s) {sorted(bad)}; current "
+                    f"spec fields: {sorted(spec_names)}"
+                )
+            if any(v is None for v in partition.values()):
+                raise ValueError(
+                    "NULL partition values are indistinguishable from a "
+                    "global delete in this engine's back-compat read rule; "
+                    "use a global delete or a non-null scope"
+                )
         cols = sorted(keys[0])
         if any(sorted(k) != cols for k in keys):
             raise ValueError("all key dicts must share the same columns")
@@ -972,18 +988,7 @@ class IcebergWriter:
         snapshot id."""
         if not rows:
             raise ValueError("no upsert rows")
-        key = on
-        if key is None:
-            by_id = {f["id"]: f["name"] for f in self.fields}
-            key = [by_id[i] for i in self.identifier_field_ids if i in by_id]
-        if not key:
-            raise ValueError(
-                "no merge key: pass on=[...] or declare identifier fields "
-                "(set_identifier_fields)"
-            )
-        for c in key:
-            if c not in self.types:
-                raise ValueError(f"unknown key column {c!r}")
+        key = _resolve_merge_key(self, on)
         deduped: dict[tuple, dict[str, Any]] = {}
         for r in rows:
             k = tuple(r.get(c) for c in key)
@@ -1819,6 +1824,27 @@ def commit_spark_output(
     return snapshot_id
 
 
+def _resolve_merge_key(
+    writer: "IcebergWriter", on: list[str] | None
+) -> list[str]:
+    """The upsert merge key: ``on`` when given, else the schema's
+    declared identifier fields; validated against the schema and never
+    guessed — shared by every upsert entry point."""
+    key = on
+    if key is None:
+        by_id = {f["id"]: f["name"] for f in writer.fields}
+        key = [by_id[i] for i in writer.identifier_field_ids if i in by_id]
+    if not key:
+        raise ValueError(
+            "no merge key: pass on=[...] or declare identifier fields "
+            "(set_identifier_fields)"
+        )
+    for c in key:
+        if c not in writer.types:
+            raise ValueError(f"unknown key column {c!r}")
+    return key
+
+
 def upsert_spark_output(
     writer: "IcebergWriter",
     spark: Any,
@@ -1856,30 +1882,33 @@ def upsert_spark_output(
             "commit_spark_output convention) so the data half lands "
             "with prunable partition values"
         )
-    key = on
-    if key is None:
-        by_id = {f["id"]: f["name"] for f in writer.fields}
-        key = [by_id[i] for i in writer.identifier_field_ids if i in by_id]
-    if not key:
-        raise ValueError(
-            "no merge key: pass on=[...] or declare identifier fields "
-            "(set_identifier_fields)"
-        )
-    for c in key:
-        if c not in writer.types:
-            raise ValueError(f"unknown key column {c!r}")
+    key = _resolve_merge_key(writer, on)
     if dir_token is None:
         writer._file_counter += 1
         dir_token = f"{writer._file_counter:05d}-{writer._instance}"
-    deduped = batch_df.dropDuplicates(key)
-    data_dir = os.path.join(writer.path, "data", f"upsert-{dir_token}")
-    dw = deduped.write.mode("overwrite")
-    if path_col is not None:
-        segs = [path_col] if isinstance(path_col, str) else list(path_col)
-        dw = dw.partitionBy(*segs)
-    dw.parquet(data_dir)
-    del_dir = os.path.join(writer.path, "data", f"upsert-del-{dir_token}")
-    deduped.select(*key).write.mode("overwrite").parquet(del_dir)
+    # persist: the data write and the key projection are two jobs over
+    # the same lineage (incl. dropDuplicates' shuffle) — don't pay the
+    # source scan twice
+    deduped = batch_df.dropDuplicates(key).persist()
+    try:
+        null_cond = None
+        for c in key:
+            cond = deduped[c].isNull()
+            null_cond = cond if null_cond is None else (null_cond | cond)
+        if deduped.filter(null_cond).limit(1).count() > 0:
+            # same rule as upsert_rows_equality: a NULL key would
+            # null-safe-match and delete NULL-keyed rows table-wide
+            raise ValueError(f"null key value in upsert batch (key={key})")
+        data_dir = os.path.join(writer.path, "data", f"upsert-{dir_token}")
+        dw = deduped.write.mode("overwrite")
+        if path_col is not None:
+            segs = [path_col] if isinstance(path_col, str) else list(path_col)
+            dw = dw.partitionBy(*segs)
+        dw.parquet(data_dir)
+        del_dir = os.path.join(writer.path, "data", f"upsert-del-{dir_token}")
+        deduped.select(*key).write.mode("overwrite").parquet(del_dir)
+    finally:
+        deduped.unpersist()
 
     import glob as _glob
 
@@ -2887,6 +2916,19 @@ def abort_stage(writer: "IcebergWriter", branch: str) -> list[int]:
     ]
     published = by_id[pin]
     _, writer.manifests = read_avro_file(published["manifest-list"])
+    # running summary totals include the dropped staged commits' deltas;
+    # resume from the published head's summary (same rule as rollback),
+    # else stop emitting totals
+    _tkeys = (
+        "total-data-files", "total-delete-files",
+        "total-records", "total-files-size",
+    )
+    _psum = published.get("summary") or {}
+    writer._totals = (
+        {k: int(_psum[k]) for k in _tkeys}
+        if all(k in _psum for k in _tkeys)
+        else None
+    )
     del writer.refs[branch]
     writer.main_pin = None
     writer.head_id = (
@@ -3884,20 +3926,69 @@ def remove_dangling_deletes(writer: "IcebergWriter") -> int | None:
                 dangling.append((e, mf))
     if not dangling:
         return None
+    # Rewrite every manifest that still CARRIES a dangling entry —
+    # committing only tombstones would resurrect the deletes one commit
+    # later (_commit drops tombstone-only manifests from prior
+    # snapshots while the carried manifests still hold the entries).
+    # Same survivor-rewrite shape as delete_files.
+    dangling_keys = {
+        (
+            e["data_file"]["file_path"],
+            e["data_file"].get("content_offset"),
+        )
+        for e, _mf in dangling
+    }
+
+    def _key(e: dict[str, Any]) -> tuple:
+        return (
+            e["data_file"]["file_path"],
+            e["data_file"].get("content_offset"),
+        )
+
     snapshot_id = writer._next_snapshot_id
-    tombstones = [
-        {
-            "status": 2,
-            "snapshot_id": snapshot_id,
-            "sequence_number": _entry_seq(e, mf),
-            "data_file": e["data_file"],
-        }
-        for e, mf in dangling
+    keep_manifests = []
+    tomb_by_spec: dict[int, list[dict[str, Any]]] = {}
+    for mf in writer.manifests:
+        from daskberg_spark.iceberg.avro import read_avro_file as _read
+
+        mf_spec = mf.get("partition_spec_id", 0)
+        _, entries = _read(mf["manifest_path"])
+        hit = [
+            e for e in entries if e["status"] != 2 and _key(e) in dangling_keys
+        ]
+        if not hit:
+            keep_manifests.append(mf)
+            continue
+        for e in hit:
+            tomb_by_spec.setdefault(mf_spec, []).append(
+                {
+                    "status": 2,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": _entry_seq(e, mf),
+                    "data_file": e["data_file"],
+                }
+            )
+        survivors = [
+            {
+                "status": 0,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": _entry_seq(e, mf),
+                "data_file": e["data_file"],
+            }
+            for e in entries
+            if not (e["status"] != 2 and _key(e) in dangling_keys)
+        ]
+        if survivors:
+            keep_manifests.append(
+                writer._write_manifest(survivors, snapshot_id, spec_id=mf_spec)
+            )
+    tomb_manifests = [
+        writer._write_manifest(es, snapshot_id, spec_id=sid)
+        for sid, es in sorted(tomb_by_spec.items())
     ]
-    manifest = writer._write_manifest(tombstones, snapshot_id)
     writer._commit(
         snapshot_id,
-        writer.manifests + [manifest],
+        keep_manifests + tomb_manifests,
         "delete",
         0,
         extra_summary={"removed-delete-files": str(len(dangling))},

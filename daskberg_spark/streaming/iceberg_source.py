@@ -535,11 +535,16 @@ class IcebergStreamReader(DataSourceStreamReader):
             return int(rec.get("_snapshot_id") or 0)
 
         def _eq_ref(d: dict) -> tuple:
-            if d.get("partition"):
+            from daskberg_spark.iceberg.scan import _scope_tuple
+
+            if _scope_tuple(t, d) is not None:
                 # partition-scoped eq delete (foreign Flink-style writer
                 # on a partitioned table): the slim refs here apply keys
                 # globally, which would over-delete other partitions —
-                # defer to the batch changelog, which partition-gates
+                # defer to the batch changelog, which partition-gates.
+                # (The scan's globality rule applies: unpartitioned spec
+                # or an all-None tuple — this engine's own global shape
+                # through a partitioned-spec manifest — streams fine.)
                 raise NotImplementedError(
                     "CDC streaming applies equality deletes globally; "
                     f"snapshot {sid} touches a PARTITION-SCOPED equality "
@@ -599,6 +604,24 @@ class IcebergStreamReader(DataSourceStreamReader):
                     reloc=reloc,
                 )
             )
+        # targets of THIS commit's position deletes — needed before the
+        # insert loop: a pos delete (no sequence gate, it names files
+        # explicitly) and a DV added in the SAME commit as their target
+        # file kill rows that must never stream as inserts
+        new_pos_paths: list[str] = []
+        pos_targets: set[str] = set()
+        if new_pos_files:
+            import pyarrow.parquet as pq
+
+            new_pos_paths = sorted(d["file_path"] for d in new_pos_files)
+            for path_ in new_pos_paths:
+                for raw in (
+                    pq.read_table(path_, columns=["file_path"])
+                    .column("file_path")
+                    .unique()
+                    .to_pylist()
+                ):
+                    pos_targets.add(t._relocate(str(raw)))
         for f in added:
             parts.append(
                 IcebergFilePartition(
@@ -610,6 +633,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                     change_type="insert",
                     snapshot_id=sid,
                     kind="insert",
+                    # same-commit deletes targeting the new file: rows
+                    # dead on arrival are excluded from the insert
+                    prior_dv=_dv_ref(c_dv.get(f)),
+                    prior_pos=new_pos_paths if f in pos_targets else [],
+                    reloc=reloc,
                 )
             )
         dv_changed: set[str] = set()
@@ -641,23 +669,12 @@ class IcebergStreamReader(DataSourceStreamReader):
         pos_changed: set[str] = set()
         if new_pos_files:
             # ADDED position-delete parquet: one pos_delta partition per
-            # parent-live target (targets from a column-pruned driver
-            # read of each delete parquet — delta-sized, the same read
-            # the batch changelog plans with); executors re-read the
-            # pairs and keep their own file's new-minus-prior positions.
-            import pyarrow.parquet as pq
-
-            new_pos_paths = sorted(d["file_path"] for d in new_pos_files)
-            targets: set[str] = set()
-            for path_ in new_pos_paths:
-                for raw in (
-                    pq.read_table(path_, columns=["file_path"])
-                    .column("file_path")
-                    .unique()
-                    .to_pylist()
-                ):
-                    targets.add(t._relocate(str(raw)))
-            for f in sorted(targets):
+            # parent-live target (targets computed above); executors
+            # re-read the pairs and keep their own file's
+            # new-minus-prior positions.  Targets added this same
+            # commit already excluded their dead rows from the insert
+            # partition; targets already gone emit nothing.
+            for f in sorted(pos_targets):
                 if f not in c_data or f not in p_data:
                     continue  # target gone, or added this same commit
                 if f in dv_changed:
@@ -734,7 +751,12 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         assert isinstance(partition, IcebergFilePartition)
         tbl = pq.read_table(partition.path)
-        if partition.kind != "insert":
+        if (
+            partition.kind != "insert"
+            or partition.prior_dv is not None
+            or partition.prior_eq
+            or partition.prior_pos
+        ):
             # CDC delete partitions: select WHICH positions changed from
             # slim references only — DV blobs decode and equality-delete
             # key parquet reads happen here on the executor, never on
@@ -805,7 +827,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                 positions = sorted(eq_matches(partition.new_eq) - prior)
             elif partition.kind == "pos_delta":
                 positions = sorted(pos_matches(partition.new_pos) - prior)
-            else:  # delete_file: rows still live at the parent snapshot
+            else:
+                # delete_file: rows still live at the parent snapshot;
+                # insert-with-prior: a file ADDED alongside same-commit
+                # deletes targeting it — rows dead on arrival never
+                # stream.  Same formula: everything minus the dead set.
                 positions = [i for i in range(len(tbl)) if i not in prior]
             # explicit index type: an EMPTY delta otherwise infers a
             # null-typed indices array pyarrow's take has no kernel for

@@ -4556,6 +4556,15 @@ def test_remove_dangling_deletes(spark, tmp_path):
     assert t.changelog_rows_df(spark, from_rel=-1).count() == 0
     # idempotent
     assert remove_dangling_deletes(w) is None
+    # the cleanup must survive the NEXT commit: the carrying manifests
+    # were rewritten, so the removed delete cannot resurrect when
+    # _commit drops the tombstone-only manifest
+    w.append([{"k": 50, "v": 50.0}])
+    t2 = IcebergTable(p)
+    assert t2.plan_deletes() == []
+    assert sorted(
+        (r["k"], r["v"]) for r in t2.to_df(spark).collect()
+    ) == sorted(before + [(50, 50.0)])
 
 
 def test_partition_scoped_equality_delete(spark, tmp_path):
@@ -4655,3 +4664,26 @@ def test_snapshot_summary_parity(spark, tmp_path):
     s4 = IcebergTable(p).metadata["snapshots"][-1]["summary"]
     assert s4["total-records"] == "11"  # 10 at the target + 1 appended
     assert s4["total-data-files"] == "2"
+
+
+def test_scoped_delete_partition_validation(spark, tmp_path):
+    """A misnamed or NULL-valued partition scope raises instead of
+    silently serializing as all-None (which the back-compat read rule
+    would treat as a GLOBAL delete — cross-partition data loss)."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"k": 1, "grp": "a"}])
+    with _pytest.raises(ValueError, match="unknown partition field"):
+        w.delete_rows_equality([{"k": 1}], partition={"group": "a"})
+    with _pytest.raises(ValueError, match="NULL partition"):
+        w.delete_rows_equality([{"k": 1}], partition={"grp": None})

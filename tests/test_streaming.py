@@ -1033,3 +1033,84 @@ def test_streaming_cdc_equality_upsert(spark, tmp_path):
         assert streamed == table_state
     finally:
         q.stop()
+
+
+def test_streaming_cdc_same_commit_pos_delete(spark, tmp_path):
+    """A commit adding a data file AND a position delete targeting that
+    same file (foreign in-checkpoint replacement shape): the insert
+    partition must exclude the dead-on-arrival rows — the batch scan
+    applies position deletes without a sequence gate, so streaming the
+    full file would disagree with the table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "id", "type": "long", "required": False}]
+    )
+    w.append([{"id": 0}, {"id": 1}])
+    # forge ONE overwrite commit: a new data file (ids 10..14) plus a
+    # position delete killing its rows 1 and 3 in the same snapshot
+    sid = w._next_snapshot_id
+    data_entries = w._build_data_entries([{"id": 10 + i} for i in range(5)], sid)
+    target = data_entries[0]["data_file"]["file_path"]
+    w._file_counter += 1
+    dpath = f"{w.path}/data/pos-delete-{w._file_counter:05d}-{w._instance}.parquet"
+    papq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([target, target], pa.string()),
+                "pos": pa.array([1, 3], pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    w._format_version = max(w._format_version, 2)
+    pos_entry = {
+        "status": 1,
+        "snapshot_id": sid,
+        "data_file": {
+            "content": 1,
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+        },
+    }
+    m = w._write_manifest(data_entries + [pos_entry], sid)
+    w._commit(sid, w.manifests + [m], "overwrite", 5)
+    # batch read: rows 11 and 13 are dead on arrival
+    batch = sorted(r["id"] for r in IcebergTable(p).to_df(spark).collect())
+    assert batch == [0, 1, 10, 12, 14]
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_cdc_samec")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["id"], r["_change_type"])
+            for r in spark.table("ice_cdc_samec").collect()
+        )
+        # the streamed inserts equal the batch-visible rows exactly
+        assert got == [(i, "insert") for i in (0, 1, 10, 12, 14)]
+    finally:
+        q.stop()
