@@ -4687,3 +4687,94 @@ def test_scoped_delete_partition_validation(spark, tmp_path):
         w.delete_rows_equality([{"k": 1}], partition={"group": "a"})
     with _pytest.raises(ValueError, match="NULL partition"):
         w.delete_rows_equality([{"k": 1}], partition={"grp": None})
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_partition_scoped_delete_fuzz(spark, tmp_path, seed):
+    """Model-based fuzz over the PARTITION-SCOPED delete surface on a
+    partitioned table: random interleavings of appends, global equality
+    deletes, partition-scoped equality deletes, blind upserts,
+    compaction, and dangling-delete cleanup must always read back the
+    model's live multiset.  Modeled semantics: a scoped delete kills
+    matching earlier rows only in ITS partition; a global delete (and a
+    blind upsert's delete half) kills them everywhere; same-commit
+    upsert inserts survive their own delete; maintenance never changes
+    the live set."""
+    import random
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        remove_dangling_deletes,
+    )
+
+    rng = random.Random(seed)
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    live: list[tuple[int, str, int]] = []
+    next_v = 0
+
+    def do_append():
+        nonlocal next_v
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            k, g = rng.randint(0, 20), rng.choice("ab")
+            rows.append({"k": k, "grp": g, "v": next_v})
+            live.append((k, g, next_v))
+            next_v += 1
+        w.append(rows)
+
+    def do_global_eq():
+        if not live:
+            return
+        ks = sorted({k for k, _, _ in rng.sample(live, min(3, len(live)))})
+        w.delete_rows_equality([{"k": k} for k in ks])
+        live[:] = [r for r in live if r[0] not in ks]
+
+    def do_scoped_eq():
+        if not live:
+            return
+        g = rng.choice("ab")
+        ks = sorted({k for k, _, _ in rng.sample(live, min(3, len(live)))})
+        w.delete_rows_equality([{"k": k} for k in ks], partition={"grp": g})
+        live[:] = [r for r in live if not (r[0] in ks and r[1] == g)]
+
+    def do_upsert():
+        nonlocal next_v
+        ks = rng.sample(range(25), rng.randint(1, 4))
+        rows = []
+        for k in ks:
+            g = rng.choice("ab")
+            rows.append({"k": k, "grp": g, "v": next_v})
+            next_v += 1
+        w.upsert_rows_equality(rows, on=["k"])
+        kset = set(ks)
+        live[:] = [r for r in live if r[0] not in kset]
+        live.extend((r["k"], r["grp"], r["v"]) for r in rows)
+
+    ops = [
+        do_append,
+        do_append,
+        do_global_eq,
+        do_scoped_eq,
+        do_scoped_eq,  # scoped twice as likely: the new surface
+        do_upsert,
+        lambda: compact_files(w),
+        lambda: remove_dangling_deletes(w),
+    ]
+    do_append()
+    for step in range(10):
+        rng.choice(ops)()
+        got = sorted(
+            (r["k"], r["grp"], r["v"])
+            for r in IcebergTable(p).to_df(spark).collect()
+        )
+        assert got == sorted(live), f"seed={seed} step={step}"
