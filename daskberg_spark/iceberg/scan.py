@@ -954,17 +954,27 @@ IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]
 
 def _scope_tuple(table: IcebergTable, rec: dict[str, Any]) -> tuple | None:
     """(spec id, partition tuple) scope of an entry, or None for
-    global.  Global iff the entry's spec is unpartitioned, or its tuple
-    is all-None — the manifest Avro schema materializes every spec
-    field, so a global delete written through a partitioned-spec
-    manifest (this engine's own pre-scoping shape) reads back as an
-    all-None record, not as {}."""
+    global.  Global iff the entry's spec is unpartitioned.
+
+    An all-None tuple under a partitioned spec is a GENUINE scope — a
+    spec-compliant foreign writer (e.g. a Flink upsert on an identity
+    partition over a nullable column) legitimately scopes deletes to
+    the NULL-valued partition, and treating that as global would delete
+    same-keyed rows in every other partition.  The old behavior
+    (all-None → global, this engine's own pre-scoping shape: global
+    deletes written through a partitioned-spec manifest materialize as
+    all-None records) survives only behind the explicit table property
+    ``daskberg.legacy-global-eq-deletes=true`` — set it when migrating
+    a table this engine wrote before global deletes moved to an
+    unpartitioned spec."""
     part = rec.get("partition") or {}
     spec_id = rec.get("_spec_id", 0)
     if not table._spec_fields(spec_id):
         return None
-    if all(v is None for v in part.values()):
-        return None
+    if not part or all(v is None for v in part.values()):
+        props = (table.metadata or {}).get("properties") or {}
+        if not part or props.get("daskberg.legacy-global-eq-deletes") == "true":
+            return None
     return (
         spec_id,
         tuple(sorted((k, str(v)) for k, v in part.items())),
@@ -1033,7 +1043,14 @@ def _eq_delta_files(
                 len(non_null) < len(vals),
             )
         )
-    dseq = d.get("_sequence_number") or 0
+    dseq = d.get("_sequence_number")
+    if dseq is None:
+        # a foreign/v1-era delete without sequence metadata cannot be
+        # bounded by the strictly-lower gate (mapping it to 0 would make
+        # EVERY candidate fail the gate and silently mark nothing) —
+        # signal "cannot bound" so callers fall back to conservative
+        # full marking
+        return None
     dscope = _scope_tuple(table, d)
     out = []
     for f in candidates:

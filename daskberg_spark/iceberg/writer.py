@@ -925,10 +925,16 @@ class IcebergWriter:
                     f"unknown partition field(s) {sorted(bad)}; current "
                     f"spec fields: {sorted(spec_names)}"
                 )
-            if any(v is None for v in partition.values()):
+            if any(v is None for v in partition.values()) and (
+                self.properties.get("daskberg.legacy-global-eq-deletes")
+                == "true"
+            ):
+                # only under the legacy opt-in is an all-None tuple read
+                # as GLOBAL; the default spec-compliant rule scopes it
+                # to the NULL-valued partition, so NULL scopes are fine
                 raise ValueError(
                     "NULL partition values are indistinguishable from a "
-                    "global delete in this engine's back-compat read rule; "
+                    "global delete under daskberg.legacy-global-eq-deletes; "
                     "use a global delete or a non-null scope"
                 )
         cols = sorted(keys[0])
@@ -1184,7 +1190,9 @@ class IcebergWriter:
                     pos_pairs,
                     [f["name"] for f in self.fields],
                     file_key=_order_key(e, mf),
-                    file_part=_part_scope_key(df_rec, mf, self.specs),
+                    file_part=_part_scope_key(
+                        df_rec, mf, self.specs, self.properties
+                    ),
                 )
                 if rows is None:
                     raise NotImplementedError(
@@ -4454,28 +4462,42 @@ def _live_deletes(
             arrs = [tbl.column(i).to_pylist() for i in range(len(cols))]
             keys = set(zip(*arrs)) if arrs else set()
             eq_deletes.append(
-                (_order_key(e, mf), cols, keys, _part_scope_key(rec, mf, writer.specs))
+                (
+                    _order_key(e, mf),
+                    cols,
+                    keys,
+                    _part_scope_key(rec, mf, writer.specs, writer.properties),
+                )
             )
     return eq_deletes, pos_pairs
 
 
 def _part_scope_key(
-    rec: dict[str, Any], mf: dict[str, Any], specs: list[list] | None = None
+    rec: dict[str, Any],
+    mf: dict[str, Any],
+    specs: list[list] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> tuple | None:
     """Partition-scope identity of an entry for rewrite-time equality-
     delete gating: (spec id, sorted partition items) for a partitioned
-    entry, None for a global one — matching the scan layer's rule:
-    global iff the entry's spec is unpartitioned OR its tuple is
-    all-None (a global delete written through a partitioned-spec
-    manifest materializes as an all-None record)."""
+    entry, None for a global one — matching the scan layer's rule
+    (``scan._scope_tuple``): global iff the entry's spec is
+    unpartitioned.  An all-None tuple under a partitioned spec is a
+    GENUINE scope (a foreign writer's NULL-valued partition) unless the
+    table opts into the legacy rule via
+    ``daskberg.legacy-global-eq-deletes=true``."""
     part = rec.get("partition") or {}
     spec_id = mf.get("partition_spec_id", 0)
     if specs is not None and (
         spec_id >= len(specs) or not specs[spec_id]
     ):
         return None
-    if all(v is None for v in part.values()) or not part:
-        return None
+    if not part or all(v is None for v in part.values()):
+        legacy = (properties or {}).get(
+            "daskberg.legacy-global-eq-deletes"
+        ) == "true"
+        if not part or legacy:
+            return None
     return (
         spec_id,
         tuple(sorted((k, str(v)) for k, v in part.items())),
@@ -4622,7 +4644,9 @@ def compact_files(
             # surviving row's lineage into the consolidated file
             carry_lineage=True,
             file_seq=_entry_seq(entry, manifest),
-            file_part=_part_scope_key(entry["data_file"], manifest, writer.specs),
+            file_part=_part_scope_key(
+                entry["data_file"], manifest, writer.specs, writer.properties
+            ),
         )
 
     # pass 2: group small files per (spec, partition)

@@ -440,7 +440,7 @@ def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if any(
-            s["summary"].get("epoch-id") == str(epoch_id)
+            (s.get("summary") or {}).get("epoch-id") == str(epoch_id)
             for s in writer.snapshots
         ):
             return  # epoch already committed: replay is a no-op
@@ -476,7 +476,7 @@ def iceberg_upsert_sink(writer, on=None, partition_col=None, path_col=None):
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if any(
-            s["summary"].get("epoch-id") == str(epoch_id)
+            (s.get("summary") or {}).get("epoch-id") == str(epoch_id)
             for s in writer.snapshots
         ):
             return  # epoch already committed: replay is a no-op

@@ -772,10 +772,28 @@ class IcebergStreamReader(DataSourceStreamReader):
                 dead: set[int] = set()
                 inv = {v: k for k, v in partition.renames.items()}
                 for path, then_names, cur_names in refs:
-                    ktbl = pq.read_table(path, columns=list(then_names))
-                    key_set = set(
-                        zip(*(ktbl.column(n).to_pylist() for n in then_names))
-                    )
+                    ktbl = pq.read_table(path)
+                    key_cols = []
+                    for i, n in enumerate(then_names):
+                        if n in ktbl.column_names:
+                            key_cols.append(ktbl.column(n).to_pylist())
+                        elif i < ktbl.num_columns:
+                            # foreign delete file whose physical column
+                            # names differ from the pinned write-time
+                            # names: fall back to positional alignment
+                            # in equality_ids order — the batch scan's
+                            # rule — instead of an opaque executor
+                            # ArrowInvalid mid-stream
+                            key_cols.append(ktbl.column(i).to_pylist())
+                        else:
+                            raise NotImplementedError(
+                                f"equality-delete file {path} carries "
+                                f"neither a column named {n!r} nor "
+                                f"{len(then_names)} positional columns; "
+                                "read this window with the batch "
+                                "changelog (changelog_rows_df)"
+                            )
+                    key_set = set(zip(*key_cols))
                     cols = []
                     for c in cur_names:
                         fc = inv.get(c, c)

@@ -135,3 +135,38 @@ def test_driver_window_invariants():
     assert window == e._PRIORITY  # no unregistered priority names
     missing_oracle = [n for n in window if n not in o]
     assert missing_oracle == []
+
+
+def test_bench_json_line_fits_driver_tail():
+    """The driver keeps only the last ~2000 chars of bench output and
+    parses the single JSON line out of that window; round 8's line
+    carried two per-query control maps, outgrew it, and the round's
+    BENCH artifact recorded "parsed": null.  Pin the invariant
+    structurally: the line bench.py would emit — every HEADLINE query at
+    a worst-case float width plus the control-summary fields — must stay
+    under the 1900-char guard so adding headline queries trips THIS test
+    before it trips the driver."""
+    import json as _json
+
+    import bench
+
+    names = list(bench.HEADLINE) + ["maint_rewrite_manifests"]
+    doc = {
+        "metric": "headline_suite_seconds",
+        "value": 9999.1234,
+        "unit": "sec",
+        "queries": {n: 99.1234 for n in names},
+        "sf": 0.1,
+        "bench_vs_control_ratio": 1.0234,
+        "control": "BENCH_CONTROL_DETAIL.json",
+    }
+    line = _json.dumps(doc)
+    assert len(line) <= 1900, (
+        f"bench stdout line would be {len(line)} chars; trim HEADLINE or "
+        "move fields to BENCH_CONTROL_DETAIL.json"
+    )
+    # and the fallback guard in bench.main exists
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "1900" in src

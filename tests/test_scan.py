@@ -4667,9 +4667,11 @@ def test_snapshot_summary_parity(spark, tmp_path):
 
 
 def test_scoped_delete_partition_validation(spark, tmp_path):
-    """A misnamed or NULL-valued partition scope raises instead of
-    silently serializing as all-None (which the back-compat read rule
-    would treat as a GLOBAL delete — cross-partition data loss)."""
+    """A misnamed partition scope raises instead of silently serializing
+    as all-None.  A NULL-valued scope is only rejected under the LEGACY
+    opt-in property (where all-None reads as GLOBAL — cross-partition
+    data loss); by default it is a genuine spec-compliant scope
+    (test_null_partition_scoped_eq_delete covers the read)."""
     import pytest as _pytest
 
     from daskberg_spark.iceberg.writer import IcebergWriter
@@ -4685,6 +4687,7 @@ def test_scoped_delete_partition_validation(spark, tmp_path):
     w.append([{"k": 1, "grp": "a"}])
     with _pytest.raises(ValueError, match="unknown partition field"):
         w.delete_rows_equality([{"k": 1}], partition={"group": "a"})
+    w.set_properties({"daskberg.legacy-global-eq-deletes": "true"})
     with _pytest.raises(ValueError, match="NULL partition"):
         w.delete_rows_equality([{"k": 1}], partition={"grp": None})
 
@@ -4778,3 +4781,124 @@ def test_partition_scoped_delete_fuzz(spark, tmp_path, seed):
             for r in IcebergTable(p).to_df(spark).collect()
         )
         assert got == sorted(live), f"seed={seed} step={step}"
+
+
+def test_null_partition_scoped_eq_delete(spark, tmp_path):
+    """ADVICE r8 (medium): a spec-compliant foreign writer (e.g. a Flink
+    upsert on an identity partition over a nullable column) legitimately
+    scopes an equality delete to the NULL-valued partition — an all-None
+    partition tuple.  The old read rule treated every all-None tuple as
+    GLOBAL (this engine's legacy shape), silently deleting same-keyed
+    rows in every other partition.  Now the NULL partition is a genuine
+    scope: only its rows die."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"k": i, "grp": "a"} for i in range(4)])
+    w.append([{"k": i, "grp": None} for i in range(4)])
+    w.append([{"k": i, "grp": "a"} for i in range(4, 6)])
+    w.append([{"k": i, "grp": None} for i in range(4, 6)])
+    # the foreign shape: delete k in (1, 2) scoped to the NULL partition
+    w.delete_rows_equality([{"k": 1}, {"k": 2}], partition={"grp": None})
+    got = {
+        (r["grp"], r["k"]) for r in IcebergTable(p).to_df(spark).collect()
+    }
+    want = {("a", k) for k in range(6)} | {(None, 0), (None, 3), (None, 4), (None, 5)}
+    assert got == want
+    # compaction folds the scoped delete into the NULL partition only
+    assert compact_files(w, min_file_bytes=32 << 20) is not None
+    got2 = {
+        (r["grp"], r["k"]) for r in IcebergTable(p).to_df(spark).collect()
+    }
+    assert got2 == want
+
+
+def test_legacy_global_eq_delete_optin(spark, tmp_path, monkeypatch):
+    """The legacy rule (all-None partition tuple under a partitioned
+    spec = GLOBAL delete — the shape this engine wrote before global
+    deletes moved to an unpartitioned spec) survives only behind the
+    explicit table property ``daskberg.legacy-global-eq-deletes=true``.
+    Without the property the same metadata reads spec-compliantly: the
+    delete scopes to the (empty) NULL partition and other partitions
+    keep their rows."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    def build(path, legacy):
+        w = IcebergWriter(
+            path,
+            [
+                {"id": 1, "name": "k", "type": "long", "required": True},
+                {"id": 2, "name": "grp", "type": "string", "required": False},
+            ],
+            [{"name": "grp", "transform": "identity", "source": "grp"}],
+        )
+        if legacy:
+            w.set_properties({"daskberg.legacy-global-eq-deletes": "true"})
+        w.append([{"k": i, "grp": "a"} for i in range(4)])
+        w.append([{"k": i, "grp": "b"} for i in range(4)])
+        # emulate the legacy writer: a GLOBAL delete forced through the
+        # PARTITIONED spec (materializes as an all-None record)
+        monkeypatch.setattr(
+            w, "_global_delete_spec_id", lambda: w.current_spec_id
+        )
+        w.delete_rows_equality([{"k": 1}])
+        return w
+
+    # legacy opt-in: the all-None tuple is read as global — k=1 dies in
+    # every partition
+    build(str(tmp_path / "legacy"), legacy=True)
+    got = sorted(
+        (r["grp"], r["k"])
+        for r in IcebergTable(str(tmp_path / "legacy")).to_df(spark).collect()
+    )
+    assert got == sorted(
+        (g, k) for g in ("a", "b") for k in range(4) if k != 1
+    )
+    # no property: spec-compliant scoping — the delete's all-None scope
+    # matches no populated partition, every row survives
+    build(str(tmp_path / "modern"), legacy=False)
+    got2 = sorted(
+        (r["grp"], r["k"])
+        for r in IcebergTable(str(tmp_path / "modern")).to_df(spark).collect()
+    )
+    assert got2 == sorted((g, k) for g in ("a", "b") for k in range(4))
+
+
+def test_eq_delta_files_missing_sequence_conservative(tmp_path):
+    """ADVICE r8 (low): an equality-delete record with NO
+    ``_sequence_number`` (foreign/v1-era metadata) cannot be bounded by
+    the strictly-lower sequence gate — mapping it to 0 made every
+    candidate fail the gate and the changelog silently missed its
+    changes.  ``_eq_delta_files`` must return None (cannot bound) so
+    callers fall back to conservative full marking."""
+    from daskberg_spark.iceberg.scan import _eq_delta_files
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": True}]
+    )
+    w.append([{"k": i} for i in range(5)])
+    w.append([{"k": i} for i in range(5, 10)])
+    w.delete_rows_equality([{"k": 2}])
+    t = IcebergTable(p)
+    dels = [d for d in t.plan_deletes() if d.get("content") == 2]
+    assert len(dels) == 1
+    files = t.plan_files()
+    # with sequence metadata: bounded — stats prune to the file holding
+    # k=2 (both candidate files predate the delete)
+    hit = _eq_delta_files(t, dels[0], files)
+    assert hit is not None
+    assert {f["file_path"] for f in hit} <= {f["file_path"] for f in files}
+    assert len(hit) == 1
+    # without: cannot bound — conservative None, never a silent empty set
+    stripped = {k: v for k, v in dels[0].items() if k != "_sequence_number"}
+    assert _eq_delta_files(t, stripped, files) is None

@@ -1114,3 +1114,99 @@ def test_streaming_cdc_same_commit_pos_delete(spark, tmp_path):
         assert got == [(i, "insert") for i in (0, 1, 10, 12, 14)]
     finally:
         q.stop()
+
+
+def test_streaming_cdc_foreign_named_delete_file(spark, tmp_path):
+    """ADVICE r8 (low): a foreign equality-delete file whose PHYSICAL
+    column names differ from the pinned write-time names must stream via
+    positional alignment in equality_ids order (the batch scan's rule) —
+    not die with an opaque executor ArrowInvalid mid-stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(6)])
+    w.delete_rows_equality([{"k": 2}, {"k": 4}])
+    # rewrite the delete parquet in place with a foreign column name
+    dels = [
+        d for d in IcebergTable(p).plan_deletes() if d.get("content") == 2
+    ]
+    assert len(dels) == 1
+    dp = dels[0]["file_path"]
+    tbl = pq.read_table(dp)
+    pq.write_table(tbl.rename_columns(["field_0"]), dp)
+
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .option("from", "start")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_foreign_del")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["_change_type"])
+            for r in spark.table("ice_foreign_del").collect()
+        )
+        inserts = [(k, "insert") for k in range(6)]
+        deletes = [(2, "delete"), (4, "delete")]
+        assert got == sorted(inserts + deletes)
+    finally:
+        q.stop()
+
+
+def test_epoch_sinks_tolerate_summaryless_snapshot(spark, tmp_path):
+    """ADVICE r8 (low): a snapshot without a ``summary`` (optional in
+    Iceberg v1 metadata — possible on a loaded foreign table) must not
+    kill the stream: both epoch sinks' idempotence checks read it
+    defensively instead of raising KeyError."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.events import (
+        iceberg_epoch_sink,
+        iceberg_upsert_sink,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.identifier_field_ids = [1]
+    w.append([{"k": 0, "v": 0.0}])
+    # simulate foreign v1 metadata: the snapshot carries no summary
+    del w.snapshots[-1]["summary"]
+
+    batch = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    iceberg_upsert_sink(w, on=["k"])(batch, 7)
+    batch2 = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    iceberg_epoch_sink(w)(batch2, 8)
+    got = sorted(
+        (r["k"], r["v"]) for r in IcebergTable(p).to_df(spark).collect()
+    )
+    assert got == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    # replay of an already-committed epoch stays a no-op
+    n = len(w.snapshots)
+    iceberg_upsert_sink(w, on=["k"])(batch, 7)
+    assert len(w.snapshots) == n
