@@ -224,14 +224,44 @@ def _load_registry():
 #           for streaming_cdc_source — the NEW mode=cdc streaming read
 #           (row-level deletes from DV commits, beyond real Iceberg's
 #           append-only streaming); streaming keeps 3 in-window reps
+#   r9 rotation (18 out / 18 in): the 16 queries that had NEVER owned a
+#           driver CORRECTNESS row (oldest evidence gap — r7 verdict
+#           item 3's policy), plus the round's 2 NEW queries:
+#     out (every one owns a fresh green r8 row; each family keeps
+#           in-window representatives):
+#           q13_customer_order_distribution, q16_supplier_count_by_part
+#           (TPC-H keeps q1 + four tail shapes),
+#           iceberg_name_mapping_read, iceberg_default_backfill (r7+r8
+#           green; evolution family keeps changelog/lineage in-window),
+#           iceberg_refs_metadata, iceberg_entries_metadata,
+#           iceberg_all_data_files, iceberg_metadata_log,
+#           iceberg_position_deletes, iceberg_files_metadata,
+#           iceberg_history_metadata, iceberg_snapshots_metadata
+#           (inspect family's r8 sweep: all green; all_delete_files +
+#           all_entries — never driver-seen — take their slots),
+#           iceberg_rewrite_pos_deletes (r8 green; migration family
+#           keeps convert_deletes in-window),
+#           stratified_sample, pii_redaction_stats, frequent_ngrams,
+#           quality_unigram_meanprob (C4's r8 sweep: all green; the
+#           never-seen C4 entries take the slots),
+#           events_retention_cohorts (r8 green; events keeps
+#           value_histogram + the two never-seen events entries)
+#     in (never driver-seen): corpus_mixing_weights, doc_chunking,
+#           embedding_quantize, events_corr_matrix,
+#           events_user_value_buckets, iceberg_all_delete_files,
+#           iceberg_all_entries, iceberg_remove_dangling,
+#           multimodal_frame_sample, multimodal_resize, profile_table,
+#           repetition_stats, resample_gapfill,
+#           sampled_agg_deterministic, sequence_packing, vocab_coverage
+#     in (NEW r9): iceberg_multiformat_read (PARQUET/AVRO/ORC data
+#           files — the reference's "parquet-only" gap closed),
+#           iceberg_null_partition_scope (spec-compliant NULL-partition
+#           delete scoping — the r8 ADVICE medium fix)
 _PRIORITY = [
-    # flagship + TPC-H (B4 at scale; tail seated r6-r7, five long-green
-    # shapes rotated out in r8)
+    # flagship + TPC-H (B4 at scale; tail seated r6-r7)
     "q1_pricing_summary",
     "q12_priority_by_returnflag",
-    "q13_customer_order_distribution",
     "q15_top_supplier",
-    "q16_supplier_count_by_part",
     "q17_small_quantity_revenue",
     "q20_excess_stock_suppliers",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
@@ -250,22 +280,18 @@ _PRIORITY = [
     # stays covered by iceberg_sorted_write_prune in-window)
     "streaming_cdc_upsert",
     "iceberg_merge_mor",
-    "iceberg_name_mapping_read",
-    # r8 third swap: inspect-table completion + views + position deletes
-    "iceberg_refs_metadata",
-    "iceberg_entries_metadata",
-    "iceberg_all_data_files",
-    "iceberg_metadata_log",
-    "iceberg_position_deletes",
+    # r9 NEW: multi-format data files + NULL-partition delete scoping
+    "iceberg_multiformat_read",
+    "iceberg_null_partition_scope",
+    # r9 rotation: the never-driver-seen inspect/maintenance entries
+    "iceberg_all_delete_files",
+    "iceberg_all_entries",
+    "iceberg_remove_dangling",
     "iceberg_position_deletes_dv",
     "iceberg_view_read",
     "iceberg_view_time_travel",
-    # r8 first-timers: MOR UPDATE, inspect metadata tables, v3 default
-    # backfill, and the metadata-delta row-level changelog (raw + net)
+    # MOR UPDATE + the metadata-delta row-level changelog (raw + net)
     "iceberg_update_mor",
-    "iceberg_files_metadata",
-    "iceberg_history_metadata",
-    "iceberg_default_backfill",
     "iceberg_changelog_rows",
     "iceberg_changelog_net",
     "iceberg_row_lineage",
@@ -279,31 +305,36 @@ _PRIORITY = [
     "iceberg_merge_full_sync",
     # Tier C — dedup (C1/C2)
     "dedup_chunks_exact",
-    # Tier C — similarity / semantic dedup (C2/C3)
+    # Tier C — similarity / semantic dedup (C2/C3) + never-seen entries
     "embedding_dim_stats",
     "semdedup_prune",
-    # Tier C — text/curation (C4)
-    "stratified_sample",
-    "pii_redaction_stats",
-    "frequent_ngrams",
-    "quality_unigram_meanprob",
-    # Tier C — multimodal (C5): both real-codec round-trips
+    "embedding_quantize",
+    # Tier C — text/curation (C4): never-driver-seen entries rotate in
+    "corpus_mixing_weights",
+    "doc_chunking",
+    "profile_table",
+    "repetition_stats",
+    "sequence_packing",
+    "vocab_coverage",
+    # Tier C — multimodal (C5): both real-codec round-trips + the
+    # never-seen frame-sample / resize plumbing
     "multimodal_image_decode",
     "multimodal_audio_decode",
-    # streaming extension (r7 batch twins)
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # streaming extension (r7/r8 batch twins)
     "streaming_distinct_hll",
     "streaming_cdc_source",
-    # r8 fourth swap: the v2→v3 delete migration + snapshots inspect
-    # table seat in place of join_multi / window_rank (driver-green r7)
-    "iceberg_rewrite_pos_deletes",
-    "iceberg_snapshots_metadata",
-    # Tier B representatives + scale patterns
+    # Tier B representatives + scale patterns (+ never-seen entries)
     "array_functions",
     "distinct_kmv_estimate",
     "sample_deterministic",
+    "sampled_agg_deterministic",
+    "resample_gapfill",
     "zorder_cluster_stats",
     "events_value_histogram",
-    "events_retention_cohorts",
+    "events_corr_matrix",
+    "events_user_value_buckets",
 ]
 
 

@@ -1023,3 +1023,82 @@ def ensure_dpo_fixture(spark, path: str = DPO_FIXTURE_DIR) -> str:
         writer, spark, new.withColumn("part_grp", F.col("grp")), "grp", "part_grp"
     )
     return path
+
+
+MULTIFORMAT_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "multiformat_table"
+)
+
+
+def ensure_multiformat_fixture(path: str = MULTIFORMAT_FIXTURE_DIR) -> str:
+    """Multi-format data-file table (real Iceberg stores PARQUET, AVRO,
+    and ORC data files; the reference is parquet-only —
+    ``/root/reference/README.md:97``): three appends, one per format,
+    with formulaic content so the oracle re-derives the expected rows
+    from ``range()``; one global equality delete spanning all three
+    formats (ids divisible by 10)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "fmt", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+    )
+
+    def rows(a: int, b: int, fmt: str) -> list[dict]:
+        return [{"id": i, "fmt": fmt, "val": i * 0.5} for i in range(a, b)]
+
+    writer.append(rows(0, 40, "parquet"))
+    writer.append(rows(40, 80, "avro"), file_format="avro")
+    writer.append(rows(80, 120, "orc"), file_format="orc")
+    writer.delete_rows_equality([{"id": i} for i in range(0, 120, 10)])
+    return path
+
+
+NULL_SCOPE_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "null_scope_table"
+)
+
+
+def ensure_null_scope_fixture(path: str = NULL_SCOPE_FIXTURE_DIR) -> str:
+    """Identity partition over a NULLABLE column with an equality delete
+    SCOPED to the NULL-valued partition (a spec-compliant foreign
+    writer's shape — e.g. a Flink upsert keyed on a nullable partition
+    source).  The old read rule treated the delete's all-None partition
+    tuple as GLOBAL and would kill the same keys in every partition;
+    the oracle's content formula keeps non-NULL-partition rows alive.
+
+    Rows: ids 0..59, grp = 'a'/'b'/NULL by id%3; scoped delete kills
+    ids divisible by 5 in the NULL partition only → dead iff
+    (id%3==2 AND id%5==0)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+
+    def grp(i: int) -> str | None:
+        return {0: "a", 1: "b", 2: None}[i % 3]
+
+    rows = [{"id": i, "grp": grp(i), "val": i * 0.25} for i in range(60)]
+    writer.append(rows[:30])
+    writer.append(rows[30:])
+    writer.delete_rows_equality(
+        [{"id": i} for i in range(0, 60, 5)], partition={"grp": None}
+    )
+    return path

@@ -391,8 +391,16 @@ class IcebergTable:
                     and data_file.get("content", 0) == 1
                     and data_file.get("referenced_data_file") is not None
                 )
-                if fmt.upper() != "PARQUET" and not is_dv:
-                    raise NotImplementedError(f"file format {fmt}")
+                # DATA files may be PARQUET/AVRO/ORC (real Iceberg's
+                # format set; the reference is parquet-only —
+                # README.md:97); the scan dispatches per format.
+                # DELETE files stay parquet (+ puffin DVs): non-parquet
+                # delete files are rare in the wild and unimplemented.
+                if data_file.get("content", 0) == 0:
+                    if fmt.upper() not in ("PARQUET", "AVRO", "ORC"):
+                        raise NotImplementedError(f"data file format {fmt}")
+                elif fmt.upper() != "PARQUET" and not is_dv:
+                    raise NotImplementedError(f"delete file format {fmt}")
                 fpath = self._relocate(data_file["file_path"])
                 if is_dv:
                     # the target path must match the scan's relocated

@@ -620,6 +620,212 @@ def schema_alignment(
     return renames, drops, missing
 
 
+_DATA_FILE_FORMATS = ("PARQUET", "AVRO", "ORC")
+
+
+def _python_file_scan(
+    spark: SparkSession,
+    struct,
+    paths: list[str],
+    fmt: str,
+    tag_position: bool,
+) -> DataFrame:
+    """Executor-side decode of AVRO (and position-tagged ORC) data files
+    via ``mapInPandas``: one task per file, Arrow-batched back to the
+    JVM — paths are distributed, bytes never touch the driver.
+
+    AVRO decodes through the from-scratch container reader (the same
+    module that reads manifests); values convert per the Iceberg Avro
+    spec — ``timestamp[tz]`` are long microseconds, ``date`` int
+    epoch-days.  ORC reads via ``pyarrow.orc`` and is only routed here
+    when row positions are needed (Spark exposes
+    ``_metadata.row_index`` for parquet alone); untagged ORC uses
+    Spark's native vectorized reader in ``_read_paths``.  Missing
+    columns (schema evolution) null-fill by name.  Nested, decimal, and
+    uuid columns in AVRO data files are not implemented — loud
+    failure."""
+    import pandas as pd
+
+    fields_sp = list(struct.fields)
+    names = [f.name for f in fields_sp]
+    out_fields = list(struct.fields)
+    if tag_position:
+        out_fields += [
+            T.StructField("__file", T.StringType(), False),
+            T.StructField("__pos", T.LongType(), False),
+        ]
+    out_struct = T.StructType(out_fields)
+
+    def _avro_series(vals: list, dtype) -> "pd.Series":
+        import datetime as _dt
+
+        import pandas as _pd
+
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return _pd.to_datetime(
+                _pd.Series(vals, dtype="object"), unit="us"
+            )
+        if isinstance(dtype, T.DateType):
+            epoch = _dt.date(1970, 1, 1)
+            return _pd.Series(
+                [
+                    None if v is None else epoch + _dt.timedelta(days=int(v))
+                    for v in vals
+                ],
+                dtype="object",
+            )
+        if isinstance(
+            dtype, (T.DecimalType, T.StructType, T.ArrayType, T.MapType)
+        ):
+            raise NotImplementedError(
+                f"AVRO data files with {dtype.simpleString()} columns"
+            )
+        return _pd.Series(vals, dtype="object")
+
+    def gen(batches):
+        import pandas as _pd
+
+        for b in batches:
+            for path in b["__path"]:
+                if fmt == "AVRO":
+                    from daskberg_spark.iceberg.avro import read_avro_file
+
+                    _, records = read_avro_file(path)
+                    pdf = _pd.DataFrame(
+                        {
+                            f.name: _avro_series(
+                                [r.get(f.name) for r in records], f.dataType
+                            )
+                            for f in fields_sp
+                        },
+                        columns=names,
+                    )
+                    n = len(records)
+                else:  # ORC, position-tagged
+                    import pyarrow.orc as _orc
+
+                    at = _orc.read_table(path)
+                    pdf = _pd.DataFrame(
+                        {
+                            f.name: (
+                                at.column(f.name).to_pandas()
+                                if f.name in at.column_names
+                                else _pd.Series(
+                                    [None] * len(at), dtype="object"
+                                )
+                            )
+                            for f in fields_sp
+                        },
+                        columns=names,
+                    )
+                    n = len(at)
+                if tag_position:
+                    pdf["__file"] = path
+                    pdf["__pos"] = _pd.Series(range(n), dtype="int64")
+                yield pdf
+
+    df_paths = spark.createDataFrame(
+        [(p,) for p in paths],
+        T.StructType([T.StructField("__path", T.StringType(), False)]),
+    )
+    return df_paths.repartition(len(paths)).mapInPandas(gen, schema=out_struct)
+
+
+def _read_paths(
+    spark: SparkSession,
+    struct,
+    recs: list[dict[str, Any]],
+    tag_position: bool = False,
+) -> DataFrame:
+    """Read data-file records sharing one resolved schema, dispatched by
+    ``file_format`` (the reference is parquet-only — ``README.md:97``;
+    real Iceberg also stores AVRO and ORC data files): PARQUET and
+    untagged ORC use Spark's native vectorized readers (whole-stage
+    codegen, predicate pushdown); AVRO — and ORC when row positions are
+    needed — decode executor-side (``_python_file_scan``).  The common
+    all-parquet case stays exactly one multi-path native scan."""
+    by_fmt: dict[str, list[str]] = {}
+    for r in recs:
+        by_fmt.setdefault(
+            str(r.get("file_format", "PARQUET")).upper(), []
+        ).append(r["file_path"])
+    unknown = set(by_fmt) - set(_DATA_FILE_FORMATS)
+    if unknown:
+        raise NotImplementedError(f"data file format(s) {sorted(unknown)}")
+
+    def _tag_native(df: DataFrame) -> DataFrame:
+        # `_metadata` resolves only on the scan relation itself — capture
+        # file/row identity for position deletes BEFORE any other operator.
+        if not tag_position:
+            return df
+        return df.withColumns(
+            {
+                "__file": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    keep = [f.name for f in struct.fields] + (
+        ["__file", "__pos"] if tag_position else []
+    )
+    parts = []
+    if "PARQUET" in by_fmt:
+        parts.append(
+            _tag_native(
+                spark.read.schema(struct).parquet(*by_fmt["PARQUET"])
+            ).select(*keep)
+        )
+    if "ORC" in by_fmt:
+        if tag_position:
+            parts.append(
+                _python_file_scan(
+                    spark, struct, by_fmt["ORC"], "ORC", True
+                ).select(*keep)
+            )
+        else:
+            # Spark's ORC reader refuses TIMESTAMP → TIMESTAMP_NTZ
+            # (pyarrow/foreign writers emit plain ORC TIMESTAMP for
+            # Iceberg `timestamp`): read those columns as LTZ and cast
+            # back — value-preserving under the session's pinned-UTC TZ
+            ntz = [
+                f.name
+                for f in struct.fields
+                if isinstance(f.dataType, T.TimestampNTZType)
+            ]
+            orc_struct = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        T.TimestampType()
+                        if f.name in ntz
+                        else f.dataType,
+                        f.nullable,
+                    )
+                    for f in struct.fields
+                ]
+            )
+            # .orc() takes a single path-or-list argument (unlike
+            # .parquet()'s varargs)
+            odf = spark.read.schema(orc_struct).orc(by_fmt["ORC"])
+            for name in ntz:
+                odf = odf.withColumn(
+                    name, F.col(name).cast(T.TimestampNTZType())
+                )
+            parts.append(odf.select(*keep))
+    if "AVRO" in by_fmt:
+        parts.append(
+            _python_file_scan(
+                spark, struct, by_fmt["AVRO"], "AVRO", tag_position
+            ).select(*keep)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _read_file_groups(
     table: IcebergTable,
     spark: SparkSession,
@@ -706,24 +912,10 @@ def _read_file_groups(
         s = table.schema_for_snapshot(sid_snap)
         return s.get("schema-id", 0), s
 
-    def tag(df: DataFrame) -> DataFrame:
-        # `_metadata` resolves only on the scan relation itself — capture
-        # file/row identity for position deletes BEFORE any other operator.
-        if not tag_position:
-            return df
-        return df.withColumns(
-            {
-                "__file": F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
-
-    groups: dict[int, tuple[dict[str, Any], list[str]]] = {}
+    groups: dict[int, tuple[dict[str, Any], list[dict[str, Any]]]] = {}
     for f in files:
         sid, schema = schema_key(f)
-        groups.setdefault(sid, (schema, []))[1].append(f["file_path"])
+        groups.setdefault(sid, (schema, []))[1].append(f)
 
     # extra (non-schema) columns — e.g. materialized v3 lineage columns —
     # read as nullable longs in every group so files lacking them
@@ -734,9 +926,7 @@ def _read_file_groups(
 
     current_sid = table.schema.get("schema-id", 0)
     if set(groups) <= {current_sid}:
-        return tag(
-            spark.read.schema(struct).parquet(*[f["file_path"] for f in files])
-        )
+        return _read_paths(spark, struct, files, tag_position)
 
     def _fill_value(fld: dict[str, Any]):
         # Iceberg v3 initial-default: files written BEFORE the column
@@ -746,7 +936,7 @@ def _read_file_groups(
         return F.lit(default).cast(dtype)
 
     parts = []
-    for sid, (schema, paths) in sorted(groups.items()):
+    for sid, (schema, grecs) in sorted(groups.items()):
         if sid == -1:
             # name-mapping group (unpinned files): a group can MIX files
             # written under ANY of the mapping's physical spellings
@@ -784,7 +974,7 @@ def _read_file_groups(
                 ]
                 + extra_struct
             )
-            gdf = tag(spark.read.schema(both).parquet(*paths))
+            gdf = _read_paths(spark, both, grecs, tag_position)
             for cur, aliases in pairs:
                 gdf = gdf.withColumn(
                     cur,
@@ -817,7 +1007,7 @@ def _read_file_groups(
         gstruct = T.StructType(
             list(schema_to_struct(schema).fields) + extra_struct
         )
-        gdf = tag(spark.read.schema(gstruct).parquet(*paths))
+        gdf = _read_paths(spark, gstruct, grecs, tag_position)
         renames = {}
         group_ids = {
             fld.get("id", fld.get("field-id")) for fld in schema["fields"]
@@ -916,7 +1106,8 @@ def diff_df(
             f"got {from_rel}"
         )
     current = table.current_snapshot
-    files_now = {f["file_path"] for f in table.plan_files(filters)}
+    now_recs = table.plan_files(filters)
+    files_now = {f["file_path"] for f in now_recs}
     # walk parents from the PINNED snapshot (open_snapshot(rel=...) would
     # restart the walk from the table's latest snapshot)
     base = current
@@ -926,16 +1117,28 @@ def diff_df(
             raise ValueError("walked past the first snapshot")
         base = table.snapshots[parent]
     table.open_snapshot(snapshot_id=base["snapshot-id"])
-    files_then = {f["file_path"] for f in table.plan_files(filters if changelog else None)}
+    then_recs = table.plan_files(filters if changelog else None)
+    files_then = {f["file_path"] for f in then_recs}
     # restore the caller-visible snapshot
     table.open_snapshot(snapshot_id=current["snapshot-id"])
+    fmt_by_path = {
+        f["file_path"]: f.get("file_format", "PARQUET")
+        for f in now_recs + then_recs
+    }
     added = sorted(files_now - files_then)
     struct = schema_to_struct(table.schema)
 
     def read_side(paths: list[str]) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], struct)
-        df = spark.read.schema(struct).parquet(*paths)
+        df = _read_paths(
+            spark,
+            struct,
+            [
+                {"file_path": p, "file_format": fmt_by_path.get(p, "PARQUET")}
+                for p in paths
+            ],
+        )
         residual = filters_to_column(filters)
         return df.filter(residual) if residual is not None else df
 

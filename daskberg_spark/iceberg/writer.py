@@ -587,8 +587,23 @@ class IcebergWriter:
         return tuple(out)
 
     def _write_parquet(self, rows: list[dict[str, Any]]) -> tuple[str, int]:
+        return self._write_data_file(rows, "parquet")
+
+    def _write_data_file(
+        self, rows: list[dict[str, Any]], file_format: str = "parquet"
+    ) -> tuple[str, int]:
+        """Write one data file in ``file_format`` (parquet/avro/orc —
+        real Iceberg's data-file format set; the reference is
+        parquet-only, README.md:97).  AVRO encodes through the
+        from-scratch container writer per the Iceberg Avro spec
+        (timestamps as long microseconds, dates as int epoch-days,
+        field ids on every field); ORC via ``pyarrow.orc``."""
+        fmt = file_format.lower()
+        if fmt not in ("parquet", "avro", "orc"):
+            raise NotImplementedError(f"data file format {file_format}")
         self._file_counter += 1
-        rel = f"data/{self._file_counter:05d}-{self._instance}.parquet"
+        ext = {"parquet": "parquet", "avro": "avro", "orc": "orc"}[fmt]
+        rel = f"data/{self._file_counter:05d}-{self._instance}.{ext}"
         path = f"{self.path}/{rel}"
         arrays, names = [], []
         for f in self.fields:
@@ -612,8 +627,65 @@ class IcebergWriter:
                 arrays.append(
                     pa.array([r.get(extra) for r in rows], type=pa.int64())
                 )
-        pq.write_table(pa.table(dict(zip(names, arrays))), path)
+        tbl = pa.table(dict(zip(names, arrays)))
+        if fmt == "parquet":
+            pq.write_table(tbl, path)
+        elif fmt == "orc":
+            import pyarrow.orc as _orc
+
+            _orc.write_table(tbl, path)
+        else:
+            self._write_avro_data(tbl, path)
         return path, os.path.getsize(path)
+
+    def _write_avro_data(self, tbl: "pa.Table", path: str) -> None:
+        """Encode an arrow table as an Iceberg AVRO data file: schema
+        derived from the table schema (field-id annotated), values per
+        the Iceberg Avro single-value spec — timestamps long
+        microseconds, dates int epoch-days.  Nested/decimal/uuid
+        columns fail loudly (scan's AVRO decode matches)."""
+        from daskberg_spark.iceberg.avro import write_avro_file
+
+        prim = {
+            "int": "int",
+            "long": "long",
+            "float": "float",
+            "double": "double",
+            "boolean": "boolean",
+            "string": "string",
+            "binary": "bytes",
+            "uuid": "string",
+        }
+        afields, cols = [], {}
+        for f in self.fields:
+            t = f["type"]
+            if isinstance(t, str) and t in prim:
+                atype: Any = prim[t]
+                vals = tbl[f["name"]].to_pylist()
+            elif isinstance(t, str) and t in ("timestamp", "timestamptz"):
+                atype = {
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                    "adjust-to-utc": t == "timestamptz",
+                }
+                vals = tbl[f["name"]].cast(pa.int64()).to_pylist()
+            elif isinstance(t, str) and t == "date":
+                atype = {"type": "int", "logicalType": "date"}
+                vals = tbl[f["name"]].cast(pa.int32()).to_pylist()
+            else:
+                raise NotImplementedError(
+                    f"AVRO data files with {t!r} columns"
+                )
+            afield = {"name": f["name"], "type": atype, "field-id": f["id"]}
+            if not f.get("required"):
+                afield["type"] = ["null", atype]
+                afield["default"] = None
+            afields.append(afield)
+            cols[f["name"]] = vals
+        schema = {"type": "record", "name": "r", "fields": afields}
+        n = tbl.num_rows
+        records = [{k: cols[k][i] for k in cols} for i in range(n)]
+        write_avro_file(path, schema, records)
 
     def _bounds(self, rows: list[dict[str, Any]]) -> tuple[list, list]:
         lowers, uppers = [], []
@@ -650,17 +722,20 @@ class IcebergWriter:
     # -- snapshot commits ---------------------------------------------------
 
     def _build_data_entries(
-        self, rows: list[dict[str, Any]], snapshot_id: int
+        self,
+        rows: list[dict[str, Any]],
+        snapshot_id: int,
+        file_format: str = "parquet",
     ) -> list[dict[str, Any]]:
-        """Write ``rows`` as parquet data files (one per partition tuple)
-        and return their ADDED manifest entries — the shared half of
-        ``append`` and ``upsert_rows_equality``."""
+        """Write ``rows`` as data files in ``file_format`` (one per
+        partition tuple) and return their ADDED manifest entries — the
+        shared half of ``append`` and ``upsert_rows_equality``."""
         groups: dict[tuple, list[dict[str, Any]]] = {}
         for row in rows:
             groups.setdefault(self._partition_tuple(row), []).append(row)
         entries = []
         for ptuple, grows in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            fpath, fsize = self._write_parquet(grows)
+            fpath, fsize = self._write_data_file(grows, file_format)
             lowers, uppers = self._bounds(grows)
             partition = {pf["name"]: v for pf, v in zip(self.spec, ptuple)}
             entries.append(
@@ -669,7 +744,7 @@ class IcebergWriter:
                     "snapshot_id": snapshot_id,
                     "data_file": {
                         "file_path": fpath,
-                        "file_format": "PARQUET",
+                        "file_format": file_format.upper(),
                         "partition": partition,
                         "record_count": len(grows),
                         "file_size_in_bytes": fsize,
@@ -680,10 +755,19 @@ class IcebergWriter:
             )
         return entries
 
-    def append(self, rows: list[dict[str, Any]], max_files_per_manifest: int = 100) -> int:
-        """Append rows as a new snapshot; one data file per partition tuple."""
+    def append(
+        self,
+        rows: list[dict[str, Any]],
+        max_files_per_manifest: int = 100,
+        file_format: str = "parquet",
+    ) -> int:
+        """Append rows as a new snapshot; one data file per partition
+        tuple.  ``file_format`` selects parquet (default), avro, or orc
+        — real Iceberg's data-file format set; manifest stats (bounds,
+        counts) are computed from the rows, so file pruning is
+        format-independent."""
         snapshot_id = self._next_snapshot_id
-        entries = self._build_data_entries(rows, snapshot_id)
+        entries = self._build_data_entries(rows, snapshot_id, file_format)
         chunks = [
             entries[i : i + max_files_per_manifest]
             for i in range(0, len(entries), max_files_per_manifest)
@@ -4504,6 +4588,47 @@ def _part_scope_key(
     )
 
 
+def _read_data_table(rec: dict[str, Any]) -> "pa.Table":
+    """Driver-side read of ONE data file as an arrow table, dispatched
+    by ``file_format`` — lets rewrite paths (compaction, CoW merge) fold
+    AVRO/ORC data files the same as parquet (the consolidated output is
+    always parquet; the spec allows formats to vary per file).  AVRO
+    decodes through the container reader with Iceberg-Avro logical
+    types (timestamp-micros, date) restored to typed arrays."""
+    fmt = str(rec.get("file_format", "PARQUET")).upper()
+    path = rec["file_path"]
+    if fmt == "PARQUET":
+        return pq.read_table(path)
+    if fmt == "ORC":
+        import pyarrow.orc as _orc
+
+        return _orc.read_table(path)
+    if fmt == "AVRO":
+        import json as _json
+
+        from daskberg_spark.iceberg.avro import read_avro_file
+
+        meta, records = read_avro_file(path)
+        schema = _json.loads(meta["avro.schema"].decode())
+        arrays, names = [], []
+        for f in schema["fields"]:
+            t = f["type"]
+            if isinstance(t, list):
+                t = next(x for x in t if x != "null")
+            lt = t.get("logicalType") if isinstance(t, dict) else None
+            vals = [r.get(f["name"]) for r in records]
+            if lt == "timestamp-micros":
+                arr = pa.array(vals, type=pa.int64()).cast(pa.timestamp("us"))
+            elif lt == "date":
+                arr = pa.array(vals, type=pa.int32()).cast(pa.date32())
+            else:
+                arr = pa.array(vals)
+            names.append(f["name"])
+            arrays.append(arr)
+        return pa.table(dict(zip(names, arrays)))
+    raise NotImplementedError(f"data file format {fmt}")
+
+
 def _order_key(entry: dict[str, Any], manifest: dict[str, Any]) -> int:
     """Applicability ordering key for rewrite-time delete application:
     real data sequence number when the metadata carries one, else the
@@ -4539,7 +4664,7 @@ def _live_file_rows(
     data sequence number) into explicit row keys, so a REWRITE of the
     file preserves row identity across compaction."""
     rec = entry["data_file"]
-    tbl = pq.read_table(rec["file_path"])
+    tbl = _read_data_table(rec)
     # materialized lineage columns are metadata, not schema: pull them
     # aside before the drift check or every rewritten file looks drifted
     mat: dict[str, list] = {}

@@ -431,6 +431,16 @@ class IcebergStreamReader(DataSourceStreamReader):
                         and rec.get("content", 0) == 0
                         and entry_snap == sid
                     ):
+                        fmt = str(
+                            rec.get("file_format", "PARQUET")
+                        ).upper()
+                        if fmt != "PARQUET":
+                            raise NotImplementedError(
+                                f"streaming a {fmt} data file "
+                                f"({rec['file_path']}): the streaming "
+                                "source reads parquet only — use the "
+                                "batch scan for multi-format tables"
+                            )
                         parts.append(
                             IcebergFilePartition(
                                 t._relocate(rec["file_path"]),
@@ -486,6 +496,18 @@ class IcebergStreamReader(DataSourceStreamReader):
             p_data, p_del = {}, {}
         t.open_snapshot(snapshot_id=sid)
         c_data, c_del = t.scan_all()
+        # executors read data files with pq.read_table: AVRO/ORC data
+        # files (batch-scan supported) must fail at PLAN time with a
+        # pointer to the batch path, not as an opaque executor error
+        for rec in list(c_data.values()) + list(p_data.values()):
+            fmt = str(rec.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"CDC streaming over a {fmt} data file "
+                    f"({rec['file_path']}): the streaming source reads "
+                    "parquet only — use the batch scan or "
+                    "changelog_rows_df for multi-format tables"
+                )
 
         def is_dv(d: dict) -> bool:
             return bool(

@@ -1210,3 +1210,40 @@ def test_epoch_sinks_tolerate_summaryless_snapshot(spark, tmp_path):
     n = len(w.snapshots)
     iceberg_upsert_sink(w, on=["k"])(batch, 7)
     assert len(w.snapshots) == n
+
+
+def test_streaming_rejects_nonparquet_data_files(spark, tmp_path):
+    """The streaming source reads data files with pq.read_table: a
+    multi-format table (AVRO/ORC data files — batch-scan supported)
+    must fail at PLAN time with a pointer to the batch path, not as an
+    opaque executor error mid-stream."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+        ],
+    )
+    w.append([{"k": 1}])
+    w.append([{"k": 2}], file_format="avro")
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("from", "start")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_nonpq")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="parquet only"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

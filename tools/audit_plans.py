@@ -84,6 +84,10 @@ AUDIT = {
     # sort-order-clustered read: metadata prunes to the range-matching
     # files, predicate pushed to the parquet scan, no shuffle
     "iceberg_sorted_write_prune": (0, True, False, 2),
+    # multi-format read: native parquet + native ORC + python AVRO legs,
+    # one eq-delete anti-join (broadcast), one group-agg exchange each
+    # side of the union; AVRO's mapInPandas repartition adds one
+    "iceberg_multiformat_read": (4, False, True, None),
     "q19_disjunctive_filter": (1, True, True, None),
     "array_functions": (0, False, False, 2),
     "events_funnel": (2, True, False, 3),
