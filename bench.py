@@ -84,6 +84,10 @@ HEADLINE = [
     # cluster-then-prune semantic dedup over embeddings
     "iceberg_remove_dangling",
     "semdedup_prune",
+    # round 9: multi-format scan (native parquet + native ORC + python
+    # AVRO legs in one plan) and the deterministic training-shard split
+    "iceberg_multiformat_read",
+    "training_shards",
 ]
 
 

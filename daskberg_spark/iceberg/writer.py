@@ -2372,6 +2372,66 @@ def rollback_to(writer: "IcebergWriter", snapshot_id: int) -> None:
     writer._write_metadata()
 
 
+def fast_forward(writer: "IcebergWriter", name: str, to: int | str) -> int:
+    """Fast-forward a ref (the real-Iceberg ``fast_forward`` procedure):
+    move branch ``name`` to ``to`` (a snapshot id or another ref's name)
+    when the target is a DESCENDANT of the branch's current position —
+    publish-style pointer movement, never a rewrite.  A missing branch
+    is created at the target (upstream behavior).  ``name='main'``
+    fast-forwards the table head itself — the publish move after a
+    rollback stranded newer audited commits (the head repoints through
+    the same machinery as ``rollback_to``; ancestry is checked first so
+    it can only move FORWARD along the target's lineage)."""
+    snaps = {s["snapshot-id"]: s for s in writer.snapshots}
+    target = (
+        writer.refs[to]["snapshot-id"] if isinstance(to, str) else int(to)
+    )
+    if target not in snaps:
+        raise KeyError(f"unknown snapshot {target}")
+
+    def is_ancestor(anc: int, node: int) -> bool:
+        cur = snaps.get(node)
+        while cur is not None:
+            if cur["snapshot-id"] == anc:
+                return True
+            parent = cur.get("parent-snapshot-id")
+            cur = snaps.get(parent) if parent is not None else None
+        return False
+
+    if name == "main":
+        head = writer.head_snapshot
+        assert head is not None
+        cur_id = head["snapshot-id"]
+        if cur_id == target:
+            return target
+        if not is_ancestor(cur_id, target):
+            raise ValueError(
+                f"not a fast-forward: {target} does not descend from the "
+                f"current head {cur_id}"
+            )
+        rollback_to(writer, target)  # ancestry-checked: moves forward
+        return target
+    cur = writer.refs.get(name)
+    if cur is None:
+        writer.set_ref(name, "branch", snapshot_id=target)
+        return target
+    if cur.get("type") != "branch":
+        raise ValueError(f"ref {name!r} is a tag; tags cannot move")
+    if cur["snapshot-id"] == target:
+        return target
+    if not is_ancestor(cur["snapshot-id"], target):
+        raise ValueError(
+            f"not a fast-forward: {target} does not descend from "
+            f"{cur['snapshot-id']}"
+        )
+    moved = dict(cur)
+    moved["snapshot-id"] = target
+    writer.refs[name] = moved
+    writer.version += 1
+    writer._write_metadata()
+    return target
+
+
 def cherrypick_snapshot(writer: "IcebergWriter", snapshot_id: int) -> int:
     """Cherry-pick (the real-Iceberg ``cherrypick_snapshot`` action, the
     publish half of write-audit-publish): re-commit the data files ADDED
@@ -4714,12 +4774,19 @@ def _live_file_rows(
 
 
 def compact_files(
-    writer: "IcebergWriter", min_file_bytes: int = 32 << 20
+    writer: "IcebergWriter",
+    min_file_bytes: int = 32 << 20,
+    partition_filter: dict[str, Any] | None = None,
 ) -> int | None:
     """Maintenance: bin-pack small data files (< ``min_file_bytes``)
     within each (spec, partition) group into one consolidated file — the
     ``rewrite_data_files`` analogue that keeps file counts O(data/target)
     instead of O(commits) on a frequently-appended 100 TB table.
+
+    ``partition_filter`` (spec-field name → transformed value) restricts
+    candidates to matching partitions — real Iceberg
+    ``rewrite_data_files``' filtered form: compact ONE hot partition
+    without reading the rest.
 
     Live v2 deletes are APPLIED to the rows being rewritten (position
     deletes by (path, pos); equality deletes only where the delete's data
@@ -4780,7 +4847,17 @@ def compact_files(
         rec = e["data_file"]
         if rec.get("file_size_in_bytes", 0) >= min_file_bytes:
             continue
-        pkey = tuple(sorted((rec.get("partition") or {}).items()))
+        part = rec.get("partition") or {}
+        if partition_filter is not None and any(
+            part.get(k) != v for k, v in partition_filter.items()
+        ):
+            # filtered rewrite (real Iceberg rewrite_data_files'
+            # ``where`` on partition values): only matching partitions
+            # become candidates — an incremental maintenance pass over a
+            # 100 TB table compacts one hot partition without touching
+            # (or even reading) the rest
+            continue
+        pkey = tuple(sorted(part.items()))
         groups.setdefault((spec_id, pkey), []).append((e, mf))
 
     compacted_paths: set[str] = set()

@@ -200,3 +200,53 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_over_threshold"),
         )
     )
+
+
+SHARD_MULT = 2654435761  # Knuth multiplicative constant
+SHARD_SEED = 42
+N_TRAIN_SHARDS = 16
+
+
+@query(
+    "training_shards",
+    f"""
+    SELECT ((doc_id * {SHARD_MULT} + {SHARD_SEED}) % 4294967296)
+             % {N_TRAIN_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment — the epoch-sharding step
+    of a training-data pipeline: every document maps to one of
+    N_TRAIN_SHARDS shards via a seeded multiplicative hash of its id, so
+    the split is reproducible across engines, runs, and partitionings
+    (rand()-free), and sequential ids decorrelate instead of clumping.
+    Per shard: document count, total characters (token-budget proxy for
+    balance checks), and id range.
+
+    Scale: one narrow two-column scan + one hash aggregation keyed on a
+    16-value shard id — O(shards) result rows, no skew (the multiplier
+    spreads any id distribution)."""
+    docs = table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.pmod(
+            F.col("doc_id") * F.lit(SHARD_MULT) + F.lit(SHARD_SEED),
+            F.lit(4294967296),
+        ),
+        F.lit(N_TRAIN_SHARDS),
+    ).alias("shard")
+    return (
+        docs.select(shard, "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

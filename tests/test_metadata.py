@@ -312,3 +312,93 @@ def test_set_ref_validation(tmp_path):
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     assert IcebergTable(w.path).metadata["refs"]["r"]["max-ref-age-ms"] == 1000
+
+
+def test_fast_forward_branch_and_main(tmp_path):
+    """fast_forward (upstream procedure): a branch moves only to
+    DESCENDANTS of its current snapshot; a missing branch is created at
+    the target; tags refuse; 'main' fast-forwards the head itself after
+    a rollback stranded newer commits."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        fast_forward,
+        rollback_to,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    s1 = w.append([{"k": 1}])
+    s2 = w.append([{"k": 2}])
+    s3 = w.append([{"k": 3}])
+    # branch created at s1, fast-forwarded to s3 (descendant)
+    w.set_ref("dev", "branch", snapshot_id=s1)
+    assert fast_forward(w, "dev", s3) == s3
+    assert IcebergTable(p).metadata["refs"]["dev"]["snapshot-id"] == s3
+    # idempotent
+    assert fast_forward(w, "dev", s3) == s3
+    # a missing branch is created at the target
+    assert fast_forward(w, "audit", s2) == s2
+    assert IcebergTable(p).metadata["refs"]["audit"]["type"] == "branch"
+    # non-descendant refuses: move dev back is NOT a fast-forward
+    with _pytest.raises(ValueError, match="not a fast-forward"):
+        fast_forward(w, "dev", s1)
+    # tags refuse
+    w.set_ref("rel", "tag", snapshot_id=s1)
+    with _pytest.raises(ValueError, match="tag"):
+        fast_forward(w, "rel", s3)
+    # main: rollback to s1 strands s2/s3; fast-forward republishes s3
+    rollback_to(w, s1)
+    t = IcebergTable(p)
+    assert t.current_snapshot["snapshot-id"] == s1
+    assert fast_forward(w, "main", s3) == s3
+    t2 = IcebergTable(p)
+    assert t2.current_snapshot["snapshot-id"] == s3
+    assert sorted(f["file_path"] for f in t2.plan_files())  # readable
+    # and a target by REF name resolves
+    rollback_to(w, s1)
+    assert fast_forward(w, "main", "dev") == s3
+
+
+def test_compact_files_partition_filter(spark, tmp_path):
+    """Filtered compaction (rewrite_data_files' where-on-partition):
+    only the named partition's small files consolidate; other
+    partitions keep their file counts, and table content is
+    unchanged."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    for batch in range(3):
+        w.append(
+            [{"k": batch * 10 + i, "grp": g} for g in ("a", "b") for i in range(5)]
+        )
+    t0 = IcebergTable(p)
+    per_part0 = {}
+    for f in t0.plan_files():
+        per_part0.setdefault(f["partition"]["grp"], []).append(f["file_path"])
+    assert len(per_part0["a"]) == 3 and len(per_part0["b"]) == 3
+    before = {tuple(r) for r in t0.to_df(spark).collect()}
+    assert compact_files(
+        w, min_file_bytes=32 << 20, partition_filter={"grp": "a"}
+    ) is not None
+    t1 = IcebergTable(p)
+    per_part1 = {}
+    for f in t1.plan_files():
+        per_part1.setdefault(f["partition"]["grp"], []).append(f["file_path"])
+    assert len(per_part1["a"]) == 1  # consolidated
+    assert per_part1["b"] == per_part0["b"]  # untouched, same files
+    assert {tuple(r) for r in t1.to_df(spark).collect()} == before
