@@ -257,13 +257,19 @@ def _load_registry():
 #           files — the reference's "parquet-only" gap closed),
 #           iceberg_null_partition_scope (spec-compliant NULL-partition
 #           delete scoping — the r8 ADVICE medium fix)
+#   r9 second swap: q12_priority_by_returnflag / q15_top_supplier (both
+#           r8-green; TPC-H keeps q1/q17/q20) step out for the two
+#           late-r9 additions — iceberg_incremental_dedup (snapshot-
+#           delta scan x content dedup composition) and
+#           iceberg_all_files (the third all-tier inspect table)
 _PRIORITY = [
     # flagship + TPC-H (B4 at scale; tail seated r6-r7)
     "q1_pricing_summary",
-    "q12_priority_by_returnflag",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_excess_stock_suppliers",
+    # late-r9 additions
+    "iceberg_incremental_dedup",
+    "iceberg_all_files",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
     # r8 tenth swap: partition-scoped equality deletes (the Flink-
     # written shape; a global application would silently over-delete)

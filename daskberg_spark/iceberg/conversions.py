@@ -59,8 +59,19 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
             "string": T.StringType(),
             "uuid": T.StringType(),
             "binary": T.BinaryType(),
+            # v3 `unknown`: values are always null and the column is
+            # never stored in data files — Spark's void type null-fills
+            # on read (the engine's missing-column path)
+            "unknown": T.NullType(),
         }[type_str]
     except KeyError:
+        if type_str in ("timestamp_ns", "timestamptz_ns"):
+            raise NotImplementedError(
+                "v3 nanosecond timestamps: Spark's timestamp precision "
+                "is microseconds — a silent µs downcast would corrupt "
+                "sub-microsecond data; migrate the column or read with "
+                "a ns-capable engine"
+            ) from None
         raise NotImplementedError(f"iceberg type {type_str!r}") from None
 
 
@@ -128,6 +139,7 @@ def iceberg_to_arrow_type(t: Any) -> Any:
                 "string": pa.string(),
                 "uuid": pa.string(),
                 "binary": pa.binary(),
+                "unknown": pa.null(),  # v3: always-null column
             }[t]
         except KeyError:
             raise NotImplementedError(f"iceberg type {t!r}") from None

@@ -1102,3 +1102,36 @@ def ensure_null_scope_fixture(path: str = NULL_SCOPE_FIXTURE_DIR) -> str:
         [{"id": i} for i in range(0, 60, 5)], partition={"grp": None}
     )
     return path
+
+
+DOCS_INC_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "docs_inc_table"
+)
+
+
+def ensure_docs_inc_fixture(path: str = DOCS_INC_FIXTURE_DIR) -> str:
+    """Two-commit document table for the incremental-dedup composition:
+    commit 1 holds ids 0..29 with text key ``id % 20`` (internal dups);
+    commit 2 appends ids 30..49 with text key ``id % 35`` — 15 of the
+    new docs duplicate commit-1 content (keys 0..14), 5 are novel
+    (keys 30..34).  All values formulaic so the oracle re-derives them
+    from ``range()``."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "doc_id", "type": "long", "required": False},
+            {"id": 2, "name": "text", "type": "string", "required": False},
+        ],
+    )
+    writer.append(
+        [{"doc_id": i, "text": f"t{i % 20}"} for i in range(30)]
+    )
+    writer.append(
+        [{"doc_id": i, "text": f"t{i % 35}"} for i in range(30, 50)]
+    )
+    return path

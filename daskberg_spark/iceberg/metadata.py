@@ -868,6 +868,28 @@ class IcebergTable:
             "content_size_in_bytes long, snapshot_id long",
         )
 
+    def all_files_df(self, spark: Any):
+        """``table.all_files`` metadata table: union of
+        ``all_data_files`` and ``all_delete_files`` on the shared
+        columns (real Iceberg's third all-tier table) — one listing of
+        every file any valid snapshot references."""
+        from pyspark.sql import functions as _F
+
+        shared = [
+            "content",
+            "file_path",
+            "file_format",
+            "record_count",
+            "file_size_in_bytes",
+            "snapshot_id",
+        ]
+        return (
+            self.all_data_files_df(spark)
+            .select(*shared)
+            .unionByName(self.all_delete_files_df(spark).select(*shared))
+            .orderBy(_F.col("file_path"))
+        )
+
     def metadata_log_entries_df(self, spark: Any):
         """``table.metadata_log_entries`` metadata table: one row per
         metadata-log entry plus the current metadata file.  The

@@ -188,6 +188,48 @@ class IceRestClient:
         }
         return self._call("POST", f"namespaces/{_ns_path(ns)}/tables/{name}", body)
 
+    # -- views (REST spec /views endpoints; beyond the reference, which
+    #    has no view support at all) -----------------------------------------
+
+    def list_views(self, namespace: str | None = None) -> list[str]:
+        ns = namespace or self.namespace
+        out = self._call("GET", f"namespaces/{_ns_path(ns)}/views")
+        return [v["name"] for v in out.get("identifiers", [])]
+
+    def register_view(
+        self,
+        name: str,
+        metadata_location: str,
+        namespace: str | None = None,
+    ) -> dict[str, Any]:
+        """Register an existing view's metadata location with the
+        catalog (the create half of the REST /views surface this engine
+        needs: `views.create_view` writes view-metadata JSON locally,
+        this call publishes its location)."""
+        ns = namespace or self.namespace
+        body = {"name": name, "metadata-location": metadata_location}
+        return self._call("POST", f"namespaces/{_ns_path(ns)}/views", body)
+
+    def get_view(self, name: str, namespace: str | None = None) -> dict[str, Any]:
+        ns = namespace or self.namespace
+        return self._call("GET", f"namespaces/{_ns_path(ns)}/views/{name}")
+
+    def delete_view(self, name: str, namespace: str | None = None) -> bool:
+        ns = namespace or self.namespace
+        self._call("DELETE", f"namespaces/{_ns_path(ns)}/views/{name}")
+        return True
+
+    def open_view(self, name: str, namespace: str | None = None) -> "Any":
+        """get_view → metadata-location → IcebergView (the view twin of
+        ``open_table``'s hand-off)."""
+        from daskberg_spark.iceberg.views import IcebergView
+
+        info = self.get_view(name, namespace)
+        location = info.get("metadata-location") or info.get("metadata_location")
+        if not location:
+            raise ValueError(f"view {name} has no metadata-location")
+        return IcebergView(location)
+
     # -- hand-off ------------------------------------------------------------
 
     def open_table(self, name: str, namespace: str | None = None) -> "Any":

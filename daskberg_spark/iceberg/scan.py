@@ -767,6 +767,13 @@ def _read_paths(
             }
         )
 
+    if set(by_fmt) == {"PARQUET"}:
+        # the common all-parquet group: exactly the pre-multiformat plan
+        # (one native multi-path scan, no projection node)
+        return _tag_native(
+            spark.read.schema(struct).parquet(*by_fmt["PARQUET"])
+        )
+
     keep = [f.name for f in struct.fields] + (
         ["__file", "__pos"] if tag_position else []
     )

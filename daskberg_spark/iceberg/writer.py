@@ -187,6 +187,7 @@ _PA_TYPES = {
     "timestamp": pa.timestamp("us"),
     "timestamptz": pa.timestamp("us", tz="UTC"),
     "date": pa.date32(),
+    "unknown": pa.null(),  # v3: always-null column (never stored typed)
 }
 
 

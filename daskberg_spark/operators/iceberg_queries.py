@@ -2149,3 +2149,91 @@ def iceberg_null_partition_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("double").alias("sum_val"),
         )
     )
+
+
+@query(
+    "iceberg_all_files",
+    """
+    SELECT CASE WHEN filename LIKE '%pos-delete-%' THEN 1
+                WHEN filename LIKE '%eq-delete-%' THEN 2
+                ELSE 0 END AS content,
+           filename AS file_path,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM read_parquet(
+        ['/root/repo/.fixtures/deletes_table/data/0*.parquet',
+         '/root/repo/.fixtures/deletes_table/data/pos-delete-*.parquet',
+         '/root/repo/.fixtures/deletes_table/data/eq-delete-*.parquet'],
+        filename=true, union_by_name=true)
+    GROUP BY filename
+    """,
+)
+def iceberg_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table.all_files`` metadata table (real Iceberg's third all-tier
+    listing): the union of all_data_files and all_delete_files — every
+    file any valid snapshot references, data and delete flavors in one
+    listing.  The oracle re-derives record counts by reading the raw
+    parquet bytes of every file in the fixture's data dir."""
+    from daskberg_spark.iceberg.fixtures import ensure_deletes_fixture
+
+    t = IcebergTable(ensure_deletes_fixture())
+    return t.all_files_df(spark).select(
+        "content", "file_path", "record_count"
+    )
+
+
+@query(
+    "iceberg_incremental_dedup",
+    """
+    WITH prior AS (
+      SELECT DISTINCT 't' || CAST(i % 20 AS VARCHAR) AS text
+      FROM range(0, 30) t(i)
+    ),
+    newdocs AS (
+      SELECT i AS doc_id, 't' || CAST(i % 35 AS VARCHAR) AS text
+      FROM range(30, 50) t(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN p.text IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_vs_prior,
+           CAST(SUM(CASE WHEN p.text IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN p.text IS NULL THEN n.doc_id END)
+                AS BIGINT) AS first_kept_id
+    FROM newdocs n LEFT JOIN prior p ON n.text = p.text
+    """,
+)
+def iceberg_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the composition a 100 TB ingest
+    pipeline runs every commit: the snapshot-delta scan (``diff_df``)
+    yields ONLY the newly-added documents, which anti-join on content
+    against the PRIOR snapshot's corpus; already-seen text is dropped,
+    novel text is kept.  The whole check reads the new commit's files
+    plus one pass of the prior corpus — never the table twice — and at
+    scale the prior side is a bucketed hash index, not a rescan.  The
+    oracle replays the same set algebra from the fixture's content
+    formulas."""
+    from daskberg_spark.iceberg.fixtures import ensure_docs_inc_fixture
+
+    t = IcebergTable(ensure_docs_inc_fixture())
+    head = t.current_snapshot["snapshot-id"]
+    new_docs = t.diff_df(spark, from_rel=-1)
+    t.open_snapshot(rel=-1)
+    prior = t.to_df(spark).select("text").distinct()
+    t.open_snapshot(snapshot_id=head)  # restore the caller-visible head
+    joined = new_docs.join(
+        prior.withColumnRenamed("text", "prior_text"),
+        new_docs["text"] == F.col("prior_text"),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.col("prior_text").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_dup_vs_prior"),
+        F.sum(F.col("prior_text").isNull().cast("int"))
+        .cast("long")
+        .alias("n_kept"),
+        F.min(
+            F.when(F.col("prior_text").isNull(), F.col("doc_id"))
+        ).alias("first_kept_id"),
+    )

@@ -402,3 +402,38 @@ def test_compact_files_partition_filter(spark, tmp_path):
     assert len(per_part1["a"]) == 1  # consolidated
     assert per_part1["b"] == per_part0["b"]  # untouched, same files
     assert {tuple(r) for r in t1.to_df(spark).collect()} == before
+
+
+def test_v3_unknown_type_column(spark, tmp_path):
+    """v3 ``unknown`` type: values are always null; the column reads as
+    Spark's void type and round-trips through append + read + schema
+    evolution.  Nanosecond timestamps refuse LOUDLY (a silent µs
+    downcast would corrupt data)."""
+    import pytest as _pytest
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.conversions import iceberg_to_spark_type
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "u", "type": "unknown", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "u": None}, {"k": 2, "u": None}])
+    got = sorted((r["k"], r["u"]) for r in IcebergTable(p).to_df(spark).collect())
+    assert got == [(1, None), (2, None)]
+    # evolution: add an unknown column to an existing table — older
+    # files null-fill like any missing column
+    w.add_column("u2", "unknown")
+    w.append([{"k": 3, "u": None, "u2": None}])
+    rows = {
+        (r["k"], r["u2"]) for r in IcebergTable(p).to_df(spark).collect()
+    }
+    assert rows == {(1, None), (2, None), (3, None)}
+    with _pytest.raises(NotImplementedError, match="nanosecond"):
+        iceberg_to_spark_type("timestamp_ns")

@@ -16,7 +16,7 @@ import pytest
 
 from daskberg_spark.iceberg.rest import IceRestClient
 
-STATE: dict = {"namespaces": {}, "tables": {}}
+STATE: dict = {"namespaces": {}, "tables": {}, "views": {}}
 
 OPENAPI_DOC = {
     "openapi": "3.0.3",
@@ -92,6 +92,23 @@ class Handler(BaseHTTPRequestHandler):
                 self._send(STATE["tables"][key])
             else:
                 self._send({"error": "no such table"}, 404)
+        elif len(parts) == 4 and parts[3] == "views":
+            ns = parts[2]
+            self._send(
+                {
+                    "identifiers": [
+                        {"namespace": [ns], "name": v}
+                        for (vns, v) in STATE["views"]
+                        if vns == ns
+                    ]
+                }
+            )
+        elif len(parts) == 5 and parts[3] == "views":
+            key = (parts[2], parts[4])
+            if key in STATE["views"]:
+                self._send(STATE["views"][key])
+            else:
+                self._send({"error": "no such view"}, 404)
         else:
             self._send({"error": "bad path"}, 400)
 
@@ -123,6 +140,15 @@ class Handler(BaseHTTPRequestHandler):
                 if upd.get("action") == "set-metadata-location":
                     STATE["tables"][key]["metadata-location"] = upd["location"]
             self._send(STATE["tables"][key])
+        elif len(parts) == 4 and parts[3] == "views":
+            ns = parts[2]
+            name = body["name"]
+            info = {
+                "metadata-location": body.get("metadata-location", ""),
+                "name": name,
+            }
+            STATE["views"][(ns, name)] = info
+            self._send(info)
         else:
             self._send({"error": "bad path"}, 400)
 
@@ -133,6 +159,9 @@ class Handler(BaseHTTPRequestHandler):
             self._send({})
         elif len(parts) == 5 and parts[3] == "tables":
             STATE["tables"].pop((parts[2], parts[4]), None)
+            self._send({})
+        elif len(parts) == 5 and parts[3] == "views":
+            STATE["views"].pop((parts[2], parts[4]), None)
             self._send({})
         else:
             self._send({"error": "bad path"}, 400)
@@ -308,3 +337,29 @@ def test_auth_credential_exchange(auth_endpoint):
     client.create_namespace("db2")
     assert client.token == AUTH_TOKEN
     assert "db2" in client.list_namespaces()
+
+
+def test_view_endpoints_and_handoff(rest_endpoint, tmp_path):
+    """REST /views surface (beyond the reference, which has no view
+    support): register a locally-written view's metadata location, list
+    it, load it, and hand off to IcebergView — the view twin of
+    open_table.  Delete removes it."""
+    from daskberg_spark.iceberg.rest import IceRestClient
+    from daskberg_spark.iceberg.views import create_view
+
+    c = IceRestClient(rest_endpoint, "db")
+    c.create_namespace()
+    vpath = str(tmp_path / "v")
+    create_view(vpath, "SELECT 1 AS one")  # dialect-only (no session)
+    c.register_view("myview", vpath)
+    assert c.list_views() == ["myview"]
+    info = c.get_view("myview")
+    assert info["metadata-location"] == vpath
+    v = c.open_view("myview")
+    assert v.sql() == "SELECT 1 AS one"
+    assert c.delete_view("myview") is True
+    assert c.list_views() == []
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        c.get_view("myview")

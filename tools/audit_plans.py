@@ -88,6 +88,14 @@ AUDIT = {
     # one eq-delete anti-join (broadcast), one group-agg exchange each
     # side of the union; AVRO's mapInPandas repartition adds one
     "iceberg_multiformat_read": (4, False, True, None),
+    # NULL-partition scoped eq delete: one tagged scan + scoped
+    # anti-join (broadcast part-id map) + final agg exchange
+    "iceberg_null_partition_scope": (3, False, True, None),
+    # deterministic shard split: one narrow 2-col scan + one 16-key agg
+    "training_shards": (1, False, False, 2),
+    # incremental dedup: delta-files scan LEFT-joins the prior corpus's
+    # distinct-text set (broadcast at fixture scale; bucketed at 100 TB)
+    "iceberg_incremental_dedup": (3, False, True, None),
     "q19_disjunctive_filter": (1, True, True, None),
     "array_functions": (0, False, False, 2),
     "events_funnel": (2, True, False, 3),
