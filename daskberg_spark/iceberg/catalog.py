@@ -28,6 +28,39 @@ class Catalog:
         self.tables[name] = table
         table.to_df(self.spark).createOrReplaceTempView(name)
 
+    # metadata-table SQL suffixes (real Iceberg's ``tbl$files`` idiom)
+    _META_TABLES = (
+        "files",
+        "delete_files",
+        "all_files",
+        "all_data_files",
+        "all_delete_files",
+        "snapshots",
+        "history",
+        "refs",
+        "manifests",
+        "all_manifests",
+        "entries",
+        "all_entries",
+        "metadata_log_entries",
+    )
+
+    def register_metadata_views(self, name: str) -> list[str]:
+        """Register the table's metadata tables as SQL temp views —
+        real Iceberg's ``tbl$suffix`` idiom, spelled ``name__suffix``
+        because ``$`` is not a legal Spark temp-view character
+        (``SELECT * FROM t__snapshots``).  Returns the registered view
+        names.  Views are snapshots of the metadata at registration —
+        call again (or ``refresh``) after commits."""
+        table = self.tables[name]
+        out = []
+        for suffix in self._META_TABLES:
+            df = getattr(table, f"{suffix}_df")(self.spark)
+            vname = f"{name}__{suffix}"
+            df.createOrReplaceTempView(vname)
+            out.append(vname)
+        return out
+
     def register_path(self, name: str, url: str, **kwargs) -> IcebergTable:
         table = IcebergTable(url, **kwargs)
         self.register(name, table)

@@ -728,7 +728,10 @@ def _python_file_scan(
         [(p,) for p in paths],
         T.StructType([T.StructField("__path", T.StringType(), False)]),
     )
-    return df_paths.repartition(len(paths)).mapInPandas(gen, schema=out_struct)
+    if len(paths) > 1:
+        # one decode task per file; a single file needs no shuffle
+        df_paths = df_paths.repartition(len(paths))
+    return df_paths.mapInPandas(gen, schema=out_struct)
 
 
 def _read_paths(

@@ -2237,3 +2237,45 @@ def iceberg_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prior_text").isNull(), F.col("doc_id"))
         ).alias("first_kept_id"),
     )
+
+
+@query(
+    "iceberg_sql_metadata_tables",
+    rf"""
+    WITH meta AS (
+      SELECT snapshots,
+             CAST(regexp_extract(filename, 'v(\d+)\.metadata', 1) AS INT) AS v
+      FROM read_json_auto(
+        '{FIXTURE_DIR}/metadata/v*.metadata.json',
+        filename=true)
+    ), cur AS (SELECT snapshots FROM meta ORDER BY v DESC LIMIT 1),
+    snaps AS (SELECT unnest(snapshots) AS s FROM cur)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+           CAST(SUM(CASE WHEN s.summary.operation = 'append'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_appends,
+           CAST(MAX(s."snapshot-id") AS BIGINT) AS max_snapshot_id
+    FROM snaps
+    """,
+)
+def iceberg_sql_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables on the SQL surface — real Iceberg's
+    ``tbl$suffix`` idiom (spelled ``name__suffix``; ``$`` is not a
+    legal Spark temp-view character): ``Catalog.register_metadata_views``
+    registers every ``*_df`` metadata table as a temp view, and this
+    query aggregates ``part_table_meta__snapshots`` through
+    ``spark.sql``.  The oracle re-parses the same snapshot list from
+    the raw metadata JSON with DuckDB's JSON engine."""
+    from daskberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_path("part_table_meta", ensure_partitioned_fixture())
+    cat.register_metadata_views("part_table_meta")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+               CAST(SUM(CASE WHEN operation = 'append' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_appends,
+               CAST(MAX(snapshot_id) AS BIGINT) AS max_snapshot_id
+        FROM part_table_meta__snapshots
+        """
+    )

@@ -170,3 +170,32 @@ def test_bench_json_line_fits_driver_tail():
 
     src = inspect.getsource(bench.main)
     assert "1900" in src
+
+
+def test_catalog_metadata_views_sql(spark, tmp_path):
+    """Catalog.register_metadata_views: every metadata table registers
+    as a name__suffix temp view (real Iceberg's tbl$suffix idiom under
+    Spark's temp-view naming rules) and answers SQL; counts agree with
+    the direct *_df calls."""
+    from daskberg_spark.iceberg.catalog import Catalog
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}, {"k": 2}])
+    w.append([{"k": 3}])
+    w.delete_rows_equality([{"k": 2}])
+    cat = Catalog(spark)
+    cat.register_path("mt", p)
+    names = cat.register_metadata_views("mt")
+    assert "mt__snapshots" in names and "mt__all_files" in names
+    n_snap = spark.sql("SELECT COUNT(*) AS n FROM mt__snapshots").collect()[0]["n"]
+    assert n_snap == 3
+    n_all = spark.sql("SELECT COUNT(*) AS n FROM mt__all_files").collect()[0]["n"]
+    direct = cat.tables["mt"].all_files_df(spark).count()
+    assert n_all == direct >= 3  # 2 data + 1 eq-delete at minimum
+    # refs view answers too (main at least)
+    rows = spark.sql("SELECT name FROM mt__refs").collect()
+    assert {r["name"] for r in rows} >= {"main"}

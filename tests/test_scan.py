@@ -4733,7 +4733,10 @@ def test_partition_scoped_delete_fuzz(spark, tmp_path, seed):
             rows.append({"k": k, "grp": g, "v": next_v})
             live.append((k, g, next_v))
             next_v += 1
-        w.append(rows)
+        # appends randomly pick a data-file format: every delete flavor
+        # and maintenance action must behave identically over
+        # PARQUET/AVRO/ORC files (r9 multi-format surface)
+        w.append(rows, file_format=rng.choice(("parquet", "avro", "orc")))
 
     def do_global_eq():
         if not live:
@@ -5045,3 +5048,36 @@ def test_avro_data_file_unsupported_type_loud(tmp_path):
     )
     with _pytest.raises(NotImplementedError, match="AVRO data files"):
         w.append([{"k": 1, "m": None}], file_format="avro")
+
+
+def test_v2_position_delete_on_nonparquet_files(spark, tmp_path):
+    """Predicate position deletes (v2 parquet delete files) target
+    AVRO/ORC data files too: row positions come from the executor-side
+    decode's row order, and the delete-aware read anti-joins the same
+    (file, pos) pairs regardless of data-file format — including
+    through a later compaction fold."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        delete_where_spark,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(0, 6)], file_format="avro")
+    w.append([{"k": i, "v": float(i)} for i in range(6, 12)], file_format="orc")
+    w.append([{"k": i, "v": float(i)} for i in range(12, 18)])
+    delete_where_spark(w, spark, "k % 5 = 0")  # kills 0,5,10,15
+    got = sorted(r["k"] for r in IcebergTable(p).to_df(spark).collect())
+    want = [k for k in range(18) if k % 5 != 0]
+    assert got == want
+    # compaction folds the position deletes across all three formats
+    assert compact_files(w, min_file_bytes=32 << 20) is not None
+    got2 = sorted(r["k"] for r in IcebergTable(p).to_df(spark).collect())
+    assert got2 == want
