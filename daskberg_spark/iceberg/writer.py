@@ -5033,6 +5033,7 @@ def compact_files_spark(
     target_partitions: int = 1,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    partition_filter: dict[str, Any] | None = None,
 ) -> int | None:
     """Distributed compaction: the cluster-scale twin of ``compact_files``.
     Spark reads ONLY the small files through the delete-aware tagged scan
@@ -5060,7 +5061,11 @@ def compact_files_spark(
     ``zorder_by`` clusters on the Morton curve over SEVERAL columns
     (see ``zorder_value``): output files get selective footer bounds on
     every listed column simultaneously, where ``sort_by`` only serves
-    its leading column.  Mutually exclusive with ``sort_by``."""
+    its leading column.  Mutually exclusive with ``sort_by``.
+
+    ``partition_filter`` (spec-field name → transformed value) restricts
+    candidates to matching partitions — ``rewrite_data_files``' filtered
+    form, gated on metadata before any data IO."""
     import tempfile
 
     import daskberg_spark.iceberg.scan  # noqa: F401
@@ -5070,7 +5075,14 @@ def compact_files_spark(
     by_part: dict[tuple, list[str]] = {}
     for f in t.plan_files():
         if (f.get("file_size_in_bytes") or 0) < min_file_bytes:
-            pkey = tuple(sorted((f.get("partition") or {}).items()))
+            part = f.get("partition") or {}
+            if partition_filter is not None and any(
+                part.get(k) != v for k, v in partition_filter.items()
+            ):
+                # filtered rewrite (mirrors compact_files): gate on
+                # partition tuples before ANY data IO
+                continue
+            pkey = tuple(sorted(part.items()))
             by_part.setdefault(pkey, []).append(f["file_path"])
     small = [
         re.sub(r"^file:/+", "/", p)

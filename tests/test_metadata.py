@@ -402,6 +402,19 @@ def test_compact_files_partition_filter(spark, tmp_path):
     assert len(per_part1["a"]) == 1  # consolidated
     assert per_part1["b"] == per_part0["b"]  # untouched, same files
     assert {tuple(r) for r in t1.to_df(spark).collect()} == before
+    # the Spark-side twin honors the same gate
+    from daskberg_spark.iceberg.writer import compact_files_spark
+
+    assert compact_files_spark(
+        w, spark, min_file_bytes=32 << 20, partition_filter={"grp": "b"}
+    ) is not None
+    t2 = IcebergTable(p)
+    per_part2 = {}
+    for f in t2.plan_files():
+        per_part2.setdefault(f["partition"]["grp"], []).append(f["file_path"])
+    assert len(per_part2["b"]) == 1  # now consolidated too
+    assert per_part2["a"] == per_part1["a"]  # untouched by the b pass
+    assert {tuple(r) for r in t2.to_df(spark).collect()} == before
 
 
 def test_v3_unknown_type_column(spark, tmp_path):

@@ -73,10 +73,22 @@ def main() -> None:
             .agg(F.count(F.lit(1)))
         )
 
+    def shard_shape(frame):
+        # r9 training_shards: seeded multiplicative-hash split — must
+        # stay one narrow scan + one O(shards) agg at any volume
+        shard = F.pmod(
+            F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(42), F.lit(4294967296)),
+            F.lit(16),
+        )
+        return frame.groupBy(shard.alias("shard")).agg(
+            F.count(F.lit(1)), F.sum("n_chars")
+        )
+
     shapes = {
         "q1_agg": (li, q1_shape),
         "exact_dedup": (docs, dedup_shape),
         "shingle_index": (docs, shingle_shape),
+        "training_shards": (docs, shard_shape),
     }
     results = {}
     for name, (base, fn) in shapes.items():
