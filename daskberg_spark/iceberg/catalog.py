@@ -23,6 +23,7 @@ class Catalog:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self.tables: dict[str, IcebergTable] = {}
+        self._meta_registered: set[str] = set()
 
     def register(self, name: str, table: IcebergTable) -> None:
         self.tables[name] = table
@@ -59,6 +60,7 @@ class Catalog:
             vname = f"{name}__{suffix}"
             df.createOrReplaceTempView(vname)
             out.append(vname)
+        self._meta_registered.add(name)
         return out
 
     def register_path(self, name: str, url: str, **kwargs) -> IcebergTable:
@@ -88,8 +90,12 @@ class Catalog:
         return view
 
     def refresh(self, name: str) -> None:
-        """Re-pin the view to the table's current snapshot state."""
+        """Re-pin the view to the table's current snapshot state —
+        including any registered ``name__suffix`` metadata views (they
+        are snapshots of the metadata at registration time)."""
         self.register(name, self.tables[name])
+        if name in self._meta_registered:
+            self.register_metadata_views(name)
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)

@@ -869,25 +869,39 @@ class IcebergTable:
         )
 
     def all_files_df(self, spark: Any):
-        """``table.all_files`` metadata table: union of
-        ``all_data_files`` and ``all_delete_files`` on the shared
-        columns (real Iceberg's third all-tier table) — one listing of
-        every file any valid snapshot references."""
-        from pyspark.sql import functions as _F
-
-        shared = [
-            "content",
-            "file_path",
-            "file_format",
-            "record_count",
-            "file_size_in_bytes",
-            "snapshot_id",
-        ]
-        return (
-            self.all_data_files_df(spark)
-            .select(*shared)
-            .unionByName(self.all_delete_files_df(spark).select(*shared))
-            .orderBy(_F.col("file_path"))
+        """``table.all_files`` metadata table: every data AND delete
+        file live in at least one valid snapshot (real Iceberg's third
+        all-tier table), on the columns the two halves share.  ONE
+        snapshot walk collects both sides via ``scan_all`` (calling the
+        two ``all_*_files_df`` methods would walk every snapshot
+        twice); the selected snapshot is restored afterwards."""
+        prior = self.current_snapshot["snapshot-id"]
+        seen: dict[tuple, tuple] = {}
+        try:
+            for sid in sorted(
+                self.snapshots,
+                key=lambda s: self.snapshots[s]["timestamp-ms"],
+            ):
+                self.open_snapshot(snapshot_id=sid)
+                data, deletes = self.scan_all()
+                for key, f in [
+                    ((p, 0), r) for p, r in data.items()
+                ] + list(deletes.items()):
+                    if key not in seen:
+                        seen[key] = (
+                            int(f.get("content", 0) or 0),
+                            f["file_path"],
+                            f.get("file_format", "PARQUET"),
+                            int(f["record_count"]),
+                            int(f.get("file_size_in_bytes") or 0),
+                            f.get("_snapshot_id"),
+                        )
+        finally:
+            self.open_snapshot(snapshot_id=prior)
+        return spark.createDataFrame(
+            sorted(seen.values(), key=lambda r: (r[1], r[0])),
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, snapshot_id long",
         )
 
     def metadata_log_entries_df(self, spark: Any):

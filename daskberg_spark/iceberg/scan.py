@@ -1188,6 +1188,21 @@ def _scope_tuple(table: IcebergTable, rec: dict[str, Any]) -> tuple | None:
         props = (table.metadata or {}).get("properties") or {}
         if not part or props.get("daskberg.legacy-global-eq-deletes") == "true":
             return None
+        if rec.get("content") == 2:
+            # an all-None-scoped EQUALITY delete without the opt-in is
+            # either a genuine NULL-partition scope (foreign writer) or
+            # this engine's pre-r8 global shape — the two read
+            # differently, so make the choice loud instead of silent
+            import warnings
+
+            warnings.warn(
+                "equality delete with an all-None partition tuple read "
+                "as SCOPED to the NULL partition (spec rule); if this "
+                "table was written by a pre-scoping daskberg_spark, set "
+                "table property daskberg.legacy-global-eq-deletes=true "
+                "to restore the global interpretation",
+                stacklevel=3,
+            )
     return (
         spec_id,
         tuple(sorted((k, str(v)) for k, v in part.items())),
@@ -1220,6 +1235,14 @@ def _eq_delta_files(
     ids = d.get("equality_ids")
     if not ids:
         return None
+    dseq = d.get("_sequence_number")
+    if dseq is None:
+        # a foreign/v1-era delete without sequence metadata cannot be
+        # bounded by the strictly-lower gate (mapping it to 0 would make
+        # EVERY candidate fail the gate and silently mark nothing) —
+        # bail BEFORE the delete-parquet read so the unbounded path
+        # stays metadata-only
+        return None
     id_info = {f.field_id: (name, f.type) for name, f in table.fields.items()}
     if any(i not in id_info for i in ids):
         return None
@@ -1229,23 +1252,31 @@ def _eq_delta_files(
         return None
     # resolve key columns by their WRITE-TIME names through the delete
     # snapshot's pinned schema (the batch anti-join's rule — a foreign
-    # delete file may order or pad columns differently); fall back to
-    # positional alignment only when the name is absent (legacy shape)
+    # delete file may order or pad columns differently); positional
+    # alignment in equality_ids order is the fallback for files whose
+    # names don't match — but ALL-or-nothing: mixing per-column (name
+    # for some keys, position for others) can pick the same physical
+    # column twice when names partially overlap, silently under-marking
+    # changed files.  Partial name coverage → cannot bound.
     then_schema = table.schema_for_snapshot(d.get("_snapshot_id"))
     then_by_id = {
         f.get("id", f.get("field-id")): f["name"]
         for f in then_schema["fields"]
     }
+    then_names = [then_by_id.get(fid) for fid in ids]
+    by_name = all(n in ktbl.column_names for n in then_names)
+    if not by_name:
+        if any(n in ktbl.column_names for n in then_names):
+            return None  # partial name match: alignment ambiguous
+        if len(ids) > ktbl.num_columns:
+            return None  # cannot bound: conservative full marking
     kranges: list[tuple[int, str, Any, Any, bool]] = []
     for pos, fid in enumerate(ids):
         _, type_str = id_info[fid]
-        then_name = then_by_id.get(fid)
-        if then_name in ktbl.column_names:
-            vals = ktbl.column(then_name).to_pylist()
-        elif pos < ktbl.num_columns:
-            vals = ktbl.column(pos).to_pylist()
+        if by_name:
+            vals = ktbl.column(then_names[pos]).to_pylist()
         else:
-            return None  # cannot bound: conservative full marking
+            vals = ktbl.column(pos).to_pylist()
         non_null = [v for v in vals if v is not None]
         kranges.append(
             (
@@ -1256,14 +1287,6 @@ def _eq_delta_files(
                 len(non_null) < len(vals),
             )
         )
-    dseq = d.get("_sequence_number")
-    if dseq is None:
-        # a foreign/v1-era delete without sequence metadata cannot be
-        # bounded by the strictly-lower gate (mapping it to 0 would make
-        # EVERY candidate fail the gate and silently mark nothing) —
-        # signal "cannot bound" so callers fall back to conservative
-        # full marking
-        return None
     dscope = _scope_tuple(table, d)
     out = []
     for f in candidates:

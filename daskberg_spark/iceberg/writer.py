@@ -603,8 +603,7 @@ class IcebergWriter:
         if fmt not in ("parquet", "avro", "orc"):
             raise NotImplementedError(f"data file format {file_format}")
         self._file_counter += 1
-        ext = {"parquet": "parquet", "avro": "avro", "orc": "orc"}[fmt]
-        rel = f"data/{self._file_counter:05d}-{self._instance}.{ext}"
+        rel = f"data/{self._file_counter:05d}-{self._instance}.{fmt}"
         path = f"{self.path}/{rel}"
         arrays, names = [], []
         for f in self.fields:
@@ -683,6 +682,16 @@ class IcebergWriter:
                 afield["default"] = None
             afields.append(afield)
             cols[f["name"]] = vals
+        # materialized v3 lineage columns (rewrite paths carry explicit
+        # _row_id / _last_updated_sequence_number): encode them like the
+        # parquet/ORC writers do — dropping them would silently re-key
+        # row identity on the next read
+        for extra in LINEAGE_COLS:
+            if extra in tbl.column_names:
+                afields.append(
+                    {"name": extra, "type": ["null", "long"], "default": None}
+                )
+                cols[extra] = tbl[extra].to_pylist()
         schema = {"type": "record", "name": "r", "fields": afields}
         n = tbl.num_rows
         records = [{k: cols[k][i] for k in cols} for i in range(n)]

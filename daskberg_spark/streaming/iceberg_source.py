@@ -795,26 +795,31 @@ class IcebergStreamReader(DataSourceStreamReader):
                 inv = {v: k for k, v in partition.renames.items()}
                 for path, then_names, cur_names in refs:
                     ktbl = pq.read_table(path)
-                    key_cols = []
-                    for i, n in enumerate(then_names):
-                        if n in ktbl.column_names:
-                            key_cols.append(ktbl.column(n).to_pylist())
-                        elif i < ktbl.num_columns:
-                            # foreign delete file whose physical column
-                            # names differ from the pinned write-time
-                            # names: fall back to positional alignment
-                            # in equality_ids order — the batch scan's
-                            # rule — instead of an opaque executor
-                            # ArrowInvalid mid-stream
-                            key_cols.append(ktbl.column(i).to_pylist())
-                        else:
-                            raise NotImplementedError(
-                                f"equality-delete file {path} carries "
-                                f"neither a column named {n!r} nor "
-                                f"{len(then_names)} positional columns; "
-                                "read this window with the batch "
-                                "changelog (changelog_rows_df)"
-                            )
+                    # ALL-or-nothing resolution (the batch rule): read
+                    # keys by write-time name when EVERY key resolves,
+                    # else fall back to positional alignment in
+                    # equality_ids order for the WHOLE file.  Per-column
+                    # mixing could pick the same physical column twice
+                    # when names partially overlap — silently wrong
+                    # deletes instead of a loud failure.
+                    by_name = all(
+                        n in ktbl.column_names for n in then_names
+                    )
+                    if not by_name and (
+                        any(n in ktbl.column_names for n in then_names)
+                        or len(then_names) > ktbl.num_columns
+                    ):
+                        raise NotImplementedError(
+                            f"equality-delete file {path} matches the "
+                            f"pinned key names {list(then_names)} only "
+                            "partially; alignment is ambiguous — read "
+                            "this window with the batch changelog "
+                            "(changelog_rows_df)"
+                        )
+                    key_cols = [
+                        ktbl.column(n if by_name else i).to_pylist()
+                        for i, n in enumerate(then_names)
+                    ]
                     key_set = set(zip(*key_cols))
                     cols = []
                     for c in cur_names:

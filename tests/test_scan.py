@@ -5081,3 +5081,26 @@ def test_v2_position_delete_on_nonparquet_files(spark, tmp_path):
     assert compact_files(w, min_file_bytes=32 << 20) is not None
     got2 = sorted(r["k"] for r in IcebergTable(p).to_df(spark).collect())
     assert got2 == want
+
+
+def test_avro_data_file_carries_materialized_lineage(spark, tmp_path):
+    """Review r9: AVRO data files must encode materialized v3 lineage
+    columns like the parquet/ORC writers do — dropping them would
+    silently re-key row identity on read (inheritance fallback)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": True}]
+    )
+    # rows carrying explicit materialized lineage (the rewrite shape)
+    w.append(
+        [
+            {"k": 1, "_row_id": 100, "_last_updated_sequence_number": 7},
+            {"k": 2, "_row_id": 101, "_last_updated_sequence_number": 7},
+        ],
+        file_format="avro",
+    )
+    df = IcebergTable(p).to_df(spark, row_lineage=True)
+    got = sorted((r["k"], r["_row_id"]) for r in df.collect())
+    assert got == [(1, 100), (2, 101)], got

@@ -1247,3 +1247,55 @@ def test_streaming_rejects_nonparquet_data_files(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_cdc_partial_name_match_raises(spark, tmp_path):
+    """Review r9: per-column name-then-positional mixing could pick the
+    same physical column twice when a foreign delete file's names
+    PARTIALLY overlap the pinned key names — that must be a loud
+    plan-shaped failure (point at the batch changelog), never silently
+    wrong delete keys."""
+    import pyarrow.parquet as pq
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "a", "type": "long", "required": True},
+            {"id": 2, "name": "b", "type": "long", "required": True},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"a": i, "b": i * 10, "v": float(i)} for i in range(5)])
+    w.delete_rows_equality([{"a": 2, "b": 20}])
+    dels = [
+        d for d in IcebergTable(p).plan_deletes() if d.get("content") == 2
+    ]
+    dp = dels[0]["file_path"]
+    # foreign rename where names PARTIALLY overlap: (a,b) -> (b,c)
+    pq.write_table(pq.read_table(dp).rename_columns(["b", "c"]), dp)
+
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .option("from", "start")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_partial")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="partially"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

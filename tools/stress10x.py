@@ -75,10 +75,21 @@ def main() -> None:
 
     def shard_shape(frame):
         # r9 training_shards: seeded multiplicative-hash split — must
-        # stay one narrow scan + one O(shards) agg at any volume
+        # stay one narrow scan + one O(shards) agg at any volume; the
+        # constants come from the production query so this shape cannot
+        # silently diverge from it
+        from daskberg_spark.operators.packing import (
+            N_TRAIN_SHARDS,
+            SHARD_MULT,
+            SHARD_SEED,
+        )
+
         shard = F.pmod(
-            F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(42), F.lit(4294967296)),
-            F.lit(16),
+            F.pmod(
+                F.col("doc_id") * F.lit(SHARD_MULT) + F.lit(SHARD_SEED),
+                F.lit(4294967296),
+            ),
+            F.lit(N_TRAIN_SHARDS),
         )
         return frame.groupBy(shard.alias("shard")).agg(
             F.count(F.lit(1)), F.sum("n_chars")
