@@ -128,9 +128,11 @@ class IcebergFilePartition(InputPartition):
         new_pos: list[str] | None = None,
         prior_pos: list[str] | None = None,
         reloc: tuple[str, str] | None = None,
+        file_format: str = "PARQUET",
     ) -> None:
         super().__init__(path)
         self.path = path
+        self.file_format = file_format
         self.renames = renames
         self.columns = columns
         self.arrow_types = arrow_types
@@ -149,6 +151,19 @@ class IcebergFilePartition(InputPartition):
         self.new_pos = new_pos or []
         self.prior_pos = prior_pos or []
         self.reloc = reloc
+
+
+def _read_stream_data_table(path: str, fmt: str = "PARQUET"):
+    """Executor-side load of ONE data file as an arrow table, by
+    ``file_format`` — the streaming twin of the batch layer's
+    format-dispatched read (PARQUET/ORC via pyarrow; AVRO via the
+    from-scratch container reader with Iceberg-Avro logical types
+    restored)."""
+    from daskberg_spark.iceberg.writer import _read_data_table
+
+    return _read_data_table(
+        {"file_path": path, "file_format": str(fmt or "PARQUET").upper()}
+    )
 
 
 def _added_manifests_by_snapshot(t, end_id: int) -> dict:
@@ -431,16 +446,6 @@ class IcebergStreamReader(DataSourceStreamReader):
                         and rec.get("content", 0) == 0
                         and entry_snap == sid
                     ):
-                        fmt = str(
-                            rec.get("file_format", "PARQUET")
-                        ).upper()
-                        if fmt != "PARQUET":
-                            raise NotImplementedError(
-                                f"streaming a {fmt} data file "
-                                f"({rec['file_path']}): the streaming "
-                                "source reads parquet only — use the "
-                                "batch scan for multi-format tables"
-                            )
                         parts.append(
                             IcebergFilePartition(
                                 t._relocate(rec["file_path"]),
@@ -450,6 +455,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                                 defaults,
                                 change_type="insert" if self.cdc else None,
                                 snapshot_id=sid if self.cdc else None,
+                                file_format=rec.get(
+                                    "file_format", "PARQUET"
+                                ),
                             )
                         )
         return parts
@@ -496,18 +504,6 @@ class IcebergStreamReader(DataSourceStreamReader):
             p_data, p_del = {}, {}
         t.open_snapshot(snapshot_id=sid)
         c_data, c_del = t.scan_all()
-        # executors read data files with pq.read_table: AVRO/ORC data
-        # files (batch-scan supported) must fail at PLAN time with a
-        # pointer to the batch path, not as an opaque executor error
-        for rec in list(c_data.values()) + list(p_data.values()):
-            fmt = str(rec.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
-                raise NotImplementedError(
-                    f"CDC streaming over a {fmt} data file "
-                    f"({rec['file_path']}): the streaming source reads "
-                    "parquet only — use the batch scan or "
-                    "changelog_rows_df for multi-format tables"
-                )
 
         def is_dv(d: dict) -> bool:
             return bool(
@@ -624,6 +620,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     prior_eq=prior_eq_for(p_data[f]),
                     prior_pos=prior_pos_paths,
                     reloc=reloc,
+                    file_format=p_data[f].get("file_format", "PARQUET"),
                 )
             )
         # targets of THIS commit's position deletes — needed before the
@@ -660,6 +657,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     prior_dv=_dv_ref(c_dv.get(f)),
                     prior_pos=new_pos_paths if f in pos_targets else [],
                     reloc=reloc,
+                    file_format=c_data[f].get("file_format", "PARQUET"),
                 )
             )
         dv_changed: set[str] = set()
@@ -686,6 +684,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     prior_eq=prior_eq_for(c_data[f]),
                     prior_pos=prior_pos_paths,
                     reloc=reloc,
+                    file_format=c_data[f].get("file_format", "PARQUET"),
                 )
             )
         pos_changed: set[str] = set()
@@ -722,6 +721,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                         new_pos=new_pos_paths,
                         prior_pos=prior_pos_paths,
                         reloc=reloc,
+                        file_format=c_data[f].get(
+                            "file_format", "PARQUET"
+                        ),
                     )
                 )
         if new_eq:
@@ -761,6 +763,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                         prior_eq=prior_eq_for(c_data[f]),
                         prior_pos=prior_pos_paths,
                         reloc=reloc,
+                        file_format=c_data[f].get(
+                            "file_format", "PARQUET"
+                        ),
                     )
                 )
         return parts
@@ -772,7 +777,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         assert isinstance(partition, IcebergFilePartition)
-        tbl = pq.read_table(partition.path)
+        tbl = _read_stream_data_table(
+            partition.path, getattr(partition, "file_format", "PARQUET")
+        )
         if (
             partition.kind != "insert"
             or partition.prior_dv is not None

@@ -1212,12 +1212,17 @@ def test_epoch_sinks_tolerate_summaryless_snapshot(spark, tmp_path):
     assert len(w.snapshots) == n
 
 
-def test_streaming_rejects_nonparquet_data_files(spark, tmp_path):
-    """The streaming source reads data files with pq.read_table: a
-    multi-format table (AVRO/ORC data files — batch-scan supported)
-    must fail at PLAN time with a pointer to the batch path, not as an
-    opaque executor error mid-stream."""
-    from daskberg_spark.iceberg.writer import IcebergWriter
+def test_streaming_multiformat_data_files(spark, tmp_path):
+    """The streaming source reads AVRO/ORC data files through the same
+    format-dispatched load as the batch layer (partitions carry
+    ``file_format``): a mixed-format table streams every append, and
+    mode=cdc streams a DV delete against an AVRO file row-exactly
+    (positions = decode row order, same identity the batch scan
+    tags)."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
     from daskberg_spark.streaming.iceberg_source import register
 
     p = str(tmp_path / "t")
@@ -1229,22 +1234,39 @@ def test_streaming_rejects_nonparquet_data_files(spark, tmp_path):
     )
     w.append([{"k": 1}])
     w.append([{"k": 2}], file_format="avro")
+    w.append([{"k": 3}], file_format="orc")
     register(spark)
     q = (
         spark.readStream.format("daskberg_iceberg")
         .option("path", p)
+        .option("mode", "cdc")
         .option("from", "start")
         .load()
         .writeStream.format("memory")
-        .queryName("ice_nonpq")
+        .queryName("ice_mf")
         .outputMode("append")
         .start()
     )
     try:
-        import pytest as _pytest
-
-        with _pytest.raises(Exception, match="parquet only"):
-            q.processAllAvailable()
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["_change_type"])
+            for r in spark.table("ice_mf").collect()
+        )
+        assert got == [(1, "insert"), (2, "insert"), (3, "insert")]
+        # DV delete on the AVRO file streams exactly its dead row
+        delete_where_dv_spark(w, spark, "k = 2")
+        q.processAllAvailable()
+        got2 = sorted(
+            (r["k"], r["_change_type"])
+            for r in spark.table("ice_mf").collect()
+        )
+        assert got2 == [
+            (1, "insert"),
+            (2, "delete"),
+            (2, "insert"),
+            (3, "insert"),
+        ]
     finally:
         q.stop()
 
