@@ -334,7 +334,10 @@ _PRIORITY = [
     # Tier B representatives + scale patterns (+ never-seen entries)
     "array_functions",
     "distinct_kmv_estimate",
-    "sample_deterministic",
+    # r9 third swap: sample_deterministic (r8-green; its deterministic
+    # twin sampled_agg_deterministic is in-window) steps out for the
+    # NEW v3 variant-type read
+    "iceberg_variant_read",
     "sampled_agg_deterministic",
     "resample_gapfill",
     "zorder_cluster_stats",

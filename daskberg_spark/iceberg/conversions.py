@@ -63,6 +63,10 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
             # never stored in data files — Spark's void type null-fills
             # on read (the engine's missing-column path)
             "unknown": T.NullType(),
+            # v3 `variant`: semi-structured values — Spark 4's native
+            # VariantType (parquet stores the spec's metadata/value
+            # binary pair; query with variant_get / to_json)
+            "variant": T.VariantType(),
         }[type_str]
     except KeyError:
         if type_str in ("timestamp_ns", "timestamptz_ns"):
@@ -89,7 +93,14 @@ def lift_footer_stats(
 
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(path).metadata
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except OSError:
+        # parquet logical types newer than this pyarrow (e.g. Spark 4's
+        # VARIANT annotation) fail at footer-parse time — lift through
+        # DuckDB instead (row count exact; min/max for the top-level
+        # primitive columns it can compare)
+        return _lift_footer_stats_duckdb(path, types)
     names = [meta.schema.column(i).name for i in range(meta.num_columns)]
     lowers: dict[str, Any] = {}
     uppers: dict[str, Any] = {}
@@ -107,6 +118,48 @@ def lift_footer_stats(
             if name not in uppers or hi > uppers[name]:
                 uppers[name] = hi
     return meta.num_rows, os.path.getsize(path), lowers, uppers
+
+
+def _lift_footer_stats_duckdb(
+    path: str, types: dict[str, str]
+) -> tuple[int, int, dict[str, Any], dict[str, Any]]:
+    """``lift_footer_stats`` fallback through DuckDB's parquet footer
+    reader, for files whose logical types this pyarrow build cannot
+    parse (Spark 4 VARIANT).  Row count is exact; min/max lift only for
+    top-level int/long/float/double/string columns (stats come back as
+    strings — anything else stays unlifted, which weakens pruning but
+    never correctness)."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT num_rows FROM parquet_file_metadata(?)", [path]
+    ).fetchone()[0]
+    casts = {
+        "int": int,
+        "long": int,
+        "float": float,
+        "double": float,
+        "string": str,
+    }
+    lowers: dict[str, Any] = {}
+    uppers: dict[str, Any] = {}
+    for name, lo, hi in con.execute(
+        "SELECT path_in_schema, stats_min_value, stats_max_value "
+        "FROM parquet_metadata(?)",
+        [path],
+    ).fetchall():
+        conv = casts.get(types.get(name, ""), None)
+        if conv is None or lo is None or hi is None:
+            continue  # nested leaf, untyped, or no stats
+        lo_v, hi_v = conv(lo), conv(hi)
+        if name not in lowers or lo_v < lowers[name]:
+            lowers[name] = lo_v
+        if name not in uppers or hi_v > uppers[name]:
+            uppers[name] = hi_v
+    return int(n), os.path.getsize(path), lowers, uppers
 
 
 def iceberg_to_arrow_type(t: Any) -> Any:

@@ -1135,3 +1135,47 @@ def ensure_docs_inc_fixture(path: str = DOCS_INC_FIXTURE_DIR) -> str:
         [{"doc_id": i, "text": f"t{i % 35}"} for i in range(30, 50)]
     )
     return path
+
+
+VARIANT_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "variant_table"
+)
+
+
+def ensure_variant_fixture(spark, path: str = VARIANT_FIXTURE_DIR) -> str:
+    """v3 ``variant`` column (semi-structured values): Spark writes the
+    data files (the parquet metadata/value binary pair — pyarrow has no
+    variant, so the driver-side writer refuses and the cluster write
+    path is the only one), committed via ``commit_spark_output``.
+    Payloads are formulaic (``{"a": id%7, "tag": "t"+str(id%3)}``) so
+    the oracle re-derives every extracted value from ``range()``."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+    )
+    stage = os.path.join(path, "stage")
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"a": '),
+                (F.col("id") % 7).cast("string"),
+                F.lit(', "tag": "t'),
+                (F.col("id") % 3).cast("string"),
+                F.lit('"}'),
+            )
+        ).alias("payload"),
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(stage)
+    commit_spark_output(writer, stage)
+    return path

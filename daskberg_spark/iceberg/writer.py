@@ -247,7 +247,14 @@ def _pa_type(t: Any) -> pa.DataType:
     if t.startswith("decimal"):
         p, s = t[len("decimal(") : -1].split(",")
         return pa.decimal128(int(p), int(s))
-    return _PA_TYPES[t]
+    try:
+        return _PA_TYPES[t]
+    except KeyError:
+        raise NotImplementedError(
+            f"driver-side write of iceberg type {t!r} (pyarrow has no "
+            "equivalent); write the data files with Spark and commit via "
+            "commit_spark_output"
+        ) from None
 
 
 def _entry_seq(entry: dict[str, Any], manifest: dict[str, Any]) -> int | None:

@@ -2279,3 +2279,38 @@ def iceberg_sql_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part_table_meta__snapshots
         """
     )
+
+
+@query(
+    "iceberg_variant_read",
+    """
+    SELECT 't' || CAST(i % 3 AS VARCHAR) AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i % 7) AS BIGINT) AS sum_a
+    FROM range(0, 50) t(i)
+    GROUP BY tag
+    """,
+)
+def iceberg_variant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 ``variant`` column read: the Iceberg type maps to Spark 4's
+    native VariantType (parquet metadata/value binary pair), scanned
+    through the normal schema-pinned read and queried with
+    ``variant_get``.  Data files come from the cluster write path
+    (``commit_spark_output``); the driver-side writer refuses variant
+    loudly (pyarrow has no equivalent).  The oracle re-derives the
+    extracted values from the fixture's payload formula."""
+    from daskberg_spark.iceberg.fixtures import ensure_variant_fixture
+
+    t = IcebergTable(ensure_variant_fixture(spark))
+    return (
+        t.to_df(spark)
+        .selectExpr(
+            "variant_get(payload, '$.tag', 'string') AS tag",
+            "variant_get(payload, '$.a', 'long') AS a",
+        )
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sum_a"),
+        )
+    )
