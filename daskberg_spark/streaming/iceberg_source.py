@@ -398,10 +398,19 @@ class IcebergStreamReader(DataSourceStreamReader):
         current_names = [f["name"] for f in target_schema["fields"]]
         from daskberg_spark.iceberg.conversions import iceberg_to_arrow_type
 
-        arrow_types = {
-            f["name"]: iceberg_to_arrow_type(f["type"])
-            for f in target_schema["fields"]
-        }
+        try:
+            arrow_types = {
+                f["name"]: iceberg_to_arrow_type(f["type"])
+                for f in target_schema["fields"]
+            }
+        except NotImplementedError as ex:
+            # e.g. v3 variant: the Python Data Source worker cannot ship
+            # such columns as Arrow batches — fail at PLAN time with the
+            # alternative, not as an opaque worker error
+            raise NotImplementedError(
+                f"streaming this table is unsupported ({ex}); use the "
+                "batch scan (to_df) or the batch changelog"
+            ) from None
         defaults = {
             f["name"]: f["initial-default"]
             for f in target_schema["fields"]

@@ -1321,3 +1321,31 @@ def test_streaming_cdc_partial_name_match_raises(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_variant_table_plan_time_refusal(spark, tmp_path):
+    """Streaming a v3 variant table fails at PLAN time with a pointer to
+    the batch scan (the Python Data Source worker cannot ship variant
+    columns as Arrow batches) — never as an opaque worker error."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.fixtures import ensure_variant_fixture
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = ensure_variant_fixture(spark)
+    register(spark)
+    q = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("from", "start")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_varstream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        with _pytest.raises(Exception, match="batch scan"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

@@ -96,6 +96,9 @@ AUDIT = {
     # incremental dedup: delta-files scan LEFT-joins the prior corpus's
     # distinct-text set (broadcast at fixture scale; bucketed at 100 TB)
     "iceberg_incremental_dedup": (3, False, True, None),
+    # v3 variant read: one native scan (the VariantType pair decodes in
+    # the JVM), one group-agg exchange — no Python in the plan
+    "iceberg_variant_read": (1, False, False, 2),
     "q19_disjunctive_filter": (1, True, True, None),
     "array_functions": (0, False, False, 2),
     "events_funnel": (2, True, False, 3),
