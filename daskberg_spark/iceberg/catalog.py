@@ -44,6 +44,8 @@ class Catalog:
         "entries",
         "all_entries",
         "metadata_log_entries",
+        "partitions",
+        "position_deletes",
     )
 
     def register_metadata_views(self, name: str) -> list[str]:

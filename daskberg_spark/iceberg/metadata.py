@@ -904,6 +904,28 @@ class IcebergTable:
             "record_count long, file_size_in_bytes long, snapshot_id long",
         )
 
+    def partitions_df(self, spark: Any):
+        """``table.partitions`` metadata table as a DataFrame: per-
+        partition record/file counts from manifests alone (zero data
+        IO); the partition tuple serializes as sorted JSON."""
+        rows = self.metadata_rows("partitions")
+        return spark.createDataFrame(
+            [
+                (r["partition"], r["record_count"], r["file_count"])
+                for r in rows
+            ],
+            "partition string, record_count long, file_count long",
+        )
+
+    def position_deletes_df(self, spark: Any):
+        """``table.position_deletes`` metadata table (method form of
+        ``scan.position_deletes_df`` for the SQL-view family)."""
+        from daskberg_spark.iceberg.scan import (
+            position_deletes_df as _pdf,
+        )
+
+        return _pdf(self, spark)
+
     def metadata_log_entries_df(self, spark: Any):
         """``table.metadata_log_entries`` metadata table: one row per
         metadata-log entry plus the current metadata file.  The

@@ -190,7 +190,13 @@ def test_catalog_metadata_views_sql(spark, tmp_path):
     cat = Catalog(spark)
     cat.register_path("mt", p)
     names = cat.register_metadata_views("mt")
+    assert len(names) == 15  # the full inspect-table family
     assert "mt__snapshots" in names and "mt__all_files" in names
+    assert "mt__partitions" in names and "mt__position_deletes" in names
+    n_part = spark.sql(
+        "SELECT SUM(record_count) AS n FROM mt__partitions"
+    ).collect()[0]["n"]
+    assert n_part == 3  # metadata-claimed rows = appended rows
     n_snap = spark.sql("SELECT COUNT(*) AS n FROM mt__snapshots").collect()[0]["n"]
     assert n_snap == 3
     n_all = spark.sql("SELECT COUNT(*) AS n FROM mt__all_files").collect()[0]["n"]
