@@ -484,3 +484,73 @@ def test_mor_surface_matrix(spark, ops):
             for r in IcebergTable(w.path).to_df(spark).collect()
         }
         assert got == model, (op, arg)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62 - 1),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(
+                st.none(),
+                st.datetimes(
+                    min_value=datetime.datetime(1971, 1, 1),
+                    max_value=datetime.datetime(2200, 1, 1),
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.dates(
+                    min_value=datetime.date(1971, 1, 1),
+                    max_value=datetime.date(2200, 1, 1),
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_avro_data_file_roundtrip_property(tmp_path_factory, rows):
+    """Property: ANY typed row set written as an Iceberg AVRO data file
+    (container writer + Iceberg-Avro logical types) reads back
+    value-identical through the format-dispatched driver read — the
+    same decode the rewrite/compaction paths and the streaming source
+    use.  Timestamps are µs-truncated on write (Iceberg precision)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, _read_data_table
+
+    d = str(tmp_path_factory.mktemp("avprop"))
+    w = IcebergWriter(
+        d + "/t",
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "d", "type": "double", "required": False},
+            {"id": 3, "name": "s", "type": "string", "required": False},
+            {"id": 4, "name": "b", "type": "boolean", "required": False},
+            {"id": 5, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 6, "name": "dt", "type": "date", "required": False},
+        ],
+    )
+    recs = [
+        {"k": k, "d": dv, "s": s, "b": b, "ts": ts, "dt": dt}
+        for k, dv, s, b, ts, dt in rows
+    ]
+    path, _ = w._write_data_file(recs, "avro")
+    back = _read_data_table(
+        {"file_path": path, "file_format": "AVRO"}
+    ).to_pylist()
+    assert len(back) == len(recs)
+    for want, got in zip(recs, back):
+        assert got["k"] == want["k"]
+        assert got["d"] == want["d"]
+        assert got["s"] == want["s"]
+        assert got["b"] == want["b"]
+        want_ts = want["ts"]
+        if want_ts is not None:
+            want_ts = want_ts.replace(
+                microsecond=want_ts.microsecond
+            )  # already µs precision from hypothesis datetimes
+        assert got["ts"] == want_ts
+        assert got["dt"] == want["dt"]
