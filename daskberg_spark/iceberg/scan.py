@@ -217,6 +217,21 @@ def _read_with_deletes(
     dv_files: list[dict[str, Any]] = []  # v3 deletion vectors (puffin)
     for d in deletes:
         if d.get("content") == 2:
+            missing = [
+                i for i in d["equality_ids"] if i not in id_to_name
+            ]
+            if missing:
+                # a live equality delete keyed on a field id absent from
+                # the current schema (dropped column, or a nested leaf
+                # this resolver does not cover) cannot be applied — a
+                # bare KeyError here would point nowhere
+                raise NotImplementedError(
+                    f"equality delete {d['file_path']} keys on field "
+                    f"id(s) {missing} that do not resolve to a current "
+                    "top-level column (dropped or nested); restore the "
+                    "column or rewrite the deletes "
+                    "(convert_deletes_to_dvs)"
+                )
             cols = tuple(sorted(id_to_name[i] for i in d["equality_ids"]))
             eq_deletes.append((okey(d), d.get("_snapshot_id") or 0, cols, d))
         elif d.get("content") == 1:
@@ -301,7 +316,14 @@ def _read_with_deletes(
                 f.get("id", f.get("field-id")): f["name"]
                 for f in del_schema["fields"]
             }
-            then_names = tuple(then_by_id[now_by_name[c]] for c in cols)
+            # a field id the delete-time schema does not list at top
+            # level (foreign metadata without the pinned schema, or a
+            # nested leaf) falls back to the CURRENT name — matching
+            # schema_for_snapshot's own current-schema fallback — rather
+            # than a bare KeyError
+            then_names = tuple(
+                then_by_id.get(now_by_name[c], c) for c in cols
+            )
             by_resolution.setdefault((cols, then_names), []).append((k, entry))
         by_cols: dict[tuple, list[tuple[tuple, list]]] = {}
         for (cols, then_names), items in by_resolution.items():
@@ -449,7 +471,13 @@ def _read_with_deletes(
                     for d in dv_files
                 ]
             )
-            pos_frames.append(spark.createDataFrame(pdf))
+            # explicit schema: an all-empty decoded frame (degenerate
+            # foreign blobs) must be a no-op, not an infer-schema error
+            pos_frames.append(
+                spark.createDataFrame(
+                    pdf, "__del_file string, __del_pos long"
+                )
+            )
         else:
             src = spark.createDataFrame(
                 [
@@ -720,7 +748,13 @@ def _python_file_scan(
                     )
                     n = len(at)
                 if tag_position:
-                    pdf["__file"] = path
+                    # normalize exactly like the parquet leg's
+                    # _metadata tag (scheme strip + normpath) — the
+                    # sequence/partition/lineage lookups key on
+                    # _norm_scan_path, and a scheme-prefixed manifest
+                    # path would otherwise miss (NULL __seq keeps rows
+                    # a delete should kill)
+                    pdf["__file"] = _norm_scan_path(path)
                     pdf["__pos"] = _pd.Series(range(n), dtype="int64")
                 yield pdf
 
@@ -1126,28 +1160,30 @@ def diff_df(
         if parent is None or parent not in table.snapshots:
             raise ValueError("walked past the first snapshot")
         base = table.snapshots[parent]
-    table.open_snapshot(snapshot_id=base["snapshot-id"])
-    then_recs = table.plan_files(filters if changelog else None)
+    try:
+        table.open_snapshot(snapshot_id=base["snapshot-id"])
+        then_recs = table.plan_files(filters if changelog else None)
+    finally:
+        # restore the caller-visible snapshot even when base planning
+        # fails — leaving the table pinned to the base would make the
+        # caller's next read silently stale
+        table.open_snapshot(snapshot_id=current["snapshot-id"])
     files_then = {f["file_path"] for f in then_recs}
-    # restore the caller-visible snapshot
-    table.open_snapshot(snapshot_id=current["snapshot-id"])
-    fmt_by_path = {
-        f["file_path"]: f.get("file_format", "PARQUET")
-        for f in now_recs + then_recs
-    }
     added = sorted(files_now - files_then)
     struct = schema_to_struct(table.schema)
+    rec_by_path = {f["file_path"]: f for f in now_recs + then_recs}
 
     def read_side(paths: list[str]) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], struct)
-        df = _read_paths(
-            spark,
-            struct,
-            [
-                {"file_path": p, "file_format": fmt_by_path.get(p, "PARQUET")}
-                for p in paths
-            ],
+        # field-id group alignment (_read_file_groups), NOT a plain
+        # by-name read: removed-side files often predate renames in the
+        # window, and a by-name read would silently null-fill the
+        # renamed column on the delete side of the changelog.  The
+        # residual filter applies AFTER alignment, so it may reference
+        # current names regardless of which side it filters.
+        df = _read_file_groups(
+            table, spark, [rec_by_path[p] for p in paths], struct
         )
         residual = filters_to_column(filters)
         return df.filter(residual) if residual is not None else df
@@ -1268,7 +1304,10 @@ def _eq_delta_files(
     if not by_name:
         if any(n in ktbl.column_names for n in then_names):
             return None  # partial name match: alignment ambiguous
-        if len(ids) > ktbl.num_columns:
+        if len(ids) != ktbl.num_columns:
+            # positional alignment is only trustworthy when the file
+            # holds EXACTLY the key columns in equality_ids order —
+            # extra columns could silently bound on the wrong column
             return None  # cannot bound: conservative full marking
     kranges: list[tuple[int, str, Any, Any, bool]] = []
     for pos, fid in enumerate(ids):
@@ -1347,14 +1386,18 @@ def _changelog_plan(
         if parent is None or parent not in table.snapshots:
             raise ValueError("walked past the first snapshot")
         base_snap = table.snapshots[parent]
-    table.open_snapshot(snapshot_id=base_snap["snapshot-id"])
-    base_schema = table.schema
-    base_files = {f["file_path"]: f for f in table.plan_files(filters)}
-    base_dels = {
-        (d["file_path"], d.get("content_offset")): d
-        for d in table.plan_deletes()
-    }
-    table.open_snapshot(snapshot_id=current["snapshot-id"])
+    try:
+        table.open_snapshot(snapshot_id=base_snap["snapshot-id"])
+        base_schema = table.schema
+        base_files = {f["file_path"]: f for f in table.plan_files(filters)}
+        base_dels = {
+            (d["file_path"], d.get("content_offset")): d
+            for d in table.plan_deletes()
+        }
+    finally:
+        # restore even on planning failure — a pinned-to-base table
+        # would make the caller's next read silently stale
+        table.open_snapshot(snapshot_id=current["snapshot-id"])
 
     shared = {
         _norm_scan_path(p): p for p in set(head_files) & set(base_files)
@@ -1386,12 +1429,20 @@ def _changelog_plan(
         else:
             import pyarrow.parquet as _pq
 
-            for raw in (
-                _pq.read_table(d["file_path"], columns=["file_path"])
-                .column("file_path")
-                .unique()
-                .to_pylist()
-            ):
+            try:
+                targets = (
+                    _pq.read_table(d["file_path"], columns=["file_path"])
+                    .column("file_path")
+                    .unique()
+                    .to_pylist()
+                )
+            except Exception:
+                # unreadable position-delete parquet (already swept, or
+                # foreign shape): conservative full marking, like the
+                # equality path — never a planning crash
+                changed_norm = set(shared)
+                break
+            for raw in targets:
                 changed_norm.add(
                     _norm_scan_path(table._relocate(str(raw)))
                 )
@@ -1520,14 +1571,20 @@ def changelog_rows_df(
                 )
                 .drop("__frid", "_last_updated_sequence_number")
             )
-        return df.filter(residual) if residual is not None else df
+        return df
 
     head = read_side(head_subset, schema_to_struct(head_schema))
+    if residual is not None:
+        head = head.filter(residual)
     # the base side must PLAN under the base snapshot (its delete set),
-    # so re-open it for DataFrame construction, then restore
+    # so re-open it for DataFrame construction, then restore — in a
+    # finally so a planning failure cannot leave the caller's table
+    # silently pinned to the base snapshot
     table.open_snapshot(snapshot_id=base_sid)
-    base = read_side(base_subset, schema_to_struct(base_schema))
-    table.open_snapshot(snapshot_id=current["snapshot-id"])
+    try:
+        base = read_side(base_subset, schema_to_struct(base_schema))
+    finally:
+        table.open_snapshot(snapshot_id=current["snapshot-id"])
     # align the base side to the head schema by field id
     renames, drops, missing = schema_alignment(base_schema, head_schema)
     if drops:
@@ -1541,6 +1598,11 @@ def changelog_rows_df(
                 schema_to_struct({"fields": [f]})[0].dataType
             ),
         )
+    # the residual references CURRENT names — filter the base side only
+    # AFTER field-id alignment (a filter on a column renamed inside the
+    # window would otherwise fail to resolve on the base read)
+    if residual is not None:
+        base = base.filter(residual)
     data_cols = [f["name"] for f in head_schema["fields"]]
     if identity == "row":
         # full-outer on row identity over the DELTA subsets: matched rows
@@ -1671,8 +1733,20 @@ def refresh_aggregate(
         ],
     )
     zero = F.lit(0).cast(_AGG_DEC)
-    merged = materialized.join(delta_agg, keys, "full_outer").select(
-        *keys,
+    # NULL-SAFE key equality: groupBy puts NULL keys in one group, but a
+    # plain column-list join uses null-unsafe equality — the
+    # materialized NULL-key row and the delta NULL-key row would never
+    # match and the NULL group would duplicate on every refresh
+    m, d = materialized.alias("__m"), delta_agg.alias("__d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__m.{k}").eqNullSafe(F.col(f"__d.{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = m.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__m.{k}"), F.col(f"__d.{k}")).alias(k)
+            for k in keys
+        ],
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n"),
         *[
             (

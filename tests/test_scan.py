@@ -5138,3 +5138,70 @@ def test_v3_variant_column(spark, tmp_path):
     )
     with _pytest.raises(NotImplementedError, match="commit_spark_output"):
         w.append([{"k": 1, "v": None}])
+
+
+def test_diff_df_changelog_rename_alignment(spark, tmp_path):
+    """Review r9: the changelog's removed side must read pre-rename
+    files by FIELD ID — a plain by-name read under the current schema
+    silently null-fills the renamed column on every delete-side row
+    (and an incremental aggregate would then subtract nothing)."""
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "amount": 10.0}, {"k": 2, "amount": 20.0}])
+    w.append([{"k": 3, "amount": 30.0}])
+    w.rename_column("amount", "total")
+    # compaction rewrites the PRE-rename files in one replace commit
+    assert compact_files(w, min_file_bytes=32 << 20) is not None
+    t = IcebergTable(p)
+    delta = t.diff_df(spark, from_rel=-1, changelog=True)
+    dels = {
+        (r["k"], r["total"])
+        for r in delta.filter("_change_type = 'delete'").collect()
+    }
+    # the delete side carries REAL values under the current name
+    assert dels == {(1, 10.0), (2, 20.0), (3, 30.0)}, dels
+    ins = {
+        (r["k"], r["total"])
+        for r in delta.filter("_change_type = 'insert'").collect()
+    }
+    assert ins == dels
+
+
+def test_refresh_aggregate_null_group_key(spark, tmp_path):
+    """Review r9: the materialized/delta merge must join group keys
+    NULL-SAFELY — groupBy puts NULL keys in one group, and a
+    null-unsafe join would split the NULL group into duplicate rows on
+    every refresh."""
+    from daskberg_spark.iceberg.scan import (
+        materialize_aggregate,
+        refresh_aggregate,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "g", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"g": None, "v": 1.0}, {"g": "a", "v": 2.0}])
+    t = IcebergTable(p)
+    base = materialize_aggregate(t.to_df(spark), ["g"], {"sv": "v"})
+    w.append([{"g": None, "v": 5.0}, {"g": "a", "v": 7.0}])
+    t2 = IcebergTable(p)
+    refreshed = refresh_aggregate(
+        t2, spark, base, ["g"], {"sv": "v"}, from_rel=-1
+    )
+    rows = {(r["g"], r["n"], float(r["sv"])) for r in refreshed.collect()}
+    # ONE row per key, NULL included — no duplication
+    assert rows == {(None, 2, 6.0), ("a", 2, 9.0)}, rows
