@@ -1202,7 +1202,16 @@ class IcebergWriter:
         for mf in self.manifests:
             mf_spec = mf.get("partition_spec_id", 0)
             _, entries = read_avro_file(mf["manifest_path"])
-            hit = [e for e in entries if predicate(e["data_file"])]
+            # only LIVE entries are removal candidates: a DELETED
+            # (status 2) tombstone in a mixed manifest must never be
+            # re-tombstoned — and, crucially, never re-serialized as
+            # EXISTING below, which would resurrect the file it
+            # tombstones
+            hit = [
+                e
+                for e in entries
+                if e["status"] != 2 and predicate(e["data_file"])
+            ]
             if hit:
                 for e in hit:
                     delete_by_spec.setdefault(mf_spec, []).append(
@@ -1215,13 +1224,15 @@ class IcebergWriter:
                     )
                 survivors = [
                     {
-                        "status": 0,
+                        # tombstones keep status 2 (semantics preserved
+                        # exactly); live entries re-serialize EXISTING
+                        "status": 2 if e["status"] == 2 else 0,
                         "snapshot_id": e["snapshot_id"],
                         "sequence_number": _entry_seq(e, mf),
                         "data_file": e["data_file"],
                     }
                     for e in entries
-                    if not predicate(e["data_file"])
+                    if e["status"] == 2 or not predicate(e["data_file"])
                 ]
                 if survivors:
                     keep_manifests.append(
@@ -1291,6 +1302,10 @@ class IcebergWriter:
                     pos_pairs,
                     [f["name"] for f in self.fields],
                     file_key=_order_key(e, mf),
+                    # rewrites must not re-key v3 row identity (the
+                    # spark CoW/MOR twins and compaction all carry it)
+                    carry_lineage=True,
+                    file_seq=_entry_seq(e, mf),
                     file_part=_part_scope_key(
                         df_rec, mf, self.specs, self.properties
                     ),
@@ -1321,14 +1336,21 @@ class IcebergWriter:
                     k = tuple(r.get(c) for c in key_cols)
                     if k in ups_by_key:
                         matched.add(k)
+                        # identity (_row_id) survives the update; the
+                        # carried last-updated sequence is dropped so
+                        # the reader inherits THIS commit's sequence
                         r = {**r, **ups_by_key[k]}
+                        r.pop("_last_updated_sequence_number", None)
                     new_rows_by_part.setdefault(
                         self._partition_tuple(r), []
                     ).append(r)
             if touched:
                 existing = [
                     {
-                        "status": 0,
+                        # tombstones in a mixed manifest keep status 2 —
+                        # re-serializing them EXISTING would resurrect
+                        # the files they tombstone
+                        "status": 2 if e["status"] == 2 else 0,
                         "snapshot_id": e["snapshot_id"],
                         "sequence_number": _entry_seq(e, mf),
                         "data_file": e["data_file"],
@@ -1657,12 +1679,21 @@ class IcebergWriter:
         # (incremental consumers read them there), after which they are
         # stale — carrying them forward makes every scan reprocess them
         # and would wrongly tombstone a re-added file path.
+        def _keeps_files(m: dict[str, Any]) -> bool:
+            # foreign manifest lists may store explicit NULL counts
+            # (nullable per the v1 spec): unknown means KEEP — treating
+            # None as 0 (or comparing None > 0, which raises) would
+            # drop a manifest that still carries live files
+            a = m.get("added_data_files_count")
+            e = m.get("existing_data_files_count")
+            if a is None and e is None:
+                return True
+            return (a or 0) > 0 or (e or 0) > 0
+
         manifests = [
             m
             for m in manifests
-            if m.get("added_snapshot_id") == snapshot_id
-            or m.get("added_data_files_count", 0) > 0
-            or m.get("existing_data_files_count", 0) > 0
+            if m.get("added_snapshot_id") == snapshot_id or _keeps_files(m)
         ]
         # Allocate this commit's data sequence number and stamp the
         # manifests written by it (sequence_number still None); carried
@@ -2132,10 +2163,30 @@ def _entries_from_spark_dir(
                         # key by the SPEC FIELD name (what the planner
                         # checks), typed by the transform's result
                         partition[spec_field["name"]] = (
-                            int(raw) if rtype in ("int", "long") else raw
+                            _hive_segment_value(raw, rtype)
                         )
         entries.append(_footer_entry(writer, path, snapshot_id, partition))
     return entries
+
+
+def _hive_segment_value(raw: str, rtype: str) -> Any:
+    """Typed partition value from one hive ``col=value`` path segment.
+    Spark writes NULL partition values as the literal
+    ``__HIVE_DEFAULT_PARTITION__`` — that must come back as None, not
+    as a bogus string (or an int() crash for numeric transforms).
+    ``date``-typed transforms (identity on a date column) parse the ISO
+    segment to epoch days — the same int the driver write path encodes
+    (``_avro_partition_value``); the manifest Avro writer would
+    otherwise crash on the string."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if rtype in ("int", "long"):
+        return int(raw)
+    if rtype == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    return raw
 
 
 def _footer_entry(
@@ -2469,6 +2520,20 @@ def cherrypick_snapshot(writer: "IcebergWriter", snapshot_id: int) -> int:
             "replaying deletes/overwrites against a moved base is not "
             "well-defined"
         )
+    # an ANCESTOR of the current head is already published — re-adding
+    # its files would return every one of its rows twice (real Iceberg
+    # validates the same)
+    head = writer.head_snapshot
+    cur = head
+    while cur is not None:
+        if cur["snapshot-id"] == snapshot_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} is an ancestor of the current "
+                "head — its files are already live; cherry-picking it "
+                "would duplicate every row"
+            )
+        parent = cur.get("parent-snapshot-id")
+        cur = snaps.get(parent) if parent is not None else None
     from daskberg_spark.iceberg.avro import read_avro_file
 
     _, src_manifests = read_avro_file(src["manifest-list"])
@@ -3238,7 +3303,12 @@ def _live_dv_records(writer: "IcebergWriter") -> dict[str, dict[str, Any]]:
     for seq, rec in candidates:
         if (rec["file_path"], rec.get("content_offset")) in deleted_dv_keys:
             continue
-        live_dvs[rec["referenced_data_file"]] = dict(
+        # key by the NORMALIZED target path: callers look up with the
+        # scan's scheme-stripped/realpathed __file, and a verbatim key
+        # (e.g. a file:-prefixed user-supplied target) would miss —
+        # skipping the prior-DV merge and leaving TWO live DVs for one
+        # file (newest-only readers then resurrect rows)
+        live_dvs[_norm_data_path(rec["referenced_data_file"])] = dict(
             rec, _sequence_number=seq
         )
     return live_dvs
@@ -4139,7 +4209,10 @@ def remove_dangling_deletes(writer: "IcebergWriter") -> int | None:
             )
         survivors = [
             {
-                "status": 0,
+                # tombstones in a mixed manifest keep status 2 — writing
+                # them back as EXISTING would resurrect superseded DVs /
+                # consumed delete files
+                "status": 2 if e["status"] == 2 else 0,
                 "snapshot_id": e.get("snapshot_id"),
                 "sequence_number": _entry_seq(e, mf),
                 "data_file": e["data_file"],
@@ -4493,7 +4566,9 @@ def remove_orphan_files(
         for name in sorted(filenames):
             path = os.path.realpath(os.path.join(dirpath, name))
             if path not in referenced and name.endswith(
-                (".parquet", ".puffin")
+                # every data-file format the engine writes — orphaned
+                # .avro/.orc data files must be reclaimable too
+                (".parquet", ".puffin", ".avro", ".orc")
             ):
                 if (
                     older_than_ms is not None
@@ -4770,7 +4845,11 @@ def _live_file_rows(
         dead = any(
             (dpart is None or dpart == file_part)
             and dsnap > fsnap
-            and tuple(r[c] for c in cols) in keys
+            # r.get: a file written before a delete-key column was
+            # added stores no value for it — that reads as null, which
+            # never matches a non-null delete key (a bare r[c] would
+            # KeyError and abort the whole maintenance op)
+            and tuple(r.get(c) for c in cols) in keys
             for dsnap, cols, keys, dpart in eq_deletes
         )
         if dead:

@@ -5205,3 +5205,185 @@ def test_refresh_aggregate_null_group_key(spark, tmp_path):
     rows = {(r["g"], r["n"], float(r["sv"])) for r in refreshed.collect()}
     # ONE row per key, NULL included — no duplication
     assert rows == {(None, 2, 6.0), ("a", 2, 9.0)}, rows
+
+
+def test_dangling_sweep_preserves_mixed_manifest_tombstones(spark, tmp_path):
+    """Review r9 (writer): rewriting a MIXED manifest (live DV adds +
+    superseded-DV tombstones — exactly what a DV commit writes) must
+    keep the tombstones as status 2.  Re-serializing them EXISTING
+    resurrected the superseded DV: two live DVs for one data file, and
+    newest-DV-only readers would drop the older delete set."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+        remove_dangling_deletes,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": True}]
+    )
+    w.append([{"k": i} for i in range(10)])        # file A
+    w.append([{"k": i} for i in range(10, 20)])    # file B
+    delete_where_dv_spark(w, spark, "k = 1")       # DV_A1
+    # one commit: merged DV for A (supersedes DV_A1 → tombstone) + DV
+    # for B — a MIXED manifest
+    delete_where_dv_spark(w, spark, "k IN (2, 11)")
+    # drop file B entirely → its DV dangles
+    b_path = sorted(
+        f["file_path"] for f in IcebergTable(p).plan_files()
+    )[1]
+    w.delete_files(lambda df: df["file_path"] == b_path)
+    assert remove_dangling_deletes(w) is not None
+    t = IcebergTable(p)
+    # exactly ONE live DV, targeting file A — the superseded DV_A1 must
+    # NOT have resurrected through the rewrite
+    dvs = [d for d in t.plan_deletes() if d.get("referenced_data_file")]
+    assert len(dvs) == 1, dvs
+    got = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert got == [0] + list(range(3, 10))
+
+
+def test_cherrypick_rejects_ancestor(tmp_path):
+    """Review r9 (writer): cherry-picking a snapshot already in the
+    head's lineage would re-add its live files and duplicate every
+    row — refuse loudly."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        cherrypick_snapshot,
+    )
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    s1 = w.append([{"k": 1}])
+    w.append([{"k": 2}])
+    with _pytest.raises(ValueError, match="ancestor"):
+        cherrypick_snapshot(w, s1)
+
+
+def test_distributed_write_date_and_null_partitions(spark, tmp_path):
+    """Review r9 (writer): hive path segments for identity-on-date
+    partitions parse to epoch-day ints (the manifest Avro's logical
+    date), and Spark's __HIVE_DEFAULT_PARTITION__ segment (NULL source
+    value) records a None partition value instead of crashing int() or
+    storing the literal string."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "d", "type": "date", "required": False},
+        ],
+        [{"name": "d", "transform": "identity", "source": "d"}],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1)),
+            (2, dt.date(2024, 1, 2)),
+            (3, None),
+        ],
+        "k long, d date",
+    ).withColumn("part_d", F.col("d"))
+    stage = str(tmp_path / "stage")
+    df.write.partitionBy("part_d").mode("overwrite").parquet(stage)
+    commit_spark_output(w, stage, partition_col="d", path_col="part_d")
+    t = IcebergTable(p)
+    parts = {
+        f["partition"]["d"] for f in t.plan_files()
+    }
+    epoch = dt.date(1970, 1, 1)
+    assert parts == {
+        (dt.date(2024, 1, 1) - epoch).days,
+        (dt.date(2024, 1, 2) - epoch).days,
+        None,
+    }, parts
+    got = sorted(
+        (r["k"], r["d"]) for r in t.to_df(spark).collect()
+    )
+    assert got == [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2)), (3, None)]
+    # identity-date pruning skips the other DATE partition (the NULL
+    # partition stays conservatively — no bounds to disprove a match)
+    pruned = {f["partition"]["d"] for f in t.plan_files([("d", "==", dt.date(2024, 1, 1))])}
+    assert (dt.date(2024, 1, 1) - epoch).days in pruned
+    assert (dt.date(2024, 1, 2) - epoch).days not in pruned
+
+
+def test_merge_rows_carries_row_lineage(spark, tmp_path):
+    """Review r9 (writer): the driver-side CoW merge must materialize
+    surviving rows' v3 lineage like compaction and the Spark twins —
+    matched rows keep their _row_id (identity survives the update) and
+    inherit the NEW commit's sequence."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}, {"k": 3, "v": 3.0}])
+    t0 = IcebergTable(p)
+    before = {
+        r["k"]: r["_row_id"]
+        for r in t0.to_df(spark, row_lineage=True).collect()
+    }
+    w.merge_rows([{"k": 2, "v": -2.0}], key_cols=["k"])
+    t1 = IcebergTable(p)
+    after = {
+        r["k"]: (r["_row_id"], r["v"])
+        for r in t1.to_df(spark, row_lineage=True).collect()
+    }
+    assert after[2] == (before[2], -2.0)  # identity survives the update
+    assert after[1] == (before[1], 1.0)
+    assert after[3] == (before[3], 3.0)
+
+
+def test_orphan_sweep_reclaims_nonparquet_data_files(tmp_path):
+    """Review r9 (writer): orphaned .avro/.orc data files are
+    reclaimable like parquet ones."""
+    import os
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, remove_orphan_files
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}])
+    stray_a = os.path.join(p, "data", "stray.avro")
+    stray_o = os.path.join(p, "data", "stray.orc")
+    open(stray_a, "wb").write(b"x")
+    open(stray_o, "wb").write(b"x")
+    remove_orphan_files(p)
+    assert not os.path.exists(stray_a) and not os.path.exists(stray_o)
+
+
+def test_commit_tolerates_null_manifest_counts(tmp_path):
+    """Review r9 (writer): a loaded foreign manifest list may store
+    explicit null added/existing counts (nullable per the v1 spec);
+    the first commit after load must not TypeError on None > 0."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}])
+    w2 = IcebergWriter.load(p)
+    for m in w2.manifests:
+        m["added_data_files_count"] = None
+        m["existing_data_files_count"] = None
+    w2.append([{"k": 2}])  # must not raise
+    assert len(IcebergTable(p).plan_files()) == 2
