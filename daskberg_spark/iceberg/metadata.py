@@ -82,7 +82,12 @@ class IcebergTable:
 
     def _relocate(self, path: str) -> str:
         path = _strip_scheme(path)
-        if self.original_url and path.startswith(self.original_url):
+        if self.original_url and (
+            path == self.original_url
+            # boundary-checked prefix: '/old/tbl' must NOT rewrite
+            # '/old/tbl_backup/...' into a path under this table
+            or path.startswith(self.original_url.rstrip("/") + "/")
+        ):
             path = self.url + path[len(self.original_url) :]
         return path
 
@@ -220,7 +225,12 @@ class IcebergTable:
                         raise ValueError("walked past the first snapshot")
                     snap = self.snapshots[parent]
         self._current_snapshot = snap
-        self._scan_cache = {}
+        # NO cache clear here: _scan_cache keys include the snapshot id
+        # and manifests are immutable, so entries for other snapshots
+        # stay valid — snapshot-hopping callers (streaming micro-batch
+        # planning, changelog scans) re-use their reconciliations
+        # instead of redoing them per hop.  set_version (new metadata)
+        # is the one event that invalidates the cache.
         ml_path = self._relocate(snap["manifest-list"])
         # manifest lists are immutable once committed — cache per path so
         # snapshot-walking callers (streaming partitions(), time-travel
@@ -250,6 +260,16 @@ class IcebergTable:
         schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
         if not schemas and "schema" in meta:  # minimal v1 tables
             return meta["schema"]
+        if (
+            self._current_snapshot is None
+            and meta.get("current-snapshot-id", -1) in (None, -1)
+            and not meta.get("snapshots")
+        ):
+            # freshly created table (current-snapshot-id = -1, no
+            # snapshots yet): the schema needs NO snapshot — resolve
+            # current-schema-id straight from the metadata instead of
+            # failing the whole read with "no current snapshot"
+            return schemas[meta.get("current-schema-id", 0)]
         snap = self.current_snapshot
         if snap.get("snapshot-id") == meta.get("current-snapshot-id"):
             schema_id = meta.get("current-schema-id", snap.get("schema-id", 0))
@@ -331,7 +351,9 @@ class IcebergTable:
 
     def scan_all(
         self, filters: Any = None
-    ) -> tuple[dict[str, dict[str, Any]], dict[str, dict[str, Any]]]:
+    ) -> tuple[
+        dict[str, dict[str, Any]], dict[tuple[str, int], dict[str, Any]]
+    ]:
         """Manifest-level prune → load (parallel) → status reconcile.
 
         Returns ``(data_files, delete_files)`` — ``{path: record}`` and
@@ -372,7 +394,7 @@ class IcebergTable:
             loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
 
         allfiles: dict[str, dict[str, Any]] = {}
-        delete_files: dict[str, dict[str, Any]] = {}
+        delete_files: dict[tuple[str, int], dict[str, Any]] = {}
         deleted: set[str] = set()
         # DELETED delete-entries are keyed by (path, content_offset): a
         # multi-blob puffin file holds one DV per target data file under
@@ -396,11 +418,19 @@ class IcebergTable:
                 # README.md:97); the scan dispatches per format.
                 # DELETE files stay parquet (+ puffin DVs): non-parquet
                 # delete files are rare in the wild and unimplemented.
-                if data_file.get("content", 0) == 0:
-                    if fmt.upper() not in ("PARQUET", "AVRO", "ORC"):
-                        raise NotImplementedError(f"data file format {fmt}")
-                elif fmt.upper() != "PARQUET" and not is_dv:
-                    raise NotImplementedError(f"delete file format {fmt}")
+                # LIVE entries only: a DELETED tombstone of an
+                # unsupported-format file will never be read — raising
+                # on it would make a fully-supported table unreadable.
+                if entry["status"] != STATUS_DELETED:
+                    if data_file.get("content", 0) == 0:
+                        if fmt.upper() not in ("PARQUET", "AVRO", "ORC"):
+                            raise NotImplementedError(
+                                f"data file format {fmt}"
+                            )
+                    elif fmt.upper() != "PARQUET" and not is_dv:
+                        raise NotImplementedError(
+                            f"delete file format {fmt}"
+                        )
                 fpath = self._relocate(data_file["file_path"])
                 if is_dv:
                     # the target path must match the scan's relocated
@@ -461,6 +491,13 @@ class IcebergTable:
         for fpath in deleted_delete_paths:
             for k in [k for k in delete_files if k[0] == fpath]:
                 delete_files.pop(k)
+        if len(self._scan_cache) >= 256:
+            # retained across snapshot hops (keys include the snapshot
+            # id) — bound it so a long-running stream tailing thousands
+            # of commits cannot grow driver memory without limit; FIFO
+            # eviction of the oldest half keeps recent hops warm
+            for k in list(self._scan_cache)[:128]:
+                del self._scan_cache[k]
         self._scan_cache[cache_key] = (allfiles, delete_files)
         return allfiles, delete_files
 
@@ -524,7 +561,13 @@ class IcebergTable:
                 f.get("file_format", "PARQUET"),
                 int(f["record_count"]),
                 int(f["file_size_in_bytes"]),
-                {k: str(v) for k, v in (f.get("partition") or {}).items() if v is not None},
+                # NULL partition values keep their key (value None) —
+                # real Iceberg's files table distinguishes a NULL-valued
+                # partition from an unpartitioned file
+                {
+                    k: (str(v) if v is not None else None)
+                    for k, v in (f.get("partition") or {}).items()
+                },
                 f.get("_spec_id"),
                 f.get("_snapshot_id"),
                 f.get("_sequence_number"),
@@ -596,6 +639,11 @@ class IcebergTable:
         by_id = self.snapshots
         cur: dict[str, Any] | None = self.current_snapshot
         while cur is not None:
+            if cur["snapshot-id"] in ancestors:
+                raise ValueError(
+                    "cyclic parent-snapshot-id chain at "
+                    f"{cur['snapshot-id']} (corrupt metadata)"
+                )
             ancestors.add(cur["snapshot-id"])
             parent = cur.get("parent-snapshot-id")
             cur = by_id.get(parent) if parent is not None else None
@@ -673,6 +721,32 @@ class IcebergTable:
             "max_snapshot_age_in_ms long",
         )
 
+    def _entry_row(
+        self, e: dict[str, Any], m_snap: Any, m_seq: Any
+    ) -> tuple:
+        """One inspect-table row for a raw manifest entry, with Iceberg
+        snapshot-id / sequence-number inheritance — the ONE builder
+        behind ``entries`` and ``all_entries`` so inheritance fixes
+        cannot drift between them."""
+        d = e["data_file"]
+        return (
+            int(e["status"]),
+            (
+                int(e["snapshot_id"])
+                if e.get("snapshot_id") is not None
+                else m_snap
+            ),
+            (
+                int(e["sequence_number"])
+                if e.get("sequence_number") is not None
+                else m_seq
+            ),
+            self._relocate(d["file_path"]),
+            int(d.get("content", 0) or 0),
+            int(d["record_count"]),
+            int(d["file_size_in_bytes"]),
+        )
+
     def entries_df(self, spark: Any):
         """``table.entries`` metadata table: the RAW manifest entries of
         the current snapshot's manifests, pre-reconciliation — DELETED
@@ -686,26 +760,7 @@ class IcebergTable:
             m_snap = mf.get("added_snapshot_id")
             m_seq = mf.get("sequence_number")
             for e in self._load_manifest(man_path):
-                d = e["data_file"]
-                rows.append(
-                    (
-                        int(e["status"]),
-                        (
-                            int(e["snapshot_id"])
-                            if e.get("snapshot_id") is not None
-                            else m_snap
-                        ),
-                        (
-                            int(e["sequence_number"])
-                            if e.get("sequence_number") is not None
-                            else m_seq
-                        ),
-                        self._relocate(d["file_path"]),
-                        int(d.get("content", 0) or 0),
-                        int(d["record_count"]),
-                        int(d["file_size_in_bytes"]),
-                    )
-                )
+                rows.append(self._entry_row(e, m_snap, m_seq))
         return spark.createDataFrame(
             rows,
             "status int, snapshot_id long, sequence_number long, "
@@ -732,26 +787,8 @@ class IcebergTable:
                     m_snap = mf.get("added_snapshot_id")
                     m_seq = mf.get("sequence_number")
                     for e in self._load_manifest(man_path):
-                        d = e["data_file"]
                         rows.append(
-                            (
-                                int(e["status"]),
-                                (
-                                    int(e["snapshot_id"])
-                                    if e.get("snapshot_id") is not None
-                                    else m_snap
-                                ),
-                                (
-                                    int(e["sequence_number"])
-                                    if e.get("sequence_number") is not None
-                                    else m_seq
-                                ),
-                                self._relocate(d["file_path"]),
-                                int(d.get("content", 0) or 0),
-                                int(d["record_count"]),
-                                int(d["file_size_in_bytes"]),
-                                ref_sid,
-                            )
+                            (*self._entry_row(e, m_snap, m_seq), ref_sid)
                         )
         finally:
             self.open_snapshot(snapshot_id=prior)
@@ -803,10 +840,10 @@ class IcebergTable:
         once per path); the selected snapshot is restored afterwards."""
         prior = self.current_snapshot["snapshot-id"]
         seen: dict[str, tuple] = {}
+        snaps = self.snapshots  # bind once: the property rebuilds the dict
         try:
             for sid in sorted(
-                self.snapshots,
-                key=lambda s: self.snapshots[s]["timestamp-ms"],
+                snaps, key=lambda s: snaps[s]["timestamp-ms"]
             ):
                 self.open_snapshot(snapshot_id=sid)
                 for f in self.scan_manifests().values():
@@ -839,10 +876,10 @@ class IcebergTable:
         snapshot is restored afterwards."""
         prior = self.current_snapshot["snapshot-id"]
         seen: dict[tuple, tuple] = {}
+        snaps = self.snapshots  # bind once: the property rebuilds the dict
         try:
             for sid in sorted(
-                self.snapshots,
-                key=lambda s: self.snapshots[s]["timestamp-ms"],
+                snaps, key=lambda s: snaps[s]["timestamp-ms"]
             ):
                 self.open_snapshot(snapshot_id=sid)
                 for key, d in self.scan_all()[1].items():
@@ -877,10 +914,10 @@ class IcebergTable:
         twice); the selected snapshot is restored afterwards."""
         prior = self.current_snapshot["snapshot-id"]
         seen: dict[tuple, tuple] = {}
+        snaps = self.snapshots  # bind once: the property rebuilds the dict
         try:
             for sid in sorted(
-                self.snapshots,
-                key=lambda s: self.snapshots[s]["timestamp-ms"],
+                snaps, key=lambda s: snaps[s]["timestamp-ms"]
             ):
                 self.open_snapshot(snapshot_id=sid)
                 data, deletes = self.scan_all()
@@ -958,9 +995,12 @@ class IcebergTable:
                 latest_schema = m.get("current-schema-id")
             except FileNotFoundError:
                 pass  # expired metadata versions may be swept
+            ts = e.get("timestamp-ms")
             rows.append(
                 (
-                    int(e["timestamp-ms"]),
+                    # minimal/hand-rolled v1 metadata may omit
+                    # last-updated-ms — surface NULL, not int(None)
+                    int(ts) if ts is not None else None,
                     path,
                     latest_snap,
                     latest_schema,

@@ -450,3 +450,126 @@ def test_v3_unknown_type_column(spark, tmp_path):
     assert rows == {(1, None), (2, None), (3, None)}
     with _pytest.raises(NotImplementedError, match="nanosecond"):
         iceberg_to_spark_type("timestamp_ns")
+
+
+def test_schema_of_snapshotless_table(tmp_path):
+    """Review r9 (metadata): a freshly created table (current-snapshot-id
+    -1, no snapshots) must expose its schema — current-schema-id needs
+    no snapshot."""
+    import json
+    import os
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "metadata"))
+    meta = {
+        "format-version": 1,
+        "table-uuid": "u",
+        "location": p,
+        "current-snapshot-id": -1,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "type": "long", "required": False}
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [],
+    }
+    with open(os.path.join(p, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(p, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    t = IcebergTable(p)
+    assert [f["name"] for f in t.schema["fields"]] == ["k"]
+
+
+def test_relocate_path_boundary(tmp_path):
+    """Review r9 (metadata): original_url='/old/tbl' must not rewrite
+    '/old/tbl_backup/...' — the prefix match is boundary-checked."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}])
+    t = IcebergTable(p, original_url="/old/tbl")
+    assert t._relocate("/old/tbl/data/x.parquet") == p + "/data/x.parquet"
+    assert t._relocate("/old/tbl_backup/data/x.parquet") == (
+        "/old/tbl_backup/data/x.parquet"
+    )
+    assert t._relocate("/old/tbl") == p
+
+
+def test_tombstoned_unsupported_format_is_readable(spark, tmp_path):
+    """Review r9 (metadata): a DELETED tombstone of an unsupported-format
+    file must not fail the scan — the file is never read."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.avro import read_avro_file, write_avro_file
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        _manifest_entry_schema,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}])
+    # forge: append a DELETED entry for a (nonexistent) DELTA-format file
+    mf = w.manifests[0]
+    _, entries = read_avro_file(mf["manifest_path"])
+    entries.append(
+        {
+            "status": 2,
+            "snapshot_id": 999,
+            "data_file": {
+                "content": 0,
+                "file_path": p + "/data/ghost.delta",
+                "file_format": "DELTA",
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": 0,
+            },
+        }
+    )
+    write_avro_file(
+        mf["manifest_path"],
+        _manifest_entry_schema([], w.types),
+        entries,
+    )
+    got = [r["k"] for r in IcebergTable(p).to_df(spark).collect()]
+    assert got == [1]
+
+
+def test_scan_cache_survives_snapshot_hops(tmp_path):
+    """Review r9 (metadata): the reconciliation cache keys include the
+    snapshot id, so hopping between snapshots (streaming planning,
+    changelog scans) must REUSE entries instead of re-reconciling on
+    every open_snapshot."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    s1 = w.append([{"k": 1}])
+    s2 = w.append([{"k": 2}])
+    t = IcebergTable(p)
+    t.open_snapshot(snapshot_id=s1)
+    t.scan_all()
+    t.open_snapshot(snapshot_id=s2)
+    t.scan_all()
+    assert len(t._scan_cache) == 2  # both snapshots' plans retained
+    t.open_snapshot(snapshot_id=s1)
+    t.scan_all()
+    assert len(t._scan_cache) == 2  # the hop back was a cache hit
