@@ -129,10 +129,16 @@ class IcebergFilePartition(InputPartition):
         prior_pos: list[str] | None = None,
         reloc: tuple[str, str] | None = None,
         file_format: str = "PARQUET",
+        drops: list[str] | None = None,
     ) -> None:
         super().__init__(path)
         self.path = path
         self.file_format = file_format
+        # physical columns DROPPED from the current schema: the
+        # executor removes them before projection — a dropped-then-
+        # re-added name would otherwise serve the dead column's stale
+        # values under the new field id
+        self.drops = drops or []
         self.renames = renames
         self.columns = columns
         self.arrow_types = arrow_types
@@ -224,6 +230,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         mft = options.get("max-files-per-trigger")
         self.max_files_per_trigger = int(mft) if mft is not None else None
         self._rate_end: int | None = None  # last rate-limited latestOffset
+        # furthest start offset Spark has handed partitions() — the
+        # restart-safe floor for the rate-limit cursor (the in-memory
+        # _rate_end dies with the driver; the checkpointed start does
+        # not).
+        self._committed_start: int | None = None
 
     # -- driver-side metadata ------------------------------------------------
 
@@ -262,11 +273,16 @@ class IcebergStreamReader(DataSourceStreamReader):
         self._target_schema = sch
         return sch
 
-    def _head_id(self, t) -> int:
+    def _head_id(self, t) -> int | None:
         """The tailed head: a named branch's referenced snapshot when
-        the ``branch`` option is set, else the table head."""
+        the ``branch`` option is set, else the table head — None for a
+        created-but-empty table (current-snapshot-id = -1): the stream
+        idles until the first commit instead of crashing."""
         if self.branch is None:
-            return t.current_snapshot["snapshot-id"]
+            try:
+                return t.current_snapshot["snapshot-id"]
+            except ValueError:
+                return None
         refs = t.metadata.get("refs") or {}
         if self.branch not in refs:
             raise ValueError(
@@ -287,15 +303,25 @@ class IcebergStreamReader(DataSourceStreamReader):
         budget, so a 100k-file backfill becomes bounded micro-batches
         instead of one giant one (the knob real Iceberg streaming calls
         ``max-files-per-micro-batch``).  At least one snapshot always
-        advances.  The cursor is in-memory; after a checkpoint restart
-        it re-advances from the start and ``partitions`` returns empty
-        batches until it passes the checkpointed offset — slow for a few
-        triggers, never duplicating."""
+        advances.  The cursor is in-memory, floored by the last PLANNED
+        batch end (which Spark replays from the checkpoint), so from
+        the first ``partitions`` call onward the budget can never emit
+        an offset behind the stream.  Residual corner, documented: a
+        cold RESTART whose very first call is ``latestOffset`` budgets
+        from scratch — that one offset can land behind the checkpoint,
+        Spark commits it, and the window between it and the checkpoint
+        re-delivers once (the ancestor path heals the cursor
+        immediately after).  The Python streaming API offers no
+        start-aware ``latestOffset`` to close this."""
         t = self._table()
         head = self._head_id(t)
+        if head is None:
+            return {"snapshot_id": None}
         if self.max_files_per_trigger is None:
             return {"snapshot_id": head}
         base = self._rate_end
+        if base is None:
+            base = self._committed_start
         if base is None:
             base = self.initialOffset()["snapshot_id"]
         if base == head:
@@ -342,6 +368,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             return []
         chain = []  # (start, end], oldest first after reverse
         snap = t.snapshots.get(end_id)
+        if snap is None:
+            # the checkpointed end of a replayed batch has been EXPIRED
+            # — silently returning [] would drop the whole batch
+            raise ValueError(
+                f"offset snapshot {end_id} no longer exists (expired); "
+                "restart the stream from a fresh checkpoint"
+            )
+        reached_start = False
         while snap is not None and snap["snapshot-id"] != start_id:
             chain.append(snap)
             parent = snap.get("parent-snapshot-id")
@@ -353,6 +387,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                     walk = t.snapshots.get(start_id)
                     while walk is not None:
                         if walk["snapshot-id"] == end_id:
+                            # heal the regressed in-memory cursor: the
+                            # next budget walk starts at the REAL
+                            # frontier instead of re-covering it
+                            self._rate_end = start_id
+                            self._committed_start = start_id
                             return []
                         wp = walk.get("parent-snapshot-id")
                         walk = t.snapshots.get(wp) if wp is not None else None
@@ -361,8 +400,30 @@ class IcebergStreamReader(DataSourceStreamReader):
                         f"{end_id} (rollback or expire moved the lineage); "
                         "restart the stream from a fresh checkpoint"
                     )
+                reached_start = True  # walked to the table root (start=None)
                 break
             snap = t.snapshots.get(parent)
+        if snap is not None and snap.get("snapshot-id") == start_id:
+            reached_start = True  # loop ended AT the start offset
+        if start_id is None:
+            # from-beginning: a dangling parent is the table's history
+            # HORIZON (expire_snapshots keeps the oldest retained
+            # snapshot's parent pointer) — stream the retained suffix
+            reached_start = True
+        if not reached_start:
+            # a parent in (start, end] has been EXPIRED: the chain is
+            # INCOMPLETE — emitting the partial batch would silently
+            # lose the expired ancestors' rows (exactly-once violation)
+            raise ValueError(
+                f"lineage between offsets {start_id} and {end_id} has "
+                "expired snapshots; restart the stream from a fresh "
+                "checkpoint (and keep expire_snapshots behind the "
+                "stream's lag)"
+            )
+        # the planned END survives as the next batch's start (Spark
+        # replays offsets from the checkpoint) — it floors the
+        # in-memory rate cursor across restarts
+        self._committed_start = end_id
         chain.reverse()
         bad = {
             s["snapshot-id"]
@@ -439,7 +500,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                 by_adder.pop(sid, None)  # force the own-list fallback
             from daskberg_spark.iceberg.scan import schema_alignment
 
-            renames, _drops, _missing = schema_alignment(
+            renames, drops, _missing = schema_alignment(
                 t.schema_for_snapshot(sid), target_schema
             )
             for mf in _snapshot_added_manifests(t, sid, by_adder):
@@ -467,6 +528,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                                 file_format=rec.get(
                                     "file_format", "PARQUET"
                                 ),
+                                drops=drops,
                             )
                         )
         return parts
@@ -515,8 +577,14 @@ class IcebergStreamReader(DataSourceStreamReader):
         c_data, c_del = t.scan_all()
 
         def is_dv(d: dict) -> bool:
+            # PUFFIN format required, matching metadata.scan_all's rule:
+            # the spec lets a v2 PARQUET position-delete file carry
+            # referenced_data_file too (single-target files) — treating
+            # it as a DV blob would int(None) on content_offset
             return bool(
-                d.get("content") == 1 and d.get("referenced_data_file")
+                (d.get("file_format") or "").upper() == "PUFFIN"
+                and d.get("content") == 1
+                and d.get("referenced_data_file")
             )
 
         # every delete flavor this engine reads also streams: DV commits
@@ -527,13 +595,33 @@ class IcebergStreamReader(DataSourceStreamReader):
         # (file_path, pos) rows down to their own file, relocating
         # write-time target paths like the table layer does.
         def is_pos(d: dict) -> bool:
-            return bool(
-                d.get("content") == 1 and not d.get("referenced_data_file")
-            )
+            return bool(d.get("content") == 1 and not is_dv(d))
 
-        prior_pos_paths = sorted(
-            d["file_path"] for d in p_del.values() if is_pos(d)
-        )
+        # per-TARGET pruning of parent position-delete parquet: one
+        # column-pruned driver read per delete file (delta-sized) builds
+        # a target → [paths] map, so each executor partition reads only
+        # the delete files that actually name it — shipping the full
+        # list made every delete-kind partition re-read every
+        # accumulated pos-delete file
+        prior_pos_by_target: dict[str, list[str]] = {}
+        for d in sorted(
+            (d for d in p_del.values() if is_pos(d)),
+            key=lambda d: d["file_path"],
+        ):
+            import pyarrow.parquet as _ppq
+
+            for raw in (
+                _ppq.read_table(d["file_path"], columns=["file_path"])
+                .column("file_path")
+                .unique()
+                .to_pylist()
+            ):
+                prior_pos_by_target.setdefault(
+                    t._relocate(str(raw)), []
+                ).append(d["file_path"])
+
+        def prior_pos_for(target: str) -> list[str]:
+            return prior_pos_by_target.get(target, [])
         new_pos_files = [
             d for k, d in c_del.items() if is_pos(d) and k not in p_del
         ]
@@ -584,6 +672,20 @@ class IcebergStreamReader(DataSourceStreamReader):
                 for f in then_schema["fields"]
             }
             ids = d["equality_ids"]
+            missing = [
+                i for i in ids if i not in now_by_id or i not in then_by_id
+            ]
+            if missing:
+                # key column dropped since (or absent from the pinned
+                # delete-time schema): a bare KeyError would point
+                # nowhere — fail like the function's other unsupported
+                # shapes, toward the batch changelog
+                raise NotImplementedError(
+                    f"equality delete {d['file_path']} keys on field "
+                    f"id(s) {missing} that no longer resolve in the "
+                    "declared schema — read this window with the batch "
+                    "changelog (changelog_rows_df)"
+                )
             return (
                 t._relocate(d["file_path"]),
                 tuple(then_by_id[i] for i in ids),
@@ -601,15 +703,21 @@ class IcebergStreamReader(DataSourceStreamReader):
             fseq = _seq(file_rec)
             return [_eq_ref(d) for d in p_eq if _seq(d) > fseq]
 
-        rename_cache: dict[int | None, dict[str, str]] = {}
+        align_cache: dict[int | None, tuple] = {}
 
-        def renames_for(fsnap: int | None) -> dict[str, str]:
-            if fsnap not in rename_cache:
-                r, _drops, _missing = schema_alignment(
+        def _align(fsnap: int | None) -> tuple:
+            if fsnap not in align_cache:
+                r, drops, _missing = schema_alignment(
                     t.schema_for_snapshot(fsnap), target_schema
                 )
-                rename_cache[fsnap] = r
-            return rename_cache[fsnap]
+                align_cache[fsnap] = (r, drops)
+            return align_cache[fsnap]
+
+        def renames_for(fsnap: int | None) -> dict[str, str]:
+            return _align(fsnap)[0]
+
+        def drops_for(fsnap: int | None) -> list[str]:
+            return _align(fsnap)[1]
 
         parts: list[InputPartition] = []
         removed = sorted(f for f in p_data if f not in c_data)
@@ -627,9 +735,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                     kind="delete_file",
                     prior_dv=_dv_ref(p_dv.get(f)),
                     prior_eq=prior_eq_for(p_data[f]),
-                    prior_pos=prior_pos_paths,
+                    prior_pos=prior_pos_for(f),
                     reloc=reloc,
                     file_format=p_data[f].get("file_format", "PARQUET"),
+                    drops=drops_for(p_data[f].get("_snapshot_id")),
                 )
             )
         # targets of THIS commit's position deletes — needed before the
@@ -667,6 +776,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     prior_pos=new_pos_paths if f in pos_targets else [],
                     reloc=reloc,
                     file_format=c_data[f].get("file_format", "PARQUET"),
+                    drops=drops_for(c_data[f].get("_snapshot_id")),
                 )
             )
         dv_changed: set[str] = set()
@@ -691,9 +801,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                     new_dv=new_ref,
                     prior_dv=prior_ref,
                     prior_eq=prior_eq_for(c_data[f]),
-                    prior_pos=prior_pos_paths,
+                    prior_pos=prior_pos_for(f),
                     reloc=reloc,
                     file_format=c_data[f].get("file_format", "PARQUET"),
+                    drops=drops_for(c_data[f].get("_snapshot_id")),
                 )
             )
         pos_changed: set[str] = set()
@@ -728,11 +839,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                         prior_dv=_dv_ref(p_dv.get(f)),
                         prior_eq=prior_eq_for(c_data[f]),
                         new_pos=new_pos_paths,
-                        prior_pos=prior_pos_paths,
+                        prior_pos=prior_pos_for(f),
                         reloc=reloc,
                         file_format=c_data[f].get(
                             "file_format", "PARQUET"
                         ),
+                        drops=drops_for(c_data[f].get("_snapshot_id")),
                     )
                 )
         if new_eq:
@@ -770,11 +882,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                         prior_dv=_dv_ref(p_dv.get(f)),
                         new_eq=refs,
                         prior_eq=prior_eq_for(c_data[f]),
-                        prior_pos=prior_pos_paths,
+                        prior_pos=prior_pos_for(f),
                         reloc=reloc,
                         file_format=c_data[f].get(
                             "file_format", "PARQUET"
                         ),
+                        drops=drops_for(c_data[f].get("_snapshot_id")),
                     )
                 )
         return parts
@@ -789,6 +902,16 @@ class IcebergStreamReader(DataSourceStreamReader):
         tbl = _read_stream_data_table(
             partition.path, getattr(partition, "file_format", "PARQUET")
         )
+        stale = [
+            c
+            for c in getattr(partition, "drops", [])
+            if c in tbl.column_names
+        ]
+        if stale:
+            # columns DROPPED from the current schema: remove them
+            # before projection — a re-added name would otherwise serve
+            # the dead column's stale values under the new field id
+            tbl = tbl.drop_columns(stale)
         if (
             partition.kind != "insert"
             or partition.prior_dv is not None
@@ -867,7 +990,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                         ptbl.column("pos").to_pylist(),
                     ):
                         fp = _strip_scheme(str(fp))
-                        if orig and fp.startswith(orig):
+                        # boundary-checked like metadata._relocate:
+                        # '/old/tbl' must not rewrite '/old/tbl_backup'
+                        if orig and (
+                            fp == orig
+                            or fp.startswith(orig.rstrip("/") + "/")
+                        ):
                             fp = actual + fp[len(orig):]
                         if fp == partition.path:
                             dead.add(int(po))

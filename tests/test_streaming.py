@@ -1178,6 +1178,7 @@ def test_epoch_sinks_tolerate_summaryless_snapshot(spark, tmp_path):
     Iceberg v1 metadata — possible on a loaded foreign table) must not
     kill the stream: both epoch sinks' idempotence checks read it
     defensively instead of raising KeyError."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.writer import IcebergWriter
     from daskberg_spark.streaming.events import (
