@@ -67,6 +67,12 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
             # VariantType (parquet stores the spec's metadata/value
             # binary pair; query with variant_get / to_json)
             "variant": T.VariantType(),
+            # v3 `geometry`/`geography`: WKB byte passthrough — Spark
+            # has no geo type, so the column surfaces as binary (the
+            # stored representation per the spec); decode with a geo
+            # UDF downstream
+            "geometry": T.BinaryType(),
+            "geography": T.BinaryType(),
         }[type_str]
     except KeyError:
         if type_str in ("timestamp_ns", "timestamptz_ns"):
@@ -193,6 +199,8 @@ def iceberg_to_arrow_type(t: Any) -> Any:
                 "uuid": pa.string(),
                 "binary": pa.binary(),
                 "unknown": pa.null(),  # v3: always-null column
+                "geometry": pa.binary(),  # v3: WKB passthrough
+                "geography": pa.binary(),
             }[t]
         except KeyError:
             raise NotImplementedError(f"iceberg type {t!r}") from None

@@ -188,6 +188,9 @@ _PA_TYPES = {
     "timestamptz": pa.timestamp("us", tz="UTC"),
     "date": pa.date32(),
     "unknown": pa.null(),  # v3: always-null column (never stored typed)
+    "binary": pa.binary(),
+    "geometry": pa.binary(),  # v3: WKB passthrough
+    "geography": pa.binary(),
 }
 
 
