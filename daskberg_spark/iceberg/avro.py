@@ -427,13 +427,42 @@ def _encode(schema: Any, value: Any, out: bytearray, names: dict[str, Any]) -> N
         raise NotImplementedError(f"avro type {schema!r}")
 
 
+_UNION_TYPE_MATCH = {
+    bool: ("boolean",),
+    int: ("int", "long"),
+    float: ("float", "double"),
+    str: ("string", "enum"),
+    bytes: ("bytes", "fixed"),
+    bytearray: ("bytes", "fixed"),
+    dict: ("record", "map"),
+    list: ("array",),
+}
+
+
 def _union_branch(schemas: list[Any], value: Any, names: dict[str, Any]) -> int:
-    for i, s in enumerate(schemas):
+    """Pick the union branch MATCHING the value's type — first-non-null
+    would mis-encode (or corrupt) any union with several non-null
+    branches (e.g. ["null","int","double"] with 1.5 written through the
+    int branch).  Falls back to the first non-null branch only when no
+    type matches (logical-type wrappers)."""
+    branch_types = []
+    for s in schemas:
         s = _skip_to_named(s, names)
-        t = s["type"] if isinstance(s, dict) else s
-        if value is None and t == "null":
-            return i
-        if value is not None and t != "null":
+        branch_types.append(s["type"] if isinstance(s, dict) else s)
+    if value is None:
+        for i, t in enumerate(branch_types):
+            if t == "null":
+                return i
+        raise ValueError(f"no null branch in {schemas!r}")
+    # bool before int: bool is an int subclass in Python
+    for py, avro_types in _UNION_TYPE_MATCH.items():
+        if type(value) is py or (py is not bool and isinstance(value, py)):
+            for i, t in enumerate(branch_types):
+                if t in avro_types:
+                    return i
+            break
+    for i, t in enumerate(branch_types):
+        if t != "null":
             return i
     raise ValueError(f"no union branch for {value!r} in {schemas!r}")
 

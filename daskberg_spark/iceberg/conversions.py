@@ -26,6 +26,22 @@ from pyspark.sql import types as T
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_DT = datetime.datetime(1970, 1, 1)
 
+
+def datetime_to_micros(value: "datetime.datetime") -> int:
+    """Epoch microseconds via INTEGER arithmetic — the ONE conversion
+    shared by bound encoding and the bucket/hour transforms.
+    float ``total_seconds()*1e6`` is off by ≥1 µs beyond ~year 2112
+    (incl. the common 9999-12-31 sentinel), which flips bucket numbers
+    and hour boundaries."""
+    if value.tzinfo is not None:
+        value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    delta = value - _EPOCH_DT
+    return (
+        delta.days * 86_400_000_000
+        + delta.seconds * 1_000_000
+        + delta.microseconds
+    )
+
 _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
 _FIXED_RE = re.compile(r"fixed\[\s*(\d+)\s*\]")
 
@@ -292,7 +308,17 @@ def decode_bound(value: bytes | None, type_str: str) -> Any:
     if type_str in ("timestamp", "timestamptz", "timestampz"):
         micros = int.from_bytes(value, "little", signed=True)
         return _EPOCH_DT + datetime.timedelta(microseconds=micros)
-    if type_str in ("string", "uuid"):
+    if type_str == "uuid":
+        import uuid as _uuid
+
+        if len(value) == 16:
+            # spec single-value serialization: 16-byte big-endian
+            return str(_uuid.UUID(bytes=value))
+        try:
+            return str(_uuid.UUID(value.decode("utf-8")))
+        except (ValueError, UnicodeDecodeError):
+            return value.decode("utf-8", errors="replace")
+    if type_str == "string":
         return value.decode("utf-8", errors="replace")
     return value  # binary / fixed: raw
 
@@ -339,7 +365,7 @@ def encode_bound(value: Any, type_str: str) -> bytes | None:
         return int(value).to_bytes(8, "little", signed=True)
     if type_str in ("timestamp", "timestamptz", "timestampz"):
         if isinstance(value, datetime.datetime):
-            value = round((value - _EPOCH_DT).total_seconds() * 1_000_000)
+            value = datetime_to_micros(value)
         return int(value).to_bytes(8, "little", signed=True)
     if type_str in ("string", "uuid"):
         return str(value).encode("utf-8")
@@ -363,4 +389,14 @@ def partition_value_to_python(value: Any, type_str: str) -> Any:
     m = _DECIMAL_RE.fullmatch(type_str)
     if m and isinstance(value, bytes):
         return decode_bound(value, type_str)
+    if type_str == "uuid":
+        import uuid as _uuid
+
+        if isinstance(value, bytes) and len(value) == 16:
+            return str(_uuid.UUID(bytes=value))  # avro fixed[16]
+        if isinstance(value, str):
+            try:
+                return str(_uuid.UUID(value))  # canonical lowercase
+            except ValueError:
+                return value
     return value

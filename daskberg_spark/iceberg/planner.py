@@ -47,6 +47,10 @@ class FieldInfo:
     partition_name: str | None = None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def transform_result_type(transform: str, source_type: str) -> str:
     """Iceberg type of a transform's output (for decoding summary bounds)."""
     if transform == "identity":
@@ -72,15 +76,27 @@ def normalize_value(value: Any, type_str: str) -> Any:
     if type_str in _TEMPORAL and isinstance(value, str):
         if type_str == "date":
             return datetime.date.fromisoformat(value)
-        return datetime.datetime.fromisoformat(value)
+        value = datetime.datetime.fromisoformat(value)
     if type_str == "date" and isinstance(value, datetime.datetime):
         return value.date()
+    if isinstance(value, datetime.datetime) and value.tzinfo is not None:
+        # partition values and decoded bounds are NAIVE UTC; an aware
+        # predicate value compares unequal (or raises) against them —
+        # normalize to naive UTC so tz-suffixed timestamptz filters
+        # prune correctly instead of silently dropping matching files
+        value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if type_str.startswith("decimal") and isinstance(value, (int, float, str)):
         return Decimal(str(value))
-    if type_str == "uuid" and isinstance(value, str):
+    if type_str == "uuid":
         import uuid as _uuid
 
-        return _uuid.UUID(value)
+        if isinstance(value, _uuid.UUID):
+            return str(value)
+        if isinstance(value, str):
+            # canonical lowercase STRING on both sides: partition values
+            # and bounds canonicalize the same way (16-byte fixed or
+            # text), so uuid filters compare exactly
+            return str(_uuid.UUID(value))
     return value
 
 
@@ -119,9 +135,19 @@ def range_may_match(op: str, value: Any, lo: Any, hi: Any) -> bool:
     ``!=`` rule keeps the range unless it is pinned to exactly ``value``
     (``ice.py:337-338`` semantics).
     """
+    if isinstance(value, float) and value != value:
+        # NaN predicate: bounds EXCLUDE NaN per spec, so no bound
+        # comparison can disprove a match (Spark's NaN = NaN is true)
+        return True
     if op in ("==", "="):
         return (lo is None or _le(lo, value)) and (hi is None or _le(value, hi))
     if op == "!=":
+        if isinstance(lo, float) or isinstance(hi, float):
+            # a float column may hold NaN rows OUTSIDE its bounds (the
+            # spec excludes NaN from min/max) and NaN != v is true —
+            # never prune notEq on floats (Java's
+            # InclusiveMetricsEvaluator does the same)
+            return True
         return not (lo is not None and hi is not None and _eq(lo, hi) and _eq(lo, value))
     if op == "<":
         return lo is None or _lt(lo, value)
@@ -188,16 +214,27 @@ def _file_passes_conjunction(
     fields: dict[str, FieldInfo],
     spec_by_source: dict[int, dict[str, Any]] | None = None,
 ) -> bool:
+    resolved = []
     for pred in conj:
         _validate(pred)
         col, op, raw_value = pred
         info = fields.get(col)
         if info is None:
-            continue  # unknown column: cannot prune on it
-        value = normalize_value(raw_value, info.type)
+            continue
         if op == "in":
-            value = [normalize_value(v, info.type) for v in raw_value]
+            value: Any = [normalize_value(v, info.type) for v in raw_value]
+        else:
+            value = normalize_value(raw_value, info.type)
+        resolved.append((op, info, value))
+    return _file_passes_resolved(data_file, resolved, spec_by_source)
 
+
+def _file_passes_resolved(
+    data_file: dict[str, Any],
+    resolved: list[tuple[str, FieldInfo, Any]],
+    spec_by_source: dict[int, dict[str, Any]] | None = None,
+) -> bool:
+    for op, info, value in resolved:
         # (a) partition-value check through the transform (ice.py:296-318).
         # The transform is resolved from THIS file's partition spec when
         # given (``spec_by_source``): on a spec-evolved table an older spec
@@ -267,6 +304,27 @@ def apply_filters(
     if not filters:
         return files
     conjunctions = filters if is_dnf(filters) else [filters]
+    # hoist the per-predicate invariants (validation, value parsing)
+    # out of the file loop: on a 100k-file table a 3-predicate filter
+    # would otherwise re-parse the same constants 300k times during
+    # metadata planning
+    resolved_conjunctions = []
+    for conj in conjunctions:
+        resolved = []
+        for pred in conj:
+            _validate(pred)
+            col, op, raw_value = pred
+            info = fields.get(col)
+            if info is None:
+                continue  # unknown column: cannot prune on it
+            if op == "in":
+                value: Any = [
+                    normalize_value(v, info.type) for v in raw_value
+                ]
+            else:
+                value = normalize_value(raw_value, info.type)
+            resolved.append((op, info, value))
+        resolved_conjunctions.append(resolved)
     spec_cache: dict[int, dict[int, dict[str, Any]]] = {}
 
     def spec_map(f: dict[str, Any]) -> dict[int, dict[str, Any]] | None:
@@ -280,11 +338,11 @@ def apply_filters(
         return spec_cache[sid]
 
     out: dict[str, dict[str, Any]] = {}
-    for conj in conjunctions:
+    for resolved in resolved_conjunctions:
         for data_file in files:
             path = data_file["file_path"]
-            if path not in out and _file_passes_conjunction(
-                data_file, conj, fields, spec_map(data_file)
+            if path not in out and _file_passes_resolved(
+                data_file, resolved, spec_map(data_file)
             ):
                 out[path] = data_file
     return [f for f in files if f["file_path"] in out]

@@ -254,12 +254,92 @@ def read_puffin_footer(path: str) -> dict[str, Any]:
         f.seek(size - 12 - payload_size)
         payload = f.read(payload_size)
         if flags & 1:
-            payload = zlib.decompress(payload)
+            # Puffin spec: the footer-compressed flag means LZ4 (Java's
+            # PuffinFormat.FOOTER_COMPRESSION_CODEC) — zlib was wishful
+            # and could never decode a foreign file
+            payload = _lz4_frame_decompress(payload)
         f.seek(size - 12 - payload_size - 4)
         # payload is preceded by the footer's leading Magic
         if f.read(4) != MAGIC:
             raise ValueError("not a puffin file (footer magic)")
         return json.loads(payload)
+
+
+
+def _lz4_block_decompress(src: bytes, dst_hint: int = 0) -> bytes:
+    """Pure-Python LZ4 BLOCK decompression (the format's sequences of
+    token / literals / little-endian match offset, with overlapping
+    copies) — no lz4 library in this environment."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += src[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence has no match
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block (zero offset)")
+        match_len = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block (offset past start)")
+        for _ in range(match_len):  # byte-wise: copies may overlap
+            out.append(out[start])
+            start += 1
+    return bytes(out)
+
+
+def _lz4_frame_decompress(data: bytes) -> bytes:
+    """Pure-Python LZ4 FRAME decompression — enough of the frame spec
+    (magic, FLG/BD descriptor, optional content size/dict id, size-
+    prefixed blocks, optional checksums skipped) to read Puffin footers
+    compressed by Java Iceberg (the spec's footer codec is LZ4, not
+    zlib)."""
+    if data[:4] != b"\x04\x22\x4d\x18":
+        raise ValueError("not an LZ4 frame")
+    i = 4
+    flg = data[i]
+    i += 1
+    i += 1  # BD byte
+    if flg & 0x08:  # content size present
+        i += 8
+    if flg & 0x01:  # dict id present
+        i += 4
+    i += 1  # header checksum (HC)
+    block_checksums = bool(flg & 0x10)
+    out = bytearray()
+    while True:
+        (bsize,) = struct.unpack("<I", data[i : i + 4])
+        i += 4
+        if bsize == 0:
+            break  # EndMark
+        uncompressed = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = data[i : i + bsize]
+        i += bsize
+        if block_checksums:
+            i += 4
+        out += block if uncompressed else _lz4_block_decompress(block)
+    return bytes(out)
 
 
 def read_blob(path: str, meta: dict[str, Any]) -> bytes:

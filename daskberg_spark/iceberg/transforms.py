@@ -101,7 +101,12 @@ def _bucket_hash_bytes(value: Any) -> bytes:
     if isinstance(value, _uuid.UUID):
         return value.bytes
     if isinstance(value, datetime.datetime):
-        micros = round((_naive_utc(value) - _EPOCH_DT).total_seconds() * 1_000_000)
+        from daskberg_spark.iceberg.conversions import datetime_to_micros
+
+        # integer-exact: float total_seconds() is off by ≥1 µs beyond
+        # ~year 2112 (incl. the 9999-12-31 sentinel) — a wrong micro
+        # flips the murmur3 bucket and silently prunes matching files
+        micros = datetime_to_micros(_naive_utc(value))
         return micros.to_bytes(8, "little", signed=True)
     if isinstance(value, datetime.date):
         days = (value - _EPOCH_DATE).days
@@ -175,10 +180,18 @@ def day(value: Any) -> int | None:
 def hour(value: Any) -> int | None:
     if value is None:
         return None
+    from daskberg_spark.iceberg.conversions import datetime_to_micros
+
     dt = _to_datetime(value)
-    return int((dt - _EPOCH_DT).total_seconds() // 3600)
+    # integer floor-division: the float path rounds across hour
+    # boundaries in far-out years
+    return datetime_to_micros(dt) // 3_600_000_000
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def get_transform(name: str) -> tuple[Callable[[Any], Any], bool]:
     """transform spec string → (fn, order_preserving).
 

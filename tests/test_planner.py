@@ -227,3 +227,127 @@ def test_spec_evolution_per_file_transform():
     old2["_spec_id"] = 0
     kept2 = apply_filters([old2], [("sym", "==", probe)], FIELDS, lambda sid: specs[sid])
     assert kept2  # correct transform keeps it
+
+
+def test_tz_aware_timestamp_filter_prunes_correctly():
+    """Review r9 (planner): a tz-suffixed timestamptz predicate value
+    must normalize to naive UTC before comparing against naive
+    partition/bound values — aware == naive is False, silently pruning
+    matching files."""
+    import datetime as dt
+
+    from daskberg_spark.iceberg.planner import normalize_value
+
+    v = normalize_value("2024-06-01T02:00:00+02:00", "timestamptz")
+    assert v.tzinfo is None
+    assert v == dt.datetime(2024, 6, 1, 0, 0, 0)
+
+
+def test_nan_never_prunes_floats():
+    """Review r9 (planner): bounds EXCLUDE NaN per spec, so `!=` on a
+    float range pinned to one value must keep the file (a NaN row
+    outside the bounds satisfies it), and `== NaN` can never be
+    disproven by bounds."""
+    from daskberg_spark.iceberg.planner import range_may_match
+
+    assert range_may_match("!=", 5.0, 5.0, 5.0) is True  # NaN may lurk
+    assert range_may_match("==", float("nan"), 1.0, 2.0) is True
+    # ints keep the exact-pin rule
+    assert range_may_match("!=", 5, 5, 5) is False
+
+
+def test_uuid_values_canonicalize_both_sides():
+    """Review r9 (planner): uuid predicate values and 16-byte fixed
+    partition/bound values canonicalize to the same lowercase string
+    form, so uuid filters compare exactly."""
+    import uuid
+
+    from daskberg_spark.iceberg.conversions import (
+        decode_bound,
+        partition_value_to_python,
+    )
+    from daskberg_spark.iceberg.planner import normalize_value
+
+    u = uuid.UUID("5F8E1010-9C40-4BDA-B6A5-EEF0552A3A20")
+    pred = normalize_value(str(u).upper(), "uuid")
+    assert pred == str(u)  # canonical lowercase
+    assert partition_value_to_python(u.bytes, "uuid") == str(u)
+    assert decode_bound(u.bytes, "uuid") == str(u)
+
+
+def test_far_future_timestamp_transforms_exact():
+    """Review r9 (transforms): float total_seconds() loses ≥1 µs beyond
+    ~year 2112 — bucket and hour must use integer arithmetic (the
+    9999-12-31 sentinel is the common victim)."""
+    import datetime as dt
+
+    from daskberg_spark.iceberg.conversions import datetime_to_micros
+    from daskberg_spark.iceberg.transforms import hour
+
+    sentinel = dt.datetime(9999, 12, 31, 23, 59, 59, 999999)
+    micros = datetime_to_micros(sentinel)
+    assert micros % 10 == 9  # ...799999999, not rounded to ...800000000
+    boundary = dt.datetime(9999, 1, 1) - dt.timedelta(microseconds=1)
+    assert hour(boundary) == (
+        datetime_to_micros(dt.datetime(9999, 1, 1)) // 3_600_000_000 - 1
+    )
+
+
+def test_lz4_frame_decode_vectors():
+    """Review r9 (puffin): the Puffin footer-compression codec is LZ4
+    (not zlib) — pin the pure-Python frame/block decoder on hand-built
+    vectors (literals, overlapping match copy, uncompressed block)."""
+    import struct
+
+    from daskberg_spark.iceberg.puffin import (
+        _lz4_block_decompress,
+        _lz4_frame_decompress,
+    )
+
+    blk = bytes([0x56]) + b"aaaaa" + struct.pack("<H", 1)
+    assert _lz4_block_decompress(blk) == b"a" * 15
+    assert _lz4_block_decompress(bytes([0x30]) + b"xyz") == b"xyz"
+    magic = b"\x04\x22\x4d\x18"
+    frame = (
+        magic
+        + bytes([0x40, 0x40, 0x00])
+        + struct.pack("<I", len(blk))
+        + blk
+        + struct.pack("<I", 0)
+    )
+    assert _lz4_frame_decompress(frame) == b"a" * 15
+    frame2 = (
+        magic
+        + bytes([0x40, 0x40, 0x00])
+        + struct.pack("<I", 0x80000000 | 3)
+        + b"abc"
+        + struct.pack("<I", 0)
+    )
+    assert _lz4_frame_decompress(frame2) == b"abc"
+
+
+def test_avro_union_branch_matches_value_type():
+    """Review r9 (avro): unions with several non-null branches encode
+    through the branch matching the VALUE's type — first-non-null would
+    write 1.5 through an int branch (corrupt bytes)."""
+    import io
+
+    from daskberg_spark.iceberg.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "v", "type": ["null", "long", "double"], "default": None},
+            {"name": "s", "type": ["null", "boolean", "string"], "default": None},
+        ],
+    }
+    recs = [
+        {"v": 7, "s": True},
+        {"v": 1.5, "s": "x"},
+        {"v": None, "s": None},
+    ]
+    buf = io.BytesIO()
+    write_avro(schema, recs, buf)
+    _, back = read_avro(buf.getvalue())
+    assert back == recs
