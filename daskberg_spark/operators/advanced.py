@@ -152,7 +152,7 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select(
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("token")
+            F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("token")
         )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

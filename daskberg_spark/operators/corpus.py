@@ -55,7 +55,7 @@ def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-k is a TakeOrderedAndProject (per-partition top-k
     then a k-row merge on the driver) — no full sort of the vocabulary."""
     docs = table(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim("text")), "\\s+")
+    t = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
     big = (
         docs.select(t.alias("t"))
         .filter(F.size("t") >= 2)
@@ -176,7 +176,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+        F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("term"),
     )
     # tf feeds BOTH the df branch and the scored branch; without a
     # checkpoint Catalyst re-derives it per branch (two corpus scans,
@@ -372,7 +372,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "lang",
             F.explode(
-                F.split(F.lower(F.trim("text")), "\\s+")
+                F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
             ).alias("term"),
         )
         .groupBy("lang", "term")

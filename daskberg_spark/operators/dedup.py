@@ -62,7 +62,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     group.  One hash-partitioned shuffle; survivors never leave the
     executors."""
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return (
         docs.select(F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"), "doc_id")
         .groupBy("norm_hash")
@@ -160,7 +160,7 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
     with_toks = docs.select(
         "doc_id",
         *extra,
-        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\f\\r]+").alias("toks"),
     )
     tc = F.col("toks")
     m = F.greatest(F.size(tc) - SHINGLE_K + 1, F.lit(1))
@@ -247,21 +247,12 @@ def _verified_pairs_oracle(tau: float) -> str:
     """
 
 
-@query("dedup_minhash_candidates", _verified_pairs_oracle(JACCARD_TAU))
-def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: MinHash+LSH near-dup pairs, exact-verified.
-
-    sig → N_BANDS band hashes → explode → self-join on (band, hash) →
-    distinct (a<b) candidate pairs → exact-Jaccard verify ≥ JACCARD_TAU.
-    The self-join shuffles on the band hash, so candidate generation
-    scales with bucket sizes, not n² — the standard web-scale fuzzy dedup
-    layout — and the verify stage scales with the candidate count.  The
-    oracle is the exact all-pairs answer; see JACCARD_TAU for why the
-    two agree deterministically."""
-    docs = table(spark, sf_dir, "documents")
-    # ONE shingle pass for the whole query: the checkpointed index feeds
-    # the MinHash signatures AND the exact-Jaccard verify stage.
-    sh = shingle_arrays(docs).localCheckpoint()
+def minhash_band_pairs(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a (checkpointed) shingle DataFrame: the
+    ONE banding stage (signatures → N_BANDS md5 band hashes → bucket
+    self-join with a<b) shared by ``dedup_minhash_candidates`` and the
+    10× stress harness — a second copy would silently measure stale
+    banding if the scheme ever changed."""
     sigs = minhash_signatures_from_shingles(sh)
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
@@ -287,7 +278,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -299,6 +290,24 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query("dedup_minhash_candidates", _verified_pairs_oracle(JACCARD_TAU))
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MinHash+LSH near-dup pairs, exact-verified.
+
+    sig → N_BANDS band hashes → explode → self-join on (band, hash) →
+    distinct (a<b) candidate pairs → exact-Jaccard verify ≥ JACCARD_TAU.
+    The self-join shuffles on the band hash, so candidate generation
+    scales with bucket sizes, not n² — the standard web-scale fuzzy dedup
+    layout — and the verify stage scales with the candidate count.  The
+    oracle is the exact all-pairs answer; see JACCARD_TAU for why the
+    two agree deterministically."""
+    docs = table(spark, sf_dir, "documents")
+    # ONE shingle pass for the whole query: the checkpointed index feeds
+    # the MinHash signatures AND the exact-Jaccard verify stage.
+    sh = shingle_arrays(docs).localCheckpoint()
+    pairs = minhash_band_pairs(sh)
     return verify_pairs_jaccard(pairs, sh, checkpointed=True)
 
 
@@ -410,7 +419,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     simhash = F.pandas_udf(_simhash, "long")
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\f\\r]+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     fp = docs.select("doc_id", simhash(hashes).alias("fp"))
     # SIMHASH_CHUNKS blocks of ~64/SIMHASH_CHUNKS bits each; a pair within
@@ -653,7 +662,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     w = Window.partitionBy(
         F.md5(F.encode(norm, "UTF-8"))
     ).orderBy(F.col("n_chars").desc(), "doc_id")

@@ -69,7 +69,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         "doc_id",
-        F.size(F.split(F.lower(F.trim("text")), "\\s+"))
+        F.size(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+"))
         .cast("long")
         .alias("n_tok"),
     )
@@ -182,7 +182,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: narrow map (tokenize + two array ops per row, no explode) +
     a languages-sized hash agg — one shuffle of O(langs) partial rows."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    toks = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
     rep = (
         F.lit(1.0)
         - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)

@@ -295,7 +295,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate / array_distinct / array_sort — all JVM-side lambdas inside
     whole-stage codegen (zero Python), mirrored by DuckDB list lambdas."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    toks = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
     return docs.select(
         "doc_id",
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),

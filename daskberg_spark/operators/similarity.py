@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from daskberg_spark.operators.registry import DEC, query, table
+from daskberg_spark.operators.registry import DEC, davg, dsum, query, table
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -198,21 +198,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_dot_product`` calls; both engines fold the products
     sequentially in double, so every sign bit agrees."""
     emb = table(spark, sf_dir, "embeddings")
-    dim = 64
-    planes = _hyperplanes(dim, N_PLANES)
-    sig = None
-    v = F.col("embedding")
-    for i, plane in enumerate(planes):
-        parr = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, parr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    planes = _hyperplanes(_DIM, N_PLANES)
+    sig = _signature_col(F.col("embedding"), planes)
     return (
-        emb.select(sig.cast("long").alias("bucket"))
+        emb.select(sig.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -300,22 +289,13 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is the measurement harness: it quantifies the
     recall/candidate-count trade-off for any (tables, bits) setting."""
     emb = table(spark, sf_dir, "embeddings")
-    dim = 64
-    planes = _hyperplanes(dim, N_TABLES * BITS_PER_TABLE)
+    planes = _hyperplanes(_DIM, N_TABLES * BITS_PER_TABLE)
     v = F.col("embedding")
 
     def table_sig(t: int):
-        sig = None
-        for i in range(BITS_PER_TABLE):
-            plane = planes[t * BITS_PER_TABLE + i]
-            parr = F.array(*[F.lit(x) for x in plane])
-            d = F.aggregate(
-                F.zip_with(v, parr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            sig = bit if sig is None else sig + bit
+        sig = _signature_col(
+            v, planes[t * BITS_PER_TABLE : (t + 1) * BITS_PER_TABLE]
+        )
         # disjoint bucket spaces per table: prefix with the table id
         return (sig + F.lit(t << BITS_PER_TABLE)).cast("long")
 
@@ -442,7 +422,14 @@ def ivf_centroids(
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            # decimal-exact mean (registry convention): a plain double
+            # F.avg merges partials in shuffle-fetch order, so two runs
+            # could differ in the last ulp and flip a boundary vector's
+            # cell — breaking this function's determinism contract
+            .agg(
+                (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x"))
+                .alias("m")
+            )
             .collect()
         )
         by_cell: dict[int, list[float]] = {}
@@ -612,7 +599,7 @@ def clustered_embeddings(emb: DataFrame) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     by_dim = emb.select("label", F.posexplode(v).alias("pos", "x"))
     means = by_dim.groupBy("label", "pos").agg(
-        (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x")).alias("m")
+        davg(F.col("x").cast("double"), "m")
     )
     marr = (
         means.groupBy("label")
@@ -754,8 +741,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
     m = x.groupBy("dim").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(F.col("v").cast(DEC)).cast("double").alias("sx"),
-        F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("sxx"),
+        dsum("v", "sx"),
+        dsum(F.col("v") * F.col("v"), "sxx"),
     )
     return m.select(
         F.col("dim").cast("int").alias("dim"),
@@ -812,7 +799,12 @@ def semantic_dedup(emb: DataFrame, cluster, tau: float = SEMDEDUP_TAU) -> DataFr
     centroids at larger corpora), never the all-pairs O(n²).  A pair
     straddling two clusters is not considered — the recall/cost knob
     every production semantic dedup exposes."""
-    assigned = emb.withColumn("cluster", cluster)
+    # materialize the assignment ONCE: the cluster expression (an
+    # N_CELLS × dim distance fold for the kmeans variant) feeds BOTH
+    # self-join sides and the final keep-join, which shuffle on
+    # different keys — without the checkpoint the full per-row fold
+    # recomputes per consumer (a redundant corpus pass at scale)
+    assigned = emb.withColumn("cluster", cluster).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         _norm(F.col("a.v")) * _norm(F.col("b.v"))

@@ -662,7 +662,7 @@ def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\f\\r]+")).alias("term")
     )
     salted = [
         F.struct(

@@ -36,7 +36,7 @@ def _tokens(col):
     """Whitespace tokens of trimmed text (empty text → empty array)."""
     return F.when(
         F.length(F.trim(col)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(col), "\\s+"))
+    ).otherwise(F.split(F.trim(col), "[ \\t\\n\\f\\r]+"))
 
 
 _SQL_TOKENS = (
@@ -182,7 +182,7 @@ def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/C1: canonical document fingerprint — md5 of whitespace-normalized
     lowercased text; engine-portable (identical string in DuckDB)."""
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
 
 
@@ -229,7 +229,7 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = F.pandas_udf(_roll, "long")
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return docs.select("doc_id", roll(norm).alias("fp"))
 
 
@@ -357,7 +357,7 @@ def bpe_train(
     docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
-            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+            F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -480,7 +480,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = F.pandas_udf(_roll, "long")
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "\\s+", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return (
         docs.withColumn("fp", roll(norm))
         .filter(F.col("fp") % SAMPLE_MOD == 0)

@@ -640,3 +640,81 @@ def test_semdedup_prune_drops_and_keeps_representative(spark):
             if x["vec_id"] < r["vec_id"]
         ]
         assert earlier_kept, r  # greedy rule: someone earlier shares the cluster
+
+
+def test_whitespace_class_matches_duckdb_re2(spark):
+    """Review r9 (operators): Java regex \\s includes U+000B (vertical
+    tab); DuckDB's RE2 \\s does not.  Every Spark-side tokenization/
+    normalization paired with a DuckDB oracle uses the explicit class
+    [ \\t\\n\\f\\r]+ so both engines split ANY input identically."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    text = "hello\x0bworld and\tmore"
+    df = spark.createDataFrame([(text,)], "text string")
+    spark_toks = df.select(
+        F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+").alias("t")
+    ).collect()[0]["t"]
+    duck_toks = duckdb.connect().execute(
+        "SELECT string_split_regex(lower(trim(?)), '\\s+')", [text]
+    ).fetchone()[0]
+    assert spark_toks == duck_toks == ["hello\x0bworld", "and", "more"]
+    # and no production operator still uses bare \s+ on the Spark side
+    import glob
+
+    offenders = []
+    for f in glob.glob("daskberg_spark/operators/*.py") + glob.glob(
+        "daskberg_spark/streaming/*.py"
+    ):
+        for i, line in enumerate(open(f), 1):
+            if '"\\\\s+"' in line:
+                offenders.append(f"{f}:{i}")
+    assert offenders == [], offenders
+
+
+def test_dedup_fixture_jaccard_gap_invariant():
+    """Review r9 (dedup): the minhash/simhash oracles enumerate ALL
+    pairs with J >= JACCARD_TAU, but 8x4 banding only catches a J=0.5
+    pair with ~54% probability — the oracle equality silently depends
+    on the fixture having NO pairs in the recall gap.  Enforce that
+    invariant: every pair either sits below 0.25 (never a candidate
+    question) or at/above 0.85 — the fixture's intended near-dups live
+    at J 0.9–0.98, where 8x4 banding catches with p > 0.997 and the
+    per-round oracle equality itself verifies the FIXED hash family
+    catches every one."""
+    import re
+
+    import duckdb
+
+    from daskberg_spark.operators.dedup import JACCARD_TAU
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, lower(trim(text)) FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    shingles = {}
+    for doc_id, text in rows:
+        toks = re.split(r"[ \t\n\f\r]+", text)
+        ss = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+        shingles[doc_id] = ss
+    ids = sorted(shingles)
+    gap = []
+    for i, a in enumerate(ids):
+        sa = shingles[a]
+        for b in ids[i + 1 :]:
+            sb = shingles[b]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / len(sa | sb)
+            if 0.25 <= j < 0.85:
+                gap.append((a, b, round(j, 3)))
+    assert gap == [], (
+        f"fixture pairs inside the LSH recall gap {gap[:10]} — the "
+        f"minhash/simhash oracles (threshold {JACCARD_TAU}) are only "
+        "exact when no pair lands between certain-miss and certain-hit"
+    )

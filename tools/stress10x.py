@@ -207,47 +207,15 @@ def main() -> None:
         return out
 
     def lsh_candidates(frame):
-        sh = shingle_arrays(frame).localCheckpoint()
-        sigs = minhash_signatures_from_shingles(sh)
-        rows_per_band = N_HASHES // N_BANDS
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at(
-                                            "sig", i * rows_per_band + j + 1
-                                        )
-                                        for j in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("bh"),
-                        )
-                        for i in range(N_BANDS)
-                    ]
-                )
-            ).alias("b"),
-        ).select("doc_id", "b.band", "b.bh")
-        a, b = bands.alias("a"), bands.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        # the production banding stage itself (dedup.minhash_band_pairs)
+        # — a stress-local copy would silently measure stale logic
+        from daskberg_spark.operators.dedup import (
+            minhash_band_pairs,
+            shingle_arrays,
         )
+
+        sh = shingle_arrays(frame).localCheckpoint()
+        return minhash_band_pairs(sh)
 
     for label, frame in (("1x", docs), ("10x", docs_distinct_10x())):
         best = float("inf")
