@@ -35,6 +35,7 @@ def _load_registry():
         "daskberg_spark.operators.sketches",
         "daskberg_spark.operators.curation",
         "daskberg_spark.operators.packing",
+        "daskberg_spark.operators.spandedup",
         "daskberg_spark.operators.multimodal",
         "daskberg_spark.operators.iceberg_queries",
         "daskberg_spark.streaming.events",
@@ -332,16 +333,24 @@ _PRIORITY = [
     "streaming_distinct_hll",
     "streaming_cdc_source",
     # Tier B representatives + scale patterns (+ never-seen entries)
-    "array_functions",
-    "distinct_kmv_estimate",
+    # r9 fourth swap: array_functions / distinct_kmv_estimate /
+    # zorder_cluster_stats / events_value_histogram (all r8-green;
+    # sketches stay covered by streaming_distinct_hll, events by the
+    # two never-seen entries below) step out for the NEW cross-document
+    # span-dedup pair and the last two never-driver-seen oracle-backed
+    # entries (training_shards, iceberg_sql_metadata_tables) — after
+    # this window, every oracle-backed registry entry has had a driver
+    # row except the documented rows-only ones (IVF recall pair, BPE)
+    "span_dedup_stats",
+    "span_dedup_trim",
+    "training_shards",
+    "iceberg_sql_metadata_tables",
     # r9 third swap: sample_deterministic (r8-green; its deterministic
     # twin sampled_agg_deterministic is in-window) steps out for the
     # NEW v3 variant-type read
     "iceberg_variant_read",
     "sampled_agg_deterministic",
     "resample_gapfill",
-    "zorder_cluster_stats",
-    "events_value_histogram",
     "events_corr_matrix",
     "events_user_value_buckets",
 ]

@@ -177,6 +177,13 @@ AUDIT = {
     # round 8b: position_deletes metadata table — delete-sized scan of
     # the delete parquet only, zero exchanges, never a data-file read
     "iceberg_position_deletes": (0, False, False, None),
+    # round 9: cross-document span dedup — gram hash-agg + semi-join
+    # back + per-document island windows; 2-col ReadSchema.  The trim
+    # variant checkpoints the tiny merged-span frame, so its final plan
+    # is two narrow corpus scans + the position anti-join + the ordered
+    # listagg reassembly (per-group state bounded by document length).
+    "span_dedup_stats": (3, False, True, 2),
+    "span_dedup_trim": (3, False, True, 2),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
