@@ -88,6 +88,9 @@ HEADLINE = [
     # AVRO legs in one plan) and the deterministic training-shard split
     "iceberg_multiformat_read",
     "training_shards",
+    # round 9 (late): cross-document span dedup — gram index + island
+    # merge + position anti-join + ordered-listagg reassembly
+    "span_dedup_trim",
 ]
 
 

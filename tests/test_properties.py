@@ -554,3 +554,123 @@ def test_avro_data_file_roundtrip_property(tmp_path_factory, rows):
             )  # already µs precision from hypothesis datetimes
         assert got["ts"] == want_ts
         assert got["dt"] == want["dt"]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pruning fast path: differential equivalence with the scalar
+# path.  apply_filters switches to numpy masks above _VECTOR_MIN_FILES;
+# both paths must return the SAME survivor list for every input — bounds
+# may be missing, odd-width (pre-promotion relics), NaN (foreign writers),
+# and predicate values may be mixed-typed.
+
+_VFIELDS = {
+    "l": FieldInfo(field_id=1, type="long"),
+    "d": FieldInfo(field_id=2, type="double"),
+    "dt": FieldInfo(field_id=3, type="date"),
+    "ts": FieldInfo(field_id=4, type="timestamp"),
+}
+
+_raw_bound_st = {
+    # None | spec-width encode | odd-width relic bytes
+    "l": st.none()
+    | st.integers(-(2**40), 2**40).map(lambda v: encode_bound(v, "long"))
+    | st.integers(-(2**20), 2**20).map(lambda v: encode_bound(v, "int")),
+    "d": st.none()
+    | st.floats(allow_nan=True, allow_infinity=True, width=32).map(
+        lambda v: encode_bound(float(v), "double")
+    )
+    | st.floats(allow_nan=False, width=32).map(
+        lambda v: encode_bound(float(v), "float")  # 4-byte pre-promotion
+    ),
+    "dt": st.none()
+    | st.dates(datetime.date(1990, 1, 1), datetime.date(2050, 1, 1)).map(
+        lambda v: encode_bound(v, "date")
+    ),
+    "ts": st.none()
+    | st.datetimes(
+        datetime.datetime(1990, 1, 1), datetime.datetime(2050, 1, 1)
+    ).map(lambda v: encode_bound(v, "timestamp")),
+}
+
+_vfile_st = st.fixed_dictionaries(
+    {
+        k: st.tuples(_raw_bound_st[k], _raw_bound_st[k])
+        for k in ("l", "d", "dt", "ts")
+    }
+)
+
+_value_st = {
+    "l": st.integers(-(2**40), 2**40) | st.floats(allow_nan=True),
+    "d": st.floats(allow_nan=True, allow_infinity=True)
+    | st.integers(-(2**60), 2**60),
+    "dt": st.dates(datetime.date(1990, 1, 1), datetime.date(2050, 1, 1)),
+    "ts": st.datetimes(
+        datetime.datetime(1990, 1, 1), datetime.datetime(2050, 1, 1)
+    ),
+}
+
+_pred_st = st.sampled_from(["l", "d", "dt", "ts"]).flatmap(
+    lambda col: st.tuples(
+        st.just(col),
+        st.sampled_from(["==", "<", "<=", ">", ">=", "!=", "in"]),
+        _value_st[col] | st.lists(_value_st[col], max_size=3),
+    )
+)
+
+
+def _vfiles(bounds_rows):
+    files = []
+    for i, row in enumerate(bounds_rows):
+        lob, hib = [], []
+        for col, (lo, hi) in row.items():
+            fid = _VFIELDS[col].field_id
+            if lo is not None:
+                lob.append({"key": fid, "value": lo})
+            if hi is not None:
+                hib.append({"key": fid, "value": hi})
+        files.append(
+            {
+                "file_path": f"f{i}",
+                "partition": {},
+                "lower_bounds": lob,
+                "upper_bounds": hib,
+            }
+        )
+    return files
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(_vfile_st, min_size=70, max_size=90),
+    st.lists(st.lists(_pred_st, min_size=1, max_size=3), min_size=1, max_size=2),
+)
+def test_vector_pruning_matches_scalar(bounds_rows, dnf):
+    import daskberg_spark.iceberg.planner as planner_mod
+
+    # 'in' needs (possibly empty) list values; others need scalars
+    filters = []
+    for conj in dnf:
+        preds = []
+        for col, op, val in conj:
+            if op == "in":
+                if isinstance(val, list):
+                    preds.append((col, op, val))
+            elif isinstance(val, list):
+                if val:
+                    preds.append((col, op, val[0]))
+            else:
+                preds.append((col, op, val))
+        if preds:
+            filters.append(preds)
+    if not filters:
+        return
+    files = _vfiles(bounds_rows)
+    assert len(files) >= planner_mod._VECTOR_MIN_FILES
+    fast = apply_filters(files, filters, _VFIELDS)
+    saved = planner_mod._VECTOR_MIN_FILES
+    planner_mod._VECTOR_MIN_FILES = 10**9
+    try:
+        slow = apply_filters(files, filters, _VFIELDS)
+    finally:
+        planner_mod._VECTOR_MIN_FILES = saved
+    assert [f["file_path"] for f in fast] == [f["file_path"] for f in slow]
