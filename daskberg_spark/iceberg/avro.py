@@ -148,9 +148,8 @@ def _decode(schema: Any, buf: io.BytesIO, names: dict[str, Any]) -> Any:
     raise NotImplementedError(f"avro type {schema!r}")
 
 
-def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
-    """Decode an Avro object-container file → (file metadata, records)."""
-    buf = io.BytesIO(data)
+def _parse_header(buf) -> tuple[dict[str, bytes], Any, str, bytes, dict]:
+    """Container header → (metadata, schema, codec, sync, name registry)."""
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
     meta: dict[str, bytes] = {}
@@ -169,7 +168,31 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
     codec = meta.get("avro.codec", b"null").decode()
     names: dict[str, Any] = {}
     _register_names(schema, names)
+    return meta, schema, codec, sync, names
 
+
+def _decompress_block(block: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        # Avro spec: snappy block = compressed data + 4-byte
+        # big-endian CRC32 of the UNCOMPRESSED data
+        crc = int.from_bytes(block[-4:], "big")
+        block = _snappy_decompress(block[:-4])
+        if zlib.crc32(block) & 0xFFFFFFFF != crc:
+            raise ValueError("snappy block CRC mismatch")
+        return block
+    if codec == "zstd":
+        return _zstd_decompress(block)
+    if codec != "null":
+        raise NotImplementedError(f"avro codec {codec}")
+    return block
+
+
+def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
+    """Decode an Avro object-container file → (file metadata, records)."""
+    buf = io.BytesIO(data)
+    meta, schema, codec, sync, names = _parse_header(buf)
     records: list[dict[str, Any]] = []
     while True:
         try:
@@ -180,20 +203,7 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
         block = buf.read(size)
         if len(block) != size:
             raise EOFError("truncated block")
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        elif codec == "snappy":
-            # Avro spec: snappy block = compressed data + 4-byte
-            # big-endian CRC32 of the UNCOMPRESSED data
-            crc = int.from_bytes(block[-4:], "big")
-            block = _snappy_decompress(block[:-4])
-            if zlib.crc32(block) & 0xFFFFFFFF != crc:
-                raise ValueError("snappy block CRC mismatch")
-        elif codec == "zstd":
-            block = _zstd_decompress(block)
-        elif codec != "null":
-            raise NotImplementedError(f"avro codec {codec}")
-        bbuf = io.BytesIO(block)
+        bbuf = io.BytesIO(_decompress_block(block, codec))
         for _ in range(count):
             records.append(_decode(schema, bbuf, names))
         if buf.read(16) != sync:
@@ -204,6 +214,127 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
 def read_avro_file(path: str) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
     with open(path, "rb") as f:
         return read_avro(f.read())
+
+
+def _plausible_block(f, sync: bytes, block_start: int, size: int) -> bool:
+    """Validate a sync-search candidate: a real block header must parse,
+    fit in the file, and be followed by the trailing sync.  Record bytes
+    that happen to contain the 16-byte marker fail this chain check."""
+    f.seek(block_start)
+    try:
+        count = _read_long(f)
+        bsize = _read_long(f)
+    except (EOFError, ValueError):
+        return False
+    if count < 0 or bsize < 0:
+        return False
+    t = f.tell() + bsize
+    if t + 16 > size:
+        return False
+    f.seek(t)
+    return f.read(16) == sync
+
+
+def _find_first_block(f, sync, start: int, end: int, size: int) -> int | None:
+    """First block start whose PRECEDING sync begins in [start, end),
+    located by chunked byte search (one sequential read, object-store
+    friendly — no per-block seeking) with chain validation."""
+    chunk = 1 << 20
+    pos = start
+    tail = b""
+    tail_at = start
+    while pos < min(end + 15, size):
+        f.seek(pos)
+        data = f.read(min(chunk, size - pos))
+        if not data:
+            break
+        hay = tail + data
+        base = tail_at
+        off = 0
+        while True:
+            q = hay.find(sync, off)
+            if q < 0:
+                break
+            absq = base + q
+            if absq >= end:
+                return None
+            if absq >= start and _plausible_block(f, sync, absq + 16, size):
+                return absq + 16
+            off = q + 1
+        pos += len(data)
+        tail = hay[-15:]
+        tail_at = pos - len(tail)
+    return None
+
+
+def read_avro_range(
+    path: str, start: int, end: int, want_row_offset: bool = False
+) -> tuple[dict[str, bytes], list[dict[str, Any]], int]:
+    """Decode the container blocks OWNED by byte range ``[start, end)``.
+
+    A block is owned iff the 16-byte sync marker that precedes it begins
+    at a position ``q`` with ``start <= q < end`` — the Hadoop split
+    rule, so any partition of ``[0, file_size)`` decodes every record
+    exactly once with no cross-task coordination.  Returns
+    ``(metadata, records, row_offset)`` where ``row_offset`` is the
+    number of records in earlier blocks (0 unless ``want_row_offset``).
+
+    ``want_row_offset`` — needed when rows must carry their whole-file
+    position (delete alignment) — walks the preceding block HEADERS
+    (seek per block, no decode/decompress), which is also an exact,
+    collision-proof block chain; the positionless path instead does one
+    sequential sync search from ``start`` (object-store friendly), with
+    candidates validated against the block chain so record bytes that
+    contain the marker cannot derail the scan."""
+    with open(path, "rb") as f:
+        meta, schema, codec, sync, names = _parse_header(f)
+        header_end = f.tell()
+        f.seek(0, 2)
+        size = f.tell()
+        end = min(end, size)
+        row_offset = 0
+        first_block: int | None = None
+        if want_row_offset:
+            pos = header_end
+            while pos - 16 < end:
+                if pos - 16 >= start:
+                    first_block = pos
+                    break
+                f.seek(pos)
+                try:
+                    count = _read_long(f)
+                    _bsize = _read_long(f)
+                except EOFError:
+                    break
+                row_offset += count
+                pos = f.tell() + _bsize + 16
+        elif start <= header_end - 16:
+            if header_end - 16 < end:
+                first_block = header_end
+        else:
+            first_block = _find_first_block(f, sync, start, end, size)
+        records: list[dict[str, Any]] = []
+        if first_block is None:
+            return meta, records, 0
+        f.seek(first_block)
+        while True:
+            try:
+                count = _read_long(f)
+            except EOFError:
+                break
+            bsize = _read_long(f)
+            block = f.read(bsize)
+            if len(block) != bsize:
+                raise EOFError("truncated block")
+            bbuf = io.BytesIO(_decompress_block(block, codec))
+            for _ in range(count):
+                records.append(_decode(schema, bbuf, names))
+            t = f.tell()  # this block's trailing sync == next block's owner
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch")
+            if t >= end:
+                break
+        return meta, records, row_offset
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +598,24 @@ def _union_branch(schemas: list[Any], value: Any, names: dict[str, Any]) -> int:
     raise ValueError(f"no union branch for {value!r} in {schemas!r}")
 
 
+AVRO_BLOCK_BYTES = 512 * 1024  # flush a block when raw payload exceeds this
+
+
+def _compress_payload(payload: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return compressor.compress(payload) + compressor.flush()
+    if codec == "snappy":
+        return _snappy_compress(payload) + (
+            zlib.crc32(payload) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+    if codec == "zstd":
+        return _zstd_compress(payload)
+    if codec != "null":
+        raise NotImplementedError(f"avro codec {codec}")
+    return payload
+
+
 def write_avro(
     schema: dict[str, Any],
     records: list[dict[str, Any]],
@@ -474,7 +623,13 @@ def write_avro(
     metadata: dict[str, bytes] | None = None,
     codec: str = "deflate",
 ) -> None:
-    """Encode records into an Avro object container file."""
+    """Encode records into an Avro object container file.
+
+    Records chunk into blocks of ~``AVRO_BLOCK_BYTES`` raw payload (one
+    block when smaller, as before): a single-block container cannot be
+    byte-range split, so a large data file would decode on ONE core —
+    block boundaries are what :func:`read_avro_range` parallelizes over
+    (and what any Hadoop-style Avro reader splits on)."""
     names: dict[str, Any] = {}
     _register_names(schema, names)
     sync = b"daskbergsparksyn"  # fixed 16-byte marker: deterministic output
@@ -490,31 +645,30 @@ def write_avro(
         _write_bytes(head, v)
     _write_long(head, 0)
     head.extend(sync)
+    fh.write(bytes(head))
+
+    def flush(count: int, body: bytearray) -> None:
+        payload = _compress_payload(bytes(body), codec)
+        block = bytearray()
+        _write_long(block, count)
+        _write_long(block, len(payload))
+        block.extend(payload)
+        block.extend(sync)
+        fh.write(bytes(block))
 
     body = bytearray()
+    count = 0
+    wrote = False
     for rec in records:
         _encode(schema, rec, body, names)
-    payload = bytes(body)
-    if codec == "deflate":
-        compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
-        payload = compressor.compress(payload) + compressor.flush()
-    elif codec == "snappy":
-        payload = _snappy_compress(payload) + (
-            zlib.crc32(payload) & 0xFFFFFFFF
-        ).to_bytes(4, "big")
-    elif codec == "zstd":
-        payload = _zstd_compress(payload)
-    elif codec != "null":
-        raise NotImplementedError(f"avro codec {codec}")
-
-    block = bytearray()
-    _write_long(block, len(records))
-    _write_long(block, len(payload))
-    block.extend(payload)
-    block.extend(sync)
-
-    fh.write(bytes(head))
-    fh.write(bytes(block))
+        count += 1
+        if len(body) >= AVRO_BLOCK_BYTES:
+            flush(count, body)
+            body = bytearray()
+            count = 0
+            wrote = True
+    if count or not wrote:
+        flush(count, body)
 
 
 def write_avro_file(

@@ -650,17 +650,28 @@ def schema_alignment(
 
 _DATA_FILE_FORMATS = ("PARQUET", "AVRO", "ORC")
 
+# byte-range task size for AVRO data files: a single huge container no
+# longer serializes on one core — tasks own the blocks whose preceding
+# sync marker falls in their range (read_avro_range's Hadoop split rule)
+AVRO_SPLIT_BYTES = 32 * 1024 * 1024
+
 
 def _python_file_scan(
     spark: SparkSession,
     struct,
-    paths: list[str],
+    items: list,
     fmt: str,
     tag_position: bool,
 ) -> DataFrame:
     """Executor-side decode of AVRO (and position-tagged ORC) data files
-    via ``mapInPandas``: one task per file, Arrow-batched back to the
-    JVM — paths are distributed, bytes never touch the driver.
+    via ``mapInPandas``, Arrow-batched back to the JVM — tasks are
+    distributed, bytes never touch the driver.
+
+    ``items``: for AVRO, ``(path, file_size)`` pairs — files larger than
+    ``AVRO_SPLIT_BYTES`` fan out into byte-range tasks decoded by
+    ``read_avro_range`` (each task owns the blocks whose preceding sync
+    marker starts in its range, so a partition of the file decodes every
+    record exactly once); for ORC, plain paths, one task per file.
 
     AVRO decodes through the from-scratch container reader (the same
     module that reads manifests); values convert per the Iceberg Avro
@@ -714,11 +725,19 @@ def _python_file_scan(
         import pandas as _pd
 
         for b in batches:
-            for path in b["__path"]:
+            for path, r_start, r_end in zip(
+                b["__path"], b["__start"], b["__end"]
+            ):
+                row_offset = 0
                 if fmt == "AVRO":
-                    from daskberg_spark.iceberg.avro import read_avro_file
+                    from daskberg_spark.iceberg.avro import read_avro_range
 
-                    _, records = read_avro_file(path)
+                    _, records, row_offset = read_avro_range(
+                        path,
+                        int(r_start),
+                        int(r_end),
+                        want_row_offset=tag_position,
+                    )
                     pdf = _pd.DataFrame(
                         {
                             f.name: _avro_series(
@@ -755,16 +774,39 @@ def _python_file_scan(
                     # path would otherwise miss (NULL __seq keeps rows
                     # a delete should kill)
                     pdf["__file"] = _norm_scan_path(path)
-                    pdf["__pos"] = _pd.Series(range(n), dtype="int64")
+                    pdf["__pos"] = _pd.Series(
+                        range(row_offset, row_offset + n), dtype="int64"
+                    )
                 yield pdf
 
+    tasks: list[tuple[str, int, int]] = []
+    if fmt == "AVRO":
+        for path, fsize in items:
+            if fsize and fsize > AVRO_SPLIT_BYTES:
+                k = -(-int(fsize) // AVRO_SPLIT_BYTES)
+                step = -(-int(fsize) // k)  # balanced, covers [0, fsize)
+                tasks += [
+                    (path, i * step, min((i + 1) * step, int(fsize)))
+                    for i in range(k)
+                ]
+            else:
+                tasks.append((path, 0, 2**62))
+    else:
+        tasks = [(p, 0, 2**62) for p in items]
+
     df_paths = spark.createDataFrame(
-        [(p,) for p in paths],
-        T.StructType([T.StructField("__path", T.StringType(), False)]),
+        tasks,
+        T.StructType(
+            [
+                T.StructField("__path", T.StringType(), False),
+                T.StructField("__start", T.LongType(), False),
+                T.StructField("__end", T.LongType(), False),
+            ]
+        ),
     )
-    if len(paths) > 1:
-        # one decode task per file; a single file needs no shuffle
-        df_paths = df_paths.repartition(len(paths))
+    if len(tasks) > 1:
+        # one decode task per file/byte-range; a single one needs no shuffle
+        df_paths = df_paths.repartition(len(tasks))
     return df_paths.mapInPandas(gen, schema=out_struct)
 
 
@@ -782,10 +824,14 @@ def _read_paths(
     needed — decode executor-side (``_python_file_scan``).  The common
     all-parquet case stays exactly one multi-path native scan."""
     by_fmt: dict[str, list[str]] = {}
+    avro_sizes: dict[str, int] = {}
     for r in recs:
-        by_fmt.setdefault(
-            str(r.get("file_format", "PARQUET")).upper(), []
-        ).append(r["file_path"])
+        f = str(r.get("file_format", "PARQUET")).upper()
+        by_fmt.setdefault(f, []).append(r["file_path"])
+        if f == "AVRO":
+            avro_sizes[r["file_path"]] = int(
+                r.get("file_size_in_bytes") or 0
+            )
     unknown = set(by_fmt) - set(_DATA_FILE_FORMATS)
     if unknown:
         raise NotImplementedError(f"data file format(s) {sorted(unknown)}")
@@ -861,7 +907,11 @@ def _read_paths(
     if "AVRO" in by_fmt:
         parts.append(
             _python_file_scan(
-                spark, struct, by_fmt["AVRO"], "AVRO", tag_position
+                spark,
+                struct,
+                [(p, avro_sizes.get(p, 0)) for p in by_fmt["AVRO"]],
+                "AVRO",
+                tag_position,
             ).select(*keep)
         )
     out = parts[0]

@@ -5387,3 +5387,86 @@ def test_commit_tolerates_null_manifest_counts(tmp_path):
         m["existing_data_files_count"] = None
     w2.append([{"k": 2}])  # must not raise
     assert len(IcebergTable(p).plan_files()) == 2
+
+
+def test_avro_split_scan_exact_and_delete_aligned(spark, tmp_path, monkeypatch):
+    """A large AVRO data file fans out into byte-range tasks (one huge
+    container no longer serializes on one core).  The split read must be
+    (a) row-exact vs the whole-file read and (b) POSITION-exact: each
+    range task tags ``__pos`` with the whole-file row offset of its
+    first owned block, so position deletes and DVs kill the same rows
+    they would in an unsplit scan."""
+    import daskberg_spark.iceberg.avro as avro_mod
+    import daskberg_spark.iceberg.scan as scan_mod
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_dv_spark,
+    )
+
+    # many small blocks + a tiny split threshold → several range tasks
+    monkeypatch.setattr(avro_mod, "AVRO_BLOCK_BYTES", 1024)
+    monkeypatch.setattr(scan_mod, "AVRO_SPLIT_BYTES", 4096)
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "s", "type": "string", "required": False},
+        ],
+    )
+    rows = [{"k": i, "s": f"value-{i:05d}"} for i in range(2000)]
+    w.append(rows, file_format="avro")
+    t = IcebergTable(p)
+    rec = t.plan_files()[0]
+    assert rec["file_format"] == "AVRO"
+    assert rec["file_size_in_bytes"] > scan_mod.AVRO_SPLIT_BYTES
+
+    df = t.to_df(spark)
+    assert df.rdd.getNumPartitions() > 1  # genuinely split
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(2000))
+
+    # delete rows across the file; split positions must align
+    delete_where_dv_spark(w, spark, "k % 400 = 7")
+    killed = {k for k in range(2000) if k % 400 == 7}
+    got2 = sorted(r["k"] for r in IcebergTable(p).to_df(spark).collect())
+    assert got2 == [k for k in range(2000) if k not in killed]
+
+
+def test_avro_split_scan_matches_unsplit(spark, tmp_path, monkeypatch):
+    """Differential: the same table read split vs unsplit returns
+    identical row sets (ownership rule covers every block exactly once,
+    including ranges that start mid-block and files whose string data
+    contains the sync-marker bytes)."""
+    import daskberg_spark.iceberg.avro as avro_mod
+    import daskberg_spark.iceberg.scan as scan_mod
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    monkeypatch.setattr(avro_mod, "AVRO_BLOCK_BYTES", 512)
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": True},
+            {"id": 2, "name": "s", "type": "string", "required": False},
+        ],
+    )
+    # adversarial payload: the writer's fixed sync marker inside values
+    w.append(
+        [
+            {"k": i, "s": "daskbergsparksyn" if i % 7 == 0 else "x" * (i % 40)}
+            for i in range(800)
+        ],
+        file_format="avro",
+    )
+    t = IcebergTable(p)
+    monkeypatch.setattr(scan_mod, "AVRO_SPLIT_BYTES", 10**12)
+    whole = sorted(
+        (r["k"], r["s"]) for r in t.to_df(spark).collect()
+    )
+    monkeypatch.setattr(scan_mod, "AVRO_SPLIT_BYTES", 2048)
+    split = sorted(
+        (r["k"], r["s"]) for r in IcebergTable(p).to_df(spark).collect()
+    )
+    assert split == whole
