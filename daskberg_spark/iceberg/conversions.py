@@ -103,14 +103,18 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
 
 def lift_footer_stats(
     path: str, types: dict[str, str]
-) -> tuple[int, int, dict[str, Any], dict[str, Any]]:
-    """(num_rows, file_size, lowers, uppers) lifted from one parquet
-    FOOTER — zero data IO.  Per-row-group min/max accumulate across the
-    file for every column present in ``types`` (the table schema);
-    values are raw Python (encode with ``encode_bound``).  The ONE
-    implementation behind both the driver-side ``_footer_entry`` loop
-    and ``add_files_spark``'s executor lift, so the two registration
-    paths can never diverge in pruning bounds."""
+) -> tuple[int, int, dict[str, Any], dict[str, Any], dict[str, int]]:
+    """(num_rows, file_size, lowers, uppers, null_counts) lifted from one
+    parquet FOOTER — zero data IO.  Per-row-group min/max accumulate
+    across the file for every column present in ``types`` (the table
+    schema); values are raw Python (encode with ``encode_bound``).
+    Null counts (→ manifest ``null_value_counts``, spec field 110) lift
+    only when EVERY row group reports one for the column — a single
+    statless row group makes the file total unknowable, and emitting a
+    partial count would let metadata-only DELETE wrongly prove
+    no-NULLs.  The ONE implementation behind both the driver-side
+    ``_footer_entry`` loop and ``add_files_spark``'s executor lift, so
+    the two registration paths can never diverge in pruning bounds."""
     import os
 
     import pyarrow.parquet as pq
@@ -126,25 +130,33 @@ def lift_footer_stats(
     names = [meta.schema.column(i).name for i in range(meta.num_columns)]
     lowers: dict[str, Any] = {}
     uppers: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    unknown_nulls: set[str] = set()
     for rg in range(meta.num_row_groups):
         for ci in range(meta.num_columns):
-            stats = meta.row_group(rg).column(ci).statistics
-            if stats is None or not stats.has_min_max:
-                continue
             name = names[ci]
             if name not in types:
+                continue
+            stats = meta.row_group(rg).column(ci).statistics
+            if stats is None or stats.null_count is None:
+                unknown_nulls.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + stats.null_count
+            if stats is None or not stats.has_min_max:
                 continue
             lo, hi = stats.min, stats.max
             if name not in lowers or lo < lowers[name]:
                 lowers[name] = lo
             if name not in uppers or hi > uppers[name]:
                 uppers[name] = hi
-    return meta.num_rows, os.path.getsize(path), lowers, uppers
+    for name in unknown_nulls:
+        nulls.pop(name, None)
+    return meta.num_rows, os.path.getsize(path), lowers, uppers, nulls
 
 
 def _lift_footer_stats_duckdb(
     path: str, types: dict[str, str]
-) -> tuple[int, int, dict[str, Any], dict[str, Any]]:
+) -> tuple[int, int, dict[str, Any], dict[str, Any], dict[str, int]]:
     """``lift_footer_stats`` fallback through DuckDB's parquet footer
     reader, for files whose logical types this pyarrow build cannot
     parse (Spark 4 VARIANT).  Row count is exact; min/max lift only for
@@ -181,7 +193,9 @@ def _lift_footer_stats_duckdb(
             lowers[name] = lo_v
         if name not in uppers or hi_v > uppers[name]:
             uppers[name] = hi_v
-    return int(n), os.path.getsize(path), lowers, uppers
+    # DuckDB's stats view has no per-row-group null counts we trust
+    # across formats — leave null_value_counts unlifted (conservative)
+    return int(n), os.path.getsize(path), lowers, uppers, {}
 
 
 def iceberg_to_arrow_type(t: Any) -> Any:

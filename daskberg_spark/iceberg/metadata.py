@@ -308,32 +308,37 @@ class IcebergTable:
         spec_by_source = {f["source-id"]: f for f in self.partition_spec}
         out: dict[str, FieldInfo] = {}
 
-        def add(name: str, fid: int, type_str: str) -> None:
+        def add(name: str, fid: int, type_str: str, required: bool) -> None:
             spec = spec_by_source.get(fid)
             out[name] = FieldInfo(
                 field_id=fid,
                 type=type_str,
                 transform=spec["transform"] if spec else None,
                 partition_name=spec["name"] if spec else None,
+                required=required,
             )
 
-        def walk_struct(prefix: str, t: dict) -> None:
+        def walk_struct(prefix: str, t: dict, anc_req: bool) -> None:
             for sub in t["fields"]:
                 sid = sub.get("id", sub.get("field-id"))
                 path = f"{prefix}.{sub['name']}"
+                # a nested leaf is all-rows-non-null only if IT and every
+                # ancestor struct are required (a null parent nulls the leaf)
+                req = anc_req and bool(sub.get("required", False))
                 if isinstance(sub["type"], str):
-                    add(path, sid, sub["type"])
+                    add(path, sid, sub["type"], req)
                 elif sub["type"]["type"] == "struct":
-                    add(path, sid, "struct")
-                    walk_struct(path, sub["type"])
+                    add(path, sid, "struct", req)
+                    walk_struct(path, sub["type"], req)
 
         for fid, fld in by_id.items():
+            req = bool(fld.get("required", False))
             if isinstance(fld["type"], str):
-                add(fld["name"], fid, fld["type"])
+                add(fld["name"], fid, fld["type"], req)
             else:
-                add(fld["name"], fid, "struct")
+                add(fld["name"], fid, "struct", req)
                 if fld["type"]["type"] == "struct":
-                    walk_struct(fld["name"], fld["type"])
+                    walk_struct(fld["name"], fld["type"], req)
         return out
 
     # -- manifest scan ------------------------------------------------------

@@ -45,6 +45,11 @@ class FieldInfo:
     type: str
     transform: str | None = None  # set iff the column is a partition source
     partition_name: str | None = None
+    # True iff the column (and, for nested leaves, every ancestor) is
+    # declared required in the schema — a static no-NULLs proof used by
+    # ``file_all_rows_match``.  Defaults False: may-match pruning never
+    # consults it, so foreign/legacy FieldInfo construction stays sound.
+    required: bool = False
 
 
 import functools
@@ -306,6 +311,185 @@ def _bound_lookup(bounds: Any, field_id: int, type_str: str) -> Any:
     if raw is None:
         return None
     return decode_bound(raw, type_str)
+
+
+def _count_lookup(counts: Any, field_id: int) -> int | None:
+    """Per-column long counter (null_value_counts / nan_value_counts),
+    tolerant of both the avro list-of-{key,value} shape and a pre-keyed
+    dict.  None = the file carries no counter for this column."""
+    if not counts:
+        return None
+    if isinstance(counts, dict):
+        v = counts.get(field_id)
+    else:
+        v = next((c["value"] for c in counts if c["key"] == field_id), None)
+    return None if v is None else int(v)
+
+
+def _file_spec_entry(
+    info: FieldInfo, spec_by_source: dict[int, dict[str, Any]] | None
+) -> tuple[str | None, str | None]:
+    """(transform, partition_name) for this column under the FILE's own
+    partition spec when given, else the table default spec."""
+    if spec_by_source is not None:
+        spec = spec_by_source.get(info.field_id)
+        return (spec["transform"], spec["name"]) if spec else (None, None)
+    return info.transform, info.partition_name
+
+
+def _no_nulls_proof(
+    data_file: dict[str, Any],
+    info: FieldInfo,
+    spec_by_source: dict[int, dict[str, Any]] | None,
+) -> bool:
+    """Can we PROVE the file has no NULL in this column?  Parquet/Iceberg
+    min-max bounds exclude nulls, so an all-rows-satisfy proof from
+    bounds alone would silently treat a NULL row (which fails every
+    comparison op) as matching.  Three independent proofs: the schema
+    declares the column required; the manifest carries
+    ``null_value_counts`` == 0 for it (spec field 110); or the file's
+    identity partition pins every row to one non-null value."""
+    if info.required:
+        return True
+    if _count_lookup(data_file.get("null_value_counts"), info.field_id) == 0:
+        return True
+    transform, pname = _file_spec_entry(info, spec_by_source)
+    # every spec transform except void maps NULL → NULL, so a file whose
+    # partition value is non-null under ANY real transform holds no
+    # NULL source rows for that column
+    if transform and transform != "void":
+        part = data_file.get("partition") or {}
+        if pname in part:
+            return part[pname] is not None
+    return False
+
+
+def _all_match_pred(
+    data_file: dict[str, Any],
+    op: str,
+    info: FieldInfo,
+    value: Any,
+    spec_by_source: dict[int, dict[str, Any]] | None,
+) -> bool:
+    """Prove EVERY row of the file satisfies ``col <op> value`` — the
+    inverse question of may-match, used by metadata-only DELETE to drop
+    whole files with zero data IO.  Conservative: False means "cannot
+    prove", never "provably false".
+
+    Soundness under the spec's bound contract (lower <= true min,
+    upper >= true max — writers may widen/truncate string bounds):
+    every proof here compares against the OUTER approximation, so a
+    widened bound can only weaken the proof, not break it.  Float/double
+    columns additionally require ``nan_value_counts`` == 0: NaN rows sit
+    outside min/max and fail every comparison."""
+    if isinstance(value, float) and value != value:
+        return False  # NaN predicate value: nothing provable
+    transform, pname = _file_spec_entry(info, spec_by_source)
+    part = data_file.get("partition") or {}
+    if transform == "identity" and pname in part:
+        pval = partition_value_to_python(part[pname], info.type)
+        if pval is None:
+            return False  # NULL satisfies no comparison op
+        if op == "in":
+            return any(_eq(pval, v) for v in value)
+        if op in ("==", "="):
+            return _eq(pval, value)
+        if op == "!=":
+            return not _eq(pval, value)
+        if op == "<":
+            return _lt(pval, value)
+        if op == "<=":
+            return _le(pval, value)
+        if op == ">":
+            return _lt(value, pval)
+        if op == ">=":
+            return _le(value, pval)
+        return False
+    if transform and transform not in ("void", "identity", "bucket"):
+        # order-preserving derived transform (truncate/day/month/year/
+        # hour): every row has t(col) == p, so p strictly BELOW t(v)
+        # proves col < v (and <=); p strictly ABOVE proves col > v (and
+        # >=).  The boundary partition p == t(v) mixes rows on both
+        # sides and proves nothing.  This is the retention-delete fast
+        # path: `ts < cutoff` on a day-partitioned table drops whole
+        # day files with zero data IO.
+        fn, ordered = get_transform(transform)
+        part = data_file.get("partition") or {}
+        if ordered and pname in part:
+            pval = partition_value_to_python(
+                part[pname], transform_result_type(transform, info.type)
+            )
+            if transform == "day" and pval is not None and not isinstance(pval, int):
+                pval = (pval - datetime.date(1970, 1, 1)).days
+            if pval is not None and op in ("<", "<=", ">", ">="):
+                tv = fn(value)
+                if op in ("<", "<=") and _lt(pval, tv):
+                    return True
+                if op in (">", ">=") and _lt(tv, pval):
+                    return True
+            # fall through: bounds may still prove it
+    lo = _bound_lookup(data_file.get("lower_bounds"), info.field_id, info.type)
+    hi = _bound_lookup(data_file.get("upper_bounds"), info.field_id, info.type)
+    if lo is None or hi is None:
+        return False
+    if not _no_nulls_proof(data_file, info, spec_by_source):
+        return False
+    if info.type in ("float", "double") and _count_lookup(
+        data_file.get("nan_value_counts"), info.field_id
+    ) != 0:
+        return False
+    if op in ("==", "="):
+        return _eq(lo, hi) and _eq(lo, value)
+    if op == "in":
+        return _eq(lo, hi) and any(_eq(lo, v) for v in value)
+    if op == "!=":
+        return _lt(hi, value) or _lt(value, lo)
+    if op == "<":
+        return _lt(hi, value)
+    if op == "<=":
+        return _le(hi, value)
+    if op == ">":
+        return _lt(value, lo)
+    if op == ">=":
+        return _le(value, lo)
+    return False
+
+
+def file_all_rows_match(
+    data_file: dict[str, Any],
+    filters: Any,
+    fields: dict[str, FieldInfo],
+    spec_by_source: dict[int, dict[str, Any]] | None = None,
+) -> bool:
+    """True iff every row of the file PROVABLY satisfies the DNF filter.
+
+    Sufficient condition (conservative for OR): some single conjunction
+    is satisfied by all rows — rows matching different disjuncts of an
+    OR cannot be combined into a whole-file proof from per-file stats.
+    A predicate naming an unknown column fails its conjunction (contrast
+    may-match, where it is skipped)."""
+    if not filters:
+        return False
+    conjunctions = filters if is_dnf(filters) else [filters]
+    for conj in conjunctions:
+        ok = True
+        for pred in conj:
+            _validate(pred)
+            col, op, raw_value = pred
+            info = fields.get(col)
+            if info is None:
+                ok = False
+                break
+            if op == "in":
+                value: Any = [normalize_value(v, info.type) for v in raw_value]
+            else:
+                value = normalize_value(raw_value, info.type)
+            if not _all_match_pred(data_file, op, info, value, spec_by_source):
+                ok = False
+                break
+        if ok and conj:
+            return True
+    return False
 
 
 def _raw_bound(bounds: Any, field_id: int) -> bytes | None:

@@ -77,6 +77,7 @@ def to_df(
     keep_file: bool = False,
     keep_pos: bool = False,
     row_lineage: bool = False,
+    file_subset: Any = None,
 ) -> DataFrame:
     """Materialize the table's current snapshot as a (lazy) DataFrame.
 
@@ -95,6 +96,13 @@ def to_df(
     enabled (no ``first_row_id``) read NULL — identity was never assigned.
     Delta vs spec: manifest-level first_row_id inheritance is not
     consumed; this engine writes explicit per-entry values.
+
+    ``file_subset`` (iterable of planned file paths) restricts the scan
+    to those data files AFTER normal planning — the hook surgical
+    operations (fast DELETE's partial-file pass, join-derived runtime
+    pruning) use to avoid re-reading files their own metadata pass
+    already resolved.  Paths must be the RELOCATED paths ``plan_files``
+    returns.
     """
     want_file, want_pos = keep_file or keep_pos, keep_pos
     keep_pos = keep_pos or row_lineage
@@ -107,6 +115,9 @@ def to_df(
         ]
         struct = T.StructType(list(struct.fields) + extra_fields)
     files = table.plan_files(filters)
+    if file_subset is not None:
+        subset = set(file_subset)
+        files = [f for f in files if f["file_path"] in subset]
     if not files:
         df = spark.createDataFrame([], struct)
         if keep_file:

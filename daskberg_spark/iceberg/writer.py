@@ -92,6 +92,25 @@ _KV_BYTES = {
     ],
 }
 
+# per-column long counters: null_value_counts (spec map key/value ids
+# 121/122) and nan_value_counts (139/140) serialize as arrays of these
+_KV_NULLS = {
+    "type": "record",
+    "name": "k121_v122",
+    "fields": [
+        {"name": "key", "type": "int", "field-id": 121},
+        {"name": "value", "type": "long", "field-id": 122},
+    ],
+}
+_KV_NANS = {
+    "type": "record",
+    "name": "k138_v139",
+    "fields": [
+        {"name": "key", "type": "int", "field-id": 138},
+        {"name": "value", "type": "long", "field-id": 139},
+    ],
+}
+
 
 def _avro_type_for(iceberg_type: str, field_id: int) -> Any:
     if iceberg_type == "int":
@@ -148,6 +167,18 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "null_value_counts",
+                            "type": ["null", {"type": "array", "items": _KV_NULLS}],
+                            "default": None,
+                            "field-id": 110,
+                        },
+                        {
+                            "name": "nan_value_counts",
+                            "type": ["null", {"type": "array", "items": _KV_NANS}],
+                            "default": None,
+                            "field-id": 137,
+                        },
                         {"name": "lower_bounds", "type": kv_bytes_arr, "default": None, "field-id": 125},
                         {"name": "upper_bounds", "type": kv_bytes_arr, "default": None, "field-id": 128},
                         {
@@ -707,20 +738,39 @@ class IcebergWriter:
         records = [{k: cols[k][i] for k in cols} for i in range(n)]
         write_avro_file(path, schema, records)
 
-    def _bounds(self, rows: list[dict[str, Any]]) -> tuple[list, list]:
-        lowers, uppers = [], []
+    def _bounds(
+        self, rows: list[dict[str, Any]]
+    ) -> tuple[list, list, list, list]:
+        """(lower_bounds, upper_bounds, null_value_counts,
+        nan_value_counts) for one file's rows.  Null counts (spec field
+        110) are emitted for every top-level leaf — they make
+        stats-based whole-file proofs (metadata-only DELETE) sound on
+        optional columns; NaN counts (field 138) only for float/double,
+        where bounds exclude NaN.  Nested leaves emit bounds only: a
+        null ancestor makes per-leaf null totals ambiguous."""
+        lowers, uppers, nulls, nans = [], [], [], []
 
-        def emit(fid: int, type_str: str, vals: list) -> None:
-            vals = [v for v in vals if v is not None]
-            if not vals:
+        def emit(fid: int, type_str: str, vals: list, top: bool) -> None:
+            non_null = [v for v in vals if v is not None]
+            if top:
+                nulls.append({"key": fid, "value": len(vals) - len(non_null)})
+                if type_str in ("float", "double"):
+                    n_nan = sum(1 for v in non_null if v != v)
+                    nans.append({"key": fid, "value": n_nan})
+                    non_null = [v for v in non_null if v == v]
+            if not non_null:
                 return
-            lowers.append({"key": fid, "value": encode_bound(min(vals), type_str)})
-            uppers.append({"key": fid, "value": encode_bound(max(vals), type_str)})
+            lowers.append(
+                {"key": fid, "value": encode_bound(min(non_null), type_str)}
+            )
+            uppers.append(
+                {"key": fid, "value": encode_bound(max(non_null), type_str)}
+            )
 
-        def walk(field: dict[str, Any], vals: list) -> None:
+        def walk(field: dict[str, Any], vals: list, top: bool) -> None:
             t = field["type"]
             if isinstance(t, str):
-                emit(field["id"], t, vals)
+                emit(field["id"], t, vals, top)
             elif t["type"] == "struct":
                 # Iceberg keys bounds by LEAF field id: recurse into
                 # struct members (list/map contents carry no usable
@@ -733,11 +783,12 @@ class IcebergWriter:
                             for v in vals
                             if v is not None
                         ],
+                        False,
                     )
 
         for f in self.fields:
-            walk(f, [r.get(f["name"]) for r in rows])
-        return lowers, uppers
+            walk(f, [r.get(f["name"]) for r in rows], True)
+        return lowers, uppers, nulls, nans
 
     # -- snapshot commits ---------------------------------------------------
 
@@ -756,7 +807,7 @@ class IcebergWriter:
         entries = []
         for ptuple, grows in sorted(groups.items(), key=lambda kv: str(kv[0])):
             fpath, fsize = self._write_data_file(grows, file_format)
-            lowers, uppers = self._bounds(grows)
+            lowers, uppers, nulls, nans = self._bounds(grows)
             partition = {pf["name"]: v for pf, v in zip(self.spec, ptuple)}
             entries.append(
                 {
@@ -770,6 +821,8 @@ class IcebergWriter:
                         "file_size_in_bytes": fsize,
                         "lower_bounds": lowers,
                         "upper_bounds": uppers,
+                        "null_value_counts": nulls,
+                        "nan_value_counts": nans,
                     },
                 }
             )
@@ -1198,6 +1251,27 @@ class IcebergWriter:
         ``predicate(data_file_record) -> bool`` (status reconciliation path,
         reference ice.py:191-204)."""
         snapshot_id = self._next_snapshot_id
+        keep_manifests, delete_by_spec = self._tombstone_rewrite(
+            predicate, snapshot_id
+        )
+        # one tombstone manifest per origin spec: partition records must
+        # decode under the spec they were written with
+        delete_manifests = [
+            self._write_manifest(entries, snapshot_id, spec_id=sid)
+            for sid, entries in sorted(delete_by_spec.items())
+        ] or [self._write_manifest([], snapshot_id)]
+        self._commit(snapshot_id, keep_manifests + delete_manifests, "delete", 0)
+        return snapshot_id
+
+    def _tombstone_rewrite(
+        self, predicate, snapshot_id: int
+    ) -> tuple[list[dict[str, Any]], dict[int, list[dict[str, Any]]]]:
+        """Plan DELETED tombstones for live entries matching
+        ``predicate(data_file_record)``: returns (surviving manifest
+        list, spec_id → tombstone entries) WITHOUT committing — shared
+        by ``delete_files`` and the metadata-only leg of
+        ``delete_where_fast``, which folds extra manifests (partial-file
+        DVs) into the same snapshot."""
         from daskberg_spark.iceberg.avro import read_avro_file
 
         keep_manifests = []
@@ -1243,14 +1317,7 @@ class IcebergWriter:
                     )
             else:
                 keep_manifests.append(mf)
-        # one tombstone manifest per origin spec: partition records must
-        # decode under the spec they were written with
-        delete_manifests = [
-            self._write_manifest(entries, snapshot_id, spec_id=sid)
-            for sid, entries in sorted(delete_by_spec.items())
-        ] or [self._write_manifest([], snapshot_id)]
-        self._commit(snapshot_id, keep_manifests + delete_manifests, "delete", 0)
-        return snapshot_id
+        return keep_manifests, delete_by_spec
 
     def merge_rows(
         self, updates: list[dict[str, Any]], key_cols: list[str]
@@ -1377,7 +1444,7 @@ class IcebergWriter:
         add_entries = []
         for ptuple, grows in sorted(new_rows_by_part.items(), key=lambda kv: str(kv[0])):
             fpath, fsize = self._write_parquet(grows)
-            lowers, uppers = self._bounds(grows)
+            lowers, uppers, nulls, nans = self._bounds(grows)
             add_entries.append(
                 {
                     "status": 1,
@@ -1392,6 +1459,8 @@ class IcebergWriter:
                         "file_size_in_bytes": fsize,
                         "lower_bounds": lowers,
                         "upper_bounds": uppers,
+                        "null_value_counts": nulls,
+                        "nan_value_counts": nans,
                     },
                 }
             )
@@ -2204,7 +2273,7 @@ def _footer_entry(
     executor path (``conversions.lift_footer_stats``)."""
     from daskberg_spark.iceberg.conversions import lift_footer_stats
 
-    num_rows, file_size, lowers, uppers = lift_footer_stats(
+    num_rows, file_size, lowers, uppers, nulls = lift_footer_stats(
         path, writer.types
     )
     return {
@@ -2223,6 +2292,10 @@ def _footer_entry(
             "upper_bounds": [
                 {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
                 for n, v in uppers.items()
+            ],
+            "null_value_counts": [
+                {"key": writer.ids[n], "value": int(v)}
+                for n, v in nulls.items()
             ],
         },
     }
@@ -2334,8 +2407,8 @@ def add_files_spark(
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                num_rows, file_size, lowers, uppers = lift_footer_stats(
-                    path, types
+                num_rows, file_size, lowers, uppers, nulls = (
+                    lift_footer_stats(path, types)
                 )
                 bounds = {
                     n: [
@@ -2348,9 +2421,17 @@ def add_files_spark(
                     ]
                     for n in lowers
                 }
-                rows.append((path, num_rows, file_size, _json.dumps(bounds)))
+                rows.append(
+                    (
+                        path,
+                        num_rows,
+                        file_size,
+                        _json.dumps(bounds),
+                        _json.dumps(nulls),
+                    )
+                )
             yield _pd.DataFrame(
-                rows, columns=["path", "num_rows", "size", "bounds"]
+                rows, columns=["path", "num_rows", "size", "bounds", "nulls"]
             )
 
     df = spark.createDataFrame([(p,) for p in sorted(paths)], "path string")
@@ -2358,7 +2439,9 @@ def add_files_spark(
     stats_rows = (
         df.repartition(n_part)
         .mapInPandas(
-            lift, "path string, num_rows long, size long, bounds string"
+            lift,
+            "path string, num_rows long, size long, bounds string, "
+            "nulls string",
         )
         .collect()
     )
@@ -2366,6 +2449,7 @@ def add_files_spark(
     entries = []
     for r in sorted(stats_rows, key=lambda r: r["path"]):
         bounds = json.loads(r["bounds"])
+        nulls = json.loads(r["nulls"])
         part = (partition_values or {}).get(r["path"], {})
         entries.append(
             {
@@ -2390,6 +2474,10 @@ def add_files_spark(
                             "value": base64.b64decode(v[1]),
                         }
                         for n, v in bounds.items()
+                    ],
+                    "null_value_counts": [
+                        {"key": writer.ids[n], "value": int(v)}
+                        for n, v in nulls.items()
                     ],
                 },
             }
@@ -3268,6 +3356,101 @@ def delete_where_dv_spark(
         return None
     manifest = writer._write_manifest(entries, snapshot_id)
     writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    return snapshot_id
+
+
+def delete_where_fast(
+    writer: "IcebergWriter", spark: Any, filters: Any
+) -> int | None:
+    """Stats/partition-aligned DELETE — real Iceberg's metadata-delete
+    fast path, extended with a pruned merge-on-read tail:
+
+    1. Plan live data files; keep only those that MAY contain matches
+       (the ordinary may-match prune — non-candidates cost nothing).
+    2. Files where EVERY row provably matches the DNF filter
+       (``planner.file_all_rows_match``: identity/ordered-transform
+       partition values, or min-max bounds + a no-NULLs proof from
+       ``null_value_counts``/required-ness) become DELETED tombstone
+       entries — ZERO data IO.  Dropping a whole day partition of a
+       100 TB table is a pure metadata commit.
+    3. Only the PARTIAL files — candidates without a whole-file proof —
+       are scanned (``to_df(file_subset=...)``), and their matching
+       (file, pos) identities become v3 deletion vectors on the shared
+       executor blob path.
+
+    All of it lands as ONE ``delete`` snapshot, so readers never see an
+    intermediate state.  ``filters`` must be the planner's DNF tuple
+    form (that is what makes the whole-file proof decidable — an opaque
+    SQL string routes to ``delete_where_dv_spark``).  ``spark`` is only
+    touched when partial files exist: the pure-partition-drop case runs
+    entirely on the driver at manifest scale.  Returns the snapshot id,
+    or None when no file may contain a match."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.planner import (
+        apply_filters,
+        file_all_rows_match,
+    )
+
+    if not filters or not isinstance(filters, (list, tuple)):
+        raise ValueError(
+            "delete_where_fast needs DNF filters (list of (col, op, val) "
+            "tuples, or a list of such lists); use delete_where_dv_spark "
+            "for arbitrary predicates"
+        )
+    t = IcebergTable(writer.path)
+    live = t.plan_files(None)
+    may = apply_filters(live, filters, t.fields, t._spec_fields)
+    if not may:
+        return None
+    fields = t.fields
+    spec_cache: dict[int, dict[int, dict[str, Any]]] = {}
+
+    def spec_map(f: dict[str, Any]) -> dict[int, dict[str, Any]]:
+        sid = f.get("_spec_id", 0)
+        if sid not in spec_cache:
+            spec_cache[sid] = {
+                sf["source-id"]: sf for sf in t._spec_fields(sid)
+            }
+        return spec_cache[sid]
+
+    full_paths: set[str] = set()
+    partial: list[dict[str, Any]] = []
+    for f in may:
+        if file_all_rows_match(f, filters, fields, spec_map(f)):
+            full_paths.add(_norm_data_path(f["file_path"]))
+        else:
+            partial.append(f)
+    snapshot_id = writer._next_snapshot_id
+    dv_entries: list[dict[str, Any]] = []
+    if partial:
+        tagged = t.to_df(
+            spark,
+            keep_pos=True,
+            filters=filters,
+            file_subset={f["file_path"] for f in partial},
+        )
+        hits = tagged.select("__file", "__pos")
+        dv_entries = _dv_manifest_entries_spark(
+            writer, spark, hits, snapshot_id
+        )
+    if not full_paths and not dv_entries:
+        return None
+    if full_paths:
+        keep_manifests, delete_by_spec = writer._tombstone_rewrite(
+            lambda df: df.get("content", 0) == 0
+            and _norm_data_path(df["file_path"]) in full_paths,
+            snapshot_id,
+        )
+    else:
+        keep_manifests, delete_by_spec = list(writer.manifests), {}
+    manifests = keep_manifests + [
+        writer._write_manifest(entries, snapshot_id, spec_id=sid)
+        for sid, entries in sorted(delete_by_spec.items())
+    ]
+    if dv_entries:
+        manifests.append(writer._write_manifest(dv_entries, snapshot_id))
+    writer._commit(snapshot_id, manifests, "delete", 0)
     return snapshot_id
 
 
@@ -4970,7 +5153,7 @@ def compact_files(
             continue  # schema-drifted member: leave the group alone
         merged = [r for part in rows_parts for r in part]
         fpath, fsize = writer._write_parquet(merged)
-        lowers, uppers = writer._bounds(merged)
+        lowers, uppers, nulls, nans = writer._bounds(merged)
         partition = dict(es[0][0]["data_file"].get("partition") or {})
         new_entries_by_spec.setdefault(spec_id, []).append(
             {
@@ -4984,6 +5167,8 @@ def compact_files(
                     "file_size_in_bytes": fsize,
                     "lower_bounds": lowers,
                     "upper_bounds": uppers,
+                    "null_value_counts": nulls,
+                    "nan_value_counts": nans,
                 },
             }
         )

@@ -1603,6 +1603,86 @@ def iceberg_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_delete_where_fast",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    kept AS (
+      SELECT * FROM src
+      WHERE NOT (o_orderstatus = 'F'
+                 OR (o_orderstatus = 'P' AND o_totalprice < 150000.0))
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM kept GROUP BY o_orderstatus
+    """,
+)
+def iceberg_delete_where_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats/partition-aligned DELETE (``delete_where_fast``) — real
+    Iceberg's metadata-delete fast path: ``DELETE WHERE status='F' OR
+    (status='P' AND price<150k)`` drops every wholly-matching file
+    ('F' partition files, and any 'P' file whose price upper bound +
+    null/NaN counts prove all rows match) as pure tombstones with
+    zero data IO, and builds deletion vectors ONLY over the boundary
+    files, scanned through ``to_df(file_subset=...)``.  At 100 TB a
+    retention delete on an aligned predicate is a driver-side metadata
+    commit, not a table scan.  Oracle recomputes the kept rowset
+    relationally from the source parquet."""
+    import os
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+        delete_where_fast,
+    )
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 7 = 0")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderstatus").alias("part_status"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_fastdel_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+        [{"name": "o_orderstatus", "transform": "identity", "source": "o_orderstatus"}],
+    )
+    data_dir = os.path.join(path, "data-0")
+    src.write.mode("overwrite").partitionBy("part_status").parquet(data_dir)
+    commit_spark_output(
+        writer, data_dir, partition_col="o_orderstatus", path_col="part_status"
+    )
+    delete_where_fast(
+        writer,
+        spark,
+        [
+            [("o_orderstatus", "==", "F")],
+            [("o_orderstatus", "==", "P"), ("o_totalprice", "<", 150000.0)],
+        ],
+    )
+    t = IcebergTable(path)
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "iceberg_bucket_write_prune",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,252 @@
+"""Stats/partition-aligned fast DELETE (``delete_where_fast``) and the
+whole-file proof machinery (``planner.file_all_rows_match``).
+
+The contract under test: files whose rows PROVABLY all match the filter
+are dropped as metadata tombstones with zero data IO (the pure-aligned
+case never touches Spark at all — proven by passing ``spark=None``);
+candidate files without a proof get deletion vectors built from a scan
+restricted to exactly those files; unsound proofs (NULLs hiding outside
+min-max bounds, NaNs on float columns, boundary partitions of ordered
+transforms) must NOT fire.
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+import pytest
+
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.planner import FieldInfo, file_all_rows_match
+from daskberg_spark.iceberg.writer import IcebergWriter, delete_where_fast
+
+
+def _writer(path, partitioned=True):
+    spec = (
+        [{"name": "cat", "transform": "identity", "source": "cat"}]
+        if partitioned
+        else []
+    )
+    return IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "cat", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+        spec,
+    )
+
+
+def test_metadata_only_partition_drop_needs_no_spark():
+    """A partition-aligned delete is pure metadata: spark=None proves no
+    Spark job (or session) is ever touched."""
+    path = tempfile.mkdtemp(prefix="fastdel_")
+    w = _writer(path)
+    w.append(
+        [{"k": i, "cat": c, "v": float(i)} for c in "ab" for i in range(5)]
+    )
+    sid = delete_where_fast(w, None, [("cat", "==", "a")])
+    assert sid is not None
+    t = IcebergTable(path)
+    files = t.plan_files(None)
+    assert len(files) == 1 and files[0]["partition"] == {"cat": "b"}
+    assert t.metadata["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_mixed_full_and_partial_single_commit(spark):
+    path = tempfile.mkdtemp(prefix="fastdel_")
+    w = _writer(path)
+    w.append(
+        [{"k": i, "cat": c, "v": float(i)} for c in "abc" for i in range(10)]
+    )
+    n_snaps_before = len(IcebergTable(path).metadata["snapshots"])
+    sid = delete_where_fast(
+        w, spark, [[("cat", "==", "a")], [("cat", "==", "b"), ("k", "<", 3)]]
+    )
+    assert sid is not None
+    t = IcebergTable(path)
+    # ONE snapshot for both legs
+    assert len(t.metadata["snapshots"]) == n_snaps_before + 1
+    rows = sorted((r.cat, r.k) for r in t.to_df(spark).collect())
+    assert all(c != "a" for c, _ in rows)
+    assert sorted(k for c, k in rows if c == "b") == list(range(3, 10))
+    assert sorted(k for c, k in rows if c == "c") == list(range(10))
+    # 'a' was tombstoned whole; the DV landed only on the partial 'b' file
+    live_parts = {f["partition"]["cat"] for f in t.plan_files(None)}
+    assert live_parts == {"b", "c"}
+    _, deletes = t.scan_all(None)
+    dv_targets = {
+        d["referenced_data_file"]
+        for d in deletes.values()
+        if (d.get("file_format") or "").upper() == "PUFFIN"
+    }
+    assert len(dv_targets) == 1
+    live_by_part = {
+        f["partition"]["cat"]: f["file_path"] for f in t.plan_files(None)
+    }
+    assert next(iter(dv_targets)) == live_by_part["b"]
+
+
+def test_null_rows_never_swept_by_bounds_proof(spark):
+    """Min-max bounds exclude NULLs; a NULL row fails ``v >= 0`` and must
+    survive.  null_value_counts forces the file onto the partial path."""
+    path = tempfile.mkdtemp(prefix="fastdel_")
+    w = _writer(path, partitioned=False)
+    w.append(
+        [{"k": 1, "cat": "a", "v": None}]
+        + [{"k": 10 + i, "cat": "a", "v": float(i)} for i in range(4)]
+    )
+    sid = delete_where_fast(w, spark, [("v", ">=", 0.0)])
+    assert sid is not None
+    rows = IcebergTable(path).to_df(spark).collect()
+    assert len(rows) == 1 and rows[0].k == 1 and rows[0].v is None
+
+
+def test_day_transform_retention_is_metadata_only():
+    """``ts < cutoff`` on a day-partitioned table: whole days strictly
+    below the cutoff day drop with zero data IO (ordered-transform
+    proof); the table had no boundary-straddling file so spark=None."""
+    path = tempfile.mkdtemp(prefix="fastdel_day_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "ts", "type": "timestamp", "required": False},
+        ],
+        [{"name": "ts_day", "transform": "day", "source": "ts"}],
+    )
+    rows = []
+    for d in range(1, 5):
+        for i in range(3):
+            rows.append(
+                {
+                    "k": d * 10 + i,
+                    "ts": datetime.datetime(2024, 1, d, 6 + i),
+                }
+            )
+    w.append(rows)
+    assert len(IcebergTable(path).plan_files(None)) == 4
+    sid = delete_where_fast(
+        w, None, [("ts", "<", datetime.datetime(2024, 1, 3))]
+    )
+    assert sid is not None
+    t = IcebergTable(path)
+    files = t.plan_files(None)
+    assert len(files) == 2  # days 3 and 4 survive whole
+    assert {f["partition"]["ts_day"] for f in files} == {
+        (datetime.date(2024, 1, d) - datetime.date(1970, 1, 1)).days
+        for d in (3, 4)
+    }
+
+
+def test_day_boundary_file_is_not_whole_dropped(spark):
+    """A mid-day cutoff leaves the boundary day PARTIAL: its matching
+    rows die by DV, the rest survive."""
+    path = tempfile.mkdtemp(prefix="fastdel_day_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "ts", "type": "timestamp", "required": False},
+        ],
+        [{"name": "ts_day", "transform": "day", "source": "ts"}],
+    )
+    rows = []
+    for d in (1, 2):
+        for h in (3, 9, 15):
+            rows.append({"k": d * 100 + h, "ts": datetime.datetime(2024, 1, d, h)})
+    w.append(rows)
+    sid = delete_where_fast(
+        w, spark, [("ts", "<", datetime.datetime(2024, 1, 2, 12))]
+    )
+    assert sid is not None
+    got = sorted(r.k for r in IcebergTable(path).to_df(spark).collect())
+    assert got == [215]  # only Jan-2 15:00 survives
+
+
+def test_no_match_returns_none():
+    path = tempfile.mkdtemp(prefix="fastdel_")
+    w = _writer(path)
+    w.append([{"k": 1, "cat": "a", "v": 1.0}])
+    assert delete_where_fast(w, None, [("cat", "==", "zzz")]) is None
+
+
+def test_opaque_predicate_rejected():
+    path = tempfile.mkdtemp(prefix="fastdel_")
+    w = _writer(path)
+    w.append([{"k": 1, "cat": "a", "v": 1.0}])
+    with pytest.raises(ValueError):
+        delete_where_fast(w, None, "cat = 'a'")
+
+
+# ---- whole-file proof unit checks (no Spark) ----------------------------
+
+
+def _rec(**kw):
+    base = {
+        "file_path": "/x.parquet",
+        "record_count": 10,
+        "partition": {},
+    }
+    base.update(kw)
+    return base
+
+
+def test_bounds_proof_requires_null_knowledge():
+    """An optional column WITHOUT null_value_counts (foreign manifest)
+    can never bounds-prove — NULLs may hide outside min-max."""
+    from daskberg_spark.iceberg.conversions import encode_bound
+
+    info = {"v": FieldInfo(field_id=3, type="long")}
+    f = _rec(
+        lower_bounds=[{"key": 3, "value": encode_bound(5, "long")}],
+        upper_bounds=[{"key": 3, "value": encode_bound(9, "long")}],
+    )
+    assert not file_all_rows_match(f, [("v", ">=", 0)], info)
+    f["null_value_counts"] = [{"key": 3, "value": 0}]
+    assert file_all_rows_match(f, [("v", ">=", 0)], info)
+    f["null_value_counts"] = [{"key": 3, "value": 2}]
+    assert not file_all_rows_match(f, [("v", ">=", 0)], info)
+    # required column: schema itself is the proof
+    req = {"v": FieldInfo(field_id=3, type="long", required=True)}
+    del f["null_value_counts"]
+    assert file_all_rows_match(f, [("v", ">=", 0)], req)
+
+
+def test_float_bounds_proof_requires_nan_counts():
+    from daskberg_spark.iceberg.conversions import encode_bound
+
+    info = {"v": FieldInfo(field_id=3, type="double", required=True)}
+    f = _rec(
+        lower_bounds=[{"key": 3, "value": encode_bound(1.0, "double")}],
+        upper_bounds=[{"key": 3, "value": encode_bound(2.0, "double")}],
+    )
+    # no nan_value_counts: NaN rows may hide outside bounds
+    assert not file_all_rows_match(f, [("v", "<=", 5.0)], info)
+    f["nan_value_counts"] = [{"key": 3, "value": 0}]
+    assert file_all_rows_match(f, [("v", "<=", 5.0)], info)
+    f["nan_value_counts"] = [{"key": 3, "value": 1}]
+    assert not file_all_rows_match(f, [("v", "<=", 5.0)], info)
+
+
+def test_or_proof_needs_single_satisfying_conjunction():
+    info = {"cat": FieldInfo(field_id=2, type="string", transform="identity", partition_name="cat")}
+    fa = _rec(partition={"cat": "a"})
+    dnf = [[("cat", "==", "a")], [("cat", "==", "b")]]
+    assert file_all_rows_match(fa, dnf, info)
+    assert not file_all_rows_match(_rec(partition={"cat": "c"}), dnf, info)
+    # unknown column fails its conjunction
+    assert not file_all_rows_match(fa, [[("cat", "==", "a"), ("nope", ">", 1)]], info)
+
+
+def test_null_partition_value_proves_nothing():
+    info = {
+        "cat": FieldInfo(
+            field_id=2, type="string", transform="identity", partition_name="cat"
+        )
+    }
+    f = _rec(partition={"cat": None})
+    assert not file_all_rows_match(f, [("cat", "!=", "x")], info)
