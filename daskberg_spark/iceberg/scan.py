@@ -1187,6 +1187,88 @@ IcebergTable.to_df = to_df  # type: ignore[attr-defined]
 IcebergTable.read = read  # type: ignore[attr-defined]
 
 
+def _and_dnf(a: Any, b: Any) -> Any:
+    """AND two filters in the planner's DNF form: cross-product of their
+    conjunction lists ((A1∨A2)∧(B1∨B2) = ∨ over Ai+Bj)."""
+    if not a:
+        return b
+    if not b:
+        return a
+    dnf_a = a if is_dnf(a) else [a]
+    dnf_b = b if is_dnf(b) else [b]
+    return [list(ca) + list(cb) for ca in dnf_a for cb in dnf_b]
+
+
+def join_pruned_df(
+    table: IcebergTable,
+    spark: SparkSession,
+    dim_df: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    filters: Any = None,
+    columns: list[str] | None = None,
+    max_keys: int = 1000,
+    how: str = "inner",
+) -> DataFrame:
+    """Join-derived runtime file pruning — the Iceberg-planner analogue
+    of Spark's dynamic partition pruning, which cannot reach a scan this
+    engine plans itself.
+
+    For a star-shaped ``fact ⋈ dim`` where ``dim_df`` is already
+    filtered and broadcast-sized, the fact side usually only needs the
+    files whose ``fact_key`` stats/partition values intersect the dim's
+    surviving join keys.  This collects the dim's DISTINCT keys (driver
+    traffic bounded by ``max_keys``+1 values — dim-sized, never
+    fact-sized), turns them into a planner ``in`` filter (falling back
+    to a [min, max] range filter above ``max_keys``), plans the fact
+    scan through the ordinary metadata prune, and broadcast-joins the
+    result.  On a 100 TB fact table partitioned or clustered by the join
+    key, a dim filter that keeps 3 of 84 months means reading 3/84 of
+    the files — decided before any fact IO.
+
+    Sound for ``inner`` and ``semi`` joins only (enforced): fact rows
+    whose key is absent from the dim cannot reach the output, so
+    pruning them early never changes the result; NULL fact keys never
+    equi-match.  ``filters`` (DNF) AND-merges with the derived key
+    filter.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            "join_pruned_df is only sound for inner/semi joins: a fact "
+            f"row pruned by the dim key set would still appear in a "
+            f"{how!r} join"
+        )
+    dim_key = dim_key or fact_key
+    key_col = F.col(dim_key)
+    keys = [
+        r[0]
+        for r in dim_df.select(key_col)
+        .where(key_col.isNotNull())
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    if len(keys) <= max_keys:
+        key_filter: Any = [(fact_key, "in", keys)]
+    else:
+        lo, hi = dim_df.agg(F.min(key_col), F.max(key_col)).first()
+        key_filter = [(fact_key, ">=", lo), (fact_key, "<=", hi)]
+    fact = to_df(
+        table, spark, filters=_and_dnf(filters, key_filter), columns=columns
+    )
+    dim = F.broadcast(dim_df)
+    if how in ("semi", "left_semi", "leftsemi"):
+        return fact.join(
+            dim, fact[fact_key] == dim[dim_key], how="left_semi"
+        )
+    if dim_key == fact_key:
+        return fact.join(dim, on=fact_key, how="inner")
+    return fact.join(dim, fact[fact_key] == dim[dim_key], how="inner")
+
+
+IcebergTable.join_pruned_df = join_pruned_df  # type: ignore[attr-defined]
+
+
 def diff_df(
     table: IcebergTable,
     spark: SparkSession,

@@ -354,6 +354,61 @@ def iceberg_lineitem_month_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_join_prune_runtime",
+    """
+    WITH dim AS (
+      SELECT DISTINCT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+               AS month
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate <  DATE '1996-04-01'
+    )
+    SELECT CAST(l.l_shipmonth AS INT) AS l_shipmonth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM (SELECT *, (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1
+                      AS l_shipmonth
+          FROM lineitem) l
+    JOIN dim ON l.l_shipmonth = dim.month
+    GROUP BY l.l_shipmonth
+    """,
+)
+def iceberg_join_prune_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-derived runtime file pruning (``scan.join_pruned_df``) — the
+    planner-level analogue of Spark dynamic partition pruning, which
+    cannot reach a scan this engine plans itself: the dim side (orders
+    months surviving a one-quarter date filter) is collected as a
+    bounded key set BEFORE any fact IO, turned into a planner ``in``
+    filter, and the month-partitioned lineitem Iceberg table reads only
+    the 3 matching partition files of ~84 (witnessed by the plan
+    contract in tests/test_joinprune.py).  At 100 TB a star join whose
+    dim filter keeps 3 months reads 3 months, not the table.  Oracle
+    recomputes the join relationally from the source parquet."""
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+    from daskberg_spark.iceberg.scan import join_pruned_df
+
+    t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
+    orders = table(spark, sf_dir, "orders")
+    month = (
+        (F.year("o_orderdate") - F.lit(1970)) * 12 + F.month("o_orderdate") - 1
+    ).cast("int")
+    dim = (
+        orders.filter(
+            "o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'"
+        )
+        .select(month.alias("month"))
+        .distinct()
+    )
+    res = join_pruned_df(t, spark, dim, "l_shipmonth", "month")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return res.groupBy("l_shipmonth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rev.cast("decimal(25,6)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
     "iceberg_lineitem_stats_prune",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
