@@ -93,6 +93,14 @@ AUDIT = {
     "iceberg_null_partition_scope": (3, False, True, None),
     # deterministic shard split: one narrow 2-col scan + one 16-key agg
     "training_shards": (1, False, False, 2),
+    # round 9: fast DELETE read-back — the delete itself left only
+    # tombstones + one boundary DV, so the read is a DV anti-join
+    # (broadcast) + one group-agg exchange over the surviving files
+    "iceberg_delete_where_fast": (2, False, True, None),
+    # join-derived runtime pruning: the dim's key set reaches the scan
+    # as an In filter (pushed), the join broadcasts, one agg exchange;
+    # file count is witnessed separately in tests/test_joinprune.py
+    "iceberg_join_prune_runtime": (2, True, True, None),
     # incremental dedup: delta-files scan LEFT-joins the prior corpus's
     # distinct-text set (broadcast at fixture scale; bucketed at 100 TB)
     "iceberg_incremental_dedup": (3, False, True, None),
