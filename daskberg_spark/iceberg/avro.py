@@ -267,8 +267,38 @@ def _find_first_block(f, sync, start: int, end: int, size: int) -> int | None:
     return None
 
 
+def avro_block_index(path: str) -> list[tuple[int, int]]:
+    """(block_offset, first_row_offset) for every block — ONE header
+    walk (seek per block, no decode).  Split planning uses this to hand
+    each positional range task its block start and row offset directly:
+    k tasks each re-walking the headers from the file start would do
+    O(k × blocks) seeks, quadratic in file size."""
+    with open(path, "rb") as f:
+        _parse_header(f)
+        out: list[tuple[int, int]] = []
+        rows = 0
+        pos = f.tell()
+        f.seek(0, 2)
+        size = f.tell()
+        while pos < size:
+            f.seek(pos)
+            try:
+                count = _read_long(f)
+                bsize = _read_long(f)
+            except EOFError:
+                break
+            out.append((pos, rows))
+            rows += count
+            pos = f.tell() + bsize + 16
+        return out
+
+
 def read_avro_range(
-    path: str, start: int, end: int, want_row_offset: bool = False
+    path: str,
+    start: int,
+    end: int,
+    want_row_offset: bool = False,
+    known_block: tuple[int, int] | None = None,
 ) -> tuple[dict[str, bytes], list[dict[str, Any]], int]:
     """Decode the container blocks OWNED by byte range ``[start, end)``.
 
@@ -285,7 +315,13 @@ def read_avro_range(
     collision-proof block chain; the positionless path instead does one
     sequential sync search from ``start`` (object-store friendly), with
     candidates validated against the block chain so record bytes that
-    contain the marker cannot derail the scan."""
+    contain the marker cannot derail the scan.
+
+    ``known_block=(block_offset, row_offset)`` — from a prior
+    :func:`avro_block_index` pass — skips both the walk and the search:
+    decoding starts at that exact block with that row offset (split
+    planning hands every task its own entry so per-task work stays
+    O(own range))."""
     with open(path, "rb") as f:
         meta, schema, codec, sync, names = _parse_header(f)
         header_end = f.tell()
@@ -294,7 +330,11 @@ def read_avro_range(
         end = min(end, size)
         row_offset = 0
         first_block: int | None = None
-        if want_row_offset:
+        if known_block is not None:
+            first_block, row_offset = known_block
+            if first_block >= size:
+                first_block = None
+        elif want_row_offset:
             pos = header_end
             while pos - 16 < end:
                 if pos - 16 >= start:
@@ -632,10 +672,39 @@ def write_avro(
     (and what any Hadoop-style Avro reader splits on)."""
     names: dict[str, Any] = {}
     _register_names(schema, names)
-    sync = b"daskbergsparksyn"  # fixed 16-byte marker: deterministic output
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
     if metadata:
         meta.update(metadata)
+
+    # Sync marker: content-derived, unique per distinct file.  The Avro
+    # spec uses 16 RANDOM bytes so that record bytes which happen to
+    # contain a container (e.g. an avro file stored in a bytes column)
+    # cannot alias a block boundary under byte-range splitting — a fixed
+    # marker made exactly that happen (an embedded container written by
+    # this same writer passed _plausible_block's chain check and derailed
+    # a mid-file split task).  Hashing the encoded record stream keeps
+    # writes byte-deterministic while guaranteeing an embedded container
+    # (strict substring of this file's record bytes) hashes differently.
+    import hashlib
+
+    digest = hashlib.sha256()
+    digest.update(json.dumps(schema, sort_keys=True).encode())
+    digest.update(codec.encode())
+    blocks: list[tuple[int, bytes]] = []
+    body = bytearray()
+    count = 0
+    for rec in records:
+        _encode(schema, rec, body, names)
+        count += 1
+        if len(body) >= AVRO_BLOCK_BYTES:
+            digest.update(body)
+            blocks.append((count, _compress_payload(bytes(body), codec)))
+            body = bytearray()
+            count = 0
+    if count or not blocks:
+        digest.update(body)
+        blocks.append((count, _compress_payload(bytes(body), codec)))
+    sync = digest.digest()[:16]
 
     head = bytearray()
     head.extend(MAGIC)
@@ -646,29 +715,13 @@ def write_avro(
     _write_long(head, 0)
     head.extend(sync)
     fh.write(bytes(head))
-
-    def flush(count: int, body: bytearray) -> None:
-        payload = _compress_payload(bytes(body), codec)
+    for n, payload in blocks:
         block = bytearray()
-        _write_long(block, count)
+        _write_long(block, n)
         _write_long(block, len(payload))
         block.extend(payload)
         block.extend(sync)
         fh.write(bytes(block))
-
-    body = bytearray()
-    count = 0
-    wrote = False
-    for rec in records:
-        _encode(schema, rec, body, names)
-        count += 1
-        if len(body) >= AVRO_BLOCK_BYTES:
-            flush(count, body)
-            body = bytearray()
-            count = 0
-            wrote = True
-    if count or not wrote:
-        flush(count, body)
 
 
 def write_avro_file(

@@ -248,12 +248,7 @@ def _passes_partition(
     reuse a field name with a different transform (e.g. changed bucket
     width), and checking through the default spec's transform would
     prune with the wrong function → silently missing rows."""
-    if spec_by_source is not None:
-        spec = spec_by_source.get(info.field_id)
-        transform = spec["transform"] if spec else None
-        partition_name = spec["name"] if spec else None
-    else:
-        transform, partition_name = info.transform, info.partition_name
+    transform, partition_name = _file_spec_entry(info, spec_by_source)
     if transform and transform != "void":
         part = data_file.get("partition") or {}
         if partition_name in part:
@@ -414,7 +409,6 @@ def _all_match_pred(
         # path: `ts < cutoff` on a day-partitioned table drops whole
         # day files with zero data IO.
         fn, ordered = get_transform(transform)
-        part = data_file.get("partition") or {}
         if ordered and pname in part:
             pval = partition_value_to_python(
                 part[pname], transform_result_type(transform, info.type)
@@ -490,15 +484,6 @@ def file_all_rows_match(
         if ok and conj:
             return True
     return False
-
-
-def _raw_bound(bounds: Any, field_id: int) -> bytes | None:
-    """Undecoded bound bytes for a field (the vector path decodes in bulk)."""
-    if not bounds:
-        return None
-    if isinstance(bounds, dict):
-        return bounds.get(field_id)
-    return next((b["value"] for b in bounds if b["key"] == field_id), None)
 
 
 # ---------------------------------------------------------------------------

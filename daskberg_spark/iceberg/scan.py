@@ -736,8 +736,8 @@ def _python_file_scan(
         import pandas as _pd
 
         for b in batches:
-            for path, r_start, r_end in zip(
-                b["__path"], b["__start"], b["__end"]
+            for path, r_start, r_end, r_rowoff in zip(
+                b["__path"], b["__start"], b["__end"], b["__rowoff"]
             ):
                 row_offset = 0
                 if fmt == "AVRO":
@@ -748,6 +748,11 @@ def _python_file_scan(
                         int(r_start),
                         int(r_end),
                         want_row_offset=tag_position,
+                        known_block=(
+                            (int(r_start), int(r_rowoff))
+                            if int(r_rowoff) >= 0
+                            else None
+                        ),
                     )
                     pdf = _pd.DataFrame(
                         {
@@ -790,20 +795,50 @@ def _python_file_scan(
                     )
                 yield pdf
 
-    tasks: list[tuple[str, int, int]] = []
+    tasks: list[tuple[str, int, int, int]] = []
     if fmt == "AVRO":
         for path, fsize in items:
             if fsize and fsize > AVRO_SPLIT_BYTES:
-                k = -(-int(fsize) // AVRO_SPLIT_BYTES)
-                step = -(-int(fsize) // k)  # balanced, covers [0, fsize)
-                tasks += [
-                    (path, i * step, min((i + 1) * step, int(fsize)))
-                    for i in range(k)
-                ]
+                if tag_position:
+                    # ONE header walk per file at plan time: each task
+                    # gets its exact (block_offset, row_offset), so no
+                    # task re-walks earlier blocks (k tasks walking from
+                    # the start would be O(k × blocks) seeks)
+                    from daskberg_spark.iceberg.avro import avro_block_index
+
+                    index = avro_block_index(path)
+                    open_chunk: tuple[int, int] | None = None
+                    for j, (boff, roff) in enumerate(index):
+                        if open_chunk is None:
+                            open_chunk = (boff, roff)
+                        last = j + 1 == len(index)
+                        nxt = int(fsize) if last else index[j + 1][0]
+                        if last or nxt - open_chunk[0] >= AVRO_SPLIT_BYTES:
+                            # intermediate end = the NEXT task's first
+                            # block minus its 16-byte preceding sync:
+                            # the decode loop breaks on the trailing
+                            # sync position, so this yields no overlap
+                            # and no gap with the next aligned task
+                            tasks.append(
+                                (
+                                    path,
+                                    open_chunk[0],
+                                    int(fsize) if last else nxt - 16,
+                                    open_chunk[1],
+                                )
+                            )
+                            open_chunk = None
+                else:
+                    k = -(-int(fsize) // AVRO_SPLIT_BYTES)
+                    step = -(-int(fsize) // k)  # balanced, covers [0, fsize)
+                    tasks += [
+                        (path, i * step, min((i + 1) * step, int(fsize)), -1)
+                        for i in range(k)
+                    ]
             else:
-                tasks.append((path, 0, 2**62))
+                tasks.append((path, 0, 2**62, -1))
     else:
-        tasks = [(p, 0, 2**62) for p in items]
+        tasks = [(p, 0, 2**62, -1) for p in items]
 
     df_paths = spark.createDataFrame(
         tasks,
@@ -812,6 +847,7 @@ def _python_file_scan(
                 T.StructField("__path", T.StringType(), False),
                 T.StructField("__start", T.LongType(), False),
                 T.StructField("__end", T.LongType(), False),
+                T.StructField("__rowoff", T.LongType(), False),
             ]
         ),
     )
@@ -1217,12 +1253,13 @@ def join_pruned_df(
     For a star-shaped ``fact ⋈ dim`` where ``dim_df`` is already
     filtered and broadcast-sized, the fact side usually only needs the
     files whose ``fact_key`` stats/partition values intersect the dim's
-    surviving join keys.  This collects the dim's DISTINCT keys (driver
-    traffic bounded by ``max_keys``+1 values — dim-sized, never
-    fact-sized), turns them into a planner ``in`` filter (falling back
-    to a [min, max] range filter above ``max_keys``), plans the fact
-    scan through the ordinary metadata prune, and broadcast-joins the
-    result.  On a 100 TB fact table partitioned or clustered by the join
+    surviving join keys.  This materializes the dim on the driver
+    (dim-sized, never fact-sized — the broadcast join it feeds moves
+    the same bytes), turns its distinct keys into a planner ``in``
+    filter (falling back to a [min, max] range filter above
+    ``max_keys``, which bounds planning cost, not traffic), plans the
+    fact scan through the ordinary metadata prune, and broadcast-joins
+    the result.  On a 100 TB fact table partitioned or clustered by the join
     key, a dim filter that keeps 3 of 84 months means reading 3/84 of
     the files — decided before any fact IO.
 
@@ -1231,6 +1268,14 @@ def join_pruned_df(
     pruning them early never changes the result; NULL fact keys never
     equi-match.  ``filters`` (DNF) AND-merges with the derived key
     filter.
+
+    The dim is evaluated exactly ONCE: its rows are collected to the
+    driver (no more traffic than the broadcast join it feeds would move
+    anyway) and both the key set and the join side rebuild from that
+    materialization — re-evaluating a nondeterministic or
+    source-mutated ``dim_df`` between the key collect and the join
+    would silently drop fact rows whose files were pruned against the
+    FIRST evaluation's keys.
     """
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(
@@ -1239,20 +1284,16 @@ def join_pruned_df(
             f"{how!r} join"
         )
     dim_key = dim_key or fact_key
-    key_col = F.col(dim_key)
-    keys = [
-        r[0]
-        for r in dim_df.select(key_col)
-        .where(key_col.isNotNull())
-        .distinct()
-        .limit(max_keys + 1)
-        .collect()
-    ]
+    dim_schema = dim_df.schema
+    dim_rows = dim_df.collect()
+    dim_df = spark.createDataFrame(dim_rows, dim_schema)
+    keys = sorted(
+        {row[dim_key] for row in dim_rows if row[dim_key] is not None}
+    )
     if len(keys) <= max_keys:
         key_filter: Any = [(fact_key, "in", keys)]
     else:
-        lo, hi = dim_df.agg(F.min(key_col), F.max(key_col)).first()
-        key_filter = [(fact_key, ">=", lo), (fact_key, "<=", hi)]
+        key_filter = [(fact_key, ">=", keys[0]), (fact_key, "<=", keys[-1])]
     fact = to_df(
         table, spark, filters=_and_dnf(filters, key_filter), columns=columns
     )

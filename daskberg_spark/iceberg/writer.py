@@ -3400,10 +3400,10 @@ def delete_where_fast(
         )
     t = IcebergTable(writer.path)
     live = t.plan_files(None)
-    may = apply_filters(live, filters, t.fields, t._spec_fields)
+    fields = t.fields  # property walks the schema — resolve once
+    may = apply_filters(live, filters, fields, t._spec_fields)
     if not may:
         return None
-    fields = t.fields
     spec_cache: dict[int, dict[int, dict[str, Any]]] = {}
 
     def spec_map(f: dict[str, Any]) -> dict[int, dict[str, Any]]:

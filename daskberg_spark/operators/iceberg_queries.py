@@ -1678,11 +1678,12 @@ def iceberg_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iceberg_delete_where_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats/partition-aligned DELETE (``delete_where_fast``) — real
     Iceberg's metadata-delete fast path: ``DELETE WHERE status='F' OR
-    (status='P' AND price<150k)`` drops every wholly-matching file
-    ('F' partition files, and any 'P' file whose price upper bound +
-    null/NaN counts prove all rows match) as pure tombstones with
-    zero data IO, and builds deletion vectors ONLY over the boundary
-    files, scanned through ``to_df(file_subset=...)``.  At 100 TB a
+    (status='P' AND price<150k)`` drops every wholly-matching file —
+    here the 'F' partition files; the float range leg stays partial
+    because parquet footers carry no NaN counts, so bounds proofs on
+    doubles conservatively refuse — as pure tombstones with zero data
+    IO, and builds deletion vectors ONLY over the boundary files,
+    scanned through ``to_df(file_subset=...)``.  At 100 TB a
     retention delete on an aligned predicate is a driver-side metadata
     commit, not a table scan.  Oracle recomputes the kept rowset
     relationally from the source parquet."""

@@ -295,3 +295,111 @@ def test_zstd_table_end_to_end(spark, tmp_path):
         )
     t = IcebergTable(p)
     assert sorted(r["id"] for r in t.to_df(spark).collect()) == before
+
+
+def test_split_read_survives_embedded_container(tmp_path):
+    """Record bytes that CONTAIN another Avro container written by this
+    same writer must not alias a block boundary under byte-range
+    splitting — the content-derived sync marker guarantees the embedded
+    file's sync differs from the outer file's (a fixed marker made a
+    mid-range split task start decoding inside a record: reproduced
+    EOFError / silently wrong rows)."""
+    import io
+
+    from daskberg_spark.iceberg.avro import (
+        read_avro_file,
+        read_avro_range,
+        write_avro,
+        write_avro_file,
+    )
+
+    inner_schema = {
+        "type": "record",
+        "name": "inner",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    buf = io.BytesIO()
+    write_avro(
+        inner_schema, [{"x": i} for i in range(2000)], buf, codec="null"
+    )
+    embedded = buf.getvalue()
+
+    outer_schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "payload", "type": "bytes"},
+        ],
+    }
+    rows = [
+        {"k": i, "payload": embedded if i % 3 == 0 else b"z" * 50}
+        for i in range(400)
+    ]
+    path = str(tmp_path / "outer.avro")
+    write_avro_file(path, outer_schema, rows, codec="null")
+    _, whole = read_avro_file(path)
+    assert [r["k"] for r in whole] == list(range(400))
+
+    import os
+
+    size = os.path.getsize(path)
+    for n_splits in (2, 3, 7):
+        step = size // n_splits + 1
+        got = []
+        for s in range(0, size, step):
+            _, recs, _ = read_avro_range(path, s, min(s + step, size))
+            got.extend(r["k"] for r in recs)
+        assert sorted(got) == list(range(400)), n_splits
+        # positional variant must agree too
+        got_pos = []
+        for s in range(0, size, step):
+            _, recs, off = read_avro_range(
+                path, s, min(s + step, size), want_row_offset=True
+            )
+            got_pos.extend((off + i, r["k"]) for i, r in enumerate(recs))
+        assert sorted(p for p, _ in got_pos) == list(range(400))
+        assert all(p == k for p, k in got_pos)
+
+
+def test_block_index_known_block_exact(tmp_path):
+    """Block-aligned split tasks (avro_block_index + known_block) decode
+    every record exactly once with exact whole-file row offsets, for
+    any grouping of blocks into tasks — mirrors the planner's aligned
+    positional splits (intermediate end = next block offset - 16)."""
+    import daskberg_spark.iceberg.avro as avro_mod
+    from daskberg_spark.iceberg.avro import (
+        avro_block_index,
+        read_avro_range,
+        write_avro_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    path = str(tmp_path / "t.avro")
+    old = avro_mod.AVRO_BLOCK_BYTES
+    try:
+        avro_mod.AVRO_BLOCK_BYTES = 256  # many blocks
+        write_avro_file(path, schema, [{"k": i} for i in range(5000)])
+    finally:
+        avro_mod.AVRO_BLOCK_BYTES = old
+    index = avro_block_index(path)
+    assert len(index) > 10
+    import os
+
+    size = os.path.getsize(path)
+    for group in (1, 2, 3, 5, len(index)):
+        got = []
+        for j in range(0, len(index), group):
+            boff, roff = index[j]
+            end = size if j + group >= len(index) else index[j + group][0] - 16
+            _, recs, off = read_avro_range(
+                path, boff, end, known_block=(boff, roff)
+            )
+            assert off == roff
+            got.extend((off + i, r["k"]) for i, r in enumerate(recs))
+        assert sorted(p for p, _ in got) == list(range(5000)), group
+        assert all(p == k for p, k in got)
