@@ -294,8 +294,14 @@ _PRIORITY = [
     "iceberg_all_delete_files",
     "iceberg_all_entries",
     "iceberg_remove_dangling",
-    "iceberg_position_deletes_dv",
-    "iceberg_view_read",
+    # r9 session-2 swaps: iceberg_position_deletes_dv and
+    # iceberg_view_read (both driver-green r8) step out for the NEW
+    # stats/partition-aligned fast DELETE (tombstones + boundary DVs —
+    # the DV surface stays exercised here and by iceberg_merge_mor/
+    # iceberg_update_mor in-window) and the NEW join-derived runtime
+    # file pruning; views stay covered by iceberg_view_time_travel
+    "iceberg_delete_where_fast",
+    "iceberg_join_prune_runtime",
     "iceberg_view_time_travel",
     # MOR UPDATE + the metadata-delta row-level changelog (raw + net)
     "iceberg_update_mor",

@@ -91,6 +91,10 @@ HEADLINE = [
     # round 9 (late): cross-document span dedup — gram index + island
     # merge + position anti-join + ordered-listagg reassembly
     "span_dedup_trim",
+    # round 9, session 2: stats/partition-aligned DELETE (tombstones +
+    # boundary DVs in one commit) and hash-distributed one-call write
+    "iceberg_delete_where_fast",
+    "iceberg_write_distribution",
 ]
 
 

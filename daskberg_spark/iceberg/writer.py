@@ -2036,6 +2036,104 @@ def commit_spark_output(
     return snapshot_id
 
 
+def write_df(
+    writer: "IcebergWriter",
+    df: Any,
+    mode: str = "hash",
+    sort_by: list[str] | None = None,
+    num_tasks: int | None = None,
+    staging_dir: str | None = None,
+    extra_summary: dict[str, str] | None = None,
+) -> int:
+    """One-call distributed Iceberg append with real Iceberg's
+    ``write.distribution-mode`` semantics — the defense against the
+    small-files problem that kills partitioned tables operationally:
+
+    - ``mode="none"``: tasks write rows wherever they sit, so EVERY
+      task holding rows for a partition emits a file there — up to
+      tasks × partitions files per commit (a 200-task job over 100
+      partitions can mint 20k ~tiny files in one append).
+    - ``mode="hash"`` (default, matching Iceberg's default for
+      partitioned tables): one shuffle on the spec's TRANSFORMED
+      partition values first, so each partition tuple lands in exactly
+      one task → one file per partition tuple per commit.
+    - ``mode="range"``: ``repartitionByRange`` + in-task sort on the
+      partition values then ``sort_by`` — same file-count bound as
+      hash, plus clustered ``sort_by`` bounds so stats pruning fires on
+      those columns (the write-side half of a sorted table).
+
+    Transforms are computed with the spec-exact helpers
+    (``spark_partition_value`` — Iceberg murmur3 for bucket, never
+    Spark's ``hash()``), written as duplicate hive columns so data
+    files keep their partition source columns, and committed through
+    ``commit_spark_output`` (footer-lifted stats, driver does metadata
+    only).  Unpartitioned specs skip the shuffle for ``hash`` (nothing
+    to co-locate) but still honor ``range`` when ``sort_by`` is given.
+    ``num_tasks`` pins the shuffle width (file-size control); left None,
+    the session's shuffle partitioning — including AQE's advisory-size
+    coalescing, which is exactly what sizes output files at scale —
+    decides.  Returns the snapshot id."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.planner import transform_result_type
+
+    if mode not in ("none", "hash", "range"):
+        raise ValueError(f"unknown write distribution mode {mode!r}")
+    spark_types = {
+        "int": "int",
+        "long": "long",
+        "string": "string",
+        "date": "date",
+    }
+    types = dict(writer.types)
+    pcols: list[str] = []  # duplicate hive columns (transformed values)
+    sources: list[str] = []  # spec source column names
+    out = df
+    for pf in writer.spec:
+        src = pf["_source_name"]
+        rtype = transform_result_type(pf["transform"], types[src])
+        dup = f"__p_{pf['name']}"
+        out = out.withColumn(
+            dup,
+            spark_partition_value(
+                src, pf["transform"], spark_types.get(rtype, "string")
+            ),
+        )
+        pcols.append(dup)
+        sources.append(src)
+    if mode == "hash" and pcols:
+        hash_cols = [F.col(c) for c in pcols]
+        out = (
+            out.repartition(num_tasks, *hash_cols)
+            if num_tasks
+            else out.repartition(*hash_cols)
+        )
+    elif mode == "range" and (pcols or sort_by):
+        range_cols = [F.col(c) for c in pcols + list(sort_by or [])]
+        out = (
+            out.repartitionByRange(num_tasks, *range_cols)
+            if num_tasks
+            else out.repartitionByRange(*range_cols)
+        )
+        out = out.sortWithinPartitions(*range_cols)
+    data_dir = staging_dir or tempfile.mkdtemp(
+        prefix="write_df_", dir=f"{writer.path}/data"
+    )
+    w = out.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(data_dir)
+    return commit_spark_output(
+        writer,
+        data_dir,
+        partition_col=sources or None,
+        path_col=pcols or None,
+        extra_summary=extra_summary,
+    )
+
+
 def _resolve_merge_key(
     writer: "IcebergWriter", on: list[str] | None
 ) -> list[str]:

@@ -1739,6 +1739,55 @@ def iceberg_delete_where_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_write_distribution",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_write_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``write.distribution-mode=hash`` one-call write (``write_df``):
+    the source shuffles ONCE on the spec's transformed partition values
+    so each partition tuple lands in exactly one task — one data file
+    per partition per commit instead of tasks × partitions small files
+    (the operational killer of partitioned tables at scale; the file-
+    count contract itself is pinned by
+    ``test_write_df_distribution_modes``).  The read-back aggregate
+    round-trips the full content; oracle hits the source parquet."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, write_df
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 5 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(8)
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_wd_")
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_orderstatus", "type": "string", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double", "required": False},
+        ],
+        [{"name": "o_orderstatus", "transform": "identity", "source": "o_orderstatus"}],
+    )
+    write_df(writer, src, mode="hash")
+    t = IcebergTable(path)
+    return t.to_df(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "iceberg_bucket_write_prune",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -250,3 +250,57 @@ def test_null_partition_value_proves_nothing():
     }
     f = _rec(partition={"cat": None})
     assert not file_all_rows_match(f, [("cat", "!=", "x")], info)
+
+
+# ---- write distribution modes (writer.write_df) --------------------------
+
+
+def test_write_df_distribution_modes(spark):
+    """write.distribution-mode semantics: mode='none' mints a file per
+    (task, partition) pair; 'hash' co-locates each partition tuple into
+    one task (one file per partition); 'range' + sort_by additionally
+    clusters sort-key bounds so stats pruning fires."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import write_df
+
+    src = spark.range(0, 3000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS cat", "CAST(id AS DOUBLE) AS v"
+    ).repartition(8)
+
+    def mk():
+        path = tempfile.mkdtemp(prefix="wd_")
+        return IcebergTable, IcebergWriter(
+            path,
+            [
+                {"id": 1, "name": "k", "type": "long", "required": False},
+                {"id": 2, "name": "cat", "type": "string", "required": False},
+                {"id": 3, "name": "v", "type": "double", "required": False},
+            ],
+            [{"name": "cat", "transform": "identity", "source": "cat"}],
+        )
+
+    _, w_none = mk()
+    write_df(w_none, src, mode="none")
+    _, w_hash = mk()
+    write_df(w_hash, src, mode="hash")
+    files_none = len(IcebergTable(w_none.path).plan_files(None))
+    files_hash = len(IcebergTable(w_hash.path).plan_files(None))
+    assert files_hash == 3  # one per partition tuple
+    assert files_none > files_hash  # task x partition explosion
+    got = sorted(
+        (r.cat, r.k) for r in IcebergTable(w_hash.path).to_df(spark).collect()
+    )
+    assert got == sorted((str(k % 3), k) for k in range(3000))
+
+    _, w_range = mk()
+    write_df(w_range, src, mode="range", sort_by=["k"], num_tasks=6)
+    t = IcebergTable(w_range.path)
+    assert t.to_df(spark).count() == 3000
+    pruned = t.plan_files([("k", "<", 100)])
+    assert 0 < len(pruned) < len(t.plan_files(None))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_df(w_range, src, mode="shuffle")
