@@ -148,6 +148,164 @@ def _decode(schema: Any, buf: io.BytesIO, names: dict[str, Any]) -> Any:
     raise NotImplementedError(f"avro type {schema!r}")
 
 
+def _rl(data: bytes, pos: int) -> tuple[int, int]:
+    """Zigzag varint from a bytes buffer — the compiled decoder's hot
+    primitive.  One-byte values (the overwhelming majority in manifest
+    metadata) take the branchless fast path."""
+    b = data[pos]
+    if b < 0x80:
+        return (b >> 1) ^ -(b & 1), pos + 1
+    accum = b & 0x7F
+    shift = 7
+    pos += 1
+    while True:
+        b = data[pos]
+        accum |= (b & 0x7F) << shift
+        pos += 1
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (accum >> 1) ^ -(accum & 1), pos
+
+
+def _compile_decoder(schema: Any, names: dict[str, Any]):
+    """Compile an Avro schema into a ``(data, pos) -> (value, pos)``
+    closure chain ONCE, instead of re-dispatching on the schema dict for
+    every field of every record (``_decode``'s shape).  Same decode
+    semantics by construction — the differential property test drives
+    both paths — but ~4× faster on manifest-shaped data, which is what
+    bounds driver planning time on huge tables (a 1M-file table's
+    manifests are ~1M record decodes per cold plan)."""
+    schema = _skip_to_named(schema, names)
+    if isinstance(schema, list):
+        # the ubiquitous ["null", X] union gets a two-way fast path
+        if len(schema) == 2 and schema[0] == "null":
+            dec1 = _compile_decoder(schema[1], names)
+
+            def _union_null(data, pos):
+                idx, pos = _rl(data, pos)
+                if idx == 0:
+                    return None, pos
+                return dec1(data, pos)
+
+            return _union_null
+        branches = [_compile_decoder(s, names) for s in schema]
+
+        def _union(data, pos):
+            idx, pos = _rl(data, pos)
+            return branches[idx](data, pos)
+
+        return _union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            members = [
+                (f["name"], _compile_decoder(f["type"], names))
+                for f in schema["fields"]
+            ]
+
+            def _record(data, pos):
+                out = {}
+                for name, dec in members:
+                    out[name], pos = dec(data, pos)
+                return out, pos
+
+            return _record
+        if t == "array":
+            item = _compile_decoder(schema["items"], names)
+
+            def _array(data, pos):
+                out = []
+                while True:
+                    n, pos = _rl(data, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        _, pos = _rl(data, pos)
+                        n = -n
+                    for _ in range(n):
+                        v, pos = item(data, pos)
+                        out.append(v)
+
+            return _array
+        if t == "map":
+            val = _compile_decoder(schema["values"], names)
+
+            def _map(data, pos):
+                out = {}
+                while True:
+                    n, pos = _rl(data, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        _, pos = _rl(data, pos)
+                        n = -n
+                    for _ in range(n):
+                        ln, pos = _rl(data, pos)
+                        key = data[pos : pos + ln].decode("utf-8")
+                        pos += ln
+                        out[key], pos = val(data, pos)
+
+            return _map
+        if t == "fixed":
+            size = schema["size"]
+
+            def _fixed(data, pos):
+                return data[pos : pos + size], pos + size
+
+            return _fixed
+        if t == "enum":
+            symbols = schema["symbols"]
+
+            def _enum(data, pos):
+                idx, pos = _rl(data, pos)
+                return symbols[idx], pos
+
+            return _enum
+        return _compile_decoder(t, names)
+    if schema == "null":
+        return lambda data, pos: (None, pos)
+    if schema == "boolean":
+        return lambda data, pos: (data[pos] == 1, pos + 1)
+    if schema in ("int", "long"):
+        return _rl
+    if schema == "float":
+        unpack_f = struct.unpack
+
+        def _float(data, pos):
+            return unpack_f("<f", data[pos : pos + 4])[0], pos + 4
+
+        return _float
+    if schema == "double":
+        unpack_d = struct.unpack
+
+        def _double(data, pos):
+            return unpack_d("<d", data[pos : pos + 8])[0], pos + 8
+
+        return _double
+    if schema == "bytes":
+
+        def _bytes(data, pos):
+            n, pos = _rl(data, pos)
+            end = pos + n
+            if end > len(data):
+                raise EOFError("truncated bytes")
+            return data[pos:end], end
+
+        return _bytes
+    if schema == "string":
+
+        def _string(data, pos):
+            n, pos = _rl(data, pos)
+            end = pos + n
+            if end > len(data):
+                raise EOFError("truncated bytes")
+            return data[pos:end].decode("utf-8"), end
+
+        return _string
+    raise NotImplementedError(f"avro type {schema!r}")
+
+
 def _parse_header(buf) -> tuple[dict[str, bytes], Any, str, bytes, dict]:
     """Container header → (metadata, schema, codec, sync, name registry)."""
     if buf.read(4) != MAGIC:
@@ -193,6 +351,7 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
     """Decode an Avro object-container file → (file metadata, records)."""
     buf = io.BytesIO(data)
     meta, schema, codec, sync, names = _parse_header(buf)
+    dec = _compile_decoder(schema, names)
     records: list[dict[str, Any]] = []
     while True:
         try:
@@ -203,9 +362,12 @@ def read_avro(data: bytes) -> tuple[dict[str, bytes], list[dict[str, Any]]]:
         block = buf.read(size)
         if len(block) != size:
             raise EOFError("truncated block")
-        bbuf = io.BytesIO(_decompress_block(block, codec))
+        data = _decompress_block(block, codec)
+        pos = 0
+        append = records.append
         for _ in range(count):
-            records.append(_decode(schema, bbuf, names))
+            rec, pos = dec(data, pos)
+            append(rec)
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch")
     return meta, records
@@ -324,6 +486,7 @@ def read_avro_range(
     O(own range))."""
     with open(path, "rb") as f:
         meta, schema, codec, sync, names = _parse_header(f)
+        dec = _compile_decoder(schema, names)
         header_end = f.tell()
         f.seek(0, 2)
         size = f.tell()
@@ -366,9 +529,11 @@ def read_avro_range(
             block = f.read(bsize)
             if len(block) != bsize:
                 raise EOFError("truncated block")
-            bbuf = io.BytesIO(_decompress_block(block, codec))
+            data = _decompress_block(block, codec)
+            pos = 0
             for _ in range(count):
-                records.append(_decode(schema, bbuf, names))
+                rec, pos = dec(data, pos)
+                records.append(rec)
             t = f.tell()  # this block's trailing sync == next block's owner
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch")

@@ -403,3 +403,76 @@ def test_block_index_known_block_exact(tmp_path):
             got.extend((off + i, r["k"]) for i, r in enumerate(recs))
         assert sorted(p for p, _ in got) == list(range(5000)), group
         assert all(p == k for p, k in got)
+
+
+def test_compiled_decoder_matches_legacy():
+    """The schema-compiled decoder (closure chain over bytes+pos — what
+    both read loops use) is decode-identical to the legacy dispatching
+    ``_decode`` across unions, nested records, arrays, maps, enums,
+    fixed, and every primitive."""
+    import io
+
+    from daskberg_spark.iceberg.avro import (
+        _compile_decoder,
+        _decode,
+        _encode,
+        _register_names,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "fx16", "size": 4}},
+            {"name": "e", "type": {"type": "enum", "name": "col", "symbols": ["R", "G", "B"]}},
+            {
+                "name": "kv",
+                "type": ["null", {"type": "array", "items": {
+                    "type": "record", "name": "pair",
+                    "fields": [{"name": "key", "type": "int"},
+                               {"name": "value", "type": ["null", "bytes"]}]}}],
+            },
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "u3", "type": ["null", "long", "string"]},
+        ],
+    }
+    rows = [
+        {
+            "l": (-1) ** i * i * 12345678901,
+            "s": None if i % 3 == 0 else f"s{i}" * (i % 5),
+            "d": i / 7.0,
+            "f": float(i),
+            "b": i % 2 == 0,
+            "raw": bytes([i % 256]) * (i % 9),
+            "fx": bytes([i % 256] * 4),
+            "e": ["R", "G", "B"][i % 3],
+            "kv": None
+            if i % 4 == 0
+            else [{"key": j, "value": None if j % 2 else b"x" * j} for j in range(i % 6)],
+            "m": {f"k{j}": j * i for j in range(i % 4)},
+            "u3": None if i % 3 == 0 else (i if i % 3 == 1 else f"u{i}"),
+        }
+        for i in range(200)
+    ]
+    names: dict = {}
+    _register_names(schema, names)
+    buf = bytearray()
+    for r in rows:
+        _encode(schema, r, buf, names)
+    data = bytes(buf)
+    dec = _compile_decoder(schema, names)
+    pos = 0
+    got_compiled = []
+    for _ in rows:
+        v, pos = dec(data, pos)
+        got_compiled.append(v)
+    assert pos == len(data)
+    bio = io.BytesIO(data)
+    got_legacy = [_decode(schema, bio, names) for _ in rows]
+    assert got_compiled == got_legacy
