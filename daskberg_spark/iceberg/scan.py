@@ -69,6 +69,24 @@ def filters_to_column(filters: Any) -> Column | None:
     return conj(filters)
 
 
+def _eq_delete_key_names(table: IcebergTable) -> set[str] | None:
+    """CURRENT column names keyed by the table's live equality deletes —
+    what a projected scan must still read for the anti-join to apply.
+    None = some key id does not resolve to a current top-level column
+    (the read itself raises the loud NotImplementedError for that);
+    callers skip narrowing so behavior is unchanged."""
+    id_to_name = {f.field_id: n for n, f in table.fields.items()}
+    out: set[str] = set()
+    for d in table.plan_deletes():
+        if d.get("content") == 2:
+            for i in d["equality_ids"]:
+                name = id_to_name.get(i)
+                if name is None:
+                    return None
+                out.add(name)
+    return out
+
+
 def to_df(
     table: IcebergTable,
     spark: SparkSession,
@@ -108,6 +126,27 @@ def to_df(
     keep_pos = keep_pos or row_lineage
     keep_file = keep_file or keep_pos
     struct = schema_to_struct(table.schema)
+    if columns:
+        # projection pushdown BELOW the plan: the native parquet legs
+        # get it from Catalyst anyway, but mapInPandas legs (AVRO,
+        # position-tagged ORC) are opaque to the optimizer — narrowing
+        # the scan struct is what lets their decoders skip unwanted
+        # fields.  The scan must still carry the residual filter's
+        # columns and any live equality-delete key columns (the
+        # anti-join reads them); both are dropped by the final select.
+        wanted = set(columns)
+        if filters:
+            for conj in (filters if is_dnf(filters) else [filters]):
+                for col, _op, _v in conj:
+                    wanted.add(col)
+        base = {f.name for f in struct.fields}
+        if wanted <= base:
+            eq_keys = _eq_delete_key_names(table)
+            if eq_keys is not None:
+                wanted |= eq_keys
+                struct = T.StructType(
+                    [f for f in struct.fields if f.name in wanted]
+                )
     extra_fields = None
     if row_lineage:
         extra_fields = [
@@ -753,6 +792,10 @@ def _python_file_scan(
                             if int(r_rowoff) >= 0
                             else None
                         ),
+                        # projection pushdown: fields outside the group
+                        # struct (projected away, or dropped from the
+                        # schema) are SKIPPED, never materialized
+                        columns=set(names),
                     )
                     pdf = _pd.DataFrame(
                         {
@@ -767,7 +810,11 @@ def _python_file_scan(
                 else:  # ORC, position-tagged
                     import pyarrow.orc as _orc
 
-                    at = _orc.read_table(path)
+                    of = _orc.ORCFile(path)
+                    present = [
+                        n for n in names if n in set(of.schema.names)
+                    ]
+                    at = of.read(columns=present)
                     pdf = _pd.DataFrame(
                         {
                             f.name: (

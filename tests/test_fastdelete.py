@@ -304,3 +304,45 @@ def test_write_df_distribution_modes(spark):
 
     with _pytest.raises(ValueError):
         write_df(w_range, src, mode="shuffle")
+
+
+# ---- projection pushdown into python scan legs ---------------------------
+
+
+def test_projection_pushdown_python_legs(spark):
+    """to_df(columns=) narrows the scan struct below the plan, so the
+    AVRO mapInPandas leg SKIPS unwanted fields (Catalyst cannot prune
+    into an opaque python leg).  Correctness: projected read == full
+    read projected, deletes still apply even when their key column is
+    projected away (the scan quietly widens by the eq-delete keys and
+    the final select drops them)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="proj_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": i + 1, "name": f"c{i}", "type": "long", "required": False}
+            for i in range(10)
+        ]
+        + [{"id": 11, "name": "k", "type": "long", "required": False}],
+    )
+    rows = [
+        {**{f"c{i}": 100 * i + j for i in range(10)}, "k": j}
+        for j in range(50)
+    ]
+    w.append(rows, file_format="avro")
+    # equality delete keyed on k — NOT in the projection
+    w.delete_rows_equality([{"k": 7}, {"k": 13}])
+
+    t = IcebergTable(path)
+    got = t.to_df(spark, columns=["c0", "c3"]).collect()
+    assert sorted((r.c0, r.c3) for r in got) == sorted(
+        (0 + j, 300 + j) for j in range(50) if j not in (7, 13)
+    )
+    assert got and set(got[0].asDict()) == {"c0", "c3"}
+    # filter column outside the projection also survives narrowing
+    got2 = t.to_df(
+        spark, columns=["c1"], filters=[("c5", "<", 510)]
+    ).collect()
+    assert sorted(r.c1 for r in got2) == [100 + j for j in range(10) if j not in (7, 13)]
