@@ -5153,6 +5153,99 @@ def _live_file_rows(
     return out
 
 
+def maintain(
+    writer: "IcebergWriter",
+    spark: Any = None,
+    min_file_bytes: int = 32 << 20,
+    max_manifests: int = 8,
+    keep_last: int = 5,
+    expire_older_than_ms: int | None = None,
+    orphan_older_than_ms: int | None = None,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """ONE-call table maintenance policy — the nightly job a 100 TB
+    table operationally needs, composing the individual actions in
+    dependency order:
+
+    1. ``compact_files[_spark]`` when any (spec, partition) group holds
+       ≥2 files under ``min_file_bytes`` (distributed when ``spark`` is
+       given, driver-side otherwise);
+    2. ``remove_dangling_deletes`` — tombstone delete files whose
+       targets compaction just rewrote away;
+    3. ``rewrite_manifests`` when the live manifest list exceeds
+       ``max_manifests`` (metadata-only);
+    4. ``expire_snapshots(keep_last, expire_older_than_ms)`` — ref-
+       and lineage-aware retention;
+    5. ``remove_orphan_files(orphan_older_than_ms)`` — reclaim files no
+       surviving snapshot references (the mtime guard protects
+       concurrent writers; pass None here ONLY on quiesced tables).
+
+    Every step is a no-op when its threshold is not met, so the call is
+    idempotent at steady state — running it twice back-to-back performs
+    zero work the second time.  ``dry_run`` reports what WOULD run
+    without committing anything.  Returns a report dict with one entry
+    per step (snapshot id / expired ids / removed count / skipped)."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    report: dict[str, Any] = {}
+    small_groups = 0
+    by_group: dict[tuple, int] = {}
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            rec = e["data_file"]
+            if e["status"] == 2 or rec.get("content", 0) != 0:
+                continue
+            if int(rec.get("file_size_in_bytes") or 0) < min_file_bytes:
+                key = (
+                    mf.get("partition_spec_id", 0),
+                    str(rec.get("partition")),
+                )
+                by_group[key] = by_group.get(key, 0) + 1
+    small_groups = sum(1 for n in by_group.values() if n >= 2)
+    if small_groups and not dry_run:
+        if spark is not None:
+            report["compact"] = compact_files_spark(
+                writer, spark, min_file_bytes=min_file_bytes
+            )
+        else:
+            report["compact"] = compact_files(
+                writer, min_file_bytes=min_file_bytes
+            )
+        report["dangling_deletes"] = remove_dangling_deletes(writer)
+    else:
+        report["compact"] = (
+            f"would compact {small_groups} group(s)"
+            if small_groups
+            else None
+        )
+    n_manifests = len(writer.manifests)
+    if n_manifests > max_manifests and not dry_run:
+        report["rewrite_manifests"] = rewrite_manifests(writer)
+    else:
+        report["rewrite_manifests"] = (
+            f"would rewrite {n_manifests} manifests"
+            if n_manifests > max_manifests
+            else None
+        )
+    if dry_run:
+        report["expire_snapshots"] = report["remove_orphans"] = "dry_run"
+        return report
+    report["expire_snapshots"] = expire_snapshots(
+        writer,
+        keep_last=keep_last,
+        older_than_ms=expire_older_than_ms,
+        now_ms=now_ms,
+    )
+    report["remove_orphans"] = len(
+        remove_orphan_files(
+            writer.path, older_than_ms=orphan_older_than_ms
+        )
+    )
+    return report
+
+
 def compact_files(
     writer: "IcebergWriter",
     min_file_bytes: int = 32 << 20,
