@@ -142,7 +142,11 @@ def to_df(
         base = {f.name for f in struct.fields}
         if wanted <= base:
             eq_keys = _eq_delete_key_names(table)
-            if eq_keys is not None:
+            # eq_keys must ALSO be top-level struct fields: a delete
+            # keyed on a nested leaf resolves to a dotted path
+            # ('meta.score'), and narrowing by it would drop the parent
+            # struct column the anti-join reads — skip narrowing
+            if eq_keys is not None and eq_keys <= base:
                 wanted |= eq_keys
                 struct = T.StructType(
                     [f for f in struct.fields if f.name in wanted]
@@ -811,10 +815,17 @@ def _python_file_scan(
                     import pyarrow.orc as _orc
 
                     of = _orc.ORCFile(path)
-                    present = [
-                        n for n in names if n in set(of.schema.names)
-                    ]
-                    at = of.read(columns=present)
+                    avail = set(of.schema.names)
+                    present = [n for n in names if n in avail]
+                    if present:
+                        at = of.read(columns=present)
+                    else:
+                        # no projected column exists in this file:
+                        # read(columns=[]) returns ZERO rows, which
+                        # would silently drop the file's rows (and
+                        # their __pos identities) — null-fill at the
+                        # file's true row count instead
+                        at = of.read(columns=[of.schema.names[0]])
                     pdf = _pd.DataFrame(
                         {
                             f.name: (

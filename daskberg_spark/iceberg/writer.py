@@ -2089,7 +2089,8 @@ def write_df(
     }
     types = dict(writer.types)
     pcols: list[str] = []  # duplicate hive columns (transformed values)
-    sources: list[str] = []  # spec source column names
+    spec_names: list[str] = []  # spec FIELD names (unambiguous under
+    # multi-transform specs sharing one source column)
     out = df
     for pf in writer.spec:
         src = pf["_source_name"]
@@ -2102,7 +2103,7 @@ def write_df(
             ),
         )
         pcols.append(dup)
-        sources.append(src)
+        spec_names.append(pf["name"])
     if mode == "hash" and pcols:
         hash_cols = [F.col(c) for c in pcols]
         out = (
@@ -2110,6 +2111,11 @@ def write_df(
             if num_tasks
             else out.repartition(*hash_cols)
         )
+        if sort_by:
+            # real Iceberg applies the table sort order within tasks
+            # under EVERY distribution mode — silently dropping a
+            # requested clustering would write non-selective bounds
+            out = out.sortWithinPartitions(*pcols, *sort_by)
     elif mode == "range" and (pcols or sort_by):
         range_cols = [F.col(c) for c in pcols + list(sort_by or [])]
         out = (
@@ -2118,6 +2124,8 @@ def write_df(
             else out.repartitionByRange(*range_cols)
         )
         out = out.sortWithinPartitions(*range_cols)
+    elif mode == "none" and sort_by:
+        out = out.sortWithinPartitions(*(pcols + list(sort_by)))
     data_dir = staging_dir or tempfile.mkdtemp(
         prefix="write_df_", dir=f"{writer.path}/data"
     )
@@ -2128,7 +2136,7 @@ def write_df(
     return commit_spark_output(
         writer,
         data_dir,
-        partition_col=sources or None,
+        partition_col=spec_names or None,
         path_col=pcols or None,
         extra_summary=extra_summary,
     )
@@ -2312,7 +2320,15 @@ def _entries_from_spark_dir(
             if len(segcols) != len(pcols):
                 raise ValueError("path_col must parallel partition_col")
             for pcol, seg_name in zip(pcols, segcols):
+                # resolve by SPEC FIELD name first, then by source
+                # column: a spec may carry several transforms of ONE
+                # source (bucket(id) + identity(id)), and source-name
+                # lookup alone would key every segment to the first
+                # (write_df passes spec-field names for exactly this)
                 spec_field = next(
+                    (pf for pf in writer.spec if pf["name"] == pcol),
+                    None,
+                ) or next(
                     (
                         pf
                         for pf in writer.spec
@@ -2322,10 +2338,12 @@ def _entries_from_spark_dir(
                 )
                 if spec_field is None:
                     raise ValueError(
-                        f"{pcol!r} is not a partition source column"
+                        f"{pcol!r} is not a partition source column "
+                        "or spec field name"
                     )
                 rtype = transform_result_type(
-                    spec_field["transform"], writer.types[pcol]
+                    spec_field["transform"],
+                    writer.types[spec_field["_source_name"]],
                 )
                 for seg in path.split(os.sep):
                     if seg.startswith(seg_name + "="):
@@ -5160,7 +5178,7 @@ def maintain(
     max_manifests: int = 8,
     keep_last: int = 5,
     expire_older_than_ms: int | None = None,
-    orphan_older_than_ms: int | None = None,
+    orphan_older_than_ms: Any = "auto",
     now_ms: int | None = None,
     dry_run: bool = False,
 ) -> dict[str, Any]:
@@ -5177,32 +5195,61 @@ def maintain(
        ``max_manifests`` (metadata-only);
     4. ``expire_snapshots(keep_last, expire_older_than_ms)`` — ref-
        and lineage-aware retention;
-    5. ``remove_orphan_files(orphan_older_than_ms)`` — reclaim files no
-       surviving snapshot references (the mtime guard protects
-       concurrent writers; pass None here ONLY on quiesced tables).
+    5. ``remove_orphan_files`` — reclaim files no surviving snapshot
+       references.  ``orphan_older_than_ms`` defaults to ``"auto"``:
+       a 3-day mtime guard (real Iceberg's default) so a CONCURRENT
+       writer's staged-but-uncommitted files are never swept; pass an
+       explicit epoch-millis cutoff to tighten it, or ``None`` ONLY on
+       quiesced tables (unguarded immediate sweep).
 
-    Every step is a no-op when its threshold is not met, so the call is
-    idempotent at steady state — running it twice back-to-back performs
-    zero work the second time.  ``dry_run`` reports what WOULD run
-    without committing anything.  Returns a report dict with one entry
-    per step (snapshot id / expired ids / removed count / skipped)."""
+    Every step is a no-op when its threshold is not met — including a
+    zero-snapshot table, where the whole call is a no-op report — so
+    the call is idempotent at steady state: running it twice
+    back-to-back performs zero work the second time.  ``dry_run``
+    reports what WOULD run without committing anything.  Returns a
+    report dict with one entry per step (snapshot id / expired ids /
+    removed count / skipped)."""
     from daskberg_spark.iceberg.avro import read_avro_file
 
+    if orphan_older_than_ms == "auto":
+        import time as _time
+
+        base_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
+        orphan_older_than_ms = base_ms - 3 * 86_400_000
     report: dict[str, Any] = {}
-    small_groups = 0
-    by_group: dict[tuple, int] = {}
+    if not writer.snapshots:
+        return {
+            "compact": None,
+            "rewrite_manifests": None,
+            "expire_snapshots": [],
+            "remove_orphans": 0,
+        }
+    # two passes: tombstones live in LATER manifests than the status-1
+    # entries they kill, so the small-file gate must reconcile across
+    # manifests or it would count already-deleted files as compactable
+    deleted_paths: set[str] = set()
+    live_entries: list[tuple[dict[str, Any], dict[str, Any]]] = []
     for mf in writer.manifests:
         _, entries = read_avro_file(mf["manifest_path"])
         for e in entries:
-            rec = e["data_file"]
-            if e["status"] == 2 or rec.get("content", 0) != 0:
-                continue
-            if int(rec.get("file_size_in_bytes") or 0) < min_file_bytes:
-                key = (
-                    mf.get("partition_spec_id", 0),
-                    str(rec.get("partition")),
-                )
-                by_group[key] = by_group.get(key, 0) + 1
+            if e["status"] == 2:
+                deleted_paths.add(e["data_file"]["file_path"])
+            else:
+                live_entries.append((e, mf))
+    by_group: dict[tuple, int] = {}
+    for e, mf in live_entries:
+        rec = e["data_file"]
+        if (
+            rec.get("content", 0) != 0
+            or rec["file_path"] in deleted_paths
+        ):
+            continue
+        if int(rec.get("file_size_in_bytes") or 0) < min_file_bytes:
+            key = (
+                mf.get("partition_spec_id", 0),
+                str(rec.get("partition")),
+            )
+            by_group[key] = by_group.get(key, 0) + 1
     small_groups = sum(1 for n in by_group.values() if n >= 2)
     if small_groups and not dry_run:
         if spark is not None:

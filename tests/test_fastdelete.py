@@ -369,7 +369,7 @@ def test_maintain_policy_idempotent():
     assert "would compact" in str(dry["compact"])
     assert "would rewrite" in str(dry["rewrite_manifests"])
 
-    rep = maintain(w, keep_last=2)
+    rep = maintain(w, keep_last=2, orphan_older_than_ms=None)  # quiesced
     assert isinstance(rep["compact"], int)  # compaction committed
     # compaction itself consolidates manifests, so the explicit rewrite
     # step may rightly skip — but the END state must be small either way
@@ -382,11 +382,41 @@ def test_maintain_policy_idempotent():
     assert files[0]["record_count"] == 12
 
     # steady state: second run is a complete no-op
-    rep2 = maintain(w, keep_last=2)
+    rep2 = maintain(w, keep_last=2, orphan_older_than_ms=None)
     assert rep2["compact"] is None
     assert rep2["rewrite_manifests"] is None
     assert rep2["expire_snapshots"] == []
     assert rep2["remove_orphans"] == 0
+
+
+def test_maintain_empty_table_and_auto_guard():
+    """A zero-snapshot table is a full no-op (no ValueError from
+    expire); the default 'auto' orphan guard (3-day mtime) never sweeps
+    freshly staged files — concurrent-writer safety."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import maintain
+
+    path = tempfile.mkdtemp(prefix="maint_")
+    w = _writer(path, partitioned=False)
+    rep = maintain(w)  # no snapshots yet
+    assert rep == {
+        "compact": None,
+        "rewrite_manifests": None,
+        "expire_snapshots": [],
+        "remove_orphans": 0,
+    }
+    for i in range(3):
+        w.append([{"k": i, "cat": "a", "v": float(i)}])
+    # stage an uncommitted file (a concurrent writer mid-commit)
+    staged = f"{path}/data/inflight.parquet"
+    with open(staged, "wb") as f:
+        f.write(b"not yet committed")
+    rep = maintain(w, keep_last=1)  # auto guard: nothing fresh swept
+    assert rep["remove_orphans"] == 0
+    import os
+
+    assert os.path.exists(staged)
 
 
 def test_maintain_preserves_content(spark):
@@ -402,8 +432,41 @@ def test_maintain_preserves_content(spark):
     before = sorted(
         (r.cat, r.k) for r in IcebergTable(path).to_df(spark).collect()
     )
-    maintain(w, keep_last=1)
+    maintain(w, keep_last=1, orphan_older_than_ms=None)
     after = sorted(
         (r.cat, r.k) for r in IcebergTable(path).to_df(spark).collect()
     )
     assert before == after and len(after) == 5
+
+
+def test_write_df_multi_transform_single_source(spark):
+    """A spec with TWO transforms of one source column (bucket + identity)
+    keys each hive segment to its own spec FIELD — source-name
+    resolution alone would collapse both onto the first field and
+    silently mis-prune (review finding)."""
+    import tempfile
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, write_df
+
+    src = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    path = tempfile.mkdtemp(prefix="wd_multi_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+        [
+            {"name": "k_bucket", "transform": "bucket[4]", "source": "k"},
+            {"name": "k", "transform": "identity", "source": "k"},
+        ],
+    )
+    write_df(w, src, mode="hash")
+    t = IcebergTable(path)
+    files = t.plan_files(None)
+    # every file's partition tuple carries BOTH spec fields
+    assert all({"k_bucket", "k"} <= set(f["partition"]) for f in files)
+    # identity prune must hit exactly one file per key
+    assert len(t.plan_files([("k", "==", 5)])) == 1
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    assert got == list(range(400))
