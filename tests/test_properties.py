@@ -674,3 +674,118 @@ def test_vector_pruning_matches_scalar(bounds_rows, dnf):
     finally:
         planner_mod._VECTOR_MIN_FILES = saved
     assert [f["file_path"] for f in fast] == [f["file_path"] for f in slow]
+
+
+# ---- whole-file proof soundness (metadata-only DELETE) --------------------
+
+_OPS_EVAL = {
+    "==": lambda a, b: a is not None and a == b,
+    "!=": lambda a, b: a is not None and a != b,
+    "<": lambda a, b: a is not None and a < b,
+    "<=": lambda a, b: a is not None and a <= b,
+    ">": lambda a, b: a is not None and a > b,
+    ">=": lambda a, b: a is not None and a >= b,
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-50, 50), st.just(float("nan"))),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+    st.integers(-60, 60),
+    st.booleans(),
+)
+def test_all_rows_match_proof_is_sound(vals, op, value, as_double):
+    """file_all_rows_match may only claim a whole-file match when EVERY
+    row actually satisfies the predicate — NULLs and NaNs (which fail
+    every comparison) included.  The file record is built exactly like
+    the writer's stats path (_bounds: null/nan counts, NaN-excluded
+    bounds), so this is a model-based soundness check of the
+    metadata-only DELETE against ground truth."""
+    import math
+    import tempfile
+
+    from daskberg_spark.iceberg.planner import file_all_rows_match
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    typ = "double" if as_double else "long"
+    if not as_double:
+        vals = [None if v is None or v != v else int(v) for v in vals]
+    else:
+        vals = [None if v is None else float(v) for v in vals]
+        value = float(value)
+    path = tempfile.mkdtemp(prefix="proof_")
+    w = IcebergWriter(
+        path, [{"id": 1, "name": "x", "type": typ, "required": False}]
+    )
+    lowers, uppers, nulls, nans = w._bounds([{"x": v} for v in vals])
+    rec = {
+        "file_path": "/f.parquet",
+        "record_count": len(vals),
+        "partition": {},
+        "lower_bounds": lowers,
+        "upper_bounds": uppers,
+        "null_value_counts": nulls,
+        "nan_value_counts": nans,
+    }
+    fields = {"x": FieldInfo(field_id=1, type=typ)}
+    claimed = file_all_rows_match(rec, [("x", op, value)], fields)
+    ground = all(
+        v is not None and not (isinstance(v, float) and math.isnan(v))
+        and _OPS_EVAL[op](v, value)
+        for v in vals
+    )
+    if claimed:
+        assert ground, (vals, op, value)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**50), 2**50),
+            st.one_of(st.none(), st.text(max_size=12)),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.binary(max_size=16),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=4),
+)
+def test_projected_avro_decode_matches_full(rows, proj):
+    """Projection-pushdown decode (field skippers) equals the full
+    decode restricted to the projected fields, for any field subset —
+    including the empty set (pure row counting)."""
+    import io
+
+    from daskberg_spark.iceberg.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": "bytes"},
+        ],
+    }
+    recs = [{"a": a, "b": b, "c": c, "d": d} for a, b, c, d in rows]
+    buf = io.BytesIO()
+    write_avro(schema, recs, buf, codec="deflate")
+    data = buf.getvalue()
+    _, full = read_avro(data)
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".avro")
+    with open(p, "wb") as f:
+        f.write(data)
+    from daskberg_spark.iceberg.avro import read_avro_range
+
+    _, got, _ = read_avro_range(p, 0, 2**62, columns=proj)
+    assert got == [{k: r[k] for k in r if k in proj} for r in full]
