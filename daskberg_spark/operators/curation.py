@@ -219,3 +219,103 @@ def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_frac"), F.asc("doc_id"))
         .limit(TOP_DUP_DOCS)
     )
+
+
+@query(
+    "data_quality_checks",
+    """
+    SELECT 'orders_pk_unique' AS rule,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+             AS violations
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_dates_not_null',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_shipdate IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'warn_lineitem_qty_le_45',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity > 45) AS BIGINT)
+    ORDER BY rule
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality constraint sweep (the dbt-test shape): one
+    rule → violation-count row per constraint — primary-key uniqueness,
+    foreign-key orphans, accepted-value domains, numeric ranges, and
+    NOT-NULL — so a training pipeline gates ingestion on `violations ==
+    0` instead of discovering corruption mid-run.
+
+    Scale: each rule is one aggregate over its own pruned scan; the FK
+    orphan check is a broadcast-able anti join keyed on the PK (orders
+    is the small side of lineitem at every SF).  Output is
+    rules-sized — driver-tiny.  All six rules run in ONE union plan so
+    Spark shares the scans where possible."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def row(rule: str, count_df: DataFrame) -> DataFrame:
+        return count_df.select(
+            F.lit(rule).alias("rule"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    fk_orphans = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("violations"))
+    )
+    status_domain = orders.filter(
+        ~F.col("o_orderstatus").isin("F", "O", "P")
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    discount_range = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    ship_null = li.filter(F.col("l_shipdate").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    price_pos = orders.filter(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    # a warn-severity expectation that genuinely FIRES on this data —
+    # proving the sweep counts, not just rubber-stamps zeros
+    qty_warn = li.filter(F.col("l_quantity") > 45).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    out = (
+        row("orders_pk_unique", pk_dups)
+        .unionByName(row("lineitem_fk_orphans", fk_orphans))
+        .unionByName(row("orders_status_domain", status_domain))
+        .unionByName(row("lineitem_discount_range", discount_range))
+        .unionByName(row("lineitem_dates_not_null", ship_null))
+        .unionByName(row("orders_price_positive", price_pos))
+        .unionByName(row("warn_lineitem_qty_le_45", qty_warn))
+    )
+    return out.orderBy("rule")

@@ -93,6 +93,9 @@ AUDIT = {
     "iceberg_null_partition_scope": (3, False, True, None),
     # deterministic shard split: one narrow 2-col scan + one 16-key agg
     "training_shards": (1, False, False, 2),
+    # data-quality sweep: 7 single-row aggregates unioned; the FK check
+    # broadcasts the PK side; final rule sort is one exchange over 7 rows
+    "data_quality_checks": (9, True, True, None),
     # round 9: fast DELETE read-back — the delete itself left only
     # tombstones + one boundary DV, so the read is a DV anti-join
     # (broadcast) + one group-agg exchange over the surviving files
