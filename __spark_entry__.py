@@ -272,13 +272,14 @@ _PRIORITY = [
     "iceberg_incremental_dedup",
     "iceberg_all_files",
     # Tier A — iceberg connector (A1-A17 + beyond-reference)
-    # r8 tenth swap: partition-scoped equality deletes (the Flink-
-    # written shape; a global application would silently over-delete)
-    # seat in place of iceberg_read_golden (driver-green r2-r7)
-    "iceberg_partition_scoped_eq",
-    # r8 seventh swap: sort-order clustering prune seats in place of
-    # iceberg_partition_prune (driver-green r1-r7; same prune family)
-    "iceberg_sorted_write_prune",
+    # r9 s2 swaps: iceberg_partition_scoped_eq and
+    # iceberg_sorted_write_prune (both driver-green r8) step out for
+    # the NEW hash-distributed one-call write and the data-quality
+    # constraint sweep; eq-delete scoping stays covered in-window by
+    # iceberg_null_partition_scope, stats/partition pruning by the
+    # fast-delete + join-prune + bucket-prune entries
+    "iceberg_write_distribution",
+    "data_quality_checks",
     # r8 sixth swap: full delete consolidation seats in place of
     # iceberg_schema_evolution (driver-green r2-r7)
     "iceberg_convert_deletes",
