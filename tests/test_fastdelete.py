@@ -470,3 +470,37 @@ def test_write_df_multi_transform_single_source(spark):
     assert len(t.plan_files([("k", "==", 5)])) == 1
     got = sorted(r.k for r in t.to_df(spark).collect())
     assert got == list(range(400))
+
+
+def test_fast_delete_composes_with_commit_retries(spark):
+    """delete_where_fast under optimistic concurrency: a concurrent
+    append between load and commit loses the metadata race; the retry
+    loop re-plans the delete against the new head, so rows appended
+    concurrently to the MATCHING partition are deleted too (the delete
+    re-evaluates, exactly like real Iceberg's retry semantics)."""
+    from daskberg_spark.iceberg.writer import (
+        commit_with_retries,
+        delete_where_fast,
+    )
+
+    path = tempfile.mkdtemp(prefix="fastdel_cc_")
+    w0 = _writer(path)
+    w0.append(
+        [{"k": i, "cat": c, "v": float(i)} for c in "ab" for i in range(5)]
+    )
+
+    raced = {"done": False}
+
+    def attempt(w):
+        if not raced["done"]:
+            # simulate a concurrent writer landing between load and commit
+            w2 = IcebergWriter.load(path)
+            w2.append([{"k": 99, "cat": "a", "v": 99.0}])
+            raced["done"] = True
+        return delete_where_fast(w, None, [("cat", "==", "a")])
+
+    sid = commit_with_retries(path, attempt)
+    assert sid is not None
+    t = IcebergTable(path)
+    rows = sorted((r.cat, r.k) for r in t.to_df(spark).collect())
+    assert all(c == "b" for c, _ in rows) and len(rows) == 5

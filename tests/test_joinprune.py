@@ -96,3 +96,28 @@ def test_extra_filters_and_merge(spark, fact_table):
     # group 5 file pruned by the AND-merged k<500 bound (keys 500-504)
     assert len(set(res.inputFiles())) == 1
     assert sorted(r.k for r in res.collect()) == [200 + i for i in range(5)]
+
+
+def test_join_prune_through_bucket_transform(spark):
+    """Join-derived keys prune through a bucket[N] partition spec: the
+    in-filter's equality shape rewrites through the murmur3 bucket, so
+    a 2-key dim reads at most 2 bucket files of 8."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="jp_bucket_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+        [{"name": "k_bucket", "transform": "bucket[8]", "source": "k"}],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(400)])
+    t = IcebergTable(path)
+    all_files = len(t.plan_files(None))
+    assert all_files > 2
+    dim = spark.createDataFrame([(7,), (311,)], "g long")
+    res = join_pruned_df(t, spark, dim, "k", "g")
+    assert len(set(res.inputFiles())) <= 2
+    assert sorted(r.k for r in res.collect()) == [7, 311]
