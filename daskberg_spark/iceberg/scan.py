@@ -161,6 +161,44 @@ def to_df(
     if file_subset is not None:
         subset = set(file_subset)
         files = [f for f in files if f["file_path"] in subset]
+    # scan observability (real Iceberg's ScanMetrics analogue): one
+    # driver-side dict per to_df call — what an operator checks when a
+    # query reads more than expected ("did the filter prune?  which
+    # formats?  how many delete files apply?").  The live totals reuse
+    # the reconciliation ``scan_all`` cached while planning this very
+    # read (the delete plan below forces it), so the report costs zero
+    # extra manifest IO.
+    _live_data, _live_deletes = table.scan_all()
+    _deletes = table.plan_deletes()
+    table.last_scan = {
+        "files_scanned": len(files),
+        "files_live": len(_live_data),
+        "bytes_scanned": sum(
+            int(f.get("file_size_in_bytes") or 0) for f in files
+        ),
+        "records_in_scanned_files": sum(
+            int(f.get("record_count") or 0) for f in files
+        ),
+        "formats": sorted(
+            {str(f.get("file_format", "PARQUET")).upper() for f in files}
+        ),
+        "delete_files": {
+            "equality": sum(1 for d in _deletes if d.get("content") == 2),
+            "position": sum(
+                1
+                for d in _deletes
+                if d.get("content") == 1
+                and not d.get("referenced_data_file")
+            ),
+            "dv": sum(
+                1
+                for d in _deletes
+                if d.get("content") == 1 and d.get("referenced_data_file")
+            ),
+        },
+        "projected_columns": sorted(f.name for f in struct.fields),
+        "filters": filters,
+    }
     if not files:
         df = spark.createDataFrame([], struct)
         if keep_file:
