@@ -557,3 +557,57 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filled_value"),
         F.col("hour_value").isNull().cast("int").alias("is_gap"),
     )
+
+
+@query(
+    "events_anomaly_hours",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n_events) AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, CAST(h.hour AS TIMESTAMP) AS hour, h.n_events
+    FROM hourly h JOIN stats t ON h.event_type = t.event_type
+    WHERE t.n_hours > 1
+      AND (h.n_events * t.n_hours - t.s) * (h.n_events * t.n_hours - t.s)
+          > 9 * (t.n_hours * t.ss - t.s * t.s)
+    ORDER BY h.event_type, hour
+    """,
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-level volume anomaly detection per event type — the
+    monitoring query a streaming ingest runs to flag traffic spikes:
+    hours whose count deviates from the type's mean by more than 3
+    standard deviations.  The z-test is algebraically cleared of
+    division and square roots — ``(c·n − S)² > 9·(n·SS − S²)`` over
+    exact integer sums — so results are engine-exact (no float
+    round-trip can flip a boundary hour) and the whole plan is two
+    shuffles: hourly counts, then per-type moment sums broadcast back.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("n_events") * F.col("n_hours") - F.col("s")
+    var9 = 9 * (
+        F.col("n_hours") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return (
+        j.filter((F.col("n_hours") > 1) & (dev * dev > var9))
+        .select("event_type", "hour", "n_events")
+        .orderBy("event_type", "hour")
+    )
