@@ -533,3 +533,26 @@ def test_last_scan_report(spark):
         f for f in set(df.inputFiles()) if "eq-delete" not in f
     ]
     assert len(data_inputs) == rep["files_scanned"]
+
+
+def test_changelog_over_mixed_fast_delete_commit(spark):
+    """The row-level changelog over a delete_where_fast commit — whole-
+    file tombstones AND a boundary DV in ONE snapshot — emits exactly
+    the dead rows as deletes, each once."""
+    from daskberg_spark.iceberg.scan import changelog_rows_df
+
+    path = tempfile.mkdtemp(prefix="cl_fastdel_")
+    w = _writer(path)
+    w.append(
+        [{"k": i, "cat": c, "v": float(i)} for c in "ab" for i in range(4)]
+    )
+    delete_where_fast(
+        w, spark, [[("cat", "==", "a")], [("cat", "==", "b"), ("k", "<", 2)]]
+    )
+    t = IcebergTable(path)
+    cl = changelog_rows_df(t, spark, from_rel=-1)
+    rows = sorted((r["_change_type"], r["cat"], r["k"]) for r in cl.collect())
+    assert rows == sorted(
+        [("delete", "a", i) for i in range(4)]
+        + [("delete", "b", 0), ("delete", "b", 1)]
+    )

@@ -1350,3 +1350,62 @@ def test_streaming_variant_table_plan_time_refusal(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_cdc_fast_delete_mixed_commit(spark, tmp_path):
+    """mode=cdc over a delete_where_fast commit — whole-file tombstones
+    AND a boundary DV in ONE snapshot (a commit shape no single prior
+    op produced): the stream must emit exactly the dead rows, each
+    once."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_fast,
+    )
+    from daskberg_spark.streaming.iceberg_source import register
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append([{"id": i, "grp": c} for c in "ab" for i in range(5)])
+    register(spark)
+    stream = (
+        spark.readStream.format("daskberg_iceberg")
+        .option("path", p)
+        .option("mode", "cdc")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_cdc_fastdel")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        delete_where_fast(
+            w, spark, [[("grp", "==", "a")], [("grp", "==", "b"), ("id", "<", 2)]]
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r["grp"], r["id"])
+            for r in spark.table("ice_cdc_fastdel").collect()
+            if r["_change_type"] == "delete"
+        )
+        assert got == sorted(
+            [("a", i) for i in range(5)] + [("b", 0), ("b", 1)]
+        )
+        # no duplicate emissions across the two delete kinds
+        all_deletes = [
+            (r["grp"], r["id"])
+            for r in spark.table("ice_cdc_fastdel").collect()
+            if r["_change_type"] == "delete"
+        ]
+        assert len(all_deletes) == len(set(all_deletes))
+    finally:
+        q.stop()
