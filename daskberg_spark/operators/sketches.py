@@ -52,9 +52,13 @@ _SQL_H48 = """list_reduce(
       (acc,x) -> acc*16 + x)"""
 
 
-def _h48_spark(col: str) -> F.Column:
+def _h48_spark(col) -> F.Column:
+    """48-bit md5 hash of a column (name or Column) — the ONE Spark-side
+    definition every sketch and its SQL oracle (_sql_h48) must agree
+    with bit-exactly; streaming twins reuse it rather than re-deriving."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+        F.substring(F.md5(c.cast("string")), 1, 12), 16, 10
     ).cast("long")
 
 

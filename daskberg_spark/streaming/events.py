@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from daskberg_spark.operators.registry import query, sql_dsum
+from daskberg_spark.operators.registry import dsum, query, sql_dsum
 
 
 def _event_stream(spark: SparkSession, sf_dir: str):
@@ -33,7 +33,10 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     # event-time windows group on instants whose wall-clock rendering (and
     # the memory-sink→pandas conversion) depends on the session timezone;
     # pin UTC so results match the naive-timestamp oracle under any driver
-    # session configuration.
+    # session configuration.  SESSION-level and deliberately NOT restored:
+    # the returned stream keeps running after this call, so a restore
+    # would flip its semantics mid-query (get_spark sessions are already
+    # UTC-pinned, making this a no-op there).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file streaming source insists on a directory; the fixture is a
@@ -46,13 +49,18 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
     target = os.path.abspath(f"{sf_dir}/events.parquet")
-    # lexists: a stale/broken symlink must be replaced, not tripped over
-    if os.path.lexists(link):
-        if os.path.realpath(link) != os.path.realpath(target):
-            os.remove(link)
-            os.symlink(target, link)
-    else:
-        os.symlink(target, link)
+    # lexists: a stale/broken symlink must be replaced, not tripped over.
+    # Create-then-rename keeps concurrent first-time callers (parallel
+    # test workers, two driver sessions) race-free: os.replace is atomic,
+    # and a bare check-then-symlink would crash the loser with
+    # FileExistsError.
+    if (
+        not os.path.lexists(link)
+        or os.path.realpath(link) != os.path.realpath(target)
+    ):
+        tmp = link + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -110,7 +118,7 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
     )
     out = _run_to_memory(agg, spark)
@@ -189,13 +197,21 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.get if state.exists else (0, 0, None)
         )
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        for ts in rows["ts"]:
-            micros = ts.value // 1_000  # pandas ns → exact µs (no flooring
-            # to seconds: fractional gaps just over 30min must still split)
-            if last_ts is None or micros - last_ts > 1800 * 1_000_000:
+        # vectorized: pandas ns → exact µs (no flooring to seconds —
+        # fractional gaps just over 30min must still split); session
+        # starts are where the gap to the previous event exceeds 30min,
+        # plus the batch's first event checked against carried state.
+        # A per-row Python loop here would dominate a hot key's
+        # million-event micro-batch.
+        micros = rows["ts"].astype("int64") // 1_000
+        gap_us = 1800 * 1_000_000
+        if len(micros):
+            n_sessions += int((micros.diff().iloc[1:] > gap_us).sum())
+            first = int(micros.iloc[0])
+            if last_ts is None or first - last_ts > gap_us:
                 n_sessions += 1
-            last_ts = micros
-            n_events += 1
+            last_ts = int(micros.iloc[-1])
+            n_events += len(micros)
         state.update((n_sessions, n_events, last_ts))
         yield pd.DataFrame(
             {
@@ -255,7 +271,7 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunk = spark.read.parquet(out_dir)
     return sunk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
@@ -333,7 +349,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
@@ -342,7 +358,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )
@@ -407,9 +423,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            dsum("value", "sum_value"),
         )
     )
     out = _run_to_memory(agg, spark)
@@ -444,6 +458,10 @@ def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
             for s in writer.snapshots
         ):
             return  # epoch already committed: replay is a no-op
+        if batch_df.isEmpty():
+            # an offset advance with no rows (e.g. a skipped non-append
+            # snapshot upstream) must not mint empty snapshots forever
+            return
         data_dir = os.path.join(writer.path, "data", f"epoch-{epoch_id}")
         w = batch_df.write.mode("overwrite")
         if path_col is not None:
@@ -525,6 +543,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority CASE — exactness proves both the upsert semantics
     (strictly-older-sequence applicability) and exactly-once delivery
     across the stream."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
     from daskberg_spark.operators.registry import table as _table
@@ -576,7 +595,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = IcebergTable(dst_path)
     return t.to_df(spark).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
@@ -672,7 +691,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return spark.table(name).groupBy("event_type", "_change_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
@@ -699,15 +718,12 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch in the snapshot summary — a replayed epoch whose snapshot
     already exists skips the metadata commit entirely, so failure/retry
     can neither lose nor duplicate a batch."""
-    import shutil
-
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.writer import IcebergWriter
 
     path = os.path.join(
         tempfile.gettempdir(), f"daskberg_stream_sink_{uuid.uuid4().hex[:8]}"
     )
-    shutil.rmtree(path, ignore_errors=True)
     writer = IcebergWriter(
         path,
         [
@@ -727,7 +743,7 @@ def streaming_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return t.to_df(spark).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
@@ -801,7 +817,7 @@ def streaming_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return spark.table(name).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
@@ -984,12 +1000,11 @@ def streaming_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle (registered below): the identical count-min construction in
     SQL over the batch events view."""
-    from daskberg_spark.operators.sketches import CM_DEPTH, CM_WIDTH
-
-    def h48_expr(col: F.Column) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
-        ).cast("long")
+    from daskberg_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _h48_spark as h48_expr,
+    )
 
     stream = _event_stream(spark, sf_dir)
     salted = [
