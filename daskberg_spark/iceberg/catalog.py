@@ -4,8 +4,9 @@ SURVEY §1.6: the reference's catalog model is a flat namespace→table
 registry (REST client) resolving to a metadata location.  Spark-side, a
 registered table becomes a temp view, so the full SQL surface (joins
 across Iceberg tables, views over snapshots) works against connector
-scans — with pruning still applied at registration time via optional
-filters.
+scans — ``register``/``register_path``/``refresh`` accept ``to_df``
+scan kwargs (``filters=``, ``columns=``) so pruning applies at
+registration time.
 """
 
 from __future__ import annotations
@@ -24,10 +25,18 @@ class Catalog:
         self.spark = spark
         self.tables: dict[str, IcebergTable] = {}
         self._meta_registered: set[str] = set()
+        self._scan_kwargs: dict[str, dict] = {}
 
-    def register(self, name: str, table: IcebergTable) -> None:
+    def register(
+        self, name: str, table: IcebergTable, **scan_kwargs
+    ) -> None:
+        """Expose ``table`` as the SQL temp view ``name``.  Extra kwargs
+        (``filters=``, ``columns=``) pass through to ``to_df`` — the
+        registration-time pruning hook — and are remembered so
+        ``refresh`` re-applies them."""
         self.tables[name] = table
-        table.to_df(self.spark).createOrReplaceTempView(name)
+        self._scan_kwargs[name] = scan_kwargs
+        table.to_df(self.spark, **scan_kwargs).createOrReplaceTempView(name)
 
     # metadata-table SQL suffixes (real Iceberg's ``tbl$files`` idiom)
     _META_TABLES = (
@@ -66,8 +75,11 @@ class Catalog:
         return out
 
     def register_path(self, name: str, url: str, **kwargs) -> IcebergTable:
+        scan_kwargs = {
+            k: kwargs.pop(k) for k in ("filters", "columns") if k in kwargs
+        }
         table = IcebergTable(url, **kwargs)
-        self.register(name, table)
+        self.register(name, table, **scan_kwargs)
         return table
 
     def register_rest(
@@ -92,10 +104,25 @@ class Catalog:
         return view
 
     def refresh(self, name: str) -> None:
-        """Re-pin the view to the table's current snapshot state —
-        including any registered ``name__suffix`` metadata views (they
-        are snapshots of the metadata at registration time)."""
-        self.register(name, self.tables[name])
+        """Re-pin the SQL view (and any registered ``name__suffix``
+        metadata views) to the table's current state — BOTH kinds of
+        staleness: in-memory snapshot selection (``open_snapshot`` time
+        travel keeps working) and on-disk commits made after
+        registration (the table reloads when a NEWER metadata version
+        exists; an unconditional reload would clobber a time-travel
+        selection, an unconditional skip would silently re-serve stale
+        data)."""
+        from daskberg_spark.iceberg.metadata import resolve_latest_version
+
+        table = self.tables[name]
+        if table._direct_meta is None and table._version is not None:
+            try:
+                latest = resolve_latest_version(table.url)
+            except (FileNotFoundError, ValueError):
+                latest = None
+            if latest is not None and latest > table._version:
+                table.set_version(latest)
+        self.register(name, table, **self._scan_kwargs.get(name, {}))
         if name in self._meta_registered:
             self.register_metadata_views(name)
 
@@ -103,5 +130,13 @@ class Catalog:
         return self.spark.sql(query)
 
     def drop(self, name: str) -> None:
+        """Unregister the table AND every ``name__suffix`` metadata view
+        it spawned — zombie views over dropped-table metadata would keep
+        answering queries with stale data."""
         self.tables.pop(name, None)
+        self._scan_kwargs.pop(name, None)
         self.spark.catalog.dropTempView(name)
+        if name in self._meta_registered:
+            self._meta_registered.discard(name)
+            for suffix in self._META_TABLES:
+                self.spark.catalog.dropTempView(f"{name}__{suffix}")

@@ -32,6 +32,29 @@ STATUS_DELETED = 2
 _VERSION_FILE_RE = re.compile(r"v(\d+)\.metadata\.json$")
 
 
+def resolve_latest_version(base_url: str) -> int:
+    """Latest ``v{N}.metadata.json`` version under ``base_url/metadata``
+    — hint file first, falling back to a directory scan on a MISSING or
+    EMPTY hint (a pre-atomic-rename writer can be caught mid-truncate
+    by a concurrent poll; crashing the reader on that race would be
+    wrong).  The ONE resolver shared by tables and views."""
+    meta_dir = os.path.join(base_url, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            raw = f.read().strip()
+        if raw:
+            return int(raw)
+    versions = [
+        int(m.group(1))
+        for name in os.listdir(meta_dir)
+        if (m := _VERSION_FILE_RE.search(name))
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no metadata versions under {base_url}")
+    return max(versions)
+
+
 def _strip_scheme(path: str) -> str:
     if path.startswith("file://"):
         return path[len("file://") :]
@@ -118,23 +141,7 @@ class IcebergTable:
         self._ml_cache: dict[str, list[dict[str, Any]]] = {}
 
     def _latest_version(self) -> int:
-        hint = os.path.join(self.url, "metadata", "version-hint.text")
-        if os.path.exists(hint):
-            with open(hint) as f:
-                raw = f.read().strip()
-            if raw:
-                return int(raw)
-            # defensive: pre-atomic-rename writers could be caught
-            # mid-truncate by a concurrent poll; fall through to the
-            # directory scan rather than crash the reader
-        versions = [
-            int(m.group(1))
-            for name in os.listdir(os.path.join(self.url, "metadata"))
-            if (m := _VERSION_FILE_RE.search(name))
-        ]
-        if not versions:
-            raise FileNotFoundError(f"no metadata versions under {self.url}")
-        return max(versions)
+        return resolve_latest_version(self.url)
 
     @property
     def metadata(self) -> dict[str, Any]:

@@ -13,10 +13,18 @@ network (FIXTURES.md §4).
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Any
+
+
+def _name_path(name: str) -> str:
+    """Percent-encode a table/view name for a URL path segment — names
+    with spaces, '#', '?', or '/' would otherwise truncate or reroute
+    the request (namespaces already go through _ns_path)."""
+    return urllib.parse.quote(name, safe="")
 
 
 def _ns_path(namespace: str) -> str:
@@ -155,29 +163,48 @@ class IceRestClient:
 
     def get_table(self, name: str, namespace: str | None = None) -> dict[str, Any]:
         ns = namespace or self.namespace
-        return self._call("GET", f"namespaces/{_ns_path(ns)}/tables/{name}")
+        return self._call("GET", f"namespaces/{_ns_path(ns)}/tables/{_name_path(name)}")
 
     def delete_table(self, name: str, namespace: str | None = None, purge: bool = True) -> bool:
         ns = namespace or self.namespace
         self._call(
             "DELETE",
-            f"namespaces/{_ns_path(ns)}/tables/{name}?purgeRequested={str(purge).lower()}",
+            f"namespaces/{_ns_path(ns)}/tables/{_name_path(name)}"
+            f"?purgeRequested={str(purge).lower()}",
         )
         return True
 
     # -- commit (beyond reference: closes the write loop) --------------------
 
+    def register_table(
+        self, name: str, metadata_location: str, namespace: str | None = None
+    ) -> dict[str, Any]:
+        """Register an EXISTING table by metadata location — the spec's
+        ``POST .../namespaces/{ns}/register`` (RegisterTableRequest):
+        the one portable way to point any conforming catalog (Polaris,
+        Lakekeeper, Nessie) at metadata this engine wrote."""
+        ns = namespace or self.namespace
+        body = {"name": name, "metadata-location": metadata_location}
+        return self._call("POST", f"namespaces/{_ns_path(ns)}/register", body)
+
     def commit_table(
         self, name: str, metadata_location: str, namespace: str | None = None
     ) -> dict[str, Any]:
-        """Publish a new metadata location for ``name`` via
-        ``POST .../tables/{name}`` (CommitTableRequest shape).
+        """Point the catalog at a new metadata file for an EXISTING
+        table via ``POST .../tables/{name}`` with a
+        ``set-metadata-location`` update.
 
-        This pairs ``IcebergWriter`` with the catalog: the writer emits
-        ``v{N}.metadata.json`` locally (data files written by executors),
-        then this call points the catalog at it — after which
-        ``open_table`` readers see the new snapshot.  The reference has
-        no commit path (``create_table(stage=True)`` staging only)."""
+        OUT-OF-SPEC delta (documented): the REST spec's TableUpdate
+        union has no ``set-metadata-location`` action — conforming
+        catalogs own the metadata pointer and expect add-snapshot-style
+        updates; this action is an engine extension the in-process stub
+        (and any catalog fronting this engine's file layout) accepts.
+        For portable registration of new tables use ``register_table``
+        (the spec's /register endpoint).  This pairs ``IcebergWriter``
+        with the catalog: the writer emits ``v{N}.metadata.json``
+        locally (data files written by executors), then this call
+        points the catalog at it — after which ``open_table`` readers
+        see the new snapshot."""
         ns = namespace or self.namespace
         body = {
             "identifier": {"namespace": ns.split("."), "name": name},
@@ -186,7 +213,9 @@ class IceRestClient:
                 {"action": "set-metadata-location", "location": metadata_location}
             ],
         }
-        return self._call("POST", f"namespaces/{_ns_path(ns)}/tables/{name}", body)
+        return self._call(
+            "POST", f"namespaces/{_ns_path(ns)}/tables/{_name_path(name)}", body
+        )
 
     # -- views (REST spec /views endpoints; beyond the reference, which
     #    has no view support at all) -----------------------------------------
@@ -202,21 +231,39 @@ class IceRestClient:
         metadata_location: str,
         namespace: str | None = None,
     ) -> dict[str, Any]:
-        """Register an existing view's metadata location with the
-        catalog (the create half of the REST /views surface this engine
-        needs: `views.create_view` writes view-metadata JSON locally,
-        this call publishes its location)."""
+        """Register an existing view with the catalog
+        (`views.create_view` writes view-metadata JSON locally, this
+        call publishes it).  When the metadata is locally readable the
+        request carries the spec CreateViewRequest fields (``schema``,
+        ``view-version``, ``properties``) alongside the
+        ``metadata-location`` handoff this engine's catalogs use; a
+        spec-conforming catalog validates the former, the stub serves
+        the latter."""
         ns = namespace or self.namespace
-        body = {"name": name, "metadata-location": metadata_location}
+        body: dict[str, Any] = {
+            "name": name,
+            "metadata-location": metadata_location,
+        }
+        try:
+            from daskberg_spark.iceberg.views import IcebergView
+
+            v = IcebergView(os.path.dirname(os.path.dirname(metadata_location))
+                            if metadata_location.endswith(".json")
+                            else metadata_location)
+            body["schema"] = v.schema
+            body["view-version"] = v.current_version
+            body["properties"] = v.metadata.get("properties", {})
+        except (OSError, ValueError, KeyError):
+            pass  # remote/unreadable metadata: minimal handoff body
         return self._call("POST", f"namespaces/{_ns_path(ns)}/views", body)
 
     def get_view(self, name: str, namespace: str | None = None) -> dict[str, Any]:
         ns = namespace or self.namespace
-        return self._call("GET", f"namespaces/{_ns_path(ns)}/views/{name}")
+        return self._call("GET", f"namespaces/{_ns_path(ns)}/views/{_name_path(name)}")
 
     def delete_view(self, name: str, namespace: str | None = None) -> bool:
         ns = namespace or self.namespace
-        self._call("DELETE", f"namespaces/{_ns_path(ns)}/views/{name}")
+        self._call("DELETE", f"namespaces/{_ns_path(ns)}/views/{_name_path(name)}")
         return True
 
     def open_view(self, name: str, namespace: str | None = None) -> "Any":

@@ -35,7 +35,10 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from daskberg_spark.iceberg.metadata import _VERSION_FILE_RE, _strip_scheme
+from daskberg_spark.iceberg.metadata import (
+    _strip_scheme,
+    resolve_latest_version,
+)
 
 
 def _spark_to_iceberg_type(dt: Any) -> Any:
@@ -53,7 +56,10 @@ def _spark_to_iceberg_type(dt: Any) -> Any:
         T.FloatType: "float",
         T.BooleanType: "boolean",
         T.DateType: "date",
-        T.TimestampType: "timestamp",
+        # tz-aware Spark timestamps are Iceberg `timestamptz` — mapping
+        # both to 'timestamp' made the round-trip through
+        # conversions.iceberg_to_spark_type drop timezone semantics
+        T.TimestampType: "timestamptz",
         T.TimestampNTZType: "timestamp",
         T.BinaryType: "binary",
     }
@@ -127,16 +133,10 @@ class IcebergView:
         self.url = _strip_scheme(url).rstrip("/")
         meta_dir = os.path.join(self.url, "metadata")
         if version is None:
-            hint = os.path.join(meta_dir, "version-hint.text")
-            if os.path.exists(hint):
-                with open(hint) as f:
-                    version = int(f.read().strip())
-            else:
-                version = max(
-                    int(m.group(1))
-                    for name in os.listdir(meta_dir)
-                    if (m := _VERSION_FILE_RE.search(name))
-                )
+            # the table loader's hint resolution (missing/EMPTY hint →
+            # directory scan) — one shared implementation, so views
+            # survive the same mid-publish races tables do
+            version = resolve_latest_version(self.url)
         self.file_version = version
         with open(
             os.path.join(meta_dir, f"v{version}.metadata.json")
@@ -211,9 +211,20 @@ def create_view(
     without a session an empty schema is recorded, which the spec
     permits for dialect-only views.  ``replace`` appends a new version
     to an existing view — prior versions remain readable."""
+    path = _strip_scheme(path).rstrip("/")  # same normalization readers do
     meta_dir = os.path.join(path, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
+    # existence via the shared resolver, NOT the hint alone: a writer
+    # that crashed between publishing vN.metadata.json and the hint
+    # replace would otherwise make CREATE OR REPLACE fail forever
+    # (exists=False → file_version=1 → os.link FileExistsError)
     exists = os.path.exists(hint)
+    if not exists and os.path.isdir(meta_dir):
+        try:
+            resolve_latest_version(path)
+            exists = True
+        except (FileNotFoundError, ValueError):
+            exists = False
     if exists and not replace:
         raise FileExistsError(f"view already exists at {path}")
 

@@ -205,3 +205,55 @@ def test_catalog_metadata_views_sql(spark, tmp_path):
     # refs view answers too (main at least)
     rows = spark.sql("SELECT name FROM mt__refs").collect()
     assert {r["name"] for r in rows} >= {"main"}
+
+
+def test_catalog_refresh_sees_new_commits(spark):
+    """refresh reloads the table when a NEWER metadata version landed on
+    disk after registration (review finding: the old refresh re-served
+    the version pinned at open time forever), while preserving
+    open_snapshot time travel when nothing new was committed (the
+    sibling test above)."""
+    import tempfile
+
+    from daskberg_spark.iceberg.catalog import Catalog
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    path = tempfile.mkdtemp(prefix="cat_refresh_")
+    w = IcebergWriter(
+        path, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}, {"k": 2}])
+    cat = Catalog(spark)
+    cat.register("rt", IcebergTable(path))
+    assert cat.sql("SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 2
+    w.append([{"k": 3}])
+    cat.refresh("rt")
+    assert cat.sql("SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 3
+
+
+def test_catalog_drop_removes_metadata_views(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.catalog import Catalog
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    path = tempfile.mkdtemp(prefix="cat_drop_")
+    w = IcebergWriter(
+        path, [{"id": 1, "name": "k", "type": "long", "required": False}]
+    )
+    w.append([{"k": 1}])
+    cat = Catalog(spark)
+    cat.register("dt", IcebergTable(path))
+    cat.register_metadata_views("dt")
+    assert cat.sql("SELECT COUNT(*) AS n FROM dt__snapshots").collect()
+    cat.drop("dt")
+    from pyspark.sql.utils import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        cat.sql("SELECT * FROM dt__snapshots").collect()
+    with _pytest.raises(AnalysisException):
+        cat.sql("SELECT * FROM dt").collect()

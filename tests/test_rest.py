@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
@@ -62,7 +63,7 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        parts = self.path.strip("/").split("/")
+        parts = [urllib.parse.unquote(x) for x in self.path.strip("/").split("/")]
         # /v1/namespaces | /v1/namespaces/{ns} | /v1/namespaces/{ns}/tables[/t]
         if parts == ["openapi.yaml"]:
             # JSON is a YAML subset; serves fetch_openapi either way
@@ -115,11 +116,24 @@ class Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
         body = json.loads(self.rfile.read(n)) if n else {}
-        parts = self.path.strip("/").split("/")
+        parts = [urllib.parse.unquote(x) for x in self.path.strip("/").split("/")]
         if parts == ["v1", "namespaces"]:
             ns = body["namespace"][0]
             STATE["namespaces"][ns] = body.get("properties", {})
             self._send({"namespace": body["namespace"], "properties": {}})
+        elif len(parts) == 4 and parts[3] == "register":
+            # spec RegisterTableRequest: point the catalog at existing
+            # metadata (the portable registration path)
+            ns = parts[2]
+            if "name" not in body or "metadata-location" not in body:
+                self._send({"error": "missing required field"}, 400)
+                return
+            info = {
+                "metadata-location": body["metadata-location"],
+                "name": body["name"],
+            }
+            STATE["tables"][(ns, body["name"])] = info
+            self._send(info)
         elif len(parts) == 4 and parts[3] == "tables":
             ns = parts[2]
             name = body["name"]
@@ -153,7 +167,7 @@ class Handler(BaseHTTPRequestHandler):
             self._send({"error": "bad path"}, 400)
 
     def do_DELETE(self):
-        parts = self.path.strip("/").split("?")[0].split("/")
+        parts = [urllib.parse.unquote(x) for x in self.path.strip("/").split("?")[0].split("/")]
         if len(parts) == 3 and parts[1] == "namespaces":
             STATE["namespaces"].pop(parts[2], None)
             self._send({})
@@ -363,3 +377,24 @@ def test_view_endpoints_and_handoff(rest_endpoint, tmp_path):
 
     with _pytest.raises(Exception):
         c.get_view("myview")
+
+
+def test_register_table_spec_endpoint(rest_endpoint):
+    """register_table uses the spec's POST .../register
+    (RegisterTableRequest) — the portable path real catalogs accept,
+    unlike commit_table's documented engine-extension action."""
+    client = IceRestClient(rest_endpoint, namespace="ns1")
+    out = client.register_table("regtab", "/tmp/meta/v1.metadata.json")
+    assert out["metadata-location"] == "/tmp/meta/v1.metadata.json"
+    got = client.get_table("regtab")
+    assert got["metadata-location"] == "/tmp/meta/v1.metadata.json"
+
+
+def test_names_are_url_quoted(rest_endpoint):
+    """A table name with a space/'#' must round-trip — unquoted it
+    crashes http.client or truncates the path at the fragment."""
+    client = IceRestClient(rest_endpoint, namespace="ns1")
+    client.register_table("odd name#1", "/tmp/m/v1.metadata.json")
+    got = client.get_table("odd name#1")
+    assert got["metadata-location"] == "/tmp/m/v1.metadata.json"
+    assert client.delete_table("odd name#1")

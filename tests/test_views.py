@@ -140,3 +140,34 @@ def test_view_metadata_json_shape(spark, tmp_path):
         "dialect": "spark",
     }
     assert m["properties"]["comment"] == "test view"
+
+
+def test_create_view_accepts_file_url(tmp_path, spark):
+    """create_view normalizes file:// URLs like every reader does —
+    unstripped it wrote metadata into a literal './file:/...' relative
+    directory and the final IcebergView(path) could not find it."""
+    from daskberg_spark.iceberg.views import IcebergView, create_view
+
+    p = tmp_path / "v_url"
+    v = create_view(f"file://{p}", "SELECT 1 AS one")
+    assert v.sql() == "SELECT 1 AS one"
+    assert IcebergView(str(p)).sql() == "SELECT 1 AS one"
+
+
+def test_create_or_replace_recovers_from_missing_hint(tmp_path):
+    """A writer that crashed between publishing v1.metadata.json and the
+    hint replace must not make CREATE OR REPLACE fail forever: existence
+    detection falls back to the directory scan (the shared resolver)."""
+    import os
+
+    from daskberg_spark.iceberg.views import IcebergView, create_view
+
+    p = str(tmp_path / "v_crash")
+    create_view(p, "SELECT 1 AS one")
+    os.remove(os.path.join(p, "metadata", "version-hint.text"))
+    # reader already recovers via the shared resolver
+    assert IcebergView(p).sql() == "SELECT 1 AS one"
+    # and so does the writer: replace appends v2 instead of crashing
+    v2 = create_view(p, "SELECT 2 AS two", replace=True)
+    assert v2.sql() == "SELECT 2 AS two"
+    assert len(v2.versions) == 2
