@@ -279,16 +279,40 @@ def make_nested_rows(n: int, start: int = 0) -> list[dict]:
 
 def _rewrite_table_avro(path: str, edit, codec: str | None = None) -> None:
     """Re-encode every metadata Avro file through ``edit(records) -> bool``
-    (return True to rewrite); ``codec`` optionally recompresses."""
+    (return True to rewrite); ``codec`` optionally recompresses.
+
+    Two ordered passes: MANIFESTS first, then manifest LISTS with their
+    ``manifest_length`` fields refreshed to the re-encoded sizes — a
+    recompressed manifest changes length, and a spec-compliant reader
+    doing ranged reads off stale lengths would read truncated Avro from
+    the forged fixture."""
     import glob as _glob
     import json as _json
 
     from daskberg_spark.iceberg.avro import read_avro_file, write_avro_file
 
-    for av in sorted(_glob.glob(os.path.join(path, "metadata", "*.avro"))):
+    all_avro = sorted(_glob.glob(os.path.join(path, "metadata", "*.avro")))
+    lists, manifests = [], []
+    for av in all_avro:
         hdr, records = read_avro_file(av)
         schema = _json.loads(hdr["avro.schema"])
+        if records and "manifest_path" in records[0]:
+            lists.append((av, schema, records))
+        else:
+            manifests.append((av, schema, records))
+    for av, schema, records in manifests:
         changed = edit(records)
+        if changed or codec is not None:
+            write_avro_file(av, schema, records, codec=codec or "deflate")
+    for av, schema, records in lists:
+        changed = edit(records)
+        for r in records:
+            mp = r.get("manifest_path")
+            if mp and os.path.exists(mp):
+                new_len = os.path.getsize(mp)
+                if r.get("manifest_length") != new_len:
+                    r["manifest_length"] = new_len
+                    changed = True
         if changed or codec is not None:
             write_avro_file(av, schema, records, codec=codec or "deflate")
 
@@ -1179,3 +1203,55 @@ def ensure_variant_fixture(spark, path: str = VARIANT_FIXTURE_DIR) -> str:
     df.coalesce(2).write.mode("overwrite").parquet(stage)
     commit_spark_output(writer, stage)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Cross-process build serialization.  Every ensure_* builder is
+# check-hint-then-build; two concurrent first-time callers (pytest and
+# check_oracle on a fresh checkout) would otherwise interleave appends
+# into the same directory — duplicated data files, half-referenced
+# metadata.  One advisory flock serializes ALL fixture builds: the
+# hint fast-path re-checks inside the lock, so steady-state calls pay
+# one lock/unlock syscall pair and no IO.  Re-entrant per-process
+# (builders may call other builders) via a thread-local depth counter.
+
+
+def _serialize_fixture_builds() -> None:
+    import functools
+    import threading
+
+    state = threading.local()
+    lock_path = os.path.join(
+        os.path.dirname(FIXTURE_DIR), ".build.lock"
+    )
+
+    def _wrap(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            depth = getattr(state, "depth", 0)
+            if depth:
+                state.depth = depth + 1
+                try:
+                    return fn(*args, **kwargs)
+                finally:
+                    state.depth = depth
+            import fcntl
+
+            os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+            with open(lock_path, "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                state.depth = 1
+                try:
+                    return fn(*args, **kwargs)
+                finally:
+                    state.depth = 0
+
+        return wrapped
+
+    g = globals()
+    for name, obj in list(g.items()):
+        if name.startswith("ensure_") and callable(obj):
+            g[name] = _wrap(obj)
+
+
+_serialize_fixture_builds()

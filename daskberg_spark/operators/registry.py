@@ -98,11 +98,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture: its ``ts`` is parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright.  Read nanos as longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs-precision
-    TIMESTAMP_NTZ column — distributed, no driver materialization."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events fixture reader.  Some driver generations emit ``ts`` as
+    parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    outright: for those, read nanos as longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    µs-precision TIMESTAMP_NTZ column — distributed, no driver
+    materialization.  The legacy conf is SESSION-wide, so it is only
+    flipped when the footer actually declares nanos (the current
+    fixtures are timestamp[us]) — blanket-setting it silently turned
+    every later nanos-parquet read in the session into bigints."""
+    import pyarrow.parquet as _pq
+
+    try:
+        ts_type = str(
+            _pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+        )
+    except Exception:
+        ts_type = ""
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         # integer DIV, not `/`: ns epochs exceed double's 2^53 mantissa and

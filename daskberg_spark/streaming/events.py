@@ -28,8 +28,21 @@ from daskberg_spark.operators.registry import dsum, query, sql_dsum
 
 def _event_stream(spark: SparkSession, sf_dir: str):
     """readStream over events.parquet with the ns-timestamp workaround
-    (same rebuild as registry.events_table, streaming flavor)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (same rebuild as registry.events_table, streaming flavor; the
+    session-wide legacy conf flips only when the footer actually
+    declares nanos)."""
+    import pyarrow.parquet as _pq
+
+    try:
+        _ts = str(
+            _pq.ParquetFile(f"{sf_dir}/events.parquet")
+            .schema_arrow.field("ts")
+            .type
+        )
+    except Exception:
+        _ts = ""
+    if _ts == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # event-time windows group on instants whose wall-clock rendering (and
     # the memory-sink→pandas conversion) depends on the session timezone;
     # pin UTC so results match the naive-timestamp oracle under any driver

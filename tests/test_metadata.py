@@ -613,3 +613,26 @@ def test_v3_geometry_wkb_passthrough(spark, tmp_path):
     w2.append([{"k": 1, "raw": b"\x00\xffpayload"}])
     r = IcebergTable(str(tmp_path / "b")).to_df(spark).collect()[0]
     assert bytes(r["raw"]) == b"\x00\xffpayload"
+
+
+def test_forged_fixture_manifest_lengths_consistent():
+    """_rewrite_table_avro refreshes manifest-list manifest_length after
+    re-encoding manifests — stale lengths would truncate ranged reads in
+    spec-compliant readers (review finding)."""
+    import glob
+    import os
+
+    from daskberg_spark.iceberg.avro import read_avro_file
+    from daskberg_spark.iceberg.fixtures import ensure_foreign_fixture
+
+    base = ensure_foreign_fixture()
+    checked = 0
+    for ml in glob.glob(os.path.join(base, "metadata", "*.avro")):
+        _, recs = read_avro_file(ml)
+        if recs and "manifest_path" in recs[0]:
+            for r in recs:
+                assert r["manifest_length"] == os.path.getsize(
+                    r["manifest_path"]
+                )
+                checked += 1
+    assert checked > 0

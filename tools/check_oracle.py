@@ -20,7 +20,9 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+# anchor imports on the REPO (the script's parent), not the CWD — the
+# "local replica" must be runnable from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -96,17 +98,63 @@ def fixture_fingerprints(sf_dir: str) -> dict[str, str]:
             out[t] = hashlib.md5(key.encode()).hexdigest()[:12]
         except Exception:
             out[t] = "absent"
+    # on-disk ICEBERG fixtures too (the same staleness class: editing a
+    # fixture builder without deleting .fixtures/<name> leaves Spark AND
+    # the oracle reading identical stale files — both say ok against
+    # data the code no longer describes).  Fingerprint = data file
+    # names+sizes + pinned metadata version, zero decode.
+    fixtures_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".fixtures",
+    )
+    if os.path.isdir(fixtures_root):
+        for name in sorted(os.listdir(fixtures_root)):
+            base = os.path.join(fixtures_root, name)
+            hint = os.path.join(base, "metadata", "version-hint.text")
+            if not os.path.exists(hint):
+                continue
+            with open(hint) as f:
+                ver = f.read().strip()
+            listing = []
+            data_dir = os.path.join(base, "data")
+            for root, _dirs, files in os.walk(data_dir):
+                for fn in sorted(files):
+                    fp = os.path.join(root, fn)
+                    listing.append(
+                        f"{os.path.relpath(fp, base)}:{os.path.getsize(fp)}"
+                    )
+            key = f"v{ver}|" + "|".join(listing)
+            out[f".fixtures/{name}"] = hashlib.md5(
+                key.encode()
+            ).hexdigest()[:12]
     return out
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    unknown = [f for f in flags if not f.startswith("--json=")]
+    if unknown:
+        # '--json out.json' (space form) would silently become a query
+        # filter and a no-op success — refuse loudly instead
+        print(f"unknown flag(s): {unknown}; use --json=PATH", file=sys.stderr)
+        return 2
     json_out = next(
-        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        (a.split("=", 1)[1] for a in flags if a.startswith("--json=")),
         None,
     )
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    if only and json_out:
+        # a filtered run must never shadow a committed FULL-registry
+        # artifact with a partial one — the artifact is cited as
+        # full-registry evidence
+        print(
+            "--json with a query filter would record a PARTIAL artifact; "
+            "run without query names to write one",
+            file=sys.stderr,
+        )
+        return 2
 
     prints = fixture_fingerprints(sf_dir)
     if json_out and os.path.exists(json_out):
@@ -137,9 +185,15 @@ def main() -> int:
     spark = get_spark("oracle-check", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        try:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        except duckdb.Error:
+            # absent table (fixture_fingerprints already records it as
+            # 'absent'): queries not touching it must still run; those
+            # that do fail per-query with a clear oracle error
+            print(f"note: {t}.parquet absent under {sf_dir}", file=sys.stderr)
 
     n_pass = n_fail = n_noracle = 0
     results: dict[str, dict] = {}
@@ -166,7 +220,16 @@ def main() -> int:
             results[name] = {"status": "fail", "err": "oracle error"}
             n_fail += 1
             continue
-        problems = compare(name, spark_pdf, oracle_pdf)
+        try:
+            problems = compare(name, spark_pdf, oracle_pdf)
+        except Exception:
+            # one unnormalizable result (map-typed column, exotic dtype)
+            # must not abort the run and lose the artifact for every
+            # other query
+            print(f"FAIL  {name}: compare error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "compare error"}
+            n_fail += 1
+            continue
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             results[name] = {"status": "fail", "err": "; ".join(problems)}
