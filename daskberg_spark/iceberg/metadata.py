@@ -61,6 +61,213 @@ def _strip_scheme(path: str) -> str:
     return path
 
 
+def _relocate_path(path: str, original_url: str, url: str) -> str:
+    """Module-level relocation (picklable for executor-side planning)."""
+    path = _strip_scheme(path)
+    if original_url and (
+        path == original_url
+        # boundary-checked prefix: '/old/tbl' must NOT rewrite
+        # '/old/tbl_backup/...' into a path under this table
+        or path.startswith(original_url.rstrip("/") + "/")
+    ):
+        path = url + path[len(original_url) :]
+    return path
+
+
+# Above this many live+deleted manifest entries (estimated from the
+# manifest-list counts), ``scan_all`` plans on EXECUTORS: each Spark task
+# decodes one manifest Avro, runs the per-entry logic, and (when filters
+# are given) file-level-prunes before anything is shipped to the driver.
+# Below the gate the zero-Spark driver path runs — small tables must not
+# pay job-launch latency.  Override with DASKBERG_DIST_PLAN_GATE.
+DIST_PLAN_ENTRY_GATE = 50_000
+
+
+def _dist_plan_gate() -> int:
+    return int(os.environ.get("DASKBERG_DIST_PLAN_GATE", DIST_PLAN_ENTRY_GATE))
+
+
+def _entry_events(
+    entries: list[dict[str, Any]],
+    spec_id: int,
+    manifest_snapshot: Any,
+    manifest_seq: Any,
+    original_url: str,
+    url: str,
+) -> list[tuple[str, Any, Any]]:
+    """Per-entry manifest processing, shared by the driver and executor
+    planning paths (so the two can never diverge).  Returns ordered
+    events: ``("data", path, record)`` live data file, ``("delete",
+    (path, offset), record)`` live v2/v3 delete file, ``("tomb_data",
+    path, None)`` / ``("tomb_del_key", (path, offset), None)`` /
+    ``("tomb_del_path", path, None)`` DELETED tombstones.  Reconciliation
+    (tombstones last, across ALL manifests) happens in ``_merge_events``.
+    """
+    events: list[tuple[str, Any, Any]] = []
+    for entry in entries:
+        data_file = entry["data_file"]
+        fmt = data_file.get("file_format", "PARQUET")
+        is_dv = (
+            fmt.upper() == "PUFFIN"
+            and data_file.get("content", 0) == 1
+            and data_file.get("referenced_data_file") is not None
+        )
+        # DATA files may be PARQUET/AVRO/ORC (real Iceberg's
+        # format set; the reference is parquet-only —
+        # README.md:97); the scan dispatches per format.
+        # DELETE files stay parquet (+ puffin DVs): non-parquet
+        # delete files are rare in the wild and unimplemented.
+        # LIVE entries only: a DELETED tombstone of an
+        # unsupported-format file will never be read — raising
+        # on it would make a fully-supported table unreadable.
+        if entry["status"] != STATUS_DELETED:
+            if data_file.get("content", 0) == 0:
+                if fmt.upper() not in ("PARQUET", "AVRO", "ORC"):
+                    raise NotImplementedError(f"data file format {fmt}")
+            elif fmt.upper() != "PARQUET" and not is_dv:
+                raise NotImplementedError(f"delete file format {fmt}")
+        fpath = _relocate_path(data_file["file_path"], original_url, url)
+        if is_dv:
+            # the target path must match the scan's relocated
+            # __file tag or the DV anti-join silently matches
+            # nothing (same rule as position-delete file_path)
+            data_file = dict(
+                data_file,
+                referenced_data_file=_relocate_path(
+                    data_file["referenced_data_file"], original_url, url
+                ),
+            )
+        data_file = dict(
+            data_file,
+            file_path=fpath,
+            _spec_id=spec_id,
+            # adding snapshot → pins the schema the file was written
+            # under (column renames resolve by field id, §1.4);
+            # null entry ids inherit from the manifest (Iceberg
+            # snapshot-id inheritance)
+            _snapshot_id=(
+                entry.get("snapshot_id")
+                if entry.get("snapshot_id") is not None
+                else manifest_snapshot
+            ),
+            # v2 data sequence number, entry-explicit or inherited
+            # from the manifest-list record (Iceberg sequence-number
+            # inheritance); None on v1/pre-sequence metadata.  This,
+            # not snapshot-id order, keys delete applicability —
+            # the spec allows snapshot ids to be random longs.
+            _sequence_number=(
+                entry.get("sequence_number")
+                if entry.get("sequence_number") is not None
+                else manifest_seq
+            ),
+        )
+        if entry["status"] == STATUS_DELETED:
+            if data_file.get("content", 0) in (1, 2):
+                off = data_file.get("content_offset")
+                if off is not None:
+                    events.append(("tomb_del_key", (fpath, off), None))
+                else:
+                    events.append(("tomb_del_path", fpath, None))
+            else:
+                events.append(("tomb_data", fpath, None))
+        elif data_file.get("content", 0) in (1, 2):
+            # keyed by (path, blob offset): a v3 puffin file packs
+            # one DV blob PER target data file at distinct offsets
+            # under one file_path — path alone would collapse them
+            events.append(
+                ("delete", (fpath, data_file.get("content_offset") or 0), data_file)
+            )
+        else:
+            events.append(("data", fpath, data_file))
+    return events
+
+
+def _merge_events(
+    event_lists: list[list[tuple[str, Any, Any]]],
+) -> tuple[dict[str, dict[str, Any]], dict[tuple[str, int], dict[str, Any]]]:
+    """Cross-manifest reconciliation: dict insert in manifest order
+    (later manifests overwrite same-path records), DELETED tombstones
+    applied LAST across all manifests (``ice.py:165-204``).  A data
+    event whose record is None is a "present but file-level-pruned"
+    marker from the executor path: it participates in overwrite
+    semantics (last record for the path wins) and is dropped at the
+    end — exactly what filtering the merged dict would produce."""
+    allfiles: dict[str, Any] = {}
+    delete_files: dict[tuple[str, int], dict[str, Any]] = {}
+    deleted: set[str] = set()
+    # DELETED delete-entries are keyed by (path, content_offset): a
+    # multi-blob puffin file holds one DV per target data file under
+    # ONE path, and a foreign v3 writer may supersede a single blob
+    # (same file_path, one content_offset) while the siblings stay
+    # live.  Path-wide removal is only the fallback for DELETED
+    # entries that carry no content_offset (v2 delete parquet).
+    deleted_delete_keys: set[tuple[str, int]] = set()
+    deleted_delete_paths: set[str] = set()
+    for events in event_lists:
+        for kind, key, record in events:
+            if kind == "data":
+                allfiles[key] = record
+            elif kind == "delete":
+                delete_files[key] = record
+            elif kind == "tomb_data":
+                deleted.add(key)
+            elif kind == "tomb_del_key":
+                deleted_delete_keys.add(key)
+            else:  # tomb_del_path
+                deleted_delete_paths.add(key)
+    for fpath in deleted:
+        allfiles.pop(fpath, None)
+    for key in deleted_delete_keys:
+        delete_files.pop(key, None)
+    for fpath in deleted_delete_paths:
+        for k in [k for k in delete_files if k[0] == fpath]:
+            delete_files.pop(k)
+    return (
+        {p: f for p, f in allfiles.items() if f is not None},
+        delete_files,
+    )
+
+
+def _scan_manifest_task(
+    manifests: list[tuple[int, str, int, Any, Any]],
+    shared: dict[str, Any],
+) -> list[tuple[int, list[tuple[str, Any, Any]]]]:
+    """Executor task: decode + process (+ optionally file-level prune)
+    one batch of manifests.  ``shared`` (broadcast) carries the
+    relocation pair, schema fields, per-spec partition fields, and the
+    filter DNF.  Live data records that fail the file-level filter are
+    replaced with a ``("data", path, None)`` marker so cross-manifest
+    overwrite semantics survive the prune (see ``_merge_events``)."""
+    original_url, url = shared["original_url"], shared["url"]
+    filters = shared["filters"]
+    fields = shared["fields"]
+    spec_fields_map = shared["spec_fields"]
+    # unknown spec ids fall back to the table default partition spec —
+    # the same rule as IcebergTable._spec_fields
+    default_spec = shared["default_spec_fields"]
+    out: list[tuple[int, list[tuple[str, Any, Any]]]] = []
+    for idx, path, spec_id, msnap, mseq in manifests:
+        _, entries = read_avro_file(path)
+        events = _entry_events(entries, spec_id, msnap, mseq, original_url, url)
+        if filters:
+            live_data = [r for k, _p, r in events if k == "data" and r is not None]
+            kept = {
+                f["file_path"]
+                for f in apply_filters(
+                    live_data,
+                    filters,
+                    fields,
+                    lambda sid: spec_fields_map.get(sid, default_spec),
+                )
+            }
+            events = [
+                ("data", p, None) if k == "data" and p not in kept else (k, p, r)
+                for k, p, r in events
+            ]
+        out.append((idx, events))
+    return out
+
+
 class IcebergTable:
     """An Iceberg v1 table opened from a directory or a metadata JSON path.
 
@@ -104,15 +311,7 @@ class IcebergTable:
     # -- path handling ------------------------------------------------------
 
     def _relocate(self, path: str) -> str:
-        path = _strip_scheme(path)
-        if self.original_url and (
-            path == self.original_url
-            # boundary-checked prefix: '/old/tbl' must NOT rewrite
-            # '/old/tbl_backup/...' into a path under this table
-            or path.startswith(self.original_url.rstrip("/") + "/")
-        ):
-            path = self.url + path[len(self.original_url) :]
-        return path
+        return _relocate_path(path, self.original_url, self.url)
 
     # -- version / metadata -------------------------------------------------
 
@@ -356,6 +555,78 @@ class IcebergTable:
             self.manifest_cache[path] = entries
         return self.manifest_cache[path]
 
+    def _entry_estimate(self) -> int:
+        """Total manifest-entry count from the manifest-list counters
+        (zero manifest IO) — the distributed-planning gate input."""
+        total = 0
+        for mf in self.manifest_list:
+            for k in (
+                "added_data_files_count",
+                "existing_data_files_count",
+                "deleted_data_files_count",
+                "added_files_count",
+                "existing_files_count",
+                "deleted_files_count",
+            ):
+                total += int(mf.get(k) or 0)
+        return total
+
+    def _dist_plan_spark(self) -> Any:
+        """The active SparkSession if one exists (the distributed
+        planner needs executors), else None — metadata stays
+        importable/usable with no JVM at all."""
+        try:
+            from pyspark.sql import SparkSession
+
+            return SparkSession.getActiveSession()
+        except Exception:
+            return None
+
+    def _scan_manifests_distributed(
+        self,
+        spark: Any,
+        surviving: list[tuple[str, int, Any, Any]],
+        filters: Any,
+    ) -> list[list[tuple[str, Any, Any]]]:
+        """Executor-side manifest planning (real Iceberg-Spark's
+        distributed planning analogue; beyond the reference, whose
+        driver loop is ``ice.py:185-204``).  Each task decodes a batch
+        of manifest Avro files, runs the SAME ``_entry_events`` logic as
+        the driver path, and — when filters are given — file-level
+        prunes live data records before the collect, so at million-file
+        scale the driver receives survivors, not the full file listing.
+        Output is ordered by manifest-list position: merge semantics
+        are bit-identical to the driver path (``_merge_events``)."""
+        shared = {
+            "original_url": self.original_url,
+            "url": self.url,
+            "filters": filters,
+            "fields": self.fields,
+            "spec_fields": {
+                s["spec-id"]: s.get("fields", [])
+                for s in self.metadata.get("partition-specs", [])
+            },
+            "default_spec_fields": self.partition_spec,
+        }
+        sc = spark.sparkContext
+        bc = sc.broadcast(shared)
+        payloads = [
+            (i, path, spec_id, msnap, mseq)
+            for i, (path, spec_id, msnap, mseq) in enumerate(surviving)
+        ]
+        slices = min(len(payloads), max(2, sc.defaultParallelism * 2))
+        try:
+            results = (
+                sc.parallelize(payloads, numSlices=slices)
+                .mapPartitions(
+                    lambda it: _scan_manifest_task(list(it), bc.value)
+                )
+                .collect()
+            )
+        finally:
+            bc.unpersist()
+        return [events for _i, events in sorted(results, key=lambda r: r[0])]
+
     def scan_manifests(self, filters: Any = None) -> dict[str, dict[str, Any]]:
         """Live data files only (see scan_all for v2 delete files)."""
         data, _ = self.scan_all(filters)
@@ -375,11 +646,29 @@ class IcebergTable:
         manifests (``ice.py:165-204``).  ``delete_files`` holds v2
         position/equality delete files (``content`` 1/2); the reference
         is v1-only and has no counterpart.  Results are memoized per
-        (snapshot, filters) — to_df plans data files and delete files in
-        the same read, so without the cache every query would reconcile
-        all manifests twice.
+        (snapshot, filters, mode) — to_df plans data files and delete
+        files in the same read, so without the cache every query would
+        reconcile all manifests twice.
+
+        Above ``DASKBERG_DIST_PLAN_GATE`` estimated entries (manifest-
+        list counters, zero IO) and with an active SparkSession, the
+        load + per-entry step runs on EXECUTORS (one task decodes a
+        batch of manifests; with filters, live data files are pruned
+        executor-side before the collect, shipped back as path-only
+        markers so cross-manifest overwrite semantics are preserved).
+        The reconcile stays driver-side over tombstone keys + surviving
+        records.  Both paths share ``_entry_events``/``_merge_events``,
+        so plans are identical by construction.
         """
-        cache_key = (self.current_snapshot["snapshot-id"], repr(filters))
+        distributed = self._dist_plan_spark() if self._entry_estimate() >= _dist_plan_gate() else None
+        # mode in the key: the distributed path file-level-prunes under
+        # filters (fewer records for the same args), and the gate
+        # decision can flip between calls (an active session appearing)
+        cache_key = (
+            self.current_snapshot["snapshot-id"],
+            repr(filters),
+            distributed is not None,
+        )
         if cache_key in self._scan_cache:
             return self._scan_cache[cache_key]
         fields = self.fields
@@ -400,109 +689,23 @@ class IcebergTable:
                 )
             )
 
-        # Parallel manifest IO (reference TODO at ice.py:185).
-        paths = [p for p, _, _, _ in surviving]
-        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
-            loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
-
-        allfiles: dict[str, dict[str, Any]] = {}
-        delete_files: dict[tuple[str, int], dict[str, Any]] = {}
-        deleted: set[str] = set()
-        # DELETED delete-entries are keyed by (path, content_offset): a
-        # multi-blob puffin file holds one DV per target data file under
-        # ONE path, and a foreign v3 writer may supersede a single blob
-        # (same file_path, one content_offset) while the siblings stay
-        # live.  Path-wide removal is only the fallback for DELETED
-        # entries that carry no content_offset (v2 delete parquet).
-        deleted_delete_keys: set[tuple[str, int]] = set()
-        deleted_delete_paths: set[str] = set()
-        for path, spec_id, manifest_snapshot, manifest_seq in surviving:
-            for entry in loaded[path]:
-                data_file = entry["data_file"]
-                fmt = data_file.get("file_format", "PARQUET")
-                is_dv = (
-                    fmt.upper() == "PUFFIN"
-                    and data_file.get("content", 0) == 1
-                    and data_file.get("referenced_data_file") is not None
-                )
-                # DATA files may be PARQUET/AVRO/ORC (real Iceberg's
-                # format set; the reference is parquet-only —
-                # README.md:97); the scan dispatches per format.
-                # DELETE files stay parquet (+ puffin DVs): non-parquet
-                # delete files are rare in the wild and unimplemented.
-                # LIVE entries only: a DELETED tombstone of an
-                # unsupported-format file will never be read — raising
-                # on it would make a fully-supported table unreadable.
-                if entry["status"] != STATUS_DELETED:
-                    if data_file.get("content", 0) == 0:
-                        if fmt.upper() not in ("PARQUET", "AVRO", "ORC"):
-                            raise NotImplementedError(
-                                f"data file format {fmt}"
-                            )
-                    elif fmt.upper() != "PARQUET" and not is_dv:
-                        raise NotImplementedError(
-                            f"delete file format {fmt}"
-                        )
-                fpath = self._relocate(data_file["file_path"])
-                if is_dv:
-                    # the target path must match the scan's relocated
-                    # __file tag or the DV anti-join silently matches
-                    # nothing (same rule as position-delete file_path)
-                    data_file = dict(
-                        data_file,
-                        referenced_data_file=self._relocate(
-                            data_file["referenced_data_file"]
-                        ),
-                    )
-                data_file = dict(
-                    data_file,
-                    file_path=fpath,
-                    _spec_id=spec_id,
-                    # adding snapshot → pins the schema the file was written
-                    # under (column renames resolve by field id, §1.4);
-                    # null entry ids inherit from the manifest (Iceberg
-                    # snapshot-id inheritance)
-                    _snapshot_id=(
-                        entry.get("snapshot_id")
-                        if entry.get("snapshot_id") is not None
-                        else manifest_snapshot
-                    ),
-                    # v2 data sequence number, entry-explicit or inherited
-                    # from the manifest-list record (Iceberg sequence-number
-                    # inheritance); None on v1/pre-sequence metadata.  This,
-                    # not snapshot-id order, keys delete applicability —
-                    # the spec allows snapshot ids to be random longs.
-                    _sequence_number=(
-                        entry.get("sequence_number")
-                        if entry.get("sequence_number") is not None
-                        else manifest_seq
-                    ),
-                )
-                if entry["status"] == STATUS_DELETED:
-                    if data_file.get("content", 0) in (1, 2):
-                        off = data_file.get("content_offset")
-                        if off is not None:
-                            deleted_delete_keys.add((fpath, off))
-                        else:
-                            deleted_delete_paths.add(fpath)
-                    else:
-                        deleted.add(fpath)
-                elif data_file.get("content", 0) in (1, 2):
-                    # keyed by (path, blob offset): a v3 puffin file packs
-                    # one DV blob PER target data file at distinct offsets
-                    # under one file_path — path alone would collapse them
-                    delete_files[
-                        (fpath, data_file.get("content_offset") or 0)
-                    ] = data_file
-                else:
-                    allfiles[fpath] = data_file
-        for fpath in deleted:
-            allfiles.pop(fpath, None)
-        for key in deleted_delete_keys:
-            delete_files.pop(key, None)
-        for fpath in deleted_delete_paths:
-            for k in [k for k in delete_files if k[0] == fpath]:
-                delete_files.pop(k)
+        if distributed is not None and surviving:
+            event_lists = self._scan_manifests_distributed(
+                distributed, surviving, filters
+            )
+        else:
+            # Parallel manifest IO (reference TODO at ice.py:185).
+            paths = [p for p, _, _, _ in surviving]
+            with ThreadPoolExecutor(
+                max_workers=min(16, max(1, len(paths)))
+            ) as pool:
+                loaded = dict(zip(paths, pool.map(self._load_manifest, paths)))
+            event_lists = [
+                _entry_events(loaded[path], spec_id, msnap, mseq,
+                              self.original_url, self.url)
+                for path, spec_id, msnap, mseq in surviving
+            ]
+        allfiles, delete_files = _merge_events(event_lists)
         if len(self._scan_cache) >= 256:
             # retained across snapshot hops (keys include the snapshot
             # id) — bound it so a long-running stream tailing thousands
