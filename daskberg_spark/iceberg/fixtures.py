@@ -1255,3 +1255,62 @@ def _serialize_fixture_builds() -> None:
 
 
 _serialize_fixture_builds()
+
+
+LEGACY_EQ_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "legacy_eq_table"
+)
+
+
+def ensure_legacy_eq_fixture(path: str = LEGACY_EQ_FIXTURE_DIR) -> str:
+    """A table in this engine's PRE-SCOPING global-delete shape, then
+    MIGRATED with ``migrate_legacy_eq_deletes``: identity(cat) spec,
+    ids 0..59 (cat = a/b/c by id%3), a GLOBAL equality delete of ids
+    divisible by 7 forged through the PARTITIONED spec (materializing
+    the ambiguous all-None tuple the r8 ADVICE flagged) under
+    ``daskberg.legacy-global-eq-deletes=true``, and a post-delete
+    re-insert of id 0 (val -1.0) proving sequence-correct rebirth
+    survives migration.  After migration the delete lives on an
+    unpartitioned spec and the property is gone.  Content-derived live
+    formula: ``id % 7 <> 0 OR val = -1.0``."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        migrate_legacy_eq_deletes,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "cat", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+        [{"name": "cat", "transform": "identity", "source": "cat"}],
+    )
+    rows = [
+        {"id": i, "cat": "abc"[i % 3], "val": float(i)} for i in range(60)
+    ]
+    writer.append(rows)
+    # forge the pre-r8 shape: a GLOBAL delete (partition=None → empty
+    # tuple) committed through the PARTITIONED current spec — exactly
+    # what this engine wrote before global deletes moved to an
+    # unpartitioned spec; it reads back as an all-None partition tuple
+    snapshot_id = writer._next_snapshot_id
+    entry = writer._build_eq_delete_entry(
+        [{"id": i} for i in range(0, 60, 7)], snapshot_id, None
+    )
+    manifest = writer._write_manifest(
+        [entry], snapshot_id, spec_id=writer.current_spec_id
+    )
+    writer._commit(snapshot_id, writer.manifests + [manifest], "delete", 0)
+    writer.set_properties({"daskberg.legacy-global-eq-deletes": "true"})
+    writer.append([{"id": 0, "cat": "a", "val": -1.0}])  # reborn id 0
+    migrate_legacy_eq_deletes(writer)
+    return path
+
+
+# Content-derived live-rowset predicate for the migrated table's oracle.
+LEGACY_EQ_LIVE_WHERE = "(id % 7 <> 0 OR val = -1.0)"

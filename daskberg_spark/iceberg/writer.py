@@ -4680,6 +4680,101 @@ def rewrite_manifests(
     return snapshot_id
 
 
+def migrate_legacy_eq_deletes(writer: "IcebergWriter") -> int | None:
+    """Migration action for the pre-scoping global-delete shape: rewrite
+    every live all-None-scoped equality delete under a PARTITIONED spec
+    onto an unpartitioned spec, after which the
+    ``daskberg.legacy-global-eq-deletes`` property and the scan layer's
+    ambiguity warning (``scan._scope_tuple``) are dead — spec-compliant
+    readers (this engine and foreign ones) then apply the delete
+    globally with no opt-in.  Metadata-only: the delete parquet files
+    are re-registered under the new spec, never rewritten; affected
+    manifests are rebuilt without the migrated entries (untouched
+    manifests pass through); every carried entry keeps its EXPLICIT
+    data sequence number, so delete applicability (data seq < delete
+    seq) is unchanged.  One ``replace`` snapshot — the legacy property
+    is dropped in the same commit.  Returns the snapshot id, or None
+    when no legacy-shaped delete exists (the action is idempotent).
+
+    Call it only when the all-None deletes are KNOWN to be global (a
+    table this engine wrote before global deletes moved to an
+    unpartitioned spec, or a foreign table whose owner asserts it); a
+    genuine NULL-partition scope (e.g. a Flink upsert on a nullable
+    partition source) must NOT be migrated — the default scoped read
+    is already correct for it."""
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    deleted: set[str] = set()
+    loaded: list[tuple[int, list[dict[str, Any]], dict[str, Any]]] = []
+    for mf in writer.manifests:
+        _, entries = read_avro_file(mf["manifest_path"])
+        loaded.append((mf.get("partition_spec_id", 0), entries, mf))
+        for e in entries:
+            if e["status"] == 2:
+                deleted.add(e["data_file"]["file_path"])
+
+    def is_legacy(spec_id: int, e: dict[str, Any]) -> bool:
+        rec = e["data_file"]
+        if (
+            e["status"] == 2
+            or rec["file_path"] in deleted
+            or rec.get("content") != 2
+        ):
+            return False
+        if spec_id >= len(writer.specs) or not writer.specs[spec_id]:
+            return False  # already global (unpartitioned spec)
+        part = rec.get("partition") or {}
+        return bool(part) and all(v is None for v in part.values())
+
+    if not any(
+        is_legacy(sid, e) for sid, entries, _mf in loaded for e in entries
+    ):
+        return None
+    snapshot_id = writer._next_snapshot_id
+    gspec = writer._global_delete_spec_id()
+
+    def carry(e: dict[str, Any], mf: dict[str, Any]) -> dict[str, Any]:
+        # ADDED → EXISTING with explicit sequence/snapshot: the rebuilt
+        # manifest is registered under the NEW snapshot, so inherited
+        # values would mis-sequence every carried entry
+        return {
+            "status": 2 if e["status"] == 2 else 0,
+            "snapshot_id": (
+                e.get("snapshot_id")
+                if e.get("snapshot_id") is not None
+                else mf.get("added_snapshot_id")
+            ),
+            "sequence_number": _entry_seq(e, mf),
+            "data_file": e["data_file"],
+        }
+
+    manifests: list[dict[str, Any]] = []
+    migrated: list[dict[str, Any]] = []
+    for spec_id, entries, mf in loaded:
+        hits = [e for e in entries if is_legacy(spec_id, e)]
+        if not hits:
+            manifests.append(mf)  # untouched manifest passes through
+            continue
+        hit_ids = {id(e) for e in hits}
+        kept = [carry(e, mf) for e in entries if id(e) not in hit_ids]
+        if kept:
+            manifests.append(
+                writer._write_manifest(kept, snapshot_id, spec_id=spec_id)
+            )
+        for e in hits:
+            m = carry(e, mf)
+            m["data_file"] = dict(m["data_file"], partition={})
+            migrated.append(m)
+    manifests.append(
+        writer._write_manifest(migrated, snapshot_id, spec_id=gspec)
+    )
+    # same-commit property drop: after migration the legacy read rule
+    # has nothing left to apply to
+    writer.properties.pop("daskberg.legacy-global-eq-deletes", None)
+    writer._commit(snapshot_id, manifests, "replace", 0)
+    return snapshot_id
+
+
 def expire_snapshots(
     writer: "IcebergWriter",
     keep_last: int = 1,

@@ -2499,3 +2499,45 @@ def iceberg_variant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("a").alias("sum_a"),
         )
     )
+
+
+@query(
+    "iceberg_legacy_eq_migration",
+    """
+    WITH base AS (
+      SELECT i AS id, SUBSTR('abc', (i % 3) + 1, 1) AS cat,
+             CAST(i AS DOUBLE) AS val
+      FROM range(0, 60) t(i)
+      UNION ALL
+      SELECT 0, 'a', -1.0
+    )
+    SELECT cat,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(val) AS DOUBLE) AS sum_val
+    FROM base
+    WHERE (id % 7 <> 0 OR val = -1.0)
+    GROUP BY cat
+    """,
+)
+def iceberg_legacy_eq_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read of a table MIGRATED with ``migrate_legacy_eq_deletes``: the
+    pre-scoping global equality delete (all-None tuple under a
+    partitioned spec + the legacy property) now lives on an
+    unpartitioned spec — globally applied per spec with no property and
+    no ambiguity warning, and the post-delete re-insert of id 0 stays
+    alive (explicit sequence numbers survive the re-registration).  The
+    oracle re-derives the live set from the fixture's content formula
+    (``fixtures.LEGACY_EQ_LIVE_WHERE``)."""
+    from daskberg_spark.iceberg.fixtures import ensure_legacy_eq_fixture
+
+    t = IcebergTable(ensure_legacy_eq_fixture())
+    return (
+        t.to_df(spark)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("val").cast("double").alias("sum_val"),
+        )
+    )
