@@ -567,6 +567,135 @@ def avro_block_index(path: str) -> list[tuple[int, int]]:
         return out
 
 
+def _compile_columnar_decoder(
+    schema: Any, names: dict[str, Any], wanted: Any = None
+) -> tuple[dict[str, list], Any]:
+    """Columnar variant of :func:`_compile_decoder` for a TOP-LEVEL
+    record schema: returns ``(cols, row_fn)`` where ``row_fn(data,
+    pos) -> pos`` decodes one record APPENDING each kept field's value
+    straight into its list in ``cols`` — no per-row dict is ever
+    built, and no second per-column extraction pass runs (the two
+    costs that dominate the row-oriented decode when the consumer is
+    a columnar engine).  Unwanted fields compile to position skippers.
+    Decode semantics are byte-identical by construction: every field
+    decoder/skipper is the SAME closure ``_compile_decoder`` /
+    ``_compile_skipper`` emit."""
+    schema = _skip_to_named(schema, names)
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("columnar decode requires a top-level record")
+    cols: dict[str, list] = {}
+    members: list[tuple[Any, Any]] = []
+    for f in schema["fields"]:
+        if wanted is None or f["name"] in wanted:
+            lst: list = []
+            cols[f["name"]] = lst
+            members.append((lst.append, _compile_decoder(f["type"], names)))
+        else:
+            members.append((None, _compile_skipper(f["type"], names)))
+
+    def _row(data: bytes, pos: int) -> int:
+        for app, fn in members:
+            if app is None:
+                pos = fn(data, pos)
+            else:
+                v, pos = fn(data, pos)
+                app(v)
+        return pos
+
+    return cols, _row
+
+
+def read_avro_range_columns(
+    path: str,
+    start: int,
+    end: int,
+    want_row_offset: bool = False,
+    known_block: tuple[int, int] | None = None,
+    columns: Any = None,
+) -> tuple[dict[str, list], int, int]:
+    """Columnar :func:`read_avro_range`: same block-ownership rule and
+    arguments, but returns ``(cols, nrows, row_offset)`` where ``cols``
+    maps each present+wanted field name to a Python list of values —
+    ready for zero-copy-ish ``pyarrow.array`` construction in the data
+    scan's ``mapInArrow`` leg (fields absent from the file schema are
+    simply absent keys; the caller null-fills)."""
+    with open(path, "rb") as f:
+        _meta, schema, codec, sync, names = _parse_header(f)
+        cols, row_fn = _compile_columnar_decoder(
+            schema, names, wanted=set(columns) if columns is not None else None
+        )
+        nrows = 0
+        first_block, row_offset = _locate_first_block(
+            f, sync, start, end, want_row_offset, known_block
+        )
+        if first_block is None:
+            return cols, 0, 0
+        f.seek(first_block)
+        while True:
+            try:
+                count = _read_long(f)
+            except EOFError:
+                break
+            bsize = _read_long(f)
+            block = f.read(bsize)
+            if len(block) != bsize:
+                raise EOFError("truncated block")
+            data = _decompress_block(block, codec)
+            pos = 0
+            for _ in range(count):
+                pos = row_fn(data, pos)
+            nrows += count
+            t = f.tell()  # this block's trailing sync == next block's owner
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch")
+            if t >= end:
+                break
+        return cols, nrows, row_offset
+
+
+def _locate_first_block(
+    f,
+    sync: bytes,
+    start: int,
+    end: int,
+    want_row_offset: bool,
+    known_block: tuple[int, int] | None,
+) -> tuple[int | None, int]:
+    """Shared range-entry logic for the row and columnar range readers:
+    returns ``(first_block_offset_or_None, row_offset)``.  ``f`` must be
+    positioned just past the header."""
+    header_end = f.tell()
+    f.seek(0, 2)
+    size = f.tell()
+    end = min(end, size)
+    row_offset = 0
+    first_block: int | None = None
+    if known_block is not None:
+        first_block, row_offset = known_block
+        if first_block >= size:
+            first_block = None
+    elif want_row_offset:
+        pos = header_end
+        while pos - 16 < end:
+            if pos - 16 >= start:
+                first_block = pos
+                break
+            f.seek(pos)
+            try:
+                count = _read_long(f)
+                _bsize = _read_long(f)
+            except EOFError:
+                break
+            row_offset += count
+            pos = f.tell() + _bsize + 16
+    elif start <= header_end - 16:
+        if header_end - 16 < end:
+            first_block = header_end
+    else:
+        first_block = _find_first_block(f, sync, start, end, size)
+    return first_block, row_offset
+
+
 def read_avro_range(
     path: str,
     start: int,
@@ -602,35 +731,9 @@ def read_avro_range(
         dec = _compile_decoder(
             schema, names, wanted=set(columns) if columns is not None else None
         )
-        header_end = f.tell()
-        f.seek(0, 2)
-        size = f.tell()
-        end = min(end, size)
-        row_offset = 0
-        first_block: int | None = None
-        if known_block is not None:
-            first_block, row_offset = known_block
-            if first_block >= size:
-                first_block = None
-        elif want_row_offset:
-            pos = header_end
-            while pos - 16 < end:
-                if pos - 16 >= start:
-                    first_block = pos
-                    break
-                f.seek(pos)
-                try:
-                    count = _read_long(f)
-                    _bsize = _read_long(f)
-                except EOFError:
-                    break
-                row_offset += count
-                pos = f.tell() + _bsize + 16
-        elif start <= header_end - 16:
-            if header_end - 16 < end:
-                first_block = header_end
-        else:
-            first_block = _find_first_block(f, sync, start, end, size)
+        first_block, row_offset = _locate_first_block(
+            f, sync, start, end, want_row_offset, known_block
+        )
         records: list[dict[str, Any]] = []
         if first_block is None:
             return meta, records, 0

@@ -756,27 +756,31 @@ def _python_file_scan(
     tag_position: bool,
 ) -> DataFrame:
     """Executor-side decode of AVRO (and position-tagged ORC) data files
-    via ``mapInPandas``, Arrow-batched back to the JVM — tasks are
-    distributed, bytes never touch the driver.
+    via ``mapInArrow`` — tasks are distributed, bytes never touch the
+    driver, and each task yields Arrow RecordBatches built COLUMN-WISE
+    (no per-row dicts, no pandas detour: the r9 row-oriented decode
+    built a dict per record and re-extracted per-column lists; the
+    columnar decoder appends each field straight into its column list
+    and ``pyarrow.array`` lifts it once).
 
     ``items``: for AVRO, ``(path, file_size)`` pairs — files larger than
     ``AVRO_SPLIT_BYTES`` fan out into byte-range tasks decoded by
-    ``read_avro_range`` (each task owns the blocks whose preceding sync
-    marker starts in its range, so a partition of the file decodes every
-    record exactly once); for ORC, plain paths, one task per file.
+    ``read_avro_range_columns`` (each task owns the blocks whose
+    preceding sync marker starts in its range, so a partition of the
+    file decodes every record exactly once); for ORC, plain paths, one
+    task per file.
 
     AVRO decodes through the from-scratch container reader (the same
     module that reads manifests); values convert per the Iceberg Avro
     spec — ``timestamp[tz]`` are long microseconds, ``date`` int
-    epoch-days.  ORC reads via ``pyarrow.orc`` and is only routed here
-    when row positions are needed (Spark exposes
-    ``_metadata.row_index`` for parquet alone); untagged ORC uses
-    Spark's native vectorized reader in ``_read_paths``.  Missing
+    epoch-days — which Arrow ingests natively as ``timestamp[us]`` /
+    ``date32`` values.  ORC reads via ``pyarrow.orc`` (already Arrow)
+    and is only routed here when row positions are needed (Spark
+    exposes ``_metadata.row_index`` for parquet alone); untagged ORC
+    uses Spark's native vectorized reader in ``_read_paths``.  Missing
     columns (schema evolution) null-fill by name.  Nested, decimal, and
     uuid columns in AVRO data files are not implemented — loud
     failure."""
-    import pandas as pd
-
     fields_sp = list(struct.fields)
     names = [f.name for f in fields_sp]
     out_fields = list(struct.fields)
@@ -786,45 +790,46 @@ def _python_file_scan(
             T.StructField("__pos", T.LongType(), False),
         ]
     out_struct = T.StructType(out_fields)
-
-    def _avro_series(vals: list, dtype) -> "pd.Series":
-        import datetime as _dt
-
-        import pandas as _pd
-
-        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            return _pd.to_datetime(
-                _pd.Series(vals, dtype="object"), unit="us"
-            )
-        if isinstance(dtype, T.DateType):
-            epoch = _dt.date(1970, 1, 1)
-            return _pd.Series(
-                [
-                    None if v is None else epoch + _dt.timedelta(days=int(v))
-                    for v in vals
-                ],
-                dtype="object",
-            )
-        if isinstance(
-            dtype, (T.DecimalType, T.StructType, T.ArrayType, T.MapType)
-        ):
-            raise NotImplementedError(
-                f"AVRO data files with {dtype.simpleString()} columns"
-            )
-        return _pd.Series(vals, dtype="object")
+    if fmt == "AVRO":
+        for f in fields_sp:
+            if isinstance(
+                f.dataType,
+                (T.DecimalType, T.StructType, T.ArrayType, T.MapType),
+            ):
+                raise NotImplementedError(
+                    f"AVRO data files with {f.dataType.simpleString()} columns"
+                )
 
     def gen(batches):
-        import pandas as _pd
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
 
+        arrow_fields = [
+            (f.name, to_arrow_type(f.dataType)) for f in fields_sp
+        ]
+        out_schema = pa.schema(
+            arrow_fields
+            + (
+                [("__file", pa.string()), ("__pos", pa.int64())]
+                if tag_position
+                else []
+            )
+        )
         for b in batches:
             for path, r_start, r_end, r_rowoff in zip(
-                b["__path"], b["__start"], b["__end"], b["__rowoff"]
+                b.column(0).to_pylist(),
+                b.column(1).to_pylist(),
+                b.column(2).to_pylist(),
+                b.column(3).to_pylist(),
             ):
                 row_offset = 0
+                arrays: list[pa.Array] = []
                 if fmt == "AVRO":
-                    from daskberg_spark.iceberg.avro import read_avro_range
+                    from daskberg_spark.iceberg.avro import (
+                        read_avro_range_columns,
+                    )
 
-                    _, records, row_offset = read_avro_range(
+                    cols, n, row_offset = read_avro_range_columns(
                         path,
                         int(r_start),
                         int(r_end),
@@ -839,16 +844,13 @@ def _python_file_scan(
                         # schema) are SKIPPED, never materialized
                         columns=set(names),
                     )
-                    pdf = _pd.DataFrame(
-                        {
-                            f.name: _avro_series(
-                                [r.get(f.name) for r in records], f.dataType
-                            )
-                            for f in fields_sp
-                        },
-                        columns=names,
-                    )
-                    n = len(records)
+                    for name, at in arrow_fields:
+                        vals = cols.get(name)
+                        arrays.append(
+                            pa.nulls(n, type=at)
+                            if vals is None
+                            else pa.array(vals, type=at)
+                        )
                 else:  # ORC, position-tagged
                     import pyarrow.orc as _orc
 
@@ -856,28 +858,24 @@ def _python_file_scan(
                     avail = set(of.schema.names)
                     present = [n for n in names if n in avail]
                     if present:
-                        at = of.read(columns=present)
+                        at_tbl = of.read(columns=present)
                     else:
                         # no projected column exists in this file:
                         # read(columns=[]) returns ZERO rows, which
                         # would silently drop the file's rows (and
                         # their __pos identities) — null-fill at the
                         # file's true row count instead
-                        at = of.read(columns=[of.schema.names[0]])
-                    pdf = _pd.DataFrame(
-                        {
-                            f.name: (
-                                at.column(f.name).to_pandas()
-                                if f.name in at.column_names
-                                else _pd.Series(
-                                    [None] * len(at), dtype="object"
-                                )
+                        at_tbl = of.read(columns=[of.schema.names[0]])
+                    n = len(at_tbl)
+                    for name, at in arrow_fields:
+                        if name in at_tbl.column_names:
+                            arrays.append(
+                                at_tbl.column(name)
+                                .combine_chunks()
+                                .cast(at, safe=False)
                             )
-                            for f in fields_sp
-                        },
-                        columns=names,
-                    )
-                    n = len(at)
+                        else:
+                            arrays.append(pa.nulls(n, type=at))
                 if tag_position:
                     # normalize exactly like the parquet leg's
                     # _metadata tag (scheme strip + normpath) — the
@@ -885,11 +883,15 @@ def _python_file_scan(
                     # _norm_scan_path, and a scheme-prefixed manifest
                     # path would otherwise miss (NULL __seq keeps rows
                     # a delete should kill)
-                    pdf["__file"] = _norm_scan_path(path)
-                    pdf["__pos"] = _pd.Series(
-                        range(row_offset, row_offset + n), dtype="int64"
+                    arrays.append(
+                        pa.array([_norm_scan_path(path)] * n, type=pa.string())
                     )
-                yield pdf
+                    arrays.append(
+                        pa.array(
+                            range(row_offset, row_offset + n), type=pa.int64()
+                        )
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     tasks: list[tuple[str, int, int, int]] = []
     if fmt == "AVRO":
@@ -950,7 +952,7 @@ def _python_file_scan(
     if len(tasks) > 1:
         # one decode task per file/byte-range; a single one needs no shuffle
         df_paths = df_paths.repartition(len(tasks))
-    return df_paths.mapInPandas(gen, schema=out_struct)
+    return df_paths.mapInArrow(gen, schema=out_struct)
 
 
 def _read_paths(
