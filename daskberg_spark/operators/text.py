@@ -33,10 +33,18 @@ TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
 def _tokens(col):
-    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    """Whitespace tokens of trimmed text (empty text → empty array).
+
+    Engine-identical to splitting on the ``[ \\t\\n\\f\\r]+`` class —
+    a single-pass ``translate`` turns the four rare whitespace chars
+    into spaces, so runs of class chars become runs of spaces and the
+    plain ``' +'`` split yields the same tokens — but the regex engine
+    never scans alternatives on the all-space common case (reclaims the
+    r9 control regression on langid/text_quality)."""
+    t = F.trim(col)
     return F.when(
-        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(col), "[ \\t\\n\\f\\r]+"))
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.translate(t, "\t\n\f\r", "    "), " +"))
 
 
 _SQL_TOKENS = (
@@ -182,7 +190,7 @@ def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/C1: canonical document fingerprint — md5 of whitespace-normalized
     lowercased text; engine-portable (identical string in DuckDB)."""
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
+    norm = F.lower(F.regexp_replace(F.translate("text", "\t\n\f\r", "    "), " {2,}", " "))
     return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
 
 
@@ -229,7 +237,7 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = F.pandas_udf(_roll, "long")
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
+    norm = F.lower(F.regexp_replace(F.translate("text", "\t\n\f\r", "    "), " {2,}", " "))
     return docs.select("doc_id", roll(norm).alias("fp"))
 
 
@@ -357,7 +365,7 @@ def bpe_train(
     docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
-            F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("w")
+            F.explode(F.split(F.translate(F.lower(F.trim("text")), "\t\n\f\r", "    "), " +")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -480,7 +488,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = F.pandas_udf(_roll, "long")
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
+    norm = F.lower(F.regexp_replace(F.translate("text", "\t\n\f\r", "    "), " {2,}", " "))
     return (
         docs.withColumn("fp", roll(norm))
         .filter(F.col("fp") % SAMPLE_MOD == 0)
