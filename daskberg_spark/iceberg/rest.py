@@ -104,11 +104,33 @@ class IceRestClient:
             raise RuntimeError(f"REST catalog {method} {path}: {e.code} {e.reason}") from e
         return json.loads(payload) if payload else None
 
+    def _list_pages(
+        self, path: str, key: str, page_size: int | None = None
+    ) -> list[Any]:
+        """Drain a paginated list endpoint (REST spec ``pageToken`` /
+        ``pageSize`` query params + ``next-page-token`` response field).
+        A catalog that ignores pagination returns everything with no
+        token and the loop runs once — both shapes work unchanged."""
+        items: list[Any] = []
+        token: str | None = None
+        while True:
+            params = []
+            if page_size is not None:
+                params.append(f"pageSize={page_size}")
+            if token is not None:
+                params.append(f"pageToken={urllib.parse.quote(token, safe='')}")
+            q = ("?" + "&".join(params)) if params else ""
+            out = self._call("GET", path + q) or {}
+            items.extend(out.get(key, []))
+            token = out.get("next-page-token")
+            if not token:
+                return items
+
     # -- namespaces (rest_client.py:27-44) -----------------------------------
 
-    def list_namespaces(self) -> list[str]:
-        out = self._call("GET", "namespaces")
-        return [".".join(ns) for ns in out.get("namespaces", [])]
+    def list_namespaces(self, page_size: int | None = None) -> list[str]:
+        out = self._list_pages("namespaces", "namespaces", page_size)
+        return [".".join(ns) for ns in out]
 
     def get_namespace(self, namespace: str | None = None) -> dict[str, Any]:
         ns = namespace or self.namespace
@@ -127,10 +149,14 @@ class IceRestClient:
 
     # -- tables (rest_client.py:46-95) ---------------------------------------
 
-    def list_tables(self, namespace: str | None = None) -> list[str]:
+    def list_tables(
+        self, namespace: str | None = None, page_size: int | None = None
+    ) -> list[str]:
         ns = namespace or self.namespace
-        out = self._call("GET", f"namespaces/{_ns_path(ns)}/tables")
-        return [t["name"] for t in out.get("identifiers", [])]
+        out = self._list_pages(
+            f"namespaces/{_ns_path(ns)}/tables", "identifiers", page_size
+        )
+        return [t["name"] for t in out]
 
     def create_table(
         self,
@@ -217,13 +243,51 @@ class IceRestClient:
             "POST", f"namespaces/{_ns_path(ns)}/tables/{_name_path(name)}", body
         )
 
+    def commit_transaction(
+        self,
+        changes: list[tuple[str, str]],
+        namespace: str | None = None,
+    ) -> None:
+        """Atomic multi-table commit — the spec's ``POST
+        /v1/transactions/commit`` (CommitTransactionRequest: a list of
+        per-table CommitTableRequests the catalog applies
+        ALL-OR-NOTHING).  ``changes`` is ``[(table_name,
+        new_metadata_location), ...]``; each becomes the same
+        ``set-metadata-location`` update shape as :meth:`commit_table`
+        (see its docstring for the documented out-of-spec delta).  The
+        transactional contract lives on the CATALOG: either every
+        table's pointer moves or none does — the two-table
+        writer-then-publish pattern (fact + its dedup index, table +
+        its audit log) needs exactly this."""
+        ns = namespace or self.namespace
+        body = {
+            "table-changes": [
+                {
+                    "identifier": {"namespace": ns.split("."), "name": name},
+                    "requirements": [],
+                    "updates": [
+                        {
+                            "action": "set-metadata-location",
+                            "location": location,
+                        }
+                    ],
+                }
+                for name, location in changes
+            ]
+        }
+        self._call("POST", "transactions/commit", body)
+
     # -- views (REST spec /views endpoints; beyond the reference, which
     #    has no view support at all) -----------------------------------------
 
-    def list_views(self, namespace: str | None = None) -> list[str]:
+    def list_views(
+        self, namespace: str | None = None, page_size: int | None = None
+    ) -> list[str]:
         ns = namespace or self.namespace
-        out = self._call("GET", f"namespaces/{_ns_path(ns)}/views")
-        return [v["name"] for v in out.get("identifiers", [])]
+        out = self._list_pages(
+            f"namespaces/{_ns_path(ns)}/views", "identifiers", page_size
+        )
+        return [v["name"] for v in out]
 
     def register_view(
         self,

@@ -63,7 +63,9 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        parts = [urllib.parse.unquote(x) for x in self.path.strip("/").split("/")]
+        raw_path, _, raw_q = self.path.partition("?")
+        query = urllib.parse.parse_qs(raw_q)
+        parts = [urllib.parse.unquote(x) for x in raw_path.strip("/").split("/")]
         # /v1/namespaces | /v1/namespaces/{ns} | /v1/namespaces/{ns}/tables[/t]
         if parts == ["openapi.yaml"]:
             # JSON is a YAML subset; serves fetch_openapi either way
@@ -78,15 +80,21 @@ class Handler(BaseHTTPRequestHandler):
                 self._send({"error": "no such namespace"}, 404)
         elif len(parts) == 4 and parts[3] == "tables":
             ns = parts[2]
-            self._send(
-                {
-                    "identifiers": [
-                        {"namespace": [ns], "name": t}
-                        for (tns, t) in STATE["tables"]
-                        if tns == ns
-                    ]
-                }
-            )
+            idents = [
+                {"namespace": [ns], "name": t}
+                for (tns, t) in sorted(STATE["tables"])
+                if tns == ns
+            ]
+            # spec pagination: pageSize slices, next-page-token resumes
+            out = {"identifiers": idents}
+            if "pageSize" in query:
+                size = int(query["pageSize"][0])
+                start = int(query.get("pageToken", ["0"])[0])
+                out["identifiers"] = idents[start : start + size]
+                if start + size < len(idents):
+                    out["next-page-token"] = str(start + size)
+                STATE.setdefault("page_calls", []).append(start)
+            self._send(out)
         elif len(parts) == 5 and parts[3] == "tables":
             key = (parts[2], parts[4])
             if key in STATE["tables"]:
@@ -163,6 +171,24 @@ class Handler(BaseHTTPRequestHandler):
             }
             STATE["views"][(ns, name)] = info
             self._send(info)
+        elif parts == ["v1", "transactions", "commit"]:
+            # CommitTransactionRequest: ALL-OR-NOTHING — validate every
+            # identifier before touching any state
+            changes = body.get("table-changes", [])
+            keys = [
+                (c["identifier"]["namespace"][0], c["identifier"]["name"])
+                for c in changes
+            ]
+            if any(k not in STATE["tables"] for k in keys):
+                self._send({"error": "no such table"}, 404)
+                return
+            for key, c in zip(keys, changes):
+                for upd in c.get("updates", []):
+                    if upd.get("action") == "set-metadata-location":
+                        STATE["tables"][key]["metadata-location"] = upd[
+                            "location"
+                        ]
+            self._send({})
         else:
             self._send({"error": "bad path"}, 400)
 
@@ -398,3 +424,41 @@ def test_names_are_url_quoted(rest_endpoint):
     got = client.get_table("odd name#1")
     assert got["metadata-location"] == "/tmp/m/v1.metadata.json"
     assert client.delete_table("odd name#1")
+
+
+def test_multi_table_transaction_atomic(rest_endpoint):
+    """POST /v1/transactions/commit: both pointers move together, and a
+    transaction naming a missing table moves NEITHER."""
+    c = IceRestClient(rest_endpoint, "txns")
+    c.create_namespace()
+    c.create_table("fact", {"id": "long"})
+    c.create_table("dim", {"id": "long"})
+    c.commit_transaction(
+        [("fact", "/wh/fact/metadata/v2.metadata.json"),
+         ("dim", "/wh/dim/metadata/v2.metadata.json")]
+    )
+    assert c.get_table("fact")["metadata-location"].endswith("fact/metadata/v2.metadata.json")
+    assert c.get_table("dim")["metadata-location"].endswith("dim/metadata/v2.metadata.json")
+
+    with pytest.raises(RuntimeError, match="404"):
+        c.commit_transaction(
+            [("fact", "/wh/fact/metadata/v3.metadata.json"),
+             ("missing", "/wh/missing/metadata/v1.metadata.json")]
+        )
+    # both-or-neither: fact must still point at v2
+    assert c.get_table("fact")["metadata-location"].endswith("v2.metadata.json")
+
+
+def test_paginated_list_tables(rest_endpoint):
+    """pageToken/pageSize pagination: the client drains every page and
+    the stub actually served multiple pages."""
+    c = IceRestClient(rest_endpoint, "pages")
+    c.create_namespace()
+    names = [f"t{i:02d}" for i in range(5)]
+    for n in names:
+        c.create_table(n, {"id": "long"})
+    STATE.pop("page_calls", None)
+    assert sorted(c.list_tables(page_size=2)) == names
+    assert STATE.get("page_calls") == [0, 2, 4]
+    # an unpaginated catalog (no pageSize sent) still returns everything
+    assert sorted(c.list_tables()) == names
