@@ -1314,3 +1314,95 @@ def ensure_legacy_eq_fixture(path: str = LEGACY_EQ_FIXTURE_DIR) -> str:
 
 # Content-derived live-rowset predicate for the migrated table's oracle.
 LEGACY_EQ_LIVE_WHERE = "(id % 7 <> 0 OR val = -1.0)"
+
+
+VARIANT_WRITE_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "variant_write_table"
+)
+
+
+def ensure_variant_write_fixture(path: str = VARIANT_WRITE_FIXTURE_DIR) -> str:
+    """v3 ``variant`` column written by the DRIVER-SIDE writer (r10: the
+    from-scratch Variant binary encoder in ``variant.py`` — previously
+    only the cluster write path could produce variant data files).  Two
+    appends; payloads formulaic (``{"a": id%7, "tag": "t"+str(id%3)}``,
+    id 30 carries a nested object, id 31 a NULL payload) so oracles
+    re-derive every extracted value from ``range()``."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+    )
+
+    def payload(i: int):
+        if i == 30:
+            return {"a": i % 7, "tag": f"t{i % 3}", "extra": {"deep": [1, 2]}}
+        if i == 31:
+            return None
+        return {"a": i % 7, "tag": f"t{i % 3}"}
+
+    writer.append([{"id": i, "payload": payload(i)} for i in range(30)])
+    writer.append([{"id": i, "payload": payload(i)} for i in range(30, 50)])
+    return path
+
+
+VARIANT_SHRED_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "variant_shred_table"
+)
+
+
+def ensure_variant_shred_fixture(spark, path: str = VARIANT_SHRED_FIXTURE_DIR) -> str:
+    """SHREDDED v3 variant table: Spark writes two parquet files with a
+    forced shredding schema (``a bigint, tag string`` typed_value
+    leaves carrying per-row-group min/max), ids 0..49 with ``a = id%7``
+    and ids 50..99 with ``a = 100 + id%7`` — so a predicate on
+    ``$.a`` provably prunes one whole file from footers alone
+    (``scan.variant_prune_files``)."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+    )
+    stage = os.path.join(path, "stage")
+
+    def half(lo: int, hi: int, base: int):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.parse_json(
+                F.concat(
+                    F.lit('{"a": '),
+                    (F.lit(base) + F.col("id") % 7).cast("string"),
+                    F.lit(', "tag": "t'),
+                    (F.col("id") % 3).cast("string"),
+                    F.lit('"}'),
+                )
+            ).alias("payload"),
+        )
+
+    old = spark.conf.get("spark.sql.variant.forceShreddingSchemaForTest", "")
+    spark.conf.set(
+        "spark.sql.variant.forceShreddingSchemaForTest", "a bigint, tag string"
+    )
+    try:
+        half(0, 50, 0).coalesce(1).write.mode("overwrite").parquet(stage)
+        half(50, 100, 100).coalesce(1).write.mode("append").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", old)
+    commit_spark_output(writer, stage)
+    return path

@@ -96,6 +96,7 @@ def to_df(
     keep_pos: bool = False,
     row_lineage: bool = False,
     file_subset: Any = None,
+    variant_filters: Any = None,
 ) -> DataFrame:
     """Materialize the table's current snapshot as a (lazy) DataFrame.
 
@@ -121,6 +122,13 @@ def to_df(
     pruning) use to avoid re-reading files their own metadata pass
     already resolved.  Paths must be the RELOCATED paths ``plan_files``
     returns.
+
+    ``variant_filters`` — ``[(col, '$.field', op, value), ...]``
+    predicates on v3 variant subfields: each prunes planned files by
+    SHREDDED parquet footer stats (``variant_prune_files`` — manifests
+    carry no variant bounds) and then applies the exact
+    ``variant_get`` predicate as a residual, so results never depend
+    on stats.  AND semantics across entries, like ``filters``.
     """
     want_file, want_pos = keep_file or keep_pos, keep_pos
     keep_pos = keep_pos or row_lineage
@@ -139,6 +147,10 @@ def to_df(
             for conj in (filters if is_dnf(filters) else [filters]):
                 for col, _op, _v in conj:
                     wanted.add(col)
+        if variant_filters:
+            # the variant residual reads the column even when projected
+            # away (dropped by the final select, like filter columns)
+            wanted |= {vf[0] for vf in variant_filters}
         base = {f.name for f in struct.fields}
         if wanted <= base:
             eq_keys = _eq_delete_key_names(table)
@@ -161,6 +173,15 @@ def to_df(
     if file_subset is not None:
         subset = set(file_subset)
         files = [f for f in files if f["file_path"] in subset]
+    if variant_filters:
+        for vcol, vpath, vop, vval in variant_filters:
+            info = table.fields.get(vcol)
+            if info is None or info.type != "variant":
+                raise ValueError(
+                    f"variant_filters column {vcol!r} is not a variant "
+                    "column of this table"
+                )
+            files = variant_prune_files(files, vcol, vpath, vop, vval)
     # scan observability (real Iceberg's ScanMetrics analogue): one
     # driver-side dict per to_df call — what an operator checks when a
     # query reads more than expected ("did the filter prune?  which
@@ -252,6 +273,9 @@ def to_df(
     residual = filters_to_column(filters)
     if residual is not None:
         df = df.filter(residual)
+    if variant_filters:
+        for vcol, vpath, vop, vval in variant_filters:
+            df = df.filter(_variant_residual(vcol, vpath, vop, vval))
     if columns:
         extra = (["__file"] if want_file else []) + (
             ["__pos"] if want_pos else []
@@ -1481,6 +1505,147 @@ def diff_df(
 
 
 IcebergTable.diff_df = diff_df  # type: ignore[attr-defined]
+
+
+def variant_prune_files(
+    files: list[dict[str, Any]],
+    col: str,
+    vpath: str,
+    op: str,
+    value: Any,
+) -> list[dict[str, Any]]:
+    """Footer-stats pruning for a predicate on a SHREDDED variant
+    subfield (``$.field``) — v3 variant columns carry no manifest
+    bounds (no spec-defined encoding), but Spark's shredded writes
+    store per-row-group min/max on each subfield's ``typed_value``
+    parquet leaf.  Footers are KB-sized; DuckDB parses them (pyarrow
+    cannot read the VARIANT logical annotation, same fallback as
+    ``conversions`` stats lifting).
+
+    Sound prune rules — a file is dropped ONLY when every row's
+    extracted value is provably known and disproven:
+
+    - the subfield's ``typed_value`` leaf must exist (file is shredded
+      on it), and its residual ``value`` sibling plus the TOP-LEVEL
+      ``value`` column must be all-NULL in every row group (otherwise
+      some row's field lives in an unshredded residual the stats don't
+      see — keep);
+    - a row group whose typed_value is all-NULL contributes no match
+      (field missing → ``variant_get`` yields NULL → predicate false);
+    - any other row group keeps the file iff its [min, max] may match
+      (``planner.range_may_match``).
+
+    ``!=`` and nested paths are conservative (no prune).  Returns the
+    surviving records in input order."""
+    import duckdb
+
+    from daskberg_spark.iceberg.planner import range_may_match
+
+    field = vpath[2:] if vpath.startswith("$.") else vpath
+    if not field or "." in field or op == "!=":
+        return files
+    if isinstance(value, bool) or not isinstance(
+        value, (int, float, str, list, tuple)
+    ):
+        return files  # no typed stats story: conservative
+    parse = (
+        float
+        if isinstance(value, float)
+        else int
+        if isinstance(value, int)
+        else str
+    )
+    if isinstance(value, (list, tuple)):
+        if not value or isinstance(value[0], bool):
+            return files
+        parse = (
+            float
+            if isinstance(value[0], float)
+            else int
+            if isinstance(value[0], int)
+            else str
+        )
+        tv: Any = list(value)
+    else:
+        tv = value
+    t_leaf = f"{col}, typed_value, {field}, typed_value"
+    v_leaf = f"{col}, typed_value, {field}, value"
+    top_leaf = f"{col}, value"
+    keep: list[dict[str, Any]] = []
+    for rec in files:
+        if str(rec.get("file_format", "PARQUET")).upper() != "PARQUET":
+            keep.append(rec)
+            continue
+        try:
+            rows = duckdb.execute(
+                "SELECT path_in_schema, num_values, stats_min_value, "
+                "stats_max_value, stats_null_count FROM parquet_metadata(?)",
+                [rec["file_path"]],
+            ).fetchall()
+        except Exception:
+            keep.append(rec)  # unreadable footer: conservative
+            continue
+        groups: dict[str, list[tuple]] = {}
+        for name, nv, mn, mx, nc in rows:
+            groups.setdefault(name, []).append((nv, mn, mx, nc))
+
+        def all_null(name: str) -> bool:
+            gs = groups.get(name)
+            return bool(gs) and all(
+                nc is not None and nc == nv for nv, _mn, _mx, nc in gs
+            )
+
+        typed = groups.get(t_leaf)
+        if typed is None or not all_null(v_leaf) or not all_null(top_leaf):
+            keep.append(rec)  # unshredded / residual-fallback rows
+            continue
+        may = False
+        for nv, mn, mx, nc in typed:
+            if nc is not None and nc == nv:
+                continue  # whole group missing the field: no match
+            if mn is None or mx is None:
+                may = True
+                break
+            try:
+                lo, hi = parse(mn), parse(mx)
+            except (TypeError, ValueError):
+                may = True
+                break
+            if range_may_match(op, tv, lo, hi):
+                may = True
+                break
+        if may:
+            keep.append(rec)
+    return keep
+
+
+def _variant_residual(col: str, vpath: str, op: str, value: Any):
+    """The exact Spark predicate a variant filter means — applied AFTER
+    footer pruning so results never depend on stats."""
+    if isinstance(value, (list, tuple)):
+        probe = value[0] if value else ""
+    else:
+        probe = value
+    if isinstance(probe, bool):
+        vtype = "boolean"
+    elif isinstance(probe, int):
+        vtype = "long"
+    elif isinstance(probe, float):
+        vtype = "double"
+    else:
+        vtype = "string"
+    getter = F.expr(f"variant_get(`{col}`, '{vpath}', '{vtype}')")
+    if op == "in":
+        return getter.isin(list(value))
+    return {
+        "==": getter == value,
+        "=": getter == value,
+        "!=": getter != value,
+        "<": getter < value,
+        "<=": getter <= value,
+        ">": getter > value,
+        ">=": getter >= value,
+    }[op]
 
 
 def _scope_tuple(table: IcebergTable, rec: dict[str, Any]) -> tuple | None:

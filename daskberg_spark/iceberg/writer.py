@@ -652,12 +652,41 @@ class IcebergWriter:
             # v3 write-default fills values the row omits (spec: the
             # writer, not the reader, applies write-defaults)
             wd = f.get("write-default")
-            arrays.append(
-                pa.array(
-                    [r.get(f["name"], wd) for r in rows],
-                    type=_pa_type(f["type"]),
+            vals = [r.get(f["name"], wd) for r in rows]
+            if f["type"] == "variant":
+                # v3 variant: encode python values with the from-scratch
+                # Variant binary encoder and store the spec's physical
+                # struct<metadata, value> pair — Spark's vectorized
+                # reader lifts it back to VariantType (see variant.py;
+                # spark-verified by test_variant_encoding_spark_roundtrip)
+                if fmt != "parquet":
+                    raise NotImplementedError(
+                        "variant columns are parquet-only (the v3 spec "
+                        "defines no Avro/ORC physical encoding yet)"
+                    )
+                from daskberg_spark.iceberg.variant import encode_variant
+
+                pairs = [
+                    None if v is None else encode_variant(v) for v in vals
+                ]
+                arrays.append(
+                    pa.array(
+                        [
+                            None
+                            if p is None
+                            else {"metadata": p[0], "value": p[1]}
+                            for p in pairs
+                        ],
+                        type=pa.struct(
+                            [
+                                pa.field("metadata", pa.binary(), nullable=False),
+                                pa.field("value", pa.binary(), nullable=False),
+                            ]
+                        ),
+                    )
                 )
-            )
+            else:
+                arrays.append(pa.array(vals, type=_pa_type(f["type"])))
         # v3 lineage: rewritten rows carry explicit _row_id /
         # _last_updated_sequence_number keys — materialize them so
         # identity survives the rewrite (readers prefer materialized
@@ -758,7 +787,10 @@ class IcebergWriter:
                     n_nan = sum(1 for v in non_null if v != v)
                     nans.append({"key": fid, "value": n_nan})
                     non_null = [v for v in non_null if v == v]
-            if not non_null:
+            if not non_null or type_str == "variant":
+                # variant values carry no spec-defined bound encoding
+                # (shredded stats prune at scan time from parquet
+                # footers instead — scan.variant_prune_files)
                 return
             lowers.append(
                 {"key": fid, "value": encode_bound(min(non_null), type_str)}

@@ -2541,3 +2541,76 @@ def iceberg_legacy_eq_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("double").alias("sum_val"),
         )
     )
+
+
+@query(
+    "iceberg_variant_write",
+    """
+    WITH base AS (
+      SELECT i AS id,
+             CASE WHEN i = 31 THEN NULL ELSE i % 7 END AS a,
+             CASE WHEN i = 31 THEN NULL ELSE 't' || CAST(i % 3 AS VARCHAR) END AS tag
+      FROM range(0, 50) t(i)
+    )
+    SELECT tag,
+           CAST(COUNT(a) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS sum_a
+    FROM base GROUP BY tag
+    """,
+)
+def iceberg_variant_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-SIDE v3 variant write→read round trip (r10): python dict
+    payloads encoded with the from-scratch Variant binary encoder
+    (``variant.py``, Parquet VariantEncoding.md), stored as the spec's
+    struct<metadata, value> pair, read back through Spark's native
+    VariantType + ``variant_get``.  The oracle re-derives every
+    extracted value from the fixture's payload formula (id 31 carries a
+    NULL payload → NULL group)."""
+    from daskberg_spark.iceberg.fixtures import ensure_variant_write_fixture
+
+    t = IcebergTable(ensure_variant_write_fixture())
+    return (
+        t.to_df(spark)
+        .selectExpr(
+            "variant_get(payload, '$.a', 'long') AS a",
+            "variant_get(payload, '$.tag', 'string') AS tag",
+        )
+        .groupBy("tag")
+        .agg(
+            F.count("a").alias("n"),
+            F.sum("a").alias("sum_a"),
+        )
+    )
+
+
+@query(
+    "iceberg_variant_shredded_prune",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i) AS BIGINT) AS sum_id,
+           CAST(SUM(100 + i % 7) AS BIGINT) AS sum_a
+    FROM range(50, 100) t(i)
+    """,
+)
+def iceberg_variant_shredded_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shredded-variant footer pruning (r10): a ``$.a >= 100``
+    predicate over a two-file shredded table reads ONE file — variant
+    columns carry no manifest bounds, so ``variant_prune_files`` proves
+    the other file dead from its typed_value parquet footer stats, and
+    the exact ``variant_get`` residual keeps results stats-independent.
+    The query hard-asserts the file count so the driver gate would
+    catch a pruning regression, then aggregates the surviving rows
+    (oracle re-derives from the fixture formula)."""
+    from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(ensure_variant_shred_fixture(spark))
+    df = to_df(
+        t, spark, variant_filters=[("payload", "$.a", ">=", 100)]
+    ).selectExpr("id", "variant_get(payload, '$.a', 'long') AS a")
+    assert t.last_scan["files_scanned"] == 1, "footer prune regressed"
+    return df.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.sum("a").alias("sum_a"),
+    )

@@ -5108,15 +5108,13 @@ def test_avro_data_file_carries_materialized_lineage(spark, tmp_path):
 
 def test_v3_variant_column(spark, tmp_path):
     """v3 ``variant`` type: maps to Spark's native VariantType; data
-    files come from the cluster write path (Spark parquet + metadata
-    commit — the driver-side writer refuses loudly since pyarrow has no
-    variant), footer stats for sibling primitive columns lift through
-    the DuckDB fallback (pyarrow cannot parse the VARIANT annotation),
-    so id-range pruning still works on a variant-bearing table."""
-    import pytest as _pytest
-
+    files here come from the cluster write path (Spark parquet +
+    metadata commit; since r10 the driver-side writer ALSO accepts
+    variant — test_variant.py), footer stats for sibling primitive
+    columns lift through the DuckDB fallback (pyarrow cannot parse the
+    VARIANT annotation), so id-range pruning still works on a
+    variant-bearing table."""
     from daskberg_spark.iceberg.fixtures import ensure_variant_fixture
-    from daskberg_spark.iceberg.writer import IcebergWriter
 
     t = IcebergTable(ensure_variant_fixture(spark))
     df = t.to_df(spark).selectExpr(
@@ -5128,16 +5126,6 @@ def test_v3_variant_column(spark, tmp_path):
     all_files = t.plan_files()
     assert len(all_files) == 2
     assert len(t.plan_files([("id", ">=", 40)])) == 1
-    # driver-side writer refuses variant loudly
-    w = IcebergWriter(
-        str(tmp_path / "t"),
-        [
-            {"id": 1, "name": "k", "type": "long", "required": False},
-            {"id": 2, "name": "v", "type": "variant", "required": False},
-        ],
-    )
-    with _pytest.raises(NotImplementedError, match="commit_spark_output"):
-        w.append([{"k": 1, "v": None}])
 
 
 def test_diff_df_changelog_rename_alignment(spark, tmp_path):

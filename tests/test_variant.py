@@ -1,0 +1,179 @@
+"""v3 variant: the from-scratch binary encoder (``variant.py``), the
+driver-side writer path, and shredded-footer pruning
+(``scan.variant_prune_files``)."""
+from __future__ import annotations
+
+import pytest
+
+VECTORS = [
+    None,
+    True,
+    False,
+    0,
+    5,
+    -7,
+    300,
+    -40_000,
+    1 << 40,
+    3.5,
+    -0.25,
+    "hi",
+    "",
+    "x" * 100,
+    {"a": 1, "tag": "t1"},
+    {"b": [1, 2, {"c": None}], "a": 2.5},
+    [1, "two", None, {"k": False}],
+    {},
+    [],
+    {"nested": {"deep": {"deeper": [1, [2, [3]]]}}},
+    list(range(300)),  # large array (4-byte count)
+    {f"k{i:03d}": i for i in range(300)},  # large object
+]
+
+
+def test_encoder_python_roundtrip():
+    from daskberg_spark.iceberg.variant import decode_variant, encode_variant
+
+    for v in VECTORS:
+        m, b = encode_variant(v)
+        assert decode_variant(m, b) == v, v
+    with pytest.raises(NotImplementedError):
+        encode_variant(object())
+    with pytest.raises(ValueError):
+        encode_variant(1 << 70)
+
+
+def test_encoder_spark_roundtrip(spark, tmp_path):
+    """The encoder's bytes must be readable by Spark's OWN variant
+    reader — write the struct<metadata,value> pair to parquet, read as
+    VariantType, compare ``to_json`` against the python value."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from daskberg_spark.iceberg.variant import encode_variant
+
+    vals = [v for v in VECTORS if not isinstance(v, bytes)]
+    pairs = [encode_variant(v) for v in vals]
+    tbl = pa.table(
+        {
+            "i": pa.array(range(len(vals)), type=pa.int64()),
+            "payload": pa.array(
+                [{"metadata": m, "value": b} for m, b in pairs],
+                type=pa.struct(
+                    [
+                        pa.field("metadata", pa.binary(), nullable=False),
+                        pa.field("value", pa.binary(), nullable=False),
+                    ]
+                ),
+            ),
+        }
+    )
+    f = str(tmp_path / "v.parquet")
+    pq.write_table(tbl, f)
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("payload", T.VariantType()),
+        ]
+    )
+    out = {
+        r["i"]: r["j"]
+        for r in spark.read.schema(schema)
+        .parquet(f)
+        .selectExpr("i", "to_json(payload) AS j")
+        .collect()
+    }
+    for i, v in enumerate(vals):
+        got = json.loads(out[i]) if out[i] is not None else None
+        assert got == v, (v, out[i])
+
+
+def test_driver_side_variant_write_read(spark):
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.fixtures import ensure_variant_write_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(ensure_variant_write_fixture())
+    rows = {
+        r["id"]: (r["a"], r["tag"])
+        for r in t.to_df(spark)
+        .selectExpr(
+            "id",
+            "variant_get(payload, '$.a', 'long') AS a",
+            "variant_get(payload, '$.tag', 'string') AS tag",
+        )
+        .collect()
+    }
+    for i in range(50):
+        if i == 31:
+            assert rows[i] == (None, None)  # NULL payload
+        else:
+            assert rows[i] == (i % 7, f"t{i % 3}"), i
+    # nested object survives
+    deep = (
+        t.to_df(spark, filters=[("id", "==", 30)])
+        .selectExpr("variant_get(payload, '$.extra.deep[1]', 'long') AS d")
+        .collect()
+    )
+    assert [r["d"] for r in deep] == [2]
+
+
+def test_variant_write_refuses_avro(tmp_path):
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "variant", "required": False},
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="parquet-only"):
+        w.append([{"k": 1, "v": {"a": 1}}], file_format="avro")
+
+
+def test_shredded_footer_prune(spark):
+    """Predicate on a shredded subfield prunes whole files from footer
+    stats; results are residual-exact either way."""
+    from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(ensure_variant_shred_fixture(spark))
+    assert len(t.plan_files()) == 2
+    df = to_df(t, spark, variant_filters=[("payload", "$.a", ">=", 100)])
+    got = sorted(r["id"] for r in df.select("id").collect())
+    assert got == list(range(50, 100))
+    assert t.last_scan["files_scanned"] == 1  # one file footer-pruned
+
+    # string subfield prune: no file is all-t9, so nothing survives,
+    # and the in-op path works
+    df = to_df(t, spark, variant_filters=[("payload", "$.tag", "in", ["t9"])])
+    assert df.count() == 0
+    assert t.last_scan["files_scanned"] == 0
+
+    # conservative cases keep files and stay exact: nested path, !=
+    df = to_df(t, spark, variant_filters=[("payload", "$.a.b", "==", 1)])
+    assert t.last_scan["files_scanned"] == 2 and df.count() == 0
+    df = to_df(t, spark, variant_filters=[("payload", "$.tag", "!=", "t0")])
+    assert t.last_scan["files_scanned"] == 2
+    assert df.count() == sum(1 for i in range(100) if i % 3 != 0)
+
+
+def test_unshredded_variant_filters_conservative(spark):
+    """The pre-r10 unshredded fixture has no typed_value leaves: every
+    file is kept (no stats) and the residual still answers exactly."""
+    from daskberg_spark.iceberg.fixtures import ensure_variant_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(ensure_variant_fixture(spark))
+    total = len(t.plan_files())
+    df = to_df(t, spark, variant_filters=[("payload", "$.a", "==", 3)])
+    assert t.last_scan["files_scanned"] == total
+    assert df.count() == sum(1 for i in range(50) if i % 7 == 3)
+    with pytest.raises(ValueError, match="not a variant"):
+        to_df(t, spark, variant_filters=[("id", "$.a", "==", 3)])
