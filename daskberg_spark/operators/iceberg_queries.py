@@ -2570,7 +2570,7 @@ def iceberg_variant_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = IcebergTable(ensure_variant_write_fixture())
     return (
-        t.to_df(spark)
+        t.to_df(spark, columns=["payload"])
         .selectExpr(
             "variant_get(payload, '$.a', 'long') AS a",
             "variant_get(payload, '$.tag', 'string') AS tag",

@@ -195,6 +195,18 @@ AUDIT = {
     # listagg reassembly (per-group state bounded by document length).
     "span_dedup_stats": (3, False, True, 2),
     "span_dedup_trim": (3, False, True, 2),
+    # round 10: migrated legacy eq-delete table — the same single-
+    # anti-join MOR shape as any eq-delete read (broadcast delete keys,
+    # one final agg exchange)
+    "iceberg_legacy_eq_migration": (2, False, True, None),
+    # driver-written variant pair: one native scan projected to the
+    # single payload column (ReadSchema counts 2: the variant field
+    # prints as a nested struct wrapper), variant_get decodes in the
+    # JVM, one group-agg exchange — no Python in the plan
+    "iceberg_variant_write": (1, False, False, 2),
+    # shredded-prune read: the footer pass already dropped dead files,
+    # so the plan is ONE surviving-file scan + the global agg
+    "iceberg_variant_shredded_prune": (1, False, False, 2),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
