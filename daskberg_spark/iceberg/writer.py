@@ -666,9 +666,25 @@ class IcebergWriter:
                     )
                 from daskberg_spark.iceberg.variant import encode_variant
 
-                pairs = [
-                    None if v is None else encode_variant(v) for v in vals
-                ]
+                def as_pair(v: Any) -> tuple[bytes, bytes] | None:
+                    # rewrite passthrough: rows that round-tripped
+                    # through a compaction/merge arrive as the PHYSICAL
+                    # {"metadata": bytes, "value": bytes} pair — re-
+                    # encoding that as a variant OBJECT would silently
+                    # double-encode (and lose foreign-encoded values the
+                    # python codec doesn't model), so ship it verbatim
+                    if v is None:
+                        return None
+                    if (
+                        isinstance(v, dict)
+                        and set(v) == {"metadata", "value"}
+                        and isinstance(v["metadata"], bytes)
+                        and isinstance(v["value"], bytes)
+                    ):
+                        return v["metadata"], v["value"]
+                    return encode_variant(v)
+
+                pairs = [as_pair(v) for v in vals]
                 arrays.append(
                     pa.array(
                         [
@@ -5179,7 +5195,20 @@ def _read_data_table(rec: dict[str, Any]) -> "pa.Table":
     fmt = str(rec.get("file_format", "PARQUET")).upper()
     path = rec["file_path"]
     if fmt == "PARQUET":
-        return pq.read_table(path)
+        try:
+            return pq.read_table(path)
+        except OSError as e:
+            if "LogicalType" in str(e):
+                # Spark-written variant files carry the VARIANT parquet
+                # annotation pyarrow cannot parse — driver-side rewrites
+                # cannot fold them; the cluster path reads them natively
+                raise NotImplementedError(
+                    f"{path} uses a parquet logical type pyarrow cannot "
+                    "read (Spark-written variant); use the Spark rewrite "
+                    "path (compact_files_spark / merge_rows_spark) for "
+                    "this table"
+                ) from e
+            raise
     if fmt == "ORC":
         import pyarrow.orc as _orc
 

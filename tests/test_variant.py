@@ -177,3 +177,54 @@ def test_unshredded_variant_filters_conservative(spark):
     assert df.count() == sum(1 for i in range(50) if i % 7 == 3)
     with pytest.raises(ValueError, match="not a variant"):
         to_df(t, spark, variant_filters=[("id", "$.a", "==", 3)])
+
+
+def test_compaction_over_variant_tables(spark, tmp_path):
+    """Rewrites over variant tables: driver compaction of driver-written
+    files round-trips the PHYSICAL pair verbatim (re-encoding it as a
+    variant object would double-encode — the r10 passthrough in
+    _write_data_file), Spark-written (VARIANT-annotated) files refuse
+    the driver path loudly, and the Spark rewrite path folds them."""
+    import shutil
+
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_variant_shred_fixture,
+        ensure_variant_write_fixture,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files,
+        compact_files_spark,
+    )
+
+    d = str(tmp_path / "t")
+    shutil.copytree(ensure_variant_write_fixture(), d)
+    assert compact_files(IcebergWriter.load(d)) is not None
+    t = IcebergTable(d)
+    assert len(t.plan_files()) == 1
+    got = {
+        (r["id"], r["a"])
+        for r in t.to_df(spark)
+        .selectExpr("id", "variant_get(payload,'$.a','long') AS a")
+        .collect()
+    }
+    assert got == {(i, None if i == 31 else i % 7) for i in range(50)}
+
+    d2 = str(tmp_path / "t2")
+    shutil.copytree(ensure_variant_shred_fixture(spark), d2)
+    with pytest.raises(NotImplementedError, match="compact_files_spark"):
+        compact_files(IcebergWriter.load(d2))
+    assert compact_files_spark(IcebergWriter.load(d2), spark) is not None
+    t2 = IcebergTable(d2)
+    assert len(t2.plan_files()) == 1
+    got2 = sorted(
+        (r["id"], r["a"])
+        for r in t2.to_df(spark)
+        .selectExpr("id", "variant_get(payload,'$.a','long') AS a")
+        .collect()
+    )
+    assert got2 == sorted(
+        [(i, i % 7) for i in range(50)]
+        + [(i, 100 + i % 7) for i in range(50, 100)]
+    )
