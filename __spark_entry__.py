@@ -263,103 +263,84 @@ def _load_registry():
 #           late-r9 additions — iceberg_incremental_dedup (snapshot-
 #           delta scan x content dedup composition) and
 #           iceberg_all_files (the third all-tier inspect table)
+# r10 window: the never-seen backlog was cleared in r9, so this round
+# starts the FRESHNESS rotation the r9 verdict prescribed — every NEW
+# r10 query plus the entries with the OLDEST driver coverage.  Three
+# groups:
+#   NEW r10: iceberg_legacy_eq_migration (migration action for the
+#       pre-scoping global-delete shape), iceberg_variant_write
+#       (driver-side Variant binary encoder round trip),
+#       iceberg_variant_shredded_prune (footer-stats file pruning on a
+#       shredded subfield)
+#   r10-TOUCHED (code paths changed this round, pinned in-window):
+#       iceberg_variant_read (variant family), iceberg_multiformat_read
+#       + iceberg_foreign_read (columnar AVRO decode via mapInArrow),
+#       iceberg_null_partition_scope (eq-delete scoping, the migration's
+#       sibling), langid_heuristic / text_quality / text_stats /
+#       vocab_coverage / fingerprint_md5 / decontaminate_ngram_overlap
+#       (translate-based whitespace tokenization)
+#   STALE (last driver row r1; every scan also re-exercises the r10
+#       shared _entry_events/_merge_events planning refactor): the B-tier
+#       backbone below — the remaining r1-r6 entries (incl.
+#       date_functions, map_functions, set_intersect, window_lag,
+#       unpivot_stack) rotate in r11+.
+# Everything rotated out is driver-green r8/r9 and stays oracle-exact in
+# CORRECTNESS_LOCAL_r10.json via the identical harness.
 _PRIORITY = [
-    # flagship + TPC-H (B4 at scale; tail seated r6-r7)
+    # flagship
     "q1_pricing_summary",
-    "q17_small_quantity_revenue",
-    "q20_excess_stock_suppliers",
-    # late-r9 additions
-    "iceberg_incremental_dedup",
-    "iceberg_all_files",
-    # Tier A — iceberg connector (A1-A17 + beyond-reference)
-    # r9 s2 swaps: iceberg_partition_scoped_eq and
-    # iceberg_sorted_write_prune (both driver-green r8) step out for
-    # the NEW hash-distributed one-call write and the data-quality
-    # constraint sweep; eq-delete scoping stays covered in-window by
-    # iceberg_null_partition_scope, stats/partition pruning by the
-    # fast-delete + join-prune + bucket-prune entries
-    "iceberg_write_distribution",
-    "data_quality_checks",
-    # r8 sixth swap: full delete consolidation seats in place of
-    # iceberg_schema_evolution (driver-green r2-r7)
-    "iceberg_convert_deletes",
-    # r8 ninth swap: CDC streaming over blind upserts seats in place of
-    # iceberg_lineitem_stats_prune (driver-green r1-r7; stats pruning
-    # stays covered by iceberg_sorted_write_prune in-window)
-    "streaming_cdc_upsert",
-    "iceberg_merge_mor",
-    # r9 NEW: multi-format data files + NULL-partition delete scoping
-    "iceberg_multiformat_read",
-    "iceberg_null_partition_scope",
-    # r9 rotation: the never-driver-seen inspect/maintenance entries
-    "iceberg_all_delete_files",
-    "iceberg_all_entries",
-    "iceberg_remove_dangling",
-    # r9 session-2 swaps: iceberg_position_deletes_dv and
-    # iceberg_view_read (both driver-green r8) step out for the NEW
-    # stats/partition-aligned fast DELETE (tombstones + boundary DVs —
-    # the DV surface stays exercised here and by iceberg_merge_mor/
-    # iceberg_update_mor in-window) and the NEW join-derived runtime
-    # file pruning; views stay covered by iceberg_view_time_travel
-    "iceberg_delete_where_fast",
-    "iceberg_join_prune_runtime",
-    "iceberg_view_time_travel",
-    # MOR UPDATE + the metadata-delta row-level changelog (raw + net)
-    "iceberg_update_mor",
-    "iceberg_changelog_rows",
-    "iceberg_changelog_net",
-    "iceberg_row_lineage",
-    "iceberg_changelog_pairs",
-    # r8 eighth swap: the streaming CDC-apply upsert sink seats in place
-    # of streaming_iceberg_source (driver-green r6-r7; same family)
-    "streaming_upsert_sink",
-    # r8 fifth swap: full-sync MERGE seats in place of
-    # dedup_minhash_candidates (driver-green r2-r7; C2 keeps
-    # dedup_chunks_exact + semdedup_prune in-window)
-    "iceberg_merge_full_sync",
-    # Tier C — dedup (C1/C2)
-    "dedup_chunks_exact",
-    # Tier C — similarity / semantic dedup (C2/C3) + never-seen entries
-    "embedding_dim_stats",
-    "semdedup_prune",
-    "embedding_quantize",
-    # Tier C — text/curation (C4): never-driver-seen entries rotate in
-    "corpus_mixing_weights",
-    "doc_chunking",
-    "profile_table",
-    "repetition_stats",
-    "sequence_packing",
-    "vocab_coverage",
-    # Tier C — multimodal (C5): both real-codec round-trips + the
-    # never-seen frame-sample / resize plumbing
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # streaming extension (r7/r8 batch twins)
-    "streaming_distinct_hll",
-    "streaming_cdc_source",
-    # Tier B representatives + scale patterns (+ never-seen entries)
-    # r9 fourth swap: array_functions / distinct_kmv_estimate /
-    # zorder_cluster_stats / events_value_histogram (all r8-green;
-    # sketches stay covered by streaming_distinct_hll, events by the
-    # two never-seen entries below) step out for the NEW cross-document
-    # span-dedup pair and the last two never-driver-seen oracle-backed
-    # entries (training_shards, iceberg_sql_metadata_tables) — after
-    # this window, every oracle-backed registry entry has had a driver
-    # row except the documented rows-only ones (IVF recall pair, BPE)
-    "span_dedup_stats",
-    "span_dedup_trim",
-    "training_shards",
-    "iceberg_sql_metadata_tables",
-    # r9 third swap: sample_deterministic (r8-green; its deterministic
-    # twin sampled_agg_deterministic is in-window) steps out for the
-    # NEW v3 variant-type read
+    # NEW r10
+    "iceberg_legacy_eq_migration",
+    "iceberg_variant_write",
+    "iceberg_variant_shredded_prune",
+    # r10-touched families
     "iceberg_variant_read",
-    "sampled_agg_deterministic",
-    "resample_gapfill",
-    "events_corr_matrix",
-    "events_user_value_buckets",
+    "iceberg_multiformat_read",
+    "iceberg_foreign_read",
+    "iceberg_null_partition_scope",
+    "langid_heuristic",
+    "text_quality",
+    "text_stats",
+    "vocab_coverage",
+    "fingerprint_md5",
+    "decontaminate_ngram_overlap",
+    # stale backbone (last driver row r1)
+    "asof_join",
+    "band_join",
+    "case_when_agg",
+    "correlated_subquery",
+    "count_distinct",
+    "cube_agg",
+    "distinct_values",
+    "events_hourly",
+    "events_sessionize",
+    "explode_tokens",
+    "group_count",
+    "grouped_map_scale",
+    "grouping_sets",
+    "in_subquery",
+    "join_anti",
+    "join_full_outer",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "join_theta",
+    "json_functions",
+    "merge_upsert",
+    "pandas_udf_score",
+    "pivot_agg",
+    "rollup_agg",
+    "scalar_functions",
+    "set_except",
+    "set_union",
+    "stats_moments",
+    "string_functions2",
+    "topk_orders",
+    "window_distribution",
+    "window_range_frame",
+    "window_running",
+    "write_roundtrip",
+    "agg_argminmax",
 ]
 
 

@@ -95,6 +95,11 @@ HEADLINE = [
     # boundary DVs in one commit) and hash-distributed one-call write
     "iceberg_delete_where_fast",
     "iceberg_write_distribution",
+    # round 10: driver-side variant encode + VariantType scan, and the
+    # shredded-footer prune (one file read instead of two, stats from
+    # KB-sized parquet footers)
+    "iceberg_variant_write",
+    "iceberg_variant_shredded_prune",
 ]
 
 
