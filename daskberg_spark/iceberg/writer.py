@@ -5412,11 +5412,19 @@ def maintain(
             report["compact"] = compact_files_spark(
                 writer, spark, min_file_bytes=min_file_bytes
             )
+            report["dangling_deletes"] = remove_dangling_deletes(writer)
         else:
-            report["compact"] = compact_files(
-                writer, min_file_bytes=min_file_bytes
-            )
-        report["dangling_deletes"] = remove_dangling_deletes(writer)
+            try:
+                report["compact"] = compact_files(
+                    writer, min_file_bytes=min_file_bytes
+                )
+                report["dangling_deletes"] = remove_dangling_deletes(writer)
+            except NotImplementedError as e:
+                # a file only the Spark rewrite path can read (e.g.
+                # Spark-written shredded variant) must not abort the
+                # whole sweep — the metadata steps below still run
+                report["compact"] = None
+                report["compact_skipped"] = str(e)
     else:
         report["compact"] = (
             f"would compact {small_groups} group(s)"

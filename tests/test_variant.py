@@ -228,3 +228,24 @@ def test_compaction_over_variant_tables(spark, tmp_path):
         [(i, i % 7) for i in range(50)]
         + [(i, 100 + i % 7) for i in range(50, 100)]
     )
+
+
+def test_maintain_survives_shredded_variant(spark, tmp_path):
+    """A driver-side maintenance sweep over a shredded-variant table
+    must not abort: compaction is skipped with a recorded reason, the
+    metadata-only steps still run; the Spark-backed sweep compacts."""
+    import shutil
+
+    from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter, maintain
+
+    d = str(tmp_path / "t")
+    shutil.copytree(ensure_variant_shred_fixture(spark), d)
+    report = maintain(IcebergWriter.load(d))
+    assert report["compact"] is None
+    assert "compact_files_spark" in report.get("compact_skipped", "")
+
+    report2 = maintain(IcebergWriter.load(d), spark=spark)
+    assert report2["compact"] is not None
+    assert len(IcebergTable(d).plan_files()) == 1
