@@ -1,0 +1,414 @@
+"""Metadata-only aggregate pushdown: COUNT/MIN/MAX answered from
+manifest statistics, with a hybrid scan fallback for the files whose
+stats cannot prove the answer.
+
+Real Iceberg-Spark pushes ``count(*)``/``min``/``max`` into the scan but
+REFUSES the whole pushdown when any row-level delete or non-trivial
+filter is present.  This implementation is per-file instead of
+per-table: every planned file independently either proves its
+contribution from manifest stats or joins a residual Spark scan, and
+the two partial answers combine exactly.  On a 100 TB table a
+``count(*)`` or a ``min(ts)`` is then metadata-only (zero data IO), and
+a filtered aggregate reads only the filter's boundary files — the same
+whole-file-proof machinery ``delete_where_fast`` uses
+(``planner.file_all_rows_match``).
+
+Soundness gates, all conservative (fail → the file is scanned):
+
+- **Deletes.**  A file with any possibly-applicable equality or
+  position delete has unknown live stats.  Exception: a v3 deletion
+  vector's ``record_count`` is its exact cardinality, so ``count(*)``
+  stays metadata-only on DV-maintained tables (``rc - dv_count``);
+  min/max still scan (the deleted row may be the extremum).
+- **Filters.**  With a filter, a file contributes metadata only when
+  ``file_all_rows_match`` PROVES every row satisfies it (stats cover
+  the pre-delete superset, so the proof survives DV subtraction).
+- **NaN.**  Iceberg float/double bounds exclude NaN while Spark and
+  DuckDB order NaN greatest; metadata min/max on floats requires
+  ``nan_value_counts == 0`` for the file.
+- **Truncated bounds.**  Foreign writers may truncate string/binary
+  bounds (spec ``write.metadata.metrics`` truncation), making them
+  inexact; only fixed-width types (int/long/float/double/date/
+  timestamp/decimal — never truncated per spec) answer min/max from
+  bounds directly.  Strings still benefit: the *bounds refinement*
+  below skips every file whose (possibly truncated) lower bound
+  exceeds some other file's upper bound.
+
+Bounds refinement (min; max is symmetric): the true minimum is ≤ the
+smallest upper bound over clean, whole-matching, provably non-empty
+files, so any clean whole-matching file whose lower bound exceeds that
+cap cannot contain it and is dropped from the scan set.  Cap files must
+be provably non-empty after deletes AND filters — a fully-deleted
+file's stale upper bound would otherwise shrink the cap below the true
+minimum and wrongly skip the file that holds it (regression-tested).
+
+The residual scan is ONE job regardless of how many aggregates need
+it: each scanned file carries a per-aggregate bitmask (broadcast
+path→mask map) and every aggregate evaluates conditionally on its bit,
+so a file scanned for ``min`` never double-counts into a ``count(*)``
+already answered from metadata.
+
+Reference parity: the reference (daskberg) has no aggregate pushdown at
+all — every aggregate is a full Dask scan (``/root/reference/daskberg/
+ice.py:220-264`` hands the file list to ``dask.dataframe``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from daskberg_spark.iceberg.conversions import schema_to_struct
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.planner import (
+    _bound_lookup,
+    _count_lookup,
+    _lt,
+    file_all_rows_match,
+)
+
+# fixed-width types whose manifest bounds are EXACT per spec (metrics
+# truncation applies only to string/binary); strings fall back to the
+# bounds-refined scan path
+_EXACT_BOUND_TYPES = {
+    "int",
+    "long",
+    "float",
+    "double",
+    "date",
+    "timestamp",
+    "timestamptz",
+    "timestampz",
+}
+
+_CLEAN, _DV_EXACT, _DIRTY = 0, 1, 2
+
+_SENTINEL_SCAN = object()  # this file must be scanned for this aggregate
+_SENTINEL_SKIP = object()  # this file provably contributes nothing
+
+
+def _is_exact_bound_type(type_str: str) -> bool:
+    return type_str in _EXACT_BOUND_TYPES or type_str.startswith("decimal")
+
+
+def _is_nan(v: Any) -> bool:
+    return isinstance(v, float) and v != v
+
+
+def _combine(op: str, vals: list[Any]) -> Any:
+    """min/max over mixed metadata + scanned partials with Spark's NaN
+    ordering (NaN greater than every number, for BOTH min and max)."""
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return None
+    nans = [v for v in vals if _is_nan(v)]
+    nums = [v for v in vals if not _is_nan(v)]
+    if op == "max":
+        return nans[0] if nans else max(nums)
+    return min(nums) if nums else nans[0]
+
+
+def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
+    seen = set()
+    for fn, col, alias in aggs:
+        if fn not in ("count", "min", "max"):
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        if col == "*" and fn != "count":
+            raise ValueError(f"{fn}(*) is not an aggregate")
+        if col != "*" and col not in fields:
+            raise ValueError(f"unknown column {col!r}")
+        if col != "*" and "." in col:
+            raise ValueError("nested columns are not supported")
+        if alias in seen:
+            raise ValueError(f"duplicate alias {alias!r}")
+        seen.add(alias)
+
+
+def agg_pushdown(
+    table: IcebergTable,
+    spark: SparkSession,
+    aggs: list[tuple[str, str, str]],
+    filters: Any = None,
+) -> DataFrame:
+    """One-row DataFrame of ``aggs`` = [(fn, col, alias), ...] where fn
+    ∈ {count, min, max} (col ``"*"`` allowed for count), answered from
+    manifest statistics wherever sound and from ONE residual Spark scan
+    over the remaining files otherwise.  Exact under filters, row-level
+    deletes, and NaN — every unprovable file is scanned, and the result
+    never depends on stats alone.
+
+    ``table.last_agg_pushdown`` reports the split:
+    ``{"files_planned", "files_scanned", "meta_files": {alias: n}}``.
+    """
+    fields = table.fields
+    _validate_aggs(aggs, fields)
+    files = table.plan_files(filters)
+    deletes = table.plan_deletes()
+    use_seq = table.metadata.get("format-version", 1) >= 2
+
+    def okey(rec: dict[str, Any]) -> int:
+        if use_seq:
+            seq = rec.get("_sequence_number")
+            return 0 if seq is None else seq
+        return rec.get("_snapshot_id") or 0
+
+    # scope helper shared with the read path (scan._scope_tuple) — import
+    # here to avoid a module cycle (scan imports nothing from agg)
+    from daskberg_spark.iceberg.scan import _norm_scan_path, _scope_tuple, to_df
+
+    # -- per-file delete state (over-approximate: "might apply" → not clean)
+    dv_minus: dict[str, int] = {}
+    dv_dirty: set[str] = set()
+    eq_scopes: list[tuple[int, tuple | None]] = []
+    pos_scopes: list[tuple[int, tuple | None]] = []
+    for d in deletes:
+        if d.get("content") == 2:
+            eq_scopes.append((okey(d), _scope_tuple(table, d)))
+        elif d.get("content") == 1:
+            ref = d.get("referenced_data_file")
+            if ref:
+                rc = d.get("record_count")
+                key = _norm_scan_path(ref)
+                if rc is None or key in dv_minus or key in dv_dirty:
+                    # unknown cardinality, or two live DVs on one file
+                    # (reconciliation should prevent it — stay sound)
+                    dv_dirty.add(key)
+                    dv_minus.pop(key, None)
+                else:
+                    dv_minus[key] = int(rc)
+            else:
+                pos_scopes.append((okey(d), _scope_tuple(table, d)))
+
+    spec_cache: dict[int, dict[int, dict[str, Any]]] = {}
+
+    def spec_map(f: dict[str, Any]) -> dict[int, dict[str, Any]]:
+        sid = f.get("_spec_id", 0)
+        if sid not in spec_cache:
+            spec_cache[sid] = {
+                sf["source-id"]: sf for sf in table._spec_fields(sid)
+            }
+        return spec_cache[sid]
+
+    def state(f: dict[str, Any]) -> tuple[int, int]:
+        """(delete state, exact DV subtraction)."""
+        fkey = okey(f)
+        fscope = _scope_tuple(table, f)
+        for dkey, dscope in eq_scopes:
+            # eq deletes apply to strictly-older files within scope
+            if fkey < dkey and (dscope is None or dscope == fscope):
+                return _DIRTY, 0
+        for dkey, dscope in pos_scopes:
+            # path-based position deletes name files in their CONTENT —
+            # unreadable at metadata time; scope + sequence (≤) is the
+            # only sound metadata-level bound on what they may hit
+            if fkey <= dkey and (dscope is None or dscope == fscope):
+                return _DIRTY, 0
+        key = _norm_scan_path(f["file_path"])
+        if key in dv_dirty:
+            return _DIRTY, 0
+        if key in dv_minus:
+            return _DV_EXACT, dv_minus[key]
+        return _CLEAN, 0
+
+    whole_cache: dict[int, bool] = {}
+
+    def whole_match(idx: int, f: dict[str, Any]) -> bool:
+        if not filters:
+            return True
+        if idx not in whole_cache:
+            whole_cache[idx] = file_all_rows_match(
+                f, filters, fields, spec_map(f)
+            )
+        return whole_cache[idx]
+
+    states = [state(f) for f in files]
+
+    def nan_free(f: dict[str, Any], info) -> bool:
+        if info.type not in ("float", "double"):
+            return True
+        nan = _count_lookup(f.get("nan_value_counts"), info.field_id)
+        return nan == 0
+
+    def meta_value(idx: int, f: dict[str, Any], fn: str, col: str) -> Any:
+        """Metadata contribution of one file to one aggregate:
+        a value, _SENTINEL_SKIP (provably contributes nothing), or
+        _SENTINEL_SCAN."""
+        st, minus = states[idx]
+        rc = f.get("record_count")
+        if fn == "count" and col == "*":
+            if st == _DIRTY or rc is None or not whole_match(idx, f):
+                return _SENTINEL_SCAN
+            return int(rc) - minus
+        info = fields[col]
+        if st != _CLEAN or not whole_match(idx, f):
+            return _SENTINEL_SCAN
+        nulls = _count_lookup(f.get("null_value_counts"), info.field_id)
+        if fn == "count":
+            if rc is None or nulls is None:
+                return _SENTINEL_SCAN
+            return int(rc) - nulls
+        side = "lower_bounds" if fn == "min" else "upper_bounds"
+        bound = _bound_lookup(f.get(side), info.field_id, info.type)
+        if bound is None:
+            # no bound: fine iff the column is provably all-NULL (or the
+            # file empty) — NULLs never contribute to min/max
+            if rc == 0 or (rc is not None and nulls == rc):
+                return _SENTINEL_SKIP
+            return _SENTINEL_SCAN
+        if not _is_exact_bound_type(info.type):
+            return _SENTINEL_SCAN  # possibly-truncated; refinement below
+        if fn == "max" and not nan_free(f, info):
+            # a NaN row outranks the (NaN-free) upper bound
+            return _SENTINEL_SCAN
+        if fn == "min" and info.type in ("float", "double"):
+            nan = _count_lookup(f.get("nan_value_counts"), info.field_id)
+            if nan is None or (
+                nan is not None
+                and rc is not None
+                and nulls is not None
+                and nan + nulls >= rc
+            ):
+                # all-NaN file: its min IS NaN under Spark ordering;
+                # unknown NaN census can't prove otherwise
+                return _SENTINEL_SCAN
+        return bound
+
+    # -- split every (file, agg) into metadata value vs scan ---------------
+    meta_parts: dict[str, list[Any]] = {a: [] for _, _, a in aggs}
+    scan_sets: dict[str, set[int]] = {a: set() for _, _, a in aggs}
+    for idx, f in enumerate(files):
+        for fn, col, alias in aggs:
+            v = meta_value(idx, f, fn, col)
+            if v is _SENTINEL_SCAN:
+                scan_sets[alias].add(idx)
+            elif v is not _SENTINEL_SKIP:
+                meta_parts[alias].append(v)
+
+    # -- bounds refinement: drop min/max scan files that provably cannot
+    #    contain the extremum ------------------------------------------------
+    for fn, col, alias in aggs:
+        if fn not in ("min", "max") or not scan_sets[alias]:
+            continue
+        info = fields[col]
+        cap = None  # an upper bound on the true min / lower bound on max
+        for idx, f in enumerate(files):
+            st, _ = states[idx]
+            rc = f.get("record_count")
+            nulls = _count_lookup(f.get("null_value_counts"), info.field_id)
+            # cap files must be provably non-empty post-delete/filter:
+            # clean, whole-matching, with a known non-null value
+            if st != _CLEAN or not whole_match(idx, f):
+                continue
+            if rc is None or nulls is None or nulls >= rc:
+                continue
+            side = "upper_bounds" if fn == "min" else "lower_bounds"
+            b = _bound_lookup(f.get(side), info.field_id, info.type)
+            if b is None or _is_nan(b):
+                continue
+            if cap is None or (
+                _lt(b, cap) if fn == "min" else _lt(cap, b)
+            ):
+                cap = b
+        if cap is None:
+            continue
+        for idx in sorted(scan_sets[alias]):
+            f = files[idx]
+            st, _ = states[idx]
+            # only delete-free whole-matching files can be skipped: a
+            # delete or a partial filter match invalidates bounds-only
+            # reasoning about what the file still holds
+            if st != _CLEAN or not whole_match(idx, f):
+                continue
+            side = "lower_bounds" if fn == "min" else "upper_bounds"
+            b = _bound_lookup(f.get(side), info.field_id, info.type)
+            if b is None or _is_nan(b):
+                continue
+            if fn == "max" and not nan_free(f, fields[col]):
+                continue  # a NaN row would outrank every bound
+            beyond = _lt(cap, b) if fn == "min" else _lt(b, cap)
+            if beyond:
+                scan_sets[alias].discard(idx)
+
+    # -- one residual scan, aggregates gated per-file by a bitmask ---------
+    scan_idx = sorted(set().union(*scan_sets.values()))
+    scanned_row = None
+    if scan_idx:
+        masks = {}
+        for bit, (_, _, alias) in enumerate(aggs):
+            for idx in scan_sets[alias]:
+                p = files[idx]["file_path"]
+                masks[p] = masks.get(p, 0) | (1 << bit)
+        need_cols = sorted({c for _, c, _ in aggs if c != "*"})
+        struct_names = [f.name for f in schema_to_struct(table.schema).fields]
+        df = to_df(
+            table,
+            spark,
+            filters=filters,
+            columns=need_cols or struct_names[:1],
+            keep_file=True,
+            file_subset={files[i]["file_path"] for i in scan_idx},
+        )
+        from daskberg_spark.iceberg.scan import _attach_path_value
+
+        df = _attach_path_value(
+            df, spark, "__file", "__aggmask", sorted(masks.items())
+        )
+        exprs = []
+        for bit, (fn, col, alias) in enumerate(aggs):
+            gate = F.col("__aggmask").bitwiseAND(F.lit(1 << bit)) != 0
+            target = F.lit(1) if col == "*" else F.col(col)
+            guarded = F.when(gate, target)
+            agg_fn = {"count": F.count, "min": F.min, "max": F.max}[fn]
+            exprs.append(agg_fn(guarded).alias(alias))
+        scanned_row = df.agg(*exprs).first()
+
+    # -- combine -------------------------------------------------------------
+    out_vals, out_fields = [], []
+    struct = schema_to_struct(table.schema)
+    spark_types = {f.name: f.dataType for f in struct.fields}
+    for fn, col, alias in aggs:
+        parts = list(meta_parts[alias])
+        if scanned_row is not None and scan_sets[alias]:
+            parts.append(scanned_row[alias])
+        if fn == "count":
+            val: Any = sum(int(p) for p in parts if p is not None)
+            typ: T.DataType = T.LongType()
+        else:
+            val = _combine(fn, parts)
+            typ = spark_types[col]
+        out_vals.append(val)
+        out_fields.append(T.StructField(alias, typ, True))
+
+    table.last_agg_pushdown = {
+        "files_planned": len(files),
+        "files_scanned": len(scan_idx),
+        "meta_files": {
+            alias: sum(
+                1
+                for idx in range(len(files))
+                if idx not in scan_sets[alias]
+            )
+            for _, _, alias in aggs
+        },
+    }
+    if not scan_idx:
+        # pure-metadata answer: record the zero-IO scan the way to_df would
+        table.last_scan = {
+            "files_scanned": 0,
+            "files_live": len(table.scan_all()[0]),
+            "bytes_scanned": 0,
+            "records_in_scanned_files": 0,
+            "formats": [],
+            "delete_files": {},
+            "projected_columns": [],
+            "filters": filters,
+        }
+    return spark.createDataFrame(
+        [tuple(out_vals)], T.StructType(out_fields)
+    )
+
+
+IcebergTable.agg_pushdown = agg_pushdown  # type: ignore[attr-defined]

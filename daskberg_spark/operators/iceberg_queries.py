@@ -2614,3 +2614,85 @@ def iceberg_variant_shredded_prune(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("id").alias("sum_id"),
         F.sum("a").alias("sum_a"),
     )
+
+
+@query(
+    "iceberg_agg_pushdown",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(l_returnflag) AS BIGINT) AS n_rf,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           CAST(MIN((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1)
+                AS INTEGER) AS min_month,
+           CAST(MAX((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1)
+                AS INTEGER) AS max_month
+    FROM lineitem
+    """,
+)
+def iceberg_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown (r10, ``iceberg/agg.py``):
+    COUNT(*)/COUNT(col)/MIN/MAX over the 83-file lineitem table answered
+    ENTIRELY from manifest statistics — the query hard-asserts zero data
+    files were read, so the driver gate catches any soundness-gate
+    regression that silently turns this into a scan.  On a 100 TB table
+    this is the difference between a manifest read and a full pass.
+    Real Iceberg-Spark refuses this pushdown whenever deletes exist; the
+    per-file hybrid here keeps it exact under DVs too (pytest
+    ``test_aggpush``)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+
+    t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("count", "*", "n"),
+            ("count", "l_returnflag", "n_rf"),
+            ("min", "l_shipdate", "min_ship"),
+            ("max", "l_shipdate", "max_ship"),
+            ("min", "l_shipmonth", "min_month"),
+            ("max", "l_shipmonth", "max_month"),
+        ],
+    )
+    assert t.last_agg_pushdown["files_scanned"] == 0, "agg pushdown regressed"
+    return out
+
+
+@query(
+    "iceberg_agg_pushdown_hybrid",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(l_returnflag) AS BIGINT) AS n_rf,
+           MAX(l_shipdate) AS max_ship,
+           CAST(MIN((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1)
+                AS INTEGER) AS min_month
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-03-10 00:00:00'
+    """,
+)
+def iceberg_agg_pushdown_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered hybrid aggregate pushdown (r10): files whose stats PROVE
+    every row matches ``l_shipdate >= 1998-03-10`` (whole months, via
+    ``planner.file_all_rows_match``) contribute record counts and bounds
+    from metadata; only the one boundary file (March 1998) is scanned,
+    and the partials combine exactly.  Hard-asserts the single-file scan
+    — the filtered-aggregate scan cost at 100 TB is O(filter boundary),
+    not O(matching data)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+
+    t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("count", "*", "n"),
+            ("count", "l_returnflag", "n_rf"),
+            ("max", "l_shipdate", "max_ship"),
+            ("min", "l_shipmonth", "min_month"),
+        ],
+        filters=[("l_shipdate", ">=", "1998-03-10 00:00:00")],
+    )
+    rep = t.last_agg_pushdown
+    assert rep["files_scanned"] == 1, f"boundary-only scan regressed: {rep}"
+    return out

@@ -1,0 +1,258 @@
+"""Metadata-only aggregate pushdown (``iceberg.agg.agg_pushdown``).
+
+Contract: COUNT/MIN/MAX answer from manifest stats wherever PROVABLY
+sound and scan only the residual files; the combined answer always
+equals the full-scan aggregate.  The gates under test: row-level
+deletes (DV cardinality keeps count(*) metadata-only; min/max must
+scan the affected file), NaN on float columns (Spark orders NaN
+greatest — bounds exclude it), all-NULL columns, truncation-unsafe
+string bounds (refined scan), and the fully-deleted-file cap trap in
+the bounds refinement.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pytest
+
+import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.writer import IcebergWriter, delete_where_dv_spark
+
+
+def _writer(path, partitioned=True):
+    spec = (
+        [{"name": "cat", "transform": "identity", "source": "cat"}]
+        if partitioned
+        else []
+    )
+    return IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "cat", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+            {"id": 4, "name": "s", "type": "string", "required": False},
+        ],
+        spec,
+    )
+
+
+def _mk(path, rows_by_cat):
+    w = _writer(path)
+    for cat, rows in rows_by_cat.items():
+        w.append(
+            [
+                {"k": k, "cat": cat, "v": v, "s": s}
+                for k, v, s in rows
+            ]
+        )
+    return w
+
+
+def test_pure_metadata_zero_scan(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    _mk(
+        path,
+        {
+            "a": [(1, 1.5, "apple"), (2, 2.5, "berry")],
+            "b": [(10, -3.0, "cherry"), (20, 9.0, "date")],
+        },
+    )
+    t = IcebergTable(path)
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("count", "*", "n"),
+            ("count", "k", "n_k"),
+            ("min", "k", "min_k"),
+            ("max", "k", "max_k"),
+            ("min", "v", "min_v"),
+            ("max", "v", "max_v"),
+        ],
+    )
+    row = out.first()
+    assert (row.n, row.n_k, row.min_k, row.max_k) == (4, 4, 1, 20)
+    assert (row.min_v, row.max_v) == (-3.0, 9.0)
+    assert t.last_agg_pushdown["files_scanned"] == 0
+    assert t.last_scan["files_scanned"] == 0
+
+
+def test_filtered_hybrid_matches_full_scan(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    t_rows = {
+        c: [(i + off, float(i), f"s{i}") for i in range(10)]
+        for off, c in ((0, "a"), (100, "b"), (200, "c"))
+    }
+    _mk(path, t_rows)
+    t = IcebergTable(path)
+    filters = [("k", ">=", 5)]
+    out = t.agg_pushdown(
+        spark,
+        [("count", "*", "n"), ("min", "k", "min_k"), ("max", "k", "max_k")],
+        filters=filters,
+    ).first()
+    # oracle: full scan with the same filter
+    import pyspark.sql.functions as F
+
+    ora = (
+        t.to_df(spark, filters=filters)
+        .agg(F.count(F.lit(1)), F.min("k"), F.max("k"))
+        .first()
+    )
+    assert (out.n, out.min_k, out.max_k) == tuple(ora)
+    # files 'b' (100..109) and 'c' (200..209) wholly match k>=5 → only the
+    # boundary file 'a' scans
+    assert t.last_agg_pushdown["files_scanned"] == 1
+
+
+def test_dv_delete_count_stays_metadata_minmax_scans(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    w = _mk(
+        path,
+        {
+            "a": [(i, float(i), f"s{i}") for i in range(10)],
+            "b": [(100 + i, 100.0 + i, f"t{i}") for i in range(10)],
+        },
+    )
+    # DV-delete the max row of partition b
+    import pyspark.sql.functions as F
+
+    delete_where_dv_spark(w, spark, F.col("k") == 109)
+    t = IcebergTable(path)
+    out = t.agg_pushdown(
+        spark,
+        [("count", "*", "n"), ("max", "k", "max_k"), ("min", "k", "min_k")],
+    ).first()
+    assert (out.n, out.max_k, out.min_k) == (19, 108, 0)
+    # count(*) subtracted the DV cardinality without scanning; min/max
+    # had to scan the DV-affected file (its extremum may be deleted —
+    # and here the max row genuinely was)
+    rep = t.last_agg_pushdown
+    assert rep["files_scanned"] == 1
+    assert rep["meta_files"]["n"] == rep["files_planned"]
+
+
+def test_eq_delete_forces_scan_but_stays_exact(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    w = _mk(
+        path,
+        {"a": [(i, float(i), f"s{i}") for i in range(5)]},
+    )
+    w.delete_rows_equality([{"k": 4}])
+    t = IcebergTable(path)
+    out = t.agg_pushdown(
+        spark, [("count", "*", "n"), ("max", "k", "max_k")]
+    ).first()
+    assert (out.n, out.max_k) == (4, 3)
+    assert t.last_agg_pushdown["files_scanned"] == 1
+
+
+def test_nan_gating_matches_spark_semantics(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    w = _writer(path)
+    w.append([{"k": 1, "cat": "a", "v": 5.0, "s": "x"}])
+    w.append([{"k": 2, "cat": "b", "v": math.nan, "s": "y"}])
+    t = IcebergTable(path)
+    out = t.agg_pushdown(
+        spark, [("max", "v", "max_v"), ("min", "v", "min_v")]
+    ).first()
+    # Spark orders NaN greatest: max = NaN, min = 5.0
+    assert math.isnan(out.max_v)
+    assert out.min_v == 5.0
+    import pyspark.sql.functions as F
+
+    ora = t.to_df(spark).agg(F.max("v"), F.min("v")).first()
+    assert math.isnan(ora[0]) and ora[1] == 5.0
+    # the NaN-free file answered from metadata; only the NaN file scanned
+    assert t.last_agg_pushdown["files_scanned"] == 1
+
+
+def test_all_null_column(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    w = _writer(path, partitioned=False)
+    w.append([{"k": 1, "cat": "a", "v": None, "s": None}])
+    w.append([{"k": 2, "cat": "b", "v": None, "s": None}])
+    t = IcebergTable(path)
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("count", "*", "n"),
+            ("count", "v", "n_v"),
+            ("min", "v", "min_v"),
+            ("max", "s", "max_s"),
+        ],
+    ).first()
+    assert (out.n, out.n_v, out.min_v, out.max_s) == (2, 0, None, None)
+    assert t.last_agg_pushdown["files_scanned"] == 0
+
+
+def test_string_bounds_refinement_skips_files(spark):
+    """Strings never answer min/max from (possibly truncated) bounds,
+    but the refinement proves which files CANNOT hold the extremum:
+    with ranges apple..cherry and xray..zulu, min scans only the low
+    file and max only the high file."""
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    _mk(
+        path,
+        {
+            "a": [(1, 1.0, "apple"), (2, 2.0, "cherry")],
+            "b": [(3, 3.0, "xray"), (4, 4.0, "zulu")],
+        },
+    )
+    t = IcebergTable(path)
+    out = t.agg_pushdown(spark, [("min", "s", "min_s")])
+    assert out.first().min_s == "apple"
+    assert t.last_agg_pushdown["files_scanned"] == 1
+    out = t.agg_pushdown(spark, [("max", "s", "max_s")])
+    assert out.first().max_s == "zulu"
+    assert t.last_agg_pushdown["files_scanned"] == 1
+
+
+def test_refinement_cap_ignores_fully_deleted_files(spark):
+    """The cap trap: a fully-deleted file's stale upper bound must not
+    shrink the refinement cap — otherwise the file genuinely holding
+    the minimum gets skipped and the answer is silently wrong."""
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    w = _mk(
+        path,
+        {
+            "a": [(1, 1.0, "aaa"), (2, 2.0, "bbb")],  # low range...
+            "b": [(3, 3.0, "xxx"), (4, 4.0, "yyy")],
+        },
+    )
+    # kill ALL of partition a's rows (the low string range)
+    w.delete_rows_equality([{"k": 1}, {"k": 2}])
+    t = IcebergTable(path)
+    out = t.agg_pushdown(spark, [("min", "s", "min_s")]).first()
+    assert out.min_s == "xxx"  # 'aaa'/'bbb' are dead; b holds the min
+
+
+def test_empty_table(spark):
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    _writer(path)  # schema only, no snapshot... commit an empty append
+    w = _writer(path)
+    w.append([])
+    t = IcebergTable(path)
+    out = t.agg_pushdown(
+        spark, [("count", "*", "n"), ("min", "k", "min_k")]
+    ).first()
+    assert (out.n, out.min_k) == (0, None)
+
+
+def test_validation():
+    path = tempfile.mkdtemp(prefix="aggpush_")
+    w = _writer(path)
+    w.append([{"k": 1, "cat": "a", "v": 1.0, "s": "x"}])
+    t = IcebergTable(path)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        t.agg_pushdown(None, [("sum", "k", "x")])
+    with pytest.raises(ValueError, match="not an aggregate"):
+        t.agg_pushdown(None, [("min", "*", "x")])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.agg_pushdown(None, [("min", "nope", "x")])
+    with pytest.raises(ValueError, match="duplicate alias"):
+        t.agg_pushdown(None, [("count", "*", "x"), ("min", "k", "x")])
