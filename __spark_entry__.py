@@ -37,6 +37,7 @@ def _load_registry():
         "daskberg_spark.operators.packing",
         "daskberg_spark.operators.spandedup",
         "daskberg_spark.operators.multimodal",
+        "daskberg_spark.operators.bloomjoin",
         "daskberg_spark.operators.iceberg_queries",
         "daskberg_spark.streaming.events",
     ):

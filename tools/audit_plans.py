@@ -207,6 +207,19 @@ AUDIT = {
     # shredded-prune read: the footer pass already dropped dead files,
     # so the plan is ONE surviving-file scan + the global agg
     "iceberg_variant_shredded_prune": (1, False, False, 2),
+    # round 10 session 2: metadata-only aggregate pushdown — the answer
+    # is a driver-combined literal relation (LocalTableScan); ZERO
+    # exchanges because zero data files are read (the query itself
+    # hard-asserts files_scanned == 0)
+    "iceberg_agg_pushdown": (0, False, False, None),
+    # hybrid variant: the boundary-file scan ran eagerly inside the
+    # operator (asserted files_scanned == 1 there); the returned plan is
+    # the combined literal
+    "iceberg_agg_pushdown_hybrid": (0, False, False, None),
+    # Bloom-prefiltered fact-dim join: dim predicates push into its
+    # scan, the probe is codegen getbit over an array literal (no
+    # Python), dim broadcasts, one final single-group agg exchange
+    "bloom_filter_join": (1, True, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
