@@ -1,0 +1,318 @@
+"""File-level Bloom indexes: Puffin-persisted secondary index for
+point-lookup file pruning.
+
+Min/max bounds prune range predicates but are USELESS for equality on
+high-cardinality unclustered columns — every file of a time-partitioned
+table spans nearly the full id range, so ``l_orderkey == K`` scans all
+of it.  Real engines reach for parquet's optional column bloom filters;
+this engine persists one Bloom filter PER (data file, column) in a
+Puffin statistics file (the same from-scratch Puffin writer the v3
+deletion vectors use) and consults them at PLAN time: an equality/IN
+predicate on an indexed column drops every file whose filter proves the
+value absent — at 100 TB a point lookup reads a handful of files
+instead of a partition's worth.
+
+Soundness:
+
+- Filters are SUPERSET tests — false positives keep a file (wasted IO,
+  never wrong answers); the scan's residual re-filter still applies.
+- A file without a blob (added after the index run, or a column never
+  indexed) is always kept.  Snapshots never mutate data files, so a
+  blob stays valid for its file forever; deletes only shrink the live
+  rowset (more false positives, still sound).
+- Only non-NULL ``==``/``=``/``in`` values prune, and only for types
+  whose Spark ``xxhash64`` the driver can reproduce bit-exactly
+  (``xxhash.py``: int/long/date/timestamp/string/boolean).
+- The build hashes with the built-in ``F.xxhash64`` on executors
+  (codegen, no Python); per-file state is capped at ``m_bits/64``
+  words, so the driver collect is O(files × m/64) — the same order as
+  the scan plan it accelerates.  (At million-file scale the build
+  should shard puffin files executor-side like the DV commit path's
+  ``DV_SHARD_FILE_GATE``; the probe side is unchanged.)
+
+Blob layout (engine extension, skipped by foreign readers per the
+Puffin spec): type ``daskberg-bloom-v1``, payload = little-endian u64
+word array, properties carry the data-file path, column name, m-bits
+and the seed list.  Registered in the metadata ``statistics`` list on
+the current snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+from typing import Any
+
+from daskberg_spark.iceberg.puffin import write_puffin
+from daskberg_spark.iceberg.xxhash import spark_xxhash64_chain
+
+BLOOM_BLOB_TYPE = "daskberg-bloom-v1"
+DEFAULT_M_BITS = 1 << 17
+DEFAULT_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1)
+
+_PROBE_TYPES = {
+    "int",
+    "long",
+    "date",
+    "timestamp",
+    "timestamptz",
+    "timestampz",
+    "string",
+    "boolean",
+}
+
+
+def write_file_blooms(
+    writer,
+    spark,
+    columns: list[str],
+    m_bits: int = DEFAULT_M_BITS,
+    seeds=DEFAULT_SEEDS,
+) -> str:
+    """Build per-(file, column) Bloom filters in ONE distributed pass
+    and commit them as a Puffin statistics file on the current
+    snapshot.  Returns the statistics file path.
+
+    The pass reads the delete-aware tagged scan (a value that only
+    lives in deleted rows may prune its file — the row is dead either
+    way), explodes each value into its k bit positions, folds positions
+    into 64-bit words with ``bit_or`` keyed on (file, column, word),
+    and collects only the OCCUPIED words — never values or rows."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    types = dict(writer.types)
+    for c in columns:
+        if c not in types:
+            raise ValueError(f"unknown column {c!r}")
+        if types[c] not in _PROBE_TYPES:
+            raise ValueError(
+                f"column {c!r} has type {types[c]!r} — no bit-exact "
+                "driver-side xxhash64 mapping, the index could never "
+                "be probed"
+            )
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    df = t.to_df(spark, columns=list(columns), keep_file=True)
+    legs = []
+    for c in columns:
+        pos = F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col(c), F.lit(int(s)).cast("long")),
+                    F.lit(int(m_bits)),
+                )
+                for s in seeds
+            ]
+        )
+        legs.append(
+            df.where(F.col(c).isNotNull()).select(
+                F.col("__file").alias("f"),
+                F.lit(c).alias("c"),
+                F.explode(pos).alias("p"),
+            )
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    rows = (
+        u.selectExpr(
+            "f",
+            "c",
+            "CAST(p DIV 64 AS INT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS b",
+        )
+        .groupBy("f", "c", "w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    words: dict[tuple[str, str], list[int]] = {}
+    for r in rows:
+        arr = words.setdefault((r.f, r.c), [0] * (m_bits // 64))
+        arr[r.w] = r.bits & ((1 << 64) - 1)
+    # files whose column is all-NULL (or empty) still get a blob — an
+    # all-zero filter proves every non-NULL probe value absent
+    for f in t.plan_files(None):
+        for c in columns:
+            words.setdefault((f["file_path"], c), [0] * (m_bits // 64))
+    seq = writer._last_sequence_number
+    blobs = [
+        {
+            "type": BLOOM_BLOB_TYPE,
+            "fields": [writer.ids[c]],
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "properties": {
+                "data-file": fpath,
+                "column": c,
+                "m-bits": str(m_bits),
+                "seeds": ",".join(str(int(s)) for s in seeds),
+            },
+            "data": struct.pack(f"<{m_bits // 64}Q", *arr),
+        }
+        for (fpath, c), arr in sorted(words.items())
+    ]
+    name = (
+        f"blooms-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'blooms{snapshot_id}{sorted(columns)}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size
+        - 4
+        - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    # replace only a prior bloom entry for this snapshot (NDV stats and
+    # other statistics files coexist on the same snapshot)
+    writer.statistics = [
+        e
+        for e in writer.statistics
+        if not (
+            e["snapshot-id"] == snapshot_id
+            and any(
+                b.get("type") == BLOOM_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return path
+
+
+def _norm(p: str) -> str:
+    from daskberg_spark.iceberg.scan import _norm_scan_path
+
+    return _norm_scan_path(p)
+
+
+class _BloomProbe:
+    """Lazy per-plan reader over a table's bloom blobs: footer metadata
+    resolves once, blob bytes load per (file, column) on first probe."""
+
+    def __init__(self, table) -> None:
+        self.table = table
+        self.blob_map: dict[tuple[str, int], tuple[str, dict]] = {}
+        for entry in table.table_statistics():
+            for meta in entry.get("blob-metadata", []):
+                if meta.get("type") != BLOOM_BLOB_TYPE:
+                    continue
+                props = meta.get("properties") or {}
+                fpath = props.get("data-file")
+                flds = meta.get("fields") or []
+                if fpath and flds:
+                    # later statistics entries override earlier ones
+                    self.blob_map[(_norm(fpath), flds[0])] = (
+                        table._relocate(entry["statistics-path"]),
+                        meta,
+                    )
+        self._bytes: dict[tuple[str, int], bytes | None] = {}
+
+    def __bool__(self) -> bool:
+        return bool(self.blob_map)
+
+    def _load(self, key: tuple[str, int]):
+        if key not in self._bytes:
+            stats_path, meta = self.blob_map[key]
+            try:
+                with open(stats_path, "rb") as f:
+                    f.seek(meta["offset"])
+                    self._bytes[key] = f.read(meta["length"])
+            except OSError:
+                self._bytes[key] = None  # unreadable blob → never prune
+        return self._bytes[key]
+
+    def may_contain(self, file_path: str, field_id: int, type_str: str, value) -> bool:
+        """False only when the blob PROVES the value absent from the
+        file; True on any uncertainty."""
+        key = (_norm(file_path), field_id)
+        if key not in self.blob_map:
+            return True
+        _, meta = self.blob_map[key]
+        props = meta.get("properties") or {}
+        try:
+            m_bits = int(props["m-bits"])
+            seeds = [int(s) for s in props["seeds"].split(",")]
+        except (KeyError, ValueError):
+            return True
+        data = self._load(key)
+        if data is None or len(data) * 8 != m_bits:
+            return True
+        for s in seeds:
+            h = spark_xxhash64_chain(value, type_str, s)
+            if h is None:
+                return True  # unsupported type/value → cannot prune
+            p = h % m_bits  # python % == Spark pmod for positive m
+            if not (data[p >> 3] >> (p & 7)) & 1:
+                return False
+        return True
+
+
+def bloom_prune_files(
+    table, files: list[dict[str, Any]], filters: Any
+) -> list[dict[str, Any]]:
+    """Drop planned files that an indexed equality/IN predicate proves
+    cannot contain a match.  DNF semantics mirror ``apply_filters``: a
+    file survives if ANY conjunction may match; a conjunction fails if
+    ANY of its probeable predicates proves absence (for ``in``, every
+    listed value must be absent)."""
+    from daskberg_spark.iceberg.planner import is_dnf, normalize_value
+
+    if not filters or not files:
+        return files
+    probe = _BloomProbe(table)
+    if not probe:
+        return files
+    fields = table.fields
+    conjunctions = filters if is_dnf(filters) else [filters]
+
+    def conj_may_match(f: dict[str, Any], conj) -> bool:
+        for col, op, raw in conj:
+            info = fields.get(col)
+            if info is None or info.type not in _PROBE_TYPES:
+                continue
+            if op in ("==", "="):
+                if raw is None:
+                    continue
+                v = normalize_value(raw, info.type)
+                if not probe.may_contain(
+                    f["file_path"], info.field_id, info.type, v
+                ):
+                    return False
+            elif op == "in":
+                # NULLs in the list match no rows (SQL three-valued
+                # logic; the bounds pass skips them the same way)
+                vals = [r for r in raw if r is not None]
+                if not vals:
+                    continue
+                if all(
+                    not probe.may_contain(
+                        f["file_path"],
+                        info.field_id,
+                        info.type,
+                        normalize_value(r, info.type),
+                    )
+                    for r in vals
+                ):
+                    return False
+        return True
+
+    return [
+        f
+        for f in files
+        if any(conj_may_match(f, conj) for conj in conjunctions)
+    ]

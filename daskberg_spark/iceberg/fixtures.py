@@ -1254,9 +1254,6 @@ def _serialize_fixture_builds() -> None:
             g[name] = _wrap(obj)
 
 
-_serialize_fixture_builds()
-
-
 LEGACY_EQ_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "legacy_eq_table"
 )
@@ -1406,3 +1403,77 @@ def ensure_variant_shred_fixture(spark, path: str = VARIANT_SHRED_FIXTURE_DIR) -
         spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", old)
     commit_spark_output(writer, stage)
     return path
+
+
+LINEITEM_BLOOM_TAGFMT = "lineitem_bloomice_{tag}"
+
+
+def ensure_lineitem_bloom_iceberg(spark, sf_dir: str) -> str:
+    """``ensure_lineitem_iceberg``'s table shape plus a file-level Bloom
+    index on ``l_orderkey`` (``bloomindex.write_file_blooms``) — built
+    as a SEPARATE table so the shared lineitem fixture's plans (and the
+    prune counts other queries hard-assert) stay untouched.  Presence of
+    a statistics entry in the metadata is the built marker."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.bloomindex import write_file_blooms
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        os.path.dirname(FIXTURE_DIR), LINEITEM_BLOOM_TAGFMT.format(tag=tag)
+    )
+    hint = os.path.join(base, "metadata", "version-hint.text")
+    if os.path.exists(hint) and IcebergTable(base).table_statistics():
+        return base
+    if not os.path.exists(hint):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        month = (
+            (F.year("l_shipdate") - F.lit(1970)) * 12
+            + F.month("l_shipdate")
+            - 1
+        )
+        out = li.select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_shipdate",
+            month.cast("int").alias("l_shipmonth"),
+            month.cast("int").alias("part_month"),
+        )
+        data_dir = os.path.join(base, "data")
+        out.write.mode("overwrite").partitionBy("part_month").parquet(data_dir)
+        writer = IcebergWriter(
+            base,
+            LINEITEM_FIELDS,
+            [
+                {
+                    "name": "l_shipmonth",
+                    "transform": "identity",
+                    "source": "l_shipmonth",
+                }
+            ],
+        )
+        commit_spark_output(
+            writer, data_dir, partition_col="l_shipmonth", path_col="part_month"
+        )
+    else:
+        writer = IcebergWriter.load(base)
+    write_file_blooms(writer, spark, ["l_orderkey"])
+    return base
+
+
+# Single wrap call, at the BOTTOM so every ensure_* above — including
+# the ones added after the wrapper's original mid-file position, which
+# silently escaped serialization — takes the build flock.  Calling the
+# wrapper twice would double-wrap with fresh thread-local state and two
+# FDs flocking the same file can self-deadlock in one process.
+_serialize_fixture_builds()

@@ -1246,6 +1246,16 @@ class IcebergTable:
         files = list(allfiles.values())
         if filters:
             files = apply_filters(files, filters, self.fields, self._spec_fields)
+            if files and self.metadata.get("statistics"):
+                # file-level Bloom indexes (bloomindex.py): equality/IN
+                # predicates on indexed columns prove files dead where
+                # min/max bounds cannot; conservative no-op when the
+                # statistics list carries no bloom blobs
+                from daskberg_spark.iceberg.bloomindex import (
+                    bloom_prune_files,
+                )
+
+                files = bloom_prune_files(self, files, filters)
         return sorted(files, key=lambda f: f["file_path"])
 
     # -- metadata-only introspection ---------------------------------------

@@ -144,6 +144,15 @@ def range_may_match(op: str, value: Any, lo: Any, hi: Any) -> bool:
         # NaN predicate: bounds EXCLUDE NaN per spec, so no bound
         # comparison can disprove a match (Spark's NaN = NaN is true)
         return True
+    if op == "in":
+        # a NULL in the list matches no rows (SQL three-valued logic) —
+        # it must neither crash the bound comparison nor keep files
+        return any(
+            range_may_match("==", v, lo, hi) for v in value if v is not None
+        )
+    if value is None:
+        # comparison to NULL is never true: no row can satisfy it
+        return False
     if op in ("==", "="):
         return (lo is None or _le(lo, value)) and (hi is None or _le(value, hi))
     if op == "!=":
@@ -162,8 +171,6 @@ def range_may_match(op: str, value: Any, lo: Any, hi: Any) -> bool:
         return hi is None or _lt(value, hi)
     if op == ">=":
         return hi is None or _le(value, hi)
-    if op == "in":
-        return any(range_may_match("==", v, lo, hi) for v in value)
     raise ValueError(f"unknown op {op!r}")
 
 
@@ -181,10 +188,12 @@ def point_may_match(op: str, value: Any, point: Any, exact: bool) -> bool:
     """
     if point is None:
         return True  # null partition value: unknown → keep
+    if op == "in":
+        return any(_eq(point, v) for v in value if v is not None)
+    if value is None:
+        return False  # comparison to NULL is never true
     if op in ("==", "="):
         return _eq(point, value)
-    if op == "in":
-        return any(_eq(point, v) for v in value)
     if op == "!=":
         return not (exact and _eq(point, value))
     if op == "<":

@@ -2887,7 +2887,16 @@ def write_table_statistics(
         "blob-metadata": metas,
     }
     writer.statistics = [
-        e for e in writer.statistics if e["snapshot-id"] != snapshot_id
+        e
+        for e in writer.statistics
+        if e["snapshot-id"] != snapshot_id
+        # bloom-index statistics files (bloomindex.py) coexist with the
+        # NDV entry on one snapshot — replacing them here would silently
+        # drop the index every time NDV stats re-run
+        or any(
+            b.get("type") == "daskberg-bloom-v1"
+            for b in e.get("blob-metadata", [])
+        )
     ] + [entry]
     writer.version += 1
     writer._write_metadata()

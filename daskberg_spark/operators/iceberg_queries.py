@@ -2696,3 +2696,51 @@ def iceberg_agg_pushdown_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = t.last_agg_pushdown
     assert rep["files_scanned"] == 1, f"boundary-only scan regressed: {rep}"
     return out
+
+
+@query(
+    "iceberg_bloom_index_prune",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem
+                        WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 2
+                                             FROM lineitem))
+    """,
+)
+def iceberg_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level Bloom index (r10, ``iceberg/bloomindex.py``): a point
+    lookup on a MID-RANGE ``l_orderkey`` — a value inside every month
+    file's min/max band, so bounds prune NOTHING (measured 83/83 files
+    at sf0.1) — reads only the files whose Puffin-persisted per-file
+    Bloom filter admits the key (the months the order's lineitems
+    actually shipped: 7/83 measured).  The probe re-computes Spark's
+    ``xxhash64`` bit-exactly on the driver (``xxhash.py``); the lookup
+    key derives from metadata-only aggregate pushdowns.  Hard-asserts
+    the pruning so the driver gate catches index or hash regressions."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_bloom_iceberg
+
+    t = IcebergTable(ensure_lineitem_bloom_iceberg(spark, sf_dir))
+    key_max = int(t.agg_pushdown(spark, [("max", "l_orderkey", "m")]).first().m)
+    key = int(
+        t.agg_pushdown(
+            spark,
+            [("max", "l_orderkey", "m")],
+            filters=[("l_orderkey", "<=", key_max // 2)],
+        ).first().m
+    )
+    df = t.to_df(spark, filters=[("l_orderkey", "==", key)])
+    scan = t.last_scan
+    assert 0 < scan["files_scanned"] <= 8, f"bloom prune regressed: {scan}"
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )

@@ -1,0 +1,190 @@
+"""File-level Bloom index (``iceberg.bloomindex``) and the pure-Python
+Spark-compatible XXH64 (``iceberg.xxhash``).
+
+The load-bearing guarantee is BIT-EXACTNESS: executors set bit
+positions with the built-in ``F.xxhash64`` and the driver probes them
+with the Python reimplementation — one mismatched hash silently prunes
+a live file.  The differential test sweeps every supported typed path
+and the seed chain against real Spark.  Index semantics: superset test
+(never loses a match), blob-less files always kept, deletes never
+unsound, DNF handled like ``apply_filters``."""
+
+from __future__ import annotations
+
+import datetime
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.bloomindex import write_file_blooms
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.writer import IcebergWriter
+from daskberg_spark.iceberg.xxhash import (
+    SPARK_DEFAULT_SEED,
+    hash_typed,
+    spark_xxhash64_chain,
+    to_signed64,
+)
+
+
+def test_xxhash64_bit_exact_vs_spark(spark):
+    random.seed(20260815)
+    cases = [
+        ("long", T.LongType(), [0, 1, -1, 2**63 - 1, -(2**63), 42]
+         + [random.randint(-(2**63), 2**63 - 1) for _ in range(20)]),
+        ("int", T.IntegerType(), [0, 1, -1, 2**31 - 1, -(2**31)]
+         + [random.randint(-(2**31), 2**31 - 1) for _ in range(20)]),
+        ("string", T.StringType(), ["", "a", "hello", "x" * 7, "y" * 8,
+         "z" * 31, "w" * 32, "q" * 100, "héllo wörld", "字符串", "\x00\x01"]),
+        ("boolean", T.BooleanType(), [True, False]),
+        ("date", T.DateType(), [datetime.date(1970, 1, 1),
+         datetime.date(2024, 5, 17), datetime.date(1899, 12, 31)]),
+        ("timestamp", T.TimestampNTZType(), [datetime.datetime(1970, 1, 1),
+         datetime.datetime(2024, 5, 17, 12, 34, 56, 789123)]),
+    ]
+    for ice_type, st, values in cases:
+        df = spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField("c", st, True)]),
+        )
+        got = [r[0] for r in df.select(F.xxhash64("c")).collect()]
+        exp = [
+            to_signed64(hash_typed(v, ice_type, SPARK_DEFAULT_SEED))
+            for v in values
+        ]
+        assert got == exp, f"xxhash64 mismatch for {ice_type}"
+    # seed chaining: xxhash64(col, lit(seed).cast('long'))
+    seed = 0x9E3779B9
+    vals = [0, -1, 7, 2**40]
+    df = spark.createDataFrame([(v,) for v in vals], "c bigint")
+    got = [
+        r[0]
+        for r in df.select(
+            F.xxhash64("c", F.lit(seed).cast("long"))
+        ).collect()
+    ]
+    assert got == [spark_xxhash64_chain(v, "long", seed) for v in vals]
+    # NULL leaves the running hash unchanged
+    df = spark.createDataFrame([(None,)], "c bigint")
+    assert df.select(F.xxhash64("c")).first()[0] == to_signed64(
+        hash_typed(None, "long", SPARK_DEFAULT_SEED)
+    )
+
+
+def _indexed_table(spark, n_parts=6, rows_per=100):
+    path = tempfile.mkdtemp(prefix="bloomidx_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "cat", "type": "string", "required": False},
+            {"id": 3, "name": "name", "type": "string", "required": False},
+        ],
+        [{"name": "cat", "transform": "identity", "source": "cat"}],
+    )
+    for ci in range(n_parts):
+        c = chr(ord("a") + ci)
+        # interleaved keys: every file spans nearly the full range, so
+        # min/max bounds cannot prune a point lookup
+        w.append(
+            [
+                {"k": i * n_parts + ci, "cat": c, "name": f"n{i * n_parts + ci}"}
+                for i in range(rows_per)
+            ]
+        )
+    return path, w
+
+
+def test_point_lookup_prunes_to_one_file(spark):
+    path, w = _indexed_table(spark)
+    t = IcebergTable(path)
+    assert len(t.plan_files([("k", "==", 123)])) == 6  # bounds useless
+    write_file_blooms(w, spark, ["k", "name"])
+    t = IcebergTable(path)
+    assert len(t.plan_files([("k", "==", 123)])) == 1
+    assert len(t.plan_files([("name", "==", "n123")])) == 1
+    assert len(t.plan_files([("k", "==", 10**9)])) == 0  # absent value
+    rows = t.to_df(spark, filters=[("k", "==", 123)]).collect()
+    assert [(r.k, r.name) for r in rows] == [(123, "n123")]
+
+
+def test_never_loses_a_match(spark):
+    """Superset property over a key sample: the bloom-pruned read equals
+    the unpruned filtered read for every probed key."""
+    path, w = _indexed_table(spark)
+    write_file_blooms(w, spark, ["k"])
+    t = IcebergTable(path)
+    full = {r.k for r in t.to_df(spark).collect()}
+    for k in list(sorted(full))[::37] + [999999]:
+        got = {r.k for r in t.to_df(spark, filters=[("k", "==", k)]).collect()}
+        assert got == ({k} & full)
+
+
+def test_blobless_new_file_always_kept(spark):
+    path, w = _indexed_table(spark, n_parts=2)
+    write_file_blooms(w, spark, ["k"])
+    w.append([{"k": 10**6, "cat": "z", "name": "late"}])
+    t = IcebergTable(path)
+    rows = t.to_df(spark, filters=[("k", "==", 10**6)]).collect()
+    assert [(r.k, r.cat) for r in rows] == [(10**6, "z")]
+    # the new file has no blob → kept; old files bloom away
+    assert len(t.plan_files([("k", "==", 10**6)])) == 1
+
+
+def test_in_list_and_dnf_semantics(spark):
+    path, w = _indexed_table(spark)
+    write_file_blooms(w, spark, ["k"])
+    t = IcebergTable(path)
+    # 2 present keys in different files + 1 absent
+    assert len(t.plan_files([("k", "in", [0, 1, 10**9])])) == 2
+    # OR of two point lookups: union of surviving files
+    dnf = [[("k", "==", 0)], [("k", "==", 1)]]
+    assert len(t.plan_files(dnf)) == 2
+    # a NULL in an in-list matches no rows (SQL semantics) — pruning on
+    # the remaining values still fires, and the read stays exact
+    assert len(t.plan_files([("k", "in", [0, None])])) == 1
+    got = {r.k for r in t.to_df(spark, filters=[("k", "in", [0, None])]).collect()}
+    assert got == {0}
+    # comparison to a bare NULL is never true → everything prunes
+    assert len(t.plan_files([("k", "==", None)])) == 0
+
+
+def test_deletes_stay_sound(spark):
+    path, w = _indexed_table(spark, n_parts=2, rows_per=10)
+    write_file_blooms(w, spark, ["k"])
+    w.delete_rows_equality([{"k": 4}])
+    t = IcebergTable(path)
+    assert t.to_df(spark, filters=[("k", "==", 4)]).count() == 0
+    assert {r.k for r in t.to_df(spark, filters=[("k", "==", 6)]).collect()} == {6}
+
+
+def test_ndv_stats_do_not_evict_bloom_entry(spark):
+    from daskberg_spark.iceberg.writer import write_table_statistics
+
+    path, w = _indexed_table(spark, n_parts=2, rows_per=10)
+    write_file_blooms(w, spark, ["k"])
+    write_table_statistics(w, spark)
+    t = IcebergTable(path)
+    kinds = {
+        b.get("type")
+        for e in t.table_statistics()
+        for b in e.get("blob-metadata", [])
+    }
+    assert "daskberg-bloom-v1" in kinds and "daskberg-ndv-v1" in kinds
+    assert len(t.plan_files([("k", "==", 4)])) == 1  # index still live
+
+
+def test_unsupported_column_type_refused(spark):
+    path = tempfile.mkdtemp(prefix="bloomidx_")
+    w = IcebergWriter(
+        path,
+        [{"id": 1, "name": "v", "type": "double", "required": False}],
+        [],
+    )
+    w.append([{"v": 1.0}])
+    with pytest.raises(ValueError, match="no bit-exact"):
+        write_file_blooms(w, spark, ["v"])

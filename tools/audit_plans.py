@@ -220,6 +220,10 @@ AUDIT = {
     # scan, the probe is codegen getbit over an array literal (no
     # Python), dim broadcasts, one final single-group agg exchange
     "bloom_filter_join": (1, True, True, None),
+    # file-level Bloom index point lookup: the index pass leaves a
+    # handful of files, the equality residual pushes into their scan,
+    # one global-agg exchange
+    "iceberg_bloom_index_prune": (1, True, False, 3),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
