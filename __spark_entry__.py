@@ -294,6 +294,11 @@ _PRIORITY = [
     "iceberg_legacy_eq_migration",
     "iceberg_variant_write",
     "iceberg_variant_shredded_prune",
+    # NEW r10 session 2
+    "iceberg_agg_pushdown",
+    "iceberg_agg_pushdown_hybrid",
+    "iceberg_bloom_index_prune",
+    "bloom_filter_join",
     # r10-touched families
     "iceberg_variant_read",
     "iceberg_multiformat_read",
@@ -338,6 +343,8 @@ _PRIORITY = [
     "string_functions2",
     "topk_orders",
     "window_distribution",
+    # below the 50-slot window after the session-2 additions — first in
+    # line for the r11 rotation (driver-green r1, oracle-exact locally)
     "window_range_frame",
     "window_running",
     "write_roundtrip",

@@ -100,6 +100,12 @@ HEADLINE = [
     # KB-sized parquet footers)
     "iceberg_variant_write",
     "iceberg_variant_shredded_prune",
+    # round 10, session 2: metadata-only aggregates (zero data files),
+    # the file-level Bloom index point lookup (7/83 files where bounds
+    # prune nothing), and the runtime Bloom join prefilter
+    "iceberg_agg_pushdown",
+    "iceberg_bloom_index_prune",
+    "bloom_filter_join",
 ]
 
 

@@ -69,7 +69,8 @@ def write_file_blooms(
     columns: list[str],
     m_bits: int = DEFAULT_M_BITS,
     seeds=DEFAULT_SEEDS,
-) -> str:
+    file_subset: dict[str, set] | None = None,
+) -> str | None:
     """Build per-(file, column) Bloom filters in ONE distributed pass
     and commit them as a Puffin statistics file on the current
     snapshot.  Returns the statistics file path.
@@ -78,7 +79,14 @@ def write_file_blooms(
     lives in deleted rows may prune its file — the row is dead either
     way), explodes each value into its k bit positions, folds positions
     into 64-bit words with ``bit_or`` keyed on (file, column, word),
-    and collects only the OCCUPIED words — never values or rows."""
+    and collects only the OCCUPIED words — never values or rows.
+
+    ``file_subset`` (per-column sets of planned file paths) restricts
+    the build to those files — the INCREMENTAL path
+    ``refresh_file_blooms`` uses after compaction — and the resulting
+    entry is APPENDED (prior blobs stay live) instead of replacing the
+    snapshot's bloom entry.  Returns None when the subset leaves
+    nothing to index."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from pyspark.sql import functions as F
 
@@ -100,9 +108,23 @@ def write_file_blooms(
             )
     snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
-    df = t.to_df(spark, columns=list(columns), keep_file=True)
+    live = t.plan_files(None)
+    targets: dict[str, set] = {}
+    for c in columns:
+        if file_subset is None:
+            targets[c] = {f["file_path"] for f in live}
+        else:
+            targets[c] = set(file_subset.get(c, ()))
+    scan_paths = set().union(*targets.values())
+    if not scan_paths:
+        return None
+    df = t.to_df(
+        spark, columns=list(columns), keep_file=True, file_subset=scan_paths
+    )
     legs = []
     for c in columns:
+        if not targets[c]:
+            continue
         pos = F.array(
             *[
                 F.pmod(
@@ -112,8 +134,14 @@ def write_file_blooms(
                 for s in seeds
             ]
         )
+        leg = df.where(F.col(c).isNotNull())
+        if targets[c] != scan_paths:
+            # __file carries the normalized scan path form
+            leg = leg.where(
+                F.col("__file").isin(sorted(_norm(p) for p in targets[c]))
+            )
         legs.append(
-            df.where(F.col(c).isNotNull()).select(
+            leg.select(
                 F.col("__file").alias("f"),
                 F.lit(c).alias("c"),
                 F.explode(pos).alias("p"),
@@ -135,13 +163,16 @@ def write_file_blooms(
     )
     words: dict[tuple[str, str], list[int]] = {}
     for r in rows:
-        arr = words.setdefault((r.f, r.c), [0] * (m_bits // 64))
+        arr = words.setdefault((_norm(r.f), r.c), [0] * (m_bits // 64))
         arr[r.w] = r.bits & ((1 << 64) - 1)
-    # files whose column is all-NULL (or empty) still get a blob — an
-    # all-zero filter proves every non-NULL probe value absent
-    for f in t.plan_files(None):
+    # targeted files whose column is all-NULL (or empty) still get a
+    # blob — an all-zero filter proves every non-NULL probe value absent
+    for f in live:
         for c in columns:
-            words.setdefault((f["file_path"], c), [0] * (m_bits // 64))
+            if f["file_path"] in targets[c]:
+                words.setdefault(
+                    (_norm(f["file_path"]), c), [0] * (m_bits // 64)
+                )
     seq = writer._last_sequence_number
     blobs = [
         {
@@ -159,9 +190,10 @@ def write_file_blooms(
         }
         for (fpath, c), arr in sorted(words.items())
     ]
+    discr = f"blooms{snapshot_id}{sorted(columns)}{sorted(words)}"
     name = (
         f"blooms-{snapshot_id}-"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'blooms{snapshot_id}{sorted(columns)}').hex[:8]}"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, discr).hex[:8]}"
         ".puffin"
     )
     path = f"{writer.path}/metadata/{name}"
@@ -176,19 +208,24 @@ def write_file_blooms(
         - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    # replace only a prior bloom entry for this snapshot (NDV stats and
-    # other statistics files coexist on the same snapshot)
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == BLOOM_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
+    if file_subset is None:
+        # full rebuild replaces a prior bloom entry for this snapshot
+        # (NDV stats and other statistics files coexist untouched)
+        writer.statistics = [
+            e
+            for e in writer.statistics
+            if not (
+                e["snapshot-id"] == snapshot_id
+                and any(
+                    b.get("type") == BLOOM_BLOB_TYPE
+                    for b in e.get("blob-metadata", [])
+                )
             )
-        )
-    ] + [entry]
+        ] + [entry]
+    else:
+        # incremental: prior blobs stay live, the new entry only adds
+        # the newly-indexed files (probe reads all entries)
+        writer.statistics = list(writer.statistics) + [entry]
     writer.version += 1
     writer._write_metadata()
     return path
@@ -316,3 +353,54 @@ def bloom_prune_files(
         for f in files
         if any(conj_may_match(f, conj) for conj in conjunctions)
     ]
+
+
+def refresh_file_blooms(writer, spark) -> str | None:
+    """Incremental index catch-up: build blobs ONLY for live files that
+    lack one for an already-indexed column — the post-compaction /
+    post-append maintenance step (``maintain`` runs it when a Spark
+    session is given).  Indexed columns and their (m_bits, seeds) come
+    from the existing blobs; returns the new statistics file path, or
+    None when the table has no bloom index or nothing is missing."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(writer.path)
+    probe = _BloomProbe(t)
+    if not probe:
+        return None
+    id_to_name = {f.field_id: n for n, f in t.fields.items()}
+    params: dict[str, tuple[int, tuple]] = {}
+    for (_path, fid), (_sp, meta) in probe.blob_map.items():
+        name = id_to_name.get(fid)
+        props = meta.get("properties") or {}
+        try:
+            params[name] = (
+                int(props["m-bits"]),
+                tuple(int(s) for s in props["seeds"].split(",")),
+            )
+        except (KeyError, ValueError):
+            continue
+    missing: dict[str, set] = {}
+    for f in t.plan_files(None):
+        for fid, name in id_to_name.items():
+            if name not in params:
+                continue
+            if (_norm(f["file_path"]), fid) not in probe.blob_map:
+                missing.setdefault(name, set()).add(f["file_path"])
+    if not missing:
+        return None
+    # one build per distinct (m_bits, seeds) group — normally exactly one
+    out = None
+    groups: dict[tuple, list[str]] = {}
+    for name in missing:
+        groups.setdefault(params[name], []).append(name)
+    for (m_bits, seeds), cols in sorted(groups.items()):
+        out = write_file_blooms(
+            writer,
+            spark,
+            sorted(cols),
+            m_bits=m_bits,
+            seeds=seeds,
+            file_subset={c: missing.get(c, set()) for c in cols},
+        )
+    return out

@@ -4953,10 +4953,27 @@ def expire_snapshots(
         for s in survivors
     ]
     # statistics files of expired snapshots drop with them (spec rule);
-    # their puffin bytes become orphan-reclaimable
-    writer.statistics = [
-        e for e in writer.statistics if e["snapshot-id"] not in expired_set
-    ]
+    # their puffin bytes become orphan-reclaimable.  EXCEPTION: bloom
+    # index entries (bloomindex.py) are keyed by DATA FILE, not by
+    # snapshot state — their blobs stay valid as long as the files live,
+    # so they reattach to the surviving head instead of dying with the
+    # snapshot that happened to create them (dead files' blobs are
+    # simply never probed).
+    head_id = (
+        writer.head_snapshot["snapshot-id"] if writer.snapshots else None
+    )
+    kept_stats = []
+    for e in writer.statistics:
+        if e["snapshot-id"] not in expired_set:
+            kept_stats.append(e)
+        elif head_id is not None and any(
+            b.get("type") == "daskberg-bloom-v1"
+            for b in e.get("blob-metadata", [])
+        ):
+            moved = dict(e)
+            moved["snapshot-id"] = head_id
+            kept_stats.append(moved)
+    writer.statistics = kept_stats
     writer.partition_statistics = [
         e
         for e in writer.partition_statistics
@@ -5452,6 +5469,12 @@ def maintain(
     if dry_run:
         report["expire_snapshots"] = report["remove_orphans"] = "dry_run"
         return report
+    if spark is not None:
+        # bloom-index catch-up: files compaction just rewrote (or recent
+        # appends) have no blobs yet; a no-op (None) on unindexed tables
+        from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
+
+        report["refresh_blooms"] = refresh_file_blooms(writer, spark)
     report["expire_snapshots"] = expire_snapshots(
         writer,
         keep_last=keep_last,

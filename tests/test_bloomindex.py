@@ -188,3 +188,72 @@ def test_unsupported_column_type_refused(spark):
     w.append([{"v": 1.0}])
     with pytest.raises(ValueError, match="no bit-exact"):
         write_file_blooms(w, spark, ["v"])
+
+
+def test_refresh_indexes_only_missing_files(spark):
+    from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
+
+    path, w = _indexed_table(spark, n_parts=3, rows_per=20)
+    write_file_blooms(w, spark, ["k"])
+    before = {
+        m["properties"]["data-file"]
+        for e in IcebergTable(path).table_statistics()
+        for m in e.get("blob-metadata", [])
+    }
+    w.append([{"k": 5000 + i, "cat": "z", "name": f"z{i}"} for i in range(5)])
+    out = refresh_file_blooms(w, spark)
+    assert out is not None
+    t = IcebergTable(path)
+    after = {
+        m["properties"]["data-file"]
+        for e in t.table_statistics()
+        for m in e.get("blob-metadata", [])
+    }
+    assert len(after) == len(before) + 1  # exactly the new file indexed
+    # the fresh blob prunes like the originals
+    assert len(t.plan_files([("k", "==", 5003)])) == 1
+    assert len(t.plan_files([("k", "==", 4999999)])) == 0
+    # second refresh: nothing missing → no-op
+    assert refresh_file_blooms(w, spark) is None
+
+
+def test_refresh_noop_on_unindexed_table(spark):
+    from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
+
+    path, w = _indexed_table(spark, n_parts=2, rows_per=5)
+    assert refresh_file_blooms(w, spark) is None
+
+
+def test_expire_reattaches_bloom_entry(spark):
+    from daskberg_spark.iceberg.writer import expire_snapshots
+
+    path, w = _indexed_table(spark, n_parts=2, rows_per=10)
+    write_file_blooms(w, spark, ["k"])
+    # several more commits so the bloom's creating snapshot can expire
+    for i in range(3):
+        w.append([{"k": 9000 + i, "cat": "m", "name": f"m{i}"}])
+    expired = expire_snapshots(w, keep_last=2)
+    assert expired  # the index's snapshot is gone...
+    t = IcebergTable(path)
+    kinds = {
+        b.get("type")
+        for e in t.table_statistics()
+        for b in e.get("blob-metadata", [])
+    }
+    assert "daskberg-bloom-v1" in kinds  # ...but the entry reattached
+    assert len(t.plan_files([("k", "==", 4)])) == 1  # and still prunes
+
+
+def test_maintain_runs_bloom_refresh(spark):
+    from daskberg_spark.iceberg.writer import maintain
+
+    path, w = _indexed_table(spark, n_parts=2, rows_per=10)
+    write_file_blooms(w, spark, ["k"])
+    w.append([{"k": 7777, "cat": "q", "name": "late"}])
+    report = maintain(w, spark, min_file_bytes=0)
+    assert report["refresh_blooms"] is not None
+    t = IcebergTable(path)
+    assert len(t.plan_files([("k", "==", 7777)])) == 1
+    # steady state: a second maintain finds nothing to index
+    report2 = maintain(w, spark, min_file_bytes=0)
+    assert report2["refresh_blooms"] is None
