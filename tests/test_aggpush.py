@@ -256,3 +256,85 @@ def test_validation():
         t.agg_pushdown(None, [("min", "nope", "x")])
     with pytest.raises(ValueError, match="duplicate alias"):
         t.agg_pushdown(None, [("count", "*", "x"), ("min", "k", "x")])
+
+
+def test_randomized_vs_full_scan_oracle(spark):
+    """Randomized differential: random small tables (NULLs, NaNs,
+    duplicate keys, optional equality deletes, random filters) — the
+    pushdown answer must equal the full-scan aggregate every time.
+    Seeded, so failures reproduce."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(20260815)
+    for trial in range(12):
+        path = tempfile.mkdtemp(prefix=f"aggprop{trial}_")
+        w = _writer(path, partitioned=trial % 2 == 0)
+        n_files = rng.randint(1, 4)
+        for _ in range(n_files):
+            rows = []
+            for _ in range(rng.randint(0, 30)):
+                k = rng.choice([None, rng.randint(-50, 50)])
+                v = rng.choice(
+                    [None, math.nan, float(rng.randint(-99, 99)) / 4]
+                )
+                s = rng.choice([None, "", "a", "zz", f"s{rng.randint(0, 9)}"])
+                rows.append(
+                    {"k": k, "cat": rng.choice("abc"), "v": v, "s": s}
+                )
+            w.append(rows)
+        if rng.random() < 0.5:
+            keys = [
+                {"k": rng.randint(-50, 50)} for _ in range(rng.randint(1, 3))
+            ]
+            w.delete_rows_equality(keys)
+        filters = rng.choice(
+            [
+                None,
+                [("k", ">=", rng.randint(-40, 40))],
+                [("cat", "==", rng.choice("abc"))],
+                [("k", "<", 0), ("cat", "!=", "b")],
+            ]
+        )
+        t = IcebergTable(path)
+        aggs = [
+            ("count", "*", "n"),
+            ("count", "k", "n_k"),
+            ("count", "v", "n_v"),
+            ("min", "k", "min_k"),
+            ("max", "k", "max_k"),
+            ("min", "v", "min_v"),
+            ("max", "v", "max_v"),
+            ("min", "s", "min_s"),
+            ("max", "s", "max_s"),
+        ]
+        got = t.agg_pushdown(spark, aggs, filters=filters).first()
+        df = t.to_df(spark, filters=filters)
+        exp = df.agg(
+            F.count(F.lit(1)),
+            F.count("k"),
+            F.count("v"),
+            F.min("k"),
+            F.max("k"),
+            F.min("v"),
+            F.max("v"),
+            F.min("s"),
+            F.max("s"),
+        ).first()
+
+        def same(a, b):
+            if a is None or b is None:
+                return a is b
+            if isinstance(a, float) and isinstance(b, float):
+                return (a != a and b != b) or a == b
+            return a == b
+
+        for i, (_, _, alias) in enumerate(aggs):
+            assert same(got[alias], exp[i]), (
+                trial,
+                alias,
+                got[alias],
+                exp[i],
+                filters,
+            )
