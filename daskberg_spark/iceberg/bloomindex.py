@@ -17,9 +17,11 @@ Soundness:
 - Filters are SUPERSET tests — false positives keep a file (wasted IO,
   never wrong answers); the scan's residual re-filter still applies.
 - A file without a blob (added after the index run, or a column never
-  indexed) is always kept.  Snapshots never mutate data files, so a
-  blob stays valid for its file forever; deletes only shrink the live
-  rowset (more false positives, still sound).
+  indexed) is always kept.  Blobs cover the file's RAW contents
+  (deletes are NOT applied at build time), so a blob stays valid for
+  its immutable file at every snapshot — including time-travel and
+  rollback reads to points where later-deleted rows were still live;
+  row-level deletes only add false positives, never false pruning.
 - Only non-NULL ``==``/``=``/``in`` values prune, and only for types
   whose Spark ``xxhash64`` the driver can reproduce bit-exactly
   (``xxhash.py``: int/long/date/timestamp/string/boolean).
@@ -45,11 +47,11 @@ import uuid
 from typing import Any
 
 from daskberg_spark.iceberg.puffin import write_puffin
-from daskberg_spark.iceberg.xxhash import spark_xxhash64_chain
+from daskberg_spark.iceberg.xxhash import BLOOM_SEEDS, spark_xxhash64_chain
 
 BLOOM_BLOB_TYPE = "daskberg-bloom-v1"
 DEFAULT_M_BITS = 1 << 17
-DEFAULT_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1)
+DEFAULT_SEEDS = BLOOM_SEEDS
 
 _PROBE_TYPES = {
     "int",
@@ -75,11 +77,14 @@ def write_file_blooms(
     and commit them as a Puffin statistics file on the current
     snapshot.  Returns the statistics file path.
 
-    The pass reads the delete-aware tagged scan (a value that only
-    lives in deleted rows may prune its file — the row is dead either
-    way), explodes each value into its k bit positions, folds positions
-    into 64-bit words with ``bit_or`` keyed on (file, column, word),
-    and collects only the OCCUPIED words — never values or rows.
+    The pass reads RAW file contents (``_read_file_groups``, no delete
+    application): blobs must stay valid for their immutable file at
+    EVERY snapshot — a blob built from live-rows-only would wrongly
+    prune a time-travel or rollback read at a snapshot where a
+    later-deleted value was still live.  Each value explodes into its k
+    bit positions, positions fold into 64-bit words with ``bit_or``
+    keyed on (file, column, word), and only the OCCUPIED words are
+    collected — never values or rows.
 
     ``file_subset`` (per-column sets of planned file paths) restricts
     the build to those files — the INCREMENTAL path
@@ -118,8 +123,21 @@ def write_file_blooms(
     scan_paths = set().union(*targets.values())
     if not scan_paths:
         return None
-    df = t.to_df(
-        spark, columns=list(columns), keep_file=True, file_subset=scan_paths
+    from pyspark.sql import types as T
+
+    from daskberg_spark.iceberg.conversions import schema_to_struct
+    from daskberg_spark.iceberg.scan import _read_file_groups
+
+    scan_struct = T.StructType(
+        [
+            f
+            for f in schema_to_struct(t.schema).fields
+            if f.name in columns
+        ]
+    )
+    scan_files = [f for f in live if f["file_path"] in scan_paths]
+    df = _read_file_groups(
+        t, spark, scan_files, scan_struct, tag_position=True
     )
     legs = []
     for c in columns:

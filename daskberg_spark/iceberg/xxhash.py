@@ -33,6 +33,12 @@ _P5 = 0x27D4EB2F165667C5
 
 SPARK_DEFAULT_SEED = 42
 
+# shared Bloom seed battery (xxHash/Knuth-style odd constants) — ONE
+# definition so the join prefilter (operators/bloomjoin.py) and the
+# file-level index (iceberg/bloomindex.py) can never drift apart in
+# word/bit layout
+BLOOM_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1)
+
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 _EPOCH_DT = datetime.datetime(1970, 1, 1)
 
@@ -123,24 +129,49 @@ def hash_typed(value, type_str: str, seed: int) -> int | None:
     prune)."""
     if value is None:
         return seed & _M64  # Spark leaves the hash unchanged for NULL
-    if type_str in ("long",):
-        return xxh64_long(int(value), seed)
-    if type_str in ("int",):
-        return xxh64_int(int(value), seed)
+    if type_str in ("long", "int"):
+        # bools are ints in Python; anything else non-integral means a
+        # value shape this mapping does not cover → None (never prune)
+        if not isinstance(value, int):
+            return None
+        return (
+            xxh64_long(value, seed)
+            if type_str == "long"
+            else xxh64_int(value, seed)
+        )
     if type_str == "boolean":
         return xxh64_int(1 if value else 0, seed)
     if type_str == "date":
+        if isinstance(value, datetime.datetime):
+            value = value.date()
         if isinstance(value, datetime.date):
             value = (value - _EPOCH_DATE).days
-        return xxh64_int(int(value), seed)
+        if not isinstance(value, int):
+            return None
+        return xxh64_int(value, seed)
     if type_str in ("timestamp", "timestamptz", "timestampz"):
+        if isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        ):
+            # bounds comparisons promote a date filter value against a
+            # timestamp column (planner._vector_elem) — hash the same
+            # midnight the residual filter compares against
+            value = datetime.datetime(value.year, value.month, value.day)
         if isinstance(value, datetime.datetime):
             if value.tzinfo is not None:
                 value = value.astimezone(datetime.timezone.utc).replace(
                     tzinfo=None
                 )
-            value = int((value - _EPOCH_DT).total_seconds() * 1_000_000)
-        return xxh64_long(int(value), seed)
+            delta = value - _EPOCH_DT
+            # exact integer micros: float total_seconds() rounds the
+            # last microsecond for ~1% of values, which would silently
+            # desync this hash from Spark's and prune LIVE files
+            value = (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
+        if not isinstance(value, int):
+            return None
+        return xxh64_long(value, seed)
     if type_str == "string":
         return xxh64_bytes(str(value).encode("utf-8"), seed)
     return None

@@ -40,10 +40,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from daskberg_spark.iceberg.xxhash import BLOOM_SEEDS
 from daskberg_spark.operators.registry import query, table
 
 DEFAULT_M_BITS = 1 << 20
-DEFAULT_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1)
+DEFAULT_SEEDS = BLOOM_SEEDS
 
 
 def _positions(col: Column, m_bits: int, seeds) -> list[Column]:
@@ -110,9 +111,21 @@ def bloom_prefilter(
 ) -> DataFrame:
     """``fact`` reduced to rows whose key MAY exist in ``dim`` — a
     superset of the rows an inner/semi equi-join on these columns keeps.
-    Follow with the real join for exact results."""
+    Follow with the real join for exact results.
+
+    ``xxhash64`` hashes by PHYSICAL type (int 3 and bigint 3 hash
+    differently) while the equi-join coerces — so when the key types
+    differ, the probe hashes the fact key CAST to the dim key's type.
+    The cast can wrap out-of-range values, which only widens the
+    prefilter (those rows could never equal an in-range dim key through
+    the join's own coercion anyway — at worst a false positive the
+    exact join drops)."""
     words = bloom_build_words(dim, dim_col, m_bits, seeds)
-    return fact.where(bloom_membership(F.col(fact_col), words, m_bits, seeds))
+    probe = F.col(fact_col)
+    dim_type = dim.schema[dim_col].dataType
+    if fact.schema[fact_col].dataType != dim_type:
+        probe = probe.cast(dim_type)
+    return fact.where(bloom_membership(probe, words, m_bits, seeds))
 
 
 def bloom_join(

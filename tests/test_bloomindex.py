@@ -257,3 +257,69 @@ def test_maintain_runs_bloom_refresh(spark):
     # steady state: a second maintain finds nothing to index
     report2 = maintain(w, spark, min_file_bytes=0)
     assert report2["refresh_blooms"] is None
+
+
+def test_xxhash64_timestamp_micros_exact(spark):
+    """Regression: float total_seconds() rounds the last microsecond for
+    ~1% of timestamps — a desync that silently prunes live files.  Sweep
+    randomized microsecond-precision values against real Spark."""
+    import datetime as dt
+    import random as rnd
+
+    r = rnd.Random(99)
+    vals = [
+        dt.datetime(1970, 1, 1)
+        + dt.timedelta(microseconds=r.randint(0, 4_102_444_800_000_000))
+        for _ in range(300)
+    ]
+    vals.append(dt.datetime(2005, 9, 5, 5, 39, 20, 765082))  # known rounder
+    df = spark.createDataFrame(
+        [(v,) for v in vals],
+        T.StructType([T.StructField("c", T.TimestampNTZType(), True)]),
+    )
+    got = [row[0] for row in df.select(F.xxhash64("c")).collect()]
+    exp = [
+        to_signed64(hash_typed(v, "timestamp", SPARK_DEFAULT_SEED))
+        for v in vals
+    ]
+    assert got == exp
+
+
+def test_time_travel_read_not_pruned_by_later_deletes(spark):
+    """Regression: blobs are built from RAW file contents, so a
+    time-travel read to a snapshot where a later-deleted row was live
+    still finds it."""
+    path, w = _indexed_table(spark, n_parts=2, rows_per=10)
+    s1 = w.head_snapshot["snapshot-id"]
+    w.delete_rows_equality([{"k": 4}])
+    write_file_blooms(w, spark, ["k"])  # index built AFTER the delete
+    t = IcebergTable(path)
+    assert t.to_df(spark, filters=[("k", "==", 4)]).count() == 0
+    t.open_snapshot(snapshot_id=s1)
+    rows = t.to_df(spark, filters=[("k", "==", 4)]).collect()
+    assert [r.k for r in rows] == [4]  # alive at s1, blob must admit it
+
+
+def test_probe_with_date_value_on_timestamp_column(spark):
+    """Regression: a date filter value against an indexed timestamp
+    column must hash the promoted midnight (and never crash)."""
+    import datetime as dt
+
+    path = tempfile.mkdtemp(prefix="bloomts_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "k", "type": "long", "required": False},
+        ],
+        [],
+    )
+    w.append([{"ts": dt.datetime(2024, 1, 1), "k": 1}])
+    w.append([{"ts": dt.datetime(2024, 6, 15, 12, 30), "k": 2}])
+    write_file_blooms(w, spark, ["ts"])
+    t = IcebergTable(path)
+    rows = t.to_df(
+        spark, filters=[("ts", "==", dt.date(2024, 1, 1))]
+    ).collect()
+    assert [r.k for r in rows] == [1]
+    assert len(t.plan_files([("ts", "==", dt.date(2024, 1, 1))])) == 1

@@ -98,3 +98,20 @@ def test_probe_is_codegen_only(spark):
     import re
 
     assert re.search(r"\*\(\d+\) Filter", plan)
+
+
+def test_mismatched_key_types_still_bit_identical(spark):
+    """Regression: xxhash64 hashes by physical type — an int fact key
+    against a bigint dim key must cast before probing or every true
+    match silently drops."""
+    fact = spark.range(0, 100).selectExpr("CAST(id AS INT) AS k")
+    dim = spark.range(0, 100).where(F.col("id") % 10 == 3).select(
+        F.col("id").alias("dk")
+    )
+    plain = sorted(
+        r.k for r in fact.join(dim, fact.k == dim.dk, "semi").collect()
+    )
+    bloomed = sorted(
+        r.k for r in bloom_join(fact, dim, "k", "dk", how="semi").collect()
+    )
+    assert bloomed == plain and len(plain) == 10
