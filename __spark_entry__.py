@@ -297,6 +297,7 @@ _PRIORITY = [
     # NEW r10 session 2
     "iceberg_agg_pushdown",
     "iceberg_agg_pushdown_hybrid",
+    "iceberg_agg_pushdown_groupby",
     "iceberg_bloom_index_prune",
     "bloom_filter_join",
     # r10-touched families
@@ -342,13 +343,10 @@ _PRIORITY = [
     "stats_moments",
     "string_functions2",
     "topk_orders",
-    "window_distribution",
-    # below the 50-slot window after the session-2 additions — first in
-    # line for the r11 rotation (driver-green r1, oracle-exact locally)
-    "window_range_frame",
-    "window_running",
-    "write_roundtrip",
-    "agg_argminmax",
+    # window_distribution / window_range_frame / window_running /
+    # write_roundtrip / agg_argminmax dropped below the 50-slot window
+    # by the session-2 additions — first in line for the r11 rotation
+    # (driver-green r1, oracle-exact locally)
 ]
 
 

@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
-    "filter_project",
     "count_distinct",
     "cube_agg",
     "join_multi",
@@ -63,7 +62,6 @@ HEADLINE = [
     # left is the 20-round training loop), the nested-type read, and the
     # count-min heavy-hitter sketch
     "bpe_encode_corpus",
-    "iceberg_nested_read",
     "approx_topk_countmin",
     # round 5: sequence-classed delete read on the foreign-style fixture,
     # and the two heaviest TPC-H tail shapes rotated into the driver
@@ -102,7 +100,11 @@ HEADLINE = [
     "iceberg_variant_shredded_prune",
     # round 10, session 2: metadata-only aggregates (zero data files),
     # the file-level Bloom index point lookup (7/83 files where bounds
-    # prune nothing), and the runtime Bloom join prefilter
+    # prune nothing), and the runtime Bloom join prefilter.
+    # (filter_project and iceberg_nested_read — the two cheapest,
+    # least informative entries — retired to keep the driver-parsed
+    # stdout line under its tail budget; BENCH_CONTROL_DETAIL.json
+    # still carries full per-query control ratios.)
     "iceberg_agg_pushdown",
     "iceberg_bloom_index_prune",
     "bloom_filter_join",

@@ -132,19 +132,43 @@ def agg_pushdown(
     spark: SparkSession,
     aggs: list[tuple[str, str, str]],
     filters: Any = None,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
-    """One-row DataFrame of ``aggs`` = [(fn, col, alias), ...] where fn
-    ∈ {count, min, max} (col ``"*"`` allowed for count), answered from
+    """DataFrame of ``aggs`` = [(fn, col, alias), ...] where fn ∈
+    {count, min, max} (col ``"*"`` allowed for count), answered from
     manifest statistics wherever sound and from ONE residual Spark scan
     over the remaining files otherwise.  Exact under filters, row-level
     deletes, and NaN — every unprovable file is scanned, and the result
     never depends on stats alone.
+
+    ``group_by`` (identity-partitioned columns of int/long/string/
+    boolean type) turns the one-row answer into one row per group —
+    every row of a file shares its identity partition value, so
+    per-file stats ARE per-group stats and "rows per day" on a 100 TB
+    table stays a manifest read.  A group only appears when it provably
+    holds ≥1 live matching row.
 
     ``table.last_agg_pushdown`` reports the split:
     ``{"files_planned", "files_scanned", "meta_files": {alias: n}}``.
     """
     fields = table.fields
     _validate_aggs(aggs, fields)
+    group_by = list(group_by or [])
+    for g in group_by:
+        info = fields.get(g)
+        if info is None:
+            raise ValueError(f"unknown group column {g!r}")
+        if info.transform != "identity" or not info.partition_name:
+            raise ValueError(
+                f"group column {g!r} is not identity-partitioned — "
+                "per-file stats cannot split a file across groups"
+            )
+        if info.type not in ("int", "long", "string", "boolean"):
+            raise ValueError(
+                f"group column {g!r} has type {info.type!r}; metadata "
+                "grouping supports int/long/string/boolean partition "
+                "values"
+            )
     files = table.plan_files(filters)
     deletes = table.plan_deletes()
     use_seq = table.metadata.get("format-version", 1) >= 2
@@ -276,21 +300,47 @@ def agg_pushdown(
                 return _SENTINEL_SCAN
         return bound
 
+    def group_key(f: dict[str, Any]) -> tuple | None:
+        """The file's group tuple, or None when unknowable (a file from
+        a spec without this identity field must be scanned)."""
+        if not group_by:
+            return ()
+        part = f.get("partition") or {}
+        key = []
+        for g in group_by:
+            pname = fields[g].partition_name
+            if pname not in part:
+                return None
+            key.append(part[pname])
+        return tuple(key)
+
+    gkeys = [group_key(f) for f in files]
+
     # -- split every (file, agg) into metadata value vs scan ---------------
-    meta_parts: dict[str, list[Any]] = {a: [] for _, _, a in aggs}
+    meta_parts: dict[str, dict[tuple, list[Any]]] = {
+        a: {} for _, _, a in aggs
+    }
     scan_sets: dict[str, set[int]] = {a: set() for _, _, a in aggs}
     for idx, f in enumerate(files):
+        if gkeys[idx] is None or (group_by and f.get("record_count") is None):
+            # unknowable group (or group existence) → scan for everything
+            for _, _, alias in aggs:
+                scan_sets[alias].add(idx)
+            continue
         for fn, col, alias in aggs:
             v = meta_value(idx, f, fn, col)
             if v is _SENTINEL_SCAN:
                 scan_sets[alias].add(idx)
             elif v is not _SENTINEL_SKIP:
-                meta_parts[alias].append(v)
+                meta_parts[alias].setdefault(gkeys[idx], []).append(v)
 
     # -- bounds refinement: drop min/max scan files that provably cannot
     #    contain the extremum ------------------------------------------------
     for fn, col, alias in aggs:
-        if fn not in ("min", "max") or not scan_sets[alias]:
+        # the cap argument compares files ACROSS the whole table — under
+        # grouping a skip decision would need a per-group cap; scan
+        # instead (conservative)
+        if fn not in ("min", "max") or not scan_sets[alias] or group_by:
             continue
         info = fields[col]
         cap = None  # an upper bound on the true min / lower bound on max
@@ -334,14 +384,17 @@ def agg_pushdown(
 
     # -- one residual scan, aggregates gated per-file by a bitmask ---------
     scan_idx = sorted(set().union(*scan_sets.values()))
-    scanned_row = None
+    scan_idx_set = set(scan_idx)
+    scanned_rows: dict[tuple, Any] = {}
     if scan_idx:
         masks = {}
         for bit, (_, _, alias) in enumerate(aggs):
             for idx in scan_sets[alias]:
                 p = files[idx]["file_path"]
                 masks[p] = masks.get(p, 0) | (1 << bit)
-        need_cols = sorted({c for _, c, _ in aggs if c != "*"})
+        need_cols = sorted(
+            {c for _, c, _ in aggs if c != "*"} | set(group_by)
+        )
         struct_names = [f.name for f in schema_to_struct(table.schema).fields]
         df = to_df(
             table,
@@ -363,23 +416,59 @@ def agg_pushdown(
             guarded = F.when(gate, target)
             agg_fn = {"count": F.count, "min": F.min, "max": F.max}[fn]
             exprs.append(agg_fn(guarded).alias(alias))
-        scanned_row = df.agg(*exprs).first()
+        # group existence: every scanned row is a live matching row
+        exprs.append(F.count(F.lit(1)).alias("__exist"))
+        if group_by:
+            for r in df.groupBy(*group_by).agg(*exprs).collect():
+                scanned_rows[tuple(r[g] for g in group_by)] = r
+        else:
+            scanned_rows[()] = df.agg(*exprs).first()
+
+    # -- group existence from metadata (files the scan never touches) ------
+    meta_exist: dict[tuple, int] = {}
+    for idx, f in enumerate(files):
+        if idx in scan_idx_set or gkeys[idx] is None:
+            continue
+        st, minus = states[idx]
+        rc = f.get("record_count")
+        # every fully-metadata file passed whole_match and is CLEAN or
+        # DV_EXACT (DIRTY files scan for every aggregate)
+        if rc is not None:
+            live = int(rc) - minus
+            if live > 0:
+                meta_exist[gkeys[idx]] = meta_exist.get(gkeys[idx], 0) + live
 
     # -- combine -------------------------------------------------------------
-    out_vals, out_fields = [], []
     struct = schema_to_struct(table.schema)
     spark_types = {f.name: f.dataType for f in struct.fields}
+    group_keys: set[tuple] = set(meta_exist)
+    group_keys.update(
+        k for k, r in scanned_rows.items() if (r["__exist"] or 0) > 0
+    )
+    if not group_by:
+        group_keys = {()}  # the global aggregate emits exactly one row
+
+    def none_last(key: tuple) -> tuple:
+        return tuple((v is None, v) for v in key)
+
+    out_rows = []
+    for gk in sorted(group_keys, key=none_last):
+        vals: list[Any] = list(gk)
+        srow = scanned_rows.get(gk)
+        for fn, col, alias in aggs:
+            parts = list(meta_parts[alias].get(gk, []))
+            if srow is not None and scan_sets[alias]:
+                parts.append(srow[alias])
+            if fn == "count":
+                vals.append(sum(int(p) for p in parts if p is not None))
+            else:
+                vals.append(_combine(fn, parts))
+        out_rows.append(tuple(vals))
+    out_fields = [
+        T.StructField(g, spark_types[g], True) for g in group_by
+    ]
     for fn, col, alias in aggs:
-        parts = list(meta_parts[alias])
-        if scanned_row is not None and scan_sets[alias]:
-            parts.append(scanned_row[alias])
-        if fn == "count":
-            val: Any = sum(int(p) for p in parts if p is not None)
-            typ: T.DataType = T.LongType()
-        else:
-            val = _combine(fn, parts)
-            typ = spark_types[col]
-        out_vals.append(val)
+        typ = T.LongType() if fn == "count" else spark_types[col]
         out_fields.append(T.StructField(alias, typ, True))
 
     table.last_agg_pushdown = {
@@ -406,9 +495,7 @@ def agg_pushdown(
             "projected_columns": [],
             "filters": filters,
         }
-    return spark.createDataFrame(
-        [tuple(out_vals)], T.StructType(out_fields)
-    )
+    return spark.createDataFrame(out_rows, T.StructType(out_fields))
 
 
 IcebergTable.agg_pushdown = agg_pushdown  # type: ignore[attr-defined]

@@ -2744,3 +2744,41 @@ def iceberg_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
+
+
+@query(
+    "iceberg_agg_pushdown_groupby",
+    """
+    SELECT CAST((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1
+                AS INTEGER) AS l_shipmonth,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(l_returnflag) AS BIGINT) AS n_rf,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def iceberg_agg_pushdown_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED metadata-only aggregate pushdown (r10): per-month row
+    counts and shipdate ranges over the identity-partitioned lineitem
+    table — every row of a file shares its partition value, so per-file
+    stats ARE per-group stats and the whole 83-group answer is a
+    manifest read (hard-asserted ZERO data files).  The "rows per day"
+    dashboard query on a 100 TB table."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
+
+    t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("count", "*", "n"),
+            ("count", "l_returnflag", "n_rf"),
+            ("min", "l_shipdate", "min_ship"),
+            ("max", "l_shipdate", "max_ship"),
+        ],
+        group_by=["l_shipmonth"],
+    )
+    assert t.last_agg_pushdown["files_scanned"] == 0, "grouped pushdown regressed"
+    return out

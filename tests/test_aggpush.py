@@ -338,3 +338,100 @@ def test_randomized_vs_full_scan_oracle(spark):
                 exp[i],
                 filters,
             )
+
+
+def test_grouped_pushdown_matches_groupby(spark):
+    import pyspark.sql.functions as F
+
+    path = tempfile.mkdtemp(prefix="agggrp_")
+    w = _mk(
+        path,
+        {
+            "a": [(1, 1.0, "x"), (2, 2.0, None)],
+            "b": [(10, 5.0, "y")],
+            "c": [(7, None, "z")],
+        },
+    )
+    t = IcebergTable(path)
+    got = {
+        r.cat: (r.n, r.n_s, r.min_k, r.max_k)
+        for r in t.agg_pushdown(
+            spark,
+            [
+                ("count", "*", "n"),
+                ("count", "s", "n_s"),
+                ("min", "k", "min_k"),
+                ("max", "k", "max_k"),
+            ],
+            group_by=["cat"],
+        ).collect()
+    }
+    exp = {
+        r.cat: (r.n, r.n_s, r.min_k, r.max_k)
+        for r in t.to_df(spark)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("s").alias("n_s"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert t.last_agg_pushdown["files_scanned"] == 0
+    # a whole-group delete removes its row entirely (SQL GROUP BY
+    # semantics: empty groups don't exist)
+    w.delete_rows_equality([{"k": 10}])
+    t = IcebergTable(path)
+    got2 = {
+        r.cat: r.n
+        for r in t.agg_pushdown(
+            spark, [("count", "*", "n")], group_by=["cat"]
+        ).collect()
+    }
+    assert got2 == {"a": 2, "c": 1}
+
+
+def test_grouped_pushdown_filtered_hybrid(spark):
+    import pyspark.sql.functions as F
+
+    path = tempfile.mkdtemp(prefix="agggrp_")
+    _mk(
+        path,
+        {
+            c: [(i + off, float(i), f"s{i}") for i in range(10)]
+            for off, c in ((0, "a"), (100, "b"), (200, "c"))
+        },
+    )
+    t = IcebergTable(path)
+    filters = [("k", ">=", 5)]
+    got = {
+        r.cat: (r.n, r.max_k)
+        for r in t.agg_pushdown(
+            spark,
+            [("count", "*", "n"), ("max", "k", "max_k")],
+            filters=filters,
+            group_by=["cat"],
+        ).collect()
+    }
+    exp = {
+        r.cat: (r.n, r.mx)
+        for r in t.to_df(spark, filters=filters)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("mx"))
+        .collect()
+    }
+    assert got == exp
+    assert t.last_agg_pushdown["files_scanned"] == 1  # only the boundary
+
+
+def test_grouped_pushdown_validation(spark):
+    path = tempfile.mkdtemp(prefix="agggrp_")
+    w = _writer(path)
+    w.append([{"k": 1, "cat": "a", "v": 1.0, "s": "x"}])
+    t = IcebergTable(path)
+    with pytest.raises(ValueError, match="not identity-partitioned"):
+        t.agg_pushdown(spark, [("count", "*", "n")], group_by=["k"])
+    with pytest.raises(ValueError, match="unknown group column"):
+        t.agg_pushdown(spark, [("count", "*", "n")], group_by=["nope"])

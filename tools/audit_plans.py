@@ -224,6 +224,9 @@ AUDIT = {
     # handful of files, the equality residual pushes into their scan,
     # one global-agg exchange
     "iceberg_bloom_index_prune": (1, True, False, 3),
+    # grouped metadata aggregate: 83 group rows combined driver-side
+    # from manifest stats — a literal relation, zero exchanges
+    "iceberg_agg_pushdown_groupby": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
