@@ -27,10 +27,12 @@ Soundness:
   (``xxhash.py``: int/long/date/timestamp/string/boolean).
 - The build hashes with the built-in ``F.xxhash64`` on executors
   (codegen, no Python); per-file state is capped at ``m_bits/64``
-  words, so the driver collect is O(files × m/64) — the same order as
-  the scan plan it accelerates.  (At million-file scale the build
-  should shard puffin files executor-side like the DV commit path's
-  ``DV_SHARD_FILE_GATE``; the probe side is unchanged.)
+  words.  Below ``DASKBERG_BLOOM_SHARD_FILE_GATE`` (default 1000
+  files) the driver collects the occupied words and packs one puffin;
+  above it, executors write sharded puffin files directly (the DV
+  commit path's pattern) and the driver collects only (file, column,
+  path, offset, length) rows — million-file builds never move bitmap
+  words through the driver.
 
 Blob layout (engine extension, skipped by foreign readers per the
 Puffin spec): type ``daskberg-bloom-v1``, payload = little-endian u64
@@ -168,7 +170,7 @@ def write_file_blooms(
     u = legs[0]
     for leg in legs[1:]:
         u = u.unionByName(leg)
-    rows = (
+    word_frame = (
         u.selectExpr(
             "f",
             "c",
@@ -177,57 +179,84 @@ def write_file_blooms(
         )
         .groupBy("f", "c", "w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
     )
-    words: dict[tuple[str, str], list[int]] = {}
-    for r in rows:
-        arr = words.setdefault((_norm(r.f), r.c), [0] * (m_bits // 64))
-        arr[r.w] = r.bits & ((1 << 64) - 1)
-    # targeted files whose column is all-NULL (or empty) still get a
-    # blob — an all-zero filter proves every non-NULL probe value absent
-    for f in live:
-        for c in columns:
-            if f["file_path"] in targets[c]:
-                words.setdefault(
-                    (_norm(f["file_path"]), c), [0] * (m_bits // 64)
-                )
-    seq = writer._last_sequence_number
-    blobs = [
+    # every targeted (file, column) pair, normalized — the all-NULL /
+    # empty-file backfill set (an all-zero filter proves every non-NULL
+    # probe value absent)
+    pair_list = sorted(
         {
-            "type": BLOOM_BLOB_TYPE,
-            "fields": [writer.ids[c]],
-            "snapshot-id": snapshot_id,
-            "sequence-number": seq,
-            "properties": {
-                "data-file": fpath,
-                "column": c,
-                "m-bits": str(m_bits),
-                "seeds": ",".join(str(int(s)) for s in seeds),
-            },
-            "data": struct.pack(f"<{m_bits // 64}Q", *arr),
+            (_norm(f["file_path"]), c)
+            for f in live
+            for c in columns
+            if f["file_path"] in targets[c]
         }
-        for (fpath, c), arr in sorted(words.items())
-    ]
-    discr = f"blooms{snapshot_id}{sorted(columns)}{sorted(words)}"
-    name = (
-        f"blooms-{snapshot_id}-"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, discr).hex[:8]}"
-        ".puffin"
     )
-    path = f"{writer.path}/metadata/{name}"
-    metas = write_puffin(path, blobs)
-    size = os.path.getsize(path)
-    entry = {
-        "snapshot-id": snapshot_id,
-        "statistics-path": path,
-        "file-size-in-bytes": size,
-        "file-footer-size-in-bytes": size
-        - 4
-        - sum(m["length"] for m in metas),
-        "blob-metadata": metas,
-    }
+    seq = writer._last_sequence_number
+    seeds_prop = ",".join(str(int(s)) for s in seeds)
+    fid_by_col = {c: writer.ids[c] for c in columns}
+    shard_gate = int(
+        os.environ.get("DASKBERG_BLOOM_SHARD_FILE_GATE", "1000")
+    )
+    if len(scan_paths) > shard_gate:
+        entries = _sharded_blob_commit(
+            spark,
+            word_frame,
+            pair_list,
+            f"{writer.path}/metadata",
+            m_bits,
+            seeds_prop,
+            fid_by_col,
+            snapshot_id,
+            seq,
+        )
+    else:
+        rows = word_frame.collect()
+        words: dict[tuple[str, str], list[int]] = {}
+        for r in rows:
+            arr = words.setdefault(
+                (_norm(r.f), r.c), [0] * (m_bits // 64)
+            )
+            arr[r.w] = r.bits & ((1 << 64) - 1)
+        for pair in pair_list:
+            words.setdefault(pair, [0] * (m_bits // 64))
+        blobs = [
+            {
+                "type": BLOOM_BLOB_TYPE,
+                "fields": [fid_by_col[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "data-file": fpath,
+                    "column": c,
+                    "m-bits": str(m_bits),
+                    "seeds": seeds_prop,
+                },
+                "data": struct.pack(f"<{m_bits // 64}Q", *arr),
+            }
+            for (fpath, c), arr in sorted(words.items())
+        ]
+        discr = f"blooms{snapshot_id}{sorted(columns)}{sorted(words)}"
+        name = (
+            f"blooms-{snapshot_id}-"
+            f"{uuid.uuid5(uuid.NAMESPACE_URL, discr).hex[:8]}"
+            ".puffin"
+        )
+        path = f"{writer.path}/metadata/{name}"
+        metas = write_puffin(path, blobs)
+        size = os.path.getsize(path)
+        entries = [
+            {
+                "snapshot-id": snapshot_id,
+                "statistics-path": path,
+                "file-size-in-bytes": size,
+                "file-footer-size-in-bytes": size
+                - 4
+                - sum(m["length"] for m in metas),
+                "blob-metadata": metas,
+            }
+        ]
     if file_subset is None:
-        # full rebuild replaces a prior bloom entry for this snapshot
+        # full rebuild replaces prior bloom entries for this snapshot
         # (NDV stats and other statistics files coexist untouched)
         writer.statistics = [
             e
@@ -239,14 +268,147 @@ def write_file_blooms(
                     for b in e.get("blob-metadata", [])
                 )
             )
-        ] + [entry]
+        ] + entries
     else:
-        # incremental: prior blobs stay live, the new entry only adds
+        # incremental: prior blobs stay live, the new entries only add
         # the newly-indexed files (probe reads all entries)
-        writer.statistics = list(writer.statistics) + [entry]
+        writer.statistics = list(writer.statistics) + entries
     writer.version += 1
     writer._write_metadata()
-    return path
+    return entries[-1]["statistics-path"]
+
+
+def _sharded_blob_commit(
+    spark,
+    word_frame,
+    pair_list: list[tuple[str, str]],
+    meta_dir: str,
+    m_bits: int,
+    seeds_prop: str,
+    fid_by_col: dict[str, int],
+    snapshot_id: int,
+    seq: int,
+) -> list[dict[str, Any]]:
+    """Executor-sharded Puffin write for million-file index builds — the
+    same shape as the DV commit path's ``DV_SHARD_FILE_GATE``: word rows
+    shuffle once by file-hash shard, each shard task assembles its
+    files' blobs and writes ONE puffin file DIRECTLY (requires
+    shared/object storage reachable from executors, like every other
+    executor write in this engine), and the driver collects only
+    (file, column, path, offset, length) rows — never bitmap words.
+    Returns one statistics entry per shard puffin."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    per_shard = int(os.environ.get("DASKBERG_BLOOM_SHARD_PAIRS", "256"))
+    n_shards = max(1, (len(pair_list) + per_shard - 1) // per_shard)
+    markers = spark.createDataFrame(
+        pd.DataFrame(
+            [(f, c, -1, 0) for f, c in pair_list],
+            columns=["f", "c", "w", "bits"],
+        )
+    )
+    wf = word_frame.unionByName(markers).withColumn(
+        "shard", F.pmod(F.xxhash64("f"), F.lit(n_shards))
+    )
+    n_words = m_bits // 64
+
+    def build_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import os as _os
+        import struct as _struct
+        import uuid as _uuid
+
+        from daskberg_spark.iceberg.puffin import write_puffin as _wp
+
+        words: dict[tuple[str, str], list[int]] = {}
+        for f, c, w, bits in zip(pdf["f"], pdf["c"], pdf["w"], pdf["bits"]):
+            arr = words.setdefault((f, c), [0] * n_words)
+            if w >= 0:
+                arr[int(w)] = int(bits) & ((1 << 64) - 1)
+        if not words:
+            return pd.DataFrame(
+                columns=["f", "c", "path", "offset", "length"]
+            )
+        blobs = [
+            {
+                "type": BLOOM_BLOB_TYPE,
+                "fields": [fid_by_col[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "data-file": fpath,
+                    "column": c,
+                    "m-bits": str(m_bits),
+                    "seeds": seeds_prop,
+                },
+                "data": _struct.pack(f"<{n_words}Q", *arr),
+            }
+            for (fpath, c), arr in sorted(words.items())
+        ]
+        discr = f"bloomshard{snapshot_id}{sorted(words)}"
+        name = (
+            f"blooms-{snapshot_id}-shard-"
+            f"{_uuid.uuid5(_uuid.NAMESPACE_URL, discr).hex[:12]}.puffin"
+        )
+        path = _os.path.join(meta_dir, name)
+        metas = _wp(path, blobs)
+        return pd.DataFrame(
+            [
+                (
+                    m["properties"]["data-file"],
+                    m["properties"]["column"],
+                    path,
+                    m["offset"],
+                    m["length"],
+                )
+                for m in metas
+            ],
+            columns=["f", "c", "path", "offset", "length"],
+        )
+
+    out_rows = (
+        wf.groupBy("shard")
+        .applyInPandas(
+            build_shard,
+            "f string, c string, path string, offset long, length long",
+        )
+        .collect()
+    )
+    by_path: dict[str, list] = {}
+    for r in out_rows:
+        by_path.setdefault(r.path, []).append(r)
+    entries = []
+    for path in sorted(by_path):
+        metas = [
+            {
+                "type": BLOOM_BLOB_TYPE,
+                "fields": [fid_by_col[r.c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "data-file": r.f,
+                    "column": r.c,
+                    "m-bits": str(m_bits),
+                    "seeds": seeds_prop,
+                },
+                "offset": r.offset,
+                "length": r.length,
+            }
+            for r in sorted(by_path[path], key=lambda r: r.offset)
+        ]
+        size = os.path.getsize(path)
+        entries.append(
+            {
+                "snapshot-id": snapshot_id,
+                "statistics-path": path,
+                "file-size-in-bytes": size,
+                "file-footer-size-in-bytes": size
+                - 4
+                - sum(m["length"] for m in metas),
+                "blob-metadata": metas,
+            }
+        )
+    return entries
 
 
 def _norm(p: str) -> str:

@@ -323,3 +323,33 @@ def test_probe_with_date_value_on_timestamp_column(spark):
     ).collect()
     assert [r.k for r in rows] == [1]
     assert len(t.plan_files([("ts", "==", dt.date(2024, 1, 1))])) == 1
+
+
+def test_sharded_build_identical_to_driver_build(spark, monkeypatch):
+    """Above the shard gate, executors write the puffin shards and the
+    driver never sees bitmap words — probing must behave identically to
+    the driver-side build."""
+    monkeypatch.setenv("DASKBERG_BLOOM_SHARD_FILE_GATE", "1")
+    monkeypatch.setenv("DASKBERG_BLOOM_SHARD_PAIRS", "3")
+    path, w = _indexed_table(spark, n_parts=4, rows_per=50)
+    write_file_blooms(w, spark, ["k", "name"])
+    t = IcebergTable(path)
+    # multiple shard entries landed in the statistics list
+    bloom_entries = [
+        e
+        for e in t.table_statistics()
+        if any(
+            b.get("type") == "daskberg-bloom-v1"
+            for b in e.get("blob-metadata", [])
+        )
+    ]
+    assert len(bloom_entries) >= 2
+    assert len(t.plan_files([("k", "==", 101)])) == 1
+    assert len(t.plan_files([("name", "==", "n101")])) == 1
+    assert len(t.plan_files([("k", "==", 10**9)])) == 0
+    full = {r.k for r in t.to_df(spark).collect()}
+    for k in list(sorted(full))[::29] + [888888]:
+        got = {
+            r.k for r in t.to_df(spark, filters=[("k", "==", k)]).collect()
+        }
+        assert got == ({k} & full)
