@@ -495,7 +495,26 @@ def agg_pushdown(
             "projected_columns": [],
             "filters": filters,
         }
-    return spark.createDataFrame(out_rows, T.StructType(out_fields))
+    # JVM-side literal relation (inline(array(struct(...)))): a plain
+    # createDataFrame ships the rows through Python workers at a fixed
+    # ~0.3-0.5 s — real IO-sized cost for an operator whose whole point
+    # is zero IO.  Only for SMALL results: analysis of hundreds of
+    # cast(lit(...)) nodes costs more than the Python round-trip
+    # (measured 2.2 s at 83 groups × 6 columns), so big grouped answers
+    # take the createDataFrame path.
+    schema = T.StructType(out_fields)
+    if not out_rows or len(out_rows) * len(out_fields) > 64:
+        return spark.createDataFrame(out_rows, schema)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(fld.dataType).alias(fld.name)
+                for v, fld in zip(row, out_fields)
+            ]
+        )
+        for row in out_rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 IcebergTable.agg_pushdown = agg_pushdown  # type: ignore[attr-defined]

@@ -2706,9 +2706,13 @@ def iceberg_agg_pushdown_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(l_shipdate) AS min_ship,
            MAX(l_shipdate) AS max_ship
     FROM lineitem
-    WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem
-                        WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 2
-                                             FROM lineitem))
+    WHERE l_orderkey = (
+        SELECT MAX(l_orderkey) FROM lineitem
+        WHERE (YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1 = (
+            SELECT (MIN((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1)
+                  + MAX((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1))
+                   // 2
+            FROM lineitem))
     """,
 )
 def iceberg_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2725,14 +2729,22 @@ def iceberg_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daskberg_spark.iceberg.fixtures import ensure_lineitem_bloom_iceberg
 
     t = IcebergTable(ensure_lineitem_bloom_iceberg(spark, sf_dir))
-    key_max = int(t.agg_pushdown(spark, [("max", "l_orderkey", "m")]).first().m)
+    # key derivation is METADATA-ONLY: min/max month from bounds, then
+    # the mid month's max orderkey from that one partition's bounds —
+    # the earlier shape (max key ≤ global-max/2) whole-matched nothing
+    # and silently scanned all 83 files just to pick the key
+    mm = t.agg_pushdown(
+        spark, [("min", "l_shipmonth", "mn"), ("max", "l_shipmonth", "mx")]
+    ).first()
+    mid_month = (int(mm.mn) + int(mm.mx)) // 2
     key = int(
         t.agg_pushdown(
             spark,
             [("max", "l_orderkey", "m")],
-            filters=[("l_orderkey", "<=", key_max // 2)],
+            filters=[("l_shipmonth", "==", mid_month)],
         ).first().m
     )
+    assert t.last_agg_pushdown["files_scanned"] == 0, "key derivation scanned"
     df = t.to_df(spark, filters=[("l_orderkey", "==", key)])
     scan = t.last_scan
     assert 0 < scan["files_scanned"] <= 8, f"bloom prune regressed: {scan}"
