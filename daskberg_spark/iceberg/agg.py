@@ -112,8 +112,16 @@ def _combine(op: str, vals: list[Any]) -> Any:
 
 
 def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
+    if not aggs:
+        # an empty battery would skip every per-file soundness gate and
+        # emit groups from raw record counts — reject it
+        raise ValueError("at least one aggregate is required")
     seen = set()
     for fn, col, alias in aggs:
+        if alias.startswith("__"):
+            raise ValueError(
+                f"alias {alias!r} collides with internal columns"
+            )
         if fn not in ("count", "min", "max"):
             raise ValueError(f"unsupported aggregate {fn!r}")
         if col == "*" and fn != "count":
@@ -154,10 +162,17 @@ def agg_pushdown(
     fields = table.fields
     _validate_aggs(aggs, fields)
     group_by = list(group_by or [])
+    aliases = {a for _, _, a in aggs}
     for g in group_by:
         info = fields.get(g)
         if info is None:
             raise ValueError(f"unknown group column {g!r}")
+        if "." in g:
+            raise ValueError("nested group columns are not supported")
+        if g in aliases:
+            raise ValueError(
+                f"group column {g!r} collides with an aggregate alias"
+            )
         if info.transform != "identity" or not info.partition_name:
             raise ValueError(
                 f"group column {g!r} is not identity-partitioned — "
@@ -301,14 +316,22 @@ def agg_pushdown(
         return bound
 
     def group_key(f: dict[str, Any]) -> tuple | None:
-        """The file's group tuple, or None when unknowable (a file from
-        a spec without this identity field must be scanned)."""
+        """The file's group tuple, or None when unknowable (then the
+        file must be scanned).  Resolved under the FILE'S OWN spec —
+        partition-field names are writer-chosen, so an older spec may
+        carry a same-named field with a NON-identity transform whose
+        value would silently mis-group (e.g. a truncate[1] prefix
+        standing in for the full value)."""
         if not group_by:
             return ()
         part = f.get("partition") or {}
+        sm = spec_map(f)
         key = []
         for g in group_by:
-            pname = fields[g].partition_name
+            entry = sm.get(fields[g].field_id)
+            if not entry or entry.get("transform") != "identity":
+                return None
+            pname = entry.get("name")
             if pname not in part:
                 return None
             key.append(part[pname])
@@ -431,8 +454,11 @@ def agg_pushdown(
             continue
         st, minus = states[idx]
         rc = f.get("record_count")
-        # every fully-metadata file passed whole_match and is CLEAN or
-        # DV_EXACT (DIRTY files scan for every aggregate)
+        # enforce (not just assume) the invariant every fully-metadata
+        # file satisfies: provably whole-matching and delete-exact —
+        # a DIRTY or partial-match file must never mint a group row
+        if st == _DIRTY or not whole_match(idx, f):
+            continue
         if rc is not None:
             live = int(rc) - minus
             if live > 0:

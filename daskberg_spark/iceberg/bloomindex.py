@@ -67,6 +67,46 @@ _PROBE_TYPES = {
 }
 
 
+def _blob_meta(
+    fpath: str,
+    c: str,
+    m_bits: int,
+    seeds_prop: str,
+    fid: int,
+    snapshot_id: int,
+    seq: int,
+) -> dict[str, Any]:
+    """The ONE definition of a bloom blob's metadata — the driver pack,
+    the executor shard write, and the driver-side statistics-entry
+    reconstruction must stay bit-compatible or the statistics list
+    desyncs from the puffin footers."""
+    return {
+        "type": BLOOM_BLOB_TYPE,
+        "fields": [fid],
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "properties": {
+            "data-file": fpath,
+            "column": c,
+            "m-bits": str(m_bits),
+            "seeds": seeds_prop,
+        },
+    }
+
+
+def _stats_entry(path: str, metas: list[dict], snapshot_id: int) -> dict:
+    size = os.path.getsize(path)
+    return {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size
+        - 4
+        - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+
+
 def write_file_blooms(
     writer,
     spark,
@@ -220,19 +260,13 @@ def write_file_blooms(
         for pair in pair_list:
             words.setdefault(pair, [0] * (m_bits // 64))
         blobs = [
-            {
-                "type": BLOOM_BLOB_TYPE,
-                "fields": [fid_by_col[c]],
-                "snapshot-id": snapshot_id,
-                "sequence-number": seq,
-                "properties": {
-                    "data-file": fpath,
-                    "column": c,
-                    "m-bits": str(m_bits),
-                    "seeds": seeds_prop,
-                },
-                "data": struct.pack(f"<{m_bits // 64}Q", *arr),
-            }
+            dict(
+                _blob_meta(
+                    fpath, c, m_bits, seeds_prop,
+                    fid_by_col[c], snapshot_id, seq,
+                ),
+                data=struct.pack(f"<{m_bits // 64}Q", *arr),
+            )
             for (fpath, c), arr in sorted(words.items())
         ]
         discr = f"blooms{snapshot_id}{sorted(columns)}{sorted(words)}"
@@ -243,18 +277,7 @@ def write_file_blooms(
         )
         path = f"{writer.path}/metadata/{name}"
         metas = write_puffin(path, blobs)
-        size = os.path.getsize(path)
-        entries = [
-            {
-                "snapshot-id": snapshot_id,
-                "statistics-path": path,
-                "file-size-in-bytes": size,
-                "file-footer-size-in-bytes": size
-                - 4
-                - sum(m["length"] for m in metas),
-                "blob-metadata": metas,
-            }
-        ]
+        entries = [_stats_entry(path, metas, snapshot_id)]
     if file_subset is None:
         # full rebuild replaces prior bloom entries for this snapshot
         # (NDV stats and other statistics files coexist untouched)
@@ -318,6 +341,7 @@ def _sharded_blob_commit(
         import struct as _struct
         import uuid as _uuid
 
+        from daskberg_spark.iceberg.bloomindex import _blob_meta as _bm
         from daskberg_spark.iceberg.puffin import write_puffin as _wp
 
         words: dict[tuple[str, str], list[int]] = {}
@@ -330,26 +354,22 @@ def _sharded_blob_commit(
                 columns=["f", "c", "path", "offset", "length"]
             )
         blobs = [
-            {
-                "type": BLOOM_BLOB_TYPE,
-                "fields": [fid_by_col[c]],
-                "snapshot-id": snapshot_id,
-                "sequence-number": seq,
-                "properties": {
-                    "data-file": fpath,
-                    "column": c,
-                    "m-bits": str(m_bits),
-                    "seeds": seeds_prop,
-                },
-                "data": _struct.pack(f"<{n_words}Q", *arr),
-            }
+            dict(
+                _bm(
+                    fpath, c, m_bits, seeds_prop,
+                    fid_by_col[c], snapshot_id, seq,
+                ),
+                data=_struct.pack(f"<{n_words}Q", *arr),
+            )
             for (fpath, c), arr in sorted(words.items())
         ]
-        discr = f"bloomshard{snapshot_id}{sorted(words)}"
-        name = (
-            f"blooms-{snapshot_id}-shard-"
-            f"{_uuid.uuid5(_uuid.NAMESPACE_URL, discr).hex[:12]}.puffin"
-        )
+        # fresh uuid4 PER TASK ATTEMPT (the DV shard path's rule): a
+        # retried/speculative/zombie attempt must never open the file a
+        # finished attempt already wrote — a deterministic name would
+        # let a late zombie truncate a committed statistics file; only
+        # the winning attempt's rows reach the driver, losers become
+        # mtime-guarded orphans
+        name = f"blooms-{snapshot_id}-shard-{_uuid.uuid4().hex[:12]}.puffin"
         path = _os.path.join(meta_dir, name)
         metas = _wp(path, blobs)
         return pd.DataFrame(
@@ -380,34 +400,17 @@ def _sharded_blob_commit(
     entries = []
     for path in sorted(by_path):
         metas = [
-            {
-                "type": BLOOM_BLOB_TYPE,
-                "fields": [fid_by_col[r.c]],
-                "snapshot-id": snapshot_id,
-                "sequence-number": seq,
-                "properties": {
-                    "data-file": r.f,
-                    "column": r.c,
-                    "m-bits": str(m_bits),
-                    "seeds": seeds_prop,
-                },
-                "offset": r.offset,
-                "length": r.length,
-            }
+            dict(
+                _blob_meta(
+                    r.f, r.c, m_bits, seeds_prop,
+                    fid_by_col[r.c], snapshot_id, seq,
+                ),
+                offset=r.offset,
+                length=r.length,
+            )
             for r in sorted(by_path[path], key=lambda r: r.offset)
         ]
-        size = os.path.getsize(path)
-        entries.append(
-            {
-                "snapshot-id": snapshot_id,
-                "statistics-path": path,
-                "file-size-in-bytes": size,
-                "file-footer-size-in-bytes": size
-                - 4
-                - sum(m["length"] for m in metas),
-                "blob-metadata": metas,
-            }
-        )
+        entries.append(_stats_entry(path, metas, snapshot_id))
     return entries
 
 

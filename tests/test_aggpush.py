@@ -435,3 +435,55 @@ def test_grouped_pushdown_validation(spark):
         t.agg_pushdown(spark, [("count", "*", "n")], group_by=["k"])
     with pytest.raises(ValueError, match="unknown group column"):
         t.agg_pushdown(spark, [("count", "*", "n")], group_by=["nope"])
+
+
+def test_grouped_rejects_collisions_and_empty(spark):
+    path = tempfile.mkdtemp(prefix="agggrp_")
+    w = _writer(path)
+    w.append([{"k": 1, "cat": "a", "v": 1.0, "s": "x"}])
+    t = IcebergTable(path)
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        t.agg_pushdown(spark, [], group_by=["cat"])
+    with pytest.raises(ValueError, match="internal columns"):
+        t.agg_pushdown(spark, [("min", "k", "__exist")])
+    with pytest.raises(ValueError, match="collides with an aggregate"):
+        t.agg_pushdown(spark, [("max", "k", "cat")], group_by=["cat"])
+
+
+def test_grouped_old_spec_nonidentity_same_name_scans(spark):
+    """A file written under an older spec whose SAME-NAMED partition
+    field used a non-identity transform must route to the scan — its
+    recorded partition value is a transform result, not the group."""
+    import pyspark.sql.functions as F
+
+    path = tempfile.mkdtemp(prefix="agggrp_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "cat", "type": "string", "required": False},
+        ],
+        [{"name": "cat", "transform": "truncate[1]", "source": "cat"}],
+    )
+    w.append([{"k": 1, "cat": "apple"}, {"k": 2, "cat": "avocado"}])
+    w.update_partition_spec(
+        [{"name": "cat", "transform": "identity", "source": "cat"}]
+    )
+    w.append([{"k": 3, "cat": "banana"}])
+    t = IcebergTable(path)
+    got = {
+        r.cat: r.n
+        for r in t.agg_pushdown(
+            spark, [("count", "*", "n")], group_by=["cat"]
+        ).collect()
+    }
+    exp = {
+        r.cat: r.n
+        for r in t.to_df(spark)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp  # NOT {'a': 2, 'banana': 1}
+    # the truncate-spec file had to scan; the identity file did not
+    assert t.last_agg_pushdown["files_scanned"] == 1
