@@ -353,3 +353,21 @@ def test_sharded_build_identical_to_driver_build(spark, monkeypatch):
             r.k for r in t.to_df(spark, filters=[("k", "==", k)]).collect()
         }
         assert got == ({k} & full)
+
+
+def test_join_prune_composes_with_bloom_index(spark):
+    """join_pruned_df turns dim keys into a planner `in` filter, and
+    plan_files bloom-probes `in` predicates — so an indexed fact table
+    gets index-powered dynamic partition pruning with NO extra wiring.
+    Keys are interleaved across files: bounds alone prune nothing."""
+    from daskberg_spark.iceberg.scan import join_pruned_df
+
+    path, w = _indexed_table(spark, n_parts=6, rows_per=100)
+    write_file_blooms(w, spark, ["k"])
+    t = IcebergTable(path)
+    dim = spark.createDataFrame([(0,), (7,)], "dk bigint")  # 2 keys → 2 files
+    out = join_pruned_df(t, spark, dim, "k", "dk")
+    rows = sorted(r.k for r in out.collect())
+    assert rows == [0, 7]
+    assert t.last_scan["files_scanned"] == 2
+    assert t.last_scan["files_live"] == 6
