@@ -653,3 +653,39 @@ def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("group_tokens")
         ).alias("sample_weight"),
     )
+
+
+@query(
+    "tokenizer_fertility",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(strlen(text)) AS DOUBLE)
+             / SUM(len({_SQL_TOKENS})) AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: tokenizer fertility per language — UTF-8 BYTES per token
+    (octet_length, not chars: CJK/diacritic languages cost more bytes
+    per token, which is what sizes token budgets and flags when a
+    tokenizer underserves a language).  The ratio divides two exact
+    integer sums, so it is order-independent and engine-exact.  One
+    narrow scan + one hash agg keyed by language — O(langs) rows."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.octet_length("text").alias("n_bytes"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum("n_bytes").cast("double") / F.sum("n_tokens")
+        ).alias("bytes_per_token"),
+    )

@@ -371,3 +371,24 @@ def test_join_prune_composes_with_bloom_index(spark):
     assert rows == [0, 7]
     assert t.last_scan["files_scanned"] == 2
     assert t.last_scan["files_live"] == 6
+
+
+def test_xxhash64_randomized_strings_vs_spark(spark):
+    """Randomized unicode strings across every length band (empty, tail
+    bytes, 4/8-byte boundaries, 32-byte stripes) against real Spark —
+    guards the streaming XXH64 path's stripe/tail handling."""
+    import random as rnd
+
+    r = rnd.Random(4242)
+    alphabet = "abz09 _-é漢🎉 \t"
+    vals = [""]
+    for n in [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 100]:
+        for _ in range(6):
+            vals.append("".join(r.choice(alphabet) for _ in range(n)))
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    got = [row[0] for row in df.select(F.xxhash64("c")).collect()]
+    exp = [
+        to_signed64(hash_typed(v, "string", SPARK_DEFAULT_SEED))
+        for v in vals
+    ]
+    assert got == exp
