@@ -300,6 +300,8 @@ _PRIORITY = [
     "iceberg_agg_pushdown_groupby",
     "iceberg_bloom_index_prune",
     "bloom_filter_join",
+    "multimodal_png_decode",
+    "tokenizer_fertility",
     # r10-touched families
     "iceberg_variant_read",
     "iceberg_multiformat_read",
@@ -341,12 +343,11 @@ _PRIORITY = [
     "set_except",
     "set_union",
     "stats_moments",
-    "string_functions2",
-    "topk_orders",
-    # window_distribution / window_range_frame / window_running /
-    # write_roundtrip / agg_argminmax dropped below the 50-slot window
-    # by the session-2 additions — first in line for the r11 rotation
-    # (driver-green r1, oracle-exact locally)
+    # string_functions2 / topk_orders / window_distribution /
+    # window_range_frame / window_running / write_roundtrip /
+    # agg_argminmax dropped below the 50-slot window by the session-2
+    # additions — first in line for the r11 rotation (driver-green r1,
+    # oracle-exact locally)
 ]
 
 

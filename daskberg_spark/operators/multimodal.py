@@ -4,13 +4,16 @@ Images/audio/video at 100 TB live as opaque ``binary`` columns with typed
 metadata alongside; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through the driver.
 
-Codec status: COMPRESSED formats (JPEG/PNG/H.264) would need external
-libraries this container lacks, so ``decode_image`` on those raises —
-but the UNCOMPRESSED containers are implemented from scratch here per
-their public format specs: 24-bit BMP (BITMAPINFOHEADER, bottom-up
-padded rows) and PCM WAV (RIFF/fmt/data chunks), encode AND decode, so
-the decode path in ``multimodal_image_decode``/``multimodal_audio_decode``
-is a REAL byte-level codec, not a stand-in.  Feature extraction
+Codec status: three containers are implemented from scratch per their
+public format specs — 24-bit BMP (BITMAPINFOHEADER, bottom-up padded
+rows), PCM WAV (RIFF/fmt/data chunks), and 8-bit RGB PNG (the real
+compressed format pretraining corpora carry: CRC-checked chunk stream,
+zlib-inflated IDAT via the stdlib, and ALL FIVE scanline filters
+None/Sub/Up/Average/Paeth on both the encode and decode side) — encode
+AND decode, so the decode paths in ``multimodal_image_decode`` /
+``multimodal_png_decode`` / ``multimodal_audio_decode`` are REAL
+byte-level codecs, not stand-ins.  Formats needing codecs the
+container lacks (JPEG/H.264) still raise loudly.  Feature extraction
 (``multimodal_features``) is a deterministic byte histogram where a real
 deployment would call its CNN/codec — that boundary is the pattern being
 exercised.
@@ -119,15 +122,162 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     return rate, len(frames) // ((bits // 8) * channels), frames
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor per the PNG spec (filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    pixel_bytes: bytes, width: int = 16, filter_type: int = 0
+) -> bytes:
+    """8-bit RGB PNG encoder from the public spec: IHDR/IDAT/IEND
+    chunks with CRC32, scanlines forward-filtered with ``filter_type``
+    (0..4 — None/Sub/Up/Average/Paeth; one type for the whole image so
+    tests can exercise each decode path), IDAT deflated with the stdlib
+    zlib.  Pixels are top-down RGB rows padded with zeros to a whole
+    row."""
+    import zlib
+
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"PNG filter type {filter_type} out of range")
+    bpp = 3
+    stride = width * bpp
+    if len(pixel_bytes) % stride:
+        pixel_bytes = pixel_bytes + b"\x00" * (
+            stride - len(pixel_bytes) % stride
+        )
+    height = max(1, len(pixel_bytes) // stride)
+    if len(pixel_bytes) < stride:
+        pixel_bytes = pixel_bytes.ljust(stride, b"\x00")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixel_bytes[r * stride : (r + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) & 0xFF
+            elif filter_type == 2:
+                f = (x - b) & 0xFF
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            raw.append(f)
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """8-bit RGB PNG decoder: CRC-checked chunk walk, multi-IDAT
+    concatenation, zlib inflate, and per-scanline UNfiltering of all
+    five spec filter types.  Returns (width, height, top-down RGB
+    bytes).  Bit depths/color types/interlacing beyond 8-bit
+    truecolor raise loudly (palette/alpha/Adam7 need no new
+    machinery but are not what the fixtures exercise)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (signature)")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_n, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"unsupported PNG shape (depth {depth}, color "
+                    f"{ctype_n}, interlace {interlace}); this codec "
+                    "reads 8-bit truecolor non-interlaced"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length does not match geometry")
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i in range(stride):
+            f = line[i]
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                x = f
+            elif ftype == 1:
+                x = (f + a) & 0xFF
+            elif ftype == 2:
+                x = (f + b) & 0xFF
+            elif ftype == 3:
+                x = (f + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                x = (f + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ftype} out of range")
+            recon[i] = x
+        out += recon
+        prev = bytes(recon)
+    return width, height, bytes(out)
+
+
 def decode_image(payload: bytes):
-    """Decode a binary image payload.  Uncompressed 24-bit BMP decodes
-    via the from-scratch codec above; compressed formats (JPEG/PNG)
-    would need external libraries this container lacks and raise."""
+    """Decode a binary image payload: from-scratch 24-bit BMP and 8-bit
+    RGB PNG codecs dispatch on magic; formats needing external codecs
+    this container lacks (JPEG etc.) raise loudly."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP decodes in this environment "
-        "(compressed codecs need external libraries)"
+        "payload is neither BMP nor PNG; other codecs need external "
+        "libraries this environment lacks"
     )
 
 
@@ -435,4 +585,63 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assets.select("doc_id", "payload").mapInPandas(
         resize, "doc_id long, orig_bytes long, resized_bytes long"
+    )
+
+
+@query(
+    "multimodal_png_decode",
+    """
+    SELECT doc_id,
+           16 AS width,
+           CAST(GREATEST(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                AS INT)) AS INT) AS height,
+           CAST(doc_id % 5 AS INT) AS filter_type,
+           TRUE AS payload_ok
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: REAL compressed-image round-trip per asset, executor-side.
+    Each payload packs into an 8-bit RGB PNG — zlib-deflated IDAT,
+    CRC-checked chunks — with the scanline filter type rotating per
+    document (doc_id % 5), so every decode exercises one of the five
+    spec filters (None/Sub/Up/Average/Paeth) and the whole sweep covers
+    all of them.  ``payload_ok`` asserts the unfiltered pixel bytes
+    equal the source bytes; the oracle reproduces the geometry
+    arithmetically (file size is compression-dependent and therefore
+    NOT part of the contract)."""
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, ws, hs, fts, oks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                ft = int(doc_id) % 5
+                png = encode_png(payload, width=16, filter_type=ft)
+                w, h, px = decode_image(png)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                fts.append(ft)
+                oks.append(
+                    px[: len(payload)] == payload
+                    and set(px[len(payload) :]) <= {0}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "filter_type": fts,
+                    "payload_ok": oks,
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, width int, height int, filter_type int, "
+        "payload_ok boolean",
     )

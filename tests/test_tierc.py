@@ -112,7 +112,57 @@ def test_multimodal_decode_stub_raises():
     from daskberg_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0JFIF...")  # JPEG needs a real codec
+
+
+def test_png_roundtrip_all_filters():
+    """Every spec scanline filter (None/Sub/Up/Average/Paeth) must
+    round-trip byte-exactly, including partial final rows and the
+    empty payload."""
+    from daskberg_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    payloads = [
+        b"",
+        b"x",
+        bytes(range(48)),  # exactly one 16px RGB row
+        bytes((i * 7 + 3) % 256 for i in range(48 * 5 + 17)),  # partial row
+    ]
+    for ft in range(5):
+        for payload in payloads:
+            png = encode_png(payload, width=16, filter_type=ft)
+            w, h, px = decode_png(png)
+            assert w == 16
+            assert px[: len(payload)] == payload, (ft, len(payload))
+            assert set(px[len(payload) :]) <= {0}
+            assert decode_image(png) == (w, h, px)  # magic dispatch
+
+
+def test_png_rejects_corruption_and_unsupported_shapes():
+    import struct as st
+    import zlib
+
+    from daskberg_spark.operators.multimodal import decode_png, encode_png
+
+    png = bytearray(encode_png(bytes(range(48))))
+    png[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+    # 16-bit / interlaced IHDR shapes refuse loudly
+    ihdr = st.pack(">IIBBBBB", 16, 1, 16, 2, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    fake = (
+        b"\x89PNG\r\n\x1a\n"
+        + st.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + st.pack(">I", crc)
+    )
+    with pytest.raises(NotImplementedError, match="8-bit truecolor"):
+        decode_png(fake)
 
 
 def test_multimodal_features_deterministic(spark):
