@@ -103,18 +103,32 @@ def iceberg_to_spark_type(type_str: str) -> T.DataType:
 
 def lift_footer_stats(
     path: str, types: dict[str, str]
-) -> tuple[int, int, dict[str, Any], dict[str, Any], dict[str, int]]:
-    """(num_rows, file_size, lowers, uppers, null_counts) lifted from one
-    parquet FOOTER — zero data IO.  Per-row-group min/max accumulate
-    across the file for every column present in ``types`` (the table
-    schema); values are raw Python (encode with ``encode_bound``).
+) -> tuple[int, int, dict[str, Any], dict[str, Any], dict[str, int], dict[str, int]]:
+    """(num_rows, file_size, lowers, uppers, null_counts, nan_counts)
+    lifted from one parquet FOOTER — zero data IO.  Per-row-group
+    min/max accumulate across the file for every column present in
+    ``types`` (the table schema); values are raw Python (encode with
+    ``encode_bound``).
     Null counts (→ manifest ``null_value_counts``, spec field 110) lift
     only when EVERY row group reports one for the column — a single
     statless row group makes the file total unknowable, and emitting a
     partial count would let metadata-only DELETE wrongly prove
-    no-NULLs.  The ONE implementation behind both the driver-side
-    ``_footer_entry`` loop and ``add_files_spark``'s executor lift, so
-    the two registration paths can never diverge in pruning bounds."""
+    no-NULLs.
+    Float/double NaN handling (spec field 138; measured writer
+    behavior, not wishful convention): parquet-mr — Spark's writer —
+    COMPARES NaN greatest, so a chunk holding NaN leaks a literal NaN
+    into its ``max``; parquet-cpp/pyarrow SKIPS NaN in min/max and
+    leaves no trace.  Therefore: a NaN-valued stat is never lifted as a
+    bound (an upper bound of NaN would prune every real match — a
+    wrong-answer bug, regression-tested) and marks the column
+    NaN-tainted; ``nan == 0`` lifts ONLY for parquet-mr-created files
+    whose float/double bounds all lifted as real numbers (mr's ordering
+    makes NaN presence visible, so a real max proves a NaN-free
+    chunk); other writers get no census, and gt/gtEq pruning stays
+    conservative on their floats.  The ONE implementation behind both
+    the driver-side ``_footer_entry`` loop and ``add_files_spark``'s
+    executor lift, so the two registration paths can never diverge in
+    pruning bounds."""
     import os
 
     import pyarrow.parquet as pq
@@ -128,10 +142,13 @@ def lift_footer_stats(
         # primitive columns it can compare)
         return _lift_footer_stats_duckdb(path, types)
     names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    is_mr = (meta.created_by or "").startswith("parquet-mr")
     lowers: dict[str, Any] = {}
     uppers: dict[str, Any] = {}
     nulls: dict[str, int] = {}
     unknown_nulls: set[str] = set()
+    no_minmax: set[str] = set()
+    nan_tainted: set[str] = set()
     for rg in range(meta.num_row_groups):
         for ci in range(meta.num_columns):
             name = names[ci]
@@ -143,15 +160,33 @@ def lift_footer_stats(
             else:
                 nulls[name] = nulls.get(name, 0) + stats.null_count
             if stats is None or not stats.has_min_max:
+                no_minmax.add(name)
                 continue
             lo, hi = stats.min, stats.max
+            if (isinstance(lo, float) and lo != lo) or (
+                isinstance(hi, float) and hi != hi
+            ):
+                nan_tainted.add(name)
+                continue
             if name not in lowers or lo < lowers[name]:
                 lowers[name] = lo
             if name not in uppers or hi > uppers[name]:
                 uppers[name] = hi
     for name in unknown_nulls:
         nulls.pop(name, None)
-    return meta.num_rows, os.path.getsize(path), lowers, uppers, nulls
+    for name in nan_tainted:
+        lowers.pop(name, None)
+        uppers.pop(name, None)
+    nans = {
+        name: 0
+        for name, t in types.items()
+        if t in ("float", "double")
+        and is_mr
+        and name in lowers
+        and name not in no_minmax
+        and name not in nan_tainted
+    }
+    return meta.num_rows, os.path.getsize(path), lowers, uppers, nulls, nans
 
 
 def _lift_footer_stats_duckdb(
@@ -194,8 +229,9 @@ def _lift_footer_stats_duckdb(
         if name not in uppers or hi_v > uppers[name]:
             uppers[name] = hi_v
     # DuckDB's stats view has no per-row-group null counts we trust
-    # across formats — leave null_value_counts unlifted (conservative)
-    return int(n), os.path.getsize(path), lowers, uppers, {}
+    # across formats — leave null_value_counts AND nan_value_counts
+    # unlifted (conservative: gt/gtEq on floats keeps such files)
+    return int(n), os.path.getsize(path), lowers, uppers, {}, {}
 
 
 def iceberg_to_arrow_type(t: Any) -> Any:

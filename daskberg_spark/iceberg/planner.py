@@ -26,7 +26,10 @@ from dataclasses import dataclass
 from decimal import Decimal
 from typing import Any, Iterable
 
+import struct as _struct
+
 from daskberg_spark.iceberg.conversions import (
+    datetime_to_micros,
     decode_bound,
     partition_value_to_python,
 )
@@ -82,14 +85,27 @@ def normalize_value(value: Any, type_str: str) -> Any:
         if type_str == "date":
             return datetime.date.fromisoformat(value)
         value = datetime.datetime.fromisoformat(value)
-    if type_str == "date" and isinstance(value, datetime.datetime):
-        return value.date()
     if isinstance(value, datetime.datetime) and value.tzinfo is not None:
         # partition values and decoded bounds are NAIVE UTC; an aware
         # predicate value compares unequal (or raises) against them —
         # normalize to naive UTC so tz-suffixed timestamptz filters
         # prune correctly instead of silently dropping matching files
         value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    if type_str == "date" and isinstance(value, datetime.datetime):
+        # Spark coerces a DATE column to TIMESTAMP against a datetime
+        # literal, so the residual compares midnights to the FULL time.
+        # Truncating 2024-01-05T10:00 to the date here would prune (and
+        # whole-file-prove!) as if the predicate said midnight — e.g.
+        # d != T10:00 is TRUE for every row while the truncated value
+        # proves the whole file equal.  Midnight truncates (identical
+        # semantics, enables the vector path); anything else keeps the
+        # datetime and compares via _comparable's date→datetime
+        # promotion.
+        if (
+            value.hour or value.minute or value.second or value.microsecond
+        ):
+            return value
+        return value.date()
     if type_str.startswith("decimal") and isinstance(value, (int, float, str)):
         return Decimal(str(value))
     if type_str == "uuid":
@@ -189,9 +205,21 @@ def point_may_match(op: str, value: Any, point: Any, exact: bool) -> bool:
     if point is None:
         return True  # null partition value: unknown → keep
     if op == "in":
-        return any(_eq(point, v) for v in value if v is not None)
+        vals = [v for v in value if v is not None]
+        if any(isinstance(v, float) and v != v for v in vals):
+            # Spark's NaN = NaN is TRUE — a NaN member can match the
+            # NaN partition, which _eq (Python NaN != NaN) cannot see
+            return True
+        return any(_eq(point, v) for v in vals)
     if value is None:
         return False  # comparison to NULL is never true
+    if isinstance(value, float) and value != value:
+        # NaN predicate under Spark ordering (NaN = NaN true, NaN
+        # greater than every number): point comparisons cannot disprove
+        return True
+    if isinstance(point, float) and point != point and op in (">", ">="):
+        # a NaN partition's rows outrank every number → they match
+        return True
     if op in ("==", "="):
         return _eq(point, value)
     if op == "!=":
@@ -220,27 +248,6 @@ def is_dnf(filters: Any) -> bool:
     return bool(filters) and isinstance(filters[0], (list, tuple)) and bool(
         filters[0]
     ) and isinstance(filters[0][0], (list, tuple))
-
-
-def _file_passes_conjunction(
-    data_file: dict[str, Any],
-    conj: Iterable[tuple[str, str, Any]],
-    fields: dict[str, FieldInfo],
-    spec_by_source: dict[int, dict[str, Any]] | None = None,
-) -> bool:
-    resolved = []
-    for pred in conj:
-        _validate(pred)
-        col, op, raw_value = pred
-        info = fields.get(col)
-        if info is None:
-            continue
-        if op == "in":
-            value: Any = [normalize_value(v, info.type) for v in raw_value]
-        else:
-            value = normalize_value(raw_value, info.type)
-        resolved.append((op, info, value))
-    return _file_passes_resolved(data_file, resolved, spec_by_source)
 
 
 def _passes_partition(
@@ -284,6 +291,14 @@ def _passes_bounds(
     data_file: dict[str, Any], op: str, info: FieldInfo, value: Any
 ) -> bool:
     """(b) column min/max bounds, field-id keyed (ice.py:320-332)."""
+    if info.type in ("float", "double") and op in (">", ">="):
+        # bounds EXCLUDE NaN per spec while Spark orders NaN greater
+        # than every number — a file whose upper bound fails the test
+        # may still hold matching NaN rows; only a zero NaN census
+        # makes the bound comparison sound
+        nan = _count_lookup(data_file.get("nan_value_counts"), info.field_id)
+        if nan is None or nan > 0:
+            return True
     lo = _bound_lookup(data_file.get("lower_bounds"), info.field_id, info.type)
     hi = _bound_lookup(data_file.get("upper_bounds"), info.field_id, info.type)
     if lo is not None or hi is not None:
@@ -539,8 +554,17 @@ def _vector_elem(info: FieldInfo, value: Any) -> Any:
             return _SCALAR
         if isinstance(value, int):
             # beyond 2^53 float64 rounds where Python compares exactly
-            return float(value) if abs(value) <= 2**53 else _SCALAR
-        return value if isinstance(value, float) else _SCALAR
+            value = float(value) if abs(value) <= 2**53 else _SCALAR
+        if not isinstance(value, float):
+            return _SCALAR
+        if t == "float" and _struct.unpack("<f", _struct.pack("<f", value))[0] != value:
+            # the f4 bound array would silently round the predicate value
+            # to float32, flipping strict comparisons at the bound (e.g.
+            # lower==1.0f pruned by '< 1.0000000001'); Python compares
+            # the decoded f4 bound against the full-precision value
+            # exactly, so route to the scalar path
+            return _SCALAR
+        return value
     if t in ("int", "long"):
         if isinstance(value, bool) or not isinstance(value, int):
             return _SCALAR  # float-vs-int: Python compares exactly, f8 rounds
@@ -556,8 +580,7 @@ def _vector_elem(info: FieldInfo, value: Any) -> Any:
         value = datetime.datetime(value.year, value.month, value.day)
     if not isinstance(value, datetime.datetime) or value.tzinfo is not None:
         return _SCALAR
-    delta = value - _EPOCH_DT
-    return (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds
+    return datetime_to_micros(value)
 
 
 def _vector_value(op: str, info: FieldInfo, value: Any) -> Any:
@@ -585,6 +608,11 @@ def _vector_value(op: str, info: FieldInfo, value: Any) -> Any:
         # a float column may hold NaN rows outside its bounds and
         # NaN != v is true — never prune notEq on floats
         return _ALWAYS
+    if op in (">", ">=") and t in ("float", "double"):
+        # same NaN hazard for gt/gtEq (NaN > v is true under Spark's
+        # ordering): the scalar path consults nan_value_counts per file,
+        # which the vector mask does not carry — route it there
+        return _SCALAR
     return _vector_elem(info, value)
 
 

@@ -799,10 +799,16 @@ class IcebergWriter:
             non_null = [v for v in vals if v is not None]
             if top:
                 nulls.append({"key": fid, "value": len(vals) - len(non_null)})
-                if type_str in ("float", "double"):
-                    n_nan = sum(1 for v in non_null if v != v)
-                    nans.append({"key": fid, "value": n_nan})
-                    non_null = [v for v in non_null if v == v]
+            if type_str in ("float", "double"):
+                # NaN census + NaN-free bounds at EVERY nesting level:
+                # the spec excludes NaN from bounds, and gt/gtEq pruning
+                # is only sound when the census is provably zero.  A
+                # null ancestor contributes no leaf VALUE, so the NaN
+                # count (unlike the null count) stays unambiguous on
+                # nested leaves.
+                n_nan = sum(1 for v in non_null if v != v)
+                nans.append({"key": fid, "value": n_nan})
+                non_null = [v for v in non_null if v == v]
             if not non_null or type_str == "variant":
                 # variant values carry no spec-defined bound encoding
                 # (shredded stats prune at scan time from parquet
@@ -2437,7 +2443,7 @@ def _footer_entry(
     executor path (``conversions.lift_footer_stats``)."""
     from daskberg_spark.iceberg.conversions import lift_footer_stats
 
-    num_rows, file_size, lowers, uppers, nulls = lift_footer_stats(
+    num_rows, file_size, lowers, uppers, nulls, nans = lift_footer_stats(
         path, writer.types
     )
     return {
@@ -2460,6 +2466,10 @@ def _footer_entry(
             "null_value_counts": [
                 {"key": writer.ids[n], "value": int(v)}
                 for n, v in nulls.items()
+            ],
+            "nan_value_counts": [
+                {"key": writer.ids[n], "value": int(v)}
+                for n, v in nans.items()
             ],
         },
     }
@@ -2571,7 +2581,7 @@ def add_files_spark(
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
-                num_rows, file_size, lowers, uppers, nulls = (
+                num_rows, file_size, lowers, uppers, nulls, nans = (
                     lift_footer_stats(path, types)
                 )
                 bounds = {
@@ -2592,10 +2602,12 @@ def add_files_spark(
                         file_size,
                         _json.dumps(bounds),
                         _json.dumps(nulls),
+                        _json.dumps(nans),
                     )
                 )
             yield _pd.DataFrame(
-                rows, columns=["path", "num_rows", "size", "bounds", "nulls"]
+                rows,
+                columns=["path", "num_rows", "size", "bounds", "nulls", "nans"],
             )
 
     df = spark.createDataFrame([(p,) for p in sorted(paths)], "path string")
@@ -2605,7 +2617,7 @@ def add_files_spark(
         .mapInPandas(
             lift,
             "path string, num_rows long, size long, bounds string, "
-            "nulls string",
+            "nulls string, nans string",
         )
         .collect()
     )
@@ -2614,6 +2626,7 @@ def add_files_spark(
     for r in sorted(stats_rows, key=lambda r: r["path"]):
         bounds = json.loads(r["bounds"])
         nulls = json.loads(r["nulls"])
+        nans = json.loads(r["nans"])
         part = (partition_values or {}).get(r["path"], {})
         entries.append(
             {
@@ -2642,6 +2655,10 @@ def add_files_spark(
                     "null_value_counts": [
                         {"key": writer.ids[n], "value": int(v)}
                         for n, v in nulls.items()
+                    ],
+                    "nan_value_counts": [
+                        {"key": writer.ids[n], "value": int(v)}
+                        for n, v in nans.items()
                     ],
                 },
             }

@@ -351,3 +351,142 @@ def test_avro_union_branch_matches_value_type():
     write_avro(schema, recs, buf)
     _, back = read_avro(buf.getvalue())
     assert back == recs
+
+
+def _ffiles(n, lo, hi, typ="float", nan=None, fid=1):
+    from daskberg_spark.iceberg.conversions import encode_bound
+
+    out = []
+    for i in range(n):
+        f = {
+            "file_path": f"f{i}",
+            "partition": {},
+            "lower_bounds": [{"key": fid, "value": encode_bound(lo, typ)}],
+            "upper_bounds": [{"key": fid, "value": encode_bound(hi, typ)}],
+        }
+        if nan is not None:
+            f["nan_value_counts"] = [{"key": fid, "value": nan}]
+        out.append(f)
+    return out
+
+
+def test_float32_bound_vs_double_value_never_prunes_matches():
+    """Regression: the vector path rounded the predicate value to f4,
+    flipping strict comparisons exactly at the bound (a double
+    threshold one ulp above 1.0f pruned every file whose rows Spark's
+    residual keeps).  70 files forces the vectorized path."""
+    fields = {"f": FieldInfo(field_id=1, type="float")}
+    files = _ffiles(70, 1.0, 2.0, "float", nan=0)
+    kept = apply_filters(files, [("f", "<", 1.0000000001)], fields)
+    assert len(kept) == 70  # rows at exactly 1.0f satisfy < 1.0000000001
+
+
+def test_gt_on_float_keeps_possible_nan_rows():
+    """Regression: bounds exclude NaN while Spark orders NaN greatest,
+    so '>' can only prune when the NaN census is provably zero."""
+    fields = {"f": FieldInfo(field_id=1, type="float")}
+    # unknown NaN census → keep (both scalar n<64 and vector n>=64)
+    for n in (3, 70):
+        assert len(apply_filters(_ffiles(n, 1.0, 2.0), [("f", ">", 100.0)], fields)) == n
+    # provably NaN-free → prune
+    for n in (3, 70):
+        assert (
+            len(
+                apply_filters(
+                    _ffiles(n, 1.0, 2.0, nan=0), [("f", ">", 100.0)], fields
+                )
+            )
+            == 0
+        )
+    # NaN rows present → keep even though bounds fail
+    assert (
+        len(apply_filters(_ffiles(3, 1.0, 2.0, nan=2), [("f", ">", 100.0)], fields))
+        == 3
+    )
+
+
+def test_datetime_value_on_date_column_keeps_residual_semantics():
+    """Regression: a datetime predicate against a DATE column was
+    truncated to its date, making '!=' prune (and '==' whole-file-PROVE)
+    files whose rows Spark's residual — which compares midnights to the
+    full timestamp — evaluates the other way."""
+    import datetime as dt
+
+    from daskberg_spark.iceberg.planner import file_all_rows_match
+
+    fields = {"d": FieldInfo(field_id=1, type="date")}
+    day = dt.date(2024, 1, 5)
+    files = _ffiles(1, day, day, "date")
+    ten_am = dt.datetime(2024, 1, 5, 10, 0)
+    # every row (midnight) != 10:00 → the file must survive !=
+    assert len(apply_filters(files, [("d", "!=", ten_am)], fields)) == 1
+    # and '== 10:00' must never whole-file-prove (delete_where_fast
+    # would tombstone a file whose rows all FAIL the residual)
+    assert not file_all_rows_match(files[0], [("d", "==", ten_am)], fields)
+    # midnight datetimes keep pruning exactly like the plain date
+    midnight = dt.datetime(2024, 1, 5)
+    assert len(apply_filters(files, [("d", "==", midnight)], fields)) == 1
+    assert len(apply_filters(files, [("d", "==", dt.datetime(2024, 1, 6))], fields)) == 0
+
+
+def test_nan_point_semantics_on_identity_float_partition():
+    """Spark: NaN = NaN is TRUE and NaN outranks every number — point
+    pruning on a NaN partition value (or a NaN predicate) must keep."""
+    from daskberg_spark.iceberg.planner import point_may_match
+
+    nan = float("nan")
+    assert point_may_match("==", nan, nan, exact=True)
+    assert point_may_match("in", [1.0, nan], nan, exact=True)
+    assert point_may_match(">", 10.0, nan, exact=True)
+    assert point_may_match(">=", 10.0, nan, exact=True)
+    # non-NaN value against a NaN point: NaN = 5 / NaN < 5 are false
+    assert not point_may_match("==", 5.0, nan, exact=True)
+    assert not point_may_match("<", 5.0, nan, exact=True)
+
+
+def test_footer_lift_nan_semantics(tmp_path, spark):
+    """Measured writer behavior (regression-pinned): parquet-mr (Spark)
+    leaks NaN into max when a chunk holds NaN — so a NaN-valued stat is
+    never lifted as a bound (an upper bound of NaN would prune every
+    real match) and a REAL mr max proves a NaN-free chunk (nan == 0).
+    pyarrow skips NaN silently, so its files get valid bounds but never
+    a NaN census."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daskberg_spark.iceberg.conversions import lift_footer_stats
+
+    # pyarrow (parquet-cpp): bounds lift, census never claimed
+    pya = str(tmp_path / "pya.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([1.0, math.nan, 5.0], pa.float64())}), pya
+    )
+    _n, _sz, lo, hi, _nulls, nans = lift_footer_stats(pya, {"v": "double"})
+    assert (lo["v"], hi["v"]) == (1.0, 5.0) and "v" not in nans
+
+    # Spark (parquet-mr), clean column: census lifts as zero
+    spc = str(tmp_path / "spark_clean")
+    spark.createDataFrame([(1.0,), (5.0,)], "v double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(spc)
+    f = next(x for x in os.listdir(spc) if x.endswith(".parquet"))
+    _n, _sz, lo, hi, _nulls, nans = lift_footer_stats(
+        os.path.join(spc, f), {"v": "double"}
+    )
+    assert (lo["v"], hi["v"], nans["v"]) == (1.0, 5.0, 0)
+
+    # Spark (parquet-mr), NaN-bearing: max stat is literally NaN — the
+    # column is tainted: NO bounds (a NaN upper bound would prune every
+    # match of 'v == 3.0'), NO census
+    spn = str(tmp_path / "spark_nan")
+    spark.createDataFrame(
+        [(1.0,), (float("nan"),), (5.0,)], "v double"
+    ).coalesce(1).write.mode("overwrite").parquet(spn)
+    f = next(x for x in os.listdir(spn) if x.endswith(".parquet"))
+    _n, _sz, lo, hi, _nulls, nans = lift_footer_stats(
+        os.path.join(spn, f), {"v": "double"}
+    )
+    assert "v" not in lo and "v" not in hi and "v" not in nans
