@@ -71,11 +71,19 @@ def _skip_to_named(schema: Any, names: dict[str, Any]) -> Any:
 
 
 def _register_names(schema: Any, names: dict[str, Any]) -> None:
-    """Walk a parsed schema registering record/enum/fixed names."""
+    """Walk a parsed schema registering record/enum/fixed names — under
+    BOTH the bare name and the namespace-qualified fullname: the Avro
+    spec says references use the fullname, so a foreign schema declaring
+    {'name': 'r2', 'namespace': 'org.x'} and referencing 'org.x.r2'
+    must resolve (bare-name-only registration made such spec-legal
+    files unreadable)."""
     if isinstance(schema, dict):
         t = schema.get("type")
         if t in ("record", "enum", "fixed") and "name" in schema:
             names[schema["name"]] = schema
+            ns = schema.get("namespace")
+            if ns:
+                names[f"{ns}.{schema['name']}"] = schema
         if t == "record":
             for field in schema.get("fields", []):
                 _register_names(field["type"], names)
@@ -125,7 +133,11 @@ def _decode(schema: Any, buf: io.BytesIO, names: dict[str, Any]) -> Any:
                     out_map[key] = _decode(schema["values"], buf, names)
             return out_map
         if t == "fixed":
-            return buf.read(schema["size"])
+            size = schema["size"]
+            data = buf.read(size)
+            if len(data) != size:
+                raise EOFError("truncated fixed")
+            return data
         if t == "enum":
             return schema["symbols"][_read_long(buf)]
         # {"type": "string", ...} wrapper around a primitive
@@ -134,7 +146,10 @@ def _decode(schema: Any, buf: io.BytesIO, names: dict[str, Any]) -> Any:
     if schema == "null":
         return None
     if schema == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated boolean")
+        return b == b"\x01"
     if schema in ("int", "long"):
         return _read_long(buf)
     if schema == "float":
@@ -363,7 +378,14 @@ def _compile_decoder(schema: Any, names: dict[str, Any], wanted: Any = None):
             size = schema["size"]
 
             def _fixed(data, pos):
-                return data[pos : pos + size], pos + size
+                end = pos + size
+                if end > len(data):
+                    # mirror _bytes/_string: a short slice silently
+                    # returned as the value feeds wrong bytes into
+                    # pruning bounds — fail loudly like every other
+                    # truncation
+                    raise EOFError("truncated fixed")
+                return data[pos:end], end
 
             return _fixed
         if t == "enum":
@@ -956,6 +978,12 @@ def _encode(schema: Any, value: Any, out: bytearray, names: dict[str, Any]) -> N
             _write_long(out, 0)
             return
         if t == "fixed":
+            if len(value) != schema["size"]:
+                # writing short/long bytes verbatim produces a container
+                # that fails (or decodes garbage) far from the cause
+                raise ValueError(
+                    f"fixed({schema['size']}) value has {len(value)} bytes"
+                )
             out.extend(value)
             return
         if t == "enum":

@@ -476,3 +476,65 @@ def test_compiled_decoder_matches_legacy():
     bio = io.BytesIO(data)
     got_legacy = [_decode(schema, bio, names) for _ in rows]
     assert got_compiled == got_legacy
+
+
+def test_fixed_length_validated_at_encode(tmp_path):
+    from daskberg_spark.iceberg.avro import write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "f", "type": {"type": "fixed", "name": "fx", "size": 4}}
+        ],
+    }
+    p = str(tmp_path / "bad.avro")
+    with pytest.raises(ValueError, match="fixed\\(4\\) value has 3"):
+        write_avro_file(p, schema, [{"f": b"abc"}])
+    # the right length still round-trips
+    p2 = str(tmp_path / "ok.avro")
+    write_avro_file(p2, schema, [{"f": b"abcd"}])
+    from daskberg_spark.iceberg.avro import read_avro_file
+
+    _, recs = read_avro_file(p2)
+    assert recs == [{"f": b"abcd"}]
+
+
+def test_truncated_fixed_raises_not_short_slice():
+    from daskberg_spark.iceberg.avro import _compile_decoder, _decode
+
+    schema = {"type": "fixed", "name": "fx", "size": 8}
+    dec = _compile_decoder(schema, {})
+    with pytest.raises(EOFError, match="truncated fixed"):
+        dec(b"\x01\x02\x03", 0)
+    import io
+
+    with pytest.raises(EOFError, match="truncated fixed"):
+        _decode(schema, io.BytesIO(b"\x01\x02\x03"), {})
+
+
+def test_namespace_fullname_references_resolve(tmp_path):
+    """Spec-legal foreign schemas reference named types by FULLNAME
+    (namespace.name); bare-name-only registration made them
+    unreadable."""
+    from daskberg_spark.iceberg.avro import read_avro_file, write_avro_file
+
+    inner = {
+        "type": "record",
+        "name": "point",
+        "namespace": "org.example",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "a", "type": inner},
+            # second use references the FULLNAME, per the Avro spec
+            {"name": "b", "type": "org.example.point"},
+        ],
+    }
+    p = str(tmp_path / "ns.avro")
+    write_avro_file(p, schema, [{"a": {"x": 1}, "b": {"x": 2}}])
+    _, recs = read_avro_file(p)
+    assert recs == [{"a": {"x": 1}, "b": {"x": 2}}]
