@@ -64,7 +64,6 @@ def serialize_r32(values: list[int]) -> bytes:
     for key, lows in groups:
         out += struct.pack("<HH", key, len(lows) - 1)
     # offsets: absolute byte position of each container within the stream
-    header_len = 8 + 4 * n + 4 * n
     offsets_pos = len(out)
     out += b"\x00" * (4 * n)
     positions = []
@@ -79,7 +78,6 @@ def serialize_r32(values: list[int]) -> bytes:
             out += bits
     for i, pos in enumerate(positions):
         struct.pack_into("<I", out, offsets_pos + 4 * i, pos)
-    assert header_len == offsets_pos + 4 * n
     return bytes(out)
 
 
@@ -245,12 +243,18 @@ def read_puffin_footer(path: str) -> dict[str, Any]:
     with open(path, "rb") as f:
         f.seek(0, 2)
         size = f.tell()
+        if size < 16 + len(MAGIC):
+            raise ValueError("not a puffin file (too short)")
         f.seek(size - 12)
         tail = f.read(12)
         if tail[8:] != MAGIC:
             raise ValueError("not a puffin file (tail magic)")
         (payload_size,) = struct.unpack("<I", tail[:4])
         flags = struct.unpack("<I", tail[4:8])[0]
+        if payload_size > size - 12 - 4 - len(MAGIC):
+            # a bogus size would seek negative (OSError) — keep format
+            # errors in the ValueError family callers catch
+            raise ValueError("not a puffin file (footer size exceeds file)")
         f.seek(size - 12 - payload_size)
         payload = f.read(payload_size)
         if flags & 1:
@@ -266,10 +270,13 @@ def read_puffin_footer(path: str) -> dict[str, Any]:
 
 
 
-def _lz4_block_decompress(src: bytes, dst_hint: int = 0) -> bytes:
+def _lz4_block_decompress(src: bytes) -> bytes:
     """Pure-Python LZ4 BLOCK decompression (the format's sequences of
     token / literals / little-endian match offset, with overlapping
-    copies) — no lz4 library in this environment."""
+    copies) — no lz4 library in this environment.  Every overrun is a
+    loud ValueError: silently returning the readable prefix would
+    surface as a confusing JSON error (or corrupt match history) far
+    from the real corruption."""
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -278,15 +285,21 @@ def _lz4_block_decompress(src: bytes, dst_hint: int = 0) -> bytes:
         lit_len = token >> 4
         if lit_len == 15:
             while True:
+                if i >= n:
+                    raise ValueError("corrupt LZ4 block (truncated length)")
                 b = src[i]
                 i += 1
                 lit_len += b
                 if b != 255:
                     break
+        if i + lit_len > n:
+            raise ValueError("corrupt LZ4 block (truncated literals)")
         out += src[i : i + lit_len]
         i += lit_len
         if i >= n:
             break  # last sequence has no match
+        if i + 2 > n:
+            raise ValueError("corrupt LZ4 block (truncated match offset)")
         offset = src[i] | (src[i + 1] << 8)
         i += 2
         if offset == 0:
@@ -294,6 +307,8 @@ def _lz4_block_decompress(src: bytes, dst_hint: int = 0) -> bytes:
         match_len = (token & 0x0F) + 4
         if (token & 0x0F) == 15:
             while True:
+                if i >= n:
+                    raise ValueError("corrupt LZ4 block (truncated length)")
                 b = src[i]
                 i += 1
                 match_len += b
@@ -318,6 +333,11 @@ def _lz4_frame_decompress(data: bytes) -> bytes:
         raise ValueError("not an LZ4 frame")
     i = 4
     flg = data[i]
+    if (flg >> 6) != 0b01:
+        raise ValueError(
+            f"unsupported LZ4 frame version (FLG {flg:#04x}); this "
+            "reader implements v1"
+        )
     i += 1
     i += 1  # BD byte
     if flg & 0x08:  # content size present
@@ -343,6 +363,16 @@ def _lz4_frame_decompress(data: bytes) -> bytes:
 
 
 def read_blob(path: str, meta: dict[str, Any]) -> bytes:
+    codec = (meta.get("compression-codec") or "").lower()
+    if codec and codec != "none":
+        # Java Iceberg may zstd-compress sketch blobs; returning the
+        # compressed bytes as if they were the payload hands callers
+        # silent garbage — refuse until a codec is implemented (DV
+        # blobs are spec-forbidden from compression, so the DV path
+        # never hits this)
+        raise NotImplementedError(
+            f"puffin blob compression-codec {codec!r} is not supported"
+        )
     with open(path, "rb") as f:
         f.seek(meta["offset"])
         return f.read(meta["length"])

@@ -7,6 +7,8 @@ these cover the from-scratch format layer in daskberg_spark/iceberg/puffin.py.
 import os
 import struct
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -297,3 +299,42 @@ def test_puffin_container_known_layout(tmp_path):
         "created-by": "hand"
     }
     assert 13 + psize == len(raw) - 12
+
+
+def test_lz4_block_truncation_raises_not_prefix():
+    """Regression: a token claiming more literals than remain returned
+    the readable prefix silently — corruption must be loud."""
+    from daskberg_spark.iceberg.puffin import _lz4_block_decompress
+
+    with pytest.raises(ValueError, match="truncated literals"):
+        _lz4_block_decompress(bytes([10 << 4]) + b"abc")
+    with pytest.raises(ValueError, match="truncated"):
+        _lz4_block_decompress(bytes([15 << 4]))  # extension byte missing
+
+
+def test_footer_reader_rejects_bogus_sizes(tmp_path):
+    from daskberg_spark.iceberg.puffin import MAGIC, read_puffin_footer
+
+    short = tmp_path / "short.puffin"
+    short.write_bytes(b"PFA1")
+    with pytest.raises(ValueError, match="too short"):
+        read_puffin_footer(str(short))
+    bogus = tmp_path / "bogus.puffin"
+    bogus.write_bytes(
+        MAGIC + b"x" * 24 + b"\xff\xff\xff\x7f" + b"\x00" * 4 + MAGIC
+    )
+    with pytest.raises(ValueError, match="exceeds file"):
+        read_puffin_footer(str(bogus))
+
+
+def test_read_blob_refuses_compressed_codecs(tmp_path):
+    from daskberg_spark.iceberg.puffin import read_blob, write_puffin
+
+    p = str(tmp_path / "z.puffin")
+    metas = write_puffin(
+        p, [{"type": "t", "fields": [1], "data": b"abc"}]
+    )
+    assert read_blob(p, metas[0]) == b"abc"
+    meta = dict(metas[0], **{"compression-codec": "zstd"})
+    with pytest.raises(NotImplementedError, match="zstd"):
+        read_blob(p, meta)
