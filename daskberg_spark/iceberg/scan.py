@@ -181,7 +181,8 @@ def to_df(
                     f"variant_filters column {vcol!r} is not a variant "
                     "column of this table"
                 )
-            files = variant_prune_files(files, vcol, vpath, vop, vval)
+            _variant_probe(vop, vval)  # loud 'in'-shape validation
+        files = _variant_prune_multi(files, list(variant_filters))
     # scan observability (real Iceberg's ScanMetrics analogue): one
     # driver-side dict per to_df call — what an operator checks when a
     # query reads more than expected ("did the filter prune?  which
@@ -1541,36 +1542,98 @@ def variant_prune_files(
 
     from daskberg_spark.iceberg.planner import range_may_match
 
-    field = vpath[2:] if vpath.startswith("$.") else vpath
-    if not field or "." in field or op == "!=":
-        return files
-    if isinstance(value, bool) or not isinstance(
-        value, (int, float, str, list, tuple)
-    ):
-        return files  # no typed stats story: conservative
-    parse = (
-        float
-        if isinstance(value, float)
-        else int
-        if isinstance(value, int)
-        else str
-    )
-    if isinstance(value, (list, tuple)):
-        if not value or isinstance(value[0], bool):
-            return files
-        parse = (
-            float
-            if isinstance(value[0], float)
-            else int
-            if isinstance(value[0], int)
-            else str
-        )
+    return _variant_prune_multi(files, [(col, vpath, op, value)])
+
+
+# parquet physical types a probe's python type may SOUNDLY compare
+# against: string stats against a numeric leaf compare lexicographically
+# ("5" <= "10" is False) and would prune files whose rows the residual
+# — which CASTS via variant_get — matches
+_VARIANT_PHYS_OK = {
+    str: {"BYTE_ARRAY"},
+    int: {"INT32", "INT64"},
+    float: {"FLOAT", "DOUBLE"},
+}
+
+
+def _variant_probe(op: str, value: Any):
+    """(vtype, parse, typed_value, physical_ok) shared by the prune and
+    residual paths — ONE python-type dispatch so the two can never
+    drift; None when the value shape has no sound typed-stats story
+    (pruning then keeps everything; the residual still applies)."""
+    if op == "in":
+        if not isinstance(value, (list, tuple)):
+            raise ValueError(
+                "'in' variant filter value must be a list/tuple "
+                "(a plain string would match per-character)"
+            )
+        probe = value[0] if value else None
+
+        def _fam(v: Any) -> str:
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "long"
+            if isinstance(v, float):
+                return "double"
+            return "string" if isinstance(v, str) else "other"
+
+        fams = {_fam(v) for v in value}
+        if value and not (
+            fams <= {"long", "double"} or fams in ({"string"}, {"boolean"})
+        ):
+            # Spark's own cast of a mixed list against variant_get's
+            # typed extraction throws NumberFormatException mid-query —
+            # refuse up front with a pointer at the actual problem
+            raise ValueError(
+                "'in' variant filter values must share one type "
+                f"(got {sorted(fams)})"
+            )
+        if fams == {"long", "double"}:
+            probe = next(v for v in value if isinstance(v, float))
         tv: Any = list(value)
     else:
+        probe = value
         tv = value
-    t_leaf = f"{col}, typed_value, {field}, typed_value"
-    v_leaf = f"{col}, typed_value, {field}, value"
-    top_leaf = f"{col}, value"
+    if isinstance(probe, bool):
+        return ("boolean", None, tv, None)  # residual-only
+    if isinstance(probe, int):
+        return ("long", int, tv, _VARIANT_PHYS_OK[int])
+    if isinstance(probe, float):
+        return ("double", float, tv, _VARIANT_PHYS_OK[float])
+    if isinstance(probe, str):
+        return ("string", str, tv, _VARIANT_PHYS_OK[str])
+    return None
+
+
+def _variant_prune_multi(
+    files: list[dict[str, Any]],
+    preds: list[tuple[str, str, str, Any]],
+) -> list[dict[str, Any]]:
+    """All variant predicates evaluated against ONE footer read per
+    file (they are predicate-independent; re-fetching per predicate
+    paid k× the IO).  AND semantics: a file survives only if every
+    predicate may match."""
+    import duckdb
+
+    from daskberg_spark.iceberg.planner import range_may_match
+
+    prepared = []
+    for col, vpath, op, value in preds:
+        field = vpath[2:] if vpath.startswith("$.") else vpath
+        probe = _variant_probe(op, value)
+        if (
+            not field
+            or "." in field
+            or op == "!="
+            or probe is None
+            or probe[1] is None
+        ):
+            continue  # conservative: residual-only predicate
+        _vtype, parse, tv, phys_ok = probe
+        prepared.append((col, field, op, parse, tv, phys_ok))
+    if not prepared:
+        return files
     keep: list[dict[str, Any]] = []
     for rec in files:
         if str(rec.get("file_format", "PARQUET")).upper() != "PARQUET":
@@ -1578,7 +1641,7 @@ def variant_prune_files(
             continue
         try:
             rows = duckdb.execute(
-                "SELECT path_in_schema, num_values, stats_min_value, "
+                "SELECT path_in_schema, type, num_values, stats_min_value, "
                 "stats_max_value, stats_null_count FROM parquet_metadata(?)",
                 [rec["file_path"]],
             ).fetchall()
@@ -1586,8 +1649,10 @@ def variant_prune_files(
             keep.append(rec)  # unreadable footer: conservative
             continue
         groups: dict[str, list[tuple]] = {}
-        for name, nv, mn, mx, nc in rows:
+        phys: dict[str, str] = {}
+        for name, ptype, nv, mn, mx, nc in rows:
             groups.setdefault(name, []).append((nv, mn, mx, nc))
+            phys[name] = str(ptype).upper()
 
         def all_null(name: str) -> bool:
             gs = groups.get(name)
@@ -1595,46 +1660,54 @@ def variant_prune_files(
                 nc is not None and nc == nv for nv, _mn, _mx, nc in gs
             )
 
-        typed = groups.get(t_leaf)
-        if typed is None or not all_null(v_leaf) or not all_null(top_leaf):
-            keep.append(rec)  # unshredded / residual-fallback rows
-            continue
-        may = False
-        for nv, mn, mx, nc in typed:
-            if nc is not None and nc == nv:
-                continue  # whole group missing the field: no match
-            if mn is None or mx is None:
-                may = True
+        survives = True
+        for col, field, op, parse, tv, phys_ok in prepared:
+            t_leaf = f"{col}, typed_value, {field}, typed_value"
+            v_leaf = f"{col}, typed_value, {field}, value"
+            top_leaf = f"{col}, value"
+            typed = groups.get(t_leaf)
+            if (
+                typed is None
+                or not all_null(v_leaf)
+                or not all_null(top_leaf)
+            ):
+                continue  # unshredded / residual-fallback rows: keep
+            if phys.get(t_leaf) not in phys_ok:
+                # probe type vs leaf physical type mismatch: the
+                # residual CASTS (long 5 matches string "5"); comparing
+                # across types here would prune its matches
+                continue
+            may = False
+            for nv, mn, mx, nc in typed:
+                if nc is not None and nc == nv:
+                    continue  # whole group missing the field: no match
+                if mn is None or mx is None:
+                    may = True
+                    break
+                try:
+                    lo, hi = parse(mn), parse(mx)
+                    if range_may_match(op, tv, lo, hi):
+                        may = True
+                        break
+                except (TypeError, ValueError):
+                    may = True  # mixed-type 'in' lists etc.: keep
+                    break
+            if not may:
+                survives = False
                 break
-            try:
-                lo, hi = parse(mn), parse(mx)
-            except (TypeError, ValueError):
-                may = True
-                break
-            if range_may_match(op, tv, lo, hi):
-                may = True
-                break
-        if may:
+        if survives:
             keep.append(rec)
     return keep
 
 
 def _variant_residual(col: str, vpath: str, op: str, value: Any):
     """The exact Spark predicate a variant filter means — applied AFTER
-    footer pruning so results never depend on stats."""
-    if isinstance(value, (list, tuple)):
-        probe = value[0] if value else ""
-    else:
-        probe = value
-    if isinstance(probe, bool):
-        vtype = "boolean"
-    elif isinstance(probe, int):
-        vtype = "long"
-    elif isinstance(probe, float):
-        vtype = "double"
-    else:
-        vtype = "string"
-    getter = F.expr(f"variant_get(`{col}`, '{vpath}', '{vtype}')")
+    footer pruning so results never depend on stats.  Built with
+    ``F.variant_get`` (path passed as an argument), never by splicing
+    user strings into SQL text."""
+    probe = _variant_probe(op, value)
+    vtype = probe[0] if probe is not None else "string"
+    getter = F.variant_get(F.col(col), vpath, vtype)
     if op == "in":
         return getter.isin(list(value))
     return {

@@ -49,7 +49,14 @@ def _offset_size(max_value: int) -> int:
 def _collect_keys(value: Any, keys: set[str]) -> None:
     if isinstance(value, dict):
         for k, v in value.items():
-            keys.add(str(k))
+            if not isinstance(k, str):
+                # str()-coercion could collide two keys into one
+                # spec-forbidden duplicate field name (or crash the
+                # sort on tied coerced keys) — fail loudly instead
+                raise ValueError(
+                    f"variant object keys must be strings, got {k!r}"
+                )
+            keys.add(k)
             _collect_keys(v, keys)
     elif isinstance(value, (list, tuple)):
         for v in value:
@@ -125,8 +132,10 @@ def _encode_value(value: Any, key_id: dict[str, int]) -> bytes:
         return bytes(out)
     if isinstance(value, dict):
         # fields sorted by key — required for readers' binary search
-        # when the metadata dictionary is flagged sorted
-        fields = sorted((str(k), v) for k, v in value.items())
+        # when the metadata dictionary is flagged sorted (keys are
+        # validated str by _collect_keys, so the sort never ties into
+        # comparing values)
+        fields = sorted(value.items())
         items = [_encode_value(v, key_id) for _k, v in fields]
         ids = [key_id[k] for k, _v in fields]
         total = sum(len(b) for b in items)

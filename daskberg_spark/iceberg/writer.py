@@ -672,7 +672,13 @@ class IcebergWriter:
                     # {"metadata": bytes, "value": bytes} pair — re-
                     # encoding that as a variant OBJECT would silently
                     # double-encode (and lose foreign-encoded values the
-                    # python codec doesn't model), so ship it verbatim
+                    # python codec doesn't model), so ship it verbatim.
+                    # The shape is RESERVED: a user OBJECT payload with
+                    # exactly these keys is indistinguishable, so the
+                    # metadata header version byte is checked and a
+                    # mismatch refuses LOUDLY instead of corrupting —
+                    # rename the keys (or write via the cluster path)
+                    # for such payloads.
                     if v is None:
                         return None
                     if (
@@ -681,7 +687,17 @@ class IcebergWriter:
                         and isinstance(v["metadata"], bytes)
                         and isinstance(v["value"], bytes)
                     ):
-                        return v["metadata"], v["value"]
+                        md = v["metadata"]
+                        if not md or (md[0] & 0x0F) != 0x01:
+                            raise ValueError(
+                                "payload matches the reserved physical "
+                                "variant pair shape {'metadata': bytes, "
+                                "'value': bytes} but carries no valid "
+                                "variant metadata header; rename the "
+                                "object's keys to write it as a variant "
+                                "OBJECT"
+                            )
+                        return md, v["value"]
                     return encode_variant(v)
 
                 pairs = [as_pair(v) for v in vals]

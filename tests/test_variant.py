@@ -28,6 +28,8 @@ VECTORS = [
     {"nested": {"deep": {"deeper": [1, [2, [3]]]}}},
     list(range(300)),  # large array (4-byte count)
     {f"k{i:03d}": i for i in range(300)},  # large object
+    b"\x00\x01raw bytes\xff",  # binary primitive
+    {"blob": b"\x89PNG"},
 ]
 
 
@@ -55,7 +57,20 @@ def test_encoder_spark_roundtrip(spark, tmp_path):
 
     from daskberg_spark.iceberg.variant import encode_variant
 
-    vals = [v for v in VECTORS if not isinstance(v, bytes)]
+    import base64
+
+    def jsonable(v):
+        if isinstance(v, bytes):
+            return base64.b64encode(v).decode()
+        if isinstance(v, dict):
+            return {k: jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [jsonable(x) for x in v]
+        return v
+
+    # encode the RAW vectors (bytes included); to_json renders binary
+    # as base64, so expectations compare through that lens
+    vals = list(VECTORS)
     pairs = [encode_variant(v) for v in vals]
     tbl = pa.table(
         {
@@ -88,7 +103,7 @@ def test_encoder_spark_roundtrip(spark, tmp_path):
     }
     for i, v in enumerate(vals):
         got = json.loads(out[i]) if out[i] is not None else None
-        assert got == v, (v, out[i])
+        assert got == jsonable(v), (v, out[i])
 
 
 def test_driver_side_variant_write_read(spark):
@@ -249,3 +264,73 @@ def test_maintain_survives_shredded_variant(spark, tmp_path):
     report2 = maintain(IcebergWriter.load(d), spark=spark)
     assert report2["compact"] is not None
     assert len(IcebergTable(d).plan_files()) == 1
+
+
+def test_encoder_rejects_non_string_keys():
+    from daskberg_spark.iceberg.variant import encode_variant
+
+    with pytest.raises(ValueError, match="keys must be strings"):
+        encode_variant({1: "x", "1": "y"})  # coercion would collide
+
+
+def test_writer_refuses_ambiguous_physical_pair_shape(tmp_path):
+    """The {'metadata': bytes, 'value': bytes} dict shape is reserved
+    for the rewrite passthrough; a user OBJECT of that exact shape
+    without a valid variant header must refuse loudly, never ship the
+    raw bytes as a (corrupt) physical pair."""
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+        [],
+    )
+    with pytest.raises(ValueError, match="reserved physical"):
+        w.append(
+            [{"id": 1, "payload": {"metadata": b"\x77", "value": b"\x00"}}]
+        )
+
+
+def test_string_probe_never_prunes_numeric_shredded_leaf(spark):
+    """Regression: a STRING predicate against a bigint-shredded leaf
+    compared lexicographically ('5' <= '10' is False) and pruned files
+    whose rows the casting residual matches."""
+    from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(ensure_variant_shred_fixture(spark))
+    # $.a is shredded as bigint (values 100+i%7 in file 2, i%7 in file 1)
+    want = to_df(t, spark).selectExpr(
+        "id", "variant_get(payload, '$.a', 'string') AS a"
+    ).where("a = '104'")
+    got = to_df(
+        t, spark, variant_filters=[("payload", "$.a", "==", "104")]
+    ).selectExpr("id")
+    assert got.count() == want.count() and got.count() > 0
+
+
+def test_variant_in_filter_shapes(spark):
+    from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(ensure_variant_shred_fixture(spark))
+    # a plain string for 'in' would silently match per-character
+    with pytest.raises(ValueError, match="list/tuple"):
+        to_df(t, spark, variant_filters=[("payload", "$.tag", "in", "t9")])
+    # mixed-type lists would throw NumberFormatException inside Spark's
+    # own cast mid-query — refused loudly up front instead
+    with pytest.raises(ValueError, match="share one type"):
+        to_df(t, spark, variant_filters=[("payload", "$.a", "in", [104, "x"])])
+    # homogeneous and long+double mixes work, with the exact residual
+    n = to_df(
+        t, spark, variant_filters=[("payload", "$.a", "in", [104, 105])]
+    ).count()
+    exact = to_df(t, spark).selectExpr(
+        "variant_get(payload, '$.a', 'long') AS a"
+    ).where("a IN (104, 105)").count()
+    assert n == exact > 0
