@@ -33,7 +33,10 @@ from daskberg_spark.iceberg.conversions import (
     decode_bound,
     partition_value_to_python,
 )
-from daskberg_spark.iceberg.transforms import get_transform
+from daskberg_spark.iceberg.transforms import (
+    coerce_for_transform,
+    get_transform,
+)
 
 OPS = {"==", "=", "!=", "<", "<=", ">", ">=", "in"}
 
@@ -250,6 +253,26 @@ def is_dnf(filters: Any) -> bool:
     ) and isinstance(filters[0][0], (list, tuple))
 
 
+_NO_TV = object()  # the predicate value has no sound transform image
+
+
+def _predicate_tv(fn, op: str, value: Any, info: FieldInfo) -> Any:
+    """The partition transform applied to a PREDICATE value, coerced to
+    the COLUMN type first (a float literal on a long column, a string
+    uuid, a short-scale Decimal all hash differently than the writer
+    stored — silent row loss).  ``_NO_TV`` when no exact image exists
+    or the transform cannot take the value — callers must then treat
+    the predicate as un-prunable, never crash the plan."""
+    try:
+        if op == "in":
+            return [
+                fn(coerce_for_transform(v, info.type)) for v in value
+            ]
+        return fn(coerce_for_transform(value, info.type))
+    except NotImplementedError:
+        return _NO_TV
+
+
 def _passes_partition(
     data_file: dict[str, Any],
     op: str,
@@ -277,12 +300,16 @@ def _passes_partition(
                 pval = (pval - datetime.date(1970, 1, 1)).days
             exact = transform == "identity"
             if ordered:
-                tv = [fn(v) for v in value] if op == "in" else fn(value)
-                if not point_may_match(op, tv, pval, exact):
+                tv = _predicate_tv(fn, op, value, info)
+                if tv is not _NO_TV and not point_may_match(
+                    op, tv, pval, exact
+                ):
                     return False
             elif op in ("==", "=", "in"):
-                tv = [fn(v) for v in value] if op == "in" else fn(value)
-                if not point_may_match(op, tv, pval, exact=False):
+                tv = _predicate_tv(fn, op, value, info)
+                if tv is not _NO_TV and not point_may_match(
+                    op, tv, pval, exact=False
+                ):
                     return False
     return True
 
@@ -440,11 +467,12 @@ def _all_match_pred(
             if transform == "day" and pval is not None and not isinstance(pval, int):
                 pval = (pval - datetime.date(1970, 1, 1)).days
             if pval is not None and op in ("<", "<=", ">", ">="):
-                tv = fn(value)
-                if op in ("<", "<=") and _lt(pval, tv):
-                    return True
-                if op in (">", ">=") and _lt(tv, pval):
-                    return True
+                tv = _predicate_tv(fn, op, value, info)
+                if tv is not _NO_TV:
+                    if op in ("<", "<=") and _lt(pval, tv):
+                        return True
+                    if op in (">", ">=") and _lt(tv, pval):
+                        return True
             # fall through: bounds may still prove it
     lo = _bound_lookup(data_file.get("lower_bounds"), info.field_id, info.type)
     hi = _bound_lookup(data_file.get("upper_bounds"), info.field_id, info.type)
@@ -904,9 +932,16 @@ def check_summaries(
                 continue
             value = normalize_value(raw_value, info.type)
             if op == "in":
-                tv: Any = [fn(normalize_value(v, info.type)) for v in raw_value]
+                tv: Any = _predicate_tv(
+                    fn,
+                    "in",
+                    [normalize_value(v, info.type) for v in raw_value],
+                    info,
+                )
             else:
-                tv = fn(value)
+                tv = _predicate_tv(fn, op, value, info)
+            if tv is _NO_TV:
+                continue  # no sound transform image: cannot prune here
             if ordered:
                 eff_op = op
                 if transform != "identity":

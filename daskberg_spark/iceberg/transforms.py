@@ -86,7 +86,18 @@ def _bucket_hash_bytes(value: Any) -> bytes:
     if isinstance(value, float):
         if value == 0.0:
             value = 0.0  # -0.0 → +0.0 per spec
+        if value != value:
+            # doubleToLongBits semantics: every NaN payload canonicalizes
+            # to the quiet NaN before hashing, or NaN rows would land in
+            # different buckets than spec-compliant engines compute
+            return (0x7FF8000000000000).to_bytes(8, "little")
         return struct.pack("<d", value)
+    if isinstance(value, datetime.time):
+        micros = (
+            (value.hour * 3600 + value.minute * 60 + value.second) * 1_000_000
+            + value.microsecond
+        )
+        return micros.to_bytes(8, "little", signed=True)
     if isinstance(value, Decimal):
         from daskberg_spark.iceberg.conversions import min_signed_bytes
 
@@ -213,9 +224,66 @@ def get_transform(name: str) -> tuple[Callable[[Any], Any], bool]:
     m = _BUCKET_RE.fullmatch(name)
     if m:
         n = int(m.group(1))
+        if n < 1:
+            # a zero width would defer to a ZeroDivisionError deep in
+            # predicate evaluation — invalid specs fail at resolve time
+            raise NotImplementedError(f"invalid transform {name!r}")
         return (lambda v, n=n: bucket(v, n)), False
     m = _TRUNCATE_RE.fullmatch(name)
     if m:
         w = int(m.group(1))
+        if w < 1:
+            raise NotImplementedError(f"invalid transform {name!r}")
         return (lambda v, w=w: truncate(v, w)), True
     raise NotImplementedError(f"partition transform {name!r}")
+
+
+_DEC_SCALE_RE = re.compile(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)")
+
+
+def coerce_for_transform(value: Any, source_type: str | None) -> Any:
+    """Coerce a PREDICATE value to the column type's domain before a
+    partition transform: bucket/truncate dispatch on the python runtime
+    type, so a float literal against a long column, a canonical-string
+    uuid, or a short-scale Decimal would transform differently than the
+    writer stored — silent row loss through partition pruning.  Raises
+    NotImplementedError when no exact coercion exists (callers must then
+    treat the predicate as un-prunable, never guess)."""
+    if value is None or source_type is None:
+        return value
+    t = source_type
+    if t == "uuid" and isinstance(value, str):
+        return _uuid.UUID(value)
+    if t in ("int", "long") and isinstance(value, float):
+        if value != value or value in (
+            float("inf"),
+            float("-inf"),
+        ) or int(value) != value:
+            raise NotImplementedError(
+                "non-integral float against an integer column has no "
+                "exact transform image"
+            )
+        return int(value)
+    if (
+        t in ("float", "double")
+        and isinstance(value, int)
+        and not isinstance(value, bool)
+    ):
+        return float(value)
+    m = _DEC_SCALE_RE.fullmatch(t)
+    if m and isinstance(value, Decimal):
+        # the spec transforms the UNSCALED value at the COLUMN's scale:
+        # Decimal('14.2') against decimal(9,2) must hash/truncate as
+        # unscaled 1420, not 142 — and a value needing MORE scale has
+        # no exact image
+        exp = Decimal(1).scaleb(-int(m.group(1)))
+        try:
+            q = value.quantize(exp)
+        except Exception:
+            raise NotImplementedError("decimal out of column range")
+        if q != value:
+            raise NotImplementedError(
+                "decimal predicate exceeds the column scale"
+            )
+        return q
+    return value

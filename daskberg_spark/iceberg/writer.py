@@ -622,10 +622,22 @@ class IcebergWriter:
         return self.current_spec_id
 
     def _partition_tuple(self, row: dict[str, Any]) -> tuple:
+        from daskberg_spark.iceberg.transforms import coerce_for_transform
+
         out = []
         for pf in self.spec:
             fn, _ = get_transform(pf["transform"])
-            out.append(_avro_partition_value(fn(row[pf["_source_name"]])))
+            src = pf["_source_name"]
+            # coerce to the COLUMN type so representation quirks cannot
+            # split one value across partitions: Decimal('1E+2') and
+            # Decimal('100.00') must transform identically under a
+            # decimal(p,2) column, and an int row value on a double
+            # column must hash as a double
+            out.append(
+                _avro_partition_value(
+                    fn(coerce_for_transform(row[src], self.types.get(src)))
+                )
+            )
         return tuple(out)
 
     def _write_parquet(self, rows: list[dict[str, Any]]) -> tuple[str, int]:

@@ -111,3 +111,100 @@ def test_tz_aware_datetime_transforms():
     assert bucket(aware, 16) == bucket(naive_utc, 16)
     # ISO string with offset (normalize_value output for timestamptz)
     assert hour("2020-06-01T05:30:00+02:00") == hour(naive_utc)
+
+
+def test_predicate_type_coercion_is_pruning_sound():
+    """Regression battery: predicate literals whose python type differs
+    from the column type must transform to the SAME partition value the
+    writer stored, or the matching file is silently pruned."""
+    import datetime as dt
+    import uuid as uuid_mod
+    from decimal import Decimal
+
+    from daskberg_spark.iceberg.transforms import (
+        bucket,
+        coerce_for_transform,
+        truncate,
+    )
+
+    # uuid: the planner canonicalizes to string; the hash needs 16 bytes
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    assert bucket(coerce_for_transform(u, "uuid"), 16) == bucket(
+        uuid_mod.UUID(u), 16
+    )
+    # integral float literal on a long column hashes as the long
+    assert bucket(coerce_for_transform(34.0, "long"), 100) == bucket(34, 100)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        coerce_for_transform(34.5, "long")  # no exact image → no prune
+    # decimal: unscaled at the COLUMN scale, not the literal's
+    assert bucket(
+        coerce_for_transform(Decimal("14.2"), "decimal(9,2)"), 100
+    ) == bucket(Decimal("14.20"), 100)
+    assert truncate(
+        coerce_for_transform(Decimal("1E+2"), "decimal(9,2)"), 50
+    ) == truncate(Decimal("100.00"), 50)
+    # int literal on a double column hashes as the double
+    assert bucket(coerce_for_transform(34, "double"), 100) == bucket(
+        34.0, 100
+    )
+    # time values hash as micros-since-midnight longs
+    assert bucket(dt.time(12, 0), 100) == bucket(
+        12 * 3600 * 1_000_000, 100
+    )
+
+
+def test_nan_bucket_canonicalizes_like_doubleToLongBits():
+    import struct as st
+
+    from daskberg_spark.iceberg.transforms import bucket
+
+    payload_nan = st.unpack("<d", (0xFFF8000000000001).to_bytes(8, "little"))[0]
+    assert bucket(payload_nan, 100) == bucket(float("nan"), 100)
+
+
+def test_invalid_zero_width_transforms_rejected():
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.transforms import get_transform
+
+    with _pytest.raises(NotImplementedError, match="invalid"):
+        get_transform("bucket[0]")
+    with _pytest.raises(NotImplementedError, match="invalid"):
+        get_transform("truncate[0]")
+
+
+def test_planner_keeps_files_when_transform_cannot_take_value():
+    """A predicate value with no sound transform image must degrade to
+    'cannot prune' instead of crashing the whole plan."""
+    from daskberg_spark.iceberg.planner import FieldInfo, apply_filters
+
+    fields = {
+        "b": FieldInfo(
+            field_id=1,
+            type="long",
+            transform="bucket[16]",
+            partition_name="b_bucket",
+        )
+    }
+    files = [
+        {"file_path": "f0", "partition": {"b_bucket": 3}, "_spec_id": 0}
+    ]
+    # non-integral float: no long can equal it, but pruning must not crash
+    out = apply_filters(files, [("b", "==", 3.5)], fields)
+    assert [f["file_path"] for f in out] == ["f0"]
+    # integral float coerces and prunes exactly like the int
+    from daskberg_spark.iceberg.transforms import bucket as _bucket
+
+    hit = _bucket(3, 16)
+    files2 = [
+        {"file_path": "hit", "partition": {"b_bucket": hit}, "_spec_id": 0},
+        {
+            "file_path": "miss",
+            "partition": {"b_bucket": (hit + 1) % 16},
+            "_spec_id": 0,
+        },
+    ]
+    out2 = apply_filters(files2, [("b", "==", 3.0)], fields)
+    assert [f["file_path"] for f in out2] == ["hit"]
