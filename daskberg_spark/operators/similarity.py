@@ -76,6 +76,19 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_topk(table(spark, sf_dir, "embeddings"))
 
 
+def _cosine(a, b):
+    """Cosine of two vector columns with EXPLICIT zero-norm semantics:
+    Spark's double division yields NULL on /0 while DuckDB (ieee mode)
+    yields NaN, and NULL vs NaN sort to OPPOSITE ends of a descending
+    top-k — a single zero vector would silently desync every ranked
+    oracle.  Emit NaN on the Spark side too: both engines then rank it
+    identically (NaN greatest)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        _dot(a, b) / denom
+    )
+
+
 def exact_topk(emb: DataFrame) -> DataFrame:
     """Brute-force cosine top-TOP_K of vec_id < N_QUERIES over any
     (vec_id, embedding) frame — the ground-truth half of every ANN
@@ -90,10 +103,7 @@ def exact_topk(emb: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            ).alias("cosine"),
+            _cosine(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -127,9 +137,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").alias("v")
     )
     a, b = emb.alias("a"), emb.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,
@@ -317,9 +325,7 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.broadcast(q).join(
         c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id"))
     ).dropDuplicates(["query_id", "neighbor_id"])
-    cos = (
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    )
+    cos = _cosine(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     ann = (
         cand.select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -399,6 +405,12 @@ def ivf_centroids(
     ever reaches the driver, the same contract as MLlib's KMeans driver
     loop."""
     v = F.col("embedding")
+    n_rows = emb.limit(n_cells).count()
+    if n_rows == 0:
+        raise ValueError("ivf_centroids: empty corpus")
+    # fewer vectors than requested cells: clamp (an IndexError deep in
+    # the Lloyd loop pointed nowhere)
+    n_cells = min(n_cells, n_rows)
     if init == "greedy":
         first = emb.orderBy("vec_id").limit(1).select("embedding").collect()[0]
         centroids = [[float(x) for x in first["embedding"]]]
@@ -426,10 +438,7 @@ def ivf_centroids(
             # F.avg merges partials in shuffle-fetch order, so two runs
             # could differ in the last ulp and flip a boundary vector's
             # cell — breaking this function's determinism contract
-            .agg(
-                (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("x"))
-                .alias("m")
-            )
+            .agg(davg(F.col("x"), "m"))
             .collect()
         )
         by_cell: dict[int, list[float]] = {}
@@ -497,7 +506,7 @@ def _ivf_recall(emb: DataFrame, n_probe: int, init: str = "first") -> DataFrame:
         corpus,
         (F.col("qcell") == corpus["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
     ).drop("qcell", "cell")
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _cosine(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     ann = (
@@ -662,10 +671,21 @@ class IvfIndex:
         return cls(centroids, assigned)
 
     def search(
-        self, queries: DataFrame, k: int = TOP_K, n_probe: int = N_PROBE
+        self,
+        queries: DataFrame,
+        k: int = TOP_K,
+        n_probe: int = N_PROBE,
+        exclude_self: bool = False,
     ) -> DataFrame:
         """queries: (query_id, qv array) → (query_id, neighbor_id, rank,
-        cosine) over the probed cells, exact-re-ranked."""
+        cosine) over the probed cells, exact-re-ranked.
+
+        ``exclude_self`` drops the corpus vector whose vec_id EQUALS the
+        query_id — only meaningful when queries are drawn from the
+        corpus itself (the recall-harness shape).  It defaults OFF:
+        external queries live in a different id space, and filtering on
+        id equality there silently suppressed the true nearest neighbor
+        whenever the numbers collided."""
         v = F.col("qv")
         probes = F.slice(
             F.array_sort(
@@ -682,14 +702,11 @@ class IvfIndex:
         q = queries.select(
             "query_id", "qv", F.explode(probes).alias("p")
         ).select("query_id", "qv", F.col("p.cell").alias("qcell"))
-        cand = F.broadcast(q).join(
-            self.assigned,
-            (F.col("qcell") == self.assigned["cell"])
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        cos = _dot(F.col("qv"), F.col("cv")) / (
-            _norm(F.col("qv")) * _norm(F.col("cv"))
-        )
+        cond = F.col("qcell") == self.assigned["cell"]
+        if exclude_self:
+            cond = cond & (F.col("query_id") != F.col("neighbor_id"))
+        cand = F.broadcast(q).join(self.assigned, cond)
+        cos = _cosine(F.col("qv"), F.col("cv"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), "neighbor_id"
         )
@@ -766,18 +783,31 @@ SEMDEDUP_TAU = 0.35  # the synthetic fixture is isotropic (no true near-dups);
 def _signature_col(v, planes):
     """Packed sign-bit signature of vector column ``v`` over literal
     hyperplanes — the same pure-Catalyst fold similarity_lsh_buckets
-    uses, factored for reuse."""
+    uses, factored for reuse.
+
+    Guarded on dimensionality: zip_with NULL-pads a short/long vector,
+    the fold goes NULL, and every bit would silently fall to 0 — the
+    whole corpus in bucket 0 with no error (while the DuckDB oracle's
+    list_dot_product raises).  A mismatched vector now raises inside
+    the plan instead."""
+    dim = len(planes[0])
     sig = None
     for i, plane in enumerate(planes):
-        parr = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, parr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = _dot(v, F.array(*[F.lit(x) for x in plane]))
         bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+    return (
+        F.when(F.size(v) == dim, sig)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding dim != {dim} for LSH planes: "),
+                    F.size(v).cast("string"),
+                )
+            )
+        )
+        .cast("long")
+    )
 
 
 def semantic_dedup(emb: DataFrame, cluster, tau: float = SEMDEDUP_TAU) -> DataFrame:
@@ -806,9 +836,7 @@ def semantic_dedup(emb: DataFrame, cluster, tau: float = SEMDEDUP_TAU) -> DataFr
     # recomputes per consumer (a redundant corpus pass at scale)
     assigned = emb.withColumn("cluster", cluster).localCheckpoint()
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
     dropped = (
         a.join(
             b,

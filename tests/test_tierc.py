@@ -503,9 +503,14 @@ def test_ivf_index_build_once_search_many(spark):
     q_all = emb.filter(F.col("vec_id") < S.N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    # two separate search calls against the same built index
-    first = idx.search(q_all.filter(F.col("query_id") < 5), n_probe=2)
-    second = idx.search(q_all.filter(F.col("query_id") >= 5), n_probe=2)
+    # two separate search calls against the same built index; queries
+    # are drawn from the corpus, so self-exclusion matches exact_topk
+    first = idx.search(
+        q_all.filter(F.col("query_id") < 5), n_probe=2, exclude_self=True
+    )
+    second = idx.search(
+        q_all.filter(F.col("query_id") >= 5), n_probe=2, exclude_self=True
+    )
     got = {
         (r["query_id"], r["neighbor_id"])
         for r in first.collect() + second.collect()
@@ -587,7 +592,9 @@ def test_bmp_codec_roundtrip_and_variants():
     struct.pack_into("<H", bad, 14 + 14, 8)  # 8bpp
     with pytest.raises(NotImplementedError, match="unsupported BMP"):
         decode_bmp(bytes(bad))
-    with pytest.raises(NotImplementedError, match="compressed"):
+    # a PNG-ish prefix that is NOT the full 8-byte signature is an
+    # unknown format (real PNGs now decode; see test_png_roundtrip_*)
+    with pytest.raises(NotImplementedError, match="neither BMP nor PNG"):
         decode_image(b"\x89PNG....")
 
 
@@ -768,3 +775,50 @@ def test_dedup_fixture_jaccard_gap_invariant():
         f"minhash/simhash oracles (threshold {JACCARD_TAU}) are only "
         "exact when no pair lands between certain-miss and certain-hit"
     )
+
+
+def test_ivf_search_external_queries_keep_colliding_ids(spark):
+    """Regression: external queries live in a different id space — a
+    query_id that happens to equal a corpus vec_id must still be able
+    to return that vector (previously silently suppressed)."""
+    import daskberg_spark.operators.similarity as S
+    from daskberg_spark.operators.registry import table
+
+    emb = S.clustered_embeddings(table(spark, SF, "embeddings"))
+    idx = S.IvfIndex.build(emb, init="greedy")
+    # query 3 IS corpus vector 3: rank-1 must be vector 3 itself
+    probe = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    top = idx.search(probe, k=1, n_probe=2).collect()
+    assert [(r.query_id, r.neighbor_id) for r in top] == [(3, 3)]
+
+
+def test_ivf_small_corpus_clamps_cells(spark):
+    import daskberg_spark.operators.similarity as S
+    from daskberg_spark.operators.registry import table
+
+    emb = S.clustered_embeddings(table(spark, SF, "embeddings")).filter(
+        F.col("vec_id") < 6
+    )
+    cents = S.ivf_centroids(emb, n_cells=16)  # 6 rows < 16 cells
+    assert 1 <= len(cents) <= 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S.ivf_centroids(emb.filter(F.col("vec_id") < 0))
+
+
+def test_lsh_signature_dim_mismatch_is_loud(spark):
+    """Regression: a corpus whose dim differs from the hyperplanes
+    previously signed every vector into bucket 0 silently."""
+    import daskberg_spark.operators.similarity as S
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    sig = S._signature_col(
+        F.col("embedding"), S._hyperplanes(64, S.N_PLANES)
+    )
+    with pytest.raises(Exception, match="embedding dim"):
+        bad.select(sig.alias("s")).collect()
