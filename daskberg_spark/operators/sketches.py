@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from daskberg_spark.operators.registry import (
     DEC,
+    dsum,
     literal_df,
     query,
     sql_dsum,
@@ -103,14 +104,16 @@ def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     than k*8 bytes anywhere.  The exact count (for the error column) is
     the same shuffle's byproduct."""
     orders = table(spark, sf_dir, "orders")
-    h = orders.select(_h48_spark("o_custkey").alias("h")).distinct()
+    # ONE distinct shuffle feeds both the sketch and the exact count
+    # (hashing after the dedup gives the same min-k; countDistinct on
+    # the raw table was a second full scan + shuffle)
+    d = orders.select("o_custkey").distinct().localCheckpoint()
+    h = d.select(_h48_spark("o_custkey").alias("h"))
     mins = h.orderBy("h").limit(KMV_K)
     sk = mins.agg(
         F.count("*").alias("k_seen"), F.max("h").alias("kth_min")
     )
-    exact = orders.agg(
-        F.countDistinct("o_custkey").alias("exact_distinct")
-    )
+    exact = d.agg(F.count("*").alias("exact_distinct"))
     est = F.when(
         F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
     ).otherwise(
@@ -166,7 +169,13 @@ def sampled_agg_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines — sqrt and / are IEEE-correctly-rounded, so the doubles
 # match bit-for-bit.
 _CORR_NUM = "(n * sxy - sx * sy)"
-_CORR_DEN = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+# greatest(…, 0): on near-constant large-mean data the rounded variance
+# term can land fractionally NEGATIVE, where DuckDB hard-errors on sqrt
+# while Spark yields NaN — clamp identically on both engines
+_CORR_DEN = (
+    "(sqrt(greatest(n * sxx - sx * sx, 0.0)) * "
+    "sqrt(greatest(n * syy - sy * sy, 0.0)))"
+)
 
 
 @query(
@@ -177,6 +186,7 @@ _CORR_DEN = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
              CAST(CAST(value AS DECIMAL(25,6)) AS DOUBLE) AS x,
              CAST(hour(ts) AS DOUBLE) AS y
       FROM events
+      WHERE value IS NOT NULL
     ), moments AS (
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -205,10 +215,18 @@ def events_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     x = F.col("value").cast(DEC).cast("double")
     y = F.hour("ts").cast("double")
-    terms = ev.select("event_type", x.alias("x"), y.alias("y"))
+    # NULL values must not enter ANY moment: with n = COUNT(*) the x
+    # sums would skip the NULL rows while n and the y sums counted
+    # them — a wrong correlation BOTH engines would agree on, invisible
+    # to the oracle harness
+    terms = ev.where(F.col("value").isNotNull()).select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
 
     def dsum_term(c: F.Column, alias: str) -> F.Column:
-        return F.sum(c.cast(DEC)).cast("double").alias(alias)
+        # registry.dsum with the ROUNDED-per-row term convention this
+        # moment pipeline documents
+        return dsum(c, alias)
 
     moments = terms.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n"),
@@ -303,17 +321,19 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorized_stats",
     f"""
-    WITH q AS (
+    WITH nn AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), q AS (
       SELECT event_type,
              quantile_cont(value, 0.05) AS lo,
              quantile_cont(value, 0.95) AS hi
-      FROM events GROUP BY event_type
+      FROM nn GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            {sql_dsum('e.value', 'sum_raw')},
            {sql_dsum('least(greatest(e.value, q.lo), q.hi)', 'sum_winsor')}
-    FROM events e JOIN q USING (event_type)
+    FROM nn e JOIN q USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type
     """,
 )
@@ -332,7 +352,13 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled beyond the sort and the two partial aggs."""
     from pyspark.sql import Window as W
 
-    ev = table(spark, sf_dir, "events")
+    # NULL values are excluded from EVERY stage uniformly: least/
+    # greatest on both engines SKIP a NULL argument, so an unfiltered
+    # clip would fabricate a lo-valued data point per NULL row into
+    # sum_winsor (while sum_raw skipped it) — a wrong number both
+    # engines would agree on; and an all-NULL group must vanish on
+    # both sides rather than only where the rank filter drops it.
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     wrank = W.partitionBy("event_type").orderBy("value")
     wall = W.partitionBy("event_type")
     # NULL values must not enter the rank: row_number orders NULLs first
@@ -340,7 +366,6 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while quantile_cont/percentile skip NULLs — filter to match.
     ranked = (
         ev.select("event_type", "value")
-        .where(F.col("value").isNotNull())
         .select(
             "event_type",
             "value",
@@ -659,10 +684,10 @@ def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verification harness) and the probe join broadcasts the
     4096-row sketch."""
 
-    def h48_expr(col: F.Column) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
-        ).cast("long")
+    # the ONE shared 48-bit hash (its contract: every sketch must agree
+    # bit-exactly with _sql_h48) — a local re-spelling here had already
+    # started to drift risk
+    h48_expr = _h48_spark
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
