@@ -1471,6 +1471,66 @@ def ensure_lineitem_bloom_iceberg(spark, sf_dir: str) -> str:
     return base
 
 
+THETA_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "theta_table")
+
+
+def ensure_theta_fixture(spark, path: str = THETA_FIXTURE_DIR) -> str:
+    """Theta-sketch statistics fixture: typed rows across the
+    single-value-serialization breadth (long/string/double/date), a
+    full ``write_table_statistics`` pass on the first snapshot, then an
+    append followed by ``refresh_table_statistics`` — so the CURRENT
+    snapshot's blobs came through the INCREMENTAL union path.  Every
+    column's NDV is far below the sketch's nominal k (4096), so the
+    sketches are in exact mode and a DuckDB COUNT(DISTINCT ...) oracle
+    pins the estimates exactly."""
+    import datetime as _dt
+
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        refresh_table_statistics,
+        write_table_statistics,
+    )
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+            {"id": 4, "name": "d", "type": "date", "required": False},
+        ],
+    )
+    writer.append(
+        [
+            {
+                "id": i,
+                "grp": "abc"[i % 3],
+                "val": float(i % 13),
+                "d": _dt.date(2024, 1, 1) + _dt.timedelta(days=i % 20),
+            }
+            for i in range(70)
+        ]
+    )
+    write_table_statistics(writer, spark)
+    writer.append(
+        [
+            {
+                "id": i,
+                "grp": "abcde"[i % 5],
+                "val": float(i % 19),
+                "d": _dt.date(2024, 3, 1) + _dt.timedelta(days=i % 15),
+            }
+            for i in range(70, 110)
+        ]
+    )
+    _, mode = refresh_table_statistics(writer, spark)
+    assert mode == "incremental", mode
+    return path
+
+
 # Single wrap call, at the BOTTOM so every ensure_* above — including
 # the ones added after the wrapper's original mid-file position, which
 # silently escaped serialization — takes the build flock.  Calling the

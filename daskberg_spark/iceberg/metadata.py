@@ -749,6 +749,29 @@ class IcebergTable:
                     return int(b["properties"]["ndv"])
         return None
 
+    def column_theta(self, name: str):
+        """Deserialized ``apache-datasketches-theta-v1`` sketch for a
+        column from the CURRENT snapshot's statistics file, or None.
+        Unlike ``column_ndv`` (the pre-computed property), this decodes
+        the mergeable payload — callers can union it with sketches of
+        their own or re-derive the estimate."""
+        from daskberg_spark.iceberg.puffin import read_blob
+        from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE, ThetaSketch
+
+        fid = self.fields[name].field_id
+        cur = self.current_snapshot["snapshot-id"]
+        for e in self.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("type") == THETA_BLOB_TYPE and b.get("fields") == [
+                    fid
+                ]:
+                    return ThetaSketch.deserialize(
+                        read_blob(e["statistics-path"], b)
+                    )
+        return None
+
     def partition_statistics(self) -> list[dict[str, Any]]:
         """Rows of the CURRENT snapshot's partition-statistics parquet
         (spec "Partition statistics"), or [] when none cover it."""

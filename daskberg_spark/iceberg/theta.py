@@ -1,0 +1,630 @@
+"""Apache DataSketches theta sketches — the Iceberg spec's STANDARD
+``apache-datasketches-theta-v1`` Puffin blob type — from scratch.
+
+The reference repo carries no statistics machinery at all
+(``daskberg/ice.py`` reads only data manifests), and this engine's
+earlier ``daskberg-ndv-v1`` blobs held a bare count: correct for the
+``ndv`` property real engines read, but opaque — nothing could be
+MERGED, so every stats refresh re-scanned the whole table.  A theta
+sketch is a mergeable distinct-count summary: per-partition (and
+per-file-batch) sketches union into the table sketch, and a stats
+refresh over an append-only window unions the PREVIOUS sketch with
+sketches over only the NEW files — at 100 TB that turns NDV
+maintenance from a full-table scan into a scan of the day's appends.
+
+Format sources (all public):
+
+- Iceberg Puffin spec, blob type ``apache-datasketches-theta-v1``:
+  a compact theta sketch whose update values are the column values
+  encoded with Iceberg's single-value binary serialization
+  (spec Appendix D), with the estimate in the ``ndv`` blob property.
+- Apache DataSketches theta binary layout, serial version 3, Compact
+  family (id 3): 1 preamble long for empty, 2 for exact mode, 3 for
+  estimation mode (adds thetaLong), then the retained 63-bit hash
+  values as little-endian longs, ascending when ORDERED.
+- MurmurHash3 x64-128 (Austin Appleby, public domain) with the
+  DataSketches default update seed 9001; the retained value is
+  ``hash[0] >>> 1`` (a 63-bit positive long), zero excluded.
+
+Semantics notes (documented divergences, all fixture-safe):
+
+- NULLs never update a sketch (NDV is distinct non-null, matching
+  COUNT(DISTINCT col)).
+- Empty byte strings are skipped, mirroring DataSketches'
+  ``update(byte[])`` no-op on empty input.
+- Doubles canonicalize -0.0 -> 0.0 and NaN -> the quiet-NaN bit
+  pattern before serialization (DataSketches ``update(double)``
+  semantics) so an estimator never double-counts equal values.
+
+The sketch builder is KMV-shaped: it retains the k smallest distinct
+hash values and sets theta to the (k+1)-th smallest once more than k
+distinct hashes are seen.  Any (theta, retained) pair with "retained =
+every input hash below theta" is a valid theta sketch — unions with
+sketches from other builders remain correct, and the standard
+estimator count * LONG_MAX / thetaLong applies.  Below k the sketch is
+in EXACT mode: the estimate equals the true distinct count, which is
+what lets the DuckDB oracle pin it with COUNT(DISTINCT ...).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+LONG_MAX = (1 << 63) - 1
+DEFAULT_UPDATE_SEED = 9001
+DEFAULT_LG_K = 12
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+FAMILY_COMPACT = 3
+SER_VER = 3
+# flags byte (theta PreambleUtil): bit0 BIG_ENDIAN, bit1 READ_ONLY,
+# bit2 EMPTY, bit3 COMPACT, bit4 ORDERED
+_F_READ_ONLY = 2
+_F_EMPTY = 4
+_F_COMPACT = 8
+_F_ORDERED = 16
+_F_SINGLEITEM = 32
+
+THETA_BLOB_TYPE = "apache-datasketches-theta-v1"
+
+_SKETCHABLE = frozenset(
+    {
+        "boolean",
+        "int",
+        "long",
+        "float",
+        "double",
+        "date",
+        "time",
+        "timestamp",
+        "timestamptz",
+        "string",
+        "binary",
+        "uuid",
+    }
+)
+
+
+def sketchable(ice_type: str) -> bool:
+    """Whether ``single_value_bytes`` covers this primitive type."""
+    return (
+        ice_type in _SKETCHABLE
+        or ice_type.startswith("decimal")
+        or ice_type.startswith("fixed")
+    )
+
+
+# -- MurmurHash3 x64-128 (scalar) --------------------------------------------
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Reference MurmurHash3 x64-128 over ``data``; returns the two
+    unsigned 64-bit halves.  Validated against the public 'foo' test
+    vector (tests/test_theta.py)."""
+    length = len(data)
+    h1 = seed & _M64
+    h2 = seed & _M64
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * _C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * _C2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks * 16 :]
+    tlen = len(tail)
+    k1 = 0
+    k2 = 0
+    for i in range(min(tlen, 15) - 1, 7, -1):  # bytes 8..14 -> k2
+        k2 ^= tail[i] << ((i - 8) * 8)
+    if tlen > 8:
+        k2 = (k2 * _C2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M64
+        h2 ^= k2
+    for i in range(min(tlen, 8) - 1, -1, -1):  # bytes 0..7 -> k1
+        k1 ^= tail[i] << (i * 8)
+    if tlen > 0:
+        k1 = (k1 * _C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def hash63(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> int:
+    """DataSketches update hash: first murmur half, unsigned-shifted
+    right by 1 (63-bit positive).  Zero is excluded by callers."""
+    return murmur3_x64_128(data, seed)[0] >> 1
+
+
+def compute_seed_hash(seed: int = DEFAULT_UPDATE_SEED) -> int:
+    """DataSketches ``Util.computeSeedHash``: low 16 bits of the
+    murmur hash of the seed long (as 8 LE bytes) with seed 0."""
+    sh = murmur3_x64_128(struct.pack("<q", seed), 0)[0] & 0xFFFF
+    if sh == 0:
+        raise ValueError("seed produced a zero seed hash; pick another")
+    return sh
+
+
+# -- vectorized hashing for fixed-width single-value encodings ---------------
+
+# For inputs <= 15 bytes the block loop never runs: the whole hash is
+# the tail mix + finalization, which vectorizes directly in uint64
+# numpy arithmetic (wrapping mul/xor/shift are the native semantics).
+
+
+def _fmix64_np(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def _hash63_fixed_np(
+    k1: np.ndarray, length: int, seed: int = DEFAULT_UPDATE_SEED
+) -> np.ndarray:
+    """Vectorized ``hash63`` for inputs of 1..8 bytes given as the
+    zero-extended little-endian uint64 ``k1`` (i.e. exactly the tail
+    k1 word of the scalar algorithm)."""
+    if not 1 <= length <= 8:
+        raise ValueError("fixed-width fast path covers 1..8 bytes")
+    c1 = np.uint64(_C1)
+    c2 = np.uint64(_C2)
+    k1 = k1 * c1
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 = k1 * c2
+    h1 = np.uint64(seed) ^ k1
+    h2 = np.uint64(seed)
+    h1 = h1 ^ np.uint64(length)
+    h2 = h2 ^ np.uint64(length)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64_np(h1)
+    h2 = _fmix64_np(h2)
+    h1 = h1 + h2
+    return h1 >> np.uint64(1)
+
+
+# -- Iceberg single-value serialization (spec Appendix D, binary) ------------
+
+
+def single_value_bytes(value: Any, ice_type: str) -> bytes | None:
+    """Encode one NON-NULL value with Iceberg's single-value binary
+    serialization for the types this engine's columns use.  Returns
+    None for values the sketch skips (NULL handled by callers; empty
+    strings/binary mirror DataSketches' empty-input no-op)."""
+    t = ice_type
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t == "int":
+        return struct.pack("<i", int(value))
+    if t == "long":
+        return struct.pack("<q", int(value))
+    if t == "float":
+        v = float(value)
+        if v != v:
+            return struct.pack("<I", 0x7FC00000)
+        return struct.pack("<f", v + 0.0)
+    if t == "double":
+        v = float(value)
+        if v != v:
+            return struct.pack("<Q", 0x7FF8000000000000)
+        return struct.pack("<d", v + 0.0)
+    if t == "date":
+        import datetime as _dt
+
+        if isinstance(value, (int, np.integer)):
+            days = int(value)
+        else:
+            days = (value - _dt.date(1970, 1, 1)).days
+        return struct.pack("<i", days)
+    if t in ("timestamp", "timestamptz", "time"):
+        micros = _to_micros(value)
+        return struct.pack("<q", micros)
+    if t == "string":
+        b = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+        return b or None
+    if t in ("binary",) or t.startswith("fixed"):
+        b = bytes(value)
+        return b or None
+    if t == "uuid":
+        import uuid as _uuid
+
+        u = value if isinstance(value, _uuid.UUID) else _uuid.UUID(str(value))
+        return u.bytes  # big-endian per spec
+    if t.startswith("decimal"):
+        from decimal import Decimal
+
+        scale = int(t.rstrip(")").split(",")[1]) if "," in t else 0
+        unscaled = int(Decimal(str(value)).scaleb(scale).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    raise NotImplementedError(f"single-value serialization for {t!r}")
+
+
+def _to_micros(value: Any) -> int:
+    import datetime as _dt
+
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    if isinstance(value, np.datetime64):
+        return int(value.astype("datetime64[us]").astype("int64"))
+    if isinstance(value, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        return int((value - epoch) / _dt.timedelta(microseconds=1))
+    if isinstance(value, _dt.time):
+        return (
+            value.hour * 3600_000_000
+            + value.minute * 60_000_000
+            + value.second * 1_000_000
+            + value.microsecond
+        )
+    raise TypeError(f"cannot convert {type(value)} to micros")
+
+
+def hash_values(
+    values: Sequence[Any] | np.ndarray,
+    ice_type: str,
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> np.ndarray:
+    """63-bit update hashes for a batch of NON-NULL column values.
+    Fixed-width numerics/temporals take the vectorized tail-only
+    murmur (differential-tested against the scalar); strings and
+    other variable-width types hash per distinct value.  Zero hashes
+    (probability 2^-63 each) are dropped per the sketch contract."""
+    if ice_type in ("long", "int", "date", "float", "double",
+                    "timestamp", "timestamptz", "time"):
+        arr = np.asarray(values)
+        if ice_type == "int" or ice_type == "date":
+            if ice_type == "date" and arr.dtype.kind not in "iu":
+                # NB: never np.asarray the bytes list — numpy 'S' dtype
+                # strips trailing NULs, silently shortening LE encodings
+                hs = np.fromiter(
+                    (
+                        hash63(single_value_bytes(v, "date"), seed)
+                        for v in values
+                    ),
+                    dtype=np.uint64,
+                    count=len(arr),
+                )
+                return hs[hs != 0]
+            k1 = arr.astype(np.int32).view(np.uint32).astype(np.uint64)
+            hs = _hash63_fixed_np(k1, 4, seed)
+        elif ice_type == "float":
+            f = arr.astype(np.float32)
+            f = np.where(np.isnan(f), np.float32(np.nan), f + np.float32(0.0))
+            k1 = f.view(np.uint32).astype(np.uint64)
+            # canonical NaN: float32 NaN bit pattern 0x7FC00000
+            k1 = np.where(
+                np.isnan(f), np.uint64(0x7FC00000), k1
+            )
+            hs = _hash63_fixed_np(k1, 4, seed)
+        elif ice_type == "double":
+            d = arr.astype(np.float64) + 0.0
+            k1 = d.view(np.uint64).copy()
+            k1[np.isnan(d)] = np.uint64(0x7FF8000000000000)
+            hs = _hash63_fixed_np(k1, 8, seed)
+        elif ice_type in ("timestamp", "timestamptz", "time"):
+            if arr.dtype.kind == "M":
+                ints = arr.astype("datetime64[us]").astype("int64")
+            elif arr.dtype.kind in "iu":
+                ints = arr.astype("int64")
+            else:
+                ints = np.fromiter(
+                    (_to_micros(v) for v in values),
+                    dtype=np.int64,
+                    count=len(arr),
+                )
+            hs = _hash63_fixed_np(ints.view(np.uint64), 8, seed)
+        else:  # long
+            k1 = arr.astype(np.int64).view(np.uint64)
+            hs = _hash63_fixed_np(k1, 8, seed)
+        return hs[hs != np.uint64(0)]
+    out = []
+    for v in values:
+        b = single_value_bytes(v, ice_type)
+        if b is None:
+            continue
+        h = hash63(b, seed)
+        if h:
+            out.append(h)
+    return np.asarray(out, dtype=np.uint64)
+
+
+# -- the sketch ---------------------------------------------------------------
+
+
+@dataclass
+class ThetaSketch:
+    """A compact, ordered theta sketch: ``hashes`` is the ascending
+    array of retained 63-bit values, every one of them < ``theta``."""
+
+    theta: int = LONG_MAX
+    hashes: np.ndarray = None  # type: ignore[assignment]
+    lg_k: int = DEFAULT_LG_K
+    seed_hash: int = 0
+
+    def __post_init__(self) -> None:
+        if self.hashes is None:
+            self.hashes = np.empty(0, dtype=np.uint64)
+        if not self.seed_hash:
+            self.seed_hash = compute_seed_hash()
+
+    # ---- construction
+
+    @classmethod
+    def from_hashes(
+        cls, hashes: np.ndarray | Iterable[int], lg_k: int = DEFAULT_LG_K
+    ) -> "ThetaSketch":
+        """Build from raw update hashes (duplicates fine): keep the k
+        smallest distinct; theta = the (k+1)-th smallest when more
+        than k exist (the KMV rule — a valid theta sketch)."""
+        hs = np.unique(np.asarray(list(hashes) if not isinstance(
+            hashes, np.ndarray) else hashes, dtype=np.uint64))
+        hs = hs[hs != np.uint64(0)]
+        k = 1 << lg_k
+        if len(hs) <= k:
+            return cls(LONG_MAX, hs, lg_k)
+        return cls(int(hs[k]), hs[:k].copy(), lg_k)
+
+    @classmethod
+    def from_values(
+        cls,
+        values: Sequence[Any],
+        ice_type: str,
+        lg_k: int = DEFAULT_LG_K,
+    ) -> "ThetaSketch":
+        return cls.from_hashes(hash_values(values, ice_type), lg_k)
+
+    # ---- estimator / merge
+
+    @property
+    def is_exact(self) -> bool:
+        return self.theta >= LONG_MAX
+
+    def estimate(self) -> float:
+        if self.is_exact:
+            return float(len(self.hashes))
+        return len(self.hashes) * LONG_MAX / self.theta
+
+    def union(self, *others: "ThetaSketch") -> "ThetaSketch":
+        """Standard theta union: cut everything at the minimum theta,
+        merge, re-cut at k if the merge overflows."""
+        sketches = (self, *others)
+        lg_k = min(s.lg_k for s in sketches)
+        theta = min(s.theta for s in sketches)
+        merged = np.unique(
+            np.concatenate([s.hashes for s in sketches])
+        )
+        merged = merged[merged < np.uint64(theta)]
+        k = 1 << lg_k
+        if len(merged) > k:
+            theta = int(merged[k])
+            merged = merged[:k].copy()
+        return ThetaSketch(theta, merged, lg_k, self.seed_hash)
+
+    # ---- DataSketches compact serialization (serial version 3)
+
+    def serialize(self) -> bytes:
+        """DataSketches CompactSketch bytes, serial version 3 — verified
+        BYTE-IDENTICAL to datasketches-java 6.2.0 output in exact mode
+        (incl. the single-item form) and wrap-readable with matching
+        estimates in estimation mode (tests/test_theta.py runs the
+        differential through the bundled JVM library)."""
+        flags = _F_READ_ONLY | _F_COMPACT | _F_ORDERED
+        n = len(self.hashes)
+        if n == 0 and self.is_exact:
+            # DataSketches' EmptyCompactSketch is a seed-agnostic
+            # singleton serialized with seed hash 0
+            return struct.pack(
+                "<BBBBBBH",
+                1,
+                SER_VER,
+                FAMILY_COMPACT,
+                0,
+                0,
+                flags | _F_EMPTY,
+                0,
+            )
+        if n == 1 and self.is_exact:
+            return struct.pack(
+                "<BBBBBBH",
+                1,
+                SER_VER,
+                FAMILY_COMPACT,
+                0,
+                0,
+                flags | _F_SINGLEITEM,
+                self.seed_hash,
+            ) + self.hashes.astype("<u8").tobytes()
+        if self.is_exact:
+            head = struct.pack(
+                "<BBBBBBHif",
+                2,
+                SER_VER,
+                FAMILY_COMPACT,
+                0,
+                0,
+                flags,
+                self.seed_hash,
+                n,
+                1.0,
+            )
+        else:
+            head = struct.pack(
+                "<BBBBBBHifq",
+                3,
+                SER_VER,
+                FAMILY_COMPACT,
+                0,
+                0,
+                flags,
+                self.seed_hash,
+                n,
+                1.0,
+                self.theta,
+            )
+        return head + self.hashes.astype("<u8").tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "ThetaSketch":
+        if len(data) < 8:
+            raise ValueError("theta sketch blob shorter than a preamble")
+        pre, ver, fam, _lg, _la, flags, seed_hash = struct.unpack_from(
+            "<BBBBBBH", data, 0
+        )
+        if ver != SER_VER:
+            raise ValueError(f"unsupported theta serial version {ver}")
+        if fam != FAMILY_COMPACT:
+            raise ValueError(f"not a compact theta sketch (family {fam})")
+        if flags & _F_EMPTY:
+            return cls(LONG_MAX, np.empty(0, dtype=np.uint64),
+                       DEFAULT_LG_K, seed_hash)
+        if pre == 1:
+            # single-item compact form: one hash, theta = MAX
+            hs = np.frombuffer(data, dtype="<u8", count=1, offset=8)
+            return cls(LONG_MAX, hs.astype(np.uint64), DEFAULT_LG_K,
+                       seed_hash)
+        count = struct.unpack_from("<i", data, 8)[0]
+        if pre == 2:
+            theta = LONG_MAX
+            off = 16
+        elif pre == 3:
+            theta = struct.unpack_from("<q", data, 16)[0]
+            off = 24
+        else:
+            raise ValueError(f"unsupported preamble length {pre}")
+        hs = np.frombuffer(data, dtype="<u8", count=count, offset=off)
+        return cls(int(theta), np.sort(hs.astype(np.uint64)),
+                   DEFAULT_LG_K, seed_hash)
+
+
+# -- bounded streaming accumulator (per-partition builder state) --------------
+
+
+class KmvAccumulator:
+    """Bounded distinct-hash accumulator: never holds more than k+1
+    hashes, so per-partition builder state is ~(k+1)*8 bytes per
+    column REGARDLESS of row count — the property that makes the
+    distributed build safe at any scale."""
+
+    def __init__(self, lg_k: int = DEFAULT_LG_K) -> None:
+        self.lg_k = lg_k
+        self._cap = (1 << lg_k) + 1
+        self._arr = np.empty(0, dtype=np.uint64)
+
+    def add_hashes(self, hs: np.ndarray) -> None:
+        if len(hs) == 0:
+            return
+        if len(self._arr) == self._cap:
+            hs = hs[hs < self._arr[-1]]
+            if len(hs) == 0:
+                return
+        self._arr = np.unique(np.concatenate([self._arr, hs]))[: self._cap]
+
+    def sketch(self) -> ThetaSketch:
+        k = 1 << self.lg_k
+        if len(self._arr) <= k:
+            return ThetaSketch(LONG_MAX, self._arr.copy(), self.lg_k)
+        return ThetaSketch(int(self._arr[k]), self._arr[:k].copy(), self.lg_k)
+
+
+def build_column_sketches(
+    df: Any,
+    colspecs: Sequence[tuple[str, str]],
+    lg_k: int = DEFAULT_LG_K,
+) -> dict[str, ThetaSketch]:
+    """One distributed pass over ``df`` building a theta sketch per
+    column.  Each task deduplicates batch values (pandas ``unique``),
+    hashes them (vectorized for fixed-width types), folds them into a
+    bounded KMV accumulator, and emits ONE serialized partial sketch
+    per column; the driver unions partials.  Driver + task state are
+    both bounded by (k+1)*8 bytes per column per partition — at any
+    table size the collect is sketches, never values."""
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    names = [c for c, _ in colspecs]
+    types = {c: t for c, t in colspecs}
+    out_schema = StructType(
+        [
+            StructField("col", StringType()),
+            StructField("sketch", BinaryType()),
+        ]
+    )
+
+    def build(iterator):
+        import pandas as pd
+
+        accs = {c: KmvAccumulator(lg_k) for c in names}
+        for pdf in iterator:
+            for c in names:
+                vals = pdf[c].dropna()
+                if len(vals) == 0:
+                    continue
+                uniq = vals.unique()
+                accs[c].add_hashes(hash_values(uniq, types[c]))
+        yield pd.DataFrame(
+            {
+                "col": names,
+                "sketch": [accs[c].sketch().serialize() for c in names],
+            }
+        )
+
+    rows = df.select(*names).mapInPandas(build, schema=out_schema).collect()
+    partials: dict[str, list[ThetaSketch]] = {c: [] for c in names}
+    for r in rows:
+        partials[r["col"]].append(ThetaSketch.deserialize(bytes(r["sketch"])))
+    out: dict[str, ThetaSketch] = {}
+    for c in names:
+        parts = partials[c]
+        if not parts:
+            out[c] = ThetaSketch(LONG_MAX, np.empty(0, dtype=np.uint64), lg_k)
+        else:
+            out[c] = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return out

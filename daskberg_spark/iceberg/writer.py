@@ -2872,53 +2872,36 @@ def cherrypick_snapshot(writer: "IcebergWriter", snapshot_id: int) -> int:
     return new_id
 
 
-def write_table_statistics(
-    writer: "IcebergWriter", spark: Any, exact: bool = False
-) -> str:
-    """Table-statistics file (Iceberg spec "Table statistics"): one
-    Puffin blob per column carrying its NDV for the CURRENT snapshot,
-    registered in the metadata ``statistics`` list — what engines feed
-    cost-based join ordering.  NDVs come from one distributed pass over
-    the delete-aware read (``approx_count_distinct`` — HLL++, JVM-side;
-    ``exact=True`` runs exact multi-column distinct counts instead,
-    affordable on fixtures and small dimensions).
+def _sketch_colspecs(writer: "IcebergWriter") -> list[tuple[str, str]]:
+    from daskberg_spark.iceberg.theta import sketchable
 
-    Blob type is ``daskberg-ndv-v1``: the standard-looking part is the
-    ``ndv`` blob property, which is where real engines read the number;
-    the payload is this engine's own 8-byte encoding, and foreign
-    readers skip unknown blob types per the Puffin spec.  Re-running for
-    a snapshot replaces that snapshot's entry (idempotent content);
-    ``expire_snapshots`` drops entries with their snapshots.  Returns
-    the statistics file path."""
-    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
-    from pyspark.sql import functions as F
-    from daskberg_spark.iceberg.metadata import IcebergTable
-    from daskberg_spark.iceberg.puffin import write_puffin
-
-    if not writer.snapshots:
-        raise ValueError("table has no snapshots")
-    snapshot_id = writer.head_snapshot["snapshot-id"]
-    t = IcebergTable(writer.path)
-    df = t.to_df(spark)
-    cols = [f["name"] for f in writer.fields]
-    agg = [
-        (
-            F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
-        ).alias(c)
-        for c in cols
+    return [
+        (f["name"], f["type"])
+        for f in writer.fields
+        if isinstance(f["type"], str) and sketchable(f["type"])
     ]
-    row = df.agg(*agg).collect()[0]
+
+
+def _publish_statistics(
+    writer: "IcebergWriter",
+    snapshot_id: int,
+    sketches: dict[str, Any],
+    ndv: dict[str, int],
+) -> str:
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE
+
     seq = writer._last_sequence_number
     blobs = [
         {
-            "type": "daskberg-ndv-v1",
+            "type": THETA_BLOB_TYPE,
             "fields": [writer.ids[c]],
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
-            "properties": {"ndv": str(int(row[c]))},
-            "data": struct.pack("<q", int(row[c])),
+            "properties": {"ndv": str(ndv[c])},
+            "data": sketches[c].serialize(),
         }
-        for c in cols
+        for c in sketches
     ]
     name = f"stats-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, f'stats{snapshot_id}').hex[:8]}.puffin"
     path = f"{writer.path}/metadata/{name}"
@@ -2946,6 +2929,153 @@ def write_table_statistics(
     writer.version += 1
     writer._write_metadata()
     return path
+
+
+def write_table_statistics(
+    writer: "IcebergWriter", spark: Any, exact: bool = False
+) -> str:
+    """Table-statistics file (Iceberg spec "Table statistics"): one
+    Puffin blob per primitive column carrying its NDV for the CURRENT
+    snapshot, registered in the metadata ``statistics`` list — what
+    engines feed cost-based join ordering.
+
+    Blob type is the SPEC-STANDARD ``apache-datasketches-theta-v1``: the
+    payload is a compact theta sketch over the column's values in
+    Iceberg single-value serialization (``theta.py`` — hashing and
+    serialization verified byte-identical against the Apache
+    DataSketches Java library), with the estimate in the ``ndv`` blob
+    property where engines read it without decoding.  Sketches come
+    from ONE distributed pass over the delete-aware read: bounded
+    per-partition partials union on the driver, so driver state is
+    sketches, never values.  Sketches are MERGEABLE — see
+    ``refresh_table_statistics`` for the incremental path.  Below the
+    sketch's nominal k (4096) the estimate is EXACT; ``exact=True``
+    additionally runs exact distinct counts for the ``ndv`` property
+    (meaningful only past k).  Re-running for a snapshot replaces that
+    snapshot's entry (idempotent content); ``expire_snapshots`` drops
+    entries with their snapshots.  Returns the statistics file path."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import build_column_sketches
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    colspecs = _sketch_colspecs(writer)
+    cols = [c for c, _ in colspecs]
+    t = IcebergTable(writer.path)
+    df = t.to_df(spark, columns=cols)
+    sketches = build_column_sketches(df, colspecs)
+    if exact:
+        row = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+        ).collect()[0]
+        ndv = {c: int(row[c]) for c in cols}
+    else:
+        ndv = {c: int(round(sketches[c].estimate())) for c in cols}
+    return _publish_statistics(writer, snapshot_id, sketches, ndv)
+
+
+def refresh_table_statistics(
+    writer: "IcebergWriter", spark: Any
+) -> tuple[str, str]:
+    """Incremental NDV maintenance — the reason the blobs are theta
+    sketches and not bare counts: union the most recent ancestor
+    snapshot's sketches with sketches built over ONLY the data files
+    added since it.  At 100 TB a stats refresh then scans the append
+    window (a day's files), not the table.
+
+    Falls back to a FULL rebuild (returns mode ``"full"``) when:
+    no prior theta stats exist on an ancestor; any snapshot in the
+    window is not a pure append (deletes can lower NDV, and sketches
+    only grow); or a sketchable column carries an ``initial-default``
+    with no base blob (pre-existing files then read a value the
+    added-files scan cannot see).  A column ADDED plainly after the
+    base is safe: old files read NULL for it, so its full-table NDV
+    lives entirely in the added files.  Returns
+    ``(statistics_path, "incremental" | "full")``."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import read_blob
+    from daskberg_spark.iceberg.theta import (
+        THETA_BLOB_TYPE,
+        ThetaSketch,
+        build_column_sketches,
+    )
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    head = writer.head_snapshot
+    head_id = head["snapshot-id"]
+    stats_by_snap = {
+        e["snapshot-id"]: e
+        for e in writer.statistics
+        if any(
+            b.get("type") == THETA_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+    }
+    snaps_by_id = {s["snapshot-id"]: s for s in writer.snapshots}
+    base_entry = None
+    window: list[dict[str, Any]] = []
+    cur = head
+    while True:
+        sid = cur["snapshot-id"]
+        if sid != head_id and sid in stats_by_snap:
+            base_entry = stats_by_snap[sid]
+            break
+        window.append(cur)
+        parent = cur.get("parent-snapshot-id")
+        if parent is None or parent not in snaps_by_id:
+            break
+        cur = snaps_by_id[parent]
+    colspecs = _sketch_colspecs(writer)
+    cols = [c for c, _ in colspecs]
+    if base_entry is None or any(
+        (s.get("summary") or {}).get("operation", "append") != "append"
+        for s in window
+    ):
+        return write_table_statistics(writer, spark), "full"
+    blob_by_fid = {
+        b["fields"][0]: b
+        for b in base_entry.get("blob-metadata", [])
+        if b.get("type") == THETA_BLOB_TYPE and len(b.get("fields", [])) == 1
+    }
+    for f in writer.fields:
+        if (
+            f["name"] in cols
+            and "initial-default" in f
+            and writer.ids[f["name"]] not in blob_by_fid
+        ):
+            return write_table_statistics(writer, spark), "full"
+    t = IcebergTable(writer.path)
+    now_recs = t.plan_files()
+    t.open_snapshot(snapshot_id=base_entry["snapshot-id"])
+    try:
+        then_paths = {f["file_path"] for f in t.plan_files()}
+    finally:
+        t.open_snapshot(snapshot_id=head_id)
+    added = [
+        f["file_path"] for f in now_recs if f["file_path"] not in then_paths
+    ]
+    if added:
+        df = t.to_df(spark, columns=cols, file_subset=added)
+        new_sketches = build_column_sketches(df, colspecs)
+    else:
+        new_sketches = {c: ThetaSketch.from_hashes([]) for c in cols}
+    stats_path = base_entry["statistics-path"]
+    merged: dict[str, Any] = {}
+    for c, _typ in colspecs:
+        base_blob = blob_by_fid.get(writer.ids[c])
+        if base_blob is None:
+            merged[c] = new_sketches[c]
+        else:
+            merged[c] = ThetaSketch.deserialize(
+                read_blob(stats_path, base_blob)
+            ).union(new_sketches[c])
+    ndv = {c: int(round(merged[c].estimate())) for c in cols}
+    return _publish_statistics(writer, head_id, merged, ndv), "incremental"
 
 
 def write_partition_statistics(writer: "IcebergWriter") -> str:

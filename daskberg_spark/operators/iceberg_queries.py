@@ -922,6 +922,46 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_theta_ndv",
+    """
+    SELECT 'd' AS col, CAST(COUNT(DISTINCT d) AS BIGINT) AS ndv
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'grp', CAST(COUNT(DISTINCT grp) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'id', CAST(COUNT(DISTINCT id) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'val', CAST(COUNT(DISTINCT val) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    """,
+)
+def iceberg_theta_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-standard ``apache-datasketches-theta-v1`` statistics blobs
+    (Iceberg Puffin spec; beyond the reference, which carries no stats
+    machinery): per-column NDV as a compact theta sketch over Iceberg
+    single-value serialization, built from scratch (``theta.py`` —
+    murmur3 x64-128, DataSketches serial-v3 layout, verified
+    byte-identical against the datasketches-java library Spark
+    bundles).  The fixture's CURRENT blobs came through the
+    INCREMENTAL refresh path — base sketches unioned with sketches
+    over only the appended files — so this oracle pins hashing,
+    serialization, the union algebra, and the incremental file plan
+    at once: the sketches are exact-mode (NDV << k=4096), so each
+    estimate must equal DuckDB's COUNT(DISTINCT) over the raw files."""
+    from daskberg_spark.iceberg.fixtures import ensure_theta_fixture
+    from daskberg_spark.operators.registry import literal_df
+
+    t = IcebergTable(ensure_theta_fixture(spark))
+    rows = sorted(
+        (name, int(round(t.column_theta(name).estimate())))
+        for name in ("id", "grp", "val", "d")
+    )
+    return literal_df(spark, rows, "col string, ndv long")
+
+
+@query(
     "iceberg_partition_stats_file",
     """
     SELECT grp,

@@ -174,7 +174,8 @@ def test_ndv_stats_do_not_evict_bloom_entry(spark):
         for e in t.table_statistics()
         for b in e.get("blob-metadata", [])
     }
-    assert "daskberg-bloom-v1" in kinds and "daskberg-ndv-v1" in kinds
+    assert "daskberg-bloom-v1" in kinds
+    assert "apache-datasketches-theta-v1" in kinds
     assert len(t.plan_files([("k", "==", 4)])) == 1  # index still live
 
 

@@ -1,0 +1,373 @@
+"""Theta sketch NDV statistics — the spec-standard
+``apache-datasketches-theta-v1`` Puffin blob, from scratch.
+
+The differential section runs the REAL Apache DataSketches Java
+library (datasketches-java ships in Spark's jars) through py4j and
+asserts this engine's sketches are byte-identical in exact mode and
+wrap-readable with matching estimates/thetas in estimation mode —
+the strongest interop check available without a network."""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+import numpy as np
+import pytest
+
+from daskberg_spark.iceberg.theta import (
+    DEFAULT_UPDATE_SEED,
+    LONG_MAX,
+    ThetaSketch,
+    KmvAccumulator,
+    compute_seed_hash,
+    hash63,
+    hash_values,
+    murmur3_x64_128,
+    single_value_bytes,
+)
+
+
+# -- murmur3 x64-128 ----------------------------------------------------------
+
+
+def test_murmur_public_vectors():
+    # the mmh3 README's published pair for 'foo' (x64_128, seed 0)
+    h1, h2 = murmur3_x64_128(b"foo", 0)
+    assert h1 - (1 << 64) == -2129773440516405919
+    assert h2 == 9128664383759220103
+    # and the combined 128-bit form they document
+    assert (h1 | (h2 << 64)) == 168394135621993849475852668931176482145
+    assert murmur3_x64_128(b"", 0) == (0, 0)
+
+
+def test_seed_hash_default():
+    # DataSketches Util.computeSeedHash(9001)
+    assert compute_seed_hash(DEFAULT_UPDATE_SEED) == 37836
+
+
+def test_vectorized_hash_matches_scalar():
+    rng = np.random.default_rng(7)
+    longs = rng.integers(-(2**62), 2**62, size=257, dtype=np.int64)
+    vec = hash_values(longs, "long")
+    ref = [hash63(struct.pack("<q", int(v))) for v in longs]
+    assert list(vec) == [r for r in ref if r]
+    ints = rng.integers(-(2**31), 2**31, size=111, dtype=np.int32)
+    assert list(hash_values(ints, "int")) == [
+        hash63(struct.pack("<i", int(v))) for v in ints
+    ]
+    dbls = rng.normal(size=99)
+    assert list(hash_values(dbls, "double")) == [
+        hash63(struct.pack("<d", float(v))) for v in dbls
+    ]
+
+
+def test_double_canonicalization():
+    a = hash_values(np.array([0.0]), "double")
+    b = hash_values(np.array([-0.0]), "double")
+    assert list(a) == list(b)
+    n1 = hash_values(np.array([float("nan")]), "double")
+    n2 = list(hash_values([float("nan")], "double"))
+    assert list(n1) == n2
+
+
+# -- single-value serialization ----------------------------------------------
+
+
+def test_single_value_vectors():
+    assert single_value_bytes(True, "boolean") == b"\x01"
+    assert single_value_bytes(False, "boolean") == b"\x00"
+    assert single_value_bytes(34, "int") == b"\x22\x00\x00\x00"
+    assert single_value_bytes(34, "long") == b"\x22" + b"\x00" * 7
+    assert single_value_bytes(1.0, "float") == b"\x00\x00\x80\x3f"
+    assert single_value_bytes(dt.date(1970, 1, 2), "date") == (
+        b"\x01\x00\x00\x00"
+    )
+    assert single_value_bytes(
+        dt.datetime(1970, 1, 1, 0, 0, 1), "timestamp"
+    ) == struct.pack("<q", 1_000_000)
+    assert single_value_bytes("iceberg", "string") == b"iceberg"
+    assert single_value_bytes("", "string") is None  # DataSketches no-op
+    # decimal: minimal two's-complement big-endian of the unscaled value
+    assert single_value_bytes("3.45", "decimal(9,2)") == struct.pack(
+        ">h", 345
+    )[-2:]
+    import uuid as _uuid
+
+    u = _uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")
+    assert single_value_bytes(u, "uuid") == u.bytes
+
+
+# -- sketch construction / estimator / union ----------------------------------
+
+
+def test_exact_mode_estimate_is_distinct_count():
+    sk = ThetaSketch.from_values(
+        [f"doc-{i % 97}" for i in range(5000)], "string"
+    )
+    assert sk.is_exact and sk.estimate() == 97.0
+
+
+def test_estimation_mode_within_rse():
+    n = 50_000
+    sk = ThetaSketch.from_values(
+        np.arange(n, dtype=np.int64), "long"
+    )
+    assert not sk.is_exact
+    assert len(sk.hashes) == 4096
+    # RSE ~ 1/sqrt(k) = 1.56%; allow 5 sigma
+    assert abs(sk.estimate() - n) / n < 0.08
+
+
+def test_union_equals_sketch_of_concatenation():
+    a = np.arange(0, 30_000, dtype=np.int64)
+    b = np.arange(20_000, 60_000, dtype=np.int64)
+    ska = ThetaSketch.from_values(a, "long")
+    skb = ThetaSketch.from_values(b, "long")
+    both = ThetaSketch.from_values(np.concatenate([a, b]), "long")
+    u = ska.union(skb)
+    assert u.theta == both.theta
+    assert np.array_equal(u.hashes, both.hashes)
+    assert u.serialize() == both.serialize()
+
+
+def test_serialize_roundtrip_property():
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 3, 4096, 9000):
+        vals = rng.integers(0, 2**60, size=n, dtype=np.int64)
+        sk = ThetaSketch.from_values(vals, "long")
+        back = ThetaSketch.deserialize(sk.serialize())
+        assert back.theta == sk.theta
+        assert np.array_equal(back.hashes, sk.hashes)
+        assert back.serialize() == sk.serialize()
+
+
+def test_known_answer_bytes():
+    # empty: preamble-only, EMPTY flag, seed hash 0 (the DataSketches
+    # empty singleton is seed-agnostic)
+    assert ThetaSketch.from_hashes([]).serialize() == bytes.fromhex(
+        "01030300001e0000"
+    )
+    # single item: preLongs=1, SINGLEITEM flag 0x20, seed hash 0x93cc,
+    # then the one retained hash
+    h = hash63(b"foo")
+    single = ThetaSketch.from_hashes([h]).serialize()
+    assert single == bytes.fromhex("01030300003acc93") + struct.pack(
+        "<Q", h
+    )
+    # two items: preLongs=2 exact form with p=1.0f at bytes 12..15
+    h2 = sorted([h, hash63(b"bar")])
+    two = ThetaSketch.from_hashes(h2).serialize()
+    assert two[:16] == bytes.fromhex("02030300001acc93") + struct.pack(
+        "<if", 2, 1.0
+    )
+    assert two[16:] == struct.pack("<QQ", *h2)
+
+
+def test_accumulator_bounded_and_equivalent():
+    rng = np.random.default_rng(3)
+    acc = KmvAccumulator()
+    all_vals = []
+    for _ in range(20):
+        batch = rng.integers(0, 2**61, size=3000, dtype=np.int64)
+        all_vals.append(batch)
+        acc.add_hashes(hash_values(batch, "long"))
+        assert len(acc._arr) <= 4097
+    ref = ThetaSketch.from_values(np.concatenate(all_vals), "long")
+    got = acc.sketch()
+    assert got.theta == ref.theta
+    assert np.array_equal(got.hashes, ref.hashes)
+
+
+# -- differential vs the real Apache DataSketches library ---------------------
+
+
+def _java_compact(spark, byte_values):
+    sk = spark._jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+    for b in byte_values:
+        sk.update(b)
+    return bytes(sk.compact(True, None).toByteArray())
+
+
+def _java_wrap(spark, data: bytes):
+    mem = spark._jvm.org.apache.datasketches.memory.Memory.wrap(data)
+    return spark._jvm.org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+        mem
+    )
+
+
+def test_differential_exact_mode_byte_identical(spark):
+    cases = [
+        ("string", [f"value-{i}" for i in range(500)]),
+        ("long", list(range(-250, 250))),
+        ("int", list(range(1000))),
+        ("double", [i * 0.25 for i in range(300)] + [-0.0, float("nan")]),
+        ("date", [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(90)]),
+        ("boolean", [True, False]),
+    ]
+    for typ, vals in cases:
+        jbytes = _java_compact(
+            spark, [single_value_bytes(v, typ) for v in vals]
+        )
+        mine = ThetaSketch.from_values(vals, typ).serialize()
+        assert jbytes == mine, f"type {typ} diverged"
+    # empty and single-item forms
+    assert _java_compact(spark, []) == ThetaSketch.from_hashes([]).serialize()
+    assert _java_compact(spark, [b"foo"]) == ThetaSketch.from_hashes(
+        [hash63(b"foo")]
+    ).serialize()
+
+
+def test_differential_estimation_mode_wrap(spark):
+    mine = ThetaSketch.from_values(
+        [f"v{i}" for i in range(25_000)], "string"
+    )
+    wrapped = _java_wrap(spark, mine.serialize())
+    assert wrapped.getEstimate() == pytest.approx(mine.estimate(), abs=1e-6)
+    assert wrapped.getThetaLong() == mine.theta
+    assert wrapped.getRetainedEntries(True) == len(mine.hashes)
+
+
+def test_differential_union(spark):
+    a = ThetaSketch.from_values([f"a{i}" for i in range(9000)], "string")
+    b = ThetaSketch.from_values([f"b{i}" for i in range(9000)], "string")
+    jvm = spark._jvm
+    u = jvm.org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    u.union(_java_wrap(spark, a.serialize()))
+    u.union(_java_wrap(spark, b.serialize()))
+    jres = u.getResult(True, None)
+    mres = a.union(b)
+    assert jres.getThetaLong() == mres.theta
+    assert jres.getEstimate() == pytest.approx(mres.estimate(), abs=1e-6)
+
+
+# -- writer integration / incremental refresh ---------------------------------
+
+
+def _typed_writer(path):
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    return IcebergWriter(
+        str(path),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+            {"id": 4, "name": "d", "type": "date", "required": False},
+        ],
+    )
+
+
+def _rows(lo, hi, grp_mod=3):
+    return [
+        {
+            "id": i,
+            "grp": "abcdef"[i % grp_mod],
+            "val": float(i % 17),
+            "d": dt.date(2024, 1, 1) + dt.timedelta(days=i % 40),
+        }
+        for i in range(lo, hi)
+    ]
+
+
+def test_write_statistics_theta_blobs(spark, tmp_path):
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE
+    from daskberg_spark.iceberg.writer import write_table_statistics
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 80))
+    write_table_statistics(w, spark)
+    t = IcebergTable(str(tmp_path / "t"))
+    entry = t.metadata["statistics"][-1]
+    assert all(
+        b["type"] == THETA_BLOB_TYPE for b in entry["blob-metadata"]
+    )
+    assert t.column_ndv("id") == 80
+    assert t.column_ndv("grp") == 3
+    assert t.column_ndv("val") == 17
+    assert t.column_ndv("d") == 40
+    sk = t.column_theta("id")
+    assert sk.is_exact and sk.estimate() == 80.0
+    # the payload reads back in the REAL DataSketches library too
+    wrapped = _java_wrap(
+        spark,
+        __import__("daskberg_spark.iceberg.puffin", fromlist=["read_blob"])
+        .read_blob(
+            entry["statistics-path"],
+            [
+                b
+                for b in entry["blob-metadata"]
+                if b["fields"] == [t.fields["id"].field_id]
+            ][0],
+        ),
+    )
+    assert wrapped.getEstimate() == 80.0
+
+
+def test_incremental_refresh_matches_full(spark, tmp_path):
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        refresh_table_statistics,
+        write_table_statistics,
+    )
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 60))
+    write_table_statistics(w, spark)
+    w.append(_rows(60, 90, grp_mod=5))
+    w.append(_rows(90, 120, grp_mod=6))
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "incremental"
+    t = IcebergTable(str(tmp_path / "t"))
+    inc = {c: t.column_ndv(c) for c in ("id", "grp", "val", "d")}
+    inc_sketch = t.column_theta("id").serialize()
+    write_table_statistics(w, spark)
+    t2 = IcebergTable(str(tmp_path / "t"))
+    full = {c: t2.column_ndv(c) for c in ("id", "grp", "val", "d")}
+    assert inc == full == {"id": 120, "grp": 6, "val": 17, "d": 40}
+    assert t2.column_theta("id").serialize() == inc_sketch
+
+
+def test_refresh_new_column_and_no_base_full(spark, tmp_path):
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        refresh_table_statistics,
+        write_table_statistics,
+    )
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 50))
+    # no base stats at all -> full
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "full"
+    # column added after base: old files read NULL, incremental stays
+    # correct from the added files alone
+    w.add_column("tag", "string")
+    w.append(
+        [
+            {**r, "tag": f"tag{r['id'] % 7}"}
+            for r in _rows(50, 100)
+        ]
+    )
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "incremental"
+    t = IcebergTable(str(tmp_path / "t"))
+    assert t.column_ndv("tag") == 7
+    assert t.column_ndv("id") == 100
+
+
+def test_refresh_falls_back_on_delete(spark, tmp_path):
+    from daskberg_spark.iceberg.writer import (
+        delete_where_fast,
+        refresh_table_statistics,
+        write_table_statistics,
+    )
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 60))
+    write_table_statistics(w, spark)
+    w.append(_rows(60, 80))
+    delete_where_fast(w, spark, [[("id", "<", 10)]])
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "full"
