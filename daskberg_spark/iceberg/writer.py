@@ -5650,6 +5650,32 @@ def maintain(
         from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
 
         report["refresh_blooms"] = refresh_file_blooms(writer, spark)
+        # NDV-stats catch-up: only for tables that opted into theta
+        # statistics (an entry exists on SOME snapshot) whose current
+        # snapshot lacks one — incremental over the append window when
+        # the window allows, full rebuild otherwise; never a surprise
+        # full scan on tables that never ran stats
+        from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE
+
+        has_theta = any(
+            b.get("type") == THETA_BLOB_TYPE
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+        )
+        head_id = writer.head_snapshot["snapshot-id"]
+        head_covered = any(
+            e["snapshot-id"] == head_id
+            and any(
+                b.get("type") == THETA_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+            for e in writer.statistics
+        )
+        if has_theta and not head_covered:
+            _, mode = refresh_table_statistics(writer, spark)
+            report["refresh_statistics"] = mode
+        else:
+            report["refresh_statistics"] = None
     report["expire_snapshots"] = expire_snapshots(
         writer,
         keep_last=keep_last,

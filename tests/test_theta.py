@@ -357,6 +357,32 @@ def test_refresh_new_column_and_no_base_full(spark, tmp_path):
     assert t.column_ndv("id") == 100
 
 
+def test_maintain_refreshes_stats(spark, tmp_path):
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        maintain,
+        write_table_statistics,
+    )
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 60))
+    write_table_statistics(w, spark)
+    w.append(_rows(60, 90, grp_mod=5))
+    # min_file_bytes=0 keeps compaction out of the window so the
+    # refresh stays incremental; with compaction on, the replace
+    # snapshot correctly forces a full rebuild instead
+    rep = maintain(w, spark, min_file_bytes=0)
+    assert rep["refresh_statistics"] == "incremental"
+    t = IcebergTable(str(tmp_path / "t"))
+    assert t.column_ndv("id") == 90 and t.column_ndv("grp") == 5
+    # idempotent: head now covered, second sweep does nothing
+    assert maintain(w, spark, min_file_bytes=0)["refresh_statistics"] is None
+    # a table that never opted into stats pays no surprise scan
+    w2 = _typed_writer(tmp_path / "u")
+    w2.append(_rows(0, 30))
+    assert maintain(w2, spark)["refresh_statistics"] is None
+
+
 def test_refresh_falls_back_on_delete(spark, tmp_path):
     from daskberg_spark.iceberg.writer import (
         delete_where_fast,
