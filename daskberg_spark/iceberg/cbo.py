@@ -1,0 +1,178 @@
+"""Statistics-driven join planning: the consumer side of the theta NDV
+blobs and manifest counts this engine writes.
+
+``write_table_statistics`` gives every column an NDV
+(``apache-datasketches-theta-v1``) and manifests carry exact per-file
+record counts — exactly what a cost-based optimizer feeds on.  Spark's
+own CBO never sees any of it (these scans are assembled DataFrames, not
+catalog tables), so multi-join queries over this engine's tables get
+Spark's LITERAL join order.  This module reorders them with the
+textbook estimator and metadata only:
+
+- ``estimated_rows(table, filters)``: record counts of the PLANNED
+  files (manifest pruning already folds partition/stats selectivity
+  in), refined by 1/NDV per equality predicate and the standard 1/3
+  per range predicate when stats exist.
+- join growth for fact ⋈ dim on (fk, dk):
+  ``|F| * |D_filtered| / max(ndv(F.fk), ndv(D.dk))`` — the classic
+  containment assumption (Selinger; SCALING.md cites the public
+  derivation).
+- greedy ordering: joins sort by ascending estimated growth factor, so
+  the most selective dimension fires first and every later shuffle
+  sees the smallest surviving fact.
+- dims whose planned bytes fall under ``broadcast_bytes`` get an
+  explicit ``F.broadcast`` hint (manifest ``file_size_in_bytes`` —
+  the number AQE only learns AFTER a first shuffle).
+
+Inner equi-joins are order-independent, so results are EXACTLY the
+unoptimized join's — the oracle pins values while the plan assertions
+pin the ordering/broadcasts.  At 100 TB the difference is not the
+driver-side ordering cost (microseconds over metadata) but the shuffled
+bytes: joining the 0.1%-selective dim first shrinks every downstream
+exchange by the same factor.
+
+Reference parity: none — the reference (daskberg) performs no joins at
+all; Dask decides everything downstream of its file listing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daskberg_spark.iceberg.metadata import IcebergTable
+
+DEFAULT_BROADCAST_BYTES = 64 << 20
+
+
+@dataclass
+class JoinDim:
+    """One dimension side of a star join: ``table`` joined as
+    ``fact.<fact_key> == dim.<dim_key>`` after ``filters`` (scan DNF)."""
+
+    table: IcebergTable
+    fact_key: str
+    dim_key: str
+    filters: Any = None
+    name: str | None = None
+
+    def label(self) -> str:
+        return self.name or self.table.url.rstrip("/").rsplit("/", 1)[-1]
+
+
+@dataclass
+class JoinPlan:
+    order: list[str] = field(default_factory=list)
+    estimates: dict[str, float] = field(default_factory=dict)
+    broadcasts: list[str] = field(default_factory=list)
+
+
+def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
+    """Metadata-only cardinality estimate: planned-file record counts
+    (manifest pruning already applied), refined by per-predicate
+    selectivity from theta NDVs — 1/ndv per equality, 1/3 per range
+    (the classic default when no histogram exists).  Never touches
+    data; an estimate of 0 means the planner PROVED emptiness."""
+    recs = table.plan_files(filters)
+    rows = float(sum(int(f.get("record_count") or 0) for f in recs))
+    if rows == 0 or not filters:
+        return rows
+    sel = 1.0
+    for clause in _conjuncts(filters):
+        col, op, _v = clause
+        if op in ("==", "="):
+            ndv = _safe_ndv(table, col)
+            if ndv:
+                sel *= 1.0 / ndv
+        elif op in ("<", "<=", ">", ">=", "between"):
+            sel *= 1.0 / 3.0
+    return max(1.0, rows * sel)
+
+
+def _conjuncts(filters: Any) -> list[tuple[str, str, Any]]:
+    # scan DNF is [[(col, op, v), ...], ...] (OR of ANDs) or a flat
+    # conjunction list; selectivity refinement only uses the flat
+    # single-branch shape — an OR keeps the conservative planned-rows
+    if not filters:
+        return []
+    first = filters[0]
+    if isinstance(first, tuple):
+        return list(filters)
+    if len(filters) == 1 and isinstance(first, list):
+        return list(first)
+    return []
+
+
+def _safe_ndv(table: IcebergTable, col: str) -> int | None:
+    try:
+        return table.column_ndv(col)
+    except Exception:
+        return None
+
+
+def estimated_bytes(table: IcebergTable, filters: Any = None) -> int:
+    return sum(
+        int(f.get("file_size_in_bytes") or 0)
+        for f in table.plan_files(filters)
+    )
+
+
+def plan_star_join(
+    fact: IcebergTable,
+    dims: list[JoinDim],
+    fact_filters: Any = None,
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> JoinPlan:
+    """Greedy star-join ordering from metadata: each dim's growth
+    factor is ``|D_filtered| / max(ndv(F.fk), ndv(D.dk))`` (the factor
+    it multiplies the surviving fact by under containment); joins run
+    ascending, ties broken by label for determinism."""
+    plan = JoinPlan()
+    fact_rows = estimated_rows(fact, fact_filters)
+    scored: list[tuple[float, str]] = []
+    for d in dims:
+        d_rows = estimated_rows(d.table, d.filters)
+        ndv_f = _safe_ndv(fact, d.fact_key)
+        ndv_d = _safe_ndv(d.table, d.dim_key) or max(1.0, d_rows)
+        denom = float(max(ndv_f or 0, ndv_d or 0)) or 1.0
+        growth = d_rows / denom
+        scored.append((growth, d.label()))
+        plan.estimates[d.label()] = growth
+        if estimated_bytes(d.table, d.filters) <= broadcast_bytes:
+            plan.broadcasts.append(d.label())
+    plan.order = [label for _, label in sorted(scored)]
+    plan.estimates["__fact_rows__"] = fact_rows
+    return plan
+
+
+def cbo_join(
+    spark: SparkSession,
+    fact: IcebergTable,
+    dims: list[JoinDim],
+    fact_filters: Any = None,
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> DataFrame:
+    """INNER star join executed in the statistics-chosen order with
+    explicit broadcast hints for metadata-small dims.  Results are
+    bit-identical to any other order (inner equi-joins commute); the
+    payoff is every intermediate exchange carrying the most-filtered
+    fact available.  The chosen plan is recorded on the fact table as
+    ``fact.last_join_plan`` for tests and observability."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+
+    plan = plan_star_join(fact, dims, fact_filters, broadcast_bytes)
+    fact.last_join_plan = plan  # type: ignore[attr-defined]
+    by_label = {d.label(): d for d in dims}
+    out = fact.to_df(spark, filters=fact_filters)
+    for label in plan.order:
+        d = by_label[label]
+        dim_df = d.table.to_df(spark, filters=d.filters)
+        if label in plan.broadcasts:
+            dim_df = F.broadcast(dim_df)
+        out = out.join(
+            dim_df, on=out[d.fact_key] == dim_df[d.dim_key], how="inner"
+        )
+    return out

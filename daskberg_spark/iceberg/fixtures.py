@@ -1471,6 +1471,116 @@ def ensure_lineitem_bloom_iceberg(spark, sf_dir: str) -> str:
     return base
 
 
+WRITE_FORMATS_FIXTURE_DIR = os.path.join(
+    os.path.dirname(FIXTURE_DIR), "write_formats_table"
+)
+
+
+def ensure_write_formats_fixture(
+    spark, path: str = WRITE_FORMATS_FIXTURE_DIR
+) -> str:
+    """Distributed multi-format WRITE fixture: three ``write_df``
+    commits into one identity-partitioned table — native parquet
+    (footer-lifted stats), native ORC (distributed JVM stats
+    aggregate), and task-written AVRO containers (in-task stats).
+    Content is formulaic (ids 0-99 parquet, 100-199 orc, 200-299 avro;
+    val = id * 0.5) so the oracle re-derives every aggregate from
+    ``range()`` arithmetic with no file reads."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    if os.path.exists(hint):
+        return path
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, write_df
+
+    writer = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "fmt", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "double", "required": False},
+        ],
+        [{"name": "fmt", "transform": "identity", "source": "fmt"}],
+    )
+    for i, fmt in enumerate(("parquet", "orc", "avro")):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"),
+            F.lit(fmt).alias("fmt"),
+            (F.col("id") * 0.5).alias("val"),
+        )
+        write_df(writer, df, mode="hash", file_format=fmt)
+    return path
+
+
+CBO_FIXTURE_ROOT = os.path.dirname(FIXTURE_DIR)
+
+
+def ensure_cbo_fixture(spark) -> dict[str, str]:
+    """Star-join CBO fixture: a 6000-row fact with two dimension tables
+    (10-row ``cbo_dim_small``, 1000-row ``cbo_dim_big``), every table
+    carrying theta NDV statistics — the inputs ``plan_star_join``'s
+    estimator consumes.  Content is formulaic so the DuckDB oracle
+    recomputes the join from the raw data files."""
+    paths = {
+        "fact": os.path.join(CBO_FIXTURE_ROOT, "cbo_fact"),
+        "small": os.path.join(CBO_FIXTURE_ROOT, "cbo_dim_small"),
+        "big": os.path.join(CBO_FIXTURE_ROOT, "cbo_dim_big"),
+    }
+    if all(
+        os.path.exists(os.path.join(p, "metadata", "version-hint.text"))
+        for p in paths.values()
+    ):
+        return paths
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    fact = IcebergWriter(
+        paths["fact"],
+        [
+            {"id": 1, "name": "k_small", "type": "long", "required": False},
+            {"id": 2, "name": "k_big", "type": "long", "required": False},
+            {"id": 3, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    fact.append(
+        [
+            {
+                "k_small": i % 10,
+                # mod 997 (prime, coprime to the k_small cycle) spreads
+                # each bcat class across every k_small group — a pure
+                # mod-1000 stride left only one surviving sname group,
+                # which made the oracle check near-vacuous
+                "k_big": (i * 13) % 997,
+                "amount": (i % 97) * 0.25,
+            }
+            for i in range(6000)
+        ]
+    )
+    small = IcebergWriter(
+        paths["small"],
+        [
+            {"id": 1, "name": "sid", "type": "long", "required": False},
+            {"id": 2, "name": "sname", "type": "string", "required": False},
+        ],
+    )
+    small.append([{"sid": i, "sname": f"s{i}"} for i in range(10)])
+    big = IcebergWriter(
+        paths["big"],
+        [
+            {"id": 1, "name": "bid", "type": "long", "required": False},
+            {"id": 2, "name": "bcat", "type": "string", "required": False},
+        ],
+    )
+    big.append(
+        [{"bid": i, "bcat": f"c{i % 20}"} for i in range(1000)]
+    )
+    for w in (fact, small, big):
+        write_table_statistics(w, spark)
+    return paths
+
+
 THETA_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "theta_table")
 
 

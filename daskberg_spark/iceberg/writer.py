@@ -753,124 +753,12 @@ class IcebergWriter:
         return path, os.path.getsize(path)
 
     def _write_avro_data(self, tbl: "pa.Table", path: str) -> None:
-        """Encode an arrow table as an Iceberg AVRO data file: schema
-        derived from the table schema (field-id annotated), values per
-        the Iceberg Avro single-value spec — timestamps long
-        microseconds, dates int epoch-days.  Nested/decimal/uuid
-        columns fail loudly (scan's AVRO decode matches)."""
-        from daskberg_spark.iceberg.avro import write_avro_file
-
-        prim = {
-            "int": "int",
-            "long": "long",
-            "float": "float",
-            "double": "double",
-            "boolean": "boolean",
-            "string": "string",
-            "binary": "bytes",
-            "uuid": "string",
-        }
-        afields, cols = [], {}
-        for f in self.fields:
-            t = f["type"]
-            if isinstance(t, str) and t in prim:
-                atype: Any = prim[t]
-                vals = tbl[f["name"]].to_pylist()
-            elif isinstance(t, str) and t in ("timestamp", "timestamptz"):
-                atype = {
-                    "type": "long",
-                    "logicalType": "timestamp-micros",
-                    "adjust-to-utc": t == "timestamptz",
-                }
-                vals = tbl[f["name"]].cast(pa.int64()).to_pylist()
-            elif isinstance(t, str) and t == "date":
-                atype = {"type": "int", "logicalType": "date"}
-                vals = tbl[f["name"]].cast(pa.int32()).to_pylist()
-            else:
-                raise NotImplementedError(
-                    f"AVRO data files with {t!r} columns"
-                )
-            afield = {"name": f["name"], "type": atype, "field-id": f["id"]}
-            if not f.get("required"):
-                afield["type"] = ["null", atype]
-                afield["default"] = None
-            afields.append(afield)
-            cols[f["name"]] = vals
-        # materialized v3 lineage columns (rewrite paths carry explicit
-        # _row_id / _last_updated_sequence_number): encode them like the
-        # parquet/ORC writers do — dropping them would silently re-key
-        # row identity on the next read
-        for extra in LINEAGE_COLS:
-            if extra in tbl.column_names:
-                afields.append(
-                    {"name": extra, "type": ["null", "long"], "default": None}
-                )
-                cols[extra] = tbl[extra].to_pylist()
-        schema = {"type": "record", "name": "r", "fields": afields}
-        n = tbl.num_rows
-        records = [{k: cols[k][i] for k in cols} for i in range(n)]
-        write_avro_file(path, schema, records)
+        write_avro_data_file(self.fields, tbl, path)
 
     def _bounds(
         self, rows: list[dict[str, Any]]
     ) -> tuple[list, list, list, list]:
-        """(lower_bounds, upper_bounds, null_value_counts,
-        nan_value_counts) for one file's rows.  Null counts (spec field
-        110) are emitted for every top-level leaf — they make
-        stats-based whole-file proofs (metadata-only DELETE) sound on
-        optional columns; NaN counts (field 138) only for float/double,
-        where bounds exclude NaN.  Nested leaves emit bounds only: a
-        null ancestor makes per-leaf null totals ambiguous."""
-        lowers, uppers, nulls, nans = [], [], [], []
-
-        def emit(fid: int, type_str: str, vals: list, top: bool) -> None:
-            non_null = [v for v in vals if v is not None]
-            if top:
-                nulls.append({"key": fid, "value": len(vals) - len(non_null)})
-            if type_str in ("float", "double"):
-                # NaN census + NaN-free bounds at EVERY nesting level:
-                # the spec excludes NaN from bounds, and gt/gtEq pruning
-                # is only sound when the census is provably zero.  A
-                # null ancestor contributes no leaf VALUE, so the NaN
-                # count (unlike the null count) stays unambiguous on
-                # nested leaves.
-                n_nan = sum(1 for v in non_null if v != v)
-                nans.append({"key": fid, "value": n_nan})
-                non_null = [v for v in non_null if v == v]
-            if not non_null or type_str == "variant":
-                # variant values carry no spec-defined bound encoding
-                # (shredded stats prune at scan time from parquet
-                # footers instead — scan.variant_prune_files)
-                return
-            lowers.append(
-                {"key": fid, "value": encode_bound(min(non_null), type_str)}
-            )
-            uppers.append(
-                {"key": fid, "value": encode_bound(max(non_null), type_str)}
-            )
-
-        def walk(field: dict[str, Any], vals: list, top: bool) -> None:
-            t = field["type"]
-            if isinstance(t, str):
-                emit(field["id"], t, vals, top)
-            elif t["type"] == "struct":
-                # Iceberg keys bounds by LEAF field id: recurse into
-                # struct members (list/map contents carry no usable
-                # min/max for pruning — skipped, conservative)
-                for sub in t["fields"]:
-                    walk(
-                        sub,
-                        [
-                            v.get(sub["name"]) if isinstance(v, dict) else None
-                            for v in vals
-                            if v is not None
-                        ],
-                        False,
-                    )
-
-        for f in self.fields:
-            walk(f, [r.get(f["name"]) for r in rows], True)
-        return lowers, uppers, nulls, nans
+        return rows_bounds(self.fields, rows)
 
     # -- snapshot commits ---------------------------------------------------
 
@@ -2087,6 +1975,8 @@ def commit_spark_output(
     partition_col: str | None = None,
     path_col: str | None = None,
     extra_summary: dict[str, str] | None = None,
+    file_format: str = "PARQUET",
+    spark: Any = None,
 ) -> int:
     """Commit a directory of (optionally hive-partitioned) parquet files —
     e.g. the output of a distributed ``df.write.partitionBy(...).parquet``
@@ -2104,7 +1994,13 @@ def commit_spark_output(
     """
     snapshot_id = writer._next_snapshot_id
     entries = _entries_from_spark_dir(
-        writer, data_dir, snapshot_id, partition_col, path_col
+        writer,
+        data_dir,
+        snapshot_id,
+        partition_col,
+        path_col,
+        file_format=file_format,
+        spark=spark,
     )
     chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)] or [[]]
     new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
@@ -2126,6 +2022,7 @@ def write_df(
     num_tasks: int | None = None,
     staging_dir: str | None = None,
     extra_summary: dict[str, str] | None = None,
+    file_format: str = "parquet",
 ) -> int:
     """One-call distributed Iceberg append with real Iceberg's
     ``write.distribution-mode`` semantics — the defense against the
@@ -2208,19 +2105,32 @@ def write_df(
         out = out.sortWithinPartitions(*range_cols)
     elif mode == "none" and sort_by:
         out = out.sortWithinPartitions(*(pcols + list(sort_by)))
+    fmt = file_format.lower()
+    if fmt not in ("parquet", "orc", "avro"):
+        raise ValueError(f"unknown data file format {file_format!r}")
     data_dir = staging_dir or tempfile.mkdtemp(
         prefix="write_df_", dir=f"{writer.path}/data"
     )
+    if fmt == "avro":
+        # no native Spark Avro writer in this environment: executor
+        # tasks encode containers with the from-scratch writer and ship
+        # (path, pickled stats entry) rows — stats computed in-task, so
+        # the commit needs no second pass and no data reaches the driver
+        return _write_df_avro_tasks(
+            writer, out, data_dir, pcols, spec_names, extra_summary
+        )
     w = out.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)
-    w.parquet(data_dir)
+    getattr(w, fmt)(data_dir)
     return commit_spark_output(
         writer,
         data_dir,
         partition_col=spec_names or None,
         path_col=pcols or None,
         extra_summary=extra_summary,
+        file_format=fmt.upper(),
+        spark=df.sparkSession,
     )
 
 
@@ -2364,79 +2274,505 @@ def upsert_spark_output(
     return snapshot_id
 
 
+def rows_bounds(
+    fields: list[dict[str, Any]], rows: list[dict[str, Any]]
+) -> tuple[list, list, list, list]:
+    """(lower_bounds, upper_bounds, null_value_counts,
+    nan_value_counts) for one file's rows.  Null counts (spec field
+    110) are emitted for every top-level leaf — they make
+    stats-based whole-file proofs (metadata-only DELETE) sound on
+    optional columns; NaN counts (field 138) only for float/double,
+    where bounds exclude NaN.  Nested leaves emit bounds only: a
+    null ancestor makes per-leaf null totals ambiguous.  Module-level
+    so executor tasks (the distributed AVRO write leg) compute the
+    SAME stats the driver writer does."""
+    lowers, uppers, nulls, nans = [], [], [], []
+
+    def emit(fid: int, type_str: str, vals: list, top: bool) -> None:
+        non_null = [v for v in vals if v is not None]
+        if top:
+            nulls.append({"key": fid, "value": len(vals) - len(non_null)})
+        if type_str in ("float", "double"):
+            # NaN census + NaN-free bounds at EVERY nesting level:
+            # the spec excludes NaN from bounds, and gt/gtEq pruning
+            # is only sound when the census is provably zero.  A
+            # null ancestor contributes no leaf VALUE, so the NaN
+            # count (unlike the null count) stays unambiguous on
+            # nested leaves.
+            n_nan = sum(1 for v in non_null if v != v)
+            nans.append({"key": fid, "value": n_nan})
+            non_null = [v for v in non_null if v == v]
+        if not non_null or type_str == "variant":
+            # variant values carry no spec-defined bound encoding
+            # (shredded stats prune at scan time from parquet
+            # footers instead — scan.variant_prune_files)
+            return
+        lowers.append(
+            {"key": fid, "value": encode_bound(min(non_null), type_str)}
+        )
+        uppers.append(
+            {"key": fid, "value": encode_bound(max(non_null), type_str)}
+        )
+
+    def walk(field: dict[str, Any], vals: list, top: bool) -> None:
+        t = field["type"]
+        if isinstance(t, str):
+            emit(field["id"], t, vals, top)
+        elif t["type"] == "struct":
+            # Iceberg keys bounds by LEAF field id: recurse into
+            # struct members (list/map contents carry no usable
+            # min/max for pruning — skipped, conservative)
+            for sub in t["fields"]:
+                walk(
+                    sub,
+                    [
+                        v.get(sub["name"]) if isinstance(v, dict) else None
+                        for v in vals
+                        if v is not None
+                    ],
+                    False,
+                )
+
+    for f in fields:
+        walk(f, [r.get(f["name"]) for r in rows], True)
+    return lowers, uppers, nulls, nans
+
+
+def write_avro_data_file(
+    fields: list[dict[str, Any]], tbl: "pa.Table", path: str
+) -> None:
+    """Encode an arrow table as an Iceberg AVRO data file: schema
+    derived from the table schema (field-id annotated), values per
+    the Iceberg Avro single-value spec — timestamps long
+    microseconds, dates int epoch-days.  Nested/decimal/uuid
+    columns fail loudly (scan's AVRO decode matches).  Module-level
+    (fields is a plain list of dicts) so EXECUTOR tasks can run it —
+    the distributed AVRO leg of ``write_df``."""
+    from daskberg_spark.iceberg.avro import write_avro_file
+
+    prim = {
+        "int": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "boolean": "boolean",
+        "string": "string",
+        "binary": "bytes",
+        "uuid": "string",
+    }
+    afields, cols = [], {}
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, str) and t in prim:
+            atype: Any = prim[t]
+            vals = tbl[f["name"]].to_pylist()
+        elif isinstance(t, str) and t in ("timestamp", "timestamptz"):
+            atype = {
+                "type": "long",
+                "logicalType": "timestamp-micros",
+                "adjust-to-utc": t == "timestamptz",
+            }
+            vals = tbl[f["name"]].cast(pa.int64()).to_pylist()
+        elif isinstance(t, str) and t == "date":
+            atype = {"type": "int", "logicalType": "date"}
+            vals = tbl[f["name"]].cast(pa.int32()).to_pylist()
+        else:
+            raise NotImplementedError(
+                f"AVRO data files with {t!r} columns"
+            )
+        afield = {"name": f["name"], "type": atype, "field-id": f["id"]}
+        if not f.get("required"):
+            afield["type"] = ["null", atype]
+            afield["default"] = None
+        afields.append(afield)
+        cols[f["name"]] = vals
+    # materialized v3 lineage columns (rewrite paths carry explicit
+    # _row_id / _last_updated_sequence_number): encode them like the
+    # parquet/ORC writers do — dropping them would silently re-key
+    # row identity on the next read
+    for extra in LINEAGE_COLS:
+        if extra in tbl.column_names:
+            afields.append(
+                {"name": extra, "type": ["null", "long"], "default": None}
+            )
+            cols[extra] = tbl[extra].to_pylist()
+    schema = {"type": "record", "name": "r", "fields": afields}
+    n = tbl.num_rows
+    records = [{k: cols[k][i] for k in cols} for i in range(n)]
+    write_avro_file(path, schema, records)
+
+
+def _hive_fmt(v: Any, rtype: str) -> str:
+    """One hive path segment value, matching what ``_hive_segment_value``
+    parses back: NULL → the Spark sentinel, ints un-floated (pandas
+    nullable ints arrive as float64), dates ISO."""
+    import datetime as _dt
+    import urllib.parse
+
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+        return "__HIVE_DEFAULT_PARTITION__"
+    if rtype in ("int", "long"):
+        return str(int(v))
+    if rtype == "date" and isinstance(v, _dt.date):
+        return v.isoformat()
+    return urllib.parse.quote(str(v), safe="")
+
+
+def _write_df_avro_tasks(
+    writer: "IcebergWriter",
+    out: Any,
+    data_dir: str,
+    pcols: list[str],
+    spec_names: list[str],
+    extra_summary: dict[str, str] | None,
+) -> int:
+    """Distributed AVRO append: each task groups its rows by the
+    transformed partition columns, encodes ONE Avro container per
+    (task, partition tuple) with the from-scratch writer, computes the
+    file's manifest stats in-task (``rows_bounds`` — the SAME function
+    the driver writer uses, so pruning bounds can never diverge by
+    path), and ships only (path, pickled data_file record) to the
+    driver.  Data bytes never reach the driver; a failed/speculative
+    task attempt's files are never committed (fresh uuid4 per file) and
+    the orphan sweep reclaims them — the staged-parquet path's exact
+    semantics."""
+    import pickle
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fields = [dict(f) for f in writer.fields]
+    names = [f["name"] for f in fields]
+    rtypes = [
+        transform_result_type(
+            pf["transform"], writer.types[pf["_source_name"]]
+        )
+        for pf in writer.spec
+    ]
+    arrow_schema_items = [(f["name"], _pa_type(f["type"])) for f in fields]
+    ddir = data_dir
+    seg_names = list(pcols)
+
+    def task(iterator):
+        import os as _os
+        import pickle as _pickle
+        import uuid as _uuid
+
+        import pandas as pd
+        import pyarrow as _pa
+
+        groups: dict[tuple, list] = {}
+        for pdf in iterator:
+            if seg_names:
+                for key, g in pdf.groupby(
+                    seg_names, dropna=False, sort=False
+                ):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    groups.setdefault(key, []).append(g)
+            else:
+                groups.setdefault((), []).append(pdf)
+        out_rows = []
+        schema = _pa.schema(
+            [_pa.field(n, t) for n, t in arrow_schema_items]
+        )
+        for key, gs in groups.items():
+            g = pd.concat(gs) if len(gs) > 1 else gs[0]
+            segs = [
+                f"{seg}={_hive_fmt(v, rt)}"
+                for seg, rt, v in zip(seg_names, rtypes, key)
+            ]
+            d = _os.path.join(ddir, *segs) if segs else ddir
+            _os.makedirs(d, exist_ok=True)
+            path = _os.path.join(d, f"part-{_uuid.uuid4().hex}.avro")
+            tbl = _pa.Table.from_pandas(
+                g[names], schema=schema, preserve_index=False
+            )
+            write_avro_data_file(fields, tbl, path)
+            lowers, uppers, nulls, nans = rows_bounds(
+                fields, tbl.to_pylist()
+            )
+            data_file = {
+                "file_path": path,
+                "file_format": "AVRO",
+                "partition": {},
+                "record_count": tbl.num_rows,
+                "file_size_in_bytes": _os.path.getsize(path),
+                "lower_bounds": lowers,
+                "upper_bounds": uppers,
+                "null_value_counts": nulls,
+                "nan_value_counts": nans,
+            }
+            out_rows.append((path, _pickle.dumps(data_file)))
+        yield pd.DataFrame(out_rows, columns=["path", "blob"])
+
+    res = out.mapInPandas(
+        task,
+        schema=StructType(
+            [
+                StructField("path", StringType()),
+                StructField("blob", BinaryType()),
+            ]
+        ),
+    ).collect()
+    snapshot_id = writer._next_snapshot_id
+    entries = []
+    for r in sorted(res, key=lambda r: r["path"]):
+        data_file = pickle.loads(bytes(r["blob"]))
+        data_file["partition"] = _partition_from_path(
+            writer,
+            data_file["file_path"],
+            spec_names or None,
+            seg_names or None,
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": data_file,
+            }
+        )
+    chunks = [entries[i : i + 100] for i in range(0, len(entries), 100)] or [
+        []
+    ]
+    new_manifests = [writer._write_manifest(c, snapshot_id) for c in chunks]
+    writer._commit(
+        snapshot_id,
+        writer.manifests + new_manifests,
+        "append",
+        sum(e["data_file"]["record_count"] for e in entries),
+        extra_summary=extra_summary,
+    )
+    return snapshot_id
+
+
+def _partition_from_path(
+    writer: "IcebergWriter",
+    path: str,
+    partition_col: str | list[str] | None,
+    path_col: str | list[str] | None,
+) -> dict[str, Any]:
+    """Typed manifest partition dict from a file's hive ``col=value``
+    path segments.  ``path_col`` is the hive directory name (Spark's
+    partitionBy drops that column from file contents, so callers
+    partition on a *duplicate* column and keep the real one in the
+    data).  Multi-field specs pass parallel lists — one hive level per
+    field."""
+    import urllib.parse
+
+    partition: dict[str, Any] = {}
+    if partition_col is None:
+        return partition
+    pcols = (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    if path_col is None:
+        segcols = list(pcols)
+    elif isinstance(path_col, str):
+        segcols = [path_col]
+    else:
+        segcols = list(path_col)
+    if len(segcols) != len(pcols):
+        raise ValueError("path_col must parallel partition_col")
+    for pcol, seg_name in zip(pcols, segcols):
+        # resolve by SPEC FIELD name first, then by source
+        # column: a spec may carry several transforms of ONE
+        # source (bucket(id) + identity(id)), and source-name
+        # lookup alone would key every segment to the first
+        # (write_df passes spec-field names for exactly this)
+        spec_field = next(
+            (pf for pf in writer.spec if pf["name"] == pcol),
+            None,
+        ) or next(
+            (pf for pf in writer.spec if pf["_source_name"] == pcol),
+            None,
+        )
+        if spec_field is None:
+            raise ValueError(
+                f"{pcol!r} is not a partition source column "
+                "or spec field name"
+            )
+        rtype = transform_result_type(
+            spec_field["transform"],
+            writer.types[spec_field["_source_name"]],
+        )
+        for seg in path.split(os.sep):
+            if seg.startswith(seg_name + "="):
+                raw = urllib.parse.unquote(seg.split("=", 1)[1])
+                # key by the SPEC FIELD name (what the planner
+                # checks), typed by the transform's result
+                partition[spec_field["name"]] = _hive_segment_value(
+                    raw, rtype
+                )
+    return partition
+
+
 def _entries_from_spark_dir(
     writer: "IcebergWriter",
     data_dir: str,
     snapshot_id: int,
     partition_col: str | list[str] | None = None,
     path_col: str | list[str] | None = None,
+    file_format: str = "PARQUET",
+    spark: Any = None,
 ) -> list[dict[str, Any]]:
-    """Footer-lift a directory of Spark-written parquet into ADDED
-    manifest entries (bounds from row-group statistics, partition values
-    from hive path segments) — shared by append and overwrite commits."""
+    """Stats-lift a directory of Spark-written data files into ADDED
+    manifest entries (partition values from hive path segments) —
+    shared by append and overwrite commits.  PARQUET lifts bounds from
+    row-group footers at zero data IO; ORC (pyarrow exposes no ORC
+    column statistics) lifts them with ONE distributed JVM-side
+    aggregate over the fresh files — grouped by ``input_file_name()``,
+    collecting one stats row per file, never data."""
     import glob as _glob
-    import urllib.parse
 
+    fmt = file_format.upper()
+    ext = {"PARQUET": "*.parquet", "ORC": "*.orc"}.get(fmt)
+    if ext is None:
+        raise NotImplementedError(
+            f"directory commits for {file_format} (AVRO goes through "
+            "write_df's task-write path, which carries its own stats)"
+        )
     entries = []
     paths = sorted(
-        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        _glob.glob(os.path.join(data_dir, "**", ext), recursive=True)
     )
+    orc_stats = None
+    if fmt == "ORC":
+        if spark is None:
+            raise ValueError("ORC directory commits need `spark` for the stats pass")
+        orc_stats = _orc_dir_stats(spark, data_dir, writer.types)
     for path in paths:
-        partition: dict[str, Any] = {}
-        if partition_col is not None:
-            # `path_col` is the hive directory name (Spark's partitionBy drops
-            # that column from file contents, so callers partition on a
-            # *duplicate* column and keep the real one in the data).  Multi-
-            # field specs pass parallel lists — one hive level per field.
-            pcols = (
-                [partition_col]
-                if isinstance(partition_col, str)
-                else list(partition_col)
+        partition = _partition_from_path(
+            writer, path, partition_col, path_col
+        )
+        if fmt == "ORC":
+            stats = orc_stats.get(os.path.realpath(path))
+            entries.append(
+                _orc_entry(writer, path, snapshot_id, partition, stats)
             )
-            if path_col is None:
-                segcols = list(pcols)
-            elif isinstance(path_col, str):
-                segcols = [path_col]
-            else:
-                segcols = list(path_col)
-            if len(segcols) != len(pcols):
-                raise ValueError("path_col must parallel partition_col")
-            for pcol, seg_name in zip(pcols, segcols):
-                # resolve by SPEC FIELD name first, then by source
-                # column: a spec may carry several transforms of ONE
-                # source (bucket(id) + identity(id)), and source-name
-                # lookup alone would key every segment to the first
-                # (write_df passes spec-field names for exactly this)
-                spec_field = next(
-                    (pf for pf in writer.spec if pf["name"] == pcol),
-                    None,
-                ) or next(
-                    (
-                        pf
-                        for pf in writer.spec
-                        if pf["_source_name"] == pcol
-                    ),
-                    None,
-                )
-                if spec_field is None:
-                    raise ValueError(
-                        f"{pcol!r} is not a partition source column "
-                        "or spec field name"
-                    )
-                rtype = transform_result_type(
-                    spec_field["transform"],
-                    writer.types[spec_field["_source_name"]],
-                )
-                for seg in path.split(os.sep):
-                    if seg.startswith(seg_name + "="):
-                        raw = urllib.parse.unquote(seg.split("=", 1)[1])
-                        # key by the SPEC FIELD name (what the planner
-                        # checks), typed by the transform's result
-                        partition[spec_field["name"]] = (
-                            _hive_segment_value(raw, rtype)
-                        )
-        entries.append(_footer_entry(writer, path, snapshot_id, partition))
+        else:
+            entries.append(
+                _footer_entry(writer, path, snapshot_id, partition)
+            )
     return entries
+
+
+def _orc_dir_stats(
+    spark: Any, data_dir: str, types: dict[str, Any]
+) -> dict[str, dict[str, Any]]:
+    """Per-file column statistics for a directory of fresh ORC files:
+    one JVM-side aggregate grouped by ``input_file_name()`` — data
+    never crosses into Python, the driver collects one row per file.
+    Returns {realpath: {"rows": n, "lo": {col: v}, "hi": {col: v},
+    "nulls": {col: n}, "nans": {col: n}}}.  Bounds exclude NaN and a
+    NaN-tainted column still counts (Iceberg spec field 138
+    semantics); nested columns get counts only (no leaf bounds —
+    conservative, pruning just keeps the file)."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.orc(data_dir)
+    prim = [
+        (c, t)
+        for c, t in types.items()
+        if isinstance(t, str) and c in df.columns and t != "variant"
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, (c, t) in enumerate(prim):
+        col = F.col(c)
+        if t in ("float", "double"):
+            clean = F.when(~F.isnan(col), col)
+            aggs += [
+                F.min(clean).alias(f"__lo{i}"),
+                F.max(clean).alias(f"__hi{i}"),
+                F.count(col).alias(f"__nn{i}"),
+                F.sum(
+                    F.when(F.isnan(col), 1).otherwise(0)
+                ).alias(f"__na{i}"),
+            ]
+        else:
+            aggs += [
+                F.min(col).alias(f"__lo{i}"),
+                F.max(col).alias(f"__hi{i}"),
+                F.count(col).alias(f"__nn{i}"),
+            ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__path")).agg(*aggs).collect()
+    )
+    out: dict[str, dict[str, Any]] = {}
+    for r in rows:
+        p = urllib.parse.urlparse(r["__path"])
+        key = os.path.realpath(urllib.parse.unquote(p.path))
+        st = {"rows": r["__rows"], "lo": {}, "hi": {}, "nulls": {}, "nans": {}}
+        for i, (c, t) in enumerate(prim):
+            if r[f"__lo{i}"] is not None:
+                st["lo"][c] = r[f"__lo{i}"]
+                st["hi"][c] = r[f"__hi{i}"]
+            st["nulls"][c] = int(r["__rows"]) - int(r[f"__nn{i}"])
+            if t in ("float", "double"):
+                st["nans"][c] = int(r[f"__na{i}"] or 0)
+        out[key] = st
+    return out
+
+
+def _orc_entry(
+    writer: "IcebergWriter",
+    path: str,
+    snapshot_id: int,
+    partition: dict[str, Any],
+    stats: dict[str, Any] | None,
+) -> dict[str, Any]:
+    """ADDED manifest entry for one Spark-written ORC file, bounds from
+    the distributed stats pass (``_orc_dir_stats``).  A file the stats
+    pass did not cover (shouldn't happen for a fresh directory) still
+    commits — record count from the ORC footer, no bounds: pruning
+    stays conservative rather than wrong."""
+    import pyarrow.orc as _orc
+
+    num_rows = _orc.ORCFile(path).nrows
+    if stats is not None and int(stats["rows"]) != int(num_rows):
+        raise ValueError(
+            f"ORC stats pass saw {stats['rows']} rows for {path} but the "
+            f"footer says {num_rows} — refusing to commit mismatched stats"
+        )
+    data_file: dict[str, Any] = {
+        "file_path": path,
+        "file_format": "ORC",
+        "partition": partition,
+        "record_count": int(num_rows),
+        "file_size_in_bytes": os.path.getsize(path),
+    }
+    if stats is not None:
+        data_file["lower_bounds"] = [
+            {"key": writer.ids[c], "value": encode_bound(v, writer.types[c])}
+            for c, v in stats["lo"].items()
+        ]
+        data_file["upper_bounds"] = [
+            {"key": writer.ids[c], "value": encode_bound(v, writer.types[c])}
+            for c, v in stats["hi"].items()
+        ]
+        data_file["null_value_counts"] = [
+            {"key": writer.ids[c], "value": int(v)}
+            for c, v in stats["nulls"].items()
+        ]
+        data_file["nan_value_counts"] = [
+            {"key": writer.ids[c], "value": int(v)}
+            for c, v in stats["nans"].items()
+        ]
+    return {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "data_file": data_file,
+    }
 
 
 def _hive_segment_value(raw: str, rtype: str) -> Any:

@@ -922,6 +922,56 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_cbo_join",
+    """
+    SELECT s.sname AS sname,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.amount) AS DOUBLE) AS amt
+    FROM read_parquet('/root/repo/.fixtures/cbo_fact/data/*.parquet') f
+    JOIN read_parquet('/root/repo/.fixtures/cbo_dim_big/data/*.parquet') b
+      ON f.k_big = b.bid AND b.bcat = 'c3'
+    JOIN read_parquet('/root/repo/.fixtures/cbo_dim_small/data/*.parquet') s
+      ON f.k_small = s.sid
+    GROUP BY s.sname
+    """,
+)
+def iceberg_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based star-join ordering (``iceberg/cbo.py``; beyond the
+    reference, which performs no joins): the theta NDV blobs and
+    manifest record counts this engine writes feed the Selinger
+    containment estimator, the greedy planner joins the FILTERED big
+    dimension first (growth 0.05 vs the small dim's 1.0), and
+    metadata-small dims get broadcast hints Spark's own CBO could
+    never derive for these assembled scans.  Inner equi-joins commute,
+    so the oracle pins values while the ordering is asserted by
+    ``tests/test_cbo.py`` and the plan contract."""
+    from daskberg_spark.iceberg.cbo import JoinDim, cbo_join
+    from daskberg_spark.iceberg.fixtures import ensure_cbo_fixture
+
+    paths = ensure_cbo_fixture(spark)
+    fact = IcebergTable(paths["fact"])
+    out = cbo_join(
+        spark,
+        fact,
+        [
+            JoinDim(IcebergTable(paths["small"]), "k_small", "sid",
+                    name="small"),
+            JoinDim(
+                IcebergTable(paths["big"]),
+                "k_big",
+                "bid",
+                filters=[("bcat", "==", "c3")],
+                name="big",
+            ),
+        ],
+    )
+    return out.groupBy("sname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("double").alias("amt"),
+    )
+
+
+@query(
     "iceberg_theta_ndv",
     """
     SELECT 'd' AS col, CAST(COUNT(DISTINCT d) AS BIGINT) AS ndv
@@ -2326,6 +2376,52 @@ def iceberg_multiformat_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daskberg_spark.iceberg.fixtures import ensure_multiformat_fixture
 
     t = IcebergTable(ensure_multiformat_fixture())
+    return (
+        t.to_df(spark)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("double").alias("sum_val"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "iceberg_write_formats",
+    """
+    WITH rows AS (
+      SELECT i AS id,
+             CASE WHEN i < 100 THEN 'parquet'
+                  WHEN i < 200 THEN 'orc'
+                  ELSE 'avro' END AS fmt,
+             i * 0.5 AS val
+      FROM range(0, 300) t(i)
+    )
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS DOUBLE) AS sum_val,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM rows
+    GROUP BY fmt
+    """,
+)
+def iceberg_write_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multi-format WRITE (``write_df(file_format=...)``;
+    beyond the reference, which writes nothing at all): one hash-
+    distributed commit per format into one partitioned table — native
+    parquet (footer-lifted stats), native ORC with a JVM-side
+    distributed stats aggregate (pyarrow exposes no ORC column stats;
+    data never crosses into Python), and executor-task AVRO containers
+    whose manifest stats are computed in-task by the SAME
+    ``rows_bounds`` the driver writer uses.  Reading back through the
+    multiformat scan and matching the content formula proves all three
+    write→stats→commit→read paths end to end."""
+    from daskberg_spark.iceberg.fixtures import ensure_write_formats_fixture
+
+    t = IcebergTable(ensure_write_formats_fixture(spark))
     return (
         t.to_df(spark)
         .groupBy("fmt")

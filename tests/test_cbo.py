@@ -1,0 +1,98 @@
+"""Statistics-driven join ordering (``iceberg/cbo.py``): the consumer
+of the theta NDV blobs + manifest counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from daskberg_spark.iceberg.cbo import (
+    JoinDim,
+    cbo_join,
+    estimated_rows,
+    plan_star_join,
+)
+from daskberg_spark.iceberg.fixtures import ensure_cbo_fixture
+from daskberg_spark.iceberg.metadata import IcebergTable
+
+
+@pytest.fixture(scope="module")
+def cbo_tables(spark):
+    paths = ensure_cbo_fixture(spark)
+    return {k: IcebergTable(v) for k, v in paths.items()}
+
+
+def test_estimated_rows_uses_ndv(cbo_tables):
+    big = cbo_tables["big"]
+    total = estimated_rows(big)
+    assert total == 1000.0
+    # equality on a stats column refines by 1/ndv (bcat has 20 values)
+    est = estimated_rows(big, [("bcat", "==", "c3")])
+    assert est == pytest.approx(1000.0 / 20, rel=0.01)
+    # range predicate: classic 1/3 default
+    est_r = estimated_rows(big, [("bid", "<", 10_000)])
+    assert est_r == pytest.approx(1000.0 / 3, rel=0.01)
+
+
+def test_plan_orders_most_selective_first(cbo_tables):
+    plan = plan_star_join(
+        cbo_tables["fact"],
+        [
+            JoinDim(cbo_tables["small"], "k_small", "sid", name="small"),
+            JoinDim(
+                cbo_tables["big"],
+                "k_big",
+                "bid",
+                filters=[("bcat", "==", "c3")],
+                name="big",
+            ),
+        ],
+    )
+    # filtered big: ~50 rows / ndv 1000 = 0.05 growth;
+    # unfiltered small: 10 / 10 = 1.0 growth -> big joins first
+    assert plan.order == ["big", "small"]
+    assert plan.estimates["big"] < plan.estimates["small"]
+    # both dims are metadata-small -> broadcast hints
+    assert set(plan.broadcasts) == {"big", "small"}
+
+
+def test_cbo_join_matches_naive_order(spark, cbo_tables):
+    import daskberg_spark.iceberg.scan  # noqa: F401
+
+    dims = [
+        JoinDim(cbo_tables["small"], "k_small", "sid", name="small"),
+        JoinDim(
+            cbo_tables["big"],
+            "k_big",
+            "bid",
+            filters=[("bcat", "==", "c3")],
+            name="big",
+        ),
+    ]
+    opt = (
+        cbo_join(spark, cbo_tables["fact"], dims)
+        .groupBy("sname")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+    )
+    # naive: literal order, no hints
+    f = cbo_tables["fact"].to_df(spark)
+    s = cbo_tables["small"].to_df(spark)
+    b = cbo_tables["big"].to_df(spark, filters=[("bcat", "==", "c3")])
+    naive = (
+        f.join(s, f["k_small"] == s["sid"])
+        .join(b, f["k_big"] == b["bid"])
+        .groupBy("sname")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+    )
+    got = {(r["sname"], r["n"], round(r["amt"], 6)) for r in opt.collect()}
+    ref = {(r["sname"], r["n"], round(r["amt"], 6)) for r in naive.collect()}
+    assert got == ref and got
+    # the chosen plan is observable
+    assert cbo_tables["fact"].last_join_plan.order == ["big", "small"]
+    # broadcast hints reached the physical plan
+    phys = opt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+
+
+def test_proved_empty_estimate(cbo_tables):
+    assert estimated_rows(cbo_tables["big"], [("bid", ">", 10_000)]) == 0.0

@@ -227,6 +227,16 @@ AUDIT = {
     # grouped metadata aggregate: 83 group rows combined driver-side
     # from manifest stats — a literal relation, zero exchanges
     "iceberg_agg_pushdown_groupby": (0, False, False, None),
+    # round 10 session 3: theta NDV readout is pure metadata (sketch
+    # blobs decoded driver-side) — a literal relation, zero exchanges
+    "iceberg_theta_ndv": (0, False, False, None),
+    # distributed multi-format write readback: union of the native
+    # parquet/ORC legs and the AVRO python leg, one group-agg exchange
+    # (no deletes in this fixture, so no anti-join broadcast)
+    "iceberg_write_formats": (2, False, False, None),
+    # stats-ordered star join: both dims broadcast (metadata-small),
+    # the big dim's bcat filter pushes into its scan, one agg exchange
+    "iceberg_cbo_join": (2, True, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
