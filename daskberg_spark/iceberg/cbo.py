@@ -148,6 +148,67 @@ def plan_star_join(
     return plan
 
 
+def auto_join(
+    spark: SparkSession,
+    fact: IcebergTable,
+    dim: JoinDim,
+    fact_filters: Any = None,
+    max_keys: int = 1000,
+    bloom_max_rows: int = 5_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """One fact ⋈ dim join with the acceleration CHOSEN FROM METADATA —
+    the dispatch real engines bury in their optimizer:
+
+    - estimated dim rows ≤ ``max_keys``: ``join_pruned_df`` — exact dim
+      keys reach the fact PLANNER, whole files drop before any IO;
+    - ≤ ``bloom_max_rows``: ``bloom_join`` — a fixed-size Bloom
+      prefilter drops non-candidates inside codegen before the shuffle
+      (driver state m/64 words regardless of key count);
+    - above that: the plain shuffle join (a prefilter whose build side
+      rivals the fact is pure overhead).
+
+    All three strategies are result-identical for inner/semi joins (the
+    only ones accepted); the choice costs one metadata estimate.  The
+    decision is recorded as ``fact.last_join_strategy``."""
+    import daskberg_spark.iceberg.scan as _scan
+
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError("auto_join is sound for inner/semi joins only")
+    est = estimated_rows(dim.table, dim.filters)
+    dim_df = dim.table.to_df(spark, filters=dim.filters)
+    if est <= max_keys:
+        strategy = "key-prune"
+        out = _scan.join_pruned_df(
+            fact,
+            spark,
+            dim_df,
+            dim.fact_key,
+            dim.dim_key,
+            filters=fact_filters,
+            max_keys=max_keys,
+            how=how,
+        )
+    else:
+        fact_df = fact.to_df(spark, filters=fact_filters)
+        if est <= bloom_max_rows:
+            from daskberg_spark.operators.bloomjoin import bloom_join
+
+            strategy = "bloom-prefilter"
+            out = bloom_join(
+                fact_df, dim_df, dim.fact_key, dim.dim_key, how=how
+            )
+        else:
+            strategy = "shuffle"
+            out = fact_df.join(
+                dim_df,
+                fact_df[dim.fact_key] == dim_df[dim.dim_key],
+                how,
+            )
+    fact.last_join_strategy = strategy  # type: ignore[attr-defined]
+    return out
+
+
 def cbo_join(
     spark: SparkSession,
     fact: IcebergTable,

@@ -96,3 +96,46 @@ def test_cbo_join_matches_naive_order(spark, cbo_tables):
 
 def test_proved_empty_estimate(cbo_tables):
     assert estimated_rows(cbo_tables["big"], [("bid", ">", 10_000)]) == 0.0
+
+
+def _join_ref(spark, fact, dim):
+    f = fact.to_df(spark)
+    d = dim.table.to_df(spark, filters=dim.filters)
+    return {
+        tuple(r)
+        for r in f.join(
+            d, f[dim.fact_key] == d[dim.dim_key], "inner"
+        ).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "max_keys,bloom_max,expected",
+    [
+        (1000, 5_000_000, "key-prune"),
+        (5, 5_000_000, "bloom-prefilter"),
+        (5, 8, "shuffle"),
+    ],
+)
+def test_auto_join_dispatch(spark, cbo_tables, max_keys, bloom_max, expected):
+    from daskberg_spark.iceberg.cbo import auto_join
+
+    fact = cbo_tables["fact"]
+    dim = JoinDim(cbo_tables["small"], "k_small", "sid", name="small")
+    out = auto_join(
+        spark, fact, dim, max_keys=max_keys, bloom_max_rows=bloom_max
+    )
+    assert fact.last_join_strategy == expected
+    assert {tuple(r) for r in out.collect()} == _join_ref(spark, fact, dim)
+
+
+def test_auto_join_rejects_outer(spark, cbo_tables):
+    from daskberg_spark.iceberg.cbo import auto_join
+
+    with pytest.raises(ValueError, match="inner/semi"):
+        auto_join(
+            spark,
+            cbo_tables["fact"],
+            JoinDim(cbo_tables["small"], "k_small", "sid"),
+            how="left",
+        )
