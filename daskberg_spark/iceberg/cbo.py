@@ -71,15 +71,22 @@ class JoinPlan:
 
 
 def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
-    """Metadata-only cardinality estimate: planned-file record counts
-    (manifest pruning already applied), refined by per-predicate
-    selectivity from theta NDVs — 1/ndv per equality, 1/3 per range
-    (the classic default when no histogram exists).  Never touches
-    data; an estimate of 0 means the planner PROVED emptiness."""
+    """Metadata-only cardinality estimate: the MINIMUM of two bounds —
+    planned-file record counts (manifest pruning already applied) and
+    the NDV-refined total (1/ndv per equality, the classic 1/3 per
+    range).  Taking the min, not the product, matters: when the
+    planner already pruned to the matching partition, multiplying by
+    1/ndv again would double-count the same predicate's selectivity
+    (e.g. an identity-partitioned eq filter would come out ndv× too
+    small and mis-dispatch ``auto_join``).  Never touches data; an
+    estimate of 0 means the planner PROVED emptiness."""
     recs = table.plan_files(filters)
-    rows = float(sum(int(f.get("record_count") or 0) for f in recs))
-    if rows == 0 or not filters:
-        return rows
+    planned = float(sum(int(f.get("record_count") or 0) for f in recs))
+    if planned == 0 or not filters:
+        return planned
+    total = float(
+        sum(int(f.get("record_count") or 0) for f in table.plan_files())
+    )
     sel = 1.0
     for clause in _conjuncts(filters):
         col, op, _v = clause
@@ -89,7 +96,7 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
                 sel *= 1.0 / ndv
         elif op in ("<", "<=", ">", ">=", "between"):
             sel *= 1.0 / 3.0
-    return max(1.0, rows * sel)
+    return max(1.0, min(planned, total * sel))
 
 
 def _conjuncts(filters: Any) -> list[tuple[str, str, Any]]:
@@ -130,18 +137,34 @@ def plan_star_join(
     factor is ``|D_filtered| / max(ndv(F.fk), ndv(D.dk))`` (the factor
     it multiplies the surviving fact by under containment); joins run
     ascending, ties broken by label for determinism."""
+    labels = [d.label() for d in dims]
+    if len(set(labels)) != len(labels):
+        # two dims resolving to one label would silently drop one join
+        # and run the other twice (by_label/plan.order key on labels) —
+        # wrong results, so refuse and ask for explicit names
+        raise ValueError(
+            f"duplicate join labels {sorted(labels)}; joining one table "
+            "twice (or two same-named tables) needs distinct "
+            "JoinDim(name=...) values"
+        )
     plan = JoinPlan()
     fact_rows = estimated_rows(fact, fact_filters)
     scored: list[tuple[float, str]] = []
     for d in dims:
-        d_rows = estimated_rows(d.table, d.filters)
+        # ONE metadata plan per dim: rows and bytes come from the same
+        # planned record list (plan_files re-runs manifest pruning)
+        recs = d.table.plan_files(d.filters)
+        d_rows = float(sum(int(f.get("record_count") or 0) for f in recs))
+        d_bytes = sum(int(f.get("file_size_in_bytes") or 0) for f in recs)
+        if d_rows and d.filters:
+            d_rows = min(d_rows, estimated_rows(d.table, d.filters))
         ndv_f = _safe_ndv(fact, d.fact_key)
         ndv_d = _safe_ndv(d.table, d.dim_key) or max(1.0, d_rows)
         denom = float(max(ndv_f or 0, ndv_d or 0)) or 1.0
         growth = d_rows / denom
         scored.append((growth, d.label()))
         plan.estimates[d.label()] = growth
-        if estimated_bytes(d.table, d.filters) <= broadcast_bytes:
+        if d_bytes <= broadcast_bytes:
             plan.broadcasts.append(d.label())
     plan.order = [label for _, label in sorted(scored)]
     plan.estimates["__fact_rows__"] = fact_rows

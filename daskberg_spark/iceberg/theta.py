@@ -508,7 +508,14 @@ class ThetaSketch:
         return head + self.hashes.astype("<u8").tobytes()
 
     @classmethod
-    def deserialize(cls, data: bytes) -> "ThetaSketch":
+    def deserialize(
+        cls, data: bytes, lg_k: int = DEFAULT_LG_K
+    ) -> "ThetaSketch":
+        """``lg_k`` restores the builder's nominal size — the compact
+        serialization cannot carry it, and a union of partials
+        deserialized at a SMALLER lg_k than they were built with would
+        silently cut the merge at the smaller k (the
+        build_column_sketches driver threads its own lg_k through)."""
         if len(data) < 8:
             raise ValueError("theta sketch blob shorter than a preamble")
         pre, ver, fam, _lg, _la, flags, seed_hash = struct.unpack_from(
@@ -520,12 +527,11 @@ class ThetaSketch:
             raise ValueError(f"not a compact theta sketch (family {fam})")
         if flags & _F_EMPTY:
             return cls(LONG_MAX, np.empty(0, dtype=np.uint64),
-                       DEFAULT_LG_K, seed_hash)
+                       lg_k, seed_hash)
         if pre == 1:
             # single-item compact form: one hash, theta = MAX
             hs = np.frombuffer(data, dtype="<u8", count=1, offset=8)
-            return cls(LONG_MAX, hs.astype(np.uint64), DEFAULT_LG_K,
-                       seed_hash)
+            return cls(LONG_MAX, hs.astype(np.uint64), lg_k, seed_hash)
         count = struct.unpack_from("<i", data, 8)[0]
         if pre == 2:
             theta = LONG_MAX
@@ -537,7 +543,7 @@ class ThetaSketch:
             raise ValueError(f"unsupported preamble length {pre}")
         hs = np.frombuffer(data, dtype="<u8", count=count, offset=off)
         return cls(int(theta), np.sort(hs.astype(np.uint64)),
-                   DEFAULT_LG_K, seed_hash)
+                   lg_k, seed_hash)
 
 
 # -- bounded streaming accumulator (per-partition builder state) --------------
@@ -570,18 +576,45 @@ class KmvAccumulator:
         return ThetaSketch(int(self._arr[k]), self._arr[:k].copy(), self.lg_k)
 
 
+def _arrow_column_hashes(arr: Any, ice_type: str) -> np.ndarray:
+    """63-bit update hashes for one arrow array's NON-NULL values.
+    Arrow (not pandas) is the executor transport precisely because it
+    keeps NULL distinct from NaN (pandas folds both into float NaN —
+    NaN doubles would vanish from the sketch while COUNT(DISTINCT)
+    counts them) and never routes nullable int64 through float64
+    (which corrupts values past 2^53)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = pc.unique(arr.drop_null())
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if ice_type in ("long", "int"):
+        return hash_values(vals.to_numpy(zero_copy_only=False), ice_type)
+    if ice_type == "date":
+        days = vals.cast(pa.int32()).to_numpy(zero_copy_only=False)
+        return hash_values(days, "int")  # date = 4-byte LE days
+    if ice_type in ("timestamp", "timestamptz", "time"):
+        micros = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return hash_values(micros, ice_type)
+    if ice_type in ("float", "double"):
+        return hash_values(vals.to_numpy(zero_copy_only=False), ice_type)
+    return hash_values(vals.to_pylist(), ice_type)
+
+
 def build_column_sketches(
     df: Any,
     colspecs: Sequence[tuple[str, str]],
     lg_k: int = DEFAULT_LG_K,
 ) -> dict[str, ThetaSketch]:
     """One distributed pass over ``df`` building a theta sketch per
-    column.  Each task deduplicates batch values (pandas ``unique``),
-    hashes them (vectorized for fixed-width types), folds them into a
-    bounded KMV accumulator, and emits ONE serialized partial sketch
-    per column; the driver unions partials.  Driver + task state are
-    both bounded by (k+1)*8 bytes per column per partition — at any
-    table size the collect is sketches, never values."""
+    column.  Each task deduplicates batch values (arrow ``unique`` —
+    NULL/NaN-exact, see ``_arrow_column_hashes``), hashes them
+    (vectorized for fixed-width types), folds them into a bounded KMV
+    accumulator, and emits ONE serialized partial sketch per column;
+    the driver unions partials.  Driver + task state are both bounded
+    by (k+1)*8 bytes per column per partition — at any table size the
+    collect is sketches, never values."""
     from pyspark.sql.types import (
         BinaryType,
         StringType,
@@ -599,27 +632,31 @@ def build_column_sketches(
     )
 
     def build(iterator):
-        import pandas as pd
+        import pyarrow as pa
 
         accs = {c: KmvAccumulator(lg_k) for c in names}
-        for pdf in iterator:
+        for batch in iterator:
+            cols = {n: i for i, n in enumerate(batch.schema.names)}
             for c in names:
-                vals = pdf[c].dropna()
-                if len(vals) == 0:
-                    continue
-                uniq = vals.unique()
-                accs[c].add_hashes(hash_values(uniq, types[c]))
-        yield pd.DataFrame(
+                accs[c].add_hashes(
+                    _arrow_column_hashes(batch.column(cols[c]), types[c])
+                )
+        yield pa.RecordBatch.from_pydict(
             {
                 "col": names,
                 "sketch": [accs[c].sketch().serialize() for c in names],
-            }
+            },
+            schema=pa.schema(
+                [pa.field("col", pa.string()), pa.field("sketch", pa.binary())]
+            ),
         )
 
-    rows = df.select(*names).mapInPandas(build, schema=out_schema).collect()
+    rows = df.select(*names).mapInArrow(build, schema=out_schema).collect()
     partials: dict[str, list[ThetaSketch]] = {c: [] for c in names}
     for r in rows:
-        partials[r["col"]].append(ThetaSketch.deserialize(bytes(r["sketch"])))
+        partials[r["col"]].append(
+            ThetaSketch.deserialize(bytes(r["sketch"]), lg_k)
+        )
     out: dict[str, ThetaSketch] = {}
     for c in names:
         parts = partials[c]

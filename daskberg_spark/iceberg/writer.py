@@ -2459,6 +2459,10 @@ def _write_df_avro_tasks(
     ddir = data_dir
     seg_names = list(pcols)
 
+    flush_rows = int(
+        os.environ.get("DASKBERG_AVRO_WRITE_FLUSH_ROWS", "500000")
+    )
+
     def task(iterator):
         import os as _os
         import pickle as _pickle
@@ -2467,22 +2471,12 @@ def _write_df_avro_tasks(
         import pandas as pd
         import pyarrow as _pa
 
-        groups: dict[tuple, list] = {}
-        for pdf in iterator:
-            if seg_names:
-                for key, g in pdf.groupby(
-                    seg_names, dropna=False, sort=False
-                ):
-                    if not isinstance(key, tuple):
-                        key = (key,)
-                    groups.setdefault(key, []).append(g)
-            else:
-                groups.setdefault((), []).append(pdf)
-        out_rows = []
         schema = _pa.schema(
             [_pa.field(n, t) for n, t in arrow_schema_items]
         )
-        for key, gs in groups.items():
+        out_rows = []
+
+        def flush(key: tuple, gs: list) -> None:
             g = pd.concat(gs) if len(gs) > 1 else gs[0]
             segs = [
                 f"{seg}={_hive_fmt(v, rt)}"
@@ -2510,6 +2504,31 @@ def _write_df_avro_tasks(
                 "nan_value_counts": nans,
             }
             out_rows.append((path, _pickle.dumps(data_file)))
+
+        # streaming accumulation with a per-group flush budget: a task
+        # holding GBs for one partition tuple must not buffer them all
+        # before its first container — the manifest tolerates several
+        # files per tuple, so overflow just becomes another file
+        groups: dict[tuple, list] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in iterator:
+            if seg_names:
+                parts = [
+                    ((key,) if not isinstance(key, tuple) else key, g)
+                    for key, g in pdf.groupby(
+                        seg_names, dropna=False, sort=False
+                    )
+                ]
+            else:
+                parts = [((), pdf)]
+            for key, g in parts:
+                groups.setdefault(key, []).append(g)
+                counts[key] = counts.get(key, 0) + len(g)
+                if counts[key] >= flush_rows:
+                    flush(key, groups.pop(key))
+                    counts[key] = 0
+        for key, gs in groups.items():
+            flush(key, gs)
         yield pd.DataFrame(out_rows, columns=["path", "blob"])
 
     res = out.mapInPandas(
@@ -2645,7 +2664,10 @@ def _entries_from_spark_dir(
         _glob.glob(os.path.join(data_dir, "**", ext), recursive=True)
     )
     orc_stats = None
-    if fmt == "ORC":
+    if fmt == "ORC" and paths:
+        # `paths` gate: spark.read.orc on a directory holding only
+        # _SUCCESS raises (no schema to infer) — an empty append must
+        # commit an empty snapshot like the parquet/AVRO legs do
         if spark is None:
             raise ValueError("ORC directory commits need `spark` for the stats pass")
         orc_stats = _orc_dir_stats(spark, data_dir, writer.types)
@@ -2698,6 +2720,18 @@ def _orc_dir_stats(
                 F.sum(
                     F.when(F.isnan(col), 1).otherwise(0)
                 ).alias(f"__na{i}"),
+            ]
+        elif t in ("timestamp", "timestamptz"):
+            # aggregate as epoch MICROS, not as timestamps: collect()
+            # renders timestamps as session-local naive datetimes which
+            # encode_bound would re-read as UTC — bounds shifted by the
+            # session TZ offset, silently wrong pruning.  Ints are
+            # TZ-proof and encode_bound takes micros directly.
+            mic = F.unix_micros(col)
+            aggs += [
+                F.min(mic).alias(f"__lo{i}"),
+                F.max(mic).alias(f"__hi{i}"),
+                F.count(col).alias(f"__nn{i}"),
             ]
         else:
             aggs += [

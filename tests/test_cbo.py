@@ -129,6 +129,49 @@ def test_auto_join_dispatch(spark, cbo_tables, max_keys, bloom_max, expected):
     assert {tuple(r) for r in out.collect()} == _join_ref(spark, fact, dim)
 
 
+def test_duplicate_labels_refused(cbo_tables):
+    # two dims resolving to one label would silently drop a join and
+    # run the other twice — refuse loudly (review finding)
+    with pytest.raises(ValueError, match="duplicate join labels"):
+        plan_star_join(
+            cbo_tables["fact"],
+            [
+                JoinDim(cbo_tables["small"], "k_small", "sid"),
+                JoinDim(cbo_tables["small"], "k_big", "sid"),
+            ],
+        )
+
+
+def test_estimate_no_selectivity_double_count(spark, tmp_path):
+    # identity-partitioned eq filter: the planner already prunes to the
+    # partition, so the NDV refinement must not multiply AGAIN — the
+    # estimate is min(planned, total/ndv), never their product
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    w.append(
+        [{"id": i, "grp": "ab"[0 if i % 10 else 1]} for i in range(1000)]
+    )
+    write_table_statistics(w, spark)
+    t = IcebergTable(str(tmp_path / "t"))
+    planned = sum(
+        f["record_count"] for f in t.plan_files([("grp", "==", "a")])
+    )
+    est = estimated_rows(t, [("grp", "==", "a")])
+    assert est == min(float(planned), 1000.0 / 2)
+    assert est > planned / 2  # the old product shape
+
+
 def test_auto_join_rejects_outer(spark, cbo_tables):
     from daskberg_spark.iceberg.cbo import auto_join
 

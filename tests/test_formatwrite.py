@@ -134,6 +134,79 @@ def test_orc_nan_stats(spark):
     assert t.to_df(spark).filter(F.isnan("val")).count() == 5
 
 
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "avro"])
+def test_write_df_empty_commit(spark, fmt):
+    # review finding: an empty ORC staging dir (only _SUCCESS) crashed
+    # spark.read.orc in the stats pass; every format must commit an
+    # empty snapshot like an empty micro-batch would
+    d, w = _table()
+    write_df(w, _df(spark).filter(F.col("id") < 0), file_format=fmt)
+    t = IcebergTable(d)
+    assert t.to_df(spark).count() == 0
+    assert len(t.metadata["snapshots"]) == 1
+
+
+def test_orc_timestamp_bounds_tz_proof(spark):
+    # review finding: timestamp min/max collected as session-local
+    # naive datetimes re-encoded as UTC — bounds shifted by the session
+    # TZ.  Aggregating epoch micros is TZ-proof: force a non-UTC
+    # session TZ and check the manifest bounds are the true instants.
+    import datetime as dt
+
+    from daskberg_spark.iceberg.conversions import decode_bound
+
+    d = tempfile.mkdtemp(prefix="fmtwrite_") + "/t"
+    w = IcebergWriter(
+        d,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "ts", "type": "timestamp", "required": False},
+        ],
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(0, 10).select(
+            F.col("id"),
+            F.timestamp_micros(
+                F.lit(1717243200000000) + F.col("id") * 1000000
+            ).alias("ts"),  # 2024-06-01T12:00:00Z + id seconds
+        )
+        write_df(w, df.coalesce(1), mode="none", file_format="orc")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    rec = IcebergTable(d).plan_files()[0]
+    lo = {e["key"]: e["value"] for e in rec["lower_bounds"]}[2]
+    hi = {e["key"]: e["value"] for e in rec["upper_bounds"]}[2]
+    # decode_bound renders naive-UTC datetimes; the true instants are
+    # 2024-06-01T12:00:00Z and +9s — NOT the 08:00 New-York-shifted
+    # values the pre-fix collect produced
+    assert decode_bound(lo, "timestamp") == dt.datetime(2024, 6, 1, 12, 0, 0)
+    assert decode_bound(hi, "timestamp") == dt.datetime(2024, 6, 1, 12, 0, 9)
+
+
+def test_avro_task_flush_budget(spark, monkeypatch):
+    # review finding: a task buffered its whole input before writing;
+    # the flush budget must cap per-group buffering by spilling extra
+    # containers (manifest tolerates several files per tuple)
+    monkeypatch.setenv("DASKBERG_AVRO_WRITE_FLUSH_ROWS", "40")
+    d, w = _table()
+    # small arrow batches so the budget sees MULTIPLE batches per task
+    # (a single batch flushes whole — arrow batch size is the floor)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "25")
+    try:
+        write_df(w, _df(spark).coalesce(1), mode="none", file_format="avro")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    t = IcebergTable(d)
+    files = t.plan_files()
+    assert len(files) > 3  # overflow containers per partition tuple
+    out = t.to_df(spark)
+    assert out.count() == 300
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(300))
+
+
 def test_write_df_rejects_unknown_format(spark):
     d, w = _table()
     with pytest.raises(ValueError, match="unknown data file format"):

@@ -383,6 +383,68 @@ def test_maintain_refreshes_stats(spark, tmp_path):
     assert maintain(w2, spark)["refresh_statistics"] is None
 
 
+def test_sketch_counts_nan_and_big_longs(spark, tmp_path):
+    # review findings: (a) pandas dropna() would silently drop NaN
+    # doubles that COUNT(DISTINCT) counts; (b) nullable int64 routed
+    # through pandas float64 corrupts ids past 2^53.  The arrow build
+    # path must get both exactly right.
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "big", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "double", "required": False},
+        ],
+    )
+    base = 1_234_567_890_123_456_789  # ulp at this scale is 256
+    w.append(
+        [
+            {
+                "big": None if i == 7 else base + i,  # adjacent big longs
+                "val": float("nan") if i % 5 == 0 else float(i % 9),
+            }
+            for i in range(40)
+        ]
+    )
+    write_table_statistics(w, spark)
+    t = IcebergTable(str(tmp_path / "t"))
+    df = t.to_df(spark)
+    # Spark's count_distinct: 39 non-null distinct longs; NaN counts
+    # as ONE distinct double alongside 0..8
+    assert t.column_ndv("big") == 39
+    assert (
+        df.agg(F.count_distinct("big")).collect()[0][0] == 39
+    )
+    assert t.column_ndv("val") == 10
+    assert df.agg(F.count_distinct("val")).collect()[0][0] == 10
+
+
+def test_build_sketches_lgk_threads_through(spark, tmp_path):
+    # review finding: deserialize() hard-coded lg_k=12, so a lg_k=13
+    # build's partials were cut back to k=4096 at union time
+    from daskberg_spark.iceberg.theta import build_column_sketches
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    import daskberg_spark.iceberg.scan  # noqa: F401
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [{"id": 1, "name": "id", "type": "long", "required": False}],
+    )
+    w.append([{"id": i} for i in range(6000)])
+    df = IcebergTable(str(tmp_path / "t")).to_df(spark)
+    sk = build_column_sketches(df, [("id", "long")], lg_k=13)["id"]
+    assert sk.is_exact and sk.estimate() == 6000.0
+
+
 def test_refresh_falls_back_on_delete(spark, tmp_path):
     from daskberg_spark.iceberg.writer import (
         delete_where_fast,
