@@ -294,6 +294,10 @@ _PRIORITY = [
     "iceberg_legacy_eq_migration",
     "iceberg_variant_write",
     "iceberg_variant_shredded_prune",
+    # NEW r10 session 3
+    "iceberg_theta_ndv",
+    "iceberg_write_formats",
+    "iceberg_cbo_join",
     # NEW r10 session 2
     "iceberg_agg_pushdown",
     "iceberg_agg_pushdown_hybrid",
@@ -340,13 +344,11 @@ _PRIORITY = [
     "pivot_agg",
     "rollup_agg",
     "scalar_functions",
-    "set_except",
-    "set_union",
-    "stats_moments",
-    # string_functions2 / topk_orders / window_distribution /
-    # window_range_frame / window_running / write_roundtrip /
-    # agg_argminmax dropped below the 50-slot window by the session-2
-    # additions — first in line for the r11 rotation (driver-green r1,
+    # set_except / set_union / stats_moments dropped below the 50-slot
+    # window by the session-3 additions (joining string_functions2 /
+    # topk_orders / window_distribution / window_range_frame /
+    # window_running / write_roundtrip / agg_argminmax from session 2)
+    # — first in line for the r11 rotation (driver-green r1,
     # oracle-exact locally)
 ]
 

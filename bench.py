@@ -108,6 +108,14 @@ HEADLINE = [
     "iceberg_agg_pushdown",
     "iceberg_bloom_index_prune",
     "bloom_filter_join",
+    # round 10, session 3: the distributed three-format write→read
+    # lifecycle (native parquet/ORC commits + executor-task AVRO with
+    # in-task stats) and the stats-ordered star join (theta NDVs +
+    # manifest counts feeding the containment estimator).
+    # (iceberg_theta_ndv itself is a pure-metadata readout — micro-cost,
+    # uninformative here; its correctness lives in the driver window.)
+    "iceberg_write_formats",
+    "iceberg_cbo_join",
 ]
 
 

@@ -2701,6 +2701,7 @@ def _orc_dir_stats(
     import urllib.parse
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as _pst
 
     df = spark.read.orc(data_dir)
     prim = [
@@ -2721,12 +2722,18 @@ def _orc_dir_stats(
                     F.when(F.isnan(col), 1).otherwise(0)
                 ).alias(f"__na{i}"),
             ]
-        elif t in ("timestamp", "timestamptz"):
-            # aggregate as epoch MICROS, not as timestamps: collect()
-            # renders timestamps as session-local naive datetimes which
-            # encode_bound would re-read as UTC — bounds shifted by the
-            # session TZ offset, silently wrong pruning.  Ints are
-            # TZ-proof and encode_bound takes micros directly.
+        elif t in ("timestamp", "timestamptz") and isinstance(
+            df.schema[c].dataType, _pst.TimestampType
+        ):
+            # instant-typed TIMESTAMP: aggregate as epoch MICROS, not as
+            # timestamps — collect() renders instants as session-local
+            # naive datetimes which encode_bound would re-read as UTC
+            # (bounds shifted by the session TZ offset, silently wrong
+            # pruning).  Ints are TZ-proof and encode_bound takes micros
+            # directly.  TIMESTAMP_NTZ takes the plain min/max branch:
+            # its collected naive datetime IS the stored wall-clock, so
+            # the UTC re-read is already exact (and unix_micros would
+            # reject the type).
             mic = F.unix_micros(col)
             aggs += [
                 F.min(mic).alias(f"__lo{i}"),

@@ -185,6 +185,35 @@ def test_orc_timestamp_bounds_tz_proof(spark):
     assert decode_bound(hi, "timestamp") == dt.datetime(2024, 6, 1, 12, 0, 9)
 
 
+def test_orc_ntz_timestamp_bounds(spark):
+    # TIMESTAMP_NTZ: the collected naive datetime IS the stored wall
+    # clock — the plain min/max branch must handle it (unix_micros
+    # rejects NTZ), and the bound is the literal wall time
+    import datetime as dt
+
+    from daskberg_spark.iceberg.conversions import decode_bound
+
+    d = tempfile.mkdtemp(prefix="fmtwrite_") + "/t"
+    w = IcebergWriter(
+        d,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "ts", "type": "timestamp", "required": False},
+        ],
+    )
+    df = spark.range(0, 5).select(
+        F.col("id"),
+        (
+            F.lit("2024-06-01 12:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(secs=F.col("id").cast("double"))
+        ).alias("ts"),
+    )
+    write_df(w, df.coalesce(1), mode="none", file_format="orc")
+    rec = IcebergTable(d).plan_files()[0]
+    lo = {e["key"]: e["value"] for e in rec["lower_bounds"]}[2]
+    assert decode_bound(lo, "timestamp") == dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
 def test_avro_task_flush_budget(spark, monkeypatch):
     # review finding: a task buffered its whole input before writing;
     # the flush budget must cap per-group buffering by spilling extra
