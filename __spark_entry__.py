@@ -296,6 +296,7 @@ _PRIORITY = [
     "iceberg_variant_shredded_prune",
     # NEW r10 session 3
     "iceberg_theta_ndv",
+    "iceberg_agg_pushdown_ndv",
     "iceberg_write_formats",
     "iceberg_cbo_join",
     # NEW r10 session 2
@@ -343,9 +344,8 @@ _PRIORITY = [
     "pandas_udf_score",
     "pivot_agg",
     "rollup_agg",
-    "scalar_functions",
-    # set_except / set_union / stats_moments dropped below the 50-slot
-    # window by the session-3 additions (joining string_functions2 /
+    # scalar_functions / set_except / set_union / stats_moments dropped
+    # below the 50-slot window by the session-3 additions (joining string_functions2 /
     # topk_orders / window_distribution / window_range_frame /
     # window_running / write_roundtrip / agg_argminmax from session 2)
     # — first in line for the r11 rotation (driver-green r1,

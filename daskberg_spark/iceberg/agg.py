@@ -122,7 +122,7 @@ def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
             raise ValueError(
                 f"alias {alias!r} collides with internal columns"
             )
-        if fn not in ("count", "min", "max"):
+        if fn not in ("count", "min", "max", "approx_count_distinct"):
             raise ValueError(f"unsupported aggregate {fn!r}")
         if col == "*" and fn != "count":
             raise ValueError(f"{fn}(*) is not an aggregate")
@@ -133,6 +133,70 @@ def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
         if alias in seen:
             raise ValueError(f"duplicate alias {alias!r}")
         seen.add(alias)
+
+
+def _ndv_pushdown(
+    table: IcebergTable,
+    spark: SparkSession,
+    aggs: list[tuple[str, str, str]],
+    ndv_aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Whole-table answer for an agg battery containing
+    ``approx_count_distinct``: NDVs decode from the CURRENT snapshot's
+    theta blobs (zero IO; EXACT below the sketch's k=4096); columns
+    without a covering blob share ONE HLL scan.  The count/min/max
+    remainder recurses through the ordinary per-file pushdown and the
+    two one-row answers merge in the caller's agg order."""
+    ndv_vals: dict[str, int] = {}
+    need_scan: list[tuple[str, str]] = []
+    for _, col, alias in ndv_aggs:
+        sk = table.column_theta(col)
+        if sk is None:
+            need_scan.append((col, alias))
+        else:
+            ndv_vals[alias] = int(round(sk.estimate()))
+    if need_scan:
+        # local import like agg_pushdown's (scan imports nothing from agg)
+        from daskberg_spark.iceberg.scan import to_df
+
+        df = to_df(table, spark, columns=[c for c, _ in need_scan])
+        row = df.agg(
+            *[
+                F.approx_count_distinct(c).alias(a)
+                for c, a in need_scan
+            ]
+        ).collect()[0]
+        for _, a in need_scan:
+            ndv_vals[a] = int(row[a])
+    rest = [a for a in aggs if a[0] != "approx_count_distinct"]
+    if rest:
+        out = agg_pushdown(table, spark, rest)
+        rest_meta = dict(table.last_agg_pushdown["meta_files"])
+        files_planned = table.last_agg_pushdown["files_planned"]
+        files_scanned = table.last_agg_pushdown["files_scanned"]
+    else:
+        out = spark.range(1).select()
+        rest_meta = {}
+        files_planned = files_scanned = 0
+    for _, _, alias in ndv_aggs:
+        out = out.withColumn(alias, F.lit(ndv_vals[alias]).cast("long"))
+    out = out.select(*[alias for _, _, alias in aggs])
+    scanned_aliases = {a for _, a in need_scan}
+    table.last_agg_pushdown = {
+        "files_planned": files_planned,
+        # the HLL fallback scan (if any) is reported separately below —
+        # files_scanned keeps the per-file pushdown's accounting
+        "files_scanned": files_scanned,
+        "meta_files": {
+            **rest_meta,
+            **{
+                alias: ("scan" if alias in scanned_aliases else "stats")
+                for _, _, alias in ndv_aggs
+            },
+        },
+        "ndv_scanned_columns": sorted(scanned_aliases),
+    }
+    return out
 
 
 def agg_pushdown(
@@ -162,6 +226,19 @@ def agg_pushdown(
     fields = table.fields
     _validate_aggs(aggs, fields)
     group_by = list(group_by or [])
+    ndv_aggs = [a for a in aggs if a[0] == "approx_count_distinct"]
+    if ndv_aggs:
+        # NDV is not per-file decomposable from manifest stats, so it
+        # rides the TABLE-level theta blobs instead (valid only for the
+        # snapshot they cover — column_theta enforces that): whole-table,
+        # unfiltered, ungrouped.  Columns without a covering blob fall
+        # back to ONE HLL scan; everything else stays metadata-only.
+        if filters or group_by:
+            raise ValueError(
+                "approx_count_distinct pushes down from table statistics "
+                "— whole-table only (no filters, no group_by)"
+            )
+        return _ndv_pushdown(table, spark, aggs, ndv_aggs)
     aliases = {a for _, _, a in aggs}
     for g in group_by:
         info = fields.get(g)

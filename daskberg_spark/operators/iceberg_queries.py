@@ -922,6 +922,44 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_agg_pushdown_ndv",
+    """
+    SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS ndv_id,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS ndv_grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(id) AS BIGINT) AS min_id
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    """,
+)
+def iceberg_agg_pushdown_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct pushdown from TABLE STATISTICS (beyond the
+    reference AND beyond real Iceberg-Spark, which pushes only
+    count/min/max): the NDV answers decode from the current snapshot's
+    theta blobs and the count/min ride the ordinary manifest pushdown —
+    the whole battery is ZERO data IO (hard-asserted).  The fixture's
+    sketches are exact-mode (NDV << k), so the oracle's COUNT(DISTINCT)
+    must match exactly, pinning blob decode, the estimate, and the
+    mixed-battery merge at once."""
+    from daskberg_spark.iceberg.fixtures import ensure_theta_fixture
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+
+    t = IcebergTable(ensure_theta_fixture(spark))
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("approx_count_distinct", "id", "ndv_id"),
+            ("approx_count_distinct", "grp", "ndv_grp"),
+            ("count", "*", "n"),
+            ("min", "id", "min_id"),
+        ],
+    )
+    rep = t.last_agg_pushdown
+    assert rep["files_scanned"] == 0 and not rep["ndv_scanned_columns"], rep
+    return out
+
+
+@query(
     "iceberg_cbo_join",
     """
     SELECT s.sname AS sname,

@@ -445,6 +445,44 @@ def test_build_sketches_lgk_threads_through(spark, tmp_path):
     assert sk.is_exact and sk.estimate() == 6000.0
 
 
+def test_ndv_pushdown_stats_and_fallback(spark, tmp_path):
+    import daskberg_spark.iceberg.agg  # noqa: F401
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import write_table_statistics
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 80))
+    write_table_statistics(w, spark)
+    t = IcebergTable(str(tmp_path / "t"))
+    out = t.agg_pushdown(
+        spark,
+        [
+            ("approx_count_distinct", "id", "ndv_id"),
+            ("count", "*", "n"),
+            ("max", "id", "max_id"),
+        ],
+    ).collect()[0]
+    assert (out["ndv_id"], out["n"], out["max_id"]) == (80, 80, 79)
+    assert t.last_agg_pushdown["files_scanned"] == 0
+    assert t.last_agg_pushdown["meta_files"]["ndv_id"] == "stats"
+    # stale stats (new append, no refresh) -> HLL fallback scan,
+    # never a wrong answer from an old blob
+    w.append(_rows(80, 100))
+    t2 = IcebergTable(str(tmp_path / "t"))
+    out2 = t2.agg_pushdown(
+        spark, [("approx_count_distinct", "grp", "ndv_grp")]
+    ).collect()[0]
+    assert out2["ndv_grp"] == 3
+    assert t2.last_agg_pushdown["meta_files"]["ndv_grp"] == "scan"
+    # filters/grouping refused — per-file stats can't split NDV
+    with pytest.raises(ValueError, match="whole-table only"):
+        t2.agg_pushdown(
+            spark,
+            [("approx_count_distinct", "id", "x")],
+            filters=[("id", ">", 3)],
+        )
+
+
 def test_refresh_falls_back_on_delete(spark, tmp_path):
     from daskberg_spark.iceberg.writer import (
         delete_where_fast,

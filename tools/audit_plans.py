@@ -237,6 +237,9 @@ AUDIT = {
     # stats-ordered star join: both dims broadcast (metadata-small),
     # the big dim's bcat filter pushes into its scan, one agg exchange
     "iceberg_cbo_join": (2, True, True, None),
+    # NDV-from-statistics battery: theta blobs + manifest pushdown,
+    # zero data files (hard-asserted in the query) — literal relation
+    "iceberg_agg_pushdown_ndv": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
