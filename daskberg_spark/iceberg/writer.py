@@ -2338,6 +2338,51 @@ def rows_bounds(
     return lowers, uppers, nulls, nans
 
 
+def arrow_table_bounds(
+    fields: list[dict[str, Any]], tbl: "pa.Table"
+) -> tuple[list, list, list, list]:
+    """``rows_bounds`` computed COLUMN-WISE from an arrow table —
+    byte-identical output (differential-tested), no per-row python
+    dicts.  Flat primitive schemas only (the distributed write legs');
+    NaN excluded from float/double bounds and counted per spec field
+    138, a column arrow cannot min/max just skips its bounds
+    (conservative: pruning keeps the file)."""
+    import pyarrow.compute as pc
+
+    lowers, uppers, nulls, nans = [], [], [], []
+    for f in fields:
+        t = f["type"]
+        if not isinstance(t, str):
+            raise NotImplementedError(
+                "arrow_table_bounds covers flat primitive schemas"
+            )
+        col = tbl[f["name"]]
+        fid = f["id"]
+        nulls.append({"key": fid, "value": int(col.null_count)})
+        vals = col
+        if t in ("float", "double"):
+            nan_mask = pc.is_nan(col)
+            n_nan = int(pc.sum(nan_mask).as_py() or 0)
+            nans.append({"key": fid, "value": n_nan})
+            if n_nan:
+                vals = pc.filter(
+                    col,
+                    pc.and_kleene(pc.is_valid(col), pc.invert(nan_mask)),
+                )
+        if t == "variant":
+            continue
+        try:
+            mm = pc.min_max(vals)
+        except Exception:
+            continue  # no arrow kernel for the type: skip bounds, stay sound
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            continue
+        lowers.append({"key": fid, "value": encode_bound(lo, t)})
+        uppers.append({"key": fid, "value": encode_bound(hi, t)})
+    return lowers, uppers, nulls, nans
+
+
 def write_avro_data_file(
     fields: list[dict[str, Any]], tbl: "pa.Table", path: str
 ) -> None:
@@ -2397,8 +2442,13 @@ def write_avro_data_file(
             )
             cols[extra] = tbl[extra].to_pylist()
     schema = {"type": "record", "name": "r", "fields": afields}
-    n = tbl.num_rows
-    records = [{k: cols[k][i] for k in cols} for i in range(n)]
+    keys = list(cols)
+    col_lists = [cols[k] for k in keys]
+    # generator, not a list: the container writer iterates once, so
+    # peak memory holds one row dict at a time on top of the columns
+    records = (
+        dict(zip(keys, vals)) for vals in zip(*col_lists)
+    )
     write_avro_file(path, schema, records)
 
 
@@ -2489,9 +2539,7 @@ def _write_df_avro_tasks(
                 g[names], schema=schema, preserve_index=False
             )
             write_avro_data_file(fields, tbl, path)
-            lowers, uppers, nulls, nans = rows_bounds(
-                fields, tbl.to_pylist()
-            )
+            lowers, uppers, nulls, nans = arrow_table_bounds(fields, tbl)
             data_file = {
                 "file_path": path,
                 "file_format": "AVRO",

@@ -538,3 +538,83 @@ def test_namespace_fullname_references_resolve(tmp_path):
     write_avro_file(p, schema, [{"a": {"x": 1}, "b": {"x": 2}}])
     _, recs = read_avro_file(p)
     assert recs == [{"a": {"x": 1}, "b": {"x": 2}}]
+
+
+def test_compiled_encoder_matches_generic():
+    """The compiled flat-record encoder (the distributed AVRO write
+    leg's fast path) must produce BYTE-IDENTICAL containers to the
+    generic recursive ``_encode`` across every compilable shape —
+    null unions on both branch orders, logical wrappers, all
+    primitives — and nested schemas must fall back (compile → None)."""
+    import io
+    import random
+
+    import daskberg_spark.iceberg.avro as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": ["null", "long"], "default": None},
+            {
+                "name": "b",
+                "type": [
+                    "null",
+                    {"type": "long", "logicalType": "timestamp-micros"},
+                ],
+                "default": None,
+            },
+            {"name": "rev", "type": ["string", "null"]},  # null second
+            {"name": "c", "type": ["null", "double"], "default": None},
+            {"name": "e", "type": "boolean"},
+            {"name": "f", "type": ["null", "bytes"], "default": None},
+            {"name": "g", "type": "int"},
+            {"name": "h", "type": "float"},
+        ],
+    }
+    rng = random.Random(3)
+    recs = [
+        {
+            "a": None if i % 7 == 0 else rng.randint(-(2**62), 2**62),
+            "b": rng.randint(0, 2**50),
+            "rev": None if i % 11 == 0 else f"r{i}",
+            "c": None if i % 5 == 0 else rng.random(),
+            "e": i % 2 == 0,
+            "f": None if i % 4 == 0 else bytes([i % 256]) * (i % 9),
+            "g": i - 500,
+            "h": float(i) / 3,
+        }
+        for i in range(2000)
+    ]
+    fast, slow = io.BytesIO(), io.BytesIO()
+    assert A.compile_record_encoder(schema, {}) is not None
+    A.write_avro(schema, recs, fast)
+    orig = A.compile_record_encoder
+    A.compile_record_encoder = lambda s, n: None
+    try:
+        A.write_avro(schema, recs, slow)
+    finally:
+        A.compile_record_encoder = orig
+    assert fast.getvalue() == slow.getvalue()
+    # nested shapes (manifest schemas) must NOT compile
+    nested = {
+        "type": "record",
+        "name": "m",
+        "fields": [
+            {
+                "name": "part",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            }
+        ],
+    }
+    assert A.compile_record_encoder(nested, {}) is None
+    # missing required field still raises through the fast path
+    import pytest as _pytest
+
+    bad = io.BytesIO()
+    with _pytest.raises(KeyError):
+        A.write_avro(schema, [{"a": 1}], bad)

@@ -236,6 +236,50 @@ def test_avro_task_flush_budget(spark, monkeypatch):
     assert out.agg(F.sum("id")).collect()[0][0] == sum(range(300))
 
 
+def test_arrow_bounds_match_rows_bounds():
+    # the task-side columnar stats must be byte-identical to the
+    # driver writer's row-wise rows_bounds, NaN/null included
+    import numpy as np
+    import pyarrow as pa
+
+    from daskberg_spark.iceberg.writer import (
+        arrow_table_bounds,
+        rows_bounds,
+    )
+
+    fields = [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "s", "type": "string", "required": False},
+        {"id": 3, "name": "v", "type": "double", "required": False},
+        {"id": 4, "name": "d", "type": "date", "required": False},
+        {"id": 5, "name": "ts", "type": "timestamp", "required": False},
+    ]
+    rng = np.random.default_rng(5)
+    n = 500
+    rows = [
+        {
+            "id": None if i % 13 == 0 else int(rng.integers(-(2**40), 2**40)),
+            "s": None if i % 7 == 0 else f"w{int(rng.integers(0, 999)):03d}",
+            "v": float("nan") if i % 11 == 0 else float(rng.normal()),
+            "d": dt.date(2024, 1, 1) + dt.timedelta(days=i % 90),
+            "ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+        }
+        for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+            "s": pa.array([r["s"] for r in rows], type=pa.string()),
+            "v": pa.array([r["v"] for r in rows], type=pa.float64()),
+            "d": pa.array([r["d"] for r in rows], type=pa.date32()),
+            "ts": pa.array(
+                [r["ts"] for r in rows], type=pa.timestamp("us")
+            ),
+        }
+    )
+    assert arrow_table_bounds(fields, tbl) == rows_bounds(fields, rows)
+
+
 def test_write_df_rejects_unknown_format(spark):
     d, w = _table()
     with pytest.raises(ValueError, match="unknown data file format"):
