@@ -68,6 +68,7 @@ class JoinPlan:
     order: list[str] = field(default_factory=list)
     estimates: dict[str, float] = field(default_factory=dict)
     broadcasts: list[str] = field(default_factory=list)
+    sketch_refined: list[str] = field(default_factory=list)
 
 
 def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
@@ -120,6 +121,13 @@ def _safe_ndv(table: IcebergTable, col: str) -> int | None:
         return None
 
 
+def _safe_theta(table: IcebergTable, col: str):
+    try:
+        return table.column_theta(col)
+    except Exception:
+        return None
+
+
 def estimated_bytes(table: IcebergTable, filters: Any = None) -> int:
     return sum(
         int(f.get("file_size_in_bytes") or 0)
@@ -162,6 +170,23 @@ def plan_star_join(
         ndv_d = _safe_ndv(d.table, d.dim_key) or max(1.0, d_rows)
         denom = float(max(ndv_f or 0, ndv_d or 0)) or 1.0
         growth = d_rows / denom
+        # sketch refinement: with theta sketches on BOTH key columns and
+        # an unfiltered dim (the sketch covers exactly what joins), the
+        # measured key overlap |F.fk ∩ D.dk| replaces the containment
+        # assumption — output/|F| = (overlap/ndv_F) · (rows-per-key of D).
+        # Tighter exactly where containment is worst: barely-overlapping
+        # key ranges score near zero instead of 1.0.
+        if not d.filters and ndv_f:
+            sk_f = _safe_theta(fact, d.fact_key)
+            sk_d = _safe_theta(d.table, d.dim_key)
+            if sk_f is not None and sk_d is not None:
+                overlap = sk_f.intersect(sk_d).estimate()
+                refined = (overlap / max(1.0, float(ndv_f))) * (
+                    d_rows / max(1.0, float(ndv_d))
+                )
+                if refined < growth:
+                    growth = refined
+                    plan.sketch_refined.append(d.label())
         scored.append((growth, d.label()))
         plan.estimates[d.label()] = growth
         if d_bytes <= broadcast_bytes:

@@ -444,6 +444,34 @@ class ThetaSketch:
             merged = merged[:k].copy()
         return ThetaSketch(theta, merged, lg_k, self.seed_hash)
 
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Standard theta intersection: cut both at the minimum theta,
+        keep the hash-set intersection.  The estimate |A∩B| feeds join
+        selectivity (how many fact keys actually hit the dim) — far
+        tighter than the containment assumption when key ranges barely
+        overlap.  Matches DataSketches' Intersection (differential-
+        tested: equal thetaLong, retained set, and estimate)."""
+        theta = min(self.theta, other.theta)
+        t = np.uint64(theta)
+        merged = np.intersect1d(
+            self.hashes[self.hashes < t], other.hashes[other.hashes < t]
+        )
+        return ThetaSketch(
+            theta, merged, min(self.lg_k, other.lg_k), self.seed_hash
+        )
+
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Theta set difference (DataSketches AnotB): hashes of A below
+        min theta that are absent from B — e.g. "how many keys did this
+        append introduce" from two snapshots' sketches, zero IO."""
+        theta = min(self.theta, other.theta)
+        t = np.uint64(theta)
+        a = self.hashes[self.hashes < t]
+        keep = a[~np.isin(a, other.hashes)]
+        return ThetaSketch(
+            theta, keep, min(self.lg_k, other.lg_k), self.seed_hash
+        )
+
     # ---- DataSketches compact serialization (serial version 3)
 
     def serialize(self) -> bytes:

@@ -129,6 +129,55 @@ def test_auto_join_dispatch(spark, cbo_tables, max_keys, bloom_max, expected):
     assert {tuple(r) for r in out.collect()} == _join_ref(spark, fact, dim)
 
 
+def test_sketch_overlap_refines_ordering(spark, tmp_path):
+    # a dim whose keys BARELY overlap the fact's scores near zero via
+    # the measured sketch intersection, where containment says 1.0 —
+    # the ordering flips to join it first
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    fact = IcebergWriter(
+        str(tmp_path / "f"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "k2", "type": "long", "required": False},
+        ],
+    )
+    fact.append([{"k": i % 1000, "k2": i % 1000} for i in range(5000)])
+    # disjoint-keyed dim: containment growth = 500/1000 = 0.5
+    disj = IcebergWriter(
+        str(tmp_path / "d1"),
+        [{"id": 1, "name": "did", "type": "long", "required": False}],
+    )
+    disj.append([{"did": 50_000 + i} for i in range(500)])
+    # fully-overlapping smaller dim: containment growth = 300/1000 = 0.3
+    over = IcebergWriter(
+        str(tmp_path / "d2"),
+        [{"id": 1, "name": "oid", "type": "long", "required": False}],
+    )
+    over.append([{"oid": i} for i in range(300)])
+    for w in (fact, disj, over):
+        write_table_statistics(w, spark)
+    plan = plan_star_join(
+        IcebergTable(str(tmp_path / "f")),
+        [
+            JoinDim(IcebergTable(str(tmp_path / "d1")), "k", "did",
+                    name="disjoint"),
+            JoinDim(IcebergTable(str(tmp_path / "d2")), "k2", "oid",
+                    name="overlap"),
+        ],
+    )
+    # without sketches the containment order would be [overlap,
+    # disjoint]; the measured zero overlap puts disjoint first
+    assert plan.order == ["disjoint", "overlap"]
+    assert "disjoint" in plan.sketch_refined
+    assert plan.estimates["disjoint"] == 0.0 or (
+        plan.estimates["disjoint"] < plan.estimates["overlap"] / 100
+    )
+
+
 def test_duplicate_labels_refused(cbo_tables):
     # two dims resolving to one label would silently drop a join and
     # run the other twice — refuse loudly (review finding)

@@ -241,6 +241,51 @@ def test_differential_union(spark):
     assert jres.getEstimate() == pytest.approx(mres.estimate(), abs=1e-6)
 
 
+def test_intersection_and_anotb():
+    a = ThetaSketch.from_values(np.arange(0, 30_000, dtype=np.int64), "long")
+    b = ThetaSketch.from_values(
+        np.arange(20_000, 50_000, dtype=np.int64), "long"
+    )
+    inter = a.intersect(b)
+    assert abs(inter.estimate() - 10_000) / 10_000 < 0.1
+    diff = a.a_not_b(b)
+    assert abs(diff.estimate() - 20_000) / 20_000 < 0.1
+    # disjoint sets intersect to zero
+    c = ThetaSketch.from_values(
+        np.arange(90_000, 95_000, dtype=np.int64), "long"
+    )
+    assert a.intersect(c).estimate() == 0.0
+    # exact mode is exactly right
+    xs = ThetaSketch.from_values(np.arange(0, 100, dtype=np.int64), "long")
+    ys = ThetaSketch.from_values(np.arange(60, 160, dtype=np.int64), "long")
+    assert xs.intersect(ys).estimate() == 40.0
+    assert xs.a_not_b(ys).estimate() == 60.0
+
+
+def test_differential_intersection(spark):
+    jvm = spark._jvm
+    a = ThetaSketch.from_values([f"a{i}" for i in range(12_000)], "string")
+    b = ThetaSketch.from_values(
+        [f"a{i}" for i in range(6_000, 20_000)], "string"
+    )
+    op = jvm.org.apache.datasketches.theta.SetOperation.builder()
+    inter = op.buildIntersection()
+    inter.intersect(_java_wrap(spark, a.serialize()))
+    inter.intersect(_java_wrap(spark, b.serialize()))
+    jres = inter.getResult(True, None)
+    mres = a.intersect(b)
+    assert jres.getThetaLong() == mres.theta
+    assert jres.getRetainedEntries(True) == len(mres.hashes)
+    assert jres.getEstimate() == pytest.approx(mres.estimate(), abs=1e-6)
+    anotb = jvm.org.apache.datasketches.theta.SetOperation.builder().buildANotB()
+    jd = anotb.aNotB(
+        _java_wrap(spark, a.serialize()), _java_wrap(spark, b.serialize())
+    )
+    md = a.a_not_b(b)
+    assert jd.getThetaLong() == md.theta
+    assert jd.getRetainedEntries(True) == len(md.hashes)
+
+
 # -- writer integration / incremental refresh ---------------------------------
 
 
