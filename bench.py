@@ -83,9 +83,8 @@ HEADLINE = [
     "iceberg_remove_dangling",
     "semdedup_prune",
     # round 9: multi-format scan (native parquet + native ORC + python
-    # AVRO legs in one plan) and the deterministic training-shard split
+    # AVRO legs in one plan)
     "iceberg_multiformat_read",
-    "training_shards",
     # round 9 (late): cross-document span dedup — gram index + island
     # merge + position anti-join + ordered-listagg reassembly
     "span_dedup_trim",
@@ -101,11 +100,12 @@ HEADLINE = [
     # round 10, session 2: metadata-only aggregates (zero data files),
     # the file-level Bloom index point lookup (7/83 files where bounds
     # prune nothing), and the runtime Bloom join prefilter.
-    # (filter_project and iceberg_nested_read — the two cheapest,
-    # least informative entries — retired to keep the driver-parsed
-    # stdout line under its tail budget; BENCH_CONTROL_DETAIL.json
-    # still carries full per-query control ratios.)
-    "iceberg_agg_pushdown",
+    # (filter_project / iceberg_nested_read retired in session 2, and
+    # training_shards / iceberg_agg_pushdown in session 3 — each a
+    # sub-0.2 s entry whose cost is uninformative (agg_pushdown is a
+    # metadata no-op that hard-asserts zero files INSIDE the query) —
+    # to keep the driver-parsed stdout line under its tail budget;
+    # BENCH_CONTROL_DETAIL.json still carries full per-query ratios.)
     "iceberg_bloom_index_prune",
     "bloom_filter_join",
     # round 10, session 3: the distributed three-format write→read

@@ -448,7 +448,9 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
+def iceberg_epoch_sink(
+    writer, partition_col=None, path_col=None, stats_every=0
+):
     """foreachBatch callable committing each micro-batch to an Iceberg
     table exactly once: the epoch id keys the data directory (a replayed
     epoch overwrites its own files) and is recorded in the snapshot
@@ -462,8 +464,21 @@ def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
     on ``path_col`` (a duplicate column carrying the TRANSFORMED value;
     Spark's partitionBy drops it from file contents) and the commit
     lifts the values under the spec field named by ``partition_col`` —
-    so a streamed table prunes exactly like a batch-written one."""
-    from daskberg_spark.iceberg.writer import commit_spark_output
+    so a streamed table prunes exactly like a batch-written one.
+
+    ``stats_every=N`` keeps NDV statistics fresh on the streamed table:
+    every N committed epochs, ``refresh_table_statistics`` runs — and a
+    streaming sink is the incremental path's best case, since every
+    commit in the window is a pure append, so the refresh unions the
+    prior sketches with sketches over just the last N epochs' files.
+    A stats failure never fails the epoch (the data commit already
+    landed; stats are advisory) — it surfaces as a warning."""
+    from daskberg_spark.iceberg.writer import (
+        commit_spark_output,
+        refresh_table_statistics,
+    )
+
+    committed = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if any(
@@ -488,6 +503,14 @@ def iceberg_epoch_sink(writer, partition_col=None, path_col=None):
             path_col=path_col,
             extra_summary={"epoch-id": str(epoch_id)},
         )
+        committed["n"] += 1
+        if stats_every and committed["n"] % stats_every == 0:
+            try:
+                refresh_table_statistics(writer, batch_df.sparkSession)
+            except Exception as e:  # advisory: never fail a landed epoch
+                import warnings
+
+                warnings.warn(f"streaming stats refresh failed: {e}")
 
     return sink
 

@@ -1409,3 +1409,46 @@ def test_streaming_cdc_fast_delete_mixed_commit(spark, tmp_path):
         assert len(all_deletes) == len(set(all_deletes))
     finally:
         q.stop()
+
+
+def test_epoch_sink_keeps_stats_fresh(spark, tmp_path):
+    """``stats_every=N``: a streamed table's NDV statistics refresh
+    every N committed epochs through the INCREMENTAL path (the sink's
+    commits are pure appends), so CBO inputs stay current without a
+    full re-scan; epochs between refreshes leave stats untouched."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+    from daskberg_spark.streaming.events import iceberg_epoch_sink
+
+    p = str(tmp_path / "t")
+    w = IcebergWriter(
+        p,
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": float(i)} for i in range(10)])
+    write_table_statistics(w, spark)
+    sink = iceberg_epoch_sink(w, stats_every=2)
+    for epoch in range(4):
+        lo = 10 + epoch * 5
+        batch = spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 5)], "k long, v double"
+        )
+        sink(batch, epoch)
+        t = IcebergTable(p)
+        if (epoch + 1) % 2 == 0:
+            # refresh epochs: stats cover the sink's latest snapshot
+            assert t.column_ndv("k") == lo + 5
+        else:
+            # off epochs: stats are one refresh behind (None for the
+            # HEAD snapshot — column_ndv is snapshot-exact)
+            assert t.column_ndv("k") is None
+    # the refresh went through the incremental path: the final stats
+    # entry's snapshot parent chain holds the interleaved appends
+    assert IcebergTable(p).column_theta("k").is_exact

@@ -197,6 +197,9 @@ def _java_wrap(spark, data: bytes):
 
 
 def test_differential_exact_mode_byte_identical(spark):
+    import decimal as _dec
+    import uuid as _uuid
+
     cases = [
         ("string", [f"value-{i}" for i in range(500)]),
         ("long", list(range(-250, 250))),
@@ -204,6 +207,15 @@ def test_differential_exact_mode_byte_identical(spark):
         ("double", [i * 0.25 for i in range(300)] + [-0.0, float("nan")]),
         ("date", [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(90)]),
         ("boolean", [True, False]),
+        ("timestamp", [
+            dt.datetime(2024, 6, 1) + dt.timedelta(minutes=i)
+            for i in range(120)
+        ]),
+        ("decimal(9,2)", [_dec.Decimal(i) / 4 for i in range(-80, 80)]),
+        ("uuid", [
+            _uuid.uuid5(_uuid.NAMESPACE_URL, f"u{i}") for i in range(60)
+        ]),
+        ("binary", [bytes([i % 256, (i * 3) % 256]) for i in range(200)]),
     ]
     for typ, vals in cases:
         jbytes = _java_compact(
