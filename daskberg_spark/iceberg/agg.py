@@ -159,7 +159,9 @@ def _ndv_pushdown(
         # local import like agg_pushdown's (scan imports nothing from agg)
         from daskberg_spark.iceberg.scan import to_df
 
-        df = to_df(table, spark, columns=[c for c, _ in need_scan])
+        # dedupe: two NDV aggs on ONE column must not project the
+        # column twice (ambiguous-reference crash in the agg below)
+        df = to_df(table, spark, columns=sorted({c for c, _ in need_scan}))
         row = df.agg(
             *[
                 F.approx_count_distinct(c).alias(a)
@@ -178,22 +180,38 @@ def _ndv_pushdown(
         out = spark.range(1).select()
         rest_meta = {}
         files_planned = files_scanned = 0
+        if not need_scan:
+            # the whole battery answered from blobs: record the zero-IO
+            # scan like agg_pushdown's pure-metadata path does, instead
+            # of leaving a previous operation's last_scan lying around
+            table.last_scan = {
+                "files_scanned": 0,
+                "files_live": len(table.scan_all()[0]),
+                "bytes_scanned": 0,
+                "records_in_scanned_files": 0,
+                "formats": [],
+                "delete_files": {},
+                "projected_columns": [],
+                "filters": None,
+            }
+    # quote aliases for the reorder select — a dotted alias is a plain
+    # name here, not a struct access (the count/min/max path treats it
+    # as a literal name too)
+    q = [F.col("`" + alias.replace("`", "``") + "`") for _, _, alias in aggs]
     for _, _, alias in ndv_aggs:
         out = out.withColumn(alias, F.lit(ndv_vals[alias]).cast("long"))
-    out = out.select(*[alias for _, _, alias in aggs])
+    out = out.select(*q)
     scanned_aliases = {a for _, a in need_scan}
     table.last_agg_pushdown = {
         "files_planned": files_planned,
         # the HLL fallback scan (if any) is reported separately below —
-        # files_scanned keeps the per-file pushdown's accounting
+        # files_scanned and meta_files keep the per-file pushdown's
+        # integer contract untouched
         "files_scanned": files_scanned,
-        "meta_files": {
-            **rest_meta,
-            **{
-                alias: ("scan" if alias in scanned_aliases else "stats")
-                for _, _, alias in ndv_aggs
-            },
-        },
+        "meta_files": rest_meta,
+        "ndv_from_stats": sorted(
+            a for _, _, a in ndv_aggs if a not in scanned_aliases
+        ),
         "ndv_scanned_columns": sorted(scanned_aliases),
     }
     return out

@@ -1243,10 +1243,8 @@ def write_avro(
     # flat record schemas (the data-file shape) take the compiled
     # encoder; anything nested keeps the generic recursive path
     compiled = compile_record_encoder(schema, names)
-    encode_one = (
-        (lambda rec, out: compiled(rec, out))
-        if compiled is not None
-        else (lambda rec, out: _encode(schema, rec, out, names))
+    encode_one = compiled if compiled is not None else (
+        lambda rec, out: _encode(schema, rec, out, names)
     )
     for rec in records:
         encode_one(rec, body)

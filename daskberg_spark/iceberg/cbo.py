@@ -171,12 +171,14 @@ def plan_star_join(
         denom = float(max(ndv_f or 0, ndv_d or 0)) or 1.0
         growth = d_rows / denom
         # sketch refinement: with theta sketches on BOTH key columns and
-        # an unfiltered dim (the sketch covers exactly what joins), the
-        # measured key overlap |F.fk ∩ D.dk| replaces the containment
-        # assumption — output/|F| = (overlap/ndv_F) · (rows-per-key of D).
-        # Tighter exactly where containment is worst: barely-overlapping
-        # key ranges score near zero instead of 1.0.
-        if not d.filters and ndv_f:
+        # NEITHER side filtered (the sketches then cover exactly what
+        # joins — a filtered fact's surviving keys may overlap the dim
+        # very differently from the whole table's), the measured key
+        # overlap |F.fk ∩ D.dk| replaces the containment assumption —
+        # output/|F| = (overlap/ndv_F) · (rows-per-key of D).  Tighter
+        # exactly where containment is worst: barely-overlapping key
+        # ranges score near zero instead of 1.0.
+        if not d.filters and not fact_filters and ndv_f:
             sk_f = _safe_theta(fact, d.fact_key)
             sk_d = _safe_theta(d.table, d.dim_key)
             if sk_f is not None and sk_d is not None:

@@ -432,6 +432,8 @@ class ThetaSketch:
         """Standard theta union: cut everything at the minimum theta,
         merge, re-cut at k if the merge overflows."""
         sketches = (self, *others)
+        for o in others:
+            self._check_seed(o)
         lg_k = min(s.lg_k for s in sketches)
         theta = min(s.theta for s in sketches)
         merged = np.unique(
@@ -444,13 +446,26 @@ class ThetaSketch:
             merged = merged[:k].copy()
         return ThetaSketch(theta, merged, lg_k, self.seed_hash)
 
+    def _check_seed(self, other: "ThetaSketch") -> None:
+        # DataSketches set operations throw on seed-hash mismatch —
+        # intersecting hash sets from different hash functions returns
+        # a meaningless ~0 overlap, which a CBO would happily consume
+        if self.seed_hash != other.seed_hash:
+            raise ValueError(
+                f"theta seed hash mismatch ({self.seed_hash} vs "
+                f"{other.seed_hash}); sketches were built with different "
+                "update seeds and cannot be combined"
+            )
+
     def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
         """Standard theta intersection: cut both at the minimum theta,
         keep the hash-set intersection.  The estimate |A∩B| feeds join
         selectivity (how many fact keys actually hit the dim) — far
         tighter than the containment assumption when key ranges barely
         overlap.  Matches DataSketches' Intersection (differential-
-        tested: equal thetaLong, retained set, and estimate)."""
+        tested: equal thetaLong, retained set, and estimate; mismatched
+        seeds refused like DataSketches does)."""
+        self._check_seed(other)
         theta = min(self.theta, other.theta)
         t = np.uint64(theta)
         merged = np.intersect1d(
@@ -464,6 +479,7 @@ class ThetaSketch:
         """Theta set difference (DataSketches AnotB): hashes of A below
         min theta that are absent from B — e.g. "how many keys did this
         append introduce" from two snapshots' sketches, zero IO."""
+        self._check_seed(other)
         theta = min(self.theta, other.theta)
         t = np.uint64(theta)
         a = self.hashes[self.hashes < t]

@@ -173,6 +173,19 @@ def test_sketch_overlap_refines_ordering(spark, tmp_path):
     # disjoint]; the measured zero overlap puts disjoint first
     assert plan.order == ["disjoint", "overlap"]
     assert "disjoint" in plan.sketch_refined
+    # a FILTERED fact disables the refinement (review finding: the
+    # whole-table sketch no longer describes the surviving keys)
+    plan_f = plan_star_join(
+        IcebergTable(str(tmp_path / "f")),
+        [
+            JoinDim(IcebergTable(str(tmp_path / "d1")), "k", "did",
+                    name="disjoint"),
+            JoinDim(IcebergTable(str(tmp_path / "d2")), "k2", "oid",
+                    name="overlap"),
+        ],
+        fact_filters=[("k", "<", 500)],
+    )
+    assert plan_f.sketch_refined == []
     assert plan.estimates["disjoint"] == 0.0 or (
         plan.estimates["disjoint"] < plan.estimates["overlap"] / 100
     )

@@ -274,6 +274,18 @@ def test_intersection_and_anotb():
     assert xs.a_not_b(ys).estimate() == 60.0
 
 
+def test_set_ops_refuse_seed_mismatch():
+    # DataSketches throws on mismatched seed hashes; silently
+    # intersecting incompatible hash sets would hand the CBO a
+    # meaningless ~0 overlap (review finding)
+    a = ThetaSketch.from_values(list(range(100)), "long")
+    b = ThetaSketch.from_values(list(range(100)), "long")
+    b.seed_hash = a.seed_hash + 1
+    for op in (a.intersect, a.a_not_b, a.union):
+        with pytest.raises(ValueError, match="seed hash mismatch"):
+            op(b)
+
+
 def test_differential_intersection(spark):
     jvm = spark._jvm
     a = ThetaSketch.from_values([f"a{i}" for i in range(12_000)], "string")
@@ -521,7 +533,12 @@ def test_ndv_pushdown_stats_and_fallback(spark, tmp_path):
     ).collect()[0]
     assert (out["ndv_id"], out["n"], out["max_id"]) == (80, 80, 79)
     assert t.last_agg_pushdown["files_scanned"] == 0
-    assert t.last_agg_pushdown["meta_files"]["ndv_id"] == "stats"
+    assert t.last_agg_pushdown["ndv_from_stats"] == ["ndv_id"]
+    # meta_files keeps its integer contract for the count/max legs
+    assert all(
+        isinstance(v, int)
+        for v in t.last_agg_pushdown["meta_files"].values()
+    )
     # stale stats (new append, no refresh) -> HLL fallback scan,
     # never a wrong answer from an old blob
     w.append(_rows(80, 100))
@@ -530,7 +547,7 @@ def test_ndv_pushdown_stats_and_fallback(spark, tmp_path):
         spark, [("approx_count_distinct", "grp", "ndv_grp")]
     ).collect()[0]
     assert out2["ndv_grp"] == 3
-    assert t2.last_agg_pushdown["meta_files"]["ndv_grp"] == "scan"
+    assert t2.last_agg_pushdown["ndv_scanned_columns"] == ["ndv_grp"]
     # filters/grouping refused — per-file stats can't split NDV
     with pytest.raises(ValueError, match="whole-table only"):
         t2.agg_pushdown(
@@ -538,6 +555,20 @@ def test_ndv_pushdown_stats_and_fallback(spark, tmp_path):
             [("approx_count_distinct", "id", "x")],
             filters=[("id", ">", 3)],
         )
+    # review findings: two NDV aggs on ONE column share the fallback
+    # scan without an ambiguous projection, and a dotted alias is a
+    # plain name, not a struct access
+    out3 = t2.agg_pushdown(
+        spark,
+        [
+            ("approx_count_distinct", "id", "ndv.a"),
+            ("approx_count_distinct", "id", "b"),
+        ],
+    ).collect()[0]
+    # the fallback is Spark's HLL — approximate, but both aliases share
+    # one scan so they must agree exactly, and land near the truth
+    assert out3["ndv.a"] == out3["b"]
+    assert abs(out3["b"] - 100) <= 10
 
 
 def test_refresh_falls_back_on_delete(spark, tmp_path):
