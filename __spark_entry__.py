@@ -297,6 +297,7 @@ _PRIORITY = [
     # NEW r10 session 3
     "iceberg_theta_ndv",
     "iceberg_agg_pushdown_ndv",
+    "iceberg_stats_delta",
     "iceberg_write_formats",
     "iceberg_cbo_join",
     # NEW r10 session 2
@@ -343,7 +344,7 @@ _PRIORITY = [
     "merge_upsert",
     "pandas_udf_score",
     "pivot_agg",
-    "rollup_agg",
+    # rollup_agg (cube_agg keeps the grouping-sets family in-window) /
     # scalar_functions / set_except / set_union / stats_moments dropped
     # below the 50-slot window by the session-3 additions (joining string_functions2 /
     # topk_orders / window_distribution / window_range_frame /

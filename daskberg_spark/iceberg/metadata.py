@@ -749,17 +749,23 @@ class IcebergTable:
                     return int(b["properties"]["ndv"])
         return None
 
-    def column_theta(self, name: str):
+    def column_theta(self, name: str, snapshot_id: int | None = None):
         """Deserialized ``apache-datasketches-theta-v1`` sketch for a
-        column from the CURRENT snapshot's statistics file, or None.
-        Unlike ``column_ndv`` (the pre-computed property), this decodes
-        the mergeable payload — callers can union it with sketches of
-        their own or re-derive the estimate."""
+        column from the CURRENT snapshot's statistics file (or the
+        explicit ``snapshot_id``'s), or None.  Unlike ``column_ndv``
+        (the pre-computed property), this decodes the mergeable
+        payload — callers can union it with sketches of their own,
+        intersect/difference two snapshots' sketches (zero-IO key-churn
+        analysis), or re-derive the estimate."""
         from daskberg_spark.iceberg.puffin import read_blob
         from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE, ThetaSketch
 
         fid = self.fields[name].field_id
-        cur = self.current_snapshot["snapshot-id"]
+        cur = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot["snapshot-id"]
+        )
         for e in self.metadata.get("statistics", []):
             if e["snapshot-id"] != cur:
                 continue

@@ -922,6 +922,72 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_stats_delta",
+    """
+    WITH old_f AS (
+      SELECT * FROM read_parquet('/root/repo/.fixtures/theta_table/data/00001-*.parquet')
+    ), new_f AS (
+      SELECT * FROM read_parquet('/root/repo/.fixtures/theta_table/data/00002-*.parquet')
+    )
+    SELECT 'd' AS col,
+           CAST((SELECT COUNT(DISTINCT d) FROM new_f
+                 WHERE d NOT IN (SELECT d FROM old_f)) AS BIGINT) AS new_ndv
+    UNION ALL
+    SELECT 'grp',
+           CAST((SELECT COUNT(DISTINCT grp) FROM new_f
+                 WHERE grp NOT IN (SELECT grp FROM old_f)) AS BIGINT)
+    UNION ALL
+    SELECT 'id',
+           CAST((SELECT COUNT(DISTINCT id) FROM new_f
+                 WHERE id NOT IN (SELECT id FROM old_f)) AS BIGINT)
+    UNION ALL
+    SELECT 'val',
+           CAST((SELECT COUNT(DISTINCT val) FROM new_f
+                 WHERE val NOT IN (SELECT val FROM old_f)) AS BIGINT)
+    """,
+)
+def iceberg_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-IO key-churn analysis from two snapshots' theta sketches
+    (beyond the reference and real engines alike): ``a_not_b`` between
+    the head's statistics and the previous stats snapshot's answers
+    "how many NEW distinct values did this window introduce" per
+    column — no data read, just two Puffin blob decodes and a set
+    difference.  The fixture's sketches are exact-mode, so the oracle's
+    literal NOT IN recount over the two appends' raw files must match
+    exactly — pinning the set-difference algebra, the per-snapshot blob
+    lookup, and the single-value hashing in one query."""
+    from daskberg_spark.iceberg.fixtures import ensure_theta_fixture
+    from daskberg_spark.operators.registry import literal_df
+
+    t = IcebergTable(ensure_theta_fixture(spark))
+    covered = sorted(
+        e["snapshot-id"]
+        for e in t.metadata.get("statistics", [])
+        if any(
+            b.get("type") == "apache-datasketches-theta-v1"
+            for b in e.get("blob-metadata", [])
+        )
+    )
+    # fixture lineage: snapshot ids are monotonic; the head entry came
+    # through the incremental refresh, the older one is the base
+    base_id, head_id = covered[0], covered[-1]
+    rows = sorted(
+        (
+            name,
+            int(
+                round(
+                    t.column_theta(name, head_id)
+                    .a_not_b(t.column_theta(name, base_id))
+                    .estimate()
+                )
+            ),
+        )
+        for name in ("id", "grp", "val", "d")
+    )
+    return literal_df(spark, rows, "col string, new_ndv long")
+
+
+@query(
     "iceberg_agg_pushdown_ndv",
     """
     SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS ndv_id,

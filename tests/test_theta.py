@@ -179,6 +179,65 @@ def test_accumulator_bounded_and_equivalent():
     assert np.array_equal(got.hashes, ref.hashes)
 
 
+# -- hypothesis properties -----------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), max_size=300
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_prop_exact_mode_counts_distinct(vals):
+        sk = ThetaSketch.from_values(vals, "long")
+        assert sk.is_exact
+        assert sk.estimate() == len(set(vals))
+        back = ThetaSketch.deserialize(sk.serialize())
+        assert back.serialize() == sk.serialize()
+
+    @given(
+        st.lists(st.integers(0, 2**40), max_size=200),
+        st.lists(st.integers(0, 2**40), max_size=200),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_prop_set_algebra_exact(a, b):
+        sa = ThetaSketch.from_values(a, "long")
+        sb = ThetaSketch.from_values(b, "long")
+        A, B = set(a), set(b)
+        assert sa.union(sb).estimate() == len(A | B)
+        assert sa.intersect(sb).estimate() == len(A & B)
+        assert sa.a_not_b(sb).estimate() == len(A - B)
+        # union commutes bit-exactly
+        assert sa.union(sb).serialize() == sb.union(sa).serialize()
+
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 2**45), max_size=400),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_prop_union_associative_vs_flat(parts):
+        sketches = [ThetaSketch.from_values(p, "long") for p in parts]
+        folded = sketches[0]
+        for s in sketches[1:]:
+            folded = folded.union(s)
+        flat = ThetaSketch.from_values(
+            [v for p in parts for v in p], "long"
+        )
+        assert folded.serialize() == flat.serialize()
+
+
 # -- differential vs the real Apache DataSketches library ---------------------
 
 

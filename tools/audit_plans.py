@@ -240,6 +240,8 @@ AUDIT = {
     # NDV-from-statistics battery: theta blobs + manifest pushdown,
     # zero data files (hard-asserted in the query) — literal relation
     "iceberg_agg_pushdown_ndv": (0, False, False, None),
+    # sketch set-difference between two stats snapshots: pure metadata
+    "iceberg_stats_delta": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
