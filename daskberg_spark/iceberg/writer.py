@@ -2514,11 +2514,14 @@ def _write_df_avro_tasks(
     )
 
     def task(iterator):
+        # arrow, NOT pandas, end to end: pandas folds NULL and NaN
+        # doubles together and routes nullable int64 through float64,
+        # silently corrupting longs past 2^53 (caught by the randomized
+        # write→read differential)
         import os as _os
         import pickle as _pickle
         import uuid as _uuid
 
-        import pandas as pd
         import pyarrow as _pa
 
         schema = _pa.schema(
@@ -2527,7 +2530,9 @@ def _write_df_avro_tasks(
         out_rows = []
 
         def flush(key: tuple, gs: list) -> None:
-            g = pd.concat(gs) if len(gs) > 1 else gs[0]
+            tbl = (
+                _pa.concat_tables(gs) if len(gs) > 1 else gs[0]
+            ).combine_chunks()
             segs = [
                 f"{seg}={_hive_fmt(v, rt)}"
                 for seg, rt, v in zip(seg_names, rtypes, key)
@@ -2535,9 +2540,6 @@ def _write_df_avro_tasks(
             d = _os.path.join(ddir, *segs) if segs else ddir
             _os.makedirs(d, exist_ok=True)
             path = _os.path.join(d, f"part-{_uuid.uuid4().hex}.avro")
-            tbl = _pa.Table.from_pandas(
-                g[names], schema=schema, preserve_index=False
-            )
             write_avro_data_file(fields, tbl, path)
             lowers, uppers, nulls, nans = arrow_table_bounds(fields, tbl)
             data_file = {
@@ -2559,27 +2561,42 @@ def _write_df_avro_tasks(
         # files per tuple, so overflow just becomes another file
         groups: dict[tuple, list] = {}
         counts: dict[tuple, int] = {}
-        for pdf in iterator:
+        for batch in iterator:
+            tb = _pa.Table.from_batches([batch])
+            data = tb.select(names).cast(schema)
             if seg_names:
+                key_cols = [tb[c].to_pylist() for c in seg_names]
+                idx_by_key: dict[tuple, list[int]] = {}
+                for i, key in enumerate(zip(*key_cols)):
+                    idx_by_key.setdefault(key, []).append(i)
                 parts = [
-                    ((key,) if not isinstance(key, tuple) else key, g)
-                    for key, g in pdf.groupby(
-                        seg_names, dropna=False, sort=False
-                    )
+                    (key, data.take(idxs))
+                    for key, idxs in idx_by_key.items()
                 ]
             else:
-                parts = [((), pdf)]
+                parts = [((), data)]
             for key, g in parts:
                 groups.setdefault(key, []).append(g)
-                counts[key] = counts.get(key, 0) + len(g)
+                counts[key] = counts.get(key, 0) + g.num_rows
                 if counts[key] >= flush_rows:
                     flush(key, groups.pop(key))
                     counts[key] = 0
         for key, gs in groups.items():
             flush(key, gs)
-        yield pd.DataFrame(out_rows, columns=["path", "blob"])
+        yield _pa.RecordBatch.from_pydict(
+            {
+                "path": [p for p, _ in out_rows],
+                "blob": [b for _, b in out_rows],
+            },
+            schema=_pa.schema(
+                [
+                    _pa.field("path", _pa.string()),
+                    _pa.field("blob", _pa.binary()),
+                ]
+            ),
+        )
 
-    res = out.mapInPandas(
+    res = out.mapInArrow(
         task,
         schema=StructType(
             [

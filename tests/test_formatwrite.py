@@ -280,6 +280,91 @@ def test_arrow_bounds_match_rows_bounds():
     assert arrow_table_bounds(fields, tbl) == rows_bounds(fields, rows)
 
 
+def test_avro_preserves_nan_vs_null(spark):
+    # arrow transport keeps NULL and NaN doubles distinct; the pandas
+    # path folded both to NaN and wrote NaN values as NULLs
+    d, w = _table(partitioned=False)
+    df = spark.createDataFrame(
+        [(0, "g", float("nan"), dt.date(2024, 1, 1)),
+         (1, "g", None, dt.date(2024, 1, 1)),
+         (2, "g", 2.5, dt.date(2024, 1, 1))],
+        "id long, grp string, val double, d date",
+    )
+    write_df(w, df.coalesce(1), mode="none", file_format="avro")
+    out = IcebergTable(d).to_df(spark)
+    assert out.filter(F.isnan("val")).count() == 1
+    assert out.filter(F.col("val").isNull()).count() == 1
+
+
+def test_randomized_write_read_differential(spark):
+    """Randomized end-to-end differential across ALL THREE write
+    formats: random typed content (nulls, negative longs, unicode,
+    NaN-free doubles — NaN equality is format-independent and covered
+    by test_orc_nan_stats) written via write_df must read back
+    row-identical through the multiformat scan, for both partitioned
+    and unpartitioned specs."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        partitioned = trial % 2 == 0
+        d = tempfile.mkdtemp(prefix="fmtrand_") + "/t"
+        spec = (
+            [{"name": "g", "transform": "identity", "source": "g"}]
+            if partitioned
+            else None
+        )
+        w = IcebergWriter(
+            d,
+            [
+                {"id": 1, "name": "i", "type": "long", "required": False},
+                {"id": 2, "name": "g", "type": "string", "required": False},
+                {"id": 3, "name": "x", "type": "double", "required": False},
+                {"id": 4, "name": "day", "type": "date", "required": False},
+                {"id": 5, "name": "ts", "type": "timestamp", "required": False},
+                {"id": 6, "name": "b", "type": "boolean", "required": False},
+            ],
+            spec,
+        )
+        n = 200 + trial * 37
+        rows = [
+            (
+                None if rng.random() < 0.1 else rng.randint(-(2**60), 2**60),
+                None if rng.random() < 0.15 else f"grüp-{rng.randint(0, 3)}",
+                None if rng.random() < 0.1 else rng.uniform(-1e9, 1e9),
+                dt.date(2024, 1, 1) + dt.timedelta(days=rng.randint(0, 400)),
+                dt.datetime(2024, 1, 1)
+                + dt.timedelta(seconds=rng.randint(0, 10**7)),
+                rng.random() < 0.5,
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "i long, g string, x double, day date, ts timestamp, b boolean",
+        )
+        def key(row):
+            return tuple((v is None, v) for v in row)  # None-safe sort
+
+        expect = sorted(map(tuple, df.collect()), key=key)
+        for fmt in ("parquet", "orc", "avro"):
+            snap_dir = tempfile.mkdtemp(prefix="fmtrand_") + f"/{fmt}"
+            wf = IcebergWriter(
+                snap_dir, [dict(f) for f in w.fields], spec and list(spec)
+            )
+            write_df(
+                wf,
+                df,
+                mode="hash" if partitioned else "none",
+                file_format=fmt,
+            )
+            got = sorted(
+                map(tuple, IcebergTable(snap_dir).to_df(spark).collect()),
+                key=key,
+            )
+            assert got == expect, f"trial {trial} format {fmt} diverged"
+
+
 def test_write_df_rejects_unknown_format(spark):
     d, w = _table()
     with pytest.raises(ValueError, match="unknown data file format"):
