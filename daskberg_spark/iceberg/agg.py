@@ -135,6 +135,21 @@ def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
         seen.add(alias)
 
 
+def _record_zero_scan(table: IcebergTable, filters: Any) -> None:
+    """Pure-metadata answer: record the zero-IO scan the way to_df
+    would, so observability never shows a stale previous scan."""
+    table.last_scan = {
+        "files_scanned": 0,
+        "files_live": len(table.scan_all()[0]),
+        "bytes_scanned": 0,
+        "records_in_scanned_files": 0,
+        "formats": [],
+        "delete_files": {},
+        "projected_columns": [],
+        "filters": filters,
+    }
+
+
 def _ndv_pushdown(
     table: IcebergTable,
     spark: SparkSession,
@@ -181,19 +196,9 @@ def _ndv_pushdown(
         rest_meta = {}
         files_planned = files_scanned = 0
         if not need_scan:
-            # the whole battery answered from blobs: record the zero-IO
-            # scan like agg_pushdown's pure-metadata path does, instead
-            # of leaving a previous operation's last_scan lying around
-            table.last_scan = {
-                "files_scanned": 0,
-                "files_live": len(table.scan_all()[0]),
-                "bytes_scanned": 0,
-                "records_in_scanned_files": 0,
-                "formats": [],
-                "delete_files": {},
-                "projected_columns": [],
-                "filters": None,
-            }
+            # the whole battery answered from blobs: don't leave a
+            # previous operation's last_scan lying around
+            _record_zero_scan(table, None)
     # quote aliases for the reorder select — a dotted alias is a plain
     # name here, not a struct access (the count/min/max path treats it
     # as a literal name too)
@@ -605,17 +610,7 @@ def agg_pushdown(
         },
     }
     if not scan_idx:
-        # pure-metadata answer: record the zero-IO scan the way to_df would
-        table.last_scan = {
-            "files_scanned": 0,
-            "files_live": len(table.scan_all()[0]),
-            "bytes_scanned": 0,
-            "records_in_scanned_files": 0,
-            "formats": [],
-            "delete_files": {},
-            "projected_columns": [],
-            "filters": filters,
-        }
+        _record_zero_scan(table, filters)
     # JVM-side literal relation (inline(array(struct(...)))): a plain
     # createDataFrame ships the rows through Python workers at a fixed
     # ~0.3-0.5 s — real IO-sized cost for an operator whose whole point

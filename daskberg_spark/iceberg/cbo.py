@@ -85,9 +85,6 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
     planned = float(sum(int(f.get("record_count") or 0) for f in recs))
     if planned == 0 or not filters:
         return planned
-    total = float(
-        sum(int(f.get("record_count") or 0) for f in table.plan_files())
-    )
     sel = 1.0
     for clause in _conjuncts(filters):
         col, op, _v = clause
@@ -97,6 +94,11 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
                 sel *= 1.0 / ndv
         elif op in ("<", "<=", ">", ">=", "between"):
             sel *= 1.0 / 3.0
+    if sel == 1.0:
+        return planned  # nothing to refine: skip the unfiltered re-plan
+    total = float(
+        sum(int(f.get("record_count") or 0) for f in table.plan_files())
+    )
     return max(1.0, min(planned, total * sel))
 
 
@@ -126,13 +128,6 @@ def _safe_theta(table: IcebergTable, col: str):
         return table.column_theta(col)
     except Exception:
         return None
-
-
-def estimated_bytes(table: IcebergTable, filters: Any = None) -> int:
-    return sum(
-        int(f.get("file_size_in_bytes") or 0)
-        for f in table.plan_files(filters)
-    )
 
 
 def plan_star_join(
