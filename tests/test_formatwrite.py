@@ -365,6 +365,31 @@ def test_randomized_write_read_differential(spark):
             assert got == expect, f"trial {trial} format {fmt} diverged"
 
 
+def test_bloom_index_over_mixed_formats(spark):
+    # the Bloom index build reads file contents through the
+    # format-dispatching scan, so ORC- and AVRO-written files index and
+    # prune exactly like parquet ones
+    from daskberg_spark.iceberg.bloomindex import write_file_blooms
+
+    d, w = _table(partitioned=False)
+    for lo, fmt in ((0, "parquet"), (300, "orc"), (600, "avro")):
+        write_df(
+            w, _df(spark, lo, lo + 300).coalesce(1), mode="none",
+            file_format=fmt,
+        )
+    write_file_blooms(w, spark, ["id"])
+    t = IcebergTable(d)
+    assert len(t.plan_files()) == 3
+    # one id per format file: each lookup plans exactly its file
+    for probe in (7, 307, 607):
+        hit = t.plan_files([("id", "==", probe)])
+        assert len(hit) == 1, (probe, len(hit))
+        rows = t.to_df(spark, filters=[("id", "==", probe)]).collect()
+        assert [r["id"] for r in rows] == [probe]
+    # absent key plans zero files across all three formats
+    assert t.plan_files([("id", "==", 10_000)]) == []
+
+
 def test_write_df_rejects_unknown_format(spark):
     d, w = _table()
     with pytest.raises(ValueError, match="unknown data file format"):
