@@ -298,6 +298,7 @@ _PRIORITY = [
     "iceberg_theta_ndv",
     "iceberg_agg_pushdown_ndv",
     "iceberg_stats_delta",
+    "iceberg_sql_statistics",
     "iceberg_write_formats",
     "iceberg_cbo_join",
     # NEW r10 session 2
@@ -343,8 +344,9 @@ _PRIORITY = [
     "json_functions",
     "merge_upsert",
     "pandas_udf_score",
-    "pivot_agg",
-    # rollup_agg (cube_agg keeps the grouping-sets family in-window) /
+    # pivot_agg (unpivot_stack had its row in r2; the reshape family
+    # keeps local coverage) / rollup_agg (cube_agg keeps the
+    # grouping-sets family in-window) /
     # scalar_functions / set_except / set_union / stats_moments dropped
     # below the 50-slot window by the session-3 additions (joining string_functions2 /
     # topk_orders / window_distribution / window_range_frame /

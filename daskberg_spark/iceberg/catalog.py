@@ -55,6 +55,7 @@ class Catalog:
         "metadata_log_entries",
         "partitions",
         "position_deletes",
+        "statistics",
     )
 
     def register_metadata_views(self, name: str) -> list[str]:

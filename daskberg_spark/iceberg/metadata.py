@@ -965,6 +965,45 @@ class IcebergTable:
             "max_snapshot_age_in_ms long",
         )
 
+    def statistics_df(self, spark: Any):
+        """``table.statistics`` metadata table (beyond real Iceberg's
+        inspect surface, which exposes no statistics table): one row per
+        statistics-file BLOB — snapshot, blob type, covered columns
+        (field ids resolved to current names), the ``ndv`` property
+        when present, and the Puffin file carrying it.  Metadata-only —
+        O(blobs) rows; payloads are NOT decoded (use ``column_theta``)."""
+        by_id = {
+            info.field_id: name for name, info in self.fields.items()
+        }
+        rows = []
+        for e in self.metadata.get("statistics", []):
+            for b in e.get("blob-metadata", []):
+                props = b.get("properties") or {}
+                rows.append(
+                    (
+                        int(e["snapshot-id"]),
+                        b.get("type"),
+                        ",".join(
+                            by_id.get(fid, str(fid))
+                            for fid in (b.get("fields") or [])
+                        ),
+                        int(props["ndv"]) if "ndv" in props else None,
+                        (
+                            int(b["sequence-number"])
+                            if b.get("sequence-number") is not None
+                            else None
+                        ),
+                        e.get("statistics-path"),
+                        int(e.get("file-size-in-bytes") or 0),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, type string, columns string, ndv long, "
+            "sequence_number long, statistics_path string, "
+            "file_size_in_bytes long",
+        )
+
     def _entry_row(
         self, e: dict[str, Any], m_snap: Any, m_seq: Any
     ) -> tuple:

@@ -922,6 +922,49 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_sql_statistics",
+    """
+    SELECT 'd' AS col, CAST(COUNT(DISTINCT d) AS BIGINT) AS ndv
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'grp', CAST(COUNT(DISTINCT grp) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'id', CAST(COUNT(DISTINCT id) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    UNION ALL
+    SELECT 'val', CAST(COUNT(DISTINCT val) AS BIGINT)
+    FROM read_parquet('/root/repo/.fixtures/theta_table/data/0*.parquet')
+    """,
+)
+def iceberg_sql_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics on the SQL surface: the ``statistics`` metadata view
+    (``name__statistics`` — one row per Puffin blob with its covered
+    column and ``ndv`` property) queried through ``spark.sql``,
+    restricted to the CURRENT stats snapshot.  The fixture's head
+    blobs came through the incremental refresh and are exact-mode, so
+    the view's ndv column must equal DuckDB's COUNT(DISTINCT) over the
+    raw data files — pinning the view's field-id→name resolution and
+    property lift alongside the registration plumbing."""
+    from daskberg_spark.iceberg.catalog import Catalog
+    from daskberg_spark.iceberg.fixtures import ensure_theta_fixture
+
+    path = ensure_theta_fixture(spark)
+    cat = Catalog(spark)
+    cat.register_path("theta_stats", path)
+    cat.register_metadata_views("theta_stats")
+    return spark.sql(
+        """
+        SELECT columns AS col, ndv
+        FROM theta_stats__statistics
+        WHERE snapshot_id = (SELECT MAX(snapshot_id)
+                             FROM theta_stats__statistics)
+          AND type = 'apache-datasketches-theta-v1'
+        """
+    )
+
+
+@query(
     "iceberg_stats_delta",
     """
     WITH old_f AS (

@@ -190,7 +190,7 @@ def test_catalog_metadata_views_sql(spark, tmp_path):
     cat = Catalog(spark)
     cat.register_path("mt", p)
     names = cat.register_metadata_views("mt")
-    assert len(names) == 15  # the full inspect-table family
+    assert len(names) == 16  # the full inspect-table family (+statistics)
     assert "mt__snapshots" in names and "mt__all_files" in names
     assert "mt__partitions" in names and "mt__position_deletes" in names
     n_part = spark.sql(

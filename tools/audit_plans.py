@@ -242,6 +242,9 @@ AUDIT = {
     "iceberg_agg_pushdown_ndv": (0, False, False, None),
     # sketch set-difference between two stats snapshots: pure metadata
     "iceberg_stats_delta": (0, False, False, None),
+    # statistics metadata view through SQL: local relation + the MAX
+    # subquery's tiny agg — never a data-file read
+    "iceberg_sql_statistics": (2, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
