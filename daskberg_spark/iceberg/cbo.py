@@ -272,13 +272,18 @@ def cbo_join(
     plan = plan_star_join(fact, dims, fact_filters, broadcast_bytes)
     fact.last_join_plan = plan  # type: ignore[attr-defined]
     by_label = {d.label(): d for d in dims}
-    out = fact.to_df(spark, filters=fact_filters)
+    fact_df = fact.to_df(spark, filters=fact_filters)
+    out = fact_df
     for label in plan.order:
         d = by_label[label]
         dim_df = d.table.to_df(spark, filters=d.filters)
         if label in plan.broadcasts:
             dim_df = F.broadcast(dim_df)
+        # Resolve the fact key against the ORIGINAL fact DataFrame
+        # (expression-id resolution), not the running join output:
+        # out[d.fact_key] raises AMBIGUOUS_REFERENCE once an earlier dim
+        # carries a same-named column (e.g. fact_key == dim_key).
         out = out.join(
-            dim_df, on=out[d.fact_key] == dim_df[d.dim_key], how="inner"
+            dim_df, on=fact_df[d.fact_key] == dim_df[d.dim_key], how="inner"
         )
     return out

@@ -316,6 +316,12 @@ def hash_values(
     if ice_type in ("long", "int", "date", "float", "double",
                     "timestamp", "timestamptz", "time"):
         arr = np.asarray(values)
+        if ice_type == "date" and arr.dtype.kind == "M":
+            # numpy datetime64 dates: convert to epoch DAYS so they take
+            # the int32 fast path (single_value_bytes can't subtract a
+            # datetime.date from a np.datetime64), mirroring the
+            # timestamp branch's kind-'M' handling.
+            arr = arr.astype("datetime64[D]").astype(np.int64)
         if ice_type == "int" or ice_type == "date":
             if ice_type == "date" and arr.dtype.kind not in "iu":
                 # NB: never np.asarray the bytes list — numpy 'S' dtype

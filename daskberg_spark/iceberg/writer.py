@@ -2481,8 +2481,9 @@ def _write_df_avro_tasks(
     """Distributed AVRO append: each task groups its rows by the
     transformed partition columns, encodes ONE Avro container per
     (task, partition tuple) with the from-scratch writer, computes the
-    file's manifest stats in-task (``rows_bounds`` — the SAME function
-    the driver writer uses, so pruning bounds can never diverge by
+    file's manifest stats in-task columnar-side (``arrow_table_bounds``,
+    differential-tested equal to the driver writer's ``rows_bounds`` in
+    test_formatwrite.py, so pruning bounds can never diverge by
     path), and ships only (path, pickled data_file record) to the
     driver.  Data bytes never reach the driver; a failed/speculative
     task attempt's files are never committed (fresh uuid4 per file) and
@@ -2805,6 +2806,18 @@ def _orc_dir_stats(
                 F.max(mic).alias(f"__hi{i}"),
                 F.count(col).alias(f"__nn{i}"),
             ]
+        elif t == "string":
+            # Iceberg bounds must order by Unicode CODE POINT; aggregate
+            # over the UTF-8 bytes (BinaryType compares unsigned
+            # byte-wise == code-point order) so supplementary-plane
+            # characters can never yield an understated upper bound,
+            # whatever collation the session's string min/max uses.
+            enc = F.encode(col, "UTF-8")
+            aggs += [
+                F.min(enc).alias(f"__lo{i}"),
+                F.max(enc).alias(f"__hi{i}"),
+                F.count(col).alias(f"__nn{i}"),
+            ]
         else:
             aggs += [
                 F.min(col).alias(f"__lo{i}"),
@@ -2821,8 +2834,11 @@ def _orc_dir_stats(
         st = {"rows": r["__rows"], "lo": {}, "hi": {}, "nulls": {}, "nans": {}}
         for i, (c, t) in enumerate(prim):
             if r[f"__lo{i}"] is not None:
-                st["lo"][c] = r[f"__lo{i}"]
-                st["hi"][c] = r[f"__hi{i}"]
+                lo, hi = r[f"__lo{i}"], r[f"__hi{i}"]
+                if t == "string":
+                    lo, hi = bytes(lo).decode(), bytes(hi).decode()
+                st["lo"][c] = lo
+                st["hi"][c] = hi
             st["nulls"][c] = int(r["__rows"]) - int(r[f"__nn{i}"])
             if t in ("float", "double"):
                 st["nans"][c] = int(r[f"__na{i}"] or 0)
@@ -3475,7 +3491,11 @@ def refresh_table_statistics(
     colspecs = _sketch_colspecs(writer)
     cols = [c for c, _ in colspecs]
     if base_entry is None or any(
-        (s.get("summary") or {}).get("operation", "append") != "append"
+        # A snapshot with NO summary/operation (externally-written
+        # metadata) must be treated as non-append: routing an unknown
+        # delete/overwrite through the incremental union would silently
+        # keep inflated NDVs (theta sketches only grow).
+        (s.get("summary") or {}).get("operation") != "append"
         for s in window
     ):
         return write_table_statistics(writer, spark), "full"

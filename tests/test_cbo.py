@@ -244,3 +244,51 @@ def test_auto_join_rejects_outer(spark, cbo_tables):
             JoinDim(cbo_tables["small"], "k_small", "sid"),
             how="left",
         )
+
+
+def test_cbo_join_same_named_keys(spark, tmp_path):
+    # ADVICE r10: resolving the fact key as out[fact_key] raised
+    # AMBIGUOUS_REFERENCE once an earlier dim carried a same-named key
+    # column (fact_key == dim_key); the join condition must resolve
+    # against the ORIGINAL fact DataFrame by expression id.
+    from daskberg_spark.iceberg.cbo import cbo_join
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    f = IcebergWriter(
+        str(tmp_path / "f"),
+        [
+            {"id": 1, "name": "sid", "type": "long", "required": False},
+            {"id": 2, "name": "tid", "type": "long", "required": False},
+            {"id": 3, "name": "v", "type": "double", "required": False},
+        ],
+    )
+    f.append(
+        [{"sid": i % 5, "tid": i % 3, "v": float(i)} for i in range(60)]
+    )
+    d1 = IcebergWriter(
+        str(tmp_path / "d1"),
+        [
+            {"id": 1, "name": "sid", "type": "long", "required": False},
+            {"id": 2, "name": "sname", "type": "string", "required": False},
+        ],
+    )
+    d1.append([{"sid": i, "sname": f"s{i}"} for i in range(5)])
+    d2 = IcebergWriter(
+        str(tmp_path / "d2"),
+        [
+            {"id": 1, "name": "tid", "type": "long", "required": False},
+            {"id": 2, "name": "tname", "type": "string", "required": False},
+        ],
+    )
+    d2.append([{"tid": i, "tname": f"t{i}"} for i in range(3)])
+    out = cbo_join(
+        spark,
+        IcebergTable(str(tmp_path / "f")),
+        [
+            JoinDim(IcebergTable(str(tmp_path / "d1")), "sid", "sid",
+                    name="d1"),
+            JoinDim(IcebergTable(str(tmp_path / "d2")), "tid", "tid",
+                    name="d2"),
+        ],
+    )
+    assert out.count() == 60

@@ -394,3 +394,30 @@ def test_write_df_rejects_unknown_format(spark):
     d, w = _table()
     with pytest.raises(ValueError, match="unknown data file format"):
         write_df(w, _df(spark), file_format="csv")
+
+
+def test_orc_string_bounds_code_point_order(spark):
+    # ADVICE r10: string bounds must follow UTF-8/code-point order.  A
+    # supplementary-plane character (U+1F600) is ABOVE every BMP string
+    # in code-point order, but Java UTF-16 comparison would sort its
+    # surrogate pair below U+FFFD — an understated upper bound would
+    # wrongly prune the file for a point lookup on the emoji string.
+    d, w = _table(partitioned=False)
+    df = spark.createDataFrame(
+        [(1, "\U0001F600", 1.0, dt.date(2024, 1, 1)),
+         (2, "�", 2.0, dt.date(2024, 1, 1)),
+         (3, "apple", 3.0, dt.date(2024, 1, 1))],
+        "id long, grp string, val double, d date",
+    )
+    write_df(w, df.coalesce(1), mode="none", file_format="orc")
+    t = IcebergTable(d)
+    # the emoji row must survive a point-lookup plan AND the read
+    assert len(t.plan_files([("grp", "==", "\U0001F600")])) == 1
+    got = t.to_df(spark).filter(F.col("grp") == "\U0001F600").count()
+    assert got == 1
+    # decoded upper bound is the code-point max
+    rec = t.plan_files()[0]
+    ups = {e["key"]: e["value"] for e in rec["upper_bounds"]}
+    from daskberg_spark.iceberg.conversions import decode_bound
+
+    assert decode_bound(ups[2], "string") >= "\U0001F600"

@@ -644,3 +644,41 @@ def test_refresh_falls_back_on_delete(spark, tmp_path):
     delete_where_fast(w, spark, [[("id", "<", 10)]])
     _, mode = refresh_table_statistics(w, spark)
     assert mode == "full"
+
+
+def test_hash_values_datetime64_dates():
+    # ADVICE r10: numpy datetime64 date arrays crashed the fallback
+    # (single_value_bytes subtracts datetime.date from np.datetime64);
+    # kind-'M' now converts to epoch days and takes the int fast path.
+    import numpy as np
+
+    from daskberg_spark.iceberg.theta import hash_values
+
+    dts = np.array(
+        ["2024-01-01", "2024-06-15", "1969-12-31"], dtype="datetime64[D]"
+    )
+    days = dts.astype("int64").astype(np.int32)
+    assert np.array_equal(hash_values(dts, "date"), hash_values(days, "date"))
+    # and matches the scalar python-date path too
+    pydates = dts.astype("datetime64[D]").tolist()
+    assert np.array_equal(
+        hash_values(dts, "date"), hash_values(pydates, "date")
+    )
+
+
+def test_refresh_missing_summary_is_non_append(spark, tmp_path):
+    # ADVICE r10: a window snapshot with NO summary (externally-written
+    # metadata) must route to the FULL rebuild — treating it as an
+    # append could union away a delete and keep inflated NDVs.
+    from daskberg_spark.iceberg.writer import (
+        refresh_table_statistics,
+        write_table_statistics,
+    )
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 60))
+    write_table_statistics(w, spark)
+    w.append(_rows(60, 80))
+    w.snapshots[-1].pop("summary", None)
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "full"
