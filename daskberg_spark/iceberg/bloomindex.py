@@ -179,7 +179,9 @@ def write_file_blooms(
     )
     scan_files = [f for f in live if f["file_path"] in scan_paths]
     df = _read_file_groups(
-        t, spark, scan_files, scan_struct, tag_position=True
+        # only __file is consumed — file-tagging alone keeps ORC on the
+        # native vectorized reader (no per-row positions needed here)
+        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
     )
     legs = []
     for c in columns:

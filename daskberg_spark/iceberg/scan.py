@@ -357,13 +357,24 @@ def _read_with_deletes(
             else:
                 pos_files.append(d)
 
-    tag_position = (
-        bool(pos_files) or bool(dv_files) or keep_file or bool(eq_deletes)
-    )
+    # __pos (per-row position) forces the Python decode leg for ORC —
+    # Spark exposes _metadata.row_index for parquet alone.  __file alone
+    # (sequence attachment for equality deletes, provenance) stays on
+    # the NATIVE readers for both parquet and ORC via
+    # _metadata.file_path, so an eq-delete-only ORC table never leaves
+    # whole-stage codegen.
+    tag_position = bool(pos_files) or bool(dv_files) or keep_pos
+    tag_file = tag_position or keep_file or bool(eq_deletes)
 
     if not eq_deletes:
         df = _read_file_groups(
-            table, spark, files, struct, tag_position, extra_cols=extra_cols
+            table,
+            spark,
+            files,
+            struct,
+            tag_position,
+            extra_cols=extra_cols,
+            tag_file=tag_file,
         )
     else:
         # ONE tagged scan anti-joined against delete keys carrying their
@@ -381,7 +392,13 @@ def _read_with_deletes(
         # distinct equality key-column set (bounded by the schema, not
         # by commit count) applies `key-equal AND delete_seq > file_seq`.
         df = _read_file_groups(
-            table, spark, files, struct, True, extra_cols=extra_cols
+            table,
+            spark,
+            files,
+            struct,
+            tag_position,
+            extra_cols=extra_cols,
+            tag_file=True,
         )
         df = _attach_path_value(
             df, spark, "__file", "__seq", [(f["file_path"], okey(f)) for f in files]
@@ -641,9 +658,9 @@ def _read_with_deletes(
             & (df["__pos"] == pos["__del_pos"]),
             "left_anti",
         )
-    if tag_position:
+    if tag_file:
         drop = []
-        if not keep_pos:
+        if tag_position and not keep_pos:
             drop.append("__pos")
         if not keep_file:
             drop.append("__file")
@@ -779,6 +796,7 @@ def _python_file_scan(
     items: list,
     fmt: str,
     tag_position: bool,
+    tag_file: bool | None = None,
 ) -> DataFrame:
     """Executor-side decode of AVRO (and position-tagged ORC) data files
     via ``mapInArrow`` — tasks are distributed, bytes never touch the
@@ -806,14 +824,16 @@ def _python_file_scan(
     columns (schema evolution) null-fill by name.  Nested, decimal, and
     uuid columns in AVRO data files are not implemented — loud
     failure."""
+    if tag_file is None:
+        tag_file = tag_position
+    tag_file = tag_file or tag_position
     fields_sp = list(struct.fields)
     names = [f.name for f in fields_sp]
     out_fields = list(struct.fields)
+    if tag_file:
+        out_fields.append(T.StructField("__file", T.StringType(), False))
     if tag_position:
-        out_fields += [
-            T.StructField("__file", T.StringType(), False),
-            T.StructField("__pos", T.LongType(), False),
-        ]
+        out_fields.append(T.StructField("__pos", T.LongType(), False))
     out_struct = T.StructType(out_fields)
     if fmt == "AVRO":
         for f in fields_sp:
@@ -834,11 +854,8 @@ def _python_file_scan(
         ]
         out_schema = pa.schema(
             arrow_fields
-            + (
-                [("__file", pa.string()), ("__pos", pa.int64())]
-                if tag_position
-                else []
-            )
+            + ([("__file", pa.string())] if tag_file else [])
+            + ([("__pos", pa.int64())] if tag_position else [])
         )
         for b in batches:
             for path, r_start, r_end, r_rowoff in zip(
@@ -901,7 +918,7 @@ def _python_file_scan(
                             )
                         else:
                             arrays.append(pa.nulls(n, type=at))
-                if tag_position:
+                if tag_file:
                     # normalize exactly like the parquet leg's
                     # _metadata tag (scheme strip + normpath) — the
                     # sequence/partition/lineage lookups key on
@@ -911,6 +928,7 @@ def _python_file_scan(
                     arrays.append(
                         pa.array([_norm_scan_path(path)] * n, type=pa.string())
                     )
+                if tag_position:
                     arrays.append(
                         pa.array(
                             range(row_offset, row_offset + n), type=pa.int64()
@@ -985,6 +1003,7 @@ def _read_paths(
     struct,
     recs: list[dict[str, Any]],
     tag_position: bool = False,
+    tag_file: bool | None = None,
 ) -> DataFrame:
     """Read data-file records sharing one resolved schema, dispatched by
     ``file_format`` (the reference is parquet-only — ``README.md:97``;
@@ -992,7 +1011,16 @@ def _read_paths(
     untagged ORC use Spark's native vectorized readers (whole-stage
     codegen, predicate pushdown); AVRO — and ORC when row positions are
     needed — decode executor-side (``_python_file_scan``).  The common
-    all-parquet case stays exactly one multi-path native scan."""
+    all-parquet case stays exactly one multi-path native scan.
+
+    ``tag_file`` (defaults to follow ``tag_position``) adds only the
+    ``__file`` provenance column — parquet AND ORC keep their native
+    vectorized readers for it via ``_metadata.file_path``; only
+    ``tag_position`` (per-row ``__pos``, parquet-only ``row_index``)
+    routes ORC through the Python decode leg."""
+    if tag_file is None:
+        tag_file = tag_position
+    tag_file = tag_file or tag_position
     by_fmt: dict[str, list[str]] = {}
     avro_sizes: dict[str, int] = {}
     for r in recs:
@@ -1006,19 +1034,17 @@ def _read_paths(
     if unknown:
         raise NotImplementedError(f"data file format(s) {sorted(unknown)}")
 
-    def _tag_native(df: DataFrame) -> DataFrame:
+    def _tag_native(df: DataFrame, with_pos: bool = True) -> DataFrame:
         # `_metadata` resolves only on the scan relation itself — capture
         # file/row identity for position deletes BEFORE any other operator.
-        if not tag_position:
-            return df
-        return df.withColumns(
-            {
-                "__file": F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
+        cols: dict[str, Column] = {}
+        if tag_file:
+            cols["__file"] = F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            )
+        if tag_position and with_pos:
+            cols["__pos"] = F.col("_metadata.row_index")
+        return df.withColumns(cols) if cols else df
 
     if set(by_fmt) == {"PARQUET"}:
         # the common all-parquet group: exactly the pre-multiformat plan
@@ -1027,8 +1053,10 @@ def _read_paths(
             spark.read.schema(struct).parquet(*by_fmt["PARQUET"])
         )
 
-    keep = [f.name for f in struct.fields] + (
-        ["__file", "__pos"] if tag_position else []
+    keep = (
+        [f.name for f in struct.fields]
+        + (["__file"] if tag_file else [])
+        + (["__pos"] if tag_position else [])
     )
     parts = []
     if "PARQUET" in by_fmt:
@@ -1069,6 +1097,10 @@ def _read_paths(
             # .orc() takes a single path-or-list argument (unlike
             # .parquet()'s varargs)
             odf = spark.read.schema(orc_struct).orc(by_fmt["ORC"])
+            # __file (sequence attachment) comes from the native scan's
+            # _metadata — tag BEFORE the NTZ casts so the column still
+            # resolves on the scan relation itself
+            odf = _tag_native(odf, with_pos=False)
             for name in ntz:
                 odf = odf.withColumn(
                     name, F.col(name).cast(T.TimestampNTZType())
@@ -1082,6 +1114,7 @@ def _read_paths(
                 [(p, avro_sizes.get(p, 0)) for p in by_fmt["AVRO"]],
                 "AVRO",
                 tag_position,
+                tag_file,
             ).select(*keep)
         )
     out = parts[0]
@@ -1097,6 +1130,7 @@ def _read_file_groups(
     struct,
     tag_position: bool = False,
     extra_cols: list[str] | None = None,
+    tag_file: bool | None = None,
 ) -> DataFrame:
     """Read data files grouped by the schema they were written under,
     resolving columns by **field id** (SURVEY §1.4): a renamed column's
@@ -1190,7 +1224,7 @@ def _read_file_groups(
 
     current_sid = table.schema.get("schema-id", 0)
     if set(groups) <= {current_sid}:
-        return _read_paths(spark, struct, files, tag_position)
+        return _read_paths(spark, struct, files, tag_position, tag_file)
 
     def _fill_value(fld: dict[str, Any]):
         # Iceberg v3 initial-default: files written BEFORE the column
@@ -1238,7 +1272,7 @@ def _read_file_groups(
                 ]
                 + extra_struct
             )
-            gdf = _read_paths(spark, both, grecs, tag_position)
+            gdf = _read_paths(spark, both, grecs, tag_position, tag_file)
             for cur, aliases in pairs:
                 gdf = gdf.withColumn(
                     cur,
@@ -1271,7 +1305,7 @@ def _read_file_groups(
         gstruct = T.StructType(
             list(schema_to_struct(schema).fields) + extra_struct
         )
-        gdf = _read_paths(spark, gstruct, grecs, tag_position)
+        gdf = _read_paths(spark, gstruct, grecs, tag_position, tag_file)
         renames = {}
         group_ids = {
             fld.get("id", fld.get("field-id")) for fld in schema["fields"]
@@ -1327,8 +1361,10 @@ def _read_file_groups(
         if fld["name"] not in out.columns:
             out = out.withColumn(fld["name"], _fill_value(fld))
     keep = [f["name"] for f in current_fields] + list(extra_cols or [])
+    if tag_file or tag_position:
+        keep += ["__file"]
     if tag_position:
-        keep += ["__file", "__pos"]
+        keep += ["__pos"]
     return out.select(*keep)
 
 
