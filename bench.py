@@ -116,6 +116,10 @@ HEADLINE = [
     # uninformative here; its correctness lives in the driver window.)
     "iceberg_write_formats",
     "iceberg_cbo_join",
+    # round 11: the Q9-shaped star planned end-to-end by the CBO over
+    # this engine's own stats-bearing tables (compare q9_product_type
+    # _profit, the literal-order parquet variant above)
+    "q9_cbo_star",
 ]
 
 

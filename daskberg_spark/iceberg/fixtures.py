@@ -1641,6 +1641,93 @@ def ensure_theta_fixture(spark, path: str = THETA_FIXTURE_DIR) -> str:
     return path
 
 
+def ensure_tpch_star_iceberg(spark, sf_dir: str) -> dict[str, str]:
+    """TPC-H Q9-shaped star fixture over this engine's OWN tables (r10
+    verdict item 2: registry multi-join queries should plan through the
+    CBO, not literal order): lineitem fact + part / supplier⊳nation /
+    orders dimensions, each written with ``write_df`` and carrying
+    theta NDV statistics — the exact metadata ``plan_star_join``'s
+    containment estimator and broadcast gates consume.  The supplier
+    dim is denormalized with nation at build time (classic dimension
+    flattening) so the snowflake leg becomes a star leg.  Content is a
+    column subset of the sf_dir source parquet, so the DuckDB oracle
+    recomputes the join from the ORIGINAL tables relationally."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_df,
+        write_table_statistics,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(os.path.dirname(FIXTURE_DIR), f"tpch_star_{tag}")
+    paths = {
+        t: os.path.join(root, t)
+        for t in ("lineitem", "part", "supplier", "orders")
+    }
+    if all(
+        os.path.exists(os.path.join(p, "metadata", "version-hint.text"))
+        for p in paths.values()
+    ):
+        return paths
+    specs = {
+        "lineitem": (
+            [
+                {"id": 1, "name": "l_orderkey", "type": "long", "required": False},
+                {"id": 2, "name": "l_partkey", "type": "long", "required": False},
+                {"id": 3, "name": "l_suppkey", "type": "long", "required": False},
+                {"id": 4, "name": "l_quantity", "type": "double", "required": False},
+                {"id": 5, "name": "l_extendedprice", "type": "double", "required": False},
+                {"id": 6, "name": "l_discount", "type": "double", "required": False},
+            ],
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount",
+            ),
+        ),
+        "part": (
+            [
+                {"id": 1, "name": "p_partkey", "type": "long", "required": False},
+                {"id": 2, "name": "p_retailprice", "type": "double", "required": False},
+            ],
+            spark.read.parquet(f"{sf_dir}/part.parquet").select(
+                "p_partkey", "p_retailprice"
+            ),
+        ),
+        "supplier": (
+            [
+                {"id": 1, "name": "s_suppkey", "type": "long", "required": False},
+                {"id": 2, "name": "n_name", "type": "string", "required": False},
+            ],
+            spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(
+                F.broadcast(
+                    spark.read.parquet(f"{sf_dir}/nation.parquet")
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", "n_name"),
+        ),
+        "orders": (
+            [
+                {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+                {"id": 2, "name": "o_orderdate", "type": "timestamp", "required": False},
+            ],
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                "o_orderkey", "o_orderdate"
+            ),
+        ),
+    }
+    for name, (fields, df) in specs.items():
+        w = IcebergWriter(paths[name], fields)
+        write_df(w, df, mode="none")
+        write_table_statistics(w, spark)
+    return paths
+
+
 # Single wrap call, at the BOTTOM so every ensure_* above — including
 # the ones added after the wrapper's original mid-file position, which
 # silently escaped serialization — takes the build flock.  Calling the

@@ -3077,3 +3077,69 @@ def iceberg_agg_pushdown_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert t.last_agg_pushdown["files_scanned"] == 0, "grouped pushdown regressed"
     return out
+
+
+from daskberg_spark.operators.registry import dsum, sql_dsum  # noqa: E402
+
+
+@query(
+    "q9_cbo_star",
+    f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount) - 0.01 * p_retailprice * l_quantity', 'profit')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_retailprice < 920.0
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_cbo_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape planned END-TO-END by this engine's cost-based
+    optimizer (r10 verdict item 2): the lineitem fact and the
+    part/supplier⊳nation/orders dimensions are this engine's OWN
+    Iceberg tables carrying theta NDV statistics, and ``cbo_join``
+    orders the dims by the containment growth factor (the filtered part
+    dim joins FIRST — 20% selectivity against a 1.0-growth supplier and
+    orders) and broadcast-hints every metadata-small dim — decisions
+    Spark's CBO cannot make for assembled scans and AQE can only make
+    after a first shuffle.  Inner equi-joins commute, so the DuckDB
+    oracle recomputes the identical result relationally from the
+    ORIGINAL sf tables.  The chosen order and broadcasts are asserted by
+    the plan contract (tools/audit_plans.py) and tests/test_cbo.py."""
+    from daskberg_spark.iceberg.cbo import JoinDim, cbo_join
+    from daskberg_spark.iceberg.fixtures import ensure_tpch_star_iceberg
+
+    paths = ensure_tpch_star_iceberg(spark, sf_dir)
+    fact = IcebergTable(paths["lineitem"])
+    out = cbo_join(
+        spark,
+        fact,
+        [
+            JoinDim(
+                IcebergTable(paths["part"]),
+                "l_partkey",
+                "p_partkey",
+                filters=[("p_retailprice", "<", 920.0)],
+                name="part",
+            ),
+            JoinDim(
+                IcebergTable(paths["supplier"]), "l_suppkey", "s_suppkey",
+                name="supplier",
+            ),
+            JoinDim(
+                IcebergTable(paths["orders"]), "l_orderkey", "o_orderkey",
+                name="orders",
+            ),
+        ],
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.01 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return out.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(dsum(profit, "profit"))

@@ -292,3 +292,48 @@ def test_cbo_join_same_named_keys(spark, tmp_path):
         ],
     )
     assert out.count() == 60
+
+
+def test_q9_cbo_star_plan_and_result(spark):
+    # r10 verdict item 2: the registry's Q9-shaped star plans through
+    # the CBO.  The filtered part dim must join FIRST (containment
+    # growth ~0.2 vs 1.0 for supplier/orders), every metadata-small dim
+    # broadcasts, and the result equals the naive literal-order join.
+    from daskberg_spark.iceberg.cbo import cbo_join
+    from daskberg_spark.iceberg.fixtures import ensure_tpch_star_iceberg
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    paths = ensure_tpch_star_iceberg(spark, sf)
+    fact = IcebergTable(paths["lineitem"])
+    dims = [
+        JoinDim(IcebergTable(paths["part"]), "l_partkey", "p_partkey",
+                filters=[("p_retailprice", "<", 920.0)], name="part"),
+        JoinDim(IcebergTable(paths["supplier"]), "l_suppkey", "s_suppkey",
+                name="supplier"),
+        JoinDim(IcebergTable(paths["orders"]), "l_orderkey", "o_orderkey",
+                name="orders"),
+    ]
+    out = cbo_join(spark, fact, dims)
+    plan = fact.last_join_plan
+    assert plan.order[0] == "part", plan.order
+    assert set(plan.broadcasts) >= {"part", "supplier"}, plan.broadcasts
+    got = out.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    # naive literal-order join over the same fixture tables
+    li = fact.to_df(spark)
+    p = IcebergTable(paths["part"]).to_df(
+        spark, filters=[("p_retailprice", "<", 920.0)]
+    )
+    s = IcebergTable(paths["supplier"]).to_df(spark)
+    o = IcebergTable(paths["orders"]).to_df(spark)
+    ref = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))

@@ -245,6 +245,11 @@ AUDIT = {
     # statistics metadata view through SQL: local relation + the MAX
     # subquery's tiny agg — never a data-file read
     "iceberg_sql_statistics": (2, False, False, None),
+    # r11: the Q9-shaped star planned end-to-end by the CBO — every dim
+    # broadcast-hinted from metadata (the fact never shuffles for a
+    # join; the only exchange is the final group agg), part's range
+    # filter pushed into its scan
+    "q9_cbo_star": (1, True, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
