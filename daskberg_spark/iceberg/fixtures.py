@@ -1351,7 +1351,9 @@ def ensure_variant_write_fixture(path: str = VARIANT_WRITE_FIXTURE_DIR) -> str:
 
 
 VARIANT_SHRED_FIXTURE_DIR = os.path.join(
-    os.path.dirname(FIXTURE_DIR), "variant_shred_table"
+    # _v2: rebuilt since r11 so commits lift variant_bounds into the
+    # manifests (the shredded-prune query asserts ZERO footer reads)
+    os.path.dirname(FIXTURE_DIR), "variant_shred_table_v2"
 )
 
 

@@ -125,10 +125,11 @@ def to_df(
 
     ``variant_filters`` — ``[(col, '$.field', op, value), ...]``
     predicates on v3 variant subfields: each prunes planned files by
-    SHREDDED parquet footer stats (``variant_prune_files`` — manifests
-    carry no variant bounds) and then applies the exact
-    ``variant_get`` predicate as a residual, so results never depend
-    on stats.  AND semantics across entries, like ``filters``.
+    the manifest-lifted shredded-subfield bounds (``variant_bounds``,
+    zero plan-time IO; falls back to SHREDDED parquet footer stats for
+    files without them) and then applies the exact ``variant_get``
+    predicate as a residual, so results never depend on stats.  AND
+    semantics across entries, like ``filters``.
     """
     want_file, want_pos = keep_file or keep_pos, keep_pos
     keep_pos = keep_pos or row_lineage
@@ -173,6 +174,7 @@ def to_df(
     if file_subset is not None:
         subset = set(file_subset)
         files = [f for f in files if f["file_path"] in subset]
+    _vcounters: dict[str, int] = {}
     if variant_filters:
         for vcol, vpath, vop, vval in variant_filters:
             info = table.fields.get(vcol)
@@ -182,7 +184,9 @@ def to_df(
                     "column of this table"
                 )
             _variant_probe(vop, vval)  # loud 'in'-shape validation
-        files = _variant_prune_multi(files, list(variant_filters))
+        files = _variant_prune_multi(
+            files, list(variant_filters), _vcounters
+        )
     # scan observability (real Iceberg's ScanMetrics analogue): one
     # driver-side dict per to_df call — what an operator checks when a
     # query reads more than expected ("did the filter prune?  which
@@ -194,6 +198,9 @@ def to_df(
     _deletes = table.plan_deletes()
     table.last_scan = {
         "files_scanned": len(files),
+        # plan-time parquet-footer reads the variant pruning needed
+        # (0 when manifest-lifted bounds resolved every predicate)
+        "variant_footer_reads": _vcounters.get("variant_footer_reads", 0),
         "files_live": len(_live_data),
         "bytes_scanned": sum(
             int(f.get("file_size_in_bytes") or 0) for f in files
@@ -1645,12 +1652,17 @@ def _variant_probe(op: str, value: Any):
 def _variant_prune_multi(
     files: list[dict[str, Any]],
     preds: list[tuple[str, str, str, Any]],
+    counters: dict[str, int] | None = None,
 ) -> list[dict[str, Any]]:
-    """All variant predicates evaluated against ONE footer read per
-    file (they are predicate-independent; re-fetching per predicate
-    paid k× the IO).  AND semantics: a file survives only if every
-    predicate may match."""
+    """All variant predicates evaluated against the MANIFEST-LIFTED
+    subfield bounds first (``variant_bounds``, written by this engine's
+    commits — zero plan-time IO), falling back to ONE footer read per
+    file only for predicates the manifest can't resolve (foreign
+    writes, pre-lift commits).  AND semantics: a file survives only if
+    every predicate may match.  ``counters`` (optional) records
+    ``variant_footer_reads`` for observability/tests."""
     import duckdb
+    import json as _json
 
     from daskberg_spark.iceberg.planner import range_may_match
 
@@ -1670,11 +1682,52 @@ def _variant_prune_multi(
         prepared.append((col, field, op, parse, tv, phys_ok))
     if not prepared:
         return files
+
+    def _manifest_verdicts(rec: dict[str, Any]) -> list[bool] | None:
+        """Per-predicate may-match from the manifest-lifted bounds, or
+        None when ANY predicate lacks a lifted entry (→ footer path).
+        An entry's presence certifies the write-time soundness gates
+        (residuals all-NULL, exact stats), so only the range/type check
+        remains."""
+        raw = rec.get("variant_bounds")
+        if not raw:
+            return None
+        try:
+            info = _json.loads(raw) if isinstance(raw, str) else raw
+        except (TypeError, ValueError):
+            return None
+        verdicts: list[bool] = []
+        for col, field, op, parse, tv, phys_ok in prepared:
+            ent = info.get(f"{col}.{field}")
+            if ent is None:
+                return None  # not lifted for this field: footer decides
+            if ent.get("empty"):
+                verdicts.append(False)  # field NULL in every row
+                continue
+            if ent.get("phys") not in phys_ok:
+                verdicts.append(True)  # cross-type: residual decides
+                continue
+            try:
+                lo, hi = parse(ent["lo"]), parse(ent["hi"])
+            except (TypeError, ValueError, KeyError):
+                return None
+            verdicts.append(range_may_match(op, tv, lo, hi))
+        return verdicts
+
     keep: list[dict[str, Any]] = []
     for rec in files:
         if str(rec.get("file_format", "PARQUET")).upper() != "PARQUET":
             keep.append(rec)
             continue
+        lifted = _manifest_verdicts(rec)
+        if lifted is not None:
+            if all(lifted):
+                keep.append(rec)
+            continue
+        if counters is not None:
+            counters["variant_footer_reads"] = (
+                counters.get("variant_footer_reads", 0) + 1
+            )
         try:
             rows = duckdb.execute(
                 "SELECT path_in_schema, type, num_values, stats_min_value, "

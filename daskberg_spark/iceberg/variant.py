@@ -258,3 +258,112 @@ def _decode_value(data: bytes, pos: int, keys: list[str]) -> Any:
 def decode_variant(meta: bytes, value: bytes) -> Any:
     """Decode a ``(metadata, value)`` pair back to python (tests)."""
     return _decode_value(value, 0, decode_metadata(meta))
+
+
+# --- shredded-subfield stats lifting (write side) -------------------------
+#
+# v3 variant columns carry no spec-defined manifest bound encoding, so
+# the scan's shredded pruning historically re-read each candidate
+# file's parquet footer at plan time.  The writer already reads those
+# footers once at COMMIT time — this lifts each top-level shredded
+# subfield's file-level min/max into an engine-specific optional
+# manifest field ("variant_bounds", JSON; foreign readers resolve
+# manifests by their own reader schema and ignore it), so variant
+# predicates prune manifest-level like every other column, with zero
+# plan-time IO.  Sound by the same gates as scan._variant_prune_multi:
+# a subfield is recorded ONLY when its residual `value` sibling and the
+# top-level `value` column are all-NULL in every row group (no row can
+# hide an unshredded value the stats don't see) and every row group
+# carries exact stats.
+
+_PHYS_PARSE = {
+    "INT32": int,
+    "INT64": int,
+    "FLOAT": float,
+    "DOUBLE": float,
+    "BYTE_ARRAY": str,
+}
+
+
+def shredded_footer_bounds(
+    path: str, variant_cols: list[str]
+) -> dict[str, dict[str, Any]]:
+    """{"<col>.<field>": {"lo", "hi", "phys"} | {"empty": True}} for
+    every top-level shredded subfield of ``variant_cols`` whose footer
+    stats prove a sound file-level bound.  ``empty`` means the field is
+    NULL/missing in every row (any predicate on it matches nothing).
+    Fields with inexact/absent stats, nested shredding, or non-NULL
+    residuals are omitted — plan-time pruning then falls back to the
+    footer read (or keeps the file)."""
+    import duckdb
+
+    try:
+        rows = duckdb.execute(
+            "SELECT path_in_schema, type, num_values, stats_min_value, "
+            "stats_max_value, stats_null_count FROM parquet_metadata(?)",
+            [path],
+        ).fetchall()
+    except Exception:
+        return {}
+    groups: dict[str, list[tuple]] = {}
+    phys: dict[str, str] = {}
+    for name, ptype, nv, mn, mx, nc in rows:
+        groups.setdefault(name, []).append((nv, mn, mx, nc))
+        phys[name] = str(ptype).upper()
+
+    def all_null(name: str) -> bool:
+        gs = groups.get(name)
+        return bool(gs) and all(
+            nc is not None and nc == nv for nv, _mn, _mx, nc in gs
+        )
+
+    out: dict[str, dict[str, Any]] = {}
+    for col in variant_cols:
+        prefix = f"{col}, typed_value, "
+        suffix = ", typed_value"
+        fields = {
+            name[len(prefix):-len(suffix)]
+            for name in groups
+            if name.startswith(prefix)
+            and name.endswith(suffix)
+            and name.count(",") == 3  # top-level subfields only
+        }
+        if fields and not all_null(f"{col}, value"):
+            continue  # some row's object lives unshredded: no bounds
+        for field in sorted(fields):
+            t_leaf = f"{col}, typed_value, {field}, typed_value"
+            v_leaf = f"{col}, typed_value, {field}, value"
+            if not all_null(v_leaf):
+                continue  # residual-fallback rows exist for this field
+            parse = _PHYS_PARSE.get(phys.get(t_leaf, ""))
+            if parse is None:
+                continue
+            los, his, nonnull, sound = [], [], False, True
+            for nv, mn, mx, nc in groups[t_leaf]:
+                if nc is None:
+                    sound = False  # unknown null census: no bound
+                    break
+                if nc == nv:
+                    continue  # whole group missing the field
+                nonnull = True
+                if mn is None or mx is None:
+                    sound = False
+                    break
+                try:
+                    los.append(parse(mn))
+                    his.append(parse(mx))
+                except (TypeError, ValueError):
+                    sound = False
+                    break
+            if not sound:
+                continue
+            key = f"{col}.{field}"
+            if not nonnull:
+                out[key] = {"empty": True}
+            else:
+                out[key] = {
+                    "lo": min(los),
+                    "hi": max(his),
+                    "phys": phys[t_leaf],
+                }
+    return out

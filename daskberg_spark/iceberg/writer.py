@@ -201,6 +201,15 @@ def _manifest_entry_schema(partition_fields: list[dict[str, Any]], field_types: 
                         # materializes an explicit _row_id column (rewrites
                         # do, to keep identity stable across compaction)
                         {"name": "first_row_id", "type": ["null", "long"], "default": None, "field-id": 142},
+                        # ENGINE EXTENSION (id 900, outside the spec's
+                        # 100-145 manifest range): JSON file-level bounds
+                        # for SHREDDED variant subfields, lifted from the
+                        # parquet footer at commit time so variant
+                        # predicates prune manifest-level with zero
+                        # plan-time IO (the v3 spec defines no variant
+                        # bound encoding).  Foreign readers resolve
+                        # manifests by their own schema and skip it.
+                        {"name": "variant_bounds", "type": ["null", "string"], "default": None, "field-id": 900},
                     ],
                 },
             },
@@ -2927,11 +2936,21 @@ def _footer_entry(
     and per-column bounds lifted from footer row-group statistics —
     zero data IO.  Stat lifting is shared with ``add_files_spark``'s
     executor path (``conversions.lift_footer_stats``)."""
+    import json as _json
+
     from daskberg_spark.iceberg.conversions import lift_footer_stats
 
     num_rows, file_size, lowers, uppers, nulls, nans = lift_footer_stats(
         path, writer.types
     )
+    variant_bounds = None
+    vcols = [n for n, t in writer.types.items() if t == "variant"]
+    if vcols:
+        from daskberg_spark.iceberg.variant import shredded_footer_bounds
+
+        vb = shredded_footer_bounds(path, vcols)
+        if vb:
+            variant_bounds = _json.dumps(vb, sort_keys=True)
     return {
         "status": 1,
         "snapshot_id": snapshot_id,
@@ -2941,6 +2960,7 @@ def _footer_entry(
             "partition": partition,
             "record_count": num_rows,
             "file_size_in_bytes": file_size,
+            **({"variant_bounds": variant_bounds} if variant_bounds else {}),
             "lower_bounds": [
                 {"key": writer.ids[n], "value": encode_bound(v, writer.types[n])}
                 for n, v in lowers.items()

@@ -2876,14 +2876,16 @@ def iceberg_variant_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def iceberg_variant_shredded_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shredded-variant footer pruning (r10): a ``$.a >= 100``
-    predicate over a two-file shredded table reads ONE file — variant
-    columns carry no manifest bounds, so ``variant_prune_files`` proves
-    the other file dead from its typed_value parquet footer stats, and
-    the exact ``variant_get`` residual keeps results stats-independent.
-    The query hard-asserts the file count so the driver gate would
-    catch a pruning regression, then aggregates the surviving rows
-    (oracle re-derives from the fixture formula)."""
+    """Shredded-variant MANIFEST pruning (r10 footer pruning, lifted to
+    manifests in r11): a ``$.a >= 100`` predicate over a two-file
+    shredded table reads ONE file, and plans it with ZERO plan-time
+    parquet IO — commit lifted each shredded subfield's file-level
+    bounds into the engine-extension ``variant_bounds`` manifest field,
+    so the prune is a manifest lookup like any other column (files
+    without lifted bounds still fall back to the r10 footer path).  The
+    exact ``variant_get`` residual keeps results stats-independent.
+    Both the file count and the footer-read count are hard-asserted so
+    the driver gate catches a regression of either layer."""
     from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
     from daskberg_spark.iceberg.scan import to_df
 
@@ -2891,7 +2893,10 @@ def iceberg_variant_shredded_prune(spark: SparkSession, sf_dir: str) -> DataFram
     df = to_df(
         t, spark, variant_filters=[("payload", "$.a", ">=", 100)]
     ).selectExpr("id", "variant_get(payload, '$.a', 'long') AS a")
-    assert t.last_scan["files_scanned"] == 1, "footer prune regressed"
+    assert t.last_scan["files_scanned"] == 1, "variant prune regressed"
+    assert t.last_scan["variant_footer_reads"] == 0, (
+        "manifest-lifted variant bounds regressed to footer reads"
+    )
     return df.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("id").alias("sum_id"),

@@ -334,3 +334,106 @@ def test_variant_in_filter_shapes(spark):
         "variant_get(payload, '$.a', 'long') AS a"
     ).where("a IN (104, 105)").count()
     assert n == exact > 0
+
+
+def test_variant_bounds_lifted_into_manifests(spark):
+    """r10 verdict item 3: commits lift shredded-subfield bounds into
+    the manifest's engine-extension ``variant_bounds`` field, so a
+    variant predicate prunes with ZERO plan-time footer reads — and the
+    manifest verdicts match the footer path's exactly."""
+    import json
+
+    from daskberg_spark.iceberg.fixtures import ensure_variant_shred_fixture
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import _variant_prune_multi, to_df
+
+    t = IcebergTable(ensure_variant_shred_fixture(spark))
+    recs = t.plan_files()
+    assert len(recs) == 2
+    for rec in recs:
+        vb = json.loads(rec["variant_bounds"])
+        assert set(vb) == {"payload.a", "payload.tag"}
+        assert vb["payload.tag"]["phys"] == "BYTE_ARRAY"
+    los = sorted(json.loads(r["variant_bounds"])["payload.a"]["lo"] for r in recs)
+    his = sorted(json.loads(r["variant_bounds"])["payload.a"]["hi"] for r in recs)
+    assert los == [0, 100] and his == [6, 106]
+
+    # zero footer reads on the manifest path; pruning identical to the
+    # footer path (bounds stripped -> same survivors, footers counted)
+    for preds in (
+        [("payload", "$.a", ">=", 100)],
+        [("payload", "$.a", "<", 3)],
+        [("payload", "$.tag", "in", ["t9"])],
+        [("payload", "$.tag", "==", "t1"), ("payload", "$.a", ">", 4)],
+    ):
+        c1: dict = {}
+        lifted = _variant_prune_multi(recs, preds, c1)
+        assert c1.get("variant_footer_reads", 0) == 0, preds
+        stripped = [
+            {k: v for k, v in r.items() if k != "variant_bounds"}
+            for r in recs
+        ]
+        c2: dict = {}
+        footer = _variant_prune_multi(stripped, preds, c2)
+        assert c2.get("variant_footer_reads", 0) == len(recs)
+        assert [r["file_path"] for r in lifted] == [
+            r["file_path"] for r in footer
+        ], preds
+    # and the full read agrees with a stats-free residual recompute
+    df = to_df(t, spark, variant_filters=[("payload", "$.a", "<", 3)])
+    assert t.last_scan["variant_footer_reads"] == 0
+    got = sorted(r["id"] for r in df.select("id").collect())
+    assert got == sorted(i for i in range(50) if i % 7 < 3)
+
+
+def test_variant_bounds_soundness_gates(spark, tmp_path):
+    """A file with UNSHREDDED residual rows gets no lifted bounds for
+    the field the residual could hide (write-side gate mirrors the
+    footer-prune gate)."""
+    import json
+    import os
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.variant import shredded_footer_bounds
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+    )
+    stage = os.path.join(path, "stage")
+    # shred on `a` only: rows carrying extra key `b` spill into the
+    # top-level residual `value`, so NO field may claim lifted bounds
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.parse_json(
+            F.when(
+                F.col("id") % 2 == 0,
+                F.concat(F.lit('{"a": '), F.col("id").cast("string"), F.lit("}")),
+            ).otherwise(
+                F.concat(
+                    F.lit('{"a": '),
+                    F.col("id").cast("string"),
+                    F.lit(', "b": "x"}'),
+                )
+            )
+        ).alias("payload"),
+    )
+    old = spark.conf.get("spark.sql.variant.forceShreddingSchemaForTest", "")
+    spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", "a bigint")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", old)
+    commit_spark_output(w, stage)
+    rec = IcebergTable(path).plan_files()[0]
+    vb = rec.get("variant_bounds")
+    parsed = json.loads(vb) if vb else {}
+    assert "payload.a" not in parsed, parsed
+    # direct extractor agrees
+    assert "payload.a" not in shredded_footer_bounds(rec["file_path"], ["payload"])
