@@ -1675,6 +1675,13 @@ class IcebergWriter:
             "removed-delete-files": _cnt(2, (1, 2)),
             "added-records": _agg(1, (0,), "record_count"),
             "deleted-records": _agg(2, (0,), "record_count"),
+            # real Iceberg's SnapshotSummary row censuses for delete
+            # files: positions (incl. DV cardinalities — record_count is
+            # the spec's cardinality field for DVs) and equality keys.
+            # The stats refresh uses them to bound how many rows a
+            # delete-only window can have killed.
+            "added-position-deletes": _agg(1, (1,), "record_count"),
+            "added-equality-deletes": _agg(1, (2,), "record_count"),
             "added-files-size": _agg(1, (0, 1, 2), "file_size_in_bytes"),
             "removed-files-size": _agg(2, (0, 1, 2), "file_size_in_bytes"),
         }
@@ -3455,6 +3462,15 @@ def write_table_statistics(
     return _publish_statistics(writer, snapshot_id, sketches, ndv)
 
 
+# Largest fraction of the table's rows a refresh window's deletes may
+# have killed while the incremental theta path is still taken: the
+# union sketch then overestimates NDV by at most this fraction of the
+# row count (each killed row removes at most one distinct value), an
+# error the CBO consumer tolerates by construction (growth factors only
+# shrink).  Above it, rebuild — the stats should track reality.
+STATS_REFRESH_MAX_DELETED_FRACTION = 0.2
+
+
 def refresh_table_statistics(
     writer: "IcebergWriter", spark: Any
 ) -> tuple[str, str]:
@@ -3464,14 +3480,30 @@ def refresh_table_statistics(
     added since it.  At 100 TB a stats refresh then scans the append
     window (a day's files), not the table.
 
+    Window snapshots may be appends, or BOUNDED row-level deletes (r10
+    verdict item 4): a delete cannot ADD distinct values, so the union
+    sketch is an OVERESTIMATE of true NDV by at most the number of rows
+    the window's deletes killed.  The CBO is the consumer, and for it
+    an NDV overestimate only shrinks a join's estimated growth factor —
+    it can mis-rank join order, never produce wrong results — so the
+    overestimate is accepted while it is small: delete snapshots stay
+    incremental iff their summaries carry exact row censuses
+    (``added-position-deletes`` / ``deleted-records``, written by this
+    engine's commits; DVs count their cardinality), they added NO
+    equality deletes (one eq key can kill unboundedly many rows), and
+    the summed killed rows are at most
+    ``STATS_REFRESH_MAX_DELETED_FRACTION`` (20%) of the head's
+    ``total-records`` — bounding the relative NDV error by the same
+    fraction.
+
     Falls back to a FULL rebuild (returns mode ``"full"``) when:
-    no prior theta stats exist on an ancestor; any snapshot in the
-    window is not a pure append (deletes can lower NDV, and sketches
-    only grow); or a sketchable column carries an ``initial-default``
-    with no base blob (pre-existing files then read a value the
-    added-files scan cannot see).  A column ADDED plainly after the
-    base is safe: old files read NULL for it, so its full-table NDV
-    lives entirely in the added files.  Returns
+    no prior theta stats exist on an ancestor; any window snapshot is
+    neither an append nor a bounded delete as defined above (missing
+    summaries and overwrites included); or a sketchable column carries
+    an ``initial-default`` with no base blob (pre-existing files then
+    read a value the added-files scan cannot see).  A column ADDED
+    plainly after the base is safe: old files read NULL for it, so its
+    full-table NDV lives entirely in the added files.  Returns
     ``(statistics_path, "incremental" | "full")``."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
@@ -3510,14 +3542,44 @@ def refresh_table_statistics(
         cur = snaps_by_id[parent]
     colspecs = _sketch_colspecs(writer)
     cols = [c for c, _ in colspecs]
-    if base_entry is None or any(
+
+    def _int_or_none(summ: dict[str, Any], key: str) -> int | None:
+        v = summ.get(key)
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return None
+
+    def _window_ok() -> bool:
         # A snapshot with NO summary/operation (externally-written
-        # metadata) must be treated as non-append: routing an unknown
-        # delete/overwrite through the incremental union would silently
-        # keep inflated NDVs (theta sketches only grow).
-        (s.get("summary") or {}).get("operation") != "append"
-        for s in window
-    ):
+        # metadata) is treated as an unknown non-append: routing an
+        # unknown delete/overwrite through the incremental union would
+        # silently keep inflated NDVs (theta sketches only grow).
+        killed = 0
+        for s in window:
+            summ = s.get("summary") or {}
+            op = summ.get("operation")
+            if op == "append":
+                continue
+            if op != "delete":
+                return False
+            eq = _int_or_none(summ, "added-equality-deletes")
+            pos = _int_or_none(summ, "added-position-deletes")
+            dropped = _int_or_none(summ, "deleted-records")
+            if eq is None or pos is None or dropped is None or eq > 0:
+                # missing censuses (foreign/pre-r11 metadata) or
+                # equality deletes (one key kills unboundedly many
+                # rows): the overestimate is unbounded — rebuild
+                return False
+            killed += pos + dropped
+        if killed == 0:
+            return True
+        total = _int_or_none(head.get("summary") or {}, "total-records")
+        if total is None:
+            return False
+        return killed <= STATS_REFRESH_MAX_DELETED_FRACTION * max(1, total)
+
+    if base_entry is None or not _window_ok():
         return write_table_statistics(writer, spark), "full"
     blob_by_fid = {
         b["fields"][0]: b

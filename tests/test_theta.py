@@ -630,7 +630,13 @@ def test_ndv_pushdown_stats_and_fallback(spark, tmp_path):
     assert abs(out3["b"] - 100) <= 10
 
 
-def test_refresh_falls_back_on_delete(spark, tmp_path):
+def test_refresh_bounded_delete_window(spark, tmp_path):
+    # r10 verdict item 4: a SMALL row-level delete (here 10 of 80 rows,
+    # 12.5% < the 20% gate) no longer forces a full rebuild — the union
+    # sketch overestimates NDV by at most the killed rows, an error the
+    # CBO consumer tolerates.  The stored NDV must bracket
+    # [true, true + killed].
+    from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.writer import (
         delete_where_fast,
         refresh_table_statistics,
@@ -643,7 +649,41 @@ def test_refresh_falls_back_on_delete(spark, tmp_path):
     w.append(_rows(60, 80))
     delete_where_fast(w, spark, [[("id", "<", 10)]])
     _, mode = refresh_table_statistics(w, spark)
+    assert mode == "incremental"
+    t = IcebergTable(str(tmp_path / "t"))
+    stored = {
+        b["fields"][0]: int(b["properties"]["ndv"])
+        for e in t.metadata.get("statistics", [])
+        if e["snapshot-id"] == t.metadata["current-snapshot-id"]
+        for b in e["blob-metadata"]
+    }
+    true_ndv = t.to_df(spark).select("id").distinct().count()
+    id_fid = 1
+    assert true_ndv <= stored[id_fid] <= true_ndv + 10
+
+
+def test_refresh_falls_back_on_large_or_eq_delete(spark, tmp_path):
+    # above the 20% killed-rows gate -> full rebuild
+    from daskberg_spark.iceberg.writer import (
+        delete_where_fast,
+        refresh_table_statistics,
+        write_table_statistics,
+    )
+
+    w = _typed_writer(tmp_path / "t")
+    w.append(_rows(0, 60))
+    write_table_statistics(w, spark)
+    w.append(_rows(60, 80))
+    delete_where_fast(w, spark, [[("id", "<", 30)]])
+    _, mode = refresh_table_statistics(w, spark)
     assert mode == "full"
+    # equality deletes kill unboundedly many rows per key -> full
+    w2 = _typed_writer(tmp_path / "t2")
+    w2.append(_rows(0, 60))
+    write_table_statistics(w2, spark)
+    w2.delete_rows_equality([{"id": 5}])
+    _, mode2 = refresh_table_statistics(w2, spark)
+    assert mode2 == "full"
 
 
 def test_hash_values_datetime64_dates():
