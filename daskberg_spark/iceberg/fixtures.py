@@ -1643,6 +1643,55 @@ def ensure_theta_fixture(spark, path: str = THETA_FIXTURE_DIR) -> str:
     return path
 
 
+TXN_FIXTURE_ROOT = os.path.dirname(FIXTURE_DIR)
+
+
+def ensure_txn_fixture(spark) -> dict[str, str]:
+    """Two tables committed in ONE filesystem ``Transaction`` (r10
+    verdict item 6): a 100-row fact and a 4-row weight dim become
+    visible atomically (two-phase hint flip).  Content is formulaic so
+    the DuckDB oracle re-derives the join from ``range()`` arithmetic —
+    the oracle passing proves BOTH tables' transactional commits
+    published."""
+    paths = {
+        "fact": os.path.join(TXN_FIXTURE_ROOT, "txn_fact"),
+        "dim": os.path.join(TXN_FIXTURE_ROOT, "txn_dim"),
+    }
+    if all(
+        os.path.exists(os.path.join(p, "metadata", "version-hint.text"))
+        for p in paths.values()
+    ):
+        return paths
+    from daskberg_spark.iceberg.writer import IcebergWriter, Transaction
+
+    fact = IcebergWriter(
+        paths["fact"],
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    dim = IcebergWriter(
+        paths["dim"],
+        [
+            {"id": 1, "name": "grp", "type": "string", "required": False},
+            {"id": 2, "name": "weight", "type": "double", "required": False},
+        ],
+    )
+    with Transaction(fact, dim):
+        fact.append(
+            [
+                {"id": i, "grp": f"g{i % 4}", "amount": i * 0.25}
+                for i in range(100)
+            ]
+        )
+        dim.append(
+            [{"grp": f"g{g}", "weight": (g + 1) * 1.0} for g in range(4)]
+        )
+    return paths
+
+
 def ensure_tpch_star_iceberg(spark, sf_dir: str) -> dict[str, str]:
     """TPC-H Q9-shaped star fixture over this engine's OWN tables (r10
     verdict item 2: registry multi-join queries should plan through the

@@ -313,6 +313,77 @@ class CommitConflictError(RuntimeError):
     table state and retry (Iceberg optimistic concurrency)."""
 
 
+class Transaction:
+    """All-or-nothing MULTI-TABLE commit for filesystem tables — the
+    local analogue of the REST catalog's ``POST /v1/transactions/commit``
+    (``rest.py`` ``commit_transaction``), which is where real Iceberg
+    puts cross-table atomicity.  Two-phase:
+
+    - **Phase 1 (inside the ``with`` block)**: every member writer's
+      commits run normally — metadata JSON files and data/manifests are
+      written durably — but the ``version-hint.text`` flip, the single
+      publication act every reader discovers state through, is
+      DEFERRED.  No reader observes anything mid-transaction.
+    - **Phase 2 (on clean exit)**: all hints flip, newest staged
+      version per table.
+
+    Any exception inside the block aborts the whole group: staged
+    metadata files are unlinked (so a reloaded writer can re-commit the
+    same version numbers) and no table ever became visible.  Aborted
+    writers are POISONED — their in-memory state is ahead of the
+    published table; reload with ``IcebergWriter.load``.
+
+    Crash semantics, stated honestly: each hint flip is atomic per
+    table, but a PROCESS CRASH between phase-2 flips can leave a
+    committed prefix visible.  That is the filesystem-catalog ceiling
+    (the reason the Iceberg spec routes multi-table transactions
+    through the REST catalog); against workload FAILURES — the common
+    case — visibility is all-or-nothing.
+
+    >>> with Transaction(w1, w2):
+    ...     w1.append(rows)
+    ...     write_df(w2, df)
+    """
+
+    def __init__(self, *writers: "IcebergWriter") -> None:
+        if not writers:
+            raise ValueError("transaction needs at least one writer")
+        if len({id(w) for w in writers}) != len(writers):
+            raise ValueError("duplicate writer in transaction")
+        self.writers = list(writers)
+
+    def __enter__(self) -> "Transaction":
+        for w in self.writers:
+            if getattr(w, "_txn_staged", None) is not None:
+                raise ValueError(f"{w.path} is already in a transaction")
+            if getattr(w, "_txn_poisoned", False):
+                raise RuntimeError(
+                    f"{w.path} writer was aborted in a prior transaction; "
+                    "reload it with IcebergWriter.load"
+                )
+        for w in self.writers:
+            w._txn_staged = []
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            for w in self.writers:
+                for _v, path in w._txn_staged or []:
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
+                w._txn_staged = None
+                # in-memory snapshots are ahead of the published table
+                w._txn_poisoned = True
+            return False
+        for w in self.writers:
+            staged, w._txn_staged = w._txn_staged, None
+            if staged:
+                w._publish_hint(max(v for v, _ in staged))
+        return False
+
+
 class IcebergWriter:
     """Create and evolve an Iceberg v1 table on a local filesystem.
 
@@ -1836,9 +1907,23 @@ class IcebergWriter:
         self.version += 1
         self._write_metadata()
 
+    def _publish_hint(self, version: int) -> None:
+        """Atomically point ``version-hint.text`` at ``version`` — the
+        single publication act every reader discovers state through."""
+        hint_tmp = f"{self.path}/metadata/.version-hint.{version}.tmp"
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, f"{self.path}/metadata/version-hint.text")
+
     def _write_metadata(self) -> None:
         """Emit v{N}.metadata.json + version hint for the current state
         (single emission path shared by commits and snapshot expiry)."""
+        if getattr(self, "_txn_poisoned", False):
+            raise RuntimeError(
+                f"{self.path} writer was aborted in a transaction; its "
+                "in-memory state is ahead of the published table — "
+                "reload with IcebergWriter.load"
+            )
         last = self.head_snapshot
         # snapshot-log holds only the HEAD's lineage (reference Iceberg
         # truncates entries that leave the current branch on rollback, so
@@ -1970,10 +2055,13 @@ class IcebergWriter:
         # atomic replace: a concurrent reader (e.g. the streaming
         # source's latestOffset poll) must never observe a truncated or
         # empty hint mid-write
-        hint_tmp = f"{self.path}/metadata/.version-hint.{self.version}.tmp"
-        with open(hint_tmp, "w") as f:
-            f.write(str(self.version))
-        os.replace(hint_tmp, f"{self.path}/metadata/version-hint.text")
+        if getattr(self, "_txn_staged", None) is not None:
+            # inside a Transaction: metadata JSON is durable but the
+            # hint flip — the publication act readers discover through —
+            # is deferred to Transaction.__exit__'s phase 2
+            self._txn_staged.append((self.version, target))
+        else:
+            self._publish_hint(self.version)
         # Stamp the log entry with the metadata WRITE time, not the last
         # snapshot's commit time: operations that emit metadata without a
         # snapshot (schema/spec evolution) must still advance the log
@@ -2119,8 +2207,17 @@ def write_df(
             else out.repartitionByRange(*range_cols)
         )
         out = out.sortWithinPartitions(*range_cols)
-    elif mode == "none" and sort_by:
-        out = out.sortWithinPartitions(*(pcols + list(sort_by)))
+    elif mode == "none":
+        if num_tasks:
+            # honor the promised task-width pin under mode="none" too:
+            # a round-robin repartition spreads the encode across
+            # num_tasks cores by construction — the throughput lever for
+            # the python AVRO container writer (one encoder per task),
+            # and file-size control for all formats when the input's own
+            # partitioning is too coarse
+            out = out.repartition(num_tasks)
+        if sort_by:
+            out = out.sortWithinPartitions(*(pcols + list(sort_by)))
     fmt = file_format.lower()
     if fmt not in ("parquet", "orc", "avro"):
         raise ValueError(f"unknown data file format {file_format!r}")

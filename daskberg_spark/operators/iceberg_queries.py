@@ -3148,3 +3148,53 @@ def q9_cbo_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
     ).agg(dsum(profit, "profit"))
+
+
+@query(
+    "iceberg_txn_two_tables",
+    """
+    WITH a AS (
+      SELECT i AS id,
+             'g' || CAST(i % 4 AS VARCHAR) AS grp,
+             CAST(i AS DOUBLE) * 0.25 AS amount
+      FROM range(0, 100) t(i)
+    ),
+    b AS (
+      SELECT 'g' || CAST(g AS VARCHAR) AS grp,
+             CAST(g + 1 AS DOUBLE) AS weight
+      FROM range(0, 4) t(g)
+    )
+    SELECT a.grp AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(a.amount * b.weight AS DECIMAL(25,6))) AS DOUBLE)
+             AS total
+    FROM a JOIN b ON a.grp = b.grp
+    GROUP BY 1
+    """,
+)
+def iceberg_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table TRANSACTION read (r11; the local analogue of REST
+    ``commit_transaction``): the fact and dim were committed in ONE
+    two-phase filesystem ``Transaction`` (metadata staged, version
+    hints flipped together — ``writer.Transaction``), so this join over
+    both proves the all-or-nothing publication end to end.  The oracle
+    re-derives the join from the fixture's content formula; a pytest
+    proves both-or-neither visibility under an injected mid-transaction
+    failure (tests/test_transaction.py)."""
+    from daskberg_spark.iceberg.fixtures import ensure_txn_fixture
+
+    paths = ensure_txn_fixture(spark)
+    fact = IcebergTable(paths["fact"]).to_df(spark)
+    dim = IcebergTable(paths["dim"]).to_df(spark)
+    return (
+        fact.join(F.broadcast(dim), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("amount") * F.col("weight")).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )

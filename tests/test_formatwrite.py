@@ -446,3 +446,27 @@ def test_eq_delete_orc_stays_native(spark):
     ids = {r["id"] for r in df.collect()}
     assert not ids & {5, 305, 605}
     assert len(ids) == 897
+
+
+def test_avro_write_num_tasks_spreads_encode(spark):
+    # r10 verdict item 5: mode="none" now honors num_tasks, so a large
+    # AVRO write spreads the python encode across cores by construction
+    # (one container per task on an unpartitioned spec) instead of
+    # inheriting the input's partitioning.
+    d, w = _table(partitioned=False)
+    write_df(
+        w, _df(spark, 0, 4000).coalesce(1), mode="none", num_tasks=8,
+        file_format="avro",
+    )
+    t = IcebergTable(d)
+    files = t.plan_files()
+    assert len(files) == 8
+    assert all(f["file_format"].upper() == "AVRO" for f in files)
+    out = t.to_df(spark)
+    assert out.count() == 4000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(4000))
+    # in-task stats still land: the union of file bounds covers the range
+    los = [
+        {e["key"]: e["value"] for e in f["lower_bounds"]} for f in files
+    ]
+    assert los and all(1 in lo for lo in los)
