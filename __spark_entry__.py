@@ -287,72 +287,89 @@ def _load_registry():
 #       unpivot_stack) rotate in r11+.
 # Everything rotated out is driver-green r8/r9 and stays oracle-exact in
 # CORRECTNESS_LOCAL_r10.json via the identical harness.
+# r11 window (r10 verdict item 7 — freshness rotation): every r10
+# window entry earned a green r10 row, so all 49 non-flagship slots
+# turn over.  Composition:
+#   NEW r11 (2): q9_cbo_star (CBO-planned Q9 star over stats-bearing
+#       engine tables), iceberg_txn_two_tables (two tables committed in
+#       one two-phase filesystem Transaction)
+#   NEVER driver-seen (6, the whole remaining backlog): bpe_train_merges
+#       / bpe_encode_corpus (rows-only: iterative), similarity_ivf_recall
+#       / similarity_ivf_clustered_recall (rows-only by design),
+#       events_anomaly_hours, iceberg_all_manifests
+#   r11-TOUCHED code paths (14, pinned in-window): the scan tag_file
+#       refactor re-planned every delete read (v2/foreign/MOR/DV/null-
+#       scope/merge_mor/multiformat), the shredded prune moved to
+#       manifest-lifted bounds (variant_shredded_prune), commit
+#       summaries gained delete censuses + the bounded-delete
+#       incremental refresh (write_formats, stats_delta, theta_ndv),
+#       cbo_join's fact-key resolution fix (cbo_join), bloom index
+#       builds now file-tag natively (bloom_index_prune), and
+#       delete_where_fast stays pinned as the r10 bench-regression
+#       watch item
+#   OLDEST evidence (27): all 20 entries whose only driver row is r1,
+#       plus the r2/r3/r4 tail (approx_quantiles, iceberg_snapshot_log,
+#       agg_collect_sorted, bucketed_join, median_quantile, salted_join,
+#       dedup_simhash)
+# Everything rotated out is driver-green r9/r10 and stays oracle-exact
+# locally via tools/check_oracle.py (CORRECTNESS_LOCAL_r11.json).
 _PRIORITY = [
     # flagship
     "q1_pricing_summary",
-    # NEW r10
-    "iceberg_legacy_eq_migration",
-    "iceberg_variant_write",
+    # NEW r11
+    "q9_cbo_star",
+    "iceberg_txn_two_tables",
+    # never driver-seen backlog
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "similarity_ivf_recall",
+    "similarity_ivf_clustered_recall",
+    "events_anomaly_hours",
+    "iceberg_all_manifests",
+    # r11-touched code paths
     "iceberg_variant_shredded_prune",
-    # NEW r10 session 3
-    "iceberg_theta_ndv",
-    "iceberg_agg_pushdown_ndv",
-    "iceberg_stats_delta",
-    "iceberg_sql_statistics",
-    "iceberg_write_formats",
-    "iceberg_cbo_join",
-    # NEW r10 session 2
-    "iceberg_agg_pushdown",
-    "iceberg_agg_pushdown_hybrid",
-    "iceberg_agg_pushdown_groupby",
-    "iceberg_bloom_index_prune",
-    "bloom_filter_join",
-    "multimodal_png_decode",
-    "tokenizer_fertility",
-    # r10-touched families
-    "iceberg_variant_read",
     "iceberg_multiformat_read",
+    "iceberg_v2_row_deletes",
     "iceberg_foreign_read",
+    "iceberg_mor_delete_read",
+    "iceberg_dv_delete_read",
     "iceberg_null_partition_scope",
-    "langid_heuristic",
-    "text_quality",
-    "text_stats",
-    "vocab_coverage",
-    "fingerprint_md5",
-    "decontaminate_ngram_overlap",
-    # stale backbone (last driver row r1)
-    "asof_join",
-    "band_join",
-    "case_when_agg",
-    "correlated_subquery",
-    "count_distinct",
-    "cube_agg",
-    "distinct_values",
-    "events_hourly",
-    "events_sessionize",
-    "explode_tokens",
-    "group_count",
-    "grouped_map_scale",
-    "grouping_sets",
-    "in_subquery",
-    "join_anti",
-    "join_full_outer",
-    "join_left",
-    "join_range",
-    "join_semi",
-    "join_theta",
-    "json_functions",
-    "merge_upsert",
-    "pandas_udf_score",
-    # pivot_agg (unpivot_stack had its row in r2; the reshape family
-    # keeps local coverage) / rollup_agg (cube_agg keeps the
-    # grouping-sets family in-window) /
-    # scalar_functions / set_except / set_union / stats_moments dropped
-    # below the 50-slot window by the session-3 additions (joining string_functions2 /
-    # topk_orders / window_distribution / window_range_frame /
-    # window_running / write_roundtrip / agg_argminmax from session 2)
-    # — first in line for the r11 rotation (driver-green r1,
-    # oracle-exact locally)
+    "iceberg_merge_mor",
+    "iceberg_bloom_index_prune",
+    "iceberg_write_formats",
+    "iceberg_stats_delta",
+    "iceberg_theta_ndv",
+    "iceberg_delete_where_fast",
+    "iceberg_cbo_join",
+    # oldest driver evidence (r1)
+    "agg_argminmax",
+    "approx_count_distinct",
+    "date_functions",
+    "map_functions",
+    "pivot_agg",
+    "rollup_agg",
+    "sampled_agg",
+    "scalar_functions",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "stats_moments",
+    "string_functions2",
+    "topk_orders",
+    "unpivot_stack",
+    "window_distribution",
+    "window_lag",
+    "window_range_frame",
+    "window_running",
+    "write_roundtrip",
+    # oldest driver evidence (r2-r4 tail)
+    "approx_quantiles",
+    "iceberg_snapshot_log",
+    "agg_collect_sorted",
+    "bucketed_join",
+    "median_quantile",
+    "salted_join",
+    "dedup_simhash",
 ]
 
 

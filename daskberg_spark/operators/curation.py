@@ -130,7 +130,7 @@ def quality_unigram_meanprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.translate(F.lower(F.trim("text")), "\t\n\f\r", "    "), " +")).alias("t"),
+        F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("t"),
     )
     vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
@@ -190,7 +190,7 @@ def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, join probe) share one computation — Catalyst otherwise
     re-inlines the explode on both sides of the self-join."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.translate(F.lower(F.trim("text")), "\t\n\f\r", "    "), " +")
+    toks = F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")
     nch = (F.size(toks) / CHUNK_W).cast("int")
     chunks = F.when(
         nch > 0,

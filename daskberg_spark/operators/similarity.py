@@ -76,14 +76,24 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_topk(table(spark, sf_dir, "embeddings"))
 
 
-def _cosine(a, b):
+def _cosine(a, b, na=None, nb=None):
     """Cosine of two vector columns with EXPLICIT zero-norm semantics:
     Spark's double division yields NULL on /0 while DuckDB (ieee mode)
     yields NaN, and NULL vs NaN sort to OPPOSITE ends of a descending
     top-k — a single zero vector would silently desync every ranked
     oracle.  Emit NaN on the Spark side too: both engines then rank it
-    identically (NaN greatest)."""
-    denom = _norm(a) * _norm(b)
+    identically (NaN greatest).
+
+    ``na``/``nb``: PRECOMPUTED norm columns.  Pair-scoring sites must
+    pass them, materialized per ROW before the join — inlining ``_norm``
+    here puts an O(dim) fold inside the pair loop AND the ``when``
+    guard duplicates the denominator subtree, so each pair paid ~4 dim
+    folds instead of the two multiplications it needs (the r10→r11
+    control regression on semdedup/neardup: 1.46x at bench scale, and
+    O(pairs·dim) vs O(rows·dim) at 100 TB)."""
+    na = _norm(a) if na is None else na
+    nb = _norm(b) if nb is None else nb
+    denom = na * nb
     return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
         _dot(a, b) / denom
     )
@@ -94,16 +104,24 @@ def exact_topk(emb: DataFrame) -> DataFrame:
     (vec_id, embedding) frame — the ground-truth half of every ANN
     recall harness here."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            _cosine(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -134,10 +152,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space is bounded (at scale the blocks come from LSH buckets
     — similarity_lsh_buckets below — not a metadata column)."""
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("n"),
     )
     a, b = emb.alias("a"), emb.alias("b")
-    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    cos = _cosine(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"))
     return (
         a.join(
             b,
@@ -315,17 +336,19 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = with_b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
         F.col("bucket").alias("qb"),
     )
     c = with_b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
         F.col("bucket").alias("cb"),
     )
     cand = F.broadcast(q).join(
         c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("neighbor_id"))
     ).dropDuplicates(["query_id", "neighbor_id"])
-    cos = _cosine(F.col("qv"), F.col("cv"))
+    cos = _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     ann = (
         cand.select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -477,6 +500,7 @@ def _ivf_recall(emb: DataFrame, n_probe: int, init: str = "first") -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
         _cell_of(v, centroids).alias("cell"),
     )
     # per-query probe cells: N_PROBE smallest distances (array_sort of
@@ -498,15 +522,16 @@ def _ivf_recall(emb: DataFrame, n_probe: int, init: str = "first") -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
             F.explode(probes).alias("p"),
         )
-        .select("query_id", "qv", F.col("p.cell").alias("qcell"))
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("qcell"))
     )
     cand = F.broadcast(q).join(
         corpus,
         (F.col("qcell") == corpus["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
     ).drop("qcell", "cell")
-    cos = _cosine(F.col("qv"), F.col("cv"))
+    cos = _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     ann = (
@@ -666,6 +691,7 @@ class IvfIndex:
         assigned = emb.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
             _cell_of(F.col("embedding"), centroids).alias("cell"),
         ).localCheckpoint()
         return cls(centroids, assigned)
@@ -700,13 +726,14 @@ class IvfIndex:
             n_probe,
         )
         q = queries.select(
-            "query_id", "qv", F.explode(probes).alias("p")
-        ).select("query_id", "qv", F.col("p.cell").alias("qcell"))
+            "query_id", "qv", _norm(F.col("qv")).alias("qn"),
+            F.explode(probes).alias("p")
+        ).select("query_id", "qv", "qn", F.col("p.cell").alias("qcell"))
         cond = F.col("qcell") == self.assigned["cell"]
         if exclude_self:
             cond = cond & (F.col("query_id") != F.col("neighbor_id"))
         cand = F.broadcast(q).join(self.assigned, cond)
-        cos = _cosine(F.col("qv"), F.col("cv"))
+        cos = _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), "neighbor_id"
         )
@@ -834,9 +861,15 @@ def semantic_dedup(emb: DataFrame, cluster, tau: float = SEMDEDUP_TAU) -> DataFr
     # self-join sides and the final keep-join, which shuffle on
     # different keys — without the checkpoint the full per-row fold
     # recomputes per consumer (a redundant corpus pass at scale)
-    assigned = emb.withColumn("cluster", cluster).localCheckpoint()
+    assigned = (
+        emb.withColumn("cluster", cluster)
+        .withColumn("__n", _norm(F.col("v")))
+        .localCheckpoint()
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    cos = _cosine(
+        F.col("a.v"), F.col("b.v"), F.col("a.__n"), F.col("b.__n")
+    )
     dropped = (
         a.join(
             b,

@@ -35,16 +35,18 @@ TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 def _tokens(col):
     """Whitespace tokens of trimmed text (empty text → empty array).
 
-    Engine-identical to splitting on the ``[ \\t\\n\\f\\r]+`` class —
-    a single-pass ``translate`` turns the four rare whitespace chars
-    into spaces, so runs of class chars become runs of spaces and the
-    plain ``' +'`` split yields the same tokens — but the regex engine
-    never scans alternatives on the all-space common case (reclaims the
-    r9 control regression on langid/text_quality)."""
+    Splits on the ``[ \\t\\n\\f\\r]+`` character class directly.  r10
+    replaced this with ``translate``-to-spaces + a ``' +'`` split on the
+    theory that the class regex was the r9 control regression — but the
+    r11 isolated A/B measured the translate form 1.2–1.4x SLOWER inside
+    every consuming query (text_quality 1.39x, langid 1.23x, text_stats
+    1.25x at sf0.1, interleaved min-of-5: ``' +'`` is still a regex
+    split, so translate added a whole extra string pass and bought
+    nothing).  Reverted; SCALING.md round 11 carries the measurement."""
     t = F.trim(col)
     return F.when(
         F.length(t) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.translate(t, "\t\n\f\r", "    "), " +"))
+    ).otherwise(F.split(t, "[ \\t\\n\\f\\r]+"))
 
 
 _SQL_TOKENS = (
@@ -190,7 +192,7 @@ def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/C1: canonical document fingerprint — md5 of whitespace-normalized
     lowercased text; engine-portable (identical string in DuckDB)."""
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.translate("text", "\t\n\f\r", "    "), " {2,}", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return docs.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
 
 
@@ -237,7 +239,7 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = F.pandas_udf(_roll, "long")
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.translate("text", "\t\n\f\r", "    "), " {2,}", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return docs.select("doc_id", roll(norm).alias("fp"))
 
 
@@ -365,7 +367,7 @@ def bpe_train(
     docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
-            F.explode(F.split(F.translate(F.lower(F.trim("text")), "\t\n\f\r", "    "), " +")).alias("w")
+            F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -488,7 +490,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = F.pandas_udf(_roll, "long")
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.translate("text", "\t\n\f\r", "    "), " {2,}", " "))
+    norm = F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " "))
     return (
         docs.withColumn("fp", roll(norm))
         .filter(F.col("fp") % SAMPLE_MOD == 0)

@@ -250,6 +250,10 @@ AUDIT = {
     # join; the only exchange is the final group agg), part's range
     # filter pushed into its scan
     "q9_cbo_star": (1, True, True, None),
+    # r11: two-table transactional read — broadcast dim join + the one
+    # group-agg exchange; plain scans (atomicity is a commit property,
+    # it must cost the plan nothing)
+    "iceberg_txn_two_tables": (1, False, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
