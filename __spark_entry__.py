@@ -293,10 +293,12 @@ def _load_registry():
 #   NEW r11 (2): q9_cbo_star (CBO-planned Q9 star over stats-bearing
 #       engine tables), iceberg_txn_two_tables (two tables committed in
 #       one two-phase filesystem Transaction)
-#   NEVER driver-seen (6, the whole remaining backlog): bpe_train_merges
-#       / bpe_encode_corpus (rows-only: iterative), similarity_ivf_recall
-#       / similarity_ivf_clustered_recall (rows-only by design),
-#       events_anomaly_hours, iceberg_all_manifests
+#   NEVER driver-seen with an oracle (1): events_anomaly_hours.  (The
+#       other never-seen entries — bpe_train_merges/bpe_encode_corpus,
+#       the similarity_ivf pair, iceberg_all_manifests — are rows-only
+#       by design and stay OUT of the window per the window invariant:
+#       an oracle-backed slot records strictly more driver evidence,
+#       and their correctness lives in pytest + the local harness)
 #   r11-TOUCHED code paths (14, pinned in-window): the scan tag_file
 #       refactor re-planned every delete read (v2/foreign/MOR/DV/null-
 #       scope/merge_mor/multiformat), the shredded prune moved to
@@ -307,10 +309,13 @@ def _load_registry():
 #       builds now file-tag natively (bloom_index_prune), and
 #       delete_where_fast stays pinned as the r10 bench-regression
 #       watch item
-#   OLDEST evidence (27): all 20 entries whose only driver row is r1,
-#       plus the r2/r3/r4 tail (approx_quantiles, iceberg_snapshot_log,
+#   OLDEST evidence (32): all 18 oracle-backed entries whose only
+#       driver row is r1, plus the r2-r5 tail (iceberg_snapshot_log,
 #       agg_collect_sorted, bucketed_join, median_quantile, salted_join,
-#       dedup_simhash)
+#       dedup_simhash, iceberg_filtered_scan, iceberg_partitions_metadata,
+#       iceberg_sql_over_catalog, iceberg_unique_partitions,
+#       iceberg_write_roundtrip, multimodal_features,
+#       q3_shipping_priority, q6_forecast_revenue)
 # Everything rotated out is driver-green r9/r10 and stays oracle-exact
 # locally via tools/check_oracle.py (CORRECTNESS_LOCAL_r11.json).
 _PRIORITY = [
@@ -319,13 +324,8 @@ _PRIORITY = [
     # NEW r11
     "q9_cbo_star",
     "iceberg_txn_two_tables",
-    # never driver-seen backlog
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "similarity_ivf_recall",
-    "similarity_ivf_clustered_recall",
+    # never driver-seen (oracle-backed)
     "events_anomaly_hours",
-    "iceberg_all_manifests",
     # r11-touched code paths
     "iceberg_variant_shredded_prune",
     "iceberg_multiformat_read",
@@ -343,12 +343,10 @@ _PRIORITY = [
     "iceberg_cbo_join",
     # oldest driver evidence (r1)
     "agg_argminmax",
-    "approx_count_distinct",
     "date_functions",
     "map_functions",
     "pivot_agg",
     "rollup_agg",
-    "sampled_agg",
     "scalar_functions",
     "set_except",
     "set_intersect",
@@ -362,14 +360,21 @@ _PRIORITY = [
     "window_range_frame",
     "window_running",
     "write_roundtrip",
-    # oldest driver evidence (r2-r4 tail)
-    "approx_quantiles",
+    # oldest driver evidence (r2-r5 tail)
     "iceberg_snapshot_log",
     "agg_collect_sorted",
     "bucketed_join",
     "median_quantile",
     "salted_join",
     "dedup_simhash",
+    "iceberg_filtered_scan",
+    "iceberg_partitions_metadata",
+    "iceberg_sql_over_catalog",
+    "iceberg_unique_partitions",
+    "iceberg_write_roundtrip",
+    "multimodal_features",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
 ]
 
 

@@ -25,7 +25,9 @@ HEADLINE = [
     "join_left",
     "window_rank",
     "window_running",
-    "topk_orders",
+    # topk_orders retired in r11: 0.15 s at sf0.1 — pure noise scale
+    # (its r10 control "1.35x" was 0.15->0.20 s), and the stdout line
+    # budget needed the room for q9_cbo_star.  Still oracle-checked.
     "events_sessionize",
     "events_hourly",
     "json_functions",
