@@ -1097,3 +1097,133 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+PQ_SHORTLIST = 4 * TOP_K  # ADC shortlist size before the exact refine
+
+
+# rows-only by design: both the coarse quantizer (kmeans cells) and the
+# PQ codebooks are data-dependent, so no static SQL twin exists;
+# tests/test_tierc.py pins recall, candidate fraction, and determinism.
+@query("similarity_ivfpq_recall")
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path #4: the FULL production ANN shape — IVF-PQ with
+    exact re-ranking (Jégou et al. 2011, the architecture behind FAISS
+    IndexIVFPQ).  Three stages, each bounding a different cost:
+
+    1. IVF cell probe (candidate-COUNT lever): each query searches only
+       its N_PROBE nearest of N_CELLS kmeans cells, touching
+       ~N_PROBE/N_CELLS of the corpus.
+    2. PQ ADC shortlist (per-candidate COST lever): probed candidates
+       rank by the asymmetric-distance cosine computed from 4-bit PQ
+       codes plus one stored norm — the float vectors of the candidate
+       set are never read.  Top PQ_SHORTLIST survive.
+    3. Exact refine: only the shortlist (4×TOP_K rows per query) joins
+       back to the raw vectors for exact cosine re-ranking.
+
+    At 100 TB the corpus legs carry 12 bytes/vector (8 PQ + 4 norm,
+    ~21× under float32) through stages 1-2; full vectors surface for
+    PQ_SHORTLIST rows per query only.  Output: per-query recall@TOP_K
+    vs brute force, the scanned candidate fraction, and the
+    stage-1/2 bytes-per-vector compression."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb)
+    books = pq_train(emb)
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _cell_of(v, centroids).alias("cell"),
+        pq_codes_col(vd, books).alias("codes"),
+        _norm(v).alias("cn"),
+    ).localCheckpoint()  # assign + encode ONCE
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("cell"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            vd.alias("qv"),
+            _norm(v).alias("qn"),
+            F.explode(probes).alias("p"),
+        )
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("qcell"))
+    )
+    cand = F.broadcast(q).join(
+        corpus,
+        (F.col("qcell") == corpus["cell"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    # stage 2: ADC cosine from codes + norms only
+    adc_cos = pq_adc_dot(F.col("qv"), F.col("codes"), books) / (
+        F.col("qn") * F.col("cn")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), "neighbor_id"
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", "qv", "qn", adc_cos.alias("adc_cos")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "qv", "qn")
+    )
+    # stage 3: exact refine of the shortlist only
+    raw = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    refined = shortlist.join(raw, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        _cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+            "cosine"
+        ),
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    ann = (
+        refined.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    n_cand = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    total = emb.count()
+    exact = exact_topk(emb).select("query_id", "neighbor_id")
+    hits = ann.intersect(exact).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    dim = len(books) * len(books[0][0])
+    # stage-1/2 candidate bytes: 4-bit codes (two per byte) + one
+    # float32 norm, vs dim float32s
+    compression = (dim * 4.0) / (len(books) * 0.5 + 4.0)
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias(
+                "recall"
+            ),
+            (
+                F.coalesce(F.col("n_cand"), F.lit(0)) / F.lit(float(total))
+            ).alias("candidate_fraction"),
+            F.lit(compression).alias("compression_x"),
+        )
+        .orderBy("query_id")
+    )
