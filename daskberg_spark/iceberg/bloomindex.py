@@ -52,8 +52,20 @@ from daskberg_spark.iceberg.puffin import write_puffin
 from daskberg_spark.iceberg.xxhash import BLOOM_SEEDS, spark_xxhash64_chain
 
 BLOOM_BLOB_TYPE = "daskberg-bloom-v1"
+TOKEN_BLOOM_BLOB_TYPE = "daskberg-token-bloom-v1"
 DEFAULT_M_BITS = 1 << 17
+# token filters hold a file's DISTINCT VOCABULARY, not its values —
+# real corpora run ~10^5-10^6 distinct tokens per multi-GB file, so the
+# default is 8x the value-index default (128 KiB/file; ~1% FPR at 1M
+# distinct tokens with 2 seeds is not achievable, but FPR only costs
+# wasted IO — soundness never depends on it)
+DEFAULT_TOKEN_M_BITS = 1 << 20
 DEFAULT_SEEDS = BLOOM_SEEDS
+# the ONE tokenizer both the build and every probe/residual share:
+# lowercase, split on runs of whitespace, drop empties.  Recorded in
+# blob properties so a future tokenizer revision can coexist.
+TOKENIZER_ID = "whitespace-lower-v1"
+TOKEN_SPLIT_RE = r"\s+"
 
 _PROBE_TYPES = {
     "int",
@@ -75,22 +87,26 @@ def _blob_meta(
     fid: int,
     snapshot_id: int,
     seq: int,
+    blob_type: str = BLOOM_BLOB_TYPE,
 ) -> dict[str, Any]:
     """The ONE definition of a bloom blob's metadata — the driver pack,
     the executor shard write, and the driver-side statistics-entry
     reconstruction must stay bit-compatible or the statistics list
     desyncs from the puffin footers."""
+    props = {
+        "data-file": fpath,
+        "column": c,
+        "m-bits": str(m_bits),
+        "seeds": seeds_prop,
+    }
+    if blob_type == TOKEN_BLOOM_BLOB_TYPE:
+        props["tokenizer"] = TOKENIZER_ID
     return {
-        "type": BLOOM_BLOB_TYPE,
+        "type": blob_type,
         "fields": [fid],
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
-        "properties": {
-            "data-file": fpath,
-            "column": c,
-            "m-bits": str(m_bits),
-            "seeds": seeds_prop,
-        },
+        "properties": props,
     }
 
 
@@ -107,6 +123,38 @@ def _stats_entry(path: str, metas: list[dict], snapshot_id: int) -> dict:
     }
 
 
+def write_token_blooms(
+    writer,
+    spark,
+    columns: list[str],
+    m_bits: int = DEFAULT_TOKEN_M_BITS,
+    seeds=DEFAULT_SEEDS,
+    file_subset: dict[str, set] | None = None,
+) -> str | None:
+    """Per-(file, column) Bloom filters over the TOKENS of string
+    columns — the keyword-search analogue of ``write_file_blooms``.
+
+    A value bloom answers ``col == v``; it is useless for "which files
+    contain documents mentioning *word*" because the indexed unit is
+    the whole string.  This index hashes every whitespace-delimited,
+    lowercased token (``TOKENIZER_ID``) of the column instead, so a
+    plan-time probe of ``to_df(token_filters=[("text", "word")])``
+    drops every file whose filter proves NO document in it contains the
+    token — at 100 TB a keyword search over a corpus sharded by
+    (language, source) reads only the shards where the word occurs.
+    Same soundness story as the value index: superset test, raw file
+    contents, residual ``array_contains`` re-filter always applies."""
+    return write_file_blooms(
+        writer,
+        spark,
+        columns,
+        m_bits=m_bits,
+        seeds=seeds,
+        file_subset=file_subset,
+        tokenize=True,
+    )
+
+
 def write_file_blooms(
     writer,
     spark,
@@ -114,6 +162,7 @@ def write_file_blooms(
     m_bits: int = DEFAULT_M_BITS,
     seeds=DEFAULT_SEEDS,
     file_subset: dict[str, set] | None = None,
+    tokenize: bool = False,
 ) -> str | None:
     """Build per-(file, column) Bloom filters in ONE distributed pass
     and commit them as a Puffin statistics file on the current
@@ -143,10 +192,16 @@ def write_file_blooms(
         raise ValueError("m_bits must be a multiple of 64")
     if not writer.snapshots:
         raise ValueError("table has no snapshots")
+    blob_type = TOKEN_BLOOM_BLOB_TYPE if tokenize else BLOOM_BLOB_TYPE
     types = dict(writer.types)
     for c in columns:
         if c not in types:
             raise ValueError(f"unknown column {c!r}")
+        if tokenize and types[c] != "string":
+            raise ValueError(
+                f"token blooms index string columns only — {c!r} is "
+                f"{types[c]!r}"
+            )
         if types[c] not in _PROBE_TYPES:
             raise ValueError(
                 f"column {c!r} has type {types[c]!r} — no bit-exact "
@@ -187,21 +242,34 @@ def write_file_blooms(
     for c in columns:
         if not targets[c]:
             continue
-        pos = F.array(
-            *[
-                F.pmod(
-                    F.xxhash64(F.col(c), F.lit(int(s)).cast("long")),
-                    F.lit(int(m_bits)),
-                )
-                for s in seeds
-            ]
-        )
         leg = df.where(F.col(c).isNotNull())
         if targets[c] != scan_paths:
             # __file carries the normalized scan path form
             leg = leg.where(
                 F.col("__file").isin(sorted(_norm(p) for p in targets[c]))
             )
+        if tokenize:
+            # one row per TOKEN (codegen split+explode, no Python): the
+            # hashed unit becomes the lowercased whitespace token, the
+            # same normalization every probe applies
+            leg = leg.select(
+                F.col("__file"),
+                F.explode(
+                    F.split(F.lower(F.col(c)), TOKEN_SPLIT_RE)
+                ).alias("__tok"),
+            ).where(F.col("__tok") != "")
+            hashed = F.col("__tok")
+        else:
+            hashed = F.col(c)
+        pos = F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(hashed, F.lit(int(s)).cast("long")),
+                    F.lit(int(m_bits)),
+                )
+                for s in seeds
+            ]
+        )
         legs.append(
             leg.select(
                 F.col("__file").alias("f"),
@@ -250,6 +318,7 @@ def write_file_blooms(
             fid_by_col,
             snapshot_id,
             seq,
+            blob_type,
         )
     else:
         rows = word_frame.collect()
@@ -265,13 +334,15 @@ def write_file_blooms(
             dict(
                 _blob_meta(
                     fpath, c, m_bits, seeds_prop,
-                    fid_by_col[c], snapshot_id, seq,
+                    fid_by_col[c], snapshot_id, seq, blob_type,
                 ),
                 data=struct.pack(f"<{m_bits // 64}Q", *arr),
             )
             for (fpath, c), arr in sorted(words.items())
         ]
-        discr = f"blooms{snapshot_id}{sorted(columns)}{sorted(words)}"
+        discr = (
+            f"blooms{snapshot_id}{blob_type}{sorted(columns)}{sorted(words)}"
+        )
         name = (
             f"blooms-{snapshot_id}-"
             f"{uuid.uuid5(uuid.NAMESPACE_URL, discr).hex[:8]}"
@@ -281,15 +352,16 @@ def write_file_blooms(
         metas = write_puffin(path, blobs)
         entries = [_stats_entry(path, metas, snapshot_id)]
     if file_subset is None:
-        # full rebuild replaces prior bloom entries for this snapshot
-        # (NDV stats and other statistics files coexist untouched)
+        # full rebuild replaces prior SAME-TYPE bloom entries for this
+        # snapshot (NDV stats, the other bloom flavor, and any other
+        # statistics files coexist untouched)
         writer.statistics = [
             e
             for e in writer.statistics
             if not (
                 e["snapshot-id"] == snapshot_id
                 and any(
-                    b.get("type") == BLOOM_BLOB_TYPE
+                    b.get("type") == blob_type
                     for b in e.get("blob-metadata", [])
                 )
             )
@@ -313,6 +385,7 @@ def _sharded_blob_commit(
     fid_by_col: dict[str, int],
     snapshot_id: int,
     seq: int,
+    blob_type: str = BLOOM_BLOB_TYPE,
 ) -> list[dict[str, Any]]:
     """Executor-sharded Puffin write for million-file index builds — the
     same shape as the DV commit path's ``DV_SHARD_FILE_GATE``: word rows
@@ -359,7 +432,7 @@ def _sharded_blob_commit(
             dict(
                 _bm(
                     fpath, c, m_bits, seeds_prop,
-                    fid_by_col[c], snapshot_id, seq,
+                    fid_by_col[c], snapshot_id, seq, blob_type,
                 ),
                 data=_struct.pack(f"<{n_words}Q", *arr),
             )
@@ -405,7 +478,7 @@ def _sharded_blob_commit(
             dict(
                 _blob_meta(
                     r.f, r.c, m_bits, seeds_prop,
-                    fid_by_col[r.c], snapshot_id, seq,
+                    fid_by_col[r.c], snapshot_id, seq, blob_type,
                 ),
                 offset=r.offset,
                 length=r.length,
@@ -426,12 +499,12 @@ class _BloomProbe:
     """Lazy per-plan reader over a table's bloom blobs: footer metadata
     resolves once, blob bytes load per (file, column) on first probe."""
 
-    def __init__(self, table) -> None:
+    def __init__(self, table, blob_type: str = BLOOM_BLOB_TYPE) -> None:
         self.table = table
         self.blob_map: dict[tuple[str, int], tuple[str, dict]] = {}
         for entry in table.table_statistics():
             for meta in entry.get("blob-metadata", []):
-                if meta.get("type") != BLOOM_BLOB_TYPE:
+                if meta.get("type") != blob_type:
                     continue
                 props = meta.get("properties") or {}
                 fpath = props.get("data-file")
@@ -540,6 +613,64 @@ def bloom_prune_files(
     ]
 
 
+def normalize_token(token: Any) -> str:
+    """The probe-side half of ``TOKENIZER_ID``: the build lowercases
+    and splits on whitespace, so a probe term must be one non-empty
+    lowercased token or it could never have been hashed."""
+    if not isinstance(token, str):
+        raise ValueError(f"token filters take strings, got {token!r}")
+    tok = token.lower()
+    if not tok or any(ch.isspace() for ch in tok):
+        raise ValueError(
+            f"token {token!r} is empty or contains whitespace — the "
+            f"{TOKENIZER_ID} tokenizer can never produce it; search "
+            "each word as its own (col, token) filter"
+        )
+    return tok
+
+
+def token_prune_files(
+    table, files: list[dict[str, Any]], token_filters: Any
+) -> list[dict[str, Any]]:
+    """Drop planned files whose token Bloom filter proves NO row's
+    ``col`` contains ``token`` (``TOKENIZER_ID`` tokenization).  AND
+    semantics across entries, matching ``to_df``'s residual; files
+    without a blob (or with a foreign tokenizer revision) always
+    survive."""
+    if not token_filters or not files:
+        return files
+    probe = _BloomProbe(table, TOKEN_BLOOM_BLOB_TYPE)
+    if not probe:
+        return files
+    # a blob from a different tokenizer revision hashed different
+    # units — it must never prune this probe's tokens
+    probe.blob_map = {
+        k: v
+        for k, v in probe.blob_map.items()
+        if (v[1].get("properties") or {}).get("tokenizer") == TOKENIZER_ID
+    }
+    if not probe.blob_map:
+        return files
+    fields = table.fields
+    prepared = []
+    for col, token in token_filters:
+        info = fields.get(col)
+        tok = normalize_token(token)
+        if info is None or info.type != "string":
+            continue  # residual-only (to_df validates loudly upstream)
+        prepared.append((info.field_id, tok))
+    if not prepared:
+        return files
+    return [
+        f
+        for f in files
+        if all(
+            probe.may_contain(f["file_path"], fid, "string", tok)
+            for fid, tok in prepared
+        )
+    ]
+
+
 def refresh_file_blooms(writer, spark) -> str | None:
     """Incremental index catch-up: build blobs ONLY for live files that
     lack one for an already-indexed column — the post-compaction /
@@ -550,42 +681,48 @@ def refresh_file_blooms(writer, spark) -> str | None:
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     t = IcebergTable(writer.path)
-    probe = _BloomProbe(t)
-    if not probe:
-        return None
     id_to_name = {f.field_id: n for n, f in t.fields.items()}
-    params: dict[str, tuple[int, tuple]] = {}
-    for (_path, fid), (_sp, meta) in probe.blob_map.items():
-        name = id_to_name.get(fid)
-        props = meta.get("properties") or {}
-        try:
-            params[name] = (
-                int(props["m-bits"]),
-                tuple(int(s) for s in props["seeds"].split(",")),
-            )
-        except (KeyError, ValueError):
-            continue
-    missing: dict[str, set] = {}
-    for f in t.plan_files(None):
-        for fid, name in id_to_name.items():
-            if name not in params:
-                continue
-            if (_norm(f["file_path"]), fid) not in probe.blob_map:
-                missing.setdefault(name, set()).add(f["file_path"])
-    if not missing:
-        return None
-    # one build per distinct (m_bits, seeds) group — normally exactly one
+    live = None
     out = None
-    groups: dict[tuple, list[str]] = {}
-    for name in missing:
-        groups.setdefault(params[name], []).append(name)
-    for (m_bits, seeds), cols in sorted(groups.items()):
-        out = write_file_blooms(
-            writer,
-            spark,
-            sorted(cols),
-            m_bits=m_bits,
-            seeds=seeds,
-            file_subset={c: missing.get(c, set()) for c in cols},
-        )
+    for blob_type in (BLOOM_BLOB_TYPE, TOKEN_BLOOM_BLOB_TYPE):
+        probe = _BloomProbe(t, blob_type)
+        if not probe:
+            continue
+        params: dict[str, tuple[int, tuple]] = {}
+        for (_path, fid), (_sp, meta) in probe.blob_map.items():
+            name = id_to_name.get(fid)
+            props = meta.get("properties") or {}
+            try:
+                params[name] = (
+                    int(props["m-bits"]),
+                    tuple(int(s) for s in props["seeds"].split(",")),
+                )
+            except (KeyError, ValueError):
+                continue
+        if live is None:
+            live = t.plan_files(None)
+        missing: dict[str, set] = {}
+        for f in live:
+            for fid, name in id_to_name.items():
+                if name not in params:
+                    continue
+                if (_norm(f["file_path"]), fid) not in probe.blob_map:
+                    missing.setdefault(name, set()).add(f["file_path"])
+        if not missing:
+            continue
+        # one build per distinct (m_bits, seeds) group within the
+        # flavor — normally exactly one
+        groups: dict[tuple, list[str]] = {}
+        for name in missing:
+            groups.setdefault(params[name], []).append(name)
+        for (m_bits, seeds), cols in sorted(groups.items()):
+            out = write_file_blooms(
+                writer,
+                spark,
+                sorted(cols),
+                m_bits=m_bits,
+                seeds=seeds,
+                file_subset={c: missing.get(c, set()) for c in cols},
+                tokenize=blob_type == TOKEN_BLOOM_BLOB_TYPE,
+            )
     return out

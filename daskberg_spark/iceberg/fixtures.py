@@ -1779,6 +1779,67 @@ def ensure_tpch_star_iceberg(spark, sf_dir: str) -> dict[str, str]:
     return paths
 
 
+DOCS_TOKEN_TAGFMT = "docs_tokenice_{tag}"
+
+
+def ensure_documents_token_iceberg(spark, sf_dir: str) -> str:
+    """Documents corpus as an Iceberg table sharded by ``lang_source``
+    (the natural layout of a crawl corpus: one file per language ×
+    provenance shard — 100 shards at sf0.1) with a token Bloom index on
+    ``text`` (``bloomindex.write_token_blooms``).  Keyword searches
+    prune whole shards whose vocabulary provably lacks the term; the
+    shard key is part of the schema so oracles can recompute it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        commit_spark_output,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        os.path.dirname(FIXTURE_DIR), DOCS_TOKEN_TAGFMT.format(tag=tag)
+    )
+    hint = os.path.join(base, "metadata", "version-hint.text")
+    if os.path.exists(hint) and IcebergTable(base).table_statistics():
+        return base
+    if not os.path.exists(hint):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.concat_ws("_", "lang", "source").alias("shard"),
+        ).repartition("lang", "source")
+        data_dir = os.path.join(base, "data")
+        out.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
+        writer = IcebergWriter(
+            base,
+            [
+                {"id": 1, "name": "doc_id", "type": "long", "required": False},
+                {"id": 2, "name": "text", "type": "string", "required": False},
+                {"id": 3, "name": "lang", "type": "string", "required": False},
+                {"id": 4, "name": "source", "type": "string", "required": False},
+                {"id": 5, "name": "n_chars", "type": "long", "required": False},
+                {"id": 6, "name": "shard", "type": "string", "required": False},
+            ],
+            [{"name": "shard", "transform": "identity", "source": "shard"}],
+        )
+        commit_spark_output(
+            writer, data_dir, partition_col="shard", path_col="shard"
+        )
+    else:
+        writer = IcebergWriter.load(base)
+    write_token_blooms(writer, spark, ["text"])
+    return base
+
+
 # Single wrap call, at the BOTTOM so every ensure_* above — including
 # the ones added after the wrapper's original mid-file position, which
 # silently escaped serialization — takes the build flock.  Calling the

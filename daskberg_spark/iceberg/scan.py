@@ -97,6 +97,7 @@ def to_df(
     row_lineage: bool = False,
     file_subset: Any = None,
     variant_filters: Any = None,
+    token_filters: Any = None,
 ) -> DataFrame:
     """Materialize the table's current snapshot as a (lazy) DataFrame.
 
@@ -130,6 +131,13 @@ def to_df(
     files without them) and then applies the exact ``variant_get``
     predicate as a residual, so results never depend on stats.  AND
     semantics across entries, like ``filters``.
+
+    ``token_filters`` — ``[(col, token), ...]`` keyword predicates on
+    string columns: each prunes planned files by the table's token
+    Bloom index (``bloomindex.write_token_blooms``) when one exists and
+    then applies the exact tokenized ``array_contains`` residual
+    (lowercase, whitespace split — ``bloomindex.TOKENIZER_ID``), so
+    results never depend on the index.  AND semantics across entries.
     """
     want_file, want_pos = keep_file or keep_pos, keep_pos
     keep_pos = keep_pos or row_lineage
@@ -152,6 +160,8 @@ def to_df(
             # the variant residual reads the column even when projected
             # away (dropped by the final select, like filter columns)
             wanted |= {vf[0] for vf in variant_filters}
+        if token_filters:
+            wanted |= {tf[0] for tf in token_filters}
         base = {f.name for f in struct.fields}
         if wanted <= base:
             eq_keys = _eq_delete_key_names(table)
@@ -187,6 +197,21 @@ def to_df(
         files = _variant_prune_multi(
             files, list(variant_filters), _vcounters
         )
+    if token_filters:
+        from daskberg_spark.iceberg.bloomindex import (
+            normalize_token,
+            token_prune_files,
+        )
+
+        for tcol, ttok in token_filters:
+            info = table.fields.get(tcol)
+            if info is None or info.type != "string":
+                raise ValueError(
+                    f"token_filters column {tcol!r} is not a string "
+                    "column of this table"
+                )
+            normalize_token(ttok)  # loud shape validation
+        files = token_prune_files(table, files, list(token_filters))
     # scan observability (real Iceberg's ScanMetrics analogue): one
     # driver-side dict per to_df call — what an operator checks when a
     # query reads more than expected ("did the filter prune?  which
@@ -227,6 +252,7 @@ def to_df(
         },
         "projected_columns": sorted(f.name for f in struct.fields),
         "filters": filters,
+        "token_filters": token_filters,
     }
     if not files:
         df = spark.createDataFrame([], struct)
@@ -284,6 +310,22 @@ def to_df(
     if variant_filters:
         for vcol, vpath, vop, vval in variant_filters:
             df = df.filter(_variant_residual(vcol, vpath, vop, vval))
+    if token_filters:
+        from daskberg_spark.iceberg.bloomindex import (
+            TOKEN_SPLIT_RE,
+            normalize_token,
+        )
+
+        for tcol, ttok in token_filters:
+            # the exact predicate the index approximates — identical
+            # tokenization (lowercase, whitespace split; empty strings
+            # can't equal a validated non-empty token)
+            df = df.filter(
+                F.array_contains(
+                    F.split(F.lower(F.col(tcol)), TOKEN_SPLIT_RE),
+                    F.lit(normalize_token(ttok)),
+                )
+            )
     if columns:
         extra = (["__file"] if want_file else []) + (
             ["__pos"] if want_pos else []

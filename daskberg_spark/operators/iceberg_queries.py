@@ -3198,3 +3198,46 @@ def iceberg_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "iceberg_token_search",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE list_contains(regexp_split_to_array(lower(text), '\\s+'), 'dup')
+    GROUP BY lang
+    """,
+)
+def iceberg_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search through the token Bloom index (r11,
+    ``bloomindex.write_token_blooms``): the corpus is Iceberg-sharded
+    by (lang, source) — a crawl corpus's natural layout — and each
+    file carries a Puffin Bloom filter over its lowercased whitespace
+    TOKENS.  Searching documents mentioning 'dup' prunes every shard
+    whose vocabulary provably lacks the word at PLAN time (hard-asserted
+    below), then re-applies the exact tokenized ``array_contains``
+    residual — at 100 TB a keyword search reads only the shards where
+    the word occurs instead of the whole corpus.  Value blooms can't
+    answer this: the indexed unit there is the entire document string."""
+    from daskberg_spark.iceberg.fixtures import ensure_documents_token_iceberg
+
+    t = IcebergTable(ensure_documents_token_iceberg(spark, sf_dir))
+    df = t.to_df(
+        spark,
+        token_filters=[("text", "dup")],
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    scan = t.last_scan
+    assert scan["files_scanned"] < scan["files_live"], (
+        f"token bloom prune regressed: {scan['files_scanned']} of "
+        f"{scan['files_live']} files scanned"
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

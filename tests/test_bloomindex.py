@@ -393,3 +393,182 @@ def test_xxhash64_randomized_strings_vs_spark(spark):
         for v in vals
     ]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Token Bloom index (keyword-search file pruning)
+
+
+def _token_table(spark):
+    """Three single-file shards with disjoint-ish vocabularies, plus a
+    NULL text row (must not crash the build or match any token)."""
+    path = tempfile.mkdtemp(prefix="tokbloom_")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "doc_id", "type": "long", "required": False},
+            {"id": 2, "name": "text", "type": "string", "required": False},
+            {"id": 3, "name": "shard", "type": "string", "required": False},
+        ],
+        [{"name": "shard", "transform": "identity", "source": "shard"}],
+    )
+    corpus = {
+        "a": ["alpha beta gamma", "beta  delta\talpha", None],
+        "b": ["delta epsilon", "Epsilon ZETA beta"],
+        "c": ["omega psi", "psi chi omega"],
+    }
+    i = 0
+    for s in sorted(corpus):
+        w.append(
+            [
+                {"doc_id": (i := i + 1), "text": t, "shard": s}
+                for t in corpus[s]
+            ]
+        )
+    return path, w, corpus
+
+
+def test_token_search_prunes_and_matches(spark):
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+
+    path, w, corpus = _token_table(spark)
+    write_token_blooms(w, spark, ["text"])
+    t = IcebergTable(path)
+    # 'zeta' lives only in shard b (and only UPPERCASED in the data —
+    # the index and residual both lowercase)
+    df = t.to_df(spark, token_filters=[("text", "zeta")])
+    rows = df.collect()
+    assert [r.shard for r in rows] == ["b"]
+    assert t.last_scan["files_scanned"] == 1
+    assert t.last_scan["files_live"] == 3
+    # an uppercase PROBE normalizes too
+    assert t.to_df(spark, token_filters=[("text", "ZeTa")]).count() == 1
+    # absent token → zero files planned, zero rows
+    assert t.to_df(spark, token_filters=[("text", "nothere")]).count() == 0
+    assert t.last_scan["files_scanned"] == 0
+    # AND semantics: beta AND delta → only docs with both
+    both = t.to_df(
+        spark, token_filters=[("text", "beta"), ("text", "delta")]
+    )
+    assert {r.doc_id for r in both.collect()} == {2}
+    # shards a and b each hold both tokens somewhere; only c prunes
+    assert t.last_scan["files_scanned"] == 2
+
+
+def test_token_search_never_loses_a_match(spark):
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+
+    path, w, corpus = _token_table(spark)
+    write_token_blooms(w, spark, ["text"])
+    t = IcebergTable(path)
+    vocab = {
+        tok
+        for texts in corpus.values()
+        for txt in texts
+        if txt
+        for tok in txt.lower().split()
+    }
+    full = t.to_df(spark).collect()
+    for tok in sorted(vocab):
+        expect = {
+            r.doc_id for r in full if tok in (r.text or "").lower().split()
+        }
+        got = {
+            r.doc_id
+            for r in t.to_df(spark, token_filters=[("text", tok)]).collect()
+        }
+        assert got == expect, tok
+
+
+def test_token_blobless_file_always_kept(spark):
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+
+    path, w, _ = _token_table(spark)
+    write_token_blooms(w, spark, ["text"])
+    w.append([{"doc_id": 99, "text": "unique newword", "shard": "z"}])
+    t = IcebergTable(path)
+    rows = t.to_df(spark, token_filters=[("text", "newword")]).collect()
+    assert [r.doc_id for r in rows] == [99]
+    assert t.last_scan["files_scanned"] == 1  # old shards bloom away
+
+
+def test_token_bloom_validation(spark):
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+
+    path, w, _ = _token_table(spark)
+    with pytest.raises(ValueError, match="string columns only"):
+        write_token_blooms(w, spark, ["doc_id"])
+    write_token_blooms(w, spark, ["text"])
+    t = IcebergTable(path)
+    with pytest.raises(ValueError, match="not a string"):
+        t.to_df(spark, token_filters=[("doc_id", "x")])
+    with pytest.raises(ValueError, match="whitespace"):
+        t.to_df(spark, token_filters=[("text", "two words")])
+    with pytest.raises(ValueError, match="whitespace"):
+        t.to_df(spark, token_filters=[("text", "")])
+
+
+def test_token_and_value_blooms_coexist(spark):
+    """Both index flavors on one table: each prunes its own predicate
+    shape, and a full rebuild of one never evicts the other."""
+    from daskberg_spark.iceberg.bloomindex import (
+        BLOOM_BLOB_TYPE,
+        TOKEN_BLOOM_BLOB_TYPE,
+        write_token_blooms,
+    )
+
+    path, w, _ = _token_table(spark)
+    write_file_blooms(w, spark, ["shard"])
+    write_token_blooms(w, spark, ["text"])
+    # rebuilding the VALUE index must keep the token entries
+    write_file_blooms(w, spark, ["shard"])
+    t = IcebergTable(path)
+    types = {
+        m["type"]
+        for e in t.table_statistics()
+        for m in e.get("blob-metadata", [])
+    }
+    assert {BLOOM_BLOB_TYPE, TOKEN_BLOOM_BLOB_TYPE} <= types
+    assert len(t.plan_files([("shard", "==", "b")])) == 1
+    df = t.to_df(spark, token_filters=[("text", "omega")])
+    assert df.count() == 2
+    assert t.last_scan["files_scanned"] == 1
+
+
+def test_refresh_covers_token_blooms(spark):
+    from daskberg_spark.iceberg.bloomindex import (
+        refresh_file_blooms,
+        write_token_blooms,
+    )
+
+    path, w, _ = _token_table(spark)
+    write_token_blooms(w, spark, ["text"])
+    w.append([{"doc_id": 50, "text": "fresh words", "shard": "d"}])
+    assert refresh_file_blooms(w, spark) is not None
+    t = IcebergTable(path)
+    df = t.to_df(spark, token_filters=[("text", "fresh")])
+    assert [r.doc_id for r in df.collect()] == [50]
+    # the refreshed blob PRUNES (not merely keeps) the new file
+    assert t.last_scan["files_scanned"] == 1
+    assert t.last_scan["files_live"] == 4
+    assert refresh_file_blooms(w, spark) is None  # steady state
+
+
+def test_token_bloom_tokenizer_revision_guard(spark):
+    """A blob carrying an unknown tokenizer id must never prune — it
+    hashed different units than this probe."""
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+
+    path, w, _ = _token_table(spark)
+    write_token_blooms(w, spark, ["text"])
+    # forge a future tokenizer revision on every blob
+    for e in w.statistics:
+        for m in e.get("blob-metadata", []):
+            if "tokenizer" in (m.get("properties") or {}):
+                m["properties"]["tokenizer"] = "whitespace-lower-v99"
+    w.version += 1
+    w._write_metadata()
+    t = IcebergTable(path)
+    df = t.to_df(spark, token_filters=[("text", "zeta")])
+    assert df.count() == 1  # residual still exact
+    assert t.last_scan["files_scanned"] == 3  # no pruning claimed

@@ -224,6 +224,11 @@ AUDIT = {
     # handful of files, the equality residual pushes into their scan,
     # one global-agg exchange
     "iceberg_bloom_index_prune": (1, True, False, 3),
+    # r11 token bloom keyword search: token-pruned shard scan + the
+    # tokenized array_contains residual (codegen, not pushable to the
+    # parquet footer) + one group-agg exchange; ReadSchema = the 3
+    # projected columns plus `text` for the residual
+    "iceberg_token_search": (1, False, False, 4),
     # grouped metadata aggregate: 83 group rows combined driver-side
     # from manifest stats — a literal relation, zero exchanges
     "iceberg_agg_pushdown_groupby": (0, False, False, None),
