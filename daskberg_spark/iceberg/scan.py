@@ -1707,20 +1707,20 @@ def _variant_prune_multi(
     import json as _json
 
     from daskberg_spark.iceberg.planner import range_may_match
+    from daskberg_spark.iceberg.variant import shred_leaf_names
 
     prepared = []
     for col, vpath, op, value in preds:
         field = vpath[2:] if vpath.startswith("$.") else vpath
         probe = _variant_probe(op, value)
-        if (
-            not field
-            or "." in field
-            or op == "!="
-            or probe is None
-            or probe[1] is None
-        ):
+        if not field or probe is None or probe[1] is None:
             continue  # conservative: residual-only predicate
         _vtype, parse, tv, phys_ok = probe
+        # nested paths ('$.meta.score') prune like top-level ones —
+        # shred_leaf_names supplies the per-level residual soundness
+        # gates; '!=' prunes via range_may_match (empty field → no
+        # match; bounds pinned to exactly the value → no match, floats
+        # conservatively kept per the NaN rule)
         prepared.append((col, field, op, parse, tv, phys_ok))
     if not prepared:
         return files
@@ -1793,15 +1793,9 @@ def _variant_prune_multi(
 
         survives = True
         for col, field, op, parse, tv, phys_ok in prepared:
-            t_leaf = f"{col}, typed_value, {field}, typed_value"
-            v_leaf = f"{col}, typed_value, {field}, value"
-            top_leaf = f"{col}, value"
+            t_leaf, v_sibs = shred_leaf_names(col, field)
             typed = groups.get(t_leaf)
-            if (
-                typed is None
-                or not all_null(v_leaf)
-                or not all_null(top_leaf)
-            ):
+            if typed is None or not all(all_null(v) for v in v_sibs):
                 continue  # unshredded / residual-fallback rows: keep
             if phys.get(t_leaf) not in phys_ok:
                 # probe type vs leaf physical type mismatch: the

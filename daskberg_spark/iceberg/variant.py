@@ -285,16 +285,58 @@ _PHYS_PARSE = {
 }
 
 
+def shred_leaf_names(col: str, dotted_field: str) -> tuple[str, list[str]]:
+    """(typed-value leaf column name, residual ``value`` sibling names
+    at EVERY nesting level including the top-level column) for a dotted
+    shredded path like ``meta.score``.  The parquet layout alternates
+    field/``typed_value`` groups (``col, typed_value, meta,
+    typed_value, score, typed_value``); soundness requires every
+    intermediate ``value`` sibling all-NULL — an object stored
+    unshredded at ANY level can hide subfield values the leaf stats
+    never saw."""
+    sibs = [f"{col}, value"]
+    accum = col
+    for p in dotted_field.split("."):
+        accum += f", typed_value, {p}"
+        sibs.append(f"{accum}, value")
+    return f"{accum}, typed_value", sibs
+
+
+def discover_shredded_leaves(
+    group_names, col: str
+) -> dict[str, str]:
+    """{dotted field path: typed-value leaf column name} for every
+    shredded SCALAR leaf under variant column ``col`` — top-level and
+    nested alike.  Leaf names alternate ``field, typed_value`` segments
+    after the column (parquet stores only leaves, so struct levels
+    never appear as their own entries)."""
+    out: dict[str, str] = {}
+    for name in group_names:
+        parts = name.split(", ")
+        if (
+            len(parts) < 4
+            or len(parts) % 2
+            or parts[0] != col
+            or any(
+                parts[i] != "typed_value" for i in range(1, len(parts), 2)
+            )
+        ):
+            continue
+        out[".".join(parts[2::2])] = name
+    return out
+
+
 def shredded_footer_bounds(
     path: str, variant_cols: list[str]
 ) -> dict[str, dict[str, Any]]:
-    """{"<col>.<field>": {"lo", "hi", "phys"} | {"empty": True}} for
-    every top-level shredded subfield of ``variant_cols`` whose footer
-    stats prove a sound file-level bound.  ``empty`` means the field is
-    NULL/missing in every row (any predicate on it matches nothing).
-    Fields with inexact/absent stats, nested shredding, or non-NULL
-    residuals are omitted — plan-time pruning then falls back to the
-    footer read (or keeps the file)."""
+    """{"<col>.<dotted.field>": {"lo", "hi", "phys"} | {"empty": True}}
+    for every shredded scalar leaf of ``variant_cols`` — top-level and
+    nested paths alike — whose footer stats prove a sound file-level
+    bound.  ``empty`` means the field is NULL/missing in every row (any
+    predicate on it matches nothing, including ``!=``).  Fields with
+    inexact/absent stats or a non-NULL ``value`` residual at ANY
+    nesting level are omitted — plan-time pruning then falls back to
+    the footer read (or keeps the file)."""
     import duckdb
 
     try:
@@ -319,22 +361,15 @@ def shredded_footer_bounds(
 
     out: dict[str, dict[str, Any]] = {}
     for col in variant_cols:
-        prefix = f"{col}, typed_value, "
-        suffix = ", typed_value"
-        fields = {
-            name[len(prefix):-len(suffix)]
-            for name in groups
-            if name.startswith(prefix)
-            and name.endswith(suffix)
-            and name.count(",") == 3  # top-level subfields only
-        }
+        fields = discover_shredded_leaves(groups, col)
         if fields and not all_null(f"{col}, value"):
             continue  # some row's object lives unshredded: no bounds
         for field in sorted(fields):
-            t_leaf = f"{col}, typed_value, {field}, typed_value"
-            v_leaf = f"{col}, typed_value, {field}, value"
-            if not all_null(v_leaf):
-                continue  # residual-fallback rows exist for this field
+            t_leaf, v_sibs = shred_leaf_names(col, field)
+            if not all(all_null(v) for v in v_sibs[1:]):
+                # residual-fallback rows exist at some nesting level
+                # (v_sibs[0] is the top-level residual checked above)
+                continue
             parse = _PHYS_PARSE.get(phys.get(t_leaf, ""))
             if parse is None:
                 continue

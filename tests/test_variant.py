@@ -4,6 +4,7 @@ driver-side writer path, and shredded-footer pruning
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 VECTORS = [
     None,
@@ -437,3 +438,202 @@ def test_variant_bounds_soundness_gates(spark, tmp_path):
     assert "payload.a" not in parsed, parsed
     # direct extractor agrees
     assert "payload.a" not in shredded_footer_bounds(rec["file_path"], ["payload"])
+
+
+def _nested_shred_table(spark, tmp_path, half_rows=20):
+    """Two files, NESTED shredding (`meta struct<score,tag>`): file 1
+    has meta.score 0..57 and flag='x' everywhere; file 2 has meta.score
+    300..357 and flag='y' everywhere, with meta MISSING on every third
+    row (leaf nulls must not block bounds)."""
+    import os
+
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    path = str(tmp_path / "nested")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+    )
+    stage = os.path.join(path, "stage")
+
+    def half(lo, hi, base, flag, skip_meta):
+        body = F.concat(
+            F.lit('{"flag": "' + flag + '"'),
+            F.when(
+                F.col("id") % 3 == 2 if skip_meta else F.lit(False),
+                F.lit(""),
+            ).otherwise(
+                F.concat(
+                    F.lit(', "meta": {"score": '),
+                    (F.lit(base) + (F.col("id") % 20) * 3).cast("string"),
+                    F.lit(', "tag": "m'),
+                    (F.col("id") % 2).cast("string"),
+                    F.lit('"}'),
+                )
+            ),
+            F.lit("}"),
+        )
+        return spark.range(lo, hi).select(
+            F.col("id"), F.parse_json(body).alias("payload")
+        )
+
+    old = spark.conf.get("spark.sql.variant.forceShreddingSchemaForTest", "")
+    # `ghost` is in the shredding schema but NEVER present in the data:
+    # its typed_value leaf exists with all-null stats (the 'empty' case)
+    spark.conf.set(
+        "spark.sql.variant.forceShreddingSchemaForTest",
+        "flag string, ghost string, meta struct<score bigint, tag string>",
+    )
+    try:
+        half(0, half_rows, 0, "x", False).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        half(half_rows, 2 * half_rows, 300, "y", True).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", old)
+    commit_spark_output(w, stage)
+    return path
+
+
+def test_nested_shredded_path_prunes(spark, tmp_path):
+    """r11: predicates on NESTED shredded paths ('$.meta.score') prune
+    files — from the manifest-lifted bounds first, footers as fallback
+    — with the exact nested variant_get residual always applied."""
+    import json
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import _variant_prune_multi, to_df
+
+    t = IcebergTable(_nested_shred_table(spark, tmp_path))
+    recs = t.plan_files()
+    assert len(recs) == 2
+    # nested keys lifted into manifests at commit
+    for rec in recs:
+        vb = json.loads(rec["variant_bounds"])
+        assert {"payload.flag", "payload.meta.score", "payload.meta.tag"} <= set(
+            vb
+        ), vb
+    # nested range predicate prunes the low file with ZERO footer reads
+    df = to_df(t, spark, variant_filters=[("payload", "$.meta.score", ">=", 300)])
+    assert t.last_scan["files_scanned"] == 1
+    assert t.last_scan["variant_footer_reads"] == 0
+    got = sorted(r["id"] for r in df.select("id").collect())
+    assert got == [i for i in range(20, 40) if i % 3 != 2]
+    # footer fallback path plans the same files
+    stripped = [
+        {k: v for k, v in r.items() if k != "variant_bounds"} for r in recs
+    ]
+    c: dict = {}
+    footer = _variant_prune_multi(
+        stripped, [("payload", "$.meta.score", ">=", 300)], c
+    )
+    assert c["variant_footer_reads"] == 2
+    assert [r["file_path"] for r in footer] == [
+        r["file_path"]
+        for r in _variant_prune_multi(
+            recs, [("payload", "$.meta.score", ">=", 300)]
+        )
+    ]
+    # nested string leaf: no 'm9' anywhere -> zero files
+    df = to_df(t, spark, variant_filters=[("payload", "$.meta.tag", "==", "m9")])
+    assert t.last_scan["files_scanned"] == 0 and df.count() == 0
+
+
+def test_not_equals_prunes_pinned_and_empty(spark, tmp_path):
+    """r11: '!=' prunes a file whose bounds pin the field to exactly
+    the probed value (every non-null row equals it; null/missing rows
+    never satisfy '!='), and a file where the field is missing in
+    every row.  Floats stay conservative per the NaN rule."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(_nested_shred_table(spark, tmp_path))
+    # flag pinned to 'x' in file 1, 'y' in file 2
+    df = to_df(t, spark, variant_filters=[("payload", "$.flag", "!=", "x")])
+    assert t.last_scan["files_scanned"] == 1
+    assert df.count() == 20
+    df = to_df(t, spark, variant_filters=[("payload", "$.flag", "!=", "y")])
+    assert t.last_scan["files_scanned"] == 1
+    assert df.count() == 20
+    # a shredded field present in NO row ('empty' bounds): '!=' matches
+    # nothing — NULL != v is never true — so every file prunes
+    df = to_df(t, spark, variant_filters=[("payload", "$.ghost", "!=", "z")])
+    assert t.last_scan["files_scanned"] == 0 and df.count() == 0
+    # a field absent from the shredding schema has NO stats at all:
+    # conservative keep, residual still exact
+    df = to_df(t, spark, variant_filters=[("payload", "$.absent", "!=", 5)])
+    assert t.last_scan["files_scanned"] == 2 and df.count() == 0
+    # pinned NESTED value: meta.tag is m0/m1 mixed -> kept; but a
+    # range-open '!=' on meta.score (not pinned) keeps both files and
+    # stays residual-exact, missing-meta rows excluded by SQL semantics
+    df = to_df(t, spark, variant_filters=[("payload", "$.meta.score", "!=", 0)])
+    # file1 minus its score==0 row; file2's meta-missing rows (id%3==2)
+    # never satisfy '!='
+    expect = 19 + sum(1 for i in range(20, 40) if i % 3 != 2)
+    assert df.count() == expect
+
+
+def test_nested_intermediate_residual_blocks_prune(spark, tmp_path):
+    """An object stored UNSHREDDED at an intermediate level (meta as a
+    non-object) hides subfield values from leaf stats — no bounds may
+    be lifted for paths under it and the footer prune must keep the
+    file."""
+    import json
+    import os
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.scan import to_df
+    from daskberg_spark.iceberg.variant import shredded_footer_bounds
+    from daskberg_spark.iceberg.writer import IcebergWriter, commit_spark_output
+
+    path = str(tmp_path / "resid")
+    w = IcebergWriter(
+        path,
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "payload", "type": "variant", "required": False},
+        ],
+    )
+    stage = os.path.join(path, "stage")
+    # every third row stores meta as a NUMBER -> lands in `meta, value`
+    body = F.when(
+        F.col("id") % 3 == 2,
+        F.concat(F.lit('{"meta": '), F.col("id").cast("string"), F.lit("}")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"meta": {"score": '),
+            (F.col("id") * 5).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    df = spark.range(0, 12).select(
+        F.col("id"), F.parse_json(body).alias("payload")
+    )
+    old = spark.conf.get("spark.sql.variant.forceShreddingSchemaForTest", "")
+    spark.conf.set(
+        "spark.sql.variant.forceShreddingSchemaForTest",
+        "meta struct<score bigint>",
+    )
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", old)
+    commit_spark_output(w, stage)
+    t = IcebergTable(path)
+    rec = t.plan_files()[0]
+    vb = json.loads(rec["variant_bounds"]) if rec.get("variant_bounds") else {}
+    assert "payload.meta.score" not in vb, vb
+    assert "payload.meta.score" not in shredded_footer_bounds(
+        rec["file_path"], ["payload"]
+    )
+    # probing far outside the leaf's stats range must NOT prune
+    df = to_df(
+        t, spark, variant_filters=[("payload", "$.meta.score", "==", 10**9)]
+    )
+    assert t.last_scan["files_scanned"] == 1
+    assert df.count() == 0
