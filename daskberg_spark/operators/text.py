@@ -691,3 +691,207 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("double") / F.sum("n_tokens")
         ).alias("bytes_per_token"),
     )
+
+
+@query(
+    "gopher_repetition_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS total_chars,
+             {_SQL_TOKENS} AS toks
+      FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    ),
+    grams AS (
+      SELECT doc_id, total_chars,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> array_to_string(toks[i:i+4], ' ')) AS five
+      FROM t
+    ),
+    bc AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bi) AS g FROM grams)
+      GROUP BY 1, 2
+    ),
+    btop AS (
+      SELECT doc_id, MAX(c * length(g)) AS top2_chars FROM bc GROUP BY 1
+    ),
+    fc AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(five) AS g FROM grams)
+      GROUP BY 1, 2
+    ),
+    fdup AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+               AS dup5_chars
+      FROM fc GROUP BY 1
+    ),
+    rowstats AS (
+      SELECT doc_id, total_chars,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks,
+                   w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             CAST(list_sum(list_transform(toks, w -> length(w)))
+                  AS DOUBLE) / len(toks) AS mean_word_len,
+             (CAST(length(text) - length(replace(text, '#', ''))
+                   AS DOUBLE)
+              + (length(text) - length(replace(text, '...', ''))) / 3
+             ) / len(toks) AS symbol_ratio
+      FROM documents JOIN t USING (doc_id)
+    )
+    SELECT r.doc_id AS doc_id,
+           r.n_words AS n_words,
+           CAST(COALESCE(b.top2_chars, 0) AS DOUBLE) / r.total_chars
+             AS top2_frac,
+           CAST(COALESCE(f.dup5_chars, 0) AS DOUBLE) / r.total_chars
+             AS dup5_frac,
+           r.alpha_frac AS alpha_frac,
+           r.mean_word_len AS mean_word_len,
+           CAST(
+             CAST(COALESCE(b.top2_chars, 0) AS DOUBLE) / r.total_chars
+               <= 0.20
+             AND CAST(COALESCE(f.dup5_chars, 0) AS DOUBLE) / r.total_chars
+               <= 0.15
+             AND r.alpha_frac >= 0.80
+             AND r.mean_word_len BETWEEN 3 AND 10
+             AND r.symbol_ratio <= 0.10
+           AS BOOLEAN) AS passes
+    FROM rowstats r
+    LEFT JOIN btop b ON r.doc_id = b.doc_id
+    LEFT JOIN fdup f ON r.doc_id = f.doc_id
+    """,
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: Gopher-style repetition/quality filters (Rae et al. 2021,
+    Appendix A — the public pretraining-filter recipe): per document,
+    the character fraction covered by the single heaviest word BIGRAM
+    (``count * chars / total_chars`` — the max-coverage formulation is
+    deterministic under count ties where "the most common gram" is
+    not), the character fraction in DUPLICATED 5-grams (count >= 2,
+    all occurrences, the standard public implementation), the
+    alphabetic-word fraction, mean word length, and a symbol-to-word
+    ratio ('#' and '...'), folded into one ``passes`` flag with the
+    paper's thresholds.
+
+    Scale: the n-gram legs are explode → two-level hash agg keyed by
+    (doc_id, gram) then doc_id — combiner-friendly, no skew beyond
+    document length, never a self-join; the scalar leg is a pure
+    row-local map.  At 100 TB this is the shape repetition filtering
+    actually runs as."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("total_chars"),
+        toks.alias("toks"),
+    ).filter(F.size("toks") > 0)
+    bi = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    five = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 4, 0)),"
+        " i -> array_join(slice(toks, i, 5), ' '))"
+    )
+    # sequence(1, 0) would emit [1, 0] (descending), so clamp via CASE
+    bi = F.when(F.size("toks") >= 2, bi).otherwise(
+        F.array().cast("array<string>")
+    )
+    five = F.when(F.size("toks") >= 5, five).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = base.select("doc_id", bi.alias("bi"), five.alias("five"))
+    btop = (
+        grams.select("doc_id", F.explode("bi").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("g")).alias("top2_chars"))
+    )
+    fdup = (
+        grams.select("doc_id", F.explode("five").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("c") >= 2, F.col("c") * F.length("g"))
+                ),
+                F.lit(0),
+            ).alias("dup5_chars")
+        )
+    )
+    n_words = F.size("toks")
+    alpha_frac = (
+        F.size(F.filter(F.col("toks"), lambda w: w.rlike("[a-zA-Z]")))
+        .cast("double")
+        / n_words
+    )
+    mean_word_len = (
+        F.aggregate(
+            F.col("toks"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / n_words
+    )
+    docs_t = docs.join(base, "doc_id").select(
+        base["doc_id"],
+        F.col("total_chars"),
+        F.col("toks"),
+        F.col("text"),
+    )
+    hashes = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    dots = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = (hashes.cast("double") + dots) / n_words
+    rowstats = docs_t.select(
+        "doc_id",
+        "total_chars",
+        n_words.cast("long").alias("n_words"),
+        alpha_frac.alias("alpha_frac"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    out = (
+        rowstats.join(btop, "doc_id", "left")
+        .join(fdup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
+                / F.col("total_chars")
+            ).alias("top2_frac"),
+            (
+                F.coalesce(F.col("dup5_chars"), F.lit(0)).cast("double")
+                / F.col("total_chars")
+            ).alias("dup5_frac"),
+            "alpha_frac",
+            "mean_word_len",
+            "symbol_ratio",
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "top2_frac",
+        "dup5_frac",
+        "alpha_frac",
+        "mean_word_len",
+        (
+            (F.col("top2_frac") <= 0.20)
+            & (F.col("dup5_frac") <= 0.15)
+            & (F.col("alpha_frac") >= 0.80)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("symbol_ratio") <= 0.10)
+        ).alias("passes"),
+    )

@@ -900,3 +900,36 @@ def test_pq_adc_approximates_reconstructed_dot(spark):
         )
         expect = float(np.dot(np.array(r["qv"]), recon))
         assert abs(r["adc"] - expect) < 1e-9, (r["vec_id"], r["adc"], expect)
+
+
+def test_gopher_filters_synthetic_repetition(spark, tmp_path):
+    """The dup-5-gram and top-bigram legs on documents built to trip
+    them (the sf corpus has no within-document 5-gram repetition, so
+    this is the only coverage of dup5 > 0)."""
+    import daskberg_spark.operators.text as TX
+
+    rep = "one two three four five six " * 10          # every 5-gram duplicated
+    clean = " ".join(f"word{i}" for i in range(40))     # all grams unique
+    loop = "spam ham " * 30                             # one bigram dominates
+    docs = spark.createDataFrame(
+        [(1, rep.strip()), (2, clean), (3, loop.strip())],
+        "doc_id long, text string",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    out = {
+        r.doc_id: r
+        for r in TX.gopher_repetition_filters(spark, str(tmp_path)).collect()
+    }
+    # rep: 60 words; every distinct 5-gram occurs ~10x -> dup5 covers
+    # essentially the whole text; fails
+    assert out[1].dup5_frac > 0.9 and not out[1].passes
+    # clean: nothing repeats, everything alphabetic, passes
+    assert out[2].dup5_frac == 0.0 and out[2].top2_frac < 0.2
+    assert out[2].passes
+    # loop: 'spam ham' covers ~half the characters -> top2 fails it
+    assert out[3].top2_frac > 0.2 and not out[3].passes
+    # exact top-bigram arithmetic on the loop doc: 'spam ham' occurs 30
+    # times, 'ham spam' 29; max coverage = 30 * len('spam ham')
+    total = len(loop.strip())
+    assert abs(out[3].top2_frac - 30 * 8 / total) < 1e-12

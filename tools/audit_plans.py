@@ -224,6 +224,10 @@ AUDIT = {
     # handful of files, the equality residual pushes into their scan,
     # one global-agg exchange
     "iceberg_bloom_index_prune": (1, True, False, 3),
+    # r11 gopher repetition filters: two explode → (doc_id, gram) →
+    # doc_id agg legs broadcast-joined back to the row-local stats leg
+    # (AQE broadcasts the small doc_id aggregates): 4 exchanges
+    "gopher_repetition_filters": (4, False, True, None),
     # r11 token bloom keyword search: token-pruned shard scan + the
     # tokenized array_contains residual (codegen, not pushable to the
     # parquet footer) + one group-agg exchange; ReadSchema = the 3
