@@ -11,8 +11,10 @@ textbook estimator and metadata only:
 
 - ``estimated_rows(table, filters)``: record counts of the PLANNED
   files (manifest pruning already folds partition/stats selectivity
-  in), refined by 1/NDV per equality predicate and the standard 1/3
-  per range predicate when stats exist.
+  in), refined by 1/NDV per equality predicate and, per range
+  predicate, the equi-depth-histogram CDF when the table carries
+  quantile statistics (``quantiles.py``) — the System R 1/3 only as
+  the no-histogram fallback.
 - join growth for fact ⋈ dim on (fk, dk):
   ``|F| * |D_filtered| / max(ndv(F.fk), ndv(D.dk))`` — the classic
   containment assumption (Selinger; SCALING.md cites the public
@@ -93,7 +95,12 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
             if ndv:
                 sel *= 1.0 / ndv
         elif op in ("<", "<=", ">", ">=", "between"):
-            sel *= 1.0 / 3.0
+            # quantile histogram first (quantiles.py — the measured
+            # CDF), the System R 1/3 only when no histogram covers the
+            # column: `ts >= now()-1d` on a year of data is ~0.3%
+            # selective, and 1/3 would mis-rank every join behind it
+            s = _quantile_selectivity(table, col, op, _v)
+            sel *= s if s is not None else (1.0 / 3.0)
     if sel == 1.0:
         return planned  # nothing to refine: skip the unfiltered re-plan
     total = float(
@@ -126,6 +133,32 @@ def _safe_ndv(table: IcebergTable, col: str) -> int | None:
 def _safe_theta(table: IcebergTable, col: str):
     try:
         return table.column_theta(col)
+    except Exception:
+        return None
+
+
+def _quantile_selectivity(
+    table: IcebergTable, col: str, op: str, value: Any
+) -> float | None:
+    """Histogram-measured fraction for a range predicate, or None when
+    no histogram / unplaceable value (caller then falls back to 1/3).
+    'between' is not a scan-DNF op; it reaches here only from callers
+    that pre-split it, so it conservatively declines."""
+    if op == "between":
+        return None
+    try:
+        hist = table.column_quantiles(col)
+        if hist is None:
+            return None
+        from daskberg_spark.iceberg.quantiles import (
+            range_selectivity,
+            value_to_number,
+        )
+
+        v = value_to_number(value, table.fields[col].type)
+        if v is None:
+            return None
+        return range_selectivity(hist, op, v)
     except Exception:
         return None
 

@@ -1779,6 +1779,78 @@ def ensure_tpch_star_iceberg(spark, sf_dir: str) -> dict[str, str]:
     return paths
 
 
+def ensure_cbo_range_fixture(spark) -> dict[str, str]:
+    """Range-selectivity CBO fixture (r11): a fact with two UNIQUE-KEY
+    dims — under the System R 1/3 range guess every unique-key dim
+    scores the identical growth 1/3 ((rows/3)/ndv(rows)), so ordering
+    degenerates to label tie-breaks; each dim carries an equi-depth
+    quantile histogram (``quantiles.py``) so range WHERE clauses get
+    MEASURED selectivities instead.  Content is formulaic for the
+    DuckDB oracle."""
+    root = os.path.join(os.path.dirname(FIXTURE_DIR), "cbo_range")
+    paths = {
+        "fact": os.path.join(root, "fact"),
+        "dima": os.path.join(root, "dima"),
+        "dimb": os.path.join(root, "dimb"),
+    }
+    if all(
+        os.path.exists(os.path.join(p, "metadata", "version-hint.text"))
+        for p in paths.values()
+    ):
+        return paths
+    from daskberg_spark.iceberg.quantiles import write_quantile_statistics
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    fact = IcebergWriter(
+        paths["fact"],
+        [
+            {"id": 1, "name": "fk_a", "type": "long", "required": False},
+            {"id": 2, "name": "fk_b", "type": "long", "required": False},
+            {"id": 3, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    fact.append(
+        [
+            {
+                "fk_a": (i * 7) % 2000,
+                "fk_b": (i * 11) % 1000,
+                "amount": (i % 89) * 0.5,
+            }
+            for i in range(6000)
+        ]
+    )
+    dima = IcebergWriter(
+        paths["dima"],
+        [
+            {"id": 1, "name": "aid", "type": "long", "required": False},
+            {"id": 2, "name": "av", "type": "long", "required": False},
+            {"id": 3, "name": "aname", "type": "string", "required": False},
+        ],
+    )
+    dima.append(
+        [{"aid": i, "av": i, "aname": f"a{i % 7}"} for i in range(2000)]
+    )
+    dimb = IcebergWriter(
+        paths["dimb"],
+        [
+            {"id": 1, "name": "bid", "type": "long", "required": False},
+            {"id": 2, "name": "bv", "type": "long", "required": False},
+            {"id": 3, "name": "bname", "type": "string", "required": False},
+        ],
+    )
+    dimb.append(
+        [{"bid": i, "bv": i, "bname": f"b{i % 5}"} for i in range(1000)]
+    )
+    for w in (fact, dima, dimb):
+        write_table_statistics(w, spark)
+    for w in (dima, dimb):
+        write_quantile_statistics(w, spark)
+    return paths
+
+
 DOCS_TOKEN_TAGFMT = "docs_tokenice_{tag}"
 
 

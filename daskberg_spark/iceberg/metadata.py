@@ -778,6 +778,34 @@ class IcebergTable:
                     )
         return None
 
+    def column_quantiles(self, name: str) -> dict[str, Any] | None:
+        """Equi-depth histogram for a numeric/temporal column from the
+        CURRENT snapshot's ``daskberg-quantiles-v1`` blob
+        (``quantiles.py``): {"bounds", "rows", "nonnull", "buckets"},
+        or None.  The CBO's range-selectivity input; the blob is a
+        statistics-file engine extension foreign readers skip."""
+        import json as _json
+
+        from daskberg_spark.iceberg.puffin import read_blob
+        from daskberg_spark.iceberg.quantiles import QUANTILE_BLOB_TYPE
+
+        fid = self.fields[name].field_id
+        cur = self.current_snapshot["snapshot-id"]
+        for e in self.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("type") == QUANTILE_BLOB_TYPE and b.get(
+                    "fields"
+                ) == [fid]:
+                    try:
+                        return _json.loads(
+                            read_blob(e["statistics-path"], b)
+                        )
+                    except (ValueError, OSError):
+                        return None
+        return None
+
     def partition_statistics(self) -> list[dict[str, Any]]:
         """Rows of the CURRENT snapshot's partition-statistics parquet
         (spec "Partition statistics"), or [] when none cover it."""

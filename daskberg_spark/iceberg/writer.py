@@ -3500,11 +3500,12 @@ def _publish_statistics(
         e
         for e in writer.statistics
         if e["snapshot-id"] != snapshot_id
-        # bloom-index statistics files (bloomindex.py) coexist with the
-        # NDV entry on one snapshot — replacing them here would silently
-        # drop the index every time NDV stats re-run
+        # engine-extension statistics files (bloom/token-bloom indexes,
+        # quantile histograms) coexist with the NDV entry on one
+        # snapshot — replacing them here would silently drop them every
+        # time NDV stats re-run
         or any(
-            b.get("type") == "daskberg-bloom-v1"
+            str(b.get("type", "")).startswith("daskberg-")
             for b in e.get("blob-metadata", [])
         )
     ] + [entry]

@@ -3241,3 +3241,56 @@ def iceberg_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "iceberg_cbo_range_join",
+    """
+    SELECT a.aname AS aname,
+           b.bname AS bname,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.amount) AS DOUBLE) AS amt
+    FROM read_parquet('/root/repo/.fixtures/cbo_range/fact/data/*.parquet') f
+    JOIN read_parquet('/root/repo/.fixtures/cbo_range/dima/data/*.parquet') a
+      ON f.fk_a = a.aid AND a.av >= 1980
+    JOIN read_parquet('/root/repo/.fixtures/cbo_range/dimb/data/*.parquet') b
+      ON f.fk_b = b.bid AND b.bv >= 400
+    GROUP BY a.aname, b.bname
+    """,
+)
+def iceberg_cbo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-driven star ordering (r11, ``quantiles.py``): both
+    dims have UNIQUE keys, so under the System R 1/3 range guess they
+    tie at growth exactly 1/3 and ordering degenerates to label
+    tie-breaks; the equi-depth quantile blobs measure the two WHERE
+    ranges at ~1% (dima: av >= 1980 of 0..1999) vs ~60% (dimb:
+    bv >= 400 of 0..999), so the planner provably joins the sharp dim
+    first (hard-asserted below).  Inner equi-joins commute — the
+    oracle pins values, the assertion pins the plan."""
+    from daskberg_spark.iceberg.cbo import JoinDim, cbo_join
+    from daskberg_spark.iceberg.fixtures import ensure_cbo_range_fixture
+
+    paths = ensure_cbo_range_fixture(spark)
+    fact = IcebergTable(paths["fact"])
+    out = cbo_join(
+        spark,
+        fact,
+        [
+            # 'za' sorts AFTER 'b' lexically: only the measured
+            # selectivity can put it first
+            JoinDim(IcebergTable(paths["dima"]), "fk_a", "aid",
+                    filters=[("av", ">=", 1980)], name="za"),
+            JoinDim(IcebergTable(paths["dimb"]), "fk_b", "bid",
+                    filters=[("bv", ">=", 400)], name="b"),
+        ],
+    )
+    plan = fact.last_join_plan
+    assert plan.order == ["za", "b"], (
+        f"histogram-measured ordering regressed: {plan.order} "
+        f"(estimates {plan.estimates})"
+    )
+    assert plan.estimates["za"] < 0.05 < plan.estimates["b"], plan.estimates
+    return out.groupBy("aname", "bname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("double").alias("amt"),
+    )

@@ -1,0 +1,201 @@
+"""Equi-depth quantile histograms (``iceberg.quantiles``) and their CBO
+consumption: range selectivity measured from data beats the System R
+1/3 guess, never changes results (estimates feed plan CHOICE only),
+and coexists with every other statistics flavor on one snapshot."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+from daskberg_spark.iceberg.cbo import JoinDim, estimated_rows, plan_star_join
+from daskberg_spark.iceberg.metadata import IcebergTable
+from daskberg_spark.iceberg.quantiles import (
+    range_selectivity,
+    value_to_number,
+    write_quantile_statistics,
+)
+from daskberg_spark.iceberg.writer import IcebergWriter, write_table_statistics
+
+
+def _table(tmp_path, rows, name="t", extra_fields=(), field_type="long"):
+    w = IcebergWriter(
+        str(tmp_path / name),
+        [
+            {"id": 1, "name": "v", "type": field_type, "required": False},
+            {"id": 2, "name": "k", "type": "long", "required": False},
+            *extra_fields,
+        ],
+    )
+    w.append(rows)
+    return w
+
+
+def test_histogram_bounds_and_uniform_cdf(spark, tmp_path):
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(1000)])
+    path = write_quantile_statistics(w, spark, ["v"])
+    assert path and path.endswith(".puffin")
+    t = IcebergTable(w.path)
+    hist = t.column_quantiles("v")
+    assert hist["rows"] == 1000 and hist["nonnull"] == 1000
+    bounds = hist["bounds"]
+    assert len(bounds) == hist["buckets"] + 1
+    assert bounds == sorted(bounds)
+    assert bounds[0] == 0.0 and bounds[-1] == 999.0
+    # uniform data: selectivity of v >= 900 is ~10%, not 33%
+    s = range_selectivity(hist, ">=", 900.0)
+    assert 0.08 <= s <= 0.12, s
+    assert range_selectivity(hist, "<", 0.0) == 0.0
+    assert range_selectivity(hist, ">=", 0.0) == 1.0
+    assert range_selectivity(hist, "<=", 10**9) == 1.0
+
+
+def test_estimated_rows_uses_histogram(spark, tmp_path):
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(1000)])
+    t = IcebergTable(w.path)
+    # no stats: the 1/3 heuristic
+    naive = estimated_rows(t, [("v", ">=", 900)])
+    assert abs(naive - 1000 / 3) < 1.0
+    write_quantile_statistics(w, spark, ["v"])
+    t = IcebergTable(w.path)
+    measured = estimated_rows(t, [("v", ">=", 900)])
+    assert 80 <= measured <= 120, measured
+
+
+def test_skewed_tail_selectivity(spark, tmp_path):
+    # 95% of rows in [0, 10), a 5% tail spread to 10_000
+    rows = [{"v": i % 10, "k": i} for i in range(950)] + [
+        {"v": 10 + i * 200, "k": i} for i in range(50)
+    ]
+    w = _table(tmp_path, rows)
+    write_quantile_statistics(w, spark, ["v"])
+    hist = IcebergTable(w.path).column_quantiles("v")
+    s_tail = range_selectivity(hist, ">=", 10.0)
+    assert s_tail <= 0.08, s_tail  # measured ~5%, not 33%
+    s_head = range_selectivity(hist, "<", 10.0)
+    assert s_head >= 0.92, s_head
+
+
+def test_null_fraction_scales_selectivity(spark, tmp_path):
+    rows = [
+        {"v": (i if i % 2 == 0 else None), "k": i} for i in range(1000)
+    ]
+    w = _table(tmp_path, rows)
+    write_quantile_statistics(w, spark, ["v"])
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 1000 and hist["nonnull"] == 500
+    # every non-null satisfies v >= 0, but nulls never do: sel == 0.5
+    assert abs(range_selectivity(hist, ">=", 0.0) - 0.5) < 1e-9
+
+
+def test_temporal_columns_and_string_values(spark, tmp_path):
+    rows = [
+        {
+            "v": datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+            "k": i,
+        }
+        for i in range(365)
+    ]
+    w = _table(tmp_path, rows, field_type="date")
+    write_quantile_statistics(w, spark, ["v"])
+    t = IcebergTable(w.path)
+    # ISO-string predicate value lands on the epoch-day rank domain
+    est = estimated_rows(t, [("v", ">=", "2024-12-01")])
+    assert 20 <= est <= 45, est  # ~31/365 ≈ 8.5% of rows
+    v = value_to_number("2024-06-01", "date")
+    assert v == (datetime.date(2024, 6, 1) - datetime.date(1970, 1, 1)).days
+
+
+def test_star_join_order_flips_on_measured_ranges(spark, tmp_path):
+    """Two range-filtered dims: the 1/3 guess ranks the BIG dim's
+    barely-selective filter equal to the small dim's razor-sharp one;
+    histograms measure 1% vs 60% and flip the order."""
+    fact_rows = [
+        {"v": None, "k": None, "fa": i % 2000, "fb": i % 1000}
+        for i in range(6000)
+    ]
+    fact = IcebergWriter(
+        str(tmp_path / "fact"),
+        [
+            {"id": 1, "name": "v", "type": "long", "required": False},
+            {"id": 2, "name": "k", "type": "long", "required": False},
+            {"id": 3, "name": "fa", "type": "long", "required": False},
+            {"id": 4, "name": "fb", "type": "long", "required": False},
+        ],
+    )
+    fact.append(fact_rows)
+    # dim A: 2000 rows, filter v >= 1980 keeps 1%
+    dima = _table(tmp_path, [{"v": i, "k": i} for i in range(2000)], "dima")
+    # dim B: 1000 rows, filter v >= 400 keeps 60%
+    dimb = _table(tmp_path, [{"v": i, "k": i} for i in range(1000)], "dimb")
+    for w in (fact, dima, dimb):
+        write_table_statistics(w, spark)
+    ta, tb = IcebergTable(dima.path), IcebergTable(dimb.path)
+    tf = IcebergTable(fact.path)
+    # unique-key dims under the 1/3 guess ALL score growth 1/3
+    # ((rows/3) / ndv(rows)) — a tie broken by label, so the sharp dim
+    # 'z' sorts LAST; the histograms measure 1% vs 60% and flip it
+    dims = [
+        JoinDim(ta, "fa", "k", filters=[("v", ">=", 1980)], name="z"),
+        JoinDim(tb, "fb", "k", filters=[("v", ">=", 400)], name="b"),
+    ]
+    naive = plan_star_join(tf, dims)
+    assert naive.order == ["b", "z"]
+    assert abs(naive.estimates["b"] - naive.estimates["z"]) < 1e-9
+    for w in (dima, dimb):
+        write_quantile_statistics(w, spark, ["v"])
+    ta, tb = IcebergTable(dima.path), IcebergTable(dimb.path)
+    dims = [
+        JoinDim(ta, "fa", "k", filters=[("v", ">=", 1980)], name="z"),
+        JoinDim(tb, "fb", "k", filters=[("v", ">=", 400)], name="b"),
+    ]
+    measured = plan_star_join(tf, dims)
+    assert measured.order == ["z", "b"]  # 20 rows vs 600 rows
+    assert measured.estimates["z"] < measured.estimates["b"]
+
+
+def test_quantiles_coexist_with_other_statistics(spark, tmp_path):
+    """NDV re-runs must not evict quantile or token-bloom entries (the
+    _publish_statistics keep-rule covers every daskberg-* extension)."""
+    from daskberg_spark.iceberg.bloomindex import write_token_blooms
+    from daskberg_spark.iceberg.quantiles import QUANTILE_BLOB_TYPE
+
+    w = IcebergWriter(
+        str(tmp_path / "mix"),
+        [
+            {"id": 1, "name": "v", "type": "long", "required": False},
+            {"id": 2, "name": "txt", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"v": i, "txt": f"word{i} common"} for i in range(100)])
+    write_table_statistics(w, spark)
+    write_quantile_statistics(w, spark, ["v"])
+    write_token_blooms(w, spark, ["txt"])
+    write_table_statistics(w, spark)  # NDV re-run replaces ONLY itself
+    t = IcebergTable(w.path)
+    types = {
+        b["type"]
+        for e in t.table_statistics()
+        for b in e.get("blob-metadata", [])
+    }
+    assert {
+        "apache-datasketches-theta-v1",
+        QUANTILE_BLOB_TYPE,
+        "daskberg-token-bloom-v1",
+    } <= types
+    assert t.column_quantiles("v") is not None
+    assert t.column_ndv("v") == 100
+
+
+def test_non_numeric_column_refused(spark, tmp_path):
+    w = IcebergWriter(
+        str(tmp_path / "s"),
+        [{"id": 1, "name": "s", "type": "string", "required": False}],
+    )
+    w.append([{"s": "x"}])
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        write_quantile_statistics(w, spark, ["s"])
+    # default column selection simply skips it
+    assert write_quantile_statistics(w, spark) is None

@@ -224,6 +224,10 @@ AUDIT = {
     # handful of files, the equality residual pushes into their scan,
     # one global-agg exchange
     "iceberg_bloom_index_prune": (1, True, False, 3),
+    # r11 histogram-ordered star join: both dims metadata-small →
+    # broadcast, range filters pushed into the dim scans, one agg
+    # exchange
+    "iceberg_cbo_range_join": (1, True, True, None),
     # r11 gopher repetition filters: two explode → (doc_id, gram) →
     # doc_id agg legs broadcast-joined back to the row-local stats leg
     # (AQE broadcasts the small doc_id aggregates): 4 exchanges
