@@ -634,3 +634,108 @@ def agg_pushdown(
 
 
 IcebergTable.agg_pushdown = agg_pushdown  # type: ignore[attr-defined]
+
+
+def percentile_pushdown(
+    table: IcebergTable,
+    spark: SparkSession,
+    quants: list[tuple[str, float, str]],
+) -> DataFrame:
+    """One-row DataFrame of ``[(col, p, alias), ...]`` approximate
+    percentiles answered from the CURRENT snapshot's equi-depth
+    quantile blobs (``quantiles.py``) with ZERO data IO: a ``p`` on a
+    stored knot (``i/buckets``) returns the knot itself — an exact
+    order statistic whenever the write-time GK sketch ran in exact mode
+    (non-null count ≤ its accuracy parameter, matching both
+    ``percentile_approx`` and DuckDB's ``quantile_disc``) — and an
+    off-knot ``p`` linearly interpolates between the two neighbors
+    (documented approximation).  Columns without a covering blob share
+    ONE ``percentile_approx`` scan — never a wrong answer from missing
+    statistics.  ``column_quantiles`` only surfaces blobs whose
+    statistics entry covers the current snapshot, so stale histograms
+    route to the scan too.
+
+    Temporal columns decode back from the histogram's rank domain
+    (epoch days / micros); int/long answers cast back to long (knots
+    are data elements in exact mode).  Whole-table, unfiltered —
+    per-file stats cannot split an order statistic, the same reason
+    NDV pushdown is whole-table.
+
+    ``table.last_percentile_pushdown`` reports
+    ``{"from_stats": [...], "scanned": [...]}``."""
+    import datetime as _dt
+
+    fields = table.fields
+    seen: set[str] = set()
+    for col, p, alias in quants:
+        if col not in fields:
+            raise ValueError(f"unknown column {col!r}")
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError(f"percentile {p!r} outside [0, 1]")
+        if alias in seen:
+            raise ValueError(f"duplicate alias {alias!r}")
+        seen.add(alias)
+
+    def decode(knot: float, ice_type: str):
+        if ice_type == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=round(knot))
+        if ice_type in ("timestamp", "timestamptz", "timestampz"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=round(knot)
+            )
+        if ice_type in ("int", "long"):
+            return int(round(knot))
+        return float(knot)
+
+    vals: dict[str, Any] = {}
+    need_scan: list[tuple[str, float, str]] = []
+    for col, p, alias in quants:
+        hist = table.column_quantiles(col)
+        bounds = (hist or {}).get("bounds") or []
+        if len(bounds) < 2:
+            need_scan.append((col, float(p), alias))
+            continue
+        n = len(bounds) - 1
+        r = float(p) * n
+        lo = min(int(r), n - 1)
+        frac = r - lo
+        knot = bounds[lo] + frac * (bounds[lo + 1] - bounds[lo])
+        vals[alias] = decode(knot, fields[col].type)
+    if need_scan:
+        from daskberg_spark.iceberg.scan import to_df
+
+        df = to_df(
+            table, spark, columns=sorted({c for c, _, _ in need_scan})
+        )
+        row = df.agg(
+            *[
+                F.percentile_approx(c, F.lit(p), F.lit(10000)).alias(a)
+                for c, p, a in need_scan
+            ]
+        ).collect()[0]
+        for c, _p, a in need_scan:
+            v = row[a]
+            vals[a] = v
+    else:
+        _record_zero_scan(table, None)
+    table.last_percentile_pushdown = {
+        "from_stats": sorted(
+            a for _, _, a in quants if (a not in {x[2] for x in need_scan})
+        ),
+        "scanned": sorted(a for _, _, a in need_scan),
+    }
+    cols = []
+    for col, _p, alias in quants:
+        t = fields[col].type
+        if t == "date":
+            cols.append(F.lit(vals[alias]).cast("date").alias(alias))
+        elif t in ("timestamp", "timestamptz", "timestampz"):
+            cols.append(F.lit(vals[alias]).cast("timestamp").alias(alias))
+        elif t in ("int", "long"):
+            cols.append(F.lit(vals[alias]).cast("long").alias(alias))
+        else:
+            cols.append(F.lit(vals[alias]).cast("double").alias(alias))
+    return spark.range(1).select(*cols)
+
+
+IcebergTable.percentile_pushdown = percentile_pushdown  # type: ignore[attr-defined]

@@ -3294,3 +3294,36 @@ def iceberg_cbo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("amount").cast("double").alias("amt"),
     )
+
+
+@query(
+    "iceberg_percentile_pushdown",
+    """
+    SELECT CAST(quantile_disc(av, 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(av, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(av, 0.75) AS BIGINT) AS p75
+    FROM read_parquet('/root/repo/.fixtures/cbo_range/dima/data/*.parquet')
+    """,
+)
+def iceberg_percentile_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-percentile pushdown from quantile statistics (r11,
+    ``agg.percentile_pushdown``): quartiles of ``av`` answer from the
+    snapshot's equi-depth histogram blob with ZERO data IO
+    (hard-asserted) — each requested p lands on a stored knot, and the
+    fixture's write-time sketch ran in exact mode, so the knots are
+    exact order statistics the DuckDB ``quantile_disc`` oracle must
+    reproduce bit-for-bit.  The percentile dashboard on a 100 TB table
+    becomes a metadata read, like COUNT/MIN/MAX/NDV before it."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.fixtures import ensure_cbo_range_fixture
+
+    paths = ensure_cbo_range_fixture(spark)
+    t = IcebergTable(paths["dima"])
+    out = t.percentile_pushdown(
+        spark,
+        [("av", 0.25, "p25"), ("av", 0.50, "p50"), ("av", 0.75, "p75")],
+    )
+    rep = t.last_percentile_pushdown
+    assert rep["scanned"] == [] and len(rep["from_stats"]) == 3, rep
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    return out

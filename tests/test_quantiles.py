@@ -199,3 +199,71 @@ def test_non_numeric_column_refused(spark, tmp_path):
         write_quantile_statistics(w, spark, ["s"])
     # default column selection simply skips it
     assert write_quantile_statistics(w, spark) is None
+
+
+def test_percentile_pushdown_exact_at_knots(spark, tmp_path):
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    vals = [((i * 37) % 1000) for i in range(1000)]
+    w = _table(tmp_path, [{"v": v, "k": i} for i, v in enumerate(vals)])
+    write_quantile_statistics(w, spark, ["v"])
+    t = IcebergTable(w.path)
+    out = t.percentile_pushdown(
+        spark, [("v", 0.25, "q1"), ("v", 0.5, "q2"), ("v", 1.0, "q3")]
+    ).first()
+    assert t.last_percentile_pushdown["scanned"] == []
+    assert t.last_scan["files_scanned"] == 0
+    exact = (
+        t.to_df(spark, columns=["v"])
+        .agg(
+            F.percentile_approx(
+                "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(1.0)), F.lit(10000)
+            )
+        )
+        .first()[0]
+    )
+    assert [out.q1, out.q2, out.q3] == list(exact)
+    # off-knot p interpolates between its neighbors (still bounded)
+    mid = t.percentile_pushdown(spark, [("v", 0.507, "m")]).first().m
+    assert out.q2 <= mid <= max(vals)
+
+
+def test_percentile_pushdown_scan_fallback(spark, tmp_path):
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    w = _table(tmp_path, [{"v": i, "k": 999 - i} for i in range(1000)])
+    write_quantile_statistics(w, spark, ["v"])  # v only: k uncovered
+    t = IcebergTable(w.path)
+    out = t.percentile_pushdown(
+        spark, [("v", 0.5, "pv"), ("k", 0.5, "pk")]
+    ).first()
+    rep = t.last_percentile_pushdown
+    assert rep["from_stats"] == ["pv"] and rep["scanned"] == ["pk"]
+    exact = (
+        t.to_df(spark, columns=["k"])
+        .agg(F.percentile_approx("k", F.lit(0.5), F.lit(10000)))
+        .first()[0]
+    )
+    assert out.pk == exact
+
+
+def test_percentile_pushdown_temporal_decode(spark, tmp_path):
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+
+    rows = [
+        {
+            "v": datetime.date(2023, 1, 1) + datetime.timedelta(days=i),
+            "k": i,
+        }
+        for i in range(400)
+    ]
+    w = _table(tmp_path, rows, field_type="date")
+    write_quantile_statistics(w, spark, ["v"])
+    t = IcebergTable(w.path)
+    out = t.percentile_pushdown(spark, [("v", 0.5, "med")]).first()
+    assert isinstance(out.med, datetime.date)
+    assert out.med == datetime.date(2023, 1, 1) + datetime.timedelta(days=199)
+    with pytest.raises(ValueError, match="outside"):
+        t.percentile_pushdown(spark, [("v", 1.5, "x")])
