@@ -6318,6 +6318,46 @@ def maintain(
             report["refresh_statistics"] = mode
         else:
             report["refresh_statistics"] = None
+        # quantile-histogram catch-up: same opt-in shape (an entry on
+        # SOME snapshot) — histograms aren't mergeable (quantiles.py),
+        # so the refresh is a full re-run of the same columns, gated to
+        # heads that lack one
+        from daskberg_spark.iceberg.quantiles import (
+            QUANTILE_BLOB_TYPE,
+            write_quantile_statistics,
+        )
+
+        from daskberg_spark.iceberg.quantiles import _NUMERIC_TYPES
+
+        q_cols = sorted(
+            {
+                (b.get("properties") or {}).get("column")
+                for e in writer.statistics
+                for b in e.get("blob-metadata", [])
+                if b.get("type") == QUANTILE_BLOB_TYPE
+            }
+            - {None}
+        )
+        # a column dropped or retyped since the last histogram run must
+        # not crash the nightly job — it simply stops being refreshed
+        q_cols = [
+            c
+            for c in q_cols
+            if writer.types.get(c) in _NUMERIC_TYPES
+        ]
+        q_head_covered = any(
+            e["snapshot-id"] == head_id
+            and any(
+                b.get("type") == QUANTILE_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+            for e in writer.statistics
+        )
+        if q_cols and not q_head_covered:
+            write_quantile_statistics(writer, spark, q_cols)
+            report["refresh_quantiles"] = q_cols
+        else:
+            report["refresh_quantiles"] = None
     report["expire_snapshots"] = expire_snapshots(
         writer,
         keep_last=keep_last,

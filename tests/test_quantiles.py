@@ -267,3 +267,24 @@ def test_percentile_pushdown_temporal_decode(spark, tmp_path):
     assert out.med == datetime.date(2023, 1, 1) + datetime.timedelta(days=199)
     with pytest.raises(ValueError, match="outside"):
         t.percentile_pushdown(spark, [("v", 1.5, "x")])
+
+
+def test_maintain_refreshes_quantiles(spark, tmp_path):
+    """The nightly job keeps histograms fresh on opted-in tables: an
+    append leaves the head uncovered -> maintain re-runs the SAME
+    columns; a second run is a no-op (steady-state idempotence); tables
+    that never opted in are never scanned."""
+    from daskberg_spark.iceberg.writer import maintain
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(500)])
+    write_quantile_statistics(w, spark, ["v"])
+    w.append([{"v": 500 + i, "k": i} for i in range(500)])
+    rep = maintain(w, spark, min_file_bytes=0)
+    assert rep["refresh_quantiles"] == ["v"]
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 1000 and hist["bounds"][-1] == 999.0
+    rep2 = maintain(w, spark, min_file_bytes=0)
+    assert rep2["refresh_quantiles"] is None
+    # never-opted-in table: no refresh attempted
+    w2 = _table(tmp_path, [{"v": 1, "k": 1}], name="noopt")
+    assert maintain(w2, spark, min_file_bytes=0)["refresh_quantiles"] is None
