@@ -895,3 +895,121 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("symbol_ratio") <= 0.10)
         ).alias("passes"),
     )
+
+
+# BM25 parameters (Robertson et al.; public): k1 saturates term
+# frequency, b scales length normalization
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["dup", "vector", "spark"]
+
+
+def _sql_bm25_term(term: str) -> str:
+    tf = f"CAST(len(list_filter(toks, x -> x = '{term}')) AS DOUBLE)"
+    idf = (
+        f"(CAST(n_docs AS DOUBLE) - df_{term} + 0.5) / (df_{term} + 0.5)"
+    )
+    return (
+        f"{idf} * ({tf} * 2.2)"
+        f" / ({tf} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+    )
+
+
+@query(
+    "keyword_rank_bm25",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl
+      FROM documents
+      WHERE len({_SQL_TOKENS}) > 0
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN len(list_filter(toks, x -> x = '{m}'))"
+                 f" > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{m}"
+                 for m in _BM25_TERMS
+             )}
+      FROM t
+    )
+    SELECT doc_id,
+           (({_sql_bm25_term('dup')} + {_sql_bm25_term('vector')})
+             + {_sql_bm25_term('spark')}) AS score
+    FROM t, g
+    WHERE (({_sql_bm25_term('dup')} + {_sql_bm25_term('vector')})
+             + {_sql_bm25_term('spark')}) > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def keyword_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: BM25 keyword ranking (Robertson/Sparck Jones, the public
+    Okapi formula) for a fixed 3-term query — tf saturation (k1=1.2),
+    document-length normalization (b=0.75), and a LOG-FREE rational
+    idf ``(N - df + 0.5)/(df + 0.5)``: every operation is an IEEE
+    +,*,/ over exact integer inputs evaluated in the identical tree
+    shape on both engines, so the scores (and therefore the top-10)
+    are bit-deterministic — the classic ``ln`` idf differs between
+    libm implementations in the last ulp and would make an exact
+    oracle flaky by construction.  Rare terms still dominate (the
+    rational idf is a monotone transform of the classic one per term).
+
+    Scale: ONE narrow scan computes per-document tf/dl row-locally,
+    one single-row global aggregate (N, avgdl, per-term df) broadcasts
+    back, and the top-k is a TakeOrdered — no shuffle beyond the
+    1-row aggregate, no explode, no join keyed on data."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("double").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    def _tf(m: str) -> F.Column:
+        # NB: the HOF lambda must take exactly ONE parameter — a second
+        # positional (even a defaulted one) makes Spark pass the element
+        # INDEX into it
+        return F.size(
+            F.filter(F.col("toks"), lambda x: x == F.lit(m))
+        ).cast("double")
+
+    tf = {m: _tf(m) for m in _BM25_TERMS}
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((tf[m] > 0).cast("int")).cast("double").alias(f"df_{m}")
+            for m in _BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(glob))
+
+    def term_score(m: str) -> F.Column:
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{m}") + F.lit(0.5)
+        ) / (F.col(f"df_{m}") + F.lit(0.5))
+        t = tf[m]
+        return (
+            idf
+            * (t * F.lit(2.2))
+            / (
+                t
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                )
+            )
+        )
+
+    score = (
+        term_score(_BM25_TERMS[0]) + term_score(_BM25_TERMS[1])
+    ) + term_score(_BM25_TERMS[2])
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -933,3 +933,27 @@ def test_gopher_filters_synthetic_repetition(spark, tmp_path):
     # times, 'ham spam' 29; max coverage = 30 * len('spam ham')
     total = len(loop.strip())
     assert abs(out[3].top2_frac - 30 * 8 / total) < 1e-12
+
+
+def test_bm25_ranking_properties(spark):
+    """Docs matching more query terms outrank fewer-term matches of
+    similar length; every returned doc contains >= 1 query term; the
+    scoring is stable across partitionings (pure rational arithmetic)."""
+    import daskberg_spark.operators.text as TX
+
+    sf = "/root/testdata/sf0.01"
+    out = TX.keyword_rank_bm25(spark, sf).collect()
+    assert len(out) == 10
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id").isin([r.doc_id for r in out]))
+        .collect()
+    }
+    for r in out:
+        toks = set(docs[r.doc_id].lower().split())
+        assert toks & set(TX._BM25_TERMS), r.doc_id
+    # 'dup' is the rarest term (highest idf): every top-10 doc has it
+    assert all("dup" in docs[r.doc_id].lower().split() for r in out)

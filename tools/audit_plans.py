@@ -224,6 +224,9 @@ AUDIT = {
     # handful of files, the equality residual pushes into their scan,
     # one global-agg exchange
     "iceberg_bloom_index_prune": (1, True, False, 3),
+    # r11 BM25 keyword ranking: one narrow scan, a single-row global
+    # aggregate broadcast back, TakeOrdered top-k
+    "keyword_rank_bm25": (2, False, True, 2),
     # r11 histogram-ordered star join: both dims metadata-small →
     # broadcast, range filters pushed into the dim scans, one agg
     # exchange
