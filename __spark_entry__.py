@@ -318,12 +318,26 @@ def _load_registry():
 #       q3_shipping_priority, q6_forecast_revenue)
 # Everything rotated out is driver-green r9/r10 and stays oracle-exact
 # locally via tools/check_oracle.py (CORRECTNESS_LOCAL_r11.json).
+# r11 session 2 adjustment: five NEW oracle-backed queries (token-bloom
+# keyword search, gopher repetition filters, histogram-ordered star
+# join, percentile pushdown, BM25 ranking) take the five slots with the
+# YOUNGEST evidence among the stale tail (r2-r5 rows, all still
+# oracle-exact locally): iceberg_sql_over_catalog,
+# iceberg_write_roundtrip, multimodal_features, q3_shipping_priority,
+# q6_forecast_revenue.  A never-driver-seen query outranks any entry
+# that has owned a row.
 _PRIORITY = [
     # flagship
     "q1_pricing_summary",
     # NEW r11
     "q9_cbo_star",
     "iceberg_txn_two_tables",
+    # NEW r11 session 2
+    "iceberg_token_search",
+    "gopher_repetition_filters",
+    "iceberg_cbo_range_join",
+    "iceberg_percentile_pushdown",
+    "keyword_rank_bm25",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
@@ -369,12 +383,7 @@ _PRIORITY = [
     "dedup_simhash",
     "iceberg_filtered_scan",
     "iceberg_partitions_metadata",
-    "iceberg_sql_over_catalog",
     "iceberg_unique_partitions",
-    "iceberg_write_roundtrip",
-    "multimodal_features",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
 ]
 
 

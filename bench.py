@@ -94,11 +94,11 @@ HEADLINE = [
     # boundary DVs in one commit) and hash-distributed one-call write
     "iceberg_delete_where_fast",
     "iceberg_write_distribution",
-    # round 10: driver-side variant encode + VariantType scan, and the
-    # shredded-footer prune (one file read instead of two, stats from
-    # KB-sized parquet footers)
-    "iceberg_variant_write",
-    "iceberg_variant_shredded_prune",
+    # (iceberg_variant_write / iceberg_variant_shredded_prune retired in
+    # r11 session 2: ~0.1 s micro-entries whose cost is uninformative at
+    # sf0.1 — the stdout line budget needed the room for the three new
+    # text/search entries below.  Both stay driver-window + oracle
+    # checked.)
     # round 10, session 2: metadata-only aggregates (zero data files),
     # the file-level Bloom index point lookup (7/83 files where bounds
     # prune nothing), and the runtime Bloom join prefilter.
@@ -117,11 +117,19 @@ HEADLINE = [
     # (iceberg_theta_ndv itself is a pure-metadata readout — micro-cost,
     # uninformative here; its correctness lives in the driver window.)
     "iceberg_write_formats",
-    "iceberg_cbo_join",
+    # (iceberg_cbo_join retired in r11 session 2: 0.15 s micro-entry;
+    # q9_cbo_star is the CBO's real-scale bench witness)
     # round 11: the Q9-shaped star planned end-to-end by the CBO over
     # this engine's own stats-bearing tables (compare q9_product_type
     # _profit, the literal-order parquet variant above)
     "q9_cbo_star",
+    # round 11, session 2: keyword search through the token Bloom index
+    # (plan-time shard pruning + tokenized residual), the Gopher
+    # repetition filters (two explode→gram-agg legs), and BM25 ranking
+    # (one scan + a single-row broadcast aggregate + TakeOrdered)
+    "iceberg_token_search",
+    "gopher_repetition_filters",
+    "keyword_rank_bm25",
 ]
 
 
