@@ -792,31 +792,34 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("total_chars"),
         toks.alias("toks"),
     ).filter(F.size("toks") > 0)
-    bi = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
-        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    # posexplode the TOKEN ARRAY (an attribute, not a computed array):
+    # `explode(transform(sequence(...), ...))` lets Catalyst collapse
+    # the projection INTO the generator, re-evaluating the whole O(n)
+    # gram-array expression for EVERY output row — O(n²) per document,
+    # measured 6.1 s → 0.46 s at sf0.1 for the bigram leg alone.  With
+    # posexplode each gram builds O(1) from the carried array AFTER
+    # generation, so the leg is O(n) per document at any length.
+    pos = base.select(
+        "doc_id", "toks", F.posexplode("toks").alias("i", "_t")
     )
-    five = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 4, 0)),"
-        " i -> array_join(slice(toks, i, 5), ' '))"
-    )
-    # sequence(1, 0) would emit [1, 0] (descending), so clamp via CASE
-    bi = F.when(F.size("toks") >= 2, bi).otherwise(
-        F.array().cast("array<string>")
-    )
-    five = F.when(F.size("toks") >= 5, five).otherwise(
-        F.array().cast("array<string>")
-    )
-    grams = base.select("doc_id", bi.alias("bi"), five.alias("five"))
     btop = (
-        grams.select("doc_id", F.explode("bi").alias("g"))
+        pos.where(F.col("i") >= 1)
+        .select(
+            "doc_id",
+            F.expr("concat(toks[i - 1], ' ', toks[i])").alias("g"),
+        )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(F.max(F.col("c") * F.length("g")).alias("top2_chars"))
     )
     fdup = (
-        grams.select("doc_id", F.explode("five").alias("g"))
+        pos.where(F.col("i") >= 4)
+        # 5-gram ENDING at 0-based i = 1-based slice start i - 3
+        .select(
+            "doc_id",
+            F.expr("array_join(slice(toks, i - 3, 5), ' ')").alias("g"),
+        )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
