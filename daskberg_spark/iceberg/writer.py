@@ -6590,36 +6590,80 @@ def compact_files(
 ZORDER_BITS = 16
 
 
-def zorder_value(rows: Any, cols: list[str], bits: int = ZORDER_BITS) -> Any:
+def zorder_value(
+    rows: Any,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    histograms: dict[str, list[float]] | None = None,
+) -> Any:
     """Z-order (Morton) curve value over ``cols`` as a JVM-side Column.
 
-    Each column is min-max normalized to ``bits`` bits (the min/max pair
-    per column is one tiny driver-side agg — metadata-scale, like the
-    file-list collects), then the bit planes are interleaved:
-    bit b of column c lands at position ``b*len(cols)+c``.  Rows close
-    in z-value are close in EVERY input dimension, so range-partitioning
-    by z yields files whose footer min/max are selective on all the
-    z-order columns at once — multi-dimensional stats pruning, where a
-    lexicographic sort only serves its leading column.
+    Each column is normalized to ``bits`` bits, then the bit planes are
+    interleaved: bit b of column c lands at position ``b*len(cols)+c``.
+    Rows close in z-value are close in EVERY input dimension, so
+    range-partitioning by z yields files whose footer min/max are
+    selective on all the z-order columns at once — multi-dimensional
+    stats pruning, where a lexicographic sort only serves its leading
+    column.
 
-    Pure integer Catalyst expressions (shiftright/and/shiftleft) inside
-    whole-stage codegen; no UDF, no shuffle of its own."""
+    Normalization: min-max by default (one tiny driver-side agg).  A
+    column listed in ``histograms`` (equi-depth knots, the
+    ``quantiles.py`` blob payload) instead maps through its measured
+    CDF — RANK normalization.  Min-max collapses a skewed column: with
+    95% of rows in a head band and a long tail, nearly every row lands
+    in z-bucket 0 for that dimension and the curve degenerates to a
+    sort on the other columns; rank normalization spreads the head
+    across the full bit range so clustering (and therefore pruning)
+    survives skew.
+
+    Pure integer/double Catalyst expressions inside whole-stage
+    codegen; no UDF, no shuffle of its own."""
     from pyspark.sql import functions as F
 
-    stats = rows.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
-    ).first()
+    histograms = histograms or {}
+    mm_cols = [c for c in cols if not histograms.get(c)]
+    stats = (
+        rows.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in mm_cols],
+            *[F.max(c).alias(f"mx_{c}") for c in mm_cols],
+        ).first()
+        if mm_cols
+        else None
+    )
     n = len(cols)
     z = F.lit(0).cast("long")
     top = (1 << bits) - 1
     for ci, c in enumerate(cols):
-        mn = float(stats[f"mn_{c}"])
-        mx = float(stats[f"mx_{c}"])
-        span = (mx - mn) or 1.0
-        v = ((F.col(c).cast("double") - F.lit(mn)) * (top / span)).cast(
-            "long"
-        )
+        knots = histograms.get(c)
+        if knots and len(knots) >= 2:
+            nb = len(knots) - 1
+            karr = F.array(*[F.lit(float(k)) for k in knots])
+            vd = F.col(c).cast("double")
+            # bucket index = #knots <= v, clamped to [1, nb]; linear
+            # interpolation inside the bucket (zero-width -> 0)
+            cnt = F.aggregate(
+                karr,
+                F.lit(0),
+                lambda acc, k: acc + (vd >= k).cast("int"),
+            )
+            i = F.greatest(F.least(cnt, F.lit(nb)), F.lit(1))
+            lo = F.element_at(karr, i)
+            hi = F.element_at(karr, i + 1)
+            frac = F.when(hi > lo, (vd - lo) / (hi - lo)).otherwise(
+                F.lit(0.0)
+            )
+            rank = (
+                (i - 1).cast("double")
+                + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+            ) / F.lit(float(nb))
+            v = (rank * F.lit(float(top))).cast("long")
+        else:
+            mn = float(stats[f"mn_{c}"])
+            mx = float(stats[f"mx_{c}"])
+            span = (mx - mn) or 1.0
+            v = (
+                (F.col(c).cast("double") - F.lit(mn)) * (top / span)
+            ).cast("long")
         for b in range(bits):
             bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + ci))
@@ -6633,6 +6677,7 @@ def compact_files_spark(
     target_partitions: int = 1,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    zorder_rank_normalize: bool = False,
     partition_filter: dict[str, Any] | None = None,
 ) -> int | None:
     """Distributed compaction: the cluster-scale twin of ``compact_files``.
@@ -6704,7 +6749,49 @@ def compact_files_spark(
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     if zorder_by:
-        rows = rows.withColumn("__z", zorder_value(rows, zorder_by))
+        hists: dict[str, list[float]] = {}
+        if zorder_rank_normalize:
+            # equi-depth knots per z column: the table's quantile blob
+            # when one covers the snapshot, else ONE percentile_approx
+            # pass over the rewrite rows (same mergeable sketch the
+            # stats writer uses) — min-max fallback only when a column
+            # yields no knots (all NULL)
+            from pyspark.sql import functions as F
+
+            from daskberg_spark.iceberg.quantiles import DEFAULT_BUCKETS
+
+            t_for_stats = IcebergTable(writer.path)
+            missing = []
+            for c in zorder_by:
+                try:
+                    hist = t_for_stats.column_quantiles(c)
+                except Exception:
+                    hist = None
+                bounds = (hist or {}).get("bounds") or []
+                if len(bounds) >= 2:
+                    hists[c] = bounds
+                else:
+                    missing.append(c)
+            if missing:
+                probs = [
+                    i / DEFAULT_BUCKETS for i in range(DEFAULT_BUCKETS + 1)
+                ]
+                row = rows.agg(
+                    *[
+                        F.percentile_approx(
+                            F.col(c).cast("double"),
+                            F.array(*[F.lit(p) for p in probs]),
+                            F.lit(10000),
+                        ).alias(c)
+                        for c in missing
+                    ]
+                ).first()
+                for c in missing:
+                    if row[c]:
+                        hists[c] = [float(b) for b in row[c]]
+        rows = rows.withColumn(
+            "__z", zorder_value(rows, zorder_by, histograms=hists)
+        )
         rows = (
             rows.repartitionByRange(target_partitions, "__z")
             .sortWithinPartitions("__z")

@@ -288,3 +288,70 @@ def test_maintain_refreshes_quantiles(spark, tmp_path):
     # never-opted-in table: no refresh attempted
     w2 = _table(tmp_path, [{"v": 1, "k": 1}], name="noopt")
     assert maintain(w2, spark, min_file_bytes=0)["refresh_quantiles"] is None
+
+
+def test_rank_normalized_zorder_survives_skew(spark, tmp_path):
+    """Min-max z-order collapses a skewed dimension (95% of rows share
+    z-bucket 0 for it), degenerating to a sort on the OTHER column;
+    rank normalization spreads the head across the full bit range so
+    head-band predicates still prune.  Content identical either way."""
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+    )
+
+    def build(name):
+        w = IcebergWriter(
+            str(tmp_path / name),
+            [
+                {"id": 1, "name": "x", "type": "long", "required": False},
+                {"id": 2, "name": "y", "type": "long", "required": False},
+            ],
+        )
+        # x: 95% uniform in [0, 100), 5% tail out to ~1e6; y uniform —
+        # interleaved appends so no file has bounds to start with
+        rows = [
+            {
+                "x": ((i * 37) % 100)
+                if i % 20
+                else 1000 + (i * 9973) % 1_000_000,
+                "y": (i * 13) % 1000,
+            }
+            for i in range(4000)
+        ]
+        for b in range(4):
+            w.append(rows[b::4])
+        return w
+
+    pred = [("x", ">=", 20), ("x", "<=", 29), ("y", ">=", 100), ("y", "<=", 199)]
+    results = {}
+    for name, rank in (("mm", False), ("rank", True)):
+        w = build(name)
+        before = sorted(
+            (r["x"], r["y"])
+            for r in IcebergTable(w.path).to_df(spark).collect()
+        )
+        assert compact_files_spark(
+            w,
+            spark,
+            target_partitions=16,
+            zorder_by=["x", "y"],
+            zorder_rank_normalize=rank,
+        ) is not None
+        t = IcebergTable(w.path)
+        after = sorted(
+            (r["x"], r["y"]) for r in t.to_df(spark).collect()
+        )
+        assert after == before  # clustering never changes content
+        results[name] = len(t.plan_files(pred))
+        got = sorted(
+            (r["x"], r["y"])
+            for r in t.to_df(spark, filters=pred).collect()
+        )
+        expect = sorted(
+            p for p in before if 20 <= p[0] <= 29 and 100 <= p[1] <= 199
+        )
+        assert got == expect
+    # the head-band query prunes strictly harder under rank
+    # normalization; min-max leaves x unprunable for head values
+    assert results["rank"] < results["mm"], results
