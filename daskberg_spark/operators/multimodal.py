@@ -267,6 +267,207 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# GIF89a: the multi-FRAME container (public spec, from scratch) — the
+# poor man's video: one LZW-compressed palette-indexed image per frame.
+# Implemented both directions so the frame-iteration query decodes real
+# compressed bytes: variable-width LZW (9→12 bits, LSB-first packing,
+# clear/EOI codes, table reset at 4096), 255-byte sub-block framing,
+# and a 256-entry grayscale global color table so palette index ==
+# payload byte.  Encoder bumps the code width one assignment AFTER the
+# decoder does — the classic synchronization (the decoder's table lags
+# the encoder's by exactly one emission).
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset() -> tuple[dict, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+        )
+
+    table, next_code = reset()
+    emit(clear)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            code_size = min_code_size + 1
+            table, next_code = reset()
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = 0  # bit cursor
+    code_size = min_code_size + 1
+    table: list[bytes] = []
+    next_code = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, next_code, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_code = eoi + 1
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    total_bits = len(data) * 8
+    while pos + code_size <= total_bits:
+        byte_i = pos >> 3
+        chunk = int.from_bytes(
+            data[byte_i : byte_i + 4], "little"
+        )
+        code = (chunk >> (pos & 7)) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code out of range")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW: code out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(
+    payload: bytes, width: int = 16, frame_bytes: int = 48
+) -> bytes:
+    """Pack ``payload`` into an animated GIF89a: grayscale 256-entry
+    global color table (palette index == byte value), one frame per
+    ``frame_bytes`` slice (the last frame zero-padded), every frame
+    LZW-compressed per the spec.  ``frame_bytes`` must be a multiple of
+    ``width`` so frames share one geometry."""
+    if frame_bytes % width:
+        raise ValueError("frame_bytes must be a multiple of width")
+    height = frame_bytes // width
+    n_frames = max(1, -(-len(payload) // frame_bytes))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    for f in range(n_frames):
+        chunk = payload[f * frame_bytes : (f + 1) * frame_bytes]
+        chunk = chunk + bytes(frame_bytes - len(chunk))
+        # graphic control extension (frame delay 10cs)
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += b"\x00"  # no local color table
+        out += bytes([8])  # LZW min code size
+        comp = _lzw_encode_gif(chunk, 8)
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """GIF87a/89a decoder: header + logical screen, global color table
+    skip (our palette is identity grayscale, so indices ARE the
+    bytes), extension blocks skipped per spec framing, every image
+    block LZW-decoded.  Returns (width, height, frames).  Local color
+    tables and interlacing raise loudly (no new machinery, just not
+    what the fixtures exercise)."""
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload (signature)")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[bytes] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        pos += 8
+        ipacked = payload[pos]
+        pos += 1
+        if ipacked & 0x80:
+            raise NotImplementedError("GIF local color tables unsupported")
+        if ipacked & 0x40:
+            raise NotImplementedError("GIF interlacing unsupported")
+        min_code = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        px = _lzw_decode_gif(bytes(comp), min_code)
+        if len(px) < w * h:
+            raise ValueError("GIF frame short of its geometry")
+        frames.append(px[: w * h])
+    return width, height, frames
+
+
 def decode_image(payload: bytes):
     """Decode a binary image payload: from-scratch 24-bit BMP and 8-bit
     RGB PNG codecs dispatch on magic; formats needing external codecs
@@ -275,8 +476,11 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in _GIF_SIGS:
+        w, h, frames = decode_gif(payload)
+        return w, h * len(frames), b"".join(frames)
     raise NotImplementedError(
-        "payload is neither BMP nor PNG; other codecs need external "
+        "payload is none of BMP/PNG/GIF; other codecs need external "
         "libraries this environment lacks"
     )
 
@@ -644,4 +848,69 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, width int, height int, filter_type int, "
         "payload_ok boolean",
+    )
+
+
+@query(
+    "multimodal_gif_frames",
+    """
+    SELECT doc_id,
+           16 AS width,
+           3 AS height,
+           CAST(GREATEST(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                AS INT)) AS INT) AS n_frames,
+           CAST(ceil(GREATEST(1, CAST(ceil(octet_length(encode(text)) / 48.0)
+                AS INT)) / 2.0) AS INT) AS sampled_frames,
+           TRUE AS frames_ok
+    FROM documents
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: FRAME-SAMPLED decode of a real multi-frame container — the
+    video shape, executor-side.  Each payload packs into an animated
+    GIF89a (from-scratch variable-width LZW per the public spec, one
+    frame per 48-byte slice) and decodes back; ``sampled_frames``
+    counts every 2nd frame (the classic video frame-sampling stride)
+    and ``frames_ok`` asserts the reassembled frames equal the
+    zero-padded source bytes.  The oracle reproduces the frame
+    arithmetic from the byte length; compressed size is codec-dependent
+    and not part of the contract.  Arrow-batched ``mapInPandas`` —
+    frame bytes never touch the driver."""
+    import pandas as pd
+
+    assets = with_binary_payload(table(spark, sf_dir, "documents"))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            w_l, h_l, nf, samp, ok = [], [], [], [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                gif = encode_gif(data, width=16, frame_bytes=48)
+                w, h, frames = decode_gif(gif)
+                joined = b"".join(frames)
+                pad = max(1, -(-len(data) // 48)) * 48
+                w_l.append(w)
+                h_l.append(h)
+                nf.append(len(frames))
+                samp.append(len(frames[::2]))
+                ok.append(
+                    len(joined) == pad
+                    and joined[: len(data)] == data
+                    and set(joined[len(data):]) <= {0}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w_l,
+                    "height": h_l,
+                    "n_frames": nf,
+                    "sampled_frames": samp,
+                    "frames_ok": ok,
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, width int, height int, n_frames int, "
+        "sampled_frames int, frames_ok boolean",
     )

@@ -957,3 +957,68 @@ def test_bm25_ranking_properties(spark):
         assert toks & set(TX._BM25_TERMS), r.doc_id
     # 'dup' is the rarest term (highest idf): every top-10 doc has it
     assert all("dup" in docs[r.doc_id].lower().split() for r in out)
+
+
+def test_gif_roundtrip_and_lzw_edges():
+    """GIF89a codec: payload roundtrips through real variable-width LZW
+    at every boundary shape — empty, exact frames, partial last frame,
+    table-reset scale — plus the KwKwK code==next_code case and
+    compression actually compressing repetitive data."""
+    import random
+
+    from daskberg_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    random.seed(11)
+    for n in (0, 1, 47, 48, 49, 500, 60000):
+        data = bytes(random.randrange(256) for _ in range(n))
+        gif = encode_gif(data, width=16, frame_bytes=48)
+        w, h, frames = decode_gif(gif)
+        joined = b"".join(frames)
+        pad = max(1, -(-n // 48)) * 48
+        assert (w, h) == (16, 3)
+        assert len(joined) == pad and joined[:n] == data
+        assert set(joined[n:]) <= {0}
+    # KwKwK: runs of one byte force code == next_code in the decoder
+    run = b"a" * 10_000
+    gif = encode_gif(run, width=16, frame_bytes=48)
+    _, _, frames = decode_gif(gif)
+    assert b"".join(frames)[: len(run)] == run
+    # repetitive data must actually COMPRESS once the frame is big
+    # enough to amortize the dictionary (48-byte frames reset it every
+    # frame; one 9600-byte frame shows the LZW growth path working)
+    one = encode_gif(run[:9600], width=16, frame_bytes=9600)
+    assert len(one) - (13 + 768) < 9600 // 10
+    _, _, fr1 = decode_gif(one)
+    assert fr1 == [run[:9600]]
+    # dispatch: decode_image stacks frames vertically
+    w, h, px = decode_image(encode_gif(b"xyz" * 40, frame_bytes=48))
+    assert w == 16 and h == 3 * 3 and len(px) == 16 * h
+
+
+def test_gif_rejects_unsupported_shapes():
+    import struct as st
+
+    import pytest as _pytest
+
+    from daskberg_spark.operators.multimodal import decode_gif, encode_gif
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    with _pytest.raises(ValueError, match="multiple of width"):
+        encode_gif(b"x", width=16, frame_bytes=50)
+    # forge an interlaced image descriptor
+    gif = bytearray(encode_gif(b"abc" * 16, frame_bytes=48))
+    # image descriptor starts after header(6)+LSD(7)+GCT(768)+GCE(8): the
+    # packed byte is 9 bytes into the descriptor
+    idesc = 6 + 7 + 768 + 8
+    assert gif[idesc] == 0x2C
+    gif[idesc + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlacing"):
+        decode_gif(bytes(gif))
+    gif[idesc + 9] = 0x80
+    with _pytest.raises(NotImplementedError, match="local color"):
+        decode_gif(bytes(gif))
