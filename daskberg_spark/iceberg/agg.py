@@ -739,3 +739,63 @@ def percentile_pushdown(
 
 
 IcebergTable.percentile_pushdown = percentile_pushdown  # type: ignore[attr-defined]
+
+
+def analyze_table(
+    table: IcebergTable,
+    spark: SparkSession,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ANALYZE TABLE, metadata-first: one row per primitive top-level
+    column with ``row_count`` / ``null_count`` / ``ndv`` /
+    ``min_value`` / ``max_value`` (stringified for a uniform schema —
+    display/catalog use).  Everything routes through the SAME
+    ``agg_pushdown`` battery the query path uses, so counts and bounds
+    come from manifest statistics wherever the soundness gates allow
+    (deletes, NaN, truncated strings, missing stats all degrade to the
+    one residual scan) and NDVs come from theta blobs with the HLL
+    scan fallback — never a wrong answer from stale or absent
+    statistics, merely a slower one."""
+    fields = table.fields
+    if columns is None:
+        columns = [
+            n
+            for n, info in fields.items()
+            if "." not in n
+            and not info.type.startswith(("struct", "list", "map"))
+            and info.type != "variant"
+        ]
+    battery: list[tuple[str, str, str]] = [("count", "*", "rows_total")]
+    for c in columns:
+        battery.append(("count", c, f"cnt {c}"))
+        battery.append(("min", c, f"min {c}"))
+        battery.append(("max", c, f"max {c}"))
+        battery.append(("approx_count_distinct", c, f"ndv {c}"))
+    row = agg_pushdown(table, spark, battery).first()
+
+    def s(v: Any) -> str | None:
+        return None if v is None else str(v)
+
+    rows = []
+    total = int(row["rows_total"])
+    for c in columns:
+        cnt = row[f"cnt {c}"]
+        rows.append(
+            (
+                c,
+                fields[c].type,
+                total,
+                None if cnt is None else total - int(cnt),
+                None if row[f"ndv {c}"] is None else int(row[f"ndv {c}"]),
+                s(row[f"min {c}"]),
+                s(row[f"max {c}"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, type string, row_count long, null_count long, "
+        "ndv long, min_value string, max_value string",
+    )
+
+
+IcebergTable.analyze_table = analyze_table  # type: ignore[attr-defined]

@@ -3327,3 +3327,56 @@ def iceberg_percentile_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rep["scanned"] == [] and len(rep["from_stats"]) == 3, rep
     assert t.last_scan["files_scanned"] == 0, t.last_scan
     return out
+
+
+@query(
+    "iceberg_analyze_table",
+    """
+    WITH src AS (
+      SELECT * FROM read_parquet('/root/repo/.fixtures/cbo_range/dima/data/*.parquet')
+    )
+    SELECT 'aid' AS column, 'long' AS type,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(COUNT(*) - COUNT(aid) AS BIGINT) AS null_count,
+           CAST(COUNT(DISTINCT aid) AS BIGINT) AS ndv,
+           CAST(MIN(aid) AS VARCHAR) AS min_value,
+           CAST(MAX(aid) AS VARCHAR) AS max_value
+    FROM src
+    UNION ALL
+    SELECT 'av', 'long', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(av) AS BIGINT),
+           CAST(COUNT(DISTINCT av) AS BIGINT),
+           CAST(MIN(av) AS VARCHAR), CAST(MAX(av) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'aname', 'string', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(aname) AS BIGINT),
+           CAST(COUNT(DISTINCT aname) AS BIGINT),
+           CAST(MIN(aname) AS VARCHAR), CAST(MAX(aname) AS VARCHAR)
+    FROM src
+    """,
+)
+def iceberg_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE from metadata (r11, ``agg.analyze_table``): the
+    per-column catalog card — row/null counts and min/max from manifest
+    statistics through the SAME soundness-gated pushdown the query path
+    uses, NDVs from the theta blobs (exact-mode here, so the oracle's
+    COUNT(DISTINCT) must match exactly).  The numeric battery and all
+    NDVs answer from metadata alone; only the STRING column's min/max
+    takes the one residual scan (string bounds may be truncated — the
+    pushdown refuses them by design), hard-asserted below."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.fixtures import ensure_cbo_range_fixture
+
+    paths = ensure_cbo_range_fixture(spark)
+    t = IcebergTable(paths["dima"])
+    out = t.analyze_table(spark)
+    rep = t.last_agg_pushdown
+    assert rep["files_scanned"] <= 1 and not rep["ndv_scanned_columns"], rep
+    meta = rep["meta_files"]
+    assert all(
+        meta[k] == rep["files_planned"]
+        for k in meta
+        if not k.endswith(" aname") or k.startswith("cnt")
+    ), rep
+    return out

@@ -355,3 +355,30 @@ def test_rank_normalized_zorder_survives_skew(spark, tmp_path):
     # the head-band query prunes strictly harder under rank
     # normalization; min-max leaves x unprunable for head values
     assert results["rank"] < results["mm"], results
+
+
+def test_analyze_table_nulls_deletes_and_fallbacks(spark, tmp_path):
+    """analyze_table stays EXACT on tables without statistics (HLL
+    fallback for NDV is exact at this scale), under NULL columns, and
+    after a row-level delete — everything routes through the same
+    soundness-gated pushdown."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+
+    w = _table(
+        tmp_path,
+        [{"v": (i if i % 4 else None), "k": i % 10} for i in range(100)],
+    )
+    w.delete_rows_equality([{"k": 3}])  # kills 10 rows
+    t = IcebergTable(w.path)
+    got = {r.column: r for r in t.analyze_table(spark).collect()}
+    assert got["v"].row_count == 90
+    # v NULL when i % 4 == 0 and i % 10 != 3 -> 23 of the 90 live rows
+    live = [i for i in range(100) if i % 10 != 3]
+    assert got["v"].null_count == sum(1 for i in live if i % 4 == 0)
+    # no theta stats on this table -> the NDV comes from the HLL scan
+    # fallback, approximate by design (~2% rsd) — never a wrong answer
+    # from stats, merely an estimate where only an estimate was asked
+    exact_ndv = len({i for i in live if i % 4})
+    assert abs(got["v"].ndv - exact_ndv) <= max(2, exact_ndv // 25)
+    assert abs(got["k"].ndv - 9) <= 1 and got["k"].null_count == 0
+    assert got["k"].min_value == "0" and got["k"].max_value == "9"

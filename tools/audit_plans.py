@@ -224,6 +224,9 @@ AUDIT = {
     # handful of files, the equality residual pushes into their scan,
     # one global-agg exchange
     "iceberg_bloom_index_prune": (1, True, False, 3),
+    # r11 ANALYZE TABLE: metadata battery + the one string-bounds
+    # residual scan; result is a literal relation
+    "iceberg_analyze_table": (1, False, False, None),
     # r11 GIF frame-sampled decode: one mapInPandas leg over (doc_id,
     # payload) — zero exchanges, bytes never reach the driver
     "multimodal_gif_frames": (0, False, False, 2),
