@@ -572,3 +572,36 @@ def test_token_bloom_tokenizer_revision_guard(spark):
     df = t.to_df(spark, token_filters=[("text", "zeta")])
     assert df.count() == 1  # residual still exact
     assert t.last_scan["files_scanned"] == 3  # no pruning claimed
+
+
+def test_token_sharded_build_identical(spark, monkeypatch):
+    """Token blooms compose with the executor-sharded build path: above
+    the gate, shards carry the tokenizer property and probe identically
+    to the driver-side build."""
+    from daskberg_spark.iceberg.bloomindex import (
+        TOKEN_BLOOM_BLOB_TYPE,
+        write_token_blooms,
+    )
+
+    monkeypatch.setenv("DASKBERG_BLOOM_SHARD_FILE_GATE", "1")
+    monkeypatch.setenv("DASKBERG_BLOOM_SHARD_PAIRS", "2")
+    path, w, corpus = _token_table(spark)
+    write_token_blooms(w, spark, ["text"])
+    t = IcebergTable(path)
+    entries = [
+        e
+        for e in t.table_statistics()
+        if any(
+            b.get("type") == TOKEN_BLOOM_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+    ]
+    assert len(entries) >= 2  # executor shards, not one driver puffin
+    for e in entries:
+        for b in e["blob-metadata"]:
+            assert b["properties"]["tokenizer"] == "whitespace-lower-v1"
+    df = t.to_df(spark, token_filters=[("text", "zeta")])
+    assert [r.shard for r in df.collect()] == ["b"]
+    assert t.last_scan["files_scanned"] == 1
+    assert t.to_df(spark, token_filters=[("text", "nothere")]).count() == 0
+    assert t.last_scan["files_scanned"] == 0
