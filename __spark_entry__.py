@@ -40,6 +40,7 @@ def _load_registry():
         "daskberg_spark.operators.bloomjoin",
         "daskberg_spark.operators.iceberg_queries",
         "daskberg_spark.streaming.events",
+        "daskberg_spark.streaming.corpus",
     ):
         try:
             __import__(optional)

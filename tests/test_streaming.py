@@ -1452,3 +1452,80 @@ def test_epoch_sink_keeps_stats_fresh(spark, tmp_path):
     # the refresh went through the incremental path: the final stats
     # entry's snapshot parent chain holds the interleaved appends
     assert IcebergTable(p).column_theta("k").is_exact
+
+
+def test_corpus_dedup_across_batches_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedups a replay arriving in a
+    LATER micro-batch (state outlives the batch) while the plan carries
+    the bounded-state operator, not the unbounded dropDuplicates."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(src)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10),
+            (2, "one two three four five six seven eight nine ten", "en", "s", 10),
+        ],
+        cols,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes: file order == arrival order
+    batch2 = spark.createDataFrame(
+        [
+            # exact replay of doc 1's text (new doc_id): must dedup
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10),
+            (4, "completely fresh words live here beyond all prior texts ok", "en", "s", 10),
+        ],
+        cols,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    from daskberg_spark.operators.text import _tokens
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fp = F.md5(
+        F.encode(
+            F.lower(F.regexp_replace("text", "[ \\t\\n\\f\\r]+", " ")),
+            "UTF-8",
+        )
+    )
+    ts = F.timestamp_micros((F.col("doc_id") + F.lit(86_400)) * F.lit(1_000_000))
+    gated = (
+        stream.withColumn("ts", ts)
+        .withColumn("fp", fp)
+        .filter(F.size(_tokens(F.col("text"))) >= 5)
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = gated.dropDuplicatesWithinWatermark(["lang", "fp"])
+    agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    import uuid as _uuid
+
+    name = f"corpus_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # bounded-state operator (not unbounded dropDuplicates) in the
+        # executed plan
+        ops = {
+            s["operatorName"] for s in q.lastProgress["stateOperators"]
+        }
+        assert "dedupeWithinWatermark" in ops, ops
+    finally:
+        q.stop()
+    out = {r["lang"]: r["n"] for r in spark.table(name).collect()}
+    assert out == {"en": 3}  # 4 docs, one cross-batch replay deduped
