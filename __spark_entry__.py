@@ -339,6 +339,11 @@ _PRIORITY = [
     "iceberg_cbo_range_join",
     "iceberg_percentile_pushdown",
     "keyword_rank_bm25",
+    # NEW r11 session 3
+    "multimodal_gif_frames",
+    "iceberg_analyze_table",
+    "streaming_corpus_dedup",
+    "iceberg_agg_pushdown_sum",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
@@ -375,12 +380,12 @@ _PRIORITY = [
     "window_range_frame",
     "window_running",
     "write_roundtrip",
-    # oldest driver evidence (r2-r5 tail)
+    # oldest driver evidence (r2-r5 tail; agg_collect_sorted /
+    # bucketed_join / median_quantile / salted_join stepped back out
+    # for the four session-3 queries — families keep in-window reps
+    # (q1 aggregation, cbo_join/q9_cbo_star joins, percentile_pushdown
+    # quantiles) and all four stay oracle-exact locally)
     "iceberg_snapshot_log",
-    "agg_collect_sorted",
-    "bucketed_join",
-    "median_quantile",
-    "salted_join",
     "dedup_simhash",
     "iceberg_filtered_scan",
     "iceberg_partitions_metadata",

@@ -55,6 +55,7 @@ ice.py:220-264`` hands the file list to ``dask.dataframe``).
 
 from __future__ import annotations
 
+import decimal
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,7 +123,7 @@ def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
             raise ValueError(
                 f"alias {alias!r} collides with internal columns"
             )
-        if fn not in ("count", "min", "max", "approx_count_distinct"):
+        if fn not in ("count", "min", "max", "sum", "approx_count_distinct"):
             raise ValueError(f"unsupported aggregate {fn!r}")
         if col == "*" and fn != "count":
             raise ValueError(f"{fn}(*) is not an aggregate")
@@ -130,6 +131,18 @@ def _validate_aggs(aggs: list[tuple[str, str, str]], fields) -> None:
             raise ValueError(f"unknown column {col!r}")
         if col != "*" and "." in col:
             raise ValueError("nested columns are not supported")
+        if fn == "sum":
+            from daskberg_spark.iceberg.sumstats import is_summable
+
+            if not is_summable(fields[col].type):
+                # float/double sums are order-dependent in IEEE
+                # arithmetic — no stored per-file value could promise
+                # bit-exact equality with a direct scan, so refuse
+                # loudly rather than push down an approximation
+                raise ValueError(
+                    f"sum({col}): type {fields[col].type!r} has no "
+                    "exact decomposable sum (int/long/decimal only)"
+                )
         if alias in seen:
             raise ValueError(f"duplicate alias {alias!r}")
         seen.add(alias)
@@ -230,11 +243,13 @@ def agg_pushdown(
     group_by: list[str] | None = None,
 ) -> DataFrame:
     """DataFrame of ``aggs`` = [(fn, col, alias), ...] where fn ∈
-    {count, min, max} (col ``"*"`` allowed for count), answered from
-    manifest statistics wherever sound and from ONE residual Spark scan
-    over the remaining files otherwise.  Exact under filters, row-level
+    {count, min, max, sum} (col ``"*"`` allowed for count), answered
+    from manifest statistics — plus per-file sum blobs (``sumstats.py``)
+    for ``sum`` — wherever sound and from ONE residual Spark scan over
+    the remaining files otherwise.  Exact under filters, row-level
     deletes, and NaN — every unprovable file is scanned, and the result
-    never depends on stats alone.
+    never depends on stats alone.  ``sum`` covers int/long/decimal
+    columns only (float sums are order-dependent; refused loudly).
 
     ``group_by`` (identity-partitioned columns of int/long/string/
     boolean type) turns the one-row answer into one row per group —
@@ -297,6 +312,18 @@ def agg_pushdown(
     # scope helper shared with the read path (scan._scope_tuple) — import
     # here to avoid a module cycle (scan imports nothing from agg)
     from daskberg_spark.iceberg.scan import _norm_scan_path, _scope_tuple, to_df
+
+    # per-file sum blobs (sumstats.py): loaded once per sum column; a
+    # column with no blob coverage routes every file to the scan
+    sum_maps: dict[str, dict | None] = {}
+    sum_scales: dict[str, int] = {}
+    if any(fn == "sum" for fn, _, _ in aggs):
+        from daskberg_spark.iceberg.sumstats import column_filesums, type_scale
+
+        for fn, col, _ in aggs:
+            if fn == "sum" and col not in sum_maps:
+                sum_maps[col] = column_filesums(table, col)
+                sum_scales[col] = type_scale(fields[col].type)
 
     # -- per-file delete state (over-approximate: "might apply" → not clean)
     dv_minus: dict[str, int] = {}
@@ -389,6 +416,21 @@ def agg_pushdown(
             if rc is None or nulls is None:
                 return _SENTINEL_SCAN
             return int(rc) - nulls
+        if fn == "sum":
+            # raw-file blob (sumstats.py): valid because the file is
+            # CLEAN (no deletes) and whole-matching — every raw row is
+            # a live matching row.  Values stay UNSCALED ints here;
+            # the combine step rescales decimals once.
+            m = sum_maps.get(col)
+            ent = None if m is None else m.get(_norm_scan_path(f["file_path"]))
+            if ent is None:
+                return _SENTINEL_SCAN
+            unscaled, nonnull = ent
+            if nonnull == 0:
+                return _SENTINEL_SKIP  # SQL SUM over zero non-null rows
+            if unscaled is None:
+                return _SENTINEL_SCAN  # malformed blob entry — stay sound
+            return int(unscaled)
         side = "lower_bounds" if fn == "min" else "upper_bounds"
         bound = _bound_lookup(f.get(side), info.field_id, info.type)
         if bound is None:
@@ -537,8 +579,18 @@ def agg_pushdown(
             gate = F.col("__aggmask").bitwiseAND(F.lit(1 << bit)) != 0
             target = F.lit(1) if col == "*" else F.col(col)
             guarded = F.when(gate, target)
-            agg_fn = {"count": F.count, "min": F.min, "max": F.max}[fn]
-            exprs.append(agg_fn(guarded).alias(alias))
+            if fn == "sum":
+                # decimal(38, s) accumulation: a single scan partial
+                # cannot overflow it, and the driver combine is exact
+                # arbitrary-precision int — never a silent long wrap
+                exprs.append(
+                    F.sum(
+                        guarded.cast(f"decimal(38,{sum_scales[col]})")
+                    ).alias(alias)
+                )
+            else:
+                agg_fn = {"count": F.count, "min": F.min, "max": F.max}[fn]
+                exprs.append(agg_fn(guarded).alias(alias))
         # group existence: every scanned row is a live matching row
         exprs.append(F.count(F.lit(1)).alias("__exist"))
         if group_by:
@@ -587,6 +639,33 @@ def agg_pushdown(
                 parts.append(srow[alias])
             if fn == "count":
                 vals.append(sum(int(p) for p in parts if p is not None))
+            elif fn == "sum":
+                # parts: unscaled metadata ints + the scanned Decimal
+                # partial (exact exponent -s from decimal(38, s))
+                sc = sum_scales[col]
+                ctx = decimal.Context(prec=78)
+                tot = None
+                for p in parts:
+                    if p is None:
+                        continue
+                    u = (
+                        int(p.scaleb(sc, ctx))
+                        if isinstance(p, decimal.Decimal)
+                        else int(p)
+                    )
+                    tot = u if tot is None else tot + u
+                if tot is None:
+                    vals.append(None)
+                elif sc:
+                    # string construction is context-exact
+                    vals.append(decimal.Decimal(f"{tot}E-{sc}"))
+                else:
+                    if abs(tot) > (1 << 63) - 1:
+                        raise ValueError(
+                            f"sum({col}) = {tot} overflows BIGINT — "
+                            "cast the column to decimal first"
+                        )
+                    vals.append(tot)
             else:
                 vals.append(_combine(fn, parts))
         out_rows.append(tuple(vals))
@@ -594,7 +673,13 @@ def agg_pushdown(
         T.StructField(g, spark_types[g], True) for g in group_by
     ]
     for fn, col, alias in aggs:
-        typ = T.LongType() if fn == "count" else spark_types[col]
+        if fn == "count":
+            typ = T.LongType()
+        elif fn == "sum":
+            sc = sum_scales[col]
+            typ = T.DecimalType(38, sc) if sc else T.LongType()
+        else:
+            typ = spark_types[col]
         out_fields.append(T.StructField(alias, typ, True))
 
     table.last_agg_pushdown = {

@@ -162,7 +162,15 @@ def lift_footer_stats(
             if stats is None or not stats.has_min_max:
                 no_minmax.add(name)
                 continue
-            lo, hi = stats.min, stats.max
+            try:
+                lo, hi = stats.min, stats.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError casting some
+                # chunks' stats (seen: an all-NULL FLBA decimal chunk
+                # reports has_min_max yet the cast fails) — degrade to
+                # boundless, the planner then scans the file
+                no_minmax.add(name)
+                continue
             if (isinstance(lo, float) and lo != lo) or (
                 isinstance(hi, float) and hi != hi
             ):

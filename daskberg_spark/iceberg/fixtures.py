@@ -1473,6 +1473,30 @@ def ensure_lineitem_bloom_iceberg(spark, sf_dir: str) -> str:
     return base
 
 
+def ensure_lineitem_sum_iceberg(spark, sf_dir: str) -> str:
+    """The bloom-fixture table plus per-file SUM blobs on
+    ``l_orderkey`` (``sumstats.write_sum_statistics``) — sum blobs are
+    plan-neutral (only the sum pushdown consults them), so sharing the
+    table keeps fixture disk/build time flat and exercises the
+    statistics-coexistence keep rule on a real multi-blob table."""
+    from daskberg_spark.iceberg.sumstats import (
+        SUM_BLOB_TYPE,
+        write_sum_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    base = ensure_lineitem_bloom_iceberg(spark, sf_dir)
+    writer = IcebergWriter.load(base)
+    has_sums = any(
+        b.get("type") == SUM_BLOB_TYPE
+        for e in writer.statistics
+        for b in e.get("blob-metadata", [])
+    )
+    if not has_sums:
+        write_sum_statistics(writer, spark, ["l_orderkey"])
+    return base
+
+
 WRITE_FORMATS_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "write_formats_table"
 )

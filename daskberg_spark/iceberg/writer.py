@@ -6358,6 +6358,12 @@ def maintain(
             report["refresh_quantiles"] = q_cols
         else:
             report["refresh_quantiles"] = None
+        # per-file sum-blob catch-up: same opt-in shape as the Bloom
+        # index (incremental — only files no blob covers yet; a no-op
+        # None on tables that never ran write_sum_statistics)
+        from daskberg_spark.iceberg.sumstats import refresh_sum_statistics
+
+        report["refresh_sums"] = refresh_sum_statistics(writer, spark)
     report["expire_snapshots"] = expire_snapshots(
         writer,
         keep_last=keep_last,

@@ -3084,6 +3084,46 @@ def iceberg_agg_pushdown_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "iceberg_agg_pushdown_sum",
+    """
+    SELECT CAST((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1
+                AS INTEGER) AS l_shipmonth,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_ok,
+           CAST(SUM(l_orderkey) AS DOUBLE) / COUNT(l_orderkey) AS avg_ok
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def iceberg_agg_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG aggregate pushdown from per-file sum blobs (r11,
+    ``iceberg/sumstats.py``): per-month SUM + COUNT + AVG over the
+    83-file lineitem table answered ENTIRELY from statistics — manifest
+    counts plus the ``daskberg-colsum-v1`` Puffin blob's exact per-file
+    sums (per-file sums ARE per-group sums under identity
+    partitioning).  Hard-asserts ZERO data files read.  Iceberg
+    manifests carry no sums, so without the blob this dashboard query
+    is a full scan on a 100 TB table; deletes/filters/missing coverage
+    all degrade per-file to the one residual scan (pytest
+    ``test_sumstats``), never to a wrong answer.  AVG derives as
+    sum/count in identical IEEE expressions on both engines — exact
+    integer sums make the division bit-deterministic."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    from daskberg_spark.iceberg.fixtures import ensure_lineitem_sum_iceberg
+
+    t = IcebergTable(ensure_lineitem_sum_iceberg(spark, sf_dir))
+    out = t.agg_pushdown(
+        spark,
+        [("sum", "l_orderkey", "sum_ok"), ("count", "l_orderkey", "n_ok")],
+        group_by=["l_shipmonth"],
+    )
+    assert t.last_agg_pushdown["files_scanned"] == 0, "sum pushdown regressed"
+    return out.withColumn(
+        "avg_ok", F.col("sum_ok").cast("double") / F.col("n_ok")
+    )
+
+
 from daskberg_spark.operators.registry import dsum, sql_dsum  # noqa: E402
 
 

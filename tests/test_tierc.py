@@ -594,7 +594,7 @@ def test_bmp_codec_roundtrip_and_variants():
         decode_bmp(bytes(bad))
     # a PNG-ish prefix that is NOT the full 8-byte signature is an
     # unknown format (real PNGs now decode; see test_png_roundtrip_*)
-    with pytest.raises(NotImplementedError, match="neither BMP nor PNG"):
+    with pytest.raises(NotImplementedError, match="none of BMP/PNG/GIF"):
         decode_image(b"\x89PNG....")
 
 

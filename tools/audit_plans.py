@@ -249,6 +249,10 @@ AUDIT = {
     # grouped metadata aggregate: 83 group rows combined driver-side
     # from manifest stats — a literal relation, zero exchanges
     "iceberg_agg_pushdown_groupby": (0, False, False, None),
+    # r11 SUM/AVG pushdown from per-file sum blobs: 83 grouped rows
+    # combined driver-side (manifest counts + colsum blobs), zero data
+    # files (hard-asserted in the query) — literal relation
+    "iceberg_agg_pushdown_sum": (0, False, False, None),
     # round 10 session 3: theta NDV readout is pure metadata (sketch
     # blobs decoded driver-side) — a literal relation, zero exchanges
     "iceberg_theta_ndv": (0, False, False, None),
