@@ -344,6 +344,7 @@ _PRIORITY = [
     "iceberg_analyze_table",
     "streaming_corpus_dedup",
     "iceberg_agg_pushdown_sum",
+    "iceberg_rollup_incremental",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
@@ -384,10 +385,11 @@ _PRIORITY = [
     # bucketed_join / median_quantile / salted_join stepped back out
     # for the four session-3 queries — families keep in-window reps
     # (q1 aggregation, cbo_join/q9_cbo_star joins, percentile_pushdown
-    # quantiles) and all four stay oracle-exact locally)
+    # quantiles) and all four stay oracle-exact locally; filtered_scan
+    # also stepped out for the rollup query — filter semantics run
+    # under every in-window prune/delete read)
     "iceberg_snapshot_log",
     "dedup_simhash",
-    "iceberg_filtered_scan",
     "iceberg_partitions_metadata",
     "iceberg_unique_partitions",
 ]

@@ -35,7 +35,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "asof_join",
     "iceberg_lineitem_month_prune",
-    "iceberg_lineitem_stats_prune",
+    # (iceberg_lineitem_stats_prune retired in r11 session 3: 0.11 s at
+    # sf0.1 — noise scale; the stdout line budget needed the room for
+    # iceberg_rollup_incremental.  Stays driver-window + oracle checked,
+    # and month_prune keeps the prune family timed here.)
     # Tier-C (registered as implemented)
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -130,6 +133,11 @@ HEADLINE = [
     "iceberg_token_search",
     "gopher_repetition_filters",
     "keyword_rank_bm25",
+    # round 11, session 3: the incremental-materialized-rollup lifecycle
+    # (source write → append → MOR delete → changelog-delta refresh —
+    # the IVM maintenance loop; the sum pushdown itself is a metadata
+    # no-op benched nowhere, its correctness lives in the driver window)
+    "iceberg_rollup_incremental",
 ]
 
 

@@ -3124,6 +3124,95 @@ def iceberg_agg_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "iceberg_rollup_incremental",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+           CAST(SUM(l_orderkey) AS DOUBLE) / COUNT(l_orderkey) AS avg_ok
+    FROM lineitem
+    WHERE (YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1
+          BETWEEN 300 AND 305
+      AND NOT (l_returnflag = 'R'
+               AND (YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1
+                   = 305)
+    GROUP BY l_returnflag
+    """,
+)
+def iceberg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized rollup (r11,
+    ``iceberg/rollup.py``): the full lifecycle — materialize a per-flag
+    COUNT/SUM rollup over five months of lineitem, append a sixth
+    month, row-level-DELETE one flag of it (MOR position deletes), then
+    ``refresh_rollup`` — which reads ONLY the source's changelog delta
+    (hard-asserted ≤3 of the 6+ live files: the appended file, the
+    delete's target, and the base side), merges signed per-group deltas
+    into the rollup, and drops nothing it shouldn't.  At 100 TB this is
+    the difference between a dashboard refresh that costs O(commit
+    delta) and one that re-aggregates the table.  The oracle recomputes
+    the final state relationally; AVG derives as sum/count in identical
+    IEEE expressions on both engines."""
+    import tempfile
+
+    from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_spark,
+        write_df,
+    )
+
+    month = (
+        (F.year("l_shipdate") - F.lit(1970)) * 12 + F.month("l_shipdate") - 1
+    ).cast("int")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        month.alias("l_shipmonth"),
+    )
+    src_path = tempfile.mkdtemp(prefix="iceberg_rollup_src_")
+    writer = IcebergWriter(
+        src_path,
+        [
+            {"id": 1, "name": "l_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "l_returnflag", "type": "string", "required": False},
+            {"id": 3, "name": "l_shipmonth", "type": "int", "required": False},
+        ],
+        [{"name": "l_shipmonth", "transform": "identity", "source": "l_shipmonth"}],
+    )
+    write_df(
+        writer, li.where("l_shipmonth between 300 and 304"), mode="hash"
+    )
+    src = IcebergTable(src_path)
+    rollup_writer = create_rollup(
+        spark,
+        src,
+        tempfile.mkdtemp(prefix="iceberg_rollup_tab_"),
+        ["l_returnflag"],
+        ["l_orderkey"],
+    )
+    write_df(writer, li.where("l_shipmonth = 305"), mode="hash")
+    delete_where_spark(
+        writer, spark, "l_returnflag = 'R' AND l_shipmonth = 305"
+    )
+    report = refresh_rollup(spark, rollup_writer)
+    assert report["mode"] == "incremental", report
+    assert report["source_files_read"] <= 3, (
+        f"rollup refresh read {report['source_files_read']} source files "
+        "— the changelog delta plan regressed"
+    )
+    out = IcebergTable(rollup_writer.path).to_df(spark)
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_l_orderkey").cast("long").alias("sum_ok"),
+        (
+            F.col("sum_l_orderkey").cast("double")
+            / F.col("nn_l_orderkey")
+        ).alias("avg_ok"),
+    )
+
+
 from daskberg_spark.operators.registry import dsum, sql_dsum  # noqa: E402
 
 

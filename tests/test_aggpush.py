@@ -249,7 +249,11 @@ def test_validation():
     w.append([{"k": 1, "cat": "a", "v": 1.0, "s": "x"}])
     t = IcebergTable(path)
     with pytest.raises(ValueError, match="unsupported aggregate"):
-        t.agg_pushdown(None, [("sum", "k", "x")])
+        t.agg_pushdown(None, [("median", "k", "x")])
+    # sum is supported since r11 (sumstats.py) — but only on exactly-
+    # summable types; float sums are order-dependent and refused
+    with pytest.raises(ValueError, match="no exact decomposable sum"):
+        t.agg_pushdown(None, [("sum", "v", "x")])
     with pytest.raises(ValueError, match="not an aggregate"):
         t.agg_pushdown(None, [("min", "*", "x")])
     with pytest.raises(ValueError, match="unknown column"):

@@ -253,6 +253,11 @@ AUDIT = {
     # combined driver-side (manifest counts + colsum blobs), zero data
     # files (hard-asserted in the query) — literal relation
     "iceberg_agg_pushdown_sum": (0, False, False, None),
+    # r11 incremental materialized rollup: the lifecycle runs eagerly
+    # inside the operator (changelog-delta refresh hard-asserted ≤3
+    # source files there); the returned plan is one narrow scan of the
+    # group-sized rollup table — zero exchanges
+    "iceberg_rollup_incremental": (0, False, False, None),
     # round 10 session 3: theta NDV readout is pure metadata (sketch
     # blobs decoded driver-side) — a literal relation, zero exchanges
     "iceberg_theta_ndv": (0, False, False, None),
