@@ -345,6 +345,7 @@ _PRIORITY = [
     "streaming_corpus_dedup",
     "iceberg_agg_pushdown_sum",
     "iceberg_rollup_incremental",
+    "hilbert_cluster_stats",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
@@ -386,11 +387,11 @@ _PRIORITY = [
     # for the four session-3 queries — families keep in-window reps
     # (q1 aggregation, cbo_join/q9_cbo_star joins, percentile_pushdown
     # quantiles) and all four stay oracle-exact locally; filtered_scan
-    # also stepped out for the rollup query — filter semantics run
-    # under every in-window prune/delete read)
+    # and partitions_metadata also stepped out for the rollup/hilbert
+    # queries — filter semantics run under every in-window prune/delete
+    # read, and A12 keeps snapshot_log + unique_partitions in-window)
     "iceberg_snapshot_log",
     "dedup_simhash",
-    "iceberg_partitions_metadata",
     "iceberg_unique_partitions",
 ]
 

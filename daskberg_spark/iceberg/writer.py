@@ -6364,6 +6364,15 @@ def maintain(
         from daskberg_spark.iceberg.sumstats import refresh_sum_statistics
 
         report["refresh_sums"] = refresh_sum_statistics(writer, spark)
+        # materialized-rollup catch-up: a table created by
+        # create_rollup carries its source watermark in properties —
+        # the nightly job advances it by the changelog delta
+        from daskberg_spark.iceberg.rollup import PROP_SOURCE, refresh_rollup
+
+        if PROP_SOURCE in writer.properties:
+            report["refresh_rollup"] = refresh_rollup(spark, writer)["mode"]
+        else:
+            report["refresh_rollup"] = None
     report["expire_snapshots"] = expire_snapshots(
         writer,
         keep_last=keep_last,
@@ -6626,6 +6635,27 @@ def zorder_value(
     codegen; no UDF, no shuffle of its own."""
     from pyspark.sql import functions as F
 
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for ci, v in enumerate(normalized_axes(rows, cols, bits, histograms)):
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + ci))
+    return z
+
+
+def normalized_axes(
+    rows: Any,
+    cols: list[str],
+    bits: int,
+    histograms: dict[str, list[float]] | None = None,
+) -> list[Any]:
+    """Each column as a ``[0, 2^bits)`` long Column: min-max by default
+    (one tiny driver-side agg over ``rows``), equi-depth-CDF rank when
+    the column has ``histograms`` knots — shared by the Morton
+    (``zorder_value``) and Hilbert (``hilbert.py``) curves."""
+    from pyspark.sql import functions as F
+
     histograms = histograms or {}
     mm_cols = [c for c in cols if not histograms.get(c)]
     stats = (
@@ -6636,10 +6666,9 @@ def zorder_value(
         if mm_cols
         else None
     )
-    n = len(cols)
-    z = F.lit(0).cast("long")
     top = (1 << bits) - 1
-    for ci, c in enumerate(cols):
+    out = []
+    for c in cols:
         knots = histograms.get(c)
         if knots and len(knots) >= 2:
             nb = len(knots) - 1
@@ -6662,18 +6691,17 @@ def zorder_value(
                 (i - 1).cast("double")
                 + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
             ) / F.lit(float(nb))
-            v = (rank * F.lit(float(top))).cast("long")
+            out.append((rank * F.lit(float(top))).cast("long"))
         else:
             mn = float(stats[f"mn_{c}"])
             mx = float(stats[f"mx_{c}"])
             span = (mx - mn) or 1.0
-            v = (
-                (F.col(c).cast("double") - F.lit(mn)) * (top / span)
-            ).cast("long")
-        for b in range(bits):
-            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * n + ci))
-    return z
+            out.append(
+                (
+                    (F.col(c).cast("double") - F.lit(mn)) * (top / span)
+                ).cast("long")
+            )
+    return out
 
 
 def compact_files_spark(
@@ -6685,6 +6713,7 @@ def compact_files_spark(
     zorder_by: list[str] | None = None,
     zorder_rank_normalize: bool = False,
     partition_filter: dict[str, Any] | None = None,
+    curve: str = "morton",
 ) -> int | None:
     """Distributed compaction: the cluster-scale twin of ``compact_files``.
     Spark reads ONLY the small files through the delete-aware tagged scan
@@ -6795,9 +6824,18 @@ def compact_files_spark(
                 for c in missing:
                     if row[c]:
                         hists[c] = [float(b) for b in row[c]]
-        rows = rows.withColumn(
-            "__z", zorder_value(rows, zorder_by, histograms=hists)
-        )
+        if curve == "hilbert":
+            # unit-step curve: tighter per-file bounds than Morton at
+            # the same file count (hilbert.py; witness in its tests)
+            from daskberg_spark.iceberg.hilbert import hilbert_attach
+
+            rows = hilbert_attach(rows, zorder_by, "__z", histograms=hists)
+        elif curve == "morton":
+            rows = rows.withColumn(
+                "__z", zorder_value(rows, zorder_by, histograms=hists)
+            )
+        else:
+            raise ValueError(f"unknown clustering curve {curve!r}")
         rows = (
             rows.repartitionByRange(target_partitions, "__z")
             .sortWithinPartitions("__z")

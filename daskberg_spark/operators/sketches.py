@@ -318,6 +318,63 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_oracle_sql() -> str:
+    from daskberg_spark.iceberg.hilbert import sql_hilbert_ctes
+
+    ctes = sql_hilbert_ctes("d", ["p", "s"], 6, carry=["p", "s"])
+    return f"""
+    WITH d AS (
+      SELECT CAST(l_partkey % 64 AS BIGINT) AS p,
+             CAST(l_suppkey % 64 AS BIGINT) AS s
+      FROM lineitem
+    ),
+    {ctes}
+    SELECT CAST(hval >> 8 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(p) AS BIGINT) AS p_min, CAST(MAX(p) AS BIGINT) AS p_max,
+           CAST(MIN(s) AS BIGINT) AS s_min, CAST(MAX(s) AS BIGINT) AS s_max
+    FROM h_out GROUP BY tile ORDER BY tile
+    """
+
+
+@query("hilbert_cluster_stats", _hilbert_oracle_sql())
+def hilbert_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve locality census — ``zorder_cluster_stats``'s twin
+    for ``compact_files_spark(curve="hilbert")`` (r11,
+    ``iceberg/hilbert.py``): 6-bit (partkey, suppkey) grid coordinates
+    through the unrolled Skilling axes→index transform, aggregated per
+    256-cell tile.  Every tile's min/max shows BOTH dimensions bounded
+    to a 16-wide band — and unlike Morton, CONSECUTIVE tiles are also
+    edge-adjacent (the unit-step property ``tests/test_hilbert.py``
+    pins), which is why Hilbert-clustered files prune box queries
+    at least as hard at the same file count.  The DuckDB oracle runs
+    the SAME transform independently as a generated 13-CTE SQL chain
+    (``sql_hilbert_ctes``) — three implementations (Python reference,
+    Catalyst, SQL) pinned equal.
+
+    Scale: a linear chain of integer projections inside whole-stage
+    codegen (no UDF) + one partial-agg shuffle over 16 tiles."""
+    from daskberg_spark.iceberg.hilbert import hilbert_attach
+
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_partkey") % 64).cast("long").alias("p"),
+        (F.col("l_suppkey") % 64).cast("long").alias("s"),
+    )
+    h = hilbert_attach(d, ["p", "s"], out_col="hval", bits=6, normalize=False)
+    return (
+        h.groupBy(F.shiftright("hval", 8).cast("long").alias("tile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p").alias("p_min"),
+            F.max("p").alias("p_max"),
+            F.min("s").alias("s_min"),
+            F.max("s").alias("s_max"),
+        )
+        .orderBy("tile")
+    )
+
+
 @query(
     "winsorized_stats",
     f"""

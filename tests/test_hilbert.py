@@ -1,0 +1,156 @@
+"""Hilbert-curve clustering (hilbert.py): the pure-Python reference is
+a genuine Hilbert curve (bijection + unit steps — the curve's defining
+characterization), the Catalyst and SQL forms match it bit-exactly,
+and compaction with curve="hilbert" prunes box queries at least as
+hard as Morton at the same file count."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def test_reference_is_a_hilbert_curve():
+    from daskberg_spark.iceberg.hilbert import hilbert_index
+
+    for n, bits in ((2, 5), (3, 3)):
+        side = 1 << bits
+        cells = {}
+        coords = [[]]
+        for _ in range(n):
+            coords = [c + [v] for c in coords for v in range(side)]
+        for c in coords:
+            cells[hilbert_index(c, bits)] = tuple(c)
+        # bijection onto [0, side^n)
+        assert sorted(cells) == list(range(side**n))
+        # unit steps: consecutive indices differ by 1 in exactly 1 axis
+        prev = cells[0]
+        for h in range(1, side**n):
+            cur = cells[h]
+            assert sum(abs(a - b) for a, b in zip(cur, prev)) == 1, (
+                n,
+                h,
+                prev,
+                cur,
+            )
+            prev = cur
+
+
+def test_catalyst_matches_reference(spark):
+    from daskberg_spark.iceberg.hilbert import hilbert_attach, hilbert_index
+
+    rng = random.Random(7)
+    bits = 8
+    rows = [
+        (
+            i,
+            rng.randrange(1 << bits),
+            rng.randrange(1 << bits),
+            rng.randrange(1 << bits),
+        )
+        for i in range(400)
+    ]
+    # corner rows pin min-max normalization to the identity map
+    rows += [(9001, 0, 0, 0), (9002, 255, 255, 255)]
+    df = spark.createDataFrame(rows, ["rid", "a", "b", "c"])
+    for cols in (["a", "b"], ["a", "b", "c"]):
+        out = hilbert_attach(df, cols, out_col="hv", bits=bits)
+        got = {r["rid"]: r["hv"] for r in out.collect()}
+        exp = {
+            r[0]: hilbert_index([r[1 + i] for i in range(len(cols))], bits)
+            for r in rows
+        }
+        assert got == exp, cols
+
+
+def test_sql_generator_matches_reference():
+    import duckdb
+    import pandas as pd
+
+    from daskberg_spark.iceberg.hilbert import hilbert_index, sql_hilbert_ctes
+
+    rng = random.Random(11)
+    bits = 6
+    rows = [
+        (i, rng.randrange(1 << bits), rng.randrange(1 << bits))
+        for i in range(300)
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["rid", "a", "b"]))
+    ctes = sql_hilbert_ctes("base", ["a", "b"], bits, carry=["rid"])
+    got = dict(
+        con.execute(
+            f"WITH base AS (SELECT rid, a, b FROM t),\n{ctes}\n"
+            "SELECT rid, hval FROM h_out"
+        ).fetchall()
+    )
+    assert got == {rid: hilbert_index([a, b], bits) for rid, a, b in rows}
+
+
+def test_validation():
+    from daskberg_spark.iceberg.hilbert import default_bits, hilbert_attach
+
+    assert default_bits(2) == 10 and default_bits(7) == 8
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        hilbert_attach(None, ["x"])
+    with pytest.raises(ValueError, match="64-bit"):
+        hilbert_attach(None, ["x", "y", "z"], bits=21)
+
+
+def test_compaction_hilbert_never_prunes_worse_than_morton(spark, tmp_path):
+    """Same uniform 2-D data, same normalization, same 16 output files:
+    over a sweep of box queries the Hilbert rewrite plans <= the Morton
+    rewrite's file total (unit-step locality -> tighter per-file
+    bounds), is strictly better on at least one box, and content is
+    identical either way."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+    )
+
+    def build(name):
+        w = IcebergWriter(
+            str(tmp_path / name),
+            [
+                {"id": 1, "name": "x", "type": "long", "required": False},
+                {"id": 2, "name": "y", "type": "long", "required": False},
+            ],
+        )
+        rows = [
+            {"x": (i * 37) % 256, "y": (i * 13) % 256} for i in range(4096)
+        ]
+        for b in range(4):
+            w.append(rows[b::4])
+        return w
+
+    boxes = [
+        [("x", ">=", lo), ("x", "<=", lo + 31), ("y", ">=", lo2), ("y", "<=", lo2 + 31)]
+        for lo in (0, 64, 160)
+        for lo2 in (32, 128, 224)
+    ]
+    planned = {}
+    rowsets = {}
+    for name, curve in (("mort", "morton"), ("hilb", "hilbert")):
+        w = build(name)
+        assert (
+            compact_files_spark(
+                w,
+                spark,
+                target_partitions=16,
+                zorder_by=["x", "y"],
+                curve=curve,
+            )
+            is not None
+        )
+        t = IcebergTable(w.path)
+        planned[name] = [len(t.plan_files(b)) for b in boxes]
+        rowsets[name] = sorted(
+            (r["x"], r["y"]) for r in t.to_df(spark).collect()
+        )
+    assert rowsets["hilb"] == rowsets["mort"]  # clustering never edits data
+    assert sum(planned["hilb"]) < sum(planned["mort"]), planned
+    assert all(h <= m + 1 for h, m in zip(planned["hilb"], planned["mort"])), (
+        planned
+    )

@@ -153,6 +153,10 @@ AUDIT = {
     "sampled_agg_deterministic": (1, False, False, 3),
     "events_corr_matrix": (2, False, False, 3),
     "zorder_cluster_stats": (2, False, False, 2),
+    # r11 Hilbert census: same shape as the Morton census — the curve
+    # transform is a linear projection chain, still 2-column read, one
+    # group-agg + one ordering exchange
+    "hilbert_cluster_stats": (2, False, False, 2),
     "winsorized_stats": (3, True, True, 2),
     "embedding_dim_stats": (2, True, False, 1),
     "domain_cap_sample": (2, False, False, 3),
