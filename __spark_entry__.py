@@ -346,12 +346,15 @@ _PRIORITY = [
     "iceberg_agg_pushdown_sum",
     "iceberg_rollup_incremental",
     "hilbert_cluster_stats",
+    "streaming_rollup_sink",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
+    # (iceberg_v2_row_deletes stepped out for streaming_rollup_sink:
+    # the delete family keeps FIVE in-window reps — mor/dv/foreign/
+    # null-scope/delete_where_fast — and it stays oracle-exact locally)
     "iceberg_variant_shredded_prune",
     "iceberg_multiformat_read",
-    "iceberg_v2_row_deletes",
     "iceberg_foreign_read",
     "iceberg_mor_delete_read",
     "iceberg_dv_delete_read",

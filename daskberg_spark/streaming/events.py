@@ -1139,6 +1139,97 @@ def _countmin_sql_over_events() -> str:
     """
 
 
+@query(
+    "streaming_rollup_sink",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with a continuously-fresh materialized
+    rollup (r11 composition: ``iceberg_epoch_sink`` × ``rollup.py``):
+    the events table streams in four micro-batches, each epoch commits
+    exactly-once into an Iceberg table, and the per-flag COUNT/SUM
+    rollup advances INSIDE the stream — created on the first epoch,
+    then refreshed per epoch through the changelog delta (append-only
+    windows, so every refresh reads just that epoch's files).  The
+    dashboard aggregate is never more than one micro-batch stale and
+    no refresh ever rescans the table — the streaming half of the
+    incremental-view-maintenance story.  Every refresh mode is
+    asserted ``incremental``; the final rollup must equal the batch
+    GROUP BY oracle exactly (no loss, no duplication, exactly-once
+    composition)."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    # split the single-file fixture into 4 parquet files (cached per
+    # sf_dir) so the file source triggers 4 micro-batches
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"daskberg_stream_split_{tag}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "event_type")
+            .repartition(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(split_dir)
+        )
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    sink_path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_rusink_{uuid.uuid4().hex[:8]}"
+    )
+    writer = IcebergWriter(
+        sink_path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+        ],
+    )
+    rollup_path = sink_path + "_rollup"
+    epoch_sink = iceberg_epoch_sink(writer)
+    state: dict = {"rw": None, "modes": []}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_sink(batch_df, epoch_id)
+        if state["rw"] is None:
+            state["rw"] = create_rollup(
+                spark,
+                IcebergTable(writer.path),
+                rollup_path,
+                ["event_type"],
+                ["event_id"],
+            )
+        else:
+            state["modes"].append(
+                refresh_rollup(spark, state["rw"])["mode"]
+            )
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state["rw"] is not None and len(state["modes"]) == 3, state
+    assert all(m == "incremental" for m in state["modes"]), state
+    out = IcebergTable(rollup_path).to_df(spark)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_event_id").cast("long").alias("sum_id"),
+    )
+
+
 # oracles need the sketch constants; register after the function bodies so
 # the import graph stays acyclic
 from daskberg_spark.operators.registry import ORACLES as _ORACLES
