@@ -345,20 +345,21 @@ _PRIORITY = [
     "streaming_corpus_dedup",
     "iceberg_agg_pushdown_sum",
     "iceberg_rollup_incremental",
+    "iceberg_rollup_answer",
     "hilbert_cluster_stats",
     "streaming_rollup_sink",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
-    # (iceberg_v2_row_deletes stepped out for streaming_rollup_sink:
-    # the delete family keeps FIVE in-window reps — mor/dv/foreign/
-    # null-scope/delete_where_fast — and it stays oracle-exact locally)
+    # (iceberg_v2_row_deletes and iceberg_null_partition_scope stepped
+    # out for streaming_rollup_sink and iceberg_rollup_answer: the
+    # delete family keeps FOUR in-window reps — mor/dv/foreign/
+    # delete_where_fast — and both stay oracle-exact locally)
     "iceberg_variant_shredded_prune",
     "iceberg_multiformat_read",
     "iceberg_foreign_read",
     "iceberg_mor_delete_read",
     "iceberg_dv_delete_read",
-    "iceberg_null_partition_scope",
     "iceberg_merge_mor",
     "iceberg_bloom_index_prune",
     "iceberg_write_formats",

@@ -1497,6 +1497,80 @@ def ensure_lineitem_sum_iceberg(spark, sf_dir: str) -> str:
     return base
 
 
+def ensure_rollup_answer_fixture(spark, sf_dir: str) -> str:
+    """Source table (six lineitem ship-months, month-partitioned) with
+    a FRESH registered rollup grouped by (l_returnflag, l_shipmonth) —
+    the aggregate router's happy path: grouping by the NON-partition
+    ``l_returnflag`` is unanswerable from per-file stats but trivial
+    from the rollup.  Returns the SOURCE path."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import PROP_REGISTRY, create_rollup
+    from daskberg_spark.iceberg.writer import IcebergWriter, write_df
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(os.path.dirname(FIXTURE_DIR), f"rollup_src_{tag}")
+    hint = os.path.join(base, "metadata", "version-hint.text")
+    if os.path.exists(hint) and PROP_REGISTRY in (
+        IcebergTable(base).metadata.get("properties") or {}
+    ):
+        return base
+    month = (
+        (F.year("l_shipdate") - F.lit(1970)) * 12 + F.month("l_shipdate") - 1
+    ).cast("int")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            month.alias("l_shipmonth"),
+        )
+        .where("l_shipmonth between 300 and 305")
+    )
+    if not os.path.exists(hint):
+        writer = IcebergWriter(
+            base,
+            [
+                {"id": 1, "name": "l_orderkey", "type": "long", "required": False},
+                {"id": 2, "name": "l_returnflag", "type": "string", "required": False},
+                {"id": 3, "name": "l_shipmonth", "type": "int", "required": False},
+            ],
+            [
+                {
+                    "name": "l_shipmonth",
+                    "transform": "identity",
+                    "source": "l_shipmonth",
+                }
+            ],
+        )
+        write_df(writer, li, mode="hash")
+    else:
+        writer = IcebergWriter.load(base)
+    ru_path = os.path.join(os.path.dirname(FIXTURE_DIR), f"rollup_ans_{tag}")
+    if os.path.exists(os.path.join(ru_path, "metadata", "version-hint.text")):
+        # rollup built in a previous partial run: only re-register
+        import json as _json
+
+        reg = _json.loads(writer.properties.get(PROP_REGISTRY, "[]"))
+        if os.path.abspath(ru_path) not in reg:
+            writer.set_properties(
+                {PROP_REGISTRY: _json.dumps(reg + [os.path.abspath(ru_path)])}
+            )
+    else:
+        create_rollup(
+            spark,
+            IcebergTable(base),
+            ru_path,
+            ["l_returnflag", "l_shipmonth"],
+            ["l_orderkey"],
+            source_writer=writer,
+        )
+    return base
+
+
 WRITE_FORMATS_FIXTURE_DIR = os.path.join(
     os.path.dirname(FIXTURE_DIR), "write_formats_table"
 )

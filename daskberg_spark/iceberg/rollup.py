@@ -47,6 +47,9 @@ PROP_SNAPSHOT = "daskberg.rollup.source-snapshot-id"
 PROP_GROUPS = "daskberg.rollup.group-cols"
 PROP_SUMS = "daskberg.rollup.sum-cols"
 PROP_FILTERS = "daskberg.rollup.filters"
+# on the SOURCE table: JSON list of rollup table paths registered
+# against it (the aggregate router's candidate set)
+PROP_REGISTRY = "daskberg.rollups"
 
 
 def _sum_type(ice_type: str) -> str:
@@ -80,11 +83,20 @@ def create_rollup(
     group_cols: list[str],
     sum_cols: list[str],
     filters: Any = None,
+    source_writer=None,
 ):
     """Materialize the rollup table at ``path`` from the source's
     CURRENT snapshot (one distributed aggregate over the delete-aware
     read) and record the watermark snapshot in the rollup's table
-    properties.  Returns the rollup's ``IcebergWriter``."""
+    properties.  Returns the rollup's ``IcebergWriter``.
+
+    ``source_writer`` (the caller's live ``IcebergWriter`` on the
+    source) opts into REGISTRATION: the rollup's path is appended to
+    the source's ``daskberg.rollups`` property so ``agg_via_rollup``
+    can find it.  Registration goes through the caller's handle — a
+    behind-the-back metadata write from a reader would strand every
+    live writer at a stale version (optimistic-concurrency conflict
+    on their next commit)."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.writer import IcebergWriter, write_df
 
@@ -118,7 +130,7 @@ def create_rollup(
     base_sid = source.current_snapshot["snapshot-id"]
     df = source.to_df(spark, columns=group_cols + sum_cols, filters=filters)
     out = _aggregate(df, group_cols, sum_cols, types)
-    writer = IcebergWriter(path, fields)
+    writer = IcebergWriter(os.path.abspath(path), fields)
     writer.properties.update(
         {
             PROP_SOURCE: os.path.abspath(source.url),
@@ -133,6 +145,14 @@ def create_rollup(
         }
     )
     write_df(writer, out, mode="none")
+    if source_writer is not None:
+        reg = json.loads(
+            (source_writer.properties or {}).get(PROP_REGISTRY, "[]")
+        )
+        if writer.path not in reg:
+            source_writer.set_properties(
+                {PROP_REGISTRY: json.dumps(reg + [writer.path])}
+            )
     return writer
 
 
@@ -261,3 +281,84 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
             int(f.get("record_count") or 0) for f in t.plan_files(None)
         ),
     }
+
+
+def agg_via_rollup(
+    source,
+    spark,
+    aggs: list[tuple[str, str, str]],
+    group_by: list[str],
+) -> Any | None:
+    """Answer a grouped aggregate battery from a registered FRESH
+    rollup instead of the source — the materialized-view rewrite.
+
+    ``aggs`` uses ``agg_pushdown``'s [(fn, col, alias)] shape with fn ∈
+    {count (col or "*"), sum}.  A rollup qualifies when its watermark
+    IS the source's current snapshot (stale → never used: results must
+    not depend on how recently maintenance ran), it was built without a
+    filter, its group columns are a SUPERSET of ``group_by`` (rollup
+    re-aggregation: COUNT(*) = SUM(n), COUNT(col) = SUM(nn_col),
+    SUM(col) = SUM(sum_col) — all additive), and it carries every
+    requested sum/count column.  Cost is O(rollup groups), zero source
+    IO; the source's scan counters record a zero-file scan like the
+    metadata pushdown does.  Returns None when no registered rollup
+    qualifies — the caller falls back to ``agg_pushdown`` or the scan.
+
+    This is exactly the shape ``agg_pushdown`` CANNOT serve: grouping
+    by non-partition columns (per-file stats cannot split a file
+    across groups) — a fresh rollup keyed on them can."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.agg import _record_zero_scan
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    if not group_by:
+        return None
+    for fn, col, _alias in aggs:
+        if fn == "count" and col == "*":
+            continue
+        if fn not in ("count", "sum"):
+            return None
+    reg = json.loads(
+        (source.metadata.get("properties") or {}).get(PROP_REGISTRY, "[]")
+    )
+    cur = source.current_snapshot["snapshot-id"]
+    for path in reg:
+        try:
+            rt = IcebergTable(path)
+        except Exception:
+            continue
+        props = rt.metadata.get("properties") or {}
+        if PROP_FILTERS in props:
+            continue  # a filtered view answers a different question
+        if int(props.get(PROP_SNAPSHOT, -1)) != cur:
+            continue  # stale watermark: using it could be WRONG
+        groups = json.loads(props.get(PROP_GROUPS, "[]"))
+        sums = set(json.loads(props.get(PROP_SUMS, "[]")))
+        if not set(group_by) <= set(groups):
+            continue
+        needed = {c for fn, c, _ in aggs if c != "*"}
+        if not needed <= sums:
+            continue
+        exprs = []
+        need_cols = set(group_by)
+        for fn, col, alias in aggs:
+            if fn == "count" and col == "*":
+                exprs.append(F.sum("n").cast("long").alias(alias))
+                need_cols.add("n")
+            elif fn == "count":
+                exprs.append(F.sum(f"nn_{col}").cast("long").alias(alias))
+                need_cols.add(f"nn_{col}")
+            else:
+                exprs.append(F.sum(f"sum_{col}").alias(alias))
+                need_cols.add(f"sum_{col}")
+        out = (
+            rt.to_df(spark, columns=sorted(need_cols))
+            .groupBy(*group_by)
+            .agg(*exprs)
+        )
+        _record_zero_scan(source, None)
+        source.last_agg_rollup = {"rollup": path, "groups_over": groups}
+        return out
+    return None

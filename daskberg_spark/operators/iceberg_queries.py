@@ -3125,6 +3125,54 @@ def iceberg_agg_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_rollup_answer",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_ok
+    FROM lineitem
+    WHERE (YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1
+          BETWEEN 300 AND 305
+    GROUP BY l_returnflag
+    """,
+)
+def iceberg_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view aggregate rewrite (r11, ``rollup.agg_via_
+    rollup``): COUNT/SUM grouped by the NON-partition ``l_returnflag``
+    — a shape per-file statistics can never split, so ``agg_pushdown``
+    would scan — answers from the registered FRESH rollup keyed on
+    (flag, month) by re-aggregation (COUNT(*) = SUM(n), SUM = SUM of
+    sums), at O(rollup groups) cost with ZERO source data IO
+    (hard-asserted).  Staleness is a correctness gate, not a knob: a
+    rollup whose watermark isn't the source's current snapshot is
+    never used.  The oracle recomputes the same aggregate from the raw
+    rows."""
+    from daskberg_spark.iceberg.fixtures import ensure_rollup_answer_fixture
+    from daskberg_spark.iceberg.rollup import agg_via_rollup
+
+    src = IcebergTable(ensure_rollup_answer_fixture(spark, sf_dir))
+    out = agg_via_rollup(
+        src,
+        spark,
+        [
+            ("count", "*", "n"),
+            ("sum", "l_orderkey", "sum_ok"),
+            ("count", "l_orderkey", "n_ok"),
+        ],
+        group_by=["l_returnflag"],
+    )
+    assert out is not None, "no fresh rollup qualified — router regressed"
+    assert src.last_scan["files_scanned"] == 0, "rollup answer touched source"
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_ok").cast("long").alias("sum_ok"),
+        "n_ok",
+    )
+
+
+@query(
     "iceberg_rollup_incremental",
     """
     SELECT l_returnflag,

@@ -163,6 +163,141 @@ def test_rollup_compaction_churn_cancels(spark, tmp_path):
     assert _state(spark, rw.path) == before == _recompute(spark, w.path)
 
 
+def test_rollup_maintain_advances_watermark(spark, tmp_path):
+    """maintain() on a rollup table refreshes it from the source —
+    the nightly-job wiring every other statistics asset has."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_rollup
+    from daskberg_spark.iceberg.writer import maintain
+
+    w = _source(tmp_path / "src")
+    w.append([{"id": i, "grp": "ab"[i % 2], "v": i} for i in range(30)])
+    rw = create_rollup(
+        spark, IcebergTable(w.path), str(tmp_path / "ru"), ["grp"], ["v"]
+    )
+    w.append([{"id": i, "grp": "c", "v": i} for i in range(50, 60)])
+    report = maintain(rw, spark=spark, keep_last=100)
+    assert report["refresh_rollup"] == "incremental"
+    assert _state(spark, rw.path) == _recompute(spark, w.path)
+    # and the plain-table path stays a no-op
+    report2 = maintain(w, spark=spark, keep_last=100)
+    assert report2["refresh_rollup"] is None
+
+
+def test_agg_via_rollup_router(spark, tmp_path):
+    """The materialized-view rewrite: answers subset-grouped COUNT/SUM
+    batteries from a FRESH registered rollup with zero source IO,
+    refuses stale/filtered/uncovered rollups, and re-qualifies after a
+    refresh."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import (
+        PROP_REGISTRY,
+        agg_via_rollup,
+        create_rollup,
+        refresh_rollup,
+    )
+
+    w = _source(tmp_path / "src")
+    w.append(
+        [
+            {"id": i, "grp": "abc"[i % 3], "v": None if i % 5 == 0 else i}
+            for i in range(90)
+        ]
+    )
+    src = IcebergTable(w.path)
+    rw = create_rollup(
+        spark, src, str(tmp_path / "ru"), ["grp"], ["v"], source_writer=w
+    )
+    # registration landed on the source through the caller's handle
+    src = IcebergTable(w.path)
+    assert PROP_REGISTRY in (src.metadata.get("properties") or {})
+    battery = [
+        ("count", "*", "n"),
+        ("sum", "v", "s_v"),
+        ("count", "v", "n_v"),
+    ]
+    out = agg_via_rollup(src, spark, battery, group_by=["grp"])
+    assert out is not None and src.last_scan["files_scanned"] == 0
+    got = sorted((r.grp, r.n, r.s_v, r.n_v) for r in out.collect())
+    src.to_df(spark).createOrReplaceTempView("__rar")
+    truth = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT grp, count(*), cast(sum(v) as decimal(38,0)), "
+                "count(v) FROM __rar GROUP BY grp"
+            ).collect(),
+        )
+    )
+    assert got == truth
+    # whole-table refuses (group_by required), unknown agg refuses
+    assert agg_via_rollup(src, spark, battery, group_by=[]) is None
+    assert (
+        agg_via_rollup(src, spark, [("min", "v", "m")], group_by=["grp"])
+        is None
+    )
+    # a commit makes the rollup STALE: router must refuse, not lie
+    w.append([{"id": 1000, "grp": "a", "v": 7}])
+    src = IcebergTable(w.path)
+    assert agg_via_rollup(src, spark, battery, group_by=["grp"]) is None
+    # refresh re-qualifies it
+    refresh_rollup(spark, rw)
+    src = IcebergTable(w.path)
+    out2 = agg_via_rollup(src, spark, battery, group_by=["grp"])
+    assert out2 is not None
+    src.to_df(spark).createOrReplaceTempView("__rar2")
+    truth2 = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT grp, count(*), cast(sum(v) as decimal(38,0)), "
+                "count(v) FROM __rar2 GROUP BY grp"
+            ).collect(),
+        )
+    )
+    assert sorted((r.grp, r.n, r.s_v, r.n_v) for r in out2.collect()) == truth2
+    # an uncovered sum column refuses
+    assert (
+        agg_via_rollup(src, spark, [("sum", "id", "s")], group_by=["grp"])
+        is None
+    )
+
+
+def test_agg_via_rollup_subset_grouping(spark, tmp_path):
+    """A rollup keyed on (grp, k) answers GROUP BY grp by
+    re-aggregation — including NULL-sum subgroups collapsing right."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import agg_via_rollup, create_rollup
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "src"),
+        [
+            {"id": 1, "name": "grp", "type": "string", "required": False},
+            {"id": 2, "name": "k", "type": "int", "required": False},
+            {"id": 3, "name": "v", "type": "int", "required": False},
+        ],
+    )
+    w.append(
+        [
+            {"grp": "a", "k": 0, "v": None},  # all-NULL subgroup
+            {"grp": "a", "k": 1, "v": 10},
+            {"grp": "b", "k": 0, "v": None},
+            {"grp": "b", "k": 1, "v": None},  # all-NULL GROUP after subset
+        ]
+    )
+    src = IcebergTable(w.path)
+    create_rollup(
+        spark, src, str(tmp_path / "ru"), ["grp", "k"], ["v"], source_writer=w
+    )
+    src = IcebergTable(w.path)
+    out = agg_via_rollup(
+        src, spark, [("count", "*", "n"), ("sum", "v", "s")], group_by=["grp"]
+    )
+    got = {r.grp: (r.n, r.s) for r in out.collect()}
+    assert got == {"a": (2, 10), "b": (2, None)}
+
+
 def test_rollup_rollback_falls_back_to_full(spark, tmp_path):
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup

@@ -262,6 +262,12 @@ AUDIT = {
     # source files there); the returned plan is one narrow scan of the
     # group-sized rollup table — zero exchanges
     "iceberg_rollup_incremental": (0, False, False, None),
+    # r11 materialized-view aggregate rewrite: re-aggregate the
+    # group-sized rollup (one agg exchange), ZERO source data IO
+    # (hard-asserted in the query); the read prunes to the 4
+    # grouped/summed columns — the comma-split ReadSchema counter sees
+    # 5 because sum_l_orderkey prints as decimal(38,0)
+    "iceberg_rollup_answer": (1, False, False, 5),
     # round 10 session 3: theta NDV readout is pure metadata (sketch
     # blobs decoded driver-side) — a literal relation, zero exchanges
     "iceberg_theta_ndv": (0, False, False, None),
