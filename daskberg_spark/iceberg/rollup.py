@@ -47,9 +47,22 @@ PROP_SNAPSHOT = "daskberg.rollup.source-snapshot-id"
 PROP_GROUPS = "daskberg.rollup.group-cols"
 PROP_SUMS = "daskberg.rollup.sum-cols"
 PROP_FILTERS = "daskberg.rollup.filters"
+PROP_MINMAX = "daskberg.rollup.minmax-cols"
 # on the SOURCE table: JSON list of rollup table paths registered
 # against it (the aggregate router's candidate set)
 PROP_REGISTRY = "daskberg.rollups"
+
+# above this many delete-dirtied groups the min/max recompute stops
+# building a pruning filter (a 10k-conjunction DNF costs more to plan
+# than it saves) and takes one unpruned grouped scan instead
+DIRTY_GROUP_CAP = 1000
+
+
+def _mm_ok(ice_type: str) -> bool:
+    # float/double excluded: Spark and SQL engines disagree on NaN
+    # ordering, so a stored extremum could not promise engine-exact
+    # equality with a recompute
+    return ice_type not in ("float", "double")
 
 
 def _sum_type(ice_type: str) -> str:
@@ -63,16 +76,26 @@ def _sum_type(ice_type: str) -> str:
     return f"decimal(38,{type_scale(ice_type)})"
 
 
-def _aggregate(df, group_cols: list[str], sum_cols: list[str], types):
+def _aggregate(
+    df,
+    group_cols: list[str],
+    sum_cols: list[str],
+    types,
+    minmax_cols: list[str] | None = None,
+):
     """The rollup aggregate: COUNT(*) + per-column decimal(38, s) SUM
-    and non-null count — shared by the initial build and the full
-    rebuild so both produce the identical shape."""
+    and non-null count (+ MIN/MAX per ``minmax_cols``) — shared by the
+    initial build and the full rebuild so both produce the identical
+    shape."""
     from pyspark.sql import functions as F
 
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in sum_cols:
         aggs.append(F.sum(F.col(c).cast(_sum_type(types[c]))).alias(f"sum_{c}"))
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+    for c in minmax_cols or []:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -84,6 +107,7 @@ def create_rollup(
     sum_cols: list[str],
     filters: Any = None,
     source_writer=None,
+    minmax_cols: list[str] | None = None,
 ):
     """Materialize the rollup table at ``path`` from the source's
     CURRENT snapshot (one distributed aggregate over the delete-aware
@@ -100,10 +124,17 @@ def create_rollup(
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.writer import IcebergWriter, write_df
 
+    minmax_cols = list(minmax_cols or [])
     types = {n: i.type for n, i in source.fields.items()}
-    for c in group_cols + sum_cols:
+    for c in group_cols + sum_cols + minmax_cols:
         if c not in types:
             raise ValueError(f"unknown column {c!r}")
+    for c in minmax_cols:
+        if not _mm_ok(types[c]):
+            raise ValueError(
+                f"min/max({c}): {types[c]!r} has engine-dependent NaN "
+                "ordering — not maintainable exactly"
+            )
     fields = []
     fid = 0
     for g in group_cols:
@@ -127,9 +158,24 @@ def create_rollup(
         fields.append(
             {"id": fid, "name": f"nn_{c}", "type": "long", "required": False}
         )
+    for c in minmax_cols:
+        for side in ("min", "max"):
+            fid += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f"{side}_{c}",
+                    "type": types[c],
+                    "required": False,
+                }
+            )
     base_sid = source.current_snapshot["snapshot-id"]
-    df = source.to_df(spark, columns=group_cols + sum_cols, filters=filters)
-    out = _aggregate(df, group_cols, sum_cols, types)
+    df = source.to_df(
+        spark,
+        columns=sorted(set(group_cols + sum_cols + minmax_cols)),
+        filters=filters,
+    )
+    out = _aggregate(df, group_cols, sum_cols, types, minmax_cols)
     writer = IcebergWriter(os.path.abspath(path), fields)
     writer.properties.update(
         {
@@ -137,6 +183,11 @@ def create_rollup(
             PROP_SNAPSHOT: str(base_sid),
             PROP_GROUPS: json.dumps(group_cols),
             PROP_SUMS: json.dumps(sum_cols),
+            **(
+                {PROP_MINMAX: json.dumps(minmax_cols)}
+                if minmax_cols
+                else {}
+            ),
             **(
                 {PROP_FILTERS: json.dumps(filters)}
                 if filters is not None
@@ -171,6 +222,94 @@ def _steps_back(source, base_sid: int) -> int | None:
         steps += 1
 
 
+def _fix_dirty_minmax(
+    spark, source, merged, group_cols, minmax_cols, filters
+):
+    """Replace the provisional min/max of delete-dirtied groups with a
+    recompute over ONLY those groups' source rows.
+
+    A delete may have removed the stored extremum, so least/greatest
+    merging is unsound for any group the window deleted from.  The
+    recompute scan carries a group-key filter (a DNF of the dirty
+    keys), so file pruning keeps it at O(dirty groups' files) — above
+    ``DIRTY_GROUP_CAP`` keys (or when a key contains NULL, which the
+    filter language's three-valued ``==`` can't name) it degrades to
+    one unpruned grouped scan, still a single pass.  Returns
+    ``(merged_df, dirty_count, files_read)``."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    # the merged plan is consumed twice (dirty-key collect + final
+    # write) and feeds a self-referencing overwrite — pin it
+    merged = merged.localCheckpoint(eager=True)
+    dirty_keys = [
+        tuple(r[g] for g in group_cols)
+        for r in merged.where(F.col("__dirty") == 1)
+        .select(*group_cols)
+        .limit(DIRTY_GROUP_CAP + 1)
+        .collect()
+    ]
+    if not dirty_keys:
+        return merged.drop("__dirty"), 0, 0
+    if (
+        filters is not None  # a filtered view must recompute within
+        # its own filter; keeping the two filter trees composable is
+        # not worth the DNF product — take the filtered unpruned scan
+        or len(dirty_keys) > DIRTY_GROUP_CAP
+        or any(v is None for k in dirty_keys for v in k)
+        # (three-valued `==` can't name a NULL key)
+    ):
+        read_filters = filters
+    elif len(group_cols) == 1:
+        read_filters = [(group_cols[0], "in", [k[0] for k in dirty_keys])]
+    else:
+        read_filters = [
+            [(g, "==", v) for g, v in zip(group_cols, key)]
+            for key in dirty_keys
+        ]
+    rec = (
+        source.to_df(
+            spark,
+            columns=sorted(set(group_cols + minmax_cols)),
+            filters=read_filters,
+        )
+        .groupBy(*group_cols)
+        .agg(
+            *[F.min(c).alias(f"__rmn_{c}") for c in minmax_cols],
+            *[F.max(c).alias(f"__rmx_{c}") for c in minmax_cols],
+        )
+    )
+    files_read = source.last_scan["files_scanned"]
+    cond = _reduce(
+        lambda a, b: a & b,
+        [merged[g].eqNullSafe(rec[g]) for g in group_cols],
+    )
+    joined = merged.join(rec, cond, "left_outer")
+    sel = [merged[g].alias(g) for g in group_cols]
+    passthrough = [
+        c
+        for c in merged.columns
+        if c not in group_cols
+        and c != "__dirty"
+        and not c.startswith(("min_", "max_"))
+    ]
+    sel += [merged[c] for c in passthrough]
+    dirty = F.col("__dirty") == 1
+    for c in minmax_cols:
+        sel.append(
+            F.when(dirty, F.col(f"__rmn_{c}"))
+            .otherwise(merged[f"min_{c}"])
+            .alias(f"min_{c}")
+        )
+        sel.append(
+            F.when(dirty, F.col(f"__rmx_{c}"))
+            .otherwise(merged[f"max_{c}"])
+            .alias(f"max_{c}")
+        )
+    return joined.select(*sel), len(dirty_keys), files_read
+
+
 def refresh_rollup(spark, writer) -> dict[str, Any]:
     """Advance the rollup to the source's current snapshot.  Reads the
     source's row-level changelog from the recorded watermark snapshot
@@ -193,6 +332,7 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     source = IcebergTable(props[PROP_SOURCE])
     group_cols = json.loads(props[PROP_GROUPS])
     sum_cols = json.loads(props[PROP_SUMS])
+    minmax_cols = json.loads(props.get(PROP_MINMAX, "[]"))
     filters = (
         json.loads(props[PROP_FILTERS]) if PROP_FILTERS in props else None
     )
@@ -208,12 +348,15 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     old = rollup.to_df(spark)
     old_paths = [f["file_path"] for f in rollup.plan_files(None)]
 
+    dirty_groups = 0
     if steps is None:
         # watermark unreachable (rollback rewrote history): rebuild
         df = source.to_df(
-            spark, columns=group_cols + sum_cols, filters=filters
+            spark,
+            columns=sorted(set(group_cols + sum_cols + minmax_cols)),
+            filters=filters,
         )
-        merged = _aggregate(df, group_cols, sum_cols, types)
+        merged = _aggregate(df, group_cols, sum_cols, types, minmax_cols)
         mode = "full"
         files_read = source.last_scan["files_scanned"]
     else:
@@ -225,6 +368,7 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
+        is_ins = F.col("_change_type") == "insert"
         d_aggs = [F.sum(sign).alias("__dn")]
         for c in sum_cols:
             st = _sum_type(types[c])
@@ -237,6 +381,17 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
             )
             d_aggs.append(
                 F.sum(F.when(F.col(c).isNotNull(), sign)).alias(f"__dnn_{c}")
+            )
+        for c in minmax_cols:
+            # inserts can only WIDEN an extremum (least/greatest merge);
+            # any delete in a group invalidates it → targeted recompute
+            d_aggs.append(F.min(F.when(is_ins, F.col(c))).alias(f"__imn_{c}"))
+            d_aggs.append(F.max(F.when(is_ins, F.col(c))).alias(f"__imx_{c}"))
+        if minmax_cols:
+            d_aggs.append(
+                F.max(F.when(~is_ins, F.lit(1)).otherwise(F.lit(0))).alias(
+                    "__del"
+                )
             )
         d = delta.groupBy(*group_cols).agg(*d_aggs)
         # group keys can be NULL → null-safe join keys
@@ -264,8 +419,28 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
             ).cast(st)
             sel.append(s.alias(f"sum_{c}"))
             sel.append(nn.alias(f"nn_{c}"))
+        for c in minmax_cols:
+            # provisional: exact for insert-only groups (least/greatest
+            # skip NULL sides); delete-dirtied groups are fixed below
+            sel.append(
+                F.least(old[f"min_{c}"], F.col(f"__imn_{c}")).alias(f"min_{c}")
+            )
+            sel.append(
+                F.greatest(old[f"max_{c}"], F.col(f"__imx_{c}")).alias(
+                    f"max_{c}"
+                )
+            )
+        if minmax_cols:
+            sel.append(
+                F.coalesce(F.col("__del"), F.lit(0)).alias("__dirty")
+            )
         merged = joined.select(*sel).where(F.col("n") > 0)
         mode = "incremental"
+        if minmax_cols:
+            merged, dirty_groups, extra_read = _fix_dirty_minmax(
+                spark, source, merged, group_cols, minmax_cols, filters
+            )
+            files_read += extra_read
 
     # materialize BEFORE the metadata swap (merged reads the old files)
     staging = tempfile.mkdtemp(prefix=f"rollup-{uuid.uuid4().hex[:8]}-")
@@ -277,6 +452,7 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
         "mode": mode,
         "steps": 0 if steps is None else steps,
         "source_files_read": files_read,
+        "dirty_minmax_groups": dirty_groups,
         "groups": sum(
             int(f.get("record_count") or 0) for f in t.plan_files(None)
         ),
@@ -293,7 +469,10 @@ def agg_via_rollup(
     rollup instead of the source — the materialized-view rewrite.
 
     ``aggs`` uses ``agg_pushdown``'s [(fn, col, alias)] shape with fn ∈
-    {count (col or "*"), sum}.  A rollup qualifies when its watermark
+    {count (col or "*"), sum, min, max} (min/max only over the
+    rollup's ``minmax_cols`` — min over subgroup minima is the min,
+    the same additivity count/sum enjoy).  A rollup qualifies when its
+    watermark
     IS the source's current snapshot (stale → never used: results must
     not depend on how recently maintenance ran), it was built without a
     filter, its group columns are a SUPERSET of ``group_by`` (rollup
@@ -318,7 +497,7 @@ def agg_via_rollup(
     for fn, col, _alias in aggs:
         if fn == "count" and col == "*":
             continue
-        if fn not in ("count", "sum"):
+        if fn not in ("count", "sum", "min", "max"):
             return None
     reg = json.loads(
         (source.metadata.get("properties") or {}).get(PROP_REGISTRY, "[]")
@@ -336,10 +515,12 @@ def agg_via_rollup(
             continue  # stale watermark: using it could be WRONG
         groups = json.loads(props.get(PROP_GROUPS, "[]"))
         sums = set(json.loads(props.get(PROP_SUMS, "[]")))
+        mms = set(json.loads(props.get(PROP_MINMAX, "[]")))
         if not set(group_by) <= set(groups):
             continue
-        needed = {c for fn, c, _ in aggs if c != "*"}
-        if not needed <= sums:
+        need_sum = {c for fn, c, _ in aggs if fn in ("count", "sum") and c != "*"}
+        need_mm = {c for fn, c, _ in aggs if fn in ("min", "max")}
+        if not (need_sum <= sums and need_mm <= mms):
             continue
         exprs = []
         need_cols = set(group_by)
@@ -350,6 +531,13 @@ def agg_via_rollup(
             elif fn == "count":
                 exprs.append(F.sum(f"nn_{col}").cast("long").alias(alias))
                 need_cols.add(f"nn_{col}")
+            elif fn == "min":
+                # min over subgroup minima IS the min (same for max)
+                exprs.append(F.min(f"min_{col}").alias(alias))
+                need_cols.add(f"min_{col}")
+            elif fn == "max":
+                exprs.append(F.max(f"max_{col}").alias(alias))
+                need_cols.add(f"max_{col}")
             else:
                 exprs.append(F.sum(f"sum_{col}").alias(alias))
                 need_cols.add(f"sum_{col}")

@@ -298,6 +298,165 @@ def test_agg_via_rollup_subset_grouping(spark, tmp_path):
     assert got == {"a": (2, 10), "b": (2, None)}
 
 
+def test_rollup_minmax_inserts_merge_deletes_recompute(spark, tmp_path):
+    """MIN/MAX maintenance: inserts merge via least/greatest with zero
+    source IO; a delete dirties ONLY its group, and the targeted
+    recompute reads just that group's files (identity partitioning
+    prunes the rest)."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "src"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "int", "required": False},
+        ],
+        [{"name": "grp", "transform": "identity", "source": "grp"}],
+    )
+    rows = [
+        {"id": i, "grp": "abc"[i % 3], "v": None if i % 7 == 0 else i * 3}
+        for i in range(90)
+    ]
+    for g in "abc":
+        w.append([r for r in rows if r["grp"] == g])
+    src = IcebergTable(w.path)
+    rw = create_rollup(
+        spark,
+        src,
+        str(tmp_path / "ru"),
+        ["grp"],
+        ["v"],
+        minmax_cols=["v", "id"],
+    )
+
+    def truth():
+        IcebergTable(w.path).to_df(spark).createOrReplaceTempView("__mm")
+        return sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT grp, count(*), cast(sum(v) as decimal(38,0)),"
+                    " count(v), min(v), max(v), min(id), max(id) "
+                    "FROM __mm GROUP BY grp"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            (
+                r.grp,
+                r.n,
+                r.sum_v,
+                r.nn_v,
+                r.min_v,
+                r.max_v,
+                r.min_id,
+                r.max_id,
+            )
+            for r in IcebergTable(rw.path).to_df(spark).collect()
+        )
+
+    assert state() == truth()
+    # insert-only window: no dirty groups, no recompute scan
+    w.append([{"id": 500, "grp": "a", "v": 1}, {"id": 501, "grp": "b", "v": 999}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental" and rep["dirty_minmax_groups"] == 0
+    assert state() == truth()
+    # delete group a's minimum (id 500, v 1): only group a recomputes,
+    # and the recompute scan prunes to group a's files
+    w.delete_rows_equality([{"id": 500}])
+    total_files = len(IcebergTable(w.path).plan_files(None))
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental" and rep["dirty_minmax_groups"] == 1
+    assert rep["source_files_read"] < total_files, rep
+    assert state() == truth()
+
+
+def test_rollup_minmax_null_group_key_falls_back(spark, tmp_path):
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
+
+    w = _source(tmp_path / "src")
+    w.append(
+        [
+            {"id": 1, "grp": None, "v": 3},
+            {"id": 2, "grp": None, "v": 9},
+            {"id": 3, "grp": "a", "v": 4},
+        ]
+    )
+    src = IcebergTable(w.path)
+    rw = create_rollup(
+        spark, src, str(tmp_path / "ru"), ["grp"], ["v"], minmax_cols=["v"]
+    )
+    w.delete_rows_equality([{"id": 2}])  # kills the NULL group's max
+    rep = refresh_rollup(spark, rw)
+    assert rep["dirty_minmax_groups"] == 1
+    got = sorted(
+        ((r.grp, r.min_v, r.max_v) for r in IcebergTable(rw.path).to_df(spark).collect()),
+        key=lambda r: (r[0] is None, r[0] or ""),
+    )
+    assert got == [("a", 4, 4), (None, 3, 3)]
+
+
+def test_rollup_minmax_router_and_float_refusal(spark, tmp_path):
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import agg_via_rollup, create_rollup
+
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fw = IcebergWriter(
+        str(tmp_path / "fsrc"),
+        [
+            {"id": 1, "name": "grp", "type": "string", "required": False},
+            {"id": 2, "name": "d", "type": "double", "required": False},
+        ],
+    )
+    fw.append([{"grp": "a", "d": 1.5}])
+    with _pytest.raises(ValueError, match="NaN ordering"):
+        create_rollup(
+            spark,
+            IcebergTable(fw.path),
+            str(tmp_path / "bad"),
+            ["grp"],
+            [],
+            minmax_cols=["d"],
+        )
+
+    w = _source(tmp_path / "src")
+    w.append([{"id": i, "grp": "ab"[i % 2], "v": i} for i in range(40)])
+    src = IcebergTable(w.path)
+    rw = create_rollup(
+        spark,
+        src,
+        str(tmp_path / "ru"),
+        ["grp"],
+        ["v"],
+        minmax_cols=["v"],
+        source_writer=w,
+    )
+    src = IcebergTable(w.path)
+    out = agg_via_rollup(
+        src,
+        spark,
+        [("min", "v", "mn"), ("max", "v", "mx"), ("count", "*", "n")],
+        group_by=["grp"],
+    )
+    assert out is not None and src.last_scan["files_scanned"] == 0
+    got = {r.grp: (r.mn, r.mx, r.n) for r in out.collect()}
+    assert got == {"a": (0, 38, 20), "b": (1, 39, 20)}
+    # min/max over a column the rollup doesn't cover refuses
+    assert (
+        agg_via_rollup(src, spark, [("min", "id", "m")], group_by=["grp"])
+        is None
+    )
+
+
 def test_rollup_rollback_falls_back_to_full(spark, tmp_path):
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
