@@ -28,6 +28,14 @@ base.  An optional filter predicate (stored in the rollup's table
 properties) makes it a filtered materialized view: the same DNF filter
 applies to the initial build and to every changelog read.
 
+Relationship to ``scan.refresh_aggregate`` (r8): that is the ad-hoc
+DataFrame-level primitive — caller holds the materialized DataFrame
+and the watermark.  This module is the MANAGED form: the rollup is a
+persisted Iceberg table carrying its own watermark/column properties,
+survives sessions, supports MIN/MAX and filtered views, registers
+with the source for the aggregate router, and refreshes from
+``maintain()``.
+
 Reference parity: the reference (daskberg) is read-only and has no
 materialization; its closest shape is re-running the aggregate per
 query (``/root/reference/daskberg/ice.py:220-264``).

@@ -2180,7 +2180,9 @@ def changelog_rows_df(
     residual = filters_to_column(filters)
     lineage = identity == "row"
 
-    def read_side(files: list[dict], struct) -> DataFrame:
+    def read_side(
+        files: list[dict], struct, positions: bool = True
+    ) -> DataFrame:
         if lineage:
             struct = T.StructType(
                 list(struct.fields)
@@ -2188,8 +2190,14 @@ def changelog_rows_df(
             )
         if not files:
             df = spark.createDataFrame([], struct)
+            if not positions:
+                return df
             df = df.withColumn("__file", F.lit(None).cast("string"))
             return df.withColumn("__pos", F.lit(None).cast("bigint"))
+        if not positions:
+            # wholesale side: every live row is a change — plain
+            # delete-aware read, no per-row identity
+            return _read_with_deletes(table, spark, files, struct)
         df = _read_with_deletes(
             table,
             spark,
@@ -2218,36 +2226,91 @@ def changelog_rows_df(
             )
         return df
 
-    head = read_side(head_subset, schema_to_struct(head_schema))
-    if residual is not None:
-        head = head.filter(residual)
+    if identity == "position":
+        # wholesale fast path: a file live on only ONE side can never
+        # match the (file, pos) anti-join — its rows are inserts (or
+        # deletes) in their entirety, so it reads WITHOUT row-position
+        # tagging and never enters the join.  On a pure-append window
+        # (the streaming/ingest common case) the whole changelog is
+        # then one plain delete-aware read — no position machinery, no
+        # anti-join over the delta.  Only files whose delete state
+        # changed while staying live on both sides need the row diff.
+        # (identity='row' keeps full reads: a rewritten file is
+        # head-only yet its _row_id rows must PAIR with the old file's.)
+        base_norms = {_norm_scan_path(f["file_path"]) for f in base_subset}
+        head_norms = {_norm_scan_path(f["file_path"]) for f in head_subset}
+        h_shared = [
+            f
+            for f in head_subset
+            if _norm_scan_path(f["file_path"]) in base_norms
+        ]
+        h_only = [
+            f
+            for f in head_subset
+            if _norm_scan_path(f["file_path"]) not in base_norms
+        ]
+        b_shared = [
+            f
+            for f in base_subset
+            if _norm_scan_path(f["file_path"]) in head_norms
+        ]
+        b_only = [
+            f
+            for f in base_subset
+            if _norm_scan_path(f["file_path"]) not in head_norms
+        ]
+        head = read_side(h_shared, schema_to_struct(head_schema))
+        head_whole = read_side(
+            h_only, schema_to_struct(head_schema), positions=False
+        )
+        if residual is not None:
+            head = head.filter(residual)
+            head_whole = head_whole.filter(residual)
+    else:
+        head = read_side(head_subset, schema_to_struct(head_schema))
+        if residual is not None:
+            head = head.filter(residual)
     # the base side must PLAN under the base snapshot (its delete set),
     # so re-open it for DataFrame construction, then restore — in a
     # finally so a planning failure cannot leave the caller's table
     # silently pinned to the base snapshot
     table.open_snapshot(snapshot_id=base_sid)
     try:
-        base = read_side(base_subset, schema_to_struct(base_schema))
+        if identity == "position":
+            base = read_side(b_shared, schema_to_struct(base_schema))
+            base_whole = read_side(
+                b_only, schema_to_struct(base_schema), positions=False
+            )
+        else:
+            base = read_side(base_subset, schema_to_struct(base_schema))
+            base_whole = None
     finally:
         table.open_snapshot(snapshot_id=current["snapshot-id"])
     # align the base side to the head schema by field id
     renames, drops, missing = schema_alignment(base_schema, head_schema)
-    if drops:
-        base = base.drop(*drops)
-    if renames:
-        base = base.withColumnsRenamed(renames)
-    for f in missing:
-        base = base.withColumn(
-            f["name"],
-            F.lit(f.get("initial-default")).cast(
-                schema_to_struct({"fields": [f]})[0].dataType
-            ),
-        )
-    # the residual references CURRENT names — filter the base side only
-    # AFTER field-id alignment (a filter on a column renamed inside the
-    # window would otherwise fail to resolve on the base read)
-    if residual is not None:
-        base = base.filter(residual)
+
+    def align(df: DataFrame) -> DataFrame:
+        if drops:
+            df = df.drop(*drops)
+        if renames:
+            df = df.withColumnsRenamed(renames)
+        for f in missing:
+            df = df.withColumn(
+                f["name"],
+                F.lit(f.get("initial-default")).cast(
+                    schema_to_struct({"fields": [f]})[0].dataType
+                ),
+            )
+        # the residual references CURRENT names — filter the base side
+        # only AFTER field-id alignment (a filter on a column renamed
+        # inside the window would otherwise fail to resolve)
+        if residual is not None:
+            df = df.filter(residual)
+        return df
+
+    base = align(base)
+    if base_whole is not None:
+        base_whole = align(base_whole)
     data_cols = [f["name"] for f in head_schema["fields"]]
     if identity == "row":
         # full-outer on row identity over the DELTA subsets: matched rows
@@ -2292,13 +2355,19 @@ def changelog_rows_df(
             .unionByName(side(changed, h, "update_after"))
         )
     key = ["__file", "__pos"]
-    inserts = head.join(base.select(*key), key, "left_anti").withColumn(
-        "_change_type", F.lit("insert")
+    inserts = (
+        head.join(base.select(*key), key, "left_anti")
+        .drop(*key)
+        .unionByName(head_whole)
+        .withColumn("_change_type", F.lit("insert"))
     )
-    deletes = base.join(head.select(*key), key, "left_anti").withColumn(
-        "_change_type", F.lit("delete")
+    deletes = (
+        base.join(head.select(*key), key, "left_anti")
+        .drop(*key)
+        .unionByName(base_whole)
+        .withColumn("_change_type", F.lit("delete"))
     )
-    out = inserts.unionByName(deletes).drop(*key)
+    out = inserts.unionByName(deletes)
     if not net_changes:
         return out
     net = out.groupBy(*data_cols).agg(
