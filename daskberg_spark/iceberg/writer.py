@@ -6180,6 +6180,7 @@ def maintain(
     orphan_older_than_ms: Any = "auto",
     now_ms: int | None = None,
     dry_run: bool = False,
+    compact_dead_fraction: float | None = 0.3,
 ) -> dict[str, Any]:
     """ONE-call table maintenance policy — the nightly job a 100 TB
     table operationally needs, composing the individual actions in
@@ -6236,8 +6237,11 @@ def maintain(
             else:
                 live_entries.append((e, mf))
     by_group: dict[tuple, int] = {}
+    has_pos_deletes = False
     for e, mf in live_entries:
         rec = e["data_file"]
+        if rec.get("content", 0) == 1 and rec["file_path"] not in deleted_paths:
+            has_pos_deletes = True
         if (
             rec.get("content", 0) != 0
             or rec["file_path"] in deleted_paths
@@ -6250,10 +6254,22 @@ def maintain(
             )
             by_group[key] = by_group.get(key, 0) + 1
     small_groups = sum(1 for n in by_group.values() if n >= 2)
-    if small_groups and not dry_run:
+    # DV/position-delete dead weight also triggers the Spark rewrite
+    # (real Iceberg's delete-ratio): cheap metadata census — any live
+    # data file referenced by a DV could be over threshold, and
+    # compact_files_spark re-derives the exact fractions itself
+    dead_candidates = (
+        spark is not None
+        and compact_dead_fraction is not None
+        and has_pos_deletes
+    )
+    if (small_groups or dead_candidates) and not dry_run:
         if spark is not None:
             report["compact"] = compact_files_spark(
-                writer, spark, min_file_bytes=min_file_bytes
+                writer,
+                spark,
+                min_file_bytes=min_file_bytes,
+                min_dead_fraction=compact_dead_fraction,
             )
             report["dangling_deletes"] = remove_dangling_deletes(writer)
         else:
@@ -6714,6 +6730,7 @@ def compact_files_spark(
     zorder_rank_normalize: bool = False,
     partition_filter: dict[str, Any] | None = None,
     curve: str = "morton",
+    min_dead_fraction: float | None = None,
 ) -> int | None:
     """Distributed compaction: the cluster-scale twin of ``compact_files``.
     Spark reads ONLY the small files through the delete-aware tagged scan
@@ -6745,7 +6762,15 @@ def compact_files_spark(
 
     ``partition_filter`` (spec-field name → transformed value) restricts
     candidates to matching partitions — ``rewrite_data_files``' filtered
-    form, gated on metadata before any data IO."""
+    form, gated on metadata before any data IO.
+
+    ``min_dead_fraction`` adds real Iceberg's delete-ratio trigger: any
+    file whose position-delete/DV dead rows reach the fraction is
+    rewritten regardless of size, folding its deletes away — MOR read
+    amplification grows with dead weight, not bytes.  The census is
+    DV manifest cardinalities plus one delta-sized read of path-named
+    position-delete parquet; equality deletes don't count (run
+    ``convert_deletes_to_dvs`` first)."""
     import tempfile
 
     import daskberg_spark.iceberg.scan  # noqa: F401
@@ -6770,6 +6795,60 @@ def compact_files_spark(
         if len(paths) >= 2
         for p in paths
     ]
+    if min_dead_fraction is not None:
+        # real Iceberg's rewrite_data_files delete-ratio trigger: a file
+        # whose row-level deletes cover >= the fraction gets rewritten
+        # (folding its deletes) REGARDLESS of size — MOR read
+        # amplification grows with dead weight, not file bytes.  Dead
+        # census is metadata-first: DV manifest cardinalities, plus one
+        # delta-sized read of path-named position-delete parquet.
+        # Equality deletes stay uncounted (value-applied — cardinality
+        # unknowable without a scan; convert_deletes_to_dvs first).
+        # Over-count is possible (two delete files naming one position)
+        # — a rewrite trigger, never a correctness input.
+        dead: dict[str, int] = {}
+
+        def _np(p: str) -> str:
+            return re.sub(r"^file:/+", "/", p)
+
+        for d in t.plan_deletes():
+            if d.get("content") != 1:
+                continue
+            ref = d.get("referenced_data_file")
+            rc = d.get("record_count")
+            if ref and rc is not None:
+                key = _np(ref)
+                dead[key] = dead.get(key, 0) + int(rc)
+            elif not ref:
+                import pyarrow.parquet as _pq
+
+                try:
+                    targets = (
+                        _pq.read_table(
+                            _np(d["file_path"]), columns=["file_path"]
+                        )
+                        .column("file_path")
+                        .to_pylist()
+                    )
+                except Exception:
+                    continue  # unreadable → simply not a trigger
+                for p in targets:
+                    key = _np(p)
+                    dead[key] = dead.get(key, 0) + 1
+        small_set = set(small)
+        for f in t.plan_files():
+            rc = f.get("record_count")
+            p = _np(f["file_path"])
+            if not rc or p in small_set or not dead.get(p):
+                continue
+            part = f.get("partition") or {}
+            if partition_filter is not None and any(
+                part.get(k) != v for k, v in partition_filter.items()
+            ):
+                continue
+            if dead[p] / int(rc) >= min_dead_fraction:
+                small.append(p)  # no 2-per-partition rule: dropping
+                # this file's delete overhead is worthwhile alone
     if not small:
         return None
     # row_lineage: like the driver-side compaction, the rewrite
