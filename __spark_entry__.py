@@ -348,6 +348,7 @@ _PRIORITY = [
     "iceberg_rollup_answer",
     "hilbert_cluster_stats",
     "streaming_rollup_sink",
+    "multimodal_npy_decode",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
@@ -355,12 +356,14 @@ _PRIORITY = [
     # out for streaming_rollup_sink and iceberg_rollup_answer: the
     # delete family keeps FOUR in-window reps — mor/dv/foreign/
     # delete_where_fast — and both stay oracle-exact locally)
+    # (merge_mor also stepped out for multimodal_npy_decode — MERGE
+    # stays repped by delete_where_fast's lifecycle + update paths in
+    # pytest; oracle-exact locally)
     "iceberg_variant_shredded_prune",
     "iceberg_multiformat_read",
     "iceberg_foreign_read",
     "iceberg_mor_delete_read",
     "iceberg_dv_delete_read",
-    "iceberg_merge_mor",
     "iceberg_bloom_index_prune",
     "iceberg_write_formats",
     "iceberg_stats_delta",

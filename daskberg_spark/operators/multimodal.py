@@ -914,3 +914,125 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_frames int, "
         "sampled_frames int, frames_ok boolean",
     )
+
+
+# -- NPY tensor columns -------------------------------------------------------
+
+NPY_MAGIC = b"\x93NUMPY"
+_NPY_DTYPES = {"<f4": 4, "<f8": 8, "<i4": 4, "<i8": 8}
+
+
+def encode_npy(values, dtype: str = "<f4", shape: tuple | None = None) -> bytes:
+    """Serialize a flat value list as an NPY v1.0 buffer (numpy format
+    spec: magic, u16 header length, ASCII dict header space-padded so
+    the data section starts 64-byte aligned, then raw little-endian
+    C-order values).  From-scratch writer — the spec is public and the
+    header is deliberately minimal."""
+    if dtype not in _NPY_DTYPES:
+        raise NotImplementedError(f"unsupported npy dtype {dtype!r}")
+    shape = shape or (len(values),)
+    n = 1
+    for s in shape:
+        n *= s
+    if n != len(values):
+        raise ValueError(f"shape {shape} does not hold {len(values)} values")
+    header = (
+        "{'descr': '%s', 'fortran_order': False, 'shape': (%s), }"
+        % (dtype, "".join(f"{s}, " for s in shape))
+    ).encode("latin-1")
+    # pad header+newline so magic(6)+ver(2)+hlen(2)+header is 64-aligned
+    pad = (-(len(NPY_MAGIC) + 4 + len(header) + 1)) % 64
+    header = header + b" " * pad + b"\n"
+    fmt = {"<f4": "<f", "<f8": "<d", "<i4": "<i", "<i8": "<q"}[dtype]
+    body = b"".join(struct.pack(fmt, v) for v in values)
+    return NPY_MAGIC + b"\x01\x00" + struct.pack("<H", len(header)) + header + body
+
+
+def decode_npy(buf: bytes):
+    """Parse an NPY v1.0 buffer → (dtype, shape, values list).  Loud
+    refusals for other versions, fortran order, and dtypes outside the
+    four fixed-width little-endian kinds this engine writes."""
+    import ast
+
+    if buf[:6] != NPY_MAGIC:
+        raise ValueError("not an NPY buffer (bad magic)")
+    if buf[6:8] != b"\x01\x00":
+        raise NotImplementedError(f"npy version {buf[6]}.{buf[7]} unsupported")
+    (hlen,) = struct.unpack("<H", buf[8:10])
+    header = ast.literal_eval(buf[10 : 10 + hlen].decode("latin-1"))
+    dtype = header["descr"]
+    if dtype not in _NPY_DTYPES:
+        raise NotImplementedError(f"unsupported npy dtype {dtype!r}")
+    if header.get("fortran_order"):
+        raise NotImplementedError("fortran-order npy unsupported")
+    shape = tuple(header["shape"])
+    n = 1
+    for s in shape:
+        n *= s
+    width = _NPY_DTYPES[dtype]
+    data = buf[10 + hlen :]
+    if len(data) != n * width:
+        raise ValueError(
+            f"npy body holds {len(data)} bytes; shape {shape} needs {n * width}"
+        )
+    fmt = {"<f4": "<f", "<f8": "<d", "<i4": "<i", "<i8": "<q"}[dtype]
+    values = [
+        struct.unpack_from(fmt, data, i * width)[0] for i in range(n)
+    ]
+    return dtype, shape, values
+
+
+@query(
+    "multimodal_npy_decode",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dims,
+           CAST(128 + 4 * len(embedding) AS BIGINT) AS npy_bytes,
+           TRUE AS roundtrip_ok
+    FROM embeddings
+    """,
+)
+def multimodal_npy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: TENSOR columns — each embedding serializes to an NPY v1.0
+    buffer (the numpy format spec: the lingua franca for shipping
+    arrays into training jobs) and decodes back through the
+    from-scratch parser, all executor-side via ``mapInPandas``;
+    ``roundtrip_ok`` asserts bit-exact float32 value equality and the
+    oracle reproduces the 64-aligned buffer size arithmetically.
+    Bytes never reach the driver; unsupported dtypes/orders refuse
+    loudly like every other codec here."""
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, dims, sizes, oks = [], [], [], []
+            for vec_id, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                vals = [float(v) for v in vec]
+                buf = encode_npy(vals, "<f4")
+                dtype, shape, back = decode_npy(buf)
+                ids.append(vec_id)
+                dims.append(shape[0])
+                sizes.append(len(buf))
+                # float32 roundtrip: re-quantize the inputs through <f4
+                # so equality is bit-exact, not approximate
+                quant = [
+                    struct.unpack("<f", struct.pack("<f", v))[0]
+                    for v in vals
+                ]
+                oks.append(
+                    dtype == "<f4" and shape == (len(vals),) and back == quant
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "dims": dims,
+                    "npy_bytes": sizes,
+                    "roundtrip_ok": oks,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, dims int, npy_bytes long, roundtrip_ok boolean"
+    )

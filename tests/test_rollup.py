@@ -457,6 +457,108 @@ def test_rollup_minmax_router_and_float_refusal(spark, tmp_path):
     )
 
 
+def test_rollup_randomized_lifecycle_differential(spark, tmp_path):
+    """Seeded random commit sequences (append / eq-delete / positional
+    delete / compaction) with a refresh after every step — the rollup
+    (counts, SQL-exact NULL sums, min/max with delete-targeted
+    recompute) must equal the full recompute at EVERY watermark."""
+    import random
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+    )
+
+    rng = random.Random(1113)
+    w = IcebergWriter(
+        str(tmp_path / "src"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "int", "required": False},
+        ],
+    )
+    next_id = [0]
+
+    def batch(n):
+        rows = [
+            {
+                "id": next_id[0] + i,
+                "grp": rng.choice(["a", "b", "c", None]),
+                "v": None if rng.random() < 0.25 else rng.randrange(-99, 100),
+            }
+            for i in range(n)
+        ]
+        next_id[0] += n
+        return rows
+
+    w.append(batch(40))
+    rw = create_rollup(
+        spark,
+        IcebergTable(w.path),
+        str(tmp_path / "ru"),
+        ["grp"],
+        ["v"],
+        minmax_cols=["v", "id"],
+    )
+
+    def truth():
+        IcebergTable(w.path).to_df(spark).createOrReplaceTempView("__rl")
+        return sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT grp, count(*), cast(sum(v) as decimal(38,0)), "
+                    "count(v), min(v), max(v), min(id), max(id) "
+                    "FROM __rl GROUP BY grp"
+                ).collect(),
+            ),
+            key=lambda r: (r[0] is None, r[0] or ""),
+        )
+
+    def state():
+        return sorted(
+            (
+                (
+                    r.grp,
+                    r.n,
+                    r.sum_v,
+                    r.nn_v,
+                    r.min_v,
+                    r.max_v,
+                    r.min_id,
+                    r.max_id,
+                )
+                for r in IcebergTable(rw.path).to_df(spark).collect()
+            ),
+            key=lambda r: (r[0] is None, r[0] or ""),
+        )
+
+    for step in range(8):
+        op = rng.choice(["append", "eq_delete", "pos_delete", "compact"])
+        if op == "append":
+            w.append(batch(rng.randrange(5, 30)))
+        elif op == "eq_delete":
+            ids = rng.sample(range(next_id[0]), k=min(5, next_id[0]))
+            w.delete_rows_equality([{"id": i} for i in ids])
+        elif op == "pos_delete":
+            t = IcebergTable(w.path)
+            files = [f for f in t.plan_files(None) if f["record_count"]]
+            if files:
+                f = rng.choice(files)
+                k = min(3, int(f["record_count"]))
+                w.delete_rows_position(
+                    [(f["file_path"], p) for p in range(k)]
+                )
+        else:
+            compact_files_spark(w, spark, min_file_bytes=1 << 20)
+        rep = refresh_rollup(spark, rw)
+        assert rep["mode"] in ("incremental", "noop"), (step, op, rep)
+        assert state() == truth(), (step, op, rep)
+
+
 def test_rollup_rollback_falls_back_to_full(spark, tmp_path):
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup

@@ -165,6 +165,52 @@ def test_png_rejects_corruption_and_unsupported_shapes():
         decode_png(fake)
 
 
+def test_npy_codec_roundtrip_and_refusals():
+    """NPY v1.0 writer/parser: all four dtypes round-trip bit-exactly,
+    the data section is 64-byte aligned per spec, 2-D shapes work, and
+    foreign shapes refuse loudly."""
+    import struct as st
+
+    from daskberg_spark.operators.multimodal import decode_npy, encode_npy
+
+    cases = [
+        ("<f4", [1.5, -2.25, 0.0, 3.0e7]),
+        ("<f8", [1.1, -9.9e100, 0.0]),
+        ("<i4", [-(2**31), 2**31 - 1, 0, 7]),
+        ("<i8", [-(2**62), 2**62, 42]),
+    ]
+    for dtype, vals in cases:
+        buf = encode_npy(vals, dtype)
+        assert (len(buf) - len(vals) * int(dtype[2])) % 64 == 0
+        d, shape, back = decode_npy(buf)
+        if dtype == "<f4":
+            vals = [st.unpack("<f", st.pack("<f", v))[0] for v in vals]
+        assert (d, shape, back) == (dtype, (len(vals),), vals)
+    # numpy agrees with the from-scratch parser (and vice versa)
+    import io
+
+    import numpy as np
+
+    buf = encode_npy([1.0, 2.0, 3.0, 4.0], "<f8", shape=(2, 2))
+    arr = np.load(io.BytesIO(buf))
+    assert arr.shape == (2, 2) and arr.dtype == np.dtype("<f8")
+    assert arr.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    nbuf = io.BytesIO()
+    np.save(nbuf, np.array([5, 6, 7], dtype="<i4"))
+    assert decode_npy(nbuf.getvalue()) == ("<i4", (3,), [5, 6, 7])
+    with pytest.raises(ValueError, match="magic"):
+        decode_npy(b"XXNUMPY" + buf[7:])
+    with pytest.raises(NotImplementedError, match="version"):
+        decode_npy(buf[:6] + b"\x02\x00" + buf[8:])
+    with pytest.raises(NotImplementedError, match="dtype"):
+        encode_npy([1], "<u2")
+    with pytest.raises(ValueError, match="shape"):
+        encode_npy([1, 2, 3], "<i4", shape=(2, 2))
+    fort = buf.replace(b"'fortran_order': False", b"'fortran_order': True ")
+    with pytest.raises(NotImplementedError, match="fortran"):
+        decode_npy(fort)
+
+
 def test_multimodal_features_deterministic(spark):
     from daskberg_spark.operators.multimodal import multimodal_features
 

@@ -234,6 +234,9 @@ AUDIT = {
     # r11 GIF frame-sampled decode: one mapInPandas leg over (doc_id,
     # payload) — zero exchanges, bytes never reach the driver
     "multimodal_gif_frames": (0, False, False, 2),
+    # r11 NPY tensor roundtrip: one mapInPandas leg over
+    # (vec_id, embedding) — zero exchanges, buffers stay executor-side
+    "multimodal_npy_decode": (0, False, False, 2),
     # r11 BM25 keyword ranking: one narrow scan, a single-row global
     # aggregate broadcast back, TakeOrdered top-k
     "keyword_rank_bm25": (2, False, True, 2),
