@@ -91,6 +91,24 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
     for clause in _conjuncts(filters):
         col, op, _v = clause
         if op in ("==", "="):
+            # selectivity ladder: an EXACT per-group count from a fresh
+            # registered rollup beats any estimate (rollup.py); NDV's
+            # uniform 1/ndv only when no rollup covers the column
+            try:
+                from daskberg_spark.iceberg.rollup import rollup_eq_count
+
+                exact = rollup_eq_count(table, col, _v)
+            except Exception:
+                exact = None
+            if exact is not None:
+                total_now = float(
+                    sum(
+                        int(f.get("record_count") or 0)
+                        for f in table.plan_files()
+                    )
+                )
+                sel *= (exact / total_now) if total_now else 0.0
+                continue
             ndv = _safe_ndv(table, col)
             if ndv:
                 sel *= 1.0 / ndv

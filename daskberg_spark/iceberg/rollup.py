@@ -215,6 +215,62 @@ def create_rollup(
     return writer
 
 
+def rollup_eq_count(
+    source, col: str, value: Any, max_groups: int = 100_000
+) -> int | None:
+    """EXACT live-row count for ``col == value`` from a registered
+    FRESH rollup keyed on ``col`` — the top rung of the cost model's
+    selectivity ladder (exact count > histogram CDF > 1/NDV > 1/3).
+
+    Driver-side and Spark-free: the rollup's files read through
+    pyarrow projected to (col, n), gated by its manifest record counts
+    (> ``max_groups`` group rows → None; a planner must never pay data
+    IO for an estimate).  Stale or filtered rollups never answer.
+    int/str/bool probe values only — anything else returns None rather
+    than risking a cross-type comparison."""
+    if not isinstance(value, (int, str, bool)) or isinstance(value, float):
+        return None
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    reg = json.loads(
+        (source.metadata.get("properties") or {}).get(PROP_REGISTRY, "[]")
+    )
+    cur = source.current_snapshot["snapshot-id"]
+    for path in reg:
+        try:
+            rt = IcebergTable(path)
+        except Exception:
+            continue
+        props = rt.metadata.get("properties") or {}
+        if PROP_FILTERS in props:
+            continue
+        if int(props.get(PROP_SNAPSHOT, -1)) != cur:
+            continue
+        if col not in json.loads(props.get(PROP_GROUPS, "[]")):
+            continue
+        files = rt.plan_files([(col, "==", value)])
+        total = sum(int(f.get("record_count") or 0) for f in rt.plan_files(None))
+        if total > max_groups:
+            continue
+        import pyarrow.parquet as _pq
+
+        n = 0
+        try:
+            for f in files:
+                tbl = _pq.read_table(
+                    rt._relocate(f["file_path"]), columns=[col, "n"]
+                )
+                for g, cnt in zip(
+                    tbl.column(col).to_pylist(), tbl.column("n").to_pylist()
+                ):
+                    if g == value:
+                        n += int(cnt)
+        except OSError:
+            continue
+        return n
+    return None
+
+
 def _steps_back(source, base_sid: int) -> int | None:
     """Snapshots from head back to ``base_sid`` along the parent chain,
     or None when it is not an ancestor (rollback) — full rebuild."""
@@ -472,6 +528,7 @@ def agg_via_rollup(
     spark,
     aggs: list[tuple[str, str, str]],
     group_by: list[str],
+    filters: Any = None,
 ) -> Any | None:
     """Answer a grouped aggregate battery from a registered FRESH
     rollup instead of the source — the materialized-view rewrite.
@@ -491,6 +548,11 @@ def agg_via_rollup(
     metadata pushdown does.  Returns None when no registered rollup
     qualifies — the caller falls back to ``agg_pushdown`` or the scan.
 
+    ``filters`` referencing ONLY group columns qualify too — selecting
+    whole groups is a row filter on the rollup itself (stats-pruned +
+    exact residual through its own scan); any predicate touching a
+    non-group column refuses (it would need source rows).
+
     This is exactly the shape ``agg_pushdown`` CANNOT serve: grouping
     by non-partition columns (per-file stats cannot split a file
     across groups) — a fresh rollup keyed on them can."""
@@ -507,6 +569,16 @@ def agg_via_rollup(
             continue
         if fn not in ("count", "sum", "min", "max"):
             return None
+    # a filter referencing only GROUP columns selects whole groups —
+    # it applies to the rollup's rows directly.  Anything touching a
+    # non-group column would need source rows: refuse.
+    filter_cols: set[str] = set()
+    if filters:
+        from daskberg_spark.iceberg.planner import is_dnf
+
+        for conj in filters if is_dnf(filters) else [filters]:
+            for col, _op, _v in conj:
+                filter_cols.add(col)
     reg = json.loads(
         (source.metadata.get("properties") or {}).get(PROP_REGISTRY, "[]")
     )
@@ -525,6 +597,8 @@ def agg_via_rollup(
         sums = set(json.loads(props.get(PROP_SUMS, "[]")))
         mms = set(json.loads(props.get(PROP_MINMAX, "[]")))
         if not set(group_by) <= set(groups):
+            continue
+        if filter_cols and not filter_cols <= set(groups):
             continue
         need_sum = {c for fn, c, _ in aggs if fn in ("count", "sum") and c != "*"}
         need_mm = {c for fn, c, _ in aggs if fn in ("min", "max")}
@@ -549,12 +623,16 @@ def agg_via_rollup(
             else:
                 exprs.append(F.sum(f"sum_{col}").alias(alias))
                 need_cols.add(f"sum_{col}")
-        out = (
-            rt.to_df(spark, columns=sorted(need_cols))
-            .groupBy(*group_by)
-            .agg(*exprs)
+        # filters ride through the rollup's OWN scan (stats-pruned +
+        # exact residual) — selecting whole groups is just a row filter
+        # on the rollup table
+        rdf = rt.to_df(
+            spark,
+            columns=sorted(need_cols | filter_cols),
+            filters=filters,
         )
-        _record_zero_scan(source, None)
+        out = rdf.groupBy(*group_by).agg(*exprs)
+        _record_zero_scan(source, filters)
         source.last_agg_rollup = {"rollup": path, "groups_over": groups}
         return out
     return None

@@ -457,6 +457,59 @@ def test_rollup_minmax_router_and_float_refusal(spark, tmp_path):
     )
 
 
+def test_agg_via_rollup_group_filters_and_exact_count(spark, tmp_path):
+    """Group-column filters apply to the rollup's own rows; non-group
+    predicates refuse.  rollup_eq_count serves the cost model an EXACT
+    per-group cardinality driver-side (no Spark job), and
+    cbo.estimated_rows prefers it over 1/NDV."""
+    from daskberg_spark.iceberg.cbo import estimated_rows
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import (
+        agg_via_rollup,
+        create_rollup,
+        rollup_eq_count,
+    )
+
+    w = _source(tmp_path / "src")
+    w.append(
+        [
+            {"id": i, "grp": "abc"[i % 3], "v": None if i % 5 == 0 else i}
+            for i in range(90)
+        ]
+    )
+    src = IcebergTable(w.path)
+    create_rollup(
+        spark, src, str(tmp_path / "ru"), ["grp"], ["v"], source_writer=w
+    )
+    src = IcebergTable(w.path)
+    battery = [("count", "*", "n"), ("sum", "v", "s")]
+    out = agg_via_rollup(
+        src, spark, battery, group_by=["grp"], filters=[("grp", "==", "a")]
+    )
+    assert out is not None
+    src.to_df(spark).createOrReplaceTempView("__gf")
+    truth = spark.sql(
+        "SELECT grp, count(*) n, cast(sum(v) as decimal(38,0)) s "
+        "FROM __gf WHERE grp = 'a' GROUP BY grp"
+    ).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, truth))
+    # a non-group predicate needs source rows: refuse
+    assert (
+        agg_via_rollup(
+            src, spark, battery, group_by=["grp"], filters=[("id", ">=", 10)]
+        )
+        is None
+    )
+    # exact cardinality for the cost model, and its staleness gate
+    assert rollup_eq_count(src, "grp", "a") == 30
+    assert rollup_eq_count(src, "id", 5) is None  # not a group column
+    est = estimated_rows(src, [("grp", "==", "a")])
+    assert est == 30.0, est
+    w.append([{"id": 1000, "grp": "a", "v": 1}])
+    src = IcebergTable(w.path)
+    assert rollup_eq_count(src, "grp", "a") is None  # stale → never lie
+
+
 def test_rollup_randomized_lifecycle_differential(spark, tmp_path):
     """Seeded random commit sequences (append / eq-delete / positional
     delete / compaction) with a refresh after every step — the rollup
