@@ -721,6 +721,66 @@ def agg_pushdown(
 IcebergTable.agg_pushdown = agg_pushdown  # type: ignore[attr-defined]
 
 
+def agg_auto(
+    table: IcebergTable,
+    spark: SparkSession,
+    aggs: list[tuple[str, str, str]],
+    filters: Any = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """One-call aggregate dispatch down the strategy ladder — always
+    exact, each rung cheaper than the next:
+
+    1. **Fresh-rollup rewrite** (``rollup.agg_via_rollup``): grouped
+       count/sum/min/max answered by re-aggregating a registered
+       rollup — O(groups), zero source IO, covers NON-partition group
+       columns the per-file pushdown never can.
+    2. **Metadata pushdown** (``agg_pushdown``): manifest stats + sum
+       blobs + theta NDVs, per-file hybrid with one residual scan.
+    3. **Plain scan**: whatever the statistics layer cannot prove —
+       float sums, non-identity grouped shapes with no rollup, nested
+       columns — runs as an ordinary Catalyst aggregate.
+
+    ``table.last_agg_route`` records which rung answered."""
+    group_by = list(group_by or [])
+    if group_by:
+        from daskberg_spark.iceberg.rollup import agg_via_rollup
+
+        out = agg_via_rollup(table, spark, aggs, group_by, filters=filters)
+        if out is not None:
+            table.last_agg_route = "rollup"
+            return out
+    try:
+        out = agg_pushdown(table, spark, aggs, filters, group_by or None)
+        table.last_agg_route = "pushdown"
+        return out
+    except ValueError:
+        pass  # a shape the statistics layer refuses → ordinary scan
+    from daskberg_spark.iceberg.scan import to_df
+
+    need = sorted(
+        {c for _, c, _ in aggs if c != "*"} | set(group_by)
+    )
+    df = to_df(table, spark, columns=need or None, filters=filters)
+    fns = {
+        "count": F.count,
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+        "approx_count_distinct": F.approx_count_distinct,
+    }
+    exprs = []
+    for fn, col, alias in aggs:
+        target = F.lit(1) if col == "*" else F.col(col)
+        exprs.append(fns[fn](target).alias(alias))
+    out = df.groupBy(*group_by).agg(*exprs) if group_by else df.agg(*exprs)
+    table.last_agg_route = "scan"
+    return out
+
+
+IcebergTable.agg_auto = agg_auto  # type: ignore[attr-defined]
+
+
 def percentile_pushdown(
     table: IcebergTable,
     spark: SparkSession,

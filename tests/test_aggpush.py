@@ -491,3 +491,74 @@ def test_grouped_old_spec_nonidentity_same_name_scans(spark):
     assert got == exp  # NOT {'a': 2, 'banana': 1}
     # the truncate-spec file had to scan; the identity file did not
     assert t.last_agg_pushdown["files_scanned"] == 1
+
+
+def test_agg_auto_strategy_ladder(spark, tmp_path):
+    """agg_auto picks the cheapest exact rung and records the route:
+    fresh rollup for non-partition grouping, metadata pushdown for
+    partition grouping/whole-table, plain scan for shapes the
+    statistics layer refuses (float sums) — all equal to SQL."""
+    import daskberg_spark.iceberg.scan  # noqa: F401
+    from daskberg_spark.iceberg.agg import agg_auto
+    from daskberg_spark.iceberg.rollup import create_rollup
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "grp", "type": "string", "required": False},
+            {"id": 3, "name": "part", "type": "int", "required": False},
+            {"id": 4, "name": "v", "type": "int", "required": False},
+            {"id": 5, "name": "f", "type": "double", "required": False},
+        ],
+        [{"name": "part", "transform": "identity", "source": "part"}],
+    )
+    rows = [
+        {
+            "id": i,
+            "grp": "ab"[i % 2],
+            "part": i % 3,
+            "v": None if i % 7 == 0 else i,
+            "f": i * 0.5,
+        }
+        for i in range(60)
+    ]
+    for p in range(3):
+        w.append([r for r in rows if r["part"] == p])
+    t = IcebergTable(w.path)
+    create_rollup(
+        spark, t, str(tmp_path / "ru"), ["grp"], ["v"], source_writer=w
+    )
+    t = IcebergTable(w.path)
+    t.to_df(spark).createOrReplaceTempView("__auto")
+
+    def truth(sql):
+        return sorted(map(tuple, spark.sql(sql).collect()))
+
+    # 1. non-partition grouping → rollup
+    out = agg_auto(
+        t, spark, [("count", "*", "n"), ("sum", "v", "s")], group_by=["grp"]
+    )
+    assert t.last_agg_route == "rollup"
+    assert sorted(map(tuple, out.collect())) == truth(
+        "SELECT grp, count(*), cast(sum(v) as decimal(38,0)) FROM __auto GROUP BY grp"
+    )
+    # 2. identity-partition grouping → pushdown (no rollup covers part)
+    out = agg_auto(
+        t, spark, [("count", "*", "n"), ("min", "id", "m")], group_by=["part"]
+    )
+    assert t.last_agg_route == "pushdown"
+    assert sorted(map(tuple, out.collect())) == truth(
+        "SELECT part, count(*), min(id) FROM __auto GROUP BY part"
+    )
+    # 3. float sum → the statistics layer refuses → plain scan
+    out = agg_auto(t, spark, [("sum", "f", "s")])
+    assert t.last_agg_route == "scan"
+    assert out.first().s == spark.sql("SELECT sum(f) s FROM __auto").first().s
+    # 4. whole-table battery → pushdown
+    out = agg_auto(t, spark, [("count", "*", "n"), ("max", "v", "mx")])
+    assert t.last_agg_route == "pushdown"
+    assert tuple(out.first()) == tuple(
+        spark.sql("SELECT count(*), max(v) FROM __auto").first()
+    )
