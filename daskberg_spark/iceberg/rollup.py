@@ -248,6 +248,10 @@ def rollup_eq_count(
             continue
         if col not in json.loads(props.get(PROP_GROUPS, "[]")):
             continue
+        # Python's bool is an int: True == 1 would silently count the
+        # 1-group of an integer column — probe kind must match the type
+        if isinstance(value, bool) != (rt.fields[col].type == "boolean"):
+            continue
         files = rt.plan_files([(col, "==", value)])
         total = sum(int(f.get("record_count") or 0) for f in rt.plan_files(None))
         if total > max_groups:

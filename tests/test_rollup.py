@@ -163,6 +163,32 @@ def test_rollup_compaction_churn_cancels(spark, tmp_path):
     assert _state(spark, rw.path) == before == _recompute(spark, w.path)
 
 
+def test_rollup_empty_at_create_then_grows(spark, tmp_path):
+    """A filtered view matching NOTHING at create time materializes an
+    empty rollup; the first refresh over matching appends populates it
+    incrementally (the empty-old-side join corner)."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
+
+    w = _source(tmp_path / "src")
+    w.append([{"id": i, "grp": "a", "v": i} for i in range(5)])
+    rw = create_rollup(
+        spark,
+        IcebergTable(w.path),
+        str(tmp_path / "ru"),
+        ["grp"],
+        ["v"],
+        filters=[("id", ">=", 100)],
+    )
+    assert _state(spark, rw.path) == []
+    w.append([{"id": i, "grp": "ab"[i % 2], "v": i} for i in range(100, 120)])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental"
+    assert _state(spark, rw.path) == _recompute(
+        spark, w.path, where="WHERE id >= 100"
+    )
+
+
 def test_rollup_maintain_advances_watermark(spark, tmp_path):
     """maintain() on a rollup table refreshes it from the source —
     the nightly-job wiring every other statistics asset has."""
