@@ -349,6 +349,7 @@ _PRIORITY = [
     "hilbert_cluster_stats",
     "streaming_rollup_sink",
     "multimodal_npy_decode",
+    "iceberg_join_rollup",
     # never driver-seen (oracle-backed)
     "events_anomaly_hours",
     # r11-touched code paths
@@ -356,14 +357,15 @@ _PRIORITY = [
     # out for streaming_rollup_sink and iceberg_rollup_answer: the
     # delete family keeps FOUR in-window reps — mor/dv/foreign/
     # delete_where_fast — and both stay oracle-exact locally)
-    # (merge_mor also stepped out for multimodal_npy_decode — MERGE
-    # stays repped by delete_where_fast's lifecycle + update paths in
-    # pytest; oracle-exact locally)
+    # (merge_mor and dv_delete_read also stepped out for
+    # multimodal_npy_decode and iceberg_join_rollup — the delete family
+    # keeps mor_delete_read + foreign_read + delete_where_fast
+    # in-window and both stay oracle-exact locally; join_rollup itself
+    # exercises MOR deletes in its lifecycle)
     "iceberg_variant_shredded_prune",
     "iceberg_multiformat_read",
     "iceberg_foreign_read",
     "iceberg_mor_delete_read",
-    "iceberg_dv_delete_read",
     "iceberg_bloom_index_prune",
     "iceberg_write_formats",
     "iceberg_stats_delta",

@@ -56,6 +56,11 @@ PROP_GROUPS = "daskberg.rollup.group-cols"
 PROP_SUMS = "daskberg.rollup.sum-cols"
 PROP_FILTERS = "daskberg.rollup.filters"
 PROP_MINMAX = "daskberg.rollup.minmax-cols"
+# join rollups (create_join_rollup): the broadcastable dimension side
+PROP_DIM = "daskberg.rollup.dim-path"
+PROP_DIM_SNAPSHOT = "daskberg.rollup.dim-snapshot-id"
+PROP_FACT_KEY = "daskberg.rollup.fact-key"
+PROP_DIM_KEY = "daskberg.rollup.dim-key"
 # on the SOURCE table: JSON list of rollup table paths registered
 # against it (the aggregate router's candidate set)
 PROP_REGISTRY = "daskberg.rollups"
@@ -242,8 +247,8 @@ def rollup_eq_count(
         except Exception:
             continue
         props = rt.metadata.get("properties") or {}
-        if PROP_FILTERS in props:
-            continue
+        if PROP_FILTERS in props or PROP_DIM in props:
+            continue  # filtered/join rollups answer a different relation
         if int(props.get(PROP_SNAPSHOT, -1)) != cur:
             continue
         if col not in json.loads(props.get(PROP_GROUPS, "[]")):
@@ -275,6 +280,121 @@ def rollup_eq_count(
     return None
 
 
+def _join_dim(spark, fact_df, props):
+    """``fact_df`` inner-joined to the rollup's (broadcast) dimension
+    on the recorded keys — the shared leg of the join rollup's build,
+    rebuild, and delta paths."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    dim = IcebergTable(props[PROP_DIM]).to_df(spark)
+    fk, dk = props[PROP_FACT_KEY], props[PROP_DIM_KEY]
+    joined = fact_df.join(
+        F.broadcast(dim), fact_df[fk] == dim[dk], "inner"
+    )
+    return joined.drop(dim[dk])
+
+
+def create_join_rollup(
+    spark,
+    fact,
+    dim,
+    path: str,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    source_writer=None,
+):
+    """Materialize an aggregate over ``fact INNER JOIN dim`` — the
+    star-join dashboard shape — maintained incrementally under a
+    FROZEN dimension: with dim unchanged, the join's row-level
+    changelog is exactly ``Δfact ⋈ dim`` (signed deltas distribute
+    over the join), so a refresh reads the fact's commit delta plus
+    the broadcast-small dim and never the fact table.  Any dim commit
+    degrades that refresh to a full rebuild — a changed dim row can
+    silently re-attribute every joined fact row, so freshness of BOTH
+    watermarks is a correctness gate, exactly like the plain rollup's.
+
+    ``group_cols``/``sum_cols`` may reference either side (dim group
+    columns are the POINT — "revenue by market segment" where the
+    segment lives on the dimension).  MIN/MAX and filtered views stay
+    plain-rollup features (v1 scope).  The router never answers from a
+    join rollup: its groups describe the JOIN, not the fact table."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fact_types = {n: i.type for n, i in fact.fields.items()}
+    dim_types = {n: i.type for n, i in dim.fields.items()}
+    types = {**dim_types, **fact_types}
+    for c in group_cols + sum_cols + [fact_key]:
+        if c not in types:
+            raise ValueError(f"unknown column {c!r}")
+    if dim_key not in dim_types:
+        raise ValueError(f"unknown dim column {dim_key!r}")
+    props = {
+        PROP_DIM: os.path.abspath(dim.url),
+        PROP_DIM_SNAPSHOT: str(dim.current_snapshot["snapshot-id"]),
+        PROP_FACT_KEY: fact_key,
+        PROP_DIM_KEY: dim_key,
+    }
+    fact_cols = sorted(
+        ({fact_key} | {c for c in group_cols + sum_cols if c in fact_types})
+    )
+    df = _join_dim(
+        spark, fact.to_df(spark, columns=fact_cols), props
+    )
+    out = _aggregate(df, group_cols, sum_cols, types)
+    base_sid = fact.current_snapshot["snapshot-id"]
+    fields = []
+    fid = 0
+    for g in group_cols:
+        fid += 1
+        fields.append(
+            {"id": fid, "name": g, "type": types[g], "required": False}
+        )
+    fid += 1
+    fields.append({"id": fid, "name": "n", "type": "long", "required": False})
+    for c in sum_cols:
+        fid += 1
+        fields.append(
+            {
+                "id": fid,
+                "name": f"sum_{c}",
+                "type": _sum_type(types[c]),
+                "required": False,
+            }
+        )
+        fid += 1
+        fields.append(
+            {"id": fid, "name": f"nn_{c}", "type": "long", "required": False}
+        )
+    from daskberg_spark.iceberg.writer import write_df
+
+    writer = IcebergWriter(os.path.abspath(path), fields)
+    writer.properties.update(
+        {
+            PROP_SOURCE: os.path.abspath(fact.url),
+            PROP_SNAPSHOT: str(base_sid),
+            PROP_GROUPS: json.dumps(group_cols),
+            PROP_SUMS: json.dumps(sum_cols),
+            **props,
+        }
+    )
+    write_df(writer, out, mode="none")
+    if source_writer is not None:
+        reg = json.loads(
+            (source_writer.properties or {}).get(PROP_REGISTRY, "[]")
+        )
+        if writer.path not in reg:
+            source_writer.set_properties(
+                {PROP_REGISTRY: json.dumps(reg + [writer.path])}
+            )
+    return writer
+
+
 def _steps_back(source, base_sid: int) -> int | None:
     """Snapshots from head back to ``base_sid`` along the parent chain,
     or None when it is not an ancestor (rollback) — full rebuild."""
@@ -288,6 +408,83 @@ def _steps_back(source, base_sid: int) -> int | None:
             return None
         snap = source.snapshots[parent]
         steps += 1
+
+
+def _signed_merge(old, delta, group_cols, sum_cols, minmax_cols, types):
+    """Merge a row-level change set (``_change_type`` insert/delete)
+    into the existing rollup: per-group signed deltas, null-safe
+    full-outer join on the group keys, SQL-exact NULL sums, emptied
+    groups dropped.  With ``minmax_cols`` the output carries the
+    PROVISIONAL extrema plus a ``__dirty`` flag — the caller fixes
+    delete-dirtied groups (``_fix_dirty_minmax``)."""
+    from pyspark.sql import functions as F
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    is_ins = F.col("_change_type") == "insert"
+    d_aggs = [F.sum(sign).alias("__dn")]
+    for c in sum_cols:
+        st = _sum_type(types[c])
+        d_aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull(), sign * F.col(c).cast(st)
+                ).cast(st)
+            ).alias(f"__ds_{c}")
+        )
+        d_aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), sign)).alias(f"__dnn_{c}")
+        )
+    for c in minmax_cols:
+        # inserts can only WIDEN an extremum (least/greatest merge);
+        # any delete in a group invalidates it → targeted recompute
+        d_aggs.append(F.min(F.when(is_ins, F.col(c))).alias(f"__imn_{c}"))
+        d_aggs.append(F.max(F.when(is_ins, F.col(c))).alias(f"__imx_{c}"))
+    if minmax_cols:
+        d_aggs.append(
+            F.max(F.when(~is_ins, F.lit(1)).otherwise(F.lit(0))).alias(
+                "__del"
+            )
+        )
+    d = delta.groupBy(*group_cols).agg(*d_aggs)
+    # group keys can be NULL → null-safe join keys
+    cond = reduce(
+        lambda a, b: a & b,
+        [old[g].eqNullSafe(d[g]) for g in group_cols],
+    )
+    joined = old.join(d, cond, "full_outer")
+    sel = [F.coalesce(old[g], d[g]).alias(g) for g in group_cols]
+    n_col = F.coalesce(old["n"], F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    sel.append(n_col.alias("n"))
+    for c in sum_cols:
+        st = _sum_type(types[c])
+        nn = F.coalesce(old[f"nn_{c}"], F.lit(0)) + F.coalesce(
+            F.col(f"__dnn_{c}"), F.lit(0)
+        )
+        s = F.when(
+            nn > 0,
+            F.coalesce(old[f"sum_{c}"], F.lit(0).cast(st))
+            + F.coalesce(F.col(f"__ds_{c}"), F.lit(0).cast(st)),
+        ).cast(st)
+        sel.append(s.alias(f"sum_{c}"))
+        sel.append(nn.alias(f"nn_{c}"))
+    for c in minmax_cols:
+        # provisional: exact for insert-only groups (least/greatest
+        # skip NULL sides); delete-dirtied groups are fixed by caller
+        sel.append(
+            F.least(old[f"min_{c}"], F.col(f"__imn_{c}")).alias(f"min_{c}")
+        )
+        sel.append(
+            F.greatest(old[f"max_{c}"], F.col(f"__imx_{c}")).alias(
+                f"max_{c}"
+            )
+        )
+    if minmax_cols:
+        sel.append(F.coalesce(F.col("__del"), F.lit(0)).alias("__dirty"))
+    return joined.select(*sel).where(F.col("n") > 0)
 
 
 def _fix_dirty_minmax(
@@ -406,11 +603,28 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     )
     # JSON turns filter tuples into lists; the planner accepts both
     types = {n: i.type for n, i in source.fields.items()}
+    dim_sid = None
+    if PROP_DIM in props:
+        dim_table = IcebergTable(props[PROP_DIM])
+        types = {
+            **{n: i.type for n, i in dim_table.fields.items()},
+            **types,
+        }
+        dim_sid = dim_table.current_snapshot["snapshot-id"]
     base_sid = int(props[PROP_SNAPSHOT])
     head_sid = source.current_snapshot["snapshot-id"]
-    if head_sid == base_sid:
+    dim_moved = (
+        PROP_DIM in props
+        and str(dim_sid) != props.get(PROP_DIM_SNAPSHOT)
+    )
+    if head_sid == base_sid and not dim_moved:
         return {"mode": "noop", "steps": 0, "source_files_read": 0}
     steps = _steps_back(source, base_sid)
+    if dim_moved:
+        # a changed dim row can re-attribute EVERY joined fact row —
+        # the incremental identity Δfact ⋈ dim only holds under a
+        # frozen dim, so rebuild and move the dim watermark
+        steps = None
 
     rollup = IcebergTable(writer.path)
     old = rollup.to_df(spark)
@@ -418,12 +632,19 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
 
     dirty_groups = 0
     if steps is None:
-        # watermark unreachable (rollback rewrote history): rebuild
-        df = source.to_df(
-            spark,
-            columns=sorted(set(group_cols + sum_cols + minmax_cols)),
-            filters=filters,
+        # watermark unreachable (rollback / dim commit): rebuild
+        fact_fields = {n for n in source.fields}
+        cols = sorted(
+            ({props[PROP_FACT_KEY]} if PROP_DIM in props else set())
+            | {
+                c
+                for c in set(group_cols + sum_cols + minmax_cols)
+                if c in fact_fields
+            }
         )
+        df = source.to_df(spark, columns=cols, filters=filters)
+        if PROP_DIM in props:
+            df = _join_dim(spark, df, props)
         merged = _aggregate(df, group_cols, sum_cols, types, minmax_cols)
         mode = "full"
         files_read = source.last_scan["files_scanned"]
@@ -433,76 +654,14 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
         )
         files_read = len(head_subset) + len(base_subset)
         delta = changelog_rows_df(source, spark, from_rel=-steps, filters=filters)
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
+        if PROP_DIM in props:
+            # join rollup: the join's changelog under a FROZEN dim is
+            # Δfact ⋈ dim (the steps-is-None branch above already
+            # rebuilt if the dim moved)
+            delta = _join_dim(spark, delta, props)
+        merged = _signed_merge(
+            old, delta, group_cols, sum_cols, minmax_cols, types
         )
-        is_ins = F.col("_change_type") == "insert"
-        d_aggs = [F.sum(sign).alias("__dn")]
-        for c in sum_cols:
-            st = _sum_type(types[c])
-            d_aggs.append(
-                F.sum(
-                    F.when(
-                        F.col(c).isNotNull(), sign * F.col(c).cast(st)
-                    ).cast(st)
-                ).alias(f"__ds_{c}")
-            )
-            d_aggs.append(
-                F.sum(F.when(F.col(c).isNotNull(), sign)).alias(f"__dnn_{c}")
-            )
-        for c in minmax_cols:
-            # inserts can only WIDEN an extremum (least/greatest merge);
-            # any delete in a group invalidates it → targeted recompute
-            d_aggs.append(F.min(F.when(is_ins, F.col(c))).alias(f"__imn_{c}"))
-            d_aggs.append(F.max(F.when(is_ins, F.col(c))).alias(f"__imx_{c}"))
-        if minmax_cols:
-            d_aggs.append(
-                F.max(F.when(~is_ins, F.lit(1)).otherwise(F.lit(0))).alias(
-                    "__del"
-                )
-            )
-        d = delta.groupBy(*group_cols).agg(*d_aggs)
-        # group keys can be NULL → null-safe join keys
-        cond = reduce(
-            lambda a, b: a & b,
-            [old[g].eqNullSafe(d[g]) for g in group_cols],
-        )
-        joined = old.join(d, cond, "full_outer")
-        sel = [
-            F.coalesce(old[g], d[g]).alias(g) for g in group_cols
-        ]
-        n_col = F.coalesce(old["n"], F.lit(0)) + F.coalesce(
-            F.col("__dn"), F.lit(0)
-        )
-        sel.append(n_col.alias("n"))
-        for c in sum_cols:
-            st = _sum_type(types[c])
-            nn = F.coalesce(old[f"nn_{c}"], F.lit(0)) + F.coalesce(
-                F.col(f"__dnn_{c}"), F.lit(0)
-            )
-            s = F.when(
-                nn > 0,
-                F.coalesce(old[f"sum_{c}"], F.lit(0).cast(st))
-                + F.coalesce(F.col(f"__ds_{c}"), F.lit(0).cast(st)),
-            ).cast(st)
-            sel.append(s.alias(f"sum_{c}"))
-            sel.append(nn.alias(f"nn_{c}"))
-        for c in minmax_cols:
-            # provisional: exact for insert-only groups (least/greatest
-            # skip NULL sides); delete-dirtied groups are fixed below
-            sel.append(
-                F.least(old[f"min_{c}"], F.col(f"__imn_{c}")).alias(f"min_{c}")
-            )
-            sel.append(
-                F.greatest(old[f"max_{c}"], F.col(f"__imx_{c}")).alias(
-                    f"max_{c}"
-                )
-            )
-        if minmax_cols:
-            sel.append(
-                F.coalesce(F.col("__del"), F.lit(0)).alias("__dirty")
-            )
-        merged = joined.select(*sel).where(F.col("n") > 0)
         mode = "incremental"
         if minmax_cols:
             merged, dirty_groups, extra_read = _fix_dirty_minmax(
@@ -514,7 +673,10 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     staging = tempfile.mkdtemp(prefix=f"rollup-{uuid.uuid4().hex[:8]}-")
     merged.write.mode("overwrite").parquet(staging)
     commit_spark_overwrite(writer, staging, old_paths)
-    writer.set_properties({PROP_SNAPSHOT: str(head_sid)})
+    new_props = {PROP_SNAPSHOT: str(head_sid)}
+    if dim_sid is not None:
+        new_props[PROP_DIM_SNAPSHOT] = str(dim_sid)
+    writer.set_properties(new_props)
     t = IcebergTable(writer.path)
     return {
         "mode": mode,
@@ -593,8 +755,10 @@ def agg_via_rollup(
         except Exception:
             continue
         props = rt.metadata.get("properties") or {}
-        if PROP_FILTERS in props:
-            continue  # a filtered view answers a different question
+        if PROP_FILTERS in props or PROP_DIM in props:
+            # a filtered view answers a different question; a join
+            # rollup's groups describe the JOIN, not the fact table
+            continue
         if int(props.get(PROP_SNAPSHOT, -1)) != cur:
             continue  # stale watermark: using it could be WRONG
         groups = json.loads(props.get(PROP_GROUPS, "[]"))

@@ -3173,6 +3173,87 @@ def iceberg_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_join_rollup",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 5 IN (0, 1) AND NOT (o_orderkey % 35 = 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join rollup under a frozen dimension (r11,
+    ``rollup.create_join_rollup``): "orders by market segment" where
+    the segment lives on the CUSTOMER dim — materialized once, then a
+    fact append AND a row-level fact DELETE refresh through
+    ``Δfact ⋈ dim`` (signed deltas distribute over the join while the
+    dim is frozen; a dim commit would degrade to the rebuild — the
+    correctness gate tests pin).  The refresh reads the fact's commit
+    delta plus the broadcast dim, never the fact table — hard-asserted
+    ≤3 of its files; at 100 TB this is the nightly star-schema
+    dashboard refresh costing O(yesterday), not O(history)."""
+    import tempfile
+
+    from daskberg_spark.iceberg.rollup import (
+        create_join_rollup,
+        refresh_rollup,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        delete_where_spark,
+        write_df,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    fact_w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_jru_fact_"),
+        [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_custkey", "type": "long", "required": False},
+        ],
+    )
+    write_df(fact_w, orders.where("o_orderkey % 5 = 0"), mode="none")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_jru_dim_"),
+        [
+            {"id": 1, "name": "c_custkey", "type": "long", "required": False},
+            {"id": 2, "name": "c_mktsegment", "type": "string", "required": False},
+        ],
+    )
+    write_df(dim_w, cust, mode="none")
+    rollup_w = create_join_rollup(
+        spark,
+        IcebergTable(fact_w.path),
+        IcebergTable(dim_w.path),
+        tempfile.mkdtemp(prefix="iceberg_jru_tab_"),
+        "o_custkey",
+        "c_custkey",
+        ["c_mktsegment"],
+        ["o_orderkey"],
+    )
+    write_df(fact_w, orders.where("o_orderkey % 5 = 1"), mode="none")
+    delete_where_spark(fact_w, spark, "o_orderkey % 35 = 0")
+    report = refresh_rollup(spark, rollup_w)
+    assert report["mode"] == "incremental", report
+    assert report["source_files_read"] <= 3, (
+        f"join-rollup refresh read {report['source_files_read']} fact files"
+    )
+    out = IcebergTable(rollup_w.path).to_df(spark)
+    return out.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_o_orderkey").cast("long").alias("sum_ok"),
+    )
+
+
+@query(
     "iceberg_rollup_incremental",
     """
     SELECT l_returnflag,

@@ -536,6 +536,109 @@ def test_agg_via_rollup_group_filters_and_exact_count(spark, tmp_path):
     assert rollup_eq_count(src, "grp", "a") is None  # stale → never lie
 
 
+def _dim(path):
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(path),
+        [
+            {"id": 1, "name": "dk", "type": "long", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"dk": i, "seg": "XYZ"[i % 3]} for i in range(10)])
+    return w
+
+
+def test_join_rollup_incremental_under_frozen_dim(spark, tmp_path):
+    """fact ⋈ dim rollup: appends and deletes on the fact refresh
+    through Δfact ⋈ dim (incremental); a dim commit forces the full
+    rebuild (a changed dim row re-attributes joined history); the
+    router never answers from a join rollup."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import (
+        agg_via_rollup,
+        create_join_rollup,
+        refresh_rollup,
+    )
+
+    fw = _source(tmp_path / "fact")  # id, grp, v — id % 10 joins dk
+    fw.append(
+        [
+            {"id": i, "grp": "f", "v": None if i % 6 == 0 else i}
+            for i in range(50)
+        ]
+    )
+    # fact_key must be a real fact column: use v? join on id%10 needs a
+    # column — re-shape: fact key = id mod 10 stored as its own column
+    dw = _dim(tmp_path / "dim")
+    fact = IcebergTable(fw.path)
+    dim = IcebergTable(dw.path)
+    # join on id (0..49) vs dk (0..9): only ids 0..9 match — inner join
+    rw = create_join_rollup(
+        spark,
+        fact,
+        dim,
+        str(tmp_path / "ru"),
+        "id",
+        "dk",
+        ["seg"],
+        ["v"],
+        source_writer=fw,
+    )
+
+    def truth():
+        IcebergTable(fw.path).to_df(spark).createOrReplaceTempView("__jf")
+        IcebergTable(dw.path).to_df(spark).createOrReplaceTempView("__jd")
+        return sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT seg, count(*) n, cast(sum(v) as decimal(38,0))"
+                    " s, count(v) nn FROM __jf JOIN __jd ON id = dk "
+                    "GROUP BY seg"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            (r.seg, r.n, r.sum_v, r.nn_v)
+            for r in IcebergTable(rw.path).to_df(spark).collect()
+        )
+
+    assert state() == truth()
+    # fact append (two new matching rows via new ids? ids 50+ don't
+    # match dk 0..9 — append LOW ids again: duplicates are fine)
+    fw.append([{"id": 3, "grp": "f", "v": 100}, {"id": 7, "grp": "f", "v": None}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental"
+    assert state() == truth()
+    # fact delete (kills one matching row)
+    fw.delete_rows_equality([{"id": 5}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental"
+    assert state() == truth()
+    # the router refuses join rollups even when fresh
+    src = IcebergTable(fw.path)
+    assert (
+        agg_via_rollup(
+            src, spark, [("count", "*", "n")], group_by=["seg"]
+        )
+        is None
+    )
+    # a dim commit degrades the next refresh to a full rebuild
+    dw.append([{"dk": 50, "seg": "X"}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "full"
+    assert state() == truth()
+    # and after the rebuild the incremental path resumes
+    fw.append([{"id": 2, "grp": "f", "v": 7}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental"
+    assert state() == truth()
+
+
 def test_rollup_randomized_lifecycle_differential(spark, tmp_path):
     """Seeded random commit sequences (append / eq-delete / positional
     delete / compaction) with a refresh after every step — the rollup

@@ -265,6 +265,11 @@ AUDIT = {
     # source files there); the returned plan is one narrow scan of the
     # group-sized rollup table — zero exchanges
     "iceberg_rollup_incremental": (0, False, False, None),
+    # r11 join rollup: the lifecycle (fact writes, MOR delete, delta-
+    # join refresh) runs eagerly inside the operator (≤3 fact files
+    # hard-asserted); the returned plan is one narrow scan of the
+    # segment-sized rollup — zero exchanges
+    "iceberg_join_rollup": (0, False, False, None),
     # r11 materialized-view aggregate rewrite: re-aggregate the
     # group-sized rollup (one agg exchange), ZERO source data IO
     # (hard-asserted in the query); the read prunes to the 4
