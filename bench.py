@@ -78,7 +78,11 @@ HEADLINE = [
     # one sequence-keyed anti-join per key set, flat in #delete-commits)
     # and the v3 deletion-vector read (executor-side puffin decode)
     "iceberg_mor_delete_read",
-    "iceberg_dv_delete_read",
+    # (iceberg_dv_delete_read retired in r11 session 3: 0.17 s at sf0.1
+    # — noise scale; the line budget needed the room for
+    # iceberg_join_rollup.  Stays oracle + pytest checked, and the
+    # delete family keeps mor_delete_read / merge_mor /
+    # delete_where_fast timed here.)
     # round 7: merge-on-read MERGE (DV tombstones + appended updates in
     # one commit — O(matched rows) write amplification)
     "iceberg_merge_mor",
@@ -137,7 +141,10 @@ HEADLINE = [
     # (source write → append → MOR delete → changelog-delta refresh —
     # the IVM maintenance loop; the sum pushdown itself is a metadata
     # no-op benched nowhere, its correctness lives in the driver window)
+    # and its star-join twin (fact writes → MOR delete → Δfact ⋈ dim
+    # refresh under the frozen-dim gate)
     "iceberg_rollup_incremental",
+    "iceberg_join_rollup",
 ]
 
 
