@@ -3216,7 +3216,12 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"id": 2, "name": "o_custkey", "type": "long", "required": False},
         ],
     )
-    write_df(fact_w, orders.where("o_orderkey % 5 = 0"), mode="none")
+    # num_tasks=1: one file per commit at every sf, so the refresh's
+    # hard-asserted delta-plan bound (new file + delete-changed file's
+    # two sides = 3) is scale-independent
+    write_df(
+        fact_w, orders.where("o_orderkey % 5 = 0"), mode="none", num_tasks=1
+    )
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -3238,7 +3243,9 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment"],
         ["o_orderkey"],
     )
-    write_df(fact_w, orders.where("o_orderkey % 5 = 1"), mode="none")
+    write_df(
+        fact_w, orders.where("o_orderkey % 5 = 1"), mode="none", num_tasks=1
+    )
     delete_where_spark(fact_w, spark, "o_orderkey % 35 = 0")
     report = refresh_rollup(spark, rollup_w)
     assert report["mode"] == "incremental", report
