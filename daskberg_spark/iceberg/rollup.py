@@ -307,6 +307,7 @@ def create_join_rollup(
     group_cols: list[str],
     sum_cols: list[str],
     source_writer=None,
+    minmax_cols: list[str] | None = None,
 ):
     """Materialize an aggregate over ``fact INNER JOIN dim`` — the
     star-join dashboard shape — maintained incrementally under a
@@ -320,18 +321,36 @@ def create_join_rollup(
 
     ``group_cols``/``sum_cols`` may reference either side (dim group
     columns are the POINT — "revenue by market segment" where the
-    segment lives on the dimension).  MIN/MAX and filtered views stay
-    plain-rollup features (v1 scope).  The router never answers from a
-    join rollup: its groups describe the JOIN, not the fact table."""
+    segment lives on the dimension).  ``minmax_cols`` must be FACT
+    columns: insert-only windows merge like the plain rollup's, and a
+    delete-dirtied group recomputes through its DIM KEYS — the dirty
+    group values resolve to their dim-key lists (dim is
+    broadcast-small by contract), and a ``fact_key IN keys`` filter
+    prunes the fact scan (``_fix_dirty_minmax_join``).  Filtered views
+    stay plain-rollup features (v1 scope).  The router never answers
+    from a join rollup: its groups describe the JOIN, not the fact
+    table."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.writer import IcebergWriter
 
+    minmax_cols = list(minmax_cols or [])
     fact_types = {n: i.type for n, i in fact.fields.items()}
     dim_types = {n: i.type for n, i in dim.fields.items()}
     types = {**dim_types, **fact_types}
-    for c in group_cols + sum_cols + [fact_key]:
+    for c in group_cols + sum_cols + minmax_cols + [fact_key]:
         if c not in types:
             raise ValueError(f"unknown column {c!r}")
+    for c in minmax_cols:
+        if c not in fact_types:
+            raise ValueError(
+                f"min/max({c}): join-rollup extrema cover FACT columns "
+                "(a dim column's extremum is dim-static anyway)"
+            )
+        if not _mm_ok(types[c]):
+            raise ValueError(
+                f"min/max({c}): {types[c]!r} has engine-dependent NaN "
+                "ordering — not maintainable exactly"
+            )
     if dim_key not in dim_types:
         raise ValueError(f"unknown dim column {dim_key!r}")
     props = {
@@ -341,12 +360,17 @@ def create_join_rollup(
         PROP_DIM_KEY: dim_key,
     }
     fact_cols = sorted(
-        ({fact_key} | {c for c in group_cols + sum_cols if c in fact_types})
+        {fact_key}
+        | {
+            c
+            for c in group_cols + sum_cols + minmax_cols
+            if c in fact_types
+        }
     )
     df = _join_dim(
         spark, fact.to_df(spark, columns=fact_cols), props
     )
-    out = _aggregate(df, group_cols, sum_cols, types)
+    out = _aggregate(df, group_cols, sum_cols, types, minmax_cols)
     base_sid = fact.current_snapshot["snapshot-id"]
     fields = []
     fid = 0
@@ -371,6 +395,17 @@ def create_join_rollup(
         fields.append(
             {"id": fid, "name": f"nn_{c}", "type": "long", "required": False}
         )
+    for c in minmax_cols:
+        for side in ("min", "max"):
+            fid += 1
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f"{side}_{c}",
+                    "type": types[c],
+                    "required": False,
+                }
+            )
     from daskberg_spark.iceberg.writer import write_df
 
     writer = IcebergWriter(os.path.abspath(path), fields)
@@ -380,6 +415,11 @@ def create_join_rollup(
             PROP_SNAPSHOT: str(base_sid),
             PROP_GROUPS: json.dumps(group_cols),
             PROP_SUMS: json.dumps(sum_cols),
+            **(
+                {PROP_MINMAX: json.dumps(minmax_cols)}
+                if minmax_cols
+                else {}
+            ),
             **props,
         }
     )
@@ -546,6 +586,21 @@ def _fix_dirty_minmax(
         )
     )
     files_read = source.last_scan["files_scanned"]
+    return (
+        _apply_recomputed_minmax(merged, rec, group_cols, minmax_cols),
+        len(dirty_keys),
+        files_read,
+    )
+
+
+def _apply_recomputed_minmax(merged, rec, group_cols, minmax_cols):
+    """Left-join per-group recomputed extrema (``__rmn_*``/``__rmx_*``)
+    into the merged rollup and take them for ``__dirty`` groups only —
+    shared by the plain and join dirty-recompute paths."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
     cond = _reduce(
         lambda a, b: a & b,
         [merged[g].eqNullSafe(rec[g]) for g in group_cols],
@@ -572,7 +627,86 @@ def _fix_dirty_minmax(
             .otherwise(merged[f"max_{c}"])
             .alias(f"max_{c}")
         )
-    return joined.select(*sel), len(dirty_keys), files_read
+    return joined.select(*sel)
+
+
+def _fix_dirty_minmax_join(
+    spark, fact, merged, group_cols, minmax_cols, props
+):
+    """Join-rollup twin of ``_fix_dirty_minmax``: a dirty group's rows
+    live behind the JOIN, so group-column filters can't prune the fact
+    scan directly — instead the dirty groups' DIM-side components
+    resolve to their dim keys (the dim is broadcast-small by the join
+    rollup's contract) and a ``fact_key IN keys`` filter prunes the
+    fact read through ordinary stats/bloom planning; the recompute
+    then re-joins and re-aggregates ONLY that superset.  Above
+    ``DIRTY_GROUP_CAP`` dirty groups or dim keys (or with no dim-side
+    group component) it degrades to one unpruned fact scan — still a
+    single pass.  Returns ``(merged_df, dirty_count, files_read)``."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    merged = merged.localCheckpoint(eager=True)
+    dirty_rows = (
+        merged.where(F.col("__dirty") == 1)
+        .select(*group_cols)
+        .limit(DIRTY_GROUP_CAP + 1)
+        .collect()
+    )
+    if not dirty_rows:
+        return merged.drop("__dirty"), 0, 0
+    dim = IcebergTable(props[PROP_DIM])
+    dim_group = [g for g in group_cols if g in dim.fields]
+    fk = props[PROP_FACT_KEY]
+    read_filters = None
+    if (
+        len(dirty_rows) <= DIRTY_GROUP_CAP
+        and dim_group
+        and not any(r[g] is None for r in dirty_rows for g in dim_group)
+    ):
+        ddf = dim.to_df(spark, columns=sorted({props[PROP_DIM_KEY], *dim_group}))
+        seen = {tuple(r[g] for g in dim_group) for r in dirty_rows}
+        if len(dim_group) == 1:
+            ddf = ddf.where(
+                F.col(dim_group[0]).isin([k[0] for k in seen])
+            )
+        else:
+            cond = None
+            for key in seen:
+                c = None
+                for g, v in zip(dim_group, key):
+                    e = F.col(g) == F.lit(v)
+                    c = e if c is None else (c & e)
+                cond = c if cond is None else (cond | c)
+            ddf = ddf.where(cond)
+        keys = [
+            r[props[PROP_DIM_KEY]]
+            for r in ddf.select(props[PROP_DIM_KEY])
+            .limit(DIRTY_GROUP_CAP + 1)
+            .collect()
+        ]
+        if 0 < len(keys) <= DIRTY_GROUP_CAP and None not in keys:
+            read_filters = [(fk, "in", keys)]
+    fact_types = {n for n in fact.fields}
+    cols = sorted(
+        {fk}
+        | {c for c in group_cols if c in fact_types}
+        | set(minmax_cols)
+    )
+    rec_src = _join_dim(
+        spark, fact.to_df(spark, columns=cols, filters=read_filters), props
+    )
+    files_read = fact.last_scan["files_scanned"]
+    rec = rec_src.groupBy(*group_cols).agg(
+        *[F.min(c).alias(f"__rmn_{c}") for c in minmax_cols],
+        *[F.max(c).alias(f"__rmx_{c}") for c in minmax_cols],
+    )
+    return (
+        _apply_recomputed_minmax(merged, rec, group_cols, minmax_cols),
+        len(dirty_rows),
+        files_read,
+    )
 
 
 def refresh_rollup(spark, writer) -> dict[str, Any]:
@@ -631,6 +765,7 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     old_paths = [f["file_path"] for f in rollup.plan_files(None)]
 
     dirty_groups = 0
+    recompute_read = 0
     if steps is None:
         # watermark unreachable (rollback / dim commit): rebuild
         fact_fields = {n for n in source.fields}
@@ -664,10 +799,15 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
         )
         mode = "incremental"
         if minmax_cols:
-            merged, dirty_groups, extra_read = _fix_dirty_minmax(
-                spark, source, merged, group_cols, minmax_cols, filters
-            )
-            files_read += extra_read
+            if PROP_DIM in props:
+                merged, dirty_groups, recompute_read = _fix_dirty_minmax_join(
+                    spark, source, merged, group_cols, minmax_cols, props
+                )
+            else:
+                merged, dirty_groups, recompute_read = _fix_dirty_minmax(
+                    spark, source, merged, group_cols, minmax_cols, filters
+                )
+            files_read += recompute_read
 
     # materialize BEFORE the metadata swap (merged reads the old files)
     staging = tempfile.mkdtemp(prefix=f"rollup-{uuid.uuid4().hex[:8]}-")
@@ -682,6 +822,7 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
         "mode": mode,
         "steps": 0 if steps is None else steps,
         "source_files_read": files_read,
+        "minmax_recompute_files": recompute_read,
         "dirty_minmax_groups": dirty_groups,
         "groups": sum(
             int(f.get("record_count") or 0) for f in t.plan_files(None)

@@ -639,6 +639,72 @@ def test_join_rollup_incremental_under_frozen_dim(spark, tmp_path):
     assert state() == truth()
 
 
+def test_join_rollup_minmax_dirty_recompute_via_dim_keys(spark, tmp_path):
+    """Join-rollup MIN/MAX: insert-only windows merge with zero extra
+    IO; a fact delete dirties its JOINED group, whose recompute routes
+    through the dim keys (fact_key IN ...) and prunes the fact scan."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_join_rollup, refresh_rollup
+
+    fw = _source(tmp_path / "fact")
+    # three id bands in three files so the IN-filter has something to prune
+    for lo in (0, 100, 200):
+        fw.append(
+            [
+                {"id": lo + i, "grp": "f", "v": lo + i}
+                for i in range(10)
+                if (lo + i) % 10 < 10
+            ]
+        )
+    dw = _dim(tmp_path / "dim")  # dk 0..9 → only the 0-band joins
+    rw = create_join_rollup(
+        spark,
+        IcebergTable(fw.path),
+        IcebergTable(dw.path),
+        str(tmp_path / "ru"),
+        "id",
+        "dk",
+        ["seg"],
+        ["v"],
+        minmax_cols=["v"],
+    )
+
+    def truth():
+        IcebergTable(fw.path).to_df(spark).createOrReplaceTempView("__jm_f")
+        IcebergTable(dw.path).to_df(spark).createOrReplaceTempView("__jm_d")
+        return sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT seg, count(*) n, min(v), max(v) FROM __jm_f "
+                    "JOIN __jm_d ON id = dk GROUP BY seg"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            (r.seg, r.n, r.min_v, r.max_v)
+            for r in IcebergTable(rw.path).to_df(spark).collect()
+        )
+
+    assert state() == truth()
+    # insert-only: duplicate low ids with wider values — no dirty groups
+    fw.append([{"id": 0, "grp": "f", "v": -50}, {"id": 1, "grp": "f", "v": 999}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental" and rep["dirty_minmax_groups"] == 0
+    assert state() == truth()
+    # delete seg-X's new minimum: one dirty group, pruned fact recompute
+    fw.delete_rows_equality([{"id": 0}])  # kills v=-50 AND v=0 (both id 0)
+    total = len(IcebergTable(fw.path).plan_files(None))
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental" and rep["dirty_minmax_groups"] == 1
+    # the RECOMPUTE leg prunes via fact_key IN (dirty dim keys): the
+    # 100- and 200-band files' bounds exclude dk 0..9
+    assert rep["minmax_recompute_files"] < total, rep
+    assert state() == truth()
+
+
 def test_rollup_randomized_lifecycle_differential(spark, tmp_path):
     """Seeded random commit sequences (append / eq-delete / positional
     delete / compaction) with a refresh after every step — the rollup
