@@ -807,6 +807,101 @@ def test_rollup_randomized_lifecycle_differential(spark, tmp_path):
         assert state() == truth(), (step, op, rep)
 
 
+def test_join_rollup_randomized_lifecycle_differential(spark, tmp_path):
+    """Seeded random fact commits (append / eq-delete / pos-delete)
+    with occasional DIM commits (forcing the rebuild gate), refresh
+    after every step — the join rollup (counts, NULL-exact sums,
+    minmax with dim-key-routed recompute) must equal the full joined
+    recompute at every watermark."""
+    import random
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_join_rollup, refresh_rollup
+
+    rng = random.Random(2026)
+    fw = _source(tmp_path / "fact")
+    dw = _dim(tmp_path / "dim")  # dk 0..9
+    next_id = [0]
+
+    def batch(n):
+        rows = [
+            {
+                "id": rng.randrange(30),  # dense keys: 0..9 join
+                "grp": "f",
+                "v": None if rng.random() < 0.25 else rng.randrange(-99, 99),
+            }
+            for _ in range(n)
+        ]
+        next_id[0] += n
+        return rows
+
+    fw.append(batch(30))
+    rw = create_join_rollup(
+        spark,
+        IcebergTable(fw.path),
+        IcebergTable(dw.path),
+        str(tmp_path / "ru"),
+        "id",
+        "dk",
+        ["seg"],
+        ["v"],
+        minmax_cols=["v"],
+    )
+
+    def truth():
+        IcebergTable(fw.path).to_df(spark).createOrReplaceTempView("__jr_f")
+        IcebergTable(dw.path).to_df(spark).createOrReplaceTempView("__jr_d")
+        return sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT seg, count(*), cast(sum(v) as decimal(38,0)), "
+                    "count(v), min(v), max(v) FROM __jr_f JOIN __jr_d "
+                    "ON id = dk GROUP BY seg"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            (r.seg, r.n, r.sum_v, r.nn_v, r.min_v, r.max_v)
+            for r in IcebergTable(rw.path).to_df(spark).collect()
+        )
+
+    dim_next = [100]
+    for step in range(7):
+        op = rng.choice(["append", "append", "eq_delete", "pos_delete", "dim"])
+        if op == "append":
+            fw.append(batch(rng.randrange(5, 20)))
+        elif op == "eq_delete":
+            fw.delete_rows_equality(
+                [{"id": rng.randrange(30)} for _ in range(3)]
+            )
+        elif op == "pos_delete":
+            files = [
+                f
+                for f in IcebergTable(fw.path).plan_files(None)
+                if f["record_count"]
+            ]
+            if files:
+                f = rng.choice(files)
+                fw.delete_rows_position(
+                    [
+                        (f["file_path"], p)
+                        for p in range(min(3, int(f["record_count"])))
+                    ]
+                )
+        else:
+            dw.append([{"dk": dim_next[0], "seg": "Z"}])
+            dim_next[0] += 1
+        rep = refresh_rollup(spark, rw)
+        if op == "dim":
+            assert rep["mode"] == "full", (step, rep)
+        else:
+            assert rep["mode"] in ("incremental", "noop"), (step, op, rep)
+        assert state() == truth(), (step, op, rep)
+
+
 def test_rollup_rollback_falls_back_to_full(spark, tmp_path):
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.rollup import create_rollup, refresh_rollup
