@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import random
 
+import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+
 import pytest
 
 
@@ -96,6 +98,59 @@ def test_validation():
         hilbert_attach(None, ["x"])
     with pytest.raises(ValueError, match="64-bit"):
         hilbert_attach(None, ["x", "y", "z"], bits=21)
+
+
+def test_hilbert_composes_with_rank_normalization(spark, tmp_path):
+    """curve="hilbert" under zorder_rank_normalize: the skewed axis
+    maps through its measured CDF before the curve transform — content
+    identical, rewrite commits, and the head-band query still prunes."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "t"),
+        [
+            {"id": 1, "name": "x", "type": "long", "required": False},
+            {"id": 2, "name": "y", "type": "long", "required": False},
+        ],
+    )
+    rows = [
+        {
+            "x": ((i * 37) % 100) if i % 20 else 1000 + (i * 9973) % 1_000_000,
+            "y": (i * 13) % 1000,
+        }
+        for i in range(4000)
+    ]
+    for b in range(4):
+        w.append(rows[b::4])
+    before = sorted(
+        (r["x"], r["y"]) for r in IcebergTable(w.path).to_df(spark).collect()
+    )
+    assert (
+        compact_files_spark(
+            w,
+            spark,
+            target_partitions=16,
+            zorder_by=["x", "y"],
+            zorder_rank_normalize=True,
+            curve="hilbert",
+        )
+        is not None
+    )
+    t = IcebergTable(w.path)
+    after = sorted((r["x"], r["y"]) for r in t.to_df(spark).collect())
+    assert after == before
+    pred = [("x", ">=", 20), ("x", "<=", 29), ("y", ">=", 100), ("y", "<=", 199)]
+    assert len(t.plan_files(pred)) < 16  # head band prunes despite skew
+    got = sorted(
+        (r["x"], r["y"]) for r in t.to_df(spark, filters=pred).collect()
+    )
+    assert got == [
+        p for p in before if 20 <= p[0] <= 29 and 100 <= p[1] <= 199
+    ]
 
 
 def test_compaction_hilbert_never_prunes_worse_than_morton(spark, tmp_path):
