@@ -310,14 +310,17 @@ def create_join_rollup(
     minmax_cols: list[str] | None = None,
 ):
     """Materialize an aggregate over ``fact INNER JOIN dim`` — the
-    star-join dashboard shape — maintained incrementally under a
-    FROZEN dimension: with dim unchanged, the join's row-level
-    changelog is exactly ``Δfact ⋈ dim`` (signed deltas distribute
-    over the join), so a refresh reads the fact's commit delta plus
-    the broadcast-small dim and never the fact table.  Any dim commit
-    degrades that refresh to a full rebuild — a changed dim row can
-    silently re-attribute every joined fact row, so freshness of BOTH
-    watermarks is a correctness gate, exactly like the plain rollup's.
+    star-join dashboard shape — maintained incrementally on BOTH
+    sides via the exact bilinear identity
+    ``Δ(F ⋈ D) = ΔF ⋈ D_new + F_old ⋈ ΔD`` (signed deltas distribute
+    over the inner join).  A fact-only window reads the fact's commit
+    delta plus the broadcast-small dim and never the fact table; a dim
+    commit adds the second leg, which reads the BASE-snapshot fact
+    pruned to ``fact_key IN (changed dim keys)`` — a dim row only
+    re-attributes fact rows carrying its join key, so an SCD-style
+    dim UPDATE costs O(affected fact files), not a rebuild.  Only a
+    rollback on either side, or a dim delta touching more than
+    ``DIRTY_GROUP_CAP`` join keys, degrades to the full rebuild.
 
     ``group_cols``/``sum_cols`` may reference either side (dim group
     columns are the POINT — "revenue by market segment" where the
@@ -714,9 +717,13 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     source's row-level changelog from the recorded watermark snapshot
     (delta-file planning), merges signed per-group deltas into the
     rollup with SQL-exact NULL handling, rewrites the rollup in one
-    overwrite snapshot, and moves the watermark.  Falls back to a full
-    rebuild when the watermark is unreachable (rollback).  Returns
-    ``{"mode", "steps", "source_files_read", "groups"}``."""
+    overwrite snapshot, and moves the watermark.  Join rollups also
+    absorb DIM commits incrementally (``F_old ⋈ ΔD`` with a
+    key-pruned base-snapshot fact read — see ``create_join_rollup``).
+    Falls back to a full rebuild when a watermark is unreachable
+    (rollback) or a dim delta exceeds ``DIRTY_GROUP_CAP`` join keys.
+    Returns ``{"mode", "steps", "dim_steps", "dim_changed_keys",
+    "source_files_read", "groups", ...}``."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from pyspark.sql import functions as F
 
@@ -754,11 +761,54 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     if head_sid == base_sid and not dim_moved:
         return {"mode": "noop", "steps": 0, "source_files_read": 0}
     steps = _steps_back(source, base_sid)
-    if dim_moved:
-        # a changed dim row can re-attribute EVERY joined fact row —
-        # the incremental identity Δfact ⋈ dim only holds under a
-        # frozen dim, so rebuild and move the dim watermark
-        steps = None
+    # Dim commits maintain incrementally too, via the exact identity
+    #   Δ(F ⋈ D) = ΔF ⋈ D_new  +  F_old ⋈ ΔD
+    # (signed multisets; F_new = F_old + ΔF distributes over the inner
+    # join).  The F_old leg never reads the whole fact: a changed dim
+    # row only re-attributes fact rows carrying its JOIN KEY, so the
+    # base-snapshot fact read prunes on ``fact_key IN changed_keys``
+    # through ordinary stats/bloom planning.  NULL-key dim changes
+    # join nothing and drop out up front.  Above ``DIRTY_GROUP_CAP``
+    # changed keys the window re-attributes so much joined history
+    # that a rebuild is the honest cost — degrade, like the min/max
+    # dirty path does.  A dim ROLLBACK (unreachable dim watermark)
+    # also rebuilds: the delta is unplannable.
+    dim_steps = 0
+    dim_delta = None
+    dim_keys: list | None = None
+    if dim_moved and steps is not None:
+        dim_steps = _steps_back(dim_table, int(props[PROP_DIM_SNAPSHOT]))
+        if dim_steps is None or dim_steps == 0:
+            steps = None  # rollback (or same-id mismatch): rebuild
+        else:
+            try:
+                dim_delta = changelog_rows_df(
+                    dim_table, spark, from_rel=-dim_steps, net_changes=True
+                )
+            except Exception:
+                # net-changes needs group-able columns; plain pairs are
+                # exact too (compaction churn cancels arithmetically)
+                dim_delta = changelog_rows_df(
+                    dim_table, spark, from_rel=-dim_steps
+                )
+            dk_col = props[PROP_DIM_KEY]
+            dim_delta = dim_delta.where(
+                F.col(dk_col).isNotNull()
+            ).localCheckpoint(eager=True)
+            dim_keys = [
+                r[dk_col]
+                for r in dim_delta.select(dk_col)
+                .distinct()
+                .limit(DIRTY_GROUP_CAP + 1)
+                .collect()
+            ]
+            if len(dim_keys) > DIRTY_GROUP_CAP:
+                steps = None
+            elif steps == 0 and not dim_keys:
+                # dim moved but every changed row carries a NULL join
+                # key — joins nothing; advance the dim watermark only
+                writer.set_properties({PROP_DIM_SNAPSHOT: str(dim_sid)})
+                return {"mode": "noop", "steps": 0, "source_files_read": 0}
 
     rollup = IcebergTable(writer.path)
     old = rollup.to_df(spark)
@@ -767,7 +817,8 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     dirty_groups = 0
     recompute_read = 0
     if steps is None:
-        # watermark unreachable (rollback / dim commit): rebuild
+        # watermark unreachable (rollback on either side) or the dim
+        # delta re-attributes too many join keys: rebuild
         fact_fields = {n for n in source.fields}
         cols = sorted(
             ({props[PROP_FACT_KEY]} if PROP_DIM in props else set())
@@ -784,16 +835,46 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
         mode = "full"
         files_read = source.last_scan["files_scanned"]
     else:
-        head_subset, base_subset, *_ = _changelog_plan(
-            source, -steps, filters
-        )
-        files_read = len(head_subset) + len(base_subset)
-        delta = changelog_rows_df(source, spark, from_rel=-steps, filters=filters)
-        if PROP_DIM in props:
-            # join rollup: the join's changelog under a FROZEN dim is
-            # Δfact ⋈ dim (the steps-is-None branch above already
-            # rebuilt if the dim moved)
-            delta = _join_dim(spark, delta, props)
+        need_cols = sorted(set(group_cols + sum_cols + minmax_cols))
+        legs = []
+        files_read = 0
+        if steps > 0:
+            head_subset, base_subset, *_ = _changelog_plan(
+                source, -steps, filters
+            )
+            files_read += len(head_subset) + len(base_subset)
+            delta = changelog_rows_df(
+                source, spark, from_rel=-steps, filters=filters
+            )
+            if PROP_DIM in props:
+                # the ΔF ⋈ D_new leg: under a frozen dim this is the
+                # whole changelog; with a concurrent dim delta it is
+                # the first term of Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD
+                delta = _join_dim(spark, delta, props)
+            legs.append(delta.select(*need_cols, "_change_type"))
+        if dim_delta is not None and dim_keys:
+            # the F_old ⋈ ΔD leg: fact AT THE BASE SNAPSHOT (time
+            # travel — F_new here would double-count the cross term
+            # ΔF⋈ΔD already inside ΔF⋈D_new), pruned to the changed
+            # join keys; the joined row's sign is the dim change's
+            fk, dk_col = props[PROP_FACT_KEY], props[PROP_DIM_KEY]
+            fact_old = IcebergTable(props[PROP_SOURCE])
+            fact_old.open_snapshot(snapshot_id=base_sid)
+            fact_fields = {n for n in fact_old.fields}
+            fcols = sorted(
+                {fk} | {c for c in need_cols if c in fact_fields}
+            )
+            fdf = fact_old.to_df(
+                spark, columns=fcols, filters=[(fk, "in", dim_keys)]
+            )
+            files_read += fact_old.last_scan["files_scanned"]
+            joined = fdf.join(
+                F.broadcast(dim_delta), fdf[fk] == dim_delta[dk_col], "inner"
+            ).drop(dim_delta[dk_col])
+            legs.append(joined.select(*need_cols, "_change_type"))
+        # legs is non-empty by construction: steps > 0 gives the fact
+        # leg, and the steps == 0 ∧ no-keys window returned above
+        delta = reduce(lambda a, b: a.unionByName(b), legs)
         merged = _signed_merge(
             old, delta, group_cols, sum_cols, minmax_cols, types
         )
@@ -821,6 +902,8 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     return {
         "mode": mode,
         "steps": 0 if steps is None else steps,
+        "dim_steps": dim_steps or 0,
+        "dim_changed_keys": len(dim_keys or []),
         "source_files_read": files_read,
         "minmax_recompute_files": recompute_read,
         "dirty_minmax_groups": dirty_groups,

@@ -3175,25 +3175,33 @@ def iceberg_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "iceberg_join_rollup",
     """
+    WITH cust2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey = (SELECT MIN(c_custkey) FROM customer)
+                    THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok
-    FROM orders JOIN customer ON o_custkey = c_custkey
+    FROM orders JOIN cust2 ON o_custkey = c_custkey
     WHERE o_orderkey % 5 IN (0, 1) AND NOT (o_orderkey % 35 = 0)
     GROUP BY c_mktsegment
     """,
 )
 def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join rollup under a frozen dimension (r11,
+    """Incrementally-maintained join rollup (r11+r12,
     ``rollup.create_join_rollup``): "orders by market segment" where
     the segment lives on the CUSTOMER dim — materialized once, then a
     fact append AND a row-level fact DELETE refresh through
-    ``Δfact ⋈ dim`` (signed deltas distribute over the join while the
-    dim is frozen; a dim commit would degrade to the rebuild — the
-    correctness gate tests pin).  The refresh reads the fact's commit
-    delta plus the broadcast dim, never the fact table — hard-asserted
-    ≤3 of its files; at 100 TB this is the nightly star-schema
-    dashboard refresh costing O(yesterday), not O(history)."""
+    ``ΔF ⋈ D_new``, then an SCD DIM UPDATE (one customer's segment
+    re-attributed) refreshes through the r12 ``F_old ⋈ ΔD`` leg: the
+    base-snapshot fact read prunes on ``o_custkey IN (changed keys)``,
+    so the dim window reads ≤2 fact files (hard-asserted), never the
+    table.  At 100 TB this is the nightly star-schema dashboard
+    refresh costing O(yesterday's commits + affected keys), not
+    O(history) — and a slowly-changing dimension no longer forces the
+    rebuild r11 pinned."""
     import tempfile
 
     from daskberg_spark.iceberg.rollup import (
@@ -3251,6 +3259,16 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert report["mode"] == "incremental", report
     assert report["source_files_read"] <= 3, (
         f"join-rollup refresh read {report['source_files_read']} fact files"
+    )
+    # SCD dim update: the lowest customer moves to a brand-new segment
+    k = cust.agg(F.min("c_custkey")).collect()[0][0]
+    dim_w.delete_rows_equality([{"c_custkey": int(k)}])
+    dim_w.append([{"c_custkey": int(k), "c_mktsegment": "UPDATED"}])
+    report = refresh_rollup(spark, rollup_w)
+    assert report["mode"] == "incremental", report
+    assert report["dim_changed_keys"] == 1, report
+    assert report["source_files_read"] <= 2, (
+        f"dim-update refresh read {report['source_files_read']} fact files"
     )
     out = IcebergTable(rollup_w.path).to_df(spark)
     return out.select(

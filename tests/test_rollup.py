@@ -550,10 +550,10 @@ def _dim(path):
     return w
 
 
-def test_join_rollup_incremental_under_frozen_dim(spark, tmp_path):
+def test_join_rollup_incremental_fact_and_dim(spark, tmp_path):
     """fact ⋈ dim rollup: appends and deletes on the fact refresh
-    through Δfact ⋈ dim (incremental); a dim commit forces the full
-    rebuild (a changed dim row re-attributes joined history); the
+    through ΔF ⋈ D_new; dim commits refresh through the F_old ⋈ ΔD
+    leg (key-pruned base-snapshot fact read) — both incremental; the
     router never answers from a join rollup."""
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.rollup import (
@@ -627,12 +627,15 @@ def test_join_rollup_incremental_under_frozen_dim(spark, tmp_path):
         )
         is None
     )
-    # a dim commit degrades the next refresh to a full rebuild
+    # a dim commit refreshes INCREMENTALLY too (the F_old ⋈ ΔD leg):
+    # a brand-new key matches no fact rows — the key-pruned base-fact
+    # read plans zero files and the rollup is unchanged
     dw.append([{"dk": 50, "seg": "X"}])
     rep = refresh_rollup(spark, rw)
-    assert rep["mode"] == "full"
+    assert rep["mode"] == "incremental", rep
+    assert rep["dim_changed_keys"] == 1, rep
     assert state() == truth()
-    # and after the rebuild the incremental path resumes
+    # and the fact-side incremental path is undisturbed afterwards
     fw.append([{"id": 2, "grp": "f", "v": 7}])
     rep = refresh_rollup(spark, rw)
     assert rep["mode"] == "incremental"
@@ -809,10 +812,11 @@ def test_rollup_randomized_lifecycle_differential(spark, tmp_path):
 
 def test_join_rollup_randomized_lifecycle_differential(spark, tmp_path):
     """Seeded random fact commits (append / eq-delete / pos-delete)
-    with occasional DIM commits (forcing the rebuild gate), refresh
-    after every step — the join rollup (counts, NULL-exact sums,
-    minmax with dim-key-routed recompute) must equal the full joined
-    recompute at every watermark."""
+    interleaved with DIM commits (new-key appends, SCD updates, and
+    combined fact+dim windows — all incremental via Δ(F⋈D) =
+    ΔF⋈D_new + F_old⋈ΔD), refresh after every step — the join rollup
+    (counts, NULL-exact sums, minmax with dim-key-routed recompute)
+    must equal the full joined recompute at every watermark."""
     import random
 
     from daskberg_spark.iceberg.metadata import IcebergTable
@@ -869,8 +873,18 @@ def test_join_rollup_randomized_lifecycle_differential(spark, tmp_path):
         )
 
     dim_next = [100]
-    for step in range(7):
-        op = rng.choice(["append", "append", "eq_delete", "pos_delete", "dim"])
+    for step in range(9):
+        op = rng.choice(
+            [
+                "append",
+                "append",
+                "eq_delete",
+                "pos_delete",
+                "dim_append",
+                "dim_update",
+                "both",
+            ]
+        )
         if op == "append":
             fw.append(batch(rng.randrange(5, 20)))
         elif op == "eq_delete":
@@ -891,15 +905,105 @@ def test_join_rollup_randomized_lifecycle_differential(spark, tmp_path):
                         for p in range(min(3, int(f["record_count"])))
                     ]
                 )
-        else:
+        elif op == "dim_append":
             dw.append([{"dk": dim_next[0], "seg": "Z"}])
             dim_next[0] += 1
-        rep = refresh_rollup(spark, rw)
-        if op == "dim":
-            assert rep["mode"] == "full", (step, rep)
+        elif op == "dim_update":
+            # SCD re-attribution of a live join key
+            k = rng.randrange(10)
+            dw.delete_rows_equality([{"dk": k}])
+            dw.append([{"dk": k, "seg": rng.choice("XYZQ")}])
         else:
-            assert rep["mode"] in ("incremental", "noop"), (step, op, rep)
+            # a combined window exercises BOTH identity legs at once
+            fw.append(batch(rng.randrange(3, 10)))
+            k = rng.randrange(10)
+            dw.delete_rows_equality([{"dk": k}])
+            dw.append([{"dk": k, "seg": rng.choice("XYZQ")}])
+        rep = refresh_rollup(spark, rw)
+        assert rep["mode"] in ("incremental", "noop"), (step, op, rep)
         assert state() == truth(), (step, op, rep)
+
+
+def test_join_rollup_dim_update_incremental(spark, tmp_path):
+    """The r11 frozen-dim gate is gone: a dim UPDATE (SCD
+    re-attribution) refreshes INCREMENTALLY through the F_old ⋈ ΔD
+    leg — the base-snapshot fact read prunes on ``fact_key IN
+    (changed dim keys)``, so only the fact files whose key bounds may
+    hold those keys are read, never the table.  A combined fact+dim
+    window exercises both legs of Δ(F⋈D) = ΔF⋈D_new + F_old⋈ΔD; a
+    dim ROLLBACK still rebuilds."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import create_join_rollup, refresh_rollup
+
+    fw = _source(tmp_path / "fact")
+    # three id bands in three files: dk 0..9 lives only in the 0-band
+    for lo in (0, 100, 200):
+        fw.append(
+            [{"id": lo + i, "grp": "f", "v": lo + i} for i in range(10)]
+        )
+    dw = _dim(tmp_path / "dim")  # dk 0..9, seg cycling X/Y/Z
+    rw = create_join_rollup(
+        spark,
+        IcebergTable(fw.path),
+        IcebergTable(dw.path),
+        str(tmp_path / "ru"),
+        "id",
+        "dk",
+        ["seg"],
+        ["v"],
+        minmax_cols=["v"],
+    )
+
+    def truth():
+        IcebergTable(fw.path).to_df(spark).createOrReplaceTempView("__du_f")
+        IcebergTable(dw.path).to_df(spark).createOrReplaceTempView("__du_d")
+        return sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT seg, count(*) n, cast(sum(v) as decimal(38,0))"
+                    " s, count(v) nn, min(v), max(v) FROM __du_f "
+                    "JOIN __du_d ON id = dk GROUP BY seg"
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            (r.seg, r.n, r.sum_v, r.nn_v, r.min_v, r.max_v)
+            for r in IcebergTable(rw.path).to_df(spark).collect()
+        )
+
+    assert state() == truth()
+    total = len(IcebergTable(fw.path).plan_files(None))
+    dim_anchor = dw.head_snapshot["snapshot-id"]
+    # SCD update: dk=3 moves from seg 'X' to brand-new seg 'Q'
+    dw.delete_rows_equality([{"dk": 3}])
+    dw.append([{"dk": 3, "seg": "Q"}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental", rep
+    assert rep["dim_steps"] == 2 and rep["dim_changed_keys"] == 1, rep
+    # the 100- and 200-band files' id bounds exclude dk 0..9: the
+    # F_old leg (and the dirty-group minmax recompute) stay pruned
+    assert rep["source_files_read"] < total, rep
+    assert state() == truth()
+    # combined window: a fact append AND a dim update before one
+    # refresh — ΔF⋈D_new must see the NEW dim, F_old⋈ΔD the OLD fact
+    fw.append([{"id": 3, "grp": "f", "v": -7}])
+    dw.delete_rows_equality([{"dk": 7}])
+    dw.append([{"dk": 7, "seg": "Q"}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "incremental", rep
+    assert rep["dim_changed_keys"] == 1, rep
+    assert state() == truth()
+    # a dim rollback strands the dim watermark: full rebuild
+    from daskberg_spark.iceberg.writer import rollback_to
+
+    rollback_to(dw, dim_anchor)
+    dw.append([{"dk": 3, "seg": "R"}])
+    rep = refresh_rollup(spark, rw)
+    assert rep["mode"] == "full", rep
+    assert state() == truth()
 
 
 def test_rollup_rollback_falls_back_to_full(spark, tmp_path):
