@@ -886,6 +886,170 @@ def percentile_pushdown(
 IcebergTable.percentile_pushdown = percentile_pushdown  # type: ignore[attr-defined]
 
 
+def percentile_groupby(
+    table: IcebergTable,
+    spark: SparkSession,
+    quants: list[tuple[str, float, str]],
+    group_by: list[str],
+) -> DataFrame:
+    """PER-GROUP percentile battery — the grouped twin of
+    ``percentile_pushdown`` (r12): one row per ``group_by`` tuple with
+    ``[(col, p, alias), ...]`` percentiles, answered from the CURRENT
+    snapshot's ``daskberg-quantiles-grouped-v1`` blobs
+    (``quantiles.write_grouped_quantile_statistics``) with ZERO data
+    IO when a blob keyed on EXACTLY these group columns covers every
+    requested value column.  This is the dashboard shape the global
+    pushdown cannot serve — "p95 latency by day" — made metadata-only
+    the way ``agg_pushdown_groupby`` does MIN/MAX.  A ``p`` on a
+    stored knot is the group's exact order statistic whenever the
+    write-time sketch ran in exact mode (per-group non-null count ≤
+    accuracy); off-knot ``p`` interpolates (documented approximation).
+    Staleness, a different grouping, or an uncovered column route the
+    WHOLE battery to one grouped ``percentile_approx`` scan — never a
+    wrong answer from missing statistics.
+
+    ``table.last_percentile_groupby`` reports ``{"route":
+    "stats"|"scan", "groups": N}``."""
+    import datetime as _dt
+
+    from daskberg_spark.iceberg.conversions import iceberg_to_spark_type
+    from daskberg_spark.iceberg.quantiles import decode_group_value
+
+    fields = table.fields
+    if not group_by:
+        raise ValueError("group_by must be non-empty — use "
+                         "percentile_pushdown for the global battery")
+    for g in group_by:
+        if g not in fields:
+            raise ValueError(f"unknown group column {g!r}")
+    seen: set[str] = set()
+    for col, p, alias in quants:
+        if col not in fields:
+            raise ValueError(f"unknown column {col!r}")
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError(f"percentile {p!r} outside [0, 1]")
+        if alias in seen or alias in group_by:
+            raise ValueError(f"duplicate alias {alias!r}")
+        seen.add(alias)
+
+    def decode(knot: float, ice_type: str):
+        if ice_type == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=round(knot))
+        if ice_type in ("timestamp", "timestamptz", "timestampz"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=round(knot)
+            )
+        if ice_type in ("int", "long"):
+            return int(round(knot))
+        return float(knot)
+
+    def out_type(ice_type: str) -> str:
+        if ice_type == "date":
+            return "date"
+        if ice_type in ("timestamp", "timestamptz", "timestampz"):
+            return "timestamp"
+        if ice_type in ("int", "long"):
+            return "long"
+        return "double"
+
+    hists: dict[str, dict] = {}
+    for col in {c for c, _, _ in quants}:
+        h = table.grouped_column_quantiles(col, group_by)
+        if h is None:
+            break
+        hists[col] = h
+    if len(hists) == len({c for c, _, _ in quants}):
+        # metadata route: every value column carries a fresh grouped
+        # blob keyed on exactly this grouping
+        per_col: dict[str, dict[tuple, dict]] = {
+            col: {tuple(g["key"]): g for g in h["groups"]}
+            for col, h in hists.items()
+        }
+        keys = sorted(
+            {k for m in per_col.values() for k in m},
+            key=lambda k: tuple((v is None, v) for v in k),
+        )
+        rows = []
+        for key in keys:
+            row = [
+                decode_group_value(v, fields[g].type)
+                for g, v in zip(group_by, key)
+            ]
+            for col, p, _alias in quants:
+                g = per_col[col].get(key)
+                bounds = (g or {}).get("bounds") or []
+                if len(bounds) < 2:
+                    # an all-NULL (or absent) group has no percentile
+                    row.append(
+                        decode(bounds[0], fields[col].type)
+                        if len(bounds) == 1
+                        else None
+                    )
+                    continue
+                n = len(bounds) - 1
+                r = float(p) * n
+                lo = min(int(r), n - 1)
+                frac = r - lo
+                knot = bounds[lo] + frac * (bounds[lo + 1] - bounds[lo])
+                row.append(decode(knot, fields[col].type))
+            rows.append(row)
+        schema = T.StructType(
+            [
+                T.StructField(
+                    g, iceberg_to_spark_type(fields[g].type), True
+                )
+                for g in group_by
+            ]
+            + [
+                T.StructField(
+                    alias,
+                    iceberg_to_spark_type(
+                        {"long": "long", "double": "double",
+                         "date": "date", "timestamp": "timestamp"}[
+                            out_type(fields[c].type)
+                        ]
+                    ),
+                    True,
+                )
+                for c, _p, alias in quants
+            ]
+        )
+        _record_zero_scan(table, None)
+        table.last_percentile_groupby = {"route": "stats", "groups": len(rows)}
+        return spark.createDataFrame(rows, schema)
+
+    # scan route: ONE grouped percentile_approx pass, output types
+    # matched to the metadata route's so callers see a stable schema
+    from daskberg_spark.iceberg.quantiles import _numeric_expr
+    from daskberg_spark.iceberg.scan import to_df
+
+    df = to_df(
+        table,
+        spark,
+        columns=sorted(set(group_by) | {c for c, _, _ in quants}),
+    )
+    aggs = []
+    for col, p, alias in quants:
+        t = fields[col].type
+        e = F.percentile_approx(
+            _numeric_expr(col, t), F.lit(float(p)), F.lit(10000)
+        )
+        ot = out_type(t)
+        if ot == "date":
+            e = F.date_add(F.lit("1970-01-01").cast("date"), F.round(e).cast("int"))
+        elif ot == "timestamp":
+            e = F.timestamp_micros(F.round(e).cast("long"))
+        elif ot == "long":
+            e = F.round(e).cast("long")
+        aggs.append(e.alias(alias))
+    out = df.groupBy(*group_by).agg(*aggs)
+    table.last_percentile_groupby = {"route": "scan", "groups": -1}
+    return out
+
+
+IcebergTable.percentile_groupby = percentile_groupby  # type: ignore[attr-defined]
+
+
 def analyze_table(
     table: IcebergTable,
     spark: SparkSession,

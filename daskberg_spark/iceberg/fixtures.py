@@ -2010,6 +2010,52 @@ def ensure_documents_token_iceberg(spark, sf_dir: str) -> str:
     return base
 
 
+def ensure_percentile_groupby_fixture(spark) -> str:
+    """Grouped-percentile fixture (r12): a segments×values table whose
+    content is FORMULAIC (seg = 's'||(i%5), val = (i*37)%1000 over
+    i<4000, four appends → four files) so the DuckDB oracle recomputes
+    it from pure SQL, carrying a ``daskberg-quantiles-grouped-v1``
+    blob keyed on ``seg`` (``write_grouped_quantile_statistics``).
+    800 rows per group keeps the write-time sketch in exact mode, so
+    on-knot percentiles are exact per-group order statistics."""
+    base = os.path.join(os.path.dirname(FIXTURE_DIR), "percentile_groupby")
+    hint = os.path.join(base, "metadata", "version-hint.text")
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        GROUPED_QUANTILE_BLOB_TYPE,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    if os.path.exists(hint):
+        t = IcebergTable(base)
+        if any(
+            b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+            for e in t.metadata.get("statistics", [])
+            if e["snapshot-id"] == t.current_snapshot["snapshot-id"]
+            for b in e.get("blob-metadata", [])
+        ):
+            return base
+        writer = IcebergWriter.load(base)
+    else:
+        writer = IcebergWriter(
+            base,
+            [
+                {"id": 1, "name": "seg", "type": "string", "required": False},
+                {"id": 2, "name": "val", "type": "long", "required": False},
+            ],
+        )
+        for lo in range(0, 4000, 1000):
+            writer.append(
+                [
+                    {"seg": f"s{i % 5}", "val": (i * 37) % 1000}
+                    for i in range(lo, lo + 1000)
+                ]
+            )
+    write_grouped_quantile_statistics(writer, spark, ["seg"], ["val"])
+    return base
+
+
 # Single wrap call, at the BOTTOM so every ensure_* above — including
 # the ones added after the wrapper's original mid-file position, which
 # silently escaped serialization — takes the build flock.  Calling the

@@ -806,6 +806,42 @@ class IcebergTable:
                         return None
         return None
 
+    def grouped_column_quantiles(
+        self, name: str, group_cols: list[str]
+    ) -> dict[str, Any] | None:
+        """PER-GROUP equi-depth histogram for a numeric/temporal column
+        from the CURRENT snapshot's ``daskberg-quantiles-grouped-v1``
+        blob (``quantiles.py``, r12): {"group_cols", "buckets",
+        "groups": [{"key", "rows", "nonnull", "bounds"}, ...]}, or None
+        when no blob covers this snapshot with EXACTLY the requested
+        group columns — staleness or a different grouping must route
+        the caller to the scan, never to a silently-wrong answer."""
+        import json as _json
+
+        from daskberg_spark.iceberg.puffin import read_blob
+        from daskberg_spark.iceberg.quantiles import (
+            GROUPED_QUANTILE_BLOB_TYPE,
+        )
+
+        fid = self.fields[name].field_id
+        cur = self.current_snapshot["snapshot-id"]
+        for e in self.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("type") == GROUPED_QUANTILE_BLOB_TYPE and b.get(
+                    "fields"
+                ) == [fid]:
+                    try:
+                        payload = _json.loads(
+                            read_blob(e["statistics-path"], b)
+                        )
+                    except (ValueError, OSError):
+                        return None
+                    if payload.get("group_cols") == list(group_cols):
+                        return payload
+        return None
+
     def partition_statistics(self) -> list[dict[str, Any]]:
         """Rows of the CURRENT snapshot's partition-statistics parquet
         (spec "Partition statistics"), or [] when none cover it."""

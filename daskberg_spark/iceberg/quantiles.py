@@ -35,7 +35,11 @@ import uuid
 from typing import Any
 
 QUANTILE_BLOB_TYPE = "daskberg-quantiles-v1"
+GROUPED_QUANTILE_BLOB_TYPE = "daskberg-quantiles-grouped-v1"
 DEFAULT_BUCKETS = 64
+# grouped blobs refuse above this many groups: a blob is metadata, not
+# a second copy of the table (per group ≈ (buckets+1) doubles/column)
+MAX_BLOB_GROUPS = 10_000
 # GK accuracy: exact histograms below this many non-null values — keeps
 # small-table tests deterministic while bounding executor state
 DEFAULT_ACCURACY = 10000
@@ -184,6 +188,166 @@ def write_quantile_statistics(
             e["snapshot-id"] == snapshot_id
             and any(
                 b.get("type") == QUANTILE_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return path
+
+
+# group-key types a grouped blob can round-trip through JSON exactly
+_GROUP_KEY_TYPES = {"int", "long", "string", "boolean", "date"}
+
+
+def _encode_group_value(v: Any) -> Any:
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def decode_group_value(v: Any, ice_type: str) -> Any:
+    if v is None:
+        return None
+    if ice_type == "date":
+        return datetime.date.fromisoformat(v)
+    if ice_type in ("int", "long"):
+        return int(v)
+    return v
+
+
+def write_grouped_quantile_statistics(
+    writer,
+    spark,
+    group_cols: list[str],
+    columns: list[str] | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+    accuracy: int = DEFAULT_ACCURACY,
+    max_groups: int = MAX_BLOB_GROUPS,
+) -> str | None:
+    """PER-GROUP equi-depth boundaries — the grouped twin of
+    ``write_quantile_statistics`` (r12): ONE distributed grouped
+    aggregate computes every value column's ``buckets+1`` boundaries
+    plus row/non-null censuses for each distinct ``group_cols`` tuple
+    (typically the table's identity partition columns — "p95 latency
+    by day"), packed as one ``daskberg-quantiles-grouped-v1`` Puffin
+    blob per value column on the current snapshot.
+    ``agg.percentile_groupby`` then serves grouped percentile
+    batteries metadata-only.  Refuses above ``max_groups`` distinct
+    tuples — a statistics blob must stay metadata-sized — and
+    restricts group columns to JSON-round-trippable types
+    (int/long/string/boolean/date).  Returns the Puffin path, or None
+    when no value column qualifies."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    types = dict(writer.types)
+    for g in group_cols:
+        if g not in types:
+            raise ValueError(f"unknown group column {g!r}")
+        if types[g] not in _GROUP_KEY_TYPES:
+            raise ValueError(
+                f"group column {g!r} has type {types[g]!r} — grouped "
+                f"histograms key on {sorted(_GROUP_KEY_TYPES)} only"
+            )
+    if columns is None:
+        columns = [
+            c
+            for c, t in types.items()
+            if t in _NUMERIC_TYPES and c not in group_cols
+        ]
+    else:
+        for c in columns:
+            if c not in types:
+                raise ValueError(f"unknown column {c!r}")
+            if types[c] not in _NUMERIC_TYPES:
+                raise ValueError(
+                    f"column {c!r} has type {types[c]!r} — histograms "
+                    "cover numeric/temporal columns only"
+                )
+    if not columns:
+        return None
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    df = t.to_df(spark, columns=sorted(set(group_cols) | set(columns)))
+    probs = [i / buckets for i in range(buckets + 1)]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        e = _numeric_expr(c, types[c])
+        aggs.append(
+            F.percentile_approx(
+                e, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias(f"q_{c}")
+        )
+        aggs.append(F.count(e).alias(f"n_{c}"))
+    rows = (
+        df.groupBy(*group_cols).agg(*aggs).limit(max_groups + 1).collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"more than {max_groups} distinct {group_cols} tuples — a "
+            "grouped histogram blob must stay metadata-sized; roll the "
+            "groups up or raise max_groups deliberately"
+        )
+    seq = writer._last_sequence_number
+    blobs = []
+    for c in columns:
+        groups = []
+        for r in rows:
+            bounds = r[f"q_{c}"]
+            groups.append(
+                {
+                    "key": [_encode_group_value(r[g]) for g in group_cols],
+                    "rows": int(r["__rows"]),
+                    "nonnull": int(r[f"n_{c}"]),
+                    "bounds": [float(b) for b in bounds] if bounds else [],
+                }
+            )
+        payload = {
+            "group_cols": list(group_cols),
+            "buckets": buckets,
+            "groups": groups,
+        }
+        blobs.append(
+            {
+                "type": GROUPED_QUANTILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"quantiles-grouped-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'gquant{snapshot_id}{sorted(columns)}{group_cols}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    writer.statistics = [
+        e
+        for e in writer.statistics
+        if not (
+            e["snapshot-id"] == snapshot_id
+            and any(
+                b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
                 for b in e.get("blob-metadata", [])
             )
         )

@@ -3613,6 +3613,51 @@ def iceberg_percentile_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_percentile_groupby",
+    """
+    WITH src AS (
+        SELECT 's' || CAST(i % 5 AS VARCHAR) AS seg,
+               (i * 37) % 1000 AS val
+        FROM range(4000) t(i)
+    )
+    SELECT seg,
+           CAST(quantile_disc(val, 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(val, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(val, 0.75) AS BIGINT) AS p75
+    FROM src GROUP BY seg
+    """,
+)
+def iceberg_percentile_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP percentile pushdown (r12, ``agg.percentile_groupby``):
+    the dashboard shape the global pushdown cannot serve — quartiles of
+    ``val`` BY ``seg`` — answered from the snapshot's grouped
+    equi-depth blob (``daskberg-quantiles-grouped-v1``, one grouped
+    GK pass at write time) with ZERO data files read (hard-asserted;
+    the fixture holds four).  Every requested p lands on a stored knot
+    and each group's sketch ran in exact mode, so the knots are exact
+    per-group order statistics the DuckDB ``quantile_disc`` oracle —
+    recomputing the formulaic content from pure SQL — must reproduce
+    bit-for-bit.  At 100 TB, "p95 by day" becomes a metadata read,
+    like grouped MIN/MAX before it."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_percentile_groupby_fixture,
+    )
+
+    t = IcebergTable(ensure_percentile_groupby_fixture(spark))
+    out = t.percentile_groupby(
+        spark,
+        [("val", 0.25, "p25"), ("val", 0.50, "p50"), ("val", 0.75, "p75")],
+        ["seg"],
+    )
+    assert t.last_percentile_groupby["route"] == "stats", (
+        t.last_percentile_groupby
+    )
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    return out
+
+
+@query(
     "iceberg_analyze_table",
     """
     WITH src AS (

@@ -382,3 +382,150 @@ def test_analyze_table_nulls_deletes_and_fallbacks(spark, tmp_path):
     assert abs(got["v"].ndv - exact_ndv) <= max(2, exact_ndv // 25)
     assert abs(got["k"].ndv - 9) <= 1 and got["k"].null_count == 0
     assert got["k"].min_value == "0" and got["k"].max_value == "9"
+
+
+def test_percentile_groupby_exact_at_knots(spark, tmp_path):
+    """Grouped percentile battery answers from the grouped blob with
+    zero data IO; on-knot p in exact mode equals the per-group exact
+    order statistic; NULL group keys and all-NULL value groups are
+    SQL-exact."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+
+    rows = [
+        {"v": i, "k": i % 3, "g": ["a", "b", None][i % 3]}
+        for i in range(300)
+    ]
+    # one all-NULL-value group
+    rows += [{"v": None, "k": 99, "g": "empty"} for _ in range(5)]
+    w = _table(
+        tmp_path,
+        rows,
+        extra_fields=[
+            {"id": 3, "name": "g", "type": "string", "required": False}
+        ],
+    )
+    path = write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    assert path and path.endswith(".puffin")
+    t = IcebergTable(w.path)
+    out = t.percentile_groupby(
+        spark, [("v", 0.25, "p25"), ("v", 0.5, "p50")], ["g"]
+    )
+    assert t.last_percentile_groupby["route"] == "stats"
+    assert t.last_scan["files_scanned"] == 0
+    got = {r.g: (r.p25, r.p50) for r in out.collect()}
+    # truth from one grouped pass over the raw rows
+    truth = {
+        r.g: (r.p25, r.p50)
+        for r in t.to_df(spark)
+        .groupBy("g")
+        .agg(
+            *[
+                __import__("pyspark.sql.functions", fromlist=["x"])
+                .percentile_approx("v", p, 1000000)
+                .cast("long")
+                .alias(a)
+                for p, a in [(0.25, "p25"), (0.5, "p50")]
+            ]
+        )
+        .collect()
+    }
+    assert got == truth, (got, truth)
+    assert got["empty"] == (None, None)
+    assert None in got  # the NULL group key round-trips
+
+
+def test_percentile_groupby_staleness_and_mismatch_route_to_scan(
+    spark, tmp_path
+):
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+
+    w = _table(tmp_path, [{"v": i, "k": i % 4} for i in range(200)])
+    write_grouped_quantile_statistics(w, spark, ["k"], ["v"])
+    t = IcebergTable(w.path)
+    # a DIFFERENT grouping cannot use the blob
+    out = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["v"])
+    assert t.last_percentile_groupby["route"] == "scan"
+    # the matching grouping serves from stats...
+    out = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["k"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    stats_vals = sorted(map(tuple, out.collect()))
+    # ...until a commit stales the snapshot: route to scan, same values
+    w.append([{"v": 10**6, "k": 0}])
+    t2 = IcebergTable(w.path)
+    out2 = t2.percentile_groupby(spark, [("v", 0.5, "p50")], ["k"])
+    assert t2.last_percentile_groupby["route"] == "scan"
+    scan_vals = sorted(map(tuple, out2.collect()))
+    # k=0's median moved? regardless, both routes agree with a direct
+    # recompute at THEIR OWN snapshots — check schema parity here
+    assert out.schema == out2.schema
+    assert len(scan_vals) == len(stats_vals) == 4
+
+
+def test_grouped_quantiles_refuse_unbounded_groups(spark, tmp_path):
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(50)])
+    with pytest.raises(ValueError, match="metadata-sized"):
+        write_grouped_quantile_statistics(
+            w, spark, ["k"], ["v"], max_groups=10
+        )
+    # float group keys can't round-trip JSON exactly: refused
+    w2 = _table(
+        tmp_path,
+        [{"v": i, "k": i} for i in range(5)],
+        name="t2",
+        field_type="double",
+    )
+    with pytest.raises(ValueError, match="key on"):
+        write_grouped_quantile_statistics(w2, spark, ["v"], ["k"])
+
+
+def test_percentile_groupby_date_groups_and_temporal_values(
+    spark, tmp_path
+):
+    """date group keys ISO-round-trip through the JSON blob; timestamp
+    VALUE columns decode from the rank domain on both routes."""
+    import datetime as dt
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "tt"),
+        [
+            {"id": 1, "name": "d", "type": "date", "required": False},
+            {"id": 2, "name": "ts", "type": "timestamp", "required": False},
+        ],
+    )
+    base = dt.datetime(2024, 1, 1)
+    w.append(
+        [
+            {
+                "d": (base + dt.timedelta(days=i % 3)).date(),
+                "ts": base + dt.timedelta(minutes=i),
+            }
+            for i in range(90)
+        ]
+    )
+    write_grouped_quantile_statistics(w, spark, ["d"], ["ts"])
+    t = IcebergTable(w.path)
+    out = t.percentile_groupby(spark, [("ts", 0.5, "p50")], ["d"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    got = sorted(map(tuple, out.collect()))
+    assert all(isinstance(r[0], dt.date) for r in got)
+    # truth: group i%3==g holds minutes g, g+3, ..., g+87 — median is
+    # the 15th of 30 values (exact-mode disc: lower-middle)
+    for gi, (d, p50) in enumerate(got):
+        mins = sorted(g for g in range(90) if g % 3 == gi)
+        exact = base + dt.timedelta(minutes=mins[14])
+        assert p50 == exact, (d, p50, exact)

@@ -303,6 +303,10 @@ AUDIT = {
     # group-agg exchange; plain scans (atomicity is a commit property,
     # it must cost the plan nothing)
     "iceberg_txn_two_tables": (1, False, True, None),
+    # r12 grouped percentile pushdown: answered from the grouped
+    # quantile blob driver-side (zero data files hard-asserted in the
+    # query) — a literal relation, zero exchanges
+    "iceberg_percentile_groupby": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
