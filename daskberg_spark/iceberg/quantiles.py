@@ -19,11 +19,23 @@ Engine extension: foreign readers skip unknown Puffin blob types per
 the spec, exactly like the bloom-index blobs.  Estimates only — plan
 choice, never results; every consumer re-applies exact predicates.
 
-Histograms are NOT mergeable the way theta sketches are (equi-depth
-boundaries can't union without the raw ranks), so there is no
-incremental refresh: re-run ``write_quantile_statistics`` after bulk
-ingest, or accept drift — a stale histogram mis-ranks a join order but
-can never corrupt a result.
+Exact equi-depth boundaries are not mergeable (they need the raw
+ranks), but a PER-FILE compressed CDF is (r12): each data file's
+``K+1`` equi-depth knots with its row/non-null census define a
+piecewise-linear rank function whose sum across files approximates the
+global CDF within ``Σ n_f/K = N/K`` ranks — the same error class as
+the one-pass GK sketch at ε = 1/K.  ``write_file_quantile_partials``
+stores those per-file CDFs as raw-file-content
+``daskberg-quantiles-files-v1`` blobs (snapshot-independent, like the
+sum blobs), and ``refresh_quantile_statistics`` advances the global
+histogram by reading ONLY files no partial covers plus files with
+possibly-applicable deletes (one delete-aware restricted scan), then
+merging driver-side — refresh cost O(new + dirty files), not
+O(table).  Merged blobs carry ``"merged": true``: estimates-grade
+(CBO, range selectivity) and the documented-approximate
+``percentile_pushdown`` both serve them; only the write-time
+exact-mode knot guarantee is specific to the one-pass
+``write_quantile_statistics``.
 """
 
 from __future__ import annotations
@@ -36,6 +48,7 @@ from typing import Any
 
 QUANTILE_BLOB_TYPE = "daskberg-quantiles-v1"
 GROUPED_QUANTILE_BLOB_TYPE = "daskberg-quantiles-grouped-v1"
+FILE_QUANTILE_BLOB_TYPE = "daskberg-quantiles-files-v1"
 DEFAULT_BUCKETS = 64
 # grouped blobs refuse above this many groups: a blob is metadata, not
 # a second copy of the table (per group ≈ (buckets+1) doubles/column)
@@ -195,6 +208,448 @@ def write_quantile_statistics(
     writer.version += 1
     writer._write_metadata()
     return path
+
+
+def _norm(p: str) -> str:
+    from daskberg_spark.iceberg.scan import _norm_scan_path
+
+    return _norm_scan_path(p)
+
+
+def _dirty_split(table) -> tuple[list[dict], set[str]]:
+    """(live planned files, RELOCATED paths of files a delete might
+    apply to) — the same over-approximate metadata-level classifier
+    ``agg_pushdown`` uses: eq deletes hit strictly-older files in
+    scope, path-free position deletes hit ≤-sequence files in scope,
+    DV/position references name their file.  "Might apply" → dirty;
+    a dirty file's stored raw-content CDF describes rows that may no
+    longer be live, so the refresh re-reads it delete-aware."""
+    from daskberg_spark.iceberg.scan import _norm_scan_path, _scope_tuple
+
+    files = table.plan_files(None)
+    deletes = table.plan_deletes()
+    use_seq = table.metadata.get("format-version", 1) >= 2
+
+    def okey(rec):
+        if use_seq:
+            seq = rec.get("_sequence_number")
+            return 0 if seq is None else seq
+        return rec.get("_snapshot_id") or 0
+
+    eq_scopes, pos_scopes, refs = [], [], set()
+    for d in deletes:
+        if d.get("content") == 2:
+            eq_scopes.append((okey(d), _scope_tuple(table, d)))
+        elif d.get("content") == 1:
+            ref = d.get("referenced_data_file")
+            if ref:
+                refs.add(_norm_scan_path(ref))
+            else:
+                pos_scopes.append((okey(d), _scope_tuple(table, d)))
+    dirty: set[str] = set()
+    for f in files:
+        fkey, fscope = okey(f), _scope_tuple(table, f)
+        if (
+            _norm_scan_path(f["file_path"]) in refs
+            or any(
+                fkey < dk and (ds is None or ds == fscope)
+                for dk, ds in eq_scopes
+            )
+            or any(
+                fkey <= dk and (ds is None or ds == fscope)
+                for dk, ds in pos_scopes
+            )
+        ):
+            dirty.add(f["file_path"])
+    return files, dirty
+
+
+def column_filecdfs(table, name: str) -> dict[str, list] | None:
+    """Merged per-file CDF partials for a column across every
+    statistics entry (raw-file blobs are snapshot-independent; later
+    entries win per file): ``{normalized_path: [rows, nonnull,
+    bounds]}``, or None when no blob covers the column.  Unreadable
+    blobs are skipped — a missing entry only ever means "re-read that
+    file"."""
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    fid = table.fields[name].field_id
+    merged: dict[str, list] = {}
+    found = False
+    for e in table.metadata.get("statistics", []):
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != FILE_QUANTILE_BLOB_TYPE or b.get(
+                "fields"
+            ) != [fid]:
+                continue
+            try:
+                payload = json.loads(
+                    read_blob(table._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            found = True
+            for p, part in (payload.get("files") or {}).items():
+                merged[p] = part
+    return merged if found else None
+
+
+def write_file_quantile_partials(
+    writer,
+    spark,
+    columns: list[str],
+    file_subset=None,
+    buckets: int = DEFAULT_BUCKETS,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> str | None:
+    """Per-(file, column) compressed CDFs in ONE distributed pass —
+    the mergeable substrate of the quantile family (r12).  Reads RAW
+    file contents (no delete application — the blob describes the
+    immutable file, so it stays valid at every snapshot) grouped by
+    ``__file``; per file only ``buckets+1`` doubles and two counts
+    reach the driver.  ``file_subset`` (normalized paths) restricts
+    the pass — the incremental refresh — and the entry APPENDS (later
+    entries win per file); without it the snapshot's partials entry is
+    replaced.  Returns the Puffin path or None when nothing scans."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from daskberg_spark.iceberg.conversions import schema_to_struct
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.scan import _read_file_groups
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    types = dict(writer.types)
+    for c in columns:
+        if c not in types:
+            raise ValueError(f"unknown column {c!r}")
+        if types[c] not in _NUMERIC_TYPES:
+            raise ValueError(
+                f"column {c!r} has type {types[c]!r} — histograms "
+                "cover numeric/temporal columns only"
+            )
+    if not columns:
+        return None
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    live = t.plan_files(None)
+    if file_subset is None:
+        target = {_norm(f["file_path"]) for f in live}
+    else:
+        target = {_norm(p) for p in file_subset}
+    scan_files = [f for f in live if _norm(f["file_path"]) in target]
+    if not scan_files:
+        return None
+    scan_struct = T.StructType(
+        [f for f in schema_to_struct(t.schema).fields if f.name in columns]
+    )
+    df = _read_file_groups(
+        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
+    )
+    probs = [i / buckets for i in range(buckets + 1)]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        e = _numeric_expr(c, types[c])
+        aggs.append(
+            F.percentile_approx(
+                e, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias(f"q {c}")
+        )
+        aggs.append(F.count(e).alias(f"n {c}"))
+    got = {r["__file"]: r for r in df.groupBy("__file").agg(*aggs).collect()}
+
+    per_col: dict[str, dict[str, list]] = {c: {} for c in columns}
+    for f in scan_files:
+        key = _norm(f["file_path"])
+        r = got.get(key)
+        for c in columns:
+            if r is None:  # zero-row file: no group emitted
+                per_col[c][key] = [0, 0, []]
+                continue
+            bounds = r[f"q {c}"]
+            per_col[c][key] = [
+                int(r["__rows"]),
+                int(r[f"n {c}"]),
+                [float(b) for b in bounds] if bounds else [],
+            ]
+    seq = writer._last_sequence_number
+    blobs = []
+    for c in columns:
+        payload = {"buckets": buckets, "files": per_col[c]}
+        blobs.append(
+            {
+                "type": FILE_QUANTILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"quantiles-files-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'fquant{snapshot_id}{sorted(target)}{sorted(columns)}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    keep = writer.statistics
+    if file_subset is None:
+        keep = [
+            e
+            for e in keep
+            if not (
+                e["snapshot-id"] == snapshot_id
+                and any(
+                    b.get("type") == FILE_QUANTILE_BLOB_TYPE
+                    for b in e.get("blob-metadata", [])
+                )
+            )
+        ]
+    writer.statistics = keep + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return path
+
+
+def merge_cdf_parts(
+    parts: list[tuple[int, int, list[float]]], buckets: int
+) -> tuple[int, int, list[float]]:
+    """Combine per-part compressed CDFs into global ``buckets+1``
+    equi-depth boundaries — EXACT over the piecewise-linear model, so
+    total rank error ≤ Σ nonnull_p / K_p.
+
+    Each part ``(rows, nonnull, bounds)`` contributes a
+    piecewise-linear rank function (equi-depth knots: ``bounds[i]`` has
+    rank ``i/K · nonnull``); duplicate/single knots contribute point
+    masses.  A slope-event sweep accumulates the merged rank at every
+    union knot in O(E log E), and the targets invert by linear
+    interpolation (point masses clamp to their knot)."""
+    rows = sum(int(p[0]) for p in parts)
+    nn = sum(int(p[1]) for p in parts)
+    if nn <= 0:
+        return rows, 0, []
+    slope_ev: dict[float, float] = {}
+    jumps: dict[float, float] = {}
+    for _r, nnp, b in parts:
+        if not nnp or not b:
+            continue
+        if len(b) == 1:
+            jumps[b[0]] = jumps.get(b[0], 0.0) + nnp
+            continue
+        k = len(b) - 1
+        w = nnp / k
+        for i in range(k):
+            lo, hi = b[i], b[i + 1]
+            if hi > lo:
+                s = w / (hi - lo)
+                slope_ev[lo] = slope_ev.get(lo, 0.0) + s
+                slope_ev[hi] = slope_ev.get(hi, 0.0) - s
+            else:
+                jumps[lo] = jumps.get(lo, 0.0) + w
+    knots = sorted(set(slope_ev) | set(jumps))
+    rb, ra = [], []  # merged rank just before / after each knot's mass
+    acc = slope = 0.0
+    prev = None
+    for v in knots:
+        if prev is not None:
+            acc += slope * (v - prev)
+        rb.append(acc)
+        acc += jumps.get(v, 0.0)
+        ra.append(acc)
+        slope += slope_ev.get(v, 0.0)
+        prev = v
+    total = ra[-1]  # ≈ nn up to float rounding
+    bounds: list[float] = []
+    i = 0
+    for j in range(buckets + 1):
+        r = j / buckets * total
+        while i < len(knots) - 1 and rb[i + 1] < r:
+            i += 1
+        if r <= ra[i] or i == len(knots) - 1:
+            bounds.append(knots[i])
+            continue
+        lo_r, hi_r = ra[i], rb[i + 1]
+        frac = (r - lo_r) / (hi_r - lo_r) if hi_r > lo_r else 1.0
+        frac = min(max(frac, 0.0), 1.0)
+        bounds.append(knots[i] + frac * (knots[i + 1] - knots[i]))
+    return rows, nn, bounds
+
+
+def refresh_quantile_statistics(
+    writer,
+    spark,
+    columns: list[str] | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> dict[str, Any] | None:
+    """Advance the global quantile histograms to the current snapshot
+    at O(new + dirty files) cost (r12): per-file partials already on
+    record are REUSED for clean files; only clean files no partial
+    covers take the raw grouped pass, and files with
+    possibly-applicable deletes take one delete-aware restricted scan
+    (their raw-content partials can't be trusted).  The merged
+    boundaries land as the snapshot's ``daskberg-quantiles-v1`` entry
+    with ``"merged": true``, so every consumer (CBO range selectivity,
+    ``percentile_pushdown``, ``analyze_table``) reads them unchanged.
+
+    ``columns=None`` refreshes the columns existing partials cover —
+    the ``maintain()`` opt-in shape shared with the sum blobs; None is
+    returned for tables that never opted in.  Passing ``columns``
+    bootstraps coverage (first call prices like the full one-pass
+    build; every later call is incremental)."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.scan import to_df
+
+    if columns is None:
+        columns = sorted(
+            {
+                (b.get("properties") or {}).get("column")
+                for e in writer.statistics
+                for b in e.get("blob-metadata", [])
+                if b.get("type") == FILE_QUANTILE_BLOB_TYPE
+            }
+            - {None}
+        )
+        # a column dropped or retyped since the last run stops refreshing
+        columns = [
+            c for c in columns if writer.types.get(c) in _NUMERIC_TYPES
+        ]
+        if not columns:
+            return None
+    else:
+        types = dict(writer.types)
+        for c in columns:
+            if types.get(c) not in _NUMERIC_TYPES:
+                raise ValueError(
+                    f"column {c!r} has type {types.get(c)!r} — histograms "
+                    "cover numeric/temporal columns only"
+                )
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"])
+        for f in files
+        if f["file_path"] not in dirty
+    }
+    maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+    missing = set()
+    for c in columns:
+        missing |= clean_norm - set(maps[c])
+    if missing:
+        write_file_quantile_partials(
+            writer,
+            spark,
+            columns,
+            file_subset=missing,
+            buckets=buckets,
+            accuracy=accuracy,
+        )
+        t = IcebergTable(writer.path)
+        maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+    parts = {
+        c: [maps[c][p] for p in clean_norm if p in maps[c]]
+        for c in columns
+    }
+    if dirty:
+        probs = [i / buckets for i in range(buckets + 1)]
+        ftypes = {n: i.type for n, i in t.fields.items()}
+        df = to_df(
+            t, spark, columns=list(columns), file_subset=sorted(dirty)
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in columns:
+            e = _numeric_expr(c, ftypes[c])
+            aggs.append(
+                F.percentile_approx(
+                    e,
+                    F.array(*[F.lit(p) for p in probs]),
+                    F.lit(accuracy),
+                ).alias(f"q {c}")
+            )
+            aggs.append(F.count(e).alias(f"n {c}"))
+        r = df.agg(*aggs).collect()[0]
+        for c in columns:
+            bounds = r[f"q {c}"]
+            parts[c].append(
+                [
+                    int(r["__rows"]),
+                    int(r[f"n {c}"]),
+                    [float(b) for b in bounds] if bounds else [],
+                ]
+            )
+    blobs = []
+    seq = writer._last_sequence_number
+    for c in columns:
+        rows, nonnull, bounds = merge_cdf_parts(parts[c], buckets)
+        payload = {
+            "buckets": buckets,
+            "rows": rows,
+            "nonnull": nonnull,
+            "bounds": bounds,
+            "merged": True,
+        }
+        blobs.append(
+            {
+                "type": QUANTILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"quantiles-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'mquant{snapshot_id}{sorted(columns)}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    writer.statistics = [
+        e
+        for e in writer.statistics
+        if not (
+            e["snapshot-id"] == snapshot_id
+            and any(
+                b.get("type") == QUANTILE_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return {
+        "path": path,
+        "columns": list(columns),
+        "files_total": len(files),
+        "partials_computed": len(missing),
+        "dirty_files": len(dirty),
+    }
 
 
 # group-key types a grouped blob can round-trip through JSON exactly

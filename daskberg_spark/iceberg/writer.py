@@ -6335,11 +6335,14 @@ def maintain(
         else:
             report["refresh_statistics"] = None
         # quantile-histogram catch-up: same opt-in shape (an entry on
-        # SOME snapshot) — histograms aren't mergeable (quantiles.py),
-        # so the refresh is a full re-run of the same columns, gated to
-        # heads that lack one
+        # SOME snapshot), gated to heads that lack one.  Tables with
+        # per-file CDF partials (write_file_quantile_partials /
+        # refresh_quantile_statistics's bootstrap) refresh INCREMENTALLY
+        # — O(new + dirty files); legacy tables without partials take
+        # the full one-pass re-run
         from daskberg_spark.iceberg.quantiles import (
             QUANTILE_BLOB_TYPE,
+            refresh_quantile_statistics,
             write_quantile_statistics,
         )
 
@@ -6370,7 +6373,8 @@ def maintain(
             for e in writer.statistics
         )
         if q_cols and not q_head_covered:
-            write_quantile_statistics(writer, spark, q_cols)
+            if refresh_quantile_statistics(writer, spark) is None:
+                write_quantile_statistics(writer, spark, q_cols)
             report["refresh_quantiles"] = q_cols
         else:
             report["refresh_quantiles"] = None

@@ -529,3 +529,134 @@ def test_percentile_groupby_date_groups_and_temporal_values(
         mins = sorted(g for g in range(90) if g % 3 == gi)
         exact = base + dt.timedelta(minutes=mins[14])
         assert p50 == exact, (d, p50, exact)
+
+
+def test_merge_cdf_parts_uniform_error_bound():
+    """Merging per-part exact equi-depth CDFs recovers the global
+    quantiles within the documented Σ n_p/K rank bound — checked on
+    disjoint uniform shards whose exact answer is closed-form."""
+    from daskberg_spark.iceberg.quantiles import merge_cdf_parts
+
+    K = 16
+    parts = []
+    allv = []
+    for lo in (0, 1000, 2000, 3000):
+        vals = list(range(lo, lo + 1000))
+        allv += vals
+        bounds = [float(vals[round(i / K * 999)]) for i in range(K + 1)]
+        parts.append((1000, 1000, bounds))
+    rows, nn, merged = merge_cdf_parts(parts, 64)
+    assert rows == nn == 4000 and len(merged) == 65
+    assert merged == sorted(merged)
+    assert merged[0] == 0.0 and merged[-1] == 3999.0
+    allv.sort()
+    tol = sum(1000 / K for _ in parts)  # rank tolerance
+    for j, b in enumerate(merged):
+        exact_rank = j / 64 * 4000
+        # rank of merged knot b in the true data
+        import bisect
+
+        got_rank = bisect.bisect_right(allv, b)
+        assert abs(got_rank - exact_rank) <= tol + 1, (j, b)
+    # point-mass parts (constant files) merge too
+    rows, nn, merged = merge_cdf_parts(
+        [(10, 10, [5.0]), (10, 10, [7.0])], 4
+    )
+    assert merged[0] == 5.0 and merged[-1] == 7.0
+
+
+def test_refresh_quantiles_incremental_on_append(spark, tmp_path):
+    """Bootstrap writes partials for every file; a later append
+    refreshes by reading ONLY the new file (O(new files), the r12
+    mergeable-maintenance contract) and the merged histogram tracks
+    the true distribution within the rank bound."""
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(400)])
+    w.append([{"v": 400 + i, "k": i} for i in range(400)])
+    rep = refresh_quantile_statistics(w, spark, ["v"])
+    assert rep["files_total"] == 2 and rep["partials_computed"] == 2
+    assert rep["dirty_files"] == 0
+    t = IcebergTable(w.path)
+    hist = t.column_quantiles("v")
+    assert hist["merged"] is True
+    assert hist["rows"] == hist["nonnull"] == 800
+    assert hist["bounds"][0] == 0.0 and hist["bounds"][-1] == 799.0
+    # CBO consumption unchanged
+    s = range_selectivity(hist, ">=", 720.0)
+    assert 0.07 <= s <= 0.13, s
+    # append one more file: the refresh reads ONLY it
+    w.append([{"v": 800 + i, "k": i} for i in range(400)])
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["files_total"] == 3 and rep["partials_computed"] == 1, rep
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 1200 and hist["bounds"][-1] == 1199.0
+    # merged bounds stay within the documented rank tolerance
+    import bisect
+
+    tol = 3 * 400 / hist["buckets"] + 1
+    for j, b in enumerate(hist["bounds"]):
+        exact_rank = j / hist["buckets"] * 1200
+        assert abs(bisect.bisect_right(range(1200), b) - exact_rank) <= tol
+    # a table that never opted in: None, nothing scanned
+    w2 = _table(tmp_path, [{"v": 1, "k": 1}], name="never")
+    assert refresh_quantile_statistics(w2, spark) is None
+
+
+def test_refresh_quantiles_delete_dirty_leg(spark, tmp_path):
+    """A delete makes its file's raw-content partial untrustworthy:
+    the refresh re-reads DIRTY files delete-aware (exact live
+    row/non-null censuses) while clean files stay metadata-only."""
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(300)])
+    w.append([{"v": 300 + i, "k": 300 + i} for i in range(300)])
+    rep = refresh_quantile_statistics(w, spark, ["v"])
+    assert rep["partials_computed"] == 2
+    # kill the top 100 values via eq-delete (applies to older files)
+    w.delete_rows_equality([{"k": 500 + i} for i in range(100)])
+    rep = refresh_quantile_statistics(w, spark)
+    # eq deletes scope-match both files here: all dirty, none re-partialed
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == hist["nonnull"] == 500
+    assert hist["bounds"][-1] == 499.0
+    # compaction rewrites to clean files: partials for the new files,
+    # dirty leg gone
+    from daskberg_spark.iceberg.writer import compact_files_spark
+
+    compact_files_spark(w, spark, min_file_bytes=1 << 20)
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["dirty_files"] == 0 and rep["partials_computed"] >= 1, rep
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 500 and hist["bounds"][-1] == 499.0
+
+
+def test_maintain_uses_incremental_quantile_refresh(spark, tmp_path):
+    """maintain() routes opted-in tables with partials through the
+    incremental refresh (merged blob on the new head); legacy tables
+    without partials keep the full re-run (unmerged blob)."""
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import maintain
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(200)])
+    refresh_quantile_statistics(w, spark, ["v"])
+    w.append([{"v": 200 + i, "k": i} for i in range(200)])
+    rep = maintain(w, spark, min_file_bytes=0)
+    assert rep["refresh_quantiles"] == ["v"]
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist.get("merged") is True and hist["rows"] == 400
+    # legacy (no partials): full re-run, unmerged
+    w2 = _table(tmp_path, [{"v": i, "k": i} for i in range(100)], name="lg")
+    write_quantile_statistics(w2, spark, ["v"])
+    w2.append([{"v": 100 + i, "k": i} for i in range(100)])
+    rep2 = maintain(w2, spark, min_file_bytes=0)
+    assert rep2["refresh_quantiles"] == ["v"]
+    hist2 = IcebergTable(w2.path).column_quantiles("v")
+    assert "merged" not in hist2 and hist2["rows"] == 200
