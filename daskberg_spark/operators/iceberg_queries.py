@@ -3066,11 +3066,13 @@ def iceberg_agg_pushdown_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats ARE per-group stats and the whole 83-group answer is a
     manifest read (hard-asserted ZERO data files).  The "rows per day"
     dashboard query on a 100 TB table."""
-    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_auto)
     from daskberg_spark.iceberg.fixtures import ensure_lineitem_iceberg
 
     t = IcebergTable(ensure_lineitem_iceberg(spark, sf_dir))
-    out = t.agg_pushdown(
+    # r12: through the agg_auto ladder — no rollup is registered on
+    # this table, so the router must land on the metadata pushdown rung
+    out = t.agg_auto(
         spark,
         [
             ("count", "*", "n"),
@@ -3080,6 +3082,7 @@ def iceberg_agg_pushdown_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_by=["l_shipmonth"],
     )
+    assert t.last_agg_route == "pushdown", t.last_agg_route
     assert t.last_agg_pushdown["files_scanned"] == 0, "grouped pushdown regressed"
     return out
 
@@ -3109,15 +3112,17 @@ def iceberg_agg_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_sumstats``), never to a wrong answer.  AVG derives as
     sum/count in identical IEEE expressions on both engines — exact
     integer sums make the division bit-deterministic."""
-    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_pushdown)
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_auto)
     from daskberg_spark.iceberg.fixtures import ensure_lineitem_sum_iceberg
 
     t = IcebergTable(ensure_lineitem_sum_iceberg(spark, sf_dir))
-    out = t.agg_pushdown(
+    # r12: through the agg_auto ladder — the pushdown rung must answer
+    out = t.agg_auto(
         spark,
         [("sum", "l_orderkey", "sum_ok"), ("count", "l_orderkey", "n_ok")],
         group_by=["l_shipmonth"],
     )
+    assert t.last_agg_route == "pushdown", t.last_agg_route
     assert t.last_agg_pushdown["files_scanned"] == 0, "sum pushdown regressed"
     return out.withColumn(
         "avg_ok", F.col("sum_ok").cast("double") / F.col("n_ok")
@@ -3138,8 +3143,10 @@ def iceberg_agg_pushdown_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def iceberg_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized-view aggregate rewrite (r11, ``rollup.agg_via_
-    rollup``): COUNT/SUM grouped by the NON-partition ``l_returnflag``
+    """Materialized-view aggregate rewrite (r11 ``rollup.agg_via_
+    rollup``, dispatched through the r12-default ``agg.agg_auto``
+    ladder — route hard-asserted): COUNT/SUM grouped by the
+    NON-partition ``l_returnflag``
     — a shape per-file statistics can never split, so ``agg_pushdown``
     would scan — answers from the registered FRESH rollup keyed on
     (flag, month) by re-aggregation (COUNT(*) = SUM(n), SUM = SUM of
@@ -3148,12 +3155,13 @@ def iceberg_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup whose watermark isn't the source's current snapshot is
     never used.  The oracle recomputes the same aggregate from the raw
     rows."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches .agg_auto)
     from daskberg_spark.iceberg.fixtures import ensure_rollup_answer_fixture
-    from daskberg_spark.iceberg.rollup import agg_via_rollup
 
     src = IcebergTable(ensure_rollup_answer_fixture(spark, sf_dir))
-    out = agg_via_rollup(
-        src,
+    # r12: through the agg_auto ladder — the registered fresh rollup
+    # must win the dispatch (top rung), never the pushdown or the scan
+    out = src.agg_auto(
         spark,
         [
             ("count", "*", "n"),
@@ -3162,7 +3170,7 @@ def iceberg_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_by=["l_returnflag"],
     )
-    assert out is not None, "no fresh rollup qualified — router regressed"
+    assert src.last_agg_route == "rollup", src.last_agg_route
     assert src.last_scan["files_scanned"] == 0, "rollup answer touched source"
     return out.select(
         "l_returnflag",
