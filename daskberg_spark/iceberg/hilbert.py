@@ -39,6 +39,13 @@ from typing import Any
 # interleaved index must fit a signed 64-bit long
 MAX_TOTAL_BITS = 62
 
+# above this per-axis depth the unrolled projection chain switches to
+# the constant-depth fold form: the chain's analyze/codegen cost
+# roughly doubles per level (2.4 s at 10 bits, 3.4 s at 12, 36.8 s at
+# 16 on this harness — default_bits docstring), while the fold's plan
+# is O(n) regardless of bits (r12)
+FOLD_MIN_BITS = 13
+
 
 def default_bits(n_dims: int) -> int:
     """10 bits/axis: 1024 curve cells per dimension — orders of
@@ -47,7 +54,11 @@ def default_bits(n_dims: int) -> int:
     analyze/compile (measured on this harness: 2.4 s at 10 bits,
     3.4 s at 12, 36.8 s at 16 — Catalyst collapses the projection
     chain and the codegen'd expression roughly doubles per level).
-    Callers needing finer cells pass ``bits`` explicitly."""
+    Callers needing finer cells pass ``bits`` explicitly; at
+    ``FOLD_MIN_BITS`` and above the attach switches to the
+    constant-depth fold form (r12: 16-bit attach 1.6 s, 24-bit 1.6 s),
+    trading ~1.8× per-row throughput for a plan that no longer grows
+    with depth."""
     return min(10, MAX_TOTAL_BITS // n_dims)
 
 
@@ -89,6 +100,105 @@ def hilbert_index(coords: list[int], bits: int) -> int:
     return h
 
 
+def _attach_fold(df: Any, names: list[str], bits: int, n: int, out_col: str):
+    """CONSTANT-DEPTH Hilbert transform (r12): the same Skilling steps
+    as three ``F.aggregate`` folds whose lambdas iterate at RUNTIME
+    over the bit levels, so the plan is O(n) nodes no matter how many
+    bits — the unrolled chain's analyze cost doubles per level and
+    hits ~37 s at 16 bits, this form plans in constant time.  Four
+    fixed projections materialize each stage once (the fold results
+    would otherwise re-evaluate per reference):
+
+    1. level sweep (invert/exchange) folding over q = 2^(bits-1)..2
+       with the axis registers as an ``array<long>`` accumulator;
+    2. Gray encode + the q-fold fixup mask;
+    3. bit interleave folding high-to-low with a ``struct(h, x)``
+       accumulator — axes shift LEFT by one (literal shift) each step
+       so no column-valued shift distance is ever needed.
+
+    Differential tests pin it equal to the pure-Python bijection and
+    to the unrolled chain."""
+    from pyspark.sql import functions as F
+
+    zero = F.lit(0).cast("long")
+    levels = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(bits - 1, 0, -1)]
+    )
+
+    def level_step(acc, q):
+        p = q - F.lit(1).cast("long")
+        new = [acc[i] for i in range(n)]
+        cond0 = new[0].bitwiseAND(q) != 0
+        new[0] = new[0].bitwiseXOR(F.when(cond0, p).otherwise(zero))
+        for i in range(1, n):
+            cond = new[i].bitwiseAND(q) != 0
+            t = new[0].bitwiseXOR(new[i]).bitwiseAND(p)
+            n0 = new[0].bitwiseXOR(F.when(cond, p).otherwise(t))
+            ni = new[i].bitwiseXOR(F.when(cond, zero).otherwise(t))
+            new[0], new[i] = n0, ni
+        return F.array(*new)
+
+    df = df.withColumn(
+        "__hxa",
+        F.aggregate(
+            levels,
+            F.array(*[F.col(nm).cast("long") for nm in names]),
+            level_step,
+        ),
+    )
+    xs = [F.col("__hxa")[i] for i in range(n)]
+    for i in range(1, n):
+        xs[i] = xs[i].bitwiseXOR(xs[i - 1])
+    df = df.withColumn("__hxg", F.array(*xs))
+    last = F.col("__hxg")[n - 1]
+    df = df.withColumn(
+        "__hxt",
+        F.aggregate(
+            levels,
+            zero,
+            lambda acc, q: F.when(
+                last.bitwiseAND(q) != 0,
+                acc.bitwiseXOR(q - F.lit(1).cast("long")),
+            ).otherwise(acc),
+        ),
+    )
+    df = df.withColumn(
+        "__hxf",
+        F.array(
+            *[
+                F.col("__hxg")[i].bitwiseXOR(F.col("__hxt"))
+                for i in range(n)
+            ]
+        ),
+    )
+    mask = F.lit((1 << bits) - 1).cast("long")
+
+    def interleave(acc, _e):
+        x = acc["x"]
+        tops = [
+            F.shiftright(x[i], bits - 1).bitwiseAND(F.lit(1)).cast("long")
+            for i in range(n)
+        ]
+        h = acc["h"] * F.lit(1 << n).cast("long")
+        for i in range(n):
+            h = h + tops[i] * F.lit(1 << (n - 1 - i)).cast("long")
+        shifted = F.array(
+            *[F.shiftleft(x[i], 1).bitwiseAND(mask) for i in range(n)]
+        )
+        return F.struct(h.alias("h"), shifted.alias("x"))
+
+    df = df.withColumn(
+        out_col,
+        F.aggregate(
+            F.array(*[F.lit(0)] * bits),
+            F.struct(zero.alias("h"), F.col("__hxf").alias("x")),
+            interleave,
+            lambda s: s["h"],
+        ),
+    )
+    return df.drop("__hxa", "__hxg", "__hxt", "__hxf", *names)
+
+
 def hilbert_attach(
     rows: Any,
     cols: list[str],
@@ -123,6 +233,10 @@ def hilbert_attach(
     df = rows.select(
         "*", *[a.alias(nm) for a, nm in zip(axes, names)]
     )
+    if bits >= FOLD_MIN_BITS:
+        # deep grids: the constant-depth fold form — the unrolled
+        # chain's plan cost doubles per level (module constant)
+        return _attach_fold(df, names, bits, n, out_col)
 
     def X(i):
         return F.col(names[i])

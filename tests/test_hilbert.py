@@ -209,3 +209,67 @@ def test_compaction_hilbert_never_prunes_worse_than_morton(spark, tmp_path):
     assert all(h <= m + 1 for h, m in zip(planned["hilb"], planned["mort"])), (
         planned
     )
+
+
+def test_fold_form_matches_reference_at_deep_bits(spark):
+    """bits >= FOLD_MIN_BITS routes to the constant-depth aggregate()
+    fold (r12) — same bijection as the pure-Python reference at a grid
+    depth the unrolled chain cannot afford to plan (16 bits took ~37 s
+    to analyze; the fold plans in constant time)."""
+    import time
+
+    from daskberg_spark.iceberg.hilbert import hilbert_attach, hilbert_index
+
+    rng = random.Random(11)
+    bits = 16
+    top = (1 << bits) - 1
+    rows = [
+        (i, rng.randrange(1 << bits), rng.randrange(1 << bits))
+        for i in range(300)
+    ]
+    rows += [(9001, 0, 0), (9002, top, top)]  # pin min-max to identity
+    df = spark.createDataFrame(rows, ["rid", "a", "b"])
+    t0 = time.perf_counter()
+    out = hilbert_attach(df, ["a", "b"], out_col="hv", bits=bits)
+    got = {r["rid"]: r["hv"] for r in out.collect()}
+    elapsed = time.perf_counter() - t0
+    exp = {r[0]: hilbert_index([r[1], r[2]], bits) for r in rows}
+    assert got == exp
+    # generous wall guard: the chain took ~37 s here; the fold must be
+    # nowhere near that (typically ~2 s incl. the job itself)
+    assert elapsed < 15, f"fold path took {elapsed:.1f}s"
+
+
+def test_fold_form_equals_unrolled_chain(spark):
+    """At a depth both forms afford, the fold and the unrolled chain
+    produce the identical index for every row — the two Catalyst
+    implementations never diverge."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.hilbert import _attach_fold, hilbert_attach
+
+    rng = random.Random(23)
+    bits = 8
+    rows = [
+        (
+            i,
+            rng.randrange(1 << bits),
+            rng.randrange(1 << bits),
+            rng.randrange(1 << bits),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "a", "b", "c"])
+    for cols in (["a", "b"], ["a", "b", "c"]):
+        chain = hilbert_attach(
+            df, cols, out_col="hv", bits=bits, normalize=False
+        )
+        names = [f"__hx{i}" for i in range(len(cols))]
+        staged = df.select(
+            "*",
+            *[F.col(c).cast("long").alias(nm) for c, nm in zip(cols, names)],
+        )
+        fold = _attach_fold(staged, names, bits, len(cols), "hv")
+        a = {r["rid"]: r["hv"] for r in chain.collect()}
+        b = {r["rid"]: r["hv"] for r in fold.collect()}
+        assert a == b, cols
