@@ -2155,7 +2155,11 @@ def write_df(
     ``num_tasks`` pins the shuffle width (file-size control); left None,
     the session's shuffle partitioning — including AQE's advisory-size
     coalescing, which is exactly what sizes output files at scale —
-    decides.  Returns the snapshot id."""
+    decides.  For AVRO it is additionally the ENCODE-throughput lever:
+    one from-scratch container encoder runs per task, and the r12
+    witness (SCALING.md, 2M rows fixed, local[32]) scales 13.5 s → 3.3 s
+    → 1.8 s at 1/8/32 tasks — near-linear to 8, Amdahl-flattened by the
+    fixed shuffle+commit beyond.  Returns the snapshot id."""
     import tempfile
 
     from pyspark.sql import functions as F
