@@ -141,10 +141,16 @@ HEADLINE = [
     # (source write → append → MOR delete → changelog-delta refresh —
     # the IVM maintenance loop; the sum pushdown itself is a metadata
     # no-op benched nowhere, its correctness lives in the driver window)
-    # and its star-join twin (fact writes → MOR delete → Δfact ⋈ dim
-    # refresh under the frozen-dim gate)
+    # and its star-join twin (fact writes → MOR delete → ΔF ⋈ D_new
+    # refresh; r12 extends the lifecycle with an SCD dim update served
+    # by the F_old ⋈ ΔD leg — one more refresh per run, so r11→r12
+    # ratios for this entry are lifecycle growth, not regression)
     "iceberg_rollup_incremental",
     "iceberg_join_rollup",
+    # round 12: the mergeable quantile-statistics maintenance loop
+    # (bootstrap per-file CDF partials → O(new files) append refresh →
+    # dirty-leg delete refresh → driver-side CDF merge)
+    "iceberg_quantile_refresh",
 ]
 
 

@@ -3666,6 +3666,73 @@ def iceberg_percentile_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_quantile_refresh",
+    """
+    WITH src AS (
+        SELECT i AS k, (i * 13) % 3000 AS val
+        FROM range(6000) t(i) WHERE i >= 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(val) AS BIGINT) AS nn,
+           CAST(MIN(val) AS BIGINT) AS vmin,
+           CAST(MAX(val) AS BIGINT) AS vmax
+    FROM src
+    """,
+)
+def iceberg_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-statistics maintenance lifecycle (r12,
+    ``quantiles.refresh_quantile_statistics``): bootstrap per-file CDF
+    partials over a 4-file table, APPEND a fifth file — the refresh
+    computes a partial for ONLY that file (hard-asserted 1 of 5, the
+    O(new files) contract that replaces the nightly full
+    ``percentile_approx`` re-run) — then an eq-DELETE dirties the older
+    files and the refresh re-reads exactly the dirty set delete-aware.
+    The merged blob's row/non-null censuses and extreme knots are EXACT
+    (per-file knots are exact order statistics in exact mode; min/max
+    survive any merge), so the DuckDB oracle recomputes them from the
+    formulaic content; interior knots are approximate within the
+    documented Σ n_f/K rank bound and are consumed by the CBO, not
+    compared here."""
+    import tempfile
+
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_qref_"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "val", "type": "long", "required": False},
+        ],
+    )
+    for lo in range(0, 5000, 1250):
+        w.append(
+            [{"k": i, "val": (i * 13) % 3000} for i in range(lo, lo + 1250)]
+        )
+    rep = refresh_quantile_statistics(w, spark, ["val"])
+    assert rep["partials_computed"] == 4 and rep["dirty_files"] == 0, rep
+    w.append([{"k": i, "val": (i * 13) % 3000} for i in range(5000, 6000)])
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
+        f"refresh read more than the new file: {rep}"
+    )
+    assert rep["dirty_files"] == 0, rep
+    w.delete_rows_equality([{"k": i} for i in range(100)])
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    hist = IcebergTable(w.path).column_quantiles("val")
+    assert hist["merged"] is True
+    return spark.range(1).select(
+        F.lit(hist["rows"]).cast("long").alias("n_rows"),
+        F.lit(hist["nonnull"]).cast("long").alias("nn"),
+        F.lit(int(round(hist["bounds"][0]))).cast("long").alias("vmin"),
+        F.lit(int(round(hist["bounds"][-1]))).cast("long").alias("vmax"),
+    )
+
+
+@query(
     "iceberg_analyze_table",
     """
     WITH src AS (

@@ -307,6 +307,11 @@ AUDIT = {
     # quantile blob driver-side (zero data files hard-asserted in the
     # query) — a literal relation, zero exchanges
     "iceberg_percentile_groupby": (0, False, False, None),
+    # r12 mergeable quantile maintenance: the lifecycle (bootstrap,
+    # O(new files) append refresh, dirty-leg delete refresh) runs
+    # eagerly inside the operator (partials_computed hard-asserted
+    # there); the returned plan is a one-row literal — zero exchanges
+    "iceberg_quantile_refresh": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
