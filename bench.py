@@ -34,7 +34,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "asof_join",
-    "iceberg_lineitem_month_prune",
+    # (iceberg_lineitem_month_prune retired in r12: 0.20 s at sf0.1 —
+    # noise scale; the stdout line budget needed the room for
+    # iceberg_quantile_refresh.  It rotated into the r12 driver window,
+    # so its correctness evidence strictly improves.)
     # (iceberg_lineitem_stats_prune retired in r11 session 3: 0.11 s at
     # sf0.1 — noise scale; the stdout line budget needed the room for
     # iceberg_rollup_incremental.  Stays driver-window + oracle checked,

@@ -652,6 +652,249 @@ def refresh_quantile_statistics(
     }
 
 
+def refresh_grouped_quantile_statistics(
+    writer,
+    spark,
+    buckets: int = DEFAULT_BUCKETS,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> dict[str, Any] | None:
+    """Advance the GROUPED quantile blobs to the current snapshot —
+    incremental when the grouping is the table's identity partitioning
+    (r12): an identity-partitioned file belongs to exactly ONE group
+    tuple, so the per-file CDF partials the global refresh already
+    maintains ARE per-group partials, and the merge just groups them
+    by each file's partition value.  Clean files stay metadata-only;
+    new clean files take the shared raw grouped pass
+    (``write_file_quantile_partials``); delete-dirtied files take one
+    delete-aware restricted scan grouped by the group columns.
+
+    Opt-in shape: the latest grouped blob defines (group_cols, value
+    columns); None on tables that never wrote one.  When any group
+    column is NOT an identity partition source in every live file's
+    spec — or is a date (manifest partition encoding differs from the
+    blob's ISO keys) — the refresh degrades to the full
+    ``write_grouped_quantile_statistics`` re-run: never a wrong blob,
+    merely the old cost.  Returns ``{"mode", "files_total",
+    "partials_computed", "dirty_files", "groups"}``."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import read_blob, write_puffin
+    from daskberg_spark.iceberg.scan import to_df
+
+    # latest grouped-blob config (any snapshot: the statistics list is
+    # append-ordered, so the last entry is the most recent run)
+    group_cols: list[str] | None = None
+    columns: list[str] = []
+    t = IcebergTable(writer.path)
+    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_QUANTILE_BLOB_TYPE:
+                continue
+            col = fid_to_name.get((b.get("fields") or [None])[0])
+            if col is None:
+                continue
+            try:
+                payload = json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            gc = payload.get("group_cols")
+            if gc != group_cols:
+                group_cols, columns = gc, []
+            if col not in columns:
+                columns.append(col)
+    columns = [c for c in columns if writer.types.get(c) in _NUMERIC_TYPES]
+    if not group_cols or not columns:
+        return None
+
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    files, dirty = _dirty_split(t)
+
+    def identity_part_names(f) -> list[str] | None:
+        """Per-file spec field names for the group columns, or None
+        when any group col isn't identity-partitioned in this spec."""
+        sid = f.get("_spec_id", 0)
+        by_source = {
+            sf["source-id"]: sf
+            for sf in t._spec_fields(sid)
+            if sf.get("transform") == "identity"
+        }
+        names = []
+        for g in group_cols:
+            sf = by_source.get(t.fields[g].field_id)
+            if sf is None:
+                return None
+            names.append(sf["name"])
+        return names
+
+    incremental = all(
+        writer.types.get(g) in ("int", "long", "string", "boolean")
+        for g in group_cols
+    )
+    file_keys: dict[str, tuple] = {}
+    if incremental:
+        for f in files:
+            pnames = identity_part_names(f)
+            if pnames is None:
+                incremental = False
+                break
+            part = f.get("partition") or {}
+            file_keys[_norm(f["file_path"])] = tuple(
+                part.get(n) for n in pnames
+            )
+    if not incremental:
+        write_grouped_quantile_statistics(
+            writer,
+            spark,
+            group_cols,
+            columns,
+            buckets=buckets,
+            accuracy=accuracy,
+        )
+        return {
+            "mode": "full",
+            "files_total": len(files),
+            "partials_computed": len(files),
+            "dirty_files": len(dirty),
+            "groups": -1,
+        }
+
+    clean_norm = {
+        _norm(f["file_path"])
+        for f in files
+        if f["file_path"] not in dirty
+    }
+    maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+    missing = set()
+    for c in columns:
+        missing |= clean_norm - set(maps[c])
+    if missing:
+        write_file_quantile_partials(
+            writer,
+            spark,
+            columns,
+            file_subset=missing,
+            buckets=buckets,
+            accuracy=accuracy,
+        )
+        t = IcebergTable(writer.path)
+        maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+    # group the clean partials by each file's identity partition tuple
+    parts: dict[str, dict[tuple, list]] = {c: {} for c in columns}
+    for p in clean_norm:
+        key = file_keys[p]
+        for c in columns:
+            if p in maps[c]:
+                parts[c].setdefault(key, []).append(maps[c][p])
+    if dirty:
+        probs = [i / buckets for i in range(buckets + 1)]
+        ftypes = {n: i.type for n, i in t.fields.items()}
+        df = to_df(
+            t,
+            spark,
+            columns=sorted(set(group_cols) | set(columns)),
+            file_subset=sorted(dirty),
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in columns:
+            e2 = _numeric_expr(c, ftypes[c])
+            aggs.append(
+                F.percentile_approx(
+                    e2,
+                    F.array(*[F.lit(p) for p in probs]),
+                    F.lit(accuracy),
+                ).alias(f"q {c}")
+            )
+            aggs.append(F.count(e2).alias(f"n {c}"))
+        for r in df.groupBy(*group_cols).agg(*aggs).collect():
+            key = tuple(r[g] for g in group_cols)
+            for c in columns:
+                bounds = r[f"q {c}"]
+                parts[c].setdefault(key, []).append(
+                    [
+                        int(r["__rows"]),
+                        int(r[f"n {c}"]),
+                        [float(b) for b in bounds] if bounds else [],
+                    ]
+                )
+    blobs = []
+    seq = writer._last_sequence_number
+    n_groups = 0
+    for c in columns:
+        groups = []
+        for key, plist in sorted(
+            parts[c].items(),
+            key=lambda kv: tuple((v is None, v) for v in kv[0]),
+        ):
+            rows, nonnull, bounds = merge_cdf_parts(plist, buckets)
+            if rows == 0:
+                continue
+            groups.append(
+                {
+                    "key": [_encode_group_value(v) for v in key],
+                    "rows": rows,
+                    "nonnull": nonnull,
+                    "bounds": bounds,
+                }
+            )
+        n_groups = max(n_groups, len(groups))
+        payload = {
+            "group_cols": list(group_cols),
+            "buckets": buckets,
+            "groups": groups,
+            "merged": True,
+        }
+        blobs.append(
+            {
+                "type": GROUPED_QUANTILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"quantiles-grouped-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'mgquant{snapshot_id}{sorted(columns)}{group_cols}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    writer.statistics = [
+        e
+        for e in writer.statistics
+        if not (
+            e["snapshot-id"] == snapshot_id
+            and any(
+                b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return {
+        "mode": "incremental",
+        "files_total": len(files),
+        "partials_computed": len(missing),
+        "dirty_files": len(dirty),
+        "groups": n_groups,
+    }
+
+
 # group-key types a grouped blob can round-trip through JSON exactly
 _GROUP_KEY_TYPES = {"int", "long", "string", "boolean", "date"}
 

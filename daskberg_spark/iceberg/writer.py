@@ -6382,6 +6382,35 @@ def maintain(
             report["refresh_quantiles"] = q_cols
         else:
             report["refresh_quantiles"] = None
+        # grouped-histogram catch-up (r12): same opt-in/head gates; the
+        # refresh is incremental when the grouping is the identity
+        # partitioning (per-file partials ARE per-group partials) and a
+        # full grouped re-run otherwise — never a stale-silent blob
+        from daskberg_spark.iceberg.quantiles import (
+            GROUPED_QUANTILE_BLOB_TYPE,
+            refresh_grouped_quantile_statistics,
+        )
+
+        has_grouped = any(
+            b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+        )
+        g_head_covered = any(
+            e["snapshot-id"] == head_id
+            and any(
+                b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+            for e in writer.statistics
+        )
+        if has_grouped and not g_head_covered:
+            rep = refresh_grouped_quantile_statistics(writer, spark)
+            report["refresh_grouped_quantiles"] = (
+                rep or {}
+            ).get("mode")
+        else:
+            report["refresh_grouped_quantiles"] = None
         # per-file sum-blob catch-up: same opt-in shape as the Bloom
         # index (incremental — only files no blob covers yet; a no-op
         # None on tables that never ran write_sum_statistics)

@@ -660,3 +660,99 @@ def test_maintain_uses_incremental_quantile_refresh(spark, tmp_path):
     assert rep2["refresh_quantiles"] == ["v"]
     hist2 = IcebergTable(w2.path).column_quantiles("v")
     assert "merged" not in hist2 and hist2["rows"] == 200
+
+
+def test_refresh_grouped_quantiles_identity_partitioned(spark, tmp_path):
+    """Under identity partitioning a file belongs to one group, so the
+    grouped refresh reuses the per-file partials: an append refreshes
+    by reading ONLY the new files, and percentile_groupby keeps
+    serving metadata-only from the merged blob."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "gp"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+        [{"name": "seg", "transform": "identity", "source": "seg"}],
+    )
+    w.append(
+        [{"seg": "ab"[i % 2], "v": i} for i in range(400)]
+    )  # 2 files (one per partition)
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    # first refresh bootstraps the per-file partials (2 of 2)
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["mode"] == "incremental" and rep["partials_computed"] == 2
+    # append a third partition: refresh reads ONLY its file(s)
+    w.append([{"seg": "c", "v": 10_000 + i} for i in range(100)])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["mode"] == "incremental", rep
+    assert rep["partials_computed"] == 1, rep
+    assert rep["files_total"] == 3 and rep["groups"] == 3, rep
+    t = IcebergTable(w.path)
+    out = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["seg"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    got = {r.seg: r.p50 for r in out.collect()}
+    # per-group single-file exact-mode partials invert to the exact
+    # medians (each group is one file, knots are order statistics)
+    assert got["c"] == 10_049 or abs(got["c"] - 10_049) <= 2, got
+    # group a = evens 0..398 (median ~198), b = odds 1..399 (~199)
+    assert abs(got["a"] - 198) <= 7 and abs(got["b"] - 199) <= 7, got
+    # a delete dirties one partition: its group recomputes delete-aware
+    w.delete_rows_equality([{"v": 10_000 + i} for i in range(50)])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["mode"] == "incremental" and rep["dirty_files"] >= 1, rep
+    t = IcebergTable(w.path)
+    h = t.grouped_column_quantiles("v", ["seg"])
+    by_key = {tuple(g["key"]): g for g in h["groups"]}
+    assert by_key[("c",)]["rows"] == 50, by_key[("c",)]
+    assert by_key[("a",)]["rows"] == 200 and by_key[("b",)]["rows"] == 200
+
+
+def test_refresh_grouped_quantiles_degrades_to_full(spark, tmp_path):
+    """A grouping that is NOT the identity partitioning refreshes via
+    the full grouped re-run — correct blob, old cost, loudly reported."""
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = _table(tmp_path, [{"v": i, "k": i % 3} for i in range(150)])
+    write_grouped_quantile_statistics(w, spark, ["k"], ["v"])
+    w.append([{"v": 150 + i, "k": i % 3} for i in range(150)])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["mode"] == "full", rep
+    t = IcebergTable(w.path)
+    h = t.grouped_column_quantiles("v", ["k"])
+    assert sum(g["rows"] for g in h["groups"]) == 300
+    # never opted in: None
+    w2 = _table(tmp_path, [{"v": 1, "k": 1}], name="gnone")
+    assert refresh_grouped_quantile_statistics(w2, spark) is None
+
+
+def test_maintain_refreshes_grouped_quantiles(spark, tmp_path):
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import maintain
+
+    w = IcebergWriter(
+        str(tmp_path / "gm"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+        [{"name": "seg", "transform": "identity", "source": "seg"}],
+    )
+    w.append([{"seg": "ab"[i % 2], "v": i} for i in range(100)])
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    w.append([{"seg": "c", "v": i} for i in range(50)])
+    rep = maintain(w, spark, min_file_bytes=0)
+    assert rep["refresh_grouped_quantiles"] == "incremental", rep
+    rep2 = maintain(w, spark, min_file_bytes=0)
+    assert rep2["refresh_grouped_quantiles"] is None
