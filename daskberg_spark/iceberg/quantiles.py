@@ -423,6 +423,77 @@ def write_file_quantile_partials(
     return path
 
 
+# a refresh appends one partials entry per run; past this many the
+# refresh rewrites ONE consolidated entry restricted to live files —
+# bounding both the statistics list and the per-read blob scan at
+# O(live files) instead of O(all refreshes ever)
+FILE_BLOB_CONSOLIDATE_AFTER = 8
+
+
+def _consolidate_file_partials(writer, t, columns: list[str]) -> bool:
+    """Rewrite the accumulated ``daskberg-quantiles-files-v1`` entries
+    as ONE entry covering only LIVE files (later-entry-wins semantics
+    preserved by ``column_filecdfs`` doing the merge first).  Returns
+    True when a rewrite happened; the caller's final metadata write
+    persists it."""
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    entries = [
+        e
+        for e in writer.statistics
+        if any(
+            b.get("type") == FILE_QUANTILE_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+    ]
+    if len(entries) <= FILE_BLOB_CONSOLIDATE_AFTER:
+        return False
+    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    blobs = []
+    for c in columns:
+        m = column_filecdfs(t, c) or {}
+        payload = {
+            "buckets": DEFAULT_BUCKETS,
+            "files": {p: part for p, part in m.items() if p in live},
+        }
+        blobs.append(
+            {
+                "type": FILE_QUANTILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": writer._last_sequence_number,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    if not blobs:
+        return False
+    name = (
+        f"quantiles-files-consolidated-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'cfq{snapshot_id}{sorted(columns)}{len(entries)}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    drop = {id(e) for e in entries}
+    writer.statistics = [
+        e for e in writer.statistics if id(e) not in drop
+    ] + [
+        {
+            "snapshot-id": snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": size,
+            "file-footer-size-in-bytes": size
+            - 4
+            - sum(m["length"] for m in metas),
+            "blob-metadata": metas,
+        }
+    ]
+    return True
+
+
 def merge_cdf_parts(
     parts: list[tuple[int, int, list[float]]], buckets: int
 ) -> tuple[int, int, list[float]]:
@@ -563,6 +634,7 @@ def refresh_quantile_statistics(
         )
         t = IcebergTable(writer.path)
         maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+    _consolidate_file_partials(writer, t, columns)
     parts = {
         c: [maps[c][p] for p in clean_norm if p in maps[c]]
         for c in columns
@@ -783,6 +855,7 @@ def refresh_grouped_quantile_statistics(
         )
         t = IcebergTable(writer.path)
         maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+    _consolidate_file_partials(writer, t, columns)
     # group the clean partials by each file's identity partition tuple
     parts: dict[str, dict[tuple, list]] = {c: {} for c in columns}
     for p in clean_norm:

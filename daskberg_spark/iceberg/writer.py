@@ -5774,12 +5774,20 @@ def expire_snapshots(
         for s in survivors
     ]
     # statistics files of expired snapshots drop with them (spec rule);
-    # their puffin bytes become orphan-reclaimable.  EXCEPTION: bloom
-    # index entries (bloomindex.py) are keyed by DATA FILE, not by
-    # snapshot state — their blobs stay valid as long as the files live,
-    # so they reattach to the surviving head instead of dying with the
-    # snapshot that happened to create them (dead files' blobs are
-    # simply never probed).
+    # their puffin bytes become orphan-reclaimable.  EXCEPTION:
+    # RAW-FILE-CONTENT blobs — the bloom index (bloomindex.py), the
+    # per-file sum blobs (sumstats.py), and the per-file CDF partials
+    # (quantiles.py, r12) — are keyed by DATA FILE, not by snapshot
+    # state: they stay valid as long as the files live, so they
+    # reattach to the surviving head instead of dying with the snapshot
+    # that happened to create them (dead files' blobs are simply never
+    # probed; without the reattach, every expire would silently throw
+    # away coverage the next refresh then re-scans to rebuild).
+    raw_file_types = (
+        "daskberg-bloom-v1",
+        "daskberg-colsum-v1",
+        "daskberg-quantiles-files-v1",
+    )
     head_id = (
         writer.head_snapshot["snapshot-id"] if writer.snapshots else None
     )
@@ -5788,7 +5796,7 @@ def expire_snapshots(
         if e["snapshot-id"] not in expired_set:
             kept_stats.append(e)
         elif head_id is not None and any(
-            b.get("type") == "daskberg-bloom-v1"
+            b.get("type") in raw_file_types
             for b in e.get("blob-metadata", [])
         ):
             moved = dict(e)

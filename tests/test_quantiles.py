@@ -756,3 +756,60 @@ def test_maintain_refreshes_grouped_quantiles(spark, tmp_path):
     assert rep["refresh_grouped_quantiles"] == "incremental", rep
     rep2 = maintain(w, spark, min_file_bytes=0)
     assert rep2["refresh_grouped_quantiles"] is None
+
+
+def test_expire_reattaches_raw_file_blobs(spark, tmp_path):
+    """Raw-file-content blobs (per-file CDF partials, sum blobs) are
+    keyed by data file, not snapshot state: expire_snapshots reattaches
+    them to the surviving head — a refresh after expire computes ZERO
+    new partials instead of silently re-scanning the table."""
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import expire_snapshots
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(200)])
+    w.append([{"v": 200 + i, "k": i} for i in range(200)])
+    rep = refresh_quantile_statistics(w, spark, ["v"])
+    assert rep["partials_computed"] == 2
+    w.append([{"v": 400 + i, "k": i} for i in range(200)])
+    expire_snapshots(w, keep_last=1)
+    rep = refresh_quantile_statistics(w, spark)
+    # the two old files' partials survived the expire: only the new
+    # file is read
+    assert rep["partials_computed"] == 1, rep
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 600 and hist["bounds"][-1] == 599.0
+
+
+def test_file_partials_entries_consolidate(spark, tmp_path):
+    """Each refresh appends one partials entry; past the cap the next
+    refresh rewrites ONE consolidated entry restricted to live files,
+    so the statistics list stays O(live files), not O(refreshes)."""
+    from daskberg_spark.iceberg.quantiles import (
+        FILE_QUANTILE_BLOB_TYPE,
+        refresh_quantile_statistics,
+    )
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(50)])
+    refresh_quantile_statistics(w, spark, ["v"])
+    for r in range(10):
+        w.append([{"v": 50 + 10 * r + i, "k": i} for i in range(10)])
+        refresh_quantile_statistics(w, spark)
+
+    def n_entries():
+        return sum(
+            1
+            for e in w.statistics
+            if any(
+                b.get("type") == FILE_QUANTILE_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+
+    assert n_entries() <= 9, n_entries()
+    # coverage intact after consolidation: a refresh computes nothing
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["partials_computed"] == 0, rep
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 150 and hist["bounds"][-1] == 149.0
