@@ -330,10 +330,12 @@ def _load_registry():
 # r12 window (freshness rotation, r11 verdict item 8): every r11
 # window entry earned a green r11 row (CORRECTNESS_r11: 50/50), so the
 # 49 non-flagship slots turn over to:
-#   NEW r12 (2): iceberg_percentile_groupby (grouped percentile
+#   NEW r12 (3): iceberg_percentile_groupby (grouped percentile
 #       pushdown from the grouped quantile blob),
 #       iceberg_quantile_refresh (mergeable per-file-CDF maintenance
-#       lifecycle — O(new files) hard-asserted)
+#       lifecycle — O(new files) hard-asserted),
+#       streaming_quantile_sink (per-epoch histogram maintenance
+#       inside a stream — partials == epoch file delta hard-asserted)
 #   r12-TOUCHED code paths (9, pinned in-window): the join-rollup dim
 #       IVM rewired refresh_rollup (join_rollup — its lifecycle now
 #       includes an SCD dim update — rollup_incremental,
@@ -358,6 +360,7 @@ _PRIORITY = [
     # NEW r12
     "iceberg_percentile_groupby",
     "iceberg_quantile_refresh",
+    "streaming_quantile_sink",
     # r12-touched code paths
     "iceberg_join_rollup",
     "iceberg_rollup_incremental",
@@ -400,8 +403,8 @@ _PRIORITY = [
     "streaming_hourly_window",
     "streaming_stateful_sessions",
     "token_count_bpe",
-    # oldest driver evidence (r6, alphabetical first 9; q10 and the
-    # rest of r6 rotate in r13)
+    # oldest driver evidence (r6, alphabetical first 8; the rest of r6
+    # rotates in r13)
     "approx_distinct_hll",
     "approx_topk_countmin",
     "dedup_connected_components",
@@ -410,7 +413,6 @@ _PRIORITY = [
     "iceberg_merge_cow",
     "iceberg_spec_evolution_prune",
     "multimodal_metadata",
-    "pipeline_quality_filter",
 ]
 
 

@@ -250,11 +250,89 @@ def column_filesums(table, name: str) -> dict[str, tuple[int | None, int]] | Non
     return merged if found else None
 
 
+# a refresh appends one colsum entry per run; past this many the next
+# refresh rewrites ONE consolidated entry restricted to live files —
+# bounding the statistics list and the per-probe blob scan at O(live
+# files) instead of O(all refreshes ever) (r12, mirroring the quantile
+# partials' consolidation)
+SUM_BLOB_CONSOLIDATE_AFTER = 8
+
+
+def consolidate_sum_statistics(writer, t, cols: list[str]) -> bool:
+    """Rewrite the accumulated colsum entries as ONE entry covering
+    only LIVE files (``column_filesums`` applies later-entry-wins
+    before the rewrite).  Returns True when a rewrite happened; the
+    caller (or the next metadata commit) persists it."""
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    entries = [
+        e
+        for e in writer.statistics
+        if any(
+            b.get("type") == SUM_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+    ]
+    if len(entries) <= SUM_BLOB_CONSOLIDATE_AFTER:
+        return False
+    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    types = dict(writer.types)
+    blobs = []
+    for c in cols:
+        m = column_filesums(t, c) or {}
+        files = {
+            p: [None if s is None else str(s), n]
+            for p, (s, n) in m.items()
+            if p in live
+        }
+        payload = {"scale": type_scale(types[c]), "files": files}
+        blobs.append(
+            {
+                "type": SUM_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": writer._last_sequence_number,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    if not blobs:
+        return False
+    name = (
+        f"colsums-consolidated-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'ccs{snapshot_id}{sorted(cols)}{len(entries)}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = os.path.getsize(path)
+    drop = {id(e) for e in entries}
+    writer.statistics = [
+        e for e in writer.statistics if id(e) not in drop
+    ] + [
+        {
+            "snapshot-id": snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": size,
+            "file-footer-size-in-bytes": size
+            - 4
+            - sum(m["length"] for m in metas),
+            "blob-metadata": metas,
+        }
+    ]
+    writer.version += 1
+    writer._write_metadata()
+    return True
+
+
 def refresh_sum_statistics(writer, spark) -> str | None:
     """Incremental catch-up: index only the LIVE planned files not yet
     covered by any colsum blob, per already-indexed column.  A no-op
     (None) on tables that never ran ``write_sum_statistics`` — the
-    ``maintain()`` opt-in shape shared with the Bloom index."""
+    ``maintain()`` opt-in shape shared with the Bloom index.  Past
+    ``SUM_BLOB_CONSOLIDATE_AFTER`` accumulated entries the refresh
+    first rewrites one consolidated live-files entry."""
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     cols = sorted(
@@ -271,6 +349,7 @@ def refresh_sum_statistics(writer, spark) -> str | None:
     if not cols:
         return None
     t = IcebergTable(writer.path)
+    consolidate_sum_statistics(writer, t, cols)
     live = {_norm(f["file_path"]) for f in t.plan_files(None)}
     subset: dict[str, set] = {}
     for c in cols:

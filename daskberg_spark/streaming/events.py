@@ -1230,6 +1230,95 @@ def streaming_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_quantile_sink",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(event_id) AS BIGINT) AS nn,
+           CAST(MIN(event_id) AS BIGINT) AS vmin,
+           CAST(MAX(event_id) AS BIGINT) AS vmax
+    FROM events
+    """,
+)
+def streaming_quantile_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with continuously-fresh quantile statistics
+    (r12 composition: ``iceberg_epoch_sink`` × the mergeable per-file
+    CDF partials): four micro-batches commit exactly-once into an
+    Iceberg table, and ``refresh_quantile_statistics`` advances the
+    histogram INSIDE the stream — every post-bootstrap epoch computes
+    partials for ONLY that epoch's committed files (hard-asserted ==
+    the epoch's file-count delta), never rescanning the table.  The
+    CBO's range selectivity is thus never more than one micro-batch
+    stale at O(epoch) maintenance cost.  The merged blob's censuses
+    and extreme knots are exact, so the batch oracle must reproduce
+    them."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"daskberg_stream_split_{tag}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "event_type")
+            .repartition(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(split_dir)
+        )
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    sink_path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_qsink_{uuid.uuid4().hex[:8]}"
+    )
+    writer = IcebergWriter(
+        sink_path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+        ],
+    )
+    epoch_sink = iceberg_epoch_sink(writer)
+    state: dict = {"reps": [], "files": []}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_sink(batch_df, epoch_id)
+        rep = refresh_quantile_statistics(
+            writer, spark, ["event_id"] if not state["reps"] else None
+        )
+        state["reps"].append(rep)
+        state["files"].append(rep["files_total"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(state["reps"]) == 4, state
+    for i, rep in enumerate(state["reps"]):
+        delta = state["files"][i] - (state["files"][i - 1] if i else 0)
+        assert rep["partials_computed"] == delta and rep["dirty_files"] == 0, (
+            i,
+            rep,
+        )
+    hist = IcebergTable(sink_path).column_quantiles("event_id")
+    assert hist["merged"] is True
+    return spark.range(1).select(
+        F.lit(hist["rows"]).cast("long").alias("n_rows"),
+        F.lit(hist["nonnull"]).cast("long").alias("nn"),
+        F.lit(int(round(hist["bounds"][0]))).cast("long").alias("vmin"),
+        F.lit(int(round(hist["bounds"][-1]))).cast("long").alias("vmax"),
+    )
+
+
 # oracles need the sketch constants; register after the function bodies so
 # the import graph stays acyclic
 from daskberg_spark.operators.registry import ORACLES as _ORACLES

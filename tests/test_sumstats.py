@@ -345,3 +345,47 @@ def test_sum_randomized_differential(spark, tmp_path):
             f"sum(id) s_i FROM $T{where}",
         )
         assert (out.s_v, out.s_d, out.s_i) == (truth.s_v, truth.s_d, truth.s_i)
+
+
+def test_colsum_entries_consolidate(spark, tmp_path):
+    """Each refresh appends a colsum entry; past the cap the refresh
+    rewrites ONE consolidated live-files entry — the statistics list
+    stays O(live files), and the SUM pushdown's answers are unchanged
+    (still zero data files on clean tables)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.sumstats import (
+        SUM_BLOB_TYPE,
+        refresh_sum_statistics,
+        write_sum_statistics,
+    )
+
+    w = _writer(tmp_path / "cs")
+    w.append(_rows(0, 40))
+    write_sum_statistics(w, spark, ["v", "d"])
+    for r in range(10):
+        w.append(_rows(40 + 20 * r, 60 + 20 * r))
+        refresh_sum_statistics(w, spark)
+
+    def n_entries():
+        return sum(
+            1
+            for e in w.statistics
+            if any(
+                b.get("type") == SUM_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+
+    assert n_entries() <= 9, n_entries()
+    t = IcebergTable(w.path)
+    out = t.agg_pushdown(
+        spark, [("sum", "v", "s"), ("count", "v", "n")]
+    ).first()
+    assert t.last_agg_pushdown["files_scanned"] == 0
+    truth = _truth(
+        t, spark, "SELECT cast(sum(v) as long) s, count(v) n FROM $T"
+    )[0]
+    assert (out.s, out.n) == (truth.s, truth.n)
+    # a further refresh after consolidation indexes nothing
+    assert refresh_sum_statistics(w, spark) is None

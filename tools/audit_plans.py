@@ -312,6 +312,10 @@ AUDIT = {
     # eagerly inside the operator (partials_computed hard-asserted
     # there); the returned plan is a one-row literal — zero exchanges
     "iceberg_quantile_refresh": (0, False, False, None),
+    # r12 streaming quantile maintenance: the stream runs eagerly
+    # inside the operator (per-epoch partials hard-asserted there);
+    # the returned plan is a one-row literal — zero exchanges
+    "streaming_quantile_sink": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
