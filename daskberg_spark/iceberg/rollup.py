@@ -777,7 +777,13 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
     dim_delta = None
     dim_keys: list | None = None
     if dim_moved and steps is not None:
-        dim_steps = _steps_back(dim_table, int(props[PROP_DIM_SNAPSHOT]))
+        # a missing/garbled dim watermark walks to "not an ancestor"
+        # and rebuilds — never a KeyError on a foreign-written rollup
+        try:
+            dim_base = int(props.get(PROP_DIM_SNAPSHOT, -1))
+        except (TypeError, ValueError):
+            dim_base = -1
+        dim_steps = _steps_back(dim_table, dim_base)
         if dim_steps is None or dim_steps == 0:
             steps = None  # rollback (or same-id mismatch): rebuild
         else:
