@@ -499,7 +499,9 @@ def merge_cdf_parts(
 ) -> tuple[int, int, list[float]]:
     """Combine per-part compressed CDFs into global ``buckets+1``
     equi-depth boundaries — EXACT over the piecewise-linear model, so
-    total rank error ≤ Σ nonnull_p / K_p.
+    total rank error ≤ Σ nonnull_p / K_p (up to 2× that under heavy
+    duplicate values, where the per-part knot placement itself
+    quantizes by a bucket — the property test pins the 2× envelope).
 
     Each part ``(rows, nonnull, bounds)`` contributes a
     piecewise-linear rank function (equi-depth knots: ``bounds[i]`` has

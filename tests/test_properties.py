@@ -789,3 +789,61 @@ def test_projected_avro_decode_matches_full(rows, proj):
 
     _, got, _ = read_avro_range(p, 0, 2**62, columns=proj)
     assert got == [{k: r[k] for k in r if k in proj} for r in full]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([4, 8, 16]),
+    st.sampled_from([8, 16, 32]),
+)
+@settings(max_examples=60, deadline=None)
+def test_merge_cdf_parts_rank_error_bound(shards, part_k, out_buckets):
+    """The documented bound: merging per-shard exact equi-depth CDFs
+    recovers every global equi-depth boundary within ~Σ n_s/K_s ranks
+    of the true order statistic — up to 2× that under heavy duplicate
+    values, where the per-shard knot PLACEMENT itself quantizes by a
+    bucket (the docstring's stated caveat) — for arbitrary value
+    distributions, shard sizes, and bucket resolutions."""
+    import bisect
+
+    from daskberg_spark.iceberg.quantiles import merge_cdf_parts
+
+    parts = []
+    allv = []
+    for vals in shards:
+        vals = sorted(vals)
+        allv += vals
+        n = len(vals)
+        # exact equi-depth knots of this shard (order statistics)
+        bounds = [
+            float(vals[min(n - 1, round(i / part_k * (n - 1)))])
+            for i in range(part_k + 1)
+        ]
+        parts.append((n, n, bounds))
+    rows, nn, merged = merge_cdf_parts(parts, out_buckets)
+    allv.sort()
+    total = len(allv)
+    assert rows == nn == total
+    assert merged == sorted(merged)
+    assert merged[0] == allv[0] and merged[-1] == allv[-1]
+    tol = 2 * sum(len(vals) / part_k for vals in shards) + 1e-6
+    for j, b in enumerate(merged):
+        target = j / out_buckets * total
+        lo = bisect.bisect_left(allv, b)   # ranks spanned by value b
+        hi = bisect.bisect_right(allv, b)
+        # the target rank must fall within tol of b's rank interval
+        assert lo - tol <= target <= hi + tol, (
+            j,
+            b,
+            target,
+            (lo, hi),
+            tol,
+        )
