@@ -671,16 +671,90 @@ def token_prune_files(
     ]
 
 
+# an incremental refresh appends one entry per run; past this many the
+# refresh rewrites ONE consolidated live-files entry per flavor —
+# bounding the statistics list and the probe's footer walk at O(live
+# files) instead of O(all refreshes ever) (r12, mirroring the colsum /
+# quantile-partials consolidation)
+BLOOM_CONSOLIDATE_AFTER = 8
+
+
+def consolidate_file_blooms(writer, t) -> bool:
+    """Repack the accumulated bloom entries (both flavors) into ONE
+    statistics entry holding only LIVE files' blobs, later-entry-wins
+    already applied by ``_BloomProbe``'s footer resolution.  Blob BYTES
+    are copied verbatim — the filters describe immutable files, so no
+    rebuild or rehash happens.  Returns True when a rewrite happened
+    (metadata committed here)."""
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    flavors = (BLOOM_BLOB_TYPE, TOKEN_BLOOM_BLOB_TYPE)
+    entries = [
+        e
+        for e in writer.statistics
+        if any(
+            b.get("type") in flavors for b in e.get("blob-metadata", [])
+        )
+    ]
+    if len(entries) <= BLOOM_CONSOLIDATE_AFTER:
+        return False
+    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    blobs = []
+    for blob_type in flavors:
+        probe = _BloomProbe(t, blob_type)
+        for key, (_stats_path, meta) in sorted(probe.blob_map.items()):
+            if key[0] not in live:
+                continue
+            data = probe._load(key)
+            if data is None:
+                # unreadable bytes: drop the blob — the probe treats a
+                # missing blob as "cannot prune", never a wrong answer
+                continue
+            blobs.append(
+                {
+                    "type": meta["type"],
+                    "fields": list(meta.get("fields") or []),
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": meta.get(
+                        "sequence-number", writer._last_sequence_number
+                    ),
+                    "properties": dict(meta.get("properties") or {}),
+                    "data": data,
+                }
+            )
+    if not blobs:
+        return False
+    name = (
+        f"blooms-consolidated-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'cbl{snapshot_id}{len(entries)}{len(blobs)}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    drop = {id(e) for e in entries}
+    writer.statistics = [
+        e for e in writer.statistics if id(e) not in drop
+    ] + [_stats_entry(path, metas, snapshot_id)]
+    writer.version += 1
+    writer._write_metadata()
+    return True
+
+
 def refresh_file_blooms(writer, spark) -> str | None:
     """Incremental index catch-up: build blobs ONLY for live files that
     lack one for an already-indexed column — the post-compaction /
     post-append maintenance step (``maintain`` runs it when a Spark
     session is given).  Indexed columns and their (m_bits, seeds) come
     from the existing blobs; returns the new statistics file path, or
-    None when the table has no bloom index or nothing is missing."""
+    None when the table has no bloom index or nothing is missing.
+    Past ``BLOOM_CONSOLIDATE_AFTER`` accumulated entries the refresh
+    first repacks one consolidated live-files entry."""
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     t = IcebergTable(writer.path)
+    if consolidate_file_blooms(writer, t):
+        t = IcebergTable(writer.path)
     id_to_name = {f.field_id: n for n, f in t.fields.items()}
     live = None
     out = None

@@ -605,3 +605,54 @@ def test_token_sharded_build_identical(spark, monkeypatch):
     assert t.last_scan["files_scanned"] == 1
     assert t.to_df(spark, token_filters=[("text", "nothere")]).count() == 0
     assert t.last_scan["files_scanned"] == 0
+
+
+def test_bloom_entries_consolidate(spark, tmp_path):
+    """Each incremental refresh appends a bloom entry; past the cap the
+    refresh repacks ONE consolidated live-files entry per flavor (bytes
+    copied verbatim) and pruning answers are unchanged."""
+    from daskberg_spark.iceberg.bloomindex import (
+        BLOOM_BLOB_TYPE,
+        TOKEN_BLOOM_BLOB_TYPE,
+        refresh_file_blooms,
+        write_file_blooms,
+        write_token_blooms,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "bc"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "txt", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": i, "txt": f"alpha w{i}"} for i in range(20)])
+    write_file_blooms(w, spark, ["k"])
+    write_token_blooms(w, spark, ["txt"])
+    for r in range(10):
+        w.append(
+            [{"k": 1000 * (r + 1) + i, "txt": f"beta w{r}"} for i in range(10)]
+        )
+        refresh_file_blooms(w, spark)
+
+    flavors = (BLOOM_BLOB_TYPE, TOKEN_BLOOM_BLOB_TYPE)
+    n = sum(
+        1
+        for e in w.statistics
+        if any(b.get("type") in flavors for b in e.get("blob-metadata", []))
+    )
+    assert n <= 9, n
+    t = IcebergTable(w.path)
+    # value-bloom point lookup still prunes to the one holding file
+    files = t.plan_files([("k", "==", 3005)])
+    assert len(files) == 1, len(files)
+    # token search still prunes: 'alpha' lives only in the first file
+    import daskberg_spark.iceberg.scan  # noqa: F401
+
+    df = t.to_df(spark, token_filters=[("txt", "alpha")])
+    assert t.last_scan["files_scanned"] == 1, t.last_scan
+    assert df.count() == 20
+    # a further refresh after consolidation indexes nothing new
+    assert refresh_file_blooms(w, spark) is None
