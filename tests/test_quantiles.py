@@ -813,3 +813,31 @@ def test_file_partials_entries_consolidate(spark, tmp_path):
     assert rep["partials_computed"] == 0, rep
     hist = IcebergTable(w.path).column_quantiles("v")
     assert hist["rows"] == 150 and hist["bounds"][-1] == 149.0
+
+
+def test_consolidated_partials_survive_orphan_sweep(spark, tmp_path):
+    """Consolidation supersedes old partials puffins; the orphan sweep
+    reclaims them from disk, and coverage (the consolidated entry)
+    still answers — the full blob-lifecycle composition."""
+    import os
+
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import remove_orphan_files
+
+    w = _table(tmp_path, [{"v": i, "k": i} for i in range(50)])
+    refresh_quantile_statistics(w, spark, ["v"])
+    for r in range(10):
+        w.append([{"v": 50 + 10 * r + i, "k": i} for i in range(10)])
+        refresh_quantile_statistics(w, spark)
+    removed = remove_orphan_files(w.path)
+    assert any(p.endswith(".puffin") for p in removed), removed
+    # every still-referenced statistics file exists and coverage holds
+    t = IcebergTable(w.path)
+    for e in t.table_statistics():
+        assert os.path.exists(e["statistics-path"]), e["statistics-path"]
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["partials_computed"] == 0, rep
+    hist = IcebergTable(w.path).column_quantiles("v")
+    assert hist["rows"] == 150 and hist["bounds"][-1] == 149.0
