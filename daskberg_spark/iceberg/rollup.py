@@ -939,10 +939,14 @@ def agg_via_rollup(
     filter, its group columns are a SUPERSET of ``group_by`` (rollup
     re-aggregation: COUNT(*) = SUM(n), COUNT(col) = SUM(nn_col),
     SUM(col) = SUM(sum_col) — all additive), and it carries every
-    requested sum/count column.  Cost is O(rollup groups), zero source
-    IO; the source's scan counters record a zero-file scan like the
-    metadata pushdown does.  Returns None when no registered rollup
-    qualifies — the caller falls back to ``agg_pushdown`` or the scan.
+    requested sum/count column.  When SEVERAL rollups qualify the
+    SMALLEST (fewest group rows by manifest record counts — zero IO)
+    answers: a coarser rollup re-aggregates less, and registration
+    order must not decide cost (r12).  Cost is O(chosen rollup's
+    groups), zero source IO; the source's scan counters record a
+    zero-file scan like the metadata pushdown does.  Returns None when
+    no registered rollup qualifies — the caller falls back to
+    ``agg_pushdown`` or the scan.
 
     ``filters`` referencing ONLY group columns qualify too — selecting
     whole groups is a row filter on the rollup itself (stats-pruned +
@@ -979,7 +983,11 @@ def agg_via_rollup(
         (source.metadata.get("properties") or {}).get(PROP_REGISTRY, "[]")
     )
     cur = source.current_snapshot["snapshot-id"]
-    for path in reg:
+    # among QUALIFYING rollups, answer from the one with the fewest
+    # group rows (manifest record counts — zero IO): a coarser rollup
+    # re-aggregates less.  Registration order must not decide cost.
+    candidates: list[tuple[int, int, Any, list]] = []
+    for order, path in enumerate(reg):
         try:
             rt = IcebergTable(path)
         except Exception:
@@ -1002,6 +1010,11 @@ def agg_via_rollup(
         need_mm = {c for fn, c, _ in aggs if fn in ("min", "max")}
         if not (need_sum <= sums and need_mm <= mms):
             continue
+        size = sum(
+            int(f.get("record_count") or 0) for f in rt.plan_files(None)
+        )
+        candidates.append((size, order, rt, groups))
+    for _size, _order, rt, groups in sorted(candidates, key=lambda c: c[:2]):
         exprs = []
         need_cols = set(group_by)
         for fn, col, alias in aggs:
@@ -1031,6 +1044,6 @@ def agg_via_rollup(
         )
         out = rdf.groupBy(*group_by).agg(*exprs)
         _record_zero_scan(source, filters)
-        source.last_agg_rollup = {"rollup": path, "groups_over": groups}
+        source.last_agg_rollup = {"rollup": rt.url, "groups_over": groups}
         return out
     return None

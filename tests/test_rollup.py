@@ -1026,3 +1026,66 @@ def test_rollup_rollback_falls_back_to_full(spark, tmp_path):
     rep = refresh_rollup(spark, rw)
     assert rep["mode"] == "full"
     assert _state(spark, rw.path) == _recompute(spark, w.path)
+
+
+def test_router_prefers_smallest_qualifying_rollup(spark, tmp_path):
+    """With a fine (grp, k) rollup registered BEFORE a coarse (grp)
+    one, a GROUP BY grp battery answers from the coarse (smaller)
+    rollup — registration order must not decide re-aggregation cost."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.rollup import agg_via_rollup, create_rollup
+
+    w = _source(tmp_path / "src")
+    w.append(
+        [
+            {"id": i, "grp": "abc"[i % 3], "v": i % 7}
+            for i in range(300)
+        ]
+    )
+    src = IcebergTable(w.path)
+    # fine rollup first: (grp, v) — up to 21 groups
+    create_rollup(
+        spark, src, str(tmp_path / "fine"), ["grp", "v"], ["id"],
+        source_writer=w,
+    )
+    # coarse rollup second: (grp) — 3 groups
+    src = IcebergTable(w.path)
+    create_rollup(
+        spark, src, str(tmp_path / "coarse"), ["grp"], ["id"],
+        source_writer=w,
+    )
+    src = IcebergTable(w.path)
+    out = agg_via_rollup(
+        src,
+        spark,
+        [("count", "*", "n"), ("sum", "id", "s")],
+        group_by=["grp"],
+    )
+    assert out is not None
+    assert src.last_agg_rollup["rollup"].endswith("coarse"), (
+        src.last_agg_rollup
+    )
+    truth = sorted(
+        map(
+            tuple,
+            src.to_df(spark)
+            .groupBy("grp")
+            .agg(
+                __import__("pyspark.sql.functions", fromlist=["x"])
+                .count("*")
+                .alias("n"),
+                __import__("pyspark.sql.functions", fromlist=["x"])
+                .sum("id")
+                .cast("decimal(38,0)")
+                .alias("s"),
+            )
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == truth
+    # a (grp, v) battery can only use the FINE rollup
+    out2 = agg_via_rollup(
+        src, spark, [("count", "*", "n")], group_by=["grp", "v"]
+    )
+    assert out2 is not None
+    assert src.last_agg_rollup["rollup"].endswith("fine")
