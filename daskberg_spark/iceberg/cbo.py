@@ -113,11 +113,17 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
             if ndv:
                 sel *= 1.0 / ndv
         elif op in ("<", "<=", ">", ">=", "between"):
-            # quantile histogram first (quantiles.py — the measured
-            # CDF), the System R 1/3 only when no histogram covers the
-            # column: `ts >= now()-1d` on a year of data is ~0.3%
+            # selectivity ladder for ranges: a GROUPED histogram keyed
+            # on a co-occurring equality column measures the CONDITIONAL
+            # P(range | group) — no independence assumption at all —
+            # then the global histogram's marginal CDF, then System R's
+            # 1/3: `ts >= now()-1d` on a year of data is ~0.3%
             # selective, and 1/3 would mis-rank every join behind it
-            s = _quantile_selectivity(table, col, op, _v)
+            s = _grouped_quantile_selectivity(
+                table, col, op, _v, _conjuncts(filters)
+            )
+            if s is None:
+                s = _quantile_selectivity(table, col, op, _v)
             sel *= s if s is not None else (1.0 / 3.0)
     if sel == 1.0:
         return planned  # nothing to refine: skip the unfiltered re-plan
@@ -179,6 +185,55 @@ def _quantile_selectivity(
         return range_selectivity(hist, op, v)
     except Exception:
         return None
+
+
+def _grouped_quantile_selectivity(
+    table: IcebergTable,
+    col: str,
+    op: str,
+    value: Any,
+    conjuncts: list[tuple[str, str, Any]],
+) -> float | None:
+    """CONDITIONAL range selectivity from a grouped histogram (r12):
+    when the same conjunction pins a group column with an equality
+    (``g == gv``) and a fresh ``daskberg-quantiles-grouped-v1`` blob
+    keys ``col`` on ``[g]``, the matching group's own CDF measures
+    ``P(col <op> v | g = gv)`` — which composes with the equality
+    clause's own P(g = gv) multiplicatively WITHOUT the independence
+    assumption the marginal histogram needs.  None when no grouped
+    blob applies (caller falls to the marginal CDF, then 1/3)."""
+    if op == "between":
+        return None
+    try:
+        from daskberg_spark.iceberg.quantiles import (
+            _encode_group_value,
+            range_selectivity,
+            value_to_number,
+        )
+        from daskberg_spark.iceberg.planner import normalize_value
+
+        v = value_to_number(value, table.fields[col].type)
+        if v is None:
+            return None
+        for g, gop, gv in conjuncts:
+            if gop not in ("==", "=") or g == col or g not in table.fields:
+                continue
+            hist = table.grouped_column_quantiles(col, [g])
+            if hist is None:
+                continue
+            key = _encode_group_value(
+                normalize_value(gv, table.fields[g].type)
+            )
+            for grp in hist.get("groups", []):
+                if (grp.get("key") or [None])[0] == key:
+                    return range_selectivity(grp, op, v)
+            # the pinned group does not exist at this snapshot: the
+            # conjunction provably matches nothing beyond what the
+            # equality clause already scores — contribute 0
+            return 0.0
+    except Exception:
+        return None
+    return None
 
 
 def plan_star_join(

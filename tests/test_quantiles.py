@@ -841,3 +841,51 @@ def test_consolidated_partials_survive_orphan_sweep(spark, tmp_path):
     assert rep["partials_computed"] == 0, rep
     hist = IcebergTable(w.path).column_quantiles("v")
     assert hist["rows"] == 150 and hist["bounds"][-1] == 149.0
+
+
+def test_grouped_histogram_conditional_selectivity(spark, tmp_path):
+    """With per-group value ranges DISJOINT (group 'a' in [0,1000),
+    'b' in [10k,20k)), the marginal histogram scores `g='a' AND
+    v >= 10000` at ~NDV×50%, while the grouped blob measures the
+    CONDITIONAL P(v >= 10000 | g='a') = 0 — no independence
+    assumption."""
+    from daskberg_spark.iceberg.cbo import estimated_rows
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "cg"),
+        [
+            {"id": 1, "name": "g", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    w.append(
+        [{"g": "a", "v": i} for i in range(1000)]
+        + [{"g": "b", "v": 10_000 + 10 * i} for i in range(1000)]
+    )
+    write_table_statistics(w, spark)  # NDVs for the equality clause
+    write_quantile_statistics(w, spark, ["v"])  # marginal CDF
+    t = IcebergTable(w.path)
+    marginal = estimated_rows(t, [("g", "==", "a"), ("v", ">=", 10_000)])
+    # marginal model: 1/2 (NDV) × ~1/2 (global CDF) ≈ 500 rows — wrong
+    assert marginal > 100, marginal
+    write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    t = IcebergTable(w.path)
+    conditional = estimated_rows(
+        t, [("g", "==", "a"), ("v", ">=", 10_000)]
+    )
+    assert conditional <= 2.0, conditional  # floored at 1 row
+    # and the matching side stays sane: all of 'b' passes the range
+    est_b = estimated_rows(t, [("g", "==", "b"), ("v", ">=", 10_000)])
+    assert 800 <= est_b <= 1200, est_b
+    # a pinned group that does not exist: provably ~nothing
+    est_missing = estimated_rows(
+        t, [("g", "==", "zzz"), ("v", ">=", 0)]
+    )
+    assert est_missing <= marginal, est_missing
