@@ -330,12 +330,15 @@ def _load_registry():
 # r12 window (freshness rotation, r11 verdict item 8): every r11
 # window entry earned a green r11 row (CORRECTNESS_r11: 50/50), so the
 # 49 non-flagship slots turn over to:
-#   NEW r12 (3): iceberg_percentile_groupby (grouped percentile
+#   NEW r12 (4): iceberg_percentile_groupby (grouped percentile
 #       pushdown from the grouped quantile blob),
 #       iceberg_quantile_refresh (mergeable per-file-CDF maintenance
 #       lifecycle — O(new files) hard-asserted),
 #       streaming_quantile_sink (per-epoch histogram maintenance
-#       inside a stream — partials == epoch file delta hard-asserted)
+#       inside a stream — partials == epoch file delta hard-asserted),
+#       iceberg_cbo_conditional (correlation-aware star ordering from
+#       grouped histograms — the join-order flip the independence
+#       model provably cannot make)
 #   r12-TOUCHED code paths (9, pinned in-window): the join-rollup dim
 #       IVM rewired refresh_rollup (join_rollup — its lifecycle now
 #       includes an SCD dim update — rollup_incremental,
@@ -361,6 +364,7 @@ _PRIORITY = [
     "iceberg_percentile_groupby",
     "iceberg_quantile_refresh",
     "streaming_quantile_sink",
+    "iceberg_cbo_conditional",
     # r12-touched code paths
     "iceberg_join_rollup",
     "iceberg_rollup_incremental",
@@ -403,7 +407,7 @@ _PRIORITY = [
     "streaming_hourly_window",
     "streaming_stateful_sessions",
     "token_count_bpe",
-    # oldest driver evidence (r6, alphabetical first 8; the rest of r6
+    # oldest driver evidence (r6, alphabetical first 7; the rest of r6
     # rotates in r13)
     "approx_distinct_hll",
     "approx_topk_countmin",
@@ -412,7 +416,6 @@ _PRIORITY = [
     "fingerprint_rolling",
     "iceberg_merge_cow",
     "iceberg_spec_evolution_prune",
-    "multimodal_metadata",
 ]
 
 

@@ -2010,6 +2010,92 @@ def ensure_documents_token_iceberg(spark, sf_dir: str) -> str:
     return base
 
 
+def ensure_cbo_conditional_fixture(spark) -> dict[str, str]:
+    """Correlated-dim CBO fixture (r12): dima's ``seg`` PERFECTLY
+    predicts its ``av`` band (s0 ⇒ av<1000, s1 ⇒ av≥1000), so the
+    independence model scores ``seg='s1' AND av>=990`` at
+    1/2 × ~0.505 ≈ 0.25 while the truth is 0.5 — mis-ordering the
+    star — and only the grouped histogram's conditional
+    P(av≥990 | s1) = 1.0 recovers it.  Content is formulaic for the
+    DuckDB oracle.  Carries theta NDVs, marginal quantile blobs, and
+    the grouped (seg → av) blob."""
+    root = os.path.join(os.path.dirname(FIXTURE_DIR), "cbo_cond")
+    paths = {
+        "fact": os.path.join(root, "fact"),
+        "dima": os.path.join(root, "dima"),
+        "dimb": os.path.join(root, "dimb"),
+    }
+    if all(
+        os.path.exists(os.path.join(p, "metadata", "version-hint.text"))
+        for p in paths.values()
+    ):
+        return paths
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+        write_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    fact = IcebergWriter(
+        paths["fact"],
+        [
+            {"id": 1, "name": "fk_a", "type": "long", "required": False},
+            {"id": 2, "name": "fk_b", "type": "long", "required": False},
+            {"id": 3, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    fact.append(
+        [
+            {
+                "fk_a": (i * 7) % 2000,
+                "fk_b": (i * 11) % 1000,
+                "amount": (i % 89) * 0.5,
+            }
+            for i in range(6000)
+        ]
+    )
+    dima = IcebergWriter(
+        paths["dima"],
+        [
+            {"id": 1, "name": "aid", "type": "long", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+            {"id": 3, "name": "av", "type": "long", "required": False},
+            {"id": 4, "name": "aname", "type": "string", "required": False},
+        ],
+    )
+    dima.append(
+        [
+            {
+                "aid": i,
+                "seg": "s0" if i < 1000 else "s1",
+                "av": i,
+                "aname": f"a{i % 5}",
+            }
+            for i in range(2000)
+        ]
+    )
+    dimb = IcebergWriter(
+        paths["dimb"],
+        [
+            {"id": 1, "name": "bid", "type": "long", "required": False},
+            {"id": 2, "name": "bv", "type": "long", "required": False},
+            {"id": 3, "name": "bname", "type": "string", "required": False},
+        ],
+    )
+    dimb.append(
+        [{"bid": i, "bv": i, "bname": f"b{i % 5}"} for i in range(1000)]
+    )
+    for w in (fact, dima, dimb):
+        write_table_statistics(w, spark)
+    write_quantile_statistics(dima, spark, ["av"])
+    write_quantile_statistics(dimb, spark, ["bv"])
+    write_grouped_quantile_statistics(dima, spark, ["seg"], ["av"])
+    return paths
+
+
 def ensure_percentile_groupby_fixture(spark) -> str:
     """Grouped-percentile fixture (r12): a segments×values table whose
     content is FORMULAIC (seg = 's'||(i%5), val = (i*37)%1000 over

@@ -3588,6 +3588,76 @@ def iceberg_cbo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_cbo_conditional",
+    """
+    SELECT a.aname AS aname,
+           b.bname AS bname,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.amount) AS DOUBLE) AS amt
+    FROM read_parquet('/root/repo/.fixtures/cbo_cond/fact/data/*.parquet') f
+    JOIN read_parquet('/root/repo/.fixtures/cbo_cond/dima/data/*.parquet') a
+      ON f.fk_a = a.aid AND a.seg = 's1' AND a.av >= 990
+    JOIN read_parquet('/root/repo/.fixtures/cbo_cond/dimb/data/*.parquet') b
+      ON f.fk_b = b.bid AND b.bv >= 700
+    GROUP BY a.aname, b.bname
+    """,
+)
+def iceberg_cbo_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATION-aware star ordering (r12,
+    ``cbo._grouped_quantile_selectivity``): dima's ``seg`` perfectly
+    predicts its ``av`` band, so the independence model scores
+    ``seg='s1' AND av>=990`` at 1/2 × ~0.505 ≈ 0.25 — below dimb's
+    honest 0.30 — and would join the WRONG dim first; the grouped
+    quantile blob measures the conditional P(av≥990 | s1) = 1.0, the
+    true growth 0.5, and the planner provably joins dimb first
+    (hard-asserted, including the 0.4–0.6 estimate band only the
+    conditional model can produce — the marginal gives ~0.25 and
+    System R ~0.17).  Inner equi-joins commute — the oracle pins
+    values, the assertion pins the plan."""
+    from daskberg_spark.iceberg.cbo import JoinDim, cbo_join
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_cbo_conditional_fixture,
+    )
+
+    paths = ensure_cbo_conditional_fixture(spark)
+    fact = IcebergTable(paths["fact"])
+    out = cbo_join(
+        spark,
+        fact,
+        [
+            # 'a' sorts BEFORE 'zb' lexically AND the independence
+            # model under-scores it: only the conditional measurement
+            # can put 'zb' first
+            JoinDim(
+                IcebergTable(paths["dima"]),
+                "fk_a",
+                "aid",
+                filters=[("seg", "==", "s1"), ("av", ">=", 990)],
+                name="a",
+            ),
+            JoinDim(
+                IcebergTable(paths["dimb"]),
+                "fk_b",
+                "bid",
+                filters=[("bv", ">=", 700)],
+                name="zb",
+            ),
+        ],
+    )
+    plan = fact.last_join_plan
+    assert plan.order == ["zb", "a"], (
+        f"conditional ordering regressed: {plan.order} "
+        f"(estimates {plan.estimates})"
+    )
+    assert 0.4 <= plan.estimates["a"] <= 0.6, plan.estimates
+    assert 0.25 <= plan.estimates["zb"] <= 0.35, plan.estimates
+    return out.groupBy("aname", "bname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("double").alias("amt"),
+    )
+
+
+@query(
     "iceberg_percentile_pushdown",
     """
     SELECT CAST(quantile_disc(av, 0.25) AS BIGINT) AS p25,

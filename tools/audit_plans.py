@@ -316,6 +316,9 @@ AUDIT = {
     # inside the operator (per-epoch partials hard-asserted there);
     # the returned plan is a one-row literal — zero exchanges
     "streaming_quantile_sink": (0, False, False, None),
+    # r12 correlation-aware star: both dims metadata-small → broadcast,
+    # the range/eq filters pushed into the dim scans, one agg exchange
+    "iceberg_cbo_conditional": (1, True, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
