@@ -889,3 +889,106 @@ def test_grouped_histogram_conditional_selectivity(spark, tmp_path):
         t, [("g", "==", "zzz"), ("v", ">=", 0)]
     )
     assert est_missing <= marginal, est_missing
+
+
+def test_maintain_kitchen_sink_statistics_lifecycle(spark, tmp_path):
+    """One table opted into EVERY statistics family (theta NDVs,
+    marginal + grouped quantiles with per-file partials, colsum blobs,
+    value + token blooms, a registered rollup) through repeated
+    commits, a delete, compaction, and maintain() after each step:
+    every consumer keeps answering correctly and no family's entry
+    list grows unboundedly."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.bloomindex import (
+        write_file_blooms,
+        write_token_blooms,
+    )
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.rollup import create_rollup
+    from daskberg_spark.iceberg.sumstats import write_sum_statistics
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        maintain,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "ks"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+            {"id": 4, "name": "txt", "type": "string", "required": False},
+        ],
+        [{"name": "seg", "transform": "identity", "source": "seg"}],
+    )
+
+    def batch(lo, n):
+        return [
+            {
+                "k": i,
+                "seg": "ab"[i % 2],
+                "v": (i * 13) % 500,
+                "txt": f"tok{i % 7} common",
+            }
+            for i in range(lo, lo + n)
+        ]
+
+    w.append(batch(0, 100))
+    write_table_statistics(w, spark)
+    refresh_quantile_statistics(w, spark, ["v"])
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    write_sum_statistics(w, spark, ["v"])
+    write_file_blooms(w, spark, ["k"])
+    write_token_blooms(w, spark, ["txt"])
+    create_rollup(
+        spark,
+        IcebergTable(w.path),
+        str(tmp_path / "ksru"),
+        ["seg"],
+        ["v"],
+        source_writer=w,
+    )
+    lo = 100
+    for step in range(4):
+        w.append(batch(lo, 50))
+        lo += 50
+        if step == 2:
+            w.delete_rows_equality([{"k": 5}, {"k": 105}])
+        rep = maintain(w, spark, min_file_bytes=0 if step != 3 else 1 << 20)
+        assert rep["refresh_quantiles"] == ["v"], rep
+        assert rep["refresh_grouped_quantiles"] is not None, rep
+    t = IcebergTable(w.path)
+    live_rows = lo - 2
+    # every family answers, consistently
+    hist = t.column_quantiles("v")
+    assert hist["rows"] == live_rows and hist.get("merged") is True
+    out = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["seg"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    assert {r.seg for r in out.collect()} == {"a", "b"}
+    agg = t.agg_auto(
+        spark, [("count", "*", "n"), ("sum", "v", "s")], group_by=["seg"]
+    )
+    got = {r.seg: (r.n, int(r.s)) for r in agg.collect()}
+    truth = {
+        r.seg: (r.n, int(r.s))
+        for r in t.to_df(spark)
+        .groupBy("seg")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["x"])
+            .count("*")
+            .alias("n"),
+            __import__("pyspark.sql.functions", fromlist=["x"])
+            .sum("v")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == truth
+    files = t.plan_files([("k", "==", 130)])
+    assert len(files) < len(t.plan_files(None)), "value bloom stopped pruning"
+    df = t.to_df(spark, token_filters=[("txt", "tok3")])
+    assert df.count() == sum(1 for i in range(lo) if i % 7 == 3 and i not in (5, 105))
