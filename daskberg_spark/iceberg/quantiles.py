@@ -433,9 +433,12 @@ FILE_BLOB_CONSOLIDATE_AFTER = 8
 def _consolidate_file_partials(writer, t, columns: list[str]) -> bool:
     """Rewrite the accumulated ``daskberg-quantiles-files-v1`` entries
     as ONE entry covering only LIVE files (later-entry-wins semantics
-    preserved by ``column_filecdfs`` doing the merge first).  Returns
-    True when a rewrite happened; the caller's final metadata write
-    persists it."""
+    preserved by ``column_filecdfs`` doing the merge first).  The
+    rewrite covers EVERY column any existing entry indexes — not just
+    the caller's — so a grouped refresh consolidating a column subset
+    never silently drops another column's coverage.  Returns True when
+    a rewrite happened; the caller's final metadata write persists
+    it."""
     from daskberg_spark.iceberg.puffin import write_puffin
 
     entries = [
@@ -448,6 +451,20 @@ def _consolidate_file_partials(writer, t, columns: list[str]) -> bool:
     ]
     if len(entries) <= FILE_BLOB_CONSOLIDATE_AFTER:
         return False
+    covered = sorted(
+        {
+            (b.get("properties") or {}).get("column")
+            for e in entries
+            for b in e.get("blob-metadata", [])
+            if b.get("type") == FILE_QUANTILE_BLOB_TYPE
+        }
+        - {None}
+    )
+    columns = [
+        c
+        for c in sorted(set(columns) | set(covered))
+        if c in writer.ids
+    ]
     live = {_norm(f["file_path"]) for f in t.plan_files(None)}
     snapshot_id = writer.head_snapshot["snapshot-id"]
     blobs = []

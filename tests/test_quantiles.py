@@ -992,3 +992,47 @@ def test_maintain_kitchen_sink_statistics_lifecycle(spark, tmp_path):
     assert len(files) < len(t.plan_files(None)), "value bloom stopped pruning"
     df = t.to_df(spark, token_filters=[("txt", "tok3")])
     assert df.count() == sum(1 for i in range(lo) if i % 7 == 3 and i not in (5, 105))
+
+
+def test_consolidation_preserves_sibling_column_coverage(spark, tmp_path):
+    """A grouped refresh consolidating with a COLUMN SUBSET must not
+    drop the other columns' partials: the rewrite covers the union of
+    indexed columns (the r12 coverage-loss fix)."""
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        refresh_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "sib"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+        [{"name": "seg", "transform": "identity", "source": "seg"}],
+    )
+    w.append(
+        [{"seg": "ab"[i % 2], "v": i, "u": -i} for i in range(100)]
+    )
+    # global partials over BOTH value columns; grouped blob over v only
+    refresh_quantile_statistics(w, spark, ["v", "u"])
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    for r in range(10):
+        w.append(
+            [
+                {"seg": "ab"[i % 2], "v": 100 + i, "u": -(100 + i)}
+                for i in range(10 * r, 10 * r + 10)
+            ]
+        )
+        # the GROUPED refresh (columns = [v]) drives consolidation
+        refresh_grouped_quantile_statistics(w, spark)
+    # u's ORIGINAL coverage survived the v-driven consolidations: the
+    # global refresh reads only the files appended since (20 of 22) —
+    # pre-fix, consolidation dropped u entirely and this would be 22
+    rep = refresh_quantile_statistics(w, spark)
+    assert rep["files_total"] == 22, rep
+    assert rep["partials_computed"] == 20, rep
+    hist = IcebergTable(w.path).column_quantiles("u")
+    assert hist["rows"] == 200 and hist["bounds"][0] == -199.0
