@@ -338,7 +338,8 @@ def _load_registry():
 #       inside a stream — partials == epoch file delta hard-asserted),
 #       iceberg_cbo_conditional (correlation-aware star ordering from
 #       grouped histograms — the join-order flip the independence
-#       model provably cannot make)
+#       model provably cannot make), iceberg_ndv_groupby (per-group
+#       NDV from grouped theta sketches, exact below k)
 #   r12-TOUCHED code paths (9, pinned in-window): the join-rollup dim
 #       IVM rewired refresh_rollup (join_rollup — its lifecycle now
 #       includes an SCD dim update — rollup_incremental,
@@ -365,6 +366,7 @@ _PRIORITY = [
     "iceberg_quantile_refresh",
     "streaming_quantile_sink",
     "iceberg_cbo_conditional",
+    "iceberg_ndv_groupby",
     # r12-touched code paths
     "iceberg_join_rollup",
     "iceberg_rollup_incremental",
@@ -407,7 +409,7 @@ _PRIORITY = [
     "streaming_hourly_window",
     "streaming_stateful_sessions",
     "token_count_bpe",
-    # oldest driver evidence (r6, alphabetical first 7; the rest of r6
+    # oldest driver evidence (r6, alphabetical first 6; the rest of r6
     # rotates in r13)
     "approx_distinct_hll",
     "approx_topk_countmin",
@@ -415,7 +417,6 @@ _PRIORITY = [
     "dedup_keep_best",
     "fingerprint_rolling",
     "iceberg_merge_cow",
-    "iceberg_spec_evolution_prune",
 ]
 
 

@@ -1050,6 +1050,73 @@ def percentile_groupby(
 IcebergTable.percentile_groupby = percentile_groupby  # type: ignore[attr-defined]
 
 
+def ndv_groupby(
+    table: IcebergTable,
+    spark: SparkSession,
+    col: str,
+    group_by: list[str],
+    alias: str = "ndv",
+) -> DataFrame:
+    """PER-GROUP distinct count — "distinct users by day" — answered
+    from the CURRENT snapshot's grouped theta blob
+    (``theta.write_grouped_theta_statistics``) with ZERO data IO when
+    one keys on EXACTLY ``group_by`` and covers ``col`` (r12).  Below
+    the sketch's nominal k every group's value is EXACT (the same
+    contract the global theta NDV pushdown has); above it, the
+    estimate (~1/sqrt(2^lg_k) rsd).  Staleness or a different grouping
+    route to one exact ``count_distinct`` scan — missing statistics
+    degrade to the honest (costlier) answer, never a stale one.
+
+    ``table.last_ndv_groupby`` reports ``{"route": "stats"|"scan",
+    "groups": N, "exact": all-groups-exact}``."""
+    from daskberg_spark.iceberg.conversions import iceberg_to_spark_type
+
+    fields = table.fields
+    if not group_by:
+        raise ValueError("group_by must be non-empty — use column_ndv / "
+                         "agg_pushdown for the global NDV")
+    for g in group_by:
+        if g not in fields:
+            raise ValueError(f"unknown group column {g!r}")
+    if col not in fields:
+        raise ValueError(f"unknown column {col!r}")
+    payload = table.grouped_column_ndv(col, group_by)
+    if payload is not None:
+        rows = [
+            list(g["key"]) + [int(g["ndv"])]
+            for g in payload.get("groups", [])
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(
+                    g, iceberg_to_spark_type(fields[g].type), True
+                )
+                for g in group_by
+            ]
+            + [T.StructField(alias, T.LongType(), True)]
+        )
+        _record_zero_scan(table, None)
+        table.last_ndv_groupby = {
+            "route": "stats",
+            "groups": len(rows),
+            "exact": all(
+                g.get("exact") for g in payload.get("groups", [])
+            ),
+        }
+        return spark.createDataFrame(rows, schema)
+    from daskberg_spark.iceberg.scan import to_df
+
+    df = to_df(table, spark, columns=sorted(set(group_by) | {col}))
+    out = df.groupBy(*group_by).agg(
+        F.count_distinct(F.col(col)).alias(alias)
+    )
+    table.last_ndv_groupby = {"route": "scan", "groups": -1, "exact": True}
+    return out
+
+
+IcebergTable.ndv_groupby = ndv_groupby  # type: ignore[attr-defined]
+
+
 def analyze_table(
     table: IcebergTable,
     spark: SparkSession,

@@ -2111,16 +2111,21 @@ def ensure_percentile_groupby_fixture(spark) -> str:
         GROUPED_QUANTILE_BLOB_TYPE,
         write_grouped_quantile_statistics,
     )
+    from daskberg_spark.iceberg.theta import (
+        GROUPED_THETA_BLOB_TYPE,
+        write_grouped_theta_statistics,
+    )
     from daskberg_spark.iceberg.writer import IcebergWriter
 
     if os.path.exists(hint):
         t = IcebergTable(base)
-        if any(
-            b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+        head_types = {
+            b.get("type")
             for e in t.metadata.get("statistics", [])
             if e["snapshot-id"] == t.current_snapshot["snapshot-id"]
             for b in e.get("blob-metadata", [])
-        ):
+        }
+        if {GROUPED_QUANTILE_BLOB_TYPE, GROUPED_THETA_BLOB_TYPE} <= head_types:
             return base
         writer = IcebergWriter.load(base)
     else:
@@ -2139,6 +2144,7 @@ def ensure_percentile_groupby_fixture(spark) -> str:
                 ]
             )
     write_grouped_quantile_statistics(writer, spark, ["seg"], ["val"])
+    write_grouped_theta_statistics(writer, spark, ["seg"], ["val"])
     return base
 
 

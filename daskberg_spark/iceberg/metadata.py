@@ -842,6 +842,38 @@ class IcebergTable:
                         return payload
         return None
 
+    def grouped_column_ndv(
+        self, name: str, group_cols: list[str]
+    ) -> dict[str, Any] | None:
+        """PER-GROUP NDV payload for a column from the CURRENT
+        snapshot's ``daskberg-theta-grouped-v1`` blob (``theta.py``,
+        r12): {"group_cols", "lg_k", "groups": [{"key", "ndv",
+        "exact", "sketch"}, ...]}, or None when no blob covers this
+        snapshot with EXACTLY the requested group columns."""
+        import json as _json
+
+        from daskberg_spark.iceberg.puffin import read_blob
+        from daskberg_spark.iceberg.theta import GROUPED_THETA_BLOB_TYPE
+
+        fid = self.fields[name].field_id
+        cur = self.current_snapshot["snapshot-id"]
+        for e in self.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("type") == GROUPED_THETA_BLOB_TYPE and b.get(
+                    "fields"
+                ) == [fid]:
+                    try:
+                        payload = _json.loads(
+                            read_blob(e["statistics-path"], b)
+                        )
+                    except (ValueError, OSError):
+                        return None
+                    if payload.get("group_cols") == list(group_cols):
+                        return payload
+        return None
+
     def partition_statistics(self) -> list[dict[str, Any]]:
         """Rows of the CURRENT snapshot's partition-statistics parquet
         (spec "Partition statistics"), or [] when none cover it."""

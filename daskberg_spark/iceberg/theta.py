@@ -715,3 +715,245 @@ def build_column_sketches(
         else:
             out[c] = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Grouped NDV (r12): per-group theta sketches as an engine-extension blob —
+# "distinct users by day" served metadata-only, completing the grouped
+# statistics family (grouped MIN/MAX/COUNT/SUM via identity pushdown,
+# grouped percentiles via the grouped quantile blobs, grouped NDV here).
+
+GROUPED_THETA_BLOB_TYPE = "daskberg-theta-grouped-v1"
+# per-task builder state is groups x (2^lg_k + 1) x 8 bytes per column —
+# the cap keeps it a few MB at the default lg_k
+MAX_THETA_GROUPS = 2000
+
+
+def build_grouped_column_sketches(
+    df: Any,
+    group_cols: list[str],
+    colspecs: Sequence[tuple[str, str]],
+    lg_k: int = DEFAULT_LG_K,
+) -> dict[tuple, dict[str, ThetaSketch]]:
+    """One distributed pass building a theta sketch per (group tuple,
+    column): each task splits every arrow batch by the group key,
+    folds the subset's hashes into a bounded KMV accumulator per
+    (group, column), and emits ONE serialized partial per pair; the
+    driver unions partials per group.  Task and driver state are both
+    sketches, never values — bounded by groups × (k+1)·8 B per column.
+    Group keys ride as a JSON array string (round-trips int/str/bool/
+    None exactly; the CALLER gates group-column types)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    names = [c for c, _ in colspecs]
+    types = {c: t for c, t in colspecs}
+    out_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("col", StringType()),
+            StructField("sketch", BinaryType()),
+        ]
+    )
+
+    def build(iterator):
+        import collections
+
+        import pyarrow as pa
+
+        accs: dict[tuple[str, str], KmvAccumulator] = {}
+        for batch in iterator:
+            cols = {n: i for i, n in enumerate(batch.schema.names)}
+            gcols = [batch.column(cols[g]).to_pylist() for g in group_cols]
+            rows_by_key = collections.defaultdict(list)
+            for i, key in enumerate(zip(*gcols)):
+                rows_by_key[_json.dumps(list(key), sort_keys=True)].append(i)
+            for gkey, idxs in rows_by_key.items():
+                take = pa.array(idxs, type=pa.int64())
+                for c in names:
+                    sub = batch.column(cols[c]).take(take)
+                    acc = accs.get((gkey, c))
+                    if acc is None:
+                        acc = accs[(gkey, c)] = KmvAccumulator(lg_k)
+                    acc.add_hashes(_arrow_column_hashes(sub, types[c]))
+        yield pa.RecordBatch.from_pydict(
+            {
+                "grp": [g for g, _c in accs],
+                "col": [c for _g, c in accs],
+                "sketch": [a.sketch().serialize() for a in accs.values()],
+            },
+            schema=pa.schema(
+                [
+                    pa.field("grp", pa.string()),
+                    pa.field("col", pa.string()),
+                    pa.field("sketch", pa.binary()),
+                ]
+            ),
+        )
+
+    rows = (
+        df.select(*group_cols, *names)
+        .mapInArrow(build, schema=out_schema)
+        .collect()
+    )
+    partials: dict[tuple, dict[str, list[ThetaSketch]]] = {}
+    for r in rows:
+        key = tuple(_json.loads(r["grp"]))
+        partials.setdefault(key, {}).setdefault(r["col"], []).append(
+            ThetaSketch.deserialize(bytes(r["sketch"]), lg_k)
+        )
+    out: dict[tuple, dict[str, ThetaSketch]] = {}
+    for key, by_col in partials.items():
+        out[key] = {}
+        for c, parts in by_col.items():
+            out[key][c] = (
+                parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            )
+    return out
+
+
+# group-key types whose values JSON-round-trip exactly through the
+# builder's key encoding and the blob payload
+_THETA_GROUP_KEY_TYPES = {"int", "long", "string", "boolean"}
+
+
+def write_grouped_theta_statistics(
+    writer,
+    spark,
+    group_cols: list[str],
+    columns: list[str] | None = None,
+    lg_k: int = DEFAULT_LG_K,
+    max_groups: int = MAX_THETA_GROUPS,
+) -> str | None:
+    """PER-GROUP NDV sketches — the grouped twin of
+    ``write_table_statistics`` (r12): one distributed pass builds a
+    theta sketch per (``group_cols`` tuple, value column), packed as
+    one ``daskberg-theta-grouped-v1`` Puffin blob per value column on
+    the current snapshot ({"key", "ndv", "exact", "sketch":
+    base64} per group — the serialized sketches keep the blob
+    mergeable for future refresh paths).  ``agg.ndv_groupby`` serves
+    "distinct users by day" metadata-only from it; below the sketch's
+    nominal k each group's estimate is EXACT.  Refuses above
+    ``max_groups`` distinct tuples (builder state is groups × (k+1)·8
+    bytes per task per column) and restricts group columns to
+    JSON-round-trippable types."""
+    import base64 as _b64
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    types = dict(writer.types)
+    for g in group_cols:
+        if g not in types:
+            raise ValueError(f"unknown group column {g!r}")
+        if types[g] not in _THETA_GROUP_KEY_TYPES:
+            raise ValueError(
+                f"group column {g!r} has type {types[g]!r} — grouped "
+                f"NDV keys on {sorted(_THETA_GROUP_KEY_TYPES)} only"
+            )
+    if columns is None:
+        columns = sorted(
+            c
+            for c, t in types.items()
+            if sketchable(t) and c not in group_cols
+        )
+    else:
+        for c in columns:
+            if c not in types:
+                raise ValueError(f"unknown column {c!r}")
+            if not sketchable(types[c]):
+                raise ValueError(
+                    f"column {c!r} has type {types[c]!r} — not sketchable"
+                )
+    if not columns:
+        return None
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    df = t.to_df(spark, columns=sorted(set(group_cols) | set(columns)))
+    n_groups = df.select(*group_cols).distinct().count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{n_groups} distinct {group_cols} tuples exceed max_groups="
+            f"{max_groups} — grouped sketches must stay metadata-sized; "
+            "roll the groups up or raise max_groups deliberately"
+        )
+    sketches = build_grouped_column_sketches(
+        df, group_cols, [(c, types[c]) for c in columns], lg_k
+    )
+    seq = writer._last_sequence_number
+    blobs = []
+    for c in columns:
+        groups = []
+        for key in sorted(
+            sketches, key=lambda k: tuple((v is None, v) for v in k)
+        ):
+            sk = sketches[key].get(c)
+            if sk is None:
+                continue
+            groups.append(
+                {
+                    "key": list(key),
+                    "ndv": int(round(sk.estimate())),
+                    "exact": bool(sk.is_exact),
+                    "sketch": _b64.b64encode(sk.serialize()).decode(),
+                }
+            )
+        payload = {
+            "group_cols": list(group_cols),
+            "lg_k": lg_k,
+            "groups": groups,
+        }
+        blobs.append(
+            {
+                "type": GROUPED_THETA_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": _json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"theta-grouped-{snapshot_id}-"
+        f"{_uuid.uuid5(_uuid.NAMESPACE_URL, f'gtheta{snapshot_id}{sorted(columns)}{group_cols}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    size = _os.path.getsize(path)
+    entry = {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
+        "blob-metadata": metas,
+    }
+    writer.statistics = [
+        e
+        for e in writer.statistics
+        if not (
+            e["snapshot-id"] == snapshot_id
+            and any(
+                b.get("type") == GROUPED_THETA_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+    ] + [entry]
+    writer.version += 1
+    writer._write_metadata()
+    return path

@@ -3736,6 +3736,42 @@ def iceberg_percentile_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_ndv_groupby",
+    """
+    WITH src AS (
+        SELECT 's' || CAST(i % 5 AS VARCHAR) AS seg,
+               (i * 37) % 1000 AS val
+        FROM range(4000) t(i)
+    )
+    SELECT seg, CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+    FROM src GROUP BY seg
+    """,
+)
+def iceberg_ndv_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP NDV pushdown (r12, ``agg.ndv_groupby``): "distinct
+    values by segment" answered from the snapshot's grouped theta blob
+    (``daskberg-theta-grouped-v1`` — one grouped sketch pass at write
+    time, per-task state bounded by groups × (k+1)·8 B) with ZERO data
+    files read (hard-asserted).  Every group's cardinality sits below
+    the sketch's nominal k, so the values are EXACT and the DuckDB
+    ``COUNT(DISTINCT)`` oracle — recomputing the formulaic content
+    from pure SQL — must reproduce them bit-for-bit.  Completes the
+    grouped statistics family: MIN/MAX/COUNT/SUM (identity pushdown),
+    percentiles (grouped CDF blobs), and now NDV."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.fixtures import (
+        ensure_percentile_groupby_fixture,
+    )
+
+    t = IcebergTable(ensure_percentile_groupby_fixture(spark))
+    out = t.ndv_groupby(spark, "val", ["seg"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_ndv_groupby["exact"] is True, t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    return out
+
+
+@query(
     "iceberg_quantile_refresh",
     """
     WITH src AS (

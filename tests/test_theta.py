@@ -722,3 +722,83 @@ def test_refresh_missing_summary_is_non_append(spark, tmp_path):
     w.snapshots[-1].pop("summary", None)
     _, mode = refresh_table_statistics(w, spark)
     assert mode == "full"
+
+
+def test_grouped_ndv_exact_and_routing(spark, tmp_path):
+    """Grouped theta blobs serve per-group NDV metadata-only (exact in
+    exact mode, NULL group keys included); staleness and grouping
+    mismatches route to the exact count_distinct scan."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "gn"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append(
+        [
+            {"seg": ["a", "b", None][i % 3], "u": i % (7 + i % 3)}
+            for i in range(600)
+        ]
+    )
+    path = write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    assert path and path.endswith(".puffin")
+    t = IcebergTable(w.path)
+    out = t.ndv_groupby(spark, "u", ["seg"])
+    assert t.last_ndv_groupby["route"] == "stats"
+    assert t.last_ndv_groupby["exact"] is True
+    assert t.last_scan["files_scanned"] == 0
+    got = {r.seg: r.ndv for r in out.collect()}
+    truth = {
+        r.seg: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("seg")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["x"])
+            .count_distinct("u")
+            .alias("ndv")
+        )
+        .collect()
+    }
+    assert got == truth and None in got, (got, truth)
+    # a DIFFERENT grouping routes to the scan (same exact values)
+    out2 = t.ndv_groupby(spark, "seg", ["u"])
+    assert t.last_ndv_groupby["route"] == "scan"
+    # a commit stales the blob: scan route, still exact
+    w.append([{"seg": "a", "u": 10**6}])
+    t2 = IcebergTable(w.path)
+    out3 = t2.ndv_groupby(spark, "u", ["seg"])
+    assert t2.last_ndv_groupby["route"] == "scan"
+    got3 = {r.seg: r.ndv for r in out3.collect()}
+    assert got3["a"] == truth["a"] + 1
+
+
+def test_grouped_ndv_write_gates(spark, tmp_path):
+    import pytest
+
+    from daskberg_spark.iceberg.theta import (
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "gg"),
+        [
+            {"id": 1, "name": "f", "type": "double", "required": False},
+            {"id": 2, "name": "k", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"f": float(i), "k": i} for i in range(50)])
+    # float group keys can't JSON-round-trip exactly: refused
+    with pytest.raises(ValueError, match="keys on"):
+        write_grouped_theta_statistics(w, spark, ["f"], ["k"])
+    # unbounded group counts refused loudly
+    with pytest.raises(ValueError, match="metadata-sized"):
+        write_grouped_theta_statistics(w, spark, ["k"], ["f"], max_groups=10)

@@ -319,6 +319,10 @@ AUDIT = {
     # r12 correlation-aware star: both dims metadata-small → broadcast,
     # the range/eq filters pushed into the dim scans, one agg exchange
     "iceberg_cbo_conditional": (1, True, True, None),
+    # r12 grouped NDV pushdown: answered from the grouped theta blob
+    # driver-side (zero data files hard-asserted in the query) — a
+    # literal relation, zero exchanges
+    "iceberg_ndv_groupby": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
