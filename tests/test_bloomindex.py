@@ -586,6 +586,16 @@ def test_token_sharded_build_identical(spark, monkeypatch):
     monkeypatch.setenv("DASKBERG_BLOOM_SHARD_FILE_GATE", "1")
     monkeypatch.setenv("DASKBERG_BLOOM_SHARD_PAIRS", "2")
     path, w, corpus = _token_table(spark)
+    # shard assignment is pmod(xxhash64(file_path), n_shards) — with
+    # only 3 files and 2 shards, all three can hash into ONE shard 25%
+    # of the time (tempdir paths differ per run).  Pad with filler
+    # files so "≥2 non-empty shards" holds with ~6^-11 flake odds —
+    # the same law-of-large-numbers argument that makes hash sharding
+    # sound at real (1000+) file counts.
+    for i in range(9):
+        w.append(
+            [{"doc_id": 100 + i, "text": f"filler w{i}", "shard": "a"}]
+        )
     write_token_blooms(w, spark, ["text"])
     t = IcebergTable(path)
     entries = [
