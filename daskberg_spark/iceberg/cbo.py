@@ -227,10 +227,13 @@ def _grouped_quantile_selectivity(
             for grp in hist.get("groups", []):
                 if (grp.get("key") or [None])[0] == key:
                     return range_selectivity(grp, op, v)
-            # the pinned group does not exist at this snapshot: the
-            # conjunction provably matches nothing beyond what the
-            # equality clause already scores — contribute 0
-            return 0.0
+            # pinned group absent from the blob: USUALLY a provably-
+            # empty conjunction, but a key-encoding mismatch between
+            # the filter literal and the stored JSON key would look
+            # identical — hard-zeroing the estimate on that would
+            # mis-rank joins the opposite way this feature intends, so
+            # fall through to the marginal CDF (estimates only)
+            return None
     except Exception:
         return None
     return None

@@ -549,6 +549,12 @@ def merge_cdf_parts(
             else:
                 jumps[lo] = jumps.get(lo, 0.0) + w
     knots = sorted(set(slope_ev) | set(jumps))
+    if not knots:
+        # nonnull > 0 but every part carries empty bounds — possible
+        # only with a malformed/foreign-written partials blob; degrade
+        # to "no boundaries" (callers treat it as unanswerable) instead
+        # of crashing the refresh
+        return rows, nn, []
     rb, ra = [], []  # merged rank just before / after each knot's mass
     acc = slope = 0.0
     prev = None

@@ -5783,10 +5783,18 @@ def expire_snapshots(
     # that happened to create them (dead files' blobs are simply never
     # probed; without the reattach, every expire would silently throw
     # away coverage the next refresh then re-scans to rebuild).
+    from daskberg_spark.iceberg.bloomindex import (
+        BLOOM_BLOB_TYPE,
+        TOKEN_BLOOM_BLOB_TYPE,
+    )
+    from daskberg_spark.iceberg.quantiles import FILE_QUANTILE_BLOB_TYPE
+    from daskberg_spark.iceberg.sumstats import SUM_BLOB_TYPE
+
     raw_file_types = (
-        "daskberg-bloom-v1",
-        "daskberg-colsum-v1",
-        "daskberg-quantiles-files-v1",
+        BLOOM_BLOB_TYPE,
+        TOKEN_BLOOM_BLOB_TYPE,
+        SUM_BLOB_TYPE,
+        FILE_QUANTILE_BLOB_TYPE,
     )
     head_id = (
         writer.head_snapshot["snapshot-id"] if writer.snapshots else None
