@@ -686,59 +686,43 @@ def consolidate_file_blooms(writer, t) -> bool:
     are copied verbatim — the filters describe immutable files, so no
     rebuild or rehash happens.  Returns True when a rewrite happened
     (metadata committed here)."""
-    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.statsblobs import consolidate_entries
 
     flavors = (BLOOM_BLOB_TYPE, TOKEN_BLOOM_BLOB_TYPE)
-    entries = [
-        e
-        for e in writer.statistics
-        if any(
-            b.get("type") in flavors for b in e.get("blob-metadata", [])
-        )
-    ]
-    if len(entries) <= BLOOM_CONSOLIDATE_AFTER:
-        return False
-    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
-    snapshot_id = writer.head_snapshot["snapshot-id"]
-    blobs = []
-    for blob_type in flavors:
-        probe = _BloomProbe(t, blob_type)
-        for key, (_stats_path, meta) in sorted(probe.blob_map.items()):
-            if key[0] not in live:
-                continue
-            data = probe._load(key)
-            if data is None:
-                # unreadable bytes: drop the blob — the probe treats a
-                # missing blob as "cannot prune", never a wrong answer
-                continue
-            blobs.append(
-                {
-                    "type": meta["type"],
-                    "fields": list(meta.get("fields") or []),
-                    "snapshot-id": snapshot_id,
-                    "sequence-number": meta.get(
-                        "sequence-number", writer._last_sequence_number
-                    ),
-                    "properties": dict(meta.get("properties") or {}),
-                    "data": data,
-                }
-            )
-    if not blobs:
-        return False
-    name = (
-        f"blooms-consolidated-{snapshot_id}-"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'cbl{snapshot_id}{len(entries)}{len(blobs)}').hex[:8]}"
-        ".puffin"
+
+    def build(snapshot_id: int, seq: int) -> list[dict]:
+        live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+        blobs = []
+        for blob_type in flavors:
+            probe = _BloomProbe(t, blob_type)
+            for key, (_stats_path, meta) in sorted(probe.blob_map.items()):
+                if key[0] not in live:
+                    continue
+                data = probe._load(key)
+                if data is None:
+                    # unreadable bytes: drop the blob — the probe treats
+                    # a missing blob as "cannot prune", never a wrong
+                    # answer
+                    continue
+                blobs.append(
+                    {
+                        "type": meta["type"],
+                        "fields": list(meta.get("fields") or []),
+                        "snapshot-id": snapshot_id,
+                        "sequence-number": meta.get("sequence-number", seq),
+                        "properties": dict(meta.get("properties") or {}),
+                        "data": data,
+                    }
+                )
+        return blobs
+
+    return consolidate_entries(
+        writer,
+        flavors,
+        build,
+        "blooms",
+        threshold=BLOOM_CONSOLIDATE_AFTER,
     )
-    path = f"{writer.path}/metadata/{name}"
-    metas = write_puffin(path, blobs)
-    drop = {id(e) for e in entries}
-    writer.statistics = [
-        e for e in writer.statistics if id(e) not in drop
-    ] + [_stats_entry(path, metas, snapshot_id)]
-    writer.version += 1
-    writer._write_metadata()
-    return True
 
 
 def refresh_file_blooms(writer, spark) -> str | None:

@@ -439,76 +439,53 @@ def _consolidate_file_partials(writer, t, columns: list[str]) -> bool:
     never silently drops another column's coverage.  Returns True when
     a rewrite happened; the caller's final metadata write persists
     it."""
-    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.statsblobs import consolidate_entries
 
-    entries = [
-        e
-        for e in writer.statistics
-        if any(
-            b.get("type") == FILE_QUANTILE_BLOB_TYPE
-            for b in e.get("blob-metadata", [])
-        )
-    ]
-    if len(entries) <= FILE_BLOB_CONSOLIDATE_AFTER:
-        return False
     covered = sorted(
         {
             (b.get("properties") or {}).get("column")
-            for e in entries
+            for e in writer.statistics
             for b in e.get("blob-metadata", [])
             if b.get("type") == FILE_QUANTILE_BLOB_TYPE
         }
         - {None}
     )
-    columns = [
+    cols = [
         c
         for c in sorted(set(columns) | set(covered))
         if c in writer.ids
     ]
-    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
-    snapshot_id = writer.head_snapshot["snapshot-id"]
-    blobs = []
-    for c in columns:
-        m = column_filecdfs(t, c) or {}
-        payload = {
-            "buckets": DEFAULT_BUCKETS,
-            "files": {p: part for p, part in m.items() if p in live},
-        }
-        blobs.append(
-            {
-                "type": FILE_QUANTILE_BLOB_TYPE,
-                "fields": [writer.ids[c]],
-                "snapshot-id": snapshot_id,
-                "sequence-number": writer._last_sequence_number,
-                "properties": {"column": c, "encoding": "json"},
-                "data": json.dumps(payload, sort_keys=True).encode(),
+
+    def build(snapshot_id: int, seq: int) -> list[dict]:
+        live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+        blobs = []
+        for c in cols:
+            m = column_filecdfs(t, c) or {}
+            payload = {
+                "buckets": DEFAULT_BUCKETS,
+                "files": {p: part for p, part in m.items() if p in live},
             }
-        )
-    if not blobs:
-        return False
-    name = (
-        f"quantiles-files-consolidated-{snapshot_id}-"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'cfq{snapshot_id}{sorted(columns)}{len(entries)}').hex[:8]}"
-        ".puffin"
+            blobs.append(
+                {
+                    "type": FILE_QUANTILE_BLOB_TYPE,
+                    "fields": [writer.ids[c]],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {"column": c, "encoding": "json"},
+                    "data": json.dumps(payload, sort_keys=True).encode(),
+                }
+            )
+        return blobs
+
+    return consolidate_entries(
+        writer,
+        (FILE_QUANTILE_BLOB_TYPE,),
+        build,
+        "quantiles-files",
+        salt=str(cols),
+        threshold=FILE_BLOB_CONSOLIDATE_AFTER,
+        commit=False,
     )
-    path = f"{writer.path}/metadata/{name}"
-    metas = write_puffin(path, blobs)
-    size = os.path.getsize(path)
-    drop = {id(e) for e in entries}
-    writer.statistics = [
-        e for e in writer.statistics if id(e) not in drop
-    ] + [
-        {
-            "snapshot-id": snapshot_id,
-            "statistics-path": path,
-            "file-size-in-bytes": size,
-            "file-footer-size-in-bytes": size
-            - 4
-            - sum(m["length"] for m in metas),
-            "blob-metadata": metas,
-        }
-    ]
-    return True
 
 
 def merge_cdf_parts(

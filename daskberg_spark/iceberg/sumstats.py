@@ -263,67 +263,40 @@ def consolidate_sum_statistics(writer, t, cols: list[str]) -> bool:
     only LIVE files (``column_filesums`` applies later-entry-wins
     before the rewrite).  Returns True when a rewrite happened; the
     caller (or the next metadata commit) persists it."""
-    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.statsblobs import consolidate_entries
 
-    entries = [
-        e
-        for e in writer.statistics
-        if any(
-            b.get("type") == SUM_BLOB_TYPE
-            for b in e.get("blob-metadata", [])
-        )
-    ]
-    if len(entries) <= SUM_BLOB_CONSOLIDATE_AFTER:
-        return False
-    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
-    snapshot_id = writer.head_snapshot["snapshot-id"]
-    types = dict(writer.types)
-    blobs = []
-    for c in cols:
-        m = column_filesums(t, c) or {}
-        files = {
-            p: [None if s is None else str(s), n]
-            for p, (s, n) in m.items()
-            if p in live
-        }
-        payload = {"scale": type_scale(types[c]), "files": files}
-        blobs.append(
-            {
-                "type": SUM_BLOB_TYPE,
-                "fields": [writer.ids[c]],
-                "snapshot-id": snapshot_id,
-                "sequence-number": writer._last_sequence_number,
-                "properties": {"column": c, "encoding": "json"},
-                "data": json.dumps(payload, sort_keys=True).encode(),
+    def build(snapshot_id: int, seq: int) -> list[dict]:
+        live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+        types = dict(writer.types)
+        blobs = []
+        for c in cols:
+            m = column_filesums(t, c) or {}
+            files = {
+                p: [None if s is None else str(s), n]
+                for p, (s, n) in m.items()
+                if p in live
             }
-        )
-    if not blobs:
-        return False
-    name = (
-        f"colsums-consolidated-{snapshot_id}-"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'ccs{snapshot_id}{sorted(cols)}{len(entries)}').hex[:8]}"
-        ".puffin"
+            payload = {"scale": type_scale(types[c]), "files": files}
+            blobs.append(
+                {
+                    "type": SUM_BLOB_TYPE,
+                    "fields": [writer.ids[c]],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {"column": c, "encoding": "json"},
+                    "data": json.dumps(payload, sort_keys=True).encode(),
+                }
+            )
+        return blobs
+
+    return consolidate_entries(
+        writer,
+        (SUM_BLOB_TYPE,),
+        build,
+        "colsums",
+        salt=str(sorted(cols)),
+        threshold=SUM_BLOB_CONSOLIDATE_AFTER,
     )
-    path = f"{writer.path}/metadata/{name}"
-    metas = write_puffin(path, blobs)
-    size = os.path.getsize(path)
-    drop = {id(e) for e in entries}
-    writer.statistics = [
-        e for e in writer.statistics if id(e) not in drop
-    ] + [
-        {
-            "snapshot-id": snapshot_id,
-            "statistics-path": path,
-            "file-size-in-bytes": size,
-            "file-footer-size-in-bytes": size
-            - 4
-            - sum(m["length"] for m in metas),
-            "blob-metadata": metas,
-        }
-    ]
-    writer.version += 1
-    writer._write_metadata()
-    return True
 
 
 def refresh_sum_statistics(writer, spark) -> str | None:
