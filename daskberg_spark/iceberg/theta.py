@@ -724,6 +724,12 @@ def build_column_sketches(
 # grouped percentiles via the grouped quantile blobs, grouped NDV here).
 
 GROUPED_THETA_BLOB_TYPE = "daskberg-theta-grouped-v1"
+# per-(file, group, column) partial sketches — the mergeable substrate
+# that makes the grouped refresh O(new + dirty files) (r13).  RAW file
+# content (no delete application): the blob describes the immutable
+# file, so it is snapshot-independent and later-entries-win per file,
+# exactly like the per-file CDF partials (quantiles.py)
+GROUPED_THETA_FILE_BLOB_TYPE = "daskberg-theta-files-grouped-v1"
 # per-task builder state is groups x (2^lg_k + 1) x 8 bytes per column —
 # the cap keeps it a few MB at the default lg_k
 MAX_THETA_GROUPS = 2000
@@ -957,3 +963,428 @@ def write_grouped_theta_statistics(
     writer.version += 1
     writer._write_metadata()
     return path
+
+
+def _file_key(key: tuple) -> str:
+    """The per-file payload's group key encoding: a JSON array string
+    (round-trips int/str/bool/None exactly — the same gate the grouped
+    writer applies to group-column types)."""
+    import json as _json
+
+    return _json.dumps(list(key), sort_keys=True)
+
+
+def write_file_grouped_theta_partials(
+    writer,
+    spark,
+    group_cols: list[str],
+    columns: list[str],
+    file_subset=None,
+    lg_k: int = DEFAULT_LG_K,
+    max_groups: int = MAX_THETA_GROUPS,
+) -> str | None:
+    """Per-(file, group, column) theta sketches in ONE distributed
+    pass — the mergeable substrate of the grouped-NDV family (r13,
+    mirroring ``quantiles.write_file_quantile_partials``).  Reads RAW
+    file contents (no delete application — the blob describes the
+    immutable file, so it stays valid at every snapshot) tagged by
+    ``__file``; per (file, group) only one serialized sketch per
+    column reaches the driver, and in exact mode (below k distinct)
+    the union of per-file sketches IS the exact distinct set — so a
+    refresh built from them matches COUNT(DISTINCT) bit-for-bit.
+    ``file_subset`` (paths) restricts the pass — the incremental
+    refresh — and the entry APPENDS (later entries win per file);
+    without it the snapshot's partials entry is replaced.  Returns
+    the Puffin path or None when nothing scans."""
+    import base64 as _b64
+    import json as _json
+    import uuid as _uuid
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import types as T
+
+    from daskberg_spark.iceberg.conversions import schema_to_struct
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.scan import _norm_scan_path, _read_file_groups
+    from daskberg_spark.iceberg.statsblobs import stats_entry
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    types = dict(writer.types)
+    for g in group_cols:
+        if types.get(g) not in _THETA_GROUP_KEY_TYPES:
+            raise ValueError(
+                f"group column {g!r} has type {types.get(g)!r} — grouped "
+                f"NDV keys on {sorted(_THETA_GROUP_KEY_TYPES)} only"
+            )
+    for c in columns:
+        if c not in types or not sketchable(types[c]):
+            raise ValueError(f"column {c!r} missing or not sketchable")
+    if not columns:
+        return None
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    live = t.plan_files(None)
+    if file_subset is None:
+        target = {_norm_scan_path(f["file_path"]) for f in live}
+    else:
+        target = {_norm_scan_path(p) for p in file_subset}
+    scan_files = [
+        f for f in live if _norm_scan_path(f["file_path"]) in target
+    ]
+    if not scan_files:
+        return None
+    wanted = set(group_cols) | set(columns)
+    scan_struct = T.StructType(
+        [f for f in schema_to_struct(t.schema).fields if f.name in wanted]
+    )
+    df = _read_file_groups(
+        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
+    )
+    n_groups = df.select(*group_cols).distinct().count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{n_groups} distinct {group_cols} tuples exceed max_groups="
+            f"{max_groups} — grouped sketches must stay metadata-sized"
+        )
+    # "__file" rides as one more group column: per-(file, group, col)
+    # partials fall out of the existing bounded distributed builder
+    sketches = build_grouped_column_sketches(
+        df, ["__file"] + list(group_cols), [(c, types[c]) for c in columns],
+        lg_k,
+    )
+    per_col: dict[str, dict[str, dict[str, str]]] = {c: {} for c in columns}
+    for f in scan_files:  # zero-row files record empty coverage too
+        p = _norm_scan_path(f["file_path"])
+        for c in columns:
+            per_col[c][p] = {}
+    for key, by_col in sketches.items():
+        p, gkey = key[0], _file_key(key[1:])
+        for c in columns:
+            sk = by_col.get(c)
+            if sk is not None:
+                per_col[c][p][gkey] = _b64.b64encode(sk.serialize()).decode()
+    blobs = []
+    seq = writer._last_sequence_number
+    for c in columns:
+        payload = {
+            "group_cols": list(group_cols),
+            "lg_k": lg_k,
+            "files": per_col[c],
+        }
+        blobs.append(
+            {
+                "type": GROUPED_THETA_FILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": _json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"theta-files-grouped-{snapshot_id}-"
+        f"{_uuid.uuid5(_uuid.NAMESPACE_URL, f'fgtheta{snapshot_id}{sorted(target)}{sorted(columns)}{group_cols}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    keep = writer.statistics
+    if file_subset is None:
+        keep = [
+            e
+            for e in keep
+            if not (
+                e["snapshot-id"] == snapshot_id
+                and any(
+                    b.get("type") == GROUPED_THETA_FILE_BLOB_TYPE
+                    for b in e.get("blob-metadata", [])
+                )
+            )
+        ]
+    writer.statistics = keep + [stats_entry(path, metas, snapshot_id)]
+    writer.version += 1
+    writer._write_metadata()
+    return path
+
+
+def grouped_theta_filesketches(
+    table, name: str, group_cols: list[str]
+) -> dict[str, dict[str, str]] | None:
+    """Merged per-file grouped sketch partials for a column across
+    every statistics entry (raw-file blobs are snapshot-independent;
+    later entries win per file): ``{normalized_path: {json_group_key:
+    b64_sketch}}``, or None when no blob covers the column with
+    EXACTLY these group columns.  Unreadable blobs are skipped — a
+    missing entry only ever means "re-scan that file"."""
+    import json as _json
+
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    fid = table.fields[name].field_id
+    merged: dict[str, dict[str, str]] = {}
+    found = False
+    for e in table.metadata.get("statistics", []):
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_FILE_BLOB_TYPE or b.get(
+                "fields"
+            ) != [fid]:
+                continue
+            try:
+                payload = _json.loads(
+                    read_blob(table._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            if payload.get("group_cols") != list(group_cols):
+                continue
+            found = True
+            for p, groups in (payload.get("files") or {}).items():
+                merged[p] = groups
+    return merged if found else None
+
+
+def _consolidate_file_grouped_theta(
+    writer, t, group_cols, columns, lg_k: int = DEFAULT_LG_K
+) -> bool:
+    """Repack accumulated per-file grouped sketch entries into ONE
+    live-files-only entry (shared consolidation pass; the caller's
+    final metadata write persists it)."""
+    import json as _json
+
+    from daskberg_spark.iceberg.statsblobs import consolidate_entries
+
+    def build(snapshot_id: int, seq: int) -> list[dict]:
+        from daskberg_spark.iceberg.scan import _norm_scan_path
+
+        live = {_norm_scan_path(f["file_path"]) for f in t.plan_files(None)}
+        blobs = []
+        for c in columns:
+            m = grouped_theta_filesketches(t, c, group_cols) or {}
+            payload = {
+                "group_cols": list(group_cols),
+                "lg_k": lg_k,
+                "files": {p: g for p, g in m.items() if p in live},
+            }
+            blobs.append(
+                {
+                    "type": GROUPED_THETA_FILE_BLOB_TYPE,
+                    "fields": [writer.ids[c]],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {"column": c, "encoding": "json"},
+                    "data": _json.dumps(payload, sort_keys=True).encode(),
+                }
+            )
+        return blobs
+
+    return consolidate_entries(
+        writer,
+        (GROUPED_THETA_FILE_BLOB_TYPE,),
+        build,
+        "theta-files-grouped",
+        salt=str(sorted(columns)) + str(group_cols),
+        commit=False,
+    )
+
+
+def refresh_grouped_theta_statistics(
+    writer,
+    spark,
+    max_groups: int = MAX_THETA_GROUPS,
+) -> dict[str, Any] | None:
+    """Advance the GROUPED NDV blobs to the current snapshot at
+    O(new + dirty files) cost (r13) — the refresh path the r12 blobs
+    were serialized mergeable for, closing the last full-rebuild-only
+    statistics family.  Per-file grouped sketch partials already on
+    record are REUSED for clean files (theta union is the blob's
+    native merge, and in exact mode the union is exactly the distinct
+    set, so ``ndv_groupby`` stays bit-equal to COUNT(DISTINCT));
+    clean files no partial covers take one raw grouped pass
+    (``write_file_grouped_theta_partials``), and files with
+    possibly-applicable deletes take one delete-aware restricted scan
+    (a sketch cannot subtract, so a dirtied file's raw-content partial
+    can't be trusted).  Compaction needs no special case: rewritten
+    files' partials re-derive the same hashes, and union is
+    idempotent.
+
+    Opt-in shape: the latest grouped blob defines (group_cols, value
+    columns, lg_k); None on tables that never wrote one.  The first
+    call bootstraps partials at one-full-pass cost; every later call
+    is incremental.  Returns ``{"path", "columns", "files_total",
+    "partials_computed", "dirty_files", "groups"}``."""
+    import base64 as _b64
+    import json as _json
+    import uuid as _uuid
+
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import read_blob, write_puffin
+    from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
+    from daskberg_spark.iceberg.scan import to_df
+    from daskberg_spark.iceberg.statsblobs import stats_entry
+
+    # latest grouped-blob config (the statistics list is append-ordered,
+    # so the last entry is the most recent run)
+    group_cols: list[str] | None = None
+    columns: list[str] = []
+    lg_k = DEFAULT_LG_K
+    t = IcebergTable(writer.path)
+    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_BLOB_TYPE:
+                continue
+            col = fid_to_name.get((b.get("fields") or [None])[0])
+            if col is None:
+                continue
+            try:
+                payload = _json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            gc = payload.get("group_cols")
+            if gc != group_cols:
+                group_cols, columns = gc, []
+            lg_k = int(payload.get("lg_k") or DEFAULT_LG_K)
+            if col not in columns:
+                columns.append(col)
+    types = dict(writer.types)
+    columns = [
+        c for c in columns if c in types and sketchable(types[c])
+    ]
+    if (
+        not group_cols
+        or not columns
+        or any(
+            types.get(g) not in _THETA_GROUP_KEY_TYPES for g in group_cols
+        )
+    ):
+        return None
+
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
+    }
+    maps = {
+        c: (grouped_theta_filesketches(t, c, group_cols) or {})
+        for c in columns
+    }
+    missing = set()
+    for c in columns:
+        missing |= clean_norm - set(maps[c])
+    if missing:
+        write_file_grouped_theta_partials(
+            writer,
+            spark,
+            group_cols,
+            columns,
+            file_subset=missing,
+            lg_k=lg_k,
+            max_groups=max_groups,
+        )
+        t = IcebergTable(writer.path)
+        maps = {
+            c: (grouped_theta_filesketches(t, c, group_cols) or {})
+            for c in columns
+        }
+    _consolidate_file_grouped_theta(writer, t, group_cols, columns, lg_k)
+    # union the clean partials per (group, column)
+    merged: dict[str, dict[tuple, ThetaSketch]] = {c: {} for c in columns}
+    for c in columns:
+        for p in clean_norm:
+            for gkey, b64 in (maps[c].get(p) or {}).items():
+                key = tuple(_json.loads(gkey))
+                sk = ThetaSketch.deserialize(_b64.b64decode(b64), lg_k)
+                prev = merged[c].get(key)
+                merged[c][key] = sk if prev is None else prev.union(sk)
+    if dirty:
+        df = to_df(
+            t,
+            spark,
+            columns=sorted(set(group_cols) | set(columns)),
+            file_subset=sorted(dirty),
+        )
+        fresh = build_grouped_column_sketches(
+            df, list(group_cols), [(c, types[c]) for c in columns], lg_k
+        )
+        for key, by_col in fresh.items():
+            for c in columns:
+                sk = by_col.get(c)
+                if sk is None:
+                    continue
+                prev = merged[c].get(key)
+                merged[c][key] = sk if prev is None else prev.union(sk)
+    n_groups = max((len(m) for m in merged.values()), default=0)
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{n_groups} merged {group_cols} tuples exceed max_groups="
+            f"{max_groups} — grouped sketches must stay metadata-sized"
+        )
+    blobs = []
+    seq = writer._last_sequence_number
+    for c in columns:
+        groups = []
+        for key in sorted(
+            merged[c], key=lambda k: tuple((v is None, v) for v in k)
+        ):
+            # ndv-0 groups (all-NULL values) stay in, matching the
+            # fresh builder; fully-deleted groups never reach `merged`
+            # (their files are dead or their rows fail the dirty scan)
+            sk = merged[c][key]
+            groups.append(
+                {
+                    "key": list(key),
+                    "ndv": int(round(sk.estimate())),
+                    "exact": bool(sk.is_exact),
+                    "sketch": _b64.b64encode(sk.serialize()).decode(),
+                }
+            )
+        payload = {
+            "group_cols": list(group_cols),
+            "lg_k": lg_k,
+            "groups": groups,
+            "merged": True,
+        }
+        blobs.append(
+            {
+                "type": GROUPED_THETA_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": _json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"theta-grouped-{snapshot_id}-"
+        f"{_uuid.uuid5(_uuid.NAMESPACE_URL, f'mgtheta{snapshot_id}{sorted(columns)}{group_cols}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    writer.statistics = [
+        e
+        for e in writer.statistics
+        if not (
+            e["snapshot-id"] == snapshot_id
+            and any(
+                b.get("type") == GROUPED_THETA_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+        )
+    ] + [stats_entry(path, metas, snapshot_id)]
+    writer.version += 1
+    writer._write_metadata()
+    return {
+        "path": path,
+        "columns": list(columns),
+        "files_total": len(files),
+        "partials_computed": len(missing),
+        "dirty_files": len(dirty),
+        "groups": n_groups,
+    }

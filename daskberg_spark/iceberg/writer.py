@@ -5789,12 +5789,14 @@ def expire_snapshots(
     )
     from daskberg_spark.iceberg.quantiles import FILE_QUANTILE_BLOB_TYPE
     from daskberg_spark.iceberg.sumstats import SUM_BLOB_TYPE
+    from daskberg_spark.iceberg.theta import GROUPED_THETA_FILE_BLOB_TYPE
 
     raw_file_types = (
         BLOOM_BLOB_TYPE,
         TOKEN_BLOOM_BLOB_TYPE,
         SUM_BLOB_TYPE,
         FILE_QUANTILE_BLOB_TYPE,
+        GROUPED_THETA_FILE_BLOB_TYPE,
     )
     head_id = (
         writer.head_snapshot["snapshot-id"] if writer.snapshots else None
@@ -6427,6 +6429,34 @@ def maintain(
             ).get("mode")
         else:
             report["refresh_grouped_quantiles"] = None
+        # grouped-NDV catch-up (r13): same opt-in/head gates; always
+        # incremental — per-file grouped sketch partials union for
+        # clean files, one delete-aware restricted scan for dirty ones
+        from daskberg_spark.iceberg.theta import (
+            GROUPED_THETA_BLOB_TYPE,
+            refresh_grouped_theta_statistics,
+        )
+
+        has_gndv = any(
+            b.get("type") == GROUPED_THETA_BLOB_TYPE
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+        )
+        gndv_head_covered = any(
+            e["snapshot-id"] == head_id
+            and any(
+                b.get("type") == GROUPED_THETA_BLOB_TYPE
+                for b in e.get("blob-metadata", [])
+            )
+            for e in writer.statistics
+        )
+        if has_gndv and not gndv_head_covered:
+            rep = refresh_grouped_theta_statistics(writer, spark)
+            report["refresh_grouped_ndv"] = (
+                None if rep is None else rep["partials_computed"]
+            )
+        else:
+            report["refresh_grouped_ndv"] = None
         # per-file sum-blob catch-up: same opt-in shape as the Bloom
         # index (incremental — only files no blob covers yet; a no-op
         # None on tables that never ran write_sum_statistics)

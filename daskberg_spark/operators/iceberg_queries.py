@@ -3839,6 +3839,80 @@ def iceberg_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_ndv_refresh",
+    """
+    WITH src AS (
+        SELECT 's' || CAST(i % 5 AS VARCHAR) AS seg,
+               (i * 37) % 500 AS val
+        FROM range(6000) t(i) WHERE i >= 100
+    )
+    SELECT seg, CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+    FROM src GROUP BY seg
+    """,
+)
+def iceberg_ndv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental grouped-NDV maintenance lifecycle (r13,
+    ``theta.refresh_grouped_theta_statistics``) — the refresh path the
+    r12 grouped blobs were serialized mergeable for, closing the last
+    full-rebuild-only statistics family: bootstrap per-file grouped
+    sketch partials over a 4-file table, APPEND a fifth file — the
+    refresh builds partials for ONLY that file (hard-asserted 1 of 5;
+    theta union is the blob's native merge, so at 100 TB "distinct
+    users by day" advances at O(day's files), never O(table)) — then
+    an eq-DELETE dirties the older files and the refresh re-reads
+    exactly the dirty set delete-aware (sketches cannot subtract).
+    Every per-group cardinality sits below the sketch's nominal k, so
+    union stays in exact mode and ``ndv_groupby`` — served from the
+    merged blob with ZERO data files read (hard-asserted) — must match
+    the DuckDB ``COUNT(DISTINCT)`` oracle bit-for-bit."""
+    import tempfile
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_ndvref_"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+            {"id": 3, "name": "val", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"k": i, "seg": f"s{i % 5}", "val": (i * 37) % 500}
+            for i in range(lo, hi)
+        ]
+
+    for lo in range(0, 5000, 1250):
+        w.append(rows(lo, lo + 1250))
+    write_grouped_theta_statistics(w, spark, ["seg"], ["val"])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 4 and rep["dirty_files"] == 0, rep
+    w.append(rows(5000, 6000))
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
+        f"refresh read more than the new file: {rep}"
+    )
+    assert rep["dirty_files"] == 0, rep
+    w.delete_rows_equality([{"k": i} for i in range(100)])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    t = IcebergTable(w.path)
+    assert t.grouped_column_ndv("val", ["seg"])["merged"] is True
+    out = t.ndv_groupby(spark, "val", ["seg"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_ndv_groupby["exact"] is True, t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    return out
+
+
+@query(
     "iceberg_analyze_table",
     """
     WITH src AS (

@@ -802,3 +802,180 @@ def test_grouped_ndv_write_gates(spark, tmp_path):
     # unbounded group counts refused loudly
     with pytest.raises(ValueError, match="metadata-sized"):
         write_grouped_theta_statistics(w, spark, ["k"], ["f"], max_groups=10)
+
+
+# -- grouped-NDV incremental refresh (r13) ------------------------------------
+
+
+def _gndv_truth(t, spark):
+    from pyspark.sql import functions as F
+
+    return {
+        r.seg: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("seg")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+
+
+def test_grouped_ndv_refresh_incremental_on_append(spark, tmp_path):
+    """Bootstrap writes per-file grouped sketch partials for every
+    file; a later append refreshes by reading ONLY the new file
+    (O(new files)) and the merged blob stays bit-equal to
+    COUNT(DISTINCT) in exact mode — NO identity-partitioning
+    requirement (sketch union, unlike CDF merge, needs no file↔group
+    alignment)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "gr"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append(
+        [{"seg": ["a", "b", None][i % 3], "u": i % 11} for i in range(300)]
+    )
+    w.append([{"seg": "a", "u": 100 + i % 5} for i in range(100)])
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    # bootstrap: every live file takes the partial pass once
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["files_total"] == 2 and rep["partials_computed"] == 2, rep
+    assert rep["dirty_files"] == 0
+    # append one file: the refresh partial-scans ONLY it
+    w.append([{"seg": "c", "u": 1000 + i} for i in range(50)])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["files_total"] == 3 and rep["partials_computed"] == 1, rep
+    t = IcebergTable(w.path)
+    payload = t.grouped_column_ndv("u", ["seg"])
+    assert payload["merged"] is True
+    out = t.ndv_groupby(spark, "u", ["seg"])
+    assert t.last_ndv_groupby["route"] == "stats"
+    assert t.last_scan["files_scanned"] == 0
+    got = {r.seg: r.ndv for r in out.collect()}
+    truth = _gndv_truth(t, spark)
+    assert got == truth and None in got, (got, truth)
+    # never opted in: None, nothing scanned
+    w2 = IcebergWriter(
+        str(tmp_path / "gr2"),
+        [{"id": 1, "name": "u", "type": "long", "required": False}],
+    )
+    w2.append([{"u": 1}])
+    assert refresh_grouped_theta_statistics(w2, spark) is None
+
+
+def test_grouped_ndv_refresh_delete_dirty_and_compaction(spark, tmp_path):
+    """A delete makes its files' raw-content sketches untrustworthy
+    (sketches cannot subtract): the refresh re-reads DIRTY files
+    delete-aware while clean files stay metadata-only, and compaction
+    needs no special case (rewritten files re-derive the same hashes,
+    union is idempotent)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files_spark
+
+    w = IcebergWriter(
+        str(tmp_path / "gd"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"seg": "ab"[i % 2], "u": i % 20} for i in range(200)])
+    w.append([{"seg": "b", "u": 50 + i % 7} for i in range(100)])
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 2
+    # kill every u >= 50 (eq-delete scopes both files dirty)
+    w.delete_rows_equality([{"u": 50 + i} for i in range(10)])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    t = IcebergTable(w.path)
+    got = {r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()}
+    assert t.last_ndv_groupby["route"] == "stats"
+    truth = _gndv_truth(t, spark)
+    assert got == truth, (got, truth)
+    # compaction rewrites to clean files: partials for the new file,
+    # dirty leg gone, values unchanged
+    compact_files_spark(w, spark, min_file_bytes=1 << 20)
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["dirty_files"] == 0 and rep["partials_computed"] >= 1, rep
+    t = IcebergTable(w.path)
+    got = {r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()}
+    assert got == truth, (got, truth)
+
+
+def test_grouped_ndv_refresh_consolidates_partials(spark, tmp_path):
+    """Each refresh appends one partials entry; past the shared
+    threshold the next refresh repacks ONE live-files entry and
+    coverage still answers (partials_computed stays 0)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        GROUPED_THETA_FILE_BLOB_TYPE,
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "gc"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"seg": "a", "u": i} for i in range(30)])
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    for r in range(10):
+        w.append([{"seg": "ab"[r % 2], "u": 100 * r + i} for i in range(20)])
+        refresh_grouped_theta_statistics(w, spark)
+    n_entries = sum(
+        1
+        for e in w.statistics
+        if any(
+            b.get("type") == GROUPED_THETA_FILE_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+    )
+    assert n_entries <= 9, n_entries  # repacked, not 11
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 0, rep
+    t = IcebergTable(w.path)
+    got = {r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()}
+    assert got == _gndv_truth(t, spark)
+
+
+def test_maintain_refreshes_grouped_ndv(spark, tmp_path):
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+    from daskberg_spark.iceberg.writer import IcebergWriter, maintain
+
+    w = IcebergWriter(
+        str(tmp_path / "gm"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"seg": "ab"[i % 2], "u": i % 9} for i in range(100)])
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    w.append([{"seg": "c", "u": i} for i in range(30)])
+    rep = maintain(w, spark, min_file_bytes=0)
+    assert rep["refresh_grouped_ndv"] is not None, rep
+    t = IcebergTable(w.path)
+    assert t.grouped_column_ndv("u", ["seg"])["merged"] is True
+    rep2 = maintain(w, spark, min_file_bytes=0)
+    assert rep2["refresh_grouped_ndv"] is None, rep2

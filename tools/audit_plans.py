@@ -323,6 +323,12 @@ AUDIT = {
     # driver-side (zero data files hard-asserted in the query) — a
     # literal relation, zero exchanges
     "iceberg_ndv_groupby": (0, False, False, None),
+    # r13 incremental grouped-NDV maintenance: the lifecycle (bootstrap,
+    # O(new files) append refresh, dirty-leg delete refresh) runs
+    # eagerly inside the operator (partials_computed hard-asserted
+    # there); the returned ndv_groupby answer is served from the merged
+    # blob — a literal relation, zero exchanges
+    "iceberg_ndv_refresh": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
