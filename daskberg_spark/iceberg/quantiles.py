@@ -49,6 +49,13 @@ from typing import Any
 QUANTILE_BLOB_TYPE = "daskberg-quantiles-v1"
 GROUPED_QUANTILE_BLOB_TYPE = "daskberg-quantiles-grouped-v1"
 FILE_QUANTILE_BLOB_TYPE = "daskberg-quantiles-files-v1"
+# per-(file × group) CDF partials (r13): the mergeable substrate that
+# makes the GROUPED refresh O(new + dirty files) for ANY grouping —
+# identity partitioning stops being a requirement because the partials
+# carry the group key explicitly instead of inferring it from the
+# file's partition tuple.  RAW file content, snapshot-independent,
+# later-entries-win per file, exactly like the global partials.
+GROUPED_FILE_QUANTILE_BLOB_TYPE = "daskberg-quantiles-files-grouped-v1"
 DEFAULT_BUCKETS = 64
 # grouped blobs refuse above this many groups: a blob is metadata, not
 # a second copy of the table (per group ≈ (buckets+1) doubles/column)
@@ -488,6 +495,224 @@ def _consolidate_file_partials(writer, t, columns: list[str]) -> bool:
     )
 
 
+def write_file_grouped_quantile_partials(
+    writer,
+    spark,
+    group_cols: list[str],
+    columns: list[str],
+    file_subset=None,
+    buckets: int = DEFAULT_BUCKETS,
+    accuracy: int = DEFAULT_ACCURACY,
+    max_groups: int = MAX_BLOB_GROUPS,
+) -> str | None:
+    """Per-(file, group, column) compressed CDFs in ONE distributed
+    pass (r13) — the grouped twin of ``write_file_quantile_partials``.
+    Reads RAW file contents (no delete application — the blob
+    describes the immutable file, valid at every snapshot) grouped by
+    (``__file``, group tuple); per (file, group) only ``buckets+1``
+    doubles and two counts reach the driver.  ``file_subset``
+    restricts the pass — the incremental refresh — and the entry
+    APPENDS (later entries win per file); without it the snapshot's
+    entry is replaced.  Returns the Puffin path or None when nothing
+    scans."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from daskberg_spark.iceberg.conversions import schema_to_struct
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.scan import _read_file_groups
+    from daskberg_spark.iceberg.statsblobs import stats_entry
+
+    if not writer.snapshots:
+        raise ValueError("table has no snapshots")
+    types = dict(writer.types)
+    for g in group_cols:
+        if types.get(g) not in _GROUP_KEY_TYPES:
+            raise ValueError(
+                f"group column {g!r} has type {types.get(g)!r} — grouped "
+                f"histograms key on {sorted(_GROUP_KEY_TYPES)} only"
+            )
+    for c in columns:
+        if types.get(c) not in _NUMERIC_TYPES:
+            raise ValueError(
+                f"column {c!r} has type {types.get(c)!r} — histograms "
+                "cover numeric/temporal columns only"
+            )
+    if not columns:
+        return None
+    snapshot_id = writer.head_snapshot["snapshot-id"]
+    t = IcebergTable(writer.path)
+    live = t.plan_files(None)
+    if file_subset is None:
+        target = {_norm(f["file_path"]) for f in live}
+    else:
+        target = {_norm(p) for p in file_subset}
+    scan_files = [f for f in live if _norm(f["file_path"]) in target]
+    if not scan_files:
+        return None
+    wanted = set(group_cols) | set(columns)
+    scan_struct = T.StructType(
+        [f for f in schema_to_struct(t.schema).fields if f.name in wanted]
+    )
+    df = _read_file_groups(
+        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
+    )
+    probs = [i / buckets for i in range(buckets + 1)]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        e = _numeric_expr(c, types[c])
+        aggs.append(
+            F.percentile_approx(
+                e, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias(f"q {c}")
+        )
+        aggs.append(F.count(e).alias(f"n {c}"))
+    got = (
+        df.groupBy("__file", *group_cols)
+        .agg(*aggs)
+        .limit(max_groups * len(scan_files) + 1)
+        .collect()
+    )
+    if len({tuple(r[g] for g in group_cols) for r in got}) > max_groups:
+        raise ValueError(
+            f"more than {max_groups} distinct {group_cols} tuples — a "
+            "grouped partials blob must stay metadata-sized"
+        )
+    per_col: dict[str, dict[str, dict[str, list]]] = {c: {} for c in columns}
+    for f in scan_files:  # zero-row files record empty coverage too
+        p = _norm(f["file_path"])
+        for c in columns:
+            per_col[c][p] = {}
+    for r in got:
+        gkey = json.dumps(
+            [_encode_group_value(r[g]) for g in group_cols]
+        )
+        for c in columns:
+            bounds = r[f"q {c}"]
+            per_col[c][r["__file"]][gkey] = [
+                int(r["__rows"]),
+                int(r[f"n {c}"]),
+                [float(b) for b in bounds] if bounds else [],
+            ]
+    seq = writer._last_sequence_number
+    blobs = []
+    for c in columns:
+        payload = {
+            "group_cols": list(group_cols),
+            "buckets": buckets,
+            "files": per_col[c],
+        }
+        blobs.append(
+            {
+                "type": GROUPED_FILE_QUANTILE_BLOB_TYPE,
+                "fields": [writer.ids[c]],
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {"column": c, "encoding": "json"},
+                "data": json.dumps(payload, sort_keys=True).encode(),
+            }
+        )
+    name = (
+        f"quantiles-files-grouped-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'fgquant{snapshot_id}{sorted(target)}{sorted(columns)}{group_cols}').hex[:8]}"
+        ".puffin"
+    )
+    path = f"{writer.path}/metadata/{name}"
+    metas = write_puffin(path, blobs)
+    keep = writer.statistics
+    if file_subset is None:
+        keep = [
+            e
+            for e in keep
+            if not (
+                e["snapshot-id"] == snapshot_id
+                and any(
+                    b.get("type") == GROUPED_FILE_QUANTILE_BLOB_TYPE
+                    for b in e.get("blob-metadata", [])
+                )
+            )
+        ]
+    writer.statistics = keep + [stats_entry(path, metas, snapshot_id)]
+    writer.version += 1
+    writer._write_metadata()
+    return path
+
+
+def grouped_column_filecdfs(
+    table, name: str, group_cols: list[str]
+) -> dict[str, dict[str, list]] | None:
+    """Merged per-(file × group) CDF partials for a column across
+    every statistics entry (later entries win per file):
+    ``{normalized_path: {json_group_key: [rows, nonnull, bounds]}}``,
+    or None when no blob covers the column with EXACTLY these group
+    columns.  Unreadable blobs are skipped — a missing entry only
+    ever means "re-scan that file"."""
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    fid = table.fields[name].field_id
+    merged: dict[str, dict[str, list]] = {}
+    found = False
+    for e in table.metadata.get("statistics", []):
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_FILE_QUANTILE_BLOB_TYPE or b.get(
+                "fields"
+            ) != [fid]:
+                continue
+            try:
+                payload = json.loads(
+                    read_blob(table._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            if payload.get("group_cols") != list(group_cols):
+                continue
+            found = True
+            for p, groups in (payload.get("files") or {}).items():
+                merged[p] = groups
+    return merged if found else None
+
+
+def _consolidate_file_grouped_partials(writer, t, group_cols, columns) -> bool:
+    """Repack accumulated per-(file × group) partials entries into ONE
+    live-files-only entry (shared consolidation pass; the caller's
+    final metadata write persists it)."""
+    from daskberg_spark.iceberg.statsblobs import consolidate_entries
+
+    def build(snapshot_id: int, seq: int) -> list[dict]:
+        live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+        blobs = []
+        for c in columns:
+            m = grouped_column_filecdfs(t, c, group_cols) or {}
+            payload = {
+                "group_cols": list(group_cols),
+                "buckets": DEFAULT_BUCKETS,
+                "files": {p: g for p, g in m.items() if p in live},
+            }
+            blobs.append(
+                {
+                    "type": GROUPED_FILE_QUANTILE_BLOB_TYPE,
+                    "fields": [writer.ids[c]],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {"column": c, "encoding": "json"},
+                    "data": json.dumps(payload, sort_keys=True).encode(),
+                }
+            )
+        return blobs
+
+    return consolidate_entries(
+        writer,
+        (GROUPED_FILE_QUANTILE_BLOB_TYPE,),
+        build,
+        "quantiles-files-grouped",
+        salt=str(sorted(columns)) + str(group_cols),
+        threshold=FILE_BLOB_CONSOLIDATE_AFTER,
+        commit=False,
+    )
+
+
 def merge_cdf_parts(
     parts: list[tuple[int, int, list[float]]], buckets: int
 ) -> tuple[int, int, list[float]]:
@@ -732,24 +957,27 @@ def refresh_grouped_quantile_statistics(
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
 ) -> dict[str, Any] | None:
-    """Advance the GROUPED quantile blobs to the current snapshot —
-    incremental when the grouping is the table's identity partitioning
-    (r12): an identity-partitioned file belongs to exactly ONE group
-    tuple, so the per-file CDF partials the global refresh already
-    maintains ARE per-group partials, and the merge just groups them
-    by each file's partition value.  Clean files stay metadata-only;
-    new clean files take the shared raw grouped pass
-    (``write_file_quantile_partials``); delete-dirtied files take one
-    delete-aware restricted scan grouped by the group columns.
+    """Advance the GROUPED quantile blobs to the current snapshot at
+    O(new + dirty files) cost for ANY grouping (r13; identity-only in
+    r12).  Two incremental strategies, both reported in the result:
 
-    Opt-in shape: the latest grouped blob defines (group_cols, value
-    columns); None on tables that never wrote one.  When any group
-    column is NOT an identity partition source in every live file's
-    spec — or is a date (manifest partition encoding differs from the
-    blob's ISO keys) — the refresh degrades to the full
-    ``write_grouped_quantile_statistics`` re-run: never a wrong blob,
-    merely the old cost.  Returns ``{"mode", "files_total",
-    "partials_computed", "dirty_files", "groups"}``."""
+    - ``identity-partials``: when every group column is an identity
+      partition source in every live file's spec (and none is a date —
+      manifest partition encoding differs from the blob's ISO keys), a
+      file belongs to exactly ONE group tuple, so the per-file CDF
+      partials the GLOBAL refresh already maintains ARE per-group
+      partials — zero extra storage, shared scan passes.
+    - ``file-grouped-partials``: any other grouping (dates included)
+      uses per-(file × group) CDF partials
+      (``write_file_grouped_quantile_partials``) that carry the group
+      key explicitly — the r12 full-re-run degrade is gone.
+
+    Clean files stay metadata-only; new clean files take one raw
+    grouped pass; delete-dirtied files take one delete-aware
+    restricted scan grouped by the group columns.  Opt-in shape: the
+    latest grouped blob defines (group_cols, value columns); None on
+    tables that never wrote one.  Returns ``{"mode", "strategy",
+    "files_total", "partials_computed", "dirty_files", "groups"}``."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from pyspark.sql import functions as F
 
@@ -805,66 +1033,84 @@ def refresh_grouped_quantile_statistics(
             names.append(sf["name"])
         return names
 
-    incremental = all(
+    identity = all(
         writer.types.get(g) in ("int", "long", "string", "boolean")
         for g in group_cols
     )
     file_keys: dict[str, tuple] = {}
-    if incremental:
+    if identity:
         for f in files:
             pnames = identity_part_names(f)
             if pnames is None:
-                incremental = False
+                identity = False
                 break
             part = f.get("partition") or {}
             file_keys[_norm(f["file_path"])] = tuple(
                 part.get(n) for n in pnames
             )
-    if not incremental:
-        write_grouped_quantile_statistics(
-            writer,
-            spark,
-            group_cols,
-            columns,
-            buckets=buckets,
-            accuracy=accuracy,
-        )
-        return {
-            "mode": "full",
-            "files_total": len(files),
-            "partials_computed": len(files),
-            "dirty_files": len(dirty),
-            "groups": -1,
-        }
 
     clean_norm = {
         _norm(f["file_path"])
         for f in files
         if f["file_path"] not in dirty
     }
-    maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
-    missing = set()
-    for c in columns:
-        missing |= clean_norm - set(maps[c])
-    if missing:
-        write_file_quantile_partials(
-            writer,
-            spark,
-            columns,
-            file_subset=missing,
-            buckets=buckets,
-            accuracy=accuracy,
-        )
-        t = IcebergTable(writer.path)
-        maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
-    _consolidate_file_partials(writer, t, columns)
-    # group the clean partials by each file's identity partition tuple
     parts: dict[str, dict[tuple, list]] = {c: {} for c in columns}
-    for p in clean_norm:
-        key = file_keys[p]
+    if identity:
+        strategy = "identity-partials"
+        maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+        missing = set()
         for c in columns:
-            if p in maps[c]:
-                parts[c].setdefault(key, []).append(maps[c][p])
+            missing |= clean_norm - set(maps[c])
+        if missing:
+            write_file_quantile_partials(
+                writer,
+                spark,
+                columns,
+                file_subset=missing,
+                buckets=buckets,
+                accuracy=accuracy,
+            )
+            t = IcebergTable(writer.path)
+            maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
+        _consolidate_file_partials(writer, t, columns)
+        # group the clean partials by each file's identity partition
+        # tuple (its only group)
+        for p in clean_norm:
+            key = file_keys[p]
+            for c in columns:
+                if p in maps[c]:
+                    parts[c].setdefault(key, []).append(maps[c][p])
+    else:
+        strategy = "file-grouped-partials"
+        gmaps = {
+            c: (grouped_column_filecdfs(t, c, group_cols) or {})
+            for c in columns
+        }
+        missing = set()
+        for c in columns:
+            missing |= clean_norm - set(gmaps[c])
+        if missing:
+            write_file_grouped_quantile_partials(
+                writer,
+                spark,
+                group_cols,
+                columns,
+                file_subset=missing,
+                buckets=buckets,
+                accuracy=accuracy,
+            )
+            t = IcebergTable(writer.path)
+            gmaps = {
+                c: (grouped_column_filecdfs(t, c, group_cols) or {})
+                for c in columns
+            }
+        _consolidate_file_grouped_partials(writer, t, group_cols, columns)
+        for p in clean_norm:
+            for c in columns:
+                for gkey, part in (gmaps[c].get(p) or {}).items():
+                    parts[c].setdefault(tuple(json.loads(gkey)), []).append(
+                        part
+                    )
     if dirty:
         probs = [i / buckets for i in range(buckets + 1)]
         ftypes = {n: i.type for n, i in t.fields.items()}
@@ -886,7 +1132,10 @@ def refresh_grouped_quantile_statistics(
             )
             aggs.append(F.count(e2).alias(f"n {c}"))
         for r in df.groupBy(*group_cols).agg(*aggs).collect():
-            key = tuple(r[g] for g in group_cols)
+            # encode (dates → ISO) so dirty-scan keys collate with the
+            # json-round-tripped partial keys; a no-op for the
+            # identity strategy's int/long/string/boolean keys
+            key = tuple(_encode_group_value(r[g]) for g in group_cols)
             for c in columns:
                 bounds = r[f"q {c}"]
                 parts[c].setdefault(key, []).append(
@@ -963,6 +1212,7 @@ def refresh_grouped_quantile_statistics(
     writer._write_metadata()
     return {
         "mode": "incremental",
+        "strategy": strategy,
         "files_total": len(files),
         "partials_computed": len(missing),
         "dirty_files": len(dirty),

@@ -5787,7 +5787,10 @@ def expire_snapshots(
         BLOOM_BLOB_TYPE,
         TOKEN_BLOOM_BLOB_TYPE,
     )
-    from daskberg_spark.iceberg.quantiles import FILE_QUANTILE_BLOB_TYPE
+    from daskberg_spark.iceberg.quantiles import (
+        FILE_QUANTILE_BLOB_TYPE,
+        GROUPED_FILE_QUANTILE_BLOB_TYPE,
+    )
     from daskberg_spark.iceberg.sumstats import SUM_BLOB_TYPE
     from daskberg_spark.iceberg.theta import GROUPED_THETA_FILE_BLOB_TYPE
 
@@ -5796,6 +5799,7 @@ def expire_snapshots(
         TOKEN_BLOOM_BLOB_TYPE,
         SUM_BLOB_TYPE,
         FILE_QUANTILE_BLOB_TYPE,
+        GROUPED_FILE_QUANTILE_BLOB_TYPE,
         GROUPED_THETA_FILE_BLOB_TYPE,
     )
     head_id = (
@@ -6400,10 +6404,10 @@ def maintain(
             report["refresh_quantiles"] = q_cols
         else:
             report["refresh_quantiles"] = None
-        # grouped-histogram catch-up (r12): same opt-in/head gates; the
-        # refresh is incremental when the grouping is the identity
-        # partitioning (per-file partials ARE per-group partials) and a
-        # full grouped re-run otherwise — never a stale-silent blob
+        # grouped-histogram catch-up: same opt-in/head gates; always
+        # incremental (r13) — identity groupings reuse the global
+        # per-file partials, any other grouping uses per-(file × group)
+        # partials — never a stale-silent blob
         from daskberg_spark.iceberg.quantiles import (
             GROUPED_QUANTILE_BLOB_TYPE,
             refresh_grouped_quantile_statistics,

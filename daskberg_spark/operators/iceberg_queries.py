@@ -3913,6 +3913,86 @@ def iceberg_ndv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_grouped_quantile_refresh",
+    """
+    WITH src AS (
+        SELECT i % 3 AS g, i AS v FROM range(6000) t(i) WHERE i >= 90
+    )
+    SELECT CAST(g AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS nn,
+           CAST(MIN(v) AS BIGINT) AS vmin,
+           CAST(MAX(v) AS BIGINT) AS vmax
+    FROM src GROUP BY g
+    """,
+)
+def iceberg_grouped_quantile_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NON-IDENTITY grouped quantile maintenance (r13,
+    ``quantiles.refresh_grouped_quantile_statistics``): the grouping
+    (``g = i % 3``) is NOT the table's partitioning — every file holds
+    every group — which in r12 degraded to a full grouped re-run.
+    Per-(file × group) CDF partials now carry the group key
+    explicitly: bootstrap over a 4-file table, APPEND a fifth file —
+    the refresh partial-scans ONLY that file (hard-asserted 1 of 5,
+    ``strategy: file-grouped-partials``) — then an eq-DELETE dirties
+    the older files and the refresh re-reads exactly the dirty set
+    delete-aware.  Per-group row/non-null censuses and extreme knots
+    are EXACT (min/max survive any CDF merge), so the DuckDB oracle
+    recomputes them from the formulaic content; interior knots stay
+    estimates-grade within the documented Σ n_f/K rank bound."""
+    import tempfile
+
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_gqref_"),
+        [
+            {"id": 1, "name": "g", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [{"g": i % 3, "v": i} for i in range(lo, hi)]
+
+    for lo in range(0, 5000, 1250):
+        w.append(rows(lo, lo + 1250))
+    write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["strategy"] == "file-grouped-partials", rep
+    assert rep["partials_computed"] == 4 and rep["dirty_files"] == 0, rep
+    w.append(rows(5000, 6000))
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
+        f"refresh read more than the new file: {rep}"
+    )
+    w.delete_rows_equality([{"v": i} for i in range(90)])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    h = IcebergTable(w.path).grouped_column_quantiles("v", ["g"])
+    assert h["merged"] is True and len(h["groups"]) == 3
+    return spark.createDataFrame(
+        [
+            (
+                int(grp["key"][0]),
+                int(grp["rows"]),
+                int(grp["nonnull"]),
+                int(round(grp["bounds"][0])),
+                int(round(grp["bounds"][-1])),
+            )
+            for grp in h["groups"]
+        ],
+        "g long, n_rows long, nn long, vmin long, vmax long",
+    )
+
+
+@query(
     "iceberg_analyze_table",
     """
     WITH src AS (

@@ -714,9 +714,12 @@ def test_refresh_grouped_quantiles_identity_partitioned(spark, tmp_path):
     assert by_key[("a",)]["rows"] == 200 and by_key[("b",)]["rows"] == 200
 
 
-def test_refresh_grouped_quantiles_degrades_to_full(spark, tmp_path):
-    """A grouping that is NOT the identity partitioning refreshes via
-    the full grouped re-run — correct blob, old cost, loudly reported."""
+def test_refresh_grouped_quantiles_nonidentity_incremental(spark, tmp_path):
+    """A grouping that is NOT the identity partitioning refreshes
+    incrementally too (r13): per-(file × group) partials carry the
+    group key explicitly, so after the bootstrap an append reads ONLY
+    the new file — the r12 full-re-run degrade is gone."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
     from daskberg_spark.iceberg.quantiles import (
         refresh_grouped_quantile_statistics,
         write_grouped_quantile_statistics,
@@ -726,13 +729,79 @@ def test_refresh_grouped_quantiles_degrades_to_full(spark, tmp_path):
     write_grouped_quantile_statistics(w, spark, ["k"], ["v"])
     w.append([{"v": 150 + i, "k": i % 3} for i in range(150)])
     rep = refresh_grouped_quantile_statistics(w, spark)
-    assert rep["mode"] == "full", rep
+    assert rep["mode"] == "incremental", rep
+    assert rep["strategy"] == "file-grouped-partials", rep
+    assert rep["partials_computed"] == 2, rep  # bootstrap: both files
     t = IcebergTable(w.path)
     h = t.grouped_column_quantiles("v", ["k"])
+    assert h["merged"] is True
     assert sum(g["rows"] for g in h["groups"]) == 300
+    assert {tuple(g["key"]) for g in h["groups"]} == {(0,), (1,), (2,)}
+    # a second append partial-scans ONLY the new file
+    w.append([{"v": 300 + i, "k": i % 3} for i in range(150)])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["partials_computed"] == 1 and rep["files_total"] == 3, rep
+    t = IcebergTable(w.path)
+    h = t.grouped_column_quantiles("v", ["k"])
+    assert sum(g["rows"] for g in h["groups"]) == 450
+    # the consumer keeps serving metadata-only from the merged blob
+    out = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["k"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    got = {r.k: r.p50 for r in out.collect()}
+    # group g holds {g, g+3, ...} ∩ [0, 450): median ≈ 224 ± merge tol
+    for g in (0, 1, 2):
+        assert abs(got[g] - 224) <= 450 / 64 * 3 + 3, got
+    # a delete dirties the older files: exact re-scan, counts track
+    w.delete_rows_equality([{"v": i} for i in range(30)])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    h = IcebergTable(w.path).grouped_column_quantiles("v", ["k"])
+    assert sum(g["rows"] for g in h["groups"]) == 420
     # never opted in: None
     w2 = _table(tmp_path, [{"v": 1, "k": 1}], name="gnone")
     assert refresh_grouped_quantile_statistics(w2, spark) is None
+
+
+def test_refresh_grouped_quantiles_date_keys_incremental(spark, tmp_path):
+    """Date group keys — excluded from the identity strategy because
+    manifest partition encodings differ from the blob's ISO keys —
+    refresh incrementally through the file-grouped partials, whose
+    keys are ISO-encoded at scan time on both the partial and dirty
+    legs."""
+    import datetime as dt
+
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "gdate"),
+        [
+            {"id": 1, "name": "d", "type": "date", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    base = dt.date(2024, 1, 1)
+    w.append(
+        [
+            {"d": base + dt.timedelta(days=i % 2), "v": i}
+            for i in range(200)
+        ]
+    )
+    write_grouped_quantile_statistics(w, spark, ["d"], ["v"])
+    w.append(
+        [{"d": base + dt.timedelta(days=2), "v": 1000 + i} for i in range(100)]
+    )
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["mode"] == "incremental", rep
+    assert rep["strategy"] == "file-grouped-partials", rep
+    assert rep["groups"] == 3, rep
+    h = IcebergTable(w.path).grouped_column_quantiles("v", ["d"])
+    by_key = {tuple(g["key"]): g for g in h["groups"]}
+    assert by_key[("2024-01-03",)]["rows"] == 100, by_key
+    assert by_key[("2024-01-01",)]["rows"] == 100
+    assert by_key[("2024-01-02",)]["rows"] == 100
 
 
 def test_maintain_refreshes_grouped_quantiles(spark, tmp_path):

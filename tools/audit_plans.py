@@ -329,6 +329,10 @@ AUDIT = {
     # there); the returned ndv_groupby answer is served from the merged
     # blob — a literal relation, zero exchanges
     "iceberg_ndv_refresh": (0, False, False, None),
+    # r13 non-identity grouped quantile maintenance: lifecycle runs
+    # eagerly inside the operator (strategy/partials hard-asserted
+    # there); the returned per-group summary is a literal relation
+    "iceberg_grouped_quantile_refresh": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
