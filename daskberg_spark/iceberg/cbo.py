@@ -194,30 +194,70 @@ def _grouped_quantile_selectivity(
     value: Any,
     conjuncts: list[tuple[str, str, Any]],
 ) -> float | None:
-    """CONDITIONAL range selectivity from a grouped histogram (r12):
-    when the same conjunction pins a group column with an equality
-    (``g == gv``) and a fresh ``daskberg-quantiles-grouped-v1`` blob
-    keys ``col`` on ``[g]``, the matching group's own CDF measures
-    ``P(col <op> v | g = gv)`` — which composes with the equality
-    clause's own P(g = gv) multiplicatively WITHOUT the independence
-    assumption the marginal histogram needs.  None when no grouped
-    blob applies (caller falls to the marginal CDF, then 1/3)."""
+    """CONDITIONAL range selectivity from a grouped histogram (r12,
+    extended r13): when the same conjunction constrains a group column
+    and a fresh ``daskberg-quantiles-grouped-v1`` blob keys ``col`` on
+    those columns, the groups' own CDFs measure the conditional —
+    composing with the group clause's own selectivity multiplicatively
+    WITHOUT the independence assumption the marginal histogram needs.
+    Three ladder rungs, most specific first:
+
+    - TWO equality pins (``g1 == v1 AND g2 == v2``) with a blob keyed
+      on both (either order): the joint group's CDF —
+      P(col <op> v | g1, g2) — catches correlations neither
+      single-column conditional can see.
+    - one equality pin: the matching group's CDF (r12).
+    - a RANGE pin on a group column (``g >= gv``): the per-group
+      conditionals of the satisfying groups, weighted by group row
+      counts — Σ rows_g·P(col <op> v | g) / Σ rows_g.
+
+    None when no grouped blob applies, a pinned key is absent (a
+    provably-empty conjunction is indistinguishable from a
+    key-encoding mismatch, so never hard-zero), or a group key can't
+    be placed on the rank domain — the caller falls to the marginal
+    CDF, then 1/3.  Estimates only; results never depend on this."""
     if op == "between":
         return None
     try:
+        from daskberg_spark.iceberg.planner import normalize_value
         from daskberg_spark.iceberg.quantiles import (
             _encode_group_value,
+            decode_group_value,
             range_selectivity,
             value_to_number,
         )
-        from daskberg_spark.iceberg.planner import normalize_value
 
         v = value_to_number(value, table.fields[col].type)
         if v is None:
             return None
-        for g, gop, gv in conjuncts:
-            if gop not in ("==", "=") or g == col or g not in table.fields:
-                continue
+        eq_pins = [
+            (g, gv)
+            for g, gop, gv in conjuncts
+            if gop in ("==", "=") and g != col and g in table.fields
+        ]
+        # (1) two-column pins: a blob keyed on the exact pair wins
+        for i, (g1, v1) in enumerate(eq_pins):
+            for j, (g2, v2) in enumerate(eq_pins):
+                if i == j:
+                    continue
+                hist = table.grouped_column_quantiles(col, [g1, g2])
+                if hist is None:
+                    continue
+                key = [
+                    _encode_group_value(
+                        normalize_value(v1, table.fields[g1].type)
+                    ),
+                    _encode_group_value(
+                        normalize_value(v2, table.fields[g2].type)
+                    ),
+                ]
+                for grp in hist.get("groups", []):
+                    if grp.get("key") == key:
+                        s = range_selectivity(grp, op, v)
+                        if s is not None:
+                            return s
+        # (2) single equality pin (r12)
+        for g, gv in eq_pins:
             hist = table.grouped_column_quantiles(col, [g])
             if hist is None:
                 continue
@@ -234,9 +274,54 @@ def _grouped_quantile_selectivity(
             # mis-rank joins the opposite way this feature intends, so
             # fall through to the marginal CDF (estimates only)
             return None
+        # (3) range pin on a group column: row-weighted conditionals
+        for g, gop, gv in conjuncts:
+            if (
+                gop not in ("<", "<=", ">", ">=")
+                or g == col
+                or g not in table.fields
+            ):
+                continue
+            hist = table.grouped_column_quantiles(col, [g])
+            if hist is None:
+                continue
+            gtype = table.fields[g].type
+            gn = value_to_number(gv, gtype)
+            if gn is None:
+                continue
+            num = den = 0.0
+            placeable = True
+            for grp in hist.get("groups", []):
+                k0 = (grp.get("key") or [None])[0]
+                if k0 is None:
+                    continue  # NULL group keys never satisfy a range
+                kn = value_to_number(decode_group_value(k0, gtype), gtype)
+                if kn is None:
+                    placeable = False
+                    break  # string keys etc.: decline the whole rung
+                if not _num_cmp(kn, gop, gn):
+                    continue
+                s = range_selectivity(grp, op, v)
+                if s is None:
+                    continue
+                rows_g = float(grp.get("rows") or 0)
+                num += rows_g * s
+                den += rows_g
+            if placeable and den > 0:
+                return num / den
     except Exception:
         return None
     return None
+
+
+def _num_cmp(a: float, op: str, b: float) -> bool:
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    return a >= b
 
 
 def plan_star_join(

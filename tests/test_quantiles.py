@@ -1105,3 +1105,137 @@ def test_consolidation_preserves_sibling_column_coverage(spark, tmp_path):
     assert rep["partials_computed"] == 20, rep
     hist = IcebergTable(w.path).column_quantiles("u")
     assert hist["rows"] == 200 and hist["bounds"][0] == -199.0
+
+
+def test_range_pin_conditional_selectivity(spark, tmp_path):
+    """r13 CBO rung (3): a RANGE pin on the group column weights the
+    per-group conditionals by group row counts — `g >= 5 AND v >= 10k`
+    on data where v-bands follow g scores ~the true half, not the
+    independence model's quarter."""
+    from daskberg_spark.iceberg.cbo import estimated_rows
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "rp"),
+        [
+            {"id": 1, "name": "g", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    w.append(
+        [
+            {"g": i % 10, "v": (i if i % 10 < 5 else 10_000 + i) % 20_000}
+            for i in range(2000)
+        ]
+    )
+    write_table_statistics(w, spark)
+    write_quantile_statistics(w, spark)  # marginal CDFs for g and v
+    write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    t = IcebergTable(w.path)
+    # truth: ALL g>=5 rows pass v>=10k → ~1000; independence ≈ 500
+    est_hi = estimated_rows(t, [("g", ">=", 5), ("v", ">=", 10_000)])
+    assert 800 <= est_hi <= 1200, est_hi
+    # truth: NO g<5 row passes → ~0; independence ≈ 500
+    est_lo = estimated_rows(t, [("g", "<", 5), ("v", ">=", 10_000)])
+    assert est_lo <= 5, est_lo
+
+
+def test_two_column_pin_conditional_and_order_flip(spark, tmp_path):
+    """r13 CBO rung (1): a blob keyed on BOTH pinned columns measures
+    P(range | g1, g2).  The fixture's av-band fires only on the
+    (1,1) quadrant, so the joint conditional is 1.0 where the r12
+    single-pin model (no ["g1"] blob exists) falls to the marginal
+    ~0.25 — and the star ordering provably flips: only the joint model
+    scores dim 'a' ABOVE dim 'zb'."""
+    from daskberg_spark.iceberg.cbo import (
+        JoinDim,
+        estimated_rows,
+        plan_star_join,
+    )
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    dima = IcebergWriter(
+        str(tmp_path / "dima"),
+        [
+            {"id": 1, "name": "aid", "type": "long", "required": False},
+            {"id": 2, "name": "g1", "type": "long", "required": False},
+            {"id": 3, "name": "g2", "type": "long", "required": False},
+            {"id": 4, "name": "av", "type": "long", "required": False},
+        ],
+    )
+    dima.append(
+        [
+            {
+                "aid": i,
+                "g1": i % 2,
+                "g2": (i // 2) % 2,
+                # av >= 990 exactly on the (1,1) quadrant
+                "av": 990 + i if (i % 2 == 1 and (i // 2) % 2 == 1) else i % 990,
+            }
+            for i in range(1000)
+        ]
+    )
+    write_table_statistics(dima, spark)  # NDVs for the eq clauses
+    write_quantile_statistics(dima, spark, ["av"])  # marginal CDF
+    write_grouped_quantile_statistics(dima, spark, ["g1", "g2"], ["av"])
+    t = IcebergTable(dima.path)
+    filt = [("g1", "==", 1), ("g2", "==", 1), ("av", ">=", 990)]
+    est = estimated_rows(t, filt)
+    # joint conditional 1.0 → 1000 · 1/2 · 1/2 ≈ 250; the marginal
+    # model gives ~62 and the single-pin model CANNOT apply (no ["g1"]
+    # blob exists at this snapshot)
+    assert 200 <= est <= 300, est
+    # the (1,0) quadrant: joint conditional 0 → floored at ~1 row
+    est0 = estimated_rows(t, [("g1", "==", 1), ("g2", "==", 0), ("av", ">=", 990)])
+    assert est0 <= 5, est0
+
+    # star order flip: dimb's honest growth (~0.12) sits strictly
+    # between the joint model's 0.25 and the marginal model's ~0.06 —
+    # only the joint conditional puts 'zb' first
+    dimb = IcebergWriter(
+        str(tmp_path / "dimb"),
+        [
+            {"id": 1, "name": "bid", "type": "long", "required": False},
+            {"id": 2, "name": "bv", "type": "long", "required": False},
+        ],
+    )
+    dimb.append([{"bid": i, "bv": i} for i in range(1000)])
+    write_table_statistics(dimb, spark)
+    write_quantile_statistics(dimb, spark, ["bv"])
+    fact = IcebergWriter(
+        str(tmp_path / "factab"),
+        [
+            {"id": 1, "name": "fk_a", "type": "long", "required": False},
+            {"id": 2, "name": "fk_b", "type": "long", "required": False},
+        ],
+    )
+    fact.append([{"fk_a": i % 1000, "fk_b": (i * 7) % 1000} for i in range(4000)])
+    tf = IcebergTable(fact.path)
+    plan = plan_star_join(
+        tf,
+        [
+            JoinDim(IcebergTable(dima.path), "fk_a", "aid", filters=filt, name="a"),
+            JoinDim(
+                IcebergTable(dimb.path),
+                "fk_b",
+                "bid",
+                filters=[("bv", ">=", 880)],
+                name="zb",
+            ),
+        ],
+    )
+    assert plan.order == ["zb", "a"], (plan.order, plan.estimates)
+    assert 0.2 <= plan.estimates["a"] <= 0.3, plan.estimates
+    assert 0.10 <= plan.estimates["zb"] <= 0.14, plan.estimates
