@@ -154,6 +154,12 @@ HEADLINE = [
     # (bootstrap per-file CDF partials → O(new files) append refresh →
     # dirty-leg delete refresh → driver-side CDF merge)
     "iceberg_quantile_refresh",
+    # round 13: the grouped-NDV maintenance loop (per-file grouped
+    # theta partials → O(new files) union refresh → dirty-leg
+    # delete-aware rescan), closing the last full-rebuild-only
+    # statistics family.  Lifecycle entries now also report per-phase
+    # build/refresh seconds to BENCH_PHASES.json / the control detail.
+    "iceberg_ndv_refresh",
 ]
 
 
@@ -237,10 +243,17 @@ def run_prior_control(sf_dir: str) -> dict | None:
             doc = json.loads(lines[-1]) if lines else {}
             if not doc.get("queries"):
                 return None
+            ctrl_phases = {}
+            try:  # r13+: the control's own per-phase lifecycle splits
+                with open(os.path.join(wt, "BENCH_PHASES.json")) as f:
+                    ctrl_phases = json.load(f)
+            except (OSError, ValueError):
+                pass
             return {
                 "commit": commit,
                 "source": latest,
                 "queries": doc["queries"],
+                "phases": ctrl_phases,
             }
         finally:
             subprocess.run(
@@ -275,19 +288,42 @@ def main() -> None:
         except Exception:
             pass
 
+    from daskberg_spark.operators import benchphases
+
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         best = float("inf")
         for _ in range(3):  # min of 3: first run pays codegen, rest steady-state
+            benchphases.reset(name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            took = time.perf_counter() - t0
+            if took < best:
+                best = took
+                snap = benchphases.snapshot(name)
+                if snap:  # lifecycle entries report build/refresh splits
+                    phases[name] = {k: round(v, 4) for k, v in snap.items()}
         timings[name] = round(best, 4)
 
     timings["maint_rewrite_manifests"] = round(time_rewrite_manifests(), 4)
+
+    # Per-phase lifecycle detail goes to a side file in cwd so the
+    # control subprocess (next round's bench running THIS code in a
+    # worktree) exposes its own splits for like-for-like comparison —
+    # the stdout line budget stays untouched.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_PHASES.json"),
+            "w",
+        ) as f:
+            json.dump(phases, f, indent=1)
+    except OSError:
+        pass
 
     # round-over-round deltas vs the latest BENCH_r*.json, to stderr so
     # stdout stays the single JSON line the driver parses
@@ -341,6 +377,17 @@ def main() -> None:
             for n in shared
             if control["queries"][n]
         }
+        # Lifecycle entries compare REFRESH phases only when both sides
+        # expose splits (r12 verdict item 4: the build is fixture cost,
+        # and a legitimately-grown lifecycle otherwise reads as a
+        # phantom name-to-name regression needing manual exoneration).
+        ctrl_phases = control.get("phases") or {}
+        refresh_ratios = {}
+        for n, ph in phases.items():
+            cur_r = ph.get("refresh")
+            ctl_r = (ctrl_phases.get(n) or {}).get("refresh")
+            if cur_r and ctl_r:
+                refresh_ratios[n] = round(cur_r / ctl_r, 4)
         detail = {
             "control_commit": control["commit"][:12],
             "control_source": control["source"],
@@ -351,6 +398,9 @@ def main() -> None:
             ),
             "control_queries": control["queries"],
             "control_ratios": ratios,
+            "phases": phases,
+            "control_phases": ctrl_phases,
+            "lifecycle_refresh_ratios": refresh_ratios,
         }
         repo = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(repo, "BENCH_CONTROL_DETAIL.json"), "w") as f:
@@ -374,9 +424,17 @@ def main() -> None:
         if hot:
             print("-- control ratios >= 1.15x --", file=sys.stderr)
             for n, r in sorted(hot.items(), key=lambda kv: -kv[1]):
+                note = ""
+                if n in refresh_ratios:
+                    note = (
+                        f"  [refresh-only {refresh_ratios[n]:.2f}x — "
+                        "total includes fixture build]"
+                    )
+                elif n in phases:
+                    note = "  [lifecycle entry; control has no phase split]"
                 print(
                     f"  {n:35s} {control['queries'][n]:7.3f}s -> "
-                    f"{timings[n]:7.3f}s  ({r:.2f}x)",
+                    f"{timings[n]:7.3f}s  ({r:.2f}x){note}",
                     file=sys.stderr,
                 )
     line = json.dumps(doc)

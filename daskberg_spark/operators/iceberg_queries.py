@@ -3221,58 +3221,63 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where_spark,
         write_df,
     )
+    from daskberg_spark.operators.benchphases import phase
 
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    fact_w = IcebergWriter(
-        tempfile.mkdtemp(prefix="iceberg_jru_fact_"),
-        [
-            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
-            {"id": 2, "name": "o_custkey", "type": "long", "required": False},
-        ],
-    )
-    # num_tasks=1: one file per commit at every sf, so the refresh's
-    # hard-asserted delta-plan bound (new file + delete-changed file's
-    # two sides = 3) is scale-independent
-    write_df(
-        fact_w, orders.where("o_orderkey % 5 = 0"), mode="none", num_tasks=1
-    )
-    cust = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    dim_w = IcebergWriter(
-        tempfile.mkdtemp(prefix="iceberg_jru_dim_"),
-        [
-            {"id": 1, "name": "c_custkey", "type": "long", "required": False},
-            {"id": 2, "name": "c_mktsegment", "type": "string", "required": False},
-        ],
-    )
-    write_df(dim_w, cust, mode="none")
-    rollup_w = create_join_rollup(
-        spark,
-        IcebergTable(fact_w.path),
-        IcebergTable(dim_w.path),
-        tempfile.mkdtemp(prefix="iceberg_jru_tab_"),
-        "o_custkey",
-        "c_custkey",
-        ["c_mktsegment"],
-        ["o_orderkey"],
-    )
-    write_df(
-        fact_w, orders.where("o_orderkey % 5 = 1"), mode="none", num_tasks=1
-    )
-    delete_where_spark(fact_w, spark, "o_orderkey % 35 = 0")
-    report = refresh_rollup(spark, rollup_w)
+    with phase("iceberg_join_rollup", "build"):
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        fact_w = IcebergWriter(
+            tempfile.mkdtemp(prefix="iceberg_jru_fact_"),
+            [
+                {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+                {"id": 2, "name": "o_custkey", "type": "long", "required": False},
+            ],
+        )
+        # num_tasks=1: one file per commit at every sf, so the refresh's
+        # hard-asserted delta-plan bound (new file + delete-changed file's
+        # two sides = 3) is scale-independent
+        write_df(
+            fact_w, orders.where("o_orderkey % 5 = 0"), mode="none", num_tasks=1
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        dim_w = IcebergWriter(
+            tempfile.mkdtemp(prefix="iceberg_jru_dim_"),
+            [
+                {"id": 1, "name": "c_custkey", "type": "long", "required": False},
+                {"id": 2, "name": "c_mktsegment", "type": "string", "required": False},
+            ],
+        )
+        write_df(dim_w, cust, mode="none")
+        rollup_w = create_join_rollup(
+            spark,
+            IcebergTable(fact_w.path),
+            IcebergTable(dim_w.path),
+            tempfile.mkdtemp(prefix="iceberg_jru_tab_"),
+            "o_custkey",
+            "c_custkey",
+            ["c_mktsegment"],
+            ["o_orderkey"],
+        )
+        write_df(
+            fact_w, orders.where("o_orderkey % 5 = 1"), mode="none", num_tasks=1
+        )
+        delete_where_spark(fact_w, spark, "o_orderkey % 35 = 0")
+    with phase("iceberg_join_rollup", "refresh"):
+        report = refresh_rollup(spark, rollup_w)
     assert report["mode"] == "incremental", report
     assert report["source_files_read"] <= 3, (
         f"join-rollup refresh read {report['source_files_read']} fact files"
     )
     # SCD dim update: the lowest customer moves to a brand-new segment
-    k = cust.agg(F.min("c_custkey")).collect()[0][0]
-    dim_w.delete_rows_equality([{"c_custkey": int(k)}])
-    dim_w.append([{"c_custkey": int(k), "c_mktsegment": "UPDATED"}])
-    report = refresh_rollup(spark, rollup_w)
+    with phase("iceberg_join_rollup", "build"):
+        k = cust.agg(F.min("c_custkey")).collect()[0][0]
+        dim_w.delete_rows_equality([{"c_custkey": int(k)}])
+        dim_w.append([{"c_custkey": int(k), "c_mktsegment": "UPDATED"}])
+    with phase("iceberg_join_rollup", "refresh"):
+        report = refresh_rollup(spark, rollup_w)
     assert report["mode"] == "incremental", report
     assert report["dim_changed_keys"] == 1, report
     assert report["source_files_read"] <= 2, (
@@ -3324,40 +3329,44 @@ def iceberg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_df,
     )
 
-    month = (
-        (F.year("l_shipdate") - F.lit(1970)) * 12 + F.month("l_shipdate") - 1
-    ).cast("int")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_returnflag",
-        month.alias("l_shipmonth"),
-    )
-    src_path = tempfile.mkdtemp(prefix="iceberg_rollup_src_")
-    writer = IcebergWriter(
-        src_path,
-        [
-            {"id": 1, "name": "l_orderkey", "type": "long", "required": False},
-            {"id": 2, "name": "l_returnflag", "type": "string", "required": False},
-            {"id": 3, "name": "l_shipmonth", "type": "int", "required": False},
-        ],
-        [{"name": "l_shipmonth", "transform": "identity", "source": "l_shipmonth"}],
-    )
-    write_df(
-        writer, li.where("l_shipmonth between 300 and 304"), mode="hash"
-    )
-    src = IcebergTable(src_path)
-    rollup_writer = create_rollup(
-        spark,
-        src,
-        tempfile.mkdtemp(prefix="iceberg_rollup_tab_"),
-        ["l_returnflag"],
-        ["l_orderkey"],
-    )
-    write_df(writer, li.where("l_shipmonth = 305"), mode="hash")
-    delete_where_spark(
-        writer, spark, "l_returnflag = 'R' AND l_shipmonth = 305"
-    )
-    report = refresh_rollup(spark, rollup_writer)
+    from daskberg_spark.operators.benchphases import phase
+
+    with phase("iceberg_rollup_incremental", "build"):
+        month = (
+            (F.year("l_shipdate") - F.lit(1970)) * 12 + F.month("l_shipdate") - 1
+        ).cast("int")
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_returnflag",
+            month.alias("l_shipmonth"),
+        )
+        src_path = tempfile.mkdtemp(prefix="iceberg_rollup_src_")
+        writer = IcebergWriter(
+            src_path,
+            [
+                {"id": 1, "name": "l_orderkey", "type": "long", "required": False},
+                {"id": 2, "name": "l_returnflag", "type": "string", "required": False},
+                {"id": 3, "name": "l_shipmonth", "type": "int", "required": False},
+            ],
+            [{"name": "l_shipmonth", "transform": "identity", "source": "l_shipmonth"}],
+        )
+        write_df(
+            writer, li.where("l_shipmonth between 300 and 304"), mode="hash"
+        )
+        src = IcebergTable(src_path)
+        rollup_writer = create_rollup(
+            spark,
+            src,
+            tempfile.mkdtemp(prefix="iceberg_rollup_tab_"),
+            ["l_returnflag"],
+            ["l_orderkey"],
+        )
+        write_df(writer, li.where("l_shipmonth = 305"), mode="hash")
+        delete_where_spark(
+            writer, spark, "l_returnflag = 'R' AND l_shipmonth = 305"
+        )
+    with phase("iceberg_rollup_incremental", "refresh"):
+        report = refresh_rollup(spark, rollup_writer)
     assert report["mode"] == "incremental", report
     assert report["source_files_read"] <= 3, (
         f"rollup refresh read {report['source_files_read']} source files "
@@ -3805,28 +3814,37 @@ def iceberg_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_quantile_statistics,
     )
     from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.operators.benchphases import phase
 
-    w = IcebergWriter(
-        tempfile.mkdtemp(prefix="iceberg_qref_"),
-        [
-            {"id": 1, "name": "k", "type": "long", "required": False},
-            {"id": 2, "name": "val", "type": "long", "required": False},
-        ],
-    )
-    for lo in range(0, 5000, 1250):
-        w.append(
-            [{"k": i, "val": (i * 13) % 3000} for i in range(lo, lo + 1250)]
+    with phase("iceberg_quantile_refresh", "build"):
+        w = IcebergWriter(
+            tempfile.mkdtemp(prefix="iceberg_qref_"),
+            [
+                {"id": 1, "name": "k", "type": "long", "required": False},
+                {"id": 2, "name": "val", "type": "long", "required": False},
+            ],
         )
-    rep = refresh_quantile_statistics(w, spark, ["val"])
+        for lo in range(0, 5000, 1250):
+            w.append(
+                [{"k": i, "val": (i * 13) % 3000} for i in range(lo, lo + 1250)]
+            )
+    with phase("iceberg_quantile_refresh", "bootstrap"):
+        rep = refresh_quantile_statistics(w, spark, ["val"])
     assert rep["partials_computed"] == 4 and rep["dirty_files"] == 0, rep
-    w.append([{"k": i, "val": (i * 13) % 3000} for i in range(5000, 6000)])
-    rep = refresh_quantile_statistics(w, spark)
+    with phase("iceberg_quantile_refresh", "build"):
+        w.append(
+            [{"k": i, "val": (i * 13) % 3000} for i in range(5000, 6000)]
+        )
+    with phase("iceberg_quantile_refresh", "refresh"):
+        rep = refresh_quantile_statistics(w, spark)
     assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
         f"refresh read more than the new file: {rep}"
     )
     assert rep["dirty_files"] == 0, rep
-    w.delete_rows_equality([{"k": i} for i in range(100)])
-    rep = refresh_quantile_statistics(w, spark)
+    with phase("iceberg_quantile_refresh", "build"):
+        w.delete_rows_equality([{"k": i} for i in range(100)])
+    with phase("iceberg_quantile_refresh", "refresh"):
+        rep = refresh_quantile_statistics(w, spark)
     assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
     hist = IcebergTable(w.path).column_quantiles("val")
     assert hist["merged"] is True
@@ -3883,25 +3901,33 @@ def iceberg_ndv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
+    from daskberg_spark.operators.benchphases import phase
+
     def rows(lo, hi):
         return [
             {"k": i, "seg": f"s{i % 5}", "val": (i * 37) % 500}
             for i in range(lo, hi)
         ]
 
-    for lo in range(0, 5000, 1250):
-        w.append(rows(lo, lo + 1250))
-    write_grouped_theta_statistics(w, spark, ["seg"], ["val"])
-    rep = refresh_grouped_theta_statistics(w, spark)
+    with phase("iceberg_ndv_refresh", "build"):
+        for lo in range(0, 5000, 1250):
+            w.append(rows(lo, lo + 1250))
+        write_grouped_theta_statistics(w, spark, ["seg"], ["val"])
+    with phase("iceberg_ndv_refresh", "bootstrap"):
+        rep = refresh_grouped_theta_statistics(w, spark)
     assert rep["partials_computed"] == 4 and rep["dirty_files"] == 0, rep
-    w.append(rows(5000, 6000))
-    rep = refresh_grouped_theta_statistics(w, spark)
+    with phase("iceberg_ndv_refresh", "build"):
+        w.append(rows(5000, 6000))
+    with phase("iceberg_ndv_refresh", "refresh"):
+        rep = refresh_grouped_theta_statistics(w, spark)
     assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
         f"refresh read more than the new file: {rep}"
     )
     assert rep["dirty_files"] == 0, rep
-    w.delete_rows_equality([{"k": i} for i in range(100)])
-    rep = refresh_grouped_theta_statistics(w, spark)
+    with phase("iceberg_ndv_refresh", "build"):
+        w.delete_rows_equality([{"k": i} for i in range(100)])
+    with phase("iceberg_ndv_refresh", "refresh"):
+        rep = refresh_grouped_theta_statistics(w, spark)
     assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
     t = IcebergTable(w.path)
     assert t.grouped_column_ndv("val", ["seg"])["merged"] is True
@@ -3958,22 +3984,30 @@ def iceberg_grouped_quantile_refresh(
         ],
     )
 
+    from daskberg_spark.operators.benchphases import phase
+
     def rows(lo, hi):
         return [{"g": i % 3, "v": i} for i in range(lo, hi)]
 
-    for lo in range(0, 5000, 1250):
-        w.append(rows(lo, lo + 1250))
-    write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
-    rep = refresh_grouped_quantile_statistics(w, spark)
+    with phase("iceberg_grouped_quantile_refresh", "build"):
+        for lo in range(0, 5000, 1250):
+            w.append(rows(lo, lo + 1250))
+        write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    with phase("iceberg_grouped_quantile_refresh", "bootstrap"):
+        rep = refresh_grouped_quantile_statistics(w, spark)
     assert rep["strategy"] == "file-grouped-partials", rep
     assert rep["partials_computed"] == 4 and rep["dirty_files"] == 0, rep
-    w.append(rows(5000, 6000))
-    rep = refresh_grouped_quantile_statistics(w, spark)
+    with phase("iceberg_grouped_quantile_refresh", "build"):
+        w.append(rows(5000, 6000))
+    with phase("iceberg_grouped_quantile_refresh", "refresh"):
+        rep = refresh_grouped_quantile_statistics(w, spark)
     assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
         f"refresh read more than the new file: {rep}"
     )
-    w.delete_rows_equality([{"v": i} for i in range(90)])
-    rep = refresh_grouped_quantile_statistics(w, spark)
+    with phase("iceberg_grouped_quantile_refresh", "build"):
+        w.delete_rows_equality([{"v": i} for i in range(90)])
+    with phase("iceberg_grouped_quantile_refresh", "refresh"):
+        rep = refresh_grouped_quantile_statistics(w, spark)
     assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
     h = IcebergTable(w.path).grouped_column_quantiles("v", ["g"])
     assert h["merged"] is True and len(h["groups"]) == 3
