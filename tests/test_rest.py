@@ -462,3 +462,59 @@ def test_paginated_list_tables(rest_endpoint):
     assert STATE.get("page_calls") == [0, 2, 4]
     # an unpaginated catalog (no pageSize sent) still returns everything
     assert sorted(c.list_tables()) == names
+
+
+def test_statistics_metadata_through_catalog(rest_endpoint, tmp_path, spark):
+    """r13 (tracking the writer's statistics growth): grouped theta NDV
+    blobs, grouped quantile blobs, and their per-file refresh partials
+    all live inside the metadata JSON, so the metadata-location handoff
+    carries them unchanged — commit through the ATOMIC transaction
+    endpoint, reopen via open_table, and the metadata-only consumers
+    (ndv_groupby, percentile_groupby) still answer with zero data IO."""
+    import glob
+    import re
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    client = IceRestClient(rest_endpoint, namespace="db")
+    client.create_namespace()
+    client.create_table("st", {"g": "long", "v": "long"}, stage=True)
+    w = IcebergWriter(
+        str(tmp_path / "st"),
+        [
+            {"id": 1, "name": "g", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"g": i % 3, "v": i} for i in range(120)])
+    write_grouped_theta_statistics(w, spark, ["g"], ["v"])
+    write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    w.append([{"g": 3, "v": 1000 + i} for i in range(30)])
+    # refreshes write merged blobs + per-file partials entries
+    assert refresh_grouped_theta_statistics(w, spark) is not None
+    assert refresh_grouped_quantile_statistics(w, spark) is not None
+    latest = max(
+        glob.glob(f"{w.path}/metadata/v*.metadata.json"),
+        key=lambda p: int(re.search(r"v(\d+)\.metadata", p).group(1)),
+    )
+    client.commit_transaction([("st", latest)])
+    t = client.open_table("st")
+    # grouped NDV: merged blob serves metadata-only through the catalog
+    out = t.ndv_groupby(spark, "v", ["g"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0
+    got = {r.g: r.ndv for r in out.collect()}
+    assert got == {0: 40, 1: 40, 2: 40, 3: 30}, got
+    # grouped percentiles: merged blob serves metadata-only too
+    out2 = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["g"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    assert {r.g for r in out2.collect()} == {0, 1, 2, 3}
