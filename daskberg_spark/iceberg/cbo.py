@@ -109,6 +109,18 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
                 )
                 sel *= (exact / total_now) if total_now else 0.0
                 continue
+            # conditional NDV beats the marginal when a co-occurring
+            # equality pins a group column and a grouped theta blob
+            # keys this column on it: P(col = v | g) = 1/ndv(col | g),
+            # which is LARGER than 1/ndv(col) when values nest inside
+            # groups — the marginal would under-estimate by the
+            # nesting factor and mis-rank the join behind it (r13)
+            s = _grouped_ndv_eq_selectivity(
+                table, col, _conjuncts(filters)
+            )
+            if s is not None:
+                sel *= s
+                continue
             ndv = _safe_ndv(table, col)
             if ndv:
                 sel *= 1.0 / ndv
@@ -309,6 +321,42 @@ def _grouped_quantile_selectivity(
                 den += rows_g
             if placeable and den > 0:
                 return num / den
+    except Exception:
+        return None
+    return None
+
+
+def _grouped_ndv_eq_selectivity(
+    table: IcebergTable,
+    col: str,
+    conjuncts: list[tuple[str, str, Any]],
+) -> float | None:
+    """CONDITIONAL equality selectivity from a grouped theta blob
+    (r13, the equality twin of ``_grouped_quantile_selectivity``):
+    when the conjunction pins a group column (``g == gv``) and a fresh
+    ``daskberg-theta-grouped-v1`` blob keys ``col`` on ``[g]``, the
+    matching group's NDV measures P(col = v | g = gv) = 1/ndv(col|g).
+    None when no blob applies or the pinned key is absent (a
+    key-encoding mismatch must fall to the marginal, never hard-zero).
+    Estimates only."""
+    try:
+        from daskberg_spark.iceberg.planner import normalize_value
+        from daskberg_spark.iceberg.quantiles import _encode_group_value
+
+        for g, gop, gv in conjuncts:
+            if gop not in ("==", "=") or g == col or g not in table.fields:
+                continue
+            payload = table.grouped_column_ndv(col, [g])
+            if payload is None:
+                continue
+            key = _encode_group_value(
+                normalize_value(gv, table.fields[g].type)
+            )
+            for grp in payload.get("groups", []):
+                if (grp.get("key") or [None])[0] == key:
+                    ndv = int(grp.get("ndv") or 0)
+                    return 1.0 / ndv if ndv > 0 else None
+            return None
     except Exception:
         return None
     return None

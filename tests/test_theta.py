@@ -979,3 +979,42 @@ def test_maintain_refreshes_grouped_ndv(spark, tmp_path):
     assert t.grouped_column_ndv("u", ["seg"])["merged"] is True
     rep2 = maintain(w, spark, min_file_bytes=0)
     assert rep2["refresh_grouped_ndv"] is None, rep2
+
+
+def test_grouped_ndv_conditional_eq_selectivity(spark, tmp_path):
+    """r13 CBO rung: with values NESTED inside groups (each of 3 groups
+    owns its own 40 u-values, 120 global), the marginal model scores
+    `seg == 0 AND u == 5` at 1/3 · 1/120 ≈ N/360, while the grouped
+    theta blob measures the conditional 1/ndv(u | seg) = 1/40 →
+    ≈ N/120 — 3× larger, the nesting factor."""
+    from daskberg_spark.iceberg.cbo import estimated_rows
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "ce"),
+        [
+            {"id": 1, "name": "seg", "type": "long", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    # group g owns u in [40g, 40g+40): 40 per group, 120 global
+    w.append([{"seg": i % 3, "u": 40 * (i % 3) + i % 40} for i in range(1200)])
+    write_table_statistics(w, spark)
+    t = IcebergTable(w.path)
+    marginal = estimated_rows(t, [("seg", "==", 0), ("u", "==", 5)])
+    assert 2 <= marginal <= 5, marginal  # 1200/360 ≈ 3.3
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    t = IcebergTable(w.path)
+    conditional = estimated_rows(t, [("seg", "==", 0), ("u", "==", 5)])
+    assert 8 <= conditional <= 12, conditional  # 1200/120 = 10
+    # seg == 99 is outside every file's min/max: the PLANNER proves
+    # emptiness before any NDV refinement runs (0 = proved-empty, a
+    # stronger statement than the blob key-miss fallback, which the
+    # quantile conditional test covers)
+    missing = estimated_rows(t, [("seg", "==", 99), ("u", "==", 5)])
+    assert missing == 0.0, missing
