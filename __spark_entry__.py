@@ -330,7 +330,7 @@ def _load_registry():
 # r12 window (freshness rotation, r11 verdict item 8): every r11
 # window entry earned a green r11 row (CORRECTNESS_r11: 50/50), so the
 # 49 non-flagship slots turn over to:
-#   NEW r12 (4): iceberg_percentile_groupby (grouped percentile
+#   NEW r12 (5): iceberg_percentile_groupby (grouped percentile
 #       pushdown from the grouped quantile blob),
 #       iceberg_quantile_refresh (mergeable per-file-CDF maintenance
 #       lifecycle — O(new files) hard-asserted),
@@ -350,73 +350,101 @@ def _load_registry():
 #       partials (percentile_pushdown, cbo_range_join), and
 #       hilbert_attach gained the constant-depth fold form
 #       (hilbert_cluster_stats)
-#   OLDEST evidence (39): every oracle-backed entry whose last driver
-#       row is r3 or r4 (12), the full r5 cohort (17), and the 10
-#       alphabetically-first r6 entries (the rest of r6 rotates in
+#   OLDEST evidence (35): every oracle-backed entry whose last driver
+#       row is r3 or r4 (12), the full r5 cohort (17), and the 6
+#       alphabetically-first r6 entries (the remaining 10 rotate in
 #       r13).  Computed from the CORRECTNESS_r*.json history.
+#       (Tallies: 1 flagship + 5 NEW + 9 touched + 35 oldest = 50.)
 # Everything rotated out is driver-green r11 and stays oracle-exact
 # locally via tools/check_oracle.py; rows-only entries stay out per the
 # window invariant (an oracle-backed slot records strictly more
 # evidence).
+# r13 window (standing freshness rotation): every r12 window entry
+# earned a green r12 row (CORRECTNESS_r12: 50/50), so the 49
+# non-flagship slots turn over to:
+#   NEW r13 (2): iceberg_ndv_refresh (incremental grouped-NDV
+#       maintenance — per-file grouped theta partials, O(new files)
+#       hard-asserted), iceberg_grouped_quantile_refresh (non-identity
+#       grouped quantile maintenance via per-(file × group) CDF
+#       partials)
+#   r13-TOUCHED code paths (12, pinned in-window): the grouped theta
+#       blob family gained the refresh/partials path (ndv_groupby),
+#       the grouped quantile refresh was restructured around two
+#       strategies and merge_cdf_parts gained the empty-knot guard
+#       (percentile_groupby, quantile_refresh, percentile_pushdown),
+#       the conditional-CBO ladder was rewritten — two-column pins,
+#       range-on-group weighting, grouped-NDV equality rung — and the
+#       key-miss hard-zero became a marginal fallback (cbo_conditional,
+#       cbo_range_join, q9_cbo_star), the lifecycle queries gained
+#       phase instrumentation (join_rollup, rollup_incremental,
+#       quantile_refresh again), and the consolidators unified behind
+#       statsblobs.consolidate_entries (bloom_index_prune,
+#       token_search, agg_pushdown_sum — the colsum consumer)
+#   OLDEST evidence (35): the 10 remaining r6-evidence entries
+#       (alphabetically after the 6 seated in r12) plus the 25
+#       alphabetically-first r7-evidence entries.  Computed from the
+#       CORRECTNESS_r*.json history.
+#       (Tallies: 1 flagship + 2 NEW + 12 touched + 35 oldest = 50.)
+# Everything rotated out is driver-green r12 and stays oracle-exact
+# locally via tools/check_oracle.py; rows-only entries stay out per the
+# window invariant.
 _PRIORITY = [
     # flagship
     "q1_pricing_summary",
-    # NEW r12
+    # NEW r13
+    "iceberg_ndv_refresh",
+    "iceberg_grouped_quantile_refresh",
+    # r13-touched code paths
+    "iceberg_ndv_groupby",
     "iceberg_percentile_groupby",
     "iceberg_quantile_refresh",
-    "streaming_quantile_sink",
+    "iceberg_percentile_pushdown",
     "iceberg_cbo_conditional",
-    "iceberg_ndv_groupby",
-    # r12-touched code paths
+    "iceberg_cbo_range_join",
+    "q9_cbo_star",
     "iceberg_join_rollup",
     "iceberg_rollup_incremental",
-    "iceberg_rollup_answer",
-    "streaming_rollup_sink",
+    "iceberg_bloom_index_prune",
+    "iceberg_token_search",
     "iceberg_agg_pushdown_sum",
-    "iceberg_agg_pushdown_groupby",
-    "iceberg_percentile_pushdown",
-    "iceberg_cbo_range_join",
-    "hilbert_cluster_stats",
-    # oldest driver evidence (r3)
-    "agg_collect_sorted",
-    "bucketed_join",
-    "median_quantile",
-    "salted_join",
-    # oldest driver evidence (r4)
-    "iceberg_filtered_scan",
-    "iceberg_partitions_metadata",
-    "iceberg_sql_over_catalog",
-    "iceberg_write_roundtrip",
-    "multimodal_features",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "streaming_event_counts",
-    # oldest driver evidence (r5)
-    "dedup_ngram_jaccard",
-    "embedding_neardup",
-    "events_funnel",
-    "iceberg_day_transform_prune",
-    "iceberg_incremental_read",
-    "iceberg_lineitem_month_prune",
-    "iceberg_nested_read",
-    "iceberg_or_filter",
-    "iceberg_v2_row_deletes",
-    "multimodal_decode_stub",
-    "partitioned_write",
-    "pipeline_dedup_corpus",
-    "similarity_lsh_buckets",
-    "streaming_foreach_batch_sink",
-    "streaming_hourly_window",
-    "streaming_stateful_sessions",
-    "token_count_bpe",
-    # oldest driver evidence (r6, alphabetical first 6; the rest of r6
-    # rotates in r13)
-    "approx_distinct_hll",
-    "approx_topk_countmin",
-    "dedup_connected_components",
-    "dedup_keep_best",
-    "fingerprint_rolling",
-    "iceberg_merge_cow",
+    # oldest driver evidence (r6 — the 10 deferred at r12)
+    "iceberg_spec_evolution_prune",
+    "multimodal_metadata",
+    "pipeline_quality_filter",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "similarity_lsh_recall",
+    "window_distribution_partitioned",
+    "winsorized_stats",
+    # oldest driver evidence (r7, alphabetical first 25; the rest of r7
+    # rotates in r14)
+    "approx_quantiles_histogram",
+    "dedup_exact",
+    "dedup_minhash_candidates",
+    "domain_cap_sample",
+    "filter_project",
+    "iceberg_add_files_read",
+    "iceberg_bucket_write_prune",
+    "iceberg_dv_delete_read",
+    "iceberg_dynamic_overwrite",
+    "iceberg_lineitem_stats_prune",
+    "iceberg_partition_prune",
+    "iceberg_partition_stats_file",
+    "iceberg_read_golden",
+    "iceberg_rollback_read",
+    "iceberg_schema_evolution",
+    "iceberg_table_statistics",
+    "iceberg_time_travel",
+    "join_multi",
+    "q11_value_concentration",
+    "q14_promo_effect",
+    "q19_disjunctive_filter",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 
