@@ -1082,9 +1082,15 @@ def ndv_groupby(
         raise ValueError(f"unknown column {col!r}")
     payload = table.grouped_column_ndv(col, group_by)
     if payload is not None:
+        from daskberg_spark.iceberg.quantiles import decode_group_value
+
         rows = [
-            list(g["key"]) + [int(g["ndv"])]
-            for g in payload.get("groups", [])
+            [
+                decode_group_value(v, fields[g].type)
+                for g, v in zip(group_by, g_["key"])
+            ]
+            + [int(g_["ndv"])]
+            for g_ in payload.get("groups", [])
         ]
         schema = T.StructType(
             [

@@ -747,8 +747,9 @@ def build_grouped_column_sketches(
     (group, column), and emits ONE serialized partial per pair; the
     driver unions partials per group.  Task and driver state are both
     sketches, never values — bounded by groups × (k+1)·8 B per column.
-    Group keys ride as a JSON array string (round-trips int/str/bool/
-    None exactly; the CALLER gates group-column types)."""
+    Group keys ride as a JSON array string (int/str/bool/None round-trip
+    exactly; dates encode to ISO strings — the grouped-quantile blob's
+    convention — and the CALLER gates group-column types)."""
     import json as _json
 
     from pyspark.sql.types import (
@@ -770,8 +771,16 @@ def build_grouped_column_sketches(
 
     def build(iterator):
         import collections
+        import datetime as _dt
 
         import pyarrow as pa
+
+        def enc(v):
+            # dates → ISO strings (JSON can't carry datetime.date);
+            # mirrors quantiles._encode_group_value
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                return v.isoformat()
+            return v
 
         accs: dict[tuple[str, str], KmvAccumulator] = {}
         for batch in iterator:
@@ -779,7 +788,9 @@ def build_grouped_column_sketches(
             gcols = [batch.column(cols[g]).to_pylist() for g in group_cols]
             rows_by_key = collections.defaultdict(list)
             for i, key in enumerate(zip(*gcols)):
-                rows_by_key[_json.dumps(list(key), sort_keys=True)].append(i)
+                rows_by_key[
+                    _json.dumps([enc(v) for v in key], sort_keys=True)
+                ].append(i)
             for gkey, idxs in rows_by_key.items():
                 take = pa.array(idxs, type=pa.int64())
                 for c in names:
@@ -824,9 +835,10 @@ def build_grouped_column_sketches(
     return out
 
 
-# group-key types whose values JSON-round-trip exactly through the
-# builder's key encoding and the blob payload
-_THETA_GROUP_KEY_TYPES = {"int", "long", "string", "boolean"}
+# group-key types whose values round-trip exactly through the
+# builder's key encoding and the blob payload (dates as ISO strings,
+# decoded by consumers via quantiles.decode_group_value — r13)
+_THETA_GROUP_KEY_TYPES = {"int", "long", "string", "boolean", "date"}
 
 
 def write_grouped_theta_statistics(

@@ -1006,10 +1006,13 @@ def test_maintain_kitchen_sink_statistics_lifecycle(spark, tmp_path):
             for i in range(lo, lo + n)
         ]
 
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+
     w.append(batch(0, 100))
     write_table_statistics(w, spark)
     refresh_quantile_statistics(w, spark, ["v"])
     write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    write_grouped_theta_statistics(w, spark, ["seg"], ["v"])
     write_sum_statistics(w, spark, ["v"])
     write_file_blooms(w, spark, ["k"])
     write_token_blooms(w, spark, ["txt"])
@@ -1030,6 +1033,7 @@ def test_maintain_kitchen_sink_statistics_lifecycle(spark, tmp_path):
         rep = maintain(w, spark, min_file_bytes=0 if step != 3 else 1 << 20)
         assert rep["refresh_quantiles"] == ["v"], rep
         assert rep["refresh_grouped_quantiles"] is not None, rep
+        assert rep["refresh_grouped_ndv"] is not None, rep
     t = IcebergTable(w.path)
     live_rows = lo - 2
     # every family answers, consistently
@@ -1038,6 +1042,21 @@ def test_maintain_kitchen_sink_statistics_lifecycle(spark, tmp_path):
     out = t.percentile_groupby(spark, [("v", 0.5, "p50")], ["seg"])
     assert t.last_percentile_groupby["route"] == "stats"
     assert {r.seg for r in out.collect()} == {"a", "b"}
+    ndv_out = t.ndv_groupby(spark, "v", ["seg"])
+    assert t.last_ndv_groupby["route"] == "stats"
+    ndv_got = {r.seg: r.ndv for r in ndv_out.collect()}
+    ndv_truth = {
+        r.seg: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("seg")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["x"])
+            .count_distinct("v")
+            .alias("ndv")
+        )
+        .collect()
+    }
+    assert ndv_got == ndv_truth, (ndv_got, ndv_truth)
     agg = t.agg_auto(
         spark, [("count", "*", "n"), ("sum", "v", "s")], group_by=["seg"]
     )

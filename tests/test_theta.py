@@ -1018,3 +1018,59 @@ def test_grouped_ndv_conditional_eq_selectivity(spark, tmp_path):
     # quantile conditional test covers)
     missing = estimated_rows(t, [("seg", "==", 99), ("u", "==", 5)])
     assert missing == 0.0, missing
+
+
+def test_grouped_ndv_date_keys(spark, tmp_path):
+    """'Distinct users by DAY' with day as a real date column (r13):
+    keys ride the blob as ISO strings (the grouped-quantile
+    convention), ndv_groupby decodes them back to dates, and the
+    incremental refresh keeps working across an append."""
+    import datetime as dt
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "gdt"),
+        [
+            {"id": 1, "name": "d", "type": "date", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    base = dt.date(2024, 5, 1)
+    w.append(
+        [
+            {"d": base + dt.timedelta(days=i % 3), "u": i % (5 + i % 3)}
+            for i in range(300)
+        ]
+    )
+    write_grouped_theta_statistics(w, spark, ["d"], ["u"])
+    t = IcebergTable(w.path)
+    out = t.ndv_groupby(spark, "u", ["d"])
+    assert t.last_ndv_groupby["route"] == "stats"
+    got = {r.d: r.ndv for r in out.collect()}
+    truth = {
+        r.d: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("d")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["x"])
+            .count_distinct("u")
+            .alias("ndv")
+        )
+        .collect()
+    }
+    assert got == truth and base in got, (got, truth)
+    # append a fourth day; the refresh partial-scans only the new file
+    w.append([{"d": base + dt.timedelta(days=9), "u": 100 + i} for i in range(40)])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] <= 2 and rep["files_total"] == 2, rep
+    t = IcebergTable(w.path)
+    got = {r.d: r.ndv for r in t.ndv_groupby(spark, "u", ["d"]).collect()}
+    assert got[base + dt.timedelta(days=9)] == 40
+    assert {k: v for k, v in got.items() if k != base + dt.timedelta(days=9)} == truth
