@@ -362,11 +362,13 @@ def _load_registry():
 # r13 window (standing freshness rotation): every r12 window entry
 # earned a green r12 row (CORRECTNESS_r12: 50/50), so the 49
 # non-flagship slots turn over to:
-#   NEW r13 (2): iceberg_ndv_refresh (incremental grouped-NDV
+#   NEW r13 (3): iceberg_ndv_refresh (incremental grouped-NDV
 #       maintenance — per-file grouped theta partials, O(new files)
 #       hard-asserted), iceberg_grouped_quantile_refresh (non-identity
 #       grouped quantile maintenance via per-(file × group) CDF
-#       partials)
+#       partials), iceberg_global_ndv_refresh (GLOBAL NDV through
+#       ungrouped per-file partials — exact under deletes/compaction,
+#       mode "partials")
 #   r13-TOUCHED code paths (12, pinned in-window): the grouped theta
 #       blob family gained the refresh/partials path (ndv_groupby),
 #       the grouped quantile refresh was restructured around two
@@ -380,11 +382,12 @@ def _load_registry():
 #       quantile_refresh again), and the consolidators unified behind
 #       statsblobs.consolidate_entries (bloom_index_prune,
 #       token_search, agg_pushdown_sum — the colsum consumer)
-#   OLDEST evidence (35): the 10 remaining r6-evidence entries
-#       (alphabetically after the 6 seated in r12) plus the 25
-#       alphabetically-first r7-evidence entries.  Computed from the
-#       CORRECTNESS_r*.json history.
-#       (Tallies: 1 flagship + 2 NEW + 12 touched + 35 oldest = 50.)
+#   OLDEST evidence (34): the 10 remaining r6-evidence entries
+#       (alphabetically after the 6 seated in r12) plus the 24
+#       alphabetically-first r7-evidence entries (q8_market_share, the
+#       25th, yields its slot to the late NEW query and rotates in
+#       r14).  Computed from the CORRECTNESS_r*.json history.
+#       (Tallies: 1 flagship + 3 NEW + 12 touched + 34 oldest = 50.)
 # Everything rotated out is driver-green r12 and stays oracle-exact
 # locally via tools/check_oracle.py; rows-only entries stay out per the
 # window invariant.
@@ -394,6 +397,7 @@ _PRIORITY = [
     # NEW r13
     "iceberg_ndv_refresh",
     "iceberg_grouped_quantile_refresh",
+    "iceberg_global_ndv_refresh",
     # r13-touched code paths
     "iceberg_ndv_groupby",
     "iceberg_percentile_groupby",
@@ -418,8 +422,8 @@ _PRIORITY = [
     "similarity_lsh_recall",
     "window_distribution_partitioned",
     "winsorized_stats",
-    # oldest driver evidence (r7, alphabetical first 25; the rest of r7
-    # rotates in r14)
+    # oldest driver evidence (r7, alphabetical first 24; the rest of r7
+    # — q8_market_share onward — rotates in r14)
     "approx_quantiles_histogram",
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -444,7 +448,6 @@ _PRIORITY = [
     "q22_global_sales_opportunity",
     "q4_order_priority",
     "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 

@@ -676,17 +676,44 @@ def grouped_column_filecdfs(
 
 def _consolidate_file_grouped_partials(writer, t, group_cols, columns) -> bool:
     """Repack accumulated per-(file × group) partials entries into ONE
-    live-files-only entry (shared consolidation pass; the caller's
-    final metadata write persists it)."""
+    live-files-only entry covering EVERY (grouping, column) pair any
+    existing entry indexes — not just the caller's — so a superseded
+    grouping's coverage never silently drops (shared consolidation
+    pass; the caller's final metadata write persists it)."""
+    from daskberg_spark.iceberg.puffin import read_blob
     from daskberg_spark.iceberg.statsblobs import consolidate_entries
+
+    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    pairs: list[tuple[tuple, str]] = []
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_FILE_QUANTILE_BLOB_TYPE:
+                continue
+            col = fid_to_name.get((b.get("fields") or [None])[0])
+            if col is None:
+                continue
+            try:
+                payload = json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            gc = payload.get("group_cols")
+            if gc is None:
+                continue
+            key = (tuple(gc), col)
+            if key not in pairs:
+                pairs.append(key)
 
     def build(snapshot_id: int, seq: int) -> list[dict]:
         live = {_norm(f["file_path"]) for f in t.plan_files(None)}
         blobs = []
-        for c in columns:
-            m = grouped_column_filecdfs(t, c, group_cols) or {}
+        for gc, c in pairs:
+            if c not in writer.ids:
+                continue
+            m = grouped_column_filecdfs(t, c, list(gc)) or {}
             payload = {
-                "group_cols": list(group_cols),
+                "group_cols": list(gc),
                 "buckets": DEFAULT_BUCKETS,
                 "files": {p: g for p, g in m.items() if p in live},
             }

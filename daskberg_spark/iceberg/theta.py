@@ -1054,12 +1054,13 @@ def write_file_grouped_theta_partials(
     df = _read_file_groups(
         t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
     )
-    n_groups = df.select(*group_cols).distinct().count()
-    if n_groups > max_groups:
-        raise ValueError(
-            f"{n_groups} distinct {group_cols} tuples exceed max_groups="
-            f"{max_groups} — grouped sketches must stay metadata-sized"
-        )
+    if group_cols:  # ungrouped partials have exactly one (empty) group
+        n_groups = df.select(*group_cols).distinct().count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"{n_groups} distinct {group_cols} tuples exceed max_groups="
+                f"{max_groups} — grouped sketches must stay metadata-sized"
+            )
     # "__file" rides as one more group column: per-(file, group, col)
     # partials fall out of the existing bounded distributed builder
     sketches = build_grouped_column_sketches(
@@ -1121,6 +1122,114 @@ def write_file_grouped_theta_partials(
     return path
 
 
+def write_file_theta_partials(
+    writer,
+    spark,
+    columns: list[str] | None = None,
+    file_subset=None,
+    lg_k: int = DEFAULT_LG_K,
+) -> str | None:
+    """Per-(file, column) theta partials — the UNGROUPED special case
+    of ``write_file_grouped_theta_partials`` (``group_cols=[]``: every
+    file's rows fall in the one empty-tuple group).  Opting a table in
+    upgrades ``refresh_table_statistics`` from the append-window union
+    (full rebuild on overwrites, compaction, or >20% deletes) to the
+    partials path: EXACT at O(new + dirty files) under any commit
+    shape (r13)."""
+    if columns is None:
+        columns = sorted(
+            c
+            for c, t in dict(writer.types).items()
+            if isinstance(t, str) and sketchable(t)
+        )
+    return write_file_grouped_theta_partials(
+        writer, spark, [], columns, file_subset=file_subset, lg_k=lg_k
+    )
+
+
+def refresh_column_sketches_from_partials(
+    writer, spark, lg_k: int = DEFAULT_LG_K
+) -> tuple[dict[str, "ThetaSketch"], dict[str, Any]] | None:
+    """The partials path of the GLOBAL NDV refresh (r13): union stored
+    per-file sketches for clean live files, partial-scan only
+    uncovered clean files, re-read delete-dirtied files delete-aware.
+    None when the table never opted in (no ungrouped partials blob) —
+    ``refresh_table_statistics`` then keeps its append-window logic.
+    The opt-in is TABLE-level: once any ungrouped partials blob
+    exists, the refresh covers EVERY currently-sketchable column
+    (columns added since the opt-in bootstrap their partials in the
+    missing-files pass), so the published NDV entry never silently
+    narrows.  Returns (sketches by column, report)."""
+    import base64 as _b64
+    import json as _json
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(writer.path)
+    if not any(gc == () for gc, _c in _theta_partial_pairs(writer, t)):
+        return None
+    types = dict(writer.types)
+    columns = sorted(
+        c
+        for c, ty in types.items()
+        if isinstance(ty, str) and sketchable(ty)
+    )
+    if not columns:
+        return None
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
+    }
+    maps = {
+        c: (grouped_theta_filesketches(t, c, []) or {}) for c in columns
+    }
+    missing = set()
+    for c in columns:
+        missing |= clean_norm - set(maps[c])
+    if missing:
+        write_file_grouped_theta_partials(
+            writer, spark, [], columns, file_subset=missing, lg_k=lg_k
+        )
+        t = IcebergTable(writer.path)
+        maps = {
+            c: (grouped_theta_filesketches(t, c, []) or {})
+            for c in columns
+        }
+    _consolidate_file_grouped_theta(writer, t, [], columns, lg_k)
+    empty_key = _json.dumps([])
+    merged: dict[str, ThetaSketch] = {}
+    for c in columns:
+        parts = []
+        for p in clean_norm:
+            b64 = (maps[c].get(p) or {}).get(empty_key)
+            if b64 is not None:
+                parts.append(
+                    ThetaSketch.deserialize(_b64.b64decode(b64), lg_k)
+                )
+        if parts:
+            merged[c] = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        else:
+            merged[c] = ThetaSketch(
+                LONG_MAX, np.empty(0, dtype=np.uint64), lg_k
+            )
+    if dirty:
+        df = to_df(t, spark, columns=list(columns), file_subset=sorted(dirty))
+        fresh = build_column_sketches(
+            df, [(c, types[c]) for c in columns], lg_k
+        )
+        for c in columns:
+            merged[c] = merged[c].union(fresh[c])
+    report = {
+        "columns": list(columns),
+        "files_total": len(files),
+        "partials_computed": len(missing),
+        "dirty_files": len(dirty),
+    }
+    return merged, report
+
+
 def grouped_theta_filesketches(
     table, name: str, group_cols: list[str]
 ) -> dict[str, dict[str, str]] | None:
@@ -1157,12 +1266,47 @@ def grouped_theta_filesketches(
     return merged if found else None
 
 
+def _theta_partial_pairs(writer, t) -> list[tuple[tuple, str]]:
+    """Every (group_cols, column) combination any per-file theta
+    partials entry covers — the consolidation must repack ALL of them
+    (grouped and ungrouped flavors coexist on one table), or repacking
+    one flavor would silently drop the other's coverage."""
+    import json as _json
+
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    pairs: list[tuple[tuple, str]] = []
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_FILE_BLOB_TYPE:
+                continue
+            col = fid_to_name.get((b.get("fields") or [None])[0])
+            if col is None:
+                continue
+            try:
+                payload = _json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            gc = payload.get("group_cols")
+            if gc is None:
+                continue
+            key = (tuple(gc), col)
+            if key not in pairs:
+                pairs.append(key)
+    return pairs
+
+
 def _consolidate_file_grouped_theta(
     writer, t, group_cols, columns, lg_k: int = DEFAULT_LG_K
 ) -> bool:
-    """Repack accumulated per-file grouped sketch entries into ONE
-    live-files-only entry (shared consolidation pass; the caller's
-    final metadata write persists it)."""
+    """Repack accumulated per-file theta sketch entries into ONE
+    live-files-only entry covering EVERY (grouping, column) pair any
+    existing entry indexes — not just the caller's — so consolidating
+    one flavor never drops another's coverage (shared consolidation
+    pass; the caller's final metadata write persists it)."""
     import json as _json
 
     from daskberg_spark.iceberg.statsblobs import consolidate_entries
@@ -1172,10 +1316,12 @@ def _consolidate_file_grouped_theta(
 
         live = {_norm_scan_path(f["file_path"]) for f in t.plan_files(None)}
         blobs = []
-        for c in columns:
-            m = grouped_theta_filesketches(t, c, group_cols) or {}
+        for gc, c in _theta_partial_pairs(writer, t):
+            if c not in writer.ids:
+                continue
+            m = grouped_theta_filesketches(t, c, list(gc)) or {}
             payload = {
-                "group_cols": list(group_cols),
+                "group_cols": list(gc),
                 "lg_k": lg_k,
                 "files": {p: g for p, g in m.items() if p in live},
             }

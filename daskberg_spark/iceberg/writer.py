@@ -3605,8 +3605,16 @@ def refresh_table_statistics(
     an ``initial-default`` with no base blob (pre-existing files then
     read a value the added-files scan cannot see).  A column ADDED
     plainly after the base is safe: old files read NULL for it, so its
-    full-table NDV lives entirely in the added files.  Returns
-    ``(statistics_path, "incremental" | "full")``."""
+    full-table NDV lives entirely in the added files.
+
+    Tables opted into per-file theta partials
+    (``theta.write_file_theta_partials``, r13) bypass the window logic
+    entirely: clean files union their stored sketches, dirty files
+    take one delete-aware scan — EXACT at O(new + dirty files) under
+    any commit shape (overwrites, compaction, unbounded deletes),
+    returned as mode ``"partials"`` with the IO census on
+    ``writer.last_theta_refresh``.  Returns
+    ``(statistics_path, "partials" | "incremental" | "full")``."""
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.puffin import read_blob
@@ -3618,6 +3626,26 @@ def refresh_table_statistics(
 
     if not writer.snapshots:
         raise ValueError("table has no snapshots")
+    # partials path (r13): tables that opted in via
+    # write_file_theta_partials refresh EXACTLY at O(new + dirty files)
+    # under ANY commit shape — overwrites, compaction ("replace"
+    # snapshots), and unbounded deletes included — where the
+    # append-window union below must fall back to a full rebuild
+    from daskberg_spark.iceberg.theta import (
+        refresh_column_sketches_from_partials,
+    )
+
+    got = refresh_column_sketches_from_partials(writer, spark)
+    if got is not None:
+        merged_p, p_report = got
+        writer.last_theta_refresh = p_report  # type: ignore[attr-defined]
+        ndv_p = {c: int(round(s.estimate())) for c, s in merged_p.items()}
+        return (
+            _publish_statistics(
+                writer, writer.head_snapshot["snapshot-id"], merged_p, ndv_p
+            ),
+            "partials",
+        )
     head = writer.head_snapshot
     head_id = head["snapshot-id"]
     stats_by_snap = {

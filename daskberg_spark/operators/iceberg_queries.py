@@ -4027,6 +4027,83 @@ def iceberg_grouped_quantile_refresh(
 
 
 @query(
+    "iceberg_global_ndv_refresh",
+    """
+    WITH src AS (
+        SELECT CAST(FLOOR(i / 2) AS BIGINT) AS k,
+               'u' || CAST(CAST(FLOOR(i / 3) AS BIGINT) AS VARCHAR) AS u
+        FROM range(6000) t(i) WHERE i >= 100
+    )
+    SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_k,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS ndv_u
+    FROM src
+    """,
+)
+def iceberg_global_ndv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL NDV maintenance through per-file theta partials (r13,
+    ``theta.write_file_theta_partials`` +
+    ``writer.refresh_table_statistics`` mode ``"partials"``): the
+    append-window union (r6) must FULL-REBUILD on overwrites,
+    compaction, and >20% deletes — per-file sketches remove every one
+    of those cliffs.  Bootstrap over a 4-file table, APPEND a fifth
+    file — the refresh builds a partial for ONLY that file
+    (hard-asserted 1 of 5) — then an eq-DELETE (the first 100 ids,
+    which REMOVES 50 distinct k values and ~33 distinct u values, a
+    shape no union-only refresh can track) re-reads exactly the dirty
+    set delete-aware.  All NDVs sit below the sketch's nominal k, so
+    the published values are EXACT and the DuckDB ``COUNT(DISTINCT)``
+    oracle must reproduce them bit-for-bit."""
+    import tempfile
+
+    from daskberg_spark.iceberg.theta import write_file_theta_partials
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        refresh_table_statistics,
+    )
+    from daskberg_spark.operators.benchphases import phase
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_gndvref_"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "k", "type": "long", "required": False},
+            {"id": 3, "name": "u", "type": "string", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"id": i, "k": i // 2, "u": f"u{i // 3}"} for i in range(lo, hi)
+        ]
+
+    with phase("iceberg_global_ndv_refresh", "build"):
+        for lo in range(0, 5000, 1250):
+            w.append(rows(lo, lo + 1250))
+        write_file_theta_partials(w, spark)
+    with phase("iceberg_global_ndv_refresh", "build"):
+        w.append(rows(5000, 6000))
+    with phase("iceberg_global_ndv_refresh", "refresh"):
+        _, mode = refresh_table_statistics(w, spark)
+    assert mode == "partials", mode
+    rep = w.last_theta_refresh
+    assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
+        f"refresh read more than the new file: {rep}"
+    )
+    with phase("iceberg_global_ndv_refresh", "build"):
+        w.delete_rows_equality([{"id": i} for i in range(100)])
+    with phase("iceberg_global_ndv_refresh", "refresh"):
+        _, mode = refresh_table_statistics(w, spark)
+    assert mode == "partials", mode
+    rep = w.last_theta_refresh
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    t = IcebergTable(w.path)
+    return spark.range(1).select(
+        F.lit(t.column_ndv("k")).cast("long").alias("ndv_k"),
+        F.lit(t.column_ndv("u")).cast("long").alias("ndv_u"),
+    )
+
+
+@query(
     "iceberg_analyze_table",
     """
     WITH src AS (

@@ -1074,3 +1074,65 @@ def test_grouped_ndv_date_keys(spark, tmp_path):
     got = {r.d: r.ndv for r in t.ndv_groupby(spark, "u", ["d"]).collect()}
     assert got[base + dt.timedelta(days=9)] == 40
     assert {k: v for k, v in got.items() if k != base + dt.timedelta(days=9)} == truth
+
+
+def test_global_ndv_partials_refresh(spark, tmp_path):
+    """r13: a table opted into per-file theta partials refreshes its
+    GLOBAL NDV stats exactly at O(new + dirty files) under the commit
+    shapes the append-window path must full-rebuild on — unbounded
+    deletes and compaction ("replace" snapshots) included."""
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import write_file_theta_partials
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        compact_files_spark,
+        refresh_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "gp"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "u", "type": "string", "required": False},
+        ],
+    )
+    w.append([{"k": i % 50, "u": f"u{i % 30}"} for i in range(200)])
+    w.append([{"k": 50 + i % 20, "u": f"v{i % 10}"} for i in range(100)])
+    write_file_theta_partials(w, spark)
+
+    def truth(t):
+        r = t.to_df(spark).agg(
+            F.count_distinct("k").alias("k"),
+            F.count_distinct("u").alias("u"),
+        ).collect()[0]
+        return {"k": r["k"], "u": r["u"]}
+
+    # append: only the new file takes the partial pass
+    w.append([{"k": 100 + i, "u": f"w{i}"} for i in range(25)])
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "partials", mode
+    rep = w.last_theta_refresh
+    assert rep["partials_computed"] == 1 and rep["files_total"] == 3, rep
+    t = IcebergTable(w.path)
+    assert {c: t.column_ndv(c) for c in ("k", "u")} == truth(t)
+    # a >20% delete: the window path would full-rebuild; partials stay
+    # O(dirty files) and EXACT
+    w.delete_rows_equality([{"k": i} for i in range(40)])
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "partials", mode
+    rep = w.last_theta_refresh
+    assert rep["dirty_files"] >= 1 and rep["partials_computed"] == 0, rep
+    t = IcebergTable(w.path)
+    assert {c: t.column_ndv(c) for c in ("k", "u")} == truth(t)
+    # compaction commits a "replace" snapshot — the window path's
+    # unconditional full-rebuild case; partials re-derive the new
+    # file's sketches and stay exact
+    compact_files_spark(w, spark, min_file_bytes=1 << 20)
+    _, mode = refresh_table_statistics(w, spark)
+    assert mode == "partials", mode
+    rep = w.last_theta_refresh
+    assert rep["dirty_files"] == 0 and rep["partials_computed"] >= 1, rep
+    t = IcebergTable(w.path)
+    assert {c: t.column_ndv(c) for c in ("k", "u")} == truth(t)

@@ -333,6 +333,10 @@ AUDIT = {
     # eagerly inside the operator (strategy/partials hard-asserted
     # there); the returned per-group summary is a literal relation
     "iceberg_grouped_quantile_refresh": (0, False, False, None),
+    # r13 global NDV via per-file theta partials: lifecycle eager in
+    # the operator (mode "partials" + IO census hard-asserted); the
+    # returned NDV pair is a one-row literal — zero exchanges
+    "iceberg_global_ndv_refresh": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
