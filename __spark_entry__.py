@@ -362,13 +362,14 @@ def _load_registry():
 # r13 window (standing freshness rotation): every r12 window entry
 # earned a green r12 row (CORRECTNESS_r12: 50/50), so the 49
 # non-flagship slots turn over to:
-#   NEW r13 (3): iceberg_ndv_refresh (incremental grouped-NDV
+#   NEW r13 (4): iceberg_ndv_refresh (incremental grouped-NDV
 #       maintenance — per-file grouped theta partials, O(new files)
 #       hard-asserted), iceberg_grouped_quantile_refresh (non-identity
 #       grouped quantile maintenance via per-(file × group) CDF
 #       partials), iceberg_global_ndv_refresh (GLOBAL NDV through
 #       ungrouped per-file partials — exact under deletes/compaction,
-#       mode "partials")
+#       mode "partials"), streaming_ndv_sink (per-epoch grouped-NDV
+#       maintenance inside an exactly-once stream)
 #   r13-TOUCHED code paths (12, pinned in-window): the grouped theta
 #       blob family gained the refresh/partials path (ndv_groupby),
 #       the grouped quantile refresh was restructured around two
@@ -382,12 +383,13 @@ def _load_registry():
 #       quantile_refresh again), and the consolidators unified behind
 #       statsblobs.consolidate_entries (bloom_index_prune,
 #       token_search, agg_pushdown_sum — the colsum consumer)
-#   OLDEST evidence (34): the 10 remaining r6-evidence entries
-#       (alphabetically after the 6 seated in r12) plus the 24
-#       alphabetically-first r7-evidence entries (q8_market_share, the
-#       25th, yields its slot to the late NEW query and rotates in
-#       r14).  Computed from the CORRECTNESS_r*.json history.
-#       (Tallies: 1 flagship + 3 NEW + 12 touched + 34 oldest = 50.)
+#   OLDEST evidence (33): the 10 remaining r6-evidence entries
+#       (alphabetically after the 6 seated in r12) plus the 23
+#       alphabetically-first r7-evidence entries (q7_volume_shipping
+#       and q8_market_share, the 24th/25th, yield their slots to the
+#       two late NEW queries and rotate in r14).  Computed from the
+#       CORRECTNESS_r*.json history.
+#       (Tallies: 1 flagship + 4 NEW + 12 touched + 33 oldest = 50.)
 # Everything rotated out is driver-green r12 and stays oracle-exact
 # locally via tools/check_oracle.py; rows-only entries stay out per the
 # window invariant.
@@ -398,6 +400,7 @@ _PRIORITY = [
     "iceberg_ndv_refresh",
     "iceberg_grouped_quantile_refresh",
     "iceberg_global_ndv_refresh",
+    "streaming_ndv_sink",
     # r13-touched code paths
     "iceberg_ndv_groupby",
     "iceberg_percentile_groupby",
@@ -422,8 +425,8 @@ _PRIORITY = [
     "similarity_lsh_recall",
     "window_distribution_partitioned",
     "winsorized_stats",
-    # oldest driver evidence (r7, alphabetical first 24; the rest of r7
-    # — q8_market_share onward — rotates in r14)
+    # oldest driver evidence (r7, alphabetical first 23; the rest of r7
+    # — q7_volume_shipping onward — rotates in r14)
     "approx_quantiles_histogram",
     "dedup_exact",
     "dedup_minhash_candidates",
@@ -447,7 +450,6 @@ _PRIORITY = [
     "q19_disjunctive_filter",
     "q22_global_sales_opportunity",
     "q4_order_priority",
-    "q7_volume_shipping",
 ]
 
 

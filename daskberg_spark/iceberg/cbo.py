@@ -92,14 +92,18 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
         col, op, _v = clause
         if op in ("==", "="):
             # selectivity ladder: an EXACT per-group count from a fresh
-            # registered rollup beats any estimate (rollup.py); NDV's
-            # uniform 1/ndv only when no rollup covers the column
+            # registered rollup beats any estimate (rollup.py), then an
+            # exact per-group census from a current-snapshot grouped
+            # quantile blob keyed on this column (r13), then NDV's
+            # uniform 1/ndv
             try:
                 from daskberg_spark.iceberg.rollup import rollup_eq_count
 
                 exact = rollup_eq_count(table, col, _v)
             except Exception:
                 exact = None
+            if exact is None:
+                exact = _grouped_rows_eq_count(table, col, _v)
             if exact is not None:
                 total_now = float(
                     sum(
@@ -321,6 +325,54 @@ def _grouped_quantile_selectivity(
                 den += rows_g
             if placeable and den > 0:
                 return num / den
+    except Exception:
+        return None
+    return None
+
+
+def _grouped_rows_eq_count(
+    table: IcebergTable, col: str, value: Any
+) -> float | None:
+    """EXACT row count for ``col == value`` from a CURRENT-snapshot
+    grouped quantile blob keyed on ``[col]`` (r13): the blob's groups
+    carry exact per-group row censuses, so an equality pin on the
+    GROUP column itself reads the true count — skew-proof where the
+    uniform 1/ndv model is worst (a 90/10 group split scores 0.9/0.1,
+    not 0.5/0.5).  None when no blob keys on exactly ``[col]``, the
+    pinned key is absent (key-encoding caveat: never hard-zero), or
+    anything fails — estimates only."""
+    import json as _json
+
+    try:
+        from daskberg_spark.iceberg.planner import normalize_value
+        from daskberg_spark.iceberg.puffin import read_blob
+        from daskberg_spark.iceberg.quantiles import (
+            GROUPED_QUANTILE_BLOB_TYPE,
+            _encode_group_value,
+        )
+
+        key = _encode_group_value(
+            normalize_value(value, table.fields[col].type)
+        )
+        cur = table.current_snapshot["snapshot-id"]
+        for e in table.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("type") != GROUPED_QUANTILE_BLOB_TYPE:
+                    continue
+                try:
+                    payload = _json.loads(
+                        read_blob(table._relocate(e["statistics-path"]), b)
+                    )
+                except (ValueError, OSError):
+                    continue
+                if payload.get("group_cols") != [col]:
+                    continue
+                for grp in payload.get("groups", []):
+                    if (grp.get("key") or [None])[0] == key:
+                        return float(grp.get("rows") or 0)
+                return None  # key absent: fall through to NDV ladder
     except Exception:
         return None
     return None

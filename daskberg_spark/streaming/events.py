@@ -1319,6 +1319,97 @@ def streaming_quantile_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_ndv_sink",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ndv
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_ndv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with continuously-fresh GROUPED NDV
+    statistics (r13 composition: ``iceberg_epoch_sink`` × the per-file
+    grouped theta partials): four micro-batches commit exactly-once
+    into an Iceberg table, and ``refresh_grouped_theta_statistics``
+    advances the per-event-type NDV blob INSIDE the stream — every
+    post-bootstrap epoch builds sketch partials for ONLY that epoch's
+    committed files (hard-asserted == the epoch's file-count delta),
+    never rescanning the table.  "Distinct users by segment" is thus
+    never more than one micro-batch stale at O(epoch) maintenance
+    cost.  lg_k=16 keeps every group's sketch in exact mode at this
+    scale, so ``ndv_groupby`` — served from the final merged blob with
+    zero data files read — must match the batch COUNT(DISTINCT) oracle
+    bit-for-bit."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"daskberg_stream_split_{tag}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "event_type")
+            .repartition(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(split_dir)
+        )
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    sink_path = os.path.join(
+        tempfile.gettempdir(), f"daskberg_ndvsink_{uuid.uuid4().hex[:8]}"
+    )
+    writer = IcebergWriter(
+        sink_path,
+        [
+            {"id": 1, "name": "event_id", "type": "long", "required": False},
+            {"id": 2, "name": "event_type", "type": "string", "required": False},
+        ],
+    )
+    epoch_sink = iceberg_epoch_sink(writer)
+    state: dict = {"reps": [], "files": []}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_sink(batch_df, epoch_id)
+        if not state["reps"]:
+            write_grouped_theta_statistics(
+                writer, spark, ["event_type"], ["event_id"], lg_k=16
+            )
+        rep = refresh_grouped_theta_statistics(writer, spark)
+        state["reps"].append(rep)
+        state["files"].append(rep["files_total"])
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(state["reps"]) == 4, state
+    for i, rep in enumerate(state["reps"]):
+        delta = state["files"][i] - (state["files"][i - 1] if i else 0)
+        assert rep["partials_computed"] == delta and rep["dirty_files"] == 0, (
+            i,
+            rep,
+        )
+    t = IcebergTable(sink_path)
+    out = t.ndv_groupby(spark, "event_id", ["event_type"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_ndv_groupby["exact"] is True, t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    return out.select("event_type", F.col("ndv").cast("long").alias("ndv"))
+
+
 # oracles need the sketch constants; register after the function bodies so
 # the import graph stays acyclic
 from daskberg_spark.operators.registry import ORACLES as _ORACLES

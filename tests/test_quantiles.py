@@ -1258,3 +1258,42 @@ def test_two_column_pin_conditional_and_order_flip(spark, tmp_path):
     assert plan.order == ["zb", "a"], (plan.order, plan.estimates)
     assert 0.2 <= plan.estimates["a"] <= 0.3, plan.estimates
     assert 0.10 <= plan.estimates["zb"] <= 0.14, plan.estimates
+
+
+def test_grouped_rows_exact_eq_selectivity(spark, tmp_path):
+    """r13 CBO rung: an equality pin on a column a grouped blob keys on
+    reads the EXACT per-group row census — skew-proof where uniform
+    1/ndv is worst (90/10 split scores 0.9/0.1, not 0.5/0.5)."""
+    from daskberg_spark.iceberg.cbo import estimated_rows
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "sk"),
+        [
+            {"id": 1, "name": "g", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    w.append(
+        [{"g": "big" if i % 10 else "small", "v": i} for i in range(1000)]
+    )
+    write_table_statistics(w, spark)
+    t = IcebergTable(w.path)
+    # NDV model: 1/2 each — 500/500
+    assert 400 <= estimated_rows(t, [("g", "==", "small")]) <= 600
+    write_grouped_quantile_statistics(w, spark, ["g"], ["v"])
+    t = IcebergTable(w.path)
+    assert abs(estimated_rows(t, [("g", "==", "small")]) - 100) <= 1
+    assert abs(estimated_rows(t, [("g", "==", "big")]) - 900) <= 1
+    # "zzz" is outside the file's min/max: the PLANNER proves emptiness
+    # before any census lookup (0 = proved-empty); a key INSIDE the
+    # bounds but absent from the blob falls to the NDV model
+    assert estimated_rows(t, [("g", "==", "zzz")]) == 0.0
+    est = estimated_rows(t, [("g", "==", "c")])  # between "big"/"small"
+    assert est >= 1.0, est

@@ -337,6 +337,10 @@ AUDIT = {
     # the operator (mode "partials" + IO census hard-asserted); the
     # returned NDV pair is a one-row literal — zero exchanges
     "iceberg_global_ndv_refresh": (0, False, False, None),
+    # r13 streaming grouped-NDV maintenance: the stream runs eagerly
+    # inside the operator (per-epoch partials hard-asserted); the
+    # returned ndv_groupby answer is a literal — zero exchanges
+    "streaming_ndv_sink": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
