@@ -1136,3 +1136,52 @@ def test_global_ndv_partials_refresh(spark, tmp_path):
     assert rep["dirty_files"] == 0 and rep["partials_computed"] >= 1, rep
     t = IcebergTable(w.path)
     assert {c: t.column_ndv(c) for c in ("k", "u")} == truth(t)
+
+
+def test_theta_partials_survive_expiry_and_orphan_sweep(spark, tmp_path):
+    """Blob lifecycle composition for the r13 per-file sketch partials:
+    snapshot expiry REATTACHES the raw-file entries to the surviving
+    head (they describe immutable files, not snapshot state), the
+    orphan sweep reclaims superseded puffins from disk, and coverage
+    still answers — the next refresh computes zero new partials."""
+    import os
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "sv"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"seg": "a", "u": i} for i in range(40)])
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    for r in range(10):
+        w.append([{"seg": "ab"[r % 2], "u": 100 * r + i} for i in range(20)])
+        refresh_grouped_theta_statistics(w, spark)
+    # expire everything but the head: partials entries on expired
+    # snapshots must reattach, not die
+    expired = expire_snapshots(w, keep_last=1)
+    assert expired, "nothing expired — fixture too small"
+    removed = remove_orphan_files(w.path)
+    assert any(p.endswith(".puffin") for p in removed), removed
+    t = IcebergTable(w.path)
+    for e in t.table_statistics():
+        assert os.path.exists(e["statistics-path"]), e["statistics-path"]
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 0, rep
+    t = IcebergTable(w.path)
+    got = {r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()}
+    assert t.last_ndv_groupby["route"] == "stats"
+    assert got == _gndv_truth(t, spark), got
