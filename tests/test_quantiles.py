@@ -1297,3 +1297,86 @@ def test_grouped_rows_exact_eq_selectivity(spark, tmp_path):
     assert estimated_rows(t, [("g", "==", "zzz")]) == 0.0
     est = estimated_rows(t, [("g", "==", "c")])  # between "big"/"small"
     assert est >= 1.0, est
+
+
+def test_grouped_quantile_refresh_randomized_differential(spark, tmp_path):
+    """Seeded lifecycle differential for the NON-IDENTITY grouped
+    refresh: after every commit window (appends, eq-deletes, a
+    compaction) the merged blob's per-group row/non-null censuses and
+    extreme knots equal the exact relational truth, and the partial
+    pass never reads more than the files the window introduced."""
+    import random
+
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import compact_files_spark
+
+    rng = random.Random(29)
+    w = _table(
+        tmp_path,
+        [{"v": rng.randrange(1000), "k": i % 3} for i in range(200)],
+        name="rdq",
+    )
+    write_grouped_quantile_statistics(w, spark, ["k"], ["v"])
+    refresh_grouped_quantile_statistics(w, spark)  # bootstrap
+
+    def live_paths():
+        return {
+            f["file_path"]
+            for f in IcebergTable(w.path).plan_files(None)
+        }
+
+    def truth():
+        from pyspark.sql import functions as F
+
+        t = IcebergTable(w.path)
+        return {
+            r.k: (r.n, r.nn, r.vmin, r.vmax)
+            for r in t.to_df(spark)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("v").alias("nn"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+            )
+            .collect()
+        }
+
+    files_before = live_paths()
+    for step in range(6):
+        action = rng.choice(["append", "append", "delete", "compact"])
+        if action == "append":
+            w.append(
+                [
+                    {"v": rng.randrange(1000), "k": rng.randrange(3)}
+                    for _ in range(rng.randrange(40, 90))
+                ]
+            )
+        elif action == "delete":
+            w.delete_rows_equality(
+                [{"v": rng.randrange(1000)} for _ in range(8)]
+            )
+        else:
+            compact_files_spark(w, spark, min_file_bytes=1 << 20)
+        files_now = live_paths()
+        rep = refresh_grouped_quantile_statistics(w, spark)
+        assert rep["mode"] == "incremental", (step, action, rep)
+        assert rep["strategy"] == "file-grouped-partials", (step, rep)
+        assert rep["partials_computed"] <= len(files_now - files_before), (
+            step, action, rep,
+        )
+        files_before = files_now
+        h = IcebergTable(w.path).grouped_column_quantiles("v", ["k"])
+        got = {
+            g["key"][0]: (
+                g["rows"],
+                g["nonnull"],
+                int(round(g["bounds"][0])),
+                int(round(g["bounds"][-1])),
+            )
+            for g in h["groups"]
+        }
+        assert got == truth(), (step, action, got)

@@ -1185,3 +1185,72 @@ def test_theta_partials_survive_expiry_and_orphan_sweep(spark, tmp_path):
     got = {r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()}
     assert t.last_ndv_groupby["route"] == "stats"
     assert got == _gndv_truth(t, spark), got
+
+
+def test_grouped_ndv_refresh_randomized_differential(spark, tmp_path):
+    """Seeded lifecycle differential: after EVERY commit window — mixed
+    appends (NULL group keys included), eq-deletes, and a compaction —
+    the incrementally-refreshed grouped blob equals the exact
+    COUNT(DISTINCT) truth group-for-group, and the partial pass never
+    reads more than the files the window added."""
+    import random
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter, compact_files_spark
+
+    rng = random.Random(13)
+    w = IcebergWriter(
+        str(tmp_path / "rd"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    segs = ["a", "b", "c", None]
+
+    def batch(n):
+        return [
+            {"seg": rng.choice(segs), "u": rng.randrange(200)}
+            for _ in range(n)
+        ]
+
+    w.append(batch(150))
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)  # bootstrap partials
+
+    def live_paths():
+        return {
+            f["file_path"]
+            for f in IcebergTable(w.path).plan_files(None)
+        }
+
+    files_before = live_paths()
+    for step in range(6):
+        action = rng.choice(["append", "append", "delete", "compact"])
+        if action == "append":
+            w.append(batch(rng.randrange(30, 80)))
+        elif action == "delete":
+            w.delete_rows_equality(
+                [{"u": rng.randrange(200)} for _ in range(5)]
+            )
+        else:
+            compact_files_spark(w, spark, min_file_bytes=1 << 20)
+        files_now = live_paths()
+        rep = refresh_grouped_theta_statistics(w, spark)
+        # O-bound: partials only for FILES this window introduced
+        assert rep["partials_computed"] <= len(files_now - files_before), (
+            step, action, rep,
+        )
+        files_before = files_now
+        t = IcebergTable(w.path)
+        got = {
+            r.seg: r.ndv
+            for r in t.ndv_groupby(spark, "u", ["seg"]).collect()
+        }
+        assert t.last_ndv_groupby["route"] == "stats", (step, action)
+        assert got == _gndv_truth(t, spark), (step, action, got)
