@@ -88,6 +88,11 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
     if planned == 0 or not filters:
         return planned
     sel = 1.0
+    # group columns already consumed as a conditional-NDV pin FOR a
+    # given column: {col_scored: pin_used} — a mutually-pinned pair
+    # (a==x AND b==y with blobs keyed both ways) conditions at most one
+    # clause on the other; the second falls to its marginal (advisor)
+    ndv_pins_used: dict[str, str] = {}
     for clause in _conjuncts(filters):
         col, op, _v = clause
         if op in ("==", "="):
@@ -119,10 +124,17 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
             # which is LARGER than 1/ndv(col) when values nest inside
             # groups — the marginal would under-estimate by the
             # nesting factor and mis-rank the join behind it (r13)
-            s = _grouped_ndv_eq_selectivity(
-                table, col, _conjuncts(filters)
+            got = _grouped_ndv_eq_selectivity(
+                table,
+                col,
+                _conjuncts(filters),
+                exclude_pins=frozenset(
+                    g for g, pin in ndv_pins_used.items() if pin == col
+                ),
             )
-            if s is not None:
+            if got is not None:
+                s, pin = got
+                ndv_pins_used[col] = pin
                 sel *= s
                 continue
             ndv = _safe_ndv(table, col)
@@ -382,7 +394,8 @@ def _grouped_ndv_eq_selectivity(
     table: IcebergTable,
     col: str,
     conjuncts: list[tuple[str, str, Any]],
-) -> float | None:
+    exclude_pins: frozenset[str] = frozenset(),
+) -> tuple[float, str] | None:
     """CONDITIONAL equality selectivity from a grouped theta blob
     (r13, the equality twin of ``_grouped_quantile_selectivity``):
     when the conjunction pins a group column (``g == gv``) and a fresh
@@ -390,13 +403,24 @@ def _grouped_ndv_eq_selectivity(
     matching group's NDV measures P(col = v | g = gv) = 1/ndv(col|g).
     None when no blob applies or the pinned key is absent (a
     key-encoding mismatch must fall to the marginal, never hard-zero).
-    Estimates only."""
+    ``exclude_pins`` skips group columns whose clause already
+    conditioned on ``col`` — two mutually-pinned equalities scoring
+    1/ndv(a|b) · 1/ndv(b|a) would estimate ~1.0 on nested columns,
+    the opposite mis-rank of the independence model this rung replaces
+    (r13 advisor); the caller lets the second clause fall to its
+    marginal.  Returns ``(selectivity, pin_column)``; estimates
+    only."""
     try:
         from daskberg_spark.iceberg.planner import normalize_value
         from daskberg_spark.iceberg.quantiles import _encode_group_value
 
         for g, gop, gv in conjuncts:
-            if gop not in ("==", "=") or g == col or g not in table.fields:
+            if (
+                gop not in ("==", "=")
+                or g == col
+                or g in exclude_pins
+                or g not in table.fields
+            ):
                 continue
             payload = table.grouped_column_ndv(col, [g])
             if payload is None:
@@ -407,7 +431,7 @@ def _grouped_ndv_eq_selectivity(
             for grp in payload.get("groups", []):
                 if (grp.get("key") or [None])[0] == key:
                     ndv = int(grp.get("ndv") or 0)
-                    return 1.0 / ndv if ndv > 0 else None
+                    return (1.0 / ndv, g) if ndv > 0 else None
             return None
     except Exception:
         return None

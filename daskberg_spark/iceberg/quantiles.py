@@ -1158,7 +1158,24 @@ def refresh_grouped_quantile_statistics(
                 ).alias(f"q {c}")
             )
             aggs.append(F.count(e2).alias(f"n {c}"))
-        for r in df.groupBy(*group_cols).agg(*aggs).collect():
+        # limit+check mirrors the build path (:1342) — bounded today
+        # only transitively (deletes can't ADD groups; new files take
+        # the guarded partials path), so guard here defensively: a
+        # future refresh path classifying appends as "dirty" must
+        # refuse rather than silently lift the blob's group bound
+        dirty_rows = (
+            df.groupBy(*group_cols)
+            .agg(*aggs)
+            .limit(MAX_BLOB_GROUPS + 1)
+            .collect()
+        )
+        if len(dirty_rows) > MAX_BLOB_GROUPS:
+            raise ValueError(
+                f"more than {MAX_BLOB_GROUPS} distinct {group_cols} "
+                "tuples in the dirty-file scan — a grouped quantile "
+                "blob must stay metadata-sized"
+            )
+        for r in dirty_rows:
             # encode (dates → ISO) so dirty-scan keys collate with the
             # json-round-tripped partial keys; a no-op for the
             # identity strategy's int/long/string/boolean keys

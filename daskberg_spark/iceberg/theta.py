@@ -740,6 +740,8 @@ def build_grouped_column_sketches(
     group_cols: list[str],
     colspecs: Sequence[tuple[str, str]],
     lg_k: int = DEFAULT_LG_K,
+    max_groups: int | None = None,
+    cap_cols: list[str] | None = None,
 ) -> dict[tuple, dict[str, ThetaSketch]]:
     """One distributed pass building a theta sketch per (group tuple,
     column): each task splits every arrow batch by the group key,
@@ -749,7 +751,16 @@ def build_grouped_column_sketches(
     sketches, never values — bounded by groups × (k+1)·8 B per column.
     Group keys ride as a JSON array string (int/str/bool/None round-trip
     exactly; dates encode to ISO strings — the grouped-quantile blob's
-    convention — and the CALLER gates group-column types)."""
+    convention — and the CALLER gates group-column types).
+
+    ``max_groups`` with ``cap_cols`` (a subset of ``group_cols``, e.g.
+    the real grouping minus the ``__file`` tag) folds the group-count
+    gate into this same pass (r13 advisor — no separate
+    ``distinct().count()`` scan): every TASK raises as soon as its
+    local distinct cap-key count exceeds the cap (task-local distinct
+    is a lower bound on global, so raising is sound and bounds task
+    state BEFORE the blow-up), and the driver re-checks the global
+    union after collect."""
     import json as _json
 
     from pyspark.sql.types import (
@@ -761,6 +772,11 @@ def build_grouped_column_sketches(
 
     names = [c for c, _ in colspecs]
     types = {c: t for c, t in colspecs}
+    cap_idx = (
+        [group_cols.index(g) for g in cap_cols]
+        if (max_groups is not None and cap_cols)
+        else None
+    )
     out_schema = StructType(
         [
             StructField("grp", StringType()),
@@ -783,6 +799,7 @@ def build_grouped_column_sketches(
             return v
 
         accs: dict[tuple[str, str], KmvAccumulator] = {}
+        cap_seen: set[tuple] = set()
         for batch in iterator:
             cols = {n: i for i, n in enumerate(batch.schema.names)}
             gcols = [batch.column(cols[g]).to_pylist() for g in group_cols]
@@ -791,6 +808,13 @@ def build_grouped_column_sketches(
                 rows_by_key[
                     _json.dumps([enc(v) for v in key], sort_keys=True)
                 ].append(i)
+                if cap_idx is not None:
+                    cap_seen.add(tuple(enc(key[j]) for j in cap_idx))
+            if cap_idx is not None and len(cap_seen) > max_groups:
+                raise ValueError(
+                    f"more than {max_groups} distinct {cap_cols} tuples — "
+                    "grouped sketches must stay metadata-sized"
+                )
             for gkey, idxs in rows_by_key.items():
                 take = pa.array(idxs, type=pa.int64())
                 for c in names:
@@ -814,17 +838,36 @@ def build_grouped_column_sketches(
             ),
         )
 
-    rows = (
-        df.select(*group_cols, *names)
-        .mapInArrow(build, schema=out_schema)
-        .collect()
-    )
+    try:
+        rows = (
+            df.select(*group_cols, *names)
+            .mapInArrow(build, schema=out_schema)
+            .collect()
+        )
+    except Exception as e:
+        # a task tripping the cap surfaces as a wrapped PythonException;
+        # re-raise the documented ValueError the driver-side check throws
+        if "must stay metadata-sized" in str(e):
+            raise ValueError(
+                f"more than {max_groups} distinct {cap_cols} tuples — "
+                "grouped sketches must stay metadata-sized"
+            ) from None
+        raise
     partials: dict[tuple, dict[str, list[ThetaSketch]]] = {}
     for r in rows:
         key = tuple(_json.loads(r["grp"]))
         partials.setdefault(key, {}).setdefault(r["col"], []).append(
             ThetaSketch.deserialize(bytes(r["sketch"]), lg_k)
         )
+    if cap_idx is not None:
+        global_caps = {
+            tuple(k[j] for j in cap_idx) for k in partials
+        }
+        if len(global_caps) > max_groups:
+            raise ValueError(
+                f"more than {max_groups} distinct {cap_cols} tuples — "
+                "grouped sketches must stay metadata-sized"
+            )
     out: dict[tuple, dict[str, ThetaSketch]] = {}
     for key, by_col in partials.items():
         out[key] = {}
@@ -903,15 +946,15 @@ def write_grouped_theta_statistics(
     snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
     df = t.to_df(spark, columns=sorted(set(group_cols) | set(columns)))
-    n_groups = df.select(*group_cols).distinct().count()
-    if n_groups > max_groups:
-        raise ValueError(
-            f"{n_groups} distinct {group_cols} tuples exceed max_groups="
-            f"{max_groups} — grouped sketches must stay metadata-sized; "
-            "roll the groups up or raise max_groups deliberately"
-        )
+    # the max_groups gate rides inside the sketch pass itself (r13
+    # advisor: a separate distinct().count() read the table twice)
     sketches = build_grouped_column_sketches(
-        df, group_cols, [(c, types[c]) for c in columns], lg_k
+        df,
+        group_cols,
+        [(c, types[c]) for c in columns],
+        lg_k,
+        max_groups=max_groups,
+        cap_cols=list(group_cols),
     )
     seq = writer._last_sequence_number
     blobs = []
@@ -1054,18 +1097,16 @@ def write_file_grouped_theta_partials(
     df = _read_file_groups(
         t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
     )
-    if group_cols:  # ungrouped partials have exactly one (empty) group
-        n_groups = df.select(*group_cols).distinct().count()
-        if n_groups > max_groups:
-            raise ValueError(
-                f"{n_groups} distinct {group_cols} tuples exceed max_groups="
-                f"{max_groups} — grouped sketches must stay metadata-sized"
-            )
     # "__file" rides as one more group column: per-(file, group, col)
-    # partials fall out of the existing bounded distributed builder
+    # partials fall out of the existing bounded distributed builder.
+    # The max_groups gate rides INSIDE the same pass (r13 advisor: a
+    # separate distinct().count() read every refreshed file twice) —
+    # cap_cols excludes the __file tag so many files never trip it.
     sketches = build_grouped_column_sketches(
         df, ["__file"] + list(group_cols), [(c, types[c]) for c in columns],
         lg_k,
+        max_groups=max_groups if group_cols else None,
+        cap_cols=list(group_cols) or None,
     )
     per_col: dict[str, dict[str, dict[str, str]]] = {c: {} for c in columns}
     for f in scan_files:  # zero-row files record empty coverage too
@@ -1148,7 +1189,7 @@ def write_file_theta_partials(
 
 
 def refresh_column_sketches_from_partials(
-    writer, spark, lg_k: int = DEFAULT_LG_K
+    writer, spark, lg_k: int | None = None
 ) -> tuple[dict[str, "ThetaSketch"], dict[str, Any]] | None:
     """The partials path of the GLOBAL NDV refresh (r13): union stored
     per-file sketches for clean live files, partial-scan only
@@ -1159,17 +1200,41 @@ def refresh_column_sketches_from_partials(
     exists, the refresh covers EVERY currently-sketchable column
     (columns added since the opt-in bootstrap their partials in the
     missing-files pass), so the published NDV entry never silently
-    narrows.  Returns (sketches by column, report)."""
+    narrows.  ``lg_k=None`` (the only caller's mode) restores the
+    nominal size the LATEST stored partials were built with — a table
+    opted in at lg_k=16 must not have its sketches unioned or its
+    missing-file bootstrap written at the k=4096 default, which would
+    silently narrow the exact-below-k guarantee the opt-in paid for
+    (mirrors ``refresh_grouped_theta_statistics``; r13 advisor).
+    Returns (sketches by column, report)."""
     import base64 as _b64
     import json as _json
 
     from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import read_blob
     from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
     from daskberg_spark.iceberg.scan import to_df
 
     t = IcebergTable(writer.path)
-    if not any(gc == () for gc, _c in _theta_partial_pairs(writer, t)):
+    # opt-in check + stored lg_k in one walk: the statistics list is
+    # append-ordered, so the last ungrouped partials payload wins
+    stored_lg_k = None
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_FILE_BLOB_TYPE:
+                continue
+            try:
+                payload = _json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            if payload.get("group_cols") == []:
+                stored_lg_k = int(payload.get("lg_k") or DEFAULT_LG_K)
+    if stored_lg_k is None:
         return None
+    if lg_k is None:
+        lg_k = stored_lg_k
     types = dict(writer.types)
     columns = sorted(
         c

@@ -1380,3 +1380,38 @@ def test_grouped_quantile_refresh_randomized_differential(spark, tmp_path):
             for g in h["groups"]
         }
         assert got == truth(), (step, action, got)
+
+
+def test_grouped_refresh_dirty_scan_guard(spark, tmp_path, monkeypatch):
+    """r13 verdict nit #2: the dirty-file scan of the grouped refresh
+    carries the same ``limit(max_groups+1)`` + loud refusal as the
+    build and partials paths.  The bound is transitive today (deletes
+    cannot ADD groups; new files take the guarded partials path), so
+    the guard is defense-in-depth: a future refresh path classifying
+    over-limit appends as "dirty" must refuse, never silently lift the
+    blob's group bound."""
+    import pytest
+
+    import daskberg_spark.iceberg.quantiles as q
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "dg"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    # 6 groups in one file
+    w.append([{"seg": f"s{i % 6}", "v": i} for i in range(120)])
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    refresh_grouped_quantile_statistics(w, spark)
+    # dirty the file (an eq-delete) and shrink the cap below the dirty
+    # scan's 6 groups — the module constant is read at call time
+    w.delete_rows_equality([{"v": 5}])
+    monkeypatch.setattr(q, "MAX_BLOB_GROUPS", 4)
+    with pytest.raises(ValueError, match="dirty-file scan"):
+        refresh_grouped_quantile_statistics(w, spark)

@@ -1254,3 +1254,129 @@ def test_grouped_ndv_refresh_randomized_differential(spark, tmp_path):
         }
         assert t.last_ndv_groupby["route"] == "stats", (step, action)
         assert got == _gndv_truth(t, spark), (step, action, got)
+
+
+def test_global_ndv_refresh_preserves_lg_k(spark, tmp_path):
+    """r13 advisor (medium): a table opted into per-file partials at a
+    NON-default lg_k must refresh at that lg_k — deserializing stored
+    sketches and bootstrapping missing files at the k=4096 default
+    would silently narrow the exact-below-k guarantee the opt-in paid
+    for.  The stored blob payload's lg_k is authoritative."""
+    import json as _json
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import read_blob
+    from daskberg_spark.iceberg.theta import (
+        GROUPED_THETA_FILE_BLOB_TYPE,
+        refresh_column_sketches_from_partials,
+        write_file_theta_partials,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "lgk"),
+        [{"id": 1, "name": "u", "type": "long", "required": False}],
+    )
+    w.append([{"u": i} for i in range(100)])
+    write_file_theta_partials(w, spark, lg_k=14)
+    # append a file: its bootstrap partials must also be written at 14
+    w.append([{"u": 1000 + i} for i in range(50)])
+    merged, rep = refresh_column_sketches_from_partials(w, spark)
+    assert rep["partials_computed"] == 1, rep
+    assert merged["u"].lg_k == 14, merged["u"].lg_k
+    t = IcebergTable(w.path)
+    lg_ks = set()
+    for e in t.metadata.get("statistics", []):
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_FILE_BLOB_TYPE:
+                continue
+            payload = _json.loads(
+                read_blob(t._relocate(e["statistics-path"]), b)
+            )
+            if payload.get("group_cols") == []:
+                lg_ks.add(payload.get("lg_k"))
+    assert lg_ks == {14}, lg_ks
+
+
+def test_grouped_partials_gate_single_pass(spark, tmp_path):
+    """r13 advisor (low): the max_groups gate on the partials writer
+    rides INSIDE the sketch pass (no separate distinct().count() scan)
+    and still refuses loudly — as a plain ValueError — above the cap."""
+    import pytest
+
+    from daskberg_spark.iceberg.theta import (
+        write_file_grouped_theta_partials,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "g1p"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"k": i, "v": i % 7} for i in range(40)])
+    with pytest.raises(ValueError, match="metadata-sized"):
+        write_file_grouped_theta_partials(
+            w, spark, ["k"], ["v"], max_groups=5
+        )
+    # under the cap: same call succeeds in the one pass
+    assert (
+        write_file_grouped_theta_partials(
+            w, spark, ["k"], ["v"], max_groups=100
+        )
+        is not None
+    )
+
+
+def test_mutual_pin_conditionals_use_one_rung(spark, tmp_path):
+    """r13 advisor (low): with 1:1-nested columns a↔b and grouped theta
+    blobs keyed BOTH ways, scoring clause a at 1/ndv(a|b) AND clause b
+    at 1/ndv(b|a) multiplies two conditionals of each other — the
+    product approaches 1.0 and the estimate balloons to the full table.
+    The fix conditions at most ONE clause of a mutually-pinned pair;
+    the other falls to its marginal, landing near the true count."""
+    from daskberg_spark.iceberg.cbo import estimated_rows
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "mp"),
+        [
+            {"id": 1, "name": "a", "type": "long", "required": False},
+            {"id": 2, "name": "b", "type": "long", "required": False},
+        ],
+    )
+    # a and b are 1:1 (b = a + 100): 10 groups, 100 rows each
+    w.append([{"a": i % 10, "b": i % 10 + 100} for i in range(1000)])
+    write_table_statistics(w, spark)
+    # this engine's writer clobbers same-snapshot grouped entries, so
+    # the both-ways state is hand-assembled — the Puffin format allows
+    # it and a foreign writer maintaining two configs would produce it
+    write_grouped_theta_statistics(w, spark, ["a"], ["b"])
+    saved = list(w.statistics)
+    write_grouped_theta_statistics(w, spark, ["b"], ["a"])
+    have = {e["statistics-path"] for e in w.statistics}
+    w.statistics = w.statistics + [
+        e for e in saved if e["statistics-path"] not in have
+    ]
+    w.version += 1
+    w._write_metadata()
+    t = IcebergTable(w.path)
+    from daskberg_spark.iceberg.cbo import _grouped_ndv_eq_selectivity
+
+    conj = [("a", "==", 3), ("b", "==", 103)]
+    # precondition: BOTH conditional lookups fire (else the test is
+    # vacuous) — each returns 1/ndv = 1.0 with its consumed pin
+    assert _grouped_ndv_eq_selectivity(t, "a", conj) == (1.0, "b")
+    assert _grouped_ndv_eq_selectivity(t, "b", conj) == (1.0, "a")
+    # ndv(a|b)=ndv(b|a)=1: the double-conditional bug would score
+    # 1·1 = 1.0 → 1000 rows; one-rung + marginal lands at ~100 (truth)
+    est = estimated_rows(t, [("a", "==", 3), ("b", "==", 103)])
+    assert est <= 250, est
+    assert est >= 50, est
