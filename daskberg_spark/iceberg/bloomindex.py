@@ -163,6 +163,7 @@ def write_file_blooms(
     seeds=DEFAULT_SEEDS,
     file_subset: dict[str, set] | None = None,
     tokenize: bool = False,
+    scan_source=None,
 ) -> str | None:
     """Build per-(file, column) Bloom filters in ONE distributed pass
     and commit them as a Puffin statistics file on the current
@@ -233,11 +234,24 @@ def write_file_blooms(
         ]
     )
     scan_files = [f for f in live if f["file_path"] in scan_paths]
-    df = _read_file_groups(
-        # only __file is consumed — file-tagging alone keeps ORC on the
-        # native vectorized reader (no per-row positions needed here)
-        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
+    # one-scan maintenance (r14): a SharedStatsScan serves the already-
+    # read cached frame; None falls back to a direct read
+    df = (
+        scan_source.raw_frame(scan_files, set(columns))
+        if scan_source is not None
+        else None
     )
+    if df is None:
+        df = _read_file_groups(
+            # only __file is consumed — file-tagging alone keeps ORC on
+            # the native vectorized reader (no per-row positions here)
+            t,
+            spark,
+            scan_files,
+            scan_struct,
+            tag_position=False,
+            tag_file=True,
+        )
     legs = []
     for c in columns:
         if not targets[c]:
@@ -725,7 +739,7 @@ def consolidate_file_blooms(writer, t) -> bool:
     )
 
 
-def refresh_file_blooms(writer, spark) -> str | None:
+def refresh_file_blooms(writer, spark, scan_source=None) -> str | None:
     """Incremental index catch-up: build blobs ONLY for live files that
     lack one for an already-indexed column — the post-compaction /
     post-append maintenance step (``maintain`` runs it when a Spark
@@ -782,5 +796,37 @@ def refresh_file_blooms(writer, spark) -> str | None:
                 seeds=seeds,
                 file_subset={c: missing.get(c, set()) for c in cols},
                 tokenize=blob_type == TOKEN_BLOOM_BLOB_TYPE,
+                scan_source=scan_source,
             )
     return out
+
+
+def plan_bloom_refresh_scan(writer, t):
+    """Metadata-only scan plan for the NEXT ``refresh_file_blooms``:
+    ``(raw_norm_paths, raw_columns, dirty_columns)`` — the bloom half
+    of ``maintain()``'s one-scan statistics pass (r14,
+    ``onepass.plan_shared_stats_scan``).  Blooms index RAW file
+    contents, so the dirty set is always empty.  Advisory only: a
+    stale plan changes shared-cache membership, never answers."""
+    id_to_name = {f.field_id: n for n, f in t.fields.items()}
+    live = None
+    paths: set[str] = set()
+    cols: set[str] = set()
+    for blob_type in (BLOOM_BLOB_TYPE, TOKEN_BLOOM_BLOB_TYPE):
+        probe = _BloomProbe(t, blob_type)
+        if not probe:
+            continue
+        indexed = {
+            id_to_name.get(fid)
+            for (_path, fid) in probe.blob_map
+        } - {None}
+        if live is None:
+            live = t.plan_files(None)
+        for f in live:
+            for fid, name in id_to_name.items():
+                if name not in indexed:
+                    continue
+                if (_norm(f["file_path"]), fid) not in probe.blob_map:
+                    paths.add(_norm(f["file_path"]))
+                    cols.add(name)
+    return paths, cols, set()

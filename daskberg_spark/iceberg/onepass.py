@@ -1,0 +1,259 @@
+"""One-scan nightly statistics maintenance (r14).
+
+``maintain()`` refreshes up to six statistics families — per-file
+Bloom indexes, global theta/NDV stats, global quantile histograms,
+grouped quantiles, grouped NDV, and per-file column sums.  Every
+family's builder already reduces to "per new/dirty file, compute a
+partial", but each family ran its OWN parquet pass over those files:
+at 100 TB steady state the day's ingest was scanned once PER FAMILY
+(~5x) every night — the single biggest remaining constant in the
+statistics layer (r13 verdict, next-round item 1).
+
+The families' aggregation shapes do not compose into one Catalyst
+plan: quantiles and sums are JVM ``groupBy("__file")`` aggregates,
+the Bloom index is a codegen explode+``bit_or`` leg per column, and
+theta sketches are an Arrow-batched KMV fold (``mapInArrow``) —
+different grouping keys and a Python stage cannot share a single
+``agg``.  The Spark-idiomatic fusion is therefore CACHE REUSE: read
+the union of (files x columns) any active family needs ONCE into a
+persisted columnar frame (``MEMORY_AND_DISK`` — a day's ingest may
+spill, but parquet is read once), then run each family's aggregation
+over the cached batches.  ``InMemoryRelation`` serves each consumer
+with column pruning, so a family touching 2 of 6 cached columns reads
+only those.
+
+Two frames, because the families read two distinct snapshots of
+truth:
+
+- the RAW frame (``_read_file_groups``, no delete application,
+  ``__file``-tagged): partials describe immutable files and must stay
+  valid at every snapshot;
+- the DIRTY frame (``to_df`` with delete application over the dirty
+  subset): a delete-dirtied file's raw partial cannot be trusted, so
+  its re-read must be delete-aware.
+
+Planning is ADVISORY: each family contributes its next refresh's
+(paths, columns) via a metadata-only ``plan_*_refresh_scan`` helper in
+its own module; a stale or incomplete plan only changes what the
+shared cache holds — every builder falls back to its own direct read
+for anything the cache can't serve (``raw_frame``/``dirty_frame``
+return None), never to a wrong answer.  The served/fallback census is
+reported so tests can hard-assert the one-scan shape.
+
+The reference engine is a read-only client with no statistics
+maintenance at all (``/root/reference/README.md:92-98`` lists "any
+writing" as missing); this module exists for the 100 TB operating
+point the brief targets.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+class SharedStatsScan:
+    """One persisted raw read (and one persisted delete-aware dirty
+    read) of everything this ``maintain()``'s statistics refreshes
+    need — see the module docstring.  Builders call ``raw_frame`` /
+    ``dirty_frame``; None means "not covered, do your own read"."""
+
+    def __init__(
+        self,
+        table,
+        spark,
+        raw_files: list[dict],
+        raw_columns: set[str],
+        dirty_paths: set[str],
+        dirty_columns: set[str],
+    ) -> None:
+        from pyspark import StorageLevel
+        from pyspark.sql import types as T
+
+        from daskberg_spark.iceberg.conversions import schema_to_struct
+        from daskberg_spark.iceberg.scan import (
+            _norm_scan_path,
+            _read_file_groups,
+            to_df,
+        )
+
+        self._raw_paths = frozenset(
+            _norm_scan_path(f["file_path"]) for f in raw_files
+        )
+        self._raw_cols = frozenset(raw_columns)
+        self._raw = None
+        if raw_files and raw_columns:
+            struct = T.StructType(
+                [
+                    f
+                    for f in schema_to_struct(table.schema).fields
+                    if f.name in self._raw_cols
+                ]
+            )
+            self._raw = _read_file_groups(
+                table,
+                spark,
+                raw_files,
+                struct,
+                tag_position=False,
+                tag_file=True,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        # the dirty set is shared verbatim: every family classifies
+        # dirt through the same _dirty_split, so one delete-aware read
+        # serves them all
+        self._dirty_paths = frozenset(dirty_paths)
+        self._dirty_cols = frozenset(dirty_columns)
+        self._dirty = None
+        if dirty_paths and dirty_columns:
+            self._dirty = to_df(
+                table,
+                spark,
+                columns=sorted(self._dirty_cols),
+                file_subset=sorted(dirty_paths),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        self.raw_served = 0
+        self.raw_fallback = 0
+        self.dirty_served = 0
+        self.dirty_fallback = 0
+
+    def raw_frame(self, scan_files: list[dict], columns):
+        """The cached raw frame restricted to ``scan_files`` with at
+        least ``columns`` (+ ``__file``), or None when the cache
+        doesn't cover the request (caller falls back)."""
+        from pyspark.sql import functions as F
+
+        from daskberg_spark.iceberg.scan import _norm_scan_path
+
+        want_paths = {
+            _norm_scan_path(f["file_path"]) for f in scan_files
+        }
+        want_cols = set(columns)
+        if (
+            self._raw is None
+            or not want_paths <= self._raw_paths
+            or not want_cols <= self._raw_cols
+        ):
+            self.raw_fallback += 1
+            return None
+        self.raw_served += 1
+        df = self._raw
+        if want_paths != self._raw_paths:
+            df = df.where(F.col("__file").isin(sorted(want_paths)))
+        return df.select("__file", *sorted(want_cols))
+
+    def dirty_frame(self, paths, columns):
+        """The cached delete-aware frame projected to ``columns``, or
+        None when the request's file set differs from the planned
+        dirty set or a column is missing (caller falls back)."""
+        if (
+            self._dirty is None
+            or set(paths) != self._dirty_paths
+            or not set(columns) <= self._dirty_cols
+        ):
+            self.dirty_fallback += 1
+            return None
+        self.dirty_served += 1
+        return self._dirty.select(*sorted(set(columns)))
+
+    def report(self) -> dict[str, Any]:
+        return {
+            "raw_files": len(self._raw_paths),
+            "raw_columns": sorted(self._raw_cols),
+            "dirty_files": len(self._dirty_paths),
+            "raw_served": self.raw_served,
+            "raw_fallback": self.raw_fallback,
+            "dirty_served": self.dirty_served,
+            "dirty_fallback": self.dirty_fallback,
+        }
+
+    def unpersist(self) -> None:
+        for df in (self._raw, self._dirty):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped: nothing to free
+
+
+def plan_shared_stats_scan(writer, spark) -> SharedStatsScan | None:
+    """Compose every active family's metadata-only scan plan into one
+    SharedStatsScan, or None when no family needs data IO this
+    ``maintain()`` (steady state: everything already covered).  Gating
+    mirrors ``maintain()``'s per-family opt-in/head-covered checks —
+    a drifted gate only over- or under-provisions the cache (builders
+    fall back to direct reads), never changes results."""
+    from daskberg_spark.iceberg.bloomindex import plan_bloom_refresh_scan
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        GROUPED_QUANTILE_BLOB_TYPE,
+        QUANTILE_BLOB_TYPE,
+        _dirty_split,
+        _norm,
+        plan_grouped_quantile_refresh_scan,
+        plan_quantile_refresh_scan,
+    )
+    from daskberg_spark.iceberg.sumstats import plan_sum_refresh_scan
+    from daskberg_spark.iceberg.theta import (
+        GROUPED_THETA_BLOB_TYPE,
+        THETA_BLOB_TYPE,
+        plan_global_ndv_refresh_scan,
+        plan_grouped_ndv_refresh_scan,
+    )
+
+    t = IcebergTable(writer.path)
+    head_id = writer.head_snapshot["snapshot-id"]
+
+    def has(blob_type: str) -> bool:
+        return any(
+            b.get("type") == blob_type
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+        )
+
+    def head_covered(blob_type: str) -> bool:
+        return any(
+            e["snapshot-id"] == head_id
+            and any(
+                b.get("type") == blob_type
+                for b in e.get("blob-metadata", [])
+            )
+            for e in writer.statistics
+        )
+
+    raw_paths: set[str] = set()
+    raw_cols: set[str] = set()
+    dirty_cols: set[str] = set()
+    # (helper, head-gate blob type or None when the family self-gates)
+    plans = [
+        (plan_bloom_refresh_scan, None),
+        (plan_sum_refresh_scan, None),
+        (plan_global_ndv_refresh_scan, THETA_BLOB_TYPE),
+        (plan_grouped_ndv_refresh_scan, GROUPED_THETA_BLOB_TYPE),
+        (plan_quantile_refresh_scan, QUANTILE_BLOB_TYPE),
+        (plan_grouped_quantile_refresh_scan, GROUPED_QUANTILE_BLOB_TYPE),
+    ]
+    for helper, gate_type in plans:
+        if gate_type is not None and (
+            not has(gate_type) or head_covered(gate_type)
+        ):
+            continue  # maintain() will skip this family's refresh
+        try:
+            p, c, dc = helper(writer, t)
+        except Exception:
+            continue  # planning must never break maintenance
+        raw_paths |= p
+        raw_cols |= c
+        dirty_cols |= dc
+    if not raw_paths and not dirty_cols:
+        return None
+    files, dirty = _dirty_split(t)
+    raw_files = [
+        f for f in files if _norm(f["file_path"]) in raw_paths
+    ]
+    return SharedStatsScan(
+        t,
+        spark,
+        raw_files,
+        raw_cols,
+        dirty if dirty_cols else set(),
+        dirty_cols,
+    )

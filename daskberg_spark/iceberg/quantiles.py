@@ -308,6 +308,7 @@ def write_file_quantile_partials(
     file_subset=None,
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
+    scan_source=None,
 ) -> str | None:
     """Per-(file, column) compressed CDFs in ONE distributed pass —
     the mergeable substrate of the quantile family (r12).  Reads RAW
@@ -350,12 +351,29 @@ def write_file_quantile_partials(
     scan_files = [f for f in live if _norm(f["file_path"]) in target]
     if not scan_files:
         return None
-    scan_struct = T.StructType(
-        [f for f in schema_to_struct(t.schema).fields if f.name in columns]
+    # one-scan maintenance (r14): a SharedStatsScan serves the already-
+    # read cached frame; None falls back to a direct read
+    df = (
+        scan_source.raw_frame(scan_files, set(columns))
+        if scan_source is not None
+        else None
     )
-    df = _read_file_groups(
-        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
-    )
+    if df is None:
+        scan_struct = T.StructType(
+            [
+                f
+                for f in schema_to_struct(t.schema).fields
+                if f.name in columns
+            ]
+        )
+        df = _read_file_groups(
+            t,
+            spark,
+            scan_files,
+            scan_struct,
+            tag_position=False,
+            tag_file=True,
+        )
     probs = [i / buckets for i in range(buckets + 1)]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
@@ -504,6 +522,7 @@ def write_file_grouped_quantile_partials(
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
     max_groups: int = MAX_BLOB_GROUPS,
+    scan_source=None,
 ) -> str | None:
     """Per-(file, group, column) compressed CDFs in ONE distributed
     pass (r13) — the grouped twin of ``write_file_quantile_partials``.
@@ -553,12 +572,29 @@ def write_file_grouped_quantile_partials(
     if not scan_files:
         return None
     wanted = set(group_cols) | set(columns)
-    scan_struct = T.StructType(
-        [f for f in schema_to_struct(t.schema).fields if f.name in wanted]
+    # one-scan maintenance (r14): serve from the shared cached frame
+    # when a SharedStatsScan covers this subset; else direct read
+    df = (
+        scan_source.raw_frame(scan_files, wanted)
+        if scan_source is not None
+        else None
     )
-    df = _read_file_groups(
-        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
-    )
+    if df is None:
+        scan_struct = T.StructType(
+            [
+                f
+                for f in schema_to_struct(t.schema).fields
+                if f.name in wanted
+            ]
+        )
+        df = _read_file_groups(
+            t,
+            spark,
+            scan_files,
+            scan_struct,
+            tag_position=False,
+            tag_file=True,
+        )
     probs = [i / buckets for i in range(buckets + 1)]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
@@ -818,6 +854,7 @@ def refresh_quantile_statistics(
     columns: list[str] | None = None,
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
+    scan_source=None,
 ) -> dict[str, Any] | None:
     """Advance the global quantile histograms to the current snapshot
     at O(new + dirty files) cost (r12): per-file partials already on
@@ -885,6 +922,7 @@ def refresh_quantile_statistics(
             file_subset=missing,
             buckets=buckets,
             accuracy=accuracy,
+            scan_source=scan_source,
         )
         t = IcebergTable(writer.path)
         maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
@@ -896,9 +934,15 @@ def refresh_quantile_statistics(
     if dirty:
         probs = [i / buckets for i in range(buckets + 1)]
         ftypes = {n: i.type for n, i in t.fields.items()}
-        df = to_df(
-            t, spark, columns=list(columns), file_subset=sorted(dirty)
+        df = (
+            scan_source.dirty_frame(sorted(dirty), columns)
+            if scan_source is not None
+            else None
         )
+        if df is None:
+            df = to_df(
+                t, spark, columns=list(columns), file_subset=sorted(dirty)
+            )
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in columns:
             e = _numeric_expr(c, ftypes[c])
@@ -983,6 +1027,7 @@ def refresh_grouped_quantile_statistics(
     spark,
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
+    scan_source=None,
 ) -> dict[str, Any] | None:
     """Advance the GROUPED quantile blobs to the current snapshot at
     O(new + dirty files) cost for ANY grouping (r13; identity-only in
@@ -1096,6 +1141,7 @@ def refresh_grouped_quantile_statistics(
                 file_subset=missing,
                 buckets=buckets,
                 accuracy=accuracy,
+                scan_source=scan_source,
             )
             t = IcebergTable(writer.path)
             maps = {c: (column_filecdfs(t, c) or {}) for c in columns}
@@ -1125,6 +1171,7 @@ def refresh_grouped_quantile_statistics(
                 file_subset=missing,
                 buckets=buckets,
                 accuracy=accuracy,
+                scan_source=scan_source,
             )
             t = IcebergTable(writer.path)
             gmaps = {
@@ -1141,12 +1188,16 @@ def refresh_grouped_quantile_statistics(
     if dirty:
         probs = [i / buckets for i in range(buckets + 1)]
         ftypes = {n: i.type for n, i in t.fields.items()}
-        df = to_df(
-            t,
-            spark,
-            columns=sorted(set(group_cols) | set(columns)),
-            file_subset=sorted(dirty),
+        dirty_cols = sorted(set(group_cols) | set(columns))
+        df = (
+            scan_source.dirty_frame(sorted(dirty), dirty_cols)
+            if scan_source is not None
+            else None
         )
+        if df is None:
+            df = to_df(
+                t, spark, columns=dirty_cols, file_subset=sorted(dirty)
+            )
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in columns:
             e2 = _numeric_expr(c, ftypes[c])
@@ -1460,3 +1511,106 @@ def range_selectivity(hist: dict, op: str, value: float) -> float | None:
     else:
         return None
     return min(1.0, max(0.0, s)) * (nonnull / rows)
+
+
+def plan_quantile_refresh_scan(writer, t):
+    """Metadata-only scan plan for the NEXT global quantile refresh:
+    ``(raw_norm_paths, raw_columns, dirty_columns)`` — the quantile
+    half of ``maintain()``'s one-scan statistics pass (r14,
+    ``onepass.plan_shared_stats_scan``).  Empty sets when the table
+    never opted into per-file CDF partials.  Advisory only: a stale
+    plan changes shared-cache membership, never answers — builders
+    fall back to direct reads for anything the cache can't serve."""
+    columns = sorted(
+        {
+            (b.get("properties") or {}).get("column")
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+            if b.get("type") == FILE_QUANTILE_BLOB_TYPE
+        }
+        - {None}
+    )
+    columns = [c for c in columns if writer.types.get(c) in _NUMERIC_TYPES]
+    if not columns:
+        return set(), set(), set()
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
+    }
+    missing: set[str] = set()
+    for c in columns:
+        missing |= clean_norm - set(column_filecdfs(t, c) or {})
+    return missing, set(columns), (set(columns) if dirty else set())
+
+
+def plan_grouped_quantile_refresh_scan(writer, t):
+    """Metadata-only scan plan for the NEXT grouped quantile refresh:
+    ``(raw_norm_paths, raw_columns, dirty_columns)`` (r14 one-scan
+    maintenance).  Mirrors ``refresh_grouped_quantile_statistics``'s
+    strategy split: identity groupings reuse the GLOBAL per-file CDF
+    partials (value columns only), any other grouping uses the
+    per-(file x group) partials and reads the group columns too."""
+    group_cols: list[str] | None = None
+    columns: list[str] = []
+    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_QUANTILE_BLOB_TYPE:
+                continue
+            col = fid_to_name.get((b.get("fields") or [None])[0])
+            if col is None:
+                continue
+            try:
+                payload = json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            gc = payload.get("group_cols")
+            if gc != group_cols:
+                group_cols, columns = gc, []
+            if col not in columns:
+                columns.append(col)
+    columns = [c for c in columns if writer.types.get(c) in _NUMERIC_TYPES]
+    if not group_cols or not columns:
+        return set(), set(), set()
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
+    }
+
+    def _is_identity() -> bool:
+        # same test the refresh applies (dates excluded — manifest
+        # partition encoding differs from the blob's ISO keys)
+        if any(
+            writer.types.get(g) not in ("int", "long", "string", "boolean")
+            for g in group_cols
+        ):
+            return False
+        for f in files:
+            sid = f.get("_spec_id", 0)
+            by_source = {
+                sf["source-id"]: sf
+                for sf in t._spec_fields(sid)
+                if sf.get("transform") == "identity"
+            }
+            for g in group_cols:
+                if by_source.get(t.fields[g].field_id) is None:
+                    return False
+        return True
+
+    missing: set[str] = set()
+    if _is_identity():
+        for c in columns:
+            missing |= clean_norm - set(column_filecdfs(t, c) or {})
+        raw_cols = set(columns)
+    else:
+        for c in columns:
+            missing |= clean_norm - set(
+                grouped_column_filecdfs(t, c, group_cols) or {}
+            )
+        raw_cols = set(group_cols) | set(columns)
+    dirty_cols = (set(group_cols) | set(columns)) if dirty else set()
+    return missing, raw_cols, dirty_cols

@@ -76,6 +76,7 @@ def write_sum_statistics(
     spark,
     columns: list[str] | None = None,
     file_subset: dict[str, set] | None = None,
+    scan_source=None,
 ) -> str | None:
     """Build per-(file, column) exact sums in ONE distributed pass and
     commit them as a Puffin statistics file on the current snapshot.
@@ -132,12 +133,29 @@ def write_sum_statistics(
     if not scan_paths:
         return None
     scan_files = [f for f in live if _norm(f["file_path"]) in scan_paths]
-    scan_struct = T.StructType(
-        [f for f in schema_to_struct(t.schema).fields if f.name in columns]
+    # one-scan maintenance (r14): a SharedStatsScan serves the already-
+    # read cached frame; None falls back to a direct read
+    df = (
+        scan_source.raw_frame(scan_files, set(columns))
+        if scan_source is not None
+        else None
     )
-    df = _read_file_groups(
-        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
-    )
+    if df is None:
+        scan_struct = T.StructType(
+            [
+                f
+                for f in schema_to_struct(t.schema).fields
+                if f.name in columns
+            ]
+        )
+        df = _read_file_groups(
+            t,
+            spark,
+            scan_files,
+            scan_struct,
+            tag_position=False,
+            tag_file=True,
+        )
     scales = {c: type_scale(types[c]) for c in columns}
     aggs = []
     for c in columns:
@@ -299,7 +317,7 @@ def consolidate_sum_statistics(writer, t, cols: list[str]) -> bool:
     )
 
 
-def refresh_sum_statistics(writer, spark) -> str | None:
+def refresh_sum_statistics(writer, spark, scan_source=None) -> str | None:
     """Incremental catch-up: index only the LIVE planned files not yet
     covered by any colsum blob, per already-indexed column.  A no-op
     (None) on tables that never ran ``write_sum_statistics`` — the
@@ -332,4 +350,38 @@ def refresh_sum_statistics(writer, spark) -> str | None:
             subset[c] = missing
     if not subset:
         return None
-    return write_sum_statistics(writer, spark, sorted(subset), file_subset=subset)
+    return write_sum_statistics(
+        writer, spark, sorted(subset), file_subset=subset,
+        scan_source=scan_source,
+    )
+
+
+def plan_sum_refresh_scan(writer, t):
+    """Metadata-only scan plan for the NEXT ``refresh_sum_statistics``:
+    ``(raw_norm_paths, raw_columns, dirty_columns)`` — the colsum half
+    of ``maintain()``'s one-scan statistics pass (r14,
+    ``onepass.plan_shared_stats_scan``).  Sum blobs describe RAW file
+    contents, so the dirty set is always empty.  Advisory only."""
+    cols = sorted(
+        {
+            (b.get("properties") or {}).get("column")
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+            if b.get("type") == SUM_BLOB_TYPE
+        }
+        - {None}
+    )
+    cols = [c for c in cols if is_summable(writer.types.get(c, ""))]
+    if not cols:
+        return set(), set(), set()
+    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+    paths: set[str] = set()
+    need: set[str] = set()
+    for c in cols:
+        missing = live - set(column_filesums(t, c) or {})
+        if missing:
+            paths |= missing
+            need.add(c)
+    # the builder scans every requested column over the union subset,
+    # so the plan carries ALL indexed columns once anything is missing
+    return paths, (set(cols) if need else set()), set()

@@ -1037,6 +1037,7 @@ def write_file_grouped_theta_partials(
     file_subset=None,
     lg_k: int = DEFAULT_LG_K,
     max_groups: int = MAX_THETA_GROUPS,
+    scan_source=None,
 ) -> str | None:
     """Per-(file, group, column) theta sketches in ONE distributed
     pass — the mergeable substrate of the grouped-NDV family (r13,
@@ -1091,12 +1092,30 @@ def write_file_grouped_theta_partials(
     if not scan_files:
         return None
     wanted = set(group_cols) | set(columns)
-    scan_struct = T.StructType(
-        [f for f in schema_to_struct(t.schema).fields if f.name in wanted]
+    # one-scan maintenance (r14): a SharedStatsScan serves the already-
+    # read cached frame; None (subset not covered) falls back to a
+    # direct read — correctness never depends on the cache
+    df = (
+        scan_source.raw_frame(scan_files, wanted)
+        if scan_source is not None
+        else None
     )
-    df = _read_file_groups(
-        t, spark, scan_files, scan_struct, tag_position=False, tag_file=True
-    )
+    if df is None:
+        scan_struct = T.StructType(
+            [
+                f
+                for f in schema_to_struct(t.schema).fields
+                if f.name in wanted
+            ]
+        )
+        df = _read_file_groups(
+            t,
+            spark,
+            scan_files,
+            scan_struct,
+            tag_position=False,
+            tag_file=True,
+        )
     # "__file" rides as one more group column: per-(file, group, col)
     # partials fall out of the existing bounded distributed builder.
     # The max_groups gate rides INSIDE the same pass (r13 advisor: a
@@ -1169,6 +1188,7 @@ def write_file_theta_partials(
     columns: list[str] | None = None,
     file_subset=None,
     lg_k: int = DEFAULT_LG_K,
+    scan_source=None,
 ) -> str | None:
     """Per-(file, column) theta partials — the UNGROUPED special case
     of ``write_file_grouped_theta_partials`` (``group_cols=[]``: every
@@ -1184,12 +1204,18 @@ def write_file_theta_partials(
             if isinstance(t, str) and sketchable(t)
         )
     return write_file_grouped_theta_partials(
-        writer, spark, [], columns, file_subset=file_subset, lg_k=lg_k
+        writer,
+        spark,
+        [],
+        columns,
+        file_subset=file_subset,
+        lg_k=lg_k,
+        scan_source=scan_source,
     )
 
 
 def refresh_column_sketches_from_partials(
-    writer, spark, lg_k: int | None = None
+    writer, spark, lg_k: int | None = None, scan_source=None
 ) -> tuple[dict[str, "ThetaSketch"], dict[str, Any]] | None:
     """The partials path of the GLOBAL NDV refresh (r13): union stored
     per-file sketches for clean live files, partial-scan only
@@ -1255,7 +1281,13 @@ def refresh_column_sketches_from_partials(
         missing |= clean_norm - set(maps[c])
     if missing:
         write_file_grouped_theta_partials(
-            writer, spark, [], columns, file_subset=missing, lg_k=lg_k
+            writer,
+            spark,
+            [],
+            columns,
+            file_subset=missing,
+            lg_k=lg_k,
+            scan_source=scan_source,
         )
         t = IcebergTable(writer.path)
         maps = {
@@ -1280,7 +1312,15 @@ def refresh_column_sketches_from_partials(
                 LONG_MAX, np.empty(0, dtype=np.uint64), lg_k
             )
     if dirty:
-        df = to_df(t, spark, columns=list(columns), file_subset=sorted(dirty))
+        df = (
+            scan_source.dirty_frame(sorted(dirty), columns)
+            if scan_source is not None
+            else None
+        )
+        if df is None:
+            df = to_df(
+                t, spark, columns=list(columns), file_subset=sorted(dirty)
+            )
         fresh = build_column_sketches(
             df, [(c, types[c]) for c in columns], lg_k
         )
@@ -1416,6 +1456,7 @@ def refresh_grouped_theta_statistics(
     writer,
     spark,
     max_groups: int = MAX_THETA_GROUPS,
+    scan_source=None,
 ) -> dict[str, Any] | None:
     """Advance the GROUPED NDV blobs to the current snapshot at
     O(new + dirty files) cost (r13) — the refresh path the r12 blobs
@@ -1509,6 +1550,7 @@ def refresh_grouped_theta_statistics(
             file_subset=missing,
             lg_k=lg_k,
             max_groups=max_groups,
+            scan_source=scan_source,
         )
         t = IcebergTable(writer.path)
         maps = {
@@ -1526,12 +1568,16 @@ def refresh_grouped_theta_statistics(
                 prev = merged[c].get(key)
                 merged[c][key] = sk if prev is None else prev.union(sk)
     if dirty:
-        df = to_df(
-            t,
-            spark,
-            columns=sorted(set(group_cols) | set(columns)),
-            file_subset=sorted(dirty),
+        dirty_cols = sorted(set(group_cols) | set(columns))
+        df = (
+            scan_source.dirty_frame(sorted(dirty), dirty_cols)
+            if scan_source is not None
+            else None
         )
+        if df is None:
+            df = to_df(
+                t, spark, columns=dirty_cols, file_subset=sorted(dirty)
+            )
         fresh = build_grouped_column_sketches(
             df, list(group_cols), [(c, types[c]) for c in columns], lg_k
         )
@@ -1611,3 +1657,104 @@ def refresh_grouped_theta_statistics(
         "dirty_files": len(dirty),
         "groups": n_groups,
     }
+
+
+def plan_global_ndv_refresh_scan(writer, t):
+    """Metadata-only scan plan for the NEXT global-NDV partials
+    refresh: ``(raw_norm_paths, raw_columns, dirty_columns)`` — the
+    theta half of ``maintain()``'s one-scan statistics pass (r14,
+    ``onepass.plan_shared_stats_scan``).  Empty sets when the table
+    never opted in or nothing needs scanning.  Planning is advisory:
+    a stale plan only changes shared-cache membership — the refresh
+    falls back to its own direct read for anything the shared frame
+    can't serve, never to a wrong answer."""
+    import json as _json
+
+    from daskberg_spark.iceberg.puffin import read_blob
+    from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
+
+    opted_in = False
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_FILE_BLOB_TYPE:
+                continue
+            try:
+                payload = _json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            if payload.get("group_cols") == []:
+                opted_in = True
+    if not opted_in:
+        return set(), set(), set()
+    columns = sorted(
+        c
+        for c, ty in dict(writer.types).items()
+        if isinstance(ty, str) and sketchable(ty)
+    )
+    if not columns:
+        return set(), set(), set()
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
+    }
+    missing: set[str] = set()
+    for c in columns:
+        covered = set(grouped_theta_filesketches(t, c, []) or {})
+        missing |= clean_norm - covered
+    return missing, set(columns), (set(columns) if dirty else set())
+
+
+def plan_grouped_ndv_refresh_scan(writer, t):
+    """Metadata-only scan plan for the NEXT grouped-NDV refresh:
+    ``(raw_norm_paths, raw_columns, dirty_columns)`` (r14 one-scan
+    maintenance; see ``plan_global_ndv_refresh_scan``).  Raw and dirty
+    columns include the group columns — the partial and dirty passes
+    both group by them."""
+    import json as _json
+
+    from daskberg_spark.iceberg.puffin import read_blob
+    from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
+
+    group_cols: list[str] | None = None
+    columns: list[str] = []
+    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    for e in writer.statistics:
+        for b in e.get("blob-metadata", []):
+            if b.get("type") != GROUPED_THETA_BLOB_TYPE:
+                continue
+            col = fid_to_name.get((b.get("fields") or [None])[0])
+            if col is None:
+                continue
+            try:
+                payload = _json.loads(
+                    read_blob(t._relocate(e["statistics-path"]), b)
+                )
+            except (ValueError, OSError):
+                continue
+            gc = payload.get("group_cols")
+            if gc != group_cols:
+                group_cols, columns = gc, []
+            if col not in columns:
+                columns.append(col)
+    types = dict(writer.types)
+    columns = [c for c in columns if c in types and sketchable(types[c])]
+    if (
+        not group_cols
+        or not columns
+        or any(
+            types.get(g) not in _THETA_GROUP_KEY_TYPES for g in group_cols
+        )
+    ):
+        return set(), set(), set()
+    files, dirty = _dirty_split(t)
+    clean_norm = {
+        _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
+    }
+    missing: set[str] = set()
+    for c in columns:
+        covered = set(grouped_theta_filesketches(t, c, group_cols) or {})
+        missing |= clean_norm - covered
+    cols = set(group_cols) | set(columns)
+    return missing, cols, (cols if dirty else set())

@@ -3574,7 +3574,7 @@ STATS_REFRESH_MAX_DELETED_FRACTION = 0.2
 
 
 def refresh_table_statistics(
-    writer: "IcebergWriter", spark: Any
+    writer: "IcebergWriter", spark: Any, scan_source: Any = None
 ) -> tuple[str, str]:
     """Incremental NDV maintenance — the reason the blobs are theta
     sketches and not bare counts: union the most recent ancestor
@@ -3635,7 +3635,9 @@ def refresh_table_statistics(
         refresh_column_sketches_from_partials,
     )
 
-    got = refresh_column_sketches_from_partials(writer, spark)
+    got = refresh_column_sketches_from_partials(
+        writer, spark, scan_source=scan_source
+    )
     if got is not None:
         merged_p, p_report = got
         writer.last_theta_refresh = p_report  # type: ignore[attr-defined]
@@ -6357,153 +6359,25 @@ def maintain(
         report["expire_snapshots"] = report["remove_orphans"] = "dry_run"
         return report
     if spark is not None:
-        # bloom-index catch-up: files compaction just rewrote (or recent
-        # appends) have no blobs yet; a no-op (None) on unindexed tables
-        from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
+        # ONE-SCAN statistics refresh (r14): every active family's next
+        # refresh reduces to "per new/dirty file, compute a partial" —
+        # plan the union of (files x columns) they need, read it ONCE
+        # into a persisted columnar frame, and serve each family from
+        # the cache (see onepass.py).  At 100 TB nightly this is the
+        # difference between reading the day's ingest once and once PER
+        # FAMILY (~5x).  Families fall back to direct reads for
+        # anything the cache can't serve — never to a wrong answer.
+        from daskberg_spark.iceberg.onepass import plan_shared_stats_scan
 
-        report["refresh_blooms"] = refresh_file_blooms(writer, spark)
-        # NDV-stats catch-up: only for tables that opted into theta
-        # statistics (an entry exists on SOME snapshot) whose current
-        # snapshot lacks one — incremental over the append window when
-        # the window allows, full rebuild otherwise; never a surprise
-        # full scan on tables that never ran stats
-        from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE
-
-        has_theta = any(
-            b.get("type") == THETA_BLOB_TYPE
-            for e in writer.statistics
-            for b in e.get("blob-metadata", [])
-        )
-        head_id = writer.head_snapshot["snapshot-id"]
-        head_covered = any(
-            e["snapshot-id"] == head_id
-            and any(
-                b.get("type") == THETA_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-            for e in writer.statistics
-        )
-        if has_theta and not head_covered:
-            _, mode = refresh_table_statistics(writer, spark)
-            report["refresh_statistics"] = mode
-        else:
-            report["refresh_statistics"] = None
-        # quantile-histogram catch-up: same opt-in shape (an entry on
-        # SOME snapshot), gated to heads that lack one.  Tables with
-        # per-file CDF partials (write_file_quantile_partials /
-        # refresh_quantile_statistics's bootstrap) refresh INCREMENTALLY
-        # — O(new + dirty files); legacy tables without partials take
-        # the full one-pass re-run
-        from daskberg_spark.iceberg.quantiles import (
-            QUANTILE_BLOB_TYPE,
-            refresh_quantile_statistics,
-            write_quantile_statistics,
-        )
-
-        from daskberg_spark.iceberg.quantiles import _NUMERIC_TYPES
-
-        q_cols = sorted(
-            {
-                (b.get("properties") or {}).get("column")
-                for e in writer.statistics
-                for b in e.get("blob-metadata", [])
-                if b.get("type") == QUANTILE_BLOB_TYPE
-            }
-            - {None}
-        )
-        # a column dropped or retyped since the last histogram run must
-        # not crash the nightly job — it simply stops being refreshed
-        q_cols = [
-            c
-            for c in q_cols
-            if writer.types.get(c) in _NUMERIC_TYPES
-        ]
-        q_head_covered = any(
-            e["snapshot-id"] == head_id
-            and any(
-                b.get("type") == QUANTILE_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-            for e in writer.statistics
-        )
-        if q_cols and not q_head_covered:
-            if refresh_quantile_statistics(writer, spark) is None:
-                write_quantile_statistics(writer, spark, q_cols)
-            report["refresh_quantiles"] = q_cols
-        else:
-            report["refresh_quantiles"] = None
-        # grouped-histogram catch-up: same opt-in/head gates; always
-        # incremental (r13) — identity groupings reuse the global
-        # per-file partials, any other grouping uses per-(file × group)
-        # partials — never a stale-silent blob
-        from daskberg_spark.iceberg.quantiles import (
-            GROUPED_QUANTILE_BLOB_TYPE,
-            refresh_grouped_quantile_statistics,
-        )
-
-        has_grouped = any(
-            b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
-            for e in writer.statistics
-            for b in e.get("blob-metadata", [])
-        )
-        g_head_covered = any(
-            e["snapshot-id"] == head_id
-            and any(
-                b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-            for e in writer.statistics
-        )
-        if has_grouped and not g_head_covered:
-            rep = refresh_grouped_quantile_statistics(writer, spark)
-            report["refresh_grouped_quantiles"] = (
-                rep or {}
-            ).get("mode")
-        else:
-            report["refresh_grouped_quantiles"] = None
-        # grouped-NDV catch-up (r13): same opt-in/head gates; always
-        # incremental — per-file grouped sketch partials union for
-        # clean files, one delete-aware restricted scan for dirty ones
-        from daskberg_spark.iceberg.theta import (
-            GROUPED_THETA_BLOB_TYPE,
-            refresh_grouped_theta_statistics,
-        )
-
-        has_gndv = any(
-            b.get("type") == GROUPED_THETA_BLOB_TYPE
-            for e in writer.statistics
-            for b in e.get("blob-metadata", [])
-        )
-        gndv_head_covered = any(
-            e["snapshot-id"] == head_id
-            and any(
-                b.get("type") == GROUPED_THETA_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-            for e in writer.statistics
-        )
-        if has_gndv and not gndv_head_covered:
-            rep = refresh_grouped_theta_statistics(writer, spark)
-            report["refresh_grouped_ndv"] = (
-                None if rep is None else rep["partials_computed"]
-            )
-        else:
-            report["refresh_grouped_ndv"] = None
-        # per-file sum-blob catch-up: same opt-in shape as the Bloom
-        # index (incremental — only files no blob covers yet; a no-op
-        # None on tables that never ran write_sum_statistics)
-        from daskberg_spark.iceberg.sumstats import refresh_sum_statistics
-
-        report["refresh_sums"] = refresh_sum_statistics(writer, spark)
-        # materialized-rollup catch-up: a table created by
-        # create_rollup carries its source watermark in properties —
-        # the nightly job advances it by the changelog delta
-        from daskberg_spark.iceberg.rollup import PROP_SOURCE, refresh_rollup
-
-        if PROP_SOURCE in writer.properties:
-            report["refresh_rollup"] = refresh_rollup(spark, writer)["mode"]
-        else:
-            report["refresh_rollup"] = None
+        scan_source = plan_shared_stats_scan(writer, spark)
+        try:
+            _maintain_statistics(writer, spark, report, scan_source)
+        finally:
+            if scan_source is not None:
+                report["stats_scan"] = scan_source.report()
+                scan_source.unpersist()
+            else:
+                report["stats_scan"] = None
     report["expire_snapshots"] = expire_snapshots(
         writer,
         keep_last=keep_last,
@@ -6516,6 +6390,175 @@ def maintain(
         )
     )
     return report
+
+
+def _maintain_statistics(
+    writer: "IcebergWriter", spark: Any, report: dict[str, Any], scan_source
+) -> None:
+    """The statistics-refresh half of ``maintain()`` — every family
+    catch-up, fed from the shared one-scan frame (r14)."""
+    # bloom-index catch-up: files compaction just rewrote (or recent
+    # appends) have no blobs yet; a no-op (None) on unindexed tables
+    from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
+
+    report["refresh_blooms"] = refresh_file_blooms(
+        writer, spark, scan_source=scan_source
+    )
+    # NDV-stats catch-up: only for tables that opted into theta
+    # statistics (an entry exists on SOME snapshot) whose current
+    # snapshot lacks one — incremental over the append window when
+    # the window allows, full rebuild otherwise; never a surprise
+    # full scan on tables that never ran stats
+    from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE
+
+    has_theta = any(
+        b.get("type") == THETA_BLOB_TYPE
+        for e in writer.statistics
+        for b in e.get("blob-metadata", [])
+    )
+    head_id = writer.head_snapshot["snapshot-id"]
+    head_covered = any(
+        e["snapshot-id"] == head_id
+        and any(
+            b.get("type") == THETA_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+        for e in writer.statistics
+    )
+    if has_theta and not head_covered:
+        _, mode = refresh_table_statistics(
+            writer, spark, scan_source=scan_source
+        )
+        report["refresh_statistics"] = mode
+    else:
+        report["refresh_statistics"] = None
+    # quantile-histogram catch-up: same opt-in shape (an entry on
+    # SOME snapshot), gated to heads that lack one.  Tables with
+    # per-file CDF partials (write_file_quantile_partials /
+    # refresh_quantile_statistics's bootstrap) refresh INCREMENTALLY
+    # — O(new + dirty files); legacy tables without partials take
+    # the full one-pass re-run
+    from daskberg_spark.iceberg.quantiles import (
+        QUANTILE_BLOB_TYPE,
+        refresh_quantile_statistics,
+        write_quantile_statistics,
+    )
+
+    from daskberg_spark.iceberg.quantiles import _NUMERIC_TYPES
+
+    q_cols = sorted(
+        {
+            (b.get("properties") or {}).get("column")
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+            if b.get("type") == QUANTILE_BLOB_TYPE
+        }
+        - {None}
+    )
+    # a column dropped or retyped since the last histogram run must
+    # not crash the nightly job — it simply stops being refreshed
+    q_cols = [
+        c
+        for c in q_cols
+        if writer.types.get(c) in _NUMERIC_TYPES
+    ]
+    q_head_covered = any(
+        e["snapshot-id"] == head_id
+        and any(
+            b.get("type") == QUANTILE_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+        for e in writer.statistics
+    )
+    if q_cols and not q_head_covered:
+        if (
+            refresh_quantile_statistics(
+                writer, spark, scan_source=scan_source
+            )
+            is None
+        ):
+            write_quantile_statistics(writer, spark, q_cols)
+        report["refresh_quantiles"] = q_cols
+    else:
+        report["refresh_quantiles"] = None
+    # grouped-histogram catch-up: same opt-in/head gates; always
+    # incremental (r13) — identity groupings reuse the global
+    # per-file partials, any other grouping uses per-(file × group)
+    # partials — never a stale-silent blob
+    from daskberg_spark.iceberg.quantiles import (
+        GROUPED_QUANTILE_BLOB_TYPE,
+        refresh_grouped_quantile_statistics,
+    )
+
+    has_grouped = any(
+        b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+        for e in writer.statistics
+        for b in e.get("blob-metadata", [])
+    )
+    g_head_covered = any(
+        e["snapshot-id"] == head_id
+        and any(
+            b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+        for e in writer.statistics
+    )
+    if has_grouped and not g_head_covered:
+        rep = refresh_grouped_quantile_statistics(
+            writer, spark, scan_source=scan_source
+        )
+        report["refresh_grouped_quantiles"] = (
+            rep or {}
+        ).get("mode")
+    else:
+        report["refresh_grouped_quantiles"] = None
+    # grouped-NDV catch-up (r13): same opt-in/head gates; always
+    # incremental — per-file grouped sketch partials union for
+    # clean files, one delete-aware restricted scan for dirty ones
+    from daskberg_spark.iceberg.theta import (
+        GROUPED_THETA_BLOB_TYPE,
+        refresh_grouped_theta_statistics,
+    )
+
+    has_gndv = any(
+        b.get("type") == GROUPED_THETA_BLOB_TYPE
+        for e in writer.statistics
+        for b in e.get("blob-metadata", [])
+    )
+    gndv_head_covered = any(
+        e["snapshot-id"] == head_id
+        and any(
+            b.get("type") == GROUPED_THETA_BLOB_TYPE
+            for b in e.get("blob-metadata", [])
+        )
+        for e in writer.statistics
+    )
+    if has_gndv and not gndv_head_covered:
+        rep = refresh_grouped_theta_statistics(
+            writer, spark, scan_source=scan_source
+        )
+        report["refresh_grouped_ndv"] = (
+            None if rep is None else rep["partials_computed"]
+        )
+    else:
+        report["refresh_grouped_ndv"] = None
+    # per-file sum-blob catch-up: same opt-in shape as the Bloom
+    # index (incremental — only files no blob covers yet; a no-op
+    # None on tables that never ran write_sum_statistics)
+    from daskberg_spark.iceberg.sumstats import refresh_sum_statistics
+
+    report["refresh_sums"] = refresh_sum_statistics(
+        writer, spark, scan_source=scan_source
+    )
+    # materialized-rollup catch-up: a table created by
+    # create_rollup carries its source watermark in properties —
+    # the nightly job advances it by the changelog delta
+    from daskberg_spark.iceberg.rollup import PROP_SOURCE, refresh_rollup
+
+    if PROP_SOURCE in writer.properties:
+        report["refresh_rollup"] = refresh_rollup(spark, writer)["mode"]
+    else:
+        report["refresh_rollup"] = None
 
 
 def compact_files(

@@ -4154,3 +4154,134 @@ def iceberg_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not k.endswith(" aname") or k.startswith("cnt")
     ), rep
     return out
+
+
+@query(
+    "iceberg_maintain_stats_onepass",
+    """
+    WITH src AS (
+        SELECT 's' || CAST(i % 4 AS VARCHAR) AS seg,
+               i % 37 AS u,
+               (i * 13) % 211 AS v
+        FROM range(5000) t(i) WHERE i >= 100
+    )
+    SELECT seg,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS ndv_u,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM src)
+               AS total_ndv_u,
+           (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM src)
+               AS total_ndv_v
+    FROM src GROUP BY seg
+    """,
+)
+def iceberg_maintain_stats_onepass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE-SCAN nightly statistics maintenance (r14,
+    ``onepass.plan_shared_stats_scan`` + ``writer.maintain``): a table
+    opted into ALL SIX statistics families — value blooms, column
+    sums, global theta partials, global quantiles, grouped quantiles,
+    grouped NDV — takes an eq-DELETE (dirties the four existing files)
+    and an APPEND (one new uncovered file), then ONE ``maintain()``
+    refreshes every family from ONE shared raw read of the new file
+    plus ONE shared delete-aware read of the dirty set — not one pass
+    per family (the r13 verdict's top remaining constant: ~5x nightly
+    ingest re-reads).  Hard-asserted: 1 raw file / 4 dirty files in
+    the shared frames, zero fallback reads, every family served.  The
+    published blobs are EXACT (all cardinalities below the sketch's
+    nominal k; censuses exact by construction), so the DuckDB
+    ``COUNT(DISTINCT)``/``COUNT(*)`` oracle must reproduce per-group
+    NDVs, per-group row censuses, and global NDVs bit-for-bit."""
+    import tempfile
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.bloomindex import write_file_blooms
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        refresh_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.sumstats import write_sum_statistics
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_file_theta_partials,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        maintain,
+        refresh_table_statistics,
+    )
+    from daskberg_spark.operators.benchphases import phase
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_onepass_"),
+        [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+            {"id": 4, "name": "v", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"id": i, "seg": f"s{i % 4}", "u": i % 37, "v": (i * 13) % 211}
+            for i in range(lo, hi)
+        ]
+
+    with phase("iceberg_maintain_stats_onepass", "build"):
+        for lo in range(0, 4000, 1000):
+            w.append(rows(lo, lo + 1000))
+    with phase("iceberg_maintain_stats_onepass", "bootstrap"):
+        write_file_blooms(w, spark, ["u"])
+        write_sum_statistics(w, spark, ["v"])
+        write_file_theta_partials(w, spark)
+        refresh_table_statistics(w, spark)
+        refresh_quantile_statistics(w, spark, columns=["v"])
+        write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+        refresh_grouped_quantile_statistics(w, spark)
+        write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+        refresh_grouped_theta_statistics(w, spark)
+    with phase("iceberg_maintain_stats_onepass", "build"):
+        # delete FIRST (dirties the four existing files), THEN append —
+        # the new file postdates the delete, so it stays clean
+        w.delete_rows_equality([{"id": i} for i in range(100)])
+        w.append(rows(4000, 5000))
+    with phase("iceberg_maintain_stats_onepass", "refresh"):
+        rep = maintain(
+            w,
+            spark,
+            min_file_bytes=1,
+            keep_last=100,
+            compact_dead_fraction=None,
+        )
+    ss = rep["stats_scan"]
+    assert ss is not None and ss["raw_fallback"] == 0, rep
+    assert ss["dirty_fallback"] == 0, rep
+    assert ss["raw_files"] == 1 and ss["dirty_files"] == 4, (
+        f"one-scan shape broken: {ss}"
+    )
+    assert ss["raw_served"] >= 5 and ss["dirty_served"] >= 4, ss
+    assert rep["refresh_statistics"] == "partials", rep
+    t = IcebergTable(w.path)
+    gndv = t.ndv_groupby(spark, "u", ["seg"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    hist = t.grouped_column_quantiles("v", ["seg"])
+    census = spark.createDataFrame(
+        [(g["key"][0], int(g["rows"])) for g in hist["groups"]],
+        "seg string, n_rows long",
+    )
+    return (
+        gndv.select(F.col("seg"), F.col("ndv").alias("ndv_u"))
+        .join(census, "seg")
+        .select(
+            "seg",
+            F.col("ndv_u").cast("long"),
+            F.col("n_rows").cast("long"),
+            F.lit(t.column_ndv("u")).cast("long").alias("total_ndv_u"),
+            F.lit(t.column_ndv("v")).cast("long").alias("total_ndv_v"),
+        )
+    )

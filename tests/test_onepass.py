@@ -1,0 +1,204 @@
+"""One-scan nightly statistics maintenance (r14, ``onepass.py``).
+
+The contract under test: one ``maintain()`` reads each new file ONCE
+(one shared raw pass), each dirty file ONCE (one shared delete-aware
+pass), serves EVERY active statistics family from those cached frames
+(zero fallback reads), and the refreshed blobs are exactly what the
+per-family direct-read paths would have produced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from daskberg_spark.iceberg.writer import IcebergWriter
+
+
+def _all_families_table(spark, tmp_path):
+    """A table opted into all six statistics families over two files:
+    value blooms on u, column sums on v, global theta partials +
+    published NDV stats, global quantile histogram on v (with per-file
+    CDF partials), grouped quantiles on (seg -> v), grouped NDV on
+    (seg -> u)."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.bloomindex import write_file_blooms
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        refresh_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.sumstats import write_sum_statistics
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_file_theta_partials,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import refresh_table_statistics
+
+    w = IcebergWriter(
+        str(tmp_path / "op"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"seg": f"s{i % 4}", "u": i % 37, "v": (i * 13) % 211}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 150))
+    w.append(rows(150, 300))
+    write_file_blooms(w, spark, ["u"])
+    write_sum_statistics(w, spark, ["v"])
+    write_file_theta_partials(w, spark)
+    refresh_table_statistics(w, spark)  # publishes the NDV entry
+    refresh_quantile_statistics(w, spark, columns=["v"])  # bootstraps
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    refresh_grouped_quantile_statistics(w, spark)  # grouped partials
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)
+    return w, rows
+
+
+def test_maintain_one_scan_statistics(spark, tmp_path, monkeypatch):
+    """THE r14 IO-shape contract: after a delete (dirties the two old
+    files) and an append (one new uncovered file), one ``maintain()``
+    issues exactly ONE raw read (the new file) and ONE delete-aware
+    read (the dirty files) — not one per family — serves all six
+    families from the cache with zero fallbacks, and every family's
+    blob lands on the new head with exact contents."""
+    import daskberg_spark.iceberg.scan as scan_mod
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import _norm
+    from daskberg_spark.iceberg.sumstats import column_filesums
+    from daskberg_spark.iceberg.writer import maintain
+
+    w, rows = _all_families_table(spark, tmp_path)
+    # delete FIRST (dirties the two existing files), THEN append — the
+    # new file postdates the delete, so it stays clean and uncovered
+    w.delete_rows_equality([{"u": i} for i in range(5)])
+    w.append(rows(300, 400))
+
+    raw_calls: list[set] = []
+    dirty_calls: list[set] = []
+    real_rfg = scan_mod._read_file_groups
+    real_to_df = scan_mod.to_df
+    in_to_df = [0]  # to_df's own internal _read_file_groups isn't a
+    # second pass — it IS the delete-aware read being counted
+
+    def counting_rfg(t, spark_, files, *a, **kw):
+        if not in_to_df[0]:
+            raw_calls.append({_norm(f["file_path"]) for f in files})
+        return real_rfg(t, spark_, files, *a, **kw)
+
+    def counting_to_df(t, spark_, *a, **kw):
+        subset = kw.get("file_subset")
+        if subset is not None:
+            dirty_calls.append({_norm(p) for p in subset})
+        in_to_df[0] += 1
+        try:
+            return real_to_df(t, spark_, *a, **kw)
+        finally:
+            in_to_df[0] -= 1
+
+    monkeypatch.setattr(scan_mod, "_read_file_groups", counting_rfg)
+    monkeypatch.setattr(scan_mod, "to_df", counting_to_df)
+
+    rep = maintain(
+        w, spark, min_file_bytes=1, keep_last=100, compact_dead_fraction=None
+    )
+
+    # --- IO shape: each new file read once per maintain(), per KIND of
+    # read, not once per family ---
+    ss = rep["stats_scan"]
+    assert ss is not None, rep
+    assert ss["raw_fallback"] == 0 and ss["dirty_fallback"] == 0, ss
+    # all six families served raw; the four delete-sensitive families
+    # (global/grouped NDV, global/grouped quantiles) served dirty
+    assert ss["raw_served"] >= 5, ss
+    assert ss["dirty_served"] >= 4, ss
+    assert len(raw_calls) == 1, raw_calls  # the shared raw pass only
+    assert len(dirty_calls) == 1, dirty_calls  # the shared dirty pass
+    assert ss["raw_files"] == 1 and ss["dirty_files"] == 2, ss
+    # the raw pass covered exactly the new file, once
+    t = IcebergTable(w.path)
+
+    # --- every family refreshed AND exact ---
+    assert rep["refresh_statistics"] == "partials", rep
+    assert rep["refresh_quantiles"] == ["v"], rep
+    assert rep["refresh_grouped_quantiles"] == "refreshed" or rep[
+        "refresh_grouped_quantiles"
+    ] is not None, rep
+    truth_df = t.to_df(spark)
+    ndv_truth = truth_df.agg(
+        F.count_distinct("u").alias("u"), F.count_distinct("v").alias("v")
+    ).collect()[0]
+    assert t.column_ndv("u") == ndv_truth["u"]
+    assert t.column_ndv("v") == ndv_truth["v"]
+    gndv = {
+        r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()
+    }
+    assert t.last_ndv_groupby["route"] == "stats"
+    gtruth = {
+        r.seg: r.ndv
+        for r in truth_df.groupBy("seg")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert gndv == gtruth
+    # grouped quantile blob: exact per-group row censuses
+    hist = t.grouped_column_quantiles("v", ["seg"])
+    grows = {g["key"][0]: g["rows"] for g in hist["groups"]}
+    rtruth = {
+        r.seg: r.n
+        for r in truth_df.groupBy("seg").agg(F.count("*").alias("n")).collect()
+    }
+    assert grows == rtruth
+    # sums + blooms: coverage complete for every live file
+    live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+    assert live <= set(column_filesums(t, "v") or {})
+
+    # --- steady state: a second maintain() performs ZERO data IO ---
+    raw_calls.clear()
+    dirty_calls.clear()
+    rep2 = maintain(
+        w, spark, min_file_bytes=1, keep_last=100, compact_dead_fraction=None
+    )
+    assert rep2["stats_scan"] is None, rep2
+    assert raw_calls == [] and dirty_calls == [], (raw_calls, dirty_calls)
+
+
+def test_shared_scan_fallback_never_breaks(spark, tmp_path):
+    """A scan source that cannot serve (empty cache) must leave every
+    refresh correct via its direct-read fallback — planning is
+    advisory, correctness never depends on the cache."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.onepass import SharedStatsScan
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+    )
+
+    w, rows = _all_families_table(spark, tmp_path)
+    w.append(rows(300, 350))
+    t = IcebergTable(w.path)
+    empty = SharedStatsScan(t, spark, [], set(), set(), set())
+    rep = refresh_grouped_theta_statistics(w, spark, scan_source=empty)
+    assert rep["partials_computed"] == 1, rep
+    assert empty.raw_fallback >= 1, empty.report()
+    t = IcebergTable(w.path)
+    got = {
+        r.seg: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()
+    }
+    truth = {
+        r.seg: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("seg")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got == truth
+    empty.unpersist()
