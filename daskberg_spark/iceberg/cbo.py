@@ -89,10 +89,10 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
         return planned
     sel = 1.0
     # group columns already consumed as a conditional-NDV pin FOR a
-    # given column: {col_scored: pin_used} — a mutually-pinned pair
+    # given column: {col_scored: pins_used} — a mutually-pinned pair
     # (a==x AND b==y with blobs keyed both ways) conditions at most one
     # clause on the other; the second falls to its marginal (advisor)
-    ndv_pins_used: dict[str, str] = {}
+    ndv_pins_used: dict[str, tuple[str, ...]] = {}
     for clause in _conjuncts(filters):
         col, op, _v = clause
         if op in ("==", "="):
@@ -129,12 +129,12 @@ def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
                 col,
                 _conjuncts(filters),
                 exclude_pins=frozenset(
-                    g for g, pin in ndv_pins_used.items() if pin == col
+                    g for g, pins in ndv_pins_used.items() if col in pins
                 ),
             )
             if got is not None:
-                s, pin = got
-                ndv_pins_used[col] = pin
+                s, pins = got
+                ndv_pins_used[col] = pins
                 sel *= s
                 continue
             ndv = _safe_ndv(table, col)
@@ -284,6 +284,62 @@ def _grouped_quantile_selectivity(
                         s = range_selectivity(grp, op, v)
                         if s is not None:
                             return s
+        # (1.5) equality pin + RANGE pin with a blob keyed on the pair
+        # (either order, r14): row-weighted conditionals over the
+        # groups whose eq-key matches the pin and whose range-key
+        # satisfies the range — P(col <op> v | g1 = v1, g2 in range)
+        # with no independence assumption.  Previously this shape fell
+        # to the single-eq rung, ignoring the range's interaction.
+        range_pins = [
+            (g, gop2, gv)
+            for g, gop2, gv in conjuncts
+            if gop2 in ("<", "<=", ">", ">=")
+            and g != col
+            and g in table.fields
+        ]
+        for g1, v1 in eq_pins:
+            for g2, gop2, gv2 in range_pins:
+                if g2 == g1:
+                    continue
+                for keyed in ([g1, g2], [g2, g1]):
+                    hist = table.grouped_column_quantiles(col, keyed)
+                    if hist is None:
+                        continue
+                    eq_idx = keyed.index(g1)
+                    rng_idx = 1 - eq_idx
+                    ekey = _encode_group_value(
+                        normalize_value(v1, table.fields[g1].type)
+                    )
+                    gtype = table.fields[g2].type
+                    gn = value_to_number(gv2, gtype)
+                    if gn is None:
+                        continue
+                    num = den = 0.0
+                    placeable = True
+                    for grp in hist.get("groups", []):
+                        k = grp.get("key") or [None, None]
+                        if k[eq_idx] != ekey:
+                            continue
+                        if k[rng_idx] is None:
+                            continue  # NULL never satisfies a range
+                        kn = value_to_number(
+                            decode_group_value(k[rng_idx], gtype), gtype
+                        )
+                        if kn is None:
+                            placeable = False
+                            break  # string keys: decline this rung
+                        if not _num_cmp(kn, gop2, gn):
+                            continue
+                        s = range_selectivity(grp, op, v)
+                        if s is None:
+                            continue
+                        rows_g = float(grp.get("rows") or 0)
+                        num += rows_g * s
+                        den += rows_g
+                    if placeable and den > 0:
+                        return num / den
+                    # eq key absent / nothing satisfies: key-encoding
+                    # caveat — fall to lower rungs, never hard-zero
         # (2) single equality pin (r12)
         for g, gv in eq_pins:
             hist = table.grouped_column_quantiles(col, [g])
@@ -408,30 +464,55 @@ def _grouped_ndv_eq_selectivity(
     1/ndv(a|b) · 1/ndv(b|a) would estimate ~1.0 on nested columns,
     the opposite mis-rank of the independence model this rung replaces
     (r13 advisor); the caller lets the second clause fall to its
-    marginal.  Returns ``(selectivity, pin_column)``; estimates
+    marginal.  Two rungs, most specific first (r14): a blob keyed on
+    a PAIR of pinned columns (either order) measures
+    1/ndv(col | g1, g2) — tighter than any single conditional when
+    values nest inside the joint grouping; then the single-column
+    rung.  Returns ``(selectivity, pin_columns_tuple)``; estimates
     only."""
     try:
         from daskberg_spark.iceberg.planner import normalize_value
         from daskberg_spark.iceberg.quantiles import _encode_group_value
 
-        for g, gop, gv in conjuncts:
-            if (
-                gop not in ("==", "=")
-                or g == col
-                or g in exclude_pins
-                or g not in table.fields
-            ):
-                continue
+        def enc(gv, g):
+            return _encode_group_value(
+                normalize_value(gv, table.fields[g].type)
+            )
+
+        eq_pins = [
+            (g, gv)
+            for g, gop, gv in conjuncts
+            if gop in ("==", "=")
+            and g != col
+            and g not in exclude_pins
+            and g in table.fields
+        ]
+        # (1) two pinned columns with a pair-keyed blob (r14)
+        for i, (g1, v1) in enumerate(eq_pins):
+            for j, (g2, v2) in enumerate(eq_pins):
+                if i == j:
+                    continue
+                payload = table.grouped_column_ndv(col, [g1, g2])
+                if payload is None:
+                    continue
+                key = [enc(v1, g1), enc(v2, g2)]
+                for grp in payload.get("groups", []):
+                    if grp.get("key") == key:
+                        ndv = int(grp.get("ndv") or 0)
+                        if ndv > 0:
+                            return (1.0 / ndv, (g1, g2))
+                # key absent from the pair blob: key-encoding caveat —
+                # fall to the single rung, never hard-zero
+        # (2) one pinned column (r13)
+        for g, gv in eq_pins:
             payload = table.grouped_column_ndv(col, [g])
             if payload is None:
                 continue
-            key = _encode_group_value(
-                normalize_value(gv, table.fields[g].type)
-            )
+            key = enc(gv, g)
             for grp in payload.get("groups", []):
                 if (grp.get("key") or [None])[0] == key:
                     ndv = int(grp.get("ndv") or 0)
-                    return (1.0 / ndv, g) if ndv > 0 else None
+                    return (1.0 / ndv, (g,)) if ndv > 0 else None
             return None
     except Exception:
         return None

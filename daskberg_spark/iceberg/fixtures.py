@@ -2154,3 +2154,89 @@ def ensure_percentile_groupby_fixture(spark) -> str:
 # wrapper twice would double-wrap with fresh thread-local state and two
 # FDs flocking the same file can self-deadlock in one process.
 _serialize_fixture_builds()
+
+
+def ensure_cbo_pair_fixture(spark) -> dict[str, str]:
+    """Pair-keyed conditional CBO fixture (r14): dima's ``u`` nests
+    inside the JOINT (seg, band) grouping — 2 values per joint group,
+    12 globally — so the independence model scores ``seg='s1' AND
+    band=2 AND u=51`` at 1/2 x 1/3 x 1/12 (33 rows) while the truth is
+    1/2 x 1/3 x 1/2 (200 rows); no SINGLE-column conditional exists
+    (only the pair-keyed grouped theta blob is written), so only the
+    r14 pair rung recovers it.  Content is formulaic for the DuckDB
+    oracle.  Carries theta NDVs on all tables, a marginal quantile
+    blob on dimb, and the pair-keyed (seg, band → u) theta blob."""
+    root = os.path.join(os.path.dirname(FIXTURE_DIR), "cbo_pair")
+    paths = {
+        "fact": os.path.join(root, "fact"),
+        "dima": os.path.join(root, "dima"),
+        "dimb": os.path.join(root, "dimb"),
+    }
+    if all(
+        os.path.exists(os.path.join(p, "metadata", "version-hint.text"))
+        for p in paths.values()
+    ):
+        return paths
+    from daskberg_spark.iceberg.quantiles import write_quantile_statistics
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    fact = IcebergWriter(
+        paths["fact"],
+        [
+            {"id": 1, "name": "fk_a", "type": "long", "required": False},
+            {"id": 2, "name": "fk_b", "type": "long", "required": False},
+            {"id": 3, "name": "amount", "type": "double", "required": False},
+        ],
+    )
+    fact.append(
+        [
+            {
+                "fk_a": (i * 7) % 2400,
+                "fk_b": (i * 11) % 1000,
+                "amount": (i % 89) * 0.5,
+            }
+            for i in range(8000)
+        ]
+    )
+    dima = IcebergWriter(
+        paths["dima"],
+        [
+            {"id": 1, "name": "aid", "type": "long", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+            {"id": 3, "name": "band", "type": "long", "required": False},
+            {"id": 4, "name": "u", "type": "long", "required": False},
+            {"id": 5, "name": "aname", "type": "string", "required": False},
+        ],
+    )
+    dima.append(
+        [
+            {
+                "aid": i,
+                "seg": f"s{i // 1200}",
+                "band": (i // 400) % 3,
+                "u": 10 * (3 * (i // 1200) + (i // 400) % 3) + i % 2,
+                "aname": f"a{i % 5}",
+            }
+            for i in range(2400)
+        ]
+    )
+    dimb = IcebergWriter(
+        paths["dimb"],
+        [
+            {"id": 1, "name": "bid", "type": "long", "required": False},
+            {"id": 2, "name": "bv", "type": "long", "required": False},
+            {"id": 3, "name": "bname", "type": "string", "required": False},
+        ],
+    )
+    dimb.append(
+        [{"bid": i, "bv": i, "bname": f"b{i % 5}"} for i in range(1000)]
+    )
+    for w in (fact, dima, dimb):
+        write_table_statistics(w, spark)
+    write_quantile_statistics(dimb, spark, ["bv"])
+    write_grouped_theta_statistics(dima, spark, ["seg", "band"], ["u"])
+    return paths

@@ -4285,3 +4285,78 @@ def iceberg_maintain_stats_onepass(
             F.lit(t.column_ndv("v")).cast("long").alias("total_ndv_v"),
         )
     )
+
+
+@query(
+    "iceberg_cbo_pair_pins",
+    """
+    SELECT a.aname AS aname,
+           b.bname AS bname,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.amount) AS DOUBLE) AS amt
+    FROM read_parquet('/root/repo/.fixtures/cbo_pair/fact/data/*.parquet') f
+    JOIN read_parquet('/root/repo/.fixtures/cbo_pair/dima/data/*.parquet') a
+      ON f.fk_a = a.aid AND a.seg = 's1' AND a.band = 2 AND a.u = 51
+    JOIN read_parquet('/root/repo/.fixtures/cbo_pair/dimb/data/*.parquet') b
+      ON f.fk_b = b.bid AND b.bv >= 970
+    GROUP BY a.aname, b.bname
+    """,
+)
+def iceberg_cbo_pair_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-keyed conditional NDV in the star planner (r14,
+    ``cbo._grouped_ndv_eq_selectivity`` rung 1): dima's ``u`` nests
+    inside the JOINT (seg, band) grouping — 2 values per joint group,
+    12 globally — so the independence model scores
+    ``seg='s1' AND band=2 AND u=51`` at 1/72 (growth ~0.014, below
+    dimb's honest 0.03) and would join the WRONG dim first; only the
+    pair-keyed grouped theta blob measures 1/ndv(u | seg, band) = 1/2
+    (growth ~0.083 — the truth), provably flipping the order
+    (hard-asserted, including the estimate band no single-column rung
+    can produce: no single-column blob exists on this fixture).
+    Inner equi-joins commute — the oracle pins values, the assertion
+    pins the plan."""
+    from daskberg_spark.iceberg.cbo import JoinDim, cbo_join
+    from daskberg_spark.iceberg.fixtures import ensure_cbo_pair_fixture
+
+    paths = ensure_cbo_pair_fixture(spark)
+    fact = IcebergTable(paths["fact"])
+    out = cbo_join(
+        spark,
+        fact,
+        [
+            # 'a' sorts BEFORE 'zb' lexically AND the independence
+            # model under-scores it: only the pair conditional can put
+            # 'zb' first
+            JoinDim(
+                IcebergTable(paths["dima"]),
+                "fk_a",
+                "aid",
+                filters=[
+                    ("seg", "==", "s1"),
+                    ("band", "==", 2),
+                    ("u", "==", 51),
+                ],
+                name="a",
+            ),
+            JoinDim(
+                IcebergTable(paths["dimb"]),
+                "fk_b",
+                "bid",
+                filters=[("bv", ">=", 970)],
+                name="zb",
+            ),
+        ],
+    )
+    plan = fact.last_join_plan
+    assert plan.order == ["zb", "a"], (
+        f"pair-conditional ordering regressed: {plan.order} "
+        f"(estimates {plan.estimates})"
+    )
+    # growth(a) = 200/2400 ~ 0.083 only the pair rung can produce —
+    # the independence model reads ~0.014 and flips the order
+    assert 0.06 <= plan.estimates["a"] <= 0.11, plan.estimates
+    assert 0.02 <= plan.estimates["zb"] <= 0.04, plan.estimates
+    return out.groupBy("aname", "bname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("double").alias("amt"),
+    )

@@ -337,3 +337,103 @@ def test_q9_cbo_star_plan_and_result(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_pair_keyed_ndv_conditional(spark, tmp_path):
+    """r14: a grouped theta blob keyed on a PAIR of pinned columns
+    measures 1/ndv(col | g1, g2) — tighter than any single-column
+    conditional when values nest inside the joint grouping.  2 x 3
+    joint groups each own their own 5 u-values (i % 2 == 1 forces
+    i % 10 odd — 30 global): the independence model scores
+    g1==..,g2==..,u==.. at 1/2 * 1/3 * 1/30 (= N/180 = 20 rows); the
+    pair conditional reads 1/ndv(u | g1,g2) = 1/5 (= N/30 = 120 rows
+    — the true count)."""
+    from daskberg_spark.iceberg.cbo import (
+        _grouped_ndv_eq_selectivity,
+        estimated_rows,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "pk"),
+        [
+            {"id": 1, "name": "g1", "type": "long", "required": False},
+            {"id": 2, "name": "g2", "type": "long", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    # joint group (a, b) owns u in [10*(3a+b), 10*(3a+b)+10)
+    w.append(
+        [
+            {
+                "g1": i % 2,
+                "g2": i % 3,
+                "u": 10 * (3 * (i % 2) + i % 3) + i % 10,
+            }
+            for i in range(3600)
+        ]
+    )
+    write_table_statistics(w, spark)
+    write_grouped_theta_statistics(w, spark, ["g1", "g2"], ["u"])
+    t = IcebergTable(w.path)
+    conj = [("g1", "==", 1), ("g2", "==", 2), ("u", "==", 55)]
+    got = _grouped_ndv_eq_selectivity(t, "u", conj)
+    assert got == (0.2, ("g1", "g2")), got
+    est = estimated_rows(t, conj)
+    # truth: 3600 / 30 = 120 rows; the independence model says 20
+    assert 90 <= est <= 150, est
+    # a key absent from the pair blob falls to the marginal, not zero
+    miss = _grouped_ndv_eq_selectivity(
+        t, "u", [("g1", "==", 1), ("g2", "==", 99), ("u", "==", 55)]
+    )
+    assert miss is None, miss
+
+
+def test_eq_plus_range_pin_pair_blob(spark, tmp_path):
+    """r14: a grouped quantile blob keyed on (a, b) with ``a == x AND
+    b <op> y`` reads the row-weighted conditional CDF of the groups the
+    eq pin selects and the range admits — the shape that previously
+    fell to the single-eq rung and ignored the range's interaction.
+    Fixture: within a == 1, the value v is LOW (< 100) exactly when
+    b <= 1 and HIGH otherwise, so P(v < 100 | a == 1, b <= 1) = 1.0
+    while the single-pin conditional P(v < 100 | a == 1) is ~0.5."""
+    from daskberg_spark.iceberg.cbo import _grouped_quantile_selectivity
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "er"),
+        [
+            {"id": 1, "name": "a", "type": "long", "required": False},
+            {"id": 2, "name": "b", "type": "long", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    rows = []
+    for i in range(4000):
+        a, b = i % 2, i % 4
+        v = (i % 90) if (a == 1 and b <= 1) else 1000 + i % 90
+        rows.append({"a": a, "b": b, "v": v})
+    w.append(rows)
+    write_grouped_quantile_statistics(w, spark, ["a", "b"], ["v"])
+    t = IcebergTable(w.path)
+    conj = [("a", "==", 1), ("b", "<=", 1), ("v", "<", 100)]
+    s = _grouped_quantile_selectivity(t, "v", "<", 100, conj)
+    assert s is not None and s > 0.95, s
+    # flipping the range to the HIGH half flips the conditional
+    conj2 = [("a", "==", 1), ("b", ">=", 2), ("v", "<", 100)]
+    s2 = _grouped_quantile_selectivity(t, "v", "<", 100, conj2)
+    assert s2 is not None and s2 < 0.05, s2
+    # single-pin-only conjunction still works (lower rung unchanged)
+    s3 = _grouped_quantile_selectivity(
+        t, "v", "<", 100, [("a", "==", 1), ("v", "<", 100)]
+    )
+    assert s3 is None or 0.3 < s3 < 0.7, s3

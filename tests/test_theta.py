@@ -1373,8 +1373,8 @@ def test_mutual_pin_conditionals_use_one_rung(spark, tmp_path):
     conj = [("a", "==", 3), ("b", "==", 103)]
     # precondition: BOTH conditional lookups fire (else the test is
     # vacuous) — each returns 1/ndv = 1.0 with its consumed pin
-    assert _grouped_ndv_eq_selectivity(t, "a", conj) == (1.0, "b")
-    assert _grouped_ndv_eq_selectivity(t, "b", conj) == (1.0, "a")
+    assert _grouped_ndv_eq_selectivity(t, "a", conj) == (1.0, ("b",))
+    assert _grouped_ndv_eq_selectivity(t, "b", conj) == (1.0, ("a",))
     # ndv(a|b)=ndv(b|a)=1: the double-conditional bug would score
     # 1·1 = 1.0 → 1000 rows; one-rung + marginal lands at ~100 (truth)
     est = estimated_rows(t, [("a", "==", 3), ("b", "==", 103)])
