@@ -915,12 +915,20 @@ def percentile_groupby(
     from daskberg_spark.iceberg.conversions import iceberg_to_spark_type
     from daskberg_spark.iceberg.quantiles import decode_group_value
 
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        group_key_base,
+        group_key_type,
+    )
+
     fields = table.fields
+    ftypes = {n: i.type for n, i in fields.items()}
     if not group_by:
         raise ValueError("group_by must be non-empty — use "
                          "percentile_pushdown for the global battery")
     for g in group_by:
-        if g not in fields:
+        # derived day()/hour() specs validate through their base (r14)
+        if group_key_base(g, ftypes) not in fields:
             raise ValueError(f"unknown group column {g!r}")
     seen: set[str] = set()
     for col, p, alias in quants:
@@ -972,7 +980,7 @@ def percentile_groupby(
         rows = []
         for key in keys:
             row = [
-                decode_group_value(v, fields[g].type)
+                decode_group_value(v, group_key_type(g, ftypes))
                 for g, v in zip(group_by, key)
             ]
             for col, p, _alias in quants:
@@ -996,7 +1004,7 @@ def percentile_groupby(
         schema = T.StructType(
             [
                 T.StructField(
-                    g, iceberg_to_spark_type(fields[g].type), True
+                    g, iceberg_to_spark_type(group_key_type(g, ftypes)), True
                 )
                 for g in group_by
             ]
@@ -1023,10 +1031,15 @@ def percentile_groupby(
     from daskberg_spark.iceberg.quantiles import _numeric_expr
     from daskberg_spark.iceberg.scan import to_df
 
-    df = to_df(
-        table,
-        spark,
-        columns=sorted(set(group_by) | {c for c, _, _ in quants}),
+    bases = {group_key_base(g, ftypes) for g in group_by}
+    df = apply_group_keys(
+        to_df(
+            table,
+            spark,
+            columns=sorted(bases | {c for c, _, _ in quants}),
+        ),
+        group_by,
+        ftypes,
     )
     aggs = []
     for col, p, alias in quants:
@@ -1070,13 +1083,20 @@ def ndv_groupby(
     ``table.last_ndv_groupby`` reports ``{"route": "stats"|"scan",
     "groups": N, "exact": all-groups-exact}``."""
     from daskberg_spark.iceberg.conversions import iceberg_to_spark_type
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        group_key_base,
+        group_key_type,
+    )
 
     fields = table.fields
+    ftypes = {n: i.type for n, i in fields.items()}
     if not group_by:
         raise ValueError("group_by must be non-empty — use column_ndv / "
                          "agg_pushdown for the global NDV")
     for g in group_by:
-        if g not in fields:
+        # derived day()/hour() specs validate through their base (r14)
+        if group_key_base(g, ftypes) not in fields:
             raise ValueError(f"unknown group column {g!r}")
     if col not in fields:
         raise ValueError(f"unknown column {col!r}")
@@ -1086,7 +1106,7 @@ def ndv_groupby(
 
         rows = [
             [
-                decode_group_value(v, fields[g].type)
+                decode_group_value(v, group_key_type(g, ftypes))
                 for g, v in zip(group_by, g_["key"])
             ]
             + [int(g_["ndv"])]
@@ -1095,7 +1115,7 @@ def ndv_groupby(
         schema = T.StructType(
             [
                 T.StructField(
-                    g, iceberg_to_spark_type(fields[g].type), True
+                    g, iceberg_to_spark_type(group_key_type(g, ftypes)), True
                 )
                 for g in group_by
             ]
@@ -1112,7 +1132,12 @@ def ndv_groupby(
         return spark.createDataFrame(rows, schema)
     from daskberg_spark.iceberg.scan import to_df
 
-    df = to_df(table, spark, columns=sorted(set(group_by) | {col}))
+    bases = {group_key_base(g, ftypes) for g in group_by}
+    df = apply_group_keys(
+        to_df(table, spark, columns=sorted(bases | {col})),
+        group_by,
+        ftypes,
+    )
     out = df.groupBy(*group_by).agg(
         F.count_distinct(F.col(col)).alias(alias)
     )

@@ -547,12 +547,14 @@ def write_file_grouped_quantile_partials(
     if not writer.snapshots:
         raise ValueError("table has no snapshots")
     types = dict(writer.types)
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        gate_group_key,
+        group_key_base,
+    )
+
     for g in group_cols:
-        if types.get(g) not in _GROUP_KEY_TYPES:
-            raise ValueError(
-                f"group column {g!r} has type {types.get(g)!r} — grouped "
-                f"histograms key on {sorted(_GROUP_KEY_TYPES)} only"
-            )
+        gate_group_key(g, types, _GROUP_KEY_TYPES, "grouped histograms key")
     for c in columns:
         if types.get(c) not in _NUMERIC_TYPES:
             raise ValueError(
@@ -571,7 +573,7 @@ def write_file_grouped_quantile_partials(
     scan_files = [f for f in live if _norm(f["file_path"]) in target]
     if not scan_files:
         return None
-    wanted = set(group_cols) | set(columns)
+    wanted = {group_key_base(g, types) for g in group_cols} | set(columns)
     # one-scan maintenance (r14): serve from the shared cached frame
     # when a SharedStatsScan covers this subset; else direct read
     df = (
@@ -595,6 +597,7 @@ def write_file_grouped_quantile_partials(
             tag_position=False,
             tag_file=True,
         )
+    df = apply_group_keys(df, group_cols, types)
     probs = [i / buckets for i in range(buckets + 1)]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
@@ -1186,9 +1189,17 @@ def refresh_grouped_quantile_statistics(
                         part
                     )
     if dirty:
+        from daskberg_spark.iceberg.groupkeys import (
+            apply_group_keys,
+            group_key_base,
+        )
+
         probs = [i / buckets for i in range(buckets + 1)]
         ftypes = {n: i.type for n, i in t.fields.items()}
-        dirty_cols = sorted(set(group_cols) | set(columns))
+        wtypes = dict(writer.types)
+        dirty_cols = sorted(
+            {group_key_base(g, wtypes) for g in group_cols} | set(columns)
+        )
         df = (
             scan_source.dirty_frame(sorted(dirty), dirty_cols)
             if scan_source is not None
@@ -1198,6 +1209,7 @@ def refresh_grouped_quantile_statistics(
             df = to_df(
                 t, spark, columns=dirty_cols, file_subset=sorted(dirty)
             )
+        df = apply_group_keys(df, list(group_cols), wtypes)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in columns:
             e2 = _numeric_expr(c, ftypes[c])
@@ -1316,11 +1328,29 @@ def refresh_grouped_quantile_statistics(
 
 
 # group-key types a grouped blob can round-trip through JSON exactly
-_GROUP_KEY_TYPES = {"int", "long", "string", "boolean", "date"}
+# + timestamps (r14): ISO-micros key codec, mirroring the theta side;
+# raw timestamp keys usually trip max_groups first — the useful form is
+# a derived day()/hour() key (groupkeys.py)
+_GROUP_KEY_TYPES = {
+    "int",
+    "long",
+    "string",
+    "boolean",
+    "date",
+    "timestamp",
+    "timestamptz",
+    "timestampz",
+}
 
 
 def _encode_group_value(v: Any) -> Any:
-    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+    if isinstance(v, datetime.datetime):
+        # timestamps ride as ISO-micros strings (r14) — aware values
+        # normalize to UTC-naive first so the key is session-TZ-proof
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return v
 
@@ -1330,6 +1360,8 @@ def decode_group_value(v: Any, ice_type: str) -> Any:
         return None
     if ice_type == "date":
         return datetime.date.fromisoformat(v)
+    if ice_type in ("timestamp", "timestamptz", "timestampz"):
+        return datetime.datetime.fromisoformat(v)
     if ice_type in ("int", "long"):
         return int(v)
     return v
@@ -1367,15 +1399,15 @@ def write_grouped_quantile_statistics(
         raise ValueError("table has no snapshots")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        gate_group_key,
+        group_key_base,
+    )
+
     types = dict(writer.types)
     for g in group_cols:
-        if g not in types:
-            raise ValueError(f"unknown group column {g!r}")
-        if types[g] not in _GROUP_KEY_TYPES:
-            raise ValueError(
-                f"group column {g!r} has type {types[g]!r} — grouped "
-                f"histograms key on {sorted(_GROUP_KEY_TYPES)} only"
-            )
+        gate_group_key(g, types, _GROUP_KEY_TYPES, "grouped histograms key")
     if columns is None:
         columns = [
             c
@@ -1395,7 +1427,12 @@ def write_grouped_quantile_statistics(
         return None
     snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
-    df = t.to_df(spark, columns=sorted(set(group_cols) | set(columns)))
+    bases = {group_key_base(g, types) for g in group_cols}
+    df = apply_group_keys(
+        t.to_df(spark, columns=sorted(bases | set(columns))),
+        group_cols,
+        types,
+    )
     probs = [i / buckets for i in range(buckets + 1)]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
@@ -1601,8 +1638,14 @@ def plan_grouped_quantile_refresh_scan(writer, t):
                     return False
         return True
 
+    from daskberg_spark.iceberg.groupkeys import group_key_base
+
+    bases = {group_key_base(g, dict(writer.types)) for g in group_cols}
     missing: set[str] = set()
     if _is_identity():
+        # identity strategy reuses the GLOBAL per-file partials: the
+        # raw pass reads value columns only (the group is the file's
+        # partition tuple, no data column needed)
         for c in columns:
             missing |= clean_norm - set(column_filecdfs(t, c) or {})
         raw_cols = set(columns)
@@ -1611,6 +1654,8 @@ def plan_grouped_quantile_refresh_scan(writer, t):
             missing |= clean_norm - set(
                 grouped_column_filecdfs(t, c, group_cols) or {}
             )
-        raw_cols = set(group_cols) | set(columns)
-    dirty_cols = (set(group_cols) | set(columns)) if dirty else set()
+        raw_cols = bases | set(columns)
+    # the dirty scan ALWAYS groups by the group columns (both
+    # strategies), so its frame needs the base columns too
+    dirty_cols = (bases | set(columns)) if dirty else set()
     return missing, raw_cols, dirty_cols

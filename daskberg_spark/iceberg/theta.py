@@ -792,9 +792,14 @@ def build_grouped_column_sketches(
         import pyarrow as pa
 
         def enc(v):
-            # dates → ISO strings (JSON can't carry datetime.date);
-            # mirrors quantiles._encode_group_value
-            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            # dates/timestamps → ISO strings (JSON can't carry them);
+            # mirrors quantiles._encode_group_value incl. the UTC
+            # normalization for aware timestamps (r14)
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return v.isoformat()
+            if isinstance(v, _dt.date):
                 return v.isoformat()
             return v
 
@@ -879,9 +884,21 @@ def build_grouped_column_sketches(
 
 
 # group-key types whose values round-trip exactly through the
-# builder's key encoding and the blob payload (dates as ISO strings,
-# decoded by consumers via quantiles.decode_group_value — r13)
-_THETA_GROUP_KEY_TYPES = {"int", "long", "string", "boolean", "date"}
+# builder's key encoding and the blob payload (dates as ISO strings —
+# r13 — and timestamps as ISO-micros strings — r14 — decoded by
+# consumers via quantiles.decode_group_value).  Raw timestamp keys
+# usually trip max_groups first; the useful form is a derived
+# day()/hour() key (groupkeys.py), which lands here as date/timestamp.
+_THETA_GROUP_KEY_TYPES = {
+    "int",
+    "long",
+    "string",
+    "boolean",
+    "date",
+    "timestamp",
+    "timestamptz",
+    "timestampz",
+}
 
 
 def write_grouped_theta_statistics(
@@ -918,15 +935,15 @@ def write_grouped_theta_statistics(
         raise ValueError("table has no snapshots")
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        gate_group_key,
+        group_key_base,
+    )
+
     types = dict(writer.types)
     for g in group_cols:
-        if g not in types:
-            raise ValueError(f"unknown group column {g!r}")
-        if types[g] not in _THETA_GROUP_KEY_TYPES:
-            raise ValueError(
-                f"group column {g!r} has type {types[g]!r} — grouped "
-                f"NDV keys on {sorted(_THETA_GROUP_KEY_TYPES)} only"
-            )
+        gate_group_key(g, types, _THETA_GROUP_KEY_TYPES, "grouped NDV keys")
     if columns is None:
         columns = sorted(
             c
@@ -945,7 +962,12 @@ def write_grouped_theta_statistics(
         return None
     snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
-    df = t.to_df(spark, columns=sorted(set(group_cols) | set(columns)))
+    bases = {group_key_base(g, types) for g in group_cols}
+    df = apply_group_keys(
+        t.to_df(spark, columns=sorted(bases | set(columns))),
+        group_cols,
+        types,
+    )
     # the max_groups gate rides inside the sketch pass itself (r13
     # advisor: a separate distinct().count() read the table twice)
     sketches = build_grouped_column_sketches(
@@ -1067,13 +1089,15 @@ def write_file_grouped_theta_partials(
 
     if not writer.snapshots:
         raise ValueError("table has no snapshots")
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        gate_group_key,
+        group_key_base,
+    )
+
     types = dict(writer.types)
     for g in group_cols:
-        if types.get(g) not in _THETA_GROUP_KEY_TYPES:
-            raise ValueError(
-                f"group column {g!r} has type {types.get(g)!r} — grouped "
-                f"NDV keys on {sorted(_THETA_GROUP_KEY_TYPES)} only"
-            )
+        gate_group_key(g, types, _THETA_GROUP_KEY_TYPES, "grouped NDV keys")
     for c in columns:
         if c not in types or not sketchable(types[c]):
             raise ValueError(f"column {c!r} missing or not sketchable")
@@ -1091,7 +1115,7 @@ def write_file_grouped_theta_partials(
     ]
     if not scan_files:
         return None
-    wanted = set(group_cols) | set(columns)
+    wanted = {group_key_base(g, types) for g in group_cols} | set(columns)
     # one-scan maintenance (r14): a SharedStatsScan serves the already-
     # read cached frame; None (subset not covered) falls back to a
     # direct read — correctness never depends on the cache
@@ -1116,6 +1140,7 @@ def write_file_grouped_theta_partials(
             tag_position=False,
             tag_file=True,
         )
+    df = apply_group_keys(df, group_cols, types)
     # "__file" rides as one more group column: per-(file, group, col)
     # partials fall out of the existing bounded distributed builder.
     # The max_groups gate rides INSIDE the same pass (r13 advisor: a
@@ -1516,16 +1541,27 @@ def refresh_grouped_theta_statistics(
             lg_k = int(payload.get("lg_k") or DEFAULT_LG_K)
             if col not in columns:
                 columns.append(col)
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        group_key_base,
+        group_key_type,
+    )
+
     types = dict(writer.types)
     columns = [
         c for c in columns if c in types and sketchable(types[c])
     ]
+
+    def _key_ok(g: str) -> bool:
+        try:
+            return group_key_type(g, types) in _THETA_GROUP_KEY_TYPES
+        except ValueError:
+            return False
+
     if (
         not group_cols
         or not columns
-        or any(
-            types.get(g) not in _THETA_GROUP_KEY_TYPES for g in group_cols
-        )
+        or not all(_key_ok(g) for g in group_cols)
     ):
         return None
 
@@ -1568,7 +1604,9 @@ def refresh_grouped_theta_statistics(
                 prev = merged[c].get(key)
                 merged[c][key] = sk if prev is None else prev.union(sk)
     if dirty:
-        dirty_cols = sorted(set(group_cols) | set(columns))
+        dirty_cols = sorted(
+            {group_key_base(g, types) for g in group_cols} | set(columns)
+        )
         df = (
             scan_source.dirty_frame(sorted(dirty), dirty_cols)
             if scan_source is not None
@@ -1578,6 +1616,7 @@ def refresh_grouped_theta_statistics(
             df = to_df(
                 t, spark, columns=dirty_cols, file_subset=sorted(dirty)
             )
+        df = apply_group_keys(df, list(group_cols), types)
         fresh = build_grouped_column_sketches(
             df, list(group_cols), [(c, types[c]) for c in columns], lg_k
         )
@@ -1738,14 +1777,24 @@ def plan_grouped_ndv_refresh_scan(writer, t):
                 group_cols, columns = gc, []
             if col not in columns:
                 columns.append(col)
+    from daskberg_spark.iceberg.groupkeys import (
+        group_key_base,
+        group_key_type,
+    )
+
     types = dict(writer.types)
     columns = [c for c in columns if c in types and sketchable(types[c])]
+
+    def _key_ok(g: str) -> bool:
+        try:
+            return group_key_type(g, types) in _THETA_GROUP_KEY_TYPES
+        except ValueError:
+            return False
+
     if (
         not group_cols
         or not columns
-        or any(
-            types.get(g) not in _THETA_GROUP_KEY_TYPES for g in group_cols
-        )
+        or not all(_key_ok(g) for g in group_cols)
     ):
         return set(), set(), set()
     files, dirty = _dirty_split(t)
@@ -1756,5 +1805,5 @@ def plan_grouped_ndv_refresh_scan(writer, t):
     for c in columns:
         covered = set(grouped_theta_filesketches(t, c, group_cols) or {})
         missing |= clean_norm - covered
-    cols = set(group_cols) | set(columns)
+    cols = {group_key_base(g, types) for g in group_cols} | set(columns)
     return missing, cols, (cols if dirty else set())

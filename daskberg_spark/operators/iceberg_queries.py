@@ -4276,7 +4276,7 @@ def iceberg_maintain_stats_onepass(
     )
     return (
         gndv.select(F.col("seg"), F.col("ndv").alias("ndv_u"))
-        .join(census, "seg")
+        .join(F.broadcast(census), "seg")
         .select(
             "seg",
             F.col("ndv_u").cast("long"),
@@ -4359,4 +4359,81 @@ def iceberg_cbo_pair_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("aname", "bname").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("amount").cast("double").alias("amt"),
+    )
+
+
+@query(
+    "iceberg_ndv_per_day",
+    """
+    WITH src AS (
+        SELECT TIMESTAMP '2024-03-01 00:00:00'
+                   + ((i % 72) * INTERVAL 1 HOUR) AS ts,
+               (i * 7) % 41 AS u
+        FROM range(5000) t(i)
+    )
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS ndv
+    FROM src GROUP BY 1
+    """,
+)
+def iceberg_ndv_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Distinct users per DAY' on a real TIMESTAMP column (r14,
+    ``groupkeys.py``): the grouped theta blob keys on the derived
+    ``day(ts)`` spec — a codegen ``to_date`` computed at write time,
+    stored verbatim in the payload, matched by ``ndv_groupby`` on the
+    same string, keys decoded back to dates — so the raw-micros
+    grouping that would trip ``max_groups`` never exists.  Bootstrap
+    over 4 files, APPEND a fifth — the refresh partial-scans ONLY it
+    (hard-asserted 1 of 5) — and the published per-day NDVs are served
+    with ZERO data files read.  All cardinalities sit below the
+    sketch's nominal k, so the DuckDB ``COUNT(DISTINCT)`` per
+    ``date_trunc('day')`` oracle must reproduce them bit-for-bit."""
+    import datetime as dt
+    import tempfile
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.operators.benchphases import phase
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_ndvday_"),
+        [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    base = dt.datetime(2024, 3, 1)
+
+    def rows(lo, hi):
+        return [
+            {"ts": base + dt.timedelta(hours=i % 72), "u": (i * 7) % 41}
+            for i in range(lo, hi)
+        ]
+
+    with phase("iceberg_ndv_per_day", "build"):
+        for lo in range(0, 4000, 1000):
+            w.append(rows(lo, lo + 1000))
+        write_grouped_theta_statistics(w, spark, ["day(ts)"], ["u"])
+    with phase("iceberg_ndv_per_day", "bootstrap"):
+        rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 4, rep
+    with phase("iceberg_ndv_per_day", "build"):
+        w.append(rows(4000, 5000))
+    with phase("iceberg_ndv_per_day", "refresh"):
+        rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["files_total"] == 5 and rep["partials_computed"] == 1, (
+        f"refresh read more than the new file: {rep}"
+    )
+    t = IcebergTable(w.path)
+    out = t.ndv_groupby(spark, "u", ["day(ts)"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_ndv_groupby["exact"] is True, t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    return out.select(
+        F.col("day(ts)").cast("string").alias("day"),
+        F.col("ndv").cast("long"),
     )

@@ -1415,3 +1415,62 @@ def test_grouped_refresh_dirty_scan_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(q, "MAX_BLOB_GROUPS", 4)
     with pytest.raises(ValueError, match="dirty-file scan"):
         refresh_grouped_quantile_statistics(w, spark)
+
+
+def test_grouped_quantiles_derived_day_key(spark, tmp_path):
+    """r14: 'p50 by DAY' on a timestamp column via the derived
+    ``day(ts)`` spec — the blob stores the spec verbatim,
+    ``percentile_groupby`` matches it metadata-only and decodes keys
+    to dates, the incremental refresh partial-scans only new files,
+    and the scan fallback understands specs too."""
+    import datetime as dt
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "dk"),
+        [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "v", "type": "long", "required": False},
+        ],
+    )
+    base = dt.datetime(2024, 3, 1)
+
+    def rows(lo, hi):
+        return [
+            {"ts": base + dt.timedelta(days=i % 3, minutes=i), "v": i}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 300))
+    write_grouped_quantile_statistics(w, spark, ["day(ts)"], ["v"])
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["strategy"] == "file-grouped-partials", rep
+    w.append(rows(300, 400))
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert rep["files_total"] == 2 and rep["partials_computed"] == 1, rep
+    t = IcebergTable(w.path)
+    out = t.percentile_groupby(spark, [("v", 0.0, "vmin"), ("v", 1.0, "vmax")], ["day(ts)"])
+    assert t.last_percentile_groupby["route"] == "stats"
+    got = {r["day(ts)"]: (r["vmin"], r["vmax"]) for r in out.collect()}
+    assert all(isinstance(k, dt.date) for k in got), got
+    from pyspark.sql import functions as F
+
+    truth = {
+        r["d"]: (r["lo"], r["hi"])
+        for r in t.to_df(spark)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert got == truth, (got, truth)
+    # scan fallback with a spec grouping no blob covers
+    out2 = t.percentile_groupby(spark, [("v", 1.0, "vmax")], ["hour(ts)"])
+    assert t.last_percentile_groupby["route"] == "scan"
+    assert out2.count() == len(
+        t.to_df(spark).select(F.date_trunc("hour", "ts")).distinct().collect()
+    )

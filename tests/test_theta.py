@@ -1380,3 +1380,98 @@ def test_mutual_pin_conditionals_use_one_rung(spark, tmp_path):
     est = estimated_rows(t, [("a", "==", 3), ("b", "==", 103)])
     assert est <= 250, est
     assert est >= 50, est
+
+
+def test_grouped_ndv_timestamp_and_derived_keys(spark, tmp_path):
+    """r14: 'distinct users per DAY/HOUR' on a real timestamp column.
+    Derived ``day(ts)`` / ``hour(ts)`` specs compute codegen keys under
+    the spec name; the blob stores the spec verbatim; ``ndv_groupby``
+    matches on the same string and decodes keys back to date/datetime.
+    The incremental refresh stays O(new files) — hard-asserted — and
+    in exact mode the values equal COUNT(DISTINCT) bit-for-bit.  Raw
+    timestamp keys round-trip too (ISO-micros codec)."""
+    import datetime as dt
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "tsk"),
+        [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    base = dt.datetime(2024, 3, 1)
+
+    def rows(lo, hi):
+        return [
+            {"ts": base + dt.timedelta(hours=i % 50), "u": i % 23}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 300))
+    w.append(rows(300, 500))
+    write_grouped_theta_statistics(w, spark, ["day(ts)"], ["u"])
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 2, rep
+    # append one file: the refresh partial-scans ONLY it
+    w.append(
+        [
+            {"ts": base + dt.timedelta(days=30, hours=i % 5), "u": 100 + i}
+            for i in range(50)
+        ]
+    )
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["files_total"] == 3 and rep["partials_computed"] == 1, rep
+    t = IcebergTable(w.path)
+    out = t.ndv_groupby(spark, "u", ["day(ts)"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    assert t.last_scan["files_scanned"] == 0, t.last_scan
+    got = {r["day(ts)"]: r["ndv"] for r in out.collect()}
+    assert all(isinstance(k, dt.date) for k in got), got
+    truth = {
+        r["day"]: r["ndv"]
+        for r in t.to_df(spark)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got == truth, (got, truth)
+    # the SCAN fallback (different grouping) also understands specs
+    out2 = t.ndv_groupby(spark, "u", ["hour(ts)"])
+    assert t.last_ndv_groupby["route"] == "scan"
+    got2 = {r["hour(ts)"]: r["ndv"] for r in out2.collect()}
+    truth2 = {
+        r["h"]: r["ndv"]
+        for r in t.to_df(spark)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got2 == truth2
+
+    # RAW timestamp keys: hour(ts) blob via the derived spec, then a
+    # raw-ts grouping (50 + 5 distinct instants — under max_groups)
+    write_grouped_theta_statistics(w, spark, ["ts"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)
+    t = IcebergTable(w.path)
+    out3 = t.ndv_groupby(spark, "u", ["ts"])
+    assert t.last_ndv_groupby["route"] == "stats"
+    got3 = {r["ts"]: r["ndv"] for r in out3.collect()}
+    assert all(isinstance(k, dt.datetime) for k in got3)
+    truth3 = {
+        r["ts"]: r["ndv"]
+        for r in t.to_df(spark)
+        .groupBy("ts")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got3 == truth3

@@ -341,6 +341,18 @@ AUDIT = {
     # inside the operator (per-epoch partials hard-asserted); the
     # returned ndv_groupby answer is a literal — zero exchanges
     "streaming_ndv_sink": (0, False, False, None),
+    # r14 one-scan maintenance: the six-family refresh runs eagerly
+    # inside the operator (1 raw read / 1 dirty read / 0 fallbacks
+    # hard-asserted there); the returned stats summary joins two
+    # metadata-sized literal relations via an explicit broadcast —
+    # zero shuffles
+    "iceberg_maintain_stats_onepass": (0, False, True, None),
+    # r14 pair-keyed conditional star: both dims metadata-small →
+    # broadcast, filters pushed into the dim scans, one agg exchange
+    "iceberg_cbo_pair_pins": (1, True, True, None),
+    # r14 derived day(ts) grouped NDV: answered from the blob — a
+    # literal relation, zero exchanges
+    "iceberg_ndv_per_day": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
