@@ -396,60 +396,60 @@ def _load_registry():
 _PRIORITY = [
     # flagship
     "q1_pricing_summary",
-    # NEW r13
+    # NEW r14
+    "iceberg_maintain_stats_onepass",
+    "iceberg_cbo_pair_pins",
+    "iceberg_ndv_per_day",
+    "iceberg_salted_skew_join",
+    # r14-touched code paths (theta/quantiles/cbo/agg/writer/bloom/sums)
     "iceberg_ndv_refresh",
     "iceberg_grouped_quantile_refresh",
     "iceberg_global_ndv_refresh",
-    "streaming_ndv_sink",
-    # r13-touched code paths
+    "iceberg_quantile_refresh",
     "iceberg_ndv_groupby",
     "iceberg_percentile_groupby",
-    "iceberg_quantile_refresh",
     "iceberg_percentile_pushdown",
     "iceberg_cbo_conditional",
     "iceberg_cbo_range_join",
     "q9_cbo_star",
-    "iceberg_join_rollup",
-    "iceberg_rollup_incremental",
+    "streaming_ndv_sink",
     "iceberg_bloom_index_prune",
     "iceberg_token_search",
     "iceberg_agg_pushdown_sum",
-    # oldest driver evidence (r6 — the 10 deferred at r12)
-    "iceberg_spec_evolution_prune",
-    "multimodal_metadata",
-    "pipeline_quality_filter",
-    "q10_returned_items",
-    "q18_large_volume",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "similarity_lsh_recall",
-    "window_distribution_partitioned",
-    "winsorized_stats",
-    # oldest driver evidence (r7, alphabetical first 23; the rest of r7
-    # — q7_volume_shipping onward — rotates in r14)
-    "approx_quantiles_histogram",
-    "dedup_exact",
-    "dedup_minhash_candidates",
-    "domain_cap_sample",
-    "filter_project",
-    "iceberg_add_files_read",
-    "iceberg_bucket_write_prune",
-    "iceberg_dv_delete_read",
-    "iceberg_dynamic_overwrite",
-    "iceberg_lineitem_stats_prune",
-    "iceberg_partition_prune",
-    "iceberg_partition_stats_file",
-    "iceberg_read_golden",
-    "iceberg_rollback_read",
-    "iceberg_schema_evolution",
-    "iceberg_table_statistics",
-    "iceberg_time_travel",
-    "join_multi",
-    "q11_value_concentration",
-    "q14_promo_effect",
-    "q19_disjunctive_filter",
-    "q22_global_sales_opportunity",
-    "q4_order_priority",
+    # oldest driver evidence (r7 — the cohort deferred at r13)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "similarity_topk",
+    "streaming_dedup",
+    "streaming_iceberg_sink",
+    "streaming_iceberg_source",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "streaming_stream_join",
+    "streaming_topk_countmin",
+    "tfidf_top_terms",
+    "window_rank",
+    # oldest driver evidence (r8, alphabetical first 18; the rest —
+    # iceberg_sorted_write_prune onward — rotates in r15)
+    "array_functions",
+    "distinct_kmv_estimate",
+    "events_retention_cohorts",
+    "events_value_histogram",
+    "frequent_ngrams",
+    "iceberg_all_data_files",
+    "iceberg_default_backfill",
+    "iceberg_entries_metadata",
+    "iceberg_files_metadata",
+    "iceberg_history_metadata",
+    "iceberg_metadata_log",
+    "iceberg_name_mapping_read",
+    "iceberg_partition_scoped_eq",
+    "iceberg_position_deletes",
+    "iceberg_position_deletes_dv",
+    "iceberg_refs_metadata",
+    "iceberg_rewrite_pos_deletes",
+    "iceberg_snapshots_metadata",
 ]
 
 

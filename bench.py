@@ -32,7 +32,10 @@ HEADLINE = [
     "events_hourly",
     "json_functions",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
+    # (q6_forecast_revenue retired in r14: 0.25 s at sf0.1 — noise
+    # scale; the stdout line budget needed the room for
+    # iceberg_maintain_stats_onepass.  Still oracle-checked, and the
+    # single-scan agg family keeps q1/q3 timed here.)
     "asof_join",
     # (iceberg_lineitem_month_prune retired in r12: 0.20 s at sf0.1 —
     # noise scale; the stdout line budget needed the room for
@@ -45,7 +48,9 @@ HEADLINE = [
     # Tier-C (registered as implemented)
     "dedup_exact",
     "dedup_minhash_candidates",
-    "text_stats",
+    # (text_stats retired in r14: 0.26 s at sf0.1 — noise scale; line
+    # budget for iceberg_maintain_stats_onepass.  Still oracle-checked;
+    # text_quality keeps the C4 single-scan family timed here.)
     "text_quality",
     "langid_heuristic",
     "similarity_topk",
@@ -160,6 +165,12 @@ HEADLINE = [
     # statistics family.  Lifecycle entries now also report per-phase
     # build/refresh seconds to BENCH_PHASES.json / the control detail.
     "iceberg_ndv_refresh",
+    # round 14: ONE-SCAN nightly maintenance — all six statistics
+    # families (blooms, sums, global/grouped NDV, global/grouped
+    # quantiles) refreshed from one shared raw read + one shared
+    # delete-aware read per maintain(), zero per-family re-reads
+    # (hard-asserted inside the query)
+    "iceberg_maintain_stats_onepass",
 ]
 
 

@@ -643,12 +643,30 @@ def auto_join(
                 fact_df, dim_df, dim.fact_key, dim.dim_key, how=how
             )
         else:
-            strategy = "shuffle"
-            out = fact_df.join(
-                dim_df,
-                fact_df[dim.fact_key] == dim_df[dim.dim_key],
-                how,
-            )
+            # census-driven skew salting (r14): when the fact carries a
+            # current-snapshot per-key row census flagging a hot key,
+            # fix the partitioning BEFORE the first lopsided exchange
+            # materializes instead of waiting for AQE's runtime split
+            hot = skewed_join_keys(fact, dim.fact_key)
+            if hot:
+                strategy = "salted-shuffle"
+                fact.last_skewed_keys = hot  # type: ignore[attr-defined]
+                out = salted_join(
+                    spark,
+                    fact_df,
+                    dim_df,
+                    dim.fact_key,
+                    dim.dim_key,
+                    hot,
+                    how=how,
+                )
+            else:
+                strategy = "shuffle"
+                out = fact_df.join(
+                    dim_df,
+                    fact_df[dim.fact_key] == dim_df[dim.dim_key],
+                    how,
+                )
     fact.last_join_strategy = strategy  # type: ignore[attr-defined]
     return out
 
@@ -686,3 +704,115 @@ def cbo_join(
             dim_df, on=fact_df[d.fact_key] == dim_df[d.dim_key], how="inner"
         )
     return out
+
+
+def skewed_join_keys(
+    table: IcebergTable,
+    key: str,
+    skew_fraction: float = 0.2,
+    max_keys: int = 16,
+) -> list | None:
+    """Join keys whose EXACT census share exceeds ``skew_fraction``,
+    read from a CURRENT-snapshot grouped quantile blob keyed on
+    ``[key]`` — the same per-group row censuses that power the
+    skew-exact equality estimate (``_grouped_rows_eq_count``).  None
+    when no census blob applies (caller then relies on AQE skew
+    detection alone).  At most ``max_keys`` are returned (a key list
+    is a broadcast literal — it must stay tiny); NULL keys never
+    flag (joins drop them).  Metadata-only; estimates-grade: a stale
+    census only mis-chooses the salting, never the result (r14)."""
+    import json as _json
+
+    try:
+        from daskberg_spark.iceberg.puffin import read_blob
+        from daskberg_spark.iceberg.quantiles import (
+            GROUPED_QUANTILE_BLOB_TYPE,
+            decode_group_value,
+        )
+
+        cur = table.current_snapshot["snapshot-id"]
+        ktype = table.fields[key].type
+        for e in table.metadata.get("statistics", []):
+            if e["snapshot-id"] != cur:
+                continue
+            for b in e.get("blob-metadata", []):
+                if b.get("type") != GROUPED_QUANTILE_BLOB_TYPE:
+                    continue
+                try:
+                    payload = _json.loads(
+                        read_blob(table._relocate(e["statistics-path"]), b)
+                    )
+                except (ValueError, OSError):
+                    continue
+                if payload.get("group_cols") != [key]:
+                    continue
+                groups = payload.get("groups", [])
+                total = float(sum(g.get("rows") or 0 for g in groups))
+                if total <= 0:
+                    return None
+                hot = sorted(
+                    (
+                        (float(g.get("rows") or 0), (g.get("key") or [None])[0])
+                        for g in groups
+                        if (g.get("key") or [None])[0] is not None
+                    ),
+                    reverse=True,
+                )
+                out = [
+                    decode_group_value(k, ktype)
+                    for rows, k in hot[:max_keys]
+                    if rows / total >= skew_fraction
+                ]
+                return out or None
+    except Exception:
+        return None
+    return None
+
+
+def salted_join(
+    spark: SparkSession,
+    fact_df: Any,
+    dim_df: Any,
+    fact_key: str,
+    dim_key: str,
+    skewed_keys: list,
+    salt: int = 8,
+    how: str = "inner",
+) -> Any:
+    """Split-and-salt equi-join for census-flagged hot keys (r14):
+    fact rows carrying a skewed key draw a uniform salt in [0, salt)
+    and the dim replicates each skewed key ``salt`` ways, so the hot
+    key's shuffle partition splits ``salt`` ways instead of landing on
+    one reducer; every other row keeps salt 0 with a single dim copy.
+    Result-identical to the plain join for inner/semi (every fact row
+    still meets exactly one matching dim copy); complements AQE's
+    runtime skew split by fixing the partitioning BEFORE the first
+    lopsided exchange materializes."""
+    keys_lit = [F.lit(k) for k in skewed_keys]
+    fact_salted = fact_df.withColumn(
+        "__fsalt",
+        F.when(
+            F.col(fact_key).isin(*keys_lit),
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    dim_salted = dim_df.withColumn(
+        "__dsalt",
+        F.explode(
+            F.when(
+                F.col(dim_key).isin(*keys_lit),
+                F.sequence(F.lit(0), F.lit(salt - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    out = fact_salted.join(
+        dim_salted,
+        (fact_salted[fact_key] == dim_salted[dim_key])
+        & (fact_salted["__fsalt"] == dim_salted["__dsalt"]),
+        how,
+    )
+    if how in ("semi", "left_semi", "leftsemi"):
+        return out.drop("__fsalt")
+    return out.drop("__fsalt", "__dsalt")

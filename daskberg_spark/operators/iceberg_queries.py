@@ -4437,3 +4437,79 @@ def iceberg_ndv_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day(ts)").cast("string").alias("day"),
         F.col("ndv").cast("long"),
     )
+
+
+@query(
+    "iceberg_salted_skew_join",
+    """
+    WITH fact AS (
+        SELECT CASE WHEN i % 5 < 3 THEN 7 ELSE i % 40 END AS fk, i AS amt
+        FROM range(5000) t(i)
+    ), dim AS (
+        SELECT i AS k, 'n' || CAST(i AS VARCHAR) AS name
+        FROM range(40) t(i)
+    )
+    SELECT name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(amt) AS BIGINT) AS amt
+    FROM fact JOIN dim ON fk = k GROUP BY name
+    """,
+)
+def iceberg_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census-driven skew salting (r14 stretch, ``cbo.salted_join``):
+    60% of the fact lands on one key, and the engine's EXACT per-key
+    row census (the grouped quantile blob keyed on the join key — the
+    same blob powering skew-exact equality estimates) flags it BEFORE
+    the join, so ``auto_join``'s shuffle branch salts: the hot key's
+    rows draw a uniform salt and the dim replicates it salt-ways — the
+    lopsided partition splits in the PLAN, not in AQE's rear-view
+    mirror.  Hard-asserted: strategy ``salted-shuffle``, flagged keys
+    ``[7]``, the salt columns present in the executed plan.  Salting
+    is result-identical, so the DuckDB plain-join oracle must match
+    bit-for-bit."""
+    import tempfile
+
+    from daskberg_spark.iceberg.cbo import JoinDim, auto_join
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fact = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_skew_"),
+        [
+            {"id": 1, "name": "fk", "type": "long", "required": False},
+            {"id": 2, "name": "amt", "type": "long", "required": False},
+        ],
+    )
+    fact.append(
+        [
+            {"fk": 7 if i % 5 < 3 else i % 40, "amt": i}
+            for i in range(5000)
+        ]
+    )
+    write_grouped_quantile_statistics(fact, spark, ["fk"], ["amt"])
+    dim = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_skewd_"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "name", "type": "string", "required": False},
+        ],
+    )
+    dim.append([{"k": i, "name": f"n{i}"} for i in range(40)])
+    ft = IcebergTable(fact.path)
+    out = auto_join(
+        spark,
+        ft,
+        JoinDim(IcebergTable(dim.path), "fk", "k"),
+        max_keys=0,
+        bloom_max_rows=0,
+    )
+    assert ft.last_join_strategy == "salted-shuffle", ft.last_join_strategy
+    assert ft.last_skewed_keys == [7], ft.last_skewed_keys
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__fsalt" in plan and "__dsalt" in plan, plan[:1500]
+    return out.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amt").cast("long").alias("amt"),
+    )

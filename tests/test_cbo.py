@@ -437,3 +437,100 @@ def test_eq_plus_range_pin_pair_blob(spark, tmp_path):
         t, "v", "<", 100, [("a", "==", 1), ("v", "<", 100)]
     )
     assert s3 is None or 0.3 < s3 < 0.7, s3
+
+
+def test_census_driven_skew_salting(spark, tmp_path):
+    """r14 stretch: the engine's exact per-key row census (the grouped
+    quantile blob keyed on the join key) flags skewed keys BEFORE the
+    join, and auto_join's shuffle branch salts them — the hot key's
+    partition splits salt-ways in the plan itself instead of relying
+    on AQE's runtime detection.  Result-identical to the plain join;
+    estimate-neutral (no census → plain shuffle, unchanged)."""
+    from daskberg_spark.iceberg.cbo import (
+        JoinDim,
+        auto_join,
+        salted_join,
+        skewed_join_keys,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fact = IcebergWriter(
+        str(tmp_path / "f"),
+        [
+            {"id": 1, "name": "fk", "type": "long", "required": False},
+            {"id": 2, "name": "amt", "type": "long", "required": False},
+        ],
+    )
+    # 60% of rows land on key 7 — a census-visible hot key
+    fact.append(
+        [
+            {"fk": 7 if i % 5 < 3 else i % 40, "amt": i}
+            for i in range(5000)
+        ]
+    )
+    write_grouped_quantile_statistics(fact, spark, ["fk"], ["amt"])
+    dim = IcebergWriter(
+        str(tmp_path / "d"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "name", "type": "string", "required": False},
+        ],
+    )
+    dim.append([{"k": i, "name": f"n{i}"} for i in range(40)])
+    ft = IcebergTable(fact.path)
+    dt = IcebergTable(dim.path)
+
+    hot = skewed_join_keys(ft, "fk")
+    assert hot == [7], hot
+    # dispatch: force the shuffle branch; the census flags key 7
+    out = auto_join(
+        spark,
+        ft,
+        JoinDim(dt, "fk", "k"),
+        max_keys=0,
+        bloom_max_rows=0,
+    )
+    assert ft.last_join_strategy == "salted-shuffle"
+    assert ft.last_skewed_keys == [7]
+    fdf = ft.to_df(spark)
+    ddf = dt.to_df(spark)
+    plain = fdf.join(ddf, fdf["fk"] == ddf["k"], "inner")
+    got = sorted(map(tuple, out.select("fk", "amt", "k", "name").collect()))
+    want = sorted(
+        map(tuple, plain.select("fk", "amt", "k", "name").collect())
+    )
+    assert got == want and len(got) == 5000
+    # the salted plan shuffles on (key, salt) — the hot key splits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__fsalt" in plan and "__dsalt" in plan, plan[:2000]
+    # semi flavor stays result-identical too
+    semi = salted_join(
+        spark,
+        ft.to_df(spark),
+        dt.to_df(spark).where("k >= 20"),
+        "fk",
+        "k",
+        [7],
+        how="left_semi",
+    )
+    truth = ft.to_df(spark).where("fk >= 20").count()
+    assert semi.count() == truth
+    assert "__fsalt" not in semi.columns
+    # estimate-neutral: a fact WITHOUT a census takes the plain branch
+    fact2 = IcebergWriter(
+        str(tmp_path / "f2"),
+        [
+            {"id": 1, "name": "fk", "type": "long", "required": False},
+            {"id": 2, "name": "amt", "type": "long", "required": False},
+        ],
+    )
+    fact2.append([{"fk": i % 40, "amt": i} for i in range(100)])
+    ft2 = IcebergTable(fact2.path)
+    auto_join(
+        spark, ft2, JoinDim(dt, "fk", "k"), max_keys=0, bloom_max_rows=0
+    )
+    assert ft2.last_join_strategy == "shuffle"

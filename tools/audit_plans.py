@@ -353,6 +353,12 @@ AUDIT = {
     # r14 derived day(ts) grouped NDV: answered from the blob — a
     # literal relation, zero exchanges
     "iceberg_ndv_per_day": (0, False, False, None),
+    # r14 census-driven skew salting: the join keys on (key, salt) so
+    # the census-flagged hot key splits salt-ways (salt columns
+    # hard-asserted inside the query).  At audit scale AQE broadcasts
+    # the 40-row dim (1 exchange); at skew scale the bound covers the
+    # two salted shuffles + the agg exchange.
+    "iceberg_salted_skew_join": (3, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
