@@ -401,6 +401,7 @@ _PRIORITY = [
     "iceberg_cbo_pair_pins",
     "iceberg_ndv_per_day",
     "iceberg_salted_skew_join",
+    "iceberg_ndv_multi_grouping",
     # r14-touched code paths (theta/quantiles/cbo/agg/writer/bloom/sums)
     "iceberg_ndv_refresh",
     "iceberg_grouped_quantile_refresh",
@@ -430,8 +431,8 @@ _PRIORITY = [
     "streaming_topk_countmin",
     "tfidf_top_terms",
     "window_rank",
-    # oldest driver evidence (r8, alphabetical first 18; the rest —
-    # iceberg_sorted_write_prune onward — rotates in r15)
+    # oldest driver evidence (r8, alphabetical first 17; the rest —
+    # iceberg_snapshots_metadata onward — rotates in r15)
     "array_functions",
     "distinct_kmv_estimate",
     "events_retention_cohorts",
@@ -449,7 +450,6 @@ _PRIORITY = [
     "iceberg_position_deletes_dv",
     "iceberg_refs_metadata",
     "iceberg_rewrite_pos_deletes",
-    "iceberg_snapshots_metadata",
 ]
 
 

@@ -1053,19 +1053,54 @@ def refresh_grouped_quantile_statistics(
     latest grouped blob defines (group_cols, value columns); None on
     tables that never wrote one.  Returns ``{"mode", "strategy",
     "files_total", "partials_computed", "dirty_files", "groups"}``."""
-    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
-    from pyspark.sql import functions as F
-
     from daskberg_spark.iceberg.metadata import IcebergTable
-    from daskberg_spark.iceberg.puffin import read_blob, write_puffin
-    from daskberg_spark.iceberg.scan import to_df
 
-    # latest grouped-blob config (any snapshot: the statistics list is
-    # append-ordered, so the last entry is the most recent run)
-    group_cols: list[str] | None = None
-    columns: list[str] = []
     t = IcebergTable(writer.path)
+    # EVERY grouping any blob ever defined refreshes (multi-config,
+    # r14, mirroring the grouped-NDV family): drop one deliberately
+    # with ``drop_grouped_quantile_statistics``.
+    configs = _grouped_quantile_configs(writer, t)
+    runnable: list[tuple[list, list]] = []
+    for gc, cols in configs.items():
+        cols = [c for c in cols if writer.types.get(c) in _NUMERIC_TYPES]
+        if gc and cols:
+            runnable.append((list(gc), cols))
+    if not runnable:
+        return None
+    reports = []
+    for group_cols, columns in runnable:
+        reports.append(
+            _refresh_grouped_quantile_config(
+                writer,
+                spark,
+                group_cols,
+                columns,
+                buckets,
+                accuracy,
+                scan_source,
+            )
+        )
+    if len(reports) == 1:
+        return reports[0]
+    return {
+        "configs": reports,
+        "mode": "incremental",
+        "strategy": "+".join(sorted({r["strategy"] for r in reports})),
+        "files_total": reports[0]["files_total"],
+        "partials_computed": sum(r["partials_computed"] for r in reports),
+        "dirty_files": max(r["dirty_files"] for r in reports),
+        "groups": max(r["groups"] for r in reports),
+    }
+
+
+def _grouped_quantile_configs(writer, t) -> dict[tuple, list]:
+    """Every grouping any ``daskberg-quantiles-grouped-v1`` blob
+    defines, with its value columns (later entries win per config) —
+    the multi-config registry the refresh iterates (r14)."""
+    from daskberg_spark.iceberg.puffin import read_blob
+
     fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    configs: dict[tuple, list] = {}
     for e in writer.statistics:
         for b in e.get("blob-metadata", []):
             if b.get("type") != GROUPED_QUANTILE_BLOB_TYPE:
@@ -1079,15 +1114,51 @@ def refresh_grouped_quantile_statistics(
                 )
             except (ValueError, OSError):
                 continue
-            gc = payload.get("group_cols")
-            if gc != group_cols:
-                group_cols, columns = gc, []
-            if col not in columns:
-                columns.append(col)
-    columns = [c for c in columns if writer.types.get(c) in _NUMERIC_TYPES]
-    if not group_cols or not columns:
-        return None
+            gc = tuple(payload.get("group_cols") or ())
+            cols = configs.setdefault(gc, [])
+            if col not in cols:
+                cols.append(col)
+    return configs
 
+
+def _entry_statistics_group_cols(t, e, blob_type):
+    """The ``group_cols`` an entry's first matching blob carries;
+    ``"__none__"`` when the entry has no such blob, None when
+    unreadable (publish-time replacement then drops it)."""
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    for b in e.get("blob-metadata", []):
+        if b.get("type") != blob_type:
+            continue
+        try:
+            payload = json.loads(
+                read_blob(t._relocate(e["statistics-path"]), b)
+            )
+        except (ValueError, OSError):
+            return None
+        return payload.get("group_cols")
+    return "__none__"
+
+
+def _refresh_grouped_quantile_config(
+    writer,
+    spark,
+    group_cols: list[str],
+    columns: list[str],
+    buckets: int,
+    accuracy: int,
+    scan_source,
+) -> dict[str, Any]:
+    """One grouping's incremental refresh — the r13 body, factored so
+    the multi-config loop runs it per grouping."""
+    import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.scan import to_df
+
+    t = IcebergTable(writer.path)
     snapshot_id = writer.head_snapshot["snapshot-id"]
     files, dirty = _dirty_split(t)
 
@@ -1304,22 +1375,23 @@ def refresh_grouped_quantile_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-        )
-    ] + [entry]
+    # replacement is CONFIG-scoped (r14): a same-snapshot entry keyed
+    # on a DIFFERENT grouping survives — multiple groupings coexist
+    def _keep(e) -> bool:
+        if e["snapshot-id"] != snapshot_id:
+            return True
+        gc = _entry_statistics_group_cols(t, e, GROUPED_QUANTILE_BLOB_TYPE)
+        if gc == "__none__":
+            return True
+        return gc is not None and gc != list(group_cols)
+
+    writer.statistics = [e for e in writer.statistics if _keep(e)] + [entry]
     writer.version += 1
     writer._write_metadata()
     return {
         "mode": "incremental",
         "strategy": strategy,
+        "group_cols": list(group_cols),
         "files_total": len(files),
         "partials_computed": len(missing),
         "dirty_files": len(dirty),
@@ -1496,20 +1568,42 @@ def write_grouped_quantile_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-        )
-    ] + [entry]
+    # replacement is CONFIG-scoped (r14): writing "p95 by source" no
+    # longer clobbers a same-snapshot "p95 by day" entry
+    def _keep(e) -> bool:
+        if e["snapshot-id"] != snapshot_id:
+            return True
+        gc = _entry_statistics_group_cols(t, e, GROUPED_QUANTILE_BLOB_TYPE)
+        if gc == "__none__":
+            return True
+        return gc is not None and gc != list(group_cols)
+
+    writer.statistics = [e for e in writer.statistics if _keep(e)] + [entry]
     writer.version += 1
     writer._write_metadata()
     return path
+
+
+def drop_grouped_quantile_statistics(writer, group_cols: list[str]) -> int:
+    """Stop maintaining one grouping (r14 multi-config complement):
+    removes every statistics entry whose grouped quantile blob keys on
+    EXACTLY ``group_cols`` — at any snapshot, so the refresh registry
+    forgets it — and returns the removed entry count."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(writer.path)
+    keep, dropped = [], 0
+    for e in writer.statistics:
+        gc = _entry_statistics_group_cols(t, e, GROUPED_QUANTILE_BLOB_TYPE)
+        if gc != "__none__" and (gc is None or gc == list(group_cols)):
+            dropped += 1
+            continue
+        keep.append(e)
+    if dropped:
+        writer.statistics = keep
+        writer.version += 1
+        writer._write_metadata()
+    return dropped
 
 
 def range_selectivity(hist: dict, op: str, value: float) -> float | None:
@@ -1587,36 +1681,37 @@ def plan_grouped_quantile_refresh_scan(writer, t):
     strategy split: identity groupings reuse the GLOBAL per-file CDF
     partials (value columns only), any other grouping uses the
     per-(file x group) partials and reads the group columns too."""
-    group_cols: list[str] | None = None
-    columns: list[str] = []
-    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
-    from daskberg_spark.iceberg.puffin import read_blob
-
-    for e in writer.statistics:
-        for b in e.get("blob-metadata", []):
-            if b.get("type") != GROUPED_QUANTILE_BLOB_TYPE:
-                continue
-            col = fid_to_name.get((b.get("fields") or [None])[0])
-            if col is None:
-                continue
-            try:
-                payload = json.loads(
-                    read_blob(t._relocate(e["statistics-path"]), b)
-                )
-            except (ValueError, OSError):
-                continue
-            gc = payload.get("group_cols")
-            if gc != group_cols:
-                group_cols, columns = gc, []
-            if col not in columns:
-                columns.append(col)
-    columns = [c for c in columns if writer.types.get(c) in _NUMERIC_TYPES]
-    if not group_cols or not columns:
-        return set(), set(), set()
     files, dirty = _dirty_split(t)
     clean_norm = {
         _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
     }
+    from daskberg_spark.iceberg.groupkeys import group_key_base
+
+    all_missing: set[str] = set()
+    all_raw: set[str] = set()
+    all_dirty_cols: set[str] = set()
+    any_cfg = False
+    for gc, cols in _grouped_quantile_configs(writer, t).items():
+        group_cols = list(gc)
+        columns = [c for c in cols if writer.types.get(c) in _NUMERIC_TYPES]
+        if not group_cols or not columns:
+            continue
+        any_cfg = True
+        m, r, dc = _plan_one_grouped_quantile(
+            writer, t, group_cols, columns, files, dirty, clean_norm
+        )
+        all_missing |= m
+        all_raw |= r
+        all_dirty_cols |= dc
+    if not any_cfg:
+        return set(), set(), set()
+    return all_missing, all_raw, all_dirty_cols
+
+
+def _plan_one_grouped_quantile(
+    writer, t, group_cols, columns, files, dirty, clean_norm
+):
+    from daskberg_spark.iceberg.groupkeys import group_key_base
 
     def _is_identity() -> bool:
         # same test the refresh applies (dates excluded — manifest

@@ -1026,17 +1026,17 @@ def write_grouped_theta_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == GROUPED_THETA_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-        )
-    ] + [entry]
+    # replacement is CONFIG-scoped (r14): writing "NDV by source" no
+    # longer clobbers a same-snapshot "NDV by day" entry
+    def _keep(e) -> bool:
+        if e["snapshot-id"] != snapshot_id:
+            return True
+        gc = _entry_statistics_group_cols(t, e, GROUPED_THETA_BLOB_TYPE)
+        if gc == "__none__":
+            return True
+        return gc is not None and gc != list(group_cols)
+
+    writer.statistics = [e for e in writer.statistics if _keep(e)] + [entry]
     writer.version += 1
     writer._write_metadata()
     return path
@@ -1515,13 +1515,71 @@ def refresh_grouped_theta_statistics(
     from daskberg_spark.iceberg.scan import to_df
     from daskberg_spark.iceberg.statsblobs import stats_entry
 
-    # latest grouped-blob config (the statistics list is append-ordered,
-    # so the last entry is the most recent run)
-    group_cols: list[str] | None = None
-    columns: list[str] = []
-    lg_k = DEFAULT_LG_K
     t = IcebergTable(writer.path)
+    from daskberg_spark.iceberg.groupkeys import (
+        apply_group_keys,
+        group_key_base,
+        group_key_type,
+    )
+
+    types = dict(writer.types)
+
+    def _key_ok(g: str) -> bool:
+        try:
+            return group_key_type(g, types) in _THETA_GROUP_KEY_TYPES
+        except ValueError:
+            return False
+
+    # EVERY grouping any blob ever defined refreshes (multi-config,
+    # r14): a pipeline keeps "NDV by day" AND "NDV by source" — the
+    # single-config walk maintained only the most recent grouping and
+    # silently stranded the rest.  Drop a grouping deliberately with
+    # ``drop_grouped_theta_statistics``.
+    configs = _grouped_theta_configs(writer, t)
+    runnable: list[tuple[list, list, int]] = []
+    for gc, cfg in configs.items():
+        cols = [
+            c for c in cfg["columns"] if c in types and sketchable(types[c])
+        ]
+        if gc and cols and all(_key_ok(g) for g in gc):
+            runnable.append((list(gc), cols, cfg["lg_k"]))
+    if not runnable:
+        return None
+    reports = []
+    for group_cols, columns, lg_k in runnable:
+        reports.append(
+            _refresh_grouped_theta_config(
+                writer,
+                spark,
+                group_cols,
+                columns,
+                lg_k,
+                max_groups,
+                scan_source,
+            )
+        )
+    if len(reports) == 1:
+        return reports[0]
+    return {
+        "configs": reports,
+        "columns": sorted({c for r in reports for c in r["columns"]}),
+        "files_total": reports[0]["files_total"],
+        "partials_computed": sum(r["partials_computed"] for r in reports),
+        "dirty_files": max(r["dirty_files"] for r in reports),
+        "groups": max(r["groups"] for r in reports),
+    }
+
+
+def _grouped_theta_configs(writer, t) -> dict[tuple, dict]:
+    """Every grouping any ``daskberg-theta-grouped-v1`` blob defines,
+    with its value columns and lg_k (later entries win per config) —
+    the multi-config registry the refresh iterates (r14)."""
+    import json as _json
+
+    from daskberg_spark.iceberg.puffin import read_blob
+
     fid_to_name = {i.field_id: n for n, i in t.fields.items()}
+    configs: dict[tuple, dict] = {}
     for e in writer.statistics:
         for b in e.get("blob-metadata", []):
             if b.get("type") != GROUPED_THETA_BLOB_TYPE:
@@ -1535,36 +1593,63 @@ def refresh_grouped_theta_statistics(
                 )
             except (ValueError, OSError):
                 continue
-            gc = payload.get("group_cols")
-            if gc != group_cols:
-                group_cols, columns = gc, []
-            lg_k = int(payload.get("lg_k") or DEFAULT_LG_K)
-            if col not in columns:
-                columns.append(col)
+            gc = tuple(payload.get("group_cols") or ())
+            cfg = configs.setdefault(gc, {"columns": [], "lg_k": DEFAULT_LG_K})
+            cfg["lg_k"] = int(payload.get("lg_k") or DEFAULT_LG_K)
+            if col not in cfg["columns"]:
+                cfg["columns"].append(col)
+    return configs
+
+
+def _entry_statistics_group_cols(t, e, blob_type):
+    """The ``group_cols`` an entry's first matching blob carries;
+    ``"__none__"`` when the entry has no such blob, None when the blob
+    is unreadable (the publish-time replacement then drops it — an
+    unreadable blob can't serve reads anyway)."""
+    import json as _json
+
+    from daskberg_spark.iceberg.puffin import read_blob
+
+    for b in e.get("blob-metadata", []):
+        if b.get("type") != blob_type:
+            continue
+        try:
+            payload = _json.loads(
+                read_blob(t._relocate(e["statistics-path"]), b)
+            )
+        except (ValueError, OSError):
+            return None
+        return payload.get("group_cols")
+    return "__none__"
+
+
+def _refresh_grouped_theta_config(
+    writer,
+    spark,
+    group_cols: list[str],
+    columns: list[str],
+    lg_k: int,
+    max_groups: int,
+    scan_source,
+) -> dict[str, Any]:
+    """One grouping's incremental refresh — the r13 body, factored so
+    the multi-config loop runs it per grouping."""
+    import base64 as _b64
+    import json as _json
+    import uuid as _uuid
+
     from daskberg_spark.iceberg.groupkeys import (
         apply_group_keys,
         group_key_base,
-        group_key_type,
     )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import write_puffin
+    from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
+    from daskberg_spark.iceberg.scan import to_df
+    from daskberg_spark.iceberg.statsblobs import stats_entry
 
+    t = IcebergTable(writer.path)
     types = dict(writer.types)
-    columns = [
-        c for c in columns if c in types and sketchable(types[c])
-    ]
-
-    def _key_ok(g: str) -> bool:
-        try:
-            return group_key_type(g, types) in _THETA_GROUP_KEY_TYPES
-        except ValueError:
-            return False
-
-    if (
-        not group_cols
-        or not columns
-        or not all(_key_ok(g) for g in group_cols)
-    ):
-        return None
-
     snapshot_id = writer.head_snapshot["snapshot-id"]
     files, dirty = _dirty_split(t)
     clean_norm = {
@@ -1675,21 +1760,24 @@ def refresh_grouped_theta_statistics(
     )
     path = f"{writer.path}/metadata/{name}"
     metas = write_puffin(path, blobs)
+    # replacement is CONFIG-scoped (r14): a same-snapshot entry keyed
+    # on a DIFFERENT grouping survives — multiple groupings coexist
+    def _keep(e) -> bool:
+        if e["snapshot-id"] != snapshot_id:
+            return True
+        gc = _entry_statistics_group_cols(t, e, GROUPED_THETA_BLOB_TYPE)
+        if gc == "__none__":
+            return True
+        return gc is not None and gc != list(group_cols)
+
     writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == GROUPED_THETA_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
-            )
-        )
+        e for e in writer.statistics if _keep(e)
     ] + [stats_entry(path, metas, snapshot_id)]
     writer.version += 1
     writer._write_metadata()
     return {
         "path": path,
+        "group_cols": list(group_cols),
         "columns": list(columns),
         "files_total": len(files),
         "partials_computed": len(missing),
@@ -1756,34 +1844,12 @@ def plan_grouped_ndv_refresh_scan(writer, t):
     from daskberg_spark.iceberg.puffin import read_blob
     from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
 
-    group_cols: list[str] | None = None
-    columns: list[str] = []
-    fid_to_name = {i.field_id: n for n, i in t.fields.items()}
-    for e in writer.statistics:
-        for b in e.get("blob-metadata", []):
-            if b.get("type") != GROUPED_THETA_BLOB_TYPE:
-                continue
-            col = fid_to_name.get((b.get("fields") or [None])[0])
-            if col is None:
-                continue
-            try:
-                payload = _json.loads(
-                    read_blob(t._relocate(e["statistics-path"]), b)
-                )
-            except (ValueError, OSError):
-                continue
-            gc = payload.get("group_cols")
-            if gc != group_cols:
-                group_cols, columns = gc, []
-            if col not in columns:
-                columns.append(col)
     from daskberg_spark.iceberg.groupkeys import (
         group_key_base,
         group_key_type,
     )
 
     types = dict(writer.types)
-    columns = [c for c in columns if c in types and sketchable(types[c])]
 
     def _key_ok(g: str) -> bool:
         try:
@@ -1791,19 +1857,50 @@ def plan_grouped_ndv_refresh_scan(writer, t):
         except ValueError:
             return False
 
-    if (
-        not group_cols
-        or not columns
-        or not all(_key_ok(g) for g in group_cols)
-    ):
-        return set(), set(), set()
     files, dirty = _dirty_split(t)
     clean_norm = {
         _norm(f["file_path"]) for f in files if f["file_path"] not in dirty
     }
     missing: set[str] = set()
-    for c in columns:
-        covered = set(grouped_theta_filesketches(t, c, group_cols) or {})
-        missing |= clean_norm - covered
-    cols = {group_key_base(g, types) for g in group_cols} | set(columns)
+    cols: set[str] = set()
+    any_cfg = False
+    for gc, cfg in _grouped_theta_configs(writer, t).items():
+        columns = [
+            c for c in cfg["columns"] if c in types and sketchable(types[c])
+        ]
+        if not gc or not columns or not all(_key_ok(g) for g in gc):
+            continue
+        any_cfg = True
+        for c in columns:
+            covered = set(
+                grouped_theta_filesketches(t, c, list(gc)) or {}
+            )
+            missing |= clean_norm - covered
+        cols |= {group_key_base(g, types) for g in gc} | set(columns)
+    if not any_cfg:
+        return set(), set(), set()
     return missing, cols, (cols if dirty else set())
+
+
+def drop_grouped_theta_statistics(writer, group_cols: list[str]) -> int:
+    """Stop maintaining one grouping (r14 multi-config complement):
+    removes every statistics entry whose grouped theta blob keys on
+    EXACTLY ``group_cols`` — at any snapshot, so the refresh's config
+    registry forgets it — and returns the removed entry count.
+    Metadata-only; the superseded Puffin files become orphans for the
+    next sweep."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+
+    t = IcebergTable(writer.path)
+    keep, dropped = [], 0
+    for e in writer.statistics:
+        gc = _entry_statistics_group_cols(t, e, GROUPED_THETA_BLOB_TYPE)
+        if gc != "__none__" and (gc is None or gc == list(group_cols)):
+            dropped += 1
+            continue
+        keep.append(e)
+    if dropped:
+        writer.statistics = keep
+        writer.version += 1
+        writer._write_metadata()
+    return dropped

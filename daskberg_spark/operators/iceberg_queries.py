@@ -4513,3 +4513,91 @@ def iceberg_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("amt").cast("long").alias("amt"),
     )
+
+
+@query(
+    "iceberg_ndv_multi_grouping",
+    """
+    WITH src AS (
+        SELECT 's' || CAST(i % 3 AS VARCHAR) AS seg,
+               'w' || CAST(i % 4 AS VARCHAR) AS wsrc,
+               (i * 11) % 97 AS u
+        FROM range(5000) t(i)
+    )
+    SELECT 'seg' AS grp, seg AS key,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS ndv
+    FROM src GROUP BY seg
+    UNION ALL
+    SELECT 'wsrc', wsrc, CAST(COUNT(DISTINCT u) AS BIGINT)
+    FROM src GROUP BY wsrc
+    """,
+)
+def iceberg_ndv_multi_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CONFIG grouped statistics (r14): "distinct users by
+    segment" AND "distinct users by source" coexist on one table —
+    writing the second grouping no longer clobbers the first
+    (config-scoped replacement), and ONE
+    ``refresh_grouped_theta_statistics`` advances BOTH incrementally
+    (hard-asserted: 2 configs, each partial-scanning ONLY the appended
+    file).  Both serve metadata-only with zero data files read; all
+    cardinalities sit in exact mode, so the two-grouping DuckDB
+    ``COUNT(DISTINCT)`` union oracle must match bit-for-bit."""
+    import tempfile
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.operators.benchphases import phase
+
+    w = IcebergWriter(
+        tempfile.mkdtemp(prefix="iceberg_mcndv_"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "wsrc", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {
+                "seg": f"s{i % 3}",
+                "wsrc": f"w{i % 4}",
+                "u": (i * 11) % 97,
+            }
+            for i in range(lo, hi)
+        ]
+
+    with phase("iceberg_ndv_multi_grouping", "build"):
+        for lo in range(0, 4000, 1000):
+            w.append(rows(lo, lo + 1000))
+        write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+        write_grouped_theta_statistics(w, spark, ["wsrc"], ["u"])
+    with phase("iceberg_ndv_multi_grouping", "bootstrap"):
+        rep = refresh_grouped_theta_statistics(w, spark)
+    assert len(rep["configs"]) == 2, rep
+    with phase("iceberg_ndv_multi_grouping", "build"):
+        w.append(rows(4000, 5000))
+    with phase("iceberg_ndv_multi_grouping", "refresh"):
+        rep = refresh_grouped_theta_statistics(w, spark)
+    assert all(
+        r["partials_computed"] == 1 and r["files_total"] == 5
+        for r in rep["configs"]
+    ), f"a config read more than the new file: {rep}"
+    t = IcebergTable(w.path)
+    legs = []
+    for gcol in ("seg", "wsrc"):
+        out = t.ndv_groupby(spark, "u", [gcol])
+        assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+        assert t.last_scan["files_scanned"] == 0, t.last_scan
+        legs.append(
+            out.select(
+                F.lit(gcol).alias("grp"),
+                F.col(gcol).alias("key"),
+                F.col("ndv").cast("long"),
+            )
+        )
+    return legs[0].unionByName(legs[1])

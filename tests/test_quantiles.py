@@ -1474,3 +1474,68 @@ def test_grouped_quantiles_derived_day_key(spark, tmp_path):
     assert out2.count() == len(
         t.to_df(spark).select(F.date_trunc("hour", "ts")).distinct().collect()
     )
+
+
+def test_grouped_quantiles_multi_config(spark, tmp_path):
+    """r14: MULTIPLE quantile groupings coexist and refresh together —
+    "p50 by seg" AND "p50 by src" on one table.  Config-scoped
+    replacement, one refresh advances both incrementally, both serve
+    metadata-only, dropping one leaves the other."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.quantiles import (
+        drop_grouped_quantile_statistics,
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+
+    w = IcebergWriter(
+        str(tmp_path / "mcq"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "src", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"seg": f"s{i % 3}", "src": f"w{i % 4}", "v": i}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 300))
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    write_grouped_quantile_statistics(w, spark, ["src"], ["v"])
+    t = IcebergTable(w.path)
+    assert t.grouped_column_quantiles("v", ["seg"]) is not None
+    assert t.grouped_column_quantiles("v", ["src"]) is not None
+    w.append(rows(300, 400))
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert len(rep["configs"]) == 2, rep
+    w.append(rows(400, 450))
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert all(r["partials_computed"] == 1 for r in rep["configs"]), rep
+    t = IcebergTable(w.path)
+    truth_df = t.to_df(spark)
+    for gcol in ("seg", "src"):
+        out = t.percentile_groupby(
+            spark, [("v", 0.0, "lo"), ("v", 1.0, "hi")], [gcol]
+        )
+        assert t.last_percentile_groupby["route"] == "stats", gcol
+        got = {r[gcol]: (r["lo"], r["hi"]) for r in out.collect()}
+        truth = {
+            r[gcol]: (r["lo"], r["hi"])
+            for r in truth_df.groupBy(gcol)
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .collect()
+        }
+        assert got == truth, (gcol, got, truth)
+    dropped = drop_grouped_quantile_statistics(w, ["src"])
+    assert dropped >= 1
+    rep = refresh_grouped_quantile_statistics(w, spark)
+    assert "configs" not in rep and rep["group_cols"] == ["seg"], rep
+    t = IcebergTable(w.path)
+    assert t.grouped_column_quantiles("v", ["src"]) is None
+    assert t.grouped_column_quantiles("v", ["seg"]) is not None

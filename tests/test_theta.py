@@ -1355,18 +1355,10 @@ def test_mutual_pin_conditionals_use_one_rung(spark, tmp_path):
     # a and b are 1:1 (b = a + 100): 10 groups, 100 rows each
     w.append([{"a": i % 10, "b": i % 10 + 100} for i in range(1000)])
     write_table_statistics(w, spark)
-    # this engine's writer clobbers same-snapshot grouped entries, so
-    # the both-ways state is hand-assembled — the Puffin format allows
-    # it and a foreign writer maintaining two configs would produce it
+    # multi-config (r14): both groupings coexist on one snapshot —
+    # exactly the both-ways state the advisor's scenario needs
     write_grouped_theta_statistics(w, spark, ["a"], ["b"])
-    saved = list(w.statistics)
     write_grouped_theta_statistics(w, spark, ["b"], ["a"])
-    have = {e["statistics-path"] for e in w.statistics}
-    w.statistics = w.statistics + [
-        e for e in saved if e["statistics-path"] not in have
-    ]
-    w.version += 1
-    w._write_metadata()
     t = IcebergTable(w.path)
     from daskberg_spark.iceberg.cbo import _grouped_ndv_eq_selectivity
 
@@ -1475,3 +1467,79 @@ def test_grouped_ndv_timestamp_and_derived_keys(spark, tmp_path):
         .collect()
     }
     assert got3 == truth3
+
+
+def test_grouped_ndv_multi_config(spark, tmp_path):
+    """r14: MULTIPLE groupings coexist and refresh together — "NDV by
+    seg" AND "NDV by day" on one table.  Writing the second config no
+    longer clobbers the first (config-scoped replacement), ONE refresh
+    advances both incrementally (partials shared per grouping), both
+    serve metadata-only, and dropping one leaves the other."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        drop_grouped_theta_statistics,
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "mc"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "src", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"seg": f"s{i % 3}", "src": f"w{i % 4}", "u": i % 29}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 300))
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    write_grouped_theta_statistics(w, spark, ["src"], ["u"])
+    t = IcebergTable(w.path)
+    # both configs live on the same snapshot (no clobber)
+    assert t.grouped_column_ndv("u", ["seg"]) is not None
+    assert t.grouped_column_ndv("u", ["src"]) is not None
+    # ONE refresh advances BOTH configs after an append
+    w.append(rows(300, 400))
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert len(rep["configs"]) == 2, rep
+    by_gc = {tuple(r["group_cols"]): r for r in rep["configs"]}
+    # each config partial-scanned only the new file (bootstrap covered
+    # file 1 per config: 1 bootstrap + 1 new = 2 on first refresh)
+    assert by_gc[("seg",)]["partials_computed"] == 2
+    assert by_gc[("src",)]["partials_computed"] == 2
+    w.append(rows(400, 450))
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert all(r["partials_computed"] == 1 for r in rep["configs"]), rep
+    t = IcebergTable(w.path)
+    truth_df = t.to_df(spark)
+    for gcol in ("seg", "src"):
+        got = {
+            r[gcol]: r.ndv
+            for r in t.ndv_groupby(spark, "u", [gcol]).collect()
+        }
+        assert t.last_ndv_groupby["route"] == "stats", gcol
+        truth = {
+            r[gcol]: r.ndv
+            for r in truth_df.groupBy(gcol)
+            .agg(F.count_distinct("u").alias("ndv"))
+            .collect()
+        }
+        assert got == truth, (gcol, got, truth)
+    # dropping one grouping leaves the other maintained
+    dropped = drop_grouped_theta_statistics(w, ["src"])
+    assert dropped >= 1
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert "configs" not in rep and rep["group_cols"] == ["seg"], rep
+    t = IcebergTable(w.path)
+    assert t.grouped_column_ndv("u", ["src"]) is None
+    assert t.grouped_column_ndv("u", ["seg"]) is not None

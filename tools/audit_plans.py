@@ -359,6 +359,9 @@ AUDIT = {
     # the 40-row dim (1 exchange); at skew scale the bound covers the
     # two salted shuffles + the agg exchange.
     "iceberg_salted_skew_join": (3, False, False, None),
+    # r14 multi-config grouped NDV: both groupings' answers come from
+    # their blobs — two literal relations unioned, zero exchanges
+    "iceberg_ndv_multi_grouping": (0, False, False, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
