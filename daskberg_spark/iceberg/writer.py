@@ -6392,6 +6392,32 @@ def maintain(
     return report
 
 
+def refresh_all_statistics(
+    writer: "IcebergWriter", spark: Any
+) -> dict[str, Any]:
+    """Every statistics family's catch-up in ONE call with ONE shared
+    scan (r14) — the stats-only slice of ``maintain()`` for pipelines
+    that schedule statistics separately from compaction/retention.
+    Each family is gated exactly as in ``maintain()`` (opt-in blob
+    exists, head not yet covered; blooms/sums self-gate on coverage),
+    so the call is idempotent: a second run performs zero data IO.
+    Returns the per-family report incl. the ``stats_scan`` IO census
+    (raw/dirty files read once total, served/fallback counts)."""
+    from daskberg_spark.iceberg.onepass import plan_shared_stats_scan
+
+    report: dict[str, Any] = {}
+    scan_source = plan_shared_stats_scan(writer, spark)
+    try:
+        _maintain_statistics(writer, spark, report, scan_source)
+    finally:
+        if scan_source is not None:
+            report["stats_scan"] = scan_source.report()
+            scan_source.unpersist()
+        else:
+            report["stats_scan"] = None
+    return report
+
+
 def _maintain_statistics(
     writer: "IcebergWriter", spark: Any, report: dict[str, Any], scan_source
 ) -> None:

@@ -202,3 +202,91 @@ def test_shared_scan_fallback_never_breaks(spark, tmp_path):
     }
     assert got == truth
     empty.unpersist()
+
+
+def test_one_scan_composes_with_multi_config(spark, tmp_path, monkeypatch):
+    """r14 composition: TWO grouped-NDV configs + a grouped quantile
+    config on one table still fuse into ONE raw read per
+    refresh_all_statistics() — the planner unions every config's
+    needs, and each config's refresh serves from the same cached
+    frame with zero fallbacks."""
+    import daskberg_spark.iceberg.scan as scan_mod
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        _norm,
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import refresh_all_statistics
+
+    w = IcebergWriter(
+        str(tmp_path / "mcp"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "src", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+            {"id": 4, "name": "v", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {
+                "seg": f"s{i % 3}",
+                "src": f"w{i % 4}",
+                "u": i % 29,
+                "v": (i * 7) % 211,
+            }
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 200))
+    w.append(rows(200, 400))
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    write_grouped_theta_statistics(w, spark, ["src"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    refresh_grouped_quantile_statistics(w, spark)
+    w.append(rows(400, 500))
+
+    raw_calls: list[set] = []
+    real_rfg = scan_mod._read_file_groups
+
+    def counting_rfg(t, spark_, files, *a, **kw):
+        raw_calls.append({_norm(f["file_path"]) for f in files})
+        return real_rfg(t, spark_, files, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "_read_file_groups", counting_rfg)
+    rep = refresh_all_statistics(w, spark)
+    ss = rep["stats_scan"]
+    assert ss is not None and ss["raw_fallback"] == 0, rep
+    assert ss["raw_files"] == 1, ss
+    # 2 theta configs + 1 grouped quantile config, all served raw
+    assert ss["raw_served"] >= 3, ss
+    assert len(raw_calls) == 1, raw_calls
+    # values exact for every config
+    t = IcebergTable(w.path)
+    truth_df = t.to_df(spark)
+    for gcol in ("seg", "src"):
+        got = {
+            r[gcol]: r.ndv
+            for r in t.ndv_groupby(spark, "u", [gcol]).collect()
+        }
+        assert t.last_ndv_groupby["route"] == "stats", gcol
+        truth = {
+            r[gcol]: r.ndv
+            for r in truth_df.groupBy(gcol)
+            .agg(F.count_distinct("u").alias("ndv"))
+            .collect()
+        }
+        assert got == truth, gcol
+    # idempotent: a second call performs zero data IO
+    raw_calls.clear()
+    rep2 = refresh_all_statistics(w, spark)
+    assert rep2["stats_scan"] is None and raw_calls == [], rep2
