@@ -290,3 +290,75 @@ def test_one_scan_composes_with_multi_config(spark, tmp_path, monkeypatch):
     raw_calls.clear()
     rep2 = refresh_all_statistics(w, spark)
     assert rep2["stats_scan"] is None and raw_calls == [], rep2
+
+
+def test_refresh_all_statistics_randomized_differential(spark, tmp_path):
+    """Seeded lifecycle differential for the one-scan refresh: after
+    EVERY commit window — mixed appends (new groups included),
+    eq-deletes, and a compaction — ONE ``refresh_all_statistics()``
+    advances all opted-in families with zero cache fallbacks, and
+    every published statistic equals the exact recomputation: global
+    NDVs, per-group NDVs, per-group row censuses, per-file sum
+    coverage."""
+    import random
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import _norm
+    from daskberg_spark.iceberg.sumstats import column_filesums
+    from daskberg_spark.iceberg.writer import (
+        compact_files_spark,
+        refresh_all_statistics,
+    )
+
+    rng = random.Random(1402)
+    w, rows = _all_families_table(spark, tmp_path)
+    hi = 300
+    for step in range(6):
+        action = rng.choice(["append", "append", "delete", "compact"])
+        if action == "append":
+            n = rng.randrange(40, 120)
+            w.append(rows(hi, hi + n))
+            hi += n
+        elif action == "delete":
+            w.delete_rows_equality(
+                [{"u": rng.randrange(37)} for _ in range(3)]
+            )
+        else:
+            compact_files_spark(w, spark, min_file_bytes=1 << 20)
+        rep = refresh_all_statistics(w, spark)
+        ss = rep["stats_scan"]
+        if ss is not None:
+            assert ss["raw_fallback"] == 0, (step, action, ss)
+            assert ss["dirty_fallback"] == 0, (step, action, ss)
+        t = IcebergTable(w.path)
+        truth_df = t.to_df(spark)
+        nt = truth_df.agg(
+            F.count_distinct("u").alias("u"),
+            F.count_distinct("v").alias("v"),
+        ).collect()[0]
+        assert t.column_ndv("u") == nt["u"], (step, action)
+        assert t.column_ndv("v") == nt["v"], (step, action)
+        got = {
+            r.seg: r.ndv
+            for r in t.ndv_groupby(spark, "u", ["seg"]).collect()
+        }
+        assert t.last_ndv_groupby["route"] == "stats", (step, action)
+        truth = {
+            r.seg: r.ndv
+            for r in truth_df.groupBy("seg")
+            .agg(F.count_distinct("u").alias("ndv"))
+            .collect()
+        }
+        assert got == truth, (step, action, got, truth)
+        hist = t.grouped_column_quantiles("v", ["seg"])
+        grows = {g["key"][0]: g["rows"] for g in hist["groups"]}
+        rtruth = {
+            r.seg: r.n
+            for r in truth_df.groupBy("seg")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert grows == rtruth, (step, action)
+        live = {_norm(f["file_path"]) for f in t.plan_files(None)}
+        assert live <= set(column_filesums(t, "v") or {}), (step, action)

@@ -1543,3 +1543,65 @@ def test_grouped_ndv_multi_config(spark, tmp_path):
     t = IcebergTable(w.path)
     assert t.grouped_column_ndv("u", ["src"]) is None
     assert t.grouped_column_ndv("u", ["seg"]) is not None
+
+
+def test_grouped_ndv_mixed_derived_and_plain_keys(spark, tmp_path):
+    """r14 composition: a grouping mixing a derived day(ts) key with a
+    plain column — "distinct users per (day, segment)" — builds,
+    refreshes incrementally, and serves metadata-only with keys
+    decoding to (date, string)."""
+    import datetime as dt
+
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "mx"),
+        [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "seg", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    base = dt.datetime(2024, 5, 1)
+
+    def rows(lo, hi):
+        return [
+            {
+                "ts": base + dt.timedelta(hours=i % 48),
+                "seg": f"s{i % 2}",
+                "u": i % 19,
+            }
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 200))
+    write_grouped_theta_statistics(w, spark, ["day(ts)", "seg"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)
+    w.append(rows(200, 260))
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert rep["partials_computed"] == 1, rep
+    t = IcebergTable(w.path)
+    out = t.ndv_groupby(spark, "u", ["day(ts)", "seg"])
+    assert t.last_ndv_groupby["route"] == "stats", t.last_ndv_groupby
+    got = {
+        (r["day(ts)"], r["seg"]): r["ndv"] for r in out.collect()
+    }
+    assert all(
+        isinstance(k[0], dt.date) and isinstance(k[1], str) for k in got
+    ), got
+    truth = {
+        (r["d"], r["seg"]): r["ndv"]
+        for r in t.to_df(spark)
+        .groupBy(F.to_date("ts").alias("d"), "seg")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got == truth, (got, truth)
