@@ -71,6 +71,9 @@ class JoinPlan:
     estimates: dict[str, float] = field(default_factory=dict)
     broadcasts: list[str] = field(default_factory=list)
     sketch_refined: list[str] = field(default_factory=list)
+    # dims whose shuffle join was salted on a census-flagged hot fact
+    # key (r14) — filled at execution time by cbo_join
+    salted: list[str] = field(default_factory=list)
 
 
 def estimated_rows(table: IcebergTable, filters: Any = None) -> float:
@@ -700,6 +703,24 @@ def cbo_join(
         # (expression-id resolution), not the running join output:
         # out[d.fact_key] raises AMBIGUOUS_REFERENCE once an earlier dim
         # carries a same-named column (e.g. fact_key == dim_key).
+        if label not in plan.broadcasts:
+            # census-driven skew salting for the SHUFFLE legs (r14):
+            # a broadcast join has no lopsided exchange to fix, but a
+            # non-broadcast dim shuffles the fact on the key — split a
+            # census-flagged hot key's partition in the plan
+            hot = skewed_join_keys(fact, d.fact_key)
+            if hot:
+                plan.salted.append(label)
+                out = salted_join(
+                    spark,
+                    out,
+                    dim_df,
+                    d.fact_key,
+                    d.dim_key,
+                    hot,
+                    fact_key_col=fact_df[d.fact_key],
+                )
+                continue
         out = out.join(
             dim_df, on=fact_df[d.fact_key] == dim_df[d.dim_key], how="inner"
         )
@@ -778,6 +799,7 @@ def salted_join(
     skewed_keys: list,
     salt: int = 8,
     how: str = "inner",
+    fact_key_col: Any = None,
 ) -> Any:
     """Split-and-salt equi-join for census-flagged hot keys (r14):
     fact rows carrying a skewed key draw a uniform salt in [0, salt)
@@ -789,10 +811,14 @@ def salted_join(
     runtime skew split by fixing the partitioning BEFORE the first
     lopsided exchange materializes."""
     keys_lit = [F.lit(k) for k in skewed_keys]
+    # an explicit fact-key Column supports mid-chain star use, where
+    # the running join output may already carry a same-named dim
+    # column (expression-id resolution, like cbo_join's joins)
+    kcol = fact_key_col if fact_key_col is not None else F.col(fact_key)
     fact_salted = fact_df.withColumn(
         "__fsalt",
         F.when(
-            F.col(fact_key).isin(*keys_lit),
+            kcol.isin(*keys_lit),
             F.pmod(
                 F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
             ).cast("int"),
@@ -809,7 +835,7 @@ def salted_join(
     )
     out = fact_salted.join(
         dim_salted,
-        (fact_salted[fact_key] == dim_salted[dim_key])
+        (kcol == dim_salted[dim_key])
         & (fact_salted["__fsalt"] == dim_salted["__dsalt"]),
         how,
     )

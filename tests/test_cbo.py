@@ -534,3 +534,91 @@ def test_census_driven_skew_salting(spark, tmp_path):
         spark, ft2, JoinDim(dt, "fk", "k"), max_keys=0, bloom_max_rows=0
     )
     assert ft2.last_join_strategy == "shuffle"
+
+
+def test_star_join_salts_census_flagged_shuffle_leg(spark, tmp_path):
+    """r14: cbo_join salts the NON-broadcast shuffle legs the same way
+    auto_join does — a census-flagged hot fact key splits salt-ways
+    mid-chain (fact-key resolution against the ORIGINAL fact frame, so
+    a same-named earlier dim column cannot ambiguate) — while
+    broadcast legs stay untouched (no lopsided exchange to fix).
+    Results equal the naive join bit-for-bit."""
+    from daskberg_spark.iceberg.cbo import JoinDim, cbo_join
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import (
+        IcebergWriter,
+        write_table_statistics,
+    )
+
+    fact = IcebergWriter(
+        str(tmp_path / "sf"),
+        [
+            {"id": 1, "name": "fk", "type": "long", "required": False},
+            {"id": 2, "name": "fk2", "type": "long", "required": False},
+            {"id": 3, "name": "amt", "type": "long", "required": False},
+        ],
+    )
+    fact.append(
+        [
+            {
+                "fk": 3 if i % 2 == 0 else i % 30,
+                "fk2": i % 10,
+                "amt": i,
+            }
+            for i in range(4000)
+        ]
+    )
+    write_table_statistics(fact, spark)
+    write_grouped_quantile_statistics(fact, spark, ["fk"], ["amt"])
+    dim1 = IcebergWriter(
+        str(tmp_path / "sd1"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "n1", "type": "string", "required": False},
+        ],
+    )
+    dim1.append([{"k": i, "n1": f"a{i}"} for i in range(30)])
+    dim2 = IcebergWriter(
+        str(tmp_path / "sd2"),
+        [
+            {"id": 1, "name": "k2", "type": "long", "required": False},
+            {"id": 2, "name": "n2", "type": "string", "required": False},
+        ],
+    )
+    dim2.append([{"k2": i, "n2": f"b{i}"} for i in range(10)])
+    for w in (dim1, dim2):
+        write_table_statistics(w, spark)
+    ft = IcebergTable(fact.path)
+    dims = [
+        JoinDim(IcebergTable(dim1.path), "fk", "k", name="d1"),
+        JoinDim(IcebergTable(dim2.path), "fk2", "k2", name="d2"),
+    ]
+    # broadcast_bytes=0 forces BOTH legs onto the shuffle path; only
+    # fk carries a census, so only d1 salts
+    out = cbo_join(spark, ft, dims, broadcast_bytes=0)
+    plan = ft.last_join_plan
+    assert plan.broadcasts == [] and plan.salted == ["d1"], (
+        plan.broadcasts,
+        plan.salted,
+        plan.order,
+    )
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "__fsalt" in phys and "__dsalt" in phys
+    fdf = ft.to_df(spark)
+    d1 = dims[0].table.to_df(spark)
+    d2 = dims[1].table.to_df(spark)
+    naive = fdf.join(d1, fdf["fk"] == d1["k"]).join(
+        d2, fdf["fk2"] == d2["k2"]
+    )
+    cols = ["fk", "fk2", "amt", "n1", "n2"]
+    got = sorted(map(tuple, out.select(*cols).collect()))
+    want = sorted(map(tuple, naive.select(*cols).collect()))
+    assert got == want and len(got) == 4000
+    # with broadcasts allowed, NOTHING salts (no shuffle leg exists)
+    out2 = cbo_join(spark, ft, dims)
+    plan2 = ft.last_join_plan
+    assert set(plan2.broadcasts) == {"d1", "d2"} and plan2.salted == []
+    assert out2.count() == 4000
