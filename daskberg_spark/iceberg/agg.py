@@ -824,10 +824,20 @@ def percentile_pushdown(
     def decode(knot: float, ice_type: str):
         if ice_type == "date":
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=round(knot))
-        if ice_type in ("timestamp", "timestamptz", "timestampz"):
+        if ice_type == "timestamp":
+            # NTZ: knots are the wall clock's UTC-rendered micros
+            # (unix_micros under this engine's UTC sessions) — decode
+            # the naive wall verbatim; NTZ driver conversions are
+            # wall-pure under any zone (r15)
             return _dt.datetime(1970, 1, 1) + _dt.timedelta(
                 microseconds=round(knot)
             )
+        if ice_type in ("timestamptz", "timestampz"):
+            # instants decode AWARE-UTC so any driver TZ preserves
+            # them; naive would re-interpret driver-locally (r15)
+            return _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(microseconds=round(knot))
         if ice_type in ("int", "long"):
             return int(round(knot))
         return float(knot)
@@ -874,7 +884,17 @@ def percentile_pushdown(
         t = fields[col].type
         if t == "date":
             cols.append(F.lit(vals[alias]).cast("date").alias(alias))
-        elif t in ("timestamp", "timestamptz", "timestampz"):
+        elif t == "timestamp":
+            # NTZ: route the WALL CLOCK through an ISO literal —
+            # F.lit(naive) would re-interpret it through the driver's
+            # system zone before the NTZ cast could see it (r15)
+            v = vals[alias]
+            cols.append(
+                F.lit(None if v is None else v.isoformat())
+                .cast("timestamp_ntz")
+                .alias(alias)
+            )
+        elif t in ("timestamptz", "timestampz"):
             cols.append(F.lit(vals[alias]).cast("timestamp").alias(alias))
         elif t in ("int", "long"):
             cols.append(F.lit(vals[alias]).cast("long").alias(alias))
@@ -943,10 +963,20 @@ def percentile_groupby(
     def decode(knot: float, ice_type: str):
         if ice_type == "date":
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=round(knot))
-        if ice_type in ("timestamp", "timestamptz", "timestampz"):
+        if ice_type == "timestamp":
+            # NTZ: knots are the wall clock's UTC-rendered micros
+            # (unix_micros under this engine's UTC sessions) — decode
+            # the naive wall verbatim; NTZ driver conversions are
+            # wall-pure under any zone (r15)
             return _dt.datetime(1970, 1, 1) + _dt.timedelta(
                 microseconds=round(knot)
             )
+        if ice_type in ("timestamptz", "timestampz"):
+            # instants decode AWARE-UTC so any driver TZ preserves
+            # them; naive would re-interpret driver-locally (r15)
+            return _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(microseconds=round(knot))
         if ice_type in ("int", "long"):
             return int(round(knot))
         return float(knot)
@@ -1012,10 +1042,12 @@ def percentile_groupby(
                 T.StructField(
                     alias,
                     iceberg_to_spark_type(
-                        {"long": "long", "double": "double",
-                         "date": "date", "timestamp": "timestamp"}[
-                            out_type(fields[c].type)
-                        ]
+                        # temporal answers keep the column's OWN tz
+                        # semantics (NTZ wall vs LTZ instant, r15)
+                        fields[c].type
+                        if out_type(fields[c].type) == "timestamp"
+                        else {"long": "long", "double": "double",
+                              "date": "date"}[out_type(fields[c].type)]
                     ),
                     True,
                 )
@@ -1052,6 +1084,11 @@ def percentile_groupby(
             e = F.date_add(F.lit("1970-01-01").cast("date"), F.round(e).cast("int"))
         elif ot == "timestamp":
             e = F.timestamp_micros(F.round(e).cast("long"))
+            if t == "timestamp":
+                # NTZ columns answer NTZ (knots were the UTC-rendered
+                # wall; this engine's sessions run UTC), matching the
+                # stats route's schema (r15)
+                e = e.cast("timestamp_ntz")
         elif ot == "long":
             e = F.round(e).cast("long")
         aggs.append(e.alias(alias))

@@ -276,10 +276,12 @@ def _grouped_quantile_selectivity(
                     continue
                 key = [
                     _encode_group_value(
-                        normalize_value(v1, table.fields[g1].type)
+                        normalize_value(v1, table.fields[g1].type),
+                        table.fields[g1].type,
                     ),
                     _encode_group_value(
-                        normalize_value(v2, table.fields[g2].type)
+                        normalize_value(v2, table.fields[g2].type),
+                        table.fields[g2].type,
                     ),
                 ]
                 for grp in hist.get("groups", []):
@@ -311,7 +313,8 @@ def _grouped_quantile_selectivity(
                     eq_idx = keyed.index(g1)
                     rng_idx = 1 - eq_idx
                     ekey = _encode_group_value(
-                        normalize_value(v1, table.fields[g1].type)
+                        normalize_value(v1, table.fields[g1].type),
+                        table.fields[g1].type,
                     )
                     gtype = table.fields[g2].type
                     gn = value_to_number(gv2, gtype)
@@ -349,7 +352,8 @@ def _grouped_quantile_selectivity(
             if hist is None:
                 continue
             key = _encode_group_value(
-                normalize_value(gv, table.fields[g].type)
+                normalize_value(gv, table.fields[g].type),
+                table.fields[g].type,
             )
             for grp in hist.get("groups", []):
                 if (grp.get("key") or [None])[0] == key:
@@ -423,7 +427,8 @@ def _grouped_rows_eq_count(
         )
 
         key = _encode_group_value(
-            normalize_value(value, table.fields[col].type)
+            normalize_value(value, table.fields[col].type),
+            table.fields[col].type,
         )
         cur = table.current_snapshot["snapshot-id"]
         for e in table.metadata.get("statistics", []):
@@ -479,7 +484,8 @@ def _grouped_ndv_eq_selectivity(
 
         def enc(gv, g):
             return _encode_group_value(
-                normalize_value(gv, table.fields[g].type)
+                normalize_value(gv, table.fields[g].type),
+                table.fields[g].type,
             )
 
         eq_pins = [

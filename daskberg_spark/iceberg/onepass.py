@@ -222,19 +222,25 @@ def plan_shared_stats_scan(writer, spark) -> SharedStatsScan | None:
     raw_paths: set[str] = set()
     raw_cols: set[str] = set()
     dirty_cols: set[str] = set()
-    # (helper, head-gate blob type or None when the family self-gates)
+    # (helper, opt-in blob type or None, type-level head gate?) —
+    # the GROUPED families head-gate PER CONFIG inside their own plan
+    # helpers (r15), so only the opt-in check applies here
     plans = [
-        (plan_bloom_refresh_scan, None),
-        (plan_sum_refresh_scan, None),
-        (plan_global_ndv_refresh_scan, THETA_BLOB_TYPE),
-        (plan_grouped_ndv_refresh_scan, GROUPED_THETA_BLOB_TYPE),
-        (plan_quantile_refresh_scan, QUANTILE_BLOB_TYPE),
-        (plan_grouped_quantile_refresh_scan, GROUPED_QUANTILE_BLOB_TYPE),
+        (plan_bloom_refresh_scan, None, False),
+        (plan_sum_refresh_scan, None, False),
+        (plan_global_ndv_refresh_scan, THETA_BLOB_TYPE, True),
+        (plan_grouped_ndv_refresh_scan, GROUPED_THETA_BLOB_TYPE, False),
+        (plan_quantile_refresh_scan, QUANTILE_BLOB_TYPE, True),
+        (
+            plan_grouped_quantile_refresh_scan,
+            GROUPED_QUANTILE_BLOB_TYPE,
+            False,
+        ),
     ]
-    for helper, gate_type in plans:
-        if gate_type is not None and (
-            not has(gate_type) or head_covered(gate_type)
-        ):
+    for helper, gate_type, type_head_gate in plans:
+        if gate_type is not None and not has(gate_type):
+            continue  # family never opted in
+        if type_head_gate and head_covered(gate_type):
             continue  # maintain() will skip this family's refresh
         try:
             p, c, dc = helper(writer, t)

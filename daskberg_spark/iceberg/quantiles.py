@@ -551,6 +551,7 @@ def write_file_grouped_quantile_partials(
         apply_group_keys,
         gate_group_key,
         group_key_base,
+        group_key_type,
     )
 
     for g in group_cols:
@@ -626,7 +627,10 @@ def write_file_grouped_quantile_partials(
             per_col[c][p] = {}
     for r in got:
         gkey = json.dumps(
-            [_encode_group_value(r[g]) for g in group_cols]
+            [
+                _encode_group_value(r[g], group_key_type(g, types))
+                for g in group_cols
+            ]
         )
         for c in columns:
             bounds = r[f"q {c}"]
@@ -1025,12 +1029,27 @@ def refresh_quantile_statistics(
     }
 
 
+def grouped_quantile_covered_configs(writer, t) -> set[tuple]:
+    """The groupings whose OWN statistics entry already covers the
+    head snapshot (r15) — per-config head gate; see the theta twin."""
+    head_id = writer.head_snapshot["snapshot-id"]
+    covered: set[tuple] = set()
+    for e in writer.statistics:
+        if e["snapshot-id"] != head_id:
+            continue
+        gc = _entry_statistics_group_cols(t, e, GROUPED_QUANTILE_BLOB_TYPE)
+        if isinstance(gc, list):
+            covered.add(tuple(gc))
+    return covered
+
+
 def refresh_grouped_quantile_statistics(
     writer,
     spark,
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
     scan_source=None,
+    skip_head_covered: bool = False,
 ) -> dict[str, Any] | None:
     """Advance the GROUPED quantile blobs to the current snapshot at
     O(new + dirty files) cost for ANY grouping (r13; identity-only in
@@ -1060,8 +1079,17 @@ def refresh_grouped_quantile_statistics(
     # r14, mirroring the grouped-NDV family): drop one deliberately
     # with ``drop_grouped_quantile_statistics``.
     configs = _grouped_quantile_configs(writer, t)
+    # maintain() gates PER CONFIG (r15): a grouping whose own entry
+    # already covers the head is skipped without starving the others
+    covered = (
+        grouped_quantile_covered_configs(writer, t)
+        if skip_head_covered
+        else set()
+    )
     runnable: list[tuple[list, list]] = []
     for gc, cols in configs.items():
+        if gc in covered:
+            continue
         cols = [c for c in cols if writer.types.get(c) in _NUMERIC_TYPES]
         if gc and cols:
             runnable.append((list(gc), cols))
@@ -1154,11 +1182,13 @@ def _refresh_grouped_quantile_config(
     import daskberg_spark.iceberg.scan  # noqa: F401  (attaches .to_df)
     from pyspark.sql import functions as F
 
+    from daskberg_spark.iceberg.groupkeys import group_key_type
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.puffin import write_puffin
     from daskberg_spark.iceberg.scan import to_df
 
     t = IcebergTable(writer.path)
+    types = dict(writer.types)
     snapshot_id = writer.head_snapshot["snapshot-id"]
     files, dirty = _dirty_split(t)
 
@@ -1313,7 +1343,10 @@ def _refresh_grouped_quantile_config(
             # encode (dates → ISO) so dirty-scan keys collate with the
             # json-round-tripped partial keys; a no-op for the
             # identity strategy's int/long/string/boolean keys
-            key = tuple(_encode_group_value(r[g]) for g in group_cols)
+            key = tuple(
+                _encode_group_value(r[g], group_key_type(g, types))
+                for g in group_cols
+            )
             for c in columns:
                 bounds = r[f"q {c}"]
                 parts[c].setdefault(key, []).append(
@@ -1415,28 +1448,24 @@ _GROUP_KEY_TYPES = {
 }
 
 
-def _encode_group_value(v: Any) -> Any:
-    if isinstance(v, datetime.datetime):
-        # timestamps ride as ISO-micros strings (r14) — aware values
-        # normalize to UTC-naive first so the key is session-TZ-proof
-        if v.tzinfo is not None:
-            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        return v.isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    return v
+def _encode_group_value(v: Any, ice_type: str | None = None) -> Any:
+    # one codec for both families (r15) — see groupkeys.py; pass the
+    # key's iceberg type so collect()-path LTZ instants (rendered
+    # driver-system-local naive by PySpark) normalize to UTC while
+    # NTZ walls encode verbatim
+    from daskberg_spark.iceberg.groupkeys import encode_group_value
+
+    return encode_group_value(v, ice_type)
 
 
 def decode_group_value(v: Any, ice_type: str) -> Any:
-    if v is None:
-        return None
-    if ice_type == "date":
-        return datetime.date.fromisoformat(v)
-    if ice_type in ("timestamp", "timestamptz", "timestampz"):
-        return datetime.datetime.fromisoformat(v)
-    if ice_type in ("int", "long"):
-        return int(v)
-    return v
+    # kept as the historical import site; the implementation (and the
+    # aware-UTC timestamp convention) lives in groupkeys.py (r15)
+    from daskberg_spark.iceberg.groupkeys import (
+        decode_group_value as _decode,
+    )
+
+    return _decode(v, ice_type)
 
 
 def write_grouped_quantile_statistics(
@@ -1475,6 +1504,7 @@ def write_grouped_quantile_statistics(
         apply_group_keys,
         gate_group_key,
         group_key_base,
+        group_key_type,
     )
 
     types = dict(writer.types)
@@ -1532,7 +1562,10 @@ def write_grouped_quantile_statistics(
             bounds = r[f"q_{c}"]
             groups.append(
                 {
-                    "key": [_encode_group_value(r[g]) for g in group_cols],
+                    "key": [
+                        _encode_group_value(r[g], group_key_type(g, types))
+                        for g in group_cols
+                    ],
                     "rows": int(r["__rows"]),
                     "nonnull": int(r[f"n_{c}"]),
                     "bounds": [float(b) for b in bounds] if bounds else [],
@@ -1584,18 +1617,24 @@ def write_grouped_quantile_statistics(
     return path
 
 
-def drop_grouped_quantile_statistics(writer, group_cols: list[str]) -> int:
+def drop_grouped_quantile_statistics(
+    writer, group_cols: list[str], drop_unreadable: bool = False
+) -> int:
     """Stop maintaining one grouping (r14 multi-config complement):
     removes every statistics entry whose grouped quantile blob keys on
     EXACTLY ``group_cols`` — at any snapshot, so the refresh registry
-    forgets it — and returns the removed entry count."""
+    forgets it — and returns the removed entry count.  Unreadable
+    entries are KEPT unless ``drop_unreadable=True`` (r15): a
+    transient IO error must not delete a different grouping."""
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     t = IcebergTable(writer.path)
     keep, dropped = [], 0
     for e in writer.statistics:
         gc = _entry_statistics_group_cols(t, e, GROUPED_QUANTILE_BLOB_TYPE)
-        if gc != "__none__" and (gc is None or gc == list(group_cols)):
+        if gc != "__none__" and (
+            (gc is None and drop_unreadable) or gc == list(group_cols)
+        ):
             dropped += 1
             continue
         keep.append(e)
@@ -1691,7 +1730,10 @@ def plan_grouped_quantile_refresh_scan(writer, t):
     all_raw: set[str] = set()
     all_dirty_cols: set[str] = set()
     any_cfg = False
+    covered = grouped_quantile_covered_configs(writer, t)
     for gc, cols in _grouped_quantile_configs(writer, t).items():
+        if gc in covered:
+            continue  # this grouping's entry already covers the head
         group_cols = list(gc)
         columns = [c for c in cols if writer.types.get(c) in _NUMERIC_TYPES]
         if not group_cols or not columns:

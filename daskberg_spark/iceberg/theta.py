@@ -742,6 +742,7 @@ def build_grouped_column_sketches(
     lg_k: int = DEFAULT_LG_K,
     max_groups: int | None = None,
     cap_cols: list[str] | None = None,
+    group_types: Sequence[str | None] | None = None,
 ) -> dict[tuple, dict[str, ThetaSketch]]:
     """One distributed pass building a theta sketch per (group tuple,
     column): each task splits every arrow batch by the group key,
@@ -787,21 +788,21 @@ def build_grouped_column_sketches(
 
     def build(iterator):
         import collections
-        import datetime as _dt
 
         import pyarrow as pa
 
-        def enc(v):
-            # dates/timestamps → ISO strings (JSON can't carry them);
-            # mirrors quantiles._encode_group_value incl. the UTC
-            # normalization for aware timestamps (r14)
-            if isinstance(v, _dt.datetime):
-                if v.tzinfo is not None:
-                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-                return v.isoformat()
-            if isinstance(v, _dt.date):
-                return v.isoformat()
-            return v
+        # dates/timestamps → ISO strings (JSON can't carry them);
+        # THE shared codec (groupkeys.py, r15) so the theta and
+        # quantile key spaces can never drift — Arrow hands this
+        # builder NTZ walls naive (encoded verbatim) and LTZ instants
+        # session-TZ-aware (normalized to the payload's UTC-naive
+        # convention), keyed by ``group_types``
+        from daskberg_spark.iceberg.groupkeys import encode_group_value
+
+        gtypes = list(group_types or [None] * len(group_cols))
+
+        def enc(v, j):
+            return encode_group_value(v, gtypes[j])
 
         accs: dict[tuple[str, str], KmvAccumulator] = {}
         cap_seen: set[tuple] = set()
@@ -811,10 +812,13 @@ def build_grouped_column_sketches(
             rows_by_key = collections.defaultdict(list)
             for i, key in enumerate(zip(*gcols)):
                 rows_by_key[
-                    _json.dumps([enc(v) for v in key], sort_keys=True)
+                    _json.dumps(
+                        [enc(v, j) for j, v in enumerate(key)],
+                        sort_keys=True,
+                    )
                 ].append(i)
                 if cap_idx is not None:
-                    cap_seen.add(tuple(enc(key[j]) for j in cap_idx))
+                    cap_seen.add(tuple(enc(key[j], j) for j in cap_idx))
             if cap_idx is not None and len(cap_seen) > max_groups:
                 raise ValueError(
                     f"more than {max_groups} distinct {cap_cols} tuples — "
@@ -939,6 +943,7 @@ def write_grouped_theta_statistics(
         apply_group_keys,
         gate_group_key,
         group_key_base,
+        group_key_type,
     )
 
     types = dict(writer.types)
@@ -977,6 +982,7 @@ def write_grouped_theta_statistics(
         lg_k,
         max_groups=max_groups,
         cap_cols=list(group_cols),
+        group_types=[group_key_type(g, types) for g in group_cols],
     )
     seq = writer._last_sequence_number
     blobs = []
@@ -1093,6 +1099,7 @@ def write_file_grouped_theta_partials(
         apply_group_keys,
         gate_group_key,
         group_key_base,
+        group_key_type,
     )
 
     types = dict(writer.types)
@@ -1151,6 +1158,7 @@ def write_file_grouped_theta_partials(
         lg_k,
         max_groups=max_groups if group_cols else None,
         cap_cols=list(group_cols) or None,
+        group_types=[None] + [group_key_type(g, types) for g in group_cols],
     )
     per_col: dict[str, dict[str, dict[str, str]]] = {c: {} for c in columns}
     for f in scan_files:  # zero-row files record empty coverage too
@@ -1477,11 +1485,28 @@ def _consolidate_file_grouped_theta(
     )
 
 
+def grouped_theta_covered_configs(writer, t) -> set[tuple]:
+    """The groupings whose OWN statistics entry already covers the
+    head snapshot (r15) — the per-config form of the old per-blob-TYPE
+    head gate, which let one manually-refreshed grouping silently
+    starve every other grouping until the next append."""
+    head_id = writer.head_snapshot["snapshot-id"]
+    covered: set[tuple] = set()
+    for e in writer.statistics:
+        if e["snapshot-id"] != head_id:
+            continue
+        gc = _entry_statistics_group_cols(t, e, GROUPED_THETA_BLOB_TYPE)
+        if isinstance(gc, list):
+            covered.add(tuple(gc))
+    return covered
+
+
 def refresh_grouped_theta_statistics(
     writer,
     spark,
     max_groups: int = MAX_THETA_GROUPS,
     scan_source=None,
+    skip_head_covered: bool = False,
 ) -> dict[str, Any] | None:
     """Advance the GROUPED NDV blobs to the current snapshot at
     O(new + dirty files) cost (r13) — the refresh path the r12 blobs
@@ -1536,8 +1561,18 @@ def refresh_grouped_theta_statistics(
     # silently stranded the rest.  Drop a grouping deliberately with
     # ``drop_grouped_theta_statistics``.
     configs = _grouped_theta_configs(writer, t)
+    # maintain() gates PER CONFIG (r15): a grouping whose own entry
+    # already covers the head (e.g. a manual write after the append)
+    # is skipped without starving the others
+    covered = (
+        grouped_theta_covered_configs(writer, t)
+        if skip_head_covered
+        else set()
+    )
     runnable: list[tuple[list, list, int]] = []
     for gc, cfg in configs.items():
+        if gc in covered:
+            continue
         cols = [
             c for c in cfg["columns"] if c in types and sketchable(types[c])
         ]
@@ -1641,6 +1676,7 @@ def _refresh_grouped_theta_config(
     from daskberg_spark.iceberg.groupkeys import (
         apply_group_keys,
         group_key_base,
+        group_key_type,
     )
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.puffin import write_puffin
@@ -1703,7 +1739,11 @@ def _refresh_grouped_theta_config(
             )
         df = apply_group_keys(df, list(group_cols), types)
         fresh = build_grouped_column_sketches(
-            df, list(group_cols), [(c, types[c]) for c in columns], lg_k
+            df,
+            list(group_cols),
+            [(c, types[c]) for c in columns],
+            lg_k,
+            group_types=[group_key_type(g, types) for g in group_cols],
         )
         for key, by_col in fresh.items():
             for c in columns:
@@ -1864,7 +1904,10 @@ def plan_grouped_ndv_refresh_scan(writer, t):
     missing: set[str] = set()
     cols: set[str] = set()
     any_cfg = False
+    covered = grouped_theta_covered_configs(writer, t)
     for gc, cfg in _grouped_theta_configs(writer, t).items():
+        if gc in covered:
+            continue  # this grouping's entry already covers the head
         columns = [
             c for c in cfg["columns"] if c in types and sketchable(types[c])
         ]
@@ -1882,20 +1925,27 @@ def plan_grouped_ndv_refresh_scan(writer, t):
     return missing, cols, (cols if dirty else set())
 
 
-def drop_grouped_theta_statistics(writer, group_cols: list[str]) -> int:
+def drop_grouped_theta_statistics(
+    writer, group_cols: list[str], drop_unreadable: bool = False
+) -> int:
     """Stop maintaining one grouping (r14 multi-config complement):
     removes every statistics entry whose grouped theta blob keys on
     EXACTLY ``group_cols`` — at any snapshot, so the refresh's config
     registry forgets it — and returns the removed entry count.
     Metadata-only; the superseded Puffin files become orphans for the
-    next sweep."""
+    next sweep.  An entry whose blob can't be READ is kept by default
+    (r15): a transient IO error must not delete a healthy DIFFERENT
+    grouping's statistics; pass ``drop_unreadable=True`` to sweep
+    genuinely corrupt entries deliberately."""
     from daskberg_spark.iceberg.metadata import IcebergTable
 
     t = IcebergTable(writer.path)
     keep, dropped = [], 0
     for e in writer.statistics:
         gc = _entry_statistics_group_cols(t, e, GROUPED_THETA_BLOB_TYPE)
-        if gc != "__none__" and (gc is None or gc == list(group_cols)):
+        if gc != "__none__" and (
+            (gc is None and drop_unreadable) or gc == list(group_cols)
+        ):
             dropped += 1
             continue
         keep.append(e)

@@ -6521,17 +6521,11 @@ def _maintain_statistics(
         for e in writer.statistics
         for b in e.get("blob-metadata", [])
     )
-    g_head_covered = any(
-        e["snapshot-id"] == head_id
-        and any(
-            b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
-            for b in e.get("blob-metadata", [])
-        )
-        for e in writer.statistics
-    )
-    if has_grouped and not g_head_covered:
+    # head-gated PER CONFIG inside the refresh (r15): one grouping's
+    # manual head-covering write no longer starves the others
+    if has_grouped:
         rep = refresh_grouped_quantile_statistics(
-            writer, spark, scan_source=scan_source
+            writer, spark, scan_source=scan_source, skip_head_covered=True
         )
         report["refresh_grouped_quantiles"] = (
             rep or {}
@@ -6551,17 +6545,9 @@ def _maintain_statistics(
         for e in writer.statistics
         for b in e.get("blob-metadata", [])
     )
-    gndv_head_covered = any(
-        e["snapshot-id"] == head_id
-        and any(
-            b.get("type") == GROUPED_THETA_BLOB_TYPE
-            for b in e.get("blob-metadata", [])
-        )
-        for e in writer.statistics
-    )
-    if has_gndv and not gndv_head_covered:
+    if has_gndv:
         rep = refresh_grouped_theta_statistics(
-            writer, spark, scan_source=scan_source
+            writer, spark, scan_source=scan_source, skip_head_covered=True
         )
         report["refresh_grouped_ndv"] = (
             None if rep is None else rep["partials_computed"]

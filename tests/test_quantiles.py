@@ -1539,3 +1539,61 @@ def test_grouped_quantiles_multi_config(spark, tmp_path):
     t = IcebergTable(w.path)
     assert t.grouped_column_quantiles("v", ["src"]) is None
     assert t.grouped_column_quantiles("v", ["seg"]) is not None
+
+
+def test_grouped_quantile_head_gate_is_per_config(spark, tmp_path):
+    """r15 (advisor twin of the theta test): a manual head-covering
+    write of one grouping must not starve the other's gated refresh."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        drop_grouped_quantile_statistics,
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "qpc"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "src", "type": "string", "required": False},
+            {"id": 3, "name": "v", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"seg": f"s{i % 3}", "src": f"w{i % 4}", "v": i}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 200))
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    write_grouped_quantile_statistics(w, spark, ["src"], ["v"])
+    refresh_grouped_quantile_statistics(w, spark)  # bootstrap partials
+    w.append(rows(200, 300))
+    write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+    rep = refresh_grouped_quantile_statistics(
+        w, spark, skip_head_covered=True
+    )
+    assert rep is not None and "configs" not in rep, rep
+    t = IcebergTable(w.path)
+    assert t.grouped_column_quantiles("v", ["src"]) is not None
+    assert (
+        refresh_grouped_quantile_statistics(
+            w, spark, skip_head_covered=True
+        )
+        is None
+    )
+    # drop keeps unreadable entries of other groupings (r15)
+    import os
+
+    seg_path = w.statistics[0]["statistics-path"]
+    os.rename(seg_path, seg_path + ".offline")
+    try:
+        drop_grouped_quantile_statistics(w, ["src"])
+    finally:
+        os.rename(seg_path + ".offline", seg_path)
+    assert any(
+        e["statistics-path"] == seg_path for e in w.statistics
+    ), "unreadable entry must survive a drop of a different grouping"

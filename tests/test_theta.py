@@ -1605,3 +1605,144 @@ def test_grouped_ndv_mixed_derived_and_plain_keys(spark, tmp_path):
         .collect()
     }
     assert got == truth, (got, truth)
+
+
+def test_multi_config_head_gate_is_per_config(spark, tmp_path):
+    """r15 (advisor): a manual head-covering write of ONE grouping
+    must not starve the OTHER grouping's nightly refresh.  After an
+    append, re-writing only the "seg" grouping used to make
+    maintain()/refresh_all_statistics skip the whole family (per-TYPE
+    head gate) — "src" silently stopped refreshing.  The per-config
+    gate refreshes exactly the uncovered grouping."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+    from daskberg_spark.iceberg.writer import refresh_all_statistics
+
+    w = IcebergWriter(
+        str(tmp_path / "pcg"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "src", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+    )
+
+    def rows(lo, hi):
+        return [
+            {"seg": f"s{i % 3}", "src": f"w{i % 4}", "u": i % 29}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 300))
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    write_grouped_theta_statistics(w, spark, ["src"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)  # bootstrap partials
+    # append, then manually re-cover ONLY "seg" at the new head
+    w.append(rows(300, 400))
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    # the per-config gate refreshes exactly the uncovered grouping
+    rep = refresh_grouped_theta_statistics(
+        w, spark, skip_head_covered=True
+    )
+    assert rep is not None and "configs" not in rep, rep
+    assert rep["group_cols"] == ["src"], rep
+    t = IcebergTable(w.path)
+    got = {
+        r["src"]: r.ndv for r in t.ndv_groupby(spark, "u", ["src"]).collect()
+    }
+    assert t.last_ndv_groupby["route"] == "stats"
+    truth = {
+        r["src"]: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("src")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got == truth, (got, truth)
+    # steady state: everything covered, the gated refresh is a no-op
+    assert (
+        refresh_grouped_theta_statistics(w, spark, skip_head_covered=True)
+        is None
+    )
+    # and the full stats-only entry point agrees end to end: another
+    # append + manual "src"-only cover, then refresh_all_statistics
+    # catches "seg" up (the r14 per-type gate returned None here)
+    w.append(rows(400, 450))
+    write_grouped_theta_statistics(w, spark, ["src"], ["u"])
+    report = refresh_all_statistics(w, spark)
+    assert report["refresh_grouped_ndv"] is not None, report
+    t = IcebergTable(w.path)
+    got = {
+        r["seg"]: r.ndv for r in t.ndv_groupby(spark, "u", ["seg"]).collect()
+    }
+    assert t.last_ndv_groupby["route"] == "stats"
+    truth = {
+        r["seg"]: r.ndv
+        for r in t.to_df(spark)
+        .groupBy("seg")
+        .agg(F.count_distinct("u").alias("ndv"))
+        .collect()
+    }
+    assert got == truth, (got, truth)
+
+
+def test_drop_grouped_statistics_keeps_unreadable_entries(spark, tmp_path):
+    """r15 (advisor): a transient read error on a DIFFERENT grouping's
+    blob must not delete it during drop_grouped_theta_statistics —
+    unreadable entries are kept unless drop_unreadable=True."""
+    import os
+
+    from daskberg_spark.iceberg.theta import (
+        drop_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "dru"),
+        [
+            {"id": 1, "name": "seg", "type": "string", "required": False},
+            {"id": 2, "name": "src", "type": "string", "required": False},
+            {"id": 3, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append(
+        [
+            {"seg": f"s{i % 3}", "src": f"w{i % 4}", "u": i}
+            for i in range(50)
+        ]
+    )
+    write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+    write_grouped_theta_statistics(w, spark, ["src"], ["u"])
+    # simulate a transient IO failure on the "seg" grouping's blob
+    seg_path = next(
+        e["statistics-path"]
+        for e in w.statistics
+        if "grouped" in str(e.get("blob-metadata"))
+    )
+    os.rename(seg_path, seg_path + ".offline")
+    try:
+        dropped = drop_grouped_theta_statistics(w, ["src"])
+    finally:
+        os.rename(seg_path + ".offline", seg_path)
+    # the readable "src" entry dropped; the unreadable one survived
+    assert dropped == 1, dropped
+    assert any(
+        e["statistics-path"] == seg_path for e in w.statistics
+    ), "unreadable entry must survive a drop of a different grouping"
+    # explicit corrupt-sweep still works
+    os.rename(seg_path, seg_path + ".offline")
+    try:
+        dropped = drop_grouped_theta_statistics(
+            w, ["seg"], drop_unreadable=True
+        )
+    finally:
+        os.rename(seg_path + ".offline", seg_path)
+    assert dropped == 1, dropped
