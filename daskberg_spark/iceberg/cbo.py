@@ -621,16 +621,23 @@ def auto_join(
     - above that: the plain shuffle join (a prefilter whose build side
       rivals the fact is pure overhead).
 
-    All three strategies are result-identical for inner/semi joins (the
-    only ones accepted); the choice costs one metadata estimate.  The
-    decision is recorded as ``fact.last_join_strategy``."""
+    All three strategies are result-identical for inner/semi joins;
+    LEFT OUTER (r15 — the flavor curation enrich joins use) is also
+    accepted but routes ONLY through the fact-preserving strategies
+    (salted/plain shuffle): key-pruning and Bloom prefilters drop
+    fact rows a left join must keep.  Anything else is refused.  The
+    choice costs one metadata estimate and is recorded as
+    ``fact.last_join_strategy``."""
     import daskberg_spark.iceberg.scan as _scan
 
-    if how not in ("inner", "semi", "left_semi", "leftsemi"):
-        raise ValueError("auto_join is sound for inner/semi joins only")
+    left = how in _SALTED_LEFT
+    if not left and how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            "auto_join is sound for inner/semi/left joins only"
+        )
     est = estimated_rows(dim.table, dim.filters)
     dim_df = dim.table.to_df(spark, filters=dim.filters)
-    if est <= max_keys:
+    if not left and est <= max_keys:
         strategy = "key-prune"
         out = _scan.join_pruned_df(
             fact,
@@ -644,7 +651,7 @@ def auto_join(
         )
     else:
         fact_df = fact.to_df(spark, filters=fact_filters)
-        if est <= bloom_max_rows:
+        if not left and est <= bloom_max_rows:
             from daskberg_spark.operators.bloomjoin import bloom_join
 
             strategy = "bloom-prefilter"
@@ -659,7 +666,9 @@ def auto_join(
             hot = skewed_join_keys(fact, dim.fact_key)
             if hot:
                 strategy = "salted-shuffle"
+                widths = skewed_join_widths(spark, fact, dim.fact_key)
                 fact.last_skewed_keys = hot  # type: ignore[attr-defined]
+                fact.last_skew_widths = widths  # type: ignore[attr-defined]
                 out = salted_join(
                     spark,
                     fact_df,
@@ -668,6 +677,7 @@ def auto_join(
                     dim.dim_key,
                     hot,
                     how=how,
+                    widths=widths,
                 )
             else:
                 strategy = "shuffle"
@@ -725,6 +735,7 @@ def cbo_join(
                     d.dim_key,
                     hot,
                     fact_key_col=fact_df[d.fact_key],
+                    widths=skewed_join_widths(spark, fact, d.fact_key),
                 )
                 continue
         out = out.join(
@@ -733,21 +744,21 @@ def cbo_join(
     return out
 
 
-def skewed_join_keys(
+def _skewed_census(
     table: IcebergTable,
     key: str,
     skew_fraction: float = 0.2,
     max_keys: int = 16,
-) -> list | None:
-    """Join keys whose EXACT census share exceeds ``skew_fraction``,
-    read from a CURRENT-snapshot grouped quantile blob keyed on
-    ``[key]`` — the same per-group row censuses that power the
-    skew-exact equality estimate (``_grouped_rows_eq_count``).  None
-    when no census blob applies (caller then relies on AQE skew
-    detection alone).  At most ``max_keys`` are returned (a key list
-    is a broadcast literal — it must stay tiny); NULL keys never
-    flag (joins drop them).  Metadata-only; estimates-grade: a stale
-    census only mis-chooses the salting, never the result (r14)."""
+) -> tuple[dict, float] | None:
+    """``({hot_key: exact_rows}, total_rows)`` for join keys whose
+    census share exceeds ``skew_fraction``, read from a
+    CURRENT-snapshot grouped quantile blob keyed on ``[key]`` — the
+    per-group row censuses that power the skew-exact equality
+    estimate.  None when no census blob applies.  At most
+    ``max_keys`` keys (the list becomes a broadcast literal); NULL
+    keys never flag (joins drop them).  Metadata-only;
+    estimates-grade: a stale census only mis-chooses the salting,
+    never the result (r14)."""
     import json as _json
 
     try:
@@ -785,15 +796,69 @@ def skewed_join_keys(
                     ),
                     reverse=True,
                 )
-                out = [
-                    decode_group_value(k, ktype)
+                out = {
+                    decode_group_value(k, ktype): rows
                     for rows, k in hot[:max_keys]
                     if rows / total >= skew_fraction
-                ]
-                return out or None
+                }
+                return (out, total) if out else None
     except Exception:
         return None
     return None
+
+
+def skewed_join_keys(
+    table: IcebergTable,
+    key: str,
+    skew_fraction: float = 0.2,
+    max_keys: int = 16,
+) -> list | None:
+    """The census-flagged hot join keys alone — see
+    ``_skewed_census`` for semantics."""
+    census = _skewed_census(table, key, skew_fraction, max_keys)
+    return list(census[0]) if census else None
+
+
+def skewed_join_widths(
+    spark: SparkSession,
+    table: IcebergTable,
+    key: str,
+    skew_fraction: float = 0.2,
+    max_keys: int = 16,
+    max_salt: int | None = None,
+) -> dict | None:
+    """Census-PROPORTIONAL salt widths (r15): the census knows each
+    hot key's exact row count, so its partition splits as wide as its
+    weight demands — ``ceil(key_rows / target)`` where target is the
+    average shuffle-partition load (``total / shuffle.partitions``),
+    clamped to [2, shuffle.partitions].  A 50%-of-table key splits to
+    ~half the partitions; a barely-over-threshold key splits 2-ways
+    instead of a fixed 8 (dim replication is per-copy cost — width
+    should be earned).  None when no census applies."""
+    import math
+
+    census = _skewed_census(table, key, skew_fraction, max_keys)
+    if not census:
+        return None
+    hot, total = census
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        parts = 200
+    parts = max(2, parts)
+    if max_salt is None:
+        max_salt = parts
+    target = max(1.0, total / parts)
+    return {
+        k: max(2, min(int(max_salt), math.ceil(rows / target)))
+        for k, rows in hot.items()
+    }
+
+
+_SALTED_SEMI = ("semi", "left_semi", "leftsemi")
+_SALTED_ANTI = ("anti", "left_anti", "leftanti")
+_SALTED_LEFT = ("left", "left_outer", "leftouter")
+_SALTED_JOIN_HOWS = ("inner",) + _SALTED_SEMI + _SALTED_ANTI + _SALTED_LEFT
 
 
 def salted_join(
@@ -806,38 +871,54 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
     fact_key_col: Any = None,
+    widths: dict | None = None,
 ) -> Any:
     """Split-and-salt equi-join for census-flagged hot keys (r14):
-    fact rows carrying a skewed key draw a uniform salt in [0, salt)
-    and the dim replicates each skewed key ``salt`` ways, so the hot
-    key's shuffle partition splits ``salt`` ways instead of landing on
-    one reducer; every other row keeps salt 0 with a single dim copy.
-    Result-identical to the plain join for inner/semi (every fact row
-    still meets exactly one matching dim copy); complements AQE's
-    runtime skew split by fixing the partitioning BEFORE the first
-    lopsided exchange materializes."""
-    keys_lit = [F.lit(k) for k in skewed_keys]
+    fact rows carrying a skewed key draw a uniform salt in [0, width)
+    and the dim replicates that key ``width`` ways, so the hot key's
+    shuffle partition splits ``width`` ways instead of landing on one
+    reducer; every other row keeps salt 0 with a single dim copy.
+    ``widths`` (r15, from ``skewed_join_widths``) sizes each key's
+    split to its census weight; absent, every skewed key uses the
+    uniform ``salt``.
+
+    Result-identical to the plain join ONLY for fact-preserving
+    flavors — inner, left semi/anti, and left outer (every fact row
+    meets exactly one copy of each matching dim key, and an unmatched
+    fact row null-extends exactly once because NO copy matches it).
+    A right or full outer join would emit the replicated dim copies
+    of unmatched skewed keys as duplicate null-extended rows, so
+    those flavors are REFUSED here rather than silently corrupted
+    (r14 verdict nit).  Complements AQE's runtime skew split by
+    fixing the partitioning BEFORE the first lopsided exchange
+    materializes."""
+    if how not in _SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted_join is result-identical only for fact-preserving "
+            f"joins {sorted(set(_SALTED_JOIN_HOWS))} — not {how!r}"
+        )
+    w = {k: int(widths.get(k, salt)) if widths else int(salt)
+         for k in skewed_keys}
     # an explicit fact-key Column supports mid-chain star use, where
     # the running join output may already carry a same-named dim
     # column (expression-id resolution, like cbo_join's joins)
     kcol = fact_key_col if fact_key_col is not None else F.col(fact_key)
-    fact_salted = fact_df.withColumn(
-        "__fsalt",
-        F.when(
-            kcol.isin(*keys_lit),
+    fsalt = F.when(F.lit(False), F.lit(0))
+    dsalt = F.when(F.lit(False), F.array(F.lit(0)))
+    for k, wk in w.items():
+        fsalt = fsalt.when(
+            kcol == F.lit(k),
             F.pmod(
-                F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+                F.xxhash64(F.monotonically_increasing_id()), F.lit(wk)
             ).cast("int"),
-        ).otherwise(F.lit(0)),
-    )
+        )
+        dsalt = dsalt.when(
+            F.col(dim_key) == F.lit(k),
+            F.sequence(F.lit(0), F.lit(wk - 1)),
+        )
+    fact_salted = fact_df.withColumn("__fsalt", fsalt.otherwise(F.lit(0)))
     dim_salted = dim_df.withColumn(
-        "__dsalt",
-        F.explode(
-            F.when(
-                F.col(dim_key).isin(*keys_lit),
-                F.sequence(F.lit(0), F.lit(salt - 1)),
-            ).otherwise(F.array(F.lit(0)))
-        ),
+        "__dsalt", F.explode(dsalt.otherwise(F.array(F.lit(0))))
     )
     out = fact_salted.join(
         dim_salted,
@@ -845,6 +926,6 @@ def salted_join(
         & (fact_salted["__fsalt"] == dim_salted["__dsalt"]),
         how,
     )
-    if how in ("semi", "left_semi", "leftsemi"):
+    if how in _SALTED_SEMI + _SALTED_ANTI:
         return out.drop("__fsalt")
     return out.drop("__fsalt", "__dsalt")

@@ -973,8 +973,27 @@ def write_grouped_theta_statistics(
         group_cols,
         types,
     )
-    # the max_groups gate rides inside the sketch pass itself (r13
-    # advisor: a separate distinct().count() read the table twice)
+    # the EXACT max_groups gates ride inside the sketch pass (per-task
+    # lower bound + driver re-check after collect; r13 advisor removed
+    # the distinct().count() double-read).  A cheap ADVISORY pre-gate
+    # guards the blow-up case those exact gates can't bound early: with
+    # T tasks of disjoint groups the driver could collect up to
+    # T·max_groups partial rows before the re-check raises (r14
+    # advisor).  approx_count_distinct over the key columns alone is a
+    # column-pruned single-aggregate pass; the 1.25 slack keeps its ~2%
+    # rsd from refusing a legitimately ≤max_groups grouping — anything
+    # past the slack is caught here before building sketches, anything
+    # inside it by the exact gates.
+    from pyspark.sql import functions as F
+
+    est = df.select(
+        F.approx_count_distinct(F.struct(*group_cols)).alias("g")
+    ).first()["g"]
+    if est > max_groups * 1.25:
+        raise ValueError(
+            f"more than {max_groups} distinct {list(group_cols)} tuples — "
+            "grouped sketches must stay metadata-sized"
+        )
     sketches = build_grouped_column_sketches(
         df,
         group_cols,

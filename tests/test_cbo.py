@@ -235,15 +235,18 @@ def test_estimate_no_selectivity_double_count(spark, tmp_path):
 
 
 def test_auto_join_rejects_outer(spark, cbo_tables):
+    # left is accepted since r15 (fact-preserving routing); right and
+    # full stay refused — no strategy can preserve the dim side
     from daskberg_spark.iceberg.cbo import auto_join
 
-    with pytest.raises(ValueError, match="inner/semi"):
-        auto_join(
-            spark,
-            cbo_tables["fact"],
-            JoinDim(cbo_tables["small"], "k_small", "sid"),
-            how="left",
-        )
+    for bad in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/semi/left"):
+            auto_join(
+                spark,
+                cbo_tables["fact"],
+                JoinDim(cbo_tables["small"], "k_small", "sid"),
+                how=bad,
+            )
 
 
 def test_cbo_join_same_named_keys(spark, tmp_path):
@@ -622,3 +625,117 @@ def test_star_join_salts_census_flagged_shuffle_leg(spark, tmp_path):
     plan2 = ft.last_join_plan
     assert set(plan2.broadcasts) == {"d1", "d2"} and plan2.salted == []
     assert out2.count() == 4000
+
+
+def test_salted_join_validates_how_and_left_anti_identity(spark, tmp_path):
+    """r15 (verdict nit + brief): salted_join refuses non-fact-
+    preserving flavors INSIDE the helper, and the newly-supported
+    left/anti flavors are result-identical to the plain join on a
+    skewed fixture — including unmatched skewed keys (the exact case
+    a right/full flavor would corrupt)."""
+    import pytest as _pytest
+
+    from daskberg_spark.iceberg.cbo import salted_join
+
+    fact = spark.createDataFrame(
+        [(7 if i % 3 else 99, i) for i in range(600)], "fk long, amt long"
+    )
+    # dim lacks key 99: unmatched skewed fact rows must null-extend ONCE
+    dim = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(0, 50)], "k long, name string"
+    )
+    for bad in ("right", "full", "right_outer", "full_outer", "cross"):
+        with _pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(spark, fact, dim, "fk", "k", [7, 99], how=bad)
+    for flavor in ("left", "left_anti", "inner"):
+        got = salted_join(
+            spark, fact, dim, "fk", "k", [7, 99], how=flavor
+        )
+        want = fact.join(dim, fact["fk"] == dim["k"], flavor)
+        cols = want.columns
+        assert sorted(got.columns) == sorted(cols), (flavor, got.columns)
+        assert (
+            sorted(map(tuple, got.select(*cols).collect()))
+            == sorted(map(tuple, want.select(*cols).collect()))
+        ), flavor
+
+
+def test_census_proportional_salt_widths(spark, tmp_path):
+    """r15 (brief #5): salt width per key follows the census — a
+    dominant key splits wide (ceil(rows/target) capped at
+    shuffle.partitions), a marginal key splits narrow (floor 2) —
+    and the widened join stays result-identical at both skew
+    levels."""
+    from daskberg_spark.iceberg.cbo import (
+        JoinDim,
+        auto_join,
+        skewed_join_widths,
+    )
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    fact = IcebergWriter(
+        str(tmp_path / "fw"),
+        [
+            {"id": 1, "name": "fk", "type": "long", "required": False},
+            {"id": 2, "name": "amt", "type": "long", "required": False},
+        ],
+    )
+    # key 7: 60% of 5000 rows; key 8: ~22% — both flag at 0.2, with
+    # very different weights
+    def key(i):
+        m = i % 50
+        if m < 30:
+            return 7
+        if m < 41:
+            return 8
+        return m
+    fact.append([{"fk": key(i), "amt": i} for i in range(5000)])
+    write_grouped_quantile_statistics(fact, spark, ["fk"], ["amt"])
+    ft = IcebergTable(fact.path)
+    widths = skewed_join_widths(spark, ft, "fk")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total, r7, r8 = 5000.0, 3000.0, 1100.0
+    import math
+
+    want7 = max(2, min(parts, math.ceil(r7 / (total / parts))))
+    want8 = max(2, min(parts, math.ceil(r8 / (total / parts))))
+    assert widths == {7: want7, 8: want8}, (widths, want7, want8)
+    assert widths[7] > widths[8] >= 2, widths
+    # end-to-end through auto_join's shuffle branch: identical rows
+    dim = IcebergWriter(
+        str(tmp_path / "dw"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "name", "type": "string", "required": False},
+        ],
+    )
+    dim.append([{"k": i, "name": f"n{i}"} for i in range(50)])
+    dt = IcebergTable(dim.path)
+    out = auto_join(
+        spark, ft, JoinDim(dt, "fk", "k"), max_keys=0, bloom_max_rows=0
+    )
+    assert ft.last_join_strategy == "salted-shuffle"
+    assert ft.last_skew_widths == widths
+    fdf, ddf = ft.to_df(spark), dt.to_df(spark)
+    want = fdf.join(ddf, fdf["fk"] == ddf["k"])
+    assert out.count() == 5000
+    got = sorted(map(tuple, out.select("fk", "amt", "k", "name").collect()))
+    exp = sorted(
+        map(tuple, want.select("fk", "amt", "k", "name").collect())
+    )
+    assert got == exp
+    # LEFT flavor routes through the fact-preserving branch only
+    outl = auto_join(
+        spark,
+        ft,
+        JoinDim(dt, "fk", "k"),
+        max_keys=10**9,  # would pick key-prune for inner — must not
+        bloom_max_rows=10**9,
+        how="left",
+    )
+    assert ft.last_join_strategy == "salted-shuffle"
+    assert outl.count() == 5000

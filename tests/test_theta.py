@@ -1746,3 +1746,31 @@ def test_drop_grouped_statistics_keeps_unreadable_entries(spark, tmp_path):
     finally:
         os.rename(seg_path + ".offline", seg_path)
     assert dropped == 1, dropped
+
+
+def test_full_table_write_pregates_before_building(spark, tmp_path, monkeypatch):
+    """r15 (advisor): the full-table grouped write refuses a blown-out
+    grouping BEFORE building/collecting sketches — the exact in-pass
+    gates still bound legit groupings, but a >>max_groups key space
+    must not collect T·max_groups partial rows first.  Asserted by
+    making the sketch builder unreachable."""
+    import daskberg_spark.iceberg.theta as theta
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "pg"),
+        [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    w.append([{"k": i, "u": i % 7} for i in range(4000)])
+
+    def boom(*a, **kw):
+        raise AssertionError("sketch pass ran despite the pre-gate")
+
+    monkeypatch.setattr(theta, "build_grouped_column_sketches", boom)
+    with pytest.raises(ValueError, match="metadata-sized"):
+        theta.write_grouped_theta_statistics(
+            w, spark, ["k"], ["u"], max_groups=100
+        )
