@@ -1,23 +1,27 @@
-"""Derived group keys for grouped statistics (r14).
+"""Derived group keys for grouped statistics (r14) and THE shared
+group-key codec (r15).
 
 Grouped theta/quantile blobs key on raw column values; for event
 tables the grouping a pipeline actually wants is temporal — "distinct
-users per DAY/HOUR" — and a raw ``timestamp`` key usually trips
-``max_groups`` long before it is useful.  This module defines the
-shared spec syntax ``"day(col)"`` / ``"hour(col)"``: the writers
-compute the derived key (codegen ``to_date`` / ``date_trunc``) under
-the SPEC STRING as its column name (PySpark column names may contain
-parentheses), the blob payload stores the spec verbatim in
-``group_cols``, and every consumer (``ndv_groupby``,
+users per DAY/HOUR", monthly/yearly rollup horizons — and a raw
+``timestamp`` key usually trips ``max_groups`` long before it is
+useful.  This module defines the shared spec syntax ``"year(col)"`` /
+``"month(col)"`` / ``"day(col)"`` / ``"hour(col)"``: the writers
+compute the derived key (codegen ``to_date`` / ``trunc`` /
+``date_trunc``) under the SPEC STRING as its column name (PySpark
+column names may contain parentheses), the blob payload stores the
+spec verbatim in ``group_cols``, and every consumer (``ndv_groupby``,
 ``percentile_groupby``, the refresh planners) matches on the same
 string — a derived key behaves exactly like a column from the blob's
 point of view.
 
-``day(col)`` yields a DATE key (ISO string in the payload — the
-convention plain date keys already use); ``hour(col)`` yields a
-TIMESTAMP truncated to the hour (ISO micros string in the payload —
-the r14 timestamp-key codec).  Base columns may be ``timestamp`` /
-``timestamptz`` or ``date`` (``day`` only).
+``day/month/year(col)`` yield DATE keys (the date / first of month /
+Jan 1; ISO strings in the payload — the convention plain date keys
+already use); ``hour(col)`` yields a TIMESTAMP truncated to the hour,
+preserving the base's tz semantics.  Base columns may be
+``timestamp`` / ``timestamptz`` or ``date`` (``hour`` needs a
+timestamp).  ``encode_group_value`` / ``decode_group_value`` below
+are the ONE key codec both statistics families use.
 """
 
 from __future__ import annotations
@@ -26,7 +30,7 @@ import datetime
 import re
 from typing import Any
 
-_SPEC_RE = re.compile(r"(day|hour)\((\w+)\)")
+_SPEC_RE = re.compile(r"(year|month|day|hour)\((\w+)\)")
 
 _LTZ_ICE_TYPES = ("timestamptz", "timestampz")
 
@@ -98,16 +102,19 @@ def parse_group_key(
         return None, spec, types.get(spec)
     tr, base = m.group(1), m.group(2)
     bt = types.get(base)
-    if tr == "day" and bt not in _TS_TYPES + ("date",):
+    if tr in ("year", "month", "day") and bt not in _TS_TYPES + ("date",):
         raise ValueError(
-            f"day() group keys need a timestamp/date base — {base!r} "
+            f"{tr}() group keys need a timestamp/date base — {base!r} "
             f"is {bt!r}"
         )
     if tr == "hour" and bt not in _TS_TYPES:
         raise ValueError(
             f"hour() group keys need a timestamp base — {base!r} is {bt!r}"
         )
-    if tr == "day":
+    if tr in ("year", "month", "day"):
+        # DATE-typed results (ISO convention): day(ts) = the date,
+        # month(ts) = its first day, year(ts) = Jan 1 — rollup
+        # horizons share the date key codec end to end (r15)
         return tr, base, "date"
     # hour() preserves the base's timezone semantics: NTZ walls stay
     # NTZ, instants stay instants (r15 — the codec relies on this)
@@ -139,6 +146,8 @@ def apply_group_keys(df: Any, specs: list[str], types: dict[str, str]):
         tr, base, rt = parse_group_key(s, types)
         if tr == "day":
             df = df.withColumn(s, F.to_date(F.col(base)))
+        elif tr in ("month", "year"):
+            df = df.withColumn(s, F.trunc(F.to_date(F.col(base)), tr))
         elif tr == "hour":
             e = F.date_trunc("hour", F.col(base).cast("timestamp"))
             if rt == "timestamp":

@@ -50,6 +50,15 @@ from __future__ import annotations
 
 from typing import Any
 
+# default planned-bytes budget for the shared persisted frames (r15):
+# above this, plan_shared_stats_scan skips the persist entirely and
+# every family takes its per-family direct read — the one-scan win
+# where it fits, a loud, correct degrade where a day's ingest would
+# evict hotter executor cache.  64 GiB ~= a large-executor-fleet's
+# comfortable aggregate storage-memory slice; callers size it to the
+# cluster via maintain(stats_cache_budget_bytes=...).
+DEFAULT_CACHE_BUDGET_BYTES = 64 << 30
+
 
 class SharedStatsScan:
     """One persisted raw read (and one persisted delete-aware dirty
@@ -114,6 +123,8 @@ class SharedStatsScan:
         self.raw_fallback = 0
         self.dirty_served = 0
         self.dirty_fallback = 0
+        self.cache = "persisted"
+        self.planned_bytes: int | None = None
 
     def raw_frame(self, scan_files: list[dict], columns):
         """The cached raw frame restricted to ``scan_files`` with at
@@ -163,6 +174,8 @@ class SharedStatsScan:
             "raw_fallback": self.raw_fallback,
             "dirty_served": self.dirty_served,
             "dirty_fallback": self.dirty_fallback,
+            "cache": self.cache,
+            "planned_bytes": self.planned_bytes,
         }
 
     def unpersist(self) -> None:
@@ -174,13 +187,24 @@ class SharedStatsScan:
                     pass  # session already stopped: nothing to free
 
 
-def plan_shared_stats_scan(writer, spark) -> SharedStatsScan | None:
+def plan_shared_stats_scan(
+    writer,
+    spark,
+    cache_budget_bytes: int = DEFAULT_CACHE_BUDGET_BYTES,
+) -> SharedStatsScan | None:
     """Compose every active family's metadata-only scan plan into one
     SharedStatsScan, or None when no family needs data IO this
     ``maintain()`` (steady state: everything already covered).  Gating
     mirrors ``maintain()``'s per-family opt-in/head-covered checks —
     a drifted gate only over- or under-provisions the cache (builders
-    fall back to direct reads), never changes results."""
+    fall back to direct reads), never changes results.
+
+    ``cache_budget_bytes`` (r15) bounds the persist: when the planned
+    files' total on-disk bytes (a conservative whole-file upper bound
+    on what the columnar read materializes) exceed it, the returned
+    scan serves NOTHING — every builder takes its already-tested
+    per-family direct read — and the census reports
+    ``"cache": "skipped-budget"`` with the planned bytes."""
     from daskberg_spark.iceberg.bloomindex import plan_bloom_refresh_scan
     from daskberg_spark.iceberg.metadata import IcebergTable
     from daskberg_spark.iceberg.quantiles import (
@@ -255,11 +279,29 @@ def plan_shared_stats_scan(writer, spark) -> SharedStatsScan | None:
     raw_files = [
         f for f in files if _norm(f["file_path"]) in raw_paths
     ]
-    return SharedStatsScan(
+    dirty_set = dirty if dirty_cols else set()
+    planned = sum(
+        int(f.get("file_size_in_bytes") or 0) for f in raw_files
+    ) + sum(
+        int(f.get("file_size_in_bytes") or 0)
+        for f in files
+        if f["file_path"] in dirty_set or _norm(f["file_path"]) in dirty_set
+    )
+    if planned > cache_budget_bytes:
+        # over budget: a scan that serves nothing — every builder
+        # falls back to its own direct read (the persist would evict
+        # hotter executor cache at this size), and the census says so
+        scan = SharedStatsScan(t, spark, [], set(), set(), set())
+        scan.cache = "skipped-budget"
+        scan.planned_bytes = planned
+        return scan
+    scan = SharedStatsScan(
         t,
         spark,
         raw_files,
         raw_cols,
-        dirty if dirty_cols else set(),
+        dirty_set,
         dirty_cols,
     )
+    scan.planned_bytes = planned
+    return scan

@@ -6237,6 +6237,7 @@ def maintain(
     now_ms: int | None = None,
     dry_run: bool = False,
     compact_dead_fraction: float | None = 0.3,
+    stats_cache_budget_bytes: int | None = None,
 ) -> dict[str, Any]:
     """ONE-call table maintenance policy — the nightly job a 100 TB
     table operationally needs, composing the individual actions in
@@ -6367,9 +6368,20 @@ def maintain(
         # difference between reading the day's ingest once and once PER
         # FAMILY (~5x).  Families fall back to direct reads for
         # anything the cache can't serve — never to a wrong answer.
-        from daskberg_spark.iceberg.onepass import plan_shared_stats_scan
+        from daskberg_spark.iceberg.onepass import (
+            DEFAULT_CACHE_BUDGET_BYTES,
+            plan_shared_stats_scan,
+        )
 
-        scan_source = plan_shared_stats_scan(writer, spark)
+        scan_source = plan_shared_stats_scan(
+            writer,
+            spark,
+            cache_budget_bytes=(
+                DEFAULT_CACHE_BUDGET_BYTES
+                if stats_cache_budget_bytes is None
+                else stats_cache_budget_bytes
+            ),
+        )
         try:
             _maintain_statistics(writer, spark, report, scan_source)
         finally:
@@ -6393,7 +6405,9 @@ def maintain(
 
 
 def refresh_all_statistics(
-    writer: "IcebergWriter", spark: Any
+    writer: "IcebergWriter",
+    spark: Any,
+    stats_cache_budget_bytes: int | None = None,
 ) -> dict[str, Any]:
     """Every statistics family's catch-up in ONE call with ONE shared
     scan (r14) — the stats-only slice of ``maintain()`` for pipelines
@@ -6403,10 +6417,21 @@ def refresh_all_statistics(
     so the call is idempotent: a second run performs zero data IO.
     Returns the per-family report incl. the ``stats_scan`` IO census
     (raw/dirty files read once total, served/fallback counts)."""
-    from daskberg_spark.iceberg.onepass import plan_shared_stats_scan
+    from daskberg_spark.iceberg.onepass import (
+        DEFAULT_CACHE_BUDGET_BYTES,
+        plan_shared_stats_scan,
+    )
 
     report: dict[str, Any] = {}
-    scan_source = plan_shared_stats_scan(writer, spark)
+    scan_source = plan_shared_stats_scan(
+        writer,
+        spark,
+        cache_budget_bytes=(
+            DEFAULT_CACHE_BUDGET_BYTES
+            if stats_cache_budget_bytes is None
+            else stats_cache_budget_bytes
+        ),
+    )
     try:
         _maintain_statistics(writer, spark, report, scan_source)
     finally:

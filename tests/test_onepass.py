@@ -362,3 +362,65 @@ def test_refresh_all_statistics_randomized_differential(spark, tmp_path):
         assert grows == rtruth, (step, action)
         live = {_norm(f["file_path"]) for f in t.plan_files(None)}
         assert live <= set(column_filesums(t, "v") or {}), (step, action)
+
+
+def test_cache_budget_zero_skips_persist_not_results(spark, tmp_path):
+    """r15 (brief #3): with ``stats_cache_budget_bytes=0`` the shared
+    scan serves NOTHING — zero servings, every family on its direct
+    read — the census says ``skipped-budget`` with the planned bytes,
+    and the published blobs are IDENTICAL to an unbudgeted run on the
+    same table state."""
+    import copy
+
+    from daskberg_spark.iceberg.writer import refresh_all_statistics
+
+    def blob_fingerprint(w):
+        """(type, fields, blob bytes) for every entry, with the
+        table-specific path spellings (tmp dir + write uuid) rewritten
+        to stable ids so two independently-written tables compare."""
+        from daskberg_spark.iceberg.metadata import IcebergTable
+        from daskberg_spark.iceberg.puffin import read_blob
+
+        t = IcebergTable(w.path)
+        data_files, _ = t.scan_all()
+        norm = {
+            path.encode(): b"file%d" % i
+            for i, path in enumerate(sorted(data_files))
+        }
+        out = []
+        for e in sorted(
+            w.statistics, key=lambda e: str(e["statistics-path"])
+        ):
+            for b in e.get("blob-metadata", []):
+                blob = read_blob(t._relocate(e["statistics-path"]), b)
+                for raw, stable in norm.items():
+                    blob = blob.replace(raw, stable)
+                out.append((b.get("type"), tuple(b.get("fields") or ()), blob))
+        return sorted(out)
+
+    # two identical tables, refreshed with and without the budget
+    wa, rows_a = _all_families_table(spark, tmp_path / "a")
+    wb, rows_b = _all_families_table(spark, tmp_path / "b")
+    for w, rows in ((wa, rows_a), (wb, rows_b)):
+        w.delete_rows_equality([{"u": i} for i in range(5)])
+        w.append(rows(300, 420))
+    rep_a = refresh_all_statistics(wa, spark)  # default budget: persisted
+    rep_b = refresh_all_statistics(
+        wb, spark, stats_cache_budget_bytes=0
+    )
+    assert rep_a["stats_scan"]["cache"] == "persisted", rep_a["stats_scan"]
+    sb = rep_b["stats_scan"]
+    assert sb["cache"] == "skipped-budget", sb
+    assert sb["planned_bytes"] > 0, sb
+    assert sb["raw_served"] == 0 and sb["dirty_served"] == 0, sb
+    assert sb["raw_fallback"] > 0, sb
+    # every family still refreshed, bit-identically
+    fa = blob_fingerprint(wa)
+    fb = blob_fingerprint(wb)
+    assert fa == fb, (
+        [t for t, _f, _b in fa],
+        [t for t, _f, _b in fb],
+    )
+    # steady state stays a no-op under a budget too
+    rep2 = refresh_all_statistics(wb, spark, stats_cache_budget_bytes=0)
+    assert rep2["stats_scan"] is None, rep2["stats_scan"]

@@ -1774,3 +1774,95 @@ def test_full_table_write_pregates_before_building(spark, tmp_path, monkeypatch)
         theta.write_grouped_theta_statistics(
             w, spark, ["k"], ["u"], max_groups=100
         )
+
+
+def test_grouped_ndv_month_year_keys(spark, tmp_path):
+    """r15 (brief #6): month()/year() rollup-horizon group keys — the
+    same spec machinery as day(), DATE-typed results (first of month /
+    Jan 1, ISO convention).  Lifecycle: refresh stays O(new files)
+    (hard-asserted), stats route equals COUNT(DISTINCT) bit-for-bit,
+    and percentile_groupby round-trips the same keys on the quantile
+    family."""
+    import daskberg_spark.iceberg.agg  # noqa: F401  (attaches)
+    from pyspark.sql import functions as F
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import (
+        refresh_grouped_quantile_statistics,
+        write_grouped_quantile_statistics,
+    )
+    from daskberg_spark.iceberg.theta import (
+        refresh_grouped_theta_statistics,
+        write_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.writer import IcebergWriter
+
+    w = IcebergWriter(
+        str(tmp_path / "my"),
+        [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "u", "type": "long", "required": False},
+        ],
+    )
+    base = dt.datetime(2023, 11, 20)
+
+    def rows(lo, hi):
+        return [
+            {"ts": base + dt.timedelta(days=(i * 13) % 400, hours=i % 24),
+             "u": (i * 7) % 53}
+            for i in range(lo, hi)
+        ]
+
+    w.append(rows(0, 600))
+    w.append(rows(600, 1000))
+    write_grouped_theta_statistics(w, spark, ["month(ts)"], ["u"])
+    write_grouped_theta_statistics(w, spark, ["year(ts)"], ["u"])
+    write_grouped_quantile_statistics(w, spark, ["year(ts)"], ["u"])
+    refresh_grouped_theta_statistics(w, spark)
+    refresh_grouped_quantile_statistics(w, spark)
+    # append ONE file: each grouping partial-scans only it
+    w.append(rows(1000, 1200))
+    rep = refresh_grouped_theta_statistics(w, spark)
+    assert {tuple(r["group_cols"]) for r in rep["configs"]} == {
+        ("month(ts)",),
+        ("year(ts)",),
+    }, rep
+    assert all(r["partials_computed"] == 1 for r in rep["configs"]), rep
+    qrep = refresh_grouped_quantile_statistics(w, spark)
+    assert qrep["partials_computed"] == 1, qrep
+
+    t = IcebergTable(w.path)
+    for spec, trunc in (("month(ts)", "month"), ("year(ts)", "year")):
+        out = t.ndv_groupby(spark, "u", [spec])
+        assert t.last_ndv_groupby["route"] == "stats", (spec, t.last_ndv_groupby)
+        assert t.last_scan["files_scanned"] == 0
+        got = {r[spec]: r["ndv"] for r in out.collect()}
+        assert all(isinstance(k, dt.date) for k in got), got
+        truth = {
+            r["g"]: r["ndv"]
+            for r in t.to_df(spark)
+            .groupBy(F.trunc(F.to_date("ts"), trunc).alias("g"))
+            .agg(F.count_distinct("u").alias("ndv"))
+            .collect()
+        }
+        assert got == truth, (spec, got, truth)
+    # quantile family: per-year p50 from the blob, decode round-trip
+    out = t.percentile_groupby(
+        spark, [("u", 0.5, "p50")], ["year(ts)"]
+    )
+    assert t.last_percentile_groupby["route"] == "stats"
+    got = {r["year(ts)"]: r["p50"] for r in out.collect()}
+    assert all(isinstance(k, dt.date) for k in got), got
+    truth = {
+        r["g"]: r["p50"]
+        for r in t.to_df(spark)
+        .groupBy(F.trunc(F.to_date("ts"), "year").alias("g"))
+        .agg(
+            F.expr("percentile(u, 0.5)").cast("long").alias("p50")
+        )
+        .collect()
+    }
+    assert set(got) == set(truth), (got, truth)
+    # over non-temporal bases the specs refuse loudly
+    with pytest.raises(ValueError, match="timestamp/date base"):
+        write_grouped_theta_statistics(w, spark, ["month(u)"], ["u"])
