@@ -362,6 +362,13 @@ AUDIT = {
     # r14 multi-config grouped NDV: both groupings' answers come from
     # their blobs — two literal relations unioned, zero exchanges
     "iceberg_ndv_multi_grouping": (0, False, False, None),
+    # r15 salted STAR leg: the metadata-large big dim leg shuffles on
+    # (key, salt) — census-flagged hot key split in the plan, salt
+    # columns hard-asserted inside the query — while the 3-row small
+    # dim broadcasts.  Bound covers the salted join's two shuffle
+    # sides + the final agg exchange; AQE may collapse the dim side
+    # to a runtime broadcast at audit scale.
+    "iceberg_cbo_salted_star": (3, False, True, None),
 }
 
 # Aggregates whose per-group state grows with the data (they buffer every
