@@ -662,7 +662,8 @@ def _read_with_deletes(
                 )
             )
         else:
-            src = spark.createDataFrame(
+            src = _driver_rows_df(
+                spark,
                 [
                     (
                         _norm_scan_path(d["referenced_data_file"]),
@@ -747,6 +748,46 @@ DV_DRIVER_DECODE_MAX_BYTES = 64 << 10
 # snapshot-scan takes the join path, whose build side is O(#files) —
 # the same order the scan plan itself already holds.
 _MAP_LITERAL_MAX_ENTRIES = 8192
+
+# Driver-row frames at or under this row count build as a pure-JVM
+# literal relation (inline(array(struct(...))) over range(1)) instead of
+# spark.createDataFrame, which ships a driver list through Python
+# workers as a defaultParallelism-sliced RDD (32 near-empty Python
+# tasks + applySchemaToPythonRDD, a fixed ~0.2-0.5 s per ACTION that
+# executes the frame).  These frames are planning-state-sized (decode
+# task lists, path maps) — the bound keeps the literal expression
+# codegen-safe; larger frames take the createDataFrame path whose cost
+# amortizes.
+_LITERAL_ROWS_MAX = 256
+
+
+def _driver_rows_df(spark: SparkSession, rows: list[tuple], struct) -> DataFrame:
+    """Small driver-side row list as a DataFrame: JVM literal relation
+    when at or under ``_LITERAL_ROWS_MAX`` rows (zero Python stages,
+    one partition), else ``spark.createDataFrame``.  Result-identical
+    either way (same values, same declared types)."""
+    if not rows or len(rows) > _LITERAL_ROWS_MAX:
+        return spark.createDataFrame(rows, struct)
+    try:
+        st = (
+            T._parse_datatype_string(struct)
+            if isinstance(struct, str)
+            else struct
+        )
+        structs = [
+            F.struct(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for v, f in zip(r, st.fields)
+                ]
+            )
+            for r in rows
+        ]
+        return spark.range(1).select(F.inline(F.array(*structs)))
+    except Exception:
+        # a value F.lit can't express (exotic nested types) — take the
+        # general path; correctness never depends on the literal form
+        return spark.createDataFrame(rows, struct)
 
 
 def _norm_scan_path(p: str) -> str:
@@ -1030,7 +1071,8 @@ def _python_file_scan(
     else:
         tasks = [(p, 0, 2**62, -1) for p in items]
 
-    df_paths = spark.createDataFrame(
+    df_paths = _driver_rows_df(
+        spark,
         tasks,
         T.StructType(
             [
@@ -1494,7 +1536,7 @@ def join_pruned_df(
     dim_key = dim_key or fact_key
     dim_schema = dim_df.schema
     dim_rows = dim_df.collect()
-    dim_df = spark.createDataFrame(dim_rows, dim_schema)
+    dim_df = _driver_rows_df(spark, dim_rows, dim_schema)
     keys = sorted(
         {row[dim_key] for row in dim_rows if row[dim_key] is not None}
     )
@@ -2548,7 +2590,8 @@ def position_deletes_df(table: IcebergTable, spark: SparkSession) -> DataFrame:
             )
             frames.append(spark.createDataFrame(pdf, schema))
         else:
-            src = spark.createDataFrame(
+            src = _driver_rows_df(
+                spark,
                 [
                     (
                         _norm_scan_path(d["referenced_data_file"]),

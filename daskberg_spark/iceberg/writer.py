@@ -3224,7 +3224,11 @@ def add_files_spark(
                 columns=["path", "num_rows", "size", "bounds", "nulls", "nans"],
             )
 
-    df = spark.createDataFrame([(p,) for p in sorted(paths)], "path string")
+    from daskberg_spark.iceberg.scan import _driver_rows_df
+
+    df = _driver_rows_df(
+        spark, [(p,) for p in sorted(paths)], "path string"
+    )
     n_part = max(1, min(len(paths) // 32 + 1, 256))
     stats_rows = (
         df.repartition(n_part)
@@ -7053,7 +7057,11 @@ def compact_files_spark(
     # and the hive write; the footer lift ignores them)
     tagged = t.to_df(spark, keep_file=True, row_lineage=True)
     # __file carries the scan's scheme-stripped path; match it the same way
-    small_df = spark.createDataFrame([(p,) for p in small], "__file string")
+    from daskberg_spark.iceberg.scan import _driver_rows_df
+
+    small_df = _driver_rows_df(
+        spark, [(p,) for p in small], "__file string"
+    )
     rows = tagged.join(small_df, "__file", "left_semi").drop("__file")
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")

@@ -14,6 +14,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _fast_scratch_dir() -> str | None:
+    """Fastest available scratch base for Spark local dirs (shuffle
+    files, block-manager spill) and the engine's temp table fixtures.
+
+    Shuffle and spill files are pure scratch: they never need to
+    survive a crash, so they belong on the fastest local storage the
+    host offers (guide §2.1/§6 — shuffle cost is disk+network bound).
+    On the sandbox runners the root disk sustains ~5 MB/s writes while
+    ``/dev/shm`` is RAM-backed; leaving scratch on the slow disk adds
+    multi-second writeback stalls to every shuffle-bearing query
+    (measured: 256 MB write+fsync 49.7 s on disk vs 0.43 s on tmpfs).
+    A cluster deployment sets ``SPARK_GRAFT_LOCAL_DIR`` to its NVMe
+    array (comma-separated dirs work too); tmpfs is only auto-picked
+    when nothing is configured and ``/dev/shm`` is present+writable —
+    and sized RAM is the operator's call, exactly like
+    ``spark.local.dir`` on any real deployment.
+
+    Resolution order: ``SPARK_GRAFT_LOCAL_DIR`` (empty string
+    disables), pre-set ``SPARK_LOCAL_DIRS`` (Spark's own env wins — we
+    add nothing), else ``/dev/shm/daskberg-scratch`` when writable,
+    else None (Spark default, java.io.tmpdir)."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    cand = "/dev/shm"
+    if os.path.isdir(cand) and os.access(cand, os.W_OK):
+        d = os.path.join(cand, "daskberg-scratch")
+        try:
+            os.makedirs(d, exist_ok=True)
+        except OSError:
+            return None
+        return d
+    return None
+
+
 def get_spark(app_name: str = "daskberg_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -66,6 +103,28 @@ def get_spark(app_name: str = "daskberg_spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    scratch = _fast_scratch_dir()
+    if scratch:
+        # shuffle/spill/block-manager scratch on the fastest local
+        # storage (see _fast_scratch_dir); only effective before the
+        # JVM starts — getOrCreate on a live session ignores it, which
+        # is fine: the live session already chose its dirs.
+        builder = builder.config("spark.local.dir", scratch)
+        # temp TABLE fixtures (tempfile.mkdtemp throughout the iceberg
+        # operators) are scratch of the same kind: they are rebuilt
+        # from the parquet inputs on every invocation and never
+        # outlive the process.  Steer tempfile at the scratch base
+        # unless the caller pinned TMPDIR explicitly.
+        if not os.environ.get("TMPDIR"):
+            import tempfile as _tempfile
+
+            tmp = os.path.join(scratch, "tmp")
+            try:
+                os.makedirs(tmp, exist_ok=True)
+                os.environ["TMPDIR"] = tmp
+                _tempfile.tempdir = tmp
+            except OSError:
+                pass
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
