@@ -204,8 +204,12 @@ def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = docs.select(
         "doc_id", F.explode(chunks).alias("h")
     ).localCheckpoint()
-    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("docs"))
-    dup = F.when(F.col("docs") >= 2, 1).otherwise(0)
+    # ">= 2 distinct documents share the chunk" ⟺ min(doc_id) !=
+    # max(doc_id) — a plain min/max aggregate, no keyed-distinct phase
+    freq = ch.groupBy("h").agg(
+        F.min("doc_id").alias("mn_doc"), F.max("doc_id").alias("mx_doc")
+    )
+    dup = F.when(F.col("mn_doc") != F.col("mx_doc"), 1).otherwise(0)
     return (
         ch.join(freq, "h")
         .groupBy("doc_id")

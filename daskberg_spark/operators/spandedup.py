@@ -163,10 +163,14 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines."""
     docs = table(spark, sf_dir, "documents")
     occ = gram_occurrences(docs)
+    # "gram appears in >= 2 distinct documents" ⟺ min(doc_id) !=
+    # max(doc_id): a plain min/max aggregate instead of COUNT DISTINCT,
+    # which plans as a second keyed-distinct aggregate phase (extra
+    # exchange + dedup pass over every (gram, doc_id) pair)
     dup = (
         occ.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("gram")
     )
     spans = _merged_spans(
@@ -245,13 +249,15 @@ def span_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound the raw ``text`` value already imposes).  No UDFs."""
     docs = table(spark, sf_dir, "documents")
     occ = gram_occurrences(docs)
+    # min != max ⟺ >= 2 distinct owners (see span_dedup_stats): the
+    # COUNT DISTINCT rung and its extra aggregate phase drop out
     own = (
         occ.groupBy("gram")
         .agg(
             F.min("doc_id").alias("own"),
-            F.count_distinct("doc_id").alias("nd"),
+            F.max("doc_id").alias("mx"),
         )
-        .filter(F.col("nd") >= 2)
+        .filter(F.col("own") != F.col("mx"))
         .select("gram", "own")
     )
     nc = (

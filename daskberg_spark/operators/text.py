@@ -597,10 +597,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = inv.filter(F.col("doc_id") >= BENCHMARK_DOCS)
+    # shingle_arrays applies array_distinct, so (doc_id, s) pairs are
+    # already unique and the semi-join keeps each at most once:
+    # COUNT(s) == COUNT(DISTINCT s) per document — the plain count
+    # skips the keyed-distinct aggregate phase (one exchange + dedup
+    # pass over every surviving pair)
     return (
         corpus.join(F.broadcast(bench), corpus.s == bench.bs, "left_semi")
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        .agg(F.count("s").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 3)
     )
 
@@ -787,10 +792,14 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs as."""
     docs = table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
+    # text rides along for the row-local scalar leg below — the former
+    # ``docs.join(base, "doc_id")`` self-join existed only to reattach
+    # it (an exchange per side for a column the scan already had)
     base = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("total_chars"),
         toks.alias("toks"),
+        "text",
     ).filter(F.size("toks") > 0)
     # posexplode the TOKEN ARRAY (an attribute, not a computed array):
     # `explode(transform(sequence(...), ...))` lets Catalyst collapse
@@ -802,34 +811,56 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = base.select(
         "doc_id", "toks", F.posexplode("toks").alias("i", "_t")
     )
-    btop = (
-        pos.where(F.col("i") >= 1)
-        .select(
-            "doc_id",
-            F.expr("concat(toks[i - 1], ' ', toks[i])").alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max(F.col("c") * F.length("g")).alias("top2_chars"))
-    )
-    fdup = (
-        pos.where(F.col("i") >= 4)
-        # 5-gram ENDING at 0-based i = 1-based slice start i - 3
-        .select(
-            "doc_id",
-            F.expr("array_join(slice(toks, i - 3, 5), ' ')").alias("g"),
-        )
-        .groupBy("doc_id", "g")
+    # BOTH gram legs in ONE pass (r15): each position emits its bigram
+    # (i >= 1) and its ending 5-gram (i >= 4) as (width, gram) structs —
+    # positions below a leg's width contribute a NULL gram the filter
+    # drops — then one (doc_id, w, g) count and one doc_id aggregate
+    # compute both metrics conditionally on w.  Identical values to the
+    # former two independent explode → two-level-agg chains, at half
+    # the generate/aggregate work and one join fewer downstream.
+    grams = pos.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit(2).alias("w"),
+                        F.when(
+                            F.col("i") >= 1,
+                            F.expr("concat(toks[i - 1], ' ', toks[i])"),
+                        ).alias("g"),
+                    ),
+                    F.struct(
+                        F.lit(5).alias("w"),
+                        # 5-gram ENDING at 0-based i = 1-based slice
+                        # start i - 3
+                        F.when(
+                            F.col("i") >= 4,
+                            F.expr("array_join(slice(toks, i - 3, 5), ' ')"),
+                        ).alias("g"),
+                    ),
+                ),
+                lambda x: x["g"].isNotNull(),
+            )
+        ).alias("wg"),
+    ).select("doc_id", F.col("wg.w").alias("w"), F.col("wg.g").alias("g"))
+    gstats = (
+        grams.groupBy("doc_id", "w", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
+            F.max(
+                F.when(F.col("w") == 2, F.col("c") * F.length("g"))
+            ).alias("top2_chars"),
             F.coalesce(
                 F.sum(
-                    F.when(F.col("c") >= 2, F.col("c") * F.length("g"))
+                    F.when(
+                        (F.col("w") == 5) & (F.col("c") >= 2),
+                        F.col("c") * F.length("g"),
+                    )
                 ),
                 F.lit(0),
-            ).alias("dup5_chars")
+            ).alias("dup5_chars"),
         )
     )
     n_words = F.size("toks")
@@ -844,12 +875,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / n_words
     )
-    docs_t = docs.join(base, "doc_id").select(
-        base["doc_id"],
-        F.col("total_chars"),
-        F.col("toks"),
-        F.col("text"),
-    )
+    docs_t = base
     hashes = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
     dots = (
         F.length("text")
@@ -865,8 +891,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ratio.alias("symbol_ratio"),
     )
     out = (
-        rowstats.join(btop, "doc_id", "left")
-        .join(fdup, "doc_id", "left")
+        rowstats.join(gstats, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
