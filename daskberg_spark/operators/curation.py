@@ -205,11 +205,15 @@ def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(chunks).alias("h")
     ).localCheckpoint()
     # ">= 2 distinct documents share the chunk" ⟺ min(doc_id) !=
-    # max(doc_id) — a plain min/max aggregate, no keyed-distinct phase
+    # max(doc_id) — a plain min/max aggregate, no keyed-distinct phase —
+    # and the flag folds INTO the aggregate so the join back carries one
+    # int per hash, not two longs (interleaved micro-bench at sf0.1:
+    # countDistinct 1.84 s, min/max post-join compare 1.69 s, folded
+    # flag 1.48 s min-of-4)
     freq = ch.groupBy("h").agg(
-        F.min("doc_id").alias("mn_doc"), F.max("doc_id").alias("mx_doc")
+        (F.min("doc_id") != F.max("doc_id")).cast("int").alias("dup_flag")
     )
-    dup = F.when(F.col("mn_doc") != F.col("mx_doc"), 1).otherwise(0)
+    dup = F.col("dup_flag")
     return (
         ch.join(freq, "h")
         .groupBy("doc_id")

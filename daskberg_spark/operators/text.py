@@ -811,56 +811,41 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = base.select(
         "doc_id", "toks", F.posexplode("toks").alias("i", "_t")
     )
-    # BOTH gram legs in ONE pass (r15): each position emits its bigram
-    # (i >= 1) and its ending 5-gram (i >= 4) as (width, gram) structs —
-    # positions below a leg's width contribute a NULL gram the filter
-    # drops — then one (doc_id, w, g) count and one doc_id aggregate
-    # compute both metrics conditionally on w.  Identical values to the
-    # former two independent explode → two-level-agg chains, at half
-    # the generate/aggregate work and one join fewer downstream.
-    grams = pos.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.array(
-                    F.struct(
-                        F.lit(2).alias("w"),
-                        F.when(
-                            F.col("i") >= 1,
-                            F.expr("concat(toks[i - 1], ' ', toks[i])"),
-                        ).alias("g"),
-                    ),
-                    F.struct(
-                        F.lit(5).alias("w"),
-                        # 5-gram ENDING at 0-based i = 1-based slice
-                        # start i - 3
-                        F.when(
-                            F.col("i") >= 4,
-                            F.expr("array_join(slice(toks, i - 3, 5), ' ')"),
-                        ).alias("g"),
-                    ),
-                ),
-                lambda x: x["g"].isNotNull(),
-            )
-        ).alias("wg"),
-    ).select("doc_id", F.col("wg.w").alias("w"), F.col("wg.g").alias("g"))
-    gstats = (
-        grams.groupBy("doc_id", "w", "g")
+    # Two independent gram legs (bigram coverage, duplicated 5-grams).
+    # A fused single-pass variant (each position emitting (width, gram)
+    # structs into one (doc_id, w, g) aggregation) was tried in r15 and
+    # MEASURED 1.88× SLOWER (interleaved isolated A/B, 3 rounds × 3
+    # reps): the per-position struct-array build + higher-order filter
+    # in the generator costs more than the saved aggregate phase, and
+    # the two narrow legs pipeline concurrently inside one job anyway.
+    btop = (
+        pos.where(F.col("i") >= 1)
+        .select(
+            "doc_id",
+            F.expr("concat(toks[i - 1], ' ', toks[i])").alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("g")).alias("top2_chars"))
+    )
+    fdup = (
+        pos.where(F.col("i") >= 4)
+        # 5-gram ENDING at 0-based i = 1-based slice start i - 3
+        .select(
+            "doc_id",
+            F.expr("array_join(slice(toks, i - 3, 5), ' ')").alias("g"),
+        )
+        .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
-            F.max(
-                F.when(F.col("w") == 2, F.col("c") * F.length("g"))
-            ).alias("top2_chars"),
             F.coalesce(
                 F.sum(
-                    F.when(
-                        (F.col("w") == 5) & (F.col("c") >= 2),
-                        F.col("c") * F.length("g"),
-                    )
+                    F.when(F.col("c") >= 2, F.col("c") * F.length("g"))
                 ),
                 F.lit(0),
-            ).alias("dup5_chars"),
+            ).alias("dup5_chars")
         )
     )
     n_words = F.size("toks")
@@ -891,7 +876,8 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ratio.alias("symbol_ratio"),
     )
     out = (
-        rowstats.join(gstats, "doc_id", "left")
+        rowstats.join(btop, "doc_id", "left")
+        .join(fdup, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
