@@ -3250,7 +3250,14 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": 2, "name": "c_mktsegment", "type": "string", "required": False},
             ],
         )
-        write_df(dim_w, cust, mode="none")
+        # num_tasks=1: the dim is ~1% of the fact and broadcast on every
+        # join leg; without the pin the tiny parquet scan arrives as 32
+        # forced splits (files.minPartitionNum) and mode="none" writes
+        # one near-empty file per split — 32 tiny files that EVERY
+        # subsequent _join_dim broadcast build re-opens (guide §6 small-
+        # files tax: create + two refreshes + the SCD leg each re-scan
+        # the dim).  One right-sized file at this dim's data size.
+        write_df(dim_w, cust, mode="none", num_tasks=1)
         rollup_w = create_join_rollup(
             spark,
             IcebergTable(fact_w.path),
