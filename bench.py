@@ -200,16 +200,118 @@ def time_rewrite_manifests() -> float:
     return best
 
 
+# One subprocess side of the interleaved control pass: time the named
+# queries (min over reps, lifecycle phase splits from the best rep) in a
+# fresh JVM and print one JSON line.  Shared verbatim by the current-code
+# side (repo cwd) and the control side (worktree cwd) so the two sides
+# differ ONLY in the code under test.
+_CONTROL_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+names = json.loads(sys.argv[1])
+reps = int(sys.argv[2])
+sf_dir = sys.argv[3]
+import __spark_entry__ as entry_mod
+from daskberg_spark.session import get_spark
+qs = entry_mod.queries()
+spark = get_spark("bench-control")
+spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+    "overwrite").save()
+from daskberg_spark.operators.registry import table
+for t in ("lineitem", "orders", "customer", "events", "documents",
+          "embeddings"):
+    try:
+        table(spark, sf_dir, t).count()
+    except Exception:
+        pass
+try:
+    from daskberg_spark.operators import benchphases
+except Exception:
+    benchphases = None
+out, phases = {}, {}
+for n in names:
+    if n == "maint_rewrite_manifests":
+        try:
+            import bench as bench_mod
+            out[n] = bench_mod.time_rewrite_manifests()
+        except Exception:
+            out[n] = None
+        continue
+    fn = qs.get(n)
+    if fn is None:
+        out[n] = None
+        continue
+    best = float("inf")
+    for _ in range(reps):
+        if benchphases is not None:
+            benchphases.reset(n)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        took = time.perf_counter() - t0
+        if took < best:
+            best = took
+            if benchphases is not None:
+                snap = benchphases.snapshot(n)
+                if snap:
+                    phases[n] = {k: round(v, 4) for k, v in snap.items()}
+    out[n] = best
+spark.stop()
+print("CTRLRESULT " + json.dumps({"queries": out, "phases": phases}))
+"""
+
+
+def _run_control_side(
+    cwd: str, names: list[str], reps: int, sf_dir: str
+) -> dict:
+    import subprocess
+
+    env = dict(
+        os.environ, SPARK_GRAFT_NO_CONTROL="1", SPARK_GRAFT_SF_DIR=sf_dir
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", _CONTROL_RUNNER,
+         json.dumps(names), str(reps), sf_dir],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("CTRLRESULT "):
+            return json.loads(line[len("CTRLRESULT "):])
+    raise RuntimeError(
+        f"control runner in {cwd} produced no result: "
+        f"{r.stdout[-500:]} {r.stderr[-1000:]}"
+    )
+
+
+# Interleaving granularity of the control pass.  Smaller batches bound
+# the window in which host drift can skew a current-vs-control pair (a
+# pair is measured within ~1-3 min of each other) at the cost of one
+# extra JVM start per side per batch.
+_CONTROL_BATCH = 9
+_CONTROL_REPS = 2
+
+
 def run_prior_control(sf_dir: str) -> dict | None:
-    """Same-session drift control (round-6 verdict item 2): re-time the
-    PRIOR round's code — a git worktree at the commit that recorded the
-    latest BENCH_r*.json — on this host, right now.  Host drift made a
-    recorded r5→r6 "1.16× regression" out of code that was actually 10%
-    faster at equal conditions; carrying the control in the artifact
-    means round-over-round ratios never need relitigating.  The control
-    subprocess runs with SPARK_GRAFT_NO_CONTROL=1 so it cannot recurse.
-    Returns {"commit", "source", "queries"} or None (no prior bench, git
-    trouble, or control run failure — all non-fatal)."""
+    """Same-session drift control, INTERLEAVED per batch (r14 verdict
+    item 1): time the PRIOR round's code — a git worktree at the commit
+    that recorded the latest BENCH_r*.json — against the CURRENT code on
+    this host, right now, alternating current/control subprocesses per
+    ~9-query batch (fresh JVM each side, min over in-process reps).
+
+    The previous shape (current suite, then ONE control suite) let
+    suite-level host drift land entirely on one side: three same-day r14
+    closing runs against the SAME control read 1.239 / 0.843 / 1.183,
+    and every per-query flag it raised (15 in r14, up to 1.52×) was
+    exonerated by isolated A/Bs.  Interleaving bounds each
+    current-vs-control pair to the same few-minute window, so
+    ``control_ratios`` are attributable by construction.  The stdout
+    line's ``queries`` map keeps the unchanged in-process min-of-3
+    methodology; only the CONTROL COMPARISON uses the interleaved pass
+    (both sides of every ratio come from identical subprocess
+    conditions).  The control subprocesses run with
+    SPARK_GRAFT_NO_CONTROL=1 so they cannot recurse.  Returns
+    {"commit", "source", "queries", "phases", "current_queries",
+    "current_phases", "mode"} or None (no prior bench, git trouble, or
+    control failure — all non-fatal)."""
     if os.environ.get("SPARK_GRAFT_NO_CONTROL"):
         return None
     import glob as _glob
@@ -241,30 +343,37 @@ def run_prior_control(sf_dir: str) -> dict | None:
         if r.returncode:
             return None
         try:
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_NO_CONTROL="1",
-                SPARK_GRAFT_SF_DIR=sf_dir,
-            )
-            out = subprocess.run(
-                [sys.executable, "bench.py"],
-                cwd=wt, env=env, capture_output=True, text=True, timeout=900,
-            )
-            lines = out.stdout.strip().splitlines()
-            doc = json.loads(lines[-1]) if lines else {}
-            if not doc.get("queries"):
+            all_names = HEADLINE + ["maint_rewrite_manifests"]
+            batches = [
+                all_names[i: i + _CONTROL_BATCH]
+                for i in range(0, len(all_names), _CONTROL_BATCH)
+            ]
+            cur_q: dict[str, float] = {}
+            ctl_q: dict[str, float] = {}
+            cur_ph: dict[str, dict] = {}
+            ctl_ph: dict[str, dict] = {}
+            for batch in batches:
+                for cwd, q_acc, ph_acc in (
+                    (repo, cur_q, cur_ph),
+                    (wt, ctl_q, ctl_ph),
+                ):
+                    res = _run_control_side(
+                        cwd, batch, _CONTROL_REPS, sf_dir
+                    )
+                    for n, v in (res.get("queries") or {}).items():
+                        if v is not None:
+                            q_acc[n] = round(v, 4)
+                    ph_acc.update(res.get("phases") or {})
+            if not ctl_q:
                 return None
-            ctrl_phases = {}
-            try:  # r13+: the control's own per-phase lifecycle splits
-                with open(os.path.join(wt, "BENCH_PHASES.json")) as f:
-                    ctrl_phases = json.load(f)
-            except (OSError, ValueError):
-                pass
             return {
                 "commit": commit,
                 "source": latest,
-                "queries": doc["queries"],
-                "phases": ctrl_phases,
+                "queries": ctl_q,
+                "phases": ctl_ph,
+                "current_queries": cur_q,
+                "current_phases": cur_ph,
+                "mode": "interleaved-batch",
             }
         finally:
             subprocess.run(
@@ -373,9 +482,16 @@ def main() -> None:
     }
     control = run_prior_control(sf_dir)
     if control:
-        shared = [n for n in timings if n in control["queries"]]
+        # Ratios pair the INTERLEAVED current-side timings with the
+        # control side (same subprocess conditions, same few-minute
+        # window — r14 verdict item 1); the in-process ``timings`` on
+        # the stdout line keep the unchanged round-over-round
+        # methodology.  Fall back to in-process timings only if the
+        # interleaved current side is missing a name.
+        cur_side = {**timings, **(control.get("current_queries") or {})}
+        shared = [n for n in cur_side if n in control["queries"]]
         ctrl_total = sum(control["queries"][n] for n in shared)
-        cur_total = sum(timings[n] for n in shared)
+        cur_total = sum(cur_side[n] for n in shared)
         # Per-query control timings + current/control ratios (r7 verdict
         # item 2) go to a SIDE FILE, not the stdout line: round 8 put
         # both maps on the JSON line, which pushed it past the driver's
@@ -384,7 +500,7 @@ def main() -> None:
         # drift summary; BENCH_CONTROL_DETAIL.json carries the full
         # localization maps for the judge.
         ratios = {
-            n: round(timings[n] / control["queries"][n], 4)
+            n: round(cur_side[n] / control["queries"][n], 4)
             for n in shared
             if control["queries"][n]
         }
@@ -392,9 +508,12 @@ def main() -> None:
         # expose splits (r12 verdict item 4: the build is fixture cost,
         # and a legitimately-grown lifecycle otherwise reads as a
         # phantom name-to-name regression needing manual exoneration).
+        # Both sides' phases come from the interleaved pass when
+        # available, the in-process snapshot otherwise.
         ctrl_phases = control.get("phases") or {}
+        cur_phases = {**phases, **(control.get("current_phases") or {})}
         refresh_ratios = {}
-        for n, ph in phases.items():
+        for n, ph in cur_phases.items():
             cur_r = ph.get("refresh")
             ctl_r = (ctrl_phases.get(n) or {}).get("refresh")
             if cur_r and ctl_r:
@@ -402,14 +521,21 @@ def main() -> None:
         detail = {
             "control_commit": control["commit"][:12],
             "control_source": control["source"],
+            "control_mode": control.get("mode", "sequential"),
             "control_prior_round_sec": round(ctrl_total, 4),
             "control_shared_current_sec": round(cur_total, 4),
             "bench_vs_control_ratio": (
                 round(cur_total / ctrl_total, 4) if ctrl_total else None
             ),
             "control_queries": control["queries"],
+            "interleaved_current_queries": control.get(
+                "current_queries"
+            ) or {},
             "control_ratios": ratios,
             "phases": phases,
+            "interleaved_current_phases": control.get(
+                "current_phases"
+            ) or {},
             "control_phases": ctrl_phases,
             "lifecycle_refresh_ratios": refresh_ratios,
         }
@@ -445,7 +571,7 @@ def main() -> None:
                     note = "  [lifecycle entry; control has no phase split]"
                 print(
                     f"  {n:35s} {control['queries'][n]:7.3f}s -> "
-                    f"{timings[n]:7.3f}s  ({r:.2f}x){note}",
+                    f"{cur_side[n]:7.3f}s  ({r:.2f}x){note}",
                     file=sys.stderr,
                 )
     line = json.dumps(doc)
