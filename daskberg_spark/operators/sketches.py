@@ -750,6 +750,18 @@ def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\f\\r]+")).alias("term")
     )
+    # ONE corpus tokenization pass: the per-term exact counts feed BOTH
+    # branches, because a count-min cell is exactly the SUM of the term
+    # counts hashing into it — so the ×DEPTH salted-hash explode runs
+    # over the VOCABULARY-sized count table, not the corpus token
+    # stream (guide §2.3: aggregate before you shuffle; the former
+    # shape exploded every corpus token DEPTH ways and tokenized the
+    # corpus twice).  Bit-identical: integer sums commute.
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint()
+    )
     salted = [
         F.struct(
             F.lit(d).alias("d"),
@@ -761,14 +773,12 @@ def approx_topk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(CM_DEPTH)
     ]
     sketch = (
-        toks.select(F.explode(F.array(*salted)).alias("s"))
+        tf.select("exact_n", F.explode(F.array(*salted)).alias("s"))
         .groupBy(F.col("s.d").alias("d"), F.col("s.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
     top = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "term")
+        tf.orderBy(F.col("exact_n").desc(), "term")
         .limit(CM_TOPK)
     )
     probes = top.select(
