@@ -132,12 +132,28 @@ def quality_unigram_meanprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), "[ \\t\\n\\f\\r]+")).alias("t"),
     )
-    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # ONE corpus tokenization pass, collapsed immediately to the sparse
+    # (doc, term) count matrix — the former shape re-derived the token
+    # explode for BOTH the vocabulary aggregate and the per-doc join leg
+    # (two corpus scans), and the token-keyed join ran over the raw
+    # occurrence stream.  Every downstream quantity is an integer sum
+    # over dt, so results are bit-identical: c = Σ k over docs,
+    # n_tokens = Σ k over terms, s = Σ_occurrences c = Σ_t k·c
+    # (guide §2.3: aggregate before you shuffle).
+    dt = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint()
+    )
+    vocab = dt.groupBy("t").agg(F.sum("k").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
     per_doc = (
-        tok.join(vocab, "t")
+        dt.join(vocab, "t")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("s"))
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("c")).alias("s"),
+        )
     )
     score = F.col("s").cast("double") / (
         F.col("n_tokens").cast("double") * F.col("total").cast("double")

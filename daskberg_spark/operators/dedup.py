@@ -277,6 +277,14 @@ def minhash_band_pairs(sh: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+    # The bucket self-join's two sides would each re-run the signature
+    # pandas UDF over the whole corpus (the plan showed TWO
+    # ArrowEvalPython nodes — one under the probe side, one under the
+    # BroadcastExchange).  Materializing the narrow (doc_id, band, bh)
+    # frame runs the dominant UDF pass ONCE; the join then reads ~16
+    # bytes × N_BANDS per doc from executor memory (guide §4: pay the
+    # Python boundary once).
+    bands = bands.localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

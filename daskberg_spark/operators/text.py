@@ -976,20 +976,33 @@ def keyword_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate, no explode, no join keyed on data."""
     docs = table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    base = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.size(toks).cast("double").alias("dl"),
-    ).filter(F.col("dl") > 0)
+
     def _tf(m: str) -> F.Column:
         # NB: the HOF lambda must take exactly ONE parameter — a second
         # positional (even a defaulted one) makes Spark pass the element
         # INDEX into it
         return F.size(
-            F.filter(F.col("toks"), lambda x: x == F.lit(m))
+            F.filter(toks, lambda x: x == F.lit(m))
         ).cast("double")
 
-    tf = {m: _tf(m) for m in _BM25_TERMS}
+    # ONE corpus tokenization pass: per-document (dl, tf per query term)
+    # is computed row-locally and checkpointed as a 5-column numeric
+    # frame, so the global aggregate (N, avgdl, df) and the scored pass
+    # both read the tiny materialized frame — the former shape
+    # re-tokenized the corpus and re-ran the three array filters for
+    # each side (guide §2.3: aggregate/reduce before you re-use).
+    base = (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("double").alias("dl"),
+            *[_tf(m).alias(f"tf_{i}") for i, m in enumerate(_BM25_TERMS)],
+        )
+        .filter(F.col("dl") > 0)
+        .localCheckpoint()
+    )
+    tf = {
+        m: F.col(f"tf_{i}") for i, m in enumerate(_BM25_TERMS)
+    }
     glob = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
