@@ -528,12 +528,16 @@ def min_label_propagation(edges_ab: DataFrame) -> tuple[DataFrame, int]:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(
         edges_ab.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    ).localCheckpoint()
+        # lazy checkpoints throughout: lineage still truncates, but each
+        # materializes inside the next consuming job (the label-sum
+        # convergence probe) instead of as its own eager job — one job
+        # per round instead of two
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def label_sum(df: DataFrame):
@@ -576,7 +580,7 @@ def min_label_propagation(edges_ab: DataFrame) -> tuple[DataFrame, int]:
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-        labels = labels.localCheckpoint()
+        labels = labels.localCheckpoint(eager=False)
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
             converged = True

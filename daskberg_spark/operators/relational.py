@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from daskberg_spark.operators.registry import (
+    DEC,
     davg,
     dsum,
     query,
@@ -164,13 +165,25 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6: rollup grouping sets (nation → nation+segment → grand total)."""
+    """B6: rollup grouping sets (nation → nation+segment → grand total).
+
+    Two-phase like ``cube_agg``: collapse to one plain (nation,
+    segment) aggregate first, then ROLLUP's Expand runs over those few
+    rows instead of tripling every joined input row.  SUM re-sums the
+    exact decimal sub-sums; COUNT(*) rolls up as SUM of sub-counts."""
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    return (
+    pre = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .rollup("n_name", "c_mktsegment")
-        .agg(dsum("c_acctbal", "sum_bal"), F.count(F.lit(1)).alias("n"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("__db"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return pre.rollup("n_name", "c_mktsegment").agg(
+        F.sum("__db").cast("double").alias("sum_bal"),
+        F.sum("__n").alias("n"),
     )
 
 
@@ -182,11 +195,24 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6: cube — all 4 grouping sets in one pass (Expand + hash agg)."""
-    return (
+    """B6: cube — all 4 grouping sets.
+
+    Two-phase: SUM is decomposable, so the corpus first collapses to
+    one plain (flag, status) aggregate (a handful of rows) and the
+    CUBE's Expand runs over THAT — a direct ``.cube()`` would expand
+    every input row 4x before partial aggregation (4x the scan's rows
+    through the hash aggregate).  Identical results: CUBE of SUM over
+    rows == CUBE of SUM over per-(flag,status) sub-sums."""
+    pre = (
         table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .groupBy("l_returnflag", "l_linestatus")
+        # keep the exact DECIMAL sub-sums; the double cast happens only
+        # after the cube's re-sum, so the result is bit-identical to a
+        # single decimal sum over all rows
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__dq"))
+    )
+    return pre.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("__dq").cast("double").alias("sum_qty")
     )
 
 

@@ -373,7 +373,9 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.split("w", "").alias("syms"), "n")
-        .localCheckpoint()
+        # lazy: the first round's ranked-pairs collect materializes it —
+        # an eager checkpoint here is one extra driver round-trip
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
@@ -429,9 +431,13 @@ def bpe_train(
                     out.append(merged)
                 yield pd.DataFrame({"syms": out, "n": pdf["n"]})
 
+        # lazy checkpoint: still truncates lineage, but materializes
+        # inside the NEXT round's ranked collect instead of as its own
+        # job — halves the per-round job count, and the FINAL round's
+        # never-consumed vocab pass is skipped outright
         vocab = vocab.mapInPandas(
             apply_merges, "syms array<string>, n long"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return literal_df(
         spark, merges, "step int, left string, right string, pair_count long"
     )

@@ -289,24 +289,30 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     that prunes the fact table BEFORE the wide join — the
     aggregate-then-join ordering that keeps the big join small at scale."""
     li = table(spark, sf_dir, "lineitem")
+    # the HAVING aggregate already holds each qualifying order's total
+    # quantity, and the final GROUP BY keys are functionally determined
+    # by l_orderkey (one order row, one customer row per key in TPC-H),
+    # so re-joining lineitem to recompute SUM(l_quantity) would scan
+    # the fact table a second time for a value `big` already carries.
+    # One lineitem scan instead of two; join strategy is left to AQE —
+    # the filtered aggregate is a few rows per million orders, so both
+    # joins convert to broadcast at runtime, but its size scales with
+    # the data, so a forced broadcast would gamble at 100 TB.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty"))
         .filter(F.col("qty") > 300)
-        .select("l_orderkey")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
     )
-    orders = table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    )
+    orders = table(spark, sf_dir, "orders").join(big, "o_orderkey")
     cust = table(spark, sf_dir, "customer")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("total_qty")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
