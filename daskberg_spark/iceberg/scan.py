@@ -761,19 +761,82 @@ _MAP_LITERAL_MAX_ENTRIES = 8192
 _LITERAL_ROWS_MAX = 256
 
 
+def _sql_literal(v) -> str | None:
+    """SQL literal text for a driver value, or None when the value has
+    no safe textual form (caller falls back).  Floats go through their
+    shortest round-trip repr — ``CAST('<repr>' AS DOUBLE)`` parses back
+    to the identical IEEE value — so the literal frame stays bit-equal
+    to the createDataFrame twin."""
+    import datetime as _dt
+    import decimal as _dec
+    import math as _math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if _math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(v):
+            s = "Infinity" if v > 0 else "-Infinity"
+            return f"CAST('{s}' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    if isinstance(v, _dec.Decimal):
+        return f"'{v}'"
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return None  # aware instants: session-TZ subtleties — fall back
+        return f"'{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"'{v.isoformat()}'"
+    return None
+
+
 def _driver_rows_df(spark: SparkSession, rows: list[tuple], struct) -> DataFrame:
     """Small driver-side row list as a DataFrame: JVM literal relation
     when at or under ``_LITERAL_ROWS_MAX`` rows (zero Python stages,
     one partition), else ``spark.createDataFrame``.  Result-identical
-    either way (same values, same declared types)."""
+    either way (same values, same declared types).
+
+    The literal relation is ONE parsed ``inline(array(named_struct``
+    expression — building it per-value with ``F.lit().cast().alias()``
+    cost 3 py4j round-trips per cell (a 256x3 frame ~2300 driver<->JVM
+    calls of pure plan construction); a single ``expr`` string is one."""
     if not rows or len(rows) > _LITERAL_ROWS_MAX:
         return spark.createDataFrame(rows, struct)
+    st = (
+        T._parse_datatype_string(struct)
+        if isinstance(struct, str)
+        else struct
+    )
     try:
-        st = (
-            T._parse_datatype_string(struct)
-            if isinstance(struct, str)
-            else struct
+        ddls = [f.dataType.simpleString() for f in st.fields]
+        names = [
+            "'" + f.name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for f in st.fields
+        ]
+        parts = []
+        for r in rows:
+            cells = []
+            for v, name, ddl in zip(r, names, ddls):
+                lit = _sql_literal(v)
+                if lit is None:
+                    raise ValueError("no SQL literal form")
+                cells.append(f"{name}, CAST({lit} AS {ddl})")
+            parts.append(f"named_struct({', '.join(cells)})")
+        return spark.range(1).select(
+            F.expr(f"inline(array({', '.join(parts)}))")
         )
+    except Exception:
+        pass
+    try:
         structs = [
             F.struct(
                 *[
@@ -815,9 +878,23 @@ def _attach_path_value(
     if not pairs:
         return df.withColumn(out_col, F.lit(None).cast("bigint"))
     if len(pairs) <= _MAP_LITERAL_MAX_ENTRIES:
-        m = F.create_map(*[x for p, v in pairs for x in (F.lit(p), F.lit(v))])
+        # ONE parsed expression instead of 2N F.lit()/create_map py4j
+        # round-trips: a 100-file map literal was ~200 driver<->JVM
+        # calls of pure plan construction per read (measured as the
+        # dominant cost of the changelog/rollup lifecycle entries)
+        def q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        items = ", ".join(
+            f"{q(p)}, "
+            + ("CAST(NULL AS BIGINT)" if v is None else f"{int(v)}L")
+            for p, v in pairs
+        )
         return df.withColumn(
-            out_col, F.element_at(m, F.col(path_col)).cast("bigint")
+            out_col,
+            F.expr(
+                f"CAST(element_at(map({items}), `{path_col}`) AS BIGINT)"
+            ),
         )
     lookup = F.broadcast(
         spark.createDataFrame(pairs, f"__pv_path string, {out_col} bigint")

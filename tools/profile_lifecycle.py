@@ -63,9 +63,9 @@ def main() -> None:
     prof.disable()
     wall = time.perf_counter() - t0
 
-    status = sc.statusTracker()
-    jvm_store = spark._jsparkSession.sharedState().statusStore()
-    it = jvm_store.jobsList(None).iterator()
+    jvm_store = sc._jsc.sc().statusStore()
+    empty = spark._jvm.java.util.ArrayList()
+    it = jvm_store.jobsList(empty).iterator()
     rows = []
     while it.hasNext():
         j = it.next()
