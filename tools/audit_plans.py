@@ -161,7 +161,11 @@ AUDIT = {
     "embedding_dim_stats": (2, True, False, 1),
     "domain_cap_sample": (2, False, False, 3),
     "quality_unigram_meanprob": (4, False, True, 2),
-    "dedup_chunks_exact": (3, False, True, None),
+    # r15: the dup flag is a min/max window over the chunk-hash
+    # partition (one shuffle of the chunk frame + the output ordering
+    # exchange) — the agg-then-broadcast-join shape this contract
+    # previously pinned shuffled the frame twice
+    "dedup_chunks_exact": (2, False, False, None),
     # round 4: histogram quantile sketch — two data passes (stats agg +
     # bin agg), tiny broadcasted joins for the readout; must contain NO
     # exact-percentile aggregate (see NO_UNBOUNDED_AGGS below)
