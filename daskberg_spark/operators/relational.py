@@ -224,13 +224,25 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B6: explicit GROUPING SETS via Spark SQL on a temp view."""
+    """B6: explicit GROUPING SETS via Spark SQL on a temp view.
+
+    Two-phase like ``cube_agg``/``rollup_agg``: the corpus first
+    collapses to one plain (status, priority) aggregate (a handful of
+    rows) and GROUPING SETS' Expand runs over THAT — a direct grouping
+    set doubles every input row through the first hash aggregate.
+    Bit-identical: the exact DECIMAL sub-sums re-sum losslessly and the
+    double cast happens only after the re-sum."""
     register_views(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
-        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               CAST(SUM(__dp) AS DOUBLE) AS sum_price
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS __dp
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
 
