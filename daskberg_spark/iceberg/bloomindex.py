@@ -365,27 +365,30 @@ def write_file_blooms(
         path = f"{writer.path}/metadata/{name}"
         metas = write_puffin(path, blobs)
         entries = [_stats_entry(path, metas, snapshot_id)]
-    if file_subset is None:
-        # full rebuild replaces prior SAME-TYPE bloom entries for this
-        # snapshot (NDV stats, the other bloom flavor, and any other
-        # statistics files coexist untouched)
-        writer.statistics = [
-            e
-            for e in writer.statistics
-            if not (
-                e["snapshot-id"] == snapshot_id
-                and any(
-                    b.get("type") == blob_type
-                    for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        if file_subset is None:
+            # full rebuild replaces prior SAME-TYPE bloom entries for
+            # this snapshot (NDV stats, the other bloom flavor, and any
+            # other statistics files coexist untouched)
+            writer.statistics = [
+                e
+                for e in writer.statistics
+                if not (
+                    e["snapshot-id"] == snapshot_id
+                    and any(
+                        b.get("type") == blob_type
+                        for b in e.get("blob-metadata", [])
+                    )
                 )
-            )
-        ] + entries
-    else:
-        # incremental: prior blobs stay live, the new entries only add
-        # the newly-indexed files (probe reads all entries)
-        writer.statistics = list(writer.statistics) + entries
-    writer.version += 1
-    writer._write_metadata()
+            ] + entries
+        else:
+            # incremental: prior blobs stay live, the new entries only
+            # add the newly-indexed files (probe reads all entries)
+            writer.statistics = list(writer.statistics) + entries
+        writer.version += 1
+        writer._write_metadata()
     return entries[-1]["statistics-path"]
 
 

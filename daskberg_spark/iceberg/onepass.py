@@ -119,6 +119,17 @@ class SharedStatsScan:
                 columns=sorted(self._dirty_cols),
                 file_subset=sorted(dirty_paths),
             ).persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the caches EAGERLY (r15): the family chains now
+        # run concurrently (writer._maintain_statistics thread pool),
+        # and two first consumers racing an unmaterialized persist
+        # would each re-read the parquet — the one-scan contract is
+        # "read ONCE", so pay the read here, before any consumer
+        for df in (self._raw, self._dirty):
+            if df is not None:
+                df.count()
+        import threading
+
+        self._count_lock = threading.Lock()
         self.raw_served = 0
         self.raw_fallback = 0
         self.dirty_served = 0
@@ -143,9 +154,11 @@ class SharedStatsScan:
             or not want_paths <= self._raw_paths
             or not want_cols <= self._raw_cols
         ):
-            self.raw_fallback += 1
+            with self._count_lock:
+                self.raw_fallback += 1
             return None
-        self.raw_served += 1
+        with self._count_lock:
+            self.raw_served += 1
         df = self._raw
         if want_paths != self._raw_paths:
             df = df.where(F.col("__file").isin(sorted(want_paths)))
@@ -160,9 +173,11 @@ class SharedStatsScan:
             or set(paths) != self._dirty_paths
             or not set(columns) <= self._dirty_cols
         ):
-            self.dirty_fallback += 1
+            with self._count_lock:
+                self.dirty_fallback += 1
             return None
-        self.dirty_served += 1
+        with self._count_lock:
+            self.dirty_served += 1
         return self._dirty.select(*sorted(set(columns)))
 
     def report(self) -> dict[str, Any]:

@@ -217,25 +217,45 @@ def write_puffin(
     ``sequence-number``, ``properties``).  Returns the footer's blob
     metadata (with offsets/lengths) for manifest entries.  Layout per
     spec: Magic, blobs, Magic, footer payload JSON, u32 LE payload size,
-    u32 flags (0 = uncompressed payload), Magic."""
+    u32 flags (0 = uncompressed payload), Magic.
+
+    The write is ATOMIC (temp file + ``os.replace``): statistics file
+    names are deterministic (uuid5 of snapshot/columns/grouping), so
+    two concurrent family refreshes that derive the same file — e.g.
+    the global and grouped quantile chains both backfilling the shared
+    per-file CDF partials (r15 parallel maintenance) — each publish a
+    complete file and last-rename-wins; a reader can never observe
+    interleaved bytes."""
+    import os
+    import uuid as _uuid
+
     metas = []
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        for b in blobs:
-            offset = f.tell()
-            f.write(b["data"])
-            meta = {k: v for k, v in b.items() if k != "data"}
-            meta["offset"] = offset
-            meta["length"] = len(b["data"])
-            metas.append(meta)
-        payload = json.dumps(
-            {"blobs": metas, "properties": properties or {}}
-        ).encode()
-        f.write(MAGIC)
-        f.write(payload)
-        f.write(struct.pack("<I", len(payload)))
-        f.write(b"\x00\x00\x00\x00")
-        f.write(MAGIC)
+    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:12]}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            for b in blobs:
+                offset = f.tell()
+                f.write(b["data"])
+                meta = {k: v for k, v in b.items() if k != "data"}
+                meta["offset"] = offset
+                meta["length"] = len(b["data"])
+                metas.append(meta)
+            payload = json.dumps(
+                {"blobs": metas, "properties": properties or {}}
+            ).encode()
+            f.write(MAGIC)
+            f.write(payload)
+            f.write(struct.pack("<I", len(payload)))
+            f.write(b"\x00\x00\x00\x00")
+            f.write(MAGIC)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return metas
 
 

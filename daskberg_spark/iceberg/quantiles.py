@@ -201,19 +201,22 @@ def write_quantile_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == QUANTILE_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e
+            for e in writer.statistics
+            if not (
+                e["snapshot-id"] == snapshot_id
+                and any(
+                    b.get("type") == QUANTILE_BLOB_TYPE
+                    for b in e.get("blob-metadata", [])
+                )
             )
-        )
-    ] + [entry]
-    writer.version += 1
-    writer._write_metadata()
+        ] + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -429,22 +432,25 @@ def write_file_quantile_partials(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    keep = writer.statistics
-    if file_subset is None:
-        keep = [
-            e
-            for e in keep
-            if not (
-                e["snapshot-id"] == snapshot_id
-                and any(
-                    b.get("type") == FILE_QUANTILE_BLOB_TYPE
-                    for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        keep = writer.statistics
+        if file_subset is None:
+            keep = [
+                e
+                for e in keep
+                if not (
+                    e["snapshot-id"] == snapshot_id
+                    and any(
+                        b.get("type") == FILE_QUANTILE_BLOB_TYPE
+                        for b in e.get("blob-metadata", [])
+                    )
                 )
-            )
-        ]
-    writer.statistics = keep + [entry]
-    writer.version += 1
-    writer._write_metadata()
+            ]
+        writer.statistics = keep + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -664,22 +670,25 @@ def write_file_grouped_quantile_partials(
     )
     path = f"{writer.path}/metadata/{name}"
     metas = write_puffin(path, blobs)
-    keep = writer.statistics
-    if file_subset is None:
-        keep = [
-            e
-            for e in keep
-            if not (
-                e["snapshot-id"] == snapshot_id
-                and any(
-                    b.get("type") == GROUPED_FILE_QUANTILE_BLOB_TYPE
-                    for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        keep = writer.statistics
+        if file_subset is None:
+            keep = [
+                e
+                for e in keep
+                if not (
+                    e["snapshot-id"] == snapshot_id
+                    and any(
+                        b.get("type") == GROUPED_FILE_QUANTILE_BLOB_TYPE
+                        for b in e.get("blob-metadata", [])
+                    )
                 )
-            )
-        ]
-    writer.statistics = keep + [stats_entry(path, metas, snapshot_id)]
-    writer.version += 1
-    writer._write_metadata()
+            ]
+        writer.statistics = keep + [stats_entry(path, metas, snapshot_id)]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -1007,19 +1016,22 @@ def refresh_quantile_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if not (
-            e["snapshot-id"] == snapshot_id
-            and any(
-                b.get("type") == QUANTILE_BLOB_TYPE
-                for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e
+            for e in writer.statistics
+            if not (
+                e["snapshot-id"] == snapshot_id
+                and any(
+                    b.get("type") == QUANTILE_BLOB_TYPE
+                    for b in e.get("blob-metadata", [])
+                )
             )
-        )
-    ] + [entry]
-    writer.version += 1
-    writer._write_metadata()
+        ] + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return {
         "path": path,
         "columns": list(columns),
@@ -1418,9 +1430,14 @@ def _refresh_grouped_quantile_config(
             return True
         return gc is not None and gc != list(group_cols)
 
-    writer.statistics = [e for e in writer.statistics if _keep(e)] + [entry]
-    writer.version += 1
-    writer._write_metadata()
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e for e in writer.statistics if _keep(e)
+        ] + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return {
         "mode": "incremental",
         "strategy": strategy,
@@ -1611,9 +1628,14 @@ def write_grouped_quantile_statistics(
             return True
         return gc is not None and gc != list(group_cols)
 
-    writer.statistics = [e for e in writer.statistics if _keep(e)] + [entry]
-    writer.version += 1
-    writer._write_metadata()
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e for e in writer.statistics if _keep(e)
+        ] + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -1627,21 +1649,28 @@ def drop_grouped_quantile_statistics(
     entries are KEPT unless ``drop_unreadable=True`` (r15): a
     transient IO error must not delete a different grouping."""
     from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
 
     t = IcebergTable(writer.path)
-    keep, dropped = [], 0
-    for e in writer.statistics:
-        gc = _entry_statistics_group_cols(t, e, GROUPED_QUANTILE_BLOB_TYPE)
-        if gc != "__none__" and (
-            (gc is None and drop_unreadable) or gc == list(group_cols)
-        ):
-            dropped += 1
-            continue
-        keep.append(e)
-    if dropped:
-        writer.statistics = keep
-        writer.version += 1
-        writer._write_metadata()
+    # classify AND commit under the lock: the keep list is a full
+    # replacement, so a concurrent family commit between read and
+    # assignment would be lost otherwise
+    with STATS_COMMIT_LOCK:
+        keep, dropped = [], 0
+        for e in writer.statistics:
+            gc = _entry_statistics_group_cols(
+                t, e, GROUPED_QUANTILE_BLOB_TYPE
+            )
+            if gc != "__none__" and (
+                (gc is None and drop_unreadable) or gc == list(group_cols)
+            ):
+                dropped += 1
+                continue
+            keep.append(e)
+        if dropped:
+            writer.statistics = keep
+            writer.version += 1
+            writer._write_metadata()
     return dropped
 
 

@@ -19,6 +19,7 @@ only data manifests and carries no statistics machinery at all.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from typing import Any, Callable, Iterable
 
@@ -26,6 +27,17 @@ from typing import Any, Callable, Iterable
 # entries: late enough that steady-state refreshes stay append-only,
 # early enough that the footer walk stays O(live files)
 CONSOLIDATE_AFTER = 8
+
+# Serializes every statistics commit tail (the read-modify-write of
+# ``writer.statistics`` + ``writer.version`` + ``_write_metadata()``)
+# so ``_maintain_statistics`` can overlap the independent family
+# chains' Spark jobs (r15, guide §2.6) without lost-update races.  A
+# single module-level lock rather than a per-writer attribute: commits
+# are driver-side and millisecond-cheap (contention is irrelevant),
+# and IcebergWriter stays pickle-clean.  Table DATA commits (append/
+# delete/compact) never run concurrently with statistics refreshes —
+# only the six statistics families overlap — so they stay unlocked.
+STATS_COMMIT_LOCK = threading.RLock()
 
 
 def stats_entry(path: str, metas: list[dict], snapshot_id: int) -> dict:
@@ -84,10 +96,14 @@ def consolidate_entries(
     path = f"{writer.path}/metadata/{name}"
     metas = write_puffin(path, blobs)
     drop = {id(e) for e in entries}
-    writer.statistics = [
-        e for e in writer.statistics if id(e) not in drop
-    ] + [stats_entry(path, metas, snapshot_id)]
-    if commit:
-        writer.version += 1
-        writer._write_metadata()
+    with STATS_COMMIT_LOCK:
+        # re-read inside the lock: another family's concurrent commit
+        # may have replaced the list (its entries are of different
+        # types, so the id()-keyed drop set stays valid)
+        writer.statistics = [
+            e for e in writer.statistics if id(e) not in drop
+        ] + [stats_entry(path, metas, snapshot_id)]
+        if commit:
+            writer.version += 1
+            writer._write_metadata()
     return True

@@ -220,24 +220,27 @@ def write_sum_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    keep = writer.statistics
-    if file_subset is None:
-        # full rebuild replaces the snapshot's colsum entry (raw-file
-        # blobs on OTHER snapshots stay valid and stay live)
-        keep = [
-            e
-            for e in keep
-            if not (
-                e["snapshot-id"] == snapshot_id
-                and any(
-                    b.get("type") == SUM_BLOB_TYPE
-                    for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        keep = writer.statistics
+        if file_subset is None:
+            # full rebuild replaces the snapshot's colsum entry
+            # (raw-file blobs on OTHER snapshots stay valid and live)
+            keep = [
+                e
+                for e in keep
+                if not (
+                    e["snapshot-id"] == snapshot_id
+                    and any(
+                        b.get("type") == SUM_BLOB_TYPE
+                        for b in e.get("blob-metadata", [])
+                    )
                 )
-            )
-        ]
-    writer.statistics = keep + [entry]
-    writer.version += 1
-    writer._write_metadata()
+            ]
+        writer.statistics = keep + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 

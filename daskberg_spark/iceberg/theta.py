@@ -1061,9 +1061,14 @@ def write_grouped_theta_statistics(
             return True
         return gc is not None and gc != list(group_cols)
 
-    writer.statistics = [e for e in writer.statistics if _keep(e)] + [entry]
-    writer.version += 1
-    writer._write_metadata()
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e for e in writer.statistics if _keep(e)
+        ] + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -1215,22 +1220,25 @@ def write_file_grouped_theta_partials(
     )
     path = f"{writer.path}/metadata/{name}"
     metas = write_puffin(path, blobs)
-    keep = writer.statistics
-    if file_subset is None:
-        keep = [
-            e
-            for e in keep
-            if not (
-                e["snapshot-id"] == snapshot_id
-                and any(
-                    b.get("type") == GROUPED_THETA_FILE_BLOB_TYPE
-                    for b in e.get("blob-metadata", [])
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        keep = writer.statistics
+        if file_subset is None:
+            keep = [
+                e
+                for e in keep
+                if not (
+                    e["snapshot-id"] == snapshot_id
+                    and any(
+                        b.get("type") == GROUPED_THETA_FILE_BLOB_TYPE
+                        for b in e.get("blob-metadata", [])
+                    )
                 )
-            )
-        ]
-    writer.statistics = keep + [stats_entry(path, metas, snapshot_id)]
-    writer.version += 1
-    writer._write_metadata()
+            ]
+        writer.statistics = keep + [stats_entry(path, metas, snapshot_id)]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -1829,11 +1837,14 @@ def _refresh_grouped_theta_config(
             return True
         return gc is not None and gc != list(group_cols)
 
-    writer.statistics = [
-        e for e in writer.statistics if _keep(e)
-    ] + [stats_entry(path, metas, snapshot_id)]
-    writer.version += 1
-    writer._write_metadata()
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e for e in writer.statistics if _keep(e)
+        ] + [stats_entry(path, metas, snapshot_id)]
+        writer.version += 1
+        writer._write_metadata()
     return {
         "path": path,
         "group_cols": list(group_cols),
@@ -1957,19 +1968,26 @@ def drop_grouped_theta_statistics(
     grouping's statistics; pass ``drop_unreadable=True`` to sweep
     genuinely corrupt entries deliberately."""
     from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
 
     t = IcebergTable(writer.path)
-    keep, dropped = [], 0
-    for e in writer.statistics:
-        gc = _entry_statistics_group_cols(t, e, GROUPED_THETA_BLOB_TYPE)
-        if gc != "__none__" and (
-            (gc is None and drop_unreadable) or gc == list(group_cols)
-        ):
-            dropped += 1
-            continue
-        keep.append(e)
-    if dropped:
-        writer.statistics = keep
-        writer.version += 1
-        writer._write_metadata()
+    # classify AND commit under the lock: the keep list is a full
+    # replacement, so a concurrent family commit between read and
+    # assignment would be lost otherwise
+    with STATS_COMMIT_LOCK:
+        keep, dropped = [], 0
+        for e in writer.statistics:
+            gc = _entry_statistics_group_cols(
+                t, e, GROUPED_THETA_BLOB_TYPE
+            )
+            if gc != "__none__" and (
+                (gc is None and drop_unreadable) or gc == list(group_cols)
+            ):
+                dropped += 1
+                continue
+            keep.append(e)
+        if dropped:
+            writer.statistics = keep
+            writer.version += 1
+            writer._write_metadata()
     return dropped

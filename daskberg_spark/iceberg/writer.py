@@ -3504,21 +3504,24 @@ def _publish_statistics(
         "file-footer-size-in-bytes": size - 4 - sum(m["length"] for m in metas),
         "blob-metadata": metas,
     }
-    writer.statistics = [
-        e
-        for e in writer.statistics
-        if e["snapshot-id"] != snapshot_id
-        # engine-extension statistics files (bloom/token-bloom indexes,
-        # quantile histograms) coexist with the NDV entry on one
-        # snapshot — replacing them here would silently drop them every
-        # time NDV stats re-run
-        or any(
-            str(b.get("type", "")).startswith("daskberg-")
-            for b in e.get("blob-metadata", [])
-        )
-    ] + [entry]
-    writer.version += 1
-    writer._write_metadata()
+    from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
+
+    with STATS_COMMIT_LOCK:
+        writer.statistics = [
+            e
+            for e in writer.statistics
+            if e["snapshot-id"] != snapshot_id
+            # engine-extension statistics files (bloom/token-bloom
+            # indexes, quantile histograms) coexist with the NDV entry
+            # on one snapshot — replacing them here would silently drop
+            # them every time NDV stats re-run
+            or any(
+                str(b.get("type", "")).startswith("daskberg-")
+                for b in e.get("blob-metadata", [])
+            )
+        ] + [entry]
+        writer.version += 1
+        writer._write_metadata()
     return path
 
 
@@ -6448,59 +6451,83 @@ def refresh_all_statistics(
 
 
 def _maintain_statistics(
-    writer: "IcebergWriter", spark: Any, report: dict[str, Any], scan_source
+    writer: "IcebergWriter",
+    spark: Any,
+    report: dict[str, Any],
+    scan_source,
+    parallelism: int | None = None,
 ) -> None:
     """The statistics-refresh half of ``maintain()`` — every family
-    catch-up, fed from the shared one-scan frame (r14)."""
-    # bloom-index catch-up: files compaction just rewrote (or recent
-    # appends) have no blobs yet; a no-op (None) on unindexed tables
+    catch-up, fed from the shared one-scan frame (r14).
+
+    r15: the four independent family CHAINS — bloom index; global +
+    grouped NDV (theta); global + grouped quantiles; column sums —
+    run in a small thread pool (guide §2.6: actions are only
+    sequential because the driver calls them sequentially; a chain's
+    next job back-fills executors another chain's tail left idle).
+    Chain boundaries follow the shared state: the grouped refreshes
+    REUSE their family's global per-file partials (identity
+    groupings), so global→grouped stays ordered within a chain, while
+    chains touch disjoint blob types and commit through
+    ``statsblobs.STATS_COMMIT_LOCK`` — every published blob is
+    bit-identical to the sequential schedule's.  The materialized-
+    rollup catch-up stays OUTSIDE the pool: it commits a SNAPSHOT
+    (head moves), which the statistics chains assume fixed.
+
+    ``parallelism`` (default ``$SPARK_GRAFT_STATS_PARALLELISM`` or 4,
+    the chain count): 1 restores the sequential schedule.  On an
+    exception the surviving chains still complete (their commits are
+    independent, exactly as in the sequential schedule where an
+    earlier family's commit survives a later family's failure); the
+    first failing chain's error is re-raised after the join."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
     from daskberg_spark.iceberg.bloomindex import refresh_file_blooms
-
-    report["refresh_blooms"] = refresh_file_blooms(
-        writer, spark, scan_source=scan_source
-    )
-    # NDV-stats catch-up: only for tables that opted into theta
-    # statistics (an entry exists on SOME snapshot) whose current
-    # snapshot lacks one — incremental over the append window when
-    # the window allows, full rebuild otherwise; never a surprise
-    # full scan on tables that never ran stats
-    from daskberg_spark.iceberg.theta import THETA_BLOB_TYPE
-
-    has_theta = any(
-        b.get("type") == THETA_BLOB_TYPE
-        for e in writer.statistics
-        for b in e.get("blob-metadata", [])
-    )
-    head_id = writer.head_snapshot["snapshot-id"]
-    head_covered = any(
-        e["snapshot-id"] == head_id
-        and any(
-            b.get("type") == THETA_BLOB_TYPE
-            for b in e.get("blob-metadata", [])
-        )
-        for e in writer.statistics
-    )
-    if has_theta and not head_covered:
-        _, mode = refresh_table_statistics(
-            writer, spark, scan_source=scan_source
-        )
-        report["refresh_statistics"] = mode
-    else:
-        report["refresh_statistics"] = None
-    # quantile-histogram catch-up: same opt-in shape (an entry on
-    # SOME snapshot), gated to heads that lack one.  Tables with
-    # per-file CDF partials (write_file_quantile_partials /
-    # refresh_quantile_statistics's bootstrap) refresh INCREMENTALLY
-    # — O(new + dirty files); legacy tables without partials take
-    # the full one-pass re-run
     from daskberg_spark.iceberg.quantiles import (
+        GROUPED_QUANTILE_BLOB_TYPE,
         QUANTILE_BLOB_TYPE,
+        _NUMERIC_TYPES,
+        refresh_grouped_quantile_statistics,
         refresh_quantile_statistics,
         write_quantile_statistics,
     )
+    from daskberg_spark.iceberg.theta import (
+        GROUPED_THETA_BLOB_TYPE,
+        THETA_BLOB_TYPE,
+        refresh_grouped_theta_statistics,
+    )
+    from daskberg_spark.iceberg.sumstats import refresh_sum_statistics
 
-    from daskberg_spark.iceberg.quantiles import _NUMERIC_TYPES
+    head_id = writer.head_snapshot["snapshot-id"]
 
+    def has(blob_type: str) -> bool:
+        return any(
+            b.get("type") == blob_type
+            for e in writer.statistics
+            for b in e.get("blob-metadata", [])
+        )
+
+    def head_covered(blob_type: str) -> bool:
+        return any(
+            e["snapshot-id"] == head_id
+            and any(
+                b.get("type") == blob_type
+                for b in e.get("blob-metadata", [])
+            )
+            for e in writer.statistics
+        )
+
+    # every gate reads writer state BEFORE any chain runs: the chains
+    # only ever ADD entries of their own types, so a gate computed here
+    # equals the gate the sequential schedule would have computed
+    has_theta = has(THETA_BLOB_TYPE)
+    theta_covered = head_covered(THETA_BLOB_TYPE)
+    has_gndv = has(GROUPED_THETA_BLOB_TYPE)
+    # quantile-histogram catch-up gates: opt-in shape (an entry on SOME
+    # snapshot), head-gated; a column dropped or retyped since the last
+    # histogram run must not crash the nightly job — it simply stops
+    # being refreshed
     q_cols = sorted(
         {
             (b.get("properties") or {}).get("column")
@@ -6510,90 +6537,140 @@ def _maintain_statistics(
         }
         - {None}
     )
-    # a column dropped or retyped since the last histogram run must
-    # not crash the nightly job — it simply stops being refreshed
     q_cols = [
         c
         for c in q_cols
         if writer.types.get(c) in _NUMERIC_TYPES
     ]
-    q_head_covered = any(
-        e["snapshot-id"] == head_id
-        and any(
-            b.get("type") == QUANTILE_BLOB_TYPE
-            for b in e.get("blob-metadata", [])
-        )
-        for e in writer.statistics
-    )
-    if q_cols and not q_head_covered:
-        if (
-            refresh_quantile_statistics(
+    q_head_covered = head_covered(QUANTILE_BLOB_TYPE)
+    has_grouped_q = has(GROUPED_QUANTILE_BLOB_TYPE)
+
+    def chain_blooms() -> dict[str, Any]:
+        # files compaction just rewrote (or recent appends) have no
+        # blobs yet; a no-op (None) on unindexed tables
+        return {
+            "refresh_blooms": refresh_file_blooms(
                 writer, spark, scan_source=scan_source
             )
-            is None
-        ):
-            write_quantile_statistics(writer, spark, q_cols)
-        report["refresh_quantiles"] = q_cols
-    else:
-        report["refresh_quantiles"] = None
-    # grouped-histogram catch-up: same opt-in/head gates; always
-    # incremental (r13) — identity groupings reuse the global
-    # per-file partials, any other grouping uses per-(file × group)
-    # partials — never a stale-silent blob
-    from daskberg_spark.iceberg.quantiles import (
-        GROUPED_QUANTILE_BLOB_TYPE,
-        refresh_grouped_quantile_statistics,
-    )
+        }
 
-    has_grouped = any(
-        b.get("type") == GROUPED_QUANTILE_BLOB_TYPE
-        for e in writer.statistics
-        for b in e.get("blob-metadata", [])
-    )
-    # head-gated PER CONFIG inside the refresh (r15): one grouping's
-    # manual head-covering write no longer starves the others
-    if has_grouped:
-        rep = refresh_grouped_quantile_statistics(
-            writer, spark, scan_source=scan_source, skip_head_covered=True
-        )
-        report["refresh_grouped_quantiles"] = (
-            rep or {}
-        ).get("mode")
-    else:
-        report["refresh_grouped_quantiles"] = None
-    # grouped-NDV catch-up (r13): same opt-in/head gates; always
-    # incremental — per-file grouped sketch partials union for
-    # clean files, one delete-aware restricted scan for dirty ones
-    from daskberg_spark.iceberg.theta import (
-        GROUPED_THETA_BLOB_TYPE,
-        refresh_grouped_theta_statistics,
-    )
+    def chain_theta() -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        # NDV-stats catch-up: only for tables that opted into theta
+        # statistics whose current snapshot lacks one — incremental
+        # over the append window when the window allows, full rebuild
+        # otherwise; never a surprise full scan on tables that never
+        # ran stats
+        if has_theta and not theta_covered:
+            _, mode = refresh_table_statistics(
+                writer, spark, scan_source=scan_source
+            )
+            out["refresh_statistics"] = mode
+        else:
+            out["refresh_statistics"] = None
+        # grouped-NDV catch-up (r13): head-gated PER CONFIG inside the
+        # refresh (r15); always incremental — per-file grouped sketch
+        # partials union for clean files, one delete-aware restricted
+        # scan for dirty ones.  AFTER the global refresh: identity
+        # groupings read the global partials it may have just advanced
+        if has_gndv:
+            rep = refresh_grouped_theta_statistics(
+                writer, spark, scan_source=scan_source, skip_head_covered=True
+            )
+            out["refresh_grouped_ndv"] = (
+                None if rep is None else rep["partials_computed"]
+            )
+        else:
+            out["refresh_grouped_ndv"] = None
+        return out
 
-    has_gndv = any(
-        b.get("type") == GROUPED_THETA_BLOB_TYPE
-        for e in writer.statistics
-        for b in e.get("blob-metadata", [])
-    )
-    if has_gndv:
-        rep = refresh_grouped_theta_statistics(
-            writer, spark, scan_source=scan_source, skip_head_covered=True
-        )
-        report["refresh_grouped_ndv"] = (
-            None if rep is None else rep["partials_computed"]
-        )
-    else:
-        report["refresh_grouped_ndv"] = None
-    # per-file sum-blob catch-up: same opt-in shape as the Bloom
-    # index (incremental — only files no blob covers yet; a no-op
-    # None on tables that never ran write_sum_statistics)
-    from daskberg_spark.iceberg.sumstats import refresh_sum_statistics
+    def chain_quantiles() -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        # tables with per-file CDF partials refresh INCREMENTALLY —
+        # O(new + dirty files); legacy tables without partials take
+        # the full one-pass re-run
+        if q_cols and not q_head_covered:
+            if (
+                refresh_quantile_statistics(
+                    writer, spark, scan_source=scan_source
+                )
+                is None
+            ):
+                write_quantile_statistics(writer, spark, q_cols)
+            out["refresh_quantiles"] = q_cols
+        else:
+            out["refresh_quantiles"] = None
+        # grouped-histogram catch-up: head-gated PER CONFIG (r15);
+        # identity groupings reuse the global per-file partials the
+        # global refresh above just wrote — same-chain ordering keeps
+        # that reuse race-free
+        if has_grouped_q:
+            rep = refresh_grouped_quantile_statistics(
+                writer, spark, scan_source=scan_source, skip_head_covered=True
+            )
+            out["refresh_grouped_quantiles"] = (rep or {}).get("mode")
+        else:
+            out["refresh_grouped_quantiles"] = None
+        return out
 
-    report["refresh_sums"] = refresh_sum_statistics(
-        writer, spark, scan_source=scan_source
-    )
-    # materialized-rollup catch-up: a table created by
-    # create_rollup carries its source watermark in properties —
-    # the nightly job advances it by the changelog delta
+    def chain_sums() -> dict[str, Any]:
+        # per-file sum-blob catch-up: incremental — only files no blob
+        # covers yet; a no-op None on tables that never ran
+        # write_sum_statistics
+        return {
+            "refresh_sums": refresh_sum_statistics(
+                writer, spark, scan_source=scan_source
+            )
+        }
+
+    chains = [
+        ("blooms", chain_blooms),
+        ("theta", chain_theta),
+        ("quantiles", chain_quantiles),
+        ("sums", chain_sums),
+    ]
+    if parallelism is None:
+        parallelism = int(
+            _os.environ.get("SPARK_GRAFT_STATS_PARALLELISM", "4") or "4"
+        )
+    results: dict[str, dict[str, Any]] = {}
+    errors: list[tuple[str, BaseException]] = []
+    if parallelism > 1:
+        with ThreadPoolExecutor(
+            max_workers=min(parallelism, len(chains))
+        ) as pool:
+            futures = [(name, pool.submit(fn)) for name, fn in chains]
+            for name, fut in futures:
+                try:
+                    results[name] = fut.result()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append((name, e))
+    else:
+        for name, fn in chains:
+            try:
+                results[name] = fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errors.append((name, e))
+    # the report fills in the CANONICAL (pre-r15 sequential) key order
+    # regardless of chain completion order
+    for key in (
+        "refresh_blooms",
+        "refresh_statistics",
+        "refresh_quantiles",
+        "refresh_grouped_quantiles",
+        "refresh_grouped_ndv",
+        "refresh_sums",
+    ):
+        for chain_out in results.values():
+            if key in chain_out:
+                report[key] = chain_out[key]
+    if errors:
+        raise errors[0][1]
+    # materialized-rollup catch-up: a table created by create_rollup
+    # carries its source watermark in properties — the nightly job
+    # advances it by the changelog delta.  SEQUENTIAL, after the pool:
+    # refresh_rollup commits a snapshot on this writer (head moves),
+    # which the statistics chains assume fixed
     from daskberg_spark.iceberg.rollup import PROP_SOURCE, refresh_rollup
 
     if PROP_SOURCE in writer.properties:

@@ -424,3 +424,79 @@ def test_cache_budget_zero_skips_persist_not_results(spark, tmp_path):
     # steady state stays a no-op under a budget too
     rep2 = refresh_all_statistics(wb, spark, stats_cache_budget_bytes=0)
     assert rep2["stats_scan"] is None, rep2["stats_scan"]
+
+
+def test_maintain_parallel_matches_sequential(spark, tmp_path, monkeypatch):
+    """r15 parallel family chains (``_maintain_statistics`` thread
+    pool): the pooled schedule must publish bit-identical blobs, the
+    same per-family report, the same one-scan census, and the same
+    metadata version as the sequential schedule — chain order is an
+    implementation detail, never a result."""
+    import os
+
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.puffin import read_blob
+    from daskberg_spark.iceberg.writer import maintain
+
+    def blob_fingerprint(w):
+        t = IcebergTable(w.path)
+        data_files, _ = t.scan_all()
+        norm = {
+            path.encode(): b"file%d" % i
+            for i, path in enumerate(sorted(data_files))
+        }
+        out = []
+        for e in w.statistics:
+            for b in e.get("blob-metadata", []):
+                blob = read_blob(t._relocate(e["statistics-path"]), b)
+                for raw, stable in norm.items():
+                    blob = blob.replace(raw, stable)
+                out.append(
+                    (b.get("type"), tuple(b.get("fields") or ()), blob)
+                )
+        return sorted(out)
+
+    def run(mode, par):
+        monkeypatch.setenv("SPARK_GRAFT_STATS_PARALLELISM", str(par))
+        w, rows = _all_families_table(spark, tmp_path / mode)
+        w.delete_rows_equality([{"u": i} for i in range(5)])
+        w.append(rows(300, 400))
+        rep = maintain(
+            w,
+            spark,
+            min_file_bytes=1,
+            keep_last=100,
+            compact_dead_fraction=None,
+        )
+        return w, rep
+
+    w_seq, rep_seq = run("seq", 1)
+    w_par, rep_par = run("par", 4)
+
+    # same one-scan census: both schedules plan the same shared scan
+    # and serve every family from it
+    assert rep_par["stats_scan"] == rep_seq["stats_scan"], (
+        rep_seq["stats_scan"],
+        rep_par["stats_scan"],
+    )
+    assert rep_par["stats_scan"]["raw_fallback"] == 0, rep_par
+    # same per-family outcomes (path-valued entries compare by kind:
+    # written vs None — the absolute path embeds the tmp dir)
+    for key in (
+        "refresh_blooms",
+        "refresh_statistics",
+        "refresh_quantiles",
+        "refresh_grouped_quantiles",
+        "refresh_grouped_ndv",
+        "refresh_sums",
+        "refresh_rollup",
+    ):
+        a, b = rep_seq[key], rep_par[key]
+        if isinstance(a, str) and os.path.sep in a:
+            assert isinstance(b, str) and os.path.sep in b, (key, a, b)
+        else:
+            assert a == b, (key, a, b)
+    # same commit count (the version counter advances once per family
+    # commit regardless of schedule) and bit-identical published blobs
+    assert w_par.version == w_seq.version
+    assert blob_fingerprint(w_par) == blob_fingerprint(w_seq)
