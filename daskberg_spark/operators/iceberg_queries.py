@@ -4242,15 +4242,45 @@ def iceberg_maintain_stats_onepass(
         for lo in range(0, 4000, 1000):
             w.append(rows(lo, lo + 1000))
     with phase("iceberg_maintain_stats_onepass", "bootstrap"):
-        write_file_blooms(w, spark, ["u"])
-        write_sum_statistics(w, spark, ["v"])
-        write_file_theta_partials(w, spark)
-        refresh_table_statistics(w, spark)
-        refresh_quantile_statistics(w, spark, columns=["v"])
-        write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
-        refresh_grouped_quantile_statistics(w, spark)
-        write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
-        refresh_grouped_theta_statistics(w, spark)
+        # the five family bootstraps are mutually independent (within-
+        # family order preserved per chain); their commits serialize
+        # through statsblobs.STATS_COMMIT_LOCK, so they overlap the
+        # same way maintain()'s refresh chains do (r15, guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _chain_blooms():
+            write_file_blooms(w, spark, ["u"])
+
+        def _chain_sums():
+            write_sum_statistics(w, spark, ["v"])
+
+        def _chain_theta():
+            # global partials BEFORE the grouped family: both spell
+            # their per-file partials in the same blob TYPE, whose
+            # full-write replacement is same-snapshot type-scoped —
+            # they must not race (same chain boundary as maintain())
+            write_file_theta_partials(w, spark)
+            refresh_table_statistics(w, spark)
+            write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
+            refresh_grouped_theta_statistics(w, spark)
+
+        def _chain_quantiles():
+            refresh_quantile_statistics(w, spark, columns=["v"])
+            write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
+            refresh_grouped_quantile_statistics(w, spark)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(fn)
+                for fn in (
+                    _chain_blooms,
+                    _chain_sums,
+                    _chain_theta,
+                    _chain_quantiles,
+                )
+            ]
+            for f in futs:
+                f.result()
     with phase("iceberg_maintain_stats_onepass", "build"):
         # delete FIRST (dirties the four existing files), THEN append —
         # the new file postdates the delete, so it stays clean
