@@ -143,7 +143,10 @@ def quality_unigram_meanprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         tok.groupBy("doc_id", "t")
         .agg(F.count("*").alias("k"))
-        .localCheckpoint()
+        # lazy: still truncates lineage so the three consumers (vocab,
+        # total, the join leg) share ONE tokenization, but materializes
+        # inside the consuming action instead of as its own driver job
+        .localCheckpoint(eager=False)
     )
     vocab = dt.groupBy("t").agg(F.sum("k").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
