@@ -3234,12 +3234,6 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": 2, "name": "o_custkey", "type": "long", "required": False},
             ],
         )
-        # num_tasks=1: one file per commit at every sf, so the refresh's
-        # hard-asserted delta-plan bound (new file + delete-changed file's
-        # two sides = 3) is scale-independent
-        write_df(
-            fact_w, orders.where("o_orderkey % 5 = 0"), mode="none", num_tasks=1
-        )
         cust = table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"
         )
@@ -3250,14 +3244,32 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id": 2, "name": "c_mktsegment", "type": "string", "required": False},
             ],
         )
-        # num_tasks=1: the dim is ~1% of the fact and broadcast on every
-        # join leg; without the pin the tiny parquet scan arrives as 32
+        # num_tasks=1 on BOTH writes: the fact gets one file per commit
+        # at every sf, so the refresh's hard-asserted delta-plan bound
+        # (new file + delete-changed file's two sides = 3) is scale-
+        # independent; the dim is ~1% of the fact and broadcast on every
+        # join leg — without the pin its tiny parquet scan arrives as 32
         # forced splits (files.minPartitionNum) and mode="none" writes
-        # one near-empty file per split — 32 tiny files that EVERY
-        # subsequent _join_dim broadcast build re-opens (guide §6 small-
-        # files tax: create + two refreshes + the SCD leg each re-scan
-        # the dim).  One right-sized file at this dim's data size.
-        write_df(dim_w, cust, mode="none", num_tasks=1)
+        # one near-empty file per split that EVERY subsequent _join_dim
+        # broadcast build re-opens (guide §6 small-files tax).  The two
+        # initial writes land in DIFFERENT tables, so they overlap in a
+        # thread pool (guide §2.6) — the dim's write back-fills the
+        # fact write's task tail.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_fact = pool.submit(
+                write_df,
+                fact_w,
+                orders.where("o_orderkey % 5 = 0"),
+                mode="none",
+                num_tasks=1,
+            )
+            f_dim = pool.submit(
+                write_df, dim_w, cust, mode="none", num_tasks=1
+            )
+            f_fact.result()
+            f_dim.result()
         rollup_w = create_join_rollup(
             spark,
             IcebergTable(fact_w.path),
