@@ -798,9 +798,15 @@ def refresh_rollup(spark, writer) -> dict[str, Any]:
                     dim_table, spark, from_rel=-dim_steps
                 )
             dk_col = props[PROP_DIM_KEY]
+            # lazy: the distinct-keys collect right below is the first
+            # action and materializes the checkpoint inside its own job
+            # — eager=True ran the whole dim-changelog DAG as a
+            # SEPARATE job first (one extra multi-stage job per dim
+            # refresh, ~0.3-1 s of AQE micro-stages at any scale where
+            # the delta is small)
             dim_delta = dim_delta.where(
                 F.col(dk_col).isNotNull()
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             dim_keys = [
                 r[dk_col]
                 for r in dim_delta.select(dk_col)

