@@ -82,6 +82,20 @@ def get_spark(app_name: str = "daskberg_spark", cpus: int | None = None) -> Spar
         # Shuffle width ~= cores locally; a cluster deployment would raise
         # this (or rely on AQE's initialPartitionNum) — never the 200 default.
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        # Let AQE re-coalesce the output partitioning of CACHED plans
+        # (default false).  persist() otherwise pins the pre-AQE shuffle
+        # width: a persisted CDC upsert batch wrote shuffle.partitions
+        # near-empty data + eq-delete files per commit (32 at local[32],
+        # thousands on a cluster) that every later read, delete
+        # application and compaction re-opened — measured 1.6 s -> 2.4-6 s
+        # on the upsert lifecycle when cores went 8 -> 32 (guide §6
+        # small-files tax).  Scale-adaptive by construction: AQE
+        # coalesces to advisory byte size, so a genuinely large batch
+        # keeps its parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow batches for pandas_udf / applyInPandas / toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics for oracle comparison.
