@@ -123,10 +123,21 @@ class SharedStatsScan:
         # run concurrently (writer._maintain_statistics thread pool),
         # and two first consumers racing an unmaterialized persist
         # would each re-read the parquet — the one-scan contract is
-        # "read ONCE", so pay the read here, before any consumer
-        for df in (self._raw, self._dirty):
-            if df is not None:
-                df.count()
+        # "read ONCE", so pay the read here, before any consumer.
+        # The two counts are independent jobs over disjoint reads, so
+        # they overlap in a two-worker pool (guide §2.6).  Known cost:
+        # if the advisory plan is stale and every consumer falls back,
+        # this eager read is paid and thrown away — acceptable for the
+        # read-once contract (the census reports fallbacks loudly).
+        frames = [df for df in (self._raw, self._dirty) if df is not None]
+        if len(frames) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(df.count) for df in frames]:
+                    f.result()
+        elif frames:
+            frames[0].count()
         import threading
 
         self._count_lock = threading.Lock()

@@ -1652,18 +1652,30 @@ def drop_grouped_quantile_statistics(
     from daskberg_spark.iceberg.statsblobs import STATS_COMMIT_LOCK
 
     t = IcebergTable(writer.path)
-    # classify AND commit under the lock: the keep list is a full
-    # replacement, so a concurrent family commit between read and
-    # assignment would be lost otherwise
+
+    # classify OUTSIDE the lock — _entry_statistics_group_cols reads
+    # puffin blobs (disk IO), and holding the process-global commit
+    # lock across that blocks every other table's millisecond commits.
+    # The keep list is still rebuilt UNDER the lock from the live
+    # statistics (full replacement must not lose a concurrent family
+    # commit); entries appended concurrently, unseen by the pre-pass,
+    # classify there (normally zero).
+    def _is_dropped(e: dict) -> bool:
+        gc = _entry_statistics_group_cols(
+            t, e, GROUPED_QUANTILE_BLOB_TYPE
+        )
+        return gc != "__none__" and (
+            (gc is None and drop_unreadable) or gc == list(group_cols)
+        )
+
+    pre = {id(e): _is_dropped(e) for e in list(writer.statistics)}
     with STATS_COMMIT_LOCK:
         keep, dropped = [], 0
         for e in writer.statistics:
-            gc = _entry_statistics_group_cols(
-                t, e, GROUPED_QUANTILE_BLOB_TYPE
-            )
-            if gc != "__none__" and (
-                (gc is None and drop_unreadable) or gc == list(group_cols)
-            ):
+            hit = pre.get(id(e))
+            if hit is None:
+                hit = _is_dropped(e)
+            if hit:
                 dropped += 1
                 continue
             keep.append(e)

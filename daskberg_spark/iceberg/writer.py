@@ -6630,9 +6630,14 @@ def _maintain_statistics(
         ("sums", chain_sums),
     ]
     if parallelism is None:
-        parallelism = int(
-            _os.environ.get("SPARK_GRAFT_STATS_PARALLELISM", "4") or "4"
-        )
+        # a malformed env value must not abort the nightly maintenance
+        # run before any chain executes — fall back to the default
+        try:
+            parallelism = int(
+                _os.environ.get("SPARK_GRAFT_STATS_PARALLELISM", "4") or "4"
+            )
+        except ValueError:
+            parallelism = 4
     results: dict[str, dict[str, Any]] = {}
     errors: list[tuple[str, BaseException]] = []
     if parallelism > 1:
@@ -6665,6 +6670,18 @@ def _maintain_statistics(
             if key in chain_out:
                 report[key] = chain_out[key]
     if errors:
+        # every failed chain must be VISIBLE, not just the first: log
+        # the secondaries (they are independent failures, not causes)
+        # before re-raising — a nightly job that swallows a chain's
+        # error hides a real defect until the next audit
+        if len(errors) > 1:
+            import logging
+
+            log = logging.getLogger(__name__)
+            for name, e in errors[1:]:
+                log.warning(
+                    "statistics chain %r also failed: %r", name, e
+                )
         raise errors[0][1]
     # materialized-rollup catch-up: a table created by create_rollup
     # carries its source watermark in properties — the nightly job

@@ -42,6 +42,26 @@ def _fast_scratch_dir() -> str | None:
         return None
     cand = "/dev/shm"
     if os.path.isdir(cand) and os.access(cand, os.W_OK):
+        # free-space guard (r16): tmpfs is RAM — on a RAM-constrained
+        # host, auto-picked shuffle/spill scratch would compete with
+        # executor memory.  Only auto-pick when the tmpfs has at least
+        # SPARK_GRAFT_SHM_MIN_FREE_BYTES available (default 8 GiB);
+        # below that, fall back to the Spark default (java.io.tmpdir).
+        # An explicit SPARK_GRAFT_LOCAL_DIR above always wins — sizing
+        # RAM scratch deliberately is the operator's call.
+        try:
+            floor = int(
+                os.environ.get("SPARK_GRAFT_SHM_MIN_FREE_BYTES", "")
+                or (8 << 30)
+            )
+        except ValueError:
+            floor = 8 << 30
+        try:
+            st = os.statvfs(cand)
+            if st.f_bavail * st.f_frsize < floor:
+                return None
+        except OSError:
+            return None
         d = os.path.join(cand, "daskberg-scratch")
         try:
             os.makedirs(d, exist_ok=True)

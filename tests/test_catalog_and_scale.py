@@ -257,3 +257,46 @@ def test_catalog_drop_removes_metadata_views(spark):
         cat.sql("SELECT * FROM dt__snapshots").collect()
     with _pytest.raises(AnalysisException):
         cat.sql("SELECT * FROM dt").collect()
+
+
+def test_fast_scratch_dir_shm_free_space_guard(monkeypatch):
+    """The tmpfs auto-pick must respect the free-space floor: plenty of
+    room -> /dev/shm scratch; below the floor -> fall back to the Spark
+    default (None).  Explicit SPARK_GRAFT_LOCAL_DIR always wins."""
+    import os
+
+    from daskberg_spark import session as sess
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+
+    class FakeStat:
+        def __init__(self, avail_bytes):
+            self.f_bavail = avail_bytes // 4096
+            self.f_frsize = 4096
+
+    # branch 1: ample free space -> auto-pick
+    monkeypatch.setattr(
+        sess.os, "statvfs", lambda p: FakeStat(64 << 30)
+    )
+    got = sess._fast_scratch_dir()
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert got == "/dev/shm/daskberg-scratch"
+    else:
+        assert got is None
+
+    # branch 2: below the floor -> fall back to None
+    monkeypatch.setattr(
+        sess.os, "statvfs", lambda p: FakeStat(1 << 30)
+    )
+    assert sess._fast_scratch_dir() is None
+
+    # configurable floor: a tiny floor re-admits the small tmpfs
+    monkeypatch.setenv("SPARK_GRAFT_SHM_MIN_FREE_BYTES", str(1 << 20))
+    got = sess._fast_scratch_dir()
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        assert got == "/dev/shm/daskberg-scratch"
+
+    # explicit override bypasses the guard entirely
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/tmp/explicit-scratch")
+    assert sess._fast_scratch_dir() == "/tmp/explicit-scratch"
