@@ -208,9 +208,7 @@ def time_rewrite_manifests() -> float:
 _CONTROL_RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())
-names = json.loads(sys.argv[1])
-reps = int(sys.argv[2])
-sf_dir = sys.argv[3]
+sf_dir = sys.argv[1]
 import __spark_entry__ as entry_mod
 from daskberg_spark.session import get_spark
 qs = entry_mod.queries()
@@ -228,65 +226,122 @@ try:
     from daskberg_spark.operators import benchphases
 except Exception:
     benchphases = None
-out, phases = {}, {}
-for n in names:
-    if n == "maint_rewrite_manifests":
-        try:
-            import bench as bench_mod
-            out[n] = bench_mod.time_rewrite_manifests()
-        except Exception:
+# Loop mode (r15 verdict item 4): one request line per batch-round —
+# {"names": [...], "reps": N} — so ONE long-lived JVM serves every
+# interleaved round.  Codegen caches persist across rounds, so later
+# rounds measure steady state with reps=1; stdout stays line-framed.
+print("CTRLREADY", flush=True)
+for req_line in sys.stdin:
+    req_line = req_line.strip()
+    if not req_line:
+        continue
+    req = json.loads(req_line)
+    names, reps = req["names"], int(req["reps"])
+    out, phases = {}, {}
+    for n in names:
+        if n == "maint_rewrite_manifests":
+            try:
+                import bench as bench_mod
+                out[n] = bench_mod.time_rewrite_manifests()
+            except Exception:
+                out[n] = None
+            continue
+        fn = qs.get(n)
+        if fn is None:
             out[n] = None
-        continue
-    fn = qs.get(n)
-    if fn is None:
-        out[n] = None
-        continue
-    best = float("inf")
-    for _ in range(reps):
-        if benchphases is not None:
-            benchphases.reset(n)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        took = time.perf_counter() - t0
-        if took < best:
-            best = took
+            continue
+        best = float("inf")
+        for _ in range(reps):
             if benchphases is not None:
-                snap = benchphases.snapshot(n)
-                if snap:
-                    phases[n] = {k: round(v, 4) for k, v in snap.items()}
-    out[n] = best
+                benchphases.reset(n)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = time.perf_counter() - t0
+            if took < best:
+                best = took
+                if benchphases is not None:
+                    snap = benchphases.snapshot(n)
+                    if snap:
+                        phases[n] = {
+                            k: round(v, 4) for k, v in snap.items()
+                        }
+        out[n] = best
+    print("CTRLRESULT " + json.dumps({"queries": out, "phases": phases}),
+          flush=True)
 spark.stop()
-print("CTRLRESULT " + json.dumps({"queries": out, "phases": phases}))
 """
 
 
-def _run_control_side(
-    cwd: str, names: list[str], reps: int, sf_dir: str
-) -> dict:
-    import subprocess
+class _ControlProc:
+    """One persistent runner-side of the interleaved control pass.
 
-    env = dict(
-        os.environ, SPARK_GRAFT_NO_CONTROL="1", SPARK_GRAFT_SF_DIR=sf_dir
-    )
-    r = subprocess.run(
-        [sys.executable, "-c", _CONTROL_RUNNER,
-         json.dumps(names), str(reps), sf_dir],
-        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
-    )
-    for line in r.stdout.splitlines():
-        if line.startswith("CTRLRESULT "):
-            return json.loads(line[len("CTRLRESULT "):])
-    raise RuntimeError(
-        f"control runner in {cwd} produced no result: "
-        f"{r.stdout[-500:]} {r.stderr[-1000:]}"
-    )
+    Wraps a subprocess running ``_CONTROL_RUNNER`` in ``cwd`` (repo for
+    the current side, worktree for the control side).  ``request``
+    sends one batch-round and blocks (with a deadline) for its result
+    line, so the parent can alternate sides within the same few-minute
+    window without paying a JVM start per batch-round."""
+
+    def __init__(self, cwd: str, sf_dir: str) -> None:
+        import subprocess
+
+        env = dict(
+            os.environ, SPARK_GRAFT_NO_CONTROL="1",
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _CONTROL_RUNNER, sf_dir],
+            cwd=cwd, env=env, stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        self._expect("CTRLREADY", timeout=300)
+
+    def _expect(self, prefix: str, timeout: float) -> str:
+        import select
+
+        deadline = time.monotonic() + timeout
+        while True:
+            remain = deadline - time.monotonic()
+            if remain <= 0:
+                raise RuntimeError(f"control runner timed out ({prefix})")
+            ready, _, _ = select.select(
+                [self.proc.stdout], [], [], min(remain, 5.0)
+            )
+            if not ready:
+                if self.proc.poll() is not None:
+                    raise RuntimeError("control runner exited early")
+                continue
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError("control runner closed stdout")
+            if line.startswith(prefix):
+                return line
+
+    def request(self, names: list[str], reps: int) -> dict:
+        self.proc.stdin.write(json.dumps({"names": names, "reps": reps}) + "\n")
+        self.proc.stdin.flush()
+        line = self._expect("CTRLRESULT ", timeout=900)
+        return json.loads(line[len("CTRLRESULT "):])
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 # Interleaving granularity of the control pass.  Smaller batches bound
 # the window in which host drift can skew a current-vs-control pair (a
-# pair is measured within ~1-3 min of each other) at the cost of one
-# extra JVM start per side per batch.
+# pair is measured within ~1-3 min of each other).
 _CONTROL_BATCH = 9
+# Rounds per batch (r15 verdict item 4: >=3 interleaved rounds with
+# min-over-rounds — 2 reps per side per batch was too few on a host
+# with minute-scale 2.2x throttle oscillation; it flagged untouched
+# code at up to 4x).  Round 1 runs _CONTROL_REPS in-process reps (first
+# pays codegen); later rounds run 1 rep each in the SAME long-lived
+# JVM (codegen already cached), each in a fresh time window.  A ratio
+# now needs one side throttled in all three windows to be spurious.
+_CONTROL_ROUNDS = 3
 _CONTROL_REPS = 2
 
 
@@ -342,28 +397,46 @@ def run_prior_control(sf_dir: str) -> dict | None:
         )
         if r.returncode:
             return None
+        procs: list[_ControlProc] = []
         try:
             all_names = HEADLINE + ["maint_rewrite_manifests"]
             batches = [
                 all_names[i: i + _CONTROL_BATCH]
                 for i in range(0, len(all_names), _CONTROL_BATCH)
             ]
+            cur_proc = _ControlProc(repo, sf_dir)
+            procs.append(cur_proc)
+            ctl_proc = _ControlProc(wt, sf_dir)
+            procs.append(ctl_proc)
             cur_q: dict[str, float] = {}
             ctl_q: dict[str, float] = {}
             cur_ph: dict[str, dict] = {}
             ctl_ph: dict[str, dict] = {}
-            for batch in batches:
-                for cwd, q_acc, ph_acc in (
-                    (repo, cur_q, cur_ph),
-                    (wt, ctl_q, ctl_ph),
-                ):
-                    res = _run_control_side(
-                        cwd, batch, _CONTROL_REPS, sf_dir
-                    )
-                    for n, v in (res.get("queries") or {}).items():
-                        if v is not None:
-                            q_acc[n] = round(v, 4)
-                    ph_acc.update(res.get("phases") or {})
+            for rnd in range(_CONTROL_ROUNDS):
+                reps = _CONTROL_REPS if rnd == 0 else 1
+                for batch in batches:
+                    # rewrite_manifests is already min-of-3 over fresh
+                    # tables inside one call — once is enough.
+                    if rnd > 0:
+                        batch = [
+                            n for n in batch
+                            if n != "maint_rewrite_manifests"
+                        ]
+                        if not batch:
+                            continue
+                    for proc, q_acc, ph_acc in (
+                        (cur_proc, cur_q, cur_ph),
+                        (ctl_proc, ctl_q, ctl_ph),
+                    ):
+                        res = proc.request(batch, reps)
+                        for n, v in (res.get("queries") or {}).items():
+                            if v is None:
+                                continue
+                            if n not in q_acc or v < q_acc[n]:
+                                q_acc[n] = round(v, 4)
+                                ph = (res.get("phases") or {}).get(n)
+                                if ph:
+                                    ph_acc[n] = ph
             if not ctl_q:
                 return None
             return {
@@ -373,9 +446,14 @@ def run_prior_control(sf_dir: str) -> dict | None:
                 "phases": ctl_ph,
                 "current_queries": cur_q,
                 "current_phases": cur_ph,
-                "mode": "interleaved-batch",
+                "mode": "interleaved-batch-rounds",
             }
         finally:
+            for p in procs:
+                try:
+                    p.close()
+                except Exception:
+                    pass
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
                 cwd=repo, capture_output=True,
