@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from daskberg_spark.operators.registry import (
+    DEC,
     dsum,
     query,
     sql_dsum,
@@ -215,18 +216,42 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: fact-fact join filtered on the fact side, small
     dims broadcast, top-20 customers by returned revenue via
-    TakeOrdered."""
+    TakeOrdered.
+
+    Aggregate-before-join (guide §2.3, the q18 trick): returned revenue
+    collapses to l_orderkey grain BEFORE touching orders, and to
+    o_custkey grain before touching customer, so the joins move one row
+    per qualifying order/customer instead of one per returned lineitem
+    (~4x at TPC-H selectivities) and no customer attribute ever rides a
+    fact-grain row.  Decimal partial sums re-sum losslessly, so the
+    revenue is bit-identical to the single flat aggregation the oracle
+    computes; each surviving c_custkey carries exactly one (c_name,
+    n_name), so grouping by custkey alone is the same partition."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = table(spark, sf_dir, "nation")
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("rev")
+    )
+    # join strategy stays AQE's call: the order-grain aggregate scales
+    # with the data, so a forced broadcast would gamble at 100 TB.
+    rev_per_cust = (
+        orders.join(rev_per_order, orders.o_orderkey == rev_per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        cust.join(rev_per_cust, cust.c_custkey == rev_per_cust.o_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev").cast("double").alias("revenue"),
+            "n_name",
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
