@@ -74,6 +74,7 @@ class SharedStatsScan:
         raw_columns: set[str],
         dirty_paths: set[str],
         dirty_columns: set[str],
+        clean_paths: set[str] | None = None,
     ) -> None:
         from pyspark import StorageLevel
         from pyspark.sql import types as T
@@ -140,11 +141,20 @@ class SharedStatsScan:
             frames[0].count()
         import threading
 
+        # delete-state gate (r16): raw rows of a file with NO applicable
+        # delete ARE its current rows, so ``current_frame`` may serve a
+        # delete-aware request from the raw cache for exactly those
+        # files.  The caller (plan_* helpers) passes the complement of
+        # ``_dirty_split``'s might-apply set; None means "unknown" and
+        # current_frame always falls back.
+        self._clean_paths = frozenset(clean_paths or ())
         self._count_lock = threading.Lock()
         self.raw_served = 0
         self.raw_fallback = 0
         self.dirty_served = 0
         self.dirty_fallback = 0
+        self.current_served = 0
+        self.current_fallback = 0
         self.cache = "persisted"
         self.planned_bytes: int | None = None
 
@@ -175,6 +185,39 @@ class SharedStatsScan:
             df = df.where(F.col("__file").isin(sorted(want_paths)))
         return df.select("__file", *sorted(want_cols))
 
+    def current_frame(self, scan_files: list[dict], columns):
+        """Delete-aware CURRENT content served from the raw cache — the
+        r15 verdict's delete-state gate.  A file with no applicable
+        delete has raw rows == current rows, so when EVERY requested
+        file is in the recorded clean set the raw frame answers a
+        current-content request exactly; any delete-dirtied file in the
+        request returns None (caller falls back to its own delete-aware
+        read — correct, never stale)."""
+        from daskberg_spark.iceberg.scan import _norm_scan_path
+
+        want_paths = {
+            _norm_scan_path(f["file_path"]) for f in scan_files
+        }
+        from pyspark.sql import functions as F
+
+        want_cols = set(columns)
+        if (
+            self._raw is None
+            or not want_paths
+            or not want_paths <= self._clean_paths
+            or not want_paths <= self._raw_paths
+            or not want_cols <= self._raw_cols
+        ):
+            with self._count_lock:
+                self.current_fallback += 1
+            return None
+        with self._count_lock:
+            self.current_served += 1
+        df = self._raw
+        if want_paths != self._raw_paths:
+            df = df.where(F.col("__file").isin(sorted(want_paths)))
+        return df.select(*sorted(want_cols))
+
     def dirty_frame(self, paths, columns):
         """The cached delete-aware frame projected to ``columns``, or
         None when the request's file set differs from the planned
@@ -200,6 +243,8 @@ class SharedStatsScan:
             "raw_fallback": self.raw_fallback,
             "dirty_served": self.dirty_served,
             "dirty_fallback": self.dirty_fallback,
+            "current_served": self.current_served,
+            "current_fallback": self.current_fallback,
             "cache": self.cache,
             "planned_bytes": self.planned_bytes,
         }
@@ -321,6 +366,12 @@ def plan_shared_stats_scan(
         scan.cache = "skipped-budget"
         scan.planned_bytes = planned
         return scan
+    clean = {
+        _norm(f["file_path"])
+        for f in files
+        if f["file_path"] not in dirty
+        and _norm(f["file_path"]) not in dirty
+    }
     scan = SharedStatsScan(
         t,
         spark,
@@ -328,6 +379,53 @@ def plan_shared_stats_scan(
         raw_cols,
         dirty_set,
         dirty_cols,
+        clean_paths=clean,
+    )
+    scan.planned_bytes = planned
+    return scan
+
+
+def plan_bootstrap_stats_scan(
+    writer,
+    spark,
+    columns: set[str] | None = None,
+    cache_budget_bytes: int = DEFAULT_CACHE_BUDGET_BYTES,
+) -> SharedStatsScan | None:
+    """One persisted read serving a table's INITIAL statistics opt-ins.
+
+    Bootstrapping several families at once (the onepass query's shape:
+    blooms + sums + theta partials + quantiles + the two grouped
+    full-table writes) read the same live files once PER CALL — the
+    same multi-pass constant ``maintain()``'s shared scan removed for
+    refreshes.  This composes one raw cache over every live file and
+    the requested columns (default: all top-level columns); per-file
+    partial builders serve from ``raw_frame`` (partials describe
+    immutable files), and the grouped full-table writes serve through
+    ``current_frame``'s delete-state gate — on a table with live
+    deletes they fall back to their own delete-aware reads, never to a
+    stale answer.  Returns None when the planned bytes exceed the
+    budget (callers direct-read, like ``maintain()``'s degrade)."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.quantiles import _dirty_split, _norm
+
+    t = IcebergTable(writer.path)
+    files, dirty = _dirty_split(t)
+    if not files:
+        return None
+    cols = set(columns) if columns else {n for n in t.fields}
+    if not cols:
+        return None
+    planned = sum(int(f.get("file_size_in_bytes") or 0) for f in files)
+    if planned > cache_budget_bytes:
+        return None
+    clean = {
+        _norm(f["file_path"])
+        for f in files
+        if f["file_path"] not in dirty
+        and _norm(f["file_path"]) not in dirty
+    }
+    scan = SharedStatsScan(
+        t, spark, files, cols, set(), set(), clean_paths=clean
     )
     scan.planned_bytes = planned
     return scan

@@ -1493,6 +1493,7 @@ def write_grouped_quantile_statistics(
     buckets: int = DEFAULT_BUCKETS,
     accuracy: int = DEFAULT_ACCURACY,
     max_groups: int = MAX_BLOB_GROUPS,
+    scan_source=None,
 ) -> str | None:
     """PER-GROUP equi-depth boundaries — the grouped twin of
     ``write_quantile_statistics`` (r12): ONE distributed grouped
@@ -1547,11 +1548,18 @@ def write_grouped_quantile_statistics(
     snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
     bases = {group_key_base(g, types) for g in group_cols}
-    df = apply_group_keys(
-        t.to_df(spark, columns=sorted(bases | set(columns))),
-        group_cols,
-        types,
+    need = sorted(bases | set(columns))
+    # one-scan bootstrap (r16): current content may serve from a shared
+    # cache only through the delete-state gate (raw == current exactly
+    # when no delete applies); else the delete-aware direct read
+    src = (
+        scan_source.current_frame(t.plan_files(None), need)
+        if scan_source is not None
+        else None
     )
+    if src is None:
+        src = t.to_df(spark, columns=need)
+    df = apply_group_keys(src, group_cols, types)
     probs = [i / buckets for i in range(buckets + 1)]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:

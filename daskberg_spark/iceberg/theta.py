@@ -912,6 +912,7 @@ def write_grouped_theta_statistics(
     columns: list[str] | None = None,
     lg_k: int = DEFAULT_LG_K,
     max_groups: int = MAX_THETA_GROUPS,
+    scan_source=None,
 ) -> str | None:
     """PER-GROUP NDV sketches — the grouped twin of
     ``write_table_statistics`` (r12): one distributed pass builds a
@@ -968,11 +969,20 @@ def write_grouped_theta_statistics(
     snapshot_id = writer.head_snapshot["snapshot-id"]
     t = IcebergTable(writer.path)
     bases = {group_key_base(g, types) for g in group_cols}
-    df = apply_group_keys(
-        t.to_df(spark, columns=sorted(bases | set(columns))),
-        group_cols,
-        types,
+    need = sorted(bases | set(columns))
+    # one-scan bootstrap (r16): this full-table write needs CURRENT
+    # content, so it may only serve from a shared cache through the
+    # delete-state gate — raw rows equal current rows exactly when no
+    # delete applies to any live file; otherwise fall back to the
+    # delete-aware direct read below
+    src = (
+        scan_source.current_frame(t.plan_files(None), need)
+        if scan_source is not None
+        else None
     )
+    if src is None:
+        src = t.to_df(spark, columns=need)
+    df = apply_group_keys(src, group_cols, types)
     # the EXACT max_groups gates ride inside the sketch pass (per-task
     # lower bound + driver re-check after collect; r13 advisor removed
     # the distinct().count() double-read).  A cheap ADVISORY pre-gate

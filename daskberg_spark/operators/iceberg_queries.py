@@ -4257,29 +4257,48 @@ def iceberg_maintain_stats_onepass(
         # the five family bootstraps are mutually independent (within-
         # family order preserved per chain); their commits serialize
         # through statsblobs.STATS_COMMIT_LOCK, so they overlap the
-        # same way maintain()'s refresh chains do (r15, guide §2.6)
+        # same way maintain()'s refresh chains do (r15, guide §2.6).
+        # r16: they also SHARE ONE persisted read — per-file partial
+        # builders serve raw rows, and the two grouped full-table
+        # writes serve current content through the delete-state gate
+        # (no deletes exist yet, so raw == current for every file),
+        # instead of each chain re-reading the same four files.
         from concurrent.futures import ThreadPoolExecutor
 
+        from daskberg_spark.iceberg.onepass import (
+            plan_bootstrap_stats_scan,
+        )
+
+        boot = plan_bootstrap_stats_scan(w, spark)
+
         def _chain_blooms():
-            write_file_blooms(w, spark, ["u"])
+            write_file_blooms(w, spark, ["u"], scan_source=boot)
 
         def _chain_sums():
-            write_sum_statistics(w, spark, ["v"])
+            write_sum_statistics(w, spark, ["v"], scan_source=boot)
 
         def _chain_theta():
             # global partials BEFORE the grouped family: both spell
             # their per-file partials in the same blob TYPE, whose
             # full-write replacement is same-snapshot type-scoped —
             # they must not race (same chain boundary as maintain())
-            write_file_theta_partials(w, spark)
-            refresh_table_statistics(w, spark)
-            write_grouped_theta_statistics(w, spark, ["seg"], ["u"])
-            refresh_grouped_theta_statistics(w, spark)
+            write_file_theta_partials(w, spark, scan_source=boot)
+            refresh_table_statistics(w, spark, scan_source=boot)
+            write_grouped_theta_statistics(
+                w, spark, ["seg"], ["u"], scan_source=boot
+            )
+            refresh_grouped_theta_statistics(w, spark, scan_source=boot)
 
         def _chain_quantiles():
-            refresh_quantile_statistics(w, spark, columns=["v"])
-            write_grouped_quantile_statistics(w, spark, ["seg"], ["v"])
-            refresh_grouped_quantile_statistics(w, spark)
+            refresh_quantile_statistics(
+                w, spark, columns=["v"], scan_source=boot
+            )
+            write_grouped_quantile_statistics(
+                w, spark, ["seg"], ["v"], scan_source=boot
+            )
+            refresh_grouped_quantile_statistics(
+                w, spark, scan_source=boot
+            )
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
@@ -4293,6 +4312,15 @@ def iceberg_maintain_stats_onepass(
             ]
             for f in futs:
                 f.result()
+        # read-once contract for the bootstrap too: every family was
+        # served (zero per-family parquet re-reads), and the grouped
+        # full-table writes passed the delete-state gate
+        assert boot is not None, "bootstrap scan must fit the budget here"
+        bs = boot.report()
+        assert bs["raw_fallback"] == 0 and bs["current_fallback"] == 0, bs
+        assert bs["current_served"] == 2, bs
+        assert bs["raw_served"] >= 4, bs
+        boot.unpersist()
     with phase("iceberg_maintain_stats_onepass", "build"):
         # delete FIRST (dirties the four existing files), THEN append —
         # the new file postdates the delete, so it stays clean

@@ -500,3 +500,75 @@ def test_maintain_parallel_matches_sequential(spark, tmp_path, monkeypatch):
     # commit regardless of schedule) and bit-identical published blobs
     assert w_par.version == w_seq.version
     assert blob_fingerprint(w_par) == blob_fingerprint(w_seq)
+
+
+def test_bootstrap_scan_delete_state_gate(spark, tmp_path):
+    """The r16 delete-state gate: ``current_frame`` serves a grouped
+    full-table write from the raw cache ONLY while no delete applies
+    to any requested file; after a delete it must fall back (raw rows
+    would be stale) — and in both states the published blobs equal the
+    direct-read path's bit-for-bit."""
+    from daskberg_spark.iceberg.metadata import IcebergTable
+    from daskberg_spark.iceberg.onepass import plan_bootstrap_stats_scan
+    from daskberg_spark.iceberg.puffin import read_blob
+    from daskberg_spark.iceberg.theta import write_grouped_theta_statistics
+
+    def payloads(w):
+        t = IcebergTable(w.path)
+        out = []
+        for e in w.statistics:
+            for b in e.get("blob-metadata", []):
+                if b["type"] == "daskberg-theta-grouped-v1":
+                    out.append(
+                        read_blob(t._relocate(e["statistics-path"]), b)
+                    )
+        return out
+
+    def mk(name):
+        w = IcebergWriter(
+            str(tmp_path / name),
+            [
+                {"id": 1, "name": "seg", "type": "string", "required": False},
+                {"id": 2, "name": "u", "type": "long", "required": False},
+            ],
+        )
+        w.append(
+            [{"seg": f"s{i % 3}", "u": i % 17} for i in range(200)]
+        )
+        w.append(
+            [{"seg": f"s{i % 3}", "u": i % 23} for i in range(200, 400)]
+        )
+        return w
+
+    # clean table: the gate serves, blobs match the direct-read twin
+    w_cached, w_direct = mk("cached"), mk("direct")
+    boot = plan_bootstrap_stats_scan(w_cached, spark)
+    assert boot is not None
+    write_grouped_theta_statistics(
+        w_cached, spark, ["seg"], ["u"], scan_source=boot
+    )
+    rep = boot.report()
+    assert rep["current_served"] == 1 and rep["current_fallback"] == 0, rep
+    boot.unpersist()
+    write_grouped_theta_statistics(w_direct, spark, ["seg"], ["u"])
+    assert payloads(w_cached) == payloads(w_direct)
+
+    # dirty table: a live equality delete makes raw != current — the
+    # gate must refuse and the fallback read must produce the same
+    # blobs as a direct delete-aware write
+    w_dirty, w_dirty2 = mk("dirty"), mk("dirty2")
+    for w in (w_dirty, w_dirty2):
+        w.delete_rows_equality([{"u": 5}])
+    boot2 = plan_bootstrap_stats_scan(w_dirty, spark)
+    assert boot2 is not None
+    write_grouped_theta_statistics(
+        w_dirty, spark, ["seg"], ["u"], scan_source=boot2
+    )
+    rep2 = boot2.report()
+    assert rep2["current_served"] == 0 and rep2["current_fallback"] == 1, rep2
+    boot2.unpersist()
+    write_grouped_theta_statistics(w_dirty2, spark, ["seg"], ["u"])
+    assert payloads(w_dirty) == payloads(w_dirty2)
+    # the dirty-table blobs really reflect the delete (u=5 removed)
+    t = IcebergTable(w_dirty.path)
+    assert t.to_df(spark).where(F.col("u") == 5).count() == 0
