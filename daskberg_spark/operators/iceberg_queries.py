@@ -3270,20 +3270,43 @@ def iceberg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             f_fact.result()
             f_dim.result()
-        rollup_w = create_join_rollup(
-            spark,
-            IcebergTable(fact_w.path),
-            IcebergTable(dim_w.path),
-            tempfile.mkdtemp(prefix="iceberg_jru_tab_"),
-            "o_custkey",
-            "c_custkey",
-            ["c_mktsegment"],
-            ["o_orderkey"],
-        )
-        write_df(
-            fact_w, orders.where("o_orderkey % 5 = 1"), mode="none", num_tasks=1
-        )
-        delete_where_spark(fact_w, spark, "o_orderkey % 35 = 0")
+        # r16, guide §2.6: the initial rollup materialization and the
+        # fact table's NEXT two commits (append + MOR delete) are
+        # independent given a PINNED base snapshot — IcebergTable
+        # caches its metadata once loaded, data/manifest files are
+        # immutable, and create_join_rollup reads only the pinned
+        # object, so the rollup's watermark (and therefore refresh 1's
+        # changelog window: append file + delete delta) is
+        # byte-identical to the sequential schedule.
+        fact_t = IcebergTable(fact_w.path)
+        fact_t.current_snapshot  # load + pin the base metadata
+        dim_t = IcebergTable(dim_w.path)
+        dim_t.current_snapshot
+
+        def _advance_fact():
+            write_df(
+                fact_w,
+                orders.where("o_orderkey % 5 = 1"),
+                mode="none",
+                num_tasks=1,
+            )
+            delete_where_spark(fact_w, spark, "o_orderkey % 35 = 0")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_create = pool.submit(
+                create_join_rollup,
+                spark,
+                fact_t,
+                dim_t,
+                tempfile.mkdtemp(prefix="iceberg_jru_tab_"),
+                "o_custkey",
+                "c_custkey",
+                ["c_mktsegment"],
+                ["o_orderkey"],
+            )
+            f_adv = pool.submit(_advance_fact)
+            rollup_w = f_create.result()
+            f_adv.result()
     with phase("iceberg_join_rollup", "refresh"):
         report = refresh_rollup(spark, rollup_w)
     assert report["mode"] == "incremental", report
@@ -3372,18 +3395,35 @@ def iceberg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_df(
             writer, li.where("l_shipmonth between 300 and 304"), mode="hash"
         )
+        # r16, guide §2.6: materializing the rollup from the PINNED
+        # five-month snapshot and committing the sixth month (append +
+        # MOR delete) are independent — the table object caches its
+        # metadata and data/manifest files are immutable, so the
+        # watermark and refresh window match the sequential schedule
+        # exactly while the two legs' jobs back-fill each other's tails.
+        from concurrent.futures import ThreadPoolExecutor
+
         src = IcebergTable(src_path)
-        rollup_writer = create_rollup(
-            spark,
-            src,
-            tempfile.mkdtemp(prefix="iceberg_rollup_tab_"),
-            ["l_returnflag"],
-            ["l_orderkey"],
-        )
-        write_df(writer, li.where("l_shipmonth = 305"), mode="hash")
-        delete_where_spark(
-            writer, spark, "l_returnflag = 'R' AND l_shipmonth = 305"
-        )
+        src.current_snapshot  # load + pin the base metadata
+
+        def _advance_source():
+            write_df(writer, li.where("l_shipmonth = 305"), mode="hash")
+            delete_where_spark(
+                writer, spark, "l_returnflag = 'R' AND l_shipmonth = 305"
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_create = pool.submit(
+                create_rollup,
+                spark,
+                src,
+                tempfile.mkdtemp(prefix="iceberg_rollup_tab_"),
+                ["l_returnflag"],
+                ["l_orderkey"],
+            )
+            f_adv = pool.submit(_advance_source)
+            rollup_writer = f_create.result()
+            f_adv.result()
     with phase("iceberg_rollup_incremental", "refresh"):
         report = refresh_rollup(spark, rollup_writer)
     assert report["mode"] == "incremental", report
