@@ -3971,6 +3971,13 @@ def iceberg_ndv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with phase("iceberg_ndv_refresh", "build"):
         for lo in range(0, 5000, 1250):
             w.append(rows(lo, lo + 1250))
+        # r16 negative result (guide §1.1): routing the opt-in write +
+        # bootstrap partials through plan_bootstrap_stats_scan (the
+        # onepass query's shared read) measured 1.13x SLOWER here — a
+        # persist of this 4-file fixture costs more than the three tiny
+        # passes it saves, and unlike the onepass entry only one family
+        # consumes it.  Kept on direct reads; the shared-scan path
+        # remains available for genuinely multi-family bootstraps.
         write_grouped_theta_statistics(w, spark, ["seg"], ["val"])
     with phase("iceberg_ndv_refresh", "bootstrap"):
         rep = refresh_grouped_theta_statistics(w, spark)
