@@ -340,8 +340,10 @@ _CONTROL_BATCH = 9
 # code at up to 4x).  Round 1 runs _CONTROL_REPS in-process reps (first
 # pays codegen); later rounds run 1 rep each in the SAME long-lived
 # JVM (codegen already cached), each in a fresh time window.  A ratio
-# now needs one side throttled in all three windows to be spurious.
-_CONTROL_ROUNDS = 3
+# now needs one side disadvantaged in every window to be spurious.
+# 4 rounds with the lead side alternating per round (see below) give
+# each side two LEADING and two FOLLOWING windows.
+_CONTROL_ROUNDS = 4
 _CONTROL_REPS = 2
 
 
@@ -414,6 +416,21 @@ def run_prior_control(sf_dir: str) -> dict | None:
             ctl_ph: dict[str, dict] = {}
             for rnd in range(_CONTROL_ROUNDS):
                 reps = _CONTROL_REPS if rnd == 0 else 1
+                # Alternate which side leads each round: the leading
+                # side of a pair pays any cold-path cost (page cache,
+                # JIT re-tiering) that the follower then rides, so a
+                # fixed order biases every ratio the same way — the
+                # closing r16 run measured untouched code at up to
+                # 1.33x with current always leading, while fresh-JVM
+                # isolated A/Bs read ~1.0.  With the lead alternating,
+                # min-over-rounds takes each side's best FOLLOWING
+                # window and the bias cancels.
+                sides = [
+                    (cur_proc, cur_q, cur_ph),
+                    (ctl_proc, ctl_q, ctl_ph),
+                ]
+                if rnd % 2:
+                    sides.reverse()
                 for batch in batches:
                     # rewrite_manifests is already min-of-3 over fresh
                     # tables inside one call — once is enough.
@@ -424,10 +441,7 @@ def run_prior_control(sf_dir: str) -> dict | None:
                         ]
                         if not batch:
                             continue
-                    for proc, q_acc, ph_acc in (
-                        (cur_proc, cur_q, cur_ph),
-                        (ctl_proc, ctl_q, ctl_ph),
-                    ):
+                    for proc, q_acc, ph_acc in sides:
                         res = proc.request(batch, reps)
                         for n, v in (res.get("queries") or {}).items():
                             if v is None:
